@@ -1,13 +1,382 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] demonstrates one operator family from
+  * SURVEY.md §2 (scans, filters/predicates, joins, aggregations, windows,
+  * sorts/limits, set ops, scalar functions, streaming-shape queries over
+  * `events`, and the beyond-reference LLM-pipeline operators over
+  * `documents`/`embeddings`). Where ANSI-SQL-expressible, [[oracleSql]]
+  * holds the DuckDB-equivalent query; column names are aligned exactly
+  * (driver hash-compares after sorting columns by name).
+  *
+  * Scale notes (designed for 1000-executor / 100 TB, tested on local[32]):
+  *  - dimension joins (region/nation/supplier/part/customer) are broadcast;
+  *  - aggregates are expressed so map-side partial aggregation applies;
+  *  - window top-k partitions by a key (never a global single-partition
+  *    window except where the result itself is tiny and bounded);
+  *  - money sums are rounded at output only (never mid-plan).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects by default; read nanos as long and convert to a
+    * microsecond timestamp (DuckDB reads the same file natively — bucket
+    * math below only ever uses second granularity, so the µs truncation
+    * is invisible to the oracle compare).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Reads lineitem through the graft sharing layer (registry → snapshot →
+    * FileIndex → HadoopFsRelation) and runs a pricing-summary aggregate.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    queries("q01_pricing_summary")(spark, dir)
+  }
+
+  // ---------------------------------------------------------------------
+  // Operator queries. Names sorted roughly by SURVEY §2 order.
+  // ---------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4 Aggregation: TPC-H Q1-style pricing summary. Map-side partial
+    // agg on (returnflag, linestatus): 6 groups — shuffle is negligible.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          round(sum(col("l_extendedprice")), 0).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("sum_disc_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // §2.2 Filter + single-row aggregate (TPC-H Q6-style). The predicate
+    // reaches the parquet scan as PushedFilters.
+    "q02_revenue_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 0).as("revenue"))
+    }),
+
+    // §2.3 Join (broadcast dim): revenue per region through a 6-table
+    // star join. region/nation/supplier/customer are broadcast-sized.
+    "q03_star_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer"))
+      val su = broadcast(t(s, dir, "supplier"))
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // §2.3 Join + §2.4: order-priority revenue (lineitem ⋈ orders).
+    "q04_join_priority" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("revenue"),
+          countDistinct(col("o_orderkey")).cast("long").as("n_orders"))
+    }),
+
+    // §2.3 Left semi join: customers that have at least one order.
+    "q05_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // §2.3 Left anti join: customers with no orders since 2000-01-01.
+    "q06_anti_join" -> ((s, dir) => {
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      t(s, dir, "customer")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // §2.3 Left outer join + conditional count: order-count histogram.
+    "q07_outer_join_histogram" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // §2.5 Window top-k: top 3 orders per priority (deterministic
+    // tiebreak on orderkey). Partitioned window — scales by key.
+    "q08_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("totalprice"), col("rn").cast("long").as("rn"))
+    }),
+
+    // §2.5 Window running aggregate: cumulative spend per customer.
+    "q09_window_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 0).as("cum_spend"))
+    }),
+
+    // §2.5 Sort + limit with deterministic tiebreak (top 100 orders).
+    "q10_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+    }),
+
+    // §2.5 Set ops: UNION / INTERSECT / EXCEPT over customer key sets,
+    // reduced to one deterministic summary row each.
+    "q11_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val b = c.filter(col("c_acctbal") < 0).select(col("c_custkey"))
+      val u = a.union(b).distinct.agg(count(lit(1)).as("n")).withColumn("op", lit("union"))
+      val i = a.intersect(b).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+      val e = a.except(b).agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+      u.union(i).union(e)
+    }),
+
+    // §2.4 Distinct aggregate per group.
+    "q12_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).cast("long").as("n_custs"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // §2.6 String scalar functions over part.
+    "q13_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(upper(substring(col("p_brand"), 1, 5)).as("brand_prefix"),
+          length(col("p_name")).cast("long").as("name_len"))
+        .groupBy(col("brand_prefix"))
+        .agg(sum(col("name_len")).as("total_len"), count(lit(1)).as("n"))
+    }),
+
+    // §2.6 Date/time scalar functions: orders per (year, month).
+    "q14_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .groupBy(col("y"), col("m"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // §2.6 CASE expression: price-band histogram.
+    "q15_case_expr" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high").as("band"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.2 IN + BETWEEN predicates.
+    "q16_in_between" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_quantity").between(10, 20))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+    }),
+
+    // §2.8/T11 Event-time tumbling window (batch shape of the streaming
+    // query): 10-minute buckets per event_type.
+    "q17_event_time_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("long").as("bucket_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
+    // Beyond-reference §7.1.8: exact dedup stats over documents.
+    "q18_dedup_exact_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("text")).cast("long").as("distinct_docs"),
+          count(lit(1)).as("total_docs"))
+    }),
+
+    // Beyond-reference: token statistics per language (whitespace tokens).
+    "q19_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("n_tokens")), 2).as("avg_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+    }),
+
+    // Beyond-reference: top-20 most frequent tokens. explode → partial
+    // agg; the final top-k window runs over the small aggregated set.
+    "q20_word_freq_topk" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("word"))
+      words.withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+        .select(col("word"), col("cnt"))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles. Column names MUST match the Spark results above.
+  // ---------------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         round(sum(l_extendedprice), 0) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_revenue_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 0) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+    "q03_star_join_revenue" ->
+      """SELECT r_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q04_join_priority" ->
+      """SELECT o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         GROUP BY o_orderpriority""",
+    "q05_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+         FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment""",
+    "q06_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+         FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY c_mktsegment""",
+    "q07_outer_join_histogram" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+           SELECT c_custkey, count(o_orderkey) AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY n_orders""",
+    "q08_window_topk" ->
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS totalprice, rn FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+           FROM orders) WHERE rn <= 3""",
+    "q09_window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cum_spend
+         FROM orders""",
+    "q10_topk_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q11_set_ops" ->
+      """SELECT count(*) AS n, 'union' AS op FROM (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           UNION SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+         UNION ALL
+         SELECT count(*) AS n, 'intersect' AS op FROM (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+         UNION ALL
+         SELECT count(*) AS n, 'except' AS op FROM (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal < 0)""",
+    "q12_distinct_agg" ->
+      """SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+         count(*) AS n_orders FROM orders GROUP BY o_orderstatus""",
+    "q13_string_funcs" ->
+      """SELECT upper(substr(p_brand, 1, 5)) AS brand_prefix,
+         CAST(sum(length(p_name)) AS BIGINT) AS total_len, count(*) AS n
+         FROM part GROUP BY 1""",
+    "q14_date_funcs" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+         count(*) AS n_orders FROM orders GROUP BY 1, 2""",
+    "q15_case_expr" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                     WHEN o_totalprice < 150000 THEN 'mid'
+                     ELSE 'high' END AS band,
+         count(*) AS n FROM orders GROUP BY 1""",
+    "q16_in_between" ->
+      """SELECT l_returnflag, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         FROM lineitem
+         WHERE l_returnflag IN ('A', 'R') AND l_quantity BETWEEN 10 AND 20
+         GROUP BY l_returnflag""",
+    "q17_event_time_window" ->
+      """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_start,
+         event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q18_dedup_exact_stats" ->
+      """SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS distinct_docs,
+         count(*) AS total_docs FROM documents GROUP BY lang""",
+    "q19_token_stats" ->
+      """SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         round(avg(n_tokens), 2) AS avg_tokens,
+         CAST(max(n_tokens) AS BIGINT) AS max_tokens FROM (
+           SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents)
+         GROUP BY lang""",
+    "q20_word_freq_topk" ->
+      """SELECT word, cnt FROM (
+           SELECT word, count(*) AS cnt,
+             row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           GROUP BY word) WHERE rn <= 20"""
+  )
 }

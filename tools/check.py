@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Reads verify output dir (parquet per query + oracle_sql.json), runs each
+oracle in DuckDB against the same sf dir, and compares: row count, column
+names (sorted), and values (rows sorted, exact for non-floats, tiny eps for
+floats). Usage: tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not spark_files:
+        fails.append((name, "no spark output")); continue
+    sdf = pd.concat([pd.read_parquet(f) for f in spark_files])
+    try:
+        ddf = con.execute(sql).fetchdf()
+    except Exception as e:
+        fails.append((name, f"oracle error: {e}")); continue
+    sdf = sdf.reindex(sorted(sdf.columns), axis=1)
+    ddf = ddf.reindex(sorted(ddf.columns), axis=1)
+    if list(sdf.columns) != list(ddf.columns):
+        fails.append((name, f"cols spark={list(sdf.columns)} duck={list(ddf.columns)}")); continue
+    if len(sdf) != len(ddf):
+        fails.append((name, f"rows spark={len(sdf)} duck={len(ddf)}")); continue
+    sdf = sdf.sort_values(list(sdf.columns), ignore_index=True)
+    ddf = ddf.sort_values(list(ddf.columns), ignore_index=True)
+    ok = True
+    for c in sdf.columns:
+        a, b = sdf[c], ddf[c]
+        if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+            aa = a.astype(float).to_numpy(); bb = b.astype(float).to_numpy()
+            bad = ~(np.isclose(aa, bb, rtol=1e-9, atol=1e-9) | (np.isnan(aa) & np.isnan(bb)))
+            if bad.any():
+                ok = False
+                i = int(np.argmax(bad))
+                fails.append((name, f"col {c} row {i}: spark={aa[i]} duck={bb[i]}"))
+                break
+        else:
+            if not a.astype(str).equals(b.astype(str)):
+                diff = (a.astype(str) != b.astype(str))
+                i = int(np.argmax(diff.to_numpy()))
+                ok = False
+                fails.append((name, f"col {c} row {i}: spark={a.iloc[i]!r} duck={b.iloc[i]!r}"))
+                break
+    if ok:
+        print(f"PASS {name} ({len(sdf)} rows)")
+# queries without oracle: rows-only check
+for d in sorted(glob.glob(f"{outdir}/q*")):
+    name = os.path.basename(d)
+    if os.path.isdir(d) and name not in oracle:
+        files = glob.glob(f"{d}/*.parquet")
+        n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+        print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only: {n})")
+        if n == 0:
+            fails.append((name, "rows-only: 0 rows"))
+for name, msg in fails:
+    print(f"FAIL {name}: {msg}")
+sys.exit(1 if fails else 0)
