@@ -39,12 +39,20 @@ object SparkEntry {
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Reads lineitem through the graft sharing layer (registry → snapshot →
-    * FileIndex → HadoopFsRelation) and runs a pricing-summary aggregate.
+    * Reads lineitem through the graft sharing layer (registry → log replay
+    * → FileIndex with stats skipping → HadoopFsRelation) and runs a
+    * pricing-summary aggregate — the SURVEY.md §7.2 end-to-end slice.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    queries("q01_pricing_summary")(spark, dir)
+  def entry(spark: SparkSession): DataFrame =
+    queries("q21_share_snapshot_scan")(spark, "/root/testdata/sf0.001")
+
+  /** Read a table through the sharing layer (builds the share on first
+    * use; rows are identical to the source fixture so oracles stay valid).
+    */
+  private def sharedTable(s: SparkSession, dir: String, name: String): DataFrame = {
+    graft.log.SharedFixtures.ensure(s, dir)
+    s.read.format("graft")
+      .option("table", s"${graft.log.SharedFixtures.SHARE}.$name").load()
   }
 
   // ---------------------------------------------------------------------
@@ -257,6 +265,48 @@ object SparkEntry {
       val w = Window.orderBy(col("cnt").desc, col("word"))
       words.withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
         .select(col("word"), col("cnt"))
+    }),
+
+    // §2.1 S1/S5/S6 + §2.2 P4/P8: snapshot scan through the sharing layer
+    // (log replay → stats skipping → parquet). Rows match the fixture, so
+    // the oracle runs on the original table.
+    "q21_share_snapshot_scan" -> ((s, dir) => {
+      sharedTable(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+          col("l_quantity") >= 30)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("revenue"))
+    }),
+
+    // §2.2 P1: partition pruning on the hive-partitioned shared orders
+    // table (o_year partition directories; only 1997 is listed).
+    "q22_share_partition_prune" -> ((s, dir) => {
+      sharedTable(s, dir, "orders")
+        .filter(col("o_year") === 1997)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 0).as("total"))
+    }),
+
+    // §2.5 O2/O3: LIMIT pushed through the Catalyst rule into the
+    // FileIndex (lists just enough files to cover 1234 rows).
+    "q23_share_limit_pushdown" -> ((s, dir) => {
+      sharedTable(s, dir, "lineitem").limit(1234)
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.1 Table version / time travel: versionAsOf=1 of the 3-commit
+    // versioned orders table = orders before 1999-01-01.
+    "q24_share_time_travel" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      s.read.format("graft")
+        .option("table", s"${graft.log.SharedFixtures.SHARE}.orders_versioned")
+        .option("versionAsOf", "1").load()
+        .select(year(col("o_orderdate")).cast("long").as("y"))
+        .groupBy(col("y"))
+        .agg(count(lit(1)).as("n_orders"))
     })
   )
 
@@ -377,6 +427,23 @@ object SparkEntry {
            SELECT word, count(*) AS cnt,
              row_number() OVER (ORDER BY count(*) DESC, word) AS rn
            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-           GROUP BY word) WHERE rn <= 20"""
+           GROUP BY word) WHERE rn <= 20""",
+    "q21_share_snapshot_scan" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_quantity >= 30
+         GROUP BY l_returnflag""",
+    "q22_share_partition_prune" ->
+      """SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 0) AS total
+         FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+         GROUP BY o_orderstatus""",
+    "q23_share_limit_pushdown" ->
+      """SELECT count(*) AS n FROM (SELECT * FROM lineitem LIMIT 1234)""",
+    "q24_share_time_travel" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y, count(*) AS n_orders
+         FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+         GROUP BY 1"""
   )
 }

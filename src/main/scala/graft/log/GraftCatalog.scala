@@ -1,0 +1,58 @@
+package graft.log
+
+import java.util.{LinkedHashMap => JLinkedHashMap, Map => JMap}
+
+import org.apache.spark.sql.SparkSession
+
+/** Registry of shared tables: `share.schema.table` → storage location,
+  * mirroring the reference's share/schema/table config tree
+  * (`ServerConfig.scala:208-259`) with an LRU snapshot cache of the same
+  * default size as the reference's `deltaTableCacheSize=10`
+  * (`ServerConfig.scala:53-54`; loader `DeltaSharedTableLoaderscala:40-79`).
+  */
+object GraftCatalog {
+
+  val SNAPSHOT_CACHE_SIZE = 10
+
+  private val tables = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private val snapshotCache =
+    new JLinkedHashMap[(String, Long), Snapshot](16, 0.75f, true) {
+      override def removeEldestEntry(e: JMap.Entry[(String, Long), Snapshot]): Boolean =
+        size() > SNAPSHOT_CACHE_SIZE
+    }
+
+  def register(fqn: String, location: String): Unit = tables(fqn) = location
+
+  def unregister(fqn: String): Unit = tables.remove(fqn)
+
+  def location(fqn: String): String =
+    tables.getOrElse(fqn, throw new NoSuchElementException(
+      s"table $fqn is not shared (known: ${tables.keys.toSeq.sorted.mkString(", ")})"))
+
+  def listTables(): Seq[String] = tables.keys.toSeq.sorted
+
+  def log(spark: SparkSession, fqn: String): GraftLog =
+    new GraftLog(location(fqn), spark.sessionState.newHadoopConf())
+
+  /** Snapshot with LRU caching keyed by (location, resolved version). */
+  def snapshot(spark: SparkSession, fqn: String, version: Option[Long] = None,
+      timestampMs: Option[Long] = None): Snapshot = {
+    require(version.isEmpty || timestampMs.isEmpty,
+      "at most one of version/timestamp may be set")
+    val l = log(spark, fqn)
+    val resolved = version
+      .orElse(timestampMs.map(l.versionAtOrBefore))
+      .getOrElse(l.latestVersion())
+    val key = (l.tablePath, resolved)
+    snapshotCache.synchronized {
+      val cached = snapshotCache.get(key)
+      if (cached != null) cached
+      else {
+        val s = l.snapshot(Some(resolved))
+        snapshotCache.put(key, s)
+        s
+      }
+    }
+  }
+}

@@ -1,0 +1,155 @@
+package graft.log
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.model._
+
+/** A minimal versioned transaction log for shared tables.
+  *
+  * Layout: `<table>/_graft_log/<%020d>.json`, one NDJSON action per line —
+  * the same log-replay data model the reference serves over REST (snapshot
+  * resolution: reference `DeltaSharedTable.scala:382-416`; version-range
+  * replay `DeltaSharedTable.scala:557-695`). File paths inside actions are
+  * relative to the table root.
+  *
+  * Scale note: the log holds *file metadata*, not data. At 100 TB a table
+  * is ~100k files × ~1 KB of action JSON — replay is a driver-side O(files)
+  * scan exactly as in Delta; snapshots are cached per (table, version) by
+  * [[GraftCatalog]] so repeated queries don't re-read the log.
+  */
+class GraftLog(val tablePath: String, conf: Configuration) {
+
+  private val logDir = new Path(tablePath, GraftLog.LOG_DIR)
+  private def fs: FileSystem = logDir.getFileSystem(conf)
+
+  def listVersions(): Seq[Long] = {
+    if (!fs.exists(logDir)) return Nil
+    fs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .map(n => n.stripSuffix(".json").toLong)
+      .sorted
+  }
+
+  def latestVersion(): Long = {
+    val vs = listVersions()
+    require(vs.nonEmpty, s"no graft log at $tablePath")
+    vs.last
+  }
+
+  def readVersion(v: Long): Seq[Action] = {
+    val p = new Path(logDir, GraftLog.versionFileName(v))
+    val in = fs.open(p)
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(JsonUtils.lineToAction).toList
+    } finally in.close()
+  }
+
+  /** Commit-file timestamps, monotonized: a commit's timestamp is
+    * `max(actions' max ts, prev + 1ms)` so time travel is well-defined even
+    * when underlying mtimes are not monotonic (reference
+    * `DeltaSharingHistoryManager.scala:41-58,101-114`).
+    */
+  def versionTimestamps(): Seq[(Long, Long)] = {
+    var prev = Long.MinValue
+    listVersions().map { v =>
+      val ts0 = readVersion(v).map {
+        case a: AddFile    => a.timestamp
+        case a: RemoveFile => a.timestamp
+        case a: AddCDCFile => a.timestamp
+        case _             => 0L
+      }.foldLeft(0L)(math.max)
+      val ts = if (ts0 > prev) ts0 else prev + 1
+      prev = ts
+      (v, ts)
+    }
+  }
+
+  /** Latest version with commit timestamp <= `ts` (time travel, reference
+    * `DeltaSharingHistoryManager.getVersionAtOrBeforeTimestamp`).
+    */
+  def versionAtOrBefore(ts: Long): Long = {
+    val cand = versionTimestamps().takeWhile(_._2 <= ts)
+    require(cand.nonEmpty, s"no version at or before timestamp $ts")
+    cand.last._1
+  }
+
+  /** Earliest version with commit timestamp >= `ts` (CDF start boundary,
+    * reference `DeltaSharingCDCReader.scala:95-111`).
+    */
+  def versionAtOrAfter(ts: Long): Long = {
+    val cand = versionTimestamps().dropWhile(_._2 < ts)
+    require(cand.nonEmpty, s"no version at or after timestamp $ts")
+    cand.head._1
+  }
+
+  /** Replay the log to the active-file set at `version` (default latest). */
+  def snapshot(version: Option[Long] = None): Snapshot = {
+    val target = version.getOrElse(latestVersion())
+    val versions = listVersions().filter(_ <= target)
+    require(versions.nonEmpty, s"version $target not found in $tablePath")
+    val active = mutable.LinkedHashMap.empty[String, AddFile]
+    var meta: Metadata = null
+    var proto: Protocol = Protocol()
+    versions.foreach { v =>
+      readVersion(v).foreach {
+        case a: AddFile    => active(a.path) = a
+        case r: RemoveFile => active.remove(r.path)
+        case m: Metadata   => meta = m
+        case p: Protocol   => proto = p
+        case _: AddCDCFile => // cdc files are not part of the main snapshot
+      }
+    }
+    require(meta != null, s"no metadata in log at $tablePath")
+    Snapshot(target, meta, proto, active.values.toVector)
+  }
+
+  /** All actions in `[start, end]` with `dataChange=true`, grouped by
+    * version, plus the historical metadata seen mid-range (streaming/CDF
+    * backbone; reference `DeltaSharedTable.scala:557-695`).
+    */
+  def changes(start: Long, end: Long): Seq[CommitChange] = {
+    require(start <= end, s"startingVersion($start) > endingVersion($end)")
+    val vs = listVersions()
+    require(vs.nonEmpty && start >= vs.head,
+      s"startingVersion($start) before log start ${vs.headOption.getOrElse(-1L)}")
+    val tss = versionTimestamps().toMap
+    vs.filter(v => v >= start && v <= end).map { v =>
+      CommitChange(v, tss(v), readVersion(v))
+    }
+  }
+}
+
+/** Active state at a version. */
+case class Snapshot(version: Long, metadata: Metadata, protocol: Protocol, files: Seq[AddFile]) {
+  def schema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(metadata.schemaString)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+}
+
+/** One committed version's actions. */
+case class CommitChange(version: Long, timestamp: Long, actions: Seq[Action])
+
+object GraftLog {
+  val LOG_DIR = "_graft_log"
+
+  def versionFileName(v: Long): String = f"$v%020d.json"
+
+  /** Atomically write one commit file (temp + rename). */
+  def commit(tablePath: String, version: Long, actions: Seq[Action], conf: Configuration): Unit = {
+    val logDir = new Path(tablePath, LOG_DIR)
+    val fs = logDir.getFileSystem(conf)
+    fs.mkdirs(logDir)
+    val target = new Path(logDir, versionFileName(version))
+    require(!fs.exists(target), s"version $version already committed at $tablePath")
+    val tmp = new Path(logDir, s".${versionFileName(version)}.tmp")
+    val out = fs.create(tmp, true)
+    try actions.foreach { a => out.write((JsonUtils.actionToLine(a) + "\n").getBytes("UTF-8")) }
+    finally out.close()
+    require(fs.rename(tmp, target), s"failed to commit $target")
+  }
+}

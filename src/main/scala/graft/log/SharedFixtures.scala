@@ -1,0 +1,106 @@
+package graft.log
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Materializes graft shared tables from the driver's parquet fixtures and
+  * registers them in [[GraftCatalog]]. Idempotent per (sf dir): tables are
+  * built once under `target/shares/<sf>/` and reused — rows are identical
+  * to the source fixtures, so DuckDB oracles keep running against the
+  * originals.
+  *
+  * Layouts are chosen to exercise the engine's file-level operators:
+  *  - `lineitem` → 8 range-partitioned files by l_orderkey so min/max
+  *    stats skipping has real work (file-level zone map);
+  *  - `orders` → hive-partitioned by o_year so partition pruning has
+  *    real directories to prune.
+  */
+object SharedFixtures {
+
+  val SHARE = "share1.default"
+
+  private val built = scala.collection.mutable.Set.empty[String]
+
+  def sfName(sfDir: String): String =
+    Paths.get(sfDir).getFileName.toString
+
+  def shareRoot(sfDir: String): String =
+    s"/root/repo/target/shares/${sfName(sfDir)}"
+
+  /** Ensure all shared fixture tables exist + are registered; returns the
+    * share root.
+    */
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val root = shareRoot(sfDir)
+    if (built.contains(root)) return root
+
+    // lineitem: 8 files range-partitioned by orderkey → correlated
+    // min/max stats on l_orderkey (and mildly on dates) for skipping.
+    buildIfMissing(root, "lineitem") { path =>
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      TableBuilder.create(spark,
+        li.repartitionByRange(8, col("l_orderkey")), path, name = "lineitem")
+    }
+
+    // orders: hive-partitioned by order year → directory-level pruning.
+    buildIfMissing(root, "orders") { path =>
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+      TableBuilder.create(spark, o, path, partitionCols = Seq("o_year"), name = "orders")
+    }
+
+    // orders_versioned: 3 commits split by order year range → time travel
+    // + version-range changes + streaming snapshot-then-tail fixtures.
+    buildIfMissing(root, "orders_versioned") { path =>
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      TableBuilder.create(spark,
+        o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")).repartition(2),
+        path, name = "orders_versioned")
+      TableBuilder.append(spark,
+        o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp")).repartition(2),
+        path, timestamp = 1000L)
+      TableBuilder.append(spark,
+        o.filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp")).repartition(2),
+        path, timestamp = 2000L)
+    }
+
+    // events: 4 commits split by event_id → streaming source fixture.
+    buildIfMissing(root, "events") { path =>
+      // ts is TIMESTAMP(NANOS); read it as long nanos (stays long in the
+      // shared table — consumers convert, see SparkEntry.events).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val n = ev.count()
+      val quarters = Seq(0L, n / 4, n / 2, 3 * n / 4, n)
+      TableBuilder.create(spark,
+        ev.filter(col("event_id") < quarters(1)), path, name = "events")
+      (1 to 3).foreach { i =>
+        TableBuilder.append(spark,
+          ev.filter(col("event_id") >= quarters(i) && col("event_id") < quarters(i + 1)),
+          path, timestamp = i * 1000L)
+      }
+    }
+
+    Seq("lineitem", "orders", "orders_versioned", "events").foreach { t =>
+      GraftCatalog.register(s"$SHARE.$t", s"$root/$t")
+    }
+    built += root
+    root
+  }
+
+  private def buildIfMissing(root: String, table: String)(build: String => Unit): Unit = {
+    val path = s"$root/$table"
+    if (!Files.exists(Paths.get(path, GraftLog.LOG_DIR))) {
+      // wipe partial builds
+      val dir = Paths.get(path)
+      if (Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      build(path)
+    }
+  }
+}

@@ -1,0 +1,190 @@
+package graft.log
+
+import java.net.URI
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model._
+
+/** Creates/extends graft shared tables from DataFrames.
+  *
+  * Data files are written with stock `df.write.parquet` (the reference is a
+  * read-only system whose fixtures are likewise produced by ordinary
+  * writers — `SURVEY.md` S13); we then synthesize the per-file actions:
+  * relative path, size, partitionValues parsed from the directory layout,
+  * and string-encoded min/max/nullCount stats per skippable column — the
+  * exact inputs the protocol serves for data skipping
+  * (reference `PROTOCOL.md:3908-4012`).
+  *
+  * Stats are computed in ONE distributed pass per commit
+  * (`groupBy(input_file_name())` with partial aggregation) — no per-file
+  * driver loops, so the build scales with executors, not files.
+  */
+object TableBuilder {
+
+  /** Create a table at `tablePath` (version 0) from `df`. */
+  def create(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      partitionCols: Seq[String] = Nil,
+      name: String = "",
+      numFiles: Int = 0,
+      configuration: Map[String, String] = Map.empty): Unit = {
+    val out = if (numFiles > 0) df.repartition(numFiles) else df
+    out.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tablePath)
+    val meta = graft.model.Metadata(
+      id = java.util.UUID.nameUUIDFromBytes(tablePath.getBytes("UTF-8")).toString,
+      name = name,
+      schemaString = df.schema.json,
+      partitionColumns = partitionCols,
+      configuration = configuration,
+      version = 0L)
+    val adds = scanDataFiles(spark, tablePath, df.schema, partitionCols, version = 0L)
+    GraftLog.commit(tablePath, 0L, Seq(Protocol(), meta) ++ adds,
+      spark.sessionState.newHadoopConf())
+  }
+
+  /** Append `df` as a new version; emits AddFile actions for the newly
+    * written files only.
+    */
+  def append(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      timestamp: Long = 0L): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logR = new GraftLog(tablePath, conf)
+    val prev = logR.snapshot(None)
+    val version = logR.latestVersion() + 1
+    val partitionCols = prev.metadata.partitionColumns
+    df.write.mode("append").partitionBy(partitionCols: _*).parquet(tablePath)
+    val known = prev.files.map(_.path).toSet
+    val adds = scanDataFiles(spark, tablePath, prev.schema, partitionCols, version, timestamp)
+      .filterNot(a => known.contains(a.path))
+    GraftLog.commit(tablePath, version, adds, conf)
+    version
+  }
+
+  /** Logically remove the files whose paths satisfy `pred` (new version
+    * with RemoveFile actions — file-granularity delete, like OPTIMIZE /
+    * partition drop in the reference's model).
+    */
+  def removeFiles(
+      spark: SparkSession,
+      tablePath: String,
+      pred: graft.model.AddFile => Boolean,
+      timestamp: Long = 0L): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logR = new GraftLog(tablePath, conf)
+    val prev = logR.snapshot(None)
+    val version = logR.latestVersion() + 1
+    val removes = prev.files.filter(pred).map(a =>
+      RemoveFile(a.path, a.partitionValues, a.size, dataChange = true, version, timestamp))
+    GraftLog.commit(tablePath, version, removes, conf)
+    version
+  }
+
+  /** Build AddFile actions (with stats) for every parquet data file under
+    * `tablePath`, excluding the log dir.
+    */
+  def scanDataFiles(
+      spark: SparkSession,
+      tablePath: String,
+      schema: StructType,
+      partitionCols: Seq[String],
+      version: Long,
+      timestamp: Long = 0L): Seq[AddFile] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val rootUri = fs.makeQualified(root).toUri
+
+    // File inventory from the filesystem (size, mtime).
+    val files = collectParquet(fs, fs.makeQualified(root))
+    val bySuffix = files.map { st =>
+      relativize(rootUri, st.getPath.toUri) -> st
+    }.toMap
+
+    // One distributed stats pass over the whole commit.
+    val dataCols = schema.fields.filterNot(f => partitionCols.contains(f.name))
+    val statCols = dataCols.filter(f => StatsCodec.typeName(f.dataType).isDefined)
+    val aggs =
+      Seq(count(lit(1)).as("__num")) ++
+        statCols.flatMap { f =>
+          Seq(min(col(f.name)).as(s"__min_${f.name}"),
+            max(col(f.name)).as(s"__max_${f.name}"),
+            sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__null_${f.name}"))
+        }
+    val statsRows = spark.read.schema(fullSchema(schema, partitionCols))
+      .parquet(tablePath)
+      .withColumn("__file", input_file_name())
+      .groupBy(col("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+
+    statsRows.toSeq.map { row =>
+      val fileUri = new URI(row.getAs[String]("__file"))
+      val rel = relativize(rootUri, fileUri)
+      val st = bySuffix.getOrElse(rel,
+        throw new IllegalStateException(s"file $rel not found under $tablePath"))
+      val minVals = statCols.flatMap { f =>
+        Option(row.getAs[Any](s"__min_${f.name}")).flatMap(StatsCodec.encode).map(f.name -> _)
+      }.toMap
+      val maxVals = statCols.flatMap { f =>
+        Option(row.getAs[Any](s"__max_${f.name}")).flatMap(StatsCodec.encode).map(f.name -> _)
+      }.toMap
+      val nulls = statCols.map { f => f.name -> row.getAs[Long](s"__null_${f.name}") }.toMap
+      AddFile(
+        path = rel,
+        partitionValues = parsePartitionValues(rel, partitionCols),
+        size = st.getLen,
+        modificationTime = st.getModificationTime,
+        dataChange = true,
+        stats = Some(FileStats(row.getAs[Long]("__num"), minVals, maxVals, nulls)),
+        version = version,
+        timestamp = timestamp)
+    }.sortBy(_.path)
+  }
+
+  private def fullSchema(schema: StructType, partitionCols: Seq[String]): StructType =
+    StructType(schema.fields.filterNot(f => partitionCols.contains(f.name)) ++
+      schema.fields.filter(f => partitionCols.contains(f.name)))
+
+  private def collectParquet(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val (dirs, fileStatuses) = fs.listStatus(dir).toSeq
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .partition(_.isDirectory)
+    fileStatuses.filter(_.getPath.getName.endsWith(".parquet")) ++
+      dirs.flatMap(d => collectParquet(fs, d.getPath))
+  }
+
+  private def relativize(root: URI, file: URI): String = {
+    val r = if (root.getPath.endsWith("/")) root.getPath else root.getPath + "/"
+    val f = file.getPath
+    require(f.startsWith(r), s"$f not under $r")
+    f.substring(r.length)
+  }
+
+  /** `col=value/` path segments → partition values; "" and
+    * `__HIVE_DEFAULT_PARTITION__` mean null ("" per `PROTOCOL.md:3896-3906`).
+    */
+  def parsePartitionValues(relPath: String, partitionCols: Seq[String]): Map[String, String] = {
+    val segs = relPath.split("/").dropRight(1)
+    val kvs = segs.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else {
+        val k = seg.substring(0, i)
+        val v = java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+        Some(k -> (if (v == "__HIVE_DEFAULT_PARTITION__") "" else v))
+      }
+    }.toMap
+    partitionCols.map(c => c -> kvs.getOrElse(c, "")).toMap
+  }
+}

@@ -1,0 +1,25 @@
+package graft.model
+
+import com.fasterxml.jackson.annotation.JsonInclude
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModule}
+
+/** NDJSON (de)serialization for actions — one JSON object per line, the
+  * wire format of the sharing protocol (reference
+  * `server/.../common/JsonUtils.scala`; `PROTOCOL.md:3537-3545`).
+  */
+object JsonUtils {
+  val mapper: ObjectMapper with ClassTagExtensions =
+    new ObjectMapper() with ClassTagExtensions
+  mapper.registerModule(DefaultScalaModule)
+  mapper.setSerializationInclusion(JsonInclude.Include.NON_NULL)
+  mapper.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+
+  def toJson(a: AnyRef): String = mapper.writeValueAsString(a)
+
+  def fromJson[T: Manifest](json: String): T = mapper.readValue[T](json)
+
+  def actionToLine(a: Action): String = toJson(SingleAction.wrap(a))
+
+  def lineToAction(line: String): Action = fromJson[SingleAction](line).unwrap
+}

@@ -1,0 +1,87 @@
+package graft.model
+
+import java.sql.{Date, Timestamp}
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, LocalDate, ZoneOffset}
+
+import org.apache.spark.sql.types._
+
+/** String encoding/decoding + ordering of per-file stats values by column
+  * type. The predicate-hint type system is deliberately narrower than the
+  * full schema (reference `JsonPredicates.scala:40-61`): bool, int, long,
+  * string, date (V1) + float, double, timestamp (V2). Columns of any other
+  * type are not skippable — evaluation must return Unknown for them.
+  */
+object StatsCodec {
+
+  private val tsFmt = DateTimeFormatter.ISO_OFFSET_DATE_TIME
+
+  /** Supported predicate/stats value types, normalized names. */
+  val supportedTypes: Set[String] =
+    Set("bool", "int", "long", "string", "date", "float", "double", "timestamp")
+
+  /** Spark type → predicate type name, if skippable. */
+  def typeName(dt: DataType): Option[String] = dt match {
+    case BooleanType                      => Some("bool")
+    case ByteType | ShortType | IntegerType => Some("int")
+    case LongType                         => Some("long")
+    case StringType                       => Some("string")
+    case DateType                         => Some("date")
+    case FloatType                        => Some("float")
+    case DoubleType                       => Some("double")
+    case TimestampType | TimestampNTZType => Some("timestamp")
+    case _                                => None
+  }
+
+  /** Encode a JVM value (as produced by `Row.get`) to its stats string. */
+  def encode(value: Any): Option[String] = value match {
+    case null            => None
+    case ts: Timestamp   => Some(tsFmt.format(ts.toInstant.atOffset(ZoneOffset.UTC)))
+    case ts: Instant     => Some(tsFmt.format(ts.atOffset(ZoneOffset.UTC)))
+    case d: Date         => Some(d.toLocalDate.toString)
+    case d: LocalDate    => Some(d.toString)
+    case other           => Some(other.toString)
+  }
+
+  /** Decode a stats/partition string into a comparable value of `tpe`.
+    * Throws on malformed input — callers treat that as Unknown.
+    */
+  def decode(s: String, tpe: String): Any = tpe match {
+    case "bool"      => s.toBoolean
+    case "int"       => s.toInt
+    case "long"      => s.toLong
+    case "string"    => s
+    case "date"      => LocalDate.parse(s)
+    case "float"     => s.toFloat
+    case "double"    => s.toDouble
+    case "timestamp" => parseTimestamp(s)
+    case other       => throw new IllegalArgumentException(s"unsupported type: $other")
+  }
+
+  /** ISO-8601 offset datetime, with a legacy `Timestamp.valueOf` fallback
+    * (mirrors reference `TimestampUtils.scala` behavior: ISO first, then
+    * `yyyy-mm-dd hh:mm:ss[.f...]`).
+    */
+  def parseTimestamp(s: String): Instant =
+    try java.time.OffsetDateTime.parse(s, tsFmt).toInstant
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        Timestamp.valueOf(s).toInstant
+    }
+
+  /** Total order per type; values must come from [[decode]] with the same
+    * type tag. (Reference keeps per-type `Ordering`s the same way:
+    * `ColumnRange.scala:117-140`.)
+    */
+  def compare(a: Any, b: Any, tpe: String): Int = tpe match {
+    case "bool"      => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    case "int"       => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case "long"      => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case "string"    => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    case "date"      => a.asInstanceOf[LocalDate].compareTo(b.asInstanceOf[LocalDate])
+    case "float"     => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case "double"    => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case "timestamp" => a.asInstanceOf[Instant].compareTo(b.asInstanceOf[Instant])
+    case other       => throw new IllegalArgumentException(s"unsupported type: $other")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.model
+
+/** Action/data model for the graft sharing engine.
+  *
+  * Mirrors the wire data model of the delta-sharing protocol (reference:
+  * `server/src/main/scala/io/delta/sharing/server/model.scala:56-196`,
+  * `PROTOCOL.md:3537-3733`) re-expressed as plain Scala case classes that
+  * Spark can encode (`Encoders.product`) so file-action collections can be
+  * processed as `Dataset[AddFile]` when set-oriented work helps.
+  *
+  * Conventions:
+  *  - `partitionValues` are string-typed with `""` ⇒ null
+  *    (reference `PROTOCOL.md:3896-3906`).
+  *  - `stats` are string-encoded min/max/nullCount maps keyed by column
+  *    name (reference `PROTOCOL.md:3908-4012`); encoding via [[StatsCodec]].
+  */
+sealed trait Action {
+  /** Table version this action was committed at. */
+  def version: Long
+}
+
+/** Per-file statistics used for data skipping and limit pushdown.
+  * Values are string-encoded by column type ([[StatsCodec]]); a column
+  * absent from the maps means "stats unknown" and must never cause a
+  * file to be skipped (three-valued logic, see predicates package).
+  */
+case class FileStats(
+    numRecords: Long,
+    minValues: Map[String, String] = Map.empty,
+    maxValues: Map[String, String] = Map.empty,
+    nullCount: Map[String, Long] = Map.empty)
+
+/** An active data file in a snapshot. */
+case class AddFile(
+    path: String,
+    partitionValues: Map[String, String] = Map.empty,
+    size: Long = 0L,
+    modificationTime: Long = 0L,
+    dataChange: Boolean = true,
+    stats: Option[FileStats] = None,
+    version: Long = 0L,
+    timestamp: Long = 0L)
+    extends Action
+
+/** A file removed from the table (data change or compaction). */
+case class RemoveFile(
+    path: String,
+    partitionValues: Map[String, String] = Map.empty,
+    size: Long = 0L,
+    dataChange: Boolean = true,
+    version: Long = 0L,
+    timestamp: Long = 0L)
+    extends Action
+
+/** A change-data file holding row-level changes (cdf: reference
+  * `PROTOCOL.md:2352-2362`); rows carry `_change_type` values
+  * insert/update_preimage/update_postimage/delete.
+  */
+case class AddCDCFile(
+    path: String,
+    partitionValues: Map[String, String] = Map.empty,
+    size: Long = 0L,
+    version: Long = 0L,
+    timestamp: Long = 0L)
+    extends Action
+
+/** Table metadata at a version. `schemaString` is Spark's
+  * `DataType.json` format (reference `PROTOCOL.md:3743`).
+  */
+case class Metadata(
+    id: String,
+    name: String = "",
+    schemaString: String = "",
+    partitionColumns: Seq[String] = Nil,
+    configuration: Map[String, String] = Map.empty,
+    version: Long = 0L)
+    extends Action
+
+/** Reader-version gate (reference `PROTOCOL.md:3550-3560`). */
+case class Protocol(minReaderVersion: Int = 1, version: Long = 0L) extends Action
+
+/** One NDJSON line: exactly one field set (reference `model.scala:44-54`). */
+case class SingleAction(
+    add: AddFile = null,
+    remove: RemoveFile = null,
+    cdc: AddCDCFile = null,
+    metaData: Metadata = null,
+    protocol: Protocol = null) {
+  def unwrap: Action =
+    if (add != null) add
+    else if (remove != null) remove
+    else if (cdc != null) cdc
+    else if (metaData != null) metaData
+    else if (protocol != null) protocol
+    else null
+}
+
+object SingleAction {
+  def wrap(a: Action): SingleAction = a match {
+    case x: AddFile    => SingleAction(add = x)
+    case x: RemoveFile => SingleAction(remove = x)
+    case x: AddCDCFile => SingleAction(cdc = x)
+    case x: Metadata   => SingleAction(metaData = x)
+    case x: Protocol   => SingleAction(protocol = x)
+  }
+}

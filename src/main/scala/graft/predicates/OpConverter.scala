@@ -1,0 +1,134 @@
+package graft.predicates
+
+import java.time.{Instant, LocalDate, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+import graft.model.StatsCodec
+
+/** Catalyst `Expression` → JSON predicate AST (the client-side pushdown
+  * converter; reference `client/.../filters/OpConverter.scala:58-223`).
+  *
+  * Conversion is best-effort: an inconvertible expression yields None and
+  * simply isn't pushed — correctness is preserved because Spark re-applies
+  * every filter on the rows it reads (the protocol's best-effort contract,
+  * `PROTOCOL.md:2128-2158`).
+  */
+object OpConverter {
+
+  /** Max IN-list size expanded to an OR of equals (reference `:61`). */
+  val MAX_IN_VALUES = 20
+
+  def convert(exprs: Seq[Expression]): Option[BaseOp] = {
+    val converted = exprs.flatMap(convertOne)
+    converted match {
+      case Nil      => None
+      case Seq(one) => Some(one)
+      case many     => Some(AndOp(many))
+    }
+  }
+
+  def convertOne(e: Expression): Option[BaseOp] = e match {
+    case And(l, r) =>
+      // Partial conversion of conjuncts is safe (superset).
+      (convertOne(l), convertOne(r)) match {
+        case (Some(a), Some(b)) => Some(AndOp(Seq(a, b)))
+        case (a, b)             => a.orElse(b)
+      }
+    case Or(l, r) =>
+      for (a <- convertOne(l); b <- convertOne(r)) yield OrOp(Seq(a, b))
+    case Not(c) => convertOne(c).map(x => NotOp(Seq(x)))
+    case EqualTo(l, r)            => comparison(l, r)(EqualOp(_))
+    case LessThan(l, r)           => comparison(l, r)(LessThanOp(_))
+    case LessThanOrEqual(l, r)    => comparison(l, r)(LessThanOrEqualOp(_))
+    case GreaterThan(l, r)        => comparison(l, r)(GreaterThanOp(_))
+    case GreaterThanOrEqual(l, r) => comparison(l, r)(GreaterThanOrEqualOp(_))
+    case EqualNullSafe(l, r) =>
+      (leaf(l), leaf(r)) match {
+        case (Some(c: ColumnOp), Some(lit: LiteralOp)) =>
+          Some(EqualOp(Seq(c, lit))) // null literal handled below
+        case (Some(c: ColumnOp), None) if isNullLiteral(r) =>
+          Some(IsNullOp(Seq(c)))
+        case _ => None
+      }
+    case IsNull(c)    => leaf(c).collect { case col: ColumnOp => IsNullOp(Seq(col)) }
+    case IsNotNull(c) => leaf(c).collect { case col: ColumnOp => NotOp(Seq(IsNullOp(Seq(col)))) }
+    case In(v, list) if list.nonEmpty && list.size <= MAX_IN_VALUES =>
+      leaf(v).collect { case col: ColumnOp =>
+        val eqs = list.map(lit => leaf(lit).collect {
+          case l: LiteralOp => EqualOp(Seq(col, l))
+        })
+        if (eqs.forall(_.isDefined)) Some(OrOp(eqs.flatten)) else None
+      }.flatten
+    case InSet(v, set) if set.nonEmpty && set.size <= MAX_IN_VALUES =>
+      leaf(v).collect { case col: ColumnOp =>
+        val eqs = set.toSeq.map(raw => encodeRaw(raw, col.valueType).map(s =>
+          EqualOp(Seq(col, LiteralOp(s, col.valueType)))))
+        if (eqs.forall(_.isDefined)) Some(OrOp(eqs.flatten)) else None
+      }.flatten
+    case _ => None
+  }
+
+  private def comparison(l: Expression, r: Expression)(
+      mk: Seq[BaseOp] => BaseOp): Option[BaseOp] =
+    for {
+      a <- leaf(l)
+      b <- leaf(r)
+      if a.isInstanceOf[ColumnOp] || b.isInstanceOf[ColumnOp]
+      if typesAgree(a, b)
+    } yield mk(Seq(a, b))
+
+  private def typesAgree(a: BaseOp, b: BaseOp): Boolean = (a, b) match {
+    case (ColumnOp(_, t1), LiteralOp(_, t2)) => t1 == t2
+    case (LiteralOp(_, t1), ColumnOp(_, t2)) => t1 == t2
+    case (ColumnOp(_, t1), ColumnOp(_, t2))  => t1 == t2
+    case _                                   => false
+  }
+
+  private def isNullLiteral(e: Expression): Boolean = e match {
+    case Literal(null, _) => true
+    case _                => false
+  }
+
+  /** Attribute / literal / cast-wrapped attribute → leaf op. A `Cast` over
+    * a column re-types the predicate (reference `OpConverter.scala` cast
+    * handling).
+    */
+  private def leaf(e: Expression): Option[BaseOp] = e match {
+    case a: AttributeReference =>
+      StatsCodec.typeName(a.dataType).map(t => ColumnOp(a.name, t))
+    case Cast(a: AttributeReference, dt, _, _) =>
+      StatsCodec.typeName(dt).map(t => ColumnOp(a.name, t))
+    case Literal(null, _) => None
+    case Literal(v, dt) =>
+      StatsCodec.typeName(dt).flatMap(t => encodeCatalyst(v, dt).map(LiteralOp(_, t)))
+    case _ => None
+  }
+
+  /** Catalyst internal literal value → stats string encoding. */
+  private def encodeCatalyst(v: Any, dt: DataType): Option[String] = dt match {
+    case DateType => Some(LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+    case TimestampType | TimestampNTZType =>
+      val micros = v.asInstanceOf[Long]
+      Some(DateTimeFormatter.ISO_OFFSET_DATE_TIME.format(
+        Instant.EPOCH.plusNanos(micros * 1000L).atOffset(ZoneOffset.UTC)))
+    case StringType => Some(v.toString)
+    case _          => StatsCodec.encode(v)
+  }
+
+  /** Raw JVM value from InSet → stats string encoding by target type. */
+  private def encodeRaw(v: Any, tpe: String): Option[String] = tpe match {
+    case "date" => v match {
+      case i: Int => Some(LocalDate.ofEpochDay(i.toLong).toString)
+      case _      => StatsCodec.encode(v)
+    }
+    case "timestamp" => v match {
+      case l: Long => Some(DateTimeFormatter.ISO_OFFSET_DATE_TIME.format(
+        Instant.EPOCH.plusNanos(l * 1000L).atOffset(ZoneOffset.UTC)))
+      case _ => StatsCodec.encode(v)
+    }
+    case _ => StatsCodec.encode(v)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.predicates
+
+/** Conservative pruning of predicate trees to a supported/allowed subset.
+  *
+  * Guarantee (reference `JsonPredicatePruner.scala:41-174`, client twin
+  * `UnsupportedOpPruner.scala`): the pruned tree selects a SUPERSET of the
+  * files the original would. Rules:
+  *  - an `and` may drop unsupported children (weakening the filter);
+  *  - an `or` / `not` / comparison containing an unsupported descendant
+  *    must be dropped whole (dropping only a child would strengthen it);
+  *  - dropping the root yields None ⇒ no filtering.
+  */
+object OpPruner {
+
+  /** Keep only subtrees satisfying `supported` on every leaf/op. */
+  def prune(op: BaseOp)(supported: BaseOp => Boolean): Option[BaseOp] = op match {
+    case AndOp(children) =>
+      val kept = children.flatMap(c => prune(c)(supported))
+      if (kept.isEmpty) None
+      else if (kept.size == 1) Some(kept.head)
+      else Some(AndOp(kept))
+    case OrOp(children) =>
+      // All-or-nothing: a weakened disjunct would narrow the union.
+      val kept = children.map(c => prune(c)(supported))
+      if (kept.forall(_.isDefined) && kept.flatten == children) Some(op) else None
+    case NotOp(Seq(child)) =>
+      prune(child)(supported) match {
+        case Some(p) if p == child => if (supported(op)) Some(op) else None
+        case _                     => None
+      }
+    case leafOrCmp =>
+      if (allSupported(leafOrCmp, supported)) Some(leafOrCmp) else None
+  }
+
+  private def allSupported(op: BaseOp, supported: BaseOp => Boolean): Boolean =
+    supported(op) && op.children.forall(allSupported(_, supported))
+
+  /** Restrict a tree to predicates referencing only `allowed` columns
+    * (e.g. partition columns for V1 evaluation).
+    */
+  def pruneToColumns(op: BaseOp, allowed: Set[String]): Option[BaseOp] =
+    prune(op) {
+      case ColumnOp(name, _) => allowed.contains(name)
+      case _                 => true
+    }
+}

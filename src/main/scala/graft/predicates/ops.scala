@@ -1,0 +1,179 @@
+package graft.predicates
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import graft.model.StatsCodec
+
+/** JSON predicate AST for file-skipping hints.
+  *
+  * Wire-compatible with the sharing protocol's jsonPredicateHints
+  * (reference spec `PROTOCOL.md:4157-4257`; server ADT
+  * `server/.../common/JsonPredicates.scala:70-483`): leaf ops `column` /
+  * `literal`; unary `isNull` / `not`; binary comparisons; n-ary `and`/`or`.
+  */
+sealed trait BaseOp {
+  def opName: String
+  def children: Seq[BaseOp]
+
+  /** Structural validation: child counts, types, supported value types
+    * (reference `JsonPredicates.scala` validate methods).
+    */
+  def validate(): Unit
+
+  protected def expectChildren(n: Int): Unit =
+    require(children.size == n, s"$opName expects $n children, got ${children.size}")
+
+  /** For comparison ops: both children leaves, same valueType, at least
+    * one column.
+    */
+  protected def validateComparison(): Unit = {
+    expectChildren(2)
+    children.foreach(_.validate())
+    val types = children.map {
+      case ColumnOp(_, t)  => t
+      case LiteralOp(_, t) => t
+      case other => throw new IllegalArgumentException(
+        s"$opName children must be column/literal leaves, got ${other.opName}")
+    }
+    require(types.distinct.size == 1,
+      s"$opName children must share a valueType, got $types")
+    require(children.exists(_.isInstanceOf[ColumnOp]),
+      s"$opName needs at least one column child")
+  }
+}
+
+case class ColumnOp(name: String, valueType: String) extends BaseOp {
+  val opName = "column"
+  def children: Seq[BaseOp] = Nil
+  def validate(): Unit = {
+    require(name.nonEmpty, "column op requires a name")
+    require(StatsCodec.supportedTypes.contains(valueType),
+      s"unsupported column valueType: $valueType")
+  }
+}
+
+case class LiteralOp(value: String, valueType: String) extends BaseOp {
+  val opName = "literal"
+  def children: Seq[BaseOp] = Nil
+  def validate(): Unit = {
+    require(StatsCodec.supportedTypes.contains(valueType),
+      s"unsupported literal valueType: $valueType")
+    // Fail fast on unparseable literals.
+    StatsCodec.decode(value, valueType)
+  }
+}
+
+case class IsNullOp(children: Seq[BaseOp]) extends BaseOp {
+  val opName = "isNull"
+  def validate(): Unit = {
+    expectChildren(1)
+    require(children.head.isInstanceOf[ColumnOp], "isNull child must be a column")
+    children.head.validate()
+  }
+}
+
+case class NotOp(children: Seq[BaseOp]) extends BaseOp {
+  val opName = "not"
+  def validate(): Unit = { expectChildren(1); children.foreach(_.validate()) }
+}
+
+case class EqualOp(children: Seq[BaseOp]) extends BaseOp {
+  val opName = "equal"
+  def validate(): Unit = validateComparison()
+}
+
+case class LessThanOp(children: Seq[BaseOp]) extends BaseOp {
+  val opName = "lessThan"
+  def validate(): Unit = validateComparison()
+}
+
+case class LessThanOrEqualOp(children: Seq[BaseOp]) extends BaseOp {
+  val opName = "lessThanOrEqual"
+  def validate(): Unit = validateComparison()
+}
+
+case class GreaterThanOp(children: Seq[BaseOp]) extends BaseOp {
+  val opName = "greaterThan"
+  def validate(): Unit = validateComparison()
+}
+
+case class GreaterThanOrEqualOp(children: Seq[BaseOp]) extends BaseOp {
+  val opName = "greaterThanOrEqual"
+  def validate(): Unit = validateComparison()
+}
+
+case class AndOp(children: Seq[BaseOp]) extends BaseOp {
+  val opName = "and"
+  def validate(): Unit = {
+    require(children.nonEmpty, "and requires children"); children.foreach(_.validate())
+  }
+}
+
+case class OrOp(children: Seq[BaseOp]) extends BaseOp {
+  val opName = "or"
+  def validate(): Unit = {
+    require(children.nonEmpty, "or requires children"); children.foreach(_.validate())
+  }
+}
+
+/** JSON (de)serialization with the protocol's guardrails: 1 MB payload,
+  * depth ≤ 100 (reference `JsonPredicateFilterUtils.scala:33-34`).
+  */
+object JsonPredicates {
+  val MAX_BYTES = 1 << 20
+  val MAX_DEPTH = 100
+
+  import graft.model.JsonUtils.mapper
+
+  def fromJson(json: String): BaseOp = {
+    require(json.length <= MAX_BYTES, s"predicate hint exceeds $MAX_BYTES bytes")
+    val op = fromNode(mapper.readTree(json), 1)
+    op.validate()
+    op
+  }
+
+  private def fromNode(n: JsonNode, depth: Int): BaseOp = {
+    require(depth <= MAX_DEPTH, s"predicate tree deeper than $MAX_DEPTH")
+    require(n.isObject, "predicate node must be an object")
+    val op = Option(n.get("op")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException("predicate node missing 'op'"))
+    def kids: Seq[BaseOp] = Option(n.get("children")) match {
+      case Some(c: ArrayNode) =>
+        (0 until c.size()).map(i => fromNode(c.get(i), depth + 1))
+      case _ => Nil
+    }
+    op match {
+      case "column"  => ColumnOp(n.get("name").asText(), n.get("valueType").asText())
+      case "literal" => LiteralOp(n.get("value").asText(), n.get("valueType").asText())
+      case "isNull"  => IsNullOp(kids)
+      case "not"     => NotOp(kids)
+      case "equal"   => EqualOp(kids)
+      case "lessThan" | "lessThanOrEqual" | "greaterThan" | "greaterThanOrEqual" =>
+        op match {
+          case "lessThan"           => LessThanOp(kids)
+          case "lessThanOrEqual"    => LessThanOrEqualOp(kids)
+          case "greaterThan"        => GreaterThanOp(kids)
+          case "greaterThanOrEqual" => GreaterThanOrEqualOp(kids)
+        }
+      case "and" => AndOp(kids)
+      case "or"  => OrOp(kids)
+      case other => throw new IllegalArgumentException(s"unknown predicate op: $other")
+    }
+  }
+
+  def toJson(op: BaseOp): String = mapper.writeValueAsString(toNode(op))
+
+  private def toNode(op: BaseOp): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("op", op.opName)
+    op match {
+      case ColumnOp(name, vt) => n.put("name", name); n.put("valueType", vt)
+      case LiteralOp(v, vt)   => n.put("value", v); n.put("valueType", vt)
+      case _ =>
+        val arr = n.putArray("children")
+        op.children.foreach(c => arr.add(toNode(c)))
+    }
+    n
+  }
+}

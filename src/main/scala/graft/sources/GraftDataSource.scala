@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+
+import graft.log.GraftCatalog
+
+/** `spark.read.format("graft")` — batch entry point for shared tables
+  * (the reference's `DeltaSharingDataSource`, `spark/.../
+  * DeltaSharingDataSource.scala:38-123`; relation construction
+  * `RemoteDeltaLog.createRelation`, `client/.../RemoteDeltaLog.scala:79-107`).
+  *
+  * Options:
+  *  - `table`   — `share.schema.table` resolved via [[GraftCatalog]]
+  *    (or `path` pointing directly at a graft table root)
+  *  - `versionAsOf` / `timestampAsOf` — time travel (mutually exclusive)
+  *
+  * The produced plan is a plain `HadoopFsRelation` over [[GraftFileIndex]]
+  * + `ParquetFileFormat`, so every Catalyst operator, join strategy, AQE
+  * and whole-stage codegen applies unchanged downstream.
+  */
+class GraftDataSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    GraftLimitPushDown.enable(spark)
+    val version = parameters.get("versionAsOf").map(_.toLong)
+    val timestamp = parameters.get("timestampAsOf")
+      .map(s => graft.model.StatsCodec.parseTimestamp(s).toEpochMilli)
+    val tablePath = parameters.get("table") match {
+      case Some(fqn) => GraftCatalog.location(fqn)
+      case None => parameters.getOrElse("path",
+        throw new IllegalArgumentException("option 'table' or 'path' required"))
+    }
+    val log = new graft.log.GraftLog(tablePath, spark.sessionState.newHadoopConf())
+    require(version.isEmpty || timestamp.isEmpty,
+      "at most one of versionAsOf/timestampAsOf may be set")
+    val resolved = version.orElse(timestamp.map(log.versionAtOrBefore))
+    val snapshot = log.snapshot(resolved)
+    GraftDataSource.relation(spark, tablePath, snapshot)
+  }
+}
+
+object GraftDataSource {
+  def relation(
+      spark: SparkSession,
+      tablePath: String,
+      snapshot: graft.log.Snapshot,
+      limitHint: Option[Long] = None): HadoopFsRelation = {
+    val index = new GraftFileIndex(spark, tablePath, snapshot, limitHint)
+    HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = index.dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+  }
+}

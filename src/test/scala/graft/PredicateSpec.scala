@@ -1,0 +1,195 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{AddFile, FileStats, StatsCodec}
+import graft.predicates._
+
+/** Unit + property tests of the predicate stack.
+  *
+  * The central property (reference `JsonPredicateEvaluatorV2.scala:84-86`:
+  * "partial filtering must never skip a matching file"): for ANY predicate
+  * tree and ANY file whose stats are derived from its rows, if some row
+  * satisfies the predicate then the file must not be skipped. Our sound
+  * tri-valued semantics make this hold even under arbitrary `not` nesting.
+  */
+class PredicateSpec extends AnyFunSuite {
+
+  /** Deterministic property driver over scalacheck generators. */
+  private def forAllN[A, B](n: Int, ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until n).foreach { i =>
+      val a = ga.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val b = gb.pureApply(Gen.Parameters.default, Seed(i.toLong + 1000000))
+      f(a, b)
+    }
+
+  // --- row-level reference semantics (the ground truth) ----------------
+  private def rowEval(op: BaseOp, row: Map[String, Option[Long]]): Boolean = op match {
+    case AndOp(cs)       => cs.forall(rowEval(_, row))
+    case OrOp(cs)        => cs.exists(rowEval(_, row))
+    case NotOp(Seq(c))   => !rowEval(c, row)
+    case IsNullOp(Seq(ColumnOp(n, _))) => row(n).isEmpty
+    case EqualOp(Seq(ColumnOp(n, _), LiteralOp(v, t)))              => row(n).exists(_ == StatsCodec.decode(v, t))
+    case LessThanOp(Seq(ColumnOp(n, _), LiteralOp(v, t)))           => row(n).exists(x => x < StatsCodec.decode(v, t).asInstanceOf[Long])
+    case LessThanOrEqualOp(Seq(ColumnOp(n, _), LiteralOp(v, t)))    => row(n).exists(x => x <= StatsCodec.decode(v, t).asInstanceOf[Long])
+    case GreaterThanOp(Seq(ColumnOp(n, _), LiteralOp(v, t)))        => row(n).exists(x => x > StatsCodec.decode(v, t).asInstanceOf[Long])
+    case GreaterThanOrEqualOp(Seq(ColumnOp(n, _), LiteralOp(v, t))) => row(n).exists(x => x >= StatsCodec.decode(v, t).asInstanceOf[Long])
+    case other => throw new IllegalArgumentException(other.toString)
+  }
+
+  // --- generators ------------------------------------------------------
+  private val cols = Seq("a", "b")
+  private val genLeafCmp: Gen[BaseOp] = for {
+    c <- Gen.oneOf(cols)
+    v <- Gen.chooseNum(-5L, 5L)
+    mk <- Gen.oneOf[Seq[BaseOp] => BaseOp](
+      EqualOp(_), LessThanOp(_), LessThanOrEqualOp(_), GreaterThanOp(_), GreaterThanOrEqualOp(_))
+  } yield mk(Seq(ColumnOp(c, "long"), LiteralOp(v.toString, "long")))
+
+  private def genTree(depth: Int): Gen[BaseOp] =
+    if (depth == 0) Gen.frequency(
+      5 -> genLeafCmp,
+      1 -> Gen.oneOf(cols).map(c => IsNullOp(Seq(ColumnOp(c, "long")))))
+    else Gen.frequency(
+      3 -> genLeafCmp,
+      2 -> Gen.listOfN(2, genTree(depth - 1)).map(AndOp(_)),
+      2 -> Gen.listOfN(2, genTree(depth - 1)).map(OrOp(_)),
+      2 -> genTree(depth - 1).map(t => NotOp(Seq(t))))
+
+  private val genRow: Gen[Map[String, Option[Long]]] = for {
+    a <- Gen.option(Gen.chooseNum(-5L, 5L))
+    b <- Gen.option(Gen.chooseNum(-5L, 5L))
+  } yield Map("a" -> a, "b" -> b)
+
+  private def fileFromRows(rows: Seq[Map[String, Option[Long]]]): AddFile = {
+    def stat(c: String): (Option[String], Option[String], Long) = {
+      val vs = rows.flatMap(_(c))
+      (vs.minOption.map(_.toString), vs.maxOption.map(_.toString),
+        rows.count(_(c).isEmpty).toLong)
+    }
+    val stats = cols.map(c => c -> stat(c)).toMap
+    AddFile(
+      path = "f.parquet",
+      stats = Some(FileStats(
+        numRecords = rows.size.toLong,
+        minValues = stats.collect { case (c, (Some(mn), _, _)) => c -> mn },
+        maxValues = stats.collect { case (c, (_, Some(mx), _)) => c -> mx },
+        nullCount = stats.map { case (c, (_, _, n)) => c -> n })))
+  }
+
+  // --- the soundness property -----------------------------------------
+  test("property: a file containing a matching row is never skipped") {
+    forAllN(500, genTree(3), Gen.nonEmptyListOf(genRow)) { (tree, rows) =>
+      val file = fileFromRows(rows)
+      val eval = new FileSkippingEvaluator(Set.empty)
+      val anyMatch = rows.exists(rowEval(tree, _))
+      if (anyMatch) assert(!eval.canSkip(tree, file), s"skipped a matching file: $tree rows=$rows")
+    }
+  }
+
+  test("property: tri-valued results are exact bounds") {
+    forAllN(500, genTree(3), Gen.nonEmptyListOf(genRow)) { (tree, rows) =>
+      val file = fileFromRows(rows)
+      val eval = new FileSkippingEvaluator(Set.empty)
+      eval.evalOp(tree, file) match {
+        case EvalTrue  => assert(rows.forall(rowEval(tree, _)), s"True but not all rows match: $tree $rows")
+        case EvalFalse => assert(!rows.exists(rowEval(tree, _)), s"False but a row matches: $tree $rows")
+        case EvalUnknown => // no claim
+      }
+    }
+  }
+
+  test("property: pruned tree keeps a superset of files") {
+    // Treat predicates on column b as "unsupported" and prune them away.
+    forAllN(500, genTree(3), Gen.nonEmptyListOf(genRow)) { (tree, rows) =>
+      val file = fileFromRows(rows)
+      val eval = new FileSkippingEvaluator(Set.empty)
+      OpPruner.pruneToColumns(tree, Set("a")).foreach { pruned =>
+        if (!eval.canSkip(tree, file)) {
+          assert(!eval.canSkip(pruned, file),
+            s"pruning strengthened the filter: $tree -> $pruned")
+        }
+      }
+    }
+  }
+
+  // --- golden cases from the reference ---------------------------------
+  test("reference ColumnRange worked example (ColumnRange.scala:28-67)") {
+    // file1: colA=xyz (partition), colB in [0,2], colC in [50,75]
+    // file2: colA=foo (partition), colB in [1,5], colC in [98,101]
+    // predicate: colA='foo' AND colB=1 AND colC<100 → keep only file2
+    val pred = AndOp(Seq(
+      EqualOp(Seq(ColumnOp("colA", "string"), LiteralOp("foo", "string"))),
+      EqualOp(Seq(ColumnOp("colB", "int"), LiteralOp("1", "int"))),
+      LessThanOp(Seq(ColumnOp("colC", "int"), LiteralOp("100", "int")))))
+    def f(a: String, bMin: Int, bMax: Int, cMin: Int, cMax: Int) = AddFile(
+      path = s"$a.parquet", partitionValues = Map("colA" -> a),
+      stats = Some(FileStats(10,
+        Map("colB" -> bMin.toString, "colC" -> cMin.toString),
+        Map("colB" -> bMax.toString, "colC" -> cMax.toString),
+        Map("colB" -> 0L, "colC" -> 0L))))
+    val files = Seq(f("xyz", 0, 2, 50, 75), f("foo", 1, 5, 98, 101))
+    val kept = FileSkippingEvaluator.filterFiles(Some(pred), Seq("colA"), files)
+    assert(kept.map(_.path) === Seq("foo.parquet"))
+  }
+
+  test("null partition value: \"\" is null; isNull keeps only null files") {
+    val pred = IsNullOp(Seq(ColumnOp("p", "date")))
+    val withNull = AddFile("a", partitionValues = Map("p" -> ""))
+    val withVal = AddFile("b", partitionValues = Map("p" -> "2021-01-01"))
+    val kept = FileSkippingEvaluator.filterFiles(Some(pred), Seq("p"), Seq(withNull, withVal))
+    assert(kept.map(_.path) === Seq("a"))
+    val kept2 = FileSkippingEvaluator.filterFiles(
+      Some(NotOp(Seq(pred))), Seq("p"), Seq(withNull, withVal))
+    assert(kept2.map(_.path) === Seq("b"))
+  }
+
+  test("missing stats never skip (unknown ⇒ keep)") {
+    val pred = EqualOp(Seq(ColumnOp("x", "long"), LiteralOp("7", "long")))
+    val noStats = AddFile("a")
+    val kept = FileSkippingEvaluator.filterFiles(Some(pred), Nil, Seq(noStats))
+    assert(kept.map(_.path) === Seq("a"))
+  }
+
+  test("malformed values hit the error cutoff, not an exception") {
+    val pred = EqualOp(Seq(ColumnOp("d", "date"), LiteralOp("2021-01-01", "date")))
+    val bad = AddFile("a", partitionValues = Map("d" -> "not-a-date"))
+    val kept = FileSkippingEvaluator.filterFiles(Some(pred), Seq("d"), Seq(bad))
+    assert(kept.map(_.path) === Seq("a")) // kept: error ⇒ Unknown ⇒ no skip
+  }
+
+  test("json predicate roundtrip + validation") {
+    val json =
+      """{"op":"and","children":[
+           {"op":"equal","children":[
+             {"op":"column","name":"date","valueType":"date"},
+             {"op":"literal","value":"2021-04-29","valueType":"date"}]},
+           {"op":"lessThan","children":[
+             {"op":"column","name":"id","valueType":"int"},
+             {"op":"literal","value":"25","valueType":"int"}]}]}"""
+    val op = JsonPredicates.fromJson(json)
+    assert(op.isInstanceOf[AndOp])
+    val back = JsonPredicates.fromJson(JsonPredicates.toJson(op))
+    assert(back === op)
+    // invalid: mixed types in a comparison
+    assertThrows[IllegalArgumentException] {
+      JsonPredicates.fromJson(
+        """{"op":"equal","children":[
+             {"op":"column","name":"x","valueType":"int"},
+             {"op":"literal","value":"a","valueType":"string"}]}""")
+    }
+    // invalid: unknown op
+    assertThrows[IllegalArgumentException] {
+      JsonPredicates.fromJson("""{"op":"xor","children":[]}""")
+    }
+  }
+
+  test("depth guardrail rejects deep trees") {
+    val deep = (1 to 105).foldLeft("""{"op":"isNull","children":[{"op":"column","name":"x","valueType":"int"}]}""") {
+      (inner, _) => s"""{"op":"not","children":[$inner]}"""
+    }
+    assertThrows[IllegalArgumentException] { JsonPredicates.fromJson(deep) }
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log._
+import graft.sources.{GraftDataSource, GraftFileIndex}
+
+/** End-to-end tests of the sharing engine core: log replay, snapshot
+  * scans via FileIndex, partition pruning, stats skipping, limit pushdown,
+  * and time travel — mirroring the reference's server-suite coverage
+  * (`DeltaSharingServiceSuite` snapshot/pruning/limit sections) against
+  * local fixtures.
+  */
+class SharingEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    SharedFixtures.ensure(spark, sfDir)
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def shared(table: String) =
+    spark.read.format("graft").option("table", s"${SharedFixtures.SHARE}.$table").load()
+
+  test("snapshot read returns identical rows to the source fixture") {
+    val viaShare = shared("lineitem")
+    val direct = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    assert(viaShare.count() === direct.count())
+    assert(viaShare.exceptAll(direct).isEmpty && direct.exceptAll(viaShare).isEmpty)
+  }
+
+  test("log snapshot has per-file stats covering all files") {
+    val snap = GraftCatalog.snapshot(spark, s"${SharedFixtures.SHARE}.lineitem")
+    assert(snap.files.size === 8)
+    assert(snap.files.forall(_.stats.exists(_.numRecords > 0)))
+    assert(snap.files.map(_.stats.get.numRecords).sum === 6000L)
+    val f = snap.files.head
+    assert(f.stats.get.minValues.contains("l_orderkey"))
+    assert(f.stats.get.maxValues.contains("l_shipdate"))
+  }
+
+  test("stats-based skipping prunes files on a selective orderkey filter") {
+    val snap = GraftCatalog.snapshot(spark, s"${SharedFixtures.SHARE}.lineitem")
+    val index = new GraftFileIndex(spark, GraftCatalog.location(s"${SharedFixtures.SHARE}.lineitem"), snap)
+    val df = shared("lineitem").filter(col("l_orderkey") === 42)
+    // Filter through the relation: correctness
+    val expected = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") === 42).count()
+    assert(df.count() === expected)
+    // Skipping: resolve the filter expression against the index directly.
+    val attr = df.queryExecution.analyzed.output.find(_.name == "l_orderkey").get
+    val pruned = index.listFiles(Nil,
+      Seq(org.apache.spark.sql.catalyst.expressions.EqualTo(attr,
+        org.apache.spark.sql.catalyst.expressions.Literal(42L))))
+    val total = index.listFiles(Nil, Nil)
+    assert(pruned.map(_.files.size).sum < total.map(_.files.size).sum,
+      s"expected fewer files after skipping: ${pruned.map(_.files.size).sum}")
+  }
+
+  test("partition pruning lists only matching o_year directories") {
+    val fqn = s"${SharedFixtures.SHARE}.orders"
+    val snap = GraftCatalog.snapshot(spark, fqn)
+    val index = new GraftFileIndex(spark, GraftCatalog.location(fqn), snap)
+    val df = shared("orders").filter(col("o_year") === 1997)
+    val attr = df.queryExecution.analyzed.output.find(_.name == "o_year").get
+    val pruned = index.listFiles(
+      Seq(org.apache.spark.sql.catalyst.expressions.EqualTo(attr,
+        org.apache.spark.sql.catalyst.expressions.Literal(1997))), Nil)
+    assert(pruned.size === 1, s"expected 1 partition dir, got ${pruned.size}")
+    // correctness through the relation
+    val expected = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(year(col("o_orderdate")) === 1997).count()
+    assert(df.count() === expected)
+  }
+
+  test("limit pushdown lists fewer files via the Catalyst rule") {
+    val df = shared("lineitem").limit(10)
+    assert(df.count() === 10)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val listed = scans.head.relation.location.asInstanceOf[GraftFileIndex]
+    assert(listed.limitHint === Some(10L), "limit hint not pushed into FileIndex")
+    assert(scans.head.relation.location.listFiles(Nil, Nil).map(_.files.size).sum === 1,
+      "one file's numRecords covers limit 10")
+  }
+
+  test("time travel: versionAsOf resolves historical snapshots") {
+    val fqn = s"${SharedFixtures.SHARE}.orders_versioned"
+    val v0 = spark.read.format("graft").option("table", fqn).option("versionAsOf", "0").load()
+    val v2 = spark.read.format("graft").option("table", fqn).load()
+    val all = spark.read.parquet(s"$sfDir/orders.parquet")
+    val expectedV0 = all.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")).count()
+    assert(v0.count() === expectedV0)
+    assert(v2.count() === all.count())
+  }
+
+  test("version-range changes expose per-version adds") {
+    val fqn = s"${SharedFixtures.SHARE}.orders_versioned"
+    val log = GraftCatalog.log(spark, fqn)
+    assert(log.latestVersion() === 2)
+    val changes = log.changes(1, 2)
+    assert(changes.map(_.version) === Seq(1L, 2L))
+    val addsV1 = changes.head.actions.collect { case a: graft.model.AddFile => a }
+    assert(addsV1.nonEmpty)
+    // monotonized timestamps strictly increase
+    val tss = log.versionTimestamps().map(_._2)
+    assert(tss === tss.sorted && tss.distinct.size === tss.size)
+  }
+
+  test("remove-file commits shrink the snapshot") {
+    val base = s"${SharedFixtures.shareRoot(sfDir)}/removal_test"
+    val dir = new java.io.File(base)
+    if (dir.exists()) { org.apache.commons.io.FileUtils.deleteDirectory(dir) }
+    val df = spark.read.parquet(s"$sfDir/region.parquet")
+    TableBuilder.create(spark, df.repartition(3), base, name = "removal_test")
+    val log = new GraftLog(base, spark.sessionState.newHadoopConf())
+    val before = log.snapshot(None)
+    val victim = before.files.head.path
+    TableBuilder.removeFiles(spark, base, _.path == victim, timestamp = 10L)
+    val after = log.snapshot(None)
+    assert(after.files.size === before.files.size - 1)
+    assert(!after.files.exists(_.path == victim))
+    // time travel still sees the full set
+    assert(log.snapshot(Some(0L)).files.size === before.files.size)
+  }
+}
