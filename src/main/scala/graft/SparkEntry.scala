@@ -307,6 +307,88 @@ object SparkEntry {
         .select(year(col("o_orderdate")).cast("long").as("y"))
         .groupBy(col("y"))
         .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // Beyond-reference: content-addressed exact dedup via normalized-text
+    // md5 fingerprint (TextOps.fingerprint ∘ Dedup.exactDedup).
+    "q25_dedup_fingerprint" -> ((s, dir) => {
+      graft.ops.Dedup.exactDedup(
+        t(s, dir, "documents"), "doc_id", graft.ops.TextOps.fingerprint(col("text")))
+    }),
+
+    // Beyond-reference: text profile — language-ID (marker-word argmax)
+    // + quality scoring, aggregated per predicted language.
+    "q26_text_profile" -> ((s, dir) => {
+      graft.ops.TextOps.profile(t(s, dir, "documents"))
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality")), 3).as("avg_quality"),
+          sum(col("n_tokens")).as("total_tokens"))
+    }),
+
+    // Beyond-reference: MinHash+LSH near-dup summary (no SQL oracle:
+    // xxhash64 family; verified against planted duplicates in DedupSpec).
+    "q27_minhash_near_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = graft.ops.Dedup.minHashCandidates(docs, "doc_id", "text")
+      val dups = graft.ops.Dedup.jaccardVerify(cands, docs, "doc_id", "text")
+      dups.agg(count(lit(1)).as("n_candidates"),
+        count(when(col("jaccard") >= 0.7, 1)).as("n_dups"),
+        round(coalesce(max(col("jaccard")), lit(0.0)), 3).as("max_jaccard"))
+    }),
+
+    // Beyond-reference: SimHash near-dup summary (rows-only check).
+    "q28_simhash_near_dup" -> ((s, dir) => {
+      val pairs = graft.ops.Dedup.simHashDuplicates(
+        t(s, dir, "documents"), "doc_id", "text", maxHamming = 10)
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        coalesce(min(col("hamming")), lit(-1L)).cast("long").as("min_hamming"))
+    }),
+
+    // Beyond-reference: exact cosine top-3 neighbors for the first 5
+    // query vectors — codegen'd native kernel + per-query window top-k;
+    // DuckDB list_cosine_similarity is the oracle.
+    "q29_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      graft.ops.Similarity.bruteForceTopK(queries, corpus, 3)
+        .withColumn("sim", round(col("sim"), 3))
+    }),
+
+    // Beyond-reference: LSH-bucketed approximate neighbors (scale path of
+    // q29; recall vs brute force asserted in SimilaritySpec).
+    "q30_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      graft.ops.Similarity.lshTopK(queries, corpus, 3, dim = 64, bits = 4)
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_results"),
+          round(max(col("sim")), 3).as("best_sim"))
+    }),
+
+    // Beyond-reference: multimodal pipeline — binary payloads + metadata
+    // struct → per-partition batched decode (stub codec) → feature
+    // aggregation per format (rows-only; plumbing tested in MultimodalSpec).
+    "q31_multimodal_features" -> ((s, dir) => {
+      val assets = graft.ops.Multimodal.toAssets(t(s, dir, "documents"))
+      val feats = graft.ops.Multimodal.extractFeatures(assets, dim = 16)
+      feats.toDF()
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n_assets"),
+          round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+    }),
+
+    // Beyond-reference: embedding near-dup pairs via hyperplane LSH
+    // buckets (rows-only summary; correctness in SimilaritySpec).
+    "q32_embedding_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.ops.Similarity.embeddingDuplicates(emb, dim = 64, threshold = 0.9, bits = 4)
+        .agg(count(lit(1)).as("n_pairs"),
+          round(coalesce(max(col("sim")), lit(0.0)), 3).as("max_sim"))
     })
   )
 
@@ -444,6 +526,56 @@ object SparkEntry {
     "q24_share_time_travel" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y, count(*) AS n_orders
          FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q25_dedup_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                        ' +', ' ', 'g'))) AS dedup_key,
+         CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS group_size
+         FROM documents GROUP BY 1""",
+    "q26_text_profile" ->
+      """WITH scored AS (
+           SELECT
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','fast','data','query'))) AS s_en,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('scan','merge','window'))) AS s_de,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('table','column','line'))) AS s_fr,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('row','group','order'))) AS s_es,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('hash','join','key'))) AS s_zh,
+             CAST(length(text) AS DOUBLE) AS n_chars
+           FROM documents),
+         labeled AS (
+           SELECT n_tokens,
+             CASE WHEN s_en = gm AND gm > 0 THEN 'en'
+                  WHEN s_de = gm AND gm > 0 THEN 'de'
+                  WHEN s_fr = gm AND gm > 0 THEN 'fr'
+                  WHEN s_es = gm AND gm > 0 THEN 'es'
+                  WHEN s_zh = gm AND gm > 0 THEN 'zh'
+                  ELSE 'und' END AS pred_lang,
+             (0.5 * least(n_chars / 500.0, 1.0) +
+              0.5 * (1.0 - least(abs((n_chars - (CAST(n_tokens AS DOUBLE) - 1.0))
+                                     / CAST(n_tokens AS DOUBLE) - 5.0) / 5.0, 1.0))) *
+             (CASE WHEN n_tokens < 5 THEN 0.5 ELSE 1.0 END) AS quality
+           FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS gm FROM scored))
+         SELECT pred_lang, count(*) AS n_docs,
+           round(avg(quality), 3) AS avg_quality,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM labeled GROUP BY pred_lang""",
+    "q29_cosine_topk" ->
+      """SELECT q_id, c_id, round(sim, 3) AS sim, rank FROM (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS sim,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id)
+               AS BIGINT) AS rank
+           FROM embeddings q CROSS JOIN embeddings c
+           WHERE q.vec_id < 5)
+         WHERE rank <= 3"""
   )
 }

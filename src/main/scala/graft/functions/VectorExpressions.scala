@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding math.
+  *
+  * These stay inside whole-stage codegen (tight float loops, no
+  * intermediate array allocation), unlike a `zip_with` + `aggregate`
+  * composition (which materializes a product array per row) or a Scala UDF
+  * (ser/de per row). At 100 TB the brute-force similarity inner loop is
+  * exactly this expression, so it must be a codegen'd kernel.
+  */
+abstract class FloatVectorBinaryExpression extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, " +
+        s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  /** The per-pair kernel in generated-code form; `a`,`b` are ArrayData. */
+  protected def genKernel(ctx: CodegenContext, a: String, b: String, result: String): String
+
+  protected def kernel(a: ArrayData, b: ArrayData): Double
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => genKernel(ctx, a, b, ev.value.toString))
+}
+
+/** dot(a, b) = Σ a_i * b_i (arrays must be same length). */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends FloatVectorBinaryExpression {
+  override def prettyName: String = "graft_dot"
+
+  override protected def kernel(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  override protected def genKernel(ctx: CodegenContext, a: String, b: String, result: String): String = {
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    s"""
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double ${result}Acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  ${result}Acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+       |}
+       |$result = ${result}Acc;
+     """.stripMargin
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** cosine(a, b) = dot / (|a| |b|); 0.0 when either norm is 0. */
+case class CosineSimilarityFloat(left: Expression, right: Expression)
+    extends FloatVectorBinaryExpression {
+  override def prettyName: String = "graft_cosine"
+
+  override protected def kernel(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def genKernel(ctx: CodegenContext, a: String, b: String, result: String): String = {
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb")
+    val x = ctx.freshName("x")
+    val y = ctx.freshName("y")
+    s"""
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $x = (double) $a.getFloat($i);
+       |  double $y = (double) $b.getFloat($i);
+       |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+       |}
+       |$result = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+     """.stripMargin
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorFunctions {
+  /** Register `graft_dot` / `graft_cosine` SQL functions on the session so
+    * `expr("graft_cosine(a, b)")` works anywhere a Column does.
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProductFloat(exprs(0), exprs(1)), "builtin")
+    registry.createOrReplaceTempFunction("graft_cosine",
+      exprs => CosineSimilarityFloat(exprs(0), exprs(1)), "builtin")
+  }
+}

@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, and n-gram
+  * Jaccard verification.
+  *
+  * Scale design (the whole point of these shapes at 100 TB):
+  *  - never a cross join — candidate generation is always a *bucket
+  *    equi-join* (LSH band hash / SimHash chunk), so Spark shuffles on the
+  *    bucket key and AQE handles residual skew;
+  *  - signatures are computed with map-side partial aggregation
+  *    (`groupBy(doc).agg(min...)` over exploded features);
+  *  - verification (exact Jaccard / Hamming) runs only on candidate
+  *    pairs, joined back to per-doc feature sets.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------ exact
+
+  /** Keep one representative (min id) per exact content group. */
+  def exactDedup(docs: DataFrame, idCol: String, keyCol: Column): DataFrame =
+    docs.groupBy(keyCol.as("dedup_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
+  // ---------------------------------------------------------------- minhash
+
+  /** Word n-gram shingles of the whitespace-tokenized text. Documents
+    * shorter than `n` tokens contribute their full text as one shingle.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < n, array(text)).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** One seeded 64-bit hash family member. */
+  private def seededHash(c: Column, seed: Int): Column =
+    xxhash64(lit(seed), c)
+
+  /** MinHash signature columns `h0..h{k-1}` per document — one shuffle,
+    * map-side combinable (`min` is associative).
+    */
+  def minHashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("__sh"))
+    val aggs = (0 until numHashes).map(j => min(seededHash(col("__sh"), j)).as(s"h$j"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: docs agreeing on ALL hashes within any band become
+    * candidates. Returns distinct pairs `(id_a < id_b)`.
+    */
+  def minHashCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(docs, idCol, textCol, shingleSize, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(j => col(s"h$j")): _*).as("bh"))
+    }
+    val buckets = sigs.select(col(idCol), explode(array(bandCols: _*)).as("bucket"))
+    val a = buckets.select(col(idCol).as("id_a"), col("bucket"))
+    val b = buckets.select(col(idCol).as("id_b"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard similarity over distinct shingle sets for given pairs. */
+  def jaccardVerify(
+      pairs: DataFrame, // columns id_a, id_b
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val sets = docs.select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("__set"))
+    pairs
+      .join(sets.select(col("__id").as("id_a"), col("__set").as("set_a")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__set").as("set_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))).cast("double"))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full MinHash near-dup pipeline: candidates → Jaccard ≥ threshold. */
+  def nearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val cands = minHashCandidates(docs, idCol, textCol, shingleSize, numHashes, bands)
+    jaccardVerify(cands, docs, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over token hashes: bit j is the sign of the sum of
+    * ±1 contributions. 64 `sum` aggregates — wide but fully map-side
+    * combinable, one shuffle by doc id.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    sums.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`,
+    * candidates via 4×16-bit chunk buckets (a pair within Hamming ≤ 3
+    * must agree on at least one chunk — pigeonhole).
+    */
+  def simHashDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simHash(docs, idCol, textCol)
+    val chunkCols = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ch")).as(s"c$c")
+    }
+    val buckets = sigs.select(col(idCol), col("simhash"),
+      explode(array(chunkCols: _*)).as("bucket"))
+    val a = buckets.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("bucket"))
+    val b = buckets.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ----------------------------------------------------- char-ngram jaccard
+
+  /** Distinct character n-gram set. */
+  def charNgrams(text: Column, n: Int = 5): Column =
+    array_distinct(transform(sequence(lit(0), greatest(length(text) - n, lit(0))),
+      i => substring(text, lit(1) + i, lit(n))))
+
+  /** Character-level n-gram Jaccard for candidate pairs (uses MinHash
+    * candidates to avoid any pairwise blowup).
+    */
+  def ngramJaccardDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      threshold: Double = 0.6): DataFrame = {
+    val cands = minHashCandidates(docs, idCol, textCol)
+    val sets = docs.select(col(idCol).as("__id"), charNgrams(col(textCol), n).as("__set"))
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__set").as("set_a")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__set").as("set_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column support: images/audio/video as opaque `binary`
+  * payloads with typed metadata, plus batched decode / feature-extract /
+  * frame-sample operators.
+  *
+  * The Spark-side plumbing is real and tested: schema (binary + metadata
+  * struct), partition-preserving `mapPartitions` decode with per-partition
+  * batch shape, and `Array[Float]` features that feed straight into
+  * [[Similarity]]. The codec itself is a STUB — this container ships no
+  * image/audio libraries, so `decodePayload` computes a deterministic fake
+  * (byte histogram); swap in a real decoder without touching the pipeline.
+  */
+object Multimodal {
+
+  case class AssetMeta(format: String, width: Int, height: Int, nBytes: Long)
+  case class Asset(asset_id: Long, payload: Array[Byte], meta: AssetMeta)
+  case class AssetFeatures(asset_id: Long, format: String, features: Array[Float])
+
+  private val formats = Seq("png", "jpeg", "wav", "mp4")
+
+  /** Deterministic fake assets derived from the documents fixture: the
+    * payload is the utf-8 text, metadata is derived from doc fields.
+    */
+  def toAssets(docs: DataFrame): Dataset[Asset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("asset_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        element_at(typedLit(formats), (col("doc_id") % formats.size).cast("int") + 1).as("format"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        length(col("text")).cast("long").as("nBytes")).as("meta"))
+      .as[Asset]
+  }
+
+  /** STUB decoder: a real implementation would decode pixels/samples here.
+    * Deterministic fake: `dim`-bucket byte histogram, L1-normalized.
+    */
+  def decodePayload(payload: Array[Byte], dim: Int): Array[Float] = {
+    val hist = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xFF) % dim) += 1f
+      i += 1
+    }
+    val total = math.max(payload.length, 1).toFloat
+    var j = 0
+    while (j < dim) { hist(j) /= total; j += 1 }
+    hist
+  }
+
+  /** Batched feature extraction: one decoder instantiation per PARTITION
+    * (not per row) — the shape a real codec needs (native handles, model
+    * weights). Partitioning of the input is preserved; no shuffle.
+    */
+  def extractFeatures(assets: Dataset[Asset], dim: Int = 16): Dataset[AssetFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      // per-partition decoder setup would go here (STUB: none needed)
+      it.map(a => AssetFeatures(a.asset_id, a.meta.format, decodePayload(a.payload, dim)))
+    }
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th fixed-size
+    * chunk becomes a frame row (id, frame_no, frame_bytes). The output
+    * explodes rows, so it repartitions by asset to keep frames of one
+    * asset co-located for downstream per-asset aggregation.
+    */
+  def sampleFrames(
+      assets: Dataset[Asset],
+      frameBytes: Int = 64,
+      stride: Int = 4): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.flatMap { a =>
+      val frames = a.payload.grouped(frameBytes).zipWithIndex
+      frames.collect { case (chunk, idx) if idx % stride == 0 =>
+        (a.asset_id, idx.toLong, chunk)
+      }
+    }.toDF("asset_id", "frame_no", "frame_bytes")
+  }
+}

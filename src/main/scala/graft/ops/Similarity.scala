@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CosineSimilarityFloat, DotProductFloat}
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact: broadcast the (small) query set against
+  *    the corpus; the inner product is the codegen'd
+  *    [[graft.functions.CosineSimilarityFloat]] kernel; top-k via a window
+  *    partitioned BY QUERY (never a global sort).
+  *  - [[lshTopK]] — approximate scale path: random-hyperplane LSH buckets
+  *    corpus + queries; only same/multi-probe buckets are scored. At 1000
+  *    executors this turns an O(Q×N) scan into an O(Q×N/2^bits × probes)
+  *    bucket join keyed by the signature.
+  */
+object Similarity {
+
+  import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+
+  def cosine(a: Column, b: Column): Column =
+    column(CosineSimilarityFloat(expression(a), expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    column(DotProductFloat(expression(a), expression(b)))
+
+  /** Exact cosine top-k: every query row scored against every corpus row.
+    * `queries` must be broadcast-sized (it is hinted); ties broken by
+    * corpus id for determinism.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, // (q_id, q_vec)
+      corpus: DataFrame, // (c_id, c_vec)
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic random hyperplanes (seeded), as literal arrays — no
+    * data-dependent state, so plans are reproducible across runs.
+    */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
+  }
+
+  /** Sign-bit signature of `vec` under the hyperplanes. */
+  def lshSignature(vec: Column, planes: Seq[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = lit(p).cast("array<float>")
+      when(dot(vec, plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Approximate top-k: score only corpus rows whose LSH bucket matches
+    * the query's (single-probe). Recall is tunable via `bits`; with b bits
+    * buckets hold ~N/2^b rows.
+    */
+  def lshTopK(
+      queries: DataFrame, // (q_id, q_vec)
+      corpus: DataFrame, // (c_id, c_vec)
+      k: Int,
+      dim: Int,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, bits, seed)
+    val cb = corpus.withColumn("bucket", lshSignature(col("c_vec"), planes))
+    val qb = queries.withColumn("bucket", lshSignature(col("q_vec"), planes))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from
+    * shared LSH buckets (no pairwise scan).
+    */
+  def embeddingDuplicates(
+      vectors: DataFrame, // (id, vec)
+      dim: Int,
+      threshold: Double = 0.95,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, bits, seed)
+    val withBucket = vectors.withColumn("bucket", lshSignature(col("vec"), planes))
+    val a = withBucket.select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket"))
+    val b = withBucket.select(col("id").as("id_b"), col("vec").as("vec_b"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim").distinct()
+  }
+}

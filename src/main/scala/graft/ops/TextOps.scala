@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language-ID (marker-word heuristic), quality scoring,
+  * and document fingerprinting. All are pure column expressions
+  * (codegen-friendly, no UDFs) so they run at full scan speed and
+  * partial-aggregate cleanly at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Marker vocabularies for the language-ID heuristic. Deliberately tiny
+    * and deterministic; production would swap in character n-gram
+    * profiles — the *pipeline shape* (pure column expr → argmax) is the
+    * point.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "fast", "data", "query"),
+    "de" -> Seq("scan", "merge", "window"),
+    "fr" -> Seq("table", "column", "line"),
+    "es" -> Seq("row", "group", "order"),
+    "zh" -> Seq("hash", "join", "key"))
+
+  /** Count of tokens belonging to a marker set. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers)))
+
+  /** Predicted language = argmax over marker-hit counts with a fixed
+    * preference order on ties (first wins).
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> markerHits(text, ms) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length documents and a
+    * healthy word-length profile, penalizes very short docs. Pure
+    * arithmetic on counts so it is exactly reproducible in ANSI SQL.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTokens = tokenCount(text).cast("double")
+    val avgWordLen = (nChars - (nTokens - lit(1.0))) / nTokens
+    val lengthScore = least(nChars / lit(500.0), lit(1.0))
+    val wordLenScore = lit(1.0) - least(abs(avgWordLen - lit(5.0)) / lit(5.0), lit(1.0))
+    val shortPenalty = when(nTokens < 5, lit(0.5)).otherwise(lit(1.0))
+    (lit(0.5) * lengthScore + lit(0.5) * wordLenScore) * shortPenalty
+  }
+
+  /** Canonical text form for content-addressed dedup: lowercase, strip
+    * non-alphanumerics, collapse whitespace.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Content fingerprint of the normalized text (md5 here; the rolling-
+    * hash variant for shingle-level fingerprints lives in [[Dedup]]).
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Per-document text-statistics frame: one row per doc with the columns
+    * downstream filters group on.
+    */
+  def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.withColumn("n_tokens", tokenCount(t).cast("long"))
+      .withColumn("pred_lang", langId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fp", fingerprint(t))
+  }
+}

@@ -1,0 +1,17 @@
+/* Bridge into private[sql] helpers. Lives in the org.apache.spark.sql
+ * package for access only — the same technique the reference uses to reach
+ * Spark-private RPC from `org.apache.spark.delta.sharing`
+ * (reference `client/src/main/scala/org/apache/spark/delta/sharing/
+ * PreSignedUrlCache.scala:16-17`).
+ */
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+object GraftSqlBridge {
+  /** Wrap a Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its Catalyst expression. */
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

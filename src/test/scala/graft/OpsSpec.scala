@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+/** Behavioral tests for the LLM-pipeline operators: planted near-
+  * duplicates must be found (recall), clean corpora must not explode into
+  * false candidates (precision sanity), ANN recall vs brute force, and
+  * multimodal plumbing shape.
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import scala.jdk.CollectionConverters._
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire place tonight"
+
+  test("minhash finds planted near-duplicates and skips unrelated docs") {
+    val nearDup = base.replace("quick", "rapid") // 1-word edit
+    val unrelated = "completely different content about spark query engines and distributed columnar storage systems"
+    val docs = docsDF(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated))
+    val dups = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((1L, 2L)), "planted near-dup not found")
+    assert(!dups.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc flagged")
+  }
+
+  test("minhash jaccard verification matches exact set jaccard") {
+    val docs = docsDF(Seq(1L -> base, 2L -> base)) // identical
+    val dups = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.99)
+    val row = dups.collect().head
+    assert(row.getDouble(2) === 1.0)
+  }
+
+  test("simhash: identical docs distance 0; near-dups small; unrelated far") {
+    val nearDup = base.replace("quick", "rapid")
+    val unrelated = "completely different content about spark query engines and distributed columnar storage systems"
+    val docs = docsDF(Seq(1L -> base, 2L -> base, 3L -> nearDup, 4L -> unrelated))
+    val sigs = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)),
+      "near-dup should be closer than unrelated")
+    val pairs = Dedup.simHashDuplicates(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("char-ngram jaccard flags near-identical docs") {
+    val docs = docsDF(Seq(1L -> base, 2L -> (base + " extra"), 3L -> "zzz qqq xxx www vvv uuu ttt sss"))
+    val dups = Dedup.ngramJaccardDuplicates(docs, "doc_id", "text", n = 5, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups === Set((1L, 2L)))
+  }
+
+  test("native cosine kernel: interpreted == codegen == manual") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (2L, Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (3L, Array(1f, 2f, 0f), Array(2f, 4f, 0f))).toDF("id", "a", "b")
+    val out = df.select(col("id"), Similarity.cosine(col("a"), col("b")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12)
+    assert(math.abs(out(2L)) < 1e-12)
+    assert(math.abs(out(3L) - 1.0) < 1e-12)
+    // dot
+    val d = df.select(Similarity.dot(col("a"), col("b")).as("d")).collect().map(_.getDouble(0))
+    assert(d.toSeq === Seq(14.0, 0.0, 10.0))
+  }
+
+  test("LSH ANN achieves high recall vs brute force on fixture embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bits=2 → 4 buckets → ~25% of corpus scanned per query; recall of the
+    // top-5 should still be decent because neighbors share sign patterns.
+    val approx = Similarity.lshTopK(queries, corpus, 5, dim = 64, bits = 2)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall too low: $recall")
+    // every query's self-match must survive (same bucket by construction)
+    assert((0L until 20L).forall(q => approx.contains((q, q))), "self-match lost")
+  }
+
+  test("lang-id is deterministic and quality score stays within [0,1]") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val prof = TextOps.profile(docs)
+    val bad = prof.filter(col("quality") < 0 || col("quality") > 1).count()
+    assert(bad === 0)
+    val langs = prof.select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh", "und")))
+    // deterministic across runs
+    val again = TextOps.profile(docs).groupBy("pred_lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val first = prof.groupBy("pred_lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === first)
+  }
+
+  test("multimodal: payload/meta schema, batched decode, frame sampling") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val assets = Multimodal.toAssets(docs)
+    assert(assets.schema("payload").dataType.typeName === "binary")
+    assert(assets.schema("meta").dataType.typeName === "struct")
+    val feats = Multimodal.extractFeatures(assets, dim = 16).cache()
+    assert(feats.count() === 50)
+    val f = feats.filter(col("asset_id") === 0).collect().head.features
+    assert(f.length === 16)
+    assert(math.abs(f.sum - 1.0f) < 1e-3, "histogram must be L1-normalized")
+    // decode is deterministic
+    val f2 = Multimodal.extractFeatures(assets, dim = 16)
+      .filter(col("asset_id") === 0).collect().head.features
+    assert(f.toSeq === f2.toSeq)
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 64, stride = 4)
+    assert(frames.columns.toSeq === Seq("asset_id", "frame_no", "frame_bytes"))
+    assert(frames.count() > 0)
+    assert(frames.filter(col("frame_no") % 4 =!= 0).count() === 0, "stride not applied")
+  }
+
+  test("exact dedup keeps min id per group") {
+    val docs = docsDF(Seq(1L -> "aaa", 5L -> "aaa", 3L -> "bbb"))
+    val out = Dedup.exactDedup(docs, "doc_id", col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(("aaa", 1L, 2L), ("bbb", 3L, 1L)))
+  }
+}
