@@ -389,6 +389,37 @@ object SparkEntry {
       graft.ops.Similarity.embeddingDuplicates(emb, dim = 64, threshold = 0.9, bits = 4)
         .agg(count(lit(1)).as("n_pairs"),
           round(coalesce(max(col("sim")), lit(0.0)), 3).as("max_sim"))
+    }),
+
+    // §2.8 T1-T5/T9: Structured Streaming through the graft source —
+    // snapshot-then-tail over the 4-commit events table, complete-mode
+    // aggregation into a memory sink; the final state must equal the
+    // batch aggregate, which is what the oracle checks.
+    "q33_stream_agg" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(s"${graft.log.SharedFixtures.SHARE}.events")
+      val sink = "graft_q33_sink"
+      s.catalog.dropTempView(sink)
+      val q = s.readStream.format("graft").option("path", path)
+        .option("maxFilesPerTrigger", "2").load()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      q.stop()
+      s.table(sink)
+    }),
+
+    // §2.1 S4 CDF: row-level change feed over the insert/insert/delete/
+    // update history of orders_cdf; cdc-priority per version means the
+    // rewrite versions surface only their update/delete rows.
+    "q34_share_cdf" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(s"${graft.log.SharedFixtures.SHARE}.orders_cdf")
+      graft.log.GraftCDF.tableChanges(s, path, 0)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"))
     })
   )
 
@@ -576,6 +607,23 @@ object SparkEntry {
                AS BIGINT) AS rank
            FROM embeddings q CROSS JOIN embeddings c
            WHERE q.vec_id < 5)
-         WHERE rank <= 3"""
+         WHERE rank <= 3""",
+    "q33_stream_agg" ->
+      """SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type""",
+    "q34_share_cdf" ->
+      """SELECT 'insert' AS _change_type, count(*) AS n FROM orders
+           WHERE o_orderdate < TIMESTAMP '1999-01-01'
+         UNION ALL
+         SELECT 'delete', count(*) FROM orders
+           WHERE o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1996-01-01'
+         UNION ALL
+         SELECT 'update_preimage', count(*) FROM orders
+           WHERE o_totalprice > 400000 AND o_orderdate < TIMESTAMP '1999-01-01'
+             AND NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1996-01-01')
+         UNION ALL
+         SELECT 'update_postimage', count(*) FROM orders
+           WHERE o_totalprice > 400000 AND o_orderdate < TIMESTAMP '1999-01-01'
+             AND NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1996-01-01')"""
   )
 }

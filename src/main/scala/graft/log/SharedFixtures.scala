@@ -84,7 +84,29 @@ object SharedFixtures {
       }
     }
 
-    Seq("lineitem", "orders", "orders_versioned", "events").foreach { t =>
+    // orders_cdf: CDF-enabled table with insert/insert/delete/update
+    // history, all derived deterministically from the orders fixture.
+    buildIfMissing(root, "orders_cdf") { path =>
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      TableBuilder.create(spark,
+        o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")).repartition(2),
+        path, name = "orders_cdf",
+        configuration = Map("enableChangeDataFeed" -> "true"))
+      TableBuilder.append(spark,
+        o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp")).repartition(2),
+        path, timestamp = 1000L)
+      TableBuilder.deleteWhere(spark, path,
+        col("o_orderstatus") === "F" &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"),
+        timestamp = 2000L)
+      TableBuilder.updateWhere(spark, path,
+        col("o_totalprice") > 400000,
+        Seq("o_orderpriority" -> lit("9-UPDATED")),
+        timestamp = 3000L)
+    }
+
+    Seq("lineitem", "orders", "orders_versioned", "events", "orders_cdf").foreach { t =>
       GraftCatalog.register(s"$SHARE.$t", s"$root/$t")
     }
     built += root

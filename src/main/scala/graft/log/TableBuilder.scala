@@ -61,10 +61,14 @@ object TableBuilder {
     val prev = logR.snapshot(None)
     val version = logR.latestVersion() + 1
     val partitionCols = prev.metadata.partitionColumns
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    // diff on-disk inventory so files removed in PAST versions (still on
+    // disk) are never re-added
+    val before = collectParquet(fs, fs.makeQualified(root)).map(_.getPath.toUri).toSet
     df.write.mode("append").partitionBy(partitionCols: _*).parquet(tablePath)
-    val known = prev.files.map(_.path).toSet
     val adds = scanDataFiles(spark, tablePath, prev.schema, partitionCols, version, timestamp)
-      .filterNot(a => known.contains(a.path))
+      .filter(a => !before.contains(fs.makeQualified(new Path(root, a.path)).toUri))
     GraftLog.commit(tablePath, version, adds, conf)
     version
   }
@@ -87,6 +91,113 @@ object TableBuilder {
     GraftLog.commit(tablePath, version, removes, conf)
     version
   }
+
+  /** Row-level DELETE with CDF capture: rewrites the files containing
+    * matching rows (RemoveFile + AddFile of survivors) and emits a cdc
+    * file of the deleted rows (`_change_type='delete'`). Non-partitioned
+    * tables only (the CDF fixtures).
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      tablePath: String,
+      cond: org.apache.spark.sql.Column,
+      timestamp: Long = 0L): Long =
+    rewrite(spark, tablePath, cond, timestamp) { matching =>
+      (None, matching.withColumn(GraftCDF.CHANGE_TYPE, lit("delete")))
+    }
+
+  /** Row-level UPDATE with CDF capture: matching rows get `assignments`
+    * applied; cdc carries update_preimage + update_postimage rows.
+    */
+  def updateWhere(
+      spark: SparkSession,
+      tablePath: String,
+      cond: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      timestamp: Long = 0L): Long =
+    rewrite(spark, tablePath, cond, timestamp) { matching =>
+      val updated = assignments.foldLeft(matching) { case (df, (c, e)) => df.withColumn(c, e) }
+      val cdc = matching.withColumn(GraftCDF.CHANGE_TYPE, lit("update_preimage"))
+        .unionByName(updated.withColumn(GraftCDF.CHANGE_TYPE, lit("update_postimage")))
+      (Some(updated), cdc)
+    }
+
+  /** Shared rewrite machinery: `transform(matchingRows)` returns
+    * (replacement rows to keep for the matches, cdc rows with
+    * `_change_type`). Affected files are found via `input_file_name()`
+    * (one distributed pass), only those are rewritten.
+    */
+  private def rewrite(
+      spark: SparkSession,
+      tablePath: String,
+      cond: org.apache.spark.sql.Column,
+      timestamp: Long)(
+      transform: DataFrame => (Option[DataFrame], DataFrame)): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logR = new GraftLog(tablePath, conf)
+    val prev = logR.snapshot(None)
+    require(prev.metadata.partitionColumns.isEmpty,
+      "deleteWhere/updateWhere support non-partitioned tables")
+    val version = logR.latestVersion() + 1
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val qualifiedRoot = fs.makeQualified(root).toUri
+
+    def abs(rel: String): String = new Path(root, rel).toString
+    val active = spark.read.schema(prev.schema)
+      .parquet(prev.files.map(f => abs(f.path)): _*)
+      .withColumn("__file", input_file_name())
+
+    val affectedUris = active.filter(cond).select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affectedUris.isEmpty) { // no-op change: still commit an empty version
+      GraftLog.commit(tablePath, version, Nil, conf)
+      return version
+    }
+    val affectedRel = prev.files.map(_.path)
+      .filter(rel => affectedUris.exists(u => new java.net.URI(u).getPath ==
+        new Path(root, rel).toUri.getPath))
+
+    val affected = spark.read.schema(prev.schema)
+      .parquet(affectedRel.map(abs): _*).cache()
+    try {
+      val survivors = affected.filter(!cond)
+      val matching = affected.filter(cond)
+      val (replacement, cdcRows) = transform(matching)
+      val rewritten = replacement match {
+        case Some(r) => survivors.unionByName(r)
+        case None    => survivors
+      }
+
+      // new data files: diff the on-disk inventory on QUALIFIED uris
+      // (unqualified Path.toUri has no scheme and would never match)
+      val before = collectParquet(fs, fs.makeQualified(root)).map(_.getPath.toUri).toSet
+      rewritten.write.mode("append").parquet(tablePath)
+      val adds = scanDataFiles(spark, tablePath, prev.schema, Nil, version, timestamp)
+        .filter(a => !before.contains(fs.makeQualified(new Path(root, a.path)).toUri))
+
+      // cdc file(s) under _cdc/v<version>/ (underscore dir ⇒ invisible to
+      // plain data scans)
+      val cdcDir = s"$tablePath/${"_cdc"}/v$version"
+      cdcRows.write.mode("overwrite").parquet(cdcDir)
+      val cdcFiles = collectParquetIncludingHidden(fs, new Path(cdcDir)).map { st =>
+        AddCDCFile(
+          path = relativize(qualifiedRoot, st.getPath.toUri),
+          size = st.getLen, version = version, timestamp = timestamp)
+      }
+
+      val removes = prev.files.filter(f => affectedRel.contains(f.path)).map(f =>
+        RemoveFile(f.path, f.partitionValues, f.size, dataChange = true, version, timestamp))
+      GraftLog.commit(tablePath, version, removes ++ adds ++ cdcFiles, conf)
+      version
+    } finally affected.unpersist()
+  }
+
+  private def collectParquetIncludingHidden(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(dir).toSeq.filter(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
 
   /** Build AddFile actions (with stats) for every parquet data file under
     * `tablePath`, excluding the log dir.

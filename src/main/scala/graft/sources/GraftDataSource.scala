@@ -3,7 +3,9 @@ package graft.sources
 import org.apache.spark.sql.{SparkSession, SQLContext}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
 import graft.log.GraftCatalog
 
@@ -21,9 +23,37 @@ import graft.log.GraftCatalog
   * + `ParquetFileFormat`, so every Catalyst operator, join strategy, AQE
   * and whole-stage codegen applies unchanged downstream.
   */
-class GraftDataSource extends RelationProvider with DataSourceRegister {
+class GraftDataSource extends RelationProvider
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  private def resolvePath(parameters: Map[String, String]): String =
+    parameters.get("table") match {
+      case Some(fqn) => GraftCatalog.location(fqn)
+      case None => parameters.getOrElse("path",
+        throw new IllegalArgumentException("option 'table' or 'path' required"))
+    }
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = resolvePath(parameters)
+    val log = new graft.log.GraftLog(path,
+      sqlContext.sparkSession.sessionState.newHadoopConf())
+    (shortName(), schema.getOrElse(log.snapshot(None).schema))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new graft.streaming.GraftSource(
+      sqlContext.sparkSession, resolvePath(parameters), parameters)
 
   override def createRelation(
       sqlContext: SQLContext,
@@ -33,11 +63,7 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
     val version = parameters.get("versionAsOf").map(_.toLong)
     val timestamp = parameters.get("timestampAsOf")
       .map(s => graft.model.StatsCodec.parseTimestamp(s).toEpochMilli)
-    val tablePath = parameters.get("table") match {
-      case Some(fqn) => GraftCatalog.location(fqn)
-      case None => parameters.getOrElse("path",
-        throw new IllegalArgumentException("option 'table' or 'path' required"))
-    }
+    val tablePath = resolvePath(parameters)
     val log = new graft.log.GraftLog(tablePath, spark.sessionState.newHadoopConf())
     require(version.isEmpty || timestamp.isEmpty,
       "at most one of versionAsOf/timestampAsOf may be set")

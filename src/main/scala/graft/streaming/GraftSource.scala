@@ -1,0 +1,210 @@
+package graft.streaming
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.connector.read.streaming
+import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.types.StructType
+
+import graft.log.{GraftLog, Snapshot}
+import graft.model.{AddFile, RemoveFile}
+import graft.sources.GraftDataSource
+
+/** Micro-batch streaming source over a graft table's version history —
+  * the reference's `DeltaSharingSource` re-expressed over the local log
+  * (`client/.../DeltaSharingSource.scala:93-1207`).
+  *
+  * Semantics carried over:
+  *  - snapshot-then-tail (T2): with no `startingVersion` the stream first
+  *    consumes the latest snapshot (`isStartingVersion=true`), then tails
+  *    the change log; `startingVersion=N` starts replay at N.
+  *  - stable in-version ordering (O1): files sort by path within a
+  *    version so offsets are reproducible.
+  *  - admission control (T3): `maxFilesPerTrigger` (default 1000) /
+  *    `maxBytesPerTrigger`; at least one file is always admitted.
+  *  - empty-version sentinels (T5): offsets advance through versions with
+  *    no data files via `index = -1`.
+  *  - change-commit policing (T6): RemoveFile in a tailed version throws
+  *    unless `ignoreChanges`/`ignoreDeletes`; `skipChangeCommits` drops
+  *    such commits entirely.
+  *  - Trigger.AvailableNow (T9): the end version is frozen at
+  *    `prepareForTriggerAvailableNow`.
+  */
+class GraftSource(
+    spark: SparkSession,
+    tablePath: String,
+    options: Map[String, String])
+    extends Source
+    with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow
+    with Logging {
+
+  import GraftSourceOffset.VERSION_CONSUMED
+
+  private val conf = spark.sessionState.newHadoopConf()
+  private def tableLog = new GraftLog(tablePath, conf)
+
+  private val startingVersion: Option[Long] = options.get("startingVersion").map(_.toLong)
+  private val maxFilesPerTrigger: Int =
+    options.get("maxFilesPerTrigger").map(_.toInt).getOrElse(GraftSource.DEFAULT_MAX_FILES)
+  private val maxBytesPerTrigger: Option[Long] = options.get("maxBytesPerTrigger").map(_.toLong)
+  private val ignoreChanges: Boolean = options.get("ignoreChanges").exists(_.toBoolean)
+  private val ignoreDeletes: Boolean = options.get("ignoreDeletes").exists(_.toBoolean)
+  private val skipChangeCommits: Boolean = options.get("skipChangeCommits").exists(_.toBoolean)
+
+  private val initialSnapshot: Snapshot = tableLog.snapshot(None)
+  private val tableId: String = initialSnapshot.metadata.id
+
+  /** Frozen end version for Trigger.AvailableNow. */
+  @volatile private var frozenEndVersion: Option[Long] = None
+
+  override def schema: StructType = initialSnapshot.schema
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenEndVersion = Some(tableLog.latestVersion())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxBytesPerTrigger.map(_ => ReadLimit.allAvailable())
+      .getOrElse(ReadLimit.maxFiles(maxFilesPerTrigger))
+
+  /** One file (or sentinel) admitted by the stream, in offset order. */
+  private case class IndexedFile(
+      version: Long, index: Long, add: Option[AddFile], isStarting: Boolean) {
+    def bytes: Long = add.map(_.size).getOrElse(0L)
+  }
+
+  /** All files from `from` (exclusive) up to `endVersion` (inclusive),
+    * in offset order. `from=None` ⇒ start of stream per options.
+    */
+  private def filesAfter(from: Option[GraftSourceOffset], endVersion: Long): Seq[IndexedFile] = {
+    val out = Vector.newBuilder[IndexedFile]
+
+    // Sentinels are positioned at `(version + 1, -1)` — i.e. "before any
+    // file of the NEXT version" — so they sort strictly after the data
+    // files of the version they close ((v, n-1) < (v+1, -1) < (v+1, 0)).
+    // This is what lets offsets advance through empty/skipped versions
+    // (reference bumps finished versions to (v+1, index=-1) the same way,
+    // `DeltaSharingSource.scala:969-992`).
+
+    def snapshotFiles(version: Long, fromIndex: Long): Unit = {
+      val snap = tableLog.snapshot(Some(version))
+      val sorted = snap.files.sortBy(_.path)
+      sorted.zipWithIndex.foreach { case (f, i) =>
+        if (i > fromIndex) out += IndexedFile(version, i.toLong, Some(f), isStarting = true)
+      }
+      out += IndexedFile(version + 1, VERSION_CONSUMED, None, isStarting = false)
+    }
+
+    def changeFiles(fromVersion: Long, fromIndex: Long): Unit = {
+      if (fromVersion > endVersion) return
+      tableLog.changes(fromVersion, endVersion).foreach { commit =>
+        val adds = commit.actions.collect { case a: AddFile if a.dataChange => a }.sortBy(_.path)
+        val removes = commit.actions.collect { case r: RemoveFile if r.dataChange => r }
+        val dropCommit = removes.nonEmpty && skipChangeCommits
+        if (removes.nonEmpty && !dropCommit && !(ignoreChanges || ignoreDeletes)) {
+          throw new UnsupportedOperationException(
+            s"Detected a data update/delete in version ${commit.version} of table " +
+              s"$tablePath. Streaming sources only support appends; set the " +
+              "'skipChangeCommits' option to skip such commits, or 'ignoreChanges'/" +
+              "'ignoreDeletes' to stream the added files anyway.")
+        }
+        if (!dropCommit) {
+          adds.zipWithIndex.foreach { case (f, i) =>
+            if (commit.version > fromVersion ||
+              (commit.version == fromVersion && i > fromIndex)) {
+              out += IndexedFile(commit.version, i.toLong, Some(f), isStarting = false)
+            }
+          }
+        }
+        out += IndexedFile(commit.version + 1, VERSION_CONSUMED, None, isStarting = false)
+      }
+    }
+
+    from match {
+      case None =>
+        startingVersion match {
+          case Some(sv) => changeFiles(sv, Long.MinValue)
+          case None =>
+            val snapV = math.min(initialSnapshot.version, endVersion)
+            snapshotFiles(snapV, Long.MinValue)
+            changeFiles(snapV + 1, Long.MinValue)
+        }
+      case Some(o) if o.isStartingVersion =>
+        snapshotFiles(o.tableVersion, o.index)
+        changeFiles(o.tableVersion + 1, Long.MinValue)
+      case Some(o) if o.index == VERSION_CONSUMED =>
+        changeFiles(o.tableVersion, Long.MinValue)
+      case Some(o) =>
+        changeFiles(o.tableVersion, o.index)
+    }
+    out.result()
+  }
+
+  private def admit(files: Seq[IndexedFile], limit: ReadLimit): Seq[IndexedFile] = limit match {
+    case _: ReadAllAvailable => files
+    case mf: ReadMaxFiles =>
+      var dataCount = 0
+      var bytes = 0L
+      val it = files.iterator
+      val admitted = Vector.newBuilder[IndexedFile]
+      var done = false
+      while (it.hasNext && !done) {
+        val f = it.next()
+        val isData = f.add.isDefined
+        val wouldExceedFiles = isData && dataCount + 1 > mf.maxFiles()
+        val wouldExceedBytes = isData && maxBytesPerTrigger.exists(m => bytes + f.bytes > m && dataCount > 0)
+        if (wouldExceedFiles || wouldExceedBytes) done = true
+        else {
+          admitted += f
+          if (isData) { dataCount += 1; bytes += f.bytes }
+        }
+      }
+      admitted.result()
+    case other => files
+  }
+
+  override def latestOffset(startOffset: streaming.Offset, limit: ReadLimit): streaming.Offset = {
+    val from = Option(startOffset).map(o => GraftSourceOffset(o.asInstanceOf[Offset]))
+    val endVersion = frozenEndVersion.getOrElse(tableLog.latestVersion())
+    val files = admit(filesAfter(from, endVersion), limit)
+    if (files.isEmpty) {
+      from.orNull
+    } else {
+      val last = files.last
+      GraftSourceOffset(tableId, last.version, last.index, last.isStarting)
+    }
+  }
+
+  override def getOffset: Option[Offset] =
+    Option(latestOffset(null, getDefaultReadLimit)).map(_.asInstanceOf[Offset])
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(GraftSourceOffset(_))
+    val to = GraftSourceOffset(end)
+    from.foreach(f => GraftSourceOffset.validate(f, to))
+    val files = filesAfter(from, to.tableVersion)
+      .filter { f =>
+        val cmp = GraftSourceOffset(tableId, f.version, f.index, f.isStarting).compare(to)
+        cmp <= 0
+      }
+      .flatMap(_.add)
+    val snapshotForSchema = initialSnapshot
+    val relation = GraftDataSource.relation(
+      spark, tablePath,
+      snapshotForSchema.copy(files = files.toVector))
+    GraftSqlBridge.ofRowsStreaming(spark,
+      LogicalRelation(relation, isStreaming = true))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftSource[$tablePath]"
+}
+
+object GraftSource {
+  /** Reference default `maxFilesPerTrigger` (DeltaSharingOptions.scala:194). */
+  val DEFAULT_MAX_FILES = 1000
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.Offset
+import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+
+import graft.model.JsonUtils
+
+/** Streaming offset: position in a shared table's history.
+  *
+  * Mirrors the reference offset model (`DeltaSharingSourceOffset.scala:
+  * 40-120`): total order by `(tableVersion, index)`;
+  * `isStartingVersion=true` while consuming the initial snapshot;
+  * `tableId` binds a checkpoint to one table incarnation; recovery
+  * validates forward-only movement.
+  *
+  * `index` semantics: files within a version are consumed in a stable
+  * order (sorted by path); `index = -1` is the "version fully consumed /
+  * empty version" sentinel so offsets advance through OPTIMIZE-style
+  * commits with no data files (reference `DeltaSharingSource.scala:57-78`).
+  */
+case class GraftSourceOffset(
+    tableId: String,
+    tableVersion: Long,
+    index: Long,
+    isStartingVersion: Boolean)
+    extends Offset {
+
+  override def json: String = JsonUtils.toJson(this)
+
+  def compare(other: GraftSourceOffset): Int = {
+    val c = java.lang.Long.compare(tableVersion, other.tableVersion)
+    if (c != 0) c else java.lang.Long.compare(index, other.index)
+  }
+}
+
+object GraftSourceOffset {
+  val VERSION_CONSUMED: Long = -1L
+
+  def apply(offset: Offset): GraftSourceOffset = offset match {
+    case o: GraftSourceOffset => o
+    case s: SerializedOffset  => JsonUtils.fromJson[GraftSourceOffset](s.json)
+    case o => JsonUtils.fromJson[GraftSourceOffset](o.json)
+  }
+
+  /** Recovery validation (reference `DeltaSharingSourceOffset.scala:83-119`). */
+  def validate(previous: GraftSourceOffset, next: GraftSourceOffset): Unit = {
+    require(previous.tableId == next.tableId,
+      s"offset tableId changed: ${previous.tableId} -> ${next.tableId}; " +
+        "delete the checkpoint to restart the stream")
+    require(previous.compare(next) <= 0,
+      s"offset moved backwards: $previous -> $next")
+    require(!(previous.tableVersion == next.tableVersion &&
+        !previous.isStartingVersion && next.isStartingVersion),
+      s"isStartingVersion flipped false->true at same version: $previous -> $next")
+  }
+}

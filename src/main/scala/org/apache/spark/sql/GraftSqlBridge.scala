@@ -14,4 +14,10 @@ object GraftSqlBridge {
 
   /** Unwrap a Column to its Catalyst expression. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over a logical plan (used to wrap streaming relations). */
+  def ofRowsStreaming(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

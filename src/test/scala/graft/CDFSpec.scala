@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log._
+
+/** CDF semantics: insert/delete/update capture, cdc-priority per version,
+  * snapshot consistency after rewrites, disabled-table rejection, and
+  * boundary validation (reference `DeltaSharedTableCDFSuite` areas).
+  */
+class CDFSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val base = "/root/repo/target/test_cdf/people"
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = new java.io.File("/root/repo/target/test_cdf")
+    if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    import spark.implicits._
+    // v0: 4 inserts; v1: +2 inserts; v2: delete age<25; v3: double score where name=c
+    val v0 = Seq((1L, "a", 30, 10.0), (2L, "b", 20, 20.0), (3L, "c", 40, 30.0), (4L, "d", 22, 40.0))
+      .toDF("id", "name", "age", "score")
+    TableBuilder.create(spark, v0.repartition(2), base, name = "people",
+      configuration = Map("enableChangeDataFeed" -> "true"))
+    TableBuilder.append(spark,
+      Seq((5L, "e", 50, 50.0), (6L, "f", 60, 60.0)).toDF("id", "name", "age", "score"),
+      base, timestamp = 1000L)
+    TableBuilder.deleteWhere(spark, base, col("age") < 25, timestamp = 2000L)
+    TableBuilder.updateWhere(spark, base, col("name") === "c",
+      Seq("score" -> col("score") * 2), timestamp = 3000L)
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("snapshot after delete+update reflects the row-level changes") {
+    val rows = spark.read.format("graft").option("path", base).load()
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq((1L, 30, 10.0), (3L, 40, 60.0), (5L, 50, 50.0), (6L, 60, 60.0)))
+  }
+
+  test("cdf captures inserts, deletes, and update pre/post images") {
+    val cdf = GraftCDF.tableChanges(spark, base, 0)
+    val byType = cdf.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map(
+      "insert" -> 6L, "delete" -> 2L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L))
+    // update images carry old/new values
+    val images = cdf.filter(col("id") === 3 && col("_change_type").startsWith("update"))
+      .select("_change_type", "score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(images === Map("update_preimage" -> 30.0, "update_postimage" -> 60.0))
+  }
+
+  test("version range slicing + commit version/timestamp columns") {
+    val cdf23 = GraftCDF.tableChanges(spark, base, 2, Some(3))
+    assert(cdf23.select("_change_type").distinct().collect().map(_.getString(0)).toSet ===
+      Set("delete", "update_preimage", "update_postimage"))
+    val versions = cdf23.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(versions === Set(2L, 3L))
+    // timestamps monotonic with versions
+    val ts = GraftCDF.tableChanges(spark, base, 0)
+      .select("_commit_version", "_commit_timestamp").distinct()
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime).sortBy(_._1)
+    assert(ts.map(_._2).toSeq === ts.map(_._2).sorted.toSeq)
+  }
+
+  test("cdc-priority: rewrite versions do not leak survivor re-inserts") {
+    // v2 rewrote a file (survivors re-added) — but CDF for v2 must show
+    // ONLY the deleted rows, not survivor inserts.
+    val v2 = GraftCDF.tableChanges(spark, base, 2, Some(2))
+    assert(v2.select("_change_type").distinct().collect().map(_.getString(0)).toSet ===
+      Set("delete"))
+    assert(v2.count() === 2)
+  }
+
+  test("CDF disabled table is rejected") {
+    val plain = "/root/repo/target/test_cdf/nocdf"
+    import spark.implicits._
+    TableBuilder.create(spark, Seq((1L, "x")).toDF("id", "v"), plain, name = "nocdf")
+    val ex = intercept[IllegalArgumentException] {
+      GraftCDF.tableChanges(spark, plain, 0)
+    }
+    assert(ex.getMessage.contains("enableChangeDataFeed"))
+  }
+
+  test("boundary validation: bad version ranges are rejected") {
+    assertThrows[IllegalArgumentException] {
+      GraftCDF.tableChanges(spark, base, 5, Some(3))
+    }
+    assertThrows[IllegalArgumentException] {
+      GraftCDF.tableChanges(spark, base, 99)
+    }
+  }
+}

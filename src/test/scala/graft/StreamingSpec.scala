@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log._
+import graft.streaming.GraftSourceOffset
+
+/** Streaming-source behavior: snapshot-then-tail, admission control,
+  * startingVersion replay, AvailableNow termination, offset codec and
+  * forward-only validation, and remove-commit policing (reference
+  * `DeltaSharingSourceSuite` coverage areas).
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    SharedFixtures.ensure(spark, sfDir)
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  private def eventsPath = GraftCatalog.location(s"${SharedFixtures.SHARE}.events")
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+    val q = df.groupBy().count()
+      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val n = spark.table(name).collect().head.getLong(0)
+    q.stop()
+    n
+  }
+
+  test("snapshot-then-tail consumes the full table once") {
+    val total = spark.read.format("graft").option("path", eventsPath).load().count()
+    val streamed = runToCompletion(
+      spark.readStream.format("graft").option("path", eventsPath).load(), "t_snap")
+    assert(streamed === total)
+  }
+
+  test("startingVersion=1 replays only appended versions") {
+    val log = GraftCatalog.log(spark, s"${SharedFixtures.SHARE}.events")
+    val expected = log.changes(1, log.latestVersion())
+      .flatMap(_.actions).collect { case a: graft.model.AddFile => a }
+      .flatMap(_.stats.map(_.numRecords)).sum
+    val streamed = runToCompletion(
+      spark.readStream.format("graft").option("path", eventsPath)
+        .option("startingVersion", "1").load(), "t_sv")
+    assert(streamed === expected && streamed > 0)
+  }
+
+  test("maxFilesPerTrigger=1 splits the stream into one-file batches") {
+    val q = spark.readStream.format("graft").option("path", eventsPath)
+      .option("maxFilesPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("t_mft").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val progress = q.recentProgress
+    q.stop()
+    val batchesWithData = progress.count(_.numInputRows > 0)
+    val totalFiles = GraftCatalog.snapshot(spark, s"${SharedFixtures.SHARE}.events").files.size
+    assert(batchesWithData >= totalFiles,
+      s"expected >= $totalFiles one-file batches, saw $batchesWithData with data")
+    val total = spark.read.format("graft").option("path", eventsPath).load().count()
+    assert(spark.table("t_mft").count() === total)
+  }
+
+  test("offset json roundtrip + validation") {
+    val o = GraftSourceOffset("id-1", 3L, 7L, isStartingVersion = false)
+    val parsed = graft.model.JsonUtils.fromJson[GraftSourceOffset](o.json)
+    assert(parsed === o)
+    // forward-only
+    GraftSourceOffset.validate(o, o.copy(index = 8))
+    assertThrows[IllegalArgumentException] {
+      GraftSourceOffset.validate(o, o.copy(index = 6))
+    }
+    assertThrows[IllegalArgumentException] {
+      GraftSourceOffset.validate(o, o.copy(tableId = "other"))
+    }
+    assertThrows[IllegalArgumentException] {
+      GraftSourceOffset.validate(o, o.copy(isStartingVersion = true))
+    }
+  }
+
+  test("remove commits: fail by default, pass with skipChangeCommits") {
+    val base = s"${SharedFixtures.shareRoot(sfDir)}/stream_removes"
+    val dir = new java.io.File(base)
+    if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    TableBuilder.create(spark, region.repartition(2), base, name = "stream_removes")
+    TableBuilder.append(spark, region.limit(2), base, timestamp = 1000L)
+    val victim = new GraftLog(base, spark.sessionState.newHadoopConf())
+      .snapshot(None).files.head.path
+    TableBuilder.removeFiles(spark, base, _.path == victim, timestamp = 2000L)
+
+    // tailing from version 0 hits the remove commit → must fail
+    val failing = spark.readStream.format("graft").option("path", base)
+      .option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName("t_rm_fail").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      failing.awaitTermination(120000)
+    }
+    assert(ex.getCause.getMessage.contains("skipChangeCommits"))
+
+    // skipChangeCommits silently drops the remove commit
+    val q = spark.readStream.format("graft").option("path", base)
+      .option("startingVersion", "0").option("skipChangeCommits", "true").load()
+      .writeStream.format("memory").queryName("t_rm_skip").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val expected = region.count() + 2 // v0 + v1 appends; remove commit skipped
+    assert(spark.table("t_rm_skip").count() === expected)
+  }
+
+  test("streaming aggregation with event-time window over the stream") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.format("graft").option("path", eventsPath).load()
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("t_win")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val got = spark.table("t_win").agg(sum("n")).collect().head.getLong(0)
+    val expected = spark.read.format("graft").option("path", eventsPath).load().count()
+    assert(got === expected)
+  }
+}
