@@ -117,8 +117,8 @@ object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("graft_dot",
-      exprs => DotProductFloat(exprs(0), exprs(1)), "builtin")
+      exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_cosine",
-      exprs => CosineSimilarityFloat(exprs(0), exprs(1)), "builtin")
+      exprs => CosineSimilarityFloat(exprs(0), exprs(1)), "built-in")
   }
 }

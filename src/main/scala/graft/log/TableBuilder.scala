@@ -161,8 +161,12 @@ object TableBuilder {
     val affected = spark.read.schema(prev.schema)
       .parquet(affectedRel.map(abs): _*).cache()
     try {
-      val survivors = affected.filter(!cond)
-      val matching = affected.filter(cond)
+      // NULL-condition rows must survive (SQL DELETE/UPDATE semantics):
+      // `!cond` is NULL for them, and filter drops NULL — coalesce to
+      // route them into survivors, never silently lose them.
+      val condTrue = coalesce(cond, lit(false))
+      val survivors = affected.filter(!condTrue)
+      val matching = affected.filter(condTrue)
       val (replacement, cdcRows) = transform(matching)
       val rewritten = replacement match {
         case Some(r) => survivors.unionByName(r)

@@ -77,7 +77,12 @@ object StatsCodec {
     case "bool"      => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
     case "int"       => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
     case "long"      => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
-    case "string"    => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    case "string"    =>
+      // Min/max stats were computed under Spark's binary UTF-8 ordering;
+      // Java String.compareTo (UTF-16 code units) diverges for
+      // supplementary characters, which would make skipping unsound.
+      org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
     case "date"      => a.asInstanceOf[LocalDate].compareTo(b.asInstanceOf[LocalDate])
     case "float"     => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
     case "double"    => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators: exact, MinHash+LSH, SimHash, and n-gram
@@ -97,7 +98,10 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Full MinHash near-dup pipeline: candidates → Jaccard ≥ threshold. */
+  /** Full MinHash near-dup pipeline: candidates → Jaccard ≥ threshold.
+    * Probabilistic recall (a qualifying pair can miss every band); use
+    * [[nearDuplicatesExact]] when the output must be exactly complete.
+    */
   def nearDuplicates(
       docs: DataFrame,
       idCol: String,
@@ -107,6 +111,60 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
     val cands = minHashCandidates(docs, idCol, textCol, shingleSize, numHashes, bands)
+    jaccardVerify(cands, docs, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // --------------------------------------------------------- prefix filter
+
+  /** Provably complete Jaccard-join candidates via prefix filtering
+    * (the AllPairs/PPJoin family, Bayardo et al., WWW'07): order every
+    * document's feature set by global frequency (rarest first — any fixed
+    * total order is correct, rarity minimizes candidates); two sets with
+    * Jaccard ≥ t MUST share a feature among the first
+    * `n - ceil(t·n) + 1` features of each side. Unlike banded MinHash
+    * this never misses a qualifying pair, and it is still a bucket
+    * equi-join on the feature (never all-pairs): the classic exact
+    * set-similarity-join shape at scale.
+    *
+    * `sets` needs columns (id, fset: array of distinct features).
+    */
+  def prefixFilterCandidates(sets: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val exploded = sets.select(col("id"), explode(col("fset")).as("__f"))
+    val freq = exploded.groupBy(col("__f")).agg(count(lit(1)).as("__freq"))
+    val ranked = exploded.join(freq, "__f")
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("id")).orderBy(col("__freq"), col("__f"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val prefix = ranked
+      .filter(col("__rn") <= col("__n") - ceil(col("__n") * lit(threshold)) + 1)
+      .select(col("id"), col("__f"))
+    prefix.select(col("id").as("id_a"), col("__f"))
+      .join(prefix.select(col("id").as("id_b"), col("__f")), Seq("__f"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** COMPLETE near-dup pairs: exactly every pair with shingle-Jaccard ≥
+    * threshold. Candidates = prefix-filter (completeness guarantee) ∪
+    * MinHash-LSH bands (the cheap probabilistic scale path, kept in the
+    * pipeline so both candidate generators run); verification is the
+    * exact metric, so extra candidates never change the output.
+    */
+  def nearDuplicatesExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("fset"))
+    val cands = prefixFilterCandidates(sets, threshold)
+      .union(minHashCandidates(docs, idCol, textCol, shingleSize, numHashes, bands))
+      .distinct()
     jaccardVerify(cands, docs, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)
   }
@@ -130,19 +188,52 @@ object Dedup {
     sums.select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`,
-    * candidates via 4×16-bit chunk buckets (a pair within Hamming ≤ 3
-    * must agree on at least one chunk — pigeonhole).
+  /** Cross-engine-reproducible 32-bit SimHash: the per-token hash bits
+    * are the top bit of each of the 32 md5 hex nibbles (genuine uniform
+    * bits of the digest), so ANY engine with `md5` can recompute the
+    * signature bit-for-bit — no engine-private hash like xxhash64. Used
+    * by the oracle-checked driver query; [[simHash]] (xxhash64, 64-bit)
+    * remains the cheaper production path.
     */
-  def simHashDuplicates(
-      docs: DataFrame,
+  def simHashPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
+      .withColumn("__h", md5(col("__t").cast("binary")))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(conv(substring(col("__h"), j + 1, 1), 16, 10).cast("int") >= 8, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    sums.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Candidate pairs within Hamming ≤ `maxHamming` of a `widthBits`-bit
+    * signature column, via chunk buckets: the signature splits into
+    * `maxHamming + 1` chunks, so any pair within the radius must agree on
+    * at least one chunk (pigeonhole) — recall is guaranteed for the
+    * REQUESTED radius. More chunks ⇒ wider buckets ⇒ more candidates:
+    * the inherent cost of a larger radius.
+    */
+  private def chunkedHammingPairs(
+      sigs: DataFrame, // (idCol, simhash)
       idCol: String,
-      textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simHash(docs, idCol, textCol)
-    val chunkCols = (0 until 4).map { c =>
+      widthBits: Int,
+      maxHamming: Int): DataFrame = {
+    val numChunks = maxHamming + 1
+    require(maxHamming >= 0 && widthBits / numChunks >= 2,
+      s"maxHamming=$maxHamming leaves chunks of < 2 bits for a $widthBits-bit signature")
+    val baseWidth = widthBits / numChunks
+    val extra = widthBits % numChunks // first `extra` chunks get one more bit
+    val starts = (0 until numChunks).scanLeft(0) { (acc, c) =>
+      acc + baseWidth + (if (c < extra) 1 else 0)
+    }
+    val chunkCols = (0 until numChunks).map { c =>
+      val width = baseWidth + (if (c < extra) 1 else 0)
+      val mask = if (width == 64) -1L else (1L << width) - 1
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ch")).as(s"c$c")
+        shiftright(col("simhash"), starts(c)).bitwiseAND(mask).as("ch")).as(s"c$c")
     }
     val buckets = sigs.select(col(idCol), col("simhash"),
       explode(array(chunkCols: _*)).as("bucket"))
@@ -155,6 +246,25 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash (64-bit xxhash) near-dup pairs with Hamming ≤ `maxHamming`. */
+  def simHashDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    chunkedHammingPairs(simHash(docs, idCol, textCol), idCol, 64, maxHamming)
+
+  /** Portable-SimHash (32-bit md5-derived) near-dup pairs — output is
+    * exactly every pair within the radius and recomputable by any engine
+    * with md5 (the DuckDB oracle recomputes it).
+    */
+  def simHashPortableDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    chunkedHammingPairs(simHashPortable(docs, idCol, textCol), idCol, 32, maxHamming)
+
   // ----------------------------------------------------- char-ngram jaccard
 
   /** Distinct character n-gram set. */
@@ -162,8 +272,10 @@ object Dedup {
     array_distinct(transform(sequence(lit(0), greatest(length(text) - n, lit(0))),
       i => substring(text, lit(1) + i, lit(n))))
 
-  /** Character-level n-gram Jaccard for candidate pairs (uses MinHash
-    * candidates to avoid any pairwise blowup).
+  /** Character-level n-gram Jaccard near-dup pairs. Candidates come from
+    * prefix filtering over the SAME char-ngram feature space, so the
+    * output is exactly every pair with ngram-Jaccard ≥ threshold (no
+    * recall loss, no pairwise blowup).
     */
   def ngramJaccardDuplicates(
       docs: DataFrame,
@@ -171,11 +283,11 @@ object Dedup {
       textCol: String,
       n: Int = 5,
       threshold: Double = 0.6): DataFrame = {
-    val cands = minHashCandidates(docs, idCol, textCol)
-    val sets = docs.select(col(idCol).as("__id"), charNgrams(col(textCol), n).as("__set"))
+    val sets = docs.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("fset"))
+    val cands = prefixFilterCandidates(sets, threshold)
     cands
-      .join(sets.select(col("__id").as("id_a"), col("__set").as("set_a")), Seq("id_a"))
-      .join(sets.select(col("__id").as("id_b"), col("__set").as("set_b")), Seq("id_b"))
+      .join(sets.select(col("id").as("id_a"), col("fset").as("set_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("fset").as("set_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
           size(array_union(col("set_a"), col("set_b"))).cast("double"))

@@ -81,6 +81,76 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
   }
 
+  // ------------------------------------------------- deterministic sign-LSH
+
+  /** Banded sign-bit signature: band `b` packs the sign bits
+    * (`component > 0`) of dimensions `[b*bandBits, (b+1)*bandBits)`.
+    * Axis-aligned hyperplane LSH: pure comparisons, zero float
+    * arithmetic, so the bucketing is bit-for-bit reproducible in any
+    * engine (the DuckDB oracle recomputes it) — unlike the seeded
+    * random hyperplanes of [[lshSignature]], whose dot products depend
+    * on engine-private float summation. Banding (agree on ANY band)
+    * gives multi-probe-style recall, and finer per-band buckets avoid
+    * the quadratic blowup of few coarse buckets at scale.
+    */
+  def signBands(vec: Column, bands: Int, bandBits: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (0 until bandBits).map { d =>
+          when(vec.getItem(b * bandBits + d) > 0f, lit(1 << d)).otherwise(lit(0))
+        }.reduce(_ + _).as("bh"))
+    }: _*)
+
+  /** Approximate top-k with deterministic sign-band buckets: corpus rows
+    * sharing ≥ 1 band with the query are scored with the exact codegen'd
+    * cosine kernel; window top-k per query.
+    */
+  def signLshTopK(
+      queries: DataFrame, // (q_id, q_vec)
+      corpus: DataFrame, // (c_id, c_vec)
+      k: Int,
+      bands: Int = 4,
+      bandBits: Int = 4): DataFrame = {
+    val qb = queries.select(col("q_id"),
+      explode(signBands(col("q_vec"), bands, bandBits)).as("bucket"))
+    val cb = corpus.select(col("c_id"),
+      explode(signBands(col("c_vec"), bands, bandBits)).as("bucket"))
+    val candIds = cb.join(broadcast(qb), Seq("bucket"))
+      .select("q_id", "c_id").distinct()
+    val scored = candIds
+      .join(corpus, "c_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Embedding near-dup pairs with deterministic sign-band candidates:
+    * pairs sharing ≥ 1 band, verified with exact cosine ≥ threshold.
+    * The candidate rule is engine-reproducible, so the full output is
+    * oracle-checkable; recall follows the banded-LSH tradeoff.
+    */
+  def signEmbeddingDuplicates(
+      vectors: DataFrame, // (id, vec)
+      threshold: Double = 0.9,
+      bands: Int = 4,
+      bandBits: Int = 4): DataFrame = {
+    val bk = vectors.select(col("id"),
+      explode(signBands(col("vec"), bands, bandBits)).as("bucket"))
+    val candIds = bk.select(col("id").as("id_a"), col("bucket"))
+      .join(bk.select(col("id").as("id_b"), col("bucket")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candIds
+      .join(vectors.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vectors.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from
     * shared LSH buckets (no pairwise scan).
     */

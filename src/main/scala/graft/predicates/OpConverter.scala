@@ -30,16 +30,43 @@ object OpConverter {
     }
   }
 
-  def convertOne(e: Expression): Option[BaseOp] = e match {
+  def convertOne(e: Expression): Option[BaseOp] = convertTracked(e).map(_._1)
+
+  /** Convert, tracking whether the result is EXACTLY equivalent to the
+    * input (`true`) or a weakening (`false`, some conjunct was dropped).
+    *
+    * Dropping an unsupported conjunct of an `And` weakens the predicate —
+    * safe at positive polarity (the server returns a superset; Spark
+    * re-filters rows). But `Not(weaker)` is STRONGER than the original, and
+    * a stronger skipping predicate silently drops matching files, which row
+    * re-filtering cannot recover. So under `Not` only exact conversions are
+    * allowed (the reference achieves the same via `UnsupportedOpPruner`'s
+    * drop-whole-NOT-subtree rule).
+    */
+  private def convertTracked(e: Expression): Option[(BaseOp, Boolean)] = e match {
     case And(l, r) =>
-      // Partial conversion of conjuncts is safe (superset).
-      (convertOne(l), convertOne(r)) match {
-        case (Some(a), Some(b)) => Some(AndOp(Seq(a, b)))
-        case (a, b)             => a.orElse(b)
+      // Partial conversion of conjuncts is safe (superset) but inexact.
+      (convertTracked(l), convertTracked(r)) match {
+        case (Some((a, ea)), Some((b, eb))) => Some((AndOp(Seq(a, b)), ea && eb))
+        case (Some((a, _)), None)           => Some((a, false))
+        case (None, Some((b, _)))           => Some((b, false))
+        case _                              => None
       }
     case Or(l, r) =>
-      for (a <- convertOne(l); b <- convertOne(r)) yield OrOp(Seq(a, b))
-    case Not(c) => convertOne(c).map(x => NotOp(Seq(x)))
+      // Both disjuncts required; a weakened child only widens the union
+      // (still a superset), but the result is then inexact.
+      for ((a, ea) <- convertTracked(l); (b, eb) <- convertTracked(r))
+        yield (OrOp(Seq(a, b)), ea && eb)
+    case Not(c) =>
+      convertTracked(c) match {
+        case Some((x, true)) => Some((NotOp(Seq(x)), true))
+        case _               => None // negating an approximation is unsound
+      }
+    case other => convertPositive(other).map(op => (op, true))
+  }
+
+  /** Non-boolean-connective cases; all conversions here are exact. */
+  private def convertPositive(e: Expression): Option[BaseOp] = e match {
     case EqualTo(l, r)            => comparison(l, r)(EqualOp(_))
     case LessThan(l, r)           => comparison(l, r)(LessThanOp(_))
     case LessThanOrEqual(l, r)    => comparison(l, r)(LessThanOrEqualOp(_))

@@ -66,9 +66,19 @@ class GraftSource(
   override def prepareForTriggerAvailableNow(): Unit =
     frozenEndVersion = Some(tableLog.latestVersion())
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxBytesPerTrigger.map(_ => ReadLimit.allAvailable())
-      .getOrElse(ReadLimit.maxFiles(maxFilesPerTrigger))
+  override def getDefaultReadLimit: ReadLimit = {
+    // Mirrors the reference's AdmissionLimits.toReadLimit
+    // (DeltaSharingSource.scala:1144-1155): a byte cap gets its own custom
+    // ReadLimit (Spark has no built-in one), composed with the file cap
+    // when both are set. Bytes-only must NOT degrade to allAvailable.
+    val fileLimit = options.get("maxFilesPerTrigger").map(_ => ReadLimit.maxFiles(maxFilesPerTrigger))
+    val byteLimit = maxBytesPerTrigger.map(GraftReadMaxBytes(_))
+    (fileLimit, byteLimit) match {
+      case (Some(f), Some(b)) => ReadLimit.compositeLimit(Array[ReadLimit](f, b))
+      case (None, Some(b))    => b
+      case _                  => ReadLimit.maxFiles(maxFilesPerTrigger)
+    }
+  }
 
   /** One file (or sentinel) admitted by the stream, in offset order. */
   private case class IndexedFile(
@@ -143,27 +153,39 @@ class GraftSource(
     out.result()
   }
 
-  private def admit(files: Seq[IndexedFile], limit: ReadLimit): Seq[IndexedFile] = limit match {
-    case _: ReadAllAvailable => files
-    case mf: ReadMaxFiles =>
-      var dataCount = 0
-      var bytes = 0L
-      val it = files.iterator
-      val admitted = Vector.newBuilder[IndexedFile]
-      var done = false
-      while (it.hasNext && !done) {
-        val f = it.next()
-        val isData = f.add.isDefined
-        val wouldExceedFiles = isData && dataCount + 1 > mf.maxFiles()
-        val wouldExceedBytes = isData && maxBytesPerTrigger.exists(m => bytes + f.bytes > m && dataCount > 0)
-        if (wouldExceedFiles || wouldExceedBytes) done = true
-        else {
-          admitted += f
-          if (isData) { dataCount += 1; bytes += f.bytes }
-        }
+  /** Flatten a (possibly composite) ReadLimit into (fileCap, byteCap). */
+  private def caps(limit: ReadLimit): (Option[Int], Option[Long]) = limit match {
+    case _: ReadAllAvailable        => (None, None)
+    case mf: ReadMaxFiles           => (Some(mf.maxFiles()), None)
+    case GraftReadMaxBytes(b)       => (None, Some(b))
+    case c: streaming.CompositeReadLimit =>
+      c.getReadLimits.map(caps).foldLeft((Option.empty[Int], Option.empty[Long])) {
+        case ((f1, b1), (f2, b2)) => (f1.orElse(f2), b1.orElse(b2))
       }
-      admitted.result()
-    case other => files
+    case _                          => (None, None)
+  }
+
+  private def admit(files: Seq[IndexedFile], limit: ReadLimit): Seq[IndexedFile] = {
+    val (fileCap, byteCap) = caps(limit)
+    if (fileCap.isEmpty && byteCap.isEmpty) return files
+    var dataCount = 0
+    var bytes = 0L
+    val it = files.iterator
+    val admitted = Vector.newBuilder[IndexedFile]
+    var done = false
+    while (it.hasNext && !done) {
+      val f = it.next()
+      val isData = f.add.isDefined
+      val wouldExceedFiles = isData && fileCap.exists(m => dataCount + 1 > m)
+      // at least one data file is always admitted, whatever its size
+      val wouldExceedBytes = isData && byteCap.exists(m => bytes + f.bytes > m && dataCount > 0)
+      if (wouldExceedFiles || wouldExceedBytes) done = true
+      else {
+        admitted += f
+        if (isData) { dataCount += 1; bytes += f.bytes }
+      }
+    }
+    admitted.result()
   }
 
   override def latestOffset(startOffset: streaming.Offset, limit: ReadLimit): streaming.Offset = {
@@ -208,3 +230,8 @@ object GraftSource {
   /** Reference default `maxFilesPerTrigger` (DeltaSharingOptions.scala:194). */
   val DEFAULT_MAX_FILES = 1000
 }
+
+/** Byte-cap ReadLimit — Spark ships no built-in one; the reference defines
+  * its own `ReadMaxBytes` the same way (DeltaSharingSource.scala:1209-1213).
+  */
+case class GraftReadMaxBytes(bytes: Long) extends ReadLimit
