@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+// temporary profiling harness — deleted before commit
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"== $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    time("q35 ngram")(println("rows=" +
+      graft.ops.Dedup.ngramJaccardDuplicates(docs, "doc_id", "text", 5, 0.6).count()))
+    time("q35 ngram 2nd")(println("rows=" +
+      graft.ops.Dedup.ngramJaccardDuplicates(docs, "doc_id", "text", 5, 0.6).count()))
+    time("q27 minhash")(println("rows=" +
+      graft.ops.Dedup.nearDuplicatesExact(docs, "doc_id", "text", 0.7).count()))
+    spark.stop()
+  }
+}

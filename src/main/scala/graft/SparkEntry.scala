@@ -687,8 +687,8 @@ object SparkEntry {
            SELECT CASE CAST(doc_id % 4 AS INT)
                     WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav'
                     ELSE 'mp4' END AS format,
-             len(list_filter(range(1, length(text) + 1),
-                 i -> (unicode(substr(text, CAST(i AS INT), 1)) % 16) = 0)) AS cnt0
+             len(list_filter(range(1, octet_length(encode(text)) + 1),
+                 i -> substr(hex(encode(text)), CAST(2 * i AS INT), 1) = '0')) AS cnt0
            FROM documents)
          GROUP BY format""",
     "q32_embedding_dedup" ->

@@ -1,0 +1,67 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Schema-evolution read-compatibility guard (T7).
+  *
+  * A query is analyzed against a table schema once; as the table's versions
+  * advance (time travel pins, streaming tails), any *newer* metadata must
+  * still be readable through the analyzed schema. Semantics mirror the
+  * reference connector (`client/.../util/SchemaUtils.scala:29-99`, enforced
+  * at `RemoteDeltaLog.scala:243-262` and `DeltaSharingSource.scala:639-644`):
+  * the newer schema is incompatible if it
+  *   - drops or renames any analyzed column (case-insensitive match, but
+  *     the exact-case name must also be unchanged),
+  *   - changes any column's data type (recursively through struct fields,
+  *     array elements, map keys/values),
+  *   - loosens nullability anywhere the analyzed schema promised
+  *     non-null (top-level nullable, array containsNull, map
+  *     valueContainsNull).
+  * Columns *added* by the newer schema are fine — they simply aren't
+  * returned to the already-analyzed plan.
+  */
+object SchemaCompat {
+
+  /** True iff data written under `newer` can be read through `analyzed`. */
+  def isReadCompatible(analyzed: StructType, newer: StructType): Boolean =
+    structCompatible(analyzed, newer)
+
+  private def structCompatible(analyzed: StructType, newer: StructType): Boolean = {
+    val newerByLower = newer.fields.map(f => f.name.toLowerCase -> f).toMap
+    analyzed.fields.forall { a =>
+      newerByLower.get(a.name.toLowerCase) match {
+        case Some(n) =>
+          n.name == a.name &&
+            (a.nullable || !n.nullable) && // analyzed non-null ⇒ newer non-null
+            typeCompatible(a.dataType, n.dataType)
+        case None => false // dropped or renamed
+      }
+    }
+  }
+
+  private def typeCompatible(analyzed: DataType, newer: DataType): Boolean =
+    (analyzed, newer) match {
+      case (a: StructType, n: StructType) => structCompatible(a, n)
+      case (a: ArrayType, n: ArrayType) =>
+        (a.containsNull || !n.containsNull) &&
+          typeCompatible(a.elementType, n.elementType)
+      case (a: MapType, n: MapType) =>
+        (a.valueContainsNull || !n.valueContainsNull) &&
+          typeCompatible(a.keyType, n.keyType) &&
+          typeCompatible(a.valueType, n.valueType)
+      case (a, n) => a == n
+    }
+
+  /** Throw the standard incompatibility error (callers: batch relation
+    * construction against a pinned version, streaming per consumed
+    * metadata commit).
+    */
+  def assertReadCompatible(analyzed: StructType, newer: StructType, context: String): Unit =
+    if (!isReadCompatible(analyzed, newer)) {
+      throw new IllegalStateException(
+        s"Schema of $context changed incompatibly since the query was analyzed " +
+          s"(dropped/renamed column, type change, or loosened nullability).\n" +
+          s"analyzed: ${analyzed.simpleString}\nnewer:    ${newer.simpleString}\n" +
+          "Redefine the DataFrame/restart the stream to pick up the new schema.")
+    }
+}

@@ -129,21 +129,93 @@ object Dedup {
     *
     * `sets` needs columns (id, fset: array of distinct features).
     */
-  def prefixFilterCandidates(sets: DataFrame, threshold: Double): DataFrame = {
+  // Float-safe ⌈t·n⌉: t·n can land an ulp above the true integer value
+  // (e.g. 0.55·20 ⇒ 11.000000000000002), which would shorten the prefix
+  // by one and break completeness; the epsilon shift never crosses a
+  // genuine non-integer boundary for any plausible n.
+  private def ceilSafe(x: Column): Column = ceil(x - lit(1e-9))
+
+  /** Per-corpus feature tables shared by candidate generation and
+    * verification: the exploded (id, set size, feature) rows, and the
+    * distinct-feature dictionary with global frequency and a dense long
+    * code. Codes make verification compare longs instead of strings.
+    * The dictionary ranking is a window over the DISTINCT-FEATURE table
+    * (not the corpus), deterministic by construction; at extreme
+    * vocabulary sizes swap in a range-partitioned rank — the rest of the
+    * pipeline only needs codes to be unique and order-consistent.
+    */
+  private def featureTables(sets: DataFrame): (DataFrame, DataFrame) = {
+    val exploded = sets.select(
+      col("id"), size(col("fset")).as("__n"), explode(col("fset")).as("__f"))
+    val dict = exploded.groupBy(col("__f")).agg(count(lit(1)).as("__freq"))
+      .withColumn("__code",
+        row_number().over(Window.orderBy(col("__freq"), col("__f"))).cast("long"))
+    (exploded, dict)
+  }
+
+  /** Candidate pairs after the AllPairs/PPJoin filter cascade, with set
+    * sizes attached. All three prunings preserve exact completeness:
+    *  - prefix filter: two sets with Jaccard ≥ t must share a feature in
+    *    each side's first n−⌈t·n⌉+1 features under a fixed global order
+    *    (rarest first — rarity minimizes candidates);
+    *  - length filter: J ≤ min(n)/max(n), so require min(n) ≥ t·max(n);
+    *  - positional filter at the FIRST shared feature: positions within
+    *    docs are consistent with the global feature order, so every other
+    *    shared feature ranks after the first in BOTH docs and overlap ≤
+    *    1 + min(n_a−rn_a, n_b−rn_b) there; requiring that to reach
+    *    ⌈t/(1+t)·(n_a+n_b)⌉ never drops a qualifying pair. The first
+    *    match is computed per pair (min over the struct ordering), which
+    *    also replaces the distinct() a naive bucket join needs.
+    */
+  private def prefixCandidates(
+      exploded: DataFrame, dict: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
-    val exploded = sets.select(col("id"), explode(col("fset")).as("__f"))
-    val freq = exploded.groupBy(col("__f")).agg(count(lit(1)).as("__freq"))
-    val ranked = exploded.join(freq, "__f")
+    val ranked = exploded.join(dict.select(col("__f"), col("__freq")), "__f")
       .withColumn("__rn",
         row_number().over(Window.partitionBy(col("id")).orderBy(col("__freq"), col("__f"))))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("id"))))
     val prefix = ranked
-      .filter(col("__rn") <= col("__n") - ceil(col("__n") * lit(threshold)) + 1)
-      .select(col("id"), col("__f"))
-    prefix.select(col("id").as("id_a"), col("__f"))
-      .join(prefix.select(col("id").as("id_b"), col("__f")), Seq("__f"))
+      .filter(col("__rn") <= col("__n") - ceilSafe(col("__n") * lit(threshold)) + 1)
+      .select(col("id"), col("__f"), col("__rn"), col("__n"))
+    val a = prefix.select(col("id").as("id_a"), col("__f"),
+      col("__rn").as("__rn_a"), col("__n").as("__n_a"))
+    val b = prefix.select(col("id").as("id_b"), col("__f"),
+      col("__rn").as("__rn_b"), col("__n").as("__n_b"))
+    a.join(b, Seq("__f"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .filter(least(col("__n_a"), col("__n_b")).cast("double") >=
+        lit(threshold) * greatest(col("__n_a"), col("__n_b")).cast("double") - lit(1e-9))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(struct(col("__rn_a"), col("__rn_b"))).as("__fm"),
+        first(col("__n_a")).as("__n_a"), first(col("__n_b")).as("__n_b"))
+      .filter(lit(1) + least(col("__n_a") - col("__fm.__rn_a"),
+        col("__n_b") - col("__fm.__rn_b")) >=
+        ceilSafe(lit(threshold / (1.0 + threshold)) * (col("__n_a") + col("__n_b"))))
+      .select("id_a", "id_b", "__n_a", "__n_b")
+  }
+
+  /** Exact Jaccard over dictionary codes: |A∩B| via sorted long arrays,
+    * |A∪B| = n_a + n_b − |A∩B| (no union materialized). Long-code
+    * intersection is several times cheaper than string-array set ops —
+    * the difference dominates verify cost on large candidate sets.
+    */
+  private def codedVerify(
+      pairs: DataFrame, // id_a, id_b (extra cols ignored)
+      exploded: DataFrame, dict: DataFrame, threshold: Double): DataFrame = {
+    val codes = exploded.join(dict.select(col("__f"), col("__code")), "__f")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("__code"))).as("__codes"), first(col("__n")).as("__sz"))
+    pairs.select("id_a", "id_b")
+      .join(codes.select(col("id").as("id_a"), col("__codes").as("__ca"), col("__sz").as("__sa")), "id_a")
+      .join(codes.select(col("id").as("id_b"), col("__codes").as("__cb"), col("__sz").as("__sb")), "id_b")
+      .withColumn("__o", size(array_intersect(col("__ca"), col("__cb"))).cast("double"))
+      .withColumn("jaccard", col("__o") / (col("__sa") + col("__sb") - col("__o")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  def prefixFilterCandidates(sets: DataFrame, threshold: Double): DataFrame = {
+    val (exploded, dict) = featureTables(sets)
+    prefixCandidates(exploded, dict, threshold).select("id_a", "id_b")
   }
 
   /** COMPLETE near-dup pairs: exactly every pair with shingle-Jaccard ≥
@@ -162,11 +234,11 @@ object Dedup {
       bands: Int = 8): DataFrame = {
     val sets = docs.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("fset"))
-    val cands = prefixFilterCandidates(sets, threshold)
+    val (exploded, dict) = featureTables(sets)
+    val cands = prefixCandidates(exploded, dict, threshold).select("id_a", "id_b")
       .union(minHashCandidates(docs, idCol, textCol, shingleSize, numHashes, bands))
       .distinct()
-    jaccardVerify(cands, docs, idCol, textCol, shingleSize)
-      .filter(col("jaccard") >= threshold)
+    codedVerify(cands, exploded, dict, threshold)
   }
 
   // ---------------------------------------------------------------- simhash
@@ -284,14 +356,7 @@ object Dedup {
       n: Int = 5,
       threshold: Double = 0.6): DataFrame = {
     val sets = docs.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("fset"))
-    val cands = prefixFilterCandidates(sets, threshold)
-    cands
-      .join(sets.select(col("id").as("id_a"), col("fset").as("set_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("fset").as("set_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val (exploded, dict) = featureTables(sets)
+    codedVerify(prefixCandidates(exploded, dict, threshold), exploded, dict, threshold)
   }
 }

@@ -35,7 +35,7 @@ object Multimodal {
         element_at(typedLit(formats), (col("doc_id") % formats.size).cast("int") + 1).as("format"),
         (col("n_chars") % 640).cast("int").as("width"),
         (col("n_chars") % 480).cast("int").as("height"),
-        length(col("text")).cast("long").as("nBytes")).as("meta"))
+        octet_length(col("text")).cast("long").as("nBytes")).as("meta"))
       .as[Asset]
   }
 
