@@ -139,33 +139,58 @@ object Dedup {
     * verification: the exploded (id, set size, feature) rows, and the
     * distinct-feature dictionary with global frequency and a dense long
     * code. Codes make verification compare longs instead of strings.
-    * The dictionary ranking is a window over the DISTINCT-FEATURE table
-    * (not the corpus), deterministic by construction; at extreme
-    * vocabulary sizes swap in a range-partitioned rank — the rest of the
-    * pipeline only needs codes to be unique and order-consistent.
+    *
+    * The dense code is a DISTRIBUTED global rank by (freq, feature):
+    * range-partition the distinct features, rank within each partition
+    * (the window is per-partition, never a single global task), and add
+    * per-partition row-count offsets via a ≤-numPartitions-row broadcast.
+    * Codes are deterministic (pure function of the rank order, wherever
+    * the range boundaries fall), so recomputation in different DAG
+    * branches assigns identical codes — required because verification
+    * joins the code table on both pair sides.
     */
   private def featureTables(sets: DataFrame): (DataFrame, DataFrame) = {
     val exploded = sets.select(
       col("id"), size(col("fset")).as("__n"), explode(col("fset")).as("__f"))
-    val dict = exploded.groupBy(col("__f")).agg(count(lit(1)).as("__freq"))
-      .withColumn("__code",
-        row_number().over(Window.orderBy(col("__freq"), col("__f"))).cast("long"))
+    val base = exploded.groupBy(col("__f")).agg(count(lit(1)).as("__freq"))
+    val nParts = sets.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = base.repartitionByRange(nParts, col("__freq"), col("__f"))
+      .withColumn("__pid", spark_partition_id())
+    val ranked = parts.withColumn("__local",
+      row_number().over(Window.partitionBy(col("__pid")).orderBy(col("__freq"), col("__f"))))
+    // Per-partition code offsets = exclusive prefix sum of partition row
+    // counts. Computed over one collect_list row (≤ nParts structs) with
+    // higher-order functions — no global window, no driver round-trip.
+    val offsets = ranked.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .agg(array_sort(collect_list(struct(col("__pid"), col("__c")))).as("__pcs"))
+      .select(explode(expr(
+        """transform(__pcs, (p, i) -> struct(
+          |  p.__pid as __pid,
+          |  aggregate(slice(__pcs, 1, i), 0L, (acc, x) -> acc + x.__c) as __off))"""
+          .stripMargin)).as("__po"))
+      .select(col("__po.__pid").as("__pid"), col("__po.__off").as("__off"))
+    val dict = ranked.join(broadcast(offsets), "__pid")
+      .select(col("__f"), col("__freq"), (col("__off") + col("__local")).as("__code"))
     (exploded, dict)
   }
 
-  /** Candidate pairs after the AllPairs/PPJoin filter cascade, with set
-    * sizes attached. All three prunings preserve exact completeness:
+  /** Candidate pairs after the AllPairs/PPJoin filter cascade. All three
+    * prunings preserve exact completeness:
     *  - prefix filter: two sets with Jaccard ≥ t must share a feature in
     *    each side's first n−⌈t·n⌉+1 features under a fixed global order
     *    (rarest first — rarity minimizes candidates);
     *  - length filter: J ≤ min(n)/max(n), so require min(n) ≥ t·max(n);
-    *  - positional filter at the FIRST shared feature: positions within
-    *    docs are consistent with the global feature order, so every other
-    *    shared feature ranks after the first in BOTH docs and overlap ≤
-    *    1 + min(n_a−rn_a, n_b−rn_b) there; requiring that to reach
-    *    ⌈t/(1+t)·(n_a+n_b)⌉ never drops a qualifying pair. The first
-    *    match is computed per pair (min over the struct ordering), which
-    *    also replaces the distinct() a naive bucket join needs.
+    *  - positional filter, applied PER JOINED ROW before any shuffle: at a
+    *    shared feature with in-doc ranks (rn_a, rn_b), every further
+    *    shared feature ranks after it in BOTH docs (positions follow the
+    *    same global order), so overlap ≤ 1 + min(n_a−rn_a, n_b−rn_b);
+    *    rows where that bound < α = ⌈t/(1+t)·(n_a+n_b)⌉ can never witness
+    *    a qualifying pair. Completeness: a pair with overlap O ≥ α keeps
+    *    its FIRST-match row, whose bound is ≥ O. Filtering before the
+    *    pair-level distinct (instead of aggregating min-position structs
+    *    and filtering per pair) kills the frequent-feature rows — which
+    *    sit late in prefixes precisely because the order is rarest-first —
+    *    on the map side, before they cost a shuffle.
     */
   private def prefixCandidates(
       exploded: DataFrame, dict: DataFrame, threshold: Double): DataFrame = {
@@ -184,19 +209,17 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("__n_a"), col("__n_b")).cast("double") >=
         lit(threshold) * greatest(col("__n_a"), col("__n_b")).cast("double") - lit(1e-9))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(struct(col("__rn_a"), col("__rn_b"))).as("__fm"),
-        first(col("__n_a")).as("__n_a"), first(col("__n_b")).as("__n_b"))
-      .filter(lit(1) + least(col("__n_a") - col("__fm.__rn_a"),
-        col("__n_b") - col("__fm.__rn_b")) >=
+      .filter(lit(1) + least(col("__n_a") - col("__rn_a"), col("__n_b") - col("__rn_b")) >=
         ceilSafe(lit(threshold / (1.0 + threshold)) * (col("__n_a") + col("__n_b"))))
-      .select("id_a", "id_b", "__n_a", "__n_b")
+      .select("id_a", "id_b").distinct()
   }
 
-  /** Exact Jaccard over dictionary codes: |A∩B| via sorted long arrays,
-    * |A∪B| = n_a + n_b − |A∩B| (no union materialized). Long-code
-    * intersection is several times cheaper than string-array set ops —
-    * the difference dominates verify cost on large candidate sets.
+  /** Exact Jaccard over dictionary codes: |A∩B| via a native codegen
+    * merge walk over the SORTED long-code arrays
+    * ([[graft.functions.SortedLongIntersectCount]] — no per-pair hash-set
+    * build), |A∪B| = n_a + n_b − |A∩B| (no union materialized). The
+    * per-pair kernel dominates verify cost on multi-million-candidate
+    * sets, so it must stay inside whole-stage codegen.
     */
   private def codedVerify(
       pairs: DataFrame, // id_a, id_b (extra cols ignored)
@@ -204,10 +227,14 @@ object Dedup {
     val codes = exploded.join(dict.select(col("__f"), col("__code")), "__f")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("__code"))).as("__codes"), first(col("__n")).as("__sz"))
+    val intersectCount = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.SortedLongIntersectCount(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("__ca")),
+        org.apache.spark.sql.GraftSqlBridge.expression(col("__cb"))))
     pairs.select("id_a", "id_b")
       .join(codes.select(col("id").as("id_a"), col("__codes").as("__ca"), col("__sz").as("__sa")), "id_a")
       .join(codes.select(col("id").as("id_b"), col("__codes").as("__cb"), col("__sz").as("__sb")), "id_b")
-      .withColumn("__o", size(array_intersect(col("__ca"), col("__cb"))).cast("double"))
+      .withColumn("__o", intersectCount.cast("double"))
       .withColumn("jaccard", col("__o") / (col("__sa") + col("__sb") - col("__o")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
