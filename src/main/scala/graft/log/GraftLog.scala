@@ -40,13 +40,24 @@ class GraftLog(val tablePath: String, conf: Configuration) {
     vs.last
   }
 
-  def readVersion(v: Long): Seq[Action] = {
-    val p = new Path(logDir, GraftLog.versionFileName(v))
-    val in = fs.open(p)
-    try {
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).map(JsonUtils.lineToAction).toList
-    } finally in.close()
+  /** Per-instance commit cache: a committed version file is immutable
+    * (commit() refuses to overwrite), so actions can be memoized. Long-
+    * lived holders (the streaming source) read each commit once and replay
+    * from memory — per-micro-batch driver work is O(new versions), not
+    * O(log) (round-1 advice item; reference caches snapshots the same way
+    * via `DeltaSharedTableLoader`).
+    */
+  private val commitCache = scala.collection.mutable.HashMap.empty[Long, Seq[Action]]
+
+  def readVersion(v: Long): Seq[Action] = commitCache.synchronized {
+    commitCache.getOrElseUpdate(v, {
+      val p = new Path(logDir, GraftLog.versionFileName(v))
+      val in = fs.open(p)
+      try {
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map(JsonUtils.lineToAction).toList
+      } finally in.close()
+    })
   }
 
   /** Commit-file timestamps, monotonized: a commit's timestamp is

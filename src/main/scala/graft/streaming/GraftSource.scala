@@ -45,7 +45,10 @@ class GraftSource(
   import GraftSourceOffset.VERSION_CONSUMED
 
   private val conf = spark.sessionState.newHadoopConf()
-  private def tableLog = new GraftLog(tablePath, conf)
+  // One log instance for the life of the source: its commit cache turns
+  // per-micro-batch replays into in-memory lookups (only new versions hit
+  // the filesystem).
+  private val tableLog = new GraftLog(tablePath, conf)
 
   private val startingVersion: Option[Long] = options.get("startingVersion").map(_.toLong)
   private val maxFilesPerTrigger: Int =
@@ -54,6 +57,8 @@ class GraftSource(
   private val ignoreChanges: Boolean = options.get("ignoreChanges").exists(_.toBoolean)
   private val ignoreDeletes: Boolean = options.get("ignoreDeletes").exists(_.toBoolean)
   private val skipChangeCommits: Boolean = options.get("skipChangeCommits").exists(_.toBoolean)
+
+  private val snapshotCache = scala.collection.mutable.HashMap.empty[Long, Snapshot]
 
   private val initialSnapshot: Snapshot = tableLog.snapshot(None)
   private val tableId: String = initialSnapshot.metadata.id
@@ -100,7 +105,9 @@ class GraftSource(
     // `DeltaSharingSource.scala:969-992`).
 
     def snapshotFiles(version: Long, fromIndex: Long): Unit = {
-      val snap = tableLog.snapshot(Some(version))
+      val snap = snapshotCache.synchronized {
+        snapshotCache.getOrElseUpdate(version, tableLog.snapshot(Some(version)))
+      }
       val sorted = snap.files.sortBy(_.path)
       sorted.zipWithIndex.foreach { case (f, i) =>
         if (i > fromIndex) out += IndexedFile(version, i.toLong, Some(f), isStarting = true)
@@ -111,6 +118,17 @@ class GraftSource(
     def changeFiles(fromVersion: Long, fromIndex: Long): Unit = {
       if (fromVersion > endVersion) return
       tableLog.changes(fromVersion, endVersion).foreach { commit =>
+        // T7 schema-drift guard: every metadata commit consumed mid-stream
+        // must stay read-compatible with the analysis-time schema, else
+        // rows would silently decode wrong (reference checks each fetched
+        // Metadata the same way, `DeltaSharingSource.scala:639-644`).
+        commit.actions.collect { case m: graft.model.Metadata => m }.foreach { m =>
+          graft.model.SchemaCompat.assertReadCompatible(
+            schema,
+            org.apache.spark.sql.types.DataType.fromJson(m.schemaString)
+              .asInstanceOf[StructType],
+            s"$tablePath (version ${commit.version})")
+        }
         val adds = commit.actions.collect { case a: AddFile if a.dataChange => a }.sortBy(_.path)
         val removes = commit.actions.collect { case r: RemoveFile if r.dataChange => r }
         val dropCommit = removes.nonEmpty && skipChangeCommits

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log._
+import graft.model.SchemaCompat
+
+/** T7 schema-evolution read-compatibility: rule matrix mirroring the
+  * reference (`client/.../util/SchemaUtils.scala:29-99`) plus the streaming
+  * enforcement point (a mid-stream incompatible Metadata commit fails the
+  * query; reference `DeltaSharingSource.scala:639-644`).
+  */
+class SchemaCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  private def ok(a: StructType, n: StructType) = assert(SchemaCompat.isReadCompatible(a, n))
+  private def bad(a: StructType, n: StructType) = assert(!SchemaCompat.isReadCompatible(a, n))
+
+  private val base = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true)))
+
+  test("identical and column-added schemas are compatible") {
+    ok(base, base)
+    ok(base, base.add("extra", IntegerType))
+  }
+
+  test("dropped or renamed column is incompatible") {
+    bad(base, StructType(Seq(StructField("id", LongType, nullable = false))))
+    bad(base, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("renamed", StringType, nullable = true))))
+    // case change counts as a rename
+    bad(base, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("Name", StringType, nullable = true))))
+  }
+
+  test("type change is incompatible") {
+    bad(base, StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = true))))
+  }
+
+  test("nullability: loosening is incompatible, tightening is fine") {
+    bad(base, StructType(Seq(
+      StructField("id", LongType, nullable = true), // analyzed promised non-null
+      StructField("name", StringType, nullable = true))))
+    ok(base, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = false))))
+  }
+
+  test("nested struct / array / map rules recurse") {
+    val nestedA = StructType(Seq(StructField("s",
+      StructType(Seq(StructField("x", LongType, nullable = false))), nullable = true)))
+    val nestedBad = StructType(Seq(StructField("s",
+      StructType(Seq(StructField("x", IntegerType, nullable = false))), nullable = true)))
+    ok(nestedA, nestedA); bad(nestedA, nestedBad)
+
+    val arrA = StructType(Seq(StructField("a", ArrayType(LongType, containsNull = false))))
+    val arrLoose = StructType(Seq(StructField("a", ArrayType(LongType, containsNull = true))))
+    ok(arrA, arrA); ok(arrLoose, arrA); bad(arrA, arrLoose)
+
+    val mapA = StructType(Seq(StructField("m",
+      MapType(StringType, LongType, valueContainsNull = false))))
+    val mapLoose = StructType(Seq(StructField("m",
+      MapType(StringType, LongType, valueContainsNull = true))))
+    ok(mapA, mapA); ok(mapLoose, mapA); bad(mapA, mapLoose)
+    bad(mapA, StructType(Seq(StructField("m",
+      MapType(LongType, LongType, valueContainsNull = false)))))
+  }
+
+  test("streaming fails on a mid-stream incompatible metadata commit") {
+    val root = java.nio.file.Files.createTempDirectory("graft_drift").toFile
+    val path = new java.io.File(root, "t").getAbsolutePath
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    TableBuilder.create(spark, df, path, name = "drift")
+    TableBuilder.append(spark, Seq((3L, "c")).toDF("id", "name"), path, timestamp = 1000L)
+
+    val log = new GraftLog(path, spark.sessionState.newHadoopConf())
+    val meta0 = log.snapshot(None).metadata
+
+    // compatible drift: metadata commit with an unchanged schema (config
+    // change only) streams fine. (A column ADDED later is compatible when
+    // tailing forward, but a replay from version 0 analyzes the latest
+    // schema and then meets the old narrower metadata — correctly
+    // incompatible, matching the reference's per-fetched-metadata check.)
+    GraftLog.commit(path, log.latestVersion() + 1,
+      Seq(meta0.copy(configuration = meta0.configuration + ("k" -> "v"),
+        version = log.latestVersion() + 1)),
+      spark.sessionState.newHadoopConf())
+    val qOk = spark.readStream.format("graft").option("path", path)
+      .option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName("t_drift_ok").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    qOk.awaitTermination(120000)
+    qOk.stop()
+    assert(spark.table("t_drift_ok").count() === 3)
+
+    // incompatible drift (renamed column) kills the stream
+    val renamed = StructType.fromDDL("id BIGINT, renamed STRING")
+    GraftLog.commit(path, log.latestVersion() + 2,
+      Seq(meta0.copy(schemaString = renamed.json, version = log.latestVersion() + 2)),
+      spark.sessionState.newHadoopConf())
+    val qBad = spark.readStream.format("graft").option("path", path)
+      .option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName("t_drift_bad").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qBad.awaitTermination(120000)
+    }
+    assert(ex.getCause.getMessage.contains("changed incompatibly"))
+    org.apache.commons.io.FileUtils.deleteDirectory(root)
+  }
+}
