@@ -440,6 +440,55 @@ object SparkEntry {
       graft.ops.Dedup.ngramJaccardDuplicates(
         t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.6)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // §2.1 S4 + §3.3: CDF through the DataSource option — same history as
+    // q34 but via `readChangeFeed`/`startingVersion` options and the
+    // PrunedFilteredScan relation (reference `RemoteDeltaCDFRelation`).
+    "q37_cdf_option" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(s"${graft.log.SharedFixtures.SHARE}.orders_cdf")
+      s.read.format("graft").option("path", path)
+        .option("readChangeFeed", "true").option("startingVersion", "0").load()
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.8 T10: CDF STREAMING — the change feed consumed as a stream with
+    // atomic per-version batches, aggregated in the sink; final state must
+    // equal the batch CDF, which the oracle checks.
+    "q38_cdf_stream" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(s"${graft.log.SharedFixtures.SHARE}.orders_cdf")
+      val sink = "graft_q38_sink"
+      s.catalog.dropTempView(sink)
+      val q = s.readStream.format("graft").option("path", path)
+        .option("readChangeFeed", "true").option("startingVersion", "0").load()
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      q.stop()
+      s.table(sink)
+    }),
+
+    // §2.9 + §2.1 S5/S6/S11: the FULL sharing loop over HTTP — an
+    // in-process REST server lists/signs files, the client FileIndex
+    // pushes the filter as a jsonPredicateHint, and scan tasks read
+    // parquet bytes through graft:// → pre-signed URLs → HTTP Range
+    // requests. Rows are identical to the fixture, so the oracle runs on
+    // the original table.
+    "q36_rest_snapshot_scan" -> ((s, dir) => {
+      val url = graft.server.LocalShareServer.ensure(s, dir)
+      s.read.format("graft")
+        .option("url", url).option("token", graft.server.LocalShareServer.TOKEN)
+        .option("table", "share1.default.lineitem").load()
+        .filter(col("l_orderkey") < 1000 && col("l_discount") > 0.05)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("revenue"))
     })
   )
 
@@ -721,19 +770,35 @@ object SparkEntry {
     "q33_stream_agg" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type""",
-    "q34_share_cdf" ->
-      """SELECT 'insert' AS _change_type, count(*) AS n FROM orders
-           WHERE o_orderdate < TIMESTAMP '1999-01-01'
-         UNION ALL
-         SELECT 'delete', count(*) FROM orders
-           WHERE o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1996-01-01'
-         UNION ALL
-         SELECT 'update_preimage', count(*) FROM orders
-           WHERE o_totalprice > 400000 AND o_orderdate < TIMESTAMP '1999-01-01'
-             AND NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1996-01-01')
-         UNION ALL
-         SELECT 'update_postimage', count(*) FROM orders
-           WHERE o_totalprice > 400000 AND o_orderdate < TIMESTAMP '1999-01-01'
-             AND NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1996-01-01')"""
+    "q36_rest_snapshot_scan" ->
+      """SELECT l_linestatus, count(*) AS n,
+         CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+         FROM lineitem
+         WHERE l_orderkey < 1000 AND l_discount > 0.05
+         GROUP BY l_linestatus""",
+    "q34_share_cdf" -> cdfOracle,
+    "q37_cdf_option" -> cdfOracle,
+    "q38_cdf_stream" -> cdfOracle
   )
+
+  /** Expected per-change-type counts of the orders_cdf fixture history
+    * (insert/insert/delete/update commits derived from `orders`), shared
+    * by the three CDF queries (programmatic API, DataSource option,
+    * streaming).
+    */
+  private val cdfOracle: String =
+    """SELECT 'insert' AS _change_type, count(*) AS n FROM orders
+         WHERE o_orderdate < TIMESTAMP '1999-01-01'
+       UNION ALL
+       SELECT 'delete', count(*) FROM orders
+         WHERE o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1996-01-01'
+       UNION ALL
+       SELECT 'update_preimage', count(*) FROM orders
+         WHERE o_totalprice > 400000 AND o_orderdate < TIMESTAMP '1999-01-01'
+           AND NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1996-01-01')
+       UNION ALL
+       SELECT 'update_postimage', count(*) FROM orders
+         WHERE o_totalprice > 400000 AND o_orderdate < TIMESTAMP '1999-01-01'
+           AND NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1996-01-01')"""
 }

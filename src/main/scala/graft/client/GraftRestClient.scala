@@ -1,0 +1,244 @@
+package graft.client
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Duration
+
+import graft.model.JsonUtils
+import graft.server.wire
+
+/** HTTP client for the sharing REST protocol (the reference's
+  * `DeltaSharingRestClient`, `client/.../DeltaSharingClient.scala:439-831`):
+  * listings, version/metadata, snapshot query (with predicate/limit hints
+  * and transparent pagination), version-range query, and CDF changes.
+  *
+  * `baseUrl` is the endpoint root, e.g. `http://127.0.0.1:8080/delta-sharing`.
+  */
+class GraftRestClient(
+    baseUrl: String,
+    token: Option[String] = None,
+    numRetries: Int = 3) {
+
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(30)).build()
+
+  // ------------------------------------------------------------ transport
+
+  private def request(method: String, path: String, body: Option[String] = None,
+      params: Map[String, String] = Map.empty): HttpResponse[String] = {
+    val qs = if (params.isEmpty) ""
+      else "?" + params.map { case (k, v) =>
+        s"${enc(k)}=${enc(v)}"
+      }.mkString("&")
+    val builder = HttpRequest.newBuilder(URI.create(s"$baseUrl$path$qs"))
+      .timeout(Duration.ofSeconds(120))
+    token.foreach(t => builder.header("Authorization", s"Bearer $t"))
+    val req = (method match {
+      case "GET"  => builder.GET()
+      case "HEAD" => builder.method("HEAD", HttpRequest.BodyPublishers.noBody())
+      case "POST" => builder
+        .header("Content-Type", "application/json; charset=utf-8")
+        .POST(HttpRequest.BodyPublishers.ofString(body.getOrElse("{}"), UTF_8))
+    }).build()
+
+    // Retry with exponential backoff on 5xx / transport errors (reference
+    // `RetryUtils.scala`); 4xx are surfaced immediately.
+    var attempt = 0
+    var delay = 1000L
+    while (true) {
+      val result: Either[Throwable, HttpResponse[String]] =
+        try Right(http.send(req, HttpResponse.BodyHandlers.ofString()))
+        catch { case scala.util.control.NonFatal(e) => Left(e) }
+      result match {
+        case Right(resp) if resp.statusCode() < 400 => return resp
+        case Right(resp) if resp.statusCode() < 500 =>
+          throw new GraftClientException(resp.statusCode(),
+            s"$method $path failed (${resp.statusCode()}): ${resp.body()}")
+        case Right(resp) if attempt >= numRetries =>
+          throw new GraftClientException(resp.statusCode(),
+            s"$method $path failed after ${attempt + 1} attempts: ${resp.body()}")
+        case Left(e) if attempt >= numRetries =>
+          throw new GraftClientException(0,
+            s"$method $path failed after ${attempt + 1} attempts: $e")
+        case _ =>
+          Thread.sleep(delay); delay *= 2; attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+
+  private def ndjson(body: String): Seq[wire.Line] =
+    body.split("\n").toSeq.filter(_.nonEmpty).map(JsonUtils.fromJson[wire.Line](_))
+
+  // ------------------------------------------------------------- listings
+
+  def listShares(): Seq[String] = paged { tok =>
+    val r = JsonUtils.fromJson[wire.ListSharesResponse](
+      request("GET", "/shares", params = pageParams(tok)).body())
+    (r.items.map(_.name), Option(r.nextPageToken))
+  }
+
+  def listSchemas(share: String): Seq[String] = paged { tok =>
+    val r = JsonUtils.fromJson[wire.ListSchemasResponse](
+      request("GET", s"/shares/${enc(share)}/schemas", params = pageParams(tok)).body())
+    (r.items.map(_.name), Option(r.nextPageToken))
+  }
+
+  def listTables(share: String, schema: String): Seq[String] = paged { tok =>
+    val r = JsonUtils.fromJson[wire.ListTablesResponse](
+      request("GET", s"/shares/${enc(share)}/schemas/${enc(schema)}/tables",
+        params = pageParams(tok)).body())
+    (r.items.map(_.name), Option(r.nextPageToken))
+  }
+
+  def listAllTables(share: String): Seq[(String, String)] = paged { tok =>
+    val r = JsonUtils.fromJson[wire.ListTablesResponse](
+      request("GET", s"/shares/${enc(share)}/all-tables", params = pageParams(tok)).body())
+    (r.items.map(t => (t.schema, t.name)), Option(r.nextPageToken))
+  }
+
+  private def pageParams(tok: Option[String]): Map[String, String] =
+    tok.map(t => Map("pageToken" -> t)).getOrElse(Map.empty)
+
+  private def paged[T](fetch: Option[String] => (Seq[T], Option[String])): Seq[T] = {
+    val out = Seq.newBuilder[T]
+    var tok: Option[String] = None
+    var continue = true
+    while (continue) {
+      val (items, next) = fetch(tok)
+      out ++= items
+      tok = next
+      continue = next.isDefined
+    }
+    out.result()
+  }
+
+  // ----------------------------------------------------- version/metadata
+
+  private def tablePath(share: String, schema: String, table: String) =
+    s"/shares/${enc(share)}/schemas/${enc(schema)}/tables/${enc(table)}"
+
+  def tableVersion(share: String, schema: String, table: String,
+      startingTimestamp: Option[String] = None): Long = {
+    val resp = request("HEAD", s"${tablePath(share, schema, table)}/version",
+      params = startingTimestamp.map(t => Map("startingTimestamp" -> t)).getOrElse(Map.empty))
+    resp.headers().firstValue("Delta-Table-Version").orElseThrow(() =>
+      new GraftClientException(0, "missing Delta-Table-Version header")).toLong
+  }
+
+  def metadata(share: String, schema: String, table: String,
+      version: Option[Long] = None, timestamp: Option[String] = None): (wire.Metadata, Long) = {
+    val params = version.map(v => Map("version" -> v.toString)).getOrElse(Map.empty) ++
+      timestamp.map(t => Map("timestamp" -> t)).getOrElse(Map.empty)
+    val resp = request("GET", s"${tablePath(share, schema, table)}/metadata", params = params)
+    val lines = ndjson(resp.body())
+    val meta = lines.flatMap(l => Option(l.metaData)).headOption.getOrElse(
+      throw new GraftClientException(0, "no metaData line in metadata response"))
+    val v = resp.headers().firstValue("Delta-Table-Version").map[Long](_.toLong)
+      .orElse(Option(meta.version).map(_.longValue()).getOrElse(-1L))
+    (meta, v)
+  }
+
+  // ---------------------------------------------------------------- query
+
+  case class QueryResult(
+      version: Long,
+      metadata: wire.Metadata,
+      files: Seq[wire.File],
+      refreshToken: Option[String])
+
+  /** Snapshot query; follows nextPageToken until exhausted (reference
+    * pagination loop `DeltaSharingClient.scala:653-745`).
+    */
+  def query(share: String, schema: String, table: String,
+      req: wire.QueryRequest = wire.QueryRequest()): QueryResult = {
+    var version = -1L
+    var meta: wire.Metadata = null
+    val files = Seq.newBuilder[wire.File]
+    var refreshToken: Option[String] = None
+    var pageToken: Option[String] = None
+    var first = true
+    while (first || pageToken.isDefined) {
+      first = false
+      val pageReq = req.copy(pageToken = pageToken.orNull)
+      val resp = request("POST", s"${tablePath(share, schema, table)}/query",
+        body = Some(JsonUtils.toJson(pageReq)))
+      version = resp.headers().firstValue("Delta-Table-Version")
+        .map[Long](_.toLong).orElse(version)
+      pageToken = None
+      ndjson(resp.body()).foreach { line =>
+        if (line.metaData != null) meta = line.metaData
+        if (line.file != null) files += line.file
+        if (line.endStreamAction != null) {
+          pageToken = Option(line.endStreamAction.nextPageToken)
+          Option(line.endStreamAction.refreshToken).foreach(t => refreshToken = Some(t))
+        }
+      }
+    }
+    QueryResult(version, meta, files.result(), refreshToken)
+  }
+
+  case class ChangesResult(
+      version: Long,
+      metadata: wire.Metadata,
+      adds: Seq[wire.AddFileW],
+      cdfs: Seq[wire.CdcFileW],
+      removes: Seq[wire.RemoveFileW])
+
+  /** Version-range query (POST query with startingVersion) — the
+    * streaming backbone.
+    */
+  def queryRange(share: String, schema: String, table: String,
+      startingVersion: Long, endingVersion: Option[Long] = None,
+      maxFiles: Option[Int] = None): ChangesResult = {
+    val req = wire.QueryRequest(
+      startingVersion = startingVersion,
+      endingVersion = endingVersion.map(Long.box).orNull,
+      maxFiles = maxFiles.map(Int.box).orNull)
+    collectChanges { tok =>
+      request("POST", s"${tablePath(share, schema, table)}/query",
+        body = Some(JsonUtils.toJson(req.copy(pageToken = tok.orNull))))
+    }
+  }
+
+  /** GET /changes — the CDF endpoint. */
+  def changes(share: String, schema: String, table: String,
+      params: Map[String, String]): ChangesResult =
+    collectChanges { tok =>
+      request("GET", s"${tablePath(share, schema, table)}/changes",
+        params = params ++ tok.map(t => Map("pageToken" -> t)).getOrElse(Map.empty))
+    }
+
+  private def collectChanges(
+      fetch: Option[String] => HttpResponse[String]): ChangesResult = {
+    var version = -1L
+    var meta: wire.Metadata = null
+    val adds = Seq.newBuilder[wire.AddFileW]
+    val cdfs = Seq.newBuilder[wire.CdcFileW]
+    val removes = Seq.newBuilder[wire.RemoveFileW]
+    var pageToken: Option[String] = None
+    var first = true
+    while (first || pageToken.isDefined) {
+      first = false
+      val resp = fetch(pageToken)
+      version = resp.headers().firstValue("Delta-Table-Version")
+        .map[Long](_.toLong).orElse(version)
+      pageToken = None
+      ndjson(resp.body()).foreach { line =>
+        if (line.metaData != null && meta == null) meta = line.metaData
+        if (line.add != null) adds += line.add
+        if (line.cdf != null) cdfs += line.cdf
+        if (line.remove != null) removes += line.remove
+        if (line.endStreamAction != null)
+          pageToken = Option(line.endStreamAction.nextPageToken)
+      }
+    }
+    ChangesResult(version, meta, adds.result(), cdfs.result(), removes.result())
+  }
+}
+
+class GraftClientException(val status: Int, message: String)
+    extends RuntimeException(message)

@@ -1,0 +1,53 @@
+package graft.client
+
+import scala.collection.concurrent.TrieMap
+
+/** Driver-side pre-signed-URL cache with expiry-aware refresh (T8: the
+  * reference's `CachedTableManager`/`PreSignedUrlCache.scala:33-260`).
+  *
+  * Scan tasks address files as `graft:///<fileId>/<size>`;
+  * [[graft.sources.GraftFileSystem]] resolves the id here at open time.
+  * When an entry is within `refreshThresholdMs` of expiry (reference
+  * default: 10 min before), the registering query's refresher closure is
+  * re-run to fetch fresh URLs before the read starts — long queries never
+  * hold stale links. On a real multi-JVM cluster this map sits behind a
+  * driver RPC endpoint exactly like the reference's; in local mode the
+  * shared JVM makes the lookup direct.
+  */
+object GraftUrlCache {
+
+  case class Entry(url: String, expiration: Long)
+
+  @volatile var refreshThresholdMs: Long = 10 * 60 * 1000L
+
+  private val entries = TrieMap.empty[String, Entry]
+  private val refresherOf = TrieMap.empty[String, String] // fileId → refresher key
+  private val refreshers = TrieMap.empty[String, () => Map[String, Entry]]
+
+  /** Register a query's id→url map plus the closure that re-signs them. */
+  def register(
+      refresherKey: String,
+      files: Map[String, Entry],
+      refresher: () => Map[String, Entry]): Unit = {
+    entries ++= files
+    files.keys.foreach(refresherOf(_) = refresherKey)
+    refreshers(refresherKey) = refresher
+  }
+
+  /** Current URL for a file id, refreshing the whole owning query's URL
+    * set first when close to expiry.
+    */
+  def resolve(fileId: String): String = {
+    val e = entries.getOrElse(fileId,
+      throw new java.io.FileNotFoundException(s"no cached URL for file id $fileId"))
+    if (e.expiration - System.currentTimeMillis() < refreshThresholdMs) {
+      refresherOf.get(fileId).flatMap(refreshers.get).foreach { refresh =>
+        entries ++= refresh()
+      }
+    }
+    entries(fileId).url
+  }
+
+  /** Test hook. */
+  private[graft] def clear(): Unit = { entries.clear(); refresherOf.clear(); refreshers.clear() }
+}

@@ -1,0 +1,649 @@
+package graft.server
+
+import java.io.{InputStream, OutputStream}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.SecureRandom
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import graft.log.{GraftCatalog, GraftLog}
+import graft.model._
+import graft.predicates.{FileSkippingEvaluator, JsonPredicates}
+import graft.server.wire._
+
+/** The sharing REST server over the graft engine — the reference's core
+  * deliverable re-expressed on the JDK's built-in HTTP server (reference
+  * `server/.../DeltaSharingService.scala:223-719`; spec `PROTOCOL.md:109-3005`).
+  *
+  * Endpoints (all under `/delta-sharing`, bearer-authenticated, NDJSON for
+  * table data, JSON for listings, typed error mapping 400/401/404/500):
+  *
+  *   GET  /shares?maxResults=&pageToken=
+  *   GET  /shares/{share}
+  *   GET  /shares/{share}/schemas
+  *   GET  /shares/{share}/schemas/{schema}/tables
+  *   GET  /shares/{share}/all-tables
+  *   GET|HEAD .../tables/{table}/version?startingTimestamp=
+  *   GET  .../tables/{table}/metadata?version=&timestamp=
+  *   POST .../tables/{table}/query          (snapshot + version-range)
+  *   GET  .../tables/{table}/changes?startingVersion|startingTimestamp&
+  *            endingVersion|endingTimestamp&includeHistoricalMetadata
+  *   GET  /data/{token}                     (pre-signed data, Range-capable)
+  *
+  * Pre-signed URLs are HMAC-signed `http://host:port/data/<token>` links
+  * with real expiry, served with HTTP Range support — the local-mode
+  * equivalent of cloud signed URLs (reference `CloudFileSigner.scala`);
+  * the data endpoint performs no auth beyond the signature, exactly like a
+  * cloud pre-signed GET.
+  *
+  * Tables come from [[GraftCatalog]] registrations (`share.schema.table`
+  * fqns — the reference's ServerConfig share/schema/table tree).
+  */
+class GraftServer(
+    val config: ServerConfig = ServerConfig(),
+    hadoopConf: Configuration = new Configuration()) {
+
+  import GraftServer._
+
+  private val secret: Array[Byte] = {
+    val b = new Array[Byte](32); new SecureRandom().nextBytes(b); b
+  }
+
+  private var server: HttpServer = _
+  @volatile private var boundPort: Int = -1
+
+  def url: String = {
+    require(boundPort > 0, "server not started")
+    s"http://${config.host}:$boundPort/delta-sharing"
+  }
+
+  def start(): GraftServer = synchronized {
+    require(server == null, "already started")
+    server = HttpServer.create(new InetSocketAddress(config.host, config.port), 0)
+    // daemon threads: an embedded server must never keep the JVM alive
+    // after the driver's main returns
+    server.setExecutor(Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-server")
+      t.setDaemon(true)
+      t
+    }))
+    server.createContext("/delta-sharing", (ex: HttpExchange) => route(ex))
+    server.createContext("/data", (ex: HttpExchange) => serveData(ex))
+    // The JDK server's internal HTTP-Dispatcher thread inherits daemon
+    // status from the STARTING thread (setExecutor doesn't cover it); an
+    // embedded server must not keep the driver JVM alive after main ends.
+    val starter = new Thread(() => server.start(), "graft-server-starter")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
+    boundPort = server.getAddress.getPort
+    this
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null; boundPort = -1 }
+  }
+
+  // ------------------------------------------------------------- routing
+
+  private def route(ex: HttpExchange): Unit =
+    try {
+      authenticate(ex)
+      val rel = ex.getRequestURI.getPath.stripPrefix("/delta-sharing").stripPrefix("/")
+      val parts = rel.split("/").filter(_.nonEmpty).toList
+      val q = queryParams(ex)
+      (ex.getRequestMethod, parts) match {
+        case ("GET", List("shares")) => listShares(ex, q)
+        case ("GET", List("shares", s)) => getShare(ex, s)
+        case ("GET", List("shares", s, "schemas")) => listSchemas(ex, s, q)
+        case ("GET", List("shares", s, "schemas", sc, "tables")) => listTables(ex, s, sc, q)
+        case ("GET", List("shares", s, "all-tables")) => listAllTables(ex, s, q)
+        case (m, List("shares", s, "schemas", sc, "tables", t, "version"))
+            if m == "GET" || m == "HEAD" => tableVersion(ex, s, sc, t, q)
+        case ("GET", List("shares", s, "schemas", sc, "tables", t, "metadata")) =>
+          tableMetadata(ex, s, sc, t, q)
+        case ("POST", List("shares", s, "schemas", sc, "tables", t, "query")) =>
+          queryTable(ex, s, sc, t)
+        case ("GET", List("shares", s, "schemas", sc, "tables", t, "changes")) =>
+          tableChanges(ex, s, sc, t, q)
+        case _ => throw GraftServerException.notFound(
+          s"${ex.getRequestMethod} /${parts.mkString("/")} is not a sharing endpoint")
+      }
+    } catch {
+      case e: GraftServerException => sendError(ex, e)
+      case e: NoSuchElementException =>
+        sendError(ex, GraftServerException.notFound(e.getMessage))
+      case e: IllegalArgumentException =>
+        sendError(ex, GraftServerException.badRequest(e.getMessage))
+      case scala.util.control.NonFatal(e) =>
+        sendError(ex, new GraftServerException(500, "INTERNAL_ERROR",
+          s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    } finally ex.close()
+
+  /** Constant-time bearer check (reference `DeltaSharingService.scala:843-854`). */
+  private def authenticate(ex: HttpExchange): Unit = config.bearerToken.foreach { tok =>
+    val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    val ok = header.startsWith("Bearer ") &&
+      Tokens.constantTimeEquals(header.stripPrefix("Bearer "), tok)
+    if (!ok) throw GraftServerException.unauthorized("invalid or missing bearer token")
+  }
+
+  // ------------------------------------------------------------ catalog
+
+  private def catalogEntries: Seq[(String, String, String)] =
+    GraftCatalog.listTables().map { fqn =>
+      fqn.split("\\.") match {
+        case Array(s, sc, t) => (s, sc, t)
+        case Array(s, t)     => (s, "default", t)
+        case _               => (fqn, "default", fqn)
+      }
+    }
+
+  private def tableLocation(share: String, schema: String, table: String): String = {
+    val fqn = s"$share.$schema.$table"
+    try GraftCatalog.location(fqn)
+    catch { case _: NoSuchElementException =>
+      throw GraftServerException.notFound(s"table $fqn does not exist")
+    }
+  }
+
+  private def log(share: String, schema: String, table: String): GraftLog =
+    new GraftLog(tableLocation(share, schema, table), hadoopConf)
+
+  // ----------------------------------------------------------- listings
+
+  /** maxResults/pageToken slice over a stable listing (reference
+    * `SharedTableManager.getPage:66-93`).
+    */
+  private def page[T](items: Seq[T], q: Map[String, String], scope: String): (Seq[T], Option[String]) = {
+    val max = q.get("maxResults").map(_.toInt).getOrElse(500)
+    if (max <= 0) throw GraftServerException.badRequest("maxResults must be positive")
+    val offset = q.get("pageToken").map { t =>
+      val p = Tokens.decode[Tokens.ListTokenPayload](t, "page")
+      if (p.scope != scope) throw GraftServerException.badRequest("page token scope mismatch")
+      p.offset
+    }.getOrElse(0)
+    val slice = items.slice(offset, offset + max)
+    val next = if (offset + max < items.size)
+      Some(Tokens.encode(Tokens.ListTokenPayload(scope, offset + max))) else None
+    (slice, next)
+  }
+
+  private def listShares(ex: HttpExchange, q: Map[String, String]): Unit = {
+    val shares = catalogEntries.map(_._1).distinct.sorted.map(Share(_))
+    val (items, next) = page(shares, q, "shares")
+    sendJson(ex, 200, JsonUtils.toJson(ListSharesResponse(items, next.orNull)))
+  }
+
+  private def getShare(ex: HttpExchange, share: String): Unit = {
+    if (!catalogEntries.exists(_._1 == share))
+      throw GraftServerException.notFound(s"share $share does not exist")
+    sendJson(ex, 200, JsonUtils.toJson(GetShareResponse(Share(share))))
+  }
+
+  private def listSchemas(ex: HttpExchange, share: String, q: Map[String, String]): Unit = {
+    if (!catalogEntries.exists(_._1 == share))
+      throw GraftServerException.notFound(s"share $share does not exist")
+    val schemas = catalogEntries.filter(_._1 == share).map(_._2).distinct.sorted
+      .map(Schema(_, share))
+    val (items, next) = page(schemas, q, s"schemas:$share")
+    sendJson(ex, 200, JsonUtils.toJson(ListSchemasResponse(items, next.orNull)))
+  }
+
+  private def listTables(
+      ex: HttpExchange, share: String, schema: String, q: Map[String, String]): Unit = {
+    val tables = catalogEntries.filter(e => e._1 == share && e._2 == schema)
+    if (tables.isEmpty)
+      throw GraftServerException.notFound(s"schema $share.$schema does not exist")
+    val items0 = tables.map(_._3).sorted.map(t => Table(t, schema, share))
+    val (items, next) = page(items0, q, s"tables:$share.$schema")
+    sendJson(ex, 200, JsonUtils.toJson(ListTablesResponse(items, next.orNull)))
+  }
+
+  private def listAllTables(ex: HttpExchange, share: String, q: Map[String, String]): Unit = {
+    val tables = catalogEntries.filter(_._1 == share)
+    if (tables.isEmpty)
+      throw GraftServerException.notFound(s"share $share does not exist")
+    val items0 = tables.sortBy(e => (e._2, e._3)).map(e => Table(e._3, e._2, share))
+    val (items, next) = page(items0, q, s"all-tables:$share")
+    sendJson(ex, 200, JsonUtils.toJson(ListTablesResponse(items, next.orNull)))
+  }
+
+  // ------------------------------------------------- version / metadata
+
+  private def tableVersion(
+      ex: HttpExchange, share: String, schema: String, table: String,
+      q: Map[String, String]): Unit = {
+    val l = log(share, schema, table)
+    val version = q.get("startingTimestamp") match {
+      case Some(ts) =>
+        // earliest version at or after the timestamp (PROTOCOL version query)
+        val ms = parseWireTimestamp(ts)
+        l.versionAtOrAfter(ms)
+      case None => l.latestVersion()
+    }
+    ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, version.toString)
+    if (ex.getRequestMethod == "HEAD") { ex.sendResponseHeaders(200, -1) }
+    else sendJson(ex, 200, "{}")
+  }
+
+  private def tableMetadata(
+      ex: HttpExchange, share: String, schema: String, table: String,
+      q: Map[String, String]): Unit = {
+    val l = log(share, schema, table)
+    val version = q.get("version").map(_.toLong)
+    val timestamp = q.get("timestamp").map(parseWireTimestamp)
+    if (version.isDefined && timestamp.isDefined)
+      throw GraftServerException.badRequest("at most one of version/timestamp")
+    version.foreach(v => requireVersionExists(l, v))
+    val resolved = version.orElse(timestamp.map(l.versionAtOrBefore))
+    val snap = l.snapshot(resolved)
+    ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, snap.version.toString)
+    sendNdjson(ex, Seq(
+      Line(protocol = wire.Protocol()).json,
+      Line(metaData = wireMetadata(snap.metadata, snap.version)).json))
+  }
+
+  // ---------------------------------------------------------------- query
+
+  private def queryTable(
+      ex: HttpExchange, share: String, schema: String, table: String): Unit = {
+    val body = new String(readAll(ex.getRequestBody), UTF_8)
+    val req = if (body.trim.isEmpty) QueryRequest()
+      else try JsonUtils.fromJson[QueryRequest](body)
+      catch { case scala.util.control.NonFatal(e) =>
+        throw GraftServerException.badRequest(s"malformed query request: ${e.getMessage}")
+      }
+
+    if ((req.version != null).toInt + (req.timestamp != null).toInt +
+        (req.startingVersion != null).toInt > 1)
+      throw GraftServerException.badRequest(
+        "at most one of version/timestamp/startingVersion may be set")
+    Option(req.maxFiles).foreach(m =>
+      if (m <= 0) throw GraftServerException.badRequest("maxFiles must be positive"))
+    if (req.endingVersion != null && req.startingVersion == null)
+      throw GraftServerException.badRequest("endingVersion requires startingVersion")
+
+    val l = log(share, schema, table)
+    val tableKey = s"$share.$schema.$table"
+    val location = tableLocation(share, schema, table)
+
+    if (req.startingVersion != null) {
+      // version-range (streaming backbone): all data-change actions.
+      val start = req.startingVersion.longValue()
+      val end = Option(req.endingVersion).map(_.longValue()).getOrElse(l.latestVersion())
+      if (start > end) throw GraftServerException.badRequest(
+        s"startingVersion($start) > endingVersion($end)")
+      requireVersionExists(l, start)
+      serveChangeLines(ex, l, location, tableKey, start, end,
+        maxFiles = Option(req.maxFiles).map(_.intValue()),
+        pageToken = Option(req.pageToken), cdfMode = false,
+        includeHistoricalMetadata = true)
+    } else {
+      queryTableSnapshot(ex, l, location, tableKey, req)
+    }
+  }
+
+  private def queryTableSnapshot(
+      ex: HttpExchange, l: GraftLog, location: String, tableKey: String,
+      req: QueryRequest): Unit = {
+    // Version resolution order: pageToken > explicit version > timestamp >
+    // refreshToken > latest (reference `DeltaSharedTable.scala:382-413`).
+    val pageTok = Option(req.pageToken)
+      .map(Tokens.decode[Tokens.PageTokenPayload](_, "page"))
+    pageTok.foreach { p =>
+      if (p.table != tableKey)
+        throw GraftServerException.badRequest("page token is for a different table")
+      if (p.expiration < now())
+        throw GraftServerException.badRequest("page token expired")
+      if (p.checksum != queryChecksum(tableKey, req))
+        throw GraftServerException.badRequest(
+          "page token does not match the query parameters")
+    }
+    val refreshTok = Option(req.refreshToken)
+      .map(Tokens.decode[Tokens.RefreshTokenPayload](_, "refresh"))
+    refreshTok.foreach { r =>
+      if (r.table != tableKey)
+        throw GraftServerException.badRequest("refresh token is for a different table")
+      if (r.expiration < now())
+        throw GraftServerException.badRequest("refresh token expired")
+    }
+
+    Option(req.version).foreach(v => requireVersionExists(l, v.longValue()))
+    val version: Long = pageTok.map(_.version)
+      .orElse(Option(req.version).map(_.longValue()))
+      .orElse(Option(req.timestamp).map(ts => l.versionAtOrBefore(parseWireTimestamp(ts))))
+      .orElse(refreshTok.map(_.version))
+      .getOrElse(l.latestVersion())
+
+    val snap = l.snapshot(Some(version))
+    val partitionSchema = org.apache.spark.sql.types.StructType(
+      snap.metadata.partitionColumns.map(c => snap.schema(c)))
+
+    // File-level operators, in reference order: SQL-hint partition
+    // pruning, json-predicate stats skipping, limit hint, pagination.
+    val sorted = snap.files.sortBy(_.path)
+    val afterSql = PartitionHintPruner.prune(
+      Option(req.predicateHints).getOrElse(Nil), partitionSchema, sorted)
+    val afterJson = Option(req.jsonPredicateHints) match {
+      case Some(hint) =>
+        val op = try Some(JsonPredicates.fromJson(hint))
+          catch { case scala.util.control.NonFatal(_) => None } // best-effort
+        FileSkippingEvaluator.filterFiles(op, snap.metadata.partitionColumns, afterSql)
+      case None => afterSql
+    }
+    val hadPredicates = Option(req.predicateHints).exists(_.nonEmpty) ||
+      req.jsonPredicateHints != null
+    val afterLimit = Option(req.limitHint) match {
+      case Some(limit) if !hadPredicates =>
+        var cum = 0L
+        afterJson.takeWhile { f =>
+          val take = cum < limit.longValue()
+          cum += f.stats.map(_.numRecords).getOrElse(Long.MaxValue)
+          take
+        }
+      case _ => afterJson
+    }
+
+    // Pagination slice with checksummed continuation token.
+    val startIndex = pageTok.map(_.startIndex).getOrElse(0)
+    val pageSize = Option(req.maxFiles).map(_.intValue())
+      .getOrElse(config.queryTablePageSizeLimit)
+      .min(config.queryTablePageSizeLimit)
+    val pageFiles = afterLimit.slice(startIndex, startIndex + pageSize)
+    val nextPageToken = if (startIndex + pageSize < afterLimit.size)
+      Some(Tokens.encode(Tokens.PageTokenPayload(
+        tableKey, version, startIndex + pageSize,
+        queryChecksum(tableKey, req), now() + config.pageTokenTtlMs)))
+    else None
+
+    val expiration = now() + config.preSignedUrlTimeoutSeconds * 1000
+    val fileLines = pageFiles.map { f =>
+      Line(file = wire.File(
+        url = signUrl(location, f.path, expiration),
+        id = Tokens.fileId(location, f.path),
+        partitionValues = f.partitionValues,
+        size = f.size,
+        stats = f.stats.map(JsonUtils.toJson).orNull,
+        expirationTimestamp = expiration)).json
+    }
+    val refreshToken = if (Option(req.includeRefreshToken).exists(_.booleanValue()))
+      Some(Tokens.encode(Tokens.RefreshTokenPayload(
+        tableKey, version, now() + config.refreshTokenTtlMs)))
+    else None
+    val end = if (nextPageToken.isDefined || refreshToken.isDefined)
+      Seq(Line(endStreamAction = EndStreamAction(
+        refreshToken = refreshToken.orNull,
+        nextPageToken = nextPageToken.orNull,
+        minUrlExpirationTimestamp = if (pageFiles.nonEmpty) expiration else null)).json)
+    else Nil
+
+    ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, version.toString)
+    sendNdjson(ex,
+      Seq(Line(protocol = wire.Protocol()).json,
+        Line(metaData = wireMetadata(snap.metadata, version)).json) ++ fileLines ++ end)
+  }
+
+  // -------------------------------------------------------------- changes
+
+  private def tableChanges(
+      ex: HttpExchange, share: String, schema: String, table: String,
+      q: Map[String, String]): Unit = {
+    val l = log(share, schema, table)
+    val location = tableLocation(share, schema, table)
+    if (q.contains("startingVersion") && q.contains("startingTimestamp"))
+      throw GraftServerException.badRequest(
+        "at most one of startingVersion/startingTimestamp")
+    if (q.contains("endingVersion") && q.contains("endingTimestamp"))
+      throw GraftServerException.badRequest(
+        "at most one of endingVersion/endingTimestamp")
+    // Boundary asymmetry (reference `DeltaSharingCDCReader.scala:95-136`):
+    // start timestamp resolves at-or-AFTER, end at-or-BEFORE.
+    val start = q.get("startingVersion").map(_.toLong)
+      .orElse(q.get("startingTimestamp").map(ts => l.versionAtOrAfter(parseWireTimestamp(ts))))
+      .getOrElse(throw GraftServerException.badRequest(
+        "startingVersion or startingTimestamp is required"))
+    val end = q.get("endingVersion").map(_.toLong)
+      .orElse(q.get("endingTimestamp").map(ts => l.versionAtOrBefore(parseWireTimestamp(ts))))
+      .getOrElse(l.latestVersion())
+    if (start > end) throw GraftServerException.badRequest(
+      s"starting version($start) > ending version($end)")
+    requireVersionExists(l, start)
+    val snap = l.snapshot(Some(start))
+    if (!graft.log.GraftCDF.isEnabled(snap.metadata))
+      throw GraftServerException.badRequest(
+        s"Change Data Feed is not enabled on table $share.$schema.$table")
+    serveChangeLines(ex, l, location, s"$share.$schema.$table", start, end,
+      maxFiles = q.get("maxFiles").map(_.toInt), pageToken = q.get("pageToken"),
+      cdfMode = true,
+      includeHistoricalMetadata = q.get("includeHistoricalMetadata").exists(_.toBoolean))
+  }
+
+  /** Shared NDJSON emitter for version-range queries (cdfMode=false: all
+    * dataChange add/remove actions) and CDF (cdfMode=true: cdc-priority
+    * per version — reference `DeltaSharingCDCReader.scala:244-292`).
+    */
+  private def serveChangeLines(
+      ex: HttpExchange, l: GraftLog, location: String, tableKey: String,
+      start: Long, end: Long, maxFiles: Option[Int], pageToken: Option[String],
+      cdfMode: Boolean, includeHistoricalMetadata: Boolean): Unit = {
+    val expiration = now() + config.preSignedUrlTimeoutSeconds * 1000
+
+    def sign(p: String): String = signUrl(location, p, expiration)
+    def id(p: String): String = Tokens.fileId(location, p)
+
+    val startSnap = l.snapshot(Some(start))
+    val actionLines = l.changes(start, end).flatMap { commit =>
+      val metaLines = if (includeHistoricalMetadata)
+        commit.actions.collect { case m: graft.model.Metadata =>
+          Line(metaData = wireMetadata(m, commit.version)).json
+        }
+      else Nil
+      val cdc = commit.actions.collect { case c: AddCDCFile => c }
+      val dataLines: Seq[String] =
+        if (cdfMode && cdc.nonEmpty) {
+          cdc.sortBy(_.path).map(c => Line(cdf = CdcFileW(
+            url = sign(c.path), id = id(c.path), partitionValues = c.partitionValues,
+            size = c.size, version = commit.version, timestamp = commit.timestamp)).json)
+        } else {
+          val adds = commit.actions
+            .collect { case a: AddFile if a.dataChange => a }.sortBy(_.path)
+            .map(a => Line(add = AddFileW(
+              url = sign(a.path), id = id(a.path), partitionValues = a.partitionValues,
+              size = a.size, stats = a.stats.map(JsonUtils.toJson).orNull,
+              version = commit.version, timestamp = commit.timestamp,
+              expirationTimestamp = expiration)).json)
+          val removes = commit.actions
+            .collect { case r: RemoveFile if r.dataChange => r }.sortBy(_.path)
+            .map(r => Line(remove = RemoveFileW(
+              url = sign(r.path), id = id(r.path), partitionValues = r.partitionValues,
+              size = r.size, version = commit.version, timestamp = commit.timestamp,
+              expirationTimestamp = expiration)).json)
+          adds ++ removes
+        }
+      metaLines ++ dataLines
+    }
+
+    // Pagination over the flattened action list.
+    val startIndex = pageToken.map { t =>
+      val p = Tokens.decode[Tokens.PageTokenPayload](t, "page")
+      if (p.table != tableKey)
+        throw GraftServerException.badRequest("page token is for a different table")
+      if (p.expiration < now())
+        throw GraftServerException.badRequest("page token expired")
+      if (p.checksum != changeChecksum(tableKey, start, end, cdfMode))
+        throw GraftServerException.badRequest(
+          "page token does not match the query parameters")
+      p.startIndex
+    }.getOrElse(0)
+    val pageSize = maxFiles.getOrElse(config.queryTablePageSizeLimit)
+      .min(config.queryTablePageSizeLimit)
+    val pageLines = actionLines.slice(startIndex, startIndex + pageSize)
+    val endLines = if (startIndex + pageSize < actionLines.size)
+      Seq(Line(endStreamAction = EndStreamAction(
+        nextPageToken = Tokens.encode(Tokens.PageTokenPayload(
+          tableKey, end, startIndex + pageSize,
+          changeChecksum(tableKey, start, end, cdfMode),
+          now() + config.pageTokenTtlMs)))).json)
+    else Nil
+
+    ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, end.toString)
+    sendNdjson(ex,
+      Seq(Line(protocol = wire.Protocol()).json,
+        Line(metaData = wireMetadata(startSnap.metadata, start)).json) ++
+        pageLines ++ endLines)
+  }
+
+  // ----------------------------------------------------- pre-signed data
+
+  /** `http://host:port/data/<token>`; the token binds (table, path,
+    * expiration) under an HMAC so it cannot be forged or extended.
+    */
+  private[server] def signUrl(location: String, relPath: String, expiration: Long): String = {
+    val payload = Tokens.encode(Tokens.SignedPathPayload(
+      location, relPath, expiration, Tokens.hmac(secret, s"$location/$relPath@$expiration")))
+    s"http://${config.host}:$boundPort/data/$payload"
+  }
+
+  private def serveData(ex: HttpExchange): Unit =
+    try {
+      val token = ex.getRequestURI.getPath.stripPrefix("/data/")
+      // any malformed/tampered token is a signature failure, not a client
+      // protocol error — pre-signed URLs answer 403 like cloud storage
+      val p = try Tokens.decode[Tokens.SignedPathPayload](token, "signed-url")
+        catch { case _: GraftServerException =>
+          throw GraftServerException.forbidden("invalid pre-signed URL")
+        }
+      if (p.sig != Tokens.hmac(secret, s"${p.table}/${p.path}@${p.expiration}"))
+        throw GraftServerException.forbidden("signature mismatch")
+      if (p.expiration < now())
+        throw GraftServerException.forbidden("pre-signed URL expired")
+      val file = new Path(new Path(p.table), p.path)
+      val fs = file.getFileSystem(hadoopConf)
+      val status = fs.getFileStatus(file)
+      val (offset, len, partial) = Option(ex.getRequestHeaders.getFirst("Range")) match {
+        case Some(r) =>
+          val m = RANGE_RE.findFirstMatchIn(r).getOrElse(
+            throw GraftServerException.badRequest(s"unsupported Range: $r"))
+          val from = m.group(1).toLong
+          val to = Option(m.group(2)).filter(_ != null).filter(_.nonEmpty)
+            .map(_.toLong).getOrElse(status.getLen - 1)
+          (from, (to - from + 1).min(status.getLen - from), true)
+        case None => (0L, status.getLen, false)
+      }
+      ex.getResponseHeaders.set("Accept-Ranges", "bytes")
+      ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+      if (partial) {
+        ex.getResponseHeaders.set("Content-Range",
+          s"bytes $offset-${offset + len - 1}/${status.getLen}")
+        ex.sendResponseHeaders(206, len)
+      } else ex.sendResponseHeaders(200, len)
+      val in = fs.open(file)
+      try {
+        in.seek(offset)
+        copy(in, ex.getResponseBody, len)
+      } finally in.close()
+    } catch {
+      case e: GraftServerException => sendError(ex, e)
+      case scala.util.control.NonFatal(e) =>
+        sendError(ex, new GraftServerException(500, "INTERNAL_ERROR", String.valueOf(e)))
+    } finally ex.close()
+
+  // ------------------------------------------------------------- helpers
+
+  private def wireMetadata(m: graft.model.Metadata, version: Long): wire.Metadata =
+    wire.Metadata(id = m.id, name = if (m.name.isEmpty) null else m.name,
+      schemaString = m.schemaString, partitionColumns = m.partitionColumns,
+      configuration = m.configuration, version = version)
+
+  private def requireVersionExists(l: GraftLog, v: Long): Unit = {
+    val vs = l.listVersions()
+    if (vs.isEmpty || v < vs.head || v > vs.last)
+      throw GraftServerException.badRequest(
+        s"version $v is outside the table's version range [${vs.headOption.getOrElse(0L)}, ${vs.lastOption.getOrElse(0L)}]")
+  }
+
+  private def queryChecksum(tableKey: String, req: QueryRequest): String =
+    Tokens.checksum(Seq(tableKey,
+      Option(req.predicateHints).getOrElse(Nil).mkString(","),
+      String.valueOf(req.jsonPredicateHints), String.valueOf(req.limitHint),
+      String.valueOf(req.version), String.valueOf(req.timestamp),
+      String.valueOf(req.startingVersion), String.valueOf(req.endingVersion)))
+
+  private def changeChecksum(tableKey: String, start: Long, end: Long, cdf: Boolean): String =
+    Tokens.checksum(Seq(tableKey, start.toString, end.toString, cdf.toString))
+
+  private def sendError(ex: HttpExchange, e: GraftServerException): Unit = {
+    if (!ex.getResponseHeaders.containsKey("Content-Type"))
+      try sendJson(ex, e.status, JsonUtils.toJson(ErrorResponse(e.errorCode, e.getMessage)))
+      catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  private def sendJson(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  /** One JSON object per line (`PROTOCOL.md:3537-3545`). */
+  private def sendNdjson(ex: HttpExchange, lines: Seq[String]): Unit = {
+    val bytes = (lines.mkString("\n") + "\n").getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/x-ndjson; charset=utf-8")
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq).getOrElse(Nil)
+      .filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) kv -> ""
+        else java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8") ->
+          java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
+      }.toMap
+
+  private implicit class BoolInt(b: Boolean) { def toInt: Int = if (b) 1 else 0 }
+}
+
+object GraftServer {
+  val DELTA_TABLE_VERSION_HEADER = "Delta-Table-Version"
+
+  private val RANGE_RE = """bytes=(\d+)-(\d*)""".r
+
+  private[server] def now(): Long = System.currentTimeMillis()
+
+  /** ISO-8601 or epoch-millis timestamp string → millis. */
+  def parseWireTimestamp(s: String): Long =
+    if (s.forall(_.isDigit)) s.toLong
+    else graft.model.StatsCodec.parseTimestamp(s).toEpochMilli
+
+  private def readAll(in: InputStream): Array[Byte] = in.readAllBytes()
+
+  private def copy(in: InputStream, out: OutputStream, len: Long): Unit = {
+    val buf = new Array[Byte](1 << 16)
+    var remaining = len
+    while (remaining > 0) {
+      val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+      if (n < 0) return
+      out.write(buf, 0, n)
+      remaining -= n
+    }
+  }
+}
+
+/** Server tunables, defaults matching the reference's `ServerConfig`
+  * (`ServerConfig.scala:48-95`).
+  */
+case class ServerConfig(
+    host: String = "127.0.0.1",
+    port: Int = 0, // 0 ⇒ ephemeral
+    bearerToken: Option[String] = None,
+    preSignedUrlTimeoutSeconds: Long = 3600,
+    queryTablePageSizeLimit: Int = 10000,
+    pageTokenTtlMs: Long = 259200000L,
+    refreshTokenTtlMs: Long = 3600000L)

@@ -1,0 +1,29 @@
+package graft.server
+
+import org.apache.spark.sql.SparkSession
+
+import graft.log.SharedFixtures
+
+/** One lazily-started in-process sharing server over the driver fixtures,
+  * so `SparkEntry` queries can exercise the full REST loop (metadata +
+  * query + pre-signed URLs + graft:// reads) inside the correctness gate.
+  */
+object LocalShareServer {
+
+  val TOKEN = "graft-local-share-token"
+
+  private var server: GraftServer = _
+
+  /** Ensure fixtures for `sfDir` are registered and the server is up;
+    * returns the endpoint base URL.
+    */
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    SharedFixtures.ensure(spark, sfDir)
+    if (server == null) {
+      server = new GraftServer(
+        ServerConfig(bearerToken = Some(TOKEN)),
+        spark.sessionState.newHadoopConf()).start()
+    }
+    server.url
+  }
+}

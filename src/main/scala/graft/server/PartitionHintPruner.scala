@@ -1,0 +1,108 @@
+package graft.server
+
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => UA}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.types._
+
+import graft.model.{AddFile, StatsCodec}
+import graft.predicates._
+
+/** Server-side partition pruning from SQL hint strings — the protocol's
+  * `predicateHints` (grammar `PROTOCOL.md:4138-4155`; reference
+  * `server/.../PartitionFilterUtils.scala:37-141` parses with Spark's SQL
+  * parser and keeps only simple comparisons over partition columns).
+  *
+  * Re-expressed here by translating the parsed Catalyst expression into the
+  * engine's typed predicate ADT and evaluating with the sound three-valued
+  * [[FileSkippingEvaluator]] (a partition value is a point interval, so
+  * True/False are exact). Hints that don't fit the supported shape are
+  * DROPPED whole — server filtering is best-effort and clients must
+  * re-filter (`PROTOCOL.md:2128-2158`), so dropping can only over-return.
+  */
+object PartitionHintPruner {
+
+  def prune(
+      hints: Seq[String],
+      partitionSchema: StructType,
+      files: Seq[AddFile]): Seq[AddFile] = {
+    if (hints.isEmpty || partitionSchema.isEmpty) return files
+    val ops = hints.flatMap(h => translate(h, partitionSchema))
+    if (ops.isEmpty) files
+    else FileSkippingEvaluator.filterFiles(
+      Some(if (ops.size == 1) ops.head else AndOp(ops)),
+      partitionSchema.map(_.name), files)
+  }
+
+  /** One hint string → predicate op, or None when unsupported. */
+  def translate(hint: String, partitionSchema: StructType): Option[BaseOp] =
+    try {
+      val parsed = CatalystSqlParser.parseExpression(hint)
+      val op = toOp(parsed, partitionSchema).map(_._1)
+      op.foreach(_.validate())
+      op
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Returns (op, complete). `And` may keep one translatable conjunct
+    * (filtering by a conjunct is a superset — safe), but ONLY in positive
+    * polarity: an incomplete subtree under `Not`/`Or` would break the
+    * superset guarantee (¬(a∧b) ⊉ ¬a), so those require complete children
+    * — the same conservative rule as the reference pruners
+    * (`JsonPredicatePruner.scala:75-140`).
+    */
+  private def toOp(e: Expression, ps: StructType): Option[(BaseOp, Boolean)] = e match {
+    case EqualTo(l, r)            => comparison(l, r, ps)(EqualOp(_))
+    case LessThan(l, r)           => comparison(l, r, ps)(LessThanOp(_))
+    case LessThanOrEqual(l, r)    => comparison(l, r, ps)(LessThanOrEqualOp(_))
+    case GreaterThan(l, r)        => comparison(l, r, ps)(GreaterThanOp(_))
+    case GreaterThanOrEqual(l, r) => comparison(l, r, ps)(GreaterThanOrEqualOp(_))
+    case IsNull(c)    => column(c, ps).map(col => (IsNullOp(Seq(col)), true))
+    case IsNotNull(c) => column(c, ps).map(col => (NotOp(Seq(IsNullOp(Seq(col)))), true))
+    case Not(child) =>
+      toOp(child, ps).collect { case (op, true) => (NotOp(Seq(op)), true) }
+    case And(l, r) =>
+      (toOp(l, ps), toOp(r, ps)) match {
+        case (Some((a, ca)), Some((b, cb))) => Some((AndOp(Seq(a, b)), ca && cb))
+        case (a, b)                         => a.orElse(b).map { case (op, _) => (op, false) }
+      }
+    case Or(l, r) =>
+      for ((a, true) <- toOp(l, ps); (b, true) <- toOp(r, ps))
+        yield (OrOp(Seq(a, b)), true)
+    case _ => None
+  }
+
+  private def comparison(l: Expression, r: Expression, ps: StructType)(
+      make: Seq[BaseOp] => BaseOp): Option[(BaseOp, Boolean)] = (l, r) match {
+    case (c, v) if column(c, ps).isDefined && literal(v).isDefined =>
+      val col = column(c, ps).get
+      Some((make(Seq(col, LiteralOp(literal(v).get, col.valueType))), true))
+    case (v, c) if column(c, ps).isDefined && literal(v).isDefined =>
+      val col = column(c, ps).get
+      Some((make(Seq(LiteralOp(literal(v).get, col.valueType), col)), true))
+    case _ => None
+  }
+
+  /** Partition column reference (possibly wrapped in a Cast). */
+  private def column(e: Expression, ps: StructType): Option[ColumnOp] = e match {
+    case UA(nameParts) if nameParts.size == 1 =>
+      ps.find(_.name.equalsIgnoreCase(nameParts.head))
+        .flatMap(f => StatsCodec.typeName(f.dataType).map(t => ColumnOp(f.name, t)))
+    case Cast(child, _, _, _) => column(child, ps)
+    case _ => None
+  }
+
+  /** Literal rendered to the protocol's string encoding. */
+  private def literal(e: Expression): Option[String] = e match {
+    case Literal(null, _) => None
+    case Literal(v, StringType) => Some(v.toString)
+    case Literal(v, ByteType | ShortType | IntegerType | LongType |
+                    FloatType | DoubleType | BooleanType) => Some(v.toString)
+    case Literal(v: Decimal, _: DecimalType) => Some(v.toString)
+    case Literal(days: Int, DateType) =>
+      Some(java.time.LocalDate.ofEpochDay(days.toLong).toString)
+    case Literal(micros: Long, TimestampType) =>
+      StatsCodec.encode(java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS))
+    case Cast(child, _, _, _) => literal(child)
+    case _ => None
+  }
+}

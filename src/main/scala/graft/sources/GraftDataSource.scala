@@ -43,7 +43,16 @@ class GraftDataSource extends RelationProvider
     val path = resolvePath(parameters)
     val log = new graft.log.GraftLog(path,
       sqlContext.sparkSession.sessionState.newHadoopConf())
-    (shortName(), schema.getOrElse(log.snapshot(None).schema))
+    val base = schema.getOrElse {
+      val s = log.snapshot(None).schema
+      if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+        import org.apache.spark.sql.types._
+        s.add(graft.log.GraftCDF.CHANGE_TYPE, StringType)
+          .add(graft.log.GraftCDF.COMMIT_VERSION, LongType)
+          .add(graft.log.GraftCDF.COMMIT_TIMESTAMP, TimestampType)
+      } else s
+    }
+    (shortName(), base)
   }
 
   override def createSource(
@@ -60,6 +69,9 @@ class GraftDataSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     GraftLimitPushDown.enable(spark)
+    if (parameters.contains("url")) return createRemoteRelation(spark, parameters)
+    if (parameters.get("readChangeFeed").exists(_.toBoolean))
+      return new GraftCDFRelation(spark, resolvePath(parameters), parameters)
     val version = parameters.get("versionAsOf").map(_.toLong)
     val timestamp = parameters.get("timestampAsOf")
       .map(s => graft.model.StatsCodec.parseTimestamp(s).toEpochMilli)
@@ -70,6 +82,40 @@ class GraftDataSource extends RelationProvider
     val resolved = version.orElse(timestamp.map(log.versionAtOrBefore))
     val snapshot = log.snapshot(resolved)
     GraftDataSource.relation(spark, tablePath, snapshot)
+  }
+
+  /** Remote mode: `option("url", "http://host:port/delta-sharing")` +
+    * `option("table", "share.schema.table")` [+ `token`, `versionAsOf`,
+    * `timestampAsOf`] — reads a table served by [[graft.server.GraftServer]]
+    * over the REST protocol, scan bytes flowing through pre-signed URLs +
+    * [[GraftFileSystem]] (the reference's batch path, SURVEY §3.1).
+    */
+  private def createRemoteRelation(
+      spark: SparkSession,
+      parameters: Map[String, String]): BaseRelation = {
+    val fqn = parameters.getOrElse("table",
+      throw new IllegalArgumentException("remote mode requires option 'table'"))
+    val Array(share, schema, table) = fqn.split("\\.") match {
+      case a @ Array(_, _, _) => a
+      case Array(s, t)        => Array(s, "default", t)
+      case _ => throw new IllegalArgumentException(
+        s"table must be share.schema.table, got $fqn")
+    }
+    require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
+      "at most one of versionAsOf/timestampAsOf may be set")
+    GraftFileSystem.register(spark)
+    val client = new graft.client.GraftRestClient(
+      parameters("url"), parameters.get("token"))
+    val index = new RemoteGraftFileIndex(spark, client, share, schema, table,
+      versionAsOf = parameters.get("versionAsOf").map(_.toLong),
+      timestampAsOf = parameters.get("timestampAsOf"))
+    HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = index.dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
   }
 }
 

@@ -37,7 +37,7 @@ class GraftFileIndex(
     val tablePath: String,
     val snapshot: Snapshot,
     val limitHint: Option[Long] = None)
-    extends FileIndex {
+    extends FileIndex with GraftLimitableIndex {
 
   private val fullSchema: StructType = snapshot.schema
 

@@ -1,0 +1,179 @@
+package graft.sources
+
+import java.io.{FileNotFoundException, InputStream}
+import java.net.{HttpURLConnection, URI, URL}
+
+import org.apache.hadoop.fs._
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+import graft.client.GraftUrlCache
+
+/** Read-only Hadoop FileSystem for pre-signed shared files — the
+  * reference's `delta-sharing://` FS re-expressed
+  * (`client/.../DeltaSharingFileSystem.scala:41-210`; seekable HTTP reads
+  * `RandomAccessHttpInputStream.scala`).
+  *
+  * Path form: `graft:///<fileId>/<size>`. The id resolves to a live
+  * pre-signed URL via [[GraftUrlCache]] at open time (expiry-refreshable),
+  * and reads go over HTTP with Range requests so parquet footer seeks
+  * don't download whole files. Write operations throw — the sharing
+  * surface is read-only by design (reference S13, `model.scala:198-204`).
+  */
+class GraftFileSystem extends FileSystem {
+
+  import GraftFileSystem._
+
+  private var uri: URI = URI.create(SCHEME + ":///")
+
+  override def initialize(name: URI, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    uri = URI.create(SCHEME + ":///") // authority-less scheme
+  }
+
+  override def getScheme: String = SCHEME
+  override def getUri: URI = uri
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val (fileId, size) = decodePath(f)
+    val url = GraftUrlCache.resolve(fileId)
+    new FSDataInputStream(new HttpRangeInputStream(url, size))
+  }
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val (_, size) = decodePath(f)
+    new FileStatus(size, false, 1, BLOCK_SIZE, 0L, f)
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = Array(getFileStatus(f))
+
+  override def exists(f: Path): Boolean =
+    try { decodePath(f); true } catch { case _: IllegalArgumentException => false }
+
+  // -------------------------------------------------- read-only surface
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(s"$op: graft shared tables are read-only")
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = readOnly("create")
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    readOnly("append")
+  override def rename(src: Path, dst: Path): Boolean = readOnly("rename")
+  override def delete(f: Path, recursive: Boolean): Boolean = readOnly("delete")
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = readOnly("mkdirs")
+
+  override def setWorkingDirectory(dir: Path): Unit = ()
+  override def getWorkingDirectory: Path = new Path(uri)
+}
+
+object GraftFileSystem {
+  val SCHEME = "graft"
+  val BLOCK_SIZE: Long = 128L * 1024 * 1024
+
+  /** `graft:///<fileId>/<size>` codec (reference
+    * `DeltaSharingFileSystem.scala:174-210` encodes table/fileId/size the
+    * same way).
+    */
+  def encodePath(fileId: String, size: Long): Path =
+    new Path(s"$SCHEME:///$fileId/$size")
+
+  def decodePath(p: Path): (String, Long) = {
+    val parts = p.toUri.getPath.stripPrefix("/").split("/")
+    require(parts.length == 2, s"not a graft file path: $p")
+    (parts(0), parts(1).toLong)
+  }
+
+  /** Install the `graft` scheme on the session's Hadoop configuration. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sparkContext.hadoopConfiguration
+      .setIfUnset(s"fs.$SCHEME.impl", classOf[GraftFileSystem].getName)
+  }
+}
+
+/** Seekable HTTP input stream using Range requests, with forward-skip
+  * reuse of the open connection for small gaps (the reference's
+  * `RandomAccessHttpInputStream` behavior).
+  */
+class HttpRangeInputStream(url: String, length: Long) extends FSInputStream {
+
+  private val MAX_FORWARD_SKIP = 512 * 1024
+
+  private var pos = 0L
+  private var in: InputStream = _
+  private var streamPos = -1L
+  private var closed = false
+
+  override def seek(p: Long): Unit = {
+    if (p < 0 || p > length) throw new java.io.EOFException(s"seek($p) outside [0, $length]")
+    pos = p
+  }
+
+  override def getPos: Long = pos
+
+  override def seekToNewSource(targetPos: Long): Boolean = false
+
+  private def ensureStream(): InputStream = {
+    if (in != null && streamPos != pos) {
+      val gap = pos - streamPos
+      if (gap > 0 && gap <= MAX_FORWARD_SKIP) {
+        var remaining = gap
+        while (remaining > 0 && in != null) {
+          val skipped = in.skip(remaining)
+          if (skipped <= 0) { closeStream() } else remaining -= skipped
+        }
+        if (in != null) streamPos = pos
+      } else closeStream()
+    }
+    if (in == null) {
+      val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestProperty("Range", s"bytes=$pos-")
+      conn.setConnectTimeout(30000)
+      conn.setReadTimeout(120000)
+      val code = conn.getResponseCode
+      if (code == 403 || code == 404)
+        throw new FileNotFoundException(s"pre-signed URL rejected ($code)")
+      if (code != 200 && code != 206)
+        throw new java.io.IOException(s"HTTP $code reading $url")
+      in = conn.getInputStream
+      // a 200 means the server ignored Range and restarts at 0
+      streamPos = if (code == 206) pos else 0L
+      if (streamPos != pos) {
+        var remaining = pos - streamPos
+        while (remaining > 0) {
+          val skipped = in.skip(remaining)
+          if (skipped <= 0) throw new java.io.EOFException(s"cannot skip to $pos")
+          remaining -= skipped
+        }
+        streamPos = pos
+      }
+    }
+    in
+  }
+
+  override def read(): Int = {
+    if (pos >= length) return -1
+    val b = ensureStream().read()
+    if (b >= 0) { pos += 1; streamPos += 1 }
+    b
+  }
+
+  override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+    if (pos >= length) return -1
+    val n = ensureStream().read(buf, off, len)
+    if (n > 0) { pos += n; streamPos += n }
+    n
+  }
+
+  private def closeStream(): Unit = {
+    if (in != null) { try in.close() catch { case _: Exception => () }; in = null }
+    streamPos = -1L
+  }
+
+  override def close(): Unit = {
+    if (!closed) { closeStream(); closed = true }
+    super.close()
+  }
+}

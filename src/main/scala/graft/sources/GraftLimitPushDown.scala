@@ -27,7 +27,7 @@ object GraftLimitPushDown extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case limit @ LocalLimit(IntegerLiteral(n),
         lr @ LogicalRelation(
-          hfs @ HadoopFsRelation(index: GraftFileIndex, _, _, _, _, _), _, _, _, _))
+          hfs @ HadoopFsRelation(index: GraftLimitableIndex, _, _, _, _, _), _, _, _, _))
         if index.limitHint.isEmpty =>
       val newRelation = hfs.copy(location = index.withLimit(n.toLong))(hfs.sparkSession)
       limit.copy(child = lr.copy(relation = newRelation))

@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.client.{GraftRestClient, GraftUrlCache}
+import graft.predicates.{JsonPredicates, OpConverter}
+import graft.server.wire
+
+/** FileIndex over a REMOTE shared table: Catalyst hands us partition +
+  * data filters, we convert them to jsonPredicateHints, POST the query to
+  * the sharing server, register the returned pre-signed URLs in the
+  * expiry-refreshing cache, and answer with `graft:///fileId/size` paths
+  * the [[GraftFileSystem]] resolves at read time. This is the reference's
+  * `RemoteDeltaSnapshotFileIndex` loop (`RemoteDeltaFileIndex.scala:
+  * 209-236` + hint conversion `142-205`).
+  *
+  * The snapshot version is pinned at construction (analysis time), so
+  * every listFiles pagination/retry sees one consistent table state.
+  * Server-side filtering is best-effort; Spark re-applies all filters on
+  * rows (P8), so over-returning is only a perf cost.
+  */
+class RemoteGraftFileIndex(
+    spark: SparkSession,
+    client: GraftRestClient,
+    share: String,
+    schema: String,
+    table: String,
+    versionAsOf: Option[Long] = None,
+    timestampAsOf: Option[String] = None,
+    val limitHint: Option[Long] = None)
+    extends FileIndex with GraftLimitableIndex {
+
+  private val (meta, pinnedVersion): (wire.Metadata, Long) =
+    client.metadata(share, schema, table, versionAsOf, timestampAsOf)
+
+  val fullSchema: StructType =
+    DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+
+  override val partitionSchema: StructType =
+    StructType(meta.partitionColumns.map(c => fullSchema(c)))
+
+  val dataSchema: StructType =
+    StructType(fullSchema.filterNot(f => meta.partitionColumns.contains(f.name)))
+
+  override def withLimit(n: Long): RemoteGraftFileIndex =
+    new RemoteGraftFileIndex(spark, client, share, schema, table,
+      // version already resolved — pin it explicitly for the copy
+      Some(pinnedVersion), None, Some(limitHint.fold(n)(math.min(_, n))))
+
+  override def rootPaths: Seq[Path] = Seq(GraftFileSystem.encodePath(meta.id, 0L))
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val hint = OpConverter.convert(partitionFilters ++ dataFilters)
+      .map(JsonPredicates.toJson)
+    val files = fetch(hint)
+    toPartitionDirectories(files)
+  }
+
+  /** Run the snapshot query and (re-)register URL resolution + refresher. */
+  private def fetch(jsonHint: Option[String]): Seq[wire.File] = {
+    val req = wire.QueryRequest(
+      jsonPredicateHints = jsonHint.orNull,
+      limitHint = limitHint.map(Long.box).orNull,
+      version = pinnedVersion)
+    val res = client.query(share, schema, table, req)
+    val entries = res.files.map { f =>
+      f.id -> GraftUrlCache.Entry(f.url,
+        Option(f.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))
+    }.toMap
+    // Per-query-shape refresher key (reference `QueryUtils.scala:30-55`):
+    // refresh re-runs THIS query so executors always see live URLs.
+    val key = s"$share.$schema.$table@$pinnedVersion#${(jsonHint, limitHint).hashCode}"
+    GraftUrlCache.register(key, entries, () =>
+      client.query(share, schema, table, req).files.map { f =>
+        f.id -> GraftUrlCache.Entry(f.url,
+          Option(f.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))
+      }.toMap)
+    res.files
+  }
+
+  private lazy val allFiles: Seq[wire.File] = fetch(None)
+
+  private def partitionRow(values: Map[String, String]): InternalRow =
+    InternalRow.fromSeq(partitionSchema.map { field =>
+      castPartitionValue(values.getOrElse(field.name, ""), field.dataType)
+    })
+
+  private def castPartitionValue(v: String, dt: DataType): Any =
+    if (v == null || v.isEmpty) null
+    else Cast(Literal(UTF8String.fromString(v), StringType), dt,
+      Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+
+  private def toPartitionDirectories(files: Seq[wire.File]): Seq[PartitionDirectory] = {
+    def status(f: wire.File): FileStatus =
+      new FileStatus(f.size, false, 1, GraftFileSystem.BLOCK_SIZE, 0L,
+        GraftFileSystem.encodePath(f.id, f.size))
+    if (partitionSchema.isEmpty) {
+      Seq(PartitionDirectory(InternalRow.empty, files.map(status).toArray))
+    } else {
+      files.groupBy(_.partitionValues).toSeq.map { case (values, group) =>
+        PartitionDirectory(partitionRow(values), group.map(status).toArray)
+      }
+    }
+  }
+
+  override def inputFiles: Array[String] =
+    allFiles.map(f => GraftFileSystem.encodePath(f.id, f.size).toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = allFiles.map(_.size).sum
+}
+
+/** Shared shape of limit-pushdown-capable file indexes (local + remote)
+  * so one Catalyst rule covers both.
+  */
+trait GraftLimitableIndex { self: FileIndex =>
+  def limitHint: Option[Long]
+  def withLimit(n: Long): FileIndex
+}

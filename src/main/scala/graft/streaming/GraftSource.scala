@@ -51,6 +51,15 @@ class GraftSource(
   private val tableLog = new GraftLog(tablePath, conf)
 
   private val startingVersion: Option[Long] = options.get("startingVersion").map(_.toLong)
+
+  /** CDF mode (T10): `option("readChangeFeed", "true")` streams row-level
+    * changes with the 3 CDF metadata columns. Versions are admitted
+    * ATOMICALLY (a commit's update_preimage/postimage rows are never split
+    * across batches — reference `DeltaSharingSource.scala:743-766`), so
+    * offsets advance in whole versions. Without `startingVersion` the
+    * stream tails changes from the table's current version onward.
+    */
+  private val cdfMode: Boolean = options.get("readChangeFeed").exists(_.toBoolean)
   private val maxFilesPerTrigger: Int =
     options.get("maxFilesPerTrigger").map(_.toInt).getOrElse(GraftSource.DEFAULT_MAX_FILES)
   private val maxBytesPerTrigger: Option[Long] = options.get("maxBytesPerTrigger").map(_.toLong)
@@ -66,7 +75,14 @@ class GraftSource(
   /** Frozen end version for Trigger.AvailableNow. */
   @volatile private var frozenEndVersion: Option[Long] = None
 
-  override def schema: StructType = initialSnapshot.schema
+  override def schema: StructType =
+    if (cdfMode) {
+      import org.apache.spark.sql.types._
+      initialSnapshot.schema
+        .add(graft.log.GraftCDF.CHANGE_TYPE, StringType)
+        .add(graft.log.GraftCDF.COMMIT_VERSION, LongType)
+        .add(graft.log.GraftCDF.COMMIT_TIMESTAMP, TimestampType)
+    } else initialSnapshot.schema
 
   override def prepareForTriggerAvailableNow(): Unit =
     frozenEndVersion = Some(tableLog.latestVersion())
@@ -206,15 +222,70 @@ class GraftSource(
     admitted.result()
   }
 
+  // ----------------------------------------------------------- CDF mode
+
+  /** First version a CDF stream consumes: explicit `startingVersion`, else
+    * the table's version when the stream started (tail-only default).
+    */
+  private val cdfStartVersion: Long =
+    if (cdfMode) startingVersion.getOrElse(initialSnapshot.version) else 0L
+
+  /** Whole-version admission units for CDF (version, data files, bytes). */
+  private case class VersionUnit(version: Long, nFiles: Int, bytes: Long)
+
+  private def cdfUnitsAfter(from: Option[GraftSourceOffset], endVersion: Long): Seq[VersionUnit] = {
+    val startV = from.map(_.tableVersion).getOrElse(cdfStartVersion)
+    if (startV > endVersion) return Nil
+    tableLog.changes(startV, endVersion).map { commit =>
+      val cdc = commit.actions.collect { case c: graft.model.AddCDCFile => c }
+      val files: Seq[(String, Long)] =
+        if (cdc.nonEmpty) cdc.map(c => (c.path, c.size))
+        else commit.actions.collect {
+          case a: AddFile if a.dataChange    => (a.path, a.size)
+          case r: RemoveFile if r.dataChange => (r.path, r.size)
+        }
+      VersionUnit(commit.version, files.size, files.map(_._2).sum)
+    }
+  }
+
+  /** Greedy atomic-version admission under the (files, bytes) caps; at
+    * least one version is always admitted.
+    */
+  private def admitUnits(units: Seq[VersionUnit], limit: ReadLimit): Seq[VersionUnit] = {
+    val (fileCap, byteCap) = caps(limit)
+    if (fileCap.isEmpty && byteCap.isEmpty) return units
+    var files = 0
+    var bytes = 0L
+    val admitted = Vector.newBuilder[VersionUnit]
+    var n = 0
+    var done = false
+    units.foreach { u =>
+      if (!done) {
+        val over = (fileCap.exists(m => files + u.nFiles > m) ||
+          byteCap.exists(m => bytes + u.bytes > m)) && n > 0
+        if (over) done = true
+        else { admitted += u; files += u.nFiles; bytes += u.bytes; n += 1 }
+      }
+    }
+    admitted.result()
+  }
+
   override def latestOffset(startOffset: streaming.Offset, limit: ReadLimit): streaming.Offset = {
     val from = Option(startOffset).map(o => GraftSourceOffset(o.asInstanceOf[Offset]))
     val endVersion = frozenEndVersion.getOrElse(tableLog.latestVersion())
-    val files = admit(filesAfter(from, endVersion), limit)
-    if (files.isEmpty) {
-      from.orNull
+    if (cdfMode) {
+      val units = admitUnits(cdfUnitsAfter(from, endVersion), limit)
+      if (units.isEmpty) from.orNull
+      else GraftSourceOffset(tableId, units.last.version + 1, VERSION_CONSUMED,
+        isStartingVersion = false)
     } else {
-      val last = files.last
-      GraftSourceOffset(tableId, last.version, last.index, last.isStarting)
+      val files = admit(filesAfter(from, endVersion), limit)
+      if (files.isEmpty) {
+        from.orNull
+      } else {
+        val last = files.last
+        GraftSourceOffset(tableId, last.version, last.index, last.isStarting)
+      }
     }
   }
 
@@ -225,6 +296,7 @@ class GraftSource(
     val from = start.map(GraftSourceOffset(_))
     val to = GraftSourceOffset(end)
     from.foreach(f => GraftSourceOffset.validate(f, to))
+    if (cdfMode) return getCDFBatch(from, to)
     val files = filesAfter(from, to.tableVersion)
       .filter { f =>
         val cmp = GraftSourceOffset(tableId, f.version, f.index, f.isStarting).compare(to)
@@ -237,6 +309,24 @@ class GraftSource(
       snapshotForSchema.copy(files = files.toVector))
     GraftSqlBridge.ofRowsStreaming(spark,
       LogicalRelation(relation, isStreaming = true))
+  }
+
+  /** CDF micro-batch: row-level changes of versions [from, to], computed
+    * by the batch CDF assembler and handed to the stream execution as a
+    * streaming-flagged RDD (every getBatch result must satisfy the
+    * engine's isStreaming assertion).
+    */
+  private def getCDFBatch(from: Option[GraftSourceOffset], to: GraftSourceOffset): DataFrame = {
+    val fromV = from.map(_.tableVersion).getOrElse(cdfStartVersion)
+    val toV = to.tableVersion - 1 // offset (v+1, -1) = consumed through v
+    if (fromV > toV) {
+      return GraftSqlBridge.streamingDataFrameFromRdd(spark,
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow], schema)
+    }
+    val batch = graft.log.GraftCDF.tableChanges(spark, tablePath, fromV, Some(toV))
+      .selectExpr(schema.fieldNames.map(n => s"`$n`").toIndexedSeq: _*)
+    GraftSqlBridge.streamingDataFrameFromRdd(spark,
+      batch.queryExecution.toRdd, schema)
   }
 
   override def stop(): Unit = ()

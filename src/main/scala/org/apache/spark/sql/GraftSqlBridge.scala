@@ -20,4 +20,17 @@ object GraftSqlBridge {
       spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Streaming-flagged DataFrame over a computed InternalRow RDD — how a
+    * Source hands a micro-batch whose rows come from arbitrary (non-file-
+    * relation) computation to the stream execution, which asserts
+    * isStreaming on every getBatch result. Kafka's source does the same
+    * via `internalCreateDataFrame(rdd, schema, isStreaming = true)`.
+    */
+  def streamingDataFrameFromRdd(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

@@ -103,4 +103,73 @@ class CDFSpec extends AnyFunSuite with BeforeAndAfterAll {
       GraftCDF.tableChanges(spark, base, 99)
     }
   }
+
+  test("readChangeFeed batch option matches the programmatic API") {
+    val viaOption = spark.read.format("graft").option("path", base)
+      .option("readChangeFeed", "true").option("startingVersion", "0").load()
+    val viaApi = GraftCDF.tableChanges(spark, base, 0)
+    assert(viaOption.count() === viaApi.count())
+    assert(viaOption.groupBy("_change_type").count().collect().toSet ===
+      viaApi.groupBy("_change_type").count().collect().toSet)
+    // projection through the PrunedFilteredScan
+    assert(viaOption.select("_change_type").distinct().count() === 4)
+  }
+
+  test("readChangeFeed timestamp boundaries: start at-or-after, end at-or-before") {
+    // commits stamped ts≈0 (v0), 1000 (v1), 2000 (v2), 3000 (v3) —
+    // monotonized to strictly increasing values.
+    val sliced = spark.read.format("graft").option("path", base)
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", "999") // at-or-after → v1
+      .option("endingTimestamp", "2500")  // at-or-before → v2
+      .load()
+    val versions = sliced.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(versions === Set(1L, 2L))
+    // start boundary after every commit → error (no version at or after)
+    assertThrows[IllegalArgumentException] {
+      spark.read.format("graft").option("path", base)
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", "99999999999999").load().count()
+    }
+  }
+
+  test("readChangeFeed streaming: atomic per-version batches, counts match batch CDF") {
+    val q = spark.readStream.format("graft").option("path", base)
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "1") // versions must still be atomic
+      .load()
+      .writeStream.format("memory").queryName("t_cdf_stream").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val progress = q.recentProgress
+    q.stop()
+    val got = spark.table("t_cdf_stream")
+    val expected = GraftCDF.tableChanges(spark, base, 0)
+    assert(got.count() === expected.count())
+    assert(got.groupBy("_change_type").count().collect().toSet ===
+      expected.groupBy("_change_type").count().collect().toSet)
+    // v3's update_preimage/postimage arrived in ONE batch (atomic commit)
+    val perBatchTypes = progress.filter(_.numInputRows > 0)
+    assert(perBatchTypes.length === 4) // one batch per version
+    val updates = got.filter(col("_change_type").startsWith("update"))
+      .select("_commit_version").distinct().collect()
+    assert(updates.length === 1)
+  }
+
+  test("readChangeFeed streaming without startingVersion tails new changes only") {
+    val scratch = "/root/repo/target/test_cdf/tail"
+    import spark.implicits._
+    TableBuilder.create(spark, Seq((1L, "x", 1, 1.0)).toDF("id", "name", "age", "score"),
+      scratch, name = "tail", configuration = Map("enableChangeDataFeed" -> "true"))
+    // stream starts at current version (0) → includes v0 inserts and later
+    val q = spark.readStream.format("graft").option("path", scratch)
+      .option("readChangeFeed", "true")
+      .load()
+      .writeStream.format("memory").queryName("t_cdf_tail").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    assert(spark.table("t_cdf_tail").count() === 1)
+  }
 }

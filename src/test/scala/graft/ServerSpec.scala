@@ -1,0 +1,326 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.client.{GraftRestClient, GraftUrlCache}
+import graft.log._
+import graft.model.JsonUtils
+import graft.server._
+import graft.server.wire._
+
+/** REST serving surface — golden-line tests in the style of the
+  * reference's `DeltaSharingServiceSuite` (boot a real server, assert
+  * exact NDJSON/JSON shapes), plus the end-to-end Spark read through
+  * `option("url", ...)` → pre-signed URLs → graft:// FileSystem.
+  */
+class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sfDir = "/root/testdata/sf0.001"
+  val TOKEN = "test-token-123"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  var server: GraftServer = _
+  var client: GraftRestClient = _
+  val http = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    SharedFixtures.ensure(spark, sfDir)
+    server = new GraftServer(ServerConfig(bearerToken = Some(TOKEN)),
+      spark.sessionState.newHadoopConf()).start()
+    client = new GraftRestClient(server.url, Some(TOKEN))
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop()
+    spark.stop()
+  }
+
+  private def rawGet(path: String, token: Option[String] = Some(TOKEN)): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"${server.url}$path"))
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    http.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def rawPost(path: String, body: String): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"${server.url}$path"))
+      .header("Authorization", s"Bearer $TOKEN")
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  // ------------------------------------------------------------ listings
+
+  test("listings: shares, schemas, tables, all-tables") {
+    assert(client.listShares() === Seq("share1"))
+    assert(client.listSchemas("share1") === Seq("default"))
+    assert(client.listTables("share1", "default") ===
+      Seq("events", "lineitem", "orders", "orders_cdf", "orders_versioned"))
+    assert(client.listAllTables("share1").map(_._2).sorted ===
+      Seq("events", "lineitem", "orders", "orders_cdf", "orders_versioned"))
+  }
+
+  test("listing pagination walks all pages with maxResults=2") {
+    val r1 = rawGet("/shares/share1/schemas/default/tables?maxResults=2")
+    val p1 = JsonUtils.fromJson[ListTablesResponse](r1.body())
+    assert(p1.items.size === 2 && p1.nextPageToken != null)
+    val r2 = rawGet(s"/shares/share1/schemas/default/tables?maxResults=2&pageToken=${p1.nextPageToken}")
+    val p2 = JsonUtils.fromJson[ListTablesResponse](r2.body())
+    assert(p2.items.size === 2 && p2.nextPageToken != null)
+    val r3 = rawGet(s"/shares/share1/schemas/default/tables?maxResults=2&pageToken=${p2.nextPageToken}")
+    val p3 = JsonUtils.fromJson[ListTablesResponse](r3.body())
+    assert(p3.items.size === 1 && p3.nextPageToken == null)
+    assert((p1.items ++ p2.items ++ p3.items).map(_.name) ===
+      Seq("events", "lineitem", "orders", "orders_cdf", "orders_versioned"))
+  }
+
+  test("auth: missing or wrong bearer token is 401; bad routes are 404") {
+    assert(rawGet("/shares", token = None).statusCode() === 401)
+    assert(rawGet("/shares", token = Some("wrong")).statusCode() === 401)
+    val e = rawGet("/shares/nope")
+    assert(e.statusCode() === 404)
+    assert(JsonUtils.fromJson[ErrorResponse](e.body()).errorCode === "RESOURCE_DOES_NOT_EXIST")
+    assert(rawGet("/shares/share1/schemas/default/tables/nope/metadata").statusCode() === 404)
+  }
+
+  // ---------------------------------------------------- version/metadata
+
+  test("version endpoint returns Delta-Table-Version header (HEAD + startingTimestamp)") {
+    assert(client.tableVersion("share1", "default", "lineitem") === 0L)
+    assert(client.tableVersion("share1", "default", "orders_versioned") === 2L)
+    // startingTimestamp → earliest version at-or-after (commits stamped 0/1000/2000)
+    assert(client.tableVersion("share1", "default", "orders_versioned",
+      startingTimestamp = Some("1")) >= 1L)
+  }
+
+  test("metadata endpoint: protocol + metaData NDJSON lines") {
+    val resp = rawGet("/shares/share1/schemas/default/tables/lineitem/metadata")
+    val lines = resp.body().split("\n").filter(_.nonEmpty).map(JsonUtils.fromJson[Line](_))
+    assert(lines.length === 2)
+    assert(lines(0).protocol.minReaderVersion === 1)
+    val m = lines(1).metaData
+    assert(m.name === "lineitem" && m.partitionColumns.isEmpty)
+    assert(org.apache.spark.sql.types.DataType.fromJson(m.schemaString)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.contains("l_orderkey"))
+    // version/timestamp are mutually exclusive
+    assert(rawGet("/shares/share1/schemas/default/tables/lineitem/metadata?version=0&timestamp=1")
+      .statusCode() === 400)
+  }
+
+  // --------------------------------------------------------------- query
+
+  test("snapshot query returns every active file with stats + signed urls") {
+    val res = client.query("share1", "default", "lineitem")
+    assert(res.version === 0L)
+    assert(res.files.size === 8) // fixture: 8 range-partitioned files
+    assert(res.files.forall(_.url.startsWith("http://127.0.0.1:")))
+    assert(res.files.forall(_.stats != null))
+    assert(res.files.forall(_.id.nonEmpty))
+  }
+
+  test("query pagination: maxFiles slices with a checksummed continuation token") {
+    val res = client.query("share1", "default", "lineitem",
+      QueryRequest(maxFiles = 3))
+    assert(res.files.size === 8) // client loops pages transparently
+    // manual first page: 3 files + endStreamAction with token
+    val r = rawPost("/shares/share1/schemas/default/tables/lineitem/query",
+      """{"maxFiles": 3}""")
+    val lines = r.body().split("\n").filter(_.nonEmpty).map(JsonUtils.fromJson[Line](_))
+    val files = lines.flatMap(l => Option(l.file))
+    val end = lines.flatMap(l => Option(l.endStreamAction)).headOption
+    assert(files.length === 3 && end.isDefined && end.get.nextPageToken != null)
+    // page token bound to the query params: different maxFiles is fine
+    // (not part of the checksum) but a different limitHint is rejected
+    val tampered = rawPost("/shares/share1/schemas/default/tables/lineitem/query",
+      s"""{"maxFiles": 3, "limitHint": 17, "pageToken": "${end.get.nextPageToken}"}""")
+    assert(tampered.statusCode() === 400)
+    // corrupted token rejected
+    val corrupt = rawPost("/shares/share1/schemas/default/tables/lineitem/query",
+      s"""{"pageToken": "${end.get.nextPageToken.dropRight(4)}AAAA"}""")
+    assert(corrupt.statusCode() === 400)
+  }
+
+  test("predicateHints prune hive partitions server-side") {
+    val all = client.query("share1", "default", "orders").files
+    val pruned = client.query("share1", "default", "orders",
+      QueryRequest(predicateHints = Seq("o_year = 1997"))).files
+    assert(pruned.nonEmpty && pruned.size < all.size)
+    assert(pruned.forall(_.partitionValues("o_year") == "1997"))
+    // unsupported hint → ignored (best-effort superset)
+    val ignored = client.query("share1", "default", "orders",
+      QueryRequest(predicateHints = Seq("concat(o_year, 'x') = '1997x'"))).files
+    assert(ignored.size === all.size)
+  }
+
+  test("jsonPredicateHints skip files by min/max stats server-side") {
+    val all = client.query("share1", "default", "lineitem").files
+    val hint = """{"op":"lessThan","children":[
+      {"op":"column","name":"l_orderkey","valueType":"long"},
+      {"op":"literal","value":"50","valueType":"long"}]}"""
+    val skipped = client.query("share1", "default", "lineitem",
+      QueryRequest(jsonPredicateHints = hint)).files
+    assert(skipped.nonEmpty && skipped.size < all.size)
+  }
+
+  test("limitHint stops listing once cumulative numRecords covers the limit") {
+    val res = client.query("share1", "default", "lineitem",
+      QueryRequest(limitHint = 10L))
+    assert(res.files.size === 1)
+    val rows = JsonUtils.fromJson[graft.model.FileStats](res.files.head.stats).numRecords
+    assert(rows >= 10)
+  }
+
+  test("version pinning: explicit version, timestamp, and refresh token") {
+    val v1 = client.query("share1", "default", "orders_versioned",
+      QueryRequest(version = 1L))
+    assert(v1.version === 1L)
+    val latest = client.query("share1", "default", "orders_versioned",
+      QueryRequest(includeRefreshToken = true))
+    assert(latest.version === 2L && latest.refreshToken.isDefined)
+    // refresh token pins the version when nothing else is given
+    val pinned = client.query("share1", "default", "orders_versioned",
+      QueryRequest(refreshToken = latest.refreshToken.get))
+    assert(pinned.version === 2L)
+    // bad version range
+    val bad = rawPost("/shares/share1/schemas/default/tables/orders_versioned/query",
+      """{"version": 99}""")
+    assert(bad.statusCode() === 400)
+    // at most one of version/timestamp/startingVersion
+    assert(rawPost("/shares/share1/schemas/default/tables/orders_versioned/query",
+      """{"version": 1, "startingVersion": 0}""").statusCode() === 400)
+  }
+
+  test("version-range query (startingVersion) emits add lines with versions") {
+    val res = client.queryRange("share1", "default", "orders_versioned", 1L, Some(2L))
+    assert(res.adds.nonEmpty)
+    assert(res.adds.map(_.version).distinct.sorted === Seq(1L, 2L))
+    assert(res.adds.forall(_.timestamp > 0L))
+  }
+
+  // ------------------------------------------------------------- changes
+
+  test("changes endpoint: cdc-priority per version over orders_cdf") {
+    val res = client.changes("share1", "default", "orders_cdf",
+      Map("startingVersion" -> "0"))
+    // v0/v1 are plain inserts → add lines; v2 delete + v3 update → cdf lines
+    assert(res.adds.nonEmpty && res.cdfs.nonEmpty)
+    assert(res.cdfs.map(_.version).distinct.sorted === Seq(2L, 3L))
+    // the rewrite versions surface ONLY their cdc files, not the rewritten adds
+    assert(!res.adds.exists(a => a.version == 2L || a.version == 3L))
+    assert(res.removes.isEmpty)
+  }
+
+  test("changes validation: boundaries and CDF-disabled table") {
+    assert(rawGet("/shares/share1/schemas/default/tables/orders_cdf/changes")
+      .statusCode() === 400) // missing start
+    assert(rawGet("/shares/share1/schemas/default/tables/orders_cdf/changes?startingVersion=3&endingVersion=1")
+      .statusCode() === 400)
+    assert(rawGet("/shares/share1/schemas/default/tables/orders_cdf/changes?startingVersion=0&startingTimestamp=1")
+      .statusCode() === 400)
+    val disabled = rawGet("/shares/share1/schemas/default/tables/lineitem/changes?startingVersion=0")
+    assert(disabled.statusCode() === 400)
+    assert(JsonUtils.fromJson[ErrorResponse](disabled.body()).message.contains("Change Data Feed"))
+  }
+
+  // ------------------------------------------------------ pre-signed data
+
+  test("pre-signed data URLs serve bytes, honor Range, reject tampering") {
+    val res = client.query("share1", "default", "lineitem")
+    val f = res.files.head
+    val full = http.send(HttpRequest.newBuilder(URI.create(f.url)).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(full.statusCode() === 200 && full.body().length === f.size)
+    // parquet magic at both ends
+    assert(new String(full.body().take(4), "ASCII") === "PAR1")
+    val ranged = http.send(HttpRequest.newBuilder(URI.create(f.url))
+      .header("Range", s"bytes=${f.size - 4}-").GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(ranged.statusCode() === 206 && new String(ranged.body(), "ASCII") === "PAR1")
+    // tampered token → 403
+    val tampered = f.url.dropRight(6) + "XXXXXX"
+    assert(http.send(HttpRequest.newBuilder(URI.create(tampered)).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode() === 403)
+  }
+
+  test("expired pre-signed URLs are rejected") {
+    val expiring = new GraftServer(
+      ServerConfig(bearerToken = Some(TOKEN), preSignedUrlTimeoutSeconds = -1),
+      spark.sessionState.newHadoopConf()).start()
+    try {
+      val c2 = new GraftRestClient(expiring.url, Some(TOKEN))
+      val f = c2.query("share1", "default", "lineitem").files.head
+      val resp = http.send(HttpRequest.newBuilder(URI.create(f.url)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 403)
+      assert(resp.body().contains("expired"))
+    } finally expiring.stop()
+  }
+
+  // ------------------------------------------------- end-to-end via Spark
+
+  private def remote(table: String): org.apache.spark.sql.DataFrame =
+    spark.read.format("graft")
+      .option("url", server.url).option("token", TOKEN)
+      .option("table", s"share1.default.$table").load()
+
+  test("e2e: spark reads a remote shared table through graft:// + signed urls") {
+    val direct = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val viaHttp = remote("lineitem")
+    assert(viaHttp.count() === direct.count())
+    val a = viaHttp.agg(sum("l_quantity")).collect().head.getDouble(0)
+    val b = direct.agg(sum("l_quantity")).collect().head.getDouble(0)
+    assert(math.abs(a - b) < 1e-6)
+  }
+
+  test("e2e: filters push down to the server and results stay exact") {
+    val direct = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") < 100)
+    val viaHttp = remote("lineitem").filter(col("l_orderkey") < 100)
+    assert(viaHttp.count() === direct.count())
+  }
+
+  test("e2e: hive-partitioned remote table prunes partitions and casts values") {
+    val direct = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(year(col("o_orderdate")) === 1997)
+    val viaHttp = remote("orders").filter(col("o_year") === 1997)
+    assert(viaHttp.count() === direct.count())
+    // o_year came back as a typed partition column
+    assert(viaHttp.schema("o_year").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("e2e: remote time travel via versionAsOf") {
+    val v1remote = spark.read.format("graft")
+      .option("url", server.url).option("token", TOKEN)
+      .option("table", "share1.default.orders_versioned")
+      .option("versionAsOf", "1").load()
+    val v1local = spark.read.format("graft")
+      .option("table", "share1.default.orders_versioned")
+      .option("versionAsOf", "1").load()
+    assert(v1remote.count() === v1local.count())
+  }
+
+  test("e2e: LIMIT pushes into the remote query as limitHint") {
+    val n = remote("lineitem").limit(100).count()
+    assert(n === 100)
+  }
+
+  test("e2e: URL refresh keeps long queries alive past expiry threshold") {
+    val old = GraftUrlCache.refreshThresholdMs
+    GraftUrlCache.refreshThresholdMs = Long.MaxValue // force refresh on every open
+    try assert(remote("lineitem").count() > 0)
+    finally GraftUrlCache.refreshThresholdMs = old
+  }
+}
