@@ -412,7 +412,7 @@ object SparkEntry {
       val sink = "graft_q33_sink"
       s.catalog.dropTempView(sink)
       val q = s.readStream.format("graft").option("path", path)
-        .option("maxFilesPerTrigger", "2").load()
+        .option("maxFilesPerTrigger", "8").load()
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
         .writeStream.format("memory").queryName(sink).outputMode("complete")

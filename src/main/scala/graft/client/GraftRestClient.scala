@@ -186,7 +186,12 @@ class GraftRestClient(
       metadata: wire.Metadata,
       adds: Seq[wire.AddFileW],
       cdfs: Seq[wire.CdcFileW],
-      removes: Seq[wire.RemoveFileW])
+      removes: Seq[wire.RemoveFileW],
+      /** Every metaData line seen (first = snapshot metadata at range
+        * start; later entries are historical schema changes mid-range —
+        * the streaming client must check each for read compatibility).
+        */
+      metas: Seq[wire.Metadata] = Nil)
 
   /** Version-range query (POST query with startingVersion) — the
     * streaming backbone.
@@ -219,6 +224,7 @@ class GraftRestClient(
     val adds = Seq.newBuilder[wire.AddFileW]
     val cdfs = Seq.newBuilder[wire.CdcFileW]
     val removes = Seq.newBuilder[wire.RemoveFileW]
+    val metas = Seq.newBuilder[wire.Metadata]
     var pageToken: Option[String] = None
     var first = true
     while (first || pageToken.isDefined) {
@@ -228,7 +234,10 @@ class GraftRestClient(
         .map[Long](_.toLong).orElse(version)
       pageToken = None
       ndjson(resp.body()).foreach { line =>
-        if (line.metaData != null && meta == null) meta = line.metaData
+        if (line.metaData != null) {
+          if (meta == null) meta = line.metaData
+          metas += line.metaData
+        }
         if (line.add != null) adds += line.add
         if (line.cdf != null) cdfs += line.cdf
         if (line.remove != null) removes += line.remove
@@ -236,7 +245,8 @@ class GraftRestClient(
           pageToken = Option(line.endStreamAction.nextPageToken)
       }
     }
-    ChangesResult(version, meta, adds.result(), cdfs.result(), removes.result())
+    ChangesResult(version, meta, adds.result(), cdfs.result(), removes.result(),
+      metas.result())
   }
 }
 

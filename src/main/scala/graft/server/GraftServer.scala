@@ -448,7 +448,8 @@ class GraftServer(
         if (cdfMode && cdc.nonEmpty) {
           cdc.sortBy(_.path).map(c => Line(cdf = CdcFileW(
             url = sign(c.path), id = id(c.path), partitionValues = c.partitionValues,
-            size = c.size, version = commit.version, timestamp = commit.timestamp)).json)
+            size = c.size, version = commit.version, timestamp = commit.timestamp,
+            expirationTimestamp = expiration)).json)
         } else {
           val adds = commit.actions
             .collect { case a: AddFile if a.dataChange => a }.sortBy(_.path)

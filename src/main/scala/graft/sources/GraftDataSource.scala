@@ -35,11 +35,31 @@ class GraftDataSource extends RelationProvider
         throw new IllegalArgumentException("option 'table' or 'path' required"))
     }
 
+  private def splitFqn(parameters: Map[String, String]): (String, String, String) = {
+    val fqn = parameters.getOrElse("table",
+      throw new IllegalArgumentException("remote mode requires option 'table'"))
+    fqn.split("\\.") match {
+      case Array(s, sc, t) => (s, sc, t)
+      case Array(s, t)     => (s, "default", t)
+      case _ => throw new IllegalArgumentException(
+        s"table must be share.schema.table, got $fqn")
+    }
+  }
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
+    if (parameters.contains("url")) {
+      val (share, sc, t) = splitFqn(parameters)
+      val client = new graft.client.GraftRestClient(
+        parameters("url"), parameters.get("token"))
+      val (meta, _) = client.metadata(share, sc, t)
+      return (shortName(), schema.getOrElse(
+        org.apache.spark.sql.types.DataType.fromJson(meta.schemaString)
+          .asInstanceOf[StructType]))
+    }
     val path = resolvePath(parameters)
     val log = new graft.log.GraftLog(path,
       sqlContext.sparkSession.sessionState.newHadoopConf())
@@ -60,9 +80,17 @@ class GraftDataSource extends RelationProvider
       metadataPath: String,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    if (parameters.contains("url")) {
+      val (share, sc, t) = splitFqn(parameters)
+      val client = new graft.client.GraftRestClient(
+        parameters("url"), parameters.get("token"))
+      return new graft.streaming.RemoteGraftSource(
+        sqlContext.sparkSession, client, share, sc, t, parameters)
+    }
     new graft.streaming.GraftSource(
       sqlContext.sparkSession, resolvePath(parameters), parameters)
+  }
 
   override def createRelation(
       sqlContext: SQLContext,
@@ -93,19 +121,14 @@ class GraftDataSource extends RelationProvider
   private def createRemoteRelation(
       spark: SparkSession,
       parameters: Map[String, String]): BaseRelation = {
-    val fqn = parameters.getOrElse("table",
-      throw new IllegalArgumentException("remote mode requires option 'table'"))
-    val Array(share, schema, table) = fqn.split("\\.") match {
-      case a @ Array(_, _, _) => a
-      case Array(s, t)        => Array(s, "default", t)
-      case _ => throw new IllegalArgumentException(
-        s"table must be share.schema.table, got $fqn")
-    }
+    val (share, schema, table) = splitFqn(parameters)
     require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
       "at most one of versionAsOf/timestampAsOf may be set")
     GraftFileSystem.register(spark)
     val client = new graft.client.GraftRestClient(
       parameters("url"), parameters.get("token"))
+    if (parameters.get("readChangeFeed").exists(_.toBoolean))
+      return new RemoteGraftCDFRelation(spark, client, share, schema, table, parameters)
     val index = new RemoteGraftFileIndex(spark, client, share, schema, table,
       versionAsOf = parameters.get("versionAsOf").map(_.toLong),
       timestampAsOf = parameters.get("timestampAsOf"))

@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{BaseRelation, Filter, PrunedFilteredScan}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.client.{GraftRestClient, GraftUrlCache}
+import graft.log.GraftCDF
+
+/** Remote Change Data Feed over the REST `/changes` endpoint — the
+  * reference's `RemoteDeltaCDFRelation` (`client/.../RemoteDeltaCDFRelation
+  * .scala:37-139`): per-version groups of add (implied insert) / cdc
+  * (typed rows) / remove (implied delete) files are read through graft://
+  * pre-signed URLs, stamped with `_commit_version`/`_commit_timestamp`,
+  * and unioned.
+  */
+class RemoteGraftCDFRelation(
+    spark: SparkSession,
+    client: GraftRestClient,
+    share: String,
+    schemaName: String,
+    table: String,
+    options: Map[String, String])
+    extends BaseRelation with PrunedFilteredScan {
+
+  private val params: Map[String, String] =
+    Seq("startingVersion", "startingTimestamp", "endingVersion", "endingTimestamp",
+      "includeHistoricalMetadata")
+      .flatMap(k => options.get(k).map(k -> _)).toMap
+
+  require(params.contains("startingVersion") || params.contains("startingTimestamp"),
+    "readChangeFeed requires startingVersion or startingTimestamp")
+
+  private lazy val df: DataFrame = {
+    GraftFileSystem.register(spark)
+    val res = client.changes(share, schemaName, table, params)
+    val tableSchema = DataType.fromJson(res.metadata.schemaString).asInstanceOf[StructType]
+
+    def entry(id: String, url: String, exp: java.lang.Long) =
+      id -> GraftUrlCache.Entry(url,
+        Option(exp).map(_.longValue()).getOrElse(Long.MaxValue))
+    val urls =
+      res.adds.map(a => entry(a.id, a.url, a.expirationTimestamp)) ++
+        res.cdfs.map(c => entry(c.id, c.url, c.expirationTimestamp)) ++
+        res.removes.map(r => entry(r.id, r.url, r.expirationTimestamp))
+    GraftUrlCache.register(s"cdf:$share.$schemaName.$table", urls.toMap,
+      () => {
+        val fresh = client.changes(share, schemaName, table, params)
+        (fresh.adds.map(a => entry(a.id, a.url, a.expirationTimestamp)) ++
+          fresh.cdfs.map(c => entry(c.id, c.url, c.expirationTimestamp)) ++
+          fresh.removes.map(r => entry(r.id, r.url, r.expirationTimestamp))).toMap
+      })
+
+    def path(id: String, size: Long): String =
+      GraftFileSystem.encodePath(id, size).toString
+
+    // (paths, change_type literal or None for cdc, version, timestampMs)
+    val groups: Seq[(Seq[String], Option[String], Long, Long)] =
+      res.adds.groupBy(a => (a.version, a.timestamp)).toSeq.map { case ((v, ts), as) =>
+        (as.map(a => path(a.id, a.size)), Some("insert"), v, ts)
+      } ++
+        res.cdfs.groupBy(c => (c.version, c.timestamp)).toSeq.map { case ((v, ts), cs) =>
+          (cs.map(c => path(c.id, c.size)), None, v, ts)
+        } ++
+        res.removes.groupBy(r => (r.version, r.timestamp)).toSeq.map { case ((v, ts), rs) =>
+          (rs.map(r => path(r.id, r.size)), Some("delete"), v, ts)
+        }
+
+    val dfs = groups.sortBy(g => (g._3, g._2.isEmpty)).map { case (paths, ct, v, ts) =>
+      val base = ct match {
+        case Some(t) => spark.read.schema(tableSchema).parquet(paths: _*)
+          .withColumn(GraftCDF.CHANGE_TYPE, lit(t))
+        case None => spark.read.schema(tableSchema.add(GraftCDF.CHANGE_TYPE, "string"))
+          .parquet(paths: _*)
+      }
+      base.withColumn(GraftCDF.COMMIT_VERSION, lit(v))
+        .withColumn(GraftCDF.COMMIT_TIMESTAMP, lit(new java.sql.Timestamp(ts)))
+    }
+
+    dfs match {
+      case Nil =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          tableSchema.add(GraftCDF.CHANGE_TYPE, StringType)
+            .add(GraftCDF.COMMIT_VERSION, LongType)
+            .add(GraftCDF.COMMIT_TIMESTAMP, TimestampType))
+      case list => list.reduce(_.unionByName(_))
+    }
+  }
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override lazy val schema: StructType = df.schema
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val projected =
+      if (requiredColumns.isEmpty) df
+      else df.select(requiredColumns.map(col).toIndexedSeq: _*)
+    projected.rdd
+  }
+}

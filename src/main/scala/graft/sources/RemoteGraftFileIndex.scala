@@ -126,3 +126,53 @@ trait GraftLimitableIndex { self: FileIndex =>
   def limitHint: Option[Long]
   def withLimit(n: Long): FileIndex
 }
+
+/** FileIndex over a FIXED remote file list — the streaming micro-batch
+  * shape (reference `RemoteDeltaBatchFileIndex`,
+  * `RemoteDeltaFileIndex.scala:339-363`): the files were already chosen by
+  * offset-range bookkeeping, so listFiles only groups them into partition
+  * directories (Spark still re-applies all filters on rows).
+  */
+class RemoteBatchFileIndex(
+    spark: SparkSession,
+    fullSchema: StructType,
+    partitionColumns: Seq[String],
+    files: Seq[(String, Long, Map[String, String])]) // (fileId, size, partitionValues)
+    extends FileIndex {
+
+  override val partitionSchema: StructType =
+    StructType(partitionColumns.map(c => fullSchema(c)))
+
+  val dataSchema: StructType =
+    StructType(fullSchema.filterNot(f => partitionColumns.contains(f.name)))
+
+  override def rootPaths: Seq[Path] = Nil
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    def status(f: (String, Long, Map[String, String])): FileStatus =
+      new FileStatus(f._2, false, 1, GraftFileSystem.BLOCK_SIZE, 0L,
+        GraftFileSystem.encodePath(f._1, f._2))
+    if (partitionSchema.isEmpty) {
+      Seq(PartitionDirectory(InternalRow.empty, files.map(status).toArray))
+    } else {
+      files.groupBy(_._3).toSeq.map { case (values, group) =>
+        val row = InternalRow.fromSeq(partitionSchema.map { field =>
+          val v = values.getOrElse(field.name, "")
+          if (v == null || v.isEmpty) null
+          else Cast(Literal(UTF8String.fromString(v), StringType), field.dataType,
+            Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+        })
+        PartitionDirectory(row, group.map(status).toArray)
+      }
+    }
+  }
+
+  override def inputFiles: Array[String] =
+    files.map(f => GraftFileSystem.encodePath(f._1, f._2).toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = files.map(_._2).sum
+}

@@ -187,40 +187,10 @@ class GraftSource(
     out.result()
   }
 
-  /** Flatten a (possibly composite) ReadLimit into (fileCap, byteCap). */
-  private def caps(limit: ReadLimit): (Option[Int], Option[Long]) = limit match {
-    case _: ReadAllAvailable        => (None, None)
-    case mf: ReadMaxFiles           => (Some(mf.maxFiles()), None)
-    case GraftReadMaxBytes(b)       => (None, Some(b))
-    case c: streaming.CompositeReadLimit =>
-      c.getReadLimits.map(caps).foldLeft((Option.empty[Int], Option.empty[Long])) {
-        case ((f1, b1), (f2, b2)) => (f1.orElse(f2), b1.orElse(b2))
-      }
-    case _                          => (None, None)
-  }
+  private def caps(limit: ReadLimit): (Option[Int], Option[Long]) = Admission.caps(limit)
 
-  private def admit(files: Seq[IndexedFile], limit: ReadLimit): Seq[IndexedFile] = {
-    val (fileCap, byteCap) = caps(limit)
-    if (fileCap.isEmpty && byteCap.isEmpty) return files
-    var dataCount = 0
-    var bytes = 0L
-    val it = files.iterator
-    val admitted = Vector.newBuilder[IndexedFile]
-    var done = false
-    while (it.hasNext && !done) {
-      val f = it.next()
-      val isData = f.add.isDefined
-      val wouldExceedFiles = isData && fileCap.exists(m => dataCount + 1 > m)
-      // at least one data file is always admitted, whatever its size
-      val wouldExceedBytes = isData && byteCap.exists(m => bytes + f.bytes > m && dataCount > 0)
-      if (wouldExceedFiles || wouldExceedBytes) done = true
-      else {
-        admitted += f
-        if (isData) { dataCount += 1; bytes += f.bytes }
-      }
-    }
-    admitted.result()
-  }
+  private def admit(files: Seq[IndexedFile], limit: ReadLimit): Seq[IndexedFile] =
+    Admission.admit(files, limit)(_.add.isDefined, _.bytes)
 
   // ----------------------------------------------------------- CDF mode
 

@@ -1,0 +1,217 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.connector.read.streaming
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.client.{GraftRestClient, GraftUrlCache}
+import graft.model.SchemaCompat
+import graft.sources.{GraftFileSystem, RemoteBatchFileIndex}
+
+/** Streaming source over a REMOTE shared table — micro-batches fetched
+  * from the sharing server over REST (snapshot query + version-range
+  * queries), scan bytes flowing through pre-signed URLs + graft://
+  * (the reference's `DeltaSharingSource`, `client/.../DeltaSharingSource
+  * .scala:93-1207`, which tails exactly these two RPCs).
+  *
+  * Semantics shared with the local [[GraftSource]]: snapshot-then-tail,
+  * stable in-version file order (by id), file/byte admission control,
+  * empty-version sentinels, remove-commit policing, per-metadata schema
+  * drift guard, Trigger.AvailableNow freezing.
+  */
+class RemoteGraftSource(
+    spark: SparkSession,
+    client: GraftRestClient,
+    share: String,
+    schemaName: String,
+    table: String,
+    options: Map[String, String])
+    extends Source
+    with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  import GraftSourceOffset.VERSION_CONSUMED
+
+  private val startingVersion: Option[Long] = options.get("startingVersion").map(_.toLong)
+  private val maxFilesPerTrigger: Int =
+    options.get("maxFilesPerTrigger").map(_.toInt).getOrElse(GraftSource.DEFAULT_MAX_FILES)
+  private val maxBytesPerTrigger: Option[Long] = options.get("maxBytesPerTrigger").map(_.toLong)
+  private val ignoreChanges: Boolean = options.get("ignoreChanges").exists(_.toBoolean)
+  private val ignoreDeletes: Boolean = options.get("ignoreDeletes").exists(_.toBoolean)
+  private val skipChangeCommits: Boolean = options.get("skipChangeCommits").exists(_.toBoolean)
+
+  private val (meta, versionAtStart) = client.metadata(share, schemaName, table)
+  private val tableId: String = meta.id
+
+  override val schema: StructType =
+    DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+
+  private val partitionSchema: StructType =
+    StructType(meta.partitionColumns.map(c => schema(c)))
+
+  @volatile private var frozenEndVersion: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenEndVersion = Some(client.tableVersion(share, schemaName, table))
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val fileLimit = options.get("maxFilesPerTrigger")
+      .map(_ => ReadLimit.maxFiles(maxFilesPerTrigger))
+    val byteLimit = maxBytesPerTrigger.map(GraftReadMaxBytes(_))
+    (fileLimit, byteLimit) match {
+      case (Some(f), Some(b)) => ReadLimit.compositeLimit(Array[ReadLimit](f, b))
+      case (None, Some(b))    => b
+      case _                  => ReadLimit.maxFiles(maxFilesPerTrigger)
+    }
+  }
+
+  /** One admitted file (or empty-version sentinel) in offset order. */
+  private case class IndexedFile(
+      version: Long, index: Long,
+      file: Option[(String, Long, Map[String, String])], // (id, size, partitionValues)
+      isStarting: Boolean) {
+    def bytes: Long = file.map(_._2).getOrElse(0L)
+  }
+
+  private def registerUrls(entries: Map[String, GraftUrlCache.Entry],
+      refresh: () => Map[String, GraftUrlCache.Entry]): Unit =
+    GraftUrlCache.register(s"stream:$share.$schemaName.$table", entries, refresh)
+
+  /** Snapshot files at `version`, offset-ordered (stable by id). */
+  private def snapshotFiles(version: Long): Seq[(String, Long, Map[String, String])] = {
+    val req = graft.server.wire.QueryRequest(version = version)
+    val res = client.query(share, schemaName, table, req)
+    registerUrls(
+      res.files.map(f => f.id -> GraftUrlCache.Entry(f.url,
+        Option(f.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap,
+      () => client.query(share, schemaName, table, req).files.map(f =>
+        f.id -> GraftUrlCache.Entry(f.url,
+          Option(f.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap)
+    res.files.sortBy(_.id).map(f => (f.id, f.size, f.partitionValues))
+  }
+
+  /** Version-range files grouped per version, with policing + drift check. */
+  private def rangeCommits(
+      start: Long, end: Long): Seq[(Long, Seq[(String, Long, Map[String, String])], Boolean)] = {
+    val res = client.queryRange(share, schemaName, table, start, Some(end))
+    // schema drift guard on every historical metadata in the range
+    res.metas.foreach { m =>
+      SchemaCompat.assertReadCompatible(schema,
+        DataType.fromJson(m.schemaString).asInstanceOf[StructType],
+        s"$share.$schemaName.$table (version ${Option(m.version).getOrElse(-1L)})")
+    }
+    registerUrls(
+      res.adds.map(a => a.id -> GraftUrlCache.Entry(a.url,
+        Option(a.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap,
+      () => client.queryRange(share, schemaName, table, start, Some(end)).adds.map(a =>
+        a.id -> GraftUrlCache.Entry(a.url,
+          Option(a.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap)
+    val removesByVersion = res.removes.groupBy(_.version)
+    val addsByVersion = res.adds.groupBy(_.version)
+    (start to end).map { v =>
+      val removes = removesByVersion.getOrElse(v, Nil)
+      val dropCommit = removes.nonEmpty && skipChangeCommits
+      if (removes.nonEmpty && !dropCommit && !(ignoreChanges || ignoreDeletes)) {
+        throw new UnsupportedOperationException(
+          s"Detected a data update/delete in version $v of table " +
+            s"$share.$schemaName.$table. Streaming sources only support appends; " +
+            "set 'skipChangeCommits' to skip such commits, or 'ignoreChanges'/" +
+            "'ignoreDeletes' to stream the added files anyway.")
+      }
+      val adds = addsByVersion.getOrElse(v, Nil).sortBy(_.id)
+        .map(a => (a.id, a.size, a.partitionValues))
+      (v, adds, dropCommit)
+    }
+  }
+
+  private def filesAfter(from: Option[GraftSourceOffset], endVersion: Long): Seq[IndexedFile] = {
+    val out = Vector.newBuilder[IndexedFile]
+
+    def emitSnapshot(version: Long, fromIndex: Long): Unit = {
+      snapshotFiles(version).zipWithIndex.foreach { case (f, i) =>
+        if (i > fromIndex) out += IndexedFile(version, i.toLong, Some(f), isStarting = true)
+      }
+      out += IndexedFile(version + 1, VERSION_CONSUMED, None, isStarting = false)
+    }
+
+    def emitChanges(fromVersion: Long, fromIndex: Long): Unit = {
+      if (fromVersion > endVersion) return
+      rangeCommits(fromVersion, endVersion).foreach { case (v, adds, dropped) =>
+        if (!dropped) {
+          adds.zipWithIndex.foreach { case (f, i) =>
+            if (v > fromVersion || i > fromIndex)
+              out += IndexedFile(v, i.toLong, Some(f), isStarting = false)
+          }
+        }
+        out += IndexedFile(v + 1, VERSION_CONSUMED, None, isStarting = false)
+      }
+    }
+
+    from match {
+      case None =>
+        startingVersion match {
+          case Some(sv) => emitChanges(sv, Long.MinValue)
+          case None =>
+            val snapV = math.min(versionAtStart, endVersion)
+            emitSnapshot(snapV, Long.MinValue)
+            emitChanges(snapV + 1, Long.MinValue)
+        }
+      case Some(o) if o.isStartingVersion =>
+        emitSnapshot(o.tableVersion, o.index)
+        emitChanges(o.tableVersion + 1, Long.MinValue)
+      case Some(o) if o.index == VERSION_CONSUMED =>
+        emitChanges(o.tableVersion, Long.MinValue)
+      case Some(o) =>
+        emitChanges(o.tableVersion, o.index)
+    }
+    out.result()
+  }
+
+  override def latestOffset(startOffset: streaming.Offset, limit: ReadLimit): streaming.Offset = {
+    val from = Option(startOffset).map(o => GraftSourceOffset(o.asInstanceOf[Offset]))
+    val endVersion = frozenEndVersion
+      .getOrElse(client.tableVersion(share, schemaName, table))
+    val files = Admission.admit(filesAfter(from, endVersion), limit)(_.file.isDefined, _.bytes)
+    if (files.isEmpty) from.orNull
+    else {
+      val last = files.last
+      GraftSourceOffset(tableId, last.version, last.index, last.isStarting)
+    }
+  }
+
+  override def getOffset: Option[Offset] =
+    Option(latestOffset(null, getDefaultReadLimit)).map(_.asInstanceOf[Offset])
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(GraftSourceOffset(_))
+    val to = GraftSourceOffset(end)
+    from.foreach(f => GraftSourceOffset.validate(f, to))
+    // A sentinel offset (v+1, -1) means "consumed through v" — fetch only
+    // up to v; asking the server for v+1 would be out of range.
+    val endV =
+      if (to.index == VERSION_CONSUMED && !to.isStartingVersion) to.tableVersion - 1
+      else to.tableVersion
+    val files = filesAfter(from, endV)
+      .filter(f => GraftSourceOffset(tableId, f.version, f.index, f.isStarting).compare(to) <= 0)
+      .flatMap(_.file)
+    GraftFileSystem.register(spark)
+    val index = new RemoteBatchFileIndex(spark, schema, meta.partitionColumns, files)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = partitionSchema,
+      dataSchema = index.dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    GraftSqlBridge.ofRowsStreaming(spark, LogicalRelation(relation, isStreaming = true))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"RemoteGraftSource[$share.$schemaName.$table]"
+}

@@ -323,4 +323,58 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     try assert(remote("lineitem").count() > 0)
     finally GraftUrlCache.refreshThresholdMs = old
   }
+
+  test("e2e: remote STREAMING source tails the shared table over REST") {
+    val q = spark.readStream.format("graft")
+      .option("url", server.url).option("token", TOKEN)
+      .option("table", "share1.default.orders_versioned")
+      .option("maxFilesPerTrigger", "2")
+      .load()
+      .groupBy().count()
+      .writeStream.format("memory").queryName("t_remote_stream").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    val expected = spark.read.format("graft")
+      .option("table", "share1.default.orders_versioned").load().count()
+    assert(spark.table("t_remote_stream").collect().head.getLong(0) === expected)
+    assert(batches > 1) // admission control split the snapshot+tail
+  }
+
+  test("e2e: remote streaming from startingVersion replays appended versions only") {
+    val q = spark.readStream.format("graft")
+      .option("url", server.url).option("token", TOKEN)
+      .option("table", "share1.default.orders_versioned")
+      .option("startingVersion", "1")
+      .load()
+      .groupBy().count()
+      .writeStream.format("memory").queryName("t_remote_sv").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val v2 = spark.read.format("graft")
+      .option("table", "share1.default.orders_versioned").load().count()
+    val v0 = spark.read.format("graft")
+      .option("table", "share1.default.orders_versioned")
+      .option("versionAsOf", "0").load().count()
+    assert(spark.table("t_remote_sv").collect().head.getLong(0) === v2 - v0)
+  }
+
+  test("e2e: remote CDF batch via readChangeFeed matches the local CDF") {
+    val remoteCdf = spark.read.format("graft")
+      .option("url", server.url).option("token", TOKEN)
+      .option("table", "share1.default.orders_cdf")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load()
+    val localCdf = spark.read.format("graft")
+      .option("path", GraftCatalog.location("share1.default.orders_cdf"))
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load()
+    assert(remoteCdf.count() === localCdf.count())
+    assert(remoteCdf.groupBy("_change_type").count().collect().toSet ===
+      localCdf.groupBy("_change_type").count().collect().toSet)
+    assert(remoteCdf.select("_commit_version").distinct().count() ===
+      localCdf.select("_commit_version").distinct().count())
+  }
 }
