@@ -108,8 +108,12 @@ class GraftServer(
           tableMetadata(ex, s, sc, t, q)
         case ("POST", List("shares", s, "schemas", sc, "tables", t, "query")) =>
           queryTable(ex, s, sc, t)
+        case ("POST", List("shares", s, "schemas", sc, "tables", t, "queries", qid)) =>
+          queryStatus(ex, s, sc, t, qid)
         case ("GET", List("shares", s, "schemas", sc, "tables", t, "changes")) =>
           tableChanges(ex, s, sc, t, q)
+        case ("POST", List("shares", s, "schemas", sc, "tables", t, "temporary-table-credentials")) =>
+          tableCredentials(ex, s, sc, t)
         case _ => throw GraftServerException.notFound(
           s"${ex.getRequestMethod} /${parts.mkString("/")} is not a sharing endpoint")
       }
@@ -272,6 +276,13 @@ class GraftServer(
     val tableKey = s"$share.$schema.$table"
     val location = tableLocation(share, schema, table)
 
+    // Async execution (PROTOCOL.md:3425-3472): requested via the
+    // delta-sharing-capabilities header; the snapshot result is computed,
+    // parked under a queryId, and only a queryStatus handle returned —
+    // the client polls POST .../queries/{queryId} for the lines.
+    val async = Option(ex.getRequestHeaders.getFirst(CAPABILITIES_HEADER))
+      .exists(_.toLowerCase.contains("asyncquery=true"))
+
     if (req.startingVersion != null) {
       // version-range (streaming backbone): all data-change actions.
       val start = req.startingVersion.longValue()
@@ -284,13 +295,56 @@ class GraftServer(
         pageToken = Option(req.pageToken), cdfMode = false,
         includeHistoricalMetadata = true)
     } else {
-      queryTableSnapshot(ex, l, location, tableKey, req)
+      val (version, lines) = queryTableSnapshot(l, location, tableKey, req)
+      ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, version.toString)
+      if (async) {
+        val queryId = java.util.UUID.randomUUID().toString
+        asyncResults.put(queryId,
+          AsyncResult(version, lines, now() + config.pageTokenTtlMs))
+        sendNdjson(ex, lines.take(2) :+ Line(queryStatus = QueryStatus(queryId)).json)
+      } else sendNdjson(ex, lines)
     }
   }
 
+  private case class AsyncResult(version: Long, lines: Seq[String], expiration: Long)
+  private val asyncResults =
+    scala.collection.concurrent.TrieMap.empty[String, AsyncResult]
+
+  /** Poll endpoint for an async query's parked result. */
+  private def queryStatus(
+      ex: HttpExchange, share: String, schema: String, table: String,
+      queryId: String): Unit = {
+    tableLocation(share, schema, table) // 404 on unknown table
+    asyncResults.get(queryId).filter(_.expiration >= now()) match {
+      case Some(res) =>
+        ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, res.version.toString)
+        sendNdjson(ex, res.lines)
+      case None =>
+        throw GraftServerException.notFound(s"query $queryId does not exist or expired")
+    }
+  }
+
+  /** `dir` access mode: vend expiring credentials for the whole table
+    * root instead of per-file URLs (local-mode counterpart of the
+    * reference's STS/SAS vendors, `server/.../credential dir`).
+    */
+  private def tableCredentials(
+      ex: HttpExchange, share: String, schema: String, table: String): Unit = {
+    val location = tableLocation(share, schema, table)
+    val exp = now() + config.preSignedUrlTimeoutSeconds * 1000
+    val rootUri = new Path(location).toUri
+    val tablePath =
+      if (rootUri.getScheme == null) s"file://$location" else rootUri.toString
+    sendJson(ex, 200, JsonUtils.toJson(TableCredentials(
+      tablePath = tablePath,
+      expirationTimestamp = exp,
+      credentialsType = "local-file",
+      accessToken = Tokens.hmac(secret, s"dir:$location@$exp"))))
+  }
+
   private def queryTableSnapshot(
-      ex: HttpExchange, l: GraftLog, location: String, tableKey: String,
-      req: QueryRequest): Unit = {
+      l: GraftLog, location: String, tableKey: String,
+      req: QueryRequest): (Long, Seq[String]) = {
     // Version resolution order: pageToken > explicit version > timestamp >
     // refreshToken > latest (reference `DeltaSharedTable.scala:382-413`).
     val pageTok = Option(req.pageToken)
@@ -382,8 +436,7 @@ class GraftServer(
         minUrlExpirationTimestamp = if (pageFiles.nonEmpty) expiration else null)).json)
     else Nil
 
-    ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, version.toString)
-    sendNdjson(ex,
+    (version,
       Seq(Line(protocol = wire.Protocol()).json,
         Line(metaData = wireMetadata(snap.metadata, version)).json) ++ fileLines ++ end)
   }
@@ -591,10 +644,14 @@ class GraftServer(
     ex.getResponseBody.write(bytes)
   }
 
-  /** One JSON object per line (`PROTOCOL.md:3537-3545`). */
+  /** One JSON object per line (`PROTOCOL.md:3537-3545`); the negotiated
+    * capabilities are echoed back (`PROTOCOL.md:3324-3378` — this engine
+    * always serves the parquet response dialect).
+    */
   private def sendNdjson(ex: HttpExchange, lines: Seq[String]): Unit = {
     val bytes = (lines.mkString("\n") + "\n").getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/x-ndjson; charset=utf-8")
+    ex.getResponseHeaders.set(CAPABILITIES_HEADER, "responseformat=parquet")
     ex.sendResponseHeaders(200, bytes.length)
     ex.getResponseBody.write(bytes)
   }
@@ -613,6 +670,7 @@ class GraftServer(
 
 object GraftServer {
   val DELTA_TABLE_VERSION_HEADER = "Delta-Table-Version"
+  val CAPABILITIES_HEADER = "delta-sharing-capabilities"
 
   private val RANGE_RE = """bytes=(\d+)-(\d*)""".r
 

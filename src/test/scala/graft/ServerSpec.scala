@@ -234,6 +234,45 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(JsonUtils.fromJson[ErrorResponse](disabled.body()).message.contains("Change Data Feed"))
   }
 
+  test("async query: submit returns a queryStatus handle, poll serves the result") {
+    val submit = http.send(HttpRequest.newBuilder(
+      URI.create(s"${server.url}/shares/share1/schemas/default/tables/lineitem/query"))
+      .header("Authorization", s"Bearer $TOKEN")
+      .header("delta-sharing-capabilities", "responseformat=parquet;asyncquery=true")
+      .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    val lines = submit.body().split("\n").filter(_.nonEmpty).map(JsonUtils.fromJson[Line](_))
+    assert(lines.count(_.file != null) === 0)
+    val qid = lines.flatMap(l => Option(l.queryStatus)).head.queryId
+    // poll
+    val poll = rawPost(s"/shares/share1/schemas/default/tables/lineitem/queries/$qid", "{}")
+    assert(poll.statusCode() === 200)
+    val pollLines = poll.body().split("\n").filter(_.nonEmpty).map(JsonUtils.fromJson[Line](_))
+    assert(pollLines.count(_.file != null) === 8)
+    // unknown query id → 404
+    assert(rawPost("/shares/share1/schemas/default/tables/lineitem/queries/nope", "{}")
+      .statusCode() === 404)
+  }
+
+  test("capabilities header is echoed on NDJSON responses") {
+    val resp = rawGet("/shares/share1/schemas/default/tables/lineitem/metadata")
+    assert(resp.headers().firstValue("delta-sharing-capabilities").orElse("")
+      .contains("responseformat=parquet"))
+  }
+
+  test("temporary-table-credentials vends an expiring table-root grant") {
+    val resp = rawPost(
+      "/shares/share1/schemas/default/tables/lineitem/temporary-table-credentials", "{}")
+    assert(resp.statusCode() === 200)
+    val creds = JsonUtils.fromJson[TableCredentials](resp.body())
+    assert(creds.tablePath.startsWith("file://") && creds.tablePath.contains("lineitem"))
+    assert(creds.expirationTimestamp > System.currentTimeMillis())
+    assert(creds.credentialsType === "local-file" && creds.accessToken.nonEmpty)
+    assert(rawPost(
+      "/shares/share1/schemas/default/tables/nope/temporary-table-credentials", "{}")
+      .statusCode() === 404)
+  }
+
   // ------------------------------------------------------ pre-signed data
 
   test("pre-signed data URLs serve bytes, honor Range, reject tampering") {
