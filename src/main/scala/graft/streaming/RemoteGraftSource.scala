@@ -45,6 +45,31 @@ class RemoteGraftSource(
   private val ignoreDeletes: Boolean = options.get("ignoreDeletes").exists(_.toBoolean)
   private val skipChangeCommits: Boolean = options.get("skipChangeCommits").exists(_.toBoolean)
 
+  /** T4: at most this many versions are requested per range RPC (the
+    * reference default 100, `DeltaSharingSource.scala:176-191`) so a
+    * long-backlogged stream never asks the server for an unbounded reply.
+    */
+  private val maxVersionsPerRpc: Int =
+    options.get("maxVersionsPerRpc").map(_.toInt).getOrElse(100)
+
+  /** T4: table-version polls are throttled (reference ≥ 10 s,
+    * `queryTableVersionIntervalSeconds`); 0 disables for tests.
+    */
+  private val versionPollIntervalMs: Long =
+    options.get("queryTableVersionIntervalSeconds").map(_.toLong * 1000).getOrElse(10000L)
+
+  @volatile private var lastPolledVersion: Long = -1L
+  @volatile private var lastPollTime: Long = 0L
+
+  private def currentServerVersion(): Long = {
+    val nowMs = System.currentTimeMillis()
+    if (lastPolledVersion < 0 || nowMs - lastPollTime >= versionPollIntervalMs) {
+      lastPolledVersion = client.tableVersion(share, schemaName, table)
+      lastPollTime = nowMs
+    }
+    lastPolledVersion
+  }
+
   private val (meta, versionAtStart) = client.metadata(share, schemaName, table)
   private val tableId: String = meta.id
 
@@ -78,15 +103,15 @@ class RemoteGraftSource(
     def bytes: Long = file.map(_._2).getOrElse(0L)
   }
 
-  private def registerUrls(entries: Map[String, GraftUrlCache.Entry],
+  private def registerUrls(key: String, entries: Map[String, GraftUrlCache.Entry],
       refresh: () => Map[String, GraftUrlCache.Entry]): Unit =
-    GraftUrlCache.register(s"stream:$share.$schemaName.$table", entries, refresh)
+    GraftUrlCache.register(s"stream:$share.$schemaName.$table#$key", entries, refresh)
 
   /** Snapshot files at `version`, offset-ordered (stable by id). */
   private def snapshotFiles(version: Long): Seq[(String, Long, Map[String, String])] = {
     val req = graft.server.wire.QueryRequest(version = version)
     val res = client.query(share, schemaName, table, req)
-    registerUrls(
+    registerUrls(s"snap@$version",
       res.files.map(f => f.id -> GraftUrlCache.Entry(f.url,
         Option(f.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap,
       () => client.query(share, schemaName, table, req).files.map(f =>
@@ -95,8 +120,17 @@ class RemoteGraftSource(
     res.files.sortBy(_.id).map(f => (f.id, f.size, f.partitionValues))
   }
 
-  /** Version-range files grouped per version, with policing + drift check. */
+  /** Version-range files grouped per version, with policing + drift
+    * check; the range is fetched in windows of `maxVersionsPerRpc`.
+    */
   private def rangeCommits(
+      start: Long, end: Long): Seq[(Long, Seq[(String, Long, Map[String, String])], Boolean)] = {
+    val windows = (start to end by maxVersionsPerRpc.toLong)
+      .map(s0 => (s0, math.min(s0 + maxVersionsPerRpc - 1, end)))
+    windows.flatMap { case (s0, e0) => rangeCommitsWindow(s0, e0) }
+  }
+
+  private def rangeCommitsWindow(
       start: Long, end: Long): Seq[(Long, Seq[(String, Long, Map[String, String])], Boolean)] = {
     val res = client.queryRange(share, schemaName, table, start, Some(end))
     // schema drift guard on every historical metadata in the range
@@ -105,7 +139,7 @@ class RemoteGraftSource(
         DataType.fromJson(m.schemaString).asInstanceOf[StructType],
         s"$share.$schemaName.$table (version ${Option(m.version).getOrElse(-1L)})")
     }
-    registerUrls(
+    registerUrls(s"range@$start-$end",
       res.adds.map(a => a.id -> GraftUrlCache.Entry(a.url,
         Option(a.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap,
       () => client.queryRange(share, schemaName, table, start, Some(end)).adds.map(a =>
@@ -174,8 +208,7 @@ class RemoteGraftSource(
 
   override def latestOffset(startOffset: streaming.Offset, limit: ReadLimit): streaming.Offset = {
     val from = Option(startOffset).map(o => GraftSourceOffset(o.asInstanceOf[Offset]))
-    val endVersion = frozenEndVersion
-      .getOrElse(client.tableVersion(share, schemaName, table))
+    val endVersion = frozenEndVersion.getOrElse(currentServerVersion())
     val files = Admission.admit(filesAfter(from, endVersion), limit)(_.file.isDefined, _.bytes)
     if (files.isEmpty) from.orNull
     else {

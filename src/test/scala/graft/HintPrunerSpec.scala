@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{AddFile, FileStats}
+import graft.server.PartitionHintPruner
+
+/** SQL-string predicate hints → partition pruning (P1): supported shapes,
+  * typed comparisons, and — critically — the polarity rules that keep
+  * dropped subtrees from ever excluding a matching file (the superset
+  * guarantee, reference `PartitionFilterUtils` + pruner proofs).
+  */
+class HintPrunerSpec extends AnyFunSuite {
+
+  private val ps = StructType(Seq(
+    StructField("o_year", IntegerType),
+    StructField("region", StringType),
+    StructField("day", DateType)))
+
+  private def file(year: String, region: String = "emea", day: String = "2021-06-01") =
+    AddFile(path = s"f_$year", partitionValues =
+      Map("o_year" -> year, "region" -> region, "day" -> day),
+      stats = Some(FileStats(10)))
+
+  private val files = Seq(file("1996"), file("1997"), file("1998", region = "apac"))
+
+  private def prune(hints: String*): Seq[String] =
+    PartitionHintPruner.prune(hints, ps, files).map(_.path)
+
+  test("typed comparisons on int, string, date partition columns") {
+    assert(prune("o_year = 1997") === Seq("f_1997"))
+    assert(prune("o_year >= 1997") === Seq("f_1997", "f_1998"))
+    assert(prune("region = 'apac'") === Seq("f_1998"))
+    assert(prune("day >= '2021-01-01'") === Seq("f_1996", "f_1997", "f_1998"))
+    assert(prune("day > '2021-06-01'") === Seq())
+    assert(prune("1997 <= o_year") === Seq("f_1997", "f_1998"))
+  }
+
+  test("boolean connectives and null checks") {
+    assert(prune("o_year = 1997 OR o_year = 1998") === Seq("f_1997", "f_1998"))
+    assert(prune("o_year >= 1997 AND region = 'emea'") === Seq("f_1997"))
+    assert(prune("NOT (o_year = 1997)") === Seq("f_1996", "f_1998"))
+    assert(prune("o_year IS NOT NULL") === Seq("f_1996", "f_1997", "f_1998"))
+    assert(prune("o_year IS NULL") === Seq())
+    // multiple hints conjoin
+    assert(prune("o_year >= 1997", "region = 'emea'") === Seq("f_1997"))
+  }
+
+  test("unsupported hints are dropped whole (best-effort superset)") {
+    assert(prune("concat(region, 'x') = 'emeax'").size === 3)
+    assert(prune("o_year + 1 = 1998").size === 3)
+    assert(prune("not_a_column = 5").size === 3)
+  }
+
+  test("And may keep one conjunct; Not/Or over partial subtrees must drop") {
+    // And: the supported conjunct still prunes
+    assert(prune("o_year = 1997 AND concat(region, 'x') = 'zz'") === Seq("f_1997"))
+    // Not over a partially-translatable And would be UNSOUND if the
+    // partial were kept (¬(a∧junk) ⊉ ¬a) — the whole hint must be dropped.
+    assert(prune("NOT (o_year = 1997 AND concat(region, 'x') = 'zz')").size === 3)
+    // Or with one untranslatable side must drop the whole hint too.
+    assert(prune("o_year = 1997 OR concat(region, 'x') = 'zz'").size === 3)
+  }
+}

@@ -400,6 +400,24 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("t_remote_sv").collect().head.getLong(0) === v2 - v0)
   }
 
+  test("e2e: remote streaming honors maxVersionsPerRpc windows") {
+    val q = spark.readStream.format("graft")
+      .option("url", server.url).option("token", TOKEN)
+      .option("table", "share1.default.orders_versioned")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerRpc", "1")
+      .option("queryTableVersionIntervalSeconds", "0")
+      .load()
+      .groupBy().count()
+      .writeStream.format("memory").queryName("t_remote_rpc").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val expected = spark.read.format("graft")
+      .option("table", "share1.default.orders_versioned").load().count()
+    assert(spark.table("t_remote_rpc").collect().head.getLong(0) === expected)
+  }
+
   test("e2e: remote CDF batch via readChangeFeed matches the local CDF") {
     val remoteCdf = spark.read.format("graft")
       .option("url", server.url).option("token", TOKEN)
