@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 // temporary profiling harness — deleted before commit
@@ -17,41 +16,14 @@ object Scratch {
       println(f"== $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-
-    val threshold = 0.6
-    val sets = docs.select(col("doc_id").as("id"),
-      graft.ops.Dedup.charNgrams(col("text"), 5).as("fset"))
-    val exploded = sets.select(
-      col("id"), size(col("fset")).as("__n"), explode(col("fset")).as("__f"))
-    val dictBase = exploded.groupBy(col("__f")).agg(count(lit(1)).as("__freq"))
-    val ranked = exploded.join(dictBase.select(col("__f"), col("__freq")), "__f")
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy(col("id")).orderBy(col("__freq"), col("__f"))))
-    val prefix = ranked
-      .filter(col("__rn") <= col("__n") - ceil(col("__n") * lit(threshold) - lit(1e-9)) + 1)
-      .select(col("id"), col("__f"), col("__rn"), col("__n"))
-    val a = prefix.select(col("id").as("id_a"), col("__f"),
-      col("__rn").as("__rn_a"), col("__n").as("__n_a"))
-    val b = prefix.select(col("id").as("id_b"), col("__f"),
-      col("__rn").as("__rn_b"), col("__n").as("__n_b"))
-    val survivors = a.join(b, Seq("__f"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(least(col("__n_a"), col("__n_b")).cast("double") >=
-        lit(threshold) * greatest(col("__n_a"), col("__n_b")).cast("double") - lit(1e-9))
-      .filter(lit(1) + least(col("__n_a") - col("__rn_a"), col("__n_b") - col("__rn_b")) >=
-        ceil(lit(threshold / (1.0 + threshold)) * (col("__n_a") + col("__n_b")) - lit(1e-9)))
-    time("survivor rows")(println("rows=" + survivors.count()))
-    time("distinct pairs")(println("pairs=" + survivors.select("id_a", "id_b").distinct().count()))
-
-    time("q35 full")(println("rows=" +
-      graft.ops.Dedup.ngramJaccardDuplicates(docs, "doc_id", "text", 5, 0.6).count()))
-    time("q27 full")(println("rows=" +
+    time("q27 run1")(println("rows=" +
       graft.ops.Dedup.nearDuplicatesExact(docs, "doc_id", "text", 0.7).count()))
-    time("q27 prefix-only")(println("rows=" + {
-      val s2 = docs.select(col("doc_id").as("id"),
-        array_distinct(graft.ops.Dedup.shingles(col("text"), 3)).as("fset"))
-      graft.ops.Dedup.prefixFilterCandidates(s2, 0.7).count()
-    }))
+    time("q27 run2")(println("rows=" +
+      graft.ops.Dedup.nearDuplicatesExact(docs, "doc_id", "text", 0.7).count()))
+    time("q35 run1")(println("rows=" +
+      graft.ops.Dedup.ngramJaccardDuplicates(docs, "doc_id", "text", 5, 0.6).count()))
+    time("q35 run2")(println("rows=" +
+      graft.ops.Dedup.ngramJaccardDuplicates(docs, "doc_id", "text", 5, 0.6).count()))
     spark.stop()
   }
 }

@@ -24,11 +24,22 @@ object GraftUrlCache {
   private val refresherOf = TrieMap.empty[String, String] // fileId → refresher key
   private val refreshers = TrieMap.empty[String, () => Map[String, Entry]]
 
+  /** Soft cap before expired entries are swept (the reference bounds its
+    * cache with weak refs + a cleanup thread; a sweep on registration is
+    * the local-mode equivalent).
+    */
+  private val SWEEP_THRESHOLD = 100000
+
   /** Register a query's id→url map plus the closure that re-signs them. */
   def register(
       refresherKey: String,
       files: Map[String, Entry],
       refresher: () => Map[String, Entry]): Unit = {
+    if (entries.size > SWEEP_THRESHOLD) {
+      val cutoff = System.currentTimeMillis()
+      entries.filterInPlace((_, e) => e.expiration > cutoff)
+      refresherOf.filterInPlace((id, _) => entries.contains(id))
+    }
     entries ++= files
     files.keys.foreach(refresherOf(_) = refresherKey)
     refreshers(refresherKey) = refresher

@@ -176,6 +176,10 @@ object Dedup {
           |  aggregate(slice(__pcs, 1, i), 0L, (acc, x) -> acc + x.__c) as __off))"""
           .stripMargin)).as("__po"))
       .select(col("__po.__pid").as("__pid"), col("__po.__off").as("__off"))
+    // Deliberately NOT persisted either (measured: caching the dict
+    // serializes the DAG behind a materialization job and defeats
+    // exchange reuse between branches — first-run latency nearly doubles;
+    // identical shuffle subtrees already dedup via ReusedExchange).
     val dict = ranked.join(broadcast(offsets), "__pid")
       .select(col("__f"), col("__freq"), (col("__off") + col("__local")).as("__code"))
     (exploded, dict)

@@ -76,6 +76,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("t_mft").count() === total)
   }
 
+  test("maxBytesPerTrigger alone rate-limits (bytes-only admission)") {
+    // one file's size: admit roughly one file per batch by capping bytes
+    val snap = GraftCatalog.snapshot(spark, s"${SharedFixtures.SHARE}.events")
+    val minSize = snap.files.map(_.size).min
+    val q = spark.readStream.format("graft").option("path", eventsPath)
+      .option("maxBytesPerTrigger", minSize.toString).load()
+      .writeStream.format("memory").queryName("t_bytes").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val progress = q.recentProgress
+    q.stop()
+    // all rows arrive, split across >1 batch (the cap bit, not allAvailable)
+    val total = spark.read.format("graft").option("path", eventsPath).load().count()
+    assert(spark.table("t_bytes").count() === total)
+    assert(progress.count(_.numInputRows > 0) > 1,
+      "bytes-only cap must not degrade to allAvailable")
+  }
+
   test("offset json roundtrip + validation") {
     val o = GraftSourceOffset("id-1", 3L, 7L, isStartingVersion = false)
     val parsed = graft.model.JsonUtils.fromJson[GraftSourceOffset](o.json)
