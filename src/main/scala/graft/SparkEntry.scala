@@ -473,6 +473,30 @@ object SparkEntry {
       s.table(sink)
     }),
 
+    // Beyond-reference: BPE-ish subword tokenization (GPT-2-shaped
+    // regexp, RE2-compatible so the oracle reproduces the exact token
+    // stream) — token counts per language.
+    "q39_bpe_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          graft.ops.TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_bpe")).as("total_bpe"),
+          round(avg(col("n_bpe")), 2).as("avg_bpe"),
+          max(col("n_bpe")).as("max_bpe"))
+    }),
+
+    // Beyond-reference: rolling-hash (Rabin–Karp) document fingerprints —
+    // fold of acc*31+ascii mod p over the normalized text, grouped into
+    // content-addressed dedup stats like q25 but with an engine-neutral
+    // polynomial hash instead of md5.
+    "q40_rolling_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.TextOps.rollingFingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+    }),
+
     // §2.9 + §2.1 S5/S6/S11: the FULL sharing loop over HTTP — an
     // in-process REST server lists/signs files, the client FileIndex
     // pushes the filter as a jsonPredicateHint, and scan tasks read
@@ -770,6 +794,32 @@ object SparkEntry {
     "q33_stream_agg" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type""",
+    "q39_bpe_token_stats" ->
+      """SELECT lang,
+         CAST(sum(len(regexp_extract_all(lower(text),
+           '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))) AS BIGINT) AS total_bpe,
+         round(avg(len(regexp_extract_all(lower(text),
+           '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))), 2) AS avg_bpe,
+         CAST(max(len(regexp_extract_all(lower(text),
+           '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))) AS BIGINT) AS max_bpe
+         FROM documents GROUP BY lang""",
+    "q40_rolling_fingerprint" ->
+      """WITH norm AS (
+           SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS nt
+           FROM documents),
+         fp AS (
+           SELECT doc_id,
+             CASE WHEN length(nt) = 0 THEN 0
+                  ELSE list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(nt, ''), c -> CAST(ascii(c) AS BIGINT))),
+                    (acc, c) -> (acc * 31 + c) % 1000000007)
+             END AS fp
+           FROM norm)
+         SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS group_size
+         FROM fp GROUP BY fp""",
     "q36_rest_snapshot_scan" ->
       """SELECT l_linestatus, count(*) AS n,
          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

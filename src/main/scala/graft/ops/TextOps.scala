@@ -68,6 +68,34 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** BPE-ish pre-tokenizer pattern (the GPT-2 shape, restricted to
+    * constructs RE2 also supports — no lookahead — so any engine can
+    * reproduce the token stream): contractions, letter runs, digit runs,
+    * punctuation runs, each with an optional leading space.
+    */
+  val BPE_PATTERN = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
+  /** Subword-style tokens of the lowercased text — a `regexp_extract_all`
+    * column expression, so tokenization runs inside codegen at scan speed
+    * (no UDF, no per-row driver work).
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BPE_PATTERN), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Polynomial rolling hash (Rabin–Karp) of the normalized text:
+    * fold over characters of `acc * 31 + ascii(c) (mod p)`. Pure
+    * higher-order-function arithmetic — deterministic, overflow-free
+    * (acc < p = 1e9+7 keeps acc*31+255 within a long), and exactly
+    * reproducible in ANSI SQL, unlike a JVM-hash fingerprint.
+    */
+  def rollingFingerprint(text: Column, mod: Long = 1000000007L): Column = {
+    val chars = filter(split(normalized(text), ""), c => c =!= "")
+    when(size(chars) === 0, lit(0L)).otherwise(
+      aggregate(chars, lit(0L), (acc, c) => (acc * 31 + ascii(c)) % mod))
+  }
+
   /** Per-document text-statistics frame: one row per doc with the columns
     * downstream filters group on.
     */
