@@ -18,10 +18,42 @@ import graft.server.wire
 class GraftRestClient(
     baseUrl: String,
     token: Option[String] = None,
-    numRetries: Int = 3) {
+    numRetries: Int = 3,
+    /** (client_id, client_secret) for the OAuth client-credentials grant
+      * (the reference's `client/.../auth` flow); takes precedence over the
+      * static `token` and refreshes itself before expiry.
+      */
+    oauth: Option[(String, String)] = None) {
 
   private val http = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(30)).build()
+
+  // ----------------------------------------------------------------- auth
+
+  @volatile private var cachedOAuth: Option[(String, Long)] = None // (token, expiryMs)
+
+  private def bearer(): Option[String] = oauth match {
+    case None => token
+    case Some((id, secret)) =>
+      val nowMs = System.currentTimeMillis()
+      cachedOAuth match {
+        case Some((t, exp)) if exp - nowMs > 60000 => Some(t)
+        case _ =>
+          val form = s"grant_type=client_credentials&client_id=${enc(id)}" +
+            s"&client_secret=${enc(secret)}"
+          val req = HttpRequest.newBuilder(URI.create(s"$baseUrl/oauth/token"))
+            .timeout(Duration.ofSeconds(30))
+            .header("Content-Type", "application/x-www-form-urlencoded")
+            .POST(HttpRequest.BodyPublishers.ofString(form, UTF_8)).build()
+          val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+          if (resp.statusCode() >= 400)
+            throw new GraftClientException(resp.statusCode(),
+              s"OAuth token request failed (${resp.statusCode()}): ${resp.body()}")
+          val r = JsonUtils.fromJson[wire.OAuthTokenResponse](resp.body())
+          cachedOAuth = Some((r.access_token, nowMs + r.expires_in * 1000))
+          Some(r.access_token)
+      }
+  }
 
   // ------------------------------------------------------------ transport
 
@@ -33,7 +65,7 @@ class GraftRestClient(
       }.mkString("&")
     val builder = HttpRequest.newBuilder(URI.create(s"$baseUrl$path$qs"))
       .timeout(Duration.ofSeconds(120))
-    token.foreach(t => builder.header("Authorization", s"Bearer $t"))
+    bearer().foreach(t => builder.header("Authorization", s"Bearer $t"))
     val req = (method match {
       case "GET"  => builder.GET()
       case "HEAD" => builder.method("HEAD", HttpRequest.BodyPublishers.noBody())

@@ -92,11 +92,13 @@ class GraftServer(
 
   private def route(ex: HttpExchange): Unit =
     try {
-      authenticate(ex)
-      val rel = ex.getRequestURI.getPath.stripPrefix("/delta-sharing").stripPrefix("/")
+      val rel0 = ex.getRequestURI.getPath.stripPrefix("/delta-sharing").stripPrefix("/")
+      if (rel0 != "oauth/token") authenticate(ex) // the token endpoint mints auth
+      val rel = rel0
       val parts = rel.split("/").filter(_.nonEmpty).toList
       val q = queryParams(ex)
       (ex.getRequestMethod, parts) match {
+        case ("POST", List("oauth", "token")) => oauthToken(ex)
         case ("GET", List("shares")) => listShares(ex, q)
         case ("GET", List("shares", s)) => getShare(ex, s)
         case ("GET", List("shares", s, "schemas")) => listSchemas(ex, s, q)
@@ -128,13 +130,57 @@ class GraftServer(
           s"${e.getClass.getSimpleName}: ${e.getMessage}"))
     } finally ex.close()
 
-  /** Constant-time bearer check (reference `DeltaSharingService.scala:843-854`). */
-  private def authenticate(ex: HttpExchange): Unit = config.bearerToken.foreach { tok =>
-    val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
-    val ok = header.startsWith("Bearer ") &&
-      Tokens.constantTimeEquals(header.stripPrefix("Bearer "), tok)
-    if (!ok) throw GraftServerException.unauthorized("invalid or missing bearer token")
+  /** Constant-time bearer check (reference `DeltaSharingService.scala:843-854`);
+    * a presented token may be the static bearer OR an OAuth access token
+    * minted by [[oauthToken]].
+    */
+  private def authenticate(ex: HttpExchange): Unit =
+    if (config.bearerToken.isDefined || config.oauthClients.nonEmpty) {
+      val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      if (!header.startsWith("Bearer "))
+        throw GraftServerException.unauthorized("invalid or missing bearer token")
+      val presented = header.stripPrefix("Bearer ")
+      val staticOk = config.bearerToken.exists(Tokens.constantTimeEquals(presented, _))
+      if (!staticOk && !oauthTokenValid(presented))
+        throw GraftServerException.unauthorized("invalid or missing bearer token")
+    }
+
+  /** OAuth 2.0 client-credentials grant (the auth flow the reference
+    * client implements, `client/.../auth`, ~340 LoC): POST /oauth/token
+    * with form body `grant_type=client_credentials&client_id=..&
+    * client_secret=..` → short-lived HMAC-signed access token.
+    */
+  private def oauthToken(ex: HttpExchange): Unit = {
+    if (config.oauthClients.isEmpty)
+      throw GraftServerException.notFound("OAuth is not configured on this server")
+    val form = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      .split("&").filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) kv -> ""
+        else java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8") ->
+          java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
+      }.toMap
+    if (!form.get("grant_type").contains("client_credentials"))
+      throw GraftServerException.badRequest("grant_type must be client_credentials")
+    val id = form.getOrElse("client_id", "")
+    val secret = form.getOrElse("client_secret", "")
+    val ok = config.oauthClients.get(id).exists(Tokens.constantTimeEquals(secret, _))
+    if (!ok) throw GraftServerException.unauthorized("invalid client credentials")
+    val exp = now() + config.oauthTokenTtlSeconds * 1000
+    val token = Tokens.encode(Tokens.OAuthTokenPayload(
+      id, exp, Tokens.hmac(secret = this.secret, s"oauth:$id@$exp")))
+    sendJson(ex, 200, JsonUtils.toJson(OAuthTokenResponse(
+      access_token = token, token_type = "bearer",
+      expires_in = config.oauthTokenTtlSeconds)))
   }
+
+  private def oauthTokenValid(presented: String): Boolean =
+    try {
+      val p = Tokens.decode[Tokens.OAuthTokenPayload](presented, "oauth")
+      p.expiration >= now() &&
+        Tokens.constantTimeEquals(p.sig,
+          Tokens.hmac(secret, s"oauth:${p.clientId}@${p.expiration}"))
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   // ------------------------------------------------------------ catalog
 
@@ -702,6 +748,9 @@ case class ServerConfig(
     host: String = "127.0.0.1",
     port: Int = 0, // 0 ⇒ ephemeral
     bearerToken: Option[String] = None,
+    /** client_id → client_secret for the OAuth client-credentials grant. */
+    oauthClients: Map[String, String] = Map.empty,
+    oauthTokenTtlSeconds: Long = 3600,
     preSignedUrlTimeoutSeconds: Long = 3600,
     queryTablePageSizeLimit: Int = 10000,
     pageTokenTtlMs: Long = 259200000L,

@@ -53,8 +53,7 @@ class GraftDataSource extends RelationProvider
       parameters: Map[String, String]): (String, StructType) = {
     if (parameters.contains("url")) {
       val (share, sc, t) = splitFqn(parameters)
-      val client = new graft.client.GraftRestClient(
-        parameters("url"), parameters.get("token"))
+      val client = GraftDataSource.remoteClient(parameters)
       val (meta, _) = client.metadata(share, sc, t)
       return (shortName(), schema.getOrElse(
         org.apache.spark.sql.types.DataType.fromJson(meta.schemaString)
@@ -83,8 +82,7 @@ class GraftDataSource extends RelationProvider
       parameters: Map[String, String]): Source = {
     if (parameters.contains("url")) {
       val (share, sc, t) = splitFqn(parameters)
-      val client = new graft.client.GraftRestClient(
-        parameters("url"), parameters.get("token"))
+      val client = GraftDataSource.remoteClient(parameters)
       return new graft.streaming.RemoteGraftSource(
         sqlContext.sparkSession, client, share, sc, t, parameters)
     }
@@ -125,8 +123,7 @@ class GraftDataSource extends RelationProvider
     require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
       "at most one of versionAsOf/timestampAsOf may be set")
     GraftFileSystem.register(spark)
-    val client = new graft.client.GraftRestClient(
-      parameters("url"), parameters.get("token"))
+    val client = GraftDataSource.remoteClient(parameters)
     if (parameters.get("readChangeFeed").exists(_.toBoolean))
       return new RemoteGraftCDFRelation(spark, client, share, schema, table, parameters)
     val index = new RemoteGraftFileIndex(spark, client, share, schema, table,
@@ -143,6 +140,17 @@ class GraftDataSource extends RelationProvider
 }
 
 object GraftDataSource {
+  /** REST client from remote-mode options: `url` [+ `token`, or OAuth
+    * client credentials via `clientId`/`clientSecret`].
+    */
+  private[sources] def remoteClient(parameters: Map[String, String]): graft.client.GraftRestClient =
+    new graft.client.GraftRestClient(
+      parameters("url"), parameters.get("token"),
+      oauth = for {
+        id <- parameters.get("clientId")
+        secret <- parameters.get("clientSecret")
+      } yield (id, secret))
+
   def relation(
       spark: SparkSession,
       tablePath: String,

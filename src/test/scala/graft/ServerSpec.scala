@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.client.{GraftRestClient, GraftUrlCache}
+import graft.client.{GraftClientException, GraftRestClient, GraftUrlCache}
 import graft.log._
 import graft.model.JsonUtils
 import graft.server._
@@ -232,6 +232,31 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val disabled = rawGet("/shares/share1/schemas/default/tables/lineitem/changes?startingVersion=0")
     assert(disabled.statusCode() === 400)
     assert(JsonUtils.fromJson[ErrorResponse](disabled.body()).message.contains("Change Data Feed"))
+  }
+
+  test("OAuth client-credentials: token grant, authenticated reads, bad secret rejected") {
+    val oauthServer = new GraftServer(
+      ServerConfig(oauthClients = Map("svc" -> "s3cret-1")),
+      spark.sessionState.newHadoopConf()).start()
+    try {
+      val c = new GraftRestClient(oauthServer.url, oauth = Some(("svc", "s3cret-1")))
+      assert(c.listShares() === Seq("share1"))
+      assert(c.query("share1", "default", "lineitem").files.size === 8)
+      // no credentials at all → 401
+      val anon = new GraftRestClient(oauthServer.url)
+      val e1 = intercept[GraftClientException] { anon.listShares() }
+      assert(e1.status === 401)
+      // wrong secret → 401 from the token endpoint
+      val bad = new GraftRestClient(oauthServer.url, oauth = Some(("svc", "wrong")))
+      val e2 = intercept[GraftClientException] { bad.listShares() }
+      assert(e2.status === 401)
+      // e2e spark read authenticating via clientId/clientSecret options
+      val df = spark.read.format("graft")
+        .option("url", oauthServer.url)
+        .option("clientId", "svc").option("clientSecret", "s3cret-1")
+        .option("table", "share1.default.lineitem").load()
+      assert(df.count() === spark.read.parquet(s"$sfDir/lineitem.parquet").count())
+    } finally oauthServer.stop()
   }
 
   test("async query: submit returns a queryStatus handle, poll serves the result") {
