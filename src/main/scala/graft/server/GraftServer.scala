@@ -22,6 +22,7 @@ import graft.server.wire._
   * Endpoints (all under `/delta-sharing`, bearer-authenticated, NDJSON for
   * table data, JSON for listings, typed error mapping 400/401/404/500):
   *
+  *   POST /oauth/token                      (client-credentials grant)
   *   GET  /shares?maxResults=&pageToken=
   *   GET  /shares/{share}
   *   GET  /shares/{share}/schemas
@@ -29,9 +30,11 @@ import graft.server.wire._
   *   GET  /shares/{share}/all-tables
   *   GET|HEAD .../tables/{table}/version?startingTimestamp=
   *   GET  .../tables/{table}/metadata?version=&timestamp=
-  *   POST .../tables/{table}/query          (snapshot + version-range)
+  *   POST .../tables/{table}/query          (snapshot + version-range + async)
+  *   POST .../tables/{table}/queries/{queryId}  (async poll)
   *   GET  .../tables/{table}/changes?startingVersion|startingTimestamp&
   *            endingVersion|endingTimestamp&includeHistoricalMetadata
+  *   POST .../tables/{table}/temporary-table-credentials  (dir access mode)
   *   GET  /data/{token}                     (pre-signed data, Range-capable)
   *
   * Pre-signed URLs are HMAC-signed `http://host:port/data/<token>` links
