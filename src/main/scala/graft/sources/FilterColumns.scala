@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+/** Spark data-source `Filter` → `Column` translation so PrunedFilteredScan
+  * relations can apply pushed filters to their underlying DataFrame —
+  * which in turn lets the parquet scan prune row groups. Best-effort:
+  * untranslatable filters are skipped (Spark re-applies every filter on
+  * the returned rows, so skipping only costs I/O, never correctness).
+  */
+object FilterColumns {
+
+  def translate(filters: Seq[Filter]): Option[Column] = {
+    val cols = filters.flatMap(one)
+    cols.reduceOption(_ && _)
+  }
+
+  def one(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case And(l, r)                => for (a <- one(l); b <- one(r)) yield a && b
+    case Or(l, r)                 => for (a <- one(l); b <- one(r)) yield a || b
+    case Not(c)                   => one(c).map(!_)
+    case _                        => None
+  }
+}

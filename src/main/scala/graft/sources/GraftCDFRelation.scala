@@ -52,11 +52,15 @@ class GraftCDFRelation(
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     // Row-level projection is delegated to Spark (reference
-    // `RemoteDeltaCDFRelation.scala:137-138`); filters are re-applied by
-    // Spark upstream, so passing the full rows stays correct.
+    // `RemoteDeltaCDFRelation.scala:137-138`). Pushed filters are applied
+    // to the underlying DataFrame too — they reach the parquet scan as
+    // PushedFilters (row-group pruning); Spark still re-applies them
+    // upstream, so the best-effort translation stays correct.
+    val filtered = FilterColumns.translate(filters.toIndexedSeq)
+      .map(df.filter).getOrElse(df)
     val projected =
-      if (requiredColumns.isEmpty) df
-      else df.select(requiredColumns.map(col).toIndexedSeq: _*)
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
     projected.rdd
   }
 }

@@ -95,9 +95,11 @@ class RemoteGraftCDFRelation(
   override lazy val schema: StructType = df.schema
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val filtered = FilterColumns.translate(filters.toIndexedSeq)
+      .map(df.filter).getOrElse(df)
     val projected =
-      if (requiredColumns.isEmpty) df
-      else df.select(requiredColumns.map(col).toIndexedSeq: _*)
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
     projected.rdd
   }
 }

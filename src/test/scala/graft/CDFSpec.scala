@@ -104,6 +104,15 @@ class CDFSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("readChangeFeed filter pushdown keeps results exact") {
+    val cdf = spark.read.format("graft").option("path", base)
+      .option("readChangeFeed", "true").option("startingVersion", "0").load()
+    val filtered = cdf.filter(col("_change_type") === "delete" && col("age") < 25)
+    assert(filtered.count() === 2)
+    assert(cdf.filter(col("id").isin(3L, 5L)).count() ===
+      GraftCDF.tableChanges(spark, base, 0).filter(col("id").isin(3L, 5L)).count())
+  }
+
   test("readChangeFeed batch option matches the programmatic API") {
     val viaOption = spark.read.format("graft").option("path", base)
       .option("readChangeFeed", "true").option("startingVersion", "0").load()
