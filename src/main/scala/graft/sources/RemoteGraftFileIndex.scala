@@ -64,8 +64,19 @@ class RemoteGraftFileIndex(
     toPartitionDirectories(files)
   }
 
+  /** Per-query-shape memo: Catalyst asks listFiles repeatedly during
+    * planning and execution; the snapshot is pinned, so one fetch per
+    * distinct hint is enough (the reference caches per query shape in its
+    * CachedTableManager the same way).
+    */
+  private val fetchMemo =
+    scala.collection.concurrent.TrieMap.empty[Option[String], Seq[wire.File]]
+
+  private def fetch(jsonHint: Option[String]): Seq[wire.File] =
+    fetchMemo.getOrElseUpdate(jsonHint, fetchRemote(jsonHint))
+
   /** Run the snapshot query and (re-)register URL resolution + refresher. */
-  private def fetch(jsonHint: Option[String]): Seq[wire.File] = {
+  private def fetchRemote(jsonHint: Option[String]): Seq[wire.File] = {
     val req = wire.QueryRequest(
       jsonPredicateHints = jsonHint.orNull,
       limitHint = limitHint.map(Long.box).orNull,
