@@ -144,6 +144,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.filter(col("frame_no") % 4 =!= 0).count() === 0, "stride not applied")
   }
 
+  test("bpe tokens: contractions, digits, punctuation, empty text") {
+    import org.apache.spark.sql.functions.col
+    val df = docsDF(Seq(
+      (1L, "It's 42 degrees, really!"),
+      (2L, ""),
+      (3L, "   "),
+      (4L, "don't stop")))
+    val toks = df.select(col("doc_id"),
+      graft.ops.TextOps.bpeTokens(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(toks(1L) === Seq("it", "'s", " 42", " degrees", ",", " really", "!"))
+    assert(toks(2L) === Seq())
+    assert(toks(3L) === Seq()) // whitespace-only yields no tokens
+    assert(toks(4L) === Seq("don", "'t", " stop"))
+  }
+
+  test("rolling fingerprint: deterministic, normalization-invariant, empty-safe") {
+    import org.apache.spark.sql.functions.col
+    val df = docsDF(Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"), // same normalized form as doc 1
+      (3L, "hello worlds"),
+      (4L, "")))
+    val fps = df.select(col("doc_id"),
+      graft.ops.TextOps.rollingFingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(2L) !== fps(3L))
+    assert(fps(4L) === 0L)
+    // manual check of the polynomial: "ab" → (((0*31+97)%p)*31+98)%p
+    val manual = (97L * 31 + 98) % 1000000007L
+    val ab = docsDF(Seq((9L, "ab")))
+      .select(graft.ops.TextOps.rollingFingerprint(col("text"))).collect().head.getLong(0)
+    assert(ab === manual)
+  }
+
   test("exact dedup keeps min id per group") {
     val docs = docsDF(Seq(1L -> "aaa", 5L -> "aaa", 3L -> "bbb"))
     val out = Dedup.exactDedup(docs, "doc_id", col("text"))
