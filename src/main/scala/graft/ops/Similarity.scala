@@ -151,6 +151,60 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  // --------------------------------------------------------------- IVF ANN
+
+  /** IVF (inverted-file) ANN — the centroid-quantized scale path: a
+    * k-means coarse quantizer (`nlist` cells, fixed seed) partitions the
+    * corpus into cells; each query probes only its `nprobe` nearest
+    * cells and scores those rows with the exact codegen'd cosine kernel.
+    * At 1000 executors this reads `nprobe/nlist` of the corpus per query
+    * — the classic IVF-Flat layout — and the cell assignment is a plain
+    * column (partition/bucket it for locality at rest). Training cost is
+    * one k-means over (a sample of) the corpus, done once per index.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (q_id, q_vec)
+      corpus: DataFrame, // (c_id, c_vec)
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val trainable = corpus
+      .withColumn("features", array_to_vector(col("c_vec").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .fit(trainable)
+    // Centroids are tiny (nlist × dim) — a broadcast-literal table.
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    val centroidDF = corpus.sparkSession.createDataFrame(centroids.toSeq)
+      .toDF("cell", "centroid")
+
+    val assigned = model.transform(trainable)
+      .select(col("c_id"), col("c_vec"), col("prediction").as("cell"))
+
+    // Each query ranks the nlist centroids (broadcast nested loop over a
+    // tiny table) and keeps its nprobe nearest cells by L2 distance.
+    val qCells = queries.crossJoin(broadcast(centroidDF))
+      .withColumn("d2",
+        dot(col("q_vec"), col("q_vec")) - lit(2.0) * dot(col("q_vec"), col("centroid")) +
+          dot(col("centroid"), col("centroid")))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))))
+      .filter(col("cr") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+
+    val scored = assigned.join(broadcast(qCells), Seq("cell"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from
     * shared LSH buckets (no pairwise scan).
     */

@@ -109,6 +109,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0L until 20L).forall(q => approx.contains((q, q))), "self-match lost")
   }
 
+  test("IVF ANN achieves high recall vs brute force on fixture embeddings") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val exact = graft.ops.Similarity.bruteForceTopK(queries, corpus, 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.ops.Similarity.ivfTopK(queries, corpus, 5, nlist = 8, nprobe = 4)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVF recall $recall below 0.7")
+    // probing ALL cells must reproduce the exact result
+    val full = graft.ops.Similarity.ivfTopK(queries, corpus, 5, nlist = 8, nprobe = 8)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
+  }
+
   test("lang-id is deterministic and quality score stays within [0,1]") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val prof = TextOps.profile(docs)
