@@ -25,13 +25,35 @@ class GraftLog(val tablePath: String, conf: Configuration) {
   private val logDir = new Path(tablePath, GraftLog.LOG_DIR)
   private def fs: FileSystem = logDir.getFileSystem(conf)
 
-  def listVersions(): Seq[Long] = {
-    if (!fs.exists(logDir)) return Nil
-    fs.listStatus(logDir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".json"))
-      .map(n => n.stripSuffix(".json").toLong)
-      .sorted
+  /** Version listing with a process-wide cache. The log directory is
+    * append-only with contiguous versions (every writer commits
+    * `latestVersion()+1` and [[GraftLog.commit]] refuses overwrites), so
+    * once listed it never needs re-listing: a call probes existence of
+    * `cached.last + 1` (O(1) per new version) instead of re-listing the
+    * whole directory (O(versions) metadata RPCs per request at 10^5
+    * versions — the reference caches the equivalent via its snapshot
+    * loader).
+    */
+  def listVersions(): Seq[Long] = GraftLog.listingCache.get(tablePath) match {
+    case Some(cached) =>
+      var vs = cached
+      var next = vs.last + 1
+      while (fs.exists(new Path(logDir, GraftLog.versionFileName(next)))) {
+        vs = vs :+ next
+        next += 1
+      }
+      if (vs ne cached) GraftLog.listingCache(tablePath) = vs
+      vs
+    case None =>
+      if (!fs.exists(logDir)) return Nil
+      GraftLog.fullListings.incrementAndGet()
+      val vs = fs.listStatus(logDir).toVector
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".json"))
+        .map(n => n.stripSuffix(".json").toLong)
+        .sorted
+      if (vs.nonEmpty) GraftLog.listingCache(tablePath) = vs
+      vs
   }
 
   def latestVersion(): Long = {
@@ -148,6 +170,17 @@ case class CommitChange(version: Long, timestamp: Long, actions: Seq[Action])
 object GraftLog {
   val LOG_DIR = "_graft_log"
 
+  /** tablePath → contiguous cached version listing (see [[GraftLog.listVersions]]). */
+  private val listingCache =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[Long]]
+
+  /** Test hook: count of full directory listings actually performed. */
+  private[graft] val fullListings = new java.util.concurrent.atomic.AtomicLong
+
+  /** Test hook: drop a table's cached listing (e.g. after deleting it). */
+  private[graft] def invalidateListing(tablePath: String): Unit =
+    listingCache.remove(tablePath)
+
   def versionFileName(v: Long): String = f"$v%020d.json"
 
   /** Atomically write one commit file (temp + rename). */
@@ -162,5 +195,13 @@ object GraftLog {
     try actions.foreach { a => out.write((JsonUtils.actionToLine(a) + "\n").getBytes("UTF-8")) }
     finally out.close()
     require(fs.rename(tmp, target), s"failed to commit $target")
+    // keep the process-wide listing cache exact for in-JVM writers:
+    // contiguous appends extend it; a gapped commit (tests only) drops it
+    // so the next read re-lists
+    listingCache.get(tablePath) match {
+      case Some(vs) if version == vs.last + 1 => listingCache(tablePath) = vs :+ version
+      case Some(_)                            => listingCache.remove(tablePath)
+      case None                               => ()
+    }
   }
 }

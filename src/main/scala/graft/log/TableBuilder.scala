@@ -36,6 +36,8 @@ object TableBuilder {
       configuration: Map[String, String] = Map.empty): Unit = {
     val out = if (numFiles > 0) df.repartition(numFiles) else df
     out.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tablePath)
+    // the overwrite wiped any previous _graft_log at this path
+    GraftLog.invalidateListing(tablePath)
     val meta = graft.model.Metadata(
       id = java.util.UUID.nameUUIDFromBytes(tablePath.getBytes("UTF-8")).toString,
       name = name,

@@ -347,9 +347,17 @@ class GraftServer(
       val (version, lines) = queryTableSnapshot(l, location, tableKey, req)
       ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, version.toString)
       if (async) {
-        val queryId = java.util.UUID.randomUUID().toString
-        asyncResults.put(queryId,
-          AsyncResult(version, lines, now() + config.pageTokenTtlMs))
+        sweepAsyncResults()
+        // Idempotent submit: a retry carrying the same idempotencyKey gets
+        // the already-parked queryId back instead of a recompute.
+        val existing = Option(req.idempotencyKey)
+          .flatMap(asyncByIdempotencyKey.get).filter(asyncResults.contains)
+        val queryId = existing.getOrElse {
+          val id = java.util.UUID.randomUUID().toString
+          asyncResults.put(id, AsyncResult(version, lines, now() + config.pageTokenTtlMs))
+          Option(req.idempotencyKey).foreach(asyncByIdempotencyKey(_) = id)
+          id
+        }
         sendNdjson(ex, lines.take(2) :+ Line(queryStatus = QueryStatus(queryId)).json)
       } else sendNdjson(ex, lines)
     }
@@ -358,8 +366,20 @@ class GraftServer(
   private case class AsyncResult(version: Long, lines: Seq[String], expiration: Long)
   private val asyncResults =
     scala.collection.concurrent.TrieMap.empty[String, AsyncResult]
+  private val asyncByIdempotencyKey =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Poll endpoint for an async query's parked result. */
+  /** Retention hygiene: expired parked results (full NDJSON line sets) are
+    * dropped on every submit, and a result is freed as soon as it is
+    * successfully polled — a long-lived server never accumulates them.
+    */
+  private def sweepAsyncResults(): Unit = {
+    val cutoff = now()
+    asyncResults.filterInPlace((_, r) => r.expiration >= cutoff)
+    asyncByIdempotencyKey.filterInPlace((_, id) => asyncResults.contains(id))
+  }
+
+  /** Poll endpoint for an async query's parked result (freed once served). */
   private def queryStatus(
       ex: HttpExchange, share: String, schema: String, table: String,
       queryId: String): Unit = {
@@ -368,6 +388,8 @@ class GraftServer(
       case Some(res) =>
         ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, res.version.toString)
         sendNdjson(ex, res.lines)
+        asyncResults.remove(queryId)
+        asyncByIdempotencyKey.filterInPlace((_, id) => id != queryId)
       case None =>
         throw GraftServerException.notFound(s"query $queryId does not exist or expired")
     }
@@ -531,12 +553,32 @@ class GraftServer(
     */
   private def serveChangeLines(
       ex: HttpExchange, l: GraftLog, location: String, tableKey: String,
-      start: Long, end: Long, maxFiles: Option[Int], pageToken: Option[String],
+      start: Long, requestedEnd: Long, maxFiles: Option[Int], pageToken: Option[String],
       cdfMode: Boolean, includeHistoricalMetadata: Boolean): Unit = {
     val expiration = now() + config.preSignedUrlTimeoutSeconds * 1000
 
     def sign(p: String): String = signUrl(location, p, expiration)
     def id(p: String): String = Tokens.fileId(location, p)
+
+    // Continuation pages pin the ending version from the token (its
+    // `version` field stores the first page's resolved end), NOT from a
+    // fresh latestVersion() — a commit landing between pages must not
+    // shift the range and 400 every subsequent page (the reference pins
+    // endingVersion into its continuation token the same way).
+    val tok = pageToken.map { t =>
+      val p = Tokens.decode[Tokens.PageTokenPayload](t, "page")
+      if (p.table != tableKey)
+        throw GraftServerException.badRequest("page token is for a different table")
+      if (p.expiration < now())
+        throw GraftServerException.badRequest("page token expired")
+      p
+    }
+    val end = tok.map(_.version).getOrElse(requestedEnd)
+    tok.foreach { p =>
+      if (p.checksum != changeChecksum(tableKey, start, end, cdfMode))
+        throw GraftServerException.badRequest(
+          "page token does not match the query parameters")
+    }
 
     val startSnap = l.snapshot(Some(start))
     val actionLines = l.changes(start, end).flatMap { commit =>
@@ -572,17 +614,7 @@ class GraftServer(
     }
 
     // Pagination over the flattened action list.
-    val startIndex = pageToken.map { t =>
-      val p = Tokens.decode[Tokens.PageTokenPayload](t, "page")
-      if (p.table != tableKey)
-        throw GraftServerException.badRequest("page token is for a different table")
-      if (p.expiration < now())
-        throw GraftServerException.badRequest("page token expired")
-      if (p.checksum != changeChecksum(tableKey, start, end, cdfMode))
-        throw GraftServerException.badRequest(
-          "page token does not match the query parameters")
-      p.startIndex
-    }.getOrElse(0)
+    val startIndex = tok.map(_.startIndex).getOrElse(0)
     val pageSize = maxFiles.getOrElse(config.queryTablePageSizeLimit)
       .min(config.queryTablePageSizeLimit)
     val pageLines = actionLines.slice(startIndex, startIndex + pageSize)
@@ -621,7 +653,8 @@ class GraftServer(
         catch { case _: GraftServerException =>
           throw GraftServerException.forbidden("invalid pre-signed URL")
         }
-      if (p.sig != Tokens.hmac(secret, s"${p.table}/${p.path}@${p.expiration}"))
+      if (!Tokens.constantTimeEquals(p.sig,
+          Tokens.hmac(secret, s"${p.table}/${p.path}@${p.expiration}")))
         throw GraftServerException.forbidden("signature mismatch")
       if (p.expiration < now())
         throw GraftServerException.forbidden("pre-signed URL expired")

@@ -279,6 +279,91 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .statusCode() === 404)
   }
 
+  test("async query: idempotencyKey dedupes submits; polled results are freed") {
+    def submit(body: String): Array[Line] = {
+      val r = http.send(HttpRequest.newBuilder(
+        URI.create(s"${server.url}/shares/share1/schemas/default/tables/lineitem/query"))
+        .header("Authorization", s"Bearer $TOKEN")
+        .header("delta-sharing-capabilities", "responseformat=parquet;asyncquery=true")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      r.body().split("\n").filter(_.nonEmpty).map(JsonUtils.fromJson[Line](_))
+    }
+    def qid(lines: Array[Line]): String =
+      lines.flatMap(l => Option(l.queryStatus)).head.queryId
+    // duplicate submit with the same idempotencyKey → same queryId
+    val id1 = qid(submit("""{"idempotencyKey": "k-123"}"""))
+    val id2 = qid(submit("""{"idempotencyKey": "k-123"}"""))
+    assert(id1 === id2)
+    // a different key gets its own query
+    val id3 = qid(submit("""{"idempotencyKey": "k-456"}"""))
+    assert(id3 !== id1)
+    // polling serves the result once, then frees it (404 on re-poll)
+    val poll1 = rawPost(s"/shares/share1/schemas/default/tables/lineitem/queries/$id1", "{}")
+    assert(poll1.statusCode() === 200)
+    assert(rawPost(s"/shares/share1/schemas/default/tables/lineitem/queries/$id1", "{}")
+      .statusCode() === 404)
+    // after the poll freed id1, the same key mints a fresh query
+    assert(qid(submit("""{"idempotencyKey": "k-123"}""")) !== id1)
+    // drain id3 too
+    rawPost(s"/shares/share1/schemas/default/tables/lineitem/queries/$id3", "{}")
+  }
+
+  test("changes pagination survives a commit landing between pages") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_page_pin").toString
+    val df = (1 to 8).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    TableBuilder.create(spark, df, dir, numFiles = 2,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    TableBuilder.append(spark, df.filter(col("id") <= 4), dir, timestamp = 1000)
+    GraftCatalog.register("share1.default.page_pin", dir)
+    try {
+      // page 1 of an open-ended version-range query (endingVersion omitted
+      // ⇒ the server resolves and PINS latest=1 into the token)
+      val r1 = rawPost("/shares/share1/schemas/default/tables/page_pin/query",
+        """{"startingVersion": 0, "maxFiles": 1}""")
+      assert(r1.statusCode() === 200)
+      val tok1 = r1.body().split("\n").filter(_.nonEmpty).map(JsonUtils.fromJson[Line](_))
+        .flatMap(l => Option(l.endStreamAction)).head.nextPageToken
+      assert(tok1 != null)
+      // a new commit lands between pages
+      TableBuilder.append(spark, df.filter(col("id") > 4), dir, timestamp = 2000)
+      // subsequent pages still succeed (pre-fix: 400 'page token does not
+      // match') and stay within the pinned range [0, 1]
+      var tok = Option(tok1)
+      val versions = Seq.newBuilder[Long]
+      while (tok.isDefined) {
+        val r = rawPost("/shares/share1/schemas/default/tables/page_pin/query",
+          s"""{"startingVersion": 0, "maxFiles": 1, "pageToken": "${tok.get}"}""")
+        assert(r.statusCode() === 200)
+        val lines = r.body().split("\n").filter(_.nonEmpty).map(JsonUtils.fromJson[Line](_))
+        versions ++= lines.flatMap(l => Option(l.add)).map(_.version)
+        tok = lines.flatMap(l => Option(l.endStreamAction)).headOption
+          .flatMap(e => Option(e.nextPageToken))
+      }
+      assert(versions.result().nonEmpty)
+      assert(versions.result().forall(_ <= 1L), "pinned range must exclude the new commit")
+    } finally GraftCatalog.unregister("share1.default.page_pin")
+  }
+
+  test("version listings are cached: one full listing, appends found by probing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_listing").toString
+    val df = (1 to 4).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    TableBuilder.create(spark, df, dir, numFiles = 1)
+    val conf = spark.sessionState.newHadoopConf()
+    assert(new GraftLog(dir, conf).listVersions() === Seq(0L))
+    val afterFirst = GraftLog.fullListings.get()
+    // repeated calls from FRESH instances (the server's per-request
+    // pattern) hit the process-wide cache — no further full listings
+    (1 to 5).foreach(_ => assert(new GraftLog(dir, conf).listVersions() === Seq(0L)))
+    assert(GraftLog.fullListings.get() === afterFirst)
+    // an appended version is discovered by an O(1) existence probe
+    TableBuilder.append(spark, df, dir, timestamp = 1000)
+    assert(new GraftLog(dir, conf).listVersions() === Seq(0L, 1L))
+    assert(GraftLog.fullListings.get() === afterFirst)
+  }
+
   test("capabilities header is echoed on NDJSON responses") {
     val resp = rawGet("/shares/share1/schemas/default/tables/lineitem/metadata")
     assert(resp.headers().firstValue("delta-sharing-capabilities").orElse("")
