@@ -50,7 +50,20 @@ class GraftSource(
   // the filesystem).
   private val tableLog = new GraftLog(tablePath, conf)
 
-  private val startingVersion: Option[Long] = options.get("startingVersion").map(_.toLong)
+  /** Replay start: explicit version, or a timestamp resolved to the
+    * earliest version committed at-or-after it (ISO-8601 or epoch millis;
+    * a timestamp past the last commit is an error — reference
+    * `DeltaSharingOptions` startingVersion/startingTimestamp resolution).
+    */
+  private val startingVersion: Option[Long] =
+    (options.get("startingVersion"), options.get("startingTimestamp")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "at most one of startingVersion/startingTimestamp may be set")
+      case (Some(v), None) => Some(v.toLong)
+      case (None, Some(ts)) =>
+        Some(tableLog.versionAtOrAfter(graft.server.GraftServer.parseWireTimestamp(ts)))
+      case _ => None
+    }
 
   /** CDF mode (T10): `option("readChangeFeed", "true")` streams row-level
     * changes with the 3 CDF metadata columns. Versions are admitted

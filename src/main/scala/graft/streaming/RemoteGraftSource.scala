@@ -37,7 +37,20 @@ class RemoteGraftSource(
 
   import GraftSourceOffset.VERSION_CONSUMED
 
-  private val startingVersion: Option[Long] = options.get("startingVersion").map(_.toLong)
+  /** Replay start: explicit version, or a timestamp resolved server-side
+    * via `/version?startingTimestamp=` (earliest version at-or-after; a
+    * future timestamp is a 400 — reference `DeltaSharingOptions`
+    * startingVersion/startingTimestamp resolution).
+    */
+  private val startingVersion: Option[Long] =
+    (options.get("startingVersion"), options.get("startingTimestamp")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "at most one of startingVersion/startingTimestamp may be set")
+      case (Some(v), None) => Some(v.toLong)
+      case (None, Some(ts)) =>
+        Some(client.tableVersion(share, schemaName, table, startingTimestamp = Some(ts)))
+      case _ => None
+    }
   private val maxFilesPerTrigger: Int =
     options.get("maxFilesPerTrigger").map(_.toInt).getOrElse(GraftSource.DEFAULT_MAX_FILES)
   private val maxBytesPerTrigger: Option[Long] = options.get("maxBytesPerTrigger").map(_.toLong)
@@ -120,14 +133,39 @@ class RemoteGraftSource(
     res.files.sortBy(_.id).map(f => (f.id, f.size, f.partitionValues))
   }
 
+  /** Per-version memo of fetched range data. A committed version is
+    * immutable, so once fetched it never needs re-fetching:
+    * `latestOffset` + `getBatch` of the same micro-batch (and later
+    * batches re-walking overlapping version ranges) cost ONE range RPC
+    * per version window total, not two+ (the remote analogue of
+    * [[graft.log.GraftLog]]'s commit cache).
+    */
+  private val fetchedCommits = scala.collection.concurrent.TrieMap
+    .empty[Long, (Seq[(String, Long, Map[String, String])], Boolean)]
+
   /** Version-range files grouped per version, with policing + drift
-    * check; the range is fetched in windows of `maxVersionsPerRpc`.
+    * check; uncached spans are fetched in windows of `maxVersionsPerRpc`
+    * and memoized per version.
     */
   private def rangeCommits(
       start: Long, end: Long): Seq[(Long, Seq[(String, Long, Map[String, String])], Boolean)] = {
-    val windows = (start to end by maxVersionsPerRpc.toLong)
-      .map(s0 => (s0, math.min(s0 + maxVersionsPerRpc - 1, end)))
-    windows.flatMap { case (s0, e0) => rangeCommitsWindow(s0, e0) }
+    var v = start
+    while (v <= end) {
+      if (fetchedCommits.contains(v)) v += 1
+      else {
+        var e = v
+        while (e < end && e - v + 1 < maxVersionsPerRpc && !fetchedCommits.contains(e + 1))
+          e += 1
+        rangeCommitsWindow(v, e).foreach { case (vv, adds, dropped) =>
+          fetchedCommits.putIfAbsent(vv, (adds, dropped))
+        }
+        v = e + 1
+      }
+    }
+    (start to end).map { vv =>
+      val (adds, dropped) = fetchedCommits(vv)
+      (vv, adds, dropped)
+    }
   }
 
   private def rangeCommitsWindow(

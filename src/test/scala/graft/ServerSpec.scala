@@ -528,6 +528,49 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("t_remote_rpc").collect().head.getLong(0) === expected)
   }
 
+  test("remote source memoizes version windows: one range RPC per window, zero in getBatch") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    val counting = new GraftRestClient(server.url, Some(TOKEN)) {
+      override def queryRange(share: String, schema: String, table: String,
+          startingVersion: Long, endingVersion: Option[Long],
+          maxFiles: Option[Int]): ChangesResult = {
+        calls.incrementAndGet()
+        super.queryRange(share, schema, table, startingVersion, endingVersion, maxFiles)
+      }
+    }
+    val src = new graft.streaming.RemoteGraftSource(spark, counting, "share1", "default",
+      "orders_versioned", Map("startingVersion" -> "0", "maxVersionsPerRpc" -> "1",
+        "queryTableVersionIntervalSeconds" -> "0"))
+    val off = src.latestOffset(null, ReadLimit.allAvailable())
+    assert(off != null)
+    assert(calls.get() === 3, "versions 0..2 at maxVersionsPerRpc=1 = 3 window RPCs")
+    src.getBatch(None, off.asInstanceOf[org.apache.spark.sql.execution.streaming.Offset])
+    assert(calls.get() === 3, "getBatch must be served from the window memo")
+    // a second micro-batch cycle from the consumed offset adds nothing new
+    src.latestOffset(off, ReadLimit.allAvailable())
+    assert(calls.get() === 3)
+  }
+
+  test("e2e: remote streaming via startingTimestamp resolves the version server-side") {
+    val q = spark.readStream.format("graft")
+      .option("url", server.url).option("token", TOKEN)
+      .option("table", "share1.default.orders_versioned")
+      .option("startingTimestamp", "1000") // commits stamped 0/1000/2000
+      .load()
+      .groupBy().count()
+      .writeStream.format("memory").queryName("t_remote_ts").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val v2 = spark.read.format("graft")
+      .option("table", "share1.default.orders_versioned").load().count()
+    val v0 = spark.read.format("graft")
+      .option("table", "share1.default.orders_versioned")
+      .option("versionAsOf", "0").load().count()
+    assert(spark.table("t_remote_ts").collect().head.getLong(0) === v2 - v0)
+  }
+
   test("e2e: remote CDF batch via readChangeFeed matches the local CDF") {
     val remoteCdf = spark.read.format("graft")
       .option("url", server.url).option("token", TOKEN)

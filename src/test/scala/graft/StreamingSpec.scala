@@ -60,6 +60,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === expected && streamed > 0)
   }
 
+  test("startingTimestamp replays from the earliest version at-or-after") {
+    val log = GraftCatalog.log(spark, s"${SharedFixtures.SHARE}.events")
+    def addRows(from: Long): Long = log.changes(from, log.latestVersion())
+      .flatMap(_.actions).collect { case a: graft.model.AddFile => a }
+      .flatMap(_.stats.map(_.numRecords)).sum
+    // exact-match: ts=1000 → version 1 (commits stamped 0/1000/2000/3000)
+    assert(runToCompletion(spark.readStream.format("graft").option("path", eventsPath)
+      .option("startingTimestamp", "1000").load(), "t_ts_exact") === addRows(1))
+    // between commits: ts=1500 → version 2
+    assert(runToCompletion(spark.readStream.format("graft").option("path", eventsPath)
+      .option("startingTimestamp", "1500").load(), "t_ts_between") === addRows(2))
+    // ISO-8601 form resolves identically (epoch 1000 ms)
+    assert(runToCompletion(spark.readStream.format("graft").option("path", eventsPath)
+      .option("startingTimestamp", "1970-01-01T00:00:01Z").load(), "t_ts_iso")
+      === addRows(1))
+  }
+
+  test("startingTimestamp errors: future timestamp, conflict with startingVersion") {
+    var i = 0
+    def fails(opts: Map[String, String]): Unit = {
+      i += 1
+      val q = spark.readStream.format("graft").option("path", eventsPath)
+        .options(opts).load()
+        .writeStream.format("memory").queryName(s"t_ts_err$i").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(120000)
+      }
+      q.stop()
+    }
+    fails(Map("startingTimestamp" -> "99999999")) // past the last commit
+    fails(Map("startingTimestamp" -> "1000", "startingVersion" -> "1"))
+  }
+
   test("maxFilesPerTrigger=1 splits the stream into one-file batches") {
     val q = spark.readStream.format("graft").option("path", eventsPath)
       .option("maxFilesPerTrigger", "1").load()
