@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[...] masters (ClusterSpec) spawn executor JVMs via the
+// standalone Worker, which locates the launcher through SPARK_HOME.
+Test / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  // normally exported by bin/load-spark-env.sh; the in-process Worker's
+  // command builder needs it to skip source-tree build-dir probing
+  "SPARK_SCALA_VERSION" -> "2.13",
+)
 // Pass forked run output through verbatim: the bench harness parses the
 // one-line JSON from stdout, and sbt's default logger prepends "[info] ".
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

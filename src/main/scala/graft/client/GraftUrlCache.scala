@@ -48,7 +48,13 @@ object GraftUrlCache {
   /** Current URL for a file id, refreshing the whole owning query's URL
     * set first when close to expiry.
     */
-  def resolve(fileId: String): String = {
+  def resolve(fileId: String): String = resolveWithExpiration(fileId)._1
+
+  /** As [[resolve]], also returning the entry's expiration — the shape the
+    * executor-side RPC fetcher caches against
+    * ([[org.apache.spark.graft.GraftUrlRpc]]).
+    */
+  def resolveWithExpiration(fileId: String): (String, Long) = {
     val e = entries.getOrElse(fileId,
       throw new java.io.FileNotFoundException(s"no cached URL for file id $fileId"))
     if (e.expiration - System.currentTimeMillis() < refreshThresholdMs) {
@@ -56,7 +62,8 @@ object GraftUrlCache {
         entries ++= refresh()
       }
     }
-    entries(fileId).url
+    val cur = entries(fileId)
+    (cur.url, cur.expiration)
   }
 
   /** Test hook. */

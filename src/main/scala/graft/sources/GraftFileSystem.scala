@@ -7,8 +7,6 @@ import org.apache.hadoop.fs._
 import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.hadoop.util.Progressable
 
-import graft.client.GraftUrlCache
-
 /** Read-only Hadoop FileSystem for pre-signed shared files — the
   * reference's `delta-sharing://` FS re-expressed
   * (`client/.../DeltaSharingFileSystem.scala:41-210`; seekable HTTP reads
@@ -37,7 +35,9 @@ class GraftFileSystem extends FileSystem {
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val (fileId, size) = decodePath(f)
-    val url = GraftUrlCache.resolve(fileId)
+    // Driver/local-mode: direct GraftUrlCache hit. Separate executor JVMs:
+    // fileId → URL over the driver RPC endpoint (registered in register()).
+    val url = org.apache.spark.graft.GraftUrlRpc.resolve(fileId)
     new FSDataInputStream(new HttpRangeInputStream(url, size))
   }
 
@@ -86,10 +86,14 @@ object GraftFileSystem {
     (parts(0), parts(1).toLong)
   }
 
-  /** Install the `graft` scheme on the session's Hadoop configuration. */
+  /** Install the `graft` scheme on the session's Hadoop configuration and
+    * the driver RPC endpoint executors resolve pre-signed URLs through
+    * (reference registration point `DeltaSharingDataSource.scala:113-122`).
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sparkContext.hadoopConfiguration
       .setIfUnset(s"fs.$SCHEME.impl", classOf[GraftFileSystem].getName)
+    org.apache.spark.graft.GraftUrlRpc.registerIfNeeded(org.apache.spark.SparkEnv.get)
   }
 }
 

@@ -1,0 +1,90 @@
+// Uses the org.apache.spark package so the engine can reach Spark's
+// private[spark] RPC layer, the same approach the reference documents
+// (`client/.../PreSignedUrlCache.scala:17` — "Use `org.apache.spark` so
+// that we can access Spark's private RPC APIs").
+package org.apache.spark.graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.{SparkContext, SparkEnv}
+import org.apache.spark.rpc.{RpcCallContext, RpcEndpoint, RpcEndpointRef, RpcEnv}
+import org.apache.spark.util.RpcUtils
+
+/** Driver-side RPC endpoint serving fileId → (pre-signed URL, expiration)
+  * lookups to executor processes (T8 at cluster scale: the reference's
+  * `PreSignedUrlCacheEndpoint`, `client/.../PreSignedUrlCache.scala:782-788`,
+  * registered at `DeltaSharingDataSource.scala:113-122`).
+  *
+  * Messages are a plain `String` request and `(String, Long)` reply:
+  * Spark's RPC serializer runs in Spark's own classloader, which may not
+  * see this library's classes — the same constraint the reference
+  * documents for reusing standard Scala types on the wire.
+  */
+class GraftUrlEndpoint(override val rpcEnv: RpcEnv) extends RpcEndpoint {
+  override def receiveAndReply(context: RpcCallContext): PartialFunction[Any, Unit] = {
+    case fileId: String =>
+      context.reply(graft.client.GraftUrlCache.resolveWithExpiration(fileId))
+  }
+}
+
+/** Cross-JVM resolution of `graft:///<fileId>/...` paths: the driver holds
+  * [[graft.client.GraftUrlCache]] (registered per query with refreshers);
+  * executor processes fetch through this endpoint instead of the
+  * in-process singleton, which on a real cluster is empty in their JVMs
+  * (the reference's `PreSignedUrlFetcher`/`PreSignedUrlCache` pair,
+  * `PreSignedUrlCache.scala:793-851`).
+  */
+object GraftUrlRpc {
+
+  private val ENDPOINT_NAME = "graft.PreSignedUrlCache"
+
+  /** Idempotent driver-side endpoint registration (a second setupEndpoint
+    * with the same name throws IllegalArgumentException — safe to ignore,
+    * reference `PreSignedUrlCache.registerIfNeeded:837-845`).
+    */
+  def registerIfNeeded(env: SparkEnv): Unit =
+    if (env != null && env.executorId == SparkContext.DRIVER_IDENTIFIER) {
+      try env.rpcEnv.setupEndpoint(ENDPOINT_NAME, new GraftUrlEndpoint(env.rpcEnv))
+      catch { case _: IllegalArgumentException => () }
+    }
+
+  private def isDriver: Boolean = {
+    val env = SparkEnv.get
+    env == null || env.executorId == SparkContext.DRIVER_IDENTIFIER
+  }
+
+  @volatile private var driverRef: RpcEndpointRef = _
+
+  /** Executor-side memo of fetched URLs. An entry is re-asked from the
+    * driver once inside the expiry threshold, so long-running scans never
+    * hold stale links (the driver side additionally re-signs whole query
+    * URL sets via its registered refreshers).
+    */
+  private val fetched = TrieMap.empty[String, (String, Long)]
+
+  @volatile var refreshThresholdMs: Long = 10 * 60 * 1000L
+
+  /** Current pre-signed URL for a graft file id: direct cache hit on the
+    * driver (local mode / driver-side planning), driver RPC from executor
+    * processes. A missing id surfaces as the driver's
+    * FileNotFoundException, rethrown by askSync.
+    */
+  def resolve(fileId: String): String =
+    if (isDriver) graft.client.GraftUrlCache.resolve(fileId)
+    else fetched.get(fileId) match {
+      case Some((url, exp)) if exp - System.currentTimeMillis() > refreshThresholdMs => url
+      case _ =>
+        var ref = driverRef
+        if (ref == null) {
+          val env = SparkEnv.get
+          ref = RpcUtils.makeDriverRef(ENDPOINT_NAME, env.conf, env.rpcEnv)
+          driverRef = ref
+        }
+        val res = ref.askSync[(String, Long)](fileId)
+        fetched(fileId) = res
+        res._1
+    }
+
+  /** Test hook. */
+  private[spark] def clearExecutorMemo(): Unit = fetched.clear()
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log.SharedFixtures
+import graft.server.{GraftServer, ServerConfig}
+
+/** Multi-JVM deployment shape: `local-cluster[2,1,1024]` runs two REAL
+  * executor processes, so a `graft://` open inside a scan task CANNOT see
+  * the driver's in-process [[graft.client.GraftUrlCache]] — it must
+  * resolve the pre-signed URL through the driver RPC endpoint
+  * ([[org.apache.spark.graft.GraftUrlRpc]]), exactly the boundary a
+  * 1000-executor cluster has (reference `PreSignedUrlCache.scala:33-260`).
+  */
+class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sfDir = "/root/testdata/sf0.001"
+  val TOKEN = "cluster-token"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local-cluster[2,1,1024]")
+    .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+    // executor JVMs need the same JDK17 module opens the driver gets from sbt
+    .config("spark.executor.extraJavaOptions", Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+      "java.base/java.io", "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
+      "java.base/sun.nio.cs", "java.base/sun.security.action",
+      "java.base/sun.util.calendar")
+      .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" "))
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  var server: GraftServer = _
+
+  override def beforeAll(): Unit = {
+    // a leaked session from an earlier suite would pin the wrong master
+    SparkSession.getActiveSession.filter(_ ne spark).foreach(_.stop())
+    spark.sparkContext.setLogLevel("WARN")
+    SharedFixtures.ensure(spark, sfDir)
+    server = new GraftServer(ServerConfig(bearerToken = Some(TOKEN)),
+      spark.sessionState.newHadoopConf()).start()
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop()
+    spark.stop()
+  }
+
+  test("graft:// scan bytes resolve across executor JVMs via the driver RPC") {
+    val direct = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val remote = spark.read.format("graft")
+      .option("url", server.url).option("token", TOKEN)
+      .option("table", "share1.default.lineitem").load()
+    // count + a real column aggregate force parquet byte reads (footer +
+    // pages over HTTP Range) inside the executor processes
+    assert(remote.count() === direct.count())
+    val a = remote.agg(sum("l_quantity")).collect().head.getDouble(0)
+    val b = direct.agg(sum("l_quantity")).collect().head.getDouble(0)
+    assert(math.abs(a - b) < 1e-6)
+    // sanity: this really is a multi-process deployment
+    assert(spark.sparkContext.master.startsWith("local-cluster"))
+  }
+
+  test("remote filter pushdown stays exact across executor JVMs") {
+    val direct = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") < 100)
+    val remote = spark.read.format("graft")
+      .option("url", server.url).option("token", TOKEN)
+      .option("table", "share1.default.lineitem").load()
+      .filter(col("l_orderkey") < 100)
+    assert(remote.count() === direct.count())
+  }
+}
