@@ -296,9 +296,16 @@ class GraftServer(
     val resolved = version.orElse(timestamp.map(l.versionAtOrBefore))
     val snap = l.snapshot(resolved)
     ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, snap.version.toString)
-    sendNdjson(ex, Seq(
-      Line(protocol = wire.Protocol()).json,
-      Line(metaData = wireMetadata(snap.metadata, snap.version)).json))
+    negotiateFormat(ex, snap.metadata) match {
+      case FORMAT_DELTA => sendNdjson(ex, Seq(
+        deltaProtoJson(snap.metadata, snap.protocol),
+        deltaMetaJson(snap.metadata, snap.version,
+          size = snap.files.map(_.size).sum, numFiles = snap.files.size.toLong)),
+        FORMAT_DELTA)
+      case _ => sendNdjson(ex, Seq(
+        Line(protocol = wire.Protocol()).json,
+        Line(metaData = wireMetadata(snap.metadata, snap.version)).json))
+    }
   }
 
   // ---------------------------------------------------------------- query
@@ -344,7 +351,7 @@ class GraftServer(
         pageToken = Option(req.pageToken), cdfMode = false,
         includeHistoricalMetadata = true)
     } else {
-      val (version, lines) = queryTableSnapshot(l, location, tableKey, req)
+      val (version, lines, fmt) = queryTableSnapshot(l, location, tableKey, req, ex)
       ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, version.toString)
       if (async) {
         sweepAsyncResults()
@@ -354,16 +361,18 @@ class GraftServer(
           .flatMap(asyncByIdempotencyKey.get).filter(asyncResults.contains)
         val queryId = existing.getOrElse {
           val id = java.util.UUID.randomUUID().toString
-          asyncResults.put(id, AsyncResult(version, lines, now() + config.pageTokenTtlMs))
+          asyncResults.put(id, AsyncResult(version, lines, now() + config.pageTokenTtlMs, fmt))
           Option(req.idempotencyKey).foreach(asyncByIdempotencyKey(_) = id)
           id
         }
-        sendNdjson(ex, lines.take(2) :+ Line(queryStatus = QueryStatus(queryId)).json)
-      } else sendNdjson(ex, lines)
+        sendNdjson(ex, lines.take(2) :+ Line(queryStatus = QueryStatus(queryId)).json, fmt)
+      } else sendNdjson(ex, lines, fmt)
     }
   }
 
-  private case class AsyncResult(version: Long, lines: Seq[String], expiration: Long)
+  private case class AsyncResult(
+      version: Long, lines: Seq[String], expiration: Long,
+      format: String = GraftServer.FORMAT_PARQUET)
   private val asyncResults =
     scala.collection.concurrent.TrieMap.empty[String, AsyncResult]
   private val asyncByIdempotencyKey =
@@ -387,7 +396,7 @@ class GraftServer(
     asyncResults.get(queryId).filter(_.expiration >= now()) match {
       case Some(res) =>
         ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, res.version.toString)
-        sendNdjson(ex, res.lines)
+        sendNdjson(ex, res.lines, res.format)
         asyncResults.remove(queryId)
         asyncByIdempotencyKey.filterInPlace((_, id) => id != queryId)
       case None =>
@@ -415,7 +424,7 @@ class GraftServer(
 
   private def queryTableSnapshot(
       l: GraftLog, location: String, tableKey: String,
-      req: QueryRequest): (Long, Seq[String]) = {
+      req: QueryRequest, ex: HttpExchange): (Long, Seq[String], String) = {
     // Version resolution order: pageToken > explicit version > timestamp >
     // refreshToken > latest (reference `DeltaSharedTable.scala:382-413`).
     val pageTok = Option(req.pageToken)
@@ -446,6 +455,7 @@ class GraftServer(
       .getOrElse(l.latestVersion())
 
     val snap = l.snapshot(Some(version))
+    val fmt = negotiateFormat(ex, snap.metadata)
     val partitionSchema = org.apache.spark.sql.types.StructType(
       snap.metadata.partitionColumns.map(c => snap.schema(c)))
 
@@ -488,7 +498,18 @@ class GraftServer(
 
     val expiration = now() + config.preSignedUrlTimeoutSeconds * 1000
     val fileLines = pageFiles.map { f =>
-      Line(file = wire.File(
+      if (fmt == FORMAT_DELTA)
+        DeltaLine(file = DeltaFileW(
+          id = Tokens.fileId(location, f.path),
+          expirationTimestamp = expiration,
+          deltaSingleAction = DeltaSingleActionW(add = DeltaAddW(
+            path = signUrl(location, f.path, expiration),
+            partitionValues = f.partitionValues,
+            size = f.size,
+            modificationTime = f.timestamp,
+            dataChange = true,
+            stats = f.stats.map(JsonUtils.toJson).orNull)))).json
+      else Line(file = wire.File(
         url = signUrl(location, f.path, expiration),
         id = Tokens.fileId(location, f.path),
         partitionValues = f.partitionValues,
@@ -507,9 +528,14 @@ class GraftServer(
         minUrlExpirationTimestamp = if (pageFiles.nonEmpty) expiration else null)).json)
     else Nil
 
-    (version,
-      Seq(Line(protocol = wire.Protocol()).json,
-        Line(metaData = wireMetadata(snap.metadata, version)).json) ++ fileLines ++ end)
+    val head =
+      if (fmt == FORMAT_DELTA)
+        Seq(deltaProtoJson(snap.metadata, snap.protocol),
+          deltaMetaJson(snap.metadata, version))
+      else
+        Seq(Line(protocol = wire.Protocol()).json,
+          Line(metaData = wireMetadata(snap.metadata, version)).json)
+    (version, head ++ fileLines ++ end, fmt)
   }
 
   // -------------------------------------------------------------- changes
@@ -581,33 +607,59 @@ class GraftServer(
     }
 
     val startSnap = l.snapshot(Some(start))
+    val fmt = negotiateFormat(ex, startSnap.metadata)
+    val delta = fmt == FORMAT_DELTA
+
+    def deltaFile(single: DeltaSingleActionW, path: String,
+        version: Long, timestamp: Long): String =
+      DeltaLine(file = DeltaFileW(
+        id = id(path), version = version, timestamp = timestamp,
+        expirationTimestamp = expiration, deltaSingleAction = single)).json
+
     val actionLines = l.changes(start, end).flatMap { commit =>
       val metaLines = if (includeHistoricalMetadata)
         commit.actions.collect { case m: graft.model.Metadata =>
-          Line(metaData = wireMetadata(m, commit.version)).json
+          if (delta) deltaMetaJson(m, commit.version)
+          else Line(metaData = wireMetadata(m, commit.version)).json
         }
       else Nil
       val cdc = commit.actions.collect { case c: AddCDCFile => c }
       val dataLines: Seq[String] =
         if (cdfMode && cdc.nonEmpty) {
-          cdc.sortBy(_.path).map(c => Line(cdf = CdcFileW(
-            url = sign(c.path), id = id(c.path), partitionValues = c.partitionValues,
-            size = c.size, version = commit.version, timestamp = commit.timestamp,
-            expirationTimestamp = expiration)).json)
+          cdc.sortBy(_.path).map(c =>
+            if (delta) deltaFile(DeltaSingleActionW(cdc = DeltaCdcW(
+              path = sign(c.path), partitionValues = c.partitionValues,
+              size = c.size)), c.path, commit.version, commit.timestamp)
+            else Line(cdf = CdcFileW(
+              url = sign(c.path), id = id(c.path), partitionValues = c.partitionValues,
+              size = c.size, version = commit.version, timestamp = commit.timestamp,
+              expirationTimestamp = expiration)).json)
         } else {
           val adds = commit.actions
             .collect { case a: AddFile if a.dataChange => a }.sortBy(_.path)
-            .map(a => Line(add = AddFileW(
-              url = sign(a.path), id = id(a.path), partitionValues = a.partitionValues,
-              size = a.size, stats = a.stats.map(JsonUtils.toJson).orNull,
-              version = commit.version, timestamp = commit.timestamp,
-              expirationTimestamp = expiration)).json)
+            .map(a =>
+              if (delta) deltaFile(DeltaSingleActionW(add = DeltaAddW(
+                path = sign(a.path), partitionValues = a.partitionValues,
+                size = a.size, modificationTime = a.timestamp, dataChange = true,
+                stats = a.stats.map(JsonUtils.toJson).orNull)),
+                a.path, commit.version, commit.timestamp)
+              else Line(add = AddFileW(
+                url = sign(a.path), id = id(a.path), partitionValues = a.partitionValues,
+                size = a.size, stats = a.stats.map(JsonUtils.toJson).orNull,
+                version = commit.version, timestamp = commit.timestamp,
+                expirationTimestamp = expiration)).json)
           val removes = commit.actions
             .collect { case r: RemoveFile if r.dataChange => r }.sortBy(_.path)
-            .map(r => Line(remove = RemoveFileW(
-              url = sign(r.path), id = id(r.path), partitionValues = r.partitionValues,
-              size = r.size, version = commit.version, timestamp = commit.timestamp,
-              expirationTimestamp = expiration)).json)
+            .map(r =>
+              if (delta) deltaFile(DeltaSingleActionW(remove = DeltaRemoveW(
+                path = sign(r.path), partitionValues = r.partitionValues,
+                size = r.size, dataChange = true,
+                deletionTimestamp = commit.timestamp)),
+                r.path, commit.version, commit.timestamp)
+              else Line(remove = RemoveFileW(
+                url = sign(r.path), id = id(r.path), partitionValues = r.partitionValues,
+                size = r.size, version = commit.version, timestamp = commit.timestamp,
+                expirationTimestamp = expiration)).json)
           adds ++ removes
         }
       metaLines ++ dataLines
@@ -627,10 +679,12 @@ class GraftServer(
     else Nil
 
     ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, end.toString)
-    sendNdjson(ex,
-      Seq(Line(protocol = wire.Protocol()).json,
-        Line(metaData = wireMetadata(startSnap.metadata, start)).json) ++
-        pageLines ++ endLines)
+    val head =
+      if (delta) Seq(deltaProtoJson(startSnap.metadata, startSnap.protocol),
+        deltaMetaJson(startSnap.metadata, start))
+      else Seq(Line(protocol = wire.Protocol()).json,
+        Line(metaData = wireMetadata(startSnap.metadata, start)).json)
+    sendNdjson(ex, head ++ pageLines ++ endLines, fmt)
   }
 
   // ----------------------------------------------------- pre-signed data
@@ -689,6 +743,90 @@ class GraftServer(
         sendError(ex, new GraftServerException(500, "INTERNAL_ERROR", String.valueOf(e)))
     } finally ex.close()
 
+  // ------------------------------------ capability negotiation (delta)
+
+  /** Parsed `delta-sharing-capabilities` header: lowercased key → value
+    * set (`PROTOCOL.md:3324-3378`, "responseformat=delta;readerfeatures=
+    * deletionvectors,columnmapping").
+    */
+  private def capabilities(ex: HttpExchange): Map[String, Set[String]] =
+    Option(ex.getRequestHeaders.getFirst(CAPABILITIES_HEADER)).getOrElse("")
+      .split(";").toSeq.map(_.trim).filter(_.contains("=")).map { kv =>
+        val i = kv.indexOf('=')
+        kv.substring(0, i).trim.toLowerCase ->
+          kv.substring(i + 1).split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+      }.toMap
+
+  /** Advanced reader-feature table properties set to a non-disabled value
+    * (reference `DeltaAction.tablePropertiesWithDisabledValues:45-50`).
+    */
+  private def advancedProperties(m: graft.model.Metadata): Seq[String] =
+    Seq("delta.columnMapping.mode" -> "none", "delta.enableDeletionVectors" -> "false")
+      .collect { case (p, disabled)
+        if m.configuration.get(p).exists(!_.equalsIgnoreCase(disabled)) => p }
+
+  /** Negotiate the response dialect and gate advanced reader features
+    * (reference `DeltaSharedTableKernel.getRespondedFormat:566-586` +
+    * `SnapshotChecker.assertTableProperties:42-69`): parquet for basic
+    * tables and legacy clients; delta when the client requests it AND its
+    * declared readerfeatures cover the table's properties. A table whose
+    * features the client cannot process is REJECTED with the protocol's
+    * typed error — never served silently-wrong parquet.
+    */
+  private def negotiateFormat(ex: HttpExchange, m: graft.model.Metadata): String = {
+    val caps = capabilities(ex)
+    val formats = caps.getOrElse("responseformat", Set(FORMAT_PARQUET))
+    val clientFeatures = caps.getOrElse("readerfeatures", Set.empty[String])
+    val advanced = advancedProperties(m)
+    def covered(p: String): Boolean = p match {
+      case "delta.columnMapping.mode"    => clientFeatures.contains("columnmapping")
+      case "delta.enableDeletionVectors" => clientFeatures.contains("deletionvectors")
+      case _                             => false
+    }
+    val fmt =
+      if (formats == Set(FORMAT_DELTA)) FORMAT_DELTA
+      else if (advanced.isEmpty && formats.contains(FORMAT_PARQUET)) FORMAT_PARQUET
+      else if (formats.contains(FORMAT_DELTA)) FORMAT_DELTA
+      else throw GraftServerException.unsupported(
+        s"table has advanced reader features (${advanced.mkString(", ")}) that cannot " +
+          "be represented in the parquet response format; request " +
+          "responseformat=delta with matching readerfeatures")
+    if (fmt == FORMAT_DELTA) {
+      val uncovered = advanced.filterNot(covered)
+      if (uncovered.nonEmpty) throw GraftServerException.unsupported(
+        s"unsupported delta table properties for this client: " +
+          s"${uncovered.mkString(", ")} (declare matching readerfeatures in " +
+          s"$CAPABILITIES_HEADER)")
+    }
+    fmt
+  }
+
+  /** Reader features implied by the table configuration (feature-gated
+    * delta protocol: reader 3 / writer 7 once any table feature is on).
+    */
+  private def deltaFeatures(m: graft.model.Metadata): Seq[String] = Seq(
+    "columnMapping" -> m.configuration.get("delta.columnMapping.mode")
+      .exists(v => !v.equalsIgnoreCase("none")),
+    "deletionVectors" -> m.configuration.get("delta.enableDeletionVectors")
+      .exists(_.equalsIgnoreCase("true"))
+  ).collect { case (f, true) => f }
+
+  private def deltaProtoJson(m: graft.model.Metadata, proto: graft.model.Protocol): String = {
+    val features = deltaFeatures(m)
+    val p = if (features.nonEmpty)
+      DeltaProtocolW(3, 7, readerFeatures = features, writerFeatures = features)
+    else DeltaProtocolW(math.max(proto.minReaderVersion, 1), 2)
+    DeltaLine(protocol = DeltaProtocolLine(p)).json
+  }
+
+  private def deltaMetaJson(m: graft.model.Metadata, version: java.lang.Long,
+      size: java.lang.Long = null, numFiles: java.lang.Long = null): String =
+    DeltaLine(metaData = DeltaMetadataLine(
+      DeltaMetadataW(id = m.id, name = if (m.name.isEmpty) null else m.name,
+        schemaString = m.schemaString, partitionColumns = m.partitionColumns,
+        configuration = m.configuration),
+      version = version, size = size, numFiles = numFiles)).json
+
   // ------------------------------------------------------------- helpers
 
   private def wireMetadata(m: graft.model.Metadata, version: Long): wire.Metadata =
@@ -727,13 +865,13 @@ class GraftServer(
   }
 
   /** One JSON object per line (`PROTOCOL.md:3537-3545`); the negotiated
-    * capabilities are echoed back (`PROTOCOL.md:3324-3378` — this engine
-    * always serves the parquet response dialect).
+    * response dialect is echoed back (`PROTOCOL.md:3324-3378`).
     */
-  private def sendNdjson(ex: HttpExchange, lines: Seq[String]): Unit = {
+  private def sendNdjson(ex: HttpExchange, lines: Seq[String],
+      format: String = FORMAT_PARQUET): Unit = {
     val bytes = (lines.mkString("\n") + "\n").getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/x-ndjson; charset=utf-8")
-    ex.getResponseHeaders.set(CAPABILITIES_HEADER, "responseformat=parquet")
+    ex.getResponseHeaders.set(CAPABILITIES_HEADER, s"responseformat=$format")
     ex.sendResponseHeaders(200, bytes.length)
     ex.getResponseBody.write(bytes)
   }
@@ -753,6 +891,8 @@ class GraftServer(
 object GraftServer {
   val DELTA_TABLE_VERSION_HEADER = "Delta-Table-Version"
   val CAPABILITIES_HEADER = "delta-sharing-capabilities"
+  val FORMAT_PARQUET = "parquet"
+  val FORMAT_DELTA = "delta"
 
   private val RANGE_RE = """bytes=(\d+)-(\d*)""".r
 

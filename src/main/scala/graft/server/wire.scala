@@ -98,6 +98,82 @@ object wire {
     def json: String = JsonUtils.toJson(this)
   }
 
+  // ------------------------------------------- delta response dialect
+
+  /** `responseformat=delta` line shapes (`PROTOCOL.md:4030-4160`): the
+    * same top-level NDJSON keys (protocol/metaData/file) wrapping REAL
+    * delta actions, letting capability-negotiating clients read tables
+    * with advanced reader features (deletion vectors, column mapping)
+    * that the flat parquet dialect cannot express.
+    */
+  case class DeltaProtocolW(
+      minReaderVersion: Int,
+      minWriterVersion: Int,
+      readerFeatures: Seq[String] = null,
+      writerFeatures: Seq[String] = null)
+
+  case class DeltaProtocolLine(deltaProtocol: DeltaProtocolW)
+
+  case class DeltaMetadataW(
+      id: String,
+      name: String = null,
+      format: Format = Format(),
+      schemaString: String = null,
+      partitionColumns: Seq[String] = Nil,
+      configuration: Map[String, String] = Map.empty)
+
+  case class DeltaMetadataLine(
+      deltaMetadata: DeltaMetadataW,
+      version: java.lang.Long = null,
+      size: java.lang.Long = null,
+      numFiles: java.lang.Long = null)
+
+  case class DeltaAddW(
+      path: String,
+      partitionValues: Map[String, String] = Map.empty,
+      size: Long = 0L,
+      modificationTime: Long = 0L,
+      dataChange: Boolean = true,
+      stats: String = null)
+
+  case class DeltaRemoveW(
+      path: String,
+      partitionValues: Map[String, String] = Map.empty,
+      size: Long = 0L,
+      dataChange: Boolean = true,
+      deletionTimestamp: java.lang.Long = null)
+
+  case class DeltaCdcW(
+      path: String,
+      partitionValues: Map[String, String] = Map.empty,
+      size: Long = 0L,
+      dataChange: Boolean = false)
+
+  /** Exactly one of add/remove/cdc set (delta's SingleAction shape; the
+    * `path` field carries the pre-signed URL, `PROTOCOL.md:4115`).
+    */
+  case class DeltaSingleActionW(
+      add: DeltaAddW = null,
+      remove: DeltaRemoveW = null,
+      cdc: DeltaCdcW = null)
+
+  case class DeltaFileW(
+      id: String,
+      version: java.lang.Long = null,
+      timestamp: java.lang.Long = null,
+      expirationTimestamp: java.lang.Long = null,
+      deltaSingleAction: DeltaSingleActionW = null)
+
+  /** One delta-dialect NDJSON line — exactly one field set. */
+  case class DeltaLine(
+      protocol: DeltaProtocolLine = null,
+      metaData: DeltaMetadataLine = null,
+      file: DeltaFileW = null,
+      endStreamAction: EndStreamAction = null,
+      queryStatus: QueryStatus = null) {
+    def json: String = JsonUtils.toJson(this)
+  }
+
   // ------------------------------------------------------------- listings
 
   case class Share(name: String)
@@ -157,6 +233,10 @@ class GraftServerException(val status: Int, val errorCode: String, message: Stri
     extends RuntimeException(message)
 
 object GraftServerException {
+  /** Reader-feature gate (reference `DeltaSharingService.scala:93-100`:
+    * DeltaSharingUnsupportedOperationException → 400 UNSUPPORTED_OPERATION).
+    */
+  def unsupported(msg: String) = new GraftServerException(400, "UNSUPPORTED_OPERATION", msg)
   def badRequest(msg: String) = new GraftServerException(400, "INVALID_PARAMETER_VALUE", msg)
   def unauthorized(msg: String) = new GraftServerException(401, "UNAUTHENTICATED", msg)
   def forbidden(msg: String) = new GraftServerException(403, "PERMISSION_DENIED", msg)

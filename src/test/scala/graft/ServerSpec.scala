@@ -383,6 +383,109 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .statusCode() === 404)
   }
 
+  // ------------------------------------- reader features / delta dialect
+
+  private def rawPostH(path: String, body: String, caps: String): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"${server.url}$path"))
+      .header("Authorization", s"Bearer $TOKEN")
+      .header("delta-sharing-capabilities", caps)
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def ensureDvTable(): Unit =
+    if (!GraftCatalog.listTables().contains("share1.default.dvtable")) {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_dv").toString
+      TableBuilder.create(spark, (1 to 6).map(i => (i.toLong, s"r$i")).toDF("id", "v"),
+        dir, numFiles = 2, name = "dvtable",
+        configuration = Map("delta.enableDeletionVectors" -> "true"))
+      GraftCatalog.register("share1.default.dvtable", dir)
+    }
+
+  test("advanced reader features: parquet-format requests are rejected with a typed error") {
+    ensureDvTable()
+    // no capabilities header → parquet → typed rejection, never wrong data
+    val q = rawPost("/shares/share1/schemas/default/tables/dvtable/query", "{}")
+    assert(q.statusCode() === 400)
+    assert(JsonUtils.fromJson[ErrorResponse](q.body()).errorCode === "UNSUPPORTED_OPERATION")
+    val m = rawGet("/shares/share1/schemas/default/tables/dvtable/metadata")
+    assert(m.statusCode() === 400)
+    assert(JsonUtils.fromJson[ErrorResponse](m.body()).errorCode === "UNSUPPORTED_OPERATION")
+    // delta format WITHOUT covering readerfeatures is also rejected
+    val uncovered = rawPostH("/shares/share1/schemas/default/tables/dvtable/query", "{}",
+      "responseformat=delta")
+    assert(uncovered.statusCode() === 400)
+    assert(JsonUtils.fromJson[ErrorResponse](uncovered.body()).errorCode
+      === "UNSUPPORTED_OPERATION")
+  }
+
+  test("responseformat=delta serves delta-dialect NDJSON for a feature-gated table") {
+    ensureDvTable()
+    val r = rawPostH("/shares/share1/schemas/default/tables/dvtable/query", "{}",
+      "responseformat=delta;readerfeatures=deletionvectors,columnmapping")
+    assert(r.statusCode() === 200)
+    assert(r.headers().firstValue("delta-sharing-capabilities").orElse("")
+      .contains("responseformat=delta"))
+    val lines = r.body().split("\n").filter(_.nonEmpty).map(JsonUtils.fromJson[DeltaLine](_))
+    // golden shapes: feature-gated protocol (3/7 + readerFeatures), wrapped
+    // metadata, files as deltaSingleAction.add with pre-signed url paths
+    val proto = lines.head.protocol.deltaProtocol
+    assert(proto.minReaderVersion === 3 && proto.minWriterVersion === 7)
+    assert(proto.readerFeatures.contains("deletionVectors"))
+    val meta = lines(1).metaData
+    assert(meta.deltaMetadata.name === "dvtable")
+    assert(meta.deltaMetadata.configuration("delta.enableDeletionVectors") === "true")
+    assert(meta.deltaMetadata.schemaString.contains("\"id\""))
+    val files = lines.flatMap(l => Option(l.file))
+    assert(files.length === 2)
+    assert(files.forall(_.deltaSingleAction.add != null))
+    assert(files.forall(_.deltaSingleAction.add.path.startsWith("http://127.0.0.1:")))
+    assert(files.forall(_.deltaSingleAction.add.stats != null))
+    assert(files.forall(_.id.nonEmpty))
+    // the pre-signed path actually serves the parquet bytes
+    val bytes = http.send(HttpRequest.newBuilder(
+      URI.create(files.head.deltaSingleAction.add.path)).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(bytes.statusCode() === 200 &&
+      new String(bytes.body().take(4), "ASCII") === "PAR1")
+  }
+
+  test("delta dialect negotiation on basic tables: delta-only honored, delta,parquet → parquet") {
+    // delta-only request on a basic table is honored with legacy protocol 1/2
+    val d = rawPostH("/shares/share1/schemas/default/tables/lineitem/query", "{}",
+      "responseformat=delta")
+    assert(d.statusCode() === 200)
+    val dLines = d.body().split("\n").filter(_.nonEmpty).map(JsonUtils.fromJson[DeltaLine](_))
+    assert(dLines.head.protocol.deltaProtocol.minReaderVersion === 1)
+    assert(Option(dLines.head.protocol.deltaProtocol.readerFeatures).forall(_.isEmpty))
+    assert(dLines.count(_.file != null) === 8)
+    // delta,parquet on a basic table → server picks parquet
+    val p = rawPostH("/shares/share1/schemas/default/tables/lineitem/query", "{}",
+      "responseformat=delta,parquet")
+    assert(p.headers().firstValue("delta-sharing-capabilities").orElse("")
+      .contains("responseformat=parquet"))
+    val pLines = p.body().split("\n").filter(_.nonEmpty).map(JsonUtils.fromJson[Line](_))
+    assert(pLines.count(_.file != null) === 8)
+    assert(pLines.flatMap(l => Option(l.file)).forall(_.url != null))
+  }
+
+  test("delta dialect: version-range changes wrap adds as deltaSingleAction") {
+    val r = http.send(HttpRequest.newBuilder(URI.create(
+      s"${server.url}/shares/share1/schemas/default/tables/orders_cdf/changes?startingVersion=0"))
+      .header("Authorization", s"Bearer $TOKEN")
+      .header("delta-sharing-capabilities", "responseformat=delta")
+      .GET().build(), HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() === 200)
+    val lines = r.body().split("\n").filter(_.nonEmpty).map(JsonUtils.fromJson[DeltaLine](_))
+    val files = lines.flatMap(l => Option(l.file))
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.version != null && f.deltaSingleAction != null))
+    // cdc-priority versions surface as cdc single actions, inserts as adds
+    assert(files.exists(_.deltaSingleAction.cdc != null))
+    assert(files.exists(_.deltaSingleAction.add != null))
+  }
+
   // ------------------------------------------------------ pre-signed data
 
   test("pre-signed data URLs serve bytes, honor Range, reject tampering") {
