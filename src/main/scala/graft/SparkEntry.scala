@@ -497,6 +497,24 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
     }),
 
+    // Beyond-reference: IVF-Flat ANN over a FIXED coarse quantizer — the
+    // first 4 corpus vectors serve as deterministic centroids (k-means
+    // training isn't engine-reproducible; the probe/score path is shared
+    // with the trained ivfTopK), each query probes its 2 nearest cells by
+    // L2, exact cosine top-3 within the probed cells. DuckDB replicates
+    // the assignment (ties to the lower cell) and probing exactly.
+    "q41_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val centroids = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+      graft.ops.Similarity.ivfTopKWithCentroids(queries, corpus, centroids,
+        k = 3, nprobe = 2)
+        .withColumn("sim", round(col("sim"), 3))
+    }),
+
     // §2.9 + §2.1 S5/S6/S11: the FULL sharing loop over HTTP — an
     // in-process REST server lists/signs files, the client FileIndex
     // pushes the filter as a jsonPredicateHint, and scan tasks read
@@ -827,6 +845,36 @@ object SparkEntry {
          FROM lineitem
          WHERE l_orderkey < 1000 AND l_discount > 0.05
          GROUP BY l_linestatus""",
+    "q41_ann_ivf" ->
+      """WITH cent AS (SELECT CAST(vec_id AS INT) AS cell,
+                        CAST(embedding AS DOUBLE[]) AS ce
+                      FROM embeddings WHERE vec_id < 4),
+         c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 5),
+         assigned AS (
+           SELECT c_id, e, cell FROM (
+             SELECT c.c_id, c.e, cent.cell,
+               row_number() OVER (PARTITION BY c.c_id
+                 ORDER BY list_distance(c.e, cent.ce), cent.cell) AS ar
+             FROM c CROSS JOIN cent)
+           WHERE ar = 1),
+         probes AS (
+           SELECT q_id, e, cell FROM (
+             SELECT q.q_id, q.e, cent.cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY list_distance(q.e, cent.ce), cent.cell) AS cr
+             FROM q CROSS JOIN cent)
+           WHERE cr <= 2),
+         scored AS (
+           SELECT p.q_id, a.c_id, list_cosine_similarity(p.e, a.e) AS sim
+           FROM assigned a JOIN probes p ON a.cell = p.cell)
+         SELECT q_id, c_id, round(sim, 3) AS sim, rank FROM (
+           SELECT q_id, c_id, sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+               AS BIGINT) AS rank
+           FROM scored)
+         WHERE rank <= 3""",
     "q34_share_cdf" -> cdfOracle,
     "q37_cdf_option" -> cdfOracle,
     "q38_cdf_stream" -> cdfOracle

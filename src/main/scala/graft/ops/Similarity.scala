@@ -186,14 +186,50 @@ object Similarity {
     val assigned = model.transform(trainable)
       .select(col("c_id"), col("c_vec"), col("prediction").as("cell"))
 
-    // Each query ranks the nlist centroids (broadcast nested loop over a
-    // tiny table) and keeps its nprobe nearest cells by L2 distance.
-    val qCells = queries.crossJoin(broadcast(centroidDF))
-      .withColumn("d2",
-        dot(col("q_vec"), col("q_vec")) - lit(2.0) * dot(col("q_vec"), col("centroid")) +
-          dot(col("centroid"), col("centroid")))
+    probeAndScore(queries, assigned, centroidDF, k, nprobe)
+  }
+
+  /** Squared L2 distance via the codegen'd dot kernel. */
+  private def d2(v: Column, c: Column): Column =
+    dot(v, v) - lit(2.0) * dot(v, c) + dot(c, c)
+
+  /** IVF-Flat with a FIXED centroid table `(cell, centroid)` — the
+    * deterministic variant the driver gate oracles: k-means training isn't
+    * engine-reproducible, but with given centroids the assignment
+    * (nearest centroid by L2, ties to the lower cell) and the probe/score
+    * path are exactly [[ivfTopK]]'s. Assignment is a map-side-combinable
+    * `min(struct(d2, cell))` aggregate over a broadcast centroid cross —
+    * one corpus shuffle, no window over the full corpus.
+    */
+  def ivfTopKWithCentroids(
+      queries: DataFrame, // (q_id, q_vec)
+      corpus: DataFrame, // (c_id, c_vec)
+      centroids: DataFrame, // (cell, centroid)
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("dd", d2(col("c_vec"), col("centroid")))
+      .groupBy(col("c_id"))
+      .agg(
+        min(struct(col("dd"), col("cell"))).getField("cell").as("cell"),
+        first(col("c_vec")).as("c_vec"))
+    probeAndScore(queries, assigned, centroids, k, nprobe)
+  }
+
+  /** Shared IVF probe/score: each query ranks the centroids (broadcast
+    * nested loop over a tiny table), keeps its nprobe nearest cells, and
+    * scores only those cells' corpus rows with the exact cosine kernel.
+    */
+  private def probeAndScore(
+      queries: DataFrame, // (q_id, q_vec)
+      assigned: DataFrame, // (c_id, c_vec, cell)
+      centroids: DataFrame, // (cell, centroid)
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .withColumn("dd", d2(col("q_vec"), col("centroid")))
       .withColumn("cr", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))))
+        Window.partitionBy(col("q_id")).orderBy(col("dd"), col("cell"))))
       .filter(col("cr") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("cell"))
 
