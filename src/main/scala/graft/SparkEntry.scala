@@ -497,6 +497,29 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
     }),
 
+    // §2.8 T10 over REST: remote CDF STREAMING — the same change feed as
+    // q38 but consumed from the sharing server's /changes endpoint with
+    // atomic per-version admission, row bytes flowing through graft://
+    // pre-signed URLs; final state must equal the batch CDF oracle.
+    "q42_cdf_stream_rest" -> ((s, dir) => {
+      val url = graft.server.LocalShareServer.ensure(s, dir)
+      val sink = "graft_q42_sink"
+      s.catalog.dropTempView(sink)
+      val q = s.readStream.format("graft")
+        .option("url", url).option("token", graft.server.LocalShareServer.TOKEN)
+        .option("table", s"${graft.log.SharedFixtures.SHARE}.orders_cdf")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .option("queryTableVersionIntervalSeconds", "0")
+        .load()
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      q.stop()
+      s.table(sink)
+    }),
+
     // Beyond-reference: IVF-Flat ANN over a FIXED coarse quantizer — the
     // first 4 corpus vectors serve as deterministic centroids (k-means
     // training isn't engine-reproducible; the probe/score path is shared
@@ -877,7 +900,8 @@ object SparkEntry {
          WHERE rank <= 3""",
     "q34_share_cdf" -> cdfOracle,
     "q37_cdf_option" -> cdfOracle,
-    "q38_cdf_stream" -> cdfOracle
+    "q38_cdf_stream" -> cdfOracle,
+    "q42_cdf_stream_rest" -> cdfOracle
   )
 
   /** Expected per-change-type counts of the orders_cdf fixture history

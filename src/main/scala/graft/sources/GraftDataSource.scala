@@ -55,9 +55,15 @@ class GraftDataSource extends RelationProvider
       val (share, sc, t) = splitFqn(parameters)
       val client = GraftDataSource.remoteClient(parameters)
       val (meta, _) = client.metadata(share, sc, t)
-      return (shortName(), schema.getOrElse(
-        org.apache.spark.sql.types.DataType.fromJson(meta.schemaString)
-          .asInstanceOf[StructType]))
+      val base = org.apache.spark.sql.types.DataType.fromJson(meta.schemaString)
+        .asInstanceOf[StructType]
+      val withCdf = if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+        import org.apache.spark.sql.types._
+        base.add(graft.log.GraftCDF.CHANGE_TYPE, StringType)
+          .add(graft.log.GraftCDF.COMMIT_VERSION, LongType)
+          .add(graft.log.GraftCDF.COMMIT_TIMESTAMP, TimestampType)
+      } else base
+      return (shortName(), schema.getOrElse(withCdf))
     }
     val path = resolvePath(parameters)
     val log = new graft.log.GraftLog(path,

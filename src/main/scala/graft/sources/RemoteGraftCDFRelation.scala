@@ -53,41 +53,8 @@ class RemoteGraftCDFRelation(
           fresh.removes.map(r => entry(r.id, r.url, r.expirationTimestamp))).toMap
       })
 
-    def path(id: String, size: Long): String =
-      GraftFileSystem.encodePath(id, size).toString
-
-    // (paths, change_type literal or None for cdc, version, timestampMs)
-    val groups: Seq[(Seq[String], Option[String], Long, Long)] =
-      res.adds.groupBy(a => (a.version, a.timestamp)).toSeq.map { case ((v, ts), as) =>
-        (as.map(a => path(a.id, a.size)), Some("insert"), v, ts)
-      } ++
-        res.cdfs.groupBy(c => (c.version, c.timestamp)).toSeq.map { case ((v, ts), cs) =>
-          (cs.map(c => path(c.id, c.size)), None, v, ts)
-        } ++
-        res.removes.groupBy(r => (r.version, r.timestamp)).toSeq.map { case ((v, ts), rs) =>
-          (rs.map(r => path(r.id, r.size)), Some("delete"), v, ts)
-        }
-
-    val dfs = groups.sortBy(g => (g._3, g._2.isEmpty)).map { case (paths, ct, v, ts) =>
-      val base = ct match {
-        case Some(t) => spark.read.schema(tableSchema).parquet(paths: _*)
-          .withColumn(GraftCDF.CHANGE_TYPE, lit(t))
-        case None => spark.read.schema(tableSchema.add(GraftCDF.CHANGE_TYPE, "string"))
-          .parquet(paths: _*)
-      }
-      base.withColumn(GraftCDF.COMMIT_VERSION, lit(v))
-        .withColumn(GraftCDF.COMMIT_TIMESTAMP, lit(new java.sql.Timestamp(ts)))
-    }
-
-    dfs match {
-      case Nil =>
-        import org.apache.spark.sql.types._
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          tableSchema.add(GraftCDF.CHANGE_TYPE, StringType)
-            .add(GraftCDF.COMMIT_VERSION, LongType)
-            .add(GraftCDF.COMMIT_TIMESTAMP, TimestampType))
-      case list => list.reduce(_.unionByName(_))
-    }
+    RemoteGraftCDF.assemble(spark, tableSchema,
+      RemoteGraftCDF.groupsOf(res.adds, res.cdfs, res.removes))
   }
 
   override def sqlContext: SQLContext = spark.sqlContext
@@ -101,5 +68,64 @@ class RemoteGraftCDFRelation(
       if (requiredColumns.isEmpty) filtered
       else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
     projected.rdd
+  }
+}
+
+/** Shared remote-CDF batch assembly, used by both the batch relation above
+  * and the streaming source's CDF mode
+  * ([[graft.streaming.RemoteGraftSource]]).
+  */
+object RemoteGraftCDF {
+
+  import graft.server.wire
+
+  private def path(id: String, size: Long): String =
+    GraftFileSystem.encodePath(id, size).toString
+
+  /** Per-(version, timestamp) file groups: adds imply `insert` rows, cdc
+    * files carry their own `_change_type` column, removes imply `delete`
+    * (reference `RemoteDeltaCDFRelation.scala:73-139`). Tuple =
+    * (graft:// paths, change-type literal or None for cdc, version, ts).
+    */
+  def groupsOf(
+      adds: Seq[wire.AddFileW],
+      cdfs: Seq[wire.CdcFileW],
+      removes: Seq[wire.RemoveFileW]): Seq[(Seq[String], Option[String], Long, Long)] =
+    adds.groupBy(a => (a.version, a.timestamp)).toSeq.map { case ((v, ts), as) =>
+      (as.map(a => path(a.id, a.size)), Option("insert"), v, ts)
+    } ++
+      cdfs.groupBy(c => (c.version, c.timestamp)).toSeq.map { case ((v, ts), cs) =>
+        (cs.map(c => path(c.id, c.size)), Option.empty[String], v, ts)
+      } ++
+      removes.groupBy(r => (r.version, r.timestamp)).toSeq.map { case ((v, ts), rs) =>
+        (rs.map(r => path(r.id, r.size)), Option("delete"), v, ts)
+      }
+
+  /** Union the groups into one change DataFrame with the 3 CDF metadata
+    * columns stamped as literals.
+    */
+  def assemble(
+      spark: SparkSession,
+      tableSchema: StructType,
+      groups: Seq[(Seq[String], Option[String], Long, Long)]): DataFrame = {
+    val dfs = groups.sortBy(g => (g._3, g._2.isEmpty)).map { case (paths, ct, v, ts) =>
+      val base = ct match {
+        case Some(t) => spark.read.schema(tableSchema).parquet(paths: _*)
+          .withColumn(GraftCDF.CHANGE_TYPE, lit(t))
+        case None => spark.read.schema(tableSchema.add(GraftCDF.CHANGE_TYPE, "string"))
+          .parquet(paths: _*)
+      }
+      base.withColumn(GraftCDF.COMMIT_VERSION, lit(v))
+        .withColumn(GraftCDF.COMMIT_TIMESTAMP, lit(new java.sql.Timestamp(ts)))
+    }
+    dfs match {
+      case Nil =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          tableSchema.add(GraftCDF.CHANGE_TYPE, StringType)
+            .add(GraftCDF.COMMIT_VERSION, LongType)
+            .add(GraftCDF.COMMIT_TIMESTAMP, TimestampType))
+      case list => list.reduce(_.unionByName(_))
+    }
   }
 }

@@ -58,6 +58,14 @@ class RemoteGraftSource(
   private val ignoreDeletes: Boolean = options.get("ignoreDeletes").exists(_.toBoolean)
   private val skipChangeCommits: Boolean = options.get("skipChangeCommits").exists(_.toBoolean)
 
+  /** Remote CDF streaming (T10 over REST): row-level changes fetched from
+    * the `/changes` endpoint, versions admitted ATOMICALLY (a commit's
+    * update_preimage/postimage rows never split across batches), same
+    * semantics as the local [[GraftSource]] CDF mode (reference
+    * `DeltaSharingSource.scala:603-716,880-913`).
+    */
+  private val cdfMode: Boolean = options.get("readChangeFeed").exists(_.toBoolean)
+
   /** T4: at most this many versions are requested per range RPC (the
     * reference default 100, `DeltaSharingSource.scala:176-191`) so a
     * long-backlogged stream never asks the server for an unbounded reply.
@@ -86,8 +94,17 @@ class RemoteGraftSource(
   private val (meta, versionAtStart) = client.metadata(share, schemaName, table)
   private val tableId: String = meta.id
 
-  override val schema: StructType =
+  private val tableSchema: StructType =
     DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+
+  override val schema: StructType =
+    if (cdfMode) {
+      import org.apache.spark.sql.types._
+      tableSchema
+        .add(graft.log.GraftCDF.CHANGE_TYPE, StringType)
+        .add(graft.log.GraftCDF.COMMIT_VERSION, LongType)
+        .add(graft.log.GraftCDF.COMMIT_TIMESTAMP, TimestampType)
+    } else tableSchema
 
   private val partitionSchema: StructType =
     StructType(meta.partitionColumns.map(c => schema(c)))
@@ -201,6 +218,111 @@ class RemoteGraftSource(
     }
   }
 
+  // ----------------------------------------------------------- CDF mode
+
+  /** First version a CDF stream consumes: explicit start, else the
+    * table's version when the stream started (tail-only default).
+    */
+  private val cdfStartVersion: Long =
+    if (cdfMode) startingVersion.getOrElse(versionAtStart) else 0L
+
+  /** One version's change files as served by `/changes` (cdc-priority). */
+  private case class CdfCommit(
+      adds: Seq[graft.server.wire.AddFileW],
+      cdfs: Seq[graft.server.wire.CdcFileW],
+      removes: Seq[graft.server.wire.RemoveFileW]) {
+    def nFiles: Int = if (cdfs.nonEmpty) cdfs.size else adds.size + removes.size
+    def bytes: Long =
+      if (cdfs.nonEmpty) cdfs.map(_.size).sum else adds.map(_.size).sum + removes.map(_.size).sum
+  }
+
+  /** Per-version memo of fetched `/changes` windows (same immutability
+    * argument as [[fetchedCommits]]): admission counting AND batch
+    * assembly share one RPC per version window.
+    */
+  private val fetchedCdf = scala.collection.concurrent.TrieMap.empty[Long, CdfCommit]
+
+  private def cdfCommits(start: Long, end: Long): Seq[(Long, CdfCommit)] = {
+    var v = start
+    while (v <= end) {
+      if (fetchedCdf.contains(v)) v += 1
+      else {
+        var e = v
+        while (e < end && e - v + 1 < maxVersionsPerRpc && !fetchedCdf.contains(e + 1))
+          e += 1
+        val res = client.changes(share, schemaName, table,
+          Map("startingVersion" -> v.toString, "endingVersion" -> e.toString))
+        res.metas.foreach { m =>
+          SchemaCompat.assertReadCompatible(tableSchema,
+            DataType.fromJson(m.schemaString).asInstanceOf[StructType],
+            s"$share.$schemaName.$table (cdf, version ${Option(m.version).getOrElse(-1L)})")
+        }
+        def entry(id: String, url: String, exp: java.lang.Long) =
+          id -> GraftUrlCache.Entry(url,
+            Option(exp).map(_.longValue()).getOrElse(Long.MaxValue))
+        def urlsOf(r: client.ChangesResult) =
+          (r.adds.map(a => entry(a.id, a.url, a.expirationTimestamp)) ++
+            r.cdfs.map(c => entry(c.id, c.url, c.expirationTimestamp)) ++
+            r.removes.map(x => entry(x.id, x.url, x.expirationTimestamp))).toMap
+        registerUrls(s"cdf@$v-$e", urlsOf(res),
+          () => urlsOf(client.changes(share, schemaName, table,
+            Map("startingVersion" -> v.toString, "endingVersion" -> e.toString))))
+        val addsBy = res.adds.groupBy(_.version)
+        val cdfsBy = res.cdfs.groupBy(_.version)
+        val removesBy = res.removes.groupBy(_.version)
+        (v to e).foreach { vv =>
+          fetchedCdf.putIfAbsent(vv, CdfCommit(
+            addsBy.getOrElse(vv, Nil).sortBy(_.id),
+            cdfsBy.getOrElse(vv, Nil).sortBy(_.id),
+            removesBy.getOrElse(vv, Nil).sortBy(_.id)))
+        }
+        v = e + 1
+      }
+    }
+    (start to end).map(vv => (vv, fetchedCdf(vv)))
+  }
+
+  /** Greedy atomic-version admission under the (files, bytes) caps; at
+    * least one version is always admitted (mirrors the local source).
+    */
+  private def admitCdfVersions(
+      units: Seq[(Long, CdfCommit)], limit: ReadLimit): Seq[Long] = {
+    val (fileCap, byteCap) = Admission.caps(limit)
+    if (fileCap.isEmpty && byteCap.isEmpty) return units.map(_._1)
+    var files = 0
+    var bytes = 0L
+    var n = 0
+    val admitted = Vector.newBuilder[Long]
+    var done = false
+    units.foreach { case (v, c) =>
+      if (!done) {
+        val over = (fileCap.exists(m => files + c.nFiles > m) ||
+          byteCap.exists(m => bytes + c.bytes > m)) && n > 0
+        if (over) done = true
+        else { admitted += v; files += c.nFiles; bytes += c.bytes; n += 1 }
+      }
+    }
+    admitted.result()
+  }
+
+  /** Remote CDF micro-batch [fromV, toV]: assembled from the per-version
+    * memo (zero extra RPCs) with the shared batch machinery, handed to
+    * the stream as a streaming-flagged RDD.
+    */
+  private def cdfBatchDF(fromV: Long, toV: Long): DataFrame = {
+    if (fromV > toV)
+      return GraftSqlBridge.streamingDataFrameFromRdd(spark,
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow], schema)
+    GraftFileSystem.register(spark)
+    val commits = cdfCommits(fromV, toV)
+    val batch = graft.sources.RemoteGraftCDF.assemble(spark, tableSchema,
+      graft.sources.RemoteGraftCDF.groupsOf(
+        commits.flatMap(_._2.adds), commits.flatMap(_._2.cdfs),
+        commits.flatMap(_._2.removes)))
+      .selectExpr(schema.fieldNames.map(n => s"`$n`").toIndexedSeq: _*)
+    GraftSqlBridge.streamingDataFrameFromRdd(spark, batch.queryExecution.toRdd, schema)
+  }
+
   private def filesAfter(from: Option[GraftSourceOffset], endVersion: Long): Seq[IndexedFile] = {
     val out = Vector.newBuilder[IndexedFile]
 
@@ -247,11 +369,20 @@ class RemoteGraftSource(
   override def latestOffset(startOffset: streaming.Offset, limit: ReadLimit): streaming.Offset = {
     val from = Option(startOffset).map(o => GraftSourceOffset(o.asInstanceOf[Offset]))
     val endVersion = frozenEndVersion.getOrElse(currentServerVersion())
-    val files = Admission.admit(filesAfter(from, endVersion), limit)(_.file.isDefined, _.bytes)
-    if (files.isEmpty) from.orNull
-    else {
-      val last = files.last
-      GraftSourceOffset(tableId, last.version, last.index, last.isStarting)
+    if (cdfMode) {
+      val startV = from.map(_.tableVersion).getOrElse(cdfStartVersion)
+      if (startV > endVersion) return from.orNull
+      val admitted = admitCdfVersions(cdfCommits(startV, endVersion), limit)
+      if (admitted.isEmpty) from.orNull
+      else GraftSourceOffset(tableId, admitted.last + 1, VERSION_CONSUMED,
+        isStartingVersion = false)
+    } else {
+      val files = Admission.admit(filesAfter(from, endVersion), limit)(_.file.isDefined, _.bytes)
+      if (files.isEmpty) from.orNull
+      else {
+        val last = files.last
+        GraftSourceOffset(tableId, last.version, last.index, last.isStarting)
+      }
     }
   }
 
@@ -262,6 +393,9 @@ class RemoteGraftSource(
     val from = start.map(GraftSourceOffset(_))
     val to = GraftSourceOffset(end)
     from.foreach(f => GraftSourceOffset.validate(f, to))
+    if (cdfMode)
+      return cdfBatchDF(from.map(_.tableVersion).getOrElse(cdfStartVersion),
+        to.tableVersion - 1) // offset (v+1, -1) = consumed through v
     // A sentinel offset (v+1, -1) means "consumed through v" — fetch only
     // up to v; asking the server for v+1 would be out of range.
     val endV =

@@ -674,6 +674,31 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("t_remote_ts").collect().head.getLong(0) === v2 - v0)
   }
 
+  test("e2e: remote CDF STREAMING tails /changes with atomic version batches") {
+    val q = spark.readStream.format("graft")
+      .option("url", server.url).option("token", TOKEN)
+      .option("table", "share1.default.orders_cdf")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "1") // one version per batch (atomic)
+      .option("queryTableVersionIntervalSeconds", "0")
+      .load()
+      .groupBy("_change_type").count()
+      .writeStream.format("memory").queryName("t_remote_cdf_stream").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    val localCdf = spark.read.format("graft")
+      .option("path", GraftCatalog.location("share1.default.orders_cdf"))
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load()
+    assert(spark.table("t_remote_cdf_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      localCdf.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(batches > 1, "atomic per-version admission must split the feed")
+  }
+
   test("e2e: remote CDF batch via readChangeFeed matches the local CDF") {
     val remoteCdf = spark.read.format("graft")
       .option("url", server.url).option("token", TOKEN)
