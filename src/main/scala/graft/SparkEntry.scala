@@ -538,6 +538,33 @@ object SparkEntry {
         .withColumn("sim", round(col("sim"), 3))
     }),
 
+    // Beyond-reference: near-dup PAIRS → dedup CLUSTERS. The q27 edge set
+    // is closed into connected components with alternating large-star /
+    // small-star (O(log^2 n) shuffle rounds, diameter-independent); every
+    // doc gets the min reachable doc_id as its cluster label. DuckDB
+    // verifies via a recursive-CTE transitive closure.
+    "q43_dedup_clusters" -> ((s, dir) => {
+      val pairs = graft.ops.Dedup.nearDuplicatesExact(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
+      graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").cast("long").as("doc_id"),
+          col("component").cast("long").as("component"))
+    }),
+
+    // Beyond-reference: Gopher-style repetition quality signals — unique-
+    // token ratio, top-token fraction (longest equal run over the sorted
+    // token array: a codegen fold, no explode/shuffle), duplicate-bigram
+    // fraction. All pure column arithmetic, replicated exactly in SQL.
+    "q44_repetition_signals" -> ((s, dir) => {
+      val T = graft.ops.TextOps
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"),
+          round(T.uniqueTokenRatio(col("text")), 4).as("uniq_ratio"),
+          round(T.topTokenFraction(col("text")), 4).as("top_token_frac"),
+          round(T.dupBigramFraction(col("text")), 4).as("dup_bigram_frac"))
+    }),
+
     // §2.9 + §2.1 S5/S6/S11: the FULL sharing loop over HTTP — an
     // in-process REST server lists/signs files, the client FileIndex
     // pushes the filter as a jsonPredicateHint, and scan tasks read
@@ -901,7 +928,53 @@ object SparkEntry {
     "q34_share_cdf" -> cdfOracle,
     "q37_cdf_option" -> cdfOracle,
     "q38_cdf_stream" -> cdfOracle,
-    "q42_cdf_stream_rest" -> cdfOracle
+    "q42_cdf_stream_rest" -> cdfOracle,
+    "q43_dedup_clusters" ->
+      """WITH RECURSIVE sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                                         CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS u, b.doc_id AS v
+           FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.fset, b.fset))::DOUBLE /
+                 len(list_distinct(a.fset || b.fset))::DOUBLE >= 0.7),
+         edges AS (
+           SELECT u, v FROM pairs
+           UNION SELECT v AS u, u AS v FROM pairs
+           UNION SELECT u, u AS v FROM pairs
+           UNION SELECT v AS u, v FROM pairs),
+         reach AS (
+           SELECT u AS n, v AS m FROM edges
+           UNION
+           SELECT r.n, e.v AS m FROM reach r JOIN edges e ON r.m = e.u)
+         SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n""",
+    "q44_repetition_signals" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id < 200),
+         base AS (
+           SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_uniq,
+             CASE WHEN len(toks) >= 2 THEN
+               1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])))::DOUBLE
+                     / (len(toks) - 1)::DOUBLE
+             ELSE 0.0 END AS dup_bg
+           FROM d),
+         tokc AS (
+           SELECT doc_id, tok, count(*) AS c
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY doc_id, tok),
+         top AS (SELECT doc_id, max(c) AS topc FROM tokc GROUP BY doc_id)
+         SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           round(b.n_uniq::DOUBLE / b.n_tokens::DOUBLE, 4) AS uniq_ratio,
+           round(t.topc::DOUBLE / b.n_tokens::DOUBLE, 4) AS top_token_frac,
+           round(b.dup_bg, 4) AS dup_bigram_frac
+         FROM base b JOIN top t USING (doc_id)"""
   )
 
   /** Expected per-change-type counts of the orders_cdf fixture history

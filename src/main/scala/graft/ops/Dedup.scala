@@ -439,4 +439,93 @@ object Dedup {
     val (exploded, dict) = featureTables(sets)
     codedVerify(prefixCandidates(exploded, dict, threshold), exploded, dict, threshold)
   }
+
+  // ------------------------------------------------- connected components
+
+  /** Connected components over near-duplicate pair edges: every node gets
+    * the MINIMUM id reachable from it as its `component` label, turning
+    * pairwise near-dup output into dedup clusters (pick one survivor per
+    * component).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+    * is two bucket equi-join + min-aggregate passes, and the edge set
+    * converges in O(log^2 n) rounds regardless of component diameter, so
+    * a 100M-node duplicate graph needs ~dozens of shuffles, not
+    * O(diameter) like naive label propagation. Each round's edge set is
+    * `localCheckpoint`ed (materialized, lineage truncated) — without the
+    * cut, Catalyst re-analyzes a plan that doubles per round and planning
+    * time explodes long before data size matters. On a cluster with a
+    * checkpoint dir configured, `checkpoint()` would add fault tolerance;
+    * the algorithm is unchanged.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    // Undirected simple edges u != v (self loops are implicit in the
+    // star operations).
+    var edges = pairs
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct()
+      .localCheckpoint(true)
+
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("u"), col("v")).union(e.select(col("v").as("u"), col("u").as("v")))
+
+    // large-star: every neighbor v > u links to min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      s.join(m, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: neighbors v <= u (plus u itself) link to the min
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e).filter(col("v") < col("u"))
+      val m = s.groupBy("u").agg(min(col("v")).as("m"))
+      val linked = s.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+      linked.filter(col("u") =!= col("v")).distinct()
+    }
+
+    // convergence check: (count, order-independent hash-xor) signature —
+    // one aggregate per round, no collect of edge data (xor never
+    // overflows under ANSI arithmetic, unlike a hash sum)
+    def signature(e: DataFrame): (Long, Long) = {
+      val row = e.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")).head()
+      (row.getLong(0), row.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      edges.unpersist()
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+
+    // At the fixpoint every non-minimum node has a direct edge to its
+    // component minimum; minima themselves label their own component.
+    nodes.join(edges, nodes("node") === edges("u"), "left")
+      .groupBy(col("node"))
+      .agg(least(min(col("v")), first(col("node"))).as("component"))
+  }
 }

@@ -96,6 +96,50 @@ object TextOps {
       aggregate(chars, lit(0L), (acc, c) => (acc * 31 + ascii(c)) % mod))
   }
 
+  /** Fraction of distinct tokens: 1.0 means no repeated word, low values
+    * flag degenerate/boilerplate documents (the Gopher/RefinedWeb
+    * repetition family of quality rules, adapted to token streams).
+    */
+  def uniqueTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(array_distinct(t)).cast("double") / size(t).cast("double")
+  }
+
+  /** Fraction of the document occupied by its single most frequent token.
+    * Computed as a fold over the sorted token array (longest equal run =
+    * mode count) — O(n log n) per row inside codegen, no explode/shuffle,
+    * so it runs at scan speed over 100 TB where an
+    * explode→groupBy(doc,token) formulation would shuffle every token.
+    */
+  def topTokenFraction(text: Column): Column = {
+    val t = tokens(text)
+    val best = aggregate(
+      array_sort(t),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(run, acc.getField("best")).as("best"))
+      },
+      acc => acc.getField("best"))
+    best.cast("double") / size(t).cast("double")
+  }
+
+  /** Fraction of adjacent-token bigrams that are repeats of an earlier
+    * bigram in the same document (0.0 for single-token docs).
+    */
+  def dupBigramFraction(text: Column): Column = {
+    val t = tokens(text)
+    val n = size(t)
+    val bigrams = zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    when(n >= 2,
+      lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+        size(bigrams).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Per-document text-statistics frame: one row per doc with the columns
     * downstream filters group on.
     */

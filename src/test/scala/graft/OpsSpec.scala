@@ -204,4 +204,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(out === Set(("aaa", 1L, 2L), ("bbb", 3L, 1L)))
   }
+
+  test("connected components: chains, cliques, singleton pairs, empty") {
+    import spark.implicits._
+    def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val df = pairs.toDF("a", "b")
+      Dedup.connectedComponents(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // a long chain (worst case for naive propagation) + a separate clique
+    val chain = (1L to 9L).sliding(2).map(s => (s(1), s(0))).toSeq
+    val clique = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val got = cc(chain ++ clique)
+    assert((1L to 9L).forall(n => got(n) == 1L))
+    assert(Seq(20L, 21L, 22L).forall(n => got(n) == 20L))
+    // disjoint pair + duplicate/reversed edges collapse
+    val got2 = cc(Seq((5L, 6L), (6L, 5L), (5L, 6L), (8L, 7L)))
+    assert(got2 === Map(5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+    // empty edge set
+    assert(cc(Nil).isEmpty)
+  }
+
+  test("repetition signals: unique ratio, top-token fraction, dup bigrams") {
+    val docs = docsDF(Seq(
+      1L -> "a b c d",            // all unique
+      2L -> "a a a b",            // top token 3/4, uniq 2/4
+      3L -> "x y x y x y",        // bigram "x y"/"y x" repeats
+      4L -> "solo"))              // single token: no bigrams
+    val out = docs.select(col("doc_id"),
+      TextOps.uniqueTokenRatio(col("text")).as("u"),
+      TextOps.topTokenFraction(col("text")).as("t"),
+      TextOps.dupBigramFraction(col("text")).as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((1.0, 0.25, 0.0)))
+    assert(out(2L) === ((0.5, 0.75, 1.0 - 2.0 / 3.0)))
+    // doc 3: 6 tokens, 2 distinct; top "x" 3/6; bigrams 5 with 2 distinct
+    assert(out(3L) === ((2.0 / 6.0, 0.5, 1.0 - 2.0 / 5.0)))
+    assert(out(4L) === ((1.0, 1.0, 0.0)))
+  }
 }
