@@ -565,6 +565,28 @@ object SparkEntry {
           round(T.dupBigramFraction(col("text")), 4).as("dup_bigram_frac"))
     }),
 
+    // Advanced reader feature: DELETION VECTORS applied on the read path —
+    // nation_dv deleted region-2 rows via a DV (no data file rewritten);
+    // the scan filters them with a broadcast-bitmap codegen predicate, so
+    // the oracle is simply the original table minus the deleted predicate.
+    "q45_dv_scan" -> ((s, dir) => {
+      sharedTable(s, dir, "nation_dv")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    }),
+
+    // Advanced reader feature: COLUMN MAPPING (name mode) — customer_cm's
+    // parquet columns/partition dirs carry `col-<uuid>` physical names;
+    // the scan renames to logical names and partition-prunes on the
+    // physical directories, so logical-name SQL over the original table
+    // is the oracle.
+    "q46_column_mapping_scan" -> ((s, dir) => {
+      sharedTable(s, dir, "customer_cm")
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 0).as("total_acctbal"))
+    }),
+
     // §2.9 + §2.1 S5/S6/S11: the FULL sharing loop over HTTP — an
     // in-process REST server lists/signs files, the client FileIndex
     // pushes the filter as a jsonPredicateHint, and scan tasks read
@@ -929,6 +951,15 @@ object SparkEntry {
     "q37_cdf_option" -> cdfOracle,
     "q38_cdf_stream" -> cdfOracle,
     "q42_cdf_stream_rest" -> cdfOracle,
+    "q45_dv_scan" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+         FROM nation WHERE n_regionkey <> 2""",
+    "q46_column_mapping_scan" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+           round(CAST(sum(c_acctbal) AS DOUBLE), 0) AS total_acctbal
+         FROM customer
+         WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+         GROUP BY c_mktsegment""",
     "q43_dedup_clusters" ->
       """WITH RECURSIVE sets AS (
            SELECT doc_id, list_distinct(

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.RoaringBitmapArray
+
+/** `deleted = dv_row_deleted(_metadata.file_path, _metadata.row_index)` —
+  * the deletion-vector row filter.
+  *
+  * The per-file bitmaps travel as a BROADCAST of serialized bytes (task
+  * closures stay tiny; 100k DV'd files × KBs ships once per executor, the
+  * same shape as delta's DV broadcast map), decoded lazily once per JVM
+  * and probed per row inside whole-stage codegen. This keeps DV
+  * application a pure scan-side filter — no join, no shuffle of data
+  * rows, and every later operator (filters, aggregates, joins) sees only
+  * live rows.
+  */
+case class DvRowDeleted(
+    left: Expression,
+    right: Expression,
+    dvs: Broadcast[Map[String, Array[Byte]]])
+    extends BinaryExpression {
+
+  override def prettyName: String = "dv_row_deleted"
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, bigint), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  // decoded-bitmap cache, one per JVM (executors decode each file's
+  // bitmap at most once; absent files resolve to "nothing deleted")
+  @transient private lazy val decoded =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val NONE: AnyRef = java.lang.Boolean.FALSE // marker for "no DV"
+
+  def deleted(path: UTF8String, rowIndex: Long): Boolean = {
+    val key = path.toString
+    val cached = decoded.computeIfAbsent(key, k =>
+      dvs.value.get(k) match {
+        case Some(bytes) => RoaringBitmapArray.deserialize(bytes)
+        case None        => NONE
+      })
+    cached match {
+      case bm: RoaringBitmapArray => bm.contains(rowIndex)
+      case _                      => false
+    }
+  }
+
+  override def nullSafeEval(p: Any, i: Any): Any =
+    deleted(p.asInstanceOf[UTF8String], i.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dvFilter", this, classOf[DvRowDeleted].getName)
+    nullSafeCodeGen(ctx, ev, (p, i) => s"${ev.value} = $ref.deleted($p, $i);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

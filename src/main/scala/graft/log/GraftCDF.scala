@@ -43,6 +43,8 @@ object GraftCDF {
     require(isEnabled(snap.metadata),
       s"Change Data Feed is not enabled on table $tablePath " +
         "(set configuration enableChangeDataFeed=true at creation)")
+    graft.model.ColumnMapping.assertNoAdvancedFeatures(
+      snap.metadata, s"change data feed of $tablePath")
 
     val schema = snap.schema
     val tsByVersion = log.versionTimestamps().toMap
@@ -50,6 +52,19 @@ object GraftCDF {
     def resolve(p: String): String = new Path(root, p).toString
 
     val perVersion = log.changes(startingVersion, end).flatMap { commit =>
+      // a DV commit is remove+add of the SAME bytes — replaying it as
+      // row-level delete+insert would be wrong, so refuse loudly (the
+      // guard at the starting snapshot misses features enabled mid-range)
+      commit.actions.foreach {
+        case m: Metadata =>
+          graft.model.ColumnMapping.assertNoAdvancedFeatures(
+            m, s"change data feed of $tablePath (version ${commit.version})")
+        case a: AddFile if a.deletionVector.isDefined =>
+          throw new UnsupportedOperationException(
+            s"change data feed of $tablePath (version ${commit.version}) does not " +
+              "support files with deletion vectors")
+        case _ => ()
+      }
       val cdc = commit.actions.collect { case c: AddCDCFile => c }
       val adds = commit.actions.collect { case a: AddFile if a.dataChange => a }
       val removes = commit.actions.collect { case r: RemoveFile if r.dataChange => r }

@@ -106,7 +106,25 @@ object SharedFixtures {
         timestamp = 3000L)
     }
 
-    Seq("lineitem", "orders", "orders_versioned", "events", "orders_cdf").foreach { t =>
+    // nation_dv: deletion-vector table — a row-level delete that rewrote
+    // NO data file (remove+add of the same bytes + DV descriptor).
+    buildIfMissing(root, "nation_dv") { path =>
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      TableBuilder.create(spark, n.repartition(2), path, name = "nation_dv")
+      TableBuilder.deleteWhereDV(spark, path, col("n_regionkey") === 2, timestamp = 1000L)
+    }
+
+    // customer_cm: column-mapped (name mode) — parquet columns and
+    // partition dirs carry `col-<uuid>` physical names, metadata speaks
+    // the logical ones.
+    buildIfMissing(root, "customer_cm") { path =>
+      val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      TableBuilder.createColumnMapped(spark, c, path,
+        partitionCols = Seq("c_mktsegment"), name = "customer_cm")
+    }
+
+    Seq("lineitem", "orders", "orders_versioned", "events", "orders_cdf",
+      "nation_dv", "customer_cm").foreach { t =>
       GraftCatalog.register(s"$SHARE.$t", s"$root/$t")
     }
     built += root

@@ -124,6 +124,113 @@ object TableBuilder {
       (Some(updated), cdc)
     }
 
+  /** Row-level DELETE via DELETION VECTORS: no data file is rewritten —
+    * each affected file's deleted row indexes are appended to a DV file
+    * and the add action re-committed with the descriptor (delta's
+    * `DELETE ... ` under `delta.enableDeletionVectors`). Existing DVs
+    * merge (a file's new DV carries ALL its deleted rows). Non-partitioned
+    * tables (the fixtures), like [[deleteWhere]].
+    */
+  def deleteWhereDV(
+      spark: SparkSession,
+      tablePath: String,
+      cond: org.apache.spark.sql.Column,
+      timestamp: Long = 0L): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logR = new GraftLog(tablePath, conf)
+    val prev = logR.snapshot(None)
+    require(prev.metadata.partitionColumns.isEmpty,
+      "deleteWhereDV supports non-partitioned tables")
+    val version = logR.latestVersion() + 1
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    def abs(rel: String): String = new Path(root, rel).toString
+
+    // one distributed pass: (file, row_index) of every matching row.
+    // Column-mapped tables are read with physical names then renamed so
+    // `cond` (logical names) resolves.
+    import graft.model.ColumnMapping
+    val logical = prev.schema
+    val names = ColumnMapping.nameMap(logical)
+    val matches = spark.read.schema(ColumnMapping.physicalSchema(logical))
+      .parquet(prev.files.map(f => abs(f.path)): _*)
+      .select(logical.fields.toIndexedSeq.map(f =>
+        col(names.getOrElse(f.name, f.name)).as(f.name)) ++
+        Seq(col("_metadata.file_path").as("__fp"),
+          col("_metadata.row_index").as("__ri")): _*)
+      .filter(coalesce(cond, lit(false)))
+      .select("__fp", "__ri")
+      .collect()
+      .groupBy(r => new URI(r.getString(0)).getPath)
+      .view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+
+    val affected = prev.files.filter(f =>
+      matches.contains(new Path(root, f.path).toUri.getPath))
+    if (affected.isEmpty) {
+      GraftLog.commit(tablePath, version, Nil, conf)
+      return version
+    }
+    val deletes: Map[String, Seq[Long]] = affected.map { f =>
+      val fresh = matches(new Path(root, f.path).toUri.getPath)
+      val existing = f.deletionVector
+        .map(dv => DeletionVectors.resolve(tablePath, dv, conf).toSeq)
+        .getOrElse(Nil)
+      f.path -> (existing ++ fresh)
+    }.toMap
+    val descriptors = DeletionVectors.write(tablePath, deletes, conf, salt = version.toString)
+
+    val actions = Seq.newBuilder[Action]
+    if (!prev.metadata.configuration.get("delta.enableDeletionVectors").contains("true"))
+      actions += prev.metadata.copy(
+        configuration = prev.metadata.configuration +
+          ("delta.enableDeletionVectors" -> "true"),
+        version = version)
+    affected.foreach { f =>
+      actions += RemoveFile(f.path, f.partitionValues, f.size,
+        dataChange = true, version, timestamp)
+      actions += f.copy(deletionVector = Some(descriptors(f.path)),
+        version = version, timestamp = timestamp)
+    }
+    GraftLog.commit(tablePath, version, actions.result(), conf)
+    version
+  }
+
+  /** Create a COLUMN-MAPPED (name mode) table: parquet files and partition
+    * directories carry deterministic physical names (`col-<uuid>`), the
+    * committed metadata speaks logical names with
+    * `delta.columnMapping.physicalName` per field — so a later rename
+    * would be a metadata-only commit.
+    */
+  def createColumnMapped(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      partitionCols: Seq[String] = Nil,
+      name: String = "",
+      numFiles: Int = 0): Unit = {
+    import graft.model.ColumnMapping
+    val logical = ColumnMapping.annotate(df.schema)
+    val names = ColumnMapping.nameMap(logical)
+    val physDf = df.select(df.columns.toIndexedSeq.map(c => col(c).as(names(c))): _*)
+    val physPartitionCols = partitionCols.map(names)
+    val out = if (numFiles > 0) physDf.repartition(numFiles) else physDf
+    out.write.mode("overwrite").partitionBy(physPartitionCols: _*).parquet(tablePath)
+    GraftLog.invalidateListing(tablePath)
+    val meta = graft.model.Metadata(
+      id = java.util.UUID.nameUUIDFromBytes(tablePath.getBytes("UTF-8")).toString,
+      name = name,
+      schemaString = logical.json,
+      partitionColumns = partitionCols, // logical names, like delta
+      configuration = Map(
+        ColumnMapping.MODE_KEY -> "name",
+        "delta.columnMapping.maxColumnId" -> df.schema.length.toString),
+      version = 0L)
+    val adds = scanDataFiles(spark, tablePath,
+      ColumnMapping.physicalSchema(logical), physPartitionCols, version = 0L)
+    GraftLog.commit(tablePath, 0L, Seq(Protocol(minReaderVersion = 2), meta) ++ adds,
+      spark.sessionState.newHadoopConf())
+  }
+
   /** Shared rewrite machinery: `transform(matchingRows)` returns
     * (replacement rows to keep for the matches, cdc rows with
     * `_change_type`). Affected files are found via `input_file_name()`

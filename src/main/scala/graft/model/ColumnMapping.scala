@@ -1,0 +1,83 @@
+package graft.model
+
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, MetadataBuilder, StructField, StructType}
+
+import graft.model.{Metadata => TableMetadata}
+
+/** Column-mapping (name mode) support: the table's LOGICAL schema lives in
+  * `Metadata.schemaString` with each field carrying its parquet
+  * `delta.columnMapping.physicalName` in field metadata; data files (and
+  * partition directories) use the physical names, so renames/drops never
+  * rewrite data (delta PROTOCOL "Column Mapping").
+  */
+object ColumnMapping {
+  val MODE_KEY = "delta.columnMapping.mode"
+  val PHYSICAL_NAME_KEY = "delta.columnMapping.physicalName"
+  val COLUMN_ID_KEY = "delta.columnMapping.id"
+
+  def mode(m: TableMetadata): String = m.configuration.getOrElse(MODE_KEY, "none")
+
+  def isEnabled(m: TableMetadata): Boolean = !mode(m).equalsIgnoreCase("none")
+
+  def physicalName(f: StructField): String =
+    if (f.metadata.contains(PHYSICAL_NAME_KEY)) f.metadata.getString(PHYSICAL_NAME_KEY)
+    else f.name
+
+  /** The schema as it appears in parquet files: every struct field (at
+    * any nesting depth) renamed to its physical name.
+    */
+  def physicalSchema(logical: StructType): StructType = {
+    def rewrite(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(name = physicalName(f), dataType = rewrite(f.dataType))))
+      case a: ArrayType => a.copy(elementType = rewrite(a.elementType))
+      case m: MapType => m.copy(keyType = rewrite(m.keyType), valueType = rewrite(m.valueType))
+      case other => other
+    }
+    rewrite(logical).asInstanceOf[StructType]
+  }
+
+  /** logical top-level name -> physical name. */
+  def nameMap(logical: StructType): Map[String, String] =
+    logical.fields.map(f => f.name -> physicalName(f)).toMap
+
+  /** A logical schema annotated with deterministic physical names
+    * (`col-<name-uuid>`) + ids — what a column-mapped writer stamps into
+    * table metadata at creation.
+    */
+  def annotate(schema: StructType): StructType =
+    StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      val phys = "col-" + java.util.UUID.nameUUIDFromBytes(f.name.getBytes("UTF-8"))
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putString(PHYSICAL_NAME_KEY, phys)
+        .putLong(COLUMN_ID_KEY, i + 1L)
+        .build())
+    })
+
+  /** Paths that have not been taught the advanced reader features call
+    * this to refuse loudly instead of decoding rows wrong (the streaming
+    * sources and CDF assembly — mirrors the server's parquet-format gate).
+    */
+  def assertNoAdvancedFeatures(m: TableMetadata, context: String): Unit = {
+    val advanced =
+      (if (isEnabled(m)) Seq(s"$MODE_KEY=${mode(m)}") else Nil) ++
+        (if (m.configuration.get("delta.enableDeletionVectors").exists(_.equalsIgnoreCase("true")))
+          Seq("delta.enableDeletionVectors=true") else Nil)
+    if (advanced.nonEmpty) throw new UnsupportedOperationException(
+      s"$context does not support tables with advanced reader features " +
+        s"(${advanced.mkString(", ")}); read the table as a batch snapshot instead")
+  }
+
+  /** Snapshot whose metadata/schema speak PHYSICAL names — what the
+    * file-level machinery (FileIndex, parquet scan, partition parsing)
+    * must see for a column-mapped table.
+    */
+  def physicalSnapshot(s: graft.log.Snapshot): graft.log.Snapshot = {
+    if (!isEnabled(s.metadata)) return s
+    val logical = s.schema
+    val names = nameMap(logical)
+    s.copy(metadata = s.metadata.copy(
+      schemaString = physicalSchema(logical).json,
+      partitionColumns = s.metadata.partitionColumns.map(c => names.getOrElse(c, c))))
+  }
+}

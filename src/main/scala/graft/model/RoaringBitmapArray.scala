@@ -1,0 +1,357 @@
+package graft.model
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.CRC32
+
+/** 64-bit roaring bitmap in Delta's "portable" serialization format — the
+  * encoding deletion vectors use to mark deleted row indexes
+  * (delta PROTOCOL "Deletion Vector Format"; interchange format per the
+  * public RoaringFormatSpec).
+  *
+  * Layout (all little-endian):
+  * {{{
+  *   magic:  4 bytes = 1681511377
+  *   count:  8 bytes = number of 32-bit bitmaps
+  *   repeat: 4-byte key (value >> 32) + standard serialized 32-bit bitmap
+  * }}}
+  * Each 32-bit bitmap follows the RoaringFormatSpec: a cookie header
+  * (12346 = no run containers / 12347 = with run containers), per-container
+  * 16-bit key + cardinality-1 descriptors, optional offsets, then container
+  * payloads (sorted 16-bit arrays, 8 KiB bitsets, or run lists).
+  *
+  * The writer emits array or bitset containers (cookie 12346) chosen by
+  * cardinality; the reader additionally understands run containers so any
+  * spec-conformant producer can be consumed. Membership tests binary-search
+  * arrays / probe bitsets — O(log c) worst case, no materialization of the
+  * full set.
+  */
+final class RoaringBitmapArray private (
+    // high-32 key -> containers: (high-16 key -> container), both sorted
+    private val buckets: Array[(Int, Array[(Char, RoaringBitmapArray.Container)])]) {
+
+  import RoaringBitmapArray._
+
+  def contains(value: Long): Boolean = {
+    require(value >= 0, s"negative row index $value")
+    val high = (value >>> 32).toInt
+    val low = value.toInt
+    val bucket = search(buckets, high)
+    if (bucket == null) return false
+    val key = (low >>> 16).toChar
+    val c = searchC(bucket, key)
+    c != null && c.contains((low & 0xffff).toChar)
+  }
+
+  def cardinality: Long =
+    buckets.iterator.flatMap(_._2.iterator).map(_._2.cardinality.toLong).sum
+
+  /** All set values in ascending order (driver-side merge helper — DVs
+    * are metadata-sized, never data-sized).
+    */
+  def toSeq: Seq[Long] =
+    buckets.toSeq.flatMap { case (high, cs) =>
+      cs.toSeq.flatMap { case (key, c) =>
+        val base = (high.toLong << 32) | (key.toLong << 16)
+        c match {
+          case RoaringBitmapArray.ArrayContainer(vs) => vs.toSeq.map(v => base | v.toLong)
+          case RoaringBitmapArray.BitsetContainer(_, _) =>
+            (0 until 65536).collect { case low if c.contains(low.toChar) => base | low.toLong }
+          case RoaringBitmapArray.RunContainer(runs) =>
+            runs.toSeq.flatMap { case (s, l) => (s.toInt to s.toInt + l.toInt).map(v => base | v.toLong) }
+        }
+      }
+    }
+
+  /** Serialize to the portable format (array/bitset containers only). */
+  def serialize(): Array[Byte] = {
+    val bitmapBytes = buckets.map { case (key, cs) => (key, serialize32(cs)) }
+    val total = 12 + bitmapBytes.map(4 + _._2.length).sum
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(MAGIC)
+    buf.putLong(buckets.length.toLong)
+    bitmapBytes.foreach { case (key, b) => buf.putInt(key); buf.put(b) }
+    buf.array()
+  }
+}
+
+object RoaringBitmapArray {
+  val MAGIC = 1681511377
+
+  sealed trait Container {
+    def contains(low: Char): Boolean
+    def cardinality: Int
+  }
+  /** Sorted 16-bit values (cardinality <= 4096 when written). */
+  final case class ArrayContainer(values: Array[Char]) extends Container {
+    def contains(low: Char): Boolean =
+      java.util.Arrays.binarySearch(values, low) >= 0
+    def cardinality: Int = values.length
+  }
+  /** 2^16-bit bitset (1024 longs). */
+  final case class BitsetContainer(words: Array[Long], cardinality: Int) extends Container {
+    def contains(low: Char): Boolean =
+      (words(low >>> 6) & (1L << (low & 63))) != 0
+  }
+  /** (start, length-1) runs, sorted by start. */
+  final case class RunContainer(runs: Array[(Char, Char)]) extends Container {
+    def contains(low: Char): Boolean =
+      runs.exists { case (s, l) => low >= s && low <= s + l }
+    def cardinality: Int = runs.map(_._2.toInt + 1).sum
+  }
+
+  private def search(a: Array[(Int, Array[(Char, Container)])], k: Int): Array[(Char, Container)] = {
+    var lo = 0; var hi = a.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = Integer.compare(a(mid)._1, k)
+      if (c == 0) return a(mid)._2
+      if (c < 0) lo = mid + 1 else hi = mid - 1
+    }
+    null
+  }
+  private def searchC(a: Array[(Char, Container)], k: Char): Container = {
+    var lo = 0; var hi = a.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = Character.compare(a(mid)._1, k)
+      if (c == 0) return a(mid)._2
+      if (c < 0) lo = mid + 1 else hi = mid - 1
+    }
+    null
+  }
+
+  /** Build from row indexes (any order, duplicates collapse). */
+  def apply(values: Iterable[Long]): RoaringBitmapArray = {
+    val sorted = values.toArray.sorted.distinct
+    require(sorted.isEmpty || sorted.head >= 0, "negative row index")
+    val byHigh = sorted.groupBy(v => (v >>> 32).toInt).toArray.sortBy(_._1)
+    val buckets = byHigh.map { case (high, vs) =>
+      val byKey = vs.map(_.toInt).groupBy(v => (v >>> 16).toChar).toArray.sortBy(_._1)
+      val containers = byKey.map { case (key, lows0) =>
+        val lows = lows0.map(v => (v & 0xffff).toChar)
+        val c: Container =
+          if (lows.length <= 4096) ArrayContainer(lows)
+          else {
+            val words = new Array[Long](1024)
+            lows.foreach(l => words(l >>> 6) |= (1L << (l & 63)))
+            BitsetContainer(words, lows.length)
+          }
+        (key, c)
+      }
+      (high, containers)
+    }
+    new RoaringBitmapArray(buckets)
+  }
+
+  // ------------------------------------------------- 32-bit (de)serialize
+
+  private val SERIAL_COOKIE_NO_RUN = 12346
+  private val SERIAL_COOKIE = 12347
+  private val NO_OFFSET_THRESHOLD = 4
+
+  private def serialize32(cs: Array[(Char, Container)]): Array[Byte] = {
+    val payloads = cs.map {
+      case (_, ArrayContainer(vs)) =>
+        val bb = ByteBuffer.allocate(vs.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+        vs.foreach(v => bb.putShort(v.toShort))
+        bb.array()
+      case (_, BitsetContainer(words, _)) =>
+        val bb = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
+        words.foreach(bb.putLong)
+        bb.array()
+      case (_, RunContainer(runs)) =>
+        val bb = ByteBuffer.allocate(2 + runs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putShort(runs.length.toShort)
+        runs.foreach { case (s, l) => bb.putShort(s.toShort); bb.putShort(l.toShort) }
+        bb.array()
+    }
+    val n = cs.length
+    val hasRun = cs.exists(_._2.isInstanceOf[RunContainer])
+    // cookie 12346 always writes the offset header; runs use 12347 +
+    // run-flag bitset and include offsets only at >= NO_OFFSET_THRESHOLD
+    val headerLen =
+      if (!hasRun) 8 + 4 * n + 4 * n
+      else 4 + (n + 7) / 8 + 4 * n + (if (n >= NO_OFFSET_THRESHOLD) 4 * n else 0)
+    val buf = ByteBuffer.allocate(headerLen + payloads.map(_.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    if (!hasRun) {
+      buf.putInt(SERIAL_COOKIE_NO_RUN)
+      buf.putInt(n)
+    } else {
+      buf.putInt(SERIAL_COOKIE | ((n - 1) << 16))
+      val flags = new Array[Byte]((n + 7) / 8)
+      cs.zipWithIndex.foreach { case ((_, c), i) =>
+        if (c.isInstanceOf[RunContainer]) flags(i / 8) = (flags(i / 8) | (1 << (i % 8))).toByte
+      }
+      buf.put(flags)
+    }
+    cs.foreach { case (key, c) =>
+      buf.putShort(key.toShort)
+      buf.putShort((c.cardinality - 1).toShort)
+    }
+    if (!hasRun || n >= NO_OFFSET_THRESHOLD) {
+      var off = headerLen
+      payloads.foreach { p => buf.putInt(off); off += p.length }
+    }
+    payloads.foreach(buf.put)
+    buf.array()
+  }
+
+  /** Deserialize the portable format. The buffer may carry trailing
+    * padding (z85 inline encoding pads to 4 bytes) — lengths are
+    * self-describing so padding is ignored.
+    */
+  def deserialize(bytes: Array[Byte]): RoaringBitmapArray = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = buf.getInt
+    require(magic == MAGIC, s"bad roaring bitmap array magic $magic")
+    val count = buf.getLong
+    require(count >= 0 && count <= Int.MaxValue, s"bad bitmap count $count")
+    val buckets = (0L until count).map { _ =>
+      val key = buf.getInt
+      (key, deserialize32(buf))
+    }.toArray
+    new RoaringBitmapArray(buckets)
+  }
+
+  private def deserialize32(buf: ByteBuffer): Array[(Char, Container)] = {
+    val cookie = buf.getInt
+    val (n, runFlags) =
+      if ((cookie & 0xffff) == SERIAL_COOKIE) {
+        val n = (cookie >>> 16) + 1
+        val flags = new Array[Byte]((n + 7) / 8)
+        buf.get(flags)
+        (n, flags)
+      } else {
+        require(cookie == SERIAL_COOKIE_NO_RUN, s"bad roaring cookie $cookie")
+        (buf.getInt, null)
+      }
+    def isRun(i: Int): Boolean =
+      runFlags != null && (runFlags(i / 8) & (1 << (i % 8))) != 0
+    val descr = (0 until n).map { _ =>
+      val key = (buf.getShort & 0xffff).toChar
+      val card = (buf.getShort & 0xffff) + 1
+      (key, card)
+    }
+    if (runFlags == null || n >= NO_OFFSET_THRESHOLD) buf.position(buf.position() + 4 * n)
+    val containers = descr.zipWithIndex.map { case ((key, card), i) =>
+      val c: Container =
+        if (isRun(i)) {
+          val nRuns = buf.getShort & 0xffff
+          val runs = Array.fill(nRuns) {
+            val s = (buf.getShort & 0xffff).toChar
+            val l = (buf.getShort & 0xffff).toChar
+            (s, l)
+          }
+          RunContainer(runs)
+        } else if (card <= 4096) {
+          ArrayContainer(Array.fill(card)((buf.getShort & 0xffff).toChar))
+        } else {
+          val words = Array.fill(1024)(buf.getLong)
+          BitsetContainer(words, card)
+        }
+      (key, c)
+    }
+    containers.toArray
+  }
+
+  // -------------------------------------------- deletion-vector file form
+
+  /** Append-style framing of one DV blob inside a `.bin` DV file
+    * (delta PROTOCOL "Deletion Vector File Storage Format"): the file
+    * starts with a 1-byte format version (1); each blob at `offset` is
+    * `[dataSize: 4-byte big-endian][data][crc32(data): 4-byte big-endian]`.
+    */
+  val DV_FILE_VERSION: Byte = 1
+
+  def frameBlob(data: Array[Byte]): Array[Byte] = {
+    val crc = new CRC32
+    crc.update(data)
+    val buf = ByteBuffer.allocate(4 + data.length + 4) // big-endian default
+    buf.putInt(data.length)
+    buf.put(data)
+    buf.putInt(crc.getValue.toInt)
+    buf.array()
+  }
+
+  def unframeBlob(fileBytes: Array[Byte], offset: Int): Array[Byte] = {
+    val buf = ByteBuffer.wrap(fileBytes) // big-endian default
+    buf.position(offset)
+    val size = buf.getInt
+    require(size >= 0 && offset + 8 + size <= fileBytes.length,
+      s"corrupt DV blob at offset $offset (size $size, file ${fileBytes.length})")
+    val data = new Array[Byte](size)
+    buf.get(data)
+    val expected = buf.getInt
+    val crc = new CRC32
+    crc.update(data)
+    require(crc.getValue.toInt == expected, s"DV blob checksum mismatch at offset $offset")
+    data
+  }
+}
+
+/** Z85 (ZeroMQ base85) codec — the alphabet delta uses to pack DV file
+  * UUIDs and inline DV bytes into action JSON. Input is padded with
+  * zero bytes to a 4-byte multiple before encoding (the roaring format is
+  * self-describing, so decoders ignore the padding).
+  */
+object Z85 {
+  private val ALPHABET =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val DECODE: Array[Int] = {
+    val d = Array.fill(128)(-1)
+    ALPHABET.zipWithIndex.foreach { case (c, i) => d(c.toInt) = i }
+    d
+  }
+
+  def encode(bytes: Array[Byte]): String = {
+    val padded =
+      if (bytes.length % 4 == 0) bytes
+      else java.util.Arrays.copyOf(bytes, bytes.length + (4 - bytes.length % 4))
+    val sb = new StringBuilder(padded.length / 4 * 5)
+    var i = 0
+    while (i < padded.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (padded(i + j) & 0xffL); j += 1 }
+      var div = 85L * 85 * 85 * 85
+      while (div > 0) { sb.append(ALPHABET(((v / div) % 85).toInt)); div /= 85 }
+      i += 4
+    }
+    sb.toString
+  }
+
+  def decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"z85 length ${s.length} not a multiple of 5")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    while (i < s.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) {
+        val c = s.charAt(i + j)
+        val d = if (c < 128) DECODE(c.toInt) else -1
+        require(d >= 0, s"invalid z85 character '$c'")
+        v = v * 85 + d
+        j += 1
+      }
+      var shift = 24
+      var k = 0
+      while (k < 4) { out(i / 5 * 4 + k) = ((v >> shift) & 0xff).toByte; shift -= 8; k += 1 }
+      i += 5
+    }
+    out
+  }
+
+  def encodeUuid(u: java.util.UUID): String = {
+    val b = ByteBuffer.allocate(16)
+    b.putLong(u.getMostSignificantBits)
+    b.putLong(u.getLeastSignificantBits)
+    encode(b.array())
+  }
+
+  def decodeUuid(s: String): java.util.UUID = {
+    val b = ByteBuffer.wrap(decode(s))
+    new java.util.UUID(b.getLong, b.getLong)
+  }
+}

@@ -30,6 +30,24 @@ case class FileStats(
     maxValues: Map[String, String] = Map.empty,
     nullCount: Map[String, Long] = Map.empty)
 
+/** Deletion-vector descriptor attached to an [[AddFile]] (delta PROTOCOL
+  * "Deletion Vectors"): rows of the data file whose index is set in the
+  * bitmap are logically deleted.
+  *
+  *  - `storageType` "u": relative file, `pathOrInlineDv` =
+  *    `[optional prefix/]<z85-encoded uuid>`, file name
+  *    `deletion_vector_<uuid>.bin` under the table root;
+  *  - "i": `pathOrInlineDv` = z85 of the serialized bitmap itself;
+  *  - "p": absolute path (or pre-signed URL when served over REST).
+  * `offset` locates the framed blob inside the file (absent for "i").
+  */
+case class DeletionVectorDescriptor(
+    storageType: String,
+    pathOrInlineDv: String,
+    offset: Option[Int] = None,
+    sizeInBytes: Int = 0,
+    cardinality: Long = 0L)
+
 /** An active data file in a snapshot. */
 case class AddFile(
     path: String,
@@ -39,7 +57,8 @@ case class AddFile(
     dataChange: Boolean = true,
     stats: Option[FileStats] = None,
     version: Long = 0L,
-    timestamp: Long = 0L)
+    timestamp: Long = 0L,
+    deletionVector: Option[DeletionVectorDescriptor] = None)
     extends Action
 
 /** A file removed from the table (data change or compaction). */

@@ -501,6 +501,7 @@ class GraftServer(
       if (fmt == FORMAT_DELTA)
         DeltaLine(file = DeltaFileW(
           id = Tokens.fileId(location, f.path),
+          deletionVectorFileId = dvFileId(location, f).orNull,
           expirationTimestamp = expiration,
           deltaSingleAction = DeltaSingleActionW(add = DeltaAddW(
             path = signUrl(location, f.path, expiration),
@@ -508,7 +509,8 @@ class GraftServer(
             size = f.size,
             modificationTime = f.timestamp,
             dataChange = true,
-            stats = f.stats.map(JsonUtils.toJson).orNull)))).json
+            stats = f.stats.map(JsonUtils.toJson).orNull,
+            deletionVector = deltaDv(location, f, expiration).orNull)))).json
       else Line(file = wire.File(
         url = signUrl(location, f.path, expiration),
         id = Tokens.fileId(location, f.path),
@@ -641,7 +643,8 @@ class GraftServer(
               if (delta) deltaFile(DeltaSingleActionW(add = DeltaAddW(
                 path = sign(a.path), partitionValues = a.partitionValues,
                 size = a.size, modificationTime = a.timestamp, dataChange = true,
-                stats = a.stats.map(JsonUtils.toJson).orNull)),
+                stats = a.stats.map(JsonUtils.toJson).orNull,
+                deletionVector = deltaDv(location, a, expiration).orNull)),
                 a.path, commit.version, commit.timestamp)
               else Line(add = AddFileW(
                 url = sign(a.path), id = id(a.path), partitionValues = a.partitionValues,
@@ -817,6 +820,40 @@ class GraftServer(
       DeltaProtocolW(3, 7, readerFeatures = features, writerFeatures = features)
     else DeltaProtocolW(math.max(proto.minReaderVersion, 1), 2)
     DeltaLine(protocol = DeltaProtocolLine(p)).json
+  }
+
+  /** Wire form of an add's deletion vector (delta dialect only): file-
+    * backed DVs ("u"/"p") become storageType "p" with a pre-signed URL —
+    * the DV file is served by the same /data endpoint (Range-capable) as
+    * parquet bytes; inline "i" passes through unchanged.
+    */
+  private def deltaDv(location: String, f: graft.model.AddFile,
+      expiration: Long): Option[wire.DeltaDvW] =
+    f.deletionVector.map { dv =>
+      dv.storageType match {
+        case "i" => wire.DeltaDvW("i", dv.pathOrInlineDv, null,
+          dv.sizeInBytes, dv.cardinality)
+        case _ =>
+          val rel = dvRelPath(location, dv)
+          wire.DeltaDvW("p", signUrl(location, rel, expiration),
+            dv.offset.map(Int.box).orNull, dv.sizeInBytes, dv.cardinality)
+      }
+    }
+
+  /** Stable cache key for a file's DV (the descriptor's blob identity:
+    * file + offset), `PROTOCOL.md:4111` deletionVectorFileId.
+    */
+  private def dvFileId(location: String, f: graft.model.AddFile): Option[String] =
+    f.deletionVector.collect {
+      case dv if dv.storageType != "i" =>
+        Tokens.fileId(location, s"${dvRelPath(location, dv)}@${dv.offset.getOrElse(1)}")
+    }
+
+  private def dvRelPath(location: String, dv: graft.model.DeletionVectorDescriptor): String = {
+    val abs = graft.log.DeletionVectors.dvFilePath(location, dv).toString
+    val root = if (location.endsWith("/")) location else location + "/"
+    if (abs.startsWith(root)) abs.substring(root.length)
+    else new org.apache.hadoop.fs.Path(abs).getName
   }
 
   private def deltaMetaJson(m: graft.model.Metadata, version: java.lang.Long,

@@ -128,13 +128,25 @@ object wire {
       size: java.lang.Long = null,
       numFiles: java.lang.Long = null)
 
+  /** Delta deletion-vector descriptor as served: storageType "p" with a
+    * pre-signed URL for file-backed DVs ("u" never crosses the wire — the
+    * client has no table root to resolve against), "i" passed through.
+    */
+  case class DeltaDvW(
+      storageType: String,
+      pathOrInlineDv: String,
+      offset: java.lang.Integer = null,
+      sizeInBytes: Int = 0,
+      cardinality: Long = 0L)
+
   case class DeltaAddW(
       path: String,
       partitionValues: Map[String, String] = Map.empty,
       size: Long = 0L,
       modificationTime: Long = 0L,
       dataChange: Boolean = true,
-      stats: String = null)
+      stats: String = null,
+      deletionVector: DeltaDvW = null)
 
   case class DeltaRemoveW(
       path: String,
@@ -159,6 +171,7 @@ object wire {
 
   case class DeltaFileW(
       id: String,
+      deletionVectorFileId: String = null,
       version: java.lang.Long = null,
       timestamp: java.lang.Long = null,
       expirationTimestamp: java.lang.Long = null,

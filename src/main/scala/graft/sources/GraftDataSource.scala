@@ -113,6 +113,11 @@ class GraftDataSource extends RelationProvider
       "at most one of versionAsOf/timestampAsOf may be set")
     val resolved = version.orElse(timestamp.map(log.versionAtOrBefore))
     val snapshot = log.snapshot(resolved)
+    // advanced reader features need the wrapping relation (DV filter /
+    // physical->logical rename); plain tables stay a bare HadoopFsRelation
+    if (snapshot.files.exists(_.deletionVector.isDefined) ||
+      graft.model.ColumnMapping.isEnabled(snapshot.metadata))
+      return new GraftParquetScanRelation(spark, tablePath, snapshot)
     GraftDataSource.relation(spark, tablePath, snapshot)
   }
 

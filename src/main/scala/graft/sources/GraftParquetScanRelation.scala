@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SparkSession, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, Filter, PrunedFilteredScan}
+import org.apache.spark.sql.types.StructType
+
+import graft.log.{DeletionVectors, Snapshot}
+import graft.model.ColumnMapping
+
+/** Snapshot scan for tables with ADVANCED READER FEATURES — deletion
+  * vectors and/or column mapping (name mode) — which the plain
+  * `HadoopFsRelation` path cannot express (the reference reads these
+  * through delta-kernel; `DeltaSharedTableKernel.scala:566-586` gates
+  * them behind `responseformat=delta`).
+  *
+  * Shape: the underlying physical-name parquet scan stays a
+  * `HadoopFsRelation` over [[GraftFileIndex]] (stats skipping, partition
+  * pruning, columnar reads all intact); on top of it
+  *  - DV filtering is a scan-side `!dv_row_deleted(_metadata.file_path,
+  *    _metadata.row_index)` predicate against BROADCAST bitmaps — no
+  *    join, no shuffle (`functions/DvExpressions.scala`);
+  *  - column mapping is one `Project` renaming physical → logical.
+  * Catalyst pushes user filters through both (the rename is an alias
+  * Project, the DV predicate is deterministic), so parquet pushdown and
+  * partition pruning still see them.
+  */
+class GraftParquetScanRelation(
+    spark: SparkSession,
+    tablePath: String,
+    snapshot: Snapshot)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  /** Logical (user-facing) schema. */
+  override val schema: StructType = snapshot.schema
+
+  private lazy val df = {
+    val physSnapshot = ColumnMapping.physicalSnapshot(snapshot)
+    val base = spark.baseRelationToDataFrame(
+      GraftDataSource.relation(spark, tablePath, physSnapshot))
+
+    val dvFiles = snapshot.files.filter(_.deletionVector.isDefined)
+    val live = if (dvFiles.isEmpty) base else {
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new Path(tablePath).getFileSystem(conf)
+      // keyed by every spelling _metadata.file_path may use for the file
+      // (scheme-less from our FileIndex listing, `file:/...` from
+      // qualified Paths, `file:///...` from URIs)
+      val byPath: Map[String, Array[Byte]] = dvFiles.flatMap { f =>
+        val q = fs.makeQualified(new Path(tablePath, f.path))
+        val bytes = DeletionVectors.resolveBytes(tablePath, f.deletionVector.get, conf)
+        Seq(q.toString -> bytes, q.toUri.toString -> bytes,
+          q.toUri.getPath -> bytes)
+      }.toMap
+      val bcast = spark.sparkContext.broadcast(byPath)
+      import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+      val deleted = column(graft.functions.DvRowDeleted(
+        expression(col("_metadata.file_path")),
+        expression(col("_metadata.row_index")),
+        bcast))
+      base.filter(!deleted)
+    }
+
+    // physical -> logical rename, in logical-schema column order
+    val names = ColumnMapping.nameMap(schema)
+    live.select(schema.fields.toIndexedSeq.map(f =>
+      col(names.getOrElse(f.name, f.name)).as(f.name)): _*)
+  }
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val filtered = FilterColumns.translate(filters.toIndexedSeq)
+      .map(df.filter).getOrElse(df)
+    val projected =
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+    projected.rdd
+  }
+}

@@ -83,6 +83,10 @@ class GraftSource(
   private val snapshotCache = scala.collection.mutable.HashMap.empty[Long, Snapshot]
 
   private val initialSnapshot: Snapshot = tableLog.snapshot(None)
+  // DV filtering / physical->logical renames are batch-relation features;
+  // tailing adds of such a table would emit deleted/misnamed rows
+  graft.model.ColumnMapping.assertNoAdvancedFeatures(
+    initialSnapshot.metadata, s"streaming from $tablePath")
   private val tableId: String = initialSnapshot.metadata.id
 
   /** Frozen end version for Trigger.AvailableNow. */
@@ -157,6 +161,16 @@ class GraftSource(
             org.apache.spark.sql.types.DataType.fromJson(m.schemaString)
               .asInstanceOf[StructType],
             s"$tablePath (version ${commit.version})")
+          // features enabled mid-stream are as unreadable as at start
+          graft.model.ColumnMapping.assertNoAdvancedFeatures(
+            m, s"streaming from $tablePath (version ${commit.version})")
+        }
+        commit.actions.foreach {
+          case a: AddFile if a.deletionVector.isDefined =>
+            throw new UnsupportedOperationException(
+              s"streaming from $tablePath (version ${commit.version}) does not " +
+                "support files with deletion vectors")
+          case _ => ()
         }
         val adds = commit.actions.collect { case a: AddFile if a.dataChange => a }.sortBy(_.path)
         val removes = commit.actions.collect { case r: RemoveFile if r.dataChange => r }

@@ -1,0 +1,234 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log._
+import graft.model._
+import graft.server._
+import graft.server.wire._
+
+/** Deletion vectors + column mapping: bitmap codec conformance, the
+  * local read path (DV filter, physical→logical rename), writer-side DV
+  * commits, advanced-feature guards, and delta-dialect serving with a
+  * fetchable pre-signed DV file.
+  */
+class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  private def tempTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_dv_spec").toString
+
+  private def readGraft(dir: String) =
+    spark.read.format("graft").option("path", dir).load()
+
+  // ------------------------------------------------------------ codec
+
+  test("roaring bitmap array round-trips across container types and 32-bit buckets") {
+    val sparse = Seq(1L, 5L, 100L, 65535L, 65536L, 1000000L)
+    val dense = (100000L until 110000L).toSeq // >4096 in one container → bitset
+    val highBucket = Seq((1L << 32) + 7L, (1L << 32) + 8L, (5L << 32) + 123L)
+    val all = sparse ++ dense ++ highBucket
+    val bm = RoaringBitmapArray(all)
+    assert(bm.cardinality === all.distinct.size)
+    val back = RoaringBitmapArray.deserialize(bm.serialize())
+    assert(back.cardinality === bm.cardinality)
+    all.foreach(v => assert(back.contains(v), s"missing $v"))
+    Seq(0L, 2L, 99999L, 110000L, (2L << 32) + 7L).foreach(v =>
+      assert(!back.contains(v), s"phantom $v"))
+    assert(back.toSeq === all.distinct.sorted)
+  }
+
+  test("run-container decode (hand-crafted RoaringFormatSpec bytes)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // one 32-bit bitmap, one run container: values 5..8
+    val bitmap = ByteBuffer.allocate(4 + 1 + 4 + 6).order(ByteOrder.LITTLE_ENDIAN)
+    bitmap.putInt(12347 | ((1 - 1) << 16)) // SERIAL_COOKIE, 1 container
+    bitmap.put(1.toByte)                   // run-flag bitset: container 0 is a run
+    bitmap.putShort(0)                     // key
+    bitmap.putShort(3)                     // cardinality-1
+    bitmap.putShort(1)                     // nRuns
+    bitmap.putShort(5)                     // run start
+    bitmap.putShort(3)                     // run length-1
+    val portable = ByteBuffer.allocate(12 + 4 + bitmap.capacity())
+      .order(ByteOrder.LITTLE_ENDIAN)
+    portable.putInt(RoaringBitmapArray.MAGIC)
+    portable.putLong(1L)
+    portable.putInt(0) // high-32 key
+    portable.put(bitmap.array())
+    val bm = RoaringBitmapArray.deserialize(portable.array())
+    assert(bm.toSeq === Seq(5L, 6L, 7L, 8L))
+    assert(bm.contains(5L) && bm.contains(8L) && !bm.contains(4L) && !bm.contains(9L))
+  }
+
+  test("z85 codec round-trips; DV blob framing detects corruption") {
+    val uuid = java.util.UUID.fromString("12345678-9abc-def0-1234-56789abcdef0")
+    assert(Z85.decodeUuid(Z85.encodeUuid(uuid)) === uuid)
+    val data = Array.tabulate(37)(_.toByte) // odd length → padded
+    val enc = Z85.encode(data)
+    assert(Z85.decode(enc).take(37).toSeq === data.toSeq)
+
+    val framed = RoaringBitmapArray.frameBlob(data)
+    assert(RoaringBitmapArray.unframeBlob(framed, 0).toSeq === data.toSeq)
+    framed(6) = (framed(6) ^ 0x40).toByte // flip a data bit
+    val e = intercept[IllegalArgumentException](RoaringBitmapArray.unframeBlob(framed, 0))
+    assert(e.getMessage.contains("checksum"))
+  }
+
+  // ---------------------------------------------------- local read path
+
+  test("DV delete: rows vanish, time travel intact, second delete merges") {
+    import spark.implicits._
+    val dir = tempTable()
+    TableBuilder.create(spark,
+      (1 to 100).map(i => (i.toLong, s"row$i")).toDF("id", "v"), dir, numFiles = 3)
+    TableBuilder.deleteWhereDV(spark, dir, col("id") % 10 === 0)
+
+    val afterFirst = readGraft(dir).select("id").as[Long].collect().sorted
+    assert(afterFirst === (1L to 100L).filterNot(_ % 10 == 0).toArray)
+
+    // the data files were NOT rewritten — same physical paths as v0
+    val log = new GraftLog(dir, spark.sessionState.newHadoopConf())
+    assert(log.snapshot(Some(1L)).files.map(_.path).toSet ===
+      log.snapshot(Some(0L)).files.map(_.path).toSet)
+    assert(log.snapshot(None).files.forall(_.deletionVector.isDefined))
+
+    // time travel reads through the pre-DV snapshot
+    val v0 = spark.read.format("graft").option("path", dir)
+      .option("versionAsOf", "0").load().count()
+    assert(v0 === 100L)
+
+    // second delete merges with the existing DVs
+    TableBuilder.deleteWhereDV(spark, dir, col("id") <= 5)
+    val afterSecond = readGraft(dir).select("id").as[Long].collect().sorted
+    assert(afterSecond === (6L to 100L).filterNot(_ % 10 == 0).toArray)
+    // filters compose on top of the DV filter: 91..100 minus deleted 100
+    assert(readGraft(dir).filter(col("id") > 90).count() === 9L)
+  }
+
+  test("inline DV descriptor filters rows") {
+    import spark.implicits._
+    val dir = tempTable()
+    TableBuilder.create(spark,
+      (0 to 9).map(i => (i.toLong, s"x$i")).toDF("id", "v"), dir, numFiles = 1)
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new GraftLog(dir, conf)
+    val f = log.snapshot(None).files.head
+    val dv = DeletionVectors.inlineDescriptor(Seq(0L, 3L, 7L))
+    GraftLog.commit(dir, 1L, Seq(
+      log.snapshot(None).metadata.copy(
+        configuration = Map("delta.enableDeletionVectors" -> "true"), version = 1L),
+      RemoveFile(f.path, f.partitionValues, f.size, dataChange = true, version = 1L),
+      f.copy(deletionVector = Some(dv), version = 1L)), conf)
+    val ids = readGraft(dir).select("id").as[Long].collect().sorted
+    assert(ids === Array(1L, 2L, 4L, 5L, 6L, 8L, 9L))
+  }
+
+  test("column mapping: logical names over physical files, partitioned") {
+    import spark.implicits._
+    val dir = tempTable()
+    TableBuilder.createColumnMapped(spark,
+      (1 to 40).map(i => (i.toLong, s"n$i", s"g${i % 4}")).toDF("id", "name", "grp"),
+      dir, partitionCols = Seq("grp"))
+
+    // partition directories use physical names
+    val dirs = new java.io.File(dir).list().toSeq
+    assert(dirs.exists(_.startsWith("col-")), s"physical partition dirs expected, got $dirs")
+
+    val df = readGraft(dir)
+    assert(df.columns.toSeq === Seq("id", "name", "grp"))
+    assert(df.count() === 40L)
+    assert(df.filter(col("grp") === "g1").count() === 10L)
+    assert(df.filter(col("id") === 7L).select("name").as[String].head() === "n7")
+    // aggregation over a logical column
+    assert(df.groupBy(col("grp")).count().collect().map(_.getLong(1)).sum === 40L)
+  }
+
+  test("column mapping + deletion vectors compose") {
+    import spark.implicits._
+    val dir = tempTable()
+    TableBuilder.createColumnMapped(spark,
+      (1 to 30).map(i => (i.toLong, i * 2L)).toDF("id", "double_id"), dir)
+    TableBuilder.deleteWhereDV(spark, dir, col("double_id") > 40L)
+    val out = readGraft(dir).select("id").as[Long].collect().sorted
+    assert(out === (1L to 20L).toArray)
+  }
+
+  test("streaming and CDF refuse advanced-feature tables loudly") {
+    import spark.implicits._
+    val dir = tempTable()
+    TableBuilder.create(spark, (1 to 4).map(i => (i.toLong, s"r$i")).toDF("id", "v"), dir,
+      configuration = Map("enableChangeDataFeed" -> "true"))
+    TableBuilder.deleteWhereDV(spark, dir, col("id") === 1L)
+
+    val q = spark.readStream.format("graft").option("path", dir).load()
+      .writeStream.format("memory").queryName("dv_guard_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) catch { case _: Exception => () }
+    val failure = q.exception
+    assert(failure.isDefined &&
+      String.valueOf(failure.get.getMessage).contains("advanced reader features"))
+
+    val ce = intercept[Exception] {
+      GraftCDF.tableChanges(spark, dir, 0L).collect()
+    }
+    assert(String.valueOf(ce.getMessage).contains("advanced reader features"))
+  }
+
+  // ------------------------------------------------------------- server
+
+  test("delta dialect serves DV descriptors with a fetchable pre-signed DV file") {
+    import spark.implicits._
+    val dir = tempTable()
+    TableBuilder.create(spark,
+      (0 to 19).map(i => (i.toLong, s"r$i")).toDF("id", "v"), dir, numFiles = 1)
+    TableBuilder.deleteWhereDV(spark, dir, col("id") >= 15L)
+    GraftCatalog.register("share1.default.dvreal", dir)
+
+    val server = new GraftServer(ServerConfig(bearerToken = Some("tkn")),
+      spark.sessionState.newHadoopConf()).start()
+    try {
+      val http = HttpClient.newHttpClient()
+      val r = http.send(HttpRequest.newBuilder(URI.create(
+        s"${server.url}/shares/share1/schemas/default/tables/dvreal/query"))
+        .header("Authorization", "Bearer tkn")
+        .header("delta-sharing-capabilities",
+          "responseformat=delta;readerfeatures=deletionvectors")
+        .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      val lines = r.body().split("\n").filter(_.nonEmpty)
+        .map(JsonUtils.fromJson[DeltaLine](_))
+      val file = lines.flatMap(l => Option(l.file)).head
+      assert(file.deletionVectorFileId != null)
+      val dv = file.deltaSingleAction.add.deletionVector
+      assert(dv != null && dv.storageType === "p")
+      assert(dv.cardinality === 5L)
+      assert(dv.pathOrInlineDv.startsWith("http://"))
+
+      // the pre-signed DV URL serves the real DV file: unframe at the
+      // descriptor offset and recover exactly the deleted row indexes
+      val bytes = http.send(HttpRequest.newBuilder(URI.create(dv.pathOrInlineDv))
+        .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+      assert(bytes.statusCode() === 200)
+      assert(bytes.body()(0) === RoaringBitmapArray.DV_FILE_VERSION)
+      val blob = RoaringBitmapArray.unframeBlob(bytes.body(), dv.offset)
+      assert(blob.length === dv.sizeInBytes)
+      assert(RoaringBitmapArray.deserialize(blob).toSeq === Seq(15L, 16L, 17L, 18L, 19L))
+    } finally server.stop()
+  }
+}

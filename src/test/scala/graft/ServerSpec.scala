@@ -63,27 +63,33 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ------------------------------------------------------------ listings
 
+  private val fixtureTables = Seq("customer_cm", "events", "lineitem",
+    "nation_dv", "orders", "orders_cdf", "orders_versioned")
+
   test("listings: shares, schemas, tables, all-tables") {
     assert(client.listShares() === Seq("share1"))
     assert(client.listSchemas("share1") === Seq("default"))
-    assert(client.listTables("share1", "default") ===
-      Seq("events", "lineitem", "orders", "orders_cdf", "orders_versioned"))
-    assert(client.listAllTables("share1").map(_._2).sorted ===
-      Seq("events", "lineitem", "orders", "orders_cdf", "orders_versioned"))
+    assert(client.listTables("share1", "default") === fixtureTables)
+    assert(client.listAllTables("share1").map(_._2).sorted === fixtureTables)
   }
 
   test("listing pagination walks all pages with maxResults=2") {
-    val r1 = rawGet("/shares/share1/schemas/default/tables?maxResults=2")
-    val p1 = JsonUtils.fromJson[ListTablesResponse](r1.body())
-    assert(p1.items.size === 2 && p1.nextPageToken != null)
-    val r2 = rawGet(s"/shares/share1/schemas/default/tables?maxResults=2&pageToken=${p1.nextPageToken}")
-    val p2 = JsonUtils.fromJson[ListTablesResponse](r2.body())
-    assert(p2.items.size === 2 && p2.nextPageToken != null)
-    val r3 = rawGet(s"/shares/share1/schemas/default/tables?maxResults=2&pageToken=${p2.nextPageToken}")
-    val p3 = JsonUtils.fromJson[ListTablesResponse](r3.body())
-    assert(p3.items.size === 1 && p3.nextPageToken == null)
-    assert((p1.items ++ p2.items ++ p3.items).map(_.name) ===
-      Seq("events", "lineitem", "orders", "orders_cdf", "orders_versioned"))
+    var token: String = null
+    var pages = 0
+    val seen = Seq.newBuilder[String]
+    var done = false
+    while (!done) {
+      val qs = s"maxResults=2${Option(token).map(t => s"&pageToken=$t").getOrElse("")}"
+      val p = JsonUtils.fromJson[ListTablesResponse](
+        rawGet(s"/shares/share1/schemas/default/tables?$qs").body())
+      assert(p.items.size <= 2)
+      seen ++= p.items.map(_.name)
+      pages += 1
+      token = p.nextPageToken
+      done = token == null
+    }
+    assert(pages === (fixtureTables.size + 1) / 2)
+    assert(seen.result() === fixtureTables)
   }
 
   test("auth: missing or wrong bearer token is 401; bad routes are 404") {
