@@ -587,6 +587,19 @@ object SparkEntry {
           round(sum(col("c_acctbal")), 0).as("total_acctbal"))
     }),
 
+    // Advanced reader features over REST: the parquet dialect refuses the
+    // DV table with the protocol's typed 400, the client renegotiates
+    // responseformat=delta;readerfeatures=..., reads parquet bytes via
+    // graft:// pre-signed URLs, fetches the served DV descriptor's
+    // pre-signed .bin and filters deleted rows with the broadcast bitmap.
+    "q47_dv_rest_scan" -> ((s, dir) => {
+      val url = graft.server.LocalShareServer.ensure(s, dir)
+      s.read.format("graft")
+        .option("url", url).option("token", graft.server.LocalShareServer.TOKEN)
+        .option("table", s"${graft.log.SharedFixtures.SHARE}.nation_dv").load()
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    }),
+
     // §2.9 + §2.1 S5/S6/S11: the FULL sharing loop over HTTP — an
     // in-process REST server lists/signs files, the client FileIndex
     // pushes the filter as a jsonPredicateHint, and scan tasks read
@@ -952,6 +965,9 @@ object SparkEntry {
     "q38_cdf_stream" -> cdfOracle,
     "q42_cdf_stream_rest" -> cdfOracle,
     "q45_dv_scan" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+         FROM nation WHERE n_regionkey <> 2""",
+    "q47_dv_rest_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation WHERE n_regionkey <> 2""",
     "q46_column_mapping_scan" ->

@@ -58,13 +58,15 @@ class GraftRestClient(
   // ------------------------------------------------------------ transport
 
   private def request(method: String, path: String, body: Option[String] = None,
-      params: Map[String, String] = Map.empty): HttpResponse[String] = {
+      params: Map[String, String] = Map.empty,
+      headers: Map[String, String] = Map.empty): HttpResponse[String] = {
     val qs = if (params.isEmpty) ""
       else "?" + params.map { case (k, v) =>
         s"${enc(k)}=${enc(v)}"
       }.mkString("&")
     val builder = HttpRequest.newBuilder(URI.create(s"$baseUrl$path$qs"))
       .timeout(Duration.ofSeconds(120))
+    headers.foreach { case (k, v) => builder.header(k, v) }
     bearer().foreach(t => builder.header("Authorization", s"Bearer $t"))
     val req = (method match {
       case "GET"  => builder.GET()
@@ -211,6 +213,58 @@ class GraftRestClient(
       }
     }
     QueryResult(version, meta, files.result(), refreshToken)
+  }
+
+  // ----------------------------------------------------- delta dialect
+
+  /** The capability header requesting the delta response dialect with
+    * every reader feature this client can actually process
+    * (`PROTOCOL.md:3324-3378`). `responseformat=delta` alone (no parquet
+    * fallback) so basic tables also answer in one dialect.
+    */
+  val DELTA_CAPABILITIES: Map[String, String] = Map(
+    "delta-sharing-capabilities" ->
+      "responseformat=delta;readerfeatures=deletionvectors,columnmapping")
+
+  case class DeltaQueryResult(
+      version: Long,
+      metadata: wire.DeltaMetadataLine,
+      files: Seq[wire.DeltaFileW])
+
+  /** Snapshot query in the DELTA response dialect — wrapped delta actions
+    * whose add.path carries the pre-signed URL and whose add may carry a
+    * deletion-vector descriptor (reference delta-format client loop,
+    * `DeltaSharingClient.scala:653-745` + kernel-based parsing). Same
+    * pagination protocol as [[query]].
+    */
+  def deltaQuery(share: String, schema: String, table: String,
+      req: wire.QueryRequest = wire.QueryRequest()): DeltaQueryResult = {
+    var version = -1L
+    var meta: wire.DeltaMetadataLine = null
+    val files = Seq.newBuilder[wire.DeltaFileW]
+    var pageToken: Option[String] = None
+    var first = true
+    while (first || pageToken.isDefined) {
+      first = false
+      val pageReq = req.copy(pageToken = pageToken.orNull)
+      val resp = request("POST", s"${tablePath(share, schema, table)}/query",
+        body = Some(JsonUtils.toJson(pageReq)), headers = DELTA_CAPABILITIES)
+      version = resp.headers().firstValue("Delta-Table-Version")
+        .map[Long](_.toLong).orElse(version)
+      pageToken = None
+      resp.body().split("\n").filter(_.nonEmpty).foreach { raw =>
+        val line = JsonUtils.fromJson[wire.DeltaLine](raw)
+        if (line.metaData != null) meta = line.metaData
+        if (line.file != null) files += line.file
+        // endStreamAction rides the shared Line shape in both dialects
+        val plain = JsonUtils.fromJson[wire.Line](raw)
+        if (plain.endStreamAction != null)
+          pageToken = Option(plain.endStreamAction.nextPageToken)
+      }
+    }
+    if (meta == null) throw new GraftClientException(0,
+      "no metaData line in delta query response")
+    DeltaQueryResult(version, meta, files.result())
   }
 
   case class ChangesResult(

@@ -137,9 +137,17 @@ class GraftDataSource extends RelationProvider
     val client = GraftDataSource.remoteClient(parameters)
     if (parameters.get("readChangeFeed").exists(_.toBoolean))
       return new RemoteGraftCDFRelation(spark, client, share, schema, table, parameters)
-    val index = new RemoteGraftFileIndex(spark, client, share, schema, table,
-      versionAsOf = parameters.get("versionAsOf").map(_.toLong),
-      timestampAsOf = parameters.get("timestampAsOf"))
+    val index = try {
+      new RemoteGraftFileIndex(spark, client, share, schema, table,
+        versionAsOf = parameters.get("versionAsOf").map(_.toLong),
+        timestampAsOf = parameters.get("timestampAsOf"))
+    } catch {
+      // tables with advanced reader features refuse responseformat=parquet
+      // with the protocol's typed 400 — renegotiate in the delta dialect
+      case e: graft.client.GraftClientException
+          if e.status == 400 && e.getMessage.contains("UNSUPPORTED_OPERATION") =>
+        return new RemoteDeltaScanRelation(spark, client, share, schema, table, parameters)
+    }
     HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,

@@ -231,4 +231,40 @@ class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(RoaringBitmapArray.deserialize(blob).toSeq === Seq(15L, 16L, 17L, 18L, 19L))
     } finally server.stop()
   }
+
+  test("remote read of DV and column-mapped tables renegotiates the delta dialect") {
+    import spark.implicits._
+    val dvDir = tempTable()
+    TableBuilder.create(spark,
+      (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "v"), dvDir, numFiles = 2)
+    TableBuilder.deleteWhereDV(spark, dvDir, col("id") % 7 === 0)
+    GraftCatalog.register("share1.default.dv_remote", dvDir)
+
+    val cmDir = tempTable()
+    TableBuilder.createColumnMapped(spark,
+      (1 to 24).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp"),
+      cmDir, partitionCols = Seq("grp"))
+    GraftCatalog.register("share1.default.cm_remote", cmDir)
+
+    val server = new GraftServer(ServerConfig(bearerToken = Some("tkn")),
+      spark.sessionState.newHadoopConf()).start()
+    try {
+      val dv = spark.read.format("graft")
+        .option("url", server.url).option("token", "tkn")
+        .option("table", "share1.default.dv_remote").load()
+      assert(dv.columns.toSeq === Seq("id", "v"))
+      assert(dv.select("id").as[Long].collect().sorted ===
+        (1L to 50L).filterNot(_ % 7 == 0).toArray)
+      // filters compose over the remote DV scan
+      assert(dv.filter(col("id") <= 10).count() === 9L) // minus 7
+
+      val cm = spark.read.format("graft")
+        .option("url", server.url).option("token", "tkn")
+        .option("table", "share1.default.cm_remote").load()
+      assert(cm.columns.toSeq === Seq("id", "grp"))
+      assert(cm.count() === 24L)
+      assert(cm.filter(col("grp") === "g1").count() === 8L)
+      assert(cm.groupBy(col("grp")).count().collect().map(_.getLong(1)).sum === 24L)
+    } finally server.stop()
+  }
 }
