@@ -77,4 +77,19 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("l_orderkey") < 100)
     assert(remote.count() === direct.count())
   }
+
+  test("remote DV scan filters deleted rows inside separate executor JVMs") {
+    // delta-dialect renegotiation + graft:// byte reads + the BROADCAST
+    // bitmap DV filter, all crossing the process boundary — the exact
+    // shape of a DV read on a real cluster
+    import spark.implicits._
+    val remote = spark.read.format("graft")
+      .option("url", server.url).option("token", TOKEN)
+      .option("table", "share1.default.nation_dv").load()
+    val expected = spark.read.parquet(s"$sfDir/nation.parquet")
+      .filter(col("n_regionkey") =!= 2)
+    assert(remote.count() === expected.count())
+    assert(remote.select("n_nationkey").as[Long].collect().sorted ===
+      expected.select("n_nationkey").as[Long].collect().sorted)
+  }
 }
