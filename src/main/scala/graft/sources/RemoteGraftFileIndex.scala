@@ -168,16 +168,39 @@ class RemoteBatchFileIndex(
     if (partitionSchema.isEmpty) {
       Seq(PartitionDirectory(InternalRow.empty, files.map(status).toArray))
     } else {
-      files.groupBy(_._3).toSeq.map { case (values, group) =>
-        val row = InternalRow.fromSeq(partitionSchema.map { field =>
-          val v = values.getOrElse(field.name, "")
-          if (v == null || v.isEmpty) null
-          else Cast(Literal(UTF8String.fromString(v), StringType), field.dataType,
-            Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
-        })
-        PartitionDirectory(row, group.map(status).toArray)
+      // client-side partition pruning over the fixed file list (the
+      // reference filters its in-memory adds the same way,
+      // `RemoteDeltaFileIndex.scala:355-360`) — tasks are never scheduled
+      // for partitions a filter excludes
+      val pruned = prunePartitions(partitionFilters)
+      pruned.groupBy(_._3).toSeq.map { case (values, group) =>
+        PartitionDirectory(partitionRow(values), group.map(status).toArray)
       }
     }
+  }
+
+  private def partitionRow(values: Map[String, String]): InternalRow =
+    InternalRow.fromSeq(partitionSchema.map { field =>
+      val v = values.getOrElse(field.name, "")
+      if (v == null || v.isEmpty) null
+      else Cast(Literal(UTF8String.fromString(v), StringType), field.dataType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+    })
+
+  private def prunePartitions(
+      filters: Seq[Expression]): Seq[(String, Long, Map[String, String])] = {
+    if (filters.isEmpty) return files
+    import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BindReferences, Predicate}
+    val attrs: Seq[Attribute] = partitionSchema.map(f =>
+      AttributeReference(f.name, f.dataType, nullable = true)())
+    val resolved = filters.filter(_.references.forall(r => attrs.exists(_.name == r.name)))
+    if (resolved.isEmpty) return files
+    val rebound = resolved.map(_.transform {
+      case a: Attribute => attrs.find(_.name == a.name).getOrElse(a)
+    }).reduce(And)
+    val predicate = Predicate.create(BindReferences.bindReference(rebound, attrs))
+    predicate.initialize(0)
+    files.filter(f => predicate.eval(partitionRow(f._3)))
   }
 
   override def inputFiles: Array[String] =

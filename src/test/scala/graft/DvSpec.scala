@@ -232,6 +232,23 @@ class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop()
   }
 
+  test("RemoteBatchFileIndex prunes partitions client-side") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType)))
+    val files = Seq(
+      ("f1", 10L, Map("grp" -> "a")),
+      ("f2", 10L, Map("grp" -> "b")),
+      ("f3", 10L, Map("grp" -> "a")))
+    val idx = new graft.sources.RemoteBatchFileIndex(spark, schema, Seq("grp"), files)
+    val grpAttr = AttributeReference("grp", StringType)()
+    val pruned = idx.listFiles(Seq(EqualTo(grpAttr, Literal("a"))), Nil)
+    assert(pruned.map(_.files.length).sum === 2)
+    val all = idx.listFiles(Nil, Nil)
+    assert(all.map(_.files.length).sum === 3)
+  }
+
   test("remote read of DV and column-mapped tables renegotiates the delta dialect") {
     import spark.implicits._
     val dvDir = tempTable()
