@@ -587,6 +587,33 @@ object SparkEntry {
           round(sum(col("c_acctbal")), 0).as("total_acctbal"))
     }),
 
+    // Beyond-reference: deterministic stratified sampling for training
+    // mixes — content-addressed Bernoulli per stratum (md5-bucket string
+    // compare), so the sample is identical across runs, engines, and
+    // cluster sizes; a pure scan predicate, zero shuffle.
+    "q48_stratified_sample" -> ((s, dir) => {
+      val keep = graft.ops.Sampling.stratifiedKeep(
+        col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.125), default = 0.0625)
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_sampled"))
+    }),
+
+    // Beyond-reference: token-budget shard packing — docs pack greedily
+    // into ~5000-token shards per source via a per-stratum prefix-sum
+    // window (parallel across sources, no global sort).
+    "q49_token_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Packing.packByBudget(docs, "source", "doc_id", "n_tokens", budget = 5000L)
+        .groupBy(col("source"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("shard_tokens"))
+    }),
+
     // Advanced reader features over REST: the parquet dialect refuses the
     // DV table with the protocol's typed 400, the client renegotiates
     // responseformat=delta;readerfeatures=..., reads parquet bytes via
@@ -970,6 +997,33 @@ object SparkEntry {
     "q47_dv_rest_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation WHERE n_regionkey <> 2""",
+    "q48_stratified_sample" ->
+      """WITH k AS (
+           SELECT lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS b
+           FROM documents)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE
+             WHEN lang = 'en' AND b < '8000' THEN 1
+             WHEN lang = 'de' AND b < '4000' THEN 1
+             WHEN lang = 'fr' AND b < '2000' THEN 1
+             WHEN lang NOT IN ('en','de','fr') AND b < '1000' THEN 1
+             ELSE 0 END) AS BIGINT) AS n_sampled
+         FROM k GROUP BY lang""",
+    "q49_token_shards" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+         packed AS (
+           SELECT source, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 5000.0)
+               AS BIGINT) AS shard
+           FROM d)
+         SELECT source, shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         FROM packed GROUP BY source, shard""",
     "q46_column_mapping_scan" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
            round(CAST(sum(c_acctbal) AS DOUBLE), 0) AS total_acctbal

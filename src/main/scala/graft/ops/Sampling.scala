@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mix construction operators: deterministic sampling and
+  * token-budget shard packing.
+  *
+  * Both are built for the 100 TB shape: sampling is a pure per-row
+  * predicate (no shuffle, no RNG state, stable under retries/re-runs —
+  * content-addressed like the reference's file-id hashing), packing is a
+  * per-partition window (parallel across strata, never a global sort).
+  */
+object Sampling {
+
+  /** Stable 16-bit bucket of a key: first 4 hex chars of md5. Compared as
+    * STRINGS — fixed-length lowercase hex orders identically to its
+    * numeric value, so any engine reproduces the sample exactly.
+    */
+  def hashBucket(key: Column): Column = substring(md5(key.cast("string")), 1, 4)
+
+  /** 4-digit lowercase-hex threshold for a fraction in [0,1); 1.0 is
+    * short-circuited by [[bernoulli]].
+    */
+  def fractionThreshold(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction outside [0,1]")
+    f"${math.round(fraction * 65536).min(65535)}%04x"
+  }
+
+  /** Deterministic Bernoulli keep-predicate: true for ~`fraction` of keys,
+    * the SAME keys on every run, engine, and cluster size.
+    */
+  def bernoulli(key: Column, fraction: Double): Column =
+    if (fraction >= 1.0) lit(true)
+    else hashBucket(key) < lit(fractionThreshold(fraction))
+
+  /** Stratified deterministic sample: per-stratum fractions with a
+    * default for unlisted strata. Pure column predicate — composes with
+    * any scan, no shuffle, partial-aggregate-friendly downstream.
+    */
+  def stratifiedKeep(
+      key: Column,
+      stratum: Column,
+      fractions: Map[String, Double],
+      default: Double): Column =
+    fractions.foldRight(bernoulli(key, default)) { case ((s, f), acc) =>
+      when(stratum === s, bernoulli(key, f)).otherwise(acc)
+    }
+}
+
+/** Greedy token-budget shard packing: within each stratum (ordered
+  * deterministically), a document's shard is `floor(tokens-before / budget)`
+  * — every shard holds ~budget tokens of consecutive docs. Windows are
+  * PER STRATUM, so packing parallelizes across strata and never needs a
+  * global sort; at 100 TB the stratum (source, date, ...) is the unit of
+  * shard locality anyway.
+  */
+object Packing {
+
+  def packByBudget(
+      df: DataFrame,
+      stratumCol: String,
+      orderCol: String,
+      weightCol: String,
+      budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__before", coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .withColumn("shard", floor(col("__before") / budget).cast("long"))
+      .drop("__before")
+  }
+}

@@ -225,6 +225,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cc(Nil).isEmpty)
   }
 
+  test("deterministic sampling: stable keys, fraction accuracy, threshold codec") {
+    import spark.implicits._
+    assert(Sampling.fractionThreshold(0.5) === "8000")
+    assert(Sampling.fractionThreshold(0.0625) === "1000")
+    assert(Sampling.fractionThreshold(0.0) === "0000")
+    val ids = (1L to 4000L).toDF("id")
+    val kept = ids.filter(Sampling.bernoulli(col("id"), 0.25))
+      .as[Long].collect().toSet
+    // ~25% within a loose band, and EXACTLY the same set on a second run
+    assert(kept.size > 800 && kept.size < 1200, s"got ${kept.size}")
+    val again = ids.filter(Sampling.bernoulli(col("id"), 0.25)).as[Long].collect().toSet
+    assert(again === kept)
+    // fraction 1.0 keeps everything
+    assert(ids.filter(Sampling.bernoulli(col("id"), 1.0)).count() === 4000L)
+  }
+
+  test("token-budget packing: shards respect the budget boundary per stratum") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 40L), (2L, "a", 40L), (3L, "a", 40L), (4L, "a", 40L),
+      (10L, "b", 90L), (11L, "b", 90L), (12L, "b", 30L))
+      .toDF("doc_id", "src", "w")
+    val out = Packing.packByBudget(docs, "src", "doc_id", "w", budget = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // a: before = 0,40,80,120 → shards 0,0,0,1
+    assert(out(1L) === 0L && out(2L) === 0L && out(3L) === 0L && out(4L) === 1L)
+    // b: before = 0,90,180 → shards 0,0,1
+    assert(out(10L) === 0L && out(11L) === 0L && out(12L) === 1L)
+  }
+
   test("repetition signals: unique ratio, top-token fraction, dup bigrams") {
     val docs = docsDF(Seq(
       1L -> "a b c d",            // all unique
