@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarityFloat, DotProductFloat, SortedLongIntersectCount}
+import graft.sources.GraftLimitPushDown
+
+/** `spark.sql.extensions=graft.GraftSparkExtensions` — the standard
+  * extension entry point (the idiomatic analogue of delta's
+  * `DeltaSparkSessionExtension`): injects the limit-pushdown optimizer
+  * rule and registers the native codegen kernels as SQL functions, so
+  * `spark.sql("SELECT graft_cosine(a, b) ...")` works without touching
+  * the Scala API.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectOptimizerRule(_ => GraftLimitPushDown)
+
+    def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      extensions.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftSparkExtensions].getName, null, name, usage, ""),
+        builder))
+
+    def arity2(name: String)(f: (Expression, Expression) => Expression)
+        : Seq[Expression] => Expression = {
+      case Seq(a, b) => f(a, b)
+      case args => throw new IllegalArgumentException(
+        s"$name expects 2 arguments, got ${args.length}")
+    }
+
+    register("graft_dot",
+      "graft_dot(a, b) - dot product of two array<float> vectors")(
+      arity2("graft_dot")(DotProductFloat))
+    register("graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of two array<float> vectors")(
+      arity2("graft_cosine")(CosineSimilarityFloat))
+    register("graft_intersect_count",
+      "graft_intersect_count(a, b) - size of the intersection of two sorted array<bigint>")(
+      arity2("graft_intersect_count")(SortedLongIntersectCount))
+  }
+}

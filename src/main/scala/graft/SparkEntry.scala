@@ -587,6 +587,19 @@ object SparkEntry {
           round(sum(col("c_acctbal")), 0).as("total_acctbal"))
     }),
 
+    // Beyond-reference: benchmark decontamination — corpus docs sharing
+    // ≥5 distinct 3-gram shingles with the "benchmark" pool (doc_id<20).
+    // Broadcast pool + one corpus explode + map-side-combinable count:
+    // the corpus is scanned once, its rows never shuffled.
+    "q50_contamination_screen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.contaminationScreen(
+        docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20),
+        "doc_id", "text", n = 3, minOverlap = 5L)
+        .select(col("id").as("doc_id"), col("n_shared"))
+    }),
+
     // Beyond-reference: deterministic stratified sampling for training
     // mixes — content-addressed Bernoulli per stratum (md5-bucket string
     // compare), so the sample is identical across runs, engines, and
@@ -997,6 +1010,23 @@ object SparkEntry {
     "q47_dv_rest_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation WHERE n_regionkey <> 2""",
+    "q50_contamination_screen" ->
+      """WITH sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                                         CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM documents),
+         sh AS (SELECT doc_id, unnest(fset) AS sh FROM sets),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+         hits AS (
+           SELECT s.doc_id, count(*) AS n_shared
+           FROM sh s JOIN bench b USING (sh)
+           WHERE s.doc_id >= 20
+           GROUP BY s.doc_id)
+         SELECT doc_id, n_shared FROM hits WHERE n_shared >= 5""",
     "q48_stratified_sample" ->
       """WITH k AS (
            SELECT lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS b

@@ -440,6 +440,37 @@ object Dedup {
     codedVerify(prefixCandidates(exploded, dict, threshold), exploded, dict, threshold)
   }
 
+  // ------------------------------------------------ contamination screen
+
+  /** Benchmark-contamination screening: corpus documents sharing at least
+    * `minOverlap` distinct word n-gram shingles with ANY document of the
+    * benchmark set (the decontamination step every training pipeline runs
+    * against its eval suites).
+    *
+    * Shape at 100 TB: the benchmark shingle pool is eval-suite-sized
+    * (thousands of docs) — broadcast it; the corpus side is one explode →
+    * broadcast-hash semi-join → per-doc count, so the corpus is scanned
+    * once with NO shuffle of corpus rows (the count groups by doc id,
+    * map-side combinable).
+    */
+  def contaminationScreen(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minOverlap: Long = 5L): DataFrame = {
+    val pool = benchmark
+      .select(explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+      .distinct()
+    val corpusShingles = corpus.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    corpusShingles.join(broadcast(pool), "sh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared")) // shingles are pre-distinct per doc
+      .filter(col("n_shared") >= minOverlap)
+  }
+
   // ------------------------------------------------- connected components
 
   /** Connected components over near-duplicate pair edges: every node gets

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `spark.sql.extensions=graft.GraftSparkExtensions` loads by class name
+  * and makes the native kernels callable from plain SQL.
+  */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    // the extension must be applied at session construction — drop any
+    // session a previous suite left active
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("native kernels are callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+           graft_dot(CAST(array(1.0, 2.0, 3.0) AS array<float>),
+                     CAST(array(4.0, 5.0, 6.0) AS array<float>)) AS d,
+           graft_cosine(CAST(array(1.0, 0.0) AS array<float>),
+                        CAST(array(1.0, 0.0) AS array<float>)) AS c,
+           graft_intersect_count(CAST(array(1, 2, 5, 9) AS array<bigint>),
+                                 CAST(array(2, 3, 5) AS array<bigint>)) AS i
+      """).head()
+    assert(math.abs(r.getDouble(0) - 32.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+    assert(r.getLong(2) === 2L)
+  }
+
+  test("bad arity is a clear error") {
+    val e = intercept[Exception](spark.sql("SELECT graft_dot(CAST(array(1.0) AS array<float>))").head())
+    assert(String.valueOf(e.getMessage).toLowerCase.contains("2 arguments") ||
+      e.getCause != null)
+  }
+
+  test("limit-pushdown rule is injected at session level") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext_limit").toString
+    import spark.implicits._
+    graft.log.TableBuilder.create(spark,
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "v"), dir, numFiles = 4)
+    val limited = spark.read.format("graft").option("path", dir).load().limit(7)
+    assert(limited.count() === 7L)
+    assert(limited.select(col("id")).collect().length === 7)
+  }
+}

@@ -225,6 +225,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cc(Nil).isEmpty)
   }
 
+  test("contamination screen flags docs overlapping the benchmark pool") {
+    val bench = docsDF(Seq(1L -> base))
+    val corpus = docsDF(Seq(
+      10L -> base,                                   // full copy: max overlap
+      11L -> base.replace("quick", "slow"),          // near copy: still > threshold
+      12L -> "completely unrelated words about engines and parquet tables here"))
+    val out = Dedup.contaminationScreen(corpus, bench, "doc_id", "text",
+      n = 3, minOverlap = 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(10L) && out.contains(11L) && !out.contains(12L))
+    // a full copy shares every shingle
+    assert(out(10L) === base.split(" ").length - 2)
+  }
+
   test("deterministic sampling: stable keys, fraction accuracy, threshold codec") {
     import spark.implicits._
     assert(Sampling.fractionThreshold(0.5) === "8000")
