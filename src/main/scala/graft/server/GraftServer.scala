@@ -618,6 +618,21 @@ class GraftServer(
         id = id(path), version = version, timestamp = timestamp,
         expirationTimestamp = expiration, deltaSingleAction = single)).json
 
+    // a DV'd add cannot be represented in the flat parquet dialect — the
+    // descriptor would be silently dropped and clients would read deleted
+    // rows; the start snapshot's config may predate the feature, so gate
+    // on the actions actually served (reference: kernel rejects per-commit)
+    if (!delta) {
+      l.changes(start, end).foreach(_.actions.foreach {
+        case a: AddFile if a.deletionVector.isDefined =>
+          throw GraftServerException.unsupported(
+            "the requested version range contains files with deletion vectors, " +
+              "which the parquet response format cannot represent; request " +
+              "responseformat=delta with readerfeatures=deletionvectors")
+        case _ => ()
+      })
+    }
+
     val actionLines = l.changes(start, end).flatMap { commit =>
       val metaLines = if (includeHistoricalMetadata)
         commit.actions.collect { case m: graft.model.Metadata =>

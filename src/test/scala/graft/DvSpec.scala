@@ -28,7 +28,13 @@ class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
     .getOrCreate()
 
   override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = {
+    // this suite's catalog entries must not leak into other suites'
+    // share listings (GraftCatalog is process-wide)
+    Seq("dvreal", "dv_remote", "cm_remote").foreach(t =>
+      GraftCatalog.unregister(s"share1.default.$t"))
+    spark.stop()
+  }
 
   private def tempTable(): String =
     java.nio.file.Files.createTempDirectory("graft_dv_spec").toString
@@ -229,6 +235,28 @@ class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
       val blob = RoaringBitmapArray.unframeBlob(bytes.body(), dv.offset)
       assert(blob.length === dv.sizeInBytes)
       assert(RoaringBitmapArray.deserialize(blob).toSeq === Seq(15L, 16L, 17L, 18L, 19L))
+
+      // parquet-dialect VERSION-RANGE query over DV commits: typed 400,
+      // never adds with the descriptor silently dropped. (The /changes
+      // endpoint requires CDF; version-range rides POST /query.)
+      def rangeQuery(caps: Option[String]) = {
+        val b = HttpRequest.newBuilder(URI.create(
+          s"${server.url}/shares/share1/schemas/default/tables/dvreal/query"))
+          .header("Authorization", "Bearer tkn")
+          .POST(HttpRequest.BodyPublishers.ofString("""{"startingVersion": 0}"""))
+        caps.foreach(b.header("delta-sharing-capabilities", _))
+        http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      val parquetRange = rangeQuery(None)
+      assert(parquetRange.statusCode() === 400)
+      assert(parquetRange.body().contains("UNSUPPORTED_OPERATION"))
+      val deltaRange = rangeQuery(
+        Some("responseformat=delta;readerfeatures=deletionvectors"))
+      assert(deltaRange.statusCode() === 200)
+      val rangeAdds = deltaRange.body().split("\n").filter(_.nonEmpty)
+        .map(JsonUtils.fromJson[DeltaLine](_))
+        .flatMap(l => Option(l.file)).flatMap(f => Option(f.deltaSingleAction.add))
+      assert(rangeAdds.exists(_.deletionVector != null))
     } finally server.stop()
   }
 
