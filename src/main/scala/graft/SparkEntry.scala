@@ -587,6 +587,27 @@ object SparkEntry {
           round(sum(col("c_acctbal")), 0).as("total_acctbal"))
     }),
 
+    // Beyond-reference: the CURATION PIPELINE composed end-to-end —
+    // quality score + language ID + unique-token repetition signal +
+    // exact-dedup representative (min doc_id per content fingerprint),
+    // folded into per-language keep/drop counts. One scan, one window
+    // shuffle on the fingerprint, map-side-combinable final aggregate.
+    "q51_curation_pipeline" -> ((s, dir) => {
+      val T = graft.ops.TextOps
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val profiled = t(s, dir, "documents")
+        .withColumn("quality", T.qualityScore(col("text")))
+        .withColumn("pred_lang", T.langId(col("text")))
+        .withColumn("uniq_ratio", T.uniqueTokenRatio(col("text")))
+        .withColumn("fp", T.fingerprint(col("text")))
+        .withColumn("rep", col("doc_id") === min(col("doc_id")).over(w))
+      val kept = col("quality") >= 0.5 && col("uniq_ratio") >= 0.4 &&
+        col("pred_lang") =!= "und" && col("rep")
+      profiled.groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
+    }),
+
     // Beyond-reference: benchmark decontamination — corpus docs sharing
     // ≥5 distinct 3-gram shingles with the "benchmark" pool (doc_id<20).
     // Broadcast pool + one corpus explode + map-side-combinable count:
@@ -1010,6 +1031,47 @@ object SparkEntry {
     "q47_dv_rest_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation WHERE n_regionkey <> 2""",
+    "q51_curation_pipeline" ->
+      """WITH scored AS (
+           SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','fast','data','query'))) AS s_en,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('scan','merge','window'))) AS s_de,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('table','column','line'))) AS s_fr,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('row','group','order'))) AS s_es,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('hash','join','key'))) AS s_zh,
+             CAST(length(text) AS DOUBLE) AS n_chars
+           FROM documents),
+         labeled AS (
+           SELECT doc_id, text, n_tokens, n_uniq,
+             CASE WHEN s_en = gm AND gm > 0 THEN 'en'
+                  WHEN s_de = gm AND gm > 0 THEN 'de'
+                  WHEN s_fr = gm AND gm > 0 THEN 'fr'
+                  WHEN s_es = gm AND gm > 0 THEN 'es'
+                  WHEN s_zh = gm AND gm > 0 THEN 'zh'
+                  ELSE 'und' END AS pred_lang,
+             (0.5 * least(n_chars / 500.0, 1.0) +
+              0.5 * (1.0 - least(abs((n_chars - (CAST(n_tokens AS DOUBLE) - 1.0))
+                                     / CAST(n_tokens AS DOUBLE) - 5.0) / 5.0, 1.0))) *
+             (CASE WHEN n_tokens < 5 THEN 0.5 ELSE 1.0 END) AS quality
+           FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS gm FROM scored)),
+         rep AS (
+           SELECT *, doc_id = min(doc_id) OVER (PARTITION BY
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                     ' +', ' ', 'g')))) AS is_rep
+           FROM labeled)
+         SELECT pred_lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN quality >= 0.5
+                          AND n_uniq::DOUBLE / n_tokens::DOUBLE >= 0.4
+                          AND pred_lang <> 'und' AND is_rep
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM rep GROUP BY pred_lang""",
     "q50_contamination_screen" ->
       """WITH sets AS (
            SELECT doc_id, list_distinct(
