@@ -79,6 +79,10 @@ class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bm = RoaringBitmapArray.deserialize(portable.array())
     assert(bm.toSeq === Seq(5L, 6L, 7L, 8L))
     assert(bm.contains(5L) && bm.contains(8L) && !bm.contains(4L) && !bm.contains(9L))
+    // re-serializing a run-container bitmap exercises the writer's run
+    // branch (cookie 12347 + run-flag bitset) and must round-trip
+    val again = RoaringBitmapArray.deserialize(bm.serialize())
+    assert(again.toSeq === Seq(5L, 6L, 7L, 8L))
   }
 
   test("z85 codec round-trips; DV blob framing detects corruption") {
