@@ -85,6 +85,34 @@ class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.toSeq === Seq(5L, 6L, 7L, 8L))
   }
 
+  test("z85 matches the published ZeroMQ spec test vector") {
+    // rfc.zeromq.org/spec/32: 0x86 0x4F 0xD2 0x6F 0xB5 0x59 0xF7 0x5B
+    // encodes to "HelloWorld"
+    val bytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)
+    assert(Z85.encode(bytes) === "HelloWorld")
+    assert(Z85.decode("HelloWorld").toSeq === bytes.toSeq)
+  }
+
+  test("bitmap codec round-trips arbitrary sets (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genSet: Gen[List[Long]] = Gen.listOf(Gen.oneOf(
+      Gen.chooseNum(0L, 1000L),                      // dense low values
+      Gen.chooseNum(0L, (1L << 40) - 1),             // multi-bucket spread
+      Gen.chooseNum(60000L, 70000L)))                // container boundary
+    (1 to 200).foreach { i =>
+      val vs = genSet(Gen.Parameters.default, Seed(i.toLong)).getOrElse(Nil)
+      val bm = RoaringBitmapArray(vs)
+      val back = RoaringBitmapArray.deserialize(bm.serialize())
+      assert(back.toSeq === vs.distinct.sorted, s"seed $i")
+      assert(back.cardinality === vs.distinct.size, s"seed $i")
+      vs.foreach(v => assert(back.contains(v), s"seed $i missing $v"))
+      // z85 inline round-trip with padding
+      val inline = RoaringBitmapArray.deserialize(Z85.decode(Z85.encode(bm.serialize())))
+      assert(inline.toSeq === vs.distinct.sorted, s"seed $i inline")
+    }
+  }
+
   test("z85 codec round-trips; DV blob framing detects corruption") {
     val uuid = java.util.UUID.fromString("12345678-9abc-def0-1234-56789abcdef0")
     assert(Z85.decodeUuid(Z85.encodeUuid(uuid)) === uuid)
