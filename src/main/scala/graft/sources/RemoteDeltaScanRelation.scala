@@ -55,13 +55,17 @@ class RemoteDeltaScanRelation(
     val physPartitionCols = meta.partitionColumns.map(c => names.getOrElse(c, c))
 
     val adds = result.files.map(f => (f, f.deltaSingleAction.add))
+    // the refresher must re-fetch the SAME snapshot the scan was planned
+    // against — pin the resolved version, else a commit landing mid-scan
+    // would refresh a different file set and executors would miss ids
+    val pinnedReq = req.copy(version = Long.box(result.version), timestamp = null)
     GraftUrlCache.register(
       s"$share.$schemaName.$table@delta${result.version}#${req.hashCode}",
       adds.map { case (f, a) =>
         f.id -> GraftUrlCache.Entry(a.path,
           Option(f.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))
       }.toMap,
-      () => client.deltaQuery(share, schemaName, table, req).files.map { f =>
+      () => client.deltaQuery(share, schemaName, table, pinnedReq).files.map { f =>
         f.id -> GraftUrlCache.Entry(f.deltaSingleAction.add.path,
           Option(f.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))
       }.toMap)
