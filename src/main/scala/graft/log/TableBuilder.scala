@@ -130,6 +130,14 @@ object TableBuilder {
     * `DELETE ... ` under `delta.enableDeletionVectors`). Existing DVs
     * merge (a file's new DV carries ALL its deleted rows). Non-partitioned
     * tables (the fixtures), like [[deleteWhere]].
+    *
+    * Scale note: matching (file, row_index) pairs are collected to the
+    * driver — fixture-writer simplicity, same trade as [[rewrite]]'s
+    * affected-file collect. A production writer would aggregate row
+    * indexes per file executor-side (`groupBy(file).agg(collect_list)`)
+    * and serialize each bitmap in the executors, shipping only the
+    * KB-sized bitmap bytes to the commit; the log format and READ path
+    * (the part that runs at query time) are identical either way.
     */
   def deleteWhereDV(
       spark: SparkSession,
