@@ -256,10 +256,8 @@ class GraftRestClient(
         val line = JsonUtils.fromJson[wire.DeltaLine](raw)
         if (line.metaData != null) meta = line.metaData
         if (line.file != null) files += line.file
-        // endStreamAction rides the shared Line shape in both dialects
-        val plain = JsonUtils.fromJson[wire.Line](raw)
-        if (plain.endStreamAction != null)
-          pageToken = Option(plain.endStreamAction.nextPageToken)
+        if (line.endStreamAction != null)
+          pageToken = Option(line.endStreamAction.nextPageToken)
       }
     }
     if (meta == null) throw new GraftClientException(0,

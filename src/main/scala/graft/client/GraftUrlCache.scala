@@ -39,10 +39,26 @@ object GraftUrlCache {
       val cutoff = System.currentTimeMillis()
       entries.filterInPlace((_, e) => e.expiration > cutoff)
       refresherOf.filterInPlace((id, _) => entries.contains(id))
+      // a refresher closure whose every file entry was swept can never be
+      // invoked again — drop it too (a tailing stream registers one per
+      // version window; without this the closure map grows unboundedly)
+      val live = refresherOf.values.toSet
+      refreshers.filterInPlace((k, _) => live.contains(k))
     }
     entries ++= files
     files.keys.foreach(refresherOf(_) = refresherKey)
     refreshers(refresherKey) = refresher
+  }
+
+  /** Drop a query's entries + refresher (streaming sources call this for
+    * version windows at or below the committed offset — those file ids
+    * can never be read again).
+    */
+  def unregister(refresherKey: String): Unit = {
+    refresherOf.filterInPlace { (id, k) =>
+      if (k == refresherKey) { entries.remove(id); false } else true
+    }
+    refreshers.remove(refresherKey)
   }
 
   /** Current URL for a file id, refreshing the whole owning query's URL

@@ -106,15 +106,25 @@ object DeletionVectors {
       val bytes = new Array[Byte](len)
       val in = fs.open(p)
       try in.readFully(0, bytes) finally in.close()
-      require(bytes.nonEmpty && bytes(0) == RoaringBitmapArray.DV_FILE_VERSION,
-        s"unsupported DV file version ${bytes.headOption.getOrElse(-1)} at $p")
-      val data = RoaringBitmapArray.unframeBlob(bytes,
-        dv.offset.getOrElse(1))
-      require(data.length == dv.sizeInBytes,
-        s"DV size mismatch at $p: descriptor ${dv.sizeInBytes}, blob ${data.length}")
-      data
+      verifiedBlob(bytes, dv, p.toString)
     case other =>
       throw new IllegalArgumentException(s"unknown DV storageType '$other'")
+  }
+
+  /** Version-check + unframe + size cross-check of one DV file's bytes —
+    * the shared trailing half of every file-backed resolution (local
+    * filesystem or fetched pre-signed URL).
+    */
+  def verifiedBlob(
+      fileBytes: Array[Byte],
+      dv: DeletionVectorDescriptor,
+      source: String): Array[Byte] = {
+    require(fileBytes.nonEmpty && fileBytes(0) == RoaringBitmapArray.DV_FILE_VERSION,
+      s"unsupported DV file version ${fileBytes.headOption.getOrElse(-1)} at $source")
+    val data = RoaringBitmapArray.unframeBlob(fileBytes, dv.offset.getOrElse(1))
+    require(data.length == dv.sizeInBytes,
+      s"DV size mismatch at $source: descriptor ${dv.sizeInBytes}, blob ${data.length}")
+    data
   }
 
   def resolve(

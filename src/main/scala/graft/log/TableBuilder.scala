@@ -255,6 +255,15 @@ object TableBuilder {
     val prev = logR.snapshot(None)
     require(prev.metadata.partitionColumns.isEmpty,
       "deleteWhere/updateWhere support non-partitioned tables")
+    // rewriting reads files physically: on a DV table it would resurrect
+    // DV-deleted rows into the rewritten survivors, on a column-mapped
+    // table the logical-schema read would match nothing and silently
+    // delete nothing — refuse loudly (use deleteWhereDV for DV tables)
+    graft.model.ColumnMapping.assertNoAdvancedFeatures(
+      prev.metadata, s"deleteWhere/updateWhere on $tablePath")
+    require(prev.files.forall(_.deletionVector.isEmpty),
+      s"deleteWhere/updateWhere on $tablePath: table has files with deletion " +
+        "vectors; use deleteWhereDV (rewriting would resurrect deleted rows)")
     val version = logR.latestVersion() + 1
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)

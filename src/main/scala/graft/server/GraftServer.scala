@@ -350,23 +350,34 @@ class GraftServer(
         maxFiles = Option(req.maxFiles).map(_.intValue()),
         pageToken = Option(req.pageToken), cdfMode = false,
         includeHistoricalMetadata = true)
+    } else if (async) {
+      sweepAsyncResults()
+      // Idempotent submit: a retry carrying the same idempotencyKey gets
+      // the already-parked queryId back BEFORE any recompute (the result
+      // line set is the expensive part), and check+park is atomic so two
+      // concurrent same-key submits never orphan a parked result.
+      asyncResults.synchronized {
+        val existing = Option(req.idempotencyKey)
+          .flatMap(asyncByIdempotencyKey.get).flatMap(id =>
+            asyncResults.get(id).map(r => (id, r)))
+        existing match {
+          case Some((queryId, parked)) =>
+            ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, parked.version.toString)
+            sendNdjson(ex, parked.lines.take(2) :+
+              Line(queryStatus = QueryStatus(queryId)).json, parked.format)
+          case None =>
+            val (version, lines, fmt) = queryTableSnapshot(l, location, tableKey, req, ex)
+            ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, version.toString)
+            val id = java.util.UUID.randomUUID().toString
+            asyncResults.put(id, AsyncResult(version, lines, now() + config.pageTokenTtlMs, fmt))
+            Option(req.idempotencyKey).foreach(asyncByIdempotencyKey(_) = id)
+            sendNdjson(ex, lines.take(2) :+ Line(queryStatus = QueryStatus(id)).json, fmt)
+        }
+      }
     } else {
       val (version, lines, fmt) = queryTableSnapshot(l, location, tableKey, req, ex)
       ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, version.toString)
-      if (async) {
-        sweepAsyncResults()
-        // Idempotent submit: a retry carrying the same idempotencyKey gets
-        // the already-parked queryId back instead of a recompute.
-        val existing = Option(req.idempotencyKey)
-          .flatMap(asyncByIdempotencyKey.get).filter(asyncResults.contains)
-        val queryId = existing.getOrElse {
-          val id = java.util.UUID.randomUUID().toString
-          asyncResults.put(id, AsyncResult(version, lines, now() + config.pageTokenTtlMs, fmt))
-          Option(req.idempotencyKey).foreach(asyncByIdempotencyKey(_) = id)
-          id
-        }
-        sendNdjson(ex, lines.take(2) :+ Line(queryStatus = QueryStatus(queryId)).json, fmt)
-      } else sendNdjson(ex, lines, fmt)
+      sendNdjson(ex, lines, fmt)
     }
   }
 
@@ -461,16 +472,41 @@ class GraftServer(
 
     // File-level operators, in reference order: SQL-hint partition
     // pruning, json-predicate stats skipping, limit hint, pagination.
+    //
+    // Hints speak LOGICAL column names; on a column-mapped table the
+    // files' partitionValues/stats are keyed by PHYSICAL names. Evaluate
+    // hints against logically re-keyed copies — a raw mismatch would
+    // resolve every hinted column to "all null" and silently skip every
+    // matching file (best-effort must over-return, never under-return).
+    val physToLogical: Map[String, String] =
+      if (graft.model.ColumnMapping.isEnabled(snap.metadata))
+        graft.model.ColumnMapping.nameMap(snap.schema).map(_.swap)
+      else Map.empty
+    def rekey[V](m: Map[String, V]): Map[String, V] =
+      m.map { case (k, v) => (physToLogical.getOrElse(k, k), v) }
+    def logicalized(f: graft.model.AddFile): graft.model.AddFile =
+      if (physToLogical.isEmpty) f
+      else f.copy(
+        partitionValues = rekey(f.partitionValues),
+        stats = f.stats.map(st => st.copy(
+          minValues = rekey(st.minValues),
+          maxValues = rekey(st.maxValues),
+          nullCount = rekey(st.nullCount))))
+
     val sorted = snap.files.sortBy(_.path)
+    val byPath = sorted.map(f => f.path -> f).toMap
+    val sortedEval = sorted.map(logicalized)
     val afterSql = PartitionHintPruner.prune(
-      Option(req.predicateHints).getOrElse(Nil), partitionSchema, sorted)
-    val afterJson = Option(req.jsonPredicateHints) match {
+      Option(req.predicateHints).getOrElse(Nil), partitionSchema, sortedEval)
+    val afterJsonEval = Option(req.jsonPredicateHints) match {
       case Some(hint) =>
         val op = try Some(JsonPredicates.fromJson(hint))
           catch { case scala.util.control.NonFatal(_) => None } // best-effort
         FileSkippingEvaluator.filterFiles(op, snap.metadata.partitionColumns, afterSql)
       case None => afterSql
     }
+    // served actions keep their original (physical) keys
+    val afterJson = afterJsonEval.map(f => byPath(f.path))
     val hadPredicates = Option(req.predicateHints).exists(_.nonEmpty) ||
       req.jsonPredicateHints != null
     val afterLimit = Option(req.limitHint) match {

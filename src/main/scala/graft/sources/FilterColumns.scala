@@ -36,3 +36,58 @@ object FilterColumns {
     case _                        => None
   }
 }
+
+/** Shared `PrunedFilteredScan` body for relations backed by an assembled
+  * DataFrame (CDF assemblies, DV/column-mapping scans): apply pushed
+  * filters (they reach the parquet scan as PushedFilters — Spark still
+  * re-applies them on rows, so the translation stays best-effort), then
+  * project, then hand back the RDD.
+  */
+private[sources] trait DataFrameBackedScan extends PrunedFilteredScan {
+  self: org.apache.spark.sql.sources.BaseRelation =>
+
+  /** The assembled frame; columns must match [[schema]]. */
+  protected def df: org.apache.spark.sql.DataFrame
+
+  override def buildScan(
+      requiredColumns: Array[String],
+      filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val filtered = FilterColumns.translate(filters.toIndexedSeq)
+      .map(df.filter).getOrElse(df)
+    val projected =
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+    projected.rdd
+  }
+}
+
+/** Deletion-vector row filtering shared by the local and remote advanced
+  * scans: rows whose `(_metadata.file_path, _metadata.row_index)` is set
+  * in the file's broadcast bitmap are dropped scan-side.
+  */
+private[sources] object DvFilters {
+
+  /** Every spelling `_metadata.file_path` may use for a listed path:
+    * scheme-less (our FileIndex listings), `scheme:/...` (qualified
+    * `Path.toString`), `scheme://...` (URI form). A key missed here fails
+    * OPEN (deleted rows served), so all spellings are always registered.
+    */
+  def pathSpellings(p: org.apache.hadoop.fs.Path): Seq[String] =
+    Seq(p.toString, p.toUri.toString, p.toUri.getPath).distinct
+
+  /** Drop deleted rows using per-file serialized bitmaps keyed by every
+    * path spelling.
+    */
+  def filterDeleted(
+      df: org.apache.spark.sql.DataFrame,
+      byPath: Map[String, Array[Byte]]): org.apache.spark.sql.DataFrame = {
+    if (byPath.isEmpty) return df
+    val bcast = df.sparkSession.sparkContext.broadcast(byPath)
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val deleted = column(graft.functions.DvRowDeleted(
+      expression(col("_metadata.file_path")),
+      expression(col("_metadata.row_index")),
+      bcast))
+    df.filter(!deleted)
+  }
+}

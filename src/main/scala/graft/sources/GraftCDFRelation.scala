@@ -22,7 +22,7 @@ class GraftCDFRelation(
     spark: SparkSession,
     tablePath: String,
     options: Map[String, String])
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with DataFrameBackedScan {
 
   private val log = new GraftLog(tablePath, spark.sessionState.newHadoopConf())
 
@@ -44,23 +44,9 @@ class GraftCDFRelation(
         log.versionAtOrBefore(graft.server.GraftServer.parseWireTimestamp(ts))))
   }
 
-  private lazy val df = GraftCDF.tableChanges(spark, tablePath, startingVersion, endingVersion)
+  protected lazy val df = GraftCDF.tableChanges(spark, tablePath, startingVersion, endingVersion)
 
   override def sqlContext: SQLContext = spark.sqlContext
 
   override val schema: StructType = df.schema
-
-  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    // Row-level projection is delegated to Spark (reference
-    // `RemoteDeltaCDFRelation.scala:137-138`). Pushed filters are applied
-    // to the underlying DataFrame too — they reach the parquet scan as
-    // PushedFilters (row-group pruning); Spark still re-applies them
-    // upstream, so the best-effort translation stays correct.
-    val filtered = FilterColumns.translate(filters.toIndexedSeq)
-      .map(df.filter).getOrElse(df)
-    val projected =
-      if (requiredColumns.isEmpty) filtered
-      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
-    projected.rdd
-  }
 }

@@ -31,52 +31,31 @@ class GraftParquetScanRelation(
     spark: SparkSession,
     tablePath: String,
     snapshot: Snapshot)
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with DataFrameBackedScan {
 
   override def sqlContext: SQLContext = spark.sqlContext
 
   /** Logical (user-facing) schema. */
   override val schema: StructType = snapshot.schema
 
-  private lazy val df = {
+  protected lazy val df = {
     val physSnapshot = ColumnMapping.physicalSnapshot(snapshot)
     val base = spark.baseRelationToDataFrame(
       GraftDataSource.relation(spark, tablePath, physSnapshot))
 
     val dvFiles = snapshot.files.filter(_.deletionVector.isDefined)
-    val live = if (dvFiles.isEmpty) base else {
-      val conf = spark.sessionState.newHadoopConf()
-      val fs = new Path(tablePath).getFileSystem(conf)
-      // keyed by every spelling _metadata.file_path may use for the file
-      // (scheme-less from our FileIndex listing, `file:/...` from
-      // qualified Paths, `file:///...` from URIs)
-      val byPath: Map[String, Array[Byte]] = dvFiles.flatMap { f =>
-        val q = fs.makeQualified(new Path(tablePath, f.path))
-        val bytes = DeletionVectors.resolveBytes(tablePath, f.deletionVector.get, conf)
-        Seq(q.toString -> bytes, q.toUri.toString -> bytes,
-          q.toUri.getPath -> bytes)
-      }.toMap
-      val bcast = spark.sparkContext.broadcast(byPath)
-      import org.apache.spark.sql.GraftSqlBridge.{column, expression}
-      val deleted = column(graft.functions.DvRowDeleted(
-        expression(col("_metadata.file_path")),
-        expression(col("_metadata.row_index")),
-        bcast))
-      base.filter(!deleted)
-    }
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(tablePath).getFileSystem(conf)
+    val byPath: Map[String, Array[Byte]] = dvFiles.flatMap { f =>
+      val bytes = DeletionVectors.resolveBytes(tablePath, f.deletionVector.get, conf)
+      DvFilters.pathSpellings(fs.makeQualified(new Path(tablePath, f.path)))
+        .map(_ -> bytes)
+    }.toMap
+    val live = DvFilters.filterDeleted(base, byPath)
 
     // physical -> logical rename, in logical-schema column order
     val names = ColumnMapping.nameMap(schema)
     live.select(schema.fields.toIndexedSeq.map(f =>
       col(names.getOrElse(f.name, f.name)).as(f.name)): _*)
-  }
-
-  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val filtered = FilterColumns.translate(filters.toIndexedSeq)
-      .map(df.filter).getOrElse(df)
-    val projected =
-      if (requiredColumns.isEmpty) filtered
-      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
-    projected.rdd
   }
 }

@@ -34,7 +34,7 @@ class RemoteDeltaScanRelation(
     schemaName: String,
     table: String,
     options: Map[String, String])
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with DataFrameBackedScan {
 
   override def sqlContext: SQLContext = spark.sqlContext
 
@@ -49,7 +49,7 @@ class RemoteDeltaScanRelation(
   override val schema: StructType =
     DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
 
-  private lazy val df = {
+  protected lazy val df = {
     val names = ColumnMapping.nameMap(schema)
     val physSchema = ColumnMapping.physicalSchema(schema)
     val physPartitionCols = meta.partitionColumns.map(c => names.getOrElse(c, c))
@@ -81,21 +81,13 @@ class RemoteDeltaScanRelation(
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark))
 
-    val dvAdds = adds.filter(_._2.deletionVector != null)
-    val live = if (dvAdds.isEmpty) base else {
-      val byPath: Map[String, Array[Byte]] = dvAdds.flatMap { case (f, a) =>
+    val byPath: Map[String, Array[Byte]] = adds
+      .filter(_._2.deletionVector != null)
+      .flatMap { case (f, a) =>
         val bytes = fetchDvBytes(a.deletionVector)
-        val p = GraftFileSystem.encodePath(f.id, a.size)
-        Seq(p.toString -> bytes, p.toUri.toString -> bytes, p.toUri.getPath -> bytes)
+        DvFilters.pathSpellings(GraftFileSystem.encodePath(f.id, a.size)).map(_ -> bytes)
       }.toMap
-      val bcast = spark.sparkContext.broadcast(byPath)
-      import org.apache.spark.sql.GraftSqlBridge.{column, expression}
-      val deleted = column(graft.functions.DvRowDeleted(
-        expression(col("_metadata.file_path")),
-        expression(col("_metadata.row_index")),
-        bcast))
-      base.filter(!deleted)
-    }
+    val live = DvFilters.filterDeleted(base, byPath)
 
     live.select(schema.fields.toIndexedSeq.map(f =>
       col(names.getOrElse(f.name, f.name)).as(f.name)): _*)
@@ -104,36 +96,31 @@ class RemoteDeltaScanRelation(
   /** Resolve a served DV descriptor to serialized-bitmap bytes: "p" is a
     * pre-signed URL of the framed DV file (one driver-side GET — the
     * refreshable URL cache is unnecessary for a one-shot metadata fetch),
-    * "i" is inline z85.
+    * "i" is inline z85. Verification shares
+    * [[graft.log.DeletionVectors.verifiedBlob]] with the local path.
     */
   private def fetchDvBytes(dv: wire.DeltaDvW): Array[Byte] = dv.storageType match {
     case "i" => Z85.decode(dv.pathOrInlineDv)
     case "p" =>
-      val http = java.net.http.HttpClient.newHttpClient()
-      val resp = http.send(
+      val resp = RemoteDeltaScanRelation.http.send(
         java.net.http.HttpRequest.newBuilder(java.net.URI.create(dv.pathOrInlineDv))
           .GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofByteArray())
       if (resp.statusCode() >= 400) throw new graft.client.GraftClientException(
         resp.statusCode(), s"DV fetch failed (${resp.statusCode()})")
-      val bytes = resp.body()
-      require(bytes.nonEmpty && bytes(0) == RoaringBitmapArray.DV_FILE_VERSION,
-        s"unsupported DV file version ${bytes.headOption.getOrElse(-1)}")
-      val blob = RoaringBitmapArray.unframeBlob(bytes,
-        Option(dv.offset).map(_.intValue()).getOrElse(1))
-      require(blob.length == dv.sizeInBytes,
-        s"DV size mismatch: descriptor ${dv.sizeInBytes}, blob ${blob.length}")
-      blob
+      graft.log.DeletionVectors.verifiedBlob(resp.body(),
+        graft.model.DeletionVectorDescriptor("p", dv.pathOrInlineDv,
+          Option(dv.offset).map(_.intValue()), dv.sizeInBytes, dv.cardinality),
+        "pre-signed DV")
     case other =>
       throw new IllegalArgumentException(s"unknown served DV storageType '$other'")
   }
 
-  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val filtered = FilterColumns.translate(filters.toIndexedSeq)
-      .map(df.filter).getOrElse(df)
-    val projected =
-      if (requiredColumns.isEmpty) filtered
-      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
-    projected.rdd
-  }
+}
+
+object RemoteDeltaScanRelation {
+  /** One shared client for driver-side DV fetches (a per-file
+    * HttpClient.newHttpClient would rebuild a connection pool per DV).
+    */
+  private lazy val http = java.net.http.HttpClient.newHttpClient()
 }

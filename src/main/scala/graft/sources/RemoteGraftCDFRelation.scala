@@ -23,7 +23,7 @@ class RemoteGraftCDFRelation(
     schemaName: String,
     table: String,
     options: Map[String, String])
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with DataFrameBackedScan {
 
   private val params: Map[String, String] =
     Seq("startingVersion", "startingTimestamp", "endingVersion", "endingTimestamp",
@@ -33,7 +33,7 @@ class RemoteGraftCDFRelation(
   require(params.contains("startingVersion") || params.contains("startingTimestamp"),
     "readChangeFeed requires startingVersion or startingTimestamp")
 
-  private lazy val df: DataFrame = {
+  protected lazy val df: DataFrame = {
     GraftFileSystem.register(spark)
     val res = client.changes(share, schemaName, table, params)
     val tableSchema = DataType.fromJson(res.metadata.schemaString).asInstanceOf[StructType]
@@ -60,15 +60,6 @@ class RemoteGraftCDFRelation(
   override def sqlContext: SQLContext = spark.sqlContext
 
   override lazy val schema: StructType = df.schema
-
-  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val filtered = FilterColumns.translate(filters.toIndexedSeq)
-      .map(df.filter).getOrElse(df)
-    val projected =
-      if (requiredColumns.isEmpty) filtered
-      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
-    projected.rdd
-  }
 }
 
 /** Shared remote-CDF batch assembly, used by both the batch relation above

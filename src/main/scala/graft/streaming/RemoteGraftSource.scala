@@ -133,9 +133,32 @@ class RemoteGraftSource(
     def bytes: Long = file.map(_._2).getOrElse(0L)
   }
 
+  /** Registered URL-refresher windows keyed by their LAST version, so
+    * [[commit]] can drop windows the stream has fully consumed.
+    */
+  private val registeredWindows = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   private def registerUrls(key: String, entries: Map[String, GraftUrlCache.Entry],
-      refresh: () => Map[String, GraftUrlCache.Entry]): Unit =
-    GraftUrlCache.register(s"stream:$share.$schemaName.$table#$key", entries, refresh)
+      refresh: () => Map[String, GraftUrlCache.Entry],
+      lastVersion: Long = Long.MaxValue): Unit = {
+    val fullKey = s"stream:$share.$schemaName.$table#$key"
+    registeredWindows(fullKey) = lastVersion
+    GraftUrlCache.register(fullKey, entries, refresh)
+  }
+
+  /** Spark committed everything below `end`: per-version memos and URL
+    * windows at lower versions can never be read again — drop them so a
+    * stream tailing an actively-committed table for weeks holds O(recent)
+    * state, not O(history).
+    */
+  override def commit(end: Offset): Unit = {
+    val v = GraftSourceOffset(end).tableVersion
+    fetchedCommits.filterInPlace((k, _) => k >= v - 1)
+    fetchedCdf.filterInPlace((k, _) => k >= v - 1)
+    registeredWindows.filterInPlace { (key, last) =>
+      if (last < v - 1) { GraftUrlCache.unregister(key); false } else true
+    }
+  }
 
   /** Snapshot files at `version`, offset-ordered (stable by id). */
   private def snapshotFiles(version: Long): Seq[(String, Long, Map[String, String])] = {
@@ -146,7 +169,8 @@ class RemoteGraftSource(
         Option(f.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap,
       () => client.query(share, schemaName, table, req).files.map(f =>
         f.id -> GraftUrlCache.Entry(f.url,
-          Option(f.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap)
+          Option(f.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap,
+      lastVersion = version)
     res.files.sortBy(_.id).map(f => (f.id, f.size, f.partitionValues))
   }
 
@@ -199,7 +223,8 @@ class RemoteGraftSource(
         Option(a.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap,
       () => client.queryRange(share, schemaName, table, start, Some(end)).adds.map(a =>
         a.id -> GraftUrlCache.Entry(a.url,
-          Option(a.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap)
+          Option(a.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap,
+      lastVersion = end)
     val removesByVersion = res.removes.groupBy(_.version)
     val addsByVersion = res.adds.groupBy(_.version)
     (start to end).map { v =>
@@ -266,7 +291,8 @@ class RemoteGraftSource(
             r.removes.map(x => entry(x.id, x.url, x.expirationTimestamp))).toMap
         registerUrls(s"cdf@$v-$e", urlsOf(res),
           () => urlsOf(client.changes(share, schemaName, table,
-            Map("startingVersion" -> v.toString, "endingVersion" -> e.toString))))
+            Map("startingVersion" -> v.toString, "endingVersion" -> e.toString))),
+          lastVersion = e)
         val addsBy = res.adds.groupBy(_.version)
         val cdfsBy = res.cdfs.groupBy(_.version)
         val removesBy = res.removes.groupBy(_.version)

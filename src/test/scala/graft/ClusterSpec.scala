@@ -40,8 +40,11 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
   var server: GraftServer = _
 
   override def beforeAll(): Unit = {
-    // a leaked session from an earlier suite would pin the wrong master
-    SparkSession.getActiveSession.filter(_ ne spark).foreach(_.stop())
+    // a leaked session from an earlier suite would pin the wrong master —
+    // stop it BEFORE the lazy `spark` is forced (referencing `spark` here
+    // would getOrCreate against the leaked context and pin local[*])
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
     spark.sparkContext.setLogLevel("WARN")
     SharedFixtures.ensure(spark, sfDir)
     server = new GraftServer(ServerConfig(bearerToken = Some(TOKEN)),

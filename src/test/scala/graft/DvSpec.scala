@@ -309,6 +309,69 @@ class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.map(_.files.length).sum === 3)
   }
 
+  test("logical-name hints on a column-mapped table never under-return files") {
+    import spark.implicits._
+    val dir = tempTable()
+    TableBuilder.createColumnMapped(spark,
+      (1 to 30).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp"),
+      dir, partitionCols = Seq("grp"))
+    GraftCatalog.register("share1.default.cm_hints", dir)
+    val server = new GraftServer(ServerConfig(bearerToken = Some("tkn")),
+      spark.sessionState.newHadoopConf()).start()
+    try {
+      val http = HttpClient.newHttpClient()
+      def query(body: String): Array[DeltaLine] = {
+        val r = http.send(HttpRequest.newBuilder(URI.create(
+          s"${server.url}/shares/share1/schemas/default/tables/cm_hints/query"))
+          .header("Authorization", "Bearer tkn")
+          .header("delta-sharing-capabilities",
+            "responseformat=delta;readerfeatures=columnmapping")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() === 200)
+        r.body().split("\n").filter(_.nonEmpty).map(JsonUtils.fromJson[DeltaLine](_))
+      }
+      def partValues(lines: Array[DeltaLine]): Seq[String] =
+        lines.filter(_.file != null)
+          .map(_.file.deltaSingleAction.add.partitionValues.values.head).toSeq
+      val all = query("{}")
+      assert(partValues(all).distinct.sorted === Seq("g0", "g1", "g2"))
+      // a LOGICAL-name partition hint must keep the matching physical
+      // partition (the regression: physical-keyed partitionValues made
+      // every hinted file resolve to "all null" and get skipped)
+      val hinted = query(
+        """{"jsonPredicateHints": "{\"op\":\"equal\",\"children\":[
+          |{\"op\":\"column\",\"name\":\"grp\",\"valueType\":\"string\"},
+          |{\"op\":\"literal\",\"value\":\"g1\",\"valueType\":\"string\"}]}"}"""
+          .stripMargin.replace("\n", ""))
+      val hintedVals = partValues(hinted)
+      assert(hintedVals.nonEmpty && hintedVals.distinct === Seq("g1"))
+      // …and the served partitionValues keep their physical keys
+      assert(hinted.filter(_.file != null).head
+        .file.deltaSingleAction.add.partitionValues.keys.head.startsWith("col-"))
+    } finally {
+      server.stop()
+      GraftCatalog.unregister("share1.default.cm_hints")
+    }
+  }
+
+  test("deleteWhere/updateWhere refuse tables with deletion vectors or column mapping") {
+    import spark.implicits._
+    val dvDir = tempTable()
+    TableBuilder.create(spark, (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "v"), dvDir)
+    TableBuilder.deleteWhereDV(spark, dvDir, col("id") === 1L)
+    val e1 = intercept[Exception](TableBuilder.deleteWhere(spark, dvDir, col("id") === 2L))
+    assert(String.valueOf(e1.getMessage).contains("advanced reader features") ||
+      String.valueOf(e1.getMessage).contains("deletion"))
+
+    val cmDir = tempTable()
+    TableBuilder.createColumnMapped(spark,
+      (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "v"), cmDir)
+    val e2 = intercept[Exception](
+      TableBuilder.updateWhere(spark, cmDir, col("id") === 2L, Seq("v" -> lit("x"))))
+    assert(String.valueOf(e2.getMessage).contains("advanced reader features"))
+  }
+
   test("remote read of DV and column-mapped tables renegotiates the delta dialect") {
     import spark.implicits._
     val dvDir = tempTable()
