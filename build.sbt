@@ -13,11 +13,14 @@ Test / fork := true
 run / fork := true
 // local-cluster[...] masters (ClusterSpec) spawn executor JVMs via the
 // standalone Worker, which locates the launcher through SPARK_HOME.
+// Honor an existing environment first — /opt/spark is only the fallback
+// for this image's layout (unmanagedBase above); ClusterSpec skips itself
+// with a clear message when the resolved SPARK_HOME doesn't exist.
 Test / envVars ++= Map(
-  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"),
   // normally exported by bin/load-spark-env.sh; the in-process Worker's
   // command builder needs it to skip source-tree build-dir probing
-  "SPARK_SCALA_VERSION" -> "2.13",
+  "SPARK_SCALA_VERSION" -> sys.env.getOrElse("SPARK_SCALA_VERSION", "2.13"),
 )
 // Pass forked run output through verbatim: the bench harness parses the
 // one-line JSON from stdout, and sbt's default logger prepends "[info] ".

@@ -45,7 +45,7 @@ case class DvRowDeleted(
   def deleted(path: UTF8String, rowIndex: Long): Boolean = {
     val key = path.toString
     val cached = decoded.computeIfAbsent(key, k =>
-      dvs.value.get(k) match {
+      lookup(k) match {
         case Some(bytes) => RoaringBitmapArray.deserialize(bytes)
         case None        => NONE
       })
@@ -54,6 +54,26 @@ case class DvRowDeleted(
       case _                      => false
     }
   }
+
+  /** Probe-side spelling normalization. Registration covers the listed
+    * path's spellings, but `_metadata.file_path` can still arrive in a
+    * fourth form (a FileIndex qualifying differently, percent-encoding
+    * divergence). A silent miss here FAILS OPEN — deleted rows would be
+    * served — so on an exact miss we re-derive the probe path's own
+    * spellings (`Path.toString`, URI form, and the percent-DECODED URI
+    * path, which is the canonical meeting point for encoding divergence)
+    * and try each before concluding the file has no DV.
+    */
+  private def lookup(raw: String): Option[Array[Byte]] =
+    dvs.value.get(raw).orElse {
+      try {
+        val p = new org.apache.hadoop.fs.Path(raw)
+        val uri = p.toUri
+        Seq(p.toString, uri.toString, uri.getPath)
+          .filter(_ != null).distinct.filterNot(_ == raw)
+          .iterator.flatMap(dvs.value.get).nextOption()
+      } catch { case _: IllegalArgumentException => None }
+    }
 
   override def nullSafeEval(p: Any, i: Any): Any =
     deleted(p.asInstanceOf[UTF8String], i.asInstanceOf[Long])

@@ -354,25 +354,33 @@ class GraftServer(
       sweepAsyncResults()
       // Idempotent submit: a retry carrying the same idempotencyKey gets
       // the already-parked queryId back BEFORE any recompute (the result
-      // line set is the expensive part), and check+park is atomic so two
-      // concurrent same-key submits never orphan a parked result.
-      asyncResults.synchronized {
-        val existing = Option(req.idempotencyKey)
-          .flatMap(asyncByIdempotencyKey.get).flatMap(id =>
-            asyncResults.get(id).map(r => (id, r)))
-        existing match {
-          case Some((queryId, parked)) =>
-            ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, parked.version.toString)
-            sendNdjson(ex, parked.lines.take(2) :+
-              Line(queryStatus = QueryStatus(queryId)).json, parked.format)
-          case None =>
-            val (version, lines, fmt) = queryTableSnapshot(l, location, tableKey, req, ex)
-            ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, version.toString)
-            val id = java.util.UUID.randomUUID().toString
-            asyncResults.put(id, AsyncResult(version, lines, now() + config.pageTokenTtlMs, fmt))
-            Option(req.idempotencyKey).foreach(asyncByIdempotencyKey(_) = id)
-            sendNdjson(ex, lines.take(2) :+ Line(queryStatus = QueryStatus(id)).json, fmt)
-        }
+      // line set is the expensive part). The dedup key is SCOPED to the
+      // table plus a fingerprint of the query parameters — a client
+      // reusing one idempotencyKey against a different table (or with
+      // different version/predicate params) is a different query and must
+      // be recomputed, never answered with the first query's lines. The
+      // only atomic step is the queryId reservation (putIfAbsent): two
+      // concurrent same-key submits agree on one queryId, then both
+      // compute outside any lock (results are equivalent by construction
+      // — same table, same fingerprint) and the parks collapse onto the
+      // shared id. Snapshot compute and response I/O never hold a lock.
+      val scopedKey = Option(req.idempotencyKey)
+        .map(k => s"$tableKey|${queryChecksum(tableKey, req)}|$k")
+      val freshId = java.util.UUID.randomUUID().toString
+      val queryId = scopedKey match {
+        case Some(k) => asyncByIdempotencyKey.putIfAbsent(k, freshId).getOrElse(freshId)
+        case None    => freshId
+      }
+      asyncResults.get(queryId).filter(_.expiration >= now()) match {
+        case Some(parked) =>
+          ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, parked.version.toString)
+          sendNdjson(ex, parked.lines.take(2) :+
+            Line(queryStatus = QueryStatus(queryId)).json, parked.format)
+        case None =>
+          val (version, lines, fmt) = queryTableSnapshot(l, location, tableKey, req, ex)
+          ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, version.toString)
+          asyncResults.put(queryId, AsyncResult(version, lines, now() + config.pageTokenTtlMs, fmt))
+          sendNdjson(ex, lines.take(2) :+ Line(queryStatus = QueryStatus(queryId)).json, fmt)
       }
     } else {
       val (version, lines, fmt) = queryTableSnapshot(l, location, tableKey, req, ex)
@@ -390,8 +398,8 @@ class GraftServer(
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Retention hygiene: expired parked results (full NDJSON line sets) are
-    * dropped on every submit, and a result is freed as soon as it is
-    * successfully polled — a long-lived server never accumulates them.
+    * dropped on every submit, and a served result's TTL is cut to a short
+    * grace window — a long-lived server never accumulates them.
     */
   private def sweepAsyncResults(): Unit = {
     val cutoff = now()
@@ -399,7 +407,13 @@ class GraftServer(
     asyncByIdempotencyKey.filterInPlace((_, id) => asyncResults.contains(id))
   }
 
-  /** Poll endpoint for an async query's parked result (freed once served). */
+  /** Poll endpoint for an async query's parked result. Serving does not
+    * free the result immediately — a client whose poll response is lost
+    * in transit (connection reset mid-body) retries and must not land on
+    * a 404 with the query unrecoverable. Instead the expiration is
+    * shortened to a retry-grace window ([[ServerConfig.asyncServedGraceMs]])
+    * and [[sweepAsyncResults]] reclaims it from there.
+    */
   private def queryStatus(
       ex: HttpExchange, share: String, schema: String, table: String,
       queryId: String): Unit = {
@@ -407,9 +421,9 @@ class GraftServer(
     asyncResults.get(queryId).filter(_.expiration >= now()) match {
       case Some(res) =>
         ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, res.version.toString)
+        val graced = math.min(res.expiration, now() + config.asyncServedGraceMs)
+        asyncResults.put(queryId, res.copy(expiration = graced))
         sendNdjson(ex, res.lines, res.format)
-        asyncResults.remove(queryId)
-        asyncByIdempotencyKey.filterInPlace((_, id) => id != queryId)
       case None =>
         throw GraftServerException.notFound(s"query $queryId does not exist or expired")
     }
@@ -1018,4 +1032,6 @@ case class ServerConfig(
     preSignedUrlTimeoutSeconds: Long = 3600,
     queryTablePageSizeLimit: Int = 10000,
     pageTokenTtlMs: Long = 259200000L,
-    refreshTokenTtlMs: Long = 3600000L)
+    refreshTokenTtlMs: Long = 3600000L,
+    /** How long a served async result stays pollable (lost-response retry). */
+    asyncServedGraceMs: Long = 60000L)

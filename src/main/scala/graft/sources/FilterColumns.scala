@@ -65,7 +65,7 @@ private[sources] trait DataFrameBackedScan extends PrunedFilteredScan {
   * scans: rows whose `(_metadata.file_path, _metadata.row_index)` is set
   * in the file's broadcast bitmap are dropped scan-side.
   */
-private[sources] object DvFilters {
+private[graft] object DvFilters {
 
   /** Every spelling `_metadata.file_path` may use for a listed path:
     * scheme-less (our FileIndex listings), `scheme:/...` (qualified

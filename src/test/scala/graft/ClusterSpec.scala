@@ -20,6 +20,14 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
   val sfDir = "/root/testdata/sf0.001"
   val TOKEN = "cluster-token"
 
+  // local-cluster Workers launch executors through $SPARK_HOME's launcher;
+  // without a usable install this whole suite is cancelled, not failed.
+  private val sparkHome = sys.env.get("SPARK_HOME")
+  private def requireSparkHome(): Unit = assume(
+    sparkHome.exists(h => new java.io.File(h).isDirectory),
+    s"SPARK_HOME (${sparkHome.getOrElse("unset")}) is not a directory — " +
+      "local-cluster executors cannot launch; skipping ClusterSpec")
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local-cluster[2,1,1024]")
     .config("spark.executor.extraClassPath", sys.props("java.class.path"))
@@ -40,6 +48,7 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
   var server: GraftServer = _
 
   override def beforeAll(): Unit = {
+    if (!sparkHome.exists(h => new java.io.File(h).isDirectory)) return
     // a leaked session from an earlier suite would pin the wrong master —
     // stop it BEFORE the lazy `spark` is forced (referencing `spark` here
     // would getOrCreate against the leaked context and pin local[*])
@@ -53,10 +62,11 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = {
     if (server != null) server.stop()
-    spark.stop()
+    if (sparkHome.exists(h => new java.io.File(h).isDirectory)) spark.stop()
   }
 
   test("graft:// scan bytes resolve across executor JVMs via the driver RPC") {
+    requireSparkHome()
     val direct = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val remote = spark.read.format("graft")
       .option("url", server.url).option("token", TOKEN)
@@ -72,6 +82,7 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("remote filter pushdown stays exact across executor JVMs") {
+    requireSparkHome()
     val direct = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .filter(col("l_orderkey") < 100)
     val remote = spark.read.format("graft")
@@ -82,6 +93,7 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("remote DV scan filters deleted rows inside separate executor JVMs") {
+    requireSparkHome()
     // delta-dialect renegotiation + graft:// byte reads + the BROADCAST
     // bitmap DV filter, all crossing the process boundary — the exact
     // shape of a DV read on a real cluster

@@ -127,6 +127,36 @@ class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("checksum"))
   }
 
+  test("DV probe tolerates path spellings beyond the registered set") {
+    // registration covers the LISTED path's spellings; the runtime
+    // `_metadata.file_path` may still diverge (different qualification,
+    // percent-encoding). A miss would fail OPEN, so the probe must
+    // normalize its own spelling before concluding "no DV".
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val bm = RoaringBitmapArray(Seq(3L, 7L))
+    val listed = new org.apache.hadoop.fs.Path("file:/tmp/graft dv/part-0.parquet")
+    val byPath = graft.sources.DvFilters.pathSpellings(listed)
+      .map(_ -> bm.serialize()).toMap
+    val bcast = spark.sparkContext.broadcast(byPath)
+    val expr = graft.functions.DvRowDeleted(
+      BoundReference(0, StringType, nullable = false),
+      BoundReference(1, LongType, nullable = false), bcast)
+    def probe(p: String, i: Long): Boolean =
+      expr.deleted(UTF8String.fromString(p), i)
+    // exact registered spellings
+    assert(probe("file:/tmp/graft dv/part-0.parquet", 3L))
+    assert(probe("/tmp/graft dv/part-0.parquet", 7L))
+    assert(!probe("/tmp/graft dv/part-0.parquet", 4L))
+    // divergent spellings: percent-encoded URI form, scheme variation
+    assert(probe("file:/tmp/graft%20dv/part-0.parquet", 3L))
+    assert(probe("file:///tmp/graft%20dv/part-0.parquet", 7L))
+    // genuinely different file still resolves to "no DV"
+    assert(!probe("file:/tmp/graft dv/part-1.parquet", 3L))
+    assert(Literal(true).dataType === expr.dataType) // boolean filter shape
+  }
+
   // ---------------------------------------------------- local read path
 
   test("DV delete: rows vanish, time travel intact, second delete merges") {

@@ -285,34 +285,56 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .statusCode() === 404)
   }
 
-  test("async query: idempotencyKey dedupes submits; polled results are freed") {
-    def submit(body: String): Array[Line] = {
+  test("async query: idempotencyKey dedup is scoped to table+params; retry grace") {
+    def submitTo(base: String, table: String, body: String): String = {
       val r = http.send(HttpRequest.newBuilder(
-        URI.create(s"${server.url}/shares/share1/schemas/default/tables/lineitem/query"))
+        URI.create(s"$base/shares/share1/schemas/default/tables/$table/query"))
         .header("Authorization", s"Bearer $TOKEN")
         .header("delta-sharing-capabilities", "responseformat=parquet;asyncquery=true")
         .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
         HttpResponse.BodyHandlers.ofString())
       r.body().split("\n").filter(_.nonEmpty).map(JsonUtils.fromJson[Line](_))
+        .flatMap(l => Option(l.queryStatus)).head.queryId
     }
-    def qid(lines: Array[Line]): String =
-      lines.flatMap(l => Option(l.queryStatus)).head.queryId
+    def submit(body: String): String = submitTo(server.url, "lineitem", body)
     // duplicate submit with the same idempotencyKey → same queryId
-    val id1 = qid(submit("""{"idempotencyKey": "k-123"}"""))
-    val id2 = qid(submit("""{"idempotencyKey": "k-123"}"""))
-    assert(id1 === id2)
+    val id1 = submit("""{"idempotencyKey": "k-123"}""")
+    assert(submit("""{"idempotencyKey": "k-123"}""") === id1)
     // a different key gets its own query
-    val id3 = qid(submit("""{"idempotencyKey": "k-456"}"""))
+    val id3 = submit("""{"idempotencyKey": "k-456"}""")
     assert(id3 !== id1)
-    // polling serves the result once, then frees it (404 on re-poll)
+    // the SAME key against a different table, or with different query
+    // params, is a different query — it must never be answered with the
+    // first query's parked lines
+    val idOtherTable = submitTo(server.url, "orders", """{"idempotencyKey": "k-123"}""")
+    assert(idOtherTable !== id1)
+    val idOtherParams = submit("""{"idempotencyKey": "k-123", "version": 0}""")
+    assert(idOtherParams !== id1)
+    // a served result stays pollable for the retry-grace window: a client
+    // whose first poll response was lost on the wire can re-poll
     val poll1 = rawPost(s"/shares/share1/schemas/default/tables/lineitem/queries/$id1", "{}")
     assert(poll1.statusCode() === 200)
-    assert(rawPost(s"/shares/share1/schemas/default/tables/lineitem/queries/$id1", "{}")
-      .statusCode() === 404)
-    // after the poll freed id1, the same key mints a fresh query
-    assert(qid(submit("""{"idempotencyKey": "k-123"}""")) !== id1)
-    // drain id3 too
-    rawPost(s"/shares/share1/schemas/default/tables/lineitem/queries/$id3", "{}")
+    val poll2 = rawPost(s"/shares/share1/schemas/default/tables/lineitem/queries/$id1", "{}")
+    assert(poll2.statusCode() === 200)
+    assert(poll2.body() === poll1.body())
+    // with a zero grace window the result is freed right after first serve
+    // and the key then mints a fresh query
+    val gs = new GraftServer(ServerConfig(bearerToken = Some(TOKEN),
+      asyncServedGraceMs = -1), spark.sessionState.newHadoopConf()).start()
+    try {
+      val g1 = submitTo(gs.url, "lineitem", """{"idempotencyKey": "k-g"}""")
+      assert(http.send(HttpRequest.newBuilder(
+        URI.create(s"${gs.url}/shares/share1/schemas/default/tables/lineitem/queries/$g1"))
+        .header("Authorization", s"Bearer $TOKEN")
+        .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() === 200)
+      assert(http.send(HttpRequest.newBuilder(
+        URI.create(s"${gs.url}/shares/share1/schemas/default/tables/lineitem/queries/$g1"))
+        .header("Authorization", s"Bearer $TOKEN")
+        .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() === 404)
+      assert(submitTo(gs.url, "lineitem", """{"idempotencyKey": "k-g"}""") !== g1)
+    } finally gs.stop()
   }
 
   test("changes pagination survives a commit landing between pages") {
