@@ -608,6 +608,87 @@ object SparkEntry {
           sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
     }),
 
+    // Beyond-reference: block-level boilerplate removal (the CCNet line-
+    // dedup family on fixed 10-token blocks): blocks appearing in ≥2
+    // distinct docs are boilerplate; every doc is rewritten without them.
+    // Document frequency shuffles 16-byte md5 hashes (never block text)
+    // and reassembly is a per-doc sort_array — no corpus-wide window.
+    "q52_block_dedup" -> ((s, dir) => {
+      graft.ops.Dedup.blockBoilerplate(
+        t(s, dir, "documents"), "doc_id", "text", blockTokens = 10, minDf = 2L)
+    }),
+
+    // Beyond-reference: PII redaction — per-doc match counts + redacted-
+    // text fingerprint, patterns restricted to the Java∩RE2 dialect so
+    // the oracle replays them exactly. The corpus has no organic PII, so
+    // the query plants a deterministic email/IP/phone per doc first —
+    // the redaction chain is pure codegen regexp_replace at scan speed.
+    "q53_pii_redaction" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").withColumn("text2",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 call 555-01"),
+          lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0")))
+      graft.ops.TextOps.piiProfile(aug, "doc_id", "text2")
+    }),
+
+    // Beyond-reference: SemDeDup — cluster-scoped semantic dedup over
+    // embeddings with FIXED centroids (vec_id<8, the q41 determinism
+    // trick): within-cell pairs only, exact cosine, keep the min-id
+    // survivor per duplicate group. τ=0.45 sits ≥1e-3 from every pair at
+    // the gate SF, so float-vs-double kernels can't flip a verdict.
+    "q54_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+      graft.ops.Similarity.semanticDuplicates(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        centroids, threshold = 0.45)
+        .select(col("id").as("vec_id"), col("cell"), col("dup_of"), col("kept"))
+    }),
+
+    // Beyond-reference: quality-threshold calibration — per-language
+    // EXACT percentiles of the quality score (the cut points a curation
+    // pipeline derives before filtering), plus how many docs survive the
+    // p25 cut. Percentile tables are group-count-sized → broadcast back.
+    "q55_quality_calibration" -> ((s, dir) => {
+      val T = graft.ops.TextOps
+      val prof = t(s, dir, "documents")
+        .withColumn("pred_lang", T.langId(col("text")))
+        .withColumn("quality", T.qualityScore(col("text")))
+      val pct = prof.groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("__n"),
+          percentile(col("quality"), lit(0.25)).as("__p25"),
+          percentile(col("quality"), lit(0.5)).as("__p50"),
+          percentile(col("quality"), lit(0.9)).as("__p90"))
+      prof.join(broadcast(pct), "pred_lang")
+        .groupBy(col("pred_lang"))
+        .agg(first(col("__n")).as("n_docs"),
+          round(first(col("__p25")), 6).as("p25"),
+          round(first(col("__p50")), 6).as("p50"),
+          round(first(col("__p90")), 6).as("p90"),
+          sum(when(col("quality") >= col("__p25"), 1L).otherwise(0L)).as("n_keep"))
+    }),
+
+    // Beyond-reference: training-mix weighting — per (source, lang)
+    // corpus stats with sqrt-scaled sampling weights (the standard
+    // square-root temperature mix), normalized against the broadcast
+    // total. One map-side-combinable agg over the corpus; the group
+    // table is tiny at any scale.
+    "q56_mix_weights" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.ops.TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .withColumn("__w", sqrt(col("n_tokens").cast("double")))
+      val tot = g.agg(sum(col("__w")).as("__tw"))
+      g.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("__w") / col("__tw"), 6).as("mix_weight"))
+    }),
+
     // Beyond-reference: benchmark decontamination — corpus docs sharing
     // ≥5 distinct 3-gram shingles with the "benchmark" pool (doc_id<20).
     // Broadcast pool + one corpus explode + map-side-combinable count:
@@ -1072,6 +1153,106 @@ object SparkEntry {
                           AND pred_lang <> 'und' AND is_rep
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM rep GROUP BY pred_lang""",
+    "q52_block_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         blocks AS (
+           SELECT doc_id, i AS pos,
+             array_to_string(list_slice(t, (i-1)*10+1, i*10), ' ') AS block
+           FROM toks, LATERAL (SELECT unnest(range(1,
+             CAST(ceil(len(t)/10.0) AS BIGINT)+1)) AS i) u),
+         df AS (SELECT block, count(DISTINCT doc_id) AS df FROM blocks GROUP BY 1),
+         j AS (SELECT b.doc_id, b.pos, b.block, d.df >= 2 AS boiler
+               FROM blocks b JOIN df d USING (block))
+         SELECT doc_id, count(*) AS n_blocks,
+           CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           md5(string_agg(block, ' ' ORDER BY pos) FILTER (WHERE NOT boiler))
+             AS clean_fp
+         FROM j GROUP BY doc_id""",
+    "q53_pii_redaction" ->
+      """WITH aug AS (SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com from 10.0.'
+                || (doc_id % 256) || '.7 call 555-01'
+                || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t2
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t2,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t2,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(t2, '\b555-\d{4}\b')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t2,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b555-\d{4}\b', '<PHONE>', 'g')) AS redacted_fp
+         FROM aug""",
+    "q54_semantic_dedup" ->
+      """WITH cent AS (SELECT CAST(vec_id AS INT) AS cell,
+                        CAST(embedding AS DOUBLE[]) AS ce
+                      FROM embeddings WHERE vec_id < 8),
+         v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         assigned AS (
+           SELECT id, e, cell FROM (
+             SELECT v.id, v.e, cent.cell,
+               row_number() OVER (PARTITION BY v.id
+                 ORDER BY list_distance(v.e, cent.ce), cent.cell) AS ar
+             FROM v CROSS JOIN cent) WHERE ar = 1),
+         dup AS (
+           SELECT b.id AS id, min(a.id) AS dup_of
+           FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+           WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+           GROUP BY b.id)
+         SELECT s.id AS vec_id, s.cell, d.dup_of, d.dup_of IS NULL AS kept
+         FROM assigned s LEFT JOIN dup d ON s.id = d.id""",
+    "q55_quality_calibration" ->
+      """WITH scored AS (
+           SELECT
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','fast','data','query'))) AS s_en,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('scan','merge','window'))) AS s_de,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('table','column','line'))) AS s_fr,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('row','group','order'))) AS s_es,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('hash','join','key'))) AS s_zh,
+             CAST(length(text) AS DOUBLE) AS n_chars
+           FROM documents),
+         labeled AS (
+           SELECT
+             CASE WHEN s_en = gm AND gm > 0 THEN 'en'
+                  WHEN s_de = gm AND gm > 0 THEN 'de'
+                  WHEN s_fr = gm AND gm > 0 THEN 'fr'
+                  WHEN s_es = gm AND gm > 0 THEN 'es'
+                  WHEN s_zh = gm AND gm > 0 THEN 'zh'
+                  ELSE 'und' END AS pred_lang,
+             (0.5 * least(n_chars / 500.0, 1.0) +
+              0.5 * (1.0 - least(abs((n_chars - (CAST(n_tokens AS DOUBLE) - 1.0))
+                                     / CAST(n_tokens AS DOUBLE) - 5.0) / 5.0, 1.0))) *
+             (CASE WHEN n_tokens < 5 THEN 0.5 ELSE 1.0 END) AS quality
+           FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS gm FROM scored)),
+         pct AS (
+           SELECT pred_lang, count(*) AS n_docs,
+             quantile_cont(quality, 0.25) AS p25,
+             quantile_cont(quality, 0.5) AS p50,
+             quantile_cont(quality, 0.9) AS p90
+           FROM labeled GROUP BY pred_lang)
+         SELECT p.pred_lang, p.n_docs,
+           round(p.p25, 6) AS p25, round(p.p50, 6) AS p50, round(p.p90, 6) AS p90,
+           CAST(sum(CASE WHEN l.quality >= p.p25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep
+         FROM labeled l JOIN pct p USING (pred_lang)
+         GROUP BY p.pred_lang, p.n_docs, p.p25, p.p50, p.p90""",
+    "q56_mix_weights" ->
+      """WITH g AS (
+           SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1, 2),
+         tot AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS tw FROM g)
+         SELECT source, lang, n_docs, n_tokens,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / tw, 6) AS mix_weight
+         FROM g, tot""",
     "q50_contamination_screen" ->
       """WITH sets AS (
            SELECT doc_id, list_distinct(

@@ -471,6 +471,61 @@ object Dedup {
       .filter(col("n_shared") >= minOverlap)
   }
 
+  // --------------------------------------------------- block boilerplate
+
+  /** Block-level boilerplate removal (the CCNet/RefinedWeb line-dedup
+    * family, on fixed-size token blocks since training corpora are often
+    * newline-stripped): a block whose content appears in ≥ `minDf`
+    * DISTINCT documents is boilerplate (headers, navigation chrome,
+    * license banners); every document is rewritten without its
+    * boilerplate blocks, preserving block order.
+    *
+    * Returns one row per document: `(doc_id, n_blocks, n_boiler,
+    * clean_fp)` where `clean_fp` is the md5 of the cleaned text (null
+    * when every block was removed).
+    *
+    * Shape at 100 TB: the block table is explode-only (corpus scanned
+    * once); document frequency is a two-level `groupBy` over the md5
+    * block hash — pre-`distinct` per doc, then a map-side-combinable
+    * count — so the shuffle carries 16-byte hashes, never block text;
+    * the df table joins back by hash (a shuffle equi-join — the
+    * boilerplate set is corpus-scale, NOT broadcastable); reassembly is
+    * one `collect_list(struct(pos, …))` + `sort_array` per doc. No
+    * window over the corpus, no driver round-trip, heavy-hitter hashes
+    * (the boilerplate itself) are exactly what AQE skew-join splits.
+    */
+  def blockBoilerplate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int = 10,
+      minDf: Long = 2L): DataFrame = {
+    require(blockTokens > 0 && minDf >= 2, s"blockTokens=$blockTokens minDf=$minDf")
+    val toks = split(col(textCol), " ")
+    val nBlocks = ceil(size(toks).cast("double") / lit(blockTokens.toDouble)).cast("int")
+    val blocksArr = transform(sequence(lit(1), nBlocks), i =>
+      concat_ws(" ", slice(toks, (i - 1) * blockTokens + 1, lit(blockTokens))))
+    val blocks = docs
+      .select(col(idCol).as("doc_id"), posexplode(blocksArr).as(Seq("pos", "block")))
+      .withColumn("__bh", md5(col("block")))
+    val df = blocks.select(col("doc_id"), col("__bh")).distinct()
+      .groupBy(col("__bh")).agg(count(lit(1)).as("__df"))
+    blocks.join(df, "__bh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("n_boiler"),
+        // collect_list drops nulls, so boilerplate blocks vanish here;
+        // sort_array on (pos, block) structs restores document order.
+        sort_array(collect_list(
+          when(col("__df") < minDf, struct(col("pos"), col("block"))))).as("__kept"))
+      .withColumn("clean_fp",
+        when(size(col("__kept")) === 0, lit(null).cast("string"))
+          .otherwise(md5(array_join(
+            transform(col("__kept"), k => k.getField("block")), " "))))
+      .drop("__kept")
+  }
+
   // ------------------------------------------------- connected components
 
   /** Connected components over near-duplicate pair edges: every node gets

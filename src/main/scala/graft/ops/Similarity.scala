@@ -241,6 +241,46 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
   }
 
+  // ----------------------------------------------------- semantic dedup
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): cluster-scoped semantic
+    * deduplication. Vectors are assigned to their nearest centroid (same
+    * fixed-centroid assignment as [[ivfTopKWithCentroids]] — L2, ties to
+    * the lower cell); within each cell every pair is scored with the
+    * exact cosine kernel, and a vector is a DUPLICATE when some
+    * lower-id vector in its cell has cosine ≥ `threshold` with it. Each
+    * duplicate reports the minimum such neighbor as `dup_of`; survivors
+    * (`kept = true`) form the deduplicated corpus.
+    *
+    * Shape at 100 TB: the all-pairs scan is WITHIN-CELL only — cell
+    * population is corpus/nlist by construction (size the centroid count
+    * so cells fit comfortably in a task), so the join is a bucket
+    * equi-join on `cell` with bounded fan-out, never a global cross
+    * join. Assignment is one broadcast-centroid pass + a map-side-
+    * combinable min-aggregate; the output is one row per vector.
+    */
+  def semanticDuplicates(
+      vectors: DataFrame, // (id, vec)
+      centroids: DataFrame, // (cell, centroid)
+      threshold: Double): DataFrame = {
+    val assigned = vectors.crossJoin(broadcast(centroids))
+      .withColumn("dd", d2(col("vec"), col("centroid")))
+      .groupBy(col("id"))
+      .agg(
+        min(struct(col("dd"), col("cell"))).getField("cell").as("cell"),
+        first(col("vec")).as("vec"))
+    val a = assigned.select(col("id").as("id_a"), col("vec").as("vec_a"), col("cell"))
+    val b = assigned.select(col("id").as("id_b"), col("vec").as("vec_b"), col("cell"))
+    val dupOf = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    assigned.select(col("id"), col("cell"))
+      .join(dupOf, Seq("id"), "left")
+      .withColumn("kept", col("dup_of").isNull)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from
     * shared LSH buckets (no pairwise scan).
     */

@@ -140,6 +140,43 @@ object TextOps {
       .otherwise(lit(0.0))
   }
 
+  // ------------------------------------------------------- PII redaction
+
+  /** PII patterns, restricted to constructs both Java regex and RE2
+    * support (no lookaround, no backreferences) so redaction is exactly
+    * reproducible across engines. Production pipelines swap in richer
+    * pattern sets (names, addresses need NER models); the *pipeline
+    * shape* — scan-speed `regexp_replace` chains inside codegen, no
+    * UDFs — is the point.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b555-\\d{4}\\b"
+
+  /** Text with emails, IPv4 addresses, and (NANP test-prefix) phone
+    * numbers replaced by typed placeholder tags. Email runs first so the
+    * IP pattern can never fire inside a redacted address.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-document PII profile: match counts per class plus the md5 of the
+    * redacted text (the audit artifact a curation pipeline persists).
+    */
+  def piiProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ip"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phone"),
+      md5(redactPii(t)).as("redacted_fp"))
+  }
+
   /** Per-document text-statistics frame: one row per doc with the columns
     * downstream filters group on.
     */

@@ -286,4 +286,68 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) === ((2.0 / 6.0, 0.5, 1.0 - 2.0 / 5.0)))
     assert(out(4L) === ((1.0, 1.0, 0.0)))
   }
+
+  test("block boilerplate: shared blocks removed, order kept, all-boiler → null") {
+    // 4-token blocks; "HDR1 HDR2 HDR3 HDR4" is a shared header block.
+    val hdr = "h1 h2 h3 h4"
+    val docs = docsDF(Seq(
+      1L -> s"$hdr a b c d e f g h",
+      2L -> s"$hdr p q r s",
+      3L -> hdr, // only the boilerplate block
+      4L -> "u v w x y z")) // untouched (no shared block)
+    val out = Dedup.blockBoilerplate(docs, "doc_id", "text", blockTokens = 4, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    assert(out(1L)._1 === 3L && out(1L)._2 === 1L)
+    assert(out(2L) === ((2L, 1L, Some(md5Hex("p q r s")))))
+    assert(out(3L) === ((1L, 1L, None))) // everything removed
+    assert(out(4L)._2 === 0L &&
+      out(4L)._3 === Some(md5Hex("u v w x y z")))
+    // doc 1: kept blocks join in document order
+    assert(out(1L)._3 === Some(md5Hex("a b c d e f g h")))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("pii redaction: counts per class, placeholders in output, clean text untouched") {
+    val docs = docsDF(Seq(
+      1L -> "reach me at jane.doe@corp.example.org or 555-0123 from 192.168.1.77",
+      2L -> "no pii here at all"))
+    val out = TextOps.piiProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L)._1 === 1L && out(1L)._2 === 1L && out(1L)._3 === 1L)
+    assert(out(1L)._4 ===
+      md5Hex("reach me at <EMAIL> or <PHONE> from <IP>"))
+    assert(out(2L) === ((0L, 0L, 0L, md5Hex("no pii here at all"))))
+  }
+
+  test("semantic dedup: within-cell duplicates marked, survivors kept, cross-cell ignored") {
+    import org.apache.spark.sql.types._
+    val vecSchema = StructType(Seq(
+      StructField("id", LongType), StructField("vec", ArrayType(FloatType))))
+    def v(xs: Float*) = xs.toArray
+    // cell 0 ≈ (1,0), cell 1 ≈ (0,1). ids 1,2 near-identical in cell 0;
+    // id 3 also cell 0 but orthogonal-ish; id 4 alone in cell 1 and
+    // SIMILAR in cosine to 1/2 — must stay kept (cross-cell is ignored).
+    val rows = Seq(
+      (1L, v(1f, 0.05f)), (2L, v(0.99f, 0.06f)), (3L, v(0.7f, -0.7f)),
+      (4L, v(0.8f, 0.75f)))
+    val vectors = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, vecSchema)
+    val centSchema = StructType(Seq(
+      StructField("cell", IntegerType), StructField("centroid", ArrayType(FloatType))))
+    val cents = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(0, v(1f, -0.2f)),
+      org.apache.spark.sql.Row(1, v(0.6f, 1f))).asJava, centSchema)
+    val out = Similarity.semanticDuplicates(vectors, cents, threshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((0, None, true))) // min id survives
+    assert(out(2L) === ((0, Some(1L), false))) // dup of 1 within cell 0
+    assert(out(3L)._3, "dissimilar same-cell vector must be kept")
+    assert(out(4L) === ((1, None, true))) // alone in its cell
+  }
 }
