@@ -28,14 +28,14 @@ object SparkEntry {
 
   /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark's parquet
     * reader rejects by default; read nanos as long and convert to a
-    * microsecond timestamp (DuckDB reads the same file natively — bucket
-    * math below only ever uses second granularity, so the µs truncation
-    * is invisible to the oracle compare).
+    * microsecond timestamp. Integral `div` (not `/`): true division
+    * promotes to double, which can't represent ~1.7e18 ns exactly and
+    * rounds the microsecond value ±1 vs DuckDB's truncating ns→µs cast.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -544,8 +544,11 @@ object SparkEntry {
     // doc gets the min reachable doc_id as its cluster label. DuckDB
     // verifies via a recursive-CTE transitive closure.
     "q43_dedup_clusters" -> ((s, dir) => {
+      // prefix-only candidates: provably complete, so the MinHash union
+      // leg (exercised by q27) would be pure redundant work here
       val pairs = graft.ops.Dedup.nearDuplicatesExact(
-        t(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.7,
+        includeMinHashCandidates = false)
       graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("node").cast("long").as("doc_id"),
           col("component").cast("long").as("component"))
@@ -687,6 +690,38 @@ object SparkEntry {
       g.crossJoin(broadcast(tot))
         .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
           round(col("__w") / col("__tw"), 6).as("mix_weight"))
+    }),
+
+    // Beyond-reference: as-of (point-in-time) join — each purchase is
+    // attributed to the user's most recent click at-or-before it. Spark
+    // has no as-of operator (a range join plans as BNL); this is the
+    // scalable union + running-last trick: ONE shuffle by key, streaming
+    // window, no range cross-product. DuckDB verifies with its native
+    // ASOF LEFT JOIN.
+    "q57_asof_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"), unix_micros(col("ts")).as("click_us"))
+      graft.ops.AsofJoin.asofJoin(purchases, clicks,
+        Seq("user_id"), "ts", "click_ts", Seq("click_id", "click_us"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"), col("click_id"), col("click_us"))
+    }),
+
+    // §2.5/§2.8 adjacent: sessionization — Spark's native session_window
+    // (merging gap-based sessions inside one aggregation, no self-join)
+    // vs the oracle's gaps-and-islands SQL. Adjacent same-user gaps sit
+    // ≥0.6 s from the 30-min cut at every SF, so the strict-vs-inclusive
+    // boundary and µs-vs-ns precision can't flip a session split.
+    "q58_sessionization" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"), unix_micros(col("sw.start")).as("session_start_us"),
+          col("n_events"), col("sum_value"))
     }),
 
     // Beyond-reference: benchmark decontamination — corpus docs sharing
@@ -1253,6 +1288,28 @@ object SparkEntry {
          SELECT source, lang, n_docs, n_tokens,
            round(sqrt(CAST(n_tokens AS DOUBLE)) / tw, 6) AS mix_weight
          FROM g, tot""",
+    "q57_asof_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS cts, event_id AS click_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS click_us
+               FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS t_us, c.click_id, c.click_us
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.cts""",
+    "q58_sessionization" ->
+      """WITH o AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sess FROM o)
+         SELECT user_id, epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start_us,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, sess""",
     "q50_contamination_screen" ->
       """WITH sets AS (
            SELECT doc_id, list_distinct(

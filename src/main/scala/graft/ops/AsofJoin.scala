@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, the single most
+  * recent right row with the same key and `rightTime` ≤ `leftTime` —
+  * the attribution/time-series primitive Spark has no built-in operator
+  * for (range-condition joins plan as broadcast-nested-loop or explode
+  * into per-interval blowups).
+  *
+  * Implementation is the scalable union trick: tag both sides, union,
+  * and take a running `last(payload, ignoreNulls)` over a (key, time,
+  * side) sort — right rows order BEFORE left rows at equal timestamps,
+  * which gives inclusive (≤) semantics. ONE shuffle by key, sort within
+  * partitions, no range cross-product; at 100 TB this scales as a
+  * plain repartition+sort (the window is `rowsBetween(unbounded,
+  * current)`, so Spark evaluates it streamingly per partition — no
+  * per-key buffering of the whole group). Skew on a hot key is the
+  * residual risk, as with any per-key sort.
+  *
+  * Contract: right (key, time) pairs must be unique (dedupe first —
+  * standard as-of precondition; otherwise "the" most recent row is
+  * ambiguous); left/right payload column names must not collide.
+  */
+object AsofJoin {
+
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "asofJoin needs at least one key column")
+    val leftOut = left.columns.toSeq // preserved verbatim on output
+    val rightSchema = right.schema
+    val l = left.select(
+      leftOut.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
+        payloadCols.map(c =>
+          lit(null).cast(rightSchema(c).dataType).as(c)): _*)
+    val r = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
+        leftOut.filterNot(keyCols.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__t", "__side")
+  }
+}

@@ -278,10 +278,12 @@ object Dedup {
   }
 
   /** COMPLETE near-dup pairs: exactly every pair with shingle-Jaccard ≥
-    * threshold. Candidates = prefix-filter (completeness guarantee) ∪
-    * MinHash-LSH bands (the cheap probabilistic scale path, kept in the
-    * pipeline so both candidate generators run); verification is the
-    * exact metric, so extra candidates never change the output.
+    * threshold. Candidates = prefix-filter (completeness guarantee),
+    * optionally ∪ MinHash-LSH bands (`includeMinHashCandidates` — the
+    * probabilistic generator is redundant for completeness since the
+    * prefix filter alone is provably complete and verification applies
+    * the exact metric; the union exists to exercise both generators in
+    * one pipeline and costs one extra signature pass + band join).
     */
   def nearDuplicatesExact(
       docs: DataFrame,
@@ -290,16 +292,19 @@ object Dedup {
       threshold: Double = 0.7,
       shingleSize: Int = 3,
       numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      includeMinHashCandidates: Boolean = true): DataFrame = {
     val sets = docs.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("fset"))
     val (exploded, dict) = featureTables(sets)
-    // MinHash over the SAME cached exploded feature table (min over the
+    val prefix = prefixCandidates(exploded, dict, threshold).select("id_a", "id_b")
+    // MinHash over the SAME exploded feature table (min over the
     // distinct set is exactly the MinHash definition) — the probabilistic
-    // band path rides the cache instead of re-shingling the corpus.
-    val cands = prefixCandidates(exploded, dict, threshold).select("id_a", "id_b")
-      .union(minHashCandidatesFromFeatures(exploded, numHashes, bands))
-      .distinct()
+    // band path rides the shared subtree instead of re-shingling.
+    val cands =
+      if (includeMinHashCandidates)
+        prefix.union(minHashCandidatesFromFeatures(exploded, numHashes, bands)).distinct()
+      else prefix
     codedVerify(cands, exploded, dict, threshold)
   }
 

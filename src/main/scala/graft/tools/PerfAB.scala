@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** In-JVM A/B timing harness: wall-clock comparisons on this host are
+  * noisy across JVMs (shared-host variance dwarfs real deltas), so perf
+  * experiments run alternating variants inside ONE session and report
+  * per-variant medians. Not part of the driver contract — a scratchpad
+  * for plan work. Usage: tools/run.sh graft.tools.PerfAB <sfDir> <reps>
+  */
+object PerfAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.col
+
+    def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    import org.apache.spark.sql.functions.{array_distinct, split}
+    def shingleSets = docs.select(col("doc_id").as("id"),
+      array_distinct(graft.ops.Dedup.shingles(col("text"), 3)).as("fset"))
+    def ngramSets = docs.select(col("doc_id").as("id"),
+      graft.ops.Dedup.charNgrams(col("text"), 5).as("fset"))
+
+    val variants: Seq[(String, () => Long)] = Seq(
+      "exact_with_minhash_union" -> (() =>
+        graft.ops.Dedup.nearDuplicatesExact(docs, "doc_id", "text", threshold = 0.7,
+          includeMinHashCandidates = true).count()),
+      "exact_prefix_only" -> (() =>
+        graft.ops.Dedup.nearDuplicatesExact(docs, "doc_id", "text", threshold = 0.7,
+          includeMinHashCandidates = false).count()),
+      "shingle_prefix_cands" -> (() =>
+        graft.ops.Dedup.prefixFilterCandidates(shingleSets, 0.7).count()),
+      "ngram_jaccard" -> (() =>
+        graft.ops.Dedup.ngramJaccardDuplicates(docs, "doc_id", "text",
+          n = 5, threshold = 0.6).count()),
+      "ngram_prefix_cands" -> (() =>
+        graft.ops.Dedup.prefixFilterCandidates(ngramSets, 0.6).count()))
+
+    // warm-up (JIT + codegen cache) on the first variant
+    variants.head._2()
+
+    val times = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    val counts = scala.collection.mutable.Map[String, Long]()
+    for (_ <- 1 to reps; (name, fn) <- variants) {
+      val t0 = System.nanoTime()
+      val n = fn()
+      val dt = (System.nanoTime() - t0) / 1e9
+      times(name) = times(name) :+ dt
+      counts(name) = n
+    }
+    variants.foreach { case (name, _) =>
+      val ts = times(name).sorted
+      val med = ts(ts.size / 2)
+      println(f"$name%-28s rows=${counts(name)}%-8d median=$med%6.2f s  runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

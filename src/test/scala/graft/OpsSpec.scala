@@ -350,4 +350,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L)._3, "dissimilar same-cell vector must be kept")
     assert(out(4L) === ((1, None, true))) // alone in its cell
   }
+
+  test("asof join: inclusive boundary, per-key isolation, no-match → null") {
+    import org.apache.spark.sql.types._
+    val lSchema = StructType(Seq(StructField("k", LongType),
+      StructField("t", LongType), StructField("lv", StringType)))
+    val rSchema = StructType(Seq(StructField("k", LongType),
+      StructField("rt", LongType), StructField("rv", StringType)))
+    val left = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, 10L, "a"), // after r@5 → x
+      org.apache.spark.sql.Row(1L, 5L, "b"), // equal ts → inclusive → x
+      org.apache.spark.sql.Row(1L, 3L, "c"), // before any right → null
+      org.apache.spark.sql.Row(2L, 10L, "d"), // key 2: matches y, never x
+      org.apache.spark.sql.Row(3L, 10L, "e")) // key with no right rows
+      .asJava, lSchema)
+    val right = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, 5L, "x"),
+      org.apache.spark.sql.Row(2L, 7L, "y"),
+      org.apache.spark.sql.Row(2L, 2L, "z")) // superseded by y at t=10
+      .asJava, rSchema)
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(3))).toMap
+    assert(out((1L, 10L)) === Some("x"))
+    assert(out((1L, 5L)) === Some("x")) // rightTime ≤ leftTime is inclusive
+    assert(out((1L, 3L)) === None)
+    assert(out((2L, 10L)) === Some("y")) // most recent, not just any
+    assert(out((3L, 10L)) === None) // key never seen on the right
+    // left columns pass through verbatim
+    val cols = AsofJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv")).columns
+    assert(cols.toSeq === Seq("k", "t", "lv", "rv"))
+  }
 }
