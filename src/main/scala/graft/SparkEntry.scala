@@ -724,6 +724,42 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
     }),
 
+    // Beyond-reference: HyperLogLog distinct-user estimate per event
+    // type — portable md5-prefix hash + integer-numerator harmonic sum,
+    // so the oracle replays the registers bit-for-bit. Map-side
+    // combinable max-per-register: only m=64 rows per group shuffle.
+    "q59_hll_distinct" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.ops.Sketches.hllDistinct(ev, Seq("event_type"), "user_id", p = 8)
+        .join(ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_distinct")), Seq("event_type"))
+        .select(col("event_type"), round(col("hll_estimate"), 3).as("hll_estimate"),
+          col("exact_distinct"))
+    }),
+
+    // Beyond-reference: band join — same-user event pairs within one
+    // hour, bucketed-interval equi-join (≤2 exploded buckets per left
+    // row) instead of Spark's BroadcastNestedLoop range-join plan.
+    "q60_band_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val a = ev.select(col("user_id"), col("event_type").as("type_a"),
+        unix_micros(col("ts")).as("t_a"))
+      val b = ev.select(col("user_id"), col("event_type").as("type_b"),
+        unix_micros(col("ts")).as("t_b"))
+      graft.ops.BandJoin.bandJoin(a, b, Seq("user_id"), "t_a", "t_b",
+        lo = 0L, hi = 3600L * 1000000L)
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // Beyond-reference: KMV (bottom-k) distinct sketch — k smallest
+    // portable hashes per group; the (k−1)·2^60/h_k estimate is
+    // bit-deterministic, so no rounding is needed for the oracle.
+    "q61_kmv_distinct" -> ((s, dir) => {
+      graft.ops.Sketches.kmvDistinct(t(s, dir, "events"),
+        Seq("event_type"), "user_id", k = 64)
+    }),
+
     // Beyond-reference: benchmark decontamination — corpus docs sharing
     // ≥5 distinct 3-gram shingles with the "benchmark" pool (doc_id<20).
     // Broadcast pool + one corpus explode + map-side-combinable count:
@@ -1310,6 +1346,57 @@ object SparkEntry {
          SELECT user_id, epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start_us,
            count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM s GROUP BY user_id, sess""",
+    "q59_hll_distinct" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+         h AS (SELECT event_type,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS h
+               FROM u),
+         r AS (SELECT event_type, h >> 52 AS reg,
+                 CASE WHEN (h & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                      ELSE 53 - length(bin(h & ((1::BIGINT << 52) - 1))) END AS rho
+               FROM h),
+         m AS (SELECT event_type, reg, max(rho) AS mx FROM r GROUP BY 1, 2),
+         s AS (SELECT event_type,
+                 CAST(sum(1::BIGINT << CAST(53 - mx AS INT)) AS BIGINT) AS num,
+                 CAST(count(*) AS BIGINT) AS nz
+               FROM m GROUP BY 1),
+         est AS (SELECT event_type,
+                 (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256))
+                   * 256 * 256 * CAST(1::BIGINT << 53 AS DOUBLE) /
+                   CAST(num + (256 - nz) * (1::BIGINT << 53) AS DOUBLE) AS raw,
+                 256 - nz AS zeros FROM s)
+         SELECT est.event_type,
+           round(CASE WHEN raw <= 640.0 AND zeros > 0
+                      THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / zeros)
+                      ELSE raw END, 3) AS hll_estimate,
+           x.exact_distinct
+         FROM est JOIN (SELECT event_type,
+                          CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+                        FROM events GROUP BY 1) x USING (event_type)""",
+    "q60_band_join" ->
+      """WITH e AS (SELECT user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+         FROM e a JOIN e b ON a.user_id = b.user_id
+           AND b.t > a.t AND b.t <= a.t + 3600000000
+         GROUP BY 1, 2""",
+    "q61_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS h
+               FROM events),
+         r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS cnt
+               FROM h)
+         SELECT event_type,
+           CASE WHEN cnt >= 64
+                THEN CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) /
+                     CAST(h AS DOUBLE)
+                ELSE CAST(cnt AS DOUBLE) END AS kmv_estimate
+         FROM r WHERE (cnt >= 64 AND rk = 64) OR (cnt < 64 AND rk = cnt)""",
     "q50_contamination_screen" ->
       """WITH sets AS (
            SELECT doc_id, list_distinct(

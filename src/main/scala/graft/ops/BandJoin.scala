@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Band (time-window) join: left row ⋈ every right row with the same
+  * key and `rightTime ∈ (leftTime + lo, leftTime + hi]`.
+  *
+  * Spark has no native band-join operator — `a.join(b, cond)` with a
+  * pure range condition plans as BroadcastNestedLoopJoin (quadratic) and
+  * with key + range it evaluates the range as a post-join filter over
+  * the full per-key cross product, which blows up on hot keys. The
+  * scalable shape is interval bucketing: quantize time into buckets of
+  * width `hi − lo`; the target interval has exactly that length, so it
+  * overlaps at most TWO buckets — explode the left row into those (≤2)
+  * bucket ids and equi-join on (key, bucket). Candidate volume is then
+  * O(matches + near-misses in the same bucket), never the per-key cross
+  * product, and the join shuffles on (key, bucket) — hot keys spread
+  * over time instead of landing on one reducer.
+  *
+  * Times are plain numeric columns (e.g. `unix_micros`); bounds use the
+  * same unit. A qualifying pair is emitted exactly once: the right row
+  * has one bucket id and the exploded left ids are distinct.
+  */
+object BandJoin {
+
+  def bandJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      lo: Long,
+      hi: Long): DataFrame = {
+    require(hi > lo, s"empty band: lo=$lo hi=$hi")
+    val w = hi - lo
+    // Exact floor division (subtract the positive mod, then divide —
+    // the numerator is exactly divisible, so the double division is
+    // exact for |t| < 2^53, i.e. any epoch-micros value). A plain
+    // double floor() could misbucket a boundary timestamp by one and
+    // silently DROP a qualifying pair; the final filter can't recover
+    // candidates the bucketing never generated.
+    def fdiv(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ((x - pmod(x, lit(w))) / lit(w)).cast("long")
+    val l = left.withColumn("__bkt",
+      explode(array_distinct(array(
+        fdiv(col(leftTime) + lit(lo)), fdiv(col(leftTime) + lit(hi))))))
+    val r = right.withColumn("__bkt", fdiv(col(rightTime)))
+    l.join(r, keyCols :+ "__bkt")
+      .filter(col(rightTime) > col(leftTime) + lit(lo) &&
+        col(rightTime) <= col(leftTime) + lit(hi))
+      .drop("__bkt")
+  }
+}

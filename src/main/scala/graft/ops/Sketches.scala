@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketches: HyperLogLog and KMV (bottom-k).
+  *
+  * Both are the shapes a 100 TB pipeline needs for "how many distinct
+  * users/documents/tokens" questions where an exact `count(distinct)`
+  * would shuffle every distinct value: the sketch aggregates are
+  * associative, so Spark computes them with map-side partial
+  * aggregation and ships only `m` registers (HLL) or `k` hashes (KMV)
+  * per group to the reducer.
+  *
+  * Spark ships DataSketches-based `hll_sketch_agg` natively, but its
+  * binary sketches aren't reproducible outside the library. These
+  * variants are built from a PORTABLE hash (md5 prefix — recomputable
+  * in any engine, same trick as [[Dedup.simHashPortableDuplicates]]),
+  * so an external oracle can replay the computation bit-for-bit:
+  * the estimator arithmetic is arranged to stay exact (integer
+  * register sums, power-of-two scaling) rather than trusting
+  * cross-engine float summation order.
+  */
+object Sketches {
+
+  /** 60-bit portable hash: the first 15 hex digits of md5, read base-16.
+    * 60 bits keeps the value exactly representable in a signed long (and
+    * its direct DuckDB replica `CAST('0x'||substr(md5(v),1,15) AS
+    * BIGINT)`); md5's avalanche makes any fixed slice uniform.
+    */
+  def portableHash60(value: Column): Column =
+    conv(substring(md5(value.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** HLL register table: one row per (group, register) with the max
+    * rank (position of the first 1-bit in the register's hash suffix).
+    * `max` is associative ⇒ map-side combinable; at most `2^p` rows per
+    * group survive the shuffle regardless of input size.
+    */
+  def hllRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"register bits p in [4,16], got $p")
+    val suffixBits = 60 - p
+    val h = portableHash60(col(valueCol))
+    val w = h.bitwiseAND(lit((1L << suffixBits) - 1))
+    // rho = leading zeros of the suffix word + 1; bit length via the
+    // binary-string trick (`bin` emits no leading zeros) — exact integer
+    // arithmetic, no log2 round-off at power-of-two boundaries.
+    val rho = when(w === 0, lit(suffixBits + 1))
+      .otherwise(lit(suffixBits + 1) - length(bin(w)))
+    df.select(groupCols.map(col) :+ shiftright(h, suffixBits).as("__reg")
+        :+ rho.as("__rho"): _*)
+      .groupBy((groupCols :+ "__reg").map(col): _*)
+      .agg(max(col("__rho")).as("__mx"))
+  }
+
+  /** HyperLogLog distinct estimate per group (Flajolet et al. 2007),
+    * with the standard small-range linear-counting correction. The
+    * harmonic sum is computed as an INTEGER numerator (Σ 2^(R−M_j),
+    * R = max rank), so cross-engine float addition order can't perturb
+    * the estimate; only the final α·m²·2^R / N division and the
+    * linear-counting `ln` are floating-point.
+    */
+  def hllDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int = 6): DataFrame = {
+    val m = 1 << p
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val rMax = 60 - p + 1
+    val regs = hllRegisters(df, groupCols, valueCol, p)
+    val agg = regs.groupBy(groupCols.map(col): _*)
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rMax - __mx)")).as("__num"),
+        count(lit(1)).as("__nz"))
+    val zeros = lit(m) - col("__nz")
+    // Empty registers contribute 2^0 = 1 each to the harmonic sum,
+    // i.e. 2^R to the integer numerator.
+    val num = col("__num") + zeros * lit(1L << rMax)
+    val raw = lit(alpha * m * m * (1L << rMax).toDouble) / num.cast("double")
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+    agg.select(groupCols.map(col) :+ est.as("hll_estimate"): _*)
+  }
+
+  /** KMV (k-minimum-values) distinct estimate per group: keep the k
+    * smallest distinct hashes; estimate = (k−1)·2^60 / h_(k) (Bar-Yossef
+    * et al. 2002). Groups with fewer than k distinct values report the
+    * exact count (the sketch IS the full distinct set there).
+    *
+    * Shape: `distinct` shuffles (group, hash) once; the k-th smallest
+    * is a per-group streaming window over the sorted partition. At
+    * 100 TB one would bound the pre-shuffle set with a per-map-partition
+    * bottom-k, but the post-distinct volume is already ≤ distinct
+    * cardinality, and the reducer keeps only rank ≤ k rows.
+    *
+    * The estimate is bit-deterministic: h_(k) is an exact integer,
+    * (k−1)·2^60 is exactly representable in double for k ≤ 2^12, and a
+    * single IEEE division rounds identically in every engine.
+    */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2 && k <= 4096, s"k in [2,4096], got $k")
+    val hashes = df
+      .select(groupCols.map(col) :+ portableHash60(col(valueCol)).as("__h"): _*)
+      .distinct()
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__h"))
+    val ranked = hashes
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(groupCols.map(col): _*)))
+    ranked
+      .filter((col("__cnt") >= k && col("__rk") === k) ||
+        (col("__cnt") < k && col("__rk") === col("__cnt")))
+      .select(groupCols.map(col) :+
+        when(col("__cnt") >= k,
+          lit((k - 1).toDouble * (1L << 60).toDouble) / col("__h").cast("double"))
+          .otherwise(col("__cnt").cast("double")).as("kmv_estimate"): _*)
+  }
+}

@@ -351,6 +351,73 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) === ((1, None, true))) // alone in its cell
   }
 
+  test("hll distinct: accuracy envelope and duplication invariance") {
+    import spark.implicits._
+    val n = 2000
+    val distinct = (0 until n).map(i => ("g", s"user_$i")).toDF("g", "v")
+    // every value appears 3×: a sketch over a multiset must equal the
+    // sketch over its distinct support
+    val dup = distinct.union(distinct).union(distinct)
+    val est = Sketches.hllDistinct(distinct, Seq("g"), "v", p = 8)
+      .collect().head.getDouble(1)
+    val estDup = Sketches.hllDistinct(dup, Seq("g"), "v", p = 8)
+      .collect().head.getDouble(1)
+    assert(est === estDup, "HLL must be duplication-invariant")
+    // m=256 ⇒ relative std error ≈ 1.04/√256 = 6.5%; 4σ envelope
+    assert(math.abs(est - n) / n < 0.26, s"estimate $est too far from $n")
+  }
+
+  test("hll registers: rho exact at power-of-two boundaries, max combinable") {
+    import spark.implicits._
+    // register/rho arithmetic is string-exact (bin()), not float log2:
+    // every row must satisfy 1 ≤ rho ≤ 53 at p=8 and the register id
+    // must be the hash's top 8 bits
+    val regs = Sketches.hllRegisters(
+      (0 until 500).map(i => ("g", i.toString)).toDF("g", "v"), Seq("g"), "v", p = 8)
+      .collect()
+    assert(regs.nonEmpty)
+    regs.foreach { r =>
+      val (reg, mx) = (r.getLong(1), r.getInt(2))
+      assert(reg >= 0 && reg < 256, s"register $reg out of range")
+      assert(mx >= 1 && mx <= 53, s"rho $mx out of range")
+    }
+  }
+
+  test("kmv distinct: exact below k, estimate envelope above k, dup-invariant") {
+    import spark.implicits._
+    val small = (0 until 40).map(i => ("s", s"v$i")).toDF("g", "v")
+    val big = (0 until 5000).map(i => ("b", s"v$i")).toDF("g", "v")
+    val smallEst = Sketches.kmvDistinct(small, Seq("g"), "v", k = 64)
+      .collect().head.getDouble(1)
+    assert(smallEst === 40.0, "below k the sketch IS the exact distinct count")
+    val bigEst = Sketches.kmvDistinct(big, Seq("g"), "v", k = 64)
+      .collect().head.getDouble(1)
+    // KMV relative std error ≈ 1/√(k−2) ≈ 12.7%; 4σ envelope
+    assert(math.abs(bigEst - 5000) / 5000 < 0.51, s"estimate $bigEst too far from 5000")
+    val dupEst = Sketches.kmvDistinct(big.union(big), Seq("g"), "v", k = 64)
+      .collect().head.getDouble(1)
+    assert(bigEst === dupEst, "KMV must be duplication-invariant")
+  }
+
+  test("band join: boundary inclusivity and bucket-crossing pairs") {
+    import spark.implicits._
+    // width = hi − lo = 100; right rows sit at bucket boundaries and at
+    // the exact lo/hi offsets — the exact-integer bucketing must keep
+    // every qualifying pair, including ones whose buckets differ
+    val left = Seq((1L, 1000L, "L1"), (2L, 950L, "L2")).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 1000L, "eq"), // == t+lo → excluded (strict lower bound)
+      (1L, 1001L, "in1"), // just inside
+      (1L, 1100L, "hi"), // == t+hi → included (inclusive upper bound)
+      (1L, 1101L, "out"), // just above hi → excluded
+      (2L, 1049L, "xb"), // crosses the 10xx/11xx bucket edge from 950
+      (2L, 951L, "in2"))
+      .toDF("k", "rt", "rv")
+    val out = BandJoin.bandJoin(left, right, Seq("k"), "t", "rt", lo = 0L, hi = 100L)
+      .select("lv", "rv").as[(String, String)].collect().toSet
+    assert(out === Set(("L1", "in1"), ("L1", "hi"), ("L2", "xb"), ("L2", "in2")))
+  }
+
   test("asof join: inclusive boundary, per-key isolation, no-match → null") {
     import org.apache.spark.sql.types._
     val lSchema = StructType(Seq(StructField("k", LongType),
