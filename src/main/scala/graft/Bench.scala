@@ -16,6 +16,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Let AQE convert sort-merge joins to broadcast from RUNTIME sizes
+      // up to a threshold sized for executor memory (default 10 MB is
+      // far below what a 8 GB heap handles). Derived tables like the
+      // dedup code dictionaries have no planner stats, so the static
+      // threshold never fires for them; the runtime one is the safe,
+      // scale-correct mechanism — at 100 TB those tables measure huge
+      // and AQE keeps the shuffle join.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -26,9 +34,14 @@ object Bench {
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     SparkEntry.queries("q03_star_join_revenue")(spark, sfDir).count()
 
+    // Optional subset for local iteration: SPARK_GRAFT_ONLY=q35,q27
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     // A failed query must be loudly visible in the JSON (value -1 AND a
     // failures list), never a normal-looking time.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass char-ngram kernel.
+  *
+  * The declarative formulation `array_distinct(transform(sequence(...),
+  * i -> substring(text, i+1, n)))` is quadratic twice over: UTF8String
+  * `substring` re-scans from byte 0 to find the char offset on EVERY
+  * call (O(i) each ⇒ O(len²) per document), and `array_distinct` over
+  * non-primitive elements falls back to pairwise equality (O(k²)).
+  * For ~1 kB documents that made ngram *generation* — not candidate
+  * joins, not verification — the dominant cost of the exact ngram-
+  * Jaccard dedup pipeline.
+  *
+  * This kernel walks the byte array once to collect char offsets
+  * (O(len)), slices each ngram directly from the bytes, and dedups via
+  * a hash set (O(k)); first-occurrence order matches `array_distinct`.
+  * A document shorter than `n` chars contributes its full text as the
+  * single ngram, matching the declarative fallback.
+  */
+object TextKernels {
+  def charNgramsDistinct(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val numBytes = bytes.length
+    val offs = new Array[Int](s.numChars() + 1)
+    var i = 0
+    var c = 0
+    while (i < numBytes) {
+      offs(c) = i
+      c += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    offs(c) = numBytes
+    if (c < n) return new GenericArrayData(Array[Any](s.clone()))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var k = 0
+    while (k + n <= c) {
+      seen.add(UTF8String.fromBytes(bytes, offs(k), offs(k + n) - offs(k)))
+      k += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `charNgramsDistinct(text)` as a whole-stage-codegen-friendly unary
+  * expression: the generated code is a single static call, so the
+  * surrounding explode/filter pipeline stays in one codegen stage.
+  */
+case class CharNgramsDistinct(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"ngram size must be >= 1, got $n")
+  override def prettyName: String = "graft_char_ngrams"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.charNgramsDistinct(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.charNgramsDistinct($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

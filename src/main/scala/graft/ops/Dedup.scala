@@ -149,7 +149,7 @@ object Dedup {
     * branches assigns identical codes — required because verification
     * joins the code table on both pair sides.
     */
-  private def featureTables(sets: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def featureTables(sets: DataFrame): (DataFrame, DataFrame) = {
     // The exploded feature table feeds several consumers (dictionary,
     // prefix ranking, verification codes, MinHash signatures) in
     // different DAG branches. It is deliberately NOT persisted: explode
@@ -213,7 +213,7 @@ object Dedup {
     * long instead of long × long shrinks the bucket join roughly by the
     * prefix-ratio and drops the id_a<id_b half-filter.
     */
-  private def prefixCandidates(
+  private[graft] def prefixCandidates(
       exploded: DataFrame, dict: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
     val ranked = exploded.join(dict.select(col("__f"), col("__freq")), "__f")
@@ -253,7 +253,7 @@ object Dedup {
     * per-pair kernel dominates verify cost on multi-million-candidate
     * sets, so it must stay inside whole-stage codegen.
     */
-  private def codedVerify(
+  private[graft] def codedVerify(
       pairs: DataFrame, // id_a, id_b (extra cols ignored)
       exploded: DataFrame, dict: DataFrame, threshold: Double): DataFrame = {
     val codes = exploded.join(dict.select(col("__f"), col("__code")), "__f")
@@ -425,9 +425,16 @@ object Dedup {
   // ----------------------------------------------------- char-ngram jaccard
 
   /** Distinct character n-gram set. */
+  /** Distinct character n-grams via the single-pass native kernel
+    * ([[graft.functions.CharNgramsDistinct]]). The declarative
+    * `array_distinct(transform(sequence(...), substring))` equivalent is
+    * O(len²) per document (UTF8String.substring re-scans char offsets) —
+    * it made ngram generation, not joins, the pipeline bottleneck.
+    */
   def charNgrams(text: Column, n: Int = 5): Column =
-    array_distinct(transform(sequence(lit(0), greatest(length(text) - n, lit(0))),
-      i => substring(text, lit(1) + i, lit(n))))
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.CharNgramsDistinct(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), n))
 
   /** Character-level n-gram Jaccard near-dup pairs. Candidates come from
     * prefix filtering over the SAME char-ngram feature space, so the

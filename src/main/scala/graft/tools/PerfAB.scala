@@ -13,36 +13,40 @@ object PerfAB {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extra configs under test: SPARK_GRAFT_AB_CONF="k=v,k=v"
+    sys.env.get("SPARK_GRAFT_AB_CONF").toSeq
+      .flatMap(_.split(',')).map(_.split("=", 2))
+      .foreach { case Array(k, v) => builder.config(k, v); case _ => }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions.col
 
     def docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    import org.apache.spark.sql.functions.{array_distinct, split}
+    import org.apache.spark.sql.functions.{array_distinct, explode, split}
     def shingleSets = docs.select(col("doc_id").as("id"),
       array_distinct(graft.ops.Dedup.shingles(col("text"), 3)).as("fset"))
     def ngramSets = docs.select(col("doc_id").as("id"),
       graft.ops.Dedup.charNgrams(col("text"), 5).as("fset"))
 
     val variants: Seq[(String, () => Long)] = Seq(
-      "exact_with_minhash_union" -> (() =>
-        graft.ops.Dedup.nearDuplicatesExact(docs, "doc_id", "text", threshold = 0.7,
-          includeMinHashCandidates = true).count()),
-      "exact_prefix_only" -> (() =>
-        graft.ops.Dedup.nearDuplicatesExact(docs, "doc_id", "text", threshold = 0.7,
-          includeMinHashCandidates = false).count()),
-      "shingle_prefix_cands" -> (() =>
-        graft.ops.Dedup.prefixFilterCandidates(shingleSets, 0.7).count()),
+      "ngram_explode" -> (() =>
+        ngramSets.select(col("id"), explode(col("fset"))).count()),
+      "ngram_dict" -> (() => {
+        val (_, dict) = graft.ops.Dedup.featureTables(ngramSets)
+        dict.count()
+      }),
+      "ngram_cands" -> (() => {
+        val (exploded, dict) = graft.ops.Dedup.featureTables(ngramSets)
+        graft.ops.Dedup.prefixCandidates(exploded, dict, 0.6).count()
+      }),
       "ngram_jaccard" -> (() =>
         graft.ops.Dedup.ngramJaccardDuplicates(docs, "doc_id", "text",
-          n = 5, threshold = 0.6).count()),
-      "ngram_prefix_cands" -> (() =>
-        graft.ops.Dedup.prefixFilterCandidates(ngramSets, 0.6).count()))
+          n = 5, threshold = 0.6).count()))
 
     // warm-up (JIT + codegen cache) on the first variant
     variants.head._2()

@@ -351,6 +351,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) === ((1, None, true))) // alone in its cell
   }
 
+  test("native char-ngram kernel matches the declarative formulation") {
+    import spark.implicits._
+    // multi-byte chars make byte offsets ≠ char offsets: the kernel must
+    // slice on CHAR boundaries exactly like substring()
+    val texts = Seq(
+      "hello world, a plain ascii document",
+      "héllo wörld — naïve café résumé", // 2-byte chars
+      "日本語のテキストです、五文字グラム", // 3-byte chars
+      "mix 日本 and ascii ✓ plus emoji 🎉🎊 ok", // incl. 4-byte surrogates
+      "tiny", // shorter than n → whole text
+      "exact", // exactly n
+      "", // empty
+      "aaaaaaaaaa") // heavy dedup
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val declarative = df.select(col("doc_id"), array_distinct(
+      transform(sequence(lit(0), greatest(length(col("text")) - 5, lit(0))),
+        i => substring(col("text"), lit(1) + i, lit(5)))).as("fset"))
+    val native = df.select(col("doc_id"), Dedup.charNgrams(col("text"), 5).as("fset"))
+    val d = declarative.orderBy("doc_id").as[(Long, Seq[String])].collect()
+    val n = native.orderBy("doc_id").as[(Long, Seq[String])].collect()
+    d.zip(n).foreach { case ((id, ds), (_, ns)) =>
+      assert(ds === ns, s"doc $id: declarative=$ds native=$ns")
+    }
+  }
+
   test("hll distinct: accuracy envelope and duplication invariance") {
     import spark.implicits._
     val n = 2000
