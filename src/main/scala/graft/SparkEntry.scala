@@ -760,6 +760,55 @@ object SparkEntry {
         Seq("event_type"), "user_id", k = 64)
     }),
 
+    // §2.4-adjacent: hierarchical aggregation — ROLLUP(nation, year)
+    // revenue with grouping_id disambiguating subtotal levels. One
+    // shuffle; Spark expands grouping sets map-side.
+    "q62_rollup_revenue" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .select(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_totalprice"))
+        .rollup(col("n_name"), col("yr"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          grouping_id().cast("long").as("gid"))
+    }),
+
+    // §2.4-adjacent: pivot — revenue per nation spread across the five
+    // order priorities (explicit value list ⇒ no extra pass to discover
+    // pivot values; plans as one aggregate with conditional sums).
+    "q63_pivot_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .select(col("n_name"), col("1-URGENT").as("p_urgent"),
+          col("2-HIGH").as("p_high"), col("3-MEDIUM").as("p_medium"),
+          col("4-NOT SPECIFIED").as("p_notspec"), col("5-LOW").as("p_low"))
+    }),
+
+    // §2.5-adjacent: EXACT distributed quantiles — value at rank
+    // ⌈q·n⌉ per group via one per-group sort window; ranks use integer
+    // arithmetic ((n·p + q − 1) div q), so no float ceil() can disagree
+    // across engines. (approx_percentile exists in Spark but its
+    // t-digest isn't engine-reproducible.)
+    "q64_exact_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("price"))
+      val ranked = li
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("rf")).orderBy(col("price"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("rf"))))
+      ranked.groupBy(col("rf")).agg(
+        max(when(col("rn") === expr("(n + 3) div 4"), col("price"))).as("p25"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("price"))).as("p50"),
+        max(when(col("rn") === expr("(3*n + 3) div 4"), col("price"))).as("p75"),
+        max(when(col("rn") === expr("(9*n + 9) div 10"), col("price"))).as("p90"))
+    }),
+
     // Beyond-reference: benchmark decontamination — corpus docs sharing
     // ≥5 distinct 3-gram shingles with the "benchmark" pool (doc_id<20).
     // Broadcast pool + one corpus explode + map-side-combinable count:
@@ -1397,6 +1446,36 @@ object SparkEntry {
                      CAST(h AS DOUBLE)
                 ELSE CAST(cnt AS DOUBLE) END AS kmv_estimate
          FROM r WHERE (cnt >= 64 AND rk = 64) OR (cnt < 64 AND rk = cnt)""",
+    "q62_rollup_revenue" ->
+      """WITH j AS (SELECT n_name,
+                      CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                      o_totalprice
+                    FROM orders, customer, nation
+                    WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey)
+         SELECT n_name, yr, round(sum(o_totalprice), 2) AS revenue,
+           CAST(GROUPING(n_name, yr) AS BIGINT) AS gid
+         FROM j GROUP BY ROLLUP(n_name, yr)""",
+    "q63_pivot_priority" ->
+      """SELECT n_name,
+           round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS p_urgent,
+           round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS p_high,
+           round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS p_medium,
+           round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS p_notspec,
+           round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS p_low
+         FROM orders, customer, nation
+         WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q64_exact_quantiles" ->
+      """WITH r AS (SELECT l_returnflag AS rf, l_extendedprice AS price,
+                      row_number() OVER (PARTITION BY l_returnflag
+                                         ORDER BY l_extendedprice) AS rn,
+                      count(*) OVER (PARTITION BY l_returnflag) AS n
+                    FROM lineitem)
+         SELECT rf, max(CASE WHEN rn = (n + 3) // 4 THEN price END) AS p25,
+           max(CASE WHEN rn = (n + 1) // 2 THEN price END) AS p50,
+           max(CASE WHEN rn = (3*n + 3) // 4 THEN price END) AS p75,
+           max(CASE WHEN rn = (9*n + 9) // 10 THEN price END) AS p90
+         FROM r GROUP BY rf""",
     "q50_contamination_screen" ->
       """WITH sets AS (
            SELECT doc_id, list_distinct(
