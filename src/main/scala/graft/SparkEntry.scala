@@ -809,6 +809,30 @@ object SparkEntry {
         max(when(col("rn") === expr("(9*n + 9) div 10"), col("price"))).as("p90"))
     }),
 
+    // §2.3-adjacent: salted equi-join — skew-mitigation shape whose
+    // output must be EXACTLY the plain join's (the oracle runs the
+    // unsalted join). Probe salt spreads hot keys over 8 buckets;
+    // build side replicated ×8.
+    "q65_salted_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      graft.ops.SkewJoin.saltedJoin(
+        o.select(col("o_custkey").as("custkey"), col("o_totalprice")),
+        c.select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+        Seq("custkey"), saltBy = col("o_totalprice"), buckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 0).as("revenue"))
+    }),
+
+    // Beyond-reference: BM25 keyword retrieval (Lucene-shaped idf) —
+    // inverted-index plan: term filter pushed to the scan, postings-only
+    // shuffles, broadcast df/corpus stats, fixed-order contribution sum
+    // so the oracle replays the floats exactly.
+    "q66_bm25_search" -> ((s, dir) => {
+      graft.ops.Bm25.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("hash", "join", "spark"), k = 10)
+    }),
+
     // Beyond-reference: benchmark decontamination — corpus docs sharing
     // ≥5 distinct 3-gram shingles with the "benchmark" pool (doc_id<20).
     // Broadcast pool + one corpus explode + map-side-combinable count:
@@ -1476,6 +1500,38 @@ object SparkEntry {
            max(CASE WHEN rn = (3*n + 3) // 4 THEN price END) AS p75,
            max(CASE WHEN rn = (9*n + 9) // 10 THEN price END) AS p90
          FROM r GROUP BY rf""",
+    "q65_salted_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 0) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q66_bm25_search" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                      FROM documents),
+         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+                WHERE tok IN ('hash', 'join', 'spark') GROUP BY doc_id, tok),
+         df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         scored AS (
+           SELECT tf.doc_id, tf.tok,
+             ln(CAST(1 AS DOUBLE) +
+                (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+                (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+             * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1)) /
+               (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                 (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) /
+                   (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS contrib
+           FROM tf, df, dl, stats
+           WHERE tf.tok = df.tok AND tf.doc_id = dl.doc_id),
+         summed AS (
+           SELECT doc_id,
+             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(contrib ORDER BY tok)), (a, b) -> a + b), 4) AS score
+           FROM scored GROUP BY doc_id)
+         SELECT doc_id, score FROM summed
+         ORDER BY score DESC, doc_id LIMIT 10""",
     "q50_contamination_screen" ->
       """WITH sets AS (
            SELECT doc_id, list_distinct(

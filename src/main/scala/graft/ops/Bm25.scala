@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval over a document corpus (Robertson/Spärck
+  * Jones; the Lucene-shaped variant with the always-positive idf
+  * `ln(1 + (N − df + 0.5)/(df + 0.5))`).
+  *
+  * Shape at 100 TB: the query term list is tiny — the per-term filter
+  * is pushed into the scan (an `IN` over codegen'd tokens), so the
+  * corpus is read ONCE and only (doc, matched-term) rows survive the
+  * explode. Term frequencies and document lengths are map-side
+  * combinable aggregates; document-frequency and corpus stats reduce
+  * to |terms| + 1 rows and broadcast back. No shuffle ever carries
+  * more than the matching postings — this is the inverted-index
+  * retrieval plan expressed declaratively.
+  *
+  * Tokenization is the engine's standard whitespace split, lowercased,
+  * so an external engine can replay scores exactly.
+  */
+object Bm25 {
+
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), " ")).as("tok"))
+    // document length BEFORE the term filter (BM25 normalizes by full
+    // doc length), then corpus stats: N and avgdl as exact integers /
+    // one exact division
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    // postings for query terms only — the filter reaches the scan
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    // per-doc score: sum the (≤ |terms|) contributions in a FIXED order
+    // (term string) so float addition order matches any replaying engine
+    val score = scored
+      .groupBy(col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("tok"), col("contrib")))),
+        lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"))
+    score
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

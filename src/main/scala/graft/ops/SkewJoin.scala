@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join: the standard skew-mitigation shape for a join
+  * whose key distribution has hot keys that would pin one reducer.
+  *
+  * The probe (large, skewed) side gets a deterministic salt in
+  * [0, buckets) hashed from `saltBy`; the build side is replicated
+  * `buckets`× with every salt value, and the join runs on
+  * (keys :+ salt) — a hot key's rows spread over `buckets` reducers
+  * instead of one. Output is exactly the plain equi-join's (each probe
+  * row matches the single build replica carrying its salt).
+  *
+  * AQE's skew-join split handles *sort-merge* skew after the fact;
+  * explicit salting remains the tool when the skew is known up front,
+  * when the join must be hash-partitioned for a downstream stage, or
+  * when one reducer's key group alone exceeds executor memory. Cost:
+  * build side ×`buckets` (keep it the SMALL side).
+  */
+object SkewJoin {
+
+  def saltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      saltBy: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 1024, s"buckets in [2,1024], got $buckets")
+    val p = probe.withColumn("__salt", pmod(xxhash64(saltBy), lit(buckets.toLong)))
+    val b = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1L))))
+    p.join(b, keys :+ "__salt").drop("__salt")
+  }
+}

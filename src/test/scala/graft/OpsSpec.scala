@@ -443,6 +443,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Set(("L1", "in1"), ("L1", "hi"), ("L2", "xb"), ("L2", "in2")))
   }
 
+  test("salted join equals plain join, including hot keys and misses") {
+    import spark.implicits._
+    // key 7 is hot (80% of probe rows); key 99 has no build match
+    val probe = ((1 to 80).map(i => (7L, i.toDouble)) ++
+      Seq((1L, 1.0), (2L, 2.0), (99L, 3.0))).toDF("k", "v")
+    val build = Seq((7L, "hot"), (1L, "a"), (2L, "b"), (3L, "unused")).toDF("k", "tag")
+    val salted = SkewJoin.saltedJoin(probe, build, Seq("k"), col("v"), buckets = 4)
+      .select("k", "v", "tag").as[(Long, Double, String)].collect().sorted
+    val plain = probe.join(build, "k")
+      .select("k", "v", "tag").as[(Long, Double, String)].collect().sorted
+    assert(salted === plain)
+    assert(salted.length === 82) // 80 hot + 2 singles; key 99 dropped
+  }
+
+  test("bm25: multi-term docs outrank single-term, rare terms outweigh common") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // both query terms
+      (2L, "alpha alpha alpha common common"), // common term only, high tf
+      (3L, "beta common filler words here"), // rare term only
+      (4L, "common filler words only here"), // neither... 'common' not queried
+      (5L, "alpha common filler words here")) // common term once
+      .toDF("doc_id", "text")
+    // 'alpha' appears in 3 docs, 'beta' in 2 → beta is rarer
+    val out = Bm25.bm25TopK(docs, "doc_id", "text", Seq("alpha", "beta"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.head._1 === 1L, s"doc with both terms must rank first, got ${out.toSeq}")
+    val byDoc = out.toMap
+    assert(byDoc(3L) > byDoc(5L), "rare term (beta) must outweigh one common hit")
+    assert(!byDoc.contains(4L), "doc matching no query term must not appear")
+  }
+
   test("asof join: inclusive boundary, per-key isolation, no-match → null") {
     import org.apache.spark.sql.types._
     val lSchema = StructType(Seq(StructField("k", LongType),
