@@ -833,6 +833,60 @@ object SparkEntry {
         Seq("hash", "join", "spark"), k = 10)
     }),
 
+    // §2.1 S2: the kernel columnar scan — the second, independent read
+    // path over the same graft log (DataSource V2, vectorized parquet
+    // ColumnarBatch, typed pushdown hooks). The quantity/returnflag filter
+    // reaches the scan as pushed filters (file-level stats skip + parquet
+    // row-group skip); only the 4 referenced columns are read. Rows match
+    // the fixture, so the oracle runs on the original table.
+    "q67_kernel_scan" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      s.read.format("graft-kernel")
+        .option("table", s"${graft.log.SharedFixtures.SHARE}.lineitem").load()
+        .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 0).as("total_price"))
+    }),
+
+    // Beyond-reference: ordered conversion funnel view→click→purchase —
+    // single pass, per-user sorted-fold progression (no per-stage
+    // self-joins); integer ts*8+stage encoding keeps the fold
+    // engine-reproducible.
+    "q68_funnel" -> ((s, dir) => {
+      graft.ops.Analytics.funnel(events(s, dir),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+    }),
+
+    // Beyond-reference: weekly retention cohorts (first-event week ×
+    // week offset × distinct active users) — absolute integer week
+    // indexes; both shuffles land on the user key.
+    "q69_retention_cohorts" -> ((s, dir) => {
+      graft.ops.Analytics.retentionCohorts(events(s, dir), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // Beyond-reference: count-min sketch frequency estimates — d×w
+    // additive cells via one explode+groupBy (state bounded at d·w rows
+    // total, the 100 TB heavy-hitter shape); probe the 10 smallest
+    // user_ids and compare nothing — the estimate IS the checked output
+    // (deterministic fixed-prime hashing).
+    "q70_cms_frequency" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sketch = graft.ops.Sketches.cmsSketch(ev, "user_id")
+      graft.ops.Sketches.cmsEstimate(
+        sketch, ev.select(col("user_id")).filter(col("user_id") < 10).distinct(),
+        "user_id")
+    }),
+
+    // Beyond-reference: PMI word-pair co-occurrence over the top-40
+    // vocabulary — corpus reduced to (doc, vocab-word) before the
+    // bounded per-document self-join; broadcast vocab + doc count.
+    "q71_pmi_cooccurrence" -> ((s, dir) => {
+      graft.ops.Analytics.pmiPairs(t(s, dir, "documents"),
+        "doc_id", "text", vocabSize = 40, topK = 20)
+    }),
+
     // Beyond-reference: benchmark decontamination — corpus docs sharing
     // ≥5 distinct 3-gram shingles with the "benchmark" pool (doc_id<20).
     // Broadcast pool + one corpus explode + map-side-combinable count:
@@ -1532,6 +1586,75 @@ object SparkEntry {
            FROM scored GROUP BY doc_id)
          SELECT doc_id, score FROM summed
          ORDER BY score DESC, doc_id LIMIT 10""",
+    "q67_kernel_scan" ->
+      """SELECT l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice), 0) AS total_price
+         FROM lineitem
+         WHERE l_quantity >= 45 AND l_returnflag = 'R'
+         GROUP BY l_linestatus""",
+    "q68_funnel" ->
+      """WITH enc AS (
+           SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) * 8 +
+             CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS e
+           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+         r AS (
+           SELECT user_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), list_sort(list(e))),
+               (acc, x) -> acc + CASE WHEN x % 8 = acc THEN 1 ELSE 0 END) AS reached
+           FROM enc GROUP BY user_id),
+         s AS (SELECT unnest(range(reached)) AS stage_idx FROM r WHERE reached > 0)
+         SELECT CASE stage_idx WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                  ELSE 'purchase' END AS stage,
+           CAST(stage_idx AS BIGINT) AS stage_idx, count(*) AS n_users
+         FROM s GROUP BY 1, 2""",
+    "q69_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+         f AS (SELECT user_id, min(t) AS t0 FROM e GROUP BY user_id),
+         w AS (SELECT DISTINCT e.user_id,
+                 t0 // 604800000000 AS cohort_week,
+                 t // 604800000000 - t0 // 604800000000 AS week_offset
+               FROM e JOIN f ON e.user_id = f.user_id)
+         SELECT cohort_week, week_offset, count(*) AS n_users
+         FROM w GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    "q70_cms_frequency" ->
+      """WITH h(j, a, b) AS (VALUES (0, 824633720837 % 1000000007, 97),
+                                    (1, 479001599, 179426549),
+                                    (2, 715827883, 15485863)),
+         cells AS (
+           SELECT j, ((a * (user_id % 1000000007) + b) % 1000000007) % 512 AS bucket
+           FROM events, h),
+         sketch AS (SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+         pcells AS (
+           SELECT user_id, j,
+             ((a * (user_id % 1000000007) + b) % 1000000007) % 512 AS bucket
+           FROM probes, h)
+         SELECT user_id, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_estimate
+         FROM pcells LEFT JOIN sketch USING (j, bucket)
+         GROUP BY user_id""",
+    "q71_pmi_cooccurrence" ->
+      """WITH words AS (
+           SELECT DISTINCT doc_id, w FROM (
+             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+             FROM documents) t
+           WHERE w <> ''),
+         dfreq AS (SELECT w, count(*) AS df FROM words GROUP BY w),
+         vocab AS (SELECT w, df FROM dfreq ORDER BY df DESC, w LIMIT 40),
+         iv AS (SELECT words.doc_id, words.w, vocab.df
+                FROM words JOIN vocab USING (w)),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         pairs AS (
+           SELECT a.w AS word_a, b.w AS word_b, count(*) AS n_pair,
+             min(a.df) AS dfa, min(b.df) AS dfb
+           FROM iv a JOIN iv b ON a.doc_id = b.doc_id AND a.w < b.w
+           GROUP BY 1, 2),
+         r AS (SELECT word_a, word_b, n_pair,
+             round(ln(CAST(n_pair AS DOUBLE) * n_docs /
+               (CAST(dfa AS DOUBLE) * dfb)), 4) AS pmi,
+             row_number() OVER (ORDER BY n_pair DESC, word_a, word_b) AS rn
+           FROM pairs, n)
+         SELECT word_a, word_b, n_pair, pmi FROM r WHERE rn <= 20""",
     "q50_contamination_screen" ->
       """WITH sets AS (
            SELECT doc_id, list_distinct(

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators: conversion funnels, retention cohorts, and
+  * word co-occurrence (PMI) — the product-analytics family layered on the
+  * same engine (beyond-reference, alongside sessionization/as-of in
+  * [[AsofJoin]]).
+  *
+  * All three are written so an external SQL engine can replay them
+  * bit-for-bit (integer encodings; floats only in a final rounded
+  * column), and all three aggregate with map-side-combinable shapes.
+  */
+object Analytics {
+
+  /** Ordered conversion funnel: for each user, how far through `stages`
+    * did they progress, where stage k+1 must occur at-or-after the first
+    * time stage k was reached.
+    *
+    * Single pass over events — no per-stage self-joins: each relevant
+    * event is encoded as `ts_micros * 8 + stage_idx` (one long), the
+    * per-user encoded list is sorted, and a left fold counts stage
+    * progression ("the next needed stage index appears"). Equal
+    * timestamps order by stage index, so a view+click at the same micro
+    * still chains. Per-user state is the event list — bounded by that
+    * user's relevant events, grouped on the user key (the natural
+    * 100 TB partitioning; no global structure).
+    *
+    * Returns one row per stage: (stage, stage_idx, n_users reaching it).
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.size < 8, "1..7 stages (3-bit encoding)")
+    require(stages.distinct.size == stages.size, "stages must be distinct")
+    val idx = stages.zipWithIndex.foldLeft(lit(-1L)) { case (acc, (s, i)) =>
+      when(col(typeCol) === s, lit(i.toLong)).otherwise(acc)
+    }
+    val reached = events
+      .filter(col(typeCol).isin(stages: _*))
+      .select(col(userCol), (unix_micros(col(tsCol)) * 8 + idx).as("__e"))
+      .groupBy(col(userCol))
+      .agg(aggregate(array_sort(collect_list(col("__e"))), lit(0L),
+        (acc, x) => acc + when(pmod(x, lit(8)) === acc, 1L).otherwise(0L))
+        .as("__reached"))
+    val stageName = stages.zipWithIndex.foldLeft(lit(null: String)) {
+      case (acc, (s, i)) => when(col("stage_idx") === i, lit(s)).otherwise(acc)
+    }
+    reached
+      .filter(col("__reached") > 0)
+      .select(explode(sequence(lit(0L), col("__reached") - 1)).as("stage_idx"))
+      .groupBy(col("stage_idx"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(stageName.as("stage"), col("stage_idx"), col("n_users"))
+  }
+
+  /** Weekly retention cohorts: users grouped by the week of their first
+    * event; for each (cohort week, week offset) the number of distinct
+    * users active that week.
+    *
+    * Weeks are absolute integer indexes (`floor(epoch_micros / week)`) so
+    * every engine derives identical labels. Two shuffles, both on the
+    * user key: the first-event aggregate, then the events⨝first join —
+    * co-partitioned, so at scale the join is a zero-extra-shuffle merge
+    * of two child exchanges on the same key.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val weekMicros = 7L * 24 * 3600 * 1000000L
+    val first = events.groupBy(col(userCol))
+      .agg(min(unix_micros(col(tsCol))).as("__t0"))
+    events
+      .select(col(userCol), unix_micros(col(tsCol)).as("__t"))
+      .join(first, userCol)
+      .select(col(userCol),
+        // integral `div`, not floor(double /): exact at week boundaries
+        expr(s"__t0 div $weekMicros").as("cohort_week"),
+        (expr(s"__t div $weekMicros") - expr(s"__t0 div $weekMicros"))
+          .as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Pointwise mutual information over word pairs co-occurring in a
+    * document, restricted to the `vocabSize` most frequent words (ties
+    * broken lexically). PMI = ln(P(a,b) / (P(a)·P(b))) with document-level
+    * probabilities, rounded so cross-engine `ln` agreement is safe.
+    *
+    * Scale shape: the vocabulary is a tiny broadcast (top-N by document
+    * frequency via TakeOrderedAndProject); the corpus is scanned once,
+    * reduced to (doc, vocab-word) pairs BEFORE the per-document self-join,
+    * so the quadratic step is bounded by vocabSize² per document, not by
+    * document length.
+    */
+  def pmiPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int = 100,
+      topK: Int = 20): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("__id"),
+        explode(split(lower(col(textCol)), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .distinct()
+    val df = words.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    val vocab = df.orderBy(col("__df").desc, col("__w")).limit(vocabSize)
+    val inVocab = words.join(broadcast(vocab), "__w")
+    val nDocs = docs.select(countDistinct(col(idCol)).as("__n"))
+    val pairs = inVocab.as("a")
+      .join(inVocab.as("b"),
+        col("a.__id") === col("b.__id") && col("a.__w") < col("b.__w"))
+      .groupBy(col("a.__w").as("word_a"), col("b.__w").as("word_b"))
+      .agg(count(lit(1)).as("n_pair"),
+        first(col("a.__df")).as("__dfa"), first(col("b.__df")).as("__dfb"))
+    pairs.crossJoin(broadcast(nDocs))
+      .select(col("word_a"), col("word_b"), col("n_pair"),
+        round(log(col("n_pair").cast("double") * col("__n") /
+          (col("__dfa").cast("double") * col("__dfb"))), 4).as("pmi"))
+      .orderBy(col("n_pair").desc, col("word_a"), col("word_b"))
+      .limit(topK)
+  }
+}

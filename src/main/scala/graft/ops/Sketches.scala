@@ -92,6 +92,62 @@ object Sketches {
     agg.select(groupCols.map(col) :+ est.as("hll_estimate"): _*)
   }
 
+  /** Count-min sketch hash-row parameters: pairwise-independent
+    * `h_j(k) = ((a_j·k + b_j) mod p) mod w` with a fixed Mersenne-ish
+    * prime and fixed odd multipliers, so the sketch (and therefore every
+    * estimate) is bit-identical across engines, runs, and partitionings.
+    * `k` is first reduced mod p so `a·k` stays inside a signed long.
+    */
+  private val CMS_P = 1000000007L
+  private val CMS_A = Seq(824633720837L % 1000000007L, 479001599L, 715827883L)
+  private val CMS_B = Seq(97L, 179426549L, 15485863L)
+
+  private def cmsBucket(key: Column, j: Int, w: Int): Column =
+    pmod(pmod(lit(CMS_A(j)) * pmod(key.cast("long"), lit(CMS_P)) + lit(CMS_B(j)),
+      lit(CMS_P)), lit(w))
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over an integer key
+    * column: `d` hash rows × `w` buckets of additive counts.
+    *
+    * Built relationally: each input row explodes into `d` (row, bucket)
+    * cells and a single hash-groupBy counts them — map-side combinable,
+    * and the surviving state is at most `d·w` rows TOTAL regardless of
+    * input size, which is what makes this the 100 TB frequency-estimate
+    * shape (vs an exact groupBy whose state is O(distinct keys)).
+    */
+  def cmsSketch(df: DataFrame, keyCol: String, d: Int = 3, w: Int = 512): DataFrame = {
+    require(d >= 1 && d <= CMS_A.size, s"d in [1,${CMS_A.size}], got $d")
+    require(w >= 2, s"w >= 2, got $w")
+    df.select(explode(array((0 until d).map(j =>
+        struct(lit(j).as("j"), cmsBucket(col(keyCol), j, w).as("bucket"))): _*))
+        .as("__cell"))
+      .select(col("__cell.j").as("j"), col("__cell.bucket").as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch: estimate(k) = min over rows j of the count
+    * in bucket `h_j(k)` — an upper bound on the true frequency, exact
+    * when no colliding key shares all d buckets. `keys` is small (the
+    * probe set) and broadcast against the ≤ d·w-row sketch.
+    */
+  def cmsEstimate(
+      sketch: DataFrame,
+      keys: DataFrame,
+      keyCol: String,
+      d: Int = 3,
+      w: Int = 512): DataFrame = {
+    require(d >= 1 && d <= CMS_A.size, s"d in [1,${CMS_A.size}], got $d")
+    val probes = keys
+      .select(col(keyCol), explode(array((0 until d).map(j =>
+        struct(lit(j).as("j"), cmsBucket(col(keyCol), j, w).as("bucket"))): _*))
+        .as("__cell"))
+      .select(col(keyCol), col("__cell.j").as("j"), col("__cell.bucket").as("bucket"))
+    probes.join(sketch, Seq("j", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
+  }
+
   /** KMV (k-minimum-values) distinct estimate per group: keep the k
     * smallest distinct hashes; estimate = (k−1)·2^60 / h_(k) (Bar-Yossef
     * et al. 2002). Groups with fewer than k distinct values report the

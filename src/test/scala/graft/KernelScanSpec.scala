@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log._
+import graft.sources.{GraftKernelInputPartition, GraftKernelScan}
+
+/** SURVEY §2.1 S2 — the DSv2 kernel columnar scan: result parity with the
+  * V1 path, vectorized batches, pushdown-driven pruning (columns, filters,
+  * partitions, limit), split planning, and time travel.
+  */
+class KernelScanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    SharedFixtures.ensure(spark, sfDir)
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def kernel(table: String) =
+    spark.read.format("graft-kernel")
+      .option("table", s"${SharedFixtures.SHARE}.$table").load()
+
+  private def v1(table: String) =
+    spark.read.format("graft")
+      .option("table", s"${SharedFixtures.SHARE}.$table").load()
+
+  private def scanOf(plan: SparkPlan): BatchScanExec =
+    plan.collectFirst { case b: BatchScanExec => b }.getOrElse(
+      fail(s"no BatchScanExec in:\n$plan"))
+
+  test("kernel scan returns identical rows to the V1 sharing path") {
+    val a = kernel("lineitem")
+    val b = v1("lineitem")
+    assert(a.schema === b.schema)
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("scan is columnar: batches flow as ColumnarBatch") {
+    val df = kernel("lineitem").select("l_orderkey", "l_quantity")
+    val scan = scanOf(df.queryExecution.executedPlan)
+    assert(scan.supportsColumnar, "expected a columnar BatchScanExec")
+    assert(df.agg(sum("l_quantity")).collect().head.getDouble(0) > 0)
+  }
+
+  test("column pruning reaches the scan readSchema") {
+    val df = kernel("lineitem").select("l_returnflag")
+    val scan = scanOf(df.queryExecution.executedPlan)
+    val read = scan.scan.asInstanceOf[GraftKernelScan].readSchema()
+    assert(read.fieldNames.toSeq === Seq("l_returnflag"))
+  }
+
+  test("stats skipping prunes input partitions on a selective filter") {
+    val all = scanOf(kernel("lineitem").queryExecution.executedPlan)
+      .scan.asInstanceOf[GraftKernelScan].planInputPartitions().length
+    val filtered = scanOf(kernel("lineitem").filter(col("l_orderkey") === 42)
+      .queryExecution.executedPlan)
+      .scan.asInstanceOf[GraftKernelScan].planInputPartitions().length
+    assert(filtered < all, s"expected pruning: $filtered vs $all")
+    // and the filtered result is still exact (Spark re-applies the filter)
+    val expected = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") === 42).count()
+    assert(kernel("lineitem").filter(col("l_orderkey") === 42).count() === expected)
+  }
+
+  test("partition pruning keeps only matching o_year partitions") {
+    val scan = scanOf(kernel("orders").filter(col("o_year") === 1997)
+      .queryExecution.executedPlan).scan.asInstanceOf[GraftKernelScan]
+    val parts = scan.planInputPartitions()
+    assert(parts.nonEmpty)
+    // every planned partition carries the single requested o_year value
+    assert(parts.forall {
+      case p: GraftKernelInputPartition => p.partitionValues.sameElements(Array(1997))
+    })
+    val expected = v1("orders").filter(col("o_year") === 1997).count()
+    assert(kernel("orders").filter(col("o_year") === 1997).count() === expected)
+  }
+
+  test("partition column values are materialized into result rows") {
+    val a = kernel("orders").groupBy("o_year").count().orderBy("o_year").collect()
+    val b = v1("orders").groupBy("o_year").count().orderBy("o_year").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("nested list<float> column reads through the vectorized path") {
+    val path = java.nio.file.Files.createTempDirectory("kernel-emb").toString
+    val b = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    TableBuilder.create(spark, b, path, name = "embeddings")
+    val a = spark.read.format("graft-kernel").option("path", path).load()
+    assert(a.count() === b.count())
+    assert(a.select("vec_id", "embedding").exceptAll(b.select("vec_id", "embedding")).isEmpty)
+  }
+
+  test("time travel: versionAsOf replays the log prefix") {
+    val versioned = kernel("orders_versioned")
+    val atV1 = spark.read.format("graft-kernel")
+      .option("table", s"${SharedFixtures.SHARE}.orders_versioned")
+      .option("versionAsOf", "1").load()
+    assert(atV1.count() < versioned.count())
+    val v1Count = spark.read.format("graft")
+      .option("table", s"${SharedFixtures.SHARE}.orders_versioned")
+      .option("versionAsOf", "1").load().count()
+    assert(atV1.count() === v1Count)
+  }
+
+  test("filters and limit surface in the scan description") {
+    val df = kernel("lineitem").filter(col("l_quantity") > 49).limit(7)
+    val desc = scanOf(df.queryExecution.executedPlan)
+      .scan.asInstanceOf[GraftKernelScan].description()
+    assert(desc.contains("l_quantity"), desc)
+    assert(df.count() === 7)
+  }
+}

@@ -504,4 +504,80 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cols = AsofJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv")).columns
     assert(cols.toSeq === Seq("k", "t", "lv", "rv"))
   }
+
+  private def eventsDF(rows: Seq[(Long, String, Long)]) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("ts", TimestampType)))
+    spark.createDataFrame(rows.map(r => org.apache.spark.sql.Row(
+      r._1, r._2, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(r._3))))
+      .asJava, schema)
+  }
+
+  test("funnel counts ordered progression only") {
+    val ev = eventsDF(Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full funnel
+      (2L, "click", 10L), (2L, "view", 20L), (2L, "purchase", 30L), // click BEFORE view: needs a later click
+      (3L, "view", 10L), (3L, "click", 20L), // stops at click
+      (4L, "purchase", 5L), // purchase alone: no view → reaches nothing
+      (5L, "view", 10L), (5L, "click", 10L))) // same-ts chain counts
+    val out = Analytics.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // view: users 1,2,3,5 reach stage 0; click after view: 1,3,5; purchase after: 1
+    assert(out === Map("view" -> 4L, "click" -> 3L, "purchase" -> 1L))
+  }
+
+  test("retention cohorts bucket by absolute week of first event") {
+    val week = 7L * 24 * 3600
+    val ev = eventsDF(Seq(
+      (1L, "view", 1L), (1L, "view", week + 1L), (1L, "view", 3 * week + 1L),
+      (2L, "view", 1L),
+      (3L, "view", week + 2L), (3L, "view", week + 5L))) // same week twice → one row
+    val out = Analytics.retentionCohorts(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (0L, 0L) -> 2L,  // users 1,2 in cohort week 0
+      (0L, 1L) -> 1L,  // user 1 active next week
+      (0L, 3L) -> 1L,  // user 1 again at offset 3
+      (1L, 0L) -> 1L)) // user 3's cohort is week 1, distinct within week
+  }
+
+  test("count-min sketch estimates upper-bound true frequencies exactly without collisions") {
+    val ev = eventsDF((1 to 40).map(i => (i.toLong % 4, "view", i.toLong)))
+    val sketch = Sketches.cmsSketch(ev, "user_id", d = 3, w = 512)
+    // sketch state is bounded: at most d*w cells, here ≤ distinct keys × d
+    assert(sketch.count() <= 3 * 512)
+    val probes = ev.select(col("user_id")).distinct()
+    val est = Sketches.cmsEstimate(sketch, probes, "user_id", d = 3, w = 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 keys into 512 buckets with 3 independent rows: no full collision
+    assert(est === Map(0L -> 10L, 1L -> 10L, 2L -> 10L, 3L -> 10L))
+  }
+
+  test("cms estimate never underestimates under forced collisions") {
+    val ev = eventsDF((1 to 100).map(i => (i.toLong, "view", i.toLong)))
+    val sketch = Sketches.cmsSketch(ev, "user_id", d = 2, w = 4) // heavy collisions
+    val est = Sketches.cmsEstimate(sketch,
+      ev.select(col("user_id")).distinct(), "user_id", d = 2, w = 4)
+      .collect().map(r => r.getLong(1))
+    assert(est.forall(_ >= 1L)) // true count is 1 for every key
+  }
+
+  test("pmi pairs rank co-occurring words with exact counts") {
+    val docs = docsDF(Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta"), (3L, "alpha beta"),
+      (4L, "alpha gamma"), (5L, "delta")))
+    val out = Analytics.pmiPairs(docs, "doc_id", "text", vocabSize = 10, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("alpha", "beta")) === 3L)
+    assert(out(("alpha", "gamma")) === 2L)
+    assert(out(("beta", "gamma")) === 1L)
+    // PMI sign sanity: alpha+beta co-occur more than independence predicts
+    val pmi = Analytics.pmiPairs(docs, "doc_id", "text", vocabSize = 10, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // P(alpha,beta)=3/5, P(alpha)=4/5, P(beta)=3/5 → PMI = ln(0.6/0.48) > 0
+    assert(pmi(("alpha", "beta")) > 0.0)
+  }
 }
