@@ -927,6 +927,63 @@ object SparkEntry {
           sum(col("n_tokens")).as("shard_tokens"))
     }),
 
+    // §2.1 S4 + beyond-reference: INCREMENTAL aggregate maintenance over
+    // the Change Data Feed — the aggregate state at version 1 (after the
+    // two inserts) is refreshed with only the CDF rows of the delete and
+    // update commits, never rescanning the table. Equals, by construction,
+    // a full recompute over the final snapshot (what the oracle runs).
+    "q72_cdf_incremental_agg" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      val share = graft.log.SharedFixtures.SHARE
+      val base = s.read.format("graft")
+        .option("table", s"$share.orders_cdf").option("versionAsOf", "1").load()
+      val changes = graft.log.GraftCDF.tableChanges(
+        s, graft.log.GraftCatalog.location(s"$share.orders_cdf"), 2)
+      graft.ops.Incremental.maintainAggregate(
+        base, changes, keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+        .select(col("o_orderstatus"), col("n_rows").as("n_orders"),
+          round(col("sum_o_totalprice"), 2).as("sum_price"))
+    }),
+
+    // Beyond-reference: bloom-prefiltered EXACT semi-join — the selective
+    // build side is folded into a bloom_filter_agg scalar subquery, the
+    // probe side is pruned by might_contain BEFORE the join exchange, and
+    // the real semi-join removes the false positives, so the result is
+    // byte-identical to the plain semi-join the oracle runs.
+    "q73_bloom_semi_join" -> ((s, dir) => {
+      val hot = t(s, dir, "orders").filter(col("o_totalprice") > lit(450000.0))
+      graft.ops.BloomJoin.bloomSemiJoin(
+        t(s, dir, "lineitem"), hot, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    }),
+
+    // Beyond-reference: LM context-window chunking — 32-token windows
+    // sliding by 24 (8-token overlap); spans come from one codegen
+    // transform over a sequence of offsets, so the chunker is a pure
+    // narrow map over the corpus scan (zero shuffle before the explode).
+    "q74_token_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("__toks"))
+      docs.select(col("doc_id"),
+        explode(graft.ops.TextOps.tokenChunks(col("__toks"), chunkTokens = 32, stride = 24))
+          .as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.n_tok").as("n_tok"), col("c.first_tok").as("first_tok"))
+    }),
+
+    // Beyond-reference: perplexity-style quality scoring — per-doc mean
+    // unigram surprisal under the corpus's own token distribution (the
+    // CCNet LM-filter shape, engine-reproducible because the "LM" is the
+    // corpus itself).
+    "q75_unigram_surprisal" -> ((s, dir) => {
+      graft.ops.TextOps.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").cast("long").as("doc_id"), col("n_tokens"),
+          round(col("surprisal"), 3).as("surprisal"))
+    }),
+
     // Advanced reader features over REST: the parquet dialect refuses the
     // DV table with the protocol's typed 400, the client renegotiates
     // responseformat=delta;readerfeatures=..., reads parquet bytes via
@@ -1750,7 +1807,45 @@ object SparkEntry {
            round(b.n_uniq::DOUBLE / b.n_tokens::DOUBLE, 4) AS uniq_ratio,
            round(t.topc::DOUBLE / b.n_tokens::DOUBLE, 4) AS top_token_frac,
            round(b.dup_bg, 4) AS dup_bigram_frac
-         FROM base b JOIN top t USING (doc_id)"""
+         FROM base b JOIN top t USING (doc_id)""",
+    // Final orders_cdf state = the two inserts (< 1999) minus the delete
+    // (status F before 1996); the update touched only o_orderpriority, so
+    // its pre/postimage legs cancel in every maintained column.
+    "q72_cdf_incremental_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+         FROM orders
+         WHERE o_orderdate < TIMESTAMP '1999-01-01'
+           AND NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1996-01-01')
+         GROUP BY o_orderstatus""",
+    "q73_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem
+         WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+         GROUP BY l_returnflag""",
+    "q74_token_chunks" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id < 100),
+         spans AS (
+           SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(0, len(toks), 24)) AS start
+           FROM d)
+         SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_idx,
+           CAST(least(32, n - start) AS BIGINT) AS n_tok,
+           toks[CAST(start AS INT) + 1] AS first_tok
+         FROM spans""",
+    "q75_unigram_surprisal" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+         total AS (SELECT sum(tf) AS total FROM freq)
+         SELECT t.doc_id, count(*) AS n_tokens,
+           round(avg(-ln(f.tf::DOUBLE / total.total::DOUBLE)), 3) AS surprisal
+         FROM toks t JOIN freq f USING (tok) CROSS JOIN total
+         GROUP BY t.doc_id"""
   )
 
   /** Expected per-change-type counts of the orders_cdf fixture history

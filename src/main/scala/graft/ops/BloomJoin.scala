@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+
+/** Bloom-prefiltered EXACT semi/inner joins.
+  *
+  * The scale problem: a selective build side (e.g. "orders over 450k")
+  * that is too large to broadcast forces the ENTIRE probe side through
+  * the join shuffle, even though almost none of it survives. Spark's own
+  * answer is runtime row-level filtering (`InjectRuntimeFilter`), but the
+  * optimizer only fires it under narrow conditions (creation-side size
+  * thresholds, no DPP overlap, one filter per plan). This operator makes
+  * the same plan shape available explicitly and unconditionally:
+  *
+  *   1. build: one-row aggregate `bloom_filter_agg(xxhash64(key))` over
+  *      the build side — map-side combinable, O(filter bytes) per task;
+  *   2. probe: `might_contain(<scalar-subquery bloom>, xxhash64(key))`
+  *      as a plain filter — stays inside whole-stage codegen, prunes
+  *      before the exchange, false-positive rate bounded by the sizing;
+  *   3. exactness: the real (semi) join still runs after the prefilter —
+  *      bloom false positives are eliminated there, so results are
+  *      byte-identical to the unfiltered join while the shuffle carries
+  *      only ~selectivity·|probe| rows.
+  *
+  * Same expressions Spark's `InjectRuntimeFilter` composes; constructed
+  * here via [[GraftSqlBridge]] because `BloomFilterAggregate` /
+  * `BloomFilterMightContain` are not in the public function registry.
+  */
+object BloomJoin {
+
+  /** `might_contain(bloom-of-build-keys, xxhash64(probe-key))` as a
+    * Column. The bloom filter is a SCALAR SUBQUERY — evaluated once,
+    * broadcast to every task by the subquery machinery; no driver-side
+    * collect in this operator's code.
+    */
+  def mightContainKey(build: DataFrame, buildKey: String, probeKey: Column,
+      expectedItems: Long): Column = {
+    val hashed = build.select(
+      GraftSqlBridge.column(new XxHash64(Seq(
+        GraftSqlBridge.expression(col(buildKey))))).as("__h"))
+    val agg = hashed.select(GraftSqlBridge.column(
+      new BloomFilterAggregate(
+        GraftSqlBridge.expression(col("__h")), expectedItems)
+        .toAggregateExpression()).as("__bloom"))
+    val sub = ScalarSubquery(GraftSqlBridge.analyzed(agg))
+    GraftSqlBridge.column(BloomFilterMightContain(sub,
+      new XxHash64(Seq(GraftSqlBridge.expression(probeKey)))))
+  }
+
+  /** Exact left-semi join `probe ⋉ build` with a bloom prefilter on the
+    * probe side. Output rows = exactly the probe rows whose key appears
+    * in `build` (false positives removed by the real semi join).
+    */
+  def bloomSemiJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    val prefiltered = probe.filter(
+      mightContainKey(build, buildKey, col(probeKey), expectedItems))
+    prefiltered.join(build.select(col(buildKey).as(probeKey)).distinct(),
+      Seq(probeKey), "left_semi")
+  }
+}

@@ -187,4 +187,48 @@ object TextOps {
       .withColumn("quality", qualityScore(t))
       .withColumn("fp", fingerprint(t))
   }
+
+  /** Token-window chunk spans for training-sequence packing: windows of
+    * `chunkTokens` tokens starting every `stride` tokens (overlap =
+    * chunkTokens − stride, the standard LM context-window slide). Returns
+    * an array of (chunk_idx, n_tok, first_tok) structs — one `transform`
+    * over a `sequence` of start offsets, pure codegen; the caller
+    * explodes it, so chunking a 100 TB corpus is a single narrow
+    * scan-stage map with no shuffle at all.
+    */
+  def tokenChunks(toks: Column, chunkTokens: Int, stride: Int): Column = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    transform(
+      sequence(lit(0), size(toks) - 1, lit(stride)),
+      start => struct(
+        (start / stride).cast("long").as("chunk_idx"),
+        least(lit(chunkTokens), size(toks) - start).cast("long").as("n_tok"),
+        element_at(toks, start + 1).as("first_tok")))
+  }
+
+  /** Per-document unigram surprisal (corpus cross-entropy): the mean of
+    * −ln p(token) under the corpus's own unigram distribution. The
+    * perplexity-filter shape of CCNet/Gopher with the external language
+    * model replaced by the corpus unigram LM, so the score is exactly
+    * reproducible by any engine. Low surprisal ⇒ document made of
+    * corpus-typical tokens; high ⇒ rare-token (or noise) document.
+    *
+    * Plan shape at 100 TB: token frequencies are one map-side-combinable
+    * groupBy over the exploded token stream; the total is a one-row
+    * aggregate joined back by broadcast; the per-doc score is a second
+    * combinable groupBy keyed on the doc id. The frequency join keys on
+    * the token — Catalyst/AQE picks broadcast when the dictionary fits
+    * and a shuffle join when it does not; nothing here forces either.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("__tok"))
+    val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
+    val total = freq.agg(sum(col("__tf")).as("__total"))
+    toks.join(freq, "__tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        avg(-log(col("__tf").cast("double") / col("__total").cast("double"))).as("surprisal"))
+  }
 }

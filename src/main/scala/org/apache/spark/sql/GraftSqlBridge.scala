@@ -15,6 +15,12 @@ object GraftSqlBridge {
   /** Unwrap a Column to its Catalyst expression. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Analyzed logical plan of a DataFrame (e.g. to embed it as a scalar
+    * subquery — the same shape `InjectRuntimeFilter` builds).
+    */
+  def analyzed(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
   /** DataFrame over a logical plan (used to wrap streaming relations). */
   def ofRowsStreaming(
       spark: SparkSession,

@@ -580,4 +580,58 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // P(alpha,beta)=3/5, P(alpha)=4/5, P(beta)=3/5 → PMI = ln(0.6/0.48) > 0
     assert(pmi(("alpha", "beta")) > 0.0)
   }
+
+  test("incremental CDF maintenance equals full recompute") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", DoubleType),
+      StructField("_change_type", StringType)))
+    def df(rows: Seq[(String, Double, String)]) = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava, schema)
+    // base state: a:{1,2}, b:{10}
+    val base = df(Seq(("a", 1.0, "insert"), ("a", 2.0, "insert"), ("b", 10.0, "insert")))
+      .drop("_change_type")
+    // changes: delete a:1; update b:10→12 (pre+post pair); insert c:5;
+    // insert+delete d (group appears then vanishes — must not emit)
+    val changes = df(Seq(
+      ("a", 1.0, "delete"),
+      ("b", 10.0, "update_preimage"), ("b", 12.0, "update_postimage"),
+      ("c", 5.0, "insert"),
+      ("d", 7.0, "insert"), ("d", 7.0, "delete")))
+    val out = Incremental.maintainAggregate(base, changes, Seq("k"), Seq("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out === Map("a" -> (1L, 2.0), "b" -> (1L, 12.0), "c" -> (1L, 5.0)))
+  }
+
+  test("bloom semi-join is exactly the plain semi-join") {
+    import spark.implicits._
+    val probe = (1L to 500L).map(i => (i, s"p$i")).toDF("k", "tag")
+    val build = Seq(3L, 7L, 250L, 499L, 999L).toDF("bk") // 999 not in probe
+    val got = BloomJoin.bloomSemiJoin(probe, build, "k", "bk", expectedItems = 10L)
+      .select("k").as[Long].collect().sorted
+    assert(got === Array(3L, 7L, 250L, 499L))
+  }
+
+  test("token chunks cover the doc with the configured stride and sizes") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val spans = docs
+      .select(explode(TextOps.tokenChunks(TextOps.tokens(col("text")), 4, 3)).as("c"))
+      .select("c.chunk_idx", "c.n_tok", "c.first_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(spans.toSeq === Seq((0L, 4L, "t1"), (1L, 4L, "t4"), (2L, 4L, "t7"), (3L, 1L, "t10")))
+  }
+
+  test("unigram surprisal is ln(V) on a uniform-vocabulary corpus") {
+    import spark.implicits._
+    // every token occurs exactly twice over a 4-token corpus: p = 1/2
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val rows = TextOps.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(rows.length === 2)
+    rows.foreach { case (n, s) =>
+      assert(n === 2L)
+      assert(math.abs(s - math.log(2.0)) < 1e-12)
+    }
+  }
 }
