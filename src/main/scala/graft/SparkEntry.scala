@@ -974,6 +974,19 @@ object SparkEntry {
           col("c.n_tok").as("n_tok"), col("c.first_tok").as("first_tok"))
     }),
 
+    // Beyond-reference: event-flow PageRank — per-user transition edges
+    // (windowed lag, partitioned by user) row-normalized into a Markov
+    // matrix, ranked by a FIXED 3-step power iteration where ranks and
+    // edges stay DataFrames (one equi-join + one combinable groupBy per
+    // step; nothing collected), so the same code ranks a 100M-node
+    // item-transition graph.
+    "q76_event_pagerank" -> ((s, dir) => {
+      val edges = graft.ops.Analytics.eventTransitions(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+      graft.ops.Analytics.pageRank(edges, damping = 0.85, iterations = 3)
+        .select(col("node").as("event_type"), round(col("rank"), 6).as("rank"))
+    }),
+
     // Beyond-reference: perplexity-style quality scoring — per-doc mean
     // unigram surprisal under the corpus's own token distribution (the
     // CCNet LM-filter shape, engine-reproducible because the "LM" is the
@@ -1837,6 +1850,34 @@ object SparkEntry {
            CAST(least(32, n - start) AS BIGINT) AS n_tok,
            toks[CAST(start AS INT) + 1] AS first_tok
          FROM spans""",
+    "q76_event_pagerank" ->
+      """WITH steps AS (
+           SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+                  event_type AS dst
+           FROM events),
+         edges AS (
+           SELECT src, dst,
+             count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY src) AS p
+           FROM steps WHERE src IS NOT NULL GROUP BY src, dst),
+         nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+         r1 AS (SELECT nd.node, (0.15 / nn.n) + 0.85 * coalesce(c.i, 0.0) AS rank
+                FROM nodes nd CROSS JOIN nn LEFT JOIN
+                  (SELECT e.dst AS node, sum(r.rank * e.p) AS i
+                   FROM edges e JOIN r0 r ON e.src = r.node GROUP BY e.dst) c
+                  USING (node)),
+         r2 AS (SELECT nd.node, (0.15 / nn.n) + 0.85 * coalesce(c.i, 0.0) AS rank
+                FROM nodes nd CROSS JOIN nn LEFT JOIN
+                  (SELECT e.dst AS node, sum(r.rank * e.p) AS i
+                   FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst) c
+                  USING (node)),
+         r3 AS (SELECT nd.node, (0.15 / nn.n) + 0.85 * coalesce(c.i, 0.0) AS rank
+                FROM nodes nd CROSS JOIN nn LEFT JOIN
+                  (SELECT e.dst AS node, sum(r.rank * e.p) AS i
+                   FROM edges e JOIN r2 r ON e.src = r.node GROUP BY e.dst) c
+                  USING (node))
+         SELECT node AS event_type, round(rank, 6) AS rank FROM r3""",
     "q75_unigram_surprisal" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

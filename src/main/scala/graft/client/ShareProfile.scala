@@ -1,0 +1,77 @@
+package graft.client
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import graft.model.JsonUtils
+
+/** The sharing *profile file* — the reference's canonical client entry
+  * point (`spark.read.format(...).load("<profile>#<share>.<schema>.<table>")`;
+  * format documented in the reference PROTOCOL "Profile File Format":
+  * shareCredentialsVersion, endpoint, bearerToken, optional
+  * expirationTime). Loaded through the Hadoop FileSystem API so profiles
+  * resolve from any configured store (file:, hdfs:, ...), same as the
+  * reference's `DeltaSharingFileProfileProvider`.
+  */
+case class ShareProfile(
+    shareCredentialsVersion: Integer = null,
+    endpoint: String = null,
+    bearerToken: String = null,
+    expirationTime: String = null)
+
+object ShareProfile {
+
+  /** Highest profile version this client understands. */
+  val MAX_VERSION = 1
+
+  def parse(json: String): ShareProfile = {
+    val p = JsonUtils.fromJson[ShareProfile](json)
+    if (p.shareCredentialsVersion == null)
+      throw new IllegalArgumentException(
+        "profile is missing shareCredentialsVersion")
+    if (p.shareCredentialsVersion > MAX_VERSION)
+      throw new IllegalArgumentException(
+        s"profile version ${p.shareCredentialsVersion} is newer than the " +
+          s"highest supported version $MAX_VERSION — upgrade the client")
+    if (p.endpoint == null || p.bearerToken == null)
+      throw new IllegalArgumentException(
+        "profile must provide endpoint and bearerToken")
+    p.expirationTime match {
+      case null => ()
+      case ts =>
+        val expiry = graft.model.StatsCodec.parseTimestamp(ts)
+        if (expiry.isBefore(java.time.Instant.now()))
+          throw new IllegalArgumentException(
+            s"the token in the profile expired at $ts — request a fresh share")
+    }
+    p
+  }
+
+  def load(conf: Configuration, path: String): ShareProfile = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try parse(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** Rewrite `load("<profile>#share.schema.table")` parameters into the
+    * explicit url/token/table options the remote path consumes. Returns
+    * the parameters unchanged when no profile-style path is present.
+    */
+  def resolveParameters(
+      conf: Configuration, parameters: Map[String, String]): Map[String, String] =
+    parameters.get("path").filter(_.contains("#")) match {
+      case None => parameters
+      case Some(addr) =>
+        val sep = addr.indexOf('#')
+        val (profilePath, fqn) = (addr.substring(0, sep), addr.substring(sep + 1))
+        if (fqn.isEmpty) throw new IllegalArgumentException(
+          s"profile address must be <profile>#<share>.<schema>.<table>, got $addr")
+        val prof = load(conf, profilePath)
+        parameters - "path" +
+          ("url" -> prof.endpoint, "token" -> prof.bearerToken, "table" -> fqn)
+    }
+}

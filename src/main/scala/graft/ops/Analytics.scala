@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-analytics operators: conversion funnels, retention cohorts, and
@@ -126,5 +127,62 @@ object Analytics {
           (col("__dfa").cast("double") * col("__dfb"))), 4).as("pmi"))
       .orderBy(col("n_pair").desc, col("word_a"), col("word_b"))
       .limit(topK)
+  }
+
+  /** Row-normalized transition edges of the per-user event sequence:
+    * `(src, dst, p)` where p = (count of src→dst steps) / (total steps
+    * leaving src). Consecutive-step extraction is a per-user window (lag
+    * over (ts, tiebreaker)) — partitioned by user, so sequence assembly
+    * scales horizontally; the normalization is two map-side-combinable
+    * aggregates.
+    */
+  def eventTransitions(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val steps = events
+      .withColumn("__src", lag(col(typeCol), 1).over(w))
+      .filter(col("__src").isNotNull)
+      .select(col("__src").as("src"), col(typeCol).as("dst"))
+    val counts = steps.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("__c"))
+    val outTotals = counts.groupBy(col("src")).agg(sum(col("__c")).as("__tot"))
+    counts.join(outTotals, "src")
+      .select(col("src"), col("dst"),
+        (col("__c").cast("double") / col("__tot").cast("double")).as("p"))
+  }
+
+  /** PageRank over a weighted edge DataFrame `(src, dst, p)` by FIXED-
+    * iteration power method: rank₀ = 1/N; rankₖ₊₁(v) = (1−d)/N +
+    * d·Σ_{(u,v)} rankₖ(u)·p(u,v). Fixed iterations (not convergence-
+    * tested) keep the result exactly reproducible by any engine — the
+    * driver oracle replays the same three joins in SQL.
+    *
+    * Shape at scale: ranks and edges stay DataFrames end-to-end — each
+    * iteration is one equi-join on the src key plus one map-side-
+    * combinable groupBy on dst; nothing is collected, so the same code
+    * ranks a 5-node event-type graph and a 100M-node item-transition
+    * graph (where the join shuffles co-partition by key across
+    * iterations). Dangling nodes (no out-edges) evaporate their mass, the
+    * standard simplification when the graph is known to have out-edges
+    * everywhere; callers with dangling nodes add self-loops first.
+    */
+  def pageRank(edges: DataFrame, damping: Double = 0.85, iterations: Int = 3): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val n = broadcast(nodes.agg(count(lit(1)).as("__n")))
+    var ranks = nodes.crossJoin(n).select(col("node"), (lit(1.0) / col("__n")).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = edges.join(ranks, edges("src") === ranks("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("p")).as("__in"))
+      ranks = nodes.join(contrib, Seq("node"), "left").crossJoin(n)
+        .select(col("node"),
+          (lit(1.0 - damping) / col("__n") +
+            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+    }
+    ranks
   }
 }

@@ -46,11 +46,23 @@ class GraftDataSource extends RelationProvider
     }
   }
 
+  /** The reference's canonical addressing —
+    * `load("<profile>#<share>.<schema>.<table>")` — rewritten into the
+    * explicit url/token/table options (reference
+    * `DeltaSharingDataSource.createRelation` splits the path the same
+    * way). Explicit options are untouched.
+    */
+  private def resolveProfile(
+      sqlContext: SQLContext, parameters: Map[String, String]): Map[String, String] =
+    graft.client.ShareProfile.resolveParameters(
+      sqlContext.sparkSession.sessionState.newHadoopConf(), parameters)
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): (String, StructType) = {
+      rawParameters: Map[String, String]): (String, StructType) = {
+    val parameters = resolveProfile(sqlContext, rawParameters)
     if (parameters.contains("url")) {
       val (share, sc, t) = splitFqn(parameters)
       val client = GraftDataSource.remoteClient(parameters)
@@ -85,7 +97,8 @@ class GraftDataSource extends RelationProvider
       metadataPath: String,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): Source = {
+      rawParameters: Map[String, String]): Source = {
+    val parameters = resolveProfile(sqlContext, rawParameters)
     if (parameters.contains("url")) {
       val (share, sc, t) = splitFqn(parameters)
       val client = GraftDataSource.remoteClient(parameters)
@@ -98,7 +111,8 @@ class GraftDataSource extends RelationProvider
 
   override def createRelation(
       sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation = {
+      rawParameters: Map[String, String]): BaseRelation = {
+    val parameters = resolveProfile(sqlContext, rawParameters)
     val spark = sqlContext.sparkSession
     GraftLimitPushDown.enable(spark)
     if (parameters.contains("url")) return createRemoteRelation(spark, parameters)

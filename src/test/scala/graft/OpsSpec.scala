@@ -622,6 +622,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spans.toSeq === Seq((0L, 4L, "t1"), (1L, 4L, "t4"), (2L, 4L, "t7"), (3L, 1L, "t10")))
   }
 
+  test("pagerank: uniform on cycles, sinks outrank sources, mass conserved") {
+    import spark.implicits._
+    // 3-cycle: power iteration fixes the uniform distribution exactly
+    val cycle = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0))
+      .toDF("src", "dst", "p")
+    val cr = Analytics.pageRank(cycle, 0.85, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    cr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+    // star into b: b must outrank a (fed by b) which outranks c (teleport only)
+    val star = Seq(("a", "b", 1.0), ("c", "b", 1.0), ("b", "a", 1.0))
+      .toDF("src", "dst", "p")
+    val sr = Analytics.pageRank(star, 0.85, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sr("b") > sr("a") && sr("a") > sr("c"))
+    assert(sr.values.sum <= 1.0 + 1e-12) // row-stochastic edges: no mass created
+  }
+
+  test("event transitions are row-normalized per source") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "x"), (2L, 1L, "y"), (3L, 1L, "x"), (4L, 1L, "z"),
+      (5L, 2L, "x"), (6L, 2L, "y")).toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", col("event_id").cast("timestamp"))
+    val edges = Analytics.eventTransitions(ev, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // from x: x→y twice (users 1 and 2), x→z once
+    assert(math.abs(edges(("x", "y")) - 2.0 / 3) < 1e-12)
+    assert(math.abs(edges(("x", "z")) - 1.0 / 3) < 1e-12)
+    assert(math.abs(edges(("y", "x")) - 1.0) < 1e-12) // user 1: y→x
+    assert(!edges.contains(("y", "z")) && !edges.contains(("z", "x")))
+  }
+
   test("unigram surprisal is ln(V) on a uniform-vocabulary corpus") {
     import spark.implicits._
     // every token occurs exactly twice over a 4-token corpus: p = 1/2

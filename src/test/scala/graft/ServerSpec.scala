@@ -592,6 +592,36 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v1remote.count() === v1local.count())
   }
 
+  test("e2e: profile-file addressing — load(\"<profile>#share.schema.table\")") {
+    val profile = java.nio.file.Files.createTempFile("share", ".profile")
+    java.nio.file.Files.writeString(profile,
+      s"""{"shareCredentialsVersion": 1, "endpoint": "${server.url}",
+         |"bearerToken": "$TOKEN",
+         |"expirationTime": "2099-01-01T00:00:00Z"}""".stripMargin)
+    val df = spark.read.format("graft").load(s"file:$profile#share1.default.lineitem")
+    assert(df.count() === spark.read.parquet(s"$sfDir/lineitem.parquet").count())
+  }
+
+  test("profile validation: version cap, expiry, required fields") {
+    import graft.client.ShareProfile
+    def bad(json: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](ShareProfile.parse(json))
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    bad("""{"shareCredentialsVersion": 2, "endpoint": "e", "bearerToken": "t"}""",
+      "newer than")
+    bad("""{"endpoint": "e", "bearerToken": "t"}""", "missing shareCredentialsVersion")
+    bad("""{"shareCredentialsVersion": 1, "endpoint": "e"}""", "bearerToken")
+    bad("""{"shareCredentialsVersion": 1, "endpoint": "e", "bearerToken": "t",
+           "expirationTime": "2000-01-01T00:00:00.0Z"}""", "expired")
+    // future expiry and absent expiry both fine
+    ShareProfile.parse(
+      """{"shareCredentialsVersion": 1, "endpoint": "e", "bearerToken": "t",
+         "expirationTime": "2099-01-01T00:00:00.0Z"}""")
+    ShareProfile.parse(
+      """{"shareCredentialsVersion": 1, "endpoint": "e", "bearerToken": "t"}""")
+  }
+
   test("e2e: LIMIT pushes into the remote query as limitHint") {
     val n = remote("lineitem").limit(100).count()
     assert(n === 100)
