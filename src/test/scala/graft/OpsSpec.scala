@@ -603,6 +603,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map("a" -> (1L, 2.0), "b" -> (1L, 12.0), "c" -> (1L, 5.0)))
   }
 
+  test("incremental maintenance equals recompute on randomized change streams") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", DoubleType),
+      StructField("_change_type", StringType)))
+    def df(rows: Seq[(String, Double, String)]) = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava, schema)
+    val keys = Vector("a", "b", "c", "d")
+    val rnd = new scala.util.Random(12345)
+    for (_ <- 1 to 3) {
+      // live-row simulator guarantees deletes/updates target existing rows
+      var live = Vector.tabulate(50)(_ =>
+        (keys(rnd.nextInt(keys.size)), rnd.nextInt(100).toDouble))
+      val base = live
+      val changes = scala.collection.mutable.ArrayBuffer.empty[(String, Double, String)]
+      for (_ <- 1 to 120) rnd.nextInt(3) match {
+        case 0 =>
+          val r = (keys(rnd.nextInt(keys.size)), rnd.nextInt(100).toDouble)
+          live :+= r; changes += ((r._1, r._2, "insert"))
+        case 1 if live.nonEmpty =>
+          val i = rnd.nextInt(live.size); val r = live(i)
+          live = live.patch(i, Nil, 1); changes += ((r._1, r._2, "delete"))
+        case 2 if live.nonEmpty =>
+          val i = rnd.nextInt(live.size); val r = live(i)
+          val post = (r._1, rnd.nextInt(100).toDouble)
+          live = live.updated(i, post)
+          changes += ((r._1, r._2, "update_preimage"))
+          changes += ((post._1, post._2, "update_postimage"))
+        case _ => ()
+      }
+      val maintained = Incremental.maintainAggregate(
+        df(base.map(r => (r._1, r._2, "insert"))).drop("_change_type"),
+        df(changes.toSeq), Seq("k"), Seq("v"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val recomputed = Incremental.aggregateState(
+        df(live.map(r => (r._1, r._2, "insert"))).drop("_change_type"), Seq("k"), Seq("v"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(maintained === recomputed)
+    }
+  }
+
   test("bloom semi-join is exactly the plain semi-join") {
     import spark.implicits._
     val probe = (1L to 500L).map(i => (i, s"p$i")).toDF("k", "tag")

@@ -192,4 +192,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = spark.read.format("graft").option("path", eventsPath).load().count()
     assert(got === expected)
   }
+
+  test("incremental aggregate maintained from the CDF stream equals recompute") {
+    // insert/insert/delete/update history, then fold each streamed CDF
+    // micro-batch's signed delta into the aggregate state — the streaming
+    // face of ops.Incremental (per-version atomic admission guarantees a
+    // batch never splits an update's pre/post pair across refreshes).
+    val base = java.nio.file.Files.createTempDirectory("inc_cdf").toString
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    TableBuilder.create(spark,
+      orders.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")).repartition(2),
+      base, name = "inc_cdf",
+      configuration = Map("enableChangeDataFeed" -> "true"))
+    TableBuilder.append(spark,
+      orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")).repartition(2),
+      base, timestamp = 1000L)
+    TableBuilder.deleteWhere(spark, base,
+      col("o_orderstatus") === "F" &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"), timestamp = 2000L)
+    TableBuilder.updateWhere(spark, base, col("o_totalprice") > 400000,
+      Seq("o_orderpriority" -> lit("9-UPDATED")), timestamp = 3000L)
+
+    val keys = Seq("o_orderstatus")
+    val sums = Seq("o_totalprice")
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val q = spark.readStream.format("graft").option("path", base)
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "2").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        deltas.synchronized {
+          deltas += graft.ops.Incremental.aggregateDelta(b, keys, sums).localCheckpoint(true)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    assert(deltas.size > 1, "expected multiple micro-batches")
+
+    val finalTable = spark.read.format("graft").option("path", base).load()
+    val emptyState = graft.ops.Incremental.aggregateState(finalTable.limit(0), keys, sums)
+    val maintained = deltas.foldLeft(emptyState)(
+      (s, d) => graft.ops.Incremental.mergeState(s, d, keys, sums))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), math.round(r.getDouble(2)))).toMap
+    val recomputed = graft.ops.Incremental.aggregateState(finalTable, keys, sums)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), math.round(r.getDouble(2)))).toMap
+    assert(maintained === recomputed)
+  }
 }
