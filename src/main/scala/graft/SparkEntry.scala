@@ -974,6 +974,22 @@ object SparkEntry {
           col("c.n_tok").as("n_tok"), col("c.first_tok").as("first_tok"))
     }),
 
+    // §2.7 extension point: shared tables as first-class SQL names via the
+    // TableCatalog plugin (DSv2 kernel scan underneath; VERSION/TIMESTAMP
+    // AS OF resolve through the log). Rows identical to the fixture, so
+    // the oracle runs on the raw table.
+    "q77_sql_catalog" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftSparkCatalog].getName)
+      s.sql(
+        s"""SELECT l_linestatus, count(*) AS n,
+           |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+           |FROM graft.${graft.log.SharedFixtures.SHARE}.lineitem
+           |WHERE l_orderkey < 500
+           |GROUP BY l_linestatus""".stripMargin)
+    }),
+
     // Beyond-reference: event-flow PageRank — per-user transition edges
     // (windowed lag, partitioned by user) row-normalized into a Markov
     // matrix, ranked by a FIXED 3-step power iteration where ranks and
@@ -1850,6 +1866,11 @@ object SparkEntry {
            CAST(least(32, n - start) AS BIGINT) AS n_tok,
            toks[CAST(start AS INT) + 1] AS first_tok
          FROM spans""",
+    "q77_sql_catalog" ->
+      """SELECT l_linestatus, count(*) AS n,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         FROM lineitem WHERE l_orderkey < 500
+         GROUP BY l_linestatus""",
     "q76_event_pagerank" ->
       """WITH steps AS (
            SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,

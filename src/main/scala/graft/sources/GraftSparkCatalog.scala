@@ -1,0 +1,146 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.log.GraftCatalog
+
+/** Spark `TableCatalog` over the share registry — shared tables become
+  * first-class SQL names:
+  *
+  * {{{
+  *   spark.sql.catalog.graft = graft.sources.GraftSparkCatalog
+  *   SELECT * FROM graft.share1.default.lineitem
+  *   SELECT * FROM graft.share1.default.orders_versioned VERSION AS OF 1
+  *   SELECT * FROM graft.share1.default.orders_versioned TIMESTAMP AS OF '...'
+  *   SHOW TABLES IN graft.share1.`default`
+  * }}}
+  *
+  * The reference exposes shares only through `format("deltaSharing")`
+  * addressing; a catalog is the idiomatic Spark-native equivalent — SQL
+  * analysis resolves the identifier, `VERSION AS OF` / `TIMESTAMP AS OF`
+  * map onto the log's snapshot resolution, and the returned table is the
+  * DSv2 columnar scan ([[GraftKernelTable]]) with the typed pushdown
+  * hooks. Shares are read-only by protocol, so every DDL entry point
+  * refuses.
+  *
+  * Advanced-reader-feature tables (deletion vectors / column mapping)
+  * need the V1 wrapping relation and are refused here with a pointer at
+  * `format("graft")` — same guard as [[GraftKernelSource]].
+  */
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def fqn(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  private def readOnly(): Nothing =
+    throw new UnsupportedOperationException(
+      s"catalog $catalogName serves shared tables, which are read-only by protocol")
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val prefix = namespace.toSeq
+    val matching = GraftCatalog.listTables()
+      .map(_.split("\\.").toSeq)
+      .filter(parts => parts.init == prefix)
+    if (matching.isEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    matching.map(parts => Identifier.of(parts.init.toArray, parts.last)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftCatalog.listTables().contains(fqn(ident))
+
+  override def loadTable(ident: Identifier): Table = load(ident, None, None)
+
+  /** `VERSION AS OF <v>` */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF takes the numeric table version, got '$version'")
+    }
+    load(ident, Some(v), None)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    load(ident, None, Some(Math.floorDiv(timestampMicros, 1000L)))
+
+  private def load(
+      ident: Identifier, version: Option[Long], timestampMs: Option[Long]): Table = {
+    val f = fqn(ident)
+    val path = try GraftCatalog.location(f) catch {
+      case _: NoSuchElementException => throw new NoSuchTableException(ident)
+    }
+    val snapshot =
+      GraftCatalog.snapshot(SparkSession.active, f, version, timestampMs)
+    require(snapshot.files.forall(_.deletionVector.isEmpty) &&
+      !graft.model.ColumnMapping.isEnabled(snapshot.metadata),
+      s"$catalogName serves tables via the DSv2 columnar scan, which does " +
+        "not apply deletion vectors / column mapping; read this table with " +
+        "format(\"graft\") instead")
+    new GraftKernelTable(path, snapshot)
+  }
+
+  override def createTable(
+      ident: Identifier, columns: Array[Column], partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = readOnly()
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly()
+
+  override def dropTable(ident: Identifier): Boolean = readOnly()
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly()
+
+  // --------------------------------------------------------- namespaces
+
+  /** Registered namespaces = the distinct `share.schema` prefixes (and
+    * their one-level `share` parents), derived from the registry.
+    */
+  private def knownNamespaces: Seq[Seq[String]] = {
+    val full = GraftCatalog.listTables().map(_.split("\\.").toSeq.init).distinct
+    (full ++ full.map(_.take(1))).distinct
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    knownNamespaces.filter(_.size == 1)
+      .sortBy(_.mkString(".")).map(_.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    knownNamespaces
+      .filter(ns => ns.size == namespace.length + 1 && ns.startsWith(namespace.toSeq))
+      .sortBy(_.mkString(".")).map(_.toArray).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    knownNamespaces.contains(namespace.toSeq)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = readOnly()
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit = readOnly()
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    readOnly()
+}

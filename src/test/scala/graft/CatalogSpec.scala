@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log.SharedFixtures
+
+/** SQL-name access to shared tables through the `TableCatalog` plugin:
+  * identifier resolution, VERSION/TIMESTAMP AS OF time travel, namespace
+  * listings, and read-only enforcement.
+  */
+class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.catalog.graft", classOf[graft.sources.GraftSparkCatalog].getName)
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    SharedFixtures.ensure(spark, sfDir)
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  private val T = s"graft.${SharedFixtures.SHARE}" // share1.default
+
+  test("SELECT by catalog name matches the direct parquet read") {
+    val viaSql = spark.sql(s"SELECT count(*) AS n FROM $T.lineitem")
+      .collect().head.getLong(0)
+    val direct = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(viaSql === direct)
+  }
+
+  test("filters and projection push into the DSv2 scan") {
+    val df = spark.sql(
+      s"SELECT l_orderkey, l_quantity FROM $T.lineitem WHERE l_orderkey < 100")
+    val expected = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") < 100).count()
+    assert(df.count() === expected)
+    val scanDesc = df.queryExecution.executedPlan.toString()
+    assert(scanDesc.contains("graft-kernel"), "expected the DSv2 kernel scan")
+  }
+
+  test("VERSION AS OF resolves historical snapshots") {
+    val v1 = spark.sql(s"SELECT count(*) AS n FROM $T.orders_versioned VERSION AS OF 1")
+      .collect().head.getLong(0)
+    val latest = spark.sql(s"SELECT count(*) AS n FROM $T.orders_versioned")
+      .collect().head.getLong(0)
+    val v1direct = spark.read.format("graft")
+      .option("table", s"${SharedFixtures.SHARE}.orders_versioned")
+      .option("versionAsOf", "1").load().count()
+    assert(v1 === v1direct)
+    assert(v1 !== latest, "fixture should have grown after version 1")
+  }
+
+  test("TIMESTAMP AS OF resolves by commit time (at-or-before)") {
+    // orders_versioned commits carry timestamps 0/1000/2000...; ts=1500ms
+    // must resolve to the version committed at 1000
+    val atTs = spark.sql(
+      s"SELECT count(*) AS n FROM $T.orders_versioned " +
+        "TIMESTAMP AS OF '1970-01-01 00:00:01.5'")
+      .collect().head.getLong(0)
+    val v1 = spark.read.format("graft")
+      .option("table", s"${SharedFixtures.SHARE}.orders_versioned")
+      .option("versionAsOf", "1").load().count()
+    assert(atTs === v1)
+  }
+
+  test("SHOW TABLES / SHOW NAMESPACES reflect the registry") {
+    val tables = spark.sql(s"SHOW TABLES IN $T")
+      .collect().map(_.getString(1)).toSet
+    assert(tables.contains("lineitem") && tables.contains("orders"))
+    val shares = spark.sql("SHOW NAMESPACES IN graft")
+      .collect().map(_.getString(0)).toSet
+    assert(shares.contains(SharedFixtures.SHARE.split("\\.").head))
+  }
+
+  test("unknown table raises a table-not-found analysis error") {
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql(s"SELECT * FROM $T.nope").collect())
+    assert(e.getMessage.toLowerCase.contains("table or view not found") ||
+      e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), e.getMessage)
+  }
+
+  test("DDL and writes are refused: shares are read-only") {
+    val e = intercept[Exception](
+      spark.sql(s"DROP TABLE $T.lineitem"))
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql(s"CREATE TABLE $T.t2 (a INT)"))
+    assert(e2.getMessage.contains("read-only"), e2.getMessage)
+  }
+}
