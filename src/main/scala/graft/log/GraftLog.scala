@@ -49,7 +49,7 @@ class GraftLog(val tablePath: String, conf: Configuration) {
       GraftLog.fullListings.incrementAndGet()
       val vs = fs.listStatus(logDir).toVector
         .map(_.getPath.getName)
-        .filter(_.endsWith(".json"))
+        .filter(n => n.endsWith(".json") && !n.contains(".checkpoint."))
         .map(n => n.stripSuffix(".json").toLong)
         .sorted
       if (vs.nonEmpty) GraftLog.listingCache(tablePath) = vs
@@ -86,10 +86,18 @@ class GraftLog(val tablePath: String, conf: Configuration) {
     * `max(actions' max ts, prev + 1ms)` so time travel is well-defined even
     * when underlying mtimes are not monotonic (reference
     * `DeltaSharingHistoryManager.scala:41-58,101-114`).
+    *
+    * The monotonized prefix up to the newest checkpoint comes from the
+    * checkpoint header (it was computed with this same fold when the
+    * checkpoint was written), so only commits after it are read —
+    * O(since-checkpoint), not O(versions).
     */
   def versionTimestamps(): Seq[(Long, Long)] = {
-    var prev = Long.MinValue
-    listVersions().map { v =>
+    val cp = checkpointAtOrBefore(Long.MaxValue)
+    val prefix = cp.map(_.timestamps).getOrElse(Nil)
+    var prev = prefix.lastOption.map(_._2).getOrElse(Long.MinValue)
+    val from = cp.map(_.version + 1).getOrElse(Long.MinValue)
+    prefix ++ listVersions().filter(_ >= from).map { v =>
       val ts0 = readVersion(v).map {
         case a: AddFile    => a.timestamp
         case a: RemoveFile => a.timestamp
@@ -120,14 +128,28 @@ class GraftLog(val tablePath: String, conf: Configuration) {
     cand.head._1
   }
 
-  /** Replay the log to the active-file set at `version` (default latest). */
+  /** Replay the log to the active-file set at `version` (default latest).
+    *
+    * Replay starts from the newest CHECKPOINT at-or-before the target
+    * (consolidated state written every [[GraftLog.CHECKPOINT_INTERVAL]]
+    * commits, discovered O(1) via the `_last_checkpoint` marker), so the
+    * per-snapshot cost is O(commits since checkpoint) — at 10^5 versions
+    * the difference between a metadata lookup and an O(versions) replay
+    * per query. Commit files are never deleted, so a missing/corrupt
+    * checkpoint only means falling back to full replay, never a wrong
+    * answer.
+    */
   def snapshot(version: Option[Long] = None): Snapshot = {
     val target = version.getOrElse(latestVersion())
-    val versions = listVersions().filter(_ <= target)
-    require(versions.nonEmpty, s"version $target not found in $tablePath")
+    val cp = checkpointAtOrBefore(target)
+    val versions = listVersions()
+      .filter(v => v <= target && cp.forall(v > _.version))
+    require(versions.nonEmpty || cp.nonEmpty,
+      s"version $target not found in $tablePath")
     val active = mutable.LinkedHashMap.empty[String, AddFile]
-    var meta: Metadata = null
-    var proto: Protocol = Protocol()
+    var meta: Metadata = cp.map(_.metadata).orNull
+    var proto: Protocol = cp.map(_.protocol).getOrElse(Protocol())
+    cp.foreach(_.files.foreach(a => active(a.path) = a))
     versions.foreach { v =>
       readVersion(v).foreach {
         case a: AddFile    => active(a.path) = a
@@ -139,6 +161,75 @@ class GraftLog(val tablePath: String, conf: Configuration) {
     }
     require(meta != null, s"no metadata in log at $tablePath")
     Snapshot(target, meta, proto, active.values.toVector)
+  }
+
+  // ------------------------------------------------------------ checkpoints
+
+  /** Newest checkpoint with version <= `target`: the `_last_checkpoint`
+    * marker resolves the common case (target at-or-after the last
+    * checkpoint) in O(1); time travel below it falls back to one directory
+    * listing. Loaded checkpoints are cached process-wide (immutable files).
+    * Any read problem degrades to `None` — full replay, never an error.
+    */
+  private[log] def checkpointAtOrBefore(target: Long): Option[GraftLog.CheckpointState] = {
+    def load(v: Long): Option[GraftLog.CheckpointState] =
+      GraftLog.checkpointCache.get((tablePath, v))
+        .orElse {
+          val p = new Path(logDir, GraftLog.checkpointFileName(v))
+          try {
+            if (!fs.exists(p)) None
+            else {
+              val in = fs.open(p)
+              val lines =
+                try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+                  .filter(_.nonEmpty).toList
+                finally in.close()
+              val header = JsonUtils.fromJson[GraftLog.CheckpointHeader](lines.head)
+              var meta: Metadata = null
+              var proto: Protocol = Protocol()
+              val files = Vector.newBuilder[AddFile]
+              lines.tail.map(JsonUtils.lineToAction).foreach {
+                case a: AddFile  => files += a
+                case m: Metadata => meta = m
+                case p: Protocol => proto = p
+                case _           => ()
+              }
+              require(meta != null, s"checkpoint $p has no metadata")
+              val st = GraftLog.CheckpointState(header.version,
+                header.timestamps.map(t => (t(0), t(1))), meta, proto, files.result())
+              GraftLog.checkpointCache.put((tablePath, v), st)
+              Some(st)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+
+    val marker = try {
+      val p = new Path(logDir, GraftLog.LAST_CHECKPOINT)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        Some(JsonUtils.fromJson[GraftLog.CheckpointHeader](txt).version)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    marker.filter(_ <= target).flatMap(load).orElse {
+      // marker absent → no checkpoints were ever written (common small
+      // tables): skip straight to full replay with zero extra listings.
+      // Marker present but unusable (newer than the travel target, or its
+      // file failed to load): one directory listing finds the newest
+      // intact checkpoint at-or-before the target.
+      if (marker.isEmpty) None
+      else {
+        val cps = try fs.listStatus(logDir).toSeq
+          .map(_.getPath.getName)
+          .filter(_.endsWith(".checkpoint.json"))
+          .map(_.stripSuffix(".checkpoint.json").toLong)
+          .filter(_ <= target)
+        catch { case scala.util.control.NonFatal(_) => Seq.empty[Long] }
+        cps.sorted.reverseIterator.flatMap(load(_).iterator).nextOption()
+      }
+    }
   }
 
   /** All actions in `[start, end]` with `dataChange=true`, grouped by
@@ -170,6 +261,71 @@ case class CommitChange(version: Long, timestamp: Long, actions: Seq[Action])
 object GraftLog {
   val LOG_DIR = "_graft_log"
 
+  /** Write a consolidated checkpoint every N commits (Delta's default
+    * checkpoint interval).
+    */
+  val CHECKPOINT_INTERVAL = 10
+
+  val LAST_CHECKPOINT = "_last_checkpoint"
+
+  def checkpointFileName(v: Long): String = f"$v%020d.checkpoint.json"
+
+  /** First line of a checkpoint file (and the whole `_last_checkpoint`
+    * marker): the checkpointed version plus the monotonized commit
+    * timestamps of every version <= it ([v, ts] pairs), so time travel
+    * never re-reads checkpointed commits.
+    */
+  private[log] case class CheckpointHeader(
+      version: Long, timestamps: Seq[Seq[Long]] = Nil)
+
+  private[log] case class CheckpointState(
+      version: Long,
+      timestamps: Seq[(Long, Long)],
+      metadata: Metadata,
+      protocol: Protocol,
+      files: Seq[AddFile])
+
+  /** (tablePath, version) → parsed checkpoint; checkpoint files are
+    * immutable so entries never invalidate. Bounded: one entry per
+    * checkpoint actually read, and tables keep O(1) live checkpoints.
+    */
+  private val checkpointCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), CheckpointState]
+
+  /** Consolidate the state at `version` into a checkpoint file + marker.
+    * Idempotent (same content for the same immutable log prefix);
+    * temp+rename like commits. Commit files are NEVER deleted — a
+    * checkpoint is an accelerator, not a source of truth.
+    */
+  def writeCheckpoint(tablePath: String, version: Long, conf: Configuration): Unit = {
+    val log = new GraftLog(tablePath, conf)
+    val snap = log.snapshot(Some(version))
+    val tss = log.versionTimestamps().takeWhile(_._1 <= version)
+    val header = JsonUtils.toJson(
+      CheckpointHeader(version, tss.map(t => Seq(t._1, t._2))))
+    val lines = header +:
+      (JsonUtils.actionToLine(snap.protocol) +:
+        JsonUtils.actionToLine(snap.metadata) +:
+        snap.files.map(JsonUtils.actionToLine))
+    val logDir = new Path(tablePath, LOG_DIR)
+    val fs = logDir.getFileSystem(conf)
+    val target = new Path(logDir, checkpointFileName(version))
+    val tmp = new Path(logDir, s".${checkpointFileName(version)}.tmp")
+    val out = fs.create(tmp, true)
+    try lines.foreach(l => out.write((l + "\n").getBytes("UTF-8")))
+    finally out.close()
+    fs.delete(target, false) // idempotent rewrite (content is deterministic)
+    require(fs.rename(tmp, target), s"failed to write checkpoint $target")
+    // marker last: readers that see the marker always find the file
+    val mTmp = new Path(logDir, s".$LAST_CHECKPOINT.tmp")
+    val mOut = fs.create(mTmp, true)
+    try mOut.write(JsonUtils.toJson(CheckpointHeader(version)).getBytes("UTF-8"))
+    finally mOut.close()
+    val marker = new Path(logDir, LAST_CHECKPOINT)
+    fs.delete(marker, false)
+    require(fs.rename(mTmp, marker), s"failed to write $marker")
+  }
+
   /** tablePath → contiguous cached version listing (see [[GraftLog.listVersions]]). */
   private val listingCache =
     scala.collection.concurrent.TrieMap.empty[String, Vector[Long]]
@@ -177,9 +333,13 @@ object GraftLog {
   /** Test hook: count of full directory listings actually performed. */
   private[graft] val fullListings = new java.util.concurrent.atomic.AtomicLong
 
-  /** Test hook: drop a table's cached listing (e.g. after deleting it). */
-  private[graft] def invalidateListing(tablePath: String): Unit =
+  /** Test hook: drop a table's cached listing and checkpoints (e.g. after
+    * deleting it).
+    */
+  private[graft] def invalidateListing(tablePath: String): Unit = {
     listingCache.remove(tablePath)
+    checkpointCache.keys.filter(_._1 == tablePath).foreach(checkpointCache.remove)
+  }
 
   def versionFileName(v: Long): String = f"$v%020d.json"
 
@@ -203,5 +363,9 @@ object GraftLog {
       case Some(_)                            => listingCache.remove(tablePath)
       case None                               => ()
     }
+    // Delta-style automatic checkpointing: every INTERVAL commits,
+    // consolidate state so snapshot replay stays O(since-checkpoint).
+    if (version > 0 && version % CHECKPOINT_INTERVAL == 0)
+      writeCheckpoint(tablePath, version, conf)
   }
 }
