@@ -46,7 +46,8 @@ object Bench {
       "q33_stream_agg", "q34_share_cdf", "q36_rest_snapshot_scan",
       "q37_cdf_option", "q38_cdf_stream", "q42_cdf_stream_rest",
       "q45_dv_scan", "q46_column_mapping_scan", "q47_dv_rest_scan",
-      "q67_kernel_scan", "q72_cdf_incremental_agg", "q77_sql_catalog")
+      "q67_kernel_scan", "q72_cdf_incremental_agg", "q77_sql_catalog",
+      "q78_compacted_scan")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)

@@ -974,6 +974,19 @@ object SparkEntry {
           col("c.n_tok").as("n_tok"), col("c.first_tok").as("first_tok"))
     }),
 
+    // Beyond-reference writer op, read path under test: OPTIMIZE-style
+    // compaction — the fixture wrote 8 fragmented files then compacted
+    // them under a dataChange=false commit; the scan lands on the
+    // consolidated snapshot and rows are exactly the logical content.
+    "q78_compacted_scan" -> ((s, dir) => {
+      // balances summed in integer mils (3 decimals is exact for the
+      // fixture's halved 2-decimal values) — addition-order-proof
+      sharedTable(s, dir, "supplier_compacted")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(round(col("s_acctbal") * 1000).cast("long")).as("total_bal_mils"))
+    }),
+
     // §2.7 extension point: shared tables as first-class SQL names via the
     // TableCatalog plugin (DSv2 kernel scan underneath; VERSION/TIMESTAMP
     // AS OF resolve through the log). Rows identical to the fixture, so
@@ -1866,6 +1879,14 @@ object SparkEntry {
            CAST(least(32, n - start) AS BIGINT) AS n_tok,
            toks[CAST(start AS INT) + 1] AS first_tok
          FROM spans""",
+    "q78_compacted_scan" ->
+      """WITH t AS (
+           SELECT s_nationkey, s_acctbal FROM supplier
+           UNION ALL
+           SELECT s_nationkey, s_acctbal * 0.5 FROM supplier)
+         SELECT s_nationkey, count(*) AS n_suppliers,
+           CAST(sum(CAST(round(s_acctbal * 1000) AS BIGINT)) AS BIGINT) AS total_bal_mils
+         FROM t GROUP BY s_nationkey""",
     "q77_sql_catalog" ->
       """SELECT l_linestatus, count(*) AS n,
            CAST(sum(l_quantity) AS BIGINT) AS sum_qty

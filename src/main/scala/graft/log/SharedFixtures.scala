@@ -123,8 +123,23 @@ object SharedFixtures {
         partitionCols = Seq("c_mktsegment"), name = "customer_cm")
     }
 
+    // supplier_compacted: fragmented write (6 small files + a 2-file
+    // append) then OPTIMIZE-style compaction — readers land on the
+    // consolidated dataChange=false snapshot.
+    buildIfMissing(root, "supplier_compacted") { path =>
+      val s = spark.read.parquet(s"$sfDir/supplier.parquet")
+      TableBuilder.create(spark, s.repartition(6), path, name = "supplier_compacted")
+      TableBuilder.append(spark,
+        s.select((col("s_suppkey") + lit(100000L)).as("s_suppkey"),
+          concat(lit("extra-"), col("s_name")).as("s_name"),
+          col("s_nationkey"),
+          (col("s_acctbal") * lit(0.5)).as("s_acctbal")).repartition(2),
+        path, timestamp = 1000L)
+      TableBuilder.compact(spark, path, timestamp = 2000L)
+    }
+
     Seq("lineitem", "orders", "orders_versioned", "events", "orders_cdf",
-      "nation_dv", "customer_cm").foreach { t =>
+      "nation_dv", "customer_cm", "supplier_compacted").foreach { t =>
       GraftCatalog.register(s"$SHARE.$t", s"$root/$t")
     }
     built += root

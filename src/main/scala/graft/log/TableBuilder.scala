@@ -244,6 +244,131 @@ object TableBuilder {
     * `_change_type`). Affected files are found via `input_file_name()`
     * (one distributed pass), only those are rewritten.
     */
+  /** OPTIMIZE-style file compaction: bin-pack small active files (per
+    * partition) into ~`targetBytes` rewrites and commit the swap with
+    * `dataChange = false` — the delta compaction contract. Readers of the
+    * new snapshot see fewer, larger files (the 100 TB small-file problem:
+    * scan tasks, FileIndex listings, and shuffle fan-out all scale with
+    * file count); streaming sources and CDF skip the commit entirely
+    * because no ROW changed (`GraftSource`/`GraftCDF`/`serveChangeLines`
+    * all filter on `dataChange`). Old files stay on disk, so time travel
+    * below the compaction version still reads them.
+    *
+    * Binning is deterministic (path order, greedy first-fit), so repeated
+    * runs converge. Rejects DV'd and column-mapped tables — a physical
+    * rewrite would need DV-aware row filtering / physical-name mapping.
+    */
+  def compact(
+      spark: SparkSession,
+      tablePath: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      timestamp: Long = 0L): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logR = new GraftLog(tablePath, conf)
+    val prev = logR.snapshot(None)
+    graft.model.ColumnMapping.assertNoAdvancedFeatures(
+      prev.metadata, s"compact on $tablePath")
+    require(prev.files.forall(_.deletionVector.isEmpty),
+      s"compact on $tablePath: files carry deletion vectors; a compaction " +
+        "rewrite must apply + drop them (not implemented)")
+    val partitionCols = prev.metadata.partitionColumns
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    def abs(rel: String): String = new Path(root, rel).toString
+
+    val bins: Seq[Seq[AddFile]] = prev.files
+      .filter(_.size < targetBytes)
+      .groupBy(_.partitionValues)
+      .toSeq.sortBy(_._1.toSeq.sorted.mkString("|"))
+      .flatMap { case (_, inPart) =>
+        val packed = scala.collection.mutable.ArrayBuffer.empty[Vector[AddFile]]
+        var cur = Vector.empty[AddFile]
+        var size = 0L
+        inPart.sortBy(_.path).foreach { f =>
+          if (cur.nonEmpty && size + f.size > targetBytes) {
+            packed += cur; cur = Vector(f); size = f.size
+          } else { cur :+= f; size += f.size }
+        }
+        if (cur.nonEmpty) packed += cur
+        packed.filter(_.size >= 2)
+      }
+    if (bins.isEmpty) return logR.latestVersion() // nothing to do: no commit
+
+    val version = logR.latestVersion() + 1
+    val dataSchema = StructType(
+      prev.schema.fields.filterNot(f => partitionCols.contains(f.name)))
+    val before = collectParquet(fs, fs.makeQualified(root)).map(_.getPath.toUri).toSet
+    bins.foreach { bin =>
+      val df = spark.read.schema(dataSchema).parquet(bin.map(f => abs(f.path)): _*)
+      // data files don't store partition columns; re-attach them from the
+      // bin's partition values ("" ⇒ null per the partition-codec rule) so
+      // partitionBy routes the rewrite into the same directory
+      val withParts = partitionCols.foldLeft(df) { (d, c) =>
+        val t = prev.schema(c).dataType
+        val v = bin.head.partitionValues.getOrElse(c, null)
+        d.withColumn(c,
+          (if (v == null || v.isEmpty) lit(null) else lit(v)).cast(t))
+      }
+      withParts.coalesce(1).write.mode("append")
+        .partitionBy(partitionCols: _*).parquet(tablePath)
+    }
+    val adds = scanDataFiles(spark, tablePath, prev.schema, partitionCols, version, timestamp)
+      .filter(a => !before.contains(fs.makeQualified(new Path(root, a.path)).toUri))
+      .map(_.copy(dataChange = false))
+    val removes = bins.flatten.map(f =>
+      RemoveFile(f.path, f.partitionValues, f.size, dataChange = false, version, timestamp))
+    GraftLog.commit(tablePath, version, adds ++ removes, conf)
+    version
+  }
+
+  /** VACUUM: physically delete data files no longer referenced by the
+    * current snapshot whose tombstone (RemoveFile) is older than
+    * `retentionMs` relative to `nowMs` — the Delta vacuum contract. Time
+    * travel below the retention horizon stops working for vacuumed files
+    * (by design); everything still referenced is untouched:
+    *
+    *  - active files of the CURRENT snapshot (always kept);
+    *  - files tombstoned at/after the cutoff (kept so concurrent readers
+    *    of recent versions finish their scans);
+    *  - deletion-vector `.bin` blobs referenced by any active file;
+    *  - CDC capture files and the transaction log (never vacuumed).
+    *
+    * Like Delta's vacuum, BOTH time travel and CDF ranges below the
+    * horizon stop being servable once their data files are gone — the
+    * log still describes them, the bytes no longer exist.
+    *
+    * Driver-side O(files-on-disk) metadata work, like Delta's vacuum
+    * listing. Returns the number of deleted files.
+    */
+  def vacuum(
+      spark: SparkSession,
+      tablePath: String,
+      retentionMs: Long,
+      nowMs: Long): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logR = new GraftLog(tablePath, conf)
+    val snap = logR.snapshot(None)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val rootUri = fs.makeQualified(root).toUri
+    val cutoff = nowMs - retentionMs
+
+    val active = snap.files.map(_.path).toSet
+    val activeDvBins = snap.files.flatMap(_.deletionVector)
+      .flatMap(dv => Option(dv.pathOrInlineDv)).toSet
+    // every tombstone with ts >= cutoff protects its file
+    val recentTombstones = logR.listVersions().flatMap(logR.readVersion).collect {
+      case r: RemoveFile if r.timestamp >= cutoff => r.path
+    }.toSet
+
+    val candidates = collectParquet(fs, fs.makeQualified(root))
+      .map(st => relativize(rootUri, st.getPath.toUri))
+      .filterNot(rel => active(rel) || recentTombstones(rel) ||
+        activeDvBins(rel))
+    candidates.foreach(rel => fs.delete(new Path(root, rel), false))
+    candidates.size
+  }
+
   private def rewrite(
       spark: SparkSession,
       tablePath: String,

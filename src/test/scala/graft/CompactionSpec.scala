@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log._
+
+/** OPTIMIZE-style compaction: row-for-row equality, dataChange=false
+  * commit shape, stream/CDF indifference, time travel to pre-compaction
+  * versions, partitioned binning, and no-op convergence.
+  */
+class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val root = "/root/repo/target/test_compact"
+  val flat = s"$root/flat"
+  val parted = s"$root/parted"
+
+  private def conf = spark.sessionState.newHadoopConf()
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = new java.io.File(root)
+    if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    Seq(flat, parted).foreach(GraftLog.invalidateListing)
+    import spark.implicits._
+    // flat: CDF-enabled, 4 appends of 2 files each = 9 small files
+    TableBuilder.create(spark,
+      (0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(1),
+      flat, name = "flat", configuration = Map("enableChangeDataFeed" -> "true"))
+    (1 to 4).foreach { k =>
+      TableBuilder.append(spark,
+        (0 until 10).map(i => ((k * 100 + i).toLong, s"r$k$i")).toDF("id", "v")
+          .repartition(2),
+        flat, timestamp = k * 1000L)
+    }
+    // parted: two partitions, several files each
+    TableBuilder.create(spark,
+      (0 until 20).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "p")
+        .repartition(4),
+      parted, partitionCols = Seq("p"), name = "parted")
+    TableBuilder.append(spark,
+      (20 until 30).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "p")
+        .repartition(2),
+      parted, timestamp = 1000L)
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  test("compaction preserves rows exactly and reduces file count") {
+    val log = new GraftLog(flat, conf)
+    val beforeSnap = log.snapshot(None)
+    val beforeRows = spark.read.format("graft").option("path", flat).load()
+      .orderBy("id").collect()
+    val v = TableBuilder.compact(spark, flat, timestamp = 9000L)
+    val afterSnap = new GraftLog(flat, conf).snapshot(None)
+    assert(afterSnap.version === v)
+    assert(afterSnap.files.size < beforeSnap.files.size)
+    val afterRows = spark.read.format("graft").option("path", flat).load()
+      .orderBy("id").collect()
+    assert(afterRows.toSeq === beforeRows.toSeq)
+    // swap is entirely dataChange=false
+    val actions = log.readVersion(v)
+    assert(actions.nonEmpty)
+    actions.foreach {
+      case a: graft.model.AddFile    => assert(!a.dataChange)
+      case r: graft.model.RemoveFile => assert(!r.dataChange)
+      case other => fail(s"unexpected action in compaction commit: $other")
+    }
+  }
+
+  test("streams skip the compaction commit; CDF reports no changes for it") {
+    // stream from version 0: only data-change rows arrive — 50, never the
+    // compacted duplicates
+    val q = spark.readStream.format("graft").option("path", flat).load()
+      .groupBy().count()
+      .writeStream.format("memory").queryName("t_compact")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    assert(spark.table("t_compact").collect().head.getLong(0) === 50L)
+    // CDF over the compaction version alone is empty
+    val log = new GraftLog(flat, conf)
+    val cv = log.latestVersion()
+    assert(GraftCDF.tableChanges(spark, flat, cv, Some(cv)).count() === 0L)
+  }
+
+  test("time travel below the compaction still reads the original files") {
+    val log = new GraftLog(flat, conf)
+    val cv = log.latestVersion()
+    val preSnap = log.snapshot(Some(cv - 1))
+    assert(preSnap.files.size > log.snapshot(None).files.size)
+    val preRows = spark.read.format("graft").option("path", flat)
+      .option("versionAsOf", (cv - 1).toString).load().count()
+    assert(preRows === 50L)
+  }
+
+  test("partitioned compaction bins within partitions and keeps values typed") {
+    val before = new GraftLog(parted, conf).snapshot(None)
+    val beforeByPart = before.files.groupBy(_.partitionValues.get("p"))
+    assert(beforeByPart.forall(_._2.size >= 2), "fixture should be fragmented")
+    val beforeRows = spark.read.format("graft").option("path", parted).load()
+      .orderBy("id").collect()
+    TableBuilder.compact(spark, parted, timestamp = 2000L)
+    val after = new GraftLog(parted, conf).snapshot(None)
+    // one file per partition now
+    val byPart = after.files.groupBy(_.partitionValues.get("p"))
+    assert(byPart.keySet === Set(Some("a"), Some("b")))
+    assert(byPart.forall(_._2.size === 1))
+    val afterRows = spark.read.format("graft").option("path", parted).load()
+      .orderBy("id").collect()
+    assert(afterRows.toSeq === beforeRows.toSeq)
+    // partition pruning still works on the compacted table
+    val onlyA = spark.read.format("graft").option("path", parted).load()
+      .filter(col("p") === "a").count()
+    assert(onlyA === beforeRows.count(_.getString(1) == "a"))
+  }
+
+  test("compaction is convergent: a second run is a no-op without a commit") {
+    val log = new GraftLog(flat, conf)
+    val v1 = log.latestVersion()
+    val v2 = TableBuilder.compact(spark, flat, timestamp = 9500L)
+    assert(v2 === v1, "fully compacted table must not commit again")
+  }
+
+  test("vacuum respects retention: recent tombstones protect their files") {
+    // compaction tombstones carry ts=9000; cutoff 10000-5000=5000 < 9000
+    val deleted = TableBuilder.vacuum(spark, flat, retentionMs = 5000L, nowMs = 10000L)
+    assert(deleted === 0)
+    // time travel below the compaction still works
+    val cv = new GraftLog(flat, conf).latestVersion()
+    assert(spark.read.format("graft").option("path", flat)
+      .option("versionAsOf", (cv - 1).toString).load().count() === 50L)
+  }
+
+  test("vacuum past retention deletes exactly the unreferenced files") {
+    val log = new GraftLog(flat, conf)
+    val activeBefore = log.snapshot(None).files.map(_.path).toSet
+    val onDisk = new java.io.File(flat).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(onDisk.size > activeBefore.size, "pre-vacuum disk must hold orphans")
+
+    val deleted = TableBuilder.vacuum(spark, flat, retentionMs = 0L, nowMs = 20000L)
+    assert(deleted === onDisk.size - activeBefore.size)
+
+    // the current snapshot is untouched...
+    assert(spark.read.format("graft").option("path", flat).load().count() === 50L)
+    // ...but history below the horizon is no longer servable: both time
+    // travel and CDF ranges over vacuumed adds fail at scan time (the
+    // Delta vacuum trade — the log describes them, the bytes are gone)
+    val cv = log.latestVersion()
+    val pre = spark.read.format("graft").option("path", flat)
+      .option("versionAsOf", (cv - 1).toString).load()
+    intercept[Exception](pre.count())
+    intercept[Exception](GraftCDF.tableChanges(spark, flat, 0).count())
+  }
+}
