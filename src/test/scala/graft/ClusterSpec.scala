@@ -107,4 +107,21 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(remote.select("n_nationkey").as[Long].collect().sorted ===
       expected.select("n_nationkey").as[Long].collect().sorted)
   }
+
+  test("bloom semi-join evaluates across executor JVMs") {
+    requireSparkHome()
+    // the bloom sketch is built by executors, merged on the driver
+    // (scalar subquery), then shipped back inside might_contain's
+    // codegen — three serialization boundaries a single-JVM run hides
+    import spark.implicits._
+    val probe = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val build = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_totalprice") > lit(400000.0))
+    val got = graft.ops.BloomJoin.bloomSemiJoin(
+      probe, build, "l_orderkey", "o_orderkey", expectedItems = 10000L).count()
+    val expected = probe.join(
+      build.select(col("o_orderkey").as("l_orderkey")).distinct(),
+      Seq("l_orderkey"), "left_semi").count()
+    assert(got === expected)
+  }
 }
