@@ -561,7 +561,8 @@ object Dedup {
       pairs: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      smallGraphEdgeThreshold: Long = 1L << 20): DataFrame = {
     // Undirected simple edges u != v (self loops are implicit in the
     // star operations).
     var edges = pairs
@@ -569,6 +570,44 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+
+    // Small-graph fast path: near-dup edge sets are usually FAR smaller
+    // than the corpus (dedup pairs, not documents). Below the threshold
+    // (default 1M edges ≈ 16 MB — the same order as a broadcast side),
+    // a driver union-find with path compression answers in O(E α(E))
+    // instead of O(log² n) distributed rounds whose per-round scheduling
+    // dominates at this size. The alternating-star path below remains
+    // the algorithm for graphs that exceed the threshold — exactly the
+    // size-gated driver/cluster split `broadcast()` makes.
+    val edgeCount = edges.count()
+    if (edgeCount <= smallGraphEdgeThreshold) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+        var cur = x // path compression
+        while (parent.getOrElse(cur, cur) != root) {
+          val next = parent.getOrElse(cur, cur); parent(cur) = root; cur = next
+        }
+        root
+      }
+      es.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val nodeSet = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+      nodeSet.foreach { n =>
+        val r = find(n)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return nodeSet.toSeq.map(n => (n, minOfRoot(find(n))))
+        .toDF("node", "component")
+    }
+
     val nodes = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node"))).distinct()
       .localCheckpoint(true)
@@ -610,7 +649,11 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // LAZY local checkpoint: the signature aggregate is the action that
+      // materializes it, so each round costs ONE job (eager checkpointing
+      // would spend a second job per round just to materialize — measured
+      // round overhead halves on small graphs where scheduling dominates)
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = signature(next)
       edges.unpersist()
       edges = next

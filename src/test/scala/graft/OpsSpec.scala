@@ -207,22 +207,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("connected components: chains, cliques, singleton pairs, empty") {
     import spark.implicits._
-    def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
-      val df = pairs.toDF("a", "b")
-      Dedup.connectedComponents(df, "a", "b")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // threshold 0 forces the distributed alternating-star path; the
+    // default exercises the driver union-find fast path — both must agree
+    for (threshold <- Seq(0L, 1L << 20)) {
+      def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+        val df = pairs.toDF("a", "b")
+        Dedup.connectedComponents(df, "a", "b",
+          smallGraphEdgeThreshold = threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      // a long chain (worst case for naive propagation) + a separate clique
+      val chain = (1L to 9L).sliding(2).map(s => (s(1), s(0))).toSeq
+      val clique = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+      val got = cc(chain ++ clique)
+      assert((1L to 9L).forall(n => got(n) == 1L))
+      assert(Seq(20L, 21L, 22L).forall(n => got(n) == 20L))
+      // disjoint pair + duplicate/reversed edges collapse
+      val got2 = cc(Seq((5L, 6L), (6L, 5L), (5L, 6L), (8L, 7L)))
+      assert(got2 === Map(5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+      // empty edge set
+      assert(cc(Nil).isEmpty)
     }
-    // a long chain (worst case for naive propagation) + a separate clique
-    val chain = (1L to 9L).sliding(2).map(s => (s(1), s(0))).toSeq
-    val clique = Seq((20L, 21L), (21L, 22L), (20L, 22L))
-    val got = cc(chain ++ clique)
-    assert((1L to 9L).forall(n => got(n) == 1L))
-    assert(Seq(20L, 21L, 22L).forall(n => got(n) == 20L))
-    // disjoint pair + duplicate/reversed edges collapse
-    val got2 = cc(Seq((5L, 6L), (6L, 5L), (5L, 6L), (8L, 7L)))
-    assert(got2 === Map(5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
-    // empty edge set
-    assert(cc(Nil).isEmpty)
   }
 
   test("contamination screen flags docs overlapping the benchmark pool") {
