@@ -343,8 +343,29 @@ object GraftLog {
 
   def versionFileName(v: Long): String = f"$v%020d.json"
 
+  /** In-process commit mutual exclusion: `exists` + `rename` is
+    * check-then-act, and local-FS rename REPLACES an existing target
+    * silently — two racing same-version committers would otherwise both
+    * "succeed" with one commit lost. Cross-process exclusion needs a
+    * LogStore with atomic put-if-absent (what Delta requires of object
+    * stores); in-process (this library's writer surface) the lock plus
+    * the re-check below is sufficient.
+    */
+  private val commitLock = new Object
+
   /** Atomically write one commit file (temp + rename). */
   def commit(tablePath: String, version: Long, actions: Seq[Action], conf: Configuration): Unit = {
+    commitLock.synchronized(commitLocked(tablePath, version, actions, conf))
+    // Delta-style automatic checkpointing: every INTERVAL commits,
+    // consolidate state so snapshot replay stays O(since-checkpoint).
+    // Outside the lock: checkpointing is an O(files) accelerator write,
+    // idempotent and never load-bearing for correctness.
+    if (version > 0 && version % CHECKPOINT_INTERVAL == 0)
+      writeCheckpoint(tablePath, version, conf)
+  }
+
+  private def commitLocked(
+      tablePath: String, version: Long, actions: Seq[Action], conf: Configuration): Unit = {
     val logDir = new Path(tablePath, LOG_DIR)
     val fs = logDir.getFileSystem(conf)
     fs.mkdirs(logDir)
@@ -363,9 +384,5 @@ object GraftLog {
       case Some(_)                            => listingCache.remove(tablePath)
       case None                               => ()
     }
-    // Delta-style automatic checkpointing: every INTERVAL commits,
-    // consolidate state so snapshot replay stays O(since-checkpoint).
-    if (version > 0 && version % CHECKPOINT_INTERVAL == 0)
-      writeCheckpoint(tablePath, version, conf)
   }
 }

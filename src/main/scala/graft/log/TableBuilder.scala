@@ -61,6 +61,11 @@ object TableBuilder {
     val conf = spark.sessionState.newHadoopConf()
     val logR = new GraftLog(tablePath, conf)
     val prev = logR.snapshot(None)
+    // a mismatched append would write parquet that silently breaks every
+    // reader of the pinned table schema — refuse up front (same contract
+    // the streaming schema-drift guard enforces on the read side)
+    graft.model.SchemaCompat.assertReadCompatible(
+      prev.schema, df.schema, s"append to $tablePath")
     val version = logR.latestVersion() + 1
     val partitionCols = prev.metadata.partitionColumns
     val root = new Path(tablePath)

@@ -114,4 +114,39 @@ class CheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 26)
     assert(df.agg(max("id")).collect().head.getLong(0) === 25L)
   }
+
+  test("racing same-version commits: exactly one wins") {
+    import spark.implicits._
+    val t = s"$root/race"
+    TableBuilder.create(spark, Seq((1L, "x")).toDF("id", "v"), t, name = "race")
+    val v = new GraftLog(t, conf).latestVersion() + 1
+    val meta = new GraftLog(t, conf).snapshot(None).metadata
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger
+    val threads = (1 to 8).map(_ => new Thread(() => {
+      latch.await()
+      try { GraftLog.commit(t, v, Seq(meta), conf); wins.incrementAndGet(); () }
+      catch { case _: Exception => () }
+    }))
+    threads.foreach(_.start()); latch.countDown(); threads.foreach(_.join())
+    assert(wins.get === 1, s"exactly one committer of version $v may win, got ${wins.get}")
+    assert(new GraftLog(t, conf).latestVersion() === v)
+  }
+
+  test("append refuses an incompatible schema up front") {
+    import spark.implicits._
+    val t = s"$root/drift"
+    TableBuilder.create(spark, Seq((1L, "x")).toDF("id", "v"), t, name = "drift")
+    // renamed column
+    val e1 = intercept[IllegalStateException](
+      TableBuilder.append(spark, Seq((2L, "y")).toDF("id", "renamed"), t))
+    assert(e1.getMessage.contains("append to"))
+    // type change
+    val e2 = intercept[IllegalStateException](
+      TableBuilder.append(spark, Seq((2L, 3.5)).toDF("id", "v"), t))
+    assert(e2.getMessage.contains("append to"))
+    // compatible append still lands
+    TableBuilder.append(spark, Seq((2L, "y")).toDF("id", "v"), t)
+    assert(spark.read.format("graft").option("path", t).load().count() === 2L)
+  }
 }
