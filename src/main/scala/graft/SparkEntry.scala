@@ -974,6 +974,17 @@ object SparkEntry {
           col("c.n_tok").as("n_tok"), col("c.first_tok").as("first_tok"))
     }),
 
+    // Beyond-reference: deterministic WEIGHTED sampling without
+    // replacement (Efraimidis–Spirakis race keys over content-addressed
+    // uniforms) — quality/length-weighted corpus sampling whose result is
+    // identical on every engine; top-k by race key is
+    // TakeOrderedAndProject, never a global sort.
+    "q79_weighted_sample" -> ((s, dir) => {
+      graft.ops.Sampling.weightedSample(
+        t(s, dir, "documents"), col("doc_id"), col("n_chars").cast("double"), k = 50)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    }),
+
     // Beyond-reference writer op, read path under test: OPTIMIZE-style
     // compaction — the fixture wrote 8 fragmented files then compacted
     // them under a dataChange=false commit; the scan lands on the
@@ -1879,6 +1890,14 @@ object SparkEntry {
            CAST(least(32, n - start) AS BIGINT) AS n_tok,
            toks[CAST(start AS INT) + 1] AS first_tok
          FROM spans""",
+    "q79_weighted_sample" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM (
+           SELECT doc_id, n_chars,
+             -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                       AS BIGINT) + 1.0) / power(16.0, 13))
+               / CAST(n_chars AS DOUBLE) AS race
+           FROM documents)
+         ORDER BY race LIMIT 50""",
     "q78_compacted_scan" ->
       """WITH t AS (
            SELECT s_nationkey, s_acctbal FROM supplier

@@ -47,6 +47,35 @@ object Sampling {
     fractions.foldRight(bernoulli(key, default)) { case ((s, f), acc) =>
       when(stratum === s, bernoulli(key, f)).otherwise(acc)
     }
+
+  /** Deterministic uniform in (0,1] from a key: 13 hex chars of md5 (52
+    * bits — exactly representable in a double) scaled, then shifted away
+    * from 0 so ln() below is always finite. Content-addressed like
+    * [[bernoulli]]: same key ⇒ same draw on every engine.
+    */
+  def uniform01(key: Column): Column =
+    (conv(substring(md5(key.cast("string")), 1, 13), 16, 10).cast("double") + 1.0) /
+      lit(math.pow(16.0, 13))
+
+  /** Weighted-sampling race key (Efraimidis–Spirakis, IPL 2006): the k
+    * rows with the LARGEST `u^(1/w)` — equivalently, by monotonicity, the
+    * SMALLEST `−ln(u)/w` — form an exact weighted sample without
+    * replacement. The draw u is content-addressed, so the sample is
+    * deterministic and engine-reproducible.
+    *
+    * 100 TB shape: a pure per-row expression; the top-k by this key is
+    * `TakeOrderedAndProject` (per-partition heads + one tiny merge),
+    * never a global sort — weighted corpus sampling at scan speed.
+    */
+  def weightedRaceKey(key: Column, weight: Column): Column =
+    -log(uniform01(key)) / weight
+
+  /** The k-row weighted sample itself (weights must be positive). */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame =
+    df.withColumn("__race", weightedRaceKey(key, weight))
+      .orderBy(col("__race"))
+      .limit(k)
+      .drop("__race")
 }
 
 /** Greedy token-budget shard packing: within each stratum (ordered

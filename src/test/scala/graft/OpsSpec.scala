@@ -658,6 +658,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Array(3L, 7L, 250L, 499L))
   }
 
+  test("weighted sample: deterministic, exact k, heavy weights dominate") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, if (i == 7L) 1e6 else 1.0)).toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, col("id"), col("w"), 5)
+      .select("id").as[Long].collect().sorted
+    val s2 = Sampling.weightedSample(df, col("id"), col("w"), 5)
+      .select("id").as[Long].collect().sorted
+    assert(s1.toSeq === s2.toSeq, "content-addressed draws must be stable")
+    assert(s1.length === 5)
+    assert(s1.contains(7L), "a million-fold weight must win a race slot")
+    // k beyond the population returns everything
+    assert(Sampling.weightedSample(df, col("id"), col("w"), 500).count() === 100L)
+  }
+
   test("token chunks cover the doc with the configured stride and sizes") {
     import spark.implicits._
     val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
