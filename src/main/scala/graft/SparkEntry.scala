@@ -985,6 +985,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
     }),
 
+    // Beyond-reference: per-language weighted sample — k race winners
+    // within every stratum via one stratum-partitioned window (parallel
+    // across strata; the training-mix "n docs per language, weighted by
+    // length" selector).
+    "q80_stratified_weighted_sample" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedWeightedSample(
+        t(s, dir, "documents"),
+        col("doc_id"), col("n_chars").cast("double"), col("lang"), k = 10)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    }),
+
     // Beyond-reference writer op, read path under test: OPTIMIZE-style
     // compaction — the fixture wrote 8 fragmented files then compacted
     // them under a dataChange=false commit; the scan lands on the
@@ -1890,6 +1901,15 @@ object SparkEntry {
            CAST(least(32, n - start) AS BIGINT) AS n_tok,
            toks[CAST(start AS INT) + 1] AS first_tok
          FROM spans""",
+    "q80_stratified_weighted_sample" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY
+               -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                         AS BIGINT) + 1.0) / power(16.0, 13))
+                 / CAST(n_chars AS DOUBLE)) AS rk
+           FROM documents)
+         WHERE rk <= 10""",
     "q79_weighted_sample" ->
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM (
            SELECT doc_id, n_chars,

@@ -76,6 +76,18 @@ object Sampling {
       .orderBy(col("__race"))
       .limit(k)
       .drop("__race")
+
+  /** Per-stratum weighted sample: k race winners within every stratum
+    * (one window partitioned by stratum — parallel across strata, the
+    * same shape as [[Packing.packByBudget]]).
+    */
+  def stratifiedWeightedSample(
+      df: DataFrame, key: Column, weight: Column, stratum: Column, k: Int): DataFrame =
+    df.withColumn("__race", weightedRaceKey(key, weight))
+      .withColumn("__rk",
+        row_number().over(Window.partitionBy(stratum).orderBy(col("__race"))))
+      .filter(col("__rk") <= k)
+      .drop("__race", "__rk")
 }
 
 /** Greedy token-budget shard packing: within each stratum (ordered
