@@ -9,11 +9,13 @@ import graft.model.JsonUtils
 
 /** The sharing *profile file* — the reference's canonical client entry
   * point (`spark.read.format(...).load("<profile>#<share>.<schema>.<table>")`;
-  * format documented in the reference PROTOCOL "Profile File Format":
-  * shareCredentialsVersion, endpoint, bearerToken, optional
-  * expirationTime). Loaded through the Hadoop FileSystem API so profiles
-  * resolve from any configured store (file:, hdfs:, ...), same as the
-  * reference's `DeltaSharingFileProfileProvider`.
+  * format spec `PROTOCOL.md:4284-4300`: shareCredentialsVersion,
+  * endpoint, bearerToken, optional expirationTime; version-cap error
+  * contract `PROTOCOL.md:4284`). Loaded through the Hadoop FileSystem API
+  * so profiles resolve from any configured store (file:, hdfs:, ...),
+  * same as the reference's `DeltaSharingFileProfileProvider`
+  * (`client/.../DeltaSharingProfileProvider.scala:194-230`; version check
+  * in `DeltaSharingProfile.validate`).
   */
 case class ShareProfile(
     shareCredentialsVersion: Integer = null,
@@ -60,13 +62,17 @@ object ShareProfile {
   /** Rewrite `load("<profile>#share.schema.table")` parameters into the
     * explicit url/token/table options the remote path consumes. Returns
     * the parameters unchanged when no profile-style path is present.
+    * Split on the LAST '#' like the reference's parser
+    * (`DeltaSharingClient.parsePath`, `client/.../DeltaSharingClient
+    * .scala:1592-1615`) — a profile file path may contain '#', a table
+    * FQN cannot.
     */
   def resolveParameters(
       conf: Configuration, parameters: Map[String, String]): Map[String, String] =
     parameters.get("path").filter(_.contains("#")) match {
       case None => parameters
       case Some(addr) =>
-        val sep = addr.indexOf('#')
+        val sep = addr.lastIndexOf('#')
         val (profilePath, fqn) = (addr.substring(0, sep), addr.substring(sep + 1))
         if (fqn.isEmpty) throw new IllegalArgumentException(
           s"profile address must be <profile>#<share>.<schema>.<table>, got $addr")
