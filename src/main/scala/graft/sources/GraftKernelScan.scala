@@ -94,18 +94,49 @@ class GraftKernelTable(tablePath: String, snapshot: Snapshot)
   override def schema(): StructType = snapshot.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    new GraftKernelScanBuilder(spark, name(), snapshot.schema,
+      snapshot.metadata.partitionColumns.toSet,
+      limit => new GraftFileIndex(spark, tablePath, snapshot, limit.map(_.toLong)))
+  }
+}
+
+/** The same DSv2 columnar scan over a REMOTE shared table: partition
+  * planning goes through [[RemoteGraftFileIndex]] (jsonPredicateHints to
+  * the server, pre-signed URLs registered in the refreshing cache) and
+  * scan tasks read parquet bytes via `graft://` Range requests — the
+  * kernel path and the REST path composed. Advanced reader features are
+  * refused like the local kernel scan (the table's configuration travels
+  * in the wire metadata).
+  */
+class RemoteGraftKernelTable(
+    spark: SparkSession,
+    baseIndex: RemoteGraftFileIndex,
+    label: String) extends Table with SupportsRead {
+  override def name(): String = label
+  override def schema(): StructType = baseIndex.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftKernelScanBuilder(SparkSession.active, tablePath, snapshot)
+    new GraftKernelScanBuilder(spark, label, baseIndex.fullSchema,
+      baseIndex.partitionSchema.fieldNames.toSet,
+      limit => limit.fold(baseIndex: org.apache.spark.sql.execution.datasources.FileIndex)(
+        n => baseIndex.withLimit(n.toLong)))
 }
 
 /** Collects Spark's pushdown calls, then builds the scan. All pushed
   * filters are echoed back as residuals (sound superset pruning).
   */
-class GraftKernelScanBuilder(spark: SparkSession, tablePath: String, snapshot: Snapshot)
+class GraftKernelScanBuilder(
+    spark: SparkSession,
+    label: String,
+    fullSchema: StructType,
+    partitionCols: Set[String],
+    mkIndex: Option[Int] => org.apache.spark.sql.execution.datasources.FileIndex)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
-  private val fullSchema = snapshot.schema
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
@@ -125,7 +156,8 @@ class GraftKernelScanBuilder(spark: SparkSession, tablePath: String, snapshot: S
   }
 
   override def build(): Scan =
-    new GraftKernelScan(spark, tablePath, snapshot, required, pushed, limit)
+    new GraftKernelScan(spark, label, fullSchema, partitionCols,
+      mkIndex(limit), required, pushed, limit)
 }
 
 case class GraftKernelInputPartition(
@@ -137,13 +169,14 @@ case class GraftKernelInputPartition(
 
 class GraftKernelScan(
     spark: SparkSession,
-    tablePath: String,
-    snapshot: Snapshot,
+    label: String,
+    fullSchema: StructType,
+    partitionCols: Set[String],
+    index: org.apache.spark.sql.execution.datasources.FileIndex,
     required: StructType,
     pushed: Array[Filter],
     limit: Option[Int]) extends Scan with Batch {
 
-  private val partitionCols = snapshot.metadata.partitionColumns.toSet
   /** Requested columns that live in the parquet files, in requested order. */
   private val requiredData = StructType(required.filterNot(f => partitionCols(f.name)))
   /** Requested partition columns (constant per file). */
@@ -157,17 +190,14 @@ class GraftKernelScan(
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"graft-kernel ${new org.apache.hadoop.fs.Path(tablePath).getName} " +
-      s"v${snapshot.version} pushed=[${pushed.mkString(", ")}]" +
+    s"$label pushed=[${pushed.mkString(", ")}]" +
       limit.fold("")(n => s" limit=$n")
 
   override def planInputPartitions(): Array[InputPartition] = {
     // same three prunings as the V1 path, via the shared FileIndex
-    val exprs = pushed.flatMap(KernelFilters.toCatalyst(_, snapshot.schema))
+    val exprs = pushed.flatMap(KernelFilters.toCatalyst(_, fullSchema))
     val (partExprs, dataExprs) =
       exprs.partition(_.references.forall(a => partitionCols(a.name)))
-    val index = new GraftFileIndex(spark, tablePath, snapshot,
-      limit.map(_.toLong))
     val dirs = index.listFiles(partExprs.toSeq, dataExprs.toSeq)
     // project each directory's full partition row down to requiredPart
     val partIdx = requiredPart.map(f => index.partitionSchema.fieldIndex(f.name))

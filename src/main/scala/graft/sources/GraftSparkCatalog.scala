@@ -36,9 +36,18 @@ import graft.log.GraftCatalog
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
+  /** Remote mode: `spark.sql.catalog.<name>.url` (+ `.token`) points the
+    * catalog at a sharing server instead of the in-process registry —
+    * identifiers resolve through the REST listings, tables scan through
+    * [[RemoteGraftFileIndex]] + `graft://` pre-signed reads.
+    */
+  private var remote: Option[graft.client.GraftRestClient] = None
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    remote = Option(options.get("url")).map(url =>
+      new graft.client.GraftRestClient(url, Option(options.get("token"))))
+  }
 
   override def name(): String = catalogName
 
@@ -49,11 +58,20 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       s"catalog $catalogName serves shared tables, which are read-only by protocol")
 
+  /** All known `share.schema.table` names (registry or REST listings). */
+  private def allTables: Seq[String] = remote match {
+    case None => GraftCatalog.listTables()
+    case Some(c) =>
+      c.listShares().flatMap(s => c.listAllTables(s).map {
+        case (schema, table) => s"$s.$schema.$table"
+      })
+  }
+
   // ------------------------------------------------------------- tables
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val prefix = namespace.toSeq
-    val matching = GraftCatalog.listTables()
+    val matching = allTables
       .map(_.split("\\.").toSeq)
       .filter(parts => parts.init == prefix)
     if (matching.isEmpty && !namespaceExists(namespace))
@@ -62,7 +80,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    GraftCatalog.listTables().contains(fqn(ident))
+    allTables.contains(fqn(ident))
 
   override def loadTable(ident: Identifier): Table = load(ident, None, None)
 
@@ -80,20 +98,39 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     load(ident, None, Some(Math.floorDiv(timestampMicros, 1000L)))
 
   private def load(
-      ident: Identifier, version: Option[Long], timestampMs: Option[Long]): Table = {
-    val f = fqn(ident)
-    val path = try GraftCatalog.location(f) catch {
-      case _: NoSuchElementException => throw new NoSuchTableException(ident)
+      ident: Identifier, version: Option[Long], timestampMs: Option[Long]): Table =
+    remote match {
+      case None =>
+        val f = fqn(ident)
+        val path = try GraftCatalog.location(f) catch {
+          case _: NoSuchElementException => throw new NoSuchTableException(ident)
+        }
+        val snapshot =
+          GraftCatalog.snapshot(SparkSession.active, f, version, timestampMs)
+        require(snapshot.files.forall(_.deletionVector.isEmpty) &&
+          !graft.model.ColumnMapping.isEnabled(snapshot.metadata),
+          s"$catalogName serves tables via the DSv2 columnar scan, which does " +
+            "not apply deletion vectors / column mapping; read this table with " +
+            "format(\"graft\") instead")
+        new GraftKernelTable(path, snapshot)
+      case Some(client) =>
+        val spark = SparkSession.active
+        GraftFileSystem.register(spark)
+        if (!tableExists(ident)) throw new NoSuchTableException(ident)
+        val Array(share, schema, table) = (ident.namespace() :+ ident.name())
+        val index = new RemoteGraftFileIndex(spark, client, share, schema, table,
+          versionAsOf = version,
+          timestampAsOf = timestampMs.map(ms =>
+            java.time.Instant.ofEpochMilli(ms).toString))
+        // the scan decodes raw parquet bytes: a column-mapped table's
+        // logical wire schema would silently match nothing — refuse (DV
+        // tables are already refused server-side in the parquet dialect)
+        require(!index.configuration.get("delta.columnMapping.mode").exists(_ != "none"),
+          s"$catalogName serves tables via the DSv2 columnar scan, which does " +
+            "not apply column mapping; read this table with format(\"graft\")")
+        new RemoteGraftKernelTable(spark, index,
+          s"graft-kernel-remote:$share.$schema.$table")
     }
-    val snapshot =
-      GraftCatalog.snapshot(SparkSession.active, f, version, timestampMs)
-    require(snapshot.files.forall(_.deletionVector.isEmpty) &&
-      !graft.model.ColumnMapping.isEnabled(snapshot.metadata),
-      s"$catalogName serves tables via the DSv2 columnar scan, which does " +
-        "not apply deletion vectors / column mapping; read this table with " +
-        "format(\"graft\") instead")
-    new GraftKernelTable(path, snapshot)
-  }
 
   override def createTable(
       ident: Identifier, columns: Array[Column], partitions: Array[Transform],
@@ -111,7 +148,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     * their one-level `share` parents), derived from the registry.
     */
   private def knownNamespaces: Seq[Seq[String]] = {
-    val full = GraftCatalog.listTables().map(_.split("\\.").toSeq.init).distinct
+    val full = allTables.map(_.split("\\.").toSeq.init).distinct
     (full ++ full.map(_.take(1))).distinct
   }
 

@@ -42,6 +42,9 @@ class RemoteGraftFileIndex(
   val fullSchema: StructType =
     DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
 
+  /** Table configuration as served in the wire metadata (feature guards). */
+  def configuration: Map[String, String] = meta.configuration
+
   override val partitionSchema: StructType =
     StructType(meta.partitionColumns.map(c => fullSchema(c)))
 

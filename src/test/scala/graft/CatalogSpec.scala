@@ -97,4 +97,44 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql(s"CREATE TABLE $T.t2 (a INT)"))
     assert(e2.getMessage.contains("read-only"), e2.getMessage)
   }
+
+  // ---------------------------------------------------- remote catalog
+
+  private lazy val remoteCat: String = {
+    val url = graft.server.LocalShareServer.ensure(spark, sfDir)
+    spark.conf.set("spark.sql.catalog.graftr",
+      classOf[graft.sources.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftr.url", url)
+    spark.conf.set("spark.sql.catalog.graftr.token",
+      graft.server.LocalShareServer.TOKEN)
+    s"graftr.${SharedFixtures.SHARE}"
+  }
+
+  test("remote catalog: SQL names resolve through the REST listings") {
+    val viaRest = spark.sql(s"SELECT count(*) AS n FROM $remoteCat.lineitem")
+      .collect().head.getLong(0)
+    assert(viaRest === spark.read.parquet(s"$sfDir/lineitem.parquet").count())
+    val tables = spark.sql(s"SHOW TABLES IN $remoteCat")
+      .collect().map(_.getString(1)).toSet
+    assert(tables.contains("lineitem") && tables.contains("orders_versioned"))
+  }
+
+  test("remote catalog: filters prune server-side, rows stay exact") {
+    val got = spark.sql(
+      s"SELECT count(*) AS n FROM $remoteCat.lineitem WHERE l_orderkey < 100")
+      .collect().head.getLong(0)
+    val expected = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") < 100).count()
+    assert(got === expected)
+  }
+
+  test("remote catalog: VERSION AS OF travels through the REST metadata") {
+    val v1 = spark.sql(
+      s"SELECT count(*) AS n FROM $remoteCat.orders_versioned VERSION AS OF 1")
+      .collect().head.getLong(0)
+    val v1local = spark.read.format("graft")
+      .option("table", s"${SharedFixtures.SHARE}.orders_versioned")
+      .option("versionAsOf", "1").load().count()
+    assert(v1 === v1local)
+  }
 }
