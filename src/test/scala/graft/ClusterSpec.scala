@@ -108,6 +108,19 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       expected.select("n_nationkey").as[Long].collect().sorted)
   }
 
+  test("remote SQL catalog scans across executor JVMs") {
+    requireSparkHome()
+    // SQL name → REST listings → DSv2 kernel scan whose tasks open
+    // graft:// in separate executor processes (driver-RPC URL resolution)
+    spark.conf.set("spark.sql.catalog.graftr",
+      classOf[graft.sources.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftr.url", server.url)
+    spark.conf.set("spark.sql.catalog.graftr.token", TOKEN)
+    val viaSql = spark.sql("SELECT count(*) AS n FROM graftr.share1.default.lineitem")
+      .collect().head.getLong(0)
+    assert(viaSql === spark.read.parquet(s"$sfDir/lineitem.parquet").count())
+  }
+
   test("bloom semi-join evaluates across executor JVMs") {
     requireSparkHome()
     // the bloom sketch is built by executors, merged on the driver
