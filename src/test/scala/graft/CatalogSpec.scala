@@ -137,4 +137,15 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("versionAsOf", "1").load().count()
     assert(v1 === v1local)
   }
+
+  test("remote catalog: TIMESTAMP AS OF resolves at-or-before over REST") {
+    val atTs = spark.sql(
+      s"SELECT count(*) AS n FROM $remoteCat.orders_versioned " +
+        "TIMESTAMP AS OF '1970-01-01 00:00:01.5'")
+      .collect().head.getLong(0)
+    val v1local = spark.read.format("graft")
+      .option("table", s"${SharedFixtures.SHARE}.orders_versioned")
+      .option("versionAsOf", "1").load().count()
+    assert(atTs === v1local)
+  }
 }
