@@ -76,12 +76,28 @@ object Bench {
       }
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // ms precision keeps the line small; a sub-ms query time carries no
+    // signal at this measurement's noise floor anyway
+    def ms3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+    // The total first on its own line, then the full record — and the
+    // record ALSO written to target/bench.json, so a harness that
+    // truncates captured output can never destroy the per-query data.
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec"}""")
+    println(json)
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"BENCH JSON written to ${out.toAbsolutePath}")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"BENCH JSON file write failed: $e") }
     spark.stop()
   }
 }

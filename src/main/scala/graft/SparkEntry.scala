@@ -791,22 +791,47 @@ object SparkEntry {
     }),
 
     // §2.5-adjacent: EXACT distributed quantiles — value at rank
-    // ⌈q·n⌉ per group via one per-group sort window; ranks use integer
-    // arithmetic ((n·p + q − 1) div q), so no float ceil() can disagree
-    // across engines. (approx_percentile exists in Spark but its
-    // t-digest isn't engine-reproducible.)
+    // ⌈q·n⌉ per group; ranks use integer arithmetic
+    // ((n·p + q − 1) div q), so no float ceil() can disagree across
+    // engines. (approx_percentile exists in Spark but its t-digest isn't
+    // engine-reproducible.) The rank is DISTRIBUTED (the dictionary-rank
+    // pattern from ops/Dedup.featureTables): range-partition on
+    // (group, value) so every partition sorts only its slice, rank
+    // locally per (partition, group), then add per-(group, partition)
+    // exclusive-prefix-sum offsets via a ≤ groups×partitions-row
+    // broadcast. A `Window.partitionBy(rf)` would be 3 reducers each
+    // sorting ⅓ of the table at 100×; here no single task ever sees
+    // more than one range slice.
     "q64_exact_quantiles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("price"))
-      val ranked = li
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("rf")).orderBy(col("price"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("rf"))))
-      ranked.groupBy(col("rf")).agg(
-        max(when(col("rn") === expr("(n + 3) div 4"), col("price"))).as("p25"),
-        max(when(col("rn") === expr("(n + 1) div 2"), col("price"))).as("p50"),
-        max(when(col("rn") === expr("(3*n + 3) div 4"), col("price"))).as("p75"),
-        max(when(col("rn") === expr("(9*n + 9) div 10"), col("price"))).as("p90"))
+      val nParts = s.sessionState.conf.numShufflePartitions
+      val parts = li.repartitionByRange(nParts, col("rf"), col("price"))
+        .withColumn("pid", spark_partition_id())
+      val ranked = parts.withColumn("local", row_number().over(
+        Window.partitionBy(col("pid"), col("rf")).orderBy(col("price"))))
+      // (rf, pid) row counts → per-rf exclusive prefix sum over pid and
+      // the rf total n, computed inside one collect_list row with
+      // higher-order functions — no window over a low-cardinality key,
+      // no driver round-trip.
+      val offsets = parts.groupBy(col("rf"), col("pid")).agg(count(lit(1)).as("c"))
+        .groupBy(col("rf"))
+        .agg(array_sort(collect_list(struct(col("pid"), col("c")))).as("pcs"))
+        .select(col("rf"),
+          expr("aggregate(pcs, 0L, (acc, x) -> acc + x.c)").as("n"),
+          explode(expr(
+            """transform(pcs, (p, i) -> struct(
+              |  p.pid as pid,
+              |  aggregate(slice(pcs, 1, i), 0L, (acc, x) -> acc + x.c) as off))"""
+              .stripMargin)).as("po"))
+        .select(col("rf"), col("po.pid").as("pid"), col("po.off").as("off"), col("n"))
+      ranked.join(broadcast(offsets), Seq("rf", "pid"))
+        .withColumn("rn", col("off") + col("local"))
+        .groupBy(col("rf")).agg(
+          max(when(col("rn") === expr("(n + 3) div 4"), col("price"))).as("p25"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("price"))).as("p50"),
+          max(when(col("rn") === expr("(3*n + 3) div 4"), col("price"))).as("p75"),
+          max(when(col("rn") === expr("(9*n + 9) div 10"), col("price"))).as("p90"))
     }),
 
     // §2.3-adjacent: salted equi-join — skew-mitigation shape whose

@@ -195,10 +195,19 @@ class GraftLog(val tablePath: String, conf: Configuration) {
                 case _           => ()
               }
               require(meta != null, s"checkpoint $p has no metadata")
-              val st = GraftLog.CheckpointState(header.version,
-                header.timestamps.map(t => (t(0), t(1))), meta, proto, files.result())
-              GraftLog.checkpointCache.put((tablePath, v), st)
-              Some(st)
+              // timestamp prefix chains through the previous checkpoint;
+              // a broken link makes THIS checkpoint unusable (None) —
+              // replay from commits still answers correctly
+              val prefix: Option[Seq[(Long, Long)]] = header.prevCheckpoint match {
+                case None     => Some(Nil)
+                case Some(pv) => load(pv).map(_.timestamps)
+              }
+              prefix.map { pre =>
+                val st = GraftLog.CheckpointState(header.version,
+                  pre ++ header.timestamps.map(t => (t(0), t(1))), meta, proto, files.result())
+                GraftLog.checkpointCache.put((tablePath, v), st)
+                st
+              }
             }
           } catch { case scala.util.control.NonFatal(_) => None }
         }
@@ -272,11 +281,20 @@ object GraftLog {
 
   /** First line of a checkpoint file (and the whole `_last_checkpoint`
     * marker): the checkpointed version plus the monotonized commit
-    * timestamps of every version <= it ([v, ts] pairs), so time travel
-    * never re-reads checkpointed commits.
+    * timestamps ([v, ts] pairs) of versions in `(prevCheckpoint, version]`
+    * ONLY — the earlier prefix is CHAINED from the previous checkpoint
+    * (`prevCheckpoint`), so each checkpoint writes O(interval) timestamp
+    * entries instead of O(versions): without chaining, cumulative write
+    * amplification is quadratic at the 10^5-version scale. Loading
+    * resolves the chain (each link cached process-wide); a broken link
+    * degrades the whole checkpoint to None — full replay, never a wrong
+    * answer. Pre-chaining checkpoints (full timestamps, no
+    * `prevCheckpoint`) load unchanged.
     */
   private[log] case class CheckpointHeader(
-      version: Long, timestamps: Seq[Seq[Long]] = Nil)
+      version: Long,
+      timestamps: Seq[Seq[Long]] = Nil,
+      prevCheckpoint: Option[Long] = None)
 
   private[log] case class CheckpointState(
       version: Long,
@@ -300,9 +318,13 @@ object GraftLog {
   def writeCheckpoint(tablePath: String, version: Long, conf: Configuration): Unit = {
     val log = new GraftLog(tablePath, conf)
     val snap = log.snapshot(Some(version))
+    // timestamps since the previous checkpoint only; the prefix chains
+    val prevCp = log.checkpointAtOrBefore(version - 1)
     val tss = log.versionTimestamps().takeWhile(_._1 <= version)
+      .filter(t => prevCp.forall(t._1 > _.version))
     val header = JsonUtils.toJson(
-      CheckpointHeader(version, tss.map(t => Seq(t._1, t._2))))
+      CheckpointHeader(version, tss.map(t => Seq(t._1, t._2)),
+        prevCheckpoint = prevCp.map(_.version)))
     val lines = header +:
       (JsonUtils.actionToLine(snap.protocol) +:
         JsonUtils.actionToLine(snap.metadata) +:
@@ -316,8 +338,11 @@ object GraftLog {
     finally out.close()
     fs.delete(target, false) // idempotent rewrite (content is deterministic)
     require(fs.rename(tmp, target), s"failed to write checkpoint $target")
-    // marker last: readers that see the marker always find the file
-    val mTmp = new Path(logDir, s".$LAST_CHECKPOINT.tmp")
+    // marker last: readers that see the marker always find the file.
+    // Per-version tmp name: checkpointing runs OUTSIDE the commit lock
+    // (it's an accelerator), so two concurrent checkpoint writers must
+    // not fail each other's rename through a shared tmp file.
+    val mTmp = new Path(logDir, s".$LAST_CHECKPOINT.$version.tmp")
     val mOut = fs.create(mTmp, true)
     try mOut.write(JsonUtils.toJson(CheckpointHeader(version)).getBytes("UTF-8"))
     finally mOut.close()
@@ -359,9 +384,17 @@ object GraftLog {
     // Delta-style automatic checkpointing: every INTERVAL commits,
     // consolidate state so snapshot replay stays O(since-checkpoint).
     // Outside the lock: checkpointing is an O(files) accelerator write,
-    // idempotent and never load-bearing for correctness.
-    if (version > 0 && version % CHECKPOINT_INTERVAL == 0)
-      writeCheckpoint(tablePath, version, conf)
+    // idempotent and never load-bearing for correctness — so a
+    // checkpoint IO failure must NOT fail the (already durable) commit:
+    // the caller would see failure for a committed version and a retry
+    // would die on "version already committed".
+    if (version > 0 && version % CHECKPOINT_INTERVAL == 0) {
+      try writeCheckpoint(tablePath, version, conf)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"graft: checkpoint at $tablePath v$version failed (commit is durable): $e")
+      }
+    }
   }
 
   private def commitLocked(

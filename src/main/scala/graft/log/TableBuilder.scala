@@ -366,7 +366,13 @@ object TableBuilder {
       case r: RemoveFile if r.timestamp >= cutoff => r.path
     }.toSet
 
+    // Delta's untracked-file retention rule: a file NEWER than the
+    // retention horizon is kept even when no log entry references it —
+    // an in-flight append/compact/rewrite writes its data files BEFORE
+    // committing, and a vacuum racing that writer must not delete them
+    // (the subsequent commit would reference deleted data).
     val candidates = collectParquet(fs, fs.makeQualified(root))
+      .filter(_.getModificationTime < cutoff)
       .map(st => relativize(rootUri, st.getPath.toUri))
       .filterNot(rel => active(rel) || recentTombstones(rel) ||
         activeDvBins(rel))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -174,7 +174,14 @@ object Analytics {
       .union(edges.select(col("dst").as("node"))).distinct()
     val n = broadcast(nodes.agg(count(lit(1)).as("__n")))
     var ranks = nodes.crossJoin(n).select(col("node"), (lit(1.0) / col("__n")).as("rank"))
-    for (_ <- 1 to iterations) {
+    // Lineage cut every CUT iterations: without it the logical plan (and
+    // Catalyst analysis time) doubles per iteration — fine at the fixed 3
+    // the oracle queries use, pathological at 20+. Same discipline as
+    // Dedup.connectedComponents; each cut releases the previous one's
+    // block so at most one checkpoint block is live at a time.
+    val CUT = 5
+    var prevCut: DataFrame = null
+    for (i <- 1 to iterations) {
       val contrib = edges.join(ranks, edges("src") === ranks("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("p")).as("__in"))
@@ -182,6 +189,20 @@ object Analytics {
         .select(col("node"),
           (lit(1.0 - damping) / col("__n") +
             lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+      if (i % CUT == 0 && i < iterations) {
+        val cut = ranks.localCheckpoint(true)
+        if (prevCut != null) GraftSqlBridge.unpersistCheckpoint(prevCut, blocking = true)
+        prevCut = cut
+        ranks = cut
+      }
+    }
+    if (prevCut != null) {
+      // materialize the tail through its final exchange (later actions
+      // skip the completed map stages via registered shuffle outputs),
+      // then drop the last checkpoint block — nothing persists after
+      // the call returns.
+      ranks.queryExecution.toRdd.foreachPartition(_ => ())
+      GraftSqlBridge.unpersistCheckpoint(prevCut, blocking = true)
     }
     ranks
   }

@@ -7,14 +7,14 @@ import org.apache.spark.sql.functions._
   * Jones; the Lucene-shaped variant with the always-positive idf
   * `ln(1 + (N − df + 0.5)/(df + 0.5))`).
   *
-  * Shape at 100 TB: the query term list is tiny — the per-term filter
-  * is pushed into the scan (an `IN` over codegen'd tokens), so the
-  * corpus is read ONCE and only (doc, matched-term) rows survive the
-  * explode. Term frequencies and document lengths are map-side
-  * combinable aggregates; document-frequency and corpus stats reduce
-  * to |terms| + 1 rows and broadcast back. No shuffle ever carries
-  * more than the matching postings — this is the inverted-index
-  * retrieval plan expressed declaratively.
+  * Shape at 100 TB: the corpus is read ONCE and every per-document
+  * statistic (document length AND the per-query-term frequencies) is a
+  * ROW-LOCAL array expression — a document is one row, so no token is
+  * ever exploded and NO |docs|-scale shuffle exists anywhere in the
+  * plan. Corpus stats (N, avgdl) partial-aggregate to one row per
+  * partition; everything else downstream is postings-sized (docs
+  * matching ≥ 1 term) or broadcast (per-term df, corpus stats). This
+  * is the inverted-index retrieval plan expressed declaratively.
   *
   * Tokenization is the engine's standard whitespace split, lowercased,
   * so an external engine can replay scores exactly.
@@ -31,20 +31,30 @@ object Bm25 {
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
     val terms = queryTerms.map(_.toLowerCase).distinct
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(split(lower(col(textCol)), " ")).as("tok"))
-    // document length BEFORE the term filter (BM25 normalizes by full
-    // doc length), then corpus stats: N and avgdl as exact integers /
-    // one exact division
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-    // postings for query terms only — the filter reaches the scan
-    val tf = toks.filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // One pass, all row-local: document length (full doc — BM25
+    // normalizes by it) and one conditional count per query term.
+    val perDoc = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), " ").as("__toks"))
+      .select(Seq(col("doc_id"),
+        size(col("__toks")).cast("long").as("dl")) ++
+        terms.zipWithIndex.map { case (tm, i) =>
+          size(filter(col("__toks"), tk => tk === lit(tm))).cast("long").as(s"__tf_$i")
+        }: _*)
+    // corpus stats: N and avgdl as exact integers / one exact division
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    // postings: (doc, term, tf) for matching docs only — dl rides along,
+    // so no join back to a |docs|-scale table is ever needed
+    val tf = perDoc
+      .filter(terms.indices.map(i => col(s"__tf_$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), col("dl"),
+        posexplode(array(terms.indices.map(i => col(s"__tf_$i")): _*)).as(Seq("__pos", "tf")))
+      .filter(col("tf") > 0)
+      .withColumn("tok", element_at(typedLit(terms), col("__pos") + 1))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(df), "tok")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -582,6 +582,7 @@ object Dedup {
     val edgeCount = edges.count()
     if (edgeCount <= smallGraphEdgeThreshold) {
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      GraftSqlBridge.unpersistCheckpoint(edges, blocking = true) // collected — release the block
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var root = x
@@ -607,10 +608,6 @@ object Dedup {
       return nodeSet.toSeq.map(n => (n, minOfRoot(find(n))))
         .toDF("node", "component")
     }
-
-    val nodes = edges.select(col("u").as("node"))
-      .union(edges.select(col("v").as("node"))).distinct()
-      .localCheckpoint(true)
 
     def sym(e: DataFrame): DataFrame =
       e.select(col("u"), col("v")).union(e.select(col("v").as("u"), col("u").as("v")))
@@ -655,18 +652,36 @@ object Dedup {
       // round overhead halves on small graphs where scheduling dominates)
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = signature(next)
-      edges.unpersist()
+      GraftSqlBridge.unpersistCheckpoint(edges, blocking = false)
       edges = next
       converged = nextSig == sig
       sig = nextSig
       iter += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    if (!converged) {
+      GraftSqlBridge.unpersistCheckpoint(edges, blocking = true)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    }
 
-    // At the fixpoint every non-minimum node has a direct edge to its
-    // component minimum; minima themselves label their own component.
-    nodes.join(edges, nodes("node") === edges("u"), "left")
-      .groupBy(col("node"))
-      .agg(least(min(col("v")), first(col("node"))).as("component"))
+    // At the fixpoint the edge set IS the star graph: every non-minimum
+    // node has exactly one edge to its component minimum, and each
+    // minimum appears only as a v — so the labeling needs ONLY the final
+    // edges, no separate node table. The groupBy(min) form is robust to
+    // any duplicate u rows and ends in a shuffle, which matters below.
+    val labeled = edges.select(col("u").as("node"), col("v").as("component"))
+      .union(edges.select(col("v").as("node"), col("v").as("component")))
+      .groupBy(col("node")).agg(min(col("component")).as("component"))
+
+    // Block-release discipline: materialize the labeling THROUGH its
+    // final exchange (the map stages that read the checkpointed edge
+    // blocks complete now; later actions on this same Dataset reuse the
+    // registered shuffle outputs and skip those stages), then drop every
+    // storage block this call created. A long-lived session running many
+    // dedup jobs accumulates nothing — getPersistentRDDs is empty when
+    // we return.
+    labeled.queryExecution.toRdd.foreachPartition(_ => ())
+    GraftSqlBridge.unpersistCheckpoint(edges, blocking = true)
+    labeled
   }
 }

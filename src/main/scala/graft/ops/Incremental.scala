@@ -34,6 +34,10 @@ object Incremental {
   private val changeSign =
     when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
+      // an unknown change type must fail loudly — a null sign would be
+      // silently skipped by sum() and corrupt the maintained aggregate
+      .otherwise(raise_error(concat(
+        lit("unknown _change_type in CDF input: "), col("_change_type"))))
 
   /** Aggregate state of `base` rows: group keys, `n_rows`, and one
     * `sum_<col>` per requested sum column.

@@ -116,12 +116,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       case Some(client) =>
         val spark = SparkSession.active
         GraftFileSystem.register(spark)
-        if (!tableExists(ident)) throw new NoSuchTableException(ident)
+        if (ident.namespace().length != 2) throw new NoSuchTableException(ident)
         val Array(share, schema, table) = (ident.namespace() :+ ident.name())
-        val index = new RemoteGraftFileIndex(spark, client, share, schema, table,
-          versionAsOf = version,
-          timestampAsOf = timestampMs.map(ms =>
-            java.time.Instant.ofEpochMilli(ms).toString))
+        // No existence pre-check: that would be listShares × listAllTables
+        // paged round trips (O(catalog size) HTTP calls per identifier
+        // resolution). Ask for the table's metadata directly and map the
+        // server's not-found to the catalog contract.
+        val index = try {
+          new RemoteGraftFileIndex(spark, client, share, schema, table,
+            versionAsOf = version,
+            timestampAsOf = timestampMs.map(ms =>
+              java.time.Instant.ofEpochMilli(ms).toString))
+        } catch {
+          case e: graft.client.GraftClientException if e.status == 404 =>
+            throw new NoSuchTableException(ident)
+        }
         // the scan decodes raw parquet bytes: a column-mapped table's
         // logical wire schema would silently match nothing — refuse (DV
         // tables are already refused server-side in the parquet dialect)

@@ -27,6 +27,21 @@ object GraftSqlBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Release the storage blocks of a `localCheckpoint`ed Dataset.
+    *
+    * `Dataset.unpersist()` only uncaches CacheManager entries — a
+    * checkpointed Dataset's data lives on the INTERNAL RDD behind its
+    * `LogicalRDD` node, which unpersist never touches, so iterative
+    * algorithms that checkpoint per round would leak storage blocks for
+    * the whole session (they are only reclaimed when the GC happens to
+    * collect the RDD reference). This frees them deterministically.
+    */
+  def unpersistCheckpoint(ds: Dataset[_], blocking: Boolean): Unit =
+    ds.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking)
+      case _                        => ()
+    }
+
   /** Streaming-flagged DataFrame over a computed InternalRow RDD — how a
     * Source hands a micro-batch whose rows come from arbitrary (non-file-
     * relation) computation to the stream execution, which asserts

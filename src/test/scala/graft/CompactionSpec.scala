@@ -148,7 +148,12 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
     assert(onDisk.size > activeBefore.size, "pre-vacuum disk must hold orphans")
 
-    val deleted = TableBuilder.vacuum(spark, flat, retentionMs = 0L, nowMs = 20000L)
+    // nowMs must be real wall-clock: the untracked-file retention rule
+    // keeps files whose mtime is at/after the horizon (an in-flight
+    // writer's data), so the horizon must lie above the fixtures' real
+    // modification times for the orphans to be deletable
+    val deleted = TableBuilder.vacuum(spark, flat, retentionMs = 0L,
+      nowMs = System.currentTimeMillis() + 60000L)
     assert(deleted === onDisk.size - activeBefore.size)
 
     // the current snapshot is untouched...
@@ -161,5 +166,20 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("versionAsOf", (cv - 1).toString).load()
     intercept[Exception](pre.count())
     intercept[Exception](GraftCDF.tableChanges(spark, flat, 0).count())
+  }
+
+  test("vacuum keeps untracked files newer than the retention horizon") {
+    // an orphan parquet with a fresh mtime models an in-flight writer's
+    // not-yet-committed data file: vacuum must keep it regardless of the
+    // log (Delta's untracked-file retention rule), else the writer's
+    // commit would reference deleted data
+    val orphan = new java.io.File(flat, "inflight-orphan.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val now = System.currentTimeMillis()
+    val kept = TableBuilder.vacuum(spark, flat, retentionMs = 3600_000L, nowMs = now)
+    assert(kept === 0 && orphan.exists(), "fresh untracked file must survive vacuum")
+    // once the horizon passes its mtime, it is garbage like any orphan
+    val deleted = TableBuilder.vacuum(spark, flat, retentionMs = 0L, nowMs = now + 60000L)
+    assert(deleted === 1 && !orphan.exists())
   }
 }

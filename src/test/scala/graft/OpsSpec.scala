@@ -230,6 +230,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("connected components and pagerank release every storage block") {
+    import spark.implicits._
+    // other suites/tests may hold their own caches — assert no NEW blocks
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def leaked: Set[Int] =
+      (spark.sparkContext.getPersistentRDDs.keySet -- before).toSet
+    val chain = (1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    for (threshold <- Seq(0L, 1L << 20)) {
+      val out = Dedup.connectedComponents(chain.toDF("a", "b"), "a", "b",
+        smallGraphEdgeThreshold = threshold)
+      // every block this call created is released BEFORE it returns...
+      assert(leaked.isEmpty, s"leaked blocks (threshold=$threshold): $leaked")
+      // ...and the result stays evaluable afterwards (the distributed
+      // path re-reads its registered shuffle outputs, not the blocks)
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size === 40 && (1L to 40L).forall(n => got(n) == 1L))
+    }
+    // 30 iterations: without the every-5-rounds lineage cut the logical
+    // plan doubles per iteration and analysis alone would dwarf the test
+    val cycle = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0))
+      .toDF("src", "dst", "p")
+    val pr = Analytics.pageRank(cycle, 0.85, iterations = 30)
+    val ranks = pr.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ranks.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-9))
+    assert(leaked.isEmpty, s"pageRank leaked lineage-cut blocks: $leaked")
+  }
+
   test("contamination screen flags docs overlapping the benchmark pool") {
     val bench = docsDF(Seq(1L -> base))
     val corpus = docsDF(Seq(
