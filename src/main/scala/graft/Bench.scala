@@ -47,7 +47,8 @@ object Bench {
       "q37_cdf_option", "q38_cdf_stream", "q42_cdf_stream_rest",
       "q45_dv_scan", "q46_column_mapping_scan", "q47_dv_rest_scan",
       "q67_kernel_scan", "q72_cdf_incremental_agg", "q77_sql_catalog",
-      "q78_compacted_scan")
+      "q78_compacted_scan", "q81_delta_snapshot_scan", "q82_delta_time_travel",
+      "q83_delta_cdf", "q84_delta_rest_scan")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)

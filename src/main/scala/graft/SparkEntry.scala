@@ -1102,6 +1102,59 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity")).cast("long").as("sum_qty"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("revenue"))
+    }),
+
+    // Real Delta Lake interop (DeltaLogCompat): orders_delta carries a
+    // genuine _delta_log (JSON commits + parquet checkpoint at v2 +
+    // _last_checkpoint; no _graft_log). Snapshot-at-latest replays the
+    // checkpoint plus the tail commit — the layout every real Delta
+    // writer produces (reference loads tables exclusively through
+    // DeltaLog.forTable, DeltaSharedTable.scala:83-86).
+    "q81_delta_snapshot_scan" -> ((s, dir) => {
+      sharedTable(s, dir, "orders_delta")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 0).as("total"))
+    }),
+
+    // Delta interop time travel: versionAsOf=1 is BELOW the parquet
+    // checkpoint, so resolution must fall back to pure commit replay —
+    // state after the append, before the delete/update.
+    "q82_delta_time_travel" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      s.read.format("graft")
+        .option("table", s"${graft.log.SharedFixtures.SHARE}.orders_delta")
+        .option("versionAsOf", "1").load()
+        .select(year(col("o_orderdate")).cast("long").as("y"))
+        .groupBy(col("y"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // Delta interop CDF: the cdc/add/remove actions parsed from Delta
+    // commit JSON drive the same row-level change feed as graft commits
+    // (delta.enableChangeDataFeed in the Delta metaData configuration).
+    "q83_delta_cdf" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.orders_delta")
+      graft.log.GraftCDF.tableChanges(s, path, 0)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Delta interop over REST: the sharing server replays the Delta log,
+    // signs the files, and the client scans them through graft:// — the
+    // full reference serving topology (real Delta table → share server →
+    // Spark connector) in one query.
+    "q84_delta_rest_scan" -> ((s, dir) => {
+      val url = graft.server.LocalShareServer.ensure(s, dir)
+      s.read.format("graft")
+        .option("url", url).option("token", graft.server.LocalShareServer.TOKEN)
+        .option("table", "share1.default.orders_delta").load()
+        .filter(col("o_totalprice") > 300000)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 0).as("total"))
     })
   )
 
@@ -1449,6 +1502,26 @@ object SparkEntry {
     "q34_share_cdf" -> cdfOracle,
     "q37_cdf_option" -> cdfOracle,
     "q38_cdf_stream" -> cdfOracle,
+    "q83_delta_cdf" -> cdfOracle,
+    "q81_delta_snapshot_scan" ->
+      """SELECT CASE WHEN o_totalprice > 400000 THEN '9-UPDATED'
+                ELSE o_orderpriority END AS o_orderpriority,
+         count(*) AS n_orders, round(sum(o_totalprice), 0) AS total
+         FROM orders
+         WHERE o_orderdate < TIMESTAMP '1999-01-01'
+           AND NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1996-01-01')
+         GROUP BY 1""",
+    "q82_delta_time_travel" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y, count(*) AS n_orders
+         FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+         GROUP BY 1""",
+    "q84_delta_rest_scan" ->
+      """SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 0) AS total
+         FROM orders
+         WHERE o_orderdate < TIMESTAMP '1999-01-01'
+           AND NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1996-01-01')
+           AND o_totalprice > 300000
+         GROUP BY 1""",
     "q42_cdf_stream_rest" -> cdfOracle,
     "q45_dv_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey

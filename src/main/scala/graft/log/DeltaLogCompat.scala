@@ -1,0 +1,327 @@
+package graft.log
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, PrimitiveType, Type}
+
+import graft.model._
+
+/** Reader for a genuine Delta Lake `_delta_log/`: JSON commit files,
+  * parquet checkpoints (single and multi-part), and the `_last_checkpoint`
+  * marker — the table layout every real Delta writer produces and the
+  * layout the reference's serving core replays
+  * (`DeltaSharedTable.scala:83-86` loads tables exclusively through
+  * `DeltaLog.forTable`). This module maps Delta's action vocabulary
+  * (add / remove / cdc / metaData / protocol / commitInfo, with DV
+  * descriptors, column-mapping metadata, and JSON-string stats) onto
+  * graft's [[graft.model.Action]] model so the ENTIRE engine — snapshot
+  * scans, time travel, CDF, streaming, the REST server, the DSv2
+  * catalog — serves Delta-written tables with zero changes above the log
+  * layer.
+  *
+  * Field semantics follow the public Delta transaction-log protocol
+  * (delta-io PROTOCOL.md): `add.path` is percent-encoded and relative to
+  * the table root; `add.stats` is a JSON STRING with typed
+  * minValues/maxValues/nullCount; `partitionValues` uses JSON null for
+  * null (graft's convention is `""`, translated here); commit timestamps
+  * come from the commit file's modification time (Delta's default,
+  * pre-ICT, same as `DeltaSharingHistoryManager`'s
+  * `getTimestampsByVersion`), monotonized by the caller.
+  *
+  * Out of scope (rare, feature-gated layouts): v2 `checkpointPolicy`
+  * sidecar checkpoints and compacted log ranges; reads of such tables
+  * fail loudly at the protocol/marker layer rather than serving wrong
+  * answers.
+  */
+object DeltaLogCompat {
+
+  val LOG_DIR = "_delta_log"
+
+  // --------------------------------------------------------- commit files
+
+  /** Parse one commit file: NDJSON Delta action lines → graft actions
+    * stamped with (version, timestamp).
+    */
+  def readCommit(
+      fs: FileSystem, file: Path, version: Long, timestamp: Long): Seq[Action] = {
+    val in = fs.open(file)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    lines.flatMap(l =>
+      actionFromNode(JsonUtils.mapper.readTree(l), version, timestamp))
+  }
+
+  /** One wrapped Delta action object → graft action. `commitInfo`, `txn`
+    * and `domainMetadata` carry no file/schema state and map to None.
+    */
+  private[graft] def actionFromNode(
+      root: JsonNode, version: Long, timestamp: Long): Option[Action] = {
+    if (root.has("add")) {
+      val a = root.get("add")
+      Some(AddFile(
+        path = decodePath(a.get("path").asText()),
+        partitionValues = partitionValuesFrom(a.get("partitionValues")),
+        size = longAt(a, "size"),
+        modificationTime = longAt(a, "modificationTime"),
+        dataChange = !a.has("dataChange") || a.get("dataChange").asBoolean(true),
+        stats = Option(a.get("stats")).filter(!_.isNull)
+          .flatMap(s => parseStats(s.asText())),
+        version = version,
+        timestamp = timestamp,
+        deletionVector = Option(a.get("deletionVector")).filter(!_.isNull)
+          .map(dvFrom)))
+    } else if (root.has("remove")) {
+      val r = root.get("remove")
+      Some(RemoveFile(
+        path = decodePath(r.get("path").asText()),
+        partitionValues = partitionValuesFrom(r.get("partitionValues")),
+        size = longAt(r, "size"),
+        dataChange = !r.has("dataChange") || r.get("dataChange").asBoolean(true),
+        version = version,
+        timestamp = timestamp))
+    } else if (root.has("cdc")) {
+      val c = root.get("cdc")
+      Some(AddCDCFile(
+        path = decodePath(c.get("path").asText()),
+        partitionValues = partitionValuesFrom(c.get("partitionValues")),
+        size = longAt(c, "size"),
+        version = version,
+        timestamp = timestamp))
+    } else if (root.has("metaData")) {
+      val m = root.get("metaData")
+      Some(Metadata(
+        id = textAt(m, "id"),
+        name = textAt(m, "name"),
+        schemaString = textAt(m, "schemaString"),
+        partitionColumns = Option(m.get("partitionColumns")).toSeq
+          .flatMap(_.elements().asScala.map(_.asText())),
+        configuration = Option(m.get("configuration"))
+          .map(c => c.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty),
+        version = version))
+    } else if (root.has("protocol")) {
+      val p = root.get("protocol")
+      Some(Protocol(
+        minReaderVersion = Option(p.get("minReaderVersion")).map(_.asInt(1)).getOrElse(1),
+        version = version))
+    } else None // commitInfo / txn / domainMetadata / checkpointMetadata
+  }
+
+  /** `commitInfo.inCommitTimestamp` (ICT tables) else `commitInfo.timestamp`,
+    * if the commit carries a commitInfo line at all.
+    */
+  def commitInfoTimestamp(fs: FileSystem, file: Path): Option[Long] = {
+    val in = fs.open(file)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    lines.iterator
+      .map(JsonUtils.mapper.readTree)
+      .collectFirst { case n if n.has("commitInfo") =>
+        val ci = n.get("commitInfo")
+        Option(ci.get("inCommitTimestamp")).orElse(Option(ci.get("timestamp")))
+          .filter(!_.isNull).map(_.asLong())
+      }.flatten
+  }
+
+  /** Delta `stats` JSON string → graft [[FileStats]]. Values re-encode to
+    * graft's string form (numbers/bools via text, timestamps stay ISO);
+    * NESTED column stats (struct columns) are skipped — graft's predicate
+    * system is flat, and absent stats legally mean "unknown" (never a
+    * wrong skip, three-valued evaluation).
+    */
+  private[graft] def parseStats(statsJson: String): Option[FileStats] = {
+    if (statsJson == null || statsJson.isEmpty) return None
+    try {
+      val n = JsonUtils.mapper.readTree(statsJson)
+      def scalarMap(field: String): Map[String, String] =
+        Option(n.get(field)).map(_.properties().asScala.collect {
+          case e if e.getValue.isValueNode && !e.getValue.isNull =>
+            e.getKey -> e.getValue.asText()
+        }.toMap).getOrElse(Map.empty)
+      val nulls = Option(n.get("nullCount")).map(_.properties().asScala.collect {
+        case e if e.getValue.isNumber => e.getKey -> e.getValue.asLong()
+      }.toMap).getOrElse(Map.empty)
+      Some(FileStats(
+        numRecords = longAt(n, "numRecords"),
+        minValues = scalarMap("minValues"),
+        maxValues = scalarMap("maxValues"),
+        nullCount = nulls))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def dvFrom(dv: JsonNode): DeletionVectorDescriptor =
+    DeletionVectorDescriptor(
+      storageType = textAt(dv, "storageType"),
+      pathOrInlineDv = textAt(dv, "pathOrInlineDv"),
+      offset = Option(dv.get("offset")).filter(!_.isNull).map(_.asInt()),
+      sizeInBytes = Option(dv.get("sizeInBytes")).map(_.asInt()).getOrElse(0),
+      cardinality = longAt(dv, "cardinality"))
+
+  /** Delta partitionValues: JSON null ⇒ null partition value, which graft
+    * spells `""` (reference `PROTOCOL.md:3896-3906`).
+    */
+  private def partitionValuesFrom(pv: JsonNode): Map[String, String] =
+    Option(pv).map(_.properties().asScala.map { e =>
+      e.getKey -> (if (e.getValue.isNull) "" else e.getValue.asText())
+    }.toMap).getOrElse(Map.empty)
+
+  /** Delta paths are percent-encoded URI references relative to the table
+    * root (PROTOCOL: "this path is URL-encoded").
+    */
+  private[graft] def decodePath(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      if (u.getScheme != null) p // absolute URI (shallow clone) — keep verbatim
+      else u.getPath
+    } catch { case _: java.net.URISyntaxException => p }
+
+  /** Inverse of [[decodePath]] for the fixture writer. */
+  private[graft] def encodePath(p: String): String =
+    new java.net.URI(null, null, "/" + p, null).getRawPath.substring(1)
+
+  private def longAt(n: JsonNode, f: String): Long =
+    Option(n.get(f)).filter(!_.isNull).map(_.asLong()).getOrElse(0L)
+  private def textAt(n: JsonNode, f: String): String =
+    Option(n.get(f)).filter(!_.isNull).map(_.asText()).getOrElse("")
+
+  // ----------------------------------------------------------- checkpoints
+
+  /** `_last_checkpoint` marker: `{"version":N,"size":M[,"parts":K]}`. */
+  case class LastCheckpoint(version: Long, size: Long = 0L, parts: Option[Int] = None)
+
+  def readLastCheckpoint(fs: FileSystem, logDir: Path): Option[LastCheckpoint] =
+    try {
+      val p = new Path(logDir, "_last_checkpoint")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        Some(JsonUtils.fromJson[LastCheckpoint](txt))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def checkpointFiles(logDir: Path, version: Long, parts: Option[Int]): Seq[Path] =
+    parts match {
+      case None => Seq(new Path(logDir, f"$version%020d.checkpoint.parquet"))
+      case Some(n) => (1 to n).map(i =>
+        new Path(logDir, f"$version%020d.checkpoint.$i%010d.$n%010d.parquet"))
+    }
+
+  /** Replay a classic parquet checkpoint (all parts) into consolidated
+    * state. Row groups are read with the parquet-hadoop example Group API
+    * (driver-side, no Spark job — the log is metadata, exactly like
+    * commit-file replay) and converted generically to the SAME JSON shape
+    * as commit lines, so one action mapping serves both file kinds.
+    * Unknown columns (txn, stats_parsed, partitionValues_parsed, …) pass
+    * through the converter and are ignored by the mapping.
+    */
+  def readCheckpoint(
+      conf: Configuration,
+      files: Seq[Path],
+      version: Long): (Metadata, Protocol, Vector[AddFile]) = {
+    var meta: Metadata = null
+    var proto: Protocol = Protocol()
+    val adds = Vector.newBuilder[AddFile]
+    files.foreach { f =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), f)
+        .withConf(conf)
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          actionFromNode(groupToJson(g), version, 0L).foreach {
+            case a: AddFile  => adds += a
+            case m: Metadata => meta = m
+            case p: Protocol => proto = p
+            case _           => () // checkpoint removes are vacuum tombstones
+          }
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    require(meta != null, s"checkpoint at version $version has no metaData row")
+    (meta, proto, adds.result())
+  }
+
+  /** Generic parquet Group → Jackson tree. Handles the three shapes Delta
+    * checkpoint schemas use: primitives, LIST/MAP logical groups
+    * (including 2-level legacy lists), and plain nested structs.
+    */
+  private[graft] def groupToJson(g: Group): ObjectNode = {
+    val node = JsonUtils.mapper.createObjectNode()
+    val schema = g.getType
+    (0 until schema.getFieldCount).foreach { i =>
+      val f = schema.getType(i)
+      if (g.getFieldRepetitionCount(i) > 0) node.set[JsonNode](f.getName, fieldToJson(g, i, f))
+    }
+    node
+  }
+
+  private def fieldToJson(g: Group, i: Int, f: Type): JsonNode =
+    if (f.isPrimitive) primitiveToJson(g, i, 0, f.asPrimitiveType())
+    else {
+      val lt = f.getLogicalTypeAnnotation
+      if (lt.isInstanceOf[LogicalTypeAnnotation.MapLogicalTypeAnnotation]) {
+        val node = JsonUtils.mapper.createObjectNode()
+        val mg = g.getGroup(i, 0) // repeated key_value(key, value)
+        (0 until mg.getFieldRepetitionCount(0)).foreach { j =>
+          val kv = mg.getGroup(0, j)
+          val key = kv.getString(0, 0)
+          if (kv.getFieldRepetitionCount(1) > 0)
+            node.set[JsonNode](key, fieldToJson(kv, 1, kv.getType.getType(1)))
+          else node.putNull(key)
+        }
+        node
+      } else if (lt.isInstanceOf[LogicalTypeAnnotation.ListLogicalTypeAnnotation]) {
+        val node = JsonUtils.mapper.createArrayNode()
+        val lg = g.getGroup(i, 0) // repeated group list(element) — 3-level
+        val inner = lg.getType.getType(0)
+        (0 until lg.getFieldRepetitionCount(0)).foreach { j =>
+          inner match {
+            case grp: GroupType if grp.getFieldCount == 1 &&
+                Set("list", "bag", "array").contains(grp.getName) =>
+              val eg = lg.getGroup(0, j)
+              if (eg.getFieldRepetitionCount(0) > 0)
+                node.add(fieldToJson(eg, 0, eg.getType.getType(0)))
+              else node.addNull()
+            case _: GroupType => node.add(groupToJson(lg.getGroup(0, j)))
+            case p: PrimitiveType => // 2-level legacy: repeated primitive
+              node.add(primitiveToJson(lg, 0, j, p))
+          }
+        }
+        node
+      } else groupToJson(g.getGroup(i, 0))
+    }
+
+  private def primitiveToJson(g: Group, i: Int, j: Int, p: PrimitiveType): JsonNode = {
+    import PrimitiveType.PrimitiveTypeName._
+    val m = JsonUtils.mapper
+    p.getPrimitiveTypeName match {
+      case INT32   => m.getNodeFactory.numberNode(g.getInteger(i, j))
+      case INT64   => m.getNodeFactory.numberNode(g.getLong(i, j))
+      case BOOLEAN => m.getNodeFactory.booleanNode(g.getBoolean(i, j))
+      case FLOAT   => m.getNodeFactory.numberNode(g.getFloat(i, j))
+      case DOUBLE  => m.getNodeFactory.numberNode(g.getDouble(i, j))
+      case BINARY | FIXED_LEN_BYTE_ARRAY
+        if p.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        m.getNodeFactory.textNode(g.getString(i, j))
+      case BINARY | FIXED_LEN_BYTE_ARRAY =>
+        m.getNodeFactory.binaryNode(g.getBinary(i, j).getBytes)
+      case other =>
+        throw new UnsupportedOperationException(s"checkpoint primitive $other")
+    }
+  }
+}

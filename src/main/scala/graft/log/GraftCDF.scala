@@ -24,7 +24,9 @@ object GraftCDF {
   val COMMIT_TIMESTAMP = "_commit_timestamp"
 
   def isEnabled(meta: Metadata): Boolean =
-    meta.configuration.get("enableChangeDataFeed").contains("true")
+    meta.configuration.get("enableChangeDataFeed").contains("true") ||
+      // the real Delta table property (Delta-format logs carry this key)
+      meta.configuration.get("delta.enableChangeDataFeed").contains("true")
 
   /** All row-level changes in `[start, end]`. */
   def tableChanges(

@@ -22,7 +22,22 @@ import graft.model._
   */
 class GraftLog(val tablePath: String, conf: Configuration) {
 
-  private val logDir = new Path(tablePath, GraftLog.LOG_DIR)
+  /** True when this table carries a genuine Delta Lake `_delta_log/` (and
+    * no `_graft_log/`): commits parse as Delta actions, checkpoints are
+    * parquet, history comes from commit-file mtimes — see
+    * [[DeltaLogCompat]]. Everything ABOVE this class (scans, time travel,
+    * CDF, streaming, server, catalogs) is format-agnostic. Detection is
+    * cached per table path (one pair of existence probes, ever).
+    */
+  val deltaMode: Boolean = GraftLog.formatCache.getOrElseUpdate(tablePath, {
+    val f = new Path(tablePath, GraftLog.LOG_DIR)
+    val d = new Path(tablePath, DeltaLogCompat.LOG_DIR)
+    val fsys = f.getFileSystem(conf)
+    !fsys.exists(f) && fsys.exists(d)
+  })
+
+  private val logDir = new Path(tablePath,
+    if (deltaMode) DeltaLogCompat.LOG_DIR else GraftLog.LOG_DIR)
   private def fs: FileSystem = logDir.getFileSystem(conf)
 
   /** Version listing with a process-wide cache. The log directory is
@@ -49,8 +64,8 @@ class GraftLog(val tablePath: String, conf: Configuration) {
       GraftLog.fullListings.incrementAndGet()
       val vs = fs.listStatus(logDir).toVector
         .map(_.getPath.getName)
-        .filter(n => n.endsWith(".json") && !n.contains(".checkpoint."))
-        .map(n => n.stripSuffix(".json").toLong)
+        .filter(_.matches("\\d{20}\\.json")) // excludes checkpoints/crc/marker
+        .map(_.stripSuffix(".json").toLong)
         .sorted
       if (vs.nonEmpty) GraftLog.listingCache(tablePath) = vs
       vs
@@ -74,11 +89,20 @@ class GraftLog(val tablePath: String, conf: Configuration) {
   def readVersion(v: Long): Seq[Action] = commitCache.synchronized {
     commitCache.getOrElseUpdate(v, {
       val p = new Path(logDir, GraftLog.versionFileName(v))
-      val in = fs.open(p)
-      try {
-        scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty).map(JsonUtils.lineToAction).toList
-      } finally in.close()
+      if (deltaMode) {
+        // stamp actions with the table's monotonized commit timestamp so
+        // CDF/_commit_timestamp and time travel agree (the values are a
+        // pure function of immutable commit-file mtimes — stable across
+        // calls, so memoization is safe)
+        val ts = versionTimestamps().find(_._1 == v).map(_._2).getOrElse(0L)
+        DeltaLogCompat.readCommit(fs, p, v, ts)
+      } else {
+        val in = fs.open(p)
+        try {
+          scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).map(JsonUtils.lineToAction).toList
+        } finally in.close()
+      }
     })
   }
 
@@ -93,6 +117,7 @@ class GraftLog(val tablePath: String, conf: Configuration) {
     * O(since-checkpoint), not O(versions).
     */
   def versionTimestamps(): Seq[(Long, Long)] = {
+    if (deltaMode) return deltaVersionTimestamps()
     val cp = checkpointAtOrBefore(Long.MaxValue)
     val prefix = cp.map(_.timestamps).getOrElse(Nil)
     var prev = prefix.lastOption.map(_._2).getOrElse(Long.MinValue)
@@ -104,6 +129,27 @@ class GraftLog(val tablePath: String, conf: Configuration) {
         case a: AddCDCFile => a.timestamp
         case _             => 0L
       }.foldLeft(0L)(math.max)
+      val ts = if (ts0 > prev) ts0 else prev + 1
+      prev = ts
+      (v, ts)
+    }
+  }
+
+  /** Delta-mode history: commit-file modification times, monotonized —
+    * exactly Delta's default (pre-in-commit-timestamp) rule and what the
+    * reference reads (`DeltaSharingHistoryManager.getTimestampsByVersion`
+    * lists the same mtimes). ONE directory listing, no commit-content
+    * reads; delta checkpoints carry no timestamp index, so the prefix
+    * optimization of the graft branch does not apply.
+    */
+  private def deltaVersionTimestamps(): Seq[(Long, Long)] = {
+    val sts = fs.listStatus(logDir).toVector
+      .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+      .map(st => (st.getPath.getName.stripSuffix(".json").toLong,
+        st.getModificationTime))
+      .sortBy(_._1)
+    var prev = Long.MinValue
+    sts.map { case (v, ts0) =>
       val ts = if (ts0 > prev) ts0 else prev + 1
       prev = ts
       (v, ts)
@@ -171,7 +217,8 @@ class GraftLog(val tablePath: String, conf: Configuration) {
     * listing. Loaded checkpoints are cached process-wide (immutable files).
     * Any read problem degrades to `None` — full replay, never an error.
     */
-  private[log] def checkpointAtOrBefore(target: Long): Option[GraftLog.CheckpointState] = {
+  private[graft] def checkpointAtOrBefore(target: Long): Option[GraftLog.CheckpointState] = {
+    if (deltaMode) return deltaCheckpointAtOrBefore(target)
     def load(v: Long): Option[GraftLog.CheckpointState] =
       GraftLog.checkpointCache.get((tablePath, v))
         .orElse {
@@ -239,6 +286,50 @@ class GraftLog(val tablePath: String, conf: Configuration) {
         cps.sorted.reverseIterator.flatMap(load(_).iterator).nextOption()
       }
     }
+  }
+
+  /** Delta-mode checkpoint discovery: `_last_checkpoint` names the newest
+    * checkpoint (and its part count) in O(1); time travel below it falls
+    * back to one listing over `*.checkpoint[.N.M].parquet` names. Same
+    * degradation contract as the graft branch: any read problem → None →
+    * full commit replay.
+    */
+  private def deltaCheckpointAtOrBefore(target: Long): Option[GraftLog.CheckpointState] = {
+    def load(v: Long, parts: Option[Int]): Option[GraftLog.CheckpointState] =
+      GraftLog.checkpointCache.get((tablePath, v)).orElse {
+        try {
+          val files = DeltaLogCompat.checkpointFiles(logDir, v, parts)
+          if (!files.forall(fs.exists)) None
+          else {
+            val (meta, proto, adds) = DeltaLogCompat.readCheckpoint(conf, files, v)
+            val st = GraftLog.CheckpointState(v, Nil, meta, proto, adds)
+            GraftLog.checkpointCache.put((tablePath, v), st)
+            Some(st)
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+
+    val marker = DeltaLogCompat.readLastCheckpoint(fs, logDir)
+    marker.filter(_.version <= target)
+      .flatMap(lc => load(lc.version, lc.parts))
+      .orElse {
+        if (marker.isEmpty) None
+        else {
+          // marker unusable for this target: one listing finds the newest
+          // intact checkpoint at-or-before it (multi-part groups must be
+          // complete — load() verifies every part exists)
+          val names = try fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+          catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+          val single = "(\\d{20})\\.checkpoint\\.parquet".r
+          val multi = "(\\d{20})\\.checkpoint\\.\\d{10}\\.(\\d{10})\\.parquet".r
+          val cands = names.collect {
+            case single(v) => (v.toLong, None: Option[Int])
+            case multi(v, n) => (v.toLong, Some(n.toInt))
+          }.distinct.filter(_._1 <= target)
+          cands.sortBy(c => (c._1, c._2.isEmpty)).reverseIterator
+            .flatMap { case (v, p) => load(v, p).iterator }.nextOption()
+        }
+      }
   }
 
   /** All actions in `[start, end]` with `dataChange=true`, grouped by
@@ -355,6 +446,10 @@ object GraftLog {
   private val listingCache =
     scala.collection.concurrent.TrieMap.empty[String, Vector[Long]]
 
+  /** tablePath → deltaMode (log-format detection, see [[GraftLog.deltaMode]]). */
+  private val formatCache =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
   /** Test hook: count of full directory listings actually performed. */
   private[graft] val fullListings = new java.util.concurrent.atomic.AtomicLong
 
@@ -363,6 +458,7 @@ object GraftLog {
     */
   private[graft] def invalidateListing(tablePath: String): Unit = {
     listingCache.remove(tablePath)
+    formatCache.remove(tablePath)
     checkpointCache.keys.filter(_._1 == tablePath).foreach(checkpointCache.remove)
   }
 
@@ -401,6 +497,13 @@ object GraftLog {
       tablePath: String, version: Long, actions: Seq[Action], conf: Configuration): Unit = {
     val logDir = new Path(tablePath, LOG_DIR)
     val fs = logDir.getFileSystem(conf)
+    // graft's writer surface speaks the graft log only: committing a
+    // graft version alongside a Delta-format log would fork the table's
+    // history (readers prefer _graft_log and would silently lose the
+    // delta commits) — fail loudly instead.
+    require(!new GraftLog(tablePath, conf).deltaMode,
+      s"$tablePath has a Delta-format log (_delta_log); graft's writer " +
+        "surface does not commit to Delta-format tables")
     fs.mkdirs(logDir)
     val target = new Path(logDir, versionFileName(version))
     require(!fs.exists(target), s"version $version already committed at $tablePath")

@@ -106,6 +106,33 @@ object SharedFixtures {
         timestamp = 3000L)
     }
 
+    // orders_delta: the SAME history as orders_cdf, then converted to a
+    // genuine Delta Lake log (JSON commits + a parquet checkpoint at v2 +
+    // _last_checkpoint, _graft_log removed) — every read of this table
+    // exercises the [[DeltaLogCompat]] replay path end-to-end: snapshot
+    // via checkpoint + tail commit, time travel below the checkpoint,
+    // CDF, and REST serving.
+    buildIfMissing(root, "orders_delta") { path =>
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      TableBuilder.create(spark,
+        o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")).repartition(2),
+        path, name = "orders_delta",
+        configuration = Map("enableChangeDataFeed" -> "true"))
+      TableBuilder.append(spark,
+        o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp")).repartition(2),
+        path, timestamp = 1000L)
+      TableBuilder.deleteWhere(spark, path,
+        col("o_orderstatus") === "F" &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"),
+        timestamp = 2000L)
+      TableBuilder.updateWhere(spark, path,
+        col("o_totalprice") > 400000,
+        Seq("o_orderpriority" -> lit("9-UPDATED")),
+        timestamp = 3000L)
+      DeltaFormatWriter.convert(spark, path, checkpointAt = v => v == 2)
+    }
+
     // nation_dv: deletion-vector table — a row-level delete that rewrote
     // NO data file (remove+add of the same bytes + DV descriptor).
     buildIfMissing(root, "nation_dv") { path =>
@@ -139,7 +166,7 @@ object SharedFixtures {
     }
 
     Seq("lineitem", "orders", "orders_versioned", "events", "orders_cdf",
-      "nation_dv", "customer_cm", "supplier_compacted").foreach { t =>
+      "orders_delta", "nation_dv", "customer_cm", "supplier_compacted").foreach { t =>
       GraftCatalog.register(s"$SHARE.$t", s"$root/$t")
     }
     built += root
@@ -148,7 +175,8 @@ object SharedFixtures {
 
   private def buildIfMissing(root: String, table: String)(build: String => Unit): Unit = {
     val path = s"$root/$table"
-    if (!Files.exists(Paths.get(path, GraftLog.LOG_DIR))) {
+    if (!Files.exists(Paths.get(path, GraftLog.LOG_DIR)) &&
+        !Files.exists(Paths.get(path, DeltaLogCompat.LOG_DIR))) {
       // wipe partial builds
       val dir = Paths.get(path)
       if (Files.exists(dir)) {

@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log._
+import graft.model._
+
+/** Real Delta Lake `_delta_log` interop: JSON commit replay, parquet
+  * checkpoints (single + multi-part) with `_last_checkpoint`, mtime-based
+  * history, CDF, deletion vectors, column mapping, and the writer-surface
+  * refusal — all through the SAME engine surfaces (format("graft"), time
+  * travel options, GraftCDF) that serve graft-format logs.
+  */
+class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val root = "/root/repo/target/test_delta_log"
+  private def conf = spark.sessionState.newHadoopConf()
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = new java.io.File(root)
+    if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  /** graft-format CDF table with enough versions for a checkpoint. */
+  private def buildAndConvert(path: String, parts: Int): Unit = {
+    import spark.implicits._
+    GraftLog.invalidateListing(path)
+    TableBuilder.create(spark,
+      (0 until 20).map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(2),
+      path, name = "delta_fixture",
+      configuration = Map("enableChangeDataFeed" -> "true"))
+    (1 to 3).foreach { k =>
+      TableBuilder.append(spark,
+        (0 until 10).map(i => ((k * 100 + i).toLong, s"r$k$i")).toDF("id", "v"),
+        path, timestamp = k * 1000L)
+    }
+    TableBuilder.deleteWhere(spark, path, col("id") >= 300, timestamp = 4000L)
+    TableBuilder.updateWhere(spark, path, col("id") === 0,
+      Seq("v" -> lit("updated")), timestamp = 5000L)
+    DeltaFormatWriter.convert(spark, path,
+      checkpointAt = v => v == 3, checkpointParts = parts)
+  }
+
+  test("converted table is a real Delta log and snapshot replay matches") {
+    val path = s"$root/t1"
+    import spark.implicits._
+    buildAndConvert(path, parts = 1)
+    // on-disk shape: _delta_log only, commits + checkpoint + marker
+    val logDir = new java.io.File(path, "_delta_log")
+    assert(!new java.io.File(path, "_graft_log").exists())
+    val names = logDir.listFiles().map(_.getName).toSet
+    assert((0 to 5).forall(v => names.contains(f"$v%020d.json")))
+    assert(names.contains(f"${3}%020d.checkpoint.parquet"))
+    assert(names.contains("_last_checkpoint"))
+
+    val log = new GraftLog(path, conf)
+    assert(log.deltaMode)
+    // full replay equals the pre-conversion final state
+    val got = spark.read.format("graft").option("path", path).load()
+      .select("id", "v").as[(Long, String)].collect().toSet
+    val expected = ((1 until 20).map(i => (i.toLong, s"r$i")) ++
+      Seq((0L, "updated")) ++
+      (1 to 2).flatMap(k => (0 until 10).map(i => ((k * 100 + i).toLong, s"r$k$i")))).toSet
+    assert(got === expected)
+    // checkpoint is actually used for snapshot-at-latest
+    val cp = log.checkpointAtOrBefore(Long.MaxValue)
+    assert(cp.map(_.version) === Some(3L))
+    // stats survived the round trip (string-encoded, flat)
+    val snap = log.snapshot(None)
+    assert(snap.files.forall(_.stats.exists(_.numRecords > 0)))
+    assert(snap.files.flatMap(_.stats).exists(_.minValues.contains("id")))
+  }
+
+  test("time travel: versionAsOf below and above the checkpoint; timestampAsOf") {
+    val path = s"$root/t1"
+    import spark.implicits._
+    def at(v: Int): Set[Long] =
+      spark.read.format("graft").option("path", path)
+        .option("versionAsOf", v.toString).load()
+        .select("id").as[Long].collect().toSet
+    assert(at(0) === (0 until 20).map(_.toLong).toSet)
+    assert(at(1) === ((0 until 20).map(_.toLong) ++ (100 until 110).map(_.toLong)).toSet)
+    assert(at(4).forall(_ < 300) && at(3).exists(_ >= 300))
+    // timestampAsOf: mtimes were set to the synthetic commit timestamps
+    val log = new GraftLog(path, conf)
+    val tss = log.versionTimestamps()
+    assert(tss.map(_._1) === (0L to 5L))
+    assert(tss.map(_._2) === tss.map(_._2).sorted, "timestamps must be monotonic")
+    assert(log.versionAtOrBefore(tss(2)._2) === 2L)
+    assert(log.versionAtOrAfter(tss(2)._2 + 1) === 3L)
+  }
+
+  test("CDF over the Delta log equals row-level change history") {
+    val path = s"$root/t1"
+    import spark.implicits._
+    val cdf = GraftCDF.tableChanges(spark, path, 4, Some(5))
+      .select(col("id"), col("v"), col(GraftCDF.CHANGE_TYPE),
+        col(GraftCDF.COMMIT_VERSION))
+      .as[(Long, String, String, Long)].collect().toSet
+    val deletes = (0 until 10).map(i => ((300 + i).toLong, s"r3$i", "delete", 4L)).toSet
+    val update = Set((0L, "r0", "update_preimage", 5L), (0L, "updated", "update_postimage", 5L))
+    assert(cdf === deletes ++ update)
+  }
+
+  test("multi-part checkpoint replays identically") {
+    val path = s"$root/t2"
+    import spark.implicits._
+    buildAndConvert(path, parts = 3)
+    val logDir = new java.io.File(path, "_delta_log")
+    val names = logDir.listFiles().map(_.getName).toSet
+    (1 to 3).foreach(i =>
+      assert(names.contains(f"${3}%020d.checkpoint.$i%010d.${3}%010d.parquet")))
+    val log = new GraftLog(path, conf)
+    val cp = log.checkpointAtOrBefore(Long.MaxValue)
+    assert(cp.map(_.version) === Some(3L))
+    assert(cp.get.files.size === log.snapshot(Some(3L)).files.size)
+    val got = spark.read.format("graft").option("path", path).load().count()
+    assert(got === 40L) // 50 written - 10 deleted
+  }
+
+  test("deletion vectors and column mapping survive conversion") {
+    import spark.implicits._
+    val dvPath = s"$root/dv"
+    val df = (0 until 30).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+    TableBuilder.create(spark, df.repartition(2), dvPath, name = "dv_delta")
+    TableBuilder.deleteWhereDV(spark, dvPath, col("k") % 3 === 0, timestamp = 1000L)
+    DeltaFormatWriter.convert(spark, dvPath, checkpointAt = _ => false)
+    val log = new GraftLog(dvPath, conf)
+    assert(log.deltaMode)
+    assert(log.snapshot(None).files.forall(_.deletionVector.isDefined))
+    val rows = spark.read.format("graft").option("path", dvPath).load()
+      .select("k").as[Long].collect().toSet
+    assert(rows === (0 until 30).map(_.toLong).filter(_ % 3 != 0).toSet)
+
+    val cmPath = s"$root/cm"
+    TableBuilder.createColumnMapped(spark, df, cmPath, name = "cm_delta")
+    DeltaFormatWriter.convert(spark, cmPath, checkpointAt = _ => false)
+    val cmLog = new GraftLog(cmPath, conf)
+    assert(cmLog.deltaMode)
+    assert(ColumnMapping.isEnabled(cmLog.snapshot(None).metadata))
+    val cmRows = spark.read.format("graft").option("path", cmPath).load()
+      .select("k").as[Long].collect().toSet
+    assert(cmRows === (0 until 30).map(_.toLong).toSet)
+  }
+
+  test("golden lines from a real Delta writer parse correctly") {
+    // shapes a real writer produces: typed stats values, percent-encoded
+    // path, JSON-null partition value, ICT commitInfo, unknown fields
+    val add = DeltaLogCompat.actionFromNode(JsonUtils.mapper.readTree(
+      """{"add":{"path":"p%201=a%20b/part-00000-abc.snappy.parquet",
+        |"partitionValues":{"p 1":null},"size":1234,
+        |"modificationTime":1587968586000,"dataChange":true,
+        |"stats":"{\"numRecords\":3,\"minValues\":{\"x\":1,\"s\":\"aa\",\"nested\":{\"y\":2}},
+        |\"maxValues\":{\"x\":10.5,\"s\":\"zz\"},\"nullCount\":{\"x\":0,\"s\":1}}",
+        |"tags":{"INSERTION_TIME":"1"}}}""".stripMargin.replace("\n", "")),
+      7L, 42L).get.asInstanceOf[AddFile]
+    assert(add.path === "p 1=a b/part-00000-abc.snappy.parquet")
+    assert(add.partitionValues === Map("p 1" -> ""))
+    assert(add.version === 7L && add.timestamp === 42L)
+    val st = add.stats.get
+    assert(st.numRecords === 3L)
+    assert(st.minValues === Map("x" -> "1", "s" -> "aa")) // nested skipped
+    assert(st.maxValues("x") === "10.5")
+    assert(st.nullCount === Map("x" -> 0L, "s" -> 1L))
+
+    val remove = DeltaLogCompat.actionFromNode(JsonUtils.mapper.readTree(
+      """{"remove":{"path":"part-1.parquet","deletionTimestamp":1,
+        |"dataChange":true,"extendedFileMetadata":true,"partitionValues":{},
+        |"size":9}}""".stripMargin.replace("\n", "")), 2L, 5L).get
+    assert(remove === RemoveFile("part-1.parquet", Map.empty, 9L, true, 2L, 5L))
+
+    val meta = DeltaLogCompat.actionFromNode(JsonUtils.mapper.readTree(
+      """{"metaData":{"id":"u-1","format":{"provider":"parquet","options":{}},
+        |"schemaString":"{\"type\":\"struct\",\"fields\":[]}",
+        |"partitionColumns":["p"],"configuration":{"delta.enableChangeDataFeed":"true"},
+        |"createdTime":1}}""".stripMargin.replace("\n", "")), 0L, 0L)
+      .get.asInstanceOf[Metadata]
+    assert(meta.partitionColumns === Seq("p"))
+    assert(GraftCDF.isEnabled(meta))
+
+    // commitInfo / txn / domainMetadata are metadata-free: no action
+    assert(DeltaLogCompat.actionFromNode(
+      JsonUtils.mapper.readTree("""{"commitInfo":{"timestamp":5}}"""), 0, 0).isEmpty)
+    assert(DeltaLogCompat.actionFromNode(
+      JsonUtils.mapper.readTree("""{"txn":{"appId":"a","version":1}}"""), 0, 0).isEmpty)
+
+    // DV descriptor fields map 1:1
+    val dvAdd = DeltaLogCompat.actionFromNode(JsonUtils.mapper.readTree(
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,
+        |"modificationTime":1,"dataChange":true,"deletionVector":{
+        |"storageType":"u","pathOrInlineDv":"ab^-aqEH.-t@S}K{vb[*k^",
+        |"offset":4,"sizeInBytes":40,"cardinality":6}}}"""
+        .stripMargin.replace("\n", "")), 1, 1).get.asInstanceOf[AddFile]
+    assert(dvAdd.deletionVector ===
+      Some(DeletionVectorDescriptor("u", "ab^-aqEH.-t@S}K{vb[*k^", Some(4), 40, 6L)))
+  }
+
+  test("graft's writer surface refuses Delta-format tables") {
+    import spark.implicits._
+    val path = s"$root/t1"
+    val e = intercept[IllegalArgumentException] {
+      TableBuilder.append(spark, Seq((999L, "x")).toDF("id", "v"), path)
+    }
+    assert(e.getMessage.contains("Delta-format"))
+  }
+
+  test("corrupt checkpoint degrades to full replay, never a wrong answer") {
+    val path = s"$root/t3"
+    buildAndConvert(path, parts = 1)
+    val cpFile = new java.io.File(path, f"_delta_log/${3}%020d.checkpoint.parquet")
+    java.nio.file.Files.write(cpFile.toPath, Array[Byte](0, 1, 2, 3))
+    GraftLog.invalidateListing(path)
+    val log = new GraftLog(path, conf)
+    assert(log.checkpointAtOrBefore(Long.MaxValue).isEmpty)
+    assert(spark.read.format("graft").option("path", path).load().count() === 40L)
+  }
+}

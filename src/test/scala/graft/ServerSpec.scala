@@ -64,7 +64,7 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
   // ------------------------------------------------------------ listings
 
   private val fixtureTables = Seq("customer_cm", "events", "lineitem",
-    "nation_dv", "orders", "orders_cdf", "orders_versioned",
+    "nation_dv", "orders", "orders_cdf", "orders_delta", "orders_versioned",
     "supplier_compacted")
 
   test("listings: shares, schemas, tables, all-tables") {
