@@ -766,8 +766,16 @@ class GraftServer(
     s"http://${config.host}:$boundPort/data/$payload"
   }
 
+  /** Test hook: distinct client (ip, port) pairs seen on /data — with
+    * keep-alive, one pooled connection keeps one port across requests, so
+    * this counts CONNECTIONS, not requests.
+    */
+  private[graft] val dataConnections =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def serveData(ex: HttpExchange): Unit =
     try {
+      dataConnections.add(ex.getRemoteAddress.toString)
       val token = ex.getRequestURI.getPath.stripPrefix("/data/")
       // any malformed/tampered token is a signature failure, not a client
       // protocol error — pre-signed URLs answer 403 like cloud storage

@@ -33,17 +33,34 @@ object PerfAB {
     def ngramSets = docs.select(col("doc_id").as("id"),
       graft.ops.Dedup.charNgrams(col("text"), 5).as("fset"))
 
+    // Round-7 experiment: q64 exact quantiles — the round-6 plan (one
+    // Window.partitionBy(rf): 3 reducers each sort ⅓ of the table; dies
+    // at 100×) vs the shipped distributed rank (range partition + local
+    // rank + broadcast offsets: every task bounded by its range slice).
+    // Recorded at sf0.1 (reps=5, medians): window 0.39 s, distributed
+    // 1.70 s — the single-node price of the extra exchange; the window
+    // variant's per-group sort grows linearly with table size per
+    // reducer (3 reducers total), the distributed one stays flat per
+    // task and scales with the cluster.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("price"))
     val variants: Seq[(String, () => Long)] = Seq(
-      "ngram_explode" -> (() =>
-        ngramSets.select(col("id"), explode(col("fset"))).count()),
-      "ngram_dict" -> (() => {
-        val (_, dict) = graft.ops.Dedup.featureTables(ngramSets)
-        dict.count()
+      "q64_window_per_group" -> (() => {
+        val ranked = li
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("rf")).orderBy(col("price"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("rf"))))
+        ranked.groupBy(col("rf")).agg(
+          max(when(col("rn") === expr("(n + 3) div 4"), col("price"))).as("p25"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("price"))).as("p50"),
+          max(when(col("rn") === expr("(3*n + 3) div 4"), col("price"))).as("p75"),
+          max(when(col("rn") === expr("(9*n + 9) div 10"), col("price"))).as("p90"))
+          .count()
       }),
-      "ngram_cands" -> (() => {
-        val (exploded, dict) = graft.ops.Dedup.featureTables(ngramSets)
-        graft.ops.Dedup.prefixCandidates(exploded, dict, 0.6).count()
-      }),
+      "q64_distributed_rank" -> (() =>
+        graft.SparkEntry.queries("q64_exact_quantiles")(spark, sfDir).count()),
       "ngram_jaccard" -> (() =>
         graft.ops.Dedup.ngramJaccardDuplicates(docs, "doc_id", "text",
           n = 5, threshold = 0.6).count()))

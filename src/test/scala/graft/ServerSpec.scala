@@ -137,6 +137,32 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.files.forall(_.id.nonEmpty))
   }
 
+  test("range reads reuse pooled connections across seeks") {
+    val res = client.query("share1", "default", "lineitem")
+    val f = res.files.maxBy(_.size)
+    server.dataConnections.clear()
+    // a footer+rowgroup-style access pattern: many seeks, small reads,
+    // plus a second stream over the same URL (pool reuse across streams)
+    (1 to 2).foreach { _ =>
+      val in = new graft.sources.HttpRangeInputStream(f.url, f.size)
+      try {
+        val buf = new Array[Byte](256)
+        (1 to 10).foreach { i =>
+          in.seek(f.size / 11 * i)
+          assert(in.read(buf, 0, buf.length) > 0)
+        }
+        in.seek(math.max(0, f.size - 8)) // footer-length probe
+        assert(in.read(buf, 0, 8) > 0)
+        in.seek(0)
+        assert(in.read(buf, 0, buf.length) > 0)
+      } finally in.close()
+    }
+    // 24 reads over 2 streams; without keep-alive this is ~24 sockets.
+    // The bounded-chunk + drain design keeps it to the pool's handful.
+    assert(server.dataConnections.size <= 2,
+      s"expected pooled connections, saw ${server.dataConnections.size}")
+  }
+
   test("query pagination: maxFiles slices with a checksummed continuation token") {
     val res = client.query("share1", "default", "lineitem",
       QueryRequest(maxFiles = 3))
