@@ -208,6 +208,41 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       Some(DeletionVectorDescriptor("u", "ab^-aqEH.-t@S}K{vb[*k^", Some(4), 40, 6L)))
   }
 
+  test("streaming (snapshot-then-tail + CDF stream) works over the Delta log") {
+    import spark.implicits._
+    val path = s"$root/t1"
+    // batch stream: snapshot + per-version tail, Trigger.AvailableNow
+    val sink = "delta_stream_sink"
+    spark.catalog.dropTempView(sink)
+    val q = spark.readStream.format("graft").option("path", path).load()
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table(sink).as[Long].head() === 40L)
+
+    // CDF stream: change feed consumed as a stream, final state = batch CDF
+    val cdfSink = "delta_cdf_stream_sink"
+    spark.catalog.dropTempView(cdfSink)
+    val q2 = spark.readStream.format("graft").option("path", path)
+      .option("readChangeFeed", "true").option("startingVersion", "4").load()
+      .groupBy(col(GraftCDF.CHANGE_TYPE)).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName(cdfSink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val got = spark.table(cdfSink).as[(String, Long)].collect().toMap
+    assert(got === Map("delete" -> 10L, "update_preimage" -> 1L, "update_postimage" -> 1L))
+  }
+
+  test("the DSv2 kernel columnar scan serves Delta-format tables") {
+    import spark.implicits._
+    val path = s"$root/t1"
+    val df = spark.read.format("graft-kernel").option("path", path).load()
+      .filter(col("id") >= 100)
+    assert(df.as[(Long, String)].collect().map(_._1).toSet ===
+      (1 to 2).flatMap(k => (0 until 10).map(i => (k * 100 + i).toLong)).toSet)
+  }
+
   test("graft's writer surface refuses Delta-format tables") {
     import spark.implicits._
     val path = s"$root/t1"
