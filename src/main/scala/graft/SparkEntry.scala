@@ -1155,6 +1155,20 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 0).as("total"))
+    }),
+
+    // Delta interop, WRITE direction: part_delta was created by graft's
+    // own writer with deltaFormat=true — both commits are genuine Delta
+    // transactions (commitInfo + Delta action JSON) that any Delta
+    // reader could replay; here graft reads its own Delta output back
+    // through the sharing layer.
+    "q85_delta_native_write" -> ((s, dir) => {
+      sharedTable(s, dir, "part_delta")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          // exact integer cents: a double sum's addition order can flip
+          // round-at-0 on a .5 boundary between engines
+          sum(round(col("p_retailprice") * 100).cast("long")).as("retail_cents"))
     })
   )
 
@@ -1515,6 +1529,14 @@ object SparkEntry {
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y, count(*) AS n_orders
          FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
          GROUP BY 1""",
+    "q85_delta_native_write" ->
+      """SELECT p_brand, count(*) AS n_parts,
+         CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_cents
+         FROM part GROUP BY 1""",
+    "q85_delta_native_write" ->
+      """SELECT p_brand, count(*) AS n_parts,
+         CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_cents
+         FROM part GROUP BY 1""",
     "q84_delta_rest_scan" ->
       """SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 0) AS total
          FROM orders

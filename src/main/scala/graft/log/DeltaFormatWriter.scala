@@ -1,11 +1,7 @@
 package graft.log
 
-import scala.jdk.CollectionConverters._
-
-import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
 
 import graft.model._
 
@@ -16,15 +12,12 @@ import graft.model._
   * marker, commit-file mtimes set to the table's commit timestamps
   * (Delta's default history source), and the `_graft_log/` removed.
   *
-  * This exists so [[DeltaLogCompat]] is exercised against a log with the
-  * exact on-disk shape a real Delta writer produces (the reference serves
-  * ONLY such tables, via `DeltaLog.forTable` —
-  * `DeltaSharedTable.scala:83-86`): after conversion, graft can only read
-  * the table through the Delta replay path.
-  *
-  * The checkpoint parquet is written with Spark (one tiny driver-side
-  * DataFrame per checkpoint) because the fixture writer is always invoked
-  * from a Spark session; the READ path never needs Spark for log work.
+  * All serialization is the SHARED Delta writer in [[DeltaLogCompat]] —
+  * the same code [[GraftLog.commit]] uses for native Delta-format commits
+  * — so the conversion fixture exercises exactly the write path the
+  * engine ships. The reference serves ONLY such tables, via
+  * `DeltaLog.forTable` (`DeltaSharedTable.scala:83-86`); after conversion,
+  * graft reads the table through the Delta replay path.
   */
 object DeltaFormatWriter {
 
@@ -47,259 +40,28 @@ object DeltaFormatWriter {
     val fs = logDir.getFileSystem(conf)
     fs.mkdirs(logDir)
 
-    // Protocol: derived from the features the table actually uses, the
-    // way real writers gate them (delta PROTOCOL "Table Features").
+    // protocol: derived from the features the whole history uses, the
+    // way real writers gate them (delta PROTOCOL "Table Features")
     val usesDv = versions.exists(v => log.readVersion(v).exists {
       case a: AddFile => a.deletionVector.isDefined
       case _          => false
     })
     val usesCm = versions.exists(v => log.readVersion(v).exists {
-      case m: graft.model.Metadata => ColumnMapping.isEnabled(m)
+      case m: Metadata => ColumnMapping.isEnabled(m)
       case _           => false
     })
-    val protocolNode: ObjectNode = {
-      val p = JsonUtils.mapper.createObjectNode()
-      if (usesDv) {
-        p.put("minReaderVersion", 3).put("minWriterVersion", 7)
-        p.set("readerFeatures", JsonUtils.mapper.valueToTree(Seq("deletionVectors").asJava))
-        p.set("writerFeatures", JsonUtils.mapper.valueToTree(Seq("deletionVectors").asJava))
-      } else if (usesCm) p.put("minReaderVersion", 2).put("minWriterVersion", 5)
-      else p.put("minReaderVersion", 1).put("minWriterVersion", 4)
-      p
-    }
+    val protocolNode = DeltaLogCompat.protocolNodeFor(usesDv, usesCm)
 
     versions.foreach { v =>
-      val ts = tss(v)
-      val lines = Seq(commitInfoLine(ts)) ++ log.readVersion(v).flatMap {
-        case p: Protocol => Some(wrap("protocol", protocolNode))
-        case m: graft.model.Metadata => Some(wrap("metaData", metaDataNode(m)))
-        case a: AddFile  => Some(wrap("add", addNode(a)))
-        case r: RemoveFile =>
-          val n = JsonUtils.mapper.createObjectNode()
-          n.put("path", DeltaLogCompat.encodePath(r.path))
-          n.put("deletionTimestamp", r.timestamp)
-          n.put("dataChange", r.dataChange)
-          n.put("extendedFileMetadata", true)
-          n.set[ObjectNode]("partitionValues", partitionValuesNode(r.partitionValues))
-          n.put("size", r.size)
-          Some(wrap("remove", n))
-        case c: AddCDCFile =>
-          val n = JsonUtils.mapper.createObjectNode()
-          n.put("path", DeltaLogCompat.encodePath(c.path))
-          n.set[ObjectNode]("partitionValues", partitionValuesNode(c.partitionValues))
-          n.put("size", c.size)
-          n.put("dataChange", false)
-          Some(wrap("cdc", n))
-      }
-      val file = new Path(logDir, GraftLog.versionFileName(v))
-      val out = fs.create(file, true)
-      try lines.foreach(l => out.write((l + "\n").getBytes("UTF-8")))
-      finally out.close()
-      // Delta's default history source is the commit file's mtime
-      fs.setTimes(file, ts, -1)
-
+      DeltaLogCompat.writeCommit(fs, logDir, v, log.readVersion(v), tss(v), protocolNode)
+      // checkpoint state comes from the (still-present) graft log — the
+      // replayed content is identical by construction
       if (checkpointAt(v))
-        writeCheckpoint(spark, log, tablePath, v, protocolNode, checkpointParts)
+        DeltaLogCompat.writeCheckpoint(conf, tablePath, v, protocolNode, checkpointParts)
     }
 
     // the graft log goes away: from here the table IS a Delta table
     fs.delete(new Path(tablePath, GraftLog.LOG_DIR), true)
     GraftLog.invalidateListing(tablePath)
-  }
-
-  // ------------------------------------------------------------ JSON forms
-
-  private def wrap(kind: String, n: ObjectNode): String = {
-    val root = JsonUtils.mapper.createObjectNode()
-    root.set[ObjectNode](kind, n)
-    JsonUtils.toJson(root)
-  }
-
-  private def commitInfoLine(ts: Long): String = {
-    val ci = JsonUtils.mapper.createObjectNode()
-    ci.put("timestamp", ts)
-    ci.put("operation", "WRITE")
-    ci.set[ObjectNode]("operationParameters", JsonUtils.mapper.createObjectNode())
-    ci.put("engineInfo", "graft-delta-fixture-writer")
-    wrap("commitInfo", ci)
-  }
-
-  private def partitionValuesNode(pv: Map[String, String]): ObjectNode = {
-    val n = JsonUtils.mapper.createObjectNode()
-    // graft spells a null partition value ""; Delta spells it JSON null
-    pv.foreach { case (k, v) => if (v == null || v.isEmpty) n.putNull(k) else n.put(k, v) }
-    n
-  }
-
-  private[log] def statsJson(st: FileStats): String = {
-    val n = JsonUtils.mapper.createObjectNode()
-    n.put("numRecords", st.numRecords)
-    val mins = JsonUtils.mapper.createObjectNode()
-    st.minValues.foreach { case (k, v) => mins.put(k, v) }
-    val maxs = JsonUtils.mapper.createObjectNode()
-    st.maxValues.foreach { case (k, v) => maxs.put(k, v) }
-    val nulls = JsonUtils.mapper.createObjectNode()
-    // erasure: Jackson materializes small Map[String, Long] values as
-    // Integers — never pattern-match the value as Long here
-    st.nullCount.asInstanceOf[Map[String, Any]].foreach { case (k, v) =>
-      nulls.put(k, v.asInstanceOf[Number].longValue())
-    }
-    n.set[ObjectNode]("minValues", mins)
-    n.set[ObjectNode]("maxValues", maxs)
-    n.set[ObjectNode]("nullCount", nulls)
-    JsonUtils.toJson(n)
-  }
-
-  private def addNode(a: AddFile): ObjectNode = {
-    val n = JsonUtils.mapper.createObjectNode()
-    n.put("path", DeltaLogCompat.encodePath(a.path))
-    n.set[ObjectNode]("partitionValues", partitionValuesNode(a.partitionValues))
-    n.put("size", a.size)
-    n.put("modificationTime", a.modificationTime)
-    n.put("dataChange", a.dataChange)
-    a.stats.foreach(st => n.put("stats", statsJson(st)))
-    a.deletionVector.foreach { dv =>
-      val d = JsonUtils.mapper.createObjectNode()
-      d.put("storageType", dv.storageType)
-      d.put("pathOrInlineDv", dv.pathOrInlineDv)
-      dv.offset.foreach(o => d.put("offset", o))
-      d.put("sizeInBytes", dv.sizeInBytes)
-      d.put("cardinality", dv.cardinality)
-      n.set[ObjectNode]("deletionVector", d)
-    }
-    n
-  }
-
-  private[log] def metaDataNode(m: graft.model.Metadata): ObjectNode = {
-    val n = JsonUtils.mapper.createObjectNode()
-    n.put("id", m.id)
-    n.put("name", m.name)
-    val fmt = JsonUtils.mapper.createObjectNode()
-    fmt.put("provider", "parquet")
-    fmt.set[ObjectNode]("options", JsonUtils.mapper.createObjectNode())
-    n.set[ObjectNode]("format", fmt)
-    n.put("schemaString", m.schemaString)
-    n.set[ObjectNode]("partitionColumns",
-      JsonUtils.mapper.valueToTree(m.partitionColumns.asJava))
-    val config = JsonUtils.mapper.createObjectNode()
-    m.configuration.foreach { case (k, v) =>
-      // graft's fixture key → the real Delta table property
-      config.put(if (k == "enableChangeDataFeed") "delta.enableChangeDataFeed" else k, v)
-    }
-    n.set[ObjectNode]("configuration", config)
-    n.put("createdTime", 0L)
-    n
-  }
-
-  // ---------------------------------------------------- parquet checkpoint
-
-  private val dvType = StructType(Seq(
-    StructField("storageType", StringType),
-    StructField("pathOrInlineDv", StringType),
-    StructField("offset", IntegerType),
-    StructField("sizeInBytes", IntegerType),
-    StructField("cardinality", LongType)))
-
-  private val addType = StructType(Seq(
-    StructField("path", StringType),
-    StructField("partitionValues", MapType(StringType, StringType, valueContainsNull = true)),
-    StructField("size", LongType),
-    StructField("modificationTime", LongType),
-    StructField("dataChange", BooleanType),
-    StructField("stats", StringType),
-    StructField("deletionVector", dvType)))
-
-  private val metaType = StructType(Seq(
-    StructField("id", StringType),
-    StructField("name", StringType),
-    StructField("format", StructType(Seq(
-      StructField("provider", StringType),
-      StructField("options", MapType(StringType, StringType))))),
-    StructField("schemaString", StringType),
-    StructField("partitionColumns", ArrayType(StringType)),
-    StructField("configuration", MapType(StringType, StringType)),
-    StructField("createdTime", LongType)))
-
-  private val protoType = StructType(Seq(
-    StructField("minReaderVersion", IntegerType),
-    StructField("minWriterVersion", IntegerType),
-    StructField("readerFeatures", ArrayType(StringType)),
-    StructField("writerFeatures", ArrayType(StringType))))
-
-  private val checkpointSchema = StructType(Seq(
-    StructField("add", addType),
-    StructField("metaData", metaType),
-    StructField("protocol", protoType)))
-
-  private def writeCheckpoint(
-      spark: SparkSession,
-      log: GraftLog,
-      tablePath: String,
-      version: Long,
-      protocolNode: ObjectNode,
-      parts: Int): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    val snap = log.snapshot(Some(version))
-    val logDir = new Path(tablePath, DeltaLogCompat.LOG_DIR)
-    val fs = logDir.getFileSystem(conf)
-
-    def feat(field: String): Seq[String] =
-      Option(protocolNode.get(field)).map(_.elements().asScala.map(_.asText()).toSeq)
-        .getOrElse(null)
-    val protoRow = Row(null, null, Row(
-      protocolNode.get("minReaderVersion").asInt(),
-      protocolNode.get("minWriterVersion").asInt(),
-      feat("readerFeatures"), feat("writerFeatures")))
-    val m = snap.metadata
-    val metaRow = Row(null, Row(
-      m.id, m.name, Row("parquet", Map.empty[String, String]),
-      m.schemaString, m.partitionColumns,
-      m.configuration.map { case (k, v) =>
-        (if (k == "enableChangeDataFeed") "delta.enableChangeDataFeed" else k) -> v
-      }, 0L), null)
-    val addRows = snap.files.map { a =>
-      Row(Row(
-        DeltaLogCompat.encodePath(a.path),
-        a.partitionValues.map { case (k, v) =>
-          k -> (if (v == null || v.isEmpty) null else v)
-        },
-        a.size, a.modificationTime, a.dataChange,
-        a.stats.map(statsJson).orNull,
-        a.deletionVector.map(dv => Row(dv.storageType, dv.pathOrInlineDv,
-          dv.offset.map(Int.box).orNull, dv.sizeInBytes, dv.cardinality)).orNull),
-        null, null)
-    }
-
-    // distribute actions across part files (each action exactly once —
-    // the only multi-part invariant the spec requires)
-    val all = (protoRow +: metaRow +: addRows).zipWithIndex
-    val groups: Seq[Seq[Row]] =
-      if (parts <= 1) Seq(all.map(_._1))
-      else (0 until parts).map(p => all.collect { case (r, i) if i % parts == p => r })
-
-    val targets = DeltaLogCompat.checkpointFiles(logDir, version, Some(parts).filter(_ > 1))
-    groups.zip(targets).foreach { case (rows, target) =>
-      val tmp = new Path(logDir, s".${target.getName}.tmp.d")
-      spark.createDataFrame(rows.asJava, checkpointSchema)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = fs.listStatus(tmp).map(_.getPath)
-        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part written under $tmp"))
-      fs.delete(target, false)
-      require(fs.rename(part, target), s"failed to place checkpoint $target")
-      fs.delete(tmp, true)
-    }
-
-    val marker = JsonUtils.mapper.createObjectNode()
-    marker.put("version", version)
-    marker.put("size", all.size.toLong)
-    if (parts > 1) marker.put("parts", parts)
-    val mTmp = new Path(logDir, s"._last_checkpoint.$version.tmp")
-    val out = fs.create(mTmp, true)
-    try out.write(JsonUtils.toJson(marker).getBytes("UTF-8"))
-    finally out.close()
-    val mTarget = new Path(logDir, "_last_checkpoint")
-    fs.delete(mTarget, false)
-    require(fs.rename(mTmp, mTarget), s"failed to write $mTarget")
   }
 }

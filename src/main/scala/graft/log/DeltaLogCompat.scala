@@ -195,6 +195,333 @@ object DeltaLogCompat {
   private def textAt(n: JsonNode, f: String): String =
     Option(n.get(f)).filter(!_.isNull).map(_.asText()).getOrElse("")
 
+  // ------------------------------------------------------ writing: commits
+
+  /** graft action → wrapped Delta JSON line (the inverse of
+    * [[actionFromNode]]; field names/encodings per the Delta PROTOCOL).
+    * Protocol actions are serialized from `protocolNode` so feature-gated
+    * versions (readerFeatures/writerFeatures) are preserved.
+    */
+  private[graft] def actionToDeltaLine(a: Action, protocolNode: ObjectNode): String =
+    a match {
+      case _: Protocol => wrap("protocol", protocolNode)
+      case m: Metadata => wrap("metaData", metaDataNode(m))
+      case add: AddFile => wrap("add", addNode(add))
+      case r: RemoveFile =>
+        val n = JsonUtils.mapper.createObjectNode()
+        n.put("path", encodePath(r.path))
+        n.put("deletionTimestamp", r.timestamp)
+        n.put("dataChange", r.dataChange)
+        n.put("extendedFileMetadata", true)
+        n.set[ObjectNode]("partitionValues", partitionValuesNode(r.partitionValues))
+        n.put("size", r.size)
+        wrap("remove", n)
+      case c: AddCDCFile =>
+        val n = JsonUtils.mapper.createObjectNode()
+        n.put("path", encodePath(c.path))
+        n.set[ObjectNode]("partitionValues", partitionValuesNode(c.partitionValues))
+        n.put("size", c.size)
+        n.put("dataChange", false)
+        wrap("cdc", n)
+    }
+
+  private def wrap(kind: String, n: ObjectNode): String = {
+    val root = JsonUtils.mapper.createObjectNode()
+    root.set[ObjectNode](kind, n)
+    JsonUtils.toJson(root)
+  }
+
+  private[graft] def commitInfoLine(ts: Long): String = {
+    val ci = JsonUtils.mapper.createObjectNode()
+    ci.put("timestamp", ts)
+    ci.put("operation", "WRITE")
+    ci.set[ObjectNode]("operationParameters", JsonUtils.mapper.createObjectNode())
+    ci.put("engineInfo", "graft")
+    wrap("commitInfo", ci)
+  }
+
+  /** The feature-gated protocol a table needs (delta PROTOCOL "Table
+    * Features"): deletion vectors ⇒ (3, 7) + feature lists; column
+    * mapping ⇒ (2, 5); plain ⇒ (1, 4) — CDF's legacy writer gate.
+    */
+  private[graft] def protocolNodeFor(usesDv: Boolean, usesCm: Boolean): ObjectNode = {
+    val p = JsonUtils.mapper.createObjectNode()
+    if (usesDv) {
+      p.put("minReaderVersion", 3).put("minWriterVersion", 7)
+      val feats = JsonUtils.mapper.createArrayNode()
+      feats.add("deletionVectors")
+      if (usesCm) feats.add("columnMapping")
+      p.set[JsonNode]("readerFeatures", feats)
+      p.set[JsonNode]("writerFeatures", feats.deepCopy[JsonNode]())
+    } else if (usesCm) p.put("minReaderVersion", 2).put("minWriterVersion", 5)
+    else p.put("minReaderVersion", 1).put("minWriterVersion", 4)
+    p
+  }
+
+  private def partitionValuesNode(pv: Map[String, String]): ObjectNode = {
+    val n = JsonUtils.mapper.createObjectNode()
+    // graft spells a null partition value ""; Delta spells it JSON null
+    pv.foreach { case (k, v) => if (v == null || v.isEmpty) n.putNull(k) else n.put(k, v) }
+    n
+  }
+
+  private[graft] def statsJson(st: FileStats): String = {
+    val n = JsonUtils.mapper.createObjectNode()
+    n.put("numRecords", st.numRecords)
+    val mins = JsonUtils.mapper.createObjectNode()
+    st.minValues.foreach { case (k, v) => mins.put(k, v) }
+    val maxs = JsonUtils.mapper.createObjectNode()
+    st.maxValues.foreach { case (k, v) => maxs.put(k, v) }
+    val nulls = JsonUtils.mapper.createObjectNode()
+    // erasure: Jackson materializes small Map[String, Long] values as
+    // Integers — never pattern-match the value as Long here
+    st.nullCount.asInstanceOf[Map[String, Any]].foreach { case (k, v) =>
+      nulls.put(k, v.asInstanceOf[Number].longValue())
+    }
+    n.set[ObjectNode]("minValues", mins)
+    n.set[ObjectNode]("maxValues", maxs)
+    n.set[ObjectNode]("nullCount", nulls)
+    JsonUtils.toJson(n)
+  }
+
+  private def addNode(a: AddFile): ObjectNode = {
+    val n = JsonUtils.mapper.createObjectNode()
+    n.put("path", encodePath(a.path))
+    n.set[ObjectNode]("partitionValues", partitionValuesNode(a.partitionValues))
+    n.put("size", a.size)
+    n.put("modificationTime", a.modificationTime)
+    n.put("dataChange", a.dataChange)
+    a.stats.foreach(st => n.put("stats", statsJson(st)))
+    a.deletionVector.foreach { dv =>
+      val d = JsonUtils.mapper.createObjectNode()
+      d.put("storageType", dv.storageType)
+      d.put("pathOrInlineDv", dv.pathOrInlineDv)
+      dv.offset.foreach(o => d.put("offset", o))
+      d.put("sizeInBytes", dv.sizeInBytes)
+      d.put("cardinality", dv.cardinality)
+      n.set[ObjectNode]("deletionVector", d)
+    }
+    n
+  }
+
+  private[graft] def metaDataNode(m: Metadata): ObjectNode = {
+    val n = JsonUtils.mapper.createObjectNode()
+    n.put("id", m.id)
+    n.put("name", m.name)
+    val fmt = JsonUtils.mapper.createObjectNode()
+    fmt.put("provider", "parquet")
+    fmt.set[ObjectNode]("options", JsonUtils.mapper.createObjectNode())
+    n.set[ObjectNode]("format", fmt)
+    n.put("schemaString", m.schemaString)
+    n.set[JsonNode]("partitionColumns",
+      JsonUtils.mapper.valueToTree(m.partitionColumns.asJava))
+    val config = JsonUtils.mapper.createObjectNode()
+    m.configuration.foreach { case (k, v) =>
+      // graft's fixture key → the real Delta table property
+      config.put(if (k == "enableChangeDataFeed") "delta.enableChangeDataFeed" else k, v)
+    }
+    n.set[ObjectNode]("configuration", config)
+    n.put("createdTime", 0L)
+    n
+  }
+
+  /** Atomically (temp + rename) write one Delta commit file:
+    * commitInfo + the actions, with the commit file's mtime set to `ts`
+    * (the history source every Delta reader uses).
+    */
+  private[graft] def writeCommit(
+      fs: FileSystem,
+      logDir: Path,
+      version: Long,
+      actions: Seq[Action],
+      ts: Long,
+      protocolNode: ObjectNode): Unit = {
+    val target = new Path(logDir, GraftLog.versionFileName(version))
+    require(!fs.exists(target), s"version $version already committed in $logDir")
+    val lines = commitInfoLine(ts) +: actions.map(actionToDeltaLine(_, protocolNode))
+    val tmp = new Path(logDir, s".${GraftLog.versionFileName(version)}.tmp")
+    val out = fs.create(tmp, true)
+    try lines.foreach(l => out.write((l + "\n").getBytes("UTF-8")))
+    finally out.close()
+    require(fs.rename(tmp, target), s"failed to commit $target")
+    fs.setTimes(target, ts, -1)
+  }
+
+  // -------------------------------------------------- writing: checkpoints
+
+  /** Classic checkpoint parquet schema (Spark-compatible 3-level
+    * LIST/MAP shapes) — built once from its message-type string.
+    */
+  private lazy val checkpointMessageType: org.apache.parquet.schema.MessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message delta_checkpoint {
+        |  optional group add {
+        |    optional binary path (UTF8);
+        |    optional group partitionValues (MAP) {
+        |      repeated group key_value {
+        |        required binary key (UTF8);
+        |        optional binary value (UTF8);
+        |      }
+        |    }
+        |    optional int64 size;
+        |    optional int64 modificationTime;
+        |    optional boolean dataChange;
+        |    optional binary stats (UTF8);
+        |    optional group deletionVector {
+        |      optional binary storageType (UTF8);
+        |      optional binary pathOrInlineDv (UTF8);
+        |      optional int32 offset;
+        |      optional int32 sizeInBytes;
+        |      optional int64 cardinality;
+        |    }
+        |  }
+        |  optional group metaData {
+        |    optional binary id (UTF8);
+        |    optional binary name (UTF8);
+        |    optional group format {
+        |      optional binary provider (UTF8);
+        |    }
+        |    optional binary schemaString (UTF8);
+        |    optional group partitionColumns (LIST) {
+        |      repeated group list {
+        |        optional binary element (UTF8);
+        |      }
+        |    }
+        |    optional group configuration (MAP) {
+        |      repeated group key_value {
+        |        required binary key (UTF8);
+        |        optional binary value (UTF8);
+        |      }
+        |    }
+        |    optional int64 createdTime;
+        |  }
+        |  optional group protocol {
+        |    optional int32 minReaderVersion;
+        |    optional int32 minWriterVersion;
+        |    optional group readerFeatures (LIST) {
+        |      repeated group list {
+        |        optional binary element (UTF8);
+        |      }
+        |    }
+        |    optional group writerFeatures (LIST) {
+        |      repeated group list {
+        |        optional binary element (UTF8);
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin)
+
+  /** Write the classic parquet checkpoint for `version` (protocol +
+    * metaData + every active add; expired tombstones are legally omitted)
+    * plus the `_last_checkpoint` marker. Parquet is written DRIVER-SIDE
+    * with the parquet-hadoop example API — the log layer stays Spark-free
+    * in both directions, and a checkpoint is O(files) metadata exactly
+    * like replay. `parts` > 1 produces the multi-part layout.
+    */
+  private[graft] def writeCheckpoint(
+      conf: Configuration,
+      tablePath: String,
+      version: Long,
+      protocolNode: ObjectNode,
+      parts: Int = 1): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+
+    val log = new GraftLog(tablePath, conf)
+    val snap = log.snapshot(Some(version))
+    val logDir = new Path(tablePath, LOG_DIR)
+    val fs = logDir.getFileSystem(conf)
+    val factory = new SimpleGroupFactory(checkpointMessageType)
+
+    def protoGroup(): Group = {
+      val g = factory.newGroup()
+      val p = g.addGroup("protocol")
+      p.add("minReaderVersion", protocolNode.get("minReaderVersion").asInt())
+      p.add("minWriterVersion", protocolNode.get("minWriterVersion").asInt())
+      Seq("readerFeatures", "writerFeatures").foreach { f =>
+        Option(protocolNode.get(f)).foreach { arr =>
+          val lg = p.addGroup(f)
+          arr.elements().asScala.foreach(e => lg.addGroup("list").add("element", e.asText()))
+        }
+      }
+      g
+    }
+    def metaGroup(): Group = {
+      val g = factory.newGroup()
+      val m = snap.metadata
+      val mg = g.addGroup("metaData")
+      mg.add("id", m.id); mg.add("name", m.name)
+      mg.addGroup("format").add("provider", "parquet")
+      mg.add("schemaString", m.schemaString)
+      val pc = mg.addGroup("partitionColumns")
+      m.partitionColumns.foreach(c => pc.addGroup("list").add("element", c))
+      val cfg = mg.addGroup("configuration")
+      m.configuration.foreach { case (k, v) =>
+        val kv = cfg.addGroup("key_value")
+        kv.add("key", if (k == "enableChangeDataFeed") "delta.enableChangeDataFeed" else k)
+        kv.add("value", v)
+      }
+      mg.add("createdTime", 0L)
+      g
+    }
+    def addGroup(a: AddFile): Group = {
+      val g = factory.newGroup()
+      val ag = g.addGroup("add")
+      ag.add("path", encodePath(a.path))
+      val pv = ag.addGroup("partitionValues")
+      a.partitionValues.foreach { case (k, v) =>
+        val kv = pv.addGroup("key_value")
+        kv.add("key", k)
+        if (v != null && v.nonEmpty) kv.add("value", v)
+      }
+      ag.add("size", a.size)
+      ag.add("modificationTime", a.modificationTime)
+      ag.add("dataChange", a.dataChange)
+      a.stats.foreach(st => ag.add("stats", statsJson(st)))
+      a.deletionVector.foreach { dv =>
+        val dg = ag.addGroup("deletionVector")
+        dg.add("storageType", dv.storageType)
+        dg.add("pathOrInlineDv", dv.pathOrInlineDv)
+        dv.offset.foreach(o => dg.add("offset", o))
+        dg.add("sizeInBytes", dv.sizeInBytes)
+        dg.add("cardinality", dv.cardinality)
+      }
+      g
+    }
+
+    val all: Seq[Group] = protoGroup() +: metaGroup() +: snap.files.map(addGroup)
+    val groups: Seq[Seq[Group]] =
+      if (parts <= 1) Seq(all)
+      else (0 until parts).map(p => all.zipWithIndex.collect {
+        case (g, i) if i % parts == p => g
+      })
+    val targets = checkpointFiles(logDir, version, Some(parts).filter(_ > 1))
+    groups.zip(targets).foreach { case (gs, target) =>
+      val tmp = new Path(logDir, s".${target.getName}.tmp")
+      fs.delete(tmp, false)
+      val writer = ExampleParquetWriter.builder(
+          org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, conf))
+        .withConf(conf)
+        .withType(checkpointMessageType)
+        .build()
+      try gs.foreach(writer.write) finally writer.close()
+      fs.delete(target, false) // idempotent rewrite, like graft checkpoints
+      require(fs.rename(tmp, target), s"failed to place checkpoint $target")
+    }
+
+    val marker = JsonUtils.mapper.createObjectNode()
+    marker.put("version", version)
+    marker.put("size", all.size.toLong)
+    if (parts > 1) marker.put("parts", parts)
+    val mTmp = new Path(logDir, s"._last_checkpoint.$version.tmp")
+    val out = fs.create(mTmp, true)
+    try out.write(JsonUtils.toJson(marker).getBytes("UTF-8"))
+    finally out.close()
+    val mTarget = new Path(logDir, "_last_checkpoint")
+    fs.delete(mTarget, false)
+    require(fs.rename(mTmp, mTarget), s"failed to write $mTarget")
+  }
+
   // ----------------------------------------------------------- checkpoints
 
   /** `_last_checkpoint` marker: `{"version":N,"size":M[,"parts":K]}`. */

@@ -474,9 +474,25 @@ object GraftLog {
     */
   private val commitLock = new Object
 
-  /** Atomically write one commit file (temp + rename). */
-  def commit(tablePath: String, version: Long, actions: Seq[Action], conf: Configuration): Unit = {
-    commitLock.synchronized(commitLocked(tablePath, version, actions, conf))
+  /** Atomically write one commit file (temp + rename).
+    *
+    * Format routing: a table with a Delta-format log — or a version-0
+    * commit with `deltaFormat = true` — is committed in REAL Delta format
+    * ([[commitDeltaLocked]]): commitInfo line, Delta action JSON,
+    * feature-gated protocol upgrades, mtime-as-history. Every TableBuilder
+    * operation (create/append/delete/update/DV-delete/compact/vacuum)
+    * therefore works identically on Delta-format tables, and any real
+    * Delta reader can consume what graft writes.
+    */
+  def commit(
+      tablePath: String, version: Long, actions: Seq[Action], conf: Configuration,
+      deltaFormat: Boolean = false): Unit = {
+    val isDelta = commitLock.synchronized {
+      val d = deltaFormat || new GraftLog(tablePath, conf).deltaMode
+      if (d) commitDeltaLocked(tablePath, version, actions, conf)
+      else commitLocked(tablePath, version, actions, conf)
+      d
+    }
     // Delta-style automatic checkpointing: every INTERVAL commits,
     // consolidate state so snapshot replay stays O(since-checkpoint).
     // Outside the lock: checkpointing is an O(files) accelerator write,
@@ -485,11 +501,86 @@ object GraftLog {
     // the caller would see failure for a committed version and a retry
     // would die on "version already committed".
     if (version > 0 && version % CHECKPOINT_INTERVAL == 0) {
-      try writeCheckpoint(tablePath, version, conf)
-      catch { case scala.util.control.NonFatal(e) =>
+      try {
+        if (isDelta) {
+          val log = new GraftLog(tablePath, conf)
+          val snap = log.snapshot(Some(version))
+          DeltaLogCompat.writeCheckpoint(conf, tablePath, version,
+            DeltaLogCompat.protocolNodeFor(
+              snap.protocol.minReaderVersion >= 3,
+              graft.model.ColumnMapping.isEnabled(snap.metadata)))
+        } else writeCheckpoint(tablePath, version, conf)
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(
           s"graft: checkpoint at $tablePath v$version failed (commit is durable): $e")
       }
+    }
+  }
+
+  /** Native Delta-format commit: the shared [[DeltaLogCompat]] writer
+    * serializes the actions; this method adds the transactional
+    * bookkeeping a real Delta writer performs —
+    *
+    *  - contiguity: only `latestVersion + 1` (or 0) may commit;
+    *  - protocol upgrades: a commit that introduces deletion vectors or
+    *    column mapping on a table whose protocol does not yet allow them
+    *    gets the feature-gated protocol action injected (delta PROTOCOL
+    *    "Table Features");
+    *  - history: the commit file's mtime is the monotonized max action
+    *    timestamp — the same fold graft-mode timestamps use, so the same
+    *    builder calls produce the same history in either format.
+    */
+  private def commitDeltaLocked(
+      tablePath: String, version: Long, actions: Seq[Action], conf: Configuration): Unit = {
+    val logDir = new Path(tablePath, DeltaLogCompat.LOG_DIR)
+    val fs = logDir.getFileSystem(conf)
+    fs.mkdirs(logDir)
+
+    val commitHasDv = actions.exists {
+      case a: AddFile => a.deletionVector.isDefined
+      case _          => false
+    }
+    val commitMeta = actions.collectFirst { case m: Metadata => m }
+    val (prevMinReader, prevCm, prevTs) =
+      if (version == 0) (0, false, Long.MinValue)
+      else {
+        val log = new GraftLog(tablePath, conf)
+        require(log.deltaMode, s"$tablePath is not Delta-format")
+        require(version == log.latestVersion() + 1,
+          s"non-contiguous delta commit $version at $tablePath " +
+            s"(latest is ${log.latestVersion()})")
+        val snap = log.snapshot(None)
+        (snap.protocol.minReaderVersion,
+          graft.model.ColumnMapping.isEnabled(snap.metadata),
+          log.versionTimestamps().lastOption.map(_._2).getOrElse(Long.MinValue))
+      }
+    val usesCm = commitMeta.map(graft.model.ColumnMapping.isEnabled).getOrElse(prevCm)
+    val usesDv = commitHasDv || prevMinReader >= 3
+    val protoNode = DeltaLogCompat.protocolNodeFor(usesDv, usesCm)
+    val needUpgrade = version > 0 &&
+      ((commitHasDv && prevMinReader < 3) ||
+        (usesCm && prevMinReader < 2)) &&
+      !actions.exists(_.isInstanceOf[Protocol])
+    val out =
+      if (needUpgrade) Protocol(if (usesDv) 3 else 2, version) +: actions
+      else actions
+
+    // same monotonized fold as graft-mode versionTimestamps
+    val tsReq = actions.map {
+      case a: AddFile    => a.timestamp
+      case r: RemoveFile => r.timestamp
+      case c: AddCDCFile => c.timestamp
+      case _             => 0L
+    }.foldLeft(0L)(math.max)
+    val ts = if (tsReq > prevTs) tsReq else prevTs + 1
+
+    DeltaLogCompat.writeCommit(fs, logDir, version, out, ts, protoNode)
+    formatCache.put(tablePath, true)
+    listingCache.get(tablePath) match {
+      case Some(vs) if version == vs.last + 1 => listingCache(tablePath) = vs :+ version
+      case Some(_)                            => listingCache.remove(tablePath)
+      case None if version == 0               => listingCache(tablePath) = Vector(0L)
+      case None                               => ()
     }
   }
 
@@ -497,13 +588,6 @@ object GraftLog {
       tablePath: String, version: Long, actions: Seq[Action], conf: Configuration): Unit = {
     val logDir = new Path(tablePath, LOG_DIR)
     val fs = logDir.getFileSystem(conf)
-    // graft's writer surface speaks the graft log only: committing a
-    // graft version alongside a Delta-format log would fork the table's
-    // history (readers prefer _graft_log and would silently lose the
-    // delta commits) — fail loudly instead.
-    require(!new GraftLog(tablePath, conf).deltaMode,
-      s"$tablePath has a Delta-format log (_delta_log); graft's writer " +
-        "surface does not commit to Delta-format tables")
     fs.mkdirs(logDir)
     val target = new Path(logDir, versionFileName(version))
     require(!fs.exists(target), s"version $version already committed at $tablePath")

@@ -133,6 +133,21 @@ object SharedFixtures {
       DeltaFormatWriter.convert(spark, path, checkpointAt = v => v == 2)
     }
 
+    // part_delta: NATIVELY-written Delta table — created with
+    // deltaFormat = true, so both commits are genuine Delta transactions
+    // produced by graft's own writer (no conversion step). Proves the
+    // write direction of the Delta interop: any Delta reader could
+    // consume this table.
+    buildIfMissing(root, "part_delta") { path =>
+      val p = spark.read.parquet(s"$sfDir/part.parquet")
+      TableBuilder.create(spark,
+        p.filter(col("p_partkey") % 2 === 0).repartition(2),
+        path, name = "part_delta", deltaFormat = true)
+      TableBuilder.append(spark,
+        p.filter(col("p_partkey") % 2 =!= 0).repartition(2),
+        path, timestamp = 1000L)
+    }
+
     // nation_dv: deletion-vector table — a row-level delete that rewrote
     // NO data file (remove+add of the same bytes + DV descriptor).
     buildIfMissing(root, "nation_dv") { path =>
@@ -166,7 +181,8 @@ object SharedFixtures {
     }
 
     Seq("lineitem", "orders", "orders_versioned", "events", "orders_cdf",
-      "orders_delta", "nation_dv", "customer_cm", "supplier_compacted").foreach { t =>
+      "orders_delta", "part_delta", "nation_dv", "customer_cm",
+      "supplier_compacted").foreach { t =>
       GraftCatalog.register(s"$SHARE.$t", s"$root/$t")
     }
     built += root

@@ -25,7 +25,14 @@ import graft.model._
   */
 object TableBuilder {
 
-  /** Create a table at `tablePath` (version 0) from `df`. */
+  /** Create a table at `tablePath` (version 0) from `df`.
+    *
+    * `deltaFormat = true` creates a REAL Delta Lake table (`_delta_log/`
+    * JSON commits, parquet checkpoints every 10 commits) instead of a
+    * graft-log table; every other builder operation then commits in Delta
+    * format automatically (format detection), so the table stays readable
+    * by any Delta reader.
+    */
   def create(
       spark: SparkSession,
       df: DataFrame,
@@ -33,10 +40,11 @@ object TableBuilder {
       partitionCols: Seq[String] = Nil,
       name: String = "",
       numFiles: Int = 0,
-      configuration: Map[String, String] = Map.empty): Unit = {
+      configuration: Map[String, String] = Map.empty,
+      deltaFormat: Boolean = false): Unit = {
     val out = if (numFiles > 0) df.repartition(numFiles) else df
     out.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tablePath)
-    // the overwrite wiped any previous _graft_log at this path
+    // the overwrite wiped any previous log at this path
     GraftLog.invalidateListing(tablePath)
     val meta = graft.model.Metadata(
       id = java.util.UUID.nameUUIDFromBytes(tablePath.getBytes("UTF-8")).toString,
@@ -47,7 +55,7 @@ object TableBuilder {
       version = 0L)
     val adds = scanDataFiles(spark, tablePath, df.schema, partitionCols, version = 0L)
     GraftLog.commit(tablePath, 0L, Seq(Protocol(), meta) ++ adds,
-      spark.sessionState.newHadoopConf())
+      spark.sessionState.newHadoopConf(), deltaFormat = deltaFormat)
   }
 
   /** Append `df` as a new version; emits AddFile actions for the newly

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -243,13 +245,19 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1 to 2).flatMap(k => (0 until 10).map(i => (k * 100 + i).toLong)).toSet)
   }
 
-  test("graft's writer surface refuses Delta-format tables") {
+  test("the writer surface commits Delta format on Delta-format tables") {
     import spark.implicits._
     val path = s"$root/t1"
-    val e = intercept[IllegalArgumentException] {
-      TableBuilder.append(spark, Seq((999L, "x")).toDF("id", "v"), path)
-    }
-    assert(e.getMessage.contains("Delta-format"))
+    val v = TableBuilder.append(spark, Seq((999L, "x")).toDF("id", "v"), path,
+      timestamp = 9000L)
+    // the new commit is a genuine Delta JSON commit: commitInfo first,
+    // then the add with a percent-encodable relative path
+    val lines = java.nio.file.Files.readAllLines(
+      new java.io.File(path, f"_delta_log/$v%020d.json").toPath)
+    assert(lines.get(0).contains("\"commitInfo\""))
+    assert(lines.asScala.exists(_.contains("\"add\"")))
+    assert(spark.read.format("graft").option("path", path).load()
+      .filter(col("id") === 999).count() === 1L)
   }
 
   test("corrupt checkpoint degrades to full replay, never a wrong answer") {

@@ -65,7 +65,7 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val fixtureTables = Seq("customer_cm", "events", "lineitem",
     "nation_dv", "orders", "orders_cdf", "orders_delta", "orders_versioned",
-    "supplier_compacted")
+    "part_delta", "supplier_compacted")
 
   test("listings: shares, schemas, tables, all-tables") {
     assert(client.listShares() === Seq("share1"))
