@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SQLContext}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.log.GraftCatalog
@@ -23,10 +23,70 @@ import graft.log.GraftCatalog
   * + `ParquetFileFormat`, so every Catalyst operator, join strategy, AQE
   * and whole-stage codegen applies unchanged downstream.
   */
-class GraftDataSource extends RelationProvider
+class GraftDataSource extends RelationProvider with CreatableRelationProvider
     with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `df.write.format("graft").mode(...).option("path", ...).save()` —
+    * the DataFrame write surface over the table builder. Options:
+    *
+    *  - `path` (required) — the table root (remote `url` tables are
+    *    read-only, like the reference, S13);
+    *  - `deltaFormat` — `true` writes a REAL Delta Lake log (S18);
+    *  - `partitionColumns` — comma-separated hive partition columns
+    *    (create only; the V1 writer API does not forward
+    *    `.partitionBy(...)` to providers);
+    *  - `name`, `enableChangeDataFeed` — table metadata at create.
+    *
+    * SaveMode semantics match file sources: ErrorIfExists/Ignore gate on
+    * the table's existence, Overwrite recreates at version 0, Append
+    * commits a new version (schema checked by the builder).
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    require(!parameters.contains("url"),
+      "remote shared tables are read-only; writes need a local option(\"path\")")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("write requires option 'path'"))
+    val spark = sqlContext.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val exists =
+      fs.exists(new org.apache.hadoop.fs.Path(root, graft.log.GraftLog.LOG_DIR)) ||
+        fs.exists(new org.apache.hadoop.fs.Path(root, graft.log.DeltaLogCompat.LOG_DIR))
+    def doCreate(): Unit = graft.log.TableBuilder.create(
+      spark, data, path,
+      partitionCols = parameters.get("partitionColumns").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      name = parameters.getOrElse("name", ""),
+      configuration =
+        if (parameters.get("enableChangeDataFeed").exists(_.toBoolean))
+          Map("enableChangeDataFeed" -> "true")
+        else Map.empty,
+      deltaFormat = parameters.get("deltaFormat").exists(_.toBoolean))
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"graft table already exists at $path")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Append if exists =>
+        graft.log.TableBuilder.append(spark, data, path,
+          timestamp = parameters.get("timestamp").map(_.toLong).getOrElse(0L))
+      case SaveMode.Overwrite if exists =>
+        // a fresh version-0 table: wipe so stale data files of the old
+        // incarnation can never be rescanned
+        fs.delete(root, true)
+        graft.log.GraftLog.invalidateListing(path)
+        doCreate()
+      case _ => doCreate()
+    }
+    createRelation(sqlContext, Map("path" -> path))
+  }
 
   private def resolvePath(parameters: Map[String, String]): String =
     parameters.get("table") match {

@@ -138,6 +138,38 @@ class DeltaWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("graft").option("path", path).load().count() === 40L)
   }
 
+  test("DataFrame write surface: save modes, append versions, delta format") {
+    import spark.implicits._
+    val path = s"$root/write_api"
+    val df = (0 until 10).map(i => (i.toLong, s"w$i")).toDF("id", "v")
+    df.write.format("graft").option("path", path)
+      .option("deltaFormat", "true").option("name", "write_api").save()
+    assert(new GraftLog(path, conf).deltaMode)
+    def count() = spark.read.format("graft").option("path", path).load().count()
+    assert(count() === 10L)
+    // default ErrorIfExists refuses; Ignore is a no-op
+    intercept[IllegalStateException] {
+      df.write.format("graft").option("path", path).save()
+    }
+    df.write.format("graft").mode("ignore").option("path", path).save()
+    assert(count() === 10L)
+    // append commits a new (Delta-format) version
+    Seq((100L, "x")).toDF("id", "v").write.format("graft").mode("append")
+      .option("path", path).option("timestamp", "1000").save()
+    assert(count() === 11L)
+    assert(new GraftLog(path, conf).latestVersion() === 1L)
+    assert(commitLines(path, 1L).head.contains("\"commitInfo\""))
+    // overwrite recreates at version 0
+    Seq((1L, "y")).toDF("id", "v").write.format("graft").mode("overwrite")
+      .option("path", path).option("deltaFormat", "true").save()
+    assert(count() === 1L && new GraftLog(path, conf).latestVersion() === 0L)
+    // schema drift on append fails loudly (builder contract)
+    intercept[Exception] {
+      Seq((1, 2.0)).toDF("id", "other").write.format("graft").mode("append")
+        .option("path", path).save()
+    }
+  }
+
   test("native delta tables serve over REST and the kernel scan") {
     import spark.implicits._
     val path = s"$root/native"
