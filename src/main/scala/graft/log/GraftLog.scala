@@ -244,14 +244,24 @@ class GraftLog(val tablePath: String, conf: Configuration) {
               require(meta != null, s"checkpoint $p has no metadata")
               // timestamp prefix chains through the previous checkpoint;
               // a broken link makes THIS checkpoint unusable (None) —
-              // replay from commits still answers correctly
-              val prefix: Option[Seq[(Long, Long)]] = header.prevCheckpoint match {
-                case None     => Some(Nil)
-                case Some(pv) => load(pv).map(_.timestamps)
-              }
+              // replay from commits still answers correctly.
+              // Jackson + erasure: numbers inside Seq[Seq[Long]] and
+              // Option[Long] materialize as Integers — go through Number,
+              // never unbox Long directly (the pre-fix CCE silently
+              // degraded EVERY header load to full replay).
+              def asLong(x: Any): Long = x.asInstanceOf[Number].longValue()
+              val prefix: Option[Seq[(Long, Long)]] =
+                header.prevCheckpoint.asInstanceOf[Option[Any]] match {
+                  case None     => Some(Nil)
+                  case Some(pv) => load(asLong(pv)).map(_.timestamps)
+                }
               prefix.map { pre =>
+                val own = header.timestamps.map { t =>
+                  val s = t.asInstanceOf[Seq[Any]]
+                  (asLong(s(0)), asLong(s(1)))
+                }
                 val st = GraftLog.CheckpointState(header.version,
-                  pre ++ header.timestamps.map(t => (t(0), t(1))), meta, proto, files.result())
+                  pre ++ own, meta, proto, files.result())
                 GraftLog.checkpointCache.put((tablePath, v), st)
                 st
               }

@@ -388,6 +388,57 @@ object TableBuilder {
     candidates.size
   }
 
+  /** Delta-style log cleanup (`delta.logRetentionDuration` semantics):
+    * delete commit files BELOW the newest checkpoint whose commit
+    * timestamp is older than `retentionMs` — the checkpoint anchors every
+    * replay at/above it, so current reads are untouched while the log
+    * directory stops growing O(forever). Time travel and CDF below the
+    * horizon stop working (loudly — replay of a cleaned version fails,
+    * never answers wrong), exactly Delta's trade.
+    *
+    * Superseded DELTA checkpoint files below the kept one are removed
+    * too; graft-format checkpoints are kept because their timestamp
+    * prefixes CHAIN through older checkpoints (GraftLog.CheckpointHeader)
+    * — they are O(files) small and breaking the chain would degrade the
+    * live checkpoint to full replay over deleted commits.
+    *
+    * Returns the number of deleted files.
+    */
+  def cleanupLogs(
+      spark: SparkSession,
+      tablePath: String,
+      retentionMs: Long,
+      nowMs: Long): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logR = new GraftLog(tablePath, conf)
+    val cp = logR.checkpointAtOrBefore(Long.MaxValue).getOrElse(return 0)
+    val cutoff = nowMs - retentionMs
+    val tss = logR.versionTimestamps().toMap
+    val logDir = new Path(tablePath,
+      if (logR.deltaMode) DeltaLogCompat.LOG_DIR else GraftLog.LOG_DIR)
+    val fs = logDir.getFileSystem(conf)
+    val commits = logR.listVersions()
+      .filter(v => v < cp.version && tss.get(v).exists(_ < cutoff))
+      .map(v => new Path(logDir, GraftLog.versionFileName(v)))
+    val oldCheckpoints =
+      if (!logR.deltaMode) Nil
+      else {
+        val single = "(\\d{20})\\.checkpoint\\.parquet".r
+        val multi = "(\\d{20})\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet".r
+        fs.listStatus(logDir).toSeq.map(_.getPath).filter { p =>
+          p.getName match {
+            case single(v) => v.toLong < cp.version
+            case multi(v)  => v.toLong < cp.version
+            case _         => false
+          }
+        }
+      }
+    val doomed = commits ++ oldCheckpoints
+    doomed.foreach(fs.delete(_, false))
+    GraftLog.invalidateListing(tablePath)
+    doomed.size
+  }
+
   private def rewrite(
       spark: SparkSession,
       tablePath: String,

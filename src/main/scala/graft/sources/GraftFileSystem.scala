@@ -38,7 +38,15 @@ class GraftFileSystem extends FileSystem {
     // Driver/local-mode: direct GraftUrlCache hit. Separate executor JVMs:
     // fileId → URL over the driver RPC endpoint (registered in register()).
     val url = org.apache.spark.graft.GraftUrlRpc.resolve(fileId)
-    new FSDataInputStream(new HttpRangeInputStream(url, size))
+    // Small files: ONE full GET into memory beats a seek dance (footer
+    // read-at-end, then row groups) — fewer requests, the response is
+    // always fully consumed so its connection always returns to the
+    // pool, and seeks become free (the reference offers the same trade
+    // via its in-memory stream option, DeltaSharingFileSystem.scala:52-82).
+    if (size <= IN_MEMORY_THRESHOLD)
+      new FSDataInputStream(new InMemoryHttpInputStream(url, size))
+    else
+      new FSDataInputStream(new HttpRangeInputStream(url, size))
   }
 
   override def getFileStatus(f: Path): FileStatus = {
@@ -73,6 +81,12 @@ object GraftFileSystem {
   val SCHEME = "graft"
   val BLOCK_SIZE: Long = 128L * 1024 * 1024
 
+  /** Files at/below this size are fetched whole into memory at open()
+    * (parquet footers + small files dominate request count at scale;
+    * 4 MB per open stream is far below a scan task's buffer budget).
+    */
+  val IN_MEMORY_THRESHOLD: Long = 4L * 1024 * 1024
+
   /** `graft:///<fileId>/<size>` codec (reference
     * `DeltaSharingFileSystem.scala:174-210` encodes table/fileId/size the
     * same way).
@@ -94,6 +108,50 @@ object GraftFileSystem {
     spark.sparkContext.hadoopConfiguration
       .setIfUnset(s"fs.$SCHEME.impl", classOf[GraftFileSystem].getName)
     org.apache.spark.graft.GraftUrlRpc.registerIfNeeded(org.apache.spark.SparkEnv.get)
+  }
+}
+
+/** Whole-file-in-memory stream for small shared files: ONE pooled GET at
+  * construction, then free seeks/reads over the buffer (the reference's
+  * `InMemoryHttpInputStream`). Used below
+  * [[GraftFileSystem.IN_MEMORY_THRESHOLD]].
+  */
+class InMemoryHttpInputStream(url: String, length: Long) extends FSInputStream {
+  private val data: Array[Byte] = {
+    val req = java.net.http.HttpRequest.newBuilder(URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(120)).GET().build()
+    val resp = try HttpRangeInputStream.client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    catch { case e: InterruptedException => throw new java.io.InterruptedIOException(e.getMessage) }
+    if (resp.statusCode() == 403 || resp.statusCode() == 404)
+      throw new FileNotFoundException(s"pre-signed URL rejected (${resp.statusCode()})")
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(s"HTTP ${resp.statusCode()} reading $url")
+    val b = resp.body()
+    if (b.length != length)
+      throw new java.io.IOException(
+        s"expected $length bytes, got ${b.length} from $url")
+    b
+  }
+  private var pos = 0
+
+  override def seek(p: Long): Unit = {
+    if (p < 0 || p > length) throw new java.io.EOFException(s"seek($p) outside [0, $length]")
+    pos = p.toInt
+  }
+  override def getPos: Long = pos
+  override def seekToNewSource(targetPos: Long): Boolean = false
+
+  override def read(): Int =
+    if (pos >= data.length) -1
+    else { val b = data(pos) & 0xff; pos += 1; b }
+
+  override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+    if (pos >= data.length) return -1
+    val n = math.min(len, data.length - pos)
+    System.arraycopy(data, pos, buf, off, n)
+    pos += n
+    n
   }
 }
 

@@ -149,4 +149,20 @@ class CheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     TableBuilder.append(spark, Seq((2L, "y")).toDF("id", "v"), t)
     assert(spark.read.format("graft").option("path", t).load().count() === 2L)
   }
+
+  test("log cleanup below the newest checkpoint keeps current reads exact") {
+    // base has 26 versions with checkpoints at 10 and 20; the graft-format
+    // cleanup deletes old COMMITS only (checkpoint chains stay intact)
+    val before = spark.read.format("graft").option("path", base).load().count()
+    val deleted = TableBuilder.cleanupLogs(spark, base, retentionMs = 0L,
+      nowMs = System.currentTimeMillis() + 3600000L)
+    assert(deleted === 20, s"expected commits 0..19 gone, deleted $deleted")
+    assert(spark.read.format("graft").option("path", base).load().count() === before)
+    val log = new GraftLog(base, conf)
+    assert(log.listVersions().head === 20L)
+    // timestamps survive via the chained checkpoint prefixes
+    assert(log.versionTimestamps().map(_._1) === (0L to 25L))
+    // history below the horizon fails loudly
+    intercept[Exception](GraftCDF.tableChanges(spark, base, 5, Some(8)).count())
+  }
 }

@@ -170,6 +170,24 @@ class DeltaWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("log cleanup removes pre-checkpoint commits; current reads unaffected") {
+    import spark.implicits._
+    val path = s"$root/native" // 15 commits, checkpoint at 10
+    val before = spark.read.format("graft").option("path", path).load().count()
+    val deleted = TableBuilder.cleanupLogs(spark, path, retentionMs = 0L,
+      nowMs = System.currentTimeMillis() + 3600_000L)
+    assert(deleted >= 10, s"expected the 10 pre-checkpoint commits gone, got $deleted")
+    // snapshot-at-latest replays checkpoint + surviving tail unchanged
+    assert(spark.read.format("graft").option("path", path).load().count() === before)
+    val log = new GraftLog(path, conf)
+    assert(log.listVersions().head === 10L)
+    // history below the horizon fails loudly, never answers wrong
+    intercept[Exception] {
+      spark.read.format("graft").option("path", path)
+        .option("versionAsOf", "3").load().count()
+    }
+  }
+
   test("native delta tables serve over REST and the kernel scan") {
     import spark.implicits._
     val path = s"$root/native"
