@@ -805,33 +805,25 @@ object SparkEntry {
     "q64_exact_quantiles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("price"))
-      val nParts = s.sessionState.conf.numShufflePartitions
-      val parts = li.repartitionByRange(nParts, col("rf"), col("price"))
-        .withColumn("pid", spark_partition_id())
-      val ranked = parts.withColumn("local", row_number().over(
-        Window.partitionBy(col("pid"), col("rf")).orderBy(col("price"))))
-      // (rf, pid) row counts → per-rf exclusive prefix sum over pid and
-      // the rf total n, computed inside one collect_list row with
-      // higher-order functions — no window over a low-cardinality key,
-      // no driver round-trip.
-      val offsets = parts.groupBy(col("rf"), col("pid")).agg(count(lit(1)).as("c"))
-        .groupBy(col("rf"))
-        .agg(array_sort(collect_list(struct(col("pid"), col("c")))).as("pcs"))
-        .select(col("rf"),
-          expr("aggregate(pcs, 0L, (acc, x) -> acc + x.c)").as("n"),
-          explode(expr(
-            """transform(pcs, (p, i) -> struct(
-              |  p.pid as pid,
-              |  aggregate(slice(pcs, 1, i), 0L, (acc, x) -> acc + x.c) as off))"""
-              .stripMargin)).as("po"))
-        .select(col("rf"), col("po.pid").as("pid"), col("po.off").as("off"), col("n"))
-      ranked.join(broadcast(offsets), Seq("rf", "pid"))
-        .withColumn("rn", col("off") + col("local"))
+      graft.ops.Quantiles.withGroupRank(li, Seq("rf"), Seq("price"))
         .groupBy(col("rf")).agg(
-          max(when(col("rn") === expr("(n + 3) div 4"), col("price"))).as("p25"),
-          max(when(col("rn") === expr("(n + 1) div 2"), col("price"))).as("p50"),
-          max(when(col("rn") === expr("(3*n + 3) div 4"), col("price"))).as("p75"),
-          max(when(col("rn") === expr("(9*n + 9) div 10"), col("price"))).as("p90"))
+          max(when(col("__rn") === expr("(__n + 3) div 4"), col("price"))).as("p25"),
+          max(when(col("__rn") === expr("(__n + 1) div 2"), col("price"))).as("p50"),
+          max(when(col("__rn") === expr("(3*__n + 3) div 4"), col("price"))).as("p75"),
+          max(when(col("__rn") === expr("(9*__n + 9) div 10"), col("price"))).as("p90"))
+    }),
+
+    // §2.5-adjacent: exact equi-depth histogram — SQL NTILE semantics
+    // over the same distributed rank (ops.Quantiles), with a unique
+    // (orderkey, linenumber) tiebreaker so bucket membership at value
+    // ties is engine-reproducible; the oracle replays it with a literal
+    // ntile() window.
+    "q86_equidepth_histogram" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("price"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+      graft.ops.Quantiles.equiDepthHistogram(
+        li, Seq("rf"), "price", Seq("price", "ok", "ln"), buckets = 8)
     }),
 
     // §2.3-adjacent: salted equi-join — skew-mitigation shape whose
@@ -1533,10 +1525,14 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n_parts,
          CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_cents
          FROM part GROUP BY 1""",
-    "q85_delta_native_write" ->
-      """SELECT p_brand, count(*) AS n_parts,
-         CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_cents
-         FROM part GROUP BY 1""",
+    "q86_equidepth_histogram" ->
+      """SELECT rf, bucket, count(*) AS n_rows, min(price) AS lo, max(price) AS hi
+         FROM (SELECT l_returnflag AS rf, l_extendedprice AS price,
+                      CAST(ntile(8) OVER (PARTITION BY l_returnflag
+                        ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT)
+                        AS bucket
+               FROM lineitem)
+         GROUP BY 1, 2""",
     "q84_delta_rest_scan" ->
       """SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 0) AS total
          FROM orders

@@ -73,6 +73,20 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(atTs === v1)
   }
 
+  test("Delta-format tables are first-class SQL names with time travel") {
+    // orders_delta carries a genuine _delta_log; the catalog serves it
+    // through the same DSv2 scan, including VERSION AS OF below the
+    // table's parquet checkpoint
+    val latest = spark.sql(s"SELECT count(*) AS n FROM $T.orders_delta")
+      .collect().head.getLong(0)
+    val v1 = spark.sql(s"SELECT count(*) AS n FROM $T.orders_delta VERSION AS OF 1")
+      .collect().head.getLong(0)
+    val expected = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp")).count()
+    assert(v1 === expected)
+    assert(latest < v1, "the delete at v2 must make the latest snapshot smaller")
+  }
+
   test("SHOW TABLES / SHOW NAMESPACES reflect the registry") {
     val tables = spark.sql(s"SHOW TABLES IN $T")
       .collect().map(_.getString(1)).toSet

@@ -257,6 +257,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(leaked.isEmpty, s"pageRank leaked lineage-cut blocks: $leaked")
   }
 
+  test("equi-depth histogram matches SQL NTILE semantics incl. remainders") {
+    import spark.implicits._
+    // n=10, k=4 → NTILE sizes 3,3,2,2 with exact inclusive bounds
+    val df = (1 to 10).map(i => ("g", i.toLong)).toDF("g", "v")
+    val h = Quantiles.equiDepthHistogram(df, Seq("g"), "v", Seq("v"), 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(h.toSeq === Seq((1L, 3L, 1L, 3L), (2L, 3L, 4L, 6L),
+      (3L, 2L, 7L, 8L), (4L, 2L, 9L, 10L)))
+    // n < k: the first n buckets get one row each, the rest are empty
+    val tiny = (1 to 3).map(i => ("g", i.toLong)).toDF("g", "v")
+    val th = Quantiles.equiDepthHistogram(tiny, Seq("g"), "v", Seq("v"), 8)
+      .orderBy("bucket").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(th.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("contamination screen flags docs overlapping the benchmark pool") {
     val bench = docsDF(Seq(1L -> base))
     val corpus = docsDF(Seq(
