@@ -1149,6 +1149,61 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 0).as("total"))
     }),
 
+    // §2.8-adjacent: streaming DEDUPLICATION — Spark's stateful
+    // dropDuplicates chained into a streaming aggregate (two stateful
+    // operators in one query). The dedup key set makes the final count
+    // order-independent, so the batch oracle replays it exactly.
+    "q87_stream_dedup" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(s"${graft.log.SharedFixtures.SHARE}.events")
+      val sink = "graft_q87_sink"
+      s.catalog.dropTempView(sink)
+      val q = s.readStream.format("graft").option("path", path)
+        .option("maxFilesPerTrigger", "8").load()
+        .dropDuplicates("user_id", "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      q.stop()
+      s.table(sink)
+    }),
+
+    // §2.8-adjacent: CUSTOM streaming state via
+    // KeyValueGroupedDataset.mapGroupsWithState — a per-user event
+    // counter folded commutatively across micro-batches; the final state
+    // (max update per user) equals the batch groupBy, which the oracle
+    // replays as a count histogram.
+    "q88_stream_custom_state" -> ((s, dir) => {
+      import s.implicits._
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(s"${graft.log.SharedFixtures.SHARE}.events")
+      val sink = "graft_q88_sink"
+      s.catalog.dropTempView(sink)
+      val q = s.readStream.format("graft").option("path", path)
+        .option("maxFilesPerTrigger", "8").load()
+        .select(col("user_id").as[Long])
+        .groupByKey(identity[Long])
+        .mapGroupsWithState[Long, (Long, Long)](
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          case (user, events, state) =>
+            val n = state.getOption.getOrElse(0L) + events.size
+            state.update(n)
+            (user, n)
+        }
+        .toDF("user_id", "n_events")
+        .writeStream.format("memory").queryName(sink).outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      q.stop()
+      // update mode emits one row per (user, batch); the final state is
+      // the max — aggregate the sink into the per-count user histogram
+      s.table(sink)
+        .groupBy(col("user_id")).agg(max(col("n_events")).as("cnt"))
+        .groupBy(col("cnt")).agg(count(lit(1)).as("n_users"))
+    }),
+
     // Delta interop, WRITE direction: part_delta was created by graft's
     // own writer with deltaFormat=true — both commits are genuine Delta
     // transactions (commitInfo + Delta action JSON) that any Delta
@@ -1533,6 +1588,13 @@ object SparkEntry {
                         AS bucket
                FROM lineitem)
          GROUP BY 1, 2""",
+    "q87_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1""",
+    "q88_stream_custom_state" ->
+      """SELECT cnt, count(*) AS n_users FROM
+           (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+         GROUP BY 1""",
     "q84_delta_rest_scan" ->
       """SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 0) AS total
          FROM orders
