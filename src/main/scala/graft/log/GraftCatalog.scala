@@ -26,6 +26,16 @@ object GraftCatalog {
 
   def unregister(fqn: String): Unit = tables.remove(fqn)
 
+  /** Drop cached snapshots of `location` — required when a table is
+    * RECREATED at the same path (overwrite / drop+create): version
+    * numbers restart, so (location, version) keys would serve the old
+    * incarnation's state.
+    */
+  private[graft] def invalidateSnapshots(location: String): Unit =
+    snapshotCache.synchronized {
+      snapshotCache.keySet.removeIf(_._1 == location)
+    }
+
   def location(fqn: String): String =
     tables.getOrElse(fqn, throw new NoSuchElementException(
       s"table $fqn is not shared (known: ${tables.keys.toSeq.sorted.mkString(", ")})"))

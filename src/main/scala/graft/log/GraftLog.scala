@@ -470,6 +470,9 @@ object GraftLog {
     listingCache.remove(tablePath)
     formatCache.remove(tablePath)
     checkpointCache.keys.filter(_._1 == tablePath).foreach(checkpointCache.remove)
+    // a recreated table restarts version numbers — cached snapshots of
+    // the old incarnation must not serve under the new table's keys
+    GraftCatalog.invalidateSnapshots(tablePath)
   }
 
   def versionFileName(v: Long): String = f"$v%020d.json"

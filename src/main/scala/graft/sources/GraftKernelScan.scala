@@ -89,17 +89,59 @@ class GraftKernelSource extends TableProvider with DataSourceRegister {
 }
 
 class GraftKernelTable(tablePath: String, snapshot: Snapshot)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-kernel:`$tablePath`@v${snapshot.version}"
   override def schema(): StructType = snapshot.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
     new GraftKernelScanBuilder(spark, name(), snapshot.schema,
       snapshot.metadata.partitionColumns.toSet,
       limit => new GraftFileIndex(spark, tablePath, snapshot, limit.map(_.toLong)))
   }
+
+  /** SQL DML via the V1 write fallback: `INSERT INTO` appends a new log
+    * version through the table builder (schema-checked, stats computed,
+    * Delta-format commits on Delta-format tables); `INSERT OVERWRITE`
+    * recreates at version 0 preserving partitioning, configuration, and
+    * log format. The DataFrame-based V1 path is exactly the builder's
+    * input shape — no duplicate per-task writer machinery.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              val spark = data.sparkSession
+              val conf = spark.sessionState.newHadoopConf()
+              if (overwrite) {
+                val wasDelta = new graft.log.GraftLog(tablePath, conf).deltaMode
+                val p = new org.apache.hadoop.fs.Path(tablePath)
+                p.getFileSystem(conf).delete(p, true)
+                graft.log.GraftLog.invalidateListing(tablePath)
+                graft.log.TableBuilder.create(spark, data, tablePath,
+                  partitionCols = snapshot.metadata.partitionColumns,
+                  name = snapshot.metadata.name,
+                  configuration = snapshot.metadata.configuration,
+                  deltaFormat = wasDelta)
+              } else {
+                graft.log.TableBuilder.append(spark, data, tablePath)
+              }
+            }
+        }
+    }
 }
 
 /** The same DSv2 columnar scan over a REMOTE shared table: partition

@@ -43,10 +43,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     */
   private var remote: Option[graft.client.GraftRestClient] = None
 
+  /** Root directory for tables CREATEd without an explicit location
+    * (catalog option `spark.sql.catalog.<name>.warehouse`).
+    */
+  private var warehouse: Option[String] = None
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     remote = Option(options.get("url")).map(url =>
       new graft.client.GraftRestClient(url, Option(options.get("token"))))
+    warehouse = Option(options.get("warehouse"))
   }
 
   override def name(): String = catalogName
@@ -141,13 +147,69 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
           s"graft-kernel-remote:$share.$schema.$table")
     }
 
+  /** LOCAL mode supports SQL DDL/DML: `CREATE TABLE` (+ `AS SELECT`),
+    * `INSERT INTO` / `INSERT OVERWRITE`, `DROP TABLE`. The table lives at
+    * `TBLPROPERTIES('location'=…)` or `<warehouse>/<share>/<schema>/<t>`
+    * (catalog option `spark.sql.catalog.<name>.warehouse`);
+    * `'format'='delta'` creates a REAL Delta Lake log (every commit a
+    * genuine Delta transaction). Remote mode stays read-only — the
+    * sharing protocol has no write surface (reference S13).
+    */
   override def createTable(
       ident: Identifier, columns: Array[Column], partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = readOnly()
+      properties: util.Map[String, String]): Table = {
+    if (remote.isDefined) readOnly()
+    if (ident.namespace().length != 2)
+      throw new IllegalArgumentException(
+        s"table identifier must be share.schema.table, got ${fqn(ident)}")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val spark = SparkSession.active
+    import scala.jdk.CollectionConverters._
+    val props = properties.asScala.toMap
+    val partitionCols = partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"$catalogName supports identity partitioning only, got $t")
+    }
+    val schema = org.apache.spark.sql.types.StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    val path = props.getOrElse("location", {
+      val wh = warehouse.getOrElse(throw new IllegalArgumentException(
+        s"set TBLPROPERTIES('location'='…') or catalog option " +
+          s"spark.sql.catalog.$catalogName.warehouse"))
+      (Seq(wh) ++ ident.namespace() :+ ident.name()).mkString("/")
+    })
+    val reserved = Set("location", "format", "provider", "owner", "external")
+    val meta = graft.model.Metadata(
+      id = java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8")).toString,
+      name = ident.name(),
+      schemaString = schema.json,
+      partitionColumns = partitionCols,
+      configuration = props.filterNot { case (k, _) => reserved(k) },
+      version = 0L)
+    graft.log.GraftLog.invalidateListing(path)
+    graft.log.GraftLog.commit(path, 0L,
+      Seq(graft.model.Protocol(), meta),
+      spark.sessionState.newHadoopConf(),
+      deltaFormat = props.get("format").contains("delta"))
+    GraftCatalog.register(fqn(ident), path)
+    loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly()
 
-  override def dropTable(ident: Identifier): Boolean = readOnly()
+  override def dropTable(ident: Identifier): Boolean = {
+    if (remote.isDefined) readOnly()
+    if (!tableExists(ident)) return false
+    val path = GraftCatalog.location(fqn(ident))
+    GraftCatalog.unregister(fqn(ident))
+    graft.log.GraftLog.invalidateListing(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(SparkSession.active.sessionState.newHadoopConf()).delete(p, true)
+    true
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly()
 

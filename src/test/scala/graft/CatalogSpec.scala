@@ -21,6 +21,7 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.catalog.graft", classOf[graft.sources.GraftSparkCatalog].getName)
+    .config("spark.sql.catalog.graft.warehouse", "/root/repo/target/graft_warehouse")
     .getOrCreate()
 
   override def beforeAll(): Unit = {
@@ -96,6 +97,52 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shares.contains(SharedFixtures.SHARE.split("\\.").head))
   }
 
+  test("SQL DDL/DML: CTAS, INSERT INTO/OVERWRITE, DROP TABLE, delta format") {
+    val wh = "/root/repo/target/graft_warehouse"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.sql(s"DROP TABLE IF EXISTS $T.sql_t")
+    spark.sql(s"CREATE TABLE $T.sql_t AS " +
+      s"SELECT l_orderkey, l_quantity FROM $T.lineitem WHERE l_orderkey < 1000")
+    def count(t: String): Long =
+      spark.sql(s"SELECT count(*) AS n FROM $T.$t").collect().head.getLong(0)
+    val expected = spark.sql(
+      s"SELECT count(*) AS n FROM $T.lineitem WHERE l_orderkey < 1000")
+      .collect().head.getLong(0)
+    assert(count("sql_t") === expected && expected > 0)
+    // INSERT INTO appends a new log version
+    spark.sql(s"INSERT INTO $T.sql_t " +
+      s"SELECT l_orderkey + 9000000, l_quantity FROM $T.lineitem LIMIT 3")
+    assert(count("sql_t") === expected + 3)
+    // INSERT OVERWRITE recreates at version 0
+    spark.sql(s"INSERT OVERWRITE $T.sql_t " +
+      s"SELECT l_orderkey, l_quantity FROM $T.lineitem LIMIT 5")
+    assert(count("sql_t") === 5L)
+
+    // delta-format CTAS: the SQL surface writes a REAL Delta Lake log
+    spark.sql(s"DROP TABLE IF EXISTS $T.sql_delta")
+    spark.sql(s"CREATE TABLE $T.sql_delta TBLPROPERTIES('format'='delta') AS " +
+      s"SELECT l_orderkey, l_quantity FROM $T.lineitem WHERE l_orderkey < 500")
+    val deltaDir = new java.io.File(s"$wh/share1/default/sql_delta/_delta_log")
+    assert(deltaDir.isDirectory && !new java.io.File(
+      s"$wh/share1/default/sql_delta/_graft_log").exists())
+    spark.sql(s"INSERT INTO $T.sql_delta " +
+      s"SELECT l_orderkey + 9000000, l_quantity FROM $T.lineitem LIMIT 2")
+    val lines = java.nio.file.Files.readAllLines(
+      new java.io.File(deltaDir, f"${1}%020d.json").toPath)
+    assert(lines.get(0).contains("\"commitInfo\""), "INSERT must commit Delta JSON")
+    assert(count("sql_delta") ===
+      spark.sql(s"SELECT count(*) AS n FROM $T.lineitem WHERE l_orderkey < 500")
+        .collect().head.getLong(0) + 2)
+
+    assert(spark.sql(s"SHOW TABLES IN $T").collect()
+      .map(_.getString(1)).toSet.contains("sql_t"))
+    spark.sql(s"DROP TABLE $T.sql_t")
+    spark.sql(s"DROP TABLE $T.sql_delta")
+    assert(!spark.sql(s"SHOW TABLES IN $T").collect()
+      .map(_.getString(1)).toSet.contains("sql_t"))
+    assert(!new java.io.File(s"$wh/share1/default/sql_t").exists())
+  }
+
   test("unknown table raises a table-not-found analysis error") {
     val e = intercept[org.apache.spark.sql.AnalysisException](
       spark.sql(s"SELECT * FROM $T.nope").collect())
@@ -103,13 +150,18 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), e.getMessage)
   }
 
-  test("DDL and writes are refused: shares are read-only") {
+  test("unsupported DDL refuses locally; remote catalog is fully read-only") {
+    // rename/alter have no log representation — refused in any mode
     val e = intercept[Exception](
-      spark.sql(s"DROP TABLE $T.lineitem"))
+      spark.sql(s"ALTER TABLE $T.lineitem RENAME TO $T.lineitem2"))
     assert(e.getMessage.contains("read-only"), e.getMessage)
+    // the sharing protocol has no write surface: remote DDL/DML refuses
     val e2 = intercept[Exception](
-      spark.sql(s"CREATE TABLE $T.t2 (a INT)"))
+      spark.sql(s"DROP TABLE $remoteCat.lineitem"))
     assert(e2.getMessage.contains("read-only"), e2.getMessage)
+    val e3 = intercept[Exception](
+      spark.sql(s"CREATE TABLE $remoteCat.t2 (a INT)"))
+    assert(e3.getMessage.contains("read-only"), e3.getMessage)
   }
 
   // ---------------------------------------------------- remote catalog
