@@ -1204,6 +1204,30 @@ object SparkEntry {
         .groupBy(col("cnt")).agg(count(lit(1)).as("n_users"))
     }),
 
+    // Beyond-reference writer: MERGE INTO (upsert with all three clauses).
+    // Affected-file pruning means only files containing matched keys are
+    // rewritten; the source is broadcast by Catalyst at this size, so the
+    // merge plan has no target-side shuffle. The oracle expresses the
+    // merged state directly: keys < 2000 untouched, matched keys [2000,
+    // 3000) deleted when divisible by 7 else doubled, source-only keys
+    // [3000, 4000) inserted doubled.
+    "q89_merge_upsert" -> ((s, dir) => {
+      val path = s"${graft.log.SharedFixtures.shareRoot(dir)}/scratch_merge"
+      val target = t(s, dir, "orders").filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+      graft.log.TableBuilder.create(s, target.repartition(4), path, name = "scratch_merge")
+      val src = t(s, dir, "orders")
+        .filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 4000)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("price"))
+      graft.log.Merge.merge(s, path, src, "t.o_orderkey = s.o_orderkey",
+        whenMatchedUpdate = Some(Map("price" -> "s.price")),
+        whenMatchedDeleteIf = Some("s.o_orderkey % 7 = 0"),
+        whenNotMatchedInsert = Some(Map(
+          "o_orderkey" -> "s.o_orderkey", "price" -> "s.price")))
+      s.read.format("graft").option("path", path).load()
+        .select(col("o_orderkey"), round(col("price"), 2).as("price"))
+    }),
+
     // Delta interop, WRITE direction: part_delta was created by graft's
     // own writer with deltaFormat=true — both commits are genuine Delta
     // transactions (commitInfo + Delta action JSON) that any Delta
@@ -1595,6 +1619,13 @@ object SparkEntry {
       """SELECT cnt, count(*) AS n_users FROM
            (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
          GROUP BY 1""",
+    "q89_merge_upsert" ->
+      """SELECT o_orderkey,
+         round(CASE WHEN o_orderkey >= 2000 THEN o_totalprice * 2
+                    ELSE o_totalprice END, 2) AS price
+         FROM orders
+         WHERE o_orderkey < 4000
+           AND NOT (o_orderkey >= 2000 AND o_orderkey < 3000 AND o_orderkey % 7 = 0)""",
     "q84_delta_rest_scan" ->
       """SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 0) AS total
          FROM orders

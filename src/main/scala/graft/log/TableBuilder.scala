@@ -518,7 +518,7 @@ object TableBuilder {
     } finally affected.unpersist()
   }
 
-  private def collectParquetIncludingHidden(
+  private[log] def collectParquetIncludingHidden(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
     fs.listStatus(dir).toSeq.filter(st =>
@@ -590,7 +590,7 @@ object TableBuilder {
     StructType(schema.fields.filterNot(f => partitionCols.contains(f.name)) ++
       schema.fields.filter(f => partitionCols.contains(f.name)))
 
-  private def collectParquet(
+  private[log] def collectParquet(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     val (dirs, fileStatuses) = fs.listStatus(dir).toSeq
@@ -600,7 +600,7 @@ object TableBuilder {
       dirs.flatMap(d => collectParquet(fs, d.getPath))
   }
 
-  private def relativize(root: URI, file: URI): String = {
+  private[log] def relativize(root: URI, file: URI): String = {
     val r = if (root.getPath.endsWith("/")) root.getPath else root.getPath + "/"
     val f = file.getPath
     require(f.startsWith(r), s"$f not under $r")
