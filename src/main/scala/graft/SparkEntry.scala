@@ -1204,6 +1204,36 @@ object SparkEntry {
         .groupBy(col("cnt")).agg(count(lit(1)).as("n_users"))
     }),
 
+    // Beyond-reference writer: exactly-once STREAMING SINK — the shared
+    // lineitem table streams (snapshot-then-tail, 4 files/trigger) into a
+    // fresh graft table; every micro-batch commits its files together
+    // with a txn watermark action, so a replayed epoch after restart is a
+    // no-op. The oracle aggregates the original lineitem: any dropped or
+    // doubled batch flips the hash.
+    "q90_stream_sink" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      val src = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.lineitem")
+      val scratch = s"${graft.log.SharedFixtures.shareRoot(dir)}/scratch_sink"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      graft.log.GraftLog.invalidateListing(s"$scratch/data")
+      val q = s.readStream.format("graft").option("path", src)
+        .option("maxFilesPerTrigger", "4").load()
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .writeStream.format("graft")
+        .option("path", s"$scratch/data")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000); q.stop()
+      s.read.format("graft").option("path", s"$scratch/data").load()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          round(sum(col("l_extendedprice")), 0).as("sum_price"))
+    }),
+
     // Beyond-reference writer: MERGE INTO (upsert with all three clauses).
     // Affected-file pruning means only files containing matched keys are
     // rewritten; the source is broadcast by Catalyst at this size, so the
@@ -1619,6 +1649,11 @@ object SparkEntry {
       """SELECT cnt, count(*) AS n_users FROM
            (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
          GROUP BY 1""",
+    "q90_stream_sink" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+         CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         round(sum(l_extendedprice), 0) AS sum_price
+         FROM lineitem GROUP BY 1""",
     "q89_merge_upsert" ->
       """SELECT o_orderkey,
          round(CASE WHEN o_orderkey >= 2000 THEN o_totalprice * 2

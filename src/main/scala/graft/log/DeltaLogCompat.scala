@@ -113,7 +113,14 @@ object DeltaLogCompat {
       Some(Protocol(
         minReaderVersion = Option(p.get("minReaderVersion")).map(_.asInt(1)).getOrElse(1),
         version = version))
-    } else None // commitInfo / txn / domainMetadata / checkpointMetadata
+    } else if (root.has("txn")) {
+      val t = root.get("txn")
+      Some(Txn(
+        appId = textAt(t, "appId"),
+        txnVersion = longAt(t, "version"), // delta spells the watermark `version`
+        lastUpdated = longAt(t, "lastUpdated"),
+        version = version))
+    } else None // commitInfo / domainMetadata / checkpointMetadata
   }
 
   /** `commitInfo.inCommitTimestamp` (ICT tables) else `commitInfo.timestamp`,
@@ -223,6 +230,12 @@ object DeltaLogCompat {
         n.put("size", c.size)
         n.put("dataChange", false)
         wrap("cdc", n)
+      case t: Txn =>
+        val n = JsonUtils.mapper.createObjectNode()
+        n.put("appId", t.appId)
+        n.put("version", t.txnVersion)
+        n.put("lastUpdated", t.lastUpdated)
+        wrap("txn", n)
     }
 
   private def wrap(kind: String, n: ObjectNode): String = {
@@ -409,6 +422,11 @@ object DeltaLogCompat {
         |      }
         |    }
         |  }
+        |  optional group txn {
+        |    optional binary appId (UTF8);
+        |    optional int64 version;
+        |    optional int64 lastUpdated;
+        |  }
         |}""".stripMargin)
 
   /** Write the classic parquet checkpoint for `version` (protocol +
@@ -489,7 +507,18 @@ object DeltaLogCompat {
       g
     }
 
-    val all: Seq[Group] = protoGroup() +: metaGroup() +: snap.files.map(addGroup)
+    def txnGroup(appId: String, tv: Long): Group = {
+      val g = factory.newGroup()
+      val tg = g.addGroup("txn")
+      tg.add("appId", appId)
+      tg.add("version", tv)
+      tg.add("lastUpdated", 0L)
+      g
+    }
+
+    val all: Seq[Group] = protoGroup() +: metaGroup() +:
+      (snap.transactions.toSeq.sortBy(_._1).map { case (a, tv) => txnGroup(a, tv) } ++
+        snap.files.map(addGroup))
     val groups: Seq[Seq[Group]] =
       if (parts <= 1) Seq(all)
       else (0 until parts).map(p => all.zipWithIndex.collect {
@@ -556,10 +585,11 @@ object DeltaLogCompat {
   def readCheckpoint(
       conf: Configuration,
       files: Seq[Path],
-      version: Long): (Metadata, Protocol, Vector[AddFile]) = {
+      version: Long): (Metadata, Protocol, Vector[AddFile], Map[String, Long]) = {
     var meta: Metadata = null
     var proto: Protocol = Protocol()
     val adds = Vector.newBuilder[AddFile]
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     files.foreach { f =>
       val reader = ParquetReader
         .builder(new GroupReadSupport(), f)
@@ -572,6 +602,7 @@ object DeltaLogCompat {
             case a: AddFile  => adds += a
             case m: Metadata => meta = m
             case p: Protocol => proto = p
+            case t: Txn      => txns(t.appId) = t.txnVersion
             case _           => () // checkpoint removes are vacuum tombstones
           }
           g = reader.read()
@@ -579,7 +610,7 @@ object DeltaLogCompat {
       } finally reader.close()
     }
     require(meta != null, s"checkpoint at version $version has no metaData row")
-    (meta, proto, adds.result())
+    (meta, proto, adds.result(), txns.toMap)
   }
 
   /** Generic parquet Group → Jackson tree. Handles the three shapes Delta

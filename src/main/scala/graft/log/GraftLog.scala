@@ -195,18 +195,20 @@ class GraftLog(val tablePath: String, conf: Configuration) {
     val active = mutable.LinkedHashMap.empty[String, AddFile]
     var meta: Metadata = cp.map(_.metadata).orNull
     var proto: Protocol = cp.map(_.protocol).getOrElse(Protocol())
-    cp.foreach(_.files.foreach(a => active(a.path) = a))
+    val txns = mutable.LinkedHashMap.empty[String, Long]
+    cp.foreach { c => c.files.foreach(a => active(a.path) = a); txns ++= c.txns }
     versions.foreach { v =>
       readVersion(v).foreach {
         case a: AddFile    => active(a.path) = a
         case r: RemoveFile => active.remove(r.path)
         case m: Metadata   => meta = m
         case p: Protocol   => proto = p
+        case t: Txn        => txns(t.appId) = t.txnVersion // replay order: latest commit wins
         case _: AddCDCFile => // cdc files are not part of the main snapshot
       }
     }
     require(meta != null, s"no metadata in log at $tablePath")
-    Snapshot(target, meta, proto, active.values.toVector)
+    Snapshot(target, meta, proto, active.values.toVector, txns.toMap)
   }
 
   // ------------------------------------------------------------ checkpoints
@@ -235,10 +237,12 @@ class GraftLog(val tablePath: String, conf: Configuration) {
               var meta: Metadata = null
               var proto: Protocol = Protocol()
               val files = Vector.newBuilder[AddFile]
+              val txns = mutable.LinkedHashMap.empty[String, Long]
               lines.tail.map(JsonUtils.lineToAction).foreach {
                 case a: AddFile  => files += a
                 case m: Metadata => meta = m
                 case p: Protocol => proto = p
+                case t: graft.model.Txn => txns(t.appId) = t.txnVersion
                 case _           => ()
               }
               require(meta != null, s"checkpoint $p has no metadata")
@@ -261,7 +265,7 @@ class GraftLog(val tablePath: String, conf: Configuration) {
                   (asLong(s(0)), asLong(s(1)))
                 }
                 val st = GraftLog.CheckpointState(header.version,
-                  pre ++ own, meta, proto, files.result())
+                  pre ++ own, meta, proto, files.result(), txns.toMap)
                 GraftLog.checkpointCache.put((tablePath, v), st)
                 st
               }
@@ -311,8 +315,8 @@ class GraftLog(val tablePath: String, conf: Configuration) {
           val files = DeltaLogCompat.checkpointFiles(logDir, v, parts)
           if (!files.forall(fs.exists)) None
           else {
-            val (meta, proto, adds) = DeltaLogCompat.readCheckpoint(conf, files, v)
-            val st = GraftLog.CheckpointState(v, Nil, meta, proto, adds)
+            val (meta, proto, adds, txns) = DeltaLogCompat.readCheckpoint(conf, files, v)
+            val st = GraftLog.CheckpointState(v, Nil, meta, proto, adds, txns)
             GraftLog.checkpointCache.put((tablePath, v), st)
             Some(st)
           }
@@ -358,8 +362,11 @@ class GraftLog(val tablePath: String, conf: Configuration) {
   }
 }
 
-/** Active state at a version. */
-case class Snapshot(version: Long, metadata: Metadata, protocol: Protocol, files: Seq[AddFile]) {
+/** Active state at a version. `transactions` is the per-appId streaming
+  * watermark map (latest [[graft.model.Txn]] per appId, replay order).
+  */
+case class Snapshot(version: Long, metadata: Metadata, protocol: Protocol,
+    files: Seq[AddFile], transactions: Map[String, Long] = Map.empty) {
   def schema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(metadata.schemaString)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -402,7 +409,8 @@ object GraftLog {
       timestamps: Seq[(Long, Long)],
       metadata: Metadata,
       protocol: Protocol,
-      files: Seq[AddFile])
+      files: Seq[AddFile],
+      txns: Map[String, Long] = Map.empty)
 
   /** (tablePath, version) → parsed checkpoint; checkpoint files are
     * immutable so entries never invalidate. Bounded: one entry per
@@ -429,7 +437,9 @@ object GraftLog {
     val lines = header +:
       (JsonUtils.actionToLine(snap.protocol) +:
         JsonUtils.actionToLine(snap.metadata) +:
-        snap.files.map(JsonUtils.actionToLine))
+        (snap.transactions.toSeq.sortBy(_._1).map { case (app, tv) =>
+          JsonUtils.actionToLine(graft.model.Txn(app, tv))
+        } ++ snap.files.map(JsonUtils.actionToLine)))
     val logDir = new Path(tablePath, LOG_DIR)
     val fs = logDir.getFileSystem(conf)
     val target = new Path(logDir, checkpointFileName(version))

@@ -65,7 +65,8 @@ object TableBuilder {
       spark: SparkSession,
       df: DataFrame,
       tablePath: String,
-      timestamp: Long = 0L): Long = {
+      timestamp: Long = 0L,
+      extraActions: Seq[Action] = Nil): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val logR = new GraftLog(tablePath, conf)
     val prev = logR.snapshot(None)
@@ -84,7 +85,9 @@ object TableBuilder {
     df.write.mode("append").partitionBy(partitionCols: _*).parquet(tablePath)
     val adds = scanDataFiles(spark, tablePath, prev.schema, partitionCols, version, timestamp)
       .filter(a => !before.contains(fs.makeQualified(new Path(root, a.path)).toUri))
-    GraftLog.commit(tablePath, version, adds, conf)
+    // extraActions ride the SAME commit — the exactly-once sink's txn
+    // watermark must be atomic with the files it covers
+    GraftLog.commit(tablePath, version, adds ++ extraActions, conf)
     version
   }
 

@@ -98,19 +98,37 @@ case class Metadata(
 /** Reader-version gate (reference `PROTOCOL.md:3550-3560`). */
 case class Protocol(minReaderVersion: Int = 1, version: Long = 0L) extends Action
 
+/** Streaming-transaction watermark (delta PROTOCOL "Transaction
+  * Identifiers"): the writer identified by `appId` has durably applied
+  * all its batches up to and including `txnVersion`. The exactly-once
+  * streaming sink skips any batch at-or-below the snapshot's watermark —
+  * a replayed epoch after a checkpoint-recovery restart commits nothing.
+  * (Delta spells the watermark field `version`; here that name is the
+  * commit version like every other action, so the watermark is
+  * `txnVersion` and the wire codecs map between the two.)
+  */
+case class Txn(
+    appId: String,
+    txnVersion: Long,
+    lastUpdated: Long = 0L,
+    version: Long = 0L)
+    extends Action
+
 /** One NDJSON line: exactly one field set (reference `model.scala:44-54`). */
 case class SingleAction(
     add: AddFile = null,
     remove: RemoveFile = null,
     cdc: AddCDCFile = null,
     metaData: Metadata = null,
-    protocol: Protocol = null) {
+    protocol: Protocol = null,
+    txn: Txn = null) {
   def unwrap: Action =
     if (add != null) add
     else if (remove != null) remove
     else if (cdc != null) cdc
     else if (metaData != null) metaData
     else if (protocol != null) protocol
+    else if (txn != null) txn
     else null
 }
 
@@ -121,5 +139,6 @@ object SingleAction {
     case x: AddCDCFile => SingleAction(cdc = x)
     case x: Metadata   => SingleAction(metaData = x)
     case x: Protocol   => SingleAction(protocol = x)
+    case x: Txn        => SingleAction(txn = x)
   }
 }

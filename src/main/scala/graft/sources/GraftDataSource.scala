@@ -3,8 +3,9 @@ package graft.sources
 import org.apache.spark.sql.{SparkSession, SQLContext}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.log.GraftCatalog
@@ -24,9 +25,23 @@ import graft.log.GraftCatalog
   * and whole-stage codegen applies unchanged downstream.
   */
 class GraftDataSource extends RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider with DataSourceRegister {
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft")` — exactly-once streaming sink (see
+    * [[graft.streaming.GraftSink]] for the txn-watermark contract).
+    */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "pass option(\"partitionColumns\", \"a,b\") instead of partitionBy " +
+        "(the V1 streaming API does not forward partitionBy to providers)")
+    new graft.streaming.GraftSink(sqlContext, parameters, outputMode)
+  }
 
   /** `df.write.format("graft").mode(...).option("path", ...).save()` —
     * the DataFrame write surface over the table builder. Options:

@@ -90,8 +90,40 @@ class GraftKernelSource extends TableProvider with DataSourceRegister {
 
 class GraftKernelTable(tablePath: String, snapshot: Snapshot)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   override def name(): String = s"graft-kernel:`$tablePath`@v${snapshot.version}"
+
+  /** SQL `DELETE FROM … WHERE …`: the analyzer lowers the condition to
+    * connector predicates; we translate them through Spark's own V1
+    * bridge into the `Column` the row-level writer evaluates, then
+    * [[graft.log.TableBuilder.deleteWhere]] rewrites only the files
+    * containing matches (RemoveFile + surviving AddFile + cdc capture).
+    * `DELETE FROM t` with no WHERE arrives as `AlwaysTrue`.
+    */
+  private def deleteColumns(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[org.apache.spark.sql.Column] = {
+    if (snapshot.metadata.partitionColumns.nonEmpty) return None
+    val cols = predicates.toSeq.map(p =>
+      org.apache.spark.sql.GraftBatchDf.predicateToV1(p)
+        .flatMap(V1FilterColumn.toColumn))
+    if (cols.exists(_.isEmpty)) None
+    else Some(cols.flatten.reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true)))
+  }
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = deleteColumns(predicates).isDefined
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val cond = deleteColumns(predicates).getOrElse(throw new UnsupportedOperationException(
+      s"DELETE condition not expressible as connector filters: ${predicates.mkString(", ")}"))
+    graft.log.TableBuilder.deleteWhere(SparkSession.active, tablePath, cond)
+  }
   override def schema(): StructType = snapshot.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+/** V1 `Filter` → `Column` translation for the SQL `DELETE FROM` path:
+  * Spark hands `SupportsDeleteV2` the delete condition as connector
+  * predicates; we lower them to the `Column` form the row-level writer
+  * ([[graft.log.TableBuilder.deleteWhere]]) evaluates. Total over the
+  * standard filter algebra; `None` means "not expressible" and must make
+  * `canDeleteWhere` refuse (Spark then raises a clear analysis error
+  * instead of a silent wrong delete).
+  */
+object V1FilterColumn {
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case AlwaysTrue()             => Some(lit(true))
+    case AlwaysFalse()            => Some(lit(false))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r)  => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c)    => toColumn(c).map(!_)
+    case _         => None
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, GraftBatchDf, Row, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.log.{GraftLog, TableBuilder}
+import graft.model.Txn
+
+/** `df.writeStream.format("graft")` — exactly-once streaming sink into a
+  * graft (or Delta-format) table.
+  *
+  * Exactly-once contract (delta PROTOCOL "Transaction Identifiers", the
+  * same mechanism `DeltaSink` uses): every micro-batch commit carries a
+  * [[graft.model.Txn]] action `(appId, batchId)` in the SAME atomic
+  * commit as its AddFiles. On restart-and-replay (the foundation of
+  * Structured Streaming fault tolerance: a batch whose sink commit
+  * predates the checkpoint commit is re-offered), the sink reads the
+  * snapshot's transaction watermark and SKIPS any batch at-or-below it —
+  * the data files of the first attempt are already in the log, so the
+  * replay is a no-op and no row ever appears twice.
+  *
+  * `appId` defaults to the streaming queryId (stable across restarts of
+  * the same checkpoint location); override with `option("txnAppId", …)`
+  * to share one idempotent identity across distinct queries.
+  *
+  * The table is created on first batch if absent (schema = stream
+  * schema; `option("deltaFormat", "true")` makes it a real Delta table);
+  * later batches go through the schema-drift guard like any append.
+  * Output mode must be Append — Update/Complete would require replacing
+  * prior output, which an append-only log table cannot express.
+  *
+  * Scale: each micro-batch is one distributed parquet write + one
+  * O(new files) commit; nothing driver-side grows with table size, and
+  * the watermark lookup is a snapshot-cache hit between batches.
+  */
+class GraftSink(
+    sqlContext: SQLContext,
+    parameters: Map[String, String],
+    outputMode: OutputMode) extends Sink {
+
+  require(outputMode == OutputMode.Append(),
+    s"graft sink supports Append output mode only, got $outputMode " +
+      "(an append-only log table cannot replace prior output)")
+  private val path = parameters.getOrElse("path",
+    throw new IllegalArgumentException("graft sink requires option 'path'"))
+  require(!parameters.contains("url"),
+    "remote shared tables are read-only; the sink needs a local option(\"path\")")
+
+  override def name(): String = s"graft-sink:`$path`"
+
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    val spark = data.sparkSession
+    val appId = parameters.getOrElse("txnAppId",
+      Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+        .getOrElse(throw new IllegalStateException(
+          "no streaming queryId in context and no option('txnAppId')")))
+    val conf = sqlContext.sparkSession.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val exists =
+      fs.exists(new org.apache.hadoop.fs.Path(root, GraftLog.LOG_DIR)) ||
+        fs.exists(new org.apache.hadoop.fs.Path(root, graft.log.DeltaLogCompat.LOG_DIR))
+    val batchDf: DataFrame = GraftBatchDf(data)
+    val classicSpark = sqlContext.sparkSession
+
+    if (!exists) {
+      // first batch creates the table: version 0 = schema only, then the
+      // batch appends with its txn — keeps watermark+files atomic in one
+      // place instead of a second create-with-txn path
+      TableBuilder.create(classicSpark, batchDf.limit(0), path,
+        partitionCols = parameters.get("partitionColumns").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+        name = parameters.getOrElse("name", ""),
+        configuration =
+          if (parameters.get("enableChangeDataFeed").exists(_.toBoolean))
+            Map("enableChangeDataFeed" -> "true")
+          else Map.empty,
+        deltaFormat = parameters.get("deltaFormat").exists(_.toBoolean))
+    } else {
+      val watermark = new GraftLog(path, conf).snapshot(None)
+        .transactions.get(appId)
+      if (watermark.exists(_ >= batchId)) return // replayed epoch: no-op
+    }
+    TableBuilder.append(classicSpark, batchDf, path,
+      extraActions = Seq(Txn(appId, batchId)))
+  }
+}

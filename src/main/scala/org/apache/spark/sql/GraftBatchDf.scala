@@ -1,0 +1,29 @@
+package org.apache.spark.sql
+
+/** Bridge into `private[sql]` Spark internals the streaming sink needs:
+  * the DataFrame handed to `Sink.addBatch` is flagged `isStreaming` and
+  * refuses batch writes (`"Queries with streaming sources must be
+  * executed with writeStream.start()"`), so — exactly like Delta's and
+  * the file sink's implementations — we re-wrap the executed RDD of the
+  * micro-batch as a plain batch DataFrame.
+  */
+object GraftBatchDf {
+
+  /** Materialization plan of `data` as a non-streaming DataFrame (rows
+    * are NOT copied up front; the RDD is the incremental execution of
+    * this micro-batch, consumed once by the parquet write).
+    */
+  def apply(data: DataFrame): DataFrame = {
+    val spark = data.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+  }
+
+  /** V2 `Predicate` → V1 `Filter` via Spark's own converter (also
+    * `private[sql]`); `None` where no V1 equivalent exists — the caller's
+    * `canDeleteWhere` must refuse those.
+    */
+  def predicateToV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+}

@@ -143,6 +143,28 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File(s"$wh/share1/default/sql_t").exists())
   }
 
+  test("SQL DELETE FROM: filter delete through SupportsDeleteV2") {
+    spark.sql(s"DROP TABLE IF EXISTS $T.sql_del")
+    spark.sql(s"CREATE TABLE $T.sql_del AS " +
+      s"SELECT l_orderkey, l_quantity FROM $T.lineitem WHERE l_orderkey < 2000")
+    val before = spark.sql(s"SELECT count(*) AS n FROM $T.sql_del")
+      .collect().head.getLong(0)
+    val toDelete = spark.sql(
+      s"SELECT count(*) AS n FROM $T.sql_del WHERE l_quantity > 25")
+      .collect().head.getLong(0)
+    assert(toDelete > 0, "fixture must have rows to delete")
+    spark.sql(s"DELETE FROM $T.sql_del WHERE l_quantity > 25")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $T.sql_del")
+      .collect().head.getLong(0) === before - toDelete)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $T.sql_del WHERE l_quantity > 25")
+      .collect().head.getLong(0) === 0L)
+    // unconditional DELETE arrives as AlwaysTrue and empties the table
+    spark.sql(s"DELETE FROM $T.sql_del")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $T.sql_del")
+      .collect().head.getLong(0) === 0L)
+    spark.sql(s"DROP TABLE $T.sql_del")
+  }
+
   test("unknown table raises a table-not-found analysis error") {
     val e = intercept[org.apache.spark.sql.AnalysisException](
       spark.sql(s"SELECT * FROM $T.nope").collect())

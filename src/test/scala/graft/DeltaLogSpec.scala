@@ -193,11 +193,13 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta.partitionColumns === Seq("p"))
     assert(GraftCDF.isEnabled(meta))
 
-    // commitInfo / txn / domainMetadata are metadata-free: no action
+    // commitInfo / domainMetadata are metadata-free: no action
     assert(DeltaLogCompat.actionFromNode(
       JsonUtils.mapper.readTree("""{"commitInfo":{"timestamp":5}}"""), 0, 0).isEmpty)
+    // txn maps to the streaming watermark action (delta spells it `version`)
     assert(DeltaLogCompat.actionFromNode(
-      JsonUtils.mapper.readTree("""{"txn":{"appId":"a","version":1}}"""), 0, 0).isEmpty)
+      JsonUtils.mapper.readTree("""{"txn":{"appId":"a","version":1}}"""), 7, 0)
+      === Some(Txn("a", 1L, 0L, 7L)))
 
     // DV descriptor fields map 1:1
     val dvAdd = DeltaLogCompat.actionFromNode(JsonUtils.mapper.readTree(
