@@ -1204,6 +1204,28 @@ object SparkEntry {
         .groupBy(col("cnt")).agg(count(lit(1)).as("n_users"))
     }),
 
+    // Beyond-reference layout: OPTIMIZE ZORDER BY (l_partkey, l_suppkey)
+    // — equi-depth quantile bins per column (native codegen binary-search
+    // expression) interleave into a Morton key; repartitionByRange on the
+    // key clusters files so min/max stats prune on BOTH columns. The
+    // filter below then skips most files at the graft scan's stats gate;
+    // the result is byte-identical to the oracle's plain filter.
+    "q91_zorder_scan" -> ((s, dir) => {
+      val path = s"${graft.log.SharedFixtures.shareRoot(dir)}/scratch_zorder"
+      val src = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"))
+      graft.log.TableBuilder.create(s, src.repartition(8), path, name = "scratch_zorder")
+      graft.log.TableBuilder.zorder(s, path, Seq("l_partkey", "l_suppkey"), numFiles = 8)
+      graft.log.GraftLog.invalidateListing(path)
+      s.read.format("graft").option("path", path).load()
+        .filter(col("l_partkey") < 200 && col("l_suppkey") < 50)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          round(sum(col("l_extendedprice")), 0).as("sum_price"))
+    }),
+
     // Beyond-reference writer: exactly-once STREAMING SINK — the shared
     // lineitem table streams (snapshot-then-tail, 4 files/trigger) into a
     // fresh graft table; every micro-batch commits its files together
@@ -1648,6 +1670,13 @@ object SparkEntry {
     "q88_stream_custom_state" ->
       """SELECT cnt, count(*) AS n_users FROM
            (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+         GROUP BY 1""",
+    "q91_zorder_scan" ->
+      """SELECT l_suppkey, count(*) AS n_items,
+         CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         round(sum(l_extendedprice), 0) AS sum_price
+         FROM lineitem
+         WHERE l_partkey < 200 AND l_suppkey < 50
          GROUP BY 1""",
     "q90_stream_sink" ->
       """SELECT l_returnflag, count(*) AS n_items,

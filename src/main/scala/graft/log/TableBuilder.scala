@@ -337,6 +337,85 @@ object TableBuilder {
     version
   }
 
+  /** OPTIMIZE ZORDER BY: rewrite the table clustered along a Morton
+    * (Z-order) space-filling curve over `cols`, so every clustering
+    * column's min/max file stats become selective at once — a filter on
+    * ANY of the columns prunes most files, where a plain sort layout
+    * only serves its leading column. (Public algorithm: Delta OPTIMIZE
+    * ZORDER; Morton 1966.)
+    *
+    * Pipeline (all distributed, no driver data movement):
+    *  1. one `approxQuantile` pass computes 255 equi-depth boundaries per
+    *     column — quantile (not uniform) bucketing keeps the curve even
+    *     under value skew;
+    *  2. a narrow projection maps each row to its interleaved-bits key:
+    *     [[graft.functions.QuantileBin]] is a native codegen expression
+    *     (binary search per row, whole-stage codegen), so the pass is
+    *     scan-speed;
+    *  3. `repartitionByRange` + `sortWithinPartitions` on the key lay
+    *     rows out in curve order across `numFiles` files.
+    *
+    * Commits with `dataChange = false` (layout-only, like [[compact]]):
+    * streaming tails and CDF readers skip the rewrite. Numeric columns
+    * only (timestamps/strings would need an order-preserving encode).
+    */
+  def zorder(
+      spark: SparkSession,
+      tablePath: String,
+      cols: Seq[String],
+      numFiles: Int = 0,
+      bins: Int = 256,
+      timestamp: Long = 0L): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logR = new GraftLog(tablePath, conf)
+    val prev = logR.snapshot(None)
+    graft.model.ColumnMapping.assertNoAdvancedFeatures(
+      prev.metadata, s"zorder on $tablePath")
+    require(prev.files.forall(_.deletionVector.isEmpty),
+      s"zorder on $tablePath: files carry deletion vectors; apply them first")
+    require(prev.metadata.partitionColumns.isEmpty,
+      "zorder clusters unpartitioned tables (hive partitions already give " +
+        "directory-level pruning on their columns)")
+    require(cols.nonEmpty && cols.forall(c =>
+      prev.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]),
+      s"zorder needs numeric columns, got ${cols.map(c => s"$c:${prev.schema(c).dataType.simpleString}").mkString(", ")}")
+    if (prev.files.isEmpty) return logR.latestVersion()
+
+    val version = logR.latestVersion() + 1
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    def abs(rel: String): String = new Path(root, rel).toString
+    val active = spark.read.schema(prev.schema)
+      .parquet(prev.files.map(f => abs(f.path)): _*)
+
+    val probs = (1 until bins).map(_.toDouble / bins).toArray
+    val castCols = cols.map(c => s"__zin_${c}")
+    val forQuant = cols.zip(castCols).foldLeft(active) { case (d, (c, cc)) =>
+      d.withColumn(cc, col(c).cast("double")) }
+    val boundaries = forQuant.stat.approxQuantile(castCols.toArray, probs, 0.001)
+    val bitsPerCol = 32 - Integer.numberOfLeadingZeros(bins - 1) // log2(bins)
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val binExprs = cols.zip(boundaries).map { case (c, b) =>
+      column(graft.functions.QuantileBin(expression(col(c).cast("double")), b))
+    }
+    val zkey = graft.functions.ZOrderKey(binExprs, bitsPerCol)
+
+    val n = if (numFiles > 0) numFiles else prev.files.size
+    val before = collectParquet(fs, fs.makeQualified(root)).map(_.getPath.toUri).toSet
+    active.withColumn("__z", zkey)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("append").parquet(tablePath)
+    val adds = scanDataFiles(spark, tablePath, prev.schema, Nil, version, timestamp)
+      .filter(a => !before.contains(fs.makeQualified(new Path(root, a.path)).toUri))
+      .map(_.copy(dataChange = false))
+    val removes = prev.files.map(f =>
+      RemoveFile(f.path, f.partitionValues, f.size, dataChange = false, version, timestamp))
+    GraftLog.commit(tablePath, version, adds ++ removes, conf)
+    version
+  }
+
   /** VACUUM: physically delete data files no longer referenced by the
     * current snapshot whose tombstone (RemoveFile) is older than
     * `retentionMs` relative to `nowMs` — the Delta vacuum contract. Time
