@@ -49,7 +49,8 @@ object Bench {
       "q67_kernel_scan", "q72_cdf_incremental_agg", "q77_sql_catalog",
       "q78_compacted_scan", "q81_delta_snapshot_scan", "q82_delta_time_travel",
       "q83_delta_cdf", "q84_delta_rest_scan", "q85_delta_native_write",
-      "q87_stream_dedup", "q88_stream_custom_state", "q90_stream_sink")
+      "q87_stream_dedup", "q88_stream_custom_state", "q90_stream_sink",
+      "q92_sql_update_merge")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)

@@ -1204,6 +1204,41 @@ object SparkEntry {
         .groupBy(col("cnt")).agg(count(lit(1)).as("n_users"))
     }),
 
+    // Beyond-reference SQL DML: the full UPDATE + MERGE INTO round-trip
+    // through Spark's row-level-operation planner (group-based
+    // copy-on-write; candidate files chosen by stats, only they are
+    // rewritten). Final state is pure SQL over orders, so the oracle
+    // replays it exactly: keys < 500 get price+1000, then MERGE zeroes
+    // keys in [250, 750) and inserts sentinel rows for [5000, 5500).
+    "q92_sql_update_merge" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftSparkCatalog].getName)
+      val share = graft.log.SharedFixtures.SHARE
+      val scratch = s"${graft.log.SharedFixtures.shareRoot(dir)}/scratch_sqldml"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      graft.log.GraftLog.invalidateListing(scratch)
+      graft.log.GraftCatalog.unregister(s"$share.scratch_sqldml")
+      s.sql(s"""CREATE TABLE graft.$share.scratch_sqldml
+                LOCATION '$scratch' AS
+                SELECT o_orderkey, o_totalprice AS price
+                FROM graft.$share.orders WHERE o_orderkey < 2000""")
+      s.sql(s"UPDATE graft.$share.scratch_sqldml SET price = price + 1000 " +
+        s"WHERE o_orderkey < 500")
+      s.sql(s"""MERGE INTO graft.$share.scratch_sqldml t
+                USING (SELECT o_orderkey, o_totalprice FROM graft.$share.orders
+                       WHERE o_orderkey >= 250 AND o_orderkey < 750
+                          OR o_orderkey >= 5000 AND o_orderkey < 5500) s
+                ON t.o_orderkey = s.o_orderkey
+                WHEN MATCHED THEN UPDATE SET price = 0.0
+                WHEN NOT MATCHED THEN INSERT (o_orderkey, price)
+                VALUES (s.o_orderkey, -1.0)""")
+      s.sql(s"SELECT o_orderkey, round(price, 2) AS price " +
+        s"FROM graft.$share.scratch_sqldml")
+    }),
+
     // Beyond-reference layout: OPTIMIZE ZORDER BY (l_partkey, l_suppkey)
     // — equi-depth quantile bins per column (native codegen binary-search
     // expression) interleave into a Morton key; repartitionByRange on the
@@ -1671,6 +1706,14 @@ object SparkEntry {
       """SELECT cnt, count(*) AS n_users FROM
            (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
          GROUP BY 1""",
+    "q92_sql_update_merge" ->
+      """SELECT o_orderkey, round(CASE
+           WHEN o_orderkey >= 250 AND o_orderkey < 750 THEN 0.0
+           WHEN o_orderkey < 250 THEN o_totalprice + 1000
+           WHEN o_orderkey >= 5000 THEN -1.0
+           ELSE o_totalprice END, 2) AS price
+         FROM orders
+         WHERE o_orderkey < 2000 OR (o_orderkey >= 5000 AND o_orderkey < 5500)""",
     "q91_zorder_scan" ->
       """SELECT l_suppkey, count(*) AS n_items,
          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -91,8 +91,19 @@ class GraftKernelSource extends TableProvider with DataSourceRegister {
 class GraftKernelTable(tablePath: String, snapshot: Snapshot)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft-kernel:`$tablePath`@v${snapshot.version}"
+
+  /** SQL `UPDATE` / `MERGE INTO` / complex `DELETE` — group-based
+    * copy-on-write rewrites (see [[GraftRowLevelOperation]]). Simple
+    * filter deletes still take the cheaper [[deleteWhere]] metadata path
+    * (Spark's `OptimizeMetadataOnlyDeleteFromTable` prefers it).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(tablePath, snapshot, info.command())
 
   /** SQL `DELETE FROM … WHERE …`: the analyzer lowers the condition to
     * connector predicates; we translate them through Spark's own V1

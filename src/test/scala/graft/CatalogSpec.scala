@@ -165,6 +165,60 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP TABLE $T.sql_del")
   }
 
+  test("SQL UPDATE and MERGE INTO: group-based row-level rewrites") {
+    Seq("sql_upd", "sql_mrg_src").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/root/repo/target/graft_warehouse/share1/default/$t"))
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $T.sql_upd")
+    spark.sql(s"CREATE TABLE $T.sql_upd AS " +
+      s"SELECT l_orderkey, CAST(l_quantity AS DOUBLE) AS qty FROM $T.lineitem " +
+      s"WHERE l_orderkey < 2000")
+    val base = spark.sql(
+      s"SELECT CAST(sum(qty) AS LONG) AS s, count(*) AS n FROM $T.sql_upd")
+      .collect().head
+    val bump = spark.sql(
+      s"SELECT count(*) AS n FROM $T.sql_upd WHERE l_orderkey < 500")
+      .collect().head.getLong(0)
+    assert(bump > 0)
+    spark.sql(s"UPDATE $T.sql_upd SET qty = qty + 1 WHERE l_orderkey < 500")
+    val after = spark.sql(
+      s"SELECT CAST(sum(qty) AS LONG) AS s, count(*) AS n FROM $T.sql_upd")
+      .collect().head
+    assert(after.getLong(1) === base.getLong(1), "UPDATE must not change row count")
+    assert(after.getLong(0) === base.getLong(0) + bump, "each matched row +1")
+
+    spark.sql(s"DROP TABLE IF EXISTS $T.sql_mrg_src")
+    spark.sql(s"CREATE TABLE $T.sql_mrg_src AS " +
+      s"SELECT l_orderkey, CAST(0.0 AS DOUBLE) AS qty FROM $T.lineitem " +
+      s"WHERE l_orderkey >= 1000 AND l_orderkey < 3000 GROUP BY 1, 2")
+    spark.sql(
+      s"""MERGE INTO $T.sql_upd t USING $T.sql_mrg_src s
+          ON t.l_orderkey = s.l_orderkey
+          WHEN MATCHED THEN UPDATE SET qty = 0.0
+          WHEN NOT MATCHED THEN INSERT (l_orderkey, qty) VALUES (s.l_orderkey, -1.0)""")
+    // matched rows zeroed, source-only keys inserted with -1
+    assert(spark.sql(s"SELECT count(*) AS n FROM $T.sql_upd " +
+      s"WHERE l_orderkey >= 1000 AND l_orderkey < 2000 AND qty <> 0.0")
+      .collect().head.getLong(0) === 0L)
+    val inserted = spark.sql(
+      s"SELECT count(*) AS n FROM $T.sql_upd WHERE qty = -1.0")
+      .collect().head.getLong(0)
+    val srcOnly = spark.sql(
+      s"SELECT count(DISTINCT l_orderkey) AS n FROM $T.sql_mrg_src " +
+      s"WHERE l_orderkey >= 2000").collect().head.getLong(0)
+    assert(inserted === srcOnly, s"inserted=$inserted srcOnly=$srcOnly")
+
+    // subquery DELETE is untranslatable to connector filters → takes the
+    // row-level group rewrite instead of the metadata path
+    spark.sql(s"DELETE FROM $T.sql_upd WHERE l_orderkey IN " +
+      s"(SELECT l_orderkey FROM $T.sql_mrg_src WHERE l_orderkey >= 2500)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $T.sql_upd WHERE l_orderkey >= 2500")
+      .collect().head.getLong(0) === 0L)
+    spark.sql(s"DROP TABLE $T.sql_upd")
+    spark.sql(s"DROP TABLE $T.sql_mrg_src")
+  }
+
   test("unknown table raises a table-not-found analysis error") {
     val e = intercept[org.apache.spark.sql.AnalysisException](
       spark.sql(s"SELECT * FROM $T.nope").collect())
