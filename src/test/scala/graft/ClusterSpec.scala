@@ -121,6 +121,32 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql === spark.read.parquet(s"$sfDir/lineitem.parquet").count())
   }
 
+  test("SQL UPDATE row-level rewrite executes across executor JVMs") {
+    requireSparkHome()
+    // the row-level parquet DataWriterFactory (prepareWrite-configured
+    // OutputWriterFactory + serialized hadoop conf) ships into real
+    // separate executor processes — the serialization boundary a
+    // single-JVM run hides
+    val path = "/root/repo/target/test_cluster/rowlevel_upd"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    graft.log.TableBuilder.create(spark,
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice")).repartition(2),
+      path, name = "rowlevel_upd")
+    spark.conf.set("spark.sql.catalog.graftw",
+      classOf[graft.sources.GraftSparkCatalog].getName)
+    graft.log.GraftCatalog.register("share1.default.rowlevel_upd", path)
+    val before = spark.read.format("graft").option("path", path).load()
+      .agg(sum(col("o_totalprice"))).collect().head.getDouble(0)
+    val matched = spark.read.format("graft").option("path", path).load()
+      .filter(col("o_orderkey") < 100).count()
+    spark.sql("UPDATE graftw.share1.default.rowlevel_upd " +
+      "SET o_totalprice = o_totalprice + 1 WHERE o_orderkey < 100")
+    val after = spark.read.format("graft").option("path", path).load()
+      .agg(sum(col("o_totalprice"))).collect().head.getDouble(0)
+    assert(matched > 0 && math.abs(after - before - matched) < 1e-6)
+  }
+
   test("bloom semi-join evaluates across executor JVMs") {
     requireSparkHome()
     // the bloom sketch is built by executors, merged on the driver
