@@ -90,8 +90,20 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         throw new IllegalStateException(s"graft table already exists at $path")
       case SaveMode.Ignore if exists => ()
       case SaveMode.Append if exists =>
-        graft.log.TableBuilder.append(spark, data, path,
-          timestamp = parameters.get("timestamp").map(_.toLong).getOrElse(0L))
+        // idempotent batch append (Delta's txnAppId/txnVersion options):
+        // a retried job whose first attempt committed is a no-op
+        val txn = for {
+          app <- parameters.get("txnAppId")
+          v <- parameters.get("txnVersion").map(_.toLong)
+        } yield (app, v)
+        val applied = txn.exists { case (app, v) =>
+          new graft.log.GraftLog(path, conf).snapshot(None)
+            .transactions.get(app).exists(_ >= v)
+        }
+        if (!applied) graft.log.TableBuilder.append(spark, data, path,
+          timestamp = parameters.get("timestamp").map(_.toLong).getOrElse(0L),
+          extraActions = txn.map { case (app, v) =>
+            graft.model.Txn(app, v) }.toSeq)
       case SaveMode.Overwrite if exists =>
         // a fresh version-0 table: wipe so stale data files of the old
         // incarnation can never be rescanned

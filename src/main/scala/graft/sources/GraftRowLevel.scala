@@ -51,6 +51,16 @@ class GraftRowLevelOperation(
   require(snapshot.files.forall(_.deletionVector.isEmpty),
     s"row-level $cmd on $tablePath: table has deletion vectors; the " +
       "group rewrite would resurrect deleted rows")
+  // the group rewrite sees only replacement rows — it cannot attribute
+  // them to insert/update/delete, so it cannot emit cdc rows. On a
+  // CDF-enabled table a silent gap in the change feed corrupts every
+  // downstream incremental consumer: refuse loudly and point at the
+  // CDF-capturing writers.
+  require(!graft.log.GraftCDF.isEnabled(snapshot.metadata),
+    s"row-level $cmd on $tablePath: the table has change data feed " +
+      "enabled, and the SQL group rewrite does not capture cdc rows — " +
+      "use TableBuilder.deleteWhere/updateWhere or Merge.merge (full CDF " +
+      "capture), or disable the feed")
 
   /** Files the scan chose (and the write must replace). Defaults to the
     * full snapshot: a scan without pushed filters reads everything, so

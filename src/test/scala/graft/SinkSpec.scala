@@ -116,6 +116,21 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       && l.contains("\"version\":0")), lines.mkString("\n"))
   }
 
+  test("idempotent batch append via txnAppId/txnVersion options") {
+    import spark.implicits._
+    val path = s"$root/idem_batch"
+    Seq((1L, "a")).toDF("id", "v").write.format("graft")
+      .option("path", path).save()
+    def append(v: Long): Unit =
+      Seq((v + 10, "x")).toDF("id", "v").write.format("graft").mode("append")
+        .option("path", path)
+        .option("txnAppId", "job1").option("txnVersion", v.toString).save()
+    append(1L); append(1L) // retry of the same job version: no-op
+    assert(readTable(path).count() === 2L)
+    append(2L)
+    assert(readTable(path).count() === 3L)
+  }
+
   test("watermark survives checkpoint consolidation (graft and delta logs)") {
     import spark.implicits._
     for ((fmt, delta) <- Seq(("graft", false), ("delta", true))) {
