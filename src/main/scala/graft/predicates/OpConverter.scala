@@ -95,7 +95,39 @@ object OpConverter {
           EqualOp(Seq(col, LiteralOp(s, col.valueType)))))
         if (eqs.forall(_.isDefined)) Some(OrOp(eqs.flatten)) else None
       }.flatten
+    // over-limit IN lists (runtime group filters from MERGE can carry
+    // thousands of matched keys) collapse to the [min, max] RANGE — a
+    // sound superset for stats skipping: any file whose min/max window
+    // misses the whole range can hold none of the listed values. The
+    // per-value OR above stays for small lists (tighter when values are
+    // sparse); the reference's 20-value conversion cap (`OpConverter
+    // .scala:61`) never anticipated engine-generated lists.
+    case In(v, list) if list.size > MAX_IN_VALUES =>
+      rangeCollapse(v, list.flatMap(l => leaf(l).collect { case x: LiteralOp => x }),
+        list.size)
+    case InSet(v, set) if set.size > MAX_IN_VALUES =>
+      leaf(v).collect { case col: ColumnOp =>
+        val lits = set.toSeq.flatMap(raw =>
+          encodeRaw(raw, col.valueType).map(LiteralOp(_, col.valueType)))
+        rangeFromLits(col, lits, set.size)
+      }.flatten
     case _ => None
+  }
+
+  private def rangeCollapse(
+      v: Expression, lits: Seq[LiteralOp], n: Int): Option[BaseOp] =
+    leaf(v).collect { case col: ColumnOp => rangeFromLits(col, lits, n) }.flatten
+
+  private def rangeFromLits(
+      col: ColumnOp, lits: Seq[LiteralOp], n: Int): Option[BaseOp] = {
+    if (lits.size != n) return None // some value failed to encode: unsound to collapse
+    val tpe = col.valueType
+    def decoded(l: LiteralOp) = graft.model.StatsCodec.decode(l.value, tpe)
+    val sorted = lits.sortWith((a, b) =>
+      graft.model.StatsCodec.compare(decoded(a), decoded(b), tpe) < 0)
+    Some(AndOp(Seq(
+      GreaterThanOrEqualOp(Seq(col, sorted.head)),
+      LessThanOrEqualOp(Seq(col, sorted.last)))))
   }
 
   private def comparison(l: Expression, r: Expression)(

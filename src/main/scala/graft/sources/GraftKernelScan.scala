@@ -278,7 +278,13 @@ class GraftKernelScan(
     s"$label pushed=[${pushed.mkString(", ")}]" +
       limit.fold("")(n => s" limit=$n")
 
+  /** Index the scan plans over — a subclass may narrow it after runtime
+    * filtering (row-level group pruning).
+    */
+  protected def currentIndex: org.apache.spark.sql.execution.datasources.FileIndex = index
+
   override def planInputPartitions(): Array[InputPartition] = {
+    val index = currentIndex
     // same three prunings as the V1 path, via the shared FileIndex
     val exprs = pushed.flatMap(KernelFilters.toCatalyst(_, fullSchema))
     val (partExprs, dataExprs) =

@@ -120,11 +120,69 @@ class GraftRowLevelScanBuilder(
     val candidates = snapshot.files.filter(f =>
       kept.contains(fs.makeQualified(new Path(root, f.path)).toUri.getPath))
     op.candidates = candidates
-    val pruned = snapshot.copy(files = candidates)
-    new GraftKernelScan(spark, s"graft-row-level:`$tablePath`",
-      snapshot.schema, partitionCols = Set.empty,
-      new GraftFileIndex(spark, tablePath, pruned),
-      required, pushed = Array.empty, limit = None)
+    new GraftRowLevelScan(spark, op, tablePath, snapshot, required)
+  }
+}
+
+/** The row-level scan: a kernel scan over the current candidate set that
+  * also accepts RUNTIME group filters (`SupportsRuntimeV2Filtering`) —
+  * Spark's `RowLevelOperationRuntimeGroupFiltering` computes the rows a
+  * MERGE/UPDATE actually matches (join/condition at runtime), projects
+  * the declared filter attributes, and hands back IN-list predicates;
+  * stats skipping then shrinks the candidate files to those that can
+  * hold a matched key. This is what keeps `MERGE INTO` from rewriting
+  * the whole table: a join condition is invisible to static pushdown,
+  * so without the runtime pass every file is a candidate.
+  *
+  * Over-limit IN lists collapse to a `[min, max]` range inside the
+  * predicate converter — sound superset pruning at any list size.
+  */
+class GraftRowLevelScan(
+    spark: SparkSession,
+    op: GraftRowLevelOperation,
+    tablePath: String,
+    snapshot: Snapshot,
+    required: StructType)
+    extends GraftKernelScan(spark, s"graft-row-level:`$tablePath`",
+      snapshot.schema, Set.empty,
+      new GraftFileIndex(spark, tablePath, snapshot.copy(files = op.candidates)),
+      required, Array.empty, None)
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  // re-plan over whatever the candidate set has been narrowed to by the
+  // time Spark plans partitions (static build-time pruning + runtime
+  // group filters both land in op.candidates)
+  override protected def currentIndex: org.apache.spark.sql.execution.datasources.FileIndex =
+    new GraftFileIndex(spark, tablePath, snapshot.copy(files = op.candidates))
+
+  /** EXACTLY ONE stats-eligible column — the leading one (merge keys
+    * conventionally lead the schema). Declaring several makes Spark
+    * bundle them into a struct-IN runtime predicate that no V1 filter
+    * can express (so nothing would prune); a single attribute arrives
+    * as a plain IN list the stats gate understands.
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    snapshot.schema.fields.iterator
+      .filter(f => graft.model.StatsCodec.typeName(f.dataType).isDefined)
+      .take(1)
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+      .toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val exprs = predicates.toSeq
+      .flatMap(p => org.apache.spark.sql.GraftBatchDf.predicateToV1(p))
+      .flatMap(f => KernelFilters.toCatalyst(f, snapshot.schema))
+    if (exprs.isEmpty) return // untranslatable runtime filter: keep all
+    val index = new GraftFileIndex(spark, tablePath,
+      snapshot.copy(files = op.candidates))
+    val kept = index.listFiles(Nil, exprs)
+      .flatMap(_.files).map(_.getPath.toUri.getPath).toSet
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    op.candidates = op.candidates.filter(f =>
+      kept.contains(fs.makeQualified(new org.apache.hadoop.fs.Path(root, f.path))
+        .toUri.getPath))
   }
 }
 

@@ -219,6 +219,36 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP TABLE $T.sql_mrg_src")
   }
 
+  test("MERGE runtime group filter rewrites only files holding matched keys") {
+    import spark.implicits._
+    val path = "/root/repo/target/graft_warehouse/share1/default/mrg_prune"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    graft.log.GraftCatalog.unregister("share1.default.mrg_prune")
+    // two files with disjoint id ranges
+    graft.log.TableBuilder.create(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price").repartition(1),
+      path, name = "mrg_prune")
+    graft.log.TableBuilder.append(spark,
+      Seq((100L, 1.0), (101L, 2.0)).toDF("id", "price").repartition(1), path)
+    graft.log.GraftCatalog.register("share1.default.mrg_prune", path)
+    val conf = spark.sessionState.newHadoopConf()
+    val before = new graft.log.GraftLog(path, conf).snapshot(None).files.map(_.path).toSet
+    spark.sql(s"DROP TABLE IF EXISTS $T.mrg_src2")
+    spark.sql(s"CREATE TABLE $T.mrg_src2 AS SELECT CAST(1 AS BIGINT) AS id, " +
+      s"CAST(99.0 AS DOUBLE) AS price")
+    spark.sql(s"""MERGE INTO $T.mrg_prune t USING $T.mrg_src2 s ON t.id = s.id
+                  WHEN MATCHED THEN UPDATE SET price = s.price""")
+    graft.log.GraftLog.invalidateListing(path)
+    val after = new graft.log.GraftLog(path, conf).snapshot(None).files.map(_.path).toSet
+    // the matched key lives in file 1 only: file 2 must survive by identity
+    assert(before.intersect(after).size === 1,
+      s"runtime group filter must keep the untouched file: before=$before after=$after")
+    val rows = spark.sql(s"SELECT id, price FROM $T.mrg_prune ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows === Seq((1L, 99.0), (2L, 20.0), (100L, 1.0), (101L, 2.0)))
+    spark.sql(s"DROP TABLE $T.mrg_src2")
+  }
+
   test("unknown table raises a table-not-found analysis error") {
     val e = intercept[org.apache.spark.sql.AnalysisException](
       spark.sql(s"SELECT * FROM $T.nope").collect())
