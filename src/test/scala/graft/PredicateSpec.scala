@@ -192,4 +192,25 @@ class PredicateSpec extends AnyFunSuite {
     }
     assertThrows[IllegalArgumentException] { JsonPredicates.fromJson(deep) }
   }
+
+  test("over-limit IN lists collapse to a sound [min, max] range") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, Literal}
+    import org.apache.spark.sql.types.LongType
+    val col = AttributeReference("k", LongType)()
+    // 100 values (over the 20-value conversion cap), shuffled order
+    val values = scala.util.Random.shuffle((100L until 200L).toList)
+    val in = In(col, values.map(Literal(_)))
+    val op = OpConverter.convert(Seq(in))
+    assert(op.isDefined, "large IN must convert via range collapse")
+    def file(mn: Long, mx: Long) = AddFile("f", stats = Some(FileStats(1,
+      minValues = Map("k" -> mn.toString), maxValues = Map("k" -> mx.toString),
+      nullCount = Map("k" -> 0L))))
+    val ev = new FileSkippingEvaluator(Set.empty)
+    // windows fully below / above the range skip; overlapping windows keep
+    assert(ev.canSkip(op.get, file(0L, 99L)))
+    assert(ev.canSkip(op.get, file(200L, 500L)))
+    assert(!ev.canSkip(op.get, file(0L, 100L)))
+    assert(!ev.canSkip(op.get, file(150L, 160L)))
+    assert(!ev.canSkip(op.get, file(199L, 210L)))
+  }
 }
