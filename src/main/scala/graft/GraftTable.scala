@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.log.{GraftCatalog, GraftLog, Merge, TableBuilder}
+
+/** User-facing table handle — the `DeltaTable` equivalent for graft
+  * tables: one object tying together the read surface and every writer
+  * operation, so a reference user can switch without learning the
+  * builder internals.
+  *
+  * {{{
+  * val t = GraftTable.forPath(spark, "/data/events")
+  * t.history().show()
+  * t.delete(col("day") < "2020-01-01")
+  * t.update(col("score").isNull, Map("score" -> lit(0.0)))
+  * t.merge(src, "t.id = s.id",
+  *   whenMatchedUpdate = Some(Map("score" -> "s.score")),
+  *   whenNotMatchedInsert = Some(Map("id" -> "s.id", "score" -> "s.score")))
+  * t.optimize(); t.zorder(Seq("user_id", "ts")); t.vacuum()
+  * }}}
+  */
+class GraftTable private (val spark: SparkSession, val path: String) {
+
+  private def conf = spark.sessionState.newHadoopConf()
+  private def log = new GraftLog(path, conf)
+
+  /** Snapshot DataFrame (latest version). */
+  def toDF: DataFrame =
+    spark.read.format("graft").option("path", path).load()
+
+  /** Snapshot at a version / timestamp (time travel). */
+  def asOf(version: Long): DataFrame =
+    spark.read.format("graft").option("path", path)
+      .option("versionAsOf", version.toString).load()
+
+  /** Commit history, newest first: version, commit timestamp, operation
+    * kind inferred from the actions (the graft log stores actions, not
+    * operation names), files added/removed, rows added (when stats
+    * present), and whether the commit changed data or only layout.
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val l = log
+    val rows = l.versionTimestamps().map { case (v, ts) =>
+      val actions = l.changes(v, v).head.actions
+      val adds = actions.collect { case a: graft.model.AddFile => a }
+      val removes = actions.collect { case r: graft.model.RemoveFile => r }
+      val cdc = actions.collect { case c: graft.model.AddCDCFile => c }
+      val meta = actions.collect { case m: graft.model.Metadata => m }
+      val dataChange = adds.exists(_.dataChange) || removes.exists(_.dataChange)
+      val op =
+        if (v == 0L) "CREATE"
+        else if (cdc.nonEmpty && removes.nonEmpty) "DELETE/UPDATE/MERGE"
+        else if (adds.nonEmpty && removes.nonEmpty && !dataChange) "OPTIMIZE"
+        else if (adds.nonEmpty && removes.nonEmpty) "REPLACE"
+        else if (removes.nonEmpty) "REMOVE"
+        else if (adds.nonEmpty) "APPEND"
+        else if (meta.nonEmpty) "SET METADATA"
+        else "EMPTY"
+      (v, new java.sql.Timestamp(ts), op, adds.size.toLong, removes.size.toLong,
+        adds.flatMap(_.stats.map(_.numRecords)).sum, dataChange)
+    }.reverse
+    rows.toDF("version", "timestamp", "operation",
+      "num_added_files", "num_removed_files", "num_added_rows", "data_change")
+  }
+
+  /** One-row table detail: id, name, format, location, version, file and
+    * byte counts, partition columns, configuration.
+    */
+  def detail(): DataFrame = {
+    import spark.implicits._
+    val snap = log.snapshot(None)
+    Seq((
+      snap.metadata.id, snap.metadata.name,
+      if (log.deltaMode) "delta" else "graft",
+      path, snap.version,
+      snap.files.size.toLong, snap.files.map(_.size).sum,
+      snap.metadata.partitionColumns,
+      snap.metadata.configuration))
+      .toDF("id", "name", "format", "location", "version",
+        "num_files", "size_in_bytes", "partition_columns", "configuration")
+  }
+
+  /** Row-level DELETE with CDF capture (files containing matches are
+    * rewritten; survivors keep their files).
+    */
+  def delete(condition: Column): Long =
+    TableBuilder.deleteWhere(spark, path, condition,
+      timestamp = System.currentTimeMillis())
+
+  /** Row-level DELETE via deletion vectors: no data file is rewritten. */
+  def deleteWithDV(condition: Column): Long =
+    TableBuilder.deleteWhereDV(spark, path, condition,
+      timestamp = System.currentTimeMillis())
+
+  /** Row-level UPDATE with CDF capture. */
+  def update(condition: Column, assignments: Map[String, Column]): Long =
+    TableBuilder.updateWhere(spark, path, condition, assignments.toSeq,
+      timestamp = System.currentTimeMillis())
+
+  /** MERGE INTO (see [[graft.log.Merge.merge]] for clause semantics). */
+  def merge(
+      source: DataFrame,
+      condition: String,
+      whenMatchedUpdate: Option[Map[String, String]] = None,
+      whenMatchedDeleteIf: Option[String] = None,
+      whenNotMatchedInsert: Option[Map[String, String]] = None): Merge.Result =
+    Merge.merge(spark, path, source, condition,
+      whenMatchedUpdate, whenMatchedDeleteIf, whenNotMatchedInsert,
+      timestamp = System.currentTimeMillis())
+
+  /** OPTIMIZE: bin-pack small files up to `targetBytes` (layout-only). */
+  def optimize(targetBytes: Long = 128L * 1024 * 1024): Long =
+    TableBuilder.compact(spark, path, targetBytes,
+      timestamp = System.currentTimeMillis())
+
+  /** OPTIMIZE ZORDER BY: Morton-curve clustering (layout-only). */
+  def zorder(columns: Seq[String], numFiles: Int = 0): Long =
+    TableBuilder.zorder(spark, path, columns, numFiles,
+      timestamp = System.currentTimeMillis())
+
+  /** VACUUM: physically delete unreferenced files older than the
+    * retention horizon (default 7 days, Delta's default). Returns the
+    * number of files deleted.
+    */
+  def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Int =
+    TableBuilder.vacuum(spark, path, retentionMs, System.currentTimeMillis())
+
+  /** Append rows as a new version (schema-checked). */
+  def append(df: DataFrame): Long =
+    TableBuilder.append(spark, df, path, timestamp = System.currentTimeMillis())
+}
+
+object GraftTable {
+
+  /** Handle for the table rooted at `path` (graft- or Delta-format log). */
+  def forPath(spark: SparkSession, path: String): GraftTable = {
+    val l = new GraftLog(path, spark.sessionState.newHadoopConf())
+    require(l.latestVersion() >= 0, s"no graft/Delta table at $path")
+    new GraftTable(spark, path)
+  }
+
+  /** Handle for a registered shared table (`share.schema.table`). */
+  def forName(spark: SparkSession, fqn: String): GraftTable =
+    forPath(spark, GraftCatalog.location(fqn))
+
+  /** True when `path` holds a graft- or Delta-format table. */
+  def isGraftTable(spark: SparkSession, path: String): Boolean =
+    try { new GraftLog(path, spark.sessionState.newHadoopConf()).latestVersion() >= 0 }
+    catch { case scala.util.control.NonFatal(_) => false }
+}
