@@ -18,6 +18,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => GraftLimitPushDown)
+    // maintenance DDL (OPTIMIZE [ZORDER BY] / VACUUM / DESCRIBE HISTORY)
+    // the ANSI grammar lacks — same mechanism as DeltaSqlParser
+    extensions.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
 
     def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       extensions.injectFunction((

@@ -1,0 +1,133 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Maintenance DDL the ANSI grammar lacks — the public Delta Lake SQL
+  * surface re-expressed as a delegating parser (the same mechanism
+  * `DeltaSqlParser` uses):
+  *
+  * {{{
+  * OPTIMIZE <table-or-'/path'>
+  * OPTIMIZE <table-or-'/path'> ZORDER BY (col [, col …])
+  * VACUUM   <table-or-'/path'> [RETAIN <n> HOURS]
+  * DESCRIBE HISTORY <table-or-'/path'>
+  * }}}
+  *
+  * Table references: a quoted `'/path'`, or a registered shared-table
+  * name `share.schema.table` (an optional leading catalog segment is
+  * ignored). Everything else falls through to the standard parser
+  * untouched.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseMaintenance(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  // every other entry point delegates verbatim
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  // `'path'` | `a.b.c` (optionally backquoted segments)
+  private val TableRef = """(?:'([^']+)'|((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+))*))"""
+  private val Optimize =
+    ("""(?is)\s*OPTIMIZE\s+""" + TableRef + """\s*""").r
+  private val OptimizeZorder =
+    ("""(?is)\s*OPTIMIZE\s+""" + TableRef +
+      """\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\)\s*""").r
+  private val Vacuum =
+    ("""(?is)\s*VACUUM\s+""" + TableRef + """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*""").r
+  private val History =
+    ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + TableRef + """\s*""").r
+
+  private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
+    case OptimizeZorder(path, name, cols) =>
+      Some(OptimizeCommand(ref(path, name),
+        zorderCols = cols.split(",").map(stripTicks).toSeq))
+    case Optimize(path, name) => Some(OptimizeCommand(ref(path, name), Nil))
+    case Vacuum(path, name, hours) =>
+      Some(VacuumCommand(ref(path, name),
+        Option(hours).map(_.toLong * 3600 * 1000)
+          .getOrElse(7L * 24 * 3600 * 1000)))
+    case History(path, name) => Some(HistoryCommand(ref(path, name)))
+    case _ => None
+  }
+
+  private def stripTicks(s: String): String = s.trim.stripPrefix("`").stripSuffix("`")
+
+  /** Resolve to a table root: quoted path verbatim; multipart name via
+    * the registry (a 4th leading segment — a catalog name — is dropped).
+    */
+  private def ref(path: String, name: String): String =
+    if (path != null) path
+    else {
+      val parts = name.split("\\.").map(stripTicks).toSeq
+      val fqn = (if (parts.length == 4) parts.tail else parts).mkString(".")
+      graft.log.GraftCatalog.location(fqn)
+    }
+}
+
+case class OptimizeCommand(tablePath: String, zorderCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("operation", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v =
+      if (zorderCols.nonEmpty)
+        graft.log.TableBuilder.zorder(spark, tablePath, zorderCols,
+          timestamp = System.currentTimeMillis())
+      else
+        graft.log.TableBuilder.compact(spark, tablePath,
+          timestamp = System.currentTimeMillis())
+    Seq(Row(v, if (zorderCols.nonEmpty) s"ZORDER BY (${zorderCols.mkString(", ")})"
+      else "COMPACT"))
+  }
+}
+
+case class VacuumCommand(tablePath: String, retentionMs: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_deleted_files", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(
+    graft.log.TableBuilder.vacuum(spark, tablePath, retentionMs,
+      System.currentTimeMillis())))
+}
+
+case class HistoryCommand(tablePath: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("timestamp", TimestampType)(),
+    AttributeReference("operation", StringType)(),
+    AttributeReference("num_added_files", LongType)(),
+    AttributeReference("num_removed_files", LongType)(),
+    AttributeReference("num_added_rows", LongType)(),
+    AttributeReference("data_change", BooleanType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.GraftTable.forPath(spark, tablePath).history().collect().toSeq
+}

@@ -55,4 +55,34 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(limited.count() === 7L)
     assert(limited.select(col("id")).collect().length === 7)
   }
+
+  test("maintenance DDL: OPTIMIZE, OPTIMIZE ZORDER BY, VACUUM, DESCRIBE HISTORY") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext_ddl").toString + "/t"
+    graft.log.TableBuilder.create(spark,
+      (1 to 50).map(i => (i.toLong, i * 2L)).toDF("id", "k"), dir, numFiles = 4)
+    graft.log.GraftCatalog.register("share1.default.ext_ddl", dir)
+
+    // path spelling + compaction: 4 small files → 1
+    val opt = spark.sql(s"OPTIMIZE '$dir'").collect().head
+    assert(opt.getLong(0) === 1L && opt.getString(1) === "COMPACT")
+    assert(spark.read.format("graft").option("path", dir).load().count() === 50L)
+
+    // name spelling + zorder
+    val z = spark.sql("OPTIMIZE share1.default.ext_ddl ZORDER BY (id, k)")
+      .collect().head
+    assert(z.getString(1).contains("ZORDER") && z.getLong(0) === 2L)
+
+    val h = spark.sql(s"DESCRIBE HISTORY share1.default.ext_ddl").collect()
+    assert(h.length === 3 && h.head.getLong(0) === 2L)
+    assert(h.map(_.getString(2)).toSet === Set("CREATE", "OPTIMIZE"))
+
+    // vacuum with RETAIN 0 HOURS removes files the compaction replaced
+    val removed = spark.sql(s"VACUUM '$dir' RETAIN 0 HOURS").collect().head.getInt(0)
+    assert(removed >= 4, s"expected the pre-optimize files gone, removed=$removed")
+    assert(spark.read.format("graft").option("path", dir).load().count() === 50L)
+
+    // unrelated SQL still parses through the delegate
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
+  }
 }
