@@ -247,6 +247,7 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(rows === Seq((1L, 99.0), (2L, 20.0), (100L, 1.0), (101L, 2.0)))
     spark.sql(s"DROP TABLE $T.mrg_src2")
+    graft.log.GraftCatalog.unregister("share1.default.mrg_prune")
   }
 
   test("unknown table raises a table-not-found analysis error") {

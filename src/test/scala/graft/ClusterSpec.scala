@@ -145,6 +145,7 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = spark.read.format("graft").option("path", path).load()
       .agg(sum(col("o_totalprice"))).collect().head.getDouble(0)
     assert(matched > 0 && math.abs(after - before - matched) < 1e-6)
+    graft.log.GraftCatalog.unregister("share1.default.rowlevel_upd")
   }
 
   test("bloom semi-join evaluates across executor JVMs") {

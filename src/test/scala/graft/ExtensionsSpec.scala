@@ -84,5 +84,6 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // unrelated SQL still parses through the delegate
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
+    graft.log.GraftCatalog.unregister("share1.default.ext_ddl")
   }
 }

@@ -74,6 +74,7 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftTable.forName(spark, "share1.default.gt_named").toDF.count() === 1L)
     assert(GraftTable.isGraftTable(spark, path))
     assert(!GraftTable.isGraftTable(spark, s"$root/nope"))
+    graft.log.GraftCatalog.unregister("share1.default.gt_named")
   }
 
   test("the handle works identically on a Delta-format table") {
