@@ -144,8 +144,8 @@ object Merge {
         .map(_.getPath.toUri).toSet
       rewritten.write.mode("append").parquet(tablePath)
       val adds = TableBuilder.scanDataFiles(
-        spark, tablePath, prev.schema, Nil, version, timestamp)
-        .filter(a => !before.contains(fs.makeQualified(new Path(root, a.path)).toUri))
+        spark, tablePath, prev.schema, Nil, version, timestamp,
+        onlyRelPaths = Some(TableBuilder.newRelPaths(fs, root, before)))
 
       val ct = GraftCDF.CHANGE_TYPE
       val cdc = Seq(

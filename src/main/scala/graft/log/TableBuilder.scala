@@ -83,12 +83,27 @@ object TableBuilder {
     // disk) are never re-added
     val before = collectParquet(fs, fs.makeQualified(root)).map(_.getPath.toUri).toSet
     df.write.mode("append").partitionBy(partitionCols: _*).parquet(tablePath)
-    val adds = scanDataFiles(spark, tablePath, prev.schema, partitionCols, version, timestamp)
-      .filter(a => !before.contains(fs.makeQualified(new Path(root, a.path)).toUri))
+    val adds = scanDataFiles(spark, tablePath, prev.schema, partitionCols, version,
+      timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
     // extraActions ride the SAME commit — the exactly-once sink's txn
     // watermark must be atomic with the files it covers
     GraftLog.commit(tablePath, version, adds ++ extraActions, conf)
     version
+  }
+
+
+  /** Relative paths of parquet files on disk that are NOT in `beforeUris`
+    * — the files a just-finished write produced (stats scope for
+    * [[scanDataFiles]]'s O(commit) contract).
+    */
+  private[graft] def newRelPaths(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: Path,
+      beforeUris: Set[java.net.URI]): Set[String] = {
+    val rootUri = fs.makeQualified(root).toUri
+    collectParquet(fs, fs.makeQualified(root))
+      .filter(st => !beforeUris.contains(st.getPath.toUri))
+      .map(st => relativize(rootUri, st.getPath.toUri)).toSet
   }
 
   /** Logically remove the files whose paths satisfy `pred` (new version
@@ -328,8 +343,8 @@ object TableBuilder {
       withParts.coalesce(1).write.mode("append")
         .partitionBy(partitionCols: _*).parquet(tablePath)
     }
-    val adds = scanDataFiles(spark, tablePath, prev.schema, partitionCols, version, timestamp)
-      .filter(a => !before.contains(fs.makeQualified(new Path(root, a.path)).toUri))
+    val adds = scanDataFiles(spark, tablePath, prev.schema, partitionCols, version,
+      timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
       .map(_.copy(dataChange = false))
     val removes = bins.flatten.map(f =>
       RemoveFile(f.path, f.partitionValues, f.size, dataChange = false, version, timestamp))
@@ -407,8 +422,8 @@ object TableBuilder {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("append").parquet(tablePath)
-    val adds = scanDataFiles(spark, tablePath, prev.schema, Nil, version, timestamp)
-      .filter(a => !before.contains(fs.makeQualified(new Path(root, a.path)).toUri))
+    val adds = scanDataFiles(spark, tablePath, prev.schema, Nil, version,
+      timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
       .map(_.copy(dataChange = false))
     val removes = prev.files.map(f =>
       RemoveFile(f.path, f.partitionValues, f.size, dataChange = false, version, timestamp))
@@ -580,8 +595,8 @@ object TableBuilder {
       // (unqualified Path.toUri has no scheme and would never match)
       val before = collectParquet(fs, fs.makeQualified(root)).map(_.getPath.toUri).toSet
       rewritten.write.mode("append").parquet(tablePath)
-      val adds = scanDataFiles(spark, tablePath, prev.schema, Nil, version, timestamp)
-        .filter(a => !before.contains(fs.makeQualified(new Path(root, a.path)).toUri))
+      val adds = scanDataFiles(spark, tablePath, prev.schema, Nil, version,
+        timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
 
       // cdc file(s) under _cdc/v<version>/ (underscore dir ⇒ invisible to
       // plain data scans)
@@ -615,19 +630,29 @@ object TableBuilder {
       schema: StructType,
       partitionCols: Seq[String],
       version: Long,
-      timestamp: Long = 0L): Seq[AddFile] = {
+      timestamp: Long = 0L,
+      onlyRelPaths: Option[Set[String]] = None): Seq[AddFile] = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)
     val rootUri = fs.makeQualified(root).toUri
 
-    // File inventory from the filesystem (size, mtime).
+    // File inventory from the filesystem (size, mtime), scoped to the
+    // commit's NEW files when the caller knows them — a streaming sink
+    // appending a 1 MB micro-batch to a 100 TB table must compute stats
+    // for that megabyte, never rescan the table (O(commit) per commit,
+    // the same contract as the commit itself).
     val files = collectParquet(fs, fs.makeQualified(root))
+      .filter(st => onlyRelPaths.forall(_.contains(relativize(rootUri, st.getPath.toUri))))
+    if (files.isEmpty) return Nil
     val bySuffix = files.map { st =>
       relativize(rootUri, st.getPath.toUri) -> st
     }.toMap
 
-    // One distributed stats pass over the whole commit.
+    // One distributed stats pass over the whole commit. Partition values
+    // come from the directory names (parsePartitionValues), so reading
+    // the explicit file list — which drops hive-dir column inference —
+    // loses nothing: statCols never include partition columns.
     val dataCols = schema.fields.filterNot(f => partitionCols.contains(f.name))
     val statCols = dataCols.filter(f => StatsCodec.typeName(f.dataType).isDefined)
     val aggs =
@@ -637,8 +662,13 @@ object TableBuilder {
             max(col(f.name)).as(s"__max_${f.name}"),
             sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__null_${f.name}"))
         }
-    val statsRows = spark.read.schema(fullSchema(schema, partitionCols))
-      .parquet(tablePath)
+    val statsInput =
+      if (onlyRelPaths.isEmpty)
+        spark.read.schema(fullSchema(schema, partitionCols)).parquet(tablePath)
+      else
+        spark.read.schema(fullSchema(schema, partitionCols))
+          .parquet(files.map(_.getPath.toString): _*)
+    val statsRows = statsInput
       .withColumn("__file", input_file_name())
       .groupBy(col("__file"))
       .agg(aggs.head, aggs.tail: _*)

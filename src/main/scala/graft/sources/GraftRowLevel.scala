@@ -219,8 +219,7 @@ class GraftReplaceDataWrite(
     val logR = new GraftLog(tablePath, conf)
     val version = logR.latestVersion() + 1
     val adds = TableBuilder.scanDataFiles(
-      spark, tablePath, writeSchema, Nil, version)
-      .filter(a => written.contains(a.path))
+      spark, tablePath, writeSchema, Nil, version, onlyRelPaths = Some(written))
     val removes = op.candidates.map(f =>
       RemoveFile(f.path, f.partitionValues, f.size, dataChange = true, version))
     GraftLog.commit(tablePath, version, removes ++ adds, conf)
