@@ -66,22 +66,40 @@ object Bench {
     // Optional subset for local iteration: SPARK_GRAFT_ONLY=q35,q27
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    // A failed query must be loudly visible in the JSON (value -1 AND a
-    // failures list), never a normal-looking time.
+    // Per-query BEST-OF-N (default 2): one-off interference on a shared
+    // driver host (the r6/r7 artifacts showed 4-8x inflation on single
+    // queries) cannot survive two passes both being hit — the min is the
+    // trustworthy steady-state number. A second pass that fails (a few
+    // queries mutate scratch fixtures) keeps the first pass's time; a
+    // first-pass failure is loudly -1 + a failures entry, never a
+    // normal-looking time.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        loud: Boolean): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          if (loud)
+            System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+          -1.0
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
-          false
+        val first = timeOnce(name, fn, loud = true)
+        val best =
+          if (first < 0) first
+          else (first +: (2 to passes).map(_ => timeOnce(name, fn, loud = false)))
+            .filter(_ >= 0).min
+        (name, best, first >= 0)
       }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
-    }
     // ms precision keeps the line small; a sub-ms query time carries no
-    // signal at this measurement's noise floor anyway
-    def ms3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // signal at this measurement's noise floor anyway. Locale-pinned:
+    // a comma decimal separator would make the line invalid JSON.
+    def ms3(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }

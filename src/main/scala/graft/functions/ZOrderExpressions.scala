@@ -74,13 +74,17 @@ object ZOrderKey {
   def apply(bins: Seq[Column], bitsPerCol: Int = 8): Column = {
     val n = bins.size
     require(n >= 1, "z-order needs at least one column")
+    require(n * bitsPerCol <= 63,
+      s"z-order key overflows a long: $n cols x $bitsPerCol bits")
     // z = Σ_{c,j} ((bin_c >> j) & 1) << (j*n + (n-1-c)) — column 0 takes
-    // the most significant position within each bit group
-    val safe = bins.map(b => coalesce(b, lit(0)))
+    // the most significant position within each bit group. Bins are cast
+    // to LONG before shifting: int-typed shiftleft reaches bit 31 at
+    // 4 cols x 8 bits and flips the sign, corrupting Morton order.
+    val safe = bins.map(b => coalesce(b, lit(0)).cast("long"))
     val terms = for {
       c <- 0 until n
       j <- 0 until bitsPerCol
-    } yield shiftleft(shiftright(safe(c), j).bitwiseAND(lit(1)), j * n + (n - 1 - c))
-    terms.reduce(_ + _).cast("long")
+    } yield shiftleft(shiftright(safe(c), j).bitwiseAND(lit(1L)), j * n + (n - 1 - c))
+    terms.reduce(_ + _)
   }
 }

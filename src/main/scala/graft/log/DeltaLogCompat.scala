@@ -112,7 +112,9 @@ object DeltaLogCompat {
       val p = root.get("protocol")
       Some(Protocol(
         minReaderVersion = Option(p.get("minReaderVersion")).map(_.asInt(1)).getOrElse(1),
-        version = version))
+        version = version,
+        readerFeatures = Option(p.get("readerFeatures")).filter(!_.isNull).toSeq
+          .flatMap(_.elements().asScala.map(_.asText()))))
     } else if (root.has("txn")) {
       val t = root.get("txn")
       Some(Txn(

@@ -208,6 +208,10 @@ class GraftLog(val tablePath: String, conf: Configuration) {
       }
     }
     require(meta != null, s"no metadata in log at $tablePath")
+    // A genuine Delta table gated on a reader feature we don't decode
+    // (typeWidening, variant, …) must fail HERE, loudly, not serve
+    // mis-decoded rows (graft-format logs never carry feature gates).
+    if (deltaMode) proto.assertReadable(tablePath)
     Snapshot(target, meta, proto, active.values.toVector, txns.toMap)
   }
 

@@ -95,8 +95,44 @@ case class Metadata(
     version: Long = 0L)
     extends Action
 
-/** Reader-version gate (reference `PROTOCOL.md:3550-3560`). */
-case class Protocol(minReaderVersion: Int = 1, version: Long = 0L) extends Action
+/** Reader-version gate (reference `PROTOCOL.md:3550-3560`). For
+  * feature-gated tables (minReaderVersion 3) `readerFeatures` lists the
+  * table features a reader MUST understand; serving a table whose
+  * features we can't decode would silently return wrong rows, so
+  * snapshot load refuses anything outside [[Protocol.SUPPORTED_READER_FEATURES]].
+  */
+case class Protocol(
+    minReaderVersion: Int = 1,
+    version: Long = 0L,
+    readerFeatures: Seq[String] = Nil)
+    extends Action {
+  /** Null-safe view (Jackson may materialize a missing list as null). */
+  def features: Seq[String] = Option(readerFeatures).getOrElse(Nil)
+
+  /** Throw unless every gated reader feature is one we decode correctly.
+    * `tablePath` only flavors the error message.
+    */
+  def assertReadable(tablePath: String): Unit = {
+    require(minReaderVersion <= Protocol.MAX_READER_VERSION,
+      s"table $tablePath requires minReaderVersion=$minReaderVersion; " +
+        s"this reader supports <= ${Protocol.MAX_READER_VERSION}")
+    val unsupported = features.filterNot(Protocol.SUPPORTED_READER_FEATURES)
+    require(unsupported.isEmpty,
+      s"table $tablePath requires unsupported reader features: " +
+        unsupported.mkString(", "))
+  }
+}
+
+object Protocol {
+  val MAX_READER_VERSION = 3
+  /** Reader table features this engine decodes end-to-end. `timestampNtz`
+    * and `variantType-preview`-style features are NOT here on purpose —
+    * better a loud refusal than a silently mis-decoded column.
+    */
+  val SUPPORTED_READER_FEATURES: Set[String] =
+    Set("deletionVectors", "columnMapping", "v2Checkpoint",
+      "timestampNtz", "vacuumProtocolCheck", "inCommitTimestamp")
+}
 
 /** Streaming-transaction watermark (delta PROTOCOL "Transaction
   * Identifiers"): the writer identified by `appId` has durably applied

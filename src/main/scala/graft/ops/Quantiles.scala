@@ -48,9 +48,21 @@ object Quantiles {
             .stripMargin)).as("__po")): _*)
       .select(groupCols.map(col) ++ Seq(
         col("__po.__pid").as("__pid"), col("__po.__off").as("__off"), col("__n")): _*)
-    ranked.join(broadcast(offsets), "__pid" +: groupCols)
+    // Null-safe join: a USING join drops rows whose group key is NULL,
+    // but NULL is a legitimate group (matching NTILE / GROUP BY
+    // semantics). Join with <=> per group column and discard the
+    // offset-side key copies.
+    val offs = offsets.select(
+      (col("__pid").as("__o_pid") +:
+        groupCols.zipWithIndex.map { case (g, i) => col(g).as(s"__o_g$i") }) ++
+        Seq(col("__off"), col("__n")): _*)
+    val cond = groupCols.zipWithIndex
+      .map { case (g, i) => ranked(g) <=> offs(s"__o_g$i") }
+      .foldLeft(ranked("__pid") === offs("__o_pid"))(_ && _)
+    ranked.join(broadcast(offs), cond)
       .withColumn("__rn", col("__off") + col("__local"))
-      .drop("__pid", "__local", "__off")
+      .drop(("__pid" :: "__o_pid" :: "__local" :: "__off" :: Nil) ++
+        groupCols.indices.map(i => s"__o_g$i"): _*)
   }
 
   /** Exact equi-depth histogram per group: `buckets` NTILE buckets (SQL

@@ -243,19 +243,32 @@ class HttpRangeInputStream(url: String, length: Long) extends FSInputStream {
   }
 
   override def read(): Int = {
+    var emptyReopens = 0
     while (pos < length) {
       val b = ensureStream().read()
       if (b >= 0) { pos += 1; streamPos += 1; return b }
       closeStream() // chunk exhausted — next loop opens the following one
+      emptyReopens += 1
+      if (emptyReopens > 3)
+        throw new java.io.IOException(
+          s"no progress after $emptyReopens range requests at pos=$pos for $url")
     }
     -1
   }
 
   override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+    if (len == 0) return 0 // InputStream contract — never reopen for a 0-byte ask
+    var emptyReopens = 0
     while (pos < length) {
       val n = ensureStream().read(buf, off, len)
       if (n > 0) { pos += n; streamPos += n; return n }
       closeStream() // chunk exhausted — next loop opens the following one
+      // A fresh 206 body that yields no bytes means the server is lying
+      // about the range; without this bound the loop reopens forever.
+      emptyReopens += 1
+      if (emptyReopens > 3)
+        throw new java.io.IOException(
+          s"no progress after $emptyReopens range requests at pos=$pos for $url")
     }
     -1
   }

@@ -212,6 +212,44 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       Some(DeletionVectorDescriptor("u", "ab^-aqEH.-t@S}K{vb[*k^", Some(4), 40, 6L)))
   }
 
+  test("unsupported reader features refuse at snapshot load, supported ones pass") {
+    // A real Delta table gated on a feature we don't decode must fail
+    // loudly rather than serve mis-decoded rows.
+    def writeLog(path: String, protocolLine: String): Unit = {
+      val dir = new java.io.File(path, "_delta_log")
+      dir.mkdirs()
+      val lines = Seq(
+        protocolLine,
+        """{"metaData":{"id":"gate-test","format":{"provider":"parquet","options":{}},""" +
+          """"schemaString":"{\"type\":\"struct\",\"fields\":[]}",""" +
+          """"partitionColumns":[],"configuration":{},"createdTime":1}}""")
+      java.nio.file.Files.write(
+        new java.io.File(dir, f"${0L}%020d.json").toPath,
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    val bad = s"$root/gate_bad"
+    writeLog(bad,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","typeWidening"]}}""")
+    val e = intercept[IllegalArgumentException] {
+      new GraftLog(bad, conf).snapshot(None)
+    }
+    assert(e.getMessage.contains("typeWidening"))
+    assert(!e.getMessage.contains("deletionVectors"), "supported features not blamed")
+
+    val tooNew = s"$root/gate_ver"
+    writeLog(tooNew, """{"protocol":{"minReaderVersion":9,"minWriterVersion":9}}""")
+    assert(intercept[IllegalArgumentException] {
+      new GraftLog(tooNew, conf).snapshot(None)
+    }.getMessage.contains("minReaderVersion"))
+
+    val ok = s"$root/gate_ok"
+    writeLog(ok,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","columnMapping","timestampNtz"]}}""")
+    assert(new GraftLog(ok, conf).snapshot(None).files.isEmpty) // loads fine
+  }
+
   test("streaming (snapshot-then-tail + CDF stream) works over the Delta log") {
     import spark.implicits._
     val path = s"$root/t1"

@@ -273,6 +273,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(th.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("withGroupRank keeps NULL group keys (null-safe offsets join)") {
+    import spark.implicits._
+    // NULL is a legitimate group under GROUP BY / NTILE semantics; the
+    // offsets join must not drop it (plain equality would).
+    val df = Seq(
+      (Some("a"), 3L), (Some("a"), 1L), (None, 2L), (None, 5L), (None, 1L))
+      .toDF("g", "v")
+    val out = Quantiles.withGroupRank(df, Seq("g"), Seq("v"))
+      .select("g", "v", "__rn", "__n")
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 5, "rows with NULL group keys must survive")
+    val nulls = out.filter(_._1.isEmpty).sortBy(_._2)
+    assert(nulls.map(_._3).toSeq === Seq(1L, 2L, 3L), "NULL group ranks 1..3")
+    assert(nulls.forall(_._4 == 3L), "NULL group size is 3")
+    val as = out.filter(_._1.contains("a")).sortBy(_._2)
+    assert(as.map(_._3).toSeq === Seq(1L, 2L) && as.forall(_._4 == 2L))
+  }
+
   test("contamination screen flags docs overlapping the benchmark pool") {
     val bench = docsDF(Seq(1L -> base))
     val corpus = docsDF(Seq(

@@ -105,4 +105,24 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.range(1).select(column(graft.functions.QuantileBin(
       expression(lit(null).cast("double")), boundaries))).collect().head.isNullAt(0))
   }
+
+  test("ZOrderKey: 4 cols x 8 bits stays in long range (no int-shift sign flip)") {
+    import graft.functions.ZOrderKey
+    import spark.implicits._
+    // top bit of column 0 lands at position 31 with 4x8 — int shiftleft
+    // would flip the sign; the long path must keep keys non-negative and
+    // Morton-ordered on the leading column
+    val df = Seq((255, 255, 255, 255), (128, 0, 0, 0), (127, 255, 255, 255), (0, 0, 0, 0))
+      .toDF("a", "b", "c", "d")
+    val keys = df.select(ZOrderKey(Seq(col("a"), col("b"), col("c"), col("d")), 8).as("z"))
+      .collect().map(_.getLong(0))
+    assert(keys.forall(_ >= 0L), s"negative Morton key: ${keys.mkString(",")}")
+    val Seq(kAll, kHi, kLo, kZero) = keys.toSeq
+    assert(kHi > kLo, "bin 128 on the leading column must sort above 127/255/255/255")
+    assert(kAll > kHi && kZero == 0L)
+    // exceeding 63 bits is refused, not silently corrupted
+    intercept[IllegalArgumentException] {
+      ZOrderKey(Seq.fill(8)(col("a")), 8)
+    }
+  }
 }
