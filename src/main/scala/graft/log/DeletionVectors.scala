@@ -31,10 +31,27 @@ object DeletionVectors {
       tablePath: String,
       deletes: Map[String, Seq[Long]],
       conf: Configuration,
+      salt: String = ""): Map[String, DeletionVectorDescriptor] =
+    writeBlobs(tablePath,
+      deletes.view.mapValues { rows =>
+        val bm = RoaringBitmapArray(rows)
+        (bm.serialize(), bm.cardinality)
+      }.toMap,
+      conf, salt)
+
+  /** Like [[write]], but from PRE-SERIALIZED bitmaps
+    * (relative data-file path -> (blob, cardinality)) — the variant the
+    * distributed DELETE path uses: executors serialize, the driver only
+    * frames the KB-sized blobs into the DV file.
+    */
+  def writeBlobs(
+      tablePath: String,
+      blobs: Map[String, (Array[Byte], Long)],
+      conf: Configuration,
       salt: String = ""): Map[String, DeletionVectorDescriptor] = {
-    require(deletes.nonEmpty, "no deletion vectors to write")
+    require(blobs.nonEmpty, "no deletion vectors to write")
     val uuid = UUID.nameUUIDFromBytes(
-      (tablePath + "@" + salt + ":" + deletes.keys.toSeq.sorted.mkString(","))
+      (tablePath + "@" + salt + ":" + blobs.keys.toSeq.sorted.mkString(","))
         .getBytes("UTF-8"))
     val dvPath = new Path(tablePath, fileName(uuid))
     val fs = dvPath.getFileSystem(conf)
@@ -43,9 +60,7 @@ object DeletionVectors {
     try {
       out.write(RoaringBitmapArray.DV_FILE_VERSION.toInt)
       var offset = 1
-      deletes.toSeq.sortBy(_._1).foreach { case (rel, rows) =>
-        val bitmap = RoaringBitmapArray(rows)
-        val data = bitmap.serialize()
+      blobs.toSeq.sortBy(_._1).foreach { case (rel, (data, card)) =>
         val framed = RoaringBitmapArray.frameBlob(data)
         out.write(framed)
         descriptors += rel -> DeletionVectorDescriptor(
@@ -53,7 +68,7 @@ object DeletionVectors {
           pathOrInlineDv = Z85.encodeUuid(uuid),
           offset = Some(offset),
           sizeInBytes = data.length,
-          cardinality = bitmap.cardinality)
+          cardinality = card)
         offset += framed.length
       }
     } finally out.close()

@@ -162,13 +162,13 @@ object TableBuilder {
     * merge (a file's new DV carries ALL its deleted rows). Non-partitioned
     * tables (the fixtures), like [[deleteWhere]].
     *
-    * Scale note: matching (file, row_index) pairs are collected to the
-    * driver — fixture-writer simplicity, same trade as [[rewrite]]'s
-    * affected-file collect. A production writer would aggregate row
-    * indexes per file executor-side (`groupBy(file).agg(collect_list)`)
-    * and serialize each bitmap in the executors, shipping only the
-    * KB-sized bitmap bytes to the commit; the log format and READ path
-    * (the part that runs at query time) are identical either way.
+    * Scale shape: row indexes NEVER reach the driver. One distributed
+    * pass finds matching (file, row_index), a per-file aggregation builds
+    * and serializes each roaring bitmap IN THE EXECUTORS (merging the
+    * file's existing DV from a broadcast of the snapshot's KB-sized
+    * blobs), and the driver collects one (path, blob, cardinality) row
+    * per AFFECTED FILE — the same KB-per-file metadata scale as the
+    * commit itself, no matter how many rows a broad DELETE touches.
     */
   def deleteWhereDV(
       spark: SparkSession,
@@ -183,40 +183,23 @@ object TableBuilder {
     val version = logR.latestVersion() + 1
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)
-    def abs(rel: String): String = new Path(root, rel).toString
 
-    // one distributed pass: (file, row_index) of every matching row.
-    // Column-mapped tables are read with physical names then renamed so
-    // `cond` (logical names) resolves.
-    import graft.model.ColumnMapping
-    val logical = prev.schema
-    val names = ColumnMapping.nameMap(logical)
-    val matches = spark.read.schema(ColumnMapping.physicalSchema(logical))
-      .parquet(prev.files.map(f => abs(f.path)): _*)
-      .select(logical.fields.toIndexedSeq.map(f =>
-        col(names.getOrElse(f.name, f.name)).as(f.name)) ++
-        Seq(col("_metadata.file_path").as("__fp"),
-          col("_metadata.row_index").as("__ri")): _*)
-      .filter(coalesce(cond, lit(false)))
-      .select("__fp", "__ri")
-      .collect()
-      .groupBy(r => new URI(r.getString(0)).getPath)
-      .view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    // executor-side blob build; ONE collected row per affected file
+    val blobs = dvBlobs(spark, tablePath, prev, cond).collect()
 
-    val affected = prev.files.filter(f =>
-      matches.contains(new Path(root, f.path).toUri.getPath))
+    val byAbs = prev.files
+      .map(f => new Path(root, f.path).toUri.getPath -> f).toMap
+    val affected = blobs.flatMap(r => byAbs.get(new URI(r.getString(0)).getPath))
     if (affected.isEmpty) {
       GraftLog.commit(tablePath, version, Nil, conf)
       return version
     }
-    val deletes: Map[String, Seq[Long]] = affected.map { f =>
-      val fresh = matches(new Path(root, f.path).toUri.getPath)
-      val existing = f.deletionVector
-        .map(dv => DeletionVectors.resolve(tablePath, dv, conf).toSeq)
-        .getOrElse(Nil)
-      f.path -> (existing ++ fresh)
+    val blobByRel: Map[String, (Array[Byte], Long)] = blobs.flatMap { r =>
+      byAbs.get(new URI(r.getString(0)).getPath)
+        .map(f => f.path -> ((r.getAs[Array[Byte]](1), r.getLong(2))))
     }.toMap
-    val descriptors = DeletionVectors.write(tablePath, deletes, conf, salt = version.toString)
+    val descriptors =
+      DeletionVectors.writeBlobs(tablePath, blobByRel, conf, salt = version.toString)
 
     val actions = Seq.newBuilder[Action]
     if (!prev.metadata.configuration.get("delta.enableDeletionVectors").contains("true"))
@@ -232,6 +215,53 @@ object TableBuilder {
     }
     GraftLog.commit(tablePath, version, actions.result(), conf)
     version
+  }
+
+  /** Distributed deletion-vector construction for [[deleteWhereDV]]: a
+    * DataFrame with ONE row per affected file — `__fp` (absolute data-file
+    * path), `__blob` (serialized roaring bitmap of ALL the file's deleted
+    * rows, its pre-existing DV merged in), `__card` (bitmap cardinality).
+    * Row indexes are aggregated per file and the bitmap serialized
+    * EXECUTOR-side; the snapshot's existing DV blobs (KB-sized metadata)
+    * ride a broadcast. Collecting this frame ships KBs per file, never a
+    * row per deleted row. Column-mapped tables are read with physical
+    * names then renamed so `cond` (logical names) resolves.
+    */
+  private[graft] def dvBlobs(
+      spark: SparkSession,
+      tablePath: String,
+      prev: Snapshot,
+      cond: org.apache.spark.sql.Column): DataFrame = {
+    import graft.model.{ColumnMapping, RoaringBitmapArray}
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath)
+    def abs(rel: String): String = new Path(root, rel).toString
+    val logical = prev.schema
+    val names = ColumnMapping.nameMap(logical)
+    val existing: Map[String, Array[Byte]] = prev.files.flatMap { f =>
+      f.deletionVector.map(dv =>
+        new Path(root, f.path).toUri.getPath ->
+          DeletionVectors.resolveBytes(tablePath, dv, conf))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(existing)
+    spark.read.schema(ColumnMapping.physicalSchema(logical))
+      .parquet(prev.files.map(f => abs(f.path)): _*)
+      .select(logical.fields.toIndexedSeq.map(f =>
+        col(names.getOrElse(f.name, f.name)).as(f.name)) ++
+        Seq(col("_metadata.file_path").as("__fp"),
+          col("_metadata.row_index").as("__ri")): _*)
+      .filter(coalesce(cond, lit(false)))
+      .groupBy(col("__fp"))
+      .agg(collect_list(col("__ri")).as("__ris"))
+      .as[(String, Seq[Long])]
+      .map { case (fp, ris) =>
+        val prior = bc.value.get(new URI(fp).getPath)
+          .map(b => RoaringBitmapArray.deserialize(b).toSeq).getOrElse(Nil)
+        val bm = RoaringBitmapArray(prior ++ ris)
+        (fp, bm.serialize(), bm.cardinality)
+      }
+      .toDF("__fp", "__blob", "__card")
   }
 
   /** Create a COLUMN-MAPPED (name mode) table: parquet files and partition
@@ -286,8 +316,13 @@ object TableBuilder {
     * below the compaction version still reads them.
     *
     * Binning is deterministic (path order, greedy first-fit), so repeated
-    * runs converge. Rejects DV'd and column-mapped tables — a physical
-    * rewrite would need DV-aware row filtering / physical-name mapping.
+    * runs converge. DV-carrying files are ALWAYS compaction candidates
+    * (regardless of size): the rewrite applies their deletion vectors and
+    * drops the descriptors — Delta's OPTIMIZE contract, and exactly the
+    * maintenance a DV-maintained table needs most. Logical rows are
+    * unchanged (the DV'd rows were already deleted), so `dataChange =
+    * false` stays correct. Rejects column-mapped tables — a physical
+    * rewrite would need physical-name mapping.
     */
   def compact(
       spark: SparkSession,
@@ -298,17 +333,14 @@ object TableBuilder {
     val logR = new GraftLog(tablePath, conf)
     val prev = logR.snapshot(None)
     graft.model.ColumnMapping.assertNoAdvancedFeatures(
-      prev.metadata, s"compact on $tablePath")
-    require(prev.files.forall(_.deletionVector.isEmpty),
-      s"compact on $tablePath: files carry deletion vectors; a compaction " +
-        "rewrite must apply + drop them (not implemented)")
+      prev.metadata, s"compact on $tablePath", allowDv = true)
     val partitionCols = prev.metadata.partitionColumns
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)
     def abs(rel: String): String = new Path(root, rel).toString
 
     val bins: Seq[Seq[AddFile]] = prev.files
-      .filter(_.size < targetBytes)
+      .filter(f => f.size < targetBytes || f.deletionVector.isDefined)
       .groupBy(_.partitionValues)
       .toSeq.sortBy(_._1.toSeq.sorted.mkString("|"))
       .flatMap { case (_, inPart) =>
@@ -321,7 +353,9 @@ object TableBuilder {
           } else { cur :+= f; size += f.size }
         }
         if (cur.nonEmpty) packed += cur
-        packed.filter(_.size >= 2)
+        // singleton bins only matter when purging a DV (rewrite the file
+        // without its deleted rows); plain singletons are already compact
+        packed.filter(b => b.size >= 2 || b.exists(_.deletionVector.isDefined))
       }
     if (bins.isEmpty) return logR.latestVersion() // nothing to do: no commit
 
@@ -330,7 +364,18 @@ object TableBuilder {
       prev.schema.fields.filterNot(f => partitionCols.contains(f.name)))
     val before = collectParquet(fs, fs.makeQualified(root)).map(_.getPath.toUri).toSet
     bins.foreach { bin =>
-      val df = spark.read.schema(dataSchema).parquet(bin.map(f => abs(f.path)): _*)
+      val raw = spark.read.schema(dataSchema).parquet(bin.map(f => abs(f.path)): _*)
+      // apply the bin's deletion vectors scan-side (broadcast KB bitmaps
+      // keyed by every file-path spelling) — rewritten files carry no DV
+      val dvByPath: Map[String, Array[Byte]] = bin.flatMap { f =>
+        f.deletionVector.toSeq.flatMap { dv =>
+          val bytes = DeletionVectors.resolveBytes(tablePath, dv, conf)
+          graft.sources.DvFilters
+            .pathSpellings(fs.makeQualified(new Path(root, f.path)))
+            .map(_ -> bytes)
+        }
+      }.toMap
+      val df = graft.sources.DvFilters.filterDeleted(raw, dvByPath)
       // data files don't store partition columns; re-attach them from the
       // bin's partition values ("" ⇒ null per the partition-codec rule) so
       // partitionBy routes the rewrite into the same directory
@@ -385,9 +430,7 @@ object TableBuilder {
     val logR = new GraftLog(tablePath, conf)
     val prev = logR.snapshot(None)
     graft.model.ColumnMapping.assertNoAdvancedFeatures(
-      prev.metadata, s"zorder on $tablePath")
-    require(prev.files.forall(_.deletionVector.isEmpty),
-      s"zorder on $tablePath: files carry deletion vectors; apply them first")
+      prev.metadata, s"zorder on $tablePath", allowDv = true)
     require(prev.metadata.partitionColumns.isEmpty,
       "zorder clusters unpartitioned tables (hive partitions already give " +
         "directory-level pruning on their columns)")
@@ -400,8 +443,21 @@ object TableBuilder {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)
     def abs(rel: String): String = new Path(root, rel).toString
-    val active = spark.read.schema(prev.schema)
-      .parquet(prev.files.map(f => abs(f.path)): _*)
+    // apply any deletion vectors scan-side: the clustered rewrite drops
+    // both the deleted rows and the descriptors (layout-only, rows
+    // logically unchanged — dataChange=false stays correct)
+    val dvByPath: Map[String, Array[Byte]] = prev.files.flatMap { f =>
+      f.deletionVector.toSeq.flatMap { dv =>
+        val bytes = DeletionVectors.resolveBytes(tablePath, dv, conf)
+        graft.sources.DvFilters
+          .pathSpellings(fs.makeQualified(new Path(root, f.path)))
+          .map(_ -> bytes)
+      }
+    }.toMap
+    val active = graft.sources.DvFilters.filterDeleted(
+      spark.read.schema(prev.schema)
+        .parquet(prev.files.map(f => abs(f.path)): _*),
+      dvByPath)
 
     val probs = (1 until bins).map(_.toDouble / bins).toArray
     val castCols = cols.map(c => s"__zin_${c}")

@@ -58,10 +58,12 @@ object ColumnMapping {
     * this to refuse loudly instead of decoding rows wrong (the streaming
     * sources and CDF assembly — mirrors the server's parquet-format gate).
     */
-  def assertNoAdvancedFeatures(m: TableMetadata, context: String): Unit = {
+  def assertNoAdvancedFeatures(
+      m: TableMetadata, context: String, allowDv: Boolean = false): Unit = {
     val advanced =
       (if (isEnabled(m)) Seq(s"$MODE_KEY=${mode(m)}") else Nil) ++
-        (if (m.configuration.get("delta.enableDeletionVectors").exists(_.equalsIgnoreCase("true")))
+        (if (!allowDv &&
+            m.configuration.get("delta.enableDeletionVectors").exists(_.equalsIgnoreCase("true")))
           Seq("delta.enableDeletionVectors=true") else Nil)
     if (advanced.nonEmpty) throw new UnsupportedOperationException(
       s"$context does not support tables with advanced reader features " +

@@ -131,6 +131,62 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v2 === v1, "fully compacted table must not commit again")
   }
 
+  test("compact applies deletion vectors and drops the descriptors") {
+    import spark.implicits._
+    val dir = s"$root/dv_compact"
+    GraftLog.invalidateListing(dir)
+    TableBuilder.create(spark,
+      (1 to 300).map(i => (i.toLong, s"r$i")).toDF("id", "v"), dir, numFiles = 3)
+    TableBuilder.deleteWhereDV(spark, dir, col("id") % 3 === 0)
+    val log = new GraftLog(dir, conf)
+    assert(log.snapshot(None).files.exists(_.deletionVector.isDefined))
+
+    val expected = (1L to 300L).filterNot(_ % 3 == 0).toArray
+    val v = TableBuilder.compact(spark, dir, timestamp = 9000L)
+    val snap = new GraftLog(dir, conf).snapshot(None)
+    assert(snap.version === v)
+    assert(snap.files.forall(_.deletionVector.isEmpty), "descriptors dropped")
+    val rows = spark.read.format("graft").option("path", dir).load()
+      .select("id").as[Long].collect().sorted
+    assert(rows === expected, "DV-deleted rows stay deleted, survivors intact")
+    // layout-only commit shape holds on the DV purge too
+    log.readVersion(v).foreach {
+      case a: graft.model.AddFile    => assert(!a.dataChange)
+      case r: graft.model.RemoveFile => assert(!r.dataChange)
+      case other => fail(s"unexpected action: $other")
+    }
+    // time travel below the purge still serves the DV view
+    assert(spark.read.format("graft").option("path", dir)
+      .option("versionAsOf", "1").load().count() === expected.length.toLong)
+
+    // a SINGLE DV'd file (no sibling to bin with) is still purged
+    val solo = s"$root/dv_solo"
+    GraftLog.invalidateListing(solo)
+    TableBuilder.create(spark,
+      (1 to 50).map(i => (i.toLong, s"s$i")).toDF("id", "v"), solo, numFiles = 1)
+    TableBuilder.deleteWhereDV(spark, solo, col("id") > 40)
+    TableBuilder.compact(spark, solo, timestamp = 9100L)
+    val soloSnap = new GraftLog(solo, conf).snapshot(None)
+    assert(soloSnap.files.forall(_.deletionVector.isEmpty))
+    assert(spark.read.format("graft").option("path", solo).load().count() === 40L)
+  }
+
+  test("zorder applies deletion vectors during the clustered rewrite") {
+    import spark.implicits._
+    val dir = s"$root/dv_zorder"
+    GraftLog.invalidateListing(dir)
+    TableBuilder.create(spark,
+      (0 until 400).map(i => (i.toLong, (i % 17).toLong, (i % 23).toLong))
+        .toDF("id", "x", "y"), dir, numFiles = 4)
+    TableBuilder.deleteWhereDV(spark, dir, col("id") >= 350)
+    TableBuilder.zorder(spark, dir, Seq("x", "y"), numFiles = 4, timestamp = 9000L)
+    val snap = new GraftLog(dir, conf).snapshot(None)
+    assert(snap.files.forall(_.deletionVector.isEmpty))
+    val ids = spark.read.format("graft").option("path", dir).load()
+      .select("id").as[Long].collect().sorted
+    assert(ids === (0L until 350L).toArray)
+  }
+
   test("vacuum respects retention: recent tombstones protect their files") {
     // compaction tombstones carry ts=9000; cutoff 10000-5000=5000 < 9000
     val deleted = TableBuilder.vacuum(spark, flat, retentionMs = 5000L, nowMs = 10000L)

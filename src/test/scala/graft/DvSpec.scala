@@ -188,6 +188,34 @@ class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readGraft(dir).filter(col("id") > 90).count() === 9L)
   }
 
+  test("DV construction is executor-side: one KB blob row per affected file") {
+    import spark.implicits._
+    val dir = tempTable()
+    TableBuilder.create(spark,
+      (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "v"), dir, numFiles = 4)
+    val log = new GraftLog(dir, spark.sessionState.newHadoopConf())
+    // a BROAD delete (60% of rows): what the driver collects must scale
+    // with file count, not deleted-row count
+    val blobs = TableBuilder.dvBlobs(spark, dir, log.snapshot(None), col("id") <= 600)
+    // plan shape: the collect boundary sits ABOVE a per-file aggregate —
+    // row-level (__ri) traffic ends at the partial aggregation
+    val planStr = blobs.queryExecution.executedPlan.toString
+    assert(planStr.contains("collect_list") || planStr.contains("ObjectHashAggregate")
+      || planStr.contains("SortAggregate"),
+      s"expected a per-file aggregate in the plan:\n$planStr")
+    val rows = blobs.collect()
+    assert(rows.length === log.snapshot(None).files.length) // 4 files, all affected
+    assert(rows.map(_.getLong(2)).sum === 600L, "cardinalities cover every deleted row")
+    rows.foreach { r =>
+      val bm = graft.model.RoaringBitmapArray.deserialize(r.getAs[Array[Byte]](1))
+      assert(bm.cardinality === r.getLong(2))
+      assert(r.getAs[Array[Byte]](1).length < 64 * 1024, "KB-scale blob per file")
+    }
+    // end-to-end on the same table
+    TableBuilder.deleteWhereDV(spark, dir, col("id") <= 600)
+    assert(readGraft(dir).select("id").as[Long].collect().sorted === (601L to 1000L).toArray)
+  }
+
   test("inline DV descriptor filters rows") {
     import spark.implicits._
     val dir = tempTable()
