@@ -14,7 +14,21 @@ object GraftCatalog {
 
   val SNAPSHOT_CACHE_SIZE = 10
 
-  private val tables = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Per-table sharing posture, mirroring the reference's `TableConfig`
+    * (`ServerConfig.scala:240-259`): `historyShared` gates every
+    * history-addressed read (time travel, startingVersion ranges, CDF,
+    * streaming) — a provider can share a snapshot WITHOUT its history;
+    * `startVersion` hides versions below it even when history is shared.
+    * Graft's fixture default is historyShared=true (the reference
+    * defaults to false; every existing fixture shares history, and the
+    * gate — not the default — is the semantics under test).
+    */
+  case class ShareConfig(
+      location: String,
+      historyShared: Boolean = true,
+      startVersion: Long = 0L)
+
+  private val tables = scala.collection.concurrent.TrieMap.empty[String, ShareConfig]
 
   private val snapshotCache =
     new JLinkedHashMap[(String, Long), Snapshot](16, 0.75f, true) {
@@ -22,9 +36,18 @@ object GraftCatalog {
         size() > SNAPSHOT_CACHE_SIZE
     }
 
-  def register(fqn: String, location: String): Unit = tables(fqn) = location
+  def register(fqn: String, location: String): Unit =
+    tables(fqn) = ShareConfig(location)
+
+  def register(fqn: String, location: String,
+      historyShared: Boolean, startVersion: Long = 0L): Unit =
+    tables(fqn) = ShareConfig(location, historyShared, startVersion)
 
   def unregister(fqn: String): Unit = tables.remove(fqn)
+
+  def shareConfig(fqn: String): ShareConfig =
+    tables.getOrElse(fqn, throw new NoSuchElementException(
+      s"table $fqn is not shared (known: ${tables.keys.toSeq.sorted.mkString(", ")})"))
 
   /** Drop cached snapshots of `location` — required when a table is
     * RECREATED at the same path (overwrite / drop+create): version
@@ -36,9 +59,7 @@ object GraftCatalog {
       snapshotCache.keySet.removeIf(_._1 == location)
     }
 
-  def location(fqn: String): String =
-    tables.getOrElse(fqn, throw new NoSuchElementException(
-      s"table $fqn is not shared (known: ${tables.keys.toSeq.sorted.mkString(", ")})"))
+  def location(fqn: String): String = shareConfig(fqn).location
 
   def listTables(): Seq[String] = tables.keys.toSeq.sorted
 

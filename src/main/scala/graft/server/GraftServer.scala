@@ -196,13 +196,54 @@ class GraftServer(
       }
     }
 
-  private def tableLocation(share: String, schema: String, table: String): String = {
+  private def tableLocation(share: String, schema: String, table: String): String =
+    shareCfg(share, schema, table).location
+
+  private def shareCfg(
+      share: String, schema: String, table: String): GraftCatalog.ShareConfig = {
     val fqn = s"$share.$schema.$table"
-    try GraftCatalog.location(fqn)
+    try GraftCatalog.shareConfig(fqn)
     catch { case _: NoSuchElementException =>
       throw GraftServerException.notFound(s"table $fqn does not exist")
     }
   }
+
+  /** The reference's per-table history gates
+    * (`DeltaSharingService.scala:525-537,593-597,636-639`): a table shared
+    * without history refuses every history-addressed read, and even a
+    * history-shared table hides versions below its `startVersion`.
+    */
+  private def requireHistoryShared(
+      cfg: GraftCatalog.ShareConfig, fqn: String, cdf: Boolean = false): Unit =
+    if (!cfg.historyShared) throw GraftServerException.badRequest(
+      if (cdf) s"cdf is not enabled on table $fqn"
+      else "Reading table by version or timestamp is not supported because " +
+        s"history sharing is not enabled on table: $fqn")
+
+  private def requireSinceStartVersion(
+      cfg: GraftCatalog.ShareConfig, version: Long): Unit =
+    if (version < cfg.startVersion) throw GraftServerException.badRequest(
+      s"You can only query table data since version ${cfg.startVersion}.")
+
+  /** Last successfully served LATEST snapshot per location — the
+    * staleness-fallback pool. With [[ServerConfig.stalenessAcceptable]]
+    * (reference `ServerConfig.scala:55-57` / `DeltaSharedTableLoader
+    * .scala:70-72`), a failed refresh serves the last known state instead
+    * of an error; version-pinned reads never fall back (a pinned version
+    * must be exact or fail).
+    */
+  private val lastGoodSnapshot =
+    scala.collection.concurrent.TrieMap.empty[String, graft.log.Snapshot]
+
+  private def latestSnapshot(l: GraftLog, location: String): graft.log.Snapshot =
+    try {
+      val s = l.snapshot(None)
+      lastGoodSnapshot(location) = s
+      s
+    } catch {
+      case scala.util.control.NonFatal(e) if config.stalenessAcceptable =>
+        lastGoodSnapshot.getOrElse(location, throw e)
+    }
 
   private def log(share: String, schema: String, table: String): GraftLog =
     new GraftLog(tableLocation(share, schema, table), hadoopConf)
@@ -275,9 +316,16 @@ class GraftServer(
     val version = q.get("startingTimestamp") match {
       case Some(ts) =>
         // earliest version at or after the timestamp (PROTOCOL version query)
+        requireHistoryShared(shareCfg(share, schema, table), s"$share.$schema.$table")
         val ms = parseWireTimestamp(ts)
         l.versionAtOrAfter(ms)
-      case None => l.latestVersion()
+      case None =>
+        try l.latestVersion()
+        catch {
+          case scala.util.control.NonFatal(e) if config.stalenessAcceptable =>
+            lastGoodSnapshot.get(tableLocation(share, schema, table))
+              .map(_.version).getOrElse(throw e)
+        }
     }
     ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, version.toString)
     if (ex.getRequestMethod == "HEAD") { ex.sendResponseHeaders(200, -1) }
@@ -292,9 +340,17 @@ class GraftServer(
     val timestamp = q.get("timestamp").map(parseWireTimestamp)
     if (version.isDefined && timestamp.isDefined)
       throw GraftServerException.badRequest("at most one of version/timestamp")
+    if (version.isDefined || timestamp.isDefined) {
+      val cfg = shareCfg(share, schema, table)
+      requireHistoryShared(cfg, s"$share.$schema.$table")
+      version.foreach(requireSinceStartVersion(cfg, _))
+    }
     version.foreach(v => requireVersionExists(l, v))
     val resolved = version.orElse(timestamp.map(l.versionAtOrBefore))
-    val snap = l.snapshot(resolved)
+    val snap = resolved match {
+      case Some(v) => l.snapshot(Some(v))
+      case None    => latestSnapshot(l, tableLocation(share, schema, table))
+    }
     ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, snap.version.toString)
     negotiateFormat(ex, snap.metadata) match {
       case FORMAT_DELTA => sendNdjson(ex, Seq(
@@ -330,7 +386,15 @@ class GraftServer(
 
     val l = log(share, schema, table)
     val tableKey = s"$share.$schema.$table"
-    val location = tableLocation(share, schema, table)
+    val cfg = shareCfg(share, schema, table)
+    val location = cfg.location
+
+    if (req.version != null || req.timestamp != null || req.startingVersion != null) {
+      requireHistoryShared(cfg, tableKey)
+      Option(req.version).map(_.longValue())
+        .orElse(Option(req.startingVersion).map(_.longValue()))
+        .foreach(requireSinceStartVersion(cfg, _))
+    }
 
     // Async execution (PROTOCOL.md:3425-3472): requested via the
     // delta-sharing-capabilities header; the snapshot result is computed,
@@ -378,12 +442,14 @@ class GraftServer(
             Line(queryStatus = QueryStatus(queryId)).json, parked.format)
         case None =>
           val (version, lines, fmt) = queryTableSnapshot(l, location, tableKey, req, ex)
+          requireSinceStartVersion(cfg, version) // timestamp-resolved versions too
           ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, version.toString)
           asyncResults.put(queryId, AsyncResult(version, lines, now() + config.pageTokenTtlMs, fmt))
           sendNdjson(ex, lines.take(2) :+ Line(queryStatus = QueryStatus(queryId)).json, fmt)
       }
     } else {
       val (version, lines, fmt) = queryTableSnapshot(l, location, tableKey, req, ex)
+      requireSinceStartVersion(cfg, version) // timestamp-resolved versions too
       ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, version.toString)
       sendNdjson(ex, lines, fmt)
     }
@@ -473,13 +539,16 @@ class GraftServer(
     }
 
     Option(req.version).foreach(v => requireVersionExists(l, v.longValue()))
-    val version: Long = pageTok.map(_.version)
+    val explicit: Option[Long] = pageTok.map(_.version)
       .orElse(Option(req.version).map(_.longValue()))
       .orElse(Option(req.timestamp).map(ts => l.versionAtOrBefore(parseWireTimestamp(ts))))
       .orElse(refreshTok.map(_.version))
-      .getOrElse(l.latestVersion())
 
-    val snap = l.snapshot(Some(version))
+    val snap = explicit match {
+      case Some(v) => l.snapshot(Some(v))
+      case None    => latestSnapshot(l, location)
+    }
+    val version = snap.version
     val fmt = negotiateFormat(ex, snap.metadata)
     val partitionSchema = org.apache.spark.sql.types.StructType(
       snap.metadata.partitionColumns.map(c => snap.schema(c)))
@@ -596,7 +665,9 @@ class GraftServer(
       ex: HttpExchange, share: String, schema: String, table: String,
       q: Map[String, String]): Unit = {
     val l = log(share, schema, table)
-    val location = tableLocation(share, schema, table)
+    val cfg = shareCfg(share, schema, table)
+    val location = cfg.location
+    requireHistoryShared(cfg, s"$share.$schema.$table", cdf = true)
     if (q.contains("startingVersion") && q.contains("startingTimestamp"))
       throw GraftServerException.badRequest(
         "at most one of startingVersion/startingTimestamp")
@@ -614,6 +685,7 @@ class GraftServer(
       .getOrElse(l.latestVersion())
     if (start > end) throw GraftServerException.badRequest(
       s"starting version($start) > ending version($end)")
+    requireSinceStartVersion(cfg, start)
     requireVersionExists(l, start)
     val snap = l.snapshot(Some(start))
     if (!graft.log.GraftCDF.isEnabled(snap.metadata))
@@ -1042,4 +1114,11 @@ case class ServerConfig(
     pageTokenTtlMs: Long = 259200000L,
     refreshTokenTtlMs: Long = 3600000L,
     /** How long a served async result stays pollable (lost-response retry). */
-    asyncServedGraceMs: Long = 60000L)
+    asyncServedGraceMs: Long = 60000L,
+    /** Accept serving a STALE cached snapshot when refreshing the table
+      * state fails (storage listing outage) — the reference's
+      * `stalenessAcceptable` (`ServerConfig.scala:55-57`), for static
+      * tables where availability beats freshness. Only latest-snapshot
+      * reads fall back; explicitly version-pinned reads never do.
+      */
+    stalenessAcceptable: Boolean = false)

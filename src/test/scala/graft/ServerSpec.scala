@@ -235,6 +235,142 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{"version": 1, "startingVersion": 0}""").statusCode() === 400)
   }
 
+  test("historyShared=false refuses every history-addressed read (reference TableConfig gate)") {
+    val loc = GraftCatalog.location("share1.default.orders_versioned")
+    val cdfLoc = GraftCatalog.location("share1.default.orders_cdf")
+    GraftCatalog.register("share1.default.orders_nohist", loc, historyShared = false)
+    GraftCatalog.register("share1.default.cdf_nohist", cdfLoc, historyShared = false)
+    try {
+      val base = "/shares/share1/schemas/default/tables/orders_nohist"
+      // snapshot reads stay fully served
+      assert(rawPost(s"$base/query", "{}").statusCode() === 200)
+      assert(rawGet(s"$base/metadata").statusCode() === 200)
+      assert(rawGet(s"$base/version").statusCode() === 200)
+      // version / timestamp / startingVersion addressed reads → 400
+      val byVersion = rawPost(s"$base/query", """{"version": 1}""")
+      assert(byVersion.statusCode() === 400)
+      assert(JsonUtils.fromJson[ErrorResponse](byVersion.body()).message
+        .contains("history sharing is not enabled"))
+      assert(rawPost(s"$base/query", """{"startingVersion": 0}""").statusCode() === 400)
+      assert(rawPost(s"$base/query", """{"timestamp": "2020-01-01T00:00:00Z"}""")
+        .statusCode() === 400)
+      assert(rawGet(s"$base/metadata?version=1").statusCode() === 400)
+      assert(rawGet(s"$base/version?startingTimestamp=1").statusCode() === 400)
+      // CDF on a no-history table → 400 even though the TABLE has CDF enabled
+      val cdf = rawGet("/shares/share1/schemas/default/tables/cdf_nohist/changes?startingVersion=0")
+      assert(cdf.statusCode() === 400)
+      assert(JsonUtils.fromJson[ErrorResponse](cdf.body()).message
+        .contains("cdf is not enabled on table"))
+      // the registered-with-history original is unaffected
+      assert(rawPost("/shares/share1/schemas/default/tables/orders_versioned/query",
+        """{"version": 1}""").statusCode() === 200)
+    } finally {
+      GraftCatalog.unregister("share1.default.orders_nohist")
+      GraftCatalog.unregister("share1.default.cdf_nohist")
+    }
+  }
+
+  test("startVersion hides versions below it (reference TableConfig.startVersion)") {
+    val loc = GraftCatalog.location("share1.default.orders_versioned")
+    val cdfLoc = GraftCatalog.location("share1.default.orders_cdf")
+    GraftCatalog.register("share1.default.orders_since1", loc,
+      historyShared = true, startVersion = 1L)
+    GraftCatalog.register("share1.default.cdf_since1", cdfLoc,
+      historyShared = true, startVersion = 1L)
+    try {
+      val base = "/shares/share1/schemas/default/tables/orders_since1"
+      // at/above the floor: served
+      assert(rawPost(s"$base/query", """{"version": 1}""").statusCode() === 200)
+      assert(rawPost(s"$base/query", """{"startingVersion": 1}""").statusCode() === 200)
+      assert(rawPost(s"$base/query", "{}").statusCode() === 200) // latest(2) >= 1
+      // below the floor → 400 with the reference's message
+      val below = rawPost(s"$base/query", """{"version": 0}""")
+      assert(below.statusCode() === 400)
+      assert(JsonUtils.fromJson[ErrorResponse](below.body()).message
+        .contains("since version 1"))
+      assert(rawPost(s"$base/query", """{"startingVersion": 0}""").statusCode() === 400)
+      // a timestamp resolving BELOW the floor is refused post-resolution
+      // (fixture commits are stamped 0/1000/2000 ms)
+      assert(rawPost(s"$base/query", """{"timestamp": "0"}""").statusCode() === 400)
+      assert(rawGet(s"$base/metadata?version=0").statusCode() === 400)
+      // CDF ranges below the floor → 400; at the floor → served
+      assert(rawGet("/shares/share1/schemas/default/tables/cdf_since1/changes?startingVersion=0")
+        .statusCode() === 400)
+      assert(rawGet("/shares/share1/schemas/default/tables/cdf_since1/changes?startingVersion=1")
+        .statusCode() === 200)
+    } finally {
+      GraftCatalog.unregister("share1.default.orders_since1")
+      GraftCatalog.unregister("share1.default.cdf_since1")
+    }
+  }
+
+  test("stalenessAcceptable serves the last good snapshot when the log listing fails") {
+    import spark.implicits._
+    val path = "/root/repo/target/test_staleness_table"
+    val dir = new java.io.File(path)
+    if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    GraftLog.invalidateListing(path)
+    TableBuilder.create(spark,
+      (1 to 9).map(i => (i.toLong, s"r$i")).toDF("id", "v"), path, name = "stale")
+    GraftCatalog.register("share1.default.stale_t", path)
+    val staleServer = new GraftServer(
+      ServerConfig(bearerToken = Some(TOKEN), stalenessAcceptable = true),
+      spark.sessionState.newHadoopConf()).start()
+    try {
+      def post(srv: GraftServer, p: String): HttpResponse[String] = {
+        val b = HttpRequest.newBuilder(URI.create(s"${srv.url}$p"))
+          .header("Authorization", s"Bearer $TOKEN")
+          .POST(HttpRequest.BodyPublishers.ofString("{}"))
+        http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      val base = "/shares/share1/schemas/default/tables/stale_t"
+      // healthy: both servers serve, the staleness server caches last-good
+      val healthy = post(staleServer, s"$base/query")
+      assert(healthy.statusCode() === 200)
+      assert(post(server, s"$base/query").statusCode() === 200)
+
+      // fault injection: the log directory vanishes (listing outage)
+      val logDir = new java.io.File(path, "_graft_log")
+      val hidden = new java.io.File(path, "_graft_log.hidden")
+      assert(logDir.renameTo(hidden))
+      GraftLog.invalidateListing(path)
+      try {
+        // default server: refresh fails loudly
+        assert(post(server, s"$base/query").statusCode() >= 400)
+        // staleness server: same lines as the healthy response
+        val stale = post(staleServer, s"$base/query")
+        assert(stale.statusCode() === 200)
+        // same FILES as the healthy response (urls re-sign with a fresh
+        // expiration each call — compare the stable ids)
+        def fileIds(body: String): Seq[String] =
+          body.linesIterator.filter(_.contains("\"file\""))
+            .map(l => JsonUtils.mapper.readTree(l).get("file").get("id").asText())
+            .toSeq
+        assert(fileIds(stale.body()) === fileIds(healthy.body()))
+        // version endpoint falls back too
+        val vr = http.send(HttpRequest.newBuilder(
+          URI.create(s"${staleServer.url}$base/version"))
+          .header("Authorization", s"Bearer $TOKEN").GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(vr.statusCode() === 200)
+        assert(vr.headers().firstValue("Delta-Table-Version").orElse("") === "0")
+        // a version-PINNED read must never serve stale state
+        val pinned = http.send(HttpRequest.newBuilder(
+          URI.create(s"${staleServer.url}$base/query"))
+          .header("Authorization", s"Bearer $TOKEN")
+          .POST(HttpRequest.BodyPublishers.ofString("""{"version": 0}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+        assert(pinned.statusCode() >= 400)
+      } finally {
+        assert(hidden.renameTo(logDir))
+        GraftLog.invalidateListing(path)
+      }
+    } finally {
+      staleServer.stop()
+      GraftCatalog.unregister("share1.default.stale_t")
+    }
+  }
+
   test("version-range query (startingVersion) emits add lines with versions") {
     val res = client.queryRange("share1", "default", "orders_versioned", 1L, Some(2L))
     assert(res.adds.nonEmpty)
