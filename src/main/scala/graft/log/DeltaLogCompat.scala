@@ -35,10 +35,12 @@ import graft.model._
   * pre-ICT, same as `DeltaSharingHistoryManager`'s
   * `getTimestampsByVersion`), monotonized by the caller.
   *
-  * Out of scope (rare, feature-gated layouts): v2 `checkpointPolicy`
-  * sidecar checkpoints and compacted log ranges; reads of such tables
-  * fail loudly at the protocol/marker layer rather than serving wrong
-  * answers.
+  * Checkpoint layouts: classic single-file, classic multi-part, AND v2
+  * `checkpointPolicy` checkpoints (UUID-named top-level file — json or
+  * parquet — whose add actions live in sidecar parquet files under
+  * `_delta_log/_sidecars/`, referenced by `sidecar` actions; delta
+  * PROTOCOL "V2 Spec Checkpoints"). Still out of scope (fails loudly at
+  * the marker layer, never wrong answers): compacted log ranges.
   */
 object DeltaLogCompat {
 
@@ -429,6 +431,14 @@ object DeltaLogCompat {
         |    optional int64 version;
         |    optional int64 lastUpdated;
         |  }
+        |  optional group sidecar {
+        |    optional binary path (UTF8);
+        |    optional int64 sizeInBytes;
+        |    optional int64 modificationTime;
+        |  }
+        |  optional group checkpointMetadata {
+        |    optional int64 version;
+        |  }
         |}""".stripMargin)
 
   /** Write the classic parquet checkpoint for `version` (protocol +
@@ -453,74 +463,11 @@ object DeltaLogCompat {
     val fs = logDir.getFileSystem(conf)
     val factory = new SimpleGroupFactory(checkpointMessageType)
 
-    def protoGroup(): Group = {
-      val g = factory.newGroup()
-      val p = g.addGroup("protocol")
-      p.add("minReaderVersion", protocolNode.get("minReaderVersion").asInt())
-      p.add("minWriterVersion", protocolNode.get("minWriterVersion").asInt())
-      Seq("readerFeatures", "writerFeatures").foreach { f =>
-        Option(protocolNode.get(f)).foreach { arr =>
-          val lg = p.addGroup(f)
-          arr.elements().asScala.foreach(e => lg.addGroup("list").add("element", e.asText()))
-        }
-      }
-      g
-    }
-    def metaGroup(): Group = {
-      val g = factory.newGroup()
-      val m = snap.metadata
-      val mg = g.addGroup("metaData")
-      mg.add("id", m.id); mg.add("name", m.name)
-      mg.addGroup("format").add("provider", "parquet")
-      mg.add("schemaString", m.schemaString)
-      val pc = mg.addGroup("partitionColumns")
-      m.partitionColumns.foreach(c => pc.addGroup("list").add("element", c))
-      val cfg = mg.addGroup("configuration")
-      m.configuration.foreach { case (k, v) =>
-        val kv = cfg.addGroup("key_value")
-        kv.add("key", if (k == "enableChangeDataFeed") "delta.enableChangeDataFeed" else k)
-        kv.add("value", v)
-      }
-      mg.add("createdTime", 0L)
-      g
-    }
-    def addGroup(a: AddFile): Group = {
-      val g = factory.newGroup()
-      val ag = g.addGroup("add")
-      ag.add("path", encodePath(a.path))
-      val pv = ag.addGroup("partitionValues")
-      a.partitionValues.foreach { case (k, v) =>
-        val kv = pv.addGroup("key_value")
-        kv.add("key", k)
-        if (v != null && v.nonEmpty) kv.add("value", v)
-      }
-      ag.add("size", a.size)
-      ag.add("modificationTime", a.modificationTime)
-      ag.add("dataChange", a.dataChange)
-      a.stats.foreach(st => ag.add("stats", statsJson(st)))
-      a.deletionVector.foreach { dv =>
-        val dg = ag.addGroup("deletionVector")
-        dg.add("storageType", dv.storageType)
-        dg.add("pathOrInlineDv", dv.pathOrInlineDv)
-        dv.offset.foreach(o => dg.add("offset", o))
-        dg.add("sizeInBytes", dv.sizeInBytes)
-        dg.add("cardinality", dv.cardinality)
-      }
-      g
-    }
-
-    def txnGroup(appId: String, tv: Long): Group = {
-      val g = factory.newGroup()
-      val tg = g.addGroup("txn")
-      tg.add("appId", appId)
-      tg.add("version", tv)
-      tg.add("lastUpdated", 0L)
-      g
-    }
-
-    val all: Seq[Group] = protoGroup() +: metaGroup() +:
-      (snap.transactions.toSeq.sortBy(_._1).map { case (a, tv) => txnGroup(a, tv) } ++
-        snap.files.map(addGroup))
+    val all: Seq[Group] = protoGroup(factory, protocolNode) +:
+      metaGroup(factory, snap.metadata) +:
+      (snap.transactions.toSeq.sortBy(_._1)
+        .map { case (a, tv) => txnGroup(factory, a, tv) } ++
+        snap.files.map(addGroup(factory, _)))
     val groups: Seq[Seq[Group]] =
       if (parts <= 1) Seq(all)
       else (0 until parts).map(p => all.zipWithIndex.collect {
@@ -553,6 +500,167 @@ object DeltaLogCompat {
     require(fs.rename(mTmp, mTarget), s"failed to write $mTarget")
   }
 
+  /** Write a V2 `checkpointPolicy` checkpoint for `version`: add actions
+    * split across `sidecarParts` parquet sidecar files under
+    * `_delta_log/_sidecars/`, a UUID-named top-level parquet file holding
+    * protocol + metaData + txns + checkpointMetadata + the sidecar
+    * references, and the `_last_checkpoint` marker — the layout new Delta
+    * writers produce on large tables (delta PROTOCOL "V2 Spec
+    * Checkpoints"). Deterministic UUIDs keep the fixture reproducible.
+    */
+  private[graft] def writeCheckpointV2(
+      conf: Configuration,
+      tablePath: String,
+      version: Long,
+      protocolNode: ObjectNode,
+      sidecarParts: Int = 1): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+
+    val log = new GraftLog(tablePath, conf)
+    val snap = log.snapshot(Some(version))
+    val logDir = new Path(tablePath, LOG_DIR)
+    val fs = logDir.getFileSystem(conf)
+    val factory = new SimpleGroupFactory(checkpointMessageType)
+    val sidecarDir = new Path(logDir, "_sidecars")
+    fs.mkdirs(sidecarDir)
+
+    val addGroups = snap.files.map(addGroup(factory, _))
+    val slices: Seq[Seq[Group]] = (0 until sidecarParts).map(p =>
+      addGroups.zipWithIndex.collect { case (g, i) if i % sidecarParts == p => g })
+    val sidecarRefs = slices.zipWithIndex.map { case (gs, i) =>
+      val name = java.util.UUID.nameUUIDFromBytes(
+        s"$tablePath@$version:sidecar$i".getBytes("UTF-8")).toString + ".parquet"
+      val target = new Path(sidecarDir, name)
+      writeParquetAtomic(conf, fs, logDir, target, gs)
+      val size = fs.getFileStatus(target).getLen
+      (name, size)
+    }
+
+    val topName = f"$version%020d.checkpoint." + java.util.UUID.nameUUIDFromBytes(
+      s"$tablePath@$version:v2top".getBytes("UTF-8")).toString + ".parquet"
+    val cpMeta = {
+      val g = factory.newGroup()
+      g.addGroup("checkpointMetadata").add("version", version)
+      g
+    }
+    val sidecarGroups = sidecarRefs.map { case (name, size) =>
+      val g = factory.newGroup()
+      val sg = g.addGroup("sidecar")
+      sg.add("path", name)
+      sg.add("sizeInBytes", size)
+      sg.add("modificationTime", 0L)
+      g
+    }
+    val top: Seq[Group] = protoGroup(factory, protocolNode) +:
+      metaGroup(factory, snap.metadata) +: cpMeta +:
+      (snap.transactions.toSeq.sortBy(_._1)
+        .map { case (a, tv) => txnGroup(factory, a, tv) } ++ sidecarGroups)
+    writeParquetAtomic(conf, fs, logDir, new Path(logDir, topName), top)
+
+    val marker = JsonUtils.mapper.createObjectNode()
+    marker.put("version", version)
+    marker.put("size", (top.size + addGroups.size).toLong)
+    val mTmp = new Path(logDir, s"._last_checkpoint.$version.tmp")
+    val out = fs.create(mTmp, true)
+    try out.write(JsonUtils.toJson(marker).getBytes("UTF-8"))
+    finally out.close()
+    val mTarget = new Path(logDir, "_last_checkpoint")
+    fs.delete(mTarget, false)
+    require(fs.rename(mTmp, mTarget), s"failed to write $mTarget")
+  }
+
+  private def writeParquetAtomic(
+      conf: Configuration, fs: FileSystem, logDir: Path,
+      target: Path, groups: Seq[Group]): Unit = {
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val tmp = new Path(logDir, s".${target.getName}.tmp")
+    fs.delete(tmp, false)
+    val writer = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, conf))
+      .withConf(conf)
+      .withType(checkpointMessageType)
+      .build()
+    try groups.foreach(writer.write) finally writer.close()
+    fs.delete(target, false)
+    require(fs.rename(tmp, target), s"failed to place checkpoint $target")
+  }
+
+  // ------------------------------------------------- checkpoint group rows
+
+  private def protoGroup(
+      factory: org.apache.parquet.example.data.simple.SimpleGroupFactory,
+      protocolNode: ObjectNode): Group = {
+    val g = factory.newGroup()
+    val p = g.addGroup("protocol")
+    p.add("minReaderVersion", protocolNode.get("minReaderVersion").asInt())
+    p.add("minWriterVersion", protocolNode.get("minWriterVersion").asInt())
+    Seq("readerFeatures", "writerFeatures").foreach { f =>
+      Option(protocolNode.get(f)).foreach { arr =>
+        val lg = p.addGroup(f)
+        arr.elements().asScala.foreach(e => lg.addGroup("list").add("element", e.asText()))
+      }
+    }
+    g
+  }
+
+  private def metaGroup(
+      factory: org.apache.parquet.example.data.simple.SimpleGroupFactory,
+      m: Metadata): Group = {
+    val g = factory.newGroup()
+    val mg = g.addGroup("metaData")
+    mg.add("id", m.id); mg.add("name", m.name)
+    mg.addGroup("format").add("provider", "parquet")
+    mg.add("schemaString", m.schemaString)
+    val pc = mg.addGroup("partitionColumns")
+    m.partitionColumns.foreach(c => pc.addGroup("list").add("element", c))
+    val cfg = mg.addGroup("configuration")
+    m.configuration.foreach { case (k, v) =>
+      val kv = cfg.addGroup("key_value")
+      kv.add("key", if (k == "enableChangeDataFeed") "delta.enableChangeDataFeed" else k)
+      kv.add("value", v)
+    }
+    mg.add("createdTime", 0L)
+    g
+  }
+
+  private def addGroup(
+      factory: org.apache.parquet.example.data.simple.SimpleGroupFactory,
+      a: AddFile): Group = {
+    val g = factory.newGroup()
+    val ag = g.addGroup("add")
+    ag.add("path", encodePath(a.path))
+    val pv = ag.addGroup("partitionValues")
+    a.partitionValues.foreach { case (k, v) =>
+      val kv = pv.addGroup("key_value")
+      kv.add("key", k)
+      if (v != null && v.nonEmpty) kv.add("value", v)
+    }
+    ag.add("size", a.size)
+    ag.add("modificationTime", a.modificationTime)
+    ag.add("dataChange", a.dataChange)
+    a.stats.foreach(st => ag.add("stats", statsJson(st)))
+    a.deletionVector.foreach { dv =>
+      val dg = ag.addGroup("deletionVector")
+      dg.add("storageType", dv.storageType)
+      dg.add("pathOrInlineDv", dv.pathOrInlineDv)
+      dv.offset.foreach(o => dg.add("offset", o))
+      dg.add("sizeInBytes", dv.sizeInBytes)
+      dg.add("cardinality", dv.cardinality)
+    }
+    g
+  }
+
+  private def txnGroup(
+      factory: org.apache.parquet.example.data.simple.SimpleGroupFactory,
+      appId: String, tv: Long): Group = {
+    val g = factory.newGroup()
+    val tg = g.addGroup("txn")
+    tg.add("appId", appId)
+    tg.add("version", tv)
+    tg.add("lastUpdated", 0L)
+    g
+  }
+
   // ----------------------------------------------------------- checkpoints
 
   /** `_last_checkpoint` marker: `{"version":N,"size":M[,"parts":K]}`. */
@@ -576,40 +684,86 @@ object DeltaLogCompat {
         new Path(logDir, f"$version%020d.checkpoint.$i%010d.$n%010d.parquet"))
     }
 
-  /** Replay a classic parquet checkpoint (all parts) into consolidated
-    * state. Row groups are read with the parquet-hadoop example Group API
-    * (driver-side, no Spark job — the log is metadata, exactly like
+  private val UUID_CHECKPOINT_RE =
+    "(\\d{20})\\.checkpoint\\.[0-9a-fA-F-]{36}\\.(json|parquet)".r
+
+  /** All checkpoint files for `version`, whatever the layout: classic
+    * single/multi-part names when complete on disk, else the UUID-named
+    * v2 top-level file found by one listing. Empty when no complete
+    * checkpoint exists at that version.
+    */
+  def discoverCheckpointFiles(
+      fs: FileSystem, logDir: Path, version: Long, parts: Option[Int]): Seq[Path] = {
+    val classic = checkpointFiles(logDir, version, parts)
+    if (classic.forall(fs.exists)) return classic
+    val prefix = f"$version%020d.checkpoint."
+    try fs.listStatus(logDir).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix) &&
+        UUID_CHECKPOINT_RE.pattern.matcher(p.getName).matches())
+      .sortBy(_.getName)
+      .take(1)
+    catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** Replay a checkpoint (all parts / layouts) into consolidated state.
+    * Parquet row groups are read with the parquet-hadoop example Group
+    * API (driver-side, no Spark job — the log is metadata, exactly like
     * commit-file replay) and converted generically to the SAME JSON shape
-    * as commit lines, so one action mapping serves both file kinds.
-    * Unknown columns (txn, stats_parsed, partitionValues_parsed, …) pass
+    * as commit lines, so one action mapping serves every file kind;
+    * v2 JSON top-level files are NDJSON of the same shapes. `sidecar`
+    * references (v2 layout) resolve to parquet files under
+    * `_delta_log/_sidecars/` holding the add actions. Unknown columns
+    * (stats_parsed, partitionValues_parsed, checkpointMetadata, …) pass
     * through the converter and are ignored by the mapping.
     */
   def readCheckpoint(
       conf: Configuration,
       files: Seq[Path],
-      version: Long): (Metadata, Protocol, Vector[AddFile], Map[String, Long]) = {
+      version: Long,
+      logDir: Path): (Metadata, Protocol, Vector[AddFile], Map[String, Long]) = {
     var meta: Metadata = null
     var proto: Protocol = Protocol()
     val adds = Vector.newBuilder[AddFile]
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    files.foreach { f =>
+    val sidecars = Vector.newBuilder[String]
+
+    def take(root: JsonNode): Unit = {
+      Option(root.get("sidecar")).filter(!_.isNull)
+        .flatMap(s => Option(s.get("path"))).foreach(p => sidecars += p.asText())
+      actionFromNode(root, version, 0L).foreach {
+        case a: AddFile  => adds += a
+        case m: Metadata => meta = m
+        case p: Protocol => proto = p
+        case t: Txn      => txns(t.appId) = t.txnVersion
+        case _           => () // checkpoint removes are vacuum tombstones
+      }
+    }
+    def readParquet(f: Path): Unit = {
       val reader = ParquetReader
         .builder(new GroupReadSupport(), f)
         .withConf(conf)
         .build()
       try {
         var g = reader.read()
-        while (g != null) {
-          actionFromNode(groupToJson(g), version, 0L).foreach {
-            case a: AddFile  => adds += a
-            case m: Metadata => meta = m
-            case p: Protocol => proto = p
-            case t: Txn      => txns(t.appId) = t.txnVersion
-            case _           => () // checkpoint removes are vacuum tombstones
-          }
-          g = reader.read()
-        }
+        while (g != null) { take(groupToJson(g)); g = reader.read() }
       } finally reader.close()
+    }
+
+    files.foreach { f =>
+      if (f.getName.endsWith(".json")) {
+        val fs = f.getFileSystem(conf)
+        val in = fs.open(f)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).toList
+          finally in.close()
+        lines.foreach(l => take(JsonUtils.mapper.readTree(l)))
+      } else readParquet(f)
+    }
+    // v2 layout: the adds live in the referenced sidecar parquet files
+    sidecars.result().foreach { rel =>
+      readParquet(new Path(new Path(logDir, "_sidecars"), decodePath(rel)))
     }
     require(meta != null, s"checkpoint at version $version has no metaData row")
     (meta, proto, adds.result(), txns.toMap)

@@ -316,10 +316,11 @@ class GraftLog(val tablePath: String, conf: Configuration) {
     def load(v: Long, parts: Option[Int]): Option[GraftLog.CheckpointState] =
       GraftLog.checkpointCache.get((tablePath, v)).orElse {
         try {
-          val files = DeltaLogCompat.checkpointFiles(logDir, v, parts)
-          if (!files.forall(fs.exists)) None
+          val files = DeltaLogCompat.discoverCheckpointFiles(fs, logDir, v, parts)
+          if (files.isEmpty) None
           else {
-            val (meta, proto, adds, txns) = DeltaLogCompat.readCheckpoint(conf, files, v)
+            val (meta, proto, adds, txns) =
+              DeltaLogCompat.readCheckpoint(conf, files, v, logDir)
             val st = GraftLog.CheckpointState(v, Nil, meta, proto, adds, txns)
             GraftLog.checkpointCache.put((tablePath, v), st)
             Some(st)
@@ -340,9 +341,11 @@ class GraftLog(val tablePath: String, conf: Configuration) {
           catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
           val single = "(\\d{20})\\.checkpoint\\.parquet".r
           val multi = "(\\d{20})\\.checkpoint\\.\\d{10}\\.(\\d{10})\\.parquet".r
+          val v2 = "(\\d{20})\\.checkpoint\\.[0-9a-fA-F-]{36}\\.(?:json|parquet)".r
           val cands = names.collect {
             case single(v) => (v.toLong, None: Option[Int])
             case multi(v, n) => (v.toLong, Some(n.toInt))
+            case v2(v) => (v.toLong, None: Option[Int]) // discover resolves the name
           }.distinct.filter(_._1 <= target)
           cands.sortBy(c => (c._1, c._2.isEmpty)).reverseIterator
             .flatMap { case (v, p) => load(v, p).iterator }.nextOption()

@@ -308,6 +308,28 @@ object Dedup {
     codedVerify(cands, exploded, dict, threshold)
   }
 
+  /** PROBABILISTIC near-dup pairs: MinHash-LSH band candidates ONLY,
+    * verified with exact Jaccard. Output ⊆ [[nearDuplicatesExact]] —
+    * precision is exact (every emitted pair truly ≥ threshold), recall
+    * follows the 1-(1-J^r)^b band curve. This is the scale path when the
+    * complete prefix-filter index is too expensive; benched separately so
+    * each candidate generator's cost is attributed honestly.
+    */
+  def nearDuplicatesLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("fset"))
+    val (exploded, dict) = featureTables(sets)
+    codedVerify(minHashCandidatesFromFeatures(exploded, numHashes, bands),
+      exploded, dict, threshold)
+  }
+
   /** LSH band candidates from an exploded (id, __f) feature table. */
   private def minHashCandidatesFromFeatures(
       exploded: DataFrame, numHashes: Int, bands: Int): DataFrame = {

@@ -212,6 +212,98 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       Some(DeletionVectorDescriptor("u", "ab^-aqEH.-t@S}K{vb[*k^", Some(4), 40, 6L)))
   }
 
+  test("v2 sidecar checkpoint (parquet top-level) replays identically; adds come from sidecars") {
+    import spark.implicits._
+    val path = s"$root/t_v2"
+    GraftLog.invalidateListing(path)
+    TableBuilder.create(spark,
+      (0 until 20).map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(2),
+      path, name = "v2_fixture",
+      configuration = Map("enableChangeDataFeed" -> "true"))
+    (1 to 3).foreach { k =>
+      TableBuilder.append(spark,
+        (0 until 10).map(i => ((k * 100 + i).toLong, s"r$k$i")).toDF("id", "v"),
+        path, timestamp = k * 1000L)
+    }
+    TableBuilder.deleteWhere(spark, path, col("id") >= 300, timestamp = 4000L)
+    DeltaFormatWriter.convert(spark, path, checkpointAt = _ => false)
+
+    // full-replay truth BEFORE any checkpoint exists
+    val expected = spark.read.format("graft").option("path", path).load()
+      .select("id", "v").as[(Long, String)].collect().toSet
+
+    // v2 checkpoint at version 3 with TWO sidecar files + feature-gated protocol
+    val proto = JsonUtils.mapper.createObjectNode()
+    proto.put("minReaderVersion", 3).put("minWriterVersion", 7)
+    val feats = JsonUtils.mapper.createArrayNode(); feats.add("v2Checkpoint")
+    proto.set[com.fasterxml.jackson.databind.JsonNode]("readerFeatures", feats)
+    proto.set[com.fasterxml.jackson.databind.JsonNode](
+      "writerFeatures", feats.deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+    DeltaLogCompat.writeCheckpointV2(conf, path, 3L, proto, sidecarParts = 2)
+
+    val logDir = new java.io.File(path, "_delta_log")
+    assert(logDir.listFiles().exists(f =>
+      f.getName.matches("\\d{20}\\.checkpoint\\.[0-9a-f-]{36}\\.parquet")))
+    assert(new java.io.File(logDir, "_sidecars").listFiles().count(
+      _.getName.endsWith(".parquet")) === 2)
+
+    val log = new GraftLog(path, conf)
+    val cp = log.checkpointAtOrBefore(Long.MaxValue)
+    assert(cp.map(_.version) === Some(3L), "v2 checkpoint discovered and loaded")
+    assert(log.snapshot(None).protocol.features === Seq("v2Checkpoint"))
+    val got = spark.read.format("graft").option("path", path).load()
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(got === expected)
+
+    // adds really come from the sidecars: replay works without commits <= 3
+    // (checkpoint state + the remaining tail commit reproduce the content)
+    (0 to 3).foreach(v => new java.io.File(logDir, f"$v%020d.json").delete())
+    GraftLog.invalidateListing(path)
+    val got2 = spark.read.format("graft").option("path", path).load()
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(got2 === expected)
+  }
+
+  test("v2 checkpoint with a JSON top-level file reads through the same path") {
+    import spark.implicits._
+    val path = s"$root/t_v2j"
+    GraftLog.invalidateListing(path)
+    TableBuilder.create(spark,
+      (0 until 15).map(i => (i.toLong, s"j$i")).toDF("id", "v").repartition(2),
+      path, name = "v2_json_fixture")
+    TableBuilder.append(spark,
+      (100 until 110).map(i => (i.toLong, s"j$i")).toDF("id", "v"),
+      path, timestamp = 1000L)
+    DeltaFormatWriter.convert(spark, path, checkpointAt = _ => false)
+    val expected = spark.read.format("graft").option("path", path).load()
+      .select("id").as[Long].collect().toSet
+
+    val proto = DeltaLogCompat.protocolNodeFor(usesDv = false, usesCm = false)
+    DeltaLogCompat.writeCheckpointV2(conf, path, 1L, proto, sidecarParts = 1)
+    val logDir = new java.io.File(path, "_delta_log")
+    val topParquet = logDir.listFiles().find(f =>
+      f.getName.matches("\\d{20}\\.checkpoint\\.[0-9a-f-]{36}\\.parquet")).get
+    val sidecar = new java.io.File(logDir, "_sidecars").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    // swap the parquet top-level for an NDJSON one referencing the same sidecar
+    val commitLines = java.nio.file.Files.readAllLines(
+      new java.io.File(logDir, f"${0L}%020d.json").toPath)
+    val protoLine = """{"protocol":""" + JsonUtils.toJson(proto) + "}"
+    val metaLine = commitLines.toArray.map(_.toString).find(_.contains("\"metaData\"")).get
+    val sidecarLine = s"""{"sidecar":{"path":"${sidecar.getName}","sizeInBytes":${sidecar.length},"modificationTime":0}}"""
+    java.nio.file.Files.write(
+      new java.io.File(logDir, topParquet.getName.stripSuffix("parquet") + "json").toPath,
+      Seq(protoLine, metaLine, sidecarLine).mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(topParquet.delete())
+    GraftLog.invalidateListing(path)
+
+    val log = new GraftLog(path, conf)
+    assert(log.checkpointAtOrBefore(Long.MaxValue).map(_.version) === Some(1L))
+    val got = spark.read.format("graft").option("path", path).load()
+      .select("id").as[Long].collect().toSet
+    assert(got === expected)
+  }
+
   test("unsupported reader features refuse at snapshot load, supported ones pass") {
     // A real Delta table gated on a feature we don't decode must fail
     // loudly rather than serve mis-decoded rows.

@@ -54,6 +54,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getDouble(2) === 1.0)
   }
 
+  test("LSH-only near-dup output is a verified subset of the exact cascade") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.nearDuplicatesExact(
+      docs, "doc_id", "text", threshold = 0.7, includeMinHashCandidates = false))
+    val lsh = pairs(Dedup.nearDuplicatesLsh(docs, "doc_id", "text", threshold = 0.7))
+    assert(lsh.subsetOf(exact), s"LSH emitted false pairs: ${lsh -- exact}")
+    // precision is exact by construction; recall on the fixture's planted
+    // near-dups (J >= ~0.85) should be essentially complete
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.8,
+        s"LSH recall collapsed: ${lsh.size}/${exact.size}")
+  }
+
   test("simhash: identical docs distance 0; near-dups small; unrelated far") {
     val nearDup = base.replace("quick", "rapid")
     val unrelated = "completely different content about spark query engines and distributed columnar storage systems"
