@@ -69,16 +69,28 @@ object Merge {
     val prev = logR.snapshot(None)
     require(prev.metadata.partitionColumns.isEmpty,
       s"merge supports non-partitioned tables (got ${prev.metadata.partitionColumns})")
+    // DV-carrying files are supported: bitmaps apply scan-side, so the
+    // group rewrite never resurrects DV-deleted rows and rewritten files
+    // drop the descriptors (column mapping still refuses — physical
+    // names would silently match nothing).
     graft.model.ColumnMapping.assertNoAdvancedFeatures(
-      prev.metadata, s"merge into $tablePath")
-    require(prev.files.forall(_.deletionVector.isEmpty),
-      s"merge into $tablePath: table has deletion vectors; rewriting would " +
-        "resurrect deleted rows")
+      prev.metadata, s"merge into $tablePath", allowDv = true)
     val version = logR.latestVersion() + 1
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)
     val qualifiedRoot = fs.makeQualified(root).toUri
     def abs(rel: String): String = new Path(root, rel).toString
+    val dvByPath: Map[String, Array[Byte]] = prev.files.flatMap { f =>
+      f.deletionVector.toSeq.flatMap { dv =>
+        val bytes = DeletionVectors.resolveBytes(tablePath, dv, conf)
+        graft.sources.DvFilters
+          .pathSpellings(fs.makeQualified(new Path(root, f.path)))
+          .map(_ -> bytes)
+      }
+    }.toMap
+    def readLive(paths: Seq[String]): DataFrame =
+      graft.sources.DvFilters.filterDeleted(
+        spark.read.schema(prev.schema).parquet(paths: _*), dvByPath)
     def emptyTarget: DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], prev.schema)
     val targetCols = prev.schema.fieldNames.toSeq
@@ -92,8 +104,7 @@ object Merge {
     val src = source.alias("s").cache()
     try {
       // ---- 1. affected files: those holding >=1 matched target row ----
-      val active = spark.read.schema(prev.schema)
-        .parquet(prev.files.map(f => abs(f.path)): _*)
+      val active = readLive(prev.files.map(f => abs(f.path)))
         .withColumn("__file", input_file_name())
       val affectedUris = active.alias("t")
         .join(src, expr(condition), "left_semi")
@@ -106,7 +117,7 @@ object Merge {
       // below reads those files, never the whole table
       val affected =
         (if (affectedRel.isEmpty) emptyTarget
-         else spark.read.schema(prev.schema).parquet(affectedRel.map(abs): _*))
+         else readLive(affectedRel.map(abs)))
           .withColumn("__uid", monotonically_increasing_id())
           .alias("t").cache()
 

@@ -603,23 +603,31 @@ object TableBuilder {
     val prev = logR.snapshot(None)
     require(prev.metadata.partitionColumns.isEmpty,
       "deleteWhere/updateWhere support non-partitioned tables")
-    // rewriting reads files physically: on a DV table it would resurrect
-    // DV-deleted rows into the rewritten survivors, on a column-mapped
-    // table the logical-schema read would match nothing and silently
-    // delete nothing — refuse loudly (use deleteWhereDV for DV tables)
+    // rewriting reads files physically: on a column-mapped table the
+    // logical-schema read would match nothing and silently delete
+    // nothing — refuse loudly. DV-carrying files ARE supported: their
+    // bitmaps are applied scan-side, so the rewrite never resurrects
+    // DV-deleted rows and the rewritten files drop the descriptors.
     graft.model.ColumnMapping.assertNoAdvancedFeatures(
-      prev.metadata, s"deleteWhere/updateWhere on $tablePath")
-    require(prev.files.forall(_.deletionVector.isEmpty),
-      s"deleteWhere/updateWhere on $tablePath: table has files with deletion " +
-        "vectors; use deleteWhereDV (rewriting would resurrect deleted rows)")
+      prev.metadata, s"deleteWhere/updateWhere on $tablePath", allowDv = true)
     val version = logR.latestVersion() + 1
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)
     val qualifiedRoot = fs.makeQualified(root).toUri
 
     def abs(rel: String): String = new Path(root, rel).toString
-    val active = spark.read.schema(prev.schema)
-      .parquet(prev.files.map(f => abs(f.path)): _*)
+    val dvByPath: Map[String, Array[Byte]] = prev.files.flatMap { f =>
+      f.deletionVector.toSeq.flatMap { dv =>
+        val bytes = DeletionVectors.resolveBytes(tablePath, dv, conf)
+        graft.sources.DvFilters
+          .pathSpellings(fs.makeQualified(new Path(root, f.path)))
+          .map(_ -> bytes)
+      }
+    }.toMap
+    def readLive(paths: Seq[String]): DataFrame =
+      graft.sources.DvFilters.filterDeleted(
+        spark.read.schema(prev.schema).parquet(paths: _*), dvByPath)
+    val active = readLive(prev.files.map(f => abs(f.path)))
       .withColumn("__file", input_file_name())
 
     val affectedUris = active.filter(cond).select("__file").distinct()
@@ -632,8 +640,7 @@ object TableBuilder {
       .filter(rel => affectedUris.exists(u => new java.net.URI(u).getPath ==
         new Path(root, rel).toUri.getPath))
 
-    val affected = spark.read.schema(prev.schema)
-      .parquet(affectedRel.map(abs): _*).cache()
+    val affected = readLive(affectedRel.map(abs)).cache()
     try {
       // NULL-condition rows must survive (SQL DELETE/UPDATE semantics):
       // `!cond` is NULL for them, and filter drops NULL — coalesce to

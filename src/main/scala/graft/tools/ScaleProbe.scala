@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-exponent probe for the dedup family (q27 prefix cascade, q35
+  * char-ngram Jaccard, q43 connected components): times each operator on
+  * k salted copies of the sf documents table (k = 1, 2, 4 by default)
+  * and reports the fitted exponent alpha where t(k) ~ k^alpha.
+  *
+  * The copies are SALTED — every token carries a per-copy suffix, so no
+  * shingle is shared across copies: candidate/output volume grows
+  * LINEARLY with k (each copy finds exactly the base corpus's pairs)
+  * while the corpus, dictionary, and index grow k-fold. That isolates
+  * the operator's own scaling from output-size effects; an operator
+  * whose plan is bucketed equi-joins should land near alpha = 1 (plus a
+  * log factor from sorts), while any all-pairs or single-reducer defect
+  * shows up as alpha -> 2.
+  *
+  * Usage: tools/run.sh graft.tools.ScaleProbe [sfDir] [factors] [reps]
+  * e.g.   tools/run.sh graft.tools.ScaleProbe /root/testdata/sf0.1 1,2,4 3
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = args.lift(1).getOrElse("1,2,4").split(',').map(_.trim.toInt).toSeq
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+
+    def scaled(k: Int): DataFrame = {
+      val copies = (0 until k).map { c =>
+        base.select(
+          (col("doc_id") + lit(c.toLong * 100000000L)).as("doc_id"),
+          // suffix every token with the copy tag: no shingle crosses copies
+          regexp_replace(col("text"), "(\\S+)", "$1_" + c).as("text"))
+      }
+      copies.reduce(_ unionByName _)
+    }
+
+    // materialize each scale once so generation cost stays out of the
+    // timed region (same discipline as Bench's fixture setup)
+    val dirs = factors.map { k =>
+      val dir = s"/root/repo/target/scaleprobe/k$k"
+      spark.time(scaled(k).repartition(k * 8).write.mode("overwrite").parquet(dir))
+      k -> dir
+    }.toMap
+
+    def docs(k: Int) = spark.read.parquet(dirs(k))
+
+    val ops: Seq[(String, Int => Long)] = Seq(
+      "q27_prefix_cascade" -> (k =>
+        graft.ops.Dedup.nearDuplicatesExact(docs(k), "doc_id", "text",
+          threshold = 0.7, includeMinHashCandidates = false).count()),
+      "q93_minhash_lsh" -> (k =>
+        graft.ops.Dedup.nearDuplicatesLsh(docs(k), "doc_id", "text",
+          threshold = 0.7).count()),
+      "q35_ngram_jaccard" -> (k =>
+        graft.ops.Dedup.ngramJaccardDuplicates(docs(k), "doc_id", "text",
+          n = 5, threshold = 0.6).count()),
+      "q43_dedup_clusters" -> (k => {
+        val pairs = graft.ops.Dedup.nearDuplicatesExact(docs(k), "doc_id", "text",
+          threshold = 0.7, includeMinHashCandidates = false)
+        graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b").count()
+      }))
+
+    // warm-up on the smallest factor
+    ops.foreach { case (_, fn) => fn(factors.min) }
+
+    val medians = scala.collection.mutable.Map.empty[(String, Int), Double]
+    val rows = scala.collection.mutable.Map.empty[(String, Int), Long]
+    for ((name, fn) <- ops; k <- factors) {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        rows((name, k)) = fn(k)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      medians((name, k)) = ts(ts.size / 2)
+      println(f"$name%-22s k=$k%-3d rows=${rows((name, k))}%-8d median=${medians((name, k))}%6.2f s  runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+
+    println()
+    println(f"${"operator"}%-22s ${factors.map(k => f"k=$k%-8d").mkString} alpha")
+    ops.foreach { case (name, _) =>
+      val t1 = medians((name, factors.min))
+      val tk = medians((name, factors.max))
+      val alpha = math.log(tk / t1) / math.log(factors.max.toDouble / factors.min)
+      println(f"$name%-22s ${factors.map(k => f"${medians((name, k))}%-8.2f").mkString} $alpha%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -413,14 +413,23 @@ class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("deleteWhere/updateWhere refuse tables with deletion vectors or column mapping") {
+  test("deleteWhere/updateWhere apply DVs on DV tables; refuse column mapping") {
     import spark.implicits._
+    // a rewrite on a DV table must NOT resurrect DV-deleted rows: the
+    // bitmaps are applied scan-side and the rewritten files drop them
     val dvDir = tempTable()
     TableBuilder.create(spark, (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "v"), dvDir)
     TableBuilder.deleteWhereDV(spark, dvDir, col("id") === 1L)
-    val e1 = intercept[Exception](TableBuilder.deleteWhere(spark, dvDir, col("id") === 2L))
-    assert(String.valueOf(e1.getMessage).contains("advanced reader features") ||
-      String.valueOf(e1.getMessage).contains("deletion"))
+    TableBuilder.deleteWhere(spark, dvDir, col("id") === 2L)
+    assert(readGraft(dvDir).select("id").as[Long].collect().sorted ===
+      (3L to 10L).toArray, "DV'd row 1 stays deleted, rewrite deletes 2")
+    val log = new GraftLog(dvDir, spark.sessionState.newHadoopConf())
+    assert(log.snapshot(None).files.forall(_.deletionVector.isEmpty),
+      "rewritten survivors carry no DV descriptors")
+    TableBuilder.deleteWhereDV(spark, dvDir, col("id") === 3L)
+    TableBuilder.updateWhere(spark, dvDir, col("id") === 4L, Seq("v" -> lit("x")))
+    val after = readGraft(dvDir).select("id", "v").as[(Long, String)].collect().toMap
+    assert(!after.contains(3L) && after(4L) === "x" && after.size === 7)
 
     val cmDir = tempTable()
     TableBuilder.createColumnMapped(spark,

@@ -146,4 +146,31 @@ class MergeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(x => (x.getLong(0), x.getString(1))).toSeq
     assert(rows === Seq((1L, "a"), (2L, "b"), (3L, "C"), (4L, "d"), (6L, "f")))
   }
+
+  test("merge applies deletion vectors: DV'd rows neither match nor resurrect") {
+    import spark.implicits._
+    val path = s"$root/dv_merge"
+    // ONE data file so the DV'd file is necessarily among the affected
+    // files the merge rewrites (an unaffected DV file legally keeps its
+    // descriptor — group rewrites only touch matched files)
+    TableBuilder.create(spark,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+        .toDF("id", "name", "score").repartition(1),
+      path, name = "dv_merge",
+      configuration = Map("enableChangeDataFeed" -> "true"))
+    // DV-delete row 2, then merge a source that targets rows 2 and 3
+    TableBuilder.deleteWhereDV(spark, path, col("id") === 2L)
+    val src = Seq((2L, "Z", 999.0), (3L, "C", 300.0)).toDF("id", "name", "score")
+    val r = Merge.merge(spark, path, src, "t.id = s.id",
+      whenMatchedUpdate = Some(Map("name" -> "s.name", "score" -> "s.score")),
+      whenNotMatchedInsert = Some(Map("id" -> "s.id", "name" -> "s.name", "score" -> "s.score")))
+    // row 2 is logically deleted: its source row INSERTS instead of matching
+    assert(r.updated === 1L && r.inserted === 1L)
+    val rows = readTable(path).orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2))).toSeq
+    assert(rows === Seq((1L, "a", 10.0), (2L, "Z", 999.0), (3L, "C", 300.0), (4L, "d", 40.0)))
+    val log = new GraftLog(path, spark.sessionState.newHadoopConf())
+    assert(log.snapshot(None).files.forall(_.deletionVector.isEmpty),
+      "rewritten files drop the DV descriptors")
+  }
 }
