@@ -141,6 +141,15 @@ class GraftLog(val tablePath: String, conf: Configuration) {
     * lists the same mtimes). ONE directory listing, no commit-content
     * reads; delta checkpoints carry no timestamp index, so the prefix
     * optimization of the graft branch does not apply.
+    *
+    * In-commit-timestamp tables (`inCommitTimestamp` feature): once the
+    * LATEST commit carries `commitInfo.inCommitTimestamp`, history must
+    * come from those fields, not mtimes — a rewritten/copied log keeps
+    * ICT values but not mtimes, and serving mtimes there gives WRONG
+    * time travel. Per-commit: ICT when present, mtime before enablement
+    * (Delta's own mixed-history rule), monotonized across both. The
+    * O(versions) commitInfo reads only happen for ICT tables and are
+    * memoized per instance.
     */
   private def deltaVersionTimestamps(): Seq[(Long, Long)] = {
     val sts = fs.listStatus(logDir).toVector
@@ -148,12 +157,34 @@ class GraftLog(val tablePath: String, conf: Configuration) {
       .map(st => (st.getPath.getName.stripSuffix(".json").toLong,
         st.getModificationTime))
       .sortBy(_._1)
+    val useIct = sts.lastOption.exists { case (v, _) => ictOf(v).isDefined }
     var prev = Long.MinValue
     sts.map { case (v, ts0) =>
-      val ts = if (ts0 > prev) ts0 else prev + 1
+      val base = if (useIct) ictOf(v).getOrElse(ts0) else ts0
+      val ts = if (base > prev) base else prev + 1
       prev = ts
       (v, ts)
     }
+  }
+
+  /** Memoized `commitInfo.inCommitTimestamp` of a delta commit file. */
+  private val ictCache = scala.collection.mutable.HashMap.empty[Long, Option[Long]]
+  private def ictOf(v: Long): Option[Long] = ictCache.synchronized {
+    ictCache.getOrElseUpdate(v, {
+      val p = new Path(logDir, GraftLog.versionFileName(v))
+      try {
+        val in = fs.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).toList
+          finally in.close()
+        lines.iterator.map(JsonUtils.mapper.readTree)
+          .collectFirst { case n if n.has("commitInfo") =>
+            Option(n.get("commitInfo").get("inCommitTimestamp"))
+              .filter(!_.isNull).map(_.asLong())
+          }.flatten
+      } catch { case scala.util.control.NonFatal(_) => None }
+    })
   }
 
   /** Latest version with commit timestamp <= `ts` (time travel, reference

@@ -304,6 +304,37 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("in-commit timestamps override mtimes for history on ICT tables") {
+    val path = s"$root/ict"
+    val dir = new java.io.File(path, "_delta_log")
+    dir.mkdirs()
+    def commit(v: Long, ict: Long, extra: Seq[String]): Unit = {
+      val lines = s"""{"commitInfo":{"timestamp":$ict,"inCommitTimestamp":$ict}}""" +: extra
+      java.nio.file.Files.write(
+        new java.io.File(dir, f"$v%020d.json").toPath,
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    val meta =
+      """{"metaData":{"id":"ict-test","format":{"provider":"parquet","options":{}},""" +
+        """"schemaString":"{\"type\":\"struct\",\"fields\":[]}",""" +
+        """"partitionColumns":[],"configuration":{"delta.enableInCommitTimestamps":"true"},"createdTime":1}}"""
+    commit(0L, 100000L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["inCommitTimestamp"]}}""",
+      meta))
+    commit(1L, 200000L, Seq(
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    commit(2L, 300000L, Seq(
+      """{"add":{"path":"b.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    // file mtimes (now) are wildly different from the ICT values — ICT wins
+    val log = new GraftLog(path, conf)
+    assert(log.deltaMode)
+    assert(log.versionTimestamps() === Seq((0L, 100000L), (1L, 200000L), (2L, 300000L)))
+    assert(log.versionAtOrBefore(250000L) === 1L)
+    assert(log.versionAtOrAfter(100001L) === 1L)
+    // actions are stamped with ICT-derived commit timestamps too
+    assert(log.readVersion(2L).collect { case a: AddFile => a.timestamp } === Seq(300000L))
+  }
+
   test("unsupported reader features refuse at snapshot load, supported ones pass") {
     // A real Delta table gated on a feature we don't decode must fail
     // loudly rather than serve mis-decoded rows.
