@@ -125,13 +125,23 @@ case class Protocol(
 
 object Protocol {
   val MAX_READER_VERSION = 3
-  /** Reader table features this engine decodes end-to-end. `timestampNtz`
-    * and `variantType-preview`-style features are NOT here on purpose —
-    * better a loud refusal than a silently mis-decoded column.
+  /** Reader table features this engine decodes end-to-end:
+    * `deletionVectors`/`columnMapping`/`v2Checkpoint` have dedicated
+    * machinery; `timestampNtz` is native to Spark's parquet reader;
+    * `vacuumProtocolCheck` only constrains vacuum (which honors it);
+    * `inCommitTimestamp` drives [[graft.log.GraftLog]] history;
+    * `typeWidening` works because every scan requests the LATEST (wide)
+    * table schema and Spark's vectorized parquet reader upcasts narrow
+    * physical types in place (int32→long, float→double, decimal
+    * widening, date→timestampNtz — probed on 4.1; an unsupported
+    * conversion fails the read loudly, never silently). Anything else
+    * (`variantType`, …) refuses loudly at snapshot load — better than a
+    * silently mis-decoded column.
     */
   val SUPPORTED_READER_FEATURES: Set[String] =
     Set("deletionVectors", "columnMapping", "v2Checkpoint",
-      "timestampNtz", "vacuumProtocolCheck", "inCommitTimestamp")
+      "timestampNtz", "vacuumProtocolCheck", "inCommitTimestamp",
+      "typeWidening", "typeWidening-preview")
 }
 
 /** Streaming-transaction watermark (delta PROTOCOL "Transaction

@@ -335,6 +335,55 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.readVersion(2L).collect { case a: AddFile => a.timestamp } === Seq(300000L))
   }
 
+  test("typeWidening: narrow physical files read through the widened schema") {
+    val path = s"$root/widen"
+    val dir = new java.io.File(path, "_delta_log")
+    dir.mkdirs()
+    // file written while the column was INT, kept verbatim after widening
+    def dataFile(name: String, wide: Boolean): Long = {
+      val tmp = s"$root/widen_tmp"
+      val df =
+        if (wide) spark.range(100, 103).selectExpr("id a")
+        else spark.range(0, 3).selectExpr("cast(id as int) a")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(path, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.length()
+    }
+    val szInt = dataFile("f0.parquet", wide = false)
+    val szLong = dataFile("f1.parquet", wide = true)
+    def schemaJson(tpe: String, meta: String): String =
+      s"""{\\"type\\":\\"struct\\",\\"fields\\":[{\\"name\\":\\"a\\",\\"type\\":\\"$tpe\\",\\"nullable\\":true,\\"metadata\\":$meta}]}"""
+    def metaAction(tpe: String, meta: String): String =
+      s"""{"metaData":{"id":"widen-test","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${schemaJson(tpe, meta)}","partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    def write(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, f"$v%020d.json").toPath,
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    write(0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+      metaAction("integer", "{}"),
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":$szInt,"modificationTime":1,"dataChange":true}}"""))
+    // widen int -> long, recording the change the way delta-spark does
+    write(1L, Seq(metaAction("long",
+      """{\"delta.typeChanges\":[{\"fromType\":\"integer\",\"toType\":\"long\"}]}""")))
+    write(2L, Seq(
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$szLong,"modificationTime":2,"dataChange":true}}"""))
+    val df = spark.read.format("graft").option("path", path).load()
+    assert(df.schema("a").dataType === org.apache.spark.sql.types.LongType)
+    import spark.implicits._
+    assert(df.as[Long].collect().sorted === Array(0L, 1L, 2L, 100L, 101L, 102L))
+    // filters over the widened column work across both physical types
+    assert(df.where(col("a") >= 2).as[Long].collect().sorted === Array(2L, 100L, 101L, 102L))
+    // time travel to before the widen serves the narrow schema
+    val v0 = spark.read.format("graft").option("path", path)
+      .option("versionAsOf", "0").load()
+    assert(v0.schema("a").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(v0.as[Int].collect().sorted === Array(0, 1, 2))
+  }
+
   test("unsupported reader features refuse at snapshot load, supported ones pass") {
     // A real Delta table gated on a feature we don't decode must fail
     // loudly rather than serve mis-decoded rows.
@@ -353,11 +402,11 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bad = s"$root/gate_bad"
     writeLog(bad,
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors","typeWidening"]}}""")
+        """"readerFeatures":["deletionVectors","variantType"]}}""")
     val e = intercept[IllegalArgumentException] {
       new GraftLog(bad, conf).snapshot(None)
     }
-    assert(e.getMessage.contains("typeWidening"))
+    assert(e.getMessage.contains("variantType"))
     assert(!e.getMessage.contains("deletionVectors"), "supported features not blamed")
 
     val tooNew = s"$root/gate_ver"
