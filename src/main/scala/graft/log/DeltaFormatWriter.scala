@@ -50,10 +50,18 @@ object DeltaFormatWriter {
       case m: Metadata => ColumnMapping.isEnabled(m)
       case _           => false
     })
-    val protocolNode = DeltaLogCompat.protocolNodeFor(usesDv, usesCm)
+    val cfg = log.snapshot(None).metadata.configuration
+    def flag(k: String) = cfg.get(k).contains("true") ||
+      cfg.get(s"delta.$k").contains("true")
+    val usesIct = flag("enableInCommitTimestamps")
+    val protocolNode = DeltaLogCompat.protocolNodeFor(usesDv, usesCm,
+      (if (usesIct) Set("inCommitTimestamp") else Set.empty[String]) ++
+        (if ((usesIct || usesDv) && flag("enableChangeDataFeed"))
+          Set("changeDataFeed") else Set.empty[String]))
 
     versions.foreach { v =>
-      DeltaLogCompat.writeCommit(fs, logDir, v, log.readVersion(v), tss(v), protocolNode)
+      DeltaLogCompat.writeCommit(fs, logDir, v, log.readVersion(v), tss(v),
+        protocolNode, ict = usesIct)
       // checkpoint state comes from the (still-present) graft log — the
       // replayed content is identical by construction
       if (checkpointAt(v))

@@ -248,9 +248,14 @@ object DeltaLogCompat {
     JsonUtils.toJson(root)
   }
 
-  private[graft] def commitInfoLine(ts: Long): String = {
+  private[graft] def commitInfoLine(ts: Long, ict: Boolean = false): String = {
     val ci = JsonUtils.mapper.createObjectNode()
     ci.put("timestamp", ts)
+    // ICT tables (delta PROTOCOL "In-Commit Timestamps"): the commit's
+    // authoritative timestamp rides IN the commit — readers must prefer
+    // it over file mtimes, so the writer keeps both equal by spelling
+    // the same monotonized value in the field and in the file mtime.
+    if (ict) ci.put("inCommitTimestamp", ts)
     ci.put("operation", "WRITE")
     ci.set[ObjectNode]("operationParameters", JsonUtils.mapper.createObjectNode())
     ci.put("engineInfo", "graft")
@@ -260,16 +265,32 @@ object DeltaLogCompat {
   /** The feature-gated protocol a table needs (delta PROTOCOL "Table
     * Features"): deletion vectors ⇒ (3, 7) + feature lists; column
     * mapping ⇒ (2, 5); plain ⇒ (1, 4) — CDF's legacy writer gate.
+    *
+    * `writerExtras` are writer-only table features (`inCommitTimestamp`,
+    * `changeDataFeed` when the table is feature-gated): any of them
+    * forces minWriterVersion 7, where the spec says writerFeatures must
+    * list EVERY active writer feature — legacy minWriterVersion
+    * implications stop applying — so column mapping and DV are spelled
+    * out alongside the extras.
     */
-  private[graft] def protocolNodeFor(usesDv: Boolean, usesCm: Boolean): ObjectNode = {
+  private[graft] def protocolNodeFor(
+      usesDv: Boolean, usesCm: Boolean,
+      writerExtras: Set[String] = Set.empty): ObjectNode = {
     val p = JsonUtils.mapper.createObjectNode()
-    if (usesDv) {
-      p.put("minReaderVersion", 3).put("minWriterVersion", 7)
-      val feats = JsonUtils.mapper.createArrayNode()
-      feats.add("deletionVectors")
-      if (usesCm) feats.add("columnMapping")
-      p.set[JsonNode]("readerFeatures", feats)
-      p.set[JsonNode]("writerFeatures", feats.deepCopy[JsonNode]())
+    if (usesDv || writerExtras.nonEmpty) {
+      val minReader = if (usesDv) 3 else if (usesCm) 2 else 1
+      p.put("minReaderVersion", minReader).put("minWriterVersion", 7)
+      if (minReader >= 3) {
+        val rf = JsonUtils.mapper.createArrayNode()
+        rf.add("deletionVectors")
+        if (usesCm) rf.add("columnMapping")
+        p.set[JsonNode]("readerFeatures", rf)
+      }
+      val wf = JsonUtils.mapper.createArrayNode()
+      if (usesDv) wf.add("deletionVectors")
+      if (usesCm) wf.add("columnMapping")
+      writerExtras.toSeq.sorted.foreach(wf.add)
+      p.set[JsonNode]("writerFeatures", wf)
     } else if (usesCm) p.put("minReaderVersion", 2).put("minWriterVersion", 5)
     else p.put("minReaderVersion", 1).put("minWriterVersion", 4)
     p
@@ -352,10 +373,11 @@ object DeltaLogCompat {
       version: Long,
       actions: Seq[Action],
       ts: Long,
-      protocolNode: ObjectNode): Unit = {
+      protocolNode: ObjectNode,
+      ict: Boolean = false): Unit = {
     val target = new Path(logDir, GraftLog.versionFileName(version))
     require(!fs.exists(target), s"version $version already committed in $logDir")
-    val lines = commitInfoLine(ts) +: actions.map(actionToDeltaLine(_, protocolNode))
+    val lines = commitInfoLine(ts, ict) +: actions.map(actionToDeltaLine(_, protocolNode))
     val tmp = new Path(logDir, s".${GraftLog.versionFileName(version)}.tmp")
     val out = fs.create(tmp, true)
     try lines.foreach(l => out.write((l + "\n").getBytes("UTF-8")))

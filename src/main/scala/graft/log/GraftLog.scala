@@ -169,7 +169,7 @@ class GraftLog(val tablePath: String, conf: Configuration) {
 
   /** Memoized `commitInfo.inCommitTimestamp` of a delta commit file. */
   private val ictCache = scala.collection.mutable.HashMap.empty[Long, Option[Long]]
-  private def ictOf(v: Long): Option[Long] = ictCache.synchronized {
+  private[log] def ictOf(v: Long): Option[Long] = ictCache.synchronized {
     ictCache.getOrElseUpdate(v, {
       val p = new Path(logDir, GraftLog.versionFileName(v))
       try {
@@ -566,10 +566,17 @@ object GraftLog {
         if (isDelta) {
           val log = new GraftLog(tablePath, conf)
           val snap = log.snapshot(Some(version))
+          val cfg = snap.metadata.configuration
+          def flag(k: String) = cfg.get(k).contains("true") ||
+            cfg.get(s"delta.$k").contains("true")
+          val dv = snap.protocol.minReaderVersion >= 3
+          val ict = flag("enableInCommitTimestamps")
           DeltaLogCompat.writeCheckpoint(conf, tablePath, version,
             DeltaLogCompat.protocolNodeFor(
-              snap.protocol.minReaderVersion >= 3,
-              graft.model.ColumnMapping.isEnabled(snap.metadata)))
+              dv, graft.model.ColumnMapping.isEnabled(snap.metadata),
+              (if (ict) Set("inCommitTimestamp") else Set.empty[String]) ++
+                (if ((ict || dv) && flag("enableChangeDataFeed"))
+                  Set("changeDataFeed") else Set.empty[String])))
         } else writeCheckpoint(tablePath, version, conf)
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(
@@ -602,8 +609,9 @@ object GraftLog {
       case _          => false
     }
     val commitMeta = actions.collectFirst { case m: Metadata => m }
-    val (prevMinReader, prevCm, prevTs) =
-      if (version == 0) (0, false, Long.MinValue)
+    val (prevMinReader, prevCm, prevTs, prevConfig, prevHasIct) =
+      if (version == 0)
+        (0, false, Long.MinValue, Map.empty[String, String], false)
       else {
         val log = new GraftLog(tablePath, conf)
         require(log.deltaMode, s"$tablePath is not Delta-format")
@@ -613,17 +621,32 @@ object GraftLog {
         val snap = log.snapshot(None)
         (snap.protocol.minReaderVersion,
           graft.model.ColumnMapping.isEnabled(snap.metadata),
-          log.versionTimestamps().lastOption.map(_._2).getOrElse(Long.MinValue))
+          log.versionTimestamps().lastOption.map(_._2).getOrElse(Long.MinValue),
+          snap.metadata.configuration,
+          log.ictOf(log.latestVersion()).isDefined)
       }
+    val config = commitMeta.map(_.configuration).getOrElse(prevConfig)
+    def flag(key: String): Boolean =
+      config.get(key).contains("true") || config.get(s"delta.$key").contains("true")
+    val usesIct = flag("enableInCommitTimestamps")
     val usesCm = commitMeta.map(graft.model.ColumnMapping.isEnabled).getOrElse(prevCm)
     val usesDv = commitHasDv || prevMinReader >= 3
-    val protoNode = DeltaLogCompat.protocolNodeFor(usesDv, usesCm)
+    // writer-only table features: ICT, plus — once the protocol is
+    // feature-gated and legacy minWriterVersion implications stop
+    // applying — an explicit changeDataFeed entry for CDF tables
+    val writerExtras =
+      (if (usesIct) Set("inCommitTimestamp") else Set.empty[String]) ++
+        (if ((usesIct || usesDv) && flag("enableChangeDataFeed"))
+          Set("changeDataFeed") else Set.empty[String])
+    val protoNode = DeltaLogCompat.protocolNodeFor(usesDv, usesCm, writerExtras)
     val needUpgrade = version > 0 &&
       ((commitHasDv && prevMinReader < 3) ||
-        (usesCm && prevMinReader < 2)) &&
+        (usesCm && prevMinReader < 2) ||
+        (usesIct && !prevHasIct)) &&
       !actions.exists(_.isInstanceOf[Protocol])
     val out =
-      if (needUpgrade) Protocol(if (usesDv) 3 else 2, version) +: actions
+      if (needUpgrade)
+        Protocol(if (usesDv) 3 else if (usesCm) 2 else 1, version) +: actions
       else actions
 
     // same monotonized fold as graft-mode versionTimestamps
@@ -635,7 +658,7 @@ object GraftLog {
     }.foldLeft(0L)(math.max)
     val ts = if (tsReq > prevTs) tsReq else prevTs + 1
 
-    DeltaLogCompat.writeCommit(fs, logDir, version, out, ts, protoNode)
+    DeltaLogCompat.writeCommit(fs, logDir, version, out, ts, protoNode, ict = usesIct)
     formatCache.put(tablePath, true)
     listingCache.get(tablePath) match {
       case Some(vs) if version == vs.last + 1 => listingCache(tablePath) = vs :+ version

@@ -84,6 +84,54 @@ class DeltaWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tss.map(_._2) === tss.map(_._2).sorted)
   }
 
+  test("ICT tables: commits carry inCommitTimestamp, history ignores mtimes") {
+    import spark.implicits._
+    val path = s"$root/ict_native"
+    GraftLog.invalidateListing(path)
+    TableBuilder.create(spark,
+      (0 until 5).map(i => (i.toLong, s"r$i")).toDF("id", "v"),
+      path, name = "ict_delta",
+      configuration = Map(
+        "enableInCommitTimestamps" -> "true",
+        "enableChangeDataFeed" -> "true"),
+      deltaFormat = true)
+    (1 to 2).foreach { k =>
+      TableBuilder.append(spark,
+        Seq(((100 + k).toLong, s"a$k")).toDF("id", "v"), path,
+        timestamp = k * 1000L)
+    }
+    // v0 golden shape: ICT in commitInfo; feature-gated protocol that
+    // lists inCommitTimestamp AND changeDataFeed (legacy implications
+    // stop applying at minWriterVersion 7), reader version still 1
+    val v0 = commitLines(path, 0)
+    assert(v0.head.contains("\"commitInfo\"") &&
+      v0.head.contains("\"inCommitTimestamp\""))
+    val proto = v0.find(_.contains("\"protocol\"")).get
+    assert(proto.contains("\"minReaderVersion\":1") &&
+      proto.contains("\"minWriterVersion\":7") &&
+      proto.contains("\"inCommitTimestamp\"") &&
+      proto.contains("\"changeDataFeed\""))
+    assert(!proto.contains("\"readerFeatures\""))
+    assert(commitLines(path, 2).head.contains("\"inCommitTimestamp\""))
+
+    // sabotage every mtime: ICT must carry history on its own (a copied
+    // or rewritten log keeps ICT values, not mtimes)
+    GraftLog.invalidateListing(path)
+    val logDir = new java.io.File(path, "_delta_log")
+    logDir.listFiles().filter(_.getName.endsWith(".json"))
+      .foreach(f => f.setLastModified(999999999000L))
+    val log = new GraftLog(path, conf)
+    val tss = log.versionTimestamps()
+    assert(tss.map(_._1) === (0L to 2L))
+    assert(tss(1)._2 === 1000L && tss(2)._2 === 2000L,
+      s"history must come from inCommitTimestamp, got $tss")
+    assert(log.versionAtOrBefore(1500L) === 1L)
+    // replay + CDF still green through the ICT protocol gate
+    assert(spark.read.format("graft").option("path", path).load().count() === 7L)
+    val cdf = GraftCDF.tableChanges(spark, path, 1, Some(2))
+    assert(cdf.count() === 2L)
+  }
+
   test("row-level delete/update on a native delta table capture CDF") {
     import spark.implicits._
     val path = s"$root/native"
