@@ -134,14 +134,18 @@ object Protocol {
     * table schema and Spark's vectorized parquet reader upcasts narrow
     * physical types in place (int32→long, float→double, decimal
     * widening, date→timestampNtz — probed on 4.1; an unsupported
-    * conversion fails the read loudly, never silently). Anything else
-    * (`variantType`, …) refuses loudly at snapshot load — better than a
+    * conversion fails the read loudly, never silently); `variantType`
+    * works the same way — Spark 4.1 has VARIANT as a first-class
+    * parquet type, so a `variant` field in the table schema decodes
+    * natively. Shredded variants (`variantShredding-preview`) and
+    * anything else refuse loudly at snapshot load — better than a
     * silently mis-decoded column.
     */
   val SUPPORTED_READER_FEATURES: Set[String] =
     Set("deletionVectors", "columnMapping", "v2Checkpoint",
       "timestampNtz", "vacuumProtocolCheck", "inCommitTimestamp",
-      "typeWidening", "typeWidening-preview")
+      "typeWidening", "typeWidening-preview",
+      "variantType", "variantType-preview")
 }
 
 /** Streaming-transaction watermark (delta PROTOCOL "Transaction

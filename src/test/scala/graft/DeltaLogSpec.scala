@@ -384,6 +384,40 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v0.as[Int].collect().sorted === Array(0, 1, 2))
   }
 
+  test("variantType: variant columns decode natively through the graft reader") {
+    val path = s"$root/variant"
+    val dir = new java.io.File(path, "_delta_log")
+    dir.mkdirs()
+    // data file with a genuine VARIANT column (Spark 4.1 parquet type)
+    spark.sql(
+      """select id, parse_json(concat('{"a":', id, ',"b":"x"}')) v from range(3)""")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/variant_tmp")
+    val part = new java.io.File(s"$root/variant_tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(path, "f0.parquet")
+    java.nio.file.Files.copy(part.toPath, dst.toPath)
+    val schemaJson =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"v\",\"type\":\"variant\",\"nullable\":true,\"metadata\":{}}]}"""
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}""",
+      s"""{"metaData":{"id":"variant-test","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":${dst.length()},"modificationTime":1,"dataChange":true}}""")
+    java.nio.file.Files.write(new java.io.File(dir, f"${0L}%020d.json").toPath,
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val df = spark.read.format("graft").option("path", path).load()
+    assert(df.schema("v").dataType ===
+      org.apache.spark.sql.types.VariantType)
+    import spark.implicits._
+    assert(df.selectExpr("variant_get(v, '$.a', 'long')").as[Long]
+      .collect().sorted === Array(0L, 1L, 2L))
+    assert(df.selectExpr("to_json(v)").as[String].collect().toSet ===
+      (0 until 3).map(i => s"""{"a":$i,"b":"x"}""").toSet)
+    // filters over extracted variant fields work (no pushdown claimed)
+    assert(df.where(expr("variant_get(v, '$.a', 'long') >= 1")).count() === 2L)
+  }
+
   test("unsupported reader features refuse at snapshot load, supported ones pass") {
     // A real Delta table gated on a feature we don't decode must fail
     // loudly rather than serve mis-decoded rows.
@@ -402,11 +436,11 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bad = s"$root/gate_bad"
     writeLog(bad,
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors","variantType"]}}""")
+        """"readerFeatures":["deletionVectors","variantShredding-preview"]}}""")
     val e = intercept[IllegalArgumentException] {
       new GraftLog(bad, conf).snapshot(None)
     }
-    assert(e.getMessage.contains("variantType"))
+    assert(e.getMessage.contains("variantShredding-preview"))
     assert(!e.getMessage.contains("deletionVectors"), "supported features not blamed")
 
     val tooNew = s"$root/gate_ver"
