@@ -352,6 +352,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
+    // Beyond-reference: INCREMENTAL dedup admission — an incoming batch
+    // (doc_id % 10 ∈ {8,9}) admitted against the standing corpus without
+    // ever self-joining the corpus. Complete candidates + exact verify ⇒
+    // deterministic admitted set; DuckDB replays it with all-pairs
+    // Jaccard and the same keep-min-id drop rule.
+    "q94_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8),
+        "doc_id", "text", threshold = 0.7)
+        .select(col("doc_id"))
+    }),
+
     // Beyond-reference: SimHash near-dup pairs. Portable 32-bit SimHash
     // (md5-nibble top bits — recomputable in any engine) + pigeonhole
     // chunk candidates complete for Hamming ≤ 3 ⇒ output is exactly every
@@ -957,6 +971,18 @@ object SparkEntry {
           sum(col("n_tokens")).as("shard_tokens"))
     }),
 
+    // Beyond-reference: concat-and-chunk sequence packing — 2048-token
+    // context windows per source, docs straddle window boundaries; one
+    // row per window with doc/fragment/token accounting. Pure
+    // window-cumsum + per-doc range explode; DuckDB replays it with the
+    // same running sum and generate_series.
+    "q95_sequence_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Packing.packSequences(docs, "source", "doc_id", "n_tokens", seqLen = 2048L)
+    }),
+
     // §2.1 S4 + beyond-reference: INCREMENTAL aggregate maintenance over
     // the Change Data Feed — the aggregate state at version 1 (after the
     // two inserts) is refreshed with only the CDF rows of the delete and
@@ -1531,6 +1557,27 @@ object SparkEntry {
          FROM sets a JOIN sets b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.fset, b.fset))::DOUBLE /
                len(list_distinct(a.fset || b.fset))::DOUBLE >= 0.7""",
+    "q94_incremental_dedup" ->
+      """WITH sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                                         CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM documents),
+         corpus AS (SELECT * FROM sets WHERE doc_id % 10 < 8),
+         batch AS (SELECT * FROM sets WHERE doc_id % 10 >= 8),
+         dup AS (
+           SELECT b.doc_id FROM batch b JOIN corpus c ON
+             len(list_intersect(b.fset, c.fset))::DOUBLE /
+               len(list_distinct(b.fset || c.fset))::DOUBLE >= 0.7
+           UNION
+           SELECT b.doc_id FROM batch b JOIN batch b2 ON b2.doc_id < b.doc_id AND
+             len(list_intersect(b.fset, b2.fset))::DOUBLE /
+               len(list_distinct(b2.fset || b.fset))::DOUBLE >= 0.7)
+         SELECT doc_id FROM batch
+         WHERE doc_id NOT IN (SELECT doc_id FROM dup)""",
     "q28_simhash_near_dup" ->
       """WITH tok AS (
            SELECT doc_id, md5(t) AS h FROM (
@@ -2149,6 +2196,28 @@ object SparkEntry {
          SELECT source, shard, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
          FROM packed GROUP BY source, shard""",
+    "q95_sequence_packing" ->
+      """WITH d AS (
+           SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+         pos AS (
+           SELECT source, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+           FROM d WHERE n_tokens > 0),
+         spans AS (
+           SELECT source, s, s + n_tokens AS e,
+             CAST(floor(s / 2048.0) AS BIGINT) AS f,
+             CAST(floor((s + n_tokens - 1) / 2048.0) AS BIGINT) AS l
+           FROM pos),
+         ex AS (
+           SELECT source, s, e, f, l, unnest(generate_series(f, l)) AS seq_id
+           FROM spans)
+         SELECT source, seq_id, count(*) AS n_docs,
+           CAST(sum(CASE WHEN f < l THEN 1 ELSE 0 END) AS BIGINT) AS n_fragments,
+           CAST(sum(least(e, (seq_id + 1) * 2048) - greatest(s, seq_id * 2048)) AS BIGINT) AS seq_tokens
+         FROM ex GROUP BY source, seq_id""",
     "q46_column_mapping_scan" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
            round(CAST(sum(c_acctbal) AS DOUBLE), 0) AS total_acctbal

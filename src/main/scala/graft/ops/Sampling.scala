@@ -111,4 +111,44 @@ object Packing {
       .withColumn("shard", floor(col("__before") / budget).cast("long"))
       .drop("__before")
   }
+
+  /** Concat-and-chunk SEQUENCE packing — the standard LLM pretraining
+    * batch shape: within each stratum, documents are concatenated in
+    * `orderCol` order and the token stream is cut into fixed `seqLen`
+    * context windows; a document may straddle window boundaries (no
+    * padding waste, unlike whole-doc packing in [[packByBudget]]).
+    * Emits one row per (stratum, seq_id): how many documents contribute
+    * tokens to the window, how many of them are fragments of documents
+    * that straddle a boundary, and the window's token count (= seqLen
+    * except the stratum's final partial window).
+    *
+    * Pure window-cumsum + explode over per-doc window ranges — each doc
+    * expands to exactly its straddle count, so output work is
+    * O(tokens / seqLen), per-stratum parallel, no global sort, all
+    * codegen. Zero-weight docs contribute no tokens and are dropped.
+    */
+  def packSequences(
+      df: DataFrame,
+      stratumCol: String,
+      orderCol: String,
+      weightCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__start", coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .withColumn("__end", col("__start") + col(weightCol)) // exclusive
+      .withColumn("__first", floor(col("__start") / seqLen).cast("long"))
+      .withColumn("__last", floor((col("__end") - 1) / seqLen).cast("long"))
+      .select(col(stratumCol), col("__start"), col("__end"),
+        col("__first"), col("__last"),
+        explode(sequence(col("__first"), col("__last"))).as("seq_id"))
+      .withColumn("__tok", least(col("__end"), (col("seq_id") + 1) * seqLen) -
+        greatest(col("__start"), col("seq_id") * seqLen))
+      .groupBy(col(stratumCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__first") < col("__last"), 1L).otherwise(0L)).as("n_fragments"),
+        sum(col("__tok")).as("seq_tokens"))
+  }
 }

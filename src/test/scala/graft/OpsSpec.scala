@@ -803,4 +803,61 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(s - math.log(2.0)) < 1e-12)
     }
   }
+
+  test("incremental dedup admits exactly the non-dup batch docs") {
+    import spark.implicits._
+    // corpus: two docs that are near-dups of EACH OTHER (must stay
+    // untouched — corpus is never deduped against itself) plus one
+    // unrelated doc; batch: a corpus dup, a batch-batch dup chain, and
+    // a clean doc.
+    val mk = (s: Seq[String]) => s.mkString(" ")
+    val base = (0 until 20).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, mk(base)), (2L, mk(base :+ "x")), (3L, mk((100 until 120).map(i => s"v$i")))
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, mk(base :+ "y")),                        // dup of corpus 1/2
+      (12L, mk((200 until 220).map(i => s"u$i"))),   // clean, dup of 13
+      (13L, mk((200 until 220).map(i => s"u$i") :+ "z")), // dup of 12 (larger id → dropped)
+      (14L, mk((300 until 320).map(i => s"t$i")))    // clean
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.incrementalDedup(corpus, batch, "doc_id", "text", 0.7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(admitted === Array(12L, 14L))
+    // brute-force equivalence on the same inputs: a batch doc survives
+    // iff no corpus partner and no smaller-id batch partner ≥ threshold
+    val all = corpus.union(batch)
+    val pairs = Dedup.nearDuplicatesExact(all, "doc_id", "text", 0.7,
+      includeMinHashCandidates = false)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batchIds = Set(11L, 12L, 13L, 14L)
+    val expected = batchIds.filterNot(b => pairs.exists { case (x, y) =>
+      (y == b && (x < 10L || x < b)) || (x == b && y < 10L)
+    }).toSeq.sorted
+    assert(admitted.toSeq === expected)
+  }
+
+  test("sequence packing: windows account for every token, fragments counted") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", 1L, 6L), ("s1", 2L, 10L), ("s1", 3L, 3L), // 19 tokens → 8|8|3
+      ("s2", 4L, 4L), ("s2", 5L, 4L)                   // 8 tokens → one full window
+    ).toDF("source", "doc_id", "n_tokens")
+    val out = Packing.packSequences(docs, "source", "doc_id", "n_tokens", seqLen = 8L)
+      .orderBy("source", "seq_id")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // s1: w0 = doc1(6) + doc2(2 of 10) ⇒ 2 docs, 1 fragment, 8 tokens
+    //     w1 = doc2(8 of 10)          ⇒ 1 doc, 1 fragment, 8 tokens
+    //     w2 = doc2? no — 6+10=16 exactly 2 windows; doc3 starts at 16 ⇒ w2: doc3 only
+    assert(out === Array(
+      ("s1", 0L, 2L, 1L, 8L),
+      ("s1", 1L, 1L, 1L, 8L),
+      ("s1", 2L, 1L, 0L, 3L),
+      ("s2", 0L, 2L, 0L, 8L)))
+    // conservation: per-stratum token totals survive packing exactly
+    val totals = Packing.packSequences(docs, "source", "doc_id", "n_tokens", 8L)
+      .groupBy("source").sum("seq_tokens")
+      .as[(String, Long)].collect().toMap
+    assert(totals === Map("s1" -> 19L, "s2" -> 8L))
+  }
 }
