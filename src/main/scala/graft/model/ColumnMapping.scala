@@ -4,32 +4,51 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, MetadataBuilder
 
 import graft.model.{Metadata => TableMetadata}
 
-/** Column-mapping (name mode) support: the table's LOGICAL schema lives in
-  * `Metadata.schemaString` with each field carrying its parquet
-  * `delta.columnMapping.physicalName` in field metadata; data files (and
-  * partition directories) use the physical names, so renames/drops never
-  * rewrite data (delta PROTOCOL "Column Mapping").
+/** Column-mapping support (name AND id modes): the table's LOGICAL schema
+  * lives in `Metadata.schemaString` with each field carrying its parquet
+  * `delta.columnMapping.physicalName` (+ `delta.columnMapping.id`) in
+  * field metadata; data files (and partition directories) use the
+  * physical names, so renames/drops never rewrite data (delta PROTOCOL
+  * "Column Mapping"). In ID mode files additionally carry parquet field
+  * ids and readers must match columns BY ID, not name — crucial for
+  * tables converted from engines whose files predate the Delta physical
+  * names (Iceberg/UniForm): there the file column names match neither the
+  * logical nor the physical Delta names. Spark's vectorized reader does
+  * id matching natively when the requested schema carries
+  * `parquet.field.id` metadata and the fieldId read flag is on.
   */
 object ColumnMapping {
   val MODE_KEY = "delta.columnMapping.mode"
   val PHYSICAL_NAME_KEY = "delta.columnMapping.physicalName"
   val COLUMN_ID_KEY = "delta.columnMapping.id"
+  /** Spark's native parquet field-id resolution metadata key. */
+  val PARQUET_FIELD_ID = "parquet.field.id"
 
   def mode(m: TableMetadata): String = m.configuration.getOrElse(MODE_KEY, "none")
 
   def isEnabled(m: TableMetadata): Boolean = !mode(m).equalsIgnoreCase("none")
+
+  def isIdMode(m: TableMetadata): Boolean = mode(m).equalsIgnoreCase("id")
 
   def physicalName(f: StructField): String =
     if (f.metadata.contains(PHYSICAL_NAME_KEY)) f.metadata.getString(PHYSICAL_NAME_KEY)
     else f.name
 
   /** The schema as it appears in parquet files: every struct field (at
-    * any nesting depth) renamed to its physical name.
+    * any nesting depth) renamed to its physical name; with `idMode`,
+    * each field's `delta.columnMapping.id` is restated as Spark's
+    * `parquet.field.id` so the reader matches by id.
     */
-  def physicalSchema(logical: StructType): StructType = {
+  def physicalSchema(logical: StructType, idMode: Boolean = false): StructType = {
+    def meta(f: StructField) =
+      if (idMode && f.metadata.contains(COLUMN_ID_KEY))
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(PARQUET_FIELD_ID, f.metadata.getLong(COLUMN_ID_KEY)).build()
+      else f.metadata
     def rewrite(dt: DataType): DataType = dt match {
       case s: StructType => StructType(s.fields.map(f =>
-        f.copy(name = physicalName(f), dataType = rewrite(f.dataType))))
+        f.copy(name = physicalName(f), dataType = rewrite(f.dataType),
+          metadata = meta(f))))
       case a: ArrayType => a.copy(elementType = rewrite(a.elementType))
       case m: MapType => m.copy(keyType = rewrite(m.keyType), valueType = rewrite(m.valueType))
       case other => other
@@ -79,7 +98,7 @@ object ColumnMapping {
     val logical = s.schema
     val names = nameMap(logical)
     s.copy(metadata = s.metadata.copy(
-      schemaString = physicalSchema(logical).json,
+      schemaString = physicalSchema(logical, isIdMode(s.metadata)).json,
       partitionColumns = s.metadata.partitionColumns.map(c => names.getOrElse(c, c))))
   }
 }

@@ -40,6 +40,13 @@ class GraftParquetScanRelation(
 
   protected lazy val df = {
     val physSnapshot = ColumnMapping.physicalSnapshot(snapshot)
+    // ID mode matches file columns by parquet field id (the physical
+    // schema carries `parquet.field.id`); Spark's reader only honors
+    // those ids when the session flag is on. Flipping it is safe for
+    // other reads: the flag only changes behavior for requested schemas
+    // that carry field-id metadata, which only these scans inject.
+    if (ColumnMapping.isIdMode(snapshot.metadata))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val base = spark.baseRelationToDataFrame(
       GraftDataSource.relation(spark, tablePath, physSnapshot))
 

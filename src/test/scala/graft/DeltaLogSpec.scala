@@ -384,6 +384,50 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v0.as[Int].collect().sorted === Array(0, 1, 2))
   }
 
+  test("column mapping ID mode: columns match by parquet field id, not name") {
+    import org.apache.spark.sql.types._
+    val path = s"$root/cm_id"
+    val dir = new java.io.File(path, "_delta_log")
+    dir.mkdirs()
+    // UniForm/Iceberg-style fixture: the FILE's column names ("legacy_a",
+    // "legacy_b") match neither the logical names ("a", "b") nor the
+    // Delta physical names ("col-phys-a", ...) — only the parquet field
+    // ids (1, 2) connect them. Spark stamps ids into the file because
+    // the write schema carries parquet.field.id.
+    val writeSchema = StructType(Seq(
+      StructField("legacy_a", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("legacy_b", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    val rows = spark.sparkContext.parallelize(
+      (0 until 4).map(i => org.apache.spark.sql.Row(i.toLong, s"s$i")), 1)
+    spark.createDataFrame(rows, writeSchema)
+      .write.mode("overwrite").parquet(s"$root/cm_id_tmp")
+    val part = new java.io.File(s"$root/cm_id_tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(path, "f0.parquet")
+    java.nio.file.Files.copy(part.toPath, dst.toPath)
+    def fld(name: String, tpe: String, id: Int): String =
+      s"""{\\"name\\":\\"$name\\",\\"type\\":\\"$tpe\\",\\"nullable\\":true,\\"metadata\\":{""" +
+        s"""\\"delta.columnMapping.id\\":$id,\\"delta.columnMapping.physicalName\\":\\"col-phys-$name\\"}}"""
+    val schemaJson =
+      s"""{\\"type\\":\\"struct\\",\\"fields\\":[${fld("a", "long", 1)},${fld("b", "string", 2)}]}"""
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cm-id-test","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"},"createdTime":1}}""",
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":${dst.length()},"modificationTime":1,"dataChange":true}}""")
+    java.nio.file.Files.write(new java.io.File(dir, f"${0L}%020d.json").toPath,
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    import spark.implicits._
+    val df = spark.read.format("graft").option("path", path).load()
+    assert(df.columns.toSeq === Seq("a", "b"))
+    assert(df.as[(Long, String)].collect().sortBy(_._1) ===
+      (0 until 4).map(i => (i.toLong, s"s$i")))
+    // filters over logical names still reach the scan
+    assert(df.where(col("a") >= 2).count() === 2L)
+  }
+
   test("variantType: variant columns decode natively through the graft reader") {
     val path = s"$root/variant"
     val dir = new java.io.File(path, "_delta_log")
