@@ -51,7 +51,12 @@ class RemoteDeltaScanRelation(
 
   protected lazy val df = {
     val names = ColumnMapping.nameMap(schema)
-    val physSchema = ColumnMapping.physicalSchema(schema)
+    val idMode = Option(meta.configuration)
+      .flatMap(_.get(ColumnMapping.MODE_KEY)).exists(_.equalsIgnoreCase("id"))
+    // id-mode file columns resolve by parquet field id (see
+    // GraftParquetScanRelation — same session-flag rationale)
+    if (idMode) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val physSchema = ColumnMapping.physicalSchema(schema, idMode)
     val physPartitionCols = meta.partitionColumns.map(c => names.getOrElse(c, c))
 
     val adds = result.files.map(f => (f, f.deltaSingleAction.add))

@@ -428,6 +428,26 @@ class DeltaLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.where(col("a") >= 2).count() === 2L)
   }
 
+  test("column mapping ID mode serves over REST through the delta dialect") {
+    import spark.implicits._
+    val path = s"$root/cm_id" // fixture built by the previous test
+    graft.log.GraftCatalog.register("share1.default.cm_id", path)
+    val server = new graft.server.GraftServer(
+      graft.server.ServerConfig(bearerToken = Some("tkn")),
+      spark.sessionState.newHadoopConf()).start()
+    try {
+      val df = spark.read.format("graft")
+        .option("url", server.url).option("token", "tkn")
+        .option("table", "share1.default.cm_id").load()
+      assert(df.columns.toSeq === Seq("a", "b"))
+      assert(df.as[(Long, String)].collect().sortBy(_._1) ===
+        (0 until 4).map(i => (i.toLong, s"s$i")))
+    } finally {
+      server.stop()
+      graft.log.GraftCatalog.unregister("share1.default.cm_id")
+    }
+  }
+
   test("variantType: variant columns decode natively through the graft reader") {
     val path = s"$root/variant"
     val dir = new java.io.File(path, "_delta_log")
