@@ -72,26 +72,44 @@ object GraftCDF {
       val removes = commit.actions.collect { case r: RemoveFile if r.dataChange => r }
       val ts = new java.sql.Timestamp(tsByVersion(commit.version))
 
-      def read(paths: Seq[String], withChangeType: Option[String]) = {
-        if (paths.isEmpty) None
+      // Partition columns live in partitionValues, NOT in the files —
+      // reading files with the full schema would silently yield NULL
+      // partition columns. Group per distinct partitionValues and attach
+      // the values as typed literals ("" ⇒ null, string cast to the
+      // column type — same decode as GraftFileIndex.partitionRow).
+      val partCols = snap.metadata.partitionColumns
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        schema.filterNot(f => partCols.contains(f.name)))
+      def read(files: Seq[(String, Map[String, String])],
+          withChangeType: Option[String]) = {
+        if (files.isEmpty) None
         else {
-          val base = withChangeType match {
-            case Some(ct) =>
-              spark.read.schema(schema).parquet(paths.map(resolve): _*)
-                .withColumn(CHANGE_TYPE, lit(ct))
-            case None => // cdc files carry _change_type in the data
-              spark.read.schema(schema.add(CHANGE_TYPE, "string"))
-                .parquet(paths.map(resolve): _*)
-          }
-          Some(base
+          val perPartition = files.groupBy(_._2).map { case (pv, grp) =>
+            val paths = grp.map(f => resolve(f._1))
+            val base = withChangeType match {
+              case Some(ct) =>
+                spark.read.schema(dataSchema).parquet(paths: _*)
+                  .withColumn(CHANGE_TYPE, lit(ct))
+              case None => // cdc files carry _change_type in the data
+                spark.read.schema(dataSchema.add(CHANGE_TYPE, "string"))
+                  .parquet(paths: _*)
+            }
+            partCols.foldLeft(base) { (df, c) =>
+              val raw = pv.getOrElse(c, "")
+              val v = if (raw == null || raw.isEmpty) lit(null) else lit(raw)
+              df.withColumn(c, v.cast(schema(c).dataType))
+            }
+          }.toSeq
+          Some(perPartition.reduce(_.unionByName(_))
+            .select((schema.map(f => col(f.name)) :+ col(CHANGE_TYPE)): _*)
             .withColumn(COMMIT_VERSION, lit(commit.version))
             .withColumn(COMMIT_TIMESTAMP, lit(ts)))
         }
       }
 
-      if (cdc.nonEmpty) read(cdc.map(_.path), None).toSeq
-      else read(adds.map(_.path), Some("insert")).toSeq ++
-        read(removes.map(_.path), Some("delete")).toSeq
+      if (cdc.nonEmpty) read(cdc.map(c => c.path -> c.partitionValues), None).toSeq
+      else read(adds.map(a => a.path -> a.partitionValues), Some("insert")).toSeq ++
+        read(removes.map(r => r.path -> r.partitionValues), Some("delete")).toSeq
     }
 
     perVersion match {

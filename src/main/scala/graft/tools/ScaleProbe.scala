@@ -17,14 +17,15 @@ import org.apache.spark.sql.functions._
   * log factor from sorts), while any all-pairs or single-reducer defect
   * shows up as alpha -> 2.
   *
-  * Usage: tools/run.sh graft.tools.ScaleProbe [sfDir] [factors] [reps]
-  * e.g.   tools/run.sh graft.tools.ScaleProbe /root/testdata/sf0.1 1,2,4 3
+  * Usage: tools/run.sh graft.tools.ScaleProbe [sfDir] [factors] [reps] [ops]
+  * e.g.   tools/run.sh graft.tools.ScaleProbe /root/testdata/sf0.1 1,2,4 3 q94,q95
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = args.lift(1).getOrElse("1,2,4").split(',').map(_.trim.toInt).toSeq
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val opFilter = args.lift(3).map(_.split(',').toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,7 +59,7 @@ object ScaleProbe {
 
     def docs(k: Int) = spark.read.parquet(dirs(k))
 
-    val ops: Seq[(String, Int => Long)] = Seq(
+    val allOps: Seq[(String, Int => Long)] = Seq(
       "q27_prefix_cascade" -> (k =>
         graft.ops.Dedup.nearDuplicatesExact(docs(k), "doc_id", "text",
           threshold = 0.7, includeMinHashCandidates = false).count()),
@@ -72,7 +73,20 @@ object ScaleProbe {
         val pairs = graft.ops.Dedup.nearDuplicatesExact(docs(k), "doc_id", "text",
           threshold = 0.7, includeMinHashCandidates = false)
         graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b").count()
+      }),
+      "q94_incremental" -> (k => {
+        val d = docs(k)
+        graft.ops.Dedup.incrementalDedup(
+          d.filter(col("doc_id") % 10 < 8), d.filter(col("doc_id") % 10 >= 8),
+          "doc_id", "text", threshold = 0.7).count()
+      }),
+      "q95_seq_packing" -> (k => {
+        val d = docs(k).select(col("doc_id"), pmod(col("doc_id"), lit(16)).as("source"),
+          graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.ops.Packing.packSequences(d, "source", "doc_id", "n_tokens", 2048L).count()
       }))
+    val ops = allOps.filter { case (name, _) =>
+      opFilter.forall(_.exists(name.startsWith)) }
 
     // warm-up on the smallest factor
     ops.foreach { case (_, fn) => fn(factors.min) }

@@ -143,6 +143,36 @@ class CDFSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CDF on a partitioned table carries typed partition values") {
+    import spark.implicits._
+    val dir = "/root/repo/target/test_cdf/partitioned"
+    TableBuilder.create(spark,
+      Seq((1L, "x", "g0"), (2L, "y", "g1")).toDF("id", "v", "grp"),
+      dir, partitionCols = Seq("grp"),
+      configuration = Map("enableChangeDataFeed" -> "true"))
+    TableBuilder.append(spark,
+      Seq((3L, "z", "g0"), (4L, "w", "g2")).toDF("id", "v", "grp"),
+      dir, timestamp = 1000L)
+    val cdf = GraftCDF.tableChanges(spark, dir, 0, None)
+    // partition columns come from partitionValues, never NULL
+    assert(cdf.schema("grp").dataType === org.apache.spark.sql.types.StringType)
+    val got = cdf.select("id", "grp", GraftCDF.CHANGE_TYPE, GraftCDF.COMMIT_VERSION)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "g0", "insert", 0L), (2L, "g1", "insert", 0L),
+      (3L, "g0", "insert", 1L), (4L, "g2", "insert", 1L)))
+    // typed (non-string) partition columns cast correctly too
+    val dir2 = "/root/repo/target/test_cdf/partitioned_int"
+    TableBuilder.create(spark,
+      Seq((1L, "x", 7), (2L, "y", 8)).toDF("id", "v", "bucket"),
+      dir2, partitionCols = Seq("bucket"),
+      configuration = Map("enableChangeDataFeed" -> "true"))
+    val cdf2 = GraftCDF.tableChanges(spark, dir2, 0, None)
+    assert(cdf2.schema("bucket").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(cdf2.select("id", "bucket").as[(Long, Int)].collect().toSet ===
+      Set((1L, 7), (2L, 8)))
+  }
+
   test("readChangeFeed streaming: atomic per-version batches, counts match batch CDF") {
     val q = spark.readStream.format("graft").option("path", base)
       .option("readChangeFeed", "true").option("startingVersion", "0")
