@@ -46,9 +46,18 @@ object GraftCDF {
       s"Change Data Feed is not enabled on table $tablePath " +
         "(set configuration enableChangeDataFeed=true at creation)")
     graft.model.ColumnMapping.assertNoAdvancedFeatures(
-      snap.metadata, s"change data feed of $tablePath")
+      snap.metadata, s"change data feed of $tablePath", allowCm = true)
 
     val schema = snap.schema
+    // Column mapping: files carry PHYSICAL names (and in id mode, parquet
+    // field ids); partitionValues are keyed by physical name. Read
+    // physical, rename to the starting snapshot's logical names at the
+    // end. Without column mapping `names` is the identity — one path.
+    val cmMode = graft.model.ColumnMapping.mode(snap.metadata)
+    val idMode = graft.model.ColumnMapping.isIdMode(snap.metadata)
+    if (idMode) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val names = graft.model.ColumnMapping.nameMap(schema)
+    val physSchema = graft.model.ColumnMapping.physicalSchema(schema, idMode)
     val tsByVersion = log.versionTimestamps().toMap
     val root = new Path(tablePath)
     def resolve(p: String): String = new Path(root, p).toString
@@ -60,7 +69,14 @@ object GraftCDF {
       commit.actions.foreach {
         case m: Metadata =>
           graft.model.ColumnMapping.assertNoAdvancedFeatures(
-            m, s"change data feed of $tablePath (version ${commit.version})")
+            m, s"change data feed of $tablePath (version ${commit.version})",
+            allowCm = true)
+          // a mode flip mid-range would change how files in LATER
+          // versions spell their columns — refuse rather than mis-read
+          require(graft.model.ColumnMapping.mode(m) == cmMode,
+            s"change data feed of $tablePath: column-mapping mode changed " +
+              s"mid-range at version ${commit.version} ($cmMode -> " +
+              s"${graft.model.ColumnMapping.mode(m)})")
         case a: AddFile if a.deletionVector.isDefined =>
           throw new UnsupportedOperationException(
             s"change data feed of $tablePath (version ${commit.version}) does not " +
@@ -77,9 +93,11 @@ object GraftCDF {
       // partition columns. Group per distinct partitionValues and attach
       // the values as typed literals ("" ⇒ null, string cast to the
       // column type — same decode as GraftFileIndex.partitionRow).
+      // Both file columns and partitionValues keys are PHYSICAL names.
       val partCols = snap.metadata.partitionColumns
+      val physPartCols = partCols.map(c => names.getOrElse(c, c))
       val dataSchema = org.apache.spark.sql.types.StructType(
-        schema.filterNot(f => partCols.contains(f.name)))
+        physSchema.filterNot(f => physPartCols.contains(f.name)))
       def read(files: Seq[(String, Map[String, String])],
           withChangeType: Option[String]) = {
         if (files.isEmpty) None
@@ -94,14 +112,17 @@ object GraftCDF {
                 spark.read.schema(dataSchema.add(CHANGE_TYPE, "string"))
                   .parquet(paths: _*)
             }
-            partCols.foldLeft(base) { (df, c) =>
-              val raw = pv.getOrElse(c, "")
+            partCols.zip(physPartCols).foldLeft(base) { case (df, (c, pc)) =>
+              val raw = pv.getOrElse(pc, "")
               val v = if (raw == null || raw.isEmpty) lit(null) else lit(raw)
-              df.withColumn(c, v.cast(schema(c).dataType))
+              df.withColumn(pc, v.cast(schema(c).dataType))
             }
           }.toSeq
+          // rename physical -> the starting snapshot's logical names
           Some(perPartition.reduce(_.unionByName(_))
-            .select((schema.map(f => col(f.name)) :+ col(CHANGE_TYPE)): _*)
+            .select((schema.map(f =>
+              col(names.getOrElse(f.name, f.name)).as(f.name)) :+
+              col(CHANGE_TYPE)): _*)
             .withColumn(COMMIT_VERSION, lit(commit.version))
             .withColumn(COMMIT_TIMESTAMP, lit(ts)))
         }

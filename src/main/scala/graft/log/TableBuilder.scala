@@ -67,6 +67,7 @@ object TableBuilder {
       tablePath: String,
       timestamp: Long = 0L,
       extraActions: Seq[Action] = Nil): Long = {
+    import graft.model.ColumnMapping
     val conf = spark.sessionState.newHadoopConf()
     val logR = new GraftLog(tablePath, conf)
     val prev = logR.snapshot(None)
@@ -79,11 +80,22 @@ object TableBuilder {
     val partitionCols = prev.metadata.partitionColumns
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)
+    // column-mapped tables: files and partition dirs carry PHYSICAL names
+    val names = ColumnMapping.nameMap(prev.schema)
+    val physSchema = ColumnMapping.physicalSchema(
+      prev.schema, ColumnMapping.isIdMode(prev.metadata))
+    val physPartitionCols = partitionCols.map(c => names.getOrElse(c, c))
+    val out = df.select(prev.schema.fields.toIndexedSeq.map { f =>
+      val phys = names.getOrElse(f.name, f.name)
+      // carry the physical field metadata (incl. parquet.field.id in id
+      // mode, so the written files stay id-addressable)
+      col(f.name).as(phys, physSchema(phys).metadata)
+    }: _*)
     // diff on-disk inventory so files removed in PAST versions (still on
     // disk) are never re-added
     val before = collectParquet(fs, fs.makeQualified(root)).map(_.getPath.toUri).toSet
-    df.write.mode("append").partitionBy(partitionCols: _*).parquet(tablePath)
-    val adds = scanDataFiles(spark, tablePath, prev.schema, partitionCols, version,
+    out.write.mode("append").partitionBy(physPartitionCols: _*).parquet(tablePath)
+    val adds = scanDataFiles(spark, tablePath, physSchema, physPartitionCols, version,
       timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
     // extraActions ride the SAME commit — the exactly-once sink's txn
     // watermark must be atomic with the files it covers
@@ -276,7 +288,8 @@ object TableBuilder {
       tablePath: String,
       partitionCols: Seq[String] = Nil,
       name: String = "",
-      numFiles: Int = 0): Unit = {
+      numFiles: Int = 0,
+      configuration: Map[String, String] = Map.empty): Unit = {
     import graft.model.ColumnMapping
     val logical = ColumnMapping.annotate(df.schema)
     val names = ColumnMapping.nameMap(logical)
@@ -290,7 +303,7 @@ object TableBuilder {
       name = name,
       schemaString = logical.json,
       partitionColumns = partitionCols, // logical names, like delta
-      configuration = Map(
+      configuration = configuration ++ Map(
         ColumnMapping.MODE_KEY -> "name",
         "delta.columnMapping.maxColumnId" -> df.schema.length.toString),
       version = 0L)
@@ -603,17 +616,21 @@ object TableBuilder {
     val prev = logR.snapshot(None)
     require(prev.metadata.partitionColumns.isEmpty,
       "deleteWhere/updateWhere support non-partitioned tables")
-    // rewriting reads files physically: on a column-mapped table the
-    // logical-schema read would match nothing and silently delete
-    // nothing — refuse loudly. DV-carrying files ARE supported: their
-    // bitmaps are applied scan-side, so the rewrite never resurrects
-    // DV-deleted rows and the rewritten files drop the descriptors.
-    graft.model.ColumnMapping.assertNoAdvancedFeatures(
-      prev.metadata, s"deleteWhere/updateWhere on $tablePath", allowDv = true)
     val version = logR.latestVersion() + 1
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)
     val qualifiedRoot = fs.makeQualified(root).toUri
+
+    // column-mapped tables: files carry PHYSICAL names. Read physical,
+    // rename to logical so `cond`/`transform` (logical names) resolve,
+    // rename back before writing. DV-carrying files are supported: their
+    // bitmaps are applied scan-side, so the rewrite never resurrects
+    // DV-deleted rows and the rewritten files drop the descriptors.
+    import graft.model.ColumnMapping
+    val idMode = ColumnMapping.isIdMode(prev.metadata)
+    if (idMode) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val names = ColumnMapping.nameMap(prev.schema)
+    val physSchema = ColumnMapping.physicalSchema(prev.schema, idMode)
 
     def abs(rel: String): String = new Path(root, rel).toString
     val dvByPath: Map[String, Array[Byte]] = prev.files.flatMap { f =>
@@ -626,7 +643,16 @@ object TableBuilder {
     }.toMap
     def readLive(paths: Seq[String]): DataFrame =
       graft.sources.DvFilters.filterDeleted(
-        spark.read.schema(prev.schema).parquet(paths: _*), dvByPath)
+        spark.read.schema(physSchema).parquet(paths: _*), dvByPath)
+        .select(prev.schema.fields.toIndexedSeq.map(f =>
+          col(names.getOrElse(f.name, f.name)).as(f.name)): _*)
+    def toPhysical(df: DataFrame): DataFrame = {
+      val extras = df.columns.filterNot(c => names.contains(c)).toIndexedSeq
+      df.select(prev.schema.fields.toIndexedSeq.map { f =>
+        val phys = names.getOrElse(f.name, f.name)
+        col(f.name).as(phys, physSchema(phys).metadata)
+      } ++ extras.map(col): _*)
+    }
     val active = readLive(prev.files.map(f => abs(f.path)))
       .withColumn("__file", input_file_name())
 
@@ -657,14 +683,15 @@ object TableBuilder {
       // new data files: diff the on-disk inventory on QUALIFIED uris
       // (unqualified Path.toUri has no scheme and would never match)
       val before = collectParquet(fs, fs.makeQualified(root)).map(_.getPath.toUri).toSet
-      rewritten.write.mode("append").parquet(tablePath)
-      val adds = scanDataFiles(spark, tablePath, prev.schema, Nil, version,
+      toPhysical(rewritten).write.mode("append").parquet(tablePath)
+      val adds = scanDataFiles(spark, tablePath, physSchema, Nil, version,
         timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
 
       // cdc file(s) under _cdc/v<version>/ (underscore dir ⇒ invisible to
-      // plain data scans)
+      // plain data scans; physical names + literal _change_type, the
+      // delta cdc layout)
       val cdcDir = s"$tablePath/${"_cdc"}/v$version"
-      cdcRows.write.mode("overwrite").parquet(cdcDir)
+      toPhysical(cdcRows).write.mode("overwrite").parquet(cdcDir)
       val cdcFiles = collectParquetIncludingHidden(fs, new Path(cdcDir)).map { st =>
         AddCDCFile(
           path = relativize(qualifiedRoot, st.getPath.toUri),

@@ -78,9 +78,10 @@ object ColumnMapping {
     * sources and CDF assembly — mirrors the server's parquet-format gate).
     */
   def assertNoAdvancedFeatures(
-      m: TableMetadata, context: String, allowDv: Boolean = false): Unit = {
+      m: TableMetadata, context: String, allowDv: Boolean = false,
+      allowCm: Boolean = false): Unit = {
     val advanced =
-      (if (isEnabled(m)) Seq(s"$MODE_KEY=${mode(m)}") else Nil) ++
+      (if (!allowCm && isEnabled(m)) Seq(s"$MODE_KEY=${mode(m)}") else Nil) ++
         (if (!allowDv &&
             m.configuration.get("delta.enableDeletionVectors").exists(_.equalsIgnoreCase("true")))
           Seq("delta.enableDeletionVectors=true") else Nil)

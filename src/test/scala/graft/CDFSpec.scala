@@ -196,6 +196,50 @@ class CDFSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(updates.length === 1)
   }
 
+  test("CDF over a column-mapped table speaks logical names end to end") {
+    // physical file columns are col-<uuid>; CDF must read them and hand
+    // back LOGICAL names, for whole-file adds and cdc files alike
+    val dir = "/root/repo/target/test_cdf/colmapped"
+    import spark.implicits._
+    TableBuilder.createColumnMapped(spark,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "score"),
+      dir, configuration = Map("enableChangeDataFeed" -> "true"))
+    TableBuilder.append(spark,
+      Seq((3L, "c", 30.0)).toDF("id", "name", "score"), dir, timestamp = 1000L)
+    TableBuilder.deleteWhere(spark, dir, col("id") === 2L, timestamp = 2000L)
+    TableBuilder.updateWhere(spark, dir, col("name") === "a",
+      Seq("score" -> (col("score") + 5)), timestamp = 3000L)
+
+    // snapshot reads back logical names and the right survivors
+    val snap = spark.read.format("graft").option("path", dir).load()
+    assert(snap.columns.toSeq === Seq("id", "name", "score"))
+    assert(snap.orderBy("id").as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a", 15.0), (3L, "c", 30.0)))
+
+    val cdf = GraftCDF.tableChanges(spark, dir, 0)
+    assert(cdf.columns.take(3).toSeq === Seq("id", "name", "score"))
+    val byType = cdf.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("insert" -> 3L, "delete" -> 1L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L))
+    // values decoded from physical files are correct, not NULL
+    assert(cdf.filter(col("_change_type") === "delete")
+      .select("id", "name").as[(Long, String)].collect().toSeq === Seq((2L, "b")))
+    assert(cdf.filter(col("_change_type") === "update_postimage")
+      .select("score").as[Double].collect().toSeq === Seq(15.0))
+    // partitioned + column-mapped: partitionValues keys are physical
+    val pdir = "/root/repo/target/test_cdf/colmapped_part"
+    TableBuilder.createColumnMapped(spark,
+      Seq((1L, "x", "g0"), (2L, "y", "g1")).toDF("id", "v", "grp"),
+      pdir, partitionCols = Seq("grp"),
+      configuration = Map("enableChangeDataFeed" -> "true"))
+    TableBuilder.append(spark, Seq((3L, "z", "g1")).toDF("id", "v", "grp"),
+      pdir, timestamp = 1000L)
+    val pcdf = GraftCDF.tableChanges(spark, pdir, 0)
+    assert(pcdf.select("id", "grp").as[(Long, String)].collect().toSet ===
+      Set((1L, "g0"), (2L, "g1"), (3L, "g1")))
+  }
+
   test("readChangeFeed streaming without startingVersion tails new changes only") {
     val scratch = "/root/repo/target/test_cdf/tail"
     import spark.implicits._
