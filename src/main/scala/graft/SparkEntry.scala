@@ -983,6 +983,22 @@ object SparkEntry {
       graft.ops.Packing.packSequences(docs, "source", "doc_id", "n_tokens", seqLen = 2048L)
     }),
 
+    // §2.1 S4 + S15: CDF DERIVED FROM DELETION VECTORS — nation_dv_cdf's
+    // delete history is pure DV commits (no cdc files, no file rewrites);
+    // the change feed diffs each file's old/new bitmap: v1 = region-2
+    // rows, v2 = only the NEWLY-set bits of the merged DV (regionkey>2,
+    // NOT the region-2 rows already deleted at v1). The oracle replays
+    // the delete predicates over the original table.
+    "q96_cdf_dv_changes" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.nation_dv_cdf")
+      graft.log.GraftCDF.tableChanges(s, path, 0)
+        .select(col("n_nationkey"), col("n_name"),
+          col(graft.log.GraftCDF.CHANGE_TYPE).as("change_type"),
+          col(graft.log.GraftCDF.COMMIT_VERSION).as("commit_version"))
+    }),
+
     // §2.1 S4 + beyond-reference: INCREMENTAL aggregate maintenance over
     // the Change Data Feed — the aggregate state at version 1 (after the
     // two inserts) is refreshed with only the CDF rows of the delete and
@@ -2218,6 +2234,15 @@ object SparkEntry {
            CAST(sum(CASE WHEN f < l THEN 1 ELSE 0 END) AS BIGINT) AS n_fragments,
            CAST(sum(least(e, (seq_id + 1) * 2048) - greatest(s, seq_id * 2048)) AS BIGINT) AS seq_tokens
          FROM ex GROUP BY source, seq_id""",
+    "q96_cdf_dv_changes" ->
+      """SELECT n_nationkey, n_name, 'insert' AS change_type,
+           CAST(0 AS BIGINT) AS commit_version FROM nation
+         UNION ALL
+         SELECT n_nationkey, n_name, 'delete', CAST(1 AS BIGINT)
+         FROM nation WHERE n_regionkey = 2
+         UNION ALL
+         SELECT n_nationkey, n_name, 'delete', CAST(2 AS BIGINT)
+         FROM nation WHERE n_regionkey > 2""",
     "q46_column_mapping_scan" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
            round(CAST(sum(c_acctbal) AS DOUBLE), 0) AS total_acctbal

@@ -46,7 +46,8 @@ object GraftCDF {
       s"Change Data Feed is not enabled on table $tablePath " +
         "(set configuration enableChangeDataFeed=true at creation)")
     graft.model.ColumnMapping.assertNoAdvancedFeatures(
-      snap.metadata, s"change data feed of $tablePath", allowCm = true)
+      snap.metadata, s"change data feed of $tablePath",
+      allowCm = true, allowDv = true)
 
     val schema = snap.schema
     // Column mapping: files carry PHYSICAL names (and in id mode, parquet
@@ -60,27 +61,38 @@ object GraftCDF {
     val physSchema = graft.model.ColumnMapping.physicalSchema(schema, idMode)
     val tsByVersion = log.versionTimestamps().toMap
     val root = new Path(tablePath)
+    lazy val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     def resolve(p: String): String = new Path(root, p).toString
 
+    // Per-file deletion-vector state while replaying (delta's CDCReader
+    // derives row-level changes from DV diffs the same way): state BEFORE
+    // the first replayed commit comes from the prior snapshot. A path is
+    // immutable in the log, so re-adding a known path can only mean its
+    // DV (or other metadata) changed — the row diff IS the change.
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val dvState = scala.collection.mutable.HashMap.empty[
+      String, Option[DeletionVectorDescriptor]]
+    if (startingVersion > 0)
+      log.snapshot(Some(startingVersion - 1)).files
+        .foreach(f => dvState(f.path) = f.deletionVector)
+    def bitmapOf(dv: Option[DeletionVectorDescriptor]): Set[Long] = dv match {
+      case None => Set.empty
+      case Some(d) => RoaringBitmapArray.deserialize(
+        DeletionVectors.resolveBytes(tablePath, d, hadoopConf)).toSeq.toSet
+    }
+
     val perVersion = log.changes(startingVersion, end).flatMap { commit =>
-      // a DV commit is remove+add of the SAME bytes — replaying it as
-      // row-level delete+insert would be wrong, so refuse loudly (the
-      // guard at the starting snapshot misses features enabled mid-range)
       commit.actions.foreach {
         case m: Metadata =>
           graft.model.ColumnMapping.assertNoAdvancedFeatures(
             m, s"change data feed of $tablePath (version ${commit.version})",
-            allowCm = true)
+            allowCm = true, allowDv = true)
           // a mode flip mid-range would change how files in LATER
           // versions spell their columns — refuse rather than mis-read
           require(graft.model.ColumnMapping.mode(m) == cmMode,
             s"change data feed of $tablePath: column-mapping mode changed " +
               s"mid-range at version ${commit.version} ($cmMode -> " +
               s"${graft.model.ColumnMapping.mode(m)})")
-        case a: AddFile if a.deletionVector.isDefined =>
-          throw new UnsupportedOperationException(
-            s"change data feed of $tablePath (version ${commit.version}) does not " +
-              "support files with deletion vectors")
         case _ => ()
       }
       val cdc = commit.actions.collect { case c: AddCDCFile => c }
@@ -98,13 +110,18 @@ object GraftCDF {
       val physPartCols = partCols.map(c => names.getOrElse(c, c))
       val dataSchema = org.apache.spark.sql.types.StructType(
         physSchema.filterNot(f => physPartCols.contains(f.name)))
+      def spellings(rel: String, blob: Array[Byte]): Seq[(String, Array[Byte])] =
+        graft.sources.DvFilters
+          .pathSpellings(fs.makeQualified(new Path(root, rel))).map(_ -> blob)
       def read(files: Seq[(String, Map[String, String])],
-          withChangeType: Option[String]) = {
+          withChangeType: Option[String],
+          keep: Map[String, Array[Byte]] = Map.empty,
+          drop: Map[String, Array[Byte]] = Map.empty) = {
         if (files.isEmpty) None
         else {
           val perPartition = files.groupBy(_._2).map { case (pv, grp) =>
             val paths = grp.map(f => resolve(f._1))
-            val base = withChangeType match {
+            val raw0 = withChangeType match {
               case Some(ct) =>
                 spark.read.schema(dataSchema).parquet(paths: _*)
                   .withColumn(CHANGE_TYPE, lit(ct))
@@ -112,6 +129,10 @@ object GraftCDF {
                 spark.read.schema(dataSchema.add(CHANGE_TYPE, "string"))
                   .parquet(paths: _*)
             }
+            val raw1 = if (drop.isEmpty) raw0
+              else graft.sources.DvFilters.filterDeleted(raw0, drop)
+            val base = if (keep.isEmpty) raw1
+              else graft.sources.DvFilters.selectDeleted(raw1, keep)
             partCols.zip(physPartCols).foldLeft(base) { case (df, (c, pc)) =>
               val raw = pv.getOrElse(pc, "")
               val v = if (raw == null || raw.isEmpty) lit(null) else lit(raw)
@@ -128,9 +149,55 @@ object GraftCDF {
         }
       }
 
-      if (cdc.nonEmpty) read(cdc.map(c => c.path -> c.partitionValues), None).toSeq
-      else read(adds.map(a => a.path -> a.partitionValues), Some("insert")).toSeq ++
-        read(removes.map(r => r.path -> r.partitionValues), Some("delete")).toSeq
+      // Classify against the PRE-commit DV state. A dataChange add of a
+      // known path is a DV-update-in-place: the rows newly set in its DV
+      // are deletes, rows newly cleared are restored inserts. A remove of
+      // a DV-carrying file deletes only its LIVE rows.
+      val addedPaths = adds.map(_.path).toSet
+      val newAdds = adds.filterNot(a => dvState.contains(a.path))
+      val dvUpdates = adds.filter(a => dvState.contains(a.path))
+      val pureRemoves = removes.filterNot(r => addedPaths.contains(r.path))
+
+      val emitted: Seq[DataFrame] =
+        if (cdc.nonEmpty) read(cdc.map(c => c.path -> c.partitionValues), None).toSeq
+        else {
+          val insDrop = newAdds.flatMap(a => a.deletionVector.map(d =>
+            spellings(a.path, DeletionVectors.resolveBytes(tablePath, d, hadoopConf)))
+          ).flatten.toMap
+          val remDrop = pureRemoves.flatMap(r => dvState.getOrElse(r.path, None).map(d =>
+            spellings(r.path, DeletionVectors.resolveBytes(tablePath, d, hadoopConf)))
+          ).flatten.toMap
+          val diffs = dvUpdates.map { a =>
+            val oldSet = bitmapOf(dvState(a.path))
+            val newSet = bitmapOf(a.deletionVector)
+            (a, newSet.diff(oldSet), oldSet.diff(newSet))
+          }
+          def diffKeep(sel: ((AddFile, Set[Long], Set[Long])) => Set[Long]) = {
+            val hit = diffs.filter(d => sel(d).nonEmpty)
+            (hit.map(d => d._1.path -> d._1.partitionValues),
+              hit.flatMap(d =>
+                spellings(d._1.path, RoaringBitmapArray(sel(d)).serialize())).toMap)
+          }
+          val (delFiles, delKeep) = diffKeep(_._2)
+          val (resFiles, resKeep) = diffKeep(_._3)
+          read(newAdds.map(a => a.path -> a.partitionValues), Some("insert"),
+            drop = insDrop).toSeq ++
+            read(pureRemoves.map(r => r.path -> r.partitionValues), Some("delete"),
+              drop = remDrop).toSeq ++
+            read(delFiles, Some("delete"), keep = delKeep).toSeq ++
+            read(resFiles, Some("insert"), keep = resKeep).toSeq
+        }
+
+      // advance DV state with EVERY add/remove (dataChange=false compaction
+      // swaps included — later commits may touch the swapped-in files)
+      val allAdds = commit.actions.collect { case a: AddFile => a }
+      val allAddPaths = allAdds.map(_.path).toSet
+      allAdds.foreach(a => dvState(a.path) = a.deletionVector)
+      commit.actions.collect {
+        case r: RemoveFile if !allAddPaths.contains(r.path) => r
+      }.foreach(r => dvState.remove(r.path))
+
+      emitted
     }
 
     perVersion match {

@@ -156,6 +156,19 @@ object SharedFixtures {
       TableBuilder.deleteWhereDV(spark, path, col("n_regionkey") === 2, timestamp = 1000L)
     }
 
+    // nation_dv_cdf: CDF-enabled table whose whole delete history is
+    // DELETION VECTORS — no cdc files, no rewrites. The change feed must
+    // derive rows from DV diffs: v1 deletes region-2 rows; v2 extends the
+    // SAME files' DVs to all regionkey>=2 (only regionkey>2 rows are new
+    // deletes — a merged-bitmap diff, not a bitmap read).
+    buildIfMissing(root, "nation_dv_cdf") { path =>
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      TableBuilder.create(spark, n.repartition(2), path, name = "nation_dv_cdf",
+        configuration = Map("enableChangeDataFeed" -> "true"))
+      TableBuilder.deleteWhereDV(spark, path, col("n_regionkey") === 2, timestamp = 1000L)
+      TableBuilder.deleteWhereDV(spark, path, col("n_regionkey") >= 2, timestamp = 2000L)
+    }
+
     // customer_cm: column-mapped (name mode) — parquet columns and
     // partition dirs carry `col-<uuid>` physical names, metadata speaks
     // the logical ones.
@@ -181,7 +194,7 @@ object SharedFixtures {
     }
 
     Seq("lineitem", "orders", "orders_versioned", "events", "orders_cdf",
-      "orders_delta", "part_delta", "nation_dv", "customer_cm",
+      "orders_delta", "part_delta", "nation_dv", "nation_dv_cdf", "customer_cm",
       "supplier_compacted").foreach { t =>
       GraftCatalog.register(s"$SHARE.$t", s"$root/$t")
     }

@@ -75,6 +75,17 @@ private[graft] object DvFilters {
   def pathSpellings(p: org.apache.hadoop.fs.Path): Seq[String] =
     Seq(p.toString, p.toUri.toString, p.toUri.getPath).distinct
 
+  private def deletedColumn(
+      df: org.apache.spark.sql.DataFrame,
+      byPath: Map[String, Array[Byte]]): Column = {
+    val bcast = df.sparkSession.sparkContext.broadcast(byPath)
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    column(graft.functions.DvRowDeleted(
+      expression(col("_metadata.file_path")),
+      expression(col("_metadata.row_index")),
+      bcast))
+  }
+
   /** Drop deleted rows using per-file serialized bitmaps keyed by every
     * path spelling.
     */
@@ -82,12 +93,14 @@ private[graft] object DvFilters {
       df: org.apache.spark.sql.DataFrame,
       byPath: Map[String, Array[Byte]]): org.apache.spark.sql.DataFrame = {
     if (byPath.isEmpty) return df
-    val bcast = df.sparkSession.sparkContext.broadcast(byPath)
-    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
-    val deleted = column(graft.functions.DvRowDeleted(
-      expression(col("_metadata.file_path")),
-      expression(col("_metadata.row_index")),
-      bcast))
-    df.filter(!deleted)
+    df.filter(!deletedColumn(df, byPath))
   }
+
+  /** Keep ONLY the rows set in the per-file bitmaps (CDF derives the rows a
+    * deletion-vector update touched by selecting the DV diff).
+    */
+  def selectDeleted(
+      df: org.apache.spark.sql.DataFrame,
+      byPath: Map[String, Array[Byte]]): org.apache.spark.sql.DataFrame =
+    df.filter(deletedColumn(df, byPath))
 }

@@ -240,6 +240,39 @@ class CDFSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set((1L, "g0"), (2L, "g1"), (3L, "g1")))
   }
 
+  test("CDF derives row changes from deletion-vector commits") {
+    // v0: 6 inserts; v1: DV-delete id<=2; v2: DV-delete id<=4 (merged DV —
+    // only 3,4 are NEW deletes); v3: remove the file outright (only the 2
+    // live rows are deletes)
+    val dir = "/root/repo/target/test_cdf/dv"
+    import spark.implicits._
+    TableBuilder.create(spark,
+      (1L to 6L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1), dir,
+      configuration = Map("enableChangeDataFeed" -> "true"))
+    TableBuilder.deleteWhereDV(spark, dir, col("id") <= 2, timestamp = 1000L)
+    TableBuilder.deleteWhereDV(spark, dir, col("id") <= 4, timestamp = 2000L)
+    TableBuilder.removeFiles(spark, dir, _ => true, timestamp = 3000L)
+
+    val cdf = GraftCDF.tableChanges(spark, dir, 0)
+    val got = cdf.select("id", GraftCDF.CHANGE_TYPE, GraftCDF.COMMIT_VERSION)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "insert", 0L), (2L, "insert", 0L), (3L, "insert", 0L),
+      (4L, "insert", 0L), (5L, "insert", 0L), (6L, "insert", 0L),
+      (1L, "delete", 1L), (2L, "delete", 1L),
+      (3L, "delete", 2L), (4L, "delete", 2L),
+      (5L, "delete", 3L), (6L, "delete", 3L)))
+    // a range starting mid-history seeds DV state from the prior snapshot:
+    // v2 alone must NOT re-report v1's deletes
+    val v2 = GraftCDF.tableChanges(spark, dir, 2, Some(2))
+      .select("id").as[Long].collect().toSet
+    assert(v2 === Set(3L, 4L))
+    // v3 alone: only live rows of the removed file
+    val v3 = GraftCDF.tableChanges(spark, dir, 3, Some(3))
+      .select("id", GraftCDF.CHANGE_TYPE).as[(Long, String)].collect().toSet
+    assert(v3 === Set(5L -> "delete", 6L -> "delete"))
+  }
+
   test("readChangeFeed streaming without startingVersion tails new changes only") {
     val scratch = "/root/repo/target/test_cdf/tail"
     import spark.implicits._

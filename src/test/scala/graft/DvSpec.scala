@@ -264,7 +264,7 @@ class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === (1L to 20L).toArray)
   }
 
-  test("streaming and CDF refuse advanced-feature tables loudly") {
+  test("streaming refuses DV tables loudly; CDF derives DV row changes") {
     import spark.implicits._
     val dir = tempTable()
     TableBuilder.create(spark, (1 to 4).map(i => (i.toLong, s"r$i")).toDF("id", "v"), dir,
@@ -279,10 +279,11 @@ class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failure.isDefined &&
       String.valueOf(failure.get.getMessage).contains("advanced reader features"))
 
-    val ce = intercept[Exception] {
-      GraftCDF.tableChanges(spark, dir, 0L).collect()
-    }
-    assert(String.valueOf(ce.getMessage).contains("advanced reader features"))
+    // CDF reads DV commits as row-level deletes (delta CDCReader semantics)
+    val cdf = GraftCDF.tableChanges(spark, dir, 0L)
+      .select("id", GraftCDF.CHANGE_TYPE).as[(Long, String)].collect().toSet
+    assert(cdf === Set((1L, "insert"), (2L, "insert"), (3L, "insert"),
+      (4L, "insert"), (1L, "delete")))
   }
 
   // ------------------------------------------------------------- server
@@ -413,7 +414,7 @@ class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("deleteWhere/updateWhere apply DVs on DV tables; refuse column mapping") {
+  test("deleteWhere/updateWhere apply DVs on DV tables and rewrite column-mapped tables") {
     import spark.implicits._
     // a rewrite on a DV table must NOT resurrect DV-deleted rows: the
     // bitmaps are applied scan-side and the rewritten files drop them
@@ -431,12 +432,14 @@ class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = readGraft(dvDir).select("id", "v").as[(Long, String)].collect().toMap
     assert(!after.contains(3L) && after(4L) === "x" && after.size === 7)
 
+    // column-mapped tables rewrite through the physical-name mapping
     val cmDir = tempTable()
     TableBuilder.createColumnMapped(spark,
       (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "v"), cmDir)
-    val e2 = intercept[Exception](
-      TableBuilder.updateWhere(spark, cmDir, col("id") === 2L, Seq("v" -> lit("x"))))
-    assert(String.valueOf(e2.getMessage).contains("advanced reader features"))
+    TableBuilder.updateWhere(spark, cmDir, col("id") === 2L, Seq("v" -> lit("x")))
+    TableBuilder.deleteWhere(spark, cmDir, col("id") === 5L)
+    val cmAfter = readGraft(cmDir).select("id", "v").as[(Long, String)].collect().toMap
+    assert(cmAfter(2L) === "x" && !cmAfter.contains(5L) && cmAfter.size === 9)
   }
 
   test("remote read of DV and column-mapped tables renegotiates the delta dialect") {
