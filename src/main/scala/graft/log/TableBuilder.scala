@@ -345,9 +345,15 @@ object TableBuilder {
     val conf = spark.sessionState.newHadoopConf()
     val logR = new GraftLog(tablePath, conf)
     val prev = logR.snapshot(None)
-    graft.model.ColumnMapping.assertNoAdvancedFeatures(
-      prev.metadata, s"compact on $tablePath", allowDv = true)
+    // column-mapped tables compact ENTIRELY in physical-name space — the
+    // bin-pack never evaluates user predicates, so no rename round-trip
+    import graft.model.ColumnMapping
+    val idMode = ColumnMapping.isIdMode(prev.metadata)
+    if (idMode) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val names = ColumnMapping.nameMap(prev.schema)
+    val physSchema = ColumnMapping.physicalSchema(prev.schema, idMode)
     val partitionCols = prev.metadata.partitionColumns
+    val physPartitionCols = partitionCols.map(c => names.getOrElse(c, c))
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)
     def abs(rel: String): String = new Path(root, rel).toString
@@ -374,7 +380,7 @@ object TableBuilder {
 
     val version = logR.latestVersion() + 1
     val dataSchema = StructType(
-      prev.schema.fields.filterNot(f => partitionCols.contains(f.name)))
+      physSchema.fields.filterNot(f => physPartitionCols.contains(f.name)))
     val before = collectParquet(fs, fs.makeQualified(root)).map(_.getPath.toUri).toSet
     bins.foreach { bin =>
       val raw = spark.read.schema(dataSchema).parquet(bin.map(f => abs(f.path)): _*)
@@ -391,17 +397,19 @@ object TableBuilder {
       val df = graft.sources.DvFilters.filterDeleted(raw, dvByPath)
       // data files don't store partition columns; re-attach them from the
       // bin's partition values ("" ⇒ null per the partition-codec rule) so
-      // partitionBy routes the rewrite into the same directory
-      val withParts = partitionCols.foldLeft(df) { (d, c) =>
-        val t = prev.schema(c).dataType
-        val v = bin.head.partitionValues.getOrElse(c, null)
-        d.withColumn(c,
-          (if (v == null || v.isEmpty) lit(null) else lit(v)).cast(t))
+      // partitionBy routes the rewrite into the same directory. Values
+      // are keyed (and directories named) by PHYSICAL column name.
+      val withParts = partitionCols.zip(physPartitionCols).foldLeft(df) {
+        case (d, (c, pc)) =>
+          val t = prev.schema(c).dataType
+          val v = bin.head.partitionValues.getOrElse(pc, null)
+          d.withColumn(pc,
+            (if (v == null || v.isEmpty) lit(null) else lit(v)).cast(t))
       }
       withParts.coalesce(1).write.mode("append")
-        .partitionBy(partitionCols: _*).parquet(tablePath)
+        .partitionBy(physPartitionCols: _*).parquet(tablePath)
     }
-    val adds = scanDataFiles(spark, tablePath, prev.schema, partitionCols, version,
+    val adds = scanDataFiles(spark, tablePath, physSchema, physPartitionCols, version,
       timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
       .map(_.copy(dataChange = false))
     val removes = bins.flatten.map(f =>
@@ -442,8 +450,6 @@ object TableBuilder {
     val conf = spark.sessionState.newHadoopConf()
     val logR = new GraftLog(tablePath, conf)
     val prev = logR.snapshot(None)
-    graft.model.ColumnMapping.assertNoAdvancedFeatures(
-      prev.metadata, s"zorder on $tablePath", allowDv = true)
     require(prev.metadata.partitionColumns.isEmpty,
       "zorder clusters unpartitioned tables (hive partitions already give " +
         "directory-level pruning on their columns)")
@@ -451,6 +457,15 @@ object TableBuilder {
       prev.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]),
       s"zorder needs numeric columns, got ${cols.map(c => s"$c:${prev.schema(c).dataType.simpleString}").mkString(", ")}")
     if (prev.files.isEmpty) return logR.latestVersion()
+
+    // column-mapped tables cluster in physical-name space: only the
+    // clustering columns need the logical→physical translation
+    import graft.model.ColumnMapping
+    val idMode = ColumnMapping.isIdMode(prev.metadata)
+    if (idMode) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val names = ColumnMapping.nameMap(prev.schema)
+    val physSchema = ColumnMapping.physicalSchema(prev.schema, idMode)
+    val physCols = cols.map(c => names.getOrElse(c, c))
 
     val version = logR.latestVersion() + 1
     val root = new Path(tablePath)
@@ -468,18 +483,18 @@ object TableBuilder {
       }
     }.toMap
     val active = graft.sources.DvFilters.filterDeleted(
-      spark.read.schema(prev.schema)
+      spark.read.schema(physSchema)
         .parquet(prev.files.map(f => abs(f.path)): _*),
       dvByPath)
 
     val probs = (1 until bins).map(_.toDouble / bins).toArray
     val castCols = cols.map(c => s"__zin_${c}")
-    val forQuant = cols.zip(castCols).foldLeft(active) { case (d, (c, cc)) =>
+    val forQuant = physCols.zip(castCols).foldLeft(active) { case (d, (c, cc)) =>
       d.withColumn(cc, col(c).cast("double")) }
     val boundaries = forQuant.stat.approxQuantile(castCols.toArray, probs, 0.001)
     val bitsPerCol = 32 - Integer.numberOfLeadingZeros(bins - 1) // log2(bins)
     import org.apache.spark.sql.GraftSqlBridge.{column, expression}
-    val binExprs = cols.zip(boundaries).map { case (c, b) =>
+    val binExprs = physCols.zip(boundaries).map { case (c, b) =>
       column(graft.functions.QuantileBin(expression(col(c).cast("double")), b))
     }
     val zkey = graft.functions.ZOrderKey(binExprs, bitsPerCol)
@@ -491,7 +506,7 @@ object TableBuilder {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("append").parquet(tablePath)
-    val adds = scanDataFiles(spark, tablePath, prev.schema, Nil, version,
+    val adds = scanDataFiles(spark, tablePath, physSchema, Nil, version,
       timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
       .map(_.copy(dataChange = false))
     val removes = prev.files.map(f =>

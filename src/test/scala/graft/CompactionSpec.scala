@@ -187,6 +187,36 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids === (0L until 350L).toArray)
   }
 
+  test("compaction and zorder rewrite column-mapped tables physically") {
+    import spark.implicits._
+    // partitioned + column-mapped compact: physical dirs, logical reads
+    val cmDir = s"$root/cm_compact"
+    TableBuilder.createColumnMapped(spark,
+      (0 until 40).map(i => (i.toLong, s"r$i", s"g${i % 2}")).toDF("id", "v", "grp"),
+      cmDir, partitionCols = Seq("grp"), numFiles = 6)
+    val before = new GraftLog(cmDir, conf).snapshot(None).files.size
+    TableBuilder.compact(spark, cmDir, timestamp = 1000L)
+    val snap = new GraftLog(cmDir, conf).snapshot(None)
+    assert(snap.files.size < before)
+    val rows = spark.read.format("graft").option("path", cmDir).load()
+    assert(rows.columns.toSeq === Seq("id", "v", "grp"))
+    assert(rows.select("id").as[Long].collect().sorted === (0L until 40L).toArray)
+    assert(rows.filter(col("grp") === "g1").count() === 20)
+
+    // unpartitioned column-mapped zorder with a DV: clustering on logical
+    // names, deleted rows dropped, stats usable for pruning
+    val czDir = s"$root/cm_zorder"
+    TableBuilder.createColumnMapped(spark,
+      (0 until 100).map(i => (i.toLong, (i % 10).toLong)).toDF("x", "y"),
+      czDir, numFiles = 4)
+    TableBuilder.deleteWhereDV(spark, czDir, col("x") >= 90L, timestamp = 500L)
+    TableBuilder.zorder(spark, czDir, Seq("x", "y"), numFiles = 4, timestamp = 1000L)
+    val zsnap = new GraftLog(czDir, conf).snapshot(None)
+    assert(zsnap.files.forall(_.deletionVector.isEmpty))
+    val zrows = spark.read.format("graft").option("path", czDir).load()
+    assert(zrows.select("x").as[Long].collect().sorted === (0L until 90L).toArray)
+  }
+
   test("vacuum respects retention: recent tombstones protect their files") {
     // compaction tombstones carry ts=9000; cutoff 10000-5000=5000 < 9000
     val deleted = TableBuilder.vacuum(spark, flat, retentionMs = 5000L, nowMs = 10000L)
