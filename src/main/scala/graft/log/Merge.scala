@@ -71,10 +71,14 @@ object Merge {
       s"merge supports non-partitioned tables (got ${prev.metadata.partitionColumns})")
     // DV-carrying files are supported: bitmaps apply scan-side, so the
     // group rewrite never resurrects DV-deleted rows and rewritten files
-    // drop the descriptors (column mapping still refuses — physical
-    // names would silently match nothing).
-    graft.model.ColumnMapping.assertNoAdvancedFeatures(
-      prev.metadata, s"merge into $tablePath", allowDv = true)
+    // drop the descriptors. Column-mapped tables read physical names and
+    // rename to logical so `condition`/clause expressions resolve; the
+    // rewrite renames back before writing.
+    import graft.model.ColumnMapping
+    val idMode = ColumnMapping.isIdMode(prev.metadata)
+    if (idMode) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val names = ColumnMapping.nameMap(prev.schema)
+    val physSchema = ColumnMapping.physicalSchema(prev.schema, idMode)
     val version = logR.latestVersion() + 1
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)
@@ -90,7 +94,16 @@ object Merge {
     }.toMap
     def readLive(paths: Seq[String]): DataFrame =
       graft.sources.DvFilters.filterDeleted(
-        spark.read.schema(prev.schema).parquet(paths: _*), dvByPath)
+        spark.read.schema(physSchema).parquet(paths: _*), dvByPath)
+        .select(prev.schema.fields.toIndexedSeq.map(f =>
+          col(names.getOrElse(f.name, f.name)).as(f.name)): _*)
+    def toPhysical(df: DataFrame): DataFrame = {
+      val extras = df.columns.filterNot(c => names.contains(c)).toIndexedSeq
+      df.select(prev.schema.fields.toIndexedSeq.map { f =>
+        val phys = names.getOrElse(f.name, f.name)
+        col(f.name).as(phys, physSchema(phys).metadata)
+      } ++ extras.map(col): _*)
+    }
     def emptyTarget: DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], prev.schema)
     val targetCols = prev.schema.fieldNames.toSeq
@@ -153,9 +166,9 @@ object Merge {
       // ---- 3. write data + cdc, commit one version ----
       val before = TableBuilder.collectParquet(fs, fs.makeQualified(root))
         .map(_.getPath.toUri).toSet
-      rewritten.write.mode("append").parquet(tablePath)
+      toPhysical(rewritten).write.mode("append").parquet(tablePath)
       val adds = TableBuilder.scanDataFiles(
-        spark, tablePath, prev.schema, Nil, version, timestamp,
+        spark, tablePath, physSchema, Nil, version, timestamp,
         onlyRelPaths = Some(TableBuilder.newRelPaths(fs, root, before)))
 
       val ct = GraftCDF.CHANGE_TYPE
@@ -171,7 +184,7 @@ object Merge {
         inserts.withColumn(ct, lit("insert"))
       ).map(_.select((targetCols :+ ct).map(col): _*)).reduce(_ unionByName _)
       val cdcDir = s"$tablePath/${"_cdc"}/v$version"
-      cdc.write.mode("overwrite").parquet(cdcDir)
+      toPhysical(cdc).write.mode("overwrite").parquet(cdcDir)
       val cdcFiles = TableBuilder.collectParquetIncludingHidden(fs, new Path(cdcDir))
         .map { st =>
           AddCDCFile(

@@ -83,10 +83,15 @@ class GraftSource(
   private val snapshotCache = scala.collection.mutable.HashMap.empty[Long, Snapshot]
 
   private val initialSnapshot: Snapshot = tableLog.snapshot(None)
-  // DV filtering / physical->logical renames are batch-relation features;
-  // tailing adds of such a table would emit deleted/misnamed rows
+  // DV filtering is a batch-relation feature; tailing adds of a DV table
+  // would emit deleted rows. Column-mapped tables ARE streamable: batches
+  // read the physical snapshot and project back to logical names.
   graft.model.ColumnMapping.assertNoAdvancedFeatures(
-    initialSnapshot.metadata, s"streaming from $tablePath")
+    initialSnapshot.metadata, s"streaming from $tablePath", allowCm = true)
+  private val cmEnabled = graft.model.ColumnMapping.isEnabled(initialSnapshot.metadata)
+  private val cmMode = graft.model.ColumnMapping.mode(initialSnapshot.metadata)
+  if (graft.model.ColumnMapping.isIdMode(initialSnapshot.metadata))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
   private val tableId: String = initialSnapshot.metadata.id
 
   /** Frozen end version for Trigger.AvailableNow. */
@@ -161,9 +166,16 @@ class GraftSource(
             org.apache.spark.sql.types.DataType.fromJson(m.schemaString)
               .asInstanceOf[StructType],
             s"$tablePath (version ${commit.version})")
-          // features enabled mid-stream are as unreadable as at start
+          // features enabled mid-stream are as unreadable as at start; a
+          // column-mapping mode flip would change how later files spell
+          // their columns
           graft.model.ColumnMapping.assertNoAdvancedFeatures(
-            m, s"streaming from $tablePath (version ${commit.version})")
+            m, s"streaming from $tablePath (version ${commit.version})",
+            allowCm = true)
+          require(graft.model.ColumnMapping.mode(m) == cmMode,
+            s"streaming from $tablePath: column-mapping mode changed at " +
+              s"version ${commit.version} ($cmMode -> " +
+              s"${graft.model.ColumnMapping.mode(m)})")
         }
         commit.actions.foreach {
           case a: AddFile if a.deletionVector.isDefined =>
@@ -300,12 +312,21 @@ class GraftSource(
         cmp <= 0
       }
       .flatMap(_.add)
-    val snapshotForSchema = initialSnapshot
+    val batchSnap = initialSnapshot.copy(files = files.toVector)
+    // column-mapped: the relation must speak PHYSICAL names (file columns
+    // and partition dirs) — project back to logical on top
     val relation = GraftDataSource.relation(
       spark, tablePath,
-      snapshotForSchema.copy(files = files.toVector))
-    GraftSqlBridge.ofRowsStreaming(spark,
+      graft.model.ColumnMapping.physicalSnapshot(batchSnap))
+    val base = GraftSqlBridge.ofRowsStreaming(spark,
       LogicalRelation(relation, isStreaming = true))
+    if (!cmEnabled) base
+    else {
+      import org.apache.spark.sql.functions.col
+      val names = graft.model.ColumnMapping.nameMap(initialSnapshot.schema)
+      base.select(initialSnapshot.schema.fields.toIndexedSeq.map(f =>
+        col(names.getOrElse(f.name, f.name)).as(f.name)): _*)
+    }
   }
 
   /** CDF micro-batch: row-level changes of versions [from, to], computed

@@ -173,4 +173,27 @@ class MergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.snapshot(None).files.forall(_.deletionVector.isEmpty),
       "rewritten files drop the DV descriptors")
   }
+
+  test("merge into a column-mapped table resolves logical names both ways") {
+    import spark.implicits._
+    val path = s"$root/cm_merge"
+    TableBuilder.createColumnMapped(spark,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("id", "name", "score").repartition(1),
+      path, name = "cm_merge",
+      configuration = Map("enableChangeDataFeed" -> "true"))
+    val src = Seq((2L, "B", 200.0), (9L, "i", 90.0)).toDF("id", "name", "score")
+    val r = Merge.merge(spark, path, src, "t.id = s.id",
+      whenMatchedUpdate = Some(Map("name" -> "s.name", "score" -> "t.score + s.score")),
+      whenNotMatchedInsert = Some(Map("id" -> "s.id", "name" -> "s.name", "score" -> "s.score")))
+    assert(r.updated === 1L && r.inserted === 1L && r.deleted === 0L)
+    val rows = readTable(path).orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2))).toSeq
+    assert(rows === Seq((1L, "a", 10.0), (2L, "B", 220.0), (3L, "c", 30.0), (9L, "i", 90.0)))
+    // CDF reads the physical-named cdc files back as logical columns
+    val cdf = GraftCDF.tableChanges(spark, path, 1, Some(1))
+      .select("id", GraftCDF.CHANGE_TYPE).as[(Long, String)].collect().toSet
+    assert(cdf === Set((2L, "update_preimage"), (2L, "update_postimage"),
+      (9L, "insert")))
+  }
 }

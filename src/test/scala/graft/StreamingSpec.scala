@@ -177,6 +177,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("t_rm_skip").count() === expected)
   }
 
+  test("streaming a column-mapped table projects logical names per batch") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("stream_cm").toString
+    TableBuilder.createColumnMapped(spark,
+      Seq((1L, "a", "g0"), (2L, "b", "g1")).toDF("id", "v", "grp"),
+      base, partitionCols = Seq("grp"))
+    TableBuilder.append(spark,
+      Seq((3L, "c", "g0"), (4L, "d", "g2")).toDF("id", "v", "grp"),
+      base, timestamp = 1000L)
+    val sink = "t_cm_stream"
+    val q = spark.readStream.format("graft").option("path", base)
+      .option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val got = spark.table(sink)
+    assert(got.columns.toSeq === Seq("id", "v", "grp"))
+    assert(got.select("id", "v", "grp").as[(Long, String, String)].collect().toSet ===
+      Set((1L, "a", "g0"), (2L, "b", "g1"), (3L, "c", "g0"), (4L, "d", "g2")))
+  }
+
   test("streaming aggregation with event-time window over the stream") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream.format("graft").option("path", eventsPath).load()
