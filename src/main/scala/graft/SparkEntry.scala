@@ -26,16 +26,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects by default; read nanos as long and convert to a
-    * microsecond timestamp. Integral `div` (not `/`): true division
-    * promotes to double, which can't represent ~1.7e18 ns exactly and
-    * rounds the microsecond value ±1 vs DuckDB's truncating ns→µs cast.
+  /** Some testdata generations store `events.ts` as TIMESTAMP(NANOS),
+    * which Spark's parquet reader rejects by default; others store plain
+    * TIMESTAMP(MICROS). Handle both: read nanos as long and convert with
+    * integral `div` (true division promotes to double, which can't
+    * represent ~1.7e18 ns exactly and rounds ±1µs vs DuckDB's truncating
+    * ns→µs cast); pass a genuine timestamp column through unchanged.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // isAdjustedToUTC=false parquet → NTZ; sessions run in UTC, so the
+        // NTZ→LTZ cast preserves epoch micros exactly (matches DuckDB).
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -69,8 +69,9 @@ object SharedFixtures {
 
     // events: 4 commits split by event_id → streaming source fixture.
     buildIfMissing(root, "events") { path =>
-      // ts is TIMESTAMP(NANOS); read it as long nanos (stays long in the
-      // shared table — consumers convert, see SparkEntry.events).
+      // ts varies by fixture generation: TIMESTAMP(NANOS) (read as long
+      // nanos via nanosAsLong — stays long in the shared table) or a
+      // native timestamp; consumers normalize, see SparkEntry.events.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       val n = ev.count()

@@ -64,8 +64,8 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
   // ------------------------------------------------------------ listings
 
   private val fixtureTables = Seq("customer_cm", "events", "lineitem",
-    "nation_dv", "orders", "orders_cdf", "orders_delta", "orders_versioned",
-    "part_delta", "supplier_compacted")
+    "nation_dv", "nation_dv_cdf", "orders", "orders_cdf", "orders_delta",
+    "orders_versioned", "part_delta", "supplier_compacted")
 
   test("listings: shares, schemas, tables, all-tables") {
     assert(client.listShares() === Seq("share1"))

@@ -201,8 +201,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("streaming aggregation with event-time window over the stream") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.format("graft").option("path", eventsPath).load()
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val raw = spark.readStream.format("graft").option("path", eventsPath).load()
+    // fixture generations vary: ts is long nanos (TIMESTAMP(NANOS) read
+    // with nanosAsLong) or a native timestamp column — normalize to LTZ
+    val stream = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    })
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
