@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.log.{GraftCatalog, GraftLog, Merge, TableBuilder}
+import graft.log.{Constraints, GraftCatalog, GraftLog, Merge, Restore, TableBuilder}
 
 /** User-facing table handle — the `DeltaTable` equivalent for graft
   * tables: one object tying together the read surface and every writer
@@ -131,6 +131,27 @@ class GraftTable private (val spark: SparkSession, val path: String) {
   /** Append rows as a new version (schema-checked). */
   def append(df: DataFrame): Long =
     TableBuilder.append(spark, df, path, timestamp = System.currentTimeMillis())
+
+  /** RESTORE: roll the table back to `version` with one forward commit
+    * (history preserved). Returns the new version.
+    */
+  def restoreToVersion(version: Long): Long =
+    Restore.restore(spark, path, version, System.currentTimeMillis())
+
+  /** SHALLOW CLONE this table (optionally a past `version`) to
+    * `targetPath` — metadata-only, zero data bytes copied.
+    */
+  def cloneShallow(targetPath: String, version: Option[Long] = None): Unit =
+    Restore.cloneShallow(spark, path, targetPath, version,
+      System.currentTimeMillis())
+
+  /** ADD CONSTRAINT name CHECK (sql): validates existing rows first. */
+  def addCheckConstraint(name: String, sql: String): Long =
+    Constraints.addCheck(spark, path, name, sql, System.currentTimeMillis())
+
+  /** DROP CONSTRAINT name. */
+  def dropCheckConstraint(name: String): Long =
+    Constraints.dropCheck(spark, path, name, System.currentTimeMillis())
 }
 
 object GraftTable {

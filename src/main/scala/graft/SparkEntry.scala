@@ -1391,6 +1391,89 @@ object SparkEntry {
           // exact integer cents: a double sum's addition order can flip
           // round-at-0 on a .5 boundary between engines
           sum(round(col("p_retailprice") * 100).cast("long")).as("retail_cents"))
+    }),
+
+    // Beyond-reference writer: RESTORE TABLE TO VERSION AS OF — the
+    // scratch table takes an append (v1) and a delete (v2), restores to
+    // v0 with ONE metadata-only forward commit (no data files read or
+    // written — O(active files) at any table size), and the scan must
+    // equal the v0 input exactly. History survives: the same log still
+    // time-travels to the deleted state.
+    "q97_restore_scan" -> ((s, dir) => {
+      val path = s"${graft.log.SharedFixtures.shareRoot(dir)}/scratch_restore"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.log.GraftLog.invalidateListing(path)
+      val src = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      graft.log.TableBuilder.create(s, src.repartition(2), path, name = "scratch_restore")
+      graft.log.TableBuilder.append(s,
+        src.withColumn("s_suppkey", col("s_suppkey") + 1000000L), path, timestamp = 1000L)
+      graft.log.TableBuilder.deleteWhere(s, path, col("s_nationkey") < 10, timestamp = 2000L)
+      graft.log.Restore.restore(s, path, 0L, timestamp = 3000L)
+      graft.log.GraftLog.invalidateListing(path)
+      s.read.format("graft").option("path", path).load()
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(round(col("s_acctbal") * 100).cast("long")).as("bal_cents"))
+    }),
+
+    // Beyond-reference writer: SHALLOW CLONE — a new table whose log
+    // references the source lineitem files by absolute URI (zero data
+    // bytes copied; delta PROTOCOL absolute add.path encoding). The scan
+    // of the CLONE must equal the source; stats-based skipping and
+    // column pruning work unchanged because the add actions carry the
+    // source's stats.
+    "q98_shallow_clone_scan" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      val src = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.lineitem")
+      val clone = s"${graft.log.SharedFixtures.shareRoot(dir)}/scratch_clone"
+      val fs = new org.apache.hadoop.fs.Path(clone)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(clone), true)
+      graft.log.GraftLog.invalidateListing(clone)
+      graft.log.Restore.cloneShallow(s, src, clone)
+      s.read.format("graft").option("path", clone).load()
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+    }),
+
+    // Beyond-reference writer: CHECK constraints — the scratch table
+    // carries delta.constraints gates; a violating append throws INSIDE
+    // the write pipeline (single-pass assert, no second validation scan)
+    // and commits NOTHING, so the final scan equals create + the one
+    // valid append. The oracle replays exactly those rows.
+    "q99_check_constraints" -> ((s, dir) => {
+      val path = s"${graft.log.SharedFixtures.shareRoot(dir)}/scratch_check"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.log.GraftLog.invalidateListing(path)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      graft.log.TableBuilder.create(s, cust.filter(col("c_custkey") % 2 === 0)
+        .repartition(2), path, name = "scratch_check",
+        configuration = Map("delta.constraints.key_pos" -> "c_custkey >= 0"))
+      graft.log.TableBuilder.append(s, cust.filter(col("c_custkey") % 2 === 1),
+        path, timestamp = 1000L)
+      // violating batch: must throw and leave the table untouched
+      val bad = cust.limit(5).withColumn("c_custkey", col("c_custkey") * -1L - 1L)
+      val rejected =
+        try { graft.log.TableBuilder.append(s, bad, path, timestamp = 2000L); false }
+        catch { case e: Exception =>
+          graft.log.GraftLog.invalidateListing(path)
+          Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+            .exists(t => String.valueOf(t.getMessage).contains("key_pos"))
+        }
+      require(rejected, "constraint violation was not rejected")
+      s.read.format("graft").option("path", path).load()
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
     })
   )
 
@@ -2399,7 +2482,24 @@ object SparkEntry {
          SELECT t.doc_id, count(*) AS n_tokens,
            round(avg(-ln(f.tf::DOUBLE / total.total::DOUBLE)), 3) AS surprisal
          FROM toks t JOIN freq f USING (tok) CROSS JOIN total
-         GROUP BY t.doc_id"""
+         GROUP BY t.doc_id""",
+    // restore to v0 ⇒ the scan equals the raw supplier projection
+    "q97_restore_scan" ->
+      """SELECT s_nationkey, count(*) AS n_supp,
+         CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+         FROM supplier GROUP BY 1""",
+    // the clone references the source lineitem files ⇒ same rows
+    "q98_shallow_clone_scan" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+         CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY 1""",
+    // create(even keys) + valid append(odd keys) = all customers; the
+    // violating batch commits nothing
+    "q99_check_constraints" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+         FROM customer GROUP BY 1"""
   )
 
   /** Expected per-change-type counts of the orders_cdf fixture history

@@ -1,0 +1,94 @@
+package graft.log
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Metadata
+
+/** CHECK constraints (delta PROTOCOL.md "CHECK Constraints"): named SQL
+  * boolean expressions stored as `delta.constraints.<name>` in the table
+  * configuration; every writer MUST reject rows for which a constraint
+  * evaluates to FALSE (NULL passes — SQL CHECK semantics).
+  *
+  * Enforcement is SINGLE-PASS and codegen'd: each written batch is routed
+  * through a `filter(coalesce(assert_true(c IS DISTINCT FROM false), true))`
+  * — `assert_true` returns NULL when the constraint holds (so `coalesce`
+  * keeps the row) and raises on the FIRST violating row, inside the same
+  * whole-stage-codegen pipeline that writes the parquet. No second
+  * validation scan of the incoming data, which is what keeps enforcement
+  * O(write) at 100 TB ingest rates.
+  */
+object Constraints {
+
+  val PREFIX = "delta.constraints."
+
+  /** name → SQL text of every constraint in `metadata`. */
+  def of(metadata: Metadata): Map[String, String] =
+    metadata.configuration.collect {
+      case (k, v) if k.startsWith(PREFIX) => k.stripPrefix(PREFIX) -> v
+    }
+
+  /** `df` wrapped so that materializing it throws on the first row
+    * violating any constraint of `metadata` (no-op when none exist).
+    * Must be applied to LOGICAL-schema rows (constraint SQL references
+    * logical column names, also on column-mapped tables).
+    */
+  def enforce(df: DataFrame, metadata: Metadata, context: String): DataFrame =
+    of(metadata).foldLeft(df) { case (d, (name, sql)) => d.filter(passOrThrow(name, sql, context)) }
+
+  private def passOrThrow(name: String, sql: String, context: String): Column =
+    coalesce(
+      assert_true(not(expr(sql) <=> lit(false)),
+        concat(lit(s"$context violates CHECK constraint $name ($sql), row: "),
+          to_json(struct(col("*"))))),
+      lit(true))
+
+  /** Add CHECK constraint `name` with boolean SQL `sql`: validates every
+    * EXISTING row satisfies it (one scan — a constraint that is already
+    * broken must never be recorded, same contract as delta-spark's
+    * `ALTER TABLE ADD CONSTRAINT`), then commits the metadata carrying
+    * `delta.constraints.<name>`. Fails if the name is taken.
+    */
+  def addCheck(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      sql: String,
+      timestamp: Long = 0L): Long = {
+    require(name.nonEmpty && !name.contains(" "), s"bad constraint name '$name'")
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new GraftLog(tablePath, conf)
+    val prev = log.snapshot(None)
+    require(!prev.metadata.configuration.contains(PREFIX + name),
+      s"constraint $name already exists on $tablePath")
+    // validate existing data (throws inside the scan on first violation)
+    spark.read.format("graft").option("path", tablePath).load()
+      .filter(passOrThrow(name, sql, s"existing data in $tablePath"))
+      .foreach(_ => ())
+    val version = prev.version + 1
+    GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
+      configuration = prev.metadata.configuration + (PREFIX + name -> sql),
+      version = version)), conf)
+    version
+  }
+
+  /** Drop constraint `name` (error if absent — matches delta-spark unless
+    * IF EXISTS).
+    */
+  def dropCheck(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      timestamp: Long = 0L): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new GraftLog(tablePath, conf)
+    val prev = log.snapshot(None)
+    require(prev.metadata.configuration.contains(PREFIX + name),
+      s"no constraint $name on $tablePath")
+    val version = prev.version + 1
+    GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
+      configuration = prev.metadata.configuration - (PREFIX + name),
+      version = version)), conf)
+    version
+  }
+}

@@ -160,7 +160,13 @@ object Merge {
               .getOrElse(lit(null).cast(prev.schema(c).dataType)).as(c)): _*)
       }.getOrElse(emptyTarget)
 
-      val rewritten = (Seq(untouched, matchedKeep, inserts) ++ updatedPost)
+      // CHECK constraints guard the rows MERGE introduces (inserts and
+      // update postimages); untouched/copied-through rows were validated
+      // when first written
+      val rewritten = (Seq(untouched, matchedKeep,
+        Constraints.enforce(inserts, prev.metadata, s"MERGE INSERT into $tablePath")) ++
+        updatedPost.map(
+          Constraints.enforce(_, prev.metadata, s"MERGE UPDATE of $tablePath")))
         .reduce(_ unionByName _)
 
       // ---- 3. write data + cdc, commit one version ----

@@ -1,0 +1,150 @@
+package graft.log
+
+import java.net.URI
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.model._
+
+/** Version-level table management: RESTORE (roll the table state back to
+  * an earlier version with one forward commit) and SHALLOW CLONE (a new
+  * table whose log references the source's data files in place).
+  *
+  * Both are metadata-only operations — no data file is read or written —
+  * so they cost O(active files) driver work and a single commit no matter
+  * how many terabytes the table holds. That is the defining property of
+  * log-structured table formats (delta-io PROTOCOL.md: the log is the
+  * table; data files are immutable and shared across versions/tables),
+  * and the reason these operations are safe to run against a 100 TB
+  * table from a laptop-sized driver.
+  */
+object Restore {
+
+  /** Restore the table to its state at `toVersion` by committing, at
+    * `latest + 1`, the file-level diff between the current snapshot and
+    * the target snapshot (the semantics of delta-spark's
+    * `RESTORE TABLE t TO VERSION AS OF v`):
+    *
+    *  - files active at `toVersion` but not now → AddFile (dataChange);
+    *  - files active now but not at `toVersion` → RemoveFile (dataChange);
+    *  - files active in both but with a DIFFERENT deletion vector →
+    *    re-AddFile carrying the target's DV (covers both DV'd rows
+    *    coming back and DVs that only existed at the target);
+    *  - metadata (schema / partitioning / configuration) re-committed iff
+    *    it changed since `toVersion`.
+    *
+    * The protocol is never downgraded (newest wins — a reader feature
+    * once required stays required; same rule delta-spark applies).
+    * History is preserved: restore is a forward commit, so time travel to
+    * the pre-restore state keeps working and CDF derives add/remove
+    * changes for the restore version like any other commit.
+    *
+    * Fails loudly if any target-version file is missing on disk (e.g.
+    * vacuumed) — restoring to a hole would serve a corrupt table. The
+    * check is ONE directory listing compared against the target file set,
+    * not a per-file existence probe.
+    */
+  def restore(
+      spark: SparkSession,
+      tablePath: String,
+      toVersion: Long,
+      timestamp: Long = 0L): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new GraftLog(tablePath, conf)
+    val cur = log.snapshot(None)
+    require(toVersion <= cur.version,
+      s"cannot restore $tablePath to future version $toVersion (latest ${cur.version})")
+    if (toVersion == cur.version) return cur.version
+    val tgt = log.snapshot(Some(toVersion))
+    val version = cur.version + 1
+
+    // vacuum guard: every target file must still exist. One listing of
+    // the table root covers relative paths; absolute paths (shallow-clone
+    // sources) are probed individually — they are outside the root.
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val onDisk = TableBuilder.collectParquetIncludingHidden(fs, fs.makeQualified(root))
+      .map(f => TableBuilder.relativize(fs.makeQualified(root).toUri, f.getPath.toUri))
+      .toSet
+    val missing = tgt.files.filterNot { f =>
+      if (new URI(f.path).getScheme != null) fs.exists(new Path(f.path))
+      else onDisk.contains(f.path)
+    }
+    require(missing.isEmpty,
+      s"cannot restore $tablePath to version $toVersion: ${missing.size} file(s) " +
+        s"no longer exist (vacuumed?), e.g. ${missing.take(3).map(_.path).mkString(", ")}")
+
+    val curByPath = cur.files.map(f => f.path -> f).toMap
+    val tgtPaths = tgt.files.map(_.path).toSet
+    val removes = cur.files.filterNot(f => tgtPaths.contains(f.path)).map(f =>
+      RemoveFile(f.path, f.partitionValues, f.size,
+        dataChange = true, version = version, timestamp = timestamp))
+    val adds = tgt.files.filter { f =>
+      curByPath.get(f.path) match {
+        case None => true // not active now — bring it back
+        case Some(c) => c.deletionVector != f.deletionVector // DV changed
+      }
+    }.map(_.copy(version = version, timestamp = timestamp, dataChange = true))
+
+    val m = tgt.metadata
+    val c = cur.metadata
+    val metaChanged = m.schemaString != c.schemaString ||
+      m.partitionColumns != c.partitionColumns || m.configuration != c.configuration
+    val actions =
+      (if (metaChanged) Seq(m.copy(version = version)) else Nil) ++ removes ++ adds
+    GraftLog.commit(tablePath, version, actions, conf)
+    version
+  }
+
+  /** Shallow-clone `sourcePath` (optionally at `version`) into a NEW
+    * table at `targetPath`: version 0 of the clone carries the source
+    * snapshot's metadata (fresh table id — clones are independent tables)
+    * and one AddFile per active source file with an ABSOLUTE URI path
+    * (delta PROTOCOL.md: `add.path` may be "an absolute path ... to a
+    * file that should be added to the table" — exactly the shallow-clone
+    * encoding delta-spark writes). Deletion vectors survive: "u"/"p"
+    * descriptors are rewritten to storageType "p" with the absolute DV
+    * file path; inline "i" descriptors are copied verbatim.
+    *
+    * The clone shares the source's DATA (zero bytes copied — O(files)
+    * metadata only) but not its LOG: subsequent writes, deletes, or
+    * OPTIMIZE on the clone commit only to the clone, and never touch
+    * source files (a rewrite on the clone writes new files under the
+    * clone root and merely drops the absolute references). VACUUM on the
+    * clone skips files outside its root for the same reason.
+    */
+  def cloneShallow(
+      spark: SparkSession,
+      sourcePath: String,
+      targetPath: String,
+      version: Option[Long] = None,
+      timestamp: Long = 0L): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new GraftLog(sourcePath, conf).snapshot(version)
+    val srcRoot = {
+      val p = new Path(sourcePath)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    def absolutize(p: String): String =
+      if (new URI(p).getScheme != null) p else new Path(srcRoot, p).toUri.toString
+    val adds = src.files.map { f =>
+      f.copy(
+        path = absolutize(f.path),
+        version = 0L, timestamp = timestamp, dataChange = true,
+        deletionVector = f.deletionVector.map { dv =>
+          dv.storageType match {
+            case "i" => dv
+            case _ => dv.copy(storageType = "p",
+              pathOrInlineDv =
+                DeletionVectors.dvFilePath(srcRoot.toString, dv).toUri.toString)
+          }
+        })
+    }
+    val meta = src.metadata.copy(
+      id = java.util.UUID.nameUUIDFromBytes(targetPath.getBytes("UTF-8")).toString,
+      version = 0L)
+    GraftLog.commit(targetPath, 0L,
+      Seq(src.protocol.copy(version = 0L), meta) ++ adds, conf)
+  }
+}

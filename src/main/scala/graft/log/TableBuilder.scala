@@ -42,7 +42,10 @@ object TableBuilder {
       numFiles: Int = 0,
       configuration: Map[String, String] = Map.empty,
       deltaFormat: Boolean = false): Unit = {
-    val out = if (numFiles > 0) df.repartition(numFiles) else df
+    val checked = Constraints.enforce(df,
+      graft.model.Metadata(id = "", configuration = configuration),
+      s"create of $tablePath")
+    val out = if (numFiles > 0) checked.repartition(numFiles) else checked
     out.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tablePath)
     // the overwrite wiped any previous log at this path
     GraftLog.invalidateListing(tablePath)
@@ -85,7 +88,10 @@ object TableBuilder {
     val physSchema = ColumnMapping.physicalSchema(
       prev.schema, ColumnMapping.isIdMode(prev.metadata))
     val physPartitionCols = partitionCols.map(c => names.getOrElse(c, c))
-    val out = df.select(prev.schema.fields.toIndexedSeq.map { f =>
+    // CHECK constraints see logical names — enforce BEFORE the physical
+    // rename; the assert rides the same codegen pipeline as the write
+    val checked = Constraints.enforce(df, prev.metadata, s"append to $tablePath")
+    val out = checked.select(prev.schema.fields.toIndexedSeq.map { f =>
       val phys = names.getOrElse(f.name, f.name)
       // carry the physical field metadata (incl. parquet.field.id in id
       // mode, so the written files stay id-addressable)
@@ -690,9 +696,13 @@ object TableBuilder {
       val survivors = affected.filter(!condTrue)
       val matching = affected.filter(condTrue)
       val (replacement, cdcRows) = transform(matching)
+      // CHECK constraints guard the rows this commit INTRODUCES (the
+      // transform output); survivors were validated when first written
       val rewritten = replacement match {
-        case Some(r) => survivors.unionByName(r)
-        case None    => survivors
+        case Some(r) =>
+          survivors.unionByName(
+            Constraints.enforce(r, prev.metadata, s"rewrite of $tablePath"))
+        case None => survivors
       }
 
       // new data files: diff the on-disk inventory on QUALIFIED uris

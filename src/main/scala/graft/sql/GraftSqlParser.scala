@@ -64,6 +64,18 @@ object GraftSqlParser {
     ("""(?is)\s*VACUUM\s+""" + TableRef + """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*""").r
   private val History =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + TableRef + """\s*""").r
+  private val RestoreSql =
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + TableRef +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""").r
+  private val CloneSql =
+    ("""(?is)\s*CREATE\s+TABLE\s+""" + TableRef + """\s+SHALLOW\s+CLONE\s+""" +
+      TableRef + """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""").r
+  private val AddConstraint =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TableRef +
+      """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""").r
+  private val DropConstraint =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TableRef +
+      """\s+DROP\s+CONSTRAINT\s+(\w+)\s*""").r
 
   private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
     case OptimizeZorder(path, name, cols) =>
@@ -75,6 +87,15 @@ object GraftSqlParser {
         Option(hours).map(_.toLong * 3600 * 1000)
           .getOrElse(7L * 24 * 3600 * 1000)))
     case History(path, name) => Some(HistoryCommand(ref(path, name)))
+    case RestoreSql(path, name, v) =>
+      Some(RestoreCommand(ref(path, name), v.toLong))
+    case CloneSql(tPath, tName, sPath, sName, v) if tPath != null =>
+      // clone target must be a path — it does not exist in any registry yet
+      Some(CloneCommand(tPath, ref(sPath, sName), Option(v).map(_.toLong)))
+    case AddConstraint(path, name, cName, cSql) =>
+      Some(ConstraintCommand(ref(path, name), cName, Some(cSql.trim)))
+    case DropConstraint(path, name, cName) =>
+      Some(ConstraintCommand(ref(path, name), cName, None))
     case _ => None
   }
 
@@ -117,6 +138,45 @@ case class VacuumCommand(tablePath: String, retentionMs: Long)
   override def run(spark: SparkSession): Seq[Row] = Seq(Row(
     graft.log.TableBuilder.vacuum(spark, tablePath, retentionMs,
       System.currentTimeMillis())))
+}
+
+case class RestoreCommand(tablePath: String, toVersion: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("restored_to", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(
+    graft.log.Restore.restore(spark, tablePath, toVersion,
+      System.currentTimeMillis()), toVersion))
+}
+
+case class CloneCommand(
+    targetPath: String, sourcePath: String, version: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("target", StringType)(),
+    AttributeReference("num_files", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.log.Restore.cloneShallow(spark, sourcePath, targetPath, version,
+      System.currentTimeMillis())
+    val n = new graft.log.GraftLog(targetPath,
+      spark.sessionState.newHadoopConf()).snapshot(None).files.size
+    Seq(Row(targetPath, n.toLong))
+  }
+}
+
+/** ADD (constraintSql = Some) or DROP (None) a CHECK constraint. */
+case class ConstraintCommand(
+    tablePath: String, name: String, constraintSql: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(constraintSql match {
+    case Some(sql) => graft.log.Constraints.addCheck(spark, tablePath, name, sql,
+      System.currentTimeMillis())
+    case None => graft.log.Constraints.dropCheck(spark, tablePath, name,
+      System.currentTimeMillis())
+  }))
 }
 
 case class HistoryCommand(tablePath: String) extends LeafRunnableCommand {
