@@ -633,11 +633,17 @@ object GraftLog {
     val usesDv = commitHasDv || prevMinReader >= 3
     // writer-only table features: ICT, plus — once the protocol is
     // feature-gated and legacy minWriterVersion implications stop
-    // applying — an explicit changeDataFeed entry for CDF tables
+    // applying — an explicit entry for EVERY active legacy-implied
+    // feature (CDF, CHECK constraints; the spec requires v7 protocols to
+    // list all active writer features, while legacy minWriterVersion 4/5
+    // implies them)
     val writerExtras =
       (if (usesIct) Set("inCommitTimestamp") else Set.empty[String]) ++
         (if ((usesIct || usesDv) && flag("enableChangeDataFeed"))
-          Set("changeDataFeed") else Set.empty[String])
+          Set("changeDataFeed") else Set.empty[String]) ++
+        (if ((usesIct || usesDv) &&
+            config.keys.exists(_.startsWith(Constraints.PREFIX)))
+          Set("checkConstraints") else Set.empty[String])
     val protoNode = DeltaLogCompat.protocolNodeFor(usesDv, usesCm, writerExtras)
     val needUpgrade = version > 0 &&
       ((commitHasDv && prevMinReader < 3) ||

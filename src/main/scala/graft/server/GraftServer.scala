@@ -998,7 +998,10 @@ class GraftServer(
     val abs = graft.log.DeletionVectors.dvFilePath(location, dv).toString
     val root = if (location.endsWith("/")) location else location + "/"
     if (abs.startsWith(root)) abs.substring(root.length)
-    else new org.apache.hadoop.fs.Path(abs).getName
+    // outside the table root (a shallow clone's "p" descriptor): sign the
+    // absolute path itself — the data endpoint resolves absolute child
+    // paths, same as absolute add.path entries
+    else abs
   }
 
   private def deltaMetaJson(m: graft.model.Metadata, version: java.lang.Long,

@@ -195,6 +195,47 @@ class RestoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readTable(tgt).count() === 2)
   }
 
+  test("restore commits route through the Delta-format writer on Delta tables") {
+    val p = fresh("delta_fmt")
+    TableBuilder.create(spark, df(Seq(1L -> "a", 2L -> "b")).repartition(1), p,
+      deltaFormat = true)
+    TableBuilder.append(spark, df(Seq(3L -> "c")), p, timestamp = 1000L)
+    Restore.restore(spark, p, 0L, timestamp = 2000L)
+    GraftLog.invalidateListing(p)
+    assert(readTable(p).count() === 2)
+    // the restore commit is a genuine _delta_log JSON commit
+    val commit = new java.io.File(p, "_delta_log/00000000000000000002.json")
+    assert(commit.exists())
+    val lines = scala.io.Source.fromFile(commit).getLines().toSeq
+    assert(lines.exists(_.contains("\"remove\"")))
+  }
+
+  test("a shared shallow clone with DVs serves over REST (absolute paths)") {
+    val src = fresh("clone_rest_src")
+    val tgt = fresh("clone_rest_tgt")
+    TableBuilder.create(spark, df((1L to 10L).map(i => i -> s"r$i")).repartition(2), src)
+    TableBuilder.deleteWhereDV(spark, src, col("id") > 8L, timestamp = 1000L)
+    GraftLog.invalidateListing(src)
+    Restore.cloneShallow(spark, src, tgt)
+    val fqn = "clone_share.default.cloned"
+    GraftCatalog.register(fqn, tgt)
+    val server = new graft.server.GraftServer(
+      graft.server.ServerConfig(bearerToken = Some("t")),
+      spark.sessionState.newHadoopConf()).start()
+    try {
+      // DV table → the client renegotiates into the delta dialect, where
+      // add.path AND the DV file are both pre-signed ABSOLUTE paths
+      val got = spark.read.format("graft")
+        .option("url", server.url).option("token", "t")
+        .option("table", fqn).load()
+      assert(got.count() === 8)
+      assert(got.orderBy("id").collect().map(_.getLong(0)).toSeq === (1L to 8L))
+    } finally {
+      server.stop()
+      GraftCatalog.unregister(fqn)
+    }
+  }
+
   // ----------------------------------------------------- CHECK constraints
 
   private def deepMessage(e: Throwable): String = {
