@@ -97,6 +97,19 @@ object Restore {
     version
   }
 
+  /** RESTORE TO TIMESTAMP AS OF: resolve the newest version committed at
+    * or before `ts` (same resolution time travel uses — Delta's
+    * `timestampAsOf` contract) and restore to it.
+    */
+  def restoreToTimestamp(
+      spark: SparkSession,
+      tablePath: String,
+      ts: Long,
+      timestamp: Long = 0L): Long = {
+    val log = new GraftLog(tablePath, spark.sessionState.newHadoopConf())
+    restore(spark, tablePath, log.versionAtOrBefore(ts), timestamp)
+  }
+
   /** Shallow-clone `sourcePath` (optionally at `version`) into a NEW
     * table at `targetPath`: version 0 of the clone carries the source
     * snapshot's metadata (fresh table id — clones are independent tables)

@@ -67,6 +67,9 @@ object GraftSqlParser {
   private val RestoreSql =
     ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + TableRef +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""").r
+  private val RestoreTsSql =
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + TableRef +
+      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*""").r
   private val CloneSql =
     ("""(?is)\s*CREATE\s+TABLE\s+""" + TableRef + """\s+SHALLOW\s+CLONE\s+""" +
       TableRef + """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""").r
@@ -89,6 +92,8 @@ object GraftSqlParser {
     case History(path, name) => Some(HistoryCommand(ref(path, name)))
     case RestoreSql(path, name, v) =>
       Some(RestoreCommand(ref(path, name), v.toLong))
+    case RestoreTsSql(path, name, ts) =>
+      Some(RestoreTimestampCommand(ref(path, name), ts))
     case CloneSql(tPath, tName, sPath, sName, v) if tPath != null =>
       // clone target must be a path — it does not exist in any registry yet
       Some(CloneCommand(tPath, ref(sPath, sName), Option(v).map(_.toLong)))
@@ -148,6 +153,21 @@ case class RestoreCommand(tablePath: String, toVersion: Long)
   override def run(spark: SparkSession): Seq[Row] = Seq(Row(
     graft.log.Restore.restore(spark, tablePath, toVersion,
       System.currentTimeMillis()), toVersion))
+}
+
+case class RestoreTimestampCommand(tablePath: String, ts: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("restored_to", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val millis = graft.server.GraftServer.parseWireTimestamp(ts)
+    val log = new graft.log.GraftLog(tablePath,
+      spark.sessionState.newHadoopConf())
+    val target = log.versionAtOrBefore(millis)
+    Seq(Row(graft.log.Restore.restore(spark, tablePath, target,
+      System.currentTimeMillis()), target))
+  }
 }
 
 case class CloneCommand(

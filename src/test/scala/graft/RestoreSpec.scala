@@ -136,6 +136,20 @@ class RestoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readTable(p).count() === 2)
   }
 
+  test("RESTORE TO TIMESTAMP AS OF resolves like time travel") {
+    val p = fresh("sql_ts")
+    TableBuilder.create(spark, df(Seq(1L -> "a")).repartition(1), p)
+    TableBuilder.append(spark, df(Seq(2L -> "b")), p, timestamp = 5000L)
+    TableBuilder.append(spark, df(Seq(3L -> "c")), p, timestamp = 9000L)
+    // between v1 (5000) and v2 (9000) → restores to v1
+    val out = spark.sql(s"RESTORE TABLE '$p' TO TIMESTAMP AS OF '7000'").collect()
+    assert(out.head.getLong(1) === 1L)
+    GraftLog.invalidateListing(p)
+    assert(readTable(p).count() === 2)
+    assert(Restore.restoreToTimestamp(spark, p, 9000L) ===
+      new GraftLog(p, conf).latestVersion())
+  }
+
   // ------------------------------------------------------- SHALLOW CLONE
 
   test("shallow clone reads identically, zero data files copied") {
