@@ -209,6 +209,20 @@ class RestoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readTable(tgt).count() === 2)
   }
 
+  test("CDF derives insert/delete rows from a restore commit") {
+    val p = fresh("cdf")
+    TableBuilder.create(spark, df(Seq(1L -> "a", 2L -> "b")).repartition(1), p,
+      configuration = Map("enableChangeDataFeed" -> "true"))
+    TableBuilder.append(spark, df(Seq(3L -> "c")), p, timestamp = 1000L)
+    Restore.restore(spark, p, 0L, timestamp = 2000L)
+    GraftLog.invalidateListing(p)
+    val changes = GraftCDF.tableChanges(spark, p, 2L)
+      .select(col("id"), col(GraftCDF.CHANGE_TYPE)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // the restore version removed v1's file → its rows surface as deletes
+    assert(changes === Set((3L, "delete")))
+  }
+
   test("restore commits route through the Delta-format writer on Delta tables") {
     val p = fresh("delta_fmt")
     TableBuilder.create(spark, df(Seq(1L -> "a", 2L -> "b")).repartition(1), p,
