@@ -264,6 +264,33 @@ class RestoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming source and OPTIMIZE work over a shallow clone") {
+    val src = fresh("clone_life_src")
+    val tgt = fresh("clone_life_tgt")
+    TableBuilder.create(spark, df((1L to 12L).map(i => i -> s"r$i")).repartition(3), src)
+    Restore.cloneShallow(spark, src, tgt)
+    // snapshot-then-tail over the clone's absolute-path add actions
+    val sink = "t_clone_stream"
+    val q = spark.readStream.format("graft").option("path", tgt)
+      .option("maxFilesPerTrigger", "2").load()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    assert(spark.table(sink).count() === 12)
+    // OPTIMIZE bin-packs INTO the clone root and drops the absolute refs
+    TableBuilder.compact(spark, tgt, timestamp = 1000L)
+    GraftLog.invalidateListing(tgt)
+    val snap = new GraftLog(tgt, conf).snapshot(None)
+    assert(snap.files.nonEmpty)
+    assert(snap.files.forall(f => new java.net.URI(f.path).getScheme == null),
+      "compacted files must be relative (under the clone root)")
+    assert(readTable(tgt).orderBy("id").collect().map(_.getLong(0)).toSeq === (1L to 12L))
+    // source data files untouched
+    GraftLog.invalidateListing(src)
+    assert(readTable(src).count() === 12)
+  }
+
   // ----------------------------------------------------- CHECK constraints
 
   private def deepMessage(e: Throwable): String = {
