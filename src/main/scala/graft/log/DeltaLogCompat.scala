@@ -193,7 +193,11 @@ object DeltaLogCompat {
   private[graft] def decodePath(p: String): String =
     try {
       val u = new java.net.URI(p)
-      if (u.getScheme != null) p // absolute URI (shallow clone) — keep verbatim
+      if (u.getScheme != null)
+        // absolute URI (shallow clone): decode the percent-encoded path
+        // but keep scheme/authority — Hadoop Path takes decoded paths
+        u.getScheme + ":" +
+          Option(u.getAuthority).map("//" + _).getOrElse("") + u.getPath
       else u.getPath
     } catch { case _: java.net.URISyntaxException => p }
 

@@ -126,6 +126,11 @@ object Restore {
     * source files (a rewrite on the clone writes new files under the
     * clone root and merely drops the absolute references). VACUUM on the
     * clone skips files outside its root for the same reason.
+    *
+    * The clone INHERITS the source's log format: cloning a real Delta
+    * table produces a real `_delta_log` clone (absolute `add.path`s
+    * percent-encoded per the protocol) that any Delta reader can consume
+    * — the same behavior as delta-spark's CLONE.
     */
   def cloneShallow(
       spark: SparkSession,
@@ -134,7 +139,8 @@ object Restore {
       version: Option[Long] = None,
       timestamp: Long = 0L): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val src = new GraftLog(sourcePath, conf).snapshot(version)
+    val srcLog = new GraftLog(sourcePath, conf)
+    val src = srcLog.snapshot(version)
     val srcRoot = {
       val p = new Path(sourcePath)
       p.getFileSystem(conf).makeQualified(p)
@@ -158,6 +164,7 @@ object Restore {
       id = java.util.UUID.nameUUIDFromBytes(targetPath.getBytes("UTF-8")).toString,
       version = 0L)
     GraftLog.commit(targetPath, 0L,
-      Seq(src.protocol.copy(version = 0L), meta) ++ adds, conf)
+      Seq(src.protocol.copy(version = 0L), meta) ++ adds, conf,
+      deltaFormat = srcLog.deltaMode)
   }
 }

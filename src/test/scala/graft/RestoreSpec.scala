@@ -264,6 +264,37 @@ class RestoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cloning a Delta-format table produces a Delta-format clone") {
+    val src = fresh("clone_delta_src")
+    val tgt = fresh("clone_delta_tgt")
+    TableBuilder.create(spark, df(Seq(1L -> "a", 2L -> "b")).repartition(1), src,
+      deltaFormat = true)
+    TableBuilder.append(spark, df(Seq(3L -> "c")), src, timestamp = 1000L)
+    Restore.cloneShallow(spark, src, tgt)
+    assert(new java.io.File(tgt, "_delta_log/00000000000000000000.json").exists())
+    assert(readTable(tgt).orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 2L, 3L))
+    // absolute add.path percent-encoding round-trips through the Delta codec
+    val snap = new GraftLog(tgt, conf).snapshot(None)
+    assert(snap.files.forall(f => new java.net.URI(f.path).getScheme != null))
+  }
+
+  test("restore and clone work on column-mapped tables") {
+    val src = fresh("cm_src")
+    val tgt = fresh("cm_tgt")
+    TableBuilder.createColumnMapped(spark,
+      df((1L to 6L).map(i => i -> s"r$i")).repartition(2), src)
+    TableBuilder.deleteWhere(spark, src, col("id") > 4L, timestamp = 1000L)
+    GraftLog.invalidateListing(src)
+    assert(readTable(src).count() === 4)
+    Restore.restore(spark, src, 0L, timestamp = 2000L)
+    GraftLog.invalidateListing(src)
+    assert(readTable(src).orderBy("id").collect().map(_.getLong(0)).toSeq === (1L to 6L))
+    Restore.cloneShallow(spark, src, tgt)
+    assert(readTable(tgt).orderBy("id").collect().map(_.getLong(0)).toSeq === (1L to 6L))
+    assert(readTable(tgt).columns.toSeq === Seq("id", "v")) // logical names
+  }
+
   test("streaming source and OPTIMIZE work over a shallow clone") {
     val src = fresh("clone_life_src")
     val tgt = fresh("clone_life_tgt")
