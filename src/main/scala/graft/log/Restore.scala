@@ -55,7 +55,9 @@ object Restore {
     val cur = log.snapshot(None)
     require(toVersion <= cur.version,
       s"cannot restore $tablePath to future version $toVersion (latest ${cur.version})")
-    if (toVersion == cur.version) return cur.version
+    // restoring to the current version still commits an (empty) version —
+    // every builder operation advances the log exactly once, so callers
+    // can rely on version arithmetic
     val tgt = log.snapshot(Some(toVersion))
     val version = cur.version + 1
 

@@ -85,9 +85,12 @@ class RestoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     Restore.restore(spark, p, 0L, timestamp = 2000L)
     GraftLog.invalidateListing(p)
     assert(readTable(p).count() === 8)
-    // restore-to-current is a no-op, not an error
+    // restore-to-current commits an empty version (uniform version
+    // arithmetic with every other builder op), never an error
     val latest = new GraftLog(p, conf).latestVersion()
-    assert(Restore.restore(spark, p, latest) === latest)
+    assert(Restore.restore(spark, p, latest) === latest + 1)
+    GraftLog.invalidateListing(p)
+    assert(readTable(p).count() === 8)
   }
 
   test("restore round-trips deletion vectors (DV added after target)") {
