@@ -52,8 +52,8 @@ class RestoreModelSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.format("graft").option("path", p).load()
         .select("id").as[Long].collect().toSet
 
-    for (step <- 1 to 12) {
-      val op = rnd.nextInt(3) match {
+    for (step <- 1 to 20) {
+      val op = rnd.nextInt(5) match {
         case 0 => // append 1-4 fresh rows
           val b = batch(1 + rnd.nextInt(4))
           TableBuilder.append(spark,
@@ -71,6 +71,17 @@ class RestoreModelSpec extends AnyFunSuite with BeforeAndAfterAll {
           Restore.restore(spark, p, tgt.toLong, timestamp = step * 1000L)
           model += model(tgt)
           s"restore(v$tgt)"
+        case 3 => // deletion-vector delete of a random residue class
+          val m = 2 + rnd.nextInt(3)
+          val r = rnd.nextInt(m)
+          TableBuilder.deleteWhereDV(spark, p, col("id") % m === r,
+            timestamp = step * 1000L)
+          model += model.last.filterNot(i => i % m == r)
+          s"dvDelete(id % $m == $r)"
+        case 4 => // compact: layout-only, rows unchanged, version advances
+          TableBuilder.compact(spark, p, timestamp = step * 1000L)
+          model += model.last
+          "compact"
       }
       GraftLog.invalidateListing(p)
       assert(live() === model.last, s"live state diverged at step $step ($op)")
