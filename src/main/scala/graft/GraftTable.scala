@@ -145,6 +145,17 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     Restore.cloneShallow(spark, path, targetPath, version,
       System.currentTimeMillis())
 
+  /** Append with schema evolution (Delta's mergeSchema): new columns
+    * extend the table as nullable, missing columns fill with NULL.
+    */
+  def appendMergeSchema(df: DataFrame): Long =
+    TableBuilder.append(spark, df, path, timestamp = System.currentTimeMillis(),
+      mergeSchema = true)
+
+  /** ALTER TABLE ADD COLUMNS: metadata-only nullable column additions. */
+  def addColumns(columns: Seq[(String, org.apache.spark.sql.types.DataType)]): Long =
+    TableBuilder.addColumns(spark, path, columns, System.currentTimeMillis())
+
   /** ADD CONSTRAINT name CHECK (sql): validates existing rows first. */
   def addCheckConstraint(name: String, sql: String): Long =
     Constraints.addCheck(spark, path, name, sql, System.currentTimeMillis())

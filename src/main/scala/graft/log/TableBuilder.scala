@@ -63,39 +63,108 @@ object TableBuilder {
 
   /** Append `df` as a new version; emits AddFile actions for the newly
     * written files only.
+    *
+    * `mergeSchema = true` (Delta's `option("mergeSchema","true")`):
+    * columns of `df` the table does not have yet EXTEND the table schema
+    * (appended as nullable; on column-mapped tables they get fresh
+    * physical names and the next free column ids), and columns of the
+    * table missing from `df` are filled with NULLs — the updated
+    * metadata commits atomically with the data. Existing files are never
+    * rewritten: scans project the merged schema over them and the parquet
+    * reader yields NULL for absent columns. Type changes are still
+    * refused in both modes.
     */
   def append(
       spark: SparkSession,
       df: DataFrame,
       tablePath: String,
       timestamp: Long = 0L,
-      extraActions: Seq[Action] = Nil): Long = {
+      extraActions: Seq[Action] = Nil,
+      mergeSchema: Boolean = false): Long = {
     import graft.model.ColumnMapping
     val conf = spark.sessionState.newHadoopConf()
     val logR = new GraftLog(tablePath, conf)
     val prev = logR.snapshot(None)
-    // a mismatched append would write parquet that silently breaks every
-    // reader of the pinned table schema — refuse up front (same contract
-    // the streaming schema-drift guard enforces on the read side)
-    graft.model.SchemaCompat.assertReadCompatible(
-      prev.schema, df.schema, s"append to $tablePath")
     val version = logR.latestVersion() + 1
-    val partitionCols = prev.metadata.partitionColumns
+    val (schemaNow, metaAction) =
+      if (!mergeSchema) {
+        // a mismatched append would write parquet that silently breaks
+        // every reader of the pinned table schema — refuse up front (same
+        // contract the streaming schema-drift guard enforces on reads)
+        graft.model.SchemaCompat.assertReadCompatible(
+          prev.schema, df.schema, s"append to $tablePath")
+        // the read-compat check tolerates ADDED batch columns (fine for
+        // readers); a writer silently dropping them is not fine — refuse,
+        // same as Delta without mergeSchema
+        val known = prev.schema.fieldNames.map(_.toLowerCase).toSet
+        val extras = df.schema.fieldNames.filterNot(n => known.contains(n.toLowerCase))
+        require(extras.isEmpty,
+          s"append to $tablePath: batch has columns the table lacks " +
+            s"(${extras.mkString(", ")}); use mergeSchema = true to evolve the schema")
+        (prev.schema, None)
+      } else {
+        val existing = prev.schema.fieldNames.map(_.toLowerCase).toSet
+        val fresh = df.schema.fields
+          .filterNot(f => existing.contains(f.name.toLowerCase))
+          .map(_.copy(nullable = true))
+        // common columns: types must match exactly and table-promised
+        // non-nullability must hold (mergeSchema adds columns, it never
+        // relaxes what existing readers rely on)
+        prev.schema.fields.foreach { tf =>
+          df.schema.fields.find(_.name.equalsIgnoreCase(tf.name)).foreach { dfF =>
+            require(dfF.dataType == tf.dataType,
+              s"mergeSchema append to $tablePath: column ${tf.name} has type " +
+                s"${dfF.dataType.simpleString}, table has ${tf.dataType.simpleString}")
+            require(tf.nullable || !dfF.nullable,
+              s"mergeSchema append to $tablePath: column ${tf.name} is nullable " +
+                "in the batch but non-nullable in the table")
+          }
+        }
+        if (fresh.isEmpty) (prev.schema, None)
+        else {
+          val annotated =
+            if (!ColumnMapping.isEnabled(prev.metadata)) fresh
+            else {
+              val maxId = prev.schema.fields.map(f =>
+                if (f.metadata.contains(ColumnMapping.COLUMN_ID_KEY))
+                  f.metadata.getLong(ColumnMapping.COLUMN_ID_KEY)
+                else 0L).foldLeft(0L)(math.max)
+              fresh.zipWithIndex.map { case (f, i) =>
+                val phys = "col-" +
+                  java.util.UUID.nameUUIDFromBytes(f.name.getBytes("UTF-8"))
+                f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putString(ColumnMapping.PHYSICAL_NAME_KEY, phys)
+                  .putLong(ColumnMapping.COLUMN_ID_KEY, maxId + i + 1)
+                  .build())
+              }
+            }
+          val merged = StructType(prev.schema.fields ++ annotated)
+          (merged,
+            Some(prev.metadata.copy(schemaString = merged.json, version = version)))
+        }
+      }
+    val metadataNow = metaAction.getOrElse(prev.metadata)
+    val partitionCols = metadataNow.partitionColumns
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)
     // column-mapped tables: files and partition dirs carry PHYSICAL names
-    val names = ColumnMapping.nameMap(prev.schema)
+    val names = ColumnMapping.nameMap(schemaNow)
     val physSchema = ColumnMapping.physicalSchema(
-      prev.schema, ColumnMapping.isIdMode(prev.metadata))
+      schemaNow, ColumnMapping.isIdMode(metadataNow))
     val physPartitionCols = partitionCols.map(c => names.getOrElse(c, c))
     // CHECK constraints see logical names — enforce BEFORE the physical
     // rename; the assert rides the same codegen pipeline as the write
-    val checked = Constraints.enforce(df, prev.metadata, s"append to $tablePath")
-    val out = checked.select(prev.schema.fields.toIndexedSeq.map { f =>
+    val checked = Constraints.enforce(df, metadataNow, s"append to $tablePath")
+    val provided = df.schema.fieldNames.map(_.toLowerCase).toSet
+    val out = checked.select(schemaNow.fields.toIndexedSeq.map { f =>
       val phys = names.getOrElse(f.name, f.name)
       // carry the physical field metadata (incl. parquet.field.id in id
       // mode, so the written files stay id-addressable)
-      col(f.name).as(phys, physSchema(phys).metadata)
+      val src =
+        if (provided.contains(f.name.toLowerCase)) col(f.name)
+        else lit(null).cast(f.dataType) // mergeSchema: absent column → NULL
+      src.as(phys, physSchema(phys).metadata)
     }: _*)
     // diff on-disk inventory so files removed in PAST versions (still on
     // disk) are never re-added
@@ -104,8 +173,57 @@ object TableBuilder {
     val adds = scanDataFiles(spark, tablePath, physSchema, physPartitionCols, version,
       timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
     // extraActions ride the SAME commit — the exactly-once sink's txn
-    // watermark must be atomic with the files it covers
-    GraftLog.commit(tablePath, version, adds ++ extraActions, conf)
+    // watermark must be atomic with the files it covers; a mergeSchema
+    // metadata update likewise commits atomically with its data
+    GraftLog.commit(tablePath, version,
+      metaAction.toSeq ++ adds ++ extraActions, conf)
+    version
+  }
+
+  /** ALTER TABLE ADD COLUMNS: extend the table schema with new nullable
+    * columns in a metadata-only commit (no data IO; existing files read
+    * the new columns as NULL). Column-mapped tables assign fresh physical
+    * names/ids via the same machinery [[append]]'s mergeSchema uses.
+    */
+  def addColumns(
+      spark: SparkSession,
+      tablePath: String,
+      columns: Seq[(String, org.apache.spark.sql.types.DataType)],
+      timestamp: Long = 0L): Long = {
+    require(columns.nonEmpty, "addColumns: no columns given")
+    val conf = spark.sessionState.newHadoopConf()
+    val logR = new GraftLog(tablePath, conf)
+    val prev = logR.snapshot(None)
+    val existing = prev.schema.fieldNames.map(_.toLowerCase).toSet
+    columns.foreach { case (n, _) =>
+      require(!existing.contains(n.toLowerCase),
+        s"addColumns: column $n already exists on $tablePath")
+    }
+    val version = logR.latestVersion() + 1
+    import graft.model.ColumnMapping
+    val fresh = columns.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t, nullable = true)
+    }
+    val annotated =
+      if (!ColumnMapping.isEnabled(prev.metadata)) fresh
+      else {
+        val maxId = prev.schema.fields.map(f =>
+          if (f.metadata.contains(ColumnMapping.COLUMN_ID_KEY))
+            f.metadata.getLong(ColumnMapping.COLUMN_ID_KEY)
+          else 0L).foldLeft(0L)(math.max)
+        fresh.zipWithIndex.map { case (f, i) =>
+          val phys = "col-" +
+            java.util.UUID.nameUUIDFromBytes(f.name.getBytes("UTF-8"))
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(ColumnMapping.PHYSICAL_NAME_KEY, phys)
+            .putLong(ColumnMapping.COLUMN_ID_KEY, maxId + i + 1)
+            .build())
+        }
+      }
+    val merged = StructType(prev.schema.fields ++ annotated)
+    GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
+      schemaString = merged.json, version = version)), conf)
     version
   }
 

@@ -103,7 +103,8 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         if (!applied) graft.log.TableBuilder.append(spark, data, path,
           timestamp = parameters.get("timestamp").map(_.toLong).getOrElse(0L),
           extraActions = txn.map { case (app, v) =>
-            graft.model.Txn(app, v) }.toSeq)
+            graft.model.Txn(app, v) }.toSeq,
+          mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
       case SaveMode.Overwrite if exists =>
         // a fresh version-0 table: wipe so stale data files of the old
         // incarnation can never be rescanned

@@ -79,6 +79,9 @@ object GraftSqlParser {
   private val DropConstraint =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + TableRef +
       """\s+DROP\s+CONSTRAINT\s+(\w+)\s*""").r
+  private val AddColumns =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TableRef +
+      """\s+ADD\s+COLUMNS?\s*\(\s*([^)]+?)\s*\)\s*""").r
 
   private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
     case OptimizeZorder(path, name, cols) =>
@@ -101,6 +104,13 @@ object GraftSqlParser {
       Some(ConstraintCommand(ref(path, name), cName, Some(cSql.trim)))
     case DropConstraint(path, name, cName) =>
       Some(ConstraintCommand(ref(path, name), cName, None))
+    case AddColumns(path, name, cols) =>
+      Some(AddColumnsCommand(ref(path, name),
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+          val i = c.indexOf(' ')
+          require(i > 0, s"ADD COLUMNS: expected '<name> <type>', got '$c'")
+          (stripTicks(c.substring(0, i)), c.substring(i + 1).trim)
+        }))
     case _ => None
   }
 
@@ -183,6 +193,18 @@ case class CloneCommand(
       spark.sessionState.newHadoopConf()).snapshot(None).files.size
     Seq(Row(targetPath, n.toLong))
   }
+}
+
+case class AddColumnsCommand(tablePath: String, columns: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(
+    graft.log.TableBuilder.addColumns(spark, tablePath,
+      columns.map { case (n, t) =>
+        (n, org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t))
+      },
+      System.currentTimeMillis())))
 }
 
 /** ADD (constraintSql = Some) or DROP (None) a CHECK constraint. */

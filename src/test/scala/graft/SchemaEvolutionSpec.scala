@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log._
+
+/** Schema evolution: mergeSchema appends, metadata-only ADD COLUMNS, the
+  * column-mapped variant (fresh physical names/ids), and the invariants —
+  * plain appends still refuse drift, type changes always refuse, old
+  * files serve NULL for later columns, time travel sees the old schema.
+  */
+class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  val root = "/root/repo/target/test_schema_evo"
+
+  private def conf = spark.sessionState.newHadoopConf()
+  private def readTable(p: String) =
+    spark.read.format("graft").option("path", p).load()
+  private def fresh(sub: String): String = {
+    val p = s"$root/$sub"
+    val dir = new java.io.File(p)
+    if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    GraftLog.invalidateListing(p)
+    p
+  }
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = new java.io.File(root)
+    if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("mergeSchema append extends the schema; old files read NULL") {
+    import spark.implicits._
+    val p = fresh("merge")
+    TableBuilder.create(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), p)
+    // plain append with a new column refuses (no silent column drop)
+    val e = intercept[IllegalArgumentException] {
+      TableBuilder.append(spark,
+        Seq((3L, "c", 1.5)).toDF("id", "v", "score"), p)
+    }
+    assert(e.getMessage.contains("mergeSchema"))
+    TableBuilder.append(spark,
+      Seq((3L, "c", 1.5)).toDF("id", "v", "score"), p,
+      timestamp = 1000L, mergeSchema = true)
+    GraftLog.invalidateListing(p)
+    val got = readTable(p)
+    assert(got.columns.toSeq === Seq("id", "v", "score"))
+    assert(got.filter(col("score").isNull).select("id").as[Long].collect().sorted
+      === Array(1L, 2L))
+    assert(got.filter(col("id") === 3L).select("score").as[Double].head() === 1.5)
+    // time travel to v0 still shows the ORIGINAL two-column schema
+    val v0 = spark.read.format("graft").option("path", p)
+      .option("versionAsOf", "0").load()
+    assert(v0.columns.toSeq === Seq("id", "v"))
+    // a later batch missing `v` back-fills NULL
+    TableBuilder.append(spark,
+      Seq((4L, 2.5)).toDF("id", "score"), p, timestamp = 2000L, mergeSchema = true)
+    GraftLog.invalidateListing(p)
+    assert(readTable(p).filter(col("id") === 4L)
+      .select(col("v").isNull, col("score")).head() ===
+      org.apache.spark.sql.Row(true, 2.5))
+    // type change always refuses, also under mergeSchema
+    intercept[IllegalArgumentException] {
+      TableBuilder.append(spark,
+        Seq(("5", "e")).toDF("id", "v"), p, mergeSchema = true)
+    }
+  }
+
+  test("ALTER TABLE ADD COLUMNS is metadata-only; values arrive later") {
+    import spark.implicits._
+    val p = fresh("addcols")
+    TableBuilder.create(spark,
+      Seq((1L, "a")).toDF("id", "v").repartition(1), p)
+    val out = spark.sql(
+      s"ALTER TABLE '$p' ADD COLUMNS (score double, tag string)").collect()
+    assert(out.head.getLong(0) === 1L)
+    GraftLog.invalidateListing(p)
+    val got = readTable(p)
+    assert(got.columns.toSeq === Seq("id", "v", "score", "tag"))
+    assert(got.select("score", "tag").head() === org.apache.spark.sql.Row(null, null))
+    // duplicate add refuses
+    intercept[IllegalArgumentException] {
+      TableBuilder.addColumns(spark, p, Seq(("score", DoubleType)))
+    }
+    TableBuilder.append(spark,
+      Seq((2L, "b", 3.5, "t")).toDF("id", "v", "score", "tag"), p, timestamp = 1000L)
+    GraftLog.invalidateListing(p)
+    assert(readTable(p).filter(col("id") === 2L).select("score").as[Double].head() === 3.5)
+  }
+
+  test("schema evolution on a column-mapped table assigns fresh physical ids") {
+    import spark.implicits._
+    val p = fresh("cm")
+    TableBuilder.createColumnMapped(spark,
+      Seq((1L, "a")).toDF("id", "v").repartition(1), p)
+    TableBuilder.append(spark,
+      Seq((2L, "b", 9.0)).toDF("id", "v", "score"), p,
+      timestamp = 1000L, mergeSchema = true)
+    GraftLog.invalidateListing(p)
+    val snap = new GraftLog(p, conf).snapshot(None)
+    val scoreF = snap.schema("score")
+    assert(scoreF.metadata.getString(graft.model.ColumnMapping.PHYSICAL_NAME_KEY)
+      .startsWith("col-"))
+    assert(scoreF.metadata.getLong(graft.model.ColumnMapping.COLUMN_ID_KEY) === 3L)
+    val got = readTable(p)
+    assert(got.columns.toSeq === Seq("id", "v", "score"))
+    assert(got.orderBy("id").select("score").collect().map(_.isNullAt(0)).toSeq ===
+      Seq(true, false))
+  }
+
+  test("evolved schemas stay read-compatible for already-analyzed readers") {
+    import spark.implicits._
+    val p = fresh("compat")
+    TableBuilder.create(spark,
+      Seq((1L, "a")).toDF("id", "v").repartition(1), p)
+    val analyzed = new GraftLog(p, conf).snapshot(None).schema
+    TableBuilder.addColumns(spark, p, Seq(("score", DoubleType)), timestamp = 1000L)
+    val newer = new GraftLog(p, conf).snapshot(None).schema
+    // added columns are fine for pinned readers (T7 guard passes)
+    assert(graft.model.SchemaCompat.isReadCompatible(analyzed, newer))
+  }
+}
