@@ -1474,6 +1474,19 @@ object SparkEntry {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_cust"),
           sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+    }),
+
+    // Beyond-reference: DSIR-style importance scoring (Xie et al. 2023) —
+    // every doc scored by the mean token log-likelihood ratio under
+    // hashed unigram models of the TARGET set (lang='en') vs the whole
+    // corpus; top-50 "most target-like" docs. The portable md5 bucket
+    // hash lets DuckDB replay the models and scores exactly.
+    "q100_importance_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Sampling.importanceScore(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+        buckets = 1024, k = 50)
+        .select(col("id").as("doc_id"), col("score"))
     })
   )
 
@@ -2499,7 +2512,33 @@ object SparkEntry {
     "q99_check_constraints" ->
       """SELECT c_nationkey, count(*) AS n_cust,
          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
-         FROM customer GROUP BY 1"""
+         FROM customer GROUP BY 1""",
+    // replay of the hashed-unigram importance models: same md5 buckets,
+    // same add-one smoothing, same (rounded score, id) selection order
+    "q100_importance_resample" ->
+      """WITH b AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS b
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)),
+         tt AS (SELECT b.b, count(*) AS t FROM b
+                JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
+         cc AS (SELECT b, count(*) AS c FROM b GROUP BY 1),
+         tot AS (SELECT
+             (SELECT count(*) FROM b JOIN documents d USING (doc_id)
+              WHERE d.lang = 'en') AS ttot,
+             (SELECT count(*) FROM b) AS ctot),
+         dom AS (SELECT range AS b FROM range(1024)),
+         lr AS (SELECT dom.b,
+             ln((COALESCE(tt.t, 0) + 1.0) / (tot.ttot + 1024)) -
+             ln((COALESCE(cc.c, 0) + 1.0) / (tot.ctot + 1024)) AS lr
+           FROM dom CROSS JOIN tot
+           LEFT JOIN tt ON dom.b = tt.b
+           LEFT JOIN cc ON dom.b = cc.b)
+         SELECT doc_id, score FROM (
+           SELECT b.doc_id, round(avg(lr.lr), 3) AS score
+           FROM b JOIN lr ON b.b = lr.b GROUP BY 1)
+         ORDER BY score DESC, doc_id LIMIT 50"""
   )
 
   /** Expected per-change-type counts of the orders_cdf fixture history

@@ -88,6 +88,62 @@ object Sampling {
         row_number().over(Window.partitionBy(stratum).orderBy(col("__race"))))
       .filter(col("__rk") <= k)
       .drop("__race", "__rk")
+
+  /** DSIR-style importance scoring for target-domain data selection (Xie
+    * et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023): score every corpus document by the mean
+    * log-likelihood ratio of its tokens under hashed unigram models of a
+    * TARGET set vs the corpus —
+    * `avg_tok ln( p_target(bucket(tok)) / p_corpus(bucket(tok)) )` with
+    * add-one smoothing over `buckets` hash buckets. High scores = "looks
+    * like the target domain"; selection is the top-`k` by
+    * (rounded score desc, id) — rounding before ordering makes the cut
+    * engine-reproducible despite float summation order.
+    *
+    * The bucket hash is PORTABLE (first 8 md5 hex chars mod `buckets`),
+    * so any engine replays the exact scores — the same md5 trick the
+    * sketch oracles use.
+    *
+    * Shape at 100 TB: both unigram models are `buckets`-sized aggregates
+    * (map-side combinable counts, broadcast back as bucket→logratio
+    * maps); scoring is explode → broadcast-hash join → per-doc avg (one
+    * shuffle on doc id); the top-k is Spark's distributed TakeOrdered.
+    * The target set is eval-suite/domain-sized — its scan is the cheap
+    * side.
+    */
+  def importanceScore(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 1024,
+      k: Int = 50): DataFrame = {
+    require(buckets > 0 && k > 0, s"buckets=$buckets k=$k")
+    def toks(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(split(col(textCol), " ")).as("__tok"): _*)
+        .withColumn("__b",
+          conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long") % buckets)
+    val corpusToks = toks(corpus, col(idCol).as("id"))
+    // corpus bucket counts feed BOTH the denominator model and the doc
+    // scores; both are tiny aggregates — recompute beats a persist here
+    // for the same exchange-reuse reason the dedup cascade documents
+    val cCnt = corpusToks.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val tCnt = toks(target).groupBy(col("__b")).agg(count(lit(1)).as("__t"))
+    val cTot = corpusToks.count()
+    val tTot = target.select(explode(split(col(textCol), " "))).count()
+    // full bucket domain so buckets absent from either side still smooth
+    val domain = corpus.sparkSession.range(buckets).select(col("id").as("__b"))
+    val logratio = domain
+      .join(tCnt, Seq("__b"), "left").join(cCnt, Seq("__b"), "left")
+      .select(col("__b"),
+        (log((coalesce(col("__t"), lit(0L)) + 1.0) / (tTot + buckets)) -
+          log((coalesce(col("__c"), lit(0L)) + 1.0) / (cTot + buckets))).as("__lr"))
+    corpusToks.join(broadcast(logratio), "__b")
+      .groupBy(col("id"))
+      .agg(round(avg(col("__lr")), 3).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
 }
 
 /** Greedy token-budget shard packing: within each stratum (ordered

@@ -860,4 +860,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(String, Long)].collect().toMap
     assert(totals === Map("s1" -> 19L, "s2" -> 8L))
   }
+
+  test("importance scoring ranks target-domain docs on top") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = docs.filter(col("lang") === "en")
+    val top = Sampling.importanceScore(docs, target, "doc_id", "text", k = 30)
+      .collect()
+    assert(top.length === 30)
+    // deterministic across runs
+    val again = Sampling.importanceScore(docs, target, "doc_id", "text", k = 30)
+      .collect()
+    assert(top.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+    // docs scored by en-likeness must be ENRICHED in the target language
+    // vs the corpus base rate (the synthetic corpus shares much vocabulary
+    // across langs, so perfect separation is not expected)
+    val topIds = top.map(_.getLong(0)).toSet
+    val enShare = docs.filter(col("doc_id").isin(topIds.toSeq: _*))
+      .filter(col("lang") === "en").count().toDouble / topIds.size
+    val baseRate = target.count().toDouble / docs.count()
+    assert(enShare > baseRate,
+      s"top-30 en share ${enShare} does not beat base rate ${baseRate}")
+  }
 }
