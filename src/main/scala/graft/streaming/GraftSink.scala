@@ -83,6 +83,9 @@ class GraftSink(
       if (watermark.exists(_ >= batchId)) return // replayed epoch: no-op
     }
     TableBuilder.append(classicSpark, batchDf, path,
-      extraActions = Seq(Txn(appId, batchId)))
+      extraActions = Seq(Txn(appId, batchId)),
+      // Delta's streaming schema evolution: with mergeSchema, a source
+      // that grew a column extends the sink table instead of failing
+      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
   }
 }
