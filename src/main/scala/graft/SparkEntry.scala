@@ -352,11 +352,12 @@ object SparkEntry {
 
     // Beyond-reference: the PROBABILISTIC generator on its own —
     // MinHash-LSH band candidates verified with exact Jaccard. Output is
-    // a subset of q27 with band-curve recall; no SQL oracle can replay
-    // the banding, so the driver records the rows-only check and the
-    // subset/recall properties are asserted in OpsSpec.
+    // a subset of q27 with band-curve recall. The PORTABLE md5 hash
+    // family makes the banding engine-independent, so the DuckDB oracle
+    // replays candidate generation bit-for-bit and the full hash check
+    // applies (the xxhash64 family stays spec-tested in OpsSpec).
     "q93_minhash_lsh_near_dup" -> ((s, dir) => {
-      graft.ops.Dedup.nearDuplicatesLsh(
+      graft.ops.Dedup.nearDuplicatesLshPortable(
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
@@ -1676,6 +1677,37 @@ object SparkEntry {
            round(len(list_intersect(a.fset, b.fset))::DOUBLE /
                  len(list_distinct(a.fset || b.fset))::DOUBLE, 4) AS jaccard
          FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.fset, b.fset))::DOUBLE /
+               len(list_distinct(a.fset || b.fset))::DOUBLE >= 0.7""",
+    "q93_minhash_lsh_near_dup" ->
+      """WITH sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                                         CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM documents),
+         sh AS (SELECT doc_id, unnest(fset) AS sh FROM sets),
+         hs AS (
+           SELECT doc_id, j,
+             min(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || sh), 1, 15))::BIGINT) AS h
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS j) js
+           GROUP BY doc_id, j),
+         bands AS (
+           SELECT doc_id, CAST(j // 4 AS INT) AS band,
+             string_agg(CAST(h AS VARCHAR), ',' ORDER BY j) AS bh
+           FROM hs GROUP BY doc_id, CAST(j // 4 AS INT)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         SELECT c.id_a, c.id_b,
+           round(len(list_intersect(a.fset, b.fset))::DOUBLE /
+                 len(list_distinct(a.fset || b.fset))::DOUBLE, 4) AS jaccard
+         FROM cand c
+         JOIN sets a ON a.doc_id = c.id_a
+         JOIN sets b ON b.doc_id = c.id_b
          WHERE len(list_intersect(a.fset, b.fset))::DOUBLE /
                len(list_distinct(a.fset || b.fset))::DOUBLE >= 0.7""",
     "q94_incremental_dedup" ->

@@ -164,6 +164,21 @@ case class Txn(
     version: Long = 0L)
     extends Action
 
+/** Named metadata domain (delta PROTOCOL "Domain Metadata"): an
+  * arbitrary `configuration` string owned by `domain`, replayed
+  * last-writer-wins per domain; `removed = true` tombstones the domain.
+  * System domains (prefix `delta.`) carry protocol state — e.g.
+  * `delta.rowTracking` holds the row-id high watermark and
+  * `delta.clustering` the clustering columns — so snapshots must
+  * preserve them across checkpoints exactly like metaData/protocol.
+  */
+case class DomainMetadata(
+    domain: String,
+    configuration: String = "",
+    removed: Boolean = false,
+    version: Long = 0L)
+    extends Action
+
 /** One NDJSON line: exactly one field set (reference `model.scala:44-54`). */
 case class SingleAction(
     add: AddFile = null,
@@ -171,7 +186,8 @@ case class SingleAction(
     cdc: AddCDCFile = null,
     metaData: Metadata = null,
     protocol: Protocol = null,
-    txn: Txn = null) {
+    txn: Txn = null,
+    domainMetadata: DomainMetadata = null) {
   def unwrap: Action =
     if (add != null) add
     else if (remove != null) remove
@@ -179,16 +195,18 @@ case class SingleAction(
     else if (metaData != null) metaData
     else if (protocol != null) protocol
     else if (txn != null) txn
+    else if (domainMetadata != null) domainMetadata
     else null
 }
 
 object SingleAction {
   def wrap(a: Action): SingleAction = a match {
-    case x: AddFile    => SingleAction(add = x)
-    case x: RemoveFile => SingleAction(remove = x)
-    case x: AddCDCFile => SingleAction(cdc = x)
-    case x: Metadata   => SingleAction(metaData = x)
-    case x: Protocol   => SingleAction(protocol = x)
-    case x: Txn        => SingleAction(txn = x)
+    case x: AddFile        => SingleAction(add = x)
+    case x: RemoveFile     => SingleAction(remove = x)
+    case x: AddCDCFile     => SingleAction(cdc = x)
+    case x: Metadata       => SingleAction(metaData = x)
+    case x: Protocol       => SingleAction(protocol = x)
+    case x: Txn            => SingleAction(txn = x)
+    case x: DomainMetadata => SingleAction(domainMetadata = x)
   }
 }

@@ -363,6 +363,52 @@ object Dedup {
       exploded, dict, threshold)
   }
 
+  /** Cross-engine-reproducible seeded hash for MinHash: the first 15 hex
+    * chars of md5("&lt;seed&gt;|" + feature) parsed base-16 — 60 uniform
+    * digest bits, always non-negative, recomputable in any engine with
+    * `md5` (the DuckDB oracle replays the exact banding). [[seededHash]]
+    * (xxhash64) remains the fast engine-private family for production.
+    */
+  private def portableSeededHash(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed + "|"), c)), 1, 15), 16, 10).cast("long")
+
+  /** [[nearDuplicatesLsh]] with the portable md5 hash family and decimal
+    * string band keys, so an EXTERNAL engine can replay candidate
+    * generation bit-for-bit (this is the oracle-checked driver query).
+    * Same scale shape — banded equi-join candidates, exact coded-Jaccard
+    * verify; recall follows the same 1-(1-J^r)^b curve (a different hash
+    * family draws a possibly different miss set than xxhash64).
+    */
+  def nearDuplicatesLshPortable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("fset"))
+    val shingled = sets.select(col("id"), explode(col("fset")).as("__sh"))
+    val aggs = (0 until numHashes)
+      .map(j => min(portableSeededHash(col("__sh"), j)).as(s"h$j"))
+    val sigs = shingled.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (b * rows until (b + 1) * rows)
+          .map(j => col(s"h$j").cast("string")): _*).as("bh"))
+    }
+    val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bucket"))
+    val a = buckets.select(col("id").as("id_a"), col("bucket"))
+    val b = buckets.select(col("id").as("id_b"), col("bucket"))
+    val cands = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val (exploded, dict) = featureTables(sets)
+    codedVerify(cands, exploded, dict, threshold)
+  }
+
   /** LSH band candidates from an exploded (id, __f) feature table. */
   private def minHashCandidatesFromFeatures(
       exploded: DataFrame, numHashes: Int, bands: Int): DataFrame = {
