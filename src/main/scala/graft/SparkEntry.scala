@@ -1477,6 +1477,34 @@ object SparkEntry {
           sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
     }),
 
+    // Beyond-reference writer: ROW TRACKING (delta "Row Tracking") —
+    // durable per-row ids. Scratch table from orders sorted into ONE
+    // file so the fresh id equals the sort position; a DV delete drops
+    // rows WITHOUT disturbing ids (no rewrite); OPTIMIZE then rewrites
+    // the file but MATERIALIZES the stable ids into hidden columns. The
+    // oracle replays the id assignment as row_number over create order —
+    // any id drift across the DV delete or the compaction flips the hash.
+    "q101_row_tracking" -> ((s, dir) => {
+      val path = s"${graft.log.SharedFixtures.shareRoot(dir)}/scratch_rowtrack"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.log.GraftLog.invalidateListing(path)
+      val src = t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+      graft.log.TableBuilder.create(s, src.coalesce(1), path,
+        name = "scratch_rowtrack",
+        configuration = Map(graft.log.RowTracking.ENABLED_KEY -> "true"))
+      graft.log.TableBuilder.deleteWhereDV(s, path, col("o_orderkey") % 7 === 0)
+      graft.log.TableBuilder.compact(s, path)
+      graft.log.GraftLog.invalidateListing(path)
+      graft.log.RowTracking.withRowIds(s, path)
+        .select(col("o_orderkey"), col("_row_id"),
+          col("_row_commit_version"))
+    }),
+
     // Beyond-reference: DSIR-style importance scoring (Xie et al. 2023) —
     // every doc scored by the mean token log-likelihood ratio under
     // hashed unigram models of the TARGET set (lang='en') vs the whole
@@ -2545,6 +2573,16 @@ object SparkEntry {
       """SELECT c_nationkey, count(*) AS n_cust,
          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
          FROM customer GROUP BY 1""",
+    // row ids were assigned in o_orderkey order at create (v0); the DV
+    // delete and the compaction must both leave them untouched
+    "q101_row_tracking" ->
+      """WITH src AS (
+           SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+           FROM orders WHERE o_orderkey <= 2000)
+         SELECT o_orderkey, rid AS _row_id,
+           CAST(0 AS BIGINT) AS _row_commit_version
+         FROM src WHERE o_orderkey % 7 <> 0""",
     // replay of the hashed-unigram importance models: same md5 buckets,
     // same add-one smoothing, same (rounded score, id) selection order
     "q100_importance_resample" ->

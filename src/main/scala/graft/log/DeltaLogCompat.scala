@@ -80,7 +80,10 @@ object DeltaLogCompat {
         version = version,
         timestamp = timestamp,
         deletionVector = Option(a.get("deletionVector")).filter(!_.isNull)
-          .map(dvFrom)))
+          .map(dvFrom),
+        baseRowId = Option(a.get("baseRowId")).filter(!_.isNull).map(_.asLong()),
+        defaultRowCommitVersion = Option(a.get("defaultRowCommitVersion"))
+          .filter(!_.isNull).map(_.asLong())))
     } else if (root.has("remove")) {
       val r = root.get("remove")
       Some(RemoveFile(
@@ -124,7 +127,14 @@ object DeltaLogCompat {
         txnVersion = longAt(t, "version"), // delta spells the watermark `version`
         lastUpdated = longAt(t, "lastUpdated"),
         version = version))
-    } else None // commitInfo / domainMetadata / checkpointMetadata
+    } else if (root.has("domainMetadata")) {
+      val d = root.get("domainMetadata")
+      Some(DomainMetadata(
+        domain = textAt(d, "domain"),
+        configuration = textAt(d, "configuration"),
+        removed = Option(d.get("removed")).exists(_.asBoolean(false)),
+        version = version))
+    } else None // commitInfo / checkpointMetadata
   }
 
   /** `commitInfo.inCommitTimestamp` (ICT tables) else `commitInfo.timestamp`,
@@ -244,6 +254,12 @@ object DeltaLogCompat {
         n.put("version", t.txnVersion)
         n.put("lastUpdated", t.lastUpdated)
         wrap("txn", n)
+      case d: DomainMetadata =>
+        val n = JsonUtils.mapper.createObjectNode()
+        n.put("domain", d.domain)
+        n.put("configuration", d.configuration)
+        n.put("removed", d.removed)
+        wrap("domainMetadata", n)
     }
 
   private def wrap(kind: String, n: ObjectNode): String = {
@@ -334,6 +350,8 @@ object DeltaLogCompat {
     n.put("modificationTime", a.modificationTime)
     n.put("dataChange", a.dataChange)
     a.stats.foreach(st => n.put("stats", statsJson(st)))
+    a.baseRowId.foreach(r => n.put("baseRowId", r))
+    a.defaultRowCommitVersion.foreach(v => n.put("defaultRowCommitVersion", v))
     a.deletionVector.foreach { dv =>
       val d = JsonUtils.mapper.createObjectNode()
       d.put("storageType", dv.storageType)
@@ -410,6 +428,8 @@ object DeltaLogCompat {
         |    optional int64 modificationTime;
         |    optional boolean dataChange;
         |    optional binary stats (UTF8);
+        |    optional int64 baseRowId;
+        |    optional int64 defaultRowCommitVersion;
         |    optional group deletionVector {
         |      optional binary storageType (UTF8);
         |      optional binary pathOrInlineDv (UTF8);
@@ -465,6 +485,11 @@ object DeltaLogCompat {
         |  optional group checkpointMetadata {
         |    optional int64 version;
         |  }
+        |  optional group domainMetadata {
+        |    optional binary domain (UTF8);
+        |    optional binary configuration (UTF8);
+        |    optional boolean removed;
+        |  }
         |}""".stripMargin)
 
   /** Write the classic parquet checkpoint for `version` (protocol +
@@ -493,6 +518,8 @@ object DeltaLogCompat {
       metaGroup(factory, snap.metadata) +:
       (snap.transactions.toSeq.sortBy(_._1)
         .map { case (a, tv) => txnGroup(factory, a, tv) } ++
+        snap.domains.toSeq.sortBy(_._1)
+          .map { case (d, c) => domainGroup(factory, d, c) } ++
         snap.files.map(addGroup(factory, _)))
     val groups: Seq[Seq[Group]] =
       if (parts <= 1) Seq(all)
@@ -580,7 +607,9 @@ object DeltaLogCompat {
     val top: Seq[Group] = protoGroup(factory, protocolNode) +:
       metaGroup(factory, snap.metadata) +: cpMeta +:
       (snap.transactions.toSeq.sortBy(_._1)
-        .map { case (a, tv) => txnGroup(factory, a, tv) } ++ sidecarGroups)
+        .map { case (a, tv) => txnGroup(factory, a, tv) } ++
+        snap.domains.toSeq.sortBy(_._1)
+          .map { case (d, c) => domainGroup(factory, d, c) } ++ sidecarGroups)
     writeParquetAtomic(conf, fs, logDir, new Path(logDir, topName), top)
 
     val marker = JsonUtils.mapper.createObjectNode()
@@ -665,6 +694,8 @@ object DeltaLogCompat {
     ag.add("modificationTime", a.modificationTime)
     ag.add("dataChange", a.dataChange)
     a.stats.foreach(st => ag.add("stats", statsJson(st)))
+    a.baseRowId.foreach(r => ag.add("baseRowId", r))
+    a.defaultRowCommitVersion.foreach(v => ag.add("defaultRowCommitVersion", v))
     a.deletionVector.foreach { dv =>
       val dg = ag.addGroup("deletionVector")
       dg.add("storageType", dv.storageType)
@@ -684,6 +715,17 @@ object DeltaLogCompat {
     tg.add("appId", appId)
     tg.add("version", tv)
     tg.add("lastUpdated", 0L)
+    g
+  }
+
+  private def domainGroup(
+      factory: org.apache.parquet.example.data.simple.SimpleGroupFactory,
+      domain: String, config: String): Group = {
+    val g = factory.newGroup()
+    val dg = g.addGroup("domainMetadata")
+    dg.add("domain", domain)
+    dg.add("configuration", config)
+    dg.add("removed", false)
     g
   }
 
@@ -747,11 +789,13 @@ object DeltaLogCompat {
       conf: Configuration,
       files: Seq[Path],
       version: Long,
-      logDir: Path): (Metadata, Protocol, Vector[AddFile], Map[String, Long]) = {
+      logDir: Path): (Metadata, Protocol, Vector[AddFile], Map[String, Long],
+        Map[String, String]) = {
     var meta: Metadata = null
     var proto: Protocol = Protocol()
     val adds = Vector.newBuilder[AddFile]
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val domains = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val sidecars = Vector.newBuilder[String]
 
     def take(root: JsonNode): Unit = {
@@ -762,6 +806,8 @@ object DeltaLogCompat {
         case m: Metadata => meta = m
         case p: Protocol => proto = p
         case t: Txn      => txns(t.appId) = t.txnVersion
+        case d: DomainMetadata =>
+          if (d.removed) domains.remove(d.domain) else domains(d.domain) = d.configuration
         case _           => () // checkpoint removes are vacuum tombstones
       }
     }
@@ -792,7 +838,7 @@ object DeltaLogCompat {
       readParquet(new Path(new Path(logDir, "_sidecars"), decodePath(rel)))
     }
     require(meta != null, s"checkpoint at version $version has no metaData row")
-    (meta, proto, adds.result(), txns.toMap)
+    (meta, proto, adds.result(), txns.toMap, domains.toMap)
   }
 
   /** Generic parquet Group → Jackson tree. Handles the three shapes Delta

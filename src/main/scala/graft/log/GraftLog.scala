@@ -227,7 +227,10 @@ class GraftLog(val tablePath: String, conf: Configuration) {
     var meta: Metadata = cp.map(_.metadata).orNull
     var proto: Protocol = cp.map(_.protocol).getOrElse(Protocol())
     val txns = mutable.LinkedHashMap.empty[String, Long]
-    cp.foreach { c => c.files.foreach(a => active(a.path) = a); txns ++= c.txns }
+    val domains = mutable.LinkedHashMap.empty[String, String]
+    cp.foreach { c =>
+      c.files.foreach(a => active(a.path) = a); txns ++= c.txns; domains ++= c.domains
+    }
     versions.foreach { v =>
       readVersion(v).foreach {
         case a: AddFile    => active(a.path) = a
@@ -235,6 +238,8 @@ class GraftLog(val tablePath: String, conf: Configuration) {
         case m: Metadata   => meta = m
         case p: Protocol   => proto = p
         case t: Txn        => txns(t.appId) = t.txnVersion // replay order: latest commit wins
+        case d: DomainMetadata => // last writer wins per domain; removed tombstones
+          if (d.removed) domains.remove(d.domain) else domains(d.domain) = d.configuration
         case _: AddCDCFile => // cdc files are not part of the main snapshot
       }
     }
@@ -243,7 +248,7 @@ class GraftLog(val tablePath: String, conf: Configuration) {
     // (typeWidening, variant, …) must fail HERE, loudly, not serve
     // mis-decoded rows (graft-format logs never carry feature gates).
     if (deltaMode) proto.assertReadable(tablePath)
-    Snapshot(target, meta, proto, active.values.toVector, txns.toMap)
+    Snapshot(target, meta, proto, active.values.toVector, txns.toMap, domains.toMap)
   }
 
   // ------------------------------------------------------------ checkpoints
@@ -273,11 +278,14 @@ class GraftLog(val tablePath: String, conf: Configuration) {
               var proto: Protocol = Protocol()
               val files = Vector.newBuilder[AddFile]
               val txns = mutable.LinkedHashMap.empty[String, Long]
+              val doms = mutable.LinkedHashMap.empty[String, String]
               lines.tail.map(JsonUtils.lineToAction).foreach {
                 case a: AddFile  => files += a
                 case m: Metadata => meta = m
                 case p: Protocol => proto = p
                 case t: graft.model.Txn => txns(t.appId) = t.txnVersion
+                case d: DomainMetadata =>
+                  if (d.removed) doms.remove(d.domain) else doms(d.domain) = d.configuration
                 case _           => ()
               }
               require(meta != null, s"checkpoint $p has no metadata")
@@ -300,7 +308,7 @@ class GraftLog(val tablePath: String, conf: Configuration) {
                   (asLong(s(0)), asLong(s(1)))
                 }
                 val st = GraftLog.CheckpointState(header.version,
-                  pre ++ own, meta, proto, files.result(), txns.toMap)
+                  pre ++ own, meta, proto, files.result(), txns.toMap, doms.toMap)
                 GraftLog.checkpointCache.put((tablePath, v), st)
                 st
               }
@@ -350,9 +358,9 @@ class GraftLog(val tablePath: String, conf: Configuration) {
           val files = DeltaLogCompat.discoverCheckpointFiles(fs, logDir, v, parts)
           if (files.isEmpty) None
           else {
-            val (meta, proto, adds, txns) =
+            val (meta, proto, adds, txns, doms) =
               DeltaLogCompat.readCheckpoint(conf, files, v, logDir)
-            val st = GraftLog.CheckpointState(v, Nil, meta, proto, adds, txns)
+            val st = GraftLog.CheckpointState(v, Nil, meta, proto, adds, txns, doms)
             GraftLog.checkpointCache.put((tablePath, v), st)
             Some(st)
           }
@@ -404,7 +412,8 @@ class GraftLog(val tablePath: String, conf: Configuration) {
   * watermark map (latest [[graft.model.Txn]] per appId, replay order).
   */
 case class Snapshot(version: Long, metadata: Metadata, protocol: Protocol,
-    files: Seq[AddFile], transactions: Map[String, Long] = Map.empty) {
+    files: Seq[AddFile], transactions: Map[String, Long] = Map.empty,
+    domains: Map[String, String] = Map.empty) {
   def schema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(metadata.schemaString)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -448,7 +457,8 @@ object GraftLog {
       metadata: Metadata,
       protocol: Protocol,
       files: Seq[AddFile],
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      domains: Map[String, String] = Map.empty)
 
   /** (tablePath, version) → parsed checkpoint; checkpoint files are
     * immutable so entries never invalidate. Bounded: one entry per
@@ -477,6 +487,8 @@ object GraftLog {
         JsonUtils.actionToLine(snap.metadata) +:
         (snap.transactions.toSeq.sortBy(_._1).map { case (app, tv) =>
           JsonUtils.actionToLine(graft.model.Txn(app, tv))
+        } ++ snap.domains.toSeq.sortBy(_._1).map { case (d, c) =>
+          JsonUtils.actionToLine(graft.model.DomainMetadata(d, c))
         } ++ snap.files.map(JsonUtils.actionToLine)))
     val logDir = new Path(tablePath, LOG_DIR)
     val fs = logDir.getFileSystem(conf)
@@ -571,11 +583,15 @@ object GraftLog {
             cfg.get(s"delta.$k").contains("true")
           val dv = snap.protocol.minReaderVersion >= 3
           val ict = flag("enableInCommitTimestamps")
+          val rt = flag("enableRowTracking")
+          val domains = rt || snap.domains.nonEmpty
           DeltaLogCompat.writeCheckpoint(conf, tablePath, version,
             DeltaLogCompat.protocolNodeFor(
               dv, graft.model.ColumnMapping.isEnabled(snap.metadata),
               (if (ict) Set("inCommitTimestamp") else Set.empty[String]) ++
-                (if ((ict || dv) && flag("enableChangeDataFeed"))
+                (if (rt) Set("rowTracking") else Set.empty[String]) ++
+                (if (domains) Set("domainMetadata") else Set.empty[String]) ++
+                (if ((ict || dv || domains) && flag("enableChangeDataFeed"))
                   Set("changeDataFeed") else Set.empty[String])))
         } else writeCheckpoint(tablePath, version, conf)
       } catch { case scala.util.control.NonFatal(e) =>
@@ -631,18 +647,26 @@ object GraftLog {
     val usesIct = flag("enableInCommitTimestamps")
     val usesCm = commitMeta.map(graft.model.ColumnMapping.isEnabled).getOrElse(prevCm)
     val usesDv = commitHasDv || prevMinReader >= 3
+    // row tracking / domain metadata are writer features that force the
+    // feature-gated protocol (rowTracking REQUIRES domainMetadata — the
+    // high watermark lives in a metadata domain)
+    val usesRowTracking = flag("enableRowTracking")
+    val hasDomainActions = usesRowTracking ||
+      actions.exists(_.isInstanceOf[graft.model.DomainMetadata])
     // writer-only table features: ICT, plus — once the protocol is
     // feature-gated and legacy minWriterVersion implications stop
     // applying — an explicit entry for EVERY active legacy-implied
     // feature (CDF, CHECK constraints; the spec requires v7 protocols to
     // list all active writer features, while legacy minWriterVersion 4/5
     // implies them)
+    val gated = usesIct || usesDv || hasDomainActions
     val writerExtras =
       (if (usesIct) Set("inCommitTimestamp") else Set.empty[String]) ++
-        (if ((usesIct || usesDv) && flag("enableChangeDataFeed"))
+        (if (usesRowTracking) Set("rowTracking") else Set.empty[String]) ++
+        (if (hasDomainActions) Set("domainMetadata") else Set.empty[String]) ++
+        (if (gated && flag("enableChangeDataFeed"))
           Set("changeDataFeed") else Set.empty[String]) ++
-        (if ((usesIct || usesDv) &&
-            config.keys.exists(_.startsWith(Constraints.PREFIX)))
+        (if (gated && config.keys.exists(_.startsWith(Constraints.PREFIX)))
           Set("checkConstraints") else Set.empty[String])
     val protoNode = DeltaLogCompat.protocolNodeFor(usesDv, usesCm, writerExtras)
     val needUpgrade = version > 0 &&

@@ -201,7 +201,10 @@ object Merge {
 
       val removes = prev.files.filter(f => affectedRel.contains(f.path)).map(f =>
         RemoveFile(f.path, f.partitionValues, f.size, dataChange = true, version, timestamp))
-      GraftLog.commit(tablePath, version, removes ++ adds ++ cdcFiles, conf)
+      // merge rewrites are data-changing: new files get FRESH row ids
+      val (stamped, domActs) =
+        RowTracking.stamp(prev.metadata, prev.domains, version, adds)
+      GraftLog.commit(tablePath, version, removes ++ stamped ++ cdcFiles ++ domActs, conf)
 
       val counts = spark.read.parquet(cdcDir).groupBy(ct).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

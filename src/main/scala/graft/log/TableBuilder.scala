@@ -41,9 +41,16 @@ object TableBuilder {
       name: String = "",
       numFiles: Int = 0,
       configuration: Map[String, String] = Map.empty,
-      deltaFormat: Boolean = false): Unit = {
+      deltaFormat: Boolean = false,
+      clusterBy: Seq[String] = Nil): Unit = {
+    // row-tracked tables additionally need deterministic names for the
+    // materialized stable-id columns; explicit user values win
+    val config =
+      if (configuration.get(RowTracking.ENABLED_KEY).contains("true"))
+        RowTracking.tableProperties(tablePath) ++ configuration
+      else configuration
     val checked = Constraints.enforce(df,
-      graft.model.Metadata(id = "", configuration = configuration),
+      graft.model.Metadata(id = "", configuration = config),
       s"create of $tablePath")
     val out = if (numFiles > 0) checked.repartition(numFiles) else checked
     out.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tablePath)
@@ -54,10 +61,23 @@ object TableBuilder {
       name = name,
       schemaString = df.schema.json,
       partitionColumns = partitionCols,
-      configuration = configuration,
+      configuration = config,
       version = 0L)
     val adds = scanDataFiles(spark, tablePath, df.schema, partitionCols, version = 0L)
-    GraftLog.commit(tablePath, 0L, Seq(Protocol(), meta) ++ adds,
+    val (stamped, domActs) = RowTracking.stamp(meta, Map.empty, 0L, adds)
+    // a clustered table declares its layout columns in the
+    // delta.clustering domain; OPTIMIZE reclusters along them
+    val clusterActs =
+      if (clusterBy.isEmpty) Nil
+      else {
+        clusterBy.foreach(c => require(df.schema.fieldNames.contains(c),
+          s"clusterBy column $c not in schema"))
+        require(partitionCols.isEmpty,
+          "clustered tables are unpartitioned (like zorder)")
+        Seq(Clustering.domainFor(clusterBy))
+      }
+    GraftLog.commit(tablePath, 0L,
+      Seq(Protocol(), meta) ++ stamped ++ domActs ++ clusterActs,
       spark.sessionState.newHadoopConf(), deltaFormat = deltaFormat)
   }
 
@@ -172,11 +192,13 @@ object TableBuilder {
     out.write.mode("append").partitionBy(physPartitionCols: _*).parquet(tablePath)
     val adds = scanDataFiles(spark, tablePath, physSchema, physPartitionCols, version,
       timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
+    val (stamped, domActs) =
+      RowTracking.stamp(metadataNow, prev.domains, version, adds)
     // extraActions ride the SAME commit — the exactly-once sink's txn
     // watermark must be atomic with the files it covers; a mergeSchema
     // metadata update likewise commits atomically with its data
     GraftLog.commit(tablePath, version,
-      metaAction.toSeq ++ adds ++ extraActions, conf)
+      metaAction.toSeq ++ stamped ++ extraActions ++ domActs, conf)
     version
   }
 
@@ -503,8 +525,15 @@ object TableBuilder {
     if (bins.isEmpty) return logR.latestVersion() // nothing to do: no commit
 
     val version = logR.latestVersion() + 1
-    val dataSchema = StructType(
+    val tracked = RowTracking.enabled(prev.metadata)
+    val dataSchema0 = StructType(
       physSchema.fields.filterNot(f => physPartitionCols.contains(f.name)))
+    // layout-only rewrite of a row-tracked table: read (or fall back to
+    // fresh-derive) the stable id/commit-version and MATERIALIZE them
+    // into the rewritten files, so `dataChange = false` keeps its promise
+    val dataSchema =
+      if (tracked) RowTracking.rewriteReadSchema(prev.metadata, dataSchema0)
+      else dataSchema0
     val before = collectParquet(fs, fs.makeQualified(root)).map(_.getPath.toUri).toSet
     bins.foreach { bin =>
       val raw = spark.read.schema(dataSchema).parquet(bin.map(f => abs(f.path)): _*)
@@ -518,7 +547,11 @@ object TableBuilder {
             .map(_ -> bytes)
         }
       }.toMap
-      val df = graft.sources.DvFilters.filterDeleted(raw, dvByPath)
+      val live = graft.sources.DvFilters.filterDeleted(raw, dvByPath)
+      val df =
+        if (tracked)
+          RowTracking.materializeForRewrite(spark, tablePath, prev.metadata, bin, live)
+        else live
       // data files don't store partition columns; re-attach them from the
       // bin's partition values ("" ⇒ null per the partition-codec rule) so
       // partitionBy routes the rewrite into the same directory. Values
@@ -536,9 +569,10 @@ object TableBuilder {
     val adds = scanDataFiles(spark, tablePath, physSchema, physPartitionCols, version,
       timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
       .map(_.copy(dataChange = false))
+    val (stamped, domActs) = RowTracking.stamp(prev.metadata, prev.domains, version, adds)
     val removes = bins.flatten.map(f =>
       RemoveFile(f.path, f.partitionValues, f.size, dataChange = false, version, timestamp))
-    GraftLog.commit(tablePath, version, adds ++ removes, conf)
+    GraftLog.commit(tablePath, version, stamped ++ removes ++ domActs, conf)
     version
   }
 
@@ -570,7 +604,8 @@ object TableBuilder {
       cols: Seq[String],
       numFiles: Int = 0,
       bins: Int = 256,
-      timestamp: Long = 0L): Long = {
+      timestamp: Long = 0L,
+      curve: String = "morton"): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val logR = new GraftLog(tablePath, conf)
     val prev = logR.snapshot(None)
@@ -606,10 +641,20 @@ object TableBuilder {
           .map(_ -> bytes)
       }
     }.toMap
-    val active = graft.sources.DvFilters.filterDeleted(
-      spark.read.schema(physSchema)
+    val tracked = RowTracking.enabled(prev.metadata)
+    val readSchema =
+      if (tracked) RowTracking.rewriteReadSchema(prev.metadata, physSchema)
+      else physSchema
+    val live = graft.sources.DvFilters.filterDeleted(
+      spark.read.schema(readSchema)
         .parquet(prev.files.map(f => abs(f.path)): _*),
       dvByPath)
+    // layout-only rewrite: carry the stable id/commit-version through the
+    // clustering as materialized columns (same contract as compact)
+    val active =
+      if (tracked)
+        RowTracking.materializeForRewrite(spark, tablePath, prev.metadata, prev.files, live)
+      else live
 
     val probs = (1 until bins).map(_.toDouble / bins).toArray
     val castCols = cols.map(c => s"__zin_${c}")
@@ -621,7 +666,11 @@ object TableBuilder {
     val binExprs = physCols.zip(boundaries).map { case (c, b) =>
       column(graft.functions.QuantileBin(expression(col(c).cast("double")), b))
     }
-    val zkey = graft.functions.ZOrderKey(binExprs, bitsPerCol)
+    val zkey = curve match {
+      case "morton"  => graft.functions.ZOrderKey(binExprs, bitsPerCol)
+      case "hilbert" => graft.functions.HilbertKey(binExprs, bitsPerCol)
+      case other => throw new IllegalArgumentException(s"unknown curve $other")
+    }
 
     val n = if (numFiles > 0) numFiles else prev.files.size
     val before = collectParquet(fs, fs.makeQualified(root)).map(_.getPath.toUri).toSet
@@ -633,9 +682,10 @@ object TableBuilder {
     val adds = scanDataFiles(spark, tablePath, physSchema, Nil, version,
       timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
       .map(_.copy(dataChange = false))
+    val (stamped, domActs) = RowTracking.stamp(prev.metadata, prev.domains, version, adds)
     val removes = prev.files.map(f =>
       RemoveFile(f.path, f.partitionValues, f.size, dataChange = false, version, timestamp))
-    GraftLog.commit(tablePath, version, adds ++ removes, conf)
+    GraftLog.commit(tablePath, version, stamped ++ removes ++ domActs, conf)
     version
   }
 
@@ -843,7 +893,10 @@ object TableBuilder {
 
       val removes = prev.files.filter(f => affectedRel.contains(f.path)).map(f =>
         RemoveFile(f.path, f.partitionValues, f.size, dataChange = true, version, timestamp))
-      GraftLog.commit(tablePath, version, removes ++ adds ++ cdcFiles, conf)
+      // data-changing rewrite: surviving+transformed rows are new physical
+      // rows — they get FRESH row ids (stable ids identify physical rows)
+      val (stamped, domActs) = RowTracking.stamp(prev.metadata, prev.domains, version, adds)
+      GraftLog.commit(tablePath, version, removes ++ stamped ++ cdcFiles ++ domActs, conf)
       version
     } finally affected.unpersist()
   }

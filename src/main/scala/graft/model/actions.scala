@@ -48,7 +48,14 @@ case class DeletionVectorDescriptor(
     sizeInBytes: Int = 0,
     cardinality: Long = 0L)
 
-/** An active data file in a snapshot. */
+/** An active data file in a snapshot.
+  *
+  * `baseRowId` / `defaultRowCommitVersion` are the row-tracking fields
+  * (delta PROTOCOL "Row Tracking"): a row's fresh row id is
+  * `baseRowId + <position in file>` and its fresh commit version is
+  * `defaultRowCommitVersion`, unless materialized `_metadata.row_id` /
+  * `_metadata.row_commit_version` columns in the file override them.
+  */
 case class AddFile(
     path: String,
     partitionValues: Map[String, String] = Map.empty,
@@ -58,7 +65,11 @@ case class AddFile(
     stats: Option[FileStats] = None,
     version: Long = 0L,
     timestamp: Long = 0L,
-    deletionVector: Option[DeletionVectorDescriptor] = None)
+    deletionVector: Option[DeletionVectorDescriptor] = None,
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+    baseRowId: Option[Long] = None,
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+    defaultRowCommitVersion: Option[Long] = None)
     extends Action
 
 /** A file removed from the table (data change or compaction). */

@@ -218,11 +218,15 @@ class GraftReplaceDataWrite(
     }.toSet
     val logR = new GraftLog(tablePath, conf)
     val version = logR.latestVersion() + 1
+    val prev = logR.snapshot(None)
     val adds = TableBuilder.scanDataFiles(
       spark, tablePath, writeSchema, Nil, version, onlyRelPaths = Some(written))
     val removes = op.candidates.map(f =>
       RemoveFile(f.path, f.partitionValues, f.size, dataChange = true, version))
-    GraftLog.commit(tablePath, version, removes ++ adds, conf)
+    // SQL row-level rewrites are data-changing: fresh row ids
+    val (stamped, domActs) = graft.log.RowTracking.stamp(
+      prev.metadata, prev.domains, version, adds)
+    GraftLog.commit(tablePath, version, removes ++ stamped ++ domActs, conf)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log._
+import graft.model._
+
+/** Row tracking + domain metadata: fresh id allocation across appends,
+  * domain-metadata replay/checkpointing, stable ids across layout-only
+  * rewrites (OPTIMIZE), fresh ids on data-changing rewrites, DV-delete id
+  * preservation, and the Delta-format protocol surface.
+  */
+class RowTrackingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  private def tempTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_rt_spec").toString
+
+  private def rtConfig = Map(RowTracking.ENABLED_KEY -> "true")
+
+  import scala.jdk.CollectionConverters._
+  private def ids(dir: String): Seq[(Long, Long, Long)] =
+    RowTracking.withRowIds(spark, dir)
+      .select(col("k").cast("long"), col("_row_id"), col("_row_commit_version"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  private def mkDf(range: Range) = {
+    import spark.implicits._
+    range.map(i => (i.toLong, s"v$i")).toDF("k", "v")
+  }
+
+  test("create + append allocate disjoint contiguous id ranges; domain tracks the watermark") {
+    val dir = tempTable()
+    TableBuilder.create(spark, mkDf(0 until 100).coalesce(1), dir,
+      configuration = rtConfig)
+    val log = new GraftLog(dir, spark.sessionState.newHadoopConf())
+    val snap0 = log.snapshot(None)
+    assert(snap0.files.forall(_.baseRowId.isDefined))
+    assert(RowTracking.highWaterMark(snap0.domains) === 99L)
+
+    TableBuilder.append(spark, mkDf(100 until 150).coalesce(1), dir)
+    val snap1 = log.snapshot(None)
+    assert(RowTracking.highWaterMark(snap1.domains) === 149L)
+    val all = ids(dir)
+    assert(all.size === 150)
+    // every row id unique, ids cover exactly 0..149
+    assert(all.map(_._2).sorted === (0L until 150L))
+    // appended rows carry commit version 1
+    assert(all.filter(_._1 >= 100).forall(_._3 === 1L))
+    assert(all.filter(_._1 < 100).forall(_._3 === 0L))
+  }
+
+  test("OPTIMIZE preserves stable row ids via materialized columns") {
+    val dir = tempTable()
+    TableBuilder.create(spark, mkDf(0 until 40).coalesce(1), dir,
+      configuration = rtConfig)
+    TableBuilder.append(spark, mkDf(40 until 80).coalesce(1), dir)
+    val before = ids(dir)
+    TableBuilder.compact(spark, dir)
+    val after = ids(dir)
+    // same (k, _row_id, _row_commit_version) triples — the rewrite moved
+    // rows but stable tracking survived
+    assert(after.toSet === before.toSet)
+    // and the files really were rewritten (single compacted file)
+    val snap = new GraftLog(dir, spark.sessionState.newHadoopConf()).snapshot(None)
+    assert(snap.files.size === 1)
+    // fresh allocation advanced the watermark for the rewritten copies,
+    // but reads prefer the materialized stable values
+    assert(RowTracking.highWaterMark(snap.domains) >= 79L)
+  }
+
+  test("ZORDER preserves stable row ids") {
+    val dir = tempTable()
+    import spark.implicits._
+    val df = (0 until 200).map(i => (i.toLong, (i * 37 % 200).toLong, s"v$i"))
+      .toDF("k", "x", "v")
+    TableBuilder.create(spark, df.coalesce(2), dir, configuration = rtConfig)
+    val before = RowTracking.withRowIds(spark, dir)
+      .select("k", "_row_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    TableBuilder.zorder(spark, dir, Seq("k", "x"), numFiles = 4)
+    val after = RowTracking.withRowIds(spark, dir)
+      .select("k", "_row_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before)
+  }
+
+  test("DV delete keeps surviving row ids; deleteWhere rewrite assigns fresh ones") {
+    val dir = tempTable()
+    TableBuilder.create(spark, mkDf(0 until 50).coalesce(1), dir,
+      configuration = rtConfig)
+    val before = ids(dir).map(t => (t._1, t._2)).toMap
+    // DV delete: no rewrite, survivors keep base+index ids
+    TableBuilder.deleteWhereDV(spark, dir, col("k") % 10 === 0)
+    val afterDv = ids(dir).map(t => (t._1, t._2)).toMap
+    assert(afterDv.size === 45)
+    afterDv.foreach { case (k, rid) => assert(before(k) === rid) }
+    // data-changing rewrite: remaining rows of affected files get fresh ids
+    TableBuilder.deleteWhere(spark, dir, col("k") === 1L)
+    val afterRw = ids(dir)
+    assert(afterRw.size === 44)
+    assert(afterRw.map(_._2).distinct.size === 44)
+    // fresh ids allocated ABOVE the old watermark — never reused
+    val snap = new GraftLog(dir, spark.sessionState.newHadoopConf()).snapshot(None)
+    assert(RowTracking.highWaterMark(snap.domains) > 49L)
+  }
+
+  test("domain metadata survives graft-native checkpoint replay") {
+    val dir = tempTable()
+    TableBuilder.create(spark, mkDf(0 until 10).coalesce(1), dir,
+      configuration = rtConfig)
+    // force past the checkpoint interval so a snapshot actually loads
+    // from the checkpoint (commits before it are still readable though)
+    (0 until GraftLog.CHECKPOINT_INTERVAL).foreach { i =>
+      TableBuilder.append(spark,
+        mkDf(10 + i * 5 until 15 + i * 5).coalesce(1), dir)
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new GraftLog(dir, conf)
+    val v = log.latestVersion()
+    assert(v >= GraftLog.CHECKPOINT_INTERVAL)
+    val snap = log.snapshot(None)
+    assert(RowTracking.highWaterMark(snap.domains) === 59L)
+    // the checkpoint itself carries the domain (load through the cp path)
+    val cp = log.checkpointAtOrBefore(v)
+    assert(cp.isDefined)
+    assert(cp.get.domains.contains(RowTracking.DOMAIN))
+    // time travel below and at the checkpoint both see consistent domains
+    assert(RowTracking.highWaterMark(log.snapshot(Some(1L)).domains) === 14L)
+  }
+
+  test("Delta-format row-tracked table: protocol features + native round-trip") {
+    val dir = tempTable()
+    TableBuilder.create(spark, mkDf(0 until 30).coalesce(1), dir,
+      configuration = rtConfig, deltaFormat = true)
+    TableBuilder.append(spark, mkDf(30 until 60).coalesce(1), dir)
+    // the JSON commit carries domainMetadata + baseRowId fields
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new GraftLog(dir, conf)
+    assert(log.deltaMode)
+    val snap = log.snapshot(None)
+    assert(snap.files.forall(_.baseRowId.isDefined))
+    assert(RowTracking.highWaterMark(snap.domains) === 59L)
+    // protocol lists the writer features
+    val logFile = new java.io.File(dir, "_delta_log/00000000000000000000.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(logFile.toPath), "UTF-8")
+    assert(txt.contains("\"rowTracking\""))
+    assert(txt.contains("\"domainMetadata\""))
+    assert(txt.contains("\"baseRowId\""))
+    // full read via the row-id surface
+    assert(ids(dir).map(_._2).sorted === (0L until 60L))
+  }
+
+  test("Delta-format checkpoint round-trips domain metadata and baseRowId") {
+    val dir = tempTable()
+    TableBuilder.create(spark, mkDf(0 until 10).coalesce(1), dir,
+      configuration = rtConfig, deltaFormat = true)
+    (0 until GraftLog.CHECKPOINT_INTERVAL).foreach { i =>
+      TableBuilder.append(spark,
+        mkDf(10 + i * 2 until 12 + i * 2).coalesce(1), dir)
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    GraftLog.invalidateListing(dir) // force checkpoint-path reload
+    val log = new GraftLog(dir, conf)
+    val cp = log.checkpointAtOrBefore(log.latestVersion())
+    assert(cp.isDefined, "expected a delta checkpoint")
+    assert(cp.get.domains.contains(RowTracking.DOMAIN))
+    assert(cp.get.files.forall(_.baseRowId.isDefined))
+    assert(ids(dir).map(_._2).sorted === (0L until 30L))
+  }
+
+  test("stamp is identity for untracked tables and refuses stat-less adds") {
+    val meta = Metadata(id = "x")
+    val add = AddFile("f.parquet", stats = Some(FileStats(5)))
+    assert(RowTracking.stamp(meta, Map.empty, 1L, Seq(add)) === ((Seq(add), Nil)))
+    val tracked = Metadata(id = "x",
+      configuration = Map(RowTracking.ENABLED_KEY -> "true"))
+    val (stamped, acts) = RowTracking.stamp(tracked, Map.empty, 1L, Seq(add))
+    assert(stamped.head.baseRowId === Some(0L))
+    assert(acts.size === 1)
+    intercept[IllegalStateException] {
+      RowTracking.stamp(tracked, Map.empty, 1L, Seq(AddFile("g.parquet")))
+    }
+  }
+}
