@@ -111,10 +111,19 @@ class GraftTable private (val spark: SparkSession, val path: String) {
       whenMatchedUpdate, whenMatchedDeleteIf, whenNotMatchedInsert,
       timestamp = System.currentTimeMillis())
 
-  /** OPTIMIZE: bin-pack small files up to `targetBytes` (layout-only). */
-  def optimize(targetBytes: Long = 128L * 1024 * 1024): Long =
-    TableBuilder.compact(spark, path, targetBytes,
+  /** OPTIMIZE: recluster a clustered table along its declared columns
+    * (Hilbert), else bin-pack small files up to `targetBytes`. Both are
+    * layout-only commits.
+    */
+  def optimize(targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val domains = new graft.log.GraftLog(path,
+      spark.sessionState.newHadoopConf()).snapshot(None).domains
+    if (graft.log.Clustering.columnsOf(domains).nonEmpty)
+      graft.log.Clustering.cluster(spark, path,
+        timestamp = System.currentTimeMillis())
+    else TableBuilder.compact(spark, path, targetBytes,
       timestamp = System.currentTimeMillis())
+  }
 
   /** OPTIMIZE ZORDER BY: Morton-curve clustering (layout-only). */
   def zorder(columns: Seq[String], numFiles: Int = 0): Long =

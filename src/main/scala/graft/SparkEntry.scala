@@ -1477,6 +1477,31 @@ object SparkEntry {
           sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
     }),
 
+    // Beyond-reference writer: CLUSTERED TABLE (liquid-clustering
+    // semantics) — clusterBy columns declared in the delta.clustering
+    // domain at create; plain OPTIMIZE reclusters along a HILBERT curve
+    // (quantile bins → Skilling transpose index → repartitionByRange),
+    // whose adjacent-cells property prunes at least as well as Morton
+    // (asserted in ClusteringSpec). The scan after recluster must equal
+    // the plain aggregate — any row lost/duplicated by the rewrite or a
+    // wrong curve mapping flips the hash.
+    "q102_clustered_scan" -> ((s, dir) => {
+      val path = s"${graft.log.SharedFixtures.shareRoot(dir)}/scratch_cluster"
+      val src = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"))
+      graft.log.TableBuilder.create(s, src.repartition(8), path,
+        name = "scratch_cluster", clusterBy = Seq("l_partkey", "l_suppkey"))
+      graft.log.Clustering.cluster(s, path, numFiles = 8)
+      graft.log.GraftLog.invalidateListing(path)
+      s.read.format("graft").option("path", path).load()
+        .filter(col("l_partkey") < 200 && col("l_suppkey") < 50)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          round(sum(col("l_extendedprice")), 0).as("sum_price"))
+    }),
+
     // Beyond-reference writer: ROW TRACKING (delta "Row Tracking") —
     // durable per-row ids. Scratch table from orders sorted into ONE
     // file so the fresh id equals the sort position; a DV delete drops
@@ -2573,6 +2598,15 @@ object SparkEntry {
       """SELECT c_nationkey, count(*) AS n_cust,
          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
          FROM customer GROUP BY 1""",
+    // the Hilbert recluster is layout-only: the filtered aggregate equals
+    // the plain-lineitem oracle
+    "q102_clustered_scan" ->
+      """SELECT l_suppkey, count(*) AS n_items,
+         CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         round(sum(l_extendedprice), 0) AS sum_price
+         FROM lineitem
+         WHERE l_partkey < 200 AND l_suppkey < 50
+         GROUP BY 1""",
     // row ids were assigned in o_orderkey order at create (v0); the DV
     // delete and the compaction must both leave them untouched
     "q101_row_tracking" ->

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** d-dimensional Hilbert curve index (Skilling's transpose algorithm,
+  * "Programming the Hilbert curve", AIP Conf. Proc. 707, 2004 — public
+  * algorithm). Compared with the Morton curve (`ZOrderKey`), Hilbert
+  * ordering never "teleports" across the space between consecutive
+  * cells, so consecutive rows land in files whose min/max boxes overlap
+  * less — tighter per-file stats, hence better skipping, on the same
+  * quantile-binned inputs. This is the curve clustered tables use.
+  */
+object Hilbert {
+
+  /** Map `coords` (each in `[0, 2^bits)`) to the Hilbert index.
+    * `coords` MAY be mutated (callers pass per-row scratch copies).
+    * Total bits (`coords.length * bits`) must fit a non-negative long.
+    */
+  def index(x: Array[Long], bits: Int): Long = {
+    val n = x.length
+    // Skilling: axes → transpose (in place)
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p // invert low bits of axis 0
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = 2
+    while (q != (1L << bits)) {
+      if ((x(n - 1) & q) != 0) t ^= q - 1
+      q <<= 1
+    }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // transpose → single index: bit j of every axis, top-down, axis 0
+    // most significant within each bit group
+    var h = 0L
+    var j = bits - 1
+    while (j >= 0) {
+      i = 0
+      while (i < n) {
+        h = (h << 1) | ((x(i) >>> j) & 1L)
+        i += 1
+      }
+      j -= 1
+    }
+    h
+  }
+}
+
+/** `h = hilbert_index(array(bin0, bin1, …))` over `bitsPerCol`-bit bin
+  * indexes (normally [[QuantileBin]] outputs, coalesced to 0 for NULLS
+  * FIRST layout). Native codegen expression: one static call + a tiny
+  * scratch array per row inside whole-stage codegen — the clustering
+  * pass stays a single narrow projection over the scan.
+  */
+case class HilbertIndex(child: Expression, bitsPerCol: Int)
+    extends UnaryExpression {
+
+  override def prettyName: String = "hilbert_index"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != ArrayType(LongType, containsNull = false) &&
+        child.dataType != ArrayType(LongType, containsNull = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${child.dataType.simpleString}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any =
+    Hilbert.index(input.asInstanceOf[ArrayData].toLongArray(), bitsPerCol)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hilbert.index($c.toLongArray(), $bitsPerCol);")
+
+  override protected def withNewChildInternal(newChild: Expression): HilbertIndex =
+    copy(child = newChild)
+}
+
+/** Column-level assembly mirroring [[ZOrderKey]]: null bins rank first. */
+object HilbertKey {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  def apply(bins: Seq[Column], bitsPerCol: Int = 8): Column = {
+    val n = bins.size
+    require(n >= 1, "hilbert clustering needs at least one column")
+    require(n * bitsPerCol <= 63,
+      s"hilbert key overflows a long: $n cols x $bitsPerCol bits")
+    val arr = array(bins.map(b => coalesce(b, lit(0)).cast("long")): _*)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      HilbertIndex(org.apache.spark.sql.GraftSqlBridge.expression(arr), bitsPerCol))
+  }
+}

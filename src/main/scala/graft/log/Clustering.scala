@@ -1,0 +1,65 @@
+package graft.log
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model.DomainMetadata
+
+/** Clustered tables (delta PROTOCOL "Clustered Table" / liquid
+  * clustering): the clustering columns live in the `delta.clustering`
+  * metadata domain as `{"clusteringColumns":[["c1"],["c2"]]}` (each
+  * entry a physical-name path; graft supports top-level columns), and
+  * OPTIMIZE on a clustered table RECLUSTERS along a Hilbert curve
+  * instead of bin-packing — the layout the table declared, maintained by
+  * the maintenance command a user already runs, no per-call column list.
+  *
+  * Versus ZORDER: same equi-depth [[graft.functions.QuantileBin]]
+  * binning and `repartitionByRange` shuffle, but the Hilbert key
+  * ([[graft.functions.HilbertKey]]) keeps consecutive cells adjacent in
+  * space, so file min/max boxes overlap less and stats-skipping prunes
+  * more files for the same rewrite cost.
+  */
+object Clustering {
+
+  val DOMAIN = "delta.clustering"
+
+  def configFor(cols: Seq[String]): String =
+    s"""{"clusteringColumns":[${cols.map(c => s"""["$c"]""").mkString(",")}]}"""
+
+  def domainFor(cols: Seq[String], version: Long = 0L): DomainMetadata =
+    DomainMetadata(DOMAIN, configFor(cols), version = version)
+
+  /** Clustering columns of a snapshot, Nil when not clustered. Nested
+    * paths (multi-element entries) are refused loudly — silently
+    * clustering on the wrong column would corrupt the layout promise.
+    */
+  def columnsOf(domains: Map[String, String]): Seq[String] =
+    domains.get(DOMAIN).toSeq.flatMap { cfg =>
+      val node = graft.model.JsonUtils.mapper.readTree(cfg)
+      Option(node.get("clusteringColumns")).toSeq.flatMap { arr =>
+        import scala.jdk.CollectionConverters._
+        arr.elements().asScala.map { path =>
+          val parts = path.elements().asScala.map(_.asText()).toSeq
+          require(parts.size == 1,
+            s"nested clustering column ${parts.mkString(".")} not supported")
+          parts.head
+        }.toSeq
+      }
+    }
+
+  /** Recluster a clustered table (OPTIMIZE on it): Hilbert rewrite over
+    * the declared columns. Layout-only (`dataChange = false`).
+    */
+  def cluster(
+      spark: SparkSession,
+      tablePath: String,
+      numFiles: Int = 0,
+      timestamp: Long = 0L): Long = {
+    val snap = new GraftLog(tablePath, spark.sessionState.newHadoopConf())
+      .snapshot(None)
+    val cols = columnsOf(snap.domains)
+    require(cols.nonEmpty, s"$tablePath is not a clustered table " +
+      s"(no $DOMAIN domain); use zorder/compact instead")
+    TableBuilder.zorder(spark, tablePath, cols, numFiles,
+      timestamp = timestamp, curve = "hilbert")
+  }
+}

@@ -134,15 +134,24 @@ case class OptimizeCommand(tablePath: String, zorderCols: Seq[String])
     AttributeReference("version", LongType)(),
     AttributeReference("operation", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
+    // a clustered table's plain OPTIMIZE reclusters along its declared
+    // columns (liquid-clustering semantics); ZORDER BY stays explicit
+    val clustered = zorderCols.isEmpty &&
+      graft.log.Clustering.columnsOf(
+        new graft.log.GraftLog(tablePath, spark.sessionState.newHadoopConf())
+          .snapshot(None).domains).nonEmpty
     val v =
       if (zorderCols.nonEmpty)
         graft.log.TableBuilder.zorder(spark, tablePath, zorderCols,
+          timestamp = System.currentTimeMillis())
+      else if (clustered)
+        graft.log.Clustering.cluster(spark, tablePath,
           timestamp = System.currentTimeMillis())
       else
         graft.log.TableBuilder.compact(spark, tablePath,
           timestamp = System.currentTimeMillis())
     Seq(Row(v, if (zorderCols.nonEmpty) s"ZORDER BY (${zorderCols.mkString(", ")})"
-      else "COMPACT"))
+      else if (clustered) "CLUSTER" else "COMPACT"))
   }
 }
 

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log._
+
+/** Clustered tables: Hilbert-curve OPTIMIZE over the declared clustering
+  * columns (delta.clustering domain), curve correctness (distance-1
+  * neighbor property), skipping vs the Morton layout, SQL OPTIMIZE
+  * routing, and GraftTable.optimize dispatch.
+  */
+class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val root = "/root/repo/target/test_clustering"
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = new java.io.File(root)
+    if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("Hilbert index: consecutive indexes are distance-1 neighbors (2D, 3D)") {
+    // the defining property Morton lacks: |H(i+1) - H(i)| steps exactly
+    // one cell along exactly one axis
+    for (dims <- Seq(2, 3); bits <- Seq(2, 3)) {
+      val side = 1 << bits
+      val total = 1L << (dims * bits)
+      val byIndex = new Array[Array[Long]](total.toInt)
+      def enumerate(prefix: List[Long], d: Int): Unit =
+        if (d == dims) {
+          val coords = prefix.reverse.toArray
+          val h = graft.functions.Hilbert.index(coords.clone(), bits)
+          assert(h >= 0 && h < total, s"index $h out of range")
+          assert(byIndex(h.toInt) == null, s"duplicate hilbert index $h")
+          byIndex(h.toInt) = coords
+        } else (0 until side).foreach(v => enumerate(v.toLong :: prefix, d + 1))
+      enumerate(Nil, 0)
+      (1 until total.toInt).foreach { i =>
+        val dist = byIndex(i).zip(byIndex(i - 1))
+          .map { case (a, b) => math.abs(a - b) }.sum
+        assert(dist === 1,
+          s"dims=$dims bits=$bits: H=$i not adjacent to H=${i - 1}")
+      }
+    }
+  }
+
+  test("HilbertIndex expression: interpreted == codegen == direct") {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import spark.implicits._
+    val df = (0 until 16).flatMap(x => (0 until 16).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val key = graft.functions.HilbertKey(Seq(col("x"), col("y")), 4)
+    val rows = df.select(col("x"), col("y"), key.as("h")).collect()
+    rows.foreach { r =>
+      val expect = graft.functions.Hilbert.index(
+        Array(r.getLong(0), r.getLong(1)), 4)
+      assert(r.getLong(2) === expect)
+    }
+    // nulls bin to 0, overflow refused
+    assert(df.limit(1).select(graft.functions.HilbertKey(
+      Seq(lit(null), lit(3L)), 4)).collect().head.getLong(0) ===
+      graft.functions.Hilbert.index(Array(0L, 3L), 4))
+    intercept[IllegalArgumentException] {
+      graft.functions.HilbertKey(Seq.fill(8)(col("x")), 8)
+    }
+  }
+
+  private def makeClustered(path: String, files: Int): Unit = {
+    val df = spark.range(0, 64000)
+      .select(col("id"),
+        (col("id") % 256).as("x"),
+        (pmod(col("id") * 2654435761L, lit(4294967296L)) % 256).as("y"))
+    TableBuilder.create(spark,
+      df.repartitionByRange(files, col("x")), path, name = "csrc",
+      clusterBy = Seq("x", "y"))
+  }
+
+  private def overlapping(path: String, c: String, lo: Long, hi: Long): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val snap = new GraftLog(path, conf).snapshot(None)
+    snap.files.count { f =>
+      val st = f.stats.get
+      st.maxValues(c).toLong >= lo && st.minValues(c).toLong <= hi
+    }
+  }
+
+  test("clustered create declares the domain; OPTIMIZE reclusters and prunes both dims") {
+    val path = s"$root/clustered"
+    makeClustered(path, 16)
+    val conf = spark.sessionState.newHadoopConf()
+    val snap0 = new GraftLog(path, conf).snapshot(None)
+    assert(Clustering.columnsOf(snap0.domains) === Seq("x", "y"))
+    val before = spark.read.format("graft").option("path", path).load()
+      .agg(sum(col("id")), count(lit(1))).collect().head
+    assert(overlapping(path, "y", 0, 15) >= 14, "y unclustered pre-optimize")
+
+    val t = GraftTable.forPath(spark, path)
+    t.optimize() // clustered table ⇒ Hilbert recluster, not bin-pack
+    GraftLog.invalidateListing(path)
+    val after = spark.read.format("graft").option("path", path).load()
+      .agg(sum(col("id")), count(lit(1))).collect().head
+    assert(after === before, "recluster must not change content")
+    assert(overlapping(path, "x", 0, 15) <= 8, "x pruning present")
+    assert(overlapping(path, "y", 0, 15) <= 8, "y pruning present")
+    // layout-only commit
+    val v = new GraftLog(path, conf).latestVersion()
+    val actions = new GraftLog(path, conf).changes(v, v).head.actions
+    assert(actions.collect { case a: graft.model.AddFile => a }.forall(!_.dataChange))
+  }
+
+  test("Hilbert skips at least as many files as Morton on the same data") {
+    val pathH = s"$root/curve_h"; val pathM = s"$root/curve_m"
+    makeClustered(pathH, 16)
+    val df = spark.read.format("graft").option("path", pathH).load()
+    TableBuilder.create(spark, df, pathM, name = "msrc")
+    Clustering.cluster(spark, pathH, numFiles = 16)
+    TableBuilder.zorder(spark, pathM, Seq("x", "y"), numFiles = 16)
+    // average overlap across a grid of 16x16 windows on both dimensions
+    def cost(path: String): Int =
+      (0 until 256 by 32).map(lo => overlapping(path, "x", lo, lo + 15)).sum +
+        (0 until 256 by 32).map(lo => overlapping(path, "y", lo, lo + 15)).sum
+    val (h, m) = (cost(pathH), cost(pathM))
+    info(s"hilbert overlap=$h morton overlap=$m")
+    assert(h <= m, s"hilbert ($h) must prune at least as well as morton ($m)")
+  }
+
+  test("SQL OPTIMIZE on a clustered table reports CLUSTER and reclusters") {
+    val path = s"$root/sql_cluster"
+    makeClustered(path, 8)
+    val ext = new graft.sql.GraftSqlParser(spark.sessionState.sqlParser)
+    val plan = ext.parsePlan(s"OPTIMIZE '$path'")
+    val rows = plan.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] match {
+      case c: graft.sql.OptimizeCommand => c.run(spark)
+      case other => fail(s"unexpected plan $other")
+    }
+    assert(rows.head.getString(1) === "CLUSTER")
+    GraftLog.invalidateListing(path)
+    assert(overlapping(path, "y", 0, 15) <= 4)
+  }
+
+  test("cluster() refuses unclustered tables; nested clustering paths refused") {
+    val path = s"$root/plain"
+    TableBuilder.create(spark, spark.range(10).toDF("id"), path, name = "plain")
+    intercept[IllegalArgumentException] {
+      Clustering.cluster(spark, path)
+    }
+    intercept[IllegalArgumentException] {
+      Clustering.columnsOf(Map(Clustering.DOMAIN ->
+        """{"clusteringColumns":[["a","b"]]}"""))
+    }
+  }
+}
