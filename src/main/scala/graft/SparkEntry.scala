@@ -1477,6 +1477,51 @@ object SparkEntry {
           sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
     }),
 
+    // Beyond-reference writer: GENERATED + IDENTITY columns (delta
+    // "Generated Columns"/"Identity Columns"). Scratch table whose
+    // `id` is IDENTITY(start 1000, step 2) and `bal_cents` is GENERATED
+    // AS cast(round(c_acctbal*100) as bigint). The create seeds 10 rows
+    // with explicit ids; the append omits BOTH columns — identity values
+    // allocate above the stats-synced watermark (single sorted partition
+    // ⇒ deterministic), the generated column computes in-pipeline. The
+    // oracle replays the whole allocation as 1000 + 2*rank.
+    "q103_generated_identity" -> ((s, dir) => {
+      val path = s"${graft.log.SharedFixtures.shareRoot(dir)}/scratch_genid"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.log.GraftLog.invalidateListing(path)
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val genExpr = "CAST(round(c_acctbal * 100) AS BIGINT)"
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = true,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(graft.log.GeneratedColumns.ID_START, 1000L)
+            .putLong(graft.log.GeneratedColumns.ID_STEP, 2L).build()),
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_acctbal",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("bal_cents",
+          org.apache.spark.sql.types.LongType, nullable = true,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(graft.log.GeneratedColumns.GEN_KEY, genExpr).build())))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("c_custkey"))
+      val seed = cust.filter(col("c_custkey") <= 10)
+        .withColumn("id", (lit(998L) + lit(2L) * row_number().over(w)).cast("long"))
+        .withColumn("bal_cents", expr(genExpr))
+        .select("id", "c_custkey", "c_acctbal", "bal_cents")
+      graft.log.TableBuilder.create(s,
+        s.createDataFrame(seed.coalesce(1).rdd, schema), path, name = "scratch_genid")
+      graft.log.TableBuilder.append(s,
+        cust.filter(col("c_custkey") > 10).orderBy(col("c_custkey")).coalesce(1),
+        path)
+      graft.log.GraftLog.invalidateListing(path)
+      s.read.format("graft").option("path", path).load()
+        .select(col("id"), col("c_custkey"), col("bal_cents"))
+    }),
+
     // Beyond-reference writer: CLUSTERED TABLE (liquid-clustering
     // semantics) — clusterBy columns declared in the delta.clustering
     // domain at create; plain OPTIMIZE reclusters along a HILBERT curve
@@ -2598,6 +2643,16 @@ object SparkEntry {
       """SELECT c_nationkey, count(*) AS n_cust,
          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
          FROM customer GROUP BY 1""",
+    // the identity allocation (sorted single-partition batches) and the
+    // generated column replay exactly as rank arithmetic
+    "q103_generated_identity" ->
+      """WITH src AS (
+           SELECT c_custkey, c_acctbal,
+             row_number() OVER (ORDER BY c_custkey) - 1 AS rn
+           FROM customer)
+         SELECT CAST(1000 + 2 * rn AS BIGINT) AS id, c_custkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+         FROM src""",
     // the Hilbert recluster is layout-only: the filtered aggregate equals
     // the plain-lineitem oracle
     "q102_clustered_scan" ->

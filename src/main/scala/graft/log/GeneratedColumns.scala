@@ -1,0 +1,141 @@
+package graft.log
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructType}
+
+import graft.model.{AddFile, Metadata}
+
+/** Generated columns + identity columns (delta PROTOCOL "Generated
+  * Columns" / "Identity Columns"), both declared as FIELD metadata on the
+  * table schema:
+  *
+  *  - `delta.generationExpression` (SQL string): a batch missing the
+  *    column gets it COMPUTED inside the write pipeline; a batch
+  *    providing it is ENFORCED (`value <=> expr`, null-safe, single-pass
+  *    assert_true like CHECK constraints — no second validation scan);
+  *  - `delta.identity.start` / `delta.identity.step` /
+  *    `delta.identity.highWaterMark` / `delta.identity.allowExplicitInsert`:
+  *    a batch missing the column gets UNIQUE values allocated above the
+  *    high watermark; explicit values require `allowExplicitInsert`. The
+  *    watermark then advances from the WRITTEN FILES' column stats — the
+  *    same per-file min/max the commit already computes, so the sync
+  *    costs nothing extra and is exact. Values are unique, monotone per
+  *    batch, and may have gaps (the Delta identity contract — allocation
+  *    uses partition-local counters, never a global sort).
+  */
+object GeneratedColumns {
+
+  val GEN_KEY = "delta.generationExpression"
+  val ID_START = "delta.identity.start"
+  val ID_STEP = "delta.identity.step"
+  val ID_HWM = "delta.identity.highWaterMark"
+  val ID_EXPLICIT = "delta.identity.allowExplicitInsert"
+
+  case class Identity(
+      column: String, start: Long, step: Long,
+      highWaterMark: Option[Long], allowExplicit: Boolean) {
+    require(step != 0, s"identity column $column has step 0")
+    /** First value the next allocation may use. */
+    def nextBase: Long = highWaterMark.map(_ + step).getOrElse(start)
+  }
+
+  def generation(schema: StructType): Seq[(String, String)] =
+    schema.fields.toSeq.filter(_.metadata.contains(GEN_KEY))
+      .map(f => f.name -> f.metadata.getString(GEN_KEY))
+
+  def identities(schema: StructType): Seq[Identity] =
+    schema.fields.toSeq.filter(_.metadata.contains(ID_START)).map { f =>
+      require(f.dataType == LongType,
+        s"identity column ${f.name} must be bigint, got ${f.dataType.simpleString}")
+      Identity(f.name,
+        f.metadata.getLong(ID_START),
+        if (f.metadata.contains(ID_STEP)) f.metadata.getLong(ID_STEP) else 1L,
+        if (f.metadata.contains(ID_HWM)) Some(f.metadata.getLong(ID_HWM)) else None,
+        f.metadata.contains(ID_EXPLICIT) && f.metadata.getBoolean(ID_EXPLICIT))
+    }
+
+  /** Whether `schema` declares either feature (drives the delta-format
+    * writer-feature listing).
+    */
+  def hasGenerated(schemaString: String): Boolean =
+    schemaString.contains(GEN_KEY)
+  def hasIdentity(schemaString: String): Boolean =
+    schemaString.contains(ID_START)
+
+  /** Route a batch through generation/identity handling:
+    * missing generated columns computed, provided ones enforced
+    * row-by-row inside the write pipeline; missing identity columns
+    * allocated, explicit values gated on `allowExplicitInsert`.
+    */
+  def prepareBatch(df: DataFrame, schema: StructType, context: String,
+      explicitOk: Boolean = false): DataFrame = {
+    val gens = generation(schema)
+    val ids = identities(schema)
+    if (gens.isEmpty && ids.isEmpty) return df
+    val provided = df.columns.map(_.toLowerCase).toSet
+    var out = df
+    gens.foreach { case (name, sql) =>
+      if (!provided.contains(name.toLowerCase))
+        out = out.withColumn(name, expr(sql).cast(schema(name).dataType))
+      else out = out.filter(coalesce(
+        assert_true(col(name) <=> expr(sql).cast(schema(name).dataType),
+          concat(lit(s"$context: generated column $name does not match " +
+            s"its expression ($sql), row: "), to_json(struct(col("*"))))),
+        lit(true)))
+    }
+    ids.foreach { id =>
+      if (!provided.contains(id.column.toLowerCase)) {
+        // partition-local allocation: unique, gap-tolerant, no shuffle —
+        // (the Delta identity contract; watermark syncs from file stats)
+        out = out.withColumn(id.column,
+          lit(id.nextBase) + lit(id.step) * monotonically_increasing_id())
+      } else require(explicitOk || id.allowExplicit,
+        s"$context: identity column ${id.column} is GENERATED ALWAYS — " +
+          "explicit values are not allowed")
+    }
+    out
+  }
+
+  /** Advance each identity column's high watermark from the committed
+    * files' column stats; None when nothing changed. The returned
+    * metadata rides the SAME commit as the files it syncs with.
+    */
+  def advanceWatermarks(
+      meta: Metadata, adds: Seq[AddFile], version: Long): Option[Metadata] = {
+    val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaString)
+      .asInstanceOf[StructType]
+    val ids = identities(schema)
+    if (ids.isEmpty || adds.isEmpty) return None
+    // stats on column-mapped tables are keyed by PHYSICAL name
+    val names = graft.model.ColumnMapping.nameMap(schema)
+    var changed = false
+    val newFields = schema.fields.map { f =>
+      ids.find(_.column == f.name) match {
+        case Some(id) =>
+          val statKey = names.getOrElse(f.name, f.name)
+          val stats = adds.flatMap(_.stats)
+          val extreme =
+            if (id.step > 0) {
+              val vs = stats.flatMap(_.maxValues.get(statKey)).map(_.toLong)
+              if (vs.isEmpty) None else Some(vs.max)
+            } else {
+              val vs = stats.flatMap(_.minValues.get(statKey)).map(_.toLong)
+              if (vs.isEmpty) None else Some(vs.min)
+            }
+          val advanced = extreme.filter(e => id.highWaterMark.forall(h =>
+            if (id.step > 0) e > h else e < h))
+          advanced match {
+            case Some(e) =>
+              changed = true
+              f.copy(metadata = new MetadataBuilder()
+                .withMetadata(f.metadata).putLong(ID_HWM, e).build())
+            case None => f
+          }
+        case None => f
+      }
+    }
+    if (!changed) None
+    else Some(meta.copy(schemaString = StructType(newFields).json, version = version))
+  }
+}

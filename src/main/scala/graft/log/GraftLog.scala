@@ -625,9 +625,9 @@ object GraftLog {
       case _          => false
     }
     val commitMeta = actions.collectFirst { case m: Metadata => m }
-    val (prevMinReader, prevCm, prevTs, prevConfig, prevHasIct) =
+    val (prevMinReader, prevCm, prevTs, prevConfig, prevHasIct, prevSchema) =
       if (version == 0)
-        (0, false, Long.MinValue, Map.empty[String, String], false)
+        (0, false, Long.MinValue, Map.empty[String, String], false, "")
       else {
         val log = new GraftLog(tablePath, conf)
         require(log.deltaMode, s"$tablePath is not Delta-format")
@@ -639,7 +639,8 @@ object GraftLog {
           graft.model.ColumnMapping.isEnabled(snap.metadata),
           log.versionTimestamps().lastOption.map(_._2).getOrElse(Long.MinValue),
           snap.metadata.configuration,
-          log.ictOf(log.latestVersion()).isDefined)
+          log.ictOf(log.latestVersion()).isDefined,
+          snap.metadata.schemaString)
       }
     val config = commitMeta.map(_.configuration).getOrElse(prevConfig)
     def flag(key: String): Boolean =
@@ -653,17 +654,26 @@ object GraftLog {
     val usesRowTracking = flag("enableRowTracking")
     val hasDomainActions = usesRowTracking ||
       actions.exists(_.isInstanceOf[graft.model.DomainMetadata])
+    // schema-declared writer features: identity columns require
+    // minWriterVersion 6+ (spelled as a v7 feature here); generated
+    // columns are legacy-implied at 4 but must be LISTED once gated
+    val schemaStr = commitMeta.map(_.schemaString).getOrElse(prevSchema)
+    val usesIdentity = GeneratedColumns.hasIdentity(schemaStr)
+    val usesGenerated = GeneratedColumns.hasGenerated(schemaStr)
     // writer-only table features: ICT, plus — once the protocol is
     // feature-gated and legacy minWriterVersion implications stop
     // applying — an explicit entry for EVERY active legacy-implied
     // feature (CDF, CHECK constraints; the spec requires v7 protocols to
     // list all active writer features, while legacy minWriterVersion 4/5
     // implies them)
-    val gated = usesIct || usesDv || hasDomainActions
+    val gated = usesIct || usesDv || hasDomainActions || usesIdentity
     val writerExtras =
       (if (usesIct) Set("inCommitTimestamp") else Set.empty[String]) ++
         (if (usesRowTracking) Set("rowTracking") else Set.empty[String]) ++
         (if (hasDomainActions) Set("domainMetadata") else Set.empty[String]) ++
+        (if (usesIdentity) Set("identityColumns") else Set.empty[String]) ++
+        (if (gated && usesGenerated)
+          Set("generatedColumns") else Set.empty[String]) ++
         (if (gated && flag("enableChangeDataFeed"))
           Set("changeDataFeed") else Set.empty[String]) ++
         (if (gated && config.keys.exists(_.startsWith(Constraints.PREFIX)))

@@ -49,7 +49,11 @@ object TableBuilder {
       if (configuration.get(RowTracking.ENABLED_KEY).contains("true"))
         RowTracking.tableProperties(tablePath) ++ configuration
       else configuration
-    val checked = Constraints.enforce(df,
+    // create-time data is the table's initial state: generated columns
+    // are enforced; identity values provided here seed the watermark
+    val prepped = GeneratedColumns.prepareBatch(
+      df, df.schema, s"create of $tablePath", explicitOk = true)
+    val checked = Constraints.enforce(prepped,
       graft.model.Metadata(id = "", configuration = config),
       s"create of $tablePath")
     val out = if (numFiles > 0) checked.repartition(numFiles) else checked
@@ -64,7 +68,9 @@ object TableBuilder {
       configuration = config,
       version = 0L)
     val adds = scanDataFiles(spark, tablePath, df.schema, partitionCols, version = 0L)
-    val (stamped, domActs) = RowTracking.stamp(meta, Map.empty, 0L, adds)
+    // identity watermark seeds from the created files' stats
+    val metaOut = GeneratedColumns.advanceWatermarks(meta, adds, 0L).getOrElse(meta)
+    val (stamped, domActs) = RowTracking.stamp(metaOut, Map.empty, 0L, adds)
     // a clustered table declares its layout columns in the
     // delta.clustering domain; OPTIMIZE reclusters along them
     val clusterActs =
@@ -77,7 +83,7 @@ object TableBuilder {
         Seq(Clustering.domainFor(clusterBy))
       }
     GraftLog.commit(tablePath, 0L,
-      Seq(Protocol(), meta) ++ stamped ++ domActs ++ clusterActs,
+      Seq(Protocol(), metaOut) ++ stamped ++ domActs ++ clusterActs,
       spark.sessionState.newHadoopConf(), deltaFormat = deltaFormat)
   }
 
@@ -106,32 +112,37 @@ object TableBuilder {
     val logR = new GraftLog(tablePath, conf)
     val prev = logR.snapshot(None)
     val version = logR.latestVersion() + 1
+    // generated/identity columns resolve BEFORE the compat check: a batch
+    // legitimately omits them (they get computed/allocated here), and the
+    // check below must see the completed batch schema
+    val batch = GeneratedColumns.prepareBatch(
+      df, prev.schema, s"append to $tablePath")
     val (schemaNow, metaAction) =
       if (!mergeSchema) {
         // a mismatched append would write parquet that silently breaks
         // every reader of the pinned table schema — refuse up front (same
         // contract the streaming schema-drift guard enforces on reads)
         graft.model.SchemaCompat.assertReadCompatible(
-          prev.schema, df.schema, s"append to $tablePath")
+          prev.schema, batch.schema, s"append to $tablePath")
         // the read-compat check tolerates ADDED batch columns (fine for
         // readers); a writer silently dropping them is not fine — refuse,
         // same as Delta without mergeSchema
         val known = prev.schema.fieldNames.map(_.toLowerCase).toSet
-        val extras = df.schema.fieldNames.filterNot(n => known.contains(n.toLowerCase))
+        val extras = batch.schema.fieldNames.filterNot(n => known.contains(n.toLowerCase))
         require(extras.isEmpty,
           s"append to $tablePath: batch has columns the table lacks " +
             s"(${extras.mkString(", ")}); use mergeSchema = true to evolve the schema")
         (prev.schema, None)
       } else {
         val existing = prev.schema.fieldNames.map(_.toLowerCase).toSet
-        val fresh = df.schema.fields
+        val fresh = batch.schema.fields
           .filterNot(f => existing.contains(f.name.toLowerCase))
           .map(_.copy(nullable = true))
         // common columns: types must match exactly and table-promised
         // non-nullability must hold (mergeSchema adds columns, it never
         // relaxes what existing readers rely on)
         prev.schema.fields.foreach { tf =>
-          df.schema.fields.find(_.name.equalsIgnoreCase(tf.name)).foreach { dfF =>
+          batch.schema.fields.find(_.name.equalsIgnoreCase(tf.name)).foreach { dfF =>
             require(dfF.dataType == tf.dataType,
               s"mergeSchema append to $tablePath: column ${tf.name} has type " +
                 s"${dfF.dataType.simpleString}, table has ${tf.dataType.simpleString}")
@@ -173,10 +184,11 @@ object TableBuilder {
     val physSchema = ColumnMapping.physicalSchema(
       schemaNow, ColumnMapping.isIdMode(metadataNow))
     val physPartitionCols = partitionCols.map(c => names.getOrElse(c, c))
-    // CHECK constraints see logical names — enforce BEFORE the physical
-    // rename; the assert rides the same codegen pipeline as the write
-    val checked = Constraints.enforce(df, metadataNow, s"append to $tablePath")
-    val provided = df.schema.fieldNames.map(_.toLowerCase).toSet
+    // CHECK constraints see logical names (and may reference the
+    // generated/identity columns resolved above) — the assert rides the
+    // same codegen pipeline as the write
+    val checked = Constraints.enforce(batch, metadataNow, s"append to $tablePath")
+    val provided = batch.schema.fieldNames.map(_.toLowerCase).toSet
     val out = checked.select(schemaNow.fields.toIndexedSeq.map { f =>
       val phys = names.getOrElse(f.name, f.name)
       // carry the physical field metadata (incl. parquet.field.id in id
@@ -194,11 +206,16 @@ object TableBuilder {
       timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
     val (stamped, domActs) =
       RowTracking.stamp(metadataNow, prev.domains, version, adds)
+    // identity high watermarks advance from the written files' stats and
+    // ride the same commit (merged onto any mergeSchema metadata update)
+    val metaOut = GeneratedColumns.advanceWatermarks(
+      metaAction.getOrElse(metadataNow), adds, version)
+      .orElse(metaAction)
     // extraActions ride the SAME commit — the exactly-once sink's txn
     // watermark must be atomic with the files it covers; a mergeSchema
     // metadata update likewise commits atomically with its data
     GraftLog.commit(tablePath, version,
-      metaAction.toSeq ++ stamped ++ extraActions ++ domActs, conf)
+      metaOut.toSeq ++ stamped ++ extraActions ++ domActs, conf)
     version
   }
 

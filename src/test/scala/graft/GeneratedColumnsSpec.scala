@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log._
+import graft.model.Metadata
+
+/** Generated columns (compute-if-missing, enforce-if-provided) and
+  * identity columns (allocate above the high watermark, sync the
+  * watermark from file stats, gate explicit inserts) across create,
+  * append, and the Delta-format protocol surface.
+  */
+class GeneratedColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  private def tempTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_gen_spec").toString
+
+  private def genMeta(sql: String) =
+    new MetadataBuilder().putString(GeneratedColumns.GEN_KEY, sql).build()
+  private def idMeta(start: Long, step: Long, explicitOk: Boolean = false) = {
+    val b = new MetadataBuilder()
+      .putLong(GeneratedColumns.ID_START, start)
+      .putLong(GeneratedColumns.ID_STEP, step)
+    if (explicitOk) b.putBoolean(GeneratedColumns.ID_EXPLICIT, true)
+    b.build()
+  }
+
+  /** lineage: (k bigint, k2 bigint GENERATED ALWAYS AS (k * 2)) */
+  private def genDf(range: Range) = {
+    import spark.implicits._
+    val base = range.map(i => (i.toLong, i.toLong * 2)).toDF("k", "k2")
+    spark.createDataFrame(base.rdd, StructType(Seq(
+      StructField("k", LongType),
+      StructField("k2", LongType, nullable = true, genMeta("k * 2")))))
+  }
+
+  test("generated column: computed when missing, enforced when provided") {
+    val dir = tempTable()
+    TableBuilder.create(spark, genDf(0 until 10), dir)
+    // batch WITHOUT the generated column → computed
+    import spark.implicits._
+    TableBuilder.append(spark, (10 until 20).map(_.toLong).toDF("k"), dir)
+    val rows = spark.read.format("graft").option("path", dir).load()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.size === 20)
+    rows.foreach { case (k, k2) => assert(k2 === k * 2) }
+    // batch WITH a wrong value → refused, nothing committed
+    val bad = Seq((100L, 5L)).toDF("k", "k2")
+    val before = new GraftLog(dir, spark.sessionState.newHadoopConf()).latestVersion()
+    intercept[Exception] { TableBuilder.append(spark, bad, dir) }
+    GraftLog.invalidateListing(dir)
+    assert(new GraftLog(dir, spark.sessionState.newHadoopConf())
+      .latestVersion() === before)
+    // batch with the CORRECT value → accepted
+    TableBuilder.append(spark, Seq((100L, 200L)).toDF("k", "k2"), dir)
+    assert(spark.read.format("graft").option("path", dir).load().count() === 21)
+  }
+
+  test("create enforces generated expressions on the initial data") {
+    val dir = tempTable()
+    import spark.implicits._
+    val bad = spark.createDataFrame(
+      Seq((1L, 99L)).toDF("k", "k2").rdd,
+      StructType(Seq(
+        StructField("k", LongType),
+        StructField("k2", LongType, nullable = true, genMeta("k * 2")))))
+    intercept[Exception] { TableBuilder.create(spark, bad, dir) }
+  }
+
+  test("identity column: allocated above the watermark, watermark syncs from stats") {
+    val dir = tempTable()
+    import spark.implicits._
+    // create seeds the watermark from explicit initial values
+    val init = spark.createDataFrame(
+      Seq((100L, "a"), (110L, "b")).toDF("id", "v").rdd,
+      StructType(Seq(
+        StructField("id", LongType, nullable = true, idMeta(100L, 10L)),
+        StructField("v", StringType))))
+    TableBuilder.create(spark, init, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    def hwm(): Long = GeneratedColumns.identities(
+      new GraftLog(dir, conf).snapshot(None).schema).head.highWaterMark.get
+    assert(hwm() === 110L)
+
+    // append WITHOUT the identity column → generated, unique, above hwm
+    TableBuilder.append(spark, Seq("c", "d", "e").toDF("v"), dir)
+    val rows = spark.read.format("graft").option("path", dir).load()
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(rows.size === 5)
+    assert(rows.distinct.size === 5, "identity values must be unique")
+    val generated = rows.filterNot(Seq(100L, 110L).contains)
+    assert(generated.forall(_ >= 120L), s"allocated below watermark: $generated")
+    assert(generated.forall(v => (v - 100L) % 10L === 0L), "step not respected")
+    assert(hwm() === generated.max)
+
+    // a second generated append continues above the new watermark
+    TableBuilder.append(spark, Seq("f").toDF("v"), dir)
+    val rows2 = spark.read.format("graft").option("path", dir).load()
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(rows2.distinct.size === 6)
+    assert(rows2.max > generated.max)
+
+    // explicit insert refused for GENERATED ALWAYS
+    intercept[Exception] {
+      TableBuilder.append(spark, Seq((9999L, "x")).toDF("id", "v"), dir)
+    }
+  }
+
+  test("GENERATED BY DEFAULT allows explicit inserts and still syncs the watermark") {
+    val dir = tempTable()
+    import spark.implicits._
+    val init = spark.createDataFrame(
+      Seq((1L, "a")).toDF("id", "v").rdd,
+      StructType(Seq(
+        StructField("id", LongType, nullable = true, idMeta(1L, 1L, explicitOk = true)),
+        StructField("v", StringType))))
+    TableBuilder.create(spark, init, dir)
+    TableBuilder.append(spark, Seq((50L, "b")).toDF("id", "v"), dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val hwm = GeneratedColumns.identities(
+      new GraftLog(dir, conf).snapshot(None).schema).head.highWaterMark.get
+    assert(hwm === 50L)
+    TableBuilder.append(spark, Seq("c").toDF("v"), dir)
+    val ids = spark.read.format("graft").option("path", dir).load()
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size === 3)
+    assert(ids.max > 50L)
+  }
+
+  test("Delta-format table lists identityColumns/generatedColumns writer features") {
+    val dir = tempTable()
+    import spark.implicits._
+    val init = spark.createDataFrame(
+      Seq((1L, 2L, "a")).toDF("id", "k2", "v").rdd,
+      StructType(Seq(
+        StructField("id", LongType, nullable = true, idMeta(1L, 1L)),
+        StructField("k2", LongType, nullable = true, genMeta("length(v) * 2")),
+        StructField("v", StringType))))
+    // k2 = length("a")*2 = 2 — satisfies the generation expression
+    TableBuilder.create(spark, init, dir, deltaFormat = true)
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "_delta_log/00000000000000000000.json").toPath), "UTF-8")
+    assert(txt.contains("\"identityColumns\""))
+    assert(txt.contains("\"generatedColumns\""))
+    assert(txt.contains("\"minWriterVersion\":7"))
+    // generated append on the delta-format log works end-to-end
+    TableBuilder.append(spark, Seq("xyz").toDF("v"), dir)
+    val rows = spark.read.format("graft").option("path", dir).load()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length === 2)
+    val added = rows.find(_._3 == "xyz").get
+    assert(added._1 === 2L, "identity continues above watermark 1")
+    assert(added._2 === 6L, "generated length(v)*2")
+  }
+
+  test("identity refuses non-bigint columns and zero step") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = true, idMeta(1L, 1L))))
+    intercept[IllegalArgumentException] {
+      GeneratedColumns.identities(schema)
+    }
+    val zeroStep = StructType(Seq(
+      StructField("id", LongType, nullable = true, idMeta(1L, 0L))))
+    intercept[IllegalArgumentException] {
+      GeneratedColumns.identities(zeroStep)
+    }
+  }
+}
