@@ -1477,6 +1477,17 @@ object SparkEntry {
           sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
     }),
 
+    // Beyond-reference: EXACT substring dedup (Lee et al. ACL'22
+    // ExactSubstr, relational form) — every char inside a ≥50-char
+    // substring occurring more than once in the corpus is removed except
+    // the globally first occurrence. Fixed-width md5 L-gram occurrences
+    // + one per-doc interval-merge fold; the DuckDB oracle recomputes
+    // the exact same removal set per character.
+    "q104_exact_substring_dedup" -> ((s, dir) => {
+      graft.ops.Dedup.exactSubstringDedup(
+        t(s, dir, "documents"), "doc_id", "text", minLen = 50)
+    }),
+
     // Beyond-reference writer: GENERATED + IDENTITY columns (delta
     // "Generated Columns"/"Identity Columns"). Scratch table whose
     // `id` is IDENTITY(start 1000, step 2) and `bal_cents` is GENERATED
@@ -2643,6 +2654,36 @@ object SparkEntry {
       """SELECT c_nationkey, count(*) AS n_cust,
          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
          FROM customer GROUP BY 1""",
+    // per-character replay of the removal set: a char survives iff no
+    // covering 50-gram occurrence is a duplicated non-first occurrence
+    "q104_exact_substring_dedup" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         grams AS (
+           SELECT doc_id, i AS pos, md5(substr(text, CAST(i + 1 AS INT), 50)) AS g
+           FROM base, UNNEST(generate_series(0, n - 50)) AS u(i)
+           WHERE n >= 50),
+         marked AS (
+           SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY g) AS c,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk
+           FROM grams),
+         removals AS (SELECT doc_id, pos FROM marked WHERE c > 1 AND rk > 1),
+         chars AS (
+           SELECT b.doc_id, i AS p, substr(b.text, CAST(i + 1 AS INT), 1) AS ch
+           FROM base b, UNNEST(generate_series(0, b.n - 1)) AS u(i)
+           WHERE b.n > 0),
+         kept AS (
+           SELECT c.doc_id, c.p, c.ch
+           FROM chars c LEFT JOIN removals r
+             ON r.doc_id = c.doc_id AND r.pos BETWEEN c.p - 49 AND c.p
+           GROUP BY c.doc_id, c.p, c.ch
+           HAVING count(r.pos) = 0),
+         agg AS (
+           SELECT doc_id, string_agg(ch, '' ORDER BY p) AS cleaned
+           FROM kept GROUP BY doc_id)
+         SELECT b.doc_id, coalesce(a.cleaned, '') AS cleaned,
+           CAST(b.n - length(coalesce(a.cleaned, '')) AS BIGINT) AS removed_chars
+         FROM base b LEFT JOIN agg a USING (doc_id)""",
     // the identity allocation (sorted single-partition batches) and the
     // generated column replay exactly as rank arithmetic
     "q103_generated_identity" ->

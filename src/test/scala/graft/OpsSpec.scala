@@ -881,4 +881,56 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(enShare > baseRate,
       s"top-30 en share ${enShare} does not beat base rate ${baseRate}")
   }
+
+  test("exact substring dedup agrees with a brute-force reference") {
+    // brute-force reference: for every L-gram occurrence, mark removal
+    // unless it is the gram's globally first (doc, pos) occurrence; a
+    // char survives iff no covering occurrence is marked
+    def reference(rows: Seq[(Long, String)], L: Int): Map[Long, String] = {
+      val occ = for {
+        (id, text) <- rows
+        p <- 0 to text.length - L
+      } yield (text.substring(p, p + L), id, p)
+      val first = occ.groupBy(_._1).map { case (g, os) =>
+        g -> os.map(o => (o._2, o._3)).min
+      }
+      val dup = occ.groupBy(_._1).collect { case (g, os) if os.size > 1 => g }.toSet
+      val removed = occ.collect {
+        case (g, id, p) if dup(g) && first(g) != ((id, p)) => (id, p)
+      }
+      rows.map { case (id, text) =>
+        val dropChar = Array.fill(text.length)(false)
+        removed.filter(_._1 == id).foreach { case (_, p) =>
+          (p until math.min(p + L, text.length)).foreach(dropChar(_) = true)
+        }
+        id -> text.zipWithIndex.collect {
+          case (c, i) if !dropChar(i) => c
+        }.mkString
+      }.toMap
+    }
+    val L = 12
+    val shared = "ABCDEFGHIJKLMNOPQR" // 18 chars: one duplicated span
+    val rows = Seq(
+      (1L, s"aaa $shared bbb unique text one zzz"),
+      (2L, s"ccc $shared ddd other words here yy"), // later copy → removed
+      (3L, "totally unrelated document body xx"),
+      (4L, "xx " + shared.take(L - 1) + " short overlap only"), // < L, kept
+      (5L, "tiny")) // shorter than L
+    val expect = reference(rows, L)
+    val got = Dedup.exactSubstringDedup(docsDF(rows), "doc_id", "text", minLen = L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === expect)
+    // the first occurrence (doc 1) keeps its span, the copy (doc 2) lost it
+    assert(got(1L).contains(shared))
+    assert(!got(2L).contains(shared))
+    assert(got(3L) === rows(2)._2)
+    assert(got(5L) === "tiny")
+    // within-one-doc repeats: second copy removed, first kept
+    val selfRep = Seq((9L, "PREFIX 0123456789AB middle 0123456789AB SUFFIX"))
+    val cleaned = Dedup.exactSubstringDedup(docsDF(selfRep), "doc_id", "text", minLen = L)
+      .collect().head.getString(1)
+    assert(cleaned === reference(selfRep, L)(9L))
+    assert(cleaned.indexOf("0123456789AB") >= 0 &&
+      cleaned.indexOf("0123456789AB") === cleaned.lastIndexOf("0123456789AB"))
+  }
 }
