@@ -165,6 +165,14 @@ class GraftTable private (val spark: SparkSession, val path: String) {
   def addColumns(columns: Seq[(String, org.apache.spark.sql.types.DataType)]): Long =
     TableBuilder.addColumns(spark, path, columns, System.currentTimeMillis())
 
+  /** Metadata-only column rename (needs column mapping). */
+  def renameColumn(from: String, to: String): Long =
+    TableBuilder.renameColumn(spark, path, from, to, System.currentTimeMillis())
+
+  /** Metadata-only column drop (needs column mapping). */
+  def dropColumns(columns: Seq[String]): Long =
+    TableBuilder.dropColumns(spark, path, columns, System.currentTimeMillis())
+
   /** ADD CONSTRAINT name CHECK (sql): validates existing rows first. */
   def addCheckConstraint(name: String, sql: String): Long =
     Constraints.addCheck(spark, path, name, sql, System.currentTimeMillis())

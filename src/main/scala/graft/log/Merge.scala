@@ -67,6 +67,9 @@ object Merge {
     val conf = spark.sessionState.newHadoopConf()
     val logR = new GraftLog(tablePath, conf)
     val prev = logR.snapshot(None)
+    // appendOnly allows the insert clause but never matched-row rewrites
+    if (whenMatchedUpdate.isDefined || whenMatchedDeleteIf.isDefined)
+      TableBuilder.assertNotAppendOnly(prev.metadata, s"MERGE with matched clauses on $tablePath")
     require(prev.metadata.partitionColumns.isEmpty,
       s"merge supports non-partitioned tables (got ${prev.metadata.partitionColumns})")
     // DV-carrying files are supported: bitmaps apply scan-side, so the

@@ -161,8 +161,11 @@ object TableBuilder {
                   f.metadata.getLong(ColumnMapping.COLUMN_ID_KEY)
                 else 0L).foldLeft(0L)(math.max)
               fresh.zipWithIndex.map { case (f, i) =>
-                val phys = "col-" +
-                  java.util.UUID.nameUUIDFromBytes(f.name.getBytes("UTF-8"))
+                // seed the uuid with the fresh column ID too: a column
+                // dropped and later re-added must get a NEW physical name
+                // (the old bytes in existing files must never resurface)
+                val phys = "col-" + java.util.UUID.nameUUIDFromBytes(
+                  s"${f.name}#${maxId + i + 1}".getBytes("UTF-8"))
                 f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
                   .withMetadata(f.metadata)
                   .putString(ColumnMapping.PHYSICAL_NAME_KEY, phys)
@@ -251,8 +254,10 @@ object TableBuilder {
             f.metadata.getLong(ColumnMapping.COLUMN_ID_KEY)
           else 0L).foldLeft(0L)(math.max)
         fresh.zipWithIndex.map { case (f, i) =>
-          val phys = "col-" +
-            java.util.UUID.nameUUIDFromBytes(f.name.getBytes("UTF-8"))
+          // id-seeded uuid: a dropped-then-re-added column gets a fresh
+          // physical name, never the dropped one's bytes
+          val phys = "col-" + java.util.UUID.nameUUIDFromBytes(
+            s"${f.name}#${maxId + i + 1}".getBytes("UTF-8"))
           f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata)
             .putString(ColumnMapping.PHYSICAL_NAME_KEY, phys)
@@ -263,6 +268,91 @@ object TableBuilder {
     val merged = StructType(prev.schema.fields ++ annotated)
     GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
       schemaString = merged.json, version = version)), conf)
+    version
+  }
+
+  /** Guard shared by rename/drop: the column must not be load-bearing
+    * for CHECK constraints or generation expressions (delta refuses the
+    * same way — the stored SQL would silently break), and schema surgery
+    * needs column mapping (without it, data files are addressed by
+    * LOGICAL name and old files would misread).
+    */
+  private def assertColumnSurgeryAllowed(
+      meta: graft.model.Metadata, column: String, op: String): Unit = {
+    require(ColumnMapping.isEnabled(meta),
+      s"$op needs column mapping (delta.columnMapping.mode) — without it " +
+        "data files are addressed by logical column name and existing " +
+        "files would be misread")
+    val word = ("""\b""" + java.util.regex.Pattern.quote(column) + """\b""").r
+    Constraints.of(meta).foreach { case (n, sql) =>
+      require(word.findFirstIn(sql).isEmpty,
+        s"$op: column $column is referenced by CHECK constraint $n ($sql)")
+    }
+    val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaString)
+      .asInstanceOf[StructType]
+    GeneratedColumns.generation(schema).foreach { case (n, sql) =>
+      require(n == column || word.findFirstIn(sql).isEmpty,
+        s"$op: column $column is referenced by generated column $n ($sql)")
+    }
+  }
+
+  /** ALTER TABLE RENAME COLUMN: metadata-only on column-mapped tables —
+    * the logical name changes, the physical name and column id stay, so
+    * no file is touched and every existing file keeps reading correctly.
+    */
+  def renameColumn(
+      spark: SparkSession,
+      tablePath: String,
+      from: String,
+      to: String,
+      timestamp: Long = 0L): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logR = new GraftLog(tablePath, conf)
+    val prev = logR.snapshot(None)
+    require(prev.schema.fieldNames.contains(from),
+      s"renameColumn: no column $from on $tablePath")
+    require(!prev.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"renameColumn: column $to already exists on $tablePath")
+    assertColumnSurgeryAllowed(prev.metadata, from, "RENAME COLUMN")
+    val version = logR.latestVersion() + 1
+    val renamed = StructType(prev.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val parts = prev.metadata.partitionColumns.map(c => if (c == from) to else c)
+    GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
+      schemaString = renamed.json, partitionColumns = parts,
+      version = version)), conf)
+    version
+  }
+
+  /** ALTER TABLE DROP COLUMN(S): metadata-only on column-mapped tables —
+    * the field leaves the schema; the bytes stay in the files and are
+    * simply never projected again (delta's contract; a later re-ADD of
+    * the same logical name gets a FRESH physical name, so the old bytes
+    * can never resurface).
+    */
+  def dropColumns(
+      spark: SparkSession,
+      tablePath: String,
+      columns: Seq[String],
+      timestamp: Long = 0L): Long = {
+    require(columns.nonEmpty, "dropColumns: no columns given")
+    val conf = spark.sessionState.newHadoopConf()
+    val logR = new GraftLog(tablePath, conf)
+    val prev = logR.snapshot(None)
+    columns.foreach { c =>
+      require(prev.schema.fieldNames.contains(c),
+        s"dropColumns: no column $c on $tablePath")
+      require(!prev.metadata.partitionColumns.contains(c),
+        s"dropColumns: $c is a partition column")
+      assertColumnSurgeryAllowed(prev.metadata, c, "DROP COLUMN")
+    }
+    require(columns.size < prev.schema.fields.length,
+      s"dropColumns: cannot drop every column of $tablePath")
+    val version = logR.latestVersion() + 1
+    val remaining = StructType(
+      prev.schema.fields.filterNot(f => columns.contains(f.name)))
+    GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
+      schemaString = remaining.json, version = version)), conf)
     version
   }
 
@@ -285,6 +375,15 @@ object TableBuilder {
     * with RemoveFile actions — file-granularity delete, like OPTIMIZE /
     * partition drop in the reference's model).
     */
+  /** `delta.appendOnly` tables refuse every data-changing removal or
+    * rewrite of existing rows (the delta contract; layout-only rewrites
+    * with `dataChange=false` — compact/zorder — stay allowed).
+    */
+  private[graft] def assertNotAppendOnly(meta: graft.model.Metadata, op: String): Unit =
+    require(!meta.configuration.get("delta.appendOnly").contains("true"),
+      s"$op refused: table is delta.appendOnly=true " +
+        "(existing rows cannot be deleted or modified)")
+
   def removeFiles(
       spark: SparkSession,
       tablePath: String,
@@ -293,6 +392,7 @@ object TableBuilder {
     val conf = spark.sessionState.newHadoopConf()
     val logR = new GraftLog(tablePath, conf)
     val prev = logR.snapshot(None)
+    assertNotAppendOnly(prev.metadata, s"removeFiles on $tablePath")
     val version = logR.latestVersion() + 1
     val removes = prev.files.filter(pred).map(a =>
       RemoveFile(a.path, a.partitionValues, a.size, dataChange = true, version, timestamp))
@@ -353,6 +453,7 @@ object TableBuilder {
     val conf = spark.sessionState.newHadoopConf()
     val logR = new GraftLog(tablePath, conf)
     val prev = logR.snapshot(None)
+    assertNotAppendOnly(prev.metadata, s"deleteWhereDV on $tablePath")
     require(prev.metadata.partitionColumns.isEmpty,
       "deleteWhereDV supports non-partitioned tables")
     val version = logR.latestVersion() + 1
@@ -820,6 +921,7 @@ object TableBuilder {
     val conf = spark.sessionState.newHadoopConf()
     val logR = new GraftLog(tablePath, conf)
     val prev = logR.snapshot(None)
+    assertNotAppendOnly(prev.metadata, s"row-level rewrite of $tablePath")
     require(prev.metadata.partitionColumns.isEmpty,
       "deleteWhere/updateWhere support non-partitioned tables")
     val version = logR.latestVersion() + 1

@@ -219,6 +219,7 @@ class GraftReplaceDataWrite(
     val logR = new GraftLog(tablePath, conf)
     val version = logR.latestVersion() + 1
     val prev = logR.snapshot(None)
+    TableBuilder.assertNotAppendOnly(prev.metadata, s"row-level SQL write on $tablePath")
     val adds = TableBuilder.scanDataFiles(
       spark, tablePath, writeSchema, Nil, version, onlyRelPaths = Some(written))
     val removes = op.candidates.map(f =>

@@ -82,6 +82,15 @@ object GraftSqlParser {
   private val AddColumns =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + TableRef +
       """\s+ADD\s+COLUMNS?\s*\(\s*([^)]+?)\s*\)\s*""").r
+  private val RenameColumn =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TableRef +
+      """\s+RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*""").r
+  private val DropColumnList =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TableRef +
+      """\s+DROP\s+COLUMNS?\s*\(\s*([^)]+?)\s*\)\s*""").r
+  private val DropColumn =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TableRef +
+      """\s+DROP\s+COLUMN\s+(`[^`]+`|\w+)\s*""").r
 
   private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
     case OptimizeZorder(path, name, cols) =>
@@ -111,6 +120,13 @@ object GraftSqlParser {
           require(i > 0, s"ADD COLUMNS: expected '<name> <type>', got '$c'")
           (stripTicks(c.substring(0, i)), c.substring(i + 1).trim)
         }))
+    case RenameColumn(path, name, from, to) =>
+      Some(RenameColumnCommand(ref(path, name), stripTicks(from), stripTicks(to)))
+    case DropColumnList(path, name, cols) =>
+      Some(DropColumnsCommand(ref(path, name),
+        cols.split(",").map(stripTicks).filter(_.nonEmpty).toSeq))
+    case DropColumn(path, name, c) =>
+      Some(DropColumnsCommand(ref(path, name), Seq(stripTicks(c))))
     case _ => None
   }
 
@@ -213,6 +229,24 @@ case class AddColumnsCommand(tablePath: String, columns: Seq[(String, String)])
       columns.map { case (n, t) =>
         (n, org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t))
       },
+      System.currentTimeMillis())))
+}
+
+case class RenameColumnCommand(tablePath: String, from: String, to: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(
+    graft.log.TableBuilder.renameColumn(spark, tablePath, from, to,
+      System.currentTimeMillis())))
+}
+
+case class DropColumnsCommand(tablePath: String, columns: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(
+    graft.log.TableBuilder.dropColumns(spark, tablePath, columns,
       System.currentTimeMillis())))
 }
 

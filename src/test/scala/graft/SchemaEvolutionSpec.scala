@@ -139,4 +139,100 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // added columns are fine for pinned readers (T7 guard passes)
     assert(graft.model.SchemaCompat.isReadCompatible(analyzed, newer))
   }
+
+  test("RENAME COLUMN is metadata-only on column-mapped tables; refused without") {
+    import spark.implicits._
+    val p = fresh("rename")
+    TableBuilder.createColumnMapped(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), p)
+    val filesBefore = new GraftLog(p, conf).snapshot(None).files.map(_.path).toSet
+    TableBuilder.renameColumn(spark, p, "v", "label")
+    GraftLog.invalidateListing(p)
+    val got = readTable(p)
+    assert(got.columns.toSeq === Seq("id", "label"))
+    assert(got.orderBy("id").select("label").as[String].collect().toSeq === Seq("a", "b"))
+    // zero data IO: same files
+    assert(new GraftLog(p, conf).snapshot(None).files.map(_.path).toSet === filesBefore)
+    // appends resolve against the new name
+    TableBuilder.append(spark, Seq((3L, "c")).toDF("id", "label"), p, timestamp = 1000L)
+    GraftLog.invalidateListing(p)
+    assert(readTable(p).count() === 3)
+    // unmapped tables refuse (files are addressed by logical name)
+    val plain = fresh("rename_plain")
+    TableBuilder.create(spark, Seq((1L, "a")).toDF("id", "v").repartition(1), plain)
+    intercept[IllegalArgumentException] {
+      TableBuilder.renameColumn(spark, plain, "v", "label")
+    }
+    // constraint-referenced columns refuse
+    val guarded = fresh("rename_guarded")
+    TableBuilder.createColumnMapped(spark,
+      Seq((1L, "a")).toDF("id", "v").repartition(1), guarded,
+      configuration = Map("delta.constraints.pos" -> "id >= 0"))
+    intercept[IllegalArgumentException] {
+      TableBuilder.renameColumn(spark, guarded, "id", "key")
+    }
+  }
+
+  test("DROP COLUMN is metadata-only; re-ADD gets a fresh physical name") {
+    import spark.implicits._
+    val p = fresh("drop")
+    TableBuilder.createColumnMapped(spark,
+      Seq((1L, "a", 9.0), (2L, "b", 8.0)).toDF("id", "v", "score").repartition(1), p)
+    val physBefore = new GraftLog(p, conf).snapshot(None)
+      .schema("score").metadata.getString(graft.model.ColumnMapping.PHYSICAL_NAME_KEY)
+    TableBuilder.dropColumns(spark, p, Seq("score"))
+    GraftLog.invalidateListing(p)
+    assert(readTable(p).columns.toSeq === Seq("id", "v"))
+    // re-ADD the same logical name: fresh physical name, old bytes stay buried
+    TableBuilder.addColumns(spark, p, Seq(("score", DoubleType)))
+    GraftLog.invalidateListing(p)
+    val snap = new GraftLog(p, conf).snapshot(None)
+    val physAfter = snap.schema("score").metadata
+      .getString(graft.model.ColumnMapping.PHYSICAL_NAME_KEY)
+    assert(physAfter !== physBefore, "re-added column must not reuse the dropped physical name")
+    assert(readTable(p).select("score").collect().forall(_.isNullAt(0)),
+      "dropped bytes must not resurface")
+    // SQL forms route through the parser
+    spark.sql(s"ALTER TABLE '$p' RENAME COLUMN v TO label")
+    spark.sql(s"ALTER TABLE '$p' DROP COLUMN score")
+    GraftLog.invalidateListing(p)
+    assert(readTable(p).columns.toSeq === Seq("id", "label"))
+    // cannot drop everything
+    intercept[IllegalArgumentException] {
+      TableBuilder.dropColumns(spark, p, Seq("id", "label"))
+    }
+  }
+
+  test("delta.appendOnly refuses deletes/updates/merge-matched, allows appends") {
+    import spark.implicits._
+    val p = fresh("append_only")
+    TableBuilder.create(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), p,
+      configuration = Map("delta.appendOnly" -> "true"))
+    TableBuilder.append(spark, Seq((3L, "c")).toDF("id", "v"), p, timestamp = 1000L)
+    GraftLog.invalidateListing(p)
+    assert(readTable(p).count() === 3)
+    intercept[IllegalArgumentException] {
+      TableBuilder.deleteWhere(spark, p, col("id") === 1L)
+    }
+    intercept[IllegalArgumentException] {
+      TableBuilder.deleteWhereDV(spark, p, col("id") === 1L)
+    }
+    intercept[IllegalArgumentException] {
+      TableBuilder.updateWhere(spark, p, col("id") === 1L, Seq("v" -> lit("x")))
+    }
+    intercept[IllegalArgumentException] {
+      Merge.merge(spark, p, Seq((1L, "z")).toDF("id", "v"), "t.id = s.id",
+        whenMatchedUpdate = Some(Map("v" -> "s.v")))
+    }
+    // insert-only merge is allowed
+    Merge.merge(spark, p, Seq((9L, "i")).toDF("id", "v"), "t.id = s.id",
+      whenNotMatchedInsert = Some(Map("id" -> "s.id", "v" -> "s.v")))
+    GraftLog.invalidateListing(p)
+    assert(readTable(p).count() === 4)
+    // layout-only compaction stays allowed
+    TableBuilder.compact(spark, p)
+    GraftLog.invalidateListing(p)
+    assert(readTable(p).count() === 4)
+  }
 }
