@@ -1797,10 +1797,13 @@ object SparkEntry {
                                                          CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
              END) AS fset
            FROM documents),
-         sh AS (SELECT doc_id, unnest(fset) AS sh FROM sets),
+         sh AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h1,
+             ('0x' || substr(md5(sh), 13, 12))::BIGINT AS h2
+           FROM (SELECT doc_id, unnest(fset) AS sh FROM sets)),
          hs AS (
-           SELECT doc_id, j,
-             min(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || sh), 1, 15))::BIGINT) AS h
+           SELECT doc_id, j, min(h1 + j * h2) AS h
            FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS j) js
            GROUP BY doc_id, j),
          bands AS (

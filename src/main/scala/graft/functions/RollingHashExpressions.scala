@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hashes of every `window`-code-point gram of a
+  * string, in ONE O(n) pass — the scale path for exact-substring dedup
+  * (`Dedup.exactSubstringDedup`), where hashing each gram independently
+  * (md5 over substring) costs O(n·L) per document. Karp–Rabin 1987;
+  * 64-bit wraparound arithmetic (base 1099511628211, the FNV prime — any
+  * odd base works, wraparound multiplication is the modulus).
+  *
+  * Code-point indexed: `result(i)` hashes code points `[i, i+window)`,
+  * aligning with `substring`/char positions on any text, not just ASCII.
+  * Returns an empty array when the string is shorter than `window`.
+  */
+object Rolling {
+
+  val BASE = 1099511628211L
+
+  /** O(n) rolling pass; also the interpreted reference for tests. */
+  def hashes(s: UTF8String, window: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray // code points, char-aligned
+    val n = cps.length
+    if (n < window) return new GenericArrayData(Array.empty[Long])
+    // pow = BASE^(window-1) for the outgoing code point
+    var pow = 1L
+    var i = 1
+    while (i < window) { pow *= BASE; i += 1 }
+    val out = new Array[Long](n - window + 1)
+    var h = 0L
+    i = 0
+    while (i < window) { h = h * BASE + cps(i); i += 1 }
+    out(0) = h
+    i = window
+    while (i < n) {
+      h = (h - cps(i - window) * pow) * BASE + cps(i)
+      out(i - window + 1) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `rolling_hashes(text, L)` — native codegen wrapper over
+  * [[Rolling.hashes]]; the explode + groupBy downstream is unchanged,
+  * only the per-gram hashing drops from O(L) to O(1) per position.
+  */
+case class RollingHashes(child: Expression, window: Int)
+    extends UnaryExpression {
+
+  override def prettyName: String = "rolling_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType.simpleString}")
+    else if (window < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires window >= 1, got $window")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any =
+    Rolling.hashes(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Rolling.hashes($c, $window);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashes =
+    copy(child = newChild)
+}

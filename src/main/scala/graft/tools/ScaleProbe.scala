@@ -84,7 +84,13 @@ object ScaleProbe {
         val d = docs(k).select(col("doc_id"), pmod(col("doc_id"), lit(16)).as("source"),
           graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
         graft.ops.Packing.packSequences(d, "source", "doc_id", "n_tokens", 2048L).count()
-      }))
+      }),
+      "q104_substr_md5" -> (k =>
+        graft.ops.Dedup.exactSubstringDedup(docs(k), "doc_id", "text",
+          minLen = 50).agg(sum(col("removed_chars"))).count()),
+      "q104_substr_rolling" -> (k =>
+        graft.ops.Dedup.exactSubstringDedup(docs(k), "doc_id", "text",
+          minLen = 50, gramHash = "rolling").agg(sum(col("removed_chars"))).count()))
     val ops = allOps.filter { case (name, _) =>
       opFilter.forall(_.exists(name.startsWith)) }
 

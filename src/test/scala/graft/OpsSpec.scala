@@ -932,5 +932,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cleaned === reference(selfRep, L)(9L))
     assert(cleaned.indexOf("0123456789AB") >= 0 &&
       cleaned.indexOf("0123456789AB") === cleaned.lastIndexOf("0123456789AB"))
+    // the rolling-hash scale path produces the IDENTICAL result (the
+    // hash only names grams; the dedup itself is exact), including on
+    // multi-byte text where byte and char positions diverge
+    val uni = rows :+ (6L, "héllo wörld héllo wörld padding ééé") :+
+      (7L, "τhe grεek öf it τhe grεek öf it!")
+    val md5Out = Dedup.exactSubstringDedup(docsDF(uni), "doc_id", "text", minLen = L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val rollOut = Dedup.exactSubstringDedup(docsDF(uni), "doc_id", "text", minLen = L,
+      gramHash = "rolling")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rollOut === md5Out)
   }
 }
