@@ -87,10 +87,13 @@ object ScaleProbe {
       }),
       "q104_substr_md5" -> (k =>
         graft.ops.Dedup.exactSubstringDedup(docs(k), "doc_id", "text",
-          minLen = 50).agg(sum(col("removed_chars"))).count()),
+          minLen = 50).agg(coalesce(sum(col("removed_chars")), lit(0L)))
+          .collect().head.getLong(0)),
       "q104_substr_rolling" -> (k =>
         graft.ops.Dedup.exactSubstringDedup(docs(k), "doc_id", "text",
-          minLen = 50, gramHash = "rolling").agg(sum(col("removed_chars"))).count()))
+          minLen = 50, gramHash = "rolling")
+          .agg(coalesce(sum(col("removed_chars")), lit(0L)))
+          .collect().head.getLong(0)))
     val ops = allOps.filter { case (name, _) =>
       opFilter.forall(_.exists(name.startsWith)) }
 
