@@ -39,8 +39,10 @@ import graft.model._
   * `checkpointPolicy` checkpoints (UUID-named top-level file — json or
   * parquet — whose add actions live in sidecar parquet files under
   * `_delta_log/_sidecars/`, referenced by `sidecar` actions; delta
-  * PROTOCOL "V2 Spec Checkpoints"). Still out of scope (fails loudly at
-  * the marker layer, never wrong answers): compacted log ranges.
+  * PROTOCOL "V2 Spec Checkpoints"). Minor log compactions
+  * (`{s}.{e}.compacted.json`, delta "Log Compaction") substitute for
+  * fully-covered commit ranges during snapshot replay ([[GraftLog]]) and
+  * degrade to commit files on any read problem.
   */
 object DeltaLogCompat {
 
@@ -406,6 +408,55 @@ object DeltaLogCompat {
     finally out.close()
     require(fs.rename(tmp, target), s"failed to commit $target")
     fs.setTimes(target, ts, -1)
+  }
+
+  /** Minor log compaction (delta "Log Compaction"): one
+    * `{start}.{end}.compacted.json` file whose replay is equivalent to
+    * replaying commits `[start, end]` in order — per path the LAST
+    * add/remove wins, latest metaData, latest txn per appId, last
+    * domainMetadata per domain (tombstones included). Commits are NOT
+    * deleted; the compacted file is a read accelerator. Ranges containing
+    * protocol changes are refused (the graft action model does not carry
+    * writer features, so re-serializing the protocol could drop them —
+    * and a protocol change mid-range is precisely where fidelity
+    * matters).
+    */
+  private[graft] def writeCompacted(
+      conf: Configuration, tablePath: String, start: Long, end: Long): Path = {
+    require(start < end, s"compacted range needs start < end, got [$start,$end]")
+    val log = new GraftLog(tablePath, conf)
+    val actions = (start to end).flatMap(v => log.readVersion(v))
+    require(!actions.exists(_.isInstanceOf[Protocol]),
+      s"range [$start,$end] contains a protocol change; not compacting")
+    val lastByPath = scala.collection.mutable.LinkedHashMap.empty[String, Action]
+    var meta: Metadata = null
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Txn]
+    val domains = scala.collection.mutable.LinkedHashMap.empty[String, DomainMetadata]
+    actions.foreach {
+      case a: AddFile        => lastByPath(a.path) = a
+      case r: RemoveFile     => lastByPath(r.path) = r
+      case m: Metadata       => meta = m
+      case t: Txn            => txns(t.appId) = t
+      case d: DomainMetadata => domains(d.domain) = d
+      case _: AddCDCFile     => () // cdc files never participate in snapshots
+      case _: Protocol       => () // unreachable (refused above)
+    }
+    val dummy = JsonUtils.mapper.createObjectNode()
+    val lines =
+      Option(meta).toSeq.map(m => actionToDeltaLine(m, dummy)) ++
+        txns.values.map(actionToDeltaLine(_, dummy)) ++
+        domains.values.map(actionToDeltaLine(_, dummy)) ++
+        lastByPath.values.map(actionToDeltaLine(_, dummy))
+    val logDir = new Path(tablePath, LOG_DIR)
+    val fs = logDir.getFileSystem(conf)
+    val target = new Path(logDir, f"$start%020d.$end%020d.compacted.json")
+    val tmp = new Path(logDir, s".${target.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try lines.foreach(l => out.write((l + "\n").getBytes("UTF-8")))
+    finally out.close()
+    fs.delete(target, false)
+    require(fs.rename(tmp, target), s"failed to write $target")
+    target
   }
 
   // -------------------------------------------------- writing: checkpoints

@@ -205,6 +205,22 @@ class GraftLog(val tablePath: String, conf: Configuration) {
     cand.head._1
   }
 
+  /** Compacted log ranges (`{s}.{e}.compacted.json`) present in a
+    * delta-format log, ascending by start. One listing per process per
+    * table (immutable once written; `invalidateListing` drops the cache).
+    */
+  private def compactedRanges(): Seq[(Long, Long, Path)] =
+    GraftLog.compactedCache.getOrElseUpdate(tablePath, {
+      try fs.listStatus(logDir).toSeq.map(_.getPath)
+        .flatMap { p =>
+          p.getName match {
+            case GraftLog.COMPACTED_RE(s, e) => Some((s.toLong, e.toLong, p))
+            case _ => None
+          }
+        }.sortBy(_._1)
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    })
+
   /** Replay the log to the active-file set at `version` (default latest).
     *
     * Replay starts from the newest CHECKPOINT at-or-before the target
@@ -231,18 +247,51 @@ class GraftLog(val tablePath: String, conf: Configuration) {
     cp.foreach { c =>
       c.files.foreach(a => active(a.path) = a); txns ++= c.txns; domains ++= c.domains
     }
-    versions.foreach { v =>
-      readVersion(v).foreach {
-        case a: AddFile    => active(a.path) = a
-        case r: RemoveFile => active.remove(r.path)
-        case m: Metadata   => meta = m
-        case p: Protocol   => proto = p
-        case t: Txn        => txns(t.appId) = t.txnVersion // replay order: latest commit wins
-        case d: DomainMetadata => // last writer wins per domain; removed tombstones
-          if (d.removed) domains.remove(d.domain) else domains(d.domain) = d.configuration
-        case _: AddCDCFile => // cdc files are not part of the main snapshot
+    // Delta minor log compaction ("Log Compaction"): a
+    // `{s}.{e}.compacted.json` range whose replay is needed IN FULL
+    // (s is the next version to apply, e <= target) substitutes for its
+    // individual commit reads — O(ranges) instead of O(commits) IO on
+    // long logs between checkpoints. Any read problem falls back to the
+    // commit files; commits are never deleted, so this is purely an
+    // accelerator. Per-file version attribution inside a substituted
+    // range coarsens to the range end (same fidelity every compacted-log
+    // reader accepts); change/CDF queries always read real commits.
+    val batches: Seq[Seq[Action]] = {
+      val ranges = if (deltaMode) compactedRanges() else Nil
+      val vs = versions.toIndexedSeq
+      val out = Seq.newBuilder[Seq[Action]]
+      var i = 0
+      while (i < vs.length) {
+        val v = vs(i)
+        val sub = ranges.find(r => r._1 == v && r._2 > v && r._2 <= target)
+          .flatMap { case (_, e, f) =>
+            try {
+              val ts = try fs.getFileStatus(f).getModificationTime
+                catch { case scala.util.control.NonFatal(_) => 0L }
+              val acts = DeltaLogCompat.readCommit(fs, f, e, ts)
+              GraftLog.compactedReads.incrementAndGet()
+              Some((e, acts))
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }
+        sub match {
+          case Some((e, acts)) =>
+            out += acts
+            i = vs.indexWhere(_ > e) match { case -1 => vs.length; case j => j }
+          case None => out += readVersion(v); i += 1
+        }
       }
+      out.result()
     }
+    batches.foreach(_.foreach {
+      case a: AddFile    => active(a.path) = a
+      case r: RemoveFile => active.remove(r.path)
+      case m: Metadata   => meta = m
+      case p: Protocol   => proto = p
+      case t: Txn        => txns(t.appId) = t.txnVersion // replay order: latest commit wins
+      case d: DomainMetadata => // last writer wins per domain; removed tombstones
+        if (d.removed) domains.remove(d.domain) else domains(d.domain) = d.configuration
+      case _: AddCDCFile => // cdc files are not part of the main snapshot
+    })
     require(meta != null, s"no metadata in log at $tablePath")
     // A genuine Delta table gated on a reader feature we don't decode
     // (typeWidening, variant, …) must fail HERE, loudly, not serve
@@ -516,6 +565,15 @@ object GraftLog {
   private val listingCache =
     scala.collection.concurrent.TrieMap.empty[String, Vector[Long]]
 
+  /** tablePath → compacted log ranges; see [[GraftLog.compactedRanges]]. */
+  private val compactedCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Long, Path)]]
+
+  private[log] val COMPACTED_RE = """(\d{20})\.(\d{20})\.compacted\.json""".r
+
+  /** Test hook: count of compacted-range reads actually substituted. */
+  private[graft] val compactedReads = new java.util.concurrent.atomic.AtomicLong
+
   /** tablePath → deltaMode (log-format detection, see [[GraftLog.deltaMode]]). */
   private val formatCache =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
@@ -529,6 +587,7 @@ object GraftLog {
   private[graft] def invalidateListing(tablePath: String): Unit = {
     listingCache.remove(tablePath)
     formatCache.remove(tablePath)
+    compactedCache.remove(tablePath)
     checkpointCache.keys.filter(_._1 == tablePath).foreach(checkpointCache.remove)
     // a recreated table restarts version numbers — cached snapshots of
     // the old incarnation must not serve under the new table's keys
