@@ -1477,6 +1477,17 @@ object SparkEntry {
           sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
     }),
 
+    // Beyond-reference: deterministic EPOCH SHUFFLE — seed-keyed md5
+    // permutation into shards (shard = key bucket, position = in-shard
+    // key rank): every epoch is a different but exactly reproducible
+    // permutation on any engine/cluster size; DuckDB replays it verbatim.
+    "q105_epoch_shuffle" -> ((s, dir) => {
+      graft.ops.Sampling.epochShuffle(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        seed = "epoch1", numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
     // Beyond-reference: EXACT substring dedup (Lee et al. ACL'22
     // ExactSubstr, relational form) — every char inside a ≥50-char
     // substring occurring more than once in the corpus is removed except
@@ -2657,6 +2668,16 @@ object SparkEntry {
       """SELECT c_nationkey, count(*) AS n_cust,
          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
          FROM customer GROUP BY 1""",
+    // same md5 permutation key, bucket, and rank in SQL
+    "q105_epoch_shuffle" ->
+      """WITH keyed AS (
+           SELECT doc_id,
+             md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS k,
+             ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8 AS shard
+           FROM documents)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+         FROM keyed""",
     // per-character replay of the removal set: a char survives iff no
     // covering 50-gram occurrence is a duplicated non-first occurrence
     "q104_exact_substring_dedup" ->

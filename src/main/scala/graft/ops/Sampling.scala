@@ -35,6 +35,31 @@ object Sampling {
     if (fraction >= 1.0) lit(true)
     else hashBucket(key) < lit(fractionThreshold(fraction))
 
+  /** Deterministic EPOCH SHUFFLE — the step after curation in a training
+    * pipeline: permute the corpus into `numShards` shards with a
+    * seed-keyed md5 order, so every epoch (seed) is a different but
+    * REPRODUCIBLE permutation regardless of engine, cluster size, or
+    * partitioning. The permutation key is `md5(seed || ":" || id)`:
+    * the shard is a key bucket and the within-shard position is the
+    * key's rank — at scale this is exactly one hash-bucket shuffle plus
+    * per-shard local sorts (shards are the parallel unit; no global
+    * sort), the shape a 100 TB shard-writing job needs.
+    */
+  def epochShuffle(
+      df: DataFrame,
+      idCol: String,
+      seed: String,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(key, 1, 4), 16, 10).cast("long"), lit(numShards))
+    df.withColumn("__key", key)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))).cast("long"))
+      .drop("__key")
+  }
+
   /** Stratified deterministic sample: per-stratum fractions with a
     * default for unlisted strata. Pure column predicate — composes with
     * any scan, no shuffle, partial-aggregate-friendly downstream.
