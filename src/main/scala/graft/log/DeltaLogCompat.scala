@@ -297,21 +297,24 @@ object DeltaLogCompat {
     */
   private[graft] def protocolNodeFor(
       usesDv: Boolean, usesCm: Boolean,
-      writerExtras: Set[String] = Set.empty): ObjectNode = {
+      writerExtras: Set[String] = Set.empty,
+      readerExtras: Set[String] = Set.empty): ObjectNode = {
     val p = JsonUtils.mapper.createObjectNode()
-    if (usesDv || writerExtras.nonEmpty) {
-      val minReader = if (usesDv) 3 else if (usesCm) 2 else 1
+    if (usesDv || writerExtras.nonEmpty || readerExtras.nonEmpty) {
+      val minReader =
+        if (usesDv || readerExtras.nonEmpty) 3 else if (usesCm) 2 else 1
       p.put("minReaderVersion", minReader).put("minWriterVersion", 7)
       if (minReader >= 3) {
         val rf = JsonUtils.mapper.createArrayNode()
-        rf.add("deletionVectors")
+        if (usesDv) rf.add("deletionVectors")
         if (usesCm) rf.add("columnMapping")
+        readerExtras.toSeq.sorted.foreach(rf.add)
         p.set[JsonNode]("readerFeatures", rf)
       }
       val wf = JsonUtils.mapper.createArrayNode()
       if (usesDv) wf.add("deletionVectors")
       if (usesCm) wf.add("columnMapping")
-      writerExtras.toSeq.sorted.foreach(wf.add)
+      (writerExtras ++ readerExtras).toSeq.sorted.foreach(wf.add)
       p.set[JsonNode]("writerFeatures", wf)
     } else if (usesCm) p.put("minReaderVersion", 2).put("minWriterVersion", 5)
     else p.put("minReaderVersion", 1).put("minWriterVersion", 4)

@@ -640,18 +640,23 @@ object GraftLog {
           val cfg = snap.metadata.configuration
           def flag(k: String) = cfg.get(k).contains("true") ||
             cfg.get(s"delta.$k").contains("true")
-          val dv = snap.protocol.minReaderVersion >= 3
+          val dv = snap.protocol.features.contains("deletionVectors")
           val ict = flag("enableInCommitTimestamps")
           val rt = flag("enableRowTracking")
           val domains = rt || snap.domains.nonEmpty
-          DeltaLogCompat.writeCheckpoint(conf, tablePath, version,
-            DeltaLogCompat.protocolNodeFor(
-              dv, graft.model.ColumnMapping.isEnabled(snap.metadata),
-              (if (ict) Set("inCommitTimestamp") else Set.empty[String]) ++
-                (if (rt) Set("rowTracking") else Set.empty[String]) ++
-                (if (domains) Set("domainMetadata") else Set.empty[String]) ++
-                (if ((ict || dv || domains) && flag("enableChangeDataFeed"))
-                  Set("changeDataFeed") else Set.empty[String])))
+          val v2 = cfg.get("delta.checkpointPolicy").contains("v2")
+          val protoNode = DeltaLogCompat.protocolNodeFor(
+            dv, graft.model.ColumnMapping.isEnabled(snap.metadata),
+            (if (ict) Set("inCommitTimestamp") else Set.empty[String]) ++
+              (if (rt) Set("rowTracking") else Set.empty[String]) ++
+              (if (domains) Set("domainMetadata") else Set.empty[String]) ++
+              (if ((ict || dv || domains || v2) && flag("enableChangeDataFeed"))
+                Set("changeDataFeed") else Set.empty[String]),
+            if (v2) Set("v2Checkpoint") else Set.empty[String])
+          // the table's declared checkpointPolicy picks the layout the
+          // automatic checkpoint writes (delta "V2 Spec Checkpoints")
+          if (v2) DeltaLogCompat.writeCheckpointV2(conf, tablePath, version, protoNode)
+          else DeltaLogCompat.writeCheckpoint(conf, tablePath, version, protoNode)
         } else writeCheckpoint(tablePath, version, conf)
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(
@@ -725,7 +730,12 @@ object GraftLog {
     // feature (CDF, CHECK constraints; the spec requires v7 protocols to
     // list all active writer features, while legacy minWriterVersion 4/5
     // implies them)
-    val gated = usesIct || usesDv || hasDomainActions || usesIdentity
+    // v2 checkpointPolicy is a reader+writer table feature: commits must
+    // gate readers that cannot discover UUID-named checkpoint files
+    val usesV2Cp = config.get("delta.checkpointPolicy").contains("v2")
+    val readerExtras =
+      if (usesV2Cp) Set("v2Checkpoint") else Set.empty[String]
+    val gated = usesIct || usesDv || hasDomainActions || usesIdentity || usesV2Cp
     val writerExtras =
       (if (usesIct) Set("inCommitTimestamp") else Set.empty[String]) ++
         (if (usesRowTracking) Set("rowTracking") else Set.empty[String]) ++
@@ -737,7 +747,8 @@ object GraftLog {
           Set("changeDataFeed") else Set.empty[String]) ++
         (if (gated && config.keys.exists(_.startsWith(Constraints.PREFIX)))
           Set("checkConstraints") else Set.empty[String])
-    val protoNode = DeltaLogCompat.protocolNodeFor(usesDv, usesCm, writerExtras)
+    val protoNode =
+      DeltaLogCompat.protocolNodeFor(usesDv, usesCm, writerExtras, readerExtras)
     val needUpgrade = version > 0 &&
       ((commitHasDv && prevMinReader < 3) ||
         (usesCm && prevMinReader < 2) ||

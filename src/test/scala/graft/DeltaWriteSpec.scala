@@ -244,4 +244,36 @@ class DeltaWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaLog = spark.read.format("graft").option("path", path).load().count()
     assert(viaKernel === viaLog)
   }
+
+  test("delta.checkpointPolicy=v2 writes V2 checkpoints with sidecars") {
+    import spark.implicits._
+    val path = s"$root/v2policy"
+    TableBuilder.create(spark,
+      Seq((1L, "a")).toDF("k", "v").repartition(1), path,
+      configuration = Map("delta.checkpointPolicy" -> "v2"),
+      deltaFormat = true)
+    // the create commit gates readers on the v2Checkpoint feature
+    val v0 = commitLines(path, 0L).mkString("\n")
+    assert(v0.contains("\"v2Checkpoint\""))
+    assert(v0.contains("\"minReaderVersion\":3"))
+    (1 to 10).foreach { i =>
+      TableBuilder.append(spark, Seq((i * 10L, s"x$i")).toDF("k", "v"), path,
+        timestamp = i * 1000L)
+    }
+    // auto-checkpoint at version 10 used the V2 layout
+    val logDir = new java.io.File(path, "_delta_log")
+    val names = logDir.listFiles().map(_.getName).toSeq
+    assert(names.exists(n =>
+      n.startsWith("00000000000000000010.checkpoint.") && n.endsWith(".parquet") &&
+        n.length > "00000000000000000010.checkpoint.parquet".length),
+      s"no UUID-named v2 checkpoint in $names")
+    assert(new java.io.File(logDir, "_sidecars").isDirectory)
+    assert(!names.contains("00000000000000000010.checkpoint.parquet"),
+      "classic layout must not be written under v2 policy")
+    // a fresh reader resolves the snapshot THROUGH the v2 checkpoint
+    GraftLog.invalidateListing(path)
+    val log = new GraftLog(path, conf)
+    assert(log.checkpointAtOrBefore(10L).isDefined)
+    assert(spark.read.format("graft").option("path", path).load().count() === 11)
+  }
 }
