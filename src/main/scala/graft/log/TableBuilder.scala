@@ -414,6 +414,132 @@ object TableBuilder {
       (None, matching.withColumn(GraftCDF.CHANGE_TYPE, lit("delete")))
     }
 
+  /** Delta's `replaceWhere` overwrite, atomically in ONE commit: every
+    * row of the table matching `cond` is deleted, `df` is appended, and
+    * every NEW row must itself satisfy `cond` (refused row-by-row inside
+    * the write pipeline, the delta contract — an overwrite that smuggles
+    * rows outside its declared region would silently corrupt concurrent
+    * readers' assumptions). Works on unpartitioned tables (partial files
+    * rewrite their survivors) and hive-partitioned tables (`basePath`
+    * scan resolves partition columns, so a partition-predicate replace
+    * drops whole files — the classic overwrite-one-date shape). CDF
+    * captures delete preimages + insert rows; CHECK constraints and
+    * generated/identity columns apply to the new data; row-tracked
+    * tables allocate fresh ids above the watermark.
+    */
+  def replaceWhere(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      cond: org.apache.spark.sql.Column,
+      timestamp: Long = 0L): Long = {
+    import graft.model.ColumnMapping
+    val conf = spark.sessionState.newHadoopConf()
+    val logR = new GraftLog(tablePath, conf)
+    val prev = logR.snapshot(None)
+    assertNotAppendOnly(prev.metadata, s"replaceWhere on $tablePath")
+    val version = logR.latestVersion() + 1
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val qualifiedRoot = fs.makeQualified(root).toUri
+    val idMode = ColumnMapping.isIdMode(prev.metadata)
+    if (idMode) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val names = ColumnMapping.nameMap(prev.schema)
+    val physSchema = ColumnMapping.physicalSchema(prev.schema, idMode)
+    val partitionCols = prev.metadata.partitionColumns
+    val physPartitionCols = partitionCols.map(c => names.getOrElse(c, c))
+    def abs(rel: String): String = new Path(root, rel).toString
+
+    val dvByPath: Map[String, Array[Byte]] = prev.files.flatMap { f =>
+      f.deletionVector.toSeq.flatMap { dv =>
+        val bytes = DeletionVectors.resolveBytes(tablePath, dv, conf)
+        graft.sources.DvFilters
+          .pathSpellings(fs.makeQualified(new Path(root, f.path)))
+          .map(_ -> bytes)
+      }
+    }.toMap
+    // basePath read: partition columns resolve from directory names even
+    // though data files do not store them
+    def readLive(paths: Seq[String]): DataFrame =
+      graft.sources.DvFilters.filterDeleted(
+        spark.read.option("basePath", tablePath).schema(physSchema)
+          .parquet(paths: _*), dvByPath)
+        .select(prev.schema.fields.toIndexedSeq.map(f =>
+          col(names.getOrElse(f.name, f.name)).as(f.name)): _*)
+    def toPhysical(d: DataFrame): DataFrame =
+      d.select(prev.schema.fields.toIndexedSeq.map { f =>
+        val phys = names.getOrElse(f.name, f.name)
+        col(f.name).as(phys, physSchema(phys).metadata)
+      }: _*)
+
+    val condTrue = coalesce(cond, lit(false))
+    val affectedRel: Seq[String] =
+      if (prev.files.isEmpty) Nil
+      else {
+        val active = readLive(prev.files.map(f => abs(f.path)))
+          .withColumn("__file", input_file_name())
+        val uris = active.filter(condTrue).select("__file").distinct()
+          .collect().map(_.getString(0)).toSet
+        prev.files.map(_.path).filter(rel => uris.exists(u =>
+          new java.net.URI(u).getPath == new Path(root, rel).toUri.getPath))
+      }
+
+    // new data: must satisfy the predicate, then the normal write gates
+    val inRegion = df.filter(coalesce(
+      assert_true(condTrue,
+        concat(lit(s"replaceWhere on $tablePath: row outside the replaced " +
+          "region: "), to_json(struct(col("*"))))), lit(true)))
+    val prepared = Constraints.enforce(
+      GeneratedColumns.prepareBatch(inRegion, prev.schema, s"replaceWhere on $tablePath"),
+      prev.metadata, s"replaceWhere on $tablePath")
+    graft.model.SchemaCompat.assertReadCompatible(
+      prev.schema, prepared.schema, s"replaceWhere on $tablePath")
+
+    val survivors =
+      if (affectedRel.isEmpty) None
+      else Some(readLive(affectedRel.map(abs)).filter(!condTrue))
+    val before = collectParquet(fs, fs.makeQualified(root)).map(_.getPath.toUri).toSet
+    val outDf = survivors.map(_.unionByName(prepared.select(
+      prev.schema.fieldNames.toIndexedSeq.map(col): _*)))
+      .getOrElse(prepared.select(prev.schema.fieldNames.toIndexedSeq.map(col): _*))
+    toPhysical(outDf).write.mode("append")
+      .partitionBy(physPartitionCols: _*).parquet(tablePath)
+    val adds = scanDataFiles(spark, tablePath, physSchema, physPartitionCols, version,
+      timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
+
+    // CDF: deleted preimages (the matched rows) + inserted rows
+    val ct = GraftCDF.CHANGE_TYPE
+    val deletes =
+      if (affectedRel.isEmpty) None
+      else Some(readLive(affectedRel.map(abs)).filter(condTrue)
+        .withColumn(ct, lit("delete")))
+    val inserts = prepared.select(prev.schema.fieldNames.toIndexedSeq.map(col): _*)
+      .withColumn(ct, lit("insert"))
+    val cdc = deletes.map(_.unionByName(inserts)).getOrElse(inserts)
+    val cdcDir = s"$tablePath/${"_cdc"}/v$version"
+    val cdcPhys = {
+      val physCols = prev.schema.fields.toIndexedSeq.map { f =>
+        val phys = names.getOrElse(f.name, f.name)
+        col(f.name).as(phys, physSchema(phys).metadata)
+      }
+      cdc.select(physCols :+ col(ct): _*)
+    }
+    cdcPhys.write.mode("overwrite").parquet(cdcDir)
+    val cdcFiles = collectParquetIncludingHidden(fs, new Path(cdcDir)).map { st =>
+      AddCDCFile(
+        path = relativize(qualifiedRoot, st.getPath.toUri),
+        size = st.getLen, version = version, timestamp = timestamp)
+    }
+
+    val removes = prev.files.filter(f => affectedRel.contains(f.path)).map(f =>
+      RemoveFile(f.path, f.partitionValues, f.size, dataChange = true, version, timestamp))
+    val (stamped, domActs) = RowTracking.stamp(prev.metadata, prev.domains, version, adds)
+    val metaOut = GeneratedColumns.advanceWatermarks(prev.metadata, adds, version)
+    GraftLog.commit(tablePath, version,
+      metaOut.toSeq ++ removes ++ stamped ++ cdcFiles ++ domActs, conf)
+    version
+  }
+
   /** Row-level UPDATE with CDF capture: matching rows get `assignments`
     * applied; cdc carries update_preimage + update_postimage rows.
     */

@@ -105,6 +105,12 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
           extraActions = txn.map { case (app, v) =>
             graft.model.Txn(app, v) }.toSeq,
           mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
+      case SaveMode.Overwrite if exists && parameters.contains("replaceWhere") =>
+        // delta's partial overwrite: replace ONLY the declared region,
+        // atomically, in one forward commit (history/CDF intact)
+        graft.log.TableBuilder.replaceWhere(spark, data, path,
+          org.apache.spark.sql.functions.expr(parameters("replaceWhere")),
+          timestamp = parameters.get("timestamp").map(_.toLong).getOrElse(0L))
       case SaveMode.Overwrite if exists =>
         // a fresh version-0 table: wipe so stale data files of the old
         // incarnation can never be rescanned
