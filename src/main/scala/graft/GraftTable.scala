@@ -173,6 +173,16 @@ class GraftTable private (val spark: SparkSession, val path: String) {
   def dropColumns(columns: Seq[String]): Long =
     TableBuilder.dropColumns(spark, path, columns, System.currentTimeMillis())
 
+  /** Region-scoped atomic overwrite (delta `replaceWhere`). */
+  def replaceWhere(df: DataFrame, condition: String): Long =
+    TableBuilder.replaceWhere(spark, df, path,
+      org.apache.spark.sql.functions.expr(condition), System.currentTimeMillis())
+
+  /** Snapshot scan with `_row_id` / `_row_commit_version` (row-tracked
+    * tables only).
+    */
+  def withRowIds(): DataFrame = graft.log.RowTracking.withRowIds(spark, path)
+
   /** ADD CONSTRAINT name CHECK (sql): validates existing rows first. */
   def addCheckConstraint(name: String, sql: String): Long =
     Constraints.addCheck(spark, path, name, sql, System.currentTimeMillis())
