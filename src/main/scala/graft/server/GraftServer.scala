@@ -629,7 +629,10 @@ class GraftServer(
             modificationTime = f.timestamp,
             dataChange = true,
             stats = f.stats.map(JsonUtils.toJson).orNull,
-            deletionVector = deltaDv(location, f, expiration).orNull)))).json
+            deletionVector = deltaDv(location, f, expiration).orNull,
+            baseRowId = f.baseRowId.map(java.lang.Long.valueOf).orNull,
+            defaultRowCommitVersion =
+              f.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull)))).json
       else Line(file = wire.File(
         url = signUrl(location, f.path, expiration),
         id = Tokens.fileId(location, f.path),
@@ -781,7 +784,10 @@ class GraftServer(
                 path = sign(a.path), partitionValues = a.partitionValues,
                 size = a.size, modificationTime = a.timestamp, dataChange = true,
                 stats = a.stats.map(JsonUtils.toJson).orNull,
-                deletionVector = deltaDv(location, a, expiration).orNull)),
+                deletionVector = deltaDv(location, a, expiration).orNull,
+                baseRowId = a.baseRowId.map(java.lang.Long.valueOf).orNull,
+                defaultRowCommitVersion =
+                  a.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull)),
                 a.path, commit.version, commit.timestamp)
               else Line(add = AddFileW(
                 url = sign(a.path), id = id(a.path), partitionValues = a.partitionValues,

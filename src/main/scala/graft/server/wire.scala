@@ -146,7 +146,11 @@ object wire {
       modificationTime: Long = 0L,
       dataChange: Boolean = true,
       stats: String = null,
-      deletionVector: DeltaDvW = null)
+      deletionVector: DeltaDvW = null,
+      // row tracking rides the delta dialect so clients can derive
+      // stable/fresh row ids from the served actions
+      baseRowId: java.lang.Long = null,
+      defaultRowCommitVersion: java.lang.Long = null)
 
   case class DeltaRemoveW(
       path: String,

@@ -642,6 +642,29 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       new String(bytes.body().take(4), "ASCII") === "PAR1")
   }
 
+  test("delta dialect serves row-tracking fields on add actions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rt_rest").toString
+    TableBuilder.create(spark, (1 to 4).map(i => (i.toLong, s"r$i")).toDF("id", "v"),
+      dir, numFiles = 2, name = "rowtrack",
+      configuration = Map(graft.log.RowTracking.ENABLED_KEY -> "true"))
+    GraftCatalog.register("share1.default.rowtrack", dir)
+    try {
+      val r = rawPostH("/shares/share1/schemas/default/tables/rowtrack/query", "{}",
+        "responseformat=delta")
+      assert(r.statusCode() === 200)
+      val lines = r.body().split("\n").filter(_.nonEmpty)
+        .map(JsonUtils.fromJson[DeltaLine](_))
+      val adds = lines.flatMap(l => Option(l.file)).map(_.deltaSingleAction.add)
+      assert(adds.length === 2)
+      assert(adds.forall(_.baseRowId != null), "baseRowId must ride the wire")
+      assert(adds.forall(_.defaultRowCommitVersion != null))
+      // disjoint contiguous ranges covering 4 rows starting at 0
+      assert(adds.map(_.baseRowId.longValue()).sorted.head === 0L)
+      assert(adds.map(_.baseRowId.longValue()).distinct.length === 2)
+    } finally GraftCatalog.unregister("share1.default.rowtrack")
+  }
+
   test("delta dialect negotiation on basic tables: delta-only honored, delta,parquet → parquet") {
     // delta-only request on a basic table is honored with legacy protocol 1/2
     val d = rawPostH("/shares/share1/schemas/default/tables/lineitem/query", "{}",
