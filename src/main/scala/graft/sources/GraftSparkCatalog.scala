@@ -167,12 +167,19 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     val spark = SparkSession.active
     import scala.jdk.CollectionConverters._
     val props = properties.asScala.toMap
-    val partitionCols = partitions.toSeq.map {
+    // CLUSTER BY arrives as its own transform kind (Spark 4's liquid-
+    // clustering DDL); it declares the layout domain, not hive partitions
+    val (clusterTs, partTs) = partitions.toSeq.partition(_.name() == "cluster_by")
+    val clusterCols = clusterTs.flatMap(_.references().toSeq
+      .map(_.fieldNames().mkString(".")))
+    val partitionCols = partTs.map {
       case t if t.name() == "identity" && t.references().length == 1 =>
         t.references()(0).fieldNames().mkString(".")
       case t => throw new UnsupportedOperationException(
         s"$catalogName supports identity partitioning only, got $t")
     }
+    require(clusterCols.isEmpty || partitionCols.isEmpty,
+      "CLUSTER BY and PARTITIONED BY are mutually exclusive")
     val schema = org.apache.spark.sql.types.StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
     val path = props.getOrElse("location", {
@@ -191,7 +198,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       version = 0L)
     graft.log.GraftLog.invalidateListing(path)
     graft.log.GraftLog.commit(path, 0L,
-      Seq(graft.model.Protocol(), meta),
+      Seq(graft.model.Protocol(), meta) ++
+        (if (clusterCols.nonEmpty) Seq(graft.log.Clustering.domainFor(clusterCols))
+         else Nil),
       spark.sessionState.newHadoopConf(),
       deltaFormat = props.get("format").contains("delta"))
     GraftCatalog.register(fqn(ident), path)

@@ -150,6 +150,30 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(overlapping(path, "y", 0, 15) <= 4)
   }
 
+  test("CREATE TABLE ... CLUSTER BY through the DSv2 catalog declares the domain") {
+    val loc = s"$root/ddl_cluster"
+    spark.conf.set("spark.sql.catalog.graftc", "graft.sources.GraftSparkCatalog")
+    try {
+      spark.sql(s"""CREATE TABLE graftc.share1.default.ddl_cluster
+                 (k BIGINT, x BIGINT, v STRING) CLUSTER BY (k, x)
+                 LOCATION '$loc'""")
+      spark.sql("INSERT INTO graftc.share1.default.ddl_cluster " +
+        "SELECT id, id * 7 % 64, CAST(id AS STRING) FROM range(0, 1000)")
+      val snap = new GraftLog(loc, spark.sessionState.newHadoopConf()).snapshot(None)
+      assert(Clustering.columnsOf(snap.domains) === Seq("k", "x"))
+      // OPTIMIZE on it reclusters (CLUSTER, not COMPACT)
+      val ext = new graft.sql.GraftSqlParser(spark.sessionState.sqlParser)
+      val res = ext.parsePlan(s"OPTIMIZE '$loc'")
+        .asInstanceOf[graft.sql.OptimizeCommand].run(spark)
+      assert(res.head.getString(1) === "CLUSTER")
+      GraftLog.invalidateListing(loc)
+      assert(spark.sql("SELECT count(*) FROM graftc.share1.default.ddl_cluster")
+        .collect().head.getLong(0) === 1000L)
+    } finally {
+      graft.log.GraftCatalog.unregister("share1.default.ddl_cluster")
+    }
+  }
+
   test("cluster() refuses unclustered tables; nested clustering paths refused") {
     val path = s"$root/plain"
     TableBuilder.create(spark, spark.range(10).toDF("id"), path, name = "plain")
