@@ -1477,6 +1477,28 @@ object SparkEntry {
           sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
     }),
 
+    // Beyond-reference writer: replaceWhere — the R-region of the scratch
+    // table is atomically replaced with quantity-shifted rows in ONE
+    // commit; any smuggled out-of-region row, lost survivor, or doubled
+    // region flips the aggregate hash.
+    "q106_replace_where" -> ((s, dir) => {
+      val path = s"${graft.log.SharedFixtures.shareRoot(dir)}/scratch_replace"
+      val src = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"))
+      graft.log.TableBuilder.create(s, src.repartition(4), path,
+        name = "scratch_replace")
+      val newR = src.filter(col("l_returnflag") === "R")
+        .withColumn("l_quantity", col("l_quantity") + 100)
+      graft.log.TableBuilder.replaceWhere(s, newR, path,
+        col("l_returnflag") === "R")
+      graft.log.GraftLog.invalidateListing(path)
+      s.read.format("graft").option("path", path).load()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+    }),
+
     // Beyond-reference: deterministic EPOCH SHUFFLE — seed-keyed md5
     // permutation into shards (shard = key bucket, position = in-shard
     // key rank): every epoch is a different but exactly reproducible
@@ -2668,6 +2690,12 @@ object SparkEntry {
       """SELECT c_nationkey, count(*) AS n_cust,
          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
          FROM customer GROUP BY 1""",
+    // non-R rows unchanged, R rows replaced by their +100 counterparts
+    "q106_replace_where" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity + 100
+                       ELSE l_quantity END) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY 1""",
     // same md5 permutation key, bucket, and rank in SQL
     "q105_epoch_shuffle" ->
       """WITH keyed AS (
