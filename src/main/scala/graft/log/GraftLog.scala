@@ -778,6 +778,111 @@ object GraftLog {
     }
   }
 
+  /** Conflict profile of an optimistic transaction — the inputs to the
+    * (conservative) delta conflict matrix [[commitWithRebase]] applies
+    * when concurrent commits win the version this transaction prepared.
+    *
+    *  - `isBlindAppend`: the txn only ADDS data it wrote itself (no
+    *    reads) — rebasable over any data change;
+    *  - `updatesMetadata`: metadata/identity-allocation updates conflict
+    *    with EVERY concurrent commit (delta's rule — and identity values
+    *    generated against a stale watermark cannot be re-derived without
+    *    rewriting data);
+    *  - `readFiles` / `removedFiles`: files the txn's outcome depends on
+    *    / tombstones it writes — a winner deleting any of them aborts;
+    *  - `txnAppIds`: streaming watermarks — same-app concurrent progress
+    *    aborts (the replayed batch may now be double-applied);
+    *  - `domains`: metadata domains written NON-rebasable (the
+    *    rowTracking domain is NOT listed by append — the caller
+    *    re-allocates ids against the fresh snapshot on every attempt).
+    */
+  case class CommitProfile(
+      isBlindAppend: Boolean,
+      updatesMetadata: Boolean = false,
+      readFiles: Set[String] = Set.empty,
+      removedFiles: Set[String] = Set.empty,
+      txnAppIds: Set[String] = Set.empty,
+      domains: Set[String] = Set.empty)
+
+  /** First reason the winning commits forbid a rebase, None if safe. */
+  private def firstConflict(
+      winning: Seq[CommitChange], p: CommitProfile): Option[String] =
+    winning.view.flatMap { c =>
+      val wRemoved = c.actions.collect { case r: RemoveFile => r.path }.toSet
+      val wAddsData = c.actions.exists {
+        case a: AddFile => a.dataChange
+        case _ => false
+      }
+      val wTxns = c.actions.collect { case t: Txn => t.appId }.toSet
+      val wDomains = c.actions.collect { case d: DomainMetadata => d.domain }.toSet
+      if (c.actions.exists(_.isInstanceOf[Protocol]))
+        Some(s"protocol changed by concurrent commit ${c.version}")
+      else if (c.actions.exists(_.isInstanceOf[Metadata]))
+        Some(s"metadata changed by concurrent commit ${c.version}")
+      else if (p.updatesMetadata)
+        Some(s"this transaction updates table metadata but commit ${c.version} won")
+      else if ((wRemoved & p.readFiles).nonEmpty)
+        Some(s"concurrent commit ${c.version} deleted files this transaction read: " +
+          (wRemoved & p.readFiles).take(3).mkString(", "))
+      else if ((wRemoved & p.removedFiles).nonEmpty)
+        Some(s"concurrent commit ${c.version} already deleted: " +
+          (wRemoved & p.removedFiles).take(3).mkString(", "))
+      else if (!p.isBlindAppend && wAddsData)
+        Some(s"concurrent commit ${c.version} added data this read-based " +
+          "transaction did not see")
+      else if ((wTxns & p.txnAppIds).nonEmpty)
+        Some(s"concurrent commit ${c.version} advanced transaction " +
+          s"${(wTxns & p.txnAppIds).head}")
+      else if ((wDomains & p.domains).nonEmpty)
+        Some(s"concurrent commit ${c.version} updated metadata domain " +
+          s"${(wDomains & p.domains).head}")
+      else None
+    }.headOption
+
+  /** OPTIMISTIC commit: build the actions against the CURRENT snapshot,
+    * attempt the next version, and when a concurrent commit wins the
+    * slot, apply the conflict matrix to the winning commits — rebase and
+    * retry when logically safe (actions are re-derived from the fresh
+    * snapshot each attempt, so version stamps, row-id allocations, and
+    * watermarks stay exact), abort with the first conflict reason when
+    * not. This is the delta concurrency contract: concurrent blind
+    * appends all succeed; anything a winner invalidated fails loudly
+    * instead of silently losing it.
+    */
+  def commitWithRebase(
+      tablePath: String,
+      conf: Configuration,
+      profile: CommitProfile,
+      deltaFormat: Boolean = false,
+      maxAttempts: Int = 10)(
+      mkActions: (Snapshot, Long) => Seq[Action]): Long = {
+    val log = new GraftLog(tablePath, conf)
+    var snap = log.snapshot(None)
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val v = snap.version + 1
+      val actions = mkActions(snap, v)
+      try {
+        commit(tablePath, v, actions, conf, deltaFormat)
+        return v
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              (e.getMessage.contains("already committed") ||
+                e.getMessage.contains("non-contiguous delta commit")) =>
+          val latest = log.latestVersion()
+          firstConflict(log.changes(v, latest), profile).foreach { reason =>
+            throw new java.util.ConcurrentModificationException(
+              s"cannot commit to $tablePath: $reason")
+          }
+          snap = log.snapshot(None)
+      }
+    }
+    throw new IllegalStateException(
+      s"gave up committing to $tablePath after $maxAttempts rebase attempts")
+  }
+
   private def commitLocked(
       tablePath: String, version: Long, actions: Seq[Action], conf: Configuration): Unit = {
     val logDir = new Path(tablePath, LOG_DIR)

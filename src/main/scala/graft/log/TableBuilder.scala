@@ -201,25 +201,56 @@ object TableBuilder {
         else lit(null).cast(f.dataType) // mergeSchema: absent column → NULL
       src.as(phys, physSchema(phys).metadata)
     }: _*)
-    // diff on-disk inventory so files removed in PAST versions (still on
-    // disk) are never re-added
-    val before = collectParquet(fs, fs.makeQualified(root)).map(_.getPath.toUri).toSet
-    out.write.mode("append").partitionBy(physPartitionCols: _*).parquet(tablePath)
+    // CONCURRENT-SAFE write: stage the batch in a private `_staging-*`
+    // dir (underscore ⇒ invisible to scans and to other writers'
+    // inventories), then rename the unique-named part files into the
+    // table. Racing appends never share a FileOutputCommitter _temporary
+    // dir, and each commit claims EXACTLY the files it moved — a
+    // before/after directory diff would misattribute a concurrent
+    // writer's files.
+    val staging = new Path(root, s"_staging-${java.util.UUID.randomUUID()}")
+    val moved: Set[String] =
+      try {
+        out.write.mode("overwrite")
+          .partitionBy(physPartitionCols: _*).parquet(staging.toString)
+        val stagingUri = fs.makeQualified(staging).toUri
+        collectParquet(fs, fs.makeQualified(staging)).map { st =>
+          val rel = relativize(stagingUri, st.getPath.toUri)
+          val target = new Path(root, rel)
+          fs.mkdirs(target.getParent)
+          require(fs.rename(st.getPath, target),
+            s"failed to move staged file $rel into $tablePath")
+          rel
+        }.toSet
+      } finally fs.delete(staging, true)
     val adds = scanDataFiles(spark, tablePath, physSchema, physPartitionCols, version,
-      timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
-    val (stamped, domActs) =
-      RowTracking.stamp(metadataNow, prev.domains, version, adds)
-    // identity high watermarks advance from the written files' stats and
-    // ride the same commit (merged onto any mergeSchema metadata update)
-    val metaOut = GeneratedColumns.advanceWatermarks(
-      metaAction.getOrElse(metadataNow), adds, version)
-      .orElse(metaAction)
+      timestamp, onlyRelPaths = Some(moved))
+    // identity watermark updates (or explicit identity values) make the
+    // append a metadata-updating txn — its generated values were derived
+    // from a snapshot watermark and cannot be rebased without rewriting
+    val advancesIdentity = GeneratedColumns.identities(schemaNow).nonEmpty
+    // OPTIMISTIC commit: an append is a blind write — racing appends all
+    // succeed; actions are re-derived per attempt so version stamps,
+    // row-id ranges (fresh snapshot domains), and watermarks stay exact.
     // extraActions ride the SAME commit — the exactly-once sink's txn
     // watermark must be atomic with the files it covers; a mergeSchema
     // metadata update likewise commits atomically with its data
-    GraftLog.commit(tablePath, version,
-      metaOut.toSeq ++ stamped ++ extraActions ++ domActs, conf)
-    version
+    GraftLog.commitWithRebase(tablePath, conf,
+      GraftLog.CommitProfile(
+        isBlindAppend = true,
+        updatesMetadata = metaAction.isDefined || advancesIdentity,
+        txnAppIds = extraActions.collect { case t: graft.model.Txn => t.appId }.toSet)) {
+      (snap, v) =>
+        val restamped = adds.map(_.copy(version = v, timestamp = timestamp))
+        val (stamped, domActs) =
+          RowTracking.stamp(metadataNow, snap.domains, v, restamped)
+        // identity high watermarks advance from the written files' stats
+        // and ride the same commit (merged onto any mergeSchema update)
+        val metaOut = GeneratedColumns.advanceWatermarks(
+          metaAction.map(_.copy(version = v)).getOrElse(metadataNow), restamped, v)
+          .orElse(metaAction.map(_.copy(version = v)))
+        metaOut.toSeq ++ stamped ++ extraActions ++ domActs
+    }
   }
 
   /** ALTER TABLE ADD COLUMNS: extend the table schema with new nullable

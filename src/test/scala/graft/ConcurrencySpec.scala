@@ -1,0 +1,170 @@
+package graft
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log._
+import graft.model._
+
+/** Optimistic concurrency: racing blind appends all succeed via rebase
+  * (row-tracked tables keep ids unique because allocation re-derives
+  * from each attempt's fresh snapshot), while the conflict matrix aborts
+  * everything a winning commit invalidated — reads of deleted files,
+  * double deletes, read-based txns racing appends, metadata updates,
+  * same-appId watermarks, non-rebasable domains.
+  */
+class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  private def conf = spark.sessionState.newHadoopConf()
+  private def tempTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_conc").toString
+
+  test("racing blind appends all succeed through rebase") {
+    import spark.implicits._
+    val p = tempTable()
+    TableBuilder.create(spark, Seq((0L, "seed")).toDF("k", "v").coalesce(1), p)
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (1 to 6).map { i =>
+        Future {
+          TableBuilder.append(spark,
+            Seq((i * 100L, s"w$i"), (i * 100L + 1, s"w$i")).toDF("k", "v")
+              .coalesce(1), p, timestamp = i * 1000L)
+        }
+      }
+      val versions = Await.result(Future.sequence(futures), 120.seconds)
+      assert(versions.sorted === (1L to 6L), s"got $versions")
+      GraftLog.invalidateListing(p)
+      assert(spark.read.format("graft").option("path", p).load().count() === 13)
+    } finally pool.shutdown()
+  }
+
+  test("racing appends on a row-tracked table keep ids unique and the watermark exact") {
+    import spark.implicits._
+    val p = tempTable()
+    TableBuilder.create(spark, Seq((0L, "seed")).toDF("k", "v").coalesce(1), p,
+      configuration = Map(RowTracking.ENABLED_KEY -> "true"))
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (1 to 4).map { i =>
+        Future {
+          TableBuilder.append(spark,
+            (0 until 5).map(j => (i * 100L + j, s"w$i")).toDF("k", "v").coalesce(1),
+            p, timestamp = i * 1000L)
+        }
+      }
+      Await.result(Future.sequence(futures), 120.seconds)
+      GraftLog.invalidateListing(p)
+      val ids = RowTracking.withRowIds(spark, p)
+        .select("_row_id").collect().map(_.getLong(0)).toSeq
+      assert(ids.size === 21)
+      assert(ids.distinct.size === 21, "concurrent allocation produced duplicate ids")
+      assert(ids.sorted === (0L until 21L), "ids must be the contiguous range")
+      assert(RowTracking.highWaterMark(
+        new GraftLog(p, conf).snapshot(None).domains) === 20L)
+    } finally pool.shutdown()
+  }
+
+  private def seedTable(): String = {
+    import spark.implicits._
+    val p = tempTable()
+    TableBuilder.create(spark, Seq((0L, "seed")).toDF("k", "v").coalesce(1), p)
+    p
+  }
+  private def anyAdd(v: Long) = AddFile("race.parquet", size = 1L,
+    dataChange = true, version = v)
+
+  /** Drive commitWithRebase with a self-race: the first attempt commits a
+    * winner into its own slot, forcing the conflict matrix to run.
+    */
+  private def selfRace(p: String, profile: GraftLog.CommitProfile,
+      winner: Long => Seq[Action], ours: Long => Seq[Action]): Long = {
+    var raced = false
+    GraftLog.commitWithRebase(p, conf, profile) { (snap, v) =>
+      if (!raced) { raced = true; GraftLog.commit(p, v, winner(v), conf) }
+      ours(v)
+    }
+  }
+
+  test("read-based txns abort when a winner added or deleted relevant data") {
+    // winner ADDS data → read-based txn aborts
+    val p1 = seedTable()
+    val e1 = intercept[java.util.ConcurrentModificationException] {
+      selfRace(p1, GraftLog.CommitProfile(isBlindAppend = false),
+        v => Seq(anyAdd(v)), v => Seq(RemoveFile("other.parquet", version = v)))
+    }
+    assert(e1.getMessage.contains("added data"))
+    // winner DELETES a file the txn read → abort
+    val p2 = seedTable()
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      selfRace(p2,
+        GraftLog.CommitProfile(isBlindAppend = false, readFiles = Set("f.parquet")),
+        v => Seq(RemoveFile("f.parquet", version = v)),
+        v => Seq(anyAdd(v)))
+    }
+    assert(e2.getMessage.contains("deleted files this transaction read"))
+    // double delete → abort
+    val p3 = seedTable()
+    val e3 = intercept[java.util.ConcurrentModificationException] {
+      selfRace(p3,
+        GraftLog.CommitProfile(isBlindAppend = true, removedFiles = Set("f.parquet")),
+        v => Seq(RemoveFile("f.parquet", version = v)),
+        v => Seq(RemoveFile("f.parquet", version = v)))
+    }
+    assert(e3.getMessage.contains("already deleted"))
+  }
+
+  test("metadata, same-appId txn, and domain conflicts abort; blind appends rebase over deletes") {
+    // our txn updates metadata → any winner aborts it
+    val p1 = seedTable()
+    intercept[java.util.ConcurrentModificationException] {
+      selfRace(p1, GraftLog.CommitProfile(isBlindAppend = true, updatesMetadata = true),
+        v => Seq(anyAdd(v)), v => Seq(anyAdd(v)))
+    }
+    // winner changed metadata → everyone aborts
+    val p2 = seedTable()
+    val meta2 = new GraftLog(p2, conf).snapshot(None).metadata
+    intercept[java.util.ConcurrentModificationException] {
+      selfRace(p2, GraftLog.CommitProfile(isBlindAppend = true),
+        v => Seq(meta2.copy(version = v)), v => Seq(anyAdd(v)))
+    }
+    // same-appId watermark race aborts
+    val p3 = seedTable()
+    intercept[java.util.ConcurrentModificationException] {
+      selfRace(p3, GraftLog.CommitProfile(isBlindAppend = true, txnAppIds = Set("app")),
+        v => Seq(Txn("app", 7L, version = v)), v => Seq(Txn("app", 8L, version = v)))
+    }
+    // non-rebasable domain race aborts
+    val p4 = seedTable()
+    intercept[java.util.ConcurrentModificationException] {
+      selfRace(p4, GraftLog.CommitProfile(isBlindAppend = true, domains = Set("d1")),
+        v => Seq(DomainMetadata("d1", "{}", version = v)),
+        v => Seq(DomainMetadata("d1", "{}", version = v)))
+    }
+    // blind append over a winner's delete: rebases and lands
+    val p5 = seedTable()
+    val v = selfRace(p5, GraftLog.CommitProfile(isBlindAppend = true),
+      w => Seq(RemoveFile("gone.parquet", version = w)),
+      ours => Seq(anyAdd(ours)))
+    assert(v === 2L, "blind append must land after the winner")
+  }
+}
