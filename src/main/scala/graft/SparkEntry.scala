@@ -1477,6 +1477,21 @@ object SparkEntry {
           sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
     }),
 
+    // Beyond-reference: C4-style rule filter with per-rule ATTRIBUTION —
+    // the number every curation run reports: how many docs each rule
+    // kills, plus the surviving count. Pure codegen flags, one aggregate.
+    "q107_c4_filter" -> ((s, dir) => {
+      val flagged = graft.ops.TextOps.c4Filter(
+        t(s, dir, "documents"), "doc_id", "text")
+      val ruleNames = graft.ops.TextOps.c4Rules(col("text")).map(_._1)
+      val aggs = Seq(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept")) ++
+        ruleNames.map(r =>
+          sum(when(!col(s"pass_$r"), 1L).otherwise(0L)).as(s"fail_$r"))
+      flagged.agg(aggs.head, aggs.tail: _*)
+    }),
+
     // Beyond-reference writer: replaceWhere — the R-region of the scratch
     // table is atomically replaced with quantity-shifted rows in ONE
     // commit; any smuggled out-of-region row, lost survivor, or doubled
@@ -2690,6 +2705,33 @@ object SparkEntry {
       """SELECT c_nationkey, count(*) AS n_cust,
          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
          FROM customer GROUP BY 1""",
+    // per-rule replay: same token split, regex, and mean-word-length math
+    "q107_c4_filter" ->
+      """WITH f AS (
+           SELECT doc_id,
+             len(string_split(text, ' ')) AS nw,
+             length(text) AS nc,
+             regexp_matches(text, '[.!?"'']$') AS tp,
+             NOT contains(text, '{') AS ncb,
+             NOT contains(lower(text), 'lorem ipsum') AS nli
+           FROM documents),
+         r AS (
+           SELECT doc_id,
+             nw >= 5 AS p_min, nw <= 100000 AS p_max, tp AS p_tp,
+             ncb AS p_ncb, nli AS p_nli,
+             ((nc - (nw - 1))::DOUBLE / nw) >= 2.0 AND
+               ((nc - (nw - 1))::DOUBLE / nw) <= 12.0 AS p_mwl
+           FROM f)
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p_min AND p_max AND p_tp AND p_ncb AND p_nli
+                         AND p_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN NOT p_min THEN 1 ELSE 0 END) AS BIGINT) AS fail_min_words,
+           CAST(sum(CASE WHEN NOT p_max THEN 1 ELSE 0 END) AS BIGINT) AS fail_max_words,
+           CAST(sum(CASE WHEN NOT p_tp THEN 1 ELSE 0 END) AS BIGINT) AS fail_terminal_punct,
+           CAST(sum(CASE WHEN NOT p_ncb THEN 1 ELSE 0 END) AS BIGINT) AS fail_no_curly_brace,
+           CAST(sum(CASE WHEN NOT p_nli THEN 1 ELSE 0 END) AS BIGINT) AS fail_no_lorem_ipsum,
+           CAST(sum(CASE WHEN NOT p_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len
+         FROM r""",
     // non-R rows unchanged, R rows replaced by their +100 counterparts
     "q106_replace_where" ->
       """SELECT l_returnflag, count(*) AS n_items,

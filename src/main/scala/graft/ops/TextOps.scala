@@ -231,4 +231,33 @@ object TextOps {
         count(lit(1)).cast("long").as("n_tokens"),
         avg(-log(col("__tf").cast("double") / col("__total").cast("double"))).as("surprisal"))
   }
+
+  /** C4-style rule-based quality flags (Raffel et al. 2020 §2.2,
+    * doc-level form): each rule is a pure boolean column — the doc is
+    * kept only when EVERY rule passes, and each flag survives in the
+    * output so filter ATTRIBUTION (which rule kills how much of the
+    * corpus) costs one aggregate, the number every curation run reports.
+    * All codegen column expressions: scan-speed, no shuffle, composes
+    * with any downstream sampler.
+    */
+  def c4Rules(text: Column): Seq[(String, Column)] = Seq(
+    "min_words" -> (tokenCount(text) >= 5),
+    "max_words" -> (tokenCount(text) <= 100000),
+    "terminal_punct" -> text.rlike("[.!?\"']$"),
+    "no_curly_brace" -> !text.contains("{"),
+    "no_lorem_ipsum" -> !lower(text).contains("lorem ipsum"),
+    "mean_word_len" -> {
+      val mean = (length(text) - (tokenCount(text) - 1)).cast("double") /
+        tokenCount(text).cast("double")
+      mean >= 2.0 && mean <= 12.0
+    })
+
+  def c4Filter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rules = c4Rules(col(textCol))
+    val flagged = rules.foldLeft(docs) { case (d, (name, c)) =>
+      d.withColumn(s"pass_$name", coalesce(c, lit(false)))
+    }
+    flagged.withColumn("kept",
+      rules.map(r => col(s"pass_${r._1}")).reduce(_ && _))
+  }
 }
