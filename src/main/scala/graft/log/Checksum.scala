@@ -1,0 +1,227 @@
+package graft.log
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.model.{AddFile, JsonUtils, Metadata}
+
+/** Delta version checksums (`_delta_log/<version>.crc` — delta-spark's
+  * `VersionChecksum`): one single-line JSON file per commit recording a
+  * summary of the POST-commit table state — active file count, total
+  * bytes, deletion-vector counts, the metadata and protocol in force,
+  * streaming transaction watermarks and metadata domains. Two jobs:
+  *
+  *  - **corruption detection**: snapshot load cross-checks its replayed
+  *    file count / byte total / DV counts against the commit-time record;
+  *    a drifted log (lost commit file, truncated checkpoint, hand-edited
+  *    action) fails loudly instead of silently serving a wrong table;
+  *  - **cheap state summaries**: `DESCRIBE DETAIL`-grade numbers
+  *    (numFiles / sizeInBytes) without touching any data file.
+  *
+  * Cost model (the 100 TB question): the writer derives the checksum from
+  * the in-memory previous snapshot the delta-format commit path already
+  * materializes for its contiguity/protocol checks
+  * ([[GraftLog.commit]]) — one hash-map fold over the commit's own
+  * actions, no additional log IO. delta-spark computes it the same way
+  * from its cached post-commit `Snapshot`. The `.crc` write itself is a
+  * non-load-bearing accelerator exactly like automatic checkpoints: an IO
+  * failure warns and the durable commit stands.
+  *
+  * Field spelling follows delta-spark's `VersionChecksum` JSON
+  * (`numDeletedRecordsOpt` / `numDeletionVectorsOpt` included) so tables
+  * written by either engine validate under the other; unknown fields in a
+  * foreign `.crc` are ignored on read. The sharing reference itself never
+  * consumes checksum files — this is Delta-interop surface
+  * (delta PROTOCOL "Version Checksum File").
+  */
+object Checksum {
+
+  def fileName(v: Long): String = f"$v%020d.crc"
+
+  /** Hadoop's LocalFileSystem is a ChecksumFileSystem that shadows every
+    * file it writes with a `.name.crc` sidecar and REFUSES reads whose
+    * sidecar disagrees — which would (a) litter `_delta_log` with
+    * sidecars of our checksum files and (b) mask out-of-band edits as
+    * unreadable instead of surfacing them to OUR validator. Version
+    * checksums do their own integrity math, so their IO goes through the
+    * raw filesystem; object-store filesystems pass through unchanged.
+    */
+  private def rawFs(fs: FileSystem): FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
+  /** The summary of one committed version. `metadata`/`protocolNode`/
+    * `setTransactions`/`domainMetadata` ride along for writer fidelity;
+    * validation uses only the counts (they are replay-derivable facts —
+    * the rest already has authoritative sources in the log).
+    */
+  case class VersionChecksum(
+      tableSizeBytes: Long,
+      numFiles: Long,
+      numDeletedRecords: Long,
+      numDeletionVectors: Long,
+      inCommitTimestamp: Option[Long] = None,
+      metadata: Option[Metadata] = None,
+      protocolNode: Option[JsonNode] = None,
+      setTransactions: Seq[(String, Long, Long)] = Nil, // (appId, version, lastUpdated)
+      domainMetadata: Seq[(String, String)] = Nil) // (domain, configuration), live only
+
+  /** Fold the active-file map of a post-commit state into its checksum. */
+  def compute(
+      files: Iterable[AddFile],
+      metadata: Metadata,
+      protocolNode: JsonNode,
+      txns: Map[String, Long],
+      domains: Map[String, String],
+      inCommitTimestamp: Option[Long]): VersionChecksum = {
+    var bytes = 0L; var n = 0L; var deleted = 0L; var dvs = 0L
+    files.foreach { f =>
+      bytes += f.size; n += 1
+      f.deletionVector.foreach { dv => deleted += dv.cardinality; dvs += 1 }
+    }
+    VersionChecksum(bytes, n, deleted, dvs, inCommitTimestamp,
+      Some(metadata), Some(protocolNode),
+      txns.toSeq.sortBy(_._1).map { case (app, v) => (app, v, 0L) },
+      domains.toSeq.sortBy(_._1))
+  }
+
+  /** Atomically write `<version>.crc`. Caller guards IO failures. */
+  def write(fsIn: FileSystem, logDir: Path, version: Long, c: VersionChecksum): Unit = {
+    val fs = rawFs(fsIn)
+    val root = JsonUtils.mapper.createObjectNode()
+    root.put("txnId",
+      java.util.UUID.nameUUIDFromBytes(s"$logDir#$version".getBytes("UTF-8")).toString)
+    root.put("tableSizeBytes", c.tableSizeBytes)
+    root.put("numFiles", c.numFiles)
+    root.put("numMetadata", 1L)
+    root.put("numProtocol", 1L)
+    root.put("numDeletedRecordsOpt", c.numDeletedRecords)
+    root.put("numDeletionVectorsOpt", c.numDeletionVectors)
+    c.inCommitTimestamp.foreach(root.put("inCommitTimestampOpt", _))
+    c.metadata.foreach(m => root.set[JsonNode]("metadata", DeltaLogCompat.metaDataNode(m)))
+    c.protocolNode.foreach(p => root.set[JsonNode]("protocol", p))
+    if (c.setTransactions.nonEmpty) {
+      val arr = JsonUtils.mapper.createArrayNode()
+      c.setTransactions.foreach { case (app, v, lu) =>
+        val t = JsonUtils.mapper.createObjectNode()
+        t.put("appId", app).put("version", v)
+        if (lu != 0L) t.put("lastUpdated", lu)
+        arr.add(t)
+      }
+      root.set[JsonNode]("setTransactions", arr)
+    }
+    if (c.domainMetadata.nonEmpty) {
+      val arr = JsonUtils.mapper.createArrayNode()
+      c.domainMetadata.foreach { case (d, cfg) =>
+        val n = JsonUtils.mapper.createObjectNode()
+        n.put("domain", d).put("configuration", cfg).put("removed", false)
+        arr.add(n)
+      }
+      root.set[JsonNode]("domainMetadata", arr)
+    }
+    val target = new Path(logDir, fileName(version))
+    val tmp = new Path(logDir, s".${fileName(version)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((JsonUtils.toJson(root) + "\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, target)) {
+      // a concurrent reader/writer may have raced the same (identical,
+      // version-immutable) checksum into place — only a missing target
+      // is a real failure
+      if (!fs.exists(target)) sys.error(s"failed to write $target")
+      fs.delete(tmp, false); ()
+    }
+  }
+
+  /** Counts parsed from a `.crc` (ours or delta-spark's). DV counts are
+    * optional in foreign files.
+    */
+  case class ParsedChecksum(
+      tableSizeBytes: Long,
+      numFiles: Long,
+      numDeletedRecords: Option[Long],
+      numDeletionVectors: Option[Long])
+
+  private val cache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), Option[ParsedChecksum]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), Option[ParsedChecksum]]): Boolean =
+          size() > 256
+      })
+
+  /** The checksum of `version`, if one exists. Results are memoized
+    * process-wide — `.crc` files are version-immutable, and snapshot
+    * load sits on hot read paths where an extra existence probe per
+    * call would be an object-store HEAD.
+    */
+  def read(fsIn: FileSystem, logDir: Path, version: Long): Option[ParsedChecksum] = {
+    val fs = rawFs(fsIn)
+    val key = (logDir.toString, version)
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val computed: Option[ParsedChecksum] =
+      try {
+        val p = new Path(logDir, fileName(version))
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val text =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          val n = JsonUtils.mapper.readTree(text)
+          def optLong(f: String): Option[Long] =
+            Option(n.get(f)).filter(_.isNumber).map(_.asLong)
+          for (size <- optLong("tableSizeBytes"); files <- optLong("numFiles"))
+            yield ParsedChecksum(size, files,
+              optLong("numDeletedRecordsOpt"), optLong("numDeletionVectorsOpt"))
+        }
+      } catch {
+        // unreadable/foreign checksum never blocks a read — validation is
+        // an accelerator-backed cross-check, absence is the base case
+        case scala.util.control.NonFatal(_) => None
+      }
+    // negative results are NOT cached: the writer may create the file a
+    // moment later (commit then checksum), and a stale miss would skip
+    // validation forever for that version in this process
+    if (computed.isDefined) cache.put(key, computed)
+    computed
+  }
+
+  /** Cross-check a replayed snapshot against the commit-time record.
+    * A mismatch means the log or checkpoint state is corrupt — serving
+    * rows from it would be silently wrong, so fail the load.
+    */
+  def validate(
+      c: ParsedChecksum, files: Iterable[AddFile],
+      tablePath: String, version: Long): Unit = {
+    var bytes = 0L; var n = 0L; var deleted = 0L; var dvs = 0L
+    files.foreach { f =>
+      bytes += f.size; n += 1
+      f.deletionVector.foreach { dv => deleted += dv.cardinality; dvs += 1 }
+    }
+    def fail(what: String, expect: Long, got: Long): Nothing =
+      throw new IllegalStateException(
+        s"version checksum mismatch at $tablePath v$version: $what " +
+          s"recorded $expect at commit time but snapshot replay produced $got " +
+          s"— the log or a checkpoint is corrupt")
+    if (c.numFiles != n) fail("numFiles", c.numFiles, n)
+    if (c.tableSizeBytes != bytes) fail("tableSizeBytes", c.tableSizeBytes, bytes)
+    c.numDeletedRecords.filter(_ != deleted)
+      .foreach(fail("numDeletedRecords", _, deleted))
+    c.numDeletionVectors.filter(_ != dvs)
+      .foreach(fail("numDeletionVectors", _, dvs))
+  }
+
+  /** Drop memoized checksums of a (possibly recreated) table — keys are
+    * log-dir strings, so match on the table-path prefix.
+    */
+  private[graft] def invalidateTable(tablePath: String): Unit =
+    cache.synchronized {
+      cache.keySet().asScala.filter(_._1.startsWith(tablePath))
+        .toVector.foreach(cache.remove)
+    }
+}

@@ -297,6 +297,13 @@ class GraftLog(val tablePath: String, conf: Configuration) {
     // (typeWidening, variant, …) must fail HERE, loudly, not serve
     // mis-decoded rows (graft-format logs never carry feature gates).
     if (deltaMode) proto.assertReadable(tablePath)
+    // Version checksum cross-check (delta "Version Checksum File"): if the
+    // writer recorded this version's state summary, the replay must agree
+    // — a drifted log/checkpoint fails the load instead of serving wrong
+    // rows. Memoized read; absence (pre-checksum tables) is the base case.
+    if (deltaMode)
+      Checksum.read(fs, logDir, target)
+        .foreach(Checksum.validate(_, active.values, tablePath, target))
     Snapshot(target, meta, proto, active.values.toVector, txns.toMap, domains.toMap)
   }
 
@@ -592,6 +599,7 @@ object GraftLog {
     // a recreated table restarts version numbers — cached snapshots of
     // the old incarnation must not serve under the new table's keys
     GraftCatalog.invalidateSnapshots(tablePath)
+    Checksum.invalidateTable(tablePath)
   }
 
   def versionFileName(v: Long): String = f"$v%020d.json"
@@ -689,23 +697,22 @@ object GraftLog {
       case _          => false
     }
     val commitMeta = actions.collectFirst { case m: Metadata => m }
-    val (prevMinReader, prevCm, prevTs, prevConfig, prevHasIct, prevSchema) =
-      if (version == 0)
-        (0, false, Long.MinValue, Map.empty[String, String], false, "")
+    val (prevSnap, prevTs, prevHasIct) =
+      if (version == 0) (None: Option[Snapshot], Long.MinValue, false)
       else {
         val log = new GraftLog(tablePath, conf)
         require(log.deltaMode, s"$tablePath is not Delta-format")
         require(version == log.latestVersion() + 1,
           s"non-contiguous delta commit $version at $tablePath " +
             s"(latest is ${log.latestVersion()})")
-        val snap = log.snapshot(None)
-        (snap.protocol.minReaderVersion,
-          graft.model.ColumnMapping.isEnabled(snap.metadata),
+        (Some(log.snapshot(None)),
           log.versionTimestamps().lastOption.map(_._2).getOrElse(Long.MinValue),
-          snap.metadata.configuration,
-          log.ictOf(log.latestVersion()).isDefined,
-          snap.metadata.schemaString)
+          log.ictOf(log.latestVersion()).isDefined)
       }
+    val prevMinReader = prevSnap.map(_.protocol.minReaderVersion).getOrElse(0)
+    val prevCm = prevSnap.exists(s => graft.model.ColumnMapping.isEnabled(s.metadata))
+    val prevConfig = prevSnap.map(_.metadata.configuration).getOrElse(Map.empty[String, String])
+    val prevSchema = prevSnap.map(_.metadata.schemaString).getOrElse("")
     val config = commitMeta.map(_.configuration).getOrElse(prevConfig)
     def flag(key: String): Boolean =
       config.get(key).contains("true") || config.get(s"delta.$key").contains("true")
@@ -769,6 +776,35 @@ object GraftLog {
     val ts = if (tsReq > prevTs) tsReq else prevTs + 1
 
     DeltaLogCompat.writeCommit(fs, logDir, version, out, ts, protoNode, ict = usesIct)
+    // Version checksum (delta "Version Checksum File"): fold the commit's
+    // actions over the prev snapshot already in hand — zero extra log IO —
+    // and record the post-commit state summary. Accelerator semantics:
+    // an IO failure here warns, the durable commit stands.
+    try {
+      val active = mutable.LinkedHashMap.empty[String, AddFile]
+      prevSnap.foreach(_.files.foreach(f => active(f.path) = f))
+      var meta = prevSnap.map(_.metadata).orNull
+      val txns = mutable.LinkedHashMap.empty[String, Long]
+      prevSnap.foreach(_.transactions.foreach { case (k, v) => txns(k) = v })
+      val doms = mutable.LinkedHashMap.empty[String, String]
+      prevSnap.foreach(_.domains.foreach { case (k, v) => doms(k) = v })
+      out.foreach {
+        case a: AddFile             => active(a.path) = a
+        case r: RemoveFile          => active.remove(r.path)
+        case m: Metadata            => meta = m
+        case t: graft.model.Txn     => txns(t.appId) = t.txnVersion
+        case d: graft.model.DomainMetadata =>
+          if (d.removed) doms.remove(d.domain) else doms(d.domain) = d.configuration
+        case _                      => ()
+      }
+      if (meta != null)
+        Checksum.write(fs, logDir, version,
+          Checksum.compute(active.values, meta, protoNode, txns.toMap, doms.toMap,
+            if (usesIct) Some(ts) else None))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"graft: version checksum at $tablePath v$version failed (commit is durable): $e")
+    }
     formatCache.put(tablePath, true)
     listingCache.get(tablePath) match {
       case Some(vs) if version == vs.last + 1 => listingCache(tablePath) = vs :+ version
