@@ -161,9 +161,23 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     TableBuilder.append(spark, df, path, timestamp = System.currentTimeMillis(),
       mergeSchema = true)
 
-  /** ALTER TABLE ADD COLUMNS: metadata-only nullable column additions. */
-  def addColumns(columns: Seq[(String, org.apache.spark.sql.types.DataType)]): Long =
-    TableBuilder.addColumns(spark, path, columns, System.currentTimeMillis())
+  /** ALTER TABLE ADD COLUMNS: metadata-only nullable column additions.
+    * `defaults` maps column name → constant SQL: existing rows read it
+    * (EXISTS_DEFAULT) and future partial inserts fill it
+    * (CURRENT_DEFAULT).
+    */
+  def addColumns(
+      columns: Seq[(String, org.apache.spark.sql.types.DataType)],
+      defaults: Map[String, String] = Map.empty): Long =
+    TableBuilder.addColumns(spark, path, columns, System.currentTimeMillis(), defaults)
+
+  /** ALTER COLUMN ... SET DEFAULT (Some) / DROP DEFAULT (None) — changes
+    * future partial inserts only; existing rows keep their frozen
+    * EXISTS_DEFAULT.
+    */
+  def setColumnDefault(column: String, defaultSql: Option[String]): Long =
+    TableBuilder.setColumnDefault(spark, path, column, defaultSql,
+      System.currentTimeMillis())
 
   /** Metadata-only column rename (needs column mapping). */
   def renameColumn(from: String, to: String): Long =

@@ -1492,6 +1492,44 @@ object SparkEntry {
       flagged.agg(aggs.head, aggs.tail: _*)
     }),
 
+    // Beyond-reference writer: column DEFAULT values (delta
+    // `allowColumnDefaults`) — ADD COLUMN ... DEFAULT backfills existing
+    // rows at read time (EXISTS_DEFAULT, frozen) and fills partial
+    // appends at write time (CURRENT_DEFAULT, mutable via SET DEFAULT);
+    // the oracle replays all four row generations from `orders`.
+    "q108_column_defaults" -> ((s, dir) => {
+      val path = s"${graft.log.SharedFixtures.shareRoot(dir)}/scratch_defaults"
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.log.TableBuilder.create(s, src.repartition(4), path,
+        name = "scratch_defaults", deltaFormat = true)
+      graft.log.TableBuilder.addColumns(s, path,
+        Seq(("priority_class", org.apache.spark.sql.types.StringType),
+          ("risk", org.apache.spark.sql.types.IntegerType)),
+        defaults = Map("priority_class" -> "'standard'", "risk" -> "3"))
+      // partial append: both new columns fill from their current defaults
+      graft.log.TableBuilder.append(s,
+        src.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 30000000L), path)
+      // explicit values win over defaults
+      graft.log.TableBuilder.append(s,
+        src.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 60000000L)
+          .withColumn("priority_class", lit("high"))
+          .withColumn("risk", (col("o_orderkey") % 5).cast("int")), path)
+      // SET DEFAULT changes future partial appends only — earlier rows
+      // keep the value they were written (or backfilled) under
+      graft.log.TableBuilder.setColumnDefault(s, path, "risk", Some("9"))
+      graft.log.TableBuilder.append(s,
+        src.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 90000000L), path)
+      graft.log.GraftLog.invalidateListing(path)
+      s.read.format("graft").option("path", path).load()
+        .groupBy(col("priority_class"), col("risk"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 0).cast("long").as("sum_price"))
+    }),
+
     // Beyond-reference writer: replaceWhere — the R-region of the scratch
     // table is atomically replaced with quantity-shifted rows in ONE
     // commit; any smuggled out-of-region row, lost survivor, or doubled
@@ -2738,6 +2776,22 @@ object SparkEntry {
          CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity + 100
                        ELSE l_quantity END) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY 1""",
+    // the four row generations: base rows backfilled by the frozen
+    // exists default, a partial append under the original defaults, an
+    // explicit append, and a partial append after SET DEFAULT risk=9
+    "q108_column_defaults" ->
+      """WITH rows AS (
+           SELECT 'standard' AS priority_class, 3 AS risk, o_totalprice FROM orders
+           UNION ALL
+           SELECT 'standard', 3, o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT 'high', CAST((o_orderkey + 60000000) % 5 AS INT), o_totalprice
+           FROM orders WHERE o_orderkey % 11 = 0
+           UNION ALL
+           SELECT 'standard', 9, o_totalprice FROM orders WHERE o_orderkey % 13 = 0)
+         SELECT priority_class, risk, count(*) AS n_rows,
+           CAST(round(sum(o_totalprice), 0) AS BIGINT) AS sum_price
+         FROM rows GROUP BY 1, 2""",
     // same md5 permutation key, bucket, and rank in SQL
     "q105_epoch_shuffle" ->
       """WITH keyed AS (

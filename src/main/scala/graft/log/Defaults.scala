@@ -1,0 +1,113 @@
+package graft.log
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+
+/** Column DEFAULT values (delta PROTOCOL "Default Columns", writer
+  * feature `allowColumnDefaults`), spelled with Spark's own field
+  * metadata keys so the whole read side is built-in:
+  *
+  *  - `CURRENT_DEFAULT` (SQL string): the value an INSERT that omits the
+  *    column receives — applied inside the write pipeline, so it changes
+  *    future writes only;
+  *  - `EXISTS_DEFAULT` (SQL string): the value rows that EXISTED before
+  *    the column was added read back. Frozen at ADD COLUMN time — a later
+  *    `ALTER COLUMN ... SET DEFAULT` must not rewrite history — and
+  *    filled by Spark's parquet readers natively whenever the requested
+  *    schema carries the key (probed on 4.1: vectorized reader fills
+  *    missing columns from `EXISTS_DEFAULT`, not null), so scans need no
+  *    graft-side projection at all.
+  *
+  * Default expressions must be constant-foldable (no column references)
+  * — the same rule Spark and delta-spark enforce — checked at
+  * declaration AND at fill time.
+  *
+  * Reference scope: the sharing reference serves schemas verbatim and
+  * has no write surface; this is Delta-interop + SQL-DDL surface on the
+  * graft writer. Protocol listing (`allowColumnDefaults`,
+  * minWriterVersion 7) happens in [[GraftLog.commit]]'s delta path.
+  */
+object Defaults {
+
+  val CURRENT_KEY = "CURRENT_DEFAULT"
+  val EXISTS_KEY = "EXISTS_DEFAULT"
+
+  /** (column, current-default SQL) for every defaulted column. */
+  def currentDefaults(schema: StructType): Seq[(String, String)] =
+    schema.fields.toSeq.filter(_.metadata.contains(CURRENT_KEY))
+      .map(f => f.name -> f.metadata.getString(CURRENT_KEY))
+
+  /** Whether `schemaString` declares any default (drives the delta
+    * writer-feature listing — `EXISTS_DEFAULT` alone counts: it still
+    * obliges writers to understand the metadata key).
+    */
+  def has(schemaString: String): Boolean =
+    schemaString.contains(s""""$CURRENT_KEY"""") ||
+      schemaString.contains(s""""$EXISTS_KEY"""")
+
+  /** Reject a non-constant default before it reaches the log. */
+  def assertConstant(column: String, sql: String): Unit = {
+    val e = try
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+    catch {
+      case scala.util.control.NonFatal(ex) =>
+        throw new IllegalArgumentException(
+          s"DEFAULT for column $column does not parse: $sql", ex)
+    }
+    require(e.references.isEmpty,
+      s"DEFAULT for column $column must be constant-foldable, " +
+        s"got '$sql' referencing ${e.references.mkString(", ")}")
+  }
+
+  /** Fill columns the batch omits with their CURRENT_DEFAULT (cast to the
+    * declared type). Runs inside the write pipeline — one constant-folded
+    * projection, no extra pass.
+    */
+  def prepareBatch(df: DataFrame, schema: StructType): DataFrame = {
+    val defs = currentDefaults(schema)
+    if (defs.isEmpty) return df
+    val provided = df.columns.map(_.toLowerCase).toSet
+    defs.foldLeft(df) { case (out, (name, sql)) =>
+      if (provided.contains(name.toLowerCase)) out
+      else {
+        assertConstant(name, sql)
+        out.withColumn(name, expr(sql).cast(schema(name).dataType))
+      }
+    }
+  }
+
+  /** Annotate a fresh ADD COLUMN field with its default: both keys get
+    * the same SQL — the current default for future inserts, the exists
+    * default (frozen now) for pre-existing rows.
+    */
+  def annotate(f: StructField, sql: String): StructField = {
+    assertConstant(f.name, sql)
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putString(CURRENT_KEY, sql).putString(EXISTS_KEY, sql).build())
+  }
+
+  /** `ALTER COLUMN ... SET DEFAULT sql` / `DROP DEFAULT` (sql = None):
+    * updates CURRENT_DEFAULT only — EXISTS_DEFAULT stays frozen so
+    * already-written rows keep reading the value they were created
+    * under.
+    */
+  def withCurrentDefault(
+      schema: StructType, column: String, sql: Option[String]): StructType = {
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(column)),
+      s"no column $column to set DEFAULT on")
+    StructType(schema.fields.map { f =>
+      if (!f.name.equalsIgnoreCase(column)) f
+      else sql match {
+        case Some(s) =>
+          assertConstant(column, s)
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putString(CURRENT_KEY, s).build())
+        case None =>
+          val mb = new MetadataBuilder().withMetadata(f.metadata)
+          mb.remove(CURRENT_KEY)
+          f.copy(metadata = mb.build())
+      }
+    })
+  }
+}

@@ -653,13 +653,26 @@ object GraftLog {
           val rt = flag("enableRowTracking")
           val domains = rt || snap.domains.nonEmpty
           val v2 = cfg.get("delta.checkpointPolicy").contains("v2")
+          // schema-derived writer features: the checkpoint's protocol
+          // action must list everything the commits' protocol does, or a
+          // replay FROM the checkpoint would claim a weaker protocol
+          val schemaStr = snap.metadata.schemaString
+          val identity = GeneratedColumns.hasIdentity(schemaStr)
+          val generated = GeneratedColumns.hasGenerated(schemaStr)
+          val defaults = Defaults.has(schemaStr)
+          val gated = ict || dv || domains || v2 || identity || defaults
           val protoNode = DeltaLogCompat.protocolNodeFor(
             dv, graft.model.ColumnMapping.isEnabled(snap.metadata),
             (if (ict) Set("inCommitTimestamp") else Set.empty[String]) ++
               (if (rt) Set("rowTracking") else Set.empty[String]) ++
               (if (domains) Set("domainMetadata") else Set.empty[String]) ++
-              (if ((ict || dv || domains || v2) && flag("enableChangeDataFeed"))
-                Set("changeDataFeed") else Set.empty[String]),
+              (if (identity) Set("identityColumns") else Set.empty[String]) ++
+              (if (defaults) Set("allowColumnDefaults") else Set.empty[String]) ++
+              (if (gated && generated) Set("generatedColumns") else Set.empty[String]) ++
+              (if (gated && flag("enableChangeDataFeed"))
+                Set("changeDataFeed") else Set.empty[String]) ++
+              (if (gated && cfg.keys.exists(_.startsWith(Constraints.PREFIX)))
+                Set("checkConstraints") else Set.empty[String]),
             if (v2) Set("v2Checkpoint") else Set.empty[String])
           // the table's declared checkpointPolicy picks the layout the
           // automatic checkpoint writes (delta "V2 Spec Checkpoints")
@@ -731,6 +744,10 @@ object GraftLog {
     val schemaStr = commitMeta.map(_.schemaString).getOrElse(prevSchema)
     val usesIdentity = GeneratedColumns.hasIdentity(schemaStr)
     val usesGenerated = GeneratedColumns.hasGenerated(schemaStr)
+    // column DEFAULTs are a v7 writer feature (`allowColumnDefaults`) —
+    // a writer that ignores CURRENT_DEFAULT would insert NULL where the
+    // declared default belongs
+    val usesDefaults = Defaults.has(schemaStr)
     // writer-only table features: ICT, plus — once the protocol is
     // feature-gated and legacy minWriterVersion implications stop
     // applying — an explicit entry for EVERY active legacy-implied
@@ -742,12 +759,14 @@ object GraftLog {
     val usesV2Cp = config.get("delta.checkpointPolicy").contains("v2")
     val readerExtras =
       if (usesV2Cp) Set("v2Checkpoint") else Set.empty[String]
-    val gated = usesIct || usesDv || hasDomainActions || usesIdentity || usesV2Cp
+    val gated = usesIct || usesDv || hasDomainActions || usesIdentity ||
+      usesV2Cp || usesDefaults
     val writerExtras =
       (if (usesIct) Set("inCommitTimestamp") else Set.empty[String]) ++
         (if (usesRowTracking) Set("rowTracking") else Set.empty[String]) ++
         (if (hasDomainActions) Set("domainMetadata") else Set.empty[String]) ++
         (if (usesIdentity) Set("identityColumns") else Set.empty[String]) ++
+        (if (usesDefaults) Set("allowColumnDefaults") else Set.empty[String]) ++
         (if (gated && usesGenerated)
           Set("generatedColumns") else Set.empty[String]) ++
         (if (gated && flag("enableChangeDataFeed"))
@@ -759,7 +778,13 @@ object GraftLog {
     val needUpgrade = version > 0 &&
       ((commitHasDv && prevMinReader < 3) ||
         (usesCm && prevMinReader < 2) ||
-        (usesIct && !prevHasIct)) &&
+        (usesIct && !prevHasIct) ||
+        // schema-declared writer features arriving AFTER create (ALTER
+        // ADD COLUMN with DEFAULT / identity) must land their protocol
+        // upgrade in the same commit — the feature list protects the
+        // table from writers that would ignore the new field semantics
+        (usesDefaults && !Defaults.has(prevSchema)) ||
+        (usesIdentity && !GeneratedColumns.hasIdentity(prevSchema))) &&
       !actions.exists(_.isInstanceOf[Protocol])
     val out =
       if (needUpgrade)

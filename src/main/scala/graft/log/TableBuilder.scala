@@ -50,9 +50,11 @@ object TableBuilder {
         RowTracking.tableProperties(tablePath) ++ configuration
       else configuration
     // create-time data is the table's initial state: generated columns
-    // are enforced; identity values provided here seed the watermark
+    // are enforced; identity values provided here seed the watermark;
+    // omitted DEFAULT columns fill before either
     val prepped = GeneratedColumns.prepareBatch(
-      df, df.schema, s"create of $tablePath", explicitOk = true)
+      Defaults.prepareBatch(df, df.schema),
+      df.schema, s"create of $tablePath", explicitOk = true)
     val checked = Constraints.enforce(prepped,
       graft.model.Metadata(id = "", configuration = config),
       s"create of $tablePath")
@@ -116,7 +118,7 @@ object TableBuilder {
     // legitimately omits them (they get computed/allocated here), and the
     // check below must see the completed batch schema
     val batch = GeneratedColumns.prepareBatch(
-      df, prev.schema, s"append to $tablePath")
+      Defaults.prepareBatch(df, prev.schema), prev.schema, s"append to $tablePath")
     val (schemaNow, metaAction) =
       if (!mergeSchema) {
         // a mismatched append would write parquet that silently breaks
@@ -262,7 +264,8 @@ object TableBuilder {
       spark: SparkSession,
       tablePath: String,
       columns: Seq[(String, org.apache.spark.sql.types.DataType)],
-      timestamp: Long = 0L): Long = {
+      timestamp: Long = 0L,
+      defaults: Map[String, String] = Map.empty): Long = {
     require(columns.nonEmpty, "addColumns: no columns given")
     val conf = spark.sessionState.newHadoopConf()
     val logR = new GraftLog(tablePath, conf)
@@ -272,10 +275,17 @@ object TableBuilder {
       require(!existing.contains(n.toLowerCase),
         s"addColumns: column $n already exists on $tablePath")
     }
+    defaults.keys.foreach(n => require(columns.exists(_._1.equalsIgnoreCase(n)),
+      s"addColumns: DEFAULT for unknown column $n"))
     val version = logR.latestVersion() + 1
     import graft.model.ColumnMapping
     val fresh = columns.map { case (n, t) =>
-      org.apache.spark.sql.types.StructField(n, t, nullable = true)
+      val f = org.apache.spark.sql.types.StructField(n, t, nullable = true)
+      // ADD COLUMN ... DEFAULT v: both keys get v — existing rows read it
+      // (EXISTS_DEFAULT, frozen here) and future partial inserts fill it
+      // (CURRENT_DEFAULT, mutable via setColumnDefault)
+      defaults.collectFirst { case (dn, sql) if dn.equalsIgnoreCase(n) => sql }
+        .map(Defaults.annotate(f, _)).getOrElse(f)
     }
     val annotated =
       if (!ColumnMapping.isEnabled(prev.metadata)) fresh
@@ -325,6 +335,28 @@ object TableBuilder {
       require(n == column || word.findFirstIn(sql).isEmpty,
         s"$op: column $column is referenced by generated column $n ($sql)")
     }
+  }
+
+  /** ALTER TABLE ALTER COLUMN ... SET DEFAULT / DROP DEFAULT: a
+    * metadata-only commit that changes CURRENT_DEFAULT (what future
+    * partial inserts receive) and deliberately leaves EXISTS_DEFAULT
+    * frozen — already-written rows keep the value they were created
+    * under (the delta default-columns contract).
+    */
+  def setColumnDefault(
+      spark: SparkSession,
+      tablePath: String,
+      column: String,
+      defaultSql: Option[String],
+      timestamp: Long = 0L): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logR = new GraftLog(tablePath, conf)
+    val prev = logR.snapshot(None)
+    val version = logR.latestVersion() + 1
+    val updated = Defaults.withCurrentDefault(prev.schema, column, defaultSql)
+    GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
+      schemaString = updated.json, version = version)), conf)
+    version
   }
 
   /** ALTER TABLE RENAME COLUMN: metadata-only on column-mapped tables —
@@ -521,7 +553,9 @@ object TableBuilder {
         concat(lit(s"replaceWhere on $tablePath: row outside the replaced " +
           "region: "), to_json(struct(col("*"))))), lit(true)))
     val prepared = Constraints.enforce(
-      GeneratedColumns.prepareBatch(inRegion, prev.schema, s"replaceWhere on $tablePath"),
+      GeneratedColumns.prepareBatch(
+        Defaults.prepareBatch(inRegion, prev.schema),
+        prev.schema, s"replaceWhere on $tablePath"),
       prev.metadata, s"replaceWhere on $tablePath")
     graft.model.SchemaCompat.assertReadCompatible(
       prev.schema, prepared.schema, s"replaceWhere on $tablePath")

@@ -180,8 +180,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     }
     require(clusterCols.isEmpty || partitionCols.isEmpty,
       "CLUSTER BY and PARTITIONED BY are mutually exclusive")
-    val schema = org.apache.spark.sql.types.StructType(columns.map(c =>
-      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    val schema = org.apache.spark.sql.types.StructType(columns.map { c =>
+      val base =
+        org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())
+      // `CREATE TABLE ... (c INT DEFAULT 5)`: Spark hands the default on
+      // the v2 Column (gated on SUPPORT_COLUMN_DEFAULT_VALUE below) —
+      // record it as CURRENT_DEFAULT + EXISTS_DEFAULT field metadata
+      Option(c.defaultValue())
+        .map(dv => graft.log.Defaults.annotate(base, dv.getSql))
+        .getOrElse(base)
+    })
     val path = props.getOrElse("location", {
       val wh = warehouse.getOrElse(throw new IllegalArgumentException(
         s"set TBLPROPERTIES('location'='…') or catalog option " +
@@ -206,6 +214,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     GraftCatalog.register(fqn(ident), path)
     loadTable(ident)
   }
+
+  /** Lets Spark's parser accept `DEFAULT <expr>` in CREATE TABLE column
+    * definitions for tables of this catalog.
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly()
 

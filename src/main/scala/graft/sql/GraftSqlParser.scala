@@ -91,6 +91,15 @@ object GraftSqlParser {
   private val DropColumn =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + TableRef +
       """\s+DROP\s+COLUMN\s+(`[^`]+`|\w+)\s*""").r
+  private val SetDefault =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TableRef +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+SET\s+DEFAULT\s+(.+?)\s*""").r
+  private val DropDefault =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TableRef +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+DROP\s+DEFAULT\s*""").r
+  // one `name type [DEFAULT expr]` inside ADD COLUMNS (defaults with
+  // commas need the TableBuilder API — this DDL splits columns on ',')
+  private val ColSpec = """(?is)(\S+)\s+(.+?)(?:\s+DEFAULT\s+(.+))?""".r
 
   private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
     case OptimizeZorder(path, name, cols) =>
@@ -115,11 +124,15 @@ object GraftSqlParser {
       Some(ConstraintCommand(ref(path, name), cName, None))
     case AddColumns(path, name, cols) =>
       Some(AddColumnsCommand(ref(path, name),
-        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
-          val i = c.indexOf(' ')
-          require(i > 0, s"ADD COLUMNS: expected '<name> <type>', got '$c'")
-          (stripTicks(c.substring(0, i)), c.substring(i + 1).trim)
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
+          case ColSpec(n, t, d) => (stripTicks(n), t.trim, Option(d).map(_.trim))
+          case c => throw new IllegalArgumentException(
+            s"ADD COLUMNS: expected '<name> <type> [DEFAULT <expr>]', got '$c'")
         }))
+    case SetDefault(path, name, c, sql) =>
+      Some(SetDefaultCommand(ref(path, name), stripTicks(c), Some(sql.trim)))
+    case DropDefault(path, name, c) =>
+      Some(SetDefaultCommand(ref(path, name), stripTicks(c), None))
     case RenameColumn(path, name, from, to) =>
       Some(RenameColumnCommand(ref(path, name), stripTicks(from), stripTicks(to)))
     case DropColumnList(path, name, cols) =>
@@ -220,15 +233,28 @@ case class CloneCommand(
   }
 }
 
-case class AddColumnsCommand(tablePath: String, columns: Seq[(String, String)])
+case class AddColumnsCommand(
+    tablePath: String, columns: Seq[(String, String, Option[String])])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)())
   override def run(spark: SparkSession): Seq[Row] = Seq(Row(
     graft.log.TableBuilder.addColumns(spark, tablePath,
-      columns.map { case (n, t) =>
+      columns.map { case (n, t, _) =>
         (n, org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t))
       },
+      System.currentTimeMillis(),
+      defaults = columns.collect { case (n, _, Some(d)) => n -> d }.toMap)))
+}
+
+/** ALTER COLUMN ... SET DEFAULT (Some) / DROP DEFAULT (None). */
+case class SetDefaultCommand(
+    tablePath: String, column: String, defaultSql: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(
+    graft.log.TableBuilder.setColumnDefault(spark, tablePath, column, defaultSql,
       System.currentTimeMillis())))
 }
 
