@@ -54,10 +54,15 @@ object DeltaFormatWriter {
     def flag(k: String) = cfg.get(k).contains("true") ||
       cfg.get(s"delta.$k").contains("true")
     val usesIct = flag("enableInCommitTimestamps")
+    val schemaStr = log.snapshot(None).metadata.schemaString
+    val widen = TypeWidening.has(schemaStr)
+    val variant = TypeWidening.containsVariant(schemaStr)
     val protocolNode = DeltaLogCompat.protocolNodeFor(usesDv, usesCm,
       (if (usesIct) Set("inCommitTimestamp") else Set.empty[String]) ++
         (if ((usesIct || usesDv) && flag("enableChangeDataFeed"))
-          Set("changeDataFeed") else Set.empty[String]))
+          Set("changeDataFeed") else Set.empty[String]),
+      (if (widen) Set("typeWidening") else Set.empty[String]) ++
+        (if (variant) Set("variantType") else Set.empty[String]))
 
     versions.foreach { v =>
       DeltaLogCompat.writeCommit(fs, logDir, v, log.readVersion(v), tss(v),

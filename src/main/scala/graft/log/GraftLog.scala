@@ -660,7 +660,10 @@ object GraftLog {
           val identity = GeneratedColumns.hasIdentity(schemaStr)
           val generated = GeneratedColumns.hasGenerated(schemaStr)
           val defaults = Defaults.has(schemaStr)
-          val gated = ict || dv || domains || v2 || identity || defaults
+          val widen = TypeWidening.has(schemaStr)
+          val variant = TypeWidening.containsVariant(schemaStr)
+          val gated = ict || dv || domains || v2 || identity || defaults ||
+            widen || variant
           val protoNode = DeltaLogCompat.protocolNodeFor(
             dv, graft.model.ColumnMapping.isEnabled(snap.metadata),
             (if (ict) Set("inCommitTimestamp") else Set.empty[String]) ++
@@ -673,7 +676,9 @@ object GraftLog {
                 Set("changeDataFeed") else Set.empty[String]) ++
               (if (gated && cfg.keys.exists(_.startsWith(Constraints.PREFIX)))
                 Set("checkConstraints") else Set.empty[String]),
-            if (v2) Set("v2Checkpoint") else Set.empty[String])
+            (if (v2) Set("v2Checkpoint") else Set.empty[String]) ++
+              (if (widen) Set("typeWidening") else Set.empty[String]) ++
+              (if (variant) Set("variantType") else Set.empty[String]))
           // the table's declared checkpointPolicy picks the layout the
           // automatic checkpoint writes (delta "V2 Spec Checkpoints")
           if (v2) DeltaLogCompat.writeCheckpointV2(conf, tablePath, version, protoNode)
@@ -757,10 +762,17 @@ object GraftLog {
     // v2 checkpointPolicy is a reader+writer table feature: commits must
     // gate readers that cannot discover UUID-named checkpoint files
     val usesV2Cp = config.get("delta.checkpointPolicy").contains("v2")
+    // reader+writer table features carried by the SCHEMA: widened columns
+    // (files narrower than declared exist) and VARIANT columns both gate
+    // readers that cannot decode them
+    val usesWidening = TypeWidening.has(schemaStr)
+    val usesVariant = TypeWidening.containsVariant(schemaStr)
     val readerExtras =
-      if (usesV2Cp) Set("v2Checkpoint") else Set.empty[String]
+      (if (usesV2Cp) Set("v2Checkpoint") else Set.empty[String]) ++
+        (if (usesWidening) Set("typeWidening") else Set.empty[String]) ++
+        (if (usesVariant) Set("variantType") else Set.empty[String])
     val gated = usesIct || usesDv || hasDomainActions || usesIdentity ||
-      usesV2Cp || usesDefaults
+      usesV2Cp || usesDefaults || usesWidening || usesVariant
     val writerExtras =
       (if (usesIct) Set("inCommitTimestamp") else Set.empty[String]) ++
         (if (usesRowTracking) Set("rowTracking") else Set.empty[String]) ++
@@ -784,7 +796,10 @@ object GraftLog {
         // upgrade in the same commit — the feature list protects the
         // table from writers that would ignore the new field semantics
         (usesDefaults && !Defaults.has(prevSchema)) ||
-        (usesIdentity && !GeneratedColumns.hasIdentity(prevSchema))) &&
+        (usesIdentity && !GeneratedColumns.hasIdentity(prevSchema)) ||
+        (usesWidening && !TypeWidening.has(prevSchema)) ||
+        (usesVariant && prevSchema.nonEmpty &&
+          !TypeWidening.containsVariant(prevSchema))) &&
       !actions.exists(_.isInstanceOf[Protocol])
     val out =
       if (needUpgrade)

@@ -359,6 +359,39 @@ object TableBuilder {
     version
   }
 
+  /** ALTER TABLE ALTER COLUMN ... TYPE: widen a column's declared type in
+    * a metadata-only commit ([[TypeWidening]]). Existing files keep their
+    * narrow physical type and upcast at read; the first widening upgrades
+    * a delta-format table to the `typeWidening` feature-gated protocol.
+    * Partition columns are refused — their values live as path strings
+    * whose lexicographic file layout is typed, and delta refuses them too.
+    */
+  def widenColumnType(
+      spark: SparkSession,
+      tablePath: String,
+      column: String,
+      to: org.apache.spark.sql.types.DataType,
+      timestamp: Long = 0L): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logR = new GraftLog(tablePath, conf)
+    val prev = logR.snapshot(None)
+    val field = prev.schema.fields.find(_.name.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"widenColumnType: no column $column on $tablePath"))
+    require(!prev.metadata.partitionColumns.exists(_.equalsIgnoreCase(column)),
+      s"widenColumnType: $column is a partition column")
+    require(TypeWidening.canWiden(field.dataType, to),
+      s"widenColumnType: ${field.dataType.simpleString} -> ${to.simpleString} " +
+        "is not a supported widening (see TypeWidening.canWiden)")
+    val version = logR.latestVersion() + 1
+    val widened = StructType(prev.schema.fields.map(f =>
+      if (f.name.equalsIgnoreCase(column)) TypeWidening.widenField(f, to, version)
+      else f))
+    GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
+      schemaString = widened.json, version = version)), conf)
+    version
+  }
+
   /** ALTER TABLE RENAME COLUMN: metadata-only on column-mapped tables —
     * the logical name changes, the physical name and column id stay, so
     * no file is touched and every existing file keeps reading correctly.

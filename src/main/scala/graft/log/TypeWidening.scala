@@ -1,0 +1,97 @@
+package graft.log
+
+import org.apache.spark.sql.types._
+
+/** Type widening (delta PROTOCOL "Type Widening", table feature
+  * `typeWidening`): `ALTER TABLE t ALTER COLUMN c TYPE <wider>` changes a
+  * column's declared type in a metadata-only commit. Existing data files
+  * keep their narrow physical type; readers upcast in place because every
+  * scan requests the LATEST (wide) table schema and Spark 4.1's
+  * vectorized parquet reader performs the widening conversions natively
+  * (probed in `TypeWideningSpec` — an unsupported conversion fails the
+  * read loudly, never silently).
+  *
+  * The reference serves such tables by gating them on the `typeWidening`
+  * reader feature (`PROTOCOL.md`); graft does the same: the first
+  * widening commit upgrades the table to a feature-gated protocol listing
+  * `typeWidening` in BOTH feature sets, and records the change history in
+  * the field's `delta.typeChanges` metadata so other engines can locate
+  * files needing conversion.
+  */
+object TypeWidening {
+
+  /** Field-metadata key holding the change history (delta spec). */
+  val TYPE_CHANGES_KEY = "delta.typeChanges"
+
+  /** The supported widening matrix — exactly the conversions Spark 4.1's
+    * parquet readers (vectorized + row-based) perform when the requested
+    * schema is wider than the file's physical type, which is also the
+    * stable delta-4.x matrix:
+    *
+    *  - byte → short → int → long      (INT32/INT64 upcast)
+    *  - float → double
+    *  - date → timestamp_ntz           (midnight UTC semantics)
+    *  - byte/short/int → double        (exact in binary64)
+    *  - decimal(p,s) → decimal(p',s')  with p'-s' >= p-s and s' >= s
+    *  - byte/short/int/long → decimal  with enough integral digits
+    */
+  def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (f, t) if f == t => false
+    case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | DoubleType)            => true
+    case (IntegerType, LongType | DoubleType)                        => true
+    case (FloatType, DoubleType)                                     => true
+    case (DateType, TimestampNTZType)                                => true
+    case (f: DecimalType, t: DecimalType) =>
+      t.precision - t.scale >= f.precision - f.scale && t.scale >= f.scale
+    case (ByteType, t: DecimalType)    => t.precision - t.scale >= 3
+    case (ShortType, t: DecimalType)   => t.precision - t.scale >= 5
+    case (IntegerType, t: DecimalType) => t.precision - t.scale >= 10
+    case (LongType, t: DecimalType)    => t.precision - t.scale >= 20
+    case _ => false
+  }
+
+  /** `field` with its type widened to `to` and the change appended to the
+    * `delta.typeChanges` history (fromType/toType/tableVersion, the delta
+    * spelling).
+    */
+  def widenField(field: StructField, to: DataType, tableVersion: Long): StructField = {
+    val entry = new MetadataBuilder()
+      .putString("fromType", field.dataType.typeName)
+      .putString("toType", to.typeName)
+      .putLong("tableVersion", tableVersion)
+      .build()
+    val prior: Array[Metadata] =
+      if (field.metadata.contains(TYPE_CHANGES_KEY))
+        field.metadata.getMetadataArray(TYPE_CHANGES_KEY)
+      else Array.empty
+    field.copy(dataType = to,
+      metadata = new MetadataBuilder().withMetadata(field.metadata)
+        .putMetadataArray(TYPE_CHANGES_KEY, prior :+ entry).build())
+  }
+
+  /** Whether `schemaString` carries any widening history (drives the
+    * delta feature listing — files narrower than the declared schema
+    * exist, so readers must be upcast-capable).
+    */
+  def has(schemaString: String): Boolean =
+    schemaString.contains(s""""$TYPE_CHANGES_KEY"""")
+
+  /** Whether the schema carries a VARIANT column anywhere (drives the
+    * `variantType` reader+writer feature listing — a reader without
+    * native VARIANT decoding would surface raw binary). The cheap
+    * substring test is a guard against parsing schemas that cannot
+    * match (a field NAMED "variant" also passes it, hence the walk).
+    */
+  def containsVariant(schemaString: String): Boolean =
+    schemaString.contains("\"variant\"") && {
+      def walk(dt: DataType): Boolean = dt match {
+        case _: VariantType   => true
+        case s: StructType    => s.fields.exists(f => walk(f.dataType))
+        case a: ArrayType     => walk(a.elementType)
+        case m: MapType       => walk(m.keyType) || walk(m.valueType)
+        case _                => false
+      }
+      walk(DataType.fromJson(schemaString))
+    }
+}

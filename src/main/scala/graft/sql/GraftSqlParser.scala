@@ -97,6 +97,9 @@ object GraftSqlParser {
   private val DropDefault =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + TableRef +
       """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+DROP\s+DEFAULT\s*""").r
+  private val WidenColumn =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TableRef +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+TYPE\s+(.+?)\s*""").r
   // one `name type [DEFAULT expr]` inside ADD COLUMNS (defaults with
   // commas need the TableBuilder API — this DDL splits columns on ',')
   private val ColSpec = """(?is)(\S+)\s+(.+?)(?:\s+DEFAULT\s+(.+))?""".r
@@ -133,6 +136,8 @@ object GraftSqlParser {
       Some(SetDefaultCommand(ref(path, name), stripTicks(c), Some(sql.trim)))
     case DropDefault(path, name, c) =>
       Some(SetDefaultCommand(ref(path, name), stripTicks(c), None))
+    case WidenColumn(path, name, c, t) =>
+      Some(WidenColumnCommand(ref(path, name), stripTicks(c), t.trim))
     case RenameColumn(path, name, from, to) =>
       Some(RenameColumnCommand(ref(path, name), stripTicks(from), stripTicks(to)))
     case DropColumnList(path, name, cols) =>
@@ -245,6 +250,19 @@ case class AddColumnsCommand(
       },
       System.currentTimeMillis(),
       defaults = columns.collect { case (n, _, Some(d)) => n -> d }.toMap)))
+}
+
+/** ALTER COLUMN ... TYPE <wider> — metadata-only type widening
+  * ([[graft.log.TypeWidening]]).
+  */
+case class WidenColumnCommand(tablePath: String, column: String, newType: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(
+    graft.log.TableBuilder.widenColumnType(spark, tablePath, column,
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(newType),
+      System.currentTimeMillis())))
 }
 
 /** ALTER COLUMN ... SET DEFAULT (Some) / DROP DEFAULT (None). */
