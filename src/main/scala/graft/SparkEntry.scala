@@ -1530,6 +1530,56 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 0).cast("long").as("sum_price"))
     }),
 
+    // Beyond-reference writer: VARIANT end-to-end — document metadata
+    // packed into a VARIANT column (Spark 4.1 first-class parquet type),
+    // written natively (the commit stamps the `variantType` reader+writer
+    // feature gate), read back through the graft reader, and queried with
+    // typed `variant_get` extraction. Extraction inverts construction, so
+    // the relational oracle sees straight through the variant plumbing.
+    "q109_variant_extract" -> ((s, dir) => {
+      val path = s"${graft.log.SharedFixtures.shareRoot(dir)}/scratch_variant"
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("parse_json(to_json(struct(lang, source, n_chars)))").as("meta"))
+      graft.log.TableBuilder.create(s, src.repartition(4), path,
+        name = "scratch_variant", deltaFormat = true)
+      graft.log.GraftLog.invalidateListing(path)
+      s.read.format("graft").option("path", path).load()
+        .select(
+          expr("variant_get(meta, '$.lang', 'string')").as("lang"),
+          expr("variant_get(meta, '$.source', 'string')").as("source"),
+          expr("variant_get(meta, '$.n_chars', 'long')").as("nc"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"))
+    }),
+
+    // Beyond-reference writer: type widening — quantities written as INT,
+    // the column widened to BIGINT in a metadata-only commit (typeWidening
+    // feature gate, delta.typeChanges history), then a wide append joins
+    // the narrow files transparently. Any mis-upcast file or wrong-type
+    // stats pruning flips the aggregate.
+    "q110_type_widening" -> ((s, dir) => {
+      val path = s"${graft.log.SharedFixtures.shareRoot(dir)}/scratch_widen"
+      val src = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          floor(col("l_quantity")).cast("int").as("qty"))
+      graft.log.TableBuilder.create(s, src.repartition(4), path,
+        name = "scratch_widen", deltaFormat = true)
+      graft.log.TableBuilder.widenColumnType(s, path, "qty",
+        org.apache.spark.sql.types.LongType)
+      graft.log.TableBuilder.append(s,
+        src.withColumn("l_orderkey", col("l_orderkey") + 30000000L)
+          .withColumn("qty", (col("qty") + 100).cast("long")), path,
+        timestamp = 1000L)
+      graft.log.GraftLog.invalidateListing(path)
+      s.read.format("graft").option("path", path).load()
+        // the filter exercises stats skipping over narrow-written min/max
+        // parsed under the wide declared type
+        .filter(col("qty") >= 1L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    }),
+
     // Beyond-reference writer: replaceWhere — the R-region of the scratch
     // table is atomically replaced with quantity-shifted rows in ONE
     // commit; any smuggled out-of-region row, lost survivor, or doubled
@@ -2792,6 +2842,22 @@ object SparkEntry {
          SELECT priority_class, risk, count(*) AS n_rows,
            CAST(round(sum(o_totalprice), 0) AS BIGINT) AS sum_price
          FROM rows GROUP BY 1, 2""",
+    // variant_get extraction inverts the to_json construction exactly
+    "q109_variant_extract" ->
+      """SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY 1, 2""",
+    // both generations: narrow ints and the +100 wide append
+    "q110_type_widening" ->
+      """WITH rows AS (
+           SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qty
+           FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) + 100
+           FROM lineitem)
+         SELECT l_returnflag, count(*) AS n_rows,
+           CAST(sum(qty) AS BIGINT) AS sum_qty
+         FROM rows WHERE qty >= 1 GROUP BY 1""",
     // same md5 permutation key, bucket, and rank in SQL
     "q105_epoch_shuffle" ->
       """WITH keyed AS (
