@@ -575,6 +575,21 @@ object SparkEntry {
         .withColumn("sim", round(col("sim"), 3))
     }),
 
+    // Beyond-reference: SQ8 scalar-quantized ANN — per-dimension [lo,hi]
+    // bounds learned in one pass, each float32 stored as a uint8 code (4x
+    // smaller candidate scan), asymmetric scoring on the reconstruction,
+    // exact rerank on the refine·k survivors. Codes are bit-identical in
+    // DuckDB (same round/clamp arithmetic), so the oracle replays the
+    // whole quantize → score → rerank cascade.
+    "q111_sq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      graft.ops.Similarity.sqTopK(queries, corpus, k = 3, refine = 4)
+        .withColumn("sim", round(col("sim"), 3))
+    }),
+
     // Beyond-reference: near-dup PAIRS → dedup CLUSTERS. The q27 edge set
     // is closed into connected components with alternating large-star /
     // small-star (O(log^2 n) shuffle rounds, diameter-independent); every
@@ -2131,6 +2146,43 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
                AS BIGINT) AS rank
            FROM scored)
+         WHERE rank <= 3""",
+    // same quantize -> asymmetric score -> refine cut -> exact rerank
+    // cascade; codes are bit-identical (same round/clamp arithmetic on
+    // the same float->double casts)
+    "q111_sq_ann" ->
+      """WITH c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+         q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 5),
+         flat AS (SELECT c_id, unnest(e) AS v, generate_subscripts(e, 1) AS i
+                  FROM c),
+         dims AS (SELECT i, min(v) AS lo,
+                    CASE WHEN max(v) = min(v) THEN 1.0
+                         ELSE max(v) - min(v) END AS span
+                  FROM flat GROUP BY i),
+         recon AS (
+           SELECT c_id,
+             list(lo + least(greatest(round((v - lo)/span*255.0), 0), 255)
+                    * span / 255.0 ORDER BY i) AS r
+           FROM flat JOIN dims USING (i) GROUP BY c_id),
+         cand AS (
+           SELECT q_id, c_id FROM (
+             SELECT q.q_id, recon.c_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(q.e, recon.r) DESC, recon.c_id)
+                 AS ar
+             FROM recon CROSS JOIN q)
+           WHERE ar <= 12),
+         exact AS (
+           SELECT cand.q_id, cand.c_id,
+             list_cosine_similarity(q.e, c.e) AS sim
+           FROM cand JOIN q USING (q_id) JOIN c USING (c_id))
+         SELECT q_id, c_id, round(sim, 3) AS sim, rank FROM (
+           SELECT q_id, c_id, sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+               AS BIGINT) AS rank
+           FROM exact)
          WHERE rank <= 3""",
     "q34_share_cdf" -> cdfOracle,
     "q37_cdf_option" -> cdfOracle,

@@ -142,6 +142,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full === exact)
   }
 
+  test("SQ8 quantized ANN: codes in range, reconstruction close, high recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val (lo, span) = Similarity.sqBounds(corpus, "c_vec")
+    assert(lo.length === 64 && span.forall(_ > 0))
+    // codes clamp to [0, 255]
+    val codes = corpus.select(Similarity.sqEncode(col("c_vec"), lo, span).as("k"))
+    val outOfRange = codes
+      .select(explode(col("k")).as("c")).filter(col("c") < 0 || col("c") > 255)
+    assert(outOfRange.count() === 0)
+    // 8-bit reconstruction error per dimension is bounded by span/255/2
+    // (+ float slack)
+    val maxErr = corpus
+      .select(col("c_vec").cast("array<double>").as("v"),
+        Similarity.sqDecode(Similarity.sqEncode(col("c_vec"), lo, span), lo, span)
+          .as("r"))
+      .select(explode(arrays_zip(col("v"), col("r"))).as("p"))
+      .select(abs(col("p.v") - col("p.r")).as("e"))
+      .agg(max(col("e"))).head().getDouble(0)
+    assert(maxErr <= span.max / 255.0 / 2.0 + 1e-6, s"reconstruction error $maxErr")
+    // rerank recovers the exact top-k almost everywhere
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.sqTopK(queries, corpus, 5, refine = 4)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall $recall below 0.9")
+    // self-match always survives (reconstruction error can't displace a
+    // perfect-similarity candidate out of a 4k-deep refine cut here)
+    assert((0L until 10L).forall(q => approx.contains((q, q))), "self-match lost")
+  }
+
   test("lang-id is deterministic and quality score stays within [0,1]") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val prof = TextOps.profile(docs)
