@@ -44,5 +44,24 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_intersect_count",
       "graft_intersect_count(a, b) - size of the intersection of two sorted array<bigint>")(
       arity2("graft_intersect_count")(SortedLongIntersectCount))
+    register("graft_heavy_hitters",
+      "graft_heavy_hitters(col, capacity, topK) - Misra-Gries heavy hitters: " +
+        "bounded-state mergeable top-k aggregate over a string column") {
+      case Seq(child, cap, k) =>
+        def intLit(e: Expression, name: String): Int = e match {
+          case lit if lit.foldable => lit.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_heavy_hitters: $name must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"graft_heavy_hitters: $name must be a literal")
+        }
+        graft.functions.MisraGriesTopK(child,
+          intLit(cap, "capacity"), intLit(k, "topK")).toAggregateExpression()
+      case args => throw new IllegalArgumentException(
+        s"graft_heavy_hitters expects 3 arguments, got ${args.length}")
+    }
   }
 }

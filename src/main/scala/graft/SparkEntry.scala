@@ -948,6 +948,21 @@ object SparkEntry {
         "user_id")
     }),
 
+    // Beyond-reference: Misra-Gries heavy hitters — a native mergeable
+    // TypedImperativeAggregate with bounded state (at most `capacity`
+    // counters per partial), so only KB-sized summaries shuffle, never
+    // the key space. The flag|ship-month key has ~250 distinct values at
+    // ANY scale factor (3 flags x the fixed 1992-98 month range), so
+    // capacity=512 keeps the counters exact and the oracle is a plain
+    // GROUP BY; the approximate-regime guarantees (presence above
+    // N/(cap+1), bounded undercount) are property-tested in OpsSpec.
+    "q112_heavy_hitters" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(concat_ws("|", col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM")).as("k"))
+      graft.ops.Sketches.heavyHitters(li, "k", capacity = 512, topK = 10)
+    }),
+
     // Beyond-reference: PMI word-pair co-occurrence over the top-40
     // vocabulary — corpus reduced to (doc, vocab-word) before the
     // bounded per-document self-join; broadcast vocab + doc count.
@@ -2567,6 +2582,17 @@ object SparkEntry {
                FROM e JOIN f ON e.user_id = f.user_id)
          SELECT cohort_week, week_offset, count(*) AS n_users
          FROM w GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    // capacity 512 > ~250 distinct keys: the MG counters are exact counts
+    "q112_heavy_hitters" ->
+      """SELECT item, cnt, rank FROM (
+           SELECT l_returnflag || '|' || strftime(l_shipdate, '%Y-%m') AS item,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(row_number() OVER (
+               ORDER BY count(*) DESC,
+                 l_returnflag || '|' || strftime(l_shipdate, '%Y-%m'))
+               AS BIGINT) AS rank
+           FROM lineitem GROUP BY 1)
+         WHERE rank <= 10""",
     "q70_cms_frequency" ->
       """WITH h(j, a, b) AS (VALUES (0, 824633720837 % 1000000007, 97),
                                     (1, 479001599, 179426549),

@@ -1,0 +1,152 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries heavy hitters as a native mergeable aggregate (Misra &
+  * Gries, "Finding repeated elements", Sci. Comput. Program. 1982; merge
+  * rule from Agarwal et al., "Mergeable Summaries", PODS 2012 §3).
+  *
+  * Bounded state: at most `capacity` (item, counter) pairs per partial
+  * aggregate, regardless of input cardinality — the 100 TB shape for
+  * "top tokens over the corpus": each task folds its partition into a
+  * capacity-sized summary (map-side combine), and only KB-sized summaries
+  * shuffle, never the token space. Contrast with an exact
+  * `groupBy(token).count().orderBy(...)`, which shuffles every distinct
+  * token.
+  *
+  * Guarantees (standard MG): every item with true frequency
+  * > N/(capacity+1) is present in the summary, and each reported counter
+  * undercounts its true frequency by at most N/(capacity+1) (summed
+  * decrements; merges preserve the bound per Agarwal et al.). When
+  * `capacity` >= the number of distinct items, no decrement ever fires
+  * and the counters are EXACT — the regime the relational oracle checks;
+  * the error bound in the approximate regime is property-tested.
+  *
+  * Result: the top `topK` summary entries as `array<struct<item,count>>`,
+  * ordered by (count desc, item asc) for determinism. NOTE: in the
+  * approximate regime the counters (not the guarantee) depend on Spark's
+  * partition merge order; derive decisions from the guarantee, not the
+  * exact counter values.
+  */
+case class MisraGriesTopK(
+    child: Expression,
+    capacity: Int,
+    topK: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+  with UnaryLike[Expression] {
+
+  require(capacity > 0, "capacity must be positive")
+  require(topK > 0, "topK must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("count", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_heavy_hitters"
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  override def update(
+      buf: mutable.HashMap[String, Long], input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[UTF8String].toString
+      buf.get(key) match {
+        case Some(c) => buf(key) = c + 1
+        case None if buf.size < capacity => buf(key) = 1L
+        case None =>
+          // classic MG: a miss at capacity decrements EVERY counter
+          val dead = mutable.ArrayBuffer.empty[String]
+          buf.keysIterator.foreach { k =>
+            val n = buf(k) - 1
+            if (n <= 0) dead += k else buf(k) = n
+          }
+          dead.foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.HashMap[String, Long],
+      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    other.foreach { case (k, c) => buf(k) = buf.getOrElse(k, 0L) + c }
+    if (buf.size > capacity) {
+      // Agarwal et al. merge: subtract the (capacity+1)-th largest
+      // counter from all, drop the non-positive — size is back <= capacity
+      // and the per-item undercount bound still telescopes
+      val cut = buf.values.toArray.sortInPlace()(Ordering[Long].reverse)
+        .apply(capacity)
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.keysIterator.foreach { k =>
+        val n = buf(k) - cut
+        if (n <= 0) dead += k else buf(k) = n
+      }
+      dead.foreach(buf.remove)
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    val top = buf.toArray.sortBy { case (item, c) => (-c, item) }.take(topK)
+    new GenericArrayData(top.map { case (item, c) =>
+      InternalRow(UTF8String.fromString(item), c)
+    })
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, c) =>
+      val b = k.getBytes("UTF-8")
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf(new String(b, "UTF-8")) = in.readLong()
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MisraGriesTopK =
+    copy(child = newChild)
+}

@@ -24,6 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+
+  /** Misra–Gries heavy hitters over `keyCol`
+    * ([[graft.functions.MisraGriesTopK]]): one row per reported item,
+    * `(item, cnt, rank)` ordered by (cnt desc, item asc). Bounded state —
+    * at most `capacity` counters per partial aggregate, so only KB-sized
+    * summaries shuffle, never the key space. With `capacity` >= the
+    * distinct-key count the counters are exact; below it, MG's
+    * frequency>N/(capacity+1) presence and N/(capacity+1) undercount
+    * guarantees hold (property-tested in OpsSpec).
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, capacity: Int, topK: Int): DataFrame =
+    df.agg(column(graft.functions.MisraGriesTopK(
+        expression(col(keyCol).cast("string")), capacity, topK)
+      .toAggregateExpression()).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("i", "e")))
+      .select(col("e.item").as("item"), col("e.count").as("cnt"),
+        (col("i") + 1).cast("long").as("rank"))
+
   /** 60-bit portable hash: the first 15 hex digits of md5, read base-16.
     * 60 bits keeps the value exactly representable in a signed long (and
     * its direct DuckDB replica `CAST('0x'||substr(md5(v),1,15) AS

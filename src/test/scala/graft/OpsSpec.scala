@@ -14,12 +14,17 @@ import graft.ops._
   */
 class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 
   import scala.jdk.CollectionConverters._
 
@@ -538,6 +543,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dupEst = Sketches.kmvDistinct(big.union(big), Seq("g"), "v", k = 64)
       .collect().head.getDouble(1)
     assert(bigEst === dupEst, "KMV must be duplication-invariant")
+  }
+
+  test("misra-gries heavy hitters: exact regime, MG guarantees, SQL function") {
+    import spark.implicits._
+    // EXACT regime: capacity >= distinct count — counters are true counts
+    val skew = (0 until 1000).flatMap { i =>
+      val item = s"k${i % 10}"
+      Seq.fill(10 - (i % 10))(item) // k0 heaviest ... k9 lightest
+    }.toDF("v")
+    val exact = Sketches.heavyHitters(skew, "v", capacity = 16, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val truth = skew.groupBy("v").count()
+      .orderBy(col("count").desc, col("v")).limit(5)
+      .collect().map(_.getLong(1))
+    assert(exact.map(_._2).toSeq === truth.toSeq, "exact-regime counts differ")
+    assert(exact.map(_._3).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // APPROXIMATE regime: capacity below the distinct count. MG
+    // guarantees: every item with freq > N/(cap+1) is reported (given
+    // topK = capacity), and reported counters never overcount / undercount
+    // by more than N/(cap+1).
+    val n = 20000
+    val cap = 20
+    val zipf = (0 until n).map { i =>
+      // skewed: item j covers ~ n/2^(j+1) rows, plus a long uniform tail
+      val r = i % 1024
+      val item = if (r < 512) "h0" else if (r < 768) "h1" else if (r < 896) "h2"
+        else s"t${i % 97}"
+      item
+    }.toDF("v").repartition(8)
+    val trueCounts = zipf.groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = n.toDouble / (cap + 1)
+    val summary = Sketches.heavyHitters(zipf, "v", capacity = cap, topK = cap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val reported = summary.map(_._1).toSet
+    trueCounts.foreach { case (item, c) =>
+      if (c > bound) assert(reported.contains(item),
+        s"heavy item $item (freq $c > $bound) missing from the summary")
+    }
+    summary.foreach { case (item, c) =>
+      val t = trueCounts(item)
+      assert(c <= t, s"$item overcounted: $c > $t")
+      assert(t - c <= bound + 1e-9, s"$item undercounted past the bound: $t - $c")
+    }
+    // SQL registration
+    skew.createOrReplaceTempView("mg_input")
+    val viaSql = spark.sql(
+      "SELECT graft_heavy_hitters(v, 16, 3) AS hh FROM mg_input")
+      .selectExpr("inline(hh)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(viaSql.map(_._2).toSeq === truth.take(3).toSeq)
   }
 
   test("band join: boundary inclusivity and bucket-crossing pairs") {
