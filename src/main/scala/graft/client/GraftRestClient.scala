@@ -224,7 +224,8 @@ class GraftRestClient(
     */
   val DELTA_CAPABILITIES: Map[String, String] = Map(
     "delta-sharing-capabilities" ->
-      "responseformat=delta;readerfeatures=deletionvectors,columnmapping")
+      ("responseformat=delta;readerfeatures=deletionvectors,columnmapping," +
+        "typewidening,varianttype"))
 
   case class DeltaQueryResult(
       version: Long,

@@ -41,7 +41,12 @@ object GraftCDF {
       s"startingVersion($startingVersion) > endingVersion($end)")
     require(startingVersion <= latest,
       s"startingVersion($startingVersion) is after the latest version $latest")
-    val snap = log.snapshot(Some(startingVersion))
+    // The END boundary's schema reads every version in range: schema
+    // evolution only widens what older files can express (added columns
+    // null-fill, widened types upcast in place), so the end schema is the
+    // one type all emitted rows share — the same choice delta's CDCReader
+    // makes when the schema changed mid-range.
+    val snap = log.snapshot(Some(end))
     require(isEnabled(snap.metadata),
       s"Change Data Feed is not enabled on table $tablePath " +
         "(set configuration enableChangeDataFeed=true at creation)")

@@ -912,12 +912,23 @@ class GraftServer(
       }.toMap
 
   /** Advanced reader-feature table properties set to a non-disabled value
-    * (reference `DeltaAction.tablePropertiesWithDisabledValues:45-50`).
+    * (reference `DeltaAction.tablePropertiesWithDisabledValues:45-50`),
+    * plus the SCHEMA-carried reader features the configuration cannot
+    * show: widened columns (narrow physical files exist) and VARIANT
+    * columns both break a client that decodes raw parquet bytes against
+    * the declared schema without those capabilities.
     */
-  private def advancedProperties(m: graft.model.Metadata): Seq[String] =
-    Seq("delta.columnMapping.mode" -> "none", "delta.enableDeletionVectors" -> "false")
-      .collect { case (p, disabled)
-        if m.configuration.get(p).exists(!_.equalsIgnoreCase(disabled)) => p }
+  private def advancedProperties(m: graft.model.Metadata): Seq[String] = {
+    val fromConfig =
+      Seq("delta.columnMapping.mode" -> "none", "delta.enableDeletionVectors" -> "false")
+        .collect { case (p, disabled)
+          if m.configuration.get(p).exists(!_.equalsIgnoreCase(disabled)) => p }
+    val fromSchema =
+      (if (graft.log.TypeWidening.has(m.schemaString)) Seq("typeWidening") else Nil) ++
+        (if (graft.log.TypeWidening.containsVariant(m.schemaString))
+          Seq("variantType") else Nil)
+    fromConfig ++ fromSchema
+  }
 
   /** Negotiate the response dialect and gate advanced reader features
     * (reference `DeltaSharedTableKernel.getRespondedFormat:566-586` +
@@ -935,6 +946,8 @@ class GraftServer(
     def covered(p: String): Boolean = p match {
       case "delta.columnMapping.mode"    => clientFeatures.contains("columnmapping")
       case "delta.enableDeletionVectors" => clientFeatures.contains("deletionvectors")
+      case "typeWidening"                => clientFeatures.contains("typewidening")
+      case "variantType"                 => clientFeatures.contains("varianttype")
       case _                             => false
     }
     val fmt =
@@ -962,7 +975,9 @@ class GraftServer(
     "columnMapping" -> m.configuration.get("delta.columnMapping.mode")
       .exists(v => !v.equalsIgnoreCase("none")),
     "deletionVectors" -> m.configuration.get("delta.enableDeletionVectors")
-      .exists(_.equalsIgnoreCase("true"))
+      .exists(_.equalsIgnoreCase("true")),
+    "typeWidening" -> graft.log.TypeWidening.has(m.schemaString),
+    "variantType" -> graft.log.TypeWidening.containsVariant(m.schemaString)
   ).collect { case (f, true) => f }
 
   private def deltaProtoJson(m: graft.model.Metadata, proto: graft.model.Protocol): String = {

@@ -642,6 +642,43 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       new String(bytes.body().take(4), "ASCII") === "PAR1")
   }
 
+  test("schema-carried reader features gate the dialect: widened table " +
+    "refuses parquet, serves delta to a typewidening-capable client") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_widen_rest").toString
+    TableBuilder.create(spark,
+      (1 to 4).map(i => (Option(i), s"r$i")).toDF("n", "v"),
+      dir, numFiles = 2, name = "widened")
+    TableBuilder.widenColumnType(spark, dir, "n",
+      org.apache.spark.sql.types.LongType)
+    GraftCatalog.register("share1.default.widened", dir)
+    try {
+      // parquet dialect: a client decoding raw int32 parquet against the
+      // wide schema without the capability gets the typed refusal
+      val q = rawPost("/shares/share1/schemas/default/tables/widened/query", "{}")
+      assert(q.statusCode() === 400)
+      assert(JsonUtils.fromJson[ErrorResponse](q.body()).errorCode
+        === "UNSUPPORTED_OPERATION")
+      // delta dialect without the feature declared: still refused
+      val uncovered = rawPostH(
+        "/shares/share1/schemas/default/tables/widened/query", "{}",
+        "responseformat=delta;readerfeatures=deletionvectors")
+      assert(uncovered.statusCode() === 400)
+      // delta dialect with typewidening declared: served, protocol lists it
+      val r = rawPostH("/shares/share1/schemas/default/tables/widened/query", "{}",
+        "responseformat=delta;readerfeatures=typewidening")
+      assert(r.statusCode() === 200)
+      val lines = r.body().split("\n").filter(_.nonEmpty)
+        .map(JsonUtils.fromJson[DeltaLine](_))
+      val proto = lines.head.protocol.deltaProtocol
+      assert(proto.minReaderVersion === 3)
+      assert(proto.readerFeatures.contains("typeWidening"))
+      val meta = lines(1).metaData
+      assert(meta.deltaMetadata.schemaString.contains("\"long\""))
+      assert(meta.deltaMetadata.schemaString.contains("delta.typeChanges"))
+    } finally GraftCatalog.unregister("share1.default.widened")
+  }
+
   test("delta dialect serves row-tracking fields on add actions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rt_rest").toString
