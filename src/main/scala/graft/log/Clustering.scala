@@ -22,6 +22,27 @@ object Clustering {
 
   val DOMAIN = "delta.clustering"
 
+  /** Cube tags on clustered-rewrite outputs (the spelling delta's
+    * OPTIMIZE writes in `add.tags` — ZCUBE_ID groups one rewrite's
+    * files; the BY/CURVE tags record what layout the cube satisfies).
+    */
+  val TAG_CUBE_ID = "ZCUBE_ID"
+  val TAG_CUBE_COLS = "ZCUBE_ZORDER_BY"
+  val TAG_CUBE_CURVE = "ZCUBE_ZORDER_CURVE"
+
+  /** A file already sits in a well-formed cube for `cols`/`curve`: it
+    * carries a cube id, was clustered on exactly these columns and this
+    * curve, and has no deletion vector (a DV-carrying cube member has
+    * logically lost rows — recluster it so the dead bytes go away).
+    */
+  def wellFormed(
+      f: graft.model.AddFile, cols: Seq[String], curve: String): Boolean =
+    f.deletionVector.isEmpty && f.tags.exists { t =>
+      t.contains(TAG_CUBE_ID) &&
+        t.get(TAG_CUBE_COLS).contains(cols.mkString(",")) &&
+        t.get(TAG_CUBE_CURVE).contains(curve)
+    }
+
   def configFor(cols: Seq[String]): String =
     s"""{"clusteringColumns":[${cols.map(c => s"""["$c"]""").mkString(",")}]}"""
 
@@ -47,19 +68,36 @@ object Clustering {
     }
 
   /** Recluster a clustered table (OPTIMIZE on it): Hilbert rewrite over
-    * the declared columns. Layout-only (`dataChange = false`).
+    * the declared columns, layout-only (`dataChange = false`).
+    *
+    * INCREMENTAL by default (the delta OPTIMIZE ZCube model): only files
+    * outside a well-formed cube — unclustered appends, DV-carrying cube
+    * members, cubes built for different columns — are rewritten, into
+    * one new cube; existing well-formed cubes are untouched. OPTIMIZE
+    * cost is therefore proportional to data arrived SINCE the last
+    * OPTIMIZE, not to table size — the property that keeps a 100 TB
+    * clustered table maintainable. When nothing needs work the call is a
+    * no-op (no empty commit). `full = true` (SQL: `OPTIMIZE t FULL`)
+    * rewrites everything — the global re-layout after changing the
+    * clustering columns or to merge many small cubes.
     */
   def cluster(
       spark: SparkSession,
       tablePath: String,
       numFiles: Int = 0,
-      timestamp: Long = 0L): Long = {
-    val snap = new GraftLog(tablePath, spark.sessionState.newHadoopConf())
-      .snapshot(None)
+      timestamp: Long = 0L,
+      full: Boolean = false): Long = {
+    val log = new GraftLog(tablePath, spark.sessionState.newHadoopConf())
+    val snap = log.snapshot(None)
     val cols = columnsOf(snap.domains)
     require(cols.nonEmpty, s"$tablePath is not a clustered table " +
       s"(no $DOMAIN domain); use zorder/compact instead")
+    val targets =
+      if (full) snap.files
+      else snap.files.filterNot(f => wellFormed(f, cols, "hilbert"))
+    if (targets.isEmpty) return log.latestVersion()
     TableBuilder.zorder(spark, tablePath, cols, numFiles,
-      timestamp = timestamp, curve = "hilbert")
+      timestamp = timestamp, curve = "hilbert",
+      subset = if (full) None else Some(targets.toVector))
   }
 }

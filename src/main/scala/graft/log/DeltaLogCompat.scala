@@ -85,7 +85,9 @@ object DeltaLogCompat {
           .map(dvFrom),
         baseRowId = Option(a.get("baseRowId")).filter(!_.isNull).map(_.asLong()),
         defaultRowCommitVersion = Option(a.get("defaultRowCommitVersion"))
-          .filter(!_.isNull).map(_.asLong())))
+          .filter(!_.isNull).map(_.asLong()),
+        tags = Option(a.get("tags")).filter(t => !t.isNull && t.properties().size() > 0)
+          .map(t => t.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)))
     } else if (root.has("remove")) {
       val r = root.get("remove")
       Some(RemoveFile(
@@ -357,6 +359,11 @@ object DeltaLogCompat {
     a.stats.foreach(st => n.put("stats", statsJson(st)))
     a.baseRowId.foreach(r => n.put("baseRowId", r))
     a.defaultRowCommitVersion.foreach(v => n.put("defaultRowCommitVersion", v))
+    a.tags.filter(_.nonEmpty).foreach { tags =>
+      val t = JsonUtils.mapper.createObjectNode()
+      tags.foreach { case (k, v) => t.put(k, v) }
+      n.set[ObjectNode]("tags", t)
+    }
     a.deletionVector.foreach { dv =>
       val d = JsonUtils.mapper.createObjectNode()
       d.put("storageType", dv.storageType)
@@ -484,6 +491,12 @@ object DeltaLogCompat {
         |    optional binary stats (UTF8);
         |    optional int64 baseRowId;
         |    optional int64 defaultRowCommitVersion;
+        |    optional group tags (MAP) {
+        |      repeated group key_value {
+        |        required binary key (UTF8);
+        |        optional binary value (UTF8);
+        |      }
+        |    }
         |    optional group deletionVector {
         |      optional binary storageType (UTF8);
         |      optional binary pathOrInlineDv (UTF8);
@@ -750,6 +763,14 @@ object DeltaLogCompat {
     a.stats.foreach(st => ag.add("stats", statsJson(st)))
     a.baseRowId.foreach(r => ag.add("baseRowId", r))
     a.defaultRowCommitVersion.foreach(v => ag.add("defaultRowCommitVersion", v))
+    a.tags.filter(_.nonEmpty).foreach { tags =>
+      val tg = ag.addGroup("tags")
+      tags.foreach { case (k, v) =>
+        val kv = tg.addGroup("key_value")
+        kv.add("key", k)
+        if (v != null) kv.add("value", v)
+      }
+    }
     a.deletionVector.foreach { dv =>
       val dg = ag.addGroup("deletionVector")
       dg.add("storageType", dv.storageType)

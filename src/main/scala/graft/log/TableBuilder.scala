@@ -947,7 +947,8 @@ object TableBuilder {
       numFiles: Int = 0,
       bins: Int = 256,
       timestamp: Long = 0L,
-      curve: String = "morton"): Long = {
+      curve: String = "morton",
+      subset: Option[Vector[graft.model.AddFile]] = None): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val logR = new GraftLog(tablePath, conf)
     val prev = logR.snapshot(None)
@@ -957,7 +958,17 @@ object TableBuilder {
     require(cols.nonEmpty && cols.forall(c =>
       prev.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]),
       s"zorder needs numeric columns, got ${cols.map(c => s"$c:${prev.schema(c).dataType.simpleString}").mkString(", ")}")
-    if (prev.files.isEmpty) return logR.latestVersion()
+    // incremental clustering rewrites only `subset` (the files outside
+    // well-formed cubes) into ONE new cube; everything else is untouched
+    // — OPTIMIZE cost proportional to NEW data, not table size (the
+    // delta OPTIMIZE ZCube model)
+    val targets = subset.getOrElse(prev.files)
+    subset.foreach { s =>
+      val known = prev.files.map(_.path).toSet
+      require(s.forall(f => known.contains(f.path)),
+        "zorder subset contains files not in the current snapshot")
+    }
+    if (targets.isEmpty) return logR.latestVersion()
 
     // column-mapped tables cluster in physical-name space: only the
     // clustering columns need the logical→physical translation
@@ -975,7 +986,7 @@ object TableBuilder {
     // apply any deletion vectors scan-side: the clustered rewrite drops
     // both the deleted rows and the descriptors (layout-only, rows
     // logically unchanged — dataChange=false stays correct)
-    val dvByPath: Map[String, Array[Byte]] = prev.files.flatMap { f =>
+    val dvByPath: Map[String, Array[Byte]] = targets.flatMap { f =>
       f.deletionVector.toSeq.flatMap { dv =>
         val bytes = DeletionVectors.resolveBytes(tablePath, dv, conf)
         graft.sources.DvFilters
@@ -989,13 +1000,13 @@ object TableBuilder {
       else physSchema
     val live = graft.sources.DvFilters.filterDeleted(
       spark.read.schema(readSchema)
-        .parquet(prev.files.map(f => abs(f.path)): _*),
+        .parquet(targets.map(f => abs(f.path)): _*),
       dvByPath)
     // layout-only rewrite: carry the stable id/commit-version through the
     // clustering as materialized columns (same contract as compact)
     val active =
       if (tracked)
-        RowTracking.materializeForRewrite(spark, tablePath, prev.metadata, prev.files, live)
+        RowTracking.materializeForRewrite(spark, tablePath, prev.metadata, targets, live)
       else live
 
     val probs = (1 until bins).map(_.toDouble / bins).toArray
@@ -1014,18 +1025,25 @@ object TableBuilder {
       case other => throw new IllegalArgumentException(s"unknown curve $other")
     }
 
-    val n = if (numFiles > 0) numFiles else prev.files.size
+    val n = if (numFiles > 0) numFiles else targets.size
     val before = collectParquet(fs, fs.makeQualified(root)).map(_.getPath.toUri).toSet
     active.withColumn("__z", zkey)
       .repartitionByRange(n, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("append").parquet(tablePath)
+    // tag the rewrite's outputs as one cube (the delta OPTIMIZE tag
+    // spelling) — incremental clustering recognizes well-formed cubes by
+    // these and leaves them alone on the next OPTIMIZE
+    val cubeTags = Map(
+      Clustering.TAG_CUBE_ID -> java.util.UUID.randomUUID().toString,
+      Clustering.TAG_CUBE_COLS -> cols.mkString(","),
+      Clustering.TAG_CUBE_CURVE -> curve)
     val adds = scanDataFiles(spark, tablePath, physSchema, Nil, version,
       timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
-      .map(_.copy(dataChange = false))
+      .map(_.copy(dataChange = false, tags = Some(cubeTags)))
     val (stamped, domActs) = RowTracking.stamp(prev.metadata, prev.domains, version, adds)
-    val removes = prev.files.map(f =>
+    val removes = targets.map(f =>
       RemoveFile(f.path, f.partitionValues, f.size, dataChange = false, version, timestamp))
     GraftLog.commit(tablePath, version, stamped ++ removes ++ domActs, conf)
     version

@@ -69,7 +69,14 @@ case class AddFile(
     @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
     baseRowId: Option[Long] = None,
     @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
-    defaultRowCommitVersion: Option[Long] = None)
+    defaultRowCommitVersion: Option[Long] = None,
+    /** Delta `add.tags` — free-form writer annotations. Graft writes the
+      * delta OPTIMIZE spelling (`ZCUBE_ID`/`ZCUBE_ZORDER_BY`/
+      * `ZCUBE_ZORDER_CURVE`) on clustered rewrites so incremental
+      * OPTIMIZE can tell well-formed cubes from unclustered files; tags
+      * on real Delta logs round-trip through replay and checkpoints.
+      */
+    tags: Option[Map[String, String]] = None)
     extends Action
 
 /** A file removed from the table (data change or compaction). */

@@ -57,6 +57,8 @@ object GraftSqlParser {
   private val TableRef = """(?:'([^']+)'|((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+))*))"""
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+""" + TableRef + """\s*""").r
+  private val OptimizeFull =
+    ("""(?is)\s*OPTIMIZE\s+""" + TableRef + """\s+FULL\s*""").r
   private val OptimizeZorder =
     ("""(?is)\s*OPTIMIZE\s+""" + TableRef +
       """\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\)\s*""").r
@@ -108,6 +110,8 @@ object GraftSqlParser {
     case OptimizeZorder(path, name, cols) =>
       Some(OptimizeCommand(ref(path, name),
         zorderCols = cols.split(",").map(stripTicks).toSeq))
+    case OptimizeFull(path, name) =>
+      Some(OptimizeCommand(ref(path, name), Nil, full = true))
     case Optimize(path, name) => Some(OptimizeCommand(ref(path, name), Nil))
     case Vacuum(path, name, hours) =>
       Some(VacuumCommand(ref(path, name),
@@ -162,14 +166,17 @@ object GraftSqlParser {
     }
 }
 
-case class OptimizeCommand(tablePath: String, zorderCols: Seq[String])
+case class OptimizeCommand(
+    tablePath: String, zorderCols: Seq[String], full: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
     AttributeReference("operation", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     // a clustered table's plain OPTIMIZE reclusters along its declared
-    // columns (liquid-clustering semantics); ZORDER BY stays explicit
+    // columns (liquid-clustering semantics; incremental — only files
+    // outside well-formed cubes; FULL forces the global rewrite);
+    // ZORDER BY stays explicit
     val clustered = zorderCols.isEmpty &&
       graft.log.Clustering.columnsOf(
         new graft.log.GraftLog(tablePath, spark.sessionState.newHadoopConf())
@@ -180,12 +187,13 @@ case class OptimizeCommand(tablePath: String, zorderCols: Seq[String])
           timestamp = System.currentTimeMillis())
       else if (clustered)
         graft.log.Clustering.cluster(spark, tablePath,
-          timestamp = System.currentTimeMillis())
+          timestamp = System.currentTimeMillis(), full = full)
       else
         graft.log.TableBuilder.compact(spark, tablePath,
           timestamp = System.currentTimeMillis())
     Seq(Row(v, if (zorderCols.nonEmpty) s"ZORDER BY (${zorderCols.mkString(", ")})"
-      else if (clustered) "CLUSTER" else "COMPACT"))
+      else if (clustered) { if (full) "CLUSTER FULL" else "CLUSTER" }
+      else "COMPACT"))
   }
 }
 

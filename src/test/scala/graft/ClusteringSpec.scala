@@ -120,6 +120,80 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(actions.collect { case a: graft.model.AddFile => a }.forall(!_.dataChange))
   }
 
+  test("incremental OPTIMIZE: well-formed cubes untouched, appends form a " +
+    "new cube, idle OPTIMIZE is a no-op, FULL rewrites everything") {
+    val path = s"$root/incremental"
+    makeClustered(path, 8)
+    val conf = spark.sessionState.newHadoopConf()
+    def snap = new GraftLog(path, conf).snapshot(None)
+    def cubeIds = snap.files.flatMap(_.tags.flatMap(_.get(Clustering.TAG_CUBE_ID)))
+
+    Clustering.cluster(spark, path, numFiles = 4)
+    val v1 = new GraftLog(path, conf).latestVersion()
+    val cube1 = cubeIds.distinct
+    assert(cube1.size === 1, "first OPTIMIZE forms one tagged cube")
+    assert(snap.files.forall(f => Clustering.wellFormed(f, Seq("x", "y"), "hilbert")))
+    val cube1Paths = snap.files.map(_.path).toSet
+
+    // nothing new arrived: OPTIMIZE must be a NO-OP (no empty commit)
+    assert(Clustering.cluster(spark, path) === v1)
+    assert(new GraftLog(path, conf).latestVersion() === v1)
+
+    // an append lands outside any cube; the next OPTIMIZE rewrites ONLY it
+    val extra = spark.range(100).selectExpr(
+      "id + 1000 AS id", "CAST(id % 256 AS BIGINT) AS x",
+      "CAST((id * 37) % 256 AS BIGINT) AS y")
+    TableBuilder.append(spark, extra.repartition(3), path, timestamp = 5000L)
+    Clustering.cluster(spark, path)
+    val after = snap
+    assert(after.files.map(_.path).toSet.intersect(cube1Paths) === cube1Paths,
+      "the existing cube's files must be untouched")
+    assert(cubeIds.distinct.size === 2, "the appended files form a second cube")
+    assert(after.files.forall(f => Clustering.wellFormed(f, Seq("x", "y"), "hilbert")))
+    // content preserved across the incremental rewrite
+    GraftLog.invalidateListing(path)
+    val total = spark.read.format("graft").option("path", path).load().count()
+    assert(total === 64000 + 100)
+
+    // FULL forces the global rewrite into one fresh cube
+    Clustering.cluster(spark, path, full = true)
+    assert(cubeIds.distinct.size === 1)
+    assert(snap.files.map(_.path).toSet.intersect(cube1Paths) === Set.empty)
+    GraftLog.invalidateListing(path)
+    assert(spark.read.format("graft").option("path", path).load().count() === 64100)
+  }
+
+  test("cube tags round-trip through the delta-format log and checkpoints") {
+    import spark.implicits._
+    val path = s"$root/tags_delta"
+    val df = spark.range(64).selectExpr(
+      "id", "CAST(id % 8 AS BIGINT) AS x", "CAST(id % 5 AS BIGINT) AS y")
+    TableBuilder.create(spark, df.repartition(2), path,
+      name = "tags_delta", deltaFormat = true, clusterBy = Seq("x", "y"))
+    Clustering.cluster(spark, path, numFiles = 2)
+    val conf = spark.sessionState.newHadoopConf()
+    val snap = new GraftLog(path, conf).snapshot(None)
+    assert(snap.files.forall(_.tags.exists(_.contains(Clustering.TAG_CUBE_ID))))
+    // the raw delta commit line spells them as add.tags
+    val logDir = new org.apache.hadoop.fs.Path(path, DeltaLogCompat.LOG_DIR)
+    val fs = logDir.getFileSystem(conf)
+    val commit = scala.io.Source.fromInputStream(
+      fs.open(new org.apache.hadoop.fs.Path(logDir, "00000000000000000001.json")), "UTF-8")
+      .getLines().mkString("\n")
+    assert(commit.contains("\"tags\"") && commit.contains("ZCUBE_ID"))
+    // checkpoint replay preserves them (checkpoint at v10 via appends)
+    (2 to 10).foreach { i =>
+      TableBuilder.append(spark,
+        Seq((1000L + i, 1L, 1L)).toDF("id", "x", "y"), path, timestamp = i * 1000L)
+    }
+    assert(fs.exists(new org.apache.hadoop.fs.Path(logDir,
+      "00000000000000000010.checkpoint.parquet")))
+    GraftLog.invalidateListing(path)
+    val replayed = new GraftLog(path, conf).snapshot(None)
+    val tagged = replayed.files.filter(_.tags.exists(_.contains(Clustering.TAG_CUBE_ID)))
+    assert(tagged.size === 2, "cube tags must survive checkpoint replay")
+  }
+
   test("Hilbert skips at least as many files as Morton on the same data") {
     val pathH = s"$root/curve_h"; val pathM = s"$root/curve_m"
     makeClustered(pathH, 16)
