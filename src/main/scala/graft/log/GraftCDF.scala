@@ -47,9 +47,15 @@ object GraftCDF {
     // one type all emitted rows share — the same choice delta's CDCReader
     // makes when the schema changed mid-range.
     val snap = log.snapshot(Some(end))
-    require(isEnabled(snap.metadata),
+    // Enablement is policed PER VERSION below (delta's rule: every served
+    // version must have had CDF on when it committed — a version written
+    // while CDF was off has no capture, and serving synthesized changes
+    // for it would be wrong). Seed the state as of the range start.
+    var cdfOn = isEnabled(log.snapshot(Some(startingVersion)).metadata)
+    require(cdfOn || isEnabled(snap.metadata),
       s"Change Data Feed is not enabled on table $tablePath " +
-        "(set configuration enableChangeDataFeed=true at creation)")
+        "(set configuration enableChangeDataFeed=true, e.g. via " +
+        "ALTER TABLE ... SET TBLPROPERTIES)")
     graft.model.ColumnMapping.assertNoAdvancedFeatures(
       snap.metadata, s"change data feed of $tablePath",
       allowCm = true, allowDv = true)
@@ -100,9 +106,18 @@ object GraftCDF {
               s"${graft.model.ColumnMapping.mode(m)})")
         case _ => ()
       }
+      // metadata in a commit governs that same commit's data actions
+      commit.actions.foreach {
+        case m: Metadata => cdfOn = isEnabled(m)
+        case _           => ()
+      }
       val cdc = commit.actions.collect { case c: AddCDCFile => c }
       val adds = commit.actions.collect { case a: AddFile if a.dataChange => a }
       val removes = commit.actions.collect { case r: RemoveFile if r.dataChange => r }
+      require(cdfOn || (cdc.isEmpty && adds.isEmpty && removes.isEmpty),
+        s"Change Data Feed of $tablePath: version ${commit.version} committed " +
+          "while CDF was disabled — its row changes were never captured; " +
+          "start the range after the enabling SET TBLPROPERTIES commit")
       val ts = new java.sql.Timestamp(tsByVersion(commit.version))
 
       // Partition columns live in partitionValues, NOT in the files —

@@ -69,7 +69,8 @@ object TableBuilder {
       partitionColumns = partitionCols,
       configuration = config,
       version = 0L)
-    val adds = scanDataFiles(spark, tablePath, df.schema, partitionCols, version = 0L)
+    val adds = scanDataFiles(spark, tablePath, df.schema, partitionCols, version = 0L,
+      config = config)
     // identity watermark seeds from the created files' stats
     val metaOut = GeneratedColumns.advanceWatermarks(meta, adds, 0L).getOrElse(meta)
     val (stamped, domActs) = RowTracking.stamp(metaOut, Map.empty, 0L, adds)
@@ -226,7 +227,7 @@ object TableBuilder {
         }.toSet
       } finally fs.delete(staging, true)
     val adds = scanDataFiles(spark, tablePath, physSchema, physPartitionCols, version,
-      timestamp, onlyRelPaths = Some(moved))
+      timestamp, onlyRelPaths = Some(moved), config = metadataNow.configuration)
     // identity watermark updates (or explicit identity values) make the
     // append a metadata-updating txn — its generated values were derived
     // from a snapshot watermark and cannot be rebased without rewriting
@@ -356,6 +357,69 @@ object TableBuilder {
     val updated = Defaults.withCurrentDefault(prev.schema, column, defaultSql)
     GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
       schemaString = updated.json, version = version)), conf)
+    version
+  }
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES: update table configuration in a
+    * metadata-only commit (`Some(v)` sets, `None` unsets). The delta
+    * feature semantics ride the existing commit machinery — enabling ICT
+    * or CDF upgrades the protocol on delta-format tables automatically.
+    * Guarded transitions:
+    *
+    *  - `delta.columnMapping.mode` none→name performs the delta UPGRADE:
+    *    every existing column is annotated with physical name = its
+    *    logical name (existing files already spell columns that way, so
+    *    reads stay correct) and a fresh column id; later ADD/RENAME/DROP
+    *    then use fresh physical names. Any other mode change refuses.
+    *  - `delta.enableRowTracking` cannot turn on for a table that already
+    *    has files (the existing rows would need a backfill commit to get
+    *    ids — serving unid'd rows as tracked would be wrong).
+    */
+  def setProperties(
+      spark: SparkSession,
+      tablePath: String,
+      props: Map[String, Option[String]],
+      timestamp: Long = 0L): Long = {
+    require(props.nonEmpty, "setProperties: no properties given")
+    val conf = spark.sessionState.newHadoopConf()
+    val logR = new GraftLog(tablePath, conf)
+    val prev = logR.snapshot(None)
+    val before = prev.metadata.configuration
+    val after = props.foldLeft(before) {
+      case (cfg, (k, Some(v))) => cfg + (k -> v)
+      case (cfg, (k, None))    => cfg - k
+    }
+    import graft.model.ColumnMapping
+    val modeBefore = before.getOrElse(ColumnMapping.MODE_KEY, "none")
+    val modeAfter = after.getOrElse(ColumnMapping.MODE_KEY, "none")
+    val schemaOut =
+      if (modeBefore == modeAfter) prev.schema
+      else {
+        require(modeBefore == "none" && modeAfter == "name",
+          s"setProperties: column-mapping mode change $modeBefore -> $modeAfter " +
+            "not supported (only the none -> name upgrade is)")
+        StructType(prev.schema.fields.zipWithIndex.map { case (f, i) =>
+          require(!f.metadata.contains(ColumnMapping.PHYSICAL_NAME_KEY),
+            s"setProperties: column ${f.name} already carries a physical name")
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(ColumnMapping.PHYSICAL_NAME_KEY, f.name)
+            .putLong(ColumnMapping.COLUMN_ID_KEY, i + 1L)
+            .build())
+        })
+      }
+    val rtBefore = before.get(RowTracking.ENABLED_KEY).contains("true")
+    val rtAfter = after.get(RowTracking.ENABLED_KEY).contains("true")
+    require(rtBefore || !rtAfter || prev.files.isEmpty,
+      "setProperties: cannot enable row tracking on a table that already " +
+        "has files (existing rows have no ids; backfill is not supported)")
+    val withMaxId =
+      if (modeBefore == modeAfter) after
+      else after + ("delta.columnMapping.maxColumnId" -> prev.schema.length.toString)
+    val version = logR.latestVersion() + 1
+    GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
+      schemaString = schemaOut.json, configuration = withMaxId,
+      version = version)), conf)
     version
   }
 
@@ -603,7 +667,8 @@ object TableBuilder {
     toPhysical(outDf).write.mode("append")
       .partitionBy(physPartitionCols: _*).parquet(tablePath)
     val adds = scanDataFiles(spark, tablePath, physSchema, physPartitionCols, version,
-      timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
+      timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)),
+      config = prev.metadata.configuration)
 
     // CDF: deleted preimages (the matched rows) + inserted rows
     val ct = GraftCDF.CHANGE_TYPE
@@ -796,7 +861,8 @@ object TableBuilder {
         "delta.columnMapping.maxColumnId" -> df.schema.length.toString),
       version = 0L)
     val adds = scanDataFiles(spark, tablePath,
-      ColumnMapping.physicalSchema(logical), physPartitionCols, version = 0L)
+      ColumnMapping.physicalSchema(logical), physPartitionCols, version = 0L,
+      config = meta.configuration)
     GraftLog.commit(tablePath, 0L, Seq(Protocol(minReaderVersion = 2), meta) ++ adds,
       spark.sessionState.newHadoopConf())
   }
@@ -909,7 +975,8 @@ object TableBuilder {
         .partitionBy(physPartitionCols: _*).parquet(tablePath)
     }
     val adds = scanDataFiles(spark, tablePath, physSchema, physPartitionCols, version,
-      timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
+      timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)),
+      config = prev.metadata.configuration)
       .map(_.copy(dataChange = false))
     val (stamped, domActs) = RowTracking.stamp(prev.metadata, prev.domains, version, adds)
     val removes = bins.flatten.map(f =>
@@ -1040,7 +1107,8 @@ object TableBuilder {
       Clustering.TAG_CUBE_COLS -> cols.mkString(","),
       Clustering.TAG_CUBE_CURVE -> curve)
     val adds = scanDataFiles(spark, tablePath, physSchema, Nil, version,
-      timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
+      timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)),
+      config = prev.metadata.configuration)
       .map(_.copy(dataChange = false, tags = Some(cubeTags)))
     val (stamped, domActs) = RowTracking.stamp(prev.metadata, prev.domains, version, adds)
     val removes = targets.map(f =>
@@ -1278,7 +1346,8 @@ object TableBuilder {
       partitionCols: Seq[String],
       version: Long,
       timestamp: Long = 0L,
-      onlyRelPaths: Option[Set[String]] = None): Seq[AddFile] = {
+      onlyRelPaths: Option[Set[String]] = None,
+      config: Map[String, String] = Map.empty): Seq[AddFile] = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)
@@ -1301,7 +1370,28 @@ object TableBuilder {
     // the explicit file list — which drops hive-dir column inference —
     // loses nothing: statCols never include partition columns.
     val dataCols = schema.fields.filterNot(f => partitionCols.contains(f.name))
-    val statCols = dataCols.filter(f => StatsCodec.typeName(f.dataType).isDefined)
+    // Stats scope (the delta data-skipping configs): an explicit
+    // `delta.dataSkippingStatsColumns` list wins; otherwise the first
+    // `delta.dataSkippingNumIndexedCols` schema columns (delta default
+    // 32, -1 = all). On a 1000-column table, min/max/null for every
+    // column makes the LOG the bottleneck — stats must be bounded to the
+    // columns queries actually filter on. A column without stats is
+    // simply never skipped (the 3-valued eval treats it as unknown),
+    // so narrowing scope is always sound.
+    val statsScope: StructField => Boolean =
+      config.get("delta.dataSkippingStatsColumns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet) match {
+        case Some(listed) => f => listed.contains(f.name)
+        case None =>
+          val n = config.get("delta.dataSkippingNumIndexedCols")
+            .map(_.trim.toInt).getOrElse(32)
+          val indexed =
+            if (n < 0) schema.fieldNames.toSet
+            else schema.fieldNames.take(n).toSet
+          f => indexed.contains(f.name)
+      }
+    val statCols = dataCols.filter(f =>
+      StatsCodec.typeName(f.dataType).isDefined && statsScope(f))
     val aggs =
       Seq(count(lit(1)).as("__num")) ++
         statCols.flatMap { f =>

@@ -102,6 +102,14 @@ object GraftSqlParser {
   private val WidenColumn =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + TableRef +
       """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+TYPE\s+(.+?)\s*""").r
+  private val SetTblProps =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TableRef +
+      """\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*""").r
+  private val UnsetTblProps =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TableRef +
+      """\s+UNSET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*""").r
+  /** One `'key' = 'value'` pair inside SET TBLPROPERTIES. */
+  private val PropPair = """'([^']+)'\s*=\s*'([^']*)'""".r
   // one `name type [DEFAULT expr]` inside ADD COLUMNS (defaults with
   // commas need the TableBuilder API — this DDL splits columns on ',')
   private val ColSpec = """(?is)(\S+)\s+(.+?)(?:\s+DEFAULT\s+(.+))?""".r
@@ -142,6 +150,18 @@ object GraftSqlParser {
       Some(SetDefaultCommand(ref(path, name), stripTicks(c), None))
     case WidenColumn(path, name, c, t) =>
       Some(WidenColumnCommand(ref(path, name), stripTicks(c), t.trim))
+    case SetTblProps(path, name, pairs) =>
+      val parsed = PropPair.findAllMatchIn(pairs)
+        .map(m => m.group(1) -> Option(m.group(2))).toMap
+      if (parsed.isEmpty) throw new IllegalArgumentException(
+        s"SET TBLPROPERTIES: expected 'key'='value' pairs, got '$pairs'")
+      Some(SetPropertiesCommand(ref(path, name), parsed))
+    case UnsetTblProps(path, name, keys) =>
+      val parsed = keys.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
+        .filter(_.nonEmpty).map(k => k -> (None: Option[String])).toMap
+      if (parsed.isEmpty) throw new IllegalArgumentException(
+        s"UNSET TBLPROPERTIES: expected 'key' list, got '$keys'")
+      Some(SetPropertiesCommand(ref(path, name), parsed))
     case RenameColumn(path, name, from, to) =>
       Some(RenameColumnCommand(ref(path, name), stripTicks(from), stripTicks(to)))
     case DropColumnList(path, name, cols) =>
@@ -258,6 +278,19 @@ case class AddColumnsCommand(
       },
       System.currentTimeMillis(),
       defaults = columns.collect { case (n, _, Some(d)) => n -> d }.toMap)))
+}
+
+/** SET (Some values) / UNSET (None values) TBLPROPERTIES
+  * ([[graft.log.TableBuilder.setProperties]]).
+  */
+case class SetPropertiesCommand(
+    tablePath: String, props: Map[String, Option[String]])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(
+    graft.log.TableBuilder.setProperties(spark, tablePath, props,
+      System.currentTimeMillis())))
 }
 
 /** ALTER COLUMN ... TYPE <wider> — metadata-only type widening

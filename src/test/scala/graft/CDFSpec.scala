@@ -288,4 +288,38 @@ class CDFSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     assert(spark.table("t_cdf_tail").count() === 1)
   }
+
+  test("SET TBLPROPERTIES toggles CDF; ranges police per-version enablement") {
+    val scratch = "/root/repo/target/test_cdf/toggle"
+    import spark.implicits._
+    // v0 created WITHOUT CDF, v1 appends (uncaptured)
+    TableBuilder.create(spark, Seq((1L, "x")).toDF("id", "v"), scratch, name = "toggle")
+    TableBuilder.append(spark, Seq((2L, "y")).toDF("id", "v"), scratch,
+      timestamp = 1000L)
+    // v2 enables CDF via the DDL; v3 appends (captured)
+    val parser = new graft.sql.GraftSqlParser(spark.sessionState.sqlParser)
+    parser.parsePlan(
+      s"ALTER TABLE '$scratch' SET TBLPROPERTIES('delta.enableChangeDataFeed'='true')")
+      .asInstanceOf[graft.sql.SetPropertiesCommand].run(spark)
+    TableBuilder.append(spark, Seq((3L, "z")).toDF("id", "v"), scratch,
+      timestamp = 2000L)
+    // a range from the enabling commit serves
+    val ok = GraftCDF.tableChanges(spark, scratch, 2)
+    assert(ok.filter(col("_change_type") === "insert")
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // a range covering the pre-enablement append refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftCDF.tableChanges(spark, scratch, 0).collect()
+    }
+    assert(e.getMessage.contains("while CDF was disabled"), e.getMessage)
+    // UNSET turns it back off: later versions refuse again
+    TableBuilder.setProperties(spark, scratch,
+      Map("delta.enableChangeDataFeed" -> None), timestamp = 3000L)
+    TableBuilder.append(spark, Seq((4L, "w")).toDF("id", "v"), scratch,
+      timestamp = 4000L)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftCDF.tableChanges(spark, scratch, 2).collect()
+    }
+    assert(e2.getMessage.contains("version 5"), e2.getMessage)
+  }
 }

@@ -235,4 +235,72 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftLog.invalidateListing(p)
     assert(readTable(p).count() === 4)
   }
+
+  test("SET TBLPROPERTIES none->name upgrade makes column surgery available") {
+    import spark.implicits._
+    val p = fresh("cm_upgrade")
+    TableBuilder.create(spark,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "v", "score").repartition(1), p)
+    // surgery refused before the upgrade (files addressed by logical name)
+    assert(intercept[IllegalArgumentException] {
+      TableBuilder.renameColumn(spark, p, "v", "w")
+    }.getMessage.contains("column mapping"))
+    // the delta upgrade: physical names = logical names, fresh ids
+    TableBuilder.setProperties(spark, p,
+      Map(graft.model.ColumnMapping.MODE_KEY -> Some("name")))
+    GraftLog.invalidateListing(p)
+    val snap = new GraftLog(p, spark.sessionState.newHadoopConf()).snapshot(None)
+    assert(graft.model.ColumnMapping.isEnabled(snap.metadata))
+    snap.schema.fields.foreach { f =>
+      assert(f.metadata.getString(
+        graft.model.ColumnMapping.PHYSICAL_NAME_KEY) === f.name)
+    }
+    // existing files read correctly through the upgraded mapping
+    assert(readTable(p).select("v").collect().map(_.getString(0)).sorted
+      === Array("a", "b"))
+    // and surgery now works: rename + the renamed read stays correct
+    TableBuilder.renameColumn(spark, p, "v", "w")
+    GraftLog.invalidateListing(p)
+    assert(readTable(p).select("w").collect().map(_.getString(0)).sorted
+      === Array("a", "b"))
+    // a post-upgrade ADD COLUMN gets a FRESH physical name, not logical
+    TableBuilder.addColumns(spark, p,
+      Seq(("extra", org.apache.spark.sql.types.IntegerType)))
+    GraftLog.invalidateListing(p)
+    val snap2 = new GraftLog(p, spark.sessionState.newHadoopConf()).snapshot(None)
+    assert(snap2.schema("extra").metadata
+      .getString(graft.model.ColumnMapping.PHYSICAL_NAME_KEY).startsWith("col-"))
+    // mode changes other than none->name refuse; rowTracking on non-empty refuses
+    assert(intercept[IllegalArgumentException] {
+      TableBuilder.setProperties(spark, p,
+        Map(graft.model.ColumnMapping.MODE_KEY -> Some("id")))
+    }.getMessage.contains("not supported"))
+    assert(intercept[IllegalArgumentException] {
+      TableBuilder.setProperties(spark, p,
+        Map(graft.log.RowTracking.ENABLED_KEY -> Some("true")))
+    }.getMessage.contains("row tracking"))
+  }
+
+  test("data-skipping stats scope: statsColumns list and numIndexedCols bound") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.0, 10), (2L, "b", 2.0, 20)).toDF("id", "v", "score", "n")
+    // explicit list: only `id` and `n` get min/max/nullCount
+    val p1 = fresh("stats_list")
+    TableBuilder.create(spark, df.repartition(1), p1,
+      configuration = Map("delta.dataSkippingStatsColumns" -> "id, n"))
+    val f1 = new GraftLog(p1, spark.sessionState.newHadoopConf())
+      .snapshot(None).files.head
+    assert(f1.stats.get.minValues.keySet === Set("id", "n"))
+    // first-N rule: numIndexedCols=2 covers id and v only
+    val p2 = fresh("stats_firstn")
+    TableBuilder.create(spark, df.repartition(1), p2,
+      configuration = Map("delta.dataSkippingNumIndexedCols" -> "2"))
+    val f2 = new GraftLog(p2, spark.sessionState.newHadoopConf())
+      .snapshot(None).files.head
+    assert(f2.stats.get.minValues.keySet === Set("id", "v"))
+    assert(f2.stats.get.numRecords === 2L, "row counts stay exact regardless")
+    // unstatted columns still filter CORRECTLY — they just never skip
+    GraftLog.invalidateListing(p2)
+    assert(readTable(p2).filter(col("score") > 1.5).count() === 1L)
+  }
 }
