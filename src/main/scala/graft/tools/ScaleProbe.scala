@@ -93,7 +93,24 @@ object ScaleProbe {
         graft.ops.Dedup.exactSubstringDedup(docs(k), "doc_id", "text",
           minLen = 50, gramHash = "rolling")
           .agg(coalesce(sum(col("removed_chars")), lit(0L)))
-          .collect().head.getLong(0)))
+          .collect().head.getLong(0)),
+      // ANN probe: corpus grows k-fold, the query set stays fixed — the
+      // SQ8 train pass and code scan should both be linear in k
+      "q111_sq_ann" -> (k => {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val corpus = (0 until k).map(c => emb.select(
+          (col("vec_id") + lit(c.toLong * 100000000L)).as("c_id"),
+          col("embedding").as("c_vec"))).reduce(_ unionByName _)
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        graft.ops.Similarity.sqTopK(queries, corpus, k = 10, refine = 4).count()
+      }),
+      // bounded-state aggregate over the exploded token stream: pure scan
+      // + capacity-sized summary merges, no token-space shuffle
+      "q112_heavy_hitters" -> (k =>
+        graft.ops.Sketches.heavyHitters(
+          docs(k).select(explode(split(col("text"), "\\s+")).as("tok")), "tok",
+          capacity = 256, topK = 50).count()))
     val ops = allOps.filter { case (name, _) =>
       opFilter.forall(_.exists(name.startsWith)) }
 
