@@ -849,6 +849,34 @@ object DeltaLogCompat {
     catch { case scala.util.control.NonFatal(_) => Nil }
   }
 
+  /** Sidecar file names a v2 top-level checkpoint references (for
+    * expired-log cleanup — the sidecars are only referenced by their own
+    * checkpoint, so they are collected with it).
+    */
+  private[graft] def sidecarRefs(conf: Configuration, file: Path): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    def take(root: JsonNode): Unit =
+      Option(root.get("sidecar")).filter(!_.isNull)
+        .flatMap(s => Option(s.get("path"))).foreach(p => out += decodePath(p.asText()))
+    if (file.getName.endsWith(".json")) {
+      val fs = file.getFileSystem(conf)
+      val in = fs.open(file)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toList
+        finally in.close()
+      lines.foreach(l => take(JsonUtils.mapper.readTree(l)))
+    } else {
+      val reader = ParquetReader.builder(new GroupReadSupport(), file)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) { take(groupToJson(g)); g = reader.read() }
+      } finally reader.close()
+    }
+    out.result()
+  }
+
   /** Replay a checkpoint (all parts / layouts) into consolidated state.
     * Parquet row groups are read with the parquet-hadoop example Group
     * API (driver-side, no Spark job — the log is metadata, exactly like

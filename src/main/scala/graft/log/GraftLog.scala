@@ -683,7 +683,26 @@ object GraftLog {
           // automatic checkpoint writes (delta "V2 Spec Checkpoints")
           if (v2) DeltaLogCompat.writeCheckpointV2(conf, tablePath, version, protoNode)
           else DeltaLogCompat.writeCheckpoint(conf, tablePath, version, protoNode)
-        } else writeCheckpoint(tablePath, version, conf)
+          // metadata cleanup rides the checkpoint (delta's cadence): only
+          // when a retention is EXPLICITLY configured — graft stamps
+          // synthetic commit mtimes (monotonized action timestamps), so
+          // a default-on 30-day horizon could mistake a fixture's epoch
+          // timestamps for ancient history
+          if (cfg.contains(LogCleanup.RETENTION_KEY) &&
+              !cfg.get(LogCleanup.ENABLED_KEY).contains("false"))
+            LogCleanup.cleanUpWithRetention(tablePath, conf,
+              LogCleanup.parseDurationMs(cfg(LogCleanup.RETENTION_KEY)),
+              System.currentTimeMillis())
+        } else {
+          writeCheckpoint(tablePath, version, conf)
+          val cfg = new GraftLog(tablePath, conf).snapshot(Some(version))
+            .metadata.configuration
+          if (cfg.contains(LogCleanup.RETENTION_KEY) &&
+              !cfg.get(LogCleanup.ENABLED_KEY).contains("false"))
+            LogCleanup.cleanUpWithRetention(tablePath, conf,
+              LogCleanup.parseDurationMs(cfg(LogCleanup.RETENTION_KEY)),
+              System.currentTimeMillis())
+        }
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(
           s"graft: checkpoint at $tablePath v$version failed (commit is durable): $e")

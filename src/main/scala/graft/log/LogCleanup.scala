@@ -1,0 +1,151 @@
+package graft.log
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Expired-log cleanup (delta "Metadata Cleanup" /
+  * `delta.logRetentionDuration`, default 30 days;
+  * `delta.enableExpiredLogCleanup`, default on): commit files, version
+  * checksums, minor compactions, and old checkpoints that are BOTH below
+  * the newest checkpoint AND older than the retention horizon are
+  * deleted. A 100 TB table committing every few seconds otherwise grows
+  * an unbounded `_delta_log` — the checkpoint already consolidates the
+  * state those files describe, so they only serve time travel, which the
+  * retention contract bounds (time travel below the horizon stops
+  * working, exactly like VACUUM bounds it for data files).
+  *
+  * Safety: nothing at-or-above the newest checkpoint is ever touched
+  * (snapshot replay needs the checkpoint + later commits), and the
+  * newest checkpoint itself is kept. v2 UUID checkpoints are parsed for
+  * their sidecar references before deletion so `_sidecars/` is collected
+  * exactly (a sidecar is only referenced by its own checkpoint — the
+  * writer names them freshly per checkpoint).
+  */
+object LogCleanup {
+
+  val RETENTION_KEY = "delta.logRetentionDuration"
+  val ENABLED_KEY = "delta.enableExpiredLogCleanup"
+  val DEFAULT_RETENTION_MS: Long = 30L * 24 * 3600 * 1000
+
+  /** Parse delta's duration spelling: `interval N unit` (or bare
+    * `N unit`), unit in weeks/days/hours/minutes/seconds/milliseconds
+    * (singular or plural). Unknown spellings fail loudly — silently
+    * keeping (or worse, deleting) the wrong horizon is not acceptable.
+    */
+  private[graft] def parseDurationMs(s: String): Long = {
+    val Re = """(?i)\s*(?:interval\s+)?(\d+)\s*(\w+?)s?\s*""".r
+    s match {
+      case Re(n, unit) =>
+        val ms = unit.toLowerCase match {
+          case "week"        => 7L * 24 * 3600 * 1000
+          case "day"         => 24L * 3600 * 1000
+          case "hour"        => 3600L * 1000
+          case "minute"      => 60L * 1000
+          case "second"      => 1000L
+          case "millisecond" => 1L
+          case other => throw new IllegalArgumentException(
+            s"$RETENTION_KEY: unknown unit '$other' in '$s'")
+        }
+        n.toLong * ms
+      case _ => throw new IllegalArgumentException(
+        s"$RETENTION_KEY: cannot parse '$s' (expected 'interval N days' etc.)")
+    }
+  }
+
+  private val CommitRe = """(\d{20})\.json""".r
+  private val CrcRe = """(\d{20})\.crc""".r
+  private val CompactedRe = """(\d{20})\.(\d{20})\.compacted\.json""".r
+  private val CpClassicRe = """(\d{20})\.checkpoint\.(?:json|parquet)""".r
+  private val CpMultiRe = """(\d{20})\.checkpoint\.\d{10}\.\d{10}\.parquet""".r
+  private val CpUuidRe = """(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.(?:json|parquet)""".r
+
+  /** Run the cleanup for `tablePath` as of `nowMs`, honoring the table's
+    * configuration. Returns the number of deleted files (0 when disabled,
+    * unconfigured checkpointless, or nothing expired).
+    */
+  def cleanUp(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      nowMs: Long): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new GraftLog(tablePath, conf)
+    val config = log.snapshot(None).metadata.configuration
+    if (config.get(ENABLED_KEY).contains("false")) return 0
+    val retention = config.get(RETENTION_KEY).map(parseDurationMs)
+      .getOrElse(DEFAULT_RETENTION_MS)
+    cleanUpWithRetention(tablePath, conf, retention, nowMs)
+  }
+
+  private[graft] def cleanUpWithRetention(
+      tablePath: String, conf: Configuration,
+      retentionMs: Long, nowMs: Long): Int = {
+    val log = new GraftLog(tablePath, conf)
+    val logDir = new Path(tablePath,
+      if (log.deltaMode) DeltaLogCompat.LOG_DIR else GraftLog.LOG_DIR)
+    val fs = logDir.getFileSystem(conf)
+    if (!fs.exists(logDir)) return 0
+    // the newest checkpoint anchors what replay still needs
+    val cpVersion: Long = {
+      val marker =
+        if (log.deltaMode)
+          DeltaLogCompat.readLastCheckpoint(fs, logDir).map(_.version)
+        else None
+      marker.orElse {
+        fs.listStatus(logDir).toSeq.map(_.getPath.getName).collect {
+          case CpClassicRe(v) => v.toLong
+          case CpMultiRe(v)   => v.toLong
+          case CpUuidRe(v)    => v.toLong
+        }.sorted.lastOption
+      }.getOrElse(return 0)
+    }
+    val cutoff = nowMs - retentionMs
+
+    var deleted = 0
+    def rm(p: Path): Unit = if (fs.delete(p, false)) deleted += 1
+
+    val statuses = fs.listStatus(logDir).toSeq
+    // The table's monotonized commit timestamps decide the horizon — the
+    // same clock history/time travel answer with (delta-mode file mtimes
+    // equal them by construction; graft-mode commit files carry
+    // wall-clock mtimes, so mtime alone would never see a fixture's
+    // synthetic history as old). Derived files (.crc, checkpoints,
+    // compactions) are deletable once the COMMIT they describe is gone or
+    // expired — a checksum without its commit validates nothing, and a
+    // checkpoint below the newest one only serves time travel to versions
+    // the horizon already took.
+    val tsByVersion: Map[Long, Long] = log.versionTimestamps().toMap
+    val expiredCommits: Set[Long] = statuses.map(_.getPath.getName).collect {
+      case CommitRe(v) if tsByVersion.get(v.toLong).exists(_ < cutoff) => v.toLong
+    }.toSet
+    val presentCommits: Set[Long] = statuses.map(_.getPath.getName).collect {
+      case CommitRe(v) => v.toLong
+    }.toSet
+    def commitGone(v: Long): Boolean =
+      expiredCommits.contains(v) || !presentCommits.contains(v)
+
+    statuses.foreach { st =>
+      val name = st.getPath.getName
+      val expired = st.getModificationTime < cutoff
+      name match {
+        case CommitRe(v) if v.toLong < cpVersion &&
+          expiredCommits.contains(v.toLong) => rm(st.getPath)
+        case CrcRe(v) if v.toLong < cpVersion &&
+          (expired || commitGone(v.toLong)) => rm(st.getPath)
+        case CompactedRe(s, e) if e.toLong < cpVersion &&
+          (expired || (s.toLong to e.toLong).forall(commitGone)) => rm(st.getPath)
+        case CpClassicRe(v) if v.toLong < cpVersion &&
+          (expired || commitGone(v.toLong)) => rm(st.getPath)
+        case CpMultiRe(v) if v.toLong < cpVersion &&
+          (expired || commitGone(v.toLong)) => rm(st.getPath)
+        case CpUuidRe(v) if v.toLong < cpVersion &&
+          (expired || commitGone(v.toLong)) =>
+          // collect the sidecars this checkpoint references, then itself
+          try DeltaLogCompat.sidecarRefs(conf, st.getPath).foreach { rel =>
+            rm(new Path(new Path(logDir, "_sidecars"), rel))
+          } catch { case scala.util.control.NonFatal(_) => () }
+          rm(st.getPath)
+        case _ => ()
+      }
+    }
+    if (deleted > 0) GraftLog.invalidateListing(tablePath)
+    deleted
+  }
+}
