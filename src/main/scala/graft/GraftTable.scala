@@ -50,7 +50,10 @@ class GraftTable private (val spark: SparkSession, val path: String) {
       val cdc = actions.collect { case c: graft.model.AddCDCFile => c }
       val meta = actions.collect { case m: graft.model.Metadata => m }
       val dataChange = adds.exists(_.dataChange) || removes.exists(_.dataChange)
-      val op =
+      // delta-format commits record the operation in commitInfo (this
+      // engine writes it; so do real delta writers) — prefer the record,
+      // infer from action shape only for graft-format logs
+      val op = l.operationOf(v).getOrElse {
         if (v == 0L) "CREATE"
         else if (cdc.nonEmpty && removes.nonEmpty) "DELETE/UPDATE/MERGE"
         else if (adds.nonEmpty && removes.nonEmpty && !dataChange) "OPTIMIZE"
@@ -59,6 +62,7 @@ class GraftTable private (val spark: SparkSession, val path: String) {
         else if (adds.nonEmpty) "APPEND"
         else if (meta.nonEmpty) "SET METADATA"
         else "EMPTY"
+      }
       (v, new java.sql.Timestamp(ts), op, adds.size.toLong, removes.size.toLong,
         adds.flatMap(_.stats.map(_.numRecords)).sum, dataChange)
     }.reverse

@@ -68,7 +68,8 @@ object Constraints {
     val version = prev.version + 1
     GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
       configuration = prev.metadata.configuration + (PREFIX + name -> sql),
-      version = version)), conf)
+      version = version)), conf,
+      operation = "ADD CONSTRAINT")
     version
   }
 
@@ -88,7 +89,8 @@ object Constraints {
     val version = prev.version + 1
     GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
       configuration = prev.metadata.configuration - (PREFIX + name),
-      version = version)), conf)
+      version = version)), conf,
+      operation = "DROP CONSTRAINT")
     version
   }
 }

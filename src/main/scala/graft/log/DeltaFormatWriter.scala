@@ -62,7 +62,9 @@ object DeltaFormatWriter {
         (if ((usesIct || usesDv) && flag("enableChangeDataFeed"))
           Set("changeDataFeed") else Set.empty[String]),
       (if (widen) Set("typeWidening") else Set.empty[String]) ++
-        (if (variant) Set("variantType") else Set.empty[String]))
+        (if (variant) Set("variantType") else Set.empty[String]) ++
+        (if (TypeWidening.containsNtz(schemaStr))
+          Set("timestampNtz") else Set.empty[String]))
 
     versions.foreach { v =>
       DeltaLogCompat.writeCommit(fs, logDir, v, log.readVersion(v), tss(v),

@@ -272,7 +272,8 @@ object DeltaLogCompat {
     JsonUtils.toJson(root)
   }
 
-  private[graft] def commitInfoLine(ts: Long, ict: Boolean = false): String = {
+  private[graft] def commitInfoLine(
+      ts: Long, ict: Boolean = false, operation: String = "WRITE"): String = {
     val ci = JsonUtils.mapper.createObjectNode()
     ci.put("timestamp", ts)
     // ICT tables (delta PROTOCOL "In-Commit Timestamps"): the commit's
@@ -280,7 +281,7 @@ object DeltaLogCompat {
     // it over file mtimes, so the writer keeps both equal by spelling
     // the same monotonized value in the field and in the file mtime.
     if (ict) ci.put("inCommitTimestamp", ts)
-    ci.put("operation", "WRITE")
+    ci.put("operation", operation)
     ci.set[ObjectNode]("operationParameters", JsonUtils.mapper.createObjectNode())
     ci.put("engineInfo", "graft")
     wrap("commitInfo", ci)
@@ -408,10 +409,12 @@ object DeltaLogCompat {
       actions: Seq[Action],
       ts: Long,
       protocolNode: ObjectNode,
-      ict: Boolean = false): Unit = {
+      ict: Boolean = false,
+      operation: String = "WRITE"): Unit = {
     val target = new Path(logDir, GraftLog.versionFileName(version))
     require(!fs.exists(target), s"version $version already committed in $logDir")
-    val lines = commitInfoLine(ts, ict) +: actions.map(actionToDeltaLine(_, protocolNode))
+    val lines = commitInfoLine(ts, ict, operation) +:
+      actions.map(actionToDeltaLine(_, protocolNode))
     val tmp = new Path(logDir, s".${GraftLog.versionFileName(version)}.tmp")
     val out = fs.create(tmp, true)
     try lines.foreach(l => out.write((l + "\n").getBytes("UTF-8")))

@@ -187,6 +187,32 @@ class GraftLog(val tablePath: String, conf: Configuration) {
     })
   }
 
+  /** Memoized `commitInfo.operation` of a delta commit file — the
+    * operation name this engine (and any real delta writer) records;
+    * [[graft.GraftTable.history]] prefers it over action-shape inference.
+    * None for graft-format logs (no commitInfo line) or foreign commits
+    * without one.
+    */
+  private val opCache = scala.collection.mutable.HashMap.empty[Long, Option[String]]
+  def operationOf(v: Long): Option[String] = opCache.synchronized {
+    opCache.getOrElseUpdate(v, {
+      if (!deltaMode) None
+      else try {
+        val p = new Path(logDir, GraftLog.versionFileName(v))
+        val in = fs.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).toList
+          finally in.close()
+        lines.iterator.map(JsonUtils.mapper.readTree)
+          .collectFirst { case n if n.has("commitInfo") =>
+            Option(n.get("commitInfo").get("operation"))
+              .filter(!_.isNull).map(_.asText()).filter(_.nonEmpty)
+          }.flatten
+      } catch { case scala.util.control.NonFatal(_) => None }
+    })
+  }
+
   /** Latest version with commit timestamp <= `ts` (time travel, reference
     * `DeltaSharingHistoryManager.getVersionAtOrBeforeTimestamp`).
     */
@@ -626,10 +652,10 @@ object GraftLog {
     */
   def commit(
       tablePath: String, version: Long, actions: Seq[Action], conf: Configuration,
-      deltaFormat: Boolean = false): Unit = {
+      deltaFormat: Boolean = false, operation: String = "WRITE"): Unit = {
     val isDelta = commitLock.synchronized {
       val d = deltaFormat || new GraftLog(tablePath, conf).deltaMode
-      if (d) commitDeltaLocked(tablePath, version, actions, conf)
+      if (d) commitDeltaLocked(tablePath, version, actions, conf, operation)
       else commitLocked(tablePath, version, actions, conf)
       d
     }
@@ -662,8 +688,9 @@ object GraftLog {
           val defaults = Defaults.has(schemaStr)
           val widen = TypeWidening.has(schemaStr)
           val variant = TypeWidening.containsVariant(schemaStr)
+          val ntz = TypeWidening.containsNtz(schemaStr)
           val gated = ict || dv || domains || v2 || identity || defaults ||
-            widen || variant
+            widen || variant || ntz
           val protoNode = DeltaLogCompat.protocolNodeFor(
             dv, graft.model.ColumnMapping.isEnabled(snap.metadata),
             (if (ict) Set("inCommitTimestamp") else Set.empty[String]) ++
@@ -678,7 +705,8 @@ object GraftLog {
                 Set("checkConstraints") else Set.empty[String]),
             (if (v2) Set("v2Checkpoint") else Set.empty[String]) ++
               (if (widen) Set("typeWidening") else Set.empty[String]) ++
-              (if (variant) Set("variantType") else Set.empty[String]))
+              (if (variant) Set("variantType") else Set.empty[String]) ++
+              (if (ntz) Set("timestampNtz") else Set.empty[String]))
           // the table's declared checkpointPolicy picks the layout the
           // automatic checkpoint writes (delta "V2 Spec Checkpoints")
           if (v2) DeltaLogCompat.writeCheckpointV2(conf, tablePath, version, protoNode)
@@ -724,7 +752,8 @@ object GraftLog {
     *    builder calls produce the same history in either format.
     */
   private def commitDeltaLocked(
-      tablePath: String, version: Long, actions: Seq[Action], conf: Configuration): Unit = {
+      tablePath: String, version: Long, actions: Seq[Action], conf: Configuration,
+      operation: String = "WRITE"): Unit = {
     val logDir = new Path(tablePath, DeltaLogCompat.LOG_DIR)
     val fs = logDir.getFileSystem(conf)
     fs.mkdirs(logDir)
@@ -786,12 +815,14 @@ object GraftLog {
     // readers that cannot decode them
     val usesWidening = TypeWidening.has(schemaStr)
     val usesVariant = TypeWidening.containsVariant(schemaStr)
+    val usesNtz = TypeWidening.containsNtz(schemaStr)
     val readerExtras =
       (if (usesV2Cp) Set("v2Checkpoint") else Set.empty[String]) ++
         (if (usesWidening) Set("typeWidening") else Set.empty[String]) ++
-        (if (usesVariant) Set("variantType") else Set.empty[String])
+        (if (usesVariant) Set("variantType") else Set.empty[String]) ++
+        (if (usesNtz) Set("timestampNtz") else Set.empty[String])
     val gated = usesIct || usesDv || hasDomainActions || usesIdentity ||
-      usesV2Cp || usesDefaults || usesWidening || usesVariant
+      usesV2Cp || usesDefaults || usesWidening || usesVariant || usesNtz
     val writerExtras =
       (if (usesIct) Set("inCommitTimestamp") else Set.empty[String]) ++
         (if (usesRowTracking) Set("rowTracking") else Set.empty[String]) ++
@@ -818,7 +849,9 @@ object GraftLog {
         (usesIdentity && !GeneratedColumns.hasIdentity(prevSchema)) ||
         (usesWidening && !TypeWidening.has(prevSchema)) ||
         (usesVariant && prevSchema.nonEmpty &&
-          !TypeWidening.containsVariant(prevSchema))) &&
+          !TypeWidening.containsVariant(prevSchema)) ||
+        (usesNtz && prevSchema.nonEmpty &&
+          !TypeWidening.containsNtz(prevSchema))) &&
       !actions.exists(_.isInstanceOf[Protocol])
     val out =
       if (needUpgrade)
@@ -834,7 +867,8 @@ object GraftLog {
     }.foldLeft(0L)(math.max)
     val ts = if (tsReq > prevTs) tsReq else prevTs + 1
 
-    DeltaLogCompat.writeCommit(fs, logDir, version, out, ts, protoNode, ict = usesIct)
+    DeltaLogCompat.writeCommit(fs, logDir, version, out, ts, protoNode, ict = usesIct,
+      operation = operation)
     // Version checksum (delta "Version Checksum File"): fold the commit's
     // actions over the prev snapshot already in hand — zero extra log IO —
     // and record the post-commit state summary. Accelerator semantics:
@@ -949,7 +983,8 @@ object GraftLog {
       conf: Configuration,
       profile: CommitProfile,
       deltaFormat: Boolean = false,
-      maxAttempts: Int = 10)(
+      maxAttempts: Int = 10,
+      operation: String = "WRITE")(
       mkActions: (Snapshot, Long) => Seq[Action]): Long = {
     val log = new GraftLog(tablePath, conf)
     var snap = log.snapshot(None)
@@ -959,7 +994,7 @@ object GraftLog {
       val v = snap.version + 1
       val actions = mkActions(snap, v)
       try {
-        commit(tablePath, v, actions, conf, deltaFormat)
+        commit(tablePath, v, actions, conf, deltaFormat, operation)
         return v
       } catch {
         case e: IllegalArgumentException

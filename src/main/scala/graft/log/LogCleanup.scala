@@ -121,6 +121,12 @@ object LogCleanup {
     def commitGone(v: Long): Boolean =
       expiredCommits.contains(v) || !presentCommits.contains(v)
 
+    // Graft-format checkpoints CHAIN: each header stores only the
+    // timestamps since `prevCheckpoint` and resolves the earlier prefix
+    // by loading it — deleting a superseded graft checkpoint would break
+    // the newest one's load (degrading to a full replay whose commits
+    // are gone). Delta checkpoints are self-contained and deletable.
+    val checkpointsDeletable = log.deltaMode
     statuses.foreach { st =>
       val name = st.getPath.getName
       val expired = st.getModificationTime < cutoff
@@ -131,11 +137,11 @@ object LogCleanup {
           (expired || commitGone(v.toLong)) => rm(st.getPath)
         case CompactedRe(s, e) if e.toLong < cpVersion &&
           (expired || (s.toLong to e.toLong).forall(commitGone)) => rm(st.getPath)
-        case CpClassicRe(v) if v.toLong < cpVersion &&
+        case CpClassicRe(v) if checkpointsDeletable && v.toLong < cpVersion &&
           (expired || commitGone(v.toLong)) => rm(st.getPath)
-        case CpMultiRe(v) if v.toLong < cpVersion &&
+        case CpMultiRe(v) if checkpointsDeletable && v.toLong < cpVersion &&
           (expired || commitGone(v.toLong)) => rm(st.getPath)
-        case CpUuidRe(v) if v.toLong < cpVersion &&
+        case CpUuidRe(v) if checkpointsDeletable && v.toLong < cpVersion &&
           (expired || commitGone(v.toLong)) =>
           // collect the sidecars this checkpoint references, then itself
           try DeltaLogCompat.sidecarRefs(conf, st.getPath).foreach { rel =>

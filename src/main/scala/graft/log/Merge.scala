@@ -207,7 +207,8 @@ object Merge {
       // merge rewrites are data-changing: new files get FRESH row ids
       val (stamped, domActs) =
         RowTracking.stamp(prev.metadata, prev.domains, version, adds)
-      GraftLog.commit(tablePath, version, removes ++ stamped ++ cdcFiles ++ domActs, conf)
+      GraftLog.commit(tablePath, version, removes ++ stamped ++ cdcFiles ++ domActs,
+        conf, operation = "MERGE")
 
       val counts = spark.read.parquet(cdcDir).groupBy(ct).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

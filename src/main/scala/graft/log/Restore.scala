@@ -95,7 +95,7 @@ object Restore {
       m.partitionColumns != c.partitionColumns || m.configuration != c.configuration
     val actions =
       (if (metaChanged) Seq(m.copy(version = version)) else Nil) ++ removes ++ adds
-    GraftLog.commit(tablePath, version, actions, conf)
+    GraftLog.commit(tablePath, version, actions, conf, operation = "RESTORE")
     version
   }
 
@@ -167,6 +167,6 @@ object Restore {
       version = 0L)
     GraftLog.commit(targetPath, 0L,
       Seq(src.protocol.copy(version = 0L), meta) ++ adds, conf,
-      deltaFormat = srcLog.deltaMode)
+      deltaFormat = srcLog.deltaMode, operation = "CLONE")
   }
 }

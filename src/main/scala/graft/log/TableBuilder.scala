@@ -87,7 +87,8 @@ object TableBuilder {
       }
     GraftLog.commit(tablePath, 0L,
       Seq(Protocol(), metaOut) ++ stamped ++ domActs ++ clusterActs,
-      spark.sessionState.newHadoopConf(), deltaFormat = deltaFormat)
+      spark.sessionState.newHadoopConf(), deltaFormat = deltaFormat,
+      operation = "CREATE TABLE")
   }
 
   /** Append `df` as a new version; emits AddFile actions for the newly
@@ -109,7 +110,8 @@ object TableBuilder {
       tablePath: String,
       timestamp: Long = 0L,
       extraActions: Seq[Action] = Nil,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      operation: String = "WRITE"): Long = {
     import graft.model.ColumnMapping
     val conf = spark.sessionState.newHadoopConf()
     val logR = new GraftLog(tablePath, conf)
@@ -242,7 +244,8 @@ object TableBuilder {
       GraftLog.CommitProfile(
         isBlindAppend = true,
         updatesMetadata = metaAction.isDefined || advancesIdentity,
-        txnAppIds = extraActions.collect { case t: graft.model.Txn => t.appId }.toSet)) {
+        txnAppIds = extraActions.collect { case t: graft.model.Txn => t.appId }.toSet),
+      operation = operation) {
       (snap, v) =>
         val restamped = adds.map(_.copy(version = v, timestamp = timestamp))
         val (stamped, domActs) =
@@ -309,7 +312,8 @@ object TableBuilder {
       }
     val merged = StructType(prev.schema.fields ++ annotated)
     GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
-      schemaString = merged.json, version = version)), conf)
+      schemaString = merged.json, version = version)), conf,
+      operation = "ADD COLUMNS")
     version
   }
 
@@ -356,7 +360,8 @@ object TableBuilder {
     val version = logR.latestVersion() + 1
     val updated = Defaults.withCurrentDefault(prev.schema, column, defaultSql)
     GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
-      schemaString = updated.json, version = version)), conf)
+      schemaString = updated.json, version = version)), conf,
+      operation = "CHANGE COLUMN")
     version
   }
 
@@ -419,7 +424,7 @@ object TableBuilder {
     val version = logR.latestVersion() + 1
     GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
       schemaString = schemaOut.json, configuration = withMaxId,
-      version = version)), conf)
+      version = version)), conf, operation = "SET TBLPROPERTIES")
     version
   }
 
@@ -452,7 +457,8 @@ object TableBuilder {
       if (f.name.equalsIgnoreCase(column)) TypeWidening.widenField(f, to, version)
       else f))
     GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
-      schemaString = widened.json, version = version)), conf)
+      schemaString = widened.json, version = version)), conf,
+      operation = "CHANGE COLUMN")
     version
   }
 
@@ -480,7 +486,7 @@ object TableBuilder {
     val parts = prev.metadata.partitionColumns.map(c => if (c == from) to else c)
     GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
       schemaString = renamed.json, partitionColumns = parts,
-      version = version)), conf)
+      version = version)), conf, operation = "RENAME COLUMN")
     version
   }
 
@@ -512,7 +518,8 @@ object TableBuilder {
     val remaining = StructType(
       prev.schema.fields.filterNot(f => columns.contains(f.name)))
     GraftLog.commit(tablePath, version, Seq(prev.metadata.copy(
-      schemaString = remaining.json, version = version)), conf)
+      schemaString = remaining.json, version = version)), conf,
+      operation = "DROP COLUMNS")
     version
   }
 
@@ -556,7 +563,7 @@ object TableBuilder {
     val version = logR.latestVersion() + 1
     val removes = prev.files.filter(pred).map(a =>
       RemoveFile(a.path, a.partitionValues, a.size, dataChange = true, version, timestamp))
-    GraftLog.commit(tablePath, version, removes, conf)
+    GraftLog.commit(tablePath, version, removes, conf, operation = "DELETE")
     version
   }
 
@@ -570,7 +577,7 @@ object TableBuilder {
       tablePath: String,
       cond: org.apache.spark.sql.Column,
       timestamp: Long = 0L): Long =
-    rewrite(spark, tablePath, cond, timestamp) { matching =>
+    rewrite(spark, tablePath, cond, timestamp, operation = "DELETE") { matching =>
       (None, matching.withColumn(GraftCDF.CHANGE_TYPE, lit("delete")))
     }
 
@@ -699,7 +706,8 @@ object TableBuilder {
     val (stamped, domActs) = RowTracking.stamp(prev.metadata, prev.domains, version, adds)
     val metaOut = GeneratedColumns.advanceWatermarks(prev.metadata, adds, version)
     GraftLog.commit(tablePath, version,
-      metaOut.toSeq ++ removes ++ stamped ++ cdcFiles ++ domActs, conf)
+      metaOut.toSeq ++ removes ++ stamped ++ cdcFiles ++ domActs, conf,
+      operation = "WRITE")
     version
   }
 
@@ -712,7 +720,7 @@ object TableBuilder {
       cond: org.apache.spark.sql.Column,
       assignments: Seq[(String, org.apache.spark.sql.Column)],
       timestamp: Long = 0L): Long =
-    rewrite(spark, tablePath, cond, timestamp) { matching =>
+    rewrite(spark, tablePath, cond, timestamp, operation = "UPDATE") { matching =>
       val updated = assignments.foldLeft(matching) { case (df, (c, e)) => df.withColumn(c, e) }
       val cdc = matching.withColumn(GraftCDF.CHANGE_TYPE, lit("update_preimage"))
         .unionByName(updated.withColumn(GraftCDF.CHANGE_TYPE, lit("update_postimage")))
@@ -756,7 +764,7 @@ object TableBuilder {
       .map(f => new Path(root, f.path).toUri.getPath -> f).toMap
     val affected = blobs.flatMap(r => byAbs.get(new URI(r.getString(0)).getPath))
     if (affected.isEmpty) {
-      GraftLog.commit(tablePath, version, Nil, conf)
+      GraftLog.commit(tablePath, version, Nil, conf, operation = "DELETE")
       return version
     }
     val blobByRel: Map[String, (Array[Byte], Long)] = blobs.flatMap { r =>
@@ -778,7 +786,8 @@ object TableBuilder {
       actions += f.copy(deletionVector = Some(descriptors(f.path)),
         version = version, timestamp = timestamp)
     }
-    GraftLog.commit(tablePath, version, actions.result(), conf)
+    GraftLog.commit(tablePath, version, actions.result(), conf,
+      operation = "DELETE")
     version
   }
 
@@ -864,7 +873,7 @@ object TableBuilder {
       ColumnMapping.physicalSchema(logical), physPartitionCols, version = 0L,
       config = meta.configuration)
     GraftLog.commit(tablePath, 0L, Seq(Protocol(minReaderVersion = 2), meta) ++ adds,
-      spark.sessionState.newHadoopConf())
+      spark.sessionState.newHadoopConf(), operation = "CREATE TABLE")
   }
 
   /** Shared rewrite machinery: `transform(matchingRows)` returns
@@ -981,7 +990,8 @@ object TableBuilder {
     val (stamped, domActs) = RowTracking.stamp(prev.metadata, prev.domains, version, adds)
     val removes = bins.flatten.map(f =>
       RemoveFile(f.path, f.partitionValues, f.size, dataChange = false, version, timestamp))
-    GraftLog.commit(tablePath, version, stamped ++ removes ++ domActs, conf)
+    GraftLog.commit(tablePath, version, stamped ++ removes ++ domActs, conf,
+      operation = "OPTIMIZE")
     version
   }
 
@@ -1113,7 +1123,8 @@ object TableBuilder {
     val (stamped, domActs) = RowTracking.stamp(prev.metadata, prev.domains, version, adds)
     val removes = targets.map(f =>
       RemoveFile(f.path, f.partitionValues, f.size, dataChange = false, version, timestamp))
-    GraftLog.commit(tablePath, version, stamped ++ removes ++ domActs, conf)
+    GraftLog.commit(tablePath, version, stamped ++ removes ++ domActs, conf,
+      operation = "OPTIMIZE")
     version
   }
 
@@ -1191,42 +1202,16 @@ object TableBuilder {
       spark: SparkSession,
       tablePath: String,
       retentionMs: Long,
-      nowMs: Long): Int = {
-    val conf = spark.sessionState.newHadoopConf()
-    val logR = new GraftLog(tablePath, conf)
-    val cp = logR.checkpointAtOrBefore(Long.MaxValue).getOrElse(return 0)
-    val cutoff = nowMs - retentionMs
-    val tss = logR.versionTimestamps().toMap
-    val logDir = new Path(tablePath,
-      if (logR.deltaMode) DeltaLogCompat.LOG_DIR else GraftLog.LOG_DIR)
-    val fs = logDir.getFileSystem(conf)
-    val commits = logR.listVersions()
-      .filter(v => v < cp.version && tss.get(v).exists(_ < cutoff))
-      .map(v => new Path(logDir, GraftLog.versionFileName(v)))
-    val oldCheckpoints =
-      if (!logR.deltaMode) Nil
-      else {
-        val single = "(\\d{20})\\.checkpoint\\.parquet".r
-        val multi = "(\\d{20})\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet".r
-        fs.listStatus(logDir).toSeq.map(_.getPath).filter { p =>
-          p.getName match {
-            case single(v) => v.toLong < cp.version
-            case multi(v)  => v.toLong < cp.version
-            case _         => false
-          }
-        }
-      }
-    val doomed = commits ++ oldCheckpoints
-    doomed.foreach(fs.delete(_, false))
-    GraftLog.invalidateListing(tablePath)
-    doomed.size
-  }
+      nowMs: Long): Int =
+    LogCleanup.cleanUpWithRetention(
+      tablePath, spark.sessionState.newHadoopConf(), retentionMs, nowMs)
 
   private def rewrite(
       spark: SparkSession,
       tablePath: String,
       cond: org.apache.spark.sql.Column,
-      timestamp: Long)(
+      timestamp: Long,
+      operation: String = "WRITE")(
       transform: DataFrame => (Option[DataFrame], DataFrame)): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val logR = new GraftLog(tablePath, conf)
@@ -1277,7 +1262,7 @@ object TableBuilder {
     val affectedUris = active.filter(cond).select("__file").distinct()
       .collect().map(_.getString(0)).toSet
     if (affectedUris.isEmpty) { // no-op change: still commit an empty version
-      GraftLog.commit(tablePath, version, Nil, conf)
+      GraftLog.commit(tablePath, version, Nil, conf, operation = operation)
       return version
     }
     val affectedRel = prev.files.map(_.path)
@@ -1325,7 +1310,8 @@ object TableBuilder {
       // data-changing rewrite: surviving+transformed rows are new physical
       // rows — they get FRESH row ids (stable ids identify physical rows)
       val (stamped, domActs) = RowTracking.stamp(prev.metadata, prev.domains, version, adds)
-      GraftLog.commit(tablePath, version, removes ++ stamped ++ cdcFiles ++ domActs, conf)
+      GraftLog.commit(tablePath, version, removes ++ stamped ++ cdcFiles ++ domActs,
+        conf, operation = operation)
       version
     } finally affected.unpersist()
   }

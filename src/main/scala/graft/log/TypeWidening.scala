@@ -84,14 +84,24 @@ object TypeWidening {
     * match (a field NAMED "variant" also passes it, hence the walk).
     */
   def containsVariant(schemaString: String): Boolean =
-    schemaString.contains("\"variant\"") && {
-      def walk(dt: DataType): Boolean = dt match {
-        case _: VariantType   => true
-        case s: StructType    => s.fields.exists(f => walk(f.dataType))
-        case a: ArrayType     => walk(a.elementType)
-        case m: MapType       => walk(m.keyType) || walk(m.valueType)
-        case _                => false
-      }
-      walk(DataType.fromJson(schemaString))
-    }
+    schemaString.contains("\"variant\"") &&
+      containsType(schemaString, _.isInstanceOf[VariantType])
+
+  /** Whether the schema carries TIMESTAMP_NTZ anywhere (drives the
+    * `timestampNtz` reader+writer feature — delta gates readers that
+    * would decode the timezone-less physical type as an instant).
+    */
+  def containsNtz(schemaString: String): Boolean =
+    schemaString.contains("\"timestamp_ntz\"") &&
+      containsType(schemaString, _ == TimestampNTZType)
+
+  private def containsType(schemaString: String, pred: DataType => Boolean): Boolean = {
+    def walk(dt: DataType): Boolean = pred(dt) || (dt match {
+      case s: StructType => s.fields.exists(f => walk(f.dataType))
+      case a: ArrayType  => walk(a.elementType)
+      case m: MapType    => walk(m.keyType) || walk(m.valueType)
+      case _             => false
+    })
+    walk(DataType.fromJson(schemaString))
+  }
 }

@@ -195,6 +195,14 @@ class GraftReplaceDataWrite(
     snapshot: Snapshot,
     writeSchema: StructType) extends Write with BatchWrite {
 
+  /** delta history spelling of the SQL command driving this rewrite. */
+  private def operationName: String = op.command() match {
+    case RowLevelOperation.Command.DELETE => "DELETE"
+    case RowLevelOperation.Command.UPDATE => "UPDATE"
+    case RowLevelOperation.Command.MERGE  => "MERGE"
+    case other                            => other.toString
+  }
+
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -227,7 +235,8 @@ class GraftReplaceDataWrite(
     // SQL row-level rewrites are data-changing: fresh row ids
     val (stamped, domActs) = graft.log.RowTracking.stamp(
       prev.metadata, prev.domains, version, adds)
-    GraftLog.commit(tablePath, version, removes ++ stamped ++ domActs, conf)
+    GraftLog.commit(tablePath, version, removes ++ stamped ++ domActs, conf,
+      operation = operationName)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -210,7 +210,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         (if (clusterCols.nonEmpty) Seq(graft.log.Clustering.domainFor(clusterCols))
          else Nil),
       spark.sessionState.newHadoopConf(),
-      deltaFormat = props.get("format").contains("delta"))
+      deltaFormat = props.get("format").contains("delta"),
+      operation = "CREATE TABLE")
     GraftCatalog.register(fqn(ident), path)
     loadTable(ident)
   }

@@ -86,6 +86,7 @@ class GraftSink(
       extraActions = Seq(Txn(appId, batchId)),
       // Delta's streaming schema evolution: with mergeSchema, a source
       // that grew a column extends the sink table instead of failing
-      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
+      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
+      operation = "STREAMING UPDATE")
   }
 }

@@ -151,12 +151,18 @@ class CheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("log cleanup below the newest checkpoint keeps current reads exact") {
-    // base has 26 versions with checkpoints at 10 and 20; the graft-format
-    // cleanup deletes old COMMITS only (checkpoint chains stay intact)
+    // base has 26 versions with checkpoints at 10 and 20; graft-format
+    // cleanup deletes old COMMITS only — graft checkpoints CHAIN their
+    // timestamp prefixes (each loads `prevCheckpoint` for the earlier
+    // history), so superseded checkpoints must survive
     val before = spark.read.format("graft").option("path", base).load().count()
     val deleted = TableBuilder.cleanupLogs(spark, base, retentionMs = 0L,
       nowMs = System.currentTimeMillis() + 3600000L)
     assert(deleted === 20, s"expected commits 0..19 gone, deleted $deleted")
+    assert(new java.io.File(s"$base/_graft_log/${GraftLog.checkpointFileName(10L)}")
+      .exists(), "chained graft checkpoints must survive cleanup")
+    assert(new java.io.File(s"$base/_graft_log/${GraftLog.checkpointFileName(20L)}")
+      .exists())
     assert(spark.read.format("graft").option("path", base).load().count() === before)
     val log = new GraftLog(base, conf)
     assert(log.listVersions().head === 20L)

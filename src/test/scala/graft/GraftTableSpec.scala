@@ -88,4 +88,27 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.toDF.orderBy("id").collect().map(_.getDouble(1)).toSeq === Seq(5.0, 2.0))
     assert(t.history().count() === 2L)
   }
+
+  test("delta-format history reports the RECORDED commitInfo operations") {
+    import spark.implicits._
+    val path = s"$root/ops_history"
+    TableBuilder.create(spark,
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v").repartition(2),
+      path, name = "ops", deltaFormat = true)
+    val t = GraftTable.forPath(spark, path)
+    t.append(Seq((4L, 4.0)).toDF("id", "v"))
+    t.delete(col("id") === 2L)
+    t.update(col("id") === 1L, Map("v" -> lit(9.0)))
+    t.optimize()
+    TableBuilder.setProperties(spark, path, Map("k" -> Some("v")))
+    // newest first: SET TBLPROPERTIES, OPTIMIZE, UPDATE, DELETE, WRITE,
+    // CREATE TABLE — read straight from commitInfo, not inferred
+    val ops = t.history().select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops === Seq("SET TBLPROPERTIES", "OPTIMIZE", "UPDATE", "DELETE",
+      "WRITE", "CREATE TABLE"), ops.mkString(", "))
+    // the raw delta commit line carries it for any real delta reader
+    val line = scala.io.Source.fromFile(
+      s"$path/_delta_log/00000000000000000002.json").getLines().next()
+    assert(line.contains("\"operation\":\"DELETE\""), line)
+  }
 }

@@ -221,6 +221,32 @@ class TypeWideningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batches.last._2 === LongType)
   }
 
+  test("delta tables with TIMESTAMP_NTZ columns stamp the timestampNtz gate") {
+    val p = fresh("ntz")
+    val df = spark.sql(
+      "SELECT id, CAST(timestamp_ntz'2024-01-02 03:04:05' AS TIMESTAMP_NTZ) AS t " +
+        "FROM range(3)")
+    TableBuilder.create(spark, df.repartition(1), p, deltaFormat = true)
+    val snap = new GraftLog(p, spark.sessionState.newHadoopConf()).snapshot(None)
+    assert(snap.protocol.minReaderVersion === 3)
+    assert(snap.protocol.features.contains("timestampNtz"))
+    GraftLog.invalidateListing(p)
+    assert(readTable(p).select(col("t").cast("string")).head().getString(0)
+      === "2024-01-02 03:04:05")
+    // widening date -> ntz on a delta table introduces the gate too
+    val p2 = fresh("ntz2")
+    TableBuilder.create(spark,
+      spark.sql("SELECT id, DATE'2024-03-05' AS d FROM range(2)").repartition(1),
+      p2, deltaFormat = true)
+    val before = new GraftLog(p2, spark.sessionState.newHadoopConf()).snapshot(None)
+    assert(!before.protocol.features.contains("timestampNtz"))
+    TableBuilder.widenColumnType(spark, p2, "d", TimestampNTZType)
+    GraftLog.invalidateListing(p2)
+    val after = new GraftLog(p2, spark.sessionState.newHadoopConf()).snapshot(None)
+    assert(after.protocol.features.contains("timestampNtz"))
+    assert(after.protocol.features.contains("typeWidening"))
+  }
+
   test("SQL DDL: ALTER TABLE ... ALTER COLUMN ... TYPE") {
     import spark.implicits._
     val p = fresh("sql")
