@@ -590,6 +590,23 @@ object SparkEntry {
         .withColumn("sim", round(col("sim"), 3))
     }),
 
+    // Beyond-reference: IVF-SQ8 — the composed FAISS layout. Cells prune
+    // WHICH rows each query scans (nprobe/nlist of the corpus), SQ8 codes
+    // shrink HOW MUCH each scanned row costs, exact rerank on the
+    // refine·k survivors. The oracle replays assignment, probing,
+    // quantization, and both ranking passes.
+    "q114_ivf_sq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val centroids = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+      graft.ops.Similarity.ivfSqTopK(queries, corpus, centroids,
+        k = 3, nprobe = 2, refine = 4)
+        .withColumn("sim", round(col("sim"), 3))
+    }),
+
     // Beyond-reference: near-dup PAIRS → dedup CLUSTERS. The q27 edge set
     // is closed into connected components with alternating large-star /
     // small-star (O(log^2 n) shuffle rounds, diameter-independent); every
@@ -1583,6 +1600,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"))
     }),
 
+    // Beyond-reference writer: INCREMENTAL clustered OPTIMIZE end-to-end —
+    // create clustered (first OPTIMIZE forms a tagged cube), append
+    // out-of-layout rows, OPTIMIZE again (only the new files recluster
+    // into a second cube; the first cube's files are untouched). Layout
+    // rewrites are content-invariant, so any cube bookkeeping error
+    // (lost file, double-rewritten cube) flips the aggregate.
+    "q113_incremental_cluster" -> ((s, dir) => {
+      val path = s"${graft.log.SharedFixtures.shareRoot(dir)}/scratch_inccluster"
+      val src = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice")).cast("long").as("price"))
+      graft.log.TableBuilder.create(s, src.repartition(4), path,
+        name = "scratch_inccluster", clusterBy = Seq("o_custkey", "price"))
+      graft.log.Clustering.cluster(s, path, numFiles = 4)
+      graft.log.TableBuilder.append(s,
+        src.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 30000000L),
+        path, timestamp = 1000L)
+      graft.log.Clustering.cluster(s, path) // incremental: append-only recluster
+      graft.log.GraftLog.invalidateListing(path)
+      s.read.format("graft").option("path", path).load()
+        // range filter over both clustering dims exercises the stats the
+        // cube layout produced
+        .filter(col("price") >= 50000L && col("o_custkey") >= 100L)
+        .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+    }),
+
     // Beyond-reference writer: type widening — quantities written as INT,
     // the column widened to BIGINT in a metadata-only commit (typeWidening
     // feature gate, delta.typeChanges history), then a wide append joins
@@ -2188,6 +2232,62 @@ object SparkEntry {
                  ORDER BY list_cosine_similarity(q.e, recon.r) DESC, recon.c_id)
                  AS ar
              FROM recon CROSS JOIN q)
+           WHERE ar <= 12),
+         exact AS (
+           SELECT cand.q_id, cand.c_id,
+             list_cosine_similarity(q.e, c.e) AS sim
+           FROM cand JOIN q USING (q_id) JOIN c USING (c_id))
+         SELECT q_id, c_id, round(sim, 3) AS sim, rank FROM (
+           SELECT q_id, c_id, sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+               AS BIGINT) AS rank
+           FROM exact)
+         WHERE rank <= 3""",
+    // IVF assignment/probing (as q41) composed with the SQ8 quantize ->
+    // approx score -> refine cut -> exact rerank cascade (as q111)
+    "q114_ivf_sq_ann" ->
+      """WITH cent AS (SELECT CAST(vec_id AS INT) AS cell,
+                        CAST(embedding AS DOUBLE[]) AS ce
+                      FROM embeddings WHERE vec_id < 4),
+         c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+         q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 5),
+         flat AS (SELECT c_id, unnest(e) AS v, generate_subscripts(e, 1) AS i
+                  FROM c),
+         dims AS (SELECT i, min(v) AS lo,
+                    CASE WHEN max(v) = min(v) THEN 1.0
+                         ELSE max(v) - min(v) END AS span
+                  FROM flat GROUP BY i),
+         recon AS (
+           SELECT c_id,
+             list(lo + least(greatest(round((v - lo)/span*255.0), 0), 255)
+                    * span / 255.0 ORDER BY i) AS r
+           FROM flat JOIN dims USING (i) GROUP BY c_id),
+         assigned AS (
+           SELECT c_id, cell FROM (
+             SELECT c.c_id, cent.cell,
+               row_number() OVER (PARTITION BY c.c_id
+                 ORDER BY list_distance(c.e, cent.ce), cent.cell) AS ar
+             FROM c CROSS JOIN cent)
+           WHERE ar = 1),
+         probes AS (
+           SELECT q_id, cell FROM (
+             SELECT q.q_id, cent.cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY list_distance(q.e, cent.ce), cent.cell) AS cr
+             FROM q CROSS JOIN cent)
+           WHERE cr <= 2),
+         cand AS (
+           SELECT q_id, c_id FROM (
+             SELECT p.q_id, a.c_id,
+               row_number() OVER (PARTITION BY p.q_id
+                 ORDER BY list_cosine_similarity(q.e, recon.r) DESC, a.c_id)
+                 AS ar
+             FROM assigned a
+             JOIN probes p ON a.cell = p.cell
+             JOIN q USING (q_id)
+             JOIN recon ON recon.c_id = a.c_id)
            WHERE ar <= 12),
          exact AS (
            SELECT cand.q_id, cand.c_id,
@@ -2920,6 +3020,18 @@ object SparkEntry {
          SELECT priority_class, risk, count(*) AS n_rows,
            CAST(round(sum(o_totalprice), 0) AS BIGINT) AS sum_price
          FROM rows GROUP BY 1, 2""",
+    // both generations (base + the %5 append); layout-only reclustering
+    // never changes content
+    "q113_incremental_cluster" ->
+      """WITH rows AS (
+           SELECT o_custkey, CAST(floor(o_totalprice) AS BIGINT) AS price
+           FROM orders
+           UNION ALL
+           SELECT o_custkey, CAST(floor(o_totalprice) AS BIGINT)
+           FROM orders WHERE o_orderkey % 5 = 0)
+         SELECT count(*) AS n_rows, CAST(sum(price) AS BIGINT) AS sum_price,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+         FROM rows WHERE price >= 50000 AND o_custkey >= 100""",
     // variant_get extraction inverts the to_json construction exactly
     "q109_variant_extract" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -365,6 +365,50 @@ object Similarity {
     * prune WHICH rows are scanned, codes shrink HOW MUCH each scanned row
     * costs. The rerank join touches only `refine·k` originals per query.
     */
+  /** IVF-SQ8: the FAISS `IVF,SQ8` layout — cells prune WHICH rows are
+    * scanned (nprobe/nlist of the corpus per query), codes shrink HOW
+    * MUCH each scanned row costs (uint8 reconstruction scoring), exact
+    * rerank on the refine·k survivors. Fixed centroids keep the whole
+    * cascade engine-reproducible (same contract as
+    * [[ivfTopKWithCentroids]]); SQ bounds are trained on the FULL corpus
+    * in one pass — per-cell bounds would complicate the oracle for a
+    * negligible quantization-error win at 8 bits.
+    */
+  def ivfSqTopK(
+      queries: DataFrame, // (q_id, q_vec)
+      corpus: DataFrame, // (c_id, c_vec)
+      centroids: DataFrame, // (cell, centroid)
+      k: Int,
+      nprobe: Int,
+      refine: Int = 4): DataFrame = {
+    val (lo, span) = sqBounds(corpus, "c_vec")
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("dd", d2(col("c_vec"), col("centroid")))
+      .groupBy(col("c_id"))
+      .agg(
+        min(struct(col("dd"), col("cell"))).getField("cell").as("cell"),
+        first(col("c_vec")).as("c_vec"))
+      .withColumn("recon",
+        sqDecode(sqEncode(col("c_vec"), lo, span), lo, span).cast("array<float>"))
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .withColumn("dd", d2(col("q_vec"), col("centroid")))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("dd"), col("cell"))))
+      .filter(col("cr") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+    val approx = assigned.join(broadcast(qCells), Seq("cell"))
+      .withColumn("asim", cosine(col("q_vec"), col("recon")))
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("c_id"))
+    val candidates = approx.withColumn("ar", row_number().over(wa))
+      .filter(col("ar") <= k * refine)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    candidates
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
+  }
+
   def sqTopK(
       queries: DataFrame, // (q_id, q_vec)
       corpus: DataFrame, // (c_id, c_vec)

@@ -179,6 +179,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // self-match always survives (reconstruction error can't displace a
     // perfect-similarity candidate out of a 4k-deep refine cut here)
     assert((0L until 10L).forall(q => approx.contains((q, q))), "self-match lost")
+    // IVF-SQ composition: probing ALL cells makes the cell layer a no-op,
+    // so the result must equal plain SQ's (same bounds, same cascade)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val ivfSqAll = Similarity.ivfSqTopK(queries, corpus, centroids,
+      5, nprobe = 8, refine = 4)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfSqAll === approx, "nprobe=nlist IVF-SQ must equal flat SQ")
+    // partial probing keeps decent recall on the fixture
+    val ivfSq = Similarity.ivfSqTopK(queries, corpus, centroids,
+      5, nprobe = 4, refine = 4)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact & ivfSq).size.toDouble / exact.size >= 0.6)
   }
 
   test("lang-id is deterministic and quality score stays within [0,1]") {
