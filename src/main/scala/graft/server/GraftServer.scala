@@ -632,7 +632,8 @@ class GraftServer(
             deletionVector = deltaDv(location, f, expiration).orNull,
             baseRowId = f.baseRowId.map(java.lang.Long.valueOf).orNull,
             defaultRowCommitVersion =
-              f.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull)))).json
+              f.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull,
+            tags = f.tags.filter(_.nonEmpty).orNull)))).json
       else Line(file = wire.File(
         url = signUrl(location, f.path, expiration),
         id = Tokens.fileId(location, f.path),
@@ -787,7 +788,8 @@ class GraftServer(
                 deletionVector = deltaDv(location, a, expiration).orNull,
                 baseRowId = a.baseRowId.map(java.lang.Long.valueOf).orNull,
                 defaultRowCommitVersion =
-                  a.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull)),
+                  a.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull,
+                tags = a.tags.filter(_.nonEmpty).orNull)),
                 a.path, commit.version, commit.timestamp)
               else Line(add = AddFileW(
                 url = sign(a.path), id = id(a.path), partitionValues = a.partitionValues,

@@ -150,7 +150,9 @@ object wire {
       // row tracking rides the delta dialect so clients can derive
       // stable/fresh row ids from the served actions
       baseRowId: java.lang.Long = null,
-      defaultRowCommitVersion: java.lang.Long = null)
+      defaultRowCommitVersion: java.lang.Long = null,
+      // writer annotations (ZCUBE ids etc.) pass through verbatim
+      tags: Map[String, String] = null)
 
   case class DeltaRemoveW(
       path: String,

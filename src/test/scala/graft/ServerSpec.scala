@@ -679,6 +679,28 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally GraftCatalog.unregister("share1.default.widened")
   }
 
+  test("delta dialect passes add.tags through (ZCUBE ids on clustered tables)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tags_rest").toString
+    val df = spark.range(32).selectExpr(
+      "id", "CAST(id % 8 AS BIGINT) AS x", "CAST(id % 5 AS BIGINT) AS y")
+    TableBuilder.create(spark, df.repartition(2), dir, name = "tagged",
+      clusterBy = Seq("x", "y"))
+    graft.log.Clustering.cluster(spark, dir, numFiles = 2)
+    GraftCatalog.register("share1.default.tagged", dir)
+    try {
+      val r = rawPostH("/shares/share1/schemas/default/tables/tagged/query", "{}",
+        "responseformat=delta")
+      assert(r.statusCode() === 200)
+      val adds = r.body().split("\n").filter(_.nonEmpty)
+        .map(JsonUtils.fromJson[DeltaLine](_))
+        .flatMap(l => Option(l.file)).map(_.deltaSingleAction.add)
+      assert(adds.nonEmpty)
+      assert(adds.forall(a => a.tags != null &&
+        a.tags.contains(graft.log.Clustering.TAG_CUBE_ID)),
+        "ZCUBE tags must ride the delta dialect")
+    } finally GraftCatalog.unregister("share1.default.tagged")
+  }
+
   test("delta dialect serves row-tracking fields on add actions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rt_rest").toString
