@@ -135,6 +135,31 @@ class LogCleanupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains(GraftLog.versionFileName(0L)))
   }
 
+  test("RESTORE below the horizon refuses cleanly after cleanup") {
+    import spark.implicits._
+    val p = fresh("restore")
+    TableBuilder.create(spark, Seq((1L, "a")).toDF("id", "v"), p, name = "t",
+      configuration = Map(LogCleanup.RETENTION_KEY -> "interval 1 hours"))
+    (1 to 10).foreach { i =>
+      TableBuilder.append(spark, Seq((i + 1L, s"r$i")).toDF("id", "v"), p,
+        timestamp = i * 1000L)
+    }
+    GraftLog.invalidateListing(p)
+    // commits 0-9 are gone; restoring to v3 needs v3's snapshot — refuse
+    // with a real error, never a silent wrong-state restore
+    val e = intercept[Exception] {
+      Restore.restore(spark, p, 3L, timestamp = 99000L)
+    }
+    assert(e.getMessage != null && e.getMessage.nonEmpty)
+    // the table is untouched by the failed restore
+    GraftLog.invalidateListing(p)
+    assert(spark.read.format("graft").option("path", p).load().count() === 11L)
+    // restoring to the checkpointed version still works
+    Restore.restore(spark, p, 10L, timestamp = 100000L)
+    GraftLog.invalidateListing(p)
+    assert(spark.read.format("graft").option("path", p).load().count() === 11L)
+  }
+
   test("v2 checkpointPolicy: an expired UUID checkpoint takes its sidecars") {
     import spark.implicits._
     val p = fresh("v2")

@@ -192,6 +192,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       5, nprobe = 4, refine = 4)
       .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert((exact & ivfSq).size.toDouble / exact.size >= 0.6)
+    // plan shape: the query/centroid sides are BROADCAST (tiny by
+    // contract) — a shuffling or cartesian plan here would shuffle the
+    // corpus per query at scale
+    val plan = Similarity.ivfSqTopK(queries, corpus, centroids, 5, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"),
+      "corpus-side cartesian product in the ANN plan")
   }
 
   test("lang-id is deterministic and quality score stays within [0,1]") {
