@@ -1600,6 +1600,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"))
     }),
 
+    // Beyond-reference: temperature-based source mixing (mT5 alpha
+    // rebalancing) — per-source quota round(budget * n^alpha / Z), each
+    // source keeps its quota of smallest content-addressed draws. The
+    // oracle replays quota arithmetic and the draw ordering exactly.
+    "q115_temperature_mix" -> ((s, dir) => {
+      val kept = graft.ops.Sampling.temperatureMix(
+        t(s, dir, "documents"), col("doc_id"), col("source"),
+        alpha = 0.5, budget = 300L)
+      kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // Beyond-reference writer: INCREMENTAL clustered OPTIMIZE end-to-end —
     // create clustered (first OPTIMIZE forms a tagged cube), append
     // out-of-layout rows, OPTIMIZE again (only the new files recluster
@@ -3020,6 +3032,24 @@ object SparkEntry {
          SELECT priority_class, risk, count(*) AS n_rows,
            CAST(round(sum(o_totalprice), 0) AS BIGINT) AS sum_price
          FROM rows GROUP BY 1, 2""",
+    // same quota arithmetic (pow/round on doubles) and the same
+    // content-addressed draw ordering (13-hex-char md5 uniform)
+    "q115_temperature_mix" ->
+      """WITH counts AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+                         FROM documents GROUP BY 1),
+         w AS (SELECT source, pow(n, 0.5) AS w FROM counts),
+         z AS (SELECT sum(w) AS z FROM w),
+         quota AS (SELECT source, CAST(round(300 * w / z) AS BIGINT) AS q
+                   FROM w, z),
+         ranked AS (
+           SELECT d.doc_id, d.source, q.q,
+             row_number() OVER (PARTITION BY d.source ORDER BY
+               (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT
+                 + 1.0) / 4503599627370496.0,
+               d.doc_id) AS rk
+           FROM documents d JOIN quota q USING (source))
+         SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM ranked WHERE rk <= q GROUP BY 1""",
     // both generations (base + the %5 append); layout-only reclustering
     // never changes content
     "q113_incremental_cluster" ->

@@ -102,6 +102,41 @@ object Sampling {
       .limit(k)
       .drop("__race")
 
+  /** Temperature-based source mixing (mT5, Xue et al., arXiv:2010.11934
+    * §3.1 — the standard multilingual/multi-source rebalancing):
+    * per-source sampling mass `p_s ∝ n_s^alpha`, alpha in (0,1]
+    * flattening the size distribution so low-resource sources are
+    * upsampled relative to their natural share. Each source keeps its
+    * `round(budget·p_s)` smallest content-addressed draws — an
+    * exact-size, engine-reproducible selection.
+    *
+    * 100 TB shape: ONE count aggregate (source cardinality is small by
+    * construction — languages/domains), quotas as a broadcast when-chain
+    * literal, then one per-source window over content-addressed draws.
+    * No global sort, no second pass over the data.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      key: Column,
+      source: Column,
+      alpha: Double,
+      budget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val weights = counts.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
+    val z = weights.map(_._2).sum
+    val quota = weights.map { case (s, w) => s -> math.round(budget * w / z) }
+    val quotaCol = quota.foldLeft(lit(0L)) { case (acc, (s, q)) =>
+      when(source === lit(s), lit(q)).otherwise(acc)
+    }
+    df.withColumn("__draw", uniform01(key))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(source).orderBy(col("__draw"), key)))
+      .filter(col("__rk") <= quotaCol)
+      .drop("__draw", "__rk")
+  }
+
   /** Per-stratum weighted sample: k race winners within every stratum
     * (one window partitioned by stratum — parallel across strata, the
     * same shape as [[Packing.packByBudget]]).

@@ -617,6 +617,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql.map(_._2).toSeq === truth.take(3).toSeq)
   }
 
+  test("temperature mix: quota sums to ~budget, flattening upsamples " +
+    "low-resource sources, alpha=1 is proportional") {
+    import spark.implicits._
+    // 3 sources with sizes 1000 / 100 / 10
+    val df = ((0 until 1000).map(i => (i.toLong, "big")) ++
+      (1000 until 1100).map(i => (i.toLong, "mid")) ++
+      (1100 until 1110).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val kept = Sampling.temperatureMix(df, col("id"), col("src"),
+      alpha = 0.5, budget = 200L)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quotas: n^0.5 = 31.62/10/3.16, Z = 44.78 → 141/45/14 — but a quota
+    // above the source's size caps at the source (sampling is without
+    // replacement), so 'small' contributes all 10 of its docs
+    assert(kept === Map("big" -> 141L, "mid" -> 45L, "small" -> 10L), kept)
+    // keep-RATE increases as source size decreases (alpha < 1)
+    val rate = Map("big" -> kept("big") / 1000.0, "mid" -> kept("mid") / 100.0,
+      "small" -> kept("small") / 10.0)
+    assert(rate("small") > rate("mid") && rate("mid") > rate("big"), rate.toString)
+    // alpha = 1: proportional to natural shares
+    val prop = Sampling.temperatureMix(df, col("id"), col("src"),
+      alpha = 1.0, budget = 111L)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prop("big") === 100L && prop("mid") === 10L && prop("small") === 1L, prop)
+    // deterministic: same call, same rows
+    val a = Sampling.temperatureMix(df, col("id"), col("src"), 0.5, 200L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMix(df, col("id"), col("src"), 0.5, 200L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   test("band join: boundary inclusivity and bucket-crossing pairs") {
     import spark.implicits._
     // width = hi − lo = 100; right rows sit at bucket boundaries and at
