@@ -247,6 +247,35 @@ class TypeWideningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.protocol.features.contains("typeWidening"))
   }
 
+  test("remote read of a widened table renegotiates the delta dialect " +
+    "and upcasts narrow files") {
+    import spark.implicits._
+    val p = fresh("remote")
+    TableBuilder.create(spark,
+      (1 to 40).map(i => (Option(i), s"r$i")).toDF("n", "v").repartition(2), p)
+    TableBuilder.widenColumnType(spark, p, "n", LongType)
+    TableBuilder.append(spark,
+      Seq((Option(1000000000000L), "wide")).toDF("n", "v"), p, timestamp = 1000L)
+    graft.log.GraftCatalog.register("share1.default.widened_remote", p)
+    val server = new graft.server.GraftServer(
+      graft.server.ServerConfig(bearerToken = Some("tkn")),
+      spark.sessionState.newHadoopConf()).start()
+    try {
+      val remote = spark.read.format("graft")
+        .option("url", server.url).option("token", "tkn")
+        .option("table", "share1.default.widened_remote").load()
+      assert(remote.schema("n").dataType === LongType)
+      assert(remote.count() === 41L)
+      // the long-range value only representable post-widening survives,
+      // and the narrow files upcast through the wire schema
+      assert(remote.agg(max(col("n"))).head().getLong(0) === 1000000000000L)
+      assert(remote.filter(col("n") <= 10L).count() === 10L)
+    } finally {
+      server.stop()
+      graft.log.GraftCatalog.unregister("share1.default.widened_remote")
+    }
+  }
+
   test("SQL DDL: ALTER TABLE ... ALTER COLUMN ... TYPE") {
     import spark.implicits._
     val p = fresh("sql")
