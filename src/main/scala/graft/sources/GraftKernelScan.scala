@@ -133,7 +133,9 @@ class GraftKernelTable(tablePath: String, snapshot: Snapshot)
       : Unit = {
     val cond = deleteColumns(predicates).getOrElse(throw new UnsupportedOperationException(
       s"DELETE condition not expressible as connector filters: ${predicates.mkString(", ")}"))
-    graft.log.TableBuilder.deleteWhere(SparkSession.active, tablePath, cond)
+    // delta DV contract: DV-enabled tables delete by WRITING deletion
+    // vectors (merge-on-read); later loads route through the V1 fallback
+    GraftV1FallbackTable.routeDelete(SparkSession.active, tablePath, snapshot, cond)
   }
   override def schema(): StructType = snapshot.schema
   override def capabilities(): util.Set[TableCapability] =

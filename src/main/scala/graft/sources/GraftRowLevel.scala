@@ -46,8 +46,11 @@ class GraftRowLevelOperation(
 
   require(snapshot.metadata.partitionColumns.isEmpty,
     s"row-level ${cmd} supports non-partitioned tables")
+  // DV-ENABLED (config) is fine as long as no file actually carries a DV
+  // yet — the group rewrite reads raw parquet, which is exact then; a
+  // file WITH a DV would resurrect its deleted rows, so that refuses
   graft.model.ColumnMapping.assertNoAdvancedFeatures(
-    snapshot.metadata, s"row-level $cmd on $tablePath")
+    snapshot.metadata, s"row-level $cmd on $tablePath", allowDv = true)
   require(snapshot.files.forall(_.deletionVector.isEmpty),
     s"row-level $cmd on $tablePath: table has deletion vectors; the " +
       "group rewrite would resurrect deleted rows")

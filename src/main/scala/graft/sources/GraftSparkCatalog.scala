@@ -113,12 +113,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         }
         val snapshot =
           GraftCatalog.snapshot(SparkSession.active, f, version, timestampMs)
-        require(snapshot.files.forall(_.deletionVector.isEmpty) &&
-          !graft.model.ColumnMapping.isEnabled(snapshot.metadata),
-          s"$catalogName serves tables via the DSv2 columnar scan, which does " +
-            "not apply deletion vectors / column mapping; read this table with " +
-            "format(\"graft\") instead")
-        new GraftKernelTable(path, snapshot)
+        // advanced reader features the raw-parquet kernel scan cannot
+        // apply route through the V1 relation fallback (same machinery
+        // format("graft") uses) — SQL names work on EVERY shared table
+        if (snapshot.files.exists(_.deletionVector.isDefined) ||
+            graft.model.ColumnMapping.isEnabled(snapshot.metadata))
+          new GraftV1FallbackTable(path, snapshot)
+        else new GraftKernelTable(path, snapshot)
       case Some(client) =>
         val spark = SparkSession.active
         GraftFileSystem.register(spark)

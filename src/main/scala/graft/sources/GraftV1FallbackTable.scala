@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.log.Snapshot
+
+/** Catalog `Table` for ADVANCED-reader-feature tables (deletion vectors /
+  * column mapping): the DSv2 columnar kernel scan decodes raw parquet and
+  * cannot apply them, so this table routes reads through the V1 relation
+  * path — the same `format("graft")` machinery every advanced feature
+  * already flows through (DV filtering, physical→logical renames, hidden
+  * row-id columns) — via Spark's `V1Scan` bridge. SQL names therefore
+  * work on EVERY shared table: `SELECT * FROM graft.share.schema.dvtable`
+  * serves DV-filtered rows instead of refusing.
+  *
+  * Pushdown: pruned columns narrow the projected relation; pushed filters
+  * are applied to the underlying DataFrame for file skipping but reported
+  * UNHANDLED (`pushedFilters()` empty), so Spark re-evaluates them above —
+  * sound by construction, and the underlying scan still prunes files via
+  * its own FileIndex. Writes: appends/overwrites via [[graft.log
+  * .TableBuilder]] like the kernel table; SQL DELETE honors the delta DV
+  * contract — a table with `delta.enableDeletionVectors=true` (or
+  * existing DVs) deletes by WRITING deletion vectors (merge-on-read, no
+  * file rewrite), anything else takes the copy-on-write path.
+  */
+class GraftV1FallbackTable(tablePath: String, snapshot: Snapshot)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+
+  override def name(): String = s"graft-v1:`$tablePath`@v${snapshot.version}"
+  override def schema(): StructType = snapshot.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      private var required: StructType = snapshot.schema
+      private var filters: Array[Filter] = Array.empty
+
+      override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+        filters = fs
+        fs // all residual: Spark re-applies every predicate above the scan
+      }
+      override def pushedFilters(): Array[Filter] = Array.empty
+      override def pruneColumns(s: StructType): Unit = required = s
+
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val df0 = context.sparkSession.read.format("graft")
+            .option("path", tablePath)
+            .option("versionAsOf", snapshot.version.toString)
+            .load()
+          val filtered = filters.foldLeft(df0)((d, f) =>
+            V1FilterColumn.toColumn(f).map(d.filter).getOrElse(d))
+          val projected =
+            filtered.select(required.fieldNames.toIndexedSeq.map(col): _*)
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = projected.schema
+            override def buildScan(): RDD[Row] = projected.rdd
+          }.asInstanceOf[T]
+        }
+      }
+    }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              val spark = data.sparkSession
+              val conf = spark.sessionState.newHadoopConf()
+              if (overwrite) {
+                val wasDelta = new graft.log.GraftLog(tablePath, conf).deltaMode
+                val p = new org.apache.hadoop.fs.Path(tablePath)
+                p.getFileSystem(conf).delete(p, true)
+                graft.log.GraftLog.invalidateListing(tablePath)
+                graft.log.TableBuilder.create(spark, data, tablePath,
+                  partitionCols = snapshot.metadata.partitionColumns,
+                  name = snapshot.metadata.name,
+                  configuration = snapshot.metadata.configuration,
+                  deltaFormat = wasDelta)
+              } else {
+                graft.log.TableBuilder.append(spark, data, tablePath)
+              }
+            }
+        }
+    }
+
+  private def deleteColumn(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[org.apache.spark.sql.Column] = {
+    if (snapshot.metadata.partitionColumns.nonEmpty) return None
+    val cols = predicates.toSeq.map(p =>
+      org.apache.spark.sql.GraftBatchDf.predicateToV1(p)
+        .flatMap(V1FilterColumn.toColumn))
+    if (cols.exists(_.isEmpty)) None
+    else Some(cols.flatten.reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true)))
+  }
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = deleteColumn(predicates).isDefined
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val cond = deleteColumn(predicates).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE condition not expressible as connector filters: " +
+          predicates.mkString(", ")))
+    GraftV1FallbackTable.routeDelete(SparkSession.active, tablePath, snapshot, cond)
+  }
+}
+
+object GraftV1FallbackTable {
+  /** The delta DV-delete contract, shared with the kernel table's DELETE:
+    * tables that enabled deletion vectors (or already carry some) delete
+    * by writing DVs — merge-on-read, zero data-file rewrites — while
+    * plain tables take the copy-on-write rewrite.
+    */
+  private[sources] def routeDelete(
+      spark: SparkSession, tablePath: String, snapshot: Snapshot,
+      cond: org.apache.spark.sql.Column): Unit = {
+    val dvMode =
+      snapshot.metadata.configuration
+        .get("delta.enableDeletionVectors").contains("true") ||
+        snapshot.files.exists(_.deletionVector.isDefined)
+    if (dvMode) graft.log.TableBuilder.deleteWhereDV(spark, tablePath, cond)
+    else graft.log.TableBuilder.deleteWhere(spark, tablePath, cond)
+  }
+}

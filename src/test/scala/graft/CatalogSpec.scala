@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.log.SharedFixtures
+import graft.log.{GraftCatalog, GraftLog, SharedFixtures, TableBuilder}
 
 /** SQL-name access to shared tables through the `TableCatalog` plugin:
   * identifier resolution, VERSION/TIMESTAMP AS OF time travel, namespace
@@ -320,5 +320,66 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("table", s"${SharedFixtures.SHARE}.orders_versioned")
       .option("versionAsOf", "1").load().count()
     assert(atTs === v1local)
+  }
+
+  test("DV-enabled SQL DELETE writes deletion vectors; the catalog keeps " +
+    "serving through the V1 fallback") {
+    val loc = "/root/repo/target/graft_warehouse_dv/dvsql"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc))
+    GraftLog.invalidateListing(loc)
+    spark.sql(s"""CREATE TABLE $T.dvsql (id BIGINT, v STRING)
+      LOCATION '$loc'
+      TBLPROPERTIES('delta.enableDeletionVectors'='true')""")
+    try {
+      spark.sql(s"INSERT INTO $T.dvsql " +
+        "SELECT id, CAST(id AS STRING) FROM range(50)")
+      val filesBefore = new GraftLog(loc, spark.sessionState.newHadoopConf())
+        .snapshot(None).files.map(_.path).toSet
+      // a translatable DELETE takes the metadata path, which honors the
+      // delta DV contract: write deletion vectors, rewrite nothing
+      spark.sql(s"DELETE FROM $T.dvsql WHERE id <= 9")
+      val snap = new GraftLog(loc, spark.sessionState.newHadoopConf()).snapshot(None)
+      assert(snap.files.map(_.path).toSet === filesBefore,
+        "DV delete must not rewrite data files")
+      assert(snap.files.exists(_.deletionVector.isDefined))
+      // the catalog now serves this table through the V1 fallback:
+      // filtered reads and aggregates still answer
+      assert(spark.sql(s"SELECT count(*) AS n FROM $T.dvsql")
+        .head().getLong(0) === 40L)
+      assert(spark.sql(
+        s"SELECT CAST(sum(id) AS BIGINT) FROM $T.dvsql WHERE id < 20")
+        .head().getLong(0) === (10 to 19).sum.toLong)
+      // a second DELETE merges into the existing DVs
+      spark.sql(s"DELETE FROM $T.dvsql WHERE id >= 40")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $T.dvsql")
+        .head().getLong(0) === 30L)
+      // appends through the fallback land too
+      spark.sql(s"INSERT INTO $T.dvsql VALUES (1000, 'x')")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $T.dvsql")
+        .head().getLong(0) === 31L)
+      // a NON-translatable DELETE needs a group rewrite, which would
+      // resurrect DV-deleted rows — the fallback offers none, so Spark
+      // refuses the command loudly instead of deleting wrong rows
+      val e = intercept[Exception](
+        spark.sql(s"DELETE FROM $T.dvsql WHERE id % 5 = 0"))
+      assert(e.getMessage.contains("Cannot delete from table") ||
+        e.getMessage.contains("deletion vectors"), e.getMessage)
+    } finally spark.sql(s"DROP TABLE $T.dvsql")
+  }
+
+  test("column-mapped tables answer SQL names through the V1 fallback") {
+    import spark.implicits._
+    val loc = "/root/repo/target/graft_warehouse_dv/cmsql"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc))
+    GraftLog.invalidateListing(loc)
+    TableBuilder.createColumnMapped(spark,
+      (1 to 24).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp"), loc)
+    GraftCatalog.register(s"${SharedFixtures.SHARE}.cmsql", loc)
+    try {
+      assert(spark.sql(s"SELECT count(*) AS n FROM $T.cmsql").head().getLong(0) === 24L)
+      assert(spark.sql(
+        s"SELECT grp, count(*) AS n FROM $T.cmsql GROUP BY grp ORDER BY grp")
+        .collect().map(_.getLong(1)).toSeq === Seq(8L, 8L, 8L))
+    } finally GraftCatalog.unregister(s"${SharedFixtures.SHARE}.cmsql")
   }
 }
