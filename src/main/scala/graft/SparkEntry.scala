@@ -1351,6 +1351,37 @@ object SparkEntry {
         s"FROM graft.$share.scratch_sqldml")
     }),
 
+    // Beyond-reference: SQL DELETE under the delta DV contract, served
+    // back through the catalog's V1Scan fallback — the DELETEs write
+    // deletion vectors (zero data-file rewrites; the second merges into
+    // the first's DVs), and the SQL-name read applies them scan-side. A
+    // resurrected row, lost survivor, or double-applied DV flips the
+    // aggregate.
+    "q116_sql_dv_delete" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftSparkCatalog].getName)
+      val share = graft.log.SharedFixtures.SHARE
+      val scratch = s"${graft.log.SharedFixtures.shareRoot(dir)}/scratch_sqldv"
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      graft.log.GraftLog.invalidateListing(scratch)
+      graft.log.GraftCatalog.unregister(s"$share.scratch_sqldv")
+      s.sql(s"""CREATE TABLE graft.$share.scratch_sqldv
+                LOCATION '$scratch'
+                TBLPROPERTIES('delta.enableDeletionVectors'='true') AS
+                SELECT o_orderkey, o_custkey, o_totalprice AS price
+                FROM graft.$share.orders""")
+      s.sql(s"DELETE FROM graft.$share.scratch_sqldv WHERE o_orderkey <= 1500")
+      s.sql(s"DELETE FROM graft.$share.scratch_sqldv WHERE o_custkey >= 1200")
+      s.sql(s"""SELECT count(*) AS n_rows,
+                CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+                  AS price_cents,
+                CAST(min(o_orderkey) AS BIGINT) AS min_key
+                FROM graft.$share.scratch_sqldv""")
+    }),
+
     // Beyond-reference layout: OPTIMIZE ZORDER BY (l_partkey, l_suppkey)
     // — equi-depth quantile bins per column (native codegen binary-search
     // expression) interleave into a Morton key; repartitionByRange on the
@@ -2354,6 +2385,14 @@ object SparkEntry {
            ELSE o_totalprice END, 2) AS price
          FROM orders
          WHERE o_orderkey < 2000 OR (o_orderkey >= 5000 AND o_orderkey < 5500)""",
+    // survivors of both DV deletes
+    "q116_sql_dv_delete" ->
+      """SELECT count(*) AS n_rows,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents,
+         CAST(min(o_orderkey) AS BIGINT) AS min_key
+         FROM orders
+         WHERE o_orderkey > 1500 AND o_custkey < 1200""",
     "q91_zorder_scan" ->
       """SELECT l_suppkey, count(*) AS n_items,
          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
