@@ -90,9 +90,20 @@ class GraftTable private (val spark: SparkSession, val path: String) {
   /** Row-level DELETE with CDF capture (files containing matches are
     * rewritten; survivors keep their files).
     */
-  def delete(condition: Column): Long =
-    TableBuilder.deleteWhere(spark, path, condition,
+  /** Row-level DELETE. Honors the delta DV contract like the SQL path:
+    * a table with `delta.enableDeletionVectors=true` (or existing DVs)
+    * deletes by WRITING deletion vectors — merge-on-read, no data-file
+    * rewrite; otherwise the copy-on-write rewrite with CDF capture.
+    */
+  def delete(condition: Column): Long = {
+    val snap = log.snapshot(None)
+    val dvMode = snap.metadata.configuration
+      .get("delta.enableDeletionVectors").contains("true") ||
+      snap.files.exists(_.deletionVector.isDefined)
+    if (dvMode) deleteWithDV(condition)
+    else TableBuilder.deleteWhere(spark, path, condition,
       timestamp = System.currentTimeMillis())
+  }
 
   /** Row-level DELETE via deletion vectors: no data file is rewritten. */
   def deleteWithDV(condition: Column): Long =
