@@ -616,11 +616,12 @@ class GraftServer(
     else None
 
     val expiration = now() + config.preSignedUrlTimeoutSeconds * 1000
+    val idScheme = fileIdScheme(ex, fmt)
     val fileLines = pageFiles.map { f =>
       if (fmt == FORMAT_DELTA)
         DeltaLine(file = DeltaFileW(
-          id = Tokens.fileId(location, f.path),
-          deletionVectorFileId = dvFileId(location, f).orNull,
+          id = Tokens.fileId(location, f.path, idScheme),
+          deletionVectorFileId = dvFileId(location, f, idScheme).orNull,
           expirationTimestamp = expiration,
           deltaSingleAction = DeltaSingleActionW(add = DeltaAddW(
             path = signUrl(location, f.path, expiration),
@@ -636,7 +637,7 @@ class GraftServer(
             tags = f.tags.filter(_.nonEmpty).orNull)))).json
       else Line(file = wire.File(
         url = signUrl(location, f.path, expiration),
-        id = Tokens.fileId(location, f.path),
+        id = Tokens.fileId(location, f.path, idScheme),
         partitionValues = f.partitionValues,
         size = f.size,
         stats = f.stats.map(JsonUtils.toJson).orNull,
@@ -712,7 +713,10 @@ class GraftServer(
     val expiration = now() + config.preSignedUrlTimeoutSeconds * 1000
 
     def sign(p: String): String = signUrl(location, p, expiration)
-    def id(p: String): String = Tokens.fileId(location, p)
+    // assigned once the dialect is negotiated below (fileidhash header
+    // with the format-aligned default)
+    var changeScheme: String = "parquet"
+    def id(p: String): String = Tokens.fileId(location, p, changeScheme)
 
     // Continuation pages pin the ending version from the token (its
     // `version` field stores the first page's resolved end), NOT from a
@@ -736,6 +740,7 @@ class GraftServer(
 
     val startSnap = l.snapshot(Some(start))
     val fmt = negotiateFormat(ex, startSnap.metadata)
+    changeScheme = fileIdScheme(ex, fmt)
     val delta = fmt == FORMAT_DELTA
 
     def deltaFile(single: DeltaSingleActionW, path: String,
@@ -932,6 +937,24 @@ class GraftServer(
     fromConfig ++ fromSchema
   }
 
+  /** File-id scheme selection (`PROTOCOL.md` "File ID Hash Header"): the
+    * standalone `fileidhash` request header picks `parquet` (MD5) or
+    * `delta` (SHA-256) ids regardless of dialect; without it the
+    * responded format's aligned scheme applies. A valid header is echoed
+    * lowercased (the client verifies the echo); unsupported or blank
+    * values are a 400, never a silently different scheme.
+    */
+  private def fileIdScheme(ex: HttpExchange, fmt: String): String =
+    Option(ex.getRequestHeaders.getFirst("fileidhash")) match {
+      case None => if (fmt == FORMAT_DELTA) "delta" else "parquet"
+      case Some(v) =>
+        val n = v.trim.toLowerCase
+        if (n != "parquet" && n != "delta") throw GraftServerException.badRequest(
+          s"unsupported fileidhash value: '$v' (expected parquet or delta)")
+        ex.getResponseHeaders.set("fileidhash", n)
+        n
+    }
+
   /** Negotiate the response dialect and gate advanced reader features
     * (reference `DeltaSharedTableKernel.getRespondedFormat:566-586` +
     * `SnapshotChecker.assertTableProperties:42-69`): parquet for basic
@@ -1011,10 +1034,12 @@ class GraftServer(
   /** Stable cache key for a file's DV (the descriptor's blob identity:
     * file + offset), `PROTOCOL.md:4111` deletionVectorFileId.
     */
-  private def dvFileId(location: String, f: graft.model.AddFile): Option[String] =
+  private def dvFileId(location: String, f: graft.model.AddFile,
+      scheme: String = "parquet"): Option[String] =
     f.deletionVector.collect {
       case dv if dv.storageType != "i" =>
-        Tokens.fileId(location, s"${dvRelPath(location, dv)}@${dv.offset.getOrElse(1)}")
+        Tokens.fileId(location,
+          s"${dvRelPath(location, dv)}@${dv.offset.getOrElse(1)}", scheme)
     }
 
   private def dvRelPath(location: String, dv: graft.model.DeletionVectorDescriptor): String = {

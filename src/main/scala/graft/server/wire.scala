@@ -269,8 +269,16 @@ object GraftServerException {
 object Tokens {
 
   /** Stable id of a file = hex md5 of its absolute table-relative path. */
-  def fileId(tablePath: String, relPath: String): String =
-    hex(MessageDigest.getInstance("MD5").digest(s"$tablePath/$relPath".getBytes(UTF_8)))
+  /** Stable per-file id. Two schemes (`PROTOCOL.md` "File ID Hash
+    * Header"): `parquet` — MD5, the parquet-dialect default — and
+    * `delta` — SHA-256, the delta-dialect default; the client selects
+    * via the `fileidhash` request header. Both are deterministic in the
+    * file, so clients can cache bytes keyed by id.
+    */
+  def fileId(tablePath: String, relPath: String, scheme: String = "parquet"): String = {
+    val algo = if (scheme == "delta") "SHA-256" else "MD5"
+    hex(MessageDigest.getInstance(algo).digest(s"$tablePath/$relPath".getBytes(UTF_8)))
+  }
 
   /** SHA-256 checksum binding a token to the query parameters that
     * produced it — any change to the params invalidates the token.

@@ -61,6 +61,23 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     http.send(b.build(), HttpResponse.BodyHandlers.ofString())
   }
 
+  private def rawPostHdr(
+      path: String, body: String, headers: Map[String, String]): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"${server.url}$path"))
+      .header("Authorization", s"Bearer $TOKEN")
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def rawGetHdr(
+      path: String, headers: Map[String, String]): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"${server.url}$path"))
+      .header("Authorization", s"Bearer $TOKEN")
+    headers.foreach { case (k, v) => b.header(k, v) }
+    http.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+  }
+
   // ------------------------------------------------------------ listings
 
   private val fixtureTables = Seq("customer_cm", "events", "lineitem",
@@ -640,6 +657,52 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       HttpResponse.BodyHandlers.ofByteArray())
     assert(bytes.statusCode() === 200 &&
       new String(bytes.body().take(4), "ASCII") === "PAR1")
+  }
+
+  test("fileidhash header selects the id scheme, echoes, and rejects junk") {
+    // defaults: parquet dialect -> parquet (md5) ids
+    val plain = rawPost("/shares/share1/schemas/default/tables/lineitem/query", "{}")
+    assert(plain.statusCode() === 200)
+    def idsOf(body: String): Seq[String] =
+      body.split("\n").filter(_.nonEmpty).map(JsonUtils.fromJson[Line](_))
+        .flatMap(l => Option(l.file)).map(_.id).toSeq
+    val defaultIds = idsOf(plain.body())
+    assert(defaultIds.nonEmpty && defaultIds.forall(_.length === 32),
+      "parquet scheme is 32-hex md5")
+    assert(plain.headers().firstValue("fileidhash").isEmpty,
+      "no echo without the request header")
+    // explicit delta scheme in the parquet dialect: sha256 ids + echo
+    val deltaIds = rawPostHdr(
+      "/shares/share1/schemas/default/tables/lineitem/query", "{}",
+      Map("fileidhash" -> "DELTA"))
+    assert(deltaIds.statusCode() === 200)
+    assert(deltaIds.headers().firstValue("fileidhash").orElse("") === "delta",
+      "valid header echoes lowercased")
+    val ids = idsOf(deltaIds.body())
+    assert(ids.forall(_.length === 64), "delta scheme is 64-hex sha256")
+    assert(ids.toSet.intersect(defaultIds.toSet).isEmpty)
+    // same file, same id across requests (the caching contract)
+    assert(idsOf(rawPostHdr(
+      "/shares/share1/schemas/default/tables/lineitem/query", "{}",
+      Map("fileidhash" -> "delta")).body()) === ids)
+    // unsupported / blank values are 400
+    Seq("sha1", "  ", "").foreach { bad =>
+      val r = rawPostHdr(
+        "/shares/share1/schemas/default/tables/lineitem/query", "{}",
+        Map("fileidhash" -> bad))
+      assert(r.statusCode() === 400, s"'$bad' must be rejected")
+    }
+    // the changes endpoint honors it too
+    val ch = rawGetHdr(
+      "/shares/share1/schemas/default/tables/orders_cdf/changes?startingVersion=0",
+      Map("fileidhash" -> "delta"))
+    assert(ch.statusCode() === 200, ch.body().take(300))
+    assert(ch.headers().firstValue("fileidhash").orElse("") === "delta")
+    val chIds = ch.body().split("\n").filter(_.nonEmpty)
+      .map(JsonUtils.fromJson[Line](_))
+      .flatMap(l => Option(l.add).map(_.id).orElse(Option(l.cdf).map(_.id)))
+      .toSeq
+    assert(chIds.nonEmpty && chIds.forall(_.length === 64))
   }
 
   test("schema-carried reader features gate the dialect: widened table " +
