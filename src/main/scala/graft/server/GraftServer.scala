@@ -506,8 +506,38 @@ class GraftServer(
     val rootUri = new Path(location).toUri
     val tablePath =
       if (rootUri.getScheme == null) s"file://$location" else rootUri.toString
+    // Optional location override (reference `CredentialContext
+    // .temporaryCredentialLocationAllowed`): the requested location must
+    // be the table root or strictly under it — credentials are scoped to
+    // the share, never a sibling path; an unparsable body means no
+    // override (the reference's lenient parse).
+    val requested = {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      if (body.trim.isEmpty) None
+      else try Option(JsonUtils.mapper.readTree(body))
+        .flatMap(n => Option(n.get("location"))).filter(!_.isNull)
+        .map(_.asText())
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    requested.foreach { req =>
+      def parts(u: String): (String, String) = {
+        val uri = new java.net.URI(u).normalize()
+        val scheme = Option(uri.getScheme).getOrElse("file").toLowerCase
+        val path = Option(uri.getPath).getOrElse("")
+          .stripSuffix("/")
+        (scheme, path)
+      }
+      val (tScheme, tPath) = parts(tablePath)
+      val (rScheme, rPath) = parts(req)
+      val under = tScheme == rScheme &&
+        (rPath == tPath || rPath.startsWith(tPath + "/"))
+      if (!under) throw GraftServerException.badRequest(
+        "The requested location must be the same as or under this table's " +
+          "configured storage location.")
+    }
+    val scope = requested.getOrElse(tablePath)
     sendJson(ex, 200, JsonUtils.toJson(TableCredentials(
-      tablePath = tablePath,
+      tablePath = scope,
       expirationTimestamp = exp,
       credentialsType = "local-file",
       accessToken = Tokens.hmac(secret, s"dir:$location@$exp"))))

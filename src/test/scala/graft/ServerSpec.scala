@@ -589,6 +589,26 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rawPost(
       "/shares/share1/schemas/default/tables/nope/temporary-table-credentials", "{}")
       .statusCode() === 404)
+    // location override: the table root itself and paths under it are
+    // allowed (the grant scopes to the requested location); siblings
+    // refuse (reference CredentialContext rule)
+    val root = creds.tablePath
+    val same = rawPost(
+      "/shares/share1/schemas/default/tables/lineitem/temporary-table-credentials",
+      s"""{"location": "$root"}""")
+    assert(same.statusCode() === 200)
+    val sub = rawPost(
+      "/shares/share1/schemas/default/tables/lineitem/temporary-table-credentials",
+      s"""{"location": "$root/part-0001.parquet"}""")
+    assert(sub.statusCode() === 200)
+    assert(JsonUtils.fromJson[TableCredentials](sub.body()).tablePath
+      .endsWith("part-0001.parquet"))
+    val sibling = rawPost(
+      "/shares/share1/schemas/default/tables/lineitem/temporary-table-credentials",
+      s"""{"location": "${root}_evil"}""")
+    assert(sibling.statusCode() === 400)
+    assert(JsonUtils.fromJson[ErrorResponse](sibling.body()).message
+      .contains("under this table's configured storage location"))
   }
 
   // ------------------------------------- reader features / delta dialect
