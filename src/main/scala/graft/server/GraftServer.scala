@@ -677,7 +677,8 @@ class GraftServer(
       Some(Tokens.encode(Tokens.RefreshTokenPayload(
         tableKey, version, now() + config.refreshTokenTtlMs)))
     else None
-    val end = if (nextPageToken.isDefined || refreshToken.isDefined)
+    val end = if (nextPageToken.isDefined || refreshToken.isDefined ||
+        wantsEndStreamAction(ex))
       Seq(Line(endStreamAction = EndStreamAction(
         refreshToken = refreshToken.orNull,
         nextPageToken = nextPageToken.orNull,
@@ -859,6 +860,10 @@ class GraftServer(
           tableKey, end, startIndex + pageSize,
           changeChecksum(tableKey, start, end, cdfMode),
           now() + config.pageTokenTtlMs)))).json)
+    else if (wantsEndStreamAction(ex))
+      Seq(Line(endStreamAction = EndStreamAction(
+        minUrlExpirationTimestamp =
+          if (pageLines.nonEmpty) expiration else null)).json)
     else Nil
 
     ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, end.toString)
@@ -974,6 +979,15 @@ class GraftServer(
     * lowercased (the client verifies the echo); unsupported or blank
     * values are a 400, never a silently different scheme.
     */
+  /** `includeendstreamaction=true` in the capabilities header: the
+    * client wants EVERY NDJSON response terminated by an EndStreamAction
+    * (truncated-stream detection), not only paginated ones; the server
+    * echoes the capability so the client knows it was honored.
+    */
+  private def wantsEndStreamAction(ex: HttpExchange): Boolean =
+    capabilities(ex).getOrElse("includeendstreamaction", Set.empty)
+      .contains("true")
+
   private def fileIdScheme(ex: HttpExchange, fmt: String): String =
     Option(ex.getRequestHeaders.getFirst("fileidhash")) match {
       case None => if (fmt == FORMAT_DELTA) "delta" else "parquet"
@@ -1134,7 +1148,8 @@ class GraftServer(
       format: String = FORMAT_PARQUET): Unit = {
     val bytes = (lines.mkString("\n") + "\n").getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/x-ndjson; charset=utf-8")
-    ex.getResponseHeaders.set(CAPABILITIES_HEADER, s"responseformat=$format")
+    val esa = if (wantsEndStreamAction(ex)) ";includeendstreamaction=true" else ""
+    ex.getResponseHeaders.set(CAPABILITIES_HEADER, s"responseformat=$format$esa")
     ex.sendResponseHeaders(200, bytes.length)
     ex.getResponseBody.write(bytes)
   }

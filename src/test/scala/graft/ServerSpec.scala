@@ -679,6 +679,32 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       new String(bytes.body().take(4), "ASCII") === "PAR1")
   }
 
+  test("includeendstreamaction capability: every response terminates with " +
+    "an EndStreamAction and the capability echoes") {
+    def lastLine(body: String) = JsonUtils.fromJson[Line](
+      body.split("\n").filter(_.nonEmpty).last)
+    // without the capability: unpaginated responses have NO end action
+    val plain = rawPost("/shares/share1/schemas/default/tables/lineitem/query", "{}")
+    assert(lastLine(plain.body()).endStreamAction == null)
+    // with it: the end action appears (minUrlExpirationTimestamp set, no
+    // continuation token) and the capability is echoed
+    val esa = rawPostHdr("/shares/share1/schemas/default/tables/lineitem/query",
+      "{}", Map("delta-sharing-capabilities" -> "includeendstreamaction=true"))
+    assert(esa.statusCode() === 200)
+    assert(esa.headers().firstValue("delta-sharing-capabilities").orElse("")
+      .contains("includeendstreamaction=true"))
+    val end = lastLine(esa.body()).endStreamAction
+    assert(end != null && end.nextPageToken == null)
+    assert(end.minUrlExpirationTimestamp != null &&
+      end.minUrlExpirationTimestamp > System.currentTimeMillis())
+    // changes endpoint too
+    val ch = rawGetHdr(
+      "/shares/share1/schemas/default/tables/orders_cdf/changes?startingVersion=0",
+      Map("delta-sharing-capabilities" -> "includeendstreamaction=true"))
+    assert(ch.statusCode() === 200)
+    assert(lastLine(ch.body()).endStreamAction != null)
+  }
+
   test("fileidhash header selects the id scheme, echoes, and rejects junk") {
     // defaults: parquet dialect -> parquet (md5) ids
     val plain = rawPost("/shares/share1/schemas/default/tables/lineitem/query", "{}")
