@@ -160,6 +160,38 @@ class LogCleanupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("graft").option("path", p).load().count() === 11L)
   }
 
+  test("REST version-range queries below the horizon refuse cleanly") {
+    import spark.implicits._
+    val p = fresh("rest")
+    TableBuilder.create(spark, Seq((1L, "a")).toDF("id", "v"), p, name = "t",
+      configuration = Map(LogCleanup.RETENTION_KEY -> "interval 1 hours"))
+    (1 to 10).foreach { i =>
+      TableBuilder.append(spark, Seq((i + 1L, s"r$i")).toDF("id", "v"), p,
+        timestamp = i * 1000L)
+    }
+    GraftLog.invalidateListing(p)
+    graft.log.GraftCatalog.register("share1.default.cleaned", p)
+    val server = new graft.server.GraftServer(
+      graft.server.ServerConfig(), spark.sessionState.newHadoopConf()).start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(body: String) = http.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"${server.url}/shares/share1/schemas/default/tables/cleaned/query"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      // the current snapshot serves from the checkpoint
+      assert(post("{}").statusCode() === 200)
+      // a range starting below the horizon (commits collected) is a
+      // clean client error, not a 500 from a missing-file read
+      val gone = post("""{"startingVersion": 2, "endingVersion": 5}""")
+      assert(gone.statusCode() === 400, gone.body().take(200))
+    } finally {
+      server.stop()
+      graft.log.GraftCatalog.unregister("share1.default.cleaned")
+    }
+  }
+
   test("v2 checkpointPolicy: an expired UUID checkpoint takes its sidecars") {
     import spark.implicits._
     val p = fresh("v2")
