@@ -120,6 +120,11 @@ object ScaleProbe {
     val medians = scala.collection.mutable.Map.empty[(String, Int), Double]
     val rows = scala.collection.mutable.Map.empty[(String, Int), Long]
     for ((name, fn) <- ops; k <- factors) {
+      // partitions scale with the data — the knob a real cluster turns
+      // (AQE/cluster sizing); pinning them at the k=1 count makes k=8
+      // per-partition working sets 8x larger and measures memory
+      // pressure, not the operator's scaling
+      spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * k).toString)
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         rows((name, k)) = fn(k)
