@@ -413,18 +413,25 @@ object SparkEntry {
     }),
 
     // Beyond-reference: multimodal pipeline — binary payloads + metadata
-    // struct → per-partition batched decode (stub codec) → per-format
-    // aggregation. The aggregated feature is de-normalized back to an
-    // integer byte count (exact in float), giving a deterministic
-    // byte-histogram oracle over the utf-8 payload.
+    // struct → per-partition batched decode → per-format aggregation.
+    // png/bmp payloads are REAL encoded images (JDK ImageIO) whose
+    // decoded-pixel histogram the oracle recomputes from the
+    // deterministic pixel generator (lossless codecs make decode(encode)
+    // the identity); wav/mp4 stay opaque bytes under the byte-histogram
+    // stub. Features are de-normalized back to integer sample counts
+    // (exact in float) so the hash compare is bitwise-stable.
     "q31_multimodal_features" -> ((s, dir) => {
       val assets = graft.ops.Multimodal.toAssets(t(s, dir, "documents"))
       val feats = graft.ops.Multimodal.extractFeatures(assets, dim = 16)
+      val npix = (graft.ops.Multimodal.IMG_W * graft.ops.Multimodal.IMG_H).toLong
       feats.toDF()
         .join(assets.toDF().select(col("asset_id"), col("meta.nBytes").as("nb")), "asset_id")
+        .withColumn("denom",
+          when(col("format").isin("png", "bmp"), lit(npix))
+            .otherwise(greatest(col("nb"), lit(1L))))
         .groupBy(col("format"))
         .agg(count(lit(1)).as("n_assets"),
-          sum(round(element_at(col("features"), 1) * greatest(col("nb"), lit(1L))))
+          sum(round(element_at(col("features"), 1) * col("denom")))
             .cast("long").as("f0_count"))
     }),
 
@@ -1357,6 +1364,33 @@ object SparkEntry {
     // the first's DVs), and the SQL-name read applies them scan-side. A
     // resurrected row, lost survivor, or double-applied DV flips the
     // aggregate.
+    // §2.8 T10 over the DELTA dialect: remote STREAMING of a
+    // DV-maintained shared table. The parquet dialect refuses the table
+    // (DV adds are unrepresentable), the source renegotiates
+    // responseformat=delta, and every micro-batch applies merge-on-read
+    // DV filtering — the streamed aggregate equals the plain batch
+    // predicate the oracle runs. maxFilesPerTrigger=1 forces multiple
+    // batches so admission control and the per-version memo are on the
+    // tested path.
+    "q117_remote_dv_stream" -> ((s, dir) => {
+      val url = graft.server.LocalShareServer.ensure(s, dir)
+      val sink = "graft_q117_sink"
+      s.catalog.dropTempView(sink)
+      val q = s.readStream.format("graft")
+        .option("url", url).option("token", graft.server.LocalShareServer.TOKEN)
+        .option("table", s"${graft.log.SharedFixtures.SHARE}.nation_dv")
+        .option("maxFilesPerTrigger", "1")
+        .option("queryTableVersionIntervalSeconds", "0")
+        .load()
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      q.stop()
+      s.table(sink)
+    }),
+
     "q116_sql_dv_delete" -> ((s, dir) => {
       graft.log.SharedFixtures.ensure(s, dir)
       s.conf.set("spark.sql.catalog.graft",
@@ -2150,10 +2184,17 @@ object SparkEntry {
     "q31_multimodal_features" ->
       """SELECT format, count(*) AS n_assets, CAST(sum(cnt0) AS BIGINT) AS f0_count FROM (
            SELECT CASE CAST(doc_id % 4 AS INT)
-                    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav'
+                    WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav'
                     ELSE 'mp4' END AS format,
-             len(list_filter(range(1, octet_length(encode(text)) + 1),
-                 i -> substr(hex(encode(text)), CAST(2 * i AS INT), 1) = '0')) AS cnt0
+             CASE WHEN doc_id % 4 IN (0, 1) THEN
+               len(list_filter(flatten(list_transform(range(0, 8),
+                 y -> list_transform(range(0, 8),
+                   x -> (doc_id * 31 + x * 7 + y * 13) % 256))),
+                 v -> v % 16 = 0))
+             ELSE
+               len(list_filter(range(1, octet_length(encode(text)) + 1),
+                 i -> substr(hex(encode(text)), CAST(2 * i AS INT), 1) = '0'))
+             END AS cnt0
            FROM documents)
          GROUP BY format""",
     "q32_embedding_dedup" ->
@@ -2426,6 +2467,9 @@ object SparkEntry {
     "q47_dv_rest_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation WHERE n_regionkey <> 2""",
+    "q117_remote_dv_stream" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n
+         FROM nation WHERE n_regionkey <> 2 GROUP BY n_regionkey""",
     "q51_curation_pipeline" ->
       """WITH scored AS (
            SELECT doc_id, text,

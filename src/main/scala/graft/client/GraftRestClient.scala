@@ -23,7 +23,21 @@ class GraftRestClient(
       * (the reference's `client/.../auth` flow); takes precedence over the
       * static `token` and refreshes itself before expiry.
       */
-    oauth: Option[(String, String)] = None) {
+    oauth: Option[(String, String)] = None,
+    /** Token endpoint for the OAuth grant; defaults to the server's own
+      * `/oauth/token` (a v2 profile may name a separate authorization
+      * server).
+      */
+    tokenEndpoint: Option[String] = None,
+    /** Submit snapshot queries with `asyncquery=true` and resolve the
+      * returned queryStatus handle by polling
+      * `POST .../queries/{queryId}` (the reference's
+      * `getNDJsonWithAsync`, `DeltaSharingClient.scala:1078-1140`; knobs
+      * `:213-214`).
+      */
+    asyncQuery: Boolean = false,
+    asyncPollIntervalMs: Long = 10000L,
+    asyncMaxDurationMs: Long = 600000L) {
 
   private val http = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(30)).build()
@@ -41,7 +55,8 @@ class GraftRestClient(
         case _ =>
           val form = s"grant_type=client_credentials&client_id=${enc(id)}" +
             s"&client_secret=${enc(secret)}"
-          val req = HttpRequest.newBuilder(URI.create(s"$baseUrl/oauth/token"))
+          val req = HttpRequest.newBuilder(
+            URI.create(tokenEndpoint.getOrElse(s"$baseUrl/oauth/token")))
             .timeout(Duration.ofSeconds(30))
             .header("Content-Type", "application/x-www-form-urlencoded")
             .POST(HttpRequest.BodyPublishers.ofString(form, UTF_8)).build()
@@ -178,6 +193,57 @@ class GraftRestClient(
 
   // ---------------------------------------------------------------- query
 
+  /** Append `asyncquery=true` to the capabilities header when async mode
+    * is on (the server keys on the `delta-sharing-capabilities` value).
+    */
+  private def withAsync(headers: Map[String, String]): Map[String, String] =
+    if (!asyncQuery) headers
+    else headers.get("delta-sharing-capabilities") match {
+      case Some(v) => headers + ("delta-sharing-capabilities" -> s"$v;asyncquery=true")
+      case None => headers + ("delta-sharing-capabilities" -> "asyncquery=true")
+    }
+
+  /** A pending async response carries a queryStatus line (works for both
+    * dialects — raw-tree sniff, no line codec commitment).
+    */
+  private def pendingQueryId(lines: Seq[String]): Option[String] =
+    lines.iterator.flatMap { l =>
+      Option(JsonUtils.mapper.readTree(l).get("queryStatus")).filterNot(_.isNull)
+        .flatMap(q => Option(q.get("queryId"))).map(_.asText())
+    }.nextOption()
+
+  /** POST one query page; when the response is an async queryStatus
+    * handle, poll `POST .../queries/{queryId}` until a response without
+    * one arrives (or `asyncMaxDurationMs` elapses). Sync-mode responses
+    * pass straight through.
+    */
+  private def postQueryResolved(
+      tableP: String, pageReq: wire.QueryRequest,
+      baseHeaders: Map[String, String]): (HttpResponse[String], Seq[String]) = {
+    def raw(r: HttpResponse[String]): Seq[String] =
+      r.body().split("\n").toSeq.filter(_.nonEmpty)
+    var resp = request("POST", s"$tableP/query",
+      body = Some(JsonUtils.toJson(pageReq)), headers = withAsync(baseHeaders))
+    var lines = raw(resp)
+    var qid = pendingQueryId(lines)
+    val start = System.currentTimeMillis()
+    while (qid.isDefined) {
+      if (System.currentTimeMillis() - start > asyncMaxDurationMs)
+        throw new GraftClientException(0,
+          s"async query ${qid.get} timed out after $asyncMaxDurationMs ms")
+      Thread.sleep(asyncPollIntervalMs)
+      resp = request("POST", s"$tableP/queries/${qid.get}",
+        body = Some("{}"), headers = baseHeaders)
+      lines = raw(resp)
+      val again = pendingQueryId(lines)
+      if (again.exists(_ != qid.get))
+        throw new GraftClientException(0,
+          s"inconsistent async queryId: expected ${qid.get}, got ${again.get}")
+      qid = again
+    }
+    (resp, lines)
+  }
+
   case class QueryResult(
       version: Long,
       metadata: wire.Metadata,
@@ -198,12 +264,12 @@ class GraftRestClient(
     while (first || pageToken.isDefined) {
       first = false
       val pageReq = req.copy(pageToken = pageToken.orNull)
-      val resp = request("POST", s"${tablePath(share, schema, table)}/query",
-        body = Some(JsonUtils.toJson(pageReq)))
+      val (resp, rawLines) = postQueryResolved(
+        tablePath(share, schema, table), pageReq, Map.empty)
       version = resp.headers().firstValue("Delta-Table-Version")
         .map[Long](_.toLong).orElse(version)
       pageToken = None
-      ndjson(resp.body()).foreach { line =>
+      rawLines.map(JsonUtils.fromJson[wire.Line](_)).foreach { line =>
         if (line.metaData != null) meta = line.metaData
         if (line.file != null) files += line.file
         if (line.endStreamAction != null) {
@@ -248,12 +314,12 @@ class GraftRestClient(
     while (first || pageToken.isDefined) {
       first = false
       val pageReq = req.copy(pageToken = pageToken.orNull)
-      val resp = request("POST", s"${tablePath(share, schema, table)}/query",
-        body = Some(JsonUtils.toJson(pageReq)), headers = DELTA_CAPABILITIES)
+      val (resp, rawLines) = postQueryResolved(
+        tablePath(share, schema, table), pageReq, DELTA_CAPABILITIES)
       version = resp.headers().firstValue("Delta-Table-Version")
         .map[Long](_.toLong).orElse(version)
       pageToken = None
-      resp.body().split("\n").filter(_.nonEmpty).foreach { raw =>
+      rawLines.foreach { raw =>
         val line = JsonUtils.fromJson[wire.DeltaLine](raw)
         if (line.metaData != null) meta = line.metaData
         if (line.file != null) files += line.file
@@ -264,6 +330,69 @@ class GraftRestClient(
     if (meta == null) throw new GraftClientException(0,
       "no metaData line in delta query response")
     DeltaQueryResult(version, meta, files.result())
+  }
+
+  /** Table metadata in the DELTA dialect — the entry point for tables
+    * whose reader features make the parquet-dialect `/metadata` refuse
+    * (negotiation mirror of [[deltaQuery]]).
+    */
+  def deltaMetadata(share: String, schema: String, table: String)
+      : (wire.DeltaMetadataLine, Long) = {
+    val resp = request("GET", s"${tablePath(share, schema, table)}/metadata",
+      headers = DELTA_CAPABILITIES)
+    val meta = resp.body().split("\n").filter(_.nonEmpty)
+      .map(JsonUtils.fromJson[wire.DeltaLine](_))
+      .flatMap(l => Option(l.metaData)).headOption.getOrElse(
+        throw new GraftClientException(0, "no metaData line in delta metadata response"))
+    val v = resp.headers().firstValue("Delta-Table-Version").map[Long](_.toLong)
+      .orElse(-1L)
+    (meta, v)
+  }
+
+  case class DeltaChangesResult(
+      version: Long,
+      /** Every metaData line (first = range-start snapshot; later ones are
+        * historical schema changes the streaming client must vet).
+        */
+      metas: Seq[wire.DeltaMetadataLine],
+      /** Wrapped delta actions in served order; each wraps exactly one of
+        * add/remove/cdc with the commit version/timestamp on the wrapper.
+        */
+      files: Seq[wire.DeltaFileW])
+
+  /** Version-range query in the DELTA dialect (the streaming backbone
+    * for DV/column-mapped shared tables): same pagination protocol as
+    * [[queryRange]], delta-action lines like [[deltaQuery]].
+    */
+  def deltaQueryRange(share: String, schema: String, table: String,
+      startingVersion: Long, endingVersion: Option[Long] = None,
+      maxFiles: Option[Int] = None): DeltaChangesResult = {
+    val req = wire.QueryRequest(
+      startingVersion = startingVersion,
+      endingVersion = endingVersion.map(Long.box).orNull,
+      maxFiles = maxFiles.map(Int.box).orNull)
+    var version = -1L
+    val metas = Seq.newBuilder[wire.DeltaMetadataLine]
+    val files = Seq.newBuilder[wire.DeltaFileW]
+    var pageToken: Option[String] = None
+    var first = true
+    while (first || pageToken.isDefined) {
+      first = false
+      val resp = request("POST", s"${tablePath(share, schema, table)}/query",
+        body = Some(JsonUtils.toJson(req.copy(pageToken = pageToken.orNull))),
+        headers = DELTA_CAPABILITIES)
+      version = resp.headers().firstValue("Delta-Table-Version")
+        .map[Long](_.toLong).orElse(version)
+      pageToken = None
+      resp.body().split("\n").filter(_.nonEmpty).foreach { raw =>
+        val line = JsonUtils.fromJson[wire.DeltaLine](raw)
+        if (line.metaData != null) metas += line.metaData
+        if (line.file != null) files += line.file
+        if (line.endStreamAction != null)
+          pageToken = Option(line.endStreamAction.nextPageToken)
+      }
+    }
+    DeltaChangesResult(version, metas.result(), files.result())
   }
 
   case class ChangesResult(

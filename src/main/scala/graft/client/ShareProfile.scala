@@ -9,46 +9,79 @@ import graft.model.JsonUtils
 
 /** The sharing *profile file* — the reference's canonical client entry
   * point (`spark.read.format(...).load("<profile>#<share>.<schema>.<table>")`;
-  * format spec `PROTOCOL.md:4284-4300`: shareCredentialsVersion,
-  * endpoint, bearerToken, optional expirationTime; version-cap error
-  * contract `PROTOCOL.md:4284`). Loaded through the Hadoop FileSystem API
-  * so profiles resolve from any configured store (file:, hdfs:, ...),
-  * same as the reference's `DeltaSharingFileProfileProvider`
-  * (`client/.../DeltaSharingProfileProvider.scala:194-230`; version check
-  * in `DeltaSharingProfile.validate`).
+  * format spec `PROTOCOL.md:4284-4300`). Two credential types, keyed by
+  * the `type` field with version gating exactly like the reference's
+  * `DeltaSharingProfile` hierarchy
+  * (`client/.../DeltaSharingProfileProvider.scala:35-125`):
+  *
+  *  - `bearer_token` (the default; version 1 only): endpoint +
+  *    bearerToken + optional expirationTime.
+  *  - `oauth_client_credentials` (version 2 only): endpoint +
+  *    tokenEndpoint + clientId + clientSecret + optional scope.
+  *
+  * Profiles load through the Hadoop FileSystem API so they resolve from
+  * any configured store (file:, hdfs:, ...), same as the reference's
+  * `DeltaSharingFileProfileProvider`.
   */
-case class ShareProfile(
-    shareCredentialsVersion: Integer = null,
-    endpoint: String = null,
-    bearerToken: String = null,
-    expirationTime: String = null)
+sealed trait ShareProfile {
+  def endpoint: String
+}
+
+/** Version-1 static bearer-token profile. */
+case class BearerProfile(
+    endpoint: String,
+    bearerToken: String,
+    expirationTime: Option[String]) extends ShareProfile
+
+/** Version-2 OAuth client-credentials profile. */
+case class OAuthProfile(
+    endpoint: String,
+    tokenEndpoint: String,
+    clientId: String,
+    clientSecret: String,
+    scope: Option[String]) extends ShareProfile
 
 object ShareProfile {
 
   /** Highest profile version this client understands. */
-  val MAX_VERSION = 1
+  val MAX_VERSION = 2
 
   def parse(json: String): ShareProfile = {
-    val p = JsonUtils.fromJson[ShareProfile](json)
-    if (p.shareCredentialsVersion == null)
+    val node = JsonUtils.mapper.readTree(json)
+    def str(field: String): Option[String] =
+      Option(node.get(field)).filterNot(_.isNull).map(_.asText())
+    def required(field: String): String = str(field).filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(s"profile is missing $field"))
+    val version = Option(node.get("shareCredentialsVersion"))
+      .filterNot(_.isNull).map(_.asInt()).getOrElse(
+        throw new IllegalArgumentException(
+          "profile is missing shareCredentialsVersion"))
+    if (version > MAX_VERSION)
       throw new IllegalArgumentException(
-        "profile is missing shareCredentialsVersion")
-    if (p.shareCredentialsVersion > MAX_VERSION)
-      throw new IllegalArgumentException(
-        s"profile version ${p.shareCredentialsVersion} is newer than the " +
+        s"profile version $version is newer than the " +
           s"highest supported version $MAX_VERSION — upgrade the client")
-    if (p.endpoint == null || p.bearerToken == null)
-      throw new IllegalArgumentException(
-        "profile must provide endpoint and bearerToken")
-    p.expirationTime match {
-      case null => ()
-      case ts =>
-        val expiry = graft.model.StatsCodec.parseTimestamp(ts)
-        if (expiry.isBefore(java.time.Instant.now()))
-          throw new IllegalArgumentException(
-            s"the token in the profile expired at $ts — request a fresh share")
+    val profileType = str("type").getOrElse("bearer_token").toLowerCase
+    profileType match {
+      case "bearer_token" =>
+        if (version != 1) throw new IllegalArgumentException(
+          s"bearer_token only supports version 1, got $version")
+        val p = BearerProfile(required("endpoint"), required("bearerToken"),
+          str("expirationTime"))
+        p.expirationTime.foreach { ts =>
+          val expiry = graft.model.StatsCodec.parseTimestamp(ts)
+          if (expiry.isBefore(java.time.Instant.now()))
+            throw new IllegalArgumentException(
+              s"the token in the profile expired at $ts — request a fresh share")
+        }
+        p
+      case "oauth_client_credentials" =>
+        if (version != 2) throw new IllegalArgumentException(
+          s"oauth_client_credentials only supports version 2, got $version")
+        OAuthProfile(required("endpoint"), required("tokenEndpoint"),
+          required("clientId"), required("clientSecret"), str("scope"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown profile type $other")
     }
-    p
   }
 
   def load(conf: Configuration, path: String): ShareProfile = {
@@ -60,9 +93,9 @@ object ShareProfile {
   }
 
   /** Rewrite `load("<profile>#share.schema.table")` parameters into the
-    * explicit url/token/table options the remote path consumes. Returns
-    * the parameters unchanged when no profile-style path is present.
-    * Split on the LAST '#' like the reference's parser
+    * explicit url/credential/table options the remote path consumes.
+    * Returns the parameters unchanged when no profile-style path is
+    * present. Split on the LAST '#' like the reference's parser
     * (`DeltaSharingClient.parsePath`, `client/.../DeltaSharingClient
     * .scala:1592-1615`) — a profile file path may contain '#', a table
     * FQN cannot.
@@ -76,8 +109,14 @@ object ShareProfile {
         val (profilePath, fqn) = (addr.substring(0, sep), addr.substring(sep + 1))
         if (fqn.isEmpty) throw new IllegalArgumentException(
           s"profile address must be <profile>#<share>.<schema>.<table>, got $addr")
-        val prof = load(conf, profilePath)
-        parameters - "path" +
-          ("url" -> prof.endpoint, "token" -> prof.bearerToken, "table" -> fqn)
+        val base = parameters - "path" + ("table" -> fqn)
+        load(conf, profilePath) match {
+          case BearerProfile(endpoint, token, _) =>
+            base + ("url" -> endpoint, "token" -> token)
+          case OAuthProfile(endpoint, tokenEp, id, secret, scope) =>
+            base + ("url" -> endpoint, "tokenEndpoint" -> tokenEp,
+              "clientId" -> id, "clientSecret" -> secret) ++
+              scope.map("oauthScope" -> _)
+        }
     }
 }

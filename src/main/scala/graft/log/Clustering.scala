@@ -30,6 +30,15 @@ object Clustering {
   val TAG_CUBE_COLS = "ZCUBE_ZORDER_BY"
   val TAG_CUBE_CURVE = "ZCUBE_ZORDER_CURVE"
 
+  /** Delta's OPTIMIZE spells the ZCUBE_ZORDER_BY tag value as a JSON
+    * array (`["c1","c2"]`) — graft writes the same so a real Delta
+    * reader parses the tag, and [[wellFormed]] accepts the legacy
+    * comma-joined spelling graft rounds ≤9 wrote.
+    */
+  def colsTagValue(cols: Seq[String]): String =
+    graft.model.JsonUtils.mapper.writeValueAsString(
+      cols.toArray: Array[String])
+
   /** A file already sits in a well-formed cube for `cols`/`curve`: it
     * carries a cube id, was clustered on exactly these columns and this
     * curve, and has no deletion vector (a DV-carrying cube member has
@@ -39,7 +48,8 @@ object Clustering {
       f: graft.model.AddFile, cols: Seq[String], curve: String): Boolean =
     f.deletionVector.isEmpty && f.tags.exists { t =>
       t.contains(TAG_CUBE_ID) &&
-        t.get(TAG_CUBE_COLS).contains(cols.mkString(",")) &&
+        t.get(TAG_CUBE_COLS).exists(v =>
+          v == colsTagValue(cols) || v == cols.mkString(",")) &&
         t.get(TAG_CUBE_CURVE).contains(curve)
     }
 

@@ -853,8 +853,9 @@ object DeltaLogCompat {
   }
 
   /** Sidecar file names a v2 top-level checkpoint references (for
-    * expired-log cleanup — the sidecars are only referenced by their own
-    * checkpoint, so they are collected with it).
+    * expired-log cleanup — note the protocol lets checkpoints SHARE
+    * sidecars, so the caller must subtract every retained checkpoint's
+    * references before deleting).
     */
   private[graft] def sidecarRefs(conf: Configuration, file: Path): Seq[String] = {
     val out = Seq.newBuilder[String]

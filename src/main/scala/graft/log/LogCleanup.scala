@@ -18,8 +18,9 @@ import org.apache.hadoop.fs.Path
   * (snapshot replay needs the checkpoint + later commits), and the
   * newest checkpoint itself is kept. v2 UUID checkpoints are parsed for
   * their sidecar references before deletion so `_sidecars/` is collected
-  * exactly (a sidecar is only referenced by its own checkpoint — the
-  * writer names them freshly per checkpoint).
+  * exactly; because the protocol lets checkpoints SHARE sidecars, the
+  * reference set of every retained checkpoint is subtracted before any
+  * sidecar is deleted.
   */
 object LogCleanup {
 
@@ -127,6 +128,30 @@ object LogCleanup {
     // the newest one's load (degrading to a full replay whose commits
     // are gone). Delta checkpoints are self-contained and deletable.
     val checkpointsDeletable = log.deltaMode
+
+    // The protocol allows v2 checkpoints to SHARE sidecars (a writer may
+    // carry unchanged sidecars forward into the next checkpoint, like the
+    // reference MetadataCleanup's `identifyCheckpointsDeps`). Deleting an
+    // expired checkpoint therefore must not take sidecars a retained
+    // checkpoint still references — compute the retained reference set
+    // first and subtract it.
+    def uuidDeletable(v: Long, st: org.apache.hadoop.fs.FileStatus): Boolean =
+      checkpointsDeletable && v < cpVersion &&
+        (st.getModificationTime < cutoff || commitGone(v))
+    val uuidCheckpoints: Seq[(Long, org.apache.hadoop.fs.FileStatus)] =
+      statuses.flatMap { st =>
+        st.getPath.getName match {
+          case CpUuidRe(v) => Some((v.toLong, st))
+          case _ => None
+        }
+      }
+    val retainedSidecars: Set[String] = uuidCheckpoints
+      .filterNot { case (v, st) => uuidDeletable(v, st) }
+      .flatMap { case (_, st) =>
+        try DeltaLogCompat.sidecarRefs(conf, st.getPath)
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      }.toSet
+
     statuses.foreach { st =>
       val name = st.getPath.getName
       val expired = st.getModificationTime < cutoff
@@ -141,12 +166,13 @@ object LogCleanup {
           (expired || commitGone(v.toLong)) => rm(st.getPath)
         case CpMultiRe(v) if checkpointsDeletable && v.toLong < cpVersion &&
           (expired || commitGone(v.toLong)) => rm(st.getPath)
-        case CpUuidRe(v) if checkpointsDeletable && v.toLong < cpVersion &&
-          (expired || commitGone(v.toLong)) =>
-          // collect the sidecars this checkpoint references, then itself
-          try DeltaLogCompat.sidecarRefs(conf, st.getPath).foreach { rel =>
-            rm(new Path(new Path(logDir, "_sidecars"), rel))
-          } catch { case scala.util.control.NonFatal(_) => () }
+        case CpUuidRe(v) if uuidDeletable(v.toLong, st) =>
+          // collect the sidecars only this checkpoint references, then itself
+          try DeltaLogCompat.sidecarRefs(conf, st.getPath)
+            .filterNot(retainedSidecars).foreach { rel =>
+              rm(new Path(new Path(logDir, "_sidecars"), rel))
+            }
+          catch { case scala.util.control.NonFatal(_) => () }
           rm(st.getPath)
         case _ => ()
       }

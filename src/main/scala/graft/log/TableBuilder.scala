@@ -229,7 +229,8 @@ object TableBuilder {
         }.toSet
       } finally fs.delete(staging, true)
     val adds = scanDataFiles(spark, tablePath, physSchema, physPartitionCols, version,
-      timestamp, onlyRelPaths = Some(moved), config = metadataNow.configuration)
+      timestamp, onlyRelPaths = Some(moved), config = metadataNow.configuration,
+      nameMap = names)
     // identity watermark updates (or explicit identity values) make the
     // append a metadata-updating txn — its generated values were derived
     // from a snapshot watermark and cannot be rebased without rewriting
@@ -675,7 +676,8 @@ object TableBuilder {
       .partitionBy(physPartitionCols: _*).parquet(tablePath)
     val adds = scanDataFiles(spark, tablePath, physSchema, physPartitionCols, version,
       timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)),
-      config = prev.metadata.configuration)
+      config = prev.metadata.configuration,
+      nameMap = ColumnMapping.nameMap(prev.schema))
 
     // CDF: deleted preimages (the matched rows) + inserted rows
     val ct = GraftCDF.CHANGE_TYPE
@@ -871,7 +873,7 @@ object TableBuilder {
       version = 0L)
     val adds = scanDataFiles(spark, tablePath,
       ColumnMapping.physicalSchema(logical), physPartitionCols, version = 0L,
-      config = meta.configuration)
+      config = meta.configuration, nameMap = names)
     GraftLog.commit(tablePath, 0L, Seq(Protocol(minReaderVersion = 2), meta) ++ adds,
       spark.sessionState.newHadoopConf(), operation = "CREATE TABLE")
   }
@@ -985,7 +987,8 @@ object TableBuilder {
     }
     val adds = scanDataFiles(spark, tablePath, physSchema, physPartitionCols, version,
       timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)),
-      config = prev.metadata.configuration)
+      config = prev.metadata.configuration,
+      nameMap = ColumnMapping.nameMap(prev.schema))
       .map(_.copy(dataChange = false))
     val (stamped, domActs) = RowTracking.stamp(prev.metadata, prev.domains, version, adds)
     val removes = bins.flatten.map(f =>
@@ -1114,11 +1117,12 @@ object TableBuilder {
     // these and leaves them alone on the next OPTIMIZE
     val cubeTags = Map(
       Clustering.TAG_CUBE_ID -> java.util.UUID.randomUUID().toString,
-      Clustering.TAG_CUBE_COLS -> cols.mkString(","),
+      Clustering.TAG_CUBE_COLS -> Clustering.colsTagValue(cols),
       Clustering.TAG_CUBE_CURVE -> curve)
     val adds = scanDataFiles(spark, tablePath, physSchema, Nil, version,
       timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)),
-      config = prev.metadata.configuration)
+      config = prev.metadata.configuration,
+      nameMap = ColumnMapping.nameMap(prev.schema))
       .map(_.copy(dataChange = false, tags = Some(cubeTags)))
     val (stamped, domActs) = RowTracking.stamp(prev.metadata, prev.domains, version, adds)
     val removes = targets.map(f =>
@@ -1292,7 +1296,9 @@ object TableBuilder {
       val before = collectParquet(fs, fs.makeQualified(root)).map(_.getPath.toUri).toSet
       toPhysical(rewritten).write.mode("append").parquet(tablePath)
       val adds = scanDataFiles(spark, tablePath, physSchema, Nil, version,
-        timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)))
+        timestamp, onlyRelPaths = Some(newRelPaths(fs, root, before)),
+        config = prev.metadata.configuration,
+        nameMap = ColumnMapping.nameMap(prev.schema))
 
       // cdc file(s) under _cdc/v<version>/ (underscore dir ⇒ invisible to
       // plain data scans; physical names + literal _change_type, the
@@ -1333,7 +1339,13 @@ object TableBuilder {
       version: Long,
       timestamp: Long = 0L,
       onlyRelPaths: Option[Set[String]] = None,
-      config: Map[String, String] = Map.empty): Seq[AddFile] = {
+      config: Map[String, String] = Map.empty,
+      /** logical→physical top-level names (column-mapped tables) — the
+        * data-skipping configs list LOGICAL names while `schema` here is
+        * physical; without the translation the listed columns silently
+        * collect no stats.
+        */
+      nameMap: Map[String, String] = Map.empty): Seq[AddFile] = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)
@@ -1366,14 +1378,19 @@ object TableBuilder {
     // so narrowing scope is always sound.
     val statsScope: StructField => Boolean =
       config.get("delta.dataSkippingStatsColumns")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet) match {
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(n => nameMap.getOrElse(n, n)).toSet) match {
         case Some(listed) => f => listed.contains(f.name)
         case None =>
           val n = config.get("delta.dataSkippingNumIndexedCols")
             .map(_.trim.toInt).getOrElse(32)
+          // the first-N window counts DATA columns only (delta's
+          // numIndexedCols contract) — partition columns skip via
+          // partitionValues, not stats, and must not eat window slots
+          val dataNames = schema.fieldNames.filterNot(partitionCols.contains)
           val indexed =
-            if (n < 0) schema.fieldNames.toSet
-            else schema.fieldNames.take(n).toSet
+            if (n < 0) dataNames.toSet
+            else dataNames.take(n).toSet
           f => indexed.contains(f.name)
       }
     val statCols = dataCols.filter(f =>

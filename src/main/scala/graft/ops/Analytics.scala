@@ -185,7 +185,10 @@ object Analytics {
       val contrib = edges.join(ranks, edges("src") === ranks("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("p")).as("__in"))
-      ranks = nodes.join(contrib, Seq("node"), "left").crossJoin(n)
+      // re-assert the hint at the use site: a hint node inside a reused
+      // plan fragment can be folded away by later rules — the 1-row count
+      // frame must ALWAYS broadcast, never shuffle
+      ranks = nodes.join(contrib, Seq("node"), "left").crossJoin(broadcast(n))
         .select(col("node"),
           (lit(1.0 - damping) / col("__n") +
             lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))

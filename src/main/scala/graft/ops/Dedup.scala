@@ -189,6 +189,74 @@ object Dedup {
     (exploded, dict)
   }
 
+  /** Per-doc SORTED code arrays — ONE aggregation serving BOTH candidate
+    * generation and verification. The ascending code order IS the
+    * rarest-first (freq, feature) order (codes are global ranks of that
+    * exact ordering), so a prefix of the sorted array is the PPJoin
+    * prefix — no per-row window rank, no second dictionary join on the
+    * verify side, and the candidate join key becomes a LONG instead of a
+    * feature string (cheaper hash, compare, and shuffle bytes).
+    */
+  private[graft] def codedSets(sets: DataFrame): DataFrame = {
+    val (exploded, dict) = featureTables(sets)
+    codedSetsFromFeatures(exploded, dict)
+  }
+
+  private[graft] def codedSetsFromFeatures(
+      exploded: DataFrame, dict: DataFrame): DataFrame = {
+    val tagged = exploded.columns.contains("__new")
+    val aggs = Seq(
+      sort_array(collect_list(col("__code"))).as("__codes"),
+      first(col("__n")).as("__n")) ++
+      (if (tagged) Seq(first(col("__new")).as("__new")) else Nil)
+    exploded.join(dict.select(col("__f"), col("__code")), "__f")
+      .groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The (index, probe) prefix tables SLICED from the sorted code arrays
+    * (same contract as the former window-ranked variant): `__f` is the
+    * code at 1-based in-doc rank `__rn`; index/probe lengths follow the
+    * asymmetric PPJoin lemma (see [[prefixJoin]]).
+    */
+  private[graft] def prefixTables(
+      codes: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val tagged = codes.columns.contains("__new")
+    def cut(len: Column): DataFrame = {
+      val keep = Seq(col("id"), col("__n")) ++
+        (if (tagged) Seq(col("__new")) else Nil)
+      codes.select(keep :+
+        posexplode(slice(col("__codes"), lit(1), len.cast("int"))).as(Seq("__p", "__f")): _*)
+        .withColumn("__rn", col("__p") + 1).drop("__p")
+    }
+    val probeLen = col("__n") - ceilSafe(col("__n") * lit(threshold)) + 1
+    val indexLen = col("__n") -
+      ceilSafe(col("__n") * lit(2.0 * threshold / (1.0 + threshold))) + 1
+    (cut(indexLen), cut(probeLen))
+  }
+
+  /** Exact Jaccard straight over the sorted code arrays: |A∩B| via the
+    * native codegen merge walk ([[graft.functions.SortedLongIntersectCount]]),
+    * |A∪B| = n_a + n_b − |A∩B|.
+    */
+  private[graft] def codedVerifyFromCodes(
+      pairs: DataFrame, codes: DataFrame, threshold: Double): DataFrame = {
+    val intersectCount = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.SortedLongIntersectCount(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("__ca")),
+        org.apache.spark.sql.GraftSqlBridge.expression(col("__cb"))))
+    pairs.select("id_a", "id_b")
+      .join(codes.select(col("id").as("id_a"),
+        col("__codes").as("__ca"), col("__n").as("__sa")), "id_a")
+      .join(codes.select(col("id").as("id_b"),
+        col("__codes").as("__cb"), col("__n").as("__sb")), "id_b")
+      .withColumn("__o", intersectCount.cast("double"))
+      .withColumn("jaccard", col("__o") / (col("__sa") + col("__sb") - col("__o")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Candidate pairs after the AllPairs/PPJoin filter cascade. All three
     * prunings preserve exact completeness:
     *  - prefix filter: two sets with Jaccard ≥ t must share a feature in
@@ -217,37 +285,8 @@ object Dedup {
     * long instead of long × long shrinks the bucket join roughly by the
     * prefix-ratio and drops the id_a<id_b half-filter.
     */
-  private[graft] def prefixCandidates(
-      exploded: DataFrame, dict: DataFrame, threshold: Double): DataFrame = {
-    val (index, probe) = rankedPrefixes(exploded, dict, threshold)
-    prefixJoin(index, probe, threshold)
-  }
-
-  /** The (index, probe) prefix tables of the PPJoin cascade: every
-    * feature row ranked rarest-first within its doc, cut to the
-    * asymmetric index/probe prefix lengths. Shared by the self-join
-    * ([[prefixCandidates]]) and the bipartite incremental path, which
-    * filters each side by the `__new` tag before joining.
-    */
-  private[graft] def rankedPrefixes(
-      exploded: DataFrame, dict: DataFrame,
-      threshold: Double): (DataFrame, DataFrame) = {
-    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
-    val tagged = exploded.columns.contains("__new")
-    val keep = Seq(col("id"), col("__f"), col("__rn"), col("__n")) ++
-      (if (tagged) Seq(col("__new")) else Nil)
-    val ranked = exploded.join(dict.select(col("__f"), col("__freq")), "__f")
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy(col("id")).orderBy(col("__freq"), col("__f"))))
-    val probeLen = col("__n") - ceilSafe(col("__n") * lit(threshold)) + 1
-    val indexLen = col("__n") -
-      ceilSafe(col("__n") * lit(2.0 * threshold / (1.0 + threshold))) + 1
-    (ranked.filter(col("__rn") <= indexLen).select(keep: _*),
-      ranked.filter(col("__rn") <= probeLen).select(keep: _*))
-  }
-
   /** The feature-bucketed candidate join over prepared prefix tables.
-    * `index`/`probe` may be filtered subsets of [[rankedPrefixes]]'
+    * `index`/`probe` may be filtered subsets of [[prefixTables]]'
     * output — completeness then holds for exactly the pairs whose
     * (n, id)-smaller side is in `index` and larger side in `probe`.
     */
@@ -279,35 +318,9 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard over dictionary codes: |A∩B| via a native codegen
-    * merge walk over the SORTED long-code arrays
-    * ([[graft.functions.SortedLongIntersectCount]] — no per-pair hash-set
-    * build), |A∪B| = n_a + n_b − |A∩B| (no union materialized). The
-    * per-pair kernel dominates verify cost on multi-million-candidate
-    * sets, so it must stay inside whole-stage codegen.
-    */
-  private[graft] def codedVerify(
-      pairs: DataFrame, // id_a, id_b (extra cols ignored)
-      exploded: DataFrame, dict: DataFrame, threshold: Double): DataFrame = {
-    val codes = exploded.join(dict.select(col("__f"), col("__code")), "__f")
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(col("__code"))).as("__codes"), first(col("__n")).as("__sz"))
-    val intersectCount = org.apache.spark.sql.GraftSqlBridge.column(
-      graft.functions.SortedLongIntersectCount(
-        org.apache.spark.sql.GraftSqlBridge.expression(col("__ca")),
-        org.apache.spark.sql.GraftSqlBridge.expression(col("__cb"))))
-    pairs.select("id_a", "id_b")
-      .join(codes.select(col("id").as("id_a"), col("__codes").as("__ca"), col("__sz").as("__sa")), "id_a")
-      .join(codes.select(col("id").as("id_b"), col("__codes").as("__cb"), col("__sz").as("__sb")), "id_b")
-      .withColumn("__o", intersectCount.cast("double"))
-      .withColumn("jaccard", col("__o") / (col("__sa") + col("__sb") - col("__o")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
-
   def prefixFilterCandidates(sets: DataFrame, threshold: Double): DataFrame = {
-    val (exploded, dict) = featureTables(sets)
-    prefixCandidates(exploded, dict, threshold).select("id_a", "id_b")
+    val (index, probe) = prefixTables(codedSets(sets), threshold)
+    prefixJoin(index, probe, threshold).select("id_a", "id_b")
   }
 
   /** COMPLETE near-dup pairs: exactly every pair with shingle-Jaccard ≥
@@ -330,7 +343,9 @@ object Dedup {
     val sets = docs.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("fset"))
     val (exploded, dict) = featureTables(sets)
-    val prefix = prefixCandidates(exploded, dict, threshold).select("id_a", "id_b")
+    val codes = codedSetsFromFeatures(exploded, dict)
+    val (index, probe) = prefixTables(codes, threshold)
+    val prefix = prefixJoin(index, probe, threshold).select("id_a", "id_b")
     // MinHash over the SAME exploded feature table (min over the
     // distinct set is exactly the MinHash definition) — the probabilistic
     // band path rides the shared subtree instead of re-shingling.
@@ -338,7 +353,7 @@ object Dedup {
       if (includeMinHashCandidates)
         prefix.union(minHashCandidatesFromFeatures(exploded, numHashes, bands)).distinct()
       else prefix
-    codedVerify(cands, exploded, dict, threshold)
+    codedVerifyFromCodes(cands, codes, threshold)
   }
 
   /** PROBABILISTIC near-dup pairs: MinHash-LSH band candidates ONLY,
@@ -359,8 +374,8 @@ object Dedup {
     val sets = docs.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("fset"))
     val (exploded, dict) = featureTables(sets)
-    codedVerify(minHashCandidatesFromFeatures(exploded, numHashes, bands),
-      exploded, dict, threshold)
+    codedVerifyFromCodes(minHashCandidatesFromFeatures(exploded, numHashes, bands),
+      codedSetsFromFeatures(exploded, dict), threshold)
   }
 
   /** Cross-engine-reproducible hash family for MinHash via DOUBLE
@@ -413,7 +428,7 @@ object Dedup {
     val cands = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val (exploded, dict) = featureTables(sets)
-    codedVerify(cands, exploded, dict, threshold)
+    codedVerifyFromCodes(cands, codedSetsFromFeatures(exploded, dict), threshold)
   }
 
   /** LSH band candidates from an exploded (id, __f) feature table. */
@@ -474,8 +489,8 @@ object Dedup {
       lit(isNew).as("__new"))
     val bSets = prep(batch, isNew = true)
     val sets = prep(corpus, isNew = false).unionByName(bSets)
-    val (exploded, dict) = featureTables(sets)
-    val (index, probe) = rankedPrefixes(exploded, dict, threshold)
+    val codes = codedSets(sets)
+    val (index, probe) = prefixTables(codes, threshold)
     // ONE feature-bucketed join over the union with a map-side
     // "≥ one side is new" pair filter — measured 5.9 s vs 7.0 s at
     // sf0.1 for the two-bipartite-join formulation, which pays the
@@ -489,7 +504,7 @@ object Dedup {
     // batch delta per run.)
     val cands = prefixJoin(index, probe, threshold,
       pairFilter = col("__new_x") || col("__new_y"))
-    val verified = codedVerify(cands, exploded, dict, threshold)
+    val verified = codedVerifyFromCodes(cands, codes, threshold)
     // orientation recovery on the (small) verified output: id_a < id_b,
     // so a batch-batch pair drops id_b (keep-min-id), a corpus-batch
     // pair drops whichever side is the batch doc
@@ -619,8 +634,9 @@ object Dedup {
       n: Int = 5,
       threshold: Double = 0.6): DataFrame = {
     val sets = docs.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("fset"))
-    val (exploded, dict) = featureTables(sets)
-    codedVerify(prefixCandidates(exploded, dict, threshold), exploded, dict, threshold)
+    val codes = codedSets(sets)
+    val (index, probe) = prefixTables(codes, threshold)
+    codedVerifyFromCodes(prefixJoin(index, probe, threshold), codes, threshold)
   }
 
   // ------------------------------------------------ contamination screen

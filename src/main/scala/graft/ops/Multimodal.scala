@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, plus batched decode / feature-extract /
   * frame-sample operators.
   *
-  * The Spark-side plumbing is real and tested: schema (binary + metadata
-  * struct), partition-preserving `mapPartitions` decode with per-partition
-  * batch shape, and `Array[Float]` features that feed straight into
-  * [[Similarity]]. The codec itself is a STUB — this container ships no
-  * image/audio libraries, so `decodePayload` computes a deterministic fake
-  * (byte histogram); swap in a real decoder without touching the pipeline.
+  * The image path is REAL: png/bmp payloads are actual encoded images
+  * (JDK `javax.imageio` — no external dependency) and `decodePayload`
+  * decodes them back to pixels for the feature histogram; because both
+  * codecs are lossless, the pixel-derived features are exactly
+  * predictable from the deterministic pixel generator, which is what the
+  * q31 oracle recomputes in SQL. Audio/video codecs do not ship in the
+  * JDK, so wav/mp4 payloads remain opaque bytes scored by the
+  * byte-histogram fallback — the documented stub boundary.
   */
 object Multimodal {
 
@@ -20,38 +22,103 @@ object Multimodal {
   case class Asset(asset_id: Long, payload: Array[Byte], meta: AssetMeta)
   case class AssetFeatures(asset_id: Long, format: String, features: Array[Float])
 
-  private val formats = Seq("png", "jpeg", "wav", "mp4")
+  private val formats = Seq("png", "bmp", "wav", "mp4")
 
-  /** Deterministic fake assets derived from the documents fixture: the
-    * payload is the utf-8 text, metadata is derived from doc fields.
+  /** Image assets are IMG_W×IMG_H grayscale, pixel(x,y) =
+    * (id·31 + x·7 + y·13) mod 256 — deterministic so an engine-free
+    * oracle can recompute the decoded features.
+    */
+  val IMG_W = 8
+  val IMG_H = 8
+
+  private[graft] def pixelValue(id: Long, x: Int, y: Int): Int =
+    (((id * 31 + x * 7 + y * 13) % 256) + 256).toInt % 256
+
+  /** Encode a deterministic grayscale image for `id` as a real png/bmp
+    * byte stream via the JDK's ImageIO.
+    */
+  private[graft] def encodeImage(id: Long, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      IMG_W, IMG_H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < IMG_H) {
+      var x = 0
+      while (x < IMG_W) {
+        val g = pixelValue(id, x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, out),
+      s"no JDK ImageIO writer for $format")
+    out.toByteArray
+  }
+
+  /** Assets derived from the documents fixture: doc_id picks the format
+    * round-robin; png/bmp assets carry a REAL encoded image payload,
+    * wav/mp4 carry the utf-8 text as opaque bytes (no JDK codec).
     */
   def toAssets(docs: DataFrame): Dataset[Asset] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
-      col("doc_id").as("asset_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      struct(
-        element_at(typedLit(formats), (col("doc_id") % formats.size).cast("int") + 1).as("format"),
-        (col("n_chars") % 640).cast("int").as("width"),
-        (col("n_chars") % 480).cast("int").as("height"),
-        octet_length(col("text")).cast("long").as("nBytes")).as("meta"))
-      .as[Asset]
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        it.map { case (docId, text, nChars) =>
+          val format = formats(((docId % formats.size) + formats.size).toInt % formats.size)
+          val payload = format match {
+            case "png" | "bmp" => encodeImage(docId, format)
+            case _ => text.getBytes("UTF-8")
+          }
+          val (w, h) = format match {
+            case "png" | "bmp" => (IMG_W, IMG_H)
+            case _ => ((nChars % 640).toInt, (nChars % 480).toInt)
+          }
+          Asset(docId, payload, AssetMeta(format, w, h, payload.length.toLong))
+        }
+      }
   }
 
-  /** STUB decoder: a real implementation would decode pixels/samples here.
-    * Deterministic fake: `dim`-bucket byte histogram, L1-normalized.
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 4 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length > 2 && b(0) == 'B' && b(1) == 'M'
+
+  /** Decode a payload to a `dim`-bucket L1-normalized histogram.
+    * png/bmp: REAL pixel decode via ImageIO, bucketed on the gray value.
+    * Anything else: byte histogram — the stub fallback for codecs the
+    * JDK doesn't ship (audio/video).
     */
   def decodePayload(payload: Array[Byte], dim: Int): Array[Float] = {
     val hist = new Array[Float](dim)
-    var i = 0
-    while (i < payload.length) {
-      hist((payload(i) & 0xFF) % dim) += 1f
-      i += 1
+    if (isPng(payload) || isBmp(payload)) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "ImageIO failed to decode an image payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          hist((img.getRGB(x, y) & 0xFF) % dim) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val total = math.max(w * h, 1).toFloat
+      var j = 0
+      while (j < dim) { hist(j) /= total; j += 1 }
+    } else {
+      var i = 0
+      while (i < payload.length) {
+        hist((payload(i) & 0xFF) % dim) += 1f
+        i += 1
+      }
+      val total = math.max(payload.length, 1).toFloat
+      var j = 0
+      while (j < dim) { hist(j) /= total; j += 1 }
     }
-    val total = math.max(payload.length, 1).toFloat
-    var j = 0
-    while (j < dim) { hist(j) /= total; j += 1 }
     hist
   }
 
@@ -63,7 +130,8 @@ object Multimodal {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions { it =>
-      // per-partition decoder setup would go here (STUB: none needed)
+      // per-partition decoder setup (ImageIO reader discovery is
+      // classloader-wide; a native codec would instantiate here)
       it.map(a => AssetFeatures(a.asset_id, a.meta.format, decodePayload(a.payload, dim)))
     }
   }

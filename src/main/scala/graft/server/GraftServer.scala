@@ -536,11 +536,14 @@ class GraftServer(
           "configured storage location.")
     }
     val scope = requested.getOrElse(tablePath)
+    // the credential itself is bound to the NARROWED scope — a location
+    // override that only narrowed the advertised tablePath while the
+    // token still granted the table root would be scope theater
     sendJson(ex, 200, JsonUtils.toJson(TableCredentials(
       tablePath = scope,
       expirationTimestamp = exp,
       credentialsType = "local-file",
-      accessToken = Tokens.hmac(secret, s"dir:$location@$exp"))))
+      accessToken = Tokens.hmac(secret, s"dir:$scope@$exp"))))
   }
 
   private def queryTableSnapshot(

@@ -160,8 +160,17 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     if (parameters.contains("url")) {
       val (share, sc, t) = splitFqn(parameters)
       val client = GraftDataSource.remoteClient(parameters)
-      val (meta, _) = client.metadata(share, sc, t)
-      val base = org.apache.spark.sql.types.DataType.fromJson(meta.schemaString)
+      // same dialect negotiation as the source itself: a table whose
+      // reader features refuse the parquet dialect answers its schema
+      // over responseformat=delta
+      val schemaJson =
+        try client.metadata(share, sc, t)._1.schemaString
+        catch {
+          case e: graft.client.GraftClientException
+              if e.status == 400 && e.getMessage.contains("UNSUPPORTED_OPERATION") =>
+            client.deltaMetadata(share, sc, t)._1.deltaMetadata.schemaString
+        }
+      val base = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[StructType]
       val withCdf = if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
         import org.apache.spark.sql.types._
@@ -268,7 +277,9 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
 
 object GraftDataSource {
   /** REST client from remote-mode options: `url` [+ `token`, or OAuth
-    * client credentials via `clientId`/`clientSecret`].
+    * client credentials via `clientId`/`clientSecret` (+ optional
+    * `tokenEndpoint`)]; `asyncQuery=true` opts snapshot queries into the
+    * async submit+poll protocol.
     */
   private[sources] def remoteClient(parameters: Map[String, String]): graft.client.GraftRestClient =
     new graft.client.GraftRestClient(
@@ -276,7 +287,13 @@ object GraftDataSource {
       oauth = for {
         id <- parameters.get("clientId")
         secret <- parameters.get("clientSecret")
-      } yield (id, secret))
+      } yield (id, secret),
+      tokenEndpoint = parameters.get("tokenEndpoint"),
+      asyncQuery = parameters.get("asyncQuery").exists(_.toBoolean),
+      asyncPollIntervalMs =
+        parameters.get("asyncQueryPollIntervalMs").map(_.toLong).getOrElse(10000L),
+      asyncMaxDurationMs =
+        parameters.get("asyncQueryMaxDurationMs").map(_.toLong).getOrElse(600000L))
 
   def relation(
       spark: SparkSession,

@@ -98,16 +98,27 @@ class RemoteDeltaScanRelation(
       col(names.getOrElse(f.name, f.name)).as(f.name)): _*)
   }
 
+  private def fetchDvBytes(dv: wire.DeltaDvW): Array[Byte] =
+    RemoteDeltaScanRelation.fetchDvBytes(dv)
+}
+
+object RemoteDeltaScanRelation {
+  /** One shared client for driver-side DV fetches (a per-file
+    * HttpClient.newHttpClient would rebuild a connection pool per DV).
+    */
+  private lazy val http = java.net.http.HttpClient.newHttpClient()
+
   /** Resolve a served DV descriptor to serialized-bitmap bytes: "p" is a
     * pre-signed URL of the framed DV file (one driver-side GET — the
     * refreshable URL cache is unnecessary for a one-shot metadata fetch),
     * "i" is inline z85. Verification shares
     * [[graft.log.DeletionVectors.verifiedBlob]] with the local path.
+    * Shared by the batch relation and the delta-dialect streaming source.
     */
-  private def fetchDvBytes(dv: wire.DeltaDvW): Array[Byte] = dv.storageType match {
+  private[graft] def fetchDvBytes(dv: wire.DeltaDvW): Array[Byte] = dv.storageType match {
     case "i" => Z85.decode(dv.pathOrInlineDv)
     case "p" =>
-      val resp = RemoteDeltaScanRelation.http.send(
+      val resp = http.send(
         java.net.http.HttpRequest.newBuilder(java.net.URI.create(dv.pathOrInlineDv))
           .GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofByteArray())
@@ -120,12 +131,4 @@ class RemoteDeltaScanRelation(
     case other =>
       throw new IllegalArgumentException(s"unknown served DV storageType '$other'")
   }
-
-}
-
-object RemoteDeltaScanRelation {
-  /** One shared client for driver-side DV fetches (a per-file
-    * HttpClient.newHttpClient would rebuild a connection pool per DV).
-    */
-  private lazy val http = java.net.http.HttpClient.newHttpClient()
 }

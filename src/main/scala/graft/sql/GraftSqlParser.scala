@@ -201,6 +201,11 @@ case class OptimizeCommand(
       graft.log.Clustering.columnsOf(
         new graft.log.GraftLog(tablePath, spark.sessionState.newHadoopConf())
           .snapshot(None).domains).nonEmpty
+    // FULL only means something on a clustered table — delta raises
+    // DELTA_OPTIMIZE_FULL_NOT_SUPPORTED rather than silently compacting
+    if (full && !clustered) throw new UnsupportedOperationException(
+      s"OPTIMIZE FULL is only supported for clustered tables; " +
+        s"$tablePath has no clustering columns")
     val v =
       if (zorderCols.nonEmpty)
         graft.log.TableBuilder.zorder(spark, tablePath, zorderCols,

@@ -91,11 +91,31 @@ class RemoteGraftSource(
     lastPolledVersion
   }
 
-  private val (meta, versionAtStart) = client.metadata(share, schemaName, table)
-  private val tableId: String = meta.id
+  /** Dialect negotiation (the streaming mirror of the batch fallback in
+    * `GraftDataSource.createRemoteRelation`): parquet first; a table
+    * whose reader features refuse the flat dialect (DV, column mapping)
+    * answers the protocol's typed 400, and the stream renegotiates in
+    * `responseformat=delta` — every micro-batch then applies DV
+    * merge-on-read filtering and physical→logical renames.
+    */
+  private val (tableId, tableSchemaRaw, partitionColumnsLogical, tableConfig,
+    deltaDialect, versionAtStart) =
+    try {
+      val (m, v) = client.metadata(share, schemaName, table)
+      (m.id, DataType.fromJson(m.schemaString).asInstanceOf[StructType],
+        m.partitionColumns, Map.empty[String, String], false, v)
+    } catch {
+      case e: graft.client.GraftClientException
+          if e.status == 400 && e.getMessage.contains("UNSUPPORTED_OPERATION") =>
+        val (dm, v) = client.deltaMetadata(share, schemaName, table)
+        (dm.deltaMetadata.id,
+          DataType.fromJson(dm.deltaMetadata.schemaString).asInstanceOf[StructType],
+          dm.deltaMetadata.partitionColumns,
+          Option(dm.deltaMetadata.configuration).getOrElse(Map.empty[String, String]),
+          true, v)
+    }
 
-  private val tableSchema: StructType =
-    DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+  private val tableSchema: StructType = tableSchemaRaw
 
   override val schema: StructType =
     if (cdfMode) {
@@ -107,7 +127,7 @@ class RemoteGraftSource(
     } else tableSchema
 
   private val partitionSchema: StructType =
-    StructType(meta.partitionColumns.map(c => schema(c)))
+    StructType(partitionColumnsLogical.map(c => schema(c)))
 
   @volatile private var frozenEndVersion: Option[Long] = None
 
@@ -125,12 +145,19 @@ class RemoteGraftSource(
     }
   }
 
+  /** One served data file: fileId + scan inputs (+ the DV descriptor in
+    * the delta dialect — merge-on-read filtering happens in getBatch).
+    */
+  private case class RemoteFile(
+      id: String, size: Long, partitionValues: Map[String, String],
+      dv: Option[graft.server.wire.DeltaDvW] = None)
+
   /** One admitted file (or empty-version sentinel) in offset order. */
   private case class IndexedFile(
       version: Long, index: Long,
-      file: Option[(String, Long, Map[String, String])], // (id, size, partitionValues)
+      file: Option[RemoteFile],
       isStarting: Boolean) {
-    def bytes: Long = file.map(_._2).getOrElse(0L)
+    def bytes: Long = file.map(_.size).getOrElse(0L)
   }
 
   /** Registered URL-refresher windows keyed by their LAST version, so
@@ -161,18 +188,34 @@ class RemoteGraftSource(
   }
 
   /** Snapshot files at `version`, offset-ordered (stable by id). */
-  private def snapshotFiles(version: Long): Seq[(String, Long, Map[String, String])] = {
-    val req = graft.server.wire.QueryRequest(version = version)
-    val res = client.query(share, schemaName, table, req)
-    registerUrls(s"snap@$version",
-      res.files.map(f => f.id -> GraftUrlCache.Entry(f.url,
-        Option(f.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap,
-      () => client.query(share, schemaName, table, req).files.map(f =>
-        f.id -> GraftUrlCache.Entry(f.url,
+  private def snapshotFiles(version: Long): Seq[RemoteFile] =
+    if (deltaDialect) {
+      val req = graft.server.wire.QueryRequest(version = version)
+      val res = client.deltaQuery(share, schemaName, table, req)
+      def urlsOf(r: client.DeltaQueryResult) = r.files.map { f =>
+        dvScopedId(f, version) -> GraftUrlCache.Entry(f.deltaSingleAction.add.path,
+          Option(f.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))
+      }.toMap
+      registerUrls(s"snap@$version", urlsOf(res),
+        () => urlsOf(client.deltaQuery(share, schemaName, table, req)),
+        lastVersion = version)
+      res.files.sortBy(_.id).map { f =>
+        val a = f.deltaSingleAction.add
+        RemoteFile(dvScopedId(f, version), a.size, a.partitionValues,
+          Option(a.deletionVector))
+      }
+    } else {
+      val req = graft.server.wire.QueryRequest(version = version)
+      val res = client.query(share, schemaName, table, req)
+      registerUrls(s"snap@$version",
+        res.files.map(f => f.id -> GraftUrlCache.Entry(f.url,
           Option(f.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap,
-      lastVersion = version)
-    res.files.sortBy(_.id).map(f => (f.id, f.size, f.partitionValues))
-  }
+        () => client.query(share, schemaName, table, req).files.map(f =>
+          f.id -> GraftUrlCache.Entry(f.url,
+            Option(f.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap,
+        lastVersion = version)
+      res.files.sortBy(_.id).map(f => RemoteFile(f.id, f.size, f.partitionValues))
+    }
 
   /** Per-version memo of fetched range data. A committed version is
     * immutable, so once fetched it never needs re-fetching:
@@ -182,14 +225,14 @@ class RemoteGraftSource(
     * [[graft.log.GraftLog]]'s commit cache).
     */
   private val fetchedCommits = scala.collection.concurrent.TrieMap
-    .empty[Long, (Seq[(String, Long, Map[String, String])], Boolean)]
+    .empty[Long, (Seq[RemoteFile], Boolean)]
 
   /** Version-range files grouped per version, with policing + drift
     * check; uncached spans are fetched in windows of `maxVersionsPerRpc`
     * and memoized per version.
     */
   private def rangeCommits(
-      start: Long, end: Long): Seq[(Long, Seq[(String, Long, Map[String, String])], Boolean)] = {
+      start: Long, end: Long): Seq[(Long, Seq[RemoteFile], Boolean)] = {
     var v = start
     while (v <= end) {
       if (fetchedCommits.contains(v)) v += 1
@@ -209,39 +252,89 @@ class RemoteGraftSource(
     }
   }
 
-  private def rangeCommitsWindow(
-      start: Long, end: Long): Seq[(Long, Seq[(String, Long, Map[String, String])], Boolean)] = {
-    val res = client.queryRange(share, schemaName, table, start, Some(end))
-    // schema drift guard on every historical metadata in the range
-    res.metas.foreach { m =>
-      SchemaCompat.assertReadCompatible(schema,
-        DataType.fromJson(m.schemaString).asInstanceOf[StructType],
-        s"$share.$schemaName.$table (version ${Option(m.version).getOrElse(-1L)})")
+  /** DV-carrying file instances get a VERSION-SCOPED synthetic file id:
+    * the id keys the `graft://` path, and with `ignoreChanges` the same
+    * physical file can ride one micro-batch twice — once pre-DV (full)
+    * and once re-added with its DV. Path-keyed DV filtering would then
+    * delete rows from BOTH instances; scoping the DV'd instance's id
+    * keeps the graft:// paths distinct. Purely client-side naming — the
+    * URL cache maps either spelling to the same pre-signed URL.
+    */
+  private def dvScopedId(f: graft.server.wire.DeltaFileW, version: Long): String =
+    if (f.deltaSingleAction.add.deletionVector == null) f.id
+    else s"${f.id}~dv$version"
+
+  private def policeRemoves(v: Long, hasRemoves: Boolean): Boolean = {
+    val dropCommit = hasRemoves && skipChangeCommits
+    if (hasRemoves && !dropCommit && !(ignoreChanges || ignoreDeletes)) {
+      throw new UnsupportedOperationException(
+        s"Detected a data update/delete in version $v of table " +
+          s"$share.$schemaName.$table. Streaming sources only support appends; " +
+          "set 'skipChangeCommits' to skip such commits, or 'ignoreChanges'/" +
+          "'ignoreDeletes' to stream the added files anyway.")
     }
-    registerUrls(s"range@$start-$end",
-      res.adds.map(a => a.id -> GraftUrlCache.Entry(a.url,
-        Option(a.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap,
-      () => client.queryRange(share, schemaName, table, start, Some(end)).adds.map(a =>
-        a.id -> GraftUrlCache.Entry(a.url,
-          Option(a.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap,
-      lastVersion = end)
-    val removesByVersion = res.removes.groupBy(_.version)
-    val addsByVersion = res.adds.groupBy(_.version)
-    (start to end).map { v =>
-      val removes = removesByVersion.getOrElse(v, Nil)
-      val dropCommit = removes.nonEmpty && skipChangeCommits
-      if (removes.nonEmpty && !dropCommit && !(ignoreChanges || ignoreDeletes)) {
-        throw new UnsupportedOperationException(
-          s"Detected a data update/delete in version $v of table " +
-            s"$share.$schemaName.$table. Streaming sources only support appends; " +
-            "set 'skipChangeCommits' to skip such commits, or 'ignoreChanges'/" +
-            "'ignoreDeletes' to stream the added files anyway.")
-      }
-      val adds = addsByVersion.getOrElse(v, Nil).sortBy(_.id)
-        .map(a => (a.id, a.size, a.partitionValues))
-      (v, adds, dropCommit)
-    }
+    dropCommit
   }
+
+  private def rangeCommitsWindow(
+      start: Long, end: Long): Seq[(Long, Seq[RemoteFile], Boolean)] =
+    if (deltaDialect) {
+      val res = client.deltaQueryRange(share, schemaName, table, start, Some(end))
+      res.metas.foreach { m =>
+        SchemaCompat.assertReadCompatible(schema,
+          DataType.fromJson(m.deltaMetadata.schemaString).asInstanceOf[StructType],
+          s"$share.$schemaName.$table (version ${Option(m.version).getOrElse(-1L)})")
+      }
+      val adds = res.files.filter(f => f.deltaSingleAction.add != null)
+      val removes = res.files.filter(f => f.deltaSingleAction.remove != null)
+      def wireV(f: graft.server.wire.DeltaFileW): Long =
+        Option(f.version).map(_.longValue()).getOrElse(-1L)
+      def urlsOf(r: client.DeltaChangesResult) =
+        r.files.filter(f => f.deltaSingleAction.add != null).map { f =>
+          dvScopedId(f, wireV(f)) -> GraftUrlCache.Entry(f.deltaSingleAction.add.path,
+            Option(f.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))
+        }.toMap
+      registerUrls(s"range@$start-$end", urlsOf(res),
+        () => urlsOf(client.deltaQueryRange(share, schemaName, table, start, Some(end))),
+        lastVersion = end)
+      val addsByVersion = adds.groupBy(wireV)
+      val removeVersions = removes.map(wireV).toSet
+      (start to end).map { v =>
+        // a DV merge-on-read DELETE commits remove(old)+add(same file,
+        // new DV) — under ignoreChanges the re-added file streams with
+        // its NEW DV applied, so deleted rows never reappear
+        val dropCommit = policeRemoves(v, removeVersions.contains(v))
+        val vAdds = addsByVersion.getOrElse(v, Nil).sortBy(_.id).map { f =>
+          val a = f.deltaSingleAction.add
+          RemoteFile(dvScopedId(f, v), a.size, a.partitionValues,
+            Option(a.deletionVector))
+        }
+        (v, vAdds, dropCommit)
+      }
+    } else {
+      val res = client.queryRange(share, schemaName, table, start, Some(end))
+      // schema drift guard on every historical metadata in the range
+      res.metas.foreach { m =>
+        SchemaCompat.assertReadCompatible(schema,
+          DataType.fromJson(m.schemaString).asInstanceOf[StructType],
+          s"$share.$schemaName.$table (version ${Option(m.version).getOrElse(-1L)})")
+      }
+      registerUrls(s"range@$start-$end",
+        res.adds.map(a => a.id -> GraftUrlCache.Entry(a.url,
+          Option(a.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap,
+        () => client.queryRange(share, schemaName, table, start, Some(end)).adds.map(a =>
+          a.id -> GraftUrlCache.Entry(a.url,
+            Option(a.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))).toMap,
+        lastVersion = end)
+      val removesByVersion = res.removes.groupBy(_.version)
+      val addsByVersion = res.adds.groupBy(_.version)
+      (start to end).map { v =>
+        val dropCommit = policeRemoves(v, removesByVersion.get(v).exists(_.nonEmpty))
+        val adds = addsByVersion.getOrElse(v, Nil).sortBy(_.id)
+          .map(a => RemoteFile(a.id, a.size, a.partitionValues))
+        (v, adds, dropCommit)
+      }
+    }
 
   // ----------------------------------------------------------- CDF mode
 
@@ -431,7 +524,9 @@ class RemoteGraftSource(
       .filter(f => GraftSourceOffset(tableId, f.version, f.index, f.isStarting).compare(to) <= 0)
       .flatMap(_.file)
     GraftFileSystem.register(spark)
-    val index = new RemoteBatchFileIndex(spark, schema, meta.partitionColumns, files)
+    if (deltaDialect) return deltaBatchDF(files)
+    val index = new RemoteBatchFileIndex(spark, schema, partitionColumnsLogical,
+      files.map(f => (f.id, f.size, f.partitionValues)))
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = partitionSchema,
@@ -440,6 +535,41 @@ class RemoteGraftSource(
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
     GraftSqlBridge.ofRowsStreaming(spark, LogicalRelation(relation, isStreaming = true))
+  }
+
+  /** Delta-dialect micro-batch: physical-name scan over the admitted
+    * files, merge-on-read DV filtering (descriptors fetched driver-side —
+    * DVs are KB metadata), physical→logical rename — the per-batch reuse
+    * of [[graft.sources.RemoteDeltaScanRelation]]'s machinery.
+    */
+  private def deltaBatchDF(files: Seq[RemoteFile]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import graft.model.ColumnMapping
+    val names = ColumnMapping.nameMap(tableSchema)
+    val idMode = tableConfig.get(ColumnMapping.MODE_KEY).exists(_.equalsIgnoreCase("id"))
+    if (idMode) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val physSchema = ColumnMapping.physicalSchema(tableSchema, idMode)
+    val physPartitionCols = partitionColumnsLogical.map(c => names.getOrElse(c, c))
+    val index = new RemoteBatchFileIndex(spark, physSchema, physPartitionCols,
+      files.map(f => (f.id, f.size, f.partitionValues)))
+    val base = spark.baseRelationToDataFrame(HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = index.dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark))
+    val byPath: Map[String, Array[Byte]] = files
+      .filter(_.dv.isDefined)
+      .flatMap { f =>
+        val bytes = graft.sources.RemoteDeltaScanRelation.fetchDvBytes(f.dv.get)
+        graft.sources.DvFilters.pathSpellings(
+          GraftFileSystem.encodePath(f.id, f.size)).map(_ -> bytes)
+      }.toMap
+    val live = graft.sources.DvFilters.filterDeleted(base, byPath)
+    val out = live.select(tableSchema.fields.toIndexedSeq.map(f =>
+      col(names.getOrElse(f.name, f.name)).as(f.name)): _*)
+    GraftSqlBridge.streamingDataFrameFromRdd(spark, out.queryExecution.toRdd, schema)
   }
 
   override def stop(): Unit = ()

@@ -258,5 +258,31 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
       Clustering.columnsOf(Map(Clustering.DOMAIN ->
         """{"clusteringColumns":[["a","b"]]}"""))
     }
+    // OPTIMIZE FULL on a non-clustered table errors (delta's contract)
+    // instead of silently compacting
+    val ext = new graft.sql.GraftSqlParser(spark.sessionState.sqlParser)
+    val cmd = ext.parsePlan(s"OPTIMIZE '$path' FULL")
+      .asInstanceOf[graft.sql.OptimizeCommand]
+    assert(intercept[UnsupportedOperationException] { cmd.run(spark) }
+      .getMessage.contains("clustered"))
+  }
+
+  test("ZCUBE_ZORDER_BY is spelled as a JSON array; legacy comma tags " +
+    "still count as well-formed") {
+    val path = s"$root/tag_spelling"
+    makeClustered(path, 8)
+    Clustering.cluster(spark, path, numFiles = 2)
+    val conf = spark.sessionState.newHadoopConf()
+    val snap = new GraftLog(path, conf).snapshot(None)
+    val tagVals = snap.files.flatMap(_.tags.flatMap(_.get(Clustering.TAG_CUBE_COLS)))
+    assert(tagVals.nonEmpty && tagVals.forall(_ === """["x","y"]"""),
+      s"delta spells the tag as a JSON array, got $tagVals")
+    // a cube written by graft ≤ r9 (comma-joined) is still recognized
+    val legacy = snap.files.head.copy(tags = Some(Map(
+      Clustering.TAG_CUBE_ID -> "legacy",
+      Clustering.TAG_CUBE_COLS -> "x,y",
+      Clustering.TAG_CUBE_CURVE -> "hilbert")))
+    assert(Clustering.wellFormed(legacy, Seq("x", "y"), "hilbert"))
+    assert(!Clustering.wellFormed(legacy, Seq("x"), "hilbert"))
   }
 }

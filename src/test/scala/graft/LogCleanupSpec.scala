@@ -221,4 +221,53 @@ class LogCleanupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sidecars=$sidecars live-refs=$refs")
     assert(spark.read.format("graft").option("path", p).load().count() === 21L)
   }
+
+  test("v2 shared sidecars: cleanup never takes a sidecar a retained " +
+    "checkpoint references") {
+    import spark.implicits._
+    val p = fresh("v2shared")
+    TableBuilder.create(spark, Seq((1L, "a")).toDF("id", "v"), p, name = "t",
+      deltaFormat = true,
+      configuration = Map(
+        "delta.checkpointPolicy" -> "v2",
+        LogCleanup.ENABLED_KEY -> "false",
+        LogCleanup.RETENTION_KEY -> "interval 1 hours"))
+    (1 to 20).foreach { i =>
+      TableBuilder.append(spark, Seq((i + 1L, s"r$i")).toDF("id", "v"), p,
+        timestamp = i * 1000L)
+    }
+    GraftLog.invalidateListing(p)
+    val logDir = s"$p/${DeltaLogCompat.LOG_DIR}"
+    val conf = spark.sessionState.newHadoopConf()
+    val live = logFiles(p, DeltaLogCompat.LOG_DIR)
+      .filter(_.matches("0{18}20\\.checkpoint\\..*"))
+    assert(live.nonEmpty)
+    val liveRefs = DeltaLogCompat.sidecarRefs(conf,
+      new org.apache.hadoop.fs.Path(logDir, live.head))
+    assert(liveRefs.nonEmpty)
+    val shared = liveRefs.head
+    // a (foreign-writer style) expired checkpoint that carried the live
+    // checkpoint's sidecar forward, plus one of its own
+    val own = "00-own-sidecar.parquet"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$logDir/_sidecars/$own"), Array[Byte](1, 2, 3))
+    val fakeName = f"${5L}%020d.checkpoint." +
+      java.util.UUID.randomUUID().toString + ".json"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$logDir/$fakeName"),
+      (s"""{"sidecar":{"path":"$shared"}}""" + "\n" +
+        s"""{"sidecar":{"path":"$own"}}""" + "\n").getBytes("UTF-8"))
+    val deleted = LogCleanup.cleanUpWithRetention(
+      p, conf, retentionMs = 3600L * 1000, nowMs = System.currentTimeMillis())
+    assert(deleted > 0)
+    val after = logFiles(p, DeltaLogCompat.LOG_DIR)
+    assert(!after.contains(fakeName), "expired checkpoint must be collected")
+    val sidecarsAfter = logFiles(p, s"${DeltaLogCompat.LOG_DIR}/_sidecars")
+      .filterNot(_.startsWith("."))
+    assert(!sidecarsAfter.contains(own), "unshared sidecar goes with its checkpoint")
+    assert(sidecarsAfter.contains(shared),
+      "a sidecar the live checkpoint references must survive")
+    GraftLog.invalidateListing(p)
+    assert(spark.read.format("graft").option("path", p).load().count() === 21L)
+  }
 }

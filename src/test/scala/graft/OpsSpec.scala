@@ -235,6 +235,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.columns.toSeq === Seq("asset_id", "frame_no", "frame_bytes"))
     assert(frames.count() > 0)
     assert(frames.filter(col("frame_no") % 4 =!= 0).count() === 0, "stride not applied")
+    // png/bmp payloads are REAL images: the decoded-pixel histogram must
+    // equal the histogram of the deterministic pixel generator exactly
+    // (lossless round-trip), for both codecs
+    for (id <- Seq(0L, 1L)) { // doc 0 → png, doc 1 → bmp
+      val fmt = assets.filter(col("asset_id") === id)
+        .collect().head.meta.format
+      assert(fmt === (if (id == 0) "png" else "bmp"))
+      val got = feats.filter(col("asset_id") === id).collect().head.features
+      val expected = new Array[Float](16)
+      for (y <- 0 until Multimodal.IMG_H; x <- 0 until Multimodal.IMG_W)
+        expected(Multimodal.pixelValue(id, x, y) % 16) +=
+          1f / (Multimodal.IMG_W * Multimodal.IMG_H)
+      assert(got.toSeq === expected.toSeq,
+        s"$fmt decode must reproduce the generator histogram")
+    }
+    feats.unpersist()
   }
 
   test("bpe tokens: contractions, digits, punctuation, empty text") {
@@ -916,6 +932,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(sr("b") > sr("a") && sr("a") > sr("c"))
     assert(sr.values.sum <= 1.0 + 1e-12) // row-stochastic edges: no mass created
+    // plan shape: every join against the 1-row count frame broadcasts —
+    // a SortMergeJoin/shuffle there would gate each iteration on a
+    // needless exchange of the full rank frame
+    val plan = Analytics.pageRank(star, 0.85, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"count-frame join must broadcast, got:\n$plan")
   }
 
   test("event transitions are row-normalized per source") {

@@ -302,5 +302,26 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unstatted columns still filter CORRECTLY — they just never skip
     GraftLog.invalidateListing(p2)
     assert(readTable(p2).filter(col("score") > 1.5).count() === 1L)
+    // column-mapped table: the config lists LOGICAL names; stats must land
+    // under the matching PHYSICAL keys (unmapped they'd silently vanish)
+    val p3 = fresh("stats_mapped")
+    TableBuilder.createColumnMapped(spark, df.repartition(1), p3,
+      configuration = Map("delta.dataSkippingStatsColumns" -> "id, n"))
+    val snap3 = new GraftLog(p3, spark.sessionState.newHadoopConf()).snapshot(None)
+    val phys3 = graft.model.ColumnMapping.nameMap(snap3.schema)
+    assert(snap3.files.head.stats.get.minValues.keySet
+      === Set(phys3("id"), phys3("n")))
+    // partitioned table: partition columns skip via partitionValues and
+    // must not consume first-N window slots
+    val p4 = fresh("stats_firstn_part")
+    TableBuilder.create(spark,
+      Seq((1L, "a", 1.0, 10), (2L, "b", 2.0, 20)).toDF("part", "v", "score", "n")
+        .repartition(1),
+      p4, partitionCols = Seq("part"),
+      configuration = Map("delta.dataSkippingNumIndexedCols" -> "2"))
+    val f4 = new GraftLog(p4, spark.sessionState.newHadoopConf())
+      .snapshot(None).files.head
+    assert(f4.stats.get.minValues.keySet === Set("v", "score"),
+      "the first-N window counts data columns only")
   }
 }

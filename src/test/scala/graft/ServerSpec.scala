@@ -465,6 +465,35 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .statusCode() === 404)
   }
 
+  test("async query: the CLIENT resolves a queryStatus handle by polling") {
+    val asyncClient = new GraftRestClient(server.url, Some(TOKEN),
+      asyncQuery = true, asyncPollIntervalMs = 50L)
+    // parquet dialect: the submit answers with protocol+metadata+
+    // queryStatus (no file lines); the client's poll loop must deliver
+    // the identical result a sync query produces
+    val sync = client.query("share1", "default", "lineitem")
+    val viaPoll = asyncClient.query("share1", "default", "lineitem")
+    assert(viaPoll.files.map(_.id).sorted === sync.files.map(_.id).sorted)
+    assert(viaPoll.version === sync.version)
+    // delta dialect composes with the async capability
+    val dSync = client.deltaQuery("share1", "default", "lineitem")
+    val dAsync = asyncClient.deltaQuery("share1", "default", "lineitem")
+    assert(dAsync.files.size === dSync.files.size)
+    // the timeout knob trips instead of hanging forever
+    val impatient = new GraftRestClient(server.url, Some(TOKEN),
+      asyncQuery = true, asyncPollIntervalMs = 200L, asyncMaxDurationMs = -1L)
+    val e = intercept[GraftClientException] {
+      impatient.query("share1", "default", "lineitem")
+    }
+    assert(e.getMessage.contains("timed out"))
+    // e2e: a spark read opting in via asyncQuery sees identical rows
+    val df = spark.read.format("graft")
+      .option("url", server.url).option("token", TOKEN)
+      .option("asyncQuery", "true").option("asyncQueryPollIntervalMs", "50")
+      .option("table", "share1.default.lineitem").load()
+    assert(df.count() === spark.read.parquet(s"$sfDir/lineitem.parquet").count())
+  }
+
   test("async query: idempotencyKey dedup is scoped to table+params; retry grace") {
     def submitTo(base: String, table: String, body: String): String = {
       val r = http.send(HttpRequest.newBuilder(
@@ -601,8 +630,11 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       "/shares/share1/schemas/default/tables/lineitem/temporary-table-credentials",
       s"""{"location": "$root/part-0001.parquet"}""")
     assert(sub.statusCode() === 200)
-    assert(JsonUtils.fromJson[TableCredentials](sub.body()).tablePath
-      .endsWith("part-0001.parquet"))
+    val subCreds = JsonUtils.fromJson[TableCredentials](sub.body())
+    assert(subCreds.tablePath.endsWith("part-0001.parquet"))
+    // the token is HMAC-bound to the NARROWED scope — a narrowed grant's
+    // credential must not be interchangeable with the table-root grant
+    assert(subCreds.accessToken !== creds.accessToken)
     val sibling = rawPost(
       "/shares/share1/schemas/default/tables/lineitem/temporary-table-credentials",
       s"""{"location": "${root}_evil"}""")
@@ -962,18 +994,52 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       val e = intercept[IllegalArgumentException](ShareProfile.parse(json))
       assert(e.getMessage.contains(needle), e.getMessage)
     }
-    bad("""{"shareCredentialsVersion": 2, "endpoint": "e", "bearerToken": "t"}""",
+    bad("""{"shareCredentialsVersion": 3, "endpoint": "e", "bearerToken": "t"}""",
       "newer than")
+    bad("""{"shareCredentialsVersion": 2, "endpoint": "e", "bearerToken": "t"}""",
+      "only supports version 1")
     bad("""{"endpoint": "e", "bearerToken": "t"}""", "missing shareCredentialsVersion")
     bad("""{"shareCredentialsVersion": 1, "endpoint": "e"}""", "bearerToken")
     bad("""{"shareCredentialsVersion": 1, "endpoint": "e", "bearerToken": "t",
            "expirationTime": "2000-01-01T00:00:00.0Z"}""", "expired")
+    bad("""{"shareCredentialsVersion": 1, "type": "magic_beans", "endpoint": "e"}""",
+      "unknown profile type")
     // future expiry and absent expiry both fine
     ShareProfile.parse(
       """{"shareCredentialsVersion": 1, "endpoint": "e", "bearerToken": "t",
          "expirationTime": "2099-01-01T00:00:00.0Z"}""")
     ShareProfile.parse(
       """{"shareCredentialsVersion": 1, "endpoint": "e", "bearerToken": "t"}""")
+    // v2 oauth_client_credentials (reference
+    // DeltaSharingProfileProvider.scala:76-95): version pinned to 2,
+    // tokenEndpoint/clientId/clientSecret required, scope optional
+    bad("""{"shareCredentialsVersion": 1, "type": "oauth_client_credentials",
+           "endpoint": "e", "tokenEndpoint": "te", "clientId": "i",
+           "clientSecret": "s"}""", "only supports version 2")
+    bad("""{"shareCredentialsVersion": 2, "type": "oauth_client_credentials",
+           "endpoint": "e", "clientId": "i", "clientSecret": "s"}""",
+      "tokenEndpoint")
+    val oauth = ShareProfile.parse(
+      """{"shareCredentialsVersion": 2, "type": "oauth_client_credentials",
+         "endpoint": "e", "tokenEndpoint": "te", "clientId": "i",
+         "clientSecret": "s", "scope": "sc"}""").asInstanceOf[graft.client.OAuthProfile]
+    assert(oauth.tokenEndpoint === "te" && oauth.scope === Some("sc"))
+  }
+
+  test("e2e: a v2 OAuth profile file reads through the grant flow") {
+    val oauthServer = new GraftServer(
+      ServerConfig(oauthClients = Map("svc" -> "s3cret-2")),
+      spark.sessionState.newHadoopConf()).start()
+    try {
+      val profile = java.nio.file.Files.createTempFile("share_oauth", ".profile")
+      java.nio.file.Files.writeString(profile,
+        s"""{"shareCredentialsVersion": 2, "type": "oauth_client_credentials",
+           |"endpoint": "${oauthServer.url}",
+           |"tokenEndpoint": "${oauthServer.url}/oauth/token",
+           |"clientId": "svc", "clientSecret": "s3cret-2"}""".stripMargin)
+      val df = spark.read.format("graft").load(s"file:$profile#share1.default.lineitem")
+      assert(df.count() === spark.read.parquet(s"$sfDir/lineitem.parquet").count())
+    } finally oauthServer.stop()
   }
 
   test("e2e: LIMIT pushes into the remote query as limitHint") {

@@ -177,6 +177,80 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("t_rm_skip").count() === expected)
   }
 
+  test("remote streaming renegotiates the delta dialect for DV and " +
+    "column-mapped tables") {
+    val conf = spark.sessionState.newHadoopConf()
+    val base = s"${SharedFixtures.shareRoot(sfDir)}/stream_dv_remote"
+    val dir = new java.io.File(base)
+    if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    GraftLog.invalidateListing(base)
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    TableBuilder.create(spark, region.repartition(2), base, name = "stream_dv_remote")
+    TableBuilder.deleteWhereDV(spark, base, col("r_regionkey") === 1, timestamp = 1000L)
+    TableBuilder.append(spark, region.limit(1), base, timestamp = 2000L)
+    GraftCatalog.register(s"${SharedFixtures.SHARE}.stream_dv_remote", base)
+    val server = new graft.server.GraftServer(
+      graft.server.ServerConfig(bearerToken = Some("tkn")), conf).start()
+    try {
+      def remoteStream(extra: Map[String, String]) = {
+        val r = spark.readStream.format("graft")
+          .option("url", server.url).option("token", "tkn")
+          .option("table", s"${SharedFixtures.SHARE}.stream_dv_remote")
+          .option("queryTableVersionIntervalSeconds", "0")
+        extra.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+      }
+      // snapshot mode (parquet dialect refused → delta): DVs applied
+      val streamed = runToCompletion(
+        remoteStream(Map("maxFilesPerTrigger" -> "1")), "t_dv_remote")
+      GraftLog.invalidateListing(base)
+      val expected = spark.read.format("graft").option("path", base).load().count()
+      assert(streamed === expected && streamed === region.count() - 1 + 1)
+
+      // tailing from v0 hits the DV delete's remove+add → policed
+      val failing = remoteStream(Map("startingVersion" -> "0"))
+        .writeStream.format("memory").queryName("t_dv_remote_fail")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        failing.awaitTermination(120000)
+      }
+      assert(ex.getCause.getMessage.contains("skipChangeCommits"))
+
+      // ignoreChanges streams the DV commit's re-added file WITH its new
+      // DV applied — deleted rows never reappear downstream
+      val log = new GraftLog(base, conf)
+      val v1adds = log.changes(1, 1).flatMap(_.actions)
+        .collect { case a: graft.model.AddFile => a }
+      val v1rows = v1adds.flatMap(_.stats.map(_.numRecords)).sum -
+        v1adds.flatMap(_.deletionVector).map(_.cardinality).sum
+      val streamedAll = runToCompletion(
+        remoteStream(Map("startingVersion" -> "0", "ignoreChanges" -> "true")),
+        "t_dv_remote_all")
+      assert(streamedAll === region.count() + v1rows + 1,
+        "v0 full files + v1 re-adds (DV-filtered) + v2 append")
+
+      // column mapping rides the same negotiation: logical names out
+      val sink = "t_cm_remote"
+      val q = spark.readStream.format("graft")
+        .option("url", server.url).option("token", "tkn")
+        .option("table", s"${SharedFixtures.SHARE}.customer_cm")
+        .option("queryTableVersionIntervalSeconds", "0")
+        .load()
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.stop()
+      val got = spark.table(sink)
+      assert(got.columns.forall(_.startsWith("c_")), got.columns.mkString(","))
+      val cmPath = GraftCatalog.location(s"${SharedFixtures.SHARE}.customer_cm")
+      assert(got.count() ===
+        spark.read.format("graft").option("path", cmPath).load().count())
+    } finally {
+      server.stop()
+      // scratch table must not leak into other suites' share listings
+      GraftCatalog.unregister(s"${SharedFixtures.SHARE}.stream_dv_remote")
+    }
+  }
+
   test("streaming a column-mapped table projects logical names per batch") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("stream_cm").toString
