@@ -76,6 +76,11 @@ object Bench {
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         loud: Boolean): Double = {
+      // every pass runs COLD: operators may persist intermediates (the
+      // dedup code-array index does), and Spark's CacheManager matches
+      // cached plans semantically — without this, pass 2+ would silently
+      // time warm-cache reruns and the best-of-N would overstate us
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch {

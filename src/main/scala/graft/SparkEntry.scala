@@ -1391,6 +1391,24 @@ object SparkEntry {
       s.table(sink)
     }),
 
+    // §2.1 S4/S8 over REST in the DELTA dialect: the parquet /changes
+    // refuses a DV-history table, the client renegotiates and derives
+    // row-level changes CLIENT-side from the raw served actions — DV
+    // merged-bitmap diffs per version (v1 deletes region-2 rows; v2
+    // extends the SAME files' DVs so only regionkey>2 rows are new
+    // deletes), same classifier as the local GraftCDF.
+    "q118_remote_dv_cdf" -> ((s, dir) => {
+      val url = graft.server.LocalShareServer.ensure(s, dir)
+      s.read.format("graft")
+        .option("url", url).option("token", graft.server.LocalShareServer.TOKEN)
+        .option("table", s"${graft.log.SharedFixtures.SHARE}.nation_dv_cdf")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .load()
+        .select(col("n_nationkey"), col("n_name"),
+          col(graft.log.GraftCDF.CHANGE_TYPE).as("change_type"),
+          col(graft.log.GraftCDF.COMMIT_VERSION).as("commit_version"))
+    }),
+
     "q116_sql_dv_delete" -> ((s, dir) => {
       graft.log.SharedFixtures.ensure(s, dir)
       s.conf.set("spark.sql.catalog.graft",
@@ -2893,6 +2911,15 @@ object SparkEntry {
            CAST(sum(least(e, (seq_id + 1) * 2048) - greatest(s, seq_id * 2048)) AS BIGINT) AS seq_tokens
          FROM ex GROUP BY source, seq_id""",
     "q96_cdf_dv_changes" ->
+      """SELECT n_nationkey, n_name, 'insert' AS change_type,
+           CAST(0 AS BIGINT) AS commit_version FROM nation
+         UNION ALL
+         SELECT n_nationkey, n_name, 'delete', CAST(1 AS BIGINT)
+         FROM nation WHERE n_regionkey = 2
+         UNION ALL
+         SELECT n_nationkey, n_name, 'delete', CAST(2 AS BIGINT)
+         FROM nation WHERE n_regionkey > 2""",
+    "q118_remote_dv_cdf" ->
       """SELECT n_nationkey, n_name, 'insert' AS change_type,
            CAST(0 AS BIGINT) AS commit_version FROM nation
          UNION ALL

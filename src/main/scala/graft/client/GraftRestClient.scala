@@ -395,6 +395,36 @@ class GraftRestClient(
     DeltaChangesResult(version, metas.result(), files.result())
   }
 
+  /** `GET /changes` in the DELTA dialect — raw per-version delta actions
+    * (adds with DV descriptors, removes, cdc) for client-side change
+    * derivation on tables the parquet dialect refuses.
+    */
+  def deltaChanges(share: String, schema: String, table: String,
+      params: Map[String, String]): DeltaChangesResult = {
+    var version = -1L
+    val metas = Seq.newBuilder[wire.DeltaMetadataLine]
+    val files = Seq.newBuilder[wire.DeltaFileW]
+    var pageToken: Option[String] = None
+    var first = true
+    while (first || pageToken.isDefined) {
+      first = false
+      val resp = request("GET", s"${tablePath(share, schema, table)}/changes",
+        params = params ++ pageToken.map(t => Map("pageToken" -> t)).getOrElse(Map.empty),
+        headers = DELTA_CAPABILITIES)
+      version = resp.headers().firstValue("Delta-Table-Version")
+        .map[Long](_.toLong).orElse(version)
+      pageToken = None
+      resp.body().split("\n").filter(_.nonEmpty).foreach { raw =>
+        val line = JsonUtils.fromJson[wire.DeltaLine](raw)
+        if (line.metaData != null) metas += line.metaData
+        if (line.file != null) files += line.file
+        if (line.endStreamAction != null)
+          pageToken = Option(line.endStreamAction.nextPageToken)
+      }
+    }
+    DeltaChangesResult(version, metas.result(), files.result())
+  }
+
   case class ChangesResult(
       version: Long,
       metadata: wire.Metadata,

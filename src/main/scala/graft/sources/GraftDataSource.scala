@@ -252,8 +252,20 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       "at most one of versionAsOf/timestampAsOf may be set")
     GraftFileSystem.register(spark)
     val client = GraftDataSource.remoteClient(parameters)
-    if (parameters.get("readChangeFeed").exists(_.toBoolean))
-      return new RemoteGraftCDFRelation(spark, client, share, schema, table, parameters)
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      // same dialect negotiation as the snapshot path: a DV/column-mapped
+      // table refuses the parquet /changes with the typed 400 — derive
+      // changes client-side from raw delta actions instead
+      return try {
+        val rel = new RemoteGraftCDFRelation(spark, client, share, schema, table, parameters)
+        rel.schema // forces the first /changes RPC — the negotiation probe
+        rel
+      } catch {
+        case e: graft.client.GraftClientException
+            if e.status == 400 && e.getMessage.contains("UNSUPPORTED_OPERATION") =>
+          new RemoteDeltaCDFRelation(spark, client, share, schema, table, parameters)
+      }
+    }
     val index = try {
       new RemoteGraftFileIndex(spark, client, share, schema, table,
         versionAsOf = parameters.get("versionAsOf").map(_.toLong),

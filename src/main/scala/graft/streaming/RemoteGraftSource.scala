@@ -99,11 +99,12 @@ class RemoteGraftSource(
     * merge-on-read filtering and physical→logical renames.
     */
   private val (tableId, tableSchemaRaw, partitionColumnsLogical, tableConfig,
-    deltaDialect, versionAtStart) =
+    deltaDialect, versionAtStart, deltaMetaLine) =
     try {
       val (m, v) = client.metadata(share, schemaName, table)
       (m.id, DataType.fromJson(m.schemaString).asInstanceOf[StructType],
-        m.partitionColumns, Map.empty[String, String], false, v)
+        m.partitionColumns, Map.empty[String, String], false, v,
+        null.asInstanceOf[graft.server.wire.DeltaMetadataLine])
     } catch {
       case e: graft.client.GraftClientException
           if e.status == 400 && e.getMessage.contains("UNSUPPORTED_OPERATION") =>
@@ -112,7 +113,7 @@ class RemoteGraftSource(
           DataType.fromJson(dm.deltaMetadata.schemaString).asInstanceOf[StructType],
           dm.deltaMetadata.partitionColumns,
           Option(dm.deltaMetadata.configuration).getOrElse(Map.empty[String, String]),
-          true, v)
+          true, v, dm)
     }
 
   private val tableSchema: StructType = tableSchemaRaw
@@ -182,6 +183,7 @@ class RemoteGraftSource(
     val v = GraftSourceOffset(end).tableVersion
     fetchedCommits.filterInPlace((k, _) => k >= v - 1)
     fetchedCdf.filterInPlace((k, _) => k >= v - 1)
+    fetchedCdfDelta.filterInPlace((k, _) => k >= v - 1)
     registeredWindows.filterInPlace { (key, last) =>
       if (last < v - 1) { GraftUrlCache.unregister(key); false } else true
     }
@@ -360,6 +362,47 @@ class RemoteGraftSource(
     */
   private val fetchedCdf = scala.collection.concurrent.TrieMap.empty[Long, CdfCommit]
 
+  /** Delta-dialect sibling of [[fetchedCdf]]: per-version raw delta
+    * action groups for DV/column-mapped tables (change derivation happens
+    * in [[graft.sources.RemoteDeltaCDF.assemble]] at batch time).
+    */
+  private val fetchedCdfDelta = scala.collection.concurrent.TrieMap
+    .empty[Long, graft.sources.RemoteDeltaCDF.Group]
+
+  private def cdfDeltaCommits(
+      start: Long, end: Long): Seq[(Long, graft.sources.RemoteDeltaCDF.Group)] = {
+    import graft.sources.RemoteDeltaCDF
+    var v = start
+    while (v <= end) {
+      if (fetchedCdfDelta.contains(v)) v += 1
+      else {
+        var e = v
+        while (e < end && e - v + 1 < maxVersionsPerRpc && !fetchedCdfDelta.contains(e + 1))
+          e += 1
+        val rangeParams = Map(
+          "startingVersion" -> v.toString, "endingVersion" -> e.toString)
+        val res = client.deltaChanges(share, schemaName, table, rangeParams)
+        res.metas.foreach { m =>
+          SchemaCompat.assertReadCompatible(tableSchema,
+            DataType.fromJson(m.deltaMetadata.schemaString).asInstanceOf[StructType],
+            s"$share.$schemaName.$table (cdf, version ${Option(m.version).getOrElse(-1L)})")
+        }
+        val groups = RemoteDeltaCDF.groupsOf(res.files)
+        registerUrls(s"cdfdelta@$v-$e", RemoteDeltaCDF.urlEntries(groups),
+          () => RemoteDeltaCDF.urlEntries(RemoteDeltaCDF.groupsOf(
+            client.deltaChanges(share, schemaName, table, rangeParams).files)),
+          lastVersion = e)
+        val byV = groups.map(g => g.version -> g).toMap
+        (v to e).foreach { vv =>
+          fetchedCdfDelta.putIfAbsent(vv,
+            byV.getOrElse(vv, RemoteDeltaCDF.Group(vv, 0L, Nil, Nil, Nil)))
+        }
+        v = e + 1
+      }
+    }
+    (start to end).map(vv => (vv, fetchedCdfDelta(vv)))
+  }
+
   private def cdfCommits(start: Long, end: Long): Seq[(Long, CdfCommit)] = {
     var v = start
     while (v <= end) {
@@ -405,7 +448,7 @@ class RemoteGraftSource(
     * least one version is always admitted (mirrors the local source).
     */
   private def admitCdfVersions(
-      units: Seq[(Long, CdfCommit)], limit: ReadLimit): Seq[Long] = {
+      units: Seq[(Long, Int, Long)], limit: ReadLimit): Seq[Long] = {
     val (fileCap, byteCap) = Admission.caps(limit)
     if (fileCap.isEmpty && byteCap.isEmpty) return units.map(_._1)
     var files = 0
@@ -413,12 +456,12 @@ class RemoteGraftSource(
     var n = 0
     val admitted = Vector.newBuilder[Long]
     var done = false
-    units.foreach { case (v, c) =>
+    units.foreach { case (v, nf, b) =>
       if (!done) {
-        val over = (fileCap.exists(m => files + c.nFiles > m) ||
-          byteCap.exists(m => bytes + c.bytes > m)) && n > 0
+        val over = (fileCap.exists(m => files + nf > m) ||
+          byteCap.exists(m => bytes + b > m)) && n > 0
         if (over) done = true
-        else { admitted += v; files += c.nFiles; bytes += c.bytes; n += 1 }
+        else { admitted += v; files += nf; bytes += b; n += 1 }
       }
     }
     admitted.result()
@@ -433,11 +476,33 @@ class RemoteGraftSource(
       return GraftSqlBridge.streamingDataFrameFromRdd(spark,
         spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow], schema)
     GraftFileSystem.register(spark)
+    if (deltaDialect) return cdfDeltaBatchDF(fromV, toV)
     val commits = cdfCommits(fromV, toV)
     val batch = graft.sources.RemoteGraftCDF.assemble(spark, tableSchema,
       graft.sources.RemoteGraftCDF.groupsOf(
         commits.flatMap(_._2.adds), commits.flatMap(_._2.cdfs),
         commits.flatMap(_._2.removes)))
+      .selectExpr(schema.fieldNames.map(n => s"`$n`").toIndexedSeq: _*)
+    GraftSqlBridge.streamingDataFrameFromRdd(spark, batch.queryExecution.toRdd, schema)
+  }
+
+  /** Delta-dialect CDF micro-batch: row-level changes derived client-side
+    * from the raw served actions ([[graft.sources.RemoteDeltaCDF]]); the
+    * pre-batch DV state comes from one snapshot query below the batch
+    * start, so batch assembly is deterministic regardless of how versions
+    * were split across micro-batches (restart-safe).
+    */
+  private def cdfDeltaBatchDF(fromV: Long, toV: Long): DataFrame = {
+    import graft.sources.RemoteDeltaCDF
+    val dvState = scala.collection.mutable.HashMap
+      .empty[String, Option[graft.server.wire.DeltaDvW]]
+    if (fromV > 0)
+      client.deltaQuery(share, schemaName, table,
+        graft.server.wire.QueryRequest(version = fromV - 1)).files.foreach { f =>
+        dvState(f.id) = Option(f.deltaSingleAction.add.deletionVector)
+      }
+    val groups = cdfDeltaCommits(fromV, toV).map(_._2)
+    val batch = RemoteDeltaCDF.assemble(spark, deltaMetaLine, groups, dvState)
       .selectExpr(schema.fieldNames.map(n => s"`$n`").toIndexedSeq: _*)
     GraftSqlBridge.streamingDataFrameFromRdd(spark, batch.queryExecution.toRdd, schema)
   }
@@ -491,7 +556,11 @@ class RemoteGraftSource(
     if (cdfMode) {
       val startV = from.map(_.tableVersion).getOrElse(cdfStartVersion)
       if (startV > endVersion) return from.orNull
-      val admitted = admitCdfVersions(cdfCommits(startV, endVersion), limit)
+      val units =
+        if (deltaDialect)
+          cdfDeltaCommits(startV, endVersion).map { case (v, g) => (v, g.nFiles, g.bytes) }
+        else cdfCommits(startV, endVersion).map { case (v, c) => (v, c.nFiles, c.bytes) }
+      val admitted = admitCdfVersions(units, limit)
       if (admitted.isEmpty) from.orNull
       else GraftSourceOffset(tableId, admitted.last + 1, VERSION_CONSUMED,
         isStartingVersion = false)

@@ -31,7 +31,7 @@ class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = {
     // this suite's catalog entries must not leak into other suites'
     // share listings (GraftCatalog is process-wide)
-    Seq("dvreal", "dv_remote", "cm_remote").foreach(t =>
+    Seq("dvreal", "dv_remote", "cm_remote", "dvcdf_remote").foreach(t =>
       GraftCatalog.unregister(s"share1.default.$t"))
     spark.stop()
   }
@@ -348,6 +348,55 @@ class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(JsonUtils.fromJson[DeltaLine](_))
         .flatMap(l => Option(l.file)).flatMap(f => Option(f.deltaSingleAction.add))
       assert(rangeAdds.exists(_.deletionVector != null))
+    } finally server.stop()
+  }
+
+  test("remote CDF derives DV-diff changes over the delta dialect " +
+    "(batch + streaming)") {
+    import spark.implicits._
+    val dir = tempTable()
+    // v0 create; v1 DV-deletes ids>=15; v2 extends the same files' DVs to
+    // ids>=10 (only 10-14 are NEW deletes — a merged-bitmap diff)
+    TableBuilder.create(spark,
+      (0 to 19).map(i => (i.toLong, s"r$i")).toDF("id", "v"), dir, numFiles = 2,
+      configuration = Map("enableChangeDataFeed" -> "true"))
+    TableBuilder.deleteWhereDV(spark, dir, col("id") >= 15L, timestamp = 1000L)
+    TableBuilder.deleteWhereDV(spark, dir, col("id") >= 10L, timestamp = 2000L)
+    GraftCatalog.register("share1.default.dvcdf_remote", dir)
+    val server = new GraftServer(ServerConfig(bearerToken = Some("tkn")),
+      spark.sessionState.newHadoopConf()).start()
+    try {
+      def changeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+        df.select(col("id"), col(GraftCDF.CHANGE_TYPE), col(GraftCDF.COMMIT_VERSION))
+          .as[(Long, String, Long)].collect().toSet
+      val local = changeSet(GraftCDF.tableChanges(spark, dir, 0))
+      val remote = spark.read.format("graft")
+        .option("url", server.url).option("token", "tkn")
+        .option("table", "share1.default.dvcdf_remote")
+        .option("readChangeFeed", "true").option("startingVersion", "0").load()
+      assert(changeSet(remote) === local)
+      // mid-range start exercises the pre-state snapshot query: only the
+      // v2 diff rows (10-14) appear, never the already-deleted 15-19
+      val mid = spark.read.format("graft")
+        .option("url", server.url).option("token", "tkn")
+        .option("table", "share1.default.dvcdf_remote")
+        .option("readChangeFeed", "true").option("startingVersion", "2").load()
+      assert(changeSet(mid) ===
+        (10L to 14L).map(i => (i, "delete", 2L)).toSet)
+      // streaming: one version per micro-batch, same final change set
+      val sink = "t_dvcdf_remote_stream"
+      val q = spark.readStream.format("graft")
+        .option("url", server.url).option("token", "tkn")
+        .option("table", "share1.default.dvcdf_remote")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1")
+        .option("queryTableVersionIntervalSeconds", "0")
+        .load()
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.stop()
+      assert(changeSet(spark.table(sink)) === local)
     } finally server.stop()
   }
 
