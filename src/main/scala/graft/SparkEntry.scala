@@ -1391,6 +1391,35 @@ object SparkEntry {
       s.table(sink)
     }),
 
+    // Beyond-reference: hybrid retrieval — the BM25 keyword list (q66's
+    // shuffle-free corpus scan) fused with the embedding-cosine list
+    // (q29's broadcast plan) by Reciprocal Rank Fusion. Both rank lists
+    // and the integer-denominator fusion are engine-reproducible, so the
+    // oracle replays retrieval AND fusion exactly.
+    "q119_hybrid_retrieval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).toArray
+      graft.ops.Similarity.hybridTopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        emb, "vec_id", "embedding",
+        queryTerms = Seq("hash", "join", "spark"), queryVec = qv,
+        k = 10, poolSize = 20)
+    }),
+
+    // Beyond-reference: deterministic Lloyd k-means over the embedding
+    // corpus — the semantic-clustering step curation pipelines cut
+    // cluster quotas on. Seeded by the first k vectors, argmin ties to
+    // the lower cell, centroid coordinates quantized after each update —
+    // so the oracle replays both iterations and the per-cluster summary
+    // exactly.
+    "q120_kmeans_curation" -> ((s, dir) => {
+      graft.ops.KMeans.summary(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 4, iterations = 2)
+        .select(col("cluster"), col("n"), col("mean_dist"))
+    }),
+
     // §2.1 S4/S8 over REST in the DELTA dialect: the parquet /changes
     // refuses a DV-history table, the client renegotiates and derives
     // row-level changes CLIENT-side from the raw served actions — DV
@@ -2928,6 +2957,93 @@ object SparkEntry {
          UNION ALL
          SELECT n_nationkey, n_name, 'delete', CAST(2 AS BIGINT)
          FROM nation WHERE n_regionkey > 2""",
+    "q120_kmeans_curation" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         seed AS (SELECT CAST(id AS INT) AS cluster, v FROM e ORDER BY id LIMIT 4),
+         d1 AS (SELECT e.id, s.cluster,
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, 65),
+                      i -> (e.v[i] - s.v[i]) * (e.v[i] - s.v[i]))),
+                    (x, y) -> x + y), 8) AS d
+                FROM e, seed s),
+         a1 AS (SELECT id, cluster FROM (
+                  SELECT id, cluster,
+                    row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
+                  FROM d1) WHERE rn = 1),
+         u AS (SELECT a1.cluster, dim.i AS dim,
+                 round(round(sum(e.v[dim.i]), 4) / count(*), 6) AS m
+               FROM a1 JOIN e USING (id)
+                 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dim
+               GROUP BY a1.cluster, dim.i),
+         c2 AS (SELECT cluster, list(m ORDER BY dim) AS v FROM u GROUP BY cluster),
+         d2 AS (SELECT e.id, c.cluster,
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, 65),
+                      i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))),
+                    (x, y) -> x + y), 8) AS d
+                FROM e, c2 c),
+         a2 AS (SELECT id, cluster FROM (
+                  SELECT id, cluster,
+                    row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
+                  FROM d2) WHERE rn = 1),
+         uf AS (SELECT a2.cluster, dim.i AS dim,
+                  round(round(sum(e.v[dim.i]), 4) / count(*), 6) AS m
+                FROM a2 JOIN e USING (id)
+                  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dim
+                GROUP BY a2.cluster, dim.i),
+         cf AS (SELECT cluster, list(m ORDER BY dim) AS v FROM uf GROUP BY cluster),
+         dist AS (SELECT a2.id, a2.cluster,
+                    round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 65),
+                        i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))),
+                      (x, y) -> x + y)), 6) AS dd
+                  FROM a2 JOIN e USING (id) JOIN cf c ON a2.cluster = c.cluster)
+         SELECT CAST(cluster AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+           round(avg(dd), 4) AS mean_dist
+         FROM dist GROUP BY cluster""",
+    "q119_hybrid_retrieval" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                      FROM documents),
+         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+                WHERE tok IN ('hash', 'join', 'spark') GROUP BY doc_id, tok),
+         df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         scored AS (
+           SELECT tf.doc_id, tf.tok,
+             ln(CAST(1 AS DOUBLE) +
+                (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+                (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+             * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1)) /
+               (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                 (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) /
+                   (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS contrib
+           FROM tf, df, dl, stats
+           WHERE tf.tok = df.tok AND tf.doc_id = dl.doc_id),
+         summed AS (
+           SELECT doc_id,
+             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(contrib ORDER BY tok)), (a, b) -> a + b), 4) AS score
+           FROM scored GROUP BY doc_id),
+         bm AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_bm
+                FROM (SELECT doc_id, score FROM summed
+                      ORDER BY score DESC, doc_id LIMIT 20)),
+         q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         cos AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS r_cos
+                 FROM (SELECT e.vec_id AS doc_id,
+                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])) AS sim
+                       FROM embeddings e, q
+                       ORDER BY sim DESC, doc_id LIMIT 20))
+         SELECT COALESCE(bm.doc_id, cos.doc_id) AS doc_id,
+           round(COALESCE(CAST(1 AS DOUBLE) / (60 + r_bm), 0) +
+                 COALESCE(CAST(1 AS DOUBLE) / (60 + r_cos), 0), 6) AS rrf
+         FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
     "q46_column_mapping_scan" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
            round(CAST(sum(c_acctbal) AS DOUBLE), 0) AS total_acctbal

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd k-means over an embedding column — the semantic
+  * CLUSTERING step of a curation pipeline (cluster-balanced sampling,
+  * SemDeDup-style cell assignment, per-cluster quota pruning all start
+  * from exactly this assignment).
+  *
+  * Engine-reproducible by construction, so an external engine can replay
+  * every iteration bit-for-bit:
+  *  - seeding is the first `k` corpus vectors by id (no RNG);
+  *  - assignment is argmin squared-L2 with ties to the LOWER cell id;
+  *  - the centroid update rounds each coordinate to 6 decimals — the
+  *    per-(cluster, dim) sums are rounded to 4 decimals BEFORE the
+  *    divide, so the only float-order-sensitive quantity is quantized
+  *    far above double addition noise (~1e-13 for corpus-scale sums).
+  *
+  * Scale shape: each iteration is one broadcast of k·dim doubles + one
+  * codegen argmin pass over the corpus + one map-side-combinable
+  * groupBy(cluster, dim) — the corpus is never shuffled by row, and k
+  * iterations cost k scans, the standard distributed Lloyd layout.
+  * Centroids (k·dim doubles) are the ONLY driver-side state.
+  */
+object KMeans {
+
+  /** Squared L2 between a float-array column and a literal centroid —
+    * all-double arithmetic with a left-fold accumulation, the order every
+    * replaying engine's list fold uses.
+    */
+  private def sqDist(vec: Column, centroid: Seq[Double]): Column = {
+    val c = lit(centroid.toArray)
+    aggregate(
+      zip_with(vec.cast("array<double>"), c,
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Cluster ids (0-based) for every row after `iterations` Lloyd steps.
+    * Returns (idCol, cluster); centroids evolve internally.
+    */
+  def assign(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int = 2): DataFrame = {
+    require(k > 0 && iterations >= 1, s"k=$k iterations=$iterations")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+
+    // deterministic seed: the first k vectors by id
+    var centroids: Seq[Seq[Double]] = vectors
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+      .as[(Long, Array[Float])].collect().toSeq
+      .map(_._2.map(_.toDouble).toSeq)
+
+    def assignment: DataFrame = {
+      val dists = centroids.zipWithIndex.map { case (c, i) =>
+        struct(round(sqDist(col(vecCol), c), 8).as("d"), lit(i).as("c"))
+      }
+      // array_min over (dist, cell) structs: ties go to the lower cell
+      vectors.select(col(idCol), col(vecCol),
+        array_min(array(dists: _*)).getField("c").as("cluster"))
+    }
+
+    for (_ <- 1 until iterations) {
+      // centroid update: per-(cluster, dim) mean with quantized sums
+      val updated = assignment
+        .select(col("cluster"), posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("dim", "v")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg((round(sum(col("v")), 4) / count(lit(1))).as("m"))
+        .groupBy(col("cluster"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          array().cast("array<double>"),
+          (acc, x) => concat(acc, array(round(x.getField("m"), 6)))).as("centroid"))
+        .orderBy(col("cluster"))
+        .as[(Int, Seq[Double])].collect()
+      // a cluster that lost every member keeps its previous centroid
+      val byId = updated.toMap
+      centroids = centroids.zipWithIndex.map { case (prev, i) =>
+        byId.getOrElse(i, prev)
+      }
+    }
+    assignment.select(col(idCol), col("cluster").cast("long").as("cluster"))
+  }
+
+  /** Per-cluster curation summary: size and mean distance-to-centroid
+    * (the signal cluster-pruning thresholds cut on).
+    */
+  def summary(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int = 2): DataFrame = {
+    val assigned = assign(vectors, idCol, vecCol, k, iterations)
+      .join(vectors.select(col(idCol), col(vecCol)), idCol)
+    // re-derive the FINAL centroids from the assignment itself (same
+    // quantized-mean rule), so the summary is a pure function of the
+    // assignment and replayable without threading centroid state
+    val finalCentroids = assigned
+      .select(col("cluster"), posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("dim", "v")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg((round(sum(col("v")), 4) / count(lit(1))).as("m"))
+      .select(col("cluster"), col("dim"), round(col("m"), 6).as("m"))
+    assigned
+      .select(col(idCol), col("cluster"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+      .join(finalCentroids, Seq("cluster", "dim"))
+      .withColumn("sq", (col("v") - col("m")) * (col("v") - col("m")))
+      .groupBy(col("cluster"), col(idCol))
+      .agg(sum(col("sq")).as("d2"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(round(sqrt(col("d2")), 6)), 4).as("mean_dist"))
+  }
+}

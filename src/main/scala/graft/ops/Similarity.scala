@@ -434,4 +434,49 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
   }
+
+  /** Hybrid retrieval: a BM25 keyword list fused with an embedding-cosine
+    * list by Reciprocal Rank Fusion (Cormack et al., SIGIR'09):
+    * `rrf(d) = Σ_list 1/(k0 + rank_list(d))`, a list that missed the doc
+    * contributing nothing. RRF needs only the two top-`poolSize` RANK
+    * lists — the expensive legs stay the existing shuffle-free BM25 scan
+    * and the broadcast cosine plan; the fusion itself is one outer join
+    * over ≤ 2·poolSize rows, so at 100 TB the cost IS the two retrievers.
+    *
+    * Ranks are deterministic (score desc, id) and the fused score uses
+    * exact integer-denominator divisions, so an external engine replays
+    * the fusion bit-for-bit given the same lists.
+    */
+  def hybridTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vectors: DataFrame, // (id, vec): dense embeddings aligned with idCol
+      vecIdCol: String,
+      vecCol: String,
+      queryTerms: Seq[String],
+      queryVec: Array[Float],
+      k: Int = 10,
+      poolSize: Int = 20,
+      k0: Int = 60): DataFrame = {
+    val bm = Bm25.bm25TopK(docs, idCol, textCol, queryTerms, poolSize)
+      // bm25TopK returns the ordered top list; re-derive the rank as a
+      // column (poolSize rows — the single-partition window is bounded)
+      .withColumn("r_bm",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_bm"))
+    val spark = docs.sparkSession
+    val queries = spark.range(1).select(lit(0L).as("q_id"),
+      lit(queryVec).cast("array<float>").as("q_vec"))
+    val cos = bruteForceTopK(queries,
+      vectors.select(col(vecIdCol).as("c_id"), col(vecCol).as("c_vec")), poolSize)
+      .select(col("c_id").as("doc_id"), col("rank").as("r_cos"))
+    bm.join(cos, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k0) + col("r_bm")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("r_cos")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("rrf"))
+  }
 }

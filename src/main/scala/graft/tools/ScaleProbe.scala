@@ -126,6 +126,10 @@ object ScaleProbe {
       // pressure, not the operator's scaling
       spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * k).toString)
       val ts = (1 to reps).map { _ =>
+        // cold per rep: operators may persist intermediates and the
+        // CacheManager matches plans semantically (same rationale as
+        // Bench.timeOnce)
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         rows((name, k)) = fn(k)
         (System.nanoTime() - t0) / 1e9

@@ -715,6 +715,55 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!byDoc.contains(4L), "doc matching no query term must not appear")
   }
 
+  test("hybrid retrieval: RRF fuses the BM25 and cosine lists; a doc on " +
+    "one list only gets that list's reciprocal rank") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join hash spark"),
+      (2L, "hash table"),
+      (3L, "unrelated words entirely"),
+      (4L, "spark spark spark")).toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.hybridTopK(docs, "doc_id", "text",
+      vecs, "vec_id", "embedding",
+      queryTerms = Seq("spark", "hash"), queryVec = Array(1f, 0f),
+      k = 4, poolSize = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val m = out.toMap
+    // doc 3 matches NO query term: only the cosine list ranks it (rank 2
+    // behind doc 1), so its fused score is exactly 1/(60+2)
+    assert(m(3L) === BigDecimal(1.0 / 62).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 1 leads both lists → strictly the top fused score
+    assert(out.head._1 === 1L)
+    assert(m(1L) > m(3L) && m.size === 4)
+  }
+
+  test("deterministic k-means: seed recovery, tie-to-lower-cell, summary") {
+    import spark.implicits._
+    val pts = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0.1f, 0f)),
+      (2L, Array(5f, 5f)), (3L, Array(5.1f, 5f))).toDF("id", "vec")
+    // seeds are points 0 and 1 (both in the left blob); after one update
+    // the right blob pulls cluster 1's centroid over and the second
+    // assignment separates the blobs exactly
+    val assigned = KMeans.assign(pts, "id", "vec", k = 2, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(0L) === assigned(1L))
+    assert(assigned(2L) === assigned(3L))
+    assert(assigned(0L) !== assigned(2L))
+    val sum = KMeans.summary(pts, "id", "vec", k = 2, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sum.map(_._2).sorted.toSeq === Seq(2L, 2L))
+    assert(sum.forall(_._3 < 1.0), "within-cluster mean distance stays blob-sized")
+    // identical points at a centroid tie: the lower cell id wins
+    val tied = Seq((0L, Array(1f, 1f)), (1L, Array(1f, 1f))).toDF("id", "vec")
+    val t = KMeans.assign(tied, "id", "vec", k = 2, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t(0L) === 0L && t(1L) === 0L)
+  }
+
   test("asof join: inclusive boundary, per-key isolation, no-match → null") {
     import org.apache.spark.sql.types._
     val lSchema = StructType(Seq(StructField("k", LongType),
