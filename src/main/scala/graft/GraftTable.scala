@@ -40,10 +40,15 @@ class GraftTable private (val spark: SparkSession, val path: String) {
     * operation names), files added/removed, rows added (when stats
     * present), and whether the commit changed data or only layout.
     */
-  def history(): DataFrame = {
+  def history(limit: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val l = log
-    val rows = l.versionTimestamps().map { case (v, ts) =>
+    // scope BEFORE reading commits: each row costs one commit-file read,
+    // and a LIMITed history of a long-lived table must not replay the
+    // whole log driver-side (log cleanup bounds the unlimited case)
+    val versions = l.versionTimestamps()
+    val scoped = limit.map(n => versions.takeRight(n)).getOrElse(versions)
+    val rows = scoped.map { case (v, ts) =>
       val actions = l.changes(v, v).head.actions
       val adds = actions.collect { case a: graft.model.AddFile => a }
       val removes = actions.collect { case r: graft.model.RemoveFile => r }

@@ -1407,6 +1407,23 @@ object SparkEntry {
         k = 10, poolSize = 20)
     }),
 
+    // Beyond-reference: n-gram novelty — fraction of each doc's distinct
+    // char 5-grams that no other doc contains (df=1 over the same
+    // feature space the exact dedup cascade uses). The memorization-risk
+    // signal next to dedup rates; one explode + df groupBy + bucket join.
+    "q122_ngram_novelty" -> ((s, dir) => {
+      graft.ops.TextOps.ngramNovelty(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Beyond-reference: corpus-trained bigram LM quality score (the
+    // CCNet/KenLM perplexity-filter family) — smoothed transition
+    // probabilities from map-side-combinable pair counts, scored back
+    // through bucket equi-joins; the oracle replays counts, smoothing,
+    // and the per-doc mean exactly.
+    "q121_lm_quality" -> ((s, dir) => {
+      graft.ops.TextOps.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // Beyond-reference: deterministic Lloyd k-means over the embedding
     // corpus — the semantic-clustering step curation pipelines cut
     // cluster quotas on. Seeded by the first k vectors, argmin ties to
@@ -2957,6 +2974,38 @@ object SparkEntry {
          UNION ALL
          SELECT n_nationkey, n_name, 'delete', CAST(2 AS BIGINT)
          FROM nation WHERE n_regionkey > 2""",
+    "q122_ngram_novelty" ->
+      """WITH sets AS (SELECT doc_id, list_distinct(list_transform(
+             range(0, greatest(length(text) - 5, 0) + 1),
+             i -> substr(text, CAST(1 + i AS INT), 5))) AS fset
+           FROM documents WHERE text IS NOT NULL),
+         g AS (SELECT doc_id, unnest(fset) AS g FROM sets),
+         df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY g)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           round(sum(CASE WHEN df = 1 THEN CAST(1 AS DOUBLE)
+                          ELSE CAST(0 AS DOUBLE) END) / count(*), 4) AS novelty
+         FROM g JOIN df USING (g) GROUP BY doc_id""",
+    "q121_lm_quality" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                       FROM documents WHERE text IS NOT NULL),
+         idx AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+         pairs AS (SELECT doc_id,
+                     CASE WHEN i = 1 THEN '<s>'
+                          ELSE t[CAST(i - 1 AS INT)] END AS prev,
+                     t[CAST(i AS INT)] AS cur
+                   FROM idx),
+         big AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cbg
+                 FROM pairs GROUP BY prev, cur),
+         pref AS (SELECT prev, CAST(count(*) AS BIGINT) AS cp
+                  FROM pairs GROUP BY prev),
+         voc AS (SELECT CAST(count(DISTINCT cur) AS BIGINT) AS v FROM pairs),
+         lp AS (SELECT doc_id,
+                  ln((CAST(cbg AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+                     (CAST(cp AS DOUBLE) + CAST(0.5 AS DOUBLE) * CAST(v AS DOUBLE))) AS lp
+                FROM pairs JOIN big USING (prev, cur) JOIN pref USING (prev), voc)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 4) AS avg_logprob
+         FROM lp GROUP BY doc_id""",
     "q120_kmeans_curation" ->
       """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),

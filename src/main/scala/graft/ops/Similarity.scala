@@ -28,6 +28,29 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     column(DotProductFloat(expression(a), expression(b)))
 
+  /** Two-phase per-query top-k over a scored frame: cut to k per (input
+    * partition, query) first, THEN rank globally. A single global
+    * `Window.partitionBy(q_id)` would shuffle the ENTIRE scored corpus
+    * into |queries| reducers — a single-reducer hotspot whenever the
+    * query set is small (the common ANN shape: few queries, huge
+    * corpus). The pre-cut keeps every reducer's input ≤ partitions·k
+    * rows and is lossless: the global top-k is a subset of the union of
+    * per-partition top-ks, and both phases use the same deterministic
+    * (sim desc, c_id) order.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int,
+      simCol: String = "sim"): DataFrame = {
+    val pre = scored
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__r0", row_number().over(Window
+        .partitionBy(col("__pid"), col("q_id"))
+        .orderBy(col(simCol).desc, col("c_id"))))
+      .filter(col("__r0") <= k).drop("__pid", "__r0")
+    pre.withColumn("rank", row_number().over(Window
+      .partitionBy(col("q_id")).orderBy(col(simCol).desc, col("c_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact cosine top-k: every query row scored against every corpus row.
     * `queries` must be broadcast-sized (it is hinted); ties broken by
     * corpus id for determinism.
@@ -38,9 +61,7 @@ object Similarity {
       k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
   }
 
@@ -75,9 +96,7 @@ object Similarity {
     val qb = queries.withColumn("bucket", lshSignature(col("q_vec"), planes))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
   }
 
@@ -121,9 +140,7 @@ object Similarity {
       .join(corpus, "c_id")
       .join(broadcast(queries), "q_id")
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
   }
 
@@ -235,9 +252,7 @@ object Similarity {
 
     val scored = assigned.join(broadcast(qCells), Seq("cell"))
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
   }
 
@@ -398,14 +413,10 @@ object Similarity {
       .select(col("q_id"), col("q_vec"), col("cell"))
     val approx = assigned.join(broadcast(qCells), Seq("cell"))
       .withColumn("asim", cosine(col("q_vec"), col("recon")))
-    val wa = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("c_id"))
-    val candidates = approx.withColumn("ar", row_number().over(wa))
-      .filter(col("ar") <= k * refine)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    candidates
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val candidates = topKPerQuery(approx, k * refine, simCol = "asim")
+      .drop("rank")
+    topKPerQuery(
+      candidates.withColumn("sim", cosine(col("q_vec"), col("c_vec"))), k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
   }
 
@@ -423,15 +434,14 @@ object Similarity {
       .withColumn("recon", sqDecode(col("codes"), lo, span).cast("array<float>"))
       .crossJoin(broadcast(queries))
       .withColumn("asim", cosine(col("q_vec"), col("recon")))
-    val wa = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("c_id"))
-    val candidates = approx.withColumn("ar", row_number().over(wa))
-      .filter(col("ar") <= k * refine)
+    // the candidate cut and the final rerank both go through the
+    // two-phase top-k (see topKPerQuery) — the code scan's output must
+    // never funnel into |queries| reducers
+    val candidates = topKPerQuery(approx, k * refine, simCol = "asim")
+      .drop("rank")
     // exact rerank on the original vectors the candidates carried along
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    candidates
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(
+      candidates.withColumn("sim", cosine(col("q_vec"), col("c_vec"))), k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
   }
 

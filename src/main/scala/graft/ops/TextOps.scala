@@ -260,4 +260,71 @@ object TextOps {
     flagged.withColumn("kept",
       rules.map(r => col(s"pass_${r._1}")).reduce(_ && _))
   }
+
+  /** Per-document n-gram NOVELTY: the fraction of the doc's distinct
+    * character n-grams that occur in NO other document (df = 1). High
+    * novelty separates genuinely fresh text from template/boilerplate
+    * recombination — the memorization-risk signal curation pipelines
+    * report next to dedup rates.
+    *
+    * Shape at 100 TB: one explode of per-doc DISTINCT n-grams (the
+    * single-pass native kernel), a map-side-combinable df groupBy over
+    * the n-gram hash space, and one bucket join back — the same
+    * feature-table discipline as the dedup cascade, no broadcast of
+    * anything corpus-sized.
+    */
+  def ngramNovelty(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val grams = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.charNgrams(col(textCol), n)).as("g"))
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(when(col("df") === 1L, 1.0).otherwise(0.0)) /
+          count(lit(1)), 4).as("novelty"))
+  }
+
+  /** Corpus-trained add-k bigram language-model score per document — the
+    * CCNet/KenLM quality-filter family with the LM trained ON the corpus
+    * itself (docs whose token transitions are atypical for the corpus
+    * score low; boilerplate and fluent text score high). Each doc's
+    * score is the mean log-probability of its bigrams under
+    * `P(c|p) = (count(p,c) + k) / (count(p,·) + k·V)`, with a `<s>`
+    * start symbol and V = distinct-token vocabulary size.
+    *
+    * Shape at 100 TB: bigram and prefix counts are map-side-combinable
+    * groupBys over the exploded token-pair stream; scoring joins each
+    * doc's pairs back by token key (bucket equi-joins — the vocabulary
+    * is corpus-scale, NEVER broadcast or collected); V is the one scalar
+    * on the driver. No window over the corpus, no quadratic leg.
+    */
+  def bigramLmScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    // (prev, cur) pairs with a start symbol: prevs = <s> +: tokens dropRight 1
+    val pairs = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(concat(array(lit("<s>")), col("t")), lit(1), size(col("t"))),
+        col("t"),
+        (p, c) => struct(p.as("prev"), c.as("cur")))).as("z"))
+      .select(col("doc_id"), col("z.prev").as("prev"), col("z.cur").as("cur"))
+    val big = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cbg"))
+    val pref = pairs.groupBy(col("prev")).agg(count(lit(1)).as("cp"))
+    val vocab = pairs.select(col("cur")).distinct().count()
+    pairs
+      .join(big, Seq("prev", "cur"))
+      .join(pref, Seq("prev"))
+      .withColumn("lp", log(
+        (col("cbg").cast("double") + lit(k)) /
+          (col("cp").cast("double") + lit(k) * lit(vocab.toDouble))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("lp")), 4).as("avg_logprob"))
+  }
 }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.Row
   * OPTIMIZE <table-or-'/path'>
   * OPTIMIZE <table-or-'/path'> ZORDER BY (col [, col …])
   * VACUUM   <table-or-'/path'> [RETAIN <n> HOURS]
-  * DESCRIBE HISTORY <table-or-'/path'>
+  * DESCRIBE HISTORY <table-or-'/path'> [LIMIT <n>]
   * }}}
   *
   * Table references: a quoted `'/path'`, or a registered shared-table
@@ -65,7 +65,8 @@ object GraftSqlParser {
   private val Vacuum =
     ("""(?is)\s*VACUUM\s+""" + TableRef + """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*""").r
   private val History =
-    ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + TableRef + """\s*""").r
+    ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + TableRef +
+      """(?:\s+LIMIT\s+(\d+))?\s*""").r
   private val RestoreSql =
     ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + TableRef +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""").r
@@ -125,7 +126,8 @@ object GraftSqlParser {
       Some(VacuumCommand(ref(path, name),
         Option(hours).map(_.toLong * 3600 * 1000)
           .getOrElse(7L * 24 * 3600 * 1000)))
-    case History(path, name) => Some(HistoryCommand(ref(path, name)))
+    case History(path, name, limit) =>
+      Some(HistoryCommand(ref(path, name), Option(limit).map(_.toInt)))
     case RestoreSql(path, name, v) =>
       Some(RestoreCommand(ref(path, name), v.toLong))
     case RestoreTsSql(path, name, ts) =>
@@ -354,7 +356,8 @@ case class ConstraintCommand(
   }))
 }
 
-case class HistoryCommand(tablePath: String) extends LeafRunnableCommand {
+case class HistoryCommand(tablePath: String, limit: Option[Int] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
     AttributeReference("timestamp", TimestampType)(),
@@ -364,5 +367,5 @@ case class HistoryCommand(tablePath: String) extends LeafRunnableCommand {
     AttributeReference("num_added_rows", LongType)(),
     AttributeReference("data_change", BooleanType)())
   override def run(spark: SparkSession): Seq[Row] =
-    graft.GraftTable.forPath(spark, tablePath).history().collect().toSeq
+    graft.GraftTable.forPath(spark, tablePath).history(limit).collect().toSeq
 }

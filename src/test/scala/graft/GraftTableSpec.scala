@@ -106,6 +106,13 @@ class GraftTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ops = t.history().select("operation").collect().map(_.getString(0)).toSeq
     assert(ops === Seq("SET TBLPROPERTIES", "OPTIMIZE", "UPDATE", "DELETE",
       "WRITE", "CREATE TABLE"), ops.mkString(", "))
+    // LIMIT scopes to the NEWEST n versions before any commit is read
+    assert(t.history(Some(2)).select("operation").collect().map(_.getString(0)).toSeq
+      === Seq("SET TBLPROPERTIES", "OPTIMIZE"))
+    val limited = new graft.sql.GraftSqlParser(spark.sessionState.sqlParser)
+      .parsePlan(s"DESCRIBE HISTORY '$path' LIMIT 3")
+      .asInstanceOf[graft.sql.HistoryCommand]
+    assert(limited.limit === Some(3) && limited.run(spark).size === 3)
     // the raw delta commit line carries it for any real delta reader
     val line = scala.io.Source.fromFile(
       s"$path/_delta_log/00000000000000000002.json").getLines().next()

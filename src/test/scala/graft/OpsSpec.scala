@@ -740,6 +740,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(1L) > m(3L) && m.size === 4)
   }
 
+  test("bigram LM score: repeated text outranks atypical transitions; " +
+    "identical docs score identically") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b a b"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) === out(2L))
+    assert(out(1L)._1 === 4L && out(3L)._1 === 2L)
+    assert(out(1L)._2 > out(3L)._2,
+      "corpus-typical transitions must outscore one-off ones")
+  }
+
+  test("ngram novelty: shared text scores 0, unique text scores 1") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefgh"), (2L, "abcdefgh"), (3L, "zQwXyUvT"))
+      .toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) === 0.0 && out(2L) === 0.0 && out(3L) === 1.0)
+  }
+
   test("deterministic k-means: seed recovery, tie-to-lower-cell, summary") {
     import spark.implicits._
     val pts = Seq(
