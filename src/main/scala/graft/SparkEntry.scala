@@ -1407,6 +1407,16 @@ object SparkEntry {
         k = 10, poolSize = 20)
     }),
 
+    // Beyond-reference: BPE merge induction over the corpus (tokenizer
+    // FIT, Sennrich et al. 2016) — deterministic merge table from the
+    // word-frequency collapse; vocabulary-scale rounds, 1-row argmax
+    // collects. No SQL oracle (8 fold-re-segmentation rounds are not
+    // reasonably expressible) → driver records the rows-only check; the
+    // algorithm is pinned by OpsSpec's hand-computed canonical corpus.
+    "q123_bpe_merges" -> ((s, dir) => {
+      graft.ops.TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
+    }),
+
     // Beyond-reference: n-gram novelty — fraction of each doc's distinct
     // char 5-grams that no other doc contains (df=1 over the same
     // feature space the exact dedup cascade uses). The memorization-risk

@@ -261,6 +261,83 @@ object TextOps {
       rules.map(r => col(s"pass_${r._1}")).reduce(_ && _))
   }
 
+  /** BPE merge induction (Sennrich et al. 2016) — tokenizer FIT over the
+    * corpus: starting from character symbols, repeatedly merge the most
+    * frequent adjacent symbol pair (ties to the lexicographically
+    * smallest pair, so the merge table is deterministic). Returns the
+    * learned table `(rank, left, right, pair_freq)`.
+    *
+    * Shape at 100 TB: the corpus collapses to the word-frequency table
+    * ONCE (the standard BPE preprocessing — pair statistics are
+    * freq-weighted over distinct words, so all later rounds run on
+    * vocabulary-scale data, not corpus-scale); each round is one
+    * map-side-combinable pair count + a 1-row argmax collect + one
+    * row-local fold re-segmentation. Per-round frames are persisted and
+    * the previous round released, so lineage and memory stay O(1) in the
+    * round count.
+    */
+  def bpeMerges(
+      docs: DataFrame, textCol: String, numMerges: Int = 8): DataFrame = {
+    require(numMerges >= 1, s"numMerges=$numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // word-frequency table; symbols start as characters
+    var words = docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // one non-overlapping left-to-right merge pass over a symbol array
+    def applyMerge(l: String, r: String): Column = {
+      val folded = aggregate(
+        col("syms"),
+        struct(array().cast("array<string>").as("out"),
+          lit(null).cast("string").as("pend")),
+        (acc, s) =>
+          when(acc.getField("pend").isNull,
+            struct(acc.getField("out").as("out"), s.as("pend")))
+            .when(acc.getField("pend") === lit(l) && s === lit(r),
+              struct(concat(acc.getField("out"), array(lit(l + r))).as("out"),
+                lit(null).cast("string").as("pend")))
+            .otherwise(
+              struct(concat(acc.getField("out"),
+                array(acc.getField("pend"))).as("out"), s.as("pend"))),
+        acc => when(acc.getField("pend").isNull, acc.getField("out"))
+          .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
+      folded
+    }
+
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (rank <- 1L to numMerges) {
+      val best = words
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("pf"))
+        .orderBy(col("pf").desc, col("l"), col("r"))
+        .limit(1)
+        .as[(String, String, Long)].collect()
+      if (best.isEmpty) {
+        words.unpersist()
+        return merges.result().toDF("rank", "left", "right", "pair_freq")
+      }
+      val (l, r, pf) = best.head
+      merges += ((rank, l, r, pf))
+      val next = words.select(applyMerge(l, r).as("syms"), col("freq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the previous round
+      words.unpersist()
+      words = next
+    }
+    words.unpersist()
+    merges.result().toDF("rank", "left", "right", "pair_freq")
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of the doc's distinct
     * character n-grams that occur in NO other document (df = 1). High
     * novelty separates genuinely fresh text from template/boilerplate

@@ -762,6 +762,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) === 0.0 && out(2L) === 0.0 && out(3L) === 1.0)
   }
 
+  test("bpe merge induction: canonical corpus learns (e,s),(es,t),(l,o); " +
+    "greedy non-overlapping pass") {
+    import spark.implicits._
+    // Sennrich's example distribution: low x5, lower x2, newest x6, widest x3
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val merges = TextOps.bpeMerges(Seq(corpus).toDF("text"), "text", numMerges = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // (e,s) and (s,t) tie at 9 — lexicographic smallest wins; the merged
+    // 'es' then pairs with 't'; (l,o)/(o,w) tie at 7 → (l,o)
+    assert(merges.toSeq === Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L), (3L, "l", "o", 7L)), merges.toSeq)
+    // greedy left-to-right: "aaa" merges once per pass, no overlap
+    val aaa = TextOps.bpeMerges(Seq("aaa").toDF("text"), "text", numMerges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(aaa.toSeq === Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)), aaa.toSeq)
+  }
+
   test("deterministic k-means: seed recovery, tie-to-lower-cell, summary") {
     import spark.implicits._
     val pts = Seq(
