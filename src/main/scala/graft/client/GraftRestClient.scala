@@ -29,6 +29,10 @@ class GraftRestClient(
       * server).
       */
     tokenEndpoint: Option[String] = None,
+    /** Optional OAuth `scope` (RFC 6749 §4.4.2), sent with the grant when
+      * a v2 profile declares one.
+      */
+    oauthScope: Option[String] = None,
     /** Submit snapshot queries with `asyncquery=true` and resolve the
       * returned queryStatus handle by polling
       * `POST .../queries/{queryId}` (the reference's
@@ -54,7 +58,8 @@ class GraftRestClient(
         case Some((t, exp)) if exp - nowMs > 60000 => Some(t)
         case _ =>
           val form = s"grant_type=client_credentials&client_id=${enc(id)}" +
-            s"&client_secret=${enc(secret)}"
+            s"&client_secret=${enc(secret)}" +
+            oauthScope.map(sc => s"&scope=${enc(sc)}").getOrElse("")
           val req = HttpRequest.newBuilder(
             URI.create(tokenEndpoint.getOrElse(s"$baseUrl/oauth/token")))
             .timeout(Duration.ofSeconds(30))

@@ -301,6 +301,7 @@ object GraftDataSource {
         secret <- parameters.get("clientSecret")
       } yield (id, secret),
       tokenEndpoint = parameters.get("tokenEndpoint"),
+      oauthScope = parameters.get("oauthScope"),
       asyncQuery = parameters.get("asyncQuery").exists(_.toBoolean),
       asyncPollIntervalMs =
         parameters.get("asyncQueryPollIntervalMs").map(_.toLong).getOrElse(10000L),

@@ -110,7 +110,25 @@ object ScaleProbe {
       "q112_heavy_hitters" -> (k =>
         graft.ops.Sketches.heavyHitters(
           docs(k).select(explode(split(col("text"), "\\s+")).as("tok")), "tok",
-          capacity = 256, topK = 50).count()))
+          capacity = 256, topK = 50).count()),
+      // round-10 ops: LM scoring and novelty are pair/feature groupBys +
+      // bucket joins (expect ~linear); BPE rounds run on the vocabulary
+      // (which the salt grows k-fold here — worst case); k-means scans a
+      // k-fold embedding corpus per iteration
+      "q121_lm_quality" -> (k =>
+        graft.ops.TextOps.bigramLmScore(docs(k), "doc_id", "text").count()),
+      "q122_ngram_novelty" -> (k =>
+        graft.ops.TextOps.ngramNovelty(docs(k), "doc_id", "text").count()),
+      "q123_bpe_merges" -> (k =>
+        graft.ops.TextOps.bpeMerges(docs(k), "text", numMerges = 4).count()),
+      "q120_kmeans" -> (k => {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val corpus = (0 until k).map(c => emb.select(
+          (col("vec_id") + lit(c.toLong * 100000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+        graft.ops.KMeans.summary(corpus, "vec_id", "embedding",
+          k = 4, iterations = 2).count()
+      }))
     val ops = allOps.filter { case (name, _) =>
       opFilter.forall(_.exists(name.startsWith)) }
 

@@ -486,6 +486,11 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       impatient.query("share1", "default", "lineitem")
     }
     assert(e.getMessage.contains("timed out"))
+    // async COMPOSES with pagination: each page is its own async
+    // submit+poll round trip, the client walks nextPageToken across them
+    val paged = asyncClient.query("share1", "default", "lineitem",
+      graft.server.wire.QueryRequest(maxFiles = 3))
+    assert(paged.files.map(_.id).sorted === sync.files.map(_.id).sorted)
     // e2e: a spark read opting in via asyncQuery sees identical rows
     val df = spark.read.format("graft")
       .option("url", server.url).option("token", TOKEN)
