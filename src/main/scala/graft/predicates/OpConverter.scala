@@ -191,3 +191,82 @@ object OpConverter {
     case _ => StatsCodec.encode(v)
   }
 }
+
+/** V1 `sources.Filter` → JSON predicate AST, for `PrunedFilteredScan`
+  * relations (the delta-dialect remote scan) whose pushdown surface
+  * speaks data-source filters instead of Catalyst expressions. Filters
+  * are rebuilt as RESOLVED Catalyst expressions against the relation's
+  * logical schema and handed to [[OpConverter]] — one converter, one set
+  * of soundness rules (partial `And` weakening allowed at positive
+  * polarity only, `Not` requires exact children).
+  */
+object SourceFilterConverter {
+
+  import org.apache.spark.sql.{sources => f}
+
+  def convert(
+      filters: Seq[f.Filter], schema: StructType): Option[BaseOp] =
+    OpConverter.convert(filters.flatMap(toCatalyst(_, schema)))
+
+  private[graft] def toCatalyst(
+      filter: f.Filter, schema: StructType): Option[Expression] = {
+    def attr(name: String): Option[AttributeReference] =
+      schema.find(_.name == name).map(fd =>
+        AttributeReference(fd.name, fd.dataType, fd.nullable)())
+    // external-typed filter values (String, java.sql.Date, ...) go
+    // through Literal.apply's CatalystTypeConverters
+    def lit(v: Any): Option[Expression] =
+      try Some(Literal(v)) catch { case scala.util.control.NonFatal(_) => None }
+    filter match {
+      case f.EqualTo(a, v) =>
+        for (x <- attr(a); l <- lit(v)) yield EqualTo(x, l)
+      case f.EqualNullSafe(a, v) =>
+        for (x <- attr(a); l <- lit(v)) yield EqualNullSafe(x, l)
+      case f.LessThan(a, v) =>
+        for (x <- attr(a); l <- lit(v)) yield LessThan(x, l)
+      case f.LessThanOrEqual(a, v) =>
+        for (x <- attr(a); l <- lit(v)) yield LessThanOrEqual(x, l)
+      case f.GreaterThan(a, v) =>
+        for (x <- attr(a); l <- lit(v)) yield GreaterThan(x, l)
+      case f.GreaterThanOrEqual(a, v) =>
+        for (x <- attr(a); l <- lit(v)) yield GreaterThanOrEqual(x, l)
+      case f.IsNull(a) => attr(a).map(IsNull)
+      case f.IsNotNull(a) => attr(a).map(IsNotNull)
+      case f.In(a, vs) =>
+        val lits = vs.toSeq.map(lit)
+        if (lits.forall(_.isDefined)) attr(a).map(In(_, lits.flatten))
+        else None
+      case f.And(l, r) =>
+        // both halves convert → And; one half → that half (a safe
+        // weakening at the positive polarity of a pushed filter list)
+        (toCatalyst(l, schema), toCatalyst(r, schema)) match {
+          case (Some(a), Some(b)) => Some(And(a, b))
+          case (Some(a), None)    => Some(a)
+          case (None, Some(b))    => Some(b)
+          case _                  => None
+        }
+      case f.Or(l, r) =>
+        for (a <- toCatalyst(l, schema); b <- toCatalyst(r, schema)) yield Or(a, b)
+      case f.Not(c) =>
+        // only exact child conversions may be negated — a child weakened
+        // here would make the negation STRONGER (OpConverter re-checks
+        // its own exactness below this, but the And-weakening above is
+        // this layer's, so gate it here too)
+        toCatalystExact(c, schema).map(Not)
+      case _ => None
+    }
+  }
+
+  /** Like [[toCatalyst]] but refuses partial conversions (for `Not`). */
+  private def toCatalystExact(
+      filter: f.Filter, schema: StructType): Option[Expression] = filter match {
+    case f.And(l, r) =>
+      for (a <- toCatalystExact(l, schema); b <- toCatalystExact(r, schema))
+        yield And(a, b)
+    case f.Or(l, r) =>
+      for (a <- toCatalystExact(l, schema); b <- toCatalystExact(r, schema))
+        yield Or(a, b)
+    case f.Not(c) => toCatalystExact(c, schema).map(Not)
+    case other => toCatalyst(other, schema)
+  }
+}

@@ -10,6 +10,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.client.{GraftRestClient, GraftUrlCache}
 import graft.model.{ColumnMapping, RoaringBitmapArray, Z85}
+import graft.predicates.{JsonPredicates, SourceFilterConverter}
 import graft.server.wire
 
 /** Remote snapshot scan over the DELTA response dialect — the client-side
@@ -17,6 +18,11 @@ import graft.server.wire
   * column mapping are refused in `responseformat=parquet`
   * (`GraftServer.negotiateFormat`); this relation re-queries with
   * `responseformat=delta;readerfeatures=...`, then
+  *  - PUSHES the scan's filters server-side as jsonPredicateHints (the
+  *    same stats-skipping surface the parquet dialect gets from
+  *    `RemoteGraftFileIndex.listFiles` — hints speak LOGICAL names, the
+  *    server re-keys column-mapped stats), one file-set fetch per
+  *    distinct hint shape, all pinned to ONE snapshot version,
   *  - reads parquet bytes through the same `graft://` pre-signed-URL
   *    machinery as the plain remote path (fileId → URL cache, Range
   *    reads, cross-JVM driver RPC),
@@ -34,22 +40,57 @@ class RemoteDeltaScanRelation(
     schemaName: String,
     table: String,
     options: Map[String, String])
-    extends BaseRelation with DataFrameBackedScan {
+    extends BaseRelation with PrunedFilteredScan {
 
   override def sqlContext: SQLContext = spark.sqlContext
 
-  private val req = wire.QueryRequest(
-    version = options.get("versionAsOf").map(v => Long.box(v.toLong)).orNull,
-    timestamp = options.getOrElse("timestampAsOf", null))
-
-  private val result = client.deltaQuery(share, schemaName, table, req)
-  private val meta = result.metadata.deltaMetadata
+  // schema + snapshot pin from ONE metadata round trip; every later file
+  // query (per hint shape) re-addresses this exact version so a commit
+  // landing mid-plan can never split the scan across snapshots
+  private val (metaLine, metaVersion) = client.deltaMetadata(share, schemaName, table)
+  private val meta = metaLine.deltaMetadata
+  private val pinnedVersion: Long = options.get("versionAsOf").map(_.toLong)
+    .orElse(options.get("timestampAsOf").map { ts =>
+      client.deltaQuery(share, schemaName, table,
+        wire.QueryRequest(timestamp = ts)).version
+    })
+    .getOrElse(metaVersion)
 
   /** Logical (user-facing) schema. */
   override val schema: StructType =
     DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
 
-  protected lazy val df = {
+  /** One assembled frame per distinct pushed-hint shape (Catalyst calls
+    * buildScan repeatedly while planning — same memo discipline as
+    * `RemoteGraftFileIndex.fetchMemo`).
+    */
+  private val dfMemo = scala.collection.concurrent.TrieMap
+    .empty[Option[String], org.apache.spark.sql.DataFrame]
+
+  private def dfForHint(hint: Option[String]): org.apache.spark.sql.DataFrame =
+    dfMemo.getOrElseUpdate(hint, buildDf(hint))
+
+  override def buildScan(
+      requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val hint = SourceFilterConverter.convert(filters.toIndexedSeq, schema)
+      .map(JsonPredicates.toJson)
+    val base = dfForHint(hint)
+    // exact row-level re-filter on top of the best-effort file pruning
+    val filtered = FilterColumns.translate(filters.toIndexedSeq)
+      .map(base.filter).getOrElse(base)
+    val projected =
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+    projected.rdd
+  }
+
+  private def buildDf(hint: Option[String]): org.apache.spark.sql.DataFrame = {
+    val req = wire.QueryRequest(
+      version = Long.box(pinnedVersion),
+      jsonPredicateHints = hint.orNull)
+    val result = client.deltaQuery(share, schemaName, table, req)
+
     val names = ColumnMapping.nameMap(schema)
     val idMode = Option(meta.configuration)
       .flatMap(_.get(ColumnMapping.MODE_KEY)).exists(_.equalsIgnoreCase("id"))
@@ -60,17 +101,13 @@ class RemoteDeltaScanRelation(
     val physPartitionCols = meta.partitionColumns.map(c => names.getOrElse(c, c))
 
     val adds = result.files.map(f => (f, f.deltaSingleAction.add))
-    // the refresher must re-fetch the SAME snapshot the scan was planned
-    // against — pin the resolved version, else a commit landing mid-scan
-    // would refresh a different file set and executors would miss ids
-    val pinnedReq = req.copy(version = Long.box(result.version), timestamp = null)
     GraftUrlCache.register(
-      s"$share.$schemaName.$table@delta${result.version}#${req.hashCode}",
+      s"$share.$schemaName.$table@delta$pinnedVersion#${req.hashCode}",
       adds.map { case (f, a) =>
         f.id -> GraftUrlCache.Entry(a.path,
           Option(f.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))
       }.toMap,
-      () => client.deltaQuery(share, schemaName, table, pinnedReq).files.map { f =>
+      () => client.deltaQuery(share, schemaName, table, req).files.map { f =>
         f.id -> GraftUrlCache.Entry(f.deltaSingleAction.add.path,
           Option(f.expirationTimestamp).map(_.longValue()).getOrElse(Long.MaxValue))
       }.toMap)
@@ -89,7 +126,7 @@ class RemoteDeltaScanRelation(
     val byPath: Map[String, Array[Byte]] = adds
       .filter(_._2.deletionVector != null)
       .flatMap { case (f, a) =>
-        val bytes = fetchDvBytes(a.deletionVector)
+        val bytes = RemoteDeltaScanRelation.fetchDvBytes(a.deletionVector)
         DvFilters.pathSpellings(GraftFileSystem.encodePath(f.id, a.size)).map(_ -> bytes)
       }.toMap
     val live = DvFilters.filterDeleted(base, byPath)
@@ -97,9 +134,6 @@ class RemoteDeltaScanRelation(
     live.select(schema.fields.toIndexedSeq.map(f =>
       col(names.getOrElse(f.name, f.name)).as(f.name)): _*)
   }
-
-  private def fetchDvBytes(dv: wire.DeltaDvW): Array[Byte] =
-    RemoteDeltaScanRelation.fetchDvBytes(dv)
 }
 
 object RemoteDeltaScanRelation {

@@ -740,6 +740,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(1L) > m(3L) && m.size === 4)
   }
 
+  test("round-10 op plan shapes: no cartesian/BNLJ legs; the cosine leg " +
+    "broadcasts; ANN top-k pre-cuts per partition") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    val lm = planOf(TextOps.bigramLmScore(docs, "doc_id", "text"))
+    assert(!lm.contains("CartesianProduct") &&
+      !lm.contains("BroadcastNestedLoopJoin"), lm)
+    val nov = planOf(TextOps.ngramNovelty(docs, "doc_id", "text"))
+    assert(!nov.contains("CartesianProduct") &&
+      !nov.contains("BroadcastNestedLoopJoin"), nov)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val hy = planOf(Similarity.hybridTopK(docs, "doc_id", "text",
+      emb, "vec_id", "embedding", Seq("hash"), qv, k = 5, poolSize = 10))
+    // the corpus×queries scoring leg must be a broadcast of the 1-row
+    // query set, never a shuffled cartesian of the corpus
+    assert(hy.contains("BroadcastExchange") && !hy.contains("CartesianProduct"), hy)
+    // two-phase top-k: the first window ranks within (input partition,
+    // query) so the global per-query window only sees the pre-cut rows
+    val bf = planOf(Similarity.bruteForceTopK(
+      emb.limit(3).select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")), k = 5))
+    assert(bf.contains("SPARK_PARTITION_ID") || bf.contains("spark_partition_id"), bf)
+  }
+
   test("bigram LM score: repeated text outranks atypical transitions; " +
     "identical docs score identically") {
     import spark.implicits._

@@ -213,4 +213,29 @@ class PredicateSpec extends AnyFunSuite {
     assert(!ev.canSkip(op.get, file(150L, 160L)))
     assert(!ev.canSkip(op.get, file(199L, 210L)))
   }
+
+  test("source-filter converter: comparisons, IN, And-weakening, Not gating") {
+    import org.apache.spark.sql.{sources => f}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    def conv(fs: f.Filter*): Option[BaseOp] =
+      SourceFilterConverter.convert(fs, schema)
+    // simple comparison + string type flow through with typed leaves
+    val eq = conv(f.EqualTo("k", 5L))
+    assert(eq.exists(_.isInstanceOf[EqualOp]), eq)
+    val in = conv(f.In("s", Array("a", "b")))
+    assert(in.exists(_.isInstanceOf[OrOp]), in)
+    // unknown column → not pushed (None), never an error
+    assert(conv(f.EqualTo("nope", 1)) === None)
+    // And with one unconvertible side weakens to the other (safe superset)
+    val weak = conv(f.And(f.EqualTo("k", 1L), f.StringContains("s", "x")))
+    assert(weak.exists(_.isInstanceOf[EqualOp]), weak)
+    // Or requires both sides
+    assert(conv(f.Or(f.EqualTo("k", 1L), f.StringContains("s", "x"))) === None)
+    // Not over a partially-convertible subtree must NOT be pushed — the
+    // negation of a weakened predicate would skip matching files
+    assert(conv(f.Not(f.And(f.EqualTo("k", 1L), f.StringContains("s", "x")))) === None)
+    assert(conv(f.Not(f.EqualTo("k", 1L))).exists(_.isInstanceOf[NotOp]))
+  }
 }
