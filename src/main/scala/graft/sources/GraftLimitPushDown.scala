@@ -31,5 +31,11 @@ object GraftLimitPushDown extends Rule[LogicalPlan] {
         if index.limitHint.isEmpty =>
       val newRelation = hfs.copy(location = index.withLimit(n.toLong))(hfs.sparkSession)
       limit.copy(child = lr.copy(relation = newRelation))
+    // the delta-dialect remote scan takes the hint on the relation itself
+    // (its file listing happens inside buildScan, not a FileIndex)
+    case limit @ LocalLimit(IntegerLiteral(n),
+        lr @ LogicalRelation(rel: RemoteDeltaScanRelation, _, _, _, _))
+        if rel.limitHint.isEmpty =>
+      limit.copy(child = lr.copy(relation = rel.withLimit(n.toLong)))
   }
 }

@@ -39,8 +39,22 @@ class RemoteDeltaScanRelation(
     share: String,
     schemaName: String,
     table: String,
-    options: Map[String, String])
+    options: Map[String, String],
+    /** LIMIT n pushed by [[GraftLimitPushDown]]: the server lists only
+      * files covering n LIVE rows (numRecords − DV cardinality — its
+      * accounting discounts deletion vectors so the cut never
+      * under-returns); Spark still applies the exact row limit.
+      */
+    val limitHint: Option[Long] = None)
     extends BaseRelation with PrunedFilteredScan {
+
+  /** A copy of this relation with the limit hint installed (schema and
+    * pinned version are re-derived — both are deterministic per table
+    * state, and the rule fires before any file fetch happened).
+    */
+  def withLimit(n: Long): RemoteDeltaScanRelation =
+    new RemoteDeltaScanRelation(spark, client, share, schemaName, table,
+      options, Some(n))
 
   override def sqlContext: SQLContext = spark.sqlContext
 
@@ -88,7 +102,8 @@ class RemoteDeltaScanRelation(
   private def buildDf(hint: Option[String]): org.apache.spark.sql.DataFrame = {
     val req = wire.QueryRequest(
       version = Long.box(pinnedVersion),
-      jsonPredicateHints = hint.orNull)
+      jsonPredicateHints = hint.orNull,
+      limitHint = limitHint.map(Long.box).orNull)
     val result = client.deltaQuery(share, schemaName, table, req)
 
     val names = ColumnMapping.nameMap(schema)

@@ -516,6 +516,21 @@ class DvSpec extends AnyFunSuite with BeforeAndAfterAll {
         (1L to 50L).filterNot(_ % 7 == 0).toArray)
       // filters compose over the remote DV scan
       assert(dv.filter(col("id") <= 10).count() === 9L) // minus 7
+      // LIMIT pushes as a limitHint whose server-side accounting counts
+      // LIVE rows (numRecords - DV cardinality): with half of every
+      // file's rows deleted, a physical-row count would stop listing a
+      // file short of the limit and under-return
+      val limDir = tempTable()
+      TableBuilder.create(spark,
+        (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "v"), limDir, numFiles = 2)
+      TableBuilder.deleteWhereDV(spark, limDir, col("id") % 2 === 0)
+      GraftCatalog.register("share1.default.dv_limit", limDir)
+      val lim = spark.read.format("graft")
+        .option("url", server.url).option("token", "tkn")
+        .option("table", "share1.default.dv_limit").load()
+      assert(lim.limit(20).count() === 20L)
+      assert(lim.limit(5).select("id").as[Long].collect().length === 5)
+      GraftCatalog.unregister("share1.default.dv_limit")
 
       val cm = spark.read.format("graft")
         .option("url", server.url).option("token", "tkn")
