@@ -1407,6 +1407,18 @@ object SparkEntry {
         k = 10, poolSize = 20)
     }),
 
+    // Beyond-reference: cluster-representative dedup — near-dup clusters
+    // keep their LONGEST member (argmax bytes, ties to the smaller id),
+    // the keep-best rule production pipelines apply instead of keep-min-
+    // id. Exact cascade + components + one struct-max per component.
+    "q124_dedup_keep_best" -> ((s, dir) => {
+      graft.ops.Dedup.dedupKeepBest(
+        t(s, dir, "documents"), "doc_id", "text",
+        quality = octet_length(col("text")).cast("long"),
+        threshold = 0.7)
+        .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"))
+    }),
+
     // Beyond-reference: BPE merge induction over the corpus (tokenizer
     // FIT, Sennrich et al. 2016) — deterministic merge table from the
     // word-frequency collapse; vocabulary-scale rounds, 1-row argmax
@@ -3133,6 +3145,40 @@ object SparkEntry {
            UNION
            SELECT r.n, e.v AS m FROM reach r JOIN edges e ON r.m = e.u)
          SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n""",
+    "q124_dedup_keep_best" ->
+      """WITH RECURSIVE sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                                         CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS u, b.doc_id AS v
+           FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.fset, b.fset))::DOUBLE /
+                 len(list_distinct(a.fset || b.fset))::DOUBLE >= 0.7),
+         edges AS (
+           SELECT u, v FROM pairs
+           UNION SELECT v AS u, u AS v FROM pairs
+           UNION SELECT u, u AS v FROM pairs
+           UNION SELECT v AS u, v FROM pairs),
+         reach AS (
+           SELECT u AS n, v AS m FROM edges
+           UNION
+           SELECT r.n, e.v AS m FROM reach r JOIN edges e ON r.m = e.u),
+         comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+         best AS (SELECT doc_id FROM (
+           SELECT c.doc_id,
+             row_number() OVER (PARTITION BY c.component
+               ORDER BY octet_length(encode(d.text)) DESC, c.doc_id) AS rn
+           FROM comp c JOIN documents d USING (doc_id)) WHERE rn = 1)
+         SELECT d.doc_id, CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes
+         FROM documents d
+         WHERE d.doc_id NOT IN (
+           SELECT c.doc_id FROM comp c
+           WHERE c.doc_id NOT IN (SELECT doc_id FROM best))""",
     "q44_repetition_signals" ->
       """WITH d AS (
            SELECT doc_id, string_split(text, ' ') AS toks

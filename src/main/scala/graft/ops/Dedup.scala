@@ -752,6 +752,39 @@ object Dedup {
     * checkpoint dir configured, `checkpoint()` would add fault tolerance;
     * the algorithm is unchanged.
     */
+  /** Near-dup dedup that keeps the BEST copy per duplicate cluster — the
+    * representative-selection rule real pipelines use (keep the longest /
+    * highest-quality duplicate, not the smallest id). Exact near-dup
+    * pairs → connected components → one argmax(`quality`, ties to the
+    * smaller id) per component; docs in no cluster pass through. Returns
+    * the kept docs unchanged.
+    *
+    * Scale shape: everything is the measured-sublinear cascade plus one
+    * map-side-combinable struct-max per component and two anti-joins —
+    * nothing new shuffles at corpus scale.
+    */
+  def dedupKeepBest(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      quality: Column,
+      threshold: Double = 0.7,
+      shingleSize: Int = 3): DataFrame = {
+    val pairs = nearDuplicatesExact(docs, idCol, textCol, threshold, shingleSize,
+      includeMinHashCandidates = false)
+    val comps = connectedComponents(pairs, "id_a", "id_b") // (node, component)
+    val scored = comps.join(
+      docs.select(col(idCol).cast("long").as("node"), quality.as("__q")), "node")
+    // struct-max on (quality, -id): highest quality wins, ties to the
+    // SMALLER id — deterministic without a per-component sort
+    val best = scored.groupBy(col("component"))
+      .agg(max(struct(col("__q").as("__q"), (-col("node")).as("__negid"))).as("__b"))
+      .select((-col("__b.__negid")).as("keep_id"))
+    val dropIds = comps.select(col("node"))
+      .join(best, comps("node") === best("keep_id"), "left_anti")
+    docs.join(dropIds, docs(idCol) === dropIds("node"), "left_anti")
+  }
+
   def connectedComponents(
       pairs: DataFrame,
       srcCol: String,

@@ -167,16 +167,32 @@ object RemoteDeltaScanRelation {
   private[graft] def fetchDvBytes(dv: wire.DeltaDvW): Array[Byte] = dv.storageType match {
     case "i" => Z85.decode(dv.pathOrInlineDv)
     case "p" =>
-      val resp = http.send(
-        java.net.http.HttpRequest.newBuilder(java.net.URI.create(dv.pathOrInlineDv))
-          .GET().build(),
-        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-      if (resp.statusCode() >= 400) throw new graft.client.GraftClientException(
-        resp.statusCode(), s"DV fetch failed (${resp.statusCode()})")
-      graft.log.DeletionVectors.verifiedBlob(resp.body(),
-        graft.model.DeletionVectorDescriptor("p", dv.pathOrInlineDv,
-          Option(dv.offset).map(_.intValue()), dv.sizeInBytes, dv.cardinality),
-        "pre-signed DV")
+      // retry transient failures like the REST client does (5xx /
+      // transport); 4xx (expired/tampered URL) surface immediately
+      var attempt = 0
+      var delay = 500L
+      while (true) {
+        val result: Either[Throwable, java.net.http.HttpResponse[Array[Byte]]] =
+          try Right(http.send(
+            java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(dv.pathOrInlineDv)).GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofByteArray()))
+          catch { case scala.util.control.NonFatal(e) => Left(e) }
+        result match {
+          case Right(resp) if resp.statusCode() < 400 =>
+            return graft.log.DeletionVectors.verifiedBlob(resp.body(),
+              graft.model.DeletionVectorDescriptor("p", dv.pathOrInlineDv,
+                Option(dv.offset).map(_.intValue()), dv.sizeInBytes, dv.cardinality),
+              "pre-signed DV")
+          case Right(resp) if resp.statusCode() < 500 || attempt >= 3 =>
+            throw new graft.client.GraftClientException(resp.statusCode(),
+              s"DV fetch failed (${resp.statusCode()})")
+          case Left(e) if attempt >= 3 =>
+            throw new graft.client.GraftClientException(0, s"DV fetch failed: $e")
+          case _ => Thread.sleep(delay); delay *= 2; attempt += 1
+        }
+      }
+      throw new IllegalStateException("unreachable")
     case other =>
       throw new IllegalArgumentException(s"unknown served DV storageType '$other'")
   }

@@ -768,6 +768,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bf.contains("SPARK_PARTITION_ID") || bf.contains("spark_partition_id"), bf)
   }
 
+  test("keep-best dedup retains the highest-quality cluster member and " +
+    "every singleton") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extended with more text"), // same cluster, longer
+      (3L, base + " extended"),                // same cluster, middle
+      (4L, "completely different content with no shared shingles at all"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupKeepBest(docs, "doc_id", "text",
+      quality = octet_length(col("text")).cast("long"), threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L, 4L), kept.toSeq)
+    // quality ties break to the SMALLER id
+    val tied = Seq((7L, base), (5L, base), (9L, base)).toDF("doc_id", "text")
+    val keptTied = Dedup.dedupKeepBest(tied, "doc_id", "text",
+      quality = lit(1L), threshold = 0.5).select("doc_id").as[Long].collect()
+    assert(keptTied.toSeq === Seq(5L))
+  }
+
   test("bigram LM score: repeated text outranks atypical transitions; " +
     "identical docs score identically") {
     import spark.implicits._
