@@ -108,6 +108,25 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       expected.select("n_nationkey").as[Long].collect().sorted)
   }
 
+  test("delta-dialect remote STREAM applies DVs across executor JVMs") {
+    requireSparkHome()
+    // streaming micro-batches read through version-scoped graft:// ids —
+    // executors must resolve them via the driver RPC like any other id
+    val sink = "t_cluster_dv_stream"
+    val q = spark.readStream.format("graft")
+      .option("url", server.url).option("token", TOKEN)
+      .option("table", "share1.default.nation_dv")
+      .option("queryTableVersionIntervalSeconds", "0")
+      .load()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val expected = spark.read.parquet(s"$sfDir/nation.parquet")
+      .filter(col("n_regionkey") =!= 2).count()
+    assert(spark.table(sink).count() === expected)
+  }
+
   test("remote SQL catalog scans across executor JVMs") {
     requireSparkHome()
     // SQL name → REST listings → DSv2 kernel scan whose tasks open
