@@ -1407,6 +1407,23 @@ object SparkEntry {
         k = 10, poolSize = 20)
     }),
 
+    // Beyond-reference: winnowing fingerprints (the MOSS local
+    // fingerprinting rule) — every shared substring of length ≥ k+w−1
+    // yields a shared fingerprint at expected density 2/(w+1). Pure
+    // row-local codegen (hash + window argmin), md5-based so selection
+    // replays bit-for-bit in the oracle.
+    "q125_winnowing" -> ((s, dir) => {
+      val fps = graft.ops.TextOps.winnowing(col("text"))
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), fps.as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          aggregate(col("fps"), lit(0L),
+            (a, x) => a + x.getField("fp")).as("fp_sum"),
+          element_at(col("fps"), 1).getField("pos").cast("long").as("first_pos"))
+    }),
+
     // Beyond-reference: cluster-representative dedup — near-dup clusters
     // keep their LONGEST member (argmax bytes, ties to the smaller id),
     // the keep-best rule production pipelines apply instead of keep-min-
@@ -3145,6 +3162,31 @@ object SparkEntry {
            UNION
            SELECT r.n, e.v AS m FROM reach r JOIN edges e ON r.m = e.u)
          SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n""",
+    "q125_winnowing" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         h AS (SELECT doc_id,
+                 list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                   i -> CAST(concat('0x',
+                     substr(md5(substr(text, CAST(i AS INT), 5)), 1, 12)) AS BIGINT)) AS hs
+               FROM d),
+         s1 AS (SELECT doc_id, hs, len(hs) AS nh FROM h),
+         fps AS (SELECT doc_id, hs,
+                   list_sort(list_distinct(list_transform(
+                     range(1, greatest(nh - 3, 1) + 1),
+                     s -> list_reduce(
+                            list_prepend({'fp': 9223372036854775807, 'pos': -1},
+                              list_transform(range(0, least(4, nh)),
+                                off -> {'fp': hs[CAST(s + off AS INT)],
+                                        'pos': CAST(s + off AS INT)})),
+                            (acc, x) -> CASE WHEN x.fp <= acc.fp
+                                             THEN x ELSE acc END).pos))) AS sel
+                 FROM s1)
+         SELECT doc_id, CAST(len(sel) AS BIGINT) AS n_fps,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(sel, p -> hs[CAST(p AS INT)])), (a, b) -> a + b)
+             AS BIGINT) AS fp_sum,
+           CAST(sel[1] AS BIGINT) AS first_pos
+         FROM fps""",
     "q124_dedup_keep_best" ->
       """WITH RECURSIVE sets AS (
            SELECT doc_id, list_distinct(

@@ -261,6 +261,44 @@ object TextOps {
       rules.map(r => col(s"pass_${r._1}")).reduce(_ && _))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS selection rule): hash every character k-gram, slide a window of
+    * `w` consecutive hashes, keep each window's minimal hash (ties to the
+    * RIGHTMOST position), dedupe. Guarantees every shared substring of
+    * length ≥ k+w−1 yields at least one shared fingerprint, with expected
+    * density 2/(w+1) — the local fingerprinting rule plagiarism/overlap
+    * detection uses where a global min (MinHash) loses position locality.
+    *
+    * Entirely ROW-LOCAL column expressions (hashing, windows, argmin) —
+    * fingerprinting a 100 TB corpus is one codegen scan, no shuffle; the
+    * md5-based hash makes selection bit-reproducible in any engine.
+    * Returns `array<struct<pos int, fp long>>` ordered by position.
+    */
+  def winnowing(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val nGrams = greatest(length(text) - (k - 1), lit(1))
+    val hashes = transform(sequence(lit(1), nGrams),
+      i => conv(substring(md5(substring(text, i, lit(k))), lit(1), lit(12)), 16, 10).cast("long"))
+    val nH = size(hashes)
+    val winLen = least(lit(w), nH)
+    val nWin = greatest(nH - (w - 1), lit(1))
+    // each window's argmin POSITION (ties rightmost); two windows that
+    // select the same position select the same hash, so deduping on the
+    // position alone is exact
+    val selected = transform(sequence(lit(1), nWin), s =>
+      aggregate(
+        sequence(lit(0), winLen - 1),
+        struct(lit(Long.MaxValue).as("fp"), lit(-1).as("pos")),
+        (acc, off) => {
+          val idx = s + off
+          val hv = element_at(hashes, idx)
+          when(hv <= acc.getField("fp"),
+            struct(hv.as("fp"), idx.cast("int").as("pos")))
+            .otherwise(acc)
+        }).getField("pos"))
+    transform(array_sort(array_distinct(selected)),
+      p => struct(p.as("pos"), element_at(hashes, p).as("fp")))
+  }
+
   /** BPE merge induction (Sennrich et al. 2016) — tokenizer FIT over the
     * corpus: starting from character symbols, repeatedly merge the most
     * frequent adjacent symbol pair (ties to the lexicographically

@@ -768,6 +768,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bf.contains("SPARK_PARTITION_ID") || bf.contains("spark_partition_id"), bf)
   }
 
+  test("winnowing: shared substrings >= k+w-1 share a fingerprint; " +
+    "density and determinism hold") {
+    import spark.implicits._
+    val shared = "zqxwvutsrqponm" // 14 chars >= k+w-1 = 8
+    val docs = Seq(
+      (1L, "prefix one " + shared + " tail a"),
+      (2L, "another beginning " + shared + " different end"),
+      (3L, "totally unrelated content here")).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+      TextOps.winnowing(col("text"), k = 5, w = 4).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("f"))
+      .select(col("doc_id"), col("f.fp").as("fp"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // the winnowing guarantee: docs 1 and 2 share >= 1 fingerprint from
+    // the common substring; doc 3 shares none with either
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // deterministic across evaluations
+    val again = docs.select(TextOps.winnowing(col("text"), 5, 4).as("f"))
+      .select(aggregate(col("f"), lit(0L), (a, x) => a + x.getField("fp")))
+      .as[Long].collect().sorted
+    val first = docs.select(TextOps.winnowing(col("text"), 5, 4).as("f"))
+      .select(aggregate(col("f"), lit(0L), (a, x) => a + x.getField("fp")))
+      .as[Long].collect().sorted
+    assert(again.toSeq === first.toSeq)
+  }
+
   test("keep-best dedup retains the highest-quality cluster member and " +
     "every singleton") {
     import spark.implicits._
