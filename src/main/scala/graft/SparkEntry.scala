@@ -1407,6 +1407,23 @@ object SparkEntry {
         k = 10, poolSize = 20)
     }),
 
+    // Beyond-reference: the dedup AUDIT REPORT every curation run ships —
+    // per-source document counts, how many were dropped as non-best
+    // near-dup cluster members, and the duplicate rate. Composition of
+    // the keep-best cascade with one broadcast-back join + groupBy.
+    "q126_dedup_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = graft.ops.Dedup.dedupKeepBest(docs, "doc_id", "text",
+        quality = octet_length(col("text")).cast("long"), threshold = 0.7)
+        .select(col("doc_id").as("__kept_id"))
+      docs.join(kept, docs("doc_id") === col("__kept_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__kept_id").isNull, 1L).otherwise(0L)).as("n_dropped"),
+          round(sum(when(col("__kept_id").isNull, 1.0).otherwise(0.0)) /
+            count(lit(1)), 4).as("dup_rate"))
+    }),
+
     // Beyond-reference: winnowing fingerprints (the MOSS local
     // fingerprinting rule) — every shared substring of length ≥ k+w−1
     // yields a shared fingerprint at expected density 2/(w+1). Pure
@@ -3162,6 +3179,45 @@ object SparkEntry {
            UNION
            SELECT r.n, e.v AS m FROM reach r JOIN edges e ON r.m = e.u)
          SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n""",
+    "q126_dedup_report" ->
+      """WITH RECURSIVE sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                                         CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS u, b.doc_id AS v
+           FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.fset, b.fset))::DOUBLE /
+                 len(list_distinct(a.fset || b.fset))::DOUBLE >= 0.7),
+         edges AS (
+           SELECT u, v FROM pairs
+           UNION SELECT v AS u, u AS v FROM pairs
+           UNION SELECT u, u AS v FROM pairs
+           UNION SELECT v AS u, v FROM pairs),
+         reach AS (
+           SELECT u AS n, v AS m FROM edges
+           UNION
+           SELECT r.n, e.v AS m FROM reach r JOIN edges e ON r.m = e.u),
+         comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+         best AS (SELECT doc_id FROM (
+           SELECT c.doc_id,
+             row_number() OVER (PARTITION BY c.component
+               ORDER BY octet_length(encode(d.text)) DESC, c.doc_id) AS rn
+           FROM comp c JOIN documents d USING (doc_id)) WHERE rn = 1),
+         dropped AS (SELECT c.doc_id FROM comp c
+                     WHERE c.doc_id NOT IN (SELECT doc_id FROM best))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           round(sum(CASE WHEN dr.doc_id IS NOT NULL
+                          THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) /
+                 count(*), 4) AS dup_rate
+         FROM documents d LEFT JOIN dropped dr USING (doc_id)
+         GROUP BY source""",
     "q125_winnowing" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
          h AS (SELECT doc_id,
