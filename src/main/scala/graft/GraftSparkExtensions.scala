@@ -63,5 +63,43 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       case args => throw new IllegalArgumentException(
         s"graft_heavy_hitters expects 3 arguments, got ${args.length}")
     }
+    register("graft_kll_quantiles",
+      "graft_kll_quantiles(col, capacity, array(p1, p2, ...)) - KLL quantile " +
+        "sketch: bounded-state mergeable quantile aggregate over a double column") {
+      case Seq(child, cap, ps) =>
+        def lit[T](e: Expression, name: String)(pf: PartialFunction[Any, T]): T = e match {
+          case l if l.foldable =>
+            val v = l.eval()
+            if (pf.isDefinedAt(v)) pf(v)
+            else throw new IllegalArgumentException(
+              s"graft_kll_quantiles: unexpected $name literal $v")
+          case _ => throw new IllegalArgumentException(
+            s"graft_kll_quantiles: $name must be a literal")
+        }
+        val capacity = lit(cap, "capacity") {
+          case i: Int => i
+          case l: Long => l.toInt
+        }
+        val elemType = ps.dataType match {
+          case org.apache.spark.sql.types.ArrayType(et, _) => et
+          case other => throw new IllegalArgumentException(
+            s"graft_kll_quantiles: probs must be an array, got ${other.simpleString}")
+        }
+        val probs = lit(ps, "probs") {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toObjectArray(elemType).toSeq.map {
+              case d: java.lang.Double => d.doubleValue()
+              case f: java.lang.Float => f.doubleValue()
+              case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+              case i: java.lang.Integer => i.doubleValue()
+              case l: java.lang.Long => l.doubleValue()
+              case other => throw new IllegalArgumentException(
+                s"graft_kll_quantiles: non-numeric prob $other")
+            }
+        }
+        graft.functions.KllQuantiles(child, capacity, probs).toAggregateExpression()
+      case args => throw new IllegalArgumentException(
+        s"graft_kll_quantiles expects 3 arguments, got ${args.length}")
+    }
   }
 }

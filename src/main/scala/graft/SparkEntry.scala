@@ -614,6 +614,23 @@ object SparkEntry {
         .withColumn("sim", round(col("sim"), 3))
     }),
 
+    // Beyond-reference: PQ-ADC ANN (Jégou et al. 2011) — per-subspace
+    // codebooks from one deterministic Lloyd step, corpus encoded to
+    // m-int codes (pure codegen, no shuffle), asymmetric-distance
+    // scoring via per-query lookup tables (m table reads per candidate,
+    // no per-dimension arithmetic at scan time), exact rerank on the
+    // refine·k survivors. The oracle replays training, encoding, LUT,
+    // ADC fold, and both ranking passes.
+    "q128_pq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      graft.ops.Similarity.pqTopK(queries, corpus, dim = 64,
+        k = 3, m = 4, ks = 8, refine = 4)
+        .withColumn("sim", round(col("sim"), 3))
+    }),
+
     // Beyond-reference: near-dup PAIRS → dedup CLUSTERS. The q27 edge set
     // is closed into connected components with alternating large-star /
     // small-star (O(log^2 n) shuffle rounds, diameter-independent); every
@@ -985,6 +1002,25 @@ object SparkEntry {
         .select(concat_ws("|", col("l_returnflag"),
           date_format(col("l_shipdate"), "yyyy-MM")).as("k"))
       graft.ops.Sketches.heavyHitters(li, "k", capacity = 512, topK = 10)
+    }),
+
+    // Beyond-reference: per-group quantiles via the KLL sketch — a
+    // native mergeable TypedImperativeAggregate whose partials retain
+    // O(capacity) values per group regardless of group size, so only
+    // KB-scale level arrays shuffle (the 100 TB alternative to a full
+    // per-group sort). capacity=512 >= any per-lang count at the
+    // correctness SF, so no compaction fires and the sketch IS
+    // percentile_disc exactly; the approximate-regime rank-error bound
+    // is property-tested in OpsSpec.
+    "q127_quantile_sketch" -> ((s, dir) => {
+      graft.ops.Sketches.groupQuantiles(
+        t(s, dir, "documents"), Seq("lang"), "n_chars",
+        capacity = 512, probs = Seq(0.25, 0.5, 0.75, 0.95))
+        .select(col("lang"),
+          element_at(col("qs"), 1).as("q25"),
+          element_at(col("qs"), 2).as("q50"),
+          element_at(col("qs"), 3).as("q75"),
+          element_at(col("qs"), 4).as("q95"))
     }),
 
     // Beyond-reference: PMI word-pair co-occurrence over the top-40
@@ -2447,6 +2483,81 @@ object SparkEntry {
                AS BIGINT) AS rank
            FROM exact)
          WHERE rank <= 3""",
+    // PQ: per-subspace one-step Lloyd (seed = first 8 sliced vectors,
+    // round-8 argmin ties to lower id, quantized-mean update as q120),
+    // encode = per-subspace argmin against the trained codebook, ADC =
+    // LUT join + ordered list fold, then the q111-style refine cut and
+    // exact cosine rerank
+    "q128_pq_ann" ->
+      """WITH c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+         q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 5),
+         sdim AS (SELECT CAST(unnest(range(4)) AS INT) AS s),
+         seeds AS (SELECT CAST(row_number() OVER (ORDER BY c_id) - 1 AS INT) AS j, e
+                   FROM (SELECT c_id, e FROM c ORDER BY c_id LIMIT 8)),
+         sseeds AS (SELECT s, j,
+                      list_slice(e, CAST(s*16+1 AS INT), CAST(s*16+16 AS INT)) AS sv
+                    FROM seeds, sdim),
+         subs AS (SELECT c_id, s,
+                    list_slice(e, CAST(s*16+1 AS INT), CAST(s*16+16 AS INT)) AS sv
+                  FROM c, sdim),
+         d1 AS (SELECT sub.c_id, sub.s, sd.j,
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, 17),
+                      i -> (sub.sv[i]-sd.sv[i])*(sub.sv[i]-sd.sv[i]))),
+                    (x, y) -> x + y), 8) AS d
+                FROM subs sub JOIN sseeds sd ON sub.s = sd.s),
+         a1 AS (SELECT c_id, s, j FROM (
+                  SELECT c_id, s, j,
+                    row_number() OVER (PARTITION BY c_id, s ORDER BY d, j) AS rn
+                  FROM d1) WHERE rn = 1),
+         upd AS (SELECT a1.s, a1.j, dim.i,
+                   round(round(sum(sub.sv[dim.i]), 4) / count(*), 6) AS mcoord
+                 FROM a1 JOIN subs sub ON a1.c_id = sub.c_id AND a1.s = sub.s
+                   CROSS JOIN (SELECT CAST(unnest(range(1, 17)) AS INT) AS i) dim
+                 GROUP BY a1.s, a1.j, dim.i),
+         updl AS (SELECT s, j, list(mcoord ORDER BY i) AS sv
+                  FROM upd GROUP BY s, j),
+         cb AS (SELECT sd.s, sd.j, COALESCE(u.sv, sd.sv) AS sv
+                FROM sseeds sd LEFT JOIN updl u ON sd.s = u.s AND sd.j = u.j),
+         encd AS (SELECT sub.c_id, sub.s, cb.j,
+                    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 17),
+                        i -> (sub.sv[i]-cb.sv[i])*(sub.sv[i]-cb.sv[i]))),
+                      (x, y) -> x + y), 8) AS d
+                  FROM subs sub JOIN cb ON sub.s = cb.s),
+         codes AS (SELECT c_id, s, j FROM (
+                     SELECT c_id, s, j,
+                       row_number() OVER (PARTITION BY c_id, s ORDER BY d, j) AS rn
+                     FROM encd) WHERE rn = 1),
+         qsubs AS (SELECT q_id, s,
+                     list_slice(e, CAST(s*16+1 AS INT), CAST(s*16+16 AS INT)) AS sv
+                   FROM q, sdim),
+         lut AS (SELECT qs.q_id, qs.s, cb.j,
+                   round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, 17),
+                       i -> (qs.sv[i]-cb.sv[i])*(qs.sv[i]-cb.sv[i]))),
+                     (x, y) -> x + y), 8) AS ld
+                 FROM qsubs qs JOIN cb ON qs.s = cb.s),
+         adist AS (SELECT l.q_id, cd.c_id,
+                     round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(l.ld ORDER BY l.s)), (x, y) -> x + y), 6) AS ad
+                   FROM codes cd JOIN lut l ON cd.s = l.s AND cd.j = l.j
+                   GROUP BY l.q_id, cd.c_id),
+         cand AS (SELECT q_id, c_id FROM (
+                    SELECT q_id, c_id,
+                      row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS ar
+                    FROM adist) WHERE ar <= 12),
+         exact AS (SELECT cand.q_id, cand.c_id,
+                     list_cosine_similarity(q.e, c.e) AS sim
+                   FROM cand JOIN q USING (q_id) JOIN c USING (c_id))
+         SELECT q_id, c_id, round(sim, 3) AS sim, rank FROM (
+           SELECT q_id, c_id, sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+               AS BIGINT) AS rank
+           FROM exact)
+         WHERE rank <= 3""",
     // IVF assignment/probing (as q41) composed with the SQ8 quantize ->
     // approx score -> refine cut -> exact rerank cascade (as q111)
     "q114_ivf_sq_ann" ->
@@ -2897,6 +3008,15 @@ object SparkEntry {
                FROM e JOIN f ON e.user_id = f.user_id)
          SELECT cohort_week, week_offset, count(*) AS n_users
          FROM w GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    // capacity 512 >= every per-lang count at the correctness SF: the
+    // KLL sketch never compacts, so it reports percentile_disc exactly
+    "q127_quantile_sketch" ->
+      """SELECT lang,
+           CAST(quantile_disc(CAST(n_chars AS DOUBLE), 0.25) AS DOUBLE) AS q25,
+           CAST(quantile_disc(CAST(n_chars AS DOUBLE), 0.5) AS DOUBLE) AS q50,
+           CAST(quantile_disc(CAST(n_chars AS DOUBLE), 0.75) AS DOUBLE) AS q75,
+           CAST(quantile_disc(CAST(n_chars AS DOUBLE), 0.95) AS DOUBLE) AS q95
+         FROM documents GROUP BY lang""",
     // capacity 512 > ~250 distinct keys: the MG counters are exact counts
     "q112_heavy_hitters" ->
       """SELECT item, cnt, rank FROM (

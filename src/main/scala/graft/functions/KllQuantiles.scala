@@ -1,0 +1,220 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Mutable KLL state: `levels(h)` holds items of weight 2^h. Total
+  * retained items are bounded by the level-capacity schedule (geometric
+  * in `c`), independent of input size — the partial aggregates that
+  * shuffle are always KB-scale.
+  */
+final class KllBuffer(val k: Int) {
+  val levels: mutable.ArrayBuffer[mutable.ArrayBuffer[Double]] =
+    mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Double])
+  var parity: Int = 0
+
+  private def cap(h: Int): Int = {
+    // Top level gets the full k; lower levels shrink by c = 2/3
+    // (Karnin–Lang–Liberty §2). Never below 2 so a compaction always
+    // has a pair to act on.
+    val c = 2.0 / 3.0
+    math.max(2, math.ceil(k * math.pow(c, levels.size - 1 - h)).toInt)
+  }
+
+  private def totalCap: Int = (0 until levels.size).map(cap).sum
+
+  def totalSize: Int = levels.iterator.map(_.size).sum
+
+  def insert(v: Double): Unit = {
+    levels(0) += v
+    compress()
+  }
+
+  def mergeIn(other: KllBuffer): Unit = {
+    while (levels.size < other.levels.size)
+      levels += mutable.ArrayBuffer.empty[Double]
+    var h = 0
+    while (h < other.levels.size) {
+      levels(h) ++= other.levels(h)
+      h += 1
+    }
+    parity ^= other.parity
+    compress()
+  }
+
+  private def compress(): Unit = {
+    while (totalSize > totalCap) {
+      // Compact the lowest level over its capacity (there is one when
+      // the total is over budget, since caps sum to the budget).
+      var h = 0
+      while (h < levels.size && levels(h).size <= cap(h)) h += 1
+      if (h == levels.size) return
+      compactLevel(h)
+    }
+  }
+
+  /** Sort level `h`, promote alternate elements (offset = parity) with
+    * doubled weight, keep the odd leftover (max) in place. Weight is
+    * preserved exactly for the compacted prefix: (m/2)·2^(h+1) = m·2^h.
+    * Deterministic alternation instead of KLL's coin flip — required for
+    * replayable results; the rank-error bound in the approximate regime
+    * is checked empirically (OpsSpec) rather than by the randomized
+    * proof.
+    */
+  private def compactLevel(h: Int): Unit = {
+    if (h + 1 == levels.size) levels += mutable.ArrayBuffer.empty[Double]
+    val buf = levels(h)
+    val sorted = buf.toArray
+    java.util.Arrays.sort(sorted)
+    val even = sorted.length - (sorted.length % 2)
+    val up = levels(h + 1)
+    var i = parity
+    while (i < even) {
+      up += sorted(i)
+      i += 2
+    }
+    parity ^= 1
+    buf.clear()
+    if (even < sorted.length) buf += sorted(even)
+  }
+
+  /** (value, weight) pairs sorted by value. */
+  def weighted: Array[(Double, Long)] = {
+    val out = mutable.ArrayBuffer.empty[(Double, Long)]
+    var h = 0
+    while (h < levels.size) {
+      val w = 1L << h
+      levels(h).foreach(v => out += ((v, w)))
+      h += 1
+    }
+    out.toArray.sortBy(_._1)
+  }
+}
+
+/** KLL quantile sketch as a native mergeable aggregate (Karnin, Lang &
+  * Liberty, "Optimal quantile approximation in streams", FOCS 2016).
+  *
+  * The 100 TB shape for per-group quantiles: each task folds its
+  * partition into an O(k)-item summary (map-side combine), summaries
+  * merge associatively, and only KB-scale level arrays ever shuffle —
+  * contrast with exact per-group quantiles, which need a full sort or
+  * the range-partition machinery in [[graft.ops.Quantiles]].
+  *
+  * Exactness regime: while a group's total count stays <= `capacity`,
+  * no compaction fires and every value is retained at weight 1 — the
+  * reported quantiles are EXACTLY percentile_disc (smallest value whose
+  * cumulative count reaches ceil(p·N)), which is the regime the
+  * relational oracle checks. Above capacity, compactions introduce
+  * bounded rank error (empirically ~W/k with the deterministic
+  * alternation; property-tested in OpsSpec).
+  *
+  * Result: `array<double>` of the requested quantiles, in `probs` order.
+  */
+case class KllQuantiles(
+    child: Expression,
+    capacity: Int,
+    probs: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer]
+  with UnaryLike[Expression] {
+
+  require(capacity >= 8, "capacity must be at least 8")
+  require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+    "probs must be within [0, 1]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a double column, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kll_quantiles"
+
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(capacity)
+
+  override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: KllBuffer, other: KllBuffer): KllBuffer = {
+    buf.mergeIn(other)
+    buf
+  }
+
+  override def eval(buf: KllBuffer): Any = {
+    val wv = buf.weighted
+    val total = wv.iterator.map(_._2).sum
+    val out = probs.map { p =>
+      if (total == 0) Double.NaN
+      else {
+        // percentile_disc: smallest value with cumWeight >= ceil(p·W).
+        // The epsilon absorbs binary round-off in p·W (e.g. 0.3·10);
+        // it cannot cross an integer boundary for the p grids in use.
+        val target = math.max(1L, math.ceil(p * total - 1e-9).toLong)
+        var cum = 0L
+        var i = 0
+        var res = wv.last._1
+        var found = false
+        while (i < wv.length && !found) {
+          cum += wv(i)._2
+          if (cum >= target) { res = wv(i)._1; found = true }
+          i += 1
+        }
+        res
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def serialize(buf: KllBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeInt(buf.parity)
+    out.writeInt(buf.levels.size)
+    buf.levels.foreach { lvl =>
+      out.writeInt(lvl.size)
+      lvl.foreach(out.writeDouble)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): KllBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new KllBuffer(in.readInt())
+    buf.parity = in.readInt()
+    val nLevels = in.readInt()
+    var h = 0
+    while (h < nLevels) {
+      if (h >= buf.levels.size) buf.levels += mutable.ArrayBuffer.empty[Double]
+      val sz = in.readInt()
+      var i = 0
+      while (i < sz) {
+        buf.levels(h) += in.readDouble()
+        i += 1
+      }
+      h += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllQuantiles =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllQuantiles =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllQuantiles =
+    copy(child = newChild)
+}

@@ -445,6 +445,136 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** Per-subspace PQ codebooks (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", IEEE TPAMI 2011 §II): the vector is split
+    * into `m` contiguous subvectors and each subspace gets its own
+    * `ks`-centroid codebook from ONE deterministic Lloyd step — seeds are
+    * the first `ks` corpus vectors by id (sliced per subspace), one
+    * argmin assignment (squared L2, ties to the lower centroid), one
+    * quantized-mean update (sums rounded to 4 before the divide, means to
+    * 6 — the [[KMeans]] discipline, so an external engine replays the
+    * training bit-for-bit). A subspace cluster that lost every member
+    * keeps its seed.
+    *
+    * Scale shape: training is m codegen argmin passes + m map-side-
+    * combinable groupBy(cluster, dim) aggregations; the returned codebook
+    * is m·ks·(dim/m) doubles of driver state — literal-broadcast scale.
+    * At 100 TB you would train on a corpus sample; the encode/score path
+    * below is what runs over the full corpus.
+    */
+  def pqCodebooks(
+      corpus: DataFrame, // (c_id, c_vec)
+      dim: Int,
+      m: Int,
+      ks: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val seeds = corpus.orderBy(col("c_id")).limit(ks)
+      .select(col("c_vec").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    (0 until m).map { s =>
+      val sv = slice(col("c_vec").cast("array<double>"), s * dsub + 1, dsub)
+      val sub = corpus.select(sv.as("sv"))
+      val seedSubs = seeds.map(_.slice(s * dsub, (s + 1) * dsub))
+      val dists = seedSubs.zipWithIndex.map { case (c, j) =>
+        struct(round(aggregate(
+          zip_with(col("sv"), lit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x), 8).as("d"), lit(j).as("c"))
+      }
+      val updated = sub
+        .withColumn("cluster", array_min(array(dists.toIndexedSeq: _*)).getField("c"))
+        .select(col("cluster"), posexplode(col("sv")).as(Seq("dim", "v")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg((round(sum(col("v")), 4) / count(lit(1))).as("m"))
+        .groupBy(col("cluster"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          array().cast("array<double>"),
+          (acc, x) => concat(acc, array(round(x.getField("m"), 6)))).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      (0 until ks).map(j => updated.getOrElse(j, seedSubs(j))).toArray
+    }.toArray
+  }
+
+  /** PQ encode as a pure codegen expression — each subvector becomes the
+    * id of its nearest subspace centroid (ties to the lower id), so a
+    * dim-float vector stores as m small ints. No shuffle: the corpus is
+    * scanned once with literal codebooks.
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    array((0 until m).map { s =>
+      val sv = slice(vec.cast("array<double>"), s * dsub + 1, dsub)
+      val dists = codebooks(s).zipWithIndex.map { case (c, j) =>
+        struct(round(aggregate(
+          zip_with(sv, lit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x), 8).as("d"), lit(j).as("c"))
+      }
+      array_min(array(dists.toIndexedSeq: _*)).getField("c")
+    }: _*)
+  }
+
+  /** Asymmetric-distance lookup table for one query side: flat
+    * `m·ks`-double array in (subspace-major, centroid) order, entry =
+    * squared L2 between the query's subvector and that subspace centroid
+    * (rounded to 8, the same grid the encode argmin uses).
+    */
+  private def pqLut(qVec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val dsub = codebooks(0)(0).length
+    array(codebooks.toIndexedSeq.zipWithIndex.flatMap { case (cb, s) =>
+      val sv = slice(qVec.cast("array<double>"), s * dsub + 1, dsub)
+      cb.toIndexedSeq.map { c =>
+        round(aggregate(
+          zip_with(sv, lit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x), 8)
+      }
+    }: _*)
+  }
+
+  /** PQ-ADC approximate top-k (Jégou et al. 2011 §III): corpus rows are
+    * scanned as m-int CODES; each query carries its m·ks-entry LUT and a
+    * candidate's approximate distance is m table lookups summed in
+    * subspace order (left fold — replayable), no per-dimension arithmetic
+    * at scan time. The `refine·k` nearest by ADC are reranked with the
+    * exact cosine kernel on the original vectors.
+    *
+    * 100 TB shape: the scan reads m ints per row instead of dim floats
+    * (16x fewer bytes at dim=64/m=4 before encoding width), the LUT is
+    * computed once per query (m·ks doubles, broadcast with the query),
+    * both ranking passes go through the two-phase top-k so the code scan
+    * never funnels into |queries| reducers, and the rerank touches only
+    * refine·k originals per query. Composes with the IVF cell layout the
+    * same way [[ivfSqTopK]] does.
+    */
+  def pqTopK(
+      queries: DataFrame, // (q_id, q_vec)
+      corpus: DataFrame, // (c_id, c_vec)
+      dim: Int,
+      k: Int,
+      m: Int = 4,
+      ks: Int = 8,
+      refine: Int = 4): DataFrame = {
+    val codebooks = pqCodebooks(corpus, dim, m, ks)
+    val encoded = corpus.withColumn("codes", pqEncode(col("c_vec"), codebooks))
+    val qWithLut = queries.withColumn("lut", pqLut(col("q_vec"), codebooks))
+    val scored = encoded.crossJoin(broadcast(qWithLut))
+      // ADC: fold the code array in subspace order; entries are on the
+      // round-8 grid so the 4-term fold is reproducible, and the round-6
+      // output quantizes any residual last-ulp noise away from the cut
+      .withColumn("adist", round(aggregate(
+        transform(col("codes"), (c, i) => element_at(col("lut"), i * ks + c + 1)),
+        lit(0.0), (acc, x) => acc + x), 6))
+      .withColumn("asim", -col("adist"))
+    val candidates = topKPerQuery(scored, k * refine, simCol = "asim")
+      .drop("rank")
+    topKPerQuery(
+      candidates.withColumn("sim", cosine(col("q_vec"), col("c_vec"))), k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
+  }
+
   /** Hybrid retrieval: a BM25 keyword list fused with an embedding-cosine
     * list by Reciprocal Rank Fusion (Cormack et al., SIGIR'09):
     * `rrf(d) = Σ_list 1/(k0 + rank_list(d))`, a list that missed the doc

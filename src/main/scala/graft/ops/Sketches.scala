@@ -43,6 +43,28 @@ object Sketches {
       .select(col("e.item").as("item"), col("e.count").as("cnt"),
         (col("i") + 1).cast("long").as("rank"))
 
+  /** Per-group quantiles via the KLL sketch aggregate
+    * ([[graft.functions.KllQuantiles]]): one row per group with an
+    * `array<double>` of the requested quantiles. Bounded state — each
+    * partial aggregate retains O(capacity) values whatever the group
+    * size, so per-group quantiles over 100 TB shuffle only KB-scale
+    * level arrays (vs the full-sort range-partition machinery in
+    * [[Quantiles]], which is the exact-path alternative). With
+    * `capacity` >= the group's row count no compaction fires and the
+    * results are exactly percentile_disc; below it KLL's rank-error
+    * bound applies (property-tested in OpsSpec).
+    */
+  def groupQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      capacity: Int,
+      probs: Seq[Double]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(column(graft.functions.KllQuantiles(
+          expression(col(valueCol).cast("double")), capacity, probs)
+        .toAggregateExpression()).as("qs"))
+
   /** 60-bit portable hash: the first 15 hex digits of md5, read base-16.
     * 60 bits keeps the value exactly representable in a signed long (and
     * its direct DuckDB replica `CAST('0x'||substr(md5(v),1,15) AS

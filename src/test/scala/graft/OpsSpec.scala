@@ -633,6 +633,58 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql.map(_._2).toSeq === truth.take(3).toSeq)
   }
 
+  test("kll quantile sketch: exact regime, approximate rank error, SQL function") {
+    import spark.implicits._
+    // EXACT regime: capacity >= group count — the sketch never compacts
+    // and reports percentile_disc exactly (smallest value whose
+    // cumulative count reaches ceil(p*n)).
+    val probs = Seq(0.25, 0.5, 0.75, 0.95)
+    val small = (1 to 400).map(i => ("g", i.toDouble)).toDF("g", "v")
+      .repartition(8)
+    val exact = Sketches.groupQuantiles(small, Seq("g"), "v", 512, probs)
+      .collect().head.getSeq[Double](1)
+    assert(exact === Seq(100.0, 200.0, 300.0, 380.0),
+      s"exact-regime quantiles differ: $exact")
+    // APPROXIMATE regime: capacity far below N. KLL rank error should
+    // stay a small multiple of N/capacity; check estimated quantiles'
+    // true rank is within 6*N/capacity of the target rank.
+    val n = 50000
+    val cap = 128
+    val bigVals = (0 until n).map { i =>
+      // non-uniform (quadratic) so equal-rank != equal-value
+      val x = (i * 2654435761L % n).toDouble / n
+      x * x * 1000.0
+    }
+    val big = bigVals.map(("g", _)).toDF("g", "v").repartition(16)
+    val approx = Sketches.groupQuantiles(big, Seq("g"), "v", cap, probs)
+      .collect().head.getSeq[Double](1)
+    val sortedVals = bigVals.sorted
+    val tol = 6.0 * n / cap
+    probs.zip(approx).foreach { case (p, est) =>
+      val rank = sortedVals.count(_ <= est)
+      val target = math.ceil(p * n)
+      assert(math.abs(rank - target) <= tol,
+        s"p=$p: estimate $est has rank $rank, target $target (tol $tol)")
+    }
+    // Duplication doubles every weight but must not move the quantiles
+    // beyond the same rank tolerance.
+    val dup = Sketches.groupQuantiles(big.union(big), Seq("g"), "v", cap, probs)
+      .collect().head.getSeq[Double](1)
+    probs.zip(dup).foreach { case (p, est) =>
+      val rank = sortedVals.count(_ <= est)
+      assert(math.abs(rank - math.ceil(p * n)) <= tol,
+        s"dup p=$p: rank $rank drifted past tolerance")
+    }
+    // SQL registration
+    small.createOrReplaceTempView("kll_input")
+    val viaSql = spark.sql(
+      """SELECT graft_kll_quantiles(v, 512,
+        |  array(CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE))) AS qs
+        |FROM kll_input""".stripMargin)
+      .collect().head.getSeq[Double](0)
+    assert(viaSql === Seq(200.0, 380.0))
+  }
+
   test("temperature mix: quota sums to ~budget, flattening upsamples " +
     "low-resource sources, alpha=1 is proportional") {
     import spark.implicits._
