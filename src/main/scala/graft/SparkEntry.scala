@@ -1499,6 +1499,21 @@ object SparkEntry {
       graft.ops.TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
     }),
 
+    // Beyond-reference: BPE ENCODE (tokenizer apply, the runtime
+    // companion to q123's fit) — a fixed merge table applied as a chain
+    // of sentinel-delimited literal replaces, provably the left-to-right
+    // non-overlapping merge pass (OpsSpec) and one whole-stage-codegen
+    // scan: no shuffle until the vocabulary-scale count. Top tokens by
+    // corpus frequency.
+    "q129_bpe_encode" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(graft.ops.TextOps.bpeEncodeTokens(
+          col("text"), graft.ops.TextOps.DemoMerges)).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(15)
+    }),
+
     // Beyond-reference: n-gram novelty — fraction of each doc's distinct
     // char 5-grams that no other doc contains (df=1 over the same
     // feature space the exact dedup cascade uses). The memorization-risk
@@ -3008,6 +3023,37 @@ object SparkEntry {
                FROM e JOIN f ON e.user_id = f.user_id)
          SELECT cohort_week, week_offset, count(*) AS n_users
          FROM w GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    // sentinel-delimited words, eight literal replaces in merge-rank
+    // order (replace IS the non-overlapping left-to-right merge pass),
+    // then unwrap and count
+    "q129_bpe_encode" ->
+      """WITH w AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+                    FROM documents),
+         ww AS (SELECT w FROM w WHERE w <> ''),
+         s0 AS (SELECT chr(1) || array_to_string(string_split(w, ''),
+                         chr(2) || chr(1)) || chr(2) AS s FROM ww),
+         s1 AS (SELECT replace(s, chr(1)||'t'||chr(2)||chr(1)||'h'||chr(2),
+                               chr(1)||'th'||chr(2)) AS s FROM s0),
+         s2 AS (SELECT replace(s, chr(1)||'th'||chr(2)||chr(1)||'e'||chr(2),
+                               chr(1)||'the'||chr(2)) AS s FROM s1),
+         s3 AS (SELECT replace(s, chr(1)||'i'||chr(2)||chr(1)||'n'||chr(2),
+                               chr(1)||'in'||chr(2)) AS s FROM s2),
+         s4 AS (SELECT replace(s, chr(1)||'a'||chr(2)||chr(1)||'n'||chr(2),
+                               chr(1)||'an'||chr(2)) AS s FROM s3),
+         s5 AS (SELECT replace(s, chr(1)||'e'||chr(2)||chr(1)||'r'||chr(2),
+                               chr(1)||'er'||chr(2)) AS s FROM s4),
+         s6 AS (SELECT replace(s, chr(1)||'o'||chr(2)||chr(1)||'n'||chr(2),
+                               chr(1)||'on'||chr(2)) AS s FROM s5),
+         s7 AS (SELECT replace(s, chr(1)||'r'||chr(2)||chr(1)||'e'||chr(2),
+                               chr(1)||'re'||chr(2)) AS s FROM s6),
+         s8 AS (SELECT replace(s, chr(1)||'a'||chr(2)||chr(1)||'t'||chr(2),
+                               chr(1)||'at'||chr(2)) AS s FROM s7),
+         toks AS (SELECT unnest(string_split(trim(s, chr(1) || chr(2)),
+                           chr(2) || chr(1))) AS token
+                  FROM s8)
+         SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         FROM toks GROUP BY token
+         ORDER BY cnt DESC, token LIMIT 15""",
     // capacity 512 >= every per-lang count at the correctness SF: the
     // KLL sketch never compacts, so it reports percentile_disc exactly
     "q127_quantile_sketch" ->

@@ -376,6 +376,49 @@ object TextOps {
     merges.result().toDF("rank", "left", "right", "pair_freq")
   }
 
+  /** BPE ENCODE (tokenizer APPLY — the runtime companion to
+    * [[bpeMerges]]'s fit): segment each whitespace word into characters
+    * and apply the merge table in rank order, each merge being one
+    * non-overlapping left-to-right pass (Sennrich et al. 2016 semantics,
+    * identical to [[bpeMerges]]'s re-segmentation fold).
+    *
+    * Implementation: each symbol is wrapped in sentinel bytes as
+    * `S sym E` (S = U+0001, E = U+0002 — bytes no token contains) and a
+    * merge (l, r) is a literal string `replace` of `S l E S r E` with
+    * `S lr E`: the sentinels force matches onto symbol boundaries, so
+    * string replace IS the left-to-right non-overlapping merge pass
+    * (OpsSpec proves equivalence against [[bpeMerges]]'s fold,
+    * including overlapping cases like (a,a) on "aaa"), and a chain of
+    * replaces is a single whole-stage-codegen projection: tokenizing
+    * 100 TB is one scan, no shuffle, no per-row interpreter. The merge
+    * table is a fixed argument (a tokenizer is a shipped artifact; fit
+    * one with [[bpeMerges]]).
+    *
+    * Returns `array<string>` of tokens for the document text.
+    */
+  /** A small fixed English-ish merge table (common digraph merges, two of
+    * them chained: t+h then th+e) for encode demos and the q129 oracle —
+    * a production table would come from [[bpeMerges]] over a training
+    * corpus and ship as an artifact with the model.
+    */
+  val DemoMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t")
+
+  def bpeEncodeTokens(text: Column, merges: Seq[(String, String)]): Column = {
+    val S = "\u0001"
+    val E = "\u0002"
+    val words = filter(split(lower(text), "\\s+"), w => w =!= "")
+    flatten(transform(words, w => {
+      val wrapped = array_join(
+        transform(split(w, ""), c => concat(lit(S), c, lit(E))), "")
+      val mergedStr = merges.foldLeft(wrapped) { case (s, (l, r)) =>
+        replace(s, lit(S + l + E + S + r + E), lit(S + l + r + E))
+      }
+      split(mergedStr.substr(lit(2), length(mergedStr) - 2), E + S)
+    }))
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of the doc's distinct
     * character n-grams that occur in NO other document (df = 1). High
     * novelty separates genuinely fresh text from template/boilerplate

@@ -908,6 +908,55 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aaa.toSeq === Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)), aaa.toSeq)
   }
 
+  test("bpe encode: delimited replace equals the merge fold, chains merges, " +
+    "flattens words in order") {
+    import spark.implicits._
+    // reference implementation: per-merge non-overlapping left-to-right
+    // pass over the symbol list (Sennrich semantics, as bpeMerges applies)
+    def refEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      var syms: Seq[String] = word.map(_.toString)
+      for ((l, r) <- merges) {
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "a", "i" -> "n")
+    val words = Seq("the", "theater", "aaa", "aaaa", "aaaaa", "thin",
+      "ththe", "a", "in", "xthax")
+    val got = words.toDF("text")
+      .select(TextOps.bpeEncodeTokens(col("text"), merges).as("toks"))
+      .collect().map(_.getSeq[String](0))
+    words.zip(got).foreach { case (w, g) =>
+      val e = refEncode(w, merges)
+      assert(g.toSeq === e, s"word '$w': got $g want $e")
+      assert(g.mkString("") === w, s"word '$w': tokens must concatenate back")
+    }
+    // multi-word document: per-word encodes flattened in order; merges
+    // never cross a word boundary; uppercase folds; whitespace collapses
+    val doc = Seq("The THEATER  aaa\tthin").toDF("text")
+      .select(TextOps.bpeEncodeTokens(col("text"), merges).as("toks"))
+      .collect().head.getSeq[String](0)
+    assert(doc.toSeq ===
+      Seq("the", "theater", "aaa", "thin").flatMap(refEncode(_, merges)))
+    // round-trip with a FITTED table: encoding the training corpus with
+    // bpeMerges' own table reproduces the fold exactly
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(6)("newest")).mkString(" ")
+    val fitted = TextOps.bpeMerges(Seq(corpus).toDF("text"), "text", numMerges = 3)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Seq("newest lowest").toDF("text")
+      .select(TextOps.bpeEncodeTokens(col("text"), fitted).as("toks"))
+      .collect().head.getSeq[String](0)
+    assert(enc.toSeq ===
+      Seq("newest", "lowest").flatMap(refEncode(_, fitted)))
+  }
+
   test("deterministic k-means: seed recovery, tie-to-lower-cell, summary") {
     import spark.implicits._
     val pts = Seq(
