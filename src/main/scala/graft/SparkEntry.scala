@@ -631,6 +631,24 @@ object SparkEntry {
         .withColumn("sim", round(col("sim"), 3))
     }),
 
+    // Beyond-reference: IVF-PQ over cell RESIDUALS (the composed FAISS
+    // layout, Jégou et al. 2011 §IV): cells prune WHICH rows are scanned
+    // (nprobe/nlist), residual PQ codes shrink HOW MUCH each scanned row
+    // costs (m table lookups via a per-(query, cell) LUT), exact rerank
+    // on refine·k survivors. The oracle replays assignment, residuals,
+    // codebook training, encoding, probing, ADC, and both rankings.
+    "q130_ivf_pq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val centroids = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+      graft.ops.Similarity.ivfPqTopK(queries, corpus, centroids, dim = 64,
+        k = 3, m = 4, ks = 8, nprobe = 2, refine = 4)
+        .withColumn("sim", round(col("sim"), 3))
+    }),
+
     // Beyond-reference: near-dup PAIRS → dedup CLUSTERS. The q27 edge set
     // is closed into connected components with alternating large-star /
     // small-star (O(log^2 n) shuffle rounds, diameter-independent); every
@@ -2492,6 +2510,101 @@ object SparkEntry {
            SELECT cand.q_id, cand.c_id,
              list_cosine_similarity(q.e, c.e) AS sim
            FROM cand JOIN q USING (q_id) JOIN c USING (c_id))
+         SELECT q_id, c_id, round(sim, 3) AS sim, rank FROM (
+           SELECT q_id, c_id, sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+               AS BIGINT) AS rank
+           FROM exact)
+         WHERE rank <= 3""",
+    // IVF-PQ: q114's assignment/probing composed with q128's PQ cascade,
+    // but trained/encoded on per-cell RESIDUALS (vec - assigned centroid)
+    // and scored with a per-(query, probed-cell) residual LUT
+    "q130_ivf_pq_ann" ->
+      """WITH cent AS (SELECT CAST(vec_id AS INT) AS cell,
+                        CAST(embedding AS DOUBLE[]) AS ce
+                      FROM embeddings WHERE vec_id < 4),
+         c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+         q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 5),
+         sdim AS (SELECT CAST(unnest(range(4)) AS INT) AS s),
+         assigned AS (SELECT c_id, cell FROM (
+                        SELECT c.c_id, cent.cell,
+                          row_number() OVER (PARTITION BY c.c_id
+                            ORDER BY list_distance(c.e, cent.ce), cent.cell) AS ar
+                        FROM c CROSS JOIN cent) WHERE ar = 1),
+         resid AS (SELECT a.c_id,
+                     list_transform(range(1, 65), i -> c.e[i] - cent.ce[i]) AS r
+                   FROM assigned a JOIN c USING (c_id)
+                     JOIN cent ON a.cell = cent.cell),
+         seeds AS (SELECT CAST(row_number() OVER (ORDER BY c_id) - 1 AS INT) AS j, r
+                   FROM (SELECT c_id, r FROM resid ORDER BY c_id LIMIT 8)),
+         sseeds AS (SELECT s, j,
+                      list_slice(r, CAST(s*16+1 AS INT), CAST(s*16+16 AS INT)) AS sv
+                    FROM seeds, sdim),
+         subs AS (SELECT c_id, s,
+                    list_slice(r, CAST(s*16+1 AS INT), CAST(s*16+16 AS INT)) AS sv
+                  FROM resid, sdim),
+         d1 AS (SELECT sub.c_id, sub.s, sd.j,
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, 17),
+                      i -> (sub.sv[i]-sd.sv[i])*(sub.sv[i]-sd.sv[i]))),
+                    (x, y) -> x + y), 8) AS d
+                FROM subs sub JOIN sseeds sd ON sub.s = sd.s),
+         a1 AS (SELECT c_id, s, j FROM (
+                  SELECT c_id, s, j,
+                    row_number() OVER (PARTITION BY c_id, s ORDER BY d, j) AS rn
+                  FROM d1) WHERE rn = 1),
+         upd AS (SELECT a1.s, a1.j, dim.i,
+                   round(round(sum(sub.sv[dim.i]), 4) / count(*), 6) AS mcoord
+                 FROM a1 JOIN subs sub ON a1.c_id = sub.c_id AND a1.s = sub.s
+                   CROSS JOIN (SELECT CAST(unnest(range(1, 17)) AS INT) AS i) dim
+                 GROUP BY a1.s, a1.j, dim.i),
+         updl AS (SELECT s, j, list(mcoord ORDER BY i) AS sv
+                  FROM upd GROUP BY s, j),
+         cb AS (SELECT sd.s, sd.j, COALESCE(u.sv, sd.sv) AS sv
+                FROM sseeds sd LEFT JOIN updl u ON sd.s = u.s AND sd.j = u.j),
+         encd AS (SELECT sub.c_id, sub.s, cb.j,
+                    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 17),
+                        i -> (sub.sv[i]-cb.sv[i])*(sub.sv[i]-cb.sv[i]))),
+                      (x, y) -> x + y), 8) AS d
+                  FROM subs sub JOIN cb ON sub.s = cb.s),
+         codes AS (SELECT c_id, s, j FROM (
+                     SELECT c_id, s, j,
+                       row_number() OVER (PARTITION BY c_id, s ORDER BY d, j) AS rn
+                     FROM encd) WHERE rn = 1),
+         probes AS (SELECT q_id, cell FROM (
+                      SELECT q.q_id, cent.cell,
+                        row_number() OVER (PARTITION BY q.q_id
+                          ORDER BY list_distance(q.e, cent.ce), cent.cell) AS cr
+                      FROM q CROSS JOIN cent) WHERE cr <= 2),
+         qresid AS (SELECT p.q_id, p.cell,
+                      list_transform(range(1, 65), i -> q.e[i] - cent.ce[i]) AS r
+                    FROM probes p JOIN q USING (q_id)
+                      JOIN cent ON p.cell = cent.cell),
+         qsubs AS (SELECT q_id, cell, s,
+                     list_slice(r, CAST(s*16+1 AS INT), CAST(s*16+16 AS INT)) AS sv
+                   FROM qresid, sdim),
+         lut AS (SELECT qs.q_id, qs.cell, qs.s, cb.j,
+                   round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, 17),
+                       i -> (qs.sv[i]-cb.sv[i])*(qs.sv[i]-cb.sv[i]))),
+                     (x, y) -> x + y), 8) AS ld
+                 FROM qsubs qs JOIN cb ON qs.s = cb.s),
+         adist AS (SELECT l.q_id, cd.c_id,
+                     round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(l.ld ORDER BY l.s)), (x, y) -> x + y), 6) AS ad
+                   FROM codes cd JOIN assigned a ON cd.c_id = a.c_id
+                     JOIN lut l ON a.cell = l.cell AND cd.s = l.s AND cd.j = l.j
+                   GROUP BY l.q_id, cd.c_id),
+         cand AS (SELECT q_id, c_id FROM (
+                    SELECT q_id, c_id,
+                      row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS ar
+                    FROM adist) WHERE ar <= 12),
+         exact AS (SELECT cand.q_id, cand.c_id,
+                     list_cosine_similarity(q.e, c.e) AS sim
+                   FROM cand JOIN q USING (q_id) JOIN c USING (c_id))
          SELECT q_id, c_id, round(sim, 3) AS sim, rank FROM (
            SELECT q_id, c_id, sim,
              CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)

@@ -575,6 +575,64 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF-PQ (Jégou et al. 2011 §IV — the composed FAISS `IVF,PQ`
+    * layout), with PQ over cell RESIDUALS as the paper prescribes: cells
+    * prune WHICH rows each query scans (nprobe/nlist of the corpus),
+    * residual PQ codes shrink HOW MUCH each scanned row costs (m table
+    * lookups), exact rerank on the refine·k survivors. The codebooks are
+    * trained on `vec − centroid(cell(vec))` — residuals concentrate
+    * around the origin, which is why the composition quantizes better
+    * than PQ on raw vectors — and the ADC lookup table is built per
+    * (query, probed cell) from the query's residual against that cell.
+    * Fixed centroids keep the whole cascade engine-reproducible (same
+    * contract as [[ivfTopKWithCentroids]]).
+    */
+  def ivfPqTopK(
+      queries: DataFrame, // (q_id, q_vec)
+      corpus: DataFrame, // (c_id, c_vec)
+      centroids: DataFrame, // (cell, centroid)
+      dim: Int,
+      k: Int,
+      m: Int = 4,
+      ks: Int = 8,
+      nprobe: Int = 2,
+      refine: Int = 4): DataFrame = {
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("dd", d2(col("c_vec"), col("centroid")))
+      .groupBy(col("c_id"))
+      .agg(
+        min(struct(col("dd"), col("cell"))).getField("cell").as("cell"),
+        first(col("c_vec")).as("c_vec"))
+      .join(broadcast(centroids), Seq("cell"))
+      .withColumn("r_vec", zip_with(
+        col("c_vec").cast("array<double>"), col("centroid").cast("array<double>"),
+        (a, b) => a - b))
+    val codebooks = pqCodebooks(
+      assigned.select(col("c_id"), col("r_vec").as("c_vec")), dim, m, ks)
+    val encoded = assigned
+      .withColumn("codes", pqEncode(col("r_vec"), codebooks))
+      .drop("r_vec", "centroid")
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .withColumn("dd", d2(col("q_vec"), col("centroid")))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("dd"), col("cell"))))
+      .filter(col("cr") <= nprobe)
+      .withColumn("lut", pqLut(zip_with(
+        col("q_vec").cast("array<double>"), col("centroid").cast("array<double>"),
+        (a, b) => a - b), codebooks))
+      .select(col("q_id"), col("q_vec"), col("cell"), col("lut"))
+    val scored = encoded.join(broadcast(qCells), Seq("cell"))
+      .withColumn("adist", round(aggregate(
+        transform(col("codes"), (c, i) => element_at(col("lut"), i * ks + c + 1)),
+        lit(0.0), (acc, x) => acc + x), 6))
+      .withColumn("asim", -col("adist"))
+    val candidates = topKPerQuery(scored, k * refine, simCol = "asim")
+      .drop("rank")
+    topKPerQuery(
+      candidates.withColumn("sim", cosine(col("q_vec"), col("c_vec"))), k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
+  }
+
   /** Hybrid retrieval: a BM25 keyword list fused with an embedding-cosine
     * list by Reciprocal Rank Fusion (Cormack et al., SIGIR'09):
     * `rrf(d) = Σ_list 1/(k0 + rank_list(d))`, a list that missed the doc
