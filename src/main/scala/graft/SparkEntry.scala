@@ -631,6 +631,20 @@ object SparkEntry {
         .withColumn("sim", round(col("sim"), 3))
     }),
 
+    // Beyond-reference: PCA top-component projection — quantized-sum
+    // mean/covariance passes (map-side-combinable, dim^2 cells of
+    // shuffled state whatever the corpus size), deterministic power
+    // iteration (fixed start, fixed 3 iterations, round-8 matvecs) on
+    // the collected dim^2 matrix, then one codegen projection scan. The
+    // oracle replays the fit and the projection exactly.
+    "q131_pca_projection" -> ((s, dir) => {
+      graft.ops.Pca.pc1(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dim = 64, iters = 3)
+        .orderBy(col("pc1").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Beyond-reference: IVF-PQ over cell RESIDUALS (the composed FAISS
     // layout, Jégou et al. 2011 §IV): cells prune WHICH rows are scanned
     // (nprobe/nlist), residual PQ codes shrink HOW MUCH each scanned row
@@ -2516,6 +2530,67 @@ object SparkEntry {
                AS BIGINT) AS rank
            FROM exact)
          WHERE rank <= 3""",
+    // PCA: quantized mean/cov (sum->4, mean->6, cov->8), power iteration
+    // from v0 = 1/sqrt(64) (exactly 0.125) with round-8 matvec + norm
+    // per iteration, Rayleigh lambda from the last iteration, round-4
+    // projection — every fold in ascending index order, as the engine
+    "q131_pca_projection" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         flat AS (SELECT id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+                  FROM e),
+         mu AS (SELECT i, round(round(sum(x), 4) / count(*), 6) AS m
+                FROM flat GROUP BY i),
+         mul AS (SELECT list(m ORDER BY i) AS m FROM mu),
+         cent AS (SELECT id, i, x - mu.m AS cx FROM flat JOIN mu USING (i)),
+         cov AS (SELECT a.i AS i, b.i AS j,
+                   round(round(sum(a.cx * b.cx), 4) / count(*), 8) AS c
+                 FROM cent a JOIN cent b USING (id) GROUP BY a.i, b.i),
+         covl AS (SELECT i, list(c ORDER BY j) AS r FROM cov GROUP BY i),
+         covm AS (SELECT list(r ORDER BY i) AS rows FROM covl),
+         v0 AS (SELECT list_transform(range(1, 65),
+                  i -> round(1.0/sqrt(64.0), 8)) AS v),
+         w1 AS (SELECT list_transform(range(1, 65), i ->
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, 65), j -> rows[i][j] * v[j])),
+                    (x, y) -> x + y), 8)) AS w
+                FROM covm, v0),
+         v1 AS (SELECT list_transform(w, x -> round(x / sqrt(round(
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(w, y -> y*y)), (x2, y2) -> x2 + y2),
+                  8)), 8)) AS v
+                FROM w1),
+         w2 AS (SELECT list_transform(range(1, 65), i ->
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, 65), j -> rows[i][j] * v[j])),
+                    (x, y) -> x + y), 8)) AS w
+                FROM covm, v1),
+         v2 AS (SELECT list_transform(w, x -> round(x / sqrt(round(
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(w, y -> y*y)), (x2, y2) -> x2 + y2),
+                  8)), 8)) AS v
+                FROM w2),
+         w3 AS (SELECT list_transform(range(1, 65), i ->
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, 65), j -> rows[i][j] * v[j])),
+                    (x, y) -> x + y), 8)) AS w
+                FROM covm, v2),
+         v3 AS (SELECT list_transform(w, x -> round(x / sqrt(round(
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(w, y -> y*y)), (x2, y2) -> x2 + y2),
+                  8)), 8)) AS v
+                FROM w3),
+         lam AS (SELECT round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> v2.v[i] * w3.w[i])),
+                   (x, y) -> x + y), 6) AS lambda1
+                 FROM v2, w3)
+         SELECT id AS vec_id,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, 65), i -> (e.v[i] - mul.m[i]) * v3.v[i])),
+             (x, y) -> x + y), 4) AS pc1,
+           lambda1
+         FROM e, mul, v3, lam
+         ORDER BY pc1 DESC, vec_id LIMIT 10""",
     // IVF-PQ: q114's assignment/probing composed with q128's PQ cascade,
     // but trained/encoded on per-cell RESIDUALS (vec - assigned centroid)
     // and scored with a per-(query, probed-cell) residual LUT

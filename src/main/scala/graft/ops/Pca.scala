@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Principal-component analysis over an embedding column, the
+  * dimensionality/drift lens of a curation pipeline (outlier scoring,
+  * corpus drift dashboards, whitening before clustering all start from
+  * the top component).
+  *
+  * Deterministic by construction so an external engine replays it
+  * bit-for-bit:
+  *  - the mean and covariance use the quantized-sum discipline
+  *    ([[KMeans]]): per-dimension sums round to 4 before the divide,
+  *    means to 6, covariance cells to 8;
+  *  - the top eigenvector comes from POWER ITERATION with a fixed
+  *    start (every coordinate = 1/sqrt(dim), exactly 0.125 at dim 64)
+  *    and a fixed iteration count — matvec coordinates round to 8, the
+  *    norm divides once per iteration, no RNG, no convergence test;
+  *  - every fold (matvec, norm, projection) runs in ascending index
+  *    order on both sides.
+  *
+  * Scale shape: the corpus is scanned twice (mean pass, centered
+  * outer-product pass); the covariance accumulates through a map-side-
+  * combinable groupBy over dim² cells, so the state that shuffles is
+  * dim² rows regardless of corpus size. Only the dim² matrix (KB at
+  * dim 64) is collected; the iteration itself is driver arithmetic on
+  * that matrix, and the projection is one more codegen scan with the
+  * component as a literal.
+  */
+object Pca {
+
+  /** Driver-side decimal rounding with the same HALF_UP semantics as
+    * Spark's / DuckDB's `round` — all quantities that meet a replayed
+    * engine sit on this grid.
+    */
+  private def roundAt(x: Double, scale: Int): Double =
+    BigDecimal.valueOf(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round8(x: Double): Double = roundAt(x, 8)
+
+  /** Fit mean + top component. Returns (means, pc1, lambda1) where
+    * lambda1 is the Rayleigh-quotient eigenvalue estimate after the
+    * final iteration.
+    */
+  def fitPc1(
+      vectors: DataFrame,
+      vecCol: String,
+      dim: Int,
+      iters: Int = 3): (Array[Double], Array[Double], Double) = {
+    val meansRows = vectors
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(round(round(sum(col("v")), 4) / count(lit(1)), 6).as("m"))
+      .collect()
+    val means = new Array[Double](dim)
+    meansRows.foreach(r => means(r.getInt(0)) = r.getDouble(1))
+
+    val centered = zip_with(
+      col(vecCol).cast("array<double>"), lit(means), (a, b) => a - b)
+    val covRows = vectors
+      .select(explode(flatten(transform(centered, (a, i) =>
+        transform(centered, (b, j) =>
+          struct(i.as("i"), j.as("j"), (a * b).as("p")))))).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(round(round(sum(col("c.p")), 4) / count(lit(1)), 8).as("cov"))
+      .collect()
+    val cov = Array.ofDim[Double](dim, dim)
+    covRows.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+
+    var v = Array.fill(dim)(round8(1.0 / math.sqrt(dim.toDouble)))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += cov(i)(j) * v(j); j += 1 }
+        w(i) = round8(acc)
+        i += 1
+      }
+      var n2 = 0.0
+      i = 0
+      while (i < dim) { n2 += w(i) * w(i); i += 1 }
+      val norm = math.sqrt(round8(n2))
+      lambda = 0.0
+      i = 0
+      while (i < dim) { lambda += v(i) * w(i); i += 1 }
+      v = w.map(x => round8(x / norm))
+    }
+    (means, v, roundAt(lambda, 6))
+  }
+
+  /** Projection of each vector onto the fitted component (ascending-index
+    * fold over centered coordinates).
+    */
+  def pc1Score(vec: Column, means: Array[Double], pc: Array[Double]): Column =
+    aggregate(
+      zip_with(
+        zip_with(vec.cast("array<double>"), lit(means), (a, b) => a - b),
+        lit(pc), (c, p) => c * p),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** One row per vector: `(id, pc1 score, lambda1)` — the corpus-level
+    * eigenvalue rides along as a constant column so the replay covers
+    * the full fit, not just the projection.
+    */
+  def pc1(
+      vectors: DataFrame, // (id, vec)
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      iters: Int = 3): DataFrame = {
+    val (means, pc, lambda) = fitPc1(vectors, vecCol, dim, iters)
+    vectors.select(
+      col(idCol),
+      round(pc1Score(col(vecCol), means, pc), 4).as("pc1"),
+      lit(lambda).as("lambda1"))
+  }
+}

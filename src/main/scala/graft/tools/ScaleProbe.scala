@@ -128,6 +128,48 @@ object ScaleProbe {
           col("embedding"))).reduce(_ unionByName _)
         graft.ops.KMeans.summary(corpus, "vec_id", "embedding",
           k = 4, iterations = 2).count()
+      }),
+      // bounded-state KLL partials: scan + KB-sized summary merges, the
+      // group count is fixed — expect ~linear
+      "q127_kll_quantiles" -> (k =>
+        graft.ops.Sketches.groupQuantiles(
+          docs(k).select(pmod(col("doc_id"), lit(16)).as("g"),
+            length(col("text")).as("v")),
+          Seq("g"), "v", capacity = 256,
+          probs = Seq(0.25, 0.5, 0.75, 0.95)).count()),
+      // PQ: training + encode + ADC scan are all corpus-linear; the query
+      // set (and its LUTs) stays fixed
+      "q128_pq_ann" -> (k => {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val corpus = (0 until k).map(c => emb.select(
+          (col("vec_id") + lit(c.toLong * 100000000L)).as("c_id"),
+          col("embedding").as("c_vec"))).reduce(_ unionByName _)
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        graft.ops.Similarity.pqTopK(queries, corpus, dim = 64,
+          k = 10, m = 4, ks = 8, refine = 4).count()
+      }),
+      // tokenizer apply is a pure codegen scan; the vocabulary-scale
+      // count is the only shuffle (the salt grows the vocab k-fold —
+      // worst case)
+      "q129_bpe_encode" -> (k =>
+        docs(k).select(explode(graft.ops.TextOps.bpeEncodeTokens(
+            col("text"), graft.ops.TextOps.DemoMerges)).as("t"))
+          .groupBy(col("t")).agg(count(lit(1))).count()),
+      // IVF-PQ: assignment, residual training/encode, and the probed-cell
+      // ADC scan are corpus-linear; probing stays query-side
+      "q130_ivf_pq_ann" -> (k => {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val corpus = (0 until k).map(c => emb.select(
+          (col("vec_id") + lit(c.toLong * 100000000L)).as("c_id"),
+          col("embedding").as("c_vec"))).reduce(_ unionByName _)
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val centroids = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("cell"),
+            col("embedding").as("centroid"))
+        graft.ops.Similarity.ivfPqTopK(queries, corpus, centroids, dim = 64,
+          k = 10, m = 4, ks = 8, nprobe = 4, refine = 4).count()
       }))
     val ops = allOps.filter { case (name, _) =>
       opFilter.forall(_.exists(name.startsWith)) }

@@ -957,6 +957,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("newest", "lowest").flatMap(refEncode(_, fitted)))
   }
 
+  test("pca: top component recovers the dominant direction, deterministic, " +
+    "lambda approximates the top variance") {
+    import spark.implicits._
+    // points spread along the (1,1,0,0)/sqrt(2) diagonal with small noise
+    // in the second axis pair: pc1 must align with the diagonal and order
+    // the points by their diagonal coordinate
+    val pts = (0 until 40).map { i =>
+      val tpos = (i - 20).toDouble
+      (i.toLong, Array(tpos.toFloat, tpos.toFloat,
+        (i % 3 - 1).toFloat * 0.1f, (i % 5 - 2).toFloat * 0.1f))
+    }
+    val df = pts.toDF("id", "vec")
+    val (means, pc, lambda) = Pca.fitPc1(df, "vec", dim = 4, iters = 3)
+    assert(math.abs(math.abs(pc(0)) - math.abs(pc(1))) < 0.01 &&
+      math.abs(pc(0)) > 0.69 && math.abs(pc(2)) < 0.05 && math.abs(pc(3)) < 0.05,
+      s"pc1 should align with the diagonal: ${pc.toSeq}")
+    assert(math.abs(pc.map(x => x * x).sum - 1.0) < 1e-6, "pc1 is unit length")
+    // lambda ~ variance along the diagonal = 2 * var(tpos)
+    val varT = pts.map(p => p._2(0).toDouble).map(x => x * x).sum / 40.0
+    assert(math.abs(lambda - 2 * varT) / (2 * varT) < 0.05,
+      s"lambda $lambda vs expected ~${2 * varT}")
+    // projections order by the diagonal coordinate (up to global sign)
+    val scores = Pca.pc1(df, "id", "vec", dim = 4, iters = 3)
+      .orderBy(col("id")).collect().map(_.getDouble(1))
+    val diffs = scores.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(diffs.forall(_ > 0) || diffs.forall(_ < 0),
+      "pc1 scores must be monotone in the diagonal coordinate")
+    // bit-deterministic across runs
+    val again = Pca.pc1(df, "id", "vec", dim = 4, iters = 3)
+      .orderBy(col("id")).collect().map(_.getDouble(1))
+    assert(scores.toSeq === again.toSeq)
+  }
+
   test("deterministic k-means: seed recovery, tie-to-lower-cell, summary") {
     import spark.implicits._
     val pts = Seq(
