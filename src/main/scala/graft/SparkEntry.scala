@@ -1531,6 +1531,16 @@ object SparkEntry {
       graft.ops.TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
     }),
 
+    // Beyond-reference: character-entropy quality signal (bits/char,
+    // the compressibility proxy of the Gopher family) — a row-local
+    // sorted-run fold inside codegen (no explode/shuffle; the oracle
+    // replays via the equivalent per-char groupBy).
+    "q132_char_entropy" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(graft.ops.TextOps.charEntropy(col("text")), 4).as("entropy"))
+    }),
+
     // Beyond-reference: BPE ENCODE (tokenizer apply, the runtime
     // companion to q123's fit) — a fixed merge table applied as a chain
     // of sentinel-delimited literal replaces, provably the left-to-right
@@ -3211,6 +3221,18 @@ object SparkEntry {
                FROM e JOIN f ON e.user_id = f.user_id)
          SELECT cohort_week, week_offset, count(*) AS n_users
          FROM w GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    // H = log2(n) - sum(c*log2(c))/n over per-char counts; the engine's
+    // sorted-run fold visits exactly these run lengths
+    "q132_char_entropy" ->
+      """WITH chars AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                        FROM documents),
+         runs AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS cnt
+                  FROM chars GROUP BY doc_id, c),
+         tot AS (SELECT doc_id, sum(cnt) AS n FROM runs GROUP BY doc_id)
+         SELECT r.doc_id,
+           round(log2(t.n) - sum(r.cnt * log2(r.cnt)) / t.n, 4) AS entropy
+         FROM runs r JOIN tot t USING (doc_id)
+         GROUP BY r.doc_id, t.n""",
     // sentinel-delimited words, eight literal replaces in merge-rank
     // order (replace IS the non-overlapping left-to-right merge pass),
     // then unwrap and count

@@ -126,6 +126,43 @@ object TextOps {
     best.cast("double") / size(t).cast("double")
   }
 
+  /** Shannon entropy (bits/char) of the document's character unigram
+    * distribution — the compressibility proxy in the Gopher/RefinedWeb
+    * quality family: degenerate or template text scores low, natural
+    * prose sits near the language's ~4 bits/char.
+    *
+    * Computed as H = log2(n) − (Σ c·log2 c)/n over the run lengths of
+    * the SORTED character array — one row-local O(n log n) fold inside
+    * codegen (same discipline as [[topTokenFraction]]), no
+    * explode/shuffle, so it runs at scan speed over 100 TB. The run
+    * accumulator carries Σ c·log2 c exactly; the only rounding is the
+    * caller's at output.
+    */
+  def charEntropy(text: Column): Column = {
+    val chars = split(text, "")
+    val n = size(chars)
+    // fold over sorted chars: on a run break, add run·log2(run) for the
+    // finished run; flush the final run in the finish lambda
+    val sumClog = aggregate(
+      array_sort(chars),
+      struct(lit("").as("prev"), lit(0.0).as("run"), lit(0.0).as("acc")),
+      (acc, x) => {
+        val isSame = x === acc.getField("prev")
+        val finished = when(isSame || acc.getField("run") === 0.0, acc.getField("acc"))
+          .otherwise(acc.getField("acc") +
+            acc.getField("run") * log2(acc.getField("run")))
+        struct(
+          x.as("prev"),
+          when(isSame, acc.getField("run") + 1.0).otherwise(lit(1.0)).as("run"),
+          finished.as("acc"))
+      },
+      acc => when(acc.getField("run") === 0.0, acc.getField("acc"))
+        .otherwise(acc.getField("acc") +
+          acc.getField("run") * log2(acc.getField("run"))))
+    when(n === 0, lit(0.0))
+      .otherwise(log2(n.cast("double")) - sumClog / n.cast("double"))
+  }
+
   /** Fraction of adjacent-token bigrams that are repeats of an earlier
     * bigram in the same document (0.0 for single-token docs).
     */

@@ -170,6 +170,16 @@ object ScaleProbe {
             col("embedding").as("centroid"))
         graft.ops.Similarity.ivfPqTopK(queries, corpus, centroids, dim = 64,
           k = 10, m = 4, ks = 8, nprobe = 4, refine = 4).count()
+      }),
+      // two corpus-linear scans (mean, centered outer products) into a
+      // fixed dim^2 aggregation + a projection scan — expect ~linear
+      "q131_pca" -> (k => {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val corpus = (0 until k).map(c => emb.select(
+          (col("vec_id") + lit(c.toLong * 100000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+        graft.ops.Pca.pc1(corpus, "vec_id", "embedding", dim = 64,
+          iters = 3).count()
       }))
     val ops = allOps.filter { case (name, _) =>
       opFilter.forall(_.exists(name.startsWith)) }

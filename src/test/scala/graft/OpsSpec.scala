@@ -957,6 +957,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("newest", "lowest").flatMap(refEncode(_, fitted)))
   }
 
+  test("char entropy: known distributions, matches explode-groupBy, " +
+    "degenerate and empty text") {
+    import spark.implicits._
+    val docs = Seq("aabb", "abcd", "aaaa", "", "a",
+      "the quick brown fox", "aabbaabb").toDF("text")
+    val got = docs.select(TextOps.charEntropy(col("text")).as("h"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-9, s"aabb: ${got(0)}")
+    assert(math.abs(got(1) - 2.0) < 1e-9, s"abcd: ${got(1)}")
+    assert(got(2) === 0.0, "aaaa is zero-entropy")
+    assert(got(3) === 0.0, "empty text is zero-entropy")
+    assert(got(4) === 0.0, "single char is zero-entropy")
+    assert(math.abs(got(7 - 1) - 1.0) < 1e-9, s"aabbaabb: ${got(6)}")
+    // cross-check the fold against the relational formulation
+    val rel = docs.filter(length(col("text")) > 0)
+      .select(monotonically_increasing_id().as("id"), col("text"))
+      .select(col("id"), explode(split(col("text"), "")).as("c"))
+      .groupBy("id", "c").agg(count(lit(1)).cast("double").as("cnt"))
+      .groupBy("id").agg(
+        (log2(sum(col("cnt"))) -
+          sum(col("cnt") * log2(col("cnt"))) / sum(col("cnt"))).as("h"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    val foldVals = docs.filter(length(col("text")) > 0)
+      .select(TextOps.charEntropy(col("text")).as("h"))
+      .collect().map(_.getDouble(0))
+    rel.zip(foldVals).foreach { case (r, f) =>
+      assert(math.abs(r - f) < 1e-9, s"fold $f vs relational $r")
+    }
+  }
+
   test("pca: top component recovers the dominant direction, deterministic, " +
     "lambda approximates the top variance") {
     import spark.implicits._
