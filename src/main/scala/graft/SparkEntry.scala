@@ -1531,6 +1531,18 @@ object SparkEntry {
       graft.ops.TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
     }),
 
+    // Beyond-reference: TF-IDF nearest-centroid domain classification
+    // (the fastText-classifier slot with a deterministic replayable
+    // model): top-50 df vocabulary, smoothed idf, L2-normalized seed
+    // centroids (first 10 docs per source), sparse cosine scoring via
+    // a broadcast token join, per-doc argmax with ties to the smaller
+    // label. Reports per-source assignment/accuracy counts.
+    "q133_domain_classify" -> ((s, dir) => {
+      graft.ops.Classify.tfidfNearestCentroid(
+        t(s, dir, "documents"), "doc_id", "text", "source",
+        vocabSize = 50, seedPerClass = 10)
+    }),
+
     // Beyond-reference: character-entropy quality signal (bits/char,
     // the compressibility proxy of the Gopher family) — a row-local
     // sorted-run fold inside codegen (no explode/shuffle; the oracle
@@ -3221,6 +3233,53 @@ object SparkEntry {
                FROM e JOIN f ON e.user_id = f.user_id)
          SELECT cohort_week, week_offset, count(*) AS n_users
          FROM w GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    // vocab/idf/weights/norms/centroids/cosine replayed with the same
+    // rounding grid (w->6, norms->8, centroid->6, score->6)
+    "q133_domain_classify" ->
+      """WITH base AS (SELECT doc_id AS id, source AS cls, text FROM documents),
+         toks AS (SELECT id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                  FROM base),
+         tk AS (SELECT id, tok FROM toks WHERE tok <> ''),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM base),
+         dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                 FROM (SELECT DISTINCT id, tok FROM tk) GROUP BY tok),
+         vocab AS (SELECT tok, round(ln((n_total + 1) / (df + 1)) + 1.0, 6) AS idf
+                   FROM (SELECT tok, df FROM dft ORDER BY df DESC, tok LIMIT 50), n),
+         w AS (SELECT id, tk.tok, round(count(*) * idf, 6) AS w
+               FROM tk JOIN vocab ON tk.tok = vocab.tok
+               GROUP BY id, tk.tok, idf),
+         dnorm AS (SELECT id, round(sqrt(sum(w*w)), 8) AS dn FROM w GROUP BY id),
+         seeds AS (SELECT id, cls FROM (
+                     SELECT id, cls,
+                       row_number() OVER (PARTITION BY cls ORDER BY id) AS rn
+                     FROM base) WHERE rn <= 10),
+         sc AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_seed
+                FROM seeds GROUP BY cls),
+         cent AS (SELECT s.cls, w.tok,
+                    round(sum(w.w / d.dn) / sc.n_seed, 6) AS cw
+                  FROM w JOIN seeds s USING (id) JOIN dnorm d USING (id)
+                    JOIN sc ON s.cls = sc.cls
+                  GROUP BY s.cls, w.tok, sc.n_seed),
+         cnorm AS (SELECT cls, round(sqrt(sum(cw*cw)), 8) AS cn
+                   FROM cent GROUP BY cls),
+         dots AS (SELECT w.id, c.cls, sum(w.w * c.cw) AS dot
+                  FROM w JOIN cent c ON w.tok = c.tok GROUP BY w.id, c.cls),
+         scored AS (SELECT dots.id, dots.cls,
+                      round(dot / (dn * cn), 6) AS score
+                    FROM dots JOIN dnorm USING (id)
+                      JOIN cnorm ON dots.cls = cnorm.cls),
+         pred AS (SELECT id, cls AS pred FROM (
+                    SELECT id, cls,
+                      row_number() OVER (PARTITION BY id
+                        ORDER BY score DESC, cls) AS rn
+                    FROM scored) WHERE rn = 1)
+         SELECT b.cls AS source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p.pred IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_scored,
+           CAST(sum(CASE WHEN p.pred = b.cls THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct
+         FROM base b LEFT JOIN pred p USING (id)
+         GROUP BY b.cls""",
     // H = log2(n) - sum(c*log2(c))/n over per-char counts; the engine's
     // sorted-run fold visits exactly these run lengths
     "q132_char_entropy" ->

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Domain/source classification by TF-IDF nearest centroid — the
+  * lightweight text classifier curation pipelines use to tag documents
+  * with a domain before mixing (the fastText-classifier slot, with a
+  * deterministic, engine-replayable model in place of learned weights).
+  *
+  * Fit + apply in one relational cascade:
+  *  1. vocabulary = top `vocabSize` tokens by document frequency
+  *     (ties to the lexicographically smaller token);
+  *  2. smoothed idf = round(ln((N+1)/(df+1)) + 1, 6); per-doc weights
+  *     w = round(tf·idf, 6), L2 norm rounded at 8;
+  *  3. centroids = the per-class mean of the first `seedPerClass`
+  *     docs' NORMALIZED vectors (the labeled seed set), per-token;
+  *  4. every doc scores cosine against every class centroid (sparse
+  *     token join), argmax with ties to the smaller class label.
+  *
+  * Shape at 100 TB: the vocabulary, idf table, and centroids are all
+  * vocab-/class-scale — broadcast tables; the corpus-side work is one
+  * tokenize-explode filtered against the broadcast vocabulary into a
+  * map-side-combinable (doc, token) count, one bucket join to score,
+  * and a per-doc argmax (min-struct aggregate, no window over the
+  * corpus). The seed ranking window partitions by class — bounded by
+  * `seedPerClass` retained rows per class.
+  *
+  * Returns the per-class report: `(source, n_docs, n_scored,
+  * n_correct)` — docs containing no vocabulary token stay unscored.
+  */
+object Classify {
+
+  def tfidfNearestCentroid(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      classCol: String,
+      vocabSize: Int = 50,
+      seedPerClass: Int = 10): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(classCol).as("cls"),
+      col(textCol).as("text"))
+    val toks = base
+      .select(col("id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val nDocs = base.agg(count(lit(1)).as("n_total"))
+
+    val dft = toks.select(col("id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val vocab = dft
+      .orderBy(col("df").desc, col("tok")).limit(vocabSize)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", round(
+        log((col("n_total") + 1).cast("double") / (col("df") + 1)) + 1.0, 6))
+      .select(col("tok"), col("idf"))
+
+    val w = toks.join(broadcast(vocab), "tok")
+      .groupBy(col("id"), col("tok"), col("idf"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("w", round(col("tf") * col("idf"), 6))
+      .select(col("id"), col("tok"), col("w"))
+    val dnorm = w.groupBy(col("id"))
+      .agg(round(sqrt(sum(col("w") * col("w"))), 8).as("dn"))
+
+    val seeds = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cls")).orderBy(col("id"))))
+      .filter(col("rn") <= seedPerClass)
+      .select(col("id"), col("cls"))
+    val seedCounts = seeds.groupBy(col("cls")).agg(count(lit(1)).as("n_seed"))
+    val centroids = w.join(seeds, "id").join(dnorm, "id")
+      .withColumn("wn", col("w") / col("dn"))
+      .groupBy(col("cls"), col("tok"))
+      .agg(sum(col("wn")).as("swn"))
+      .join(broadcast(seedCounts), "cls")
+      .withColumn("cw", round(col("swn") / col("n_seed"), 6))
+      .select(col("cls"), col("tok"), col("cw"))
+    val cnorm = centroids.groupBy(col("cls"))
+      .agg(round(sqrt(sum(col("cw") * col("cw"))), 8).as("cn"))
+
+    val scored = w.join(broadcast(centroids), "tok")
+      .groupBy(col("id"), col("cls"))
+      .agg(sum(col("w") * col("cw")).as("dot"))
+      .join(dnorm, "id")
+      .join(broadcast(cnorm), "cls")
+      .withColumn("score", round(col("dot") / (col("dn") * col("cn")), 6))
+    val pred = scored.groupBy(col("id"))
+      .agg(min(struct((-col("score")).as("ns"), col("cls"))).getField("cls")
+        .as("pred"))
+
+    base.select(col("id"), col("cls")).join(pred, Seq("id"), "left")
+      .groupBy(col("cls"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("pred") === col("cls"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumnRenamed("cls", "source")
+  }
+}

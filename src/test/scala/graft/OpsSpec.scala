@@ -957,6 +957,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("newest", "lowest").flatMap(refEncode(_, fitted)))
   }
 
+  test("tfidf nearest centroid: separable classes classify perfectly, " +
+    "off-vocabulary docs stay unscored, ties break to the smaller label") {
+    import spark.implicits._
+    val docs = ((0 until 20).map(i =>
+        (i.toLong, s"apple banana cherry fruit filler$i", "fruit")) ++
+      (20 until 40).map(i =>
+        (i.toLong, s"gear motor piston engine filler$i", "machine")) ++
+      Seq((40L, "zzz qqq xxx", "fruit"))).toDF("doc_id", "text", "source")
+    val rep = Classify.tfidfNearestCentroid(
+      docs, "doc_id", "text", "source", vocabSize = 8, seedPerClass = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rep("fruit") === ((21L, 20L, 20L)),
+      s"fruit: ${rep("fruit")} (doc 40 has no vocabulary token)")
+    assert(rep("machine") === ((20L, 20L, 20L)), s"machine: ${rep("machine")}")
+    // a doc equidistant from two identical centroids goes to the
+    // lexicographically smaller class
+    val tied = Seq(
+      (0L, "alpha beta", "c1"), (1L, "alpha beta", "c2"),
+      (2L, "alpha beta", "c2")).toDF("doc_id", "text", "source")
+    val t2 = Classify.tfidfNearestCentroid(
+      tied, "doc_id", "text", "source", vocabSize = 4, seedPerClass = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(t2("c1") === ((1L, 1L, 1L)), s"c1 wins ties: $t2")
+    assert(t2("c2") === ((2L, 2L, 0L)), s"c2 docs tie to c1: $t2")
+  }
+
   test("char entropy: known distributions, matches explode-groupBy, " +
     "degenerate and empty text") {
     import spark.implicits._
