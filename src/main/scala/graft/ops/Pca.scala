@@ -57,15 +57,18 @@ object Pca {
 
     val centered = zip_with(
       col(vecCol).cast("array<double>"), lit(means), (a, b) => a - b)
+    // flat position key pos = i·dim + j instead of a struct(i, j, p)
+    // cell: same aggregation shape, but posexplode over a plain double
+    // array codegens ~2x faster than 4096 struct builds per row
+    // (PerfAB pca_cov_struct 2.96 s vs pca_cov_poskey 1.50 s at sf0.1)
     val covRows = vectors
-      .select(explode(flatten(transform(centered, (a, i) =>
-        transform(centered, (b, j) =>
-          struct(i.as("i"), j.as("j"), (a * b).as("p")))))).as("c"))
-      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-      .agg(round(round(sum(col("c.p")), 4) / count(lit(1)), 8).as("cov"))
+      .select(posexplode(flatten(transform(centered, a =>
+        transform(centered, b => a * b)))).as(Seq("pos", "p")))
+      .groupBy(col("pos"))
+      .agg(round(round(sum(col("p")), 4) / count(lit(1)), 8).as("cov"))
       .collect()
     val cov = Array.ofDim[Double](dim, dim)
-    covRows.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    covRows.foreach(r => cov(r.getInt(0) / dim)(r.getInt(0) % dim) = r.getDouble(1))
 
     var v = Array.fill(dim)(round8(1.0 / math.sqrt(dim.toDouble)))
     var lambda = 0.0

@@ -63,7 +63,32 @@ object PerfAB {
         graft.SparkEntry.queries("q64_exact_quantiles")(spark, sfDir).count()),
       "ngram_jaccard" -> (() =>
         graft.ops.Dedup.ngramJaccardDuplicates(docs, "doc_id", "text",
-          n = 5, threshold = 0.6).count()))
+          n = 5, threshold = 0.6).count()),
+      // Round-10 experiment: PCA covariance accumulation — struct(i,j,p)
+      // cells vs a single flat position key (pos = i*dim+j). Same
+      // aggregation shape; the question is codegen/allocation overhead
+      // of 4096 struct builds per row vs posexplode over a double array.
+      "pca_cov_struct" -> (() => {
+        def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val centered = col("embedding").cast("array<double>")
+        emb.select(explode(flatten(transform(centered, (a, i) =>
+            transform(centered, (b, j) =>
+              struct(i.as("i"), j.as("j"), (a * b).as("p")))))).as("c"))
+          .groupBy(col("c.i"), col("c.j"))
+          .agg(round(round(sum(col("c.p")), 4) / count(lit(1)), 8))
+          .count()
+      }),
+      "pca_cov_poskey" -> (() => {
+        def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val centered = col("embedding").cast("array<double>")
+        emb.select(posexplode(flatten(transform(centered, a =>
+            transform(centered, b => a * b)))).as(Seq("pos", "p")))
+          .groupBy(col("pos"))
+          .agg(round(round(sum(col("p")), 4) / count(lit(1)), 8))
+          .count()
+      }),
+      "pca_full_fit" -> (() =>
+        graft.SparkEntry.queries("q131_pca_projection")(spark, sfDir).count()))
 
     // warm-up (JIT + codegen cache) on the first variant
     variants.head._2()
