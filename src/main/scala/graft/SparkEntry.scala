@@ -1531,6 +1531,13 @@ object SparkEntry {
       graft.ops.TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
     }),
 
+    // Beyond-reference: Zipf power-law fit over the token frequency
+    // distribution — OLS on (ln rank, ln freq) of the top-100 tokens;
+    // one token-count pass, vocabulary-scale top cut, 5-sum aggregate.
+    "q134_zipf_fit" -> ((s, dir) => {
+      graft.ops.TextOps.zipfFit(t(s, dir, "documents"), "text", topN = 100)
+    }),
+
     // Beyond-reference: TF-IDF nearest-centroid domain classification
     // (the fastText-classifier slot with a deterministic replayable
     // model): top-50 df vocabulary, smoothed idf, L2-normalized seed
@@ -3233,6 +3240,26 @@ object SparkEntry {
                FROM e JOIN f ON e.user_id = f.user_id)
          SELECT cohort_week, week_offset, count(*) AS n_users
          FROM w GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    // same top-100 cut (ties to token asc) and the closed-form OLS sums
+    "q134_zipf_fit" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+                       FROM documents),
+         freqs AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+                   FROM toks WHERE tok <> '' GROUP BY tok),
+         top AS (SELECT freq,
+                   CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT)
+                     AS rank
+                 FROM (SELECT tok, freq FROM freqs
+                       ORDER BY freq DESC, tok LIMIT 100)),
+         pts AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+                   ln(CAST(freq AS DOUBLE)) AS y FROM top),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+                 sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx FROM pts)
+         SELECT CAST(n AS BIGINT) AS n_points,
+           round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
+           round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4)
+             AS intercept
+         FROM s""",
     // vocab/idf/weights/norms/centroids/cosine replayed with the same
     // rounding grid (w->6, norms->8, centroid->6, score->6)
     "q133_domain_classify" ->

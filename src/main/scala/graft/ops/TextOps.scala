@@ -336,6 +336,42 @@ object TextOps {
       p => struct(p.as("pos"), element_at(hashes, p).as("fp")))
   }
 
+  /** Zipf power-law fit over the token frequency distribution — the
+    * corpus-health diagnostic (natural language sits near slope −1 on
+    * log rank vs log frequency; template/boilerplate-heavy or synthetic
+    * corpora bend away from it). Ordinary least squares over the top
+    * `topN` (ln rank, ln freq) points, closed form.
+    *
+    * Shape at 100 TB: one map-side-combinable token count, a top-N cut
+    * (vocabulary-scale), and a 5-sum aggregate over `topN` rows — the
+    * corpus is scanned once and never shuffled by row. The tiny
+    * ranking window runs over `topN` rows only.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("tok"))))
+    freqs
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("n").cast("long").as("n_points"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n"), 4).as("intercept"))
+  }
+
   /** BPE merge induction (Sennrich et al. 2016) — tokenizer FIT over the
     * corpus: starting from character symbols, repeatedly merge the most
     * frequent adjacent symbol pair (ties to the lexicographically

@@ -957,6 +957,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("newest", "lowest").flatMap(refEncode(_, fitted)))
   }
 
+  test("zipf fit: an exact power-law corpus fits slope ~ -1") {
+    import spark.implicits._
+    // token t_i appears floor(2000 / i) times, i = 1..50 — an exact
+    // 1/rank distribution (up to integer truncation)
+    val text = (1 to 50).flatMap(i => Seq.fill(2000 / i)(f"t$i%03d")).mkString(" ")
+    val fit = TextOps.zipfFit(Seq(text).toDF("text"), "text", topN = 50)
+      .collect().head
+    assert(fit.getLong(0) === 50L)
+    val slope = fit.getDouble(1)
+    assert(slope > -1.05 && slope < -0.95, s"slope $slope should be ~ -1")
+    val intercept = fit.getDouble(2)
+    assert(math.abs(intercept - math.log(2000.0)) < 0.15,
+      s"intercept $intercept should be ~ ln 2000")
+  }
+
   test("tfidf nearest centroid: separable classes classify perfectly, " +
     "off-vocabulary docs stay unscored, ties break to the smaller label") {
     import spark.implicits._
