@@ -435,6 +435,27 @@ object SparkEntry {
             .cast("long").as("f0_count"))
     }),
 
+    // Beyond-reference: multimodal RESIZE — real ImageIO decode,
+    // explicit nearest-neighbor sampling (output (x,y) reads source
+    // (x·W/w', y·H/h') — no interpolation), lossless re-encode. 8x8 →
+    // 4x4 keeps exactly the even-coordinate pixels, so the oracle
+    // recomputes each resized image's mean gray straight from the
+    // deterministic pixel generator.
+    "q135_multimodal_resize" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val assets = graft.ops.Multimodal.toAssets(t(s, dir, "documents"))
+        .filter(a => a.meta.format == "png" || a.meta.format == "bmp")
+      val resized = graft.ops.Multimodal.resizeAssets(assets, 4, 4)
+      resized.map(a => (a.asset_id, a.meta.format, a.meta.width, a.meta.height,
+          graft.ops.Multimodal.meanGray(a.payload)))
+        .toDF("asset_id", "format", "width", "height", "mean_gray")
+        .select(col("asset_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_gray"), 4).as("mean_gray"))
+    }),
+
     // Beyond-reference: embedding near-dup pairs via deterministic
     // sign-band candidates + exact cosine verify — fully oracle-checked.
     // (The fixture's max pairwise cosine is ~0.51, so the threshold is
@@ -3240,6 +3261,22 @@ object SparkEntry {
                FROM e JOIN f ON e.user_id = f.user_id)
          SELECT cohort_week, week_offset, count(*) AS n_users
          FROM w GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    // 8x8 -> 4x4 nearest-neighbor keeps pixels at even coordinates:
+    // gray(x', y') = (id*31 + 14x' + 26y') mod 256 from the generator
+    "q135_multimodal_resize" ->
+      """WITH img AS (SELECT doc_id AS asset_id,
+                        CASE WHEN doc_id % 4 = 0 THEN 'png' ELSE 'bmp' END
+                          AS format
+                      FROM documents WHERE doc_id % 4 IN (0, 1)),
+         px AS (SELECT asset_id, format,
+                  (asset_id * 31 + 14 * xs.x + 26 * ys.y) % 256 AS g
+                FROM img,
+                  (SELECT unnest(range(4)) AS x) xs,
+                  (SELECT unnest(range(4)) AS y) ys)
+         SELECT asset_id, format, CAST(4 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           round(CAST(sum(g) AS DOUBLE) / 16.0, 4) AS mean_gray
+         FROM px GROUP BY asset_id, format""",
     // same top-100 cut (ties to token asc) and the closed-form OLS sums
     "q134_zipf_fit" ->
       """WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok

@@ -136,6 +136,71 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor image resize: output pixel (x, y) samples source
+    * pixel (floor(x·W/outW), floor(y·H/outH)) — EXPLICIT sampling, not
+    * Graphics2D interpolation, so the resized pixels are a pure integer
+    * function of the source and an engine-free oracle can recompute
+    * them. Re-encodes in the payload's own (lossless) format.
+    */
+  def resizeImage(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "ImageIO failed to decode an image payload")
+    val out = new java.awt.image.BufferedImage(
+      outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < outH) {
+      var x = 0
+      while (x < outW) {
+        out.setRGB(x, y,
+          img.getRGB(x * img.getWidth / outW, y * img.getHeight / outH))
+        x += 1
+      }
+      y += 1
+    }
+    val format = if (isPng(payload)) "png" else "bmp"
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(out, format, bos),
+      s"no JDK ImageIO writer for $format")
+    bos.toByteArray
+  }
+
+  /** Batched resize over image assets (wav/mp4 pass through untouched):
+    * per-partition codec shape as [[extractFeatures]], metadata updated
+    * to the target dimensions. One scan, no shuffle.
+    */
+  def resizeAssets(assets: Dataset[Asset], outW: Int, outH: Int): Dataset[Asset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        if (a.meta.format == "png" || a.meta.format == "bmp") {
+          val p = resizeImage(a.payload, outW, outH)
+          Asset(a.asset_id, p, AssetMeta(a.meta.format, outW, outH, p.length.toLong))
+        } else a
+      }
+    }
+  }
+
+  /** Mean gray value of a decoded image payload — the exactness witness
+    * for resize tests/oracles (sum of sampled source pixels is a pure
+    * integer; the divide is exact in double).
+    */
+  def meanGray(payload: Array[Byte]): Double = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "ImageIO failed to decode an image payload")
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        sum += (img.getRGB(x, y) & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    sum.toDouble / (img.getWidth * img.getHeight)
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size
     * chunk becomes a frame row (id, frame_no, frame_bytes). The output
     * explodes rows, so it repartitions by asset to keep frames of one

@@ -253,6 +253,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     feats.unpersist()
   }
 
+  test("multimodal resize: nearest-neighbor keeps even pixels at 8x8 -> 4x4, " +
+    "round-trips losslessly, non-images pass through") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val assets = Multimodal.toAssets(docs)
+    val resized = Multimodal.resizeAssets(assets, 4, 4).collect()
+    resized.filter(a => a.meta.format == "png" || a.meta.format == "bmp")
+      .foreach { a =>
+        assert(a.meta.width === 4 && a.meta.height === 4)
+        // mean gray of the resized image == mean over even-coordinate
+        // source pixels from the deterministic generator
+        val expect = (for (y <- 0 until 4; x <- 0 until 4)
+          yield Multimodal.pixelValue(a.asset_id, 2 * x, 2 * y)).sum / 16.0
+        assert(Multimodal.meanGray(a.payload) === expect,
+          s"asset ${a.asset_id} (${a.meta.format})")
+      }
+    // non-image assets pass through untouched
+    val orig = assets.collect().map(a => a.asset_id -> a).toMap
+    resized.filter(a => a.meta.format != "png" && a.meta.format != "bmp")
+      .foreach { a =>
+        assert(a.payload.toSeq === orig(a.asset_id).payload.toSeq)
+        assert(a.meta === orig(a.asset_id).meta)
+      }
+    assert(resized.exists(a => a.meta.format == "png") &&
+      resized.exists(a => a.meta.format == "wav"))
+  }
+
   test("bpe tokens: contractions, digits, punctuation, empty text") {
     import org.apache.spark.sql.functions.col
     val df = docsDF(Seq(
