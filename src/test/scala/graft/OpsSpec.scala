@@ -701,6 +701,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(rank - math.ceil(p * n)) <= tol,
         s"dup p=$p: rank $rank drifted past tolerance")
     }
+    // exact regime is partition-invariant: merges of uncompacted buffers
+    // stay uncompacted while the group fits in capacity
+    val byParts = Seq(1, 4, 16).map(p =>
+      Sketches.groupQuantiles(small.repartition(p), Seq("g"), "v", 512, probs)
+        .collect().head.getSeq[Double](1).toSeq)
+    assert(byParts.distinct.size === 1,
+      s"exact-regime results must not depend on partitioning: $byParts")
     // SQL registration
     small.createOrReplaceTempView("kll_input")
     val viaSql = spark.sql(
@@ -981,6 +988,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getSeq[String](0)
     assert(enc.toSeq ===
       Seq("newest", "lowest").flatMap(refEncode(_, fitted)))
+  }
+
+  test("plan shapes: PQ/IVF-PQ scans broadcast the query side, the " +
+    "classifier broadcasts vocab/centroids, no cartesian on corpus-sized pairs") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val pq = Similarity.pqTopK(queries, corpus, dim = 64, k = 3, m = 4, ks = 8)
+    val pqPlan = pq.queryExecution.executedPlan.toString
+    assert(pqPlan.contains("BroadcastNestedLoopJoin") ||
+      pqPlan.contains("BroadcastExchange"),
+      "the PQ code scan must broadcast the LUT-carrying query side")
+    val centroids = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val ivfpq = Similarity.ivfPqTopK(queries, corpus, centroids, dim = 64,
+      k = 3, m = 4, ks = 8, nprobe = 2)
+    val ivfPlan = ivfpq.queryExecution.executedPlan.toString
+    assert(ivfPlan.contains("BroadcastExchange"),
+      "IVF-PQ must broadcast centroids and probed query cells")
+    assert(!ivfPlan.contains("CartesianProduct"),
+      "no unhinted cartesian in the IVF-PQ cascade")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cls = Classify.tfidfNearestCentroid(docs, "doc_id", "text", "source",
+      vocabSize = 20, seedPerClass = 5)
+    val clsPlan = cls.queryExecution.executedPlan.toString
+    assert(clsPlan.contains("BroadcastExchange"),
+      "the classifier must broadcast vocabulary and centroid tables")
+    assert(!clsPlan.contains("CartesianProduct"),
+      "no cartesian in the classifier cascade")
   }
 
   test("zipf fit: an exact power-law corpus fits slope ~ -1") {
