@@ -1519,15 +1519,20 @@ object SparkEntry {
     // row-local codegen (hash + window argmin), md5-based so selection
     // replays bit-for-bit in the oracle.
     "q125_winnowing" -> ((s, dir) => {
-      val fps = graft.ops.TextOps.winnowing(col("text"))
+      // bind the fingerprint array once per row (lambda variable) — a
+      // shared Column would re-inline the whole winnowing tree at each
+      // of the three references below
+      val summary = element_at(transform(
+        array(graft.ops.TextOps.winnowing(col("text"))), fps =>
+          struct(
+            size(fps).cast("long").as("n_fps"),
+            aggregate(fps, lit(0L), (a, x) => a + x.getField("fp")).as("fp_sum"),
+            element_at(fps, 1).getField("pos").cast("long").as("first_pos"))), 1)
       t(s, dir, "documents")
         .filter(col("text").isNotNull)
-        .select(col("doc_id"), fps.as("fps"))
-        .select(col("doc_id"),
-          size(col("fps")).cast("long").as("n_fps"),
-          aggregate(col("fps"), lit(0L),
-            (a, x) => a + x.getField("fp")).as("fp_sum"),
-          element_at(col("fps"), 1).getField("pos").cast("long").as("first_pos"))
+        .select(col("doc_id"), summary.as("r"))
+        .select(col("doc_id"), col("r.n_fps").as("n_fps"),
+          col("r.fp_sum").as("fp_sum"), col("r.first_pos").as("first_pos"))
     }),
 
     // Beyond-reference: cluster-representative dedup — near-dup clusters

@@ -315,25 +315,35 @@ object TextOps {
     val nGrams = greatest(length(text) - (k - 1), lit(1))
     val hashes = transform(sequence(lit(1), nGrams),
       i => conv(substring(md5(substring(text, i, lit(k))), lit(1), lit(12)), 16, 10).cast("long"))
-    val nH = size(hashes)
-    val winLen = least(lit(w), nH)
-    val nWin = greatest(nH - (w - 1), lit(1))
-    // each window's argmin POSITION (ties rightmost); two windows that
-    // select the same position select the same hash, so deduping on the
-    // position alone is exact
-    val selected = transform(sequence(lit(1), nWin), s =>
-      aggregate(
-        sequence(lit(0), winLen - 1),
-        struct(lit(Long.MaxValue).as("fp"), lit(-1).as("pos")),
-        (acc, off) => {
-          val idx = s + off
-          val hv = element_at(hashes, idx)
-          when(hv <= acc.getField("fp"),
-            struct(hv.as("fp"), idx.cast("int").as("pos")))
-            .otherwise(acc)
-        }).getField("pos"))
-    transform(array_sort(array_distinct(selected)),
-      p => struct(p.as("pos"), element_at(hashes, p).as("fp")))
+    // Bind the hash array ONCE as a lambda variable: Catalyst inlines a
+    // shared Column everywhere it is referenced, so indexing `hashes`
+    // directly inside the window fold would re-evaluate the WHOLE
+    // md5-per-gram transform per probe — O(w·n²) digests per document
+    // in the higher-order functions' interpreted path (observed: q125
+    // went from minutes to sub-second on sf0.01 with the binding).
+    // `transform(array(hashes), hs -> ...)` evaluates `hashes` exactly
+    // once per row; every `hs` reference is then an O(1) array read.
+    element_at(transform(array(hashes), hs => {
+      val nH = size(hs)
+      val winLen = least(lit(w), nH)
+      val nWin = greatest(nH - (w - 1), lit(1))
+      // each window's argmin POSITION (ties rightmost); two windows that
+      // select the same position select the same hash, so deduping on
+      // the position alone is exact
+      val selected = transform(sequence(lit(1), nWin), s =>
+        aggregate(
+          sequence(lit(0), winLen - 1),
+          struct(lit(Long.MaxValue).as("fp"), lit(-1).as("pos")),
+          (acc, off) => {
+            val idx = s + off
+            val hv = element_at(hs, idx)
+            when(hv <= acc.getField("fp"),
+              struct(hv.as("fp"), idx.cast("int").as("pos")))
+              .otherwise(acc)
+          }).getField("pos"))
+      transform(array_sort(array_distinct(selected)),
+        p => struct(p.as("pos"), element_at(hs, p).as("fp")))
+    }), 1)
   }
 
   /** Zipf power-law fit over the token frequency distribution — the

@@ -171,6 +171,18 @@ object ScaleProbe {
         graft.ops.Similarity.ivfPqTopK(queries, corpus, centroids, dim = 64,
           k = 10, m = 4, ks = 8, nprobe = 4, refine = 4).count()
       }),
+      // pure codegen scan per doc — expect ~linear scan cost
+      "q132_char_entropy" -> (k =>
+        docs(k).select(graft.ops.TextOps.charEntropy(col("text")).as("h"))
+          .agg(count(lit(1))).collect().head.getLong(0)),
+      // tokenize scan + broadcast vocab/centroid joins + per-doc argmax;
+      // classes fixed (doc_id mod 16), corpus grows k-fold
+      "q133_classify" -> (k =>
+        graft.ops.Classify.tfidfNearestCentroid(
+          docs(k).withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(16)))),
+          "doc_id", "text", "source",
+          vocabSize = 50, seedPerClass = 10).count()),
       // two corpus-linear scans (mean, centered outer products) into a
       // fixed dim^2 aggregation + a projection scan — expect ~linear
       "q131_pca" -> (k => {
