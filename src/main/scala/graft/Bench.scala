@@ -56,7 +56,7 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot { case (name, _) => fixtureLayer(name) }
         .foreach { case (name, fn) =>
-          try fn(spark, warmDir).count()
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
             System.err.println(s"BENCH WARMUP SKIP $name: ${e.getMessage}") }
         }
@@ -82,7 +82,16 @@ object Bench {
       // time warm-cache reruns and the best-of-N would overstate us
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      // noop sink, NOT count(): count() lets Catalyst prune the whole
+      // projection, so a pure-projection query (fingerprints, entropy,
+      // redaction) measures only its scan — the winnowing O(n^2) defect
+      // hid behind exactly that (q125 "0.127 s" while Verify burned
+      // minutes). The noop write evaluates every output column and
+      // discards the rows.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
       catch {
         case e: Throwable =>
           if (loud)

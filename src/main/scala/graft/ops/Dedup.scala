@@ -708,10 +708,15 @@ object Dedup {
       blockTokens: Int = 10,
       minDf: Long = 2L): DataFrame = {
     require(blockTokens > 0 && minDf >= 2, s"blockTokens=$blockTokens minDf=$minDf")
+    // bind the token array once per row (lambda variable): a shared
+    // Column inlines, so slicing `toks` inside the per-block transform
+    // would re-split the text once per block — O(blocks·tokens) per doc
     val toks = split(col(textCol), " ")
-    val nBlocks = ceil(size(toks).cast("double") / lit(blockTokens.toDouble)).cast("int")
-    val blocksArr = transform(sequence(lit(1), nBlocks), i =>
-      concat_ws(" ", slice(toks, (i - 1) * blockTokens + 1, lit(blockTokens))))
+    val blocksArr = element_at(transform(array(toks), ts => {
+      val nBlocks = ceil(size(ts).cast("double") / lit(blockTokens.toDouble)).cast("int")
+      transform(sequence(lit(1), nBlocks), i =>
+        concat_ws(" ", slice(ts, (i - 1) * blockTokens + 1, lit(blockTokens))))
+    }), 1)
     val blocks = docs
       .select(col(idCol).as("doc_id"), posexplode(blocksArr).as(Seq("pos", "block")))
       .withColumn("__bh", md5(col("block")))

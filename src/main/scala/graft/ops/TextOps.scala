@@ -498,7 +498,10 @@ object TextOps {
       val mergedStr = merges.foldLeft(wrapped) { case (s, (l, r)) =>
         replace(s, lit(S + l + E + S + r + E), lit(S + l + r + E))
       }
-      split(mergedStr.substr(lit(2), length(mergedStr) - 2), E + S)
+      // bind the merged string once (substr + length would otherwise
+      // each re-run the whole replace chain)
+      element_at(transform(array(mergedStr), m =>
+        split(m.substr(lit(2), length(m) - 2), E + S)), 1)
     }))
   }
 

@@ -171,10 +171,20 @@ object ScaleProbe {
         graft.ops.Similarity.ivfPqTopK(queries, corpus, centroids, dim = 64,
           k = 10, m = 4, ks = 8, nprobe = 4, refine = 4).count()
       }),
-      // pure codegen scan per doc — expect ~linear scan cost
+      // pure scan per doc — the sum CONSUMES the entropy column (a
+      // count would let Catalyst prune the whole computation)
       "q132_char_entropy" -> (k =>
         docs(k).select(graft.ops.TextOps.charEntropy(col("text")).as("h"))
-          .agg(count(lit(1))).collect().head.getLong(0)),
+          .agg(sum(col("h"))).collect().length.toLong),
+      // winnowing fingerprints: row-local selection over the bound hash
+      // array; forced through the summary aggregate so nothing prunes
+      "q125_winnowing" -> (k =>
+        docs(k).select(aggregate(
+            graft.ops.TextOps.winnowing(col("text")), lit(0L),
+            // xor, not add: per-doc sums of 48-bit fps overflow a long
+            // once ~4k docs of sums aggregate again below
+            (a, x) => a.bitwiseXOR(x.getField("fp"))).as("s"))
+          .agg(sum(col("s") % 1000000007L)).collect().length.toLong),
       // tokenize scan + broadcast vocab/centroid joins + per-doc argmax;
       // classes fixed (doc_id mod 16), corpus grows k-fold
       "q133_classify" -> (k =>
