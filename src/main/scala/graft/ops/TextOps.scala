@@ -311,7 +311,18 @@ object TextOps {
     * md5-based hash makes selection bit-reproducible in any engine.
     * Returns `array<struct<pos int, fp long>>` ordered by position.
     */
-  def winnowing(text: Column, k: Int = 5, w: Int = 4): Column = {
+  def winnowing(text: Column, k: Int = 5, w: Int = 4): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.WinnowingFingerprints(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), k, w))
+
+  /** The relational (higher-order-function) spelling of the same
+    * selection — retained as the executable specification
+    * [[graft.functions.Winnow]] is equivalence-tested against (OpsSpec);
+    * HOFs run on Catalyst's interpreted path, so the native expression
+    * is the production surface.
+    */
+  private[graft] def winnowingHof(text: Column, k: Int = 5, w: Int = 4): Column = {
     val nGrams = greatest(length(text) - (k - 1), lit(1))
     val hashes = transform(sequence(lit(1), nGrams),
       i => conv(substring(md5(substring(text, i, lit(k))), lit(1), lit(12)), 16, 10).cast("long"))

@@ -853,6 +853,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bf.contains("SPARK_PARTITION_ID") || bf.contains("spark_partition_id"), bf)
   }
 
+  test("winnowing: native expression is bit-identical to the HOF spelling") {
+    import spark.implicits._
+    val texts = Seq(
+      "", "a", "abcd", "abcde", "abcdef",
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaa",
+      "abcabcabcabcabcabc",
+      (0 until 400).map(i => ('a' + (i * 7 % 26)).toChar).mkString)
+    for ((k, w) <- Seq((5, 4), (3, 2), (1, 1), (7, 5))) {
+      val native = texts.toDF("text")
+        .select(TextOps.winnowing(col("text"), k, w).as("f"))
+        .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+          .map(r => (r.getInt(0), r.getLong(1))))
+      val hof = texts.toDF("text")
+        .select(TextOps.winnowingHof(col("text"), k, w).as("f"))
+        .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+          .map(r => (r.getInt(0), r.getLong(1))))
+      native.zip(hof).zip(texts).foreach { case ((n, h), t) =>
+        assert(n === h, s"k=$k w=$w text='${t.take(30)}'")
+      }
+    }
+  }
+
   test("winnowing: shared substrings >= k+w-1 share a fingerprint; " +
     "density and determinism hold") {
     import spark.implicits._
