@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Remove length-`L` spans at the given (sorted, 0-based, code-point)
+  * start positions from a string, merging overlaps — the per-document
+  * finish step of exact-substring dedup, in ONE O(n) StringBuilder pass.
+  *
+  * Bit-identical to the relational interval-merge fold in
+  * `Dedup.exactSubstringDedup` (kept there as the equivalence-tested
+  * specification): the fold appends `substring(text, cur+1, s-cur)` for
+  * each kept gap and advances `cur = max(cur, s+L)`; appending
+  * progressively longer accumulator strings makes the interpreted HOF
+  * path O(n·starts) per document — this expression appends each kept
+  * code point exactly once.
+  */
+object IntervalRemove {
+
+  def clean(text: UTF8String, starts: ArrayData, L: Int): UTF8String = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    val sb = new java.lang.StringBuilder(n)
+    var cur = 0
+    var i = 0
+    val m = starts.numElements()
+    while (i < m) {
+      val s = starts.getInt(i)
+      if (s > cur) {
+        var j = cur
+        val end = math.min(s, n)
+        while (j < end) { sb.appendCodePoint(cps(j)); j += 1 }
+      }
+      cur = math.max(cur, s + L)
+      i += 1
+    }
+    var j = cur
+    while (j < n) { sb.appendCodePoint(cps(j)); j += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `remove_intervals(text, starts, L)` — native wrapper over
+  * [[IntervalRemove.clean]].
+  */
+case class RemoveIntervals(left: Expression, right: Expression, span: Int)
+    extends BinaryExpression {
+
+  override def prettyName: String = "remove_intervals"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string, got ${left.dataType.simpleString}")
+    else if (!right.dataType.isInstanceOf[ArrayType] ||
+      right.dataType.asInstanceOf[ArrayType].elementType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<int> starts, got ${right.dataType.simpleString}")
+    else if (span < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires span >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(text: Any, starts: Any): Any =
+    IntervalRemove.clean(
+      text.asInstanceOf[UTF8String], starts.asInstanceOf[ArrayData], span)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = graft.functions.IntervalRemove.clean($t, $s, $span);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RemoveIntervals =
+    copy(left = newLeft, right = newRight)
+}

@@ -982,17 +982,30 @@ object Dedup {
       .agg(sort_array(collect_list(col("pos"))).as("__starts"))
     base.join(removals, Seq("id"), "left")
       .withColumn("cleaned",
-        when(col("__starts").isNull, col("text")).otherwise(expr(
-          s"""aggregate(__starts,
-                named_struct('kept', cast('' as string), 'cur', 0),
-                (st, s) -> named_struct(
-                  'kept', CASE WHEN s > st.cur
-                    THEN concat(st.kept, substring(text, st.cur + 1, s - st.cur))
-                    ELSE st.kept END,
-                  'cur', greatest(st.cur, s + $L)),
-                st -> concat(st.kept,
-                  substring(text, st.cur + 1, length(text) - st.cur)))""")))
+        when(col("__starts").isNull, col("text")).otherwise(
+          // native O(n) pass ([[graft.functions.RemoveIntervals]]);
+          // the relational fold it is equivalence-tested against lives
+          // in [[intervalMergeFoldSql]]
+          GraftSqlBridge.column(graft.functions.RemoveIntervals(
+            GraftSqlBridge.expression(col("text")),
+            GraftSqlBridge.expression(col("__starts")), L))))
       .select(col("id").as(idCol), col("cleaned"),
         (length(col("text")) - length(col("cleaned"))).cast("long").as("removed_chars"))
   }
+
+  /** The relational interval-merge fold [[graft.functions.RemoveIntervals]]
+    * replaced in the hot path — retained as the executable specification
+    * the native expression is equivalence-tested against (OpsSpec).
+    * Expects columns `text` and `__starts`.
+    */
+  private[graft] def intervalMergeFoldSql(L: Int): String =
+    s"""aggregate(__starts,
+          named_struct('kept', cast('' as string), 'cur', 0),
+          (st, s) -> named_struct(
+            'kept', CASE WHEN s > st.cur
+              THEN concat(st.kept, substring(text, st.cur + 1, s - st.cur))
+              ELSE st.kept END,
+            'cur', greatest(st.cur, s + $L)),
+          st -> concat(st.kept,
+            substring(text, st.cur + 1, length(text) - st.cur)))"""
 }

@@ -853,6 +853,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bf.contains("SPARK_PARTITION_ID") || bf.contains("spark_partition_id"), bf)
   }
 
+  test("remove_intervals: native pass is bit-identical to the fold, " +
+    "overlaps merge, boundary spans truncate") {
+    import spark.implicits._
+    val L = 5
+    val cases: Seq[(String, Seq[Int])] = Seq(
+      ("abcdefghijklmnopqrst", Seq(0)),            // removal at start
+      ("abcdefghijklmnopqrst", Seq(15)),           // removal reaching the end
+      ("abcdefghijklmnopqrst", Seq(18)),           // span past the end
+      ("abcdefghijklmnopqrst", Seq(2, 4, 6)),      // overlapping chain
+      ("abcdefghijklmnopqrst", Seq(0, 5, 10, 15)), // back-to-back full cover
+      ("abcdefghijklmnopqrst", Seq(3, 12)),        // disjoint
+      ("abc", Seq(0)),                             // shorter than a span
+      ("abcdefghijklmnopqrst", Seq()))             // empty starts
+    val df = cases.toDF("text", "__starts")
+      .withColumn("__starts", col("__starts").cast("array<int>"))
+    val native = df.select(org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.RemoveIntervals(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
+          org.apache.spark.sql.GraftSqlBridge.expression(col("__starts")), L))
+        .as("c")).collect().map(_.getString(0))
+    val fold = df.selectExpr(Dedup.intervalMergeFoldSql(L) + " AS c")
+      .collect().map(_.getString(0))
+    cases.zip(native.zip(fold)).foreach { case ((t, st), (n, f)) =>
+      assert(n === f, s"text '$t' starts $st")
+    }
+    assert(native(5) === "abcijklrst",
+      "disjoint removals keep the gaps") // [3,8) and [12,17) removed
+  }
+
   test("winnowing: native expression is bit-identical to the HOF spelling") {
     import spark.implicits._
     val texts = Seq(
