@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shannon entropy (bits per character) of a string's code-point
+  * unigram distribution in one native pass: sort the code points,
+  * accumulate `run·log2(run)` per equal-run in ascending order (the
+  * SAME fold order as the relational sorted-run spelling in
+  * `TextOps.charEntropyHof`, so the result is bit-identical), then
+  * `H = log2(n) − acc/n`.
+  */
+object CharEntropyOp {
+
+  private val LOG2 = Math.log(2.0)
+
+  def entropy(s: UTF8String): Double = {
+    val cps = s.toString.codePoints().toArray
+    java.util.Arrays.sort(cps)
+    val n = cps.length
+    if (n == 0) return 0.0
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && cps(j) == cps(i)) j += 1
+      val run = (j - i).toDouble
+      acc += run * (Math.log(run) / LOG2)
+      i = j
+    }
+    Math.log(n.toDouble) / LOG2 - acc / n
+  }
+}
+
+/** `char_entropy(text)` — native wrapper over [[CharEntropyOp.entropy]]. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "char_entropy"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropyOp.entropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharEntropyOp.entropy($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}

@@ -138,7 +138,17 @@ object TextOps {
     * accumulator carries Σ c·log2 c exactly; the only rounding is the
     * caller's at output.
     */
-  def charEntropy(text: Column): Column = {
+  def charEntropy(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.CharEntropy(
+        org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
+  /** The relational sorted-run-fold spelling — retained as the
+    * executable specification [[graft.functions.CharEntropyOp]] is
+    * equivalence-tested against (OpsSpec); HOFs run interpreted, so the
+    * native expression is the production surface.
+    */
+  private[graft] def charEntropyHof(text: Column): Column = {
     val chars = split(text, "")
     val n = size(chars)
     // fold over sorted chars: on a run break, add run·log2(run) for the

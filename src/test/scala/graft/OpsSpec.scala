@@ -1144,6 +1144,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rel.zip(foldVals).foreach { case (r, f) =>
       assert(math.abs(r - f) < 1e-9, s"fold $f vs relational $r")
     }
+    // the native expression is bit-identical to the HOF fold spelling
+    val hof = docs.select(TextOps.charEntropyHof(col("text")).as("h"))
+      .collect().map(_.getDouble(0))
+    val native = docs.select(TextOps.charEntropy(col("text")).as("h"))
+      .collect().map(_.getDouble(0))
+    hof.zip(native).foreach { case (h, n) =>
+      assert(h === n, s"native $n must equal the fold $h exactly")
+    }
   }
 
   test("pca: top component recovers the dominant direction, deterministic, " +
