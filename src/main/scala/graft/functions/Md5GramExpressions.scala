@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** md5 hex of every `L`-code-point gram in one native pass —
+  * bit-identical to the relational
+  * `transform(sequence(0, length(text)-L), i -> md5(substring(text,
+  * i+1, L)))` the q104 oracle replays (lowercase hex over the gram's
+  * UTF-8 bytes; empty array when the text is shorter than `L`), without
+  * the interpreted-HOF per-element overhead. The digest work itself is
+  * unchanged — the portable-hash contract is the point of this variant;
+  * `rolling_hashes` is the O(n) scale path when cross-engine gram
+  * identity is not required.
+  */
+object Md5GramsOp {
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  def grams(s: UTF8String, L: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < L) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](n - L + 1)
+    val hex = new Array[Char](32)
+    var i = 0
+    while (i <= n - L) {
+      val gram = new String(cps, i, L)
+      val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 16) {
+        hex(j * 2) = HEX((d(j) >> 4) & 0xF)
+        hex(j * 2 + 1) = HEX(d(j) & 0xF)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `md5_grams(text, L)` — native wrapper over [[Md5GramsOp.grams]]. */
+case class Md5Grams(child: Expression, window: Int) extends UnaryExpression {
+
+  override def prettyName: String = "md5_grams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType.simpleString}")
+    else if (window < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires window >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any =
+    Md5GramsOp.grams(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5GramsOp.grams($c, $window);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Grams =
+    copy(child = newChild)
+}

@@ -961,9 +961,10 @@ object Dedup {
     // either case; the hash only names the gram)
     val gramArray = gramHash match {
       case "md5" =>
-        when(length(col("text")) < L, array().cast("array<string>"))
-          .otherwise(expr(
-            s"transform(sequence(0, length(text) - $L), i -> md5(substring(text, i + 1, $L)))"))
+        // native pass ([[graft.functions.Md5Grams]]), bit-identical to
+        // the relational spelling in [[md5GramsSql]] (equivalence-tested)
+        GraftSqlBridge.column(graft.functions.Md5Grams(
+          GraftSqlBridge.expression(col("text")), L))
       case "rolling" =>
         GraftSqlBridge.column(graft.functions.RollingHashes(
           GraftSqlBridge.expression(col("text")), L))
@@ -992,6 +993,16 @@ object Dedup {
       .select(col("id").as(idCol), col("cleaned"),
         (length(col("text")) - length(col("cleaned"))).cast("long").as("removed_chars"))
   }
+
+  /** The relational md5-gram spelling [[graft.functions.Md5Grams]]
+    * replaced in the hot path — retained as the executable
+    * specification the native expression is equivalence-tested against
+    * (OpsSpec). Expects a `text` column.
+    */
+  private[graft] def md5GramsSql(L: Int): String =
+    s"""CASE WHEN length(text) < $L THEN array()
+        ELSE transform(sequence(0, length(text) - $L),
+               i -> md5(substring(text, i + 1, $L))) END"""
 
   /** The relational interval-merge fold [[graft.functions.RemoveIntervals]]
     * replaced in the hot path — retained as the executable specification

@@ -882,6 +882,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "disjoint removals keep the gaps") // [3,8) and [12,17) removed
   }
 
+  test("md5_grams: native pass is bit-identical to the relational spelling") {
+    import spark.implicits._
+    val texts = Seq("", "abc", "abcde", "abcdef",
+      "the quick brown fox jumps over the lazy dog")
+    for (l <- Seq(1, 5)) {
+      val df = texts.toDF("text")
+      val native = df.select(org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.Md5Grams(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("text")), l)).as("g"))
+        .collect().map(_.getSeq[String](0))
+      val rel = df.selectExpr(Dedup.md5GramsSql(l) + " AS g")
+        .collect().map(_.getSeq[String](0))
+      native.zip(rel).zip(texts).foreach { case ((n, r), t) =>
+        assert(n === r, s"L=$l text '$t'")
+      }
+    }
+  }
+
   test("winnowing: native expression is bit-identical to the HOF spelling") {
     import spark.implicits._
     val texts = Seq(
