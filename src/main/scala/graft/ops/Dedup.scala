@@ -30,12 +30,14 @@ object Dedup {
   /** Word n-gram shingles of the whitespace-tokenized text. Documents
     * shorter than `n` tokens contribute their full text as one shingle.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(text, " ")
-    when(size(toks) < n, array(text)).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    // bind the token array once per row (lambda variable): a shared
+    // split() Column would be re-inlined — and re-evaluated on the
+    // interpreted HOF path — once per produced shingle
+    element_at(transform(array(split(text, " ")), ts =>
+      when(size(ts) < n, array(text)).otherwise(
+        transform(sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n)))))), 1)
 
   /** One seeded 64-bit hash family member. */
   private def seededHash(c: Column, seed: Int): Column =
