@@ -245,12 +245,16 @@ object TextOps {
     */
   def tokenChunks(toks: Column, chunkTokens: Int, stride: Int): Column = {
     require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
-    transform(
-      sequence(lit(0), size(toks) - 1, lit(stride)),
-      start => struct(
-        (start / stride).cast("long").as("chunk_idx"),
-        least(lit(chunkTokens), size(toks) - start).cast("long").as("n_tok"),
-        element_at(toks, start + 1).as("first_tok")))
+    // bind the token array once per row — `toks` is typically a
+    // tokenizer expression, which a shared Column would re-evaluate at
+    // every per-chunk reference on the interpreted HOF path
+    element_at(transform(array(toks), ts =>
+      transform(
+        sequence(lit(0), size(ts) - 1, lit(stride)),
+        start => struct(
+          (start / stride).cast("long").as("chunk_idx"),
+          least(lit(chunkTokens), size(ts) - start).cast("long").as("n_tok"),
+          element_at(ts, start + 1).as("first_tok")))), 1)
   }
 
   /** Per-document unigram surprisal (corpus cross-entropy): the mean of
