@@ -1557,6 +1557,20 @@ object SparkEntry {
       graft.ops.TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
     }),
 
+    // Beyond-reference: triangle counting over the temporal interaction
+    // graph — degree-oriented wedge join (Suri & Vassilvitskii WWW'11):
+    // every edge orients from its (degree, id)-smaller endpoint, wedges
+    // form only at sources (out-degree O(sqrt(E)) regardless of hubs),
+    // one closing equi-join, map-side corner count. Top-10 users by
+    // triangle participation.
+    "q136_triangle_count" -> ((s, dir) => {
+      val edges = graft.ops.Analytics.interactionEdges(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+      graft.ops.Analytics.triangleCounts(edges)
+        .orderBy(col("n_triangles").desc, col("user_id"))
+        .limit(10)
+    }),
+
     // Beyond-reference: Zipf power-law fit over the token frequency
     // distribution — OLS on (ln rank, ln freq) of the top-100 tokens;
     // one token-count pass, vocabulary-scale top cut, 5-sum aggregate.
@@ -3282,6 +3296,38 @@ object SparkEntry {
            CAST(4 AS BIGINT) AS height,
            round(CAST(sum(g) AS DOUBLE) / 16.0, 4) AS mean_gray
          FROM px GROUP BY asset_id, format""",
+    // adjacency edges from per-type lag windows, degree-oriented wedge
+    // join, closing join, corner counts — row-value comparisons mirror
+    // the engine's (deg, id) struct ordering
+    "q136_triangle_count" ->
+      """WITH adj AS (SELECT user_id,
+                        lag(user_id) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS prev
+                      FROM events),
+         und AS (SELECT DISTINCT least(prev, user_id) AS a,
+                   greatest(prev, user_id) AS b
+                 FROM adj WHERE prev IS NOT NULL AND prev <> user_id),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+                   SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+                 GROUP BY v),
+         orient AS (SELECT
+                      CASE WHEN (da.deg, a) < (db.deg, b) THEN a ELSE b END AS src,
+                      CASE WHEN (da.deg, a) < (db.deg, b) THEN b ELSE a END AS dst,
+                      CASE WHEN (da.deg, a) < (db.deg, b) THEN db.deg
+                           ELSE da.deg END AS dd
+                    FROM und JOIN deg da ON und.a = da.v
+                      JOIN deg db ON und.b = db.v),
+         wedges AS (SELECT e1.u, e1.v, e2.w FROM
+                      (SELECT src AS u, dst AS v, dd AS dv FROM orient) e1
+                      JOIN (SELECT src AS u, dst AS w, dd AS dw FROM orient) e2
+                        USING (u)
+                    WHERE (e1.dv, e1.v) < (e2.dw, e2.w)),
+         tri AS (SELECT u, v, w FROM wedges
+                   JOIN orient o ON wedges.v = o.src AND wedges.w = o.dst),
+         corners AS (SELECT unnest([u, v, w]) AS user_id FROM tri)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_triangles
+         FROM corners GROUP BY user_id
+         ORDER BY n_triangles DESC, user_id LIMIT 10""",
     // same top-100 cut (ties to token asc) and the closed-form OLS sums
     "q134_zipf_fit" ->
       """WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok

@@ -154,6 +154,69 @@ object Analytics {
         (col("__c").cast("double") / col("__tot").cast("double")).as("p"))
   }
 
+  /** Temporal interaction graph: an undirected edge between users whose
+    * events are CONSECUTIVE within the same event type (ordered by ts
+    * then the tiebreaker) — the "who acts right after whom" projection
+    * that avoids the bipartite per-type clique blowup (a shared-type
+    * projection makes every hub type quadratic; adjacency keeps edge
+    * count <= event count by construction). Edges are canonicalized
+    * (a < b) and deduped. The per-type window is bounded by type
+    * cardinality; at 100 TB one would sub-partition hot types by time
+    * range first.
+    */
+  def interactionEdges(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(typeCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__prev", lag(col(userCol), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__prev") =!= col(userCol))
+      .select(
+        least(col("__prev"), col(userCol)).as("a"),
+        greatest(col("__prev"), col(userCol)).as("b"))
+      .distinct()
+  }
+
+  /** Per-vertex triangle participation counts over an undirected edge
+    * set `(a, b)` (deduped, a != b) — the degree-oriented formulation
+    * (Suri & Vassilvitskii, WWW'11): orient every edge from the
+    * (degree, id)-smaller endpoint to the larger, build wedges only at
+    * each edge's SOURCE, and close them against the oriented edge set.
+    * Each triangle is found exactly once, and a vertex's oriented
+    * out-degree is O(sqrt(|E|)) whatever its raw degree — hubs become
+    * destinations, never wedge centers, so the wedge join's fan-out is
+    * bounded and skew-safe at any scale. Pure equi-joins + one
+    * map-side-combinable corner count; nothing is collected.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val orient = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+    val e1 = orient.select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
+    val e2 = orient.select(col("src").as("u"), col("dst").as("w"), col("dd").as("dw"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+      .select(col("u"), col("v"), col("w"))
+    val triangles = wedges.join(
+      orient.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** PageRank over a weighted edge DataFrame `(src, dst, p)` by FIXED-
     * iteration power method: rank₀ = 1/N; rankₖ₊₁(v) = (1−d)/N +
     * d·Σ_{(u,v)} rankₖ(u)·p(u,v). Fixed iterations (not convergence-

@@ -1091,6 +1091,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no cartesian in the classifier cascade")
   }
 
+  test("triangle counts: K4 yields 3 per vertex, squares and pendants none, " +
+    "hub wedges stay at low-degree centers") {
+    import spark.implicits._
+    // K4 on 1..4 (4 triangles, 3 per vertex) + square 5-6-7-8 (none) +
+    // pendant 4-9
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L),
+      (4L, 9L)).toDF("a", "b")
+    val got = Analytics.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+    // star + one rim edge: hub 0 has degree 10 but exactly one triangle
+    val star = ((1L to 10L).map(i => (0L, i)) :+ ((1L, 2L))).toDF("a", "b")
+    val s2 = Analytics.triangleCounts(star)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s2 === Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s2.toString)
+  }
+
   test("zipf fit: an exact power-law corpus fits slope ~ -1") {
     import spark.implicits._
     // token t_i appears floor(2000 / i) times, i = 1..50 — an exact
