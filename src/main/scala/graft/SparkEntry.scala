@@ -1557,6 +1557,19 @@ object SparkEntry {
       graft.ops.TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
     }),
 
+    // Beyond-reference: greedy k-center coreset (Gonzalez 1985) — the
+    // deterministic diversity-selection step (2-approx covering
+    // radius): seed at the smallest id, then repeatedly take the point
+    // farthest (round-8 squared L2, ties to lower id) from its nearest
+    // selected center. Each round is one codegen min-over-centers scan
+    // + one argmax aggregate; the driver holds only k vectors.
+    "q137_kcenter_coreset" -> ((s, dir) => {
+      graft.ops.KMeans.kCenters(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 6)
+        .select(col("rank"), col("id").as("vec_id"), col("sel_dist"))
+    }),
+
     // Beyond-reference: triangle counting over the temporal interaction
     // graph — degree-oriented wedge join (Suri & Vassilvitskii WWW'11):
     // every edge orients from its (degree, id)-smaller endpoint, wedges
@@ -3296,6 +3309,68 @@ object SparkEntry {
            CAST(4 AS BIGINT) AS height,
            round(CAST(sum(g) AS DOUBLE) / 16.0, 4) AS mean_gray
          FROM px GROUP BY asset_id, format""",
+    // five chained farthest-point rounds; min-dist maintained by
+    // least(previous, dist-to-new-center), every dist on the round-8
+    // grid, argmax ties to the lower id
+    "q137_kcenter_coreset" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         c1 AS (SELECT v FROM e WHERE id = (SELECT min(id) FROM e)),
+         d1 AS (SELECT e.id, round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(1, 65),
+                    i -> (e.v[i]-c1.v[i])*(e.v[i]-c1.v[i]))),
+                  (x, y) -> x + y), 8) AS d
+                FROM e, c1),
+         f2 AS (SELECT id, d FROM (SELECT id, d,
+                  row_number() OVER (ORDER BY d DESC, id) AS rn FROM d1)
+                WHERE rn = 1),
+         c2 AS (SELECT e.v FROM e JOIN f2 ON e.id = f2.id),
+         d2 AS (SELECT dp.id, least(dp.d,
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, 65),
+                      i -> (e.v[i]-c2.v[i])*(e.v[i]-c2.v[i]))),
+                    (x, y) -> x + y), 8)) AS d
+                FROM d1 dp JOIN e ON dp.id = e.id, c2),
+         f3 AS (SELECT id, d FROM (SELECT id, d,
+                  row_number() OVER (ORDER BY d DESC, id) AS rn FROM d2)
+                WHERE rn = 1),
+         c3 AS (SELECT e.v FROM e JOIN f3 ON e.id = f3.id),
+         d3 AS (SELECT dp.id, least(dp.d,
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, 65),
+                      i -> (e.v[i]-c3.v[i])*(e.v[i]-c3.v[i]))),
+                    (x, y) -> x + y), 8)) AS d
+                FROM d2 dp JOIN e ON dp.id = e.id, c3),
+         f4 AS (SELECT id, d FROM (SELECT id, d,
+                  row_number() OVER (ORDER BY d DESC, id) AS rn FROM d3)
+                WHERE rn = 1),
+         c4 AS (SELECT e.v FROM e JOIN f4 ON e.id = f4.id),
+         d4 AS (SELECT dp.id, least(dp.d,
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, 65),
+                      i -> (e.v[i]-c4.v[i])*(e.v[i]-c4.v[i]))),
+                    (x, y) -> x + y), 8)) AS d
+                FROM d3 dp JOIN e ON dp.id = e.id, c4),
+         f5 AS (SELECT id, d FROM (SELECT id, d,
+                  row_number() OVER (ORDER BY d DESC, id) AS rn FROM d4)
+                WHERE rn = 1),
+         c5 AS (SELECT e.v FROM e JOIN f5 ON e.id = f5.id),
+         d5 AS (SELECT dp.id, least(dp.d,
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, 65),
+                      i -> (e.v[i]-c5.v[i])*(e.v[i]-c5.v[i]))),
+                    (x, y) -> x + y), 8)) AS d
+                FROM d4 dp JOIN e ON dp.id = e.id, c5),
+         f6 AS (SELECT id, d FROM (SELECT id, d,
+                  row_number() OVER (ORDER BY d DESC, id) AS rn FROM d5)
+                WHERE rn = 1)
+         SELECT CAST(1 AS BIGINT) AS rank,
+           (SELECT min(id) FROM e) AS vec_id, CAST(0.0 AS DOUBLE) AS sel_dist
+         UNION ALL SELECT 2, id, round(d, 6) FROM f2
+         UNION ALL SELECT 3, id, round(d, 6) FROM f3
+         UNION ALL SELECT 4, id, round(d, 6) FROM f4
+         UNION ALL SELECT 5, id, round(d, 6) FROM f5
+         UNION ALL SELECT 6, id, round(d, 6) FROM f6""",
     // adjacency edges from per-type lag windows, degree-oriented wedge
     // join, closing join, corner counts — row-value comparisons mirror
     // the engine's (deg, id) struct ordering

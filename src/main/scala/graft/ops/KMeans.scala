@@ -120,4 +120,52 @@ object KMeans {
       .agg(count(lit(1)).as("n"),
         round(avg(round(sqrt(col("d2")), 6)), 4).as("mean_dist"))
   }
+
+  /** Greedy k-center coreset (Gonzalez, "Clustering to minimize the
+    * maximum intercluster distance", TCS 1985) — the deterministic
+    * DIVERSITY-selection step of a curation pipeline (2-approximation
+    * of the optimal covering radius): start from the smallest id, then
+    * repeatedly add the point FARTHEST from its nearest selected
+    * center (squared L2 rounded to 8; ties to the lower id).
+    *
+    * Shape at scale: each round is one codegen min-over-centers scan +
+    * one map-side-combinable argmax aggregate; the driver holds only
+    * the k selected vectors (k·dim doubles). k rounds cost k scans —
+    * the standard distributed farthest-point layout.
+    *
+    * Returns `(rank, id, sel_dist)`: selection order (1-based) and the
+    * point's distance-to-selected at selection time (0 for the seed).
+    */
+  def kCenters(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val seed = vectors.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(1)
+      .as[(Long, Array[Float])].collect().head
+    var centers = Vector((seed._1, seed._2.map(_.toDouble).toSeq, 0.0))
+    for (_ <- 2 to k) {
+      val dists = centers.map { case (_, c, _) => round(sqDist(col(vecCol), c), 8) }
+      val minDist = if (dists.size == 1) dists.head else least(dists: _*)
+      // argmax distance, ties to the LOWER id: max(struct(d, -id))
+      val far = vectors
+        .select(col(idCol).cast("long").as("id"), minDist.as("d"))
+        .agg(max(struct(col("d"), (-col("id")).as("nid"))).as("m"))
+        .select(col("m.d"), (-col("m.nid")).as("id"))
+        .as[(Double, Long)].collect().head
+      val vec = vectors.filter(col(idCol) === far._2)
+        .select(col(vecCol)).as[Array[Float]].collect().head
+      centers :+= ((far._2, vec.map(_.toDouble).toSeq, far._1))
+    }
+    centers.zipWithIndex.map { case ((id, _, d), i) =>
+      // HALF_UP to match engine round() semantics — round-8-grid values
+      // CAN land exactly on a 1e-6 boundary
+      (i + 1L, id,
+        BigDecimal.valueOf(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("rank", "id", "sel_dist")
+  }
 }

@@ -1248,6 +1248,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t(0L) === 0L && t(1L) === 0L)
   }
 
+  test("k-center coreset: farthest-point order, ties to lower id, seed dist 0") {
+    import spark.implicits._
+    val pts = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 0f)), (2L, Array(0f, 10f)),
+      (3L, Array(10f, 10f)), (4L, Array(5f, 5f))).toDF("id", "vec")
+    val got = KMeans.kCenters(pts, "id", "vec", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // seed 0 at origin; farthest is 3 (d2=200); then 1 and 2 tie at 100
+    // -> lower id first
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0.0), (2L, 3L, 200.0), (3L, 1L, 100.0), (4L, 2L, 100.0)),
+      got.toSeq.toString)
+    val again = KMeans.kCenters(pts, "id", "vec", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === again.toSeq, "deterministic")
+  }
+
   test("asof join: inclusive boundary, per-key isolation, no-match → null") {
     import org.apache.spark.sql.types._
     val lSchema = StructType(Seq(StructField("k", LongType),
