@@ -193,6 +193,28 @@ object ScaleProbe {
             concat(lit("s"), pmod(col("doc_id"), lit(16)))),
           "doc_id", "text", "source",
           vocabSize = 50, seedPerClass = 10).count()),
+      // disjoint event copies: edges/wedges/triangles all scale k-fold;
+      // the degree-oriented join should stay ~linear (ordered by
+      // event_id to sidestep the ts-codec variance in a timing harness)
+      "q136_triangles" -> (k => {
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          .select(col("user_id"), col("event_type"), col("event_id"))
+        val rep = (0 until k).map(c => ev.select(
+          (col("user_id") + lit(c.toLong * 100000000L)).as("user_id"),
+          concat(col("event_type"), lit("_" + c)).as("event_type"),
+          col("event_id"))).reduce(_ unionByName _)
+        graft.ops.Analytics.triangleCounts(
+          graft.ops.Analytics.interactionEdges(
+            rep, "user_id", "event_type", "event_id", "event_id")).count()
+      }),
+      // k fixed scan rounds over a k-fold corpus — expect ~linear
+      "q137_kcenter" -> (k => {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val corpus = (0 until k).map(c => emb.select(
+          (col("vec_id") + lit(c.toLong * 100000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+        graft.ops.KMeans.kCenters(corpus, "vec_id", "embedding", k = 6).count()
+      }),
       // two corpus-linear scans (mean, centered outer products) into a
       // fixed dim^2 aggregation + a projection scan — expect ~linear
       "q131_pca" -> (k => {
