@@ -1557,6 +1557,26 @@ object SparkEntry {
       graft.ops.TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
     }),
 
+    // Beyond-reference: the Gopher quality-rule pack (Rae et al. 2021
+    // §A1.1) — word-count/mean-length windows, symbol ratios,
+    // bullet/ellipsis line fractions, alphabetic-word fraction,
+    // stop-word presence; one codegen scan with per-rule attribution,
+    // aggregated to per-rule pass counts.
+    "q138_gopher_filter" -> ((s, dir) => {
+      val f = graft.ops.TextOps.gopherFilter(t(s, dir, "documents"), "doc_id", "text")
+      f.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pass_word_count"), 1L).otherwise(0L)).as("n_word_count"),
+        sum(when(col("pass_mean_word_len"), 1L).otherwise(0L)).as("n_mean_word_len"),
+        sum(when(col("pass_hash_ratio"), 1L).otherwise(0L)).as("n_hash_ratio"),
+        sum(when(col("pass_ellipsis_ratio"), 1L).otherwise(0L)).as("n_ellipsis_ratio"),
+        sum(when(col("pass_bullet_lines"), 1L).otherwise(0L)).as("n_bullet_lines"),
+        sum(when(col("pass_ellipsis_lines"), 1L).otherwise(0L)).as("n_ellipsis_lines"),
+        sum(when(col("pass_alpha_words"), 1L).otherwise(0L)).as("n_alpha_words"),
+        sum(when(col("pass_stop_words"), 1L).otherwise(0L)).as("n_stop_words"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+    }),
+
     // Beyond-reference: greedy k-center coreset (Gonzalez 1985) — the
     // deterministic diversity-selection step (2-approx covering
     // radius): seed at the smallest id, then repeatedly take the point
@@ -3309,6 +3329,51 @@ object SparkEntry {
            CAST(4 AS BIGINT) AS height,
            round(CAST(sum(g) AS DOUBLE) / 16.0, 4) AS mean_gray
          FROM px GROUP BY asset_id, format""",
+    // each rule replayed as list predicates over the same token/line
+    // splits; the 0.1/0.9-style thresholds are the identical IEEE
+    // doubles on both sides
+    "q138_gopher_filter" ->
+      """WITH d AS (SELECT doc_id, text,
+                      list_filter(string_split_regex(text, '\s+'),
+                        w -> w <> '') AS ts,
+                      string_split(text, chr(10)) AS ls
+                    FROM documents),
+         r AS (SELECT doc_id,
+           COALESCE(len(ts) >= 50 AND len(ts) <= 100000, FALSE) AS p1,
+           COALESCE((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(ts, w -> CAST(length(w) AS BIGINT))),
+               (a, b) -> a + b) AS DOUBLE) / len(ts)) >= 3.0 AND
+             (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(ts, w -> CAST(length(w) AS BIGINT))),
+               (a, b) -> a + b) AS DOUBLE) / len(ts)) <= 10.0, FALSE) AS p2,
+           COALESCE(CAST(length(text) - length(replace(text, '#', ''))
+               AS DOUBLE) <= 0.1 * len(ts), FALSE) AS p3,
+           COALESCE(CAST(length(text) - length(replace(text, '...', ''))
+               AS DOUBLE) / 3.0 <= 0.1 * len(ts), FALSE) AS p4,
+           COALESCE(CAST(len(list_filter(ls, l ->
+               starts_with(trim(l), '-') OR starts_with(trim(l), '*')))
+               AS DOUBLE) <= 0.9 * len(ls), FALSE) AS p5,
+           COALESCE(CAST(len(list_filter(ls, l -> ends_with(trim(l), '...')))
+               AS DOUBLE) <= 0.3 * len(ls), FALSE) AS p6,
+           COALESCE(CAST(len(list_filter(ts, w ->
+               regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+               >= 0.8 * len(ts), FALSE) AS p7,
+           COALESCE(len(list_filter(ts, w -> list_contains(
+               ['the','be','to','of','and','that','have','with'],
+               lower(w)))) >= 2, FALSE) AS p8
+           FROM d)
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_word_count,
+           CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_word_len,
+           CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hash_ratio,
+           CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_ratio,
+           CAST(sum(CASE WHEN p5 THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet_lines,
+           CAST(sum(CASE WHEN p6 THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_lines,
+           CAST(sum(CASE WHEN p7 THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words,
+           CAST(sum(CASE WHEN p8 THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_words,
+           CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5 AND p6
+             AND p7 AND p8 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM r""",
     // five chained farthest-point rounds; min-dist maintained by
     // least(previous, dist-to-new-center), every dist on the round-8
     // grid, argmax ties to the lower id

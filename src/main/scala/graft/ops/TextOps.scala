@@ -303,6 +303,58 @@ object TextOps {
       mean >= 2.0 && mean <= 12.0
     })
 
+  /** The Gopher quality-rule pack (Rae et al., arXiv:2112.11446 §A1.1,
+    * the thresholds later reused by RefinedWeb/Dolma), as pure column
+    * predicates over a bound token array — word-count and mean-length
+    * windows, symbol-to-word ratios (hash, ellipsis), bullet/ellipsis
+    * line fractions, alphabetic-word fraction, and stop-word presence.
+    * One codegen scan; per-rule attribution as columns like [[c4Rules]].
+    */
+  def gopherRules(text: Column): Seq[(String, Column)] = {
+    val stopWords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    def overToks(f: Column => Column): Column =
+      element_at(transform(array(filter(split(text, "\\s+"), w => w =!= "")),
+        ts => f(ts)), 1)
+    val lines = split(text, "\n")
+    Seq(
+      "word_count" -> overToks(ts => size(ts) >= 50 && size(ts) <= 100000),
+      "mean_word_len" -> overToks { ts =>
+        // when-guarded: ANSI divide-by-zero on empty docs (the rule
+        // fails closed through the caller's coalesce)
+        when(size(ts) > 0, {
+          val m = aggregate(ts, lit(0L), (a, w) => a + length(w)).cast("double") /
+            size(ts).cast("double")
+          m >= 3.0 && m <= 10.0
+        })
+      },
+      "hash_ratio" -> overToks(ts =>
+        size(filter(split(text, ""), c => c === "#")).cast("double") <=
+          lit(0.1) * size(ts).cast("double")),
+      "ellipsis_ratio" -> overToks(ts =>
+        (length(text) - length(replace(text, lit("..."), lit(""))))
+          .cast("double") / 3.0 <= lit(0.1) * size(ts).cast("double")),
+      "bullet_lines" -> (size(filter(lines,
+        l => trim(l).startsWith("-") || trim(l).startsWith("*")))
+        .cast("double") <= lit(0.9) * size(lines).cast("double")),
+      "ellipsis_lines" -> (size(filter(lines, l => trim(l).endsWith("...")))
+        .cast("double") <= lit(0.3) * size(lines).cast("double")),
+      "alpha_words" -> overToks(ts =>
+        size(filter(ts, w => w.rlike("[a-zA-Z]"))).cast("double") >=
+          lit(0.8) * size(ts).cast("double")),
+      "stop_words" -> overToks(ts =>
+        size(filter(ts, w => lower(w).isInCollection(stopWords))) >= 2))
+  }
+
+  /** Per-document Gopher report: one boolean per rule + the conjunction. */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rules = gopherRules(col(textCol))
+    val flagged = rules.foldLeft(docs) { case (d, (name, c)) =>
+      d.withColumn(s"pass_$name", coalesce(c, lit(false)))
+    }
+    flagged.withColumn("kept",
+      rules.map(r => col(s"pass_${r._1}")).reduce(_ && _))
+  }
+
   def c4Filter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val rules = c4Rules(col(textCol))
     val flagged = rules.foldLeft(docs) { case (d, (name, c)) =>

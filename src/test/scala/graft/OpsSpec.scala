@@ -1110,6 +1110,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s2 === Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s2.toString)
   }
 
+  test("gopher rules: thresholds fire per rule, empty text fails closed") {
+    import spark.implicits._
+    val good = (("the be to of and that have with " +
+      Seq.fill(6)("alpha beta gamma delta epsil zeta eta").mkString(" ")))
+    val docs = Seq(
+      (1L, good),                          // passes everything
+      (2L, "short text"),                  // word_count fails (< 50)
+      (3L, good + " ####################"),// hash ratio pushed over 0.1
+      (4L, ""),                            // empty: fails closed
+      (5L, good.split(" ").map("- " + _).mkString("\n")) // all bullet lines
+    ).toDF("doc_id", "text")
+    val f = TextOps.gopherFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(r.fieldIndex("pass_word_count")),
+          r.getBoolean(r.fieldIndex("pass_hash_ratio")),
+          r.getBoolean(r.fieldIndex("pass_bullet_lines")),
+          r.getBoolean(r.fieldIndex("kept")))).toMap
+    assert(f(1L) === ((true, true, true, true)), f(1L).toString)
+    assert(f(2L)._1 === false && f(2L)._4 === false)
+    assert(f(3L)._2 === false, "20 hashes over 50 words must trip the ratio")
+    assert(f(4L)._4 === false, "empty text fails closed")
+    assert(f(5L)._3 === false, "all-bullet doc trips the line rule")
+  }
+
   test("zipf fit: an exact power-law corpus fits slope ~ -1") {
     import spark.implicits._
     // token t_i appears floor(2000 / i) times, i = 1..50 — an exact
