@@ -1557,6 +1557,18 @@ object SparkEntry {
       graft.ops.TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
     }),
 
+    // Beyond-reference: k-core peeling over the interaction graph —
+    // three fixed rounds of degree-< k vertex removal (one degree
+    // count + two semi-joins per round, nothing collected); top-10
+    // surviving users by (core degree, id).
+    "q139_kcore" -> ((s, dir) => {
+      val edges = graft.ops.Analytics.interactionEdges(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+      graft.ops.Analytics.kCoreMembers(edges, k = 3, rounds = 3)
+        .orderBy(col("core_degree").desc, col("user_id"))
+        .limit(10)
+    }),
+
     // Beyond-reference: the Gopher quality-rule pack (Rae et al. 2021
     // §A1.1) — word-count/mean-length windows, symbol ratios,
     // bullet/ellipsis line fractions, alphabetic-word fraction,
@@ -3329,6 +3341,32 @@ object SparkEntry {
            CAST(4 AS BIGINT) AS height,
            round(CAST(sum(g) AS DOUBLE) / 16.0, 4) AS mean_gray
          FROM px GROUP BY asset_id, format""",
+    // same adjacency edges as q136; three peel rounds as chained CTEs
+    "q139_kcore" ->
+      """WITH adj AS (SELECT user_id,
+                        lag(user_id) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS prev
+                      FROM events),
+         und AS (SELECT DISTINCT least(prev, user_id) AS a,
+                   greatest(prev, user_id) AS b
+                 FROM adj WHERE prev IS NOT NULL AND prev <> user_id),
+         e0 AS (SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b AS u, a AS v FROM und),
+         k1 AS (SELECT u FROM e0 GROUP BY u HAVING count(*) >= 3),
+         e1 AS (SELECT e0.u, e0.v FROM e0
+                WHERE e0.u IN (SELECT u FROM k1)
+                  AND e0.v IN (SELECT u FROM k1)),
+         k2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 3),
+         e2 AS (SELECT e1.u, e1.v FROM e1
+                WHERE e1.u IN (SELECT u FROM k2)
+                  AND e1.v IN (SELECT u FROM k2)),
+         k3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 3),
+         e3 AS (SELECT e2.u, e2.v FROM e2
+                WHERE e2.u IN (SELECT u FROM k3)
+                  AND e2.v IN (SELECT u FROM k3))
+         SELECT u AS user_id, CAST(count(*) AS BIGINT) AS core_degree
+         FROM e3 GROUP BY u
+         ORDER BY core_degree DESC, user_id LIMIT 10""",
     // each rule replayed as list predicates over the same token/line
     // splits; the 0.1/0.9-style thresholds are the identical IEEE
     // doubles on both sides

@@ -217,6 +217,33 @@ object Analytics {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core peeling over an undirected edge set `(a, b)` — `rounds`
+    * FIXED rounds of "drop every vertex whose current degree < k"
+    * (fixed rounds, not a convergence test, keep the result exactly
+    * replayable; each round only ever shrinks the edge set, and on
+    * graphs of bounded degeneracy a handful of rounds reaches the true
+    * k-core). Returns the surviving vertices with their degree in the
+    * final peeled edge set.
+    *
+    * Shape at scale: per round one map-side-combinable degree count +
+    * two semi-joins on the vertex key — edges and degrees stay
+    * DataFrames end-to-end, nothing is collected; with many rounds one
+    * would localCheckpoint every few rounds to cut lineage (the
+    * [[pageRank]] discipline).
+    */
+  def kCoreMembers(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k=$k rounds=$rounds")
+    var e = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("u").as("kv"))
+      e = e.join(keep.withColumnRenamed("kv", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("kv", "v"), Seq("v"), "left_semi")
+    }
+    e.groupBy(col("u").as("user_id")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** PageRank over a weighted edge DataFrame `(src, dst, p)` by FIXED-
     * iteration power method: rank₀ = 1/N; rankₖ₊₁(v) = (1−d)/N +
     * d·Σ_{(u,v)} rankₖ(u)·p(u,v). Fixed iterations (not convergence-

@@ -1134,6 +1134,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f(5L)._3 === false, "all-bullet doc trips the line rule")
   }
 
+  test("k-core peeling: K4 survives 2-core, pendant chain peels away, " +
+    "cascading removals propagate across rounds") {
+    import spark.implicits._
+    // K4 (1-4) + a chain 4-5-6-7 hanging off it: the chain has degree
+    // <= 2, peels over successive rounds; K4 keeps degree 3
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val core3 = Analytics.kCoreMembers(edges, k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core3.toString)
+    // k=2: round 1 drops 7 (deg 1); round 2 drops 6; round 3 drops 5 —
+    // the cascade needs all three rounds
+    val core2 = Analytics.kCoreMembers(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2.keySet === Set(1L, 2L, 3L, 4L), core2.toString)
+  }
+
   test("zipf fit: an exact power-law corpus fits slope ~ -1") {
     import spark.implicits._
     // token t_i appears floor(2000 / i) times, i = 1..50 — an exact
