@@ -1557,6 +1557,29 @@ object SparkEntry {
       graft.ops.TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
     }),
 
+    // Beyond-reference: local clustering coefficients — 2T(v)/(d(d-1))
+    // over the interaction graph, reusing the degree-oriented triangle
+    // machinery; top-10 by (clustering, degree, id).
+    "q140_clustering_coeff" -> ((s, dir) => {
+      val edges = graft.ops.Analytics.interactionEdges(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+      graft.ops.Analytics.clusteringCoefficients(edges)
+        .orderBy(col("clustering").desc, col("degree").desc, col("user_id"))
+        .limit(10)
+        .select(col("user_id"), col("degree"), col("n_triangles"), col("clustering"))
+    }),
+
+    // Beyond-reference: pairwise source-vocabulary Jaccard — the
+    // mixture-redundancy diagnostic; distinct (source, token) pass +
+    // token bucket join (fan-out <= sources^2 per token) + broadcast
+    // sizes. Top-15 most-overlapping source pairs.
+    "q141_vocab_overlap" -> ((s, dir) => {
+      graft.ops.TextOps.sourceVocabOverlap(
+        t(s, dir, "documents"), "source", "text")
+        .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
+        .limit(15)
+    }),
+
     // Beyond-reference: k-core peeling over the interaction graph —
     // three fixed rounds of degree-< k vertex removal (one degree
     // count + two semi-joins per round, nothing collected); top-10
@@ -3341,6 +3364,59 @@ object SparkEntry {
            CAST(4 AS BIGINT) AS height,
            round(CAST(sum(g) AS DOUBLE) / 16.0, 4) AS mean_gray
          FROM px GROUP BY asset_id, format""",
+    // q136's triangle corners + raw degrees -> the standard coefficient
+    "q140_clustering_coeff" ->
+      """WITH adj AS (SELECT user_id,
+                        lag(user_id) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS prev
+                      FROM events),
+         und AS (SELECT DISTINCT least(prev, user_id) AS a,
+                   greatest(prev, user_id) AS b
+                 FROM adj WHERE prev IS NOT NULL AND prev <> user_id),
+         degs AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+                    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+                  GROUP BY v),
+         orient AS (SELECT
+                      CASE WHEN (da.deg, a) < (db.deg, b) THEN a ELSE b END AS src,
+                      CASE WHEN (da.deg, a) < (db.deg, b) THEN b ELSE a END AS dst,
+                      CASE WHEN (da.deg, a) < (db.deg, b) THEN db.deg
+                           ELSE da.deg END AS dd
+                    FROM und JOIN degs da ON und.a = da.v
+                      JOIN degs db ON und.b = db.v),
+         wedges AS (SELECT e1.u, e1.v, e2.w FROM
+                      (SELECT src AS u, dst AS v, dd AS dv FROM orient) e1
+                      JOIN (SELECT src AS u, dst AS w, dd AS dw FROM orient) e2
+                        USING (u)
+                    WHERE (e1.dv, e1.v) < (e2.dw, e2.w)),
+         tri AS (SELECT u, v, w FROM wedges
+                   JOIN orient o ON wedges.v = o.src AND wedges.w = o.dst),
+         tc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_triangles
+                FROM (SELECT unnest([u, v, w]) AS user_id FROM tri)
+                GROUP BY user_id)
+         SELECT degs.v AS user_id, degs.deg AS degree,
+           COALESCE(tc.n_triangles, 0) AS n_triangles,
+           round(2.0 * COALESCE(tc.n_triangles, 0) /
+             (degs.deg * (degs.deg - 1)), 6) AS clustering
+         FROM degs LEFT JOIN tc ON degs.v = tc.user_id
+         WHERE degs.deg >= 2
+         ORDER BY clustering DESC, degree DESC, user_id LIMIT 10""",
+    // distinct (source, token) pairs self-joined on the token
+    "q141_vocab_overlap" ->
+      """WITH vt AS (SELECT DISTINCT source AS src, tok FROM (
+                       SELECT source,
+                         unnest(string_split_regex(lower(text), '\s+')) AS tok
+                       FROM documents) WHERE tok <> ''),
+         sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n
+                   FROM vt GROUP BY src),
+         pairs AS (SELECT x.src AS src_a, y.src AS src_b,
+                     CAST(count(*) AS BIGINT) AS common
+                   FROM vt x JOIN vt y ON x.tok = y.tok AND x.src < y.src
+                   GROUP BY x.src, y.src)
+         SELECT src_a, src_b, common,
+           round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+         FROM pairs JOIN sizes sa ON pairs.src_a = sa.src
+           JOIN sizes sb ON pairs.src_b = sb.src
+         ORDER BY jaccard DESC, src_a, src_b LIMIT 15""",
     // same adjacency edges as q136; three peel rounds as chained CTEs
     "q139_kcore" ->
       """WITH adj AS (SELECT user_id,

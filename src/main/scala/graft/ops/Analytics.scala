@@ -217,6 +217,24 @@ object Analytics {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per vertex: `2·T(v) / (deg(v)·
+    * (deg(v)−1))` for vertices with degree ≥ 2 — how close each
+    * vertex's neighborhood is to a clique, the standard small-world
+    * diagnostic next to triangle counts. Reuses [[triangleCounts]]'s
+    * degree-oriented machinery; one extra degree join.
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val tri = triangleCounts(edges)
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("user_id"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(tri, Seq("user_id"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("clustering", round(
+        lit(2.0) * col("n_triangles") /
+          (col("degree") * (col("degree") - 1)), 6))
+  }
+
   /** k-core peeling over an undirected edge set `(a, b)` — `rounds`
     * FIXED rounds of "drop every vertex whose current degree < k"
     * (fixed rounds, not a convergence test, keep the result exactly

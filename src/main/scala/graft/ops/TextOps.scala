@@ -423,6 +423,33 @@ object TextOps {
     }), 1)
   }
 
+  /** Pairwise vocabulary overlap between sources: Jaccard of the
+    * distinct-token sets of every source pair — the mixture-design
+    * diagnostic ("how redundant are my sources?") next to the
+    * per-source dedup report. One distinct (source, token) pass, a
+    * bucket self-join on the token (fan-out bounded by sources² per
+    * token, never corpus-sized), and a broadcast of per-source
+    * vocabulary sizes.
+    */
+  def sourceVocabOverlap(
+      docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val vt = docs
+      .select(col(sourceCol).as("src"),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val sizes = vt.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    vt.select(col("src").as("src_a"), col("tok"))
+      .join(vt.select(col("src").as("src_b"), col("tok")), "tok")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select(col("src").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("n").as("nb"))), "src_b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")), 6))
+      .select(col("src_a"), col("src_b"), col("common"), col("jaccard"))
+  }
+
   /** Zipf power-law fit over the token frequency distribution — the
     * corpus-health diagnostic (natural language sits near slope −1 on
     * log rank vs log frequency; template/boilerplate-heavy or synthetic

@@ -1134,6 +1134,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f(5L)._3 === false, "all-bullet doc trips the line rule")
   }
 
+  test("clustering coefficients: cliques at 1.0, cycles at 0.0, " +
+    "pendants excluded") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L),                     // C4
+      (4L, 9L)).toDF("a", "b")                                    // pendant 9
+    val got = Analytics.clusteringCoefficients(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got(1L) === ((3L, 1.0)) && got(2L) === ((3L, 1.0)) &&
+      got(3L) === ((3L, 1.0)), got.toString)
+    assert(got(4L) === ((4L, 0.5)), "vertex 4: 3 triangles over C(4,2)=6 pairs")
+    Seq(5L, 6L, 7L, 8L).foreach(v => assert(got(v)._2 === 0.0, s"cycle $v"))
+    assert(!got.contains(9L), "degree-1 pendant has no coefficient")
+  }
+
   test("k-core peeling: K4 survives 2-core, pendant chain peels away, " +
     "cascading removals propagate across rounds") {
     import spark.implicits._
