@@ -1557,6 +1557,25 @@ object SparkEntry {
       graft.ops.TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
     }),
 
+    // Beyond-reference: token burstiness — chi-square of each top
+    // token's source distribution vs the corpus source shares; the
+    // template/jargon-marker diagnostic. Full top-N x sources grid is
+    // broadcast-scale; zero cells contribute their expectation.
+    "q142_token_burstiness" -> ((s, dir) => {
+      graft.ops.TextOps.tokenBurstiness(
+        t(s, dir, "documents"), "source", "text", topN = 50, topK = 15)
+    }),
+
+    // Beyond-reference: time-decayed engagement — sum of value halved
+    // per elapsed half-life window (integer div, exact powers of two,
+    // no transcendental drift); top-10 users by recency-weighted score.
+    "q143_decayed_engagement" -> ((s, dir) => {
+      graft.ops.Analytics.decayedEngagement(
+        events(s, dir), "user_id", "ts", "value", halfLifeDays = 7)
+        .orderBy(col("score").desc, col("user_id"))
+        .limit(10)
+    }),
+
     // Beyond-reference: local clustering coefficients — 2T(v)/(d(d-1))
     // over the interaction graph, reusing the degree-oriented triangle
     // machinery; top-10 by (clustering, degree, id).
@@ -3364,6 +3383,47 @@ object SparkEntry {
            CAST(4 AS BIGINT) AS height,
            round(CAST(sum(g) AS DOUBLE) / 16.0, 4) AS mean_gray
          FROM px GROUP BY asset_id, format""",
+    // full grid = top tokens x sources; zero cells via left join
+    "q142_token_burstiness" ->
+      """WITH ts AS (SELECT source AS src,
+                       unnest(string_split_regex(lower(text), '\s+')) AS tok
+                     FROM documents),
+         tk AS (SELECT src, tok FROM ts WHERE tok <> ''),
+         cell AS (SELECT tok, src, CAST(count(*) AS BIGINT) AS c
+                  FROM tk GROUP BY tok, src),
+         tokTot AS (SELECT tok, CAST(sum(c) AS BIGINT) AS tt
+                    FROM cell GROUP BY tok),
+         srcTot AS (SELECT src, CAST(sum(c) AS BIGINT) AS st
+                    FROM cell GROUP BY src),
+         grand AS (SELECT CAST(sum(st) AS BIGINT) AS g FROM srcTot),
+         top AS (SELECT tok, tt FROM tokTot ORDER BY tt DESC, tok LIMIT 50),
+         grid AS (SELECT top.tok, top.tt, srcTot.src, srcTot.st, g,
+                    COALESCE(cell.c, 0) AS obs
+                  FROM top CROSS JOIN srcTot CROSS JOIN grand
+                    LEFT JOIN cell ON top.tok = cell.tok
+                      AND srcTot.src = cell.src),
+         terms AS (SELECT tok, tt,
+                     (CAST(obs AS DOUBLE) -
+                       CAST(tt AS DOUBLE) * st / g) *
+                     (CAST(obs AS DOUBLE) -
+                       CAST(tt AS DOUBLE) * st / g) /
+                     (CAST(tt AS DOUBLE) * st / g) AS term
+                   FROM grid)
+         SELECT tok, tt AS total, round(sum(term), 4) AS chi2
+         FROM terms GROUP BY tok, tt
+         ORDER BY chi2 DESC, tok LIMIT 15""",
+    // integer half-life windows -> exact powers of two on both engines
+    "q143_decayed_engagement" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                      value
+                    FROM events),
+         m AS (SELECT max(us) AS tmax FROM e),
+         d AS (SELECT user_id, value, (tmax - us) // 604800000000 AS w
+               FROM e, m)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value * pow(2.0, -CAST(w AS DOUBLE))), 4) AS score
+         FROM d GROUP BY user_id
+         ORDER BY score DESC, user_id LIMIT 10""",
     // q136's triangle corners + raw degrees -> the standard coefficient
     "q140_clustering_coeff" ->
       """WITH adj AS (SELECT user_id,

@@ -217,6 +217,30 @@ object Analytics {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Time-decayed engagement score per user: Σ value·2^(−w) where `w`
+    * counts whole half-life windows between the event and the corpus
+    * horizon (integer `div`, so the decay factor is an EXACT power of
+    * two in every engine — no transcendental drift). The recency-
+    * weighted activity metric behind engagement ranking and sample
+    * freshness weighting; one broadcast of the 1-row horizon and a
+    * map-side-combinable sum.
+    */
+  def decayedEngagement(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String,
+      halfLifeDays: Int = 7): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val horizon = events.agg(max(us).as("__tmax"))
+    val win = halfLifeDays.toLong * 86400000000L
+    events.crossJoin(broadcast(horizon))
+      .withColumn("__w", expr(s"(__tmax - unix_micros($tsCol)) div ${win}L"))
+      .withColumn("__d", col(valueCol) * pow(lit(2.0), -col("__w").cast("double")))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("__d")), 4).as("score"))
+  }
+
   /** Local clustering coefficient per vertex: `2·T(v) / (deg(v)·
     * (deg(v)−1))` for vertices with degree ≥ 2 — how close each
     * vertex's neighborhood is to a clique, the standard small-world

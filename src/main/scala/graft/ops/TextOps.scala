@@ -450,6 +450,42 @@ object TextOps {
       .select(col("src_a"), col("src_b"), col("common"), col("jaccard"))
   }
 
+  /** Token BURSTINESS across sources: the chi-square statistic of each
+    * top token's observed-vs-expected source distribution (expected =
+    * token total · source share). High chi2 flags tokens concentrated
+    * in few sources — template/boilerplate markers and domain jargon —
+    * vs corpus-wide vocabulary. Zero cells contribute their expectation
+    * (the full grid is top-N tokens × sources, a broadcast-scale frame).
+    */
+  def tokenBurstiness(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      topN: Int = 50,
+      topK: Int = 15): DataFrame = {
+    val ts = docs
+      .select(col(sourceCol).as("src"),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val cell = ts.groupBy(col("tok"), col("src")).agg(count(lit(1)).as("c"))
+    val tokTot = cell.groupBy(col("tok")).agg(sum(col("c")).as("tt"))
+    val srcTot = cell.groupBy(col("src")).agg(sum(col("c")).as("st"))
+    val grand = srcTot.agg(sum(col("st")).as("g"))
+    val top = tokTot.orderBy(col("tt").desc, col("tok")).limit(topN)
+    top.crossJoin(broadcast(srcTot)).crossJoin(broadcast(grand))
+      .join(cell, Seq("tok", "src"), "left")
+      .withColumn("obs", coalesce(col("c"), lit(0L)).cast("double"))
+      .withColumn("exp",
+        col("tt").cast("double") * col("st").cast("double") / col("g").cast("double"))
+      .withColumn("term",
+        (col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp"))
+      .groupBy(col("tok"), col("tt"))
+      .agg(round(sum(col("term")), 4).as("chi2"))
+      .orderBy(col("chi2").desc, col("tok"))
+      .limit(topK)
+      .select(col("tok"), col("tt").as("total"), col("chi2"))
+  }
+
   /** Zipf power-law fit over the token frequency distribution — the
     * corpus-health diagnostic (natural language sits near slope −1 on
     * log rank vs log frequency; template/boilerplate-heavy or synthetic
