@@ -1557,6 +1557,33 @@ object SparkEntry {
       graft.ops.TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
     }),
 
+    // Beyond-reference: cross-source QUANTILE NORMALIZATION of quality
+    // scores — each doc's score maps to the pooled distribution's value
+    // at its within-source rank fraction (rank machinery from
+    // ops.Quantiles: range-partition + broadcast offsets, no
+    // low-cardinality window); reports per-source calibration shift.
+    "q144_quantile_norm" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          round(graft.ops.TextOps.qualityScore(col("text")), 6).as("score"))
+      val ws = graft.ops.Quantiles
+        .withGroupRank(scored, Seq("source"), Seq("score", "doc_id"))
+        .withColumnRenamed("__rn", "r").withColumnRenamed("__n", "n")
+      val pooled = graft.ops.Quantiles
+        .withGroupRank(scored.withColumn("__g", lit(1)), Seq("__g"),
+          Seq("score", "doc_id"))
+        .select(col("score").as("gscore"), col("__rn").as("gr"))
+      val nTot = scored.agg(count(lit(1)).as("pool_total"))
+      ws.crossJoin(broadcast(nTot))
+        .withColumn("idx", expr("(r * pool_total + n - 1) div n"))
+        .join(pooled, col("idx") === col("gr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("score")), 4).as("raw_mean"),
+          round(avg(col("gscore")), 4).as("norm_mean"),
+          round(max(abs(col("score") - col("gscore"))), 4).as("max_shift"))
+    }),
+
     // Beyond-reference: token burstiness — chi-square of each top
     // token's source distribution vs the corpus source shares; the
     // template/jargon-marker diagnostic. Full top-N x sources grid is
@@ -3383,6 +3410,36 @@ object SparkEntry {
            CAST(4 AS BIGINT) AS height,
            round(CAST(sum(g) AS DOUBLE) / 16.0, 4) AS mean_gray
          FROM px GROUP BY asset_id, format""",
+    // within-source rank -> pooled index ceil(r*N/n) -> pooled score;
+    // the quality formula is q55's, rounded to 6 before ranking
+    "q144_quantile_norm" ->
+      """WITH q AS (SELECT doc_id, source,
+             round((0.5 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) +
+               0.5 * (1.0 - least(abs((CAST(length(text) AS DOUBLE) -
+                 (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) - 5.0)
+                 / 5.0, 1.0))) *
+               (CASE WHEN len(string_split(text, ' ')) < 5
+                     THEN 0.5 ELSE 1.0 END), 6) AS score
+           FROM documents),
+         ws AS (SELECT doc_id, source, score,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY score, doc_id) AS BIGINT) AS r,
+                  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+                FROM q),
+         g AS (SELECT score AS gscore,
+                 CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT)
+                   AS gr
+               FROM q),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM q),
+         j AS (SELECT ws.source, ws.score, g.gscore
+               FROM ws CROSS JOIN nn
+                 JOIN g ON ((ws.r * nn.N + ws.n - 1) // ws.n) = g.gr)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(score), 4) AS raw_mean,
+           round(avg(gscore), 4) AS norm_mean,
+           round(max(abs(score - gscore)), 4) AS max_shift
+         FROM j GROUP BY source""",
     // full grid = top tokens x sources; zero cells via left join
     "q142_token_burstiness" ->
       """WITH ts AS (SELECT source AS src,
