@@ -1557,6 +1557,15 @@ object SparkEntry {
       graft.ops.TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
     }),
 
+    // Beyond-reference: degree assortativity (Newman 2002) — Pearson
+    // correlation of endpoint degrees over the interaction graph;
+    // integer sums, one closed-form float step.
+    "q145_assortativity" -> ((s, dir) => {
+      val edges = graft.ops.Analytics.interactionEdges(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+      graft.ops.Analytics.degreeAssortativity(edges)
+    }),
+
     // Beyond-reference: cross-source QUANTILE NORMALIZATION of quality
     // scores — each doc's score maps to the pooled distribution's value
     // at its within-source rank fraction (rank machinery from
@@ -3410,6 +3419,32 @@ object SparkEntry {
            CAST(4 AS BIGINT) AS height,
            round(CAST(sum(g) AS DOUBLE) / 16.0, 4) AS mean_gray
          FROM px GROUP BY asset_id, format""",
+    // symmetrized edges joined to endpoint degrees; integer sums into
+    // the closed-form Pearson
+    "q145_assortativity" ->
+      """WITH adj AS (SELECT user_id,
+                        lag(user_id) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS prev
+                      FROM events),
+         und AS (SELECT DISTINCT least(prev, user_id) AS a,
+                   greatest(prev, user_id) AS b
+                 FROM adj WHERE prev IS NOT NULL AND prev <> user_id),
+         e AS (SELECT a AS u, b AS v FROM und
+               UNION ALL SELECT b AS u, a AS v FROM und),
+         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+                 FROM e GROUP BY u),
+         j AS (SELECT du.d AS du, dv.d AS dv
+               FROM e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS m,
+                 sum(CAST(du AS DOUBLE)) AS sx, sum(CAST(dv AS DOUBLE)) AS sy,
+                 sum(CAST(du * dv AS DOUBLE)) AS sxy,
+                 sum(CAST(du * du AS DOUBLE)) AS sxx,
+                 sum(CAST(dv * dv AS DOUBLE)) AS syy
+               FROM j)
+         SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           round((m*sxy - sx*sy) /
+             (sqrt(m*sxx - sx*sx) * sqrt(m*syy - sy*sy)), 4) AS assortativity
+         FROM s""",
     // within-source rank -> pooled index ceil(r*N/n) -> pooled score;
     // the quality formula is q55's, rounded to 6 before ranking
     "q144_quantile_norm" ->

@@ -217,6 +217,36 @@ object Analytics {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Degree assortativity (Newman, PRL 2002): the Pearson correlation
+    * of endpoint degrees over all directed edge instances — positive
+    * when high-degree vertices attach to each other (social shape),
+    * negative for hub-and-spoke. All sums are of INTEGER degree
+    * products (exact in double far past any realistic edge count), so
+    * the only float arithmetic is the final closed form — deterministic
+    * to the last ulp, rounded at output.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val j = e
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+    j.agg(
+        count(lit(1)).as("m"),
+        sum(col("du").cast("double")).as("sx"),
+        sum(col("dv").cast("double")).as("sy"),
+        sum((col("du") * col("dv")).cast("double")).as("sxy"),
+        sum((col("du") * col("du")).cast("double")).as("sxx"),
+        sum((col("dv") * col("dv")).cast("double")).as("syy"))
+      .select(
+        (col("m") / 2).cast("long").as("n_edges"),
+        round((col("m") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("m") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("m") * col("syy") - col("sy") * col("sy"))), 4)
+          .as("assortativity"))
+  }
+
   /** Time-decayed engagement score per user: Σ value·2^(−w) where `w`
     * counts whole half-life windows between the event and the corpus
     * horizon (integer `div`, so the decay factor is an EXACT power of
