@@ -241,9 +241,15 @@ object Analytics {
         sum((col("dv") * col("dv")).cast("double")).as("syy"))
       .select(
         (col("m") / 2).cast("long").as("n_edges"),
-        round((col("m") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("m") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("m") * col("syy") - col("sy") * col("sy"))), 4)
+        // when-guarded: a degree-uniform graph has zero degree variance
+        // and the correlation is undefined (ANSI would raise on the
+        // double division); report null there
+        when(
+          col("m") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("m") * col("syy") - col("sy") * col("sy") > 0,
+          round((col("m") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("m") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("m") * col("syy") - col("sy") * col("sy"))), 4))
           .as("assortativity"))
   }
 

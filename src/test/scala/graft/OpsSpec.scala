@@ -1134,6 +1134,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f(5L)._3 === false, "all-bullet doc trips the line rule")
   }
 
+  test("decayed engagement: exact halving per window, horizon anchored " +
+    "at the max timestamp") {
+    import spark.implicits._
+    val day = 86400000000L
+    val t0 = 1700000000000000L
+    val ev = Seq(
+      (1L, t0 + 21 * day, 8.0),   // horizon: weight 1
+      (1L, t0 + 14 * day, 8.0),   // one 7-day window back: weight 1/2
+      (1L, t0, 8.0),              // three windows back: weight 1/8
+      (2L, t0 + 21 * day - 1, 4.0) // just inside window 0
+    ).toDF("user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Analytics.decayedEngagement(ev, "user_id", "ts", "value", 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) === ((3L, 8.0 + 4.0 + 1.0)), got.toString)
+    assert(got(2L) === ((1L, 4.0)), got.toString)
+  }
+
+  test("degree assortativity: stars are disassortative, cliques degree-uniform") {
+    import spark.implicits._
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    val rStar = Analytics.degreeAssortativity(star).collect().head.getDouble(1)
+    assert(rStar < -0.99, s"star graph must be strongly disassortative: $rStar")
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val rK4 = Analytics.degreeAssortativity(k4).collect().head
+    assert(rK4.getLong(0) === 6L)
+    assert(rK4.isNullAt(1),
+      "degree-uniform graph reports an undefined (null) correlation")
+  }
+
   test("clustering coefficients: cliques at 1.0, cycles at 0.0, " +
     "pendants excluded") {
     import spark.implicits._
