@@ -1566,6 +1566,36 @@ object SparkEntry {
       graft.ops.Analytics.degreeAssortativity(edges)
     }),
 
+    // Beyond-reference: synchronous label-propagation communities
+    // (Raghavan 2007) over the interaction graph — 3 deterministic
+    // rounds of most-frequent-neighbor-label, ties to the smallest;
+    // per round one equi-join + two map-side-combinable aggregates.
+    "q146_label_propagation" -> ((s, dir) => {
+      val edges = graft.ops.Analytics.interactionEdges(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+      graft.ops.Analytics.labelPropagation(edges, rounds = 3)
+    }),
+
+    // Beyond-reference: event-volume anomaly days — per-type daily
+    // counts z-scored against the trailing 7 rows (exact integer
+    // window sums into a closed-form variance, identical doubles on
+    // both engines); the feed-went-dark / feed-doubled monitor.
+    "q147_volume_anomaly" -> ((s, dir) => {
+      graft.ops.Analytics.countAnomalies(
+        events(s, dir), "event_type", "ts", trailing = 7, minTrail = 3)
+        .filter(abs(col("zscore")) >= 1.5)
+    }),
+
+    // Beyond-reference: edit-distance near-dup pairs under length-band
+    // blocking — prefix-80 Levenshtein ≤ 20 on pairs within 40 chars of
+    // each other's length; candidates deduped before the codegen
+    // levenshtein verify.
+    "q148_editdist_near_dup" -> ((s, dir) => {
+      graft.ops.Dedup.editDistanceNearDup(
+        t(s, dir, "documents"), "doc_id", "text",
+        prefixLen = 80, maxDist = 20, bandWidth = 40)
+    }),
+
     // Beyond-reference: cross-source QUANTILE NORMALIZATION of quality
     // scores — each doc's score maps to the pooled distribution's value
     // at its within-source rank fraction (rank machinery from
@@ -3445,6 +3475,72 @@ object SparkEntry {
            round((m*sxy - sx*sy) /
              (sqrt(m*sxx - sx*sx) * sqrt(m*syy - sy*sy)), 4) AS assortativity
          FROM s""",
+    // three unrolled synchronous rounds; per round the (node, label)
+    // frequency then argmax with (freq DESC, label ASC) — the same
+    // total tie-break as max(struct(f, -label))
+    "q146_label_propagation" ->
+      """WITH adj AS (SELECT user_id,
+                        lag(user_id) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS prev
+                      FROM events),
+         und AS (SELECT DISTINCT least(prev, user_id) AS a,
+                   greatest(prev, user_id) AS b
+                 FROM adj WHERE prev IS NOT NULL AND prev <> user_id),
+         e AS (SELECT a AS u, b AS v FROM und
+               UNION ALL SELECT b AS u, a AS v FROM und),
+         l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+         c1 AS (SELECT e.u, l0.label, count(*) AS f
+                FROM e JOIN l0 ON e.v = l0.node GROUP BY 1, 2),
+         l1 AS (SELECT u AS node, label FROM c1
+                QUALIFY row_number() OVER (PARTITION BY u
+                  ORDER BY f DESC, label) = 1),
+         c2 AS (SELECT e.u, l1.label, count(*) AS f
+                FROM e JOIN l1 ON e.v = l1.node GROUP BY 1, 2),
+         l2 AS (SELECT u AS node, label FROM c2
+                QUALIFY row_number() OVER (PARTITION BY u
+                  ORDER BY f DESC, label) = 1),
+         c3 AS (SELECT e.u, l2.label, count(*) AS f
+                FROM e JOIN l2 ON e.v = l2.node GROUP BY 1, 2),
+         l3 AS (SELECT u AS node, label FROM c3
+                QUALIFY row_number() OVER (PARTITION BY u
+                  ORDER BY f DESC, label) = 1)
+         SELECT node AS user_id, label AS community FROM l3""",
+    // trailing-7-rows z-score from exact integer window sums; the
+    // closed-form mean/sd expressions are spelled identically to the
+    // Spark side so the doubles match bit-for-bit
+    "q147_volume_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                          CAST(count(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, day, n,
+                 CAST(count(n) OVER tw AS BIGINT) AS k,
+                 CAST(sum(n) OVER tw AS BIGINT) AS s,
+                 CAST(sum(n * n) OVER tw AS BIGINT) AS s2
+               FROM daily
+               WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         z AS (SELECT event_type, day, n,
+                 CAST(s AS DOUBLE) / k AS mean,
+                 sqrt(CAST(k * s2 - s * s AS DOUBLE) / (k * (k - 1))) AS sd
+               FROM w WHERE k >= 3 AND k * s2 > s * s)
+         SELECT event_type, day, n, round(mean, 6) AS trail_mean,
+           round((n - mean) / sd, 6) AS zscore
+         FROM z WHERE abs(round((n - mean) / sd, 6)) >= 1.5""",
+    // each doc enters its length bucket and the next; dedup pairs, then
+    // one levenshtein per pair on the 80-char prefixes
+    "q148_editdist_near_dup" ->
+      """WITH b AS (SELECT doc_id, substr(text, 1, 80) AS p,
+                      CAST(length(text) AS BIGINT) AS len
+                    FROM documents),
+         bk AS (SELECT doc_id, p, len, len // 40 AS bkt FROM b
+                UNION ALL
+                SELECT doc_id, p, len, len // 40 + 1 AS bkt FROM b),
+         cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                    l.p AS pa, r.p AS pb
+                  FROM bk l JOIN bk r ON l.bkt = r.bkt
+                  WHERE l.doc_id < r.doc_id AND abs(l.len - r.len) <= 40)
+         SELECT id_a, id_b, CAST(levenshtein(pa, pb) AS BIGINT) AS dist
+         FROM cand WHERE levenshtein(pa, pb) <= 20""",
     // within-source rank -> pooled index ceil(r*N/n) -> pooled score;
     // the quality formula is q55's, rounded to 6 before ranking
     "q144_quantile_norm" ->

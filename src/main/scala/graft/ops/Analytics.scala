@@ -388,4 +388,126 @@ object Analytics {
     }
     ranks
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * undirected edge set `(a, b)` — community detection by FIXED
+    * `rounds` of "adopt the most frequent label among your neighbors",
+    * ties broken toward the SMALLEST label. Labels start as the node
+    * ids, every update is synchronous (round k+1 reads only round k's
+    * labels), and the tie-break is total, so the result is exactly
+    * replayable by any engine — no randomized visit order, no
+    * convergence test.
+    *
+    * Shape at scale: each round is one equi-join of the (symmetrized)
+    * edge list against the label frame on the neighbor key plus two
+    * map-side-combinable aggregates — the (node, label) frequency
+    * count, then the per-node argmax folded into a single
+    * `max(struct(freq, -label))` so no window over the full node set is
+    * ever needed. Nothing is collected; at many rounds one would cut
+    * lineage every few rounds (the [[pageRank]] discipline) — the fixed
+    * handful the oracle replays needs none.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds=$rounds (oracle unrolls)")
+    val e = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    var labels = e.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val freq = e.join(labels, e("v") === labels("node"))
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("__f"))
+      labels = freq
+        .groupBy(col("u").as("node"))
+        .agg(max(struct(col("__f").as("f"), (-col("label")).as("nl"))).as("__b"))
+        .select(col("node"), (-col("__b.nl")).as("label"))
+    }
+    labels.select(col("node").as("user_id"), col("label").as("community"))
+  }
+
+  /** Volume-anomaly detection over per-(group, day) event counts: each
+    * day's count is z-scored against the TRAILING `trailing` rows
+    * (current day excluded), flagging pipeline-health breaks — a feed
+    * that doubled, a source that went dark. Mean and variance come from
+    * the exact integer window sums (Σn, Σn², k) in closed form, so both
+    * engines compute the identical IEEE doubles — no dependence on a
+    * streaming-variance recurrence whose update order could differ.
+    * Days with fewer than `minTrail` trailing rows or zero variance are
+    * not scored (insufficient history).
+    *
+    * Shape at scale: one map-side-combinable (group, day) count, then a
+    * per-group ordered window — partitioned by group key, frame bounded
+    * at `trailing` rows, no global ordering anywhere.
+    */
+  def countAnomalies(
+      events: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      trailing: Int = 7,
+      minTrail: Int = 3): DataFrame = {
+    require(trailing >= minTrail && minTrail >= 2, s"$trailing/$minTrail")
+    val daily = events
+      .groupBy(col(groupCol).as("grp"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("day"))
+      .rowsBetween(-trailing, -1)
+    daily
+      .withColumn("__k", count(col("n")).over(w))
+      .withColumn("__s", sum(col("n")).over(w))
+      .withColumn("__s2", sum(col("n") * col("n")).over(w))
+      .filter(col("__k") >= minTrail &&
+        col("__k") * col("__s2") > col("__s") * col("__s"))
+      .withColumn("__mean", col("__s").cast("double") / col("__k"))
+      .withColumn("__sd", sqrt(
+        (col("__k") * col("__s2") - col("__s") * col("__s")).cast("double") /
+          (col("__k") * (col("__k") - lit(1)))))
+      .select(col("grp").as(groupCol), col("day"), col("n"),
+        round(col("__mean"), 6).as("trail_mean"),
+        round((col("n") - col("__mean")) / col("__sd"), 6).as("zscore"))
+  }
+
+  /** Inter-arrival regularity per actor — the bot/scraper heuristic:
+    * humans burst, schedulers tick. For each user with at least
+    * `minEvents` events, the coefficient of variation (stddev/mean) of
+    * the gaps between consecutive events; `cv` below `cvThreshold`
+    * flags metronomic actors. Gaps are floored to whole SECONDS so the
+    * squared sums stay well inside Long even for year-long gaps over
+    * millions of events (µs² overflows 2⁶³ at a one-hour gap — and
+    * Spark would wrap silently where the oracle promotes to HUGEINT);
+    * all moments come from exact integer sums (Σg, Σg², k) in closed
+    * form — both engines produce the identical doubles.
+    *
+    * Shape at scale: a per-user lag window (the user key is the natural
+    * partitioning) and one map-side-combinable aggregate; no state
+    * beyond a user's own event row count anywhere.
+    */
+  def interArrivalRegularity(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieCol: String,
+      minEvents: Int = 5,
+      cvThreshold: Double = 0.5): DataFrame = {
+    require(minEvents >= 3, s"minEvents=$minEvents")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val gaps = events
+      .withColumn("__t", expr(s"unix_micros($tsCol) div 1000000"))
+      .withColumn("__g", col("__t") - lag(col("__t"), 1).over(w))
+      .filter(col("__g").isNotNull)
+    gaps.groupBy(col(userCol).as("user_id"))
+      .agg(count(lit(1)).as("__k"), sum(col("__g")).as("__s"),
+        sum(col("__g") * col("__g")).as("__s2"))
+      // zero-variance actors are kept (cv = 0 — the perfect metronome);
+      // only a zero MEAN gap (all events in the same second) is
+      // unscorable
+      .filter(col("__k") >= minEvents - 1 && col("__s") > 0)
+      .withColumn("__mean", col("__s").cast("double") / col("__k"))
+      .withColumn("__sd", sqrt(
+        (col("__k") * col("__s2") - col("__s") * col("__s")).cast("double") /
+          (col("__k") * (col("__k") - lit(1)))))
+      .select(col("user_id"), (col("__k") + 1).as("n_events"),
+        round(col("__mean"), 6).as("mean_gap_s"),
+        round(col("__sd") / col("__mean"), 6).as("cv"),
+        (col("__sd") / col("__mean") < cvThreshold).as("metronomic"))
+  }
 }

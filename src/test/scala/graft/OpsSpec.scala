@@ -1747,4 +1747,95 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(rollOut === md5Out)
   }
+
+  test("label propagation: two cliques with one bridge settle into two " +
+    "communities; ties go to the smallest label") {
+    import spark.implicits._
+    // K4 on 1..4 and K4 on 11..14, bridged by 4-11
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (11L, 12L), (11L, 13L), (11L, 14L), (12L, 13L), (12L, 14L), (13L, 14L),
+      (4L, 11L))).toDF("a", "b")
+    val got = Analytics.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L))
+    // the left clique converges to label 1; the right clique's members
+    // all see each other plus the bridge, the smallest-label tie-break
+    // keeps the right side on its own minimum
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L)
+    assert(Set(12L, 13L, 14L).map(got).size === 1, got.toString)
+    assert(got(12L) !== got(2L), "cliques must not merge across the bridge")
+    // determinism: a rerun is identical
+    val again = Analytics.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
+  test("volume anomalies: a spike day z-scores against its trailing window, " +
+    "warm-up days and flat series are not scored") {
+    import spark.implicits._
+    val ts = (day: Int, i: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:${i % 60}%02d")
+    // type A: 10/day for days 1..7, then 30 on day 8 (a spike);
+    // type B: constant 5/day (zero variance -> never scored)
+    val rows =
+      (for (d <- 1 to 7; i <- 0 until 10) yield ("A", ts(d, i))) ++
+        (for (i <- 0 until 30) yield ("A", ts(8, i))) ++
+        (for (d <- 1 to 8; i <- 0 until 5) yield ("B", ts(d, i)))
+    val ev = rows.toDF("event_type", "ts")
+    val got = Analytics.countAnomalies(ev, "event_type", "ts",
+      trailing = 7, minTrail = 3).collect()
+    assert(got.forall(_.getString(0) == "A"), "flat B must not be scored")
+    // day 8's trailing window is seven constant days — zero variance, so
+    // even the spike day is unscorable until some trailing day varies
+    assert(!got.exists(_.getDate(1).toString == "2024-01-08"))
+    // perturb one trailing day (one extra event on day 2): now the spike
+    // z-scores against a tiny but nonzero sd
+    val ev2 = (rows :+ (("A", ts(2, 59)))).toDF("event_type", "ts")
+    val got2 = Analytics.countAnomalies(ev2, "event_type", "ts",
+      trailing = 7, minTrail = 3).collect()
+      .map(r => r.getDate(1).toString -> r.getDouble(4)).toMap
+    assert(got2.contains("2024-01-08"))
+    assert(got2("2024-01-08") > 5.0, s"spike z must be large: $got2")
+  }
+
+  test("inter-arrival regularity: a metronomic user flags, a bursty user " +
+    "does not, sparse users are skipped") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val mk = (u: Long, offsMs: Seq[Long]) =>
+      offsMs.zipWithIndex.map { case (o, i) =>
+        (u, new java.sql.Timestamp(t0 + o), (u * 1000 + i)) }
+    // user 1: exact 60 s ticks; user 2: bursts (1 s gaps, then an hour);
+    // user 3: only 3 events (below minEvents=5)
+    val rows = mk(1L, (0 until 10).map(_ * 60000L)) ++
+      mk(2L, Seq(0L, 1000L, 2000L, 3000L, 3600000L, 3601000L, 3602000L, 7200000L)) ++
+      mk(3L, Seq(0L, 60000L, 120000L))
+    val ev = rows.toDF("user_id", "ts", "event_id")
+    val got = Analytics.interArrivalRegularity(ev, "user_id", "ts", "event_id",
+      minEvents = 5, cvThreshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got.keySet === Set(1L, 2L), s"user 3 below minEvents: $got")
+    assert(got(1L)._1 === 10L)
+    assert(got(1L)._2 === 0.0 && got(1L)._3, s"metronome cv=0: ${got(1L)}")
+    assert(got(2L)._2 > 1.0 && !got(2L)._3, s"bursty cv>1: ${got(2L)}")
+  }
+
+  test("edit-distance near-dup: light edits found across a bucket boundary, " +
+    "each pair exactly once, unrelated docs excluded") {
+    import spark.implicits._
+    val a = "x" * 79  // len 79: buckets {1, 2} at bandWidth 40
+    val b = "x" * 75 + "yyyyy"  // len 80: buckets {2, 3}; prefix dist 5
+    val far = "z" * 82          // same band, distance > maxDist
+    val other = "w" * 500       // different band entirely
+    val docs = Seq((1L, a), (2L, b), (3L, far), (4L, other))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistanceNearDup(docs, "doc_id", "text",
+      prefixLen = 80, maxDist = 20, bandWidth = 40).collect()
+    assert(got.length === 1, got.mkString(","))
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    // levenshtein("x"*79, "x"*75+"yyyyy") = 5 subs over the tail + 1 insert
+    assert(r.getLong(2) <= 6L && r.getLong(2) >= 5L, r.getLong(2).toString)
+  }
 }
