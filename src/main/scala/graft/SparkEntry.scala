@@ -1596,6 +1596,36 @@ object SparkEntry {
         prefixLen = 80, maxDist = 20, bandWidth = 40)
     }),
 
+    // Beyond-reference: out-of-vocabulary rate per source vs the
+    // corpus' own top-20 token vocabulary — the tokenizer-fit
+    // diagnostic; distributed top-N, broadcast vocab, one agg.
+    "q149_oov_rate" -> ((s, dir) => {
+      graft.ops.TextOps.oovRate(
+        t(s, dir, "documents"), "source", "text", vocabSize = 20)
+    }),
+
+    // Beyond-reference: inter-arrival regularity (bot/scraper
+    // heuristic) — coefficient of variation of per-user event gaps
+    // from exact integer second sums; metronomic = cv < 0.5.
+    "q150_bot_regularity" -> ((s, dir) => {
+      graft.ops.Analytics.interArrivalRegularity(
+        events(s, dir), "user_id", "ts", "event_id",
+        minEvents = 5, cvThreshold = 0.5)
+        .orderBy(col("cv"), col("user_id")).limit(20)
+    }),
+
+    // Beyond-reference: MMR diversified retrieval (Carbonell 1998) —
+    // greedy λ·rel − (1−λ)·max-sim over the top-8 pool, k=3 picks per
+    // query; every greedy round is one aggregate + bounded joins.
+    "q151_mmr_retrieval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      graft.ops.Similarity.mmrTopK(queries, corpus,
+        poolSize = 8, k = 3, lambda = 0.7)
+    }),
+
     // Beyond-reference: cross-source QUANTILE NORMALIZATION of quality
     // scores — each doc's score maps to the pooled distribution's value
     // at its within-source rank fraction (rank machinery from
@@ -3541,6 +3571,90 @@ object SparkEntry {
                   WHERE l.doc_id < r.doc_id AND abs(l.len - r.len) <= 40)
          SELECT id_a, id_b, CAST(levenshtein(pa, pb) AS BIGINT) AS dist
          FROM cand WHERE levenshtein(pa, pb) <= 20""",
+    // top-20 vocabulary by (count DESC, token ASC); OOV = tokens left
+    // of the same boundary
+    "q149_oov_rate" ->
+      """WITH toks AS (SELECT source AS src,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               w -> w <> '')) AS tok
+           FROM documents),
+         vocab AS (SELECT tok FROM toks GROUP BY tok
+                   ORDER BY count(*) DESC, tok LIMIT 20)
+         SELECT src AS source, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE tok NOT IN (SELECT tok FROM vocab))
+             AS BIGINT) AS n_oov,
+           round(CAST(count(*) FILTER (WHERE tok NOT IN
+               (SELECT tok FROM vocab)) AS DOUBLE) / count(*), 6) AS oov_rate
+         FROM toks GROUP BY src""",
+    // per-user second-floored gaps; exact integer moment sums into the
+    // identical closed-form doubles; 20 steadiest actors
+    "q150_bot_regularity" ->
+      """WITH g AS (SELECT user_id,
+             epoch_us(ts) // 1000000 -
+               lag(epoch_us(ts) // 1000000) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+         m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(gap) AS BIGINT) AS s,
+                 CAST(sum(gap * gap) AS BIGINT) AS s2
+               FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+         c AS (SELECT user_id, k + 1 AS n_events,
+                 CAST(s AS DOUBLE) / k AS mean,
+                 sqrt(CAST(k * s2 - s * s AS DOUBLE) / (k * (k - 1))) AS sd
+               FROM m WHERE k >= 4 AND s > 0)
+         SELECT user_id, n_events, round(mean, 6) AS mean_gap_s,
+           round(sd / mean, 6) AS cv, sd / mean < 0.5 AS metronomic
+         FROM c ORDER BY round(sd / mean, 6), user_id LIMIT 20""",
+    // three unrolled greedy rounds over the top-8 pool; argmax with
+    // (score DESC, id ASC) matches max(struct(score, -id)); the λ
+    // arithmetic is forced to DOUBLE so 1.0-0.7 folds to the same bits
+    "q151_mmr_retrieval" ->
+      """WITH cand AS (
+           SELECT * FROM (
+             SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])) AS rel,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+             FROM embeddings q CROSS JOIN embeddings c
+             WHERE q.vec_id < 5)
+           WHERE rn <= 8),
+         ps AS (SELECT a.q_id, a.c_id, b.c_id AS d_id,
+                  list_cosine_similarity(CAST(va.embedding AS DOUBLE[]),
+                    CAST(vb.embedding AS DOUBLE[])) AS s
+                FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+                JOIN embeddings va ON va.vec_id = a.c_id
+                JOIN embeddings vb ON vb.vec_id = b.c_id),
+         s1 AS (SELECT q_id, c_id, rel FROM cand
+                QUALIFY row_number() OVER (PARTITION BY q_id
+                  ORDER BY rel DESC, c_id) = 1),
+         m1 AS (SELECT c.q_id, c.c_id, c.rel, ps.s AS ms
+                FROM cand c JOIN s1 ON c.q_id = s1.q_id AND c.c_id <> s1.c_id
+                JOIN ps ON ps.q_id = c.q_id AND ps.c_id = c.c_id
+                  AND ps.d_id = s1.c_id),
+         s2 AS (SELECT q_id, c_id, rel FROM m1
+                QUALIFY row_number() OVER (PARTITION BY q_id
+                  ORDER BY CAST(0.7 AS DOUBLE) * rel -
+                    (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ms DESC,
+                    c_id) = 1),
+         m2 AS (SELECT m1.q_id, m1.c_id, m1.rel, greatest(m1.ms, ps.s) AS ms
+                FROM m1 JOIN s2 ON m1.q_id = s2.q_id AND m1.c_id <> s2.c_id
+                JOIN ps ON ps.q_id = m1.q_id AND ps.c_id = m1.c_id
+                  AND ps.d_id = s2.c_id),
+         s3 AS (SELECT q_id, c_id, rel FROM m2
+                QUALIFY row_number() OVER (PARTITION BY q_id
+                  ORDER BY CAST(0.7 AS DOUBLE) * rel -
+                    (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ms DESC,
+                    c_id) = 1)
+         SELECT q_id, CAST(1 AS BIGINT) AS rank, c_id, round(rel, 3) AS rel
+           FROM s1
+         UNION ALL
+         SELECT q_id, CAST(2 AS BIGINT) AS rank, c_id, round(rel, 3) AS rel
+           FROM s2
+         UNION ALL
+         SELECT q_id, CAST(3 AS BIGINT) AS rank, c_id, round(rel, 3) AS rel
+           FROM s3""",
     // within-source rank -> pooled index ceil(r*N/n) -> pooled score;
     // the quality formula is q55's, rounded to 6 before ranking
     "q144_quantile_norm" ->

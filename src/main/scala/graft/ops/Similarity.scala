@@ -677,4 +677,63 @@ object Similarity {
       .limit(k)
       .select(col("doc_id"), col("rrf"))
   }
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    * diversified top-k: from each query's `poolSize` most-relevant
+    * candidates, greedily pick k — the first by pure relevance, each
+    * next by `λ·rel − (1−λ)·max-sim-to-already-picked`. The classic
+    * redundancy killer for retrieval-augmented sampling: near-identical
+    * top hits collapse to one representative.
+    *
+    * Every greedy round is distributed: the per-query argmax folds into
+    * one `max(struct(score, -id))` aggregate (no window over the
+    * candidate set), the picked item joins back against the bounded
+    * within-pool pairwise-similarity frame (≤ poolSize² rows per query,
+    * built once), and the running max-sim updates with a `greatest`.
+    * Ties break toward the smallest candidate id, so the selection is
+    * exactly replayable — the oracle unrolls the same k rounds in SQL.
+    */
+  def mmrTopK(
+      queries: DataFrame, // (q_id, q_vec)
+      corpus: DataFrame, // (c_id, c_vec)
+      poolSize: Int = 8,
+      k: Int = 3,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && k <= poolSize && k <= 8, s"k=$k pool=$poolSize")
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda=$lambda")
+    val cand = bruteForceTopK(queries, corpus, poolSize)
+      .select(col("q_id"), col("c_id"), col("sim").as("rel"))
+    val withVec = cand.select(col("q_id"), col("c_id"))
+      .join(corpus, Seq("c_id"))
+    val ps = withVec.select(col("q_id"), col("c_id"), col("c_vec").as("__va"))
+      .join(withVec.select(col("q_id"), col("c_id").as("d_id"),
+        col("c_vec").as("__vb")), Seq("q_id"))
+      .filter(col("c_id") =!= col("d_id"))
+      .select(col("q_id"), col("c_id"), col("d_id"),
+        cosine(col("__va"), col("__vb")).as("s"))
+    var remaining = cand.withColumn("ms", lit(0.0))
+    var out: DataFrame = null
+    for (i <- 1 to k) {
+      val score =
+        if (i == 1) col("rel")
+        else lit(lambda) * col("rel") - lit(1.0 - lambda) * col("ms")
+      val sel = remaining.withColumn("__sc", score)
+        .groupBy(col("q_id"))
+        .agg(max(struct(col("__sc").as("sc"), (-col("c_id")).as("nc"))).as("__b"))
+        .select(col("q_id"), (-col("__b.nc")).as("c_id"))
+      val picked = sel.join(cand, Seq("q_id", "c_id"))
+        .select(col("q_id"), lit(i.toLong).as("rank"), col("c_id"), col("rel"))
+      out = if (out == null) picked else out.union(picked)
+      if (i < k) {
+        remaining = remaining
+          .join(sel.withColumnRenamed("c_id", "d_id"), Seq("q_id"))
+          .filter(col("c_id") =!= col("d_id"))
+          .join(ps, Seq("q_id", "c_id", "d_id"))
+          .select(col("q_id"), col("c_id"), col("rel"),
+            greatest(col("ms"), col("s")).as("ms"))
+      }
+    }
+    out.select(col("q_id"), col("rank"), col("c_id"),
+      round(col("rel"), 3).as("rel"))
+  }
 }

@@ -711,4 +711,38 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("lp")), 4).as("avg_logprob"))
   }
+
+  /** Out-of-vocabulary rate per source against the corpus' own top-N
+    * vocabulary — the tokenizer-fit diagnostic: a source whose token
+    * mass falls outside the vocabulary the rest of the corpus would
+    * induce needs its own tokenizer budget (or is noise). The
+    * vocabulary is the `vocabSize` most frequent whitespace tokens
+    * (ties toward the lexicographically smaller token, so both engines
+    * cut the same boundary).
+    *
+    * Shape at scale: one map-side-combinable token count, a distributed
+    * top-N (orderBy+limit — never a global window), the vocabulary
+    * broadcast into a left join, then one aggregate per source. The
+    * broadcast is `vocabSize` rows by construction.
+    */
+  def oovRate(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      vocabSize: Int = 20): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize=$vocabSize")
+    val toks = docs
+      .select(col(sourceCol).as("src"),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("src").as(sourceCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__v").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
 }

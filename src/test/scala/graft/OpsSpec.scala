@@ -1821,6 +1821,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L)._2 > 1.0 && !got(2L)._3, s"bursty cv>1: ${got(2L)}")
   }
 
+  test("oov rate: vocabulary boundary is (count desc, token asc); per-source " +
+    "rates count occurrences outside it") {
+    import spark.implicits._
+    // counts: a=3, c=3, b=1 -> top-2 vocab = {a, c} (tie a<c irrelevant,
+    // boundary cuts b); s1 has 1/3 oov, s2 none
+    val docs = Seq(("s1", "a a b"), ("s2", "a c c c")).toDF("source", "text")
+    val got = TextOps.oovRate(docs, "source", "text", vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("s1") === ((3L, 1L, round6(1.0 / 3.0))), got.toString)
+    assert(got("s2") === ((4L, 0L, 0.0)), got.toString)
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("mmr: an exact duplicate of the top hit is displaced by a diverse " +
+    "candidate; ties in the first pick go to the smallest id") {
+    import spark.implicits._
+    val q = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("q_id", "q_vec")
+    // a (id 1) and b (id 2) identical, rel ~0.9; c (id 3) mirrored,
+    // rel ~0.9 but only 0.62 similar to a -> MMR round 2 must pick c
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.436f, 0.0f)),
+      (2L, Array(0.9f, 0.436f, 0.0f)),
+      (3L, Array(0.9f, -0.436f, 0.0f))).toDF("c_id", "c_vec")
+    val got = Similarity.mmrTopK(q, corpus, poolSize = 3, k = 3, lambda = 0.7)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 3L, 3L -> 2L), got.toString)
+    // pure relevance top-3 would have ranked the duplicate second
+    val pure = Similarity.bruteForceTopK(q, corpus, 3)
+      .collect().map(r => r.getLong(3) -> r.getLong(1)).toMap
+    assert(pure === Map(1L -> 1L, 2L -> 2L, 3L -> 3L), pure.toString)
+  }
+
   test("edit-distance near-dup: light edits found across a bucket boundary, " +
     "each pair exactly once, unrelated docs excluded") {
     import spark.implicits._
