@@ -1586,10 +1586,10 @@ object SparkEntry {
         .filter(abs(col("zscore")) >= 1.5)
     }),
 
-    // Beyond-reference: edit-distance near-dup pairs under length-band
-    // blocking — prefix-80 Levenshtein ≤ 20 on pairs within 40 chars of
-    // each other's length; candidates deduped before the codegen
-    // levenshtein verify.
+    // Beyond-reference: edit-distance near-dup pairs under
+    // (length-band, first-token) blocking — prefix-80 Levenshtein ≤ 20
+    // on pairs within 40 chars of each other's length sharing their
+    // first token; banded-DP codegen verify on deduped candidates.
     "q148_editdist_near_dup" -> ((s, dir) => {
       graft.ops.Dedup.editDistanceNearDup(
         t(s, dir, "documents"), "doc_id", "text",
@@ -1612,6 +1612,52 @@ object SparkEntry {
         events(s, dir), "user_id", "ts", "event_id",
         minEvents = 5, cvThreshold = 0.5)
         .orderBy(col("cv"), col("user_id")).limit(20)
+    }),
+
+    // Beyond-reference: STREAMING LSH near-dup admission — row-local
+    // md5-family MinHash band buckets (no groupBy, legal on an
+    // unbounded stream), then flatMapGroupsWithState keyed by bucket
+    // tracking the min doc_id seen; a doc is admitted iff it is the
+    // first arrival in EVERY one of its bands. Version order = doc_id
+    // order in the fixture, so the stream's "first seen" equals the
+    // batch min(doc_id) the oracle replays.
+    "q152_stream_lsh_dedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.documents_versioned")
+      val sink = "graft_q152_sink"
+      s.catalog.dropTempView(sink)
+      // startingVersion=0: replay version-by-version (commit order =
+      // doc_id order in this fixture) — the no-option snapshot path
+      // would order the initial batch's files by PATH, which is not
+      // doc_id order, and admission is order-dependent by definition
+      val src = s.readStream.format("graft").option("path", path)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1").load()
+      val buckets = graft.ops.Dedup.streamBandBuckets(src, "doc_id", "text")
+        .select(col("doc_id").cast("long"), col("band").cast("int"), col("bh"))
+        .as[(Long, Int, String)]
+      val verdicts = buckets
+        .groupByKey(r => (r._2, r._3))
+        .flatMapGroupsWithState[Long, (Long, Boolean)](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          case (_, rows, state) =>
+            val ids = rows.map(_._1).toArray
+            val minAll = math.min(state.getOption.getOrElse(Long.MaxValue), ids.min)
+            state.update(minAll)
+            ids.iterator.map(id => (id, id == minAll))
+        }
+        .toDF("doc_id", "first_in_bucket")
+      val q = verdicts.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      q.stop()
+      s.table(sink).groupBy(col("doc_id"))
+        .agg(min(col("first_in_bucket")).as("admitted"),
+          count(when(col("first_in_bucket"), 1)).as("n_first"))
     }),
 
     // Beyond-reference: MMR diversified retrieval (Carbonell 1998) —
@@ -3556,18 +3602,20 @@ object SparkEntry {
          SELECT event_type, day, n, round(mean, 6) AS trail_mean,
            round((n - mean) / sd, 6) AS zscore
          FROM z WHERE abs(round((n - mean) / sd, 6)) >= 1.5""",
-    // each doc enters its length bucket and the next; dedup pairs, then
-    // one levenshtein per pair on the 80-char prefixes
+    // each doc enters its length bucket and the next, keyed also by its
+    // first token; dedup pairs, then one levenshtein per pair on the
+    // 80-char prefixes
     "q148_editdist_near_dup" ->
       """WITH b AS (SELECT doc_id, substr(text, 1, 80) AS p,
+                      string_split(text, ' ')[1] AS w1,
                       CAST(length(text) AS BIGINT) AS len
                     FROM documents),
-         bk AS (SELECT doc_id, p, len, len // 40 AS bkt FROM b
+         bk AS (SELECT doc_id, p, w1, len, len // 40 AS bkt FROM b
                 UNION ALL
-                SELECT doc_id, p, len, len // 40 + 1 AS bkt FROM b),
+                SELECT doc_id, p, w1, len, len // 40 + 1 AS bkt FROM b),
          cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
                     l.p AS pa, r.p AS pb
-                  FROM bk l JOIN bk r ON l.bkt = r.bkt
+                  FROM bk l JOIN bk r ON l.bkt = r.bkt AND l.w1 = r.w1
                   WHERE l.doc_id < r.doc_id AND abs(l.len - r.len) <= 40)
          SELECT id_a, id_b, CAST(levenshtein(pa, pb) AS BIGINT) AS dist
          FROM cand WHERE levenshtein(pa, pb) <= 20""",
@@ -3605,6 +3653,40 @@ object SparkEntry {
          SELECT user_id, n_events, round(mean, 6) AS mean_gap_s,
            round(sd / mean, 6) AS cv, sd / mean < 0.5 AS metronomic
          FROM c ORDER BY round(sd / mean, 6), user_id LIMIT 20""",
+    // the same md5-family banding as q93's oracle; a doc is admitted
+    // iff it is min(doc_id) in every one of its 8 band buckets — the
+    // batch replay of the stream's first-arrival state
+    "q152_stream_lsh_dedup" ->
+      """WITH sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                                         CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h1,
+             ('0x' || substr(md5(sh), 13, 12))::BIGINT AS h2
+           FROM (SELECT doc_id, unnest(fset) AS sh FROM sets)),
+         hs AS (
+           SELECT doc_id, j, min(h1 + j * h2) AS h
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS j) js
+           GROUP BY doc_id, j),
+         bands AS (
+           SELECT doc_id, CAST(j // 4 AS INT) AS band,
+             string_agg(CAST(h AS VARCHAR), ',' ORDER BY j) AS bh
+           FROM hs GROUP BY doc_id, CAST(j // 4 AS INT)),
+         firsts AS (
+           SELECT band, bh, min(doc_id) AS first_id
+           FROM bands GROUP BY band, bh)
+         SELECT b.doc_id,
+           bool_and(b.doc_id = f.first_id) AS admitted,
+           CAST(count(*) FILTER (WHERE b.doc_id = f.first_id) AS BIGINT)
+             AS n_first
+         FROM bands b JOIN firsts f ON b.band = f.band AND b.bh = f.bh
+         GROUP BY b.doc_id""",
     // three unrolled greedy rounds over the top-8 pool; argmax with
     // (score DESC, id ASC) matches max(struct(score, -id)); the λ
     // arithmetic is forced to DOUBLE so 1.0-0.7 folds to the same bits

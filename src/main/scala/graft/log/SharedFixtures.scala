@@ -85,6 +85,28 @@ object SharedFixtures {
       }
     }
 
+    // documents_versioned: 4 commits split by doc_id quartiles, ONE
+    // file per version → streaming-dedup fixture. Version order = doc_id
+    // order and a file is never split across micro-batches, so whatever
+    // the trigger size, no batch ever sees a doc_id before a smaller one
+    // from an earlier version — a stream's "first seen in bucket" equals
+    // the batch min(doc_id).
+    buildIfMissing(root, "documents_versioned") { path =>
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n = d.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+        .collect().head.getLong(0) + 1
+      val quarters = Seq(0L, n / 4, n / 2, 3 * n / 4, n)
+      TableBuilder.create(spark,
+        d.filter(col("doc_id") < quarters(1)).coalesce(1), path,
+        name = "documents_versioned")
+      (1 to 3).foreach { i =>
+        TableBuilder.append(spark,
+          d.filter(col("doc_id") >= quarters(i) && col("doc_id") < quarters(i + 1))
+            .coalesce(1),
+          path, timestamp = i * 1000L)
+      }
+    }
+
     // orders_cdf: CDF-enabled table with insert/insert/delete/update
     // history, all derived deterministically from the orders fixture.
     buildIfMissing(root, "orders_cdf") { path =>
@@ -196,7 +218,7 @@ object SharedFixtures {
 
     Seq("lineitem", "orders", "orders_versioned", "events", "orders_cdf",
       "orders_delta", "part_delta", "nation_dv", "nation_dv_cdf", "customer_cm",
-      "supplier_compacted").foreach { t =>
+      "supplier_compacted", "documents_versioned").foreach { t =>
       GraftCatalog.register(s"$SHARE.$t", s"$root/$t")
     }
     built += root

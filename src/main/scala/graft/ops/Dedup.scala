@@ -1022,24 +1022,69 @@ object Dedup {
           st -> concat(st.kept,
             substring(text, st.cur + 1, length(text) - st.cur)))"""
 
-  /** Edit-distance near-duplicate pairs under length-band blocking —
-    * the record-linkage classic: pairs whose PREFIXES (first
-    * `prefixLen` chars) are within Levenshtein distance `maxDist`,
-    * restricted to documents whose lengths differ by at most
-    * `bandWidth` (a necessary condition for full-string distance ≤
-    * bandWidth, and the standard cheap block for "same document,
-    * light edits"). Each document enters its length bucket and the
-    * next one up, so every pair within `bandWidth` shares a bucket;
-    * candidate pairs are deduped BEFORE the quadratic Levenshtein
-    * verify runs, and the verify itself is Spark's codegen
-    * `levenshtein` on bounded prefixes — O(prefixLen²) per pair, no
-    * UDF.
+  /** ROW-LOCAL MinHash band buckets — the streaming-safe variant of
+    * [[minHashCandidates]]'s banding: every per-document value folds
+    * inside the row (distinct shingles → per-seed min-hash → band
+    * digest), so the computation is a pure projection with NO groupBy —
+    * legal on an unbounded stream, where [[minHashSignatures]]'s
+    * shingle-explode + groupBy would become a streaming aggregation.
     *
-    * Shape at scale: one bucket equi-join (2 rows per doc), distinct,
-    * then a codegen scan over the candidates. Length buckets can be
-    * hot (every web page is ~2 KB); production blocking composes this
-    * with a content key — e.g. one [[simHashBuckets]] band — to split
-    * hot buckets without losing recall.
+    * The hash family is the md5-split double-hash h₁(sh) + j·h₂(sh)
+    * (h₁/h₂ = the two 48-bit halves of md5), deliberately chosen over
+    * xxhash64 because an external SQL engine can replay it bit-for-bit
+    * — bucket identity IS the admission semantics downstream, unlike
+    * the batch cascade where a jaccard verify launders any hash-family
+    * difference. Band digest = the comma-joined row hashes in seed
+    * order.
+    *
+    * Returns one row per (id, band 0..bands-1, bh digest).
+    */
+  def streamBandBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    // bind the (h1, h2) pairs once per row; each of the 32 seeds then
+    // re-scans only precomputed longs, not 64 md5 evaluations/shingle
+    val pairs = element_at(transform(
+      array(array_distinct(shingles(col(textCol), shingleSize))), fs =>
+        transform(fs, sh => struct(
+          conv(substring(md5(sh), 1, 12), 16, 10).cast("long").as("h1"),
+          conv(substring(md5(sh), 13, 12), 16, 10).cast("long").as("h2")))), 1)
+    val mins = element_at(transform(array(pairs), ps =>
+      transform(sequence(lit(0), lit(numHashes - 1)), j =>
+        array_min(transform(ps, p =>
+          p.getField("h1") + j * p.getField("h2"))))), 1)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (b * rows until (b + 1) * rows).map(j =>
+          element_at(col("__hs"), j + 1).cast("string")): _*).as("bh"))
+    }
+    docs.withColumn("__hs", mins)
+      .select(col(idCol), explode(array(bandCols: _*)).as("__b"))
+      .select(col(idCol), col("__b.band").as("band"), col("__b.bh").as("bh"))
+  }
+
+  /** Edit-distance near-duplicate pairs under (length-band, first-token)
+    * blocking — the record-linkage classic: pairs whose PREFIXES (first
+    * `prefixLen` chars) are within Levenshtein distance `maxDist`,
+    * restricted to documents that share their first whitespace token
+    * and whose lengths differ by at most `bandWidth`. The length bound
+    * is sound (a necessary condition for full-string distance ≤
+    * bandWidth); the first-token key is the standard cheap CONTENT key
+    * that splits hot length buckets — without it every same-length pair
+    * is a candidate and the verify goes quadratic in corpus size (a
+    * pair whose very first token was edited evades this block; a second
+    * pass keyed differently recovers those, the usual multi-pass
+    * blocking discipline). Each document enters its length bucket and
+    * the next one up, so every pair within `bandWidth` shares a bucket;
+    * candidates are deduped BEFORE the Levenshtein verify, and the
+    * verify is Spark's codegen banded `levenshtein(l, r, threshold)` —
+    * O(prefixLen·maxDist) per pair, no UDF.
     */
   def editDistanceNearDup(
       docs: DataFrame,
@@ -1052,21 +1097,23 @@ object Dedup {
       s"$prefixLen/$maxDist/$bandWidth")
     val base = docs.select(col(idCol).as("__id"),
       substring(col(textCol), 1, prefixLen).as("__p"),
+      split(col(textCol), " ").getItem(0).as("__w1"),
       length(col(textCol)).cast("long").as("__len"))
     val bucketed = base
       .withColumn("__bkt", explode(array(
         expr(s"__len div $bandWidth"), expr(s"__len div $bandWidth + 1"))))
-    val l = bucketed.select(col("__bkt"), col("__id").as("id_a"),
+    val l = bucketed.select(col("__bkt"), col("__w1"), col("__id").as("id_a"),
       col("__p").as("__pa"), col("__len").as("__la"))
-    val r = bucketed.select(col("__bkt"), col("__id").as("id_b"),
+    val r = bucketed.select(col("__bkt"), col("__w1"), col("__id").as("id_b"),
       col("__p").as("__pb"), col("__len").as("__lb"))
-    l.join(r, Seq("__bkt"))
+    l.join(r, Seq("__bkt", "__w1"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("__la") - col("__lb")) <= bandWidth)
       .select(col("id_a"), col("id_b"), col("__pa"), col("__pb"))
       .distinct()
-      .withColumn("dist", levenshtein(col("__pa"), col("__pb")))
-      .filter(col("dist") <= maxDist)
+      // banded DP: cost O(prefixLen·maxDist), returns -1 past the bound
+      .withColumn("dist", levenshtein(col("__pa"), col("__pb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 }

@@ -221,6 +221,73 @@ object ScaleProbe {
             rep, "user_id", "event_type", "event_id", "event_id"),
           k = 3, rounds = 3).count()
       }),
+      // three LPA rounds over disjoint event copies — per round one
+      // equi-join + two combinable aggs; expect ~linear + round latency
+      "q146_label_prop" -> (k => {
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          .select(col("user_id"), col("event_type"), col("event_id"))
+        val rep = (0 until k).map(c => ev.select(
+          (col("user_id") + lit(c.toLong * 100000000L)).as("user_id"),
+          concat(col("event_type"), lit("_" + c)).as("event_type"),
+          col("event_id"))).reduce(_ unionByName _)
+        graft.ops.Analytics.labelPropagation(
+          graft.ops.Analytics.interactionEdges(
+            rep, "user_id", "event_type", "event_id", "event_id"),
+          rounds = 3).count()
+      }),
+      // per-copy event types: groups grow k-fold, windows stay bounded;
+      // ts synthesized from event_id (30-day cycle) to sidestep the
+      // parquet ts-codec variance in a timing harness
+      "q147_volume_anomaly" -> (k => {
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          .select(col("user_id"), col("event_type"), col("event_id"))
+        val rep = (0 until k).map(c => ev.select(
+          concat(col("event_type"), lit("_" + c)).as("event_type"),
+          timestamp_seconds(pmod(col("event_id"), lit(30L)) * 86400L +
+            col("user_id")).as("ts"))).reduce(_ unionByName _)
+        graft.ops.Analytics.countAnomalies(rep, "event_type", "ts",
+          trailing = 7, minTrail = 3).count()
+      }),
+      // (length-band, first-token) blocking: the salt rewrites every
+      // token, so copies never share a first token — candidates stay
+      // per-copy and the verify should scale ~linearly (length-only
+      // blocking measured 14 s/k=1 and k^2 candidates here before the
+      // content key landed)
+      "q148_editdist" -> (k =>
+        graft.ops.Dedup.editDistanceNearDup(docs(k), "doc_id", "text",
+          prefixLen = 80, maxDist = 20, bandWidth = 40).count()),
+      // token count + fixed top-N + broadcast-vocab join — expect ~linear
+      // (the salt grows the vocabulary k-fold, the worst case)
+      "q149_oov_rate" -> (k =>
+        graft.ops.TextOps.oovRate(
+          docs(k).withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(16)))),
+          "source", "text", vocabSize = 20).count()),
+      // per-user lag window + one combinable agg over disjoint user
+      // copies — expect ~linear
+      "q150_regularity" -> (k => {
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          .select(col("user_id"), col("event_id"))
+        val rep = (0 until k).map(c => ev.select(
+          (col("user_id") + lit(c.toLong * 100000000L)).as("user_id"),
+          timestamp_seconds(col("event_id") * 7L +
+            pmod(col("user_id"), lit(13L))).as("ts"),
+          col("event_id"))).reduce(_ unionByName _)
+        graft.ops.Analytics.interArrivalRegularity(
+          rep, "user_id", "ts", "event_id", minEvents = 5).count()
+      }),
+      // pool build is one broadcast-queries scan over a k-fold corpus;
+      // the greedy rounds touch only the fixed per-query pools
+      "q151_mmr" -> (k => {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val corpus = (0 until k).map(c => emb.select(
+          (col("vec_id") + lit(c.toLong * 100000000L)).as("c_id"),
+          col("embedding").as("c_vec"))).reduce(_ unionByName _)
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        graft.ops.Similarity.mmrTopK(queries, corpus,
+          poolSize = 8, k = 3, lambda = 0.7).count()
+      }),
       // k fixed scan rounds over a k-fold corpus — expect ~linear
       "q137_kcenter" -> (k => {
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -1859,18 +1859,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("edit-distance near-dup: light edits found across a bucket boundary, " +
     "each pair exactly once, unrelated docs excluded") {
     import spark.implicits._
-    val a = "x" * 79  // len 79: buckets {1, 2} at bandWidth 40
-    val b = "x" * 75 + "yyyyy"  // len 80: buckets {2, 3}; prefix dist 5
-    val far = "z" * 82          // same band, distance > maxDist
-    val other = "w" * 500       // different band entirely
-    val docs = Seq((1L, a), (2L, b), (3L, far), (4L, other))
+    val a = "alpha " + "x" * 73            // len 79: buckets {1, 2}
+    val b = "alpha " + "x" * 69 + "yyyyy"  // len 80: buckets {2, 3}; dist 5-6
+    val far = "alpha " + "z" * 76          // same block, distance > maxDist
+    val other = "alpha " + "w" * 494       // different band entirely
+    val w1diff = "beta " + "x" * 74        // len 79 near-dup of a, but the
+                                           // first token was edited: the
+                                           // block misses it BY CONTRACT
+    val docs = Seq((1L, a), (2L, b), (3L, far), (4L, other), (5L, w1diff))
       .toDF("doc_id", "text")
     val got = Dedup.editDistanceNearDup(docs, "doc_id", "text",
       prefixLen = 80, maxDist = 20, bandWidth = 40).collect()
     assert(got.length === 1, got.mkString(","))
     val r = got.head
     assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
-    // levenshtein("x"*79, "x"*75+"yyyyy") = 5 subs over the tail + 1 insert
+    // 4 tail subs + 1 insert, give or take alignment
     assert(r.getLong(2) <= 6L && r.getLong(2) >= 5L, r.getLong(2).toString)
   }
 }

@@ -345,4 +345,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> (r.getLong(1), math.round(r.getDouble(2)))).toMap
     assert(maintained === recomputed)
   }
+
+  test("streaming LSH admission: cross-version duplicates rejected, the " +
+    "first arrival kept, per-bucket state carried across micro-batches") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("lsh_stream").toString
+    val mk = (id: Long, text: String) => (id, text)
+    val dup = "the quick brown fox jumps over the lazy dog again and again tonight"
+    // v0: originals; v1: an exact dup of doc 1 plus a fresh doc;
+    // v2: another dup of doc 1 — both dups must be rejected
+    TableBuilder.create(spark,
+      Seq(mk(1L, dup), mk(2L, "completely different content about spark " +
+        "engines and shuffle partitions for testing")).toDF("doc_id", "text")
+        .coalesce(1), base, name = "lsh_stream")
+    TableBuilder.append(spark,
+      Seq(mk(3L, dup), mk(4L, "a third unrelated document mentioning " +
+        "parquet files and column pruning at scale")).toDF("doc_id", "text")
+        .coalesce(1), base, timestamp = 1000L)
+    TableBuilder.append(spark,
+      Seq(mk(5L, dup)).toDF("doc_id", "text").coalesce(1),
+      base, timestamp = 2000L)
+
+    val src = spark.readStream.format("graft").option("path", base)
+      .option("startingVersion", "0").option("maxFilesPerTrigger", "1").load()
+    val buckets = graft.ops.Dedup.streamBandBuckets(src, "doc_id", "text")
+      .select(col("doc_id").cast("long"), col("band").cast("int"), col("bh"))
+      .as[(Long, Int, String)]
+    val verdicts = buckets.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Long, (Long, Boolean)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val ids = rows.map(_._1).toArray
+          val minAll = math.min(state.getOption.getOrElse(Long.MaxValue), ids.min)
+          state.update(minAll)
+          ids.iterator.map(id => (id, id == minAll))
+      }.toDF("doc_id", "first_in_bucket")
+    val q = verdicts.writeStream.format("memory").queryName("t_lsh")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val admitted = spark.table("t_lsh").groupBy(col("doc_id"))
+      .agg(min(col("first_in_bucket")).as("admitted"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(admitted === Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false), admitted.toString)
+  }
 }
