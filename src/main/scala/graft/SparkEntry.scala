@@ -428,6 +428,8 @@ object SparkEntry {
         .join(assets.toDF().select(col("asset_id"), col("meta.nBytes").as("nb")), "asset_id")
         .withColumn("denom",
           when(col("format").isin("png", "bmp"), lit(npix))
+            .when(col("format") === "wav",
+              lit(graft.ops.Multimodal.WAV_SAMPLES.toLong))
             .otherwise(greatest(col("nb"), lit(1L))))
         .groupBy(col("format"))
         .agg(count(lit(1)).as("n_assets"),
@@ -1660,6 +1662,23 @@ object SparkEntry {
           count(when(col("first_in_bucket"), 1)).as("n_first"))
     }),
 
+    // Beyond-reference: REAL audio resample — RIFF/WAVE PCM decoded via
+    // the JDK sampled-audio stack, decimated by 2 (explicit frame
+    // sampling, the audio twin of q135's nearest-neighbor resize),
+    // re-encoded, and re-decoded for the mean-amplitude witness the
+    // oracle recomputes from the deterministic sample generator.
+    "q153_audio_resample" -> ((s, dir) => {
+      import s.implicits._
+      val assets = graft.ops.Multimodal.toAssets(t(s, dir, "documents"))
+      graft.ops.Multimodal.resampleAssets(assets, stride = 2)
+        .filter(col("meta.format") === "wav")
+        .map(a => (a.asset_id, a.meta.height.toLong,
+          graft.ops.Multimodal.meanAmplitude(a.payload)))
+        .toDF("asset_id", "n_frames", "m")
+        .select(col("asset_id"), col("n_frames"),
+          round(col("m"), 4).as("mean_amp"))
+    }),
+
     // Beyond-reference: MMR diversified retrieval (Carbonell 1998) —
     // greedy λ·rel − (1−λ)·max-sim over the top-8 pool, k=3 picks per
     // query; every greedy round is one aggregate + bounded joins.
@@ -2692,6 +2711,9 @@ object SparkEntry {
                  y -> list_transform(range(0, 8),
                    x -> (doc_id * 31 + x * 7 + y * 13) % 256))),
                  v -> v % 16 = 0))
+             WHEN doc_id % 4 = 2 THEN
+               len(list_filter(range(0, 64),
+                 i -> (doc_id * 31 + i * 7) % 65536 // 4096 = 0))
              ELSE
                len(list_filter(range(1, octet_length(encode(text)) + 1),
                  i -> substr(hex(encode(text)), CAST(2 * i AS INT), 1) = '0'))
@@ -3687,6 +3709,15 @@ object SparkEntry {
              AS n_first
          FROM bands b JOIN firsts f ON b.band = f.band AND b.bh = f.bh
          GROUP BY b.doc_id""",
+    // every kept frame of the decimated wav is sample u(2i) of the
+    // deterministic generator; the mean is an exact integer sum over a
+    // power-of-two divisor
+    "q153_audio_resample" ->
+      """SELECT doc_id AS asset_id, CAST(32 AS BIGINT) AS n_frames,
+           round(CAST(list_sum(list_transform(range(0, 32),
+             i -> (doc_id * 31 + i * 14) % 65536)) AS DOUBLE) / 32, 4)
+             AS mean_amp
+         FROM documents WHERE doc_id % 4 = 2""",
     // three unrolled greedy rounds over the top-8 pool; argmax with
     // (score DESC, id ASC) matches max(struct(score, -id)); the λ
     // arithmetic is forced to DOUBLE so 1.0-0.7 folds to the same bits

@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, plus batched decode / feature-extract /
   * frame-sample operators.
   *
-  * The image path is REAL: png/bmp payloads are actual encoded images
-  * (JDK `javax.imageio` — no external dependency) and `decodePayload`
-  * decodes them back to pixels for the feature histogram; because both
-  * codecs are lossless, the pixel-derived features are exactly
-  * predictable from the deterministic pixel generator, which is what the
-  * q31 oracle recomputes in SQL. Audio/video codecs do not ship in the
-  * JDK, so wav/mp4 payloads remain opaque bytes scored by the
-  * byte-histogram fallback — the documented stub boundary.
+  * The image AND audio paths are REAL: png/bmp payloads are actual
+  * encoded images (JDK `javax.imageio`) and wav payloads are actual
+  * RIFF/WAVE 16-bit PCM streams (JDK `javax.sound.sampled`) — no
+  * external dependency either way — and `decodePayload` decodes them
+  * back to pixels/samples for the feature histogram; because both
+  * codecs are lossless, the decoded features are exactly predictable
+  * from the deterministic pixel/sample generators, which is what the
+  * q31 oracle recomputes in SQL. Video codecs do not ship in the JDK,
+  * so mp4 payloads remain opaque bytes scored by the byte-histogram
+  * fallback — the one remaining documented stub boundary.
   */
 object Multimodal {
 
@@ -56,9 +58,44 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Audio assets are WAV_SAMPLES 16-bit mono PCM samples at WAV_RATE Hz,
+    * unsigned sample value u(i) = (id·31 + i·7) mod 65536 (stored as the
+    * signed short u − 32768) — deterministic so an engine-free oracle
+    * can recompute the decoded features, exactly like [[pixelValue]].
+    */
+  val WAV_RATE = 8000f
+  val WAV_SAMPLES = 64
+
+  private[graft] def sampleValue(id: Long, i: Int): Int =
+    ((((id * 31 + i * 7) % 65536) + 65536) % 65536).toInt
+
+  /** Encode the deterministic waveform for `id` as a real RIFF/WAVE
+    * byte stream via the JDK's sampled-audio stack.
+    */
+  private[graft] def encodeWav(id: Long): Array[Byte] = {
+    val pcm = new Array[Byte](WAV_SAMPLES * 2)
+    var i = 0
+    while (i < WAV_SAMPLES) {
+      val s = sampleValue(id, i) - 32768 // signed 16-bit
+      pcm(2 * i) = (s & 0xFF).toByte // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      WAV_RATE, 16, 1, true, false) // 16-bit signed mono little-endian
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, WAV_SAMPLES.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Assets derived from the documents fixture: doc_id picks the format
     * round-robin; png/bmp assets carry a REAL encoded image payload,
-    * wav/mp4 carry the utf-8 text as opaque bytes (no JDK codec).
+    * wav a REAL RIFF/WAVE PCM payload (width/height carry the sample
+    * rate and frame count), mp4 the utf-8 text as opaque bytes (no JDK
+    * video codec).
     */
   def toAssets(docs: DataFrame): Dataset[Asset] = {
     val spark = docs.sparkSession
@@ -70,10 +107,12 @@ object Multimodal {
           val format = formats(((docId % formats.size) + formats.size).toInt % formats.size)
           val payload = format match {
             case "png" | "bmp" => encodeImage(docId, format)
+            case "wav" => encodeWav(docId)
             case _ => text.getBytes("UTF-8")
           }
           val (w, h) = format match {
             case "png" | "bmp" => (IMG_W, IMG_H)
+            case "wav" => (WAV_RATE.toInt, WAV_SAMPLES)
             case _ => ((nChars % 640).toInt, (nChars % 480).toInt)
           }
           Asset(docId, payload, AssetMeta(format, w, h, payload.length.toLong))
@@ -85,15 +124,40 @@ object Multimodal {
     b.length > 4 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
   private def isBmp(b: Array[Byte]): Boolean =
     b.length > 2 && b(0) == 'B' && b(1) == 'M'
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
   /** Decode a payload to a `dim`-bucket L1-normalized histogram.
     * png/bmp: REAL pixel decode via ImageIO, bucketed on the gray value.
-    * Anything else: byte histogram — the stub fallback for codecs the
-    * JDK doesn't ship (audio/video).
+    * wav: REAL PCM decode via the JDK sampled-audio stack, bucketed on
+    * the unsigned 16-bit amplitude (bucket = u·dim/65536). Anything
+    * else: byte histogram — the stub fallback for codecs the JDK
+    * doesn't ship (video).
     */
   def decodePayload(payload: Array[Byte], dim: Int): Array[Float] = {
     val hist = new Array[Float](dim)
-    if (isPng(payload) || isBmp(payload)) {
+    if (isWav(payload)) {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = ais.getFormat
+        require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+          !f.isBigEndian, s"unexpected wav layout: $f")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)) // signed
+          val u = s + 32768
+          hist((u.toLong * dim / 65536).toInt) += 1f
+          i += 1
+        }
+        val total = math.max(n, 1).toFloat
+        var j = 0
+        while (j < dim) { hist(j) /= total; j += 1 }
+      } finally ais.close()
+    } else if (isPng(payload) || isBmp(payload)) {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       require(img != null, "ImageIO failed to decode an image payload")
       val (w, h) = (img.getWidth, img.getHeight)
@@ -179,6 +243,80 @@ object Multimodal {
         } else a
       }
     }
+  }
+
+  /** Audio resample by integer decimation: keep every `stride`-th PCM
+    * frame and re-encode as RIFF/WAVE at rate/stride — EXPLICIT frame
+    * sampling (no low-pass interpolation), the audio twin of
+    * [[resizeImage]]'s nearest-neighbor rule, so the output samples are
+    * a pure integer function of the source and an engine-free oracle
+    * can recompute them.
+    */
+  def resampleWav(payload: Array[Byte], stride: Int): Array[Byte] = {
+    require(stride >= 1, s"stride=$stride")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+        !f.isBigEndian, s"unexpected wav layout: $f")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val kept = (n + stride - 1) / stride
+      val pcm = new Array[Byte](kept * 2)
+      var i = 0
+      while (i < kept) {
+        pcm(2 * i) = bytes(2 * i * stride)
+        pcm(2 * i + 1) = bytes(2 * i * stride + 1)
+        i += 1
+      }
+      val outFmt = new javax.sound.sampled.AudioFormat(
+        f.getSampleRate / stride, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), outFmt, kept.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    } finally ais.close()
+  }
+
+  /** Batched resample over audio assets (images/video pass through):
+    * per-partition codec shape as [[extractFeatures]], metadata updated
+    * to the decimated rate/frames. One scan, no shuffle.
+    */
+  def resampleAssets(assets: Dataset[Asset], stride: Int): Dataset[Asset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        if (a.meta.format == "wav") {
+          val p = resampleWav(a.payload, stride)
+          Asset(a.asset_id, p, AssetMeta("wav", a.meta.width / stride,
+            (a.meta.height + stride - 1) / stride, p.length.toLong))
+        } else a
+      }
+    }
+  }
+
+  /** Mean unsigned 16-bit amplitude of a decoded wav payload — the
+    * exactness witness for resample tests/oracles (integer sample sum,
+    * one exact double divide).
+    */
+  def meanAmplitude(payload: Array[Byte]): Double = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        sum += ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)) + 32768
+        i += 1
+      }
+      sum.toDouble / math.max(n, 1)
+    } finally ais.close()
   }
 
   /** Mean gray value of a decoded image payload — the exactness witness

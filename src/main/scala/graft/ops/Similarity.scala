@@ -703,8 +703,11 @@ object Similarity {
     require(lambda > 0.0 && lambda <= 1.0, s"lambda=$lambda")
     val cand = bruteForceTopK(queries, corpus, poolSize)
       .select(col("q_id"), col("c_id"), col("sim").as("rel"))
-    val withVec = cand.select(col("q_id"), col("c_id"))
-      .join(corpus, Seq("c_id"))
+    // explicit broadcast: the candidate-key frame is |queries|·poolSize
+    // rows but DERIVED (no planner stats), so without the hint the
+    // static threshold never fires and the corpus would shuffle on c_id
+    val withVec = corpus.join(
+      broadcast(cand.select(col("q_id"), col("c_id"))), Seq("c_id"))
     val ps = withVec.select(col("q_id"), col("c_id"), col("c_vec").as("__va"))
       .join(withVec.select(col("q_id"), col("c_id").as("d_id"),
         col("c_vec").as("__vb")), Seq("q_id"))

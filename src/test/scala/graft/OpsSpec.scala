@@ -250,6 +250,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.toSeq === expected.toSeq,
         s"$fmt decode must reproduce the generator histogram")
     }
+    // wav payloads are REAL RIFF/WAVE PCM (JDK sampled-audio): the
+    // decoded-amplitude histogram must equal the deterministic sample
+    // generator's histogram exactly (16-bit lossless round-trip); all
+    // counts are multiples of 1/64, so float equality is exact
+    val wavId = 2L
+    assert(assets.filter(col("asset_id") === wavId)
+      .collect().head.meta.format === "wav")
+    val gotW = feats.filter(col("asset_id") === wavId).collect().head.features
+    val expW = new Array[Float](16)
+    for (i <- 0 until Multimodal.WAV_SAMPLES)
+      expW(Multimodal.sampleValue(wavId, i) * 16 / 65536) +=
+        1f / Multimodal.WAV_SAMPLES
+    assert(gotW.toSeq === expW.toSeq,
+      "wav decode must reproduce the generator histogram")
     feats.unpersist()
   }
 
@@ -277,6 +291,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     assert(resized.exists(a => a.meta.format == "png") &&
       resized.exists(a => a.meta.format == "wav"))
+  }
+
+  test("audio resample: decimation keeps even frames, halves the rate, " +
+    "round-trips losslessly, non-audio passes through") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val assets = Multimodal.toAssets(docs)
+    val res = Multimodal.resampleAssets(assets, stride = 2).collect()
+    res.filter(_.meta.format == "wav").foreach { a =>
+      assert(a.meta.width === Multimodal.WAV_RATE.toInt / 2)
+      assert(a.meta.height === Multimodal.WAV_SAMPLES / 2)
+      // mean amplitude == mean of the generator at even sample indices
+      val expect = (0 until Multimodal.WAV_SAMPLES / 2)
+        .map(i => Multimodal.sampleValue(a.asset_id, 2 * i).toLong).sum
+        .toDouble / (Multimodal.WAV_SAMPLES / 2)
+      assert(Multimodal.meanAmplitude(a.payload) === expect,
+        s"asset ${a.asset_id}")
+    }
+    val orig = assets.collect().map(a => a.asset_id -> a).toMap
+    res.filter(_.meta.format != "wav").foreach { a =>
+      assert(a.payload.toSeq === orig(a.asset_id).payload.toSeq)
+    }
+    assert(res.exists(_.meta.format == "wav"))
   }
 
   test("bpe tokens: contractions, digits, punctuation, empty text") {
@@ -1819,6 +1855,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L)._1 === 10L)
     assert(got(1L)._2 === 0.0 && got(1L)._3, s"metronome cv=0: ${got(1L)}")
     assert(got(2L)._2 > 1.0 && !got(2L)._3, s"bursty cv>1: ${got(2L)}")
+  }
+
+  test("new-wave op plan shapes: LPA/edit-distance/anomaly joins stay " +
+    "hash-partitioned, MMR broadcasts candidate keys into the corpus scan") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val lpa = planOf(Analytics.labelPropagation(edges, rounds = 2))
+    assert(!lpa.contains("CartesianProduct") &&
+      !lpa.contains("BroadcastNestedLoopJoin"), lpa.take(2000))
+    val ed = planOf(Dedup.editDistanceNearDup(docs, "doc_id", "text"))
+    assert(!ed.contains("CartesianProduct") &&
+      !ed.contains("BroadcastNestedLoopJoin"), ed.take(2000))
+    // MMR: the only nested-loop leg is the intended
+    // crossJoin(broadcast(queries)) of the pool build; the candidate-key
+    // joins against the corpus must be broadcast-hash, never a shuffle
+    // of the corpus on c_id
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val mmr = planOf(Similarity.mmrTopK(queries, corpus, poolSize = 4, k = 2))
+    assert(mmr.contains("BroadcastHashJoin"), mmr.take(2000))
+    assert(!mmr.contains("CartesianProduct"), mmr.take(2000))
+    // OOV: vocabulary cut is a distributed top-N (TakeOrdered), never a
+    // single-partition global window; the vocab join broadcasts
+    val oov = planOf(TextOps.oovRate(docs, "source", "text", vocabSize = 5))
+    assert(oov.contains("TakeOrderedAndProject"), oov.take(2000))
+    assert(oov.contains("Broadcast"), oov.take(2000))
   }
 
   test("oov rate: vocabulary boundary is (count desc, token asc); per-source " +
