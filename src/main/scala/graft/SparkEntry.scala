@@ -1679,6 +1679,32 @@ object SparkEntry {
           round(col("m"), 4).as("mean_amp"))
     }),
 
+    // Beyond-reference: hard-negative mining for contrastive training —
+    // per query the 3 most-similar vectors with a DIFFERENT label;
+    // broadcast-queries scan, label filter before the top-k cut.
+    "q154_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      val corpus = emb.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_vec"), col("label").as("c_label"))
+      graft.ops.Similarity.hardNegatives(queries, corpus, k = 3)
+    }),
+
+    // Beyond-reference: kNN label audit (Confident-Learning-style
+    // mislabel screen) — majority label among the 5 nearest neighbors,
+    // suspect where the neighborhood disagrees with the stored label.
+    "q155_knn_label_audit" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      val corpus = emb.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_vec"), col("label").as("c_label"))
+      graft.ops.Similarity.knnLabelAudit(queries, corpus, k = 5)
+    }),
+
     // Beyond-reference: MMR diversified retrieval (Carbonell 1998) —
     // greedy λ·rel − (1−λ)·max-sim over the top-8 pool, k=3 picks per
     // query; every greedy round is one aggregate + bounded joins.
@@ -3709,6 +3735,40 @@ object SparkEntry {
              AS n_first
          FROM bands b JOIN firsts f ON b.band = f.band AND b.bh = f.bh
          GROUP BY b.doc_id""",
+    // same cross-join + rank spelling as q29, label-filtered before the
+    // rank cut
+    "q154_hard_negatives" ->
+      """SELECT q_id, rank, c_id, c_label, round(sim, 3) AS sim FROM (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS c_label,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS sim,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id)
+               AS BIGINT) AS rank
+           FROM embeddings q CROSS JOIN embeddings c
+           WHERE q.vec_id < 5 AND c.label <> q.label)
+         WHERE rank <= 3""",
+    // top-5 neighborhood (self excluded), then the majority label with
+    // (freq DESC, label ASC) — the same tie-break as max(struct(f, -l))
+    "q155_knn_label_audit" ->
+      """WITH nn AS (
+           SELECT * FROM (
+             SELECT q.vec_id AS q_id, q.label AS q_label, c.label AS c_label,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+             FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id < 50)
+           WHERE rn <= 5),
+         f AS (SELECT q_id, q_label, c_label, count(*) AS f
+               FROM nn GROUP BY 1, 2, 3),
+         m AS (SELECT q_id, q_label, c_label FROM f
+               QUALIFY row_number() OVER (PARTITION BY q_id
+                 ORDER BY f DESC, c_label) = 1)
+         SELECT q_id AS vec_id, q_label AS label, c_label AS knn_label,
+           c_label <> q_label AS suspect
+         FROM m""",
     // every kept frame of the decimated wav is sample u(2i) of the
     // deterministic generator; the mean is an exact integer sum over a
     // power-of-two divisor

@@ -739,4 +739,47 @@ object Similarity {
     out.select(col("q_id"), col("rank"), col("c_id"),
       round(col("rel"), 3).as("rel"))
   }
+
+  /** Hard-negative mining for contrastive training: for each query, the
+    * k most-similar corpus vectors whose LABEL DIFFERS (the negatives a
+    * random sampler would almost never surface). Same broadcast-queries
+    * scan shape as [[bruteForceTopK]] — the label filter runs before
+    * the top-k cut, so negatives never crowd out of the pool.
+    */
+  def hardNegatives(
+      queries: DataFrame, // (q_id, q_vec, q_label)
+      corpus: DataFrame, // (c_id, c_vec, c_label)
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("c_label") =!= col("q_label"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    topKPerQuery(scored, k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("c_id"), col("c_label"), round(col("sim"), 3).as("sim"))
+  }
+
+  /** kNN label audit (the Confident-Learning-style mislabel screen):
+    * for each query vector, the majority label among its k nearest
+    * corpus neighbors (self excluded; ties toward the smaller label);
+    * `suspect` marks vectors whose own label disagrees with their
+    * neighborhood. The per-query majority folds into one
+    * `max(struct(freq, -label))` aggregate — no second window.
+    */
+  def knnLabelAudit(
+      queries: DataFrame, // (q_id, q_vec, q_label)
+      corpus: DataFrame, // (c_id, c_vec, c_label)
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val nn = topKPerQuery(scored, k)
+    nn.groupBy(col("q_id"), col("q_label"), col("c_label"))
+      .agg(count(lit(1)).as("__f"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(max(struct(col("__f").as("f"),
+        (-col("c_label")).as("nl"))).as("__b"))
+      .select(col("q_id").as("vec_id"), col("q_label").as("label"),
+        (-col("__b.nl")).cast("int").as("knn_label"))
+      .withColumn("suspect", col("knn_label") =!= col("label"))
+  }
 }

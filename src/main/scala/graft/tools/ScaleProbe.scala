@@ -276,6 +276,31 @@ object ScaleProbe {
         graft.ops.Analytics.interArrivalRegularity(
           rep, "user_id", "ts", "event_id", minEvents = 5).count()
       }),
+      // one broadcast-queries scan over a k-fold corpus with the label
+      // filter fused into it — expect ~linear
+      "q154_hard_negatives" -> (k => {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val corpus = (0 until k).map(c => emb.select(
+          (col("vec_id") + lit(c.toLong * 100000000L)).as("c_id"),
+          col("embedding").as("c_vec"), col("label").as("c_label")))
+          .reduce(_ unionByName _)
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("label").as("q_label"))
+        graft.ops.Similarity.hardNegatives(queries, corpus, k = 5).count()
+      }),
+      // broadcast-queries scan + bounded per-query majority fold
+      "q155_knn_audit" -> (k => {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val corpus = (0 until k).map(c => emb.select(
+          (col("vec_id") + lit(c.toLong * 100000000L)).as("c_id"),
+          col("embedding").as("c_vec"), col("label").as("c_label")))
+          .reduce(_ unionByName _)
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("label").as("q_label"))
+        graft.ops.Similarity.knnLabelAudit(queries, corpus, k = 5).count()
+      }),
       // pool build is one broadcast-queries scan over a k-fold corpus;
       // the greedy rounds touch only the fixed per-query pools
       "q151_mmr" -> (k => {

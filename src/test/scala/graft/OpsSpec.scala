@@ -1857,6 +1857,75 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L)._2 > 1.0 && !got(2L)._3, s"bursty cv>1: ${got(2L)}")
   }
 
+  test("hard negatives: same-label vectors never surface; nearest " +
+    "different-label wins rank 1") {
+    import spark.implicits._
+    // query label 0 at [1,0]; same-label twin at [1,0.01] must NOT
+    // appear; different-label [0.9,0.1] (closer) beats [0,1] (far)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.01f), 0),
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.0f, 1.0f), 2)).toDF("vec_id", "embedding", "label")
+    val queries = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val corpus = vecs.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"), col("label").as("c_label"))
+    val got = Similarity.hardNegatives(queries, corpus, k = 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq === Seq((1L, 2L, 1), (2L, 3L, 2)), got.mkString(","))
+  }
+
+  test("knn label audit: a mislabeled point inside a foreign cluster is " +
+    "suspect, cluster members are not") {
+    import spark.implicits._
+    // cluster A around [1,0] labeled 0 — except vec 2, labeled 7
+    // (planted mislabel); cluster B around [0,1] labeled 1
+    val vecs = (Seq(
+      (0L, Array(1.00f, 0.00f), 0), (1L, Array(0.99f, 0.01f), 0),
+      (2L, Array(0.98f, 0.02f), 7), (3L, Array(0.97f, 0.03f), 0),
+      (4L, Array(0.96f, 0.04f), 0),
+      (5L, Array(0.00f, 1.00f), 1), (6L, Array(0.01f, 0.99f), 1),
+      (7L, Array(0.02f, 0.98f), 1), (8L, Array(0.03f, 0.97f), 1),
+      (9L, Array(0.04f, 0.96f), 1))).toDF("vec_id", "embedding", "label")
+    val q = vecs.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"), col("label").as("q_label"))
+    val c = vecs.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"), col("label").as("c_label"))
+    val audit = Similarity.knnLabelAudit(q, c, k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getBoolean(3))).toMap
+    assert(audit(2L) === ((0, true)), "planted mislabel must be suspect")
+    assert(Seq(0L, 1L, 3L, 4L).forall(audit(_) == ((0, false))), audit.toString)
+    assert(Seq(5L, 6L, 7L, 8L, 9L).forall(audit(_) == ((1, false))), audit.toString)
+  }
+
+  test("partition invariance: LPA, edit-distance dedup, and knn audit " +
+    "results do not depend on input partitioning") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (3L, 7L), (8L, 9L)).toDF("a", "b")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(Analytics.labelPropagation(edges.repartition(1), 3)) ===
+      canon(Analytics.labelPropagation(edges.repartition(7), 3)))
+    assert(canon(Dedup.editDistanceNearDup(docs.repartition(1), "doc_id", "text")) ===
+      canon(Dedup.editDistanceNearDup(docs.repartition(7), "doc_id", "text")))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def audit(parts: Int) = {
+      val v = emb.repartition(parts)
+      Similarity.knnLabelAudit(
+        v.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"),
+          col("embedding").as("q_vec"), col("label").as("q_label")),
+        v.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+          col("label").as("c_label")), k = 5)
+    }
+    assert(canon(audit(1)) === canon(audit(7)))
+  }
+
   test("new-wave op plan shapes: LPA/edit-distance/anomaly joins stay " +
     "hash-partitioned, MMR broadcasts candidate keys into the corpus scan") {
     import spark.implicits._
