@@ -1636,7 +1636,7 @@ object SparkEntry {
       // doc_id order, and admission is order-dependent by definition
       val src = s.readStream.format("graft").option("path", path)
         .option("startingVersion", "0")
-        .option("maxFilesPerTrigger", "1").load()
+        .option("maxFilesPerTrigger", "2").load()
       val buckets = graft.ops.Dedup.streamBandBuckets(src, "doc_id", "text")
         .select(col("doc_id").cast("long"), col("band").cast("int"), col("bh"))
         .as[(Long, Int, String)]
