@@ -886,14 +886,20 @@ class GraftServer(
 
   // ----------------------------------------------------- pre-signed data
 
-  /** `http://host:port/data/<token>`; the token binds (table, path,
-    * expiration) under an HMAC so it cannot be forged or extended.
+  /** Cloud-scheme locations sign with the REAL provider algorithm
+    * (SigV4 / GOOG4 / Azure SAS — [[CloudSigners]]); local tables get
+    * `http://host:port/data/<token>`, where the token binds (table,
+    * path, expiration) under an HMAC so it cannot be forged or extended.
     */
-  private[server] def signUrl(location: String, relPath: String, expiration: Long): String = {
-    val payload = Tokens.encode(Tokens.SignedPathPayload(
-      location, relPath, expiration, Tokens.hmac(secret, s"$location/$relPath@$expiration")))
-    s"http://${config.host}:$boundPort/data/$payload"
-  }
+  private[server] def signUrl(location: String, relPath: String, expiration: Long): String =
+    CloudSigners.presignFor(location, relPath,
+      expiresSeconds = math.max(1L, (expiration - now()) / 1000),
+      now = java.time.Instant.ofEpochMilli(now()),
+      settings = config.cloudCredentials).getOrElse {
+      val payload = Tokens.encode(Tokens.SignedPathPayload(
+        location, relPath, expiration, Tokens.hmac(secret, s"$location/$relPath@$expiration")))
+      s"http://${config.host}:$boundPort/data/$payload"
+    }
 
   /** Test hook: distinct client (ip, port) pairs seen on /data — with
     * keep-alive, one pooled connection keeps one port across requests, so
@@ -1226,4 +1232,11 @@ case class ServerConfig(
       * tables where availability beats freshness. Only latest-snapshot
       * reads fall back; explicitly version-pinned reads never do.
       */
-    stalenessAcceptable: Boolean = false)
+    stalenessAcceptable: Boolean = false,
+    /** Cloud object-store credentials for [[CloudSigners.presignFor]]
+      * (aws.accessKey/aws.secretKey/aws.region, gcs.*, azure.*). Tables
+      * whose location scheme matches a configured provider get REAL
+      * provider pre-signed URLs; everything else falls back to the
+      * local HMAC data endpoint.
+      */
+    cloudCredentials: Map[String, String] = Map.empty)
