@@ -1679,6 +1679,41 @@ object SparkEntry {
           round(col("m"), 4).as("mean_amp"))
     }),
 
+    // Beyond-reference: INCREMENTAL ANN-index maintenance from a Change
+    // Data Feed — a CDF-enabled embeddings table is appended to and
+    // row-level-deleted; the IVF cell index refreshes from the changes
+    // alone (net-effect fold per id, nearest-centroid assignment of the
+    // survivors), O(changes) never O(corpus). The deleted set includes
+    // rows APPENDED in the range (insert-then-delete nets to absent),
+    // which the oracle's final-state assignment confirms.
+    "q156_incremental_ann_index" -> ((s, dir) => {
+      val path = s"${graft.log.SharedFixtures.shareRoot(dir)}/scratch_ivf_cdf"
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val centroids = t(s, dir, "embeddings").filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cell"),
+          col("embedding").as("centroid"))
+      graft.log.TableBuilder.create(s,
+        emb.filter(col("vec_id") % 3 =!= 2).repartition(2), path,
+        name = "scratch_ivf_cdf",
+        configuration = Map("enableChangeDataFeed" -> "true"))
+      graft.log.TableBuilder.append(s,
+        emb.filter(col("vec_id") % 3 === 2).repartition(2), path,
+        timestamp = 1000L)
+      graft.log.TableBuilder.deleteWhere(s, path, col("vec_id") % 7 === 0,
+        timestamp = 2000L)
+      graft.log.GraftLog.invalidateListing(path)
+      val base = s.read.format("graft").option("path", path)
+        .option("versionAsOf", "0").load()
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val index0 = graft.ops.Similarity.assignCells(base, centroids)
+        .select(col("c_id"), col("cell"))
+      val changes = graft.log.GraftCDF.tableChanges(s, path, 1)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+          col("_change_type"), col("_commit_version"))
+      graft.ops.Incremental.maintainIvfIndex(index0, changes, centroids)
+        .select(col("c_id"), col("cell").cast("int").as("cell"))
+    }),
+
     // Beyond-reference: hard-negative mining for contrastive training —
     // per query the 3 most-similar vectors with a DIFFERENT label;
     // broadcast-queries scan, label filter before the top-k cut.
@@ -3735,6 +3770,21 @@ object SparkEntry {
              AS n_first
          FROM bands b JOIN firsts f ON b.band = f.band AND b.bh = f.bh
          GROUP BY b.doc_id""",
+    // the maintained index must equal nearest-centroid assignment over
+    // the FINAL table state: rows below 300 surviving the %7 delete —
+    // including that ids appended in v1 then deleted in v2 are absent
+    "q156_incremental_ann_index" ->
+      """WITH cent AS (SELECT CAST(vec_id AS INT) AS cell,
+                         CAST(embedding AS DOUBLE[]) AS ce
+                       FROM embeddings WHERE vec_id < 4),
+         c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 300 AND vec_id % 7 <> 0)
+         SELECT c_id, cell FROM (
+           SELECT c.c_id, cent.cell,
+             row_number() OVER (PARTITION BY c.c_id
+               ORDER BY list_distance(c.e, cent.ce), cent.cell) AS ar
+           FROM c CROSS JOIN cent)
+         WHERE ar = 1""",
     // same cross-join + rank spelling as q29, label-filtered before the
     // rank cut
     "q154_hard_negatives" ->

@@ -91,4 +91,39 @@ object Incremental {
       keys: Seq[String],
       sums: Seq[String]): DataFrame =
     mergeState(aggregateState(base, keys, sums), aggregateDelta(changes, keys, sums), keys, sums)
+
+  /** Incremental IVF cell-index maintenance from a CDF: only CHANGED
+    * rows re-assign to centroids — refresh cost O(changes), never
+    * O(corpus). The NET effect per row id decides: the latest change
+    * wins by `_commit_version`, and within a version a surviving image
+    * (insert / update_postimage) outranks a leaving one (delete /
+    * update_preimage), so replace-style delete+insert of the same id in
+    * one commit resolves to the insert, and an id inserted then later
+    * deleted inside the change range resolves to absent. The maintained
+    * index equals a full [[Similarity.assignCells]] rebuild over the
+    * final snapshot (OpsSpec proves the equivalence; q156 oracles the
+    * final contents).
+    *
+    * Shape at scale: one changes-sized window (partitioned by row id)
+    * to fold the net effect, one anti-join on the id key, and the
+    * broadcast-centroid assignment of just the surviving changed rows.
+    */
+  def maintainIvfIndex(
+      index: DataFrame, // (c_id, cell)
+      changes: DataFrame, // (c_id, c_vec, _change_type, _commit_version)
+      centroids: DataFrame): DataFrame = { // (cell, centroid)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_id"))
+      .orderBy(col("_commit_version").desc, col("__keep").desc)
+    val net = changes
+      .withColumn("__keep",
+        col("_change_type").isin("insert", "update_postimage"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val touched = net.select(col("c_id"))
+    val adds = net.filter(col("__keep")).select(col("c_id"), col("c_vec"))
+    index.join(touched, Seq("c_id"), "left_anti")
+      .unionByName(Similarity.assignCells(adds, centroids)
+        .select(col("c_id"), col("cell")))
+  }
 }

@@ -223,15 +223,24 @@ object Similarity {
       corpus: DataFrame, // (c_id, c_vec)
       centroids: DataFrame, // (cell, centroid)
       k: Int,
-      nprobe: Int): DataFrame = {
-    val assigned = corpus.crossJoin(broadcast(centroids))
+      nprobe: Int): DataFrame =
+    probeAndScore(queries, assignCells(corpus, centroids), centroids, k, nprobe)
+
+  /** Nearest-centroid cell assignment (L2, ties to the lower cell) —
+    * one map-side-combinable `min(struct(d2, cell))` aggregate over a
+    * broadcast centroid cross. Factored out so incremental index
+    * maintenance ([[Incremental.maintainIvfIndex]]) assigns only
+    * changed rows with the identical rule.
+    */
+  def assignCells(
+      corpus: DataFrame, // (c_id, c_vec)
+      centroids: DataFrame): DataFrame = // (cell, centroid)
+    corpus.crossJoin(broadcast(centroids))
       .withColumn("dd", d2(col("c_vec"), col("centroid")))
       .groupBy(col("c_id"))
       .agg(
         min(struct(col("dd"), col("cell"))).getField("cell").as("cell"),
         first(col("c_vec")).as("c_vec"))
-    probeAndScore(queries, assigned, centroids, k, nprobe)
-  }
 
   /** Shared IVF probe/score: each query ranks the centroids (broadcast
     * nested loop over a tiny table), keeps its nprobe nearest cells, and

@@ -1857,6 +1857,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L)._2 > 1.0 && !got(2L)._3, s"bursty cv>1: ${got(2L)}")
   }
 
+  test("incremental IVF index: maintained state equals full rebuild; " +
+    "insert-then-delete nets to absent, same-version delete+insert to present") {
+    import spark.implicits._
+    val v = (x: Float, y: Float) => Array(x, y)
+    val centroids = Seq((0, v(1f, 0f)), (1, v(0f, 1f)))
+      .toDF("cell", "centroid")
+    // base: ids 1 (near cell 0), 2 (near cell 1)
+    val base = Seq((1L, v(0.9f, 0.1f)), (2L, v(0.1f, 0.9f)))
+      .toDF("c_id", "c_vec")
+    val index0 = Similarity.assignCells(base, centroids)
+      .select(col("c_id"), col("cell"))
+    // changes: id 3 inserted v1 then deleted v2 (absent);
+    // id 2 updated v1 to flip cells; id 4 delete+insert in v2 (replace
+    // style, insert wins); id 1 deleted v2
+    val changes = Seq(
+      (3L, v(1f, 0f), "insert", 1L),
+      (2L, v(0.1f, 0.9f), "update_preimage", 1L),
+      (2L, v(0.9f, 0.1f), "update_postimage", 1L),
+      (3L, v(1f, 0f), "delete", 2L),
+      (4L, v(0f, 1f), "delete", 2L),
+      (4L, v(0.2f, 0.8f), "insert", 2L),
+      (1L, v(0.9f, 0.1f), "delete", 2L)
+    ).toDF("c_id", "c_vec", "_change_type", "_commit_version")
+    val maintained = Incremental.maintainIvfIndex(index0, changes, centroids)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // final state: id 2 at (0.9,0.1) -> cell 0; id 4 at (0.2,0.8) -> cell 1
+    val finalState = Seq((2L, v(0.9f, 0.1f)), (4L, v(0.2f, 0.8f)))
+      .toDF("c_id", "c_vec")
+    val rebuilt = Similarity.assignCells(finalState, centroids)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(maintained === rebuilt, s"maintained=$maintained rebuilt=$rebuilt")
+    assert(maintained === Map(2L -> 0, 4L -> 1), maintained.toString)
+  }
+
   test("hard negatives: same-label vectors never surface; nearest " +
     "different-label wins rank 1") {
     import spark.implicits._
