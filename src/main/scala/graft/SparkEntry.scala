@@ -1714,6 +1714,39 @@ object SparkEntry {
         .select(col("c_id"), col("cell").cast("int").as("cell"))
     }),
 
+    // Beyond-reference: SPLIT-LEAKAGE audit — near-dup pairs that cross
+    // a deterministic train/val split (the eval-contamination failure
+    // mode dedup-within-split misses); one summary row with the leaked
+    // val-doc rate. Pairs come from the provably-complete exact
+    // cascade; the split rule is replayed by the oracle.
+    "q157_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.nearDuplicatesExact(
+        docs, "doc_id", "text", threshold = 0.7,
+        includeMinHashCandidates = false)
+      val isVal = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) >= 8
+      val cross = pairs.filter(isVal(col("id_a")) =!= isVal(col("id_b")))
+      val leakedVal = cross.select(
+        when(isVal(col("id_a")), col("id_a")).otherwise(col("id_b")).as("v"))
+        .distinct()
+      val counts = docs.agg(
+        count(when(!isVal(col("doc_id")), 1)).as("n_train"),
+        count(when(isVal(col("doc_id")), 1)).as("n_val"))
+      counts.crossJoin(broadcast(cross.agg(count(lit(1)).as("n_cross_pairs"))))
+        .crossJoin(broadcast(leakedVal.agg(count(lit(1)).as("n_val_leaked"))))
+        .withColumn("leak_rate",
+          round(col("n_val_leaked").cast("double") / col("n_val"), 6))
+    }),
+
+    // Beyond-reference: embedding-space centroid-drift matrix — pairwise
+    // L2 between per-label centroids from floor-quantized integer sums
+    // (exact, partition-order independent); labels·dim cells of state,
+    // corpus-size independent.
+    "q158_centroid_drift" -> ((s, dir) => {
+      graft.ops.Similarity.centroidDrift(
+        t(s, dir, "embeddings"), "embedding", "label")
+    }),
+
     // Beyond-reference: hard-negative mining for contrastive training —
     // per query the 3 most-similar vectors with a DIFFERENT label;
     // broadcast-queries scan, label filter before the top-k cut.
@@ -3785,6 +3818,54 @@ object SparkEntry {
                ORDER BY list_distance(c.e, cent.ce), cent.cell) AS ar
            FROM c CROSS JOIN cent)
          WHERE ar = 1""",
+    // exact-jaccard pairs (q27's spelling) restricted to split-crossing,
+    // folded into the one audit row
+    "q157_split_leakage" ->
+      """WITH sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                                         CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM documents),
+         cross_pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.fset, b.fset))::DOUBLE /
+                 len(list_distinct(a.fset || b.fset))::DOUBLE >= 0.7
+             AND ((a.doc_id % 10 >= 8) <> (b.doc_id % 10 >= 8))),
+         leaked AS (
+           SELECT DISTINCT CASE WHEN id_a % 10 >= 8 THEN id_a ELSE id_b END AS v
+           FROM cross_pairs)
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 10 < 8)
+             AS n_train,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 10 >= 8)
+             AS n_val,
+           (SELECT CAST(count(*) AS BIGINT) FROM cross_pairs) AS n_cross_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM leaked) AS n_val_leaked,
+           round((SELECT count(*) FROM leaked)::DOUBLE /
+             (SELECT count(*) FROM documents WHERE doc_id % 10 >= 8), 6)
+             AS leak_rate""",
+    // per-(label, dim) floor-quantized integer sums into exact means,
+    // then the pairwise L2 matrix
+    "q158_centroid_drift" ->
+      """WITH cells AS (
+           SELECT label AS lbl, i,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(e[CAST(i AS INT)] * 1048576) AS BIGINT))
+               AS BIGINT) AS q
+           FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+                (SELECT unnest(range(1, 65)) AS i)
+           GROUP BY label, i),
+         m AS (SELECT lbl, i, CAST(q AS DOUBLE) / (n * 1048576) AS m
+               FROM cells)
+         SELECT a.lbl AS label_a, b.lbl AS label_b,
+           round(sqrt(sum((a.m - b.m) * (a.m - b.m))), 6) AS dist
+         FROM m a JOIN m b ON a.i = b.i AND a.lbl < b.lbl
+         GROUP BY a.lbl, b.lbl""",
     // same cross-join + rank spelling as q29, label-filtered before the
     // rank cut
     "q154_hard_negatives" ->

@@ -767,6 +767,40 @@ object Similarity {
         col("c_id"), col("c_label"), round(col("sim"), 3).as("sim"))
   }
 
+  /** Pairwise centroid-drift matrix between labeled embedding groups —
+    * the embedding-space health check (did two sources/epochs land in
+    * the same region, did a class collapse into another). Centroids
+    * accumulate as FLOOR-quantized integer sums (floor(x·2^20) — exact
+    * in both engines, no round-half ties, partition-order independent),
+    * so the per-dimension means and the final L2 distances are
+    * identical doubles everywhere.
+    *
+    * Shape at scale: one posexplode scan into a (label, dim) combinable
+    * aggregate — labels·dim cells of state, corpus-size independent;
+    * the pairwise matrix is labels² · dim joined on the dim key.
+    */
+  def centroidDrift(
+      vectors: DataFrame,
+      vecCol: String,
+      labelCol: String,
+      scale: Long = 1L << 20): DataFrame = {
+    val cells = vectors
+      .select(col(labelCol).as("lbl"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("lbl"), col("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x") * scale).cast("long")).as("q"))
+      .select(col("lbl"), col("i"),
+        (col("q").cast("double") / (col("n") * scale)).as("m"))
+    val a = cells.select(col("lbl").as("label_a"), col("i"), col("m").as("ma"))
+    val b = cells.select(col("lbl").as("label_b"), col("i"), col("m").as("mb"))
+    a.join(b, Seq("i"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(round(sqrt(sum((col("ma") - col("mb")) * (col("ma") - col("mb")))), 6)
+        .as("dist"))
+  }
+
   /** kNN label audit (the Confident-Learning-style mislabel screen):
     * for each query vector, the majority label among its k nearest
     * corpus neighbors (self excluded; ties toward the smaller label);

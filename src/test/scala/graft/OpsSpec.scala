@@ -1857,6 +1857,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L)._2 > 1.0 && !got(2L)._3, s"bursty cv>1: ${got(2L)}")
   }
 
+  test("centroid drift: identical groups at distance 0, orthogonal " +
+    "clusters at sqrt(2), quantization exact on binary fractions") {
+    import spark.implicits._
+    val vecs = Seq(
+      (Array(1.0f, 0.0f), 0), (Array(1.0f, 0.0f), 0),
+      (Array(0.0f, 1.0f), 1), (Array(0.0f, 1.0f), 1),
+      (Array(1.0f, 0.0f), 2)).toDF("embedding", "label")
+    val got = Similarity.centroidDrift(vecs, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got((0, 2)) === 0.0, "identical centroids")
+    assert(got((0, 1)) === math.sqrt(2.0).round6, got.toString)
+    assert(got((1, 2)) === got((0, 1)))
+  }
+
+  private implicit class R6(d: Double) {
+    def round6: Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   test("incremental IVF index: maintained state equals full rebuild; " +
     "insert-then-delete nets to absent, same-version delete+insert to present") {
     import spark.implicits._
