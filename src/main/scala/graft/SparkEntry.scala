@@ -1714,6 +1714,16 @@ object SparkEntry {
         .select(col("c_id"), col("cell").cast("int").as("cell"))
     }),
 
+    // Beyond-reference: deterministic NEGATIVE-EDGE sampling for
+    // link-prediction training — content-addressed draws into the
+    // ranked vertex list, self/real-edge rejection, first-2 survivors
+    // per vertex; distributed rank + equi-joins, no RNG state.
+    "q159_negative_edges" -> ((s, dir) => {
+      val edges = graft.ops.Analytics.interactionEdges(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+      graft.ops.Analytics.negativeEdgeSamples(edges, perNode = 2, draws = 8)
+    }),
+
     // Beyond-reference: SPLIT-LEAKAGE audit — near-dup pairs that cross
     // a deterministic train/val split (the eval-contamination failure
     // mode dedup-within-split misses); one summary row with the leaked
@@ -3818,6 +3828,40 @@ object SparkEntry {
                ORDER BY list_distance(c.e, cent.ce), cent.cell) AS ar
            FROM c CROSS JOIN cent)
          WHERE ar = 1""",
+    // ranked vertex list + md5-mod draws + rejection, replayed verbatim;
+    // % equals pmod here because both operands are positive
+    "q159_negative_edges" ->
+      """WITH adj AS (SELECT user_id,
+                        lag(user_id) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS prev
+                      FROM events),
+         und AS (SELECT DISTINCT least(prev, user_id) AS a,
+                   greatest(prev, user_id) AS b
+                 FROM adj WHERE prev IS NOT NULL AND prev <> user_id),
+         verts AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+         ranked AS (SELECT node,
+                      CAST(row_number() OVER (ORDER BY node) AS BIGINT) AS rn,
+                      CAST(count(*) OVER () AS BIGINT) AS n
+                    FROM verts),
+         prop AS (SELECT v.node, j.j,
+                    (('0x' || substr(md5(v.node::VARCHAR || ':' ||
+                        j.j::VARCHAR || ':neg1'), 1, 12))::BIGINT % v.n) + 1
+                      AS r
+                  FROM ranked v, (SELECT unnest(range(1, 9)) AS j) j),
+         tgt AS (SELECT p.node, t.node AS neg, min(p.j) AS j
+                 FROM prop p JOIN ranked t ON t.rn = p.r
+                 WHERE t.node <> p.node
+                 GROUP BY p.node, t.node),
+         surv AS (SELECT tgt.node, tgt.neg, tgt.j
+                  FROM tgt LEFT JOIN und ON
+                    und.a = least(tgt.node, tgt.neg) AND
+                    und.b = greatest(tgt.node, tgt.neg)
+                  WHERE und.a IS NULL)
+         SELECT node AS user_id, neg AS negative,
+           CAST(row_number() OVER (PARTITION BY node ORDER BY j) AS BIGINT)
+             AS draw
+         FROM surv
+         QUALIFY row_number() OVER (PARTITION BY node ORDER BY j) <= 2""",
     // exact-jaccard pairs (q27's spelling) restricted to split-crossing,
     // folded into the one audit row
     "q157_split_leakage" ->

@@ -466,6 +466,54 @@ object Analytics {
         round((col("n") - col("__mean")) / col("__sd"), 6).as("zscore"))
   }
 
+  /** Deterministic negative-edge sampling for link-prediction training
+    * data: for each vertex, `perNode` non-neighbors drawn by
+    * content-addressed hashing — draw j of vertex u targets the vertex
+    * at rank (md5(u:j:seed) mod |V|) in the node-ordered vertex list,
+    * self-loops and REAL edges are rejected, per-(u,v) duplicates
+    * collapse to the smallest draw, and the first `perNode` survivors
+    * by draw index win. Every step is replayable by an external engine
+    * (md5 ranks, no RNG state), and every step is distributed: the
+    * vertex ranking is the range-partition + broadcast-offsets rank
+    * (never a single-partition window), the rank→vertex resolution is
+    * an equi-join, and rejection is one anti-join on the canonical
+    * edge key.
+    */
+  def negativeEdgeSamples(
+      edges: DataFrame,
+      perNode: Int = 2,
+      draws: Int = 8,
+      seed: String = "neg1"): DataFrame = {
+    require(perNode >= 1 && draws >= perNode, s"$perNode/$draws")
+    val verts = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+    val ranked = Quantiles.withGroupRank(
+      verts.withColumn("__g", lit(1)), Seq("__g"), Seq("node"))
+      .select(col("node"), col("__rn"), col("__n"))
+    val proposals = ranked.select(col("node"), col("__n"))
+      .withColumn("j", explode(sequence(lit(1), lit(draws))))
+      .withColumn("r", pmod(
+        conv(substring(md5(concat_ws(":",
+          col("node"), col("j"), lit(seed))), 1, 12), 16, 10).cast("long"),
+        col("__n")) + 1)
+    val targeted = proposals
+      .join(ranked.select(col("__rn").as("r"), col("node").as("neg")), Seq("r"))
+      .filter(col("neg") =!= col("node"))
+      .groupBy(col("node"), col("neg")).agg(min(col("j")).as("j"))
+    val real = edges.select(
+      least(col("a"), col("b")).as("ca"),
+      greatest(col("a"), col("b")).as("cb")).distinct()
+    targeted
+      .withColumn("ca", least(col("node"), col("neg")))
+      .withColumn("cb", greatest(col("node"), col("neg")))
+      .join(real, Seq("ca", "cb"), "left_anti")
+      .withColumn("__k", row_number().over(
+        Window.partitionBy(col("node")).orderBy(col("j"))))
+      .filter(col("__k") <= perNode)
+      .select(col("node").as("user_id"), col("neg").as("negative"),
+        col("__k").cast("long").as("draw"))
+  }
+
   /** Inter-arrival regularity per actor — the bot/scraper heuristic:
     * humans burst, schedulers tick. For each user with at least
     * `minEvents` events, the coefficient of variation (stddev/mean) of

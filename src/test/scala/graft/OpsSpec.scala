@@ -1857,6 +1857,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L)._2 > 1.0 && !got(2L)._3, s"bursty cv>1: ${got(2L)}")
   }
 
+  test("negative edge samples: never a real edge or self-loop, per-node " +
+    "budget respected, fully deterministic") {
+    import spark.implicits._
+    // path graph 1-2-3-4-5 plus chord 2-4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 4L))
+      .toDF("a", "b")
+    val real = Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 4L))
+    val got = Analytics.negativeEdgeSamples(edges, perNode = 2, draws = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (u, v, _) =>
+      assert(u !== v, s"self loop $u")
+      val c = (math.min(u, v), math.max(u, v))
+      assert(!real.contains(c), s"real edge sampled: $c")
+    }
+    val perNode = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perNode.values.forall(_ <= 2), perNode.toString)
+    assert(got.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq },
+      "draw indices must be 1..k per node")
+    val again = Analytics.negativeEdgeSamples(edges, perNode = 2, draws = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("centroid drift: identical groups at distance 0, orthogonal " +
     "clusters at sqrt(2), quantization exact on binary fractions") {
     import spark.implicits._
