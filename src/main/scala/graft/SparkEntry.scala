@@ -1724,6 +1724,27 @@ object SparkEntry {
       graft.ops.Analytics.negativeEdgeSamples(edges, perNode = 2, draws = 8)
     }),
 
+    // Beyond-reference: VERSION-GATED dedup admission — the batch is a
+    // later version range of the MANAGED table itself: time travel
+    // reads the standing corpus (v0), the appended versions dedup
+    // against it bipartitely (never corpus×corpus), the shape of a
+    // continuously-ingesting pipeline gating its own appends.
+    "q160_version_dedup_gate" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      val share = graft.log.SharedFixtures.SHARE
+      val corpus = s.read.format("graft")
+        .option("table", s"$share.documents_versioned")
+        .option("versionAsOf", "0").load()
+        .select(col("doc_id"), col("text"))
+      val latest = s.read.format("graft")
+        .option("table", s"$share.documents_versioned").load()
+        .select(col("doc_id"), col("text"))
+      val batch = latest.join(corpus.select(col("doc_id")), Seq("doc_id"),
+        "left_anti")
+      graft.ops.Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+        threshold = 0.7).select(col("doc_id"))
+    }),
+
     // Beyond-reference: SPLIT-LEAKAGE audit — near-dup pairs that cross
     // a deterministic train/val split (the eval-contamination failure
     // mode dedup-within-split misses); one summary row with the leaked
@@ -3828,6 +3849,30 @@ object SparkEntry {
                ORDER BY list_distance(c.e, cent.ce), cent.cell) AS ar
            FROM c CROSS JOIN cent)
          WHERE ar = 1""",
+    // v0 of documents_versioned is the first doc_id quartile by
+    // construction — the oracle re-derives the boundary from the data
+    "q160_version_dedup_gate" ->
+      """WITH sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                                         CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM documents),
+         q1 AS (SELECT (max(doc_id) + 1) // 4 AS cut FROM documents),
+         corpus AS (SELECT s.* FROM sets s, q1 WHERE s.doc_id < q1.cut),
+         batch AS (SELECT s.* FROM sets s, q1 WHERE s.doc_id >= q1.cut),
+         dup AS (
+           SELECT b.doc_id FROM batch b JOIN corpus c ON
+             len(list_intersect(b.fset, c.fset))::DOUBLE /
+               len(list_distinct(b.fset || c.fset))::DOUBLE >= 0.7
+           UNION
+           SELECT b.doc_id FROM batch b JOIN batch b2 ON b2.doc_id < b.doc_id AND
+             len(list_intersect(b.fset, b2.fset))::DOUBLE /
+               len(list_distinct(b2.fset || b.fset))::DOUBLE >= 0.7)
+         SELECT doc_id FROM batch
+         WHERE doc_id NOT IN (SELECT doc_id FROM dup)""",
     // ranked vertex list + md5-mod draws + rejection, replayed verbatim;
     // % equals pmod here because both operands are positive
     "q159_negative_edges" ->

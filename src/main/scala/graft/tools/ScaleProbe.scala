@@ -301,6 +301,27 @@ object ScaleProbe {
             col("label").as("q_label"))
         graft.ops.Similarity.knnLabelAudit(queries, corpus, k = 5).count()
       }),
+      // one posexplode scan into labels*dim cells — expect ~linear
+      "q158_centroid_drift" -> (k => {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val corpus = (0 until k).map(c => emb.select(
+          col("embedding"), col("label"))).reduce(_ unionByName _)
+        graft.ops.Similarity.centroidDrift(corpus, "embedding", "label").count()
+      }),
+      // distributed rank + md5-mod draws + anti-join over disjoint event
+      // copies — expect ~linear plus the rank's log factor
+      "q159_negative_edges" -> (k => {
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          .select(col("user_id"), col("event_type"), col("event_id"))
+        val rep = (0 until k).map(c => ev.select(
+          (col("user_id") + lit(c.toLong * 100000000L)).as("user_id"),
+          concat(col("event_type"), lit("_" + c)).as("event_type"),
+          col("event_id"))).reduce(_ unionByName _)
+        graft.ops.Analytics.negativeEdgeSamples(
+          graft.ops.Analytics.interactionEdges(
+            rep, "user_id", "event_type", "event_id", "event_id"),
+          perNode = 2, draws = 8).count()
+      }),
       // pool build is one broadcast-queries scan over a k-fold corpus;
       // the greedy rounds touch only the fixed per-query pools
       "q151_mmr" -> (k => {
