@@ -1724,6 +1724,38 @@ object SparkEntry {
       graft.ops.Analytics.negativeEdgeSamples(edges, perNode = 2, draws = 8)
     }),
 
+    // Beyond-reference: the per-source CORPUS DATACARD — the one-page
+    // artifact a dataset release ships: docs, token mass, quality mean,
+    // near-dup exposure, dominant language, all from the already-proven
+    // column expressions + the exact dedup cascade in one pass family.
+    "q161_corpus_datacard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prof = docs.select(col("doc_id"), col("source"),
+        graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n_toks"),
+        graft.ops.TextOps.qualityScore(col("text")).as("q"),
+        graft.ops.TextOps.langId(col("text")).as("lang"))
+      val pairs = graft.ops.Dedup.nearDuplicatesExact(
+        docs, "doc_id", "text", threshold = 0.7,
+        includeMinHashCandidates = false)
+      val dupDocs = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+        .withColumn("__dup", lit(1))
+      val langTop = prof.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("source"))
+        .agg(min(struct((-col("__c")).as("nc"), col("lang").as("l"))).as("__b"))
+        .select(col("source"), col("__b.l").as("top_lang"))
+      prof.join(dupDocs, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          round(avg(col("q")), 4).as("avg_quality"),
+          count(col("__dup")).as("n_neardup_docs"))
+        .withColumn("dup_rate",
+          round(col("n_neardup_docs").cast("double") / col("n_docs"), 6))
+        .join(langTop, Seq("source"))
+    }),
+
     // Beyond-reference: VERSION-GATED dedup admission — the batch is a
     // later version range of the MANAGED table itself: time travel
     // reads the standing corpus (v0), the appended versions dedup
@@ -3849,6 +3881,69 @@ object SparkEntry {
                ORDER BY list_distance(c.e, cent.ce), cent.cell) AS ar
            FROM c CROSS JOIN cent)
          WHERE ar = 1""",
+    // q26's lang/quality spellings + q27's exact pairs folded into the
+    // one release artifact; top language ties break by marker order
+    // (en,de,fr,es,zh — the same CASE order), dup docs via a left join
+    "q161_corpus_datacard" ->
+      """WITH scored AS (
+           SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','fast','data','query'))) AS s_en,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('scan','merge','window'))) AS s_de,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('table','column','line'))) AS s_fr,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('row','group','order'))) AS s_es,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('hash','join','key'))) AS s_zh,
+             CAST(length(text) AS DOUBLE) AS n_chars
+           FROM documents),
+         labeled AS (
+           SELECT doc_id, source, n_tokens,
+             CASE WHEN s_en = gm AND gm > 0 THEN 'en'
+                  WHEN s_de = gm AND gm > 0 THEN 'de'
+                  WHEN s_fr = gm AND gm > 0 THEN 'fr'
+                  WHEN s_es = gm AND gm > 0 THEN 'es'
+                  WHEN s_zh = gm AND gm > 0 THEN 'zh'
+                  ELSE 'und' END AS pred_lang,
+             (0.5 * least(n_chars / 500.0, 1.0) +
+              0.5 * (1.0 - least(abs((n_chars - (CAST(n_tokens AS DOUBLE) - 1.0))
+                                     / CAST(n_tokens AS DOUBLE) - 5.0) / 5.0, 1.0))) *
+             (CASE WHEN n_tokens < 5 THEN 0.5 ELSE 1.0 END) AS quality
+           FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS gm
+                 FROM scored)),
+         sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                                         CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.fset, b.fset))::DOUBLE /
+                 len(list_distinct(a.fset || b.fset))::DOUBLE >= 0.7),
+         dup AS (SELECT id_a AS doc_id FROM pairs
+                 UNION SELECT id_b FROM pairs),
+         lt AS (SELECT source, pred_lang, count(*) AS c
+                FROM labeled GROUP BY 1, 2),
+         top AS (SELECT source, pred_lang AS top_lang FROM lt
+                 QUALIFY row_number() OVER (PARTITION BY source
+                   ORDER BY c DESC, pred_lang) = 1)
+         SELECT l.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(l.n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(l.quality), 4) AS avg_quality,
+           CAST(count(d.doc_id) AS BIGINT) AS n_neardup_docs,
+           round(CAST(count(d.doc_id) AS DOUBLE) / count(*), 6) AS dup_rate,
+           any_value(t.top_lang) AS top_lang
+         FROM labeled l
+         LEFT JOIN dup d ON d.doc_id = l.doc_id
+         JOIN top t ON t.source = l.source
+         GROUP BY l.source""",
     // v0 of documents_versioned is the first doc_id quartile by
     // construction — the oracle re-derives the boundary from the data
     "q160_version_dedup_gate" ->
