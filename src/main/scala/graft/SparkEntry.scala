@@ -414,10 +414,11 @@ object SparkEntry {
 
     // Beyond-reference: multimodal pipeline — binary payloads + metadata
     // struct → per-partition batched decode → per-format aggregation.
-    // png/bmp payloads are REAL encoded images (JDK ImageIO) whose
-    // decoded-pixel histogram the oracle recomputes from the
-    // deterministic pixel generator (lossless codecs make decode(encode)
-    // the identity); wav/mp4 stay opaque bytes under the byte-histogram
+    // png/bmp payloads are REAL encoded images (JDK ImageIO) and wav
+    // payloads REAL RIFF/WAVE PCM (JDK sampled audio) whose decoded
+    // histograms the oracle recomputes from the deterministic pixel /
+    // sample generators (lossless codecs make decode(encode) the
+    // identity); only mp4 stays opaque bytes under the byte-histogram
     // stub. Features are de-normalized back to integer sample counts
     // (exact in float) so the hash compare is bitwise-stable.
     "q31_multimodal_features" -> ((s, dir) => {

@@ -539,7 +539,11 @@ object Analytics {
     require(minEvents >= 3, s"minEvents=$minEvents")
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
     val gaps = events
-      .withColumn("__t", expr(s"unix_micros($tsCol) div 1000000"))
+      // FLOOR division, not `div`: div truncates toward zero while the
+      // oracle's // floors toward -inf — they disagree on pre-epoch
+      // timestamps. |micros| < 2^53 so the double floor is exact.
+      .withColumn("__t",
+        floor(expr(s"unix_micros($tsCol)") / lit(1000000.0)).cast("long"))
       .withColumn("__g", col("__t") - lag(col("__t"), 1).over(w))
       .filter(col("__g").isNotNull)
     gaps.groupBy(col(userCol).as("user_id"))

@@ -291,6 +291,10 @@ object Multimodal {
     assets.mapPartitions { it =>
       it.map { a =>
         if (a.meta.format == "wav") {
+          // the payload header carries rate/stride as a float; meta is
+          // integral — require divisibility so the two never disagree
+          require(a.meta.width % stride == 0,
+            s"stride $stride does not divide sample rate ${a.meta.width}")
           val p = resampleWav(a.payload, stride)
           Asset(a.asset_id, p, AssetMeta("wav", a.meta.width / stride,
             (a.meta.height + stride - 1) / stride, p.length.toLong))

@@ -723,7 +723,12 @@ object Similarity {
       .filter(col("c_id") =!= col("d_id"))
       .select(col("q_id"), col("c_id"), col("d_id"),
         cosine(col("__va"), col("__vb")).as("s"))
-    var remaining = cand.withColumn("ms", lit(0.0))
+    // -inf, not 0: the running max-similarity must be the RAW maximum
+    // (greatest(-inf, s) = s), or a negative similarity to the first
+    // pick would be clamped and the engine would diverge from the MMR
+    // definition (and from the oracle) whenever pairwise sims go
+    // negative. The first round scores on rel alone and never reads ms.
+    var remaining = cand.withColumn("ms", lit(Double.NegativeInfinity))
     var out: DataFrame = null
     for (i <- 1 to k) {
       val score =

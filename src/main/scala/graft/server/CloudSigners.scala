@@ -225,7 +225,17 @@ object CloudSigners {
       expiresSeconds: Long,
       now: Instant,
       settings: Map[String, String]): Option[String] = {
-    val uri = URI.create(location)
+    // a location that does not parse as a URI (spaces, brackets — legal
+    // in local paths) is by definition not a cloud location: fall
+    // through to the local HMAC endpoint rather than failing the serve
+    val uri = try URI.create(location) catch {
+      case _: IllegalArgumentException => return None
+    }
+    // SigV4 caps presign validity at 7 days; a server configured with a
+    // longer preSignedUrlTimeoutSeconds gets the provider maximum
+    // rather than a serve-time crash (the local HMAC path still honors
+    // the full window)
+    val capped = math.min(expiresSeconds, 604800L)
     val bucket = uri.getAuthority
     def key = (Option(uri.getPath).getOrElse("").stripPrefix("/") match {
       case "" => relPath
@@ -238,19 +248,19 @@ object CloudSigners {
           sk <- settings.get("aws.secretKey")
           region <- settings.get("aws.region")
         } yield S3Signer(ak, sk, region, settings.get("aws.sessionToken"))
-          .presign(bucket, key, expiresSeconds, now)
+          .presign(bucket, key, capped, now)
       case "gs" =>
         for {
           ak <- settings.get("gcs.accessKey")
           sk <- settings.get("gcs.secretKey")
-        } yield GcsHmacSigner(ak, sk).presign(bucket, key, expiresSeconds, now)
+        } yield GcsHmacSigner(ak, sk).presign(bucket, key, capped, now)
       case "wasb" | "wasbs" | "abfs" | "abfss" =>
         // authority is container@account.<suffix>; container first
         val container = bucket.takeWhile(_ != '@')
         val account = settings.get("azure.account").getOrElse(
           bucket.dropWhile(_ != '@').drop(1).takeWhile(_ != '.'))
         settings.get("azure.key").map(k =>
-          AzureSasSigner(account, k).presign(container, key, expiresSeconds, now))
+          AzureSasSigner(account, k).presign(container, key, capped, now))
       case _ => None
     }
   }

@@ -2043,12 +2043,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = TextOps.oovRate(docs, "source", "text", vocabSize = 2)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
-    assert(got("s1") === ((3L, 1L, round6(1.0 / 3.0))), got.toString)
+    assert(got("s1") === ((3L, 1L, (1.0 / 3.0).round6)), got.toString)
     assert(got("s2") === ((4L, 0L, 0.0)), got.toString)
   }
-
-  private def round6(d: Double): Double =
-    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   test("mmr: an exact duplicate of the top hit is displaced by a diverse " +
     "candidate; ties in the first pick go to the smallest id") {
