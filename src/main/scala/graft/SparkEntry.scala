@@ -1824,6 +1824,19 @@ object SparkEntry {
       graft.ops.Similarity.hardNegatives(queries, corpus, k = 3)
     }),
 
+    // Beyond-reference: retrieval-quality metrics — per-query MRR and
+    // NDCG@10 with label relevance over the cosine top-k; the standing
+    // evaluation loop for the ANN/retrieval family.
+    "q162_retrieval_metrics" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      val corpus = emb.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_vec"), col("label").as("c_label"))
+      graft.ops.Similarity.retrievalMetrics(queries, corpus, k = 10)
+    }),
+
     // Beyond-reference: kNN label audit (Confident-Learning-style
     // mislabel screen) — majority label among the 5 nearest neighbors,
     // suspect where the neighborhood disagrees with the stored label.
@@ -4065,6 +4078,33 @@ object SparkEntry {
            FROM embeddings q CROSS JOIN embeddings c
            WHERE q.vec_id < 5 AND c.label <> q.label)
          WHERE rank <= 3""",
+    // same top-k spelling as q155; DCG/IDCG via ln(i+1)/ln(2) on both
+    // sides, NDCG against the retrieved-set ideal
+    "q162_retrieval_metrics" ->
+      """WITH top AS (
+           SELECT * FROM (
+             SELECT q.vec_id AS q_id, q.label AS q_label, c.label AS c_label,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id)
+                 AS BIGINT) AS rank
+             FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id < 50)
+           WHERE rank <= 10),
+         m AS (SELECT q_id,
+             CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_rel,
+             min(CASE WHEN c_label = q_label THEN rank END) AS fr,
+             sum(CASE WHEN c_label = q_label
+                 THEN 1.0 / (ln(rank + 1.0) / ln(2.0)) ELSE 0.0 END) AS dcg
+           FROM top GROUP BY q_id)
+         SELECT q_id, n_rel,
+           CAST(coalesce(fr, 0) AS BIGINT) AS first_rel_rank,
+           round(coalesce(1.0 / fr, 0.0), 6) AS mrr,
+           CASE WHEN n_rel = 0 THEN 0.0 ELSE
+             round(dcg / list_sum(list_transform(range(1, n_rel + 1),
+               i -> 1.0 / (ln(i + 1.0) / ln(2.0)))), 6) END AS ndcg
+         FROM m""",
     // top-5 neighborhood (self excluded), then the majority label with
     // (freq DESC, label ASC) — the same tie-break as max(struct(f, -l))
     "q155_knn_label_audit" ->

@@ -806,6 +806,48 @@ object Similarity {
         .as("dist"))
   }
 
+  /** Retrieval-quality metrics over label relevance — MRR and NDCG@k
+    * per query, treating corpus items sharing the query's label as
+    * relevant (self excluded): the standing evaluation loop for the
+    * ANN/retrieval family. NDCG uses the retrieved-set ideal (the R
+    * relevant hits of the top-k re-ranked to the front), so every
+    * number is self-contained in the top-k list and exactly replayable.
+    * log2 discounts are ln(i+1)/ln(2) in both engines.
+    *
+    * Shape at scale: the broadcast-queries top-k scan (the measured
+    * [[bruteForceTopK]] plan — swap in any ANN variant's top-k for its
+    * recall curve) plus one bounded per-query aggregate over k rows.
+    */
+  def retrievalMetrics(
+      queries: DataFrame, // (q_id, q_vec, q_label)
+      corpus: DataFrame, // (c_id, c_vec, c_label)
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val top = topKPerQuery(scored, k)
+      .withColumn("rel",
+        when(col("c_label") === col("q_label"), 1).otherwise(0))
+    val ln2 = math.log(2.0)
+    top.groupBy(col("q_id"))
+      .agg(
+        sum(col("rel")).cast("long").as("n_rel"),
+        min(when(col("rel") === 1, col("rank"))).cast("long").as("__fr"),
+        sum(col("rel").cast("double") /
+          (log(col("rank") + lit(1.0)) / lit(ln2))).as("__dcg"))
+      .withColumn("mrr", round(coalesce(
+        lit(1.0) / col("__fr"), lit(0.0)), 6))
+      .withColumn("__idcg",
+        when(col("n_rel") === 0, lit(0.0)).otherwise(
+          expr("aggregate(sequence(1L, n_rel), 0.0d, " +
+            "(a, i) -> a + 1.0d / (ln(i + 1.0d) / ln(2.0d)))")))
+      .withColumn("ndcg", when(col("n_rel") === 0, lit(0.0))
+        .otherwise(round(col("__dcg") / col("__idcg"), 6)))
+      .select(col("q_id"), col("n_rel"),
+        coalesce(col("__fr"), lit(0L)).as("first_rel_rank"),
+        col("mrr"), col("ndcg"))
+  }
+
   /** kNN label audit (the Confident-Learning-style mislabel screen):
     * for each query vector, the majority label among its k nearest
     * corpus neighbors (self excluded; ties toward the smaller label);

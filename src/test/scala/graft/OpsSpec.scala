@@ -1955,6 +1955,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === Seq((1L, 2L, 1), (2L, 3L, 2)), got.mkString(","))
   }
 
+  test("retrieval metrics: MRR is the reciprocal first-relevant rank, " +
+    "NDCG matches the hand-computed discounted sum, no-relevant gives 0") {
+    import spark.implicits._
+    // query 0 (label 0) ranks: 1=c1(label 1, irrelevant), 2=c2(label 0),
+    // 3=c3(label 0); query 10 (label 9) has no relevant at all
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.14f), 1),
+      (2L, Array(0.97f, 0.24f), 0),
+      (3L, Array(0.94f, 0.34f), 0),
+      (10L, Array(0.0f, 1.0f), 9)).toDF("vec_id", "embedding", "label")
+    val q = vecs.filter(col("vec_id").isin(0L, 10L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val c = vecs.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"), col("label").as("c_label"))
+    val got = Similarity.retrievalMetrics(q, c, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    val dcg = 1.0 / log2(3.0) + 1.0 / log2(4.0)
+    val idcg = 1.0 / log2(2.0) + 1.0 / log2(3.0)
+    assert(got(0L)._1 === 2L && got(0L)._2 === 2L)
+    assert(got(0L)._3 === 0.5)
+    assert(got(0L)._4 === (dcg / idcg).round6, got.toString)
+    assert(got(10L) === ((0L, 0L, 0.0, 0.0)), got.toString)
+  }
+
   test("knn label audit: a mislabeled point inside a foreign cluster is " +
     "suspect, cluster members are not") {
     import spark.implicits._
