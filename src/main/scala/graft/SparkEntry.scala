@@ -1824,6 +1824,23 @@ object SparkEntry {
       graft.ops.Similarity.hardNegatives(queries, corpus, k = 3)
     }),
 
+    // Beyond-reference: ANN recall report — per-query recall@10 of the
+    // deterministic fixed-centroid IVF (nprobe=2 of 4 cells) against
+    // brute force; the number that justifies the probe fraction.
+    "q163_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val centroids = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cell"),
+          col("embedding").as("centroid"))
+      val approx = graft.ops.Similarity.ivfTopKWithCentroids(
+        queries, corpus, centroids, k = 10, nprobe = 2)
+      val exact = graft.ops.Similarity.bruteForceTopK(queries, corpus, 10)
+      graft.ops.Similarity.recallReport(approx, exact)
+    }),
+
     // Beyond-reference: retrieval-quality metrics — per-query MRR and
     // NDCG@10 with label relevance over the cosine top-k; the standing
     // evaluation loop for the ANN/retrieval family.
@@ -4078,6 +4095,55 @@ object SparkEntry {
            FROM embeddings q CROSS JOIN embeddings c
            WHERE q.vec_id < 5 AND c.label <> q.label)
          WHERE rank <= 3""",
+    // q41's IVF spelling (assignment + 2-cell probe) and q29's brute
+    // spelling at k=10, joined into per-query recall
+    "q163_ann_recall" ->
+      """WITH cent AS (SELECT CAST(vec_id AS INT) AS cell,
+                         CAST(embedding AS DOUBLE[]) AS ce
+                       FROM embeddings WHERE vec_id < 4),
+         c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+         q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 20),
+         assigned AS (
+           SELECT c_id, e, cell FROM (
+             SELECT c.c_id, c.e, cent.cell,
+               row_number() OVER (PARTITION BY c.c_id
+                 ORDER BY list_distance(c.e, cent.ce), cent.cell) AS ar
+             FROM c CROSS JOIN cent)
+           WHERE ar = 1),
+         probes AS (
+           SELECT q_id, e, cell FROM (
+             SELECT q.q_id, q.e, cent.cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY list_distance(q.e, cent.ce), cent.cell) AS cr
+             FROM q CROSS JOIN cent)
+           WHERE cr <= 2),
+         approx AS (
+           SELECT q_id, c_id FROM (
+             SELECT p.q_id, a.c_id,
+               row_number() OVER (PARTITION BY p.q_id
+                 ORDER BY list_cosine_similarity(p.e, a.e) DESC, a.c_id)
+                 AS rank
+             FROM assigned a JOIN probes p ON a.cell = p.cell)
+           WHERE rank <= 10),
+         exact AS (
+           SELECT q_id, c_id FROM (
+             SELECT q.q_id, c.c_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.c_id)
+                 AS rank
+             FROM q CROSS JOIN c)
+           WHERE rank <= 10),
+         hits AS (SELECT a.q_id, count(*) AS h
+                  FROM approx a JOIN exact x
+                    ON a.q_id = x.q_id AND a.c_id = x.c_id
+                  GROUP BY a.q_id),
+         base AS (SELECT q_id, count(*) AS n FROM exact GROUP BY q_id)
+         SELECT b.q_id, CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+           CAST(b.n AS BIGINT) AS n_exact,
+           round(CAST(coalesce(h.h, 0) AS DOUBLE) / b.n, 6) AS recall
+         FROM base b LEFT JOIN hits h ON h.q_id = b.q_id""",
     // same top-k spelling as q155; DCG/IDCG via ln(i+1)/ln(2) on both
     // sides, NDCG against the retrieved-set ideal
     "q162_retrieval_metrics" ->

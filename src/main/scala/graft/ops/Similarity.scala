@@ -772,6 +772,27 @@ object Similarity {
         col("c_id"), col("c_label"), round(col("sim"), 3).as("sim"))
   }
 
+  /** ANN recall report: per-query recall@k of an approximate top-k
+    * against the exact brute-force top-k — the measurement that turns
+    * "approximate" into a number. Both sides arrive as (q_id, c_id)
+    * rank lists; recall = |approx ∩ exact| / |exact| per query. One
+    * inner join on (q_id, c_id) + two bounded aggregates.
+    */
+  def recallReport(
+      approx: DataFrame, // (q_id, c_id, ...)
+      exact: DataFrame): DataFrame = { // (q_id, c_id, ...)
+    val hits = approx.select(col("q_id"), col("c_id"))
+      .join(exact.select(col("q_id"), col("c_id")), Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("__hit"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("__n"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("__hit"), lit(0L)).as("n_hits"),
+        col("__n").as("n_exact"),
+        round(coalesce(col("__hit"), lit(0L)).cast("double") / col("__n"), 6)
+          .as("recall"))
+  }
+
   /** Pairwise centroid-drift matrix between labeled embedding groups —
     * the embedding-space health check (did two sources/epochs land in
     * the same region, did a class collapse into another). Centroids
