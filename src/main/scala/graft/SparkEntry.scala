@@ -1824,6 +1824,27 @@ object SparkEntry {
       graft.ops.Similarity.hardNegatives(queries, corpus, k = 3)
     }),
 
+    // Beyond-reference: MOJIBAKE repair (the ftfy-core digraph table as
+    // a codegen replace chain) — corruption planted deterministically on
+    // every 5th doc (UTF-8-as-Latin-1 of á/é), repaired by the FULL
+    // chain, and checked exact against the intended accented text.
+    "q164_mojibake_repair" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isCorrupt = pmod(col("doc_id"), lit(5)) === 0
+      val corrupted = when(isCorrupt,
+        expr("replace(replace(text, 'a', 'Ã¡'), 'e', 'Ã©')"))
+        .otherwise(col("text"))
+      val target = when(isCorrupt,
+        expr("replace(replace(text, 'a', 'á'), 'e', 'é')"))
+        .otherwise(col("text"))
+      docs.select(col("source"), corrupted.as("c"),
+          graft.ops.TextOps.fixMojibake(corrupted).as("f"), target.as("t"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("f") =!= col("c"), 1)).as("n_repaired"),
+          count(when(col("f") === col("t"), 1)).as("n_exact"))
+    }),
+
     // Beyond-reference: ANN recall report — per-query recall@10 of the
     // deterministic fixed-centroid IVF (nprobe=2 of 4 cells) against
     // brute force; the number that justifies the probe fraction.
@@ -4095,6 +4116,26 @@ object SparkEntry {
            FROM embeddings q CROSS JOIN embeddings c
            WHERE q.vec_id < 5 AND c.label <> q.label)
          WHERE rank <= 3""",
+    // the same plant + the repair digraphs that fire on this corpus
+    // (the op's remaining table entries are no-ops here and are pinned
+    // by the unit test instead)
+    "q164_mojibake_repair" ->
+      """WITH d AS (
+           SELECT source,
+             CASE WHEN doc_id % 5 = 0
+               THEN replace(replace(text, 'a', 'Ã¡'), 'e', 'Ã©')
+               ELSE text END AS c,
+             CASE WHEN doc_id % 5 = 0
+               THEN replace(replace(text, 'a', 'á'), 'e', 'é')
+               ELSE text END AS t
+           FROM documents),
+         r AS (SELECT source, c, t,
+                 replace(replace(c, 'Ã¡', 'á'), 'Ã©', 'é') AS f
+               FROM d)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE f <> c) AS BIGINT) AS n_repaired,
+           CAST(count(*) FILTER (WHERE f = t) AS BIGINT) AS n_exact
+         FROM r GROUP BY source""",
     // q41's IVF spelling (assignment + 2-cell probe) and q29's brute
     // spelling at k=10, joined into per-query recall
     "q163_ann_recall" ->

@@ -712,6 +712,32 @@ object TextOps {
         round(avg(col("lp")), 4).as("avg_logprob"))
   }
 
+  /** The common UTF-8-read-as-Latin-1 mojibake digraphs → the intended
+    * character (the ftfy core table, longest patterns first so the
+    * three-byte punctuation forms never half-match a two-byte one).
+    * Web-crawl text is full of these; repairing them BEFORE dedup and
+    * tokenization keeps "café" and "cafÃ©" from counting as different
+    * documents/tokens.
+    */
+  val mojibakeMap: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€˜" -> "‘", "â€œ" -> "“",
+    "â€" -> "”", "â€“" -> "–", "â€”" -> "—",
+    "â€¦" -> "…",
+    "Ã¡" -> "á", "Ã©" -> "é", "Ã­" -> "í", "Ã³" -> "ó", "Ãº" -> "ú",
+    "Ã±" -> "ñ", "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü", "ÃŸ" -> "ß",
+    "Ã§" -> "ç", "Ã¨" -> "è", "Ãª" -> "ê", "Ã«" -> "ë", "Ã " -> "à",
+    "Ã¢" -> "â", "Ã´" -> "ô", "Ã»" -> "û", "Ã¯" -> "ï", "Ã®" -> "î")
+
+  /** Repair mojibake by the fixed literal-replace chain — pure codegen
+    * string ops (the BPE-encode discipline), exactly replayable as the
+    * same replace() chain in any engine; order is the map's (longest
+    * first), so both engines resolve overlaps identically.
+    */
+  def fixMojibake(text: Column): Column =
+    mojibakeMap.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+
   /** Out-of-vocabulary rate per source against the corpus' own top-N
     * vocabulary — the tokenizer-fit diagnostic: a source whose token
     * mass falls outside the vocabulary the rest of the corpus would

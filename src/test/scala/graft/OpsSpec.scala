@@ -1955,6 +1955,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === Seq((1L, 2L, 1), (2L, 3L, 2)), got.mkString(","))
   }
 
+  test("mojibake repair: every table entry round-trips, composites fix in " +
+    "one pass, clean text is untouched") {
+    import spark.implicits._
+    val rows = TextOps.mojibakeMap.zipWithIndex.map { case ((bad, good), i) =>
+      (i.toLong, s"x${bad}y", s"x${good}y")
+    } ++ Seq(
+      (100L, "CafÃ© â€” the naÃ¯ve touristâ€™s guide",
+        "Café — the naïve tourist’s guide"),
+      (101L, "plain ascii stays put", "plain ascii stays put"))
+    val df = rows.toDF("id", "dirty", "want")
+    val got = df.select(col("id"), TextOps.fixMojibake(col("dirty")).as("f"),
+        col("want"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+    got.foreach { case (id, (f, want)) => assert(f === want, s"entry $id") }
+  }
+
   test("retrieval metrics: MRR is the reciprocal first-relevant rank, " +
     "NDCG matches the hand-computed discounted sum, no-relevant gives 0") {
     import spark.implicits._
