@@ -100,28 +100,53 @@ object Bench {
           -1.0
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // TEMPORALLY-SEPARATED SWEEPS: pass 1 runs ALL queries, then pass 2
+    // runs ALL queries again. Adjacent best-of-N (r10) could not reject a
+    // sustained host-load window covering both passes of one query — the
+    // r10 driver artifact was 5.5x inflated on 12 queries that way. With
+    // full sweeps the two timings of a query are separated by the whole
+    // run (~minutes), so a load window must span the entire bench to
+    // corrupt both; if it does, the per-pass ratios expose it (suspect
+    // flag below) instead of silently producing a plausible-looking min.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
-      .map { case (name, fn) =>
-        val first = timeOnce(name, fn, loud = true)
-        val best =
-          if (first < 0) first
-          else (first +: (2 to passes).map(_ => timeOnce(name, fn, loud = false)))
-            .filter(_ >= 0).min
-        (name, best, first >= 0)
+    val sweeps: Seq[Seq[(String, Double)]] = (1 to passes).map { p =>
+      selected.map { case (name, fn) =>
+        (name, timeOnce(name, fn, loud = p == 1))
       }
+    }
+    val results = selected.zipWithIndex.map { case ((name, _), i) =>
+      val times = sweeps.map(_(i)._2)
+      val ok = times.filter(_ >= 0)
+      val best = if (ok.isEmpty) -1.0 else ok.min
+      (name, best, times, times.head >= 0)
+    }
+    // A query whose two sweep times disagree by >3x (above a 0.3 s noise
+    // floor) was probably hit by external load in one sweep; if ANY query
+    // trips this, the artifact is flagged suspect so a reader knows to
+    // prefer the per-query min and distrust the raw sums.
+    val suspects = results.collect {
+      case (name, _, times, _)
+          if times.count(_ >= 0) >= 2 && times.filter(_ >= 0).min > 0.3 &&
+            times.filter(_ >= 0).max / times.filter(_ >= 0).min > 3.0 =>
+        name
+    }
     // ms precision keeps the line small; a sub-ms query time carries no
     // signal at this measurement's noise floor anyway. Locale-pinned:
     // a comma decimal separator would make the line invalid JSON.
     def ms3(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms3(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
-    val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val perPass = results.map { case (k, _, times, _) =>
+      "\"" + k + "\":" + times.map(ms3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failures = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.filter(_._3).map(_._2).sum
+    val suspectArr = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._4).map(_._2).sum
     val json =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"passes":$perPass,"suspect":${suspects.nonEmpty},"suspect_queries":$suspectArr,"failures":$failures,"sf":"$sfDir"}"""
     // The total first on its own line, then the full record — and the
     // record ALSO written to target/bench.json, so a harness that
     // truncates captured output can never destroy the per-query data.

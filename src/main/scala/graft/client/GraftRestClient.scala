@@ -363,7 +363,13 @@ class GraftRestClient(
       /** Wrapped delta actions in served order; each wraps exactly one of
         * add/remove/cdc with the commit version/timestamp on the wrapper.
         */
-      files: Seq[wire.DeltaFileW])
+      files: Seq[wire.DeltaFileW],
+      /** Protocol lines (head + historical) when the range was requested
+        * with `includeHistoricalProtocol`; a line with version > range
+        * start is a mid-range reader-requirement change the consumer must
+        * vet before reading past it (reference `PROTOCOL.md:2152,4041`).
+        */
+      protocols: Seq[wire.DeltaProtocolLine] = Nil)
 
   /** Version-range query in the DELTA dialect (the streaming backbone
     * for DV/column-mapped shared tables): same pagination protocol as
@@ -371,14 +377,18 @@ class GraftRestClient(
     */
   def deltaQueryRange(share: String, schema: String, table: String,
       startingVersion: Long, endingVersion: Option[Long] = None,
-      maxFiles: Option[Int] = None): DeltaChangesResult = {
+      maxFiles: Option[Int] = None,
+      includeHistoricalProtocol: Boolean = false): DeltaChangesResult = {
     val req = wire.QueryRequest(
       startingVersion = startingVersion,
       endingVersion = endingVersion.map(Long.box).orNull,
-      maxFiles = maxFiles.map(Int.box).orNull)
+      maxFiles = maxFiles.map(Int.box).orNull,
+      includeHistoricalProtocol =
+        if (includeHistoricalProtocol) java.lang.Boolean.TRUE else null)
     var version = -1L
     val metas = Seq.newBuilder[wire.DeltaMetadataLine]
     val files = Seq.newBuilder[wire.DeltaFileW]
+    val protos = Seq.newBuilder[wire.DeltaProtocolLine]
     var pageToken: Option[String] = None
     var first = true
     while (first || pageToken.isDefined) {
@@ -393,11 +403,12 @@ class GraftRestClient(
         val line = JsonUtils.fromJson[wire.DeltaLine](raw)
         if (line.metaData != null) metas += line.metaData
         if (line.file != null) files += line.file
+        if (line.protocol != null) protos += line.protocol
         if (line.endStreamAction != null)
           pageToken = Option(line.endStreamAction.nextPageToken)
       }
     }
-    DeltaChangesResult(version, metas.result(), files.result())
+    DeltaChangesResult(version, metas.result(), files.result(), protos.result())
   }
 
   /** `GET /changes` in the DELTA dialect — raw per-version delta actions
@@ -409,6 +420,7 @@ class GraftRestClient(
     var version = -1L
     val metas = Seq.newBuilder[wire.DeltaMetadataLine]
     val files = Seq.newBuilder[wire.DeltaFileW]
+    val protos = Seq.newBuilder[wire.DeltaProtocolLine]
     var pageToken: Option[String] = None
     var first = true
     while (first || pageToken.isDefined) {
@@ -423,11 +435,12 @@ class GraftRestClient(
         val line = JsonUtils.fromJson[wire.DeltaLine](raw)
         if (line.metaData != null) metas += line.metaData
         if (line.file != null) files += line.file
+        if (line.protocol != null) protos += line.protocol
         if (line.endStreamAction != null)
           pageToken = Option(line.endStreamAction.nextPageToken)
       }
     }
-    DeltaChangesResult(version, metas.result(), files.result())
+    DeltaChangesResult(version, metas.result(), files.result(), protos.result())
   }
 
   case class ChangesResult(

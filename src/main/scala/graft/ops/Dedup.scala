@@ -217,11 +217,44 @@ object Dedup {
     // sf0.1 char-ngram pipeline). Unlike the exploded table (codegen,
     // cheaper to recompute than cache), the aggregated arrays are the
     // expensive artifact worth keeping; blocks are reclaimed by Spark's
-    // ContextCleaner once the frame is unreachable.
-    exploded.join(dict.select(col("__f"), col("__code")), "__f")
+    // ContextCleaner once the frame is unreachable. LIFECYCLE CAVEAT for
+    // long-lived sessions: Spark's CacheManager matches cached plans
+    // semantically, so re-running a dedup pipeline in the SAME session
+    // after the input path's files changed can serve the stale cached
+    // arrays, and repeated invocations accumulate MEMORY_AND_DISK blocks.
+    // Call [[Dedup.releasePersisted]] (or spark.catalog.clearCache) after
+    // consuming the pipeline's result, as Bench/Verify/ScaleProbe do.
+    val cached = exploded.join(dict.select(col("__f"), col("__code")), "__f")
       .groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.add(new java.lang.ref.WeakReference(cached))
+    cached
+  }
+
+  /** Frames persisted by [[codedSetsFromFeatures]], weakly held so the
+    * registry never delays ContextCleaner GC of unreachable frames.
+    */
+  private val persisted =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      java.lang.ref.WeakReference[DataFrame]]
+
+  /** Unpersists every cached code-array frame produced so far. Call after
+    * the action that consumes a dedup pipeline's result when the session
+    * is long-lived or the input files may change between runs (the
+    * persisted plans otherwise both pin storage blocks and can be
+    * semantically matched by a later run over the mutated path).
+    */
+  def releasePersisted(): Unit = {
+    var ref = persisted.poll()
+    while (ref != null) {
+      val df = ref.get()
+      if (df != null) {
+        try df.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => }
+      }
+      ref = persisted.poll()
+    }
   }
 
   /** The (index, probe) prefix tables SLICED from the sorted code arrays

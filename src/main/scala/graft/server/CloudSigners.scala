@@ -255,11 +255,15 @@ object CloudSigners {
           sk <- settings.get("gcs.secretKey")
         } yield GcsHmacSigner(ak, sk).presign(bucket, key, capped, now)
       case "wasb" | "wasbs" | "abfs" | "abfss" =>
-        // authority is container@account.<suffix>; container first
+        // authority is container@account.<suffix>; container first. A
+        // malformed authority (no '@', or no account and no azure.account
+        // setting) falls through to the local HMAC data endpoint like
+        // every other unsignable case — never a host-less https URL.
         val container = bucket.takeWhile(_ != '@')
-        val account = settings.get("azure.account").getOrElse(
+        val account = settings.get("azure.account").filter(_.nonEmpty).getOrElse(
           bucket.dropWhile(_ != '@').drop(1).takeWhile(_ != '.'))
-        settings.get("azure.key").map(k =>
+        if (container.isEmpty || account.isEmpty) None
+        else settings.get("azure.key").map(k =>
           AzureSasSigner(account, k).presign(container, key, capped, now))
       case _ => None
     }

@@ -413,7 +413,9 @@ class GraftServer(
       serveChangeLines(ex, l, location, tableKey, start, end,
         maxFiles = Option(req.maxFiles).map(_.intValue()),
         pageToken = Option(req.pageToken), cdfMode = false,
-        includeHistoricalMetadata = true)
+        includeHistoricalMetadata = true,
+        includeHistoricalProtocol =
+          Option(req.includeHistoricalProtocol).exists(_.booleanValue()))
     } else if (async) {
       sweepAsyncResults()
       // Idempotent submit: a retry carrying the same idempotencyKey gets
@@ -739,7 +741,9 @@ class GraftServer(
     serveChangeLines(ex, l, location, s"$share.$schema.$table", start, end,
       maxFiles = q.get("maxFiles").map(_.toInt), pageToken = q.get("pageToken"),
       cdfMode = true,
-      includeHistoricalMetadata = q.get("includeHistoricalMetadata").exists(_.toBoolean))
+      includeHistoricalMetadata = q.get("includeHistoricalMetadata").exists(_.toBoolean),
+      includeHistoricalProtocol =
+        q.get("includeHistoricalProtocol").exists(_.toBoolean))
   }
 
   /** Shared NDJSON emitter for version-range queries (cdfMode=false: all
@@ -749,7 +753,8 @@ class GraftServer(
   private def serveChangeLines(
       ex: HttpExchange, l: GraftLog, location: String, tableKey: String,
       start: Long, requestedEnd: Long, maxFiles: Option[Int], pageToken: Option[String],
-      cdfMode: Boolean, includeHistoricalMetadata: Boolean): Unit = {
+      cdfMode: Boolean, includeHistoricalMetadata: Boolean,
+      includeHistoricalProtocol: Boolean = false): Unit = {
     val expiration = now() + config.preSignedUrlTimeoutSeconds * 1000
 
     def sign(p: String): String = signUrl(location, p, expiration)
@@ -773,7 +778,7 @@ class GraftServer(
     }
     val end = tok.map(_.version).getOrElse(requestedEnd)
     tok.foreach { p =>
-      if (p.checksum != changeChecksum(tableKey, start, end, cdfMode))
+      if (p.checksum != changeChecksum(tableKey, start, end, cdfMode, includeHistoricalProtocol))
         throw GraftServerException.badRequest(
           "page token does not match the query parameters")
     }
@@ -782,6 +787,10 @@ class GraftServer(
     val fmt = negotiateFormat(ex, startSnap.metadata)
     changeScheme = fileIdScheme(ex, fmt)
     val delta = fmt == FORMAT_DELTA
+    // Historical Protocol actions only have a representation in the delta
+    // dialect; the flag is ignored for parquet responses so the legacy
+    // wire shape never changes (reference `DeltaSharedTable.scala:426-433`).
+    val emitHistProto = includeHistoricalProtocol && delta
 
     def deltaFile(single: DeltaSingleActionW, path: String,
         version: Long, timestamp: Long): String =
@@ -804,7 +813,30 @@ class GraftServer(
       })
     }
 
+    // Historical-protocol walk state: the effective (metadata, protocol)
+    // pair as of the last processed commit, starting from the range-start
+    // snapshot (which the head line covers). A commit strictly after
+    // `start` that CHANGES the effective wire protocol — via a logged
+    // Protocol action (real delta logs) or a metadata-driven feature
+    // enablement (graft-mode logs) — emits one version-stamped protocol
+    // line (reference `DeltaSharedTable.scala:672-675`).
+    var runMeta = startSnap.metadata
+    var runProto = startSnap.protocol
+    var lastEmittedProto = deltaProtoW(runMeta, runProto)
     val actionLines = l.changes(start, end).flatMap { commit =>
+      val protoLines = if (emitHistProto) {
+        commit.actions.foreach {
+          case p: graft.model.Protocol => runProto = p
+          case m: graft.model.Metadata => runMeta = m
+          case _ => ()
+        }
+        val w = deltaProtoW(runMeta, runProto)
+        if (commit.version > start && w != lastEmittedProto) {
+          lastEmittedProto = w
+          Seq(DeltaLine(protocol =
+            DeltaProtocolLine(w, version = commit.version)).json)
+        } else { lastEmittedProto = w; Nil }
+      } else Nil
       val metaLines = if (includeHistoricalMetadata)
         commit.actions.collect { case m: graft.model.Metadata =>
           if (delta) deltaMetaJson(m, commit.version)
@@ -855,7 +887,7 @@ class GraftServer(
                 expirationTimestamp = expiration)).json)
           adds ++ removes
         }
-      metaLines ++ dataLines
+      protoLines ++ metaLines ++ dataLines
     }
 
     // Pagination over the flattened action list.
@@ -867,7 +899,7 @@ class GraftServer(
       Seq(Line(endStreamAction = EndStreamAction(
         nextPageToken = Tokens.encode(Tokens.PageTokenPayload(
           tableKey, end, startIndex + pageSize,
-          changeChecksum(tableKey, start, end, cdfMode),
+          changeChecksum(tableKey, start, end, cdfMode, includeHistoricalProtocol),
           now() + config.pageTokenTtlMs)))).json)
     else if (wantsEndStreamAction(ex))
       Seq(Line(endStreamAction = EndStreamAction(
@@ -877,7 +909,10 @@ class GraftServer(
 
     ex.getResponseHeaders.set(DELTA_TABLE_VERSION_HEADER, end.toString)
     val head =
-      if (delta) Seq(deltaProtoJson(startSnap.metadata, startSnap.protocol),
+      // the head Protocol is version-stamped only under the opt-in, so
+      // non-opted clients keep the exact previous delta wire shape
+      if (delta) Seq(deltaProtoJson(startSnap.metadata, startSnap.protocol,
+          version = if (emitHistProto) Long.box(start) else null),
         deltaMetaJson(startSnap.metadata, start))
       else Seq(Line(protocol = wire.Protocol()).json,
         Line(metaData = wireMetadata(startSnap.metadata, start)).json)
@@ -1064,13 +1099,24 @@ class GraftServer(
     "variantType" -> graft.log.TypeWidening.containsVariant(m.schemaString)
   ).collect { case (f, true) => f }
 
-  private def deltaProtoJson(m: graft.model.Metadata, proto: graft.model.Protocol): String = {
-    val features = deltaFeatures(m)
-    val p = if (features.nonEmpty)
+  /** The wire protocol for a (metadata, protocol) state: feature-gated
+    * tables answer (3,7) with the UNION of metadata-derived features and
+    * the logged protocol's reader features (graft-mode logs express
+    * feature enablement through metadata configuration; real delta logs
+    * through Protocol actions — the wire shape must cover both).
+    */
+  private def deltaProtoW(m: graft.model.Metadata,
+      proto: graft.model.Protocol): DeltaProtocolW = {
+    val features = (deltaFeatures(m) ++ proto.features).distinct
+    if (features.nonEmpty)
       DeltaProtocolW(3, 7, readerFeatures = features, writerFeatures = features)
     else DeltaProtocolW(math.max(proto.minReaderVersion, 1), 2)
-    DeltaLine(protocol = DeltaProtocolLine(p)).json
   }
+
+  private def deltaProtoJson(m: graft.model.Metadata, proto: graft.model.Protocol,
+      version: java.lang.Long = null): String =
+    DeltaLine(protocol = DeltaProtocolLine(deltaProtoW(m, proto),
+      version = version)).json
 
   /** Wire form of an add's deletion vector (delta dialect only): file-
     * backed DVs ("u"/"p") become storageType "p" with a pre-signed URL —
@@ -1140,8 +1186,12 @@ class GraftServer(
       String.valueOf(req.version), String.valueOf(req.timestamp),
       String.valueOf(req.startingVersion), String.valueOf(req.endingVersion)))
 
-  private def changeChecksum(tableKey: String, start: Long, end: Long, cdf: Boolean): String =
-    Tokens.checksum(Seq(tableKey, start.toString, end.toString, cdf.toString))
+  private def changeChecksum(tableKey: String, start: Long, end: Long, cdf: Boolean,
+      histProto: Boolean = false): String =
+    // histProto changes the served line list (and thus page indices), so
+    // a continuation token must bind it like every other range parameter
+    Tokens.checksum(Seq(tableKey, start.toString, end.toString, cdf.toString) ++
+      (if (histProto) Seq("histProto") else Nil))
 
   private def sendError(ex: HttpExchange, e: GraftServerException): Unit = {
     if (!ex.getResponseHeaders.containsKey("Content-Type"))

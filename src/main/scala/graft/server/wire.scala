@@ -112,7 +112,15 @@ object wire {
       readerFeatures: Seq[String] = null,
       writerFeatures: Seq[String] = null)
 
-  case class DeltaProtocolLine(deltaProtocol: DeltaProtocolW)
+  /** `version` is populated only when the client opted into
+    * `includeHistoricalProtocol` (reference `model.scala:67-76`,
+    * `PROTOCOL.md:4041`): it stamps the delta-log version each Protocol
+    * action applies to, for both the head line and inlined historical
+    * lines; omitted otherwise so the legacy wire shape is unchanged.
+    */
+  case class DeltaProtocolLine(
+      deltaProtocol: DeltaProtocolW,
+      version: java.lang.Long = null)
 
   case class DeltaMetadataW(
       id: String,
@@ -223,7 +231,14 @@ object wire {
         * submit carrying the same key is answered with the SAME queryId
         * instead of recomputing under a new one.
         */
-      idempotencyKey: String = null)
+      idempotencyKey: String = null,
+      /** Only used with `startingVersion` (`PROTOCOL.md:2152`): inline
+        * historical Protocol actions (versions strictly after
+        * startingVersion) into delta-dialect responses so a streaming
+        * client can detect a mid-range reader-requirement upgrade.
+        * Ignored for parquet-dialect responses.
+        */
+      includeHistoricalProtocol: java.lang.Boolean = null)
 
   case class ErrorResponse(errorCode: String, message: String)
 

@@ -93,10 +93,10 @@ class RemoteDeltaScanRelation(
     // exact row-level re-filter on top of the best-effort file pruning
     val filtered = FilterColumns.translate(filters.toIndexedSeq)
       .map(base.filter).getOrElse(base)
-    val projected =
-      if (requiredColumns.isEmpty) filtered
-      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
-    projected.rdd
+    // PrunedFilteredScan contract: returned rows contain EXACTLY
+    // requiredColumns — an empty select is legal (zero-column frame for
+    // count-style scans), so no full-width special case.
+    filtered.select(requiredColumns.map(col).toIndexedSeq: _*).rdd
   }
 
   private def buildDf(hint: Option[String]): org.apache.spark.sql.DataFrame = {

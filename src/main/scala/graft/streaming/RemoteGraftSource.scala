@@ -281,11 +281,24 @@ class RemoteGraftSource(
   private def rangeCommitsWindow(
       start: Long, end: Long): Seq[(Long, Seq[RemoteFile], Boolean)] =
     if (deltaDialect) {
-      val res = client.deltaQueryRange(share, schemaName, table, start, Some(end))
+      val res = client.deltaQueryRange(share, schemaName, table, start, Some(end),
+        includeHistoricalProtocol = true)
       res.metas.foreach { m =>
         SchemaCompat.assertReadCompatible(schema,
           DataType.fromJson(m.deltaMetadata.schemaString).asInstanceOf[StructType],
           s"$share.$schemaName.$table (version ${Option(m.version).getOrElse(-1L)})")
+      }
+      // Protocol drift guard (the reader-requirements analog of the T7
+      // schema guard): a mid-range Protocol upgrade to features this
+      // client cannot decode must fail the stream loudly HERE — before
+      // any file of that version is read — not surface as silently
+      // wrong rows.
+      res.protocols.foreach { p =>
+        graft.model.Protocol(
+          minReaderVersion = p.deltaProtocol.minReaderVersion,
+          readerFeatures = Option(p.deltaProtocol.readerFeatures).getOrElse(Nil))
+          .assertReadable(
+            s"$share.$schemaName.$table (version ${Option(p.version).getOrElse(-1L)})")
       }
       val adds = res.files.filter(f => f.deltaSingleAction.add != null)
       val removes = res.files.filter(f => f.deltaSingleAction.remove != null)

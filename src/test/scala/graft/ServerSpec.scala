@@ -396,6 +396,48 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.adds.forall(_.timestamp > 0L))
   }
 
+  test("includeHistoricalProtocol: version-stamped Protocol actions inlined " +
+    "into delta-dialect ranges; legacy/parquet shapes untouched") {
+    val base = "/shares/share1/schemas/default/tables/nation_dv"
+    val caps = Map("delta-sharing-capabilities" ->
+      "responseformat=delta;readerfeatures=deletionvectors")
+    // opted in: head Protocol stamped with the range start, plus the v1
+    // reader-requirement upgrade (DV enablement) stamped with its version
+    val resp = rawPostHdr(s"$base/query",
+      """{"startingVersion": 0, "includeHistoricalProtocol": true}""", caps)
+    assert(resp.statusCode() === 200)
+    val protos = resp.body().split("\n").filter(_.nonEmpty)
+      .map(JsonUtils.fromJson[DeltaLine](_)).flatMap(l => Option(l.protocol))
+    assert(protos.map(p => Option(p.version).map(_.longValue())).toSeq ===
+      Seq(Some(0L), Some(1L)))
+    assert(protos.head.deltaProtocol.minReaderVersion === 1)
+    assert(protos.last.deltaProtocol.minReaderVersion === 3)
+    assert(protos.last.deltaProtocol.readerFeatures.contains("deletionVectors"))
+    // CDF rides the same emission (query param spelling); v2 extends DVs
+    // but changes no reader requirement, so no third line
+    val cdf = rawGetHdr("/shares/share1/schemas/default/tables/nation_dv_cdf" +
+      "/changes?startingVersion=0&includeHistoricalProtocol=true", caps)
+    assert(cdf.statusCode() === 200)
+    val cdfProtos = cdf.body().split("\n").filter(_.nonEmpty)
+      .map(JsonUtils.fromJson[DeltaLine](_)).flatMap(l => Option(l.protocol))
+    assert(cdfProtos.map(p => Option(p.version).map(_.longValue())).toSeq ===
+      Seq(Some(0L), Some(1L)))
+    // not opted in: exactly one head Protocol line with NO version field —
+    // the pre-existing delta wire shape byte-for-byte
+    val legacy = rawPostHdr(s"$base/query", """{"startingVersion": 0}""", caps)
+    val legacyProtoLines = legacy.body().split("\n")
+      .filter(_.contains("\"protocol\""))
+    assert(legacyProtoLines.length === 1)
+    assert(!legacyProtoLines.head.contains("\"version\""))
+    // parquet dialect: the flag is ignored, flat head protocol only
+    val pq = rawPost("/shares/share1/schemas/default/tables/orders_versioned/query",
+      """{"startingVersion": 1, "includeHistoricalProtocol": true}""")
+    assert(pq.statusCode() === 200)
+    val pqProtoLines = pq.body().split("\n").filter(_.contains("\"protocol\""))
+    assert(pqProtoLines.length === 1)
+    assert(!pqProtoLines.head.contains("\"version\""))
+  }
+
   // ------------------------------------------------------------- changes
 
   test("changes endpoint: cdc-priority per version over orders_cdf") {

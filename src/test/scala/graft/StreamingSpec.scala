@@ -251,6 +251,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("remote streaming surfaces a mid-range reader-requirement upgrade " +
+    "(includeHistoricalProtocol drift guard)") {
+    val conf = spark.sessionState.newHadoopConf()
+    val base = s"${SharedFixtures.shareRoot(sfDir)}/stream_proto_remote"
+    val dir = new java.io.File(base)
+    if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    GraftLog.invalidateListing(base)
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    TableBuilder.create(spark, region.repartition(2), base, name = "stream_proto_remote")
+    // v1: DV delete — forces the remote source onto the delta dialect
+    TableBuilder.deleteWhereDV(spark, base, col("r_regionkey") === 1, timestamp = 1000L)
+    TableBuilder.append(spark, region.limit(1), base, timestamp = 2000L)
+    // v3: a protocol upgrade gating a reader feature this client cannot
+    // decode — the kind of mid-stream change only the historical-protocol
+    // opt-in can surface (the snapshot at the range start never sees it)
+    GraftLog.commit(base, 3L, Seq(graft.model.Protocol(
+      minReaderVersion = 3, version = 3L,
+      readerFeatures = Seq("graftFutureFeature"))), conf)
+    GraftLog.invalidateListing(base)
+    GraftCatalog.register(s"${SharedFixtures.SHARE}.stream_proto_remote", base)
+    val server = new graft.server.GraftServer(
+      graft.server.ServerConfig(bearerToken = Some("tkn")), conf).start()
+    try {
+      val failing = spark.readStream.format("graft")
+        .option("url", server.url).option("token", "tkn")
+        .option("table", s"${SharedFixtures.SHARE}.stream_proto_remote")
+        .option("queryTableVersionIntervalSeconds", "0")
+        .option("startingVersion", "0").option("ignoreChanges", "true")
+        .load()
+        .writeStream.format("memory").queryName("t_proto_drift")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        failing.awaitTermination(120000)
+      }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("unsupported reader features"), msgs)
+      assert(msgs.contains("graftFutureFeature"), msgs)
+      assert(msgs.contains("version 3"), msgs)
+    } finally {
+      server.stop()
+      GraftCatalog.unregister(s"${SharedFixtures.SHARE}.stream_proto_remote")
+    }
+  }
+
   test("streaming a column-mapped table projects logical names per batch") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("stream_cm").toString
