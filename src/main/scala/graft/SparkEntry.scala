@@ -1553,9 +1553,12 @@ object SparkEntry {
     // Beyond-reference: BPE merge induction over the corpus (tokenizer
     // FIT, Sennrich et al. 2016) — deterministic merge table from the
     // word-frequency collapse; vocabulary-scale rounds, 1-row argmax
-    // collects. No SQL oracle (8 fold-re-segmentation rounds are not
-    // reasonably expressible) → driver records the rows-only check; the
-    // algorithm is pinned by OpsSpec's hand-computed canonical corpus.
+    // collects. The DuckDB oracle replays all 8 fold-re-segmentation
+    // rounds with MATERIALIZED per-round CTEs: each round recounts
+    // adjacent symbol pairs over the sentinel-coded words, takes the
+    // same (freq desc, l, r) argmax, and applies the merge as the same
+    // literal sentinel replace the engine's q129 encoder uses. OpsSpec's
+    // hand-computed canonical corpus additionally pins the algorithm.
     "q123_bpe_merges" -> ((s, dir) => {
       graft.ops.TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
     }),
@@ -4659,6 +4662,103 @@ object SparkEntry {
            round(log2(t.n) - sum(r.cnt * log2(r.cnt)) / t.n, 4) AS entropy
          FROM runs r JOIN tot t USING (doc_id)
          GROUP BY r.doc_id, t.n""",
+    // replays the 8 BPE fit rounds: per-round MATERIALIZED CTEs (plain
+    // CTE inlining would duplicate the scan 4^8 times), sentinel-coded
+    // words, adjacent-pair recount, (freq desc, l, r) argmax, literal
+    // sentinel replace as the non-overlapping left-to-right merge pass
+    "q123_bpe_merges" ->
+      """WITH wf AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+             SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+             FROM documents) WHERE w <> '' GROUP BY w),
+         s0 AS MATERIALIZED (SELECT chr(1) ||
+             array_to_string(string_split(w, ''), chr(2)||chr(1)) || chr(2) AS s,
+             freq FROM wf),
+         p1 AS MATERIALIZED (SELECT l, r, pf FROM (
+             SELECT us[i] AS l, us[i+1] AS r, CAST(sum(freq) AS BIGINT) AS pf
+             FROM (SELECT freq, string_split(substr(s, 2, len(s)-2),
+                                             chr(2)||chr(1)) AS us FROM s0),
+                  LATERAL unnest(range(1, len(us))) AS t(i)
+             GROUP BY us[i], us[i+1])
+           ORDER BY pf DESC, l, r LIMIT 1),
+         s1 AS MATERIALIZED (SELECT replace(s,
+             chr(1)||(SELECT l FROM p1)||chr(2)||chr(1)||(SELECT r FROM p1)||chr(2),
+             chr(1)||(SELECT l FROM p1)||(SELECT r FROM p1)||chr(2)) AS s, freq FROM s0),
+         p2 AS MATERIALIZED (SELECT l, r, pf FROM (
+             SELECT us[i] AS l, us[i+1] AS r, CAST(sum(freq) AS BIGINT) AS pf
+             FROM (SELECT freq, string_split(substr(s, 2, len(s)-2),
+                                             chr(2)||chr(1)) AS us FROM s1),
+                  LATERAL unnest(range(1, len(us))) AS t(i)
+             GROUP BY us[i], us[i+1])
+           ORDER BY pf DESC, l, r LIMIT 1),
+         s2 AS MATERIALIZED (SELECT replace(s,
+             chr(1)||(SELECT l FROM p2)||chr(2)||chr(1)||(SELECT r FROM p2)||chr(2),
+             chr(1)||(SELECT l FROM p2)||(SELECT r FROM p2)||chr(2)) AS s, freq FROM s1),
+         p3 AS MATERIALIZED (SELECT l, r, pf FROM (
+             SELECT us[i] AS l, us[i+1] AS r, CAST(sum(freq) AS BIGINT) AS pf
+             FROM (SELECT freq, string_split(substr(s, 2, len(s)-2),
+                                             chr(2)||chr(1)) AS us FROM s2),
+                  LATERAL unnest(range(1, len(us))) AS t(i)
+             GROUP BY us[i], us[i+1])
+           ORDER BY pf DESC, l, r LIMIT 1),
+         s3 AS MATERIALIZED (SELECT replace(s,
+             chr(1)||(SELECT l FROM p3)||chr(2)||chr(1)||(SELECT r FROM p3)||chr(2),
+             chr(1)||(SELECT l FROM p3)||(SELECT r FROM p3)||chr(2)) AS s, freq FROM s2),
+         p4 AS MATERIALIZED (SELECT l, r, pf FROM (
+             SELECT us[i] AS l, us[i+1] AS r, CAST(sum(freq) AS BIGINT) AS pf
+             FROM (SELECT freq, string_split(substr(s, 2, len(s)-2),
+                                             chr(2)||chr(1)) AS us FROM s3),
+                  LATERAL unnest(range(1, len(us))) AS t(i)
+             GROUP BY us[i], us[i+1])
+           ORDER BY pf DESC, l, r LIMIT 1),
+         s4 AS MATERIALIZED (SELECT replace(s,
+             chr(1)||(SELECT l FROM p4)||chr(2)||chr(1)||(SELECT r FROM p4)||chr(2),
+             chr(1)||(SELECT l FROM p4)||(SELECT r FROM p4)||chr(2)) AS s, freq FROM s3),
+         p5 AS MATERIALIZED (SELECT l, r, pf FROM (
+             SELECT us[i] AS l, us[i+1] AS r, CAST(sum(freq) AS BIGINT) AS pf
+             FROM (SELECT freq, string_split(substr(s, 2, len(s)-2),
+                                             chr(2)||chr(1)) AS us FROM s4),
+                  LATERAL unnest(range(1, len(us))) AS t(i)
+             GROUP BY us[i], us[i+1])
+           ORDER BY pf DESC, l, r LIMIT 1),
+         s5 AS MATERIALIZED (SELECT replace(s,
+             chr(1)||(SELECT l FROM p5)||chr(2)||chr(1)||(SELECT r FROM p5)||chr(2),
+             chr(1)||(SELECT l FROM p5)||(SELECT r FROM p5)||chr(2)) AS s, freq FROM s4),
+         p6 AS MATERIALIZED (SELECT l, r, pf FROM (
+             SELECT us[i] AS l, us[i+1] AS r, CAST(sum(freq) AS BIGINT) AS pf
+             FROM (SELECT freq, string_split(substr(s, 2, len(s)-2),
+                                             chr(2)||chr(1)) AS us FROM s5),
+                  LATERAL unnest(range(1, len(us))) AS t(i)
+             GROUP BY us[i], us[i+1])
+           ORDER BY pf DESC, l, r LIMIT 1),
+         s6 AS MATERIALIZED (SELECT replace(s,
+             chr(1)||(SELECT l FROM p6)||chr(2)||chr(1)||(SELECT r FROM p6)||chr(2),
+             chr(1)||(SELECT l FROM p6)||(SELECT r FROM p6)||chr(2)) AS s, freq FROM s5),
+         p7 AS MATERIALIZED (SELECT l, r, pf FROM (
+             SELECT us[i] AS l, us[i+1] AS r, CAST(sum(freq) AS BIGINT) AS pf
+             FROM (SELECT freq, string_split(substr(s, 2, len(s)-2),
+                                             chr(2)||chr(1)) AS us FROM s6),
+                  LATERAL unnest(range(1, len(us))) AS t(i)
+             GROUP BY us[i], us[i+1])
+           ORDER BY pf DESC, l, r LIMIT 1),
+         s7 AS MATERIALIZED (SELECT replace(s,
+             chr(1)||(SELECT l FROM p7)||chr(2)||chr(1)||(SELECT r FROM p7)||chr(2),
+             chr(1)||(SELECT l FROM p7)||(SELECT r FROM p7)||chr(2)) AS s, freq FROM s6),
+         p8 AS MATERIALIZED (SELECT l, r, pf FROM (
+             SELECT us[i] AS l, us[i+1] AS r, CAST(sum(freq) AS BIGINT) AS pf
+             FROM (SELECT freq, string_split(substr(s, 2, len(s)-2),
+                                             chr(2)||chr(1)) AS us FROM s7),
+                  LATERAL unnest(range(1, len(us))) AS t(i)
+             GROUP BY us[i], us[i+1])
+           ORDER BY pf DESC, l, r LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS rank, l AS "left", r AS "right", pf AS pair_freq FROM p1
+         UNION ALL SELECT CAST(2 AS BIGINT) AS rank, l AS "left", r AS "right", pf AS pair_freq FROM p2
+         UNION ALL SELECT CAST(3 AS BIGINT) AS rank, l AS "left", r AS "right", pf AS pair_freq FROM p3
+         UNION ALL SELECT CAST(4 AS BIGINT) AS rank, l AS "left", r AS "right", pf AS pair_freq FROM p4
+         UNION ALL SELECT CAST(5 AS BIGINT) AS rank, l AS "left", r AS "right", pf AS pair_freq FROM p5
+         UNION ALL SELECT CAST(6 AS BIGINT) AS rank, l AS "left", r AS "right", pf AS pair_freq FROM p6
+         UNION ALL SELECT CAST(7 AS BIGINT) AS rank, l AS "left", r AS "right", pf AS pair_freq FROM p7
+         UNION ALL SELECT CAST(8 AS BIGINT) AS rank, l AS "left", r AS "right", pf AS pair_freq FROM p8""",
     // sentinel-delimited words, eight literal replaces in merge-rank
     // order (replace IS the non-overlapping left-to-right merge pass),
     // then unwrap and count
