@@ -1848,6 +1848,33 @@ object SparkEntry {
           count(when(col("f") === col("t"), 1)).as("n_exact"))
     }),
 
+    // Beyond-reference: PARAGRAPH-level near-dup with document
+    // reassembly (RefinedWeb/CCNet sub-document dedup) — 20-token
+    // windows as paragraph units (the fixture is single-line), the
+    // exact coded-sets cascade at paragraph granularity, first-arrival
+    // keep, per-doc kept mask + rebuilt text. DuckDB replays the
+    // segmentation and the all-pairs Jaccard drop rule exactly.
+    "q165_paragraph_dedup" -> ((s, dir) => {
+      graft.ops.Dedup.paragraphDedup(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.7,
+        paragraphs = graft.ops.Dedup.tokenWindows(20))
+    }),
+
+    // Beyond-reference: char-n-gram naive-Bayes LANGUAGE ID (the
+    // fastText/langid.py recipe with a deterministic replayable model):
+    // fit on the first 20 docs per language, integer-quantized add-one
+    // log-likelihoods over a top-200 trigram vocabulary, classify the
+    // rest, per-language test/pred/correct counts. NOTE: the fixture's
+    // lang labels are synthetic and uncorrelated with its (uniformly
+    // English-ish) text, so near-chance accuracy here is a property of
+    // the data, not the classifier — OpsSpec pins real separability on
+    // a corpus whose classes actually differ.
+    "q166_langid" -> ((s, dir) => {
+      graft.ops.Classify.charNgramLangId(
+        t(s, dir, "documents"), "doc_id", "text", "lang",
+        n = 3, vocabSize = 200, trainPerClass = 20)
+    }),
+
     // Beyond-reference: ANN recall report — per-query recall@10 of the
     // deterministic fixed-centroid IVF (nprobe=2 of 4 cells) against
     // brute force; the number that justifies the probe fraction.
@@ -4122,6 +4149,93 @@ object SparkEntry {
     // the same plant + the repair digraphs that fire on this corpus
     // (the op's remaining table entries are no-ops here and are pinned
     // by the unit test instead)
+    // replays the NB fit exactly: same train split, same top-200 trigram
+    // vocabulary tie-break, same integer-quantized log-likelihoods, so
+    // every score comparison is exact integer arithmetic in both engines
+    "q166_langid" ->
+      """WITH base AS (SELECT doc_id AS id, lang, lower(text) AS text FROM documents),
+         ranked AS (SELECT id, lang, text,
+             row_number() OVER (PARTITION BY lang ORDER BY id) AS rn FROM base),
+         train AS (SELECT id, lang, text FROM ranked WHERE rn <= 20),
+         test AS (SELECT id, lang, text FROM ranked WHERE rn > 20),
+         tg AS (SELECT lang, unnest(list_transform(
+             range(1, greatest(len(text) - 2, 1) + 1),
+             i -> substr(text, CAST(i AS INT), 3))) AS g FROM train),
+         counts AS (SELECT g, lang, CAST(count(*) AS BIGINT) AS c
+                    FROM tg GROUP BY g, lang),
+         vocab AS (SELECT g FROM (SELECT g, sum(c) AS tc FROM counts
+                   GROUP BY g ORDER BY tc DESC, g LIMIT 200)),
+         vn AS (SELECT CAST(count(*) AS BIGINT) AS V FROM vocab),
+         langs AS (SELECT DISTINCT lang FROM train),
+         tot AS (SELECT lang, sum(c) AS tot FROM counts JOIN vocab USING (g)
+                 GROUP BY lang),
+         logp AS (SELECT v.g, l.lang,
+             CAST(round(ln((coalesce(c.c, 0) + 1)::DOUBLE /
+                           (tot.tot + vn.V)::DOUBLE) * 1e6) AS BIGINT) AS logp
+           FROM vocab v CROSS JOIN langs l
+           LEFT JOIN counts c ON c.g = v.g AND c.lang = l.lang
+           JOIN tot ON tot.lang = l.lang, vn),
+         prior AS (SELECT lang,
+             CAST(round(ln(ntr::DOUBLE / ntot::DOUBLE) * 1e6) AS BIGINT) AS prior
+           FROM (SELECT lang, count(*) AS ntr FROM train GROUP BY lang),
+                (SELECT count(*) AS ntot FROM train)),
+         teg AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT id, unnest(list_transform(
+               range(1, greatest(len(text) - 2, 1) + 1),
+               i -> substr(text, CAST(i AS INT), 3))) AS g FROM test)
+           GROUP BY id, g),
+         gs AS (SELECT id, lang, sum(cnt * logp) AS gs
+                FROM teg JOIN logp USING (g) GROUP BY id, lang),
+         allsc AS (SELECT t.id, p.lang, p.prior + coalesce(gs.gs, 0) AS score
+           FROM (SELECT id FROM test) t CROSS JOIN prior p
+           LEFT JOIN gs ON gs.id = t.id AND gs.lang = p.lang),
+         pred AS (SELECT id, lang AS pred FROM (SELECT id, lang,
+             row_number() OVER (PARTITION BY id ORDER BY score DESC, lang) AS rn
+           FROM allsc) WHERE rn = 1),
+         j AS (SELECT t.id, t.lang, pred.pred FROM test t JOIN pred USING (id)),
+         pt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct FROM j GROUP BY lang),
+         pp AS (SELECT pred AS lang, CAST(count(*) AS BIGINT) AS n_pred
+                FROM j GROUP BY pred)
+         SELECT coalesce(pt.lang, pp.lang) AS lang,
+           coalesce(n_test, 0) AS n_test, coalesce(n_pred, 0) AS n_pred,
+           coalesce(n_correct, 0) AS n_correct
+         FROM pt FULL JOIN pp ON pt.lang = pp.lang""",
+    // 20-token windows, all-pairs Jaccard >= 0.7 at paragraph
+    // granularity, drop-if-earlier-duplicate, reassemble in pidx order
+    "q165_paragraph_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         paras AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pidx,
+             array_to_string(list_slice(ts, CAST(i*20+1 AS INT),
+                                        CAST(i*20+20 AS INT)), ' ') AS para
+           FROM tok, LATERAL unnest(
+             range(0, CAST(ceil(len(ts) / 20.0) AS BIGINT))) AS t(i)
+           WHERE len(ts) > 0),
+         units AS (SELECT doc_id*1024 + pidx AS uid, doc_id, pidx, para FROM paras),
+         sets AS (SELECT uid, list_distinct(
+             CASE WHEN len(string_split(para, ' ')) < 3 THEN [para]
+                  ELSE list_transform(range(1, len(string_split(para, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(para, ' '),
+                                CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM units),
+         dup AS (SELECT DISTINCT b.uid FROM sets b JOIN sets a
+                 ON a.uid < b.uid
+                 AND len(list_intersect(a.fset, b.fset))::DOUBLE /
+                     len(list_distinct(a.fset || b.fset))::DOUBLE >= 0.7),
+         kept AS (SELECT u.doc_id, u.pidx, u.para,
+                    u.uid NOT IN (SELECT uid FROM dup) AS k
+                  FROM units u)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           string_agg(CASE WHEN k THEN '1' ELSE '0' END, '' ORDER BY pidx)
+             AS kept_mask,
+           coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE k), '')
+             AS text_kept
+         FROM kept GROUP BY doc_id""",
     "q164_mojibake_repair" ->
       """WITH d AS (
            SELECT source,

@@ -97,4 +97,101 @@ object Classify {
         sum(when(col("pred") === col("cls"), 1L).otherwise(0L)).as("n_correct"))
       .withColumnRenamed("cls", "source")
   }
+
+  /** Character-n-gram multinomial naive Bayes LANGUAGE ID (the
+    * fastText/langid.py recipe family, with a fully deterministic and
+    * engine-replayable model): fit on a labeled slice, classify the
+    * rest, report per-language test/predicted/correct counts.
+    *
+    *  1. train split = the first `trainPerClass` docs per label (by id);
+    *  2. features = all overlapping character n-grams of lower(text)
+    *     (a doc shorter than n contributes its whole text once);
+    *  3. vocabulary = top `vocabSize` n-grams by train occurrence count
+    *     (ties to the lexicographically smaller gram);
+    *  4. per-class add-one-smoothed log-likelihoods, QUANTIZED to
+    *     integers — logp = round(ln((c+1)/(tot+V))·1e6) — so every
+    *     downstream score is exact integer arithmetic: no
+    *     addition-order float noise can flip an argmax or a hash;
+    *  5. score(doc, lang) = prior + Σ_g cnt(doc,g)·logp(g,lang) over
+    *     vocabulary grams; argmax with ties to the smaller label.
+    *
+    * Shape at 100 TB: the model (vocab × languages log-prob grid,
+    * priors) is KB-scale and broadcast; corpus-side work is one n-gram
+    * explode filtered against the broadcast vocabulary into map-side-
+    * combinable (doc, gram) counts, one broadcast join to score, and a
+    * per-doc min-struct argmax. The seed-ranking window partitions by
+    * class and retains `trainPerClass` rows each.
+    *
+    * Returns (lang, n_test, n_pred, n_correct): per-language test-set
+    * recall is n_correct/n_test, precision n_correct/n_pred.
+    */
+  def charNgramLangId(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      n: Int = 3,
+      vocabSize: Int = 200,
+      trainPerClass: Int = 20): DataFrame = {
+    require(n >= 1 && vocabSize >= 1 && trainPerClass >= 1)
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(labelCol).as("lang"), lower(col(textCol)).as("text"))
+    val ranked = base.withColumn("rn",
+      row_number().over(Window.partitionBy(col("lang")).orderBy(col("id"))))
+    val train = ranked.filter(col("rn") <= trainPerClass).drop("rn")
+    val test = ranked.filter(col("rn") > trainPerClass).drop("rn")
+
+    def grams(text: org.apache.spark.sql.Column) =
+      transform(
+        sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+        i => text.substr(i, lit(n)))
+
+    val counts = train
+      .select(col("lang"), explode(grams(col("text"))).as("g"))
+      .groupBy(col("g"), col("lang")).agg(count(lit(1)).as("c"))
+    val vocab = counts.groupBy(col("g")).agg(sum(col("c")).as("tc"))
+      .orderBy(col("tc").desc, col("g")).limit(vocabSize).select("g")
+    val vn = vocab.agg(count(lit(1)).as("V"))
+    val langs = train.select(col("lang")).distinct()
+    // full vocab × language grid so absent grams smooth to c=0
+    val logp = vocab.crossJoin(langs)
+      .join(counts, Seq("g", "lang"), "left").na.fill(0L, Seq("c"))
+      .join(broadcast(counts.join(vocab, "g").groupBy(col("lang"))
+        .agg(sum(col("c")).as("tot"))), "lang")
+      .crossJoin(broadcast(vn))
+      .withColumn("logp", round(log(
+        (col("c") + 1).cast("double") / (col("tot") + col("V")).cast("double"))
+        * 1e6).cast("long"))
+      .select(col("g"), col("lang"), col("logp"))
+    val prior = train.groupBy(col("lang")).agg(count(lit(1)).as("ntr"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("ntot"))))
+      .withColumn("prior", round(log(
+        col("ntr").cast("double") / col("ntot").cast("double")) * 1e6).cast("long"))
+      .select(col("lang"), col("prior"))
+
+    val gramScores = test
+      .select(col("id"), explode(grams(col("text"))).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(logp), "g")
+      .groupBy(col("id"), col("lang")).agg(sum(col("cnt") * col("logp")).as("gs"))
+    // cross join against the class priors so a doc with zero vocabulary
+    // grams still gets a (prior-only) deterministic prediction
+    val pred = test.select(col("id"))
+      .crossJoin(broadcast(prior))
+      .join(gramScores, Seq("id", "lang"), "left").na.fill(0L, Seq("gs"))
+      .withColumn("score", col("prior") + col("gs"))
+      .groupBy(col("id"))
+      .agg(min(struct((-col("score")).as("ns"), col("lang"))).getField("lang")
+        .as("pred"))
+
+    val joined = test.select(col("id"), col("lang")).join(pred, "id")
+    val perTrue = joined.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_test"),
+      sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+    val perPred = joined.groupBy(col("pred").as("lang"))
+      .agg(count(lit(1)).as("n_pred"))
+    perTrue.join(perPred, Seq("lang"), "full")
+      .na.fill(0L, Seq("n_test", "n_pred", "n_correct"))
+      .select(col("lang"), col("n_test"), col("n_pred"), col("n_correct"))
+  }
 }

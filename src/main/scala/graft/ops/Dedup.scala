@@ -399,6 +399,96 @@ object Dedup {
     codedVerifyFromCodes(cands, codes, threshold)
   }
 
+  /** Paragraph segmentation for prose corpora: split on blank lines
+    * (the RefinedWeb/CCNet paragraph unit), trimmed, empties dropped.
+    */
+  val blankLineParagraphs: Column => Column = text =>
+    filter(transform(split(text, "\\n{2,}"), p => trim(p)), p => p =!= "")
+
+  /** Paragraph segmentation for single-line corpora: consecutive
+    * windows of `w` whitespace tokens (the last window may be shorter).
+    */
+  def tokenWindows(w: Int): Column => Column = { text =>
+    require(w >= 1, s"window size $w")
+    val toks = split(text, " ")
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0),
+          ceil(size(toks).cast("double") / lit(w.toDouble)).cast("int") - 1),
+        i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
+  }
+
+  /** PARAGRAPH-level near-dup removal with document reassembly — the
+    * sub-document dedup real pipelines run between doc-level near-dup
+    * and substring dedup (RefinedWeb §"line-wise corrections" / CCNet
+    * paragraph hashing, generalized from exact hashes to Jaccard ≥
+    * `threshold`):
+    *
+    *  1. segment every document into paragraph units (`paragraphs`;
+    *     blank-line split by default, [[tokenWindows]] for single-line
+    *     corpora), unit id = docId·1024 + paragraph index;
+    *  2. run the EXACT coded-sets cascade ([[nearDuplicatesExact]]'s
+    *     machinery — prefix-filter candidates are provably complete,
+    *     verification is exact shingle Jaccard) at paragraph
+    *     granularity;
+    *  3. drop every unit with a duplicate at a smaller unit id (first
+    *     arrival wins — the q94 admission rule, which also removes
+    *     within-document boilerplate repeats);
+    *  4. reassemble per document: kept/dropped mask in paragraph order
+    *     plus the text rebuilt from the kept paragraphs.
+    *
+    * 100 TB shape: the unit table is a constant factor over the corpus
+    * (paragraphs per doc), every stage is the same bucketed cascade the
+    * doc-level dedup runs (no all-pairs leg), and reassembly is one
+    * groupBy(docId) over (pidx, flag, paragraph) triples.
+    *
+    * Returns (doc_id, n_paras, n_kept, kept_mask, text_kept).
+    */
+  def paragraphDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, shingleSize: Int = 3,
+      paragraphs: Column => Column = blankLineParagraphs): DataFrame = {
+    val units = docs
+      .select(col(idCol).cast("long").as("__did"),
+        posexplode(paragraphs(col(textCol))).as(Seq("__pidx", "__para")))
+      // unit ids pack (doc, paragraph) into one long join key — cheaper
+      // to hash/shuffle than a struct, and trivially SQL-replayable.
+      // 1024 paragraphs/doc is a segmentation-unit bound, not a doc-size
+      // bound (split coarser for monster docs); the guard keeps a
+      // violation loud instead of silently aliasing unit ids.
+      .withColumn("id", col("__did") * lit(1024L) + col("__pidx"))
+    val sets = units.select(col("id"),
+      array_distinct(shingles(col("__para"), shingleSize)).as("fset"))
+    val (exploded, dict) = featureTables(sets)
+    val codes = codedSetsFromFeatures(exploded, dict)
+    val (index, probe) = prefixTables(codes, threshold)
+    val pairs = codedVerifyFromCodes(
+      prefixJoin(index, probe, threshold).select("id_a", "id_b"),
+      codes, threshold)
+    // first arrival wins: a unit is dropped iff some smaller-id unit is
+    // its near-duplicate (id_a < id_b by construction in prefixJoin)
+    val dropped = pairs.select(col("id_b").as("id")).distinct()
+      .withColumn("__dup", lit(true))
+    units
+      .filter(assert_true(col("__pidx") < lit(1024L),
+        lit("paragraphDedup: >1024 paragraphs in one document")).isNull)
+      .join(dropped, Seq("id"), "left")
+      .withColumn("__keep", col("__dup").isNull)
+      .groupBy(col("__did").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(struct(col("__pidx"),
+          when(col("__keep"), "1").otherwise("0").as("__m"),
+          when(col("__keep"), col("__para")).otherwise(lit(null)).as("__p"))))
+          .as("__rows"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        array_join(transform(col("__rows"), r => r.getField("__m")), "")
+          .as("kept_mask"),
+        array_join(filter(transform(col("__rows"), r => r.getField("__p")),
+          p => p.isNotNull), " ").as("text_kept"))
+  }
+
   /** PROBABILISTIC near-dup pairs: MinHash-LSH band candidates ONLY,
     * verified with exact Jaccard. Output ⊆ [[nearDuplicatesExact]] —
     * precision is exact (every emitted pair truly ≥ threshold), recall

@@ -2130,4 +2130,61 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 4 tail subs + 1 insert, give or take alignment
     assert(r.getLong(2) <= 6L && r.getLong(2) >= 5L, r.getLong(2).toString)
   }
+
+  test("paragraph dedup: first arrival kept across and within docs, " +
+    "masks ordered, reassembled text drops only duplicates") {
+    import spark.implicits._
+    val pA = "the quick brown fox jumps over the lazy dog today"
+    val pA2 = "the quick brown fox jumps over the lazy dog tonight" // ~0.78
+    val pB = "completely different second paragraph about databases and storage"
+    val pC = "a third unique paragraph mentioning streams and watermarks here"
+    val docs = Seq(
+      (1L, s"$pA\n\n$pB"),
+      (2L, s"$pA2\n\n$pC"),   // first para near-dups doc 1's first
+      (3L, s"$pC\n\n$pC")     // intra-doc repeat: second copy dropped
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(got(1L) === ((2L, 2L, "11", s"$pA $pB")))
+    // doc 2 loses its first paragraph to doc 1's earlier unit id; but
+    // doc 3's pC copies lose to DOC 2's pC (smaller unit id), so doc 2
+    // keeps pC
+    assert(got(2L) === ((2L, 1L, "01", pC)))
+    assert(got(3L) === ((2L, 0L, "00", "")))
+  }
+
+  test("token windows segment into fixed-size chunks with a short tail") {
+    import spark.implicits._
+    val text = (1 to 45).map(i => s"w$i").mkString(" ")
+    val got = Seq(Tuple1(text)).toDF("text")
+      .select(Dedup.tokenWindows(20)(col("text")).as("p"))
+      .collect().head.getSeq[String](0)
+    assert(got.length === 3)
+    assert(got(0).split(" ").length === 20 && got(0).startsWith("w1 "))
+    assert(got(1).split(" ").length === 20 && got(1).startsWith("w21 "))
+    assert(got(2) === (41 to 45).map(i => s"w$i").mkString(" "))
+  }
+
+  test("char-ngram lang id separates genuinely distinct classes and " +
+    "reports exact test/pred/correct counts") {
+    import spark.implicits._
+    // two synthetic "languages" with disjoint character distributions
+    val docs = (0L until 30L).map { i =>
+      if (i % 2 == 0) (i, "aa", s"aaa bab abba baab aabb babb ab$i")
+      else (i, "zz", s"zzz yzy zyyz yzzy zzyy yzzz zy$i")
+    }.toDF("doc_id", "lang", "text")
+    val got = Classify.charNgramLangId(docs, "doc_id", "text", "lang",
+      n = 3, vocabSize = 50, trainPerClass = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 15 docs per class, 5 train each → 10 test each, all correct
+    assert(got("aa") === ((10L, 10L, 10L)))
+    assert(got("zz") === ((10L, 10L, 10L)))
+    // model tables are broadcast; no cartesian on corpus-sized frames
+    val plan = Classify.charNgramLangId(docs, "doc_id", "text", "lang",
+      n = 3, vocabSize = 50, trainPerClass = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"))
+  }
 }
