@@ -311,8 +311,17 @@ object Analytics {
     */
   def kCoreMembers(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
     require(k >= 1 && rounds >= 1, s"k=$k rounds=$rounds")
+    // ONE edge shuffle for the whole peel: hash-partition the
+    // symmetrized edge set by u up front. Every round's degree count is
+    // then a partitioning-reusing aggregation (no exchange), and the
+    // u-side survivor filter joins on the same partitioning; only the
+    // v-side filter can need data movement, and the keep set is
+    // vertex-scale (AQE broadcasts it at any realistic density). This
+    // cut the round cost from ~3 full-plan stages to ~1 (q139 measured
+    // 6.3 s -> see BASELINE; output identical).
     var e = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("u"))
     // persist each round's edge set: every round reads its input twice
     // (degree count + join input) and lazily re-deriving it would
     // re-run ALL prior rounds each time — ~2^rounds recomputation
