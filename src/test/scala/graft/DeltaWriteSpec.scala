@@ -276,4 +276,34 @@ class DeltaWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.checkpointAtOrBefore(10L).isDefined)
     assert(spark.read.format("graft").option("path", path).load().count() === 11)
   }
+
+  test("delta-spark interop golden read: the REAL Delta reader consumes a " +
+    "graft-written table (runs only when a delta-spark jar is present)") {
+    import spark.implicits._
+    // Graceful skip: this sandbox resolves no external artifacts
+    // (offline coursier, zero egress), so the official reader is absent;
+    // drop a delta-spark + delta-storage jar on the test classpath (e.g.
+    // into /opt/spark/jars) and this test activates with no code change.
+    val hasDelta =
+      try { Class.forName("org.apache.spark.sql.delta.DeltaLog"); true }
+      catch { case _: Throwable => false }
+    assume(hasDelta, "delta-spark not on the classpath — interop read skipped")
+    val path = s"$root/interop"
+    GraftLog.invalidateListing(path)
+    TableBuilder.create(spark,
+      (0 until 20).map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(2),
+      path, name = "interop",
+      configuration = Map("enableChangeDataFeed" -> "true",
+        "delta.enableDeletionVectors" -> "true"),
+      deltaFormat = true)
+    TableBuilder.deleteWhereDV(spark, path, col("id") < 5, timestamp = 1000L)
+    TableBuilder.append(spark,
+      Seq((100L, "x")).toDF("id", "v"), path, timestamp = 2000L)
+    val viaGraft = spark.read.format("graft").option("path", path).load()
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val viaDelta = spark.read.format("delta").load(path)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaDelta === viaGraft)
+    assert(viaDelta.map(_._1) === ((5L until 20L) :+ 100L))
+  }
 }
