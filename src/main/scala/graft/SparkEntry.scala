@@ -1831,6 +1831,68 @@ object SparkEntry {
     // a codegen replace chain) — corruption planted deterministically on
     // every 5th doc (UTF-8-as-Latin-1 of á/é), repaired by the FULL
     // chain, and checked exact against the intended accented text.
+    // Beyond-reference: UniMax language-sampling allocation (Chung et
+    // al. 2023) — water-fill a token budget (half the corpus) across
+    // languages with a 2-epoch cap, the fairness-first alternative to
+    // q56/q115's temperature mixes. Closed-form window-function
+    // water-filling over the tiny group table; the only corpus-wide work
+    // is one map-side-combinable token-count agg.
+    "q167_unimax_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val total = docs.agg(
+        sum(graft.ops.TextOps.tokenCount(col("text")).cast("double")))
+        .first().getDouble(0)
+      graft.ops.Sampling.unimaxAllocation(
+        docs, Seq("lang"), graft.ops.TextOps.tokenCount(col("text")),
+        budget = 0.5 * total, maxEpochs = 2.0)
+    }),
+
+    // Beyond-reference: tokenizer FERTILITY report (the multilingual-
+    // tokenizer health metric: subword tokens per word, chars per token,
+    // per language) — q129's sentinel replace-chain BPE encoder applied
+    // per doc, reduced to three map-side-combinable sums per language.
+    // High-fertility languages burn context window; this is the number
+    // vocabulary allocation decisions are made on.
+    "q170_tokenizer_fertility" -> ((s, dir) => {
+      val words = filter(split(lower(col("text")), "\\s+"), w => w =!= "")
+      t(s, dir, "documents")
+        .select(col("lang"),
+          size(words).cast("long").as("__w"),
+          aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("__c"),
+          size(graft.ops.TextOps.bpeEncodeTokens(
+            col("text"), graft.ops.TextOps.DemoMerges)).cast("long").as("__t"))
+        .groupBy(col("lang"))
+        .agg(sum(col("__w")).as("n_words"),
+          sum(col("__t")).as("n_tokens"),
+          round(sum(col("__t")).cast("double") / sum(col("__w")), 6)
+            .as("fertility"),
+          round(sum(col("__c")).cast("double") / sum(col("__t")), 6)
+            .as("chars_per_token"))
+    }),
+
+    // Beyond-reference: Unicode NFC sanitation audit — canonical
+    // composition (UAX #15) as a native codegen expression with an
+    // allocation-free already-normalized fast path. The fixture is pure
+    // ASCII, so (q164-style) deterministic decomposed suffixes are
+    // appended in-query: combining acute, combining ring, and the OHM
+    // SIGN singleton; the oracle replays through DuckDB's own
+    // nfc_normalize. Per-source changed-doc counts and code-point delta.
+    "q169_nfc_audit" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(4))
+      val suffix = when(m === 0, lit("e\u0301"))   // e + COMBINING ACUTE
+        .when(m === 1, lit("A\u030A"))   // A + COMBINING RING
+        .when(m === 2, lit("\u2126"))     // OHM SIGN (NFC singleton)
+        .otherwise(lit(""))
+      val raw = concat(col("text"), suffix)
+      t(s, dir, "documents")
+        .select(col("source"), raw.as("r"),
+          graft.ops.TextOps.nfcNormalize(raw).as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("n") =!= col("r"), 1)).as("n_changed"),
+          sum((length(col("r")) - length(col("n"))).cast("long")).as("cp_delta"))
+    }),
+
     "q164_mojibake_repair" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val isCorrupt = pmod(col("doc_id"), lit(5)) === 0
@@ -2042,6 +2104,20 @@ object SparkEntry {
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", k = 6)
         .select(col("rank"), col("id").as("vec_id"), col("sel_dist"))
+    }),
+
+    // Beyond-reference: Adamic–Adar link prediction over the interaction
+    // graph — candidate (non-adjacent) pairs scored by sum 1/ln(deg) of
+    // their common neighbors, hub centers (deg > 128) excluded from wedge
+    // generation (their quadratic wedge sets carry near-constant signal).
+    // Top-20 predicted links; the training-data companion to q159's
+    // negative edges.
+    "q168_adamic_adar" -> ((s, dir) => {
+      val edges = graft.ops.Analytics.interactionEdges(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+      graft.ops.Analytics.adamicAdar(edges, maxHubDegree = 128, minCommon = 2)
+        .orderBy(col("aa_score").desc, col("u"), col("v"))
+        .limit(20)
     }),
 
     // Beyond-reference: triangle counting over the temporal interaction
@@ -4236,6 +4312,87 @@ object SparkEntry {
            coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE k), '')
              AS text_kept
          FROM kept GROUP BY doc_id""",
+    // q129's replace-chain replayed per word keeping lang; a word's
+    // token count is its sentinel-segment count after the 8 merges
+    "q170_tokenizer_fertility" ->
+      """WITH w AS (SELECT lang,
+             unnest(string_split_regex(lower(text), '\s+')) AS w
+           FROM documents),
+         ww AS (SELECT lang, w FROM w WHERE w <> ''),
+         s0 AS (SELECT lang, len(w) AS c,
+                  chr(1) || array_to_string(string_split(w, ''),
+                    chr(2) || chr(1)) || chr(2) AS s FROM ww),
+         s1 AS (SELECT lang, c, replace(s, chr(1)||'t'||chr(2)||chr(1)||'h'||chr(2),
+                         chr(1)||'th'||chr(2)) AS s FROM s0),
+         s2 AS (SELECT lang, c, replace(s, chr(1)||'th'||chr(2)||chr(1)||'e'||chr(2),
+                         chr(1)||'the'||chr(2)) AS s FROM s1),
+         s3 AS (SELECT lang, c, replace(s, chr(1)||'i'||chr(2)||chr(1)||'n'||chr(2),
+                         chr(1)||'in'||chr(2)) AS s FROM s2),
+         s4 AS (SELECT lang, c, replace(s, chr(1)||'a'||chr(2)||chr(1)||'n'||chr(2),
+                         chr(1)||'an'||chr(2)) AS s FROM s3),
+         s5 AS (SELECT lang, c, replace(s, chr(1)||'e'||chr(2)||chr(1)||'r'||chr(2),
+                         chr(1)||'er'||chr(2)) AS s FROM s4),
+         s6 AS (SELECT lang, c, replace(s, chr(1)||'o'||chr(2)||chr(1)||'n'||chr(2),
+                         chr(1)||'on'||chr(2)) AS s FROM s5),
+         s7 AS (SELECT lang, c, replace(s, chr(1)||'r'||chr(2)||chr(1)||'e'||chr(2),
+                         chr(1)||'re'||chr(2)) AS s FROM s6),
+         s8 AS (SELECT lang, c, replace(s, chr(1)||'a'||chr(2)||chr(1)||'t'||chr(2),
+                         chr(1)||'at'||chr(2)) AS s FROM s7),
+         tok AS (SELECT lang, c,
+                   len(string_split(trim(s, chr(1) || chr(2)),
+                     chr(2) || chr(1))) AS t
+                 FROM s8)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(t) AS BIGINT) AS n_tokens,
+           round(sum(t) / CAST(count(*) AS DOUBLE), 6) AS fertility,
+           round(sum(c) / CAST(sum(t) AS DOUBLE), 6) AS chars_per_token
+         FROM tok GROUP BY lang""",
+    // DuckDB's own nfc_normalize replays the JDK Normalizer exactly
+    // (both implement UAX #15); chr() spells the decomposed suffixes
+    "q169_nfc_audit" ->
+      """WITH d AS (
+           SELECT source,
+             text || CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'e' || chr(769)
+               WHEN 1 THEN 'A' || chr(778)
+               WHEN 2 THEN chr(8486)
+               ELSE '' END AS r
+           FROM documents),
+         n AS (SELECT source, r, nfc_normalize(r) AS n FROM d)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE n <> r) AS BIGINT) AS n_changed,
+           CAST(sum(len(r) - len(n)) AS BIGINT) AS cp_delta
+         FROM n GROUP BY source""",
+    // water-filling with epoch caps, replayed with the same closed form:
+    // candidate level at each sorted rank, water level = level at the
+    // first uncapped rank
+    "q167_unimax_mix" ->
+      """WITH g AS (
+           SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS capacity
+           FROM documents GROUP BY 1),
+         tot AS (SELECT 0.5 * sum(capacity) AS b FROM g),
+         r AS (SELECT lang, capacity, capacity * 2.0 AS cap,
+                 CAST(row_number() OVER (ORDER BY capacity * 2.0, lang)
+                   AS DOUBLE) AS i,
+                 CAST(count(*) OVER () AS DOUBLE) AS n,
+                 coalesce(sum(capacity * 2.0) OVER (
+                   ORDER BY capacity * 2.0, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cumprev
+               FROM g),
+         l AS (SELECT r.*, ((SELECT b FROM tot) - cumprev) / (n - i + 1.0)
+                 AS level FROM r),
+         s AS (SELECT l.*, min(CASE WHEN cap >= level THEN i END) OVER ()
+                 AS istar FROM l),
+         s2 AS (SELECT s.*, max(CASE WHEN i = istar THEN level END) OVER ()
+                 AS lstar FROM s)
+         SELECT lang, CAST(capacity AS BIGINT) AS n_tokens,
+           round(CASE WHEN lstar IS NULL THEN cap
+                      ELSE least(cap, lstar) END, 4) AS alloc_tokens,
+           round(CASE WHEN lstar IS NULL THEN cap
+                      ELSE least(cap, lstar) END / capacity, 6) AS epochs
+         FROM s2""",
     "q164_mojibake_repair" ->
       """WITH d AS (
            SELECT source,
@@ -4668,6 +4825,31 @@ object SparkEntry {
     // adjacency edges from per-type lag windows, degree-oriented wedge
     // join, closing join, corner counts — row-value comparisons mirror
     // the engine's (deg, id) struct ordering
+    // same edge CTE as q136; wedges at centers with deg <= 128, scores on
+    // true degree, NOT EXISTS screens existing edges, rounded order cut
+    "q168_adamic_adar" ->
+      """WITH adj0 AS (SELECT user_id,
+                        lag(user_id) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS prev
+                      FROM events),
+         und AS (SELECT DISTINCT least(prev, user_id) AS a,
+                   greatest(prev, user_id) AS b
+                 FROM adj0 WHERE prev IS NOT NULL AND prev <> user_id),
+         dir AS (SELECT a AS z, b AS x FROM und
+                 UNION ALL SELECT b AS z, a AS x FROM und),
+         deg AS (SELECT z, count(*) AS deg FROM dir GROUP BY z),
+         adjf AS (SELECT dir.z, dir.x, 1.0 / ln(deg.deg) AS w
+                  FROM dir JOIN deg USING (z) WHERE deg.deg <= 128),
+         wedges AS (SELECT l.z, l.x AS u, r.x AS v, l.w
+                    FROM adjf l JOIN adjf r USING (z) WHERE l.x < r.x),
+         scored AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+                      sum(w) AS s
+                    FROM wedges GROUP BY u, v HAVING count(*) >= 2),
+         nonadj AS (SELECT * FROM scored sc
+                    WHERE NOT EXISTS (SELECT 1 FROM und
+                      WHERE und.a = sc.u AND und.b = sc.v))
+         SELECT u, v, n_common, round(s, 6) AS aa_score FROM nonadj
+         ORDER BY aa_score DESC, u, v LIMIT 20""",
     "q136_triangle_count" ->
       """WITH adj AS (SELECT user_id,
                         lag(user_id) OVER (PARTITION BY event_type

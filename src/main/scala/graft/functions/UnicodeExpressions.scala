@@ -1,0 +1,52 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization (UAX #15, canonical composition) as a
+  * native codegen expression — the first sanitation step of a web-scale
+  * text pipeline (the same content arrives composed from one crawler and
+  * decomposed from another; dedup, hashing, and tokenization all assume
+  * a canonical form).
+  *
+  * `Normalizer.isNormalized` is checked first: for the overwhelmingly
+  * ASCII/already-composed majority of real corpus text this is a single
+  * quick-check scan with NO allocation, so the expression runs at scan
+  * speed and only pays the compose path on the rare decomposed row.
+  */
+object UnicodeOps {
+
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}
+
+/** `nfc_normalize(text)` — native wrapper over [[UnicodeOps.nfc]]. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "nfc_normalize"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeOps.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.UnicodeOps.nfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}

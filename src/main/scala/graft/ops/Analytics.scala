@@ -571,4 +571,45 @@ object Analytics {
         round(col("__sd") / col("__mean"), 6).as("cv"),
         (col("__sd") / col("__mean") < cvThreshold).as("metronomic"))
   }
+
+  /** Adamic–Adar link prediction (Adamic & Adar, Social Networks 2003)
+    * over an undirected deduped edge set `(a, b)`: for each NON-adjacent
+    * candidate pair sharing at least `minCommon` neighbors, the score is
+    * sum over common neighbors z of 1 / ln(deg(z)) — common friends
+    * count more when they are selective.
+    *
+    * Scale shape: wedges are generated per CENTER z, which is quadratic
+    * in deg(z) — so centers above `maxHubDegree` are excluded (standard
+    * practice: a hub's 1/ln(deg) contribution is near-constant noise and
+    * its wedge set is the whole quadratic blowup; the paper's signal
+    * lives in low-degree commons). Scores still use the TRUE degree of
+    * each kept center. Everything is equi-joins + one pair aggregation;
+    * the existing-edge screen is a left-anti join on the canonical
+    * (u < v) key. Degree-1 centers form no wedges, so ln(deg) is never
+    * zero.
+    */
+  def adamicAdar(
+      edges: DataFrame,
+      maxHubDegree: Int = 64,
+      minCommon: Int = 2): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+    val dir = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("z"), col("b").as("x"))
+    val deg = dir.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    // deg-1 centers cannot form a wedge — excluded up front so the
+    // 1/ln(deg) weight is ANSI-safe (ln(1) = 0) and no work is wasted
+    val adj = dir.join(
+        deg.filter(col("deg") <= maxHubDegree && col("deg") >= 2), "z")
+      .withColumn("w", lit(1.0) / log(col("deg").cast("double")))
+    val wedges = adj.select(col("z"), col("x").as("u"), col("w"))
+      .join(adj.select(col("z"), col("x").as("v")), "z")
+      .filter(col("u") < col("v"))
+    val scored = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w")).as("__s"))
+      .filter(col("n_common") >= minCommon)
+    scored.join(und,
+        scored("u") === und("a") && scored("v") === und("b"), "left_anti")
+      .select(col("u"), col("v"), col("n_common"),
+        round(col("__s"), 6).as("aa_score"))
+  }
 }

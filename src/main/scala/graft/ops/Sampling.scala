@@ -204,6 +204,70 @@ object Sampling {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute a total token `budget` across groups
+    * (languages/domains) as equally as possible, never giving a group
+    * more than `maxEpochs` passes over its own corpus. This is exactly
+    * water-filling with per-group cap `maxEpochs * capacity`: groups
+    * whose cap is below the fair share get their cap, the rest split the
+    * remainder evenly at a common water level.
+    *
+    * Closed form, not the paper's sequential loop: with caps sorted
+    * ascending (index i, prefix sum cum_i), the candidate level
+    * L_i = (B - cum_{i-1}) / (n - i + 1); the first i with cap_i >= L_i
+    * is the first uncapped group and L_{i*} is the water level. Two
+    * global windows over the GROUP table (size = #groups, thousands at
+    * most — never the corpus, which is reduced by one map-side-combinable
+    * agg first), so the single-partition window sort is immaterial at
+    * any corpus scale.
+    *
+    * Output: one row per group with capacity, allocated tokens, and
+    * realized epochs (alloc / capacity).
+    */
+  def unimaxAllocation(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sizeCol: Column,
+      budget: Double,
+      maxEpochs: Double): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val gc = groupCols.map(col)
+    val caps = df.groupBy(gc: _*)
+      .agg(sum(sizeCol.cast("double")).as("capacity"))
+      .withColumn("__cap", col("capacity") * maxEpochs)
+    // Deterministic total order: cap ascending, group cols as tie-break.
+    val order = col("__cap") +: gc
+    val wRank = Window.orderBy(order: _*)
+    val wAll = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = caps
+      .withColumn("__i", row_number().over(wRank).cast("double"))
+      .withColumn("__n", count(lit(1)).over(wAll).cast("double"))
+      .withColumn("__cumPrev",
+        coalesce(sum(col("__cap")).over(
+          Window.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0.0)))
+      .withColumn("__level", (lit(budget) - col("__cumPrev")) /
+        (col("__n") - col("__i") + 1.0))
+      // Water level = candidate level at the FIRST uncapped group (later
+      // candidates under-count because their prefix already charges full
+      // caps past the level); null when the budget covers every cap
+      // (then everyone gets its cap).
+      .withColumn("__istar",
+        min(when(col("__cap") >= col("__level"), col("__i"))).over(wAll))
+      .withColumn("__lstar",
+        max(when(col("__i") === col("__istar"), col("__level"))).over(wAll))
+    ranked.select(
+      (gc :+ col("capacity").cast("long").as("n_tokens")) ++ Seq(
+        round(when(col("__lstar").isNull, col("__cap"))
+          .otherwise(least(col("__cap"), col("__lstar"))), 4).as("alloc_tokens"),
+        round(when(col("__lstar").isNull, col("__cap"))
+          .otherwise(least(col("__cap"), col("__lstar"))) / col("capacity"), 6)
+          .as("epochs")): _*)
+  }
 }
 
 /** Greedy token-budget shard packing: within each stratum (ordered
@@ -267,4 +331,5 @@ object Packing {
         sum(when(col("__first") < col("__last"), 1L).otherwise(0L)).as("n_fragments"),
         sum(col("__tok")).as("seq_tokens"))
   }
+
 }

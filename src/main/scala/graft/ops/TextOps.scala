@@ -143,6 +143,15 @@ object TextOps {
       graft.functions.CharEntropy(
         org.apache.spark.sql.GraftSqlBridge.expression(text)))
 
+  /** Unicode NFC canonical composition — native codegen expression with
+    * an allocation-free fast path for already-normalized text (the vast
+    * majority at corpus scale); see [[graft.functions.UnicodeOps]].
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
   /** The relational sorted-run-fold spelling — retained as the
     * executable specification [[graft.functions.CharEntropyOp]] is
     * equivalence-tested against (OpsSpec); HOFs run interpreted, so the

@@ -2187,4 +2187,83 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"))
   }
+
+  test("unimax water-fills a budget under epoch caps") {
+    import spark.implicits._
+    // groups with capacities a=1, b=5, c=5 (size per row), epochs=1
+    val df = (Seq.fill(1)("a") ++ Seq.fill(5)("b") ++ Seq.fill(5)("c"))
+      .zipWithIndex.map { case (g, i) => (g, i.toLong) }.toDF("g", "id")
+    def alloc(budget: Double, epochs: Double): Map[String, (Double, Double)] =
+      Sampling.unimaxAllocation(df, Seq("g"), lit(1L), budget, epochs)
+        .collect().map(r => r.getString(0) ->
+          ((r.getDouble(2), r.getDouble(3)))).toMap
+    // budget 7 of 11: a capped at 1, b/c split the rest at level 3
+    val m = alloc(7.0, 1.0)
+    assert(m("a") === ((1.0, 1.0)))
+    assert(m("b") === ((3.0, 0.6)))
+    assert(m("c") === ((3.0, 0.6)))
+    // budget beyond all caps: everyone gets cap (epochs = maxEpochs)
+    val full = alloc(100.0, 2.0)
+    assert(full("a") === ((2.0, 2.0)))
+    assert(full("b") === ((10.0, 2.0)))
+    // zero budget: zero allocation everywhere
+    val zero = alloc(0.0, 1.0)
+    assert(zero.values.forall(_._1 === 0.0))
+    // epoch cap binds before the fair share: budget 9, cap 2 epochs on a
+    // means a gets 2 (its full 2-epoch corpus), b/c split 7 at 3.5
+    val capped = alloc(9.0, 2.0)
+    assert(capped("a") === ((2.0, 2.0)))
+    assert(capped("b") === ((3.5, 0.7)))
+  }
+
+  test("adamic-adar scores non-adjacent pairs by selective common friends") {
+    import spark.implicits._
+    // path graph 1-2-3 plus star center 4 connected to 1,3,5:
+    //   edges: (1,2),(2,3),(1,4),(3,4),(4,5)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = Analytics.adamicAdar(edges, maxHubDegree = 10, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // (1,3): common neighbors 2 (deg 2) and 4 (deg 3) →
+    //   1/ln2 + 1/ln3 = 2.352934
+    assert(got((1L, 3L))._1 === 2L)
+    assert(math.abs(got((1L, 3L))._2 - (1 / math.log(2) + 1 / math.log(3))) < 1e-5)
+    // (1,5) and (3,5): via 4 only
+    assert(got((1L, 5L)) === ((1L, BigDecimal(1 / math.log(3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // adjacent pairs are screened out
+    assert(!got.contains((1L, 2L)) && !got.contains((1L, 4L)))
+    // hub exclusion: capping at deg 2 removes center 4 (deg 3) — (1,5)
+    // and (3,5) disappear; wedges at deg-2 centers 1, 2, 3 remain
+    val noHub = Analytics.adamicAdar(edges, maxHubDegree = 2, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(noHub === Set((1L, 3L), (2L, 4L)))
+  }
+
+  test("nfc normalization composes, is idempotent, and fast-paths ascii") {
+    import spark.implicits._
+    val rows = Seq(
+      ("é", "é"),       // combining acute → é
+      ("Å", "Å"),       // combining ring → Å
+      ("Ω", "Ω"),        // OHM → GREEK OMEGA singleton
+      ("plain ascii", "plain ascii"),
+      ("é", "é")         // already composed: unchanged
+    ).toDF("raw", "want")
+    val got = rows.select(col("want"),
+      TextOps.nfcNormalize(col("raw")).as("got")).collect()
+    got.foreach(r => assert(r.getString(1) === r.getString(0)))
+    // null in, null out
+    val n = Seq(Tuple1(Option.empty[String])).toDF("raw")
+      .select(TextOps.nfcNormalize(col("raw"))).collect().head
+    assert(n.isNullAt(0))
+    // whole-stage codegen keeps the expression in the compiled path
+    // (over a non-local source — ConvertToLocalRelation folds local data)
+    val plan = spark.range(4)
+      .select(TextOps.nfcNormalize(
+        concat(lit("éx"), col("id").cast("string"))))
+      .queryExecution.executedPlan.toString
+    // "*(1)" marks the whole-stage-codegen'd stage in simpleString form
+    assert(plan.contains("*(1) Project"), plan)
+  }
 }
