@@ -1847,6 +1847,80 @@ object SparkEntry {
         budget = 0.5 * total, maxEpochs = 2.0)
     }),
 
+    // Beyond-reference: vocabulary COVERAGE curve — fraction of corpus
+    // token mass covered by the top-k types, the number tokenizer vocab
+    // sizes are chosen on. One token-count agg, one vocabulary-scale
+    // rank window, k-fanout via a tiny cross join; corpus never
+    // re-scanned per k.
+    "q173_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val ks = Seq(1, 2, 5, 10, 20)
+      val freqs = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      val ranked = freqs.withColumn("rank",
+        row_number().over(Window.orderBy(col("f").desc, col("tok"))))
+      val tot = freqs.agg(sum(col("f")).as("__tot"))
+      ranked.crossJoin(broadcast(tot))
+        .crossJoin(broadcast(
+          ks.toDF("k")))
+        .groupBy(col("k"))
+        .agg(sum(when(col("rank") <= col("k"), 1L).otherwise(0L)).as("n_types"),
+          round(sum(when(col("rank") <= col("k"), col("f")).otherwise(0L))
+            .cast("double") / first(col("__tot")), 6).as("coverage"))
+    }),
+
+    // Beyond-reference: per-source distribution drift — KL divergence of
+    // each source's token distribution from the corpus distribution
+    // (add-one smoothing over the shared vocabulary; summed over the
+    // source's OBSERVED types — absent-type mass is 1/(st+V) per type,
+    // negligible and omitted identically by the oracle), the
+    // domain-shift / contamination screen run before mixing a new source
+    // in. Two vocabulary-scale aggs + one bucket equi-join.
+    "q174_source_kl" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val vocabN = toks.select(countDistinct(col("tok")).as("__v"))
+      val corpus = toks.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+      val corpusTot = corpus.agg(sum(col("cf")).as("__ct"))
+      val bySrc = toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("sf"))
+      val srcTot = bySrc.groupBy(col("source")).agg(sum(col("sf")).as("st"))
+      bySrc.join(srcTot, "source")
+        .join(corpus, "tok")
+        .crossJoin(broadcast(vocabN))
+        .crossJoin(broadcast(corpusTot))
+        .withColumn("__ps", (col("sf") + 1).cast("double") /
+          (col("st") + col("__v")))
+        .withColumn("__pc", (col("cf") + 1).cast("double") /
+          (col("__ct") + col("__v")))
+        .groupBy(col("source"))
+        .agg(sum(col("sf")).as("n_tokens"),
+          round(sum(col("__ps") * log(col("__ps") / col("__pc"))), 6)
+            .as("kl_nats"))
+    }),
+
+    // Beyond-reference: blocklist/canary screen via native Aho–Corasick —
+    // all terms counted in ONE text pass per doc (a 10^5-term blocklist
+    // at 100 TB cannot afford per-term scans or a regex alternation).
+    // Per-term hit totals and affected-doc counts; terms chosen with no
+    // self-border, so the oracle's non-overlapping replace-count equals
+    // the automaton's all-occurrence count.
+    "q172_blocklist_screen" -> ((s, dir) => {
+      val terms = Seq("slow", "big data", "error", "merge", "stream agg")
+      t(s, dir, "documents")
+        .select(posexplode(
+          graft.ops.TextOps.ahoCounts(col("text"), terms)).as(Seq("i", "c")))
+        .select(element_at(
+          array(terms.map(lit): _*), col("i") + 1).as("term"), col("c"))
+        .groupBy(col("term"))
+        .agg(count(when(col("c") > 0, 1)).as("n_docs"),
+          sum(col("c")).as("n_hits"))
+    }),
+
     // Beyond-reference: tokenizer FERTILITY report (the multilingual-
     // tokenizer health metric: subword tokens per word, chars per token,
     // per language) — q129's sentinel replace-chain BPE encoder applied
@@ -4312,6 +4386,56 @@ object SparkEntry {
            coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE k), '')
              AS text_kept
          FROM kept GROUP BY doc_id""",
+    // rank window + cross-joined k list; same tie-break (freq desc, tok)
+    "q173_vocab_coverage" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\s+'))
+             AS tok FROM documents),
+         f AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks
+               WHERE tok <> '' GROUP BY tok),
+         r AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rank
+               FROM f),
+         tot AS (SELECT sum(f) AS tot FROM f),
+         ks(k) AS (VALUES (1), (2), (5), (10), (20))
+         SELECT k,
+           CAST(sum(CASE WHEN rank <= k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_types,
+           round(sum(CASE WHEN rank <= k THEN f ELSE 0 END) /
+             CAST((SELECT tot FROM tot) AS DOUBLE), 6) AS coverage
+         FROM r CROSS JOIN ks GROUP BY k""",
+    // same smoothing and observed-type truncation as the Spark side
+    "q174_source_kl" ->
+      """WITH tw AS (SELECT source, tok FROM (
+             SELECT source,
+               unnest(string_split_regex(lower(text), '\s+')) AS tok
+             FROM documents) WHERE tok <> ''),
+         v AS (SELECT count(DISTINCT tok) AS v FROM tw),
+         c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM tw GROUP BY tok),
+         ct AS (SELECT CAST(sum(cf) AS BIGINT) AS ct FROM c),
+         sx AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS sf
+                FROM tw GROUP BY 1, 2),
+         stt AS (SELECT source, CAST(sum(sf) AS BIGINT) AS st
+                 FROM sx GROUP BY 1),
+         j AS (SELECT sx.source, sx.sf,
+                 (sx.sf + 1) / CAST(stt.st + (SELECT v FROM v) AS DOUBLE)
+                   AS ps,
+                 (c.cf + 1) / CAST((SELECT ct FROM ct) + (SELECT v FROM v)
+                   AS DOUBLE) AS pc
+               FROM sx JOIN stt USING (source) JOIN c USING (tok))
+         SELECT source, CAST(sum(sf) AS BIGINT) AS n_tokens,
+           round(sum(ps * ln(ps / pc)), 6) AS kl_nats
+         FROM j GROUP BY source""",
+    // per-term non-overlapping replace-count — equal to the automaton's
+    // all-occurrence count because no term has a proper border
+    "q172_blocklist_screen" ->
+      """WITH terms(term) AS (VALUES ('slow'), ('big data'), ('error'),
+             ('merge'), ('stream agg')),
+         x AS (SELECT term,
+                 (len(text) - len(replace(text, term, ''))) // len(term) AS c
+               FROM documents CROSS JOIN terms)
+         SELECT term,
+           CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_docs,
+           CAST(sum(c) AS BIGINT) AS n_hits
+         FROM x GROUP BY term""",
     // q129's replace-chain replayed per word keeping lang; a word's
     // token count is its sentinel-segment count after the 8 merges
     "q170_tokenizer_fertility" ->

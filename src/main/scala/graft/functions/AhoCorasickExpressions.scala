@@ -1,0 +1,120 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho–Corasick multi-pattern matcher (Aho & Corasick, CACM 1975) — the
+  * scale-correct way to screen text against a large blocklist: ONE pass
+  * over each document counts occurrences of ALL patterns simultaneously,
+  * where a regex alternation or per-term scan is O(text · patterns).
+  * Real pipelines run 10^4..10^6-term blocklists (URLs, slurs, PII
+  * markers, contamination canaries); per-term scanning is a non-starter
+  * at 100 TB.
+  *
+  * The automaton is immutable after construction and shipped to
+  * executors once per query as a codegen reference object (built on the
+  * driver from the pattern list literal, NOT per row). Matching is the
+  * classic goto/fail walk; per-node complete output lists are flattened
+  * at build time so emitting hits is a plain array walk.
+  */
+final class AhoCorasick(patterns: Array[String]) extends Serializable {
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "patterns must be non-empty strings")
+
+  // Trie over chars; node 0 is the root.
+  private val children = mutable.ArrayBuffer(mutable.Map.empty[Char, Int])
+  private val ends = mutable.ArrayBuffer(List.empty[Int]) // pattern ids ending here
+
+  patterns.zipWithIndex.foreach { case (p, id) =>
+    var node = 0
+    p.foreach { ch =>
+      node = children(node).getOrElseUpdate(ch, {
+        children += mutable.Map.empty[Char, Int]
+        ends += Nil
+        children.size - 1
+      })
+    }
+    ends(node) = id :: ends(node)
+  }
+
+  // BFS fail links; complete output = own ends ++ fail's complete output.
+  private val fail = Array.fill(children.size)(0)
+  private val out: Array[Array[Int]] = {
+    val o = Array.fill(children.size)(Array.empty[Int])
+    val queue = mutable.Queue.empty[Int]
+    children(0).values.foreach { c => fail(c) = 0; queue += c }
+    o(0) = ends(0).toArray
+    children(0).values.foreach(c => o(c) = ends(c).toArray)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      children(u).foreach { case (ch, v) =>
+        var f = fail(u)
+        while (f != 0 && !children(f).contains(ch)) f = fail(f)
+        fail(v) = children(f).get(ch).filter(_ != v).getOrElse(0)
+        o(v) = (ends(v) ++ o(fail(v))).toArray
+        queue += v
+      }
+    }
+    o
+  }
+
+  def numPatterns: Int = patterns.length
+
+  /** Per-pattern occurrence counts (all occurrences, including ones
+    * overlapping other patterns' hits) over one text.
+    */
+  def counts(text: UTF8String): Array[Long] = {
+    val counts = new Array[Long](patterns.length)
+    val s = text.toString
+    var node = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      while (node != 0 && !children(node).contains(ch)) node = fail(node)
+      node = children(node).getOrElse(ch, 0)
+      val hits = out(node)
+      var j = 0
+      while (j < hits.length) { counts(hits(j)) += 1; j += 1 }
+      i += 1
+    }
+    counts
+  }
+}
+
+/** `aho_counts(text)` for a fixed pattern list — returns `array<long>` of
+  * per-pattern occurrence counts, aligned with the constructor order.
+  */
+case class AhoCorasickCounts(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val automaton = new AhoCorasick(patterns.toArray)
+
+  override def prettyName: String = "aho_counts"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(automaton.counts(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ac = ctx.addReferenceObj("ahoAutomaton", automaton,
+      classOf[AhoCorasick].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $ac.counts($c));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AhoCorasickCounts =
+    copy(child = newChild)
+}

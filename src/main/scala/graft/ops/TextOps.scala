@@ -152,6 +152,15 @@ object TextOps {
       graft.functions.NfcNormalize(
         org.apache.spark.sql.GraftSqlBridge.expression(text)))
 
+  /** Aho–Corasick multi-pattern occurrence counts — `array<long>`
+    * aligned with `patterns`; ONE text pass for the whole list (see
+    * [[graft.functions.AhoCorasick]]). The blocklist/canary screen.
+    */
+  def ahoCounts(text: Column, patterns: Seq[String]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.AhoCorasickCounts(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), patterns))
+
   /** The relational sorted-run-fold spelling — retained as the
     * executable specification [[graft.functions.CharEntropyOp]] is
     * equivalence-tested against (OpsSpec); HOFs run interpreted, so the

@@ -2241,6 +2241,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noHub === Set((1L, 3L), (2L, 4L)))
   }
 
+  test("aho-corasick counts all pattern occurrences in one pass") {
+    import spark.implicits._
+    // the classic fail-link corpus: he / she / his / hers
+    val pats = Seq("he", "she", "his", "hers")
+    val got = Seq(Tuple1("ushers shehis")).toDF("text")
+      .select(TextOps.ahoCounts(col("text"), pats))
+      .collect().head.getSeq[Long](0)
+    // "ushers": she@1, he@2, hers@2 ; " shehis": she@7, he@8, his@10
+    assert(got === Seq(2L, 2L, 1L, 1L))
+    // self-overlapping pattern: "aa" occurs 3 times in "aaaa"
+    val ov = Seq(Tuple1("aaaa")).toDF("text")
+      .select(TextOps.ahoCounts(col("text"), Seq("aa", "aaaa")))
+      .collect().head.getSeq[Long](0)
+    assert(ov === Seq(3L, 1L))
+    // no hits and null propagate correctly
+    val none = Seq(Tuple1("zzz")).toDF("text")
+      .select(TextOps.ahoCounts(col("text"), pats))
+      .collect().head.getSeq[Long](0)
+    assert(none === Seq(0L, 0L, 0L, 0L))
+    val n = Seq(Tuple1(Option.empty[String])).toDF("text")
+      .select(TextOps.ahoCounts(col("text"), pats)).collect().head
+    assert(n.isNullAt(0))
+    // stays inside whole-stage codegen over a real source
+    val plan = spark.range(4)
+      .select(TextOps.ahoCounts(col("id").cast("string"), pats))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("nfc normalization composes, is idempotent, and fast-paths ascii") {
     import spark.implicits._
     val rows = Seq(
