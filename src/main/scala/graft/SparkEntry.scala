@@ -1847,6 +1847,42 @@ object SparkEntry {
         budget = 0.5 * total, maxEpochs = 2.0)
     }),
 
+    // Beyond-reference: SQ8 codec QUALITY report — per-dimension code
+    // mass (integer-exact across engines) and reconstruction MSE of the
+    // q111 scalar quantizer; the fidelity report a team reads before
+    // switching the serving index to 4x-smaller codes. One posexplode +
+    // per-dim agg; bounds are the same 2·dim literal broadcast q111 uses.
+    "q175_sq8_error" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      val (lo, span) = graft.ops.Similarity.sqBounds(emb, "v")
+      val loL = lit(lo)
+      val spanL = lit(span)
+      emb.select(posexplode(col("v").cast("array<double>")).as(Seq("pos", "x")))
+        .withColumn("__lo", element_at(loL, col("pos") + 1))
+        .withColumn("__span", element_at(spanL, col("pos") + 1))
+        .withColumn("code", least(greatest(
+          round((col("x") - col("__lo")) / col("__span") * 255.0),
+          lit(0.0)), lit(255.0)).cast("long"))
+        .withColumn("rec",
+          col("__lo") + col("code").cast("double") * col("__span") / 255.0)
+        .groupBy(col("pos"))
+        .agg(sum(col("code")).as("code_sum"),
+          round(avg((col("x") - col("rec")) * (col("x") - col("rec"))), 12)
+            .as("mse"))
+    }),
+
+    // Beyond-reference: Matryoshka truncation audit — per-query cosine
+    // top-1 agreement between the full 64-dim embedding and its 16-dim
+    // prefix; the go/no-go number for serving truncated vectors.
+    "q176_matryoshka_top1" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      graft.ops.Similarity.truncationAgreement(q, c, dims = 16)
+    }),
+
     // Beyond-reference: vocabulary COVERAGE curve — fraction of corpus
     // token mass covered by the top-k types, the number tokenizer vocab
     // sizes are chosen on. One token-count agg, one vocabulary-scale
@@ -4386,6 +4422,48 @@ object SparkEntry {
            coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE k), '')
              AS text_kept
          FROM kept GROUP BY doc_id""",
+    // same bounds, clamp, and round-half-up; code sums are integer-exact
+    "q175_sq8_error" ->
+      """WITH x AS (SELECT vec_id,
+             unnest(CAST(embedding AS DOUBLE[])) AS x,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+           FROM embeddings),
+         b AS (SELECT pos, min(x) AS lo,
+                 CASE WHEN max(x) = min(x) THEN 1.0
+                      ELSE max(x) - min(x) END AS span
+               FROM x GROUP BY pos),
+         c AS (SELECT x.pos, x.x, b.lo, b.span,
+                 CAST(least(greatest(
+                   round((x.x - b.lo) / b.span * 255.0), 0.0), 255.0)
+                   AS BIGINT) AS code
+               FROM x JOIN b USING (pos)),
+         r AS (SELECT pos, code, x,
+                 lo + code * span / 255.0 AS rec FROM c)
+         SELECT pos, CAST(sum(code) AS BIGINT) AS code_sum,
+           round(avg((x - rec) * (x - rec)), 12) AS mse
+         FROM r GROUP BY pos""",
+    // full-width and 16-prefix cosine rankings, self excluded, ties to
+    // the smaller corpus id
+    "q176_matryoshka_top1" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings WHERE vec_id < 30),
+         c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+         scored AS (SELECT q_id, c_id,
+             list_cosine_similarity(q.e, c.e) AS sim,
+             list_cosine_similarity(q.e[1:16], c.e[1:16]) AS sim_t
+           FROM q CROSS JOIN c WHERE q_id <> c_id),
+         f AS (SELECT q_id, c_id AS full_top1, round(sim, 4) AS sim_full,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, c_id) AS rk
+               FROM scored),
+         t AS (SELECT q_id, c_id AS trunc_top1, round(sim_t, 4) AS sim_trunc,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim_t DESC, c_id) AS rk
+               FROM scored)
+         SELECT f.q_id, f.full_top1, t.trunc_top1,
+           f.full_top1 = t.trunc_top1 AS agree, f.sim_full, t.sim_trunc
+         FROM f JOIN t USING (q_id) WHERE f.rk = 1 AND t.rk = 1""",
     // rank window + cross-joined k list; same tie-break (freq desc, tok)
     "q173_vocab_coverage" ->
       """WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\s+'))

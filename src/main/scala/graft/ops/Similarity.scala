@@ -893,4 +893,35 @@ object Similarity {
         (-col("__b.nl")).cast("int").as("knn_label"))
       .withColumn("suspect", col("knn_label") =!= col("label"))
   }
+
+  /** Truncation (Matryoshka) retrieval-quality audit (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022): per query, the
+    * cosine top-1 neighbor on the FULL vector vs on its `dims`-prefix
+    * truncation — the measurement behind serving embeddings at a
+    * fraction of their stored width. One broadcast-query scored scan
+    * carries both similarities; each top-1 goes through the lossless
+    * partition pre-cut (no per-query reducer hotspot). Self-matches are
+    * excluded; ties break to the smaller corpus id on both rankings.
+    */
+  def truncationAgreement(
+      queries: DataFrame, // (q_id, q_vec)
+      corpus: DataFrame, // (c_id, c_vec)
+      dims: Int): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim_t",
+        cosine(slice(col("q_vec"), 1, dims), slice(col("c_vec"), 1, dims)))
+    val fullTop = topKPerQuery(scored, 1)
+      .select(col("q_id"), col("c_id").as("full_top1"),
+        round(col("sim"), 4).as("sim_full"))
+    val truncTop = topKPerQuery(scored, 1, "sim_t")
+      .select(col("q_id"), col("c_id").as("trunc_top1"),
+        round(col("sim_t"), 4).as("sim_trunc"))
+    fullTop.join(truncTop, "q_id")
+      .select(col("q_id"), col("full_top1"), col("trunc_top1"),
+        (col("full_top1") === col("trunc_top1")).as("agree"),
+        col("sim_full"), col("sim_trunc"))
+  }
 }

@@ -342,6 +342,61 @@ object ScaleProbe {
           col("embedding"))).reduce(_ unionByName _)
         graft.ops.KMeans.kCenters(corpus, "vec_id", "embedding", k = 6).count()
       }),
+      // one corpus agg into a group-table window — expect ~linear (the
+      // salt grows the group count 1x: langs come from doc_id mod)
+      "q167_unimax" -> (k => {
+        val d = docs(k).withColumn("lang",
+          concat(lit("l"), pmod(col("doc_id"), lit(8))))
+        val total = d.agg(sum(graft.ops.TextOps.tokenCount(col("text"))
+          .cast("double"))).first().getDouble(0)
+        graft.ops.Sampling.unimaxAllocation(d, Seq("lang"),
+          graft.ops.TextOps.tokenCount(col("text")),
+          budget = 0.5 * total, maxEpochs = 2.0).count()
+      }),
+      // disjoint event copies: wedge counts scale k-fold with the
+      // degree cap bounding per-center fan-out — expect ~linear
+      "q168_adamic_adar" -> (k => {
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          .select(col("user_id"), col("event_type"), col("event_id"))
+        val rep = (0 until k).map(c => ev.select(
+          (col("user_id") + lit(c.toLong * 100000000L)).as("user_id"),
+          concat(col("event_type"), lit("_" + c)).as("event_type"),
+          col("event_id"))).reduce(_ unionByName _)
+        graft.ops.Analytics.adamicAdar(
+          graft.ops.Analytics.interactionEdges(
+            rep, "user_id", "event_type", "event_id", "event_id"),
+          maxHubDegree = 128, minCommon = 2).count()
+      }),
+      // single automaton pass per doc + a 5-row agg — pure scan speed
+      "q172_aho_blocklist" -> (k =>
+        docs(k).select(posexplode(graft.ops.TextOps.ahoCounts(col("text"),
+            Seq("slow", "big data", "error", "merge", "stream agg")))
+            .as(Seq("i", "c")))
+          .groupBy(col("i")).agg(sum(col("c"))).count()),
+      // two vocabulary-scale aggs + a bucket join (the salt grows the
+      // vocab k-fold — worst case, same as q129) — expect ~linear
+      "q174_source_kl" -> (k => {
+        val d = docs(k).withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(16))))
+        val toks = d.select(col("source"),
+            explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+        val vocabN = toks.select(countDistinct(col("tok")).as("__v"))
+        val corpus = toks.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+        val corpusTot = corpus.agg(sum(col("cf")).as("__ct"))
+        val bySrc = toks.groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("sf"))
+        val srcTot = bySrc.groupBy(col("source")).agg(sum(col("sf")).as("st"))
+        bySrc.join(srcTot, "source").join(corpus, "tok")
+          .crossJoin(broadcast(vocabN)).crossJoin(broadcast(corpusTot))
+          .withColumn("__ps", (col("sf") + 1).cast("double") /
+            (col("st") + col("__v")))
+          .withColumn("__pc", (col("cf") + 1).cast("double") /
+            (col("__ct") + col("__v")))
+          .groupBy(col("source"))
+          .agg(sum(col("__ps") * log(col("__ps") / col("__pc"))).as("kl"))
+          .count()
+      }),
       // two corpus-linear scans (mean, centered outer products) into a
       // fixed dim^2 aggregation + a projection scan — expect ~linear
       "q131_pca" -> (k => {
