@@ -1847,6 +1847,43 @@ object SparkEntry {
         budget = 0.5 * total, maxEpochs = 2.0)
     }),
 
+    // Beyond-reference: per-group TOP-K as a bounded-heap mergeable
+    // aggregate — the window idiom (row_number over partition) shuffles
+    // and SORTS every group's full row set; this folds each partition
+    // into a k-element heap and shuffles only k-row partials. Top-5
+    // longest docs per source; the oracle is the window spelling.
+    "q178_topk_agg" -> ((s, dir) => {
+      graft.ops.Sketches.topKPerGroup(
+        t(s, dir, "documents"), Seq("source"), "n_chars", "doc_id", k = 5)
+    }),
+
+    // Beyond-reference: EPOCH EXPANSION — q167's UniMax allocation
+    // realized as an actual oversampled training stream: floor(epochs)
+    // full copies per doc plus a content-addressed fractional share
+    // (budget 1.2x corpus, 3-epoch cap, so small languages hit the cap
+    // and large ones land fractional). Per-language realized-vs-target
+    // epochs; zero RNG state, engine-reproducible.
+    "q177_epoch_expand" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val total = docs.agg(
+        sum(graft.ops.TextOps.tokenCount(col("text")).cast("double")))
+        .first().getDouble(0)
+      val alloc = graft.ops.Sampling.unimaxAllocation(
+        docs, Seq("lang"), graft.ops.TextOps.tokenCount(col("text")),
+        budget = 1.2 * total, maxEpochs = 3.0)
+        .select(col("lang"), col("epochs"))
+      val expanded = graft.ops.Sampling.epochExpand(
+        docs.join(broadcast(alloc), "lang"), "doc_id", col("epochs"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+        .join(expanded.groupBy(col("lang")).agg(count(lit(1)).as("n_out")),
+          Seq("lang"), "left")
+        .join(broadcast(alloc), "lang")
+        .select(col("lang"), col("n_in"), coalesce(col("n_out"), lit(0L)).as("n_out"),
+          col("epochs").as("target_epochs"),
+          round(coalesce(col("n_out"), lit(0L)).cast("double") / col("n_in"), 6)
+            .as("realized_epochs"))
+    }),
+
     // Beyond-reference: SQ8 codec QUALITY report — per-dimension code
     // mass (integer-exact across engines) and reconstruction MSE of the
     // q111 scalar quantizer; the fidelity report a team reads before
@@ -4422,6 +4459,55 @@ object SparkEntry {
            coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE k), '')
              AS text_kept
          FROM kept GROUP BY doc_id""",
+    // the window spelling of the same (score desc, id asc) top-5
+    "q178_topk_agg" ->
+      """SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rank AS BIGINT) AS rank FROM (
+           SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rank
+           FROM documents)
+         WHERE rank <= 5""",
+    // q167's water-fill at budget 1.2x / cap 3.0, epochs rounded to 6dp
+    // BEFORE expansion (both engines), then the md5 uniform01 replay
+    "q177_epoch_expand" ->
+      """WITH g AS (
+           SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS capacity
+           FROM documents GROUP BY 1),
+         tot AS (SELECT 1.2 * sum(capacity) AS b FROM g),
+         r AS (SELECT lang, capacity, capacity * 3.0 AS cap,
+                 CAST(row_number() OVER (ORDER BY capacity * 3.0, lang)
+                   AS DOUBLE) AS i,
+                 CAST(count(*) OVER () AS DOUBLE) AS n,
+                 coalesce(sum(capacity * 3.0) OVER (
+                   ORDER BY capacity * 3.0, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cumprev
+               FROM g),
+         l AS (SELECT r.*, ((SELECT b FROM tot) - cumprev) / (n - i + 1.0)
+                 AS level FROM r),
+         s AS (SELECT l.*, min(CASE WHEN cap >= level THEN i END) OVER ()
+                 AS istar FROM l),
+         s2 AS (SELECT s.*, max(CASE WHEN i = istar THEN level END) OVER ()
+                 AS lstar FROM s),
+         alloc AS (SELECT lang,
+                     round(CASE WHEN lstar IS NULL THEN cap
+                                ELSE least(cap, lstar) END / capacity, 6)
+                       AS e
+                   FROM s2),
+         d AS (SELECT documents.lang AS lang, e,
+                 CAST(floor(e) AS BIGINT) +
+                 CASE WHEN (CAST(concat('0x', substr(md5(
+                        CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
+                        / power(16.0, 13) < e - floor(e)
+                      THEN 1 ELSE 0 END AS cnt
+               FROM documents JOIN alloc USING (lang))
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_in,
+           CAST(sum(cnt) AS BIGINT) AS n_out,
+           any_value(e) AS target_epochs,
+           round(sum(cnt) / CAST(count(*) AS DOUBLE), 6) AS realized_epochs
+         FROM d GROUP BY lang""",
     // same bounds, clamp, and round-half-up; code sums are integer-exact
     "q175_sq8_error" ->
       """WITH x AS (SELECT vec_id,

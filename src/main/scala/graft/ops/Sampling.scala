@@ -226,6 +226,26 @@ object Sampling {
     * Output: one row per group with capacity, allocated tokens, and
     * realized epochs (alloc / capacity).
     */
+  /** Realize fractional epoch targets as an actual oversampled stream:
+    * each row is emitted `floor(epochs)` times plus one more for a
+    * content-addressed `frac(epochs)` share of ids — so the realized
+    * per-group epoch count converges to the target with zero RNG state,
+    * reproducibly across engines and cluster sizes (the [[uniform01]]
+    * draw). Rows with a zero target are dropped. The `copy_id` column
+    * (1-based) distinguishes repeats downstream (e.g. epoch-aware
+    * shuffling). Pure per-row explode — no shuffle, output volume =
+    * exactly the training stream being built.
+    */
+  def epochExpand(df: DataFrame, idCol: String, epochs: Column): DataFrame = {
+    val whole = floor(epochs).cast("long")
+    val extra = when(uniform01(col(idCol)) < (epochs - floor(epochs)), 1L)
+      .otherwise(0L)
+    df.withColumn("__n", whole + extra)
+      .filter(col("__n") > 0)
+      .withColumn("copy_id", explode(sequence(lit(1L), col("__n"))))
+      .drop("__n")
+  }
+
   def unimaxAllocation(
       df: DataFrame,
       groupCols: Seq[String],

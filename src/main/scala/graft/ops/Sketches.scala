@@ -43,6 +43,29 @@ object Sketches {
       .select(col("e.item").as("item"), col("e.count").as("cnt"),
         (col("i") + 1).cast("long").as("rank"))
 
+  /** Exact per-group top-k rows via the bounded-heap aggregate
+    * ([[graft.functions.TopKPairs]]) — one shuffle of k-row partials
+    * instead of the window idiom's full per-group sort. Emits one row
+    * per kept (group, id) with its 1-based rank (score desc, id asc).
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      idCol: String,
+      k: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(column(graft.functions.TopKPairs(
+          expression(col(scoreCol).cast("long")),
+          expression(col(idCol).cast("long")), k)
+        .toAggregateExpression()).as("__top"))
+      .select((groupCols.map(col) :+
+        posexplode(col("__top")).as(Seq("__i", "__e"))): _*)
+      .select((groupCols.map(col) :+
+        col("__e.id").as(idCol)) :+
+        col("__e.score").as(scoreCol) :+
+        ((col("__i") + 1).cast("long").as("rank")): _*)
+
   /** Per-group quantiles via the KLL sketch aggregate
     * ([[graft.functions.KllQuantiles]]): one row per group with an
     * `array<double>` of the requested quantiles. Bounded state — each

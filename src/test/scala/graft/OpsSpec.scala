@@ -2241,6 +2241,62 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noHub === Set((1L, 3L), (2L, 4L)))
   }
 
+  test("bounded-heap top-k aggregate equals the window spelling exactly") {
+    import spark.implicits._
+    // adversarial: heavy ties, k larger than some groups, many partitions
+    val df = (0L until 500L).map(i => (s"g${i % 7}", i % 13, i))
+      .toDF("g", "score", "id").repartition(16)
+    val got = Sketches.topKPerGroup(df, Seq("g"), "score", "id", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = df.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g"))
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("rank") <= 5)
+      .select(col("g"), col("id"), col("score").cast("long"),
+        col("rank").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+    // groups smaller than k return all their rows
+    val tiny = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 9L, 3L))
+      .toDF("g", "score", "id")
+    assert(Sketches.topKPerGroup(tiny, Seq("g"), "score", "id", 5).count() === 3)
+    // map-side partials: the plan carries a partial_graft_top_k before
+    // the exchange (the whole point vs a window sort)
+    val plan = Sketches.topKPerGroup(df, Seq("g"), "score", "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_top_k"), plan)
+  }
+
+  test("epoch expansion emits floor copies plus a fractional hash share") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, "g")).toDF("id", "g")
+    // epochs = 2.5: every id twice, ~half a third time, content-addressed
+    val out = Sampling.epochExpand(df.withColumn("e", lit(2.5)), "id", col("e"))
+    val n = out.count()
+    assert(n >= 2 * 200 && n <= 3 * 200)
+    val frac = (n - 400).toDouble / 200
+    assert(frac > 0.3 && frac < 0.7, s"fractional share $frac")
+    // deterministic: the same ids get the extra copy on every run
+    val extras1 = out.groupBy(col("id")).count().filter(col("count") === 3)
+      .collect().map(_.getLong(0)).sorted
+    val out2 = Sampling.epochExpand(df.withColumn("e", lit(2.5)), "id", col("e"))
+    val extras2 = out2.groupBy(col("id")).count().filter(col("count") === 3)
+      .collect().map(_.getLong(0)).sorted
+    assert(extras1.sameElements(extras2))
+    // copy_id is 1..n per id
+    val bad = out.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), max(col("copy_id")).as("m"),
+        min(col("copy_id")).as("lo"))
+      .filter(col("n") =!= col("m") || col("lo") =!= 1).count()
+    assert(bad === 0)
+    // zero target drops the row entirely
+    val z = Sampling.epochExpand(df.withColumn("e", lit(0.0)), "id", col("e"))
+    assert(z.count() === 0)
+  }
+
   test("aho-corasick counts all pattern occurrences in one pass") {
     import spark.implicits._
     // the classic fail-link corpus: he / she / his / hers
