@@ -1847,6 +1847,28 @@ object SparkEntry {
         budget = 0.5 * total, maxEpochs = 2.0)
     }),
 
+    // Beyond-reference: INTERVAL-OVERLAP JOIN — variable-length activity
+    // windows (10..92 min, scaled by event value) per user, pairs whose
+    // windows overlap, via bucketized equi-join with algebraic dedup
+    // (kept in the bucket of the overlap's left edge). Spark would plan
+    // the raw predicate as a per-key cross product; this shuffles on
+    // (user, hour-bucket). Per-user overlapping-pair counts.
+    "q179_interval_overlap" -> ((s, dir) => {
+      val iv = events(s, dir).select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("s0"), col("value"))
+        .withColumn("e0", col("s0") +
+          floor((lit(600.0) + col("value") * 10.0) * 1000000.0).cast("long"))
+      val a = iv.select(col("user_id"), col("event_id").as("a_id"),
+        col("s0").as("a_s"), col("e0").as("a_e"))
+      val b = iv.select(col("user_id"), col("event_id").as("b_id"),
+        col("s0").as("b_s"), col("e0").as("b_e"))
+      graft.ops.IntervalJoin.overlapJoin(a, b, Seq("user_id"),
+          "a_s", "a_e", "b_s", "b_e", bucketWidth = 3600L * 1000000L)
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Beyond-reference: per-group TOP-K as a bounded-heap mergeable
     // aggregate — the window idiom (row_number over partition) shuffles
     // and SORTS every group's full row set; this folds each partition
@@ -4459,6 +4481,18 @@ object SparkEntry {
            coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE k), '')
              AS text_kept
          FROM kept GROUP BY doc_id""",
+    // DuckDB's native inequality join replays the overlap predicate
+    "q179_interval_overlap" ->
+      """WITH iv AS (SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s0,
+             epoch_us(CAST(ts AS TIMESTAMP)) +
+               CAST(floor((600 + value * 10) * 1000000) AS BIGINT) AS e0
+           FROM events)
+         SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM iv a JOIN iv b ON a.user_id = b.user_id
+           AND a.event_id < b.event_id
+           AND a.s0 < b.e0 AND b.s0 < a.e0
+         GROUP BY a.user_id""",
     // the window spelling of the same (score desc, id asc) top-5
     "q178_topk_agg" ->
       """SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval-OVERLAP equi-join: left row ⋈ every right row with the same
+  * key whose half-open interval `[startR, endR)` overlaps the left's
+  * `[startL, endL)` — i.e. `startL < endR && startR < endL`.
+  *
+  * Spark plans a raw overlap condition as BroadcastNestedLoopJoin
+  * (quadratic), or as a full per-key cross product when a key is
+  * present. The scalable shape (the same one Databricks' range-join
+  * optimization and DuckDB's IEJoin exist for) is interval bucketing:
+  * quantize time into `bucketWidth` buckets, explode every interval
+  * into the buckets it touches, equi-join on (key, bucket), then check
+  * the exact predicate. Unlike [[BandJoin]] (point-in-fixed-window),
+  * both sides here are VARIABLE-length intervals, so a pair can share
+  * several buckets — the dedup is algebraic, not a distinct: a pair is
+  * kept only in the bucket containing `max(startL, startR)`, the first
+  * bucket any overlapping pair provably shares. Explode factor is
+  * `len/bucketWidth + 1` per row (pick bucketWidth near the median
+  * interval length); candidates are bounded by per-bucket co-residency,
+  * never the per-key cross product, and hot keys spread across time
+  * buckets instead of one reducer.
+  */
+object IntervalJoin {
+
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      startL: String,
+      endL: String,
+      startR: String,
+      endR: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // Exact floor division for any |t| < 2^53 (same discipline as
+    // BandJoin — a double floor() could misbucket a boundary and DROP a
+    // qualifying pair).
+    def fdiv(x: Column): Column =
+      ((x - pmod(x, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+    // empty intervals ([s, s)) overlap nothing — and would make the
+    // bucket sequence run BACKWARDS (Spark infers step -1)
+    val l = left.filter(col(endL) > col(startL)).withColumn("__bkt",
+      explode(sequence(fdiv(col(startL)), fdiv(col(endL) - 1))))
+    val r = right.filter(col(endR) > col(startR)).withColumn("__bkt",
+      explode(sequence(fdiv(col(startR)), fdiv(col(endR) - 1))))
+    l.join(r, keyCols :+ "__bkt")
+      .filter(col(startL) < col(endR) && col(startR) < col(endL))
+      // keep exactly one copy: the bucket of the overlap's left edge
+      .filter(col("__bkt") === fdiv(greatest(col(startL), col(startR))))
+      .drop("__bkt")
+  }
+}

@@ -2241,6 +2241,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noHub === Set((1L, 3L), (2L, 4L)))
   }
 
+  test("interval overlap join equals the naive predicate join exactly") {
+    import spark.implicits._
+    // adversarial: boundaries exactly on bucket edges, intervals spanning
+    // 0..4 buckets, touching-but-not-overlapping pairs, empty intervals
+    val rows = Seq(
+      ("u", 1L, 0L, 10L), ("u", 2L, 10L, 20L),   // touch at 10: no overlap
+      ("u", 3L, 5L, 35L), ("u", 4L, 19L, 21L),    // spans buckets; inner
+      ("u", 5L, 30L, 30L),                        // empty interval
+      ("u", 6L, 29L, 31L), ("v", 7L, 0L, 100L),   // other key
+      ("v", 8L, 99L, 101L), ("v", 9L, 100L, 110L))
+    val iv = rows.toDF("k", "id", "s", "e")
+    val a = iv.select(col("k"), col("id").as("a_id"),
+      col("s").as("a_s"), col("e").as("a_e"))
+    val b = iv.select(col("k"), col("id").as("b_id"),
+      col("s").as("b_s"), col("e").as("b_e"))
+    val got = IntervalJoin.overlapJoin(a, b, Seq("k"),
+        "a_s", "a_e", "b_s", "b_e", bucketWidth = 10L)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = a.join(b, Seq("k"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
+        col("a_e") > col("a_s") && col("b_e") > col("b_s"))
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want === Set((1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (3L, 6L),
+      (7L, 8L), (8L, 9L)))
+    // randomized cross-check: 300 variable-length intervals, two keys
+    val rnd = (0L until 300L).map { i =>
+      val s = (i * 7919) % 1000
+      ("k" + (i % 2), i, s, s + 1 + (i * 104729) % 97)
+    }.toDF("k", "id", "s", "e")
+    val ra = rnd.select(col("k"), col("id").as("a_id"),
+      col("s").as("a_s"), col("e").as("a_e"))
+    val rb = rnd.select(col("k"), col("id").as("b_id"),
+      col("s").as("b_s"), col("e").as("b_e"))
+    val g2 = IntervalJoin.overlapJoin(ra, rb, Seq("k"),
+        "a_s", "a_e", "b_s", "b_e", bucketWidth = 37L)
+      .filter(col("a_id") < col("b_id")).count()
+    val w2 = ra.join(rb, Seq("k"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_s") < col("b_e") && col("b_s") < col("a_e")).count()
+    assert(g2 === w2 && g2 > 0)
+  }
+
   test("bounded-heap top-k aggregate equals the window spelling exactly") {
     import spark.implicits._
     // adversarial: heavy ties, k larger than some groups, many partitions
