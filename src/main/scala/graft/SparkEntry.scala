@@ -1847,6 +1847,21 @@ object SparkEntry {
         budget = 0.5 * total, maxEpochs = 2.0)
     }),
 
+    // Beyond-reference: MinHash estimator CALIBRATION — signed error of
+    // the signature-agreement Jaccard estimate vs the exact coded-set
+    // Jaccard over the LSH candidates, 0.1-bucketed; the measurement a
+    // (bands, rows) choice rests on. Portable md5 double-hash family so
+    // DuckDB replays every coordinate bit-for-bit. The report makes the
+    // family's KNOWN defect visible: double-hashed coordinates are
+    // correlated (a pair sharing the globally-minimizing shingle agrees
+    // on EVERY h1+j·h2), so low-Jaccard candidates show large positive
+    // error — they are verified away by the exact pass, at candidate-
+    // volume cost; the production seededHash family doesn't correlate.
+    "q180_lsh_calibration" -> ((s, dir) => {
+      graft.ops.Dedup.lshCalibration(
+        t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // Beyond-reference: INTERVAL-OVERLAP JOIN — variable-length activity
     // windows (10..92 min, scaled by event value) per user, pairs whose
     // windows overlap, via bucketized equi-join with algebraic dedup
@@ -4481,6 +4496,54 @@ object SparkEntry {
            coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE k), '')
              AS text_kept
          FROM kept GROUP BY doc_id""",
+    // q93's signature replay extended with per-coordinate agreement and
+    // the unthresholded exact Jaccard; same 0.1 error buckets
+    "q180_lsh_calibration" ->
+      """WITH sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                                         CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h1,
+             ('0x' || substr(md5(sh), 13, 12))::BIGINT AS h2
+           FROM (SELECT doc_id, unnest(fset) AS sh FROM sets)),
+         hs AS (
+           SELECT doc_id, j, min(h1 + j * h2) AS h
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS j) js
+           GROUP BY doc_id, j),
+         bands AS (
+           SELECT doc_id, CAST(j // 4 AS INT) AS band,
+             string_agg(CAST(h AS VARCHAR), ',' ORDER BY j) AS bh
+           FROM hs GROUP BY doc_id, CAST(j // 4 AS INT)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         est AS (
+           SELECT c.id_a, c.id_b,
+             sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 32.0 AS est
+           FROM cand c
+           JOIN hs ha ON ha.doc_id = c.id_a
+           JOIN hs hb ON hb.doc_id = c.id_b AND hb.j = ha.j
+           GROUP BY c.id_a, c.id_b),
+         tj AS (
+           SELECT c.id_a, c.id_b,
+             len(list_intersect(a.fset, b.fset))::DOUBLE /
+               len(list_distinct(a.fset || b.fset))::DOUBLE AS jac
+           FROM cand c
+           JOIN sets a ON a.doc_id = c.id_a
+           JOIN sets b ON b.doc_id = c.id_b)
+         SELECT round(est - jac, 1) AS err_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(est), 6) AS avg_est,
+           round(avg(jac), 6) AS avg_jaccard
+         FROM est JOIN tj USING (id_a, id_b)
+         GROUP BY 1""",
     // DuckDB's native inequality join replays the overlap predicate
     "q179_interval_overlap" ->
       """WITH iv AS (SELECT user_id, event_id,

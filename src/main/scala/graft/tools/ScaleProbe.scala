@@ -397,6 +397,39 @@ object ScaleProbe {
           .agg(sum(col("__ps") * log(col("__ps") / col("__pc"))).as("kl"))
           .count()
       }),
+      // k-bounded heap partials vs the window's full per-group sort —
+      // the pair to compare: same result, different shuffle volume
+      "q178_topk_agg" -> (k =>
+        graft.ops.Sketches.topKPerGroup(
+          docs(k).withColumn("src", pmod(col("doc_id"), lit(64))),
+          Seq("src"), "doc_id", "doc_id", k = 5).count()),
+      "q178_topk_window" -> (k => {
+        import org.apache.spark.sql.expressions.Window
+        docs(k).withColumn("src", pmod(col("doc_id"), lit(64)))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("src"))
+              .orderBy(col("doc_id").desc, col("doc_id"))))
+          .filter(col("rank") <= 5).count()
+      }),
+      // bucketized interval equi-join over disjoint event copies —
+      // overlap pairs scale k-fold with per-bucket co-residency bounded
+      "q179_interval_join" -> (k => {
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          .select(col("user_id"), col("event_id"), col("value"))
+        val rep = (0 until k).map(c => ev.select(
+          (col("user_id") + lit(c.toLong * 100000000L)).as("user_id"),
+          col("event_id"), col("value"))).reduce(_ unionByName _)
+        val iv = rep.withColumn("s0", col("event_id") * 1000L)
+          .withColumn("e0", col("s0") +
+            floor((lit(600.0) + col("value") * 10.0) * 100.0).cast("long"))
+        val a = iv.select(col("user_id"), col("event_id").as("a_id"),
+          col("s0").as("a_s"), col("e0").as("a_e"))
+        val b = iv.select(col("user_id"), col("event_id").as("b_id"),
+          col("s0").as("b_s"), col("e0").as("b_e"))
+        graft.ops.IntervalJoin.overlapJoin(a, b, Seq("user_id"),
+          "a_s", "a_e", "b_s", "b_e", bucketWidth = 60000L)
+          .filter(col("a_id") < col("b_id")).count()
+      }),
       // two corpus-linear scans (mean, centered outer products) into a
       // fixed dim^2 aggregation + a projection scan — expect ~linear
       "q131_pca" -> (k => {

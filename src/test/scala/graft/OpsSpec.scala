@@ -2241,6 +2241,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noHub === Set((1L, 3L), (2L, 4L)))
   }
 
+  test("lsh calibration concentrates planted near-dups at zero error") {
+    import spark.implicits._
+    // 20 base docs + a shifted near-copy of each (high true Jaccard)
+    val base = (0L until 20L).map { i =>
+      (i, (0 until 30).map(w => s"w${(i * 31 + w * 7) % 211}").mkString(" "))
+    }
+    val copies = base.map { case (i, t) =>
+      (i + 100L, t.split(" ").drop(1).mkString(" ") + " tail" + i)
+    }
+    val docs = (base ++ copies).toDF("doc_id", "text")
+    val rep = Dedup.lshCalibration(docs, "doc_id", "text")
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // the 20 planted pairs have Jaccard ~0.9; their estimate must land
+    // within one bucket of truth
+    val nearZero = rep.filter { case (b, _) => math.abs(b) <= 0.1 }
+      .values.sum
+    assert(nearZero >= 20L, rep.toString)
+  }
+
   test("interval overlap join equals the naive predicate join exactly") {
     import spark.implicits._
     // adversarial: boundaries exactly on bucket edges, intervals spanning
