@@ -1847,6 +1847,29 @@ object SparkEntry {
         budget = 0.5 * total, maxEpochs = 2.0)
     }),
 
+    // Beyond-reference: event-time LATENESS audit — the measurement a
+    // streaming watermark is tuned on: with arrival order = ingest id,
+    // how far behind the running event-time high-water mark do late rows
+    // arrive, per event type? One per-type window over arrival order
+    // (sub-partition by ingest chunk at 100 TB), exact percentiles of
+    // the lateness distribution.
+    "q181_lateness_audit" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .withColumn("__t", expr("unix_micros(ts)"))
+        .withColumn("__hwm", max(col("__t")).over(w))
+        .withColumn("__late_s",
+          when(col("__hwm") > col("__t"),
+            (col("__hwm") - col("__t")).cast("double") / 1000000.0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("__late_s")).as("n_late"),
+          round(percentile(col("__late_s"), lit(0.5)), 6).as("p50_late_s"),
+          round(percentile(col("__late_s"), lit(0.9)), 6).as("p90_late_s"),
+          round(max(col("__late_s")), 6).as("max_late_s"))
+    }),
+
     // Beyond-reference: MinHash estimator CALIBRATION — signed error of
     // the signature-agreement Jaccard estimate vs the exact coded-set
     // Jaccard over the LSH candidates, 0.1-bucketed; the measurement a
@@ -1885,10 +1908,12 @@ object SparkEntry {
     }),
 
     // Beyond-reference: per-group TOP-K as a bounded-heap mergeable
-    // aggregate — the window idiom (row_number over partition) shuffles
-    // and SORTS every group's full row set; this folds each partition
-    // into a k-element heap and shuffles only k-row partials. Top-5
-    // longest docs per source; the oracle is the window spelling.
+    // aggregate. Spark 4's WindowGroupLimit already prunes the window
+    // idiom's shuffle to k rows per (partition, group) — but it still
+    // fully SORTS every input partition AND every reduce group
+    // (O(n log n) twice); the heap aggregate replaces both sorts with
+    // O(n log k) sift in constant memory. Top-5 longest docs per source;
+    // the oracle is the window spelling.
     "q178_topk_agg" -> ((s, dir) => {
       graft.ops.Sketches.topKPerGroup(
         t(s, dir, "documents"), Seq("source"), "n_chars", "doc_id", k = 5)
@@ -4496,6 +4521,24 @@ object SparkEntry {
            coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE k), '')
              AS text_kept
          FROM kept GROUP BY doc_id""",
+    // running event-time max over ingest order; quantile_cont matches
+    // Spark's interpolated exact percentile; NULL lateness = on-time
+    "q181_lateness_audit" ->
+      """WITH x AS (SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             max(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+           FROM events),
+         l AS (SELECT event_type,
+                 CASE WHEN hwm > t THEN (hwm - t) / 1000000.0 END AS late_s
+               FROM x)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(late_s) AS BIGINT) AS n_late,
+           round(quantile_cont(late_s, 0.5), 6) AS p50_late_s,
+           round(quantile_cont(late_s, 0.9), 6) AS p90_late_s,
+           round(max(late_s), 6) AS max_late_s
+         FROM l GROUP BY event_type""",
     // q93's signature replay extended with per-coordinate agreement and
     // the unthresholded exact Jaccard; same 0.1 error buckets
     "q180_lsh_calibration" ->

@@ -12,14 +12,17 @@ import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** EXACT per-group top-k as a mergeable aggregate — the scale-correct
-  * replacement for the `row_number() OVER (PARTITION BY g ORDER BY s)`
-  * idiom: a window SORTS every group's full row set after shuffling it
-  * to one reducer, while this aggregate folds each input partition into
-  * a k-element heap (map-side combine) and shuffles only k-row
-  * summaries. Exact (not a sketch): the group top-k is the top-k of the
-  * union of partial top-ks. Ties break to the SMALLER id, making the
-  * result total-order deterministic.
+/** EXACT per-group top-k as a mergeable aggregate — vs the
+  * `row_number() OVER (PARTITION BY g ORDER BY s) <= k` idiom. Spark 4's
+  * WindowGroupLimit rule already prunes that plan's shuffle to k rows
+  * per (input partition, group); what remains is that it fully SORTS
+  * every input partition and again every reduce group — O(n log n)
+  * twice, with sort buffers to match. This aggregate folds each
+  * partition through a k-element heap (O(n log k), constant memory) and
+  * merges k-row partials, skipping both sorts. Exact (not a sketch):
+  * the group top-k is the top-k of the union of partial top-ks. Ties
+  * break to the SMALLER id, making the result total-order
+  * deterministic.
   *
   * State: a k-bounded worst-first binary heap of (score, id) longs —
   * O(log k) per row, k·16 bytes per partial.

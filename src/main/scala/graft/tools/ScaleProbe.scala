@@ -397,8 +397,9 @@ object ScaleProbe {
           .agg(sum(col("__ps") * log(col("__ps") / col("__pc"))).as("kl"))
           .count()
       }),
-      // k-bounded heap partials vs the window's full per-group sort —
-      // the pair to compare: same result, different shuffle volume
+      // k-bounded heap partials vs the window spelling (Spark 4 already
+      // prunes its shuffle via WindowGroupLimit; the remaining delta is
+      // two full sorts vs O(n log k) sift) — same result either way
       "q178_topk_agg" -> (k =>
         graft.ops.Sketches.topKPerGroup(
           docs(k).withColumn("src", pmod(col("doc_id"), lit(64))),
