@@ -2241,6 +2241,70 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noHub === Set((1L, 3L), (2L, 4L)))
   }
 
+  test("unimax properties: budget conservation, caps, fairness (100 random instances)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val genSizes = Gen.nonEmptyListOf(Gen.chooseNum(1, 50)).map(_.take(8))
+    (0 until 100).foreach { i =>
+      val sizes = genSizes.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val budgetFrac =
+        Gen.chooseNum(0.0, 1.5).pureApply(Gen.Parameters.default, Seed(i + 7L))
+      val epochs = 1.0 + (i % 3)
+      val df = sizes.zipWithIndex
+        .flatMap { case (n, g) => (0 until n).map(r => (s"g$g", r.toLong)) }
+        .toDF("g", "id")
+      val totalCap = sizes.sum.toDouble * epochs
+      val budget = budgetFrac * sizes.sum
+      val rows = Sampling.unimaxAllocation(df, Seq("g"), lit(1L), budget, epochs)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      // every allocation within [0, cap]
+      rows.foreach { case (g, cap, a) =>
+        assert(a >= -1e-6 && a <= cap * epochs + 1e-6, s"i=$i $g cap=$cap a=$a")
+      }
+      // budget conservation: sum alloc == min(budget, total cap), within
+      // output rounding (4dp per group)
+      val total = rows.map(_._3).sum
+      assert(math.abs(total - math.min(budget, totalCap)) < 1e-3 * rows.length + 1e-6,
+        s"i=$i sizes=$sizes budget=$budget total=$total")
+      // fairness: any group below its cap gets >= any other group's
+      // allocation (the water level), within rounding
+      val uncapped = rows.filter { case (_, cap, a) => a < cap * epochs - 1e-6 }
+      if (uncapped.nonEmpty) {
+        val level = uncapped.map(_._3).min
+        rows.foreach { case (g, _, a) =>
+          assert(a <= level + 1e-3, s"i=$i $g a=$a level=$level")
+        }
+      }
+    }
+  }
+
+  test("aho-corasick matches a naive scan on random strings (200 instances)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val genText = Gen.listOfN(60, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val genPat = Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    def naive(text: String, p: String): Long =
+      (0 to text.length - p.length).count(i => text.startsWith(p, i)).toLong
+    val cases = (0 until 200).map { i =>
+      val t = genText.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val ps = (0 until 5).map(j =>
+        genPat.pureApply(Gen.Parameters.default, Seed(i * 10L + j))).distinct
+      (t, ps)
+    }
+    // one spark job per distinct pattern-set size class is wasteful;
+    // evaluate the expression directly through a single-row frame each
+    cases.foreach { case (t, ps) =>
+      val got = Seq(Tuple1(t)).toDF("text")
+        .select(TextOps.ahoCounts(col("text"), ps))
+        .collect().head.getSeq[Long](0)
+      val want = ps.map(p => naive(t, p))
+      assert(got === want, s"text=$t pats=$ps")
+    }
+  }
+
   test("lsh calibration concentrates planted near-dups at zero error") {
     import spark.implicits._
     // 20 base docs + a shifted near-copy of each (high true Jaccard)
