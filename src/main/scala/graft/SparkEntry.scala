@@ -1847,6 +1847,23 @@ object SparkEntry {
         budget = 0.5 * total, maxEpochs = 2.0)
     }),
 
+    // Beyond-reference: stride-scheduled source INTERLEAVING (start-time
+    // fair queuing) — the training-order construction where every source
+    // is consumed evenly across the epoch; by lang here so the head of
+    // the order provably alternates in corpus proportion. First 60
+    // positions of the global order.
+    "q182_stride_interleave" -> ((s, dir) => {
+      graft.ops.Sampling.interleaveByStride(
+          t(s, dir, "documents").select(col("lang"), col("doc_id")),
+          "lang", "doc_id")
+        .orderBy(col("stride_key"), col("lang"), col("doc_id"))
+        .limit(60)
+        .select(row_number().over(Window.orderBy(
+            col("stride_key"), col("lang"), col("doc_id"))).cast("long")
+            .as("position"),
+          col("lang"), col("doc_id"), round(col("stride_key"), 8).as("k"))
+    }),
+
     // Beyond-reference: event-time LATENESS audit — the measurement a
     // streaming watermark is tuned on: with arrival order = ingest id,
     // how far behind the running event-time high-water mark do late rows
@@ -4521,6 +4538,20 @@ object SparkEntry {
            coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE k), '')
              AS text_kept
          FROM kept GROUP BY doc_id""",
+    // same (i - 0.5)/n_s stride keys, same (key, lang, id) total order
+    "q182_stride_interleave" ->
+      """WITH r AS (SELECT lang, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+               AS DOUBLE) AS i,
+             CAST(count(*) OVER (PARTITION BY lang) AS DOUBLE) AS n
+           FROM documents),
+         k AS (SELECT lang, doc_id, (i - 0.5) / n AS sk FROM r),
+         top AS (SELECT lang, doc_id, sk FROM k
+                 ORDER BY sk, lang, doc_id LIMIT 60)
+         SELECT CAST(row_number() OVER (ORDER BY sk, lang, doc_id)
+             AS BIGINT) AS position,
+           lang, doc_id, round(sk, 8) AS k
+         FROM top""",
     // running event-time max over ingest order; quantile_cont matches
     // Spark's interpolated exact percentile; NULL lateness = on-time
     "q181_lateness_audit" ->

@@ -226,6 +226,31 @@ object Sampling {
     * Output: one row per group with capacity, allocated tokens, and
     * realized epochs (alloc / capacity).
     */
+  /** Proportional source INTERLEAVING (stride scheduling / start-time
+    * fair queuing, Waldspurger & Weihl OSDI'94): the i-th row (1-based,
+    * ordered by `orderCol` within its source) of a source holding n_s
+    * rows gets global key `(i - 0.5) / n_s` — sorting by the key
+    * consumes every source evenly across the epoch, so a mid-epoch
+    * checkpoint has seen each source in its corpus proportion instead of
+    * whatever order the files arrived in. Deterministic, no RNG.
+    *
+    * Shape at 100 TB: one per-source rank window (parallel across
+    * sources) + the key as a sort/shard column — the global order is
+    * realized by range-partitioned shard writing, never a single-reducer
+    * sort; ties break (source, id).
+    */
+  def interleaveByStride(
+      df: DataFrame,
+      sourceCol: String,
+      orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(orderCol))
+    val n = Window.partitionBy(col(sourceCol))
+    df.withColumn("__i", row_number().over(w).cast("double"))
+      .withColumn("__n", count(lit(1)).over(n).cast("double"))
+      .withColumn("stride_key", (col("__i") - 0.5) / col("__n"))
+      .drop("__i", "__n")
+  }
+
   /** Realize fractional epoch targets as an actual oversampled stream:
     * each row is emitted `floor(epochs)` times plus one more for a
     * content-addressed `frac(epochs)` share of ids — so the realized

@@ -2400,6 +2400,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("partial_graft_top_k"), plan)
   }
 
+  test("stride interleaving consumes every source evenly across any prefix") {
+    import spark.implicits._
+    // sources of very different sizes: 120 / 40 / 8
+    val df = (Seq.fill(120)("big") ++ Seq.fill(40)("mid") ++ Seq.fill(8)("tiny"))
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }.toDF("src", "id")
+    val order = Sampling.interleaveByStride(df, "src", "id")
+      .orderBy(col("stride_key"), col("src"), col("id"))
+      .select(col("src")).collect().map(_.getString(0))
+    assert(order.length === 168)
+    val sizes = Map("big" -> 120.0, "mid" -> 40.0, "tiny" -> 8.0)
+    // fairness invariant of start-time fair queuing: after any prefix of
+    // length m, each source has been consumed within 1 item of its
+    // proportional share m * n_s / N
+    (1 to 168).foreach { m =>
+      val seen = order.take(m).groupBy(identity).view.mapValues(_.length).toMap
+      sizes.foreach { case (s, n) =>
+        val share = m * n / 168.0
+        val got = seen.getOrElse(s, 0).toDouble
+        assert(math.abs(got - share) <= 1.0 + 1e-9,
+          s"prefix $m source $s got $got share $share")
+      }
+    }
+  }
+
   test("epoch expansion emits floor copies plus a fractional hash share") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, "g")).toDF("id", "g")
