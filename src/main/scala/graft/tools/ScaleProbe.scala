@@ -342,6 +342,20 @@ object ScaleProbe {
           col("embedding"))).reduce(_ unionByName _)
         graft.ops.KMeans.kCenters(corpus, "vec_id", "embedding", k = 6).count()
       }),
+      // the coded-sets cascade at paragraph granularity — paragraph
+      // count scales k-fold, candidates stay within salted copies
+      "q165_paragraph_dedup" -> (k =>
+        graft.ops.Dedup.paragraphDedup(docs(k), "doc_id", "text",
+          threshold = 0.7,
+          paragraphs = graft.ops.Dedup.tokenWindows(20)).count()),
+      // fit is train-slice-scale; classify is one gram explode against
+      // the broadcast model — expect ~linear in the test corpus
+      "q166_langid" -> (k =>
+        graft.ops.Classify.charNgramLangId(
+          docs(k).withColumn("lang",
+            concat(lit("l"), pmod(col("doc_id"), lit(5)))),
+          "doc_id", "text", "lang",
+          n = 3, vocabSize = 200, trainPerClass = 20).count()),
       // one corpus agg into a group-table window — expect ~linear (the
       // salt grows the group count 1x: langs come from doc_id mod)
       "q167_unimax" -> (k => {
