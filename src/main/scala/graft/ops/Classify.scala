@@ -169,20 +169,39 @@ object Classify {
         col("ntr").cast("double") / col("ntot").cast("double")) * 1e6).cast("long"))
       .select(col("lang"), col("prior"))
 
-    val gramScores = test
-      .select(col("id"), explode(grams(col("text"))).as("g"))
-      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("cnt"))
-      .join(broadcast(logp), "g")
-      .groupBy(col("id"), col("lang")).agg(sum(col("cnt") * col("logp")).as("gs"))
-    // cross join against the class priors so a doc with zero vocabulary
-    // grams still gets a (prior-only) deterministic prediction
-    val pred = test.select(col("id"))
-      .crossJoin(broadcast(prior))
-      .join(gramScores, Seq("id", "lang"), "left").na.fill(0L, Seq("gs"))
-      .withColumn("score", col("prior") + col("gs"))
-      .groupBy(col("id"))
-      .agg(min(struct((-col("score")).as("ns"), col("lang"))).getField("lang")
-        .as("pred"))
+    // Classify: ONE Aho–Corasick codegen pass counts every vocabulary
+    // gram per doc (no explode, no per-gram shuffle — the r11 rework
+    // that cut this stage's two corpus-wide shuffles), then each
+    // language's score is a row-local dot product of the counts array
+    // with the COLLECTED log-prob vector. The collects are model-scale
+    // (vocab × langs longs + one prior per lang), the same budget as
+    // the broadcast they replace; arithmetic is unchanged (integer
+    // counts × quantized log-probs), so predictions are bit-identical.
+    val vocabGrams: Array[String] =
+      vocab.orderBy(col("g")).collect().map(_.getString(0))
+    val gIndex = vocabGrams.zipWithIndex.toMap
+    val logpRows = logp.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val langsArr = logpRows.map(_._2).distinct.sorted
+    val logpByLang: Map[String, Array[Long]] = langsArr.map { l =>
+      val arr = new Array[Long](vocabGrams.length)
+      logpRows.filter(_._2 == l).foreach { case (g, _, p) => arr(gIndex(g)) = p }
+      l -> arr
+    }.toMap
+    val priorMap = prior.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // a doc with zero vocabulary grams scores prior-only, as before
+    val scoreStructs = langsArr.map { l =>
+      val score = lit(priorMap(l)) + aggregate(
+        zip_with(col("__cnt"), lit(logpByLang(l)), (c, p) => c * p),
+        lit(0L), (a, x) => a + x)
+      struct((-score).as("ns"), lit(l).as("lang"))
+    }
+    val pred = test
+      .withColumn("__cnt",
+        graft.ops.TextOps.ahoCounts(col("text"), vocabGrams.toSeq))
+      .select(col("id"),
+        least(scoreStructs: _*).getField("lang").as("pred"))
 
     val joined = test.select(col("id"), col("lang")).join(pred, "id")
     val perTrue = joined.groupBy(col("lang")).agg(
