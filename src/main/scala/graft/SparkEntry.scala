@@ -1847,6 +1847,25 @@ object SparkEntry {
         budget = 0.5 * total, maxEpochs = 2.0)
     }),
 
+    // Beyond-reference: SHARD INTEGRITY MANIFEST — per epoch-shuffle
+    // shard, the row/token counts and an ORDER-INDEPENDENT modular
+    // content digest (sum of per-doc portable hashes mod p): a training
+    // loader verifies each shard it reads against the manifest whatever
+    // order workers consume rows in; any engine reproduces the digests.
+    "q183_shard_manifest" -> ((s, dir) => {
+      val p = 1000000007L
+      val sh = graft.ops.Sampling.epochShuffle(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", seed = "epoch1", numShards = 8)
+      sh.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          pmod(sum(pmod(graft.ops.Sketches.portableHash60(
+            concat(col("doc_id").cast("string"), lit(":"), col("text"))),
+            lit(p))), lit(p)).as("digest"))
+    }),
+
     // Beyond-reference: stride-scheduled source INTERLEAVING (start-time
     // fair queuing) — the training-order construction where every source
     // is consumed evenly across the epoch; by lang here so the head of
@@ -4538,6 +4557,20 @@ object SparkEntry {
            coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE k), '')
              AS text_kept
          FROM kept GROUP BY doc_id""",
+    // q105's shard replay + the 60-bit md5 hash, summed mod p (order-
+    // independent, so any execution order produces the same digest)
+    "q183_shard_manifest" ->
+      """WITH keyed AS (
+           SELECT doc_id, text,
+             ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)),
+               1, 4))::BIGINT % 8 AS shard,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+               1, 15))::BIGINT % 1000000007 AS h
+           FROM documents)
+         SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(h) % 1000000007 AS BIGINT) AS digest
+         FROM keyed GROUP BY shard""",
     // same (i - 0.5)/n_s stride keys, same (key, lang, id) total order
     "q182_stride_interleave" ->
       """WITH r AS (SELECT lang, doc_id,
