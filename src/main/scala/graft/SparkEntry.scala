@@ -1847,6 +1847,37 @@ object SparkEntry {
         budget = 0.5 * total, maxEpochs = 2.0)
     }),
 
+    // Beyond-reference: CLUSTER KEYWORDS (the BERTopic recipe, Grootendorst
+    // 2022 — the datamap/topic-labeling step after semantic clustering):
+    // q120's deterministic k-means assigns docs to cells via the linked
+    // embedding ids, then per-cluster c-TF-IDF (tf(t,c) · ln(1 + A/f(t)),
+    // A = avg tokens per class) names each cluster with its top-5 terms.
+    // Vocabulary-scale aggs + the window over a (cluster, vocab)-sized
+    // frame; the corpus is touched once per Lloyd pass + once to tokenize.
+    "q184_cluster_keywords" -> ((s, dir) => {
+      val assign = graft.ops.KMeans.assign(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 4, iterations = 2)
+      val toks = t(s, dir, "documents")
+        .join(assign.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .select(col("cluster"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val ctf = toks.groupBy(col("cluster"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val corpusF = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      val avgA = toks.agg((count(lit(1)).cast("double") / 4.0).as("__A"))
+      ctf.join(corpusF, "tok").crossJoin(broadcast(avgA))
+        .withColumn("score",
+          round(col("tf") * log(lit(1.0) + col("__A") / col("f")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("cluster"))
+            .orderBy(col("score").desc, col("tok"))))
+        .filter(col("rank") <= 5)
+        .select(col("cluster"), col("rank").cast("long").as("rank"),
+          col("tok"), col("score"))
+    }),
+
     // Beyond-reference: SHARD INTEGRITY MANIFEST — per epoch-shuffle
     // shard, the row/token counts and an ORDER-INDEPENDENT modular
     // content digest (sum of per-doc portable hashes mod p): a training
@@ -4557,6 +4588,58 @@ object SparkEntry {
            coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE k), '')
              AS text_kept
          FROM kept GROUP BY doc_id""",
+    // q120's two-iteration Lloyd replay through a2, then c-TF-IDF with
+    // the same quantization and (score desc, tok) cut
+    "q184_cluster_keywords" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         seed AS (SELECT CAST(id AS INT) AS cluster, v FROM e ORDER BY id LIMIT 4),
+         d1 AS (SELECT e.id, s.cluster,
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, 65),
+                      i -> (e.v[i] - s.v[i]) * (e.v[i] - s.v[i]))),
+                    (x, y) -> x + y), 8) AS d
+                FROM e, seed s),
+         a1 AS (SELECT id, cluster FROM (
+                  SELECT id, cluster,
+                    row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
+                  FROM d1) WHERE rn = 1),
+         u AS (SELECT a1.cluster, dim.i AS dim,
+                 round(round(sum(e.v[dim.i]), 4) / count(*), 6) AS m
+               FROM a1 JOIN e USING (id)
+                 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dim
+               GROUP BY a1.cluster, dim.i),
+         c2 AS (SELECT cluster, list(m ORDER BY dim) AS v FROM u GROUP BY cluster),
+         d2 AS (SELECT e.id, c.cluster,
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, 65),
+                      i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))),
+                    (x, y) -> x + y), 8) AS d
+                FROM e, c2 c),
+         a2 AS (SELECT id, cluster FROM (
+                  SELECT id, cluster,
+                    row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
+                  FROM d2) WHERE rn = 1),
+         toks AS (SELECT a2.cluster, t.tok FROM a2
+                  JOIN (SELECT doc_id,
+                          unnest(string_split_regex(lower(text), '\s+')) AS tok
+                        FROM documents) t ON t.doc_id = a2.id
+                  WHERE t.tok <> ''),
+         ctf AS (SELECT cluster, tok, CAST(count(*) AS BIGINT) AS tf
+                 FROM toks GROUP BY 1, 2),
+         cfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS f
+                 FROM toks GROUP BY 1),
+         aa AS (SELECT count(*) / 4.0 AS A FROM toks),
+         scored AS (SELECT cluster, tok,
+                      round(tf * ln(1 + (SELECT A FROM aa) / f), 6) AS score
+                    FROM ctf JOIN cfr USING (tok)),
+         r AS (SELECT cluster, tok, score,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY score DESC, tok) AS rank
+               FROM scored)
+         SELECT CAST(cluster AS BIGINT) AS cluster, CAST(rank AS BIGINT) AS rank,
+           tok, score
+         FROM r WHERE rank <= 5""",
     // q105's shard replay + the 60-bit md5 hash, summed mod p (order-
     // independent, so any execution order produces the same digest)
     "q183_shard_manifest" ->
