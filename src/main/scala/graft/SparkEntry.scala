@@ -1666,6 +1666,53 @@ object SparkEntry {
           count(when(col("first_in_bucket"), 1)).as("n_first"))
     }),
 
+    // Beyond-reference: TTL'd STREAMING LSH admission — q152 with the
+    // knob production streams cannot run without: BOUNDED state. The
+    // admission rule is "admit iff the bucket is unseen OR last seen
+    // more than ttl of event time ago"; under that rule, evicting state
+    // idle past the TTL is SEMANTICALLY FREE (a post-TTL arrival is
+    // admitted whether or not the entry still exists), so the state
+    // store is physically bounded to buckets active within one TTL
+    // window — done with an event-time watermark + EventTimeTimeout,
+    // with decisions exactly replayable as a per-bucket lag window (the
+    // oracle). Event time = doc_id seconds; ttl = 100 s.
+    "q185_stream_lsh_ttl" -> ((s, dir) => {
+      import s.implicits._
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.documents_versioned")
+      val sink = "graft_q185_sink"
+      s.catalog.dropTempView(sink)
+      val ttlMs = 100000L
+      val src = s.readStream.format("graft").option("path", path)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "2").load()
+      val buckets = graft.ops.Dedup.streamBandBuckets(src, "doc_id", "text")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("band").cast("int").as("band"), col("bh"),
+          // +1 day base: epoch-0 event time would be dropped as late
+          // against the INITIAL watermark (0); gaps are unaffected
+          timestamp_millis(col("doc_id").cast("long") * 1000L + 86400000L)
+            .as("ts"))
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, Int, String, java.sql.Timestamp)]
+      val verdicts = buckets
+        .groupByKey(r => (r._2, r._3))
+        .flatMapGroupsWithState[Long, (Long, Boolean)](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
+          graft.ops.Dedup.ttlAdmit(ttlMs))
+        .toDF("doc_id", "fresh_in_bucket")
+      val q = verdicts.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      q.stop()
+      s.table(sink).groupBy(col("doc_id"))
+        .agg(min(col("fresh_in_bucket")).as("admitted"),
+          count(when(col("fresh_in_bucket"), 1)).as("n_fresh"))
+    }),
+
     // Beyond-reference: REAL audio resample — RIFF/WAVE PCM decoded via
     // the JDK sampled-audio stack, decimated by 2 (explicit frame
     // sampling, the audio twin of q135's nearest-neighbor resize),
@@ -4269,6 +4316,44 @@ object SparkEntry {
     // the same md5-family banding as q93's oracle; a doc is admitted
     // iff it is min(doc_id) in every one of its 8 band buckets — the
     // batch replay of the stream's first-arrival state
+    // q152's bucket replay; "fresh" = first in bucket OR previous
+    // arrival more than ttl (100 s of doc_id-seconds) before — the lag
+    // window is exactly the stream's last-seen state rule
+    "q185_stream_lsh_ttl" ->
+      """WITH sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                                         CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h1,
+             ('0x' || substr(md5(sh), 13, 12))::BIGINT AS h2
+           FROM (SELECT doc_id, unnest(fset) AS sh FROM sets)),
+         hs AS (
+           SELECT doc_id, j, min(h1 + j * h2) AS h
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS j) js
+           GROUP BY doc_id, j),
+         bands AS (
+           SELECT doc_id, CAST(j // 4 AS INT) AS band,
+             string_agg(CAST(h AS VARCHAR), ',' ORDER BY j) AS bh
+           FROM hs GROUP BY doc_id, CAST(j // 4 AS INT)),
+         lagged AS (
+           SELECT doc_id, band, bh,
+             lag(doc_id) OVER (PARTITION BY band, bh
+               ORDER BY doc_id) AS prev_id
+           FROM bands),
+         verdicts AS (
+           SELECT doc_id,
+             (prev_id IS NULL OR (doc_id - prev_id) * 1000 > 100000)
+               AS fresh
+           FROM lagged)
+         SELECT doc_id, bool_and(fresh) AS admitted,
+           CAST(count(*) FILTER (WHERE fresh) AS BIGINT) AS n_fresh
+         FROM verdicts GROUP BY doc_id""",
     "q152_stream_lsh_dedup" ->
       """WITH sets AS (
            SELECT doc_id, list_distinct(

@@ -2305,6 +2305,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ttl admission re-admits after the window and evicts idle state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val in = MemoryStream[(Long, Int, String, java.sql.Timestamp)]
+    val verdicts = in.toDS()
+      .withWatermark("_4", "0 seconds")
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Long, (Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        Dedup.ttlAdmit(ttlMs = 100000L))
+      .toDF("id", "fresh")
+    val q = verdicts.writeStream.format("memory").queryName("ttl_sink")
+      .outputMode("append").start()
+    try {
+      // phase 1: buckets b0..b4 at t=10..14s
+      in.addData((0 until 5).map(i => (i.toLong, 0, s"b$i", ts(10 + i))): _*)
+      q.processAllAvailable()
+      // phase 2: b0 again at t=50s (gap 40s < 100s: rejected) and fresh
+      // buckets c0..c4 at t=500s (watermark jumps past b*'s timeouts)
+      in.addData((100L, 0, "b0", ts(50)))
+      q.processAllAvailable()
+      in.addData((200 until 205).map(i =>
+        (i.toLong, 0, s"c${i - 200}", ts(500 + i - 200))): _*)
+      q.processAllAvailable()
+      // phase 3: b0 at t=600s — more than 100s after its last arrival:
+      // admitted AGAIN (whether or not its state entry survived)
+      in.addData((300L, 0, "b0", ts(600)))
+      q.processAllAvailable()
+      // one more batch so pending event-time timeouts get processed
+      in.addData((400L, 0, "d0", ts(700)))
+      q.processAllAvailable()
+      val got = spark.table("ttl_sink")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert((0 until 5).forall(i => got(i.toLong)), "phase-1 all fresh")
+      assert(!got(100L), "40s-gap re-arrival rejected")
+      assert((200 until 205).forall(i => got(i.toLong)), "new buckets fresh")
+      assert(got(300L), "post-TTL re-arrival admitted")
+      // EVICTION: b1..b4 idle since t<=14s and c*'s timeouts not yet due
+      // — state must hold well under the 11 distinct buckets ever seen
+      val stateRows = q.lastProgress.stateOperators.apply(0).numRowsTotal
+      assert(stateRows <= 7, s"state rows $stateRows — eviction not firing")
+    } finally q.stop()
+  }
+
   test("lsh calibration concentrates planted near-dups at zero error") {
     import spark.implicits._
     // 20 base docs + a shifted near-copy of each (high true Jaccard)
