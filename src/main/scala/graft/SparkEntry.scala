@@ -1894,6 +1894,29 @@ object SparkEntry {
         budget = 0.5 * total, maxEpochs = 2.0)
     }),
 
+    // Beyond-reference: DEDUP RECALL report — the headline number of a
+    // probabilistic dedup system: the q93 MinHash-LSH cascade's pair
+    // recall against the EXACT ground truth (the complete PPJoin
+    // cascade, q27) on the same feature space and threshold. Precision
+    // is 1 by construction (LSH candidates are exact-verified), so the
+    // missing mass is candidate-generation misses — the 1-(1-J^r)^b
+    // curve, measured. One row.
+    "q186_lsh_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exact = graft.ops.Dedup.nearDuplicatesExact(
+        docs, "doc_id", "text", threshold = 0.7,
+        includeMinHashCandidates = false).select(col("id_a"), col("id_b"))
+      val lsh = graft.ops.Dedup.nearDuplicatesLshPortable(
+        docs, "doc_id", "text", threshold = 0.7)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+      exact.join(lsh, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_true_pairs"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_lsh_pairs"),
+          (count(lit(1)) - coalesce(sum(col("__hit")), lit(0L))).as("n_missed"),
+          round(coalesce(sum(col("__hit")), lit(0L)).cast("double") /
+            count(lit(1)), 6).as("recall"))
+    }),
+
     // Beyond-reference: CLUSTER KEYWORDS (the BERTopic recipe, Grootendorst
     // 2022 — the datamap/topic-labeling step after semantic clustering):
     // q120's deterministic k-means assigns docs to cells via the linked
@@ -4673,6 +4696,54 @@ object SparkEntry {
            coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE k), '')
              AS text_kept
          FROM kept GROUP BY doc_id""",
+    // ground truth = q27's all-pairs Jaccard; found = q93's banded
+    // signature replay (verified >= t); one-row recall join
+    "q186_lsh_recall" ->
+      """WITH sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                                         CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM documents),
+         truth AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.fset, b.fset))::DOUBLE /
+                 len(list_distinct(a.fset || b.fset))::DOUBLE >= 0.7),
+         sh AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h1,
+             ('0x' || substr(md5(sh), 13, 12))::BIGINT AS h2
+           FROM (SELECT doc_id, unnest(fset) AS sh FROM sets)),
+         hs AS (
+           SELECT doc_id, j, min(h1 + j * h2) AS h
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS j) js
+           GROUP BY doc_id, j),
+         bands AS (
+           SELECT doc_id, CAST(j // 4 AS INT) AS band,
+             string_agg(CAST(h AS VARCHAR), ',' ORDER BY j) AS bh
+           FROM hs GROUP BY doc_id, CAST(j // 4 AS INT)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         found AS (
+           SELECT c.id_a, c.id_b FROM cand c
+           JOIN sets a ON a.doc_id = c.id_a
+           JOIN sets b ON b.doc_id = c.id_b
+           WHERE len(list_intersect(a.fset, b.fset))::DOUBLE /
+                 len(list_distinct(a.fset || b.fset))::DOUBLE >= 0.7),
+         j AS (SELECT t.id_a, t.id_b,
+                 CASE WHEN f.id_a IS NULL THEN 0 ELSE 1 END AS hit
+               FROM truth t LEFT JOIN found f
+                 ON t.id_a = f.id_a AND t.id_b = f.id_b)
+         SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+           CAST(sum(hit) AS BIGINT) AS n_lsh_pairs,
+           CAST(count(*) - sum(hit) AS BIGINT) AS n_missed,
+           round(sum(hit) / CAST(count(*) AS DOUBLE), 6) AS recall
+         FROM j""",
     // q120's two-iteration Lloyd replay through a2, then c-TF-IDF with
     // the same quantization and (score desc, tok) cut
     "q184_cluster_keywords" ->
