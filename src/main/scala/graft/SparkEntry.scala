@@ -4624,6 +4624,7 @@ object SparkEntry {
          counts AS (SELECT g, lang, CAST(count(*) AS BIGINT) AS c
                     FROM tg GROUP BY g, lang),
          vocab AS (SELECT g FROM (SELECT g, sum(c) AS tc FROM counts
+                   WHERE len(g) = 3
                    GROUP BY g ORDER BY tc DESC, g LIMIT 200)),
          vn AS (SELECT CAST(count(*) AS BIGINT) AS V FROM vocab),
          langs AS (SELECT DISTINCT lang FROM train),

@@ -592,7 +592,12 @@ object Analytics {
       edges: DataFrame,
       maxHubDegree: Int = 64,
       minCommon: Int = 2): DataFrame = {
-    val und = edges.select(col("a"), col("b"))
+    // canonicalize per row (free — no shuffle) so a reversed (b, a)
+    // input row can't slip past the adjacency anti-join below; edges
+    // stored BOTH ways would still double-count degrees, so the dedup
+    // part of the input contract stays with the caller
+    val und = edges.select(
+      least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
     val dir = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("z"), col("b").as("x"))
     val deg = dir.groupBy(col("z")).agg(count(lit(1)).as("deg"))

@@ -149,7 +149,12 @@ object Classify {
     val counts = train
       .select(col("lang"), explode(grams(col("text"))).as("g"))
       .groupBy(col("g"), col("lang")).agg(count(lit(1)).as("c"))
-    val vocab = counts.groupBy(col("g")).agg(sum(col("c")).as("tc"))
+    // vocabulary is over FULL n-grams only: a shorter gram (whole text
+    // of a sub-n-length doc) would be counted as a windowed gram by the
+    // fit but as a bare substring by the automaton classify — excluding
+    // them keeps the two countings provably identical on every input
+    val vocab = counts.filter(length(col("g")) === n)
+      .groupBy(col("g")).agg(sum(col("c")).as("tc"))
       .orderBy(col("tc").desc, col("g")).limit(vocabSize).select("g")
     val vn = vocab.agg(count(lit(1)).as("V"))
     val langs = train.select(col("lang")).distinct()
@@ -177,11 +182,13 @@ object Classify {
     // (vocab × langs longs + one prior per lang), the same budget as
     // the broadcast they replace; arithmetic is unchanged (integer
     // counts × quantized log-probs), so predictions are bit-identical.
-    val vocabGrams: Array[String] =
-      vocab.orderBy(col("g")).collect().map(_.getString(0))
-    val gIndex = vocabGrams.zipWithIndex.toMap
+    // ONE collect carries the whole model: the logp grid already holds
+    // every (gram, lang) pair, so vocab and language list derive from it
+    // without re-running the corpus ranking window two more times
     val logpRows = logp.collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val vocabGrams: Array[String] = logpRows.map(_._1).distinct.sorted
+    val gIndex = vocabGrams.zipWithIndex.toMap
     val langsArr = logpRows.map(_._2).distinct.sorted
     val logpByLang: Map[String, Array[Long]] = langsArr.map { l =>
       val arr = new Array[Long](vocabGrams.length)
@@ -190,18 +197,31 @@ object Classify {
     }.toMap
     val priorMap = prior.collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
-    // a doc with zero vocabulary grams scores prior-only, as before
+    // a doc with zero vocabulary grams (or null text) scores prior-only,
+    // as the pre-automaton path did
     val scoreStructs = langsArr.map { l =>
-      val score = lit(priorMap(l)) + aggregate(
-        zip_with(col("__cnt"), lit(logpByLang(l)), (c, p) => c * p),
-        lit(0L), (a, x) => a + x)
+      val score = lit(priorMap(l)) + (
+        if (vocabGrams.isEmpty) lit(0L)
+        else aggregate(
+          zip_with(col("__cnt"), lit(logpByLang(l)), (c, p) => c * p),
+          lit(0L), (a, x) => a + x))
       struct((-score).as("ns"), lit(l).as("lang"))
     }
+    require(langsArr.nonEmpty || logpRows.isEmpty,
+      "internal: languages derive from the logp grid")
+    require(priorMap.nonEmpty, "charNgramLangId needs at least one training doc")
+    val allLangs: Seq[String] =
+      if (langsArr.nonEmpty) langsArr.toSeq else priorMap.keys.toSeq.sorted
+    val allStructs: Seq[org.apache.spark.sql.Column] = if (scoreStructs.nonEmpty) scoreStructs.toSeq
+      else allLangs.map(l => struct((-lit(priorMap(l))).as("ns"), lit(l).as("lang")))
+    val best = if (allStructs.size == 1) allStructs.head
+      else least(allStructs: _*)
     val pred = test
       .withColumn("__cnt",
-        graft.ops.TextOps.ahoCounts(col("text"), vocabGrams.toSeq))
-      .select(col("id"),
-        least(scoreStructs: _*).getField("lang").as("pred"))
+        if (vocabGrams.isEmpty) array().cast("array<long>")
+        else graft.ops.TextOps.ahoCounts(
+          coalesce(col("text"), lit("")), vocabGrams.toSeq))
+      .select(col("id"), best.getField("lang").as("pred"))
 
     val joined = test.select(col("id"), col("lang")).join(pred, "id")
     val perTrue = joined.groupBy(col("lang")).agg(

@@ -205,27 +205,6 @@ object Sampling {
       .limit(k)
   }
 
-  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
-    * More Effective Language Sampling for Large-Scale Multilingual
-    * Pretraining"): distribute a total token `budget` across groups
-    * (languages/domains) as equally as possible, never giving a group
-    * more than `maxEpochs` passes over its own corpus. This is exactly
-    * water-filling with per-group cap `maxEpochs * capacity`: groups
-    * whose cap is below the fair share get their cap, the rest split the
-    * remainder evenly at a common water level.
-    *
-    * Closed form, not the paper's sequential loop: with caps sorted
-    * ascending (index i, prefix sum cum_i), the candidate level
-    * L_i = (B - cum_{i-1}) / (n - i + 1); the first i with cap_i >= L_i
-    * is the first uncapped group and L_{i*} is the water level. Two
-    * global windows over the GROUP table (size = #groups, thousands at
-    * most — never the corpus, which is reduced by one map-side-combinable
-    * agg first), so the single-partition window sort is immaterial at
-    * any corpus scale.
-    *
-    * Output: one row per group with capacity, allocated tokens, and
-    * realized epochs (alloc / capacity).
-    */
   /** Proportional source INTERLEAVING (stride scheduling / start-time
     * fair queuing, Waldspurger & Weihl OSDI'94): the i-th row (1-based,
     * ordered by `orderCol` within its source) of a source holding n_s
@@ -271,6 +250,27 @@ object Sampling {
       .drop("__n")
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute a total token `budget` across groups
+    * (languages/domains) as equally as possible, never giving a group
+    * more than `maxEpochs` passes over its own corpus. This is exactly
+    * water-filling with per-group cap `maxEpochs * capacity`: groups
+    * whose cap is below the fair share get their cap, the rest split the
+    * remainder evenly at a common water level.
+    *
+    * Closed form, not the paper's sequential loop: with caps sorted
+    * ascending (index i, prefix sum cum_i), the candidate level
+    * L_i = (B - cum_{i-1}) / (n - i + 1); the first i with cap_i >= L_i
+    * is the first uncapped group and L_{i*} is the water level. Two
+    * global windows over the GROUP table (size = #groups, thousands at
+    * most — never the corpus, which is reduced by one map-side-combinable
+    * agg first), so the single-partition window sort is immaterial at
+    * any corpus scale.
+    *
+    * Output: one row per group with capacity, allocated tokens, and
+    * realized epochs (alloc / capacity).
+    */
   def unimaxAllocation(
       df: DataFrame,
       groupCols: Seq[String],

@@ -53,7 +53,16 @@ object Sketches {
       groupCols: Seq[String],
       scoreCol: String,
       idCol: String,
-      k: Int): DataFrame =
+      k: Int): DataFrame = {
+    // the heap state is (long, long); a silent cast would TRUNCATE
+    // fractional scores and return a wrong top-k — refuse instead
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq(scoreCol, idCol).foreach { c =>
+      val t = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"topKPerGroup needs integral '$c' (got ${t.simpleString}); " +
+          "scale fractional scores to longs explicitly first")
+    }
     df.groupBy(groupCols.map(col): _*)
       .agg(column(graft.functions.TopKPairs(
           expression(col(scoreCol).cast("long")),
@@ -65,6 +74,7 @@ object Sketches {
         col("__e.id").as(idCol)) :+
         col("__e.score").as(scoreCol) :+
         ((col("__i") + 1).cast("long").as("rank")): _*)
+  }
 
   /** Per-group quantiles via the KLL sketch aggregate
     * ([[graft.functions.KllQuantiles]]): one row per group with an

@@ -51,8 +51,8 @@ class AqeSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.collect().length === 50000 + 99 * 50)
     // after execution the adaptive plan records the skew split
     val finalPlan = joined.queryExecution.executedPlan.toString
-    assert(finalPlan.contains("skewed=true") || finalPlan.contains("isSkew=true")
-      || finalPlan.contains("skewed"), finalPlan.take(4000))
+    assert(finalPlan.contains("skew=true") || finalPlan.contains("skewed=true"),
+      finalPlan.take(4000))
   }
 
   test("salted join spreads the same hot key without AQE") {
@@ -66,9 +66,12 @@ class AqeSkewSpec extends AnyFunSuite with BeforeAndAfterAll {
         saltBy = col("row_id"), buckets = 8)
       assert(got.count() === probe.join(build, "k").count())
       // the salted plan's join keys include the salt, so the hot key's
-      // rows hash to 8 distinct reducer keys
+      // rows hash to 8 distinct reducer keys — the salt must appear in
+      // the join's partitioning, not merely in some projection
       val plan = got.queryExecution.executedPlan.toString
-      assert(plan.contains("__salt") || got.columns.contains("row_id"))
+      assert(plan.contains("__salt"), plan.take(3000))
+      assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(plan).isDefined,
+        plan.take(3000))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }

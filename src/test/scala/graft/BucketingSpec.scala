@@ -61,12 +61,16 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), plan)
     // and it is not just a pretty plan — the result is right
     assert(joined.count() === 5000)
-    // the same join over plain (unbucketed) frames pays two exchanges
-    val raw = spark.table("b_events").select("user_id", "event_id")
-      .repartition(4) // strip the bucket spec by materializing a new lineage
-    val rawPlan = raw.join(spark.table("b_users").repartition(4), "user_id")
+    // the same join over genuinely UNBUCKETED tables pays its exchanges
+    // (not via repartition(), which would plant an Exchange by itself)
+    import spark.implicits._
+    (0L until 1000L).map(i => (i, s"u$i")).toDF("user_id", "name")
+      .write.mode("overwrite").saveAsTable("p_users")
+    (0L until 5000L).map(i => (i % 1000L, i)).toDF("user_id", "event_id")
+      .write.mode("overwrite").saveAsTable("p_events")
+    val rawPlan = spark.table("p_events").join(spark.table("p_users"), "user_id")
       .queryExecution.executedPlan.toString
-    assert(rawPlan.contains("Exchange"), rawPlan)
+    assert(rawPlan.contains("Exchange hashpartitioning(user_id"), rawPlan)
   }
 
   test("group-by on the bucket key aggregates without an exchange") {
