@@ -105,9 +105,12 @@ object Classify {
     *
     *  1. train split = the first `trainPerClass` docs per label (by id);
     *  2. features = all overlapping character n-grams of lower(text)
-    *     (a doc shorter than n contributes its whole text once);
-    *  3. vocabulary = top `vocabSize` n-grams by train occurrence count
-    *     (ties to the lexicographically smaller gram);
+    *     (a doc shorter than n contributes its whole text once in the
+    *     fit counting — but see 3);
+    *  3. vocabulary = top `vocabSize` FULL-LENGTH n-grams by train
+    *     occurrence count (ties to the lexicographically smaller gram);
+    *     shorter grams are excluded so windowed fit counting and the
+    *     classify stage's automaton substring counting agree exactly;
     *  4. per-class add-one-smoothed log-likelihoods, QUANTIZED to
     *     integers — logp = round(ln((c+1)/(tot+V))·1e6) — so every
     *     downstream score is exact integer arithmetic: no
