@@ -1894,6 +1894,29 @@ object SparkEntry {
         budget = 0.5 * total, maxEpochs = 2.0)
     }),
 
+    // Beyond-reference: cross-source DUPLICATION MATRIX — near-dup pairs
+    // attributed to their (source, source) cell: which sources copy from
+    // which (mirror detection, licensing-leak attribution, the
+    // provenance table a crawl-dedup postmortem starts from). The exact
+    // cascade runs once; attribution is two broadcast-sized id→source
+    // joins.
+    "q187_source_copy_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.nearDuplicatesExact(
+        docs, "doc_id", "text", threshold = 0.7,
+        includeMinHashCandidates = false)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")),
+          "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")),
+          "id_b")
+        .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+          greatest(col("src_a"), col("src_b")).as("source_y"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jaccard")), 6).as("avg_jaccard"))
+    }),
+
     // Beyond-reference: DEDUP RECALL report — the headline number of a
     // probabilistic dedup system: the q93 MinHash-LSH cascade's pair
     // recall against the EXACT ground truth (the complete PPJoin
@@ -4697,6 +4720,29 @@ object SparkEntry {
            coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE k), '')
              AS text_kept
          FROM kept GROUP BY doc_id""",
+    // q27's all-pairs truth attributed through the id->source map,
+    // canonical (least, greatest) source cell
+    "q187_source_copy_matrix" ->
+      """WITH sets AS (
+           SELECT doc_id, source, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                                         CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM documents),
+         pairs AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+             len(list_intersect(a.fset, b.fset))::DOUBLE /
+               len(list_distinct(a.fset || b.fset))::DOUBLE AS jaccard
+           FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.fset, b.fset))::DOUBLE /
+                 len(list_distinct(a.fset || b.fset))::DOUBLE >= 0.7)
+         SELECT least(src_a, src_b) AS source_x,
+           greatest(src_a, src_b) AS source_y,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(jaccard), 6) AS avg_jaccard
+         FROM pairs GROUP BY 1, 2""",
     // ground truth = q27's all-pairs Jaccard; found = q93's banded
     // signature replay (verified >= t); one-row recall join
     "q186_lsh_recall" ->

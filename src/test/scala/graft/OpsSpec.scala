@@ -2416,6 +2416,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("a_id") < col("b_id") &&
         col("a_s") < col("b_e") && col("b_s") < col("a_e")).count()
     assert(g2 === w2 && g2 > 0)
+    // pre-epoch (negative) interval bounds: the exact floor-division
+    // bucketing must not misplace negative-coordinate intervals
+    val neg = (0L until 100L).map { i =>
+      val s = (i * 7919) % 500 - 250
+      ("k", i, s, s + 1 + (i * 104729) % 61)
+    }.toDF("k", "id", "s", "e")
+    val na = neg.select(col("k"), col("id").as("a_id"),
+      col("s").as("a_s"), col("e").as("a_e"))
+    val nb = neg.select(col("k"), col("id").as("b_id"),
+      col("s").as("b_s"), col("e").as("b_e"))
+    val g3 = IntervalJoin.overlapJoin(na, nb, Seq("k"),
+        "a_s", "a_e", "b_s", "b_e", bucketWidth = 29L)
+      .filter(col("a_id") < col("b_id")).count()
+    val w3 = na.join(nb, Seq("k"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_s") < col("b_e") && col("b_s") < col("a_e")).count()
+    assert(g3 === w3 && g3 > 0)
   }
 
   test("bounded-heap top-k aggregate equals the window spelling exactly") {
