@@ -1894,6 +1894,28 @@ object SparkEntry {
         budget = 0.5 * total, maxEpochs = 2.0)
     }),
 
+    // Beyond-reference: INVERSE CLOZE TASK pair construction (Lee et al.
+    // ACL 2019, the standard self-supervised retrieval-pretraining data
+    // generator): per doc, one content-addressed 20-token window becomes
+    // the query and the remaining windows the context — deterministic
+    // (md5 window pick), pure row-local array ops, output IS the
+    // training-pair stream. Docs with fewer than 2 windows are skipped.
+    "q188_ict_pairs" -> ((s, dir) => {
+      val ws = graft.ops.Dedup.tokenWindows(20)(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .withColumn("qidx", pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long"),
+          size(col("ws")).cast("long")))
+        .select(col("doc_id"), col("qidx"),
+          element_at(col("ws"), (col("qidx") + 1).cast("int")).as("q"),
+          graft.ops.TextOps.tokenCount(array_join(
+            filter(col("ws"), (_, i) => i =!= col("qidx").cast("int")), " "))
+            .cast("long").as("ctx_tokens"))
+    }),
+
     // Beyond-reference: cross-source DUPLICATION MATRIX — near-dup pairs
     // attributed to their (source, source) cell: which sources copy from
     // which (mirror detection, licensing-leak attribution, the
@@ -4720,6 +4742,30 @@ object SparkEntry {
            coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE k), '')
              AS text_kept
          FROM kept GROUP BY doc_id""",
+    // q165's window segmentation + the md5 window pick; context tokens
+    // = sum of the non-query windows' token counts
+    "q188_ict_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+                      FROM documents),
+         d2 AS (SELECT doc_id, ts,
+                  CAST(ceil(len(ts) / 20.0) AS BIGINT) AS n,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                    % CAST(ceil(len(ts) / 20.0) AS BIGINT) AS qidx
+                FROM tok
+                WHERE len(ts) > 0 AND CAST(ceil(len(ts) / 20.0) AS BIGINT) >= 2),
+         paras AS (SELECT doc_id, i,
+                     array_to_string(list_slice(ts, CAST(i*20+1 AS INT),
+                       CAST(i*20+20 AS INT)), ' ') AS para
+                   FROM d2, LATERAL unnest(range(0, n)) AS t(i)),
+         q AS (SELECT p.doc_id, d2.qidx, p.para AS q
+               FROM paras p JOIN d2 USING (doc_id) WHERE p.i = d2.qidx),
+         ctx AS (SELECT p.doc_id,
+                   CAST(sum(len(string_split(para, ' '))) AS BIGINT)
+                     AS ctx_tokens
+                 FROM paras p JOIN d2 USING (doc_id)
+                 WHERE p.i <> d2.qidx GROUP BY p.doc_id)
+         SELECT q.doc_id, CAST(q.qidx AS BIGINT) AS qidx, q.q, ctx.ctx_tokens
+         FROM q JOIN ctx USING (doc_id)""",
     // q27's all-pairs truth attributed through the id->source map,
     // canonical (least, greatest) source cell
     "q187_source_copy_matrix" ->
