@@ -1694,7 +1694,14 @@ object SparkEntry {
           // against the INITIAL watermark (0); gaps are unaffected
           timestamp_millis(col("doc_id").cast("long") * 1000L + 86400000L)
             .as("ts"))
-        .withWatermark("ts", "0 seconds")
+        // delay = one TTL: admission decisions compare event-time gaps in
+        // ttlAdmit itself (state absence ⇒ admit, same verdict a post-TTL
+        // arrival gets), so delaying eviction by a TTL never changes a
+        // verdict — but it makes the pipeline robust to ingestion order
+        // deviating from doc_id order by up to one TTL across
+        // micro-batches, where a 0-second watermark would silently drop
+        // below-watermark rows. State bound becomes two TTL windows.
+        .withWatermark("ts", "100 seconds")
         .as[(Long, Int, String, java.sql.Timestamp)]
       val verdicts = buckets
         .groupByKey(r => (r._2, r._3))

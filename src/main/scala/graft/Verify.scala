@@ -29,6 +29,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop dedup code-array caches between queries: a long Verify run
+      // otherwise accumulates MEMORY_AND_DISK blocks across the ~190
+      // queries (and could serve semantically-matched stale plans if an
+      // input path's files changed mid-session)
+      graft.ops.Dedup.releasePersisted()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -408,7 +408,12 @@ class GraftRestClient(
           pageToken = Option(line.endStreamAction.nextPageToken)
       }
     }
-    DeltaChangesResult(version, metas.result(), files.result(), protos.result())
+    // the server re-emits the head protocol line on every page, so a
+    // paginated range would otherwise accumulate one duplicate per page;
+    // value-dedup (case-class equality on (version, payload)) keeps the
+    // first occurrence of each distinct line in served order
+    DeltaChangesResult(version, metas.result(), files.result(),
+      protos.result().distinct)
   }
 
   /** `GET /changes` in the DELTA dialect — raw per-version delta actions
@@ -440,7 +445,9 @@ class GraftRestClient(
           pageToken = Option(line.endStreamAction.nextPageToken)
       }
     }
-    DeltaChangesResult(version, metas.result(), files.result(), protos.result())
+    // same per-page head-protocol re-emission as deltaQueryRange
+    DeltaChangesResult(version, metas.result(), files.result(),
+      protos.result().distinct)
   }
 
   case class ChangesResult(

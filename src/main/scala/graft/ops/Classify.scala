@@ -187,7 +187,17 @@ object Classify {
     // counts × quantized log-probs), so predictions are bit-identical.
     // ONE collect carries the whole model: the logp grid already holds
     // every (gram, lang) pair, so vocab and language list derive from it
-    // without re-running the corpus ranking window two more times
+    // without re-running the corpus ranking window two more times.
+    // Guard the grid size BEFORE collecting: the model is vocabSize ×
+    // distinct-language cells, documented KB-scale — an unvetted
+    // high-cardinality label column would otherwise materialize an
+    // unbounded grid on the driver. The language count comes off the
+    // (small, trainPerClass-bounded) training frame.
+    val nLangs = langs.count()
+    require(vocabSize.toLong * nLangs <= 4000000L,
+      s"model grid vocabSize=$vocabSize x languages=$nLangs exceeds the " +
+        "driver-collect budget (4e6 cells); shrink vocabSize or reduce " +
+        "label cardinality")
     val logpRows = logp.collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val vocabGrams: Array[String] = logpRows.map(_._1).distinct.sorted
@@ -212,7 +222,18 @@ object Classify {
     }
     require(langsArr.nonEmpty || logpRows.isEmpty,
       "internal: languages derive from the logp grid")
-    require(priorMap.nonEmpty, "charNgramLangId needs at least one training doc")
+    // empty input (no training docs at all) → empty report, not a throw:
+    // an upstream filter legitimately produces zero rows
+    if (priorMap.isEmpty) {
+      import org.apache.spark.sql.types._
+      return docs.sparkSession.createDataFrame(
+        docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("lang", StringType),
+          StructField("n_test", LongType),
+          StructField("n_pred", LongType),
+          StructField("n_correct", LongType))))
+    }
     val allLangs: Seq[String] =
       if (langsArr.nonEmpty) langsArr.toSeq else priorMap.keys.toSeq.sorted
     val allStructs: Seq[org.apache.spark.sql.Column] = if (scoreStructs.nonEmpty) scoreStructs.toSeq

@@ -222,22 +222,27 @@ object Dedup {
     // semantically, so re-running a dedup pipeline in the SAME session
     // after the input path's files changed can serve the stale cached
     // arrays, and repeated invocations accumulate MEMORY_AND_DISK blocks.
-    // Call [[Dedup.releasePersisted]] (or spark.catalog.clearCache) after
-    // consuming the pipeline's result, as Bench/Verify/ScaleProbe do.
+    // Call [[Dedup.releasePersisted]] after consuming the pipeline's
+    // result (Verify does, per query); Bench and ScaleProbe instead run
+    // spark.catalog.clearCache() before every timed pass, which drops
+    // these blocks along with everything else.
     val cached = exploded.join(dict.select(col("__f"), col("__code")), "__f")
       .groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted.add(new java.lang.ref.WeakReference(cached))
+    persisted.add(cached)
     cached
   }
 
-  /** Frames persisted by [[codedSetsFromFeatures]], weakly held so the
-    * registry never delays ContextCleaner GC of unreachable frames.
+  /** Frames persisted by [[codedSetsFromFeatures]]. STRONG references:
+    * Spark's CacheManager pins the cached plan regardless of this
+    * registry, so a weak ref could be GC-cleared while the blocks are
+    * still resident — releasePersisted would then silently skip blocks
+    * it can no longer reach. The frame objects themselves are plan-sized
+    * (small); the registry is drained on every release call.
     */
   private val persisted =
-    new java.util.concurrent.ConcurrentLinkedQueue[
-      java.lang.ref.WeakReference[DataFrame]]
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
   /** Unpersists every cached code-array frame produced so far. Call after
     * the action that consumes a dedup pipeline's result when the session
@@ -246,14 +251,11 @@ object Dedup {
     * semantically matched by a later run over the mutated path).
     */
   def releasePersisted(): Unit = {
-    var ref = persisted.poll()
-    while (ref != null) {
-      val df = ref.get()
-      if (df != null) {
-        try df.unpersist(blocking = false)
-        catch { case scala.util.control.NonFatal(_) => }
-      }
-      ref = persisted.poll()
+    var df = persisted.poll()
+    while (df != null) {
+      try df.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => }
+      df = persisted.poll()
     }
   }
 

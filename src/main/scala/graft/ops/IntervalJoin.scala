@@ -43,13 +43,19 @@ object IntervalJoin {
     // empty intervals ([s, s)) overlap nothing — and would make the
     // bucket sequence run BACKWARDS (Spark infers step -1)
     val l = left.filter(col(endL) > col(startL)).withColumn("__bkt",
-      explode(sequence(fdiv(col(startL)), fdiv(col(endL) - 1))))
+      explode(sequence(fdiv(col(startL)), fdiv(col(endL) - 1)))).as("__ivl_l")
     val r = right.filter(col(endR) > col(startR)).withColumn("__bkt",
-      explode(sequence(fdiv(col(startR)), fdiv(col(endR) - 1))))
+      explode(sequence(fdiv(col(startR)), fdiv(col(endR) - 1)))).as("__ivl_r")
+    // qualify every post-join reference through the side aliases: the two
+    // inputs may share non-key column names (the natural self-join case —
+    // one events table joined to itself without renames), where bare
+    // col(startL)/col(endR) would be ambiguous and fail analysis
+    def lc(c: String) = col(s"__ivl_l.$c")
+    def rc(c: String) = col(s"__ivl_r.$c")
     l.join(r, keyCols :+ "__bkt")
-      .filter(col(startL) < col(endR) && col(startR) < col(endL))
+      .filter(lc(startL) < rc(endR) && rc(startR) < lc(endL))
       // keep exactly one copy: the bucket of the overlap's left edge
-      .filter(col("__bkt") === fdiv(greatest(col(startL), col(startR))))
+      .filter(col("__bkt") === fdiv(greatest(lc(startL), rc(startR))))
       .drop("__bkt")
   }
 }
