@@ -1923,6 +1923,23 @@ object SparkEntry {
             .cast("long").as("ctx_tokens"))
     }),
 
+    // Beyond-reference: PERCEPTUAL-HASH IMAGE NEAR-DUP — the
+    // mirror/recompression screen for the image side of a crawl: REAL
+    // ImageIO decode → integer dHash (4×16-bit LSH bands) + integer-DCT
+    // pHash per asset, exact-hash collapse by groupBy (no pairs on the
+    // mirrored-image hot case), then banded LSH + Hamming ≤ 6 verify
+    // over the distinct-hash REPRESENTATIVES only. The oracle recomputes
+    // both hashes in SQL from the deterministic pixel generator (the
+    // codecs are lossless, so decoded pixels == generator output) and
+    // replays the identical cascade.
+    "q189_image_phash_dedup" -> ((s, dir) => {
+      val assets = graft.ops.Multimodal.toAssets(t(s, dir, "documents"))
+      graft.ops.Multimodal.imageNearDupCanon(
+        graft.ops.Multimodal.perceptualHashes(assets), maxHamming = 6)
+        .select(col("asset_id"), col("rep_id"), col("canon_id"),
+          col("n_exact"), col("phash").cast("long").as("phash"))
+    }),
+
     // Beyond-reference: cross-source DUPLICATION MATRIX — near-dup pairs
     // attributed to their (source, source) cell: which sources copy from
     // which (mirror detection, licensing-leak attribution, the
@@ -3123,6 +3140,14 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // DuckDB oracles. Column names MUST match the Spark results above.
   // ---------------------------------------------------------------------
+  /** The q189 oracle's integer-DCT table as a SQL VALUES list — emitted
+    * from the SAME constant ([[graft.ops.Multimodal.DctC]]) the engine
+    * computes pHash with, so the two sides can never drift.
+    */
+  private lazy val dctTableSql: String =
+    (for (k <- 0 until 8; x <- 0 until 8)
+      yield s"($k,$x,${graft.ops.Multimodal.DctC(k)(x)})").mkString(",")
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -4773,6 +4798,61 @@ object SparkEntry {
                  WHERE p.i <> d2.qidx GROUP BY p.doc_id)
          SELECT q.doc_id, CAST(q.qidx AS BIGINT) AS qidx, q.q, ctx.ctx_tokens
          FROM q JOIN ctx USING (doc_id)""",
+    // hashes recomputed from the deterministic pixel generator
+    // (pixel = (id·31 + 7x + 13y) mod 256; lossless codecs ⇒ decoded
+    // pixels are identical), integer DCT table inlined from the SAME
+    // Scala constant the engine uses, then the identical exact-collapse
+    // → band-join → Hamming ≤ 6 → min-neighbor canon cascade
+    "q189_image_phash_dedup" ->
+      s"""WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 4 IN (0, 1)),
+         px AS (SELECT doc_id, x, y,
+                  CAST((doc_id*31 + x*7 + y*13) % 256 AS BIGINT) AS p
+                FROM img, range(8) t1(x), range(8) t2(y)),
+         bits AS (SELECT a.doc_id, a.x, a.y,
+                    CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit
+                  FROM px a JOIN px b
+                    ON a.doc_id = b.doc_id AND b.x = (a.x+1) % 8 AND b.y = a.y),
+         bands AS (SELECT doc_id, y//2 AS band,
+                     CAST(sum(bit * (1::BIGINT << ((y%2)*8 + x))) AS BIGINT) AS v
+                   FROM bits GROUP BY 1, 2),
+         h AS (SELECT doc_id,
+                 max(CASE WHEN band=0 THEN v END) AS b0,
+                 max(CASE WHEN band=1 THEN v END) AS b1,
+                 max(CASE WHEN band=2 THEN v END) AS b2,
+                 max(CASE WHEN band=3 THEN v END) AS b3
+               FROM bands GROUP BY doc_id),
+         ct(k, i, c) AS (VALUES ${dctTableSql}),
+         dct AS (SELECT px.doc_id, tu.k AS u, tv.k AS v2,
+                   CAST(sum(px.p * tu.c * tv.c) AS BIGINT) AS coeff
+                 FROM px JOIN ct tu ON tu.i = px.x JOIN ct tv ON tv.i = px.y
+                 WHERE tu.k < 4 AND tv.k < 4 AND NOT (tu.k = 0 AND tv.k = 0)
+                 GROUP BY 1, 2, 3),
+         ph AS (SELECT doc_id, CAST(sum(CASE WHEN coeff > 0
+                    THEN (1::BIGINT << (u*4 + v2 - 1)) ELSE 0 END) AS BIGINT)
+                  AS phash
+                FROM dct GROUP BY doc_id),
+         reps AS (SELECT b0, b1, b2, b3, min(doc_id) AS rep_id,
+                    count(*) AS n_members
+                  FROM h GROUP BY 1, 2, 3, 4),
+         rb AS (SELECT rep_id, 0 AS band, b0 AS v FROM reps
+                UNION ALL SELECT rep_id, 1, b1 FROM reps
+                UNION ALL SELECT rep_id, 2, b2 FROM reps
+                UNION ALL SELECT rep_id, 3, b3 FROM reps),
+         cand AS (SELECT DISTINCT a.rep_id AS lo, b.rep_id AS hi
+                  FROM rb a JOIN rb b
+                    ON a.band = b.band AND a.v = b.v AND a.rep_id < b.rep_id),
+         ham AS (SELECT c.lo, c.hi,
+                   bit_count(xor(ra.b0, rs.b0)) + bit_count(xor(ra.b1, rs.b1)) +
+                   bit_count(xor(ra.b2, rs.b2)) + bit_count(xor(ra.b3, rs.b3)) AS d
+                 FROM cand c JOIN reps ra ON ra.rep_id = c.lo
+                             JOIN reps rs ON rs.rep_id = c.hi),
+         mrg AS (SELECT hi AS rep_id, min(lo) AS canon
+                 FROM ham WHERE d <= 6 GROUP BY hi)
+         SELECT h.doc_id AS asset_id, r.rep_id,
+           coalesce(m.canon, r.rep_id) AS canon_id,
+           CAST(r.n_members AS BIGINT) AS n_exact, ph.phash
+         FROM h JOIN reps r USING (b0, b1, b2, b3) JOIN ph USING (doc_id)
+         LEFT JOIN mrg m ON m.rep_id = r.rep_id""",
     // q27's all-pairs truth attributed through the id->source map,
     // canonical (least, greatest) source cell
     "q187_source_copy_matrix" ->

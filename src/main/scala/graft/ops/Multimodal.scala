@@ -343,6 +343,149 @@ object Multimodal {
     sum.toDouble / (img.getWidth * img.getHeight)
   }
 
+  // ------------------------------------------------- perceptual hashing
+
+  /** Integer cosine table for the fixed-point 8×8 DCT used by [[phash]]:
+    * `C(k)(x) = round(1024·cos(π(2x+1)k/16))`. Pure-integer DCT
+    * coefficients make the pHash bit pattern exactly reproducible by any
+    * engine (an engine-free oracle inlines this table as literals) —
+    * a float DCT's sign bits could flip on near-zero coefficients.
+    */
+  private[graft] val DctC: Array[Array[Long]] =
+    Array.tabulate(8, 8)((k, x) =>
+      math.round(1024.0 * math.cos(math.Pi * (2 * x + 1) * k / 16.0)))
+
+  /** Decoded gray matrix addressed as `g(y)(x)` (row-major). */
+  private[graft] def grayPixels(payload: Array[Byte]): Array[Array[Int]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "ImageIO failed to decode an image payload")
+    Array.tabulate(img.getHeight, img.getWidth)((y, x) => img.getRGB(x, y) & 0xFF)
+  }
+
+  case class PerceptualHash(
+      asset_id: Long, format: String,
+      b0: Int, b1: Int, b2: Int, b3: Int, phash: Int)
+
+  /** dHash (row-wise difference hash, wrap column: bit(x,y) = 1 iff
+    * p(x,y) < p((x+1) mod 8, y)) packed as FOUR 16-bit band values —
+    * rows 2b and 2b+1 into band b, bit position (y mod 2)·8 + x — plus
+    * a 15-bit pHash (sign bits of the top-left 4×4 integer-DCT block,
+    * DC excluded; bit u·4+v−1 set iff coefficient (u,v) > 0). The bands
+    * ARE the LSH keys downstream (two dHashes within Hamming distance
+    * ≤ 6 of each other agree on at least one band whenever their
+    * differing bits cluster in ≤ 3 bands — the standard banding bet),
+    * and 16-bit non-negative ints sidestep 64-bit sign pitfalls in
+    * engines whose shifts are arithmetic.
+    *
+    * One per-partition-decoder scan (same codec discipline as
+    * [[extractFeatures]]), no shuffle. Images only (png/bmp); wav/mp4
+    * rows are dropped — perceptual audio hashing is a different
+    * transform (chromaprint-family), not a smaller image.
+    */
+  def perceptualHashes(assets: Dataset[Asset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .filter(a => a.meta.format == "png" || a.meta.format == "bmp")
+      .mapPartitions { it =>
+        it.map { a =>
+          val g = grayPixels(a.payload)
+          val h = g.length
+          val w = g(0).length
+          require(w == IMG_W && h == IMG_H,
+            s"perceptualHashes expects ${IMG_W}x$IMG_H assets, got ${w}x$h")
+          val bands = new Array[Int](4)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (g(y)(x) < g(y)((x + 1) % 8))
+                bands(y / 2) |= 1 << ((y % 2) * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          var ph = 0
+          var u = 0
+          while (u < 4) {
+            var v = 0
+            while (v < 4) {
+              if (u != 0 || v != 0) {
+                var coeff = 0L
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    coeff += g(yy)(xx) * DctC(u)(xx) * DctC(v)(yy)
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                if (coeff > 0) ph |= 1 << (u * 4 + v - 1)
+              }
+              v += 1
+            }
+            u += 1
+          }
+          PerceptualHash(a.asset_id, a.meta.format,
+            bands(0), bands(1), bands(2), bands(3), ph)
+        }
+      }
+      .toDF()
+  }
+
+  /** Perceptual near-dup canonicalization over a [[perceptualHashes]]
+    * frame — the mirror/recompression screen a 100 TB crawl runs before
+    * training on images. EXACT-FIRST cascade: byte-identical perceptual
+    * hashes collapse by groupBy (no pair enumeration — the mirrored-image
+    * hot case at crawl scale, where one popular image has 10⁶ copies,
+    * costs one map-side-combinable aggregate), then the banded-LSH
+    * near-dup join runs over the DISTINCT-HASH REPRESENTATIVES only, so
+    * candidate volume is bounded by distinct perceptual content, never
+    * by corpus size. Verification is exact Hamming distance over the
+    * four band values; a representative adopts as canon the SMALLEST
+    * rep id among its verified neighbors (one deterministic merge step —
+    * the transitive-closure variant is [[Dedup.connectedComponents]],
+    * composable downstream when full clusters are wanted).
+    *
+    * Returns one row per input asset:
+    * (asset_id, rep_id, canon_id, n_exact, phash).
+    */
+  def imageNearDupCanon(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming=$maxHamming")
+    val hcols = Seq("b0", "b1", "b2", "b3").map(col)
+    val reps = hashes.groupBy(hcols: _*)
+      .agg(min(col("asset_id")).as("rep_id"),
+        count(lit(1)).as("n_exact"))
+    val rb = reps.select(col("rep_id"),
+      posexplode(array(hcols: _*)).as(Seq("band", "v")))
+    val cand = rb.as("a")
+      .join(rb.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.rep_id") < col("b.rep_id"))
+      .select(col("a.rep_id").as("lo"), col("b.rep_id").as("hi"))
+      .distinct()
+    val ra = reps.select(col("rep_id").as("lo"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val rs = reps.select(col("rep_id").as("hi"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val ham = cand.join(ra, "lo").join(rs, "hi")
+      .withColumn("d",
+        bit_count(col("a0").bitwiseXOR(col("c0"))) +
+          bit_count(col("a1").bitwiseXOR(col("c1"))) +
+          bit_count(col("a2").bitwiseXOR(col("c2"))) +
+          bit_count(col("a3").bitwiseXOR(col("c3"))))
+      .filter(col("d") <= maxHamming)
+    val merge = ham.groupBy(col("hi").as("rep_id"))
+      .agg(min(col("lo")).as("canon"))
+    hashes
+      .join(reps, Seq("b0", "b1", "b2", "b3"))
+      .join(merge, Seq("rep_id"), "left")
+      .select(col("asset_id"), col("rep_id"),
+        coalesce(col("canon"), col("rep_id")).as("canon_id"),
+        col("n_exact"), col("phash"))
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size
     * chunk becomes a frame row (id, frame_no, frame_bytes). The output
     * explodes rows, so it repartitions by asset to keep frames of one

@@ -445,6 +445,44 @@ object ScaleProbe {
           "a_s", "a_e", "b_s", "b_e", bucketWidth = 60000L)
           .filter(col("a_id") < col("b_id")).count()
       }),
+      // Lloyd passes over a k-fold embedding corpus + c-TF-IDF aggs over
+      // a k-fold (salt-grown) vocabulary; the rank window runs on the
+      // (cluster x vocab) frame, never the corpus
+      "q184_cluster_keywords" -> (k => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val corpus = (0 until k).map(c => emb.select(
+          (col("vec_id") + lit(c.toLong * 100000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+        val assign = graft.ops.KMeans.assign(
+          corpus, "vec_id", "embedding", k = 4, iterations = 2)
+        val toks = docs(k)
+          .join(assign.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+          .select(col("cluster"),
+            explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+        val ctf = toks.groupBy(col("cluster"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val corpusF = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        val avgA = toks.agg((count(lit(1)).cast("double") / 4.0).as("__A"))
+        ctf.join(corpusF, "tok").crossJoin(broadcast(avgA))
+          .withColumn("score", col("tf") * log(lit(1.0) + col("__A") / col("f")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("cluster"))
+              .orderBy(col("score").desc, col("tok"))))
+          .filter(col("rank") <= 5).count()
+      }),
+      // real ImageIO decode + integer hashing is the linear term; the
+      // near-dup join runs over distinct-hash REPRESENTATIVES (bounded
+      // at 256 by the 8-bit gray offset in this fixture), so the whole
+      // cascade should track the decode scan
+      "q189_image_phash" -> (k => {
+        val assets = graft.ops.Multimodal.toAssets(
+          docs(k).withColumn("n_chars", length(col("text")).cast("long")))
+        graft.ops.Multimodal.imageNearDupCanon(
+          graft.ops.Multimodal.perceptualHashes(assets), maxHamming = 6)
+          .count()
+      }),
       // two corpus-linear scans (mean, centered outer products) into a
       // fixed dim^2 aggregation + a projection scan — expect ~linear
       "q131_pca" -> (k => {

@@ -293,6 +293,64 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       resized.exists(a => a.meta.format == "wav"))
   }
 
+  test("perceptual hashes: real decode matches the generator formula, " +
+    "exact dups collapse cross-format, near dups merge to the min rep") {
+    import spark.implicits._
+    // ids 0/4/256 → png, 1/257 → bmp; 256·31 ≡ 0 (mod 256) so id+256 is a
+    // pixel-identical image (the mirror case), id 4 differs by a gray
+    // offset that moves the dHash wrap positions (the near-dup case)
+    val ids = Seq(0L, 1L, 4L, 256L, 257L)
+    val assets = ids.map { id =>
+      val fmt = if (id % 4 == 0) "png" else "bmp"
+      Multimodal.Asset(id, Multimodal.encodeImage(id, fmt),
+        Multimodal.AssetMeta(fmt, Multimodal.IMG_W, Multimodal.IMG_H, 0L))
+    }.toDS()
+    // the hand-computed spec, straight from the generator formula
+    def handHash(id: Long): (Array[Int], Int) = {
+      val bands = new Array[Int](4)
+      var ph = 0
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (Multimodal.pixelValue(id, x, y) < Multimodal.pixelValue(id, (x + 1) % 8, y))
+          bands(y / 2) |= 1 << ((y % 2) * 8 + x)
+      for (u <- 0 until 4; v <- 0 until 4; if u != 0 || v != 0) {
+        var c = 0L
+        for (yy <- 0 until 8; xx <- 0 until 8)
+          c += Multimodal.pixelValue(id, xx, yy) *
+            Multimodal.DctC(u)(xx) * Multimodal.DctC(v)(yy)
+        if (c > 0) ph |= 1 << (u * 4 + v - 1)
+      }
+      (bands, ph)
+    }
+    val got = Multimodal.perceptualHashes(assets).collect()
+      .map(r => r.getLong(0) ->
+        (Array(r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)), r.getInt(6)))
+      .toMap
+    ids.foreach { id =>
+      val (eb, ep) = handHash(id)
+      assert(got(id)._1.toSeq === eb.toSeq, s"dHash bands of asset $id")
+      assert(got(id)._2 === ep, s"pHash of asset $id")
+    }
+    assert(got(0L)._1.toSeq === got(256L)._1.toSeq && got(0L)._2 === got(256L)._2,
+      "id+256 must be hash-identical")
+    val canon = Multimodal.imageNearDupCanon(
+      Multimodal.perceptualHashes(assets), maxHamming = 6).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 0/1/256/257 share the no-wraparound hash (cross-format exact dup
+    // group: png 0 catches bmp 1's recompression) → rep 0, n_exact 4
+    Seq(0L, 1L, 256L, 257L).foreach { id =>
+      assert(canon(id)._1 === 0L, s"rep of $id")
+      assert(canon(id)._3 === 4L, s"n_exact of $id")
+    }
+    assert(canon(4L)._1 === 4L, "id 4 is its own exact group")
+    // canon of rep 4 follows the hand-computed Hamming distance to rep 0
+    val d = got(0L)._1.zip(got(4L)._1)
+      .map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    assert(canon(4L)._2 === (if (d <= 6) 0L else 4L),
+      s"one-step canon under hand Hamming $d")
+    // (and in this fixture the offsets DO land within the threshold)
+    assert(d <= 6 && canon(4L)._2 === 0L)
+  }
+
   test("audio resample: decimation keeps even frames, halves the rate, " +
     "round-trips losslessly, non-audio passes through") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
