@@ -1940,6 +1940,18 @@ object SparkEntry {
           col("n_exact"), col("phash").cast("long").as("phash"))
     }),
 
+    // Beyond-reference: UNIGRAM-LM TOKENIZER INDUCTION (Kudo 2018,
+    // hard-EM) — the OTHER tokenizer family production LLMs ship next to
+    // BPE (q123): seed vocabulary from freq-weighted substring counts,
+    // then two Viterbi-E / count-M rounds with quantized integer
+    // log-probs, each round ONE codegen segmentation scan over the
+    // distinct-word table. The oracle replays both rounds as per-word
+    // integer DP list-folds in SQL.
+    "q190_unigram_fit" -> ((s, dir) => {
+      graft.ops.TextOps.unigramFit(t(s, dir, "documents"), "text",
+        seedExtra = 40, maxPieceLen = 3, emRounds = 2, maxWordLen = 30)
+    }),
+
     // Beyond-reference: cross-source DUPLICATION MATRIX — near-dup pairs
     // attributed to their (source, source) cell: which sources copy from
     // which (mirror detection, licensing-leak attribution, the
@@ -3140,6 +3152,72 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // DuckDB oracles. Column names MUST match the Spark results above.
   // ---------------------------------------------------------------------
+  /** One hard-EM round of the q190 oracle: per-word integer Viterbi DP
+    * as RECURSIVE CTEs — the forward pass carries a 3-deep best-score
+    * window (b1=best[pos], b2, b3) plus the backpointer digits as a
+    * string, one recursion step per character; the backward pass is a
+    * second recursion emitting one (pos, k) jump row per chosen piece.
+    * Deliberately lambda-free: DuckDB 1.0's list_reduce mis-evaluates
+    * struct reassignment and is non-deterministic under parallel
+    * evaluation (observed: identical SQL, different totals per run), so
+    * the list-fold spelling of this DP is not trustworthy. `probs` is
+    * the incoming piece-logprob CTE, `cnt` the produced count CTE.
+    */
+  private def unigramDpSql(probs: String, cnt: String): String =
+    s"""
+ scp_$cnt AS (
+   SELECT w, any_value(freq) AS freq, any_value(n) AS n, j,
+     max(CASE WHEN k = 1 THEN lp END) AS lp1,
+     max(CASE WHEN k = 2 THEN lp END) AS lp2,
+     max(CASE WHEN k = 3 THEN lp END) AS lp3
+   FROM (
+     SELECT s.w, s.freq, s.n, s.j, s.k, coalesce(p.lp, -1000000000000) AS lp
+     FROM (
+       SELECT w, freq, n, j, k,
+         CASE WHEN k <= j THEN substr(w, CAST(j-k+1 AS INT), CAST(k AS INT)) END AS pc
+       FROM words, LATERAL unnest(range(1, n+1)) t(j), LATERAL unnest(range(1, 4)) u(k)) s
+     LEFT JOIN $probs p ON p.piece = s.pc)
+   GROUP BY w, j),
+ fw_$cnt AS (
+   SELECT w, freq, n, pos, b1, ks FROM (
+     WITH RECURSIVE r AS (
+       SELECT w, freq, n, CAST(0 AS BIGINT) AS pos,
+         CAST(0 AS BIGINT) AS b1, CAST(-4000000000000000 AS BIGINT) AS b2,
+         CAST(-4000000000000000 AS BIGINT) AS b3, '' AS ks
+       FROM words
+       UNION ALL
+       SELECT r.w, r.freq, r.n, r.pos + 1,
+         greatest(r.b1 + s.lp1,
+           CASE WHEN r.pos >= 1 THEN r.b2 + s.lp2 ELSE CAST(-4000000000000000 AS BIGINT) END,
+           CASE WHEN r.pos >= 2 THEN r.b3 + s.lp3 ELSE CAST(-4000000000000000 AS BIGINT) END),
+         r.b1, r.b2,
+         r.ks || CASE
+           WHEN r.b1 + s.lp1 = greatest(r.b1 + s.lp1,
+             CASE WHEN r.pos >= 1 THEN r.b2 + s.lp2 ELSE CAST(-4000000000000000 AS BIGINT) END,
+             CASE WHEN r.pos >= 2 THEN r.b3 + s.lp3 ELSE CAST(-4000000000000000 AS BIGINT) END)
+           THEN '1'
+           WHEN r.pos >= 1 AND r.b2 + s.lp2 = greatest(r.b1 + s.lp1, r.b2 + s.lp2,
+             CASE WHEN r.pos >= 2 THEN r.b3 + s.lp3 ELSE CAST(-4000000000000000 AS BIGINT) END)
+           THEN '2' ELSE '3' END
+       FROM r JOIN scp_$cnt s ON s.w = r.w AND s.j = r.pos + 1
+       WHERE r.pos < r.n)
+     SELECT * FROM r) WHERE pos = n),
+ bk_$cnt AS (
+   SELECT w, freq, pos, k FROM (
+     WITH RECURSIVE b AS (
+       SELECT w, freq, ks, n AS pos,
+         CAST(substr(ks, CAST(n AS INT), 1) AS BIGINT) AS k
+       FROM fw_$cnt WHERE n > 0
+       UNION ALL
+       SELECT w, freq, ks, pos - k,
+         CAST(substr(ks, CAST(pos - k AS INT), 1) AS BIGINT)
+       FROM b WHERE pos - k > 0)
+     SELECT * FROM b)),
+ $cnt AS (
+   SELECT substr(w, CAST(pos - k + 1 AS INT), CAST(k AS INT)) AS pc,
+     CAST(sum(freq) AS BIGINT) AS c
+   FROM bk_$cnt GROUP BY 1)"""
+
   /** The q189 oracle's integer-DCT table as a SQL VALUES list — emitted
     * from the SAME constant ([[graft.ops.Multimodal.DctC]]) the engine
     * computes pHash with, so the two sides can never drift.
@@ -4853,6 +4931,39 @@ object SparkEntry {
            CAST(r.n_members AS BIGINT) AS n_exact, ph.phash
          FROM h JOIN reps r USING (b0, b1, b2, b3) JOIN ph USING (doc_id)
          LEFT JOIN mrg m ON m.rep_id = r.rep_id""",
+    // seed substring counts -> two hard-EM rounds (integer Viterbi DP
+    // per distinct word as list folds, freq-weighted recount) -> final
+    // (piece, cnt, quantized logp); every comparison is integer so the
+    // replay is bit-exact
+    "q190_unigram_fit" ->
+      (s"""WITH wf AS (
+   SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+     SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+     FROM documents) WHERE w <> '' GROUP BY w),
+ words AS (SELECT w, freq, len(w) AS n FROM wf WHERE len(w) <= 30),
+ rawsub AS (
+   SELECT substr(w, CAST(j AS INT), CAST(k AS INT)) AS pc, CAST(sum(freq) AS BIGINT) AS c
+   FROM words, LATERAL unnest(range(1, n+1)) t(j), LATERAL unnest(range(1, 4)) u(k)
+   WHERE j + k - 1 <= n GROUP BY 1),
+ grams AS (SELECT pc, c FROM rawsub WHERE len(pc) > 1 ORDER BY c DESC, pc LIMIT 40),
+ vocab AS MATERIALIZED (SELECT pc, c FROM rawsub WHERE len(pc) = 1 UNION ALL SELECT pc, c FROM grams),
+ k0 AS (SELECT CAST(sum(c) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS V FROM vocab),
+ probs0 AS MATERIALIZED (
+   SELECT pc AS piece, CAST(floor(ln((c + 1)::DOUBLE / (tot + V)::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS lp
+   FROM vocab, k0),""" +
+      unigramDpSql("probs0", "cnt1") + """,
+ cnt1m AS MATERIALIZED (SELECT * FROM cnt1),
+ k1 AS (SELECT CAST(sum(c) AS BIGINT) AS tot, (SELECT V FROM k0) AS V FROM cnt1m),
+ probs1 AS MATERIALIZED (
+   SELECT v.pc AS piece,
+     CAST(floor(ln((coalesce(c1.c, 0) + 1)::DOUBLE / (k1.tot + k1.V)::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS lp
+   FROM vocab v LEFT JOIN cnt1m c1 ON c1.pc = v.pc, k1),""" +
+      unigramDpSql("probs1", "cnt2") + """,
+ cnt2m AS MATERIALIZED (SELECT * FROM cnt2),
+ k2 AS (SELECT CAST(sum(c) AS BIGINT) AS tot, (SELECT V FROM k0) AS V FROM cnt2m)
+ SELECT v.pc AS piece, CAST(coalesce(c2.c, 0) AS BIGINT) AS cnt,
+   CAST(floor(ln((coalesce(c2.c, 0) + 1)::DOUBLE / (k2.tot + k2.V)::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS logp_q
+ FROM vocab v LEFT JOIN cnt2m c2 ON c2.pc = v.pc, k2"""),
     // q27's all-pairs truth attributed through the id->source map,
     // canonical (least, greatest) source cell
     "q187_source_copy_matrix" ->

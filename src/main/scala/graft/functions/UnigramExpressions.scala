@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-LM Viterbi segmenter (Kudo, ACL 2018 — the SentencePiece
+  * unigram model's decode step): segment a word into the vocabulary
+  * pieces maximizing the sum of piece log-probabilities. Probabilities
+  * are QUANTIZED to integer micro-logs (`floor(ln(p)·1e6 + 0.5)`), so
+  * the DP is pure integer arithmetic with exact, deterministic
+  * tie-breaks (smallest piece length wins a tie at each position) —
+  * bit-identical in any engine.
+  *
+  * The piece table is a fixed constructor argument shipped to executors
+  * once as a codegen reference object (the [[AhoCorasick]] discipline):
+  * a tokenizer model is vocabulary-scale by definition, so segmenting a
+  * 100 TB corpus is ONE codegen scan with no join and no shuffle.
+  *
+  * A piece absent from the table scores `MissingLp` (−10¹²) — far below
+  * any feasible path (≥ word-length · min piece log ≈ −10⁹), so it can
+  * never be chosen while single characters (always seeded) keep every
+  * word segmentable.
+  */
+final class UnigramModel(
+    pieces: Array[String],
+    logps: Array[Long],
+    val maxPieceLen: Int) extends Serializable {
+  require(pieces.length == logps.length, "pieces/logps must align")
+  require(maxPieceLen >= 1, s"maxPieceLen=$maxPieceLen")
+
+  val MissingLp: Long = -1000000000000L
+
+  private val lp = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+  pieces.indices.foreach(i => lp.put(pieces(i), java.lang.Long.valueOf(logps(i))))
+
+  private def logp(piece: String): Long = {
+    val v = lp.get(piece)
+    if (v eq null) MissingLp else v.longValue
+  }
+
+  /** Viterbi-best segmentation, pieces in LEFT-TO-RIGHT order. */
+  def segment(word: UTF8String): Array[UTF8String] = {
+    val w = word.toString
+    val n = w.length
+    if (n == 0) return Array.empty
+    val best = new Array[Long](n + 1)
+    val bk = new Array[Int](n + 1)
+    var j = 1
+    while (j <= n) {
+      var bestS = Long.MinValue
+      var bestK = 1
+      var k = 1
+      while (k <= maxPieceLen && k <= j) {
+        val s = best(j - k) + logp(w.substring(j - k, j))
+        // strict '>' keeps the SMALLEST k on ties — the deterministic
+        // rule the SQL oracle replays as an ordered CASE
+        if (s > bestS) { bestS = s; bestK = k }
+        k += 1
+      }
+      best(j) = bestS
+      bk(j) = bestK
+      j += 1
+    }
+    var count = 0
+    var pos = n
+    while (pos > 0) { count += 1; pos -= bk(pos) }
+    val out = new Array[UTF8String](count)
+    pos = n
+    var i = count - 1
+    while (pos > 0) {
+      val k = bk(pos)
+      out(i) = UTF8String.fromString(w.substring(pos - k, pos))
+      i -= 1
+      pos -= k
+    }
+    out
+  }
+}
+
+/** `unigram_segment(word)` for a fixed quantized piece table — returns
+  * `array<string>` of the Viterbi-best pieces in order.
+  */
+case class UnigramSegment(child: Expression, pieces: Seq[(String, Long)],
+    maxPieceLen: Int) extends UnaryExpression {
+
+  @transient private lazy val model = new UnigramModel(
+    pieces.map(_._1).toArray, pieces.map(_._2).toArray, maxPieceLen)
+
+  override def prettyName: String = "unigram_segment"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      model.segment(input.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("unigramModel", model,
+      classOf[UnigramModel].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $m.segment($c));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegment =
+    copy(child = newChild)
+}

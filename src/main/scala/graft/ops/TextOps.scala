@@ -756,6 +756,92 @@ object TextOps {
       replace(c, lit(bad), lit(good))
     }
 
+  /** Unigram-LM tokenizer induction (Kudo, ACL 2018 — the SentencePiece
+    * unigram family, hard-EM variant): seed a piece vocabulary from
+    * frequency-weighted substring counts (every character plus the
+    * `seedExtra` most frequent 2..`maxPieceLen`-grams, ties to the
+    * lexicographically smaller piece), then run `emRounds` of
+    * Viterbi-E / count-M: segment every distinct word with the current
+    * quantized log-probs ([[graft.functions.UnigramSegment]] — ONE
+    * codegen scan, no join) and re-estimate add-one piece probabilities
+    * from the freq-weighted segmentation counts. All probabilities are
+    * integer micro-logs (`floor(ln((c+1)/(tot+V))·1e6 + 0.5)`), so every
+    * round's decisions are exact integer comparisons any engine replays
+    * bit-identically. Words longer than `maxWordLen` chars are excluded
+    * from the fit (the SentencePiece max-sentence-length discipline).
+    *
+    * Shape at 100 TB: the corpus collapses to the distinct-word
+    * frequency table once (the [[bpeMerges]] preprocessing); seed counts
+    * are one row-local substring explode into a map-side-combinable
+    * groupBy; each EM round is one codegen segmentation scan plus a
+    * vocabulary-scale count aggregate. Driver state is the piece table
+    * (model-scale — a tokenizer is a shipped artifact) and nothing else.
+    *
+    * Returns the induced tokenizer: (piece, cnt, logp_q) where cnt is
+    * the final round's segmentation count and logp_q the quantized
+    * log-probability a downstream encoder would ship.
+    */
+  def unigramFit(
+      docs: DataFrame,
+      textCol: String,
+      seedExtra: Int = 40,
+      maxPieceLen: Int = 3,
+      emRounds: Int = 2,
+      maxWordLen: Int = 30): DataFrame = {
+    require(seedExtra >= 0 && maxPieceLen >= 1 && emRounds >= 1 && maxWordLen >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= maxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seed: freq-weighted counts of ALL substrings length 1..maxPieceLen
+      // (overlapping occurrences, the Kudo seed statistic)
+      val allSubs = words.select(col("freq"), explode(flatten(transform(
+        sequence(lit(1), length(col("w"))),
+        j => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - j + lit(1))),
+          k => col("w").substr(j, k))))).as("pc"))
+        .groupBy(col("pc")).agg(sum(col("freq")).as("c"))
+      val chars = allSubs.filter(length(col("pc")) === 1)
+      val grams = allSubs.filter(length(col("pc")) > 1)
+        .orderBy(col("c").desc, col("pc")).limit(seedExtra)
+      // the model-scale collect (charset + seedExtra pieces)
+      val vocab: Array[(String, Long)] = chars.unionByName(grams)
+        .as[(String, Long)].collect().sortBy(_._1)
+      val vocabPieces = vocab.map(_._1)
+      if (vocabPieces.isEmpty)
+        return Seq.empty[(String, Long, Long)].toDF("piece", "cnt", "logp_q")
+
+      def quantLog(c: Long, tot: Long, v: Int): Long =
+        math.floor(math.log((c + 1).toDouble / (tot + v).toDouble) * 1e6 + 0.5).toLong
+      def toLps(counts: Map[String, Long]): Seq[(String, Long)] = {
+        val tot = counts.values.sum
+        vocabPieces.toSeq.map(p =>
+          p -> quantLog(counts.getOrElse(p, 0L), tot, vocabPieces.length))
+      }
+
+      var counts: Map[String, Long] = vocab.toMap
+      for (_ <- 1 to emRounds) {
+        val seg = org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.UnigramSegment(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("w")),
+            toLps(counts), maxPieceLen))
+        counts = words.select(col("freq"), explode(seg).as("pc"))
+          .groupBy(col("pc")).agg(sum(col("freq")).as("c"))
+          .as[(String, Long)].collect().toMap
+      }
+      val tot = counts.values.sum
+      vocabPieces.toSeq
+        .map(p => (p, counts.getOrElse(p, 0L),
+          quantLog(counts.getOrElse(p, 0L), tot, vocabPieces.length)))
+        .toDF("piece", "cnt", "logp_q")
+    } finally words.unpersist()
+  }
+
   /** Out-of-vocabulary rate per source against the corpus' own top-N
     * vocabulary — the tokenizer-fit diagnostic: a source whose token
     * mass falls outside the vocabulary the rest of the corpus would

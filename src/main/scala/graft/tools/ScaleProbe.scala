@@ -472,6 +472,11 @@ object ScaleProbe {
               .orderBy(col("score").desc, col("tok"))))
           .filter(col("rank") <= 5).count()
       }),
+      // distinct-word collapse + per-round codegen Viterbi scans; the
+      // salt grows the distinct-word table (and so the seed counts)
+      // k-fold — worst case, as with BPE fit
+      "q190_unigram_fit" -> (k =>
+        graft.ops.TextOps.unigramFit(docs(k), "text").count()),
       // real ImageIO decode + integer hashing is the linear term; the
       // near-dup join runs over distinct-hash REPRESENTATIVES (bounded
       // at 256 by the 8-bit gray offset in this fixture), so the whole

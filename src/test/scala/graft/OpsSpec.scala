@@ -373,6 +373,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.exists(_.meta.format == "wav"))
   }
 
+  test("unigram fit: hand-computed canonical corpus, char-conservation " +
+    "invariant, determinism") {
+    import org.apache.spark.sql.functions.{col, explode, length, lower, split, sum => fsum}
+    // corpus "ab ab b": words ab(2), b(1); seed a:2 ab:2 b:3 (tot 7, V 3)
+    // round 1 quantized logs: a,ab -1203973  b -916291
+    //   viterbi("ab"): "ab" (-1203973) beats "a|b" (-2120264) -> counts ab:2 b:1
+    // round 2 (tot 3, V 3): a -1791759  ab -693147  b -1098612, same split
+    val tiny = docsDF(Seq((1L, "ab ab"), (2L, "b")))
+    val fit = graft.ops.TextOps.unigramFit(tiny, "text",
+      seedExtra = 40, maxPieceLen = 3, emRounds = 2, maxWordLen = 30)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fit === Map(
+      "a" -> ((0L, -1791759L)),
+      "ab" -> ((2L, -693147L)),
+      "b" -> ((1L, -1098612L))))
+    // a segmentation PARTITIONS each word: total piece chars must equal
+    // total chars of the fitted words, on a real corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.ops.TextOps.unigramFit(docs, "text")
+    val pieceChars = out.select(fsum(col("cnt") * length(col("piece"))))
+      .collect().head.getLong(0)
+    val wordChars = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= 30)
+      .select(fsum(length(col("w")).cast("long")))
+      .collect().head.getLong(0)
+    assert(pieceChars === wordChars, "piece chars must partition word chars")
+    // deterministic across runs
+    val again = graft.ops.TextOps.unigramFit(docs, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val first = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(again.toSeq === first.toSeq)
+  }
+
   test("bpe tokens: contractions, digits, punctuation, empty text") {
     import org.apache.spark.sql.functions.col
     val df = docsDF(Seq(
