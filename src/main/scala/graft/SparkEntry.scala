@@ -1952,6 +1952,16 @@ object SparkEntry {
         seedExtra = 40, maxPieceLen = 3, emRounds = 2, maxWordLen = 30)
     }),
 
+    // Beyond-reference: interpolated KNESER–NEY trigram LM quality
+    // report — the LM family CCNet/KenLM filters actually use (q121's
+    // add-k bigram is the strawman baseline, reported alongside as the
+    // uplift): absolute discount 0.75, continuation counts for the
+    // lower orders, exactly normalized. Corpus-side work is one trigram
+    // explode + vocabulary-scale count tables joined back by token key.
+    "q191_kn_trigram" -> ((s, dir) => {
+      graft.ops.TextOps.knTrigramReport(t(s, dir, "documents"), "source", "text")
+    }),
+
     // Beyond-reference: cross-source DUPLICATION MATRIX — near-dup pairs
     // attributed to their (source, source) cell: which sources copy from
     // which (mirror detection, licensing-leak attribution, the
@@ -4964,6 +4974,48 @@ object SparkEntry {
  SELECT v.pc AS piece, CAST(coalesce(c2.c, 0) AS BIGINT) AS cnt,
    CAST(floor(ln((coalesce(c2.c, 0) + 1)::DOUBLE / (k2.tot + k2.V)::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS logp_q
  FROM vocab v LEFT JOIN cnt2m c2 ON c2.pc = v.pc, k2"""),
+    // same padded trigram stream, same count tables (c3/c2/continuation
+    // mid/midv/uni), identical arithmetic shape so the doubles agree
+    "q191_kn_trigram" ->
+      """WITH tk AS (SELECT source AS src,
+             string_split_regex(lower(text), '\s+') AS t0
+           FROM documents WHERE text IS NOT NULL),
+         tok AS (SELECT src, list_filter(t0, x -> x <> '') AS t FROM tk),
+         tok2 AS (SELECT src, t, ['<s>', '<s>'] || t AS us, len(t) AS n
+                  FROM tok WHERE len(t) > 0),
+         ev AS (SELECT src, us[CAST(i AS INT)] AS u, us[CAST(i+1 AS INT)] AS v,
+                  t[CAST(i AS INT)] AS w
+                FROM tok2, LATERAL unnest(range(1, n+1)) r(i)),
+         evc AS (SELECT src, u, v, w, CAST(count(*) AS BIGINT) AS cnt
+                 FROM ev GROUP BY 1, 2, 3, 4),
+         c3 AS (SELECT u, v, w, CAST(sum(cnt) AS BIGINT) AS c3
+                FROM evc GROUP BY 1, 2, 3),
+         c2 AS (SELECT u, v, CAST(sum(c3) AS BIGINT) AS c2,
+                  CAST(count(*) AS BIGINT) AS n1p
+                FROM c3 GROUP BY 1, 2),
+         mid AS (SELECT v, w, CAST(count(*) AS BIGINT) AS mid
+                 FROM c3 GROUP BY 1, 2),
+         midv AS (SELECT v, CAST(sum(mid) AS BIGINT) AS midctx,
+                    CAST(count(*) AS BIGINT) AS midn1
+                  FROM mid GROUP BY 1),
+         uniw AS (SELECT w, CAST(count(*) AS BIGINT) AS uni FROM mid GROUP BY 1),
+         scal AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM mid) AS unitot,
+                    (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM c3) AS vsz),
+         sc AS (SELECT e.src, e.cnt,
+             ln(greatest(c3.c3 - 0.75, 0.0) / c2.c2 + (0.75 * c2.n1p / c2.c2) *
+                (greatest(mid.mid - 0.75, 0.0) / midv.midctx +
+                 (0.75 * midv.midn1 / midv.midctx) *
+                 (uniw.uni::DOUBLE / scal.unitot::DOUBLE))) AS kn_lp,
+             ln((c3.c3 + 1)::DOUBLE / (c2.c2 + scal.vsz)::DOUBLE) AS add1_lp
+           FROM evc e JOIN c3 USING (u, v, w) JOIN c2 USING (u, v)
+                JOIN mid USING (v, w) JOIN midv USING (v) JOIN uniw USING (w),
+                scal)
+         SELECT src AS source, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+           round(sum(cnt * kn_lp) / sum(cnt), 4) AS kn_ll,
+           round(sum(cnt * add1_lp) / sum(cnt), 4) AS add1_ll,
+           round(round(sum(cnt * kn_lp) / sum(cnt), 4) -
+                 round(sum(cnt * add1_lp) / sum(cnt), 4), 4) AS kn_uplift
+         FROM sc GROUP BY src""",
     // q27's all-pairs truth attributed through the id->source map,
     // canonical (least, greatest) source cell
     "q187_source_copy_matrix" ->

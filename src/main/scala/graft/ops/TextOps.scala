@@ -730,6 +730,101 @@ object TextOps {
         round(avg(col("lp")), 4).as("avg_logprob"))
   }
 
+  /** Interpolated Kneser–Ney trigram scores (Kneser & Ney 1995; the
+    * Chen & Goodman 1998 interpolated form) over the corpus's own
+    * padded trigram stream — the LM family CCNet/KenLM quality filters
+    * actually ship, replacing q121's add-k bigram strawman. Absolute
+    * discount D is a fixed dyadic rational (0.75 — exactly
+    * representable, so both engines subtract the same double), lower
+    * orders use CONTINUATION counts (distinct-context, the KN insight),
+    * and the model is exactly normalized: Σ_w P(w|u,v) = 1.
+    *
+    * Returns one row per distinct (src, u, v, w) trigram with its event
+    * count and both the KN and add-one log-probabilities — the scored
+    * frame [[knTrigramReport]] aggregates and tests introspect.
+    *
+    * Shape at 100 TB: ONE corpus-scale explode into (src,u,v,w) counts;
+    * every model table (c3/c2/mid/midv/uni) is a map-side-combinable
+    * re-aggregation of that table — vocabulary-scale, joined back by
+    * bucket equi-joins on token keys, never broadcast or collected; the
+    * two scalars (unitot, V) are 1-row broadcasts.
+    */
+  def knTrigramScores(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount in (0,1), got $discount")
+    val toks = filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
+    // padded stream: events (u,v,w) for each token position, u/v from a
+    // double "<s>" pad so every token is scored
+    val ev = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("src"), toks.as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("src"), explode(element_at(transform(array(col("t")), ts => {
+        val us = concat(array(lit("<s>"), lit("<s>")), ts)
+        val n = size(ts)
+        zip_with(
+          zip_with(slice(us, lit(1), n), slice(us, lit(2), n),
+            (a, b) => struct(a.as("u"), b.as("v"))),
+          ts,
+          (p, w) => struct(p.getField("u").as("u"), p.getField("v").as("v"),
+            w.as("w")))
+      }), 1)).as("g"))
+      .select(col("src"), col("g.u").as("u"), col("g.v").as("v"),
+        col("g.w").as("w"))
+    val evc = ev.groupBy(col("src"), col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val c3 = evc.groupBy(col("u"), col("v"), col("w"))
+      .agg(sum(col("cnt")).as("c3"))
+    val c2 = c3.groupBy(col("u"), col("v"))
+      .agg(sum(col("c3")).as("c2"), count(lit(1)).as("n1p"))
+    val mid = c3.groupBy(col("v"), col("w")).agg(count(lit(1)).as("mid"))
+    val midv = mid.groupBy(col("v"))
+      .agg(sum(col("mid")).as("midctx"), count(lit(1)).as("midn1"))
+    val uniW = mid.groupBy(col("w")).agg(count(lit(1)).as("uni"))
+    val scal = mid.agg(count(lit(1)).as("unitot"))
+      .crossJoin(c3.select(col("w")).distinct().agg(count(lit(1)).as("vsz")))
+    val d = lit(discount)
+    val pkn =
+      greatest(col("c3") - d, lit(0.0)) / col("c2") +
+        (d * col("n1p") / col("c2")) *
+          (greatest(col("mid") - d, lit(0.0)) / col("midctx") +
+            (d * col("midn1") / col("midctx")) *
+              (col("uni").cast("double") / col("unitot").cast("double")))
+    val pa1 = (col("c3") + lit(1)).cast("double") /
+      (col("c2") + col("vsz")).cast("double")
+    evc
+      .join(c3, Seq("u", "v", "w"))
+      .join(c2, Seq("u", "v"))
+      .join(mid, Seq("v", "w"))
+      .join(midv, Seq("v"))
+      .join(uniW, Seq("w"))
+      .crossJoin(broadcast(scal))
+      .select(col("src"), col("u"), col("v"), col("w"), col("cnt"),
+        log(pkn).as("kn_lp"), log(pa1).as("add1_lp"))
+  }
+
+  /** Per-source Kneser–Ney quality report: trigram volume, mean KN
+    * log-probability, mean add-one-trigram log-probability, and the KN
+    * uplift — the "is this source linguistically typical" table a
+    * CCNet-style curation run reports.
+    */
+  def knTrigramReport(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    knTrigramScores(docs, sourceCol, textCol, discount)
+      .groupBy(col("src").as(sourceCol))
+      .agg(
+        sum(col("cnt")).as("n_trigrams"),
+        round(sum(col("cnt") * col("kn_lp")) / sum(col("cnt")), 4).as("kn_ll"),
+        round(sum(col("cnt") * col("add1_lp")) / sum(col("cnt")), 4).as("add1_ll"))
+      .withColumn("kn_uplift", round(col("kn_ll") - col("add1_ll"), 4))
+  }
+
   /** The common UTF-8-read-as-Latin-1 mojibake digraphs → the intended
     * character (the ftfy core table, longest patterns first so the
     * three-byte punctuation forms never half-match a two-byte one).

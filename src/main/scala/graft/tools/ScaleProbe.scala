@@ -472,6 +472,12 @@ object ScaleProbe {
               .orderBy(col("score").desc, col("tok"))))
           .filter(col("rank") <= 5).count()
       }),
+      // trigram explode + vocabulary-scale count tables joined back by
+      // token key (the salt grows the trigram space k-fold — worst case)
+      "q191_kn_trigram" -> (k =>
+        graft.ops.TextOps.knTrigramReport(
+          docs(k).withColumn("source", pmod(col("doc_id"), lit(16))),
+          "source", "text").count()),
       // distinct-word collapse + per-round codegen Viterbi scans; the
       // salt grows the distinct-word table (and so the seed counts)
       // k-fold — worst case, as with BPE fit

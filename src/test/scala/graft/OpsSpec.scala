@@ -408,6 +408,58 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.toSeq === first.toSeq)
   }
 
+  test("kneser-ney trigram: matches an independent reference and is " +
+    "exactly normalized over the vocabulary") {
+    import org.apache.spark.sql.functions.{col, pmod}
+    val texts = Seq("a b a b c", "a b c a", "b c a b", "c c a b a")
+    val docs = docsDF(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .withColumn("source", pmod(col("doc_id"), org.apache.spark.sql.functions.lit(2)))
+    val got = graft.ops.TextOps.knTrigramScores(docs, "source", "text")
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)) ->
+        math.exp(r.getDouble(5)))
+      .toMap
+    // independent reference, straight from Chen & Goodman's interpolated
+    // form with continuation counts
+    val D = 0.75
+    val events = texts.flatMap { t =>
+      val ts = t.split(" ").toSeq
+      val us = Seq("<s>", "<s>") ++ ts
+      ts.indices.map(i => (us(i), us(i + 1), ts(i)))
+    }
+    val c3 = events.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c2 = c3.groupBy { case ((u, v, _), _) => (u, v) }
+      .view.mapValues(m => (m.values.sum, m.size.toLong)).toMap
+    val mid = c3.keys.toSeq.map { case (_, v, w) => (v, w) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val midv = mid.groupBy(_._1._1)
+      .view.mapValues(m => (m.values.sum, m.size.toLong)).toMap
+    val uni = mid.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val unitot = mid.size.toLong
+    def p(u: String, v: String, w: String): Double = {
+      val (cc2, n1p) = c2((u, v))
+      val (midctx, midn1) = midv(v)
+      math.max(c3.getOrElse((u, v, w), 0L) - D, 0.0) / cc2 +
+        (D * n1p / cc2) *
+          (math.max(mid.getOrElse((v, w), 0L) - D, 0.0) / midctx +
+            (D * midn1 / midctx) * (uni.getOrElse(w, 0L).toDouble / unitot))
+    }
+    assert(got.nonEmpty)
+    got.foreach { case ((u, v, w), pk) =>
+      assert(pk > 0 && pk <= 1, s"P($w|$u,$v)=$pk out of range")
+      assert(math.abs(pk - p(u, v, w)) < 1e-9, s"P($w|$u,$v): got $pk ref ${p(u, v, w)}")
+    }
+    // EXACT normalization: for every observed context, the probabilities
+    // of all vocabulary words (observed continuations carry the whole
+    // unigram mass) sum to 1 — the property that separates real KN from
+    // an ad-hoc backoff
+    val vocab = c3.keys.map(_._3).toSeq.distinct
+    c2.keys.foreach { case (u, v) =>
+      val s = vocab.map(w => p(u, v, w)).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"context ($u,$v) mass $s")
+    }
+  }
+
   test("bpe tokens: contractions, digits, punctuation, empty text") {
     import org.apache.spark.sql.functions.col
     val df = docsDF(Seq(
