@@ -115,21 +115,44 @@ object Bench {
         (name, timeOnce(name, fn, loud = p == 1))
       }
     }
-    val results = selected.zipWithIndex.map { case ((name, _), i) =>
-      val times = sweeps.map(_(i)._2)
+    // A query whose sweep times disagree by >3x (above a 0.3 s noise
+    // floor) was probably hit by external load in one sweep.
+    def disagrees(times: Seq[Double]): Boolean = {
+      val ok = times.filter(_ >= 0)
+      ok.size >= 2 && ok.min > 0.3 && ok.max / ok.min > 3.0
+    }
+    // SELF-HEALING third pass: two-sweep disagreement alone cannot say
+    // which time is real, so round 11's artifact left adjudication to a
+    // manual re-run. Now any query whose sweeps disagree gets ONE extra
+    // cold pass; the MEDIAN of three then arbitrates — if it sits near
+    // the min (two of three agree), the min is steady-state and the
+    // suspect flag clears; the flag survives only if the third pass
+    // still disagrees with the min (sustained interference — nothing
+    // this process can adjudicate on its own).
+    val firstPass = selected.zipWithIndex.map { case ((name, _), i) =>
+      name -> sweeps.map(_(i)._2)
+    }
+    val allTimes: Seq[(String, Seq[Double])] = firstPass.map {
+      case (name, times) if disagrees(times) =>
+        val extra = timeOnce(name, selected.find(_._1 == name).get._2, loud = false)
+        name -> (times :+ extra)
+      case other => other
+    }
+    val results = allTimes.map { case (name, times) =>
       val ok = times.filter(_ >= 0)
       val best = if (ok.isEmpty) -1.0 else ok.min
       (name, best, times, times.head >= 0)
     }
-    // A query whose two sweep times disagree by >3x (above a 0.3 s noise
-    // floor) was probably hit by external load in one sweep; if ANY query
-    // trips this, the artifact is flagged suspect so a reader knows to
-    // prefer the per-query min and distrust the raw sums.
     val suspects = results.collect {
-      case (name, _, times, _)
-          if times.count(_ >= 0) >= 2 && times.filter(_ >= 0).min > 0.3 &&
-            times.filter(_ >= 0).max / times.filter(_ >= 0).min > 3.0 =>
-        name
+      case (name, _, times, _) if {
+        val ok = times.filter(_ >= 0).sorted
+        // with a third pass present, the median arbitrates; with two,
+        // the original rule stands
+        ok.size >= 2 && ok.min > 0.3 && {
+          val ref = if (ok.size >= 3) ok(ok.size / 2) else ok.max
+          ref / ok.min > 3.0
+        }
+      } => name
     }
     // ms precision keeps the line small; a sub-ms query time carries no
     // signal at this measurement's noise floor anyway. Locale-pinned:
