@@ -1962,6 +1962,84 @@ object SparkEntry {
       graft.ops.TextOps.knTrigramReport(t(s, dir, "documents"), "source", "text")
     }),
 
+    // Beyond-reference: END-TO-END CURATION DATACARD — the FineWeb/CCNet
+    // chain composed from this round's full operator set as ONE query
+    // with per-stage attrition rows: sanitize (mojibake repair + NFC,
+    // over the q164/q169-style deterministic plant since the fixture is
+    // clean ASCII) → marker lang-ID gate → quality + repetition gate →
+    // paragraph-level near-dup with reassembly → doc-level 3-gram
+    // near-dup (keep-first) → contamination canary screen → UniMax
+    // language mix → 512-token sequence packing. Stage frames are
+    // persisted once (trackPersist) so the cascades run once, not per
+    // attrition row; rows 0-6 count surviving docs/tokens, row 7 the
+    // allocated token budget, row 8 the packed bins/tokens. Doubles as
+    // the composition regression test over the whole operator family.
+    "q192_curation_datacard" -> ((s, dir) => {
+      val T = graft.ops.TextOps
+      val De = graft.ops.Dedup
+      val m4 = pmod(col("doc_id"), lit(4))
+      val corrupted = when(pmod(col("doc_id"), lit(5)) === 0,
+        expr("replace(replace(text, 'a', 'Ã¡'), 'e', 'Ã©')"))
+        .otherwise(col("text"))
+      val planted = concat(corrupted,
+        when(m4 === 0, lit("é")).when(m4 === 1, lit("Å"))
+          .when(m4 === 2, lit("Ω")).otherwise(lit("")))
+      val text1 = T.nfcNormalize(T.fixMojibake(planted))
+      val base = De.trackPersist(t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          T.tokenCount(col("text")).cast("long").as("tok0"), text1.as("text1"))
+        .withColumn("tok1", T.tokenCount(col("text1")).cast("long"))
+        .withColumn("p2", T.langId(col("text1")) =!= "und")
+        .withColumn("p3", T.qualityScore(col("text1")) >= 0.5 &&
+          T.uniqueTokenRatio(col("text1")) >= 0.4))
+      val s3 = base.filter(col("p2") && col("p3"))
+      val pd = De.paragraphDedup(s3.select(col("doc_id"), col("text1")),
+        "doc_id", "text1", threshold = 0.7,
+        paragraphs = De.tokenWindows(20))
+      val s4 = De.trackPersist(s3
+        .join(pd.filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("text_kept").as("text2")), "doc_id")
+        .withColumn("tok2", T.tokenCount(col("text2")).cast("long")))
+      val pairs = De.nearDuplicatesExact(
+        s4.select(col("doc_id"), col("text2")), "doc_id", "text2",
+        threshold = 0.6, includeMinHashCandidates = false)
+      val s5 = De.trackPersist(s4.join(
+        pairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"))
+      val canaries = Seq("hash join", "fast data", "data data")
+      val s6 = De.trackPersist(s5.filter(aggregate(
+        T.ahoCounts(col("text2"), canaries), lit(0L), (a, x) => a + x) === 0L))
+      def row(i: Int, name: String, df: DataFrame, tok: org.apache.spark.sql.Column): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(tok), lit(0L)).as("n_tokens"))
+          .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      val budget = 0.5 * s6.agg(sum(col("tok2").cast("double")))
+        .first().getDouble(0)
+      val um = graft.ops.Sampling.unimaxAllocation(
+        s6, Seq("lang"), col("tok2"), budget = budget, maxEpochs = 2.0)
+      val r7 = s6.agg(count(lit(1)).as("n_docs")).crossJoin(
+        um.agg(round(sum(col("alloc_tokens")), 0).cast("long").as("n_tokens")))
+        .select(lit(7L).as("stage_idx"), lit("unimax_mix").as("stage"),
+          col("n_docs"), col("n_tokens"))
+      val packed = graft.ops.Packing.packSequences(
+        s6.select(col("source"), col("doc_id"), col("tok2")),
+        "source", "doc_id", "tok2", seqLen = 512L)
+      val r8 = packed.agg(count(lit(1)).as("n_docs"),
+        sum(col("seq_tokens")).as("n_tokens"))
+        .select(lit(8L).as("stage_idx"), lit("pack").as("stage"),
+          col("n_docs"), col("n_tokens"))
+      Seq(
+        row(0, "input", base, col("tok0")),
+        row(1, "sanitize", base, col("tok1")),
+        row(2, "langid", base.filter(col("p2")), col("tok1")),
+        row(3, "quality", s3, col("tok1")),
+        row(4, "paragraph_dedup", s4, col("tok2")),
+        row(5, "near_dup", s5, col("tok2")),
+        row(6, "decontaminate", s6, col("tok2")),
+        r7, r8).reduce(_ unionByName _)
+    }),
+
     // Beyond-reference: cross-source DUPLICATION MATRIX — near-dup pairs
     // attributed to their (source, source) cell: which sources copy from
     // which (mirror detection, licensing-leak attribution, the
@@ -3227,6 +3305,16 @@ object SparkEntry {
    SELECT substr(w, CAST(pos - k + 1 AS INT), CAST(k AS INT)) AS pc,
      CAST(sum(freq) AS BIGINT) AS c
    FROM bk_$cnt GROUP BY 1)"""
+
+  /** q192's mojibake repair as a nested SQL replace chain, emitted from
+    * the SAME ordered table the engine applies
+    * ([[graft.ops.TextOps.mojibakeMap]]) so the two can never drift.
+    * Neither side of any mapping contains an ASCII quote.
+    */
+  private def mojibakeRepairSql(inner: String): String =
+    graft.ops.TextOps.mojibakeMap.foldLeft(inner) { case (s, (bad, good)) =>
+      s"replace($s, '$bad', '$good')"
+    }
 
   /** The q189 oracle's integer-DCT table as a SQL VALUES list — emitted
     * from the SAME constant ([[graft.ops.Multimodal.DctC]]) the engine
@@ -5016,6 +5104,147 @@ object SparkEntry {
            round(round(sum(cnt * kn_lp) / sum(cnt), 4) -
                  round(sum(cnt * add1_lp) / sum(cnt), 4), 4) AS kn_uplift
          FROM sc GROUP BY src""",
+    // every stage replayed: plant + repair chain (emitted from the same
+    // table) + DuckDB's nfc_normalize, q51's langid/quality spellings,
+    // q165's paragraph cascade, q27's all-pairs jaccard with keep-first,
+    // LIKE canaries, q167's water-filling, q95's span packing at 512
+    "q192_curation_datacard" ->
+      (s"""WITH base AS MATERIALIZED (
+   SELECT doc_id, lang, source,
+     len(string_split(text, ' ')) AS tok0,
+     nfc_normalize(${mojibakeRepairSql(
+        "((CASE WHEN doc_id % 5 = 0 THEN replace(replace(text, 'a', 'Ã¡'), 'e', 'Ã©') ELSE text END) || " +
+          "(CASE doc_id % 4 WHEN 0 THEN 'e' || chr(769) WHEN 1 THEN 'A' || chr(778) WHEN 2 THEN chr(8486) ELSE '' END))")}) AS text1
+   FROM documents),
+ sc1 AS (
+   SELECT doc_id, lang, source, tok0, text1,
+     string_split(text1, ' ') AS t1s,
+     CAST(length(text1) AS DOUBLE) AS n_chars
+   FROM base),
+ mk AS (
+   SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS gm FROM (
+     SELECT *,
+       len(list_filter(t1s, t -> t IN ('the','fast','data','query'))) AS s_en,
+       len(list_filter(t1s, t -> t IN ('scan','merge','window'))) AS s_de,
+       len(list_filter(t1s, t -> t IN ('table','column','line'))) AS s_fr,
+       len(list_filter(t1s, t -> t IN ('row','group','order'))) AS s_es,
+       len(list_filter(t1s, t -> t IN ('hash','join','key'))) AS s_zh
+     FROM sc1)),
+ lab AS MATERIALIZED (
+   SELECT doc_id, lang, source, tok0, text1,
+     len(t1s) AS tok1,
+     gm > 0 AS p2,
+     ((0.5 * least(n_chars / 500.0, 1.0) +
+       0.5 * (1.0 - least(abs((n_chars - (CAST(len(t1s) AS DOUBLE) - 1.0))
+                              / CAST(len(t1s) AS DOUBLE) - 5.0) / 5.0, 1.0))) *
+      (CASE WHEN len(t1s) < 5 THEN 0.5 ELSE 1.0 END)) >= 0.5
+     AND len(list_distinct(t1s))::DOUBLE / len(t1s)::DOUBLE >= 0.4 AS p3
+   FROM mk),
+ s3 AS MATERIALIZED (
+   SELECT doc_id, lang, source, text1 FROM lab WHERE p2 AND p3),
+ ptok AS (SELECT doc_id, string_split(text1, ' ') AS ts FROM s3),
+ paras AS (
+   SELECT doc_id, CAST(i AS BIGINT) AS pidx,
+     array_to_string(list_slice(ts, CAST(i*20+1 AS INT),
+                                CAST(i*20+20 AS INT)), ' ') AS para
+   FROM ptok, LATERAL unnest(
+     range(0, CAST(ceil(len(ts) / 20.0) AS BIGINT))) AS t(i)
+   WHERE len(ts) > 0),
+ punits AS (SELECT doc_id*1024 + pidx AS uid, doc_id, pidx, para FROM paras),
+ psets AS (SELECT uid, list_distinct(
+     CASE WHEN len(string_split(para, ' ')) < 3 THEN [para]
+          ELSE list_transform(range(1, len(string_split(para, ' ')) - 1),
+                 i -> array_to_string(list_slice(string_split(para, ' '),
+                        CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+     END) AS fset
+   FROM punits),
+ pdup AS (SELECT DISTINCT b.uid FROM psets b JOIN psets a
+          ON a.uid < b.uid
+          AND len(list_intersect(a.fset, b.fset))::DOUBLE /
+              len(list_distinct(a.fset || b.fset))::DOUBLE >= 0.7),
+ pd AS (
+   SELECT doc_id,
+     CAST(sum(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+     coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE k), '')
+       AS text2
+   FROM (SELECT u.doc_id, u.pidx, u.para,
+           u.uid NOT IN (SELECT uid FROM pdup) AS k
+         FROM punits u)
+   GROUP BY doc_id),
+ s4 AS MATERIALIZED (
+   SELECT s3.doc_id, s3.lang, s3.source, pd.text2,
+     CAST(len(string_split(pd.text2, ' ')) AS BIGINT) AS tok2
+   FROM s3 JOIN pd USING (doc_id) WHERE pd.n_kept > 0),
+ dsets AS (SELECT doc_id, list_distinct(
+     CASE WHEN len(string_split(text2, ' ')) < 3 THEN [text2]
+          ELSE list_transform(range(1, len(string_split(text2, ' ')) - 1),
+                 i -> array_to_string(list_slice(string_split(text2, ' '),
+                        CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+     END) AS fset
+   FROM s4),
+ ddrop AS (SELECT DISTINCT b.doc_id FROM dsets b JOIN dsets a
+           ON a.doc_id < b.doc_id
+           AND len(list_intersect(a.fset, b.fset))::DOUBLE /
+               len(list_distinct(a.fset || b.fset))::DOUBLE >= 0.6),
+ s5 AS MATERIALIZED (
+   SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM ddrop)),
+ s6 AS MATERIALIZED (
+   SELECT * FROM s5 WHERE NOT (text2 LIKE '%hash join%'
+     OR text2 LIKE '%fast data%' OR text2 LIKE '%data data%')),
+ g AS (SELECT lang, CAST(sum(tok2) AS DOUBLE) AS capacity FROM s6 GROUP BY 1),
+ tot AS (SELECT 0.5 * sum(capacity) AS b FROM g),
+ r AS (SELECT lang, capacity, capacity * 2.0 AS cap,
+         CAST(row_number() OVER (ORDER BY capacity * 2.0, lang) AS DOUBLE) AS i,
+         CAST(count(*) OVER () AS DOUBLE) AS n,
+         coalesce(sum(capacity * 2.0) OVER (
+           ORDER BY capacity * 2.0, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev
+       FROM g),
+ lv AS (SELECT r.*, ((SELECT b FROM tot) - cumprev) / (n - i + 1.0) AS level
+        FROM r),
+ st AS (SELECT lv.*, min(CASE WHEN cap >= level THEN i END) OVER () AS istar
+        FROM lv),
+ st2 AS (SELECT st.*, max(CASE WHEN i = istar THEN level END) OVER () AS lstar
+         FROM st),
+ um AS (SELECT round(CASE WHEN lstar IS NULL THEN cap
+                          ELSE least(cap, lstar) END, 4) AS alloc FROM st2),
+ pos AS (
+   SELECT source, tok2 AS n_tokens,
+     coalesce(sum(tok2) OVER (
+       PARTITION BY source ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+   FROM s6 WHERE tok2 > 0),
+ spans AS (
+   SELECT source, s, s + n_tokens AS e,
+     CAST(floor(s / 512.0) AS BIGINT) AS f,
+     CAST(floor((s + n_tokens - 1) / 512.0) AS BIGINT) AS l
+   FROM pos),
+ ex AS (SELECT source, s, e, f, l, unnest(generate_series(f, l)) AS seq_id
+        FROM spans),
+ bins AS (
+   SELECT source, seq_id,
+     CAST(sum(least(e, (seq_id + 1) * 512) - greatest(s, seq_id * 512))
+       AS BIGINT) AS seq_tokens
+   FROM ex GROUP BY source, seq_id)
+ SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+   CAST(count(*) AS BIGINT) AS n_docs,
+   CAST(coalesce(sum(tok0), 0) AS BIGINT) AS n_tokens FROM lab
+ UNION ALL SELECT 1, 'sanitize', CAST(count(*) AS BIGINT),
+   CAST(coalesce(sum(tok1), 0) AS BIGINT) FROM lab
+ UNION ALL SELECT 2, 'langid', CAST(count(*) AS BIGINT),
+   CAST(coalesce(sum(tok1), 0) AS BIGINT) FROM lab WHERE p2
+ UNION ALL SELECT 3, 'quality', CAST(count(*) AS BIGINT),
+   CAST(coalesce(sum(tok1), 0) AS BIGINT) FROM lab WHERE p2 AND p3
+ UNION ALL SELECT 4, 'paragraph_dedup', CAST(count(*) AS BIGINT),
+   CAST(coalesce(sum(tok2), 0) AS BIGINT) FROM s4
+ UNION ALL SELECT 5, 'near_dup', CAST(count(*) AS BIGINT),
+   CAST(coalesce(sum(tok2), 0) AS BIGINT) FROM s5
+ UNION ALL SELECT 6, 'decontaminate', CAST(count(*) AS BIGINT),
+   CAST(coalesce(sum(tok2), 0) AS BIGINT) FROM s6
+ UNION ALL SELECT 7, 'unimax_mix', (SELECT CAST(count(*) AS BIGINT) FROM s6),
+   CAST(round((SELECT coalesce(sum(alloc), 0) FROM um), 0) AS BIGINT)
+ UNION ALL SELECT 8, 'pack', (SELECT CAST(count(*) AS BIGINT) FROM bins),
+   (SELECT CAST(coalesce(sum(seq_tokens), 0) AS BIGINT) FROM bins)"""),
     // q27's all-pairs truth attributed through the id->source map,
     // canonical (least, greatest) source cell
     "q187_source_copy_matrix" ->

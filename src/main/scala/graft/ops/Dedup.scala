@@ -244,6 +244,18 @@ object Dedup {
   private val persisted =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
+  /** Persist an arbitrary frame under the same lifecycle as the dedup
+    * code arrays: MEMORY_AND_DISK now, released by the next
+    * [[releasePersisted]] call. For multi-branch compositions (the q192
+    * datacard) whose shared stage would otherwise recompute a cascade
+    * per consuming aggregate.
+    */
+  def trackPersist(df: DataFrame): DataFrame = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.add(cached)
+    cached
+  }
+
   /** Unpersists every cached code-array frame produced so far. Call after
     * the action that consumes a dedup pipeline's result when the session
     * is long-lived or the input files may change between runs (the
