@@ -80,7 +80,11 @@ object Bench {
       // every pass runs COLD: operators may persist intermediates (the
       // dedup code-array index does), and Spark's CacheManager matches
       // cached plans semantically — without this, pass 2+ would silently
-      // time warm-cache reruns and the best-of-N would overstate us
+      // time warm-cache reruns and the best-of-N would overstate us.
+      // releasePersisted additionally DRAINS the strong-reference
+      // registry those persists sit in (clearCache drops blocks but
+      // would leave the queue pinning plan objects for the whole run)
+      graft.ops.Dedup.releasePersisted()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // noop sink, NOT count(): count() lets Catalyst prune the whole

@@ -1694,14 +1694,16 @@ object SparkEntry {
           // against the INITIAL watermark (0); gaps are unaffected
           timestamp_millis(col("doc_id").cast("long") * 1000L + 86400000L)
             .as("ts"))
-        // delay = one TTL: admission decisions compare event-time gaps in
-        // ttlAdmit itself (state absence ⇒ admit, same verdict a post-TTL
-        // arrival gets), so delaying eviction by a TTL never changes a
-        // verdict — but it makes the pipeline robust to ingestion order
-        // deviating from doc_id order by up to one TTL across
-        // micro-batches, where a 0-second watermark would silently drop
-        // below-watermark rows. State bound becomes two TTL windows.
-        .withWatermark("ts", "100 seconds")
+        // delay = one TTL (derived from ttlMs so the two can't drift):
+        // admission decisions compare event-time gaps in ttlAdmit itself
+        // (state absence ⇒ admit, same verdict a post-TTL arrival gets;
+        // state is monotone so a late arrival can't regress it), so
+        // delaying eviction by a TTL never changes a verdict — but it
+        // makes the pipeline robust to ingestion order deviating from
+        // doc_id order by up to one TTL across micro-batches, where a
+        // 0-second watermark would silently drop below-watermark rows.
+        // State bound becomes two TTL windows.
+        .withWatermark("ts", s"${ttlMs / 1000} seconds")
         .as[(Long, Int, String, java.sql.Timestamp)]
       val verdicts = buckets
         .groupByKey(r => (r._2, r._3))
@@ -2014,8 +2016,10 @@ object SparkEntry {
           coalesce(sum(tok), lit(0L)).as("n_tokens"))
           .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
             col("n_docs"), col("n_tokens"))
-      val budget = 0.5 * s6.agg(sum(col("tok2").cast("double")))
-        .first().getDouble(0)
+      // coalesce: an everything-filtered corpus leaves s6 empty and
+      // sum() null — the datacard must still report its 9 rows
+      val budget = 0.5 * s6.agg(coalesce(sum(col("tok2").cast("double")),
+        lit(0.0))).first().getDouble(0)
       val um = graft.ops.Sampling.unimaxAllocation(
         s6, Seq("lang"), col("tok2"), budget = budget, maxEpochs = 2.0)
       val r7 = s6.agg(count(lit(1)).as("n_docs")).crossJoin(

@@ -408,11 +408,13 @@ class GraftRestClient(
           pageToken = Option(line.endStreamAction.nextPageToken)
       }
     }
-    // the server re-emits the head protocol line on every page, so a
-    // paginated range would otherwise accumulate one duplicate per page;
-    // value-dedup (case-class equality on (version, payload)) keeps the
-    // first occurrence of each distinct line in served order
-    DeltaChangesResult(version, metas.result(), files.result(),
+    // the server re-emits the head protocol AND metadata lines on every
+    // page, so a paginated range would otherwise accumulate one
+    // duplicate of each per page — a consumer vetting "later metadata =
+    // mid-range schema change" would see phantom changes. Value-dedup
+    // (case-class equality) keeps the first occurrence of each distinct
+    // line in served order; true historical lines differ by value.
+    DeltaChangesResult(version, metas.result().distinct, files.result(),
       protos.result().distinct)
   }
 
@@ -445,8 +447,8 @@ class GraftRestClient(
           pageToken = Option(line.endStreamAction.nextPageToken)
       }
     }
-    // same per-page head-protocol re-emission as deltaQueryRange
-    DeltaChangesResult(version, metas.result(), files.result(),
+    // same per-page head-line re-emission as deltaQueryRange
+    DeltaChangesResult(version, metas.result().distinct, files.result(),
       protos.result().distinct)
   }
 
@@ -514,8 +516,10 @@ class GraftRestClient(
           pageToken = Option(line.endStreamAction.nextPageToken)
       }
     }
+    // head metadata is re-emitted per page (same as the delta dialect) —
+    // dedup by value so pagination can't fake mid-range schema changes
     ChangesResult(version, meta, adds.result(), cdfs.result(), removes.result(),
-      metas.result())
+      metas.result().distinct)
   }
 }
 

@@ -42,11 +42,18 @@ final class UnigramModel(
     if (v eq null) MissingLp else v.longValue
   }
 
-  /** Viterbi-best segmentation, pieces in LEFT-TO-RIGHT order. */
+  /** Viterbi-best segmentation, pieces in LEFT-TO-RIGHT order. The DP
+    * runs over CODE POINTS, not UTF-16 units — the seed vocabulary
+    * (Spark `substr`/`length` over UTF8String) and the SQL oracle both
+    * count code points, so indexing a java String directly would split
+    * non-BMP characters into lone-surrogate pseudo-pieces.
+    */
   def segment(word: UTF8String): Array[UTF8String] = {
-    val w = word.toString
-    val n = w.length
+    val cps = word.toString.codePoints().toArray
+    val n = cps.length
     if (n == 0) return Array.empty
+    def piece(from: Int, until: Int): String =
+      new String(cps, from, until - from)
     val best = new Array[Long](n + 1)
     val bk = new Array[Int](n + 1)
     var j = 1
@@ -55,7 +62,7 @@ final class UnigramModel(
       var bestK = 1
       var k = 1
       while (k <= maxPieceLen && k <= j) {
-        val s = best(j - k) + logp(w.substring(j - k, j))
+        val s = best(j - k) + logp(piece(j - k, j))
         // strict '>' keeps the SMALLEST k on ties — the deterministic
         // rule the SQL oracle replays as an ordered CASE
         if (s > bestS) { bestS = s; bestK = k }
@@ -73,7 +80,7 @@ final class UnigramModel(
     var i = count - 1
     while (pos > 0) {
       val k = bk(pos)
-      out(i) = UTF8String.fromString(w.substring(pos - k, pos))
+      out(i) = UTF8String.fromString(piece(pos - k, pos))
       i -= 1
       pos -= k
     }

@@ -185,43 +185,19 @@ object Classify {
     // (vocab × langs longs + one prior per lang), the same budget as
     // the broadcast they replace; arithmetic is unchanged (integer
     // counts × quantized log-probs), so predictions are bit-identical.
-    // ONE collect carries the whole model: the logp grid already holds
-    // every (gram, lang) pair, so vocab and language list derive from it
-    // without re-running the corpus ranking window two more times.
-    // Guard the grid size BEFORE collecting: the model is vocabSize ×
+    // Guard the grid size BEFORE collecting it: the model is vocabSize ×
     // distinct-language cells, documented KB-scale — an unvetted
     // high-cardinality label column would otherwise materialize an
-    // unbounded grid on the driver. The language count comes off the
-    // (small, trainPerClass-bounded) training frame.
-    val nLangs = langs.count()
-    require(vocabSize.toLong * nLangs <= 4000000L,
-      s"model grid vocabSize=$vocabSize x languages=$nLangs exceeds the " +
-        "driver-collect budget (4e6 cells); shrink vocabSize or reduce " +
-        "label cardinality")
-    val logpRows = logp.collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val vocabGrams: Array[String] = logpRows.map(_._1).distinct.sorted
-    val gIndex = vocabGrams.zipWithIndex.toMap
-    val langsArr = logpRows.map(_._2).distinct.sorted
-    val logpByLang: Map[String, Array[Long]] = langsArr.map { l =>
-      val arr = new Array[Long](vocabGrams.length)
-      logpRows.filter(_._2 == l).foreach { case (g, _, p) => arr(gIndex(g)) = p }
-      l -> arr
-    }.toMap
+    // unbounded grid on the driver. The language count comes from the
+    // PRIOR collect (one row per language, bounded by label cardinality
+    // over the trainPerClass-bounded training frame), which the function
+    // needs anyway — no extra job.
     val priorMap = prior.collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
-    // a doc with zero vocabulary grams (or null text) scores prior-only,
-    // as the pre-automaton path did
-    val scoreStructs = langsArr.map { l =>
-      val score = lit(priorMap(l)) + (
-        if (vocabGrams.isEmpty) lit(0L)
-        else aggregate(
-          zip_with(col("__cnt"), lit(logpByLang(l)), (c, p) => c * p),
-          lit(0L), (a, x) => a + x))
-      struct((-score).as("ns"), lit(l).as("lang"))
-    }
-    require(langsArr.nonEmpty || logpRows.isEmpty,
-      "internal: languages derive from the logp grid")
+    require(vocabSize.toLong * priorMap.size <= 4000000L,
+      s"model grid vocabSize=$vocabSize x languages=${priorMap.size} " +
+        "exceeds the driver-collect budget (4e6 cells); shrink vocabSize " +
+        "or reduce label cardinality")
     // empty input (no training docs at all) → empty report, not a throw:
     // an upstream filter legitimately produces zero rows
     if (priorMap.isEmpty) {
@@ -234,6 +210,31 @@ object Classify {
           StructField("n_pred", LongType),
           StructField("n_correct", LongType))))
     }
+    // ONE collect carries the whole model: the logp grid already holds
+    // every (gram, lang) pair, so vocab and language list derive from it
+    // without re-running the corpus ranking window two more times.
+    val logpRows = logp.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val vocabGrams: Array[String] = logpRows.map(_._1).distinct.sorted
+    val gIndex = vocabGrams.zipWithIndex.toMap
+    val langsArr = logpRows.map(_._2).distinct.sorted
+    val logpByLang: Map[String, Array[Long]] = langsArr.map { l =>
+      val arr = new Array[Long](vocabGrams.length)
+      logpRows.filter(_._2 == l).foreach { case (g, _, p) => arr(gIndex(g)) = p }
+      l -> arr
+    }.toMap
+    // a doc with zero vocabulary grams (or null text) scores prior-only,
+    // as the pre-automaton path did
+    val scoreStructs = langsArr.map { l =>
+      val score = lit(priorMap(l)) + (
+        if (vocabGrams.isEmpty) lit(0L)
+        else aggregate(
+          zip_with(col("__cnt"), lit(logpByLang(l)), (c, p) => c * p),
+          lit(0L), (a, x) => a + x))
+      struct((-score).as("ns"), lit(l).as("lang"))
+    }
+    require(langsArr.nonEmpty || logpRows.isEmpty,
+      "internal: languages derive from the logp grid")
     val allLangs: Seq[String] =
       if (langsArr.nonEmpty) langsArr.toSeq else priorMap.keys.toSeq.sorted
     val allStructs: Seq[org.apache.spark.sql.Column] = if (scoreStructs.nonEmpty) scoreStructs.toSeq

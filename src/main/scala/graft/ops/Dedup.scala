@@ -226,12 +226,9 @@ object Dedup {
     // result (Verify does, per query); Bench and ScaleProbe instead run
     // spark.catalog.clearCache() before every timed pass, which drops
     // these blocks along with everything else.
-    val cached = exploded.join(dict.select(col("__f"), col("__code")), "__f")
+    trackPersist(exploded.join(dict.select(col("__f"), col("__code")), "__f")
       .groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted.add(cached)
-    cached
+      .agg(aggs.head, aggs.tail: _*))
   }
 
   /** Frames persisted by [[codedSetsFromFeatures]]. STRONG references:
@@ -1281,7 +1278,14 @@ object Dedup {
         val out = sorted.map { r =>
           val t = r._4.getTime
           val admit = last == Long.MinValue || t - last > ttlMs
-          last = t
+          // MONOTONE state: a row older than the newest seen (possible
+          // only under out-of-order cross-batch arrival inside the
+          // watermark slack) must not regress `last` — its own verdict
+          // is still correct under the rule (its gap to the newest seen
+          // is negative, never > ttl), and future gaps keep measuring
+          // against the true most-recent sighting, matching an in-order
+          // replay of the same events
+          if (t > last) last = t
           (r._1, admit)
         }
         state.update(last)

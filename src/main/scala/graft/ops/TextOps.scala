@@ -831,6 +831,12 @@ object TextOps {
     * Web-crawl text is full of these; repairing them BEFORE dedup and
     * tokenization keeps "café" and "cafÃ©" from counting as different
     * documents/tokens.
+    *
+    * NOTE the right-double-quote entry that renders as "â€" is actually
+    * THREE characters — its third is the invisible control U+009D (the
+    * cp1252-unmapped byte 0x9D) — so it is NOT a prefix of the
+    * en/em-dash/ellipsis entries below it and cannot shadow them
+    * (OpsSpec round-trips every entry).
     */
   val mojibakeMap: Seq[(String, String)] = Seq(
     "â€™" -> "’", "â€˜" -> "‘", "â€œ" -> "“",

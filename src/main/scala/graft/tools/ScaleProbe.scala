@@ -521,7 +521,8 @@ object ScaleProbe {
       val ts = (1 to reps).map { _ =>
         // cold per rep: operators may persist intermediates and the
         // CacheManager matches plans semantically (same rationale as
-        // Bench.timeOnce)
+        // Bench.timeOnce); releasePersisted also drains the registry
+        graft.ops.Dedup.releasePersisted()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         rows((name, k)) = fn(k)
