@@ -2044,6 +2044,19 @@ object SparkEntry {
         r7, r8).reduce(_ unionByName _)
     }),
 
+    // Beyond-reference: AUDIO perceptual near-dup — q189's cascade for
+    // the sound side: real JDK sampled-audio PCM decode → 8-frame
+    // integer energy profile, gain-invariant adjacent-difference bits +
+    // 4-bit coarse energies as the bucket keys, exact-profile collapse
+    // first, Chebyshev-distance verify over representatives. The oracle
+    // recomputes the profile from the deterministic sample generator
+    // (lossless codec ⇒ decoded samples == generator output).
+    "q193_audio_phash_dedup" -> ((s, dir) => {
+      val assets = graft.ops.Multimodal.toAssets(t(s, dir, "documents"))
+      graft.ops.Multimodal.audioNearDupCanon(
+        graft.ops.Multimodal.audioFingerprints(assets), maxDelta = 4096L)
+    }),
+
     // Beyond-reference: cross-source DUPLICATION MATRIX — near-dup pairs
     // attributed to their (source, source) cell: which sources copy from
     // which (mirror detection, licensing-leak attribution, the
@@ -5249,6 +5262,58 @@ object SparkEntry {
    CAST(round((SELECT coalesce(sum(alloc), 0) FROM um), 0) AS BIGINT)
  UNION ALL SELECT 8, 'pack', (SELECT CAST(count(*) AS BIGINT) FROM bins),
    (SELECT CAST(coalesce(sum(seq_tokens), 0) AS BIGINT) FROM bins)"""),
+    // profile recomputed from the sample generator (u(i) = (id·31+7i)
+    // mod 2^16), then the identical collapse → bucket → Chebyshev chain
+    "q193_audio_phash_dedup" ->
+      """WITH wav AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 2),
+         u AS (SELECT doc_id, i // 8 AS f,
+                 CAST((doc_id*31 + i*7) % 65536 AS BIGINT) AS u
+               FROM wav, range(64) t(i)),
+         prof AS (SELECT doc_id, f, CAST(sum(u) AS BIGINT) AS s
+                  FROM u GROUP BY 1, 2),
+         fp AS (SELECT doc_id,
+                  max(CASE WHEN f=0 THEN s END) AS s0,
+                  max(CASE WHEN f=1 THEN s END) AS s1,
+                  max(CASE WHEN f=2 THEN s END) AS s2,
+                  max(CASE WHEN f=3 THEN s END) AS s3,
+                  max(CASE WHEN f=4 THEN s END) AS s4,
+                  max(CASE WHEN f=5 THEN s END) AS s5,
+                  max(CASE WHEN f=6 THEN s END) AS s6,
+                  max(CASE WHEN f=7 THEN s END) AS s7
+                FROM prof GROUP BY doc_id),
+         fp2 AS (SELECT *,
+                   CAST((CASE WHEN s0 < s1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN s1 < s2 THEN 2 ELSE 0 END)
+                      + (CASE WHEN s2 < s3 THEN 4 ELSE 0 END)
+                      + (CASE WHEN s3 < s4 THEN 8 ELSE 0 END)
+                      + (CASE WHEN s4 < s5 THEN 16 ELSE 0 END)
+                      + (CASE WHEN s5 < s6 THEN 32 ELSE 0 END)
+                      + (CASE WHEN s6 < s7 THEN 64 ELSE 0 END)
+                      + (CASE WHEN s7 < s0 THEN 128 ELSE 0 END) AS BIGINT)
+                     AS dhash8,
+                   CAST((s0 >> 15) + ((s1 >> 15) << 4) + ((s2 >> 15) << 8)
+                      + ((s3 >> 15) << 12) + ((s4 >> 15) << 16)
+                      + ((s5 >> 15) << 20) + ((s6 >> 15) << 24)
+                      + ((s7 >> 15) << 28) AS BIGINT) AS sig32
+                 FROM fp),
+         reps AS (SELECT s0, s1, s2, s3, s4, s5, s6, s7,
+                    min(doc_id) AS rep_id, count(*) AS n_exact,
+                    max(dhash8) AS dhash8, max(sig32) AS sig32
+                  FROM fp2 GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+         mrg AS (SELECT b.rep_id AS rep_id, min(a.rep_id) AS canon
+                 FROM reps a JOIN reps b
+                   ON a.dhash8 = b.dhash8 AND a.sig32 = b.sig32
+                   AND a.rep_id < b.rep_id
+                   AND greatest(abs(a.s0-b.s0), abs(a.s1-b.s1),
+                                abs(a.s2-b.s2), abs(a.s3-b.s3),
+                                abs(a.s4-b.s4), abs(a.s5-b.s5),
+                                abs(a.s6-b.s6), abs(a.s7-b.s7)) <= 4096
+                 GROUP BY b.rep_id)
+         SELECT f.doc_id AS asset_id, f.dhash8, f.sig32, r.rep_id,
+           coalesce(m.canon, r.rep_id) AS canon_id,
+           CAST(r.n_exact AS BIGINT) AS n_exact
+         FROM fp2 f JOIN reps r USING (s0, s1, s2, s3, s4, s5, s6, s7)
+         LEFT JOIN mrg m ON m.rep_id = r.rep_id""",
     // q27's all-pairs truth attributed through the id->source map,
     // canonical (least, greatest) source cell
     "q187_source_copy_matrix" ->

@@ -486,6 +486,97 @@ object Multimodal {
         col("n_exact"), col("phash"))
   }
 
+  /** Audio perceptual fingerprint — the chromaprint-family SHAPE with a
+    * deterministic integer transform: the PCM clip is split into 8
+    * frames, each frame's amplitude sum S(f) (unsigned 16-bit samples)
+    * is the energy profile, and two derived keys bucket it:
+    * `dhash8` — the adjacent-frame DIFFERENCE bits (bit f set iff
+    * S(f) < S((f+1) mod 8)), invariant to constant gain; and `sig32` —
+    * eight 4-bit coarse-quantized frame energies (S(f) >> 15). REAL JDK
+    * sampled-audio decode per partition (the [[extractFeatures]] codec
+    * discipline); the WAV codec is lossless, so the decoded profile is
+    * exactly the deterministic sample generator's, which is what the
+    * oracle recomputes in SQL.
+    */
+  def audioFingerprints(assets: Dataset[Asset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .filter(a => a.meta.format == "wav")
+      .mapPartitions { it =>
+        it.map { a =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(a.payload))
+          val s = try {
+            val f = ais.getFormat
+            require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+              !f.isBigEndian, s"unexpected wav layout: $f")
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            require(n % 8 == 0, s"clip length $n not divisible into 8 frames")
+            val frame = n / 8
+            val sums = new Array[Long](8)
+            var i = 0
+            while (i < n) {
+              val u = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)) + 32768
+              sums(i / frame) += u
+              i += 1
+            }
+            sums
+          } finally ais.close()
+          var dh = 0
+          var sig = 0L
+          var f = 0
+          while (f < 8) {
+            if (s(f) < s((f + 1) % 8)) dh |= 1 << f
+            sig |= (s(f) >> 15) << (4 * f)
+            f += 1
+          }
+          (a.asset_id, s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7),
+            dh.toLong, sig)
+        }
+      }
+      .toDF("asset_id", "s0", "s1", "s2", "s3", "s4", "s5", "s6", "s7",
+        "dhash8", "sig32")
+  }
+
+  /** Audio near-dup canonicalization over an [[audioFingerprints]]
+    * frame — the same exact-first cascade as [[imageNearDupCanon]]:
+    * byte-identical energy profiles collapse by groupBy (the mirrored-
+    * clip hot case costs one aggregate, no pairs), candidates are the
+    * (dhash8, sig32) coarse-key co-residents among the distinct-profile
+    * REPRESENTATIVES (single-probe bucketing — a boundary pair whose
+    * quantized energies straddle a nibble edge is missed, the standard
+    * LSH recall trade, measured for the text cascade by q180's recall
+    * report), and verification is the exact Chebyshev distance over the
+    * 8-frame profile: `max_f |S_a(f) − S_b(f)| ≤ maxDelta`.
+    * Returns (asset_id, dhash8, sig32, rep_id, canon_id, n_exact).
+    */
+  def audioNearDupCanon(fps: DataFrame, maxDelta: Long = 4096L): DataFrame = {
+    require(maxDelta >= 0, s"maxDelta=$maxDelta")
+    val sCols = (0 until 8).map(i => col(s"s$i"))
+    val reps = fps.groupBy(sCols: _*)
+      .agg(min(col("asset_id")).as("rep_id"), count(lit(1)).as("n_exact"),
+        // dhash8/sig32 are pure functions of the grouped profile —
+        // identical within each group, so max() just carries them
+        max(col("dhash8")).as("dhash8"), max(col("sig32")).as("sig32"))
+    val ra = reps.select(col("rep_id").as("lo") +: col("dhash8") +:
+      col("sig32") +: (0 until 8).map(i => col(s"s$i").as(s"a$i")): _*)
+    val rb = reps.select(col("rep_id").as("hi") +: col("dhash8") +:
+      col("sig32") +: (0 until 8).map(i => col(s"s$i").as(s"b$i")): _*)
+    val cheb = greatest((0 until 8).map(i =>
+      abs(col(s"a$i") - col(s"b$i"))): _*)
+    val merge = ra.join(rb, Seq("dhash8", "sig32"))
+      .filter(col("lo") < col("hi") && cheb <= maxDelta)
+      .groupBy(col("hi").as("rep_id"))
+      .agg(min(col("lo")).as("canon"))
+    fps
+      .join(reps.drop("dhash8", "sig32"), (0 until 8).map(i => s"s$i"))
+      .join(merge, Seq("rep_id"), "left")
+      .select(col("asset_id"), col("dhash8"), col("sig32"), col("rep_id"),
+        coalesce(col("canon"), col("rep_id")).as("canon_id"), col("n_exact"))
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size
     * chunk becomes a frame row (id, frame_no, frame_bytes). The output
     * explodes rows, so it repartitions by asset to keep frames of one

@@ -483,6 +483,15 @@ object ScaleProbe {
       // k-fold — worst case, as with BPE fit
       "q190_unigram_fit" -> (k =>
         graft.ops.TextOps.unigramFit(docs(k), "text").count()),
+      // real sampled-audio decode is the linear term; candidates live on
+      // distinct energy-profile representatives under (dhash8, sig32)
+      // bucket keys — same exact-first posture as the image cascade
+      "q193_audio_phash" -> (k => {
+        val assets = graft.ops.Multimodal.toAssets(
+          docs(k).withColumn("n_chars", length(col("text")).cast("long")))
+        graft.ops.Multimodal.audioNearDupCanon(
+          graft.ops.Multimodal.audioFingerprints(assets)).count()
+      }),
       // real ImageIO decode + integer hashing is the linear term; the
       // near-dup join runs over distinct-hash REPRESENTATIVES (bounded
       // at 256 by the 8-bit gray offset in this fixture), so the whole

@@ -351,6 +351,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d <= 6 && canon(4L)._2 === 0L)
   }
 
+  test("audio fingerprints: real decode matches the generator profile, " +
+    "exact dups collapse, bucket-mates within Chebyshev merge") {
+    import spark.implicits._
+    // 65538 = 2 + 2^16 → sample-identical clip to id 2 (the mirror
+    // case); 6 differs by a small gain offset (the near-dup case)
+    val ids = Seq(2L, 6L, 65538L)
+    val assets = ids.map(id => Multimodal.Asset(id, Multimodal.encodeWav(id),
+      Multimodal.AssetMeta("wav", Multimodal.WAV_RATE.toInt,
+        Multimodal.WAV_SAMPLES, 0L))).toDS()
+    def hand(id: Long): (Array[Long], Long, Long) = {
+      val s = new Array[Long](8)
+      for (i <- 0 until Multimodal.WAV_SAMPLES)
+        s(i / (Multimodal.WAV_SAMPLES / 8)) += Multimodal.sampleValue(id, i)
+      var dh = 0L; var sig = 0L
+      for (f <- 0 until 8) {
+        if (s(f) < s((f + 1) % 8)) dh |= 1L << f
+        sig |= (s(f) >> 15) << (4 * f)
+      }
+      (s, dh, sig)
+    }
+    val fps = Multimodal.audioFingerprints(assets)
+    val got = fps.collect().map(r => r.getLong(0) ->
+      (((1 to 8).map(i => r.getLong(i)).toArray, r.getLong(9), r.getLong(10)))).toMap
+    ids.foreach { id =>
+      val (es, edh, esig) = hand(id)
+      assert(got(id)._1.toSeq === es.toSeq, s"profile of $id")
+      assert(got(id)._2 === edh && got(id)._3 === esig, s"keys of $id")
+    }
+    assert(got(2L)._1.toSeq === got(65538L)._1.toSeq)
+    val canon = Multimodal.audioNearDupCanon(fps, maxDelta = 4096L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(canon(65538L)._1 === 2L && canon(65538L)._3 === 2L,
+      "identical clips must share a representative")
+    // id 6's expected canon follows the hand-computed bucket + Chebyshev
+    val (s2, dh2, sg2) = hand(2L)
+    val (s6, dh6, sg6) = hand(6L)
+    val cheb = s2.zip(s6).map { case (a, b) => math.abs(a - b) }.max
+    val expect6 = if (dh2 == dh6 && sg2 == sg6 && cheb <= 4096L) 2L else 6L
+    assert(canon(6L)._2 === expect6, s"canon of 6 under cheb=$cheb")
+  }
+
   test("audio resample: decimation keeps even frames, halves the rate, " +
     "round-trips losslessly, non-audio passes through") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
