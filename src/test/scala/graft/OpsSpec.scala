@@ -2465,6 +2465,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("unigram viterbi matches exhaustive best segmentation with the " +
+    "smallest-last-piece tie-break (300 random instances)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val alpha = "abc"
+    (0 until 300).foreach { i =>
+      def gen[A](g: Gen[A], salt: Long): A =
+        g.pureApply(Gen.Parameters.default, Seed(i * 1000L + salt))
+      val word = gen(Gen.stringOfN(gen(Gen.chooseNum(1, 10), 1),
+        Gen.oneOf(alpha.toSeq)), 2)
+      // vocab: every char (always feasible) + a few random 2-3 grams,
+      // quantized negative integer log-probs
+      val grams = gen(Gen.listOfN(5,
+        Gen.stringOfN(gen(Gen.chooseNum(2, 3), 3), Gen.oneOf(alpha.toSeq))), 4)
+      val pieces = (alpha.map(_.toString) ++ grams).distinct.map { p =>
+        p -> -gen(Gen.chooseNum(100000L, 9000000L), p.hashCode.toLong)
+      }
+      val lp = pieces.toMap
+      val model = new graft.functions.UnigramModel(
+        pieces.map(_._1).toArray, pieces.map(_._2).toArray, 3)
+      def logp(p: String) = lp.getOrElse(p, model.MissingLp)
+      // exhaustive DP over all segmentations (memoized best prefix score)
+      val n = word.length
+      val best = new Array[Long](n + 1)
+      for (j <- 1 to n)
+        best(j) = (1 to math.min(3, j))
+          .map(k => best(j - k) + logp(word.substring(j - k, j))).max
+      // canonical optimum: from the right, smallest k achieving the best
+      val expect = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = n
+      while (pos > 0) {
+        val k = (1 to math.min(3, pos))
+          .find(k => best(pos - k) + logp(word.substring(pos - k, pos)) == best(pos))
+          .get
+        expect.prepend(word.substring(pos - k, pos))
+        pos -= k
+      }
+      val got = model.segment(
+        org.apache.spark.unsafe.types.UTF8String.fromString(word))
+        .map(_.toString).toSeq
+      assert(got === expect.toSeq, s"i=$i word=$word vocab=$pieces")
+      assert(got.mkString === word, s"i=$i segmentation must partition")
+    }
+  }
+
   test("aho-corasick matches a naive scan on random strings (200 instances)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
