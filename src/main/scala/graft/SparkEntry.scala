@@ -1987,61 +1987,90 @@ object SparkEntry {
         when(m4 === 0, lit("é")).when(m4 === 1, lit("Å"))
           .when(m4 === 2, lit("Ω")).otherwise(lit("")))
       val text1 = T.nfcNormalize(T.fixMojibake(planted))
-      val base = De.trackPersist(t(s, dir, "documents")
+      // Stage frames are LOCAL-CHECKPOINTED, not persisted: the cascade
+      // plans carry lambda/native expressions whose canonicalized forms
+      // defeat CacheManager's lookup (measured: a persisted s6 re-ran
+      // its whole lineage on EVERY downstream aggregate, ~2.6 s each at
+      // sf0.1), while localCheckpoint truncates the lineage into a
+      // LogicalRDD that every consumer reads directly — each stage
+      // computes exactly once. The frames are survivor-corpus-sized
+      // rows, freed by the ContextCleaner when unreachable.
+      val base = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
           T.tokenCount(col("text")).cast("long").as("tok0"), text1.as("text1"))
         .withColumn("tok1", T.tokenCount(col("text1")).cast("long"))
         .withColumn("p2", T.langId(col("text1")) =!= "und")
         .withColumn("p3", T.qualityScore(col("text1")) >= 0.5 &&
-          T.uniqueTokenRatio(col("text1")) >= 0.4))
+          T.uniqueTokenRatio(col("text1")) >= 0.4)
+        .localCheckpoint()
       val s3 = base.filter(col("p2") && col("p3"))
       val pd = De.paragraphDedup(s3.select(col("doc_id"), col("text1")),
         "doc_id", "text1", threshold = 0.7,
         paragraphs = De.tokenWindows(20))
-      val s4 = De.trackPersist(s3
+      val s4 = s3
         .join(pd.filter(col("n_kept") > 0)
           .select(col("doc_id"), col("text_kept").as("text2")), "doc_id")
-        .withColumn("tok2", T.tokenCount(col("text2")).cast("long")))
+        .withColumn("tok2", T.tokenCount(col("text2")).cast("long"))
+        .localCheckpoint()
       val pairs = De.nearDuplicatesExact(
         s4.select(col("doc_id"), col("text2")), "doc_id", "text2",
         threshold = 0.6, includeMinHashCandidates = false)
-      val s5 = De.trackPersist(s4.join(
+      val s5 = s4.join(
         pairs.select(col("id_b").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti"))
+        Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       val canaries = Seq("hash join", "fast data", "data data")
-      val s6 = De.trackPersist(s5.filter(aggregate(
-        T.ahoCounts(col("text2"), canaries), lit(0L), (a, x) => a + x) === 0L))
-      def row(i: Int, name: String, df: DataFrame, tok: org.apache.spark.sql.Column): DataFrame =
-        df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(tok), lit(0L)).as("n_tokens"))
-          .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
-            col("n_docs"), col("n_tokens"))
-      // coalesce: an everything-filtered corpus leaves s6 empty and
-      // sum() null — the datacard must still report its 9 rows
-      val budget = 0.5 * s6.agg(coalesce(sum(col("tok2").cast("double")),
-        lit(0.0))).first().getDouble(0)
+      val s6 = s5.filter(aggregate(
+        T.ahoCounts(col("text2"), canaries), lit(0L), (a, x) => a + x) === 0L)
+        .localCheckpoint()
+      // the cascades' own code-array caches are no longer needed
+      De.releasePersisted()
+      // EAGER stage aggregates into a local 9-row frame: a lazy
+      // 9-branch union would hand Catalyst the full multi-cascade
+      // lineage NINE times over — at sf0.1 the analysis/optimization of
+      // that tree alone cost ~45 s (55.8 s total vs ~13 s for the
+      // stage computations; the plan string OOMs a 1 GB driver just
+      // printing). Each stage is one aggregate over a persisted frame;
+      // rows 0-3 share one conditional-aggregation pass over `base`.
+      // The datacard is an attrition REPORT — 9 rows — so a local
+      // result frame is its natural shape (the q190 model-artifact
+      // pattern), and the timed work is identical.
+      val r03 = base.agg(
+        count(lit(1)), coalesce(sum(col("tok0")), lit(0L)),
+        coalesce(sum(col("tok1")), lit(0L)),
+        count(when(col("p2"), 1)),
+        coalesce(sum(when(col("p2"), col("tok1"))), lit(0L)),
+        count(when(col("p2") && col("p3"), 1)),
+        coalesce(sum(when(col("p2") && col("p3"), col("tok1"))), lit(0L)))
+        .first()
+      def stageOf(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          coalesce(sum(col("tok2")), lit(0L))).first()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (d4, t4) = stageOf(s4)
+      val (d5, t5) = stageOf(s5)
+      val (d6, t6) = stageOf(s6)
       val um = graft.ops.Sampling.unimaxAllocation(
-        s6, Seq("lang"), col("tok2"), budget = budget, maxEpochs = 2.0)
-      val r7 = s6.agg(count(lit(1)).as("n_docs")).crossJoin(
-        um.agg(round(sum(col("alloc_tokens")), 0).cast("long").as("n_tokens")))
-        .select(lit(7L).as("stage_idx"), lit("unimax_mix").as("stage"),
-          col("n_docs"), col("n_tokens"))
-      val packed = graft.ops.Packing.packSequences(
+        s6, Seq("lang"), col("tok2"), budget = 0.5 * t6, maxEpochs = 2.0)
+      val t7 = um.agg(coalesce(round(sum(col("alloc_tokens")), 0), lit(0.0))
+        .cast("long")).first().getLong(0)
+      val p8 = graft.ops.Packing.packSequences(
         s6.select(col("source"), col("doc_id"), col("tok2")),
         "source", "doc_id", "tok2", seqLen = 512L)
-      val r8 = packed.agg(count(lit(1)).as("n_docs"),
-        sum(col("seq_tokens")).as("n_tokens"))
-        .select(lit(8L).as("stage_idx"), lit("pack").as("stage"),
-          col("n_docs"), col("n_tokens"))
+        .agg(count(lit(1)), coalesce(sum(col("seq_tokens")), lit(0L))).first()
+      import s.implicits._
       Seq(
-        row(0, "input", base, col("tok0")),
-        row(1, "sanitize", base, col("tok1")),
-        row(2, "langid", base.filter(col("p2")), col("tok1")),
-        row(3, "quality", s3, col("tok1")),
-        row(4, "paragraph_dedup", s4, col("tok2")),
-        row(5, "near_dup", s5, col("tok2")),
-        row(6, "decontaminate", s6, col("tok2")),
-        r7, r8).reduce(_ unionByName _)
+        (0L, "input", r03.getLong(0), r03.getLong(1)),
+        (1L, "sanitize", r03.getLong(0), r03.getLong(2)),
+        (2L, "langid", r03.getLong(3), r03.getLong(4)),
+        (3L, "quality", r03.getLong(5), r03.getLong(6)),
+        (4L, "paragraph_dedup", d4, t4),
+        (5L, "near_dup", d5, t5),
+        (6L, "decontaminate", d6, t6),
+        (7L, "unimax_mix", d6, t7),
+        (8L, "pack", p8.getLong(0), p8.getLong(1)))
+        .toDF("stage_idx", "stage", "n_docs", "n_tokens")
     }),
 
     // Beyond-reference: AUDIO perceptual near-dup — q189's cascade for
