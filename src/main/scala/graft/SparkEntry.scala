@@ -2073,6 +2073,47 @@ object SparkEntry {
         .toDF("stage_idx", "stage", "n_docs", "n_tokens")
     }),
 
+    // Beyond-reference: WINNOWING-OVERLAP pair detection (the MOSS
+    // matching rule, Schleimer et al. SIGMOD'03): documents sharing ≥
+    // half the smaller side's distinct winnowing fingerprints, with a
+    // df-cap boilerplate cut before matching. Unlike whole-document
+    // Jaccard, winnowing guarantees any shared run of ≥ k+w−1 chars
+    // leaves a shared fingerprint — LOCALIZED overlap, the
+    // plagiarism/citation-contamination screen.
+    "q195_winnowing_overlap" -> ((s, dir) => {
+      graft.ops.TextOps.winnowingOverlap(
+        t(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4, minOverlap = 0.5, dfCap = 64L)
+    }),
+
+    // Beyond-reference: CROSS-MODAL dedup confirmation — the crawl-page
+    // rule "a text near-dup pair is a TRUE mirror when the pages' images
+    // perceptually agree": q27's exact text cascade produces the
+    // candidate pairs, q189's perceptual canon attributes each side's
+    // image, and the verdict column separates image-confirmed mirrors
+    // from text-coincidence pairs and text-only pairs (a side without an
+    // image asset). Two broadcast-scale attribution joins on top of the
+    // cascades — the q187 composition pattern across modalities.
+    "q194_multimodal_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.nearDuplicatesExact(
+        docs, "doc_id", "text", threshold = 0.7,
+        includeMinHashCandidates = false)
+      val canon = graft.ops.Multimodal.imageNearDupCanon(
+        graft.ops.Multimodal.perceptualHashes(
+          graft.ops.Multimodal.toAssets(docs)), maxHamming = 6)
+        .select(col("asset_id"), col("canon_id"))
+      pairs
+        .join(canon.select(col("asset_id").as("id_a"),
+          col("canon_id").as("canon_a")), Seq("id_a"), "left")
+        .join(canon.select(col("asset_id").as("id_b"),
+          col("canon_id").as("canon_b")), Seq("id_b"), "left")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"),
+          when(col("canon_a").isNull || col("canon_b").isNull, "text_only")
+            .when(col("canon_a") === col("canon_b"), "confirmed")
+            .otherwise("contradicted").as("verdict"))
+    }),
+
     // Beyond-reference: AUDIO perceptual near-dup — q189's cascade for
     // the sound side: real JDK sampled-audio PCM decode → 8-frame
     // integer energy profile, gain-invariant adjacent-difference bits +
@@ -5291,6 +5332,110 @@ object SparkEntry {
    CAST(round((SELECT coalesce(sum(alloc), 0) FROM um), 0) AS BIGINT)
  UNION ALL SELECT 8, 'pack', (SELECT CAST(count(*) AS BIGINT) FROM bins),
    (SELECT CAST(coalesce(sum(seq_tokens), 0) AS BIGINT) FROM bins)"""),
+    // q125's winnowing selection machinery → per-doc DISTINCT
+    // fingerprint values → df-capped inverted-index self-join →
+    // min-side containment ratio
+    "q195_winnowing_overlap" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         h AS (SELECT doc_id,
+                 list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                   i -> CAST(concat('0x',
+                     substr(md5(substr(text, CAST(i AS INT), 5)), 1, 12)) AS BIGINT)) AS hs
+               FROM d),
+         s1 AS (SELECT doc_id, hs, len(hs) AS nh FROM h),
+         fpsel AS (SELECT doc_id, hs,
+                     list_sort(list_distinct(list_transform(
+                       range(1, greatest(nh - 3, 1) + 1),
+                       s -> list_reduce(
+                              list_prepend({'fp': 9223372036854775807, 'pos': -1},
+                                list_transform(range(0, least(4, nh)),
+                                  off -> {'fp': hs[CAST(s + off AS INT)],
+                                          'pos': CAST(s + off AS INT)})),
+                              (acc, x) -> CASE WHEN x.fp <= acc.fp
+                                               THEN x ELSE acc END).pos))) AS sel
+                   FROM s1),
+         fps AS (SELECT DISTINCT doc_id, CAST(fpv AS BIGINT) AS fp FROM (
+                   SELECT doc_id,
+                     unnest(list_transform(sel, p -> hs[CAST(p AS INT)])) AS fpv
+                   FROM fpsel)),
+         kept AS (SELECT f.doc_id, f.fp FROM fps f
+                  JOIN (SELECT fp FROM fps GROUP BY fp
+                        HAVING count(*) <= 64) g USING (fp)),
+         sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+                   FROM kept GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+                   FROM kept a JOIN kept b
+                     ON a.fp = b.fp AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT p.id_a, p.id_b, p.n_shared,
+           round(p.n_shared::DOUBLE / least(sa.nfp, sb.nfp)::DOUBLE, 4)
+             AS overlap
+         FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
+                      JOIN sizes sb ON sb.doc_id = p.id_b
+         WHERE p.n_shared::DOUBLE / least(sa.nfp, sb.nfp)::DOUBLE >= 0.5""",
+    // q27's all-pairs text truth left-joined to the q189 dHash canon
+    // (recomputed from the pixel generator), same verdict CASE
+    "q194_multimodal_dedup" ->
+      """WITH sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM documents),
+         tp AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.fset, b.fset))::DOUBLE /
+                   len(list_distinct(a.fset || b.fset))::DOUBLE, 4) AS jaccard
+           FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.fset, b.fset))::DOUBLE /
+                 len(list_distinct(a.fset || b.fset))::DOUBLE >= 0.7),
+         img AS (SELECT doc_id FROM documents WHERE doc_id % 4 IN (0, 1)),
+         px AS (SELECT doc_id, x, y,
+                  CAST((doc_id*31 + x*7 + y*13) % 256 AS BIGINT) AS p
+                FROM img, range(8) t1(x), range(8) t2(y)),
+         bits AS (SELECT a.doc_id, a.x, a.y,
+                    CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit
+                  FROM px a JOIN px b
+                    ON a.doc_id = b.doc_id AND b.x = (a.x+1) % 8 AND b.y = a.y),
+         bands AS (SELECT doc_id, y//2 AS band,
+                     CAST(sum(bit * (1::BIGINT << ((y%2)*8 + x))) AS BIGINT) AS v
+                   FROM bits GROUP BY 1, 2),
+         h AS (SELECT doc_id,
+                 max(CASE WHEN band=0 THEN v END) AS b0,
+                 max(CASE WHEN band=1 THEN v END) AS b1,
+                 max(CASE WHEN band=2 THEN v END) AS b2,
+                 max(CASE WHEN band=3 THEN v END) AS b3
+               FROM bands GROUP BY doc_id),
+         reps AS (SELECT b0, b1, b2, b3, min(doc_id) AS rep_id
+                  FROM h GROUP BY 1, 2, 3, 4),
+         rb AS (SELECT rep_id, 0 AS band, b0 AS v FROM reps
+                UNION ALL SELECT rep_id, 1, b1 FROM reps
+                UNION ALL SELECT rep_id, 2, b2 FROM reps
+                UNION ALL SELECT rep_id, 3, b3 FROM reps),
+         cand AS (SELECT DISTINCT a.rep_id AS lo, b.rep_id AS hi
+                  FROM rb a JOIN rb b
+                    ON a.band = b.band AND a.v = b.v AND a.rep_id < b.rep_id),
+         ham AS (SELECT c.lo, c.hi,
+                   bit_count(xor(ra.b0, rs.b0)) + bit_count(xor(ra.b1, rs.b1)) +
+                   bit_count(xor(ra.b2, rs.b2)) + bit_count(xor(ra.b3, rs.b3)) AS d
+                 FROM cand c JOIN reps ra ON ra.rep_id = c.lo
+                             JOIN reps rs ON rs.rep_id = c.hi),
+         mrg AS (SELECT hi AS rep_id, min(lo) AS canon
+                 FROM ham WHERE d <= 6 GROUP BY hi),
+         canon AS (SELECT h.doc_id AS asset_id,
+                     coalesce(m.canon, r.rep_id) AS canon_id
+                   FROM h JOIN reps r USING (b0, b1, b2, b3)
+                   LEFT JOIN mrg m ON m.rep_id = r.rep_id)
+         SELECT tp.id_a, tp.id_b, tp.jaccard,
+           CASE WHEN ca.canon_id IS NULL OR cb.canon_id IS NULL
+                  THEN 'text_only'
+                WHEN ca.canon_id = cb.canon_id THEN 'confirmed'
+                ELSE 'contradicted' END AS verdict
+         FROM tp LEFT JOIN canon ca ON ca.asset_id = tp.id_a
+                 LEFT JOIN canon cb ON cb.asset_id = tp.id_b""",
     // profile recomputed from the sample generator (u(i) = (id·31+7i)
     // mod 2^16), then the identical collapse → bucket → Chebyshev chain
     "q193_audio_phash_dedup" ->

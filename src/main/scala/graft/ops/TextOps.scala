@@ -441,6 +441,55 @@ object TextOps {
     }), 1)
   }
 
+  /** Winnowing-overlap pair detection — the MOSS matching rule on top
+    * of [[winnowing]]'s fingerprints: two documents are
+    * plagiarism/overlap suspects when they share at least `minOverlap`
+    * of the smaller document's distinct fingerprints. Fingerprints with
+    * document frequency above `dfCap` are dropped BEFORE matching (the
+    * MOSS boilerplate cut — a crawl's template fingerprint would
+    * otherwise pair every page with every other page), and sizes are
+    * computed over the same capped set so the ratio stays a true
+    * containment estimate.
+    *
+    * Shape at 100 TB: fingerprinting is the one-pass codegen scan; the
+    * inverted-index self-join is a bucket equi-join on the fingerprint
+    * hash whose per-bucket fan-out is bounded by dfCap² — never
+    * corpus-sized; sizes join back broadcast-or-bucket by id.
+    */
+  def winnowingOverlap(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4,
+      minOverlap: Double = 0.5,
+      dfCap: Long = 64L): DataFrame = {
+    require(minOverlap > 0.0 && minOverlap <= 1.0, s"minOverlap=$minOverlap")
+    require(dfCap >= 2, s"dfCap=$dfCap")
+    val fps = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(transform(winnowing(col(textCol), k, w),
+          r => r.getField("fp")))).as("fp"))
+    val kept = fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= dfCap).select(col("fp")),
+      Seq("fp"))
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
+    kept.select(col("id").as("id_a"), col("fp"))
+      .join(kept.select(col("id").as("id_b"), col("fp")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("id").as("id_a"), col("nfp").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nfp").as("nb")), "id_b")
+      .filter(col("n_shared").cast("double") /
+        least(col("na"), col("nb")).cast("double") >= minOverlap)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("na"), col("nb")).cast("double"), 4).as("overlap"))
+  }
+
   /** Pairwise vocabulary overlap between sources: Jaccard of the
     * distinct-token sets of every source pair — the mixture-design
     * diagnostic ("how redundant are my sources?") next to the

@@ -483,6 +483,12 @@ object ScaleProbe {
       // k-fold — worst case, as with BPE fit
       "q190_unigram_fit" -> (k =>
         graft.ops.TextOps.unigramFit(docs(k), "text").count()),
+      // one codegen fingerprint scan + a df-capped inverted-index
+      // self-join (per-bucket fan-out bounded by dfCap², never corpus-
+      // sized); salted copies share no fingerprint, so ~linear expected
+      "q195_winnowing_overlap" -> (k =>
+        graft.ops.TextOps.winnowingOverlap(
+          docs(k), "doc_id", "text", minOverlap = 0.5, dfCap = 64L).count()),
       // real sampled-audio decode is the linear term; candidates live on
       // distinct energy-profile representatives under (dhash8, sig32)
       // bucket keys — same exact-first posture as the image cascade

@@ -2510,6 +2510,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("winnowing overlap: verbatim containment pairs, unrelated docs " +
+    "don't pair, df-cap kills boilerplate fingerprints") {
+    val shared =
+      "the winnowing guarantee selects shared fingerprints from long common spans"
+    val docs = docsDF(Seq(
+      (1L, shared),
+      (2L, shared + " with extra trailing content appended here"),
+      (3L, "completely different text about nothing relevant whatsoever okay")))
+    val out = graft.ops.TextOps.winnowingOverlap(
+      docs, "doc_id", "text", minOverlap = 0.5).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs.contains((1L, 2L)),
+      s"containment pair missing: ${out.mkString(",")}")
+    assert(pairs((1L, 2L)) >= 0.5)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+    // the same text in 3 docs with dfCap=2: every shared fingerprint's
+    // df exceeds the cap, so the boilerplate cut leaves no pairs at all
+    val many = docsDF(Seq((1L, shared), (2L, shared), (3L, shared)))
+    assert(graft.ops.TextOps.winnowingOverlap(
+      many, "doc_id", "text", dfCap = 2).collect().isEmpty)
+  }
+
   test("aho-corasick matches a naive scan on random strings (200 instances)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
