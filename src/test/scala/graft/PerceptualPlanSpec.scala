@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape pins for the round-12 perceptual/LM cascades: the
+  * scale-critical property of each is that candidate generation stays a
+  * bucket equi-join over representatives — a regression to a
+  * CartesianProduct (the planner's fallback when a join condition stops
+  * being an equi-join) would go quadratic in distinct perceptual
+  * content at 100 TB. Pinned here the way BucketingSpec pins the
+  * co-located-join story.
+  */
+class PerceptualPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("image perceptual dedup: banded equi-join, no cartesian, " +
+    "broadcast attribution joins") {
+    val p = planOf("q189_image_phash_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "candidate generation must be an equi-join")
+  }
+
+  test("audio perceptual dedup: bucket equi-join on (dhash8, sig32), " +
+    "no cartesian") {
+    val p = planOf("q193_audio_phash_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "candidate generation must be an equi-join")
+  }
+
+  test("kneser-ney: token-key equi-joins only; the sole nested-loop " +
+    "joins are the two intended 1-row scalar broadcasts") {
+    val p = planOf("q191_kn_trigram")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).length
+    assert(bnlj <= 2, s"unexpected nested-loop joins ($bnlj): ${p.take(1500)}")
+  }
+
+  test("winnowing overlap: df-capped inverted-index self-join is an " +
+    "equi-join, no cartesian") {
+    val p = planOf("q195_winnowing_overlap")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+}
