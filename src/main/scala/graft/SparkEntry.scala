@@ -2086,6 +2086,26 @@ object SparkEntry {
         k = 5, w = 4, minOverlap = 0.5, dfCap = 64L)
     }),
 
+    // Beyond-reference: per-document KN PERPLEXITY BUCKETS — the CCNet
+    // head/middle/tail split applied with q191's interpolated
+    // Kneser–Ney model keyed per document: per-doc mean KN log-prob,
+    // then exact corpus terciles by (kn_ll desc, doc_id) ntile — head =
+    // most language-model-typical third. The corpus-wide ntile window
+    // is the corpus-statistic CCNet's split inherently is; at 100 TB
+    // the boundaries would come from the distributed-quantile op and
+    // the bucket from two broadcast comparisons.
+    "q196_kn_ppl_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perDoc = graft.ops.TextOps.knTrigramScores(
+        t(s, dir, "documents"), "doc_id", "text")
+        .groupBy(col("src").cast("long").as("doc_id"))
+        .agg(sum(col("cnt")).as("n_trigrams"),
+          round(sum(col("cnt") * col("kn_lp")) / sum(col("cnt")), 4).as("kn_ll"))
+      perDoc.withColumn("bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          ntile(3).over(Window.orderBy(col("kn_ll").desc, col("doc_id")))))
+    }),
+
     // Beyond-reference: CROSS-MODAL dedup confirmation — the crawl-page
     // rule "a text near-dup pair is a TRUE mirror when the pages' images
     // perceptually agree": q27's exact text cascade produces the
@@ -5332,6 +5352,47 @@ object SparkEntry {
    CAST(round((SELECT coalesce(sum(alloc), 0) FROM um), 0) AS BIGINT)
  UNION ALL SELECT 8, 'pack', (SELECT CAST(count(*) AS BIGINT) FROM bins),
    (SELECT CAST(coalesce(sum(seq_tokens), 0) AS BIGINT) FROM bins)"""),
+    // q191's KN machinery keyed per doc, then ntile(3) over
+    // (kn_ll desc, doc_id) — identical rounding before ordering
+    "q196_kn_ppl_buckets" ->
+      """WITH tk AS (SELECT doc_id AS src,
+             string_split_regex(lower(text), '\s+') AS t0
+           FROM documents WHERE text IS NOT NULL),
+         tok AS (SELECT src, list_filter(t0, x -> x <> '') AS t FROM tk),
+         tok2 AS (SELECT src, t, ['<s>', '<s>'] || t AS us, len(t) AS n
+                  FROM tok WHERE len(t) > 0),
+         ev AS (SELECT src, us[CAST(i AS INT)] AS u, us[CAST(i+1 AS INT)] AS v,
+                  t[CAST(i AS INT)] AS w
+                FROM tok2, LATERAL unnest(range(1, n+1)) r(i)),
+         evc AS (SELECT src, u, v, w, CAST(count(*) AS BIGINT) AS cnt
+                 FROM ev GROUP BY 1, 2, 3, 4),
+         c3 AS (SELECT u, v, w, CAST(sum(cnt) AS BIGINT) AS c3
+                FROM evc GROUP BY 1, 2, 3),
+         c2 AS (SELECT u, v, CAST(sum(c3) AS BIGINT) AS c2,
+                  CAST(count(*) AS BIGINT) AS n1p
+                FROM c3 GROUP BY 1, 2),
+         mid AS (SELECT v, w, CAST(count(*) AS BIGINT) AS mid
+                 FROM c3 GROUP BY 1, 2),
+         midv AS (SELECT v, CAST(sum(mid) AS BIGINT) AS midctx,
+                    CAST(count(*) AS BIGINT) AS midn1
+                  FROM mid GROUP BY 1),
+         uniw AS (SELECT w, CAST(count(*) AS BIGINT) AS uni FROM mid GROUP BY 1),
+         scal AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM mid) AS unitot),
+         sc AS (SELECT e.src, e.cnt,
+             ln(greatest(c3.c3 - 0.75, 0.0) / c2.c2 + (0.75 * c2.n1p / c2.c2) *
+                (greatest(mid.mid - 0.75, 0.0) / midv.midctx +
+                 (0.75 * midv.midn1 / midv.midctx) *
+                 (uniw.uni::DOUBLE / scal.unitot::DOUBLE))) AS kn_lp
+           FROM evc e JOIN c3 USING (u, v, w) JOIN c2 USING (u, v)
+                JOIN mid USING (v, w) JOIN midv USING (v) JOIN uniw USING (w),
+                scal),
+         perdoc AS (SELECT src AS doc_id, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+             round(sum(cnt * kn_lp) / sum(cnt), 4) AS kn_ll
+           FROM sc GROUP BY src)
+         SELECT doc_id, n_trigrams, kn_ll,
+           (['head', 'middle', 'tail'])[
+             ntile(3) OVER (ORDER BY kn_ll DESC, doc_id)] AS bucket
+         FROM perdoc""",
     // q125's winnowing selection machinery → per-doc DISTINCT
     // fingerprint values → df-capped inverted-index self-join →
     // min-side containment ratio
