@@ -2086,6 +2086,41 @@ object SparkEntry {
         k = 5, w = 4, minOverlap = 0.5, dfCap = 64L)
     }),
 
+    // Beyond-reference: TOKENIZER BAKE-OFF — the fit→apply composition
+    // that closes the tokenizer story: q190's induced unigram vocabulary
+    // (its shipped quantized log-probs ARE the encode model) against the
+    // fixed BPE demo table, per-language fertility (subword tokens per
+    // word) over the SAME capped word stream. The number a vocabulary
+    // budget decision is made on. Encode = one codegen Viterbi scan /
+    // one sentinel replace-chain over the distinct (lang, word) table.
+    "q197_tokenizer_bakeoff" -> ((s, dir) => {
+      val T = graft.ops.TextOps
+      val docs = t(s, dir, "documents")
+      val model = T.unigramFit(docs, "text").collect()
+        .map(r => (r.getString(0), r.getLong(2))).toSeq.sortBy(_._1)
+      val wl = docs
+        .select(col("lang"),
+          explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(col("w") =!= "" && length(col("w")) <= 30)
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
+      val uniSeg = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.UnigramSegment(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("w")),
+          model, maxPieceLen = 3))
+      wl
+        .withColumn("uni", size(uniSeg).cast("long"))
+        .withColumn("bpe",
+          size(T.bpeEncodeTokens(col("w"), T.DemoMerges)).cast("long"))
+        .groupBy(col("lang"))
+        .agg(sum(col("freq")).as("n_words"),
+          sum(col("freq") * col("bpe")).as("bpe_tokens"),
+          sum(col("freq") * col("uni")).as("uni_tokens"))
+        .withColumn("bpe_fertility",
+          round(col("bpe_tokens").cast("double") / col("n_words"), 6))
+        .withColumn("uni_fertility",
+          round(col("uni_tokens").cast("double") / col("n_words"), 6))
+    }),
+
     // Beyond-reference: per-document KN PERPLEXITY BUCKETS — the CCNet
     // head/middle/tail split applied with q191's interpolated
     // Kneser–Ney model keyed per document: per-doc mean KN log-prob,
@@ -3421,6 +3456,15 @@ object SparkEntry {
   private def mojibakeRepairSql(inner: String): String =
     graft.ops.TextOps.mojibakeMap.foldLeft(inner) { case (s, (bad, good)) =>
       s"replace($s, '$bad', '$good')"
+    }
+
+  /** q197's BPE demo-table encode as a sentinel replace chain, emitted
+    * from the SAME table the engine applies
+    * ([[graft.ops.TextOps.DemoMerges]], the q129 spelling).
+    */
+  private def bpeDemoChainSql(inner: String): String =
+    graft.ops.TextOps.DemoMerges.foldLeft(inner) { case (s, (l, r)) =>
+      s"replace($s, chr(1)||'$l'||chr(2)||chr(1)||'$r'||chr(2), chr(1)||'$l$r'||chr(2))"
     }
 
   /** The q189 oracle's integer-DCT table as a SQL VALUES list — emitted
@@ -5352,6 +5396,59 @@ object SparkEntry {
    CAST(round((SELECT coalesce(sum(alloc), 0) FROM um), 0) AS BIGINT)
  UNION ALL SELECT 8, 'pack', (SELECT CAST(count(*) AS BIGINT) FROM bins),
    (SELECT CAST(coalesce(sum(seq_tokens), 0) AS BIGINT) FROM bins)"""),
+    // the full q190 fit replay (seed + two hard-EM rounds) extended one
+    // more DP block: probs2 = the shipped log-probs, cnt3's backward
+    // walk yields per-word piece counts; BPE side is the q129 sentinel
+    // chain per distinct word; both weighted through the (lang, word)
+    // frequency table
+    "q197_tokenizer_bakeoff" ->
+      (s"""WITH wf AS (
+   SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+     SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+     FROM documents) WHERE w <> '' GROUP BY w),
+ words AS (SELECT w, freq, len(w) AS n FROM wf WHERE len(w) <= 30),
+ rawsub AS (
+   SELECT substr(w, CAST(j AS INT), CAST(k AS INT)) AS pc, CAST(sum(freq) AS BIGINT) AS c
+   FROM words, LATERAL unnest(range(1, n+1)) t(j), LATERAL unnest(range(1, 4)) u(k)
+   WHERE j + k - 1 <= n GROUP BY 1),
+ grams AS (SELECT pc, c FROM rawsub WHERE len(pc) > 1 ORDER BY c DESC, pc LIMIT 40),
+ vocab AS MATERIALIZED (SELECT pc, c FROM rawsub WHERE len(pc) = 1 UNION ALL SELECT pc, c FROM grams),
+ k0 AS (SELECT CAST(sum(c) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS V FROM vocab),
+ probs0 AS MATERIALIZED (
+   SELECT pc AS piece, CAST(floor(ln((c + 1)::DOUBLE / (tot + V)::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS lp
+   FROM vocab, k0),""" +
+      unigramDpSql("probs0", "cnt1") + """,
+ cnt1m AS MATERIALIZED (SELECT * FROM cnt1),
+ k1 AS (SELECT CAST(sum(c) AS BIGINT) AS tot, (SELECT V FROM k0) AS V FROM cnt1m),
+ probs1 AS MATERIALIZED (
+   SELECT v.pc AS piece,
+     CAST(floor(ln((coalesce(c1.c, 0) + 1)::DOUBLE / (k1.tot + k1.V)::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS lp
+   FROM vocab v LEFT JOIN cnt1m c1 ON c1.pc = v.pc, k1),""" +
+      unigramDpSql("probs1", "cnt2") + """,
+ cnt2m AS MATERIALIZED (SELECT * FROM cnt2),
+ k2 AS (SELECT CAST(sum(c) AS BIGINT) AS tot, (SELECT V FROM k0) AS V FROM cnt2m),
+ probs2 AS MATERIALIZED (
+   SELECT v.pc AS piece,
+     CAST(floor(ln((coalesce(c2.c, 0) + 1)::DOUBLE / (k2.tot + k2.V)::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS lp
+   FROM vocab v LEFT JOIN cnt2m c2 ON c2.pc = v.pc, k2),""" +
+      unigramDpSql("probs2", "cnt3") + s""",
+ upw AS (SELECT w, CAST(count(*) AS BIGINT) AS uni FROM bk_cnt3 GROUP BY w),
+ wl AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS freq FROM (
+          SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS w
+          FROM documents)
+        WHERE w <> '' AND len(w) <= 30 GROUP BY 1, 2),
+ bp AS (SELECT w,
+          CAST(len(string_split(trim(${bpeDemoChainSql(
+        "(chr(1) || array_to_string(string_split(w, ''), chr(2)||chr(1)) || chr(2))")},
+            chr(1) || chr(2)), chr(2)||chr(1))) AS BIGINT) AS bpe
+        FROM (SELECT DISTINCT w FROM wl))
+ SELECT wl.lang, CAST(sum(wl.freq) AS BIGINT) AS n_words,
+   CAST(sum(wl.freq * bp.bpe) AS BIGINT) AS bpe_tokens,
+   CAST(sum(wl.freq * upw.uni) AS BIGINT) AS uni_tokens,
+   round(sum(wl.freq * bp.bpe)::DOUBLE / sum(wl.freq), 6) AS bpe_fertility,
+   round(sum(wl.freq * upw.uni)::DOUBLE / sum(wl.freq), 6) AS uni_fertility
+ FROM wl JOIN upw USING (w) JOIN bp USING (w)
+ GROUP BY wl.lang"""),
     // q191's KN machinery keyed per doc, then ntile(3) over
     // (kn_ll desc, doc_id) — identical rounding before ordering
     "q196_kn_ppl_buckets" ->
