@@ -1666,6 +1666,53 @@ object SparkEntry {
           count(when(col("first_in_bucket"), 1)).as("n_first"))
     }),
 
+    // Beyond-reference: STREAMING PERCEPTUAL image dedup admission —
+    // q152's first-arrival state machine with the image cascade's dHash
+    // bands as the buckets: assets decode IN-STREAM (stateless
+    // mapPartitions, the real-codec shape), each image enters its four
+    // 16-bit band buckets, and an image is admitted iff it is the first
+    // arrival in EVERY band — the crawl-frontier screen that drops a
+    // mirrored image before it is ever stored. Version order = doc_id
+    // order in this fixture (the q152 argument), so the oracle replays
+    // admission as min-id-per-bucket over the generator-derived bands.
+    "q198_stream_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.documents_versioned")
+      val sink = "graft_q198_sink"
+      s.catalog.dropTempView(sink)
+      val src = s.readStream.format("graft").option("path", path)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "2").load()
+      val buckets = graft.ops.Multimodal.perceptualHashes(
+        graft.ops.Multimodal.toAssets(src))
+        .select(col("asset_id").as("doc_id"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+            .as(Seq("band", "v")))
+        .as[(Long, Int, Int)]
+      val verdicts = buckets
+        .groupByKey(r => (r._2, r._3))
+        .flatMapGroupsWithState[Long, (Long, Boolean)](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          case (_, rows, state) =>
+            val ids = rows.map(_._1).toArray
+            val minAll = math.min(state.getOption.getOrElse(Long.MaxValue), ids.min)
+            state.update(minAll)
+            ids.iterator.map(id => (id, id == minAll))
+        }
+        .toDF("doc_id", "first_in_bucket")
+      val q = verdicts.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      q.stop()
+      s.table(sink).groupBy(col("doc_id"))
+        .agg(min(col("first_in_bucket")).as("admitted"),
+          count(when(col("first_in_bucket"), 1)).as("n_first"))
+    }),
+
     // Beyond-reference: TTL'd STREAMING LSH admission — q152 with the
     // knob production streams cannot run without: BOUNDED state. The
     // admission rule is "admit iff the bucket is unseen OR last seen
@@ -5490,6 +5537,30 @@ object SparkEntry {
            (['head', 'middle', 'tail'])[
              ntile(3) OVER (ORDER BY kn_ll DESC, doc_id)] AS bucket
          FROM perdoc""",
+    // bands from the pixel generator, admission = first id per (band,
+    // value) bucket in version (= doc_id) order, admitted iff first in
+    // all four
+    "q198_stream_image_dedup" ->
+      """WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 4 IN (0, 1)),
+         px AS (SELECT doc_id, x, y,
+                  CAST((doc_id*31 + x*7 + y*13) % 256 AS BIGINT) AS p
+                FROM img, range(8) t1(x), range(8) t2(y)),
+         bits AS (SELECT a.doc_id, a.x, a.y,
+                    CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit
+                  FROM px a JOIN px b
+                    ON a.doc_id = b.doc_id AND b.x = (a.x+1) % 8 AND b.y = a.y),
+         bands AS (SELECT doc_id, y//2 AS band,
+                     CAST(sum(bit * (1::BIGINT << ((y%2)*8 + x))) AS BIGINT) AS v
+                   FROM bits GROUP BY 1, 2),
+         firsts AS (SELECT band, v, min(doc_id) AS first_id
+                    FROM bands GROUP BY band, v)
+         SELECT b.doc_id,
+           CAST(min(CASE WHEN b.doc_id = f.first_id THEN 1 ELSE 0 END) AS BOOLEAN)
+             AS admitted,
+           CAST(sum(CASE WHEN b.doc_id = f.first_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_first
+         FROM bands b JOIN firsts f ON f.band = b.band AND f.v = b.v
+         GROUP BY b.doc_id""",
     // q125's winnowing selection machinery → per-doc DISTINCT
     // fingerprint values → df-capped inverted-index self-join →
     // min-side containment ratio
