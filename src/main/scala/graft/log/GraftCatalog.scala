@@ -49,15 +49,64 @@ object GraftCatalog {
     tables.getOrElse(fqn, throw new NoSuchElementException(
       s"table $fqn is not shared (known: ${tables.keys.toSeq.sorted.mkString(", ")})"))
 
+  /** Version-pinned snapshot through the same LRU — the server resolves
+    * page-token versions through here, so a 10-page walk over a 10^5-file
+    * table replays the log once, not once per page (the reference's
+    * `DeltaSharedTableLoader` caches per-version snapshots the same way).
+    */
+  def snapshotAt(l: GraftLog, version: Long): Snapshot = snapshotCache.synchronized {
+    val key = (l.tablePath, version)
+    val cached = snapshotCache.get(key)
+    if (cached != null) cached
+    else {
+      val s = l.snapshot(Some(version))
+      snapshotCache.put(key, s)
+      s
+    }
+  }
+
+  /** (location, version, query checksum) → pruned+limited file listing.
+    * A paginated /query walk runs the sort → hint-prune → stats-skip →
+    * limit pipeline ONCE; continuation pages slice the cached vector, so
+    * full pagination is O(files) total instead of O(files × pages) —
+    * driver-quadratic at the 10^5-file counts a 100 TB table serves.
+    * Values hold REFERENCES to the snapshot's AddFile objects (no copies);
+    * the checksum binds every query parameter that shapes the listing, and
+    * the page token already proves the caller's parameters hash to it.
+    */
+  private val filteredListings =
+    new JLinkedHashMap[(String, Long, String), IndexedSeq[graft.model.AddFile]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: JMap.Entry[(String, Long, String), IndexedSeq[graft.model.AddFile]]): Boolean =
+        size() > SNAPSHOT_CACHE_SIZE
+    }
+
+  def filteredListing(location: String, version: Long, checksum: String)(
+      compute: => IndexedSeq[graft.model.AddFile]): IndexedSeq[graft.model.AddFile] = {
+    filteredListings.synchronized {
+      val cached = filteredListings.get((location, version, checksum))
+      if (cached != null) return cached
+    }
+    val v = compute
+    filteredListings.synchronized {
+      filteredListings.put((location, version, checksum), v)
+    }
+    v
+  }
+
   /** Drop cached snapshots of `location` — required when a table is
     * RECREATED at the same path (overwrite / drop+create): version
     * numbers restart, so (location, version) keys would serve the old
     * incarnation's state.
     */
-  private[graft] def invalidateSnapshots(location: String): Unit =
+  private[graft] def invalidateSnapshots(location: String): Unit = {
     snapshotCache.synchronized {
       snapshotCache.keySet.removeIf(_._1 == location)
     }
+    filteredListings.synchronized {
+      filteredListings.keySet.removeIf(_._1 == location)
+    }
+  }
 
   def location(fqn: String): String = shareConfig(fqn).location
 

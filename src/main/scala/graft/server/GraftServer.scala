@@ -237,7 +237,11 @@ class GraftServer(
 
   private def latestSnapshot(l: GraftLog, location: String): graft.log.Snapshot =
     try {
-      val s = l.snapshot(None)
+      // freshness comes from latestVersion() (an O(1) existence probe past
+      // the cached listing); the replay itself is immutable per version and
+      // resolves through the process LRU — without this every latest-version
+      // /query re-replays the whole log, O(files) per REQUEST at 10^5 files
+      val s = GraftCatalog.snapshotAt(l, l.latestVersion())
       lastGoodSnapshot(location) = s
       s
     } catch {
@@ -580,7 +584,9 @@ class GraftServer(
       .orElse(refreshTok.map(_.version))
 
     val snap = explicit match {
-      case Some(v) => l.snapshot(Some(v))
+      // pinned versions are immutable — resolve through the process LRU so
+      // continuation pages don't re-replay the log (O(files) per page)
+      case Some(v) => GraftCatalog.snapshotAt(l, v)
       case None    => latestSnapshot(l, location)
     }
     val version = snap.version
@@ -611,38 +617,47 @@ class GraftServer(
           maxValues = rekey(st.maxValues),
           nullCount = rekey(st.nullCount))))
 
-    val sorted = snap.files.sortBy(_.path)
-    val byPath = sorted.map(f => f.path -> f).toMap
-    val sortedEval = sorted.map(logicalized)
-    val afterSql = PartitionHintPruner.prune(
-      Option(req.predicateHints).getOrElse(Nil), partitionSchema, sortedEval)
-    val afterJsonEval = Option(req.jsonPredicateHints) match {
-      case Some(hint) =>
-        val op = try Some(JsonPredicates.fromJson(hint))
-          catch { case scala.util.control.NonFatal(_) => None } // best-effort
-        FileSkippingEvaluator.filterFiles(op, snap.metadata.partitionColumns, afterSql)
-      case None => afterSql
-    }
-    // served actions keep their original (physical) keys
-    val afterJson = afterJsonEval.map(f => byPath(f.path))
-    val hadPredicates = Option(req.predicateHints).exists(_.nonEmpty) ||
-      req.jsonPredicateHints != null
-    val afterLimit = Option(req.limitHint) match {
-      case Some(limit) if !hadPredicates =>
-        var cum = 0L
-        afterJson.takeWhile { f =>
-          val take = cum < limit.longValue()
-          // LIVE rows, not physical: a DV-carrying file contributes
-          // numRecords − dv.cardinality readable rows — counting the
-          // physical total would stop listing before the limit is
-          // coverable (an under-return the client cannot repair)
-          val live = f.stats.map(_.numRecords).getOrElse(Long.MaxValue) -
-            f.deletionVector.map(_.cardinality).getOrElse(0L)
-          cum += math.max(live, 0L)
-          take
+    // The full sort → hint-prune → stats-skip → limit pipeline is a pure
+    // function of (snapshot version, query parameters); the query checksum
+    // binds every parameter, so the result caches per (location, version,
+    // checksum) and continuation pages SLICE instead of recomputing —
+    // without this a full pagination is O(files × pages) driver work.
+    val checksum = queryChecksum(tableKey, req)
+    val afterLimit: IndexedSeq[graft.model.AddFile] =
+      GraftCatalog.filteredListing(location, version, checksum) {
+        val sorted = snap.files.sortBy(_.path)
+        val byPath = sorted.map(f => f.path -> f).toMap
+        val sortedEval = sorted.map(logicalized)
+        val afterSql = PartitionHintPruner.prune(
+          Option(req.predicateHints).getOrElse(Nil), partitionSchema, sortedEval)
+        val afterJsonEval = Option(req.jsonPredicateHints) match {
+          case Some(hint) =>
+            val op = try Some(JsonPredicates.fromJson(hint))
+              catch { case scala.util.control.NonFatal(_) => None } // best-effort
+            FileSkippingEvaluator.filterFiles(op, snap.metadata.partitionColumns, afterSql)
+          case None => afterSql
         }
-      case _ => afterJson
-    }
+        // served actions keep their original (physical) keys
+        val afterJson = afterJsonEval.map(f => byPath(f.path))
+        val hadPredicates = Option(req.predicateHints).exists(_.nonEmpty) ||
+          req.jsonPredicateHints != null
+        (Option(req.limitHint) match {
+          case Some(limit) if !hadPredicates =>
+            var cum = 0L
+            afterJson.takeWhile { f =>
+              val take = cum < limit.longValue()
+              // LIVE rows, not physical: a DV-carrying file contributes
+              // numRecords − dv.cardinality readable rows — counting the
+              // physical total would stop listing before the limit is
+              // coverable (an under-return the client cannot repair)
+              val live = f.stats.map(_.numRecords).getOrElse(Long.MaxValue) -
+                f.deletionVector.map(_.cardinality).getOrElse(0L)
+              cum += math.max(live, 0L)
+              take
+            }
+          case _ => afterJson
+        }).toIndexedSeq
+      }
 
     // Pagination slice with checksummed continuation token.
     val startIndex = pageTok.map(_.startIndex).getOrElse(0)
@@ -653,7 +668,7 @@ class GraftServer(
     val nextPageToken = if (startIndex + pageSize < afterLimit.size)
       Some(Tokens.encode(Tokens.PageTokenPayload(
         tableKey, version, startIndex + pageSize,
-        queryChecksum(tableKey, req), now() + config.pageTokenTtlMs)))
+        checksum, now() + config.pageTokenTtlMs)))
     else None
 
     val expiration = now() + config.preSignedUrlTimeoutSeconds * 1000
@@ -823,8 +838,14 @@ class GraftServer(
     var runMeta = startSnap.metadata
     var runProto = startSnap.protocol
     var lastEmittedProto = deltaProtoW(runMeta, runProto)
-    val actionLines = l.changes(start, end).flatMap { commit =>
-      val protoLines = if (emitHistProto) {
+    // Each entry is a RENDER THUNK: which lines exist (and their order) is
+    // decided eagerly — the walk state, sorts, and counts are O(range
+    // actions) bookkeeping — but URL signing and JSON serialization run
+    // only for the page actually sliced below. Signing is the expensive
+    // step (HMAC / SigV4 per file), so a page walk must sign
+    // O(files-returned) per page, never O(files-in-range).
+    val actionLines: IndexedSeq[() => String] = l.changes(start, end).flatMap { commit =>
+      val protoLines: Seq[() => String] = if (emitHistProto) {
         commit.actions.foreach {
           case p: graft.model.Protocol => runProto = p
           case m: graft.model.Metadata => runMeta = m
@@ -833,20 +854,20 @@ class GraftServer(
         val w = deltaProtoW(runMeta, runProto)
         if (commit.version > start && w != lastEmittedProto) {
           lastEmittedProto = w
-          Seq(DeltaLine(protocol =
+          Seq(() => DeltaLine(protocol =
             DeltaProtocolLine(w, version = commit.version)).json)
         } else { lastEmittedProto = w; Nil }
       } else Nil
-      val metaLines = if (includeHistoricalMetadata)
-        commit.actions.collect { case m: graft.model.Metadata =>
+      val metaLines: Seq[() => String] = if (includeHistoricalMetadata)
+        commit.actions.collect { case m: graft.model.Metadata => () =>
           if (delta) deltaMetaJson(m, commit.version)
           else Line(metaData = wireMetadata(m, commit.version)).json
         }
       else Nil
       val cdc = commit.actions.collect { case c: AddCDCFile => c }
-      val dataLines: Seq[String] =
+      val dataLines: Seq[() => String] =
         if (cdfMode && cdc.nonEmpty) {
-          cdc.sortBy(_.path).map(c =>
+          cdc.sortBy(_.path).map(c => () =>
             if (delta) deltaFile(DeltaSingleActionW(cdc = DeltaCdcW(
               path = sign(c.path), partitionValues = c.partitionValues,
               size = c.size)), c.path, commit.version, commit.timestamp)
@@ -857,7 +878,7 @@ class GraftServer(
         } else {
           val adds = commit.actions
             .collect { case a: AddFile if a.dataChange => a }.sortBy(_.path)
-            .map(a =>
+            .map(a => () =>
               if (delta) deltaFile(DeltaSingleActionW(add = DeltaAddW(
                 path = sign(a.path), partitionValues = a.partitionValues,
                 size = a.size, modificationTime = a.timestamp, dataChange = true,
@@ -875,7 +896,7 @@ class GraftServer(
                 expirationTimestamp = expiration)).json)
           val removes = commit.actions
             .collect { case r: RemoveFile if r.dataChange => r }.sortBy(_.path)
-            .map(r =>
+            .map(r => () =>
               if (delta) deltaFile(DeltaSingleActionW(remove = DeltaRemoveW(
                 path = sign(r.path), partitionValues = r.partitionValues,
                 size = r.size, dataChange = true,
@@ -888,13 +909,14 @@ class GraftServer(
           adds ++ removes
         }
       protoLines ++ metaLines ++ dataLines
-    }
+    }.toIndexedSeq
 
-    // Pagination over the flattened action list.
+    // Pagination over the flattened action list; only the sliced page is
+    // rendered (and therefore signed).
     val startIndex = tok.map(_.startIndex).getOrElse(0)
     val pageSize = maxFiles.getOrElse(config.queryTablePageSizeLimit)
       .min(config.queryTablePageSizeLimit)
-    val pageLines = actionLines.slice(startIndex, startIndex + pageSize)
+    val pageLines = actionLines.slice(startIndex, startIndex + pageSize).map(_())
     val endLines = if (startIndex + pageSize < actionLines.size)
       Seq(Line(endStreamAction = EndStreamAction(
         nextPageToken = Tokens.encode(Tokens.PageTokenPayload(
@@ -926,7 +948,13 @@ class GraftServer(
     * `http://host:port/data/<token>`, where the token binds (table,
     * path, expiration) under an HMAC so it cannot be forged or extended.
     */
-  private[server] def signUrl(location: String, relPath: String, expiration: Long): String =
+  /** Test hook: total pre-signed URLs minted — pagination specs pin that
+    * a page walk signs O(files-returned) per page, never O(files-total).
+    */
+  private[graft] val signCount = new java.util.concurrent.atomic.AtomicLong
+
+  private[server] def signUrl(location: String, relPath: String, expiration: Long): String = {
+    signCount.incrementAndGet()
     CloudSigners.presignFor(location, relPath,
       expiresSeconds = math.max(1L, (expiration - now()) / 1000),
       now = java.time.Instant.ofEpochMilli(now()),
@@ -935,6 +963,7 @@ class GraftServer(
         location, relPath, expiration, Tokens.hmac(secret, s"$location/$relPath@$expiration")))
       s"http://${config.host}:$boundPort/data/$payload"
     }
+  }
 
   /** Test hook: distinct client (ip, port) pairs seen on /data — with
     * keep-alive, one pooled connection keeps one port across requests, so

@@ -1,0 +1,268 @@
+package graft.tools
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, LessThanOrEqual, Literal}
+import org.apache.spark.sql.types.StringType
+
+import graft.log.{GraftCatalog, GraftLog}
+import graft.model._
+import graft.predicates.{FileSkippingEvaluator, JsonPredicates}
+import graft.server.{GraftServer, PartitionHintPruner, ServerConfig}
+
+/** Metadata-engine scale probe: the reference's actual hot path is
+  * file-METADATA processing — 10,000-file query pages
+  * (`server/.../config/ServerConfig.scala:66-67,93`), paginated snapshot
+  * queries (`DeltaSharedTable.scala:465-514`), O(files) log replay. A
+  * 100 TB table at ~1 GB/file is ~10^5 AddFiles; every row-scale fixture
+  * in the bench corpus is tens of files, so this probe is the only place
+  * the action-count axis is exercised.
+  *
+  * For each file count N it synthesizes a graft-format table (20 commits
+  * of N/20 AddFiles each, realistic per-file stats, 200-date partition
+  * dimension, automatic checkpoint at v10) and times, driver-side:
+  *
+  *  - `replay_cold_ms`   snapshot() with every process cache dropped
+  *                       (listing + checkpoint read + tail commits)
+  *  - `replay_warm_ms`   snapshot() on a fresh GraftLog, process caches
+  *                       warm (the per-request server path)
+  *  - `replay_nocp_ms`   snapshot() after checkpoint files are deleted —
+  *                       the documented full-replay degradation path
+  *  - `skip_eval_ms`     V2 stats-skipping eval of a 2-leaf AND over all N
+  *  - `hint_prune_ms`    SQL predicate-hint partition pruning over all N
+  *  - `list_files_ms`    GraftFileIndex.listFiles → PartitionDirectory
+  *                       construction for the full snapshot
+  *  - `list_pruned_ms`   listFiles with a partition filter (1/20 of dates)
+  *  - `paginate_total_ms`/`pages`/`page_ms` full /query pagination over
+  *                       HTTP at the 10k-file page limit, token round-trips
+  *  - `sign_small_page_ms` one maxFiles=100 page — signing must be
+  *                       O(files-returned); if this tracks `page_ms` the
+  *                       per-page cost is dominated by O(N) recompute
+  *
+  * Scaling verdicts are printed as t(100k)/t(10k) ratios — a metadata
+  * engine whose per-op cost is O(N) should sit near 10, anything
+  * superlinear (driver-quadratic replay, per-page full re-sort blowup)
+  * shows up as >> 10.
+  *
+  * Usage: tools/run.sh graft.tools.MetaProbe [counts] [reps]
+  * e.g.   tools/run.sh graft.tools.MetaProbe 10000,30000,100000 3
+  */
+object MetaProbe {
+
+  private val SCHEMA =
+    """{"type":"struct","fields":[
+      |{"name":"id","type":"long","nullable":false,"metadata":{}},
+      |{"name":"amount","type":"double","nullable":true,"metadata":{}},
+      |{"name":"category","type":"string","nullable":true,"metadata":{}},
+      |{"name":"ds","type":"string","nullable":false,"metadata":{}}
+      |]}""".stripMargin.replaceAll("\n", "")
+
+  private val DATES = 200
+  private def ds(i: Int): String =
+    java.time.LocalDate.of(2026, 1, 1).plusDays(i % DATES).toString
+
+  /** Synthesize a graft-format table with `n` active AddFiles across 20
+    * commits (automatic checkpoint at v10 — same cadence production sees).
+    * Stats mirror what a real writer records: id ranges tile [0, 5e6·n)
+    * so a range predicate has a knowable selectivity.
+    */
+  private def generate(path: String, n: Int, conf: Configuration): Unit = {
+    val dir = new java.io.File(path)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+      GraftLog.invalidateListing(path)
+    }
+    val commits = 20
+    val perCommit = n / commits
+    val rowsPerFile = 5000000L
+    var fileIdx = 0
+    (0 until commits).foreach { v =>
+      val files = (0 until perCommit).map { _ =>
+        val i = fileIdx
+        fileIdx += 1
+        val lo = i.toLong * rowsPerFile
+        val hi = lo + rowsPerFile - 1
+        AddFile(
+          path = s"ds=${ds(i)}/part-$i.parquet",
+          partitionValues = Map("ds" -> ds(i)),
+          size = 1000000000L,
+          modificationTime = 1700000000000L + i,
+          stats = Some(FileStats(
+            numRecords = rowsPerFile,
+            minValues = Map("id" -> lo.toString, "amount" -> "0.01",
+              "category" -> s"cat${i % 7}"),
+            maxValues = Map("id" -> hi.toString, "amount" -> "9999.99",
+              "category" -> s"cat${i % 7}"),
+            nullCount = Map("id" -> 0L, "amount" -> 3L, "category" -> 0L))),
+          version = v,
+          timestamp = 1700000000000L + v * 60000L)
+      }
+      val actions: Seq[Action] =
+        if (v == 0)
+          Seq(Protocol(), Metadata(id = s"metaprobe-$n", name = s"meta$n",
+            schemaString = SCHEMA, partitionColumns = Seq("ds"))) ++ files
+        else files
+      GraftLog.commit(path, v, actions, conf)
+    }
+  }
+
+  private def timeMs[T](reps: Int)(body: => T): (Double, T) = {
+    var best = Double.MaxValue
+    var last: T = body // warm nothing away — first run counts too
+    var t0 = 0L
+    (0 until reps).foreach { _ =>
+      t0 = System.nanoTime()
+      last = body
+      best = math.min(best, (System.nanoTime() - t0) / 1e6)
+    }
+    (best, last)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val counts = args.headOption.getOrElse("10000,30000,100000")
+      .split(',').map(_.trim.toInt).toSeq
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val conf = new Configuration()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val http = HttpClient.newHttpClient()
+
+    counts.foreach { n =>
+      val path = s"/root/repo/target/metaprobe/t$n"
+      val genT0 = System.nanoTime()
+      generate(path, n, conf)
+      val genMs = (System.nanoTime() - genT0) / 1e6
+
+      // --- replay: cold (all caches dropped), then warm (per-request shape)
+      GraftLog.invalidateListing(path)
+      val (coldMs, snap) = timeMs(1) { new GraftLog(path, conf).snapshot(None) }
+      require(snap.files.size == n, s"replay lost files: ${snap.files.size} != $n")
+      val (warmMs, _) = timeMs(reps) { new GraftLog(path, conf).snapshot(None) }
+
+      // --- stats skipping: 2-leaf AND range on id covering ~10% of files
+      val hi = (n.toLong * 5000000L) / 10
+      val predJson =
+        s"""{"op":"and","children":[
+           |{"op":"greaterThanOrEqual","children":[
+           |  {"op":"column","name":"id","valueType":"long"},
+           |  {"op":"literal","value":"0","valueType":"long"}]},
+           |{"op":"lessThan","children":[
+           |  {"op":"column","name":"id","valueType":"long"},
+           |  {"op":"literal","value":"$hi","valueType":"long"}]}
+           |]}""".stripMargin.replaceAll("\n", "")
+      val op = Some(JsonPredicates.fromJson(predJson))
+      val (skipMs, kept) = timeMs(reps) {
+        FileSkippingEvaluator.filterFiles(op, Seq("ds"), snap.files)
+      }
+      require(kept.size == n / 10, s"skip kept ${kept.size}, expected ${n / 10}")
+
+      // --- SQL-hint partition pruning: 10 of 200 dates
+      val pSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ds", StringType, nullable = false)))
+      val hints = Seq(s"ds >= '2026-01-01' AND ds <= '2026-01-10'")
+      val (hintMs, hintKept) = timeMs(reps) {
+        PartitionHintPruner.prune(hints, pSchema, snap.files)
+      }
+      require(hintKept.size == n / 20,
+        s"hint kept ${hintKept.size}, expected ${n / 20}")
+
+      // --- FileIndex listing (PartitionDirectory construction)
+      val idx = new graft.sources.GraftFileIndex(spark, path, snap)
+      val (listMs, dirs) = timeMs(reps) { idx.listFiles(Nil, Nil) }
+      require(dirs.map(_.files.size).sum == n)
+      val dsAttr = AttributeReference("ds", StringType, nullable = false)()
+      val pf = Seq(org.apache.spark.sql.catalyst.expressions.And(
+        GreaterThanOrEqual(dsAttr, Literal("2026-01-01")),
+        LessThanOrEqual(dsAttr, Literal("2026-01-10"))))
+      val (listPrunedMs, pdirs) = timeMs(reps) { idx.listFiles(pf, Nil) }
+      require(pdirs.map(_.files.size).sum == n / 20)
+
+      // --- server pagination at the 10k page limit, full token walk
+      GraftCatalog.register(s"share1.default.meta$n", path)
+      val server = new GraftServer(ServerConfig(bearerToken = Some("probe")),
+        conf).start()
+      try {
+        def page(tok: Option[String], maxFiles: Int): (Double, Int, Option[String]) = {
+          val body = tok match {
+            case Some(t) => s"""{"maxFiles":$maxFiles,"pageToken":"$t"}"""
+            case None    => s"""{"maxFiles":$maxFiles}"""
+          }
+          val req = HttpRequest.newBuilder(URI.create(
+            s"${server.url}/shares/share1/schemas/default/tables/meta$n/query"))
+            .header("Authorization", "Bearer probe")
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+          val t0 = System.nanoTime()
+          val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+          val ms = (System.nanoTime() - t0) / 1e6
+          require(resp.statusCode() == 200, s"query failed: ${resp.body().take(300)}")
+          val lines = resp.body().split('\n').filter(_.nonEmpty)
+          val fileCount = lines.count(_.contains("\"file\""))
+          val next = lines.lastOption
+            .map(JsonUtils.fromJson[graft.server.wire.Line](_))
+            .flatMap(l => Option(l.endStreamAction).flatMap(e => Option(e.nextPageToken)))
+          (ms, fileCount, next)
+        }
+        // cold first page, then walk
+        var tok: Option[String] = None
+        var pages = 0
+        var total = 0
+        var sumMs = 0.0
+        val pageTimes = Seq.newBuilder[Double]
+        var done = false
+        while (!done) {
+          val (ms, got, next) = page(tok, 10000)
+          pages += 1; total += got; sumMs += ms; pageTimes += ms
+          tok = next
+          done = next.isEmpty
+        }
+        require(total == n, s"pagination lost files: $total != $n")
+        // small page: signing O(returned) check — a 100-file page against
+        // the same N-file table isolates the per-page O(N) recompute cost
+        val (smallMs, smallGot, _) = page(None, 100)
+        require(smallGot == 100)
+        row ++= Map(
+          "paginate_total_ms" -> sumMs.round, "pages" -> pages,
+          "page_ms" -> pageTimes.result().map(_.round),
+          "sign_small_page_ms" -> smallMs.round)
+      } finally server.stop()
+
+      // --- full-replay degradation: drop checkpoints, re-measure
+      val logDir = new java.io.File(s"$path/${GraftLog.LOG_DIR}")
+      logDir.listFiles().filter(f => f.getName.endsWith(".checkpoint.json") ||
+        f.getName == GraftLog.LAST_CHECKPOINT).foreach(_.delete())
+      GraftLog.invalidateListing(path)
+      val (nocpMs, snap2) = timeMs(1) { new GraftLog(path, conf).snapshot(None) }
+      require(snap2.files.size == n)
+      row ++= Map("n" -> n, "gen_ms" -> genMs.round,
+        "replay_cold_ms" -> coldMs.round, "replay_warm_ms" -> warmMs.round,
+        "replay_nocp_ms" -> nocpMs.round, "skip_eval_ms" -> skipMs.round,
+        "hint_prune_ms" -> hintMs.round, "list_files_ms" -> listMs.round,
+        "list_pruned_ms" -> listPrunedMs.round)
+      rows += JsonUtils.toJson(row.toMap)
+      row.clear()
+    }
+
+    val lines = rows.result()
+    lines.foreach(println)
+    new java.io.File("/root/repo/target/metaprobe").mkdirs()
+    val out = new java.io.PrintWriter("/root/repo/target/metaprobe/results.json")
+    try lines.foreach(out.println) finally out.close()
+    spark.stop()
+  }
+
+  private val rows = Seq.newBuilder[String]
+  private val row = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+}

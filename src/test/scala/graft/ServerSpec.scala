@@ -1286,6 +1286,101 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(remoteCdf.select("_commit_version").distinct().count() ===
       localCdf.select("_commit_version").distinct().count())
   }
+
+  // ------------------------------------------------- metadata-scale paging
+
+  test("10k-file pagination: default page limit, token walk, O(returned) signing") {
+    // A 100 TB table at ~1 GB/file is ~10^5 AddFiles; the reference serves
+    // it in 10,000-file pages (`ServerConfig.scala:66-67,93`). Synthesize
+    // 10,500 actions — just over one default page — and pin the contract:
+    // the walk covers every file exactly once, continuation tokens
+    // round-trip, and signing work is O(files-returned) per page (the
+    // filtered listing is computed once and sliced, never re-signed).
+    val path = "/root/repo/target/test-tables/pagination10k"
+    val dir = new java.io.File(path)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(dir)
+    GraftLog.invalidateListing(path)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false))).json
+    val conf = spark.sessionState.newHadoopConf()
+    val n = 10500
+    (0 until 3).foreach { v =>
+      val files = (0 until n / 3).map { j =>
+        val i = v * (n / 3) + j
+        graft.model.AddFile(path = s"part-$i.parquet", size = 1000000000L,
+          stats = Some(graft.model.FileStats(numRecords = 5000000L,
+            minValues = Map("id" -> (i.toLong * 5000000L).toString),
+            maxValues = Map("id" -> ((i + 1).toLong * 5000000L - 1).toString),
+            nullCount = Map("id" -> 0L))),
+          version = v, timestamp = 1700000000000L + v)
+      }
+      val actions: Seq[graft.model.Action] =
+        if (v == 0) Seq(graft.model.Protocol(), graft.model.Metadata(
+          id = "pagination10k", name = "big10k", schemaString = schema)) ++ files
+        else files
+      GraftLog.commit(path, v, actions, conf)
+    }
+    GraftCatalog.register("share1.default.big10k", path)
+    try {
+      def post(body: String): Seq[String] = {
+        val r = rawPost("/shares/share1/schemas/default/tables/big10k/query", body)
+        assert(r.statusCode() === 200, r.body().take(300))
+        r.body().split('\n').filter(_.nonEmpty).toSeq
+      }
+      def nextToken(lines: Seq[String]): Option[String] =
+        lines.lastOption.map(JsonUtils.fromJson[Line](_))
+          .flatMap(l => Option(l.endStreamAction).flatMap(e => Option(e.nextPageToken)))
+      def fileIds(lines: Seq[String]): Seq[String] =
+        lines.map(JsonUtils.fromJson[Line](_)).flatMap(l => Option(l.file)).map(_.id)
+
+      // page 1: server clamps to its default 10,000-file page limit
+      val s0 = server.signCount.get()
+      val p1 = post("{}")
+      val ids1 = fileIds(p1)
+      assert(ids1.size === 10000)
+      assert(server.signCount.get() - s0 === 10000L) // signed exactly the page
+      val tok = nextToken(p1)
+      assert(tok.isDefined)
+
+      // page 2: remainder, no further token; again O(returned) signing
+      val s1 = server.signCount.get()
+      val p2 = post(s"""{"pageToken":"${tok.get}"}""")
+      val ids2 = fileIds(p2)
+      assert(ids2.size === 500)
+      assert(server.signCount.get() - s1 === 500L)
+      assert(nextToken(p2).isEmpty)
+
+      // exactly-once coverage across the walk
+      val all = ids1 ++ ids2
+      assert(all.distinct.size === n)
+
+      // a small page over the same (cached) listing signs only its slice
+      val s2 = server.signCount.get()
+      val small = post("""{"maxFiles":100}""")
+      assert(fileIds(small).size === 100)
+      assert(server.signCount.get() - s2 === 100L)
+
+      // stats-skipping composes with pagination: a range predicate keeping
+      // ~10% of files (id < n/10 · 5e6) fits one page, no token
+      val hi = (n.toLong / 10) * 5000000L
+      val pred = s"""{"op":"lessThan","children":[
+        {"op":"column","name":"id","valueType":"long"},
+        {"op":"literal","value":"$hi","valueType":"long"}]}"""
+        .replaceAll("\n\\s*", "")
+      val filtered = post(s"""{"jsonPredicateHints":${JsonUtils.toJson(pred)}}""")
+      assert(fileIds(filtered).size === n / 10)
+      assert(nextToken(filtered).isEmpty)
+    } finally {
+      GraftCatalog.unregister("share1.default.big10k")
+      rm(dir)
+      GraftLog.invalidateListing(path)
+    }
+  }
 }
 
 /** Test-only s3a:// FileSystem backed by the local filesystem: resolves
