@@ -1713,6 +1713,47 @@ object SparkEntry {
           count(when(col("first_in_bucket"), 1)).as("n_first"))
     }),
 
+    // Beyond-reference: ISO-BMFF (mp4) CONTAINER manifest + mirror
+    // detection without a codec — the structural layer under the one
+    // remaining multimodal stub. Every doc becomes a REAL mp4 container
+    // (ftyp + chunked mdat + full moov sample tables); parsing resolves
+    // per-sample absolute byte ranges through stsc/stco/stsz/stts and
+    // signs each sample's mdat range. Assets sharing a content key are
+    // re-muxed mirrors; grouping by the ordered signature chain finds
+    // them — if any offset in the chunk-mapping composition were wrong,
+    // the signatures (recomputed by the oracle from the generator
+    // formula alone) would not match. Plan: two map-side-combinable
+    // aggregations, zero joins — candidate volume bounded by distinct
+    // container content, the q189/q193 representative posture.
+    "q199_video_container_dedup" -> ((s, dir) => {
+      val manifest = graft.ops.Multimodal.videoManifest(
+        graft.ops.Multimodal.videoAssets(t(s, dir, "documents")))
+      val perAsset = manifest
+        .groupBy(col("asset_id"))
+        .agg(
+          countDistinct(col("track_id")).as("n_tracks"),
+          min(col("codec")).as("codec"),
+          min(col("timescale")).as("timescale"),
+          count(lit(1)).as("n_samples"),
+          sum(col("sample_bytes")).as("total_bytes"),
+          sum(col("sample_ticks")).as("total_ticks"),
+          sum(col("signature")).as("sig_sum"),
+          sort_array(collect_list(struct(col("sample_idx"), col("signature"))))
+            .as("chain"))
+      perAsset.groupBy(col("chain"))
+        .agg(min(col("asset_id")).as("group_id"),
+          count(lit(1)).as("n_assets"),
+          first(col("n_tracks")).as("n_tracks"),
+          first(col("codec")).as("codec"),
+          first(col("timescale")).as("timescale"),
+          first(col("n_samples")).as("n_samples"),
+          first(col("total_bytes")).as("total_bytes"),
+          first(col("total_ticks")).as("total_ticks"),
+          first(col("sig_sum")).as("sig_sum"))
+        .drop("chain")
+        .orderBy(col("group_id"))
+    }),
+
     // Beyond-reference: TTL'd STREAMING LSH admission — q152 with the
     // knob production streams cannot run without: BOUNDED state. The
     // admission rule is "admit iff the bucket is unseen OR last seen
@@ -5561,6 +5602,41 @@ object SparkEntry {
              AS n_first
          FROM bands b JOIN firsts f ON f.band = b.band AND f.v = b.v
          GROUP BY b.doc_id""",
+    // container replay from the IsoBmff generator formula: content key
+    // k = doc_id % 50; nSamples = 4 + k%5; size(i) = 16 + (k*7+i*13)%17;
+    // byte(i,j) = (k*31+i*17+j*7)%256; signature = sum (byte+1)*(j+1);
+    // mirror groups = equal ordered signature chains. Track metadata
+    // literals pin the moov parse (1 'dtrm' video track, timescale 600,
+    // 100 ticks/sample).
+    "q199_video_container_dedup" ->
+      """WITH ck AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+         keys AS (SELECT DISTINCT k FROM ck),
+         samp AS (SELECT k, unnest(range(4 + (k % 5))) AS i FROM keys),
+         sized AS (SELECT k, i, CAST(16 + ((k*7 + i*13) % 17) AS BIGINT) AS sz
+                   FROM samp),
+         bytes AS (SELECT k, i, sz, unnest(range(sz)) AS j FROM sized),
+         sig AS (SELECT k, i, any_value(sz) AS sz,
+                   CAST(sum((((k*31 + i*17 + j*7) % 256) + 1) * (j + 1)) AS BIGINT) AS fp
+                 FROM bytes GROUP BY k, i),
+         perk AS (SELECT k, list(fp ORDER BY i) AS chain,
+                    CAST(count(*) AS BIGINT) AS n_samples,
+                    CAST(sum(sz) AS BIGINT) AS total_bytes,
+                    CAST(count(*) * 100 AS BIGINT) AS total_ticks,
+                    CAST(sum(fp) AS BIGINT) AS sig_sum
+                  FROM sig GROUP BY k),
+         assets AS (SELECT c.doc_id AS asset_id, p.chain, p.n_samples,
+                      p.total_bytes, p.total_ticks, p.sig_sum
+                    FROM ck c JOIN perk p ON p.k = c.k)
+         SELECT CAST(min(asset_id) AS BIGINT) AS group_id,
+                CAST(count(*) AS BIGINT) AS n_assets,
+                CAST(1 AS BIGINT) AS n_tracks,
+                'dtrm' AS codec,
+                CAST(600 AS BIGINT) AS timescale,
+                any_value(n_samples) AS n_samples,
+                any_value(total_bytes) AS total_bytes,
+                any_value(total_ticks) AS total_ticks,
+                any_value(sig_sum) AS sig_sum
+         FROM assets GROUP BY chain ORDER BY group_id""",
     // q125's winnowing selection machinery → per-doc DISTINCT
     // fingerprint values → df-capped inverted-index self-join →
     // min-side containment ratio

@@ -1,0 +1,322 @@
+package graft.ops
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** ISO Base Media File Format (mp4) CONTAINER layer — box walk, sample
+  * tables, and sample-range fingerprints, with no codec dependency.
+  *
+  * The JDK ships no video codec, so frame DECODE stays out of scope; but
+  * the container structure (ISO/IEC 14496-12) is public and
+  * byte-deterministic, and it is the layer a crawl-scale pipeline needs
+  * for mirror detection: per-track metadata (codec fourcc, timescale,
+  * duration, sample count) and per-sample byte ranges inside `mdat`
+  * identify re-muxed/re-uploaded copies WITHOUT decoding a frame
+  * (reference treats video as opaque bytes end-to-end; this goes one
+  * structural level deeper).
+  *
+  * Parser scope: box walk with 32/64-bit sizes and container recursion
+  * (`moov/trak/mdia/minf/stbl/edts/dinf`), `mvhd`/`tkhd`/`mdhd`/`hdlr`
+  * version 0 and 1, and the full sample-table resolution — `stsd` (codec
+  * entry), `stts` (decode deltas, run-length), `stsc` (chunk mapping,
+  * the spec's run-length "first_chunk" encoding), `stsz`/`stz2`-style
+  * uniform or per-sample sizes, `stco`/`co64` chunk offsets — composed
+  * into absolute (offset, size) per sample.
+  *
+  * The encoder writes a minimal-but-real container (ftyp + mdat + moov
+  * with one video track) whose sample sizes/bytes are deterministic
+  * functions of a content key, so an engine-free SQL oracle can replay
+  * the expected manifest from the formula alone (the q31/q189/q193
+  * pattern) — if the fingerprints match, the parser resolved the right
+  * absolute byte ranges through stsc/stco/stsz.
+  */
+object IsoBmff {
+
+  // ------------------------------------------------------------- writing
+
+  private def be32(v: Long): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(v.toInt).array()
+  private def be16(v: Int): Array[Byte] =
+    ByteBuffer.allocate(2).order(ByteOrder.BIG_ENDIAN).putShort(v.toShort).array()
+
+  private def box(fourcc: String, payloads: Array[Byte]*): Array[Byte] = {
+    val body = payloads.foldLeft(Array.emptyByteArray)(_ ++ _)
+    be32(8L + body.length) ++ fourcc.getBytes("US-ASCII") ++ body
+  }
+
+  private def fullBox(fourcc: String, version: Int, payloads: Array[Byte]*): Array[Byte] =
+    box(fourcc, Array[Byte](version.toByte, 0, 0, 0) +:
+      payloads.toIndexedSeq: _*)
+
+  /** Movie timescale: 600 ticks/s (the historical QuickTime default). */
+  val TIMESCALE = 600L
+
+  /** Ticks per sample in the deterministic fixture. */
+  val SAMPLE_DELTA = 100L
+
+  /** Deterministic container content for content key `ck`:
+    * `nSamples = 4 + ck%5`, `size(i) = 16 + (ck·7 + i·13) mod 17`,
+    * `byte(i,j) = (ck·31 + i·17 + j·7) mod 256`. Containers with 6+
+    * samples split `mdat` into two chunks (4 + rest) so the stsc
+    * chunk-run mapping is exercised, not just the one-chunk trivial case.
+    */
+  def sampleCount(ck: Long): Int = (4 + (ck % 5)).toInt
+  def sampleSize(ck: Long, i: Int): Int = (16 + ((ck * 7 + i * 13) % 17)).toInt
+  def sampleByte(ck: Long, i: Int, j: Int): Byte =
+    ((ck * 31 + i * 17 + j * 7) % 256).toByte
+
+  /** Encode a real ISO-BMFF container for content key `ck`: ftyp, mdat
+    * (one or two chunks), moov/trak with complete sample tables.
+    */
+  def encodeMp4(ck: Long): Array[Byte] = {
+    val n = sampleCount(ck)
+    val sizes = (0 until n).map(sampleSize(ck, _))
+    val samples = (0 until n).map(i => Array.tabulate(sizes(i))(sampleByte(ck, i, _)))
+    val chunkSplit = if (n >= 6) Seq(4, n - 4) else Seq(n)
+
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII"), be32(0x200),
+      "isom".getBytes("US-ASCII"), "mp42".getBytes("US-ASCII"))
+    val mdatBody = samples.foldLeft(Array.emptyByteArray)(_ ++ _)
+    val mdat = box("mdat", mdatBody)
+
+    // absolute chunk offsets: ftyp, then mdat header (8), then payload
+    val firstChunk = ftyp.length.toLong + 8
+    val offsets = {
+      var off = firstChunk
+      var si = 0
+      chunkSplit.map { inChunk =>
+        val o = off
+        off += sizes.slice(si, si + inChunk).sum
+        si += inChunk
+        o
+      }
+    }
+
+    val duration = n * SAMPLE_DELTA
+    val mvhd = fullBox("mvhd", 0,
+      be32(0), be32(0), be32(TIMESCALE), be32(duration),
+      be32(0x00010000), be16(0x0100), be16(0), be32(0), be32(0),
+      // identity matrix
+      be32(0x00010000), be32(0), be32(0), be32(0), be32(0x00010000), be32(0),
+      be32(0), be32(0), be32(0x40000000),
+      Array.fill(24)(0.toByte), // pre_defined
+      be32(2)) // next_track_ID
+    val tkhd = fullBox("tkhd", 0,
+      be32(0), be32(0), be32(1), be32(0), be32(duration),
+      be32(0), be32(0), be16(0), be16(0), be16(0), be16(0),
+      be32(0x00010000), be32(0), be32(0), be32(0), be32(0x00010000), be32(0),
+      be32(0), be32(0), be32(0x40000000),
+      be32(IsoBmff.FIXTURE_W << 16), be32(IsoBmff.FIXTURE_H << 16))
+    val mdhd = fullBox("mdhd", 0,
+      be32(0), be32(0), be32(TIMESCALE), be32(duration),
+      be16(0x55C4), be16(0)) // language "und"
+    val hdlr = fullBox("hdlr", 0,
+      be32(0), "vide".getBytes("US-ASCII"), be32(0), be32(0), be32(0),
+      Array[Byte](0)) // empty name, NUL-terminated
+    val vmhd = fullBox("vmhd", 0, be16(0), be16(0), be16(0), be16(0))
+    val dref = fullBox("dref", 0, be32(1),
+      fullBox("url ", 0)) // self-contained: flags SHOULD be 1; parser ignores
+    val dinf = box("dinf", dref)
+
+    // minimal sample entry: generic 16-byte entry with a fixture fourcc —
+    // a real codec entry (avc1) would carry codec config we don't produce
+    val sampleEntry = box("dtrm",
+      Array.fill(6)(0.toByte), be16(1)) // reserved + data_reference_index
+    val stsd = fullBox("stsd", 0, be32(1), sampleEntry)
+    val stts = fullBox("stts", 0, be32(1), be32(n), be32(SAMPLE_DELTA))
+    val stscEntries = chunkSplit.zipWithIndex.map { case (inChunk, c) =>
+      be32(c + 1L) ++ be32(inChunk.toLong) ++ be32(1)
+    }
+    val stsc = fullBox("stsc", 0,
+      be32(stscEntries.size.toLong) +: stscEntries: _*)
+    val stsz = fullBox("stsz", 0,
+      be32(0) +: be32(n.toLong) +: sizes.map(s => be32(s.toLong)): _*)
+    val stco = fullBox("stco", 0,
+      be32(offsets.size.toLong) +: offsets.map(be32): _*)
+
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  val FIXTURE_W = 64
+  val FIXTURE_H = 48
+
+  // ------------------------------------------------------------- parsing
+
+  /** True when the payload opens with an ftyp box (offset 4..8 = "ftyp"). */
+  def isBmff(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** One box occurrence: slash path (e.g. `moov/trak/mdia`), absolute
+    * header offset, total size including header, and payload offset.
+    */
+  case class BoxInfo(path: String, offset: Long, size: Long, payloadOffset: Long)
+
+  private val CONTAINERS = Set("moov", "trak", "mdia", "minf", "stbl",
+    "edts", "dinf", "udta", "mvex", "moof", "traf")
+
+  /** Full recursive box walk. Malformed sizes (zero-length loop, size
+    * past the enclosing bound) terminate the current level rather than
+    * looping or throwing — container parsing of crawled bytes must be
+    * total.
+    */
+  def boxes(payload: Array[Byte]): Seq[BoxInfo] = {
+    val out = Seq.newBuilder[BoxInfo]
+    def walk(start: Long, end: Long, prefix: String): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+        val size32 = buf.getInt(off.toInt).toLong & 0xFFFFFFFFL
+        val fourcc = new String(payload, off.toInt + 4, 4, "US-ASCII")
+        var header = 8L
+        val size =
+          if (size32 == 1 && off + 16 <= end) { header = 16; buf.getLong(off.toInt + 8) }
+          else if (size32 == 0) end - off // "to end of enclosing"
+          else size32
+        if (size < header || off + size > end) return // malformed: stop level
+        val path = if (prefix.isEmpty) fourcc else s"$prefix/$fourcc"
+        out += BoxInfo(path, off, size, off + header)
+        if (CONTAINERS(fourcc)) walk(off + header, off + size, path)
+        off += size
+      }
+    }
+    walk(0L, payload.length.toLong, "")
+    out.result()
+  }
+
+  /** One media sample resolved to its absolute byte range. */
+  case class SampleRange(index: Int, offset: Long, size: Long, durationTicks: Long)
+
+  /** One track's container-level metadata + resolved sample ranges. */
+  case class TrackInfo(
+      trackId: Long,
+      handler: String,
+      codec: String,
+      timescale: Long,
+      durationTicks: Long,
+      samples: IndexedSeq[SampleRange])
+
+  private def u32(b: Array[Byte], off: Long): Long =
+    ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN).getInt(off.toInt).toLong & 0xFFFFFFFFL
+  private def u64(b: Array[Byte], off: Long): Long =
+    ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN).getLong(off.toInt)
+
+  /** Parse every `trak` into [[TrackInfo]] — the sample-table composition
+    * (stsc runs × stco offsets × stsz sizes × stts deltas) that turns the
+    * four orthogonal tables into per-sample absolute byte ranges.
+    */
+  def tracks(payload: Array[Byte]): Seq[TrackInfo] = {
+    val all = boxes(payload)
+    val traks = all.filter(_.path == "moov/trak")
+    traks.map { trak =>
+      def in(suffix: String): Option[BoxInfo] =
+        all.find(b => b.path == s"${trak.path}$suffix" &&
+          b.offset >= trak.offset && b.offset < trak.offset + trak.size)
+      val p = payload
+
+      val trackId = in("/tkhd").map { b =>
+        val ver = p(b.payloadOffset.toInt) & 0xFF
+        if (ver == 1) u32(p, b.payloadOffset + 4 + 16)
+        else u32(p, b.payloadOffset + 4 + 8)
+      }.getOrElse(0L)
+
+      val (timescale, duration) = in("/mdia/mdhd").map { b =>
+        val ver = p(b.payloadOffset.toInt) & 0xFF
+        if (ver == 1)
+          (u32(p, b.payloadOffset + 4 + 16), u64(p, b.payloadOffset + 4 + 20))
+        else
+          (u32(p, b.payloadOffset + 4 + 8), u32(p, b.payloadOffset + 4 + 12))
+      }.getOrElse((0L, 0L))
+
+      val handler = in("/mdia/hdlr")
+        .map(b => new String(p, b.payloadOffset.toInt + 8, 4, "US-ASCII"))
+        .getOrElse("")
+
+      val codec = in("/mdia/minf/stbl/stsd").flatMap { b =>
+        val count = u32(p, b.payloadOffset + 4)
+        if (count < 1) None
+        else Some(new String(p, b.payloadOffset.toInt + 12, 4, "US-ASCII"))
+      }.getOrElse("")
+
+      // stsz: uniform size or per-sample table
+      val (sizes, nSamples) = in("/mdia/minf/stbl/stsz").map { b =>
+        val uniform = u32(p, b.payloadOffset + 4)
+        val count = u32(p, b.payloadOffset + 8).toInt
+        if (uniform != 0) (IndexedSeq.fill(count)(uniform), count)
+        else ((0 until count).map(i => u32(p, b.payloadOffset + 12 + 4L * i)), count)
+      }.getOrElse((IndexedSeq.empty[Long], 0))
+
+      // stco/co64 chunk offsets
+      val chunkOffsets: IndexedSeq[Long] =
+        in("/mdia/minf/stbl/stco").map { b =>
+          val c = u32(p, b.payloadOffset + 4).toInt
+          (0 until c).map(i => u32(p, b.payloadOffset + 8 + 4L * i))
+        }.orElse(in("/mdia/minf/stbl/co64").map { b =>
+          val c = u32(p, b.payloadOffset + 4).toInt
+          (0 until c).map(i => u64(p, b.payloadOffset + 8 + 8L * i))
+        }).getOrElse(IndexedSeq.empty)
+
+      // stsc runs → samples-per-chunk for each actual chunk (a run's
+      // samples_per_chunk applies from its first_chunk until the next
+      // run's first_chunk — the spec's run-length encoding)
+      val stscRuns: IndexedSeq[(Long, Long)] =
+        in("/mdia/minf/stbl/stsc").map { b =>
+          val c = u32(p, b.payloadOffset + 4).toInt
+          (0 until c).map { i =>
+            (u32(p, b.payloadOffset + 8 + 12L * i),
+              u32(p, b.payloadOffset + 8 + 12L * i + 4))
+          }
+        }.getOrElse(IndexedSeq.empty)
+      def samplesInChunk(chunk1Based: Long): Long =
+        stscRuns.takeWhile(_._1 <= chunk1Based).lastOption.map(_._2).getOrElse(0L)
+
+      // stts decode deltas, run-length → per-sample duration
+      val durations: IndexedSeq[Long] = in("/mdia/minf/stbl/stts").map { b =>
+        val c = u32(p, b.payloadOffset + 4).toInt
+        (0 until c).flatMap { i =>
+          val cnt = u32(p, b.payloadOffset + 8 + 8L * i)
+          val delta = u32(p, b.payloadOffset + 8 + 8L * i + 4)
+          Seq.fill(cnt.toInt)(delta)
+        }.toIndexedSeq
+      }.getOrElse(IndexedSeq.empty)
+
+      // compose: walk chunks, lay samples at cumulative offsets
+      val samples = IndexedSeq.newBuilder[SampleRange]
+      var s = 0
+      var chunk = 1L
+      while (s < nSamples && chunk <= chunkOffsets.size) {
+        val inChunk = samplesInChunk(chunk)
+        var off = chunkOffsets((chunk - 1).toInt)
+        var k = 0L
+        while (k < inChunk && s < nSamples) {
+          samples += SampleRange(s, off, sizes(s),
+            if (s < durations.size) durations(s) else 0L)
+          off += sizes(s)
+          s += 1; k += 1
+        }
+        chunk += 1
+      }
+      TrackInfo(trackId, handler, codec, timescale, duration, samples.result())
+    }
+  }
+
+  /** Container-level sample signature: Σ (byte+1)·(position+1) over the
+    * sample's mdat range. Deliberately SQL-replayable (the oracle
+    * recomputes it from the generator formula — bounded by 256·64·64 so
+    * no overflow ambiguity); a production pipeline would swap in
+    * xxHash64 — the dedup join shape is identical for any signature.
+    */
+  def sampleSignature(payload: Array[Byte], s: SampleRange): Long = {
+    var acc = 0L
+    var j = 0
+    while (j < s.size) {
+      acc += ((payload((s.offset + j).toInt) & 0xFF) + 1L) * (j + 1)
+      j += 1
+    }
+    acc
+  }
+}

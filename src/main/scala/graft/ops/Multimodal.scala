@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   * codecs are lossless, the decoded features are exactly predictable
   * from the deterministic pixel/sample generators, which is what the
   * q31 oracle recomputes in SQL. Video codecs do not ship in the JDK,
-  * so mp4 payloads remain opaque bytes scored by the byte-histogram
-  * fallback — the one remaining documented stub boundary.
+  * so mp4 FRAME decode stays out of scope; the CONTAINER layer is real —
+  * [[IsoBmff]] walks the ISO-BMFF box structure, resolves per-sample
+  * mdat byte ranges through stsc/stco/stsz/stts, and signs sample
+  * content for container-level mirror detection ([[videoAssets]] /
+  * [[videoManifest]], q199). Only byte-histogram scoring of non-BMFF
+  * opaque payloads remains a documented fallback.
   */
 object Multimodal {
 
@@ -594,5 +598,54 @@ object Multimodal {
         (a.asset_id, idx.toLong, chunk)
       }
     }.toDF("asset_id", "frame_no", "frame_bytes")
+  }
+
+  // ------------------------------------------------------------ video (mp4)
+
+  /** Real ISO-BMFF video containers derived from the documents fixture:
+    * every doc becomes one mp4 whose sample content is keyed by
+    * `doc_id mod contentKeys` — docs sharing a content key are
+    * byte-identical at the SAMPLE level (a re-muxed mirror), the thing
+    * container-level dedup exists to find. Encoding is per-partition
+    * pure byte assembly (no codec), O(payload) per asset.
+    */
+  def videoAssets(docs: DataFrame, contentKeys: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { docId =>
+        val ck = ((docId % contentKeys) + contentKeys) % contentKeys
+        (docId, IsoBmff.encodeMp4(ck))
+      }
+    }.toDF("asset_id", "payload")
+  }
+
+  /** Per-sample container manifest: one row per (asset, track, sample)
+    * with the sample's absolute byte range inside `mdat`, its decode
+    * duration, and its content signature — everything a mirror-detection
+    * join needs, extracted WITHOUT any codec. Parsing is a single
+    * per-partition pass (one [[IsoBmff.tracks]] walk per asset, O(bytes)
+    * per container); downstream joins group on the signature, so the
+    * candidate volume is bounded by distinct container content exactly
+    * like the q189/q193 representative cascades.
+    */
+  def videoManifest(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (assetId, payload) =>
+          IsoBmff.tracks(payload).flatMap { t =>
+            t.samples.map { s =>
+              (assetId, t.trackId, t.handler, t.codec, t.timescale,
+                t.durationTicks, s.index, s.offset, s.size, s.durationTicks,
+                IsoBmff.sampleSignature(payload, s))
+            }
+          }
+        }
+      }.toDF("asset_id", "track_id", "handler", "codec", "timescale",
+        "duration_ticks", "sample_idx", "sample_offset", "sample_bytes",
+        "sample_ticks", "signature")
   }
 }

@@ -1,0 +1,168 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.IsoBmff
+
+/** ISO-BMFF container layer: box-walk offsets against hand-computed
+  * arithmetic, the stsc/stco/stsz composition on a two-chunk container,
+  * version-1 + co64 + uniform-stsz variants built independently of the
+  * encoder, and totality on malformed bytes.
+  */
+class IsoBmffSpec extends AnyFunSuite {
+
+  // Independent box assembly (deliberately NOT the encoder's helpers).
+  private def be32(v: Long): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(v.toInt).array()
+  private def be64(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN).putLong(v).array()
+  private def box(fourcc: String, body: Array[Byte]*): Array[Byte] = {
+    val b = body.foldLeft(Array.emptyByteArray)(_ ++ _)
+    be32(8L + b.length) ++ fourcc.getBytes("US-ASCII") ++ b
+  }
+  private def full(fourcc: String, version: Int, body: Array[Byte]*): Array[Byte] =
+    box(fourcc, Array[Byte](version.toByte, 0, 0, 0) +:
+      body.toIndexedSeq: _*)
+
+  test("two-chunk container: hand-computed box and sample offsets") {
+    // ck=2: n=6 samples, sizes 16+((14+13i)%17) = 30,26,22,18,31,27;
+    // chunks split 4+2; ftyp is 24 bytes, mdat header 8 → chunk1 at 32,
+    // chunk2 at 32+30+26+22+18 = 128.
+    val p = IsoBmff.encodeMp4(2)
+    val bs = IsoBmff.boxes(p)
+    def one(path: String) = {
+      val hits = bs.filter(_.path == path)
+      assert(hits.size === 1, path)
+      hits.head
+    }
+    assert(one("ftyp").offset === 0 && one("ftyp").size === 24)
+    assert(one("mdat").offset === 24 &&
+      one("mdat").size === 8 + (30 + 26 + 22 + 18 + 31 + 27))
+    assert(one("moov").offset === 24 + 8 + 154)
+    // the full expected nesting is present
+    Seq("moov/mvhd", "moov/trak", "moov/trak/tkhd", "moov/trak/mdia",
+      "moov/trak/mdia/mdhd", "moov/trak/mdia/hdlr", "moov/trak/mdia/minf",
+      "moov/trak/mdia/minf/vmhd", "moov/trak/mdia/minf/dinf",
+      "moov/trak/mdia/minf/stbl", "moov/trak/mdia/minf/stbl/stsd",
+      "moov/trak/mdia/minf/stbl/stts", "moov/trak/mdia/minf/stbl/stsc",
+      "moov/trak/mdia/minf/stbl/stsz", "moov/trak/mdia/minf/stbl/stco")
+      .foreach(one)
+
+    val ts = IsoBmff.tracks(p)
+    assert(ts.size === 1)
+    val t = ts.head
+    assert(t.trackId === 1L && t.handler === "vide" && t.codec === "dtrm")
+    assert(t.timescale === 600L && t.durationTicks === 600L)
+    assert(t.samples.map(_.size) === IndexedSeq(30L, 26L, 22L, 18L, 31L, 27L))
+    assert(t.samples.map(_.offset) ===
+      IndexedSeq(32L, 62L, 88L, 110L, 128L, 159L))
+    assert(t.samples.forall(_.durationTicks === 100L))
+
+    // signatures read the RIGHT ranges: recompute from the payload bytes
+    // at the hand-computed offsets, independent of the parser's ranges
+    t.samples.foreach { s =>
+      var acc = 0L
+      (0 until s.size.toInt).foreach { j =>
+        acc += ((p((s.offset + j).toInt) & 0xFF) + 1L) * (j + 1)
+      }
+      assert(IsoBmff.sampleSignature(p, s) === acc)
+    }
+    // and the mdat bytes are the generator's: sample 4 (chunk 2) spot-check
+    val s4 = t.samples(4)
+    (0 until s4.size.toInt).foreach { j =>
+      assert(p((s4.offset + j).toInt) === IsoBmff.sampleByte(2, 4, j))
+    }
+  }
+
+  test("one-chunk container (n<6) resolves a single stsc run") {
+    val p = IsoBmff.encodeMp4(0) // n=4
+    val t = IsoBmff.tracks(p).head
+    assert(t.samples.size === 4)
+    assert(t.samples.head.offset === 32L)
+    // contiguous within the single chunk
+    t.samples.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.offset === a.offset + a.size)
+    }
+  }
+
+  test("v1 mdhd/tkhd, co64 offsets, uniform stsz, multi-run stts") {
+    // hand-built track: 5 samples of uniform size 10, one chunk at
+    // offset 4096 (via co64), timescale 90000, duration 2^33 (needs v1),
+    // stts runs (3 × 40, 2 × 60)
+    val bigDur = 0x200000000L
+    val mdhd = full("mdhd", 1, be64(0), be64(0), be32(90000), be64(bigDur),
+      be32(0))
+    val tkhd = full("tkhd", 1, be64(0), be64(0), be32(7), be32(0), be64(bigDur),
+      Array.fill(52)(0.toByte))
+    val hdlr = full("hdlr", 0, be32(0), "soun".getBytes("US-ASCII"),
+      be32(0), be32(0), be32(0), Array[Byte](0))
+    val stsd = full("stsd", 0, be32(1),
+      box("mp4a", Array.fill(6)(0.toByte), be32(1).takeRight(2), be32(0)))
+    val stts = full("stts", 0, be32(2), be32(3), be32(40), be32(2), be32(60))
+    val stsc = full("stsc", 0, be32(1), be32(1), be32(5), be32(1))
+    val stsz = full("stsz", 0, be32(10), be32(5)) // uniform size 10
+    val co64 = full("co64", 0, be32(1), be64(4096L))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, co64)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", trak)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0))
+    val p = ftyp ++ moov
+
+    val t = IsoBmff.tracks(p).head
+    assert(t.trackId === 7L && t.handler === "soun" && t.codec === "mp4a")
+    assert(t.timescale === 90000L && t.durationTicks === bigDur)
+    assert(t.samples.map(_.offset) ===
+      IndexedSeq(4096L, 4106L, 4116L, 4126L, 4136L))
+    assert(t.samples.map(_.size).forall(_ === 10L))
+    assert(t.samples.map(_.durationTicks) ===
+      IndexedSeq(40L, 40L, 40L, 60L, 60L))
+  }
+
+  test("stsc runs spanning several chunks map samples correctly") {
+    // 3 chunks at 100/200/300; runs: chunk1+ → 2/chunk, chunk3+ → 1/chunk;
+    // 5 samples of sizes 1..5 land (1,2)(3,4)(5)
+    val stsd = full("stsd", 0, be32(1),
+      box("xxxx", Array.fill(8)(0.toByte)))
+    val stts = full("stts", 0, be32(1), be32(5), be32(1))
+    val stsc = full("stsc", 0, be32(2),
+      be32(1), be32(2), be32(1), be32(3), be32(1), be32(1))
+    val stsz = full("stsz", 0, be32(0), be32(5),
+      be32(1), be32(2), be32(3), be32(4), be32(5))
+    val stco = full("stco", 0, be32(3), be32(100), be32(200), be32(300))
+    val moov = box("moov", box("trak",
+      full("tkhd", 0, Array.fill(80)(0.toByte)),
+      box("mdia",
+        full("mdhd", 0, be32(0), be32(0), be32(600), be32(5)),
+        full("hdlr", 0, be32(0), "vide".getBytes("US-ASCII"),
+          be32(0), be32(0), be32(0), Array[Byte](0)),
+        box("minf", box("stbl", stsd, stts, stsc, stsz, stco)))))
+    val p = box("ftyp", "isom".getBytes("US-ASCII"), be32(0)) ++ moov
+    val t = IsoBmff.tracks(p).head
+    assert(t.samples.map(s => (s.offset, s.size)) === IndexedSeq(
+      (100L, 1L), (101L, 2L), (200L, 3L), (203L, 4L), (300L, 5L)))
+  }
+
+  test("malformed bytes: truncated, garbage, and lying sizes stay total") {
+    val good = IsoBmff.encodeMp4(3)
+    // truncations at every prefix length parse without throwing
+    Seq(0, 3, 7, 8, 20, good.length / 2, good.length - 1).foreach { k =>
+      IsoBmff.boxes(good.take(k))
+      IsoBmff.tracks(good.take(k))
+    }
+    // random-ish garbage
+    val junk = Array.tabulate[Byte](256)(i => (i * 37 + 11).toByte)
+    assert(IsoBmff.tracks(junk).forall(_.samples.isEmpty))
+    // a box whose declared size overruns the file terminates the level
+    val lying = be32(0x7FFFFFFFL) ++ "moov".getBytes("US-ASCII") ++
+      Array.fill(16)(0.toByte)
+    assert(IsoBmff.boxes(lying).isEmpty)
+    // size=0 ("to end") is accepted at top level
+    val toEnd = be32(0) ++ "free".getBytes("US-ASCII") ++ Array.fill(8)(0.toByte)
+    assert(IsoBmff.boxes(toEnd).map(_.path) === Seq("free"))
+    assert(!IsoBmff.isBmff(junk) && IsoBmff.isBmff(good))
+  }
+}
