@@ -1754,6 +1754,18 @@ object SparkEntry {
         .orderBy(col("group_id"))
     }),
 
+    // Beyond-reference: MODEL-BASED quality scoring (the FineWeb-Edu /
+    // DCLM slot) — hashed-token multinomial Naive Bayes distilled from
+    // the Gopher rule pack: rules label the id%5==0 train split, the
+    // classifier fits distributively (O(dim) count tables, integer-
+    // micronat likelihoods), and held-out docs score in one broadcast-
+    // join pass. Report = held-out confusion matrix with exact integer
+    // margin sums; every float rounds identically on both engines
+    // (floor(x*1e6+0.5)), so scores are order-free integer sums.
+    "q200_nb_quality_classifier" -> ((s, dir) =>
+      graft.ops.Classify.nbQualityHashed(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // Beyond-reference: TTL'd STREAMING LSH admission — q152 with the
     // knob production streams cannot run without: BOUNDED state. The
     // admission rule is "admit iff the bucket is unseen OR last seen
@@ -5637,6 +5649,95 @@ object SparkEntry {
                 any_value(total_ticks) AS total_ticks,
                 any_value(sig_sum) AS sig_sum
          FROM assets GROUP BY chain ORDER BY group_id""",
+    // gopher labels (q138's rule replay) + positional-codepoint hashed
+    // features mod 1024 + NB fit on the id%5 train split, integer
+    // micronats floor(ln(.)*1e6+0.5), unseen buckets at the smoothed
+    // zero-count likelihood, tie predicts fail
+    "q200_nb_quality_classifier" ->
+      """WITH d AS (SELECT doc_id, text,
+                      list_filter(string_split_regex(text, '\s+'),
+                        w -> w <> '') AS ts,
+                      string_split(text, chr(10)) AS ls
+                    FROM documents),
+         r AS (SELECT doc_id,
+           COALESCE(len(ts) >= 50 AND len(ts) <= 100000, FALSE) AS p1,
+           COALESCE((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(ts, w -> CAST(length(w) AS BIGINT))),
+               (a, b) -> a + b) AS DOUBLE) / len(ts)) >= 3.0 AND
+             (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(ts, w -> CAST(length(w) AS BIGINT))),
+               (a, b) -> a + b) AS DOUBLE) / len(ts)) <= 10.0, FALSE) AS p2,
+           COALESCE(CAST(length(text) - length(replace(text, '#', ''))
+               AS DOUBLE) <= 0.1 * len(ts), FALSE) AS p3,
+           COALESCE(CAST(length(text) - length(replace(text, '...', ''))
+               AS DOUBLE) / 3.0 <= 0.1 * len(ts), FALSE) AS p4,
+           COALESCE(CAST(len(list_filter(ls, l ->
+               starts_with(trim(l), '-') OR starts_with(trim(l), '*')))
+               AS DOUBLE) <= 0.9 * len(ls), FALSE) AS p5,
+           COALESCE(CAST(len(list_filter(ls, l -> ends_with(trim(l), '...')))
+               AS DOUBLE) <= 0.3 * len(ls), FALSE) AS p6,
+           COALESCE(CAST(len(list_filter(ts, w ->
+               regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+               >= 0.8 * len(ts), FALSE) AS p7,
+           COALESCE(len(list_filter(ts, w -> list_contains(
+               ['the','be','to','of','and','that','have','with'],
+               lower(w)))) >= 2, FALSE) AS p8
+           FROM d),
+         lab AS (SELECT doc_id,
+                   (p1 AND p2 AND p3 AND p4 AND p5 AND p6 AND p7 AND p8)
+                     AS label,
+                   doc_id % 5 = 0 AS is_train
+                 FROM r),
+         toks AS (SELECT doc_id,
+                    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                      w -> w <> '')) AS tok
+                  FROM documents),
+         fb AS (SELECT doc_id,
+                  CAST(list_aggregate(list_transform(
+                    range(1, length(tok) + 1),
+                    k -> (CAST(unicode(substr(tok, CAST(k AS INT), 1))
+                            AS BIGINT) + 1) * k),
+                    'sum') % 1024 AS INT) AS b
+                FROM toks),
+         feats AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt
+                   FROM fb GROUP BY 1, 2),
+         tr AS (SELECT f.b, f.cnt, l.label
+                FROM feats f JOIN lab l USING (doc_id) WHERE l.is_train),
+         tot AS (SELECT
+             CAST(sum(CASE WHEN label THEN cnt ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN NOT label THEN cnt ELSE 0 END) AS BIGINT) AS tf
+           FROM tr),
+         dcnt AS (SELECT
+             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+             CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS df
+           FROM lab WHERE is_train),
+         model AS (SELECT b,
+             CAST(floor(ln(CAST(sum(CASE WHEN label THEN cnt ELSE 0 END) + 1
+               AS DOUBLE) / (tot.tp + 1024)) * 1000000 + 0.5) AS BIGINT)
+               AS l_pass,
+             CAST(floor(ln(CAST(sum(CASE WHEN NOT label THEN cnt ELSE 0 END) + 1
+               AS DOUBLE) / (tot.tf + 1024)) * 1000000 + 0.5) AS BIGINT)
+               AS l_fail
+           FROM tr, tot GROUP BY b, tot.tp, tot.tf),
+         consts AS (SELECT
+             CAST(floor(ln(1.0 / (tot.tp + 1024)) * 1000000 + 0.5) AS BIGINT)
+               AS l0p,
+             CAST(floor(ln(1.0 / (tot.tf + 1024)) * 1000000 + 0.5) AS BIGINT)
+               AS l0f,
+             CAST(floor(ln(CAST(dcnt.dp AS DOUBLE) / (dcnt.dp + dcnt.df))
+               * 1000000 + 0.5) AS BIGINT) AS prp,
+             CAST(floor(ln(CAST(dcnt.df AS DOUBLE) / (dcnt.dp + dcnt.df))
+               * 1000000 + 0.5) AS BIGINT) AS prf
+           FROM tot, dcnt),
+         scored AS (SELECT f.doc_id, l.label, l.is_train,
+                      sum(f.cnt * COALESCE(m.l_pass, c.l0p)) + c.prp AS sp,
+                      sum(f.cnt * COALESCE(m.l_fail, c.l0f)) + c.prf AS sf
+                    FROM feats f JOIN lab l USING (doc_id)
+                    LEFT JOIN model m USING (b), consts c
+                    GROUP BY f.doc_id, l.label, l.is_train, c.prp, c.prf)
+         SELECT label, sp > sf AS pred, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(sp - sf) AS BIGINT) AS margin_sum
+         FROM scored WHERE NOT is_train GROUP BY 1, 2 ORDER BY 1, 2""",
     // q125's winnowing selection machinery → per-doc DISTINCT
     // fingerprint values → df-capped inverted-index self-join →
     // min-side containment ratio

@@ -258,4 +258,100 @@ object Classify {
       .na.fill(0L, Seq("n_test", "n_pred", "n_correct"))
       .select(col("lang"), col("n_test"), col("n_pred"), col("n_correct"))
   }
+
+  /** MODEL-BASED quality scoring, FineWeb-Edu/DCLM-shape with a fully
+    * deterministic recipe: a multinomial Naive Bayes over HASHED token
+    * features, distilled from the Gopher rule pack — rule verdicts label
+    * the train split (`id % trainMod == 0`), the classifier is fit
+    * distributively, and every held-out doc is scored in one pass; the
+    * report is the held-out confusion matrix (distillation fidelity)
+    * with exact integer score margins.
+    *
+    * Determinism, engineered end-to-end:
+    *  - features hash into `dim` buckets with a positional codepoint
+    *    hash `(Σ (cp_k + 1)·k) mod dim` — codepoint-based on BOTH
+    *    engines (Spark `ascii(substring)` / DuckDB `unicode(substr)`),
+    *    and hash COLLISIONS are part of the hashing-trick contract, so
+    *    a simple replayable hash costs accuracy, never correctness;
+    *  - log-likelihoods and priors quantize to integer MICRONATS via
+    *    `floor(x·1e6 + 0.5)` (identical rounding on both engines), so
+    *    every per-doc score is an exact integer sum — immune to
+    *    float addition order across partitions.
+    *
+    * Shape at 100 TB: labels ride the token explode (no label join);
+    * class count tables are `O(dim)` rows; the model is a broadcast
+    * `dim`-row table joined once; scoring is one map-side-combinable
+    * aggregate per doc. Driver state = 4 scalars + the model. Unseen
+    * buckets fall back to the smoothed zero-count likelihood via
+    * coalesce, keeping the model table sparse.
+    */
+  def nbQualityHashed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 1024,
+      trainMod: Int = 5): DataFrame = {
+    val labeled = graft.ops.TextOps.gopherFilter(
+      docs.select(col(idCol).as("id"), col(textCol).as("text")), "id", "text")
+      .select(col("id"), col("text"), col("kept").as("label"),
+        (col("id") % trainMod === 0).as("is_train"))
+
+    val toks = labeled
+      .select(col("id"), col("label"), col("is_train"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val feats = toks
+      .withColumn("b", (aggregate(
+        transform(sequence(lit(1), length(col("tok"))),
+          k => (ascii(col("tok").substr(k, lit(1))).cast("long") + 1L) * k.cast("long")),
+        lit(0L), (a, x) => a + x) % dim).cast("int"))
+      .groupBy(col("id"), col("label"), col("is_train"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+    // model-scale driver state: per-class token totals + train doc counts
+    val trainFeats = feats.filter(col("is_train"))
+    val totRow = trainFeats.agg(
+      sum(when(col("label"), col("cnt")).otherwise(0L)).as("tp"),
+      sum(when(!col("label"), col("cnt")).otherwise(0L)).as("tf")).collect()(0)
+    val nPassTok = Option(totRow.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val nFailTok = Option(totRow.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val docRow = labeled.filter(col("is_train")).agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("dp"),
+      sum(when(!col("label"), 1L).otherwise(0L)).as("df")).collect()(0)
+    val nPassDocs = Option(docRow.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val nFailDocs = Option(docRow.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(nPassDocs > 0 && nFailDocs > 0,
+      s"train split must contain both classes (pass=$nPassDocs fail=$nFailDocs)")
+
+    // integer micronats, floor(x*1e6 + 0.5) on every engine
+    def quant(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    def llik(nCb: org.apache.spark.sql.Column, nTok: Long) =
+      floor(log((nCb + 1).cast("double") / (nTok + dim).toDouble) * 1e6 + 0.5)
+        .cast("long")
+    val l0Pass = quant(math.log(1.0 / (nPassTok + dim)))
+    val l0Fail = quant(math.log(1.0 / (nFailTok + dim)))
+    val priorPass = quant(math.log(nPassDocs.toDouble / (nPassDocs + nFailDocs)))
+    val priorFail = quant(math.log(nFailDocs.toDouble / (nPassDocs + nFailDocs)))
+
+    val model = trainFeats.groupBy(col("b"))
+      .agg(sum(when(col("label"), col("cnt")).otherwise(0L)).as("n_pass_b"),
+        sum(when(!col("label"), col("cnt")).otherwise(0L)).as("n_fail_b"))
+      .select(col("b"),
+        llik(col("n_pass_b"), nPassTok).as("l_pass"),
+        llik(col("n_fail_b"), nFailTok).as("l_fail"))
+
+    val scored = feats.join(broadcast(model), Seq("b"), "left")
+      .withColumn("lp", coalesce(col("l_pass"), lit(l0Pass)))
+      .withColumn("lf", coalesce(col("l_fail"), lit(l0Fail)))
+      .groupBy(col("id"), col("label"), col("is_train"))
+      .agg((sum(col("cnt") * col("lp")) + priorPass).as("sp"),
+        (sum(col("cnt") * col("lf")) + priorFail).as("sf"))
+      .withColumn("pred", col("sp") > col("sf")) // tie breaks to fail
+      .withColumn("margin", col("sp") - col("sf"))
+
+    scored.filter(!col("is_train"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("margin")).as("margin_sum"))
+      .orderBy(col("label"), col("pred"))
+  }
 }

@@ -2823,4 +2823,73 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // "*(1)" marks the whole-stage-codegen'd stage in simpleString form
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("NB quality classifier matches an independent driver-side replay") {
+    import org.apache.spark.sql.functions._
+    // gopher-passing docs need >=50 words, mean len 3-10, >=2 stopwords,
+    // >=80% alphabetic; fails are short. Mixed so the train split
+    // (id%5==0) carries both classes.
+    val good = (("the quick brown fox jumps over and rests " * 6) +
+      "that have with more calm words here now").trim
+    val bad = "tiny### doc... ###"
+    val rows = (0L until 20L).map(i =>
+      (i, if (i % 3 == 0) good + s" tail$i" else bad + s" x$i"))
+    val docs = docsDF(rows)
+    val dim = 64
+    val got = graft.ops.Classify.nbQualityHashed(docs, "doc_id", "text",
+      dim = dim, trainMod = 5)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1),
+        r.getLong(2), r.getLong(3))).toSet
+
+    // independent replay: labels via the (separately pinned) rule pack,
+    // everything downstream re-derived in plain Scala
+    val labels = graft.ops.TextOps.gopherFilter(docs, "doc_id", "text")
+      .select(col("doc_id"), col("kept")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def bucket(tok: String): Int = {
+      val cps = tok.codePoints().toArray
+      var h = 0L
+      cps.indices.foreach(k => h += (cps(k) + 1L) * (k + 1))
+      (h % dim).toInt
+    }
+    def q(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val byDoc = rows.map { case (id, t) =>
+      (id, labels(id), toks(t).map(bucket).groupBy(identity)
+        .map { case (b, o) => b -> o.size.toLong })
+    }
+    val train = byDoc.filter(_._1 % 5 == 0)
+    val nPassTok = train.filter(_._2).flatMap(_._3.values).sum
+    val nFailTok = train.filterNot(_._2).flatMap(_._3.values).sum
+    val nP = train.count(_._2).toLong
+    val nF = train.count(!_._2).toLong
+    def cnt(lab: Boolean, b: Int): Long =
+      train.filter(_._2 == lab).flatMap(_._3.get(b)).sum
+    def lik(lab: Boolean, b: Int): Long = {
+      val (n, tot) = if (lab) (cnt(true, b), nPassTok) else (cnt(false, b), nFailTok)
+      q(math.log((n + 1).toDouble / (tot + dim)))
+    }
+    val prP = q(math.log(nP.toDouble / (nP + nF)))
+    val prF = q(math.log(nF.toDouble / (nP + nF)))
+    val expect = byDoc.filter(_._1 % 5 != 0).map { case (_, lab, fs) =>
+      val sp = fs.map { case (b, c) => c * lik(true, b) }.sum + prP
+      val sf = fs.map { case (b, c) => c * lik(false, b) }.sum + prF
+      (lab, sp > sf, sp - sf)
+    }.groupBy(x => (x._1, x._2)).map { case ((l, p), xs) =>
+      (l, p, xs.size.toLong, xs.map(_._3).sum)
+    }.toSet
+    assert(got === expect)
+
+    // the held-out majority must agree with the rules (distillation works)
+    val agree = got.filter(x => x._1 == x._2).map(_._3).sum
+    val total = got.map(_._3).sum
+    assert(agree * 2 > total, s"distillation fidelity too low: $agree/$total")
+
+    // plan: model joins broadcast, no cartesian
+    val plan = graft.ops.Classify.nbQualityHashed(docs, "doc_id", "text",
+      dim = dim, trainMod = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), "model join must broadcast")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
