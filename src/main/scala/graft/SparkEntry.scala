@@ -1766,6 +1766,95 @@ object SparkEntry {
       graft.ops.Classify.nbQualityHashed(
         t(s, dir, "documents"), "doc_id", "text")),
 
+    // Beyond-reference: INCREMENTAL datacard maintenance over the change
+    // feed — the 100 TB posture for q192's attrition report: recomputing
+    // a datacard over the full corpus per append is O(corpus) per run,
+    // while folding each versioned append's delta through the stage
+    // gates (per-doc verdicts are append-local) and the incremental
+    // near-dup admission (q94's batch-vs-seen cascade) is O(delta).
+    // The query runs BOTH paths and emits them side by side; the oracle
+    // computes the from-scratch card once, so a hash match IS the
+    // incremental == from-scratch assertion. Equality argument for the
+    // dedup stage: version order aligns with doc_id order in the
+    // fixture, so "matches any earlier-seen gate-passing doc (or a
+    // smaller-id doc in the same batch)" and "matches any smaller-id
+    // gate-passing doc" are the same rule; both sides dedup against
+    // SEEN docs (not admitted-only), making the rule chain-free.
+    "q201_incremental_datacard" -> ((s, dir) => {
+      import s.implicits._
+      val T = graft.ops.TextOps
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.documents_cdf")
+      val g = graft.log.GraftCDF.tableChanges(s, path, 0)
+        .filter(col("_change_type") === "insert")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          col("_commit_version").cast("long").as("v"),
+          T.tokenCount(col("text")).cast("long").as("tok0"),
+          (T.langId(col("text")) =!= "und").as("p2"),
+          (T.qualityScore(col("text")) >= 0.5 &&
+            T.uniqueTokenRatio(col("text")) >= 0.4).as("p3"))
+        .localCheckpoint()
+
+      def stageRow(df: DataFrame): Array[Long] = {
+        val r = df.agg(
+          count(lit(1)), coalesce(sum(col("tok0")), lit(0L)),
+          count(when(col("p2"), 1)),
+          coalesce(sum(when(col("p2"), col("tok0"))), lit(0L)),
+          count(when(col("p2") && col("p3"), 1)),
+          coalesce(sum(when(col("p2") && col("p3"), col("tok0"))), lit(0L)))
+          .first()
+        Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      }
+      def survivorRow(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          coalesce(sum(col("tok0")), lit(0L))).first()
+        (r.getLong(0), r.getLong(1))
+      }
+
+      // --- incremental fold over versions (version-scale driver loop)
+      val versions = g.select(col("v")).distinct().as[Long].collect().sorted
+      val acc = Array.fill(6)(0L)
+      var admN = 0L; var admT = 0L
+      var seen: DataFrame = null
+      versions.foreach { v =>
+        val b = g.filter(col("v") === v)
+        val r = stageRow(b)
+        (0 until 6).foreach(i => acc(i) += r(i))
+        val bPass = b.filter(col("p2") && col("p3"))
+          .select(col("doc_id"), col("text"), col("tok0"))
+        val adm = graft.ops.Dedup.incrementalDedup(
+          Option(seen).getOrElse(bPass.limit(0)), bPass,
+          "doc_id", "text", threshold = 0.6).localCheckpoint()
+        val (an, at) = survivorRow(adm)
+        admN += an; admT += at
+        graft.ops.Dedup.releasePersisted()
+        seen = Option(seen).map(_.unionByName(bPass)).getOrElse(bPass)
+          .localCheckpoint()
+      }
+
+      // --- from-scratch over the full corpus, smaller-id-wins
+      val fr = stageRow(g)
+      val fPass = g.filter(col("p2") && col("p3"))
+        .select(col("doc_id"), col("text"), col("tok0"))
+      val pairs = graft.ops.Dedup.nearDuplicatesExact(fPass, "doc_id", "text",
+        threshold = 0.6, includeMinHashCandidates = false)
+      val surv = fPass.join(
+        pairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val (fn, ft) = survivorRow(surv)
+      graft.ops.Dedup.releasePersisted()
+
+      Seq(
+        (0L, "input", acc(0), acc(1), fr(0), fr(1)),
+        (1L, "langid", acc(2), acc(3), fr(2), fr(3)),
+        (2L, "quality", acc(4), acc(5), fr(4), fr(5)),
+        (3L, "near_dup", admN, admT, fn, ft))
+        .toDF("stage_idx", "stage", "n_docs_incr", "n_tokens_incr",
+          "n_docs_full", "n_tokens_full")
+    }),
+
     // Beyond-reference: TTL'd STREAMING LSH admission — q152 with the
     // knob production streams cannot run without: BOUNDED state. The
     // admission rule is "admit iff the bucket is unseen OR last seen
@@ -5738,6 +5827,57 @@ object SparkEntry {
          SELECT label, sp > sf AS pred, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(sp - sf) AS BIGINT) AS margin_sum
          FROM scored WHERE NOT is_train GROUP BY 1, 2 ORDER BY 1, 2""",
+    // from-scratch datacard replay (q192's langid/quality formulas on raw
+    // text, q27's pair replay at 0.6, smaller-id-wins); the oracle emits
+    // the SAME card into the _incr and _full column pairs, so a match
+    // asserts incremental == from-scratch
+    "q201_incremental_datacard" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ts,
+                      CAST(length(text) AS DOUBLE) AS n_chars
+                    FROM documents),
+         mk AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS gm FROM (
+           SELECT *,
+             len(list_filter(ts, t -> t IN ('the','fast','data','query'))) AS s_en,
+             len(list_filter(ts, t -> t IN ('scan','merge','window'))) AS s_de,
+             len(list_filter(ts, t -> t IN ('table','column','line'))) AS s_fr,
+             len(list_filter(ts, t -> t IN ('row','group','order'))) AS s_es,
+             len(list_filter(ts, t -> t IN ('hash','join','key'))) AS s_zh
+           FROM d)),
+         lab AS (SELECT doc_id, text, CAST(len(ts) AS BIGINT) AS tok0,
+           gm > 0 AS p2,
+           ((0.5 * least(n_chars / 500.0, 1.0) +
+             0.5 * (1.0 - least(abs((n_chars - (CAST(len(ts) AS DOUBLE) - 1.0))
+                                    / CAST(len(ts) AS DOUBLE) - 5.0) / 5.0, 1.0))) *
+            (CASE WHEN len(ts) < 5 THEN 0.5 ELSE 1.0 END)) >= 0.5
+           AND len(list_distinct(ts))::DOUBLE / len(ts)::DOUBLE >= 0.4 AS p3
+           FROM mk),
+         gp AS (SELECT doc_id, text, tok0 FROM lab WHERE p2 AND p3),
+         sets AS (SELECT doc_id, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset FROM gp),
+         ddrop AS (SELECT DISTINCT b.doc_id FROM sets b JOIN sets a
+                   ON a.doc_id < b.doc_id
+                   AND len(list_intersect(a.fset, b.fset))::DOUBLE /
+                       len(list_distinct(a.fset || b.fset))::DOUBLE >= 0.6),
+         surv AS (SELECT * FROM gp
+                  WHERE doc_id NOT IN (SELECT doc_id FROM ddrop)),
+         st AS (
+           SELECT 0 AS stage_idx, 'input' AS stage,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(tok0), 0) AS BIGINT) AS tk FROM lab
+           UNION ALL SELECT 1, 'langid', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(tok0), 0) AS BIGINT) FROM lab WHERE p2
+           UNION ALL SELECT 2, 'quality', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(tok0), 0) AS BIGINT) FROM lab WHERE p2 AND p3
+           UNION ALL SELECT 3, 'near_dup', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(tok0), 0) AS BIGINT) FROM surv)
+         SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+                n AS n_docs_incr, tk AS n_tokens_incr,
+                n AS n_docs_full, tk AS n_tokens_full
+         FROM st ORDER BY stage_idx""",
     // q125's winnowing selection machinery → per-doc DISTINCT
     // fingerprint values → df-capped inverted-index self-join →
     // min-side containment ratio

@@ -107,6 +107,26 @@ object SharedFixtures {
       }
     }
 
+    // documents_cdf: the documents_versioned quartile appends with CDF
+    // enabled — the incremental-maintenance fixture (q201): per-version
+    // insert batches readable row-level via tableChanges.
+    buildIfMissing(root, "documents_cdf") { path =>
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n = d.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+        .collect().head.getLong(0) + 1
+      val quarters = Seq(0L, n / 4, n / 2, 3 * n / 4, n)
+      TableBuilder.create(spark,
+        d.filter(col("doc_id") < quarters(1)).coalesce(1), path,
+        name = "documents_cdf",
+        configuration = Map("enableChangeDataFeed" -> "true"))
+      (1 to 3).foreach { i =>
+        TableBuilder.append(spark,
+          d.filter(col("doc_id") >= quarters(i) && col("doc_id") < quarters(i + 1))
+            .coalesce(1),
+          path, timestamp = i * 1000L)
+      }
+    }
+
     // orders_cdf: CDF-enabled table with insert/insert/delete/update
     // history, all derived deterministically from the orders fixture.
     buildIfMissing(root, "orders_cdf") { path =>
@@ -218,7 +238,7 @@ object SharedFixtures {
 
     Seq("lineitem", "orders", "orders_versioned", "events", "orders_cdf",
       "orders_delta", "part_delta", "nation_dv", "nation_dv_cdf", "customer_cm",
-      "supplier_compacted", "documents_versioned").foreach { t =>
+      "supplier_compacted", "documents_versioned", "documents_cdf").foreach { t =>
       GraftCatalog.register(s"$SHARE.$t", s"$root/$t")
     }
     built += root

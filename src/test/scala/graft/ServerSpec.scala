@@ -80,8 +80,8 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ------------------------------------------------------------ listings
 
-  private val fixtureTables = Seq("customer_cm", "documents_versioned",
-    "events", "lineitem",
+  private val fixtureTables = Seq("customer_cm", "documents_cdf",
+    "documents_versioned", "events", "lineitem",
     "nation_dv", "nation_dv_cdf", "orders", "orders_cdf", "orders_delta",
     "orders_versioned", "part_delta", "supplier_compacted")
 
