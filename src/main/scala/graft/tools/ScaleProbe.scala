@@ -59,6 +59,40 @@ object ScaleProbe {
 
     def docs(k: Int) = spark.read.parquet(dirs(k))
 
+    // Wide-vocabulary corpus for the winnowing probe (round-12 verdict:
+    // the documents fixture's ~60-word vocabulary pushes nearly every
+    // winnowing fingerprint over the df-cap at sf0.1 — 0 surviving pairs
+    // at k=1 — so the measured alpha reflected a df-distribution shift,
+    // not join scaling). Each copy draws from its own 50k-word salted
+    // vocabulary; doc j has 120 words w<(j·37+p·17)%50k>, and docs with
+    // j%10==1 copy doc j−1's tail 60 words into their head — a planted
+    // 60-word overlap run per 10 docs, so true pairs grow linearly with
+    // k, fingerprints stay rare, and the df-cap stays quiet.
+    val baseN = base.count()
+    def wideDocs(k: Int): DataFrame = {
+      val isCopy = pmod(col("j"), lit(10)) === 1
+      spark.range(k.toLong * baseN).select(col("id").as("doc_id"))
+        .withColumn("c", (col("doc_id") / baseN).cast("long"))
+        .withColumn("j", pmod(col("doc_id"), lit(baseN)))
+        .withColumn("text", concat_ws(" ",
+          transform(sequence(lit(0), lit(119)), p => {
+            val srcJ = when(isCopy && p < 60, col("j") - 1).otherwise(col("j"))
+            val srcP = when(isCopy && p < 60, p + 60).otherwise(p)
+            concat(lit("w"),
+              ((srcJ * 37 + srcP * 17) % 50000 + col("c") * 50000).cast("string"))
+          })))
+        .select(col("doc_id"), col("text"))
+    }
+    val wideCache = scala.collection.mutable.Map.empty[Int, String]
+    def wide(k: Int): DataFrame = {
+      val dir = wideCache.getOrElseUpdate(k, {
+        val d = s"/root/repo/target/scaleprobe/wide_k$k"
+        spark.time(wideDocs(k).repartition(k * 8).write.mode("overwrite").parquet(d))
+        d
+      })
+      spark.read.parquet(dir)
+    }
+
     val allOps: Seq[(String, Int => Long)] = Seq(
       "q27_prefix_cascade" -> (k =>
         graft.ops.Dedup.nearDuplicatesExact(docs(k), "doc_id", "text",
@@ -489,6 +523,12 @@ object ScaleProbe {
       "q195_winnowing_overlap" -> (k =>
         graft.ops.TextOps.winnowingOverlap(
           docs(k), "doc_id", "text", minOverlap = 0.5, dfCap = 64L).count()),
+      // re-fixtured winnowing probe (wide vocabulary, planted overlap
+      // runs): measures the JOIN scaling the documents-fixture variant
+      // could not — k=1 has non-zero surviving pairs by construction
+      "q195_winnow_widevocab" -> (k =>
+        graft.ops.TextOps.winnowingOverlap(
+          wide(k), "doc_id", "text", minOverlap = 0.5, dfCap = 64L).count()),
       // real sampled-audio decode is the linear term; candidates live on
       // distinct energy-profile representatives under (dhash8, sig32)
       // bucket keys — same exact-first posture as the image cascade
@@ -521,6 +561,10 @@ object ScaleProbe {
       }))
     val ops = allOps.filter { case (name, _) =>
       opFilter.forall(_.exists(name.startsWith)) }
+
+    // pre-materialize the wide-vocab corpus outside any timed region
+    if (ops.exists(_._1 == "q195_winnow_widevocab"))
+      factors.foreach(k => wide(k).count())
 
     // warm-up on the smallest factor
     ops.foreach { case (_, fn) => fn(factors.min) }
