@@ -583,12 +583,14 @@ class GraftServer(
       .orElse(Option(req.timestamp).map(ts => l.versionAtOrBefore(parseWireTimestamp(ts))))
       .orElse(refreshTok.map(_.version))
 
+    val tSnap = System.nanoTime()
     val snap = explicit match {
       // pinned versions are immutable — resolve through the process LRU so
       // continuation pages don't re-replay the log (O(files) per page)
       case Some(v) => GraftCatalog.snapshotAt(l, v)
       case None    => latestSnapshot(l, location)
     }
+    addPhase("snapshot", System.nanoTime() - tSnap)
     val version = snap.version
     val fmt = negotiateFormat(ex, snap.metadata)
     val partitionSchema = org.apache.spark.sql.types.StructType(
@@ -623,6 +625,7 @@ class GraftServer(
     // checksum) and continuation pages SLICE instead of recomputing —
     // without this a full pagination is O(files × pages) driver work.
     val checksum = queryChecksum(tableKey, req)
+    val tList = System.nanoTime()
     val afterLimit: IndexedSeq[graft.model.AddFile] =
       GraftCatalog.filteredListing(location, version, checksum) {
         val sorted = snap.files.sortBy(_.path)
@@ -659,6 +662,8 @@ class GraftServer(
         }).toIndexedSeq
       }
 
+    addPhase("listing", System.nanoTime() - tList)
+
     // Pagination slice with checksummed continuation token.
     val startIndex = pageTok.map(_.startIndex).getOrElse(0)
     val pageSize = Option(req.maxFiles).map(_.intValue())
@@ -673,6 +678,7 @@ class GraftServer(
 
     val expiration = now() + config.preSignedUrlTimeoutSeconds * 1000
     val idScheme = fileIdScheme(ex, fmt)
+    val tRender = System.nanoTime()
     val fileLines = pageFiles.map { f =>
       if (fmt == FORMAT_DELTA)
         DeltaLine(file = DeltaFileW(
@@ -699,6 +705,7 @@ class GraftServer(
         stats = f.stats.map(JsonUtils.toJson).orNull,
         expirationTimestamp = expiration)).json
     }
+    addPhase("render", System.nanoTime() - tRender)
     val refreshToken = if (Option(req.includeRefreshToken).exists(_.booleanValue()))
       Some(Tokens.encode(Tokens.RefreshTokenPayload(
         tableKey, version, now() + config.refreshTokenTtlMs)))
@@ -952,6 +959,19 @@ class GraftServer(
     * a page walk signs O(files-returned) per page, never O(files-total).
     */
   private[graft] val signCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** Probe hook: accumulated nanoseconds per /query phase (snapshot
+    * resolution, listing pipeline, line render+sign) — the server-path
+    * bench split: REST-layer regressions must not hide inside Spark scan
+    * noise (round-12 verdict task #7). Keys: `snapshot`, `listing`,
+    * `render`.
+    */
+  private[graft] val phaseNanos =
+    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
+  private def addPhase(name: String, ns: Long): Unit =
+    phaseNanos.getOrElseUpdate(name,
+      new java.util.concurrent.atomic.AtomicLong).addAndGet(ns)
+  private[graft] def resetPhases(): Unit = phaseNanos.clear()
 
   private[server] def signUrl(location: String, relPath: String, expiration: Long): String = {
     signCount.incrementAndGet()

@@ -26,4 +26,7 @@ object LocalShareServer {
     }
     server.url
   }
+
+  /** Test/probe hook: the live server instance (null before ensure). */
+  private[graft] def instance: GraftServer = server
 }
