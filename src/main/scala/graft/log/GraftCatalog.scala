@@ -54,15 +54,20 @@ object GraftCatalog {
     * table replays the log once, not once per page (the reference's
     * `DeltaSharedTableLoader` caches per-version snapshots the same way).
     */
-  def snapshotAt(l: GraftLog, version: Long): Snapshot = snapshotCache.synchronized {
+  def snapshotAt(l: GraftLog, version: Long): Snapshot = {
     val key = (l.tablePath, version)
-    val cached = snapshotCache.get(key)
-    if (cached != null) cached
-    else {
-      val s = l.snapshot(Some(version))
-      snapshotCache.put(key, s)
-      s
+    // replay OUTSIDE the cache monitor (same discipline as
+    // filteredListing): a cold 10^5-file replay takes hundreds of ms,
+    // and holding the global lock for it would serialize every other
+    // table's snapshot resolution behind it. Concurrent duplicate
+    // replays of the same immutable version are benign — last put wins.
+    snapshotCache.synchronized {
+      val cached = snapshotCache.get(key)
+      if (cached != null) return cached
     }
+    val s = l.snapshot(Some(version))
+    snapshotCache.synchronized { snapshotCache.put(key, s) }
+    s
   }
 
   /** (location, version, query checksum) → pruned+limited file listing.
@@ -124,15 +129,6 @@ object GraftCatalog {
     val resolved = version
       .orElse(timestampMs.map(l.versionAtOrBefore))
       .getOrElse(l.latestVersion())
-    val key = (l.tablePath, resolved)
-    snapshotCache.synchronized {
-      val cached = snapshotCache.get(key)
-      if (cached != null) cached
-      else {
-        val s = l.snapshot(Some(resolved))
-        snapshotCache.put(key, s)
-        s
-      }
-    }
+    snapshotAt(l, resolved)
   }
 }

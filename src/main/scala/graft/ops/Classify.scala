@@ -300,6 +300,12 @@ object Classify {
       .select(col("id"), col("label"), col("is_train"),
         explode(split(lower(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
+    // localCheckpoint, not lineage: the rule-pack + tokenize + hash +
+    // groupBy pipeline feeds FOUR separate actions (two scalar collects,
+    // the model aggregate, the scoring pass) — without truncation each
+    // action re-runs the whole text pipeline (the q192 lesson: persist()
+    // does not reliably barrier HOF-lambda plans). `labels` is the
+    // text-free per-doc frame for the doc-count collect.
     val feats = toks
       .withColumn("b", (aggregate(
         transform(sequence(lit(1), length(col("tok"))),
@@ -307,6 +313,7 @@ object Classify {
         lit(0L), (a, x) => a + x) % dim).cast("int"))
       .groupBy(col("id"), col("label"), col("is_train"), col("b"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
 
     // model-scale driver state: per-class token totals + train doc counts
     val trainFeats = feats.filter(col("is_train"))
@@ -315,7 +322,9 @@ object Classify {
       sum(when(!col("label"), col("cnt")).otherwise(0L)).as("tf")).collect()(0)
     val nPassTok = Option(totRow.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val nFailTok = Option(totRow.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
-    val docRow = labeled.filter(col("is_train")).agg(
+    val labels = labeled.select(col("id"), col("label"), col("is_train"))
+      .localCheckpoint() // text-free: 3 narrow columns per doc
+    val docRow = labels.filter(col("is_train")).agg(
       sum(when(col("label"), 1L).otherwise(0L)).as("dp"),
       sum(when(!col("label"), 1L).otherwise(0L)).as("df")).collect()(0)
     val nPassDocs = Option(docRow.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -340,16 +349,19 @@ object Classify {
         llik(col("n_pass_b"), nPassTok).as("l_pass"),
         llik(col("n_fail_b"), nFailTok).as("l_fail"))
 
-    val scored = feats.join(broadcast(model), Seq("b"), "left")
+    // only held-out docs need scores — filtering BEFORE the model join
+    // drops the train share of the join/agg work
+    val scored = feats.filter(!col("is_train"))
+      .join(broadcast(model), Seq("b"), "left")
       .withColumn("lp", coalesce(col("l_pass"), lit(l0Pass)))
       .withColumn("lf", coalesce(col("l_fail"), lit(l0Fail)))
-      .groupBy(col("id"), col("label"), col("is_train"))
+      .groupBy(col("id"), col("label"))
       .agg((sum(col("cnt") * col("lp")) + priorPass).as("sp"),
         (sum(col("cnt") * col("lf")) + priorFail).as("sf"))
       .withColumn("pred", col("sp") > col("sf")) // tie breaks to fail
       .withColumn("margin", col("sp") - col("sf"))
 
-    scored.filter(!col("is_train"))
+    scored
       .groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n_docs"), sum(col("margin")).as("margin_sum"))
       .orderBy(col("label"), col("pred"))

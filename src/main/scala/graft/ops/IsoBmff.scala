@@ -212,7 +212,17 @@ object IsoBmff {
   def tracks(payload: Array[Byte]): Seq[TrackInfo] = {
     val all = boxes(payload)
     val traks = all.filter(_.path == "moov/trak")
-    traks.map { trak =>
+    // totality, second layer: boxes() hardens the WALK against lying
+    // sizes, but a well-boxed container can still lie in its sample
+    // TABLES (stsz count 2^31-1 → OOM on fill; counts past the box end →
+    // OOB reads; stco offsets past mdat → OOB signatures). Every table
+    // count is clamped to what its box can physically hold, stts runs
+    // are capped at the sample count, out-of-payload sample ranges are
+    // dropped, and any residual decode error skips the TRACK, never the
+    // task — crawled bytes must not kill a Spark stage.
+    def availEntries(b: BoxInfo, header: Long, entry: Long): Int =
+      (((b.offset + b.size - b.payloadOffset - header) max 0L) / entry).toInt
+    traks.flatMap { trak => scala.util.Try {
       def in(suffix: String): Option[BoxInfo] =
         all.find(b => b.path == s"${trak.path}$suffix" &&
           b.offset >= trak.offset && b.offset < trak.offset + trak.size)
@@ -242,21 +252,28 @@ object IsoBmff {
         else Some(new String(p, b.payloadOffset.toInt + 12, 4, "US-ASCII"))
       }.getOrElse("")
 
-      // stsz: uniform size or per-sample table
+      // stsz: uniform size or per-sample table; counts clamped to what
+      // the box (or, for uniform sizes, the payload) can hold
       val (sizes, nSamples) = in("/mdia/minf/stbl/stsz").map { b =>
         val uniform = u32(p, b.payloadOffset + 4)
-        val count = u32(p, b.payloadOffset + 8).toInt
-        if (uniform != 0) (IndexedSeq.fill(count)(uniform), count)
-        else ((0 until count).map(i => u32(p, b.payloadOffset + 12 + 4L * i)), count)
+        val declared = u32(p, b.payloadOffset + 8)
+        if (uniform != 0) {
+          val cap = p.length.toLong / (uniform max 1L) + 1
+          val count = (declared min cap).toInt
+          (IndexedSeq.fill(count)(uniform), count)
+        } else {
+          val count = declared.toInt min availEntries(b, 12, 4)
+          ((0 until count).map(i => u32(p, b.payloadOffset + 12 + 4L * i)), count)
+        }
       }.getOrElse((IndexedSeq.empty[Long], 0))
 
       // stco/co64 chunk offsets
       val chunkOffsets: IndexedSeq[Long] =
         in("/mdia/minf/stbl/stco").map { b =>
-          val c = u32(p, b.payloadOffset + 4).toInt
+          val c = u32(p, b.payloadOffset + 4).toInt min availEntries(b, 8, 4)
           (0 until c).map(i => u32(p, b.payloadOffset + 8 + 4L * i))
         }.orElse(in("/mdia/minf/stbl/co64").map { b =>
-          val c = u32(p, b.payloadOffset + 4).toInt
+          val c = u32(p, b.payloadOffset + 4).toInt min availEntries(b, 8, 8)
           (0 until c).map(i => u64(p, b.payloadOffset + 8 + 8L * i))
         }).getOrElse(IndexedSeq.empty)
 
@@ -265,7 +282,7 @@ object IsoBmff {
       // run's first_chunk — the spec's run-length encoding)
       val stscRuns: IndexedSeq[(Long, Long)] =
         in("/mdia/minf/stbl/stsc").map { b =>
-          val c = u32(p, b.payloadOffset + 4).toInt
+          val c = u32(p, b.payloadOffset + 4).toInt min availEntries(b, 8, 12)
           (0 until c).map { i =>
             (u32(p, b.payloadOffset + 8 + 12L * i),
               u32(p, b.payloadOffset + 8 + 12L * i + 4))
@@ -274,17 +291,25 @@ object IsoBmff {
       def samplesInChunk(chunk1Based: Long): Long =
         stscRuns.takeWhile(_._1 <= chunk1Based).lastOption.map(_._2).getOrElse(0L)
 
-      // stts decode deltas, run-length → per-sample duration
+      // stts decode deltas, run-length → per-sample duration; run counts
+      // capped at the sample count so a lying run can't materialize more
+      // than nSamples entries
       val durations: IndexedSeq[Long] = in("/mdia/minf/stbl/stts").map { b =>
-        val c = u32(p, b.payloadOffset + 4).toInt
-        (0 until c).flatMap { i =>
-          val cnt = u32(p, b.payloadOffset + 8 + 8L * i)
+        val c = u32(p, b.payloadOffset + 4).toInt min availEntries(b, 8, 8)
+        val out = IndexedSeq.newBuilder[Long]
+        var total = 0L
+        (0 until c).foreach { i =>
+          val cnt = u32(p, b.payloadOffset + 8 + 8L * i) min (nSamples - total)
           val delta = u32(p, b.payloadOffset + 8 + 8L * i + 4)
-          Seq.fill(cnt.toInt)(delta)
-        }.toIndexedSeq
+          (0L until cnt).foreach(_ => out += delta)
+          total += cnt
+        }
+        out.result()
       }.getOrElse(IndexedSeq.empty)
 
-      // compose: walk chunks, lay samples at cumulative offsets
+      // compose: walk chunks, lay samples at cumulative offsets; ranges
+      // that fall outside the payload (truncated/lying mdat) are DROPPED
+      // so downstream signature reads can never go out of bounds
       val samples = IndexedSeq.newBuilder[SampleRange]
       var s = 0
       var chunk = 1L
@@ -293,15 +318,16 @@ object IsoBmff {
         var off = chunkOffsets((chunk - 1).toInt)
         var k = 0L
         while (k < inChunk && s < nSamples) {
-          samples += SampleRange(s, off, sizes(s),
-            if (s < durations.size) durations(s) else 0L)
+          if (off >= 0 && sizes(s) >= 0 && off + sizes(s) <= p.length)
+            samples += SampleRange(s, off, sizes(s),
+              if (s < durations.size) durations(s) else 0L)
           off += sizes(s)
           s += 1; k += 1
         }
         chunk += 1
       }
       TrackInfo(trackId, handler, codec, timescale, duration, samples.result())
-    }
+    }.toOption }
   }
 
   /** Container-level sample signature: Σ (byte+1)·(position+1) over the

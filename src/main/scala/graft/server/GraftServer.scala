@@ -1230,7 +1230,12 @@ class GraftServer(
 
   private def queryChecksum(tableKey: String, req: QueryRequest): String =
     Tokens.checksum(Seq(tableKey,
-      Option(req.predicateHints).getOrElse(Nil).mkString(","),
+      // length-prefixed join: hint lists like ["a","b"] and ["a,b"] must
+      // NOT collide — the checksum now keys the filtered-listing cache,
+      // so a collision would serve one query another's pruned file list
+      // (a silent under-return), not just mismatch a continuation token
+      Option(req.predicateHints).getOrElse(Nil)
+        .map(h => s"${h.length}:$h").mkString(","),
       String.valueOf(req.jsonPredicateHints), String.valueOf(req.limitHint),
       String.valueOf(req.version), String.valueOf(req.timestamp),
       String.valueOf(req.startingVersion), String.valueOf(req.endingVersion)))

@@ -115,16 +115,19 @@ object MetaProbe {
     }
   }
 
+  /** Best-of-reps; the FIRST run is timed too (no untimed warm-up —
+    * cold measurements must actually be cold).
+    */
   private def timeMs[T](reps: Int)(body: => T): (Double, T) = {
     var best = Double.MaxValue
-    var last: T = body // warm nothing away — first run counts too
-    var t0 = 0L
+    var last: Option[T] = None
     (0 until reps).foreach { _ =>
-      t0 = System.nanoTime()
-      last = body
+      val t0 = System.nanoTime()
+      val r = body
       best = math.min(best, (System.nanoTime() - t0) / 1e6)
+      last = Some(r)
     }
-    (best, last)
+    (best, last.get)
   }
 
   def main(args: Array[String]): Unit = {

@@ -65,12 +65,18 @@ object ServerSplit {
       }
       val m = runs.sortBy(_._1)(Ordering.Double.TotalOrdering)(runs.size / 2)
       val serverMs = m._2 + m._3 + m._4
+      // `residual_ms` (not "spark_ms"): phaseNanos sums per-REQUEST
+      // durations, so when a read issues overlapping /query requests the
+      // sum is CPU-time, not wall-time — subtracting it from wall e2e is
+      // only an upper bound on the non-server share (and could go
+      // negative under heavy request concurrency). The per-phase columns
+      // are the regression signal; the residual is context.
       println(graft.model.JsonUtils.toJson(Map(
         "query" -> name, "e2e_ms" -> m._1.round,
         "server_ms" -> serverMs.round,
         "snapshot_ms" -> m._2.round, "listing_ms" -> m._3.round,
         "render_sign_ms" -> m._4.round,
-        "spark_ms" -> (m._1 - serverMs).round,
+        "residual_ms" -> (m._1 - serverMs).round,
         "files_signed" -> m._5)))
     }
     spark.stop()

@@ -110,7 +110,10 @@ class IsoBmffSpec extends AnyFunSuite {
     val trak = box("trak", tkhd, mdia)
     val moov = box("moov", trak)
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0))
-    val p = ftyp ++ moov
+    // pad with a free box so the declared 4096..4146 sample ranges are
+    // actually inside the payload (the parser drops unresolvable ranges)
+    val head = ftyp ++ moov
+    val p = head ++ box("free", Array.fill(4146 - head.length - 8)(0.toByte))
 
     val t = IsoBmff.tracks(p).head
     assert(t.trackId === 7L && t.handler === "soun" && t.codec === "mp4a")
@@ -164,5 +167,46 @@ class IsoBmffSpec extends AnyFunSuite {
     val toEnd = be32(0) ++ "free".getBytes("US-ASCII") ++ Array.fill(8)(0.toByte)
     assert(IsoBmff.boxes(toEnd).map(_.path) === Seq("free"))
     assert(!IsoBmff.isBmff(junk) && IsoBmff.isBmff(good))
+  }
+
+  test("lying sample tables stay total: huge counts, OOB offsets") {
+    def track(stbl: Array[Byte]): Array[Byte] =
+      box("ftyp", "isom".getBytes("US-ASCII"), be32(0)) ++
+        box("moov", box("trak",
+          full("tkhd", 0, Array.fill(80)(0.toByte)),
+          box("mdia",
+            full("mdhd", 0, be32(0), be32(0), be32(600), be32(5)),
+            full("hdlr", 0, be32(0), "vide".getBytes("US-ASCII"),
+              be32(0), be32(0), be32(0), Array[Byte](0)),
+            box("minf", box("stbl", stbl)))))
+    val stsd = full("stsd", 0, be32(1), box("xxxx", Array.fill(8)(0.toByte)))
+
+    // uniform stsz declaring 2^31-1 samples: clamped, no OOM, no throw
+    val hugeUniform = track(stsd ++
+      full("stsz", 0, be32(10), be32(0x7FFFFFFFL)) ++
+      full("stts", 0, be32(1), be32(0x7FFFFFFFL), be32(1)) ++
+      full("stsc", 0, be32(1), be32(1), be32(0x7FFFFFFFL), be32(1)) ++
+      full("stco", 0, be32(1), be32(40)))
+    IsoBmff.tracks(hugeUniform) // must not OOM or throw
+
+    // per-sample stsz whose count exceeds the box: clamped to box capacity
+    val overCount = track(stsd ++
+      full("stsz", 0, be32(0), be32(1000), be32(3), be32(4)) ++ // declares 1000, holds 2
+      full("stco", 0, be32(1), be32(40)) ++
+      full("stsc", 0, be32(1), be32(1), be32(1000), be32(1)))
+    val t2 = IsoBmff.tracks(overCount)
+    assert(t2.head.samples.size <= 2)
+
+    // stco offset past the payload: the unresolvable sample is dropped
+    val oobOffset = track(stsd ++
+      full("stsz", 0, be32(0), be32(1), be32(5)) ++
+      full("stco", 0, be32(1), be32(1000000)) ++
+      full("stsc", 0, be32(1), be32(1), be32(1), be32(1)))
+    val t3 = IsoBmff.tracks(oobOffset)
+    assert(t3.head.samples.isEmpty)
+
+    // stsd smaller than a codec entry: the track is skipped, not fatal
+    val tinyStsd = track(full("stsd", 0, be32(1)))
+    IsoBmff.tracks(tinyStsd) // must not throw
   }
 }
