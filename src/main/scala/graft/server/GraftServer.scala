@@ -825,7 +825,7 @@ class GraftServer(
     // rows; the start snapshot's config may predate the feature, so gate
     // on the actions actually served (reference: kernel rejects per-commit)
     if (!delta) {
-      l.changes(start, end).foreach(_.actions.foreach {
+      GraftCatalog.changesBetween(l, start, end).foreach(_.actions.foreach {
         case a: AddFile if a.deletionVector.isDefined =>
           throw GraftServerException.unsupported(
             "the requested version range contains files with deletion vectors, " +
@@ -851,7 +851,8 @@ class GraftServer(
     // only for the page actually sliced below. Signing is the expensive
     // step (HMAC / SigV4 per file), so a page walk must sign
     // O(files-returned) per page, never O(files-in-range).
-    val actionLines: IndexedSeq[() => String] = l.changes(start, end).flatMap { commit =>
+    val actionLines: IndexedSeq[() => String] =
+      GraftCatalog.changesBetween(l, start, end).flatMap { commit =>
       val protoLines: Seq[() => String] = if (emitHistProto) {
         commit.actions.foreach {
           case p: graft.model.Protocol => runProto = p

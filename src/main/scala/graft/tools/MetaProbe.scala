@@ -240,6 +240,49 @@ object MetaProbe {
           "paginate_total_ms" -> sumMs.round, "pages" -> pages,
           "page_ms" -> pageTimes.result().map(_.round),
           "sign_small_page_ms" -> smallMs.round)
+
+        // version-range (/changes-equivalent) pagination: the render-
+        // thunk path — signing/serialization must be per-page while the
+        // walk itself re-reads commits from the per-instance cache
+        def rangePage(tok: Option[String], maxFiles: Int): (Double, Int, Option[String]) = {
+          val base = s""""startingVersion":0,"maxFiles":$maxFiles"""
+          val body = tok match {
+            case Some(t) => s"""{$base,"pageToken":"$t"}"""
+            case None    => s"""{$base}"""
+          }
+          val req = HttpRequest.newBuilder(URI.create(
+            s"${server.url}/shares/share1/schemas/default/tables/meta$n/query"))
+            .header("Authorization", "Bearer probe")
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+          val t0 = System.nanoTime()
+          val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+          val ms = (System.nanoTime() - t0) / 1e6
+          require(resp.statusCode() == 200, s"range query failed: ${resp.body().take(300)}")
+          val lines = resp.body().split('\n').filter(_.nonEmpty)
+          val adds = lines.count(_.contains("\"add\""))
+          val next = lines.lastOption
+            .map(JsonUtils.fromJson[graft.server.wire.Line](_))
+            .flatMap(l => Option(l.endStreamAction).flatMap(e => Option(e.nextPageToken)))
+          (ms, adds, next)
+        }
+        var rTok: Option[String] = None
+        var rPages = 0
+        var rTotal = 0
+        var rSum = 0.0
+        var rDone = false
+        while (!rDone) {
+          val (ms, got, next) = rangePage(rTok, 10000)
+          rPages += 1; rTotal += got; rSum += ms
+          rTok = next
+          rDone = next.isEmpty
+        }
+        require(rTotal == n, s"range pagination lost adds: $rTotal != $n")
+        // historical metaData lines share the page budget, so a
+        // 100-entry page carries 99-100 adds
+        val (rSmallMs, rSmallGot, _) = rangePage(None, 100)
+        require(rSmallGot >= 99 && rSmallGot <= 100, s"got $rSmallGot")
+        row ++= Map("range_paginate_total_ms" -> rSum.round,
+          "range_pages" -> rPages, "range_small_page_ms" -> rSmallMs.round)
       } finally server.stop()
 
       // --- full-replay degradation: drop checkpoints, re-measure
