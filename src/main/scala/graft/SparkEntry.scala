@@ -1766,6 +1766,17 @@ object SparkEntry {
       graft.ops.Classify.nbQualityHashed(
         t(s, dir, "documents"), "doc_id", "text")),
 
+    // Beyond-reference: BATCH PERCEPTRON quality classifier — the
+    // quantized linear-model slot next to q200's NB, exactly replayable
+    // because every quantity is an integer sum (no learning-rate float,
+    // no transcendental): three batch rounds, each one map-side-
+    // combinable aggregate over the train split, weights broadcast back.
+    // Integer margins make results independent of partitioning and
+    // addition order; the oracle unrolls the three rounds in SQL.
+    "q202_perceptron_quality" -> ((s, dir) =>
+      graft.ops.Classify.perceptronQualityHashed(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // Beyond-reference: INCREMENTAL datacard maintenance over the change
     // feed — the 100 TB posture for q192's attrition report: recomputing
     // a datacard over the full corpus per append is O(corpus) per run,
@@ -3642,6 +3653,61 @@ object SparkEntry {
     * ([[graft.ops.TextOps.mojibakeMap]]) so the two can never drift.
     * Neither side of any mapping contains an ASCII quote.
     */
+  /** Shared oracle CTEs for the hashed-feature quality classifiers
+    * (q200 NB, q202 perceptron): gopher labels (the q138 rule replay),
+    * the id%5 train split, and token features hashed with the positional
+    * codepoint hash mod 1024. Emitted from ONE def so the two oracles
+    * cannot drift.
+    */
+  private def gopherFeatsSql: String =
+    """d AS (SELECT doc_id, text,
+                      list_filter(string_split_regex(text, '\s+'),
+                        w -> w <> '') AS ts,
+                      string_split(text, chr(10)) AS ls
+                    FROM documents),
+         r AS (SELECT doc_id,
+           COALESCE(len(ts) >= 50 AND len(ts) <= 100000, FALSE) AS p1,
+           COALESCE((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(ts, w -> CAST(length(w) AS BIGINT))),
+               (a, b) -> a + b) AS DOUBLE) / len(ts)) >= 3.0 AND
+             (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(ts, w -> CAST(length(w) AS BIGINT))),
+               (a, b) -> a + b) AS DOUBLE) / len(ts)) <= 10.0, FALSE) AS p2,
+           COALESCE(CAST(length(text) - length(replace(text, '#', ''))
+               AS DOUBLE) <= 0.1 * len(ts), FALSE) AS p3,
+           COALESCE(CAST(length(text) - length(replace(text, '...', ''))
+               AS DOUBLE) / 3.0 <= 0.1 * len(ts), FALSE) AS p4,
+           COALESCE(CAST(len(list_filter(ls, l ->
+               starts_with(trim(l), '-') OR starts_with(trim(l), '*')))
+               AS DOUBLE) <= 0.9 * len(ls), FALSE) AS p5,
+           COALESCE(CAST(len(list_filter(ls, l -> ends_with(trim(l), '...')))
+               AS DOUBLE) <= 0.3 * len(ls), FALSE) AS p6,
+           COALESCE(CAST(len(list_filter(ts, w ->
+               regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+               >= 0.8 * len(ts), FALSE) AS p7,
+           COALESCE(len(list_filter(ts, w -> list_contains(
+               ['the','be','to','of','and','that','have','with'],
+               lower(w)))) >= 2, FALSE) AS p8
+           FROM d),
+         lab AS (SELECT doc_id,
+                   (p1 AND p2 AND p3 AND p4 AND p5 AND p6 AND p7 AND p8)
+                     AS label,
+                   doc_id % 5 = 0 AS is_train
+                 FROM r),
+         toks AS (SELECT doc_id,
+                    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                      w -> w <> '')) AS tok
+                  FROM documents),
+         fb AS (SELECT doc_id,
+                  CAST(list_aggregate(list_transform(
+                    range(1, length(tok) + 1),
+                    k -> (CAST(unicode(substr(tok, CAST(k AS INT), 1))
+                            AS BIGINT) + 1) * k),
+                    'sum') % 1024 AS INT) AS b
+                FROM toks),
+         feats AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt
+                   FROM fb GROUP BY 1, 2)"""
+
   private def mojibakeRepairSql(inner: String): String =
     graft.ops.TextOps.mojibakeMap.foldLeft(inner) { case (s, (bad, good)) =>
       s"replace($s, '$bad', '$good')"
@@ -5743,53 +5809,7 @@ object SparkEntry {
     // micronats floor(ln(.)*1e6+0.5), unseen buckets at the smoothed
     // zero-count likelihood, tie predicts fail
     "q200_nb_quality_classifier" ->
-      """WITH d AS (SELECT doc_id, text,
-                      list_filter(string_split_regex(text, '\s+'),
-                        w -> w <> '') AS ts,
-                      string_split(text, chr(10)) AS ls
-                    FROM documents),
-         r AS (SELECT doc_id,
-           COALESCE(len(ts) >= 50 AND len(ts) <= 100000, FALSE) AS p1,
-           COALESCE((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(ts, w -> CAST(length(w) AS BIGINT))),
-               (a, b) -> a + b) AS DOUBLE) / len(ts)) >= 3.0 AND
-             (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(ts, w -> CAST(length(w) AS BIGINT))),
-               (a, b) -> a + b) AS DOUBLE) / len(ts)) <= 10.0, FALSE) AS p2,
-           COALESCE(CAST(length(text) - length(replace(text, '#', ''))
-               AS DOUBLE) <= 0.1 * len(ts), FALSE) AS p3,
-           COALESCE(CAST(length(text) - length(replace(text, '...', ''))
-               AS DOUBLE) / 3.0 <= 0.1 * len(ts), FALSE) AS p4,
-           COALESCE(CAST(len(list_filter(ls, l ->
-               starts_with(trim(l), '-') OR starts_with(trim(l), '*')))
-               AS DOUBLE) <= 0.9 * len(ls), FALSE) AS p5,
-           COALESCE(CAST(len(list_filter(ls, l -> ends_with(trim(l), '...')))
-               AS DOUBLE) <= 0.3 * len(ls), FALSE) AS p6,
-           COALESCE(CAST(len(list_filter(ts, w ->
-               regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
-               >= 0.8 * len(ts), FALSE) AS p7,
-           COALESCE(len(list_filter(ts, w -> list_contains(
-               ['the','be','to','of','and','that','have','with'],
-               lower(w)))) >= 2, FALSE) AS p8
-           FROM d),
-         lab AS (SELECT doc_id,
-                   (p1 AND p2 AND p3 AND p4 AND p5 AND p6 AND p7 AND p8)
-                     AS label,
-                   doc_id % 5 = 0 AS is_train
-                 FROM r),
-         toks AS (SELECT doc_id,
-                    unnest(list_filter(string_split_regex(lower(text), '\s+'),
-                      w -> w <> '')) AS tok
-                  FROM documents),
-         fb AS (SELECT doc_id,
-                  CAST(list_aggregate(list_transform(
-                    range(1, length(tok) + 1),
-                    k -> (CAST(unicode(substr(tok, CAST(k AS INT), 1))
-                            AS BIGINT) + 1) * k),
-                    'sum') % 1024 AS INT) AS b
-                FROM toks),
-         feats AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt
-                   FROM fb GROUP BY 1, 2),
+      (s"""WITH $gopherFeatsSql,
          tr AS (SELECT f.b, f.cnt, l.label
                 FROM feats f JOIN lab l USING (doc_id) WHERE l.is_train),
          tot AS (SELECT
@@ -5826,7 +5846,44 @@ object SparkEntry {
                     GROUP BY f.doc_id, l.label, l.is_train, c.prp, c.prf)
          SELECT label, sp > sf AS pred, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(sp - sf) AS BIGINT) AS margin_sum
-         FROM scored WHERE NOT is_train GROUP BY 1, 2 ORDER BY 1, 2""",
+         FROM scored WHERE NOT is_train GROUP BY 1, 2 ORDER BY 1, 2"""),
+    // three unrolled batch-perceptron rounds over the shared feature
+    // CTEs: round 1 starts from w=0 (every train doc misclassified by
+    // y*0<=0), each round adds sum(y*cnt) over misclassified docs; all
+    // integer arithmetic, so the replay is exact
+    "q202_perceptron_quality" ->
+      (s"""WITH $gopherFeatsSql,
+         tr AS (SELECT f.doc_id, f.b, f.cnt,
+                  CASE WHEN l.label THEN 1 ELSE -1 END AS y
+                FROM feats f JOIN lab l USING (doc_id) WHERE l.is_train),
+         w1 AS (SELECT b, CAST(sum(y * cnt) AS BIGINT) AS w
+                FROM tr GROUP BY b),
+         m2 AS (SELECT t.doc_id, any_value(t.y) AS y,
+                  CAST(sum(t.cnt * COALESCE(w1.w, 0)) AS BIGINT) AS margin
+                FROM tr t LEFT JOIN w1 USING (b) GROUP BY t.doc_id),
+         u2 AS (SELECT t.b, CAST(sum(t.y * t.cnt) AS BIGINT) AS delta
+                FROM tr t JOIN m2 ON m2.doc_id = t.doc_id
+                WHERE m2.y * m2.margin <= 0 GROUP BY t.b),
+         w2 AS (SELECT COALESCE(w1.b, u2.b) AS b,
+                  COALESCE(w1.w, 0) + COALESCE(u2.delta, 0) AS w
+                FROM w1 FULL JOIN u2 ON w1.b = u2.b),
+         m3 AS (SELECT t.doc_id, any_value(t.y) AS y,
+                  CAST(sum(t.cnt * COALESCE(w2.w, 0)) AS BIGINT) AS margin
+                FROM tr t LEFT JOIN w2 USING (b) GROUP BY t.doc_id),
+         u3 AS (SELECT t.b, CAST(sum(t.y * t.cnt) AS BIGINT) AS delta
+                FROM tr t JOIN m3 ON m3.doc_id = t.doc_id
+                WHERE m3.y * m3.margin <= 0 GROUP BY t.b),
+         w3 AS (SELECT COALESCE(w2.b, u3.b) AS b,
+                  COALESCE(w2.w, 0) + COALESCE(u3.delta, 0) AS w
+                FROM w2 FULL JOIN u3 ON w2.b = u3.b),
+         scored AS (SELECT f.doc_id, l.label,
+                      CAST(sum(f.cnt * COALESCE(w3.w, 0)) AS BIGINT) AS margin
+                    FROM feats f JOIN lab l USING (doc_id)
+                    LEFT JOIN w3 USING (b)
+                    WHERE NOT l.is_train GROUP BY f.doc_id, l.label)
+         SELECT label, margin > 0 AS pred, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(margin) AS BIGINT) AS margin_sum
+         FROM scored GROUP BY 1, 2 ORDER BY 1, 2"""),
     // from-scratch datacard replay (q192's langid/quality formulas on raw
     // text, q27's pair replay at 0.6, smaller-id-wins); the oracle emits
     // the SAME card into the _incr and _full column pairs, so a match

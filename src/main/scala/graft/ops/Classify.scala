@@ -285,27 +285,27 @@ object Classify {
     * buckets fall back to the smoothed zero-count likelihood via
     * coalesce, keeping the model table sparse.
     */
-  def nbQualityHashed(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      dim: Int = 1024,
-      trainMod: Int = 5): DataFrame = {
+  /** Gopher-labeled hashed-token features shared by the quality
+    * classifiers (NB q200, perceptron q202): rule verdicts label every
+    * doc, tokens hash into `dim` buckets with the positional codepoint
+    * hash (identical on both engines), and the per-(doc, bucket) counts
+    * are localCheckpoint-ed — the rule-pack + tokenize + hash + groupBy
+    * pipeline feeds several downstream actions, and without truncation
+    * each action re-runs the whole text pipeline (the q192 lesson:
+    * persist() does not reliably barrier HOF-lambda plans). Returns
+    * (labels, feats): `labels` is the text-free per-doc frame.
+    */
+  private def gopherHashedFeatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      dim: Int, trainMod: Int): (DataFrame, DataFrame) = {
     val labeled = graft.ops.TextOps.gopherFilter(
       docs.select(col(idCol).as("id"), col(textCol).as("text")), "id", "text")
       .select(col("id"), col("text"), col("kept").as("label"),
         (col("id") % trainMod === 0).as("is_train"))
-
     val toks = labeled
       .select(col("id"), col("label"), col("is_train"),
         explode(split(lower(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-    // localCheckpoint, not lineage: the rule-pack + tokenize + hash +
-    // groupBy pipeline feeds FOUR separate actions (two scalar collects,
-    // the model aggregate, the scoring pass) — without truncation each
-    // action re-runs the whole text pipeline (the q192 lesson: persist()
-    // does not reliably barrier HOF-lambda plans). `labels` is the
-    // text-free per-doc frame for the doc-count collect.
     val feats = toks
       .withColumn("b", (aggregate(
         transform(sequence(lit(1), length(col("tok"))),
@@ -314,6 +314,18 @@ object Classify {
       .groupBy(col("id"), col("label"), col("is_train"), col("b"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
+    val labels = labeled.select(col("id"), col("label"), col("is_train"))
+      .localCheckpoint() // text-free: 3 narrow columns per doc
+    (labels, feats)
+  }
+
+  def nbQualityHashed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 1024,
+      trainMod: Int = 5): DataFrame = {
+    val (labels, feats) = gopherHashedFeatures(docs, idCol, textCol, dim, trainMod)
 
     // model-scale driver state: per-class token totals + train doc counts
     val trainFeats = feats.filter(col("is_train"))
@@ -322,8 +334,6 @@ object Classify {
       sum(when(!col("label"), col("cnt")).otherwise(0L)).as("tf")).collect()(0)
     val nPassTok = Option(totRow.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val nFailTok = Option(totRow.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
-    val labels = labeled.select(col("id"), col("label"), col("is_train"))
-      .localCheckpoint() // text-free: 3 narrow columns per doc
     val docRow = labels.filter(col("is_train")).agg(
       sum(when(col("label"), 1L).otherwise(0L)).as("dp"),
       sum(when(!col("label"), 1L).otherwise(0L)).as("df")).collect()(0)
@@ -362,6 +372,69 @@ object Classify {
       .withColumn("margin", col("sp") - col("sf"))
 
     scored
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("margin")).as("margin_sum"))
+      .orderBy(col("label"), col("pred"))
+  }
+
+  /** BATCH perceptron quality classifier over the same gopher-labeled
+    * hashed features — the quantized-linear-model slot next to the NB
+    * (a fixed-iteration analogue of the logistic-regression recipe, made
+    * exactly replayable): integer weights, no learning-rate float, no
+    * transcendental.
+    *
+    * Iteration t (batch form — each round is ONE map-side-combinable
+    * aggregate over the train split, unlike the sequential classic):
+    *   margin(d) = Σ_b cnt(d,b) · w[b]          (exact integer)
+    *   misclassified: y(d) · margin(d) ≤ 0       (y = +1 pass / −1 fail)
+    *   w'[b] = w[b] + Σ_misclassified y(d)·cnt(d,b)
+    * Every quantity is an integer sum, so results are independent of
+    * partitioning and float addition order, and a SQL oracle replays the
+    * unrolled iterations exactly. Driver state per round: the ≤dim-entry
+    * weight vector (broadcast back). Held-out docs score in one pass;
+    * margin 0 predicts fail (the NB tie rule).
+    */
+  def perceptronQualityHashed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 1024,
+      trainMod: Int = 5,
+      iters: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (_, feats) = gopherHashedFeatures(docs, idCol, textCol, dim, trainMod)
+    val train = feats.filter(col("is_train"))
+      .withColumn("y", when(col("label"), 1L).otherwise(-1L))
+
+    var w = Map.empty[Int, Long]
+    (1 to iters).foreach { _ =>
+      val wDf = if (w.isEmpty) Seq.empty[(Int, Long)].toDF("b", "w")
+        else w.toSeq.toDF("b", "w")
+      val mis = train.join(broadcast(wDf), Seq("b"), "left")
+        .withColumn("wv", coalesce(col("w"), lit(0L)))
+        .groupBy(col("id"), col("y"))
+        .agg(sum(col("cnt") * col("wv")).as("margin"))
+        .filter(col("y") * col("margin") <= 0)
+        .select(col("id"), col("y").as("__y"))
+      val upd = train.join(mis, Seq("id"))
+        .groupBy(col("b"))
+        .agg(sum(col("__y") * col("cnt")).as("delta"))
+        .collect() // dim-scale: ≤ one row per feature bucket
+      upd.foreach { r =>
+        val b = r.getInt(0); val d = r.getLong(1)
+        w = w.updated(b, w.getOrElse(b, 0L) + d)
+      }
+    }
+
+    val wDf = if (w.isEmpty) Seq.empty[(Int, Long)].toDF("b", "w")
+      else w.toSeq.toDF("b", "w")
+    feats.filter(!col("is_train"))
+      .join(broadcast(wDf), Seq("b"), "left")
+      .withColumn("wv", coalesce(col("w"), lit(0L)))
+      .groupBy(col("id"), col("label"))
+      .agg(sum(col("cnt") * col("wv")).as("margin"))
+      .withColumn("pred", col("margin") > 0) // margin 0 → fail
       .groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n_docs"), sum(col("margin")).as("margin_sum"))
       .orderBy(col("label"), col("pred"))

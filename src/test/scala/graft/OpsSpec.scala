@@ -2892,4 +2892,60 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastExchange"), "model join must broadcast")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("batch perceptron matches an independent driver-side replay") {
+    import org.apache.spark.sql.functions._
+    val good = (("the quick brown fox jumps over and rests " * 6) +
+      "that have with more calm words here now").trim
+    val bad = "tiny### doc... ###"
+    val rows = (0L until 20L).map(i =>
+      (i, if (i % 3 == 0) good + s" tail$i" else bad + s" x$i"))
+    val docs = docsDF(rows)
+    val dim = 64
+    val iters = 3
+    val got = graft.ops.Classify.perceptronQualityHashed(docs, "doc_id", "text",
+      dim = dim, trainMod = 5, iters = iters)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1),
+        r.getLong(2), r.getLong(3))).toSet
+
+    // independent replay: plain-Scala batch perceptron over the same
+    // hashed features and rule labels
+    val labels = graft.ops.TextOps.gopherFilter(docs, "doc_id", "text")
+      .select(col("doc_id"), col("kept")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def bucket(tok: String): Int = {
+      val cps = tok.codePoints().toArray
+      var h = 0L
+      cps.indices.foreach(k => h += (cps(k) + 1L) * (k + 1))
+      (h % dim).toInt
+    }
+    val byDoc = rows.map { case (id, t) =>
+      (id, labels(id),
+        t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+          .map(bucket).groupBy(identity)
+          .map { case (b, o) => b -> o.size.toLong })
+    }
+    val train = byDoc.filter(_._1 % 5 == 0)
+      .map { case (id, lab, fs) => (id, if (lab) 1L else -1L, fs) }
+    var w = Map.empty[Int, Long]
+    (1 to iters).foreach { _ =>
+      val mis = train.filter { case (_, y, fs) =>
+        y * fs.map { case (b, c) => c * w.getOrElse(b, 0L) }.sum <= 0
+      }
+      mis.foreach { case (_, y, fs) =>
+        fs.foreach { case (b, c) => w = w.updated(b, w.getOrElse(b, 0L) + y * c) }
+      }
+    }
+    val expect = byDoc.filter(_._1 % 5 != 0).map { case (_, lab, fs) =>
+      val m = fs.map { case (b, c) => c * w.getOrElse(b, 0L) }.sum
+      (lab, m > 0, m)
+    }.groupBy(x => (x._1, x._2)).map { case ((l, p), xs) =>
+      (l, p, xs.size.toLong, xs.map(_._3).sum)
+    }.toSet
+    assert(got === expect)
+
+    // the held-out majority must agree with the rules
+    val agree = got.filter(x => x._1 == x._2).map(_._3).sum
+    assert(agree * 2 > got.map(_._3).sum, s"fidelity too low: $got")
+  }
 }
