@@ -1777,6 +1777,51 @@ object SparkEntry {
       graft.ops.Classify.perceptronQualityHashed(
         t(s, dir, "documents"), "doc_id", "text")),
 
+    // Beyond-reference: STREAMING video-mirror admission — the q198
+    // first-arrival state machine with the ISO-BMFF container signature
+    // as the bucket: assets are encoded and PARSED in-stream (stateless
+    // mapPartitions, the real-container shape), each container enters
+    // one bucket keyed by its full ordered sample-signature chain, and
+    // an asset is admitted iff it is the bucket's first arrival — the
+    // crawl-frontier screen that drops a re-uploaded video before its
+    // frames are ever stored, no codec involved. Version order = doc_id
+    // order in this fixture, so the oracle replays admission as
+    // min-doc_id per content key.
+    "q203_stream_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.documents_versioned")
+      val sink = "graft_q203_sink"
+      s.catalog.dropTempView(sink)
+      val src = s.readStream.format("graft").option("path", path)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "2").load()
+      val buckets = graft.ops.Multimodal.videoSignatures(
+        graft.ops.Multimodal.videoAssets(src.select(col("doc_id"))))
+        .select(col("asset_id").as("doc_id"), col("chain").as("bucket"))
+        .as[(Long, String)]
+      val verdicts = buckets
+        .groupByKey(_._2)
+        .flatMapGroupsWithState[Long, (Long, Boolean)](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          case (_, groupRows, state) =>
+            val ids = groupRows.map(_._1).toArray
+            val minAll = math.min(state.getOption.getOrElse(Long.MaxValue), ids.min)
+            state.update(minAll)
+            ids.iterator.map(id => (id, id == minAll))
+        }
+        .toDF("doc_id", "admitted")
+      val q = verdicts.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      q.stop()
+      s.table(sink).groupBy(col("admitted"))
+        .agg(count(lit(1)).as("n_assets"), min(col("doc_id")).as("min_id"))
+    }),
+
     // Beyond-reference: INCREMENTAL datacard maintenance over the change
     // feed — the 100 TB posture for q192's attrition report: recomputing
     // a datacard over the full corpus per append is O(corpus) per run,
@@ -5884,6 +5929,16 @@ object SparkEntry {
          SELECT label, margin > 0 AS pred, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(margin) AS BIGINT) AS margin_sum
          FROM scored GROUP BY 1, 2 ORDER BY 1, 2"""),
+    // container mirror buckets are the content keys (doc_id % 50 — the
+    // 50 distinct chains are pinned one-to-one by q199); version order =
+    // doc_id order, so first-arrival admission = min doc_id per key
+    "q203_stream_video_dedup" ->
+      """WITH ck AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+         firsts AS (SELECT k, min(doc_id) AS first_id FROM ck GROUP BY k)
+         SELECT (c.doc_id = f.first_id) AS admitted,
+                CAST(count(*) AS BIGINT) AS n_assets,
+                CAST(min(c.doc_id) AS BIGINT) AS min_id
+         FROM ck c JOIN firsts f USING (k) GROUP BY 1""",
     // from-scratch datacard replay (q192's langid/quality formulas on raw
     // text, q27's pair replay at 0.6, smaller-id-wins); the oracle emits
     // the SAME card into the _incr and _full column pairs, so a match

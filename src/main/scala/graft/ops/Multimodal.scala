@@ -648,4 +648,23 @@ object Multimodal {
         "duration_ticks", "sample_idx", "sample_offset", "sample_bytes",
         "sample_ticks", "signature")
   }
+
+  /** One row per asset: the full ordered sample-signature chain as a
+    * single string key — the container-level mirror bucket. Stateless
+    * per-row (one parse pass, no aggregation), so it composes with
+    * streaming stateful operators where a groupBy-built chain could not.
+    */
+  def videoSignatures(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (assetId, payload) =>
+          val chain = IsoBmff.tracks(payload).flatMap(t =>
+            t.samples.map(s => IsoBmff.sampleSignature(payload, s)))
+          (assetId, chain.mkString(","))
+        }
+      }.toDF("asset_id", "chain")
+  }
 }
