@@ -93,6 +93,24 @@ object ScaleProbe {
       spark.read.parquet(dir)
     }
 
+    // UNSALTED k-fold replication (ids shifted, text unchanged) for the
+    // quality classifiers: salting suffixes every token, so the gopher
+    // stop-word rule fails on every doc and one label class goes empty.
+    // The classifiers have no candidate joins, so replication measures
+    // their corpus-linear terms without distorting the label mix.
+    val repCache = scala.collection.mutable.Map.empty[Int, String]
+    def repDocs(k: Int): DataFrame = {
+      val dir = repCache.getOrElseUpdate(k, {
+        val d = s"/root/repo/target/scaleprobe/rep_k$k"
+        val reps = (0 until k).map(c => base.select(
+          (col("doc_id") + lit(c.toLong * 100000000L)).as("doc_id"),
+          col("text"))).reduce(_ unionByName _)
+        spark.time(reps.repartition(k * 8).write.mode("overwrite").parquet(d))
+        d
+      })
+      spark.read.parquet(dir)
+    }
+
     val allOps: Seq[(String, Int => Long)] = Seq(
       "q27_prefix_cascade" -> (k =>
         graft.ops.Dedup.nearDuplicatesExact(docs(k), "doc_id", "text",
@@ -529,6 +547,19 @@ object ScaleProbe {
       "q195_winnow_widevocab" -> (k =>
         graft.ops.TextOps.winnowingOverlap(
           wide(k), "doc_id", "text", minOverlap = 0.5, dfCap = 64L).count()),
+      // container parse is the linear term; id-shifted copies share
+      // content keys (1e8 % 50 = 0), so the mirror corpus grows k-fold
+      // while group count stays fixed — the representative posture
+      "q199_video_manifest" -> (k =>
+        graft.ops.Multimodal.videoManifest(
+          graft.ops.Multimodal.videoAssets(docs(k))).count()),
+      // classifiers: rule-pack + hash scan + O(dim) model work — the
+      // corpus term should be linear, the model term flat
+      "q200_nb_quality" -> (k =>
+        graft.ops.Classify.nbQualityHashed(repDocs(k), "doc_id", "text").count()),
+      "q202_perceptron" -> (k =>
+        graft.ops.Classify.perceptronQualityHashed(
+          repDocs(k), "doc_id", "text").count()),
       // real sampled-audio decode is the linear term; candidates live on
       // distinct energy-profile representatives under (dhash8, sig32)
       // bucket keys — same exact-first posture as the image cascade
@@ -562,9 +593,11 @@ object ScaleProbe {
     val ops = allOps.filter { case (name, _) =>
       opFilter.forall(_.exists(name.startsWith)) }
 
-    // pre-materialize the wide-vocab corpus outside any timed region
+    // pre-materialize the synthetic corpora outside any timed region
     if (ops.exists(_._1 == "q195_winnow_widevocab"))
       factors.foreach(k => wide(k).count())
+    if (ops.exists(o => o._1.startsWith("q200") || o._1.startsWith("q202")))
+      factors.foreach(k => repDocs(k).count())
 
     // warm-up on the smallest factor
     ops.foreach { case (_, fn) => fn(factors.min) }
