@@ -1787,6 +1787,18 @@ object SparkEntry {
     // frames are ever stored, no codec involved. Version order = doc_id
     // order in this fixture, so the oracle replays admission as
     // min-doc_id per content key.
+    // Beyond-reference: DSIR importance-resampling data selection (Xie
+    // et al. 2023) — score every raw doc by the integer-micronat
+    // log-ratio of its hashed-token features under the target-domain
+    // (lang='de') vs raw distributions, keep the top 10% of raw docs.
+    // One hash scan (target flag rides the explode), O(dim) broadcast
+    // model, distributed TakeOrderedAndProject top-K — never a global
+    // single-partition window.
+    "q204_dsir_selection" -> ((s, dir) =>
+      graft.ops.Sampling.dsirSelect(
+        t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "de")),
+
     "q203_stream_video_dedup" -> ((s, dir) => {
       import s.implicits._
       graft.log.SharedFixtures.ensure(s, dir)
@@ -5932,6 +5944,44 @@ object SparkEntry {
     // container mirror buckets are the content keys (doc_id % 50 — the
     // 50 distinct chains are pinned one-to-one by q199); version order =
     // doc_id order, so first-arrival admission = min doc_id per key
+    // DSIR replay: same hash, integer-micronat per-bucket log-ratios,
+    // exact integer doc weights, rank by (weight desc, doc_id) <= K
+    // with K = floor(0.1 * raw doc count)
+    "q204_dsir_selection" ->
+      """WITH base AS (SELECT doc_id, text, lang = 'de' AS tgt FROM documents),
+         toks AS (SELECT doc_id, tgt,
+                    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                      w -> w <> '')) AS tok
+                  FROM base),
+         fb AS (SELECT doc_id, tgt,
+                  CAST(list_aggregate(list_transform(
+                    range(1, length(tok) + 1),
+                    k -> (CAST(unicode(substr(tok, CAST(k AS INT), 1))
+                            AS BIGINT) + 1) * k),
+                    'sum') % 1024 AS INT) AS b
+                FROM toks),
+         feats AS (SELECT doc_id, tgt, b, CAST(count(*) AS BIGINT) AS cnt
+                   FROM fb GROUP BY 1, 2, 3),
+         tot AS (SELECT
+             CAST(sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS BIGINT) AS nt,
+             CAST(sum(CASE WHEN NOT tgt THEN cnt ELSE 0 END) AS BIGINT) AS nr
+           FROM feats),
+         model AS (SELECT b,
+             CAST(floor(ln(CAST(sum(CASE WHEN tgt THEN cnt ELSE 0 END) + 1
+               AS DOUBLE) / (tot.nt + 1024)) * 1000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln(CAST(sum(CASE WHEN NOT tgt THEN cnt ELSE 0 END) + 1
+               AS DOUBLE) / (tot.nr + 1024)) * 1000000 + 0.5) AS BIGINT) AS lr
+           FROM feats, tot GROUP BY b, tot.nt, tot.nr),
+         kk AS (SELECT greatest(1, CAST(floor(0.1 * count(*)) AS BIGINT)) AS k
+                FROM base WHERE NOT tgt),
+         wts AS (SELECT f.doc_id, CAST(sum(f.cnt * m.lr) AS BIGINT) AS weight
+                 FROM feats f JOIN model m USING (b)
+                 WHERE NOT f.tgt GROUP BY f.doc_id),
+         rk AS (SELECT doc_id, weight,
+                  row_number() OVER (ORDER BY weight DESC, doc_id) AS rn
+                FROM wts)
+         SELECT doc_id, weight FROM rk, kk WHERE rn <= kk.k
+         ORDER BY weight DESC, doc_id""",
     "q203_stream_video_dedup" ->
       """WITH ck AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
          firsts AS (SELECT k, min(doc_id) AS first_id FROM ck GROUP BY k)

@@ -295,6 +295,18 @@ object Classify {
     * persist() does not reliably barrier HOF-lambda plans). Returns
     * (labels, feats): `labels` is the text-free per-doc frame.
     */
+  /** Positional-codepoint token hash into `dim` buckets — codepoint-
+    * based on BOTH engines (Spark `ascii(substring)` / DuckDB
+    * `unicode(substr)`), shared by the quality classifiers here and
+    * [[graft.ops.Sampling.dsirSelect]].
+    */
+  private[ops] def tokenBucket(
+      tok: org.apache.spark.sql.Column, dim: Int): org.apache.spark.sql.Column =
+    (aggregate(
+      transform(sequence(lit(1), length(tok)),
+        k => (ascii(tok.substr(k, lit(1))).cast("long") + 1L) * k.cast("long")),
+      lit(0L), (a, x) => a + x) % dim).cast("int")
+
   private def gopherHashedFeatures(
       docs: DataFrame, idCol: String, textCol: String,
       dim: Int, trainMod: Int): (DataFrame, DataFrame) = {
@@ -307,10 +319,7 @@ object Classify {
         explode(split(lower(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
     val feats = toks
-      .withColumn("b", (aggregate(
-        transform(sequence(lit(1), length(col("tok"))),
-          k => (ascii(col("tok").substr(k, lit(1))).cast("long") + 1L) * k.cast("long")),
-        lit(0L), (a, x) => a + x) % dim).cast("int"))
+      .withColumn("b", tokenBucket(col("tok"), dim))
       .groupBy(col("id"), col("label"), col("is_train"), col("b"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()

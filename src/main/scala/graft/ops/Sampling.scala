@@ -313,6 +313,71 @@ object Sampling {
           .otherwise(least(col("__cap"), col("__lstar"))) / col("capacity"), 6)
           .as("epochs")): _*)
   }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every RAW doc by
+    * the log-likelihood ratio of its hashed-token features under the
+    * target-domain vs raw feature distributions, and keep the top
+    * `keepFrac` of raw docs — the "select web data that looks like the
+    * target domain" primitive production mixes are built on.
+    *
+    * Deterministic end to end with the classifier machinery's integer
+    * micronats: per-bucket log-ratios quantize via floor(x·1e6+0.5), so
+    * a doc's weight is an exact integer sum (partitioning- and
+    * addition-order-free) and a SQL oracle replays selection exactly
+    * (ties broken by smaller id).
+    *
+    * Shape at 100 TB: one tokenize+hash scan (the target flag rides the
+    * explode — no label join), two O(dim) count tables collected at
+    * model scale, one broadcast model join, and a DISTRIBUTED top-K
+    * (TakeOrderedAndProject: per-partition partial top-K merged on the
+    * driver — never a single-partition global window).
+    */
+  def dsirSelect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      dim: Int = 1024,
+      keepFrac: Double = 0.1): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"),
+      isTarget.as("tgt"))
+    val feats = base
+      .select(col("id"), col("tgt"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("b", graft.ops.Classify.tokenBucket(col("tok"), dim))
+      .groupBy(col("id"), col("tgt"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the count collect, the scoring pass, and K
+
+    val tot = feats.agg(
+      sum(when(col("tgt"), col("cnt")).otherwise(0L)),
+      sum(when(!col("tgt"), col("cnt")).otherwise(0L))).first()
+    val nT = Option(tot.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val nR = Option(tot.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(nT > 0 && nR > 0, s"both slices need tokens (target=$nT raw=$nR)")
+
+    def quantL(nb: Column, n: Long): Column =
+      floor(log((nb + 1).cast("double") / (n + dim).toDouble) * 1e6 + 0.5)
+        .cast("long")
+    val model = feats.groupBy(col("b"))
+      .agg(sum(when(col("tgt"), col("cnt")).otherwise(0L)).as("ct"),
+        sum(when(!col("tgt"), col("cnt")).otherwise(0L)).as("cr"))
+      .select(col("b"),
+        (quantL(col("ct"), nT) - quantL(col("cr"), nR)).as("lr"))
+
+    val nRawDocs = base.filter(!col("tgt")).count()
+    val k = math.max(1L, math.floor(keepFrac * nRawDocs).toLong)
+
+    feats.filter(!col("tgt"))
+      .join(broadcast(model), Seq("b")) // every corpus bucket is in the model
+      .groupBy(col("id"))
+      .agg(sum(col("cnt") * col("lr")).as("weight"))
+      .orderBy(col("weight").desc, col("id"))
+      .limit(k.toInt)
+      .select(col("id").as(idCol), col("weight"))
+  }
 }
 
 /** Greedy token-budget shard packing: within each stratum (ordered

@@ -2948,4 +2948,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val agree = got.filter(x => x._1 == x._2).map(_._3).sum
     assert(agree * 2 > got.map(_._3).sum, s"fidelity too low: $got")
   }
+
+  test("DSIR selection ranks target-like raw docs first, distributed top-K plan") {
+    import org.apache.spark.sql.functions._
+    // target docs (ids 100+) speak "alpha beta gamma"; raw docs 0-19:
+    // ids 0-4 echo the target vocabulary, 5-19 speak something else —
+    // the top-5 selection must be exactly the echoers
+    val target = (100L until 110L).map(i => (i, "alpha beta gamma delta alpha beta"))
+    val rawLike = (0L until 5L).map(i => (i, "alpha beta gamma alpha beta gamma"))
+    val rawOther = (5L until 20L).map(i => (i, "zig zag zork quux flux blorb"))
+    val docs = docsDF(target ++ rawLike ++ rawOther)
+    val sel = graft.ops.Sampling.dsirSelect(docs, "doc_id", "text",
+      isTarget = col("doc_id") >= 100L, dim = 64, keepFrac = 0.25)
+    val ids = sel.collect().map(_.getLong(0)).toSet
+    assert(ids === (0L until 5L).toSet, s"selected $ids")
+
+    // weights are exact integers and strictly higher for the echoers
+    val all = graft.ops.Sampling.dsirSelect(docs, "doc_id", "text",
+      isTarget = col("doc_id") >= 100L, dim = 64, keepFrac = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 5L).map(all).min > (5L until 20L).map(all).max)
+
+    // plan: distributed partial top-K + broadcast model, no cartesian
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-K must be a distributed TakeOrderedAndProject, not a global window")
+    assert(plan.contains("BroadcastExchange"), "model join must broadcast")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
