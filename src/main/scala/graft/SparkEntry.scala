@@ -1787,18 +1787,6 @@ object SparkEntry {
     // frames are ever stored, no codec involved. Version order = doc_id
     // order in this fixture, so the oracle replays admission as
     // min-doc_id per content key.
-    // Beyond-reference: DSIR importance-resampling data selection (Xie
-    // et al. 2023) — score every raw doc by the integer-micronat
-    // log-ratio of its hashed-token features under the target-domain
-    // (lang='de') vs raw distributions, keep the top 10% of raw docs.
-    // One hash scan (target flag rides the explode), O(dim) broadcast
-    // model, distributed TakeOrderedAndProject top-K — never a global
-    // single-partition window.
-    "q204_dsir_selection" -> ((s, dir) =>
-      graft.ops.Sampling.dsirSelect(
-        t(s, dir, "documents"), "doc_id", "text",
-        isTarget = col("lang") === "de")),
-
     "q203_stream_video_dedup" -> ((s, dir) => {
       import s.implicits._
       graft.log.SharedFixtures.ensure(s, dir)
@@ -1833,6 +1821,18 @@ object SparkEntry {
       s.table(sink).groupBy(col("admitted"))
         .agg(count(lit(1)).as("n_assets"), min(col("doc_id")).as("min_id"))
     }),
+
+    // Beyond-reference: DSIR importance-resampling data selection (Xie
+    // et al. 2023) — score every raw doc by the integer-micronat
+    // log-ratio of its hashed-token features under the target-domain
+    // (lang='de') vs raw distributions, keep the top 10% of raw docs.
+    // One hash scan (target flag rides the explode), O(dim) broadcast
+    // model, distributed TakeOrderedAndProject top-K — never a global
+    // single-partition window.
+    "q204_dsir_selection" -> ((s, dir) =>
+      graft.ops.Sampling.dsirSelect(
+        t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "de")),
 
     // Beyond-reference: INCREMENTAL datacard maintenance over the change
     // feed — the 100 TB posture for q192's attrition report: recomputing
@@ -5944,6 +5944,13 @@ object SparkEntry {
     // container mirror buckets are the content keys (doc_id % 50 — the
     // 50 distinct chains are pinned one-to-one by q199); version order =
     // doc_id order, so first-arrival admission = min doc_id per key
+    "q203_stream_video_dedup" ->
+      """WITH ck AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+         firsts AS (SELECT k, min(doc_id) AS first_id FROM ck GROUP BY k)
+         SELECT (c.doc_id = f.first_id) AS admitted,
+                CAST(count(*) AS BIGINT) AS n_assets,
+                CAST(min(c.doc_id) AS BIGINT) AS min_id
+         FROM ck c JOIN firsts f USING (k) GROUP BY 1""",
     // DSIR replay: same hash, integer-micronat per-bucket log-ratios,
     // exact integer doc weights, rank by (weight desc, doc_id) <= K
     // with K = floor(0.1 * raw doc count)
@@ -5982,13 +5989,6 @@ object SparkEntry {
                 FROM wts)
          SELECT doc_id, weight FROM rk, kk WHERE rn <= kk.k
          ORDER BY weight DESC, doc_id""",
-    "q203_stream_video_dedup" ->
-      """WITH ck AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
-         firsts AS (SELECT k, min(doc_id) AS first_id FROM ck GROUP BY k)
-         SELECT (c.doc_id = f.first_id) AS admitted,
-                CAST(count(*) AS BIGINT) AS n_assets,
-                CAST(min(c.doc_id) AS BIGINT) AS min_id
-         FROM ck c JOIN firsts f USING (k) GROUP BY 1""",
     // from-scratch datacard replay (q192's langid/quality formulas on raw
     // text, q27's pair replay at 0.6, smaller-id-wins); the oracle emits
     // the SAME card into the _incr and _full column pairs, so a match

@@ -113,7 +113,15 @@ object GraftCatalog {
         size() > SNAPSHOT_CACHE_SIZE
     }
 
-  def changesBetween(l: GraftLog, start: Long, end: Long): Seq[CommitChange] = {
+  def changesBetween(l: GraftLog, start: Long, requestedEnd: Long): Seq[CommitChange] = {
+    // clamp the KEY to the table's current latest: GraftLog.changes
+    // silently truncates a too-high endingVersion to existing commits,
+    // so caching under the raw requested end would freeze that
+    // truncation — a later commit inside [start, requestedEnd] would be
+    // omitted from every subsequent identical request (appends never
+    // invalidate; only recreation does). latestVersion() is the O(1)
+    // listing-cache probe.
+    val end = requestedEnd min l.latestVersion()
     val key = (l.tablePath, start, end)
     changeRanges.synchronized {
       val cached = changeRanges.get(key)

@@ -307,9 +307,14 @@ object Classify {
         k => (ascii(tok.substr(k, lit(1))).cast("long") + 1L) * k.cast("long")),
       lit(0L), (a, x) => a + x) % dim).cast("int")
 
+  /** The labels frame is returned as a THUNK: localCheckpoint is eager,
+    * so materializing it unconditionally would charge callers that never
+    * read it (the perceptron scores from feats alone) a full wasted
+    * rule-pack pass over the corpus.
+    */
   private def gopherHashedFeatures(
       docs: DataFrame, idCol: String, textCol: String,
-      dim: Int, trainMod: Int): (DataFrame, DataFrame) = {
+      dim: Int, trainMod: Int): (() => DataFrame, DataFrame) = {
     val labeled = graft.ops.TextOps.gopherFilter(
       docs.select(col(idCol).as("id"), col(textCol).as("text")), "id", "text")
       .select(col("id"), col("text"), col("kept").as("label"),
@@ -323,7 +328,7 @@ object Classify {
       .groupBy(col("id"), col("label"), col("is_train"), col("b"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    val labels = labeled.select(col("id"), col("label"), col("is_train"))
+    val labels = () => labeled.select(col("id"), col("label"), col("is_train"))
       .localCheckpoint() // text-free: 3 narrow columns per doc
     (labels, feats)
   }
@@ -334,7 +339,8 @@ object Classify {
       textCol: String,
       dim: Int = 1024,
       trainMod: Int = 5): DataFrame = {
-    val (labels, feats) = gopherHashedFeatures(docs, idCol, textCol, dim, trainMod)
+    val (labelsFn, feats) = gopherHashedFeatures(docs, idCol, textCol, dim, trainMod)
+    val labels = labelsFn()
 
     // model-scale driver state: per-class token totals + train doc counts
     val trainFeats = feats.filter(col("is_train"))

@@ -369,6 +369,11 @@ object Sampling {
 
     val nRawDocs = base.filter(!col("tgt")).count()
     val k = math.max(1L, math.floor(keepFrac * nRawDocs).toLong)
+    // limit() takes an Int: selections beyond 2^31-1 docs need the
+    // rank-threshold formulation instead — fail loudly, never wrap
+    require(k <= Int.MaxValue,
+      s"selection of $k docs exceeds limit()'s Int range; " +
+        "use a rank-threshold selection for K beyond 2^31-1")
 
     feats.filter(!col("tgt"))
       .join(broadcast(model), Seq("b")) // every corpus bucket is in the model

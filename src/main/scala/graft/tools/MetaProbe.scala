@@ -198,10 +198,13 @@ object MetaProbe {
       val server = new GraftServer(ServerConfig(bearerToken = Some("probe")),
         conf).start()
       try {
-        def page(tok: Option[String], maxFiles: Int): (Double, Int, Option[String]) = {
+        // one page fetch for BOTH pagination probes: `bodyBase` selects
+        // snapshot vs version-range, `tag` the counted line kind
+        def fetchPage(bodyBase: String, tag: String, tok: Option[String])
+            : (Double, Int, Option[String]) = {
           val body = tok match {
-            case Some(t) => s"""{"maxFiles":$maxFiles,"pageToken":"$t"}"""
-            case None    => s"""{"maxFiles":$maxFiles}"""
+            case Some(t) => s"""{$bodyBase,"pageToken":"$t"}"""
+            case None    => s"""{$bodyBase}"""
           }
           val req = HttpRequest.newBuilder(URI.create(
             s"${server.url}/shares/share1/schemas/default/tables/meta$n/query"))
@@ -212,12 +215,14 @@ object MetaProbe {
           val ms = (System.nanoTime() - t0) / 1e6
           require(resp.statusCode() == 200, s"query failed: ${resp.body().take(300)}")
           val lines = resp.body().split('\n').filter(_.nonEmpty)
-          val fileCount = lines.count(_.contains("\"file\""))
+          val count = lines.count(_.contains(s""""$tag""""))
           val next = lines.lastOption
             .map(JsonUtils.fromJson[graft.server.wire.Line](_))
             .flatMap(l => Option(l.endStreamAction).flatMap(e => Option(e.nextPageToken)))
-          (ms, fileCount, next)
+          (ms, count, next)
         }
+        def page(tok: Option[String], maxFiles: Int): (Double, Int, Option[String]) =
+          fetchPage(s""""maxFiles":$maxFiles""", "file", tok)
         // cold first page, then walk
         var tok: Option[String] = None
         var pages = 0
@@ -242,29 +247,9 @@ object MetaProbe {
           "sign_small_page_ms" -> smallMs.round)
 
         // version-range (/changes-equivalent) pagination: the render-
-        // thunk path — signing/serialization must be per-page while the
-        // walk itself re-reads commits from the per-instance cache
-        def rangePage(tok: Option[String], maxFiles: Int): (Double, Int, Option[String]) = {
-          val base = s""""startingVersion":0,"maxFiles":$maxFiles"""
-          val body = tok match {
-            case Some(t) => s"""{$base,"pageToken":"$t"}"""
-            case None    => s"""{$base}"""
-          }
-          val req = HttpRequest.newBuilder(URI.create(
-            s"${server.url}/shares/share1/schemas/default/tables/meta$n/query"))
-            .header("Authorization", "Bearer probe")
-            .POST(HttpRequest.BodyPublishers.ofString(body)).build()
-          val t0 = System.nanoTime()
-          val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
-          val ms = (System.nanoTime() - t0) / 1e6
-          require(resp.statusCode() == 200, s"range query failed: ${resp.body().take(300)}")
-          val lines = resp.body().split('\n').filter(_.nonEmpty)
-          val adds = lines.count(_.contains("\"add\""))
-          val next = lines.lastOption
-            .map(JsonUtils.fromJson[graft.server.wire.Line](_))
-            .flatMap(l => Option(l.endStreamAction).flatMap(e => Option(e.nextPageToken)))
-          (ms, adds, next)
-        }
+        // thunk path — signing/serialization must be per-page
+        def rangePage(tok: Option[String], maxFiles: Int): (Double, Int, Option[String]) =
+          fetchPage(s""""startingVersion":0,"maxFiles":$maxFiles""", "add", tok)
         var rTok: Option[String] = None
         var rPages = 0
         var rTotal = 0

@@ -560,6 +560,11 @@ object ScaleProbe {
       "q202_perceptron" -> (k =>
         graft.ops.Classify.perceptronQualityHashed(
           repDocs(k), "doc_id", "text").count()),
+      // DSIR: one hash scan + broadcast model + distributed top-K —
+      // corpus-linear; the id%7 pseudo-domain keeps both slices non-empty
+      "q204_dsir" -> (k =>
+        graft.ops.Sampling.dsirSelect(repDocs(k), "doc_id", "text",
+          isTarget = pmod(col("doc_id"), lit(7)) === 0).count()),
       // real sampled-audio decode is the linear term; candidates live on
       // distinct energy-profile representatives under (dhash8, sig32)
       // bucket keys — same exact-first posture as the image cascade
@@ -596,7 +601,8 @@ object ScaleProbe {
     // pre-materialize the synthetic corpora outside any timed region
     if (ops.exists(_._1 == "q195_winnow_widevocab"))
       factors.foreach(k => wide(k).count())
-    if (ops.exists(o => o._1.startsWith("q200") || o._1.startsWith("q202")))
+    if (ops.exists(o => o._1.startsWith("q200") || o._1.startsWith("q202") ||
+        o._1.startsWith("q204")))
       factors.foreach(k => repDocs(k).count())
 
     // warm-up on the smallest factor
