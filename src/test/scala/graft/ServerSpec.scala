@@ -1306,13 +1306,17 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftLog.invalidateListing(path)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
-        org.apache.spark.sql.types.LongType, nullable = false))).json
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ds",
+        org.apache.spark.sql.types.StringType, nullable = false))).json
     val conf = spark.sessionState.newHadoopConf()
     val n = 10500
     (0 until 3).foreach { v =>
       val files = (0 until n / 3).map { j =>
         val i = v * (n / 3) + j
-        graft.model.AddFile(path = s"part-$i.parquet", size = 1000000000L,
+        val ds = if (i % 2 == 0) "2026-01-01" else "2026-01-02"
+        graft.model.AddFile(path = s"ds=$ds/part-$i.parquet",
+          partitionValues = Map("ds" -> ds), size = 1000000000L,
           stats = Some(graft.model.FileStats(numRecords = 5000000L,
             minValues = Map("id" -> (i.toLong * 5000000L).toString),
             maxValues = Map("id" -> ((i + 1).toLong * 5000000L - 1).toString),
@@ -1321,7 +1325,8 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       val actions: Seq[graft.model.Action] =
         if (v == 0) Seq(graft.model.Protocol(), graft.model.Metadata(
-          id = "pagination10k", name = "big10k", schemaString = schema)) ++ files
+          id = "pagination10k", name = "big10k", schemaString = schema,
+          partitionColumns = Seq("ds"))) ++ files
         else files
       GraftLog.commit(path, v, actions, conf)
     }
@@ -1375,9 +1380,74 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       val filtered = post(s"""{"jsonPredicateHints":${JsonUtils.toJson(pred)}}""")
       assert(fileIds(filtered).size === n / 10)
       assert(nextToken(filtered).isEmpty)
+
+      // REGRESSION (round-13 review): the filtered-listing cache keys on
+      // the query checksum, so hint lists that comma-join equally must
+      // NOT collide — ["a","b"] vs ["a,b"]. The two-hint list prunes on
+      // the ds partition (half the files); the one-hint variant is a
+      // single UNPARSABLE hint (best-effort keeps ALL files). If the
+      // checksums collided, the second walk would be served the first's
+      // pruned cached listing — a silent under-return.
+      def walkAll(mkBody: Option[String] => String): Int = {
+        var tok: Option[String] = None
+        var total = 0
+        var done = false
+        while (!done) {
+          val p = post(mkBody(tok))
+          total += fileIds(p).size
+          tok = nextToken(p)
+          done = tok.isEmpty
+        }
+        total
+      }
+      def body(hints: String)(tok: Option[String]): String =
+        s"""{"predicateHints":$hints,"maxFiles":10000${
+          tok.map(t => s""","pageToken":"$t"""").getOrElse("")}}"""
+      val pruned = walkAll(body("""["ds = '2026-01-01'", "not ( valid"]"""))
+      val kept = walkAll(body("""["ds = '2026-01-01', not ( valid"]"""))
+      assert(pruned === n / 2, "two-hint list must prune to the ds half")
+      assert(kept === n, "colliding one-hint variant must keep ALL files")
     } finally {
       GraftCatalog.unregister("share1.default.big10k")
       rm(dir)
+      GraftLog.invalidateListing(path)
+    }
+  }
+
+  test("change-range cache never freezes an over-range endingVersion") {
+    // REGRESSION (round-13 review): the change-range cache keys on the
+    // clamped end, not the requested one — a request with endingVersion
+    // beyond the current latest must see commits that land later, not a
+    // frozen truncation.
+    val path = "/root/repo/target/test-tables/rangeclamp"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    GraftLog.invalidateListing(path)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false))).json
+    val conf = spark.sessionState.newHadoopConf()
+    def add(i: Int) = graft.model.AddFile(path = s"part-$i.parquet",
+      size = 10L, version = i, timestamp = 1700000000000L + i)
+    GraftLog.commit(path, 0, Seq(graft.model.Protocol(), graft.model.Metadata(
+      id = "rangeclamp", name = "rangeclamp", schemaString = schema), add(0)), conf)
+    GraftCatalog.register("share1.default.rangeclamp", path)
+    try {
+      def adds(): Int = {
+        val r = rawPost("/shares/share1/schemas/default/tables/rangeclamp/query",
+          """{"startingVersion":0,"endingVersion":99}""")
+        assert(r.statusCode() === 200, r.body().take(300))
+        r.body().split('\n').count(_.contains("\"add\""))
+      }
+      assert(adds() === 1) // caches the range — clamped to latest=0
+      GraftLog.commit(path, 1, Seq(add(1)), conf)
+      assert(adds() === 2, "a commit inside the requested range must appear")
+    } finally {
+      GraftCatalog.unregister("share1.default.rangeclamp")
+      rm(new java.io.File(path))
       GraftLog.invalidateListing(path)
     }
   }
