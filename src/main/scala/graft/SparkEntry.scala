@@ -2229,7 +2229,7 @@ object SparkEntry {
     // paragraph-level near-dup with reassembly → doc-level 3-gram
     // near-dup (keep-first) → contamination canary screen → UniMax
     // language mix → 512-token sequence packing. Stage frames are
-    // persisted once (trackPersist) so the cascades run once, not per
+    // localCheckpoint-ed once so the cascades run once, not per
     // attrition row; rows 0-6 count surviving docs/tokens, row 7 the
     // allocated token budget, row 8 the packed bins/tokens. Doubles as
     // the composition regression test over the whole operator family.
@@ -6173,10 +6173,11 @@ object SparkEntry {
                       + (CASE WHEN s6 < s7 THEN 64 ELSE 0 END)
                       + (CASE WHEN s7 < s0 THEN 128 ELSE 0 END) AS BIGINT)
                      AS dhash8,
-                   CAST((s0 >> 15) + ((s1 >> 15) << 4) + ((s2 >> 15) << 8)
-                      + ((s3 >> 15) << 12) + ((s4 >> 15) << 16)
-                      + ((s5 >> 15) << 20) + ((s6 >> 15) << 24)
-                      + ((s7 >> 15) << 28) AS BIGINT) AS sig32
+                   CAST(((s0 >> 15) & 15) + (((s1 >> 15) & 15) << 4)
+                      + (((s2 >> 15) & 15) << 8) + (((s3 >> 15) & 15) << 12)
+                      + (((s4 >> 15) & 15) << 16) + (((s5 >> 15) & 15) << 20)
+                      + (((s6 >> 15) & 15) << 24)
+                      + (((s7 >> 15) & 15) << 28) AS BIGINT) AS sig32
                  FROM fp),
          reps AS (SELECT s0, s1, s2, s3, s4, s5, s6, s7,
                     min(doc_id) AS rep_id, count(*) AS n_exact,

@@ -391,6 +391,7 @@ class GraftRestClient(
     val protos = Seq.newBuilder[wire.DeltaProtocolLine]
     var pageToken: Option[String] = None
     var first = true
+    var firstPage = true
     while (first || pageToken.isDefined) {
       first = false
       val resp = request("POST", s"${tablePath(share, schema, table)}/query",
@@ -399,23 +400,33 @@ class GraftRestClient(
       version = resp.headers().firstValue("Delta-Table-Version")
         .map[Long](_.toLong).orElse(version)
       pageToken = None
+      // POSITIONAL head dedup: the protocol re-emits the head protocol
+      // and metadata lines at the top of every continuation page — skip
+      // the FIRST line of each kind on pages after the first. Value
+      // dedup would be wrong against a third-party server that emits
+      // historical metadata lines without version stamps: an A->B->A
+      // schema revert would collapse to [A, B], hiding the second
+      // change from a consumer vetting mid-range schema changes.
+      var pageMeta = false
+      var pageProto = false
       resp.body().split("\n").filter(_.nonEmpty).foreach { raw =>
         val line = JsonUtils.fromJson[wire.DeltaLine](raw)
-        if (line.metaData != null) metas += line.metaData
+        if (line.metaData != null) {
+          if (firstPage || pageMeta) metas += line.metaData
+          pageMeta = true
+        }
         if (line.file != null) files += line.file
-        if (line.protocol != null) protos += line.protocol
+        if (line.protocol != null) {
+          if (firstPage || pageProto) protos += line.protocol
+          pageProto = true
+        }
         if (line.endStreamAction != null)
           pageToken = Option(line.endStreamAction.nextPageToken)
       }
+      firstPage = false
     }
-    // the server re-emits the head protocol AND metadata lines on every
-    // page, so a paginated range would otherwise accumulate one
-    // duplicate of each per page — a consumer vetting "later metadata =
-    // mid-range schema change" would see phantom changes. Value-dedup
-    // (case-class equality) keeps the first occurrence of each distinct
-    // line in served order; true historical lines differ by value.
-    DeltaChangesResult(version, metas.result().distinct, files.result(),
-      protos.result().distinct)
+    DeltaChangesResult(version, metas.result(), files.result(),
+      protos.result())
   }
 
   /** `GET /changes` in the DELTA dialect — raw per-version delta actions
@@ -430,6 +441,7 @@ class GraftRestClient(
     val protos = Seq.newBuilder[wire.DeltaProtocolLine]
     var pageToken: Option[String] = None
     var first = true
+    var firstPage = true
     while (first || pageToken.isDefined) {
       first = false
       val resp = request("GET", s"${tablePath(share, schema, table)}/changes",
@@ -438,18 +450,33 @@ class GraftRestClient(
       version = resp.headers().firstValue("Delta-Table-Version")
         .map[Long](_.toLong).orElse(version)
       pageToken = None
+      // POSITIONAL head dedup: the protocol re-emits the head protocol
+      // and metadata lines at the top of every continuation page — skip
+      // the FIRST line of each kind on pages after the first. Value
+      // dedup would be wrong against a third-party server that emits
+      // historical metadata lines without version stamps: an A->B->A
+      // schema revert would collapse to [A, B], hiding the second
+      // change from a consumer vetting mid-range schema changes.
+      var pageMeta = false
+      var pageProto = false
       resp.body().split("\n").filter(_.nonEmpty).foreach { raw =>
         val line = JsonUtils.fromJson[wire.DeltaLine](raw)
-        if (line.metaData != null) metas += line.metaData
+        if (line.metaData != null) {
+          if (firstPage || pageMeta) metas += line.metaData
+          pageMeta = true
+        }
         if (line.file != null) files += line.file
-        if (line.protocol != null) protos += line.protocol
+        if (line.protocol != null) {
+          if (firstPage || pageProto) protos += line.protocol
+          pageProto = true
+        }
         if (line.endStreamAction != null)
           pageToken = Option(line.endStreamAction.nextPageToken)
       }
+      firstPage = false
     }
-    // same per-page head-line re-emission as deltaQueryRange
-    DeltaChangesResult(version, metas.result().distinct, files.result(),
-      protos.result().distinct)
+    DeltaChangesResult(version, metas.result(), files.result(),
+      protos.result())
   }
 
   case class ChangesResult(
@@ -498,16 +525,23 @@ class GraftRestClient(
     val metas = Seq.newBuilder[wire.Metadata]
     var pageToken: Option[String] = None
     var first = true
+    var firstPage = true
     while (first || pageToken.isDefined) {
       first = false
       val resp = fetch(pageToken)
       version = resp.headers().firstValue("Delta-Table-Version")
         .map[Long](_.toLong).orElse(version)
       pageToken = None
+      // head metadata is re-emitted at the top of every continuation
+      // page — skip it POSITIONALLY (first metaData line per
+      // continuation page), not by value, so a genuine A->B->A schema
+      // revert served without version stamps survives pagination
+      var pageMeta = false
       ndjson(resp.body()).foreach { line =>
         if (line.metaData != null) {
           if (meta == null) meta = line.metaData
-          metas += line.metaData
+          if (firstPage || pageMeta) metas += line.metaData
+          pageMeta = true
         }
         if (line.add != null) adds += line.add
         if (line.cdf != null) cdfs += line.cdf
@@ -515,11 +549,10 @@ class GraftRestClient(
         if (line.endStreamAction != null)
           pageToken = Option(line.endStreamAction.nextPageToken)
       }
+      firstPage = false
     }
-    // head metadata is re-emitted per page (same as the delta dialect) —
-    // dedup by value so pagination can't fake mid-range schema changes
     ChangesResult(version, meta, adds.result(), cdfs.result(), removes.result(),
-      metas.result().distinct)
+      metas.result())
   }
 }
 

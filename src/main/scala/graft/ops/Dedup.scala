@@ -243,9 +243,11 @@ object Dedup {
 
   /** Persist an arbitrary frame under the same lifecycle as the dedup
     * code arrays: MEMORY_AND_DISK now, released by the next
-    * [[releasePersisted]] call. For multi-branch compositions (the q192
-    * datacard) whose shared stage would otherwise recompute a cascade
-    * per consuming aggregate.
+    * [[releasePersisted]] call. For multi-branch compositions whose
+    * shared stage would otherwise recompute a cascade per consuming
+    * aggregate (the internal code-array index above is the in-tree
+    * user; composition queries now favor localCheckpoint, which also
+    * truncates lineage).
     */
   def trackPersist(df: DataFrame): DataFrame = {
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1280,11 +1282,13 @@ object Dedup {
           val admit = last == Long.MinValue || t - last > ttlMs
           // MONOTONE state: a row older than the newest seen (possible
           // only under out-of-order cross-batch arrival inside the
-          // watermark slack) must not regress `last` — its own verdict
-          // is still correct under the rule (its gap to the newest seen
-          // is negative, never > ttl), and future gaps keep measuring
-          // against the true most-recent sighting, matching an in-order
-          // replay of the same events
+          // watermark slack) must not regress `last`. The rule actually
+          // enforced is "gap to the newest sighting SEEN SO FAR" — under
+          // out-of-order cross-batch arrival this can differ from a
+          // strict in-order replay (a late row is judged against a
+          // newer sighting than an in-order replay would have seen, and
+          // it never extends the suppression window itself); within a
+          // batch, the sort above restores event order.
           if (t > last) last = t
           (r._1, admit)
         }

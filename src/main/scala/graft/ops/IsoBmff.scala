@@ -159,14 +159,23 @@ object IsoBmff {
   private val CONTAINERS = Set("moov", "trak", "mdia", "minf", "stbl",
     "edts", "dinf", "udta", "mvex", "moof", "traf")
 
+  /** Deepest container nesting we descend into. The spec's layout never
+    * nests past ~6 (moov/trak/mdia/minf/stbl); a crafted payload of
+    * recursively nested container boxes (8 bytes per level) must not be
+    * able to overflow the JVM stack — StackOverflowError is fatal and
+    * escapes the Try around [[tracks]], contradicting the module's
+    * parsing-is-total contract.
+    */
+  private val MaxDepth = 32
+
   /** Full recursive box walk. Malformed sizes (zero-length loop, size
     * past the enclosing bound) terminate the current level rather than
-    * looping or throwing — container parsing of crawled bytes must be
-    * total.
+    * looping or throwing, and container descent stops at [[MaxDepth]] —
+    * container parsing of crawled bytes must be total.
     */
   def boxes(payload: Array[Byte]): Seq[BoxInfo] = {
     val out = Seq.newBuilder[BoxInfo]
-    def walk(start: Long, end: Long, prefix: String): Unit = {
+    def walk(start: Long, end: Long, prefix: String, depth: Int): Unit = {
       var off = start
       while (off + 8 <= end) {
         val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
@@ -180,11 +189,11 @@ object IsoBmff {
         if (size < header || off + size > end) return // malformed: stop level
         val path = if (prefix.isEmpty) fourcc else s"$prefix/$fourcc"
         out += BoxInfo(path, off, size, off + header)
-        if (CONTAINERS(fourcc)) walk(off + header, off + size, path)
+        if (CONTAINERS(fourcc) && depth < MaxDepth) walk(off + header, off + size, path, depth + 1)
         off += size
       }
     }
-    walk(0L, payload.length.toLong, "")
+    walk(0L, payload.length.toLong, "", 0)
     out.result()
   }
 
@@ -222,6 +231,11 @@ object IsoBmff {
     // task — crawled bytes must not kill a Spark stage.
     def availEntries(b: BoxInfo, header: Long, entry: Long): Int =
       (((b.offset + b.size - b.payloadOffset - header) max 0L) / entry).toInt
+    // clamp in Long FIRST, then narrow: a lying declared count >= 2^31
+    // would wrap negative under .toInt and parse the table as empty
+    // (silently dropping the track) instead of clamping to the box's
+    // physical capacity
+    def clamped(declared: Long, avail: Int): Int = (declared min avail.toLong).toInt
     traks.flatMap { trak => scala.util.Try {
       def in(suffix: String): Option[BoxInfo] =
         all.find(b => b.path == s"${trak.path}$suffix" &&
@@ -259,10 +273,10 @@ object IsoBmff {
         val declared = u32(p, b.payloadOffset + 8)
         if (uniform != 0) {
           val cap = p.length.toLong / (uniform max 1L) + 1
-          val count = (declared min cap).toInt
+          val count = (declared min cap min Int.MaxValue.toLong).toInt
           (IndexedSeq.fill(count)(uniform), count)
         } else {
-          val count = declared.toInt min availEntries(b, 12, 4)
+          val count = clamped(declared, availEntries(b, 12, 4))
           ((0 until count).map(i => u32(p, b.payloadOffset + 12 + 4L * i)), count)
         }
       }.getOrElse((IndexedSeq.empty[Long], 0))
@@ -270,10 +284,10 @@ object IsoBmff {
       // stco/co64 chunk offsets
       val chunkOffsets: IndexedSeq[Long] =
         in("/mdia/minf/stbl/stco").map { b =>
-          val c = u32(p, b.payloadOffset + 4).toInt min availEntries(b, 8, 4)
+          val c = clamped(u32(p, b.payloadOffset + 4), availEntries(b, 8, 4))
           (0 until c).map(i => u32(p, b.payloadOffset + 8 + 4L * i))
         }.orElse(in("/mdia/minf/stbl/co64").map { b =>
-          val c = u32(p, b.payloadOffset + 4).toInt min availEntries(b, 8, 8)
+          val c = clamped(u32(p, b.payloadOffset + 4), availEntries(b, 8, 8))
           (0 until c).map(i => u64(p, b.payloadOffset + 8 + 8L * i))
         }).getOrElse(IndexedSeq.empty)
 
@@ -282,7 +296,7 @@ object IsoBmff {
       // run's first_chunk — the spec's run-length encoding)
       val stscRuns: IndexedSeq[(Long, Long)] =
         in("/mdia/minf/stbl/stsc").map { b =>
-          val c = u32(p, b.payloadOffset + 4).toInt min availEntries(b, 8, 12)
+          val c = clamped(u32(p, b.payloadOffset + 4), availEntries(b, 8, 12))
           (0 until c).map { i =>
             (u32(p, b.payloadOffset + 8 + 12L * i),
               u32(p, b.payloadOffset + 8 + 12L * i + 4))
@@ -295,7 +309,7 @@ object IsoBmff {
       // capped at the sample count so a lying run can't materialize more
       // than nSamples entries
       val durations: IndexedSeq[Long] = in("/mdia/minf/stbl/stts").map { b =>
-        val c = u32(p, b.payloadOffset + 4).toInt min availEntries(b, 8, 8)
+        val c = clamped(u32(p, b.payloadOffset + 4), availEntries(b, 8, 8))
         val out = IndexedSeq.newBuilder[Long]
         var total = 0L
         (0 until c).foreach { i =>

@@ -533,7 +533,12 @@ object Multimodal {
           var f = 0
           while (f < 8) {
             if (s(f) < s((f + 1) % 8)) dh |= 1 << f
-            sig |= (s(f) >> 15) << (4 * f)
+            // mask the quantized frame energy to its 4-bit nibble: for
+            // clips longer than 64 samples a frame sum exceeds 15·2^15,
+            // and an unmasked value would bleed into the adjacent
+            // nibble, corrupting the bucket key (the q193 oracle
+            // mirrors this mask)
+            sig |= ((s(f) >> 15) & 0xFL) << (4 * f)
             f += 1
           }
           (a.asset_id, s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7),

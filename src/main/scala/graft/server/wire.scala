@@ -297,9 +297,16 @@ object Tokens {
 
   /** SHA-256 checksum binding a token to the query parameters that
     * produced it — any change to the params invalidates the token.
+    * Every field is length-prefixed before joining: free-form fields
+    * (predicate-hint content, jsonPredicateHints, timestamps) may
+    * themselves contain the separator, and since the checksum also keys
+    * server-side filtered-listing caches, a cross-field collision would
+    * serve one query another query's pruned file list (silent
+    * under-return), not merely reject a continuation token.
     */
   def checksum(params: Seq[String]): String =
-    hex(MessageDigest.getInstance("SHA-256").digest(params.mkString("\u001f").getBytes(UTF_8)))
+    hex(MessageDigest.getInstance("SHA-256").digest(
+      params.map(p => s"${p.length}:$p").mkString("\u001f").getBytes(UTF_8)))
 
   case class PageTokenPayload(
       table: String,

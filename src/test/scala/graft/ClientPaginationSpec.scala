@@ -1,0 +1,131 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.client.GraftRestClient
+import graft.server.{Tokens, wire}
+
+/** Pagination head-line handling against a THIRD-PARTY server (round-12
+  * advisory regression): the protocol re-emits the head protocol and
+  * metadata lines at the top of every page, and the client must drop
+  * them POSITIONALLY. A server that emits historical metadata lines
+  * WITHOUT version stamps (graft's own server stamps them; the protocol
+  * does not require it) would otherwise have a genuine A->B->A schema
+  * revert collapsed to [A, B] by value-dedup — a consumer vetting
+  * mid-range schema changes would miss the second change.
+  *
+  * Also pins the Tokens.checksum field-boundary fix: every field is
+  * length-prefixed, so free-form field content containing the separator
+  * cannot make two parameter vectors collide (the checksum keys the
+  * server's filtered-listing cache — a collision would serve one query
+  * another query's pruned file list).
+  */
+class ClientPaginationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var httpd: HttpServer = _
+  private var client: GraftRestClient = _
+
+  private def metaP(schema: String) =
+    wire.Line(metaData = wire.Metadata(id = "m", schemaString = schema)).json
+  private val protoP = wire.Line(protocol = wire.Protocol(1)).json
+  private def addP(id: String, v: Long) =
+    wire.Line(add = wire.AddFileW(url = s"http://x/$id", id = id, version = v,
+      timestamp = v)).json
+  private def esaP(tok: String) =
+    wire.Line(endStreamAction = wire.EndStreamAction(nextPageToken = tok)).json
+
+  private def metaD(schema: String) = wire.DeltaLine(metaData =
+    wire.DeltaMetadataLine(wire.DeltaMetadataW(id = "m", schemaString = schema))).json
+  private val protoD = wire.DeltaLine(protocol =
+    wire.DeltaProtocolLine(wire.DeltaProtocolW(1, 1))).json
+  private def fileD(id: String, v: Long) = wire.DeltaLine(file =
+    wire.DeltaFileW(id = id, version = v, deltaSingleAction =
+      wire.DeltaSingleActionW(add = wire.DeltaAddW(path = s"http://x/$id")))).json
+  private def esaD(tok: String) = wire.DeltaLine(endStreamAction =
+    wire.EndStreamAction(nextPageToken = tok)).json
+
+  // two pages; page 2 opens with the protocol-mandated head re-emission
+  // (protocol + metadata A), then serves the UNVERSIONED revert sequence
+  // B, A — the client must keep all three of [A, B, A]
+  private def page1(meta: String => String, proto: String,
+      file: (String, Long) => String, esa: String => String) =
+    Seq(proto, meta("A"), file("f1", 1L), esa("p2")).mkString("\n")
+  private def page2(meta: String => String, proto: String,
+      file: (String, Long) => String) =
+    Seq(proto, meta("A"), meta("B"), meta("A"), file("f2", 3L)).mkString("\n")
+
+  override def beforeAll(): Unit = {
+    httpd = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(ex: HttpExchange, body: String): Unit = {
+      val b = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Delta-Table-Version", "3")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    httpd.createContext("/", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val reqBody = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val continuation = query.contains("pageToken=p2") ||
+        reqBody.contains(""""pageToken":"p2"""") ||
+        reqBody.contains(""""pageToken" : "p2"""")
+      val body = (path.endsWith("/tables/td/changes"),
+        path.endsWith("/tables/td/query"), continuation) match {
+        case (true, _, false) => page1(metaD, protoD, fileD, esaD)
+        case (true, _, true) => page2(metaD, protoD, fileD)
+        case (_, true, false) => page1(metaD, protoD, fileD, esaD)
+        case (_, true, true) => page2(metaD, protoD, fileD)
+        case (_, _, false) => page1(metaP, protoP, addP, esaP)
+        case (_, _, true) => page2(metaP, protoP, addP)
+      }
+      serve(ex, body)
+    })
+    httpd.start()
+    client = new GraftRestClient(
+      s"http://127.0.0.1:${httpd.getAddress.getPort}", numRetries = 0)
+  }
+
+  override def afterAll(): Unit = if (httpd != null) httpd.stop(0)
+
+  test("parquet /changes: positional head dedup keeps an unversioned " +
+    "A->B->A metadata revert") {
+    val r = client.changes("s", "d", "tp", Map("startingVersion" -> "0"))
+    assert(r.metas.map(_.schemaString) === Seq("A", "B", "A"),
+      "the revert's second A must survive pagination")
+    assert(r.adds.map(_.id) === Seq("f1", "f2"))
+    assert(r.version === 3L && r.metadata.schemaString === "A")
+  }
+
+  test("delta /changes: positional head dedup, single protocol line") {
+    val r = client.deltaChanges("s", "d", "td", Map("startingVersion" -> "0"))
+    assert(r.metas.map(_.deltaMetadata.schemaString) === Seq("A", "B", "A"))
+    assert(r.files.map(_.id) === Seq("f1", "f2"))
+    assert(r.protocols.size === 1)
+  }
+
+  test("delta /query range: positional head dedup, single protocol line") {
+    val r = client.deltaQueryRange("s", "d", "td", startingVersion = 0L)
+    assert(r.metas.map(_.deltaMetadata.schemaString) === Seq("A", "B", "A"))
+    assert(r.files.map(_.id) === Seq("f1", "f2"))
+    assert(r.protocols.size === 1)
+  }
+
+  test("token checksum: fields are length-prefixed — no cross-field " +
+    "collisions from separator-bearing content") {
+    // a field containing the raw separator must not equal the two fields
+    assert(Tokens.checksum(Seq("a\u001fb")) !== Tokens.checksum(Seq("a", "b")))
+    // boundary shifts must not collide
+    assert(Tokens.checksum(Seq("ab", "")) !== Tokens.checksum(Seq("a", "b")))
+    assert(Tokens.checksum(Seq("", "ab")) !== Tokens.checksum(Seq("a", "b")))
+    // content that mimics the length-prefix encoding must not collide
+    assert(Tokens.checksum(Seq("1:a")) !== Tokens.checksum(Seq("a")))
+    // determinism
+    assert(Tokens.checksum(Seq("a", "b")) === Tokens.checksum(Seq("a", "b")))
+  }
+}

@@ -209,4 +209,54 @@ class IsoBmffSpec extends AnyFunSuite {
     val tinyStsd = track(full("stsd", 0, be32(1)))
     IsoBmff.tracks(tinyStsd) // must not throw
   }
+
+  test("deeply nested container boxes cannot overflow the stack " +
+    "(round-13 advisory: StackOverflowError is fatal and escapes Try)") {
+    // 100k nested moov boxes, 8 bytes of header per level (~800 KB):
+    // unbounded recursion would blow the JVM stack at a few thousand
+    val n = 100000
+    val buf = new Array[Byte](8 * n)
+    val bb = ByteBuffer.wrap(buf).order(ByteOrder.BIG_ENDIAN)
+    for (i <- 0 until n) {
+      bb.putInt(8 * i, 8 * (n - i))
+      buf(8 * i + 4) = 'm'; buf(8 * i + 5) = 'o'
+      buf(8 * i + 6) = 'o'; buf(8 * i + 7) = 'v'
+    }
+    val bs = IsoBmff.boxes(buf) // must not throw
+    // descent stops at the depth bound: one box per visited level
+    assert(bs.size === 33, s"expected MaxDepth+1 boxes, got ${bs.size}")
+    assert(bs.last.path.split("/").length === 33)
+    IsoBmff.tracks(buf) // must not throw either
+    // the spec's real layout (depth <= 5) is untouched by the bound
+    assert(IsoBmff.tracks(IsoBmff.encodeMp4(3)).head.samples.nonEmpty)
+  }
+
+  test("declared counts >= 2^31 clamp to box capacity instead of " +
+    "wrapping negative and dropping the track (round-13 advisory)") {
+    def track(stbl: Array[Byte]): Array[Byte] =
+      box("ftyp", "isom".getBytes("US-ASCII"), be32(0)) ++
+        box("moov", box("trak",
+          full("tkhd", 0, Array.fill(80)(0.toByte)),
+          box("mdia",
+            full("mdhd", 0, be32(0), be32(0), be32(600), be32(5)),
+            full("hdlr", 0, be32(0), "vide".getBytes("US-ASCII"),
+              be32(0), be32(0), be32(0), Array[Byte](0)),
+            box("minf", box("stbl", stbl)))))
+    val stsd = full("stsd", 0, be32(1), box("xxxx", Array.fill(8)(0.toByte)))
+    // every table lies with a 2^31 entry count; each box physically
+    // holds the real entries — the old `.toInt min avail` wrapped the
+    // declared count negative and parsed every table as EMPTY
+    val huge = 0x80000000L
+    val lying = track(stsd ++
+      full("stsz", 0, be32(0), be32(huge), be32(3), be32(4)) ++ // holds 2
+      full("stts", 0, be32(huge), be32(5), be32(1)) ++ // holds 1 run
+      full("stsc", 0, be32(huge), be32(1), be32(9), be32(1)) ++ // holds 1 run
+      full("stco", 0, be32(huge), be32(40))) // holds 1 chunk offset
+    val t = IsoBmff.tracks(lying)
+    assert(t.nonEmpty, "track must parse")
+    assert(t.head.samples.size === 2,
+      s"tables must clamp to capacity, got ${t.head.samples.size} samples")
+    assert(t.head.samples.map(_.size) === Seq(3L, 4L))
+    assert(t.head.samples.map(_.offset) === Seq(40L, 43L))
+  }
 }

@@ -392,6 +392,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(6L)._2 === expect6, s"canon of 6 under cheb=$cheb")
   }
 
+  test("audio fingerprints: sig32 nibbles stay masked on clips longer " +
+    "than 64 samples (round-12 advisory: unmasked energies bleed into " +
+    "the adjacent nibble)") {
+    import spark.implicits._
+    // 128 samples, frame 0 saturated at 65535: its frame sum is
+    // 16*65535 = 2^20, so (sum >> 15) = 32 > 15 — without the mask this
+    // bleeds a bit into frame 1's nibble, corrupting the bucket key
+    val n = 128
+    def sample(i: Int): Int = if (i < n / 8) 65535 else (i * 997) % 65536
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = sample(i) - 32768
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val assets = Seq(Multimodal.Asset(1L, out.toByteArray,
+      Multimodal.AssetMeta("wav", 8000, n, 0L))).toDS()
+    val r = Multimodal.audioFingerprints(assets).collect().head
+    val hand = new Array[Long](8)
+    for (i <- 0 until n) hand(i / (n / 8)) += sample(i)
+    assert((1 to 8).map(r.getLong).toSeq === hand.toSeq, "frame profile")
+    assert((hand(0) >> 15) > 15,
+      "fixture must exceed the nibble range (the pre-mask bleed case)")
+    val sig = r.getLong(10)
+    val expect = (0 until 8).map(f => ((hand(f) >> 15) & 0xFL) << (4 * f))
+      .reduce(_ | _)
+    assert(sig === expect, "sig32 must pack MASKED nibbles")
+    // every nibble decodes back to its own frame's masked energy — the
+    // bleed would corrupt the nibble above a saturated frame
+    for (f <- 0 until 8)
+      assert(((sig >> (4 * f)) & 0xFL) === ((hand(f) >> 15) & 0xFL),
+        s"nibble $f")
+  }
+
   test("audio resample: decimation keeps even frames, halves the rate, " +
     "round-trips losslessly, non-audio passes through") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
