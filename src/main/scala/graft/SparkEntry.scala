@@ -1716,18 +1716,24 @@ object SparkEntry {
     // Beyond-reference: ISO-BMFF (mp4) CONTAINER manifest + mirror
     // detection without a codec — the structural layer under the one
     // remaining multimodal stub. Every doc becomes a REAL mp4 container
-    // (ftyp + chunked mdat + full moov sample tables); parsing resolves
-    // per-sample absolute byte ranges through stsc/stco/stsz/stts and
-    // signs each sample's mdat range. Assets sharing a content key are
-    // re-muxed mirrors; grouping by the ordered signature chain finds
-    // them — if any offset in the chunk-mapping composition were wrong,
-    // the signatures (recomputed by the oracle from the generator
-    // formula alone) would not match. Plan: two map-side-combinable
-    // aggregations, zero joins — candidate volume bounded by distinct
-    // container content, the q189/q193 representative posture.
+    // (ftyp + chunked mdat + full moov sample tables, 256+ samples —
+    // the realistic count); parsing resolves per-sample absolute byte
+    // ranges through stsc/stco/stsz/stts and signs each sample's mdat
+    // range. Assets sharing a content key are re-muxed mirrors; grouping
+    // by sha-256 OF the ordered signature chain finds them — a CONSTANT-
+    // WIDTH (64-char) shuffle key at any sample count, where the raw
+    // chain would be a multi-KB key on a real 10³–10⁵-sample container.
+    // The chain only exists transiently inside the per-asset aggregation
+    // (keyed by asset_id, fixed width); if any offset in the chunk-
+    // mapping composition were wrong, the signatures (recomputed by the
+    // oracle from the generator formula alone) would not hash-match.
+    // Plan: two map-side-combinable aggregations, zero joins — candidate
+    // volume bounded by distinct container content, the q189/q193
+    // representative posture.
     "q199_video_container_dedup" -> ((s, dir) => {
       val manifest = graft.ops.Multimodal.videoManifest(
-        graft.ops.Multimodal.videoAssets(t(s, dir, "documents")))
+        graft.ops.Multimodal.videoAssets(t(s, dir, "documents"),
+          baseSamples = 256))
       val perAsset = manifest
         .groupBy(col("asset_id"))
         .agg(
@@ -1740,7 +1746,11 @@ object SparkEntry {
           sum(col("signature")).as("sig_sum"),
           sort_array(collect_list(struct(col("sample_idx"), col("signature"))))
             .as("chain"))
-      perAsset.groupBy(col("chain"))
+        .withColumn("chain_hash", sha2(concat_ws(",", expr(
+          """transform(chain, x -> concat(cast(x.sample_idx as string),
+            |':', cast(x.signature as string)))""".stripMargin)), 256))
+        .drop("chain")
+      perAsset.groupBy(col("chain_hash"))
         .agg(min(col("asset_id")).as("group_id"),
           count(lit(1)).as("n_assets"),
           first(col("n_tracks")).as("n_tracks"),
@@ -1750,7 +1760,7 @@ object SparkEntry {
           first(col("total_bytes")).as("total_bytes"),
           first(col("total_ticks")).as("total_ticks"),
           first(col("sig_sum")).as("sig_sum"))
-        .drop("chain")
+        .drop("chain_hash")
         .orderBy(col("group_id"))
     }),
 
@@ -1780,13 +1790,15 @@ object SparkEntry {
     // Beyond-reference: STREAMING video-mirror admission — the q198
     // first-arrival state machine with the ISO-BMFF container signature
     // as the bucket: assets are encoded and PARSED in-stream (stateless
-    // mapPartitions, the real-container shape), each container enters
-    // one bucket keyed by its full ordered sample-signature chain, and
-    // an asset is admitted iff it is the bucket's first arrival — the
-    // crawl-frontier screen that drops a re-uploaded video before its
-    // frames are ever stored, no codec involved. Version order = doc_id
-    // order in this fixture, so the oracle replays admission as
-    // min-doc_id per content key.
+    // mapPartitions, the real-container shape; 256+ samples per
+    // container), each container enters one bucket keyed by the sha-256
+    // of its ordered sample-signature chain — a CONSTANT-WIDTH state-
+    // store key at any sample count (the raw chain would grow the state
+    // key multi-KB on real containers) — and an asset is admitted iff
+    // it is the bucket's first arrival — the crawl-frontier screen that
+    // drops a re-uploaded video before its frames are ever stored, no
+    // codec involved. Version order = doc_id order in this fixture, so
+    // the oracle replays admission as min-doc_id per content key.
     "q203_stream_video_dedup" -> ((s, dir) => {
       import s.implicits._
       graft.log.SharedFixtures.ensure(s, dir)
@@ -1798,8 +1810,9 @@ object SparkEntry {
         .option("startingVersion", "0")
         .option("maxFilesPerTrigger", "2").load()
       val buckets = graft.ops.Multimodal.videoSignatures(
-        graft.ops.Multimodal.videoAssets(src.select(col("doc_id"))))
-        .select(col("asset_id").as("doc_id"), col("chain").as("bucket"))
+        graft.ops.Multimodal.videoAssets(src.select(col("doc_id")),
+          baseSamples = 256))
+        .select(col("asset_id").as("doc_id"), col("chain_hash").as("bucket"))
         .as[(Long, String)]
       val verdicts = buckets
         .groupByKey(_._2)
@@ -1827,8 +1840,9 @@ object SparkEntry {
     // log-ratio of its hashed-token features under the target-domain
     // (lang='de') vs raw distributions, keep the top 10% of raw docs.
     // One hash scan (target flag rides the explode), O(dim) broadcast
-    // model, distributed TakeOrderedAndProject top-K — never a global
-    // single-partition window.
+    // model, rank-threshold selection (exact distributed rank, keep
+    // rank <= K) — never a single-partition window, no Int-capped
+    // limit(), driver cost flat in K.
     "q204_dsir_selection" -> ((s, dir) =>
       graft.ops.Sampling.dsirSelect(
         t(s, dir, "documents"), "doc_id", "text",
@@ -5835,20 +5849,22 @@ object SparkEntry {
     "q199_video_container_dedup" ->
       """WITH ck AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
          keys AS (SELECT DISTINCT k FROM ck),
-         samp AS (SELECT k, unnest(range(4 + (k % 5))) AS i FROM keys),
+         samp AS (SELECT k, unnest(range(256 + (k % 5))) AS i FROM keys),
          sized AS (SELECT k, i, CAST(16 + ((k*7 + i*13) % 17) AS BIGINT) AS sz
                    FROM samp),
          bytes AS (SELECT k, i, sz, unnest(range(sz)) AS j FROM sized),
          sig AS (SELECT k, i, any_value(sz) AS sz,
                    CAST(sum((((k*31 + i*17 + j*7) % 256) + 1) * (j + 1)) AS BIGINT) AS fp
                  FROM bytes GROUP BY k, i),
-         perk AS (SELECT k, list(fp ORDER BY i) AS chain,
+         perk AS (SELECT k,
+                    sha256(string_agg(CAST(i AS VARCHAR) || ':' ||
+                      CAST(fp AS VARCHAR), ',' ORDER BY i)) AS chain_hash,
                     CAST(count(*) AS BIGINT) AS n_samples,
                     CAST(sum(sz) AS BIGINT) AS total_bytes,
                     CAST(count(*) * 100 AS BIGINT) AS total_ticks,
                     CAST(sum(fp) AS BIGINT) AS sig_sum
                   FROM sig GROUP BY k),
-         assets AS (SELECT c.doc_id AS asset_id, p.chain, p.n_samples,
+         assets AS (SELECT c.doc_id AS asset_id, p.chain_hash, p.n_samples,
                       p.total_bytes, p.total_ticks, p.sig_sum
                     FROM ck c JOIN perk p ON p.k = c.k)
          SELECT CAST(min(asset_id) AS BIGINT) AS group_id,
@@ -5860,7 +5876,7 @@ object SparkEntry {
                 any_value(total_bytes) AS total_bytes,
                 any_value(total_ticks) AS total_ticks,
                 any_value(sig_sum) AS sig_sum
-         FROM assets GROUP BY chain ORDER BY group_id""",
+         FROM assets GROUP BY chain_hash ORDER BY group_id""",
     // gopher labels (q138's rule replay) + positional-codepoint hashed
     // features mod 1024 + NB fit on the id%5 train split, integer
     // micronats floor(ln(.)*1e6+0.5), unseen buckets at the smoothed

@@ -54,12 +54,17 @@ object IsoBmff {
   val SAMPLE_DELTA = 100L
 
   /** Deterministic container content for content key `ck`:
-    * `nSamples = 4 + ck%5`, `size(i) = 16 + (ck·7 + i·13) mod 17`,
+    * `nSamples = base + ck%5`, `size(i) = 16 + (ck·7 + i·13) mod 17`,
     * `byte(i,j) = (ck·31 + i·17 + j·7) mod 256`. Containers with 6+
     * samples split `mdat` into two chunks (4 + rest) so the stsc
     * chunk-run mapping is exercised, not just the one-chunk trivial case.
+    * `base` sizes the fixture: 4 keeps the hand-checkable unit-test
+    * shape; the q199/q203 dedup fixtures use 256 so the per-container
+    * sample count is realistic and the constant-width bucket key
+    * (sha-256 of the chain) is exercised against chains it must not
+    * inline.
     */
-  def sampleCount(ck: Long): Int = (4 + (ck % 5)).toInt
+  def sampleCount(ck: Long, base: Int = 4): Int = (base + (ck % 5)).toInt
   def sampleSize(ck: Long, i: Int): Int = (16 + ((ck * 7 + i * 13) % 17)).toInt
   def sampleByte(ck: Long, i: Int, j: Int): Byte =
     ((ck * 31 + i * 17 + j * 7) % 256).toByte
@@ -67,8 +72,8 @@ object IsoBmff {
   /** Encode a real ISO-BMFF container for content key `ck`: ftyp, mdat
     * (one or two chunks), moov/trak with complete sample tables.
     */
-  def encodeMp4(ck: Long): Array[Byte] = {
-    val n = sampleCount(ck)
+  def encodeMp4(ck: Long, baseSamples: Int = 4): Array[Byte] = {
+    val n = sampleCount(ck, baseSamples)
     val sizes = (0 until n).map(sampleSize(ck, _))
     val samples = (0 until n).map(i => Array.tabulate(sizes(i))(sampleByte(ck, i, _)))
     val chunkSplit = if (n >= 6) Seq(4, n - 4) else Seq(n)

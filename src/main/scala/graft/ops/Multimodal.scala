@@ -614,13 +614,16 @@ object Multimodal {
     * container-level dedup exists to find. Encoding is per-partition
     * pure byte assembly (no codec), O(payload) per asset.
     */
-  def videoAssets(docs: DataFrame, contentKeys: Int = 50): DataFrame = {
+  def videoAssets(
+      docs: DataFrame,
+      contentKeys: Int = 50,
+      baseSamples: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { docId =>
         val ck = ((docId % contentKeys) + contentKeys) % contentKeys
-        (docId, IsoBmff.encodeMp4(ck))
+        (docId, IsoBmff.encodeMp4(ck, baseSamples))
       }
     }.toDF("asset_id", "payload")
   }
@@ -654,10 +657,15 @@ object Multimodal {
         "sample_ticks", "signature")
   }
 
-  /** One row per asset: the full ordered sample-signature chain as a
-    * single string key — the container-level mirror bucket. Stateless
-    * per-row (one parse pass, no aggregation), so it composes with
-    * streaming stateful operators where a groupBy-built chain could not.
+  /** One row per asset: `chain_hash` — sha-256 (hex) of the full
+    * ordered sample-signature chain — the container-level mirror
+    * bucket. The chain itself never leaves the parse: a real container
+    * carries 10³–10⁵ samples, so keying a shuffle or a streaming state
+    * store on the raw chain would grow the key multi-KB with sample
+    * count; the hash is a CONSTANT-WIDTH (64-char) key at any sample
+    * count. Stateless per-row (one parse pass, no aggregation), so it
+    * composes with streaming stateful operators where a groupBy-built
+    * chain could not.
     */
   def videoSignatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
@@ -665,11 +673,15 @@ object Multimodal {
     assets.select(col("asset_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
         it.map { case (assetId, payload) =>
           val chain = IsoBmff.tracks(payload).flatMap(t =>
             t.samples.map(s => IsoBmff.sampleSignature(payload, s)))
-          (assetId, chain.mkString(","))
+          sha.reset()
+          val digest = sha.digest(
+            chain.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (assetId, digest.map("%02x".format(_)).mkString)
         }
-      }.toDF("asset_id", "chain")
+      }.toDF("asset_id", "chain_hash")
   }
 }

@@ -329,9 +329,14 @@ object Sampling {
     *
     * Shape at 100 TB: one tokenize+hash scan (the target flag rides the
     * explode — no label join), two O(dim) count tables collected at
-    * model scale, one broadcast model join, and a DISTRIBUTED top-K
-    * (TakeOrderedAndProject: per-partition partial top-K merged on the
-    * driver — never a single-partition global window).
+    * model scale, one broadcast model join, and a RANK-THRESHOLD
+    * selection: an exact distributed rank over (weight desc, id) via
+    * [[Quantiles.withGroupRank]] (range-partitioned local ranks +
+    * broadcast prefix offsets), then keep rank <= K. K never funnels
+    * through one partition or the driver, so selection scales to
+    * K ~ 10^9 (keepFrac of a 100 TB corpus) with no Int-range ceiling —
+    * the driver only ever sees the <= numShufflePartitions-row offset
+    * table, so its cost is FLAT in K.
     */
   def dsirSelect(
       docs: DataFrame,
@@ -369,18 +374,20 @@ object Sampling {
 
     val nRawDocs = base.filter(!col("tgt")).count()
     val k = math.max(1L, math.floor(keepFrac * nRawDocs).toLong)
-    // limit() takes an Int: selections beyond 2^31-1 docs need the
-    // rank-threshold formulation instead — fail loudly, never wrap
-    require(k <= Int.MaxValue,
-      s"selection of $k docs exceeds limit()'s Int range; " +
-        "use a rank-threshold selection for K beyond 2^31-1")
 
-    feats.filter(!col("tgt"))
+    val weights = feats.filter(!col("tgt"))
       .join(broadcast(model), Seq("b")) // every corpus bucket is in the model
       .groupBy(col("id"))
       .agg(sum(col("cnt") * col("lr")).as("weight"))
-      .orderBy(col("weight").desc, col("id"))
-      .limit(k.toInt)
+    // rank-threshold selection: exact global rank under
+    // (weight desc, id asc) — __negw is safe to negate because weight is
+    // an integer-micronat sum far from Long.MinValue — then keep
+    // rank <= K. No orderBy().limit() (Int-capped, driver-merged) and no
+    // single-partition window anywhere.
+    Quantiles.withGroupRank(
+      weights.withColumn("__negw", -col("weight")),
+      groupCols = Seq.empty, orderCols = Seq("__negw", "id"))
+      .filter(col("__rn") <= k)
       .select(col("id").as(idCol), col("weight"))
   }
 }

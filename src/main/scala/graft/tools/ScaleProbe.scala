@@ -553,6 +553,15 @@ object ScaleProbe {
       "q199_video_manifest" -> (k =>
         graft.ops.Multimodal.videoManifest(
           graft.ops.Multimodal.videoAssets(docs(k))).count()),
+      // SAMPLE-COUNT axis (not corpus axis): containers carry 64·k
+      // samples; the reported "rows" value is the max bucket-key WIDTH,
+      // which must stay 64 hex chars at every k (the chain is hashed
+      // inside the parse, never shuffled), while time tracks the linear
+      // parse floor
+      "q199_key_width" -> (k =>
+        graft.ops.Multimodal.videoSignatures(
+          graft.ops.Multimodal.videoAssets(docs(1), baseSamples = 64 * k))
+          .agg(max(length(col("chain_hash")))).first().getInt(0).toLong),
       // classifiers: rule-pack + hash scan + O(dim) model work — the
       // corpus term should be linear, the model term flat
       "q200_nb_quality" -> (k =>
@@ -560,11 +569,20 @@ object ScaleProbe {
       "q202_perceptron" -> (k =>
         graft.ops.Classify.perceptronQualityHashed(
           repDocs(k), "doc_id", "text").count()),
-      // DSIR: one hash scan + broadcast model + distributed top-K —
+      // DSIR: one hash scan + broadcast model + rank-threshold select —
       // corpus-linear; the id%7 pseudo-domain keeps both slices non-empty
       "q204_dsir" -> (k =>
         graft.ops.Sampling.dsirSelect(repDocs(k), "doc_id", "text",
           isTarget = pmod(col("doc_id"), lit(7)) === 0).count()),
+      // K axis (corpus fixed, keepFrac = 0.08·k so K grows k-fold): the
+      // rank-threshold selection's cost must stay FLAT in K — same
+      // scans, same broadcast offset table, only the rank filter's
+      // constant changes (the old orderBy().limit(K) would grow the
+      // driver-side merge with K)
+      "q204_dsir_bigk" -> (k =>
+        graft.ops.Sampling.dsirSelect(repDocs(1), "doc_id", "text",
+          isTarget = pmod(col("doc_id"), lit(7)) === 0,
+          keepFrac = 0.08 * k).count()),
       // real sampled-audio decode is the linear term; candidates live on
       // distinct energy-profile representatives under (dhash8, sig32)
       // bucket keys — same exact-first posture as the image cascade

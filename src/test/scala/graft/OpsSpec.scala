@@ -2989,7 +2989,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agree * 2 > got.map(_._3).sum, s"fidelity too low: $got")
   }
 
-  test("DSIR selection ranks target-like raw docs first, distributed top-K plan") {
+  test("DSIR selection ranks target-like raw docs first, rank-threshold plan") {
     import org.apache.spark.sql.functions._
     // target docs (ids 100+) speak "alpha beta gamma"; raw docs 0-19:
     // ids 0-4 echo the target vocabulary, 5-19 speak something else —
@@ -3009,11 +3009,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L until 5L).map(all).min > (5L until 20L).map(all).max)
 
-    // plan: distributed partial top-K + broadcast model, no cartesian
+    // plan: rank-threshold selection — no Int-capped orderBy().limit()
+    // (GlobalLimit / TakeOrderedAndProject funnel K through the driver
+    // merge), broadcast model join, no cartesian
     val plan = sel.queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"),
-      "top-K must be a distributed TakeOrderedAndProject, not a global window")
+    assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("GlobalLimit"),
+      s"selection must be rank-threshold, not a driver-merged top-K:\n$plan")
     assert(plan.contains("BroadcastExchange"), "model join must broadcast")
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("video signatures: constant-width chain_hash buckets mirrors " +
+    "exactly and never grows with the per-container sample count") {
+    import org.apache.spark.sql.functions._
+    val ids = (0L until 20L).map(Tuple1(_))
+    val docs = spark.createDataFrame(ids).toDF("doc_id")
+    def sigs(base: Int) = graft.ops.Multimodal.videoSignatures(
+      graft.ops.Multimodal.videoAssets(docs, contentKeys = 5,
+        baseSamples = base))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val small = sigs(4)
+    val big = sigs(512)
+    for (m <- Seq(small, big)) {
+      // 64 hex chars at EVERY sample count — the chain never leaks into
+      // the key
+      assert(m.values.forall(h => h.length == 64 &&
+        h.forall(c => c.isDigit || ('a' to 'f').contains(c))))
+      // mirrors (same doc_id % 5) share the hash; distinct keys differ
+      for (a <- 0L until 20L; b <- 0L until 20L)
+        assert((m(a) == m(b)) === (a % 5 == b % 5), s"assets $a vs $b")
+    }
+    // different sample counts are different content: hashes must differ
+    assert((0L until 5L).forall(i => small(i) != big(i)))
+  }
+
+  test("DSIR rank-threshold selection breaks weight ties by smaller id, " +
+    "matching the orderBy(weight desc, id).limit(k) spelling exactly") {
+    import org.apache.spark.sql.functions._
+    // all raw docs share ONE text (every weight identical) — selection
+    // inside the tie must be exactly the k = 0.25·40 = 10 smallest ids
+    val target = (100L until 105L).map(i => (i, "alpha beta gamma"))
+    val raw = (0L until 40L).map(i => (i, "alpha beta"))
+    val docs = docsDF(target ++ raw)
+    val sel = graft.ops.Sampling.dsirSelect(docs, "doc_id", "text",
+      isTarget = col("doc_id") >= 100L, dim = 64, keepFrac = 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel === (0L until 10L).toSet, s"tie-break must pick smallest ids: $sel")
   }
 }
