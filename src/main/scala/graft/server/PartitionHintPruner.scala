@@ -82,12 +82,21 @@ object PartitionHintPruner {
     case _ => None
   }
 
-  /** Partition column reference (possibly wrapped in a Cast). */
+  /** Partition column reference (possibly wrapped in a NO-OP cast).
+    * Only a cast back to the column's own type is transparent: unwrapping
+    * a type-CHANGING cast would evaluate the comparison under the wrong
+    * type's ordering — `CAST(p AS STRING) < '2'` is TRUE for p=10 under
+    * the string order the client's re-filter applies, but unwrapping to
+    * `p < 2` evaluates FALSE and SKIPS the matching file (fuzzer
+    * finding, HintPrunerFuzzSpec). Type-changing casts are unsupported:
+    * the hint is dropped, which can only over-return.
+    */
   private def column(e: Expression, ps: StructType): Option[ColumnOp] = e match {
     case UA(nameParts) if nameParts.size == 1 =>
       ps.find(_.name.equalsIgnoreCase(nameParts.head))
         .flatMap(f => StatsCodec.typeName(f.dataType).map(t => ColumnOp(f.name, t)))
-    case Cast(child, _, _, _) => column(child, ps)
+    case Cast(child, dt, _, _) =>
+      column(child, ps).filter(c => ps.exists(f => f.name == c.name && f.dataType == dt))
     case _ => None
   }
 
@@ -102,7 +111,14 @@ object PartitionHintPruner {
       Some(java.time.LocalDate.ofEpochDay(days.toLong).toString)
     case Literal(micros: Long, TimestampType) =>
       StatsCodec.encode(java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS))
-    case Cast(child, _, _, _) => literal(child)
+    // a cast over a literal is FOLDED (evaluated), not unwrapped: the
+    // unwrapped child can decode to a different value than the cast
+    // produces (e.g. CAST(300 AS TINYINT) wraps; the raw "300" does not),
+    // and comparing against the wrong value can skip a matching file.
+    // Eval failures (ANSI overflow, bad formats) throw into translate's
+    // catch → the hint is dropped, which can only over-return.
+    case c: Cast if c.resolved && c.foldable =>
+      Option(c.eval(null)).flatMap(v => literal(Literal(v, c.dataType)))
     case _ => None
   }
 }
