@@ -479,12 +479,22 @@ class GraftLog(val tablePath: String, conf: Configuration) {
     * backbone; reference `DeltaSharedTable.scala:557-695`).
     */
   def changes(start: Long, end: Long): Seq[CommitChange] = {
+    changesIterator(start, end).toVector
+  }
+
+  /** Lazy [[changes]]: commits are read (and JSON-parsed, on a cold
+    * cache) only as the iterator is pulled. The streaming source's
+    * per-trigger admission consumes a bounded prefix of a possibly
+    * enormous backlog — materializing the whole remaining range per
+    * trigger would make an N-trigger catch-up O(backlog²).
+    */
+  def changesIterator(start: Long, end: Long): Iterator[CommitChange] = {
     require(start <= end, s"startingVersion($start) > endingVersion($end)")
     val vs = listVersions()
     require(vs.nonEmpty && start >= vs.head,
       s"startingVersion($start) before log start ${vs.headOption.getOrElse(-1L)}")
     val tss = versionTimestamps().toMap
-    vs.filter(v => v >= start && v <= end).map { v =>
+    vs.iterator.filter(v => v >= start && v <= end).map { v =>
       CommitChange(v, tss(v), readVersion(v))
     }
   }

@@ -24,23 +24,32 @@ object Admission {
     * always admitted (a single oversized file must still flow).
     */
   def admit[F](files: Seq[F], limit: ReadLimit)(
+      isData: F => Boolean, bytesOf: F => Long): Seq[F] =
+    admit(files.iterator, limit)(isData, bytesOf)
+
+  /** Iterator form — STOPS PULLING at the first over-cap item, so a lazy
+    * producer (the streaming sources' backlog walk) does only
+    * O(admitted) work per trigger instead of materializing the whole
+    * remaining backlog and truncating it (O(backlog) per trigger,
+    * quadratic across a long catch-up).
+    */
+  def admit[F](files: Iterator[F], limit: ReadLimit)(
       isData: F => Boolean, bytesOf: F => Long): Seq[F] = {
     val (fileCap, byteCap) = caps(limit)
-    if (fileCap.isEmpty && byteCap.isEmpty) return files
+    if (fileCap.isEmpty && byteCap.isEmpty) return files.toVector
     var dataCount = 0
     var bytes = 0L
     val admitted = Vector.newBuilder[F]
     var done = false
-    files.foreach { f =>
-      if (!done) {
-        val data = isData(f)
-        val wouldExceedFiles = data && fileCap.exists(m => dataCount + 1 > m)
-        val wouldExceedBytes = data && byteCap.exists(m => bytes + bytesOf(f) > m && dataCount > 0)
-        if (wouldExceedFiles || wouldExceedBytes) done = true
-        else {
-          admitted += f
-          if (data) { dataCount += 1; bytes += bytesOf(f) }
-        }
+    while (!done && files.hasNext) {
+      val f = files.next()
+      val data = isData(f)
+      val wouldExceedFiles = data && fileCap.exists(m => dataCount + 1 > m)
+      val wouldExceedBytes = data && byteCap.exists(m => bytes + bytesOf(f) > m && dataCount > 0)
+      if (wouldExceedFiles || wouldExceedBytes) done = true
+      else {
+        admitted += f
+        if (data) { dataCount += 1; bytes += bytesOf(f) }
       }
     }
     admitted.result()

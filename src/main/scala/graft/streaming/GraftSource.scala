@@ -81,6 +81,11 @@ class GraftSource(
   private val skipChangeCommits: Boolean = options.get("skipChangeCommits").exists(_.toBoolean)
 
   private val snapshotCache = scala.collection.mutable.HashMap.empty[Long, Snapshot]
+  // path-sorted snapshot files, cached: the starting-snapshot phase
+  // resumes from an offset index every trigger, and re-sorting 10^5
+  // files per trigger is avoidable O(n log n) driver work
+  private val sortedSnapshotCache =
+    scala.collection.mutable.HashMap.empty[Long, IndexedSeq[AddFile]]
 
   private val initialSnapshot: Snapshot = tableLog.snapshot(None)
   // DV filtering is a batch-relation feature; tailing adds of a DV table
@@ -130,10 +135,16 @@ class GraftSource(
   }
 
   /** All files from `from` (exclusive) up to `endVersion` (inclusive),
-    * in offset order. `from=None` ⇒ start of stream per options.
+    * in offset order, as a LAZY iterator. `from=None` ⇒ start of stream
+    * per options. Laziness is the scale contract: `latestOffset` feeds
+    * this straight into early-stopping admission, so each trigger does
+    * O(admitted) work — an eager walk would rebuild the entire remaining
+    * backlog per trigger, O(backlog²) across a long catch-up (measured:
+    * per-trigger cost grew with the remaining file count at 10^5
+    * actions, MetaProbe `stream` section).
     */
-  private def filesAfter(from: Option[GraftSourceOffset], endVersion: Long): Seq[IndexedFile] = {
-    val out = Vector.newBuilder[IndexedFile]
+  private def filesAfter(
+      from: Option[GraftSourceOffset], endVersion: Long): Iterator[IndexedFile] = {
 
     // Sentinels are positioned at `(version + 1, -1)` — i.e. "before any
     // file of the NEXT version" — so they sort strictly after the data
@@ -142,20 +153,26 @@ class GraftSource(
     // (reference bumps finished versions to (v+1, index=-1) the same way,
     // `DeltaSharingSource.scala:969-992`).
 
-    def snapshotFiles(version: Long, fromIndex: Long): Unit = {
-      val snap = snapshotCache.synchronized {
-        snapshotCache.getOrElseUpdate(version, tableLog.snapshot(Some(version)))
+    def snapshotFiles(version: Long, fromIndex: Long): Iterator[IndexedFile] = {
+      val sorted = sortedSnapshotCache.synchronized {
+        sortedSnapshotCache.getOrElseUpdate(version, {
+          val snap = snapshotCache.synchronized {
+            snapshotCache.getOrElseUpdate(version, tableLog.snapshot(Some(version)))
+          }
+          snap.files.sortBy(_.path).toIndexedSeq
+        })
       }
-      val sorted = snap.files.sortBy(_.path)
-      sorted.zipWithIndex.foreach { case (f, i) =>
-        if (i > fromIndex) out += IndexedFile(version, i.toLong, Some(f), isStarting = true)
-      }
-      out += IndexedFile(version + 1, VERSION_CONSUMED, None, isStarting = false)
+      sorted.iterator.zipWithIndex.collect {
+        case (f, i) if i > fromIndex =>
+          IndexedFile(version, i.toLong, Some(f), isStarting = true)
+      } ++ Iterator.single(
+        IndexedFile(version + 1, VERSION_CONSUMED, None, isStarting = false))
     }
 
-    def changeFiles(fromVersion: Long, fromIndex: Long): Unit = {
-      if (fromVersion > endVersion) return
-      tableLog.changes(fromVersion, endVersion).foreach { commit =>
+    def changeFiles(fromVersion: Long, fromIndex: Long): Iterator[IndexedFile] = {
+      if (fromVersion > endVersion) return Iterator.empty
+      tableLog.changesIterator(fromVersion, endVersion).flatMap { commit =>
+        val out = Vector.newBuilder[IndexedFile]
         // T7 schema-drift guard: every metadata commit consumed mid-stream
         // must stay read-compatible with the analysis-time schema, else
         // rows would silently decode wrong (reference checks each fetched
@@ -203,6 +220,7 @@ class GraftSource(
           }
         }
         out += IndexedFile(commit.version + 1, VERSION_CONSUMED, None, isStarting = false)
+        out.result()
       }
     }
 
@@ -212,23 +230,22 @@ class GraftSource(
           case Some(sv) => changeFiles(sv, Long.MinValue)
           case None =>
             val snapV = math.min(initialSnapshot.version, endVersion)
-            snapshotFiles(snapV, Long.MinValue)
-            changeFiles(snapV + 1, Long.MinValue)
+            snapshotFiles(snapV, Long.MinValue) ++
+              changeFiles(snapV + 1, Long.MinValue)
         }
       case Some(o) if o.isStartingVersion =>
-        snapshotFiles(o.tableVersion, o.index)
-        changeFiles(o.tableVersion + 1, Long.MinValue)
+        snapshotFiles(o.tableVersion, o.index) ++
+          changeFiles(o.tableVersion + 1, Long.MinValue)
       case Some(o) if o.index == VERSION_CONSUMED =>
         changeFiles(o.tableVersion, Long.MinValue)
       case Some(o) =>
         changeFiles(o.tableVersion, o.index)
     }
-    out.result()
   }
 
   private def caps(limit: ReadLimit): (Option[Int], Option[Long]) = Admission.caps(limit)
 
-  private def admit(files: Seq[IndexedFile], limit: ReadLimit): Seq[IndexedFile] =
+  private def admit(files: Iterator[IndexedFile], limit: ReadLimit): Seq[IndexedFile] =
     Admission.admit(files, limit)(_.add.isDefined, _.bytes)
 
   // ----------------------------------------------------------- CDF mode
@@ -242,10 +259,11 @@ class GraftSource(
   /** Whole-version admission units for CDF (version, data files, bytes). */
   private case class VersionUnit(version: Long, nFiles: Int, bytes: Long)
 
-  private def cdfUnitsAfter(from: Option[GraftSourceOffset], endVersion: Long): Seq[VersionUnit] = {
+  private def cdfUnitsAfter(
+      from: Option[GraftSourceOffset], endVersion: Long): Iterator[VersionUnit] = {
     val startV = from.map(_.tableVersion).getOrElse(cdfStartVersion)
-    if (startV > endVersion) return Nil
-    tableLog.changes(startV, endVersion).map { commit =>
+    if (startV > endVersion) return Iterator.empty
+    tableLog.changesIterator(startV, endVersion).map { commit =>
       val cdc = commit.actions.collect { case c: graft.model.AddCDCFile => c }
       val files: Seq[(String, Long)] =
         if (cdc.nonEmpty) cdc.map(c => (c.path, c.size))
@@ -258,23 +276,23 @@ class GraftSource(
   }
 
   /** Greedy atomic-version admission under the (files, bytes) caps; at
-    * least one version is always admitted.
+    * least one version is always admitted. Stops PULLING at the first
+    * over-cap version (same laziness contract as [[Admission.admit]]).
     */
-  private def admitUnits(units: Seq[VersionUnit], limit: ReadLimit): Seq[VersionUnit] = {
+  private def admitUnits(units: Iterator[VersionUnit], limit: ReadLimit): Seq[VersionUnit] = {
     val (fileCap, byteCap) = caps(limit)
-    if (fileCap.isEmpty && byteCap.isEmpty) return units
+    if (fileCap.isEmpty && byteCap.isEmpty) return units.toVector
     var files = 0
     var bytes = 0L
     val admitted = Vector.newBuilder[VersionUnit]
     var n = 0
     var done = false
-    units.foreach { u =>
-      if (!done) {
-        val over = (fileCap.exists(m => files + u.nFiles > m) ||
-          byteCap.exists(m => bytes + u.bytes > m)) && n > 0
-        if (over) done = true
-        else { admitted += u; files += u.nFiles; bytes += u.bytes; n += 1 }
-      }
+    while (!done && units.hasNext) {
+      val u = units.next()
+      val over = (fileCap.exists(m => files + u.nFiles > m) ||
+        byteCap.exists(m => bytes + u.bytes > m)) && n > 0
+      if (over) done = true
+      else { admitted += u; files += u.nFiles; bytes += u.bytes; n += 1 }
     }
     admitted.result()
   }

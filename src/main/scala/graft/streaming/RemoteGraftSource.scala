@@ -190,7 +190,20 @@ class RemoteGraftSource(
   }
 
   /** Snapshot files at `version`, offset-ordered (stable by id). */
+  /** Memoized per version: the starting-snapshot phase is drained across
+    * many triggers (maxFilesPerTrigger slices), and `latestOffset` +
+    * `getBatch` each walk it — without the memo every trigger re-issued
+    * the FULL snapshot query RPC (O(snapshot) server work and response
+    * bytes per trigger, quadratic across the drain). The pre-signed URLs
+    * stay fresh independently via the refresher registered below.
+    */
+  private val snapshotFilesCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Seq[RemoteFile]]
+
   private def snapshotFiles(version: Long): Seq[RemoteFile] =
+    snapshotFilesCache.getOrElseUpdate(version, fetchSnapshotFiles(version))
+
+  private def fetchSnapshotFiles(version: Long): Seq[RemoteFile] =
     if (deltaDialect) {
       val req = graft.server.wire.QueryRequest(version = version)
       val res = client.deltaQuery(share, schemaName, table, req)
@@ -231,28 +244,36 @@ class RemoteGraftSource(
 
   /** Version-range files grouped per version, with policing + drift
     * check; uncached spans are fetched in windows of `maxVersionsPerRpc`
-    * and memoized per version.
+    * and memoized per version — LAZILY: a window RPC is issued only when
+    * the iterator is pulled into it. `latestOffset` feeds this straight
+    * into early-stopping admission, so a trigger fetches at most one
+    * window past its cap; an eager walk would pull the WHOLE remaining
+    * backlog over REST before the first micro-batch (measured: trigger 1
+    * of a 1,000-version catch-up signed all 10^5 files server-side,
+    * MetaProbe `stream` section) — exactly the unbounded reply
+    * `maxVersionsPerRpc` exists to prevent (reference
+    * `DeltaSharingSource.scala:176-191,302-315`).
     */
   private def rangeCommits(
-      start: Long, end: Long): Seq[(Long, Seq[RemoteFile], Boolean)] = {
-    var v = start
-    while (v <= end) {
-      if (fetchedCommits.contains(v)) v += 1
-      else {
-        var e = v
-        while (e < end && e - v + 1 < maxVersionsPerRpc && !fetchedCommits.contains(e + 1))
-          e += 1
-        rangeCommitsWindow(v, e).foreach { case (vv, adds, dropped) =>
-          fetchedCommits.putIfAbsent(vv, (adds, dropped))
+      start: Long, end: Long): Iterator[(Long, Seq[RemoteFile], Boolean)] =
+    new Iterator[(Long, Seq[RemoteFile], Boolean)] {
+      private var v = start
+      override def hasNext: Boolean = v <= end
+      override def next(): (Long, Seq[RemoteFile], Boolean) = {
+        if (!fetchedCommits.contains(v)) {
+          var e = v
+          while (e < end && e - v + 1 < maxVersionsPerRpc && !fetchedCommits.contains(e + 1))
+            e += 1
+          rangeCommitsWindow(v, e).foreach { case (vv, adds, dropped) =>
+            fetchedCommits.putIfAbsent(vv, (adds, dropped))
+          }
         }
-        v = e + 1
+        val (adds, dropped) = fetchedCommits(v)
+        val r = (v, adds, dropped)
+        v += 1
+        r
       }
     }
-    (start to end).map { vv =>
-      val (adds, dropped) = fetchedCommits(vv)
-      (vv, adds, dropped)
-    }
-  }
 
   /** DV-carrying file instances get a VERSION-SCOPED synthetic file id:
     * the id keys the `graft://` path, and with `ignoreChanges` the same
@@ -382,100 +403,113 @@ class RemoteGraftSource(
   private val fetchedCdfDelta = scala.collection.concurrent.TrieMap
     .empty[Long, graft.sources.RemoteDeltaCDF.Group]
 
+  /** Window-lazy like [[rangeCommits]]: an RPC is issued only when the
+    * iterator is pulled into an uncached version.
+    */
   private def cdfDeltaCommits(
-      start: Long, end: Long): Seq[(Long, graft.sources.RemoteDeltaCDF.Group)] = {
-    import graft.sources.RemoteDeltaCDF
-    var v = start
-    while (v <= end) {
-      if (fetchedCdfDelta.contains(v)) v += 1
-      else {
-        var e = v
-        while (e < end && e - v + 1 < maxVersionsPerRpc && !fetchedCdfDelta.contains(e + 1))
-          e += 1
-        val rangeParams = Map(
-          "startingVersion" -> v.toString, "endingVersion" -> e.toString)
-        val res = client.deltaChanges(share, schemaName, table, rangeParams)
-        res.metas.foreach { m =>
-          SchemaCompat.assertReadCompatible(tableSchema,
-            DataType.fromJson(m.deltaMetadata.schemaString).asInstanceOf[StructType],
-            s"$share.$schemaName.$table (cdf, version ${Option(m.version).getOrElse(-1L)})")
-        }
-        val groups = RemoteDeltaCDF.groupsOf(res.files)
-        registerUrls(s"cdfdelta@$v-$e", RemoteDeltaCDF.urlEntries(groups),
-          () => RemoteDeltaCDF.urlEntries(RemoteDeltaCDF.groupsOf(
-            client.deltaChanges(share, schemaName, table, rangeParams).files)),
-          lastVersion = e)
-        val byV = groups.map(g => g.version -> g).toMap
-        (v to e).foreach { vv =>
-          fetchedCdfDelta.putIfAbsent(vv,
-            byV.getOrElse(vv, RemoteDeltaCDF.Group(vv, 0L, Nil, Nil, Nil)))
-        }
-        v = e + 1
+      start: Long, end: Long): Iterator[(Long, graft.sources.RemoteDeltaCDF.Group)] =
+    new Iterator[(Long, graft.sources.RemoteDeltaCDF.Group)] {
+      private var v = start
+      override def hasNext: Boolean = v <= end
+      override def next(): (Long, graft.sources.RemoteDeltaCDF.Group) = {
+        if (!fetchedCdfDelta.contains(v)) fetchCdfDeltaWindow(v, end)
+        val r = (v, fetchedCdfDelta(v))
+        v += 1
+        r
       }
     }
-    (start to end).map(vv => (vv, fetchedCdfDelta(vv)))
+
+  private def fetchCdfDeltaWindow(v: Long, end: Long): Unit = {
+    import graft.sources.RemoteDeltaCDF
+    var e = v
+    while (e < end && e - v + 1 < maxVersionsPerRpc && !fetchedCdfDelta.contains(e + 1))
+      e += 1
+    val rangeParams = Map(
+      "startingVersion" -> v.toString, "endingVersion" -> e.toString)
+    val res = client.deltaChanges(share, schemaName, table, rangeParams)
+    res.metas.foreach { m =>
+      SchemaCompat.assertReadCompatible(tableSchema,
+        DataType.fromJson(m.deltaMetadata.schemaString).asInstanceOf[StructType],
+        s"$share.$schemaName.$table (cdf, version ${Option(m.version).getOrElse(-1L)})")
+    }
+    val groups = RemoteDeltaCDF.groupsOf(res.files)
+    registerUrls(s"cdfdelta@$v-$e", RemoteDeltaCDF.urlEntries(groups),
+      () => RemoteDeltaCDF.urlEntries(RemoteDeltaCDF.groupsOf(
+        client.deltaChanges(share, schemaName, table, rangeParams).files)),
+      lastVersion = e)
+    val byV = groups.map(g => g.version -> g).toMap
+    (v to e).foreach { vv =>
+      fetchedCdfDelta.putIfAbsent(vv,
+        byV.getOrElse(vv, RemoteDeltaCDF.Group(vv, 0L, Nil, Nil, Nil)))
+    }
   }
 
-  private def cdfCommits(start: Long, end: Long): Seq[(Long, CdfCommit)] = {
-    var v = start
-    while (v <= end) {
-      if (fetchedCdf.contains(v)) v += 1
-      else {
-        var e = v
-        while (e < end && e - v + 1 < maxVersionsPerRpc && !fetchedCdf.contains(e + 1))
-          e += 1
-        val res = client.changes(share, schemaName, table,
-          Map("startingVersion" -> v.toString, "endingVersion" -> e.toString))
-        res.metas.foreach { m =>
-          SchemaCompat.assertReadCompatible(tableSchema,
-            DataType.fromJson(m.schemaString).asInstanceOf[StructType],
-            s"$share.$schemaName.$table (cdf, version ${Option(m.version).getOrElse(-1L)})")
-        }
-        def entry(id: String, url: String, exp: java.lang.Long) =
-          id -> GraftUrlCache.Entry(url,
-            Option(exp).map(_.longValue()).getOrElse(Long.MaxValue))
-        def urlsOf(r: client.ChangesResult) =
-          (r.adds.map(a => entry(a.id, a.url, a.expirationTimestamp)) ++
-            r.cdfs.map(c => entry(c.id, c.url, c.expirationTimestamp)) ++
-            r.removes.map(x => entry(x.id, x.url, x.expirationTimestamp))).toMap
-        registerUrls(s"cdf@$v-$e", urlsOf(res),
-          () => urlsOf(client.changes(share, schemaName, table,
-            Map("startingVersion" -> v.toString, "endingVersion" -> e.toString))),
-          lastVersion = e)
-        val addsBy = res.adds.groupBy(_.version)
-        val cdfsBy = res.cdfs.groupBy(_.version)
-        val removesBy = res.removes.groupBy(_.version)
-        (v to e).foreach { vv =>
-          fetchedCdf.putIfAbsent(vv, CdfCommit(
-            addsBy.getOrElse(vv, Nil).sortBy(_.id),
-            cdfsBy.getOrElse(vv, Nil).sortBy(_.id),
-            removesBy.getOrElse(vv, Nil).sortBy(_.id)))
-        }
-        v = e + 1
+  /** Window-lazy like [[rangeCommits]]. */
+  private def cdfCommits(start: Long, end: Long): Iterator[(Long, CdfCommit)] =
+    new Iterator[(Long, CdfCommit)] {
+      private var v = start
+      override def hasNext: Boolean = v <= end
+      override def next(): (Long, CdfCommit) = {
+        if (!fetchedCdf.contains(v)) fetchCdfWindow(v, end)
+        val r = (v, fetchedCdf(v))
+        v += 1
+        r
       }
     }
-    (start to end).map(vv => (vv, fetchedCdf(vv)))
+
+  private def fetchCdfWindow(v: Long, end: Long): Unit = {
+    var e = v
+    while (e < end && e - v + 1 < maxVersionsPerRpc && !fetchedCdf.contains(e + 1))
+      e += 1
+    val res = client.changes(share, schemaName, table,
+      Map("startingVersion" -> v.toString, "endingVersion" -> e.toString))
+    res.metas.foreach { m =>
+      SchemaCompat.assertReadCompatible(tableSchema,
+        DataType.fromJson(m.schemaString).asInstanceOf[StructType],
+        s"$share.$schemaName.$table (cdf, version ${Option(m.version).getOrElse(-1L)})")
+    }
+    def entry(id: String, url: String, exp: java.lang.Long) =
+      id -> GraftUrlCache.Entry(url,
+        Option(exp).map(_.longValue()).getOrElse(Long.MaxValue))
+    def urlsOf(r: client.ChangesResult) =
+      (r.adds.map(a => entry(a.id, a.url, a.expirationTimestamp)) ++
+        r.cdfs.map(c => entry(c.id, c.url, c.expirationTimestamp)) ++
+        r.removes.map(x => entry(x.id, x.url, x.expirationTimestamp))).toMap
+    registerUrls(s"cdf@$v-$e", urlsOf(res),
+      () => urlsOf(client.changes(share, schemaName, table,
+        Map("startingVersion" -> v.toString, "endingVersion" -> e.toString))),
+      lastVersion = e)
+    val addsBy = res.adds.groupBy(_.version)
+    val cdfsBy = res.cdfs.groupBy(_.version)
+    val removesBy = res.removes.groupBy(_.version)
+    (v to e).foreach { vv =>
+      fetchedCdf.putIfAbsent(vv, CdfCommit(
+        addsBy.getOrElse(vv, Nil).sortBy(_.id),
+        cdfsBy.getOrElse(vv, Nil).sortBy(_.id),
+        removesBy.getOrElse(vv, Nil).sortBy(_.id)))
+    }
   }
 
   /** Greedy atomic-version admission under the (files, bytes) caps; at
     * least one version is always admitted (mirrors the local source).
+    * Stops PULLING at the first over-cap version, so the window-lazy
+    * producers fetch at most one RPC window past the cap per trigger.
     */
   private def admitCdfVersions(
-      units: Seq[(Long, Int, Long)], limit: ReadLimit): Seq[Long] = {
+      units: Iterator[(Long, Int, Long)], limit: ReadLimit): Seq[Long] = {
     val (fileCap, byteCap) = Admission.caps(limit)
-    if (fileCap.isEmpty && byteCap.isEmpty) return units.map(_._1)
+    if (fileCap.isEmpty && byteCap.isEmpty) return units.map(_._1).toVector
     var files = 0
     var bytes = 0L
     var n = 0
     val admitted = Vector.newBuilder[Long]
     var done = false
-    units.foreach { case (v, nf, b) =>
-      if (!done) {
-        val over = (fileCap.exists(m => files + nf > m) ||
-          byteCap.exists(m => bytes + b > m)) && n > 0
-        if (over) done = true
-        else { admitted += v; files += nf; bytes += b; n += 1 }
-      }
+    while (!done && units.hasNext) {
+      val (v, nf, b) = units.next()
+      val over = (fileCap.exists(m => files + nf > m) ||
+        byteCap.exists(m => bytes + b > m)) && n > 0
+      if (over) done = true
+      else { admitted += v; files += nf; bytes += b; n += 1 }
     }
     admitted.result()
   }
@@ -490,7 +524,7 @@ class RemoteGraftSource(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow], schema)
     GraftFileSystem.register(spark)
     if (deltaDialect) return cdfDeltaBatchDF(fromV, toV)
-    val commits = cdfCommits(fromV, toV)
+    val commits = cdfCommits(fromV, toV).toVector // bounded by the batch
     val batch = graft.sources.RemoteGraftCDF.assemble(spark, tableSchema,
       graft.sources.RemoteGraftCDF.groupsOf(
         commits.flatMap(_._2.adds), commits.flatMap(_._2.cdfs),
@@ -514,25 +548,30 @@ class RemoteGraftSource(
         graft.server.wire.QueryRequest(version = fromV - 1)).files.foreach { f =>
         dvState(f.id) = Option(f.deltaSingleAction.add.deletionVector)
       }
-    val groups = cdfDeltaCommits(fromV, toV).map(_._2)
+    val groups = cdfDeltaCommits(fromV, toV).map(_._2).toVector // bounded by the batch
     val batch = RemoteDeltaCDF.assemble(spark, deltaMetaLine, groups, dvState)
       .selectExpr(schema.fieldNames.map(n => s"`$n`").toIndexedSeq: _*)
     GraftSqlBridge.streamingDataFrameFromRdd(spark, batch.queryExecution.toRdd, schema)
   }
 
-  private def filesAfter(from: Option[GraftSourceOffset], endVersion: Long): Seq[IndexedFile] = {
-    val out = Vector.newBuilder[IndexedFile]
+  /** Lazy backlog walk (same contract as the local source): admission
+    * stops pulling at its cap, so a trigger fetches at most one
+    * `maxVersionsPerRpc` window beyond what it admits.
+    */
+  private def filesAfter(
+      from: Option[GraftSourceOffset], endVersion: Long): Iterator[IndexedFile] = {
 
-    def emitSnapshot(version: Long, fromIndex: Long): Unit = {
-      snapshotFiles(version).zipWithIndex.foreach { case (f, i) =>
-        if (i > fromIndex) out += IndexedFile(version, i.toLong, Some(f), isStarting = true)
-      }
-      out += IndexedFile(version + 1, VERSION_CONSUMED, None, isStarting = false)
-    }
+    def emitSnapshot(version: Long, fromIndex: Long): Iterator[IndexedFile] =
+      snapshotFiles(version).iterator.zipWithIndex.collect {
+        case (f, i) if i > fromIndex =>
+          IndexedFile(version, i.toLong, Some(f), isStarting = true)
+      } ++ Iterator.single(
+        IndexedFile(version + 1, VERSION_CONSUMED, None, isStarting = false))
 
-    def emitChanges(fromVersion: Long, fromIndex: Long): Unit = {
-      if (fromVersion > endVersion) return
-      rangeCommits(fromVersion, endVersion).foreach { case (v, adds, dropped) =>
+    def emitChanges(fromVersion: Long, fromIndex: Long): Iterator[IndexedFile] = {
+      if (fromVersion > endVersion) return Iterator.empty
+      rangeCommits(fromVersion, endVersion).flatMap { case (v, adds, dropped) =>
+        val out = Vector.newBuilder[IndexedFile]
         if (!dropped) {
           adds.zipWithIndex.foreach { case (f, i) =>
             if (v > fromVersion || i > fromIndex)
@@ -540,6 +579,7 @@ class RemoteGraftSource(
           }
         }
         out += IndexedFile(v + 1, VERSION_CONSUMED, None, isStarting = false)
+        out.result()
       }
     }
 
@@ -549,18 +589,17 @@ class RemoteGraftSource(
           case Some(sv) => emitChanges(sv, Long.MinValue)
           case None =>
             val snapV = math.min(versionAtStart, endVersion)
-            emitSnapshot(snapV, Long.MinValue)
-            emitChanges(snapV + 1, Long.MinValue)
+            emitSnapshot(snapV, Long.MinValue) ++
+              emitChanges(snapV + 1, Long.MinValue)
         }
       case Some(o) if o.isStartingVersion =>
-        emitSnapshot(o.tableVersion, o.index)
-        emitChanges(o.tableVersion + 1, Long.MinValue)
+        emitSnapshot(o.tableVersion, o.index) ++
+          emitChanges(o.tableVersion + 1, Long.MinValue)
       case Some(o) if o.index == VERSION_CONSUMED =>
         emitChanges(o.tableVersion, Long.MinValue)
       case Some(o) =>
         emitChanges(o.tableVersion, o.index)
     }
-    out.result()
   }
 
   override def latestOffset(startOffset: streaming.Offset, limit: ReadLimit): streaming.Offset = {
@@ -605,6 +644,7 @@ class RemoteGraftSource(
     val files = filesAfter(from, endV)
       .filter(f => GraftSourceOffset(tableId, f.version, f.index, f.isStarting).compare(to) <= 0)
       .flatMap(_.file)
+      .toVector // bounded by the batch
     GraftFileSystem.register(spark)
     if (deltaDialect) return deltaBatchDF(files)
     val index = new RemoteBatchFileIndex(spark, schema, partitionColumnsLogical,

@@ -66,12 +66,13 @@ object MetaProbe {
   private def ds(i: Int): String =
     java.time.LocalDate.of(2026, 1, 1).plusDays(i % DATES).toString
 
-  /** Synthesize a graft-format table with `n` active AddFiles across 20
-    * commits (automatic checkpoint at v10 — same cadence production sees).
+  /** Synthesize a graft-format table with `n` active AddFiles across
+    * `commits` commits (automatic checkpoints at the configured cadence).
     * Stats mirror what a real writer records: id ranges tile [0, 5e6·n)
     * so a range predicate has a knowable selectivity.
     */
-  private def generate(path: String, n: Int, conf: Configuration): Unit = {
+  private def generate(path: String, n: Int, conf: Configuration,
+      commits: Int = 20): Unit = {
     val dir = new java.io.File(path)
     if (dir.exists()) {
       def rm(f: java.io.File): Unit = {
@@ -81,7 +82,6 @@ object MetaProbe {
       rm(dir)
       GraftLog.invalidateListing(path)
     }
-    val commits = 20
     val perCommit = n / commits
     val rowsPerFile = 5000000L
     var fileIdx = 0
@@ -134,6 +134,7 @@ object MetaProbe {
     val counts = args.headOption.getOrElse("10000,30000,100000")
       .split(',').map(_.trim.toInt).toSeq
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val sections = args.lift(2).getOrElse("meta,stream").split(',').toSet
     val conf = new Configuration()
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -144,6 +145,7 @@ object MetaProbe {
     val http = HttpClient.newHttpClient()
 
     counts.foreach { n =>
+      if (sections("meta")) {
       val path = s"/root/repo/target/metaprobe/t$n"
       val genT0 = System.nanoTime()
       generate(path, n, conf)
@@ -284,6 +286,98 @@ object MetaProbe {
         "list_pruned_ms" -> listPrunedMs.round)
       rows += JsonUtils.toJson(row.toMap)
       row.clear()
+      }
+
+      // --- streaming backlog: a MANY-COMMIT history (n/100 versions ×
+      // 100 files) consumed to AvailableNow exhaustion, local and remote.
+      // Per-trigger offset+batch-planning cost must be flat in the
+      // REMAINING backlog — an offset resolver that re-walks (or, remote,
+      // re-FETCHES) everything from the current offset to latest per
+      // trigger is quadratic across the stream. The remote first-trigger
+      // sign count exposes eager whole-backlog fetching: a windowed
+      // fetcher signs ~(window) files before trigger 1; an eager one
+      // signs all n.
+      if (sections("stream")) {
+        import org.apache.spark.sql.connector.read.streaming.ReadLimit
+        val versions = n / 100
+        val spath = s"/root/repo/target/metaprobe/s$n"
+        generate(spath, n, conf, commits = versions)
+        GraftLog.invalidateListing(spath)
+        val perTrigger = 1000
+        val limit = ReadLimit.maxFiles(perTrigger)
+
+        type COffset = org.apache.spark.sql.connector.read.streaming.Offset
+        type V1Offset = org.apache.spark.sql.execution.streaming.Offset
+        // one trigger = latestOffset + getBatch PLANNING (the DataFrame is
+        // metadata-only and never executed) — the real per-trigger tax
+        def drive(latest: (COffset, ReadLimit) => COffset,
+            batch: (Option[V1Offset], V1Offset) => Unit): (Int, Seq[Double]) = {
+          val times = Seq.newBuilder[Double]
+          var prev: COffset = null
+          var triggers = 0
+          var done = false
+          while (!done) {
+            val t0 = System.nanoTime()
+            val cur = latest(prev, limit)
+            if (cur == null || cur == prev) done = true
+            else {
+              batch(Option(prev).map(_.asInstanceOf[V1Offset]),
+                cur.asInstanceOf[V1Offset])
+              times += (System.nanoTime() - t0) / 1e6
+              triggers += 1
+              prev = cur
+            }
+          }
+          (triggers, times.result())
+        }
+        def stats(ts: Seq[Double]): Map[String, Any] = Map(
+          "first_ms" -> ts.head.round, "mid_ms" -> ts(ts.size / 2).round,
+          "last_ms" -> ts.last.round, "total_ms" -> ts.sum.round)
+        val wantTriggers = math.ceil(n.toDouble / perTrigger).toInt
+
+        // local source
+        val lSrc = new graft.streaming.GraftSource(spark, spath,
+          Map("startingVersion" -> "0", "maxFilesPerTrigger" -> perTrigger.toString))
+        val (lTrig, lTimes) = drive(lSrc.latestOffset, (s, e) => lSrc.getBatch(s, e))
+        require(lTrig == wantTriggers,
+          s"local stream made $lTrig triggers for $n files @ $perTrigger")
+
+        // remote source (version-window RPCs, throttle disabled)
+        GraftCatalog.register(s"share1.default.stream$n", spath)
+        val server = new GraftServer(ServerConfig(bearerToken = Some("probe")),
+          conf).start()
+        val (rTrig, rTimes, firstSign, totalSign) = try {
+          val client = new graft.client.GraftRestClient(server.url, Some("probe"))
+          val src = new graft.streaming.RemoteGraftSource(spark, client,
+            "share1", "default", s"stream$n",
+            Map("startingVersion" -> "0", "maxFilesPerTrigger" -> perTrigger.toString,
+              "maxVersionsPerRpc" -> "100", "queryTableVersionIntervalSeconds" -> "0"))
+          val s0 = server.signCount.get()
+          var fSign = -1L
+          val (t, ts) = drive(
+            (o, l) => {
+              val r = src.latestOffset(o, l)
+              if (fSign < 0) fSign = server.signCount.get() - s0
+              r
+            },
+            (s, e) => src.getBatch(s, e))
+          (t, ts, fSign, server.signCount.get() - s0)
+        } finally {
+          server.stop()
+          GraftCatalog.unregister(s"share1.default.stream$n")
+        }
+        require(rTrig == wantTriggers,
+          s"remote stream made $rTrig triggers for $n files @ $perTrigger")
+
+        row ++= Map("n" -> n, "stream_versions" -> versions,
+          "stream_triggers" -> lTrig)
+        row ++= stats(lTimes).map { case (k, v) => s"local_$k" -> v }
+        row ++= stats(rTimes).map { case (k, v) => s"remote_$k" -> v }
+        row ++= Map("remote_first_trigger_sign" -> firstSign,
+          "remote_total_sign" -> totalSign)
+        rows += JsonUtils.toJson(row.toMap)
+        row.clear()
+      }
     }
 
     val lines = rows.result()
