@@ -1848,6 +1848,34 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         isTarget = col("lang") === "de")),
 
+    // Beyond-reference: HTML boilerplate extraction (trafilatura-style
+    // deterministic tag walk) — a crawl corpus starts from HTML, and the
+    // quality pack wants the article text, not the chrome. Every doc
+    // becomes a synthetic page (link-dense nav/footer/ads chrome around
+    // 8-word content paragraphs, every 5th paragraph link-wrapped — the
+    // q199 generator pattern), the extractor keeps blocks with >= 5
+    // words and link density <= 1/3, and the per-language report rolls
+    // up extraction-rate metrics plus a content-length quality gate
+    // (>= 40 extracted words) over the extracted text. The oracle
+    // recomputes expected extraction from the generator formula alone —
+    // if the parser miscounted a block, misattributed a linked word, or
+    // leaked chrome into content, the word sums would not match. Plan:
+    // one stateless parse pass per page (O(bytes), no shuffle until the
+    // 5-group rollup).
+    "q205_html_boilerplate" -> ((s, dir) => {
+      val extracted = graft.ops.Html.extractPages(
+        graft.ops.Html.pages(t(s, dir, "documents")))
+      extracted.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_pages"),
+        sum(col("content_words")).as("content_words"),
+        sum(col("total_words")).as("total_words"),
+        sum(col("n_content_blocks").cast("long")).as("content_blocks"),
+        sum(col("n_blocks").cast("long")).as("blocks"),
+        sum(when(col("content_words") >= 40, 1L).otherwise(0L))
+          .as("n_quality_pass"))
+        .orderBy(col("lang"))
+    }),
+
     // Beyond-reference: INCREMENTAL datacard maintenance over the change
     // feed — the 100 TB posture for q192's attrition report: recomputing
     // a datacard over the full corpus per append is O(corpus) per run,
@@ -6005,6 +6033,42 @@ object SparkEntry {
                 FROM wts)
          SELECT doc_id, weight FROM rk, kk WHERE rn <= kk.k
          ORDER BY weight DESC, doc_id""",
+    // generator-formula replay of the HTML fixture: paragraphs are
+    // 8-word chunks, kept iff >= 5 words and not link-wrapped (p%5==4);
+    // chrome contributes 13 fixed words + 3 fixed blocks per page, ads
+    // (doc_id%3==0) 4 words + 1 block — word-exact, so any parser drift
+    // (leaked chrome, miscounted linked words) breaks the hash
+    "q205_html_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n
+           FROM documents),
+         pars AS (SELECT doc_id, n,
+                    unnest(range(CAST(ceil(n / 8.0) AS BIGINT))) AS p
+                  FROM toks),
+         sized AS (SELECT doc_id, p, least(8, n - 8 * p) AS sz FROM pars),
+         kept AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN sz >= 5 AND p % 5 <> 4
+                             THEN sz ELSE 0 END) AS BIGINT) AS cw,
+                    CAST(sum(CASE WHEN sz >= 5 AND p % 5 <> 4
+                             THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+                    CAST(count(*) AS BIGINT) AS np
+                  FROM sized GROUP BY doc_id),
+         perdoc AS (SELECT t.doc_id, t.lang,
+                      COALESCE(k.cw, 0) AS content_words,
+                      t.n + 13 + CASE WHEN t.doc_id % 3 = 0
+                                 THEN 4 ELSE 0 END AS total_words,
+                      COALESCE(k.cb, 0) AS content_blocks,
+                      COALESCE(k.np, 0) + 3 + CASE WHEN t.doc_id % 3 = 0
+                                              THEN 1 ELSE 0 END AS blocks
+                    FROM toks t LEFT JOIN kept k USING (doc_id))
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_pages,
+                CAST(sum(content_words) AS BIGINT) AS content_words,
+                CAST(sum(total_words) AS BIGINT) AS total_words,
+                CAST(sum(content_blocks) AS BIGINT) AS content_blocks,
+                CAST(sum(blocks) AS BIGINT) AS blocks,
+                CAST(sum(CASE WHEN content_words >= 40 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_quality_pass
+         FROM perdoc GROUP BY lang ORDER BY lang""",
     // from-scratch datacard replay (q192's langid/quality formulas on raw
     // text, q27's pair replay at 0.6, smaller-id-wins); the oracle emits
     // the SAME card into the _incr and _full column pairs, so a match

@@ -1,0 +1,258 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic HTML boilerplate extraction — the trafilatura/boilerpipe
+  * recipe re-expressed as a pure tag-walk (no ML, no randomness): a crawl
+  * corpus starts from HTML, and the text-quality pack (Gopher/C4 gates,
+  * langid, dedup) wants the ARTICLE text, not the nav/footer/ads chrome.
+  *
+  * The extractor tokenizes tolerantly (crawled HTML is malformed by
+  * default — parsing must be total, the IsoBmff contract), splits the
+  * page into BLOCKS at block-level tags, and keeps a block iff it has at
+  * least `minWords` words and link density (words inside `<a>` / words)
+  * at most `maxLinkDensity` — the two public-recipe rules that do most
+  * of boilerpipe's work (navigation and footers are short and link-
+  * dense, article paragraphs are long and link-sparse).
+  *
+  * Like the mp4 walk, byte-level parsing lives in stateless
+  * `mapPartitions` (the established codec boundary — no Catalyst
+  * expression can walk a tag tree); everything downstream of the
+  * extracted text stays in codegen-able column expressions.
+  */
+object Html {
+
+  /** One flushed block: coarsest unit of keep/drop. */
+  case class Block(tag: String, text: String, words: Int, linkWords: Int) {
+    def linkDensity: Double = if (words == 0) 0.0 else linkWords.toDouble / words
+  }
+
+  /** Per-page extraction metrics (word-based so an engine-independent
+    * oracle can replay them exactly).
+    */
+  case class Metrics(nBlocks: Int, nContentBlocks: Int,
+      totalWords: Long, contentWords: Long)
+
+  private val BLOCK_TAGS = Set(
+    "p", "div", "section", "article", "header", "footer", "nav", "aside",
+    "main", "ul", "ol", "li", "table", "thead", "tbody", "tr", "td", "th",
+    "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre", "form",
+    "figure", "figcaption", "dl", "dt", "dd", "hr", "br", "body")
+
+  /** Raw-text elements: their content is NOT markup and is skipped whole
+    * (script bodies routinely contain literal `<p>` strings).
+    */
+  private val RAW_TEXT = Set("script", "style", "noscript", "textarea", "title")
+
+  private val ENTITIES = Map("amp" -> '&', "lt" -> '<', "gt" -> '>',
+    "quot" -> '"', "apos" -> '\'', "nbsp" -> ' ', "copy" -> '©')
+
+  /** Tolerant block tokenizer. Never throws on any byte sequence:
+    * truncated tags, lone `<`, unterminated comments/attributes all
+    * degrade to treating the rest as text or skipping to end — a crawled
+    * page must not kill a Spark task.
+    */
+  def blocks(html: String): Vector[Block] = {
+    val out = Vector.newBuilder[Block]
+    val text = new StringBuilder
+    var words = 0
+    var linkWords = 0
+    var linkDepth = 0
+    var curTag = "body"
+    var inWord = false
+    var wordLinked = false
+
+    def endWord(): Unit = if (inWord) {
+      words += 1
+      if (wordLinked) linkWords += 1
+      inWord = false
+    }
+    def flush(nextTag: String): Unit = {
+      endWord()
+      val t = text.toString.trim
+      if (t.nonEmpty) out += Block(curTag, t, words, linkWords)
+      text.clear(); words = 0; linkWords = 0
+      curTag = nextTag
+    }
+    def emit(c: Char): Unit = {
+      if (c.isWhitespace) {
+        endWord()
+        if (text.nonEmpty && text.last != ' ') text += ' '
+      } else {
+        if (!inWord) { inWord = true; wordLinked = linkDepth > 0 }
+        text += c
+      }
+    }
+
+    val n = html.length
+    var i = 0
+    def skipTo(pat: String, from: Int): Int = {
+      val j = html.indexOf(pat, from)
+      if (j < 0) n else j + pat.length
+    }
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = html.charAt(i + 1)
+        if (c1 == '!' ) {
+          i = if (html.startsWith("<!--", i)) skipTo("-->", i + 4)
+              else skipTo(">", i + 2) // doctype, CDATA-ish
+        } else if (c1 == '?') {
+          i = skipTo(">", i + 2) // processing instruction
+        } else if (c1 == '/' || c1.isLetter) {
+          val closing = c1 == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
+          val name = html.substring(nameStart, j).toLowerCase
+          // attributes: quoted values may contain '>'
+          var end = -1
+          var quote = 0.toChar
+          var k = j
+          while (end < 0 && k < n) {
+            val ch = html.charAt(k)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '>') end = k
+            k += 1
+          }
+          if (end < 0) { i = n } // truncated tag: drop the tail
+          else {
+            i = end + 1
+            if (name.isEmpty) () // "</>" or "< >": ignore
+            else if (!closing && RAW_TEXT(name)) {
+              // skip raw content through the matching close tag
+              var m = i
+              var found = -1
+              while (found < 0 && m < n) {
+                val cand = html.indexOf("</", m)
+                if (cand < 0) { found = n; m = n }
+                else {
+                  val after = cand + 2
+                  val nameEnd = after + name.length
+                  if (nameEnd <= n &&
+                    html.substring(after, nameEnd).equalsIgnoreCase(name)) {
+                    found = skipTo(">", nameEnd)
+                  } else m = cand + 2
+                }
+              }
+              i = if (found < 0) n else found
+            } else if (name == "a") {
+              if (closing) { if (linkDepth > 0) linkDepth -= 1 }
+              else linkDepth += 1
+            } else if (BLOCK_TAGS(name)) {
+              flush(if (closing) "body" else name)
+            }
+            // inline tags (b, i, span, img, ...): no block break, no text
+          }
+        } else { emit(c); i += 1 } // '<' followed by non-tag: literal
+      } else if (c == '&') {
+        // entity: named or numeric; unknown/unterminated → literal '&'
+        val semi = html.indexOf(';', i + 1)
+        val decoded: Option[Char] =
+          if (semi > i && semi - i <= 10) {
+            val body = html.substring(i + 1, semi)
+            if (body.startsWith("#x") || body.startsWith("#X"))
+              scala.util.Try(Integer.parseInt(body.drop(2), 16).toChar).toOption
+            else if (body.startsWith("#"))
+              scala.util.Try(body.drop(1).toInt.toChar).toOption
+            else ENTITIES.get(body)
+          } else None
+        decoded match {
+          case Some(ch) => emit(ch); i = semi + 1
+          case None     => emit('&'); i += 1
+        }
+      } else { emit(c); i += 1 }
+    }
+    flush("body")
+    out.result()
+  }
+
+  /** Extract content text + metrics from one page. */
+  def extract(html: String, minWords: Int = 5,
+      maxLinkDensity: Double = 1.0 / 3): (String, Metrics) = {
+    val bs = blocks(html)
+    val content = bs.filter(b => b.words >= minWords &&
+      b.linkDensity <= maxLinkDensity)
+    (content.map(_.text).mkString("\n"),
+      Metrics(bs.size, content.size,
+        bs.map(_.words.toLong).sum, content.map(_.words.toLong).sum))
+  }
+
+  // --------------------------------------------------------- fixture
+
+  private def esc(w: String): String =
+    w.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Deterministic synthetic page for a doc (the q199 generator pattern —
+    * the oracle recomputes expected extraction from THIS formula alone):
+    * chrome is link-dense (nav 4 words all linked, footer 7 words 5
+    * linked, every 3rd doc a 4-word all-linked ad), the heading is
+    * 2 words (below minWords), content paragraphs are 8-word chunks of
+    * the doc text, and every 5th paragraph link-wraps its first 6 words
+    * (link density ≥ 5/8 → boilerplate by the rule). Word-preserving:
+    * every text token is HTML-escaped in and entity-decoded out.
+    */
+  def pageFor(docId: Long, text: String): String = {
+    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    val sb = new StringBuilder
+    sb ++= s"<html><head><title>Doc $docId</title>"
+    sb ++= "<script>var x = 1 < 2; document.write(\"<p>not content</p>\");</script>"
+    sb ++= "<style>.m > a { color: #fff }</style></head><body>"
+    sb ++= "<nav class=\"top\"><a href=\"/\">Home</a> <a href=\"/about\">About us</a> "
+    sb ++= "<a href=\"/contact\">Contact</a></nav>"
+    sb ++= s"<h1>Doc $docId</h1>"
+    words.grouped(8).zipWithIndex.foreach { case (p, i) =>
+      val e = p.map(esc)
+      if (i % 5 == 4) {
+        val linked = e.take(6).mkString(" ")
+        val rest = e.drop(6).mkString(" ")
+        sb ++= s"<p><a href=\"/rel/$i\">$linked</a>"
+        if (rest.nonEmpty) { sb ++= " "; sb ++= rest }
+        sb ++= "</p>"
+      } else {
+        sb ++= s"<p>${e.mkString(" ")}</p>"
+      }
+    }
+    if (docId % 3 == 0)
+      sb ++= "<div class=\"ads\"><a href=\"/buy\">Buy now</a> <a href=\"/deal\">cheap deals</a></div>"
+    sb ++= "<!-- tracking pixel --><footer><a href=\"/tos\">Terms of service</a> "
+    sb ++= "copyright 2026 <a href=\"/priv\">Privacy policy</a></footer></body></html>"
+    sb.toString
+  }
+
+  /** documents → (doc_id, lang, html) deterministic crawl-page fixture.
+    * A corpus without a `lang` column (the ScaleProbe salted copies) gets
+    * a constant one — the rollup key, not part of the page content.
+    */
+  def pages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withLang =
+      if (docs.columns.contains("lang")) docs
+      else docs.withColumn("lang", lit("xx"))
+    withLang.select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, lang, text) =>
+        (id, lang, pageFor(id, text))
+      }).toDF("doc_id", "lang", "html")
+  }
+
+  /** Per-page extraction over an html column: one stateless parse pass
+    * per page (O(bytes), the linear floor), no shuffle — metrics and
+    * extracted text ride the same row for downstream quality gates.
+    */
+  def extractPages(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("lang"), col(htmlCol))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, lang, html) =>
+        val (content, m) = extract(html)
+        (id, lang, content, m.nBlocks, m.nContentBlocks,
+          m.totalWords, m.contentWords)
+      }).toDF("doc_id", "lang", "content", "n_blocks", "n_content_blocks",
+        "total_words", "content_words")
+  }
+}

@@ -553,6 +553,12 @@ object ScaleProbe {
       "q199_video_manifest" -> (k =>
         graft.ops.Multimodal.videoManifest(
           graft.ops.Multimodal.videoAssets(docs(k))).count()),
+      // page generation + tag-walk extraction are the linear per-byte
+      // floor; the rollup is a 5-group aggregate — expect alpha ~ 1
+      "q205_html_extract" -> (k =>
+        graft.ops.Html.extractPages(graft.ops.Html.pages(docs(k)))
+          .agg(sum(col("content_words")), sum(col("total_words")))
+          .collect().head.getLong(1)),
       // SAMPLE-COUNT axis (not corpus axis): containers carry 64·k
       // samples; the reported "rows" value is the max bucket-key WIDTH,
       // which must stay 64 hex chars at every k (the chain is hashed
@@ -632,8 +638,13 @@ object ScaleProbe {
       // partitions scale with the data — the knob a real cluster turns
       // (AQE/cluster sizing); pinning them at the k=1 count makes k=8
       // per-partition working sets 8x larger and measures memory
-      // pressure, not the operator's scaling
-      spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * k).toString)
+      // pressure, not the operator's scaling. EXCEPT for ops whose
+      // k-axis is not corpus size (selection K, per-container samples):
+      // there the corpus is fixed, and scaling partitions with k would
+      // masquerade as operator cost.
+      val fixedCorpusOps = Set("q204_dsir_bigk", "q199_key_width")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        (if (fixedCorpusOps(name)) cpus.toInt else cpus.toInt * k).toString)
       val ts = (1 to reps).map { _ =>
         // cold per rep: operators may persist intermediates and the
         // CacheManager matches plans semantically (same rationale as

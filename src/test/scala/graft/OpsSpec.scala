@@ -3043,6 +3043,98 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0L until 5L).forall(i => small(i) != big(i)))
   }
 
+  test("html extraction: hand-written pages extract exactly the " +
+    "hand-identified content blocks") {
+    import graft.ops.Html
+    // a realistic page with every parser trap: raw-text script containing
+    // literal markup, attribute values containing '>', comments, entities
+    // (named, decimal, hex), uppercase tags, self-closing, inline tags
+    // that must NOT split blocks, nested links
+    val page =
+      """<!DOCTYPE html><HTML><head><title>Ignore me entirely</title>
+        |<script type="text/javascript">if (1 < 2) document.write("<p>fake block</p>");</script>
+        |<style>.x > p { color: red }</style></head>
+        |<body>
+        |<nav><a href="/">Home</a> <a href="/a">Archive</a> <a href="/b">Tags</a></nav>
+        |<div class="hero" data-x="a > b">
+        |  <p>The <b>quick</b> brown fox jumps over the lazy dog today</p>
+        |  <p>Short one</p>
+        |  <p>M&amp;M&#39;s &lt;cost&gt; &#x34;0 cents per bag in bulk</p>
+        |</div>
+        |<ul><li>First item of a list that has six words extra</li></ul>
+        |<!-- <p>commented out</p> -->
+        |<footer><a href="/tos">Terms</a> <a href="/p">Privacy</a> contact us</footer>
+        |</body></HTML>""".stripMargin
+    val (content, m) = Html.extract(page)
+    val lines = content.split("\n").toSeq
+    assert(lines === Seq(
+      "The quick brown fox jumps over the lazy dog today",
+      "M&M's <cost> 40 cents per bag in bulk",
+      "First item of a list that has six words extra"),
+      s"extracted:\n$content")
+    // blocks: nav(3w ld=1), fox(10w), Short one(2w), M&M(8w), li(10w),
+    // footer(4w, 2 linked -> ld=0.5 > 1/3 dropped)
+    assert(m.nBlocks === 6 && m.nContentBlocks === 3)
+    assert(m.totalWords === 3 + 10 + 2 + 8 + 10 + 4)
+    assert(m.contentWords === 10 + 8 + 10)
+
+    // link-density boundary: <= 1/3 keeps, above drops
+    val boundary =
+      """<p><a href="/x">two linked</a> and four plain words</p>
+        |<p><a href="/y">three linked words</a> and three plain</p>""".stripMargin
+    val (c2, m2) = Html.extract(boundary)
+    assert(c2 === "two linked and four plain words", c2)
+    assert(m2.nContentBlocks === 1 && m2.totalWords === 12)
+  }
+
+  test("html extraction: malformed input is total — never throws, " +
+    "plausible text still extracted") {
+    import graft.ops.Html
+    val cases = Seq(
+      "", "<", "<p", "<p attr='unterminated", "plain text with no markup at all here",
+      "<p>unclosed paragraph with seven words inside it",
+      "<script>never closed raw text", "&#xZZ; &unknown; &amp",
+      "<a>link never closed then words words words words words",
+      "</p></div></a> stray closers then six more plain words here",
+      "<>empty tag<> and <1invalid> angle uses with six words")
+    cases.foreach { h =>
+      val (c, m) = Html.extract(h) // must not throw
+      assert(m.totalWords >= 0 && c != null)
+    }
+    // unclosed <p>: the tail is still a block
+    assert(Html.extract("<p>unclosed paragraph with seven words inside it")._1
+      === "unclosed paragraph with seven words inside it")
+    // unclosed <a> poisons only link accounting, not totality: all words
+    // linked -> dropped by density
+    assert(Html.extract(
+      "<a>link never closed then words words words words words")._1 === "")
+  }
+
+  test("html fixture round-trip: generator pages extract to exactly the " +
+    "formula the oracle replays") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Html
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60)
+    val got = Html.extractPages(Html.pages(docs))
+      .select("doc_id", "content_words", "total_words", "n_blocks",
+        "n_content_blocks")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+    docs.select(col("doc_id").cast("long"), col("text")).collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val n = text.trim.split("\\s+").count(_.nonEmpty)
+      val sizes = (0 until math.ceil(n / 8.0).toInt)
+        .map(p => (p, math.min(8, n - 8 * p)))
+      val kept = sizes.filter { case (p, sz) => sz >= 5 && p % 5 != 4 }
+      val ads = if (id % 3 == 0) 1 else 0
+      val expect = (kept.map(_._2.toLong).sum,
+        n.toLong + 13 + 4 * ads,
+        sizes.size + 3 + ads, kept.size)
+      assert(got(id) === expect, s"doc $id (n=$n)")
+    }
+  }
+
   test("DSIR rank-threshold selection breaks weight ties by smaller id, " +
     "matching the orderBy(weight desc, id).limit(k) spelling exactly") {
     import org.apache.spark.sql.functions._
