@@ -76,6 +76,19 @@ object Bench {
     // first-pass failure is loudly -1 + a failures entry, never a
     // normal-looking time.
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
+    // JVM-wide GC time, for spike ATTRIBUTION: when a query's sweeps
+    // disagree, the per-pass GC delta says whether the slow pass was a
+    // collection storm (code-side: heap pressure from accumulated
+    // broadcasts/caches) or external host load (GC-quiet slowness).
+    // The r13 driver artifact's sweep-2 spikes (q86/q89 at 13 s vs
+    // ~2.5 s) did not reproduce locally — this records the evidence
+    // needed to adjudicate the next occurrence.
+    def gcNowMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    val gcDeltas = scala.collection.mutable.Map.empty[String, Vector[Long]]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         loud: Boolean): Double = {
       // every pass runs COLD: operators may persist intermediates (the
@@ -87,6 +100,7 @@ object Bench {
       // would leave the queue pinning plan objects for the whole run)
       graft.ops.Dedup.releasePersisted()
       spark.catalog.clearCache()
+      val gc0 = gcNowMs()
       val t0 = System.nanoTime()
       // noop sink, NOT count(): count() lets Catalyst prune the whole
       // projection, so a pure-projection query (fingerprints, entropy,
@@ -96,12 +110,15 @@ object Bench {
       // discards the rows.
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        gcDeltas(name) = gcDeltas.getOrElse(name, Vector.empty) :+ (gcNowMs() - gc0)
+        dt
       }
       catch {
         case e: Throwable =>
           if (loud)
             System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+          gcDeltas(name) = gcDeltas.getOrElse(name, Vector.empty) :+ (gcNowMs() - gc0)
           -1.0
       }
     }
@@ -173,8 +190,17 @@ object Bench {
       .mkString("[", ",", "]")
     val suspectArr = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter(_._4).map(_._2).sum
+    // GC attribution, emitted ONLY for queries whose sweeps disagreed
+    // (bounded output): slow pass + matching GC delta = heap pressure;
+    // slow pass + quiet GC = external host load.
+    val disagreeing = results.collect {
+      case (name, _, times, _) if disagrees(times.take(passes)) => name
+    }.toSet
+    val gcJson = gcDeltas.toSeq.filter(kv => disagreeing(kv._1)).sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"passes":$perPass,"suspect":${suspects.nonEmpty},"suspect_queries":$suspectArr,"failures":$failures,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"passes":$perPass,"suspect":${suspects.nonEmpty},"suspect_queries":$suspectArr,"gc_ms":$gcJson,"failures":$failures,"sf":"$sfDir"}"""
     // The total first on its own line, then the full record — and the
     // record ALSO written to target/bench.json, so a harness that
     // truncates captured output can never destroy the per-query data.

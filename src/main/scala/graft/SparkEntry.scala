@@ -1862,6 +1862,19 @@ object SparkEntry {
     // leaked chrome into content, the word sums would not match. Plan:
     // one stateless parse pass per page (O(bytes), no shuffle until the
     // 5-group rollup).
+    // Beyond-reference: SOURCE-OVERLAP MATRIX — "which dumps/crawl
+    // snapshots overlap, and by how much" answered with ONE corpus scan:
+    // per-source MinHash signatures (min distributes over union, so the
+    // per-source min IS the union set's signature) self-joined at
+    // #sources rows for the Broder estimate, next to the exact Jaccard
+    // from per-shingle source sets (pair expansion bounded by sources²
+    // per shingle — never corpus-quadratic). The estimator's error is
+    // visible in the report; the oracle replays both halves through the
+    // portable md5 double-hash family.
+    "q206_source_overlap" -> ((s, dir) =>
+      graft.ops.Dedup.sourceOverlap(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source_a"), col("source_b"))),
+
     "q205_html_boilerplate" -> ((s, dir) => {
       val extracted = graft.ops.Html.extractPages(
         graft.ops.Html.pages(t(s, dir, "documents")))
@@ -6069,6 +6082,46 @@ object SparkEntry {
                 CAST(sum(CASE WHEN content_words >= 40 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_quality_pass
          FROM perdoc GROUP BY lang ORDER BY lang""",
+    // both halves replayed: md5 double-hash minhash per SOURCE (min over
+    // the union of member docs' shingles) for the estimate, per-shingle
+    // source sets for the exact Jaccard
+    "q206_source_overlap" ->
+      """WITH sets AS (
+           SELECT source, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                                         CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM documents),
+         d AS (SELECT DISTINCT source, unnest(fset) AS sh FROM sets),
+         hh AS (SELECT source,
+                  ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h1,
+                  ('0x' || substr(md5(sh), 13, 12))::BIGINT AS h2
+                FROM d),
+         hs AS (SELECT source, j, min(h1 + j * h2) AS h
+                FROM hh CROSS JOIN (SELECT unnest(range(0, 32)) AS j) js
+                GROUP BY source, j),
+         agree AS (SELECT a.source AS sa, b.source AS sb,
+                     CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_agree
+                   FROM hs a JOIN hs b ON a.j = b.j AND a.source < b.source
+                   GROUP BY 1, 2),
+         sz AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+         inter AS (SELECT a.source AS sa, b.source AS sb,
+                     CAST(count(*) AS BIGINT) AS ns
+                   FROM d a JOIN d b ON a.sh = b.sh AND a.source < b.source
+                   GROUP BY 1, 2)
+         SELECT ag.sa AS source_a, ag.sb AS source_b, ag.n_agree,
+                round(ag.n_agree / 32.0, 6) AS est_jaccard,
+                CAST(COALESCE(i.ns, 0) AS BIGINT) AS n_shared,
+                round(COALESCE(i.ns, 0)::DOUBLE /
+                      (za.n + zb.n - COALESCE(i.ns, 0)), 6) AS jaccard
+         FROM agree ag
+         LEFT JOIN inter i ON i.sa = ag.sa AND i.sb = ag.sb
+         JOIN sz za ON za.source = ag.sa
+         JOIN sz zb ON zb.source = ag.sb
+         ORDER BY 1, 2""",
     // from-scratch datacard replay (q192's langid/quality formulas on raw
     // text, q27's pair replay at 0.6, smaller-id-wins); the oracle emits
     // the SAME card into the _incr and _full column pairs, so a match

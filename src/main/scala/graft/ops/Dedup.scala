@@ -561,6 +561,71 @@ object Dedup {
     codedVerifyFromCodes(cands, codedSetsFromFeatures(exploded, dict), threshold)
   }
 
+  /** Pairwise SOURCE-overlap matrix — which dumps/crawl snapshots
+    * overlap, and by how much — WITHOUT any doc-pair join. Two halves,
+    * both from ONE shingle scan:
+    *
+    *  - SKETCH: a k-coordinate MinHash signature per SOURCE (min over
+    *    every member doc's shingles = the signature of the source's
+    *    shingle-set UNION, because min distributes over union), then the
+    *    tiny #sources-row table self-joins and J(A,B) is estimated as
+    *    the fraction of agreeing coordinates (Broder 1997). O(corpus)
+    *    scan + O(sources²·k) reduce — the doc-pair spelling is
+    *    quadratic in CORPUS size, this is quadratic only in the source
+    *    count.
+    *  - EXACT: per-shingle source sets (bounded by the source count, so
+    *    the per-shingle pair expansion is ≤ sources² — safe by
+    *    construction at any corpus size) → exact |A∩B| and set sizes →
+    *    exact Jaccard next to the estimate, making estimator error
+    *    visible in the report itself. At very large source counts drop
+    *    this half and keep the sketch.
+    *
+    * Portable md5 double-hash family (the q93/q180 family), so any
+    * engine replays every coordinate bit-for-bit.
+    */
+  def sourceOverlap(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32): DataFrame = {
+    val sets = docs.select(col(sourceCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("fset"))
+    val sigs = portableSignatures(sets, numHashes)
+    val a = sigs.select(col("id").as("source_a") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"__a$j")): _*)
+    val b = sigs.select(col("id").as("source_b") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"__b$j")): _*)
+    val est = a.join(broadcast(b), col("source_a") < col("source_b"))
+      .withColumn("n_agree", (0 until numHashes)
+        .map(j => when(col(s"__a$j") === col(s"__b$j"), 1L).otherwise(0L))
+        .reduce(_ + _))
+      .select(col("source_a"), col("source_b"), col("n_agree"),
+        round(col("n_agree").cast("double") / numHashes, 6).as("est_jaccard"))
+
+    val memb = sets.select(col("id"), explode(col("fset")).as("__sh")).distinct()
+    val sizes = memb.groupBy(col("id")).agg(count(lit(1)).as("__n"))
+    val inter = memb.groupBy(col("__sh"))
+      .agg(sort_array(collect_set(col("id"))).as("__ss"))
+      .select(explode(expr(
+        """flatten(transform(__ss, (x, i) ->
+          |  transform(slice(__ss, i + 2, size(__ss)), y -> struct(x as a, y as b))))"""
+          .stripMargin)).as("__p"))
+      .groupBy(col("__p.a").as("source_a"), col("__p.b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+
+    est.join(inter, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .join(broadcast(sizes.select(col("id").as("source_a"), col("__n").as("__na"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("id").as("source_b"), col("__n").as("__nb"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_agree"),
+        col("est_jaccard"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("__na") + col("__nb") - col("n_shared")), 6).as("jaccard"))
+  }
+
   /** One wide row per doc: h0..h{n-1} portable minhash coordinates. */
   private[graft] def portableSignatures(sets: DataFrame, numHashes: Int): DataFrame = {
     val shingled = sets.select(col("id"), explode(col("fset")).as("__sh"))

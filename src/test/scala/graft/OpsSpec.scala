@@ -3043,6 +3043,52 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0L until 5L).forall(i => small(i) != big(i)))
   }
 
+  test("source overlap: exact jaccard matches hand-computed sets and the " +
+    "minhash estimate matches a driver-side replay of the md5 family") {
+    import org.apache.spark.sql.functions._
+    // 3 sources built from word pools with KNOWN 3-shingle overlap:
+    // srcA and srcB share one doc's text exactly; srcC shares nothing
+    val tA = "a b c d e f"   // shingles: abc bcd cde def (4)
+    val tB = "a b c d x y"   // shingles: abc bcd cdx dxy (4), shares 2 with A
+    val tC = "p q r s t u"   // 4 shingles, disjoint
+    import spark.implicits._
+    // the duplicate (4L, "A") doc changes nothing set-wise
+    val docs = Seq((1L, "A", tA), (2L, "B", tB), (3L, "C", tC), (4L, "A", tA))
+      .toDF("doc_id", "source", "text")
+    val got = graft.ops.Dedup.sourceOverlap(docs, "source", "text")
+      .orderBy("source_a", "source_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(got.map(t => (t._1, t._2, t._5, t._6)).toSeq === Seq(
+      ("A", "B", 2L, 0.333333), // |∩|=2, |∪|=6, rounded at 6 digits
+      ("A", "C", 0L, 0.0),
+      ("B", "C", 0L, 0.0)))
+
+    // replay the portable family driver-side: h1/h2 = md5 hex substrings
+    // (1,12)/(13,12), coordinate j = min(h1 + j*h2) over the source's
+    // shingle union
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def shingles3(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def sig(sh: Set[String]): Seq[Long] = (0 until 32).map { j =>
+      sh.map { s =>
+        val h = md5hex(s)
+        java.lang.Long.parseLong(h.substring(0, 12), 16) +
+          j * java.lang.Long.parseLong(h.substring(12, 24), 16)
+      }.min
+    }
+    def agree(a: Set[String], b: Set[String]): Long =
+      sig(a).zip(sig(b)).count { case (x, y) => x == y }.toLong
+    val bySrc = Map("A" -> shingles3(tA), "B" -> shingles3(tB), "C" -> shingles3(tC))
+    got.foreach { case (sa, sb, nAgree, est, _, _) =>
+      val want = agree(bySrc(sa), bySrc(sb))
+      assert(nAgree === want, s"$sa-$sb n_agree")
+      assert(est === math.rint(want / 32.0 * 1e6) / 1e6, s"$sa-$sb est")
+    }
+  }
+
   test("html extraction: hand-written pages extract exactly the " +
     "hand-identified content blocks") {
     import graft.ops.Html
