@@ -1862,6 +1862,34 @@ object SparkEntry {
     // leaked chrome into content, the word sums would not match. Plan:
     // one stateless parse pass per page (O(bytes), no shuffle until the
     // 5-group rollup).
+    // Beyond-reference: BOILERPLATE-INVARIANT CRAWL DEDUP — the reason
+    // extraction runs BEFORE dedup: the same article re-hosted under
+    // different site chrome (every 7th doc gets a mirror page with
+    // different nav/footer/ads and sloppier whitespace) is invisible to
+    // page-level dedup but collapses at the extracted-content level.
+    // Extraction → group by content → per-language dedup report. The
+    // oracle reconstructs each doc's kept-word content from the
+    // generator formula and groups the same way — a single leaked
+    // chrome word or whitespace-normalization drift splits a mirror
+    // from its original and breaks the counts; rep_sum pins that the
+    // representative is always the ORIGINAL (min asset id). The fixture
+    // also contains NATURAL collisions (distinct texts whose kept
+    // subsets coincide — 16 at sf0.01), so the grouping is exercised
+    // beyond the planted mirrors. Plan: one parse pass, one
+    // content-hash groupBy, one 5-group rollup.
+    "q207_crawl_mirror_dedup" -> ((s, dir) => {
+      val ex = graft.ops.Html.extractPages(
+        graft.ops.Html.pagesWithMirrors(t(s, dir, "documents")))
+      ex.groupBy(col("lang"), sha2(col("content"), 256).as("ck"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("n_copies")).as("n_pages"),
+          sum(col("n_copies") - 1).as("n_dups"),
+          sum(col("rep_id")).as("rep_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // Beyond-reference: SOURCE-OVERLAP MATRIX — "which dumps/crawl
     // snapshots overlap, and by how much" answered with ONE corpus scan:
     // per-source MinHash signatures (min distributes over union, so the
@@ -6082,6 +6110,39 @@ object SparkEntry {
                 CAST(sum(CASE WHEN content_words >= 40 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_quality_pass
          FROM perdoc GROUP BY lang ORDER BY lang""",
+    // the kept-word content is reconstructed from the generator formula
+    // (8-word chunks, keep iff >= 5 words and not the link-wrapped
+    // p%5==4), originals and mirrors group by that content, and the
+    // report counts groups per language with the original's id as rep
+    "q207_crawl_mirror_dedup" ->
+      """WITH w AS (SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+           FROM documents),
+         pars AS (SELECT doc_id, ws,
+                    unnest(range(CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS p
+                  FROM w),
+         par AS (SELECT doc_id, p,
+                   array_to_string(list_slice(ws, CAST(8 * p + 1 AS INT),
+                     CAST(least(8 * p + 8, len(ws)) AS INT)), ' ') AS txt,
+                   least(8, len(ws) - 8 * p) AS sz
+                 FROM pars),
+         content AS (SELECT w.doc_id, w.lang, COALESCE(c.c, '') AS c
+                     FROM w LEFT JOIN (
+                       SELECT doc_id, string_agg(txt, chr(10) ORDER BY p) AS c
+                       FROM par WHERE sz >= 5 AND p % 5 <> 4
+                       GROUP BY doc_id) c USING (doc_id)),
+         assets AS (SELECT doc_id AS asset_id, lang, c FROM content
+                    UNION ALL
+                    SELECT doc_id + 1000000, lang, c FROM content
+                    WHERE doc_id % 7 = 0),
+         grp AS (SELECT lang, c, min(asset_id) AS rep_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+                 FROM assets GROUP BY lang, c)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_distinct,
+                CAST(sum(n_copies) AS BIGINT) AS n_pages,
+                CAST(sum(n_copies - 1) AS BIGINT) AS n_dups,
+                CAST(sum(rep_id) AS BIGINT) AS rep_sum
+         FROM grp GROUP BY lang ORDER BY lang""",
     // both halves replayed: md5 double-hash minhash per SOURCE (min over
     // the union of member docs' shingles) for the estimate, per-shingle
     // source sets for the exact Jaccard

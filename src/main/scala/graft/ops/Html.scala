@@ -222,6 +222,64 @@ object Html {
     sb.toString
   }
 
+  /** Re-hosted MIRROR of a doc's page: identical content paragraphs
+    * (same 8-word chunks, same link-wrap rule — so the kept blocks are
+    * word-identical) under completely different chrome (different nav/
+    * footer text, ads always present, an extra link-dense related-links
+    * block) and sloppier whitespace (double spaces and newlines inside
+    * paragraphs, which extraction normalizes to single spaces). A
+    * correct extractor maps mirror and original to the SAME content
+    * string; any chrome leak or normalization drift makes them differ.
+    */
+  def mirrorPageFor(docId: Long, text: String): String = {
+    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    val sb = new StringBuilder
+    sb ++= s"<html><head><title>Mirror $docId</title>"
+    sb ++= "<script>window.track && track('m');</script></head><body>"
+    sb ++= "<nav><a href=\"/start\">Start</a> <a href=\"/imp\">Impressum</a> "
+    sb ++= "<a href=\"/ds\">Datenschutz erklaerung</a></nav>"
+    sb ++= s"<h2>Mirror $docId</h2>"
+    words.grouped(8).zipWithIndex.foreach { case (p, i) =>
+      val e = p.map(esc)
+      if (i % 5 == 4) {
+        // same link-wrap rule as the original page: the block must drop
+        // on BOTH sides for the kept content to coincide
+        val linked = e.take(6).mkString("\n ")
+        val rest = e.drop(6).mkString("  ")
+        sb ++= s"<p>\n<a href=\"/m/$i\">$linked</a>"
+        if (rest.nonEmpty) { sb ++= "\n  "; sb ++= rest }
+        sb ++= "\n</p>"
+      } else {
+        sb ++= s"<p>  ${e.mkString("  ")}\n</p>"
+      }
+    }
+    sb ++= "<div class=\"rel\"><a href=\"/r1\">Weiter lesen</a> <a href=\"/r2\">Mehr davon</a></div>"
+    sb ++= "<div class=\"ads\"><a href=\"/b\">Jetzt kaufen</a> <a href=\"/d\">Angebote heute hier</a></div>"
+    sb ++= "<footer><a href=\"/agb\">AGB</a> <a href=\"/k\">Kontakt aufnehmen</a> seit 2026</footer></body></html>"
+    sb.toString
+  }
+
+  /** [[pages]] plus a re-hosted mirror (asset_id = doc_id + 10^6) for
+    * every `every`-th doc — the crawl-corpus shape where the SAME
+    * article appears under different site chrome, which content-level
+    * dedup exists to collapse (and URL/page-level dedup cannot).
+    */
+  def pagesWithMirrors(docs: DataFrame, every: Int = 7): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withLang =
+      if (docs.columns.contains("lang")) docs
+      else docs.withColumn("lang", lit("xx"))
+    withLang.select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, lang, text) =>
+        val orig = (id, lang, pageFor(id, text))
+        if (id % every == 0)
+          Iterator(orig, (id + 1000000L, lang, mirrorPageFor(id, text)))
+        else Iterator(orig)
+      }).toDF("doc_id", "lang", "html")
+  }
+
   /** documents → (doc_id, lang, html) deterministic crawl-page fixture.
     * A corpus without a `lang` column (the ScaleProbe salted copies) gets
     * a constant one — the rollup key, not part of the page content.

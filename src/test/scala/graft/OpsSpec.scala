@@ -3156,6 +3156,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "<a>link never closed then words words words words words")._1 === "")
   }
 
+  test("html mirror pages extract to the ORIGINAL page's exact content " +
+    "(boilerplate-invariance: different chrome + sloppy whitespace)") {
+    import graft.ops.Html
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and then naps " +
+        "while twelve more words arrive to fill a second paragraph nicely " +
+        "plus a few extra tail words here",
+      "a b c d e f g h i j")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val id = i.toLong * 7 // mirror-eligible ids
+      val (orig, _) = Html.extract(Html.pageFor(id, t))
+      val (mirror, _) = Html.extract(Html.mirrorPageFor(id, t))
+      assert(orig === mirror, s"doc $id content must be chrome-invariant")
+      assert(orig.nonEmpty)
+      // no chrome word from EITHER page leaks into content
+      Seq("Home", "Contact", "Impressum", "Datenschutz", "kaufen",
+        "Privacy", "copyright", "AGB", "Mirror", "Doc").foreach { w =>
+        assert(!orig.contains(w), s"chrome word $w leaked")
+      }
+    }
+  }
+
   test("html fixture round-trip: generator pages extract to exactly the " +
     "formula the oracle replays") {
     import org.apache.spark.sql.functions._
