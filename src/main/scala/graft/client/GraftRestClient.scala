@@ -385,48 +385,11 @@ class GraftRestClient(
       maxFiles = maxFiles.map(Int.box).orNull,
       includeHistoricalProtocol =
         if (includeHistoricalProtocol) java.lang.Boolean.TRUE else null)
-    var version = -1L
-    val metas = Seq.newBuilder[wire.DeltaMetadataLine]
-    val files = Seq.newBuilder[wire.DeltaFileW]
-    val protos = Seq.newBuilder[wire.DeltaProtocolLine]
-    var pageToken: Option[String] = None
-    var first = true
-    var firstPage = true
-    while (first || pageToken.isDefined) {
-      first = false
-      val resp = request("POST", s"${tablePath(share, schema, table)}/query",
-        body = Some(JsonUtils.toJson(req.copy(pageToken = pageToken.orNull))),
+    collectDeltaChanges { tok =>
+      request("POST", s"${tablePath(share, schema, table)}/query",
+        body = Some(JsonUtils.toJson(req.copy(pageToken = tok.orNull))),
         headers = DELTA_CAPABILITIES)
-      version = resp.headers().firstValue("Delta-Table-Version")
-        .map[Long](_.toLong).orElse(version)
-      pageToken = None
-      // POSITIONAL head dedup: the protocol re-emits the head protocol
-      // and metadata lines at the top of every continuation page — skip
-      // the FIRST line of each kind on pages after the first. Value
-      // dedup would be wrong against a third-party server that emits
-      // historical metadata lines without version stamps: an A->B->A
-      // schema revert would collapse to [A, B], hiding the second
-      // change from a consumer vetting mid-range schema changes.
-      var pageMeta = false
-      var pageProto = false
-      resp.body().split("\n").filter(_.nonEmpty).foreach { raw =>
-        val line = JsonUtils.fromJson[wire.DeltaLine](raw)
-        if (line.metaData != null) {
-          if (firstPage || pageMeta) metas += line.metaData
-          pageMeta = true
-        }
-        if (line.file != null) files += line.file
-        if (line.protocol != null) {
-          if (firstPage || pageProto) protos += line.protocol
-          pageProto = true
-        }
-        if (line.endStreamAction != null)
-          pageToken = Option(line.endStreamAction.nextPageToken)
-      }
-      firstPage = false
     }
-    DeltaChangesResult(version, metas.result(), files.result(),
-      protos.result())
   }
 
   /** `GET /changes` in the DELTA dialect — raw per-version delta actions
@@ -434,46 +397,24 @@ class GraftRestClient(
     * derivation on tables the parquet dialect refuses.
     */
   def deltaChanges(share: String, schema: String, table: String,
-      params: Map[String, String]): DeltaChangesResult = {
-    var version = -1L
+      params: Map[String, String]): DeltaChangesResult =
+    collectDeltaChanges { tok =>
+      request("GET", s"${tablePath(share, schema, table)}/changes",
+        params = params ++ tok.map(t => Map("pageToken" -> t)).getOrElse(Map.empty),
+        headers = DELTA_CAPABILITIES)
+    }
+
+  private def collectDeltaChanges(
+      fetch: Option[String] => HttpResponse[String]): DeltaChangesResult = {
     val metas = Seq.newBuilder[wire.DeltaMetadataLine]
     val files = Seq.newBuilder[wire.DeltaFileW]
     val protos = Seq.newBuilder[wire.DeltaProtocolLine]
-    var pageToken: Option[String] = None
-    var first = true
-    var firstPage = true
-    while (first || pageToken.isDefined) {
-      first = false
-      val resp = request("GET", s"${tablePath(share, schema, table)}/changes",
-        params = params ++ pageToken.map(t => Map("pageToken" -> t)).getOrElse(Map.empty),
-        headers = DELTA_CAPABILITIES)
-      version = resp.headers().firstValue("Delta-Table-Version")
-        .map[Long](_.toLong).orElse(version)
-      pageToken = None
-      // POSITIONAL head dedup: the protocol re-emits the head protocol
-      // and metadata lines at the top of every continuation page — skip
-      // the FIRST line of each kind on pages after the first. Value
-      // dedup would be wrong against a third-party server that emits
-      // historical metadata lines without version stamps: an A->B->A
-      // schema revert would collapse to [A, B], hiding the second
-      // change from a consumer vetting mid-range schema changes.
-      var pageMeta = false
-      var pageProto = false
-      resp.body().split("\n").filter(_.nonEmpty).foreach { raw =>
-        val line = JsonUtils.fromJson[wire.DeltaLine](raw)
-        if (line.metaData != null) {
-          if (firstPage || pageMeta) metas += line.metaData
-          pageMeta = true
-        }
-        if (line.file != null) files += line.file
-        if (line.protocol != null) {
-          if (firstPage || pageProto) protos += line.protocol
-          pageProto = true
-        }
-        if (line.endStreamAction != null)
-          pageToken = Option(line.endStreamAction.nextPageToken)
-      }
-      firstPage = false
+    val version = walkPages(fetch, JsonUtils.fromJson[wire.DeltaLine],
+      (l: wire.DeltaLine) => PageLineKind(l.protocol != null, l.metaData != null,
+        Option(l.endStreamAction))) { line =>
+      if (line.metaData != null) metas += line.metaData
+      if (line.file != null) files += line.file
+      if (line.protocol != null) protos += line.protocol
     }
     DeltaChangesResult(version, metas.result(), files.result(),
       protos.result())
@@ -517,12 +458,51 @@ class GraftRestClient(
 
   private def collectChanges(
       fetch: Option[String] => HttpResponse[String]): ChangesResult = {
-    var version = -1L
     var meta: wire.Metadata = null
     val adds = Seq.newBuilder[wire.AddFileW]
     val cdfs = Seq.newBuilder[wire.CdcFileW]
     val removes = Seq.newBuilder[wire.RemoveFileW]
     val metas = Seq.newBuilder[wire.Metadata]
+    val version = walkPages(fetch, JsonUtils.fromJson[wire.Line],
+      (l: wire.Line) => PageLineKind(l.protocol != null, l.metaData != null,
+        Option(l.endStreamAction))) { line =>
+      if (line.metaData != null) {
+        if (meta == null) meta = line.metaData
+        metas += line.metaData
+      }
+      if (line.add != null) adds += line.add
+      if (line.cdf != null) cdfs += line.cdf
+      if (line.remove != null) removes += line.remove
+    }
+    ChangesResult(version, meta, adds.result(), cdfs.result(), removes.result(),
+      metas.result())
+  }
+
+  /** How the shared paginator sees one raw NDJSON line. */
+  private case class PageLineKind(
+      isProto: Boolean, isMeta: Boolean, end: Option[wire.EndStreamAction])
+
+  /** Paginated NDJSON walk with the protocol's head-line contract
+    * ENFORCED: every continuation page must re-emit the head protocol
+    * and metadata lines VERBATIM as its first line of each kind
+    * (reference `DeltaSharingClient.fetchNextPageFiles:683-699`
+    * validates the same strings and drops exactly those lines). Page 1's
+    * head lines are delivered to `emit`; each continuation page's first
+    * protocol/metaData line is validated against them and skipped
+    * (positional dedup), and a mismatch — or a head line appearing on a
+    * continuation page when page 1 had none — fails LOUDLY. Silently
+    * accepting a non-re-emitting server would drop a genuine
+    * first-of-page change line; value-dedup would collapse a legitimate
+    * A->B->A metadata revert into [A, B]. Returns the last
+    * Delta-Table-Version header seen.
+    */
+  private def walkPages[L](
+      fetch: Option[String] => HttpResponse[String],
+      parse: String => L,
+      kind: L => PageLineKind)(emit: L => Unit): Long = {
+    var version = -1L
+    var headProto: Option[String] = None
+    var headMeta: Option[String] = None
     var pageToken: Option[String] = None
     var first = true
     var firstPage = true
@@ -532,27 +512,31 @@ class GraftRestClient(
       version = resp.headers().firstValue("Delta-Table-Version")
         .map[Long](_.toLong).orElse(version)
       pageToken = None
-      // head metadata is re-emitted at the top of every continuation
-      // page — skip it POSITIONALLY (first metaData line per
-      // continuation page), not by value, so a genuine A->B->A schema
-      // revert served without version stamps survives pagination
+      var pageProto = false
       var pageMeta = false
-      ndjson(resp.body()).foreach { line =>
-        if (line.metaData != null) {
-          if (meta == null) meta = line.metaData
-          if (firstPage || pageMeta) metas += line.metaData
+      def checkHead(head: Option[String], raw: String, what: String): Unit =
+        if (!head.contains(raw)) throw new GraftClientException(0,
+          s"continuation page did not re-emit the head $what line " +
+            s"verbatim (protocol violation; expected ${head.orNull}, " +
+            s"got ${raw.take(500)})")
+      resp.body().split("\n").filter(_.nonEmpty).foreach { raw =>
+        val line = parse(raw)
+        val k = kind(line)
+        if (k.end.isDefined) {
+          pageToken = k.end.flatMap(e => Option(e.nextPageToken))
+        } else if (k.isProto && !pageProto) {
+          pageProto = true
+          if (firstPage) { headProto = Some(raw); emit(line) }
+          else checkHead(headProto, raw, "protocol")
+        } else if (k.isMeta && !pageMeta) {
           pageMeta = true
-        }
-        if (line.add != null) adds += line.add
-        if (line.cdf != null) cdfs += line.cdf
-        if (line.remove != null) removes += line.remove
-        if (line.endStreamAction != null)
-          pageToken = Option(line.endStreamAction.nextPageToken)
+          if (firstPage) { headMeta = Some(raw); emit(line) }
+          else checkHead(headMeta, raw, "metadata")
+        } else emit(line)
       }
       firstPage = false
     }
-    ChangesResult(version, meta, adds.result(), cdfs.result(), removes.result(),
-      metas.result())
+    version
   }
 }
 

@@ -122,7 +122,11 @@ object Html {
             i = end + 1
             if (name.isEmpty) () // "</>" or "< >": ignore
             else if (!closing && RAW_TEXT(name)) {
-              // skip raw content through the matching close tag
+              // skip raw content through the matching close tag. The tag
+              // NAME must end at the match (next char '>', '/', or
+              // whitespace — the HTML rule): "</scriptHandler" inside a
+              // script string must NOT end script mode, or the leftover
+              // JS leaks into extracted content.
               var m = i
               var found = -1
               while (found < 0 && m < n) {
@@ -131,10 +135,14 @@ object Html {
                 else {
                   val after = cand + 2
                   val nameEnd = after + name.length
-                  if (nameEnd <= n &&
-                    html.substring(after, nameEnd).equalsIgnoreCase(name)) {
-                    found = skipTo(">", nameEnd)
-                  } else m = cand + 2
+                  val nameMatches = nameEnd <= n &&
+                    html.substring(after, nameEnd).equalsIgnoreCase(name) &&
+                    (nameEnd == n || {
+                      val c2 = html.charAt(nameEnd)
+                      c2 == '>' || c2 == '/' || c2.isWhitespace
+                    })
+                  if (nameMatches) found = skipTo(">", nameEnd)
+                  else m = cand + 2
                 }
               }
               i = if (found < 0) n else found
@@ -148,19 +156,23 @@ object Html {
           }
         } else { emit(c); i += 1 } // '<' followed by non-tag: literal
       } else if (c == '&') {
-        // entity: named or numeric; unknown/unterminated → literal '&'
+        // entity: named or numeric; unknown/unterminated/invalid →
+        // literal '&'. Numeric references expand through
+        // Character.toChars so non-BMP codepoints (emoji) become a
+        // correct surrogate pair, never a truncated .toChar.
         val semi = html.indexOf(';', i + 1)
-        val decoded: Option[Char] =
+        val decoded: Option[Array[Char]] =
           if (semi > i && semi - i <= 10) {
             val body = html.substring(i + 1, semi)
             if (body.startsWith("#x") || body.startsWith("#X"))
-              scala.util.Try(Integer.parseInt(body.drop(2), 16).toChar).toOption
+              scala.util.Try(Character.toChars(
+                Integer.parseInt(body.drop(2), 16))).toOption
             else if (body.startsWith("#"))
-              scala.util.Try(body.drop(1).toInt.toChar).toOption
-            else ENTITIES.get(body)
+              scala.util.Try(Character.toChars(body.drop(1).toInt)).toOption
+            else ENTITIES.get(body).map(Array(_))
           } else None
         decoded match {
-          case Some(ch) => emit(ch); i = semi + 1
+          case Some(cs) => cs.foreach(emit); i = semi + 1
           case None     => emit('&'); i += 1
         }
       } else { emit(c); i += 1 }

@@ -80,10 +80,11 @@ class GraftSource(
   private val ignoreDeletes: Boolean = options.get("ignoreDeletes").exists(_.toBoolean)
   private val skipChangeCommits: Boolean = options.get("skipChangeCommits").exists(_.toBoolean)
 
-  private val snapshotCache = scala.collection.mutable.HashMap.empty[Long, Snapshot]
   // path-sorted snapshot files, cached: the starting-snapshot phase
   // resumes from an offset index every trigger, and re-sorting 10^5
-  // files per trigger is avoidable O(n log n) driver work
+  // files per trigger is avoidable O(n log n) driver work. Only the
+  // SORTED list is retained — caching the Snapshot it came from as well
+  // would pin a second full file list for the stream's lifetime.
   private val sortedSnapshotCache =
     scala.collection.mutable.HashMap.empty[Long, IndexedSeq[AddFile]]
 
@@ -155,12 +156,8 @@ class GraftSource(
 
     def snapshotFiles(version: Long, fromIndex: Long): Iterator[IndexedFile] = {
       val sorted = sortedSnapshotCache.synchronized {
-        sortedSnapshotCache.getOrElseUpdate(version, {
-          val snap = snapshotCache.synchronized {
-            snapshotCache.getOrElseUpdate(version, tableLog.snapshot(Some(version)))
-          }
-          snap.files.sortBy(_.path).toIndexedSeq
-        })
+        sortedSnapshotCache.getOrElseUpdate(version,
+          tableLog.snapshot(Some(version)).files.sortBy(_.path).toIndexedSeq)
       }
       sorted.iterator.zipWithIndex.collect {
         case (f, i) if i > fromIndex =>

@@ -256,20 +256,35 @@ class RemoteGraftSource(
     */
   private def rangeCommits(
       start: Long, end: Long): Iterator[(Long, Seq[RemoteFile], Boolean)] =
-    new Iterator[(Long, Seq[RemoteFile], Boolean)] {
+    windowedVersions(start, end, fetchedCommits) { (v, e) =>
+      rangeCommitsWindow(v, e).foreach { case (vv, adds, dropped) =>
+        fetchedCommits.putIfAbsent(vv, (adds, dropped))
+      }
+    }.map { case (v, (adds, dropped)) => (v, adds, dropped) }
+
+  /** Window-lazy version iterator over a per-version memo — the ONE
+    * shape behind the range/cdf/cdf-delta walks: pulling into an
+    * uncached version fetches one window of at most `maxVersionsPerRpc`
+    * versions (`fetchWindow(v, windowEnd)` must populate the memo for at
+    * least `v`); memoized versions read straight through. The window
+    * extension stops at already-cached versions so re-walks never
+    * re-fetch.
+    */
+  private def windowedVersions[V](
+      start: Long, end: Long,
+      memo: scala.collection.concurrent.TrieMap[Long, V])(
+      fetchWindow: (Long, Long) => Unit): Iterator[(Long, V)] =
+    new Iterator[(Long, V)] {
       private var v = start
       override def hasNext: Boolean = v <= end
-      override def next(): (Long, Seq[RemoteFile], Boolean) = {
-        if (!fetchedCommits.contains(v)) {
+      override def next(): (Long, V) = {
+        if (!memo.contains(v)) {
           var e = v
-          while (e < end && e - v + 1 < maxVersionsPerRpc && !fetchedCommits.contains(e + 1))
+          while (e < end && e - v + 1 < maxVersionsPerRpc && !memo.contains(e + 1))
             e += 1
-          rangeCommitsWindow(v, e).foreach { case (vv, adds, dropped) =>
-            fetchedCommits.putIfAbsent(vv, (adds, dropped))
-          }
+          fetchWindow(v, e)
         }
-        val (adds, dropped) = fetchedCommits(v)
-        val r = (v, adds, dropped)
+        val r = (v, memo(v))
         v += 1
         r
       }
@@ -408,22 +423,10 @@ class RemoteGraftSource(
     */
   private def cdfDeltaCommits(
       start: Long, end: Long): Iterator[(Long, graft.sources.RemoteDeltaCDF.Group)] =
-    new Iterator[(Long, graft.sources.RemoteDeltaCDF.Group)] {
-      private var v = start
-      override def hasNext: Boolean = v <= end
-      override def next(): (Long, graft.sources.RemoteDeltaCDF.Group) = {
-        if (!fetchedCdfDelta.contains(v)) fetchCdfDeltaWindow(v, end)
-        val r = (v, fetchedCdfDelta(v))
-        v += 1
-        r
-      }
-    }
+    windowedVersions(start, end, fetchedCdfDelta)(fetchCdfDeltaWindow)
 
-  private def fetchCdfDeltaWindow(v: Long, end: Long): Unit = {
+  private def fetchCdfDeltaWindow(v: Long, e: Long): Unit = {
     import graft.sources.RemoteDeltaCDF
-    var e = v
-    while (e < end && e - v + 1 < maxVersionsPerRpc && !fetchedCdfDelta.contains(e + 1))
-      e += 1
     val rangeParams = Map(
       "startingVersion" -> v.toString, "endingVersion" -> e.toString)
     val res = client.deltaChanges(share, schemaName, table, rangeParams)
@@ -446,21 +449,9 @@ class RemoteGraftSource(
 
   /** Window-lazy like [[rangeCommits]]. */
   private def cdfCommits(start: Long, end: Long): Iterator[(Long, CdfCommit)] =
-    new Iterator[(Long, CdfCommit)] {
-      private var v = start
-      override def hasNext: Boolean = v <= end
-      override def next(): (Long, CdfCommit) = {
-        if (!fetchedCdf.contains(v)) fetchCdfWindow(v, end)
-        val r = (v, fetchedCdf(v))
-        v += 1
-        r
-      }
-    }
+    windowedVersions(start, end, fetchedCdf)(fetchCdfWindow)
 
-  private def fetchCdfWindow(v: Long, end: Long): Unit = {
-    var e = v
-    while (e < end && e - v + 1 < maxVersionsPerRpc && !fetchedCdf.contains(e + 1))
-      e += 1
+  private def fetchCdfWindow(v: Long, e: Long): Unit = {
     val res = client.changes(share, schemaName, table,
       Map("startingVersion" -> v.toString, "endingVersion" -> e.toString))
     res.metas.foreach { m =>

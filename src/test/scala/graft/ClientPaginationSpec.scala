@@ -116,6 +116,37 @@ class ClientPaginationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.protocols.size === 1)
   }
 
+  test("a continuation page that fails to re-emit the head lines fails " +
+    "LOUDLY instead of silently dropping a first-of-page change") {
+    // a protocol-violating server: page 2 opens directly with a GENUINE
+    // schema change B (no head re-emission). The reference client
+    // validates lines(0)/(1) against page 1's head and throws
+    // (DeltaSharingClient.fetchNextPageFiles:683-699); silently skipping
+    // would hide B from a consumer vetting mid-range schema changes.
+    val bad = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    bad.createContext("/", (ex: HttpExchange) => {
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val body =
+        if (query.contains("pageToken=p2"))
+          Seq(metaP("B"), addP("f2", 3L)).mkString("\n")
+        else page1(metaP, protoP, addP, esaP)
+      val b = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Delta-Table-Version", "3")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    bad.start()
+    try {
+      val c = new GraftRestClient(
+        s"http://127.0.0.1:${bad.getAddress.getPort}", numRetries = 0)
+      val e = intercept[graft.client.GraftClientException] {
+        c.changes("s", "d", "tp", Map("startingVersion" -> "0"))
+      }
+      assert(e.getMessage.contains("did not re-emit the head"), e.getMessage)
+    } finally bad.stop(0)
+  }
+
   test("token checksum: fields are length-prefixed — no cross-field " +
     "collisions from separator-bearing content") {
     // a field containing the raw separator must not equal the two fields

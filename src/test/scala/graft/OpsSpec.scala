@@ -3154,6 +3154,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // linked -> dropped by density
     assert(Html.extract(
       "<a>link never closed then words words words words words")._1 === "")
+    // a close-tag PREFIX inside script raw text must not end script mode
+    // ("</scriptHandler" is not "</script" per the HTML name-boundary
+    // rule) — the JS after it must never leak into content
+    val sneaky = "<script>if(a</scriptHandler)x=1;</script>" +
+      "<p>genuine content of seven plain words here</p>"
+    assert(Html.extract(sneaky)._1 ===
+      "genuine content of seven plain words here")
+    // non-BMP numeric entities expand to a surrogate pair, not a
+    // truncated char
+    val emoji = Html.extract("<p>smile &#x1F600; wide and four more words</p>")._1
+    assert(emoji === "smile 😀 wide and four more words")
+    assert(Html.extract("<p>bad &#1114112; ref and four more words</p>")._1
+      === "bad &#1114112; ref and four more words") // out of range: literal
   }
 
   test("html mirror pages extract to the ORIGINAL page's exact content " +
