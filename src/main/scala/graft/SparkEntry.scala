@@ -1890,6 +1890,54 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Beyond-reference: STREAMING CRAWL-FRONTIER content dedup — pages
+    // arrive as a versioned stream, each is EXTRACTED in-flight
+    // (stateless mapPartitions, the q205 tag walk), and a page is
+    // admitted iff its extracted-content hash is the bucket's first
+    // arrival (the q198/q203 first-arrival state machine; 64-char
+    // constant-width state key). This is the screen that drops a
+    // re-crawled article before it is ever stored — boilerplate-
+    // invariant, so a re-host with different chrome still dedups, which
+    // URL- or page-hash-level admission cannot do. Version order =
+    // doc_id order in the fixture, so the oracle replays admission as
+    // min-doc_id per reconstructed-content group (including the
+    // fixture's natural content collisions).
+    "q208_stream_content_dedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.documents_versioned")
+      val sink = "graft_q208_sink"
+      s.catalog.dropTempView(sink)
+      val src = s.readStream.format("graft").option("path", path)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "2").load()
+      val buckets = graft.ops.Html.extractPages(
+        graft.ops.Html.pages(src.select(col("doc_id"), col("lang"), col("text"))))
+        .select(col("doc_id"), sha2(col("content"), 256).as("bucket"))
+        .as[(Long, String)]
+      val verdicts = buckets
+        .groupByKey(_._2)
+        .flatMapGroupsWithState[Long, (Long, Boolean)](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          case (_, groupRows, state) =>
+            val ids = groupRows.map(_._1).toArray
+            val minAll = math.min(state.getOption.getOrElse(Long.MaxValue), ids.min)
+            state.update(minAll)
+            ids.iterator.map(id => (id, id == minAll))
+        }
+        .toDF("doc_id", "admitted")
+      val q = verdicts.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      q.stop()
+      s.table(sink).groupBy(col("admitted"))
+        .agg(count(lit(1)).as("n_pages"), min(col("doc_id")).as("min_id"),
+          sum(col("doc_id")).as("id_sum"))
+    }),
+
     // Beyond-reference: SOURCE-OVERLAP MATRIX — "which dumps/crawl
     // snapshots overlap, and by how much" answered with ONE corpus scan:
     // per-source MinHash signatures (min distributes over union, so the
@@ -6110,6 +6158,32 @@ object SparkEntry {
                 CAST(sum(CASE WHEN content_words >= 40 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_quality_pass
          FROM perdoc GROUP BY lang ORDER BY lang""",
+    // first-arrival admission replayed as min-doc_id per reconstructed-
+    // content group (version order = doc_id order in the fixture); the
+    // content CTE is the q207 generator-formula reconstruction
+    "q208_stream_content_dedup" ->
+      """WITH w AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+           FROM documents),
+         pars AS (SELECT doc_id, ws,
+                    unnest(range(CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS p
+                  FROM w),
+         par AS (SELECT doc_id, p,
+                   array_to_string(list_slice(ws, CAST(8 * p + 1 AS INT),
+                     CAST(least(8 * p + 8, len(ws)) AS INT)), ' ') AS txt,
+                   least(8, len(ws) - 8 * p) AS sz
+                 FROM pars),
+         content AS (SELECT w.doc_id, COALESCE(c.c, '') AS c
+                     FROM w LEFT JOIN (
+                       SELECT doc_id, string_agg(txt, chr(10) ORDER BY p) AS c
+                       FROM par WHERE sz >= 5 AND p % 5 <> 4
+                       GROUP BY doc_id) c USING (doc_id)),
+         firsts AS (SELECT c, min(doc_id) AS first_id FROM content GROUP BY c)
+         SELECT (t.doc_id = f.first_id) AS admitted,
+                CAST(count(*) AS BIGINT) AS n_pages,
+                CAST(min(t.doc_id) AS BIGINT) AS min_id,
+                CAST(sum(t.doc_id) AS BIGINT) AS id_sum
+         FROM content t JOIN firsts f USING (c) GROUP BY 1""",
     // the kept-word content is reconstructed from the generator formula
     // (8-word chunks, keep iff >= 5 words and not the link-wrapped
     // p%5==4), originals and mirrors group by that content, and the

@@ -559,6 +559,20 @@ object ScaleProbe {
         graft.ops.Html.extractPages(graft.ops.Html.pages(docs(k)))
           .agg(sum(col("content_words")), sum(col("total_words")))
           .collect().head.getLong(1)),
+      // one shingle scan + per-shingle source sets (pair expansion
+      // bounded by 20² per shingle) + a 20-row signature self-join —
+      // corpus term linear, pair term fixed
+      "q206_source_overlap" -> (k =>
+        graft.ops.Dedup.sourceOverlap(
+          docs(k).withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(20)))),
+          "source", "text").count()),
+      // extraction + content-hash groupBy: the dedup shuffles a 64-char
+      // hash per page, never the content — parse floor + one exchange
+      "q207_mirror_dedup" -> (k =>
+        graft.ops.Html.extractPages(graft.ops.Html.pagesWithMirrors(docs(k)))
+          .groupBy(sha2(col("content"), 256))
+          .agg(min(col("doc_id"))).count()),
       // SAMPLE-COUNT axis (not corpus axis): containers carry 64·k
       // samples; the reported "rows" value is the max bucket-key WIDTH,
       // which must stay 64 hex chars at every k (the chain is hashed
