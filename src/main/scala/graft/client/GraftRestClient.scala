@@ -127,6 +127,9 @@ class GraftRestClient(
   private def ndjson(body: String): Seq[wire.Line] =
     body.split("\n").toSeq.filter(_.nonEmpty).map(JsonUtils.fromJson[wire.Line](_))
 
+  private def rawNdjson(body: String): Seq[String] =
+    body.split("\n").toSeq.filter(_.nonEmpty)
+
   // ------------------------------------------------------------- listings
 
   def listShares(): Seq[String] = paged { tok =>
@@ -260,28 +263,19 @@ class GraftRestClient(
     */
   def query(share: String, schema: String, table: String,
       req: wire.QueryRequest = wire.QueryRequest()): QueryResult = {
-    var version = -1L
     var meta: wire.Metadata = null
     val files = Seq.newBuilder[wire.File]
     var refreshToken: Option[String] = None
-    var pageToken: Option[String] = None
-    var first = true
-    while (first || pageToken.isDefined) {
-      first = false
-      val pageReq = req.copy(pageToken = pageToken.orNull)
-      val (resp, rawLines) = postQueryResolved(
-        tablePath(share, schema, table), pageReq, Map.empty)
-      version = resp.headers().firstValue("Delta-Table-Version")
-        .map[Long](_.toLong).orElse(version)
-      pageToken = None
-      rawLines.map(JsonUtils.fromJson[wire.Line](_)).foreach { line =>
-        if (line.metaData != null) meta = line.metaData
-        if (line.file != null) files += line.file
-        if (line.endStreamAction != null) {
-          pageToken = Option(line.endStreamAction.nextPageToken)
-          Option(line.endStreamAction.refreshToken).foreach(t => refreshToken = Some(t))
-        }
-      }
+    val version = walkPages(
+      tok => postQueryResolved(tablePath(share, schema, table),
+        req.copy(pageToken = tok.orNull), Map.empty),
+      JsonUtils.fromJson[wire.Line],
+      (l: wire.Line) => PageLineKind(l.protocol != null, l.metaData != null,
+        Option(l.endStreamAction)),
+      onEnd = e => Option(e.refreshToken).foreach(t => refreshToken = Some(t))
+    ) { line =>
+      if (line.metaData != null) meta = line.metaData
+      if (line.file != null) files += line.file
     }
     QueryResult(version, meta, files.result(), refreshToken)
   }
@@ -311,26 +305,16 @@ class GraftRestClient(
     */
   def deltaQuery(share: String, schema: String, table: String,
       req: wire.QueryRequest = wire.QueryRequest()): DeltaQueryResult = {
-    var version = -1L
     var meta: wire.DeltaMetadataLine = null
     val files = Seq.newBuilder[wire.DeltaFileW]
-    var pageToken: Option[String] = None
-    var first = true
-    while (first || pageToken.isDefined) {
-      first = false
-      val pageReq = req.copy(pageToken = pageToken.orNull)
-      val (resp, rawLines) = postQueryResolved(
-        tablePath(share, schema, table), pageReq, DELTA_CAPABILITIES)
-      version = resp.headers().firstValue("Delta-Table-Version")
-        .map[Long](_.toLong).orElse(version)
-      pageToken = None
-      rawLines.foreach { raw =>
-        val line = JsonUtils.fromJson[wire.DeltaLine](raw)
-        if (line.metaData != null) meta = line.metaData
-        if (line.file != null) files += line.file
-        if (line.endStreamAction != null)
-          pageToken = Option(line.endStreamAction.nextPageToken)
-      }
+    val version = walkPages(
+      tok => postQueryResolved(tablePath(share, schema, table),
+        req.copy(pageToken = tok.orNull), DELTA_CAPABILITIES),
+      JsonUtils.fromJson[wire.DeltaLine],
+      (l: wire.DeltaLine) => PageLineKind(l.protocol != null, l.metaData != null,
+        Option(l.endStreamAction))) { line =>
+      if (line.metaData != null) meta = line.metaData
+      if (line.file != null) files += line.file
     }
     if (meta == null) throw new GraftClientException(0,
       "no metaData line in delta query response")
@@ -409,7 +393,9 @@ class GraftRestClient(
     val metas = Seq.newBuilder[wire.DeltaMetadataLine]
     val files = Seq.newBuilder[wire.DeltaFileW]
     val protos = Seq.newBuilder[wire.DeltaProtocolLine]
-    val version = walkPages(fetch, JsonUtils.fromJson[wire.DeltaLine],
+    val version = walkPages(
+      tok => { val r = fetch(tok); (r, rawNdjson(r.body())) },
+      JsonUtils.fromJson[wire.DeltaLine],
       (l: wire.DeltaLine) => PageLineKind(l.protocol != null, l.metaData != null,
         Option(l.endStreamAction))) { line =>
       if (line.metaData != null) metas += line.metaData
@@ -463,7 +449,9 @@ class GraftRestClient(
     val cdfs = Seq.newBuilder[wire.CdcFileW]
     val removes = Seq.newBuilder[wire.RemoveFileW]
     val metas = Seq.newBuilder[wire.Metadata]
-    val version = walkPages(fetch, JsonUtils.fromJson[wire.Line],
+    val version = walkPages(
+      tok => { val r = fetch(tok); (r, rawNdjson(r.body())) },
+      JsonUtils.fromJson[wire.Line],
       (l: wire.Line) => PageLineKind(l.protocol != null, l.metaData != null,
         Option(l.endStreamAction))) { line =>
       if (line.metaData != null) {
@@ -497,9 +485,10 @@ class GraftRestClient(
     * Delta-Table-Version header seen.
     */
   private def walkPages[L](
-      fetch: Option[String] => HttpResponse[String],
+      fetch: Option[String] => (HttpResponse[String], Seq[String]),
       parse: String => L,
-      kind: L => PageLineKind)(emit: L => Unit): Long = {
+      kind: L => PageLineKind,
+      onEnd: wire.EndStreamAction => Unit = _ => ())(emit: L => Unit): Long = {
     var version = -1L
     var headProto: Option[String] = None
     var headMeta: Option[String] = None
@@ -508,7 +497,7 @@ class GraftRestClient(
     var firstPage = true
     while (first || pageToken.isDefined) {
       first = false
-      val resp = fetch(pageToken)
+      val (resp, rawLines) = fetch(pageToken)
       version = resp.headers().firstValue("Delta-Table-Version")
         .map[Long](_.toLong).orElse(version)
       pageToken = None
@@ -519,11 +508,14 @@ class GraftRestClient(
           s"continuation page did not re-emit the head $what line " +
             s"verbatim (protocol violation; expected ${head.orNull}, " +
             s"got ${raw.take(500)})")
-      resp.body().split("\n").filter(_.nonEmpty).foreach { raw =>
+      rawLines.foreach { raw =>
         val line = parse(raw)
         val k = kind(line)
         if (k.end.isDefined) {
-          pageToken = k.end.flatMap(e => Option(e.nextPageToken))
+          k.end.foreach { e =>
+            pageToken = Option(e.nextPageToken)
+            onEnd(e)
+          }
         } else if (k.isProto && !pageProto) {
           pageProto = true
           if (firstPage) { headProto = Some(raw); emit(line) }
