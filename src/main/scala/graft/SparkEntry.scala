@@ -1890,6 +1890,75 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Beyond-reference: INCREMENTALLY MAINTAINED source-overlap sketch —
+    // q206's per-source MinHash signatures kept up to date over the
+    // change STREAM instead of rescanned per append: minima are monotone
+    // under union, so per-source state is exactly 32 longs, each
+    // micro-batch folds its shingle hashes in with elementwise min, and
+    // a running snapshot is emitted per trigger (append-mode legal —
+    // the final signature is the elementwise min over all snapshots, so
+    // late assembly needs no "last row wins"). The final pairwise matrix
+    // must HASH-MATCH the batch q206 estimate — the oracle itself proves
+    // incremental == from-scratch, the q201 pattern. At 100 TB: O(delta)
+    // shingle work per append, #sources × 32 longs of state, vs a full
+    // corpus rescan per refresh.
+    "q209_stream_source_sketch" -> ((s, dir) => {
+      import s.implicits._
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.documents_versioned")
+      val sink = "graft_q209_sink"
+      s.catalog.dropTempView(sink)
+      val K = 32
+      val src = s.readStream.format("graft").option("path", path)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "2").load()
+      val hashes = src.select(col("source"),
+        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("__sh"))
+        .select(col("source"),
+          graft.ops.Dedup.portableH(col("__sh"), 1).as("h1"),
+          graft.ops.Dedup.portableH(col("__sh"), 13).as("h2"))
+        .as[(String, Long, Long)]
+      val snapshots = hashes
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Array[Long], (String, Seq[Long])](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          case (source, rows, state) =>
+            val mins = state.getOption.getOrElse(Array.fill(K)(Long.MaxValue))
+            rows.foreach { case (_, h1, h2) =>
+              var j = 0
+              while (j < K) {
+                val h = h1 + j.toLong * h2
+                if (h < mins(j)) mins(j) = h
+                j += 1
+              }
+            }
+            state.update(mins)
+            Iterator.single((source, mins.toSeq))
+        }
+        .toDF("source", "mins")
+      val q = snapshots.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      q.stop()
+      val sigs = s.table(sink).groupBy(col("source"))
+        .agg(min(col("mins")(0)).as("h0"),
+          (1 until K).map(j => min(col("mins")(j)).as(s"h$j")): _*)
+      val a = sigs.select(col("source").as("source_a") +:
+        (0 until K).map(j => col(s"h$j").as(s"__a$j")): _*)
+      val b = sigs.select(col("source").as("source_b") +:
+        (0 until K).map(j => col(s"h$j").as(s"__b$j")): _*)
+      a.join(broadcast(b), col("source_a") < col("source_b"))
+        .withColumn("n_agree", (0 until K)
+          .map(j => when(col(s"__a$j") === col(s"__b$j"), 1L).otherwise(0L))
+          .reduce(_ + _))
+        .select(col("source_a"), col("source_b"), col("n_agree"),
+          round(col("n_agree").cast("double") / K, 6).as("est_jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Beyond-reference: STREAMING CRAWL-FRONTIER content dedup — pages
     // arrive as a versioned stream, each is EXTRACTED in-flight
     // (stateless mapPartitions, the q205 tag walk), and a page is
@@ -6158,6 +6227,33 @@ object SparkEntry {
                 CAST(sum(CASE WHEN content_words >= 40 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_quality_pass
          FROM perdoc GROUP BY lang ORDER BY lang""",
+    // the BATCH q206 estimate replayed verbatim (md5 double-hash minhash
+    // per source over the full corpus) — a hash match IS the
+    // incremental-equals-from-scratch proof for the streamed sketch
+    "q209_stream_source_sketch" ->
+      """WITH sets AS (
+           SELECT source, list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '),
+                                                         CAST(i AS INT), CAST(i + 2 AS INT)), ' '))
+             END) AS fset
+           FROM documents),
+         d AS (SELECT DISTINCT source, unnest(fset) AS sh FROM sets),
+         hh AS (SELECT source,
+                  ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h1,
+                  ('0x' || substr(md5(sh), 13, 12))::BIGINT AS h2
+                FROM d),
+         hs AS (SELECT source, j, min(h1 + j * h2) AS h
+                FROM hh CROSS JOIN (SELECT unnest(range(0, 32)) AS j) js
+                GROUP BY source, j)
+         SELECT a.source AS source_a, b.source AS source_b,
+                CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_agree,
+                round(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) / 32.0, 6)
+                  AS est_jaccard
+         FROM hs a JOIN hs b ON a.j = b.j AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // first-arrival admission replayed as min-doc_id per reconstructed-
     // content group (version order = doc_id order in the fixture); the
     // content CTE is the q207 generator-formula reconstruction

@@ -535,7 +535,7 @@ object Dedup {
     * the exact banding. [[seededHash]] (xxhash64) remains the fast
     * engine-private family for production runs.
     */
-  private def portableH(c: Column, from: Int): Column =
+  private[graft] def portableH(c: Column, from: Int): Column =
     conv(substring(md5(c), from, 12), 16, 10).cast("long")
 
   /** [[nearDuplicatesLsh]] with the portable md5 hash family and decimal
