@@ -109,7 +109,10 @@ object MetaProbe {
       val actions: Seq[Action] =
         if (v == 0)
           Seq(Protocol(), Metadata(id = s"metaprobe-$n", name = s"meta$n",
-            schemaString = SCHEMA, partitionColumns = Seq("ds"))) ++ files
+            schemaString = SCHEMA, partitionColumns = Seq("ds"),
+            // CDF enabled so the stream section can drive the /changes
+            // admission path against the same backlog
+            configuration = Map("delta.enableChangeDataFeed" -> "true"))) ++ files
         else files
       GraftLog.commit(path, v, actions, conf)
     }
@@ -369,12 +372,55 @@ object MetaProbe {
         require(rTrig == wantTriggers,
           s"remote stream made $rTrig triggers for $n files @ $perTrigger")
 
+        // CDF drains (whole-version atomic admission over the same
+        // backlog; offset walk only — the synthetic files have no real
+        // parquet, so batch assembly is out of scope here). The same
+        // lazy-walk contract applies: per-trigger cost flat in the
+        // remaining versions, remote trigger 1 fetches one window.
+        val lcSrc = new graft.streaming.GraftSource(spark, spath,
+          Map("startingVersion" -> "0", "readChangeFeed" -> "true",
+            "maxFilesPerTrigger" -> perTrigger.toString))
+        val (lcTrig, lcTimes) = drive(lcSrc.latestOffset, (_, _) => ())
+        require(lcTrig == versions * 100 / perTrigger,
+          s"local cdf made $lcTrig triggers")
+
+        GraftCatalog.register(s"share1.default.streamc$n", spath)
+        val server2 = new GraftServer(ServerConfig(bearerToken = Some("probe")),
+          conf).start()
+        val (rcTrig, rcTimes, rcFirstSign) = try {
+          val client = new graft.client.GraftRestClient(server2.url, Some("probe"))
+          val src = new graft.streaming.RemoteGraftSource(spark, client,
+            "share1", "default", s"streamc$n",
+            Map("startingVersion" -> "0", "readChangeFeed" -> "true",
+              "maxFilesPerTrigger" -> perTrigger.toString,
+              "maxVersionsPerRpc" -> "100",
+              "queryTableVersionIntervalSeconds" -> "0"))
+          val s0 = server2.signCount.get()
+          var fSign = -1L
+          val (t, ts) = drive(
+            (o, l) => {
+              val r = src.latestOffset(o, l)
+              if (fSign < 0) fSign = server2.signCount.get() - s0
+              r
+            },
+            (_, _) => ())
+          (t, ts, fSign)
+        } finally {
+          server2.stop()
+          GraftCatalog.unregister(s"share1.default.streamc$n")
+        }
+        require(rcTrig == versions * 100 / perTrigger,
+          s"remote cdf made $rcTrig triggers")
+
         row ++= Map("n" -> n, "stream_versions" -> versions,
           "stream_triggers" -> lTrig)
         row ++= stats(lTimes).map { case (k, v) => s"local_$k" -> v }
         row ++= stats(rTimes).map { case (k, v) => s"remote_$k" -> v }
         row ++= Map("remote_first_trigger_sign" -> firstSign,
           "remote_total_sign" -> totalSign)
+        row ++= stats(lcTimes).map { case (k, v) => s"local_cdf_$k" -> v }
+        row ++= stats(rcTimes).map { case (k, v) => s"remote_cdf_$k" -> v }
+        row ++= Map("remote_cdf_first_trigger_sign" -> rcFirstSign)
         rows += JsonUtils.toJson(row.toMap)
         row.clear()
       }
