@@ -1872,7 +1872,9 @@ object SparkEntry {
     // generator formula and groups the same way — a single leaked
     // chrome word or whitespace-normalization drift splits a mirror
     // from its original and breaks the counts; rep_sum pins that the
-    // representative is always the ORIGINAL (min asset id). The fixture
+    // representative is always the ORIGINAL (asset ids are parity-coded
+    // 2·doc_id / 2·doc_id+1 — injective at any corpus scale, original =
+    // group min by parity). The fixture
     // also contains NATURAL collisions (distinct texts whose kept
     // subsets coincide — 16 at sf0.01), so the grouping is exercised
     // beyond the planted mirrors. Plan: one parse pass, one
@@ -6301,9 +6303,9 @@ object SparkEntry {
                        SELECT doc_id, string_agg(txt, chr(10) ORDER BY p) AS c
                        FROM par WHERE sz >= 5 AND p % 5 <> 4
                        GROUP BY doc_id) c USING (doc_id)),
-         assets AS (SELECT doc_id AS asset_id, lang, c FROM content
+         assets AS (SELECT 2 * doc_id AS asset_id, lang, c FROM content
                     UNION ALL
-                    SELECT doc_id + 1000000, lang, c FROM content
+                    SELECT 2 * doc_id + 1, lang, c FROM content
                     WHERE doc_id % 7 = 0),
          grp AS (SELECT lang, c, min(asset_id) AS rep_id,
                    CAST(count(*) AS BIGINT) AS n_copies

@@ -125,7 +125,7 @@ class GraftRestClient(
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
 
   private def ndjson(body: String): Seq[wire.Line] =
-    body.split("\n").toSeq.filter(_.nonEmpty).map(JsonUtils.fromJson[wire.Line](_))
+    rawNdjson(body).map(JsonUtils.fromJson[wire.Line](_))
 
   private def rawNdjson(body: String): Seq[String] =
     body.split("\n").toSeq.filter(_.nonEmpty)
@@ -228,8 +228,7 @@ class GraftRestClient(
   private def postQueryResolved(
       tableP: String, pageReq: wire.QueryRequest,
       baseHeaders: Map[String, String]): (HttpResponse[String], Seq[String]) = {
-    def raw(r: HttpResponse[String]): Seq[String] =
-      r.body().split("\n").toSeq.filter(_.nonEmpty)
+    def raw(r: HttpResponse[String]): Seq[String] = rawNdjson(r.body())
     var resp = request("POST", s"$tableP/query",
       body = Some(JsonUtils.toJson(pageReq)), headers = withAsync(baseHeaders))
     var lines = raw(resp)
@@ -511,12 +510,15 @@ class GraftRestClient(
       rawLines.foreach { raw =>
         val line = parse(raw)
         val k = kind(line)
-        if (k.end.isDefined) {
-          k.end.foreach { e =>
-            pageToken = Option(e.nextPageToken)
-            onEnd(e)
-          }
-        } else if (k.isProto && !pageProto) {
+        // endStreamAction is NOT exclusive of payload: a line may carry
+        // a data action AND the end action, so the token is read first
+        // and the line still flows to `emit` (a pure-end line reaching
+        // emit is harmless — consumers match on their specific fields)
+        k.end.foreach { e =>
+          pageToken = Option(e.nextPageToken)
+          onEnd(e)
+        }
+        if (k.isProto && !pageProto) {
           pageProto = true
           if (firstPage) { headProto = Some(raw); emit(line) }
           else checkHead(headProto, raw, "protocol")

@@ -271,32 +271,34 @@ object Html {
     sb.toString
   }
 
-  /** [[pages]] plus a re-hosted mirror (asset_id = doc_id + 10^6) for
-    * every `every`-th doc — the crawl-corpus shape where the SAME
-    * article appears under different site chrome, which content-level
-    * dedup exists to collapse (and URL/page-level dedup cannot).
+  /** [[pages]] plus a re-hosted mirror for every `every`-th doc — the
+    * crawl-corpus shape where the SAME article appears under different
+    * site chrome, which content-level dedup exists to collapse (and
+    * URL/page-level dedup cannot). Asset ids are PARITY-coded:
+    * originals get `2·doc_id`, mirrors `2·doc_id + 1` — injective for
+    * any nonnegative doc_id (no collision-prone additive offset), and
+    * the original is always its content group's min by parity.
     */
-  def pagesWithMirrors(docs: DataFrame, every: Int = 7): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val withLang =
-      if (docs.columns.contains("lang")) docs
-      else docs.withColumn("lang", lit("xx"))
-    withLang.select(col("doc_id").cast("long"), col("lang"), col("text"))
-      .as[(Long, String, String)]
-      .mapPartitions(_.flatMap { case (id, lang, text) =>
-        val orig = (id, lang, pageFor(id, text))
-        if (id % every == 0)
-          Iterator(orig, (id + 1000000L, lang, mirrorPageFor(id, text)))
-        else Iterator(orig)
-      }).toDF("doc_id", "lang", "html")
-  }
+  def pagesWithMirrors(docs: DataFrame, every: Int = 7): DataFrame =
+    expandPages(docs) { case (id, lang, text) =>
+      val orig = (2 * id, lang, pageFor(id, text))
+      if (id % every == 0)
+        Iterator(orig, (2 * id + 1, lang, mirrorPageFor(id, text)))
+      else Iterator(orig)
+    }
 
   /** documents → (doc_id, lang, html) deterministic crawl-page fixture.
     * A corpus without a `lang` column (the ScaleProbe salted copies) gets
     * a constant one — the rollup key, not part of the page content.
     */
-  def pages(docs: DataFrame): DataFrame = {
+  def pages(docs: DataFrame): DataFrame =
+    expandPages(docs) { case (id, lang, text) =>
+      Iterator((id, lang, pageFor(id, text)))
+    }
+
+  private def expandPages(docs: DataFrame)(
+      expand: ((Long, String, String)) => Iterator[(Long, String, String)])
+      : DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val withLang =
@@ -304,9 +306,8 @@ object Html {
       else docs.withColumn("lang", lit("xx"))
     withLang.select(col("doc_id").cast("long"), col("lang"), col("text"))
       .as[(Long, String, String)]
-      .mapPartitions(_.map { case (id, lang, text) =>
-        (id, lang, pageFor(id, text))
-      }).toDF("doc_id", "lang", "html")
+      .mapPartitions(_.flatMap(expand))
+      .toDF("doc_id", "lang", "html")
   }
 
   /** Per-page extraction over an html column: one stateless parse pass

@@ -147,6 +147,32 @@ class ClientPaginationSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally bad.stop(0)
   }
 
+  test("a data line that ALSO carries endStreamAction keeps its payload " +
+    "(the end action is not exclusive of data)") {
+    val combo = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    combo.createContext("/", (ex: HttpExchange) => {
+      // single page: the LAST file line carries the end action inline
+      val lastLine = wire.Line(
+        add = wire.AddFileW(url = "http://x/f2", id = "f2", version = 1L,
+          timestamp = 1L),
+        endStreamAction = wire.EndStreamAction(nextPageToken = null)).json
+      val body = Seq(protoP, metaP("A"), addP("f1", 1L), lastLine).mkString("\n")
+      val b = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Delta-Table-Version", "1")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    combo.start()
+    try {
+      val c = new GraftRestClient(
+        s"http://127.0.0.1:${combo.getAddress.getPort}", numRetries = 0)
+      val r = c.changes("s", "d", "tp", Map("startingVersion" -> "0"))
+      assert(r.adds.map(_.id) === Seq("f1", "f2"),
+        "the combined data+end line's payload must not be dropped")
+    } finally combo.stop(0)
+  }
+
   test("token checksum: fields are length-prefixed — no cross-field " +
     "collisions from separator-bearing content") {
     // a field containing the raw separator must not equal the two fields
