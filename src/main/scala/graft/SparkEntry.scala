@@ -1892,6 +1892,32 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Beyond-reference: Gopher REPETITION rule family (Rae et al. 2021,
+    // Table A1 — the rules the q138 pack omits): per-doc fraction of
+    // characters inside the most frequent {2,3,4}-gram and inside all
+    // duplicated {5..10}-grams, quantized to integer microunits so both
+    // engines agree bit-for-bit, rolled up per language with the
+    // paper-threshold kept verdict. One exploded (doc, n, gram) scan
+    // for all nine n values, map-side-combinable counts, no joins.
+    "q210_gopher_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextOps.gopherRepetitionReport(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("top2_micro")).as("top2_sum"),
+          sum(col("top3_micro")).as("top3_sum"),
+          sum(col("top4_micro")).as("top4_sum"),
+          sum(col("dup5_micro")).as("dup5_sum"),
+          sum(col("dup6_micro")).as("dup6_sum"),
+          sum(col("dup7_micro")).as("dup7_sum"),
+          sum(col("dup8_micro")).as("dup8_sum"),
+          sum(col("dup9_micro")).as("dup9_sum"),
+          sum(col("dup10_micro")).as("dup10_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // Beyond-reference: INCREMENTALLY MAINTAINED source-overlap sketch —
     // q206's per-source MinHash signatures kept up to date over the
     // change STREAM instead of rescanned per append: minima are monotone
@@ -6228,6 +6254,59 @@ object SparkEntry {
                 CAST(sum(blocks) AS BIGINT) AS blocks,
                 CAST(sum(CASE WHEN content_words >= 40 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_quality_pass
+         FROM perdoc GROUP BY lang ORDER BY lang""",
+    // per-doc n-gram occurrence masses replayed with the same microunit
+    // quantization (floor(x·1e6 + 0.5) over integer char masses), kept =
+    // all nine paper thresholds
+    "q210_gopher_repetition" ->
+      """WITH t AS (SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+           FROM documents),
+         base AS (SELECT doc_id, lang, ws,
+                    length(array_to_string(ws, ' ')) AS chars
+                  FROM t),
+         pos AS (SELECT doc_id, n, ws,
+                   unnest(range(1, len(ws) - n + 2)) AS i
+                 FROM base CROSS JOIN (SELECT unnest(range(2, 11)) AS n) ns
+                 WHERE len(ws) >= n),
+         grams AS (SELECT doc_id, n,
+                     array_to_string(list_slice(ws, CAST(i AS INT),
+                       CAST(i + n - 1 AS INT)), ' ') AS g
+                   FROM pos),
+         counts AS (SELECT doc_id, n, g, count(*) AS cnt
+                    FROM grams GROUP BY 1, 2, 3),
+         pern AS (SELECT doc_id, n,
+                    max(cnt * length(g)) AS tc,
+                    sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dc
+                  FROM counts GROUP BY 1, 2),
+         perdoc AS (SELECT b.doc_id, b.lang,
+             COALESCE(max(CASE WHEN p.n = 2 THEN CAST(floor(p.tc / b.chars * 1000000 + 0.5) AS BIGINT) END), 0) AS top2,
+             COALESCE(max(CASE WHEN p.n = 3 THEN CAST(floor(p.tc / b.chars * 1000000 + 0.5) AS BIGINT) END), 0) AS top3,
+             COALESCE(max(CASE WHEN p.n = 4 THEN CAST(floor(p.tc / b.chars * 1000000 + 0.5) AS BIGINT) END), 0) AS top4,
+             COALESCE(max(CASE WHEN p.n = 5 THEN CAST(floor(p.dc / b.chars * 1000000 + 0.5) AS BIGINT) END), 0) AS dup5,
+             COALESCE(max(CASE WHEN p.n = 6 THEN CAST(floor(p.dc / b.chars * 1000000 + 0.5) AS BIGINT) END), 0) AS dup6,
+             COALESCE(max(CASE WHEN p.n = 7 THEN CAST(floor(p.dc / b.chars * 1000000 + 0.5) AS BIGINT) END), 0) AS dup7,
+             COALESCE(max(CASE WHEN p.n = 8 THEN CAST(floor(p.dc / b.chars * 1000000 + 0.5) AS BIGINT) END), 0) AS dup8,
+             COALESCE(max(CASE WHEN p.n = 9 THEN CAST(floor(p.dc / b.chars * 1000000 + 0.5) AS BIGINT) END), 0) AS dup9,
+             COALESCE(max(CASE WHEN p.n = 10 THEN CAST(floor(p.dc / b.chars * 1000000 + 0.5) AS BIGINT) END), 0) AS dup10
+           FROM base b LEFT JOIN pern p USING (doc_id)
+           GROUP BY b.doc_id, b.lang, b.chars)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN top2 <= 200000 AND top3 <= 180000
+                          AND top4 <= 160000 AND dup5 <= 150000
+                          AND dup6 <= 140000 AND dup7 <= 130000
+                          AND dup8 <= 120000 AND dup9 <= 110000
+                          AND dup10 <= 100000 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+                CAST(sum(top2) AS BIGINT) AS top2_sum,
+                CAST(sum(top3) AS BIGINT) AS top3_sum,
+                CAST(sum(top4) AS BIGINT) AS top4_sum,
+                CAST(sum(dup5) AS BIGINT) AS dup5_sum,
+                CAST(sum(dup6) AS BIGINT) AS dup6_sum,
+                CAST(sum(dup7) AS BIGINT) AS dup7_sum,
+                CAST(sum(dup8) AS BIGINT) AS dup8_sum,
+                CAST(sum(dup9) AS BIGINT) AS dup9_sum,
+                CAST(sum(dup10) AS BIGINT) AS dup10_sum
          FROM perdoc GROUP BY lang ORDER BY lang""",
     // the BATCH q206 estimate replayed verbatim (md5 double-hash minhash
     // per source over the full corpus) — a hash match IS the

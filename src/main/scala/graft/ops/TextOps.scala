@@ -363,6 +363,73 @@ object TextOps {
         size(filter(ts, w => lower(w).isInCollection(stopWords))) >= 2))
   }
 
+  /** Gopher REPETITION rules (Rae et al. 2021, Table A1 — the family the
+    * base [[gopherRules]] pack omits): per document, the fraction of
+    * characters inside the most frequent {2,3,4}-gram and inside all
+    * DUPLICATED {5..10}-grams (each duplicated occurrence counted — the
+    * occurrence-mass reading), against the paper's thresholds
+    * (top: 0.20/0.18/0.16; dup: 0.15/0.14/0.13/0.12/0.11/0.10).
+    *
+    * Fractions are quantized to integer MICROUNITS (floor(x·1e6 + 0.5),
+    * the classifier family's convention) over integer char masses, so
+    * every value — and the kept verdict — replays bit-for-bit in any
+    * engine. Character mass of an n-gram occurrence = length of its
+    * space-joined string; denominator = length of the space-joined
+    * token stream.
+    *
+    * Plan shape: ONE exploded (doc, n, gram) scan for all nine n values
+    * (map-side-combinable counts), two hash aggregations back to
+    * per-doc rows — corpus-linear, no joins, no windows.
+    */
+  def gopherRepetitionReport(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val ns = topNs ++ dupNs
+    val thresholds = Map(2 -> 200000L, 3 -> 180000L, 4 -> 160000L,
+      5 -> 150000L, 6 -> 140000L, 7 -> 130000L, 8 -> 120000L,
+      9 -> 110000L, 10 -> 100000L)
+    val base = docs.select(col(idCol).as("doc_id"),
+      filter(split(col(textCol), "\\s+"), w => w =!= "").as("__ts"))
+      .withColumn("__chars", length(concat_ws(" ", col("__ts"))))
+    val gramArrays = ns.map { n =>
+      when(size(col("__ts")) >= n,
+        transform(sequence(lit(0), size(col("__ts")) - n),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(col("__ts"), i + 1, lit(n))).as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+    }
+    val counts = base
+      .select(col("doc_id"), col("__chars"),
+        explode(flatten(array(gramArrays: _*))).as("__g"))
+      .groupBy(col("doc_id"), col("__chars"),
+        col("__g.n").as("n"), col("__g.g").as("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val perN = counts.groupBy(col("doc_id"), col("__chars"), col("n"))
+      .agg(max(col("cnt") * length(col("g"))).as("top_chars"),
+        sum(when(col("cnt") >= 2, col("cnt") * length(col("g")))
+          .otherwise(0L)).as("dup_chars"))
+    def micro(c: Column): Column = when(col("__chars") > 0,
+      floor(c.cast("double") / col("__chars").cast("double") * 1e6 + 0.5)
+        .cast("long")).otherwise(0L)
+    val metricCols =
+      topNs.map(n => max(when(col("n") === n, micro(col("top_chars"))))
+        .as(s"top${n}_micro")) ++
+      dupNs.map(n => max(when(col("n") === n, micro(col("dup_chars"))))
+        .as(s"dup${n}_micro"))
+    // left join back onto the full doc list: a doc shorter than every n
+    // has no gram rows at all, yet must appear (zero repetition, kept)
+    val perDoc = base.select(col("doc_id"), col("__chars"))
+      .join(perN.groupBy(col("doc_id"))
+        .agg(metricCols.head, metricCols.tail: _*), Seq("doc_id"), "left")
+      .na.fill(0L, topNs.map(n => s"top${n}_micro") ++
+        dupNs.map(n => s"dup${n}_micro"))
+    val kept = (topNs.map(n => col(s"top${n}_micro") <= thresholds(n)) ++
+      dupNs.map(n => col(s"dup${n}_micro") <= thresholds(n))).reduce(_ && _)
+    perDoc.withColumn("kept", kept)
+      .withColumnRenamed("__chars", "n_chars_joined")
+  }
+
   /** Per-document Gopher report: one boolean per rule + the conjunction. */
   def gopherFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val rules = gopherRules(col(textCol))

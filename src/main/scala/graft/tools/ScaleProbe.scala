@@ -559,6 +559,12 @@ object ScaleProbe {
         graft.ops.Html.extractPages(graft.ops.Html.pages(docs(k)))
           .agg(sum(col("content_words")), sum(col("total_words")))
           .collect().head.getLong(1)),
+      // one exploded (doc, n, gram) scan for nine n values + two hash
+      // aggs back to per-doc rows — corpus-linear, no joins
+      "q210_repetition" -> (k =>
+        graft.ops.TextOps.gopherRepetitionReport(docs(k), "doc_id", "text")
+          .agg(sum(when(col("kept"), 1L).otherwise(0L)))
+          .first().getLong(0)),
       // one shingle scan + per-shingle source sets (pair expansion
       // bounded by 20² per shingle) + a 20-row signature self-join —
       // corpus term linear, pair term fixed

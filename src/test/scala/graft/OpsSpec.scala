@@ -3043,6 +3043,60 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0L until 5L).forall(i => small(i) != big(i)))
   }
 
+  test("gopher repetition rules: hand-computed n-gram char masses, " +
+    "microunit quantization, paper-threshold verdicts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc 1: "a b a b a b" — 2-grams: [a b, b a, a b, b a, a b], top
+    // 2-gram mass = 3·len("a b") = 9 over 11 joined chars; every 2/3/
+    // 4-gram duplicates heavily, 5-grams are [a b a b a, b a b a b]
+    // (each once → dup5 = 0), so top2 = floor(9/11·1e6+0.5) = 818182 >
+    // 200000 → rejected
+    // doc 2: all-distinct words → every metric 0 → kept
+    // doc 3: one word — shorter than every n → no grams → kept
+    val texts = Map(
+      1L -> "a b a b a b",
+      2L -> "one two three four five six seven",
+      3L -> "solo",
+      9L -> "p q r s t p q r s t p q r s t",
+      // long clean doc: unique words keep every metric small → kept
+      11L -> (1 to 60).map(i => s"w$i").mkString(" "))
+    val docs = texts.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+    val r = graft.ops.TextOps.gopherRepetitionReport(docs, "doc_id", "text")
+      .collect().map(row => row.getLong(0) -> row).toMap
+
+    // driver-side replay of the definition (occurrence mass, microunits)
+    def masses(text: String, n: Int): Map[String, Long] = {
+      val ws = text.split("\\s+").filter(_.nonEmpty).toSeq
+      if (ws.size < n) Map.empty
+      else ws.sliding(n).map(_.mkString(" ")).toSeq.groupBy(identity)
+        .map { case (g, occ) => g -> occ.size.toLong * g.length }
+    }
+    def micro(num: Long, text: String): Long = {
+      val chars = text.split("\\s+").filter(_.nonEmpty).mkString(" ").length
+      if (chars == 0) 0L else math.floor(num.toDouble / chars * 1e6 + 0.5).toLong
+    }
+    def topM(t: String, n: Int) = micro(masses(t, n).values.maxOption.getOrElse(0L), t)
+    def dupM(t: String, n: Int) = micro(
+      masses(t, n).collect { case (g, m) if m / g.length >= 2 => m }.sum, t)
+    texts.foreach { case (id, t) =>
+      (2 to 4).foreach(n => assert(
+        r(id).getAs[Long](s"top${n}_micro") === topM(t, n), s"doc $id top$n"))
+      (5 to 10).foreach(n => assert(
+        r(id).getAs[Long](s"dup${n}_micro") === dupM(t, n), s"doc $id dup$n"))
+    }
+    // hand-pinned anchors: doc 1's top 2-gram "a b" occurs 3x, mass
+    // 3·3 = 9 over 11 joined chars
+    assert(r(1L).getAs[Long]("top2_micro") === math.floor(9.0 / 11 * 1e6 + 0.5).toLong)
+    // doc 9's duplicated 5-grams: "p q r s t" 3x (27) + four wrap
+    // variants 2x each (72) = 99 over 29 chars
+    assert(r(9L).getAs[Long]("dup5_micro") === math.floor(99.0 / 29 * 1e6 + 0.5).toLong)
+    // verdicts: heavy repetition rejected; the 60-unique-word doc kept;
+    // the one-word doc (no grams) kept
+    assert(!r(1L).getAs[Boolean]("kept") && !r(9L).getAs[Boolean]("kept"))
+    assert(r(11L).getAs[Boolean]("kept") && r(3L).getAs[Boolean]("kept"))
+  }
+
   test("source overlap: exact jaccard matches hand-computed sets and the " +
     "minhash estimate matches a driver-side replay of the md5 family") {
     import org.apache.spark.sql.functions._
