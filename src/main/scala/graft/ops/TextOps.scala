@@ -389,7 +389,18 @@ object TextOps {
     val thresholds = Map(2 -> 200000L, 3 -> 180000L, 4 -> 160000L,
       5 -> 150000L, 6 -> 140000L, 7 -> 130000L, 8 -> 120000L,
       9 -> 110000L, 10 -> 100000L)
-    val base = docs.select(col(idCol).as("doc_id"),
+    // Restore input parallelism before the 9-way gram explode when the
+    // source arrives under-split (a compact fixture is ONE parquet
+    // split, and explode never splits a partition — the whole 9x token
+    // volume would funnel through one core). At real scale inputs
+    // arrive pre-split and this branch never fires, so no gratuitous
+    // text shuffle is added.
+    val spark = docs.sparkSession
+    val spread =
+      if (docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        docs.repartition(spark.sessionState.conf.numShufflePartitions)
+      else docs
+    val base = spread.select(col(idCol).as("doc_id"),
       filter(split(col(textCol), "\\s+"), w => w =!= "").as("__ts"))
       .withColumn("__chars", length(concat_ws(" ", col("__ts"))))
     val gramArrays = ns.map { n =>
