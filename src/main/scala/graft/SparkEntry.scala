@@ -1892,6 +1892,42 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Beyond-reference: in-document LINE dedup (the RefinedWeb line-wise
+    // correction stage) — crawled pages repeat nav/cookie/footer lines
+    // INSIDE one document; keeping only each line's first occurrence is
+    // row-local (no shuffle at any scale). Deterministic line fixture:
+    // each doc's words chunk into 6-word lines, and docs with >= 2 lines
+    // append a repeat of line 0 (the planted duplicate; natural
+    // intra-doc chunk collisions dedup too). Per-language report of
+    // lines in/kept and characters removed; the oracle replays the
+    // chunking formula and the keep-first rule.
+    "q211_line_dedup" -> ((s, dir) => {
+      val T = graft.ops.TextOps
+      val docs = t(s, dir, "documents")
+      val toks = filter(split(col("text"), "\\s+"), w => w =!= "")
+      val lined = docs.select(col("doc_id"), col("lang"), toks.as("__ts"))
+        .withColumn("__chunks", expr(
+          """transform(sequence(0, cast(ceil(size(__ts) / 6.0) as int) - 1),
+            |  j -> concat_ws(' ', slice(__ts, j * 6 + 1, 6)))""".stripMargin))
+        .withColumn("__lines", when(size(col("__chunks")) >= 2,
+          concat(col("__chunks"), array(element_at(col("__chunks"), 1))))
+          .otherwise(col("__chunks")))
+        .withColumn("page", array_join(col("__lines"), "\n"))
+      lined
+        .withColumn("deduped", T.dedupLines(col("page")))
+        .select(col("lang"),
+          size(split(col("page"), "\n")).cast("long").as("n_in"),
+          size(split(col("deduped"), "\n")).cast("long").as("n_kept"),
+          (length(col("page")) - length(col("deduped"))).cast("long")
+            .as("chars_removed"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_in")).as("lines_in"),
+          sum(col("n_kept")).as("lines_kept"),
+          sum(col("chars_removed")).as("chars_removed"))
+        .orderBy(col("lang"))
+    }),
+
     // Beyond-reference: Gopher REPETITION rule family (Rae et al. 2021,
     // Table A1 — the rules the q138 pack omits): per-doc fraction of
     // characters inside the most frequent {2,3,4}-gram and inside all
@@ -6254,6 +6290,38 @@ object SparkEntry {
                 CAST(sum(blocks) AS BIGINT) AS blocks,
                 CAST(sum(CASE WHEN content_words >= 40 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_quality_pass
+         FROM perdoc GROUP BY lang ORDER BY lang""",
+    // the 6-word chunking + planted line-0 repeat replayed, dedup as
+    // keep-first-occurrence; char accounting includes the newline joints
+    "q211_line_dedup" ->
+      """WITH t AS (SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+           FROM documents),
+         chunks AS (SELECT doc_id, lang,
+             list_transform(range(0, CAST(ceil(len(ws) / 6.0) AS BIGINT)),
+               j -> array_to_string(list_slice(ws, CAST(j * 6 + 1 AS INT),
+                 CAST(least(j * 6 + 6, len(ws)) AS INT)), ' ')) AS cs
+           FROM t),
+         lined AS (SELECT doc_id, lang,
+             CASE WHEN len(cs) >= 2 THEN list_append(cs, cs[1]) ELSE cs END AS ls
+           FROM chunks),
+         lv AS (SELECT doc_id, lang, len(ls) AS n, i, ls[CAST(i AS INT)] AS l
+                FROM (SELECT doc_id, lang, ls,
+                        unnest(range(1, len(ls) + 1)) AS i
+                      FROM lined)),
+         firsts AS (SELECT doc_id, l, min(i) AS fi FROM lv GROUP BY 1, 2),
+         flags AS (SELECT v.doc_id, v.lang, v.n, v.l,
+                     CASE WHEN f.fi = v.i THEN 1 ELSE 0 END AS keep
+                   FROM lv v JOIN firsts f
+                     ON f.doc_id = v.doc_id AND f.l = v.l),
+         perdoc AS (SELECT doc_id, lang, max(n) AS n_in, sum(keep) AS n_kept,
+                      sum(length(l)) - sum(keep * length(l))
+                        + max(n) - sum(keep) AS chars_removed
+                    FROM flags GROUP BY 1, 2)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_in) AS BIGINT) AS lines_in,
+                CAST(sum(n_kept) AS BIGINT) AS lines_kept,
+                CAST(sum(chars_removed) AS BIGINT) AS chars_removed
          FROM perdoc GROUP BY lang ORDER BY lang""",
     // per-doc n-gram occurrence masses replayed with the same microunit
     // quantization (floor(x·1e6 + 0.5) over integer char masses), kept =

@@ -441,6 +441,19 @@ object TextOps {
       .withColumnRenamed("__chars", "n_chars_joined")
   }
 
+  /** In-document LINE dedup (the RefinedWeb line-wise correction stage):
+    * keep the FIRST occurrence of every line, preserving order — crawled
+    * pages repeat nav/footer/cookie lines inside one document, and
+    * dropping the repeats both shrinks the corpus and stops the
+    * repetition rules from rejecting otherwise-good pages. Entirely
+    * row-local column expressions (no explode, no shuffle): a line
+    * survives iff its first occurrence index is its own. O(lines²) per
+    * row worst case — lines per page are tens, never corpus-scale.
+    */
+  def dedupLines(text: Column): Column =
+    element_at(transform(array(split(text, "\n")), ls =>
+      array_join(filter(ls, (l, i) => array_position(ls, l) === i + 1), "\n")), 1)
+
   /** Per-document Gopher report: one boolean per rule + the conjunction. */
   def gopherFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val rules = gopherRules(col(textCol))

@@ -3043,6 +3043,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0L until 5L).forall(i => small(i) != big(i)))
   }
 
+  test("in-document line dedup keeps first occurrences in order") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cases = Seq(
+      ("nav\nbody one\nnav\nbody two\nnav", "nav\nbody one\nbody two"),
+      ("a\na\na", "a"),
+      ("only", "only"),
+      ("x\ny\nz", "x\ny\nz"),
+      // dedup is EXACT per line: whitespace variants are distinct lines
+      ("l \nl", "l \nl"))
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.ops.TextOps.dedupLines(col("t")).as("d"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq === cases.map(_._2))
+  }
+
   test("gopher repetition rules: hand-computed n-gram char masses, " +
     "microunit quantization, paper-threshold verdicts") {
     import org.apache.spark.sql.functions._
