@@ -1905,7 +1905,13 @@ object SparkEntry {
       val T = graft.ops.TextOps
       val docs = t(s, dir, "documents")
       val toks = filter(split(col("text"), "\\s+"), w => w =!= "")
+      // Zero-token guard (r14 advisory): sequence(0, -1) is DESCENDING in
+      // Spark, so an empty/whitespace-only text would synthesize phantom
+      // chunks; the oracle's range() is empty and its per-line unnest drops
+      // the doc entirely. Matching drop: zero-token docs contribute no rows
+      // on either engine.
       val lined = docs.select(col("doc_id"), col("lang"), toks.as("__ts"))
+        .filter(size(col("__ts")) > 0)
         .withColumn("__chunks", expr(
           """transform(sequence(0, cast(ceil(size(__ts) / 6.0) as int) - 1),
             |  j -> concat_ws(' ', slice(__ts, j * 6 + 1, 6)))""".stripMargin))
@@ -6343,10 +6349,13 @@ object SparkEntry {
                    FROM pos),
          counts AS (SELECT doc_id, n, g, count(*) AS cnt
                     FROM grams GROUP BY 1, 2, 3),
+         -- most-frequent gram, ties to the longest ((cnt, len) struct max
+         -- — the same rule the Spark side applies), NOT max(cnt*len)
          pern AS (SELECT doc_id, n,
-                    max(cnt * length(g)) AS tc,
+                    max(struct_pack(cnt := cnt, len := length(g))) AS tg,
                     sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dc
                   FROM counts GROUP BY 1, 2),
+         pern2 AS (SELECT doc_id, n, tg.cnt * tg.len AS tc, dc FROM pern),
          perdoc AS (SELECT b.doc_id, b.lang,
              COALESCE(max(CASE WHEN p.n = 2 THEN CAST(floor(p.tc / b.chars * 1000000 + 0.5) AS BIGINT) END), 0) AS top2,
              COALESCE(max(CASE WHEN p.n = 3 THEN CAST(floor(p.tc / b.chars * 1000000 + 0.5) AS BIGINT) END), 0) AS top3,
@@ -6357,7 +6366,7 @@ object SparkEntry {
              COALESCE(max(CASE WHEN p.n = 8 THEN CAST(floor(p.dc / b.chars * 1000000 + 0.5) AS BIGINT) END), 0) AS dup8,
              COALESCE(max(CASE WHEN p.n = 9 THEN CAST(floor(p.dc / b.chars * 1000000 + 0.5) AS BIGINT) END), 0) AS dup9,
              COALESCE(max(CASE WHEN p.n = 10 THEN CAST(floor(p.dc / b.chars * 1000000 + 0.5) AS BIGINT) END), 0) AS dup10
-           FROM base b LEFT JOIN pern p USING (doc_id)
+           FROM base b LEFT JOIN pern2 p USING (doc_id)
            GROUP BY b.doc_id, b.lang, b.chars)
          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(CASE WHEN top2 <= 200000 AND top3 <= 180000

@@ -365,9 +365,11 @@ object TextOps {
 
   /** Gopher REPETITION rules (Rae et al. 2021, Table A1 — the family the
     * base [[gopherRules]] pack omits): per document, the fraction of
-    * characters inside the most frequent {2,3,4}-gram and inside all
-    * DUPLICATED {5..10}-grams (each duplicated occurrence counted — the
-    * occurrence-mass reading), against the paper's thresholds
+    * characters inside the most frequent {2,3,4}-gram (ties between
+    * equally-frequent grams break to the longest, so the reported mass
+    * cnt·len is deterministic) and inside all DUPLICATED {5..10}-grams
+    * (each duplicated occurrence counted — the occurrence-mass reading),
+    * against the paper's thresholds
     * (top: 0.20/0.18/0.16; dup: 0.15/0.14/0.13/0.12/0.11/0.10).
     *
     * Fractions are quantized to integer MICROUNITS (floor(x·1e6 + 0.5),
@@ -416,10 +418,16 @@ object TextOps {
       .groupBy(col("doc_id"), col("__chars"),
         col("__g.n").as("n"), col("__g.g").as("g"))
       .agg(count(lit(1)).as("cnt"))
+    // Paper rule (Rae et al. Table A1): char mass of the MOST FREQUENT
+    // gram — select by (cnt, len) lexicographic max (ties between
+    // equally-frequent grams break to the longest; the product is then
+    // tie-independent), NOT max(cnt·len), under which a longer but less
+    // frequent gram could win and flip the kept verdict (r14 advisory).
     val perN = counts.groupBy(col("doc_id"), col("__chars"), col("n"))
-      .agg(max(col("cnt") * length(col("g"))).as("top_chars"),
+      .agg(max(struct(col("cnt"), length(col("g")).as("len"))).as("__top"),
         sum(when(col("cnt") >= 2, col("cnt") * length(col("g")))
           .otherwise(0L)).as("dup_chars"))
+      .withColumn("top_chars", col("__top.cnt") * col("__top.len"))
     def micro(c: Column): Column = when(col("__chars") > 0,
       floor(c.cast("double") / col("__chars").cast("double") * 1e6 + 0.5)
         .cast("long")).otherwise(0L)

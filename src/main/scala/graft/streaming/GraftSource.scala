@@ -362,6 +362,21 @@ class GraftSource(
       batch.queryExecution.toRdd, schema)
   }
 
+  /** Once Spark commits an offset past the starting snapshot
+    * (`isStartingVersion=false`), `filesAfter` can never re-enter
+    * `snapshotFiles` — drop the sorted list so a weeks-long tail over a
+    * 10^7-file table holds O(recent) driver state, not the full snapshot
+    * for its lifetime (reference pops consumed files the same way,
+    * `DeltaSharingSource.popSortedFetchedFiles:353-369`).
+    */
+  override def commit(end: Offset): Unit =
+    if (!GraftSourceOffset(end).isStartingVersion)
+      sortedSnapshotCache.synchronized { sortedSnapshotCache.clear() }
+
+  /** Test hook: number of snapshot file lists currently pinned. */
+  private[graft] def pinnedSnapshotLists: Int =
+    sortedSnapshotCache.synchronized { sortedSnapshotCache.size }
+
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftSource[$tablePath]"

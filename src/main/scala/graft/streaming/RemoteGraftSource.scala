@@ -180,14 +180,24 @@ class RemoteGraftSource(
     * state, not O(history).
     */
   override def commit(end: Offset): Unit = {
-    val v = GraftSourceOffset(end).tableVersion
+    val o = GraftSourceOffset(end)
+    val v = o.tableVersion
     fetchedCommits.filterInPlace((k, _) => k >= v - 1)
     fetchedCdf.filterInPlace((k, _) => k >= v - 1)
     fetchedCdfDelta.filterInPlace((k, _) => k >= v - 1)
+    // Starting-snapshot drained and committed past: the raw RemoteFile
+    // list (URLs, partition values — GB-scale at 10^7 files) can never be
+    // read again. The URL-refresher window for it is dropped below via
+    // registeredWindows; drop the file list too (reference pops consumed
+    // files, `DeltaSharingSource.popSortedFetchedFiles:353-369`).
+    if (!o.isStartingVersion) snapshotFilesCache.clear()
     registeredWindows.filterInPlace { (key, last) =>
       if (last < v - 1) { GraftUrlCache.unregister(key); false } else true
     }
   }
+
+  /** Test hook: number of snapshot file lists currently pinned. */
+  private[graft] def pinnedSnapshotLists: Int = snapshotFilesCache.size
 
   /** Snapshot files at `version`, offset-ordered (stable by id). */
   /** Memoized per version: the starting-snapshot phase is drained across

@@ -3299,4 +3299,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(sel === (0L until 10L).toSet, s"tie-break must pick smallest ids: $sel")
   }
+
+  test("gopher top-gram metric reports the MOST FREQUENT gram's mass, not " +
+    "the max-mass gram (Rae et al. Table A1; r14 advisory)") {
+    // "a b" occurs 3x (len 3, mass 9); "xxxxxxxxxx yyyyyyyyyy" occurs 2x
+    // (len 21, mass 42). The paper rule selects the most frequent bigram
+    // — mass 9 — while the old max(cnt*len) reading picked mass 42.
+    val text = "a b a b a b xxxxxxxxxx yyyyyyyyyy q xxxxxxxxxx yyyyyyyyyy"
+    val docs = docsDF(Seq(1L -> text))
+    val chars = text.split("\\s+").filter(_.nonEmpty).mkString(" ").length
+    val row = graft.ops.TextOps.gopherRepetitionReport(docs, "doc_id", "text")
+      .select("top2_micro").collect().head
+    val expected = math.floor(9.0 / chars * 1e6 + 0.5).toLong
+    assert(row.getLong(0) === expected,
+      s"top2 must be the most-frequent bigram's mass (9/$chars), got ${row.getLong(0)}")
+  }
+
+  test("q211 line dedup drops zero-token documents (r14 advisory: " +
+    "sequence(0,-1) phantom chunks)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q211_zero").toString
+    Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "en", ""),
+      (3L, "en", "   \t  \n "),
+      (4L, "de", "eins zwei drei vier funf sechs sieben acht"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q211_line_dedup")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("en" -> 1L, "de" -> 1L),
+      s"empty/whitespace-only docs must contribute no rows (oracle drops them): $out")
+  }
 }
