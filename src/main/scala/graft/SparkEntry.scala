@@ -1650,10 +1650,7 @@ object SparkEntry {
           org.apache.spark.sql.streaming.OutputMode.Append(),
           org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
           case (_, rows, state) =>
-            val ids = rows.map(_._1).toArray
-            val minAll = math.min(state.getOption.getOrElse(Long.MaxValue), ids.min)
-            state.update(minAll)
-            ids.iterator.map(id => (id, id == minAll))
+            graft.ops.Incremental.admitFirstArrival(rows.map(_._1).toArray, state)
         }
         .toDF("doc_id", "first_in_bucket")
       val q = verdicts.writeStream.format("memory").queryName(sink)
@@ -1697,10 +1694,7 @@ object SparkEntry {
           org.apache.spark.sql.streaming.OutputMode.Append(),
           org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
           case (_, rows, state) =>
-            val ids = rows.map(_._1).toArray
-            val minAll = math.min(state.getOption.getOrElse(Long.MaxValue), ids.min)
-            state.update(minAll)
-            ids.iterator.map(id => (id, id == minAll))
+            graft.ops.Incremental.admitFirstArrival(rows.map(_._1).toArray, state)
         }
         .toDF("doc_id", "first_in_bucket")
       val q = verdicts.writeStream.format("memory").queryName(sink)
@@ -1820,10 +1814,7 @@ object SparkEntry {
           org.apache.spark.sql.streaming.OutputMode.Append(),
           org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
           case (_, groupRows, state) =>
-            val ids = groupRows.map(_._1).toArray
-            val minAll = math.min(state.getOption.getOrElse(Long.MaxValue), ids.min)
-            state.update(minAll)
-            ids.iterator.map(id => (id, id == minAll))
+            graft.ops.Incremental.admitFirstArrival(groupRows.map(_._1).toArray, state)
         }
         .toDF("doc_id", "admitted")
       val q = verdicts.writeStream.format("memory").queryName(sink)
@@ -2061,10 +2052,7 @@ object SparkEntry {
           org.apache.spark.sql.streaming.OutputMode.Append(),
           org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
           case (_, groupRows, state) =>
-            val ids = groupRows.map(_._1).toArray
-            val minAll = math.min(state.getOption.getOrElse(Long.MaxValue), ids.min)
-            state.update(minAll)
-            ids.iterator.map(id => (id, id == minAll))
+            graft.ops.Incremental.admitFirstArrival(groupRows.map(_._1).toArray, state)
         }
         .toDF("doc_id", "admitted")
       val q = verdicts.writeStream.format("memory").queryName(sink)

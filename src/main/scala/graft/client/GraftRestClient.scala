@@ -494,8 +494,19 @@ class GraftRestClient(
     var pageToken: Option[String] = None
     var first = true
     var firstPage = true
+    // Totality guard (r14 verdict task): a buggy or hostile server that
+    // re-serves a page token it has already served would loop this walk
+    // forever (each iteration is a fresh RPC, so no OOM backstop either).
+    // Tokens are opaque resume cursors — a server must never emit the
+    // same one twice in one walk — so a repeat fails loudly instead.
+    val seenTokens = scala.collection.mutable.HashSet.empty[String]
     while (first || pageToken.isDefined) {
       first = false
+      pageToken.foreach { t =>
+        if (!seenTokens.add(t)) throw new GraftClientException(0,
+          s"server re-served pagination token '${t.take(100)}' — aborting " +
+            "a non-terminating page walk (protocol violation)")
+      }
       val (resp, rawLines) = fetch(pageToken)
       version = resp.headers().firstValue("Delta-Table-Version")
         .map[Long](_.toLong).orElse(version)

@@ -173,6 +173,39 @@ class ClientPaginationSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally combo.stop(0)
   }
 
+  test("a server that re-serves the same page token fails loudly instead " +
+    "of looping the walk forever (r14 verdict task)") {
+    // a buggy/hostile server: every continuation page ends with the SAME
+    // nextPageToken it was asked for — without the repeat-token guard the
+    // client would re-fetch page 2 in an infinite RPC loop.
+    val loopy = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val fetches = new java.util.concurrent.atomic.AtomicInteger(0)
+    loopy.createContext("/", (ex: HttpExchange) => {
+      fetches.incrementAndGet()
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val body =
+        if (query.contains("pageToken=p2"))
+          Seq(protoP, metaP("A"), addP("f2", 2L), esaP("p2")).mkString("\n")
+        else page1(metaP, protoP, addP, esaP)
+      val b = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Delta-Table-Version", "3")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    loopy.start()
+    try {
+      val c = new GraftRestClient(
+        s"http://127.0.0.1:${loopy.getAddress.getPort}", numRetries = 0)
+      val e = intercept[graft.client.GraftClientException] {
+        c.changes("s", "d", "tp", Map("startingVersion" -> "0"))
+      }
+      assert(e.getMessage.contains("re-served pagination token"), e.getMessage)
+      assert(fetches.get() === 2,
+        s"walk must stop at the first repeated token, made ${fetches.get()} fetches")
+    } finally loopy.stop(0)
+  }
+
   test("token checksum: fields are length-prefixed — no cross-field " +
     "collisions from separator-bearing content") {
     // a field containing the raw separator must not equal the two fields

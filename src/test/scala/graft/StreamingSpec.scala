@@ -525,10 +525,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
         case (_, rows, state) =>
-          val ids = rows.map(_._1).toArray
-          val minAll = math.min(state.getOption.getOrElse(Long.MaxValue), ids.min)
-          state.update(minAll)
-          ids.iterator.map(id => (id, id == minAll))
+          graft.ops.Incremental.admitFirstArrival(rows.map(_._1).toArray, state)
       }.toDF("doc_id", "first_in_bucket")
     val q = verdicts.writeStream.format("memory").queryName("t_lsh")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -539,6 +536,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(admitted === Map(1L -> true, 2L -> true, 3L -> false,
       4L -> true, 5L -> false), admitted.toString)
+  }
+
+  test("first-arrival admission is out-of-order safe: a later-arriving " +
+    "SMALLER id is a duplicate, never a second admission (r14 verdict)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ooo_admit").toString
+    val dup = "identical mirrored page content served from two hosts tonight"
+    // v0: doc 5 (the dup content) + doc 9 (unique); v1: doc 3 — SAME
+    // content as doc 5 but a SMALLER id arriving LATER. Under the old
+    // min-based verdict doc 3 would be admitted a second time for the
+    // same bucket; arrival-order semantics must mark it duplicate.
+    TableBuilder.create(spark,
+      Seq((5L, dup), (9L, "a completely unrelated document about parquet"))
+        .toDF("doc_id", "text").coalesce(1), base, name = "ooo_admit")
+    TableBuilder.append(spark,
+      Seq((3L, dup)).toDF("doc_id", "text").coalesce(1), base, timestamp = 1000L)
+
+    val src = spark.readStream.format("graft").option("path", base)
+      .option("startingVersion", "0").option("maxFilesPerTrigger", "1").load()
+    val buckets = src.select(col("doc_id").cast("long"),
+      sha2(col("text"), 256).as("bucket")).as[(Long, String)]
+    val verdicts = buckets.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, Boolean)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          graft.ops.Incremental.admitFirstArrival(rows.map(_._1).toArray, state)
+      }.toDF("doc_id", "admitted")
+    val q = verdicts.writeStream.format("memory").queryName("t_ooo")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val got = spark.table("t_ooo").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(5L -> true, 9L -> true, 3L -> false),
+      s"doc 3 (late, smaller id) must be a duplicate: $got")
+    val admittedPerBucket = spark.table("t_ooo")
+      .filter(col("admitted")).count()
+    assert(admittedPerBucket === 2L, "exactly one admission per bucket")
   }
 
   test("local source releases the starting-snapshot memo once the stream " +
