@@ -53,7 +53,8 @@ object Bench {
       "q92_sql_update_merge", "q152_stream_lsh_dedup",
       "q160_version_dedup_gate", "q198_stream_image_dedup",
       "q201_incremental_datacard", "q203_stream_video_dedup",
-      "q208_stream_content_dedup", "q209_stream_source_sketch")
+      "q208_stream_content_dedup", "q209_stream_source_sketch",
+      "q214_stream_url_frontier")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)

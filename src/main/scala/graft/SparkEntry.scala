@@ -2065,6 +2065,87 @@ object SparkEntry {
           sum(col("doc_id")).as("id_sum"))
     }),
 
+    // Beyond-reference: URL CANONICALIZATION report (r14 verdict task —
+    // the crawl stage BEFORE q205-q208's fetched HTML). The generator-
+    // formula fixture synthesizes a messy URL per doc (mixed-case
+    // scheme/host, www. label, default ports, dot segments, duplicate
+    // slashes, %7E escapes, unsorted+tracking query params, fragments;
+    // every 10th already canonical, pinning idempotence); the engine
+    // RUNS the RFC 3986 §6 canonicalizer kernel on it, while the oracle
+    // replays the expected canonical string from the formula — a hash
+    // match proves the parser lands exactly on the spec'd form. Plan:
+    // one row-local codegen pass + one per-host rollup.
+    "q212_url_canonicalize" -> ((s, dir) => {
+      val U = graft.ops.Urls
+      val raw = U.noisyUrl(col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"),
+          U.canonicalizeUrl(raw).as("canon"))
+        .groupBy(U.canonicalHost(col("canon")).as("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("raw") =!= col("canon"), 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(length(col("raw")) - length(col("canon"))).cast("long")
+            .as("chars_removed"),
+          count_distinct(col("canon")).as("n_distinct"))
+        .orderBy(col("host"))
+    }),
+
+    // Beyond-reference: canonical-URL FRONTIER dedup + per-host crawl
+    // budget — ids congruent mod 250 are re-fetches of one logical URL
+    // under different noise, so the frontier must collapse them; the
+    // per-host rollup is what a polite fetcher schedules from. Shuffle
+    // carries one canonical string + a long per row; two map-side-
+    // combinable aggregations, no joins.
+    "q213_url_frontier_budget" -> ((s, dir) => {
+      val U = graft.ops.Urls
+      U.frontierBudget(
+        t(s, dir, "documents").select(col("doc_id"),
+          U.noisyUrl(col("doc_id")).as("url")),
+        "doc_id", "url")
+        .orderBy(col("host"))
+    }),
+
+    // Beyond-reference: STREAMING URL-frontier admission — the q208
+    // first-arrival state machine keyed by CANONICAL URL: requests
+    // canonicalize in-stream and a fetch is admitted iff its canonical
+    // URL's bucket state was empty (late re-fetches are duplicates).
+    // Version order = doc_id order in the fixture, so the oracle
+    // replays admission as min-id per canonical formula group.
+    "q214_stream_url_frontier" -> ((s, dir) => {
+      import s.implicits._
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.documents_versioned")
+      val sink = "graft_q214_sink"
+      s.catalog.dropTempView(sink)
+      val src = s.readStream.format("graft").option("path", path)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "2").load()
+      val U = graft.ops.Urls
+      val buckets = src
+        .select(col("doc_id").cast("long"),
+          U.canonicalizeUrl(U.noisyUrl(col("doc_id"))).as("bucket"))
+        .as[(Long, String)]
+      val verdicts = buckets
+        .groupByKey(_._2)
+        .flatMapGroupsWithState[Long, (Long, Boolean)](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          case (_, groupRows, state) =>
+            graft.ops.Incremental.admitFirstArrival(groupRows.map(_._1).toArray, state)
+        }
+        .toDF("doc_id", "admitted")
+      val q = verdicts.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      q.stop()
+      s.table(sink).groupBy(col("admitted"))
+        .agg(count(lit(1)).as("n_requests"), min(col("doc_id")).as("min_id"),
+          sum(col("doc_id")).as("id_sum"))
+    }),
+
     // Beyond-reference: SOURCE-OVERLAP MATRIX — "which dumps/crawl
     // snapshots overlap, and by how much" answered with ONE corpus scan:
     // per-source MinHash signatures (min distributes over union, so the
@@ -6403,6 +6484,82 @@ object SparkEntry {
     // first-arrival admission replayed as min-doc_id per reconstructed-
     // content group (version order = doc_id order in the fixture); the
     // content CTE is the q207 generator-formula reconstruction
+    // generator-formula oracle (the q199/q205 pattern): BOTH the messy
+    // raw string and its expected canonical form are replayed from the
+    // id formula — the engine must land on the same canonical string by
+    // actually running its RFC 3986 canonicalizer on the raw input
+    "q212_url_canonicalize" ->
+      """WITH u AS (SELECT doc_id, doc_id % 250 AS m FROM documents),
+         cf AS (SELECT doc_id, m,
+             'http' || CASE WHEN m % 2 = 1 THEN 's' ELSE '' END ||
+             '://host' || (m % 7) || '.example.com' ||
+             CASE WHEN m % 11 = 0 THEN ':8080' ELSE '' END ||
+             '/a/p~q' || (m % 5) || '/Item' || (m % 23) ||
+             CASE WHEN m % 4 = 0 THEN '/x' ELSE '' END ||
+             '?a=' || (m % 13) || '&b=2' AS canon
+           FROM u),
+         c AS (SELECT doc_id, m, canon,
+             CASE WHEN doc_id % 10 = 9 THEN canon ELSE
+               CASE WHEN m % 2 = 0
+                    THEN CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END
+                    ELSE CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'hTtps' END
+               END ||
+               '://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+               'Host' || (m % 7) || '.Example.COM' ||
+               CASE WHEN m % 11 = 0 THEN ':8080'
+                    WHEN doc_id % 5 = 0 AND m % 2 = 0 THEN ':80'
+                    WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+               '/a/./p%7Eq' || (m % 5) || '/b/../Item' || (m % 23) ||
+               CASE WHEN m % 4 = 0 THEN '//x' ELSE '' END ||
+               '?b=2&utm_source=feed&a=' || (m % 13) ||
+               CASE WHEN doc_id % 6 = 0 THEN '&fbclid=XYZ' ELSE '' END ||
+               '#frag' || (doc_id % 3)
+             END AS raw
+           FROM cf)
+         SELECT 'host' || (m % 7) || '.example.com' AS host,
+                CAST(count(*) AS BIGINT) AS n_urls,
+                CAST(sum(CASE WHEN raw <> canon THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_changed,
+                CAST(sum(length(raw) - length(canon)) AS BIGINT)
+                  AS chars_removed,
+                CAST(count(DISTINCT canon) AS BIGINT) AS n_distinct
+         FROM c GROUP BY 1 ORDER BY host""",
+    "q213_url_frontier_budget" ->
+      """WITH u AS (SELECT doc_id, doc_id % 250 AS m FROM documents),
+         c AS (SELECT doc_id,
+             'host' || (m % 7) || '.example.com' AS host,
+             'http' || CASE WHEN m % 2 = 1 THEN 's' ELSE '' END ||
+             '://host' || (m % 7) || '.example.com' ||
+             CASE WHEN m % 11 = 0 THEN ':8080' ELSE '' END ||
+             '/a/p~q' || (m % 5) || '/Item' || (m % 23) ||
+             CASE WHEN m % 4 = 0 THEN '/x' ELSE '' END ||
+             '?a=' || (m % 13) || '&b=2' AS canon
+           FROM u),
+         g AS (SELECT host, canon, min(doc_id) AS rep, count(*) AS n
+               FROM c GROUP BY 1, 2)
+         SELECT host, CAST(sum(n) AS BIGINT) AS n_fetch_requests,
+                CAST(count(*) AS BIGINT) AS n_frontier_urls,
+                CAST(sum(n - 1) AS BIGINT) AS n_dups_avoided,
+                CAST(sum(rep) AS BIGINT) AS rep_sum
+         FROM g GROUP BY host ORDER BY host""",
+    // version order = doc_id order in the fixture, so first-arrival
+    // admission per canonical-URL bucket replays as min-id per group
+    "q214_stream_url_frontier" ->
+      """WITH u AS (SELECT doc_id, doc_id % 250 AS m FROM documents),
+         c AS (SELECT doc_id,
+             'http' || CASE WHEN m % 2 = 1 THEN 's' ELSE '' END ||
+             '://host' || (m % 7) || '.example.com' ||
+             CASE WHEN m % 11 = 0 THEN ':8080' ELSE '' END ||
+             '/a/p~q' || (m % 5) || '/Item' || (m % 23) ||
+             CASE WHEN m % 4 = 0 THEN '/x' ELSE '' END ||
+             '?a=' || (m % 13) || '&b=2' AS canon
+           FROM u),
+         firsts AS (SELECT canon, min(doc_id) AS first_id FROM c GROUP BY canon)
+         SELECT (t.doc_id = f.first_id) AS admitted,
+                CAST(count(*) AS BIGINT) AS n_requests,
+                CAST(min(t.doc_id) AS BIGINT) AS min_id,
+                CAST(sum(t.doc_id) AS BIGINT) AS id_sum
+         FROM c t JOIN firsts f USING (canon) GROUP BY 1""",
     "q208_stream_content_dedup" ->
       """WITH w AS (SELECT doc_id,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws

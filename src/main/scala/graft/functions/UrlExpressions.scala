@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic URL canonicalization — the RFC 3986 §6 normalization
+  * recipe plus the conventions crawl pipelines layer on top (the public
+  * "canonical URL" recipe; the reference engine has no URL handling, so
+  * this is beyond-reference surface for the crawl front half):
+  *
+  *  1. fragment dropped (`#...` never reaches the server);
+  *  2. scheme and host lowercased (RFC 3986 §6.2.2.1); trailing host dot
+  *     stripped (FQDN form); a leading `www.` label stripped (the crawl
+  *     convention — mirror hosts collapse);
+  *  3. default ports removed (`http:80`, `https:443`); other ports kept;
+  *  4. path: percent-decoding of UNRESERVED characters only
+  *     (ALPHA / DIGIT / `-` `.` `_` `~`, §6.2.2.2), remaining escapes
+  *     uppercased (§6.2.2.1), malformed `%` sequences kept literal;
+  *     duplicate slashes collapsed (crawl convention); dot segments
+  *     resolved by the literal §5.2.4 algorithm; empty path → `/`;
+  *  5. query: same percent normalization per parameter, tracking
+  *     parameters dropped (`utm_*`, `fbclid`, `gclid`, `msclkid` —
+  *     the public tracking-param lists' stable core), parameters sorted
+  *     bytewise (a canonical ORDER makes `?a=1&b=2` ≡ `?b=2&a=1`),
+  *     empty parameters dropped, an emptied query loses its `?`;
+  *  6. userinfo (`user@`) and IPv6 literals (`[::1]`) pass through
+  *     verbatim; inputs without `://` are returned unchanged (not URLs).
+  *
+  * Everything is a one-pass string fold — row-local, zero shuffle at
+  * any corpus scale; the expression below keeps it inside whole-stage
+  * codegen as a single static call.
+  */
+object UrlKernels {
+
+  private def isUnreserved(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+      (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' || v == '~'
+
+  /** Decode unreserved escapes, uppercase the rest, keep malformed `%`
+    * sequences literal.
+    */
+  private def pctNormalize(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        val v = Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)
+        if (isUnreserved(v)) sb.append(v.toChar)
+        else sb.append('%').append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments, verbatim. */
+  private def removeDotSegments(input: String): String = {
+    var in = input
+    val out = new java.lang.StringBuilder(input.length)
+    def trimLastSeg(): Unit = {
+      val idx = out.lastIndexOf("/")
+      if (idx >= 0) out.setLength(idx) else out.setLength(0)
+    }
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) { in = "/" + in.substring(4); trimLastSeg() }
+      else if (in == "/..") { in = "/"; trimLastSeg() }
+      else if (in == "." || in == "..") in = ""
+      else {
+        val start = if (in.startsWith("/")) 1 else 0
+        val idx = in.indexOf('/', start)
+        if (idx < 0) { out.append(in); in = "" }
+        else { out.append(in.substring(0, idx)); in = in.substring(idx) }
+      }
+    }
+    out.toString
+  }
+
+  private def collapseSlashes(p: String): String = {
+    if (!p.contains("//")) return p
+    val sb = new java.lang.StringBuilder(p.length)
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c != '/' || sb.length == 0 || sb.charAt(sb.length - 1) != '/')
+        sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def isTracking(param: String): Boolean = {
+    val eq = param.indexOf('=')
+    val key = (if (eq < 0) param else param.substring(0, eq))
+      .toLowerCase(java.util.Locale.ROOT)
+    key.startsWith("utm_") || key == "fbclid" || key == "gclid" ||
+      key == "msclkid"
+  }
+
+  def canonicalize(raw: String): String = {
+    var s = raw.trim
+    val hash = s.indexOf('#')
+    if (hash >= 0) s = s.substring(0, hash)
+    val sep = s.indexOf("://")
+    if (sep < 0) return s
+    val scheme = s.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    val rest = s.substring(sep + 3)
+    var authEnd = rest.length
+    var i = 0
+    while (i < authEnd) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?') { authEnd = i } else i += 1
+    }
+    var authority = rest.substring(0, authEnd)
+    var tail = rest.substring(authEnd) // starts with '/' or '?' or empty
+
+    // userinfo passes through verbatim
+    val at = authority.lastIndexOf('@')
+    val userinfo = if (at >= 0) authority.substring(0, at + 1) else ""
+    authority = if (at >= 0) authority.substring(at + 1) else authority
+
+    // host[:port] — IPv6 literals bracket the colon-bearing host
+    var host = authority
+    var port = ""
+    val portIdx =
+      if (authority.startsWith("[")) authority.indexOf(':', math.max(authority.indexOf(']'), 0))
+      else authority.lastIndexOf(':')
+    if (portIdx >= 0 && portIdx + 1 <= authority.length &&
+        authority.substring(portIdx + 1).forall(Character.isDigit) &&
+        portIdx + 1 < authority.length) {
+      host = authority.substring(0, portIdx)
+      port = authority.substring(portIdx) // includes ':'
+    }
+    host = host.toLowerCase(java.util.Locale.ROOT)
+    if (host.endsWith(".") && host.length > 1) host = host.substring(0, host.length - 1)
+    if (host.startsWith("www.") && host.length > 4) host = host.substring(4)
+    if ((scheme == "http" && port == ":80") ||
+        (scheme == "https" && port == ":443")) port = ""
+
+    // split path / query
+    val qIdx = tail.indexOf('?')
+    var path = if (qIdx < 0) tail else tail.substring(0, qIdx)
+    val query = if (qIdx < 0) "" else tail.substring(qIdx + 1)
+
+    path = if (path.isEmpty) "/"
+    else removeDotSegments(collapseSlashes(pctNormalize(path)))
+    if (path.isEmpty) path = "/"
+
+    val params = query.split("&", -1).toIndexedSeq
+      .filter(p => p.nonEmpty && !isTracking(p))
+      .map(pctNormalize)
+      .sorted
+    val canonQuery = if (params.isEmpty) "" else params.mkString("?", "&", "")
+
+    scheme + "://" + userinfo + host + port + path + canonQuery
+  }
+
+  def canonicalizeUrl(u: UTF8String): UTF8String =
+    UTF8String.fromString(canonicalize(u.toString))
+}
+
+/** `canonicalizeUrl(url)` as a whole-stage-codegen-friendly unary
+  * expression: one static call per row, so frontier pipelines (generate
+  * → canonicalize → hash-dedup) stay in a single codegen stage.
+  */
+case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_canonicalize_url"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${other.simpleString}")
+    }
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    UrlKernels.canonicalizeUrl(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.UrlKernels.canonicalizeUrl($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

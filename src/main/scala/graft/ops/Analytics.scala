@@ -388,12 +388,15 @@ object Analytics {
       }
     }
     if (prevCut != null) {
-      // materialize the tail through its final exchange (later actions
-      // skip the completed map stages via registered shuffle outputs),
-      // then drop the last checkpoint block — nothing persists after
-      // the call returns.
-      ranks.queryExecution.toRdd.foreachPartition(_ => ())
-      GraftSqlBridge.unpersistCheckpoint(prevCut, blocking = true)
+      // The returned frame is built on the last cut's checkpoint blocks,
+      // and the caller's action may RE-PLAN (DataFrameWriter builds a
+      // fresh QueryExecution — registered shuffle outputs are not
+      // reused), so the blocks must outlive this call: deferred release
+      // via the persisted-registry lifecycle (same fix as
+      // Dedup.connectedComponents' fixpoint edges; the prior eager
+      // unpersist was the identical CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+      // latent at iterations >= the cut interval).
+      Dedup.trackCheckpoint(prevCut)
     }
     ranks
   }

@@ -398,8 +398,11 @@ object TextOps {
     // arrive pre-split and this branch never fires, so no gratuitous
     // text shuffle is added.
     val spark = docs.sparkSession
+    // queryExecution.toRdd, not .rdd: the split-count inspection must not
+    // instantiate the row-encoding RDD graph on the driver (r14 nit) —
+    // the internal-row RDD is what the query executes anyway
     val spread =
-      if (docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+      if (docs.queryExecution.toRdd.getNumPartitions < spark.sparkContext.defaultParallelism)
         docs.repartition(spark.sessionState.conf.numShufflePartitions)
       else docs
     val base = spread.select(col(idCol).as("doc_id"),

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-frontier hygiene — the crawl-pipeline stage BEFORE fetching
+  * (q205-q208 start from fetched HTML; this pack covers the URL level
+  * that feeds them): deterministic canonicalization
+  * ([[graft.functions.UrlKernels]], the RFC 3986 §6 recipe + crawl
+  * conventions), canonical-URL frontier dedup, and the per-host
+  * crawl-budget report a polite fetcher schedules from. The reference
+  * engine has no URL surface — beyond-reference, cited against the
+  * public RFC and the trafilatura/commoncrawl canonicalization
+  * conventions.
+  *
+  * Scale shape: canonicalization is a row-local codegen kernel (zero
+  * shuffle at any corpus size); the dedup/budget report shuffles one
+  * canonical-URL string + a long per row — two hash aggregations, no
+  * joins, map-side combinable.
+  */
+object Urls {
+
+  /** RFC 3986 §6 canonicalization as a codegen Column (see
+    * [[graft.functions.UrlKernels.canonicalize]] for the exact recipe).
+    */
+  def canonicalizeUrl(url: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.CanonicalizeUrl(
+        org.apache.spark.sql.GraftSqlBridge.expression(url)))
+
+  /** Host of an already-canonical URL (scheme://host[:port]/...) —
+    * port excluded. Anchored regex over the clean form only.
+    */
+  def canonicalHost(canonicalUrl: Column): Column =
+    regexp_extract(canonicalUrl, "^[a-z0-9+.-]+://([^/:?]+)", 1)
+
+  /** Deterministic messy-URL fixture (the q199/q205 generator-formula
+    * pattern): every component derives from the doc id, so an oracle
+    * can replay BOTH the raw string and its expected canonical form
+    * without parsing anything. `m = id % 250` drives every
+    * canonical-RELEVANT component (scheme, host, real port, path
+    * segments, query values) — ids congruent mod 250 are re-fetches of
+    * the same logical URL; the id itself drives only canonical-
+    * IRRELEVANT noise (case, `www.`, default ports, dot segments,
+    * duplicate slashes, tracking params, fragments), so raw strings
+    * differ while canonicals collide — exactly what a frontier dedups.
+    * Every 10th id (`id % 10 = 9`) emits the ALREADY-canonical form, so
+    * the fixture also pins idempotence.
+    */
+  def noisyUrl(id: Column): Column = {
+    val m = pmod(id, lit(250))
+    def s(c: Column): Column = c.cast("string")
+    val canonical = canonicalFormula(id)
+    val messy = concat(
+      when(pmod(m, lit(2)) === 0,
+        when(pmod(id, lit(2)) === 0, lit("HTTP")).otherwise(lit("http")))
+        .otherwise(
+          when(pmod(id, lit(2)) === 0, lit("HTTPS")).otherwise(lit("hTtps"))),
+      lit("://"),
+      when(pmod(id, lit(3)) === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Host"), s(pmod(m, lit(7))), lit(".Example.COM"),
+      when(pmod(m, lit(11)) === 0, lit(":8080"))
+        .when(pmod(id, lit(5)) === 0 && pmod(m, lit(2)) === 0, lit(":80"))
+        .when(pmod(id, lit(5)) === 0, lit(":443"))
+        .otherwise(lit("")),
+      lit("/a/./p%7Eq"), s(pmod(m, lit(5))), lit("/b/../Item"), s(pmod(m, lit(23))),
+      when(pmod(m, lit(4)) === 0, lit("//x")).otherwise(lit("")),
+      lit("?b=2&utm_source=feed&a="), s(pmod(m, lit(13))),
+      when(pmod(id, lit(6)) === 0, lit("&fbclid=XYZ")).otherwise(lit("")),
+      lit("#frag"), s(pmod(id, lit(3))))
+    when(pmod(id, lit(10)) === 9, canonical).otherwise(messy)
+  }
+
+  /** The expected canonical form of [[noisyUrl]] — the formula an
+    * oracle replays; the engine must arrive at the same string by
+    * actually RUNNING the canonicalizer on the messy input.
+    */
+  def canonicalFormula(id: Column): Column = {
+    val m = pmod(id, lit(250))
+    def s(c: Column): Column = c.cast("string")
+    concat(
+      lit("http"), when(pmod(m, lit(2)) === 1, lit("s")).otherwise(lit("")),
+      lit("://host"), s(pmod(m, lit(7))), lit(".example.com"),
+      when(pmod(m, lit(11)) === 0, lit(":8080")).otherwise(lit("")),
+      lit("/a/p~q"), s(pmod(m, lit(5))), lit("/Item"), s(pmod(m, lit(23))),
+      when(pmod(m, lit(4)) === 0, lit("/x")).otherwise(lit("")),
+      lit("?a="), s(pmod(m, lit(13))), lit("&b=2"))
+  }
+
+  /** Canonical-URL frontier dedup + per-host crawl budget: collapse
+    * fetch requests onto canonical URLs (first-arrival representative =
+    * min id, the batch spelling of the streaming first-arrival
+    * admission), then roll up per host the numbers a polite fetcher
+    * budgets from — requests seen, distinct URLs actually worth
+    * fetching, duplicates avoided, and the representative-id checksum.
+    */
+  def frontierBudget(urls: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val canon = canonicalizeUrl(col(urlCol))
+    urls.select(col(idCol).cast("long").as("__id"), canon.as("__canon"))
+      .groupBy(col("__canon"))
+      .agg(min(col("__id")).as("__rep"), count(lit(1)).as("__n"))
+      .groupBy(canonicalHost(col("__canon")).as("host"))
+      .agg(sum(col("__n")).as("n_fetch_requests"),
+        count(lit(1)).as("n_frontier_urls"),
+        sum(col("__n") - 1).as("n_dups_avoided"),
+        sum(col("__rep")).as("rep_sum"))
+  }
+}

@@ -565,6 +565,56 @@ object ScaleProbe {
         graft.ops.TextOps.gopherRepetitionReport(docs(k), "doc_id", "text")
           .agg(sum(when(col("kept"), 1L).otherwise(0L)))
           .first().getLong(0)),
+      // entirely row-local column expressions (chunk + keep-first) —
+      // expect alpha ~1 with zero exchanges
+      "q211_line_dedup" -> (k => {
+        val toks = filter(split(col("text"), "\\s+"), w => w =!= "")
+        docs(k).select(col("doc_id"), toks.as("__ts"))
+          .filter(size(col("__ts")) > 0)
+          .withColumn("page", array_join(expr(
+            """transform(sequence(0, cast(ceil(size(__ts) / 6.0) as int) - 1),
+              |  j -> concat_ws(' ', slice(__ts, j * 6 + 1, 6)))""".stripMargin),
+            "\n"))
+          .select(graft.ops.TextOps.dedupLines(col("page")).as("d"))
+          .agg(sum(length(col("d")))).first().getLong(0)
+      }),
+      // row-local codegen kernel (generate -> canonicalize) — expect
+      // alpha ~1, zero exchanges
+      "q212_url_canon" -> (k =>
+        docs(k).select(graft.ops.Urls.canonicalizeUrl(
+          graft.ops.Urls.noisyUrl(col("doc_id"))).as("c"))
+          .agg(sum(length(col("c")))).first().getLong(0)),
+      // EDGE axis of the DISTRIBUTED connected-components path (gate
+      // forced off): k·2M synthetic edges — 90% chains of length 1000 +
+      // 10% BLOCK-LOCAL random links (bushy merging inside each
+      // 1000-node block). Topology per block is identical at every k
+      // (only the block COUNT scales), so the component diameter — and
+      // with it the alternating-star round count — is pinned across the
+      // decade; any residual alpha > 1 is genuine per-round
+      // superlinearity, not round growth. (A first probe cut used
+      // GLOBAL random links: the giant component's diameter grew with
+      // k, rounds 14→16, alpha 1.11 — measuring round growth, not the
+      // per-round term.) Reported "rows" = round count.
+      "cc_edges_distributed" -> (k => {
+        val e = k.toLong * 2000000L
+        val chainIds = (e * 9) / 10
+        val nBlocks = chainIds / 1000
+        val isChain = col("id") < lit(chainIds)
+        val block = pmod(xxhash64(col("id"), lit(3)), lit(nBlocks))
+        val edges = spark.range(e)
+          .filter(!(col("id") < lit(chainIds) &&
+            pmod(col("id"), lit(1000)) === 999))
+          .select(
+            when(isChain, col("id"))
+              .otherwise(block * 1000 +
+                pmod(abs(xxhash64(col("id"), lit(1))), lit(1000))).as("u"),
+            when(isChain, col("id") + 1)
+              .otherwise(block * 1000 +
+                pmod(abs(xxhash64(col("id"), lit(2))), lit(1000))).as("v"))
+        graft.ops.Dedup.connectedComponents(edges, "u", "v",
+          smallGraphEdgeThreshold = 0L).count()
+        graft.ops.Dedup.lastCcRounds.toLong
+      }),
       // one shingle scan + per-shingle source sets (pair expansion
       // bounded by 20² per shingle) + a 20-row signature self-join —
       // corpus term linear, pair term fixed

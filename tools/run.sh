@@ -11,6 +11,8 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS -Xmx8g \
+# GRAFT_JAVA_OPTS: extra -D flags for gate-lifted runs, e.g.
+#   GRAFT_JAVA_OPTS=-Dgraft.cc.smallGraphEdgeThreshold=0 tools/run.sh graft.Verify ...
+exec java $ADD_OPENS -Xmx8g $GRAFT_JAVA_OPTS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"
