@@ -1896,16 +1896,13 @@ object SparkEntry {
       val T = graft.ops.TextOps
       val docs = t(s, dir, "documents")
       val toks = filter(split(col("text"), "\\s+"), w => w =!= "")
-      // Zero-token guard (r14 advisory): sequence(0, -1) is DESCENDING in
-      // Spark, so an empty/whitespace-only text would synthesize phantom
-      // chunks; the oracle's range() is empty and its per-line unnest drops
-      // the doc entirely. Matching drop: zero-token docs contribute no rows
-      // on either engine.
+      // Zero-token docs are FILTERED (r14 advisory): the oracle's
+      // per-line unnest drops them entirely, so they must contribute no
+      // rows here either (wordChunkLines' own empty-array guard alone
+      // would still leave a 1-line "" page behind).
       val lined = docs.select(col("doc_id"), col("lang"), toks.as("__ts"))
         .filter(size(col("__ts")) > 0)
-        .withColumn("__chunks", expr(
-          """transform(sequence(0, cast(ceil(size(__ts) / 6.0) as int) - 1),
-            |  j -> concat_ws(' ', slice(__ts, j * 6 + 1, 6)))""".stripMargin))
+        .withColumn("__chunks", T.wordChunkLines(col("__ts"), 6))
         .withColumn("__lines", when(size(col("__chunks")) >= 2,
           concat(col("__chunks"), array(element_at(col("__chunks"), 1))))
           .otherwise(col("__chunks")))

@@ -136,11 +136,14 @@ object UrlKernels {
     val portIdx =
       if (authority.startsWith("[")) authority.indexOf(':', math.max(authority.indexOf(']'), 0))
       else authority.lastIndexOf(':')
-    if (portIdx >= 0 && portIdx + 1 <= authority.length &&
-        authority.substring(portIdx + 1).forall(Character.isDigit) &&
-        portIdx + 1 < authority.length) {
-      host = authority.substring(0, portIdx)
-      port = authority.substring(portIdx) // includes ':'
+    if (portIdx >= 0) {
+      val portDigits = authority.substring(portIdx + 1)
+      if (portDigits.forall(Character.isDigit)) {
+        host = authority.substring(0, portIdx)
+        // an EMPTY port ("host:") is elided entirely — RFC 3986 §6.2.3:
+        // "scheme://host:/" is equivalent to "scheme://host/"
+        port = if (portDigits.isEmpty) "" else authority.substring(portIdx)
+      }
     }
     host = host.toLowerCase(java.util.Locale.ROOT)
     if (host.endsWith(".") && host.length > 1) host = host.substring(0, host.length - 1)
@@ -157,9 +160,13 @@ object UrlKernels {
     else removeDotSegments(collapseSlashes(pctNormalize(path)))
     if (path.isEmpty) path = "/"
 
+    // percent-normalize BEFORE the tracking filter: an escaped tracking
+    // key ("%75tm_source") must not slip through and then decode, which
+    // would both keep the tracker and break idempotence (review finding)
     val params = query.split("&", -1).toIndexedSeq
-      .filter(p => p.nonEmpty && !isTracking(p))
+      .filter(_.nonEmpty)
       .map(pctNormalize)
+      .filterNot(isTracking)
       .sorted
     val canonQuery = if (params.isEmpty) "" else params.mkString("?", "&", "")
 

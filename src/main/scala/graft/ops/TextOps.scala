@@ -452,6 +452,20 @@ object TextOps {
       .withColumnRenamed("__chars", "n_chars_joined")
   }
 
+  /** Deterministic word-chunk lines — groups of `width` tokens joined by
+    * spaces (the q211 fixture formula, shared with its scale probe so
+    * both always measure the same kernel). Zero-token arrays yield an
+    * EMPTY array: Spark's `sequence(0, -1)` is DESCENDING and would
+    * otherwise synthesize phantom chunks (r14 advisory).
+    */
+  def wordChunkLines(toks: Column, width: Int): Column =
+    when(size(toks) > 0,
+      transform(
+        sequence(lit(0),
+          ceil(size(toks).cast("double") / lit(width.toDouble)).cast("int") - 1),
+        j => concat_ws(" ", slice(toks, j * width + 1, lit(width)))))
+      .otherwise(array().cast("array<string>"))
+
   /** In-document LINE dedup (the RefinedWeb line-wise correction stage):
     * keep the FIRST occurrence of every line, preserving order — crawled
     * pages repeat nav/footer/cookie lines inside one document, and

@@ -28,11 +28,15 @@ object Urls {
       graft.functions.CanonicalizeUrl(
         org.apache.spark.sql.GraftSqlBridge.expression(url)))
 
-  /** Host of an already-canonical URL (scheme://host[:port]/...) —
-    * port excluded. Anchored regex over the clean form only.
+  /** Host of an already-canonical URL
+    * (scheme://[userinfo@]host[:port]/...) — userinfo skipped, port
+    * excluded, bracketed IPv6 literals returned whole (review finding:
+    * the earlier spelling stopped at the literal's first ':' and never
+    * skipped `user@`).
     */
   def canonicalHost(canonicalUrl: Column): Column =
-    regexp_extract(canonicalUrl, "^[a-z0-9+.-]+://([^/:?]+)", 1)
+    regexp_extract(canonicalUrl,
+      "^[a-z0-9+.-]+://(?:[^/@?]*@)?(\\[[^\\]]*\\]|[^/:?]+)", 1)
 
   /** Deterministic messy-URL fixture (the q199/q205 generator-formula
     * pattern): every component derives from the doc id, so an oracle

@@ -111,6 +111,31 @@ object ScaleProbe {
       spark.read.parquet(dir)
     }
 
+    // k·2M edges — 90% chains of length 1000 + 10% block-local random
+    // links; topology per 1000-node block identical at every k, so the
+    // alternating-star round count is pinned (measured: 9 at k=1,2,4).
+    // Returns the round count as the probe's "rows" value.
+    def ccEdgesProbe(k: Int): Long = {
+      val e = k.toLong * 2000000L
+      val chainIds = (e * 9) / 10
+      val nBlocks = chainIds / 1000
+      val isChain = col("id") < lit(chainIds)
+      val block = pmod(xxhash64(col("id"), lit(3)), lit(nBlocks))
+      val edges = spark.range(e)
+        .filter(!(col("id") < lit(chainIds) &&
+          pmod(col("id"), lit(1000)) === 999))
+        .select(
+          when(isChain, col("id"))
+            .otherwise(block * 1000 +
+              pmod(abs(xxhash64(col("id"), lit(1))), lit(1000))).as("u"),
+          when(isChain, col("id") + 1)
+            .otherwise(block * 1000 +
+              pmod(abs(xxhash64(col("id"), lit(2))), lit(1000))).as("v"))
+      graft.ops.Dedup.connectedComponents(edges, "u", "v",
+        smallGraphEdgeThreshold = 0L).count()
+      graft.ops.Dedup.lastCcRounds.toLong
+    }
+
     val allOps: Seq[(String, Int => Long)] = Seq(
       "q27_prefix_cascade" -> (k =>
         graft.ops.Dedup.nearDuplicatesExact(docs(k), "doc_id", "text",
@@ -571,10 +596,8 @@ object ScaleProbe {
         val toks = filter(split(col("text"), "\\s+"), w => w =!= "")
         docs(k).select(col("doc_id"), toks.as("__ts"))
           .filter(size(col("__ts")) > 0)
-          .withColumn("page", array_join(expr(
-            """transform(sequence(0, cast(ceil(size(__ts) / 6.0) as int) - 1),
-              |  j -> concat_ws(' ', slice(__ts, j * 6 + 1, 6)))""".stripMargin),
-            "\n"))
+          .withColumn("page", array_join(
+            graft.ops.TextOps.wordChunkLines(col("__ts"), 6), "\n"))
           .select(graft.ops.TextOps.dedupLines(col("page")).as("d"))
           .agg(sum(length(col("d")))).first().getLong(0)
       }),
@@ -595,26 +618,12 @@ object ScaleProbe {
       // GLOBAL random links: the giant component's diameter grew with
       // k, rounds 14→16, alpha 1.11 — measuring round growth, not the
       // per-round term.) Reported "rows" = round count.
-      "cc_edges_distributed" -> (k => {
-        val e = k.toLong * 2000000L
-        val chainIds = (e * 9) / 10
-        val nBlocks = chainIds / 1000
-        val isChain = col("id") < lit(chainIds)
-        val block = pmod(xxhash64(col("id"), lit(3)), lit(nBlocks))
-        val edges = spark.range(e)
-          .filter(!(col("id") < lit(chainIds) &&
-            pmod(col("id"), lit(1000)) === 999))
-          .select(
-            when(isChain, col("id"))
-              .otherwise(block * 1000 +
-                pmod(abs(xxhash64(col("id"), lit(1))), lit(1000))).as("u"),
-            when(isChain, col("id") + 1)
-              .otherwise(block * 1000 +
-                pmod(abs(xxhash64(col("id"), lit(2))), lit(1000))).as("v"))
-        graft.ops.Dedup.connectedComponents(edges, "u", "v",
-          smallGraphEdgeThreshold = 0L).count()
-        graft.ops.Dedup.lastCcRounds.toLong
-      }),
+      "cc_edges_distributed" -> (k => ccEdgesProbe(k)),
+      // same generator with partitions PINNED at the k=1 count — the
+      // data-slope diagnostic: if the scaled-partition row's residual
+      // alpha > 1 vanishes here, the excess is per-task scheduling
+      // overhead (task count x rounds), not per-edge work
+      "cc_edges_pinned" -> (k => ccEdgesProbe(k)),
       // one shingle scan + per-shingle source sets (pair expansion
       // bounded by 20² per shingle) + a 20-row signature self-join —
       // corpus term linear, pair term fixed
@@ -712,7 +721,8 @@ object ScaleProbe {
       // k-axis is not corpus size (selection K, per-container samples):
       // there the corpus is fixed, and scaling partitions with k would
       // masquerade as operator cost.
-      val fixedCorpusOps = Set("q204_dsir_bigk", "q199_key_width")
+      val fixedCorpusOps = Set("q204_dsir_bigk", "q199_key_width",
+        "cc_edges_pinned")
       spark.conf.set("spark.sql.shuffle.partitions",
         (if (fixedCorpusOps(name)) cpus.toInt else cpus.toInt * k).toString)
       val ts = (1 to reps).map { _ =>

@@ -3346,10 +3346,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c("http://[2001:DB8::1]:80/a") === "http://[2001:db8::1]/a")
     // not a URL -> unchanged
     assert(c("not a url") === "not a url")
+    // review findings (r15 mid-round pass):
+    // a percent-ESCAPED tracking key must decode first, then be dropped —
+    // the old order kept it and broke idempotence
+    assert(c("http://h/p?%75tm_source=x&a=1") === "http://h/p?a=1")
+    // an empty port is elided (RFC 3986 §6.2.3: host: ≡ host)
+    assert(c("http://example.com:/a") === "http://example.com/a")
     // idempotence (the q212 fixture pins it across the whole noise grid)
     val once = c("HTTPS://WWW.H.com/a/./b//c/../d?z=1&y=2&utm_x=3#f")
     assert(once === "https://h.com/a/b/d?y=2&z=1")
     assert(c(once) === once)
+  }
+
+  test("canonicalHost skips userinfo and keeps IPv6 literals whole") {
+    import spark.implicits._
+    val hosts = Seq(
+      "http://user:pw@example.com/a",
+      "http://[2001:db8::1]:8080/a",
+      "https://host3.example.com:8080/p?a=1",
+      "http://h/p?x=@y")
+      .toDF("u")
+      .select(graft.ops.Urls.canonicalHost(col("u")))
+      .collect().map(_.getString(0)).toSeq
+    assert(hosts === Seq("example.com", "[2001:db8::1]", "host3.example.com", "h"))
   }
 
   test("gopher top-gram metric reports the MOST FREQUENT gram's mass, not " +
