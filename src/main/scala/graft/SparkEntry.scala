@@ -2143,6 +2143,55 @@ object SparkEntry {
           sum(col("doc_id")).as("id_sum"))
     }),
 
+    // Beyond-reference: HTML LINK EXTRACTION → RFC 3986 resolution →
+    // canonicalization → HOST LINK GRAPH — the crawl-discovery stage
+    // (q212-q214 dedup the frontier; this builds it). One stateless
+    // parse per page (the same tolerant tokenizer as q205 — script-
+    // string traps never leak), then resolution+canonicalization as ONE
+    // codegen stage, then a (src_host, dst_host) rollup shuffling two
+    // short host strings per link. The fixture plants the whole
+    // reference-resolution grid (root/absolute/protocol-relative/
+    // dot-segment/entity-encoded); the oracle replays every resolved
+    // canonical target from the id formula.
+    "q215_link_graph" -> ((s, dir) => {
+      val U = graft.ops.Urls
+      val links = graft.ops.Html.extractLinks(
+        graft.ops.Html.linkPages(t(s, dir, "documents")))
+      links.select(col("doc_id"),
+          U.canonicalHost(col("base_url")).as("src_host"),
+          U.canonicalizeUrl(U.resolveUrl(col("base_url"), col("href")))
+            .as("target"))
+        .groupBy(col("src_host"),
+          U.canonicalHost(col("target")).as("dst_host"))
+        .agg(count(lit(1)).as("n_links"),
+          count_distinct(col("target")).as("n_targets"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy(col("src_host"), col("dst_host"))
+    }),
+
+    // Beyond-reference: HOST-LEVEL PAGERANK over the extracted link
+    // graph — q215's edges weighted by link count, 3 damped iterations
+    // (the q76 machinery over the crawl graph: which hosts does the
+    // corpus point at). Host-count-sized state; the oracle unrolls the
+    // same three iterations over the formula-derived edge counts.
+    "q216_host_rank" -> ((s, dir) => {
+      val U = graft.ops.Urls
+      val links = graft.ops.Html.extractLinks(
+        graft.ops.Html.linkPages(t(s, dir, "documents")))
+      val pairs = links.select(
+          U.canonicalHost(col("base_url")).as("src"),
+          U.canonicalHost(U.canonicalizeUrl(
+            U.resolveUrl(col("base_url"), col("href")))).as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      val edges = pairs.withColumn("p",
+        col("n").cast("double") / sum(col("n")).over(w))
+        .select(col("src"), col("dst"), col("p"))
+      graft.ops.Analytics.pageRank(edges, damping = 0.85, iterations = 3)
+        .select(col("node").as("host"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("host"))
+    }),
+
     // Beyond-reference: SOURCE-OVERLAP MATRIX — "which dumps/crawl
     // snapshots overlap, and by how much" answered with ONE corpus scan:
     // per-source MinHash signatures (min distributes over union, so the
@@ -6481,6 +6530,89 @@ object SparkEntry {
     // first-arrival admission replayed as min-doc_id per reconstructed-
     // content group (version order = doc_id order in the fixture); the
     // content CTE is the q207 generator-formula reconstruction
+    // every planted anchor's RESOLVED canonical target replayed from the
+    // id formula — the engine must land on the same strings by actually
+    // extracting hrefs and running resolution + canonicalization
+    "q215_link_graph" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS h FROM documents),
+         links AS (
+           SELECT doc_id, 'host' || h || '.example.com' AS src,
+                  'host' || h || '.example.com' AS dsth,
+                  'https://host' || h || '.example.com/' AS canon FROM d
+           UNION ALL
+           SELECT doc_id, 'host' || h || '.example.com',
+                  'host' || h || '.example.com',
+                  'https://host' || h || '.example.com/about' FROM d
+           UNION ALL
+           SELECT doc_id, 'host' || h || '.example.com',
+                  'host' || ((doc_id + 1) % 7) || '.example.com',
+                  'https://host' || ((doc_id + 1) % 7) || '.example.com/ref/'
+                    || (doc_id % 23) || '?x=1' FROM d
+           UNION ALL
+           SELECT doc_id, 'host' || h || '.example.com',
+                  'host' || ((doc_id + 2) % 7) || '.example.com',
+                  'https://host' || ((doc_id + 2) % 7) || '.example.com/pp'
+           FROM d WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, 'host' || h || '.example.com',
+                  'host' || h || '.example.com',
+                  'https://host' || h || '.example.com/d/sibling'
+                    || (doc_id % 5) FROM d
+           UNION ALL
+           SELECT doc_id, 'host' || h || '.example.com',
+                  'host' || h || '.example.com',
+                  'https://host' || h || '.example.com/q?a=1&b=2' FROM d)
+         SELECT src AS src_host, dsth AS dst_host,
+                CAST(count(*) AS BIGINT) AS n_links,
+                CAST(count(DISTINCT canon) AS BIGINT) AS n_targets,
+                CAST(min(doc_id) AS BIGINT) AS min_doc
+         FROM links GROUP BY 1, 2 ORDER BY src_host, dst_host""",
+    // q215's edge counts fed through the q76 pagerank unroll (3 damped
+    // iterations over link-count-weighted host transitions)
+    "q216_host_rank" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS h FROM documents),
+         links AS (
+           SELECT 'host' || h || '.example.com' AS src,
+                  'host' || h || '.example.com' AS dsth FROM d
+           UNION ALL
+           SELECT 'host' || h || '.example.com',
+                  'host' || h || '.example.com' FROM d
+           UNION ALL
+           SELECT 'host' || h || '.example.com',
+                  'host' || ((doc_id + 1) % 7) || '.example.com' FROM d
+           UNION ALL
+           SELECT 'host' || h || '.example.com',
+                  'host' || ((doc_id + 2) % 7) || '.example.com'
+           FROM d WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT 'host' || h || '.example.com',
+                  'host' || h || '.example.com' FROM d
+           UNION ALL
+           SELECT 'host' || h || '.example.com',
+                  'host' || h || '.example.com' FROM d),
+         ec AS (SELECT src, dsth AS dst, count(*)::DOUBLE AS cnt
+                FROM links GROUP BY 1, 2),
+         e AS (SELECT src, dst,
+                 cnt / sum(cnt) OVER (PARTITION BY src) AS p FROM ec),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+         r1 AS (SELECT nd.node, (0.15 / nn.n) + 0.85 * coalesce(c.i, 0.0) AS rank
+                FROM nodes nd CROSS JOIN nn LEFT JOIN
+                  (SELECT e.dst AS node, sum(r.rank * e.p) AS i
+                   FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst) c
+                  USING (node)),
+         r2 AS (SELECT nd.node, (0.15 / nn.n) + 0.85 * coalesce(c.i, 0.0) AS rank
+                FROM nodes nd CROSS JOIN nn LEFT JOIN
+                  (SELECT e.dst AS node, sum(r.rank * e.p) AS i
+                   FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst) c
+                  USING (node)),
+         r3 AS (SELECT nd.node, (0.15 / nn.n) + 0.85 * coalesce(c.i, 0.0) AS rank
+                FROM nodes nd CROSS JOIN nn LEFT JOIN
+                  (SELECT e.dst AS node, sum(r.rank * e.p) AS i
+                   FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst) c
+                  USING (node))
+         SELECT node AS host, round(rank, 6) AS rank FROM r3 ORDER BY host""",
     // generator-formula oracle (the q199/q205 pattern): BOTH the messy
     // raw string and its expected canonical form are replayed from the
     // id formula — the engine must land on the same canonical string by

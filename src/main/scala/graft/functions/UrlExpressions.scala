@@ -175,6 +175,66 @@ object UrlKernels {
 
   def canonicalizeUrl(u: UTF8String): UTF8String =
     UTF8String.fromString(canonicalize(u.toString))
+
+  /** Does `s` open with a URI scheme (`ALPHA *(ALPHA/DIGIT/+/-/.)`
+    * followed by `:`, RFC 3986 §3.1)? `mailto:x` is absolute without
+    * any `//`.
+    */
+  private def hasScheme(s: String): Boolean = {
+    if (s.isEmpty || !s.charAt(0).isLetter) return false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ':') return i > 0
+      if (!(c.isLetterOrDigit || c == '+' || c == '-' || c == '.')) return false
+      i += 1
+    }
+    false
+  }
+
+  /** RFC 3986 §5.2 reference resolution — the string-level transform
+    * only (absolute / protocol-relative / root-relative / query-only /
+    * empty / relative-path merge per §5.2.3); dot-segment removal and
+    * every other normalization are [[canonicalize]]'s job, which link
+    * pipelines apply right after. Fragments are dropped (crawlers never
+    * fetch them). A base without `://` cannot anchor a reference — the
+    * ref is returned as-is.
+    */
+  def resolve(base: String, ref0: String): String = {
+    var ref = ref0.trim
+    val h = ref.indexOf('#')
+    if (h >= 0) ref = ref.substring(0, h)
+    if (hasScheme(ref)) return ref
+    val bSep = base.indexOf("://")
+    if (bSep < 0) return ref
+    val scheme = base.substring(0, bSep)
+    val rest = base.substring(bSep + 3)
+    var authEnd = 0
+    while (authEnd < rest.length && rest.charAt(authEnd) != '/' &&
+      rest.charAt(authEnd) != '?') authEnd += 1
+    val authority = rest.substring(0, authEnd)
+    val baseTail = {
+      val t = rest.substring(authEnd)
+      val bh = t.indexOf('#')
+      if (bh >= 0) t.substring(0, bh) else t
+    }
+    val qIdx = baseTail.indexOf('?')
+    val basePath = if (qIdx < 0) baseTail else baseTail.substring(0, qIdx)
+    if (ref.isEmpty) return scheme + "://" + authority + baseTail
+    if (ref.startsWith("//")) return scheme + ":" + ref
+    if (ref.startsWith("?"))
+      return scheme + "://" + authority +
+        (if (basePath.isEmpty) "/" else basePath) + ref
+    if (ref.startsWith("/")) return scheme + "://" + authority + ref
+    // relative path: merge (§5.2.3) — base path up to its last '/',
+    // or "/" when the base has an authority and an empty path
+    val cut = basePath.lastIndexOf('/')
+    val merged = (if (cut >= 0) basePath.substring(0, cut + 1) else "/") + ref
+    scheme + "://" + authority + merged
+  }
+
+  def resolveUrl(base: UTF8String, ref: UTF8String): UTF8String =
+    UTF8String.fromString(resolve(base.toString, ref.toString))
 }
 
 /** `canonicalizeUrl(url)` as a whole-stage-codegen-friendly unary
@@ -200,4 +260,32 @@ case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `resolveUrl(base, ref)` — RFC 3986 §5.2 reference resolution as a
+  * codegen-friendly binary expression (one static call per row; link
+  * pipelines chain it with [[CanonicalizeUrl]] inside one stage).
+  */
+case class ResolveUrl(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_resolve_url"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string) arguments, got $other")
+    }
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(base: Any, ref: Any): Any =
+    UrlKernels.resolveUrl(base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, r) => s"graft.functions.UrlKernels.resolveUrl($b, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -53,7 +53,82 @@ object Html {
     * degrade to treating the rest as text or skipping to end — a crawled
     * page must not kill a Spark task.
     */
-  def blocks(html: String): Vector[Block] = {
+  def blocks(html: String): Vector[Block] = scan(html, collectLinks = false)._1
+
+  /** All anchor hrefs in document order — the SAME tolerant walk as
+    * [[blocks]] (comments and raw-text script/style bodies skipped, so
+    * an `<a href="/trap">` inside a JS string never leaks; attribute
+    * quotes respected; `&amp;`-style entities in values decoded). The
+    * crawl-frontier seed: extract → resolve against the page URL →
+    * canonicalize → dedup.
+    */
+  def links(html: String): Vector[String] = scan(html, collectLinks = true)._2
+
+  /** Case-insensitive `href` attribute value inside one tag's attribute
+    * region; quoted or unquoted, entity-decoded. None when absent.
+    */
+  private def hrefOf(attrs: String): Option[String] = {
+    val lower = attrs.toLowerCase(java.util.Locale.ROOT)
+    var idx = lower.indexOf("href")
+    while (idx >= 0) {
+      val before = if (idx == 0) ' ' else attrs.charAt(idx - 1)
+      if (before.isWhitespace) {
+        var p = idx + 4
+        while (p < attrs.length && attrs.charAt(p).isWhitespace) p += 1
+        if (p < attrs.length && attrs.charAt(p) == '=') {
+          p += 1
+          while (p < attrs.length && attrs.charAt(p).isWhitespace) p += 1
+          val v =
+            if (p < attrs.length && (attrs.charAt(p) == '"' || attrs.charAt(p) == '\'')) {
+              val q = attrs.charAt(p)
+              val e = attrs.indexOf(q, p + 1)
+              if (e < 0) attrs.substring(p + 1) else attrs.substring(p + 1, e)
+            } else {
+              var e = p
+              while (e < attrs.length && !attrs.charAt(e).isWhitespace) e += 1
+              attrs.substring(p, e)
+            }
+          return Some(decodeEntities(v))
+        }
+      }
+      idx = lower.indexOf("href", idx + 4)
+    }
+    None
+  }
+
+  /** Entity decoding for attribute values (named + numeric, non-BMP via
+    * Character.toChars — same rules as the text path; unknown/malformed
+    * stay literal).
+    */
+  private def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val decoded: Option[Array[Char]] =
+          if (semi > i && semi - i <= 10) {
+            val body = s.substring(i + 1, semi)
+            if (body.startsWith("#x") || body.startsWith("#X"))
+              scala.util.Try(Character.toChars(
+                Integer.parseInt(body.drop(2), 16))).toOption
+            else if (body.startsWith("#"))
+              scala.util.Try(Character.toChars(body.drop(1).toInt)).toOption
+            else ENTITIES.get(body).map(Array(_))
+          } else None
+        decoded match {
+          case Some(cs) => sb.append(cs); i = semi + 1
+          case None     => sb.append('&'); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def scan(html: String, collectLinks: Boolean): (Vector[Block], Vector[String]) = {
+    val linksOut = Vector.newBuilder[String]
     val out = Vector.newBuilder[Block]
     val text = new StringBuilder
     var words = 0
@@ -148,7 +223,11 @@ object Html {
               i = if (found < 0) n else found
             } else if (name == "a") {
               if (closing) { if (linkDepth > 0) linkDepth -= 1 }
-              else linkDepth += 1
+              else {
+                linkDepth += 1
+                if (collectLinks && end > j)
+                  hrefOf(html.substring(j, end)).foreach(linksOut += _)
+              }
             } else if (BLOCK_TAGS(name)) {
               flush(if (closing) "body" else name)
             }
@@ -178,7 +257,7 @@ object Html {
       } else { emit(c); i += 1 }
     }
     flush("body")
-    out.result()
+    (out.result(), linksOut.result())
   }
 
   /** Extract content text + metrics from one page. */
@@ -308,6 +387,66 @@ object Html {
       .as[(Long, String, String)]
       .mapPartitions(_.flatMap(expand))
       .toDF("doc_id", "lang", "html")
+  }
+
+  /** Deterministic LINK-fixture page (the crawl link-graph generator —
+    * separate from [[pageFor]] so the q205/q207 extraction oracles stay
+    * untouched): six planted anchors exercising the whole reference-
+    * resolution grid — root-relative, absolute with canonicalization
+    * noise (mixed case, default port, tracking param, fragment, RAW `&`
+    * as crawled HTML ships it), protocol-relative (even ids), dot-
+    * segment relative, entity-encoded query — plus an `<a href="/trap">`
+    * inside a script string that a correct scanner must NOT extract.
+    * Every href's RESOLVED canonical form is a pure id formula, so an
+    * oracle replays the whole link graph without parsing anything.
+    */
+  def linkPageFor(docId: Long, text: String): String = {
+    val words = text.trim.split("\\s+").filter(_.nonEmpty).take(16)
+    val sb = new StringBuilder
+    sb ++= s"<html><head><title>Doc $docId</title>"
+    sb ++= "<script>var s = \"<a href=\\\"/trap\\\">\";</script></head><body>"
+    sb ++= "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>"
+    sb ++= s"<h1>Doc $docId</h1>"
+    sb ++= s"<p>${words.map(esc).mkString(" ")}</p>"
+    sb ++= s"<p><a HREF=\"HTTPS://Host${(docId + 1) % 7}.Example.COM:443" +
+      s"/ref/${docId % 23}?utm_source=feed&x=1#s\">read more</a></p>"
+    if (docId % 2 == 0)
+      sb ++= s"<div><a href='//Host${(docId + 2) % 7}.example.com/pp'>partner</a></div>"
+    sb ++= s"<p><a href=\"../sibling${docId % 5}\">prev</a> " +
+      "<a href=\"/q?a=1&amp;b=2\">search</a></p>"
+    sb ++= "</body></html>"
+    sb.toString
+  }
+
+  /** The page URL each [[linkPageFor]] fixture page lives at — the
+    * resolution base (path depth 2, so `../` has something to climb).
+    */
+  def linkPageUrl(docId: Long): String =
+    s"https://host${docId % 7}.example.com/d/${docId % 97}/page"
+
+  /** documents → (doc_id, base_url, html) link-graph crawl fixture. */
+  def linkPages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, linkPageUrl(id), linkPageFor(id, text))
+      }).toDF("doc_id", "base_url", "html")
+  }
+
+  /** One row per extracted anchor href: (doc_id, base_url, href) — the
+    * stateless parse boundary; resolution + canonicalization stay in
+    * codegen column expressions downstream.
+    */
+  def extractLinks(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("base_url"), col("html"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, base, html) =>
+        links(html).iterator.map(h => (id, base, h))
+      }).toDF("doc_id", "base_url", "href")
   }
 
   /** Per-page extraction over an html column: one stateless parse pass

@@ -28,6 +28,17 @@ object Urls {
       graft.functions.CanonicalizeUrl(
         org.apache.spark.sql.GraftSqlBridge.expression(url)))
 
+  /** RFC 3986 §5.2 reference resolution as a codegen Column (string
+    * transform only — [[canonicalizeUrl]] right after it handles dot
+    * segments and all other normalization; see
+    * [[graft.functions.UrlKernels.resolve]]).
+    */
+  def resolveUrl(base: Column, ref: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.ResolveUrl(
+        org.apache.spark.sql.GraftSqlBridge.expression(base),
+        org.apache.spark.sql.GraftSqlBridge.expression(ref)))
+
   /** Host of an already-canonical URL
     * (scheme://[userinfo@]host[:port]/...) — userinfo skipped, port
     * excluded, bracketed IPv6 literals returned whole (review finding:

@@ -3358,6 +3358,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c(once) === once)
   }
 
+  test("URL reference resolution: RFC 3986 §5.4 normal examples " +
+    "(composed with canonicalization, as the link pipeline applies it)") {
+    val base = "http://a/b/c/d;p?q"
+    def r(ref: String) = graft.functions.UrlKernels.canonicalize(
+      graft.functions.UrlKernels.resolve(base, ref))
+    assert(r("g") === "http://a/b/c/g")
+    assert(r("./g") === "http://a/b/c/g")
+    assert(r("g/") === "http://a/b/c/g/")
+    assert(r("/g") === "http://a/g")
+    assert(r("//g") === "http://g/")
+    assert(r("?y") === "http://a/b/c/d;p?y")
+    assert(r("g/../h") === "http://a/b/c/h")
+    assert(r("../g") === "http://a/b/g")
+    assert(r("../../g") === "http://a/g")
+    assert(r("") === "http://a/b/c/d;p?q")
+    assert(r("#s") === "http://a/b/c/d;p?q")
+    // a ref with its own scheme is already absolute (no // required)
+    assert(r("mailto:x@y") === "mailto:x@y")
+  }
+
+  test("HTML link extraction: all planted anchors in order, script-string " +
+    "traps excluded, quoting/case/entity forms handled") {
+    val H = graft.ops.Html
+    // even id: protocol-relative partner link present
+    assert(H.links(H.linkPageFor(6L, "one two three")) === Vector(
+      "/", "/about",
+      "HTTPS://Host0.Example.COM:443/ref/6?utm_source=feed&x=1#s",
+      "//Host1.example.com/pp",
+      "../sibling1", "/q?a=1&b=2"))
+    // odd id: no partner link; absolute target rotates
+    assert(H.links(H.linkPageFor(3L, "x")) === Vector(
+      "/", "/about",
+      "HTTPS://Host4.Example.COM:443/ref/3?utm_source=feed&x=1#s",
+      "../sibling3", "/q?a=1&b=2"))
+    // raw-text trap: the script body's <a href="/trap"> must never leak
+    assert(!H.links(H.linkPageFor(1L, "x")).exists(_.contains("trap")))
+    // unquoted href + data-href non-attribute must not match
+    assert(H.links("<a href=/u>x</a> <b data-href=\"/no\">y</b>") ===
+      Vector("/u"))
+  }
+
   test("canonicalHost skips userinfo and keeps IPv6 literals whole") {
     import spark.implicits._
     val hosts = Seq(
