@@ -2192,6 +2192,43 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // Beyond-reference: ROBOTS.TXT POLICY EVALUATION (RFC 9309) — the
+    // politeness gate between link discovery (q215) and fetching.
+    // robots.txt is per-HOST state: policies parse ONCE on a host-count
+    // dim table (group selection by longest UA prefix past a block-all
+    // decoy group, longest-match precedence, * wildcards, $ anchors,
+    // crawl-delay) and BROADCAST onto the URL stream; the per-URL work
+    // is one codegen match call — no corpus-sized shuffle beyond the
+    // per-host rollup it feeds anyway. The oracle replays every verdict
+    // from the (host, doc_id) formula.
+    "q217_robots_policy" -> ((s, dir) => {
+      import s.implicits._
+      val U = graft.ops.Urls
+      val R = graft.ops.Robots
+      val links = graft.ops.Html.extractLinks(
+        graft.ops.Html.linkPages(t(s, dir, "documents")))
+      val targets = links.select(
+          U.canonicalizeUrl(U.resolveUrl(col("base_url"), col("href")))
+            .as("target"))
+        .select(U.canonicalHost(col("target")).as("host"),
+          R.canonicalPath(col("target")).as("path"))
+      // fully-qualified call inside the lambda: capturing the local `R`
+      // module val would make the closure non-serializable
+      val robotsDim = s.range(7).as[Long]
+        .map(h => (s"host$h.example.com", graft.ops.Robots.robotsFixtureFor(h)))
+        .toDF("host", "txt")
+      val policies = broadcast(
+        R.compilePolicies(robotsDim, "host", "txt", "graftcrawler/1.0"))
+      targets.join(policies, Seq("host"))
+        .withColumn("al", R.allowedCol(col("rules"), col("path")))
+        .groupBy(col("host"))
+        .agg(sum(when(col("al"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(col("al"), 0L).otherwise(1L)).as("n_blocked"),
+          max(col("crawl_delay")).cast("long").as("delay_s"))
+        .withColumn("backlog_s", col("n_allowed") * col("delay_s"))
+        .orderBy(col("host"))
+    }),
+
     // Beyond-reference: SOURCE-OVERLAP MATRIX — "which dumps/crawl
     // snapshots overlap, and by how much" answered with ONE corpus scan:
     // per-source MinHash signatures (min distributes over union, so the
@@ -6530,6 +6567,30 @@ object SparkEntry {
     // first-arrival admission replayed as min-doc_id per reconstructed-
     // content group (version order = doc_id order in the fixture); the
     // content CTE is the q207 generator-formula reconstruction
+    // every verdict replayed from the (host, doc_id) formula: the engine
+    // must parse the decoy+real robots groups, select by UA prefix, and
+    // apply longest-match (incl. the Allow-beats-/q case and the host-1
+    // wildcard) to land on the same counts
+    "q217_robots_policy" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS h FROM documents),
+         t AS (
+           SELECT doc_id, h AS hh, 1 AS al FROM d
+           UNION ALL SELECT doc_id, h, 1 FROM d
+           UNION ALL SELECT doc_id, (doc_id + 1) % 7,
+             CASE WHEN ((doc_id + 1) % 7) % 2 = 0 THEN 0 ELSE 1 END FROM d
+           UNION ALL SELECT doc_id, (doc_id + 2) % 7, 1 FROM d
+             WHERE doc_id % 2 = 0
+           UNION ALL SELECT doc_id, h,
+             CASE WHEN h % 3 = 0 THEN 0
+                  WHEN h = 1 AND doc_id % 5 = 3 THEN 0 ELSE 1 END FROM d
+           UNION ALL SELECT doc_id, h,
+             CASE WHEN h % 5 = 0 THEN 0 ELSE 1 END FROM d)
+         SELECT 'host' || hh || '.example.com' AS host,
+                CAST(sum(al) AS BIGINT) AS n_allowed,
+                CAST(sum(1 - al) AS BIGINT) AS n_blocked,
+                CAST(max(1 + hh % 3) AS BIGINT) AS delay_s,
+                CAST(sum(al) * max(1 + hh % 3) AS BIGINT) AS backlog_s
+         FROM t GROUP BY hh ORDER BY host""",
     // every planted anchor's RESOLVED canonical target replayed from the
     // id formula — the engine must land on the same strings by actually
     // extracting hrefs and running resolution + canonicalization

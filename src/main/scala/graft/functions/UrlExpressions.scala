@@ -289,3 +289,32 @@ case class ResolveUrl(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** `robotsAllowed(compiledRules, path)` — RFC 9309 longest-match verdict
+  * over a pre-compiled per-host rule blob (see [[graft.ops.Robots]]);
+  * parsing happens once per HOST on the broadcast dim side, so the
+  * per-URL codegen call is match-only.
+  */
+case class RobotsAllowed(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_robots_allowed"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string) arguments, got $other")
+    }
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(rules: Any, path: Any): Any =
+    graft.ops.Robots.allowed(rules.toString, path.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, p) => s"graft.ops.Robots.allowed($b.toString(), $p.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -607,6 +607,27 @@ object ScaleProbe {
         docs(k).select(graft.ops.Urls.canonicalizeUrl(
           graft.ops.Urls.noisyUrl(col("doc_id"))).as("c"))
           .agg(sum(length(col("c")))).first().getLong(0)),
+      // parse per page + codegen resolve/canonicalize/match; the robots
+      // policies are a 7-row broadcast dim — expect ~linear in pages
+      "q217_robots" -> (k => {
+        import spark.implicits._
+        val U = graft.ops.Urls
+        val R = graft.ops.Robots
+        val links = graft.ops.Html.extractLinks(
+          graft.ops.Html.linkPages(docs(k)))
+        val targets = links.select(
+            U.canonicalizeUrl(U.resolveUrl(col("base_url"), col("href")))
+              .as("t"))
+          .select(U.canonicalHost(col("t")).as("host"),
+            R.canonicalPath(col("t")).as("path"))
+        val dim = spark.range(7).as[Long]
+          .map(h => (s"host$h.example.com", graft.ops.Robots.robotsFixtureFor(h)))
+          .toDF("host", "txt")
+        targets.join(
+          broadcast(R.compilePolicies(dim, "host", "txt", "graftcrawler/1.0")),
+          Seq("host"))
+          .filter(R.allowedCol(col("rules"), col("path"))).count()
+      }),
       // EDGE axis of the DISTRIBUTED connected-components path (gate
       // forced off): k·2M synthetic edges — 90% chains of length 1000 +
       // 10% BLOCK-LOCAL random links (bushy merging inside each

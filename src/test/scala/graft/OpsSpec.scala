@@ -3399,6 +3399,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Vector("/u"))
   }
 
+  test("robots.txt: UA group selection past a block-all decoy, " +
+    "longest-match precedence, wildcard+anchor, crawl-delay") {
+    val R = graft.ops.Robots
+    // h=1 fixture: Disallow /q; Allow /q?a=; Disallow /*/sibling3$; delay 2
+    val txt = R.robotsFixtureFor(1L)
+    val (rules, delay) = R.parse(txt, "graftcrawler/1.0")
+    assert(delay === 2)
+    val blob = R.compile(rules)
+    assert(R.allowed(blob, "/"))
+    assert(R.allowed(blob, "/about"))
+    assert(R.allowed(blob, "/ref/5?x=1"), "host1 has no /ref/ rule")
+    assert(!R.allowed(blob, "/q"), "Disallow /q")
+    assert(R.allowed(blob, "/q?a=1&b=2"), "Allow /q?a= is LONGER than /q")
+    assert(!R.allowed(blob, "/q?b=2"), "only Disallow /q matches here")
+    assert(!R.allowed(blob, "/d/sibling3"), "wildcard+anchor blocks")
+    assert(R.allowed(blob, "/d/sibling30"), "$ anchors the END")
+    assert(R.allowed(blob, "/d/sibling2"))
+    // the decoy group IS selected for its own agent
+    val (decoy, _) = R.parse(txt, "graftbot/2.0")
+    assert(!R.allowed(R.compile(decoy), "/anything"))
+    // no matching group and no * group: everything allowed, no delay
+    val (none, d0) = R.parse(txt, "randombot")
+    assert(R.allowed(R.compile(none), "/q") && d0 === 0)
+    // '*' group applies when nothing specific matches
+    val (sr, _) = R.parse("User-agent: *\nDisallow: /x\n", "randombot")
+    assert(!R.allowed(R.compile(sr), "/x/y") && R.allowed(R.compile(sr), "/y"))
+    // equal-length Allow/Disallow tie resolves to Allow (RFC 9309 §2.2.2)
+    val (tr, _) = R.parse("User-agent: *\nDisallow: /p\nAllow: /p\n", "bot")
+    assert(R.allowed(R.compile(tr), "/p/z"))
+  }
+
   test("canonicalHost skips userinfo and keeps IPv6 literals whole") {
     import spark.implicits._
     val hosts = Seq(
