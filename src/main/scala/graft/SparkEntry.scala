@@ -2201,33 +2201,14 @@ object SparkEntry {
     // is one codegen match call — no corpus-sized shuffle beyond the
     // per-host rollup it feeds anyway. The oracle replays every verdict
     // from the (host, doc_id) formula.
-    "q217_robots_policy" -> ((s, dir) => {
-      import s.implicits._
-      val U = graft.ops.Urls
-      val R = graft.ops.Robots
-      val links = graft.ops.Html.extractLinks(
-        graft.ops.Html.linkPages(t(s, dir, "documents")))
-      val targets = links.select(
-          U.canonicalizeUrl(U.resolveUrl(col("base_url"), col("href")))
-            .as("target"))
-        .select(U.canonicalHost(col("target")).as("host"),
-          R.canonicalPath(col("target")).as("path"))
-      // fully-qualified call inside the lambda: capturing the local `R`
-      // module val would make the closure non-serializable
-      val robotsDim = s.range(7).as[Long]
-        .map(h => (s"host$h.example.com", graft.ops.Robots.robotsFixtureFor(h)))
-        .toDF("host", "txt")
-      val policies = broadcast(
-        R.compilePolicies(robotsDim, "host", "txt", "graftcrawler/1.0"))
-      targets.join(policies, Seq("host"))
-        .withColumn("al", R.allowedCol(col("rules"), col("path")))
+    "q217_robots_policy" -> ((s, dir) =>
+      graft.ops.Robots.fixturePolicyVerdicts(t(s, dir, "documents"))
         .groupBy(col("host"))
-        .agg(sum(when(col("al"), 1L).otherwise(0L)).as("n_allowed"),
-          sum(when(col("al"), 0L).otherwise(1L)).as("n_blocked"),
+        .agg(sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(col("allowed"), 0L).otherwise(1L)).as("n_blocked"),
           max(col("crawl_delay")).cast("long").as("delay_s"))
         .withColumn("backlog_s", col("n_allowed") * col("delay_s"))
-        .orderBy(col("host"))
-    }),
+        .orderBy(col("host"))),
 
     // Beyond-reference: SOURCE-OVERLAP MATRIX — "which dumps/crawl
     // snapshots overlap, and by how much" answered with ONE corpus scan:
@@ -6564,9 +6545,6 @@ object SparkEntry {
                   AS est_jaccard
          FROM hs a JOIN hs b ON a.j = b.j AND a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
-    // first-arrival admission replayed as min-doc_id per reconstructed-
-    // content group (version order = doc_id order in the fixture); the
-    // content CTE is the q207 generator-formula reconstruction
     // every verdict replayed from the (host, doc_id) formula: the engine
     // must parse the decoy+real robots groups, select by UA prefix, and
     // apply longest-match (incl. the Allow-beats-/q case and the host-1
@@ -6750,6 +6728,9 @@ object SparkEntry {
                 CAST(min(t.doc_id) AS BIGINT) AS min_id,
                 CAST(sum(t.doc_id) AS BIGINT) AS id_sum
          FROM c t JOIN firsts f USING (canon) GROUP BY 1""",
+    // first-arrival admission replayed as min-doc_id per reconstructed-
+    // content group (version order = doc_id order in the fixture); the
+    // content CTE is the q207 generator-formula reconstruction
     "q208_stream_content_dedup" ->
       """WITH w AS (SELECT doc_id,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws

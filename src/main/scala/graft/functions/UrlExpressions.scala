@@ -200,11 +200,20 @@ object UrlKernels {
     * fetch them). A base without `://` cannot anchor a reference — the
     * ref is returned as-is.
     */
-  def resolve(base: String, ref0: String): String = {
+  def resolve(base0: String, ref0: String): String = {
     var ref = ref0.trim
     val h = ref.indexOf('#')
     if (h >= 0) ref = ref.substring(0, h)
     if (hasScheme(ref)) return ref
+    // cut the base's fragment BEFORE splitting: a fragment opening right
+    // after the authority ("https://h#frag") would otherwise ride inside
+    // the authority (the scan below only stops at '/' and '?') and the
+    // pipelined canonicalize would then truncate the whole resolved ref
+    // at that '#' (r15 review finding)
+    val base = {
+      val bh = base0.indexOf('#')
+      if (bh >= 0) base0.substring(0, bh) else base0
+    }
     val bSep = base.indexOf("://")
     if (bSep < 0) return ref
     val scheme = base.substring(0, bSep)
@@ -213,11 +222,7 @@ object UrlKernels {
     while (authEnd < rest.length && rest.charAt(authEnd) != '/' &&
       rest.charAt(authEnd) != '?') authEnd += 1
     val authority = rest.substring(0, authEnd)
-    val baseTail = {
-      val t = rest.substring(authEnd)
-      val bh = t.indexOf('#')
-      if (bh >= 0) t.substring(0, bh) else t
-    }
+    val baseTail = rest.substring(authEnd)
     val qIdx = baseTail.indexOf('?')
     val basePath = if (qIdx < 0) baseTail else baseTail.substring(0, qIdx)
     if (ref.isEmpty) return scheme + "://" + authority + baseTail

@@ -66,39 +66,64 @@ object Html {
 
   /** Case-insensitive `href` attribute value inside one tag's attribute
     * region; quoted or unquoted, entity-decoded. None when absent.
+    * TOKENIZES name=value pairs (quote-aware) rather than substring-
+    * searching "href" — a literal `href=` inside ANOTHER attribute's
+    * quoted value (`<a title="see href=/fake" href="/real">`) must not
+    * be mistaken for the anchor target (r15 review finding).
     */
   private def hrefOf(attrs: String): Option[String] = {
-    val lower = attrs.toLowerCase(java.util.Locale.ROOT)
-    var idx = lower.indexOf("href")
-    while (idx >= 0) {
-      val before = if (idx == 0) ' ' else attrs.charAt(idx - 1)
-      if (before.isWhitespace) {
-        var p = idx + 4
-        while (p < attrs.length && attrs.charAt(p).isWhitespace) p += 1
-        if (p < attrs.length && attrs.charAt(p) == '=') {
-          p += 1
-          while (p < attrs.length && attrs.charAt(p).isWhitespace) p += 1
-          val v =
-            if (p < attrs.length && (attrs.charAt(p) == '"' || attrs.charAt(p) == '\'')) {
-              val q = attrs.charAt(p)
-              val e = attrs.indexOf(q, p + 1)
-              if (e < 0) attrs.substring(p + 1) else attrs.substring(p + 1, e)
-            } else {
-              var e = p
-              while (e < attrs.length && !attrs.charAt(e).isWhitespace) e += 1
-              attrs.substring(p, e)
-            }
-          return Some(decodeEntities(v))
+    var i = 0
+    val n = attrs.length
+    while (i < n) {
+      while (i < n && (attrs.charAt(i).isWhitespace || attrs.charAt(i) == '/')) i += 1
+      if (i >= n) return None
+      val nameStart = i
+      while (i < n && !attrs.charAt(i).isWhitespace && attrs.charAt(i) != '=') i += 1
+      val name = attrs.substring(nameStart, i).toLowerCase(java.util.Locale.ROOT)
+      while (i < n && attrs.charAt(i).isWhitespace) i += 1
+      var value: String = null
+      if (i < n && attrs.charAt(i) == '=') {
+        i += 1
+        while (i < n && attrs.charAt(i).isWhitespace) i += 1
+        if (i < n && (attrs.charAt(i) == '"' || attrs.charAt(i) == '\'')) {
+          val q = attrs.charAt(i)
+          val e = attrs.indexOf(q, i + 1)
+          if (e < 0) { value = attrs.substring(i + 1); i = n }
+          else { value = attrs.substring(i + 1, e); i = e + 1 }
+        } else {
+          val vs = i
+          while (i < n && !attrs.charAt(i).isWhitespace) i += 1
+          value = attrs.substring(vs, i)
         }
       }
-      idx = lower.indexOf("href", idx + 4)
+      if (name == "href" && value != null) return Some(decodeEntities(value))
     }
     None
   }
 
-  /** Entity decoding for attribute values (named + numeric, non-BMP via
-    * Character.toChars — same rules as the text path; unknown/malformed
-    * stay literal).
+  /** Decode ONE entity starting at `s(i) == '&'`: the decoded chars and
+    * the index after the `;`, or None for unknown/unterminated/invalid
+    * (caller keeps the literal `&`). THE single entity decoder — the
+    * text path and attribute values must never diverge (r15 review
+    * finding): named + numeric, non-BMP via Character.toChars.
+    */
+  private def entityAt(s: String, i: Int): Option[(Array[Char], Int)] = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi > i && semi - i <= 10) {
+      val body = s.substring(i + 1, semi)
+      val decoded =
+        if (body.startsWith("#x") || body.startsWith("#X"))
+          scala.util.Try(Character.toChars(
+            Integer.parseInt(body.drop(2), 16))).toOption
+        else if (body.startsWith("#"))
+          scala.util.Try(Character.toChars(body.drop(1).toInt)).toOption
+        else ENTITIES.get(body).map(Array(_))
+      decoded.map((_, semi + 1))
+    } else None
+  }
+
+  /** Entity decoding for attribute values — same [[entityAt]] rules as
+    * the text path.
     */
   private def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
@@ -107,20 +132,9 @@ object Html {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '&') {
-        val semi = s.indexOf(';', i + 1)
-        val decoded: Option[Array[Char]] =
-          if (semi > i && semi - i <= 10) {
-            val body = s.substring(i + 1, semi)
-            if (body.startsWith("#x") || body.startsWith("#X"))
-              scala.util.Try(Character.toChars(
-                Integer.parseInt(body.drop(2), 16))).toOption
-            else if (body.startsWith("#"))
-              scala.util.Try(Character.toChars(body.drop(1).toInt)).toOption
-            else ENTITIES.get(body).map(Array(_))
-          } else None
-        decoded match {
-          case Some(cs) => sb.append(cs); i = semi + 1
-          case None     => sb.append('&'); i += 1
+        entityAt(s, i) match {
+          case Some((cs, next)) => sb.append(cs); i = next
+          case None             => sb.append('&'); i += 1
         }
       } else { sb.append(c); i += 1 }
     }
@@ -238,21 +252,11 @@ object Html {
         // entity: named or numeric; unknown/unterminated/invalid →
         // literal '&'. Numeric references expand through
         // Character.toChars so non-BMP codepoints (emoji) become a
-        // correct surrogate pair, never a truncated .toChar.
-        val semi = html.indexOf(';', i + 1)
-        val decoded: Option[Array[Char]] =
-          if (semi > i && semi - i <= 10) {
-            val body = html.substring(i + 1, semi)
-            if (body.startsWith("#x") || body.startsWith("#X"))
-              scala.util.Try(Character.toChars(
-                Integer.parseInt(body.drop(2), 16))).toOption
-            else if (body.startsWith("#"))
-              scala.util.Try(Character.toChars(body.drop(1).toInt)).toOption
-            else ENTITIES.get(body).map(Array(_))
-          } else None
-        decoded match {
-          case Some(cs) => cs.foreach(emit); i = semi + 1
-          case None     => emit('&'); i += 1
+        // correct surrogate pair, never a truncated .toChar. Shared
+        // with attribute-value decoding via [[entityAt]].
+        entityAt(html, i) match {
+          case Some((cs, next)) => cs.foreach(emit); i = next
+          case None             => emit('&'); i += 1
         }
       } else { emit(c); i += 1 }
     }

@@ -193,4 +193,31 @@ object Robots {
         (host, compile(rules), delay)
       }).toDF("host", "rules", "crawl_delay")
   }
+
+  /** The q217 pipeline — q215's resolved canonical link targets joined
+    * against the 7-host fixture policies — as ONE shared builder
+    * returning (host, path, crawl_delay, allowed), so the query and its
+    * scale probe always measure the same kernel (the
+    * TextOps.wordChunkLines convention).
+    */
+  def fixturePolicyVerdicts(docs: DataFrame,
+      userAgent: String = "graftcrawler/1.0"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val links = Html.extractLinks(Html.linkPages(docs))
+    val targets = links.select(
+        Urls.canonicalizeUrl(Urls.resolveUrl(col("base_url"), col("href")))
+          .as("t"))
+      .select(Urls.canonicalHost(col("t")).as("host"),
+        canonicalPath(col("t")).as("path"))
+    // fully-qualified inside the lambda: capturing this module val would
+    // make the closure non-serializable
+    val dim = spark.range(7).as[Long]
+      .map(h => (s"host$h.example.com", graft.ops.Robots.robotsFixtureFor(h)))
+      .toDF("host", "txt")
+    targets.join(broadcast(compilePolicies(dim, "host", "txt", userAgent)),
+      Seq("host"))
+      .withColumn("allowed", allowedCol(col("rules"), col("path")))
+      .select(col("host"), col("path"), col("crawl_delay"), col("allowed"))
+  }
 }

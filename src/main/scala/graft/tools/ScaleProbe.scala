@@ -609,25 +609,10 @@ object ScaleProbe {
           .agg(sum(length(col("c")))).first().getLong(0)),
       // parse per page + codegen resolve/canonicalize/match; the robots
       // policies are a 7-row broadcast dim — expect ~linear in pages
-      "q217_robots" -> (k => {
-        import spark.implicits._
-        val U = graft.ops.Urls
-        val R = graft.ops.Robots
-        val links = graft.ops.Html.extractLinks(
-          graft.ops.Html.linkPages(docs(k)))
-        val targets = links.select(
-            U.canonicalizeUrl(U.resolveUrl(col("base_url"), col("href")))
-              .as("t"))
-          .select(U.canonicalHost(col("t")).as("host"),
-            R.canonicalPath(col("t")).as("path"))
-        val dim = spark.range(7).as[Long]
-          .map(h => (s"host$h.example.com", graft.ops.Robots.robotsFixtureFor(h)))
-          .toDF("host", "txt")
-        targets.join(
-          broadcast(R.compilePolicies(dim, "host", "txt", "graftcrawler/1.0")),
-          Seq("host"))
-          .filter(R.allowedCol(col("rules"), col("path"))).count()
-      }),
+      // (Robots.fixturePolicyVerdicts is the SAME builder q217 runs)
+      "q217_robots" -> (k =>
+        graft.ops.Robots.fixturePolicyVerdicts(docs(k))
+          .filter(col("allowed")).count()),
       // EDGE axis of the DISTRIBUTED connected-components path (gate
       // forced off): k·2M synthetic edges — 90% chains of length 1000 +
       // 10% BLOCK-LOCAL random links (bushy merging inside each
@@ -738,14 +723,18 @@ object ScaleProbe {
       // partitions scale with the data — the knob a real cluster turns
       // (AQE/cluster sizing); pinning them at the k=1 count makes k=8
       // per-partition working sets 8x larger and measures memory
-      // pressure, not the operator's scaling. EXCEPT for ops whose
-      // k-axis is not corpus size (selection K, per-container samples):
-      // there the corpus is fixed, and scaling partitions with k would
-      // masquerade as operator cost.
-      val fixedCorpusOps = Set("q204_dsir_bigk", "q199_key_width",
+      // pressure, not the operator's scaling. PINNED instead for two
+      // distinct reasons: (a) ops whose k-axis is not corpus size
+      // (selection K, per-container samples) — the corpus is fixed and
+      // scaling partitions with k would masquerade as operator cost;
+      // (b) cc_edges_pinned, whose corpus DOES scale — it is the
+      // data-slope diagnostic twin of cc_edges_distributed (see its
+      // generator comment), isolating per-edge cost from task-count
+      // scheduling by holding parallelism at the k=1 count.
+      val pinnedPartitionOps = Set("q204_dsir_bigk", "q199_key_width",
         "cc_edges_pinned")
       spark.conf.set("spark.sql.shuffle.partitions",
-        (if (fixedCorpusOps(name)) cpus.toInt else cpus.toInt * k).toString)
+        (if (pinnedPartitionOps(name)) cpus.toInt else cpus.toInt * k).toString)
       val ts = (1 to reps).map { _ =>
         // cold per rep: operators may persist intermediates and the
         // CacheManager matches plans semantically (same rationale as

@@ -3376,6 +3376,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r("#s") === "http://a/b/c/d;p?q")
     // a ref with its own scheme is already absolute (no // required)
     assert(r("mailto:x@y") === "mailto:x@y")
+    // r15 review finding: a base fragment opening right after the
+    // authority must not swallow the resolved ref
+    assert(graft.functions.UrlKernels.resolve("https://example.com#frag", "/a")
+      === "https://example.com/a")
+    assert(graft.functions.UrlKernels.resolve("http://a/b#frag", "g")
+      === "http://a/g")
   }
 
   test("HTML link extraction: all planted anchors in order, script-string " +
@@ -3397,6 +3403,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unquoted href + data-href non-attribute must not match
     assert(H.links("<a href=/u>x</a> <b data-href=\"/no\">y</b>") ===
       Vector("/u"))
+    // r15 review finding: a literal "href=" INSIDE another attribute's
+    // quoted value must not be mistaken for the anchor target
+    assert(H.links("<a title=\"see href=/fake here\" href=\"/real\">x</a>") ===
+      Vector("/real"))
+    assert(H.links("<a alt='href=/x' rel=nofollow>y</a>") === Vector.empty)
   }
 
   test("robots.txt: UA group selection past a block-all decoy, " +
