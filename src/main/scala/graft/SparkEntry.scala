@@ -2210,6 +2210,29 @@ object SparkEntry {
         .withColumn("backlog_s", col("n_allowed") * col("delay_s"))
         .orderBy(col("host"))),
 
+    // Beyond-reference: POLITENESS FETCH SCHEDULING — the stage after
+    // the robots gate: per-host fetch spans ((n-1)·crawl_delay, fetches
+    // serialized per host) packed onto K workers by sorted round-robin
+    // (the distributed LPT approximation: global load rank via the
+    // range-partitioned withGroupRank — no single-partition window at
+    // any host count — then worker = (rank-1) % K). Per-worker backlog
+    // report; the oracle replays the rank and assignment exactly.
+    "q218_fetch_schedule" -> ((s, dir) => {
+      val perHost = graft.ops.Robots
+        .fixturePolicyVerdicts(t(s, dir, "documents"))
+        .filter(col("allowed"))
+        .groupBy(col("host"), col("crawl_delay"))
+        .agg(count(lit(1)).as("n_fetches"))
+        .withColumn("span_s", (col("n_fetches") - 1) * col("crawl_delay"))
+      graft.ops.Packing.assignWorkers(perHost, "span_s", "host", k = 4)
+        .groupBy(col("worker"))
+        .agg(count(lit(1)).as("n_hosts"),
+          sum(col("n_fetches")).as("n_fetches"),
+          sum(col("span_s")).cast("long").as("backlog_s"),
+          max(col("span_s")).cast("long").as("max_span_s"))
+        .orderBy(col("worker"))
+    }),
+
     // Beyond-reference: SOURCE-OVERLAP MATRIX — "which dumps/crawl
     // snapshots overlap, and by how much" answered with ONE corpus scan:
     // per-source MinHash signatures (min distributes over union, so the
@@ -6545,6 +6568,35 @@ object SparkEntry {
                   AS est_jaccard
          FROM hs a JOIN hs b ON a.j = b.j AND a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the per-host allowed counts replay q217's verdict formulas; the
+    // sorted-round-robin assignment replays the exact (span DESC, host)
+    // rank — a hash match proves the distributed rank ordered the same
+    "q218_fetch_schedule" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS h FROM documents),
+         t AS (
+           SELECT doc_id, h AS hh, 1 AS al FROM d
+           UNION ALL SELECT doc_id, h, 1 FROM d
+           UNION ALL SELECT doc_id, (doc_id + 1) % 7,
+             CASE WHEN ((doc_id + 1) % 7) % 2 = 0 THEN 0 ELSE 1 END FROM d
+           UNION ALL SELECT doc_id, (doc_id + 2) % 7, 1 FROM d
+             WHERE doc_id % 2 = 0
+           UNION ALL SELECT doc_id, h,
+             CASE WHEN h % 3 = 0 THEN 0
+                  WHEN h = 1 AND doc_id % 5 = 3 THEN 0 ELSE 1 END FROM d
+           UNION ALL SELECT doc_id, h,
+             CASE WHEN h % 5 = 0 THEN 0 ELSE 1 END FROM d),
+         ph AS (SELECT hh, CAST(sum(al) AS BIGINT) AS nf, 1 + hh % 3 AS delay
+                FROM t GROUP BY hh),
+         sp AS (SELECT hh, nf, delay, (nf - 1) * delay AS span FROM ph),
+         rk AS (SELECT *, row_number() OVER (
+                  ORDER BY span DESC, 'host' || hh || '.example.com') AS r
+                FROM sp)
+         SELECT CAST((r - 1) % 4 AS BIGINT) AS worker,
+                CAST(count(*) AS BIGINT) AS n_hosts,
+                CAST(sum(nf) AS BIGINT) AS n_fetches,
+                CAST(sum(span) AS BIGINT) AS backlog_s,
+                CAST(max(span) AS BIGINT) AS max_span_s
+         FROM rk GROUP BY 1 ORDER BY worker""",
     // every verdict replayed from the (host, doc_id) formula: the engine
     // must parse the decoy+real robots groups, select by UA prefix, and
     // apply longest-match (incl. the Allow-beats-/q case and the host-1

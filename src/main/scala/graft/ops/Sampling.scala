@@ -454,4 +454,24 @@ object Packing {
         sum(col("__tok")).as("seq_tokens"))
   }
 
+  /** Sorted round-robin load assignment — the distributed approximation
+    * of LPT (longest-processing-time-first) bin packing: items ranked by
+    * load DESC through [[Quantiles.withGroupRank]] (range-partitioned
+    * local ranks + broadcast prefix offsets — NO single-partition
+    * window, so the rank survives millions of items), then
+    * `worker = (rank - 1) % k`. Guarantees per-worker item counts
+    * within 1 of each other and the classic sorted-greedy makespan
+    * behavior; `tieCol` must be unique so the assignment is
+    * deterministic.
+    */
+  def assignWorkers(items: DataFrame, loadCol: String, tieCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"worker count must be >= 1, got $k")
+    val prepped = items.withColumn("__g", lit(1))
+      .withColumn("__negload", -col(loadCol))
+    Quantiles.withGroupRank(prepped, Seq("__g"), Seq("__negload", tieCol))
+      .withColumn("worker", (col("__rn") - 1) % k)
+      .drop("__g", "__negload", "__rn", "__n")
+  }
+
 }

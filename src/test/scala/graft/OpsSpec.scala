@@ -3441,6 +3441,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(R.allowed(R.compile(tr), "/p/z"))
   }
 
+  test("assignWorkers: sorted round-robin = distributed LPT approximation " +
+    "(balanced counts, heaviest items spread first)") {
+    import spark.implicits._
+    val items = Seq(("a", 10L), ("b", 9L), ("c", 8L), ("d", 1L), ("e", 1L))
+      .toDF("host", "load")
+    val got = graft.ops.Packing.assignWorkers(items, "load", "host", k = 2)
+      .collect().map(r => r.getAs[String]("host") -> r.getAs[Long]("worker")).toMap
+    // rank by (load desc, host asc): a,b,c,d,e -> workers 0,1,0,1,0
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 0L, "d" -> 1L, "e" -> 0L))
+    // per-worker item counts within 1 of each other at any k
+    for (k <- Seq(2, 3, 4)) {
+      val counts = graft.ops.Packing.assignWorkers(items, "load", "host", k)
+        .groupBy("worker").count().collect().map(_.getLong(1))
+      assert(counts.max - counts.min <= 1, s"k=$k: ${counts.toSeq}")
+    }
+  }
+
   test("canonicalHost skips userinfo and keeps IPv6 literals whole") {
     import spark.implicits._
     val hosts = Seq(
