@@ -2233,6 +2233,68 @@ object SparkEntry {
         .orderBy(col("worker"))
     }),
 
+    // Beyond-reference: SITEMAP INGESTION (sitemaps.org protocol) — the
+    // discovery channel robots.txt advertises: tolerant XML parse of
+    // per-doc urlset/sitemapindex fixtures (one stateless parse per
+    // file), loc canonicalization through the shared kernel, and the
+    // DISCOVERY DELTA — one shuffled left-anti join of canonical sitemap
+    // URLs against the q215 link frontier (both sides corpus-scale at
+    // 100 TB, so no broadcast assumption) — rolled up per host with
+    // lastmod/changefreq/priority mass. The oracle replays every entry
+    // from the doc-id formula and recomputes the anti-join in SQL.
+    "q219_sitemap_discovery" -> ((s, dir) =>
+      graft.ops.Sitemaps.fixtureDiscoveryReport(t(s, dir, "documents"))),
+
+    // Beyond-reference: RECRAWL SCHEDULING — per-URL change-rate
+    // estimation from the fetch history (Cho & Garcia-Molina 2003
+    // bias-corrected Poisson estimator, integer-microunit quantized so
+    // sums replay bit-for-bit), bucketed into a hot/warm/cold revisit
+    // census per host. Two map-side-combinable hash aggregations (the
+    // raw per-check log reduces to per-URL pairs, then the host
+    // rollup) — no joins at any corpus size.
+    "q220_recrawl_schedule" -> ((s, dir) =>
+      graft.ops.Crawl.recrawlReport(
+        graft.ops.Crawl.fixtureFetchHistory(t(s, dir, "documents")),
+        "host", "doc_id", "n", "x").orderBy(col("host"))),
+
+    // Beyond-reference: CRAWL-TRAP DETECTION — per-host URL-space vs
+    // content-space explosion: canonicalize fetched URLs (synonyms
+    // collapse first), then count distinct canonical URLs against
+    // distinct content fingerprints; the fixture plants a calendar
+    // trap on host3 (unique URL per fetch, 3 contents) that must flag
+    // while every other host stays at ratio 1. Two hash aggregations,
+    // shuffle key = one canonical string then one host string.
+    "q221_trap_detection" -> ((s, dir) =>
+      graft.ops.Crawl.trapReport(
+        graft.ops.Crawl.fixtureFetchLog(t(s, dir, "documents")),
+        "url", "content").orderBy(col("host"))),
+
+    // Beyond-reference: ANCHOR-TEXT AGGREGATION — the classic target-
+    // side relevance signal (what the web calls the page it links to):
+    // the q215 scanner additionally captures the text between each
+    // outermost <a href> and its close tag (same one-pass stateless
+    // parse, entity-decoded, whitespace-collapsed), rolled up per
+    // canonical destination host — anchor count, distinct surface
+    // forms, word mass. Shuffle = one short host string + one anchor
+    // text per link; the oracle replays every (target, text) pair from
+    // the id formula.
+    "q222_anchor_text" -> ((s, dir) => {
+      val U = graft.ops.Urls
+      graft.ops.Html.extractAnchors(
+          graft.ops.Html.linkPages(t(s, dir, "documents")))
+        .select(
+          U.canonicalHost(U.canonicalizeUrl(
+            U.resolveUrl(col("base_url"), col("href")))).as("dst_host"),
+          trim(col("anchor_text")).as("a"))
+        .groupBy(col("dst_host"))
+        .agg(count(lit(1)).as("n_anchors"),
+          count_distinct(col("a")).as("n_texts"),
+          sum(when(length(col("a")) === 0, 0L)
+            .otherwise(size(split(col("a"), "\\s+")).cast("long")))
+            .as("word_mass"))
+        .orderBy(col("dst_host"))
+    }),
+
     // Beyond-reference: SOURCE-OVERLAP MATRIX — "which dumps/crawl
     // snapshots overlap, and by how much" answered with ONE corpus scan:
     // per-source MinHash signatures (min distributes over union, so the
@@ -6568,6 +6630,137 @@ object SparkEntry {
                   AS est_jaccard
          FROM hs a JOIN hs b ON a.j = b.j AND a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // every (destination, anchor text) pair replayed from the id
+    // formula — the engine must capture the text between the real <a>
+    // and </a> tags (entity-decoded, collapsed) and resolve the target
+    "q222_anchor_text" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS h FROM documents),
+         an AS (
+           SELECT 'host' || h || '.example.com' AS dst, 'Home' AS t, 1 AS w
+           FROM d
+           UNION ALL
+           SELECT 'host' || h || '.example.com', 'About', 1 FROM d
+           UNION ALL
+           SELECT 'host' || ((doc_id + 1) % 7) || '.example.com',
+                  'read more ' || (doc_id % 23), 3 FROM d
+           UNION ALL
+           SELECT 'host' || ((doc_id + 2) % 7) || '.example.com',
+                  'partner', 1 FROM d WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT 'host' || h || '.example.com', 'prev', 1 FROM d
+           UNION ALL
+           SELECT 'host' || h || '.example.com', 'search', 1 FROM d)
+         SELECT dst AS dst_host, CAST(count(*) AS BIGINT) AS n_anchors,
+                CAST(count(DISTINCT t) AS BIGINT) AS n_texts,
+                CAST(sum(w) AS BIGINT) AS word_mass
+         FROM an GROUP BY dst ORDER BY dst_host""",
+    // every sitemap entry replayed from the doc-id formula; the
+    // discovery delta recomputed with a SQL anti-join against the q215
+    // frontier canonicals — the engine must parse the XML (incl. the
+    // image:loc trap and the missing-priority default), canonicalize,
+    // and land on the same per-host census
+    "q219_sitemap_discovery" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS h FROM documents),
+         fr AS (SELECT DISTINCT canon FROM (
+           SELECT 'https://host' || h || '.example.com/' AS canon FROM d
+           UNION ALL
+           SELECT 'https://host' || h || '.example.com/about' FROM d
+           UNION ALL
+           SELECT 'https://host' || ((doc_id + 1) % 7) || '.example.com/ref/'
+             || (doc_id % 23) || '?x=1' FROM d
+           UNION ALL
+           SELECT 'https://host' || ((doc_id + 2) % 7) || '.example.com/pp'
+           FROM d WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT 'https://host' || h || '.example.com/d/sibling'
+             || (doc_id % 5) FROM d
+           UNION ALL
+           SELECT 'https://host' || h || '.example.com/q?a=1&b=2' FROM d)),
+         ue AS (
+           SELECT doc_id, h,
+             'https://host' || h || '.example.com/ref/' || (doc_id % 23)
+               || '?x=1' AS canon,
+             DATE '2024-01-01' + CAST(doc_id % 365 AS INT) AS lastmod,
+             CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+               ELSE 'monthly' END AS cf,
+             CAST(1 + doc_id % 9 AS BIGINT) AS prio
+           FROM d WHERE doc_id % 5 <> 0
+           UNION ALL
+           SELECT doc_id, h,
+             'https://host' || h || '.example.com/s/' || (doc_id % 13),
+             DATE '2024-01-01' + CAST(doc_id % 30 AS INT), NULL, 5
+           FROM d WHERE doc_id % 5 <> 0
+           UNION ALL
+           SELECT doc_id, h,
+             'https://host' || h || '.example.com/about', NULL, NULL, 5
+           FROM d WHERE doc_id % 5 <> 0),
+         ch AS (SELECT h, 2 AS n FROM d WHERE doc_id % 5 = 0),
+         newu AS (SELECT h, count(*) AS n_new FROM ue
+                  WHERE canon NOT IN (SELECT canon FROM fr) GROUP BY h),
+         agg AS (SELECT h, count(*) AS n_entries, max(lastmod) AS latest_lastmod,
+                   sum(CASE WHEN cf = 'daily' THEN 1 ELSE 0 END) AS n_daily,
+                   sum(prio) AS prio_tenths
+                 FROM ue GROUP BY h),
+         chn AS (SELECT h, sum(n) AS n_children FROM ch GROUP BY h)
+         SELECT 'host' || h || '.example.com' AS host,
+                CAST(n_entries AS BIGINT) AS n_entries,
+                CAST(coalesce(chn.n_children, 0) AS BIGINT) AS n_children,
+                latest_lastmod,
+                CAST(n_daily AS BIGINT) AS n_daily,
+                CAST(prio_tenths AS BIGINT) AS prio_tenths,
+                CAST(coalesce(newu.n_new, 0) AS BIGINT) AS n_new
+         FROM agg LEFT JOIN chn USING (h) LEFT JOIN newu USING (h)
+         ORDER BY host""",
+    // the per-URL (n, X) pairs and the bias-corrected Poisson estimate
+    // replayed from the check formula — microunit floors are
+    // engine-independent across the whole (n, X) input space
+    "q220_recrawl_schedule" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents),
+         chk AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS k FROM d),
+         hx AS (SELECT doc_id, n,
+                  sum(CASE WHEN (doc_id * 31 + k * 17) % 7 < doc_id % 3 + 1
+                      THEN 1 ELSE 0 END) AS x
+                FROM chk GROUP BY doc_id, n),
+         lam AS (SELECT doc_id,
+                   'host' || (doc_id % 7) || '.example.com' AS host,
+                   CAST(floor(-1e6 * ln((n - x + 0.5) / (n + 0.5)))
+                     AS BIGINT) AS lm
+                 FROM hx),
+         rv AS (SELECT host, lm,
+                  CASE WHEN lm <= 0 THEN 30
+                       ELSE greatest(1, least(30,
+                         CAST(floor(1000000.0 / lm) AS BIGINT))) END AS revisit
+                FROM lam)
+         SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+                CAST(sum(lm) AS BIGINT) AS lambda_mass,
+                CAST(sum(CASE WHEN revisit <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hot,
+                CAST(sum(CASE WHEN revisit BETWEEN 3 AND 7 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_warm,
+                CAST(sum(CASE WHEN revisit > 7 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_cold,
+                CAST(sum(revisit) AS BIGINT) AS revisit_budget
+         FROM rv GROUP BY host ORDER BY host""",
+    // distinct canonical URLs and contents replayed via symbolic keys
+    // (the canonicalizer's collapse is pinned by q212; the trap's
+    // uniqueness rides the doc id in the path) — host3's ratio must
+    // explode and flag, every other host must sit at exactly 1e6
+    "q221_trap_detection" ->
+      """WITH d AS (SELECT doc_id, doc_id % 250 AS m FROM documents),
+         lg AS (
+           SELECT 'host' || (m % 7) || '.example.com' AS host,
+                  'n' || m AS ckey, 'c' || m AS content FROM d
+           UNION ALL
+           SELECT 'host3.example.com', 't' || doc_id,
+                  'trap' || (doc_id % 3) FROM d WHERE doc_id % 4 = 1)
+         SELECT host, CAST(count(*) AS BIGINT) AS n_requests,
+                CAST(count(DISTINCT ckey) AS BIGINT) AS n_urls,
+                CAST(count(DISTINCT content) AS BIGINT) AS n_contents,
+                CAST(floor(1000000.0 * count(DISTINCT ckey)
+                  / count(DISTINCT content)) AS BIGINT) AS ratio_micro,
+                floor(1000000.0 * count(DISTINCT ckey)
+                  / count(DISTINCT content)) >= 2000000 AS trap
+         FROM lg GROUP BY host ORDER BY host""",
     // the per-host allowed counts replay q217's verdict formulas; the
     // sorted-round-robin assignment replays the exact (span DESC, host)
     // rank — a hash match proves the distributed rank ordered the same

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Crawl scheduling analytics — the two reports a frontier scheduler
+  * maintains once fetching is running:
+  *
+  *  - **Recrawl scheduling**: per-URL change-rate estimation from the
+  *    fetch history via the bias-corrected Poisson estimator of Cho &
+  *    Garcia-Molina 2003 ("Estimating Frequency of Change", ACM TOIT
+  *    3(3), eq. for r̂ = -ln((n - X + 0.5)/(n + 0.5)) with n checks and
+  *    X observed changes), mapped to a clamped revisit interval.
+  *  - **Crawl-trap detection**: per-host URL-space vs content-space
+  *    explosion — a host whose distinct canonical URLs far outnumber
+  *    its distinct content fingerprints is serving the same bytes under
+  *    unbounded URL synonyms (calendar pages, session ids), and a
+  *    polite crawler caps its budget there.
+  *
+  * Scale shape: both are two-level hash aggregations (URL then host) —
+  * map-side combinable, no joins, shuffle key = one canonical-URL
+  * string then one short host string. The estimator is computed in
+  * integer MICROUNITS (`floor(1e6·λ)`) so every downstream sum replays
+  * bit-for-bit on any engine (the q210 quantization convention). The
+  * reference engine has no crawl surface — beyond-reference, cited
+  * against the published estimator.
+  */
+object Crawl {
+
+  /** `floor(1e6 · -ln((n - x + 0.5)/(n + 0.5)))` as a long — the
+    * bias-corrected Poisson change-rate estimate in microunits per
+    * check interval. X = 0 yields exactly 0 (ln 1); the distinct
+    * (n, x) input space is tiny, and no value in it lands within an
+    * ulp of an integer boundary, so the floor replays identically
+    * under any IEEE libm (verified for n ≤ 64 in OpsSpec).
+    */
+  def changeRateMicro(n: Column, x: Column): Column =
+    floor(lit(-1e6) * log(
+      (n.cast("double") - x.cast("double") + lit(0.5)) /
+        (n.cast("double") + lit(0.5)))).cast("long")
+
+  /** Clamped revisit interval in check-units from a microunit rate:
+    * never-observed-changing URLs park at the 30-unit cold cap; the
+    * rest get `floor(1e6 / λ_micro)` clamped to [1, 30] — exact
+    * integer division, engine-independent.
+    */
+  def revisitUnits(lambdaMicro: Column): Column =
+    when(lambdaMicro <= 0, lit(30L)).otherwise(
+      greatest(lit(1L), least(lit(30L),
+        floor(lit(1000000L).cast("double") / lambdaMicro.cast("double"))
+          .cast("long"))))
+
+  /** Per-host recrawl schedule over a per-URL fetch history
+    * (hostCol, urlCol, nCol = checks, xCol = observed changes):
+    * URL counts, total change-rate mass (microunits), the hot (≤ 2
+    * units) / warm (3-7) / cold (> 7) revisit-bucket census, and the
+    * total revisit budget. One aggregation — the history is already
+    * per-URL; a raw per-fetch log reduces to it with one groupBy
+    * upstream.
+    */
+  def recrawlReport(history: DataFrame, hostCol: String, urlCol: String,
+      nCol: String, xCol: String): DataFrame = {
+    val lam = changeRateMicro(col(nCol), col(xCol))
+    val perUrl = history.select(col(hostCol).as("host"), col(urlCol),
+      lam.as("lambda_micro"), revisitUnits(lam).as("revisit"))
+    perUrl.groupBy(col("host")).agg(
+      count(lit(1)).as("n_urls"),
+      sum(col("lambda_micro")).as("lambda_mass"),
+      count(when(col("revisit") <= 2, 1)).as("n_hot"),
+      count(when(col("revisit") >= 3 && col("revisit") <= 7, 1)).as("n_warm"),
+      count(when(col("revisit") > 7, 1)).as("n_cold"),
+      sum(col("revisit")).as("revisit_budget"))
+  }
+
+  /** Deterministic fetch-history fixture (generator-formula pattern):
+    * each document is one URL on host `doc_id % 7`, checked
+    * `n = 3 + doc_id % 5` times; check k (1-based) observed a change
+    * iff `(doc_id·31 + k·17) mod 7 < doc_id mod 3 + 1`. The fixture
+    * materializes the RAW per-check log (explode) so the operator's
+    * first aggregation is real work, not a precomputed pair.
+    */
+  def fixtureFetchHistory(docs: DataFrame): DataFrame = {
+    val d = col("doc_id").cast("long")
+    val n = lit(3L) + pmod(d, lit(5L))
+    docs.select(d.as("doc_id"), n.as("n"),
+        explode(sequence(lit(1L), n)).as("k"))
+      .withColumn("changed",
+        pmod(col("doc_id") * 31 + col("k") * 17, lit(7L)) <
+          pmod(col("doc_id"), lit(3L)) + 1)
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(when(col("changed"), 1L).otherwise(0L)).as("x"))
+      .withColumn("host",
+        concat(lit("host"), pmod(col("doc_id"), lit(7L)), lit(".example.com")))
+  }
+
+  /** Per-host crawl-trap report over a fetch log (urlCol = RAW fetched
+    * URL, contentCol = content fingerprint): canonicalize (the shared
+    * codegen kernel — URL synonyms collapse BEFORE counting), then per
+    * host: requests, distinct canonical URLs, distinct contents, the
+    * URL-per-content ratio in microunits (exactly-rounded IEEE double
+    * division, engine-independent), and the trap verdict at
+    * `ratioMicroThreshold` (default 2×: twice as many URLs as
+    * contents).
+    */
+  def trapReport(log: DataFrame, urlCol: String, contentCol: String,
+      ratioMicroThreshold: Long = 2000000L): DataFrame = {
+    val canon = Urls.canonicalizeUrl(col(urlCol))
+    log.select(canon.as("__c"), col(contentCol).cast("string").as("__k"))
+      .groupBy(Urls.canonicalHost(col("__c")).as("host"))
+      .agg(count(lit(1)).as("n_requests"),
+        count_distinct(col("__c")).as("n_urls"),
+        count_distinct(col("__k")).as("n_contents"))
+      .withColumn("ratio_micro",
+        floor((lit(1000000L) * col("n_urls")).cast("double") /
+          col("n_contents").cast("double")).cast("long"))
+      .withColumn("trap", col("ratio_micro") >= ratioMicroThreshold)
+  }
+
+  /** Deterministic fetch-log fixture for [[trapReport]]: every doc
+    * fetches its q212 noisy URL (250 logical URLs, content keyed by the
+    * logical id `m = doc_id % 250` — URL synonyms collapse onto one
+    * content each), and every 4th doc additionally hits a calendar
+    * trap on host3 — a messy-cased URL carrying the doc id in the path
+    * (unique canonical per fetch) while serving one of only 3 distinct
+    * contents. Host3's URL/content ratio explodes; every other host
+    * stays at 1.
+    */
+  def fixtureFetchLog(docs: DataFrame): DataFrame = {
+    val d = col("doc_id").cast("long")
+    val m = pmod(d, lit(250L))
+    val normal = docs.select(
+      Urls.noisyUrl(d).as("url"),
+      concat(lit("c"), m).as("content"))
+    val trap = docs.filter(pmod(d, lit(4L)) === 1).select(
+      concat(lit("HTTP://Host3.Example.COM:80/cal/"),
+        (lit(1L) + pmod(d, lit(12L))), lit("/./"), d, lit("#top")).as("url"),
+      concat(lit("trap"), pmod(d, lit(3L))).as("content"))
+    normal.unionByName(trap)
+  }
+}

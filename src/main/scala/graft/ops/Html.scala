@@ -55,6 +55,15 @@ object Html {
     */
   def blocks(html: String): Vector[Block] = scan(html, collectLinks = false)._1
 
+  /** (href, anchor text) pairs in document order — the same walk as
+    * [[links]], additionally capturing the entity-decoded, whitespace-
+    * collapsed text between each outermost `<a href=…>` and its close
+    * tag (the classic target-side relevance signal: what the web calls
+    * the page it links to).
+    */
+  def linksWithText(html: String): Vector[(String, String)] =
+    scan(html, collectLinks = true)._3
+
   /** All anchor hrefs in document order — the SAME tolerant walk as
     * [[blocks]] (comments and raw-text script/style bodies skipped, so
     * an `<a href="/trap">` inside a JS string never leaks; attribute
@@ -141,8 +150,10 @@ object Html {
     sb.toString
   }
 
-  private def scan(html: String, collectLinks: Boolean): (Vector[Block], Vector[String]) = {
+  private def scan(html: String, collectLinks: Boolean)
+      : (Vector[Block], Vector[String], Vector[(String, String)]) = {
     val linksOut = Vector.newBuilder[String]
+    val anchorsOut = Vector.newBuilder[(String, String)]
     val out = Vector.newBuilder[Block]
     val text = new StringBuilder
     var words = 0
@@ -151,7 +162,16 @@ object Html {
     var curTag = "body"
     var inWord = false
     var wordLinked = false
+    // anchor-text capture (collectLinks mode): the OUTERMOST open <a>
+    // with an href owns the accumulator until its close tag; block
+    // flushes do not interrupt it (a mid-anchor <br> keeps the text)
+    var curHref: String = null
+    val aText = new StringBuilder
 
+    def closeAnchor(): Unit = if (curHref != null) {
+      anchorsOut += ((curHref, aText.toString.trim))
+      curHref = null; aText.clear()
+    }
     def endWord(): Unit = if (inWord) {
       words += 1
       if (wordLinked) linkWords += 1
@@ -168,9 +188,11 @@ object Html {
       if (c.isWhitespace) {
         endWord()
         if (text.nonEmpty && text.last != ' ') text += ' '
+        if (curHref != null && aText.nonEmpty && aText.last != ' ') aText += ' '
       } else {
         if (!inWord) { inWord = true; wordLinked = linkDepth > 0 }
         text += c
+        if (curHref != null) aText += c
       }
     }
 
@@ -236,11 +258,16 @@ object Html {
               }
               i = if (found < 0) n else found
             } else if (name == "a") {
-              if (closing) { if (linkDepth > 0) linkDepth -= 1 }
-              else {
+              if (closing) {
+                if (linkDepth > 0) linkDepth -= 1
+                if (linkDepth == 0) closeAnchor()
+              } else {
                 linkDepth += 1
                 if (collectLinks && end > j)
-                  hrefOf(html.substring(j, end)).foreach(linksOut += _)
+                  hrefOf(html.substring(j, end)).foreach { h =>
+                    linksOut += h
+                    if (curHref == null) curHref = h
+                  }
               }
             } else if (BLOCK_TAGS(name)) {
               flush(if (closing) "body" else name)
@@ -261,7 +288,8 @@ object Html {
       } else { emit(c); i += 1 }
     }
     flush("body")
-    (out.result(), linksOut.result())
+    closeAnchor() // unterminated trailing anchor: keep what it captured
+    (out.result(), linksOut.result(), anchorsOut.result())
   }
 
   /** Extract content text + metrics from one page. */
@@ -413,7 +441,7 @@ object Html {
     sb ++= s"<h1>Doc $docId</h1>"
     sb ++= s"<p>${words.map(esc).mkString(" ")}</p>"
     sb ++= s"<p><a HREF=\"HTTPS://Host${(docId + 1) % 7}.Example.COM:443" +
-      s"/ref/${docId % 23}?utm_source=feed&x=1#s\">read more</a></p>"
+      s"/ref/${docId % 23}?utm_source=feed&x=1#s\">read more ${docId % 23}</a></p>"
     if (docId % 2 == 0)
       sb ++= s"<div><a href='//Host${(docId + 2) % 7}.example.com/pp'>partner</a></div>"
     sb ++= s"<p><a href=\"../sibling${docId % 5}\">prev</a> " +
@@ -451,6 +479,20 @@ object Html {
       .mapPartitions(_.flatMap { case (id, base, html) =>
         links(html).iterator.map(h => (id, base, h))
       }).toDF("doc_id", "base_url", "href")
+  }
+
+  /** One row per extracted anchor with its text:
+    * (doc_id, base_url, href, anchor_text) — same stateless parse
+    * boundary as [[extractLinks]].
+    */
+  def extractAnchors(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("base_url"), col("html"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, base, html) =>
+        linksWithText(html).iterator.map { case (h, t) => (id, base, h, t) }
+      }).toDF("doc_id", "base_url", "href", "anchor_text")
   }
 
   /** Per-page extraction over an html column: one stateless parse pass

@@ -1,0 +1,256 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sitemap ingestion — the sitemaps.org XML protocol (the discovery
+  * channel robots.txt advertises via its `Sitemap:` line, feeding the
+  * crawl frontier alongside link extraction): tolerant parsing of
+  * `<urlset>` files (`loc` / `lastmod` / `changefreq` / `priority` per
+  * `<url>`) and `<sitemapindex>` files (`<sitemap><loc>` children),
+  * XML entity decoding, and the discovery-delta report a crawler
+  * schedules from — which sitemap URLs are NEW relative to the
+  * link-extraction frontier.
+  *
+  * Scale shape: one stateless parse per sitemap file (O(bytes), zero
+  * shuffle — the q205/q215 codec-boundary pattern); canonicalization is
+  * the shared codegen kernel; the discovery delta is ONE left-anti join
+  * on the canonical-URL string (both sides corpus-scale at 100 TB, so a
+  * shuffled anti-join on the canonical key is the right plan — no
+  * broadcast assumption), followed by a per-host rollup of two short
+  * strings + counters. The reference engine has no crawl surface —
+  * beyond-reference, cited against the public sitemaps.org protocol
+  * (www.sitemaps.org/protocol.html).
+  */
+object Sitemaps {
+
+  /** One parsed record: `kind` = "url" (urlset entry) | "sitemap"
+    * (index child); optional fields null when absent.
+    */
+  case class Entry(kind: String, loc: String, lastmod: String,
+      changefreq: String, priority: String)
+
+  /** Decode the five XML predefined entities + numeric character
+    * references in element text (`&amp; &lt; &gt; &quot; &apos;
+    * &#NN; &#xNN;`); unknown/unterminated references are kept literal
+    * (tolerant-crawler posture, same rule as the HTML scanner).
+    */
+  def decodeXmlEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val body = s.substring(i + 1, semi)
+          val decoded: Option[Array[Char]] =
+            if (body.startsWith("#x") || body.startsWith("#X"))
+              scala.util.Try(Character.toChars(
+                Integer.parseInt(body.drop(2), 16))).toOption
+            else if (body.startsWith("#"))
+              scala.util.Try(Character.toChars(body.drop(1).toInt)).toOption
+            else body match {
+              case "amp" => Some(Array('&'))
+              case "lt" => Some(Array('<'))
+              case "gt" => Some(Array('>'))
+              case "quot" => Some(Array('"'))
+              case "apos" => Some(Array('\''))
+              case _ => None
+            }
+          decoded match {
+            case Some(chars) => sb ++= new String(chars); i = semi + 1
+            case None => sb += c; i += 1
+          }
+        } else { sb += c; i += 1 }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Case-insensitive scan for `<name ...>body</name>` blocks at any
+    * depth, XML comments skipped. Returns (bodyStart, bodyEnd) spans.
+    * Tag-name match is EXACT (namespace-prefixed names like
+    * `<image:loc>` do NOT match `loc` — the sitemap image-extension
+    * trap), checked by requiring the char before the name to be `<`
+    * and the char after to be `>`, whitespace, or `/`.
+    */
+  private def blockSpans(xml: String, name: String): Vector[(Int, Int)] = {
+    val lower = xml.toLowerCase(java.util.Locale.ROOT)
+    val open = "<" + name
+    val close = "</" + name
+    var spans = Vector.empty[(Int, Int)]
+    var i = 0
+    while (i >= 0 && i < lower.length) {
+      val cmt = lower.indexOf("<!--", i)
+      val o = lower.indexOf(open, i)
+      if (o < 0) return spans
+      if (cmt >= 0 && cmt < o) {
+        val e = lower.indexOf("-->", cmt + 4)
+        i = if (e < 0) lower.length else e + 3
+      } else {
+        val afterIdx = o + open.length
+        val after = if (afterIdx < lower.length) lower.charAt(afterIdx) else ' '
+        if (after != '>' && !after.isWhitespace && after != '/') {
+          i = afterIdx // prefix of a longer name (<url of <urlset) — skip
+        } else {
+          val gt = lower.indexOf('>', o)
+          if (gt < 0) return spans
+          if (lower.charAt(gt - 1) == '/') { i = gt + 1 } // self-closing: no body
+          else {
+            val c = lower.indexOf(close, gt + 1)
+            if (c < 0) return spans
+            spans :+= ((gt + 1, c))
+            i = lower.indexOf('>', c + 1) match {
+              case -1 => lower.length
+              case e => e + 1
+            }
+          }
+        }
+      }
+    }
+    spans
+  }
+
+  /** Text of the FIRST direct `<name>` child inside a block body,
+    * trimmed and entity-decoded; null when absent.
+    */
+  private def childText(body: String, name: String): String =
+    blockSpans(body, name).headOption
+      .map { case (s, e) => decodeXmlEntities(body.substring(s, e).trim) }
+      .orNull
+
+  /** Parse one sitemap file: `<urlset>` yields one "url" Entry per
+    * `<url>` block (entries missing `<loc>` are dropped — nothing to
+    * fetch), `<sitemapindex>` yields one "sitemap" Entry per
+    * `<sitemap>` block. A file that is neither parses empty (tolerant).
+    */
+  def parse(xml: String): Vector[Entry] = {
+    val urls = blockSpans(xml, "url").map { case (s, e) =>
+      val body = xml.substring(s, e)
+      Entry("url", childText(body, "loc"), childText(body, "lastmod"),
+        childText(body, "changefreq"), childText(body, "priority"))
+    }
+    val children = blockSpans(xml, "sitemap").map { case (s, e) =>
+      val body = xml.substring(s, e)
+      Entry("sitemap", childText(body, "loc"), childText(body, "lastmod"),
+        null, null)
+    }
+    (urls ++ children).filter(_.loc != null)
+  }
+
+  /** files (idCol, xmlCol) → one row per parsed entry:
+    * (id, kind, loc, lastmod, changefreq, priority). One stateless
+    * parse per file at the codec boundary.
+    */
+  def parseSitemaps(files: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(idCol).cast("long"), col(xmlCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, xml) =>
+        graft.ops.Sitemaps.parse(xml).iterator.map(en =>
+          (id, en.kind, en.loc, en.lastmod, en.changefreq, en.priority))
+      }).toDF("id", "kind", "loc", "lastmod", "changefreq", "priority")
+  }
+
+  /** Deterministic per-doc sitemap fixture (the generator-formula
+    * pattern, host h = doc_id % 7): every 5th doc serves a
+    * `<sitemapindex>` with two child sitemaps; the rest serve a
+    * `<urlset>` with three entries — a messy-cased `/ref/` URL with a
+    * tracking param and an `&amp;`-encoded query separator (already in
+    * the link frontier after canonicalization), a clean `/s/` URL (a
+    * path prefix link extraction never produces — the sitemap-only
+    * discovery), and a `www.`-noised `/about` (frontier-known). Noise
+    * planted for the parser: XML declaration + comment, namespace
+    * attribute, surrounding whitespace in `<loc>`, an
+    * `<image:image><image:loc>` extension block that must NOT be
+    * mistaken for the entry's `<loc>`, a missing `<priority>`
+    * (defaulted 0.5 per the protocol) and a missing `<lastmod>`.
+    */
+  def sitemapFixtureFor(d: Long): String = {
+    val h = d % 7
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+    sb ++= s"<!-- synthetic sitemap for doc $d -->\n"
+    if (d % 5 == 0) {
+      sb ++= "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"
+      sb ++= s"  <sitemap><loc>https://host$h.example.com/sitemap_${d % 4}_0.xml</loc>" +
+        s"<lastmod>${lastmodFor(d)}</lastmod></sitemap>\n"
+      sb ++= s"  <sitemap>\n    <loc>https://host$h.example.com/sitemap_${d % 4}_1.xml</loc>\n  </sitemap>\n"
+      sb ++= "</sitemapindex>\n"
+    } else {
+      sb ++= "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"
+      sb ++= "  <url>\n"
+      sb ++= s"    <loc>HTTPS://Host$h.Example.COM:443/ref/${d % 23}?utm_source=feed&amp;x=1</loc>\n"
+      sb ++= s"    <lastmod>${lastmodFor(d)}</lastmod>\n"
+      sb ++= s"    <changefreq>${Vector("daily", "weekly", "monthly")((d % 3).toInt)}</changefreq>\n"
+      sb ++= s"    <priority>0.${1 + d % 9}</priority>\n"
+      sb ++= s"    <image:image><image:loc>https://host$h.example.com/img/$d.png</image:loc></image:image>\n"
+      sb ++= "  </url>\n"
+      sb ++= s"  <url><loc>https://host$h.example.com/s/${d % 13}</loc>" +
+        s"<lastmod>${lastmodShortFor(d)}</lastmod></url>\n"
+      sb ++= s"  <url>\n    <loc>  https://WWW.Host$h.Example.COM/about  </loc>\n" +
+        "    <priority>0.5</priority>\n  </url>\n"
+      sb ++= "</urlset>\n"
+    }
+    sb.toString
+  }
+
+  /** `2024-01-01 + (d mod 365)` days, ISO — replayable as DuckDB
+    * `DATE '2024-01-01' + CAST(d % 365 AS INT)`.
+    */
+  def lastmodFor(d: Long): String =
+    java.time.LocalDate.of(2024, 1, 1).plusDays(d % 365).toString
+
+  /** `2024-01-01 + (d mod 30)` days, ISO. */
+  def lastmodShortFor(d: Long): String =
+    java.time.LocalDate.of(2024, 1, 1).plusDays(d % 30).toString
+
+  /** documents → (doc_id, xml) sitemap-file fixture. */
+  def fixtureSitemaps(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(d => (d, graft.ops.Sitemaps.sitemapFixtureFor(d))))
+      .toDF("doc_id", "xml")
+  }
+
+  /** The q219 report: parse the per-doc sitemap fixture, canonicalize
+    * url-entry locs, anti-join against the link-extraction frontier
+    * (q215's resolved canonical targets), and roll up per host —
+    * file/entry/child counts, the sitemap-only discovery count, the
+    * latest lastmod, daily-changefreq entries, and the priority mass in
+    * exact tenths (missing priority = the protocol's 0.5 default).
+    */
+  def fixtureDiscoveryReport(docs: DataFrame): DataFrame = {
+    val U = Urls
+    val parsed = parseSitemaps(fixtureSitemaps(docs), "doc_id", "xml")
+    val entries = parsed
+      .withColumn("canon",
+        when(col("kind") === "url", U.canonicalizeUrl(col("loc")))
+          .otherwise(col("loc")))
+      .withColumn("host", U.canonicalHost(col("canon")))
+    val frontier = Html.extractLinks(Html.linkPages(docs))
+      .select(U.canonicalizeUrl(
+        U.resolveUrl(col("base_url"), col("href"))).as("canon"))
+      .distinct()
+    val urlEntries = entries.filter(col("kind") === "url")
+    val newUrls = urlEntries.select(col("host"), col("canon"))
+      .join(frontier, Seq("canon"), "left_anti")
+      .groupBy(col("host")).agg(count(lit(1)).as("n_new"))
+    val perHost = entries.groupBy(col("host")).agg(
+      count(when(col("kind") === "url", 1)).as("n_entries"),
+      count(when(col("kind") === "sitemap", 1)).as("n_children"),
+      max(when(col("kind") === "url", to_date(col("lastmod"))))
+        .as("latest_lastmod"),
+      count(when(col("changefreq") === "daily", 1)).as("n_daily"),
+      sum(when(col("kind") === "url",
+        coalesce((regexp_extract(col("priority"), "^0\\.(\\d)$", 1))
+          .cast("long"), lit(5L)))).as("prio_tenths"))
+    perHost.join(newUrls, Seq("host"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .orderBy(col("host"))
+  }
+}

@@ -3502,4 +3502,189 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map("en" -> 1L, "de" -> 1L),
       s"empty/whitespace-only docs must contribute no rows (oracle drops them): $out")
   }
+
+  test("linksWithText: anchor text captured entity-decoded and collapsed; " +
+    "inline tags inside the anchor keep the text; href-less anchors " +
+    "yield no pair; raw-text traps stay out") {
+    val H = graft.ops.Html
+    assert(H.linksWithText("<a href=\"/x\">Hello &amp; <b>world</b></a>") ===
+      Vector("/x" -> "Hello & world"))
+    assert(H.linksWithText("<p><a href='/a'>one</a> mid <a href=/b>two  words</a></p>") ===
+      Vector("/a" -> "one", "/b" -> "two words"))
+    // no href: no pair (but an outer anchor still owns its text)
+    assert(H.linksWithText("<a name=\"x\">plain</a>") === Vector.empty)
+    // unterminated trailing anchor keeps what it captured
+    assert(H.linksWithText("<a href=\"/t\">tail text") ===
+      Vector("/t" -> "tail text"))
+    // script-string anchor must not leak
+    assert(H.linksWithText(
+      "<script>var s = \"<a href=\\\"/trap\\\">no</a>\";</script>" +
+        "<a href=\"/real\">yes</a>") === Vector("/real" -> "yes"))
+    // the link fixture's anchors carry their formula texts
+    val got = H.linksWithText(H.linkPageFor(8L, "w1 w2 w3")).toMap
+    assert(got.values.toSet.contains("read more 8"))
+    assert(got.values.toSet.intersect(Set("Home", "About", "prev", "search"))
+      .size === 4)
+  }
+
+  test("sitemap parse: urlset entries, entity decode, image:loc trap, " +
+    "whitespace trim, missing fields, loc-less entries dropped") {
+    val S = graft.ops.Sitemaps
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<!-- a comment with a fake <url><loc>https://no.example.com/</loc></url> -->
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url>
+        |    <loc>https://a.example.com/p?x=1&amp;y=2</loc>
+        |    <lastmod>2024-03-05</lastmod>
+        |    <changefreq>daily</changefreq>
+        |    <priority>0.8</priority>
+        |    <image:image><image:loc>https://a.example.com/i.png</image:loc></image:image>
+        |  </url>
+        |  <url><loc>  https://b.example.com/q  </loc></url>
+        |  <url><changefreq>weekly</changefreq></url>
+        |</urlset>""".stripMargin
+    val got = S.parse(xml)
+    assert(got.size === 2, s"loc-less entry dropped, comment ignored: $got")
+    assert(got(0) === S.Entry("url", "https://a.example.com/p?x=1&y=2",
+      "2024-03-05", "daily", "0.8"))
+    assert(got(1) === S.Entry("url", "https://b.example.com/q", null, null, null))
+  }
+
+  test("sitemap parse: sitemapindex children; junk files parse empty; " +
+    "self-closing tags skipped") {
+    val S = graft.ops.Sitemaps
+    val idx =
+      """<sitemapindex>
+        |  <sitemap><loc>https://h.example.com/s1.xml</loc>
+        |    <lastmod>2024-01-02</lastmod></sitemap>
+        |  <sitemap>
+        |    <loc>https://h.example.com/s2.xml</loc>
+        |  </sitemap>
+        |  <sitemap/>
+        |</sitemapindex>""".stripMargin
+    val got = S.parse(idx)
+    assert(got.map(_.kind).toSet === Set("sitemap"))
+    assert(got.map(_.loc) === Vector("https://h.example.com/s1.xml",
+      "https://h.example.com/s2.xml"))
+    assert(got(0).lastmod === "2024-01-02" && got(1).lastmod === null)
+    assert(S.parse("not xml at all") === Vector.empty)
+    assert(S.parse("<html><body><a href='/x'>y</a></body></html>") === Vector.empty)
+  }
+
+  test("decodeXmlEntities: named, numeric, hex, non-BMP, unknown and " +
+    "unterminated kept literal") {
+    val S = graft.ops.Sitemaps
+    assert(S.decodeXmlEntities("a&amp;b&lt;c&gt;d&quot;e&apos;f") ===
+      "a&b<c>d\"e'f")
+    assert(S.decodeXmlEntities("x&#65;y&#x42;z") === "xAyBz")
+    assert(S.decodeXmlEntities("g&#x1F600;h") === "g😀h")
+    assert(S.decodeXmlEntities("keep &nbsp; and &unterminated") ===
+      "keep &nbsp; and &unterminated")
+    assert(S.decodeXmlEntities("no entities") === "no entities")
+  }
+
+  test("recrawl estimator: microunit floors sit far from integer " +
+    "boundaries across the whole (n<=64, x<n) space, and the codegen " +
+    "column agrees with the scala replay") {
+    import spark.implicits._
+    for (n <- 1 to 64; x <- 0 until n) {
+      val v = -1e6 * math.log((n - x + 0.5) / (n + 0.5))
+      val fr = v - math.floor(v)
+      assert(v == 0.0 || math.min(fr, 1 - fr) > 1e-7,
+        s"n=$n x=$x lands within libm slack of a floor boundary: $v")
+    }
+    val grid = (for (n <- 3 to 7; x <- 0 until n) yield (n.toLong, x.toLong))
+      .toDF("n", "x")
+    val got = grid.select(col("n"), col("x"),
+        graft.ops.Crawl.changeRateMicro(col("n"), col("x")).as("lm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (((n, x), lm) <- got) {
+      val expected = math.floor(-1e6 * math.log((n - x + 0.5) / (n + 0.5))).toLong
+      assert(lm === expected, s"n=$n x=$x")
+      assert(x > 0 || lm === 0L, "never-changed URLs estimate exactly 0")
+    }
+  }
+
+  test("recrawlReport: hand history lands in the right revisit buckets") {
+    import spark.implicits._
+    // lambda_micro: (4,0)=0 -> revisit 30 (cold); (4,4)=2197224 -> 1 (hot);
+    // (6,1)=167054 -> 5 (warm); (3,1)=336472 -> 2 (hot)
+    val hist = Seq(
+      ("h1", "u1", 4L, 0L), ("h1", "u2", 4L, 4L),
+      ("h2", "u3", 6L, 1L), ("h2", "u4", 3L, 1L))
+      .toDF("host", "url", "n", "x")
+    val got = graft.ops.Crawl.recrawlReport(hist, "host", "url", "n", "x")
+      .orderBy("host").collect()
+    val h1 = got(0); val h2 = got(1)
+    assert(h1.getAs[Long]("n_urls") === 2 && h1.getAs[Long]("n_hot") === 1 &&
+      h1.getAs[Long]("n_warm") === 0 && h1.getAs[Long]("n_cold") === 1)
+    assert(h1.getAs[Long]("revisit_budget") === 31)
+    assert(h2.getAs[Long]("n_hot") === 1 && h2.getAs[Long]("n_warm") === 1 &&
+      h2.getAs[Long]("n_cold") === 0)
+    val lm64 = math.floor(-1e6 * math.log((6 - 1 + 0.5) / (6 + 0.5))).toLong
+    val lm31 = math.floor(-1e6 * math.log((3 - 1 + 0.5) / (3 + 0.5))).toLong
+    assert(h2.getAs[Long]("lambda_mass") === lm64 + lm31)
+  }
+
+  test("trapReport: the planted calendar-trap host flags; clean hosts " +
+    "sit at exactly ratio 1e6") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(d => (d, s"text $d")).toDF("doc_id", "text")
+    val got = graft.ops.Crawl.trapReport(
+        graft.ops.Crawl.fixtureFetchLog(docs), "url", "content")
+      .collect().map(r => r.getAs[String]("host") ->
+        (r.getAs[Long]("n_urls"), r.getAs[Long]("n_contents"),
+          r.getAs[Long]("ratio_micro"), r.getAs[Boolean]("trap"))).toMap
+    // doc ids 0..99: m = doc_id, host m%7; host3 logical urls = |{m: m%7==3}|
+    val host3Urls = (0L until 100L).count(_ % 7 == 3)
+    val traps = (0L until 100L).count(_ % 4 == 1) // all land on host3
+    val (u3, c3, r3, t3) = got("host3.example.com")
+    assert(u3 === host3Urls + traps, "trap URLs are canonical-unique per doc")
+    assert(c3 === host3Urls + 3, "traps serve only 3 distinct contents")
+    assert(r3 === math.floor(1000000.0 * u3 / c3).toLong && t3,
+      s"host3 must flag: ratio=$r3")
+    for ((h, (u, c, r, t)) <- got if h != "host3.example.com") {
+      assert(u === c && r === 1000000L && !t, s"$h must not flag")
+    }
+  }
+
+  test("sitemap discovery report: per-host census matches the formula " +
+    "replay incl. the anti-join delta on a small corpus") {
+    import spark.implicits._
+    val n = 70L
+    val docs = (0L until n).map(d => (d, s"text $d")).toDF("doc_id", "text")
+    val got = graft.ops.Sitemaps.fixtureDiscoveryReport(docs)
+      .collect().map(r => r.getAs[String]("host") -> r).toMap
+    // formula replay in plain scala
+    val frontier = (0L until n).flatMap { d =>
+      val h = d % 7
+      Seq(s"https://host$h.example.com/",
+        s"https://host$h.example.com/about",
+        s"https://host${(d + 1) % 7}.example.com/ref/${d % 23}?x=1",
+        s"https://host$h.example.com/d/sibling${d % 5}",
+        s"https://host$h.example.com/q?a=1&b=2") ++
+        (if (d % 2 == 0) Seq(s"https://host${(d + 2) % 7}.example.com/pp")
+         else Seq.empty)
+    }.toSet
+    for (h <- 0L until 7L) {
+      val urlDocs = (0L until n).filter(d => d % 7 == h && d % 5 != 0)
+      val idxDocs = (0L until n).filter(d => d % 7 == h && d % 5 == 0)
+      val entries = urlDocs.flatMap(d => Seq(
+        s"https://host$h.example.com/ref/${d % 23}?x=1",
+        s"https://host$h.example.com/s/${d % 13}",
+        s"https://host$h.example.com/about"))
+      val row = got(s"host$h.example.com")
+      assert(row.getAs[Long]("n_entries") === entries.size)
+      assert(row.getAs[Long]("n_children") === 2L * idxDocs.size)
+      assert(row.getAs[Long]("n_new") === entries.count(!frontier.contains(_)),
+        s"host $h discovery delta")
+      assert(row.getAs[Long]("n_daily") === urlDocs.count(_ % 3 == 0))
+      assert(row.getAs[Long]("prio_tenths") ===
+        urlDocs.map(d => (1 + d % 9) + 5 + 5).sum)
+      val lastmod = urlDocs.map(d =>
+        java.time.LocalDate.of(2024, 1, 1).plusDays(d % 365)).max
+      assert(row.getAs[java.sql.Date]("latest_lastmod").toLocalDate === lastmod)
+    }
+  }
 }
