@@ -2269,6 +2269,78 @@ object SparkEntry {
         graft.ops.Crawl.fixtureFetchLog(t(s, dir, "documents")),
         "url", "content").orderBy(col("host"))),
 
+    // Beyond-reference: STREAMING RECRAWL SCHEDULER — q220's change-rate
+    // estimator maintained INCREMENTALLY over the fetch stream: each
+    // arriving page is one check of its URL (url = doc_id % 50, so every
+    // URL's checks span all four stream versions), per-URL state is two
+    // longs (checks, changes) folded via flatMapGroupsWithState, and the
+    // post-drain schedule is the SAME recrawlReport kernel over the
+    // final counters. The oracle replays the batch computation — a hash
+    // match IS the incremental == from-scratch proof (the q209 pattern).
+    // At 100 TB: O(delta) fold per trigger, 16 bytes of state per URL,
+    // vs re-scanning the whole fetch history per schedule refresh.
+    "q223_stream_recrawl" -> ((s, dir) => {
+      import s.implicits._
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.documents_versioned")
+      val sink = "graft_q223_sink"
+      s.catalog.dropTempView(sink)
+      val src = s.readStream.format("graft").option("path", path)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1").load()
+      val checks = src.select(
+          pmod(col("doc_id").cast("long"), lit(50L)).as("url"),
+          (pmod(col("doc_id").cast("long") * 13, lit(7L)) <
+            pmod(pmod(col("doc_id").cast("long"), lit(50L)), lit(3L)) + 1)
+            .as("changed"))
+        .as[(Long, Boolean)]
+      val snapshots = checks.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          case (url, rows, state) =>
+            var (n, x) = state.getOption.getOrElse((0L, 0L))
+            rows.foreach { case (_, ch) => n += 1; if (ch) x += 1 }
+            state.update((n, x))
+            Iterator.single((url, n, x))
+        }.toDF("url", "n", "x")
+      val q = snapshots.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      q.stop()
+      // counters are monotone: the final per-URL state is the snapshot
+      // with the largest n (append-mode legal — no "last row wins")
+      val finalState = s.table(sink).groupBy(col("url"))
+        .agg(max(struct(col("n"), col("x"))).as("st"))
+        .select(col("url"), col("st.n").as("n"), col("st.x").as("x"))
+        .withColumn("host",
+          concat(lit("host"), pmod(col("url"), lit(7L)), lit(".example.com")))
+      graft.ops.Crawl.recrawlReport(finalState, "host", "url", "n", "x")
+        .orderBy(col("host"))
+    }),
+
+    // Beyond-reference: REGISTRABLE-DOMAIN EXTRACTION — the
+    // publicsuffix.org algorithm (normal/wildcard/exception rules over
+    // an embedded list subset) as a codegen kernel: crawl budgets and
+    // link rollups want eTLD+1 granularity, where a.blog.co.uk and
+    // b.blog.co.uk are ONE site but x.github.io and y.github.io are
+    // two. Per-suffix census over a host fixture exercising every rule
+    // class; row-local kernel, one short-string rollup shuffle.
+    "q224_registrable_domain" -> ((s, dir) => {
+      val U = graft.ops.Urls
+      U.fixtureHosts(t(s, dir, "documents"))
+        .select(lower(col("host")).as("h"),
+          U.publicSuffix(col("host")).as("public_suffix"),
+          U.registrableDomain(col("host")).as("reg"))
+        .groupBy(col("public_suffix"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("h")).as("n_hosts"),
+          count_distinct(col("reg")).as("n_domains"))
+        .orderBy(col("public_suffix"))
+    }),
+
     // Beyond-reference: ANCHOR-TEXT AGGREGATION — the classic target-
     // side relevance signal (what the web calls the page it links to):
     // the q215 scanner additionally captures the text between each
@@ -6630,6 +6702,65 @@ object SparkEntry {
                   AS est_jaccard
          FROM hs a JOIN hs b ON a.j = b.j AND a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the BATCH replay of the streamed fold — per-URL (n, X) from the
+    // whole corpus at once, then the same estimator and rollup; a hash
+    // match proves the incremental state fold == from-scratch
+    "q223_stream_recrawl" ->
+      """WITH d AS (SELECT doc_id, doc_id % 50 AS u FROM documents),
+         hx AS (SELECT u, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN (doc_id * 13) % 7 < (u % 3) + 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS x
+                FROM d GROUP BY u),
+         lam AS (SELECT u, 'host' || (u % 7) || '.example.com' AS host,
+                   CAST(floor(-1e6 * ln((n - x + 0.5) / (n + 0.5)))
+                     AS BIGINT) AS lm
+                 FROM hx),
+         rv AS (SELECT host, lm,
+                  CASE WHEN lm <= 0 THEN 30
+                       ELSE greatest(1, least(30,
+                         CAST(floor(1000000.0 / lm) AS BIGINT))) END AS revisit
+                FROM lam)
+         SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+                CAST(sum(lm) AS BIGINT) AS lambda_mass,
+                CAST(sum(CASE WHEN revisit <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hot,
+                CAST(sum(CASE WHEN revisit BETWEEN 3 AND 7 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_warm,
+                CAST(sum(CASE WHEN revisit > 7 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_cold,
+                CAST(sum(revisit) AS BIGINT) AS revisit_budget
+         FROM rv GROUP BY host ORDER BY host""",
+    // suffix/registrable pairs replayed from the host formula — the
+    // engine must run the real PSL matcher (longest rule, wildcard,
+    // exception-wins, implicit-* fallback) over the messy-cased hosts
+    "q224_registrable_domain" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         h AS (SELECT
+           CASE doc_id % 6
+             WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' WHEN 2 THEN 'github.io'
+             WHEN 3 THEN 'y' || (doc_id % 4) || '.ck' WHEN 4 THEN 'ck'
+             ELSE 'lan' END AS suffix,
+           CASE doc_id % 6
+             WHEN 0 THEN 'a' || (doc_id % 5) || '.blog' || (doc_id % 9)
+               || '.co.uk'
+             WHEN 1 THEN 'www.site' || (doc_id % 11) || '.com'
+             WHEN 2 THEN 'cdn.u' || (doc_id % 7) || '.github.io'
+             WHEN 3 THEN 'a.x' || (doc_id % 3) || '.y' || (doc_id % 4)
+               || '.ck'
+             WHEN 4 THEN 'b' || (doc_id % 2) || '.www.ck'
+             ELSE 'internal.corp' || (doc_id % 2) || '.lan' END AS host,
+           CASE doc_id % 6
+             WHEN 0 THEN 'blog' || (doc_id % 9) || '.co.uk'
+             WHEN 1 THEN 'site' || (doc_id % 11) || '.com'
+             WHEN 2 THEN 'u' || (doc_id % 7) || '.github.io'
+             WHEN 3 THEN 'x' || (doc_id % 3) || '.y' || (doc_id % 4) || '.ck'
+             WHEN 4 THEN 'www.ck'
+             ELSE 'corp' || (doc_id % 2) || '.lan' END AS reg
+           FROM d)
+         SELECT suffix AS public_suffix, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+                CAST(count(DISTINCT reg) AS BIGINT) AS n_domains
+         FROM h GROUP BY 1 ORDER BY 1""",
     // every (destination, anchor text) pair replayed from the id
     // formula — the engine must capture the text between the real <a>
     // and </a> tags (entity-decoded, collapsed) and resolve the target

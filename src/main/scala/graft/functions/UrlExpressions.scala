@@ -323,3 +323,138 @@ case class RobotsAllowed(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Registrable-domain extraction — the publicsuffix.org algorithm over
+  * an EMBEDDED SUBSET of the Public Suffix List rule grammar (normal
+  * rules, `*.ck` wildcards, `!www.ck` exceptions, and the implicit `*`
+  * default for unknown TLDs). The registrable domain ("eTLD+1") is the
+  * granularity crawl budgets, dedup rollups, and link-graph analyses
+  * want — `a.blog.co.uk` and `b.blog.co.uk` are one site while
+  * `x.github.io` and `y.github.io` are two.
+  *
+  * Matching rule (publicsuffix.org/list/): among rules matching the
+  * host right-aligned (a `*` label matches exactly one host label), an
+  * EXCEPTION rule wins and its suffix is the rule minus its leftmost
+  * label; otherwise the rule with the MOST labels wins; no match falls
+  * back to the implicit `*` (the rightmost label is the suffix). The
+  * registrable domain is the suffix plus one more host label; a host
+  * that IS a public suffix has none (empty string here).
+  *
+  * Row-local, zero shuffle; the expressions keep the lookup inside
+  * whole-stage codegen as one static call over a few dozen rules.
+  */
+object PslKernels {
+
+  private case class PslRule(labels: Array[String], exception: Boolean)
+
+  private def rule(s: String): PslRule =
+    if (s.startsWith("!")) PslRule(s.substring(1).split('.'), exception = true)
+    else PslRule(s.split('.'), exception = false)
+
+  /** Embedded subset of the public list: common gTLDs/ccTLDs, two-level
+    * UK registries, the `github.io` / `s3.amazonaws.com` private-domain
+    * entries, and the `ck` wildcard+exception pair that exercises the
+    * full grammar.
+    */
+  private val RULES: Vector[PslRule] = Vector(
+    "com", "org", "net", "io", "edu", "gov",
+    "uk", "co.uk", "org.uk", "ac.uk",
+    "au", "com.au", "net.au",
+    "jp", "co.jp",
+    "github.io", "s3.amazonaws.com",
+    "*.ck", "!www.ck").map(rule)
+
+  /** rule labels match the host's TAIL (right-aligned, `*` = any ONE
+    * label).
+    */
+  private def matches(r: PslRule, labels: Array[String]): Boolean = {
+    if (r.labels.length > labels.length) return false
+    var i = 0
+    while (i < r.labels.length) {
+      val rl = r.labels(r.labels.length - 1 - i)
+      val hl = labels(labels.length - 1 - i)
+      if (rl != "*" && rl != hl) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Number of labels in the winning public suffix for `labels`. */
+  private def suffixLen(labels: Array[String]): Int = {
+    var bestLen = 1 // implicit "*" default rule
+    var i = 0
+    while (i < RULES.length) {
+      val r = RULES(i)
+      if (matches(r, labels)) {
+        if (r.exception) return r.labels.length - 1 // exception wins outright
+        if (r.labels.length > bestLen) bestLen = r.labels.length
+      }
+      i += 1
+    }
+    bestLen
+  }
+
+  private def lastLabels(host: String, n: Int): String = {
+    val labels = host.split('.')
+    if (n >= labels.length) host
+    else labels.takeRight(n).mkString(".")
+  }
+
+  def publicSuffix(h: UTF8String): UTF8String = {
+    val host = h.toString.toLowerCase(java.util.Locale.ROOT)
+    if (host.isEmpty) return UTF8String.EMPTY_UTF8
+    UTF8String.fromString(lastLabels(host, suffixLen(host.split('.'))))
+  }
+
+  /** Suffix + one label; empty when the host IS a public suffix. */
+  def registrableDomain(h: UTF8String): UTF8String = {
+    val host = h.toString.toLowerCase(java.util.Locale.ROOT)
+    if (host.isEmpty) return UTF8String.EMPTY_UTF8
+    val labels = host.split('.')
+    val n = suffixLen(labels)
+    if (labels.length <= n) UTF8String.EMPTY_UTF8
+    else UTF8String.fromString(lastLabels(host, n + 1))
+  }
+}
+
+/** `graft_public_suffix(host)` — the winning PSL suffix. */
+case class PublicSuffix(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_public_suffix"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(h: Any): Any =
+    PslKernels.publicSuffix(h.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PslKernels.publicSuffix($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PublicSuffix =
+    copy(child = newChild)
+}
+
+/** `graft_registrable_domain(host)` — PSL suffix + one label ("eTLD+1");
+  * empty string when the host is itself a public suffix.
+  */
+case class RegistrableDomain(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_registrable_domain"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(h: Any): Any =
+    PslKernels.registrableDomain(h.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PslKernels.registrableDomain($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RegistrableDomain =
+    copy(child = newChild)
+}

@@ -49,6 +49,50 @@ object Urls {
     regexp_extract(canonicalUrl,
       "^[a-z0-9+.-]+://(?:[^/@?]*@)?(\\[[^\\]]*\\]|[^/:?]+)", 1)
 
+  /** Winning Public Suffix List suffix of a host (see
+    * [[graft.functions.PslKernels]]).
+    */
+  def publicSuffix(host: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PublicSuffix(
+        org.apache.spark.sql.GraftSqlBridge.expression(host)))
+
+  /** Registrable domain ("eTLD+1") of a host — PSL suffix + one label;
+    * empty when the host is itself a public suffix.
+    */
+  def registrableDomain(host: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.RegistrableDomain(
+        org.apache.spark.sql.GraftSqlBridge.expression(host)))
+
+  /** Deterministic messy-host fixture exercising every PSL rule class
+    * (case noise included — the kernel lowercases): two-level ccTLD
+    * registry (`co.uk`), plain gTLD behind a `www.` label, the
+    * `github.io` private-domain entry, the `*.ck` wildcard, the
+    * `!www.ck` exception, and an unknown TLD falling back to the
+    * implicit `*` rule.
+    */
+  def fixtureHosts(docs: DataFrame): DataFrame = {
+    val d = col("doc_id").cast("long")
+    def s(c: Column): Column = c.cast("string")
+    docs.select(d.as("doc_id"),
+      when(pmod(d, lit(6)) === 0,
+        concat(lit("a"), s(pmod(d, lit(5))), lit(".Blog"), s(pmod(d, lit(9))),
+          lit(".co.uk")))
+      .when(pmod(d, lit(6)) === 1,
+        concat(lit("WWW.site"), s(pmod(d, lit(11))), lit(".COM")))
+      .when(pmod(d, lit(6)) === 2,
+        concat(lit("cdn.U"), s(pmod(d, lit(7))), lit(".github.io")))
+      .when(pmod(d, lit(6)) === 3,
+        concat(lit("a.x"), s(pmod(d, lit(3))), lit(".y"), s(pmod(d, lit(4))),
+          lit(".ck")))
+      .when(pmod(d, lit(6)) === 4,
+        concat(lit("b"), s(pmod(d, lit(2))), lit(".WWW.CK")))
+      .otherwise(
+        concat(lit("internal.corp"), s(pmod(d, lit(2))), lit(".lan")))
+      .as("host"))
+  }
+
   /** Deterministic messy-URL fixture (the q199/q205 generator-formula
     * pattern): every component derives from the doc id, so an oracle
     * can replay BOTH the raw string and its expected canonical form

@@ -3503,6 +3503,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"empty/whitespace-only docs must contribute no rows (oracle drops them): $out")
   }
 
+  test("PSL kernel: longest rule, wildcard, exception-wins, implicit-* " +
+    "fallback, suffix-only hosts, case insensitivity") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val P = graft.functions.PslKernels
+    def ps(h: String) = P.publicSuffix(u(h)).toString
+    def rd(h: String) = P.registrableDomain(u(h)).toString
+    // longest matching rule: co.uk beats uk
+    assert(ps("a.blog.co.uk") === "co.uk" && rd("a.blog.co.uk") === "blog.co.uk")
+    assert(ps("x.ac.uk") === "ac.uk" && rd("b.x.ac.uk") === "x.ac.uk")
+    // plain gTLD; www is an ordinary label
+    assert(rd("www.site5.com") === "site5.com")
+    // private-domain entry: each github.io user is a separate site
+    assert(ps("cdn.u3.github.io") === "github.io" &&
+      rd("cdn.u3.github.io") === "u3.github.io")
+    // wildcard *.ck: any single label + ck is a suffix
+    assert(ps("a.x1.y2.ck") === "y2.ck" && rd("a.x1.y2.ck") === "x1.y2.ck")
+    // exception !www.ck beats the wildcard: www.ck is registrable
+    assert(ps("b0.www.ck") === "ck" && rd("b0.www.ck") === "www.ck")
+    assert(rd("www.ck") === "www.ck")
+    // unknown TLD: implicit * rule
+    assert(ps("internal.corp.lan") === "lan" && rd("internal.corp.lan") === "corp.lan")
+    // a host that IS a public suffix has no registrable domain
+    assert(rd("co.uk") === "" && rd("github.io") === "" && rd("com") === "")
+    // case-insensitive
+    assert(rd("WWW.Site5.COM") === "site5.com")
+  }
+
   test("linksWithText: anchor text captured entity-decoded and collapsed; " +
     "inline tags inside the anchor keep the text; href-less anchors " +
     "yield no pair; raw-text traps stay out") {
