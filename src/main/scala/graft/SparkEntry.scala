@@ -2269,6 +2269,31 @@ object SparkEntry {
         graft.ops.Crawl.fixtureFetchLog(t(s, dir, "documents")),
         "url", "content").orderBy(col("host"))),
 
+    // Beyond-reference: FETCH TRIAGE — content-type + charset sniffing
+    // over raw fetched bytes (the WHATWG recipe's stable core): binary
+    // magic (gzip/pdf/png) before BOMs before the ASCII-level <meta
+    // charset> scan before a strict UTF-8 validity scan with the
+    // windows-1252 web fallback; decode with the verdict and classify
+    // html vs text. One stateless sniff per doc at the codec boundary;
+    // the census shuffles two short verdict strings. The oracle
+    // replays every verdict and decoded char count from the variant
+    // formula.
+    "q226_fetch_triage" -> ((s, dir) =>
+      graft.ops.Sniff.fixtureCensus(t(s, dir, "documents"))),
+
+    // Beyond-reference: WARC RECORD PARSING (ISO 28500) — the container
+    // every large crawl ships in: byte-walking record framing
+    // (Content-Length counts OCTETS — the fixture plants a two-byte é
+    // so a char-counting reader desynchronizes and LOSES the following
+    // request record), case-insensitive header fields, HTTP payload
+    // status/body split, unframeable records skipped by magic scan.
+    // One stateless parse per file (the codec-boundary pattern), then
+    // a per-host census. The oracle replays every record from the
+    // doc-id formula — responses, requests, 404s, body octets,
+    // distinct URIs, latest capture instant.
+    "q225_warc_census" -> ((s, dir) =>
+      graft.ops.Warc.fixtureCensus(t(s, dir, "documents"))),
+
     // Beyond-reference: STREAMING RECRAWL SCHEDULER — q220's change-rate
     // estimator maintained INCREMENTALLY over the fetch stream: each
     // arriving page is one check of its URL (url = doc_id % 50, so every
@@ -6702,6 +6727,57 @@ object SparkEntry {
                   AS est_jaccard
          FROM hs a JOIN hs b ON a.j = b.j AND a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // verdicts and decoded char counts replayed from the variant
+    // formula — the engine must actually sniff magic/BOM/meta/UTF-8
+    // validity and decode with the winning charset
+    "q226_fetch_triage" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         v AS (SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'html' WHEN 1 THEN 'html' WHEN 2 THEN 'html'
+             WHEN 3 THEN 'text' WHEN 4 THEN 'gzip' ELSE 'text' END AS kind,
+           CASE doc_id % 6
+             WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+             WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'utf-8'
+             WHEN 4 THEN '' ELSE 'windows-1252' END AS charset,
+           CASE doc_id % 6
+             WHEN 0 THEN length('<html><head></head><body>plain é '
+               || (doc_id % 13) || '</body></html>')
+             WHEN 1 THEN length('<html><body>doc ' || (doc_id % 11)
+               || '</body></html>')
+             WHEN 2 THEN length('<html><head><meta charset="iso-8859-1">'
+               || '</head><body>café ' || (doc_id % 9) || '</body></html>')
+             WHEN 3 THEN length('plain text doc ' || (doc_id % 7))
+             WHEN 4 THEN 0
+             ELSE length('café special ' || (doc_id % 5)) END AS n
+           FROM d)
+         SELECT kind, charset, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n) AS BIGINT) AS chars
+         FROM v GROUP BY 1, 2 ORDER BY 1, 2""",
+    // every WARC record replayed from the doc-id formula: body octets
+    // include the planted 2-byte é, request counts vanish if framing
+    // counts chars, and the capture instant replays via strftime
+    "q225_warc_census" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS h FROM documents),
+         resp AS (SELECT doc_id, h,
+                    CASE WHEN doc_id % 9 = 0 THEN 404 ELSE 200 END AS status,
+                    50 + doc_id % 101
+                      + CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 0 END AS body,
+                    doc_id % 97 AS u,
+                    strftime(TIMESTAMP '2024-01-01 00:00:00'
+                      + to_seconds(doc_id % 86400),
+                      '%Y-%m-%dT%H:%M:%SZ') AS dt
+                  FROM d)
+         SELECT 'host' || h || '.example.com' AS host,
+                CAST(count(*) AS BIGINT) AS n_responses,
+                CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_requests,
+                CAST(sum(CASE WHEN status = 404 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_404,
+                CAST(sum(body) AS BIGINT) AS body_bytes,
+                CAST(count(DISTINCT u) AS BIGINT) AS n_uris,
+                max(dt) AS latest_date
+         FROM resp GROUP BY h ORDER BY host""",
     // the BATCH replay of the streamed fold — per-URL (n, X) from the
     // whole corpus at once, then the same estimator and rollup; a hash
     // match proves the incremental state fold == from-scratch

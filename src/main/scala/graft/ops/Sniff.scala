@@ -1,0 +1,177 @@
+package graft.ops
+
+import java.nio.charset.{Charset, StandardCharsets}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fetch triage — content-type and charset sniffing over raw fetched
+  * bytes, the decode gate between fetching and extraction (the WHATWG
+  * mime-sniffing recipe's stable core + the classic charset cascade
+  * every crawler implements):
+  *
+  *  1. binary magic first — gzip (`1f 8b`), PDF (`%PDF-`), PNG
+  *     (`\x89PNG\r\n\x1a\n`): never decoded as text;
+  *  2. Unicode BOM — UTF-8 / UTF-16LE / UTF-16BE;
+  *  3. `<meta ... charset=...>` declaration scanned ASCII-insensitively
+  *     in the first 1024 bytes;
+  *  4. UTF-8 validity scan — a clean multibyte sequence set is UTF-8;
+  *  5. windows-1252 fallback (bytes that fail UTF-8 validation — the
+  *     de-facto web default).
+  *
+  * Kind is `html` when the decoded text's first non-whitespace char is
+  * `<`, else `text`. One stateless sniff+decode per document at the
+  * codec boundary (O(bytes), zero shuffle); the census shuffles two
+  * short verdict strings. Beyond-reference (no fetch surface in the
+  * reference engine), cited against the public WHATWG recipes.
+  */
+object Sniff {
+
+  /** (kind, charset, decodedChars) — charset empty and chars 0 for
+    * binary kinds.
+    */
+  def sniff(bytes: Array[Byte]): (String, String, Long) = {
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F &&
+        (bytes(1) & 0xFF) == 0x8B) return ("gzip", "", 0L)
+    if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
+        bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-')
+      return ("pdf", "", 0L)
+    if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G') return ("png", "", 0L)
+
+    val (charset, bomLen): (String, Int) =
+      if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xEF &&
+          (bytes(1) & 0xFF) == 0xBB && (bytes(2) & 0xFF) == 0xBF)
+        ("utf-8", 3)
+      else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
+          (bytes(1) & 0xFF) == 0xFE) ("utf-16le", 2)
+      else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFE &&
+          (bytes(1) & 0xFF) == 0xFF) ("utf-16be", 2)
+      else (metaCharset(bytes).getOrElse(
+        if (validUtf8(bytes)) "utf-8" else "windows-1252"), 0)
+
+    val cs: Charset = charset match {
+      case "utf-8" => StandardCharsets.UTF_8
+      case "utf-16le" => StandardCharsets.UTF_16LE
+      case "utf-16be" => StandardCharsets.UTF_16BE
+      case other => scala.util.Try(Charset.forName(other))
+        .getOrElse(StandardCharsets.UTF_8)
+    }
+    val text = new String(bytes, bomLen, bytes.length - bomLen, cs)
+    var i = 0
+    while (i < text.length && text.charAt(i).isWhitespace) i += 1
+    val kind = if (i < text.length && text.charAt(i) == '<') "html" else "text"
+    (kind, charset, text.length.toLong)
+  }
+
+  /** `charset=` token in the first 1024 bytes, matched on the raw
+    * ASCII byte level (any real declaration is ASCII whatever the body
+    * encoding); value lowercased, quotes stripped.
+    */
+  private[graft] def metaCharset(bytes: Array[Byte]): Option[String] = {
+    val n = math.min(bytes.length, 1024)
+    val head = new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
+      .toLowerCase(java.util.Locale.ROOT)
+    val at = head.indexOf("charset")
+    if (at < 0) return None
+    var i = at + "charset".length
+    while (i < head.length &&
+      (head.charAt(i) == '=' || head.charAt(i) == '"' ||
+        head.charAt(i) == '\'' || head.charAt(i).isWhitespace)) i += 1
+    val start = i
+    while (i < head.length && !("\"' ;>/".contains(head.charAt(i))) &&
+      !head.charAt(i).isWhitespace) i += 1
+    if (i > start) Some(head.substring(start, i)) else None
+  }
+
+  /** Strict UTF-8 validation scan (RFC 3629 ranges, no overlongs, no
+    * surrogates).
+    */
+  private[graft] def validUtf8(bytes: Array[Byte]): Boolean = {
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val b0 = bytes(i) & 0xFF
+      if (b0 < 0x80) i += 1
+      else if (b0 < 0xC2) return false // continuation or overlong lead
+      else if (b0 < 0xE0) { // 2-byte
+        if (i + 1 >= n || (bytes(i + 1) & 0xC0) != 0x80) return false
+        i += 2
+      } else if (b0 < 0xF0) { // 3-byte
+        if (i + 2 >= n) return false
+        val b1 = bytes(i + 1) & 0xFF
+        if ((b1 & 0xC0) != 0x80 || (bytes(i + 2) & 0xC0) != 0x80) return false
+        if (b0 == 0xE0 && b1 < 0xA0) return false // overlong
+        if (b0 == 0xED && b1 >= 0xA0) return false // surrogate
+        i += 3
+      } else if (b0 < 0xF5) { // 4-byte
+        if (i + 3 >= n) return false
+        val b1 = bytes(i + 1) & 0xFF
+        if ((b1 & 0xC0) != 0x80 || (bytes(i + 2) & 0xC0) != 0x80 ||
+          (bytes(i + 3) & 0xC0) != 0x80) return false
+        if (b0 == 0xF0 && b1 < 0x90) return false // overlong
+        if (b0 == 0xF4 && b1 >= 0x90) return false // > U+10FFFF
+        i += 4
+      } else return false
+    }
+    true
+  }
+
+  /** files (idCol, binCol) → (id, kind, charset, n_chars). */
+  def sniffAll(files: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bin) =>
+        val (kind, cs, chars) = graft.ops.Sniff.sniff(bin)
+        (id, kind, cs, chars)
+      }).toDF("id", "kind", "charset", "n_chars")
+  }
+
+  /** Deterministic fetched-bytes fixture (generator-formula pattern,
+    * variant = doc_id % 6): UTF-8 with BOM, UTF-16LE with BOM,
+    * meta-declared ISO-8859-1, plain-ASCII text, a gzip blob, and
+    * UTF-8-invalid bytes falling back to windows-1252 — each decoded
+    * char count a pure id formula.
+    */
+  def payloadFixtureFor(d: Long): Array[Byte] = (d % 6) match {
+    case 0 =>
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        s"<html><head></head><body>plain é ${d % 13}</body></html>"
+          .getBytes(StandardCharsets.UTF_8)
+    case 1 =>
+      Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+        s"<html><body>doc ${d % 11}</body></html>"
+          .getBytes(StandardCharsets.UTF_16LE)
+    case 2 =>
+      (s"""<html><head><meta charset="iso-8859-1"></head>""" +
+        s"<body>café ${d % 9}</body></html>")
+        .getBytes(StandardCharsets.ISO_8859_1)
+    case 3 =>
+      s"plain text doc ${d % 7}".getBytes(StandardCharsets.US_ASCII)
+    case 4 =>
+      Array[Byte](0x1F.toByte, 0x8B.toByte, 0x08, 0x00) ++
+        ("z" * (d % 17).toInt).getBytes(StandardCharsets.US_ASCII)
+    case _ =>
+      s"café special ${d % 5}".getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** documents → (doc_id, payload) binary fixture. */
+  def fixturePayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(d => (d, graft.ops.Sniff.payloadFixtureFor(d))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** The q226 census: per (kind, charset) verdict — doc count and
+    * decoded char mass.
+    */
+  def fixtureCensus(docs: DataFrame): DataFrame =
+    sniffAll(fixturePayloads(docs), "doc_id", "payload")
+      .groupBy(col("kind"), col("charset"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("kind"), col("charset"))
+}

@@ -1,0 +1,204 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WARC record parsing — ISO 28500 (the Web ARChive format every large
+  * crawl ships in; Common Crawl's container): `WARC/1.0` header block
+  * (named fields, CRLF-terminated, ended by an empty line), a payload
+  * of exactly `Content-Length` BYTES, and a CRLF CRLF record
+  * terminator. Response payloads are HTTP messages — status line,
+  * headers, body after the first blank line.
+  *
+  * The parser walks BYTES, not chars: `Content-Length` counts octets,
+  * so a UTF-8 payload with multi-byte characters desynchronizes any
+  * char-counting reader at the NEXT record boundary (the fixture
+  * plants exactly that). Header names are case-insensitive; records
+  * missing `Content-Length` (unframeable) are skipped by scanning to
+  * the next `WARC/` magic — tolerant-crawler posture.
+  *
+  * Scale shape: one stateless parse per WARC file at the codec
+  * boundary (O(bytes), zero shuffle — the q205/IsoBmff pattern); the
+  * per-host census shuffles a short host string and a handful of
+  * counters. The reference engine has no crawl surface —
+  * beyond-reference, cited against the public ISO 28500 / IIPC spec.
+  */
+object Warc {
+
+  /** One parsed record: HTTP status/body only for response payloads
+    * (status = 0, bodyBytes = 0 otherwise).
+    */
+  case class Record(warcType: String, targetUri: String, date: String,
+      status: Int, bodyBytes: Long)
+
+  private val MAGIC = "WARC/".getBytes(StandardCharsets.US_ASCII)
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = math.max(0, from)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private val CRLFCRLF = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
+
+  /** Parse every well-formed record in one WARC file. */
+  def parse(bytes: Array[Byte]): Vector[Record] = {
+    val out = Vector.newBuilder[Record]
+    var pos = indexOf(bytes, MAGIC, 0)
+    while (pos >= 0 && pos < bytes.length) {
+      val headEnd = indexOf(bytes, CRLFCRLF, pos)
+      if (headEnd < 0) { pos = -1 }
+      else {
+        // header block decodes as latin-1 (field values are ASCII; raw
+        // bytes survive either way)
+        val head = new String(bytes, pos, headEnd - pos, StandardCharsets.ISO_8859_1)
+        var warcType = ""; var uri = ""; var date = ""
+        var contentLength = -1L
+        head.split("\r\n").iterator.drop(1).foreach { line =>
+          val c = line.indexOf(':')
+          if (c > 0) {
+            val k = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+            val v = line.substring(c + 1).trim
+            k match {
+              case "warc-type" => warcType = v
+              case "warc-target-uri" => uri = v
+              case "warc-date" => date = v
+              case "content-length" =>
+                contentLength = scala.util.Try(v.toLong).getOrElse(-1L)
+              case _ =>
+            }
+          }
+        }
+        val payloadStart = headEnd + 4
+        if (contentLength < 0 ||
+            payloadStart + contentLength > bytes.length) {
+          // unframeable or lying length: skip to the next magic
+          pos = indexOf(bytes, MAGIC, pos + MAGIC.length)
+        } else {
+          val payloadEnd = (payloadStart + contentLength).toInt
+          var status = 0
+          var bodyBytes = 0L
+          if (warcType == "response") {
+            // HTTP message: status line, headers, blank line, body
+            val httpHeadEnd = indexOf(bytes, CRLFCRLF, payloadStart) match {
+              case e if e >= 0 && e < payloadEnd => e
+              case _ => payloadEnd // headers only — no body
+            }
+            val statusLine = {
+              val lineEnd = indexOf(bytes,
+                "\r\n".getBytes(StandardCharsets.US_ASCII), payloadStart)
+              val e = if (lineEnd < 0 || lineEnd > httpHeadEnd) httpHeadEnd else lineEnd
+              new String(bytes, payloadStart, e - payloadStart,
+                StandardCharsets.ISO_8859_1)
+            }
+            status = statusLine.split(' ') match {
+              case parts if parts.length >= 2 =>
+                scala.util.Try(parts(1).toInt).getOrElse(0)
+              case _ => 0
+            }
+            if (httpHeadEnd < payloadEnd)
+              bodyBytes = payloadEnd - (httpHeadEnd + 4).toLong
+          }
+          out += Record(warcType, uri, date, status, bodyBytes)
+          pos = indexOf(bytes, MAGIC, payloadEnd)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** files (idCol, binCol) → one row per parsed record. */
+  def parseRecords(files: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bin) =>
+        graft.ops.Warc.parse(bin).iterator.map(r =>
+          (id, r.warcType, r.targetUri, r.date, r.status, r.bodyBytes))
+      }).toDF("id", "warc_type", "target_uri", "date", "status", "body_bytes")
+  }
+
+  /** `2024-01-01T00:00:00Z + (d mod 86400) seconds`, ISO instant. */
+  def dateFor(d: Long): String =
+    java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .plusSeconds(d % 86400).toString
+
+  /** Deterministic per-doc WARC file (generator-formula pattern, host
+    * h = doc_id % 7): one response record — status 404 every 9th doc,
+    * 200 otherwise; body `x * (50 + d mod 101)`, plus a TWO-BYTE `é`
+    * every 10th doc so Content-Length (octets) diverges from the char
+    * count — followed, every 3rd doc, by a bodiless request record for
+    * the same URI. A char-counting parser frames the second record off
+    * by one and loses it; the oracle's per-host request count catches
+    * that.
+    */
+  def warcFixtureFor(d: Long): Array[Byte] = {
+    val h = d % 7
+    val uri = s"https://host$h.example.com/d/${d % 97}/page"
+    val status = if (d % 9 == 0) "404 Not Found" else "200 OK"
+    val body = "x" * (50 + d % 101).toInt + (if (d % 10 == 0) "é" else "")
+    val httpResp = s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n\r\n$body"
+    val respPayload = httpResp.getBytes(StandardCharsets.UTF_8)
+    val sb = new StringBuilder
+    sb ++= "WARC/1.0\r\n"
+    sb ++= "WARC-Type: response\r\n"
+    sb ++= s"WARC-Record-ID: <urn:uuid:$d>\r\n"
+    sb ++= s"WARC-Date: ${dateFor(d)}\r\n"
+    sb ++= s"WARC-Target-URI: $uri\r\n"
+    sb ++= "Content-Type: application/http;msgtype=response\r\n"
+    sb ++= s"Content-Length: ${respPayload.length}\r\n"
+    sb ++= "\r\n"
+    val headBytes = sb.toString.getBytes(StandardCharsets.US_ASCII)
+    val tail = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
+    val req: Array[Byte] = if (d % 3 == 0) {
+      val httpReq = s"GET /d/${d % 97}/page HTTP/1.1\r\nHost: host$h.example.com\r\n\r\n"
+      val reqPayload = httpReq.getBytes(StandardCharsets.US_ASCII)
+      val rb = new StringBuilder
+      rb ++= "WARC/1.0\r\n"
+      rb ++= "WARC-Type: request\r\n"
+      rb ++= s"WARC-Record-ID: <urn:uuid:$d-req>\r\n"
+      rb ++= s"WARC-Date: ${dateFor(d)}\r\n"
+      rb ++= s"WARC-Target-URI: $uri\r\n"
+      rb ++= "Content-Type: application/http;msgtype=request\r\n"
+      rb ++= s"Content-Length: ${reqPayload.length}\r\n"
+      rb ++= "\r\n"
+      rb.toString.getBytes(StandardCharsets.US_ASCII) ++ reqPayload ++ tail
+    } else Array.emptyByteArray
+    headBytes ++ respPayload ++ tail ++ req
+  }
+
+  /** documents → (doc_id, warc) binary fixture. */
+  def fixtureWarcs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(d => (d, graft.ops.Warc.warcFixtureFor(d))))
+      .toDF("doc_id", "warc")
+  }
+
+  /** The q225 per-host census: responses/requests/404s, HTTP body
+    * OCTETS (responses only), and distinct target URIs.
+    */
+  def fixtureCensus(docs: DataFrame): DataFrame = {
+    val recs = parseRecords(fixtureWarcs(docs), "doc_id", "warc")
+      .withColumn("host", Urls.canonicalHost(col("target_uri")))
+    recs.groupBy(col("host")).agg(
+      count(when(col("warc_type") === "response", 1)).as("n_responses"),
+      count(when(col("warc_type") === "request", 1)).as("n_requests"),
+      count(when(col("status") === 404, 1)).as("n_404"),
+      sum(when(col("warc_type") === "response", col("body_bytes"))
+        .otherwise(0L)).as("body_bytes"),
+      count_distinct(col("target_uri")).as("n_uris"),
+      max(col("date")).as("latest_date"))
+      .orderBy(col("host"))
+  }
+}

@@ -613,6 +613,61 @@ object ScaleProbe {
       "q217_robots" -> (k =>
         graft.ops.Robots.fixturePolicyVerdicts(docs(k))
           .filter(col("allowed")).count()),
+      // verdicts + per-host rollup + the range-partitioned LPT rank —
+      // the rank side is host-count-sized (7 hosts at every k), so the
+      // verdict parse floor dominates; expect ~linear
+      "q218_fetch_lpt" -> (k => {
+        val perHost = graft.ops.Robots.fixturePolicyVerdicts(docs(k))
+          .filter(col("allowed"))
+          .groupBy(col("host"), col("crawl_delay"))
+          .agg(count(lit(1)).as("n_fetches"))
+          .withColumn("span_s", (col("n_fetches") - 1) * col("crawl_delay"))
+        graft.ops.Packing.assignWorkers(perHost, "span_s", "host", k = 4)
+          .count()
+      }),
+      // XML generation + tolerant parse are the linear floor; the
+      // discovery anti-join shuffles one canonical string per entry
+      // over a fixed ~260-key space (copies share the URL formulas)
+      "q219_sitemap" -> (k =>
+        graft.ops.Sitemaps.fixtureDiscoveryReport(docs(k))
+          .agg(sum(col("n_entries")), sum(col("n_new")))
+          .first().getLong(1)),
+      // explode + two map-side-combinable hash aggs, no joins — expect
+      // alpha ~1
+      "q220_recrawl" -> (k =>
+        graft.ops.Crawl.recrawlReport(
+          graft.ops.Crawl.fixtureFetchHistory(docs(k)),
+          "host", "doc_id", "n", "x")
+          .agg(sum(col("revisit_budget"))).first().getLong(0)),
+      // codegen canonicalize + two distinct-aggregates per host
+      "q221_trap" -> (k =>
+        graft.ops.Crawl.trapReport(
+          graft.ops.Crawl.fixtureFetchLog(docs(k)), "url", "content")
+          .agg(sum(col("n_urls"))).first().getLong(0)),
+      // the SAME one-pass scan as q215 additionally capturing anchor
+      // text; host-count-sized rollup — expect the parse floor
+      "q222_anchors" -> (k => {
+        val U = graft.ops.Urls
+        graft.ops.Html.extractAnchors(graft.ops.Html.linkPages(docs(k)))
+          .groupBy(U.canonicalHost(U.canonicalizeUrl(
+            U.resolveUrl(col("base_url"), col("href")))).as("dst"))
+          .agg(count(lit(1))).count()
+      }),
+      // byte-walking record framing + HTTP split per file — the linear
+      // per-byte floor; the census is a 7-host rollup
+      "q225_warc" -> (k =>
+        graft.ops.Warc.fixtureCensus(docs(k))
+          .agg(sum(col("body_bytes"))).first().getLong(0)),
+      // one stateless sniff+decode per doc; the census shuffles two
+      // short verdict strings — expect the decode floor, alpha ~1
+      "q226_triage" -> (k =>
+        graft.ops.Sniff.fixtureCensus(docs(k))
+          .agg(sum(col("chars"))).first().getLong(0)),
+      // row-local PSL kernel — expect alpha ~1, zero exchanges
+      "q224_psl" -> (k =>
+        graft.ops.Urls.fixtureHosts(docs(k))
+          .select(graft.ops.Urls.registrableDomain(col("host")).as("r"))
+          .agg(sum(length(col("r")))).first().getLong(0)),
       // EDGE axis of the DISTRIBUTED connected-components path (gate
       // forced off): k·2M synthetic edges — 90% chains of length 1000 +
       // 10% BLOCK-LOCAL random links (bushy merging inside each

@@ -3503,6 +3503,76 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"empty/whitespace-only docs must contribute no rows (oracle drops them): $out")
   }
 
+  test("fetch triage sniff: magic before BOM before meta before UTF-8 " +
+    "scan before cp1252 fallback; strict UTF-8 validation edges") {
+    import java.nio.charset.StandardCharsets._
+    val S = graft.ops.Sniff
+    // binary magic
+    assert(S.sniff(Array(0x1F.toByte, 0x8B.toByte, 1, 2))._1 === "gzip")
+    assert(S.sniff("%PDF-1.4 junk".getBytes(US_ASCII))._1 === "pdf")
+    assert(S.sniff(Array(0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10))._1 === "png")
+    // BOMs win over meta
+    val bomU8 = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "<html charset=lies>é</html>".getBytes(UTF_8)
+    assert(S.sniff(bomU8) === ("html", "utf-8", 27L))
+    val bom16 = Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+      "<p>x</p>".getBytes(UTF_16LE)
+    assert(S.sniff(bom16) === ("html", "utf-16le", 8L))
+    // meta declaration (ASCII-level scan works whatever the body bytes)
+    val latin = "<meta charset='iso-8859-1'>café".getBytes(ISO_8859_1)
+    assert(S.sniff(latin) === ("html", "iso-8859-1", 31L))
+    // clean multibyte UTF-8 without BOM or meta
+    assert(S.sniff("héllo".getBytes(UTF_8)) === ("text", "utf-8", 5L))
+    // invalid UTF-8 falls back to windows-1252
+    assert(S.sniff("café".getBytes(ISO_8859_1)) ===
+      ("text", "windows-1252", 4L))
+    // validator edges: overlongs, stray continuation, surrogates, >10FFFF
+    assert(!S.validUtf8(Array(0xC0.toByte, 0xAF.toByte)), "overlong 2-byte")
+    assert(!S.validUtf8(Array(0x80.toByte)), "stray continuation")
+    assert(!S.validUtf8(Array(0xE0.toByte, 0x80.toByte, 0x80.toByte)), "overlong 3-byte")
+    assert(!S.validUtf8(Array(0xED.toByte, 0xA0.toByte, 0x80.toByte)), "surrogate")
+    assert(!S.validUtf8(Array(0xF5.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte)), "beyond U+10FFFF")
+    assert(!S.validUtf8("é".getBytes(UTF_8).take(1)), "truncated sequence")
+    assert(S.validUtf8("naïve 😀 text".getBytes(UTF_8)))
+    // leading whitespace before '<' still classifies html
+    assert(S.sniff("  \n <div>x</div>".getBytes(US_ASCII))._1 === "html")
+  }
+
+  test("WARC parse: byte-exact framing past multi-byte payloads, header " +
+    "case-insensitivity, 404 status, unframeable-record magic skip, " +
+    "lying Content-Length, junk tolerance") {
+    val W = graft.ops.Warc
+    import java.nio.charset.StandardCharsets.UTF_8
+    // fixture file with the é trap (d=30: %10==0 two-byte é, %3==0 so a
+    // request record FOLLOWS the multi-byte response)
+    val recs30 = W.parse(W.warcFixtureFor(30L))
+    assert(recs30.map(_.warcType) === Vector("response", "request"),
+      "char-counting framing would lose the trailing request record")
+    assert(recs30.head.status === 200)
+    assert(recs30.head.bodyBytes === 50 + 30 % 101 + 2, "body counts OCTETS")
+    assert(recs30.head.targetUri === "https://host2.example.com/d/30/page")
+    assert(recs30.head.date === "2024-01-01T00:00:30Z")
+    // 404 every 9th doc
+    assert(W.parse(W.warcFixtureFor(9L)).head.status === 404)
+    // header names are case-insensitive
+    val lower = ("warc/1.0\r\n".replace("warc", "WARC") +
+      "warc-type: response\r\ncontent-length: 5\r\n\r\nab\r\nc\r\n\r\n").getBytes(UTF_8)
+    val lowRecs = W.parse(lower)
+    assert(lowRecs.size === 1 && lowRecs.head.warcType === "response")
+    // missing Content-Length: skip to the next magic, keep the rest
+    val missing = ("WARC/1.0\r\nWARC-Type: response\r\n\r\npayload" +
+      new String(W.warcFixtureFor(1L), UTF_8)).getBytes(UTF_8)
+    assert(W.parse(missing).map(_.warcType) === Vector("response"))
+    assert(W.parse(missing).head.bodyBytes === 50 + 1)
+    // lying (over-long) Content-Length: record dropped, no crash
+    val lying = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999\r\n\r\nx".getBytes(UTF_8)
+    assert(W.parse(lying) === Vector.empty)
+    // junk before/after records is ignored
+    val junk = "garbage ".getBytes(UTF_8) ++ W.warcFixtureFor(2L) ++ " trailing".getBytes(UTF_8)
+    assert(W.parse(junk).map(_.warcType) === Vector("response"))
+    assert(W.parse("no records here".getBytes(UTF_8)) === Vector.empty)
+  }
+
   test("PSL kernel: longest rule, wildcard, exception-wins, implicit-* " +
     "fallback, suffix-only hosts, case insensitivity") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
