@@ -259,14 +259,19 @@ object Html {
               i = if (found < 0) n else found
             } else if (name == "a") {
               if (closing) {
-                if (linkDepth > 0) linkDepth -= 1
-                if (linkDepth == 0) closeAnchor()
+                linkDepth = 0
+                closeAnchor()
               } else {
-                linkDepth += 1
+                // HTML5: a new <a> implicitly closes an open one — an
+                // unclosed anchor must not pin linkDepth for the rest
+                // of the page or merge later anchors into one pair
+                // (review finding)
+                closeAnchor()
+                linkDepth = 1
                 if (collectLinks && end > j)
                   hrefOf(html.substring(j, end)).foreach { h =>
                     linksOut += h
-                    if (curHref == null) curHref = h
+                    curHref = h
                   }
               }
             } else if (BLOCK_TAGS(name)) {

@@ -69,38 +69,71 @@ object Sitemaps {
     sb.toString
   }
 
-  /** Case-insensitive scan for `<name ...>body</name>` blocks at any
-    * depth, XML comments skipped. Returns (bodyStart, bodyEnd) spans.
-    * Tag-name match is EXACT (namespace-prefixed names like
-    * `<image:loc>` do NOT match `loc` — the sitemap image-extension
-    * trap), checked by requiring the char before the name to be `<`
-    * and the char after to be `>`, whitespace, or `/`.
+  /** ASCII-only lowercase — length-preserving by construction (a
+    * locale toLowerCase can CHANGE length, e.g. U+0130, which would
+    * desync spans sliced from the original), and tag names are ASCII.
     */
-  private def blockSpans(xml: String, name: String): Vector[(Int, Int)] = {
-    val lower = xml.toLowerCase(java.util.Locale.ROOT)
+  private def asciiLower(s: String): String = {
+    val a = s.toCharArray
+    var i = 0
+    while (i < a.length) {
+      val c = a(i)
+      if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(a)
+  }
+
+  /** Scan `lower` (one [[asciiLower]] pass per document — review
+    * finding: the first cut lowercased the whole file per tag name) for
+    * `<name ...>body</name>` blocks at any depth, XML comments skipped.
+    * Returns (bodyStart, bodyEnd) spans, valid in the ORIGINAL string.
+    * Tag-name matches are EXACT on both open and close (namespace
+    * prefixes like `<image:loc>` never match `loc`; `</urlset>` never
+    * closes `<url>`); a nested OPEN of the same name before the close
+    * implicitly ends the current block there (review finding: one
+    * entry missing its close tag must not swallow well-formed
+    * siblings).
+    */
+  private def blockSpans(lower: String, name: String): Vector[(Int, Int)] = {
     val open = "<" + name
     val close = "</" + name
+    def nameEndsAt(pos: Int): Boolean = {
+      if (pos >= lower.length) return true
+      val c = lower.charAt(pos)
+      c == '>' || c.isWhitespace || c == '/'
+    }
+    // next open/close of this exact name at or after `from`, skipping
+    // nothing (comments are handled by the caller loop before opens)
+    def nextExact(pat: String, from: Int): Int = {
+      var p = lower.indexOf(pat, from)
+      while (p >= 0 && !nameEndsAt(p + pat.length)) p = lower.indexOf(pat, p + 1)
+      p
+    }
     var spans = Vector.empty[(Int, Int)]
     var i = 0
     while (i >= 0 && i < lower.length) {
       val cmt = lower.indexOf("<!--", i)
-      val o = lower.indexOf(open, i)
+      val o = nextExact(open, i)
       if (o < 0) return spans
       if (cmt >= 0 && cmt < o) {
         val e = lower.indexOf("-->", cmt + 4)
         i = if (e < 0) lower.length else e + 3
       } else {
-        val afterIdx = o + open.length
-        val after = if (afterIdx < lower.length) lower.charAt(afterIdx) else ' '
-        if (after != '>' && !after.isWhitespace && after != '/') {
-          i = afterIdx // prefix of a longer name (<url of <urlset) — skip
-        } else {
-          val gt = lower.indexOf('>', o)
-          if (gt < 0) return spans
-          if (lower.charAt(gt - 1) == '/') { i = gt + 1 } // self-closing: no body
-          else {
-            val c = lower.indexOf(close, gt + 1)
-            if (c < 0) return spans
+        val gt = lower.indexOf('>', o)
+        if (gt < 0) return spans
+        if (lower.charAt(gt - 1) == '/') { i = gt + 1 } // self-closing: no body
+        else {
+          val c = nextExact(close, gt + 1)
+          val nested = nextExact(open, gt + 1)
+          if (nested >= 0 && (c < 0 || nested < c)) {
+            // implicit close at the nested open; resume AT it
+            spans :+= ((gt + 1, nested))
+            i = nested
+          } else if (c < 0) {
+            spans :+= ((gt + 1, lower.length))
+            i = lower.length
+          } else {
             spans :+= ((gt + 1, c))
             i = lower.indexOf('>', c + 1) match {
               case -1 => lower.length
@@ -114,10 +147,11 @@ object Sitemaps {
   }
 
   /** Text of the FIRST direct `<name>` child inside a block body,
-    * trimmed and entity-decoded; null when absent.
+    * trimmed and entity-decoded; null when absent. `body`/`bodyLower`
+    * are the same span of the original/lowered document.
     */
-  private def childText(body: String, name: String): String =
-    blockSpans(body, name).headOption
+  private def childText(body: String, bodyLower: String, name: String): String =
+    blockSpans(bodyLower, name).headOption
       .map { case (s, e) => decodeXmlEntities(body.substring(s, e).trim) }
       .orNull
 
@@ -127,15 +161,20 @@ object Sitemaps {
     * `<sitemap>` block. A file that is neither parses empty (tolerant).
     */
   def parse(xml: String): Vector[Entry] = {
-    val urls = blockSpans(xml, "url").map { case (s, e) =>
+    val lower = asciiLower(xml)
+    val urls = blockSpans(lower, "url").map { case (s, e) =>
       val body = xml.substring(s, e)
-      Entry("url", childText(body, "loc"), childText(body, "lastmod"),
-        childText(body, "changefreq"), childText(body, "priority"))
+      val bodyLower = lower.substring(s, e)
+      Entry("url", childText(body, bodyLower, "loc"),
+        childText(body, bodyLower, "lastmod"),
+        childText(body, bodyLower, "changefreq"),
+        childText(body, bodyLower, "priority"))
     }
-    val children = blockSpans(xml, "sitemap").map { case (s, e) =>
+    val children = blockSpans(lower, "sitemap").map { case (s, e) =>
       val body = xml.substring(s, e)
-      Entry("sitemap", childText(body, "loc"), childText(body, "lastmod"),
-        null, null)
+      val bodyLower = lower.substring(s, e)
+      Entry("sitemap", childText(body, bodyLower, "loc"),
+        childText(body, bodyLower, "lastmod"), null, null)
     }
     (urls ++ children).filter(_.loc != null)
   }

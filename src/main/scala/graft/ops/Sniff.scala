@@ -47,15 +47,21 @@ object Sniff {
           (bytes(1) & 0xFF) == 0xFE) ("utf-16le", 2)
       else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFE &&
           (bytes(1) & 0xFF) == 0xFF) ("utf-16be", 2)
-      else (metaCharset(bytes).getOrElse(
-        if (validUtf8(bytes)) "utf-8" else "windows-1252"), 0)
+      else {
+        // a meta-DECLARED name that the JVM cannot resolve must not be
+        // reported as the verdict (the decode would not match it —
+        // review finding): fall through to the validity cascade
+        val declared = metaCharset(bytes)
+          .filter(n => scala.util.Try(Charset.forName(n)).isSuccess)
+        (declared.getOrElse(
+          if (validUtf8(bytes)) "utf-8" else "windows-1252"), 0)
+      }
 
     val cs: Charset = charset match {
       case "utf-8" => StandardCharsets.UTF_8
       case "utf-16le" => StandardCharsets.UTF_16LE
       case "utf-16be" => StandardCharsets.UTF_16BE
-      case other => scala.util.Try(Charset.forName(other))
-        .getOrElse(StandardCharsets.UTF_8)
+      case other => Charset.forName(other) // resolvable by construction
     }
     val text = new String(bytes, bomLen, bytes.length - bomLen, cs)
     var i = 0
@@ -64,24 +70,45 @@ object Sniff {
     (kind, charset, text.length.toLong)
   }
 
-  /** `charset=` token in the first 1024 bytes, matched on the raw
-    * ASCII byte level (any real declaration is ASCII whatever the body
-    * encoding); value lowercased, quotes stripped.
+  /** `charset=` declaration in the first 1024 bytes, matched on the
+    * raw ASCII byte level (any real declaration is ASCII whatever the
+    * body encoding). A candidate `charset` token only counts when it
+    * (a) sits INSIDE a tag (last `<` after last `>` — prose mentioning
+    * the word never poisons the verdict), (b) is not a suffix of a
+    * longer attribute (`accept-charset`), and (c) is followed by `=`
+    * after optional whitespace — the WHATWG "get an encoding from a
+    * meta element" shape (review finding: the first cut matched the
+    * bare word anywhere and needed no `=`). Value lowercased, quotes
+    * stripped.
     */
   private[graft] def metaCharset(bytes: Array[Byte]): Option[String] = {
     val n = math.min(bytes.length, 1024)
     val head = new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
       .toLowerCase(java.util.Locale.ROOT)
-    val at = head.indexOf("charset")
-    if (at < 0) return None
-    var i = at + "charset".length
-    while (i < head.length &&
-      (head.charAt(i) == '=' || head.charAt(i) == '"' ||
-        head.charAt(i) == '\'' || head.charAt(i).isWhitespace)) i += 1
-    val start = i
-    while (i < head.length && !("\"' ;>/".contains(head.charAt(i))) &&
-      !head.charAt(i).isWhitespace) i += 1
-    if (i > start) Some(head.substring(start, i)) else None
+    var at = head.indexOf("charset")
+    while (at >= 0) {
+      val prev = if (at == 0) ' ' else head.charAt(at - 1)
+      val inTag = {
+        val lt = head.lastIndexOf('<', at)
+        lt >= 0 && head.lastIndexOf('>', at) < lt
+      }
+      if (inTag && !prev.isLetterOrDigit && prev != '-' && prev != '_') {
+        var i = at + "charset".length
+        while (i < head.length && head.charAt(i).isWhitespace) i += 1
+        if (i < head.length && head.charAt(i) == '=') {
+          i += 1
+          while (i < head.length &&
+            (head.charAt(i) == '"' || head.charAt(i) == '\'' ||
+              head.charAt(i).isWhitespace)) i += 1
+          val start = i
+          while (i < head.length && !("\"' ;>/".contains(head.charAt(i))) &&
+            !head.charAt(i).isWhitespace) i += 1
+          if (i > start) return Some(head.substring(start, i))
+        }
+      }
+      at = head.indexOf("charset", at + 1)
+    }
+    None
   }
 
   /** Strict UTF-8 validation scan (RFC 3629 ranges, no overlongs, no

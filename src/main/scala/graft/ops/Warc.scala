@@ -47,6 +47,7 @@ object Warc {
     -1
   }
 
+  private val CRLF = "\r\n".getBytes(StandardCharsets.US_ASCII)
   private val CRLFCRLF = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
 
   /** Parse every well-formed record in one WARC file. */
@@ -93,8 +94,7 @@ object Warc {
               case _ => payloadEnd // headers only — no body
             }
             val statusLine = {
-              val lineEnd = indexOf(bytes,
-                "\r\n".getBytes(StandardCharsets.US_ASCII), payloadStart)
+              val lineEnd = indexOf(bytes, CRLF, payloadStart)
               val e = if (lineEnd < 0 || lineEnd > httpHeadEnd) httpHeadEnd else lineEnd
               new String(bytes, payloadStart, e - payloadStart,
                 StandardCharsets.ISO_8859_1)

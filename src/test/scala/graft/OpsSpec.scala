@@ -3538,6 +3538,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(S.sniff("  \n <div>x</div>".getBytes(US_ASCII))._1 === "html")
   }
 
+  test("review findings: charset word in prose/attribute never poisons " +
+    "the verdict; undecodable declared charsets fall through the " +
+    "cascade consistently") {
+    import java.nio.charset.StandardCharsets._
+    val S = graft.ops.Sniff
+    // prose mentioning "charset" (review finding: bare-word match)
+    assert(S.sniff("charset problems with café text".getBytes(ISO_8859_1)) ===
+      ("text", "windows-1252", 31L))
+    // accept-charset attribute is not a declaration
+    assert(S.sniff("<form accept-charset=\"latin1\">café</form>"
+      .getBytes(ISO_8859_1))._2 === "windows-1252")
+    // a later REAL declaration still wins past earlier prose
+    assert(S.sniff("charset talk <meta charset=\"iso-8859-1\">café"
+      .getBytes(ISO_8859_1))._2 === "iso-8859-1")
+    // unknown declared name: verdict reports the decode that actually
+    // ran, not the bogus name (review finding)
+    val fantasy = S.sniff("<meta charset=\"x-fantasy\">café".getBytes(ISO_8859_1))
+    assert(fantasy._2 === "windows-1252" && fantasy._3 === 30L)
+  }
+
+  test("review findings: unclosed <a> implicitly closes at the next " +
+    "anchor (HTML5), never pinning link depth or merging anchors") {
+    val H = graft.ops.Html
+    // legacy <a name> never closed: later anchors still pair correctly
+    assert(H.linksWithText(
+      "<a name=\"s1\">Section<p><a href=\"/x\">one</a> <a href=\"/y\">two</a>") ===
+      Vector("/x" -> "one", "/y" -> "two"))
+    // back-to-back unclosed href anchors: each keeps its own text
+    assert(H.linksWithText("<a href=\"/x\">one <a href=\"/y\">two</a>") ===
+      Vector("/x" -> "one", "/y" -> "two"))
+    // a stray </a> is a no-op
+    assert(H.linksWithText("</a><a href=\"/z\">z</a>") === Vector("/z" -> "z"))
+  }
+
+  test("review findings: a <url> entry missing its close tag neither " +
+    "swallows well-formed siblings nor matches </urlset>") {
+    val S = graft.ops.Sitemaps
+    val broken =
+      "<urlset><url><loc>https://a.com/1</loc>" + // missing </url>
+        "<url><loc>https://a.com/2</loc></url></urlset>"
+    assert(S.parse(broken).map(_.loc) ===
+      Vector("https://a.com/1", "https://a.com/2"))
+    // no </url> at all: the entry ends at </urlset>, loc intact
+    val tail = "<urlset><url><loc>https://a.com/3</loc></urlset>"
+    assert(S.parse(tail).map(_.loc) === Vector("https://a.com/3"))
+  }
+
   test("WARC parse: byte-exact framing past multi-byte payloads, header " +
     "case-insensitivity, 404 status, unframeable-record magic skip, " +
     "lying Content-Length, junk tolerance") {
