@@ -79,8 +79,10 @@ object Warc {
           }
         }
         val payloadStart = headEnd + 4
+        // overflow-safe framing check: a hostile Content-Length near
+        // Long.MaxValue must not wrap negative and pass
         if (contentLength < 0 ||
-            payloadStart + contentLength > bytes.length) {
+            contentLength > (bytes.length - payloadStart).toLong) {
           // unframeable or lying length: skip to the next magic
           pos = indexOf(bytes, MAGIC, pos + MAGIC.length)
         } else {
@@ -88,9 +90,13 @@ object Warc {
           var status = 0
           var bodyBytes = 0L
           if (warcType == "response") {
-            // HTTP message: status line, headers, blank line, body
+            // HTTP message: status line, headers, blank line, body.
+            // The blank line must fit WHOLLY inside the payload — a
+            // CRLFCRLF straddling the payload boundary (fuzz finding:
+            // payload ending in CRLF followed by the record terminator)
+            // would otherwise yield negative body bytes
             val httpHeadEnd = indexOf(bytes, CRLFCRLF, payloadStart) match {
-              case e if e >= 0 && e < payloadEnd => e
+              case e if e >= 0 && e + 4 <= payloadEnd => e
               case _ => payloadEnd // headers only — no body
             }
             val statusLine = {

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Totality fuzzing for the round-15 crawl-codec parsers — the
+  * CodecFuzzSpec discipline applied to the new byte/string-level
+  * surfaces: whatever bytes arrive from a hostile or broken server,
+  * the parsers must TERMINATE, never THROW, and return bounded output.
+  * Seeded mutations of well-formed fixtures (truncation, splicing,
+  * byte flips, duplication) plus pure random bytes.
+  */
+class CrawlCodecFuzzSpec extends AnyFunSuite {
+
+  private val N = 2000
+
+  private def mutate(rnd: scala.util.Random, base: Array[Byte]): Array[Byte] =
+    rnd.nextInt(5) match {
+      case 0 => base.take(rnd.nextInt(base.length + 1)) // truncate
+      case 1 => // flip some bytes
+        val a = base.clone()
+        (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+          if (a.nonEmpty) a(rnd.nextInt(a.length)) = rnd.nextInt(256).toByte
+        }
+        a
+      case 2 => // splice two tails
+        val cut = rnd.nextInt(base.length + 1)
+        base.take(cut) ++ base.drop(rnd.nextInt(base.length + 1))
+      case 3 => base ++ base.take(rnd.nextInt(base.length + 1)) // duplicate
+      case _ => Array.fill(rnd.nextInt(256))(rnd.nextInt(256).toByte) // random
+    }
+
+  test(s"WARC parse is total over $N seeded mutations incl. hostile " +
+    "Content-Length values") {
+    val rnd = new scala.util.Random(151L)
+    val bases = (0L until 8L).map(graft.ops.Warc.warcFixtureFor)
+    (1 to N).foreach { i =>
+      val bytes = mutate(rnd, bases(rnd.nextInt(bases.size)))
+      val recs = graft.ops.Warc.parse(bytes)
+      assert(recs.size <= bytes.length, s"case $i: bounded output")
+      recs.foreach(r => assert(r.bodyBytes >= 0 && r.bodyBytes <= bytes.length,
+        s"case $i: body bytes within input"))
+    }
+    // explicit hostile lengths: huge, overflowing, negative, junk
+    for (len <- Seq("9223372036854775807", "9223372036854775806", "-1",
+        "999999999999", "NaN", "1e9", "")) {
+      val b = (s"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: $len" +
+        "\r\n\r\nbody").getBytes("UTF-8")
+      assert(graft.ops.Warc.parse(b) === Vector.empty, s"len=$len must drop")
+    }
+  }
+
+  test(s"sitemap parse is total over $N seeded mutations and returns " +
+    "bounded entries") {
+    val rnd = new scala.util.Random(152L)
+    val bases = (0L until 8L).map(d =>
+      graft.ops.Sitemaps.sitemapFixtureFor(d).getBytes("UTF-8"))
+    (1 to N).foreach { i =>
+      val s = new String(mutate(rnd, bases(rnd.nextInt(bases.size))), "UTF-8")
+      val entries = graft.ops.Sitemaps.parse(s)
+      assert(entries.size <= s.length + 1, s"case $i: bounded output")
+      entries.foreach(e => assert(e.kind == "url" || e.kind == "sitemap"))
+    }
+  }
+
+  test(s"sniff is total over $N seeded mutations: always a verdict, " +
+    "chars bounded by input size") {
+    val rnd = new scala.util.Random(153L)
+    val bases = (0L until 12L).map(graft.ops.Sniff.payloadFixtureFor)
+    (1 to N).foreach { i =>
+      val bytes = mutate(rnd, bases(rnd.nextInt(bases.size)))
+      val (kind, charset, chars) = graft.ops.Sniff.sniff(bytes)
+      assert(kind.nonEmpty, s"case $i")
+      // utf-16 decodes halve; any single-byte decode is <= length; BOM
+      // strip only shrinks. chars can never exceed the byte count.
+      assert(chars >= 0 && chars <= bytes.length,
+        s"case $i: chars=$chars len=${bytes.length} cs=$charset")
+    }
+  }
+
+  test("XML entity decode is total on adversarial entity soup") {
+    val rnd = new scala.util.Random(154L)
+    val soup = Seq("&", "&amp", "&amp;", "&#", "&#;", "&#x;", "&#xZZ;",
+      "&#99999999;", "&#x110000;", "&#-5;", "&bogus;", "&#x1F600;", ";&;&")
+    (1 to 500).foreach { _ =>
+      val s = (1 to rnd.nextInt(12)).map(_ => soup(rnd.nextInt(soup.size)))
+        .mkString(rnd.nextString(3))
+      val out = graft.ops.Sitemaps.decodeXmlEntities(s)
+      assert(out != null && out.length <= s.length * 2)
+    }
+  }
+}

@@ -3538,6 +3538,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(S.sniff("  \n <div>x</div>".getBytes(US_ASCII))._1 === "html")
   }
 
+  test("plan pins: URL/PSL kernels stay inside one whole-stage codegen " +
+    "span with zero exchanges; the sitemap discovery delta is a real " +
+    "anti-join, never a nested-loop product") {
+    import spark.implicits._
+    val U = graft.ops.Urls
+    // non-local source so ConvertToLocalRelation can't fold the plan
+    val kernels = spark.range(1000)
+      .select(U.canonicalizeUrl(U.noisyUrl(col("id"))).as("c"))
+      .select(U.registrableDomain(U.canonicalHost(col("c"))).as("d"))
+    val kPlan = kernels.queryExecution.executedPlan.toString
+    assert(kPlan.contains("*(1)"), s"kernels must codegen: $kPlan")
+    assert(!kPlan.contains("Exchange"), s"row-local kernels must not shuffle: $kPlan")
+    val docs = (0L until 70L).map(d => (d, s"text $d")).toDF("doc_id", "text")
+    val dPlan = graft.ops.Sitemaps.fixtureDiscoveryReport(docs)
+      .queryExecution.executedPlan.toString
+    assert(dPlan.contains("LeftAnti"), s"discovery delta must be an anti-join: $dPlan")
+    assert(!dPlan.contains("NestedLoop") && !dPlan.contains("Cartesian"),
+      s"anti-join must be hash/merge, never a product: $dPlan")
+  }
+
   test("review findings: charset word in prose/attribute never poisons " +
     "the verdict; undecodable declared charsets fall through the " +
     "cascade consistently") {
