@@ -675,4 +675,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       GraftLog.invalidateListing(path)
     }
   }
+  test("stateful recrawl fold survives a checkpoint restart: resumed " +
+    "per-URL counters equal the batch computation (the q223 shape)") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q223_c").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_q223_o").toString
+    val path = GraftCatalog.location(s"${SharedFixtures.SHARE}.documents_versioned")
+    def checks = spark.readStream.format("graft").option("path", path)
+      .option("startingVersion", "0").option("maxFilesPerTrigger", "1").load()
+      .select(pmod(col("doc_id").cast("long"), lit(50L)).as("url"),
+        (pmod(col("doc_id").cast("long") * 13, lit(7L)) <
+          pmod(pmod(col("doc_id").cast("long"), lit(50L)), lit(3L)) + 1)
+          .as("changed"))
+    def folded = checks.as[(Long, Boolean)].groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (u, rows, st) =>
+          var (n, x) = st.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, c) => n += 1; if (c) x += 1 }
+          st.update((n, x))
+          Iterator.single((u, n, x))
+      }.toDF("url", "n", "x")
+    def start(trigger: Trigger) = folded.writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .outputMode("append").trigger(trigger).start()
+    // run 1: stop after at least one batch committed, before the drain
+    val q1 = start(Trigger.ProcessingTime("50 milliseconds"))
+    def committed(): Long =
+      try spark.read.parquet(outDir).count() catch { case _: Throwable => 0L }
+    val deadline = System.currentTimeMillis() + 60000
+    while (committed() == 0L && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    q1.stop()
+    assert(committed() > 0, "first run must commit at least one batch")
+    // run 2: restore state from the checkpoint, drain the rest
+    val q2 = start(Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    q2.stop()
+    // final per-URL state = the snapshot with the largest n (monotone)
+    val got = spark.read.parquet(outDir).groupBy(col("url"))
+      .agg(max(struct(col("n"), col("x"))).as("st"))
+      .select(col("url"), col("st.n"), col("st.x"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = spark.read.format("graft").option("path", path).load()
+      .select(pmod(col("doc_id").cast("long"), lit(50L)).as("url"),
+        (pmod(col("doc_id").cast("long") * 13, lit(7L)) <
+          pmod(pmod(col("doc_id").cast("long"), lit(50L)), lit(3L)) + 1)
+          .as("changed"))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("changed"), 1L).otherwise(0L)).as("x"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === batch,
+      "counters folded across the restart must equal the batch replay")
+  }
 }
