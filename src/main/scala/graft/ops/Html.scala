@@ -162,9 +162,10 @@ object Html {
     var curTag = "body"
     var inWord = false
     var wordLinked = false
-    // anchor-text capture (collectLinks mode): the OUTERMOST open <a>
-    // with an href owns the accumulator until its close tag; block
-    // flushes do not interrupt it (a mid-anchor <br> keeps the text)
+    // anchor-text capture (collectLinks mode): the MOST RECENT open <a>
+    // with an href owns the accumulator until its close tag or the next
+    // <a> (HTML5 implicit close — anchors never nest); block flushes do
+    // not interrupt it (a mid-anchor <br> keeps the text)
     var curHref: String = null
     val aText = new StringBuilder
 

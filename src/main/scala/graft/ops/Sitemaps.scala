@@ -98,28 +98,45 @@ object Sitemaps {
   private def blockSpans(lower: String, name: String): Vector[(Int, Int)] = {
     val open = "<" + name
     val close = "</" + name
+    // comment spans computed once — BOTH open and close searches must
+    // skip them (second review pass: a commented </url> inside a body
+    // used to end the entry and drop its real <loc>)
+    val comments = {
+      var cs = Vector.empty[(Int, Int)]
+      var c = lower.indexOf("<!--")
+      while (c >= 0) {
+        val e = lower.indexOf("-->", c + 4)
+        val end = if (e < 0) lower.length else e + 3
+        cs :+= ((c, end))
+        c = if (e < 0) -1 else lower.indexOf("<!--", end)
+      }
+      cs
+    }
+    def commentEndAfter(p: Int): Int =
+      comments.find(s => p >= s._1 && p < s._2).map(_._2).getOrElse(-1)
     def nameEndsAt(pos: Int): Boolean = {
       if (pos >= lower.length) return true
       val c = lower.charAt(pos)
       c == '>' || c.isWhitespace || c == '/'
     }
     // next open/close of this exact name at or after `from`, skipping
-    // nothing (comments are handled by the caller loop before opens)
+    // matches inside XML comments
     def nextExact(pat: String, from: Int): Int = {
       var p = lower.indexOf(pat, from)
-      while (p >= 0 && !nameEndsAt(p + pat.length)) p = lower.indexOf(pat, p + 1)
-      p
+      while (p >= 0) {
+        val ce = commentEndAfter(p)
+        if (ce >= 0) p = lower.indexOf(pat, ce)
+        else if (!nameEndsAt(p + pat.length)) p = lower.indexOf(pat, p + 1)
+        else return p
+      }
+      -1
     }
     var spans = Vector.empty[(Int, Int)]
     var i = 0
     while (i >= 0 && i < lower.length) {
-      val cmt = lower.indexOf("<!--", i)
       val o = nextExact(open, i)
-      if (o < 0) return spans
-      if (cmt >= 0 && cmt < o) {
-        val e = lower.indexOf("-->", cmt + 4)
-        i = if (e < 0) lower.length else e + 3
-      } else {
+      if (o < 0) { return spans }
+      locally {
         val gt = lower.indexOf('>', o)
         if (gt < 0) return spans
         if (lower.charAt(gt - 1) == '/') { i = gt + 1 } // self-closing: no body

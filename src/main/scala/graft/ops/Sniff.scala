@@ -27,6 +27,8 @@ import org.apache.spark.sql.functions._
   */
 object Sniff {
 
+  private val CP1252 = Charset.forName("windows-1252")
+
   /** (kind, charset, decodedChars) — charset empty and chars 0 for
     * binary kinds.
     */
@@ -39,30 +41,36 @@ object Sniff {
     if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' &&
         bytes(2) == 'N' && bytes(3) == 'G') return ("png", "", 0L)
 
-    val (charset, bomLen): (String, Int) =
+    val (charset, cs, bomLen): (String, Charset, Int) =
       if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xEF &&
           (bytes(1) & 0xFF) == 0xBB && (bytes(2) & 0xFF) == 0xBF)
-        ("utf-8", 3)
+        ("utf-8", StandardCharsets.UTF_8, 3)
       else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
-          (bytes(1) & 0xFF) == 0xFE) ("utf-16le", 2)
+          (bytes(1) & 0xFF) == 0xFE)
+        ("utf-16le", StandardCharsets.UTF_16LE, 2)
       else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFE &&
-          (bytes(1) & 0xFF) == 0xFF) ("utf-16be", 2)
+          (bytes(1) & 0xFF) == 0xFF)
+        ("utf-16be", StandardCharsets.UTF_16BE, 2)
       else {
         // a meta-DECLARED name that the JVM cannot resolve must not be
         // reported as the verdict (the decode would not match it —
-        // review finding): fall through to the validity cascade
-        val declared = metaCharset(bytes)
-          .filter(n => scala.util.Try(Charset.forName(n)).isSuccess)
-        (declared.getOrElse(
-          if (validUtf8(bytes)) "utf-8" else "windows-1252"), 0)
+        // review finding), and the charset is resolved ONCE here (second
+        // pass: the old shape resolved it again at decode time). A
+        // declared utf-16* without a BOM maps to utf-8 — the WHATWG
+        // rule: the declaration itself was readable as ASCII, so the
+        // body cannot actually be UTF-16.
+        val declared = metaCharset(bytes).map { n =>
+          if (n.startsWith("utf-16")) "utf-8" else n
+        }.flatMap(n =>
+          scala.util.Try(Charset.forName(n)).toOption.map(cs => (n, cs)))
+        declared match {
+          case Some((n, cs)) => (n, cs, 0)
+          case None =>
+            if (validUtf8(bytes)) ("utf-8", StandardCharsets.UTF_8, 0)
+            else ("windows-1252", CP1252, 0)
+        }
       }
 
-    val cs: Charset = charset match {
-      case "utf-8" => StandardCharsets.UTF_8
-      case "utf-16le" => StandardCharsets.UTF_16LE
-      case "utf-16be" => StandardCharsets.UTF_16BE
-      case other => Charset.forName(other) // resolvable by construction
-    }
     val text = new String(bytes, bomLen, bytes.length - bomLen, cs)
     var i = 0
     while (i < text.length && text.charAt(i).isWhitespace) i += 1
@@ -83,15 +91,44 @@ object Sniff {
     */
   private[graft] def metaCharset(bytes: Array[Byte]): Option[String] = {
     val n = math.min(bytes.length, 1024)
-    val head = new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
+    val raw = new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
       .toLowerCase(java.util.Locale.ROOT)
+    // strip comments (length-preserving blank-out) — WHATWG's prescan
+    // skips them, so a commented-out legacy <meta charset=...> must not
+    // beat the page's real declaration (second review pass)
+    val head = {
+      var s = raw
+      var c = s.indexOf("<!--")
+      while (c >= 0) {
+        val e = s.indexOf("-->", c + 4)
+        val end = if (e < 0) s.length else e + 3
+        s = s.substring(0, c) + (" " * (end - c)) + s.substring(end)
+        c = s.indexOf("<!--", end)
+      }
+      s
+    }
+    // quote-aware tag state per position: an attribute value containing
+    // '>' must not end the tag for the in-tag test (second review pass;
+    // same rule as the Html scanner's attribute walk)
+    val tagState = new Array[Boolean](head.length)
+    locally {
+      var inTag = false
+      var quote = 0.toChar
+      var i = 0
+      while (i < head.length) {
+        val c = head.charAt(i)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (inTag && (c == '"' || c == '\'')) quote = c
+        else if (c == '<') inTag = true
+        else if (c == '>') inTag = false
+        tagState(i) = inTag
+        i += 1
+      }
+    }
     var at = head.indexOf("charset")
     while (at >= 0) {
       val prev = if (at == 0) ' ' else head.charAt(at - 1)
-      val inTag = {
-        val lt = head.lastIndexOf('<', at)
-        lt >= 0 && head.lastIndexOf('>', at) < lt
-      }
+      val inTag = tagState(at)
       if (inTag && !prev.isLetterOrDigit && prev != '-' && prev != '_') {
         var i = at + "charset".length
         while (i < head.length && head.charAt(i).isWhitespace) i += 1

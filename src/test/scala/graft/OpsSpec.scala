@@ -3558,6 +3558,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"anti-join must be hash/merge, never a product: $dPlan")
   }
 
+  test("second review pass: commented-out markup never poisons sitemap " +
+    "framing or charset detection; quoted '>' keeps the in-tag state; " +
+    "BOM-less declared utf-16 maps to utf-8 (WHATWG)") {
+    import java.nio.charset.StandardCharsets._
+    // a commented </url> inside a body must not end the entry
+    assert(graft.ops.Sitemaps.parse(
+      "<urlset><url><!-- </url> --><loc>https://a.com/x</loc></url></urlset>")
+      .map(_.loc) === Vector("https://a.com/x"))
+    // a commented <url> block stays invisible (carried behavior)
+    assert(graft.ops.Sitemaps.parse(
+      "<urlset><!-- <url><loc>https://no.com/</loc></url> -->" +
+        "<url><loc>https://a.com/y</loc></url></urlset>")
+      .map(_.loc) === Vector("https://a.com/y"))
+    val S = graft.ops.Sniff
+    // commented-out legacy meta must not beat the real declaration
+    assert(S.sniff(("<!-- <meta charset=\"iso-8859-1\"> -->" +
+      "<meta charset=\"utf-8\">héllo").getBytes(UTF_8))._2 === "utf-8")
+    // an attribute value containing '>' does not end the tag for the
+    // in-tag test: the later charset in the SAME tag still wins
+    assert(S.sniff("<meta data-x=\"a>b\" charset=\"iso-8859-1\">café"
+      .getBytes(ISO_8859_1))._2 === "iso-8859-1")
+    // declared utf-16 without a BOM is ASCII-readable by construction:
+    // WHATWG maps it to utf-8 and the body decodes readably
+    val u16 = S.sniff("<meta charset=\"utf-16\">hello".getBytes(US_ASCII))
+    assert(u16 === ("html", "utf-8", 28L))
+  }
+
   test("review findings: charset word in prose/attribute never poisons " +
     "the verdict; undecodable declared charsets fall through the " +
     "cascade consistently") {

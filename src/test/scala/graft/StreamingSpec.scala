@@ -711,7 +711,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(committed() > 0, "first run must commit at least one batch")
     // run 2: restore state from the checkpoint, drain the rest
     val q2 = start(Trigger.AvailableNow())
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(120000), "restarted drain timed out")
     q2.stop()
     // final per-URL state = the snapshot with the largest n (monotone)
     val got = spark.read.parquet(outDir).groupBy(col("url"))
