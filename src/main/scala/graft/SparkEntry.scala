@@ -2269,6 +2269,33 @@ object SparkEntry {
         graft.ops.Crawl.fixtureFetchLog(t(s, dir, "documents")),
         "url", "content").orderBy(col("host"))),
 
+    // Beyond-reference: CONTENT-TYPE AUDIT — the q225 WARC walk and the
+    // q226 sniffer COMPOSED: response bodies are sliced byte-exact out
+    // of the container, sniffed, and the DECLARED Content-Type header
+    // is cross-tabbed against the sniffed kind — a server claiming
+    // text/html for gzip bytes is the classic pathology this audit
+    // catches before the decode stage wastes work on it. One stateless
+    // parse+sniff per record; the census shuffles two short verdict
+    // strings. The oracle replays the joint (d%4 declared, d%6 body)
+    // distribution.
+    "q227_content_type_audit" -> ((s, dir) => {
+      import s.implicits._
+      val resp = graft.ops.Warc.parseResponseBodies(
+        graft.ops.Warc.fixtureTriageWarcs(t(s, dir, "documents")),
+        "doc_id", "warc")
+      resp.select(col("content_type"), col("body"))
+        .as[(String, Array[Byte])]
+        .mapPartitions(_.map { case (ct, b) =>
+          (ct, graft.ops.Sniff.sniff(b)._1)
+        }).toDF("declared", "sniffed")
+        .groupBy(col("declared"), col("sniffed"))
+        .agg(count(lit(1)).as("n_records"))
+        .withColumn("mismatch",
+          when(col("declared") === "text/html", col("sniffed") =!= "html")
+            .otherwise(col("sniffed") === "html"))
+        .orderBy(col("declared"), col("sniffed"))
+    }),
+
     // Beyond-reference: FETCH TRIAGE — content-type + charset sniffing
     // over raw fetched bytes (the WHATWG recipe's stable core): binary
     // magic (gzip/pdf/png) before BOMs before the ASCII-level <meta
@@ -6727,6 +6754,23 @@ object SparkEntry {
                   AS est_jaccard
          FROM hs a JOIN hs b ON a.j = b.j AND a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the joint (declared, sniffed) distribution replayed from the two
+    // id formulas — the engine must slice real bodies out of the WARC
+    // frames, read the real Content-Type header, and sniff the bytes
+    "q227_content_type_audit" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         v AS (SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN 'application/octet-stream'
+                ELSE 'text/html' END AS declared,
+           CASE doc_id % 6
+             WHEN 0 THEN 'html' WHEN 1 THEN 'html' WHEN 2 THEN 'html'
+             WHEN 3 THEN 'text' WHEN 4 THEN 'gzip' ELSE 'text' END AS kind
+           FROM d)
+         SELECT declared, kind AS sniffed,
+                CAST(count(*) AS BIGINT) AS n_records,
+                CASE WHEN declared = 'text/html' THEN kind <> 'html'
+                     ELSE kind = 'html' END AS mismatch
+         FROM v GROUP BY 1, 2 ORDER BY 1, 2""",
     // verdicts and decoded char counts replayed from the variant
     // formula — the engine must actually sniff magic/BOM/meta/UTF-8
     // validity and decode with the winning charset

@@ -138,6 +138,104 @@ object Warc {
     java.time.Instant.parse("2024-01-01T00:00:00Z")
       .plusSeconds(d % 86400).toString
 
+  /** Assemble one framed record (headers + payload + terminator). */
+  def buildRecord(warcType: String, recordId: String, date: String,
+      uri: String, msgType: String, payload: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb ++= "WARC/1.0\r\n"
+    sb ++= s"WARC-Type: $warcType\r\n"
+    sb ++= s"WARC-Record-ID: <urn:uuid:$recordId>\r\n"
+    sb ++= s"WARC-Date: $date\r\n"
+    sb ++= s"WARC-Target-URI: $uri\r\n"
+    sb ++= s"Content-Type: application/http;msgtype=$msgType\r\n"
+    sb ++= s"Content-Length: ${payload.length}\r\n"
+    sb ++= "\r\n"
+    sb.toString.getBytes(StandardCharsets.US_ASCII) ++ payload ++
+      "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
+  }
+
+  /** One row per RESPONSE record with the declared HTTP Content-Type
+    * header value and the raw body BYTES — the input to fetch-triage
+    * composition (declared vs sniffed): (id, target_uri, content_type,
+    * body).
+    */
+  def parseResponseBodies(files: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bin) =>
+        graft.ops.Warc.responseBodies(bin).iterator.map {
+          case (uri, ct, body) => (id, uri, ct, body)
+        }
+      }).toDF("id", "target_uri", "content_type", "body")
+  }
+
+  /** (targetUri, declaredContentType, bodyBytes) per response record —
+    * the same byte-exact framing walk as [[parse]], additionally
+    * slicing the HTTP body and reading the `Content-Type` header
+    * (case-insensitive; empty when absent).
+    */
+  def responseBodies(bytes: Array[Byte]): Vector[(String, String, Array[Byte])] = {
+    val out = Vector.newBuilder[(String, String, Array[Byte])]
+    var pos = indexOf(bytes, MAGIC, 0)
+    while (pos >= 0 && pos < bytes.length) {
+      val headEnd = indexOf(bytes, CRLFCRLF, pos)
+      if (headEnd < 0) { pos = -1 }
+      else {
+        val head = new String(bytes, pos, headEnd - pos, StandardCharsets.ISO_8859_1)
+        var warcType = ""; var uri = ""
+        var contentLength = -1L
+        head.split("\r\n").iterator.drop(1).foreach { line =>
+          val c = line.indexOf(':')
+          if (c > 0) {
+            val k = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+            val v = line.substring(c + 1).trim
+            k match {
+              case "warc-type" => warcType = v
+              case "warc-target-uri" => uri = v
+              case "content-length" =>
+                contentLength = scala.util.Try(v.toLong).getOrElse(-1L)
+              case _ =>
+            }
+          }
+        }
+        val payloadStart = headEnd + 4
+        if (contentLength < 0 ||
+            contentLength > (bytes.length - payloadStart).toLong) {
+          pos = indexOf(bytes, MAGIC, pos + MAGIC.length)
+        } else {
+          val payloadEnd = (payloadStart + contentLength).toInt
+          if (warcType == "response") {
+            val httpHeadEnd = indexOf(bytes, CRLFCRLF, payloadStart) match {
+              case e if e >= 0 && e + 4 <= payloadEnd => e
+              case _ => payloadEnd
+            }
+            val httpHead = new String(bytes, payloadStart,
+              httpHeadEnd - payloadStart, StandardCharsets.ISO_8859_1)
+            val ct = httpHead.split("\r\n").iterator.drop(1).flatMap { line =>
+              val c = line.indexOf(':')
+              if (c > 0 &&
+                  line.substring(0, c).trim
+                    .equalsIgnoreCase("content-type"))
+                Some(line.substring(c + 1).trim
+                  .toLowerCase(java.util.Locale.ROOT))
+              else None
+            }.nextOption().getOrElse("")
+            val body =
+              if (httpHeadEnd < payloadEnd)
+                java.util.Arrays.copyOfRange(bytes, httpHeadEnd + 4, payloadEnd)
+              else Array.emptyByteArray
+            out += ((uri, ct, body))
+          }
+          pos = indexOf(bytes, MAGIC, payloadEnd)
+        }
+      }
+    }
+    out.result()
+  }
+
   /** Deterministic per-doc WARC file (generator-formula pattern, host
     * h = doc_id % 7): one response record — status 404 every 9th doc,
     * 200 otherwise; body `x * (50 + d mod 101)`, plus a TWO-BYTE `é`
@@ -188,6 +286,32 @@ object Warc {
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions(_.map(d => (d, graft.ops.Warc.warcFixtureFor(d))))
+      .toDF("doc_id", "warc")
+  }
+
+  /** Per-doc WARC fixture for the content-type AUDIT (q227): one
+    * response whose DECLARED Content-Type follows `d mod 4` (every 4th
+    * doc claims application/octet-stream, the rest text/html) while
+    * the BODY is the q226 sniff fixture (`d mod 6` variants incl. a
+    * gzip blob) — so declared-vs-sniffed mismatches are planted by
+    * construction (a server claiming text/html for gzip bytes is the
+    * classic crawl pathology this audit exists for).
+    */
+  def triageWarcFixtureFor(d: Long): Array[Byte] = {
+    val declared = if (d % 4 == 0) "application/octet-stream" else "text/html"
+    val body = Sniff.payloadFixtureFor(d)
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $declared\r\n\r\n")
+      .getBytes(StandardCharsets.US_ASCII) ++ body
+    buildRecord("response", s"$d-t", dateFor(d),
+      s"https://host${d % 7}.example.com/t/${d % 89}", "response", http)
+  }
+
+  /** documents → (doc_id, warc) audit fixture. */
+  def fixtureTriageWarcs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(d => (d, graft.ops.Warc.triageWarcFixtureFor(d))))
       .toDF("doc_id", "warc")
   }
 

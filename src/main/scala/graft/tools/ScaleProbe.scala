@@ -663,6 +663,21 @@ object ScaleProbe {
       "q226_triage" -> (k =>
         graft.ops.Sniff.fixtureCensus(docs(k))
           .agg(sum(col("chars"))).first().getLong(0)),
+      // framing walk + body slice + sniff composed, one stateless pass
+      // per record; the census is a handful of verdict groups
+      "q227_ct_audit" -> (k => {
+        val spark = docs(k).sparkSession
+        import spark.implicits._
+        graft.ops.Warc.parseResponseBodies(
+            graft.ops.Warc.fixtureTriageWarcs(docs(k)), "doc_id", "warc")
+          .select(col("content_type"), col("body"))
+          .as[(String, Array[Byte])]
+          .mapPartitions(_.map { case (ct, b) =>
+            (ct, graft.ops.Sniff.sniff(b)._1)
+          }).toDF("declared", "sniffed")
+          .groupBy(col("declared"), col("sniffed"))
+          .agg(count(lit(1))).count()
+      }),
       // row-local PSL kernel — expect alpha ~1, zero exchanges
       "q224_psl" -> (k =>
         graft.ops.Urls.fixtureHosts(docs(k))

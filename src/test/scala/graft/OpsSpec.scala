@@ -3667,6 +3667,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(W.parse("no records here".getBytes(UTF_8)) === Vector.empty)
   }
 
+  test("WARC responseBodies: byte-exact body slice + declared " +
+    "Content-Type header; composed sniff flags the planted " +
+    "gzip-as-text/html pathology") {
+    val W = graft.ops.Warc
+    // d=16: d%4=0 -> declared octet-stream; d%6=4 -> gzip body
+    val Vector((uri16, ct16, body16)) = W.responseBodies(W.triageWarcFixtureFor(16L))
+    assert(uri16 === "https://host2.example.com/t/16")
+    assert(ct16 === "application/octet-stream")
+    assert(graft.ops.Sniff.sniff(body16)._1 === "gzip")
+    // d=10: declared text/html (10%4=2) but body is gzip (10%6=4) — the
+    // planted mismatch
+    val Vector((_, ct10, body10)) = W.responseBodies(W.triageWarcFixtureFor(10L))
+    assert(ct10 === "text/html" && graft.ops.Sniff.sniff(body10)._1 === "gzip")
+    // d=1: text/html declared, utf-16le html body — byte-exact slice
+    // must keep the BOM so the sniff sees it
+    val Vector((_, ct1, body1)) = W.responseBodies(W.triageWarcFixtureFor(1L))
+    assert(ct1 === "text/html")
+    assert(graft.ops.Sniff.sniff(body1) === ("html", "utf-16le",
+      "<html><body>doc 1</body></html>".length.toLong))
+    // the q225 fixture (no Content-Type on requests, body after headers)
+    val fromCensus = W.responseBodies(W.warcFixtureFor(3L))
+    assert(fromCensus.size === 1 && fromCensus.head._2 === "text/html")
+    assert(fromCensus.head._3.length === 50 + 3)
+  }
+
   test("PSL kernel: longest rule, wildcard, exception-wins, implicit-* " +
     "fallback, suffix-only hosts, case insensitivity") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
