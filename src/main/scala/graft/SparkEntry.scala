@@ -2269,6 +2269,28 @@ object SparkEntry {
         graft.ops.Crawl.fixtureFetchLog(t(s, dir, "documents")),
         "url", "content").orderBy(col("host"))),
 
+    // Beyond-reference: DOMAIN-GRANULAR CRAWL BUDGET — the q213 budget
+    // rollup at eTLD+1 instead of host: fetch requests over the PSL
+    // host fixture canonicalize (kernel), group by REGISTRABLE DOMAIN
+    // (kernel), and report the request/URL/host census a crawler
+    // allocates per-site budgets from — a.blog.co.uk and b.blog.co.uk
+    // share one budget while u1.github.io and u2.github.io do not.
+    // Row-local kernels + one rollup; the oracle replays every domain
+    // from the host formula.
+    "q228_domain_budget" -> ((s, dir) => {
+      val U = graft.ops.Urls
+      val reqs = U.fixtureHosts(t(s, dir, "documents"))
+        .select(U.canonicalizeUrl(concat(lit("https://"), col("host"),
+          lit("/p/"), pmod(col("doc_id").cast("long"), lit(31L)))).as("c"))
+      reqs.select(U.registrableDomain(U.canonicalHost(col("c"))).as("domain"),
+          U.canonicalHost(col("c")).as("h"), col("c"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_requests"),
+          count_distinct(col("c")).as("n_urls"),
+          count_distinct(col("h")).as("n_hosts"))
+        .orderBy(col("domain"))
+    }),
+
     // Beyond-reference: CONTENT-TYPE AUDIT — the q225 WARC walk and the
     // q226 sniffer COMPOSED: response bodies are sliced byte-exact out
     // of the container, sniffed, and the DECLARED Content-Type header
@@ -6754,6 +6776,34 @@ object SparkEntry {
                   AS est_jaccard
          FROM hs a JOIN hs b ON a.j = b.j AND a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // every registrable domain replayed from the host formula — the
+    // engine must canonicalize (www-strip, lowercase) and run the real
+    // PSL matcher; symbolic host/url keys replay the distinct counts
+    "q228_domain_budget" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         h AS (SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'blog' || (doc_id % 9) || '.co.uk'
+             WHEN 1 THEN 'site' || (doc_id % 11) || '.com'
+             WHEN 2 THEN 'u' || (doc_id % 7) || '.github.io'
+             WHEN 3 THEN 'x' || (doc_id % 3) || '.y' || (doc_id % 4) || '.ck'
+             WHEN 4 THEN 'www.ck'
+             ELSE 'corp' || (doc_id % 2) || '.lan' END AS domain,
+           CASE doc_id % 6
+             WHEN 0 THEN 'a' || (doc_id % 5) || '.blog' || (doc_id % 9)
+               || '.co.uk'
+             WHEN 1 THEN 'site' || (doc_id % 11) || '.com'
+             WHEN 2 THEN 'cdn.u' || (doc_id % 7) || '.github.io'
+             WHEN 3 THEN 'a.x' || (doc_id % 3) || '.y' || (doc_id % 4)
+               || '.ck'
+             WHEN 4 THEN 'b' || (doc_id % 2) || '.www.ck'
+             ELSE 'internal.corp' || (doc_id % 2) || '.lan' END AS hk
+           FROM d)
+         SELECT domain, CAST(count(*) AS BIGINT) AS n_requests,
+                CAST(count(DISTINCT hk || '/' || (doc_id % 31)) AS BIGINT)
+                  AS n_urls,
+                CAST(count(DISTINCT hk) AS BIGINT) AS n_hosts
+         FROM h GROUP BY 1 ORDER BY 1""",
     // the joint (declared, sniffed) distribution replayed from the two
     // id formulas — the engine must slice real bodies out of the WARC
     // frames, read the real Content-Type header, and sniff the bytes
