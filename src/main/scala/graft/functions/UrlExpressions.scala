@@ -111,7 +111,11 @@ object UrlKernels {
   def canonicalize(raw: String): String = {
     var s = raw.trim
     val hash = s.indexOf('#')
-    if (hash >= 0) s = s.substring(0, hash)
+    // re-trim after the fragment cut: whitespace exposed by dropping
+    // `#...` would otherwise survive ONE pass and break idempotence
+    // (fuzz finding — canonicalize(canonicalize(x)) must equal
+    // canonicalize(x) for a frontier that may re-canonicalize)
+    if (hash >= 0) s = s.substring(0, hash).trim
     val sep = s.indexOf("://")
     if (sep < 0) return s
     val scheme = s.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
@@ -146,7 +150,10 @@ object UrlKernels {
       }
     }
     host = host.toLowerCase(java.util.Locale.ROOT)
-    if (host.endsWith(".") && host.length > 1) host = host.substring(0, host.length - 1)
+    // strip ALL trailing dots, not one per pass (fuzz finding: "h.."
+    // needed two canonicalize passes to reach its fixed point)
+    while (host.endsWith(".") && host.length > 1)
+      host = host.substring(0, host.length - 1)
     if (host.startsWith("www.") && host.length > 4) host = host.substring(4)
     if ((scheme == "http" && port == ":80") ||
         (scheme == "https" && port == ":443")) port = ""
@@ -170,7 +177,13 @@ object UrlKernels {
       .sorted
     val canonQuery = if (params.isEmpty) "" else params.mkString("?", "&", "")
 
-    scheme + "://" + userinfo + host + port + path + canonQuery
+    // trailing trim of the ASSEMBLED form: query sorting can move a
+    // control char (<= 0x20, which the entry trim strips) to the end of
+    // the string, where the NEXT canonicalize pass would remove it —
+    // trimming here makes one pass land on the fixed point (fuzz
+    // finding: canonicalize must be idempotent for a frontier that
+    // re-canonicalizes); leading trim is vacuous (scheme first).
+    (scheme + "://" + userinfo + host + port + path + canonQuery).trim
   }
 
   def canonicalizeUrl(u: UTF8String): UTF8String =

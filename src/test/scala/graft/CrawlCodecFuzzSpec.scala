@@ -77,6 +77,58 @@ class CrawlCodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test(s"robots.txt parse/compile/match is total over $N seeded " +
+    "mutations and adversarial glob patterns") {
+    val rnd = new scala.util.Random(155L)
+    val R = graft.ops.Robots
+    val bases = (0L until 7L).map(h => R.robotsFixtureFor(h).getBytes("UTF-8"))
+    val paths = Seq("/", "/q?a=1", "/d/sibling3", "/" + "x" * 200, "",
+      "/*$*", "a*b$c")
+    (1 to N).foreach { i =>
+      val txt = new String(mutate(rnd, bases(rnd.nextInt(bases.size))), "UTF-8")
+      val (rules, delay) = R.parse(txt, "graftcrawler/1.0")
+      assert(delay >= 0, s"case $i")
+      val blob = R.compile(rules)
+      paths.foreach(p => R.allowed(blob, p)) // must terminate, not throw
+    }
+    // adversarial patterns: star runs, anchors mid-pattern, empties —
+    // the backtracking glob must terminate on all of them
+    val evil = Seq("*", "**********", "*a*a*a*a*a*a*a*a*a*a", "$", "*$",
+      "a$b", "/" + "*" * 50 + "$", "")
+    val longPath = "/" + "ab" * 500
+    for (pat <- evil) {
+      R.patternMatches(pat, longPath)
+      R.patternMatches(pat, "")
+    }
+    // and a worst-case star-backtracking pair stays fast
+    val t0 = System.nanoTime()
+    R.patternMatches("*a" * 12 + "b", "a" * 300)
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "glob must not blow up")
+  }
+
+  test(s"URL canonicalize/resolve are total over $N seeded mutations, " +
+    "and canonicalize is IDEMPOTENT on every mutant") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val rnd = new scala.util.Random(156L)
+    val U = graft.functions.UrlKernels
+    // messy fixture urls as mutation bases (string-level mutations)
+    val bases = (0L until 16L).map { d =>
+      val m = d % 250
+      (s"HTTP://WWW.Host${m % 7}.Example.COM:8080/a/./p%7Eq${m % 5}" +
+        s"/b/../Item${m % 23}?b=2&utm_source=feed&a=${m % 13}#frag")
+        .getBytes("UTF-8")
+    }
+    (1 to N).foreach { i =>
+      val s = new String(mutate(rnd, bases(rnd.nextInt(bases.size))), "UTF-8")
+      val c1 = U.canonicalize(s)
+      val c2 = U.canonicalize(c1)
+      assert(c2 === c1, s"case $i: canonicalize must be idempotent on $s")
+      // resolution is total against mutated bases and refs
+      U.resolve(s, "../x")
+      U.resolve("https://h.example.com/a/b", s)
+    }
+  }
+
   test("XML entity decode is total on adversarial entity soup") {
     val rnd = new scala.util.Random(154L)
     val soup = Seq("&", "&amp", "&amp;", "&#", "&#;", "&#x;", "&#xZZ;",
