@@ -678,6 +678,18 @@ object ScaleProbe {
           .groupBy(col("declared"), col("sniffed"))
           .agg(count(lit(1))).count()
       }),
+      // canonicalize + PSL + one rollup composed — expect the kernel
+      // floor, alpha ~1
+      "q228_domain_budget" -> (k => {
+        val U = graft.ops.Urls
+        U.fixtureHosts(docs(k))
+          .select(U.canonicalizeUrl(concat(lit("https://"), col("host"),
+            lit("/p/"), pmod(col("doc_id").cast("long"), lit(31L)))).as("c"))
+          .select(U.registrableDomain(U.canonicalHost(col("c"))).as("domain"),
+            col("c"))
+          .groupBy(col("domain"))
+          .agg(count_distinct(col("c"))).count()
+      }),
       // row-local PSL kernel — expect alpha ~1, zero exchanges
       "q224_psl" -> (k =>
         graft.ops.Urls.fixtureHosts(docs(k))
