@@ -2269,6 +2269,61 @@ object SparkEntry {
         graft.ops.Crawl.fixtureFetchLog(t(s, dir, "documents")),
         "url", "content").orderBy(col("host"))),
 
+    // Beyond-reference: BUDGET-CAPPED STREAMING FRONTIER ADMISSION —
+    // q214's first-arrival admission with q228's domain granularity and
+    // a HARD BUDGET: URLs stream in, canonicalize, and each registrable
+    // domain admits at most K=5 distinct canonical URLs (first-arrival
+    // order); duplicates of ADMITTED urls report as dups, everything
+    // else is over-budget. Per-domain state is BOUNDED BY THE BUDGET
+    // (the admitted set, <= K strings + a counter) — unlike plain
+    // first-arrival dedup whose state grows with distinct keys, the cap
+    // makes state O(domains x K) at any corpus size. Version order =
+    // doc order in the fixture, so the oracle replays admission as a
+    // first-occurrence rank within each domain.
+    "q229_stream_domain_admission" -> ((s, dir) => {
+      import s.implicits._
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.documents_versioned")
+      val sink = "graft_q229_sink"
+      s.catalog.dropTempView(sink)
+      val U = graft.ops.Urls
+      val src = s.readStream.format("graft").option("path", path)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1").load()
+      val canon = graft.ops.Urls.canonicalizeUrl(concat(lit("https://"),
+        U.fixtureHostCol(col("doc_id").cast("long")), lit("/p/"),
+        pmod(col("doc_id").cast("long"), lit(31L))))
+      val reqs = src.select(
+          U.registrableDomain(U.canonicalHost(canon)).as("domain"),
+          canon.as("url"), col("doc_id").cast("long").as("doc_id"))
+        .as[(String, String, Long)]
+      val verdicts = reqs.groupByKey(_._1)
+        .flatMapGroupsWithState[(Seq[String], Long), (String, String)](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          case (domain, rows, state) =>
+            var (admitted, nOver) = state.getOption.getOrElse((Seq.empty[String], 0L))
+            val out = rows.toSeq.sortBy(_._3).map { case (_, url, _) =>
+              if (admitted.contains(url)) (domain, "duplicate")
+              else if (admitted.size < 5) { admitted :+= url; (domain, "admitted") }
+              else { nOver += 1; (domain, "over_budget") }
+            }
+            state.update((admitted, nOver))
+            out.iterator
+        }.toDF("domain", "verdict")
+      val q = verdicts.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      q.stop()
+      s.table(sink).groupBy(col("domain"))
+        .agg(count(when(col("verdict") === "admitted", 1)).as("n_admitted"),
+          count(when(col("verdict") === "duplicate", 1)).as("n_dup"),
+          count(when(col("verdict") === "over_budget", 1)).as("n_rejected"))
+        .orderBy(col("domain"))
+    }),
+
     // Beyond-reference: DOMAIN-GRANULAR CRAWL BUDGET — the q213 budget
     // rollup at eTLD+1 instead of host: fetch requests over the PSL
     // host fixture canonicalize (kernel), group by REGISTRABLE DOMAIN
@@ -6776,6 +6831,43 @@ object SparkEntry {
                   AS est_jaccard
          FROM hs a JOIN hs b ON a.j = b.j AND a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // batch replay of the budget-capped admission: first-occurrence
+    // rank within each domain (version order = doc order) decides
+    // admit/dup/reject — a hash match proves the streamed bounded-state
+    // fold made exactly the same decisions
+    "q229_stream_domain_admission" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         h AS (SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'blog' || (doc_id % 9) || '.co.uk'
+             WHEN 1 THEN 'site' || (doc_id % 11) || '.com'
+             WHEN 2 THEN 'u' || (doc_id % 7) || '.github.io'
+             WHEN 3 THEN 'x' || (doc_id % 3) || '.y' || (doc_id % 4) || '.ck'
+             WHEN 4 THEN 'www.ck'
+             ELSE 'corp' || (doc_id % 2) || '.lan' END AS domain,
+           (CASE doc_id % 6
+             WHEN 0 THEN 'a' || (doc_id % 5) || '.blog' || (doc_id % 9)
+               || '.co.uk'
+             WHEN 1 THEN 'site' || (doc_id % 11) || '.com'
+             WHEN 2 THEN 'cdn.u' || (doc_id % 7) || '.github.io'
+             WHEN 3 THEN 'a.x' || (doc_id % 3) || '.y' || (doc_id % 4)
+               || '.ck'
+             WHEN 4 THEN 'b' || (doc_id % 2) || '.www.ck'
+             ELSE 'internal.corp' || (doc_id % 2) || '.lan' END)
+             || '/' || (doc_id % 31) AS uk
+           FROM d),
+         u AS (SELECT domain, uk, min(doc_id) AS fd, count(*) AS cnt
+               FROM h GROUP BY 1, 2),
+         r AS (SELECT domain, cnt, row_number() OVER (
+                 PARTITION BY domain ORDER BY fd) AS rk FROM u)
+         SELECT domain,
+                CAST(sum(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_admitted,
+                CAST(sum(CASE WHEN rk <= 5 THEN cnt - 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup,
+                CAST(sum(CASE WHEN rk > 5 THEN cnt ELSE 0 END) AS BIGINT)
+                  AS n_rejected
+         FROM r GROUP BY domain ORDER BY domain""",
     // every registrable domain replayed from the host formula — the
     // engine must canonicalize (www-strip, lowercase) and run the real
     // PSL matcher; symbolic host/url keys replay the distinct counts

@@ -72,11 +72,14 @@ object Urls {
     * `!www.ck` exception, and an unknown TLD falling back to the
     * implicit `*` rule.
     */
-  def fixtureHosts(docs: DataFrame): DataFrame = {
-    val d = col("doc_id").cast("long")
+  def fixtureHosts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      fixtureHostCol(col("doc_id").cast("long")).as("host"))
+
+  /** Column form of the PSL host fixture formula. */
+  def fixtureHostCol(d: Column): Column = {
     def s(c: Column): Column = c.cast("string")
-    docs.select(d.as("doc_id"),
-      when(pmod(d, lit(6)) === 0,
+    when(pmod(d, lit(6)) === 0,
         concat(lit("a"), s(pmod(d, lit(5))), lit(".Blog"), s(pmod(d, lit(9))),
           lit(".co.uk")))
       .when(pmod(d, lit(6)) === 1,
@@ -90,7 +93,6 @@ object Urls {
         concat(lit("b"), s(pmod(d, lit(2))), lit(".WWW.CK")))
       .otherwise(
         concat(lit("internal.corp"), s(pmod(d, lit(2))), lit(".lan")))
-      .as("host"))
   }
 
   /** Deterministic messy-URL fixture (the q199/q205 generator-formula
