@@ -26,6 +26,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Drain an AvailableNow stream and FAIL LOUDLY on timeout — a
+    * timed-out drain leaves a partially-filled memory sink and would
+    * otherwise return a silently wrong (incomplete) answer.
+    */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          "streaming drain timed out after 300 s — sink is incomplete")
+    } finally q.stop()
+
   /** Some testdata generations store `events.ts` as TIMESTAMP(NANOS),
     * which Spark's parquet reader rejects by default; others store plain
     * TIMESTAMP(MICROS). Handle both: read nanos as long and convert with
@@ -485,8 +496,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
         .writeStream.format("memory").queryName(sink).outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
-      q.stop()
+      drain(q)
       s.table(sink)
     }),
 
@@ -536,8 +546,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .writeStream.format("memory").queryName(sink).outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
-      q.stop()
+      drain(q)
       s.table(sink)
     }),
 
@@ -583,8 +592,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .writeStream.format("memory").queryName(sink).outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
-      q.stop()
+      drain(q)
       s.table(sink)
     }),
 
@@ -1376,8 +1384,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
         .writeStream.format("memory").queryName(sink).outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
-      q.stop()
+      drain(q)
       s.table(sink)
     }),
 
@@ -1406,8 +1413,7 @@ object SparkEntry {
         .toDF("user_id", "n_events")
         .writeStream.format("memory").queryName(sink).outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
-      q.stop()
+      drain(q)
       // update mode emits one row per (user, batch); the final state is
       // the max — aggregate the sink into the per-count user histogram
       s.table(sink)
@@ -1478,8 +1484,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .writeStream.format("memory").queryName(sink).outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
-      q.stop()
+      drain(q)
       s.table(sink)
     }),
 
@@ -1656,8 +1661,7 @@ object SparkEntry {
       val q = verdicts.writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
-      q.stop()
+      drain(q)
       s.table(sink).groupBy(col("doc_id"))
         .agg(min(col("first_in_bucket")).as("admitted"),
           count(when(col("first_in_bucket"), 1)).as("n_first"))
@@ -1700,8 +1704,7 @@ object SparkEntry {
       val q = verdicts.writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
-      q.stop()
+      drain(q)
       s.table(sink).groupBy(col("doc_id"))
         .agg(min(col("first_in_bucket")).as("admitted"),
           count(when(col("first_in_bucket"), 1)).as("n_first"))
@@ -1820,8 +1823,7 @@ object SparkEntry {
       val q = verdicts.writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
-      q.stop()
+      drain(q)
       s.table(sink).groupBy(col("admitted"))
         .agg(count(lit(1)).as("n_assets"), min(col("doc_id")).as("min_id"))
     }),
@@ -1999,8 +2001,7 @@ object SparkEntry {
       val q = snapshots.writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
-      q.stop()
+      drain(q)
       val sigs = s.table(sink).groupBy(col("source"))
         .agg(min(col("mins")(0)).as("h0"),
           (1 until K).map(j => min(col("mins")(j)).as(s"h$j")): _*)
@@ -2055,8 +2056,7 @@ object SparkEntry {
       val q = verdicts.writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
-      q.stop()
+      drain(q)
       s.table(sink).groupBy(col("admitted"))
         .agg(count(lit(1)).as("n_pages"), min(col("doc_id")).as("min_id"),
           sum(col("doc_id")).as("id_sum"))
@@ -2136,8 +2136,7 @@ object SparkEntry {
       val q = verdicts.writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
-      q.stop()
+      drain(q)
       s.table(sink).groupBy(col("admitted"))
         .agg(count(lit(1)).as("n_requests"), min(col("doc_id")).as("min_id"),
           sum(col("doc_id")).as("id_sum"))
@@ -2275,7 +2274,7 @@ object SparkEntry {
     // domain admits at most K=5 distinct canonical URLs (first-arrival
     // order); duplicates of ADMITTED urls report as dups, everything
     // else is over-budget. Per-domain state is BOUNDED BY THE BUDGET
-    // (the admitted set, <= K strings + a counter) — unlike plain
+    // (the admitted set alone, <= K strings) — unlike plain
     // first-arrival dedup whose state grows with distinct keys, the cap
     // makes state O(domains x K) at any corpus size. Version order =
     // doc order in the fixture, so the oracle replays admission as a
@@ -2299,24 +2298,27 @@ object SparkEntry {
           canon.as("url"), col("doc_id").cast("long").as("doc_id"))
         .as[(String, String, Long)]
       val verdicts = reqs.groupByKey(_._1)
-        .flatMapGroupsWithState[(Seq[String], Long), (String, String)](
+        .flatMapGroupsWithState[Set[String], (String, String)](
           org.apache.spark.sql.streaming.OutputMode.Append(),
           org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
           case (domain, rows, state) =>
-            var (admitted, nOver) = state.getOption.getOrElse((Seq.empty[String], 0L))
+            // state = the admitted SET alone (≤ K strings; O(1) probe) —
+            // rejected counts are recomputed from the sink, so nothing
+            // else belongs in state (r15 advisory: a persisted-but-never-
+            // read counter inflated the documented bound)
+            var admitted = state.getOption.getOrElse(Set.empty[String])
             val out = rows.toSeq.sortBy(_._3).map { case (_, url, _) =>
               if (admitted.contains(url)) (domain, "duplicate")
-              else if (admitted.size < 5) { admitted :+= url; (domain, "admitted") }
-              else { nOver += 1; (domain, "over_budget") }
+              else if (admitted.size < 5) { admitted += url; (domain, "admitted") }
+              else (domain, "over_budget")
             }
-            state.update((admitted, nOver))
+            state.update(admitted)
             out.iterator
         }.toDF("domain", "verdict")
       val q = verdicts.writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
-      q.stop()
+      drain(q)
       s.table(sink).groupBy(col("domain"))
         .agg(count(when(col("verdict") === "admitted", 1)).as("n_admitted"),
           count(when(col("verdict") === "duplicate", 1)).as("n_dup"),
@@ -2398,6 +2400,18 @@ object SparkEntry {
     "q225_warc_census" -> ((s, dir) =>
       graft.ops.Warc.fixtureCensus(t(s, dir, "documents"))),
 
+    // Beyond-reference: GZIP-MEMBER WARC FRAMING — the `warc.gz` layout
+    // real Common Crawl shards ship in: one gzip member PER RECORD,
+    // members concatenated. The engine detects the 1f 8b magic,
+    // inflates member-by-member (JDK member walk; truncated/corrupt
+    // tails keep the inflated prefix — tolerant-crawler posture), and
+    // runs the IDENTICAL q225 census over the inflated bytes — the
+    // oracle is q225's verbatim, so the inflation layer is hash-pinned
+    // end to end. Still one stateless walk per file at the codec
+    // boundary; compression adds zero shuffles.
+    "q230_warc_gz_census" -> ((s, dir) =>
+      graft.ops.Warc.fixtureGzCensus(t(s, dir, "documents"))),
+
     // Beyond-reference: STREAMING RECRAWL SCHEDULER — q220's change-rate
     // estimator maintained INCREMENTALLY over the fetch stream: each
     // arriving page is one check of its URL (url = doc_id % 50, so every
@@ -2437,8 +2451,7 @@ object SparkEntry {
       val q = snapshots.writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
-      q.stop()
+      drain(q)
       // counters are monotone: the final per-URL state is the snapshot
       // with the largest n (append-mode legal — no "last row wins")
       val finalState = s.table(sink).groupBy(col("url"))
@@ -2661,8 +2674,7 @@ object SparkEntry {
       val q = verdicts.writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
-      q.stop()
+      drain(q)
       s.table(sink).groupBy(col("doc_id"))
         .agg(min(col("fresh_in_bucket")).as("admitted"),
           count(when(col("fresh_in_bucket"), 1)).as("n_fresh"))
@@ -3898,7 +3910,7 @@ object SparkEntry {
         .option("path", s"$scratch/data")
         .option("checkpointLocation", s"$scratch/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000); q.stop()
+      drain(q)
       s.read.format("graft").option("path", s"$scratch/data").load()
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"),
@@ -6940,6 +6952,29 @@ object SparkEntry {
          SELECT kind, charset, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(n) AS BIGINT) AS chars
          FROM v GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q225's oracle VERBATIM — the gzip twin must land on byte-identical
+    // census rows after inflating the per-record members
+    "q230_warc_gz_census" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS h FROM documents),
+         resp AS (SELECT doc_id, h,
+                    CASE WHEN doc_id % 9 = 0 THEN 404 ELSE 200 END AS status,
+                    50 + doc_id % 101
+                      + CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 0 END AS body,
+                    doc_id % 97 AS u,
+                    strftime(TIMESTAMP '2024-01-01 00:00:00'
+                      + to_seconds(doc_id % 86400),
+                      '%Y-%m-%dT%H:%M:%SZ') AS dt
+                  FROM d)
+         SELECT 'host' || h || '.example.com' AS host,
+                CAST(count(*) AS BIGINT) AS n_responses,
+                CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_requests,
+                CAST(sum(CASE WHEN status = 404 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_404,
+                CAST(sum(body) AS BIGINT) AS body_bytes,
+                CAST(count(DISTINCT u) AS BIGINT) AS n_uris,
+                max(dt) AS latest_date
+         FROM resp GROUP BY h ORDER BY host""",
     // every WARC record replayed from the doc-id formula: body octets
     // include the planted 2-byte é, request counts vanish if framing
     // counts chars, and the capture instant replays via strftime
@@ -6979,8 +7014,7 @@ object SparkEntry {
                  FROM hx),
          rv AS (SELECT host, lm,
                   CASE WHEN lm <= 0 THEN 30
-                       ELSE greatest(1, least(30,
-                         CAST(floor(1000000.0 / lm) AS BIGINT))) END AS revisit
+                       ELSE greatest(1, least(30, 1000000 // lm)) END AS revisit
                 FROM lam)
          SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
                 CAST(sum(lm) AS BIGINT) AS lambda_mass,
@@ -7096,13 +7130,13 @@ object SparkEntry {
                  FROM ue GROUP BY h),
          chn AS (SELECT h, sum(n) AS n_children FROM ch GROUP BY h)
          SELECT 'host' || h || '.example.com' AS host,
-                CAST(n_entries AS BIGINT) AS n_entries,
+                CAST(coalesce(n_entries, 0) AS BIGINT) AS n_entries,
                 CAST(coalesce(chn.n_children, 0) AS BIGINT) AS n_children,
                 latest_lastmod,
-                CAST(n_daily AS BIGINT) AS n_daily,
+                CAST(coalesce(n_daily, 0) AS BIGINT) AS n_daily,
                 CAST(prio_tenths AS BIGINT) AS prio_tenths,
                 CAST(coalesce(newu.n_new, 0) AS BIGINT) AS n_new
-         FROM agg LEFT JOIN chn USING (h) LEFT JOIN newu USING (h)
+         FROM agg FULL JOIN chn USING (h) LEFT JOIN newu USING (h)
          ORDER BY host""",
     // the per-URL (n, X) pairs and the bias-corrected Poisson estimate
     // replayed from the check formula — microunit floors are
@@ -7121,8 +7155,7 @@ object SparkEntry {
                  FROM hx),
          rv AS (SELECT host, lm,
                   CASE WHEN lm <= 0 THEN 30
-                       ELSE greatest(1, least(30,
-                         CAST(floor(1000000.0 / lm) AS BIGINT))) END AS revisit
+                       ELSE greatest(1, least(30, 1000000 // lm)) END AS revisit
                 FROM lam)
          SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
                 CAST(sum(lm) AS BIGINT) AS lambda_mass,

@@ -41,14 +41,21 @@ object Crawl {
 
   /** Clamped revisit interval in check-units from a microunit rate:
     * never-observed-changing URLs park at the 30-unit cold cap; the
-    * rest get `floor(1e6 / λ_micro)` clamped to [1, 30] — exact
-    * integer division, engine-independent.
+    * rest get `1000000 div λ_micro` clamped to [1, 30] — TRUE integer
+    * division (Catalyst `IntegralDivide` on longs; the oracle replays
+    * it as DuckDB `//`), engine-independent by construction rather than
+    * by both sides pinning the same IEEE double op (r15 advisory: the
+    * earlier `floor(1e6.0 / λ)` spelling matched only because the
+    * oracle replayed the identical double division).
     */
-  def revisitUnits(lambdaMicro: Column): Column =
+  def revisitUnits(lambdaMicro: Column): Column = {
+    val B = org.apache.spark.sql.GraftSqlBridge
+    val intDiv = B.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        B.expression(lit(1000000L)), B.expression(lambdaMicro)))
     when(lambdaMicro <= 0, lit(30L)).otherwise(
-      greatest(lit(1L), least(lit(30L),
-        floor(lit(1000000L).cast("double") / lambdaMicro.cast("double"))
-          .cast("long"))))
+      greatest(lit(1L), least(lit(30L), intDiv)))
+  }
 
   /** Per-host recrawl schedule over a per-URL fetch history
     * (hostCol, urlCol, nCol = checks, xCol = observed changes):

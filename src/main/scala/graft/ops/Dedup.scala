@@ -1036,6 +1036,12 @@ object Dedup {
     * time explodes long before data size matters. On a cluster with a
     * checkpoint dir configured, `checkpoint()` would add fault tolerance;
     * the algorithm is unchanged.
+    *
+    * Convergence is detected by a per-round (count, xor-of-hash)
+    * signature and then CONFIRMED exactly (one anti-join on the terminal
+    * round only), so a 2⁻⁶⁴ signature collision between different
+    * consecutive edge sets cannot terminate the loop early — the
+    * returned labeling is exact, not probabilistic.
     */
   /** Near-dup dedup that keeps the BEST copy per duplicate cluster — the
     * representative-selection rule real pipelines use (keep the longest /
@@ -1163,9 +1169,12 @@ object Dedup {
       linked.filter(col("u") =!= col("v")).distinct()
     }
 
-    // convergence check: (count, order-independent hash-xor) signature —
+    // convergence SIGNAL: (count, order-independent hash-xor) signature —
     // one aggregate per round, no collect of edge data (xor never
-    // overflows under ANSI arithmetic, unlike a hash sum)
+    // overflows under ANSI arithmetic, unlike a hash sum). The signature
+    // alone is probabilistic (two DIFFERENT consecutive edge sets could
+    // collide at ~2⁻⁶⁴/round), so a match only TRIGGERS the exact check
+    // below — convergence is never declared on the hash alone.
     def signature(e: DataFrame): (Long, Long) = {
       val row = e.agg(
         count(lit(1)).as("n"),
@@ -1183,9 +1192,14 @@ object Dedup {
       // round overhead halves on small graphs where scheduling dominates)
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = signature(next)
+      if (nextSig == sig) {
+        // exact confirmation, terminal round only: equal counts (from the
+        // signature) + empty (next \ prev) ⟹ set equality — one extra
+        // anti-join job at the fixpoint, zero cost on every other round
+        converged = next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      }
       GraftSqlBridge.unpersistCheckpoint(edges, blocking = false)
       edges = next
-      converged = nextSig == sig
       sig = nextSig
       iter += 1
     }

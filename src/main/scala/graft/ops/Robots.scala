@@ -194,6 +194,36 @@ object Robots {
       }).toDF("host", "rules", "crawl_delay")
   }
 
+  /** Driver/broadcast split for the policy join, the same size-gated
+    * pattern as [[Dedup.defaultEdgeGate]]: at or below this many hosts
+    * the compiled-policy dim gets an explicit `broadcast()` hint; above
+    * it the join strategy is left to the planner (AQE decides shuffle
+    * vs broadcast from runtime stats). Default 1M hosts ≈ low-GB of
+    * compiled blobs — the order of a comfortable broadcast side; a
+    * whole-web frontier (10⁷–10⁸ hosts × ~KB policies) must NOT be
+    * force-hinted or the driver OOMs instead of degrading to a shuffle
+    * join. Overridable via -Dgraft.robots.broadcastHostThreshold
+    * (0 forces the un-hinted path — gate-lifted verification mode).
+    */
+  def defaultBroadcastHostGate: Long =
+    sys.props.get("graft.robots.broadcastHostThreshold").map(_.toLong)
+      .getOrElse(1L << 20)
+
+  /** Join URL targets (host, path) against compiled per-host policies
+    * (host, rules, crawl_delay) and evaluate the codegen verdict —
+    * broadcast-hinted only below the host gate (one count job on the
+    * dim side, the cheap action that makes the hint safe at any scale).
+    */
+  def policyVerdicts(targets: DataFrame, policies: DataFrame,
+      broadcastHostGate: Long = defaultBroadcastHostGate): DataFrame = {
+    val dim =
+      if (policies.count() <= broadcastHostGate) broadcast(policies)
+      else policies
+    targets.join(dim, Seq("host"))
+      .withColumn("allowed", allowedCol(col("rules"), col("path")))
+      .select(col("host"), col("path"), col("crawl_delay"), col("allowed"))
+  }
+
   /** The q217 pipeline — q215's resolved canonical link targets joined
     * against the 7-host fixture policies — as ONE shared builder
     * returning (host, path, crawl_delay, allowed), so the query and its
@@ -215,9 +245,6 @@ object Robots {
     val dim = spark.range(7).as[Long]
       .map(h => (s"host$h.example.com", graft.ops.Robots.robotsFixtureFor(h)))
       .toDF("host", "txt")
-    targets.join(broadcast(compilePolicies(dim, "host", "txt", userAgent)),
-      Seq("host"))
-      .withColumn("allowed", allowedCol(col("rules"), col("path")))
-      .select(col("host"), col("path"), col("crawl_delay"), col("allowed"))
+    policyVerdicts(targets, compilePolicies(dim, "host", "txt", userAgent))
   }
 }

@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   * missing `Content-Length` (unframeable) are skipped by scanning to
   * the next `WARC/` magic — tolerant-crawler posture.
   *
+  * Files may be plain WARC bytes or the `warc.gz` layout (concatenated
+  * per-record gzip members, the public Common Crawl convention) —
+  * [[inflateMembers]] normalizes before the walk.
+  *
   * Scale shape: one stateless parse per WARC file at the codec
   * boundary (O(bytes), zero shuffle — the q205/IsoBmff pattern); the
   * per-host census shuffles a short host string and a handful of
@@ -50,9 +54,60 @@ object Warc {
   private val CRLF = "\r\n".getBytes(StandardCharsets.US_ASCII)
   private val CRLFCRLF = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
 
-  /** Parse every well-formed record in one WARC file. */
-  def parse(bytes: Array[Byte]): Vector[Record] = {
-    val out = Vector.newBuilder[Record]
+  /** Inflate a `warc.gz`-style file of CONCATENATED per-record gzip
+    * members (the public Common Crawl layout: each record its own
+    * member, members back-to-back) into plain WARC bytes. Non-gzip
+    * input returns unchanged — the framing walk below is agnostic.
+    * Tolerant-crawler posture: a truncated or corrupt member keeps
+    * every byte inflated before the fault (the magic-scan recovery in
+    * the walk then resynchronizes); trailing garbage after the last
+    * well-formed member is dropped by the JDK member walk.
+    *
+    * Scale note: this materializes the inflated file in memory — right
+    * for the fixture's per-doc files; a real 1 GiB `warc.gz` shard
+    * wants a STREAMING member walk (inflate member → frame records →
+    * discard) so peak memory is one record, not one file. The framing
+    * logic is already per-record and would lift onto such an iterator
+    * unchanged.
+    */
+  def inflateMembers(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 2 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
+      return bytes
+    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 4))
+    var in: java.util.zip.GZIPInputStream = null
+    val buf = new Array[Byte](65536)
+    try {
+      // the constructor itself reads the first member header and throws
+      // on a truncated one (fuzz finding) — it must sit inside the try
+      in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch {
+      case _: java.io.IOException => // truncated/corrupt member: keep prefix
+    } finally {
+      if (in != null) scala.util.Try(in.close())
+    }
+    out.toByteArray
+  }
+
+  /** One framed record: WARC header fields + the payload span in the
+    * (possibly inflated) byte array the walk ran over.
+    */
+  private[ops] case class Frame(warcType: String, targetUri: String,
+      date: String, payloadStart: Int, payloadEnd: Int)
+
+  /** THE framing walk — the single implementation [[parse]] and
+    * [[responseBodies]] are built on (r15 advisory: the two copies had
+    * to receive the fuzz-found framing fixes by hand, twice): gzip
+    * members inflated first, then magic scan, CRLF-terminated header
+    * block, overflow-safe `Content-Length` octet framing, magic-scan
+    * recovery past unframeable records. Returns the byte array the
+    * spans index into (the inflated one for gzip input).
+    */
+  private[ops] def frames(raw: Array[Byte]): (Array[Byte], Vector[Frame]) = {
+    val bytes = inflateMembers(raw)
+    val out = Vector.newBuilder[Frame]
     var pos = indexOf(bytes, MAGIC, 0)
     while (pos >= 0 && pos < bytes.length) {
       val headEnd = indexOf(bytes, CRLFCRLF, pos)
@@ -87,38 +142,52 @@ object Warc {
           pos = indexOf(bytes, MAGIC, pos + MAGIC.length)
         } else {
           val payloadEnd = (payloadStart + contentLength).toInt
-          var status = 0
-          var bodyBytes = 0L
-          if (warcType == "response") {
-            // HTTP message: status line, headers, blank line, body.
-            // The blank line must fit WHOLLY inside the payload — a
-            // CRLFCRLF straddling the payload boundary (fuzz finding:
-            // payload ending in CRLF followed by the record terminator)
-            // would otherwise yield negative body bytes
-            val httpHeadEnd = indexOf(bytes, CRLFCRLF, payloadStart) match {
-              case e if e >= 0 && e + 4 <= payloadEnd => e
-              case _ => payloadEnd // headers only — no body
-            }
-            val statusLine = {
-              val lineEnd = indexOf(bytes, CRLF, payloadStart)
-              val e = if (lineEnd < 0 || lineEnd > httpHeadEnd) httpHeadEnd else lineEnd
-              new String(bytes, payloadStart, e - payloadStart,
-                StandardCharsets.ISO_8859_1)
-            }
-            status = statusLine.split(' ') match {
-              case parts if parts.length >= 2 =>
-                scala.util.Try(parts(1).toInt).getOrElse(0)
-              case _ => 0
-            }
-            if (httpHeadEnd < payloadEnd)
-              bodyBytes = payloadEnd - (httpHeadEnd + 4).toLong
-          }
-          out += Record(warcType, uri, date, status, bodyBytes)
+          out += Frame(warcType, uri, date, payloadStart, payloadEnd)
           pos = indexOf(bytes, MAGIC, payloadEnd)
         }
       }
     }
-    out.result()
+    (bytes, out.result())
+  }
+
+  /** End of the HTTP header block inside a response payload: the blank
+    * line must fit WHOLLY inside the payload — a CRLFCRLF straddling
+    * the payload boundary (fuzz finding: payload ending in CRLF
+    * followed by the record terminator) would otherwise yield negative
+    * body bytes. Headers-only payloads return payloadEnd (no body).
+    */
+  private def httpHeadEnd(bytes: Array[Byte], f: Frame): Int =
+    indexOf(bytes, CRLFCRLF, f.payloadStart) match {
+      case e if e >= 0 && e + 4 <= f.payloadEnd => e
+      case _ => f.payloadEnd
+    }
+
+  /** Parse every well-formed record in one WARC file (plain or
+    * gzip-member-framed).
+    */
+  def parse(raw: Array[Byte]): Vector[Record] = {
+    val (bytes, fs) = frames(raw)
+    fs.map { f =>
+      var status = 0
+      var bodyBytes = 0L
+      if (f.warcType == "response") {
+        // HTTP message: status line, headers, blank line, body
+        val he = httpHeadEnd(bytes, f)
+        val statusLine = {
+          val lineEnd = indexOf(bytes, CRLF, f.payloadStart)
+          val e = if (lineEnd < 0 || lineEnd > he) he else lineEnd
+          new String(bytes, f.payloadStart, e - f.payloadStart,
+            StandardCharsets.ISO_8859_1)
+        }
+        status = statusLine.split(' ') match {
+          case parts if parts.length >= 2 =>
+            scala.util.Try(parts(1).toInt).getOrElse(0)
+          case _ => 0
+        }
+        if (he < f.payloadEnd) bodyBytes = f.payloadEnd - (he + 4).toLong
+      }
+      Record(f.warcType, f.targetUri, f.date, status, bodyBytes)
+    }
   }
 
   /** files (idCol, binCol) → one row per parsed record. */
@@ -173,67 +242,29 @@ object Warc {
   }
 
   /** (targetUri, declaredContentType, bodyBytes) per response record —
-    * the same byte-exact framing walk as [[parse]], additionally
-    * slicing the HTTP body and reading the `Content-Type` header
-    * (case-insensitive; empty when absent).
+    * the SAME framing walk as [[parse]] (shared via [[frames]]),
+    * additionally slicing the HTTP body and reading the `Content-Type`
+    * header (case-insensitive; empty when absent).
     */
-  def responseBodies(bytes: Array[Byte]): Vector[(String, String, Array[Byte])] = {
-    val out = Vector.newBuilder[(String, String, Array[Byte])]
-    var pos = indexOf(bytes, MAGIC, 0)
-    while (pos >= 0 && pos < bytes.length) {
-      val headEnd = indexOf(bytes, CRLFCRLF, pos)
-      if (headEnd < 0) { pos = -1 }
-      else {
-        val head = new String(bytes, pos, headEnd - pos, StandardCharsets.ISO_8859_1)
-        var warcType = ""; var uri = ""
-        var contentLength = -1L
-        head.split("\r\n").iterator.drop(1).foreach { line =>
-          val c = line.indexOf(':')
-          if (c > 0) {
-            val k = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
-            val v = line.substring(c + 1).trim
-            k match {
-              case "warc-type" => warcType = v
-              case "warc-target-uri" => uri = v
-              case "content-length" =>
-                contentLength = scala.util.Try(v.toLong).getOrElse(-1L)
-              case _ =>
-            }
-          }
-        }
-        val payloadStart = headEnd + 4
-        if (contentLength < 0 ||
-            contentLength > (bytes.length - payloadStart).toLong) {
-          pos = indexOf(bytes, MAGIC, pos + MAGIC.length)
-        } else {
-          val payloadEnd = (payloadStart + contentLength).toInt
-          if (warcType == "response") {
-            val httpHeadEnd = indexOf(bytes, CRLFCRLF, payloadStart) match {
-              case e if e >= 0 && e + 4 <= payloadEnd => e
-              case _ => payloadEnd
-            }
-            val httpHead = new String(bytes, payloadStart,
-              httpHeadEnd - payloadStart, StandardCharsets.ISO_8859_1)
-            val ct = httpHead.split("\r\n").iterator.drop(1).flatMap { line =>
-              val c = line.indexOf(':')
-              if (c > 0 &&
-                  line.substring(0, c).trim
-                    .equalsIgnoreCase("content-type"))
-                Some(line.substring(c + 1).trim
-                  .toLowerCase(java.util.Locale.ROOT))
-              else None
-            }.nextOption().getOrElse("")
-            val body =
-              if (httpHeadEnd < payloadEnd)
-                java.util.Arrays.copyOfRange(bytes, httpHeadEnd + 4, payloadEnd)
-              else Array.emptyByteArray
-            out += ((uri, ct, body))
-          }
-          pos = indexOf(bytes, MAGIC, payloadEnd)
-        }
-      }
-    }
-    out.result()
+  def responseBodies(raw: Array[Byte]): Vector[(String, String, Array[Byte])] = {
+    val (bytes, fs) = frames(raw)
+    fs.iterator.filter(_.warcType == "response").map { f =>
+      val he = httpHeadEnd(bytes, f)
+      val httpHead = new String(bytes, f.payloadStart,
+        he - f.payloadStart, StandardCharsets.ISO_8859_1)
+      val ct = httpHead.split("\r\n").iterator.drop(1).flatMap { line =>
+        val c = line.indexOf(':')
+        if (c > 0 &&
+            line.substring(0, c).trim.equalsIgnoreCase("content-type"))
+          Some(line.substring(c + 1).trim.toLowerCase(java.util.Locale.ROOT))
+        else None
+      }.nextOption().getOrElse("")
+      val body =
+        if (he < f.payloadEnd)
+          java.util.Arrays.copyOfRange(bytes, he + 4, f.payloadEnd)
+        else Array.emptyByteArray
+      (f.targetUri, ct, body)
+    }.toVector
   }
 
   /** Deterministic per-doc WARC file (generator-formula pattern, host
@@ -245,7 +276,13 @@ object Warc {
     * by one and loses it; the oracle's per-host request count catches
     * that.
     */
-  def warcFixtureFor(d: Long): Array[Byte] = {
+  def warcFixtureFor(d: Long): Array[Byte] =
+    fixtureRecordsFor(d).reduce(_ ++ _)
+
+  /** The individual framed records of [[warcFixtureFor]] — exposed so
+    * the gzip twin can compress each record as its OWN member.
+    */
+  private def fixtureRecordsFor(d: Long): Vector[Array[Byte]] = {
     val h = d % 7
     val uri = s"https://host$h.example.com/d/${d % 97}/page"
     val status = if (d % 9 == 0) "404 Not Found" else "200 OK"
@@ -263,7 +300,8 @@ object Warc {
     sb ++= "\r\n"
     val headBytes = sb.toString.getBytes(StandardCharsets.US_ASCII)
     val tail = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
-    val req: Array[Byte] = if (d % 3 == 0) {
+    val resp = headBytes ++ respPayload ++ tail
+    if (d % 3 == 0) {
       val httpReq = s"GET /d/${d % 97}/page HTTP/1.1\r\nHost: host$h.example.com\r\n\r\n"
       val reqPayload = httpReq.getBytes(StandardCharsets.US_ASCII)
       val rb = new StringBuilder
@@ -275,10 +313,25 @@ object Warc {
       rb ++= "Content-Type: application/http;msgtype=request\r\n"
       rb ++= s"Content-Length: ${reqPayload.length}\r\n"
       rb ++= "\r\n"
-      rb.toString.getBytes(StandardCharsets.US_ASCII) ++ reqPayload ++ tail
-    } else Array.emptyByteArray
-    headBytes ++ respPayload ++ tail ++ req
+      Vector(resp,
+        rb.toString.getBytes(StandardCharsets.US_ASCII) ++ reqPayload ++ tail)
+    } else Vector(resp)
   }
+
+  /** Compress one framed record as one gzip member. */
+  def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(record.length)
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(record); g.finish(); g.close()
+    bos.toByteArray
+  }
+
+  /** The `warc.gz` twin of [[warcFixtureFor]]: each record compressed
+    * as its OWN gzip member, members concatenated — the public Common
+    * Crawl layout ([[inflateMembers]] undoes it).
+    */
+  def warcGzFixtureFor(d: Long): Array[Byte] =
+    fixtureRecordsFor(d).map(gzipMember).reduce(_ ++ _)
 
   /** documents → (doc_id, warc) binary fixture. */
   def fixtureWarcs(docs: DataFrame): DataFrame = {
@@ -315,11 +368,29 @@ object Warc {
       .toDF("doc_id", "warc")
   }
 
+  /** documents → (doc_id, warc) gzip-member fixture (q230). */
+  def fixtureGzWarcs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(d => (d, graft.ops.Warc.warcGzFixtureFor(d))))
+      .toDF("doc_id", "warc")
+  }
+
   /** The q225 per-host census: responses/requests/404s, HTTP body
-    * OCTETS (responses only), and distinct target URIs.
+    * OCTETS (responses only), and distinct target URIs. q230 runs the
+    * SAME census over the gzip-member twin — same oracle by
+    * construction, so the inflation layer is hash-pinned.
     */
-  def fixtureCensus(docs: DataFrame): DataFrame = {
-    val recs = parseRecords(fixtureWarcs(docs), "doc_id", "warc")
+  def fixtureCensus(docs: DataFrame): DataFrame =
+    censusOf(fixtureWarcs(docs))
+
+  /** q230: the census over the `warc.gz` fixture. */
+  def fixtureGzCensus(docs: DataFrame): DataFrame =
+    censusOf(fixtureGzWarcs(docs))
+
+  private def censusOf(files: DataFrame): DataFrame = {
+    val recs = parseRecords(files, "doc_id", "warc")
       .withColumn("host", Urls.canonicalHost(col("target_uri")))
     recs.groupBy(col("host")).agg(
       count(when(col("warc_type") === "response", 1)).as("n_responses"),

@@ -49,6 +49,39 @@ class CrawlCodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test(s"gzip-member WARC framing: round-trip equals the plain parse, " +
+    s"and is total over $N mutants (truncated members, splices, garbage)") {
+    val W = graft.ops.Warc
+    // round-trip pin: member-per-record gzip parses to the SAME records
+    (0L until 64L).foreach { d =>
+      assert(W.parse(W.warcGzFixtureFor(d)) === W.parse(W.warcFixtureFor(d)),
+        s"d=$d")
+    }
+    // responseBodies rides the same shared walk — bodies byte-identical
+    (0L until 16L).foreach { d =>
+      val a = W.responseBodies(W.warcGzFixtureFor(d))
+        .map(t => (t._1, t._2, t._3.toSeq))
+      val b = W.responseBodies(W.warcFixtureFor(d))
+        .map(t => (t._1, t._2, t._3.toSeq))
+      assert(a === b, s"d=$d")
+    }
+    // totality over mutated gzip bytes: terminate, never throw, sane rows
+    val rnd = new scala.util.Random(157L)
+    val bases = (0L until 8L).map(W.warcGzFixtureFor)
+    (1 to N).foreach { i =>
+      val bytes = mutate(rnd, bases(rnd.nextInt(bases.size)))
+      W.parse(bytes).foreach(r => assert(r.bodyBytes >= 0, s"case $i"))
+    }
+    // trailing garbage after the last member is dropped by the member walk
+    val garbage = W.warcGzFixtureFor(3L) ++ Array.fill(37)(0x55.toByte)
+    assert(W.parse(garbage) === W.parse(W.warcFixtureFor(3L)))
+    // a truncated final member keeps every fully-inflated earlier record
+    val two = W.warcGzFixtureFor(0L) // d%3==0: response + request members
+    val part = W.parse(two.take(two.length - 7))
+    val full = W.parse(W.warcFixtureFor(0L))
+    assert(part.nonEmpty && part.size <= full.size && part.head === full.head)
+  }
+
   test(s"sitemap parse is total over $N seeded mutations and returns " +
     "bounded entries") {
     val rnd = new scala.util.Random(152L)

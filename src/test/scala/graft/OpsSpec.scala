@@ -3441,6 +3441,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(R.allowed(R.compile(tr), "/p/z"))
   }
 
+  test("robots policy join gate: hinted and un-hinted strategies produce " +
+    "identical verdicts (broadcast is size-gated, the CC edge-gate pattern)") {
+    import spark.implicits._
+    val R = graft.ops.Robots
+    val docs = (0L until 200L).map(d => (d, s"body $d")).toDF("doc_id", "text")
+    val links = graft.ops.Html.extractLinks(graft.ops.Html.linkPages(docs))
+    val targets = links.select(
+        graft.ops.Urls.canonicalizeUrl(
+          graft.ops.Urls.resolveUrl(col("base_url"), col("href"))).as("t"))
+      .select(graft.ops.Urls.canonicalHost(col("t")).as("host"),
+        R.canonicalPath(col("t")).as("path"))
+    val dim = spark.range(7).as[Long]
+      .map(h => (s"host$h.example.com", graft.ops.Robots.robotsFixtureFor(h)))
+      .toDF("host", "txt")
+    val pol = R.compilePolicies(dim, "host", "txt", "graftcrawler/1.0")
+    val hinted = R.policyVerdicts(targets, pol) // 7 hosts ≤ default gate
+    val unhinted = R.policyVerdicts(targets, pol, broadcastHostGate = 0L)
+    val keys = Seq("host", "path", "crawl_delay", "allowed")
+    val a = hinted.groupBy(keys.map(col): _*).count()
+    val b = unhinted.groupBy(keys.map(col): _*).count()
+    assert(a.count() === b.count())
+    assert(a.join(b, keys :+ "count").count() === a.count(),
+      "verdict multisets must be identical across join strategies")
+    // below the gate the hint is real: the executed plan broadcasts
+    assert(hinted.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
   test("assignWorkers: sorted round-robin = distributed LPT approximation " +
     "(balanced counts, heaviest items spread first)") {
     import spark.implicits._
