@@ -2326,6 +2326,60 @@ object SparkEntry {
         .orderBy(col("domain"))
     }),
 
+    // Beyond-reference: TTL'd BUDGET-CAPPED DOMAIN ADMISSION — q229's
+    // admission with the knob an ENDLESS crawl needs: per-domain state
+    // evicted after `ttl` of event-time idleness (the q185
+    // EventTimeTimeout pattern applied to the admission family). The
+    // rule is SESSION-scoped — a domain admits at most K=5 distinct
+    // urls per session, a session ending when the domain idles past
+    // the TTL; an in-band gap check makes eviction semantically free,
+    // so state is bounded by domains ACTIVE within one TTL window
+    // (× K strings), not lifetime domain cardinality — the posture
+    // q229's NoTimeout cannot offer on an unbounded domain stream.
+    // After a reset a previously-admitted URL re-admits: per-domain
+    // n_admitted exceeding K is the visible proof. The oracle replays
+    // every verdict via lag-gap sessionization + first-arrival ranks.
+    "q231_stream_admission_ttl" -> ((s, dir) => {
+      import s.implicits._
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.documents_versioned")
+      val sink = "graft_q231_sink"
+      s.catalog.dropTempView(sink)
+      val ttlMs = 100000L
+      val src = s.readStream.format("graft").option("path", path)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1").load()
+      val d = col("doc_id").cast("long")
+      val reqs = src.select(
+          // domain active in 40-doc blocks, idle 160 s between blocks —
+          // longer than the 100 s TTL, so every block is a new session
+          concat(lit("d"), pmod(floor(d / lit(40.0)).cast("long"), lit(5L)),
+            lit(".example.com")).as("domain"),
+          concat(lit("/p/"), pmod(d, lit(17L))).as("url"),
+          d.as("doc_id"),
+          // +1 day base: epoch-0 event time would be dropped as late
+          // against the INITIAL watermark (0) — the q185 convention
+          timestamp_millis(d * 1000L + 86400000L).as("ts"))
+        .withWatermark("ts", s"${ttlMs / 1000} seconds")
+        .as[(String, String, Long, java.sql.Timestamp)]
+      val verdicts = reqs.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Set[String]), (String, String)](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
+          graft.ops.Incremental.ttlBudgetAdmit(ttlMs, budget = 5))
+        .toDF("domain", "verdict")
+      val q = verdicts.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      drain(q)
+      s.table(sink).groupBy(col("domain"))
+        .agg(count(when(col("verdict") === "admitted", 1)).as("n_admitted"),
+          count(when(col("verdict") === "duplicate", 1)).as("n_dup"),
+          count(when(col("verdict") === "over_budget", 1)).as("n_rejected"))
+        .orderBy(col("domain"))
+    }),
+
     // Beyond-reference: DOMAIN-GRANULAR CRAWL BUDGET — the q213 budget
     // rollup at eTLD+1 instead of host: fetch requests over the PSL
     // host fixture canonicalize (kernel), group by REGISTRABLE DOMAIN
@@ -6847,6 +6901,43 @@ object SparkEntry {
     // rank within each domain (version order = doc order) decides
     // admit/dup/reject — a hash match proves the streamed bounded-state
     // fold made exactly the same decisions
+    // every verdict replayed by SESSIONIZING each domain's arrivals
+    // (lag gap > TTL starts a session), then ranking urls by first
+    // arrival within the session: rank <= K at first occurrence =
+    // admitted, repeats = duplicate, rank > K = over_budget — the
+    // hash match proves the streaming session-budget fold equals the
+    // from-scratch sessionized replay, re-admissions included
+    "q231_stream_admission_ttl" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         a AS (SELECT doc_id,
+                 'd' || ((doc_id // 40) % 5) || '.example.com' AS domain,
+                 '/p/' || (doc_id % 17) AS url
+               FROM d),
+         lg AS (SELECT *, lag(doc_id) OVER (
+                  PARTITION BY domain ORDER BY doc_id) AS pt FROM a),
+         ses AS (SELECT *, sum(CASE WHEN pt IS NULL OR doc_id - pt > 100
+                    THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY domain ORDER BY doc_id) AS sid FROM lg),
+         fo AS (SELECT *, row_number() OVER (
+                  PARTITION BY domain, sid, url ORDER BY doc_id) AS rn
+                FROM ses),
+         rk AS (SELECT domain, sid, url, row_number() OVER (
+                  PARTITION BY domain, sid ORDER BY min(doc_id)) AS ur
+                FROM ses GROUP BY domain, sid, url),
+         v AS (SELECT fo.domain,
+                 CASE WHEN rk.ur > 5 THEN 'over_budget'
+                      WHEN fo.rn = 1 THEN 'admitted'
+                      ELSE 'duplicate' END AS verdict
+               FROM fo JOIN rk ON fo.domain = rk.domain
+                 AND fo.sid = rk.sid AND fo.url = rk.url)
+         SELECT domain,
+                CAST(sum(CASE WHEN verdict = 'admitted' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_admitted,
+                CAST(sum(CASE WHEN verdict = 'duplicate' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup,
+                CAST(sum(CASE WHEN verdict = 'over_budget' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rejected
+         FROM v GROUP BY domain ORDER BY domain""",
     "q229_stream_domain_admission" ->
       """WITH d AS (SELECT doc_id FROM documents),
          h AS (SELECT doc_id,

@@ -149,4 +149,52 @@ object Incremental {
         state.update(first)
         ids.iterator.map(id => (id, id == first))
     }
+
+  /** Budget-capped domain admission with a TTL SESSION rule — the q229
+    * admission made endless-crawl-safe: a domain admits at most
+    * `budget` distinct urls per SESSION, where a session ends when the
+    * domain idles longer than `ttlMs` of EVENT time. Under that rule,
+    * evicting state idle past the TTL is SEMANTICALLY FREE — the
+    * in-band gap check below resets the budget to exactly the verdict
+    * an absent (evicted) state would give — so the physical
+    * `EventTimeTimeout` is purely an eviction, never a semantics
+    * change, and the state store is bounded by domains ACTIVE within
+    * one TTL window (× ≤ budget strings each) instead of lifetime
+    * domain cardinality (the q185 eviction argument applied to the
+    * admission-budget family). A previously-admitted url arriving in a
+    * later session re-admits — per-domain admitted counts exceeding
+    * the budget are the visible proof the reset happened.
+    *
+    * Rows are (domain, url, arrivalOrder, eventTime); within a batch
+    * they are re-ordered by arrivalOrder (micro-batch rows carry no
+    * finer order). State is monotone in event time: a late cross-batch
+    * row inside the watermark slack never regresses `lastSeen`.
+    * Verdicts: admitted / duplicate / over_budget.
+    */
+  def ttlBudgetAdmit(ttlMs: Long, budget: Int): (
+      String,
+      Iterator[(String, String, Long, java.sql.Timestamp)],
+      org.apache.spark.sql.streaming.GroupState[(Long, Set[String])]) =>
+        Iterator[(String, String)] = {
+    case (domain, rows, state) =>
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var (lastSeen, admitted) =
+          state.getOption.getOrElse((Long.MinValue, Set.empty[String]))
+        val out = rows.toArray.sortBy(_._3).map { case (_, url, _, ts) =>
+          val t = ts.getTime
+          if (lastSeen != Long.MinValue && t - lastSeen > ttlMs)
+            admitted = Set.empty // session reset: same verdict as evicted
+          val v =
+            if (admitted.contains(url)) "duplicate"
+            else if (admitted.size < budget) { admitted += url; "admitted" }
+            else "over_budget"
+          if (t > lastSeen) lastSeen = t
+          (domain, v)
+        }
+        state.update((lastSeen, admitted))
+        state.setTimeoutTimestamp(lastSeen + ttlMs + 1)
+        out.iterator
+      }
+  }
 }

@@ -675,6 +675,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       GraftLog.invalidateListing(path)
     }
   }
+  test("TTL'd budget admission: a domain idle past the TTL gets a FRESH " +
+    "budget (session reset) — previously-admitted urls re-admit, and " +
+    "per-domain admitted counts exceed the budget (r15 verdict task)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ttl_budget").toString
+    // v0: arrivals t=0..5 s; v1: t=200..205 s — a 195 s gap > 100 s TTL.
+    // urls cycle mod 3 with budget 2: per session urls 0,1 admit, url 2
+    // is over budget, repeats of 0,1 are dups.
+    TableBuilder.create(spark,
+      (0L to 5L).map(i => (i, i)).toDF("doc_id", "k").coalesce(1),
+      base, name = "ttl_budget")
+    TableBuilder.append(spark,
+      (200L to 205L).map(i => (i, i)).toDF("doc_id", "k").coalesce(1),
+      base, timestamp = 1000L)
+    val src = spark.readStream.format("graft").option("path", base)
+      .option("startingVersion", "0").option("maxFilesPerTrigger", "1").load()
+    val reqs = src.select(
+        lit("a.example.com").as("domain"),
+        concat(lit("/u/"), pmod(col("doc_id").cast("long"), lit(3L))).as("url"),
+        col("doc_id").cast("long").as("doc_id"),
+        timestamp_millis(col("doc_id").cast("long") * 1000L + 86400000L)
+          .as("ts"))
+      .withWatermark("ts", "100 seconds")
+      .as[(String, String, Long, java.sql.Timestamp)]
+    val verdicts = reqs.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Set[String]), (String, String)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
+        graft.ops.Incremental.ttlBudgetAdmit(100000L, budget = 2))
+      .toDF("domain", "verdict")
+    val q = verdicts.writeStream.format("memory").queryName("t_ttl_budget")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "drain timed out")
+    q.stop()
+    val counts = spark.table("t_ttl_budget").groupBy(col("verdict")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // two sessions × (2 admitted, 2 dup, 2 over): 4 admitted > budget 2
+    // proves the reset; without it the second block would be 0/4/2
+    assert(counts === Map("admitted" -> 4L, "duplicate" -> 4L,
+      "over_budget" -> 4L), counts.toString)
+  }
+
   test("stateful recrawl fold survives a checkpoint restart: resumed " +
     "per-URL counters equal the batch computation (the q223 shape)") {
     import spark.implicits._
