@@ -2380,6 +2380,60 @@ object SparkEntry {
         .orderBy(col("domain"))
     }),
 
+    // Beyond-reference: REDIRECT-CHAIN RESOLUTION — the frontier-hygiene
+    // stage the canonical-URL dedup can't cover: HTTP 3xx chains folded
+    // onto their landing URL by POINTER DOUBLING over the url-space
+    // redirect map (the CC machinery's shape: O(log maxHops) self-joins
+    // of the map, never of the fetch log, which joins the settled map
+    // once). Hop cap 8; cycles and over-cap chains report unresolved —
+    // the bounded-follow policy production crawlers apply. The fixture
+    // plants chains of length 0-3, a 3-cycle, and a tail INTO the
+    // cycle; the oracle replays the walk with a hop-capped recursive
+    // CTE and must land on identical per-host resolution censuses.
+    "q232_redirect_chains" -> ((s, dir) =>
+      graft.ops.Crawl.fixtureRedirectReport(t(s, dir, "documents"))),
+
+    // Beyond-reference: rel=CANONICAL FOLDING — the OTHER half of crawl
+    // identity hygiene (q232 folds 3xx chains; this folds the
+    // duplicate-content identities pages DECLARE): the one-pass HTML
+    // scanner additionally captures <link rel="canonical"> (rel is a
+    // WHATWG token list, matched case-insensitively; a stylesheet decoy
+    // and script/comment bodies must not leak), the target runs through
+    // the canonicalizer kernel (case/port/tracking noise planted), and
+    // mirror assets fold onto their original's identity — composed with
+    // the q207 mirror corpus: mirrors WITH a canonical link collapse
+    // onto the original URL, mirrors without keep their own. One
+    // stateless parse per page + one rollup; the oracle replays every
+    // identity from the asset-id formula.
+    "q233_canonical_fold" -> ((s, dir) => {
+      import s.implicits._
+      val pages = graft.ops.Html.pagesWithMirrors(t(s, dir, "documents"))
+      val parsed = pages.select(col("doc_id").cast("long").as("asset_id"),
+          col("html"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (a, html) =>
+          (a, graft.ops.Html.canonicalLinkOf(html).orNull)
+        }).toDF("asset_id", "canon_href")
+      val id = col("asset_id")
+      val docId = floor(id / lit(2.0)).cast("long")
+      val ownUrl = when(pmod(id, lit(2L)) === 0,
+          concat(lit("https://host"), pmod(docId, lit(7L)),
+            lit(".example.com/a/"), docId))
+        .otherwise(concat(lit("https://m"), pmod(docId, lit(5L)),
+          lit(".mirror.net/x/"), docId))
+      val identity = coalesce(
+        graft.ops.Urls.canonicalizeUrl(col("canon_href")), ownUrl)
+      parsed.select(identity.as("identity"),
+          col("canon_href").isNotNull.as("via_canonical"))
+        .groupBy(graft.ops.Urls.canonicalHost(col("identity")).as("host"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(when(col("via_canonical"), 1L).otherwise(0L))
+            .as("n_via_canonical"),
+          count_distinct(col("identity")).as("n_identities"))
+        .withColumn("n_folded", col("n_assets") - col("n_identities"))
+        .orderBy(col("host"))
+    }),
+
     // Beyond-reference: DOMAIN-GRANULAR CRAWL BUDGET — the q213 budget
     // rollup at eTLD+1 instead of host: fetch requests over the PSL
     // host fixture canonicalize (kernel), group by REGISTRABLE DOMAIN
@@ -6901,6 +6955,70 @@ object SparkEntry {
     // rank within each domain (version order = doc order) decides
     // admit/dup/reject — a hash match proves the streamed bounded-state
     // fold made exactly the same decisions
+    // the redirect walk replayed with a hop-capped RECURSIVE CTE over
+    // the formula edges: a url resolves iff its walk reaches a node
+    // with no outgoing edge within 8 hops (the 3-cycle and its tail
+    // never do); hops and landing urls must match the pointer-doubled
+    // resolution exactly
+    "q232_redirect_chains" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, doc_id % 60 AS u FROM documents),
+         urls AS (SELECT DISTINCT u FROM d),
+         e AS (SELECT u AS src,
+                 CASE WHEN u // 6 = 9 THEN
+                        CASE WHEN u IN (54, 55) THEN u + 1
+                             WHEN u IN (56, 57) THEN 54 END
+                      WHEN u % 6 < (u // 6) % 4 THEN u + 1 END AS dst
+               FROM urls),
+         edges AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+         walk(u, cur, hops) AS (
+           SELECT u, u, 0 FROM urls
+           UNION ALL
+           SELECT w.u, x.dst, w.hops + 1
+           FROM walk w JOIN edges x ON x.src = w.cur
+           WHERE w.hops < 8),
+         term AS (SELECT w.u, w.cur AS fin, w.hops FROM walk w
+                  WHERE NOT EXISTS (
+                    SELECT 1 FROM edges x WHERE x.src = w.cur)),
+         res AS (SELECT urls.u, t.fin, t.hops
+                 FROM urls LEFT JOIN term t ON urls.u = t.u)
+         SELECT 'host' || (d.u % 7) || '.example.com' AS host,
+                CAST(count(*) AS BIGINT) AS n_fetches,
+                CAST(count(r.fin) AS BIGINT) AS n_resolved,
+                CAST(sum(CASE WHEN r.fin IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_unresolved,
+                CAST(sum(coalesce(r.hops, 0)) AS BIGINT) AS hop_mass,
+                CAST(count(DISTINCT r.fin) AS BIGINT) AS n_final_urls
+         FROM d JOIN res r ON d.u = r.u
+         GROUP BY d.u % 7 ORDER BY host""",
+    // every identity replayed from the asset-id formula: originals keep
+    // their own url, even-id mirrors fold onto the original's canonical
+    // url (the engine must strip the planted case/port/tracking noise),
+    // odd-id mirrors keep their mirror.net identity
+    "q233_canonical_fold" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         a AS (
+           SELECT 'host' || (doc_id % 7) || '.example.com' AS host,
+                  'https://host' || (doc_id % 7) || '.example.com/a/'
+                    || doc_id AS identity,
+                  0 AS vc
+           FROM d
+           UNION ALL
+           SELECT 'host' || (doc_id % 7) || '.example.com',
+                  'https://host' || (doc_id % 7) || '.example.com/a/'
+                    || doc_id,
+                  1
+           FROM d WHERE doc_id % 14 = 0
+           UNION ALL
+           SELECT 'm' || (doc_id % 5) || '.mirror.net',
+                  'https://m' || (doc_id % 5) || '.mirror.net/x/' || doc_id,
+                  0
+           FROM d WHERE doc_id % 14 = 7)
+         SELECT host, CAST(count(*) AS BIGINT) AS n_assets,
+                CAST(sum(vc) AS BIGINT) AS n_via_canonical,
+                CAST(count(DISTINCT identity) AS BIGINT) AS n_identities,
+                CAST(count(*) - count(DISTINCT identity) AS BIGINT)
+                  AS n_folded
+         FROM a GROUP BY host ORDER BY host""",
     // every verdict replayed by SESSIONIZING each domain's arrivals
     // (lag gap > TTL starts a session), then ranking urls by first
     // arrival within the session: rank <= K at first occurrence =

@@ -17,13 +17,19 @@ import org.apache.spark.sql.functions._
   *    unbounded URL synonyms (calendar pages, session ids), and a
   *    polite crawler caps its budget there.
   *
-  * Scale shape: both are two-level hash aggregations (URL then host) —
-  * map-side combinable, no joins, shuffle key = one canonical-URL
-  * string then one short host string. The estimator is computed in
-  * integer MICROUNITS (`floor(1e6·λ)`) so every downstream sum replays
-  * bit-for-bit on any engine (the q210 quantization convention). The
-  * reference engine has no crawl surface — beyond-reference, cited
-  * against the published estimator.
+  * plus **redirect-chain resolution** (HTTP 3xx chains folded onto
+  * their landing URL by pointer doubling over the url-space map, hop
+  * cap + cycle policy — the frontier-hygiene stage between discovery
+  * and fetch).
+  *
+  * Scale shape: the reports are two-level hash aggregations (URL then
+  * host) — map-side combinable, shuffle key = one canonical-URL string
+  * then one short host string; chain resolution is O(log maxHops)
+  * self-joins of the URL-SPACE-sized map, never of the fetch log. The
+  * estimator is computed in integer MICROUNITS (`floor(1e6·λ)`) so
+  * every downstream sum replays bit-for-bit on any engine (the q210
+  * quantization convention). The reference engine has no crawl
+  * surface — beyond-reference, cited against the published estimator.
   */
 object Crawl {
 
@@ -121,6 +127,112 @@ object Crawl {
         floor((lit(1000000L) * col("n_urls")).cast("double") /
           col("n_contents").cast("double")).cast("long"))
       .withColumn("trap", col("ratio_micro") >= ratioMicroThreshold)
+  }
+
+  /** Resolve HTTP 3xx redirect chains over a URL-level redirect map by
+    * POINTER DOUBLING (the CC machinery's shape): after k rounds every
+    * entry has either reached a terminal URL or jumped exactly 2^k
+    * hops, so `ceil(log2 maxHops)` self-joins of the URL-SPACE-sized
+    * map settle every chain of length ≤ maxHops — never a join against
+    * the (much larger) fetch log, which joins the settled map ONCE
+    * downstream. Chains longer than maxHops and cycles (which never
+    * reach a terminal) report unresolved — the bounded-follow policy
+    * every production crawler applies (a cycle is indistinguishable
+    * from an over-long chain without storing paths, and the cap treats
+    * both as fetch failures).
+    *
+    * Input: (srcCol, dstCol) one row per redirecting URL. Output:
+    * (url, final_url, hops) for EVERY url appearing as a source —
+    * final_url/hops null when unresolved. Terminal urls (never a
+    * source) resolve to themselves trivially at the downstream join.
+    */
+  def resolveRedirects(edges: DataFrame, srcCol: String, dstCol: String,
+      maxHops: Int = 8): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("u"),
+      col(dstCol).cast("string").as("v")).distinct()
+    val srcs = e.select(col("u").as("k")).distinct()
+    // m(u) = (v, hops, done): u reaches v in `hops` hops; done ⟺ v is
+    // terminal (has no outgoing edge)
+    var m = e.join(srcs, e("v") === srcs("k"), "left")
+      .select(col("u"), col("v"), lit(1L).as("hops"),
+        col("k").isNull.as("done"))
+    var jump = 1L
+    var prevCkpt: DataFrame = null
+    while (jump < maxHops) {
+      // not-done entries compose with the map at their landing point;
+      // every not-done v IS a source (else done would be true), so the
+      // inner join is total over the frontier
+      val settled = m.filter(col("done"))
+      val hopped = m.filter(!col("done")).as("a")
+        .join(m.as("b"), col("a.v") === col("b.u"))
+        .select(col("a.u").as("u"), col("b.v").as("v"),
+          (col("a.hops") + col("b.hops")).as("hops"), col("b.done").as("done"))
+      m = settled.unionByName(hopped).localCheckpoint(true)
+      if (prevCkpt != null)
+        org.apache.spark.sql.GraftSqlBridge
+          .unpersistCheckpoint(prevCkpt, blocking = false)
+      prevCkpt = m
+      jump *= 2
+    }
+    // the settled map must outlive this call (the caller's action may
+    // re-plan — the CC block-release lesson): deferred release via the
+    // persisted-registry lifecycle Verify/Bench drain between queries
+    if (prevCkpt != null) Dedup.trackCheckpoint(m)
+    m.select(col("u").as("url"),
+      when(col("done") && col("hops") <= maxHops, col("v")).as("final_url"),
+      when(col("done") && col("hops") <= maxHops, col("hops")).as("hops"))
+  }
+
+  /** Deterministic redirect-map fixture over logical urls `u = 0..59`
+    * (url string `https://host{u%7}.example.com/r/{u}`), exercising
+    * every chain shape: groups of 6 (g = u/6, p = u%6) where positions
+    * p < g%4 redirect to u+1 — chains of length 0-3 ending at a
+    * terminal — and group 9 holds a 3-CYCLE (54→55→56→54) plus a tail
+    * into it (57→54); 58/59 stay terminal. The oracle replays the walk
+    * with a hop-capped recursive CTE.
+    */
+  def fixtureRedirectEdges(docs: DataFrame): DataFrame = {
+    val u = pmod(col("doc_id").cast("long"), lit(60L))
+    val g = floor(u / lit(6.0)).cast("long")
+    val p = pmod(u, lit(6L))
+    val dst = when(g === 9,
+        when(u.isin(54L, 55L), u + 1).when(u.isin(56L, 57L), lit(54L)))
+      .otherwise(when(p < pmod(g, lit(4L)), u + 1))
+    docs.select(u.as("src_u"), dst.as("dst_u")).filter(col("dst_u").isNotNull)
+      .distinct()
+      .select(urlFor(col("src_u")).as("src"), urlFor(col("dst_u")).as("dst"))
+  }
+
+  private def urlFor(u: Column): Column =
+    concat(lit("https://host"), pmod(u, lit(7L)), lit(".example.com/r/"), u)
+
+  /** The q232 report: every fetch (doc d fetches url `d % 60`) resolved
+    * through the redirect map — per ORIGINAL host: fetches, resolved /
+    * unresolved (cycle or > maxHops) counts, total hops paid, and the
+    * distinct landing URLs. The chain resolution runs on the URL space;
+    * the corpus-sized fetch log joins the settled map once.
+    */
+  def fixtureRedirectReport(docs: DataFrame): DataFrame = {
+    val resolved = resolveRedirects(fixtureRedirectEdges(docs), "src", "dst")
+      .withColumn("in_map", lit(true))
+    val fetches = docs.select(
+      urlFor(pmod(col("doc_id").cast("long"), lit(60L))).as("url"))
+    fetches.join(resolved, Seq("url"), "left")
+      .select(col("url"),
+        // urls absent from the map are terminal: they resolve to
+        // themselves in 0 hops; in-map urls with null final_url are
+        // the unresolved (cycle / over-cap) ones
+        coalesce(col("final_url"),
+          when(col("in_map").isNull, col("url"))).as("fin"),
+        coalesce(col("hops"),
+          when(col("in_map").isNull, lit(0L))).as("hops"))
+      .groupBy(Urls.canonicalHost(col("url")).as("host"))
+      .agg(count(lit(1)).as("n_fetches"),
+        count(col("fin")).as("n_resolved"),
+        count(when(col("fin").isNull, 1)).as("n_unresolved"),
+        sum(coalesce(col("hops"), lit(0L))).as("hop_mass"),
+        count_distinct(col("fin")).as("n_final_urls"))
+      .orderBy(col("host"))
   }
 
   /** Deterministic fetch-log fixture for [[trapReport]]: every doc

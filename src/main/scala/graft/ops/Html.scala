@@ -73,14 +73,14 @@ object Html {
     */
   def links(html: String): Vector[String] = scan(html, collectLinks = true)._2
 
-  /** Case-insensitive `href` attribute value inside one tag's attribute
+  /** Case-insensitive attribute value inside one tag's attribute
     * region; quoted or unquoted, entity-decoded. None when absent.
     * TOKENIZES name=value pairs (quote-aware) rather than substring-
-    * searching "href" — a literal `href=` inside ANOTHER attribute's
+    * searching the name — a literal `href=` inside ANOTHER attribute's
     * quoted value (`<a title="see href=/fake" href="/real">`) must not
     * be mistaken for the anchor target (r15 review finding).
     */
-  private def hrefOf(attrs: String): Option[String] = {
+  private def attrOf(attrs: String, attrName: String): Option[String] = {
     var i = 0
     val n = attrs.length
     while (i < n) {
@@ -105,10 +105,12 @@ object Html {
           value = attrs.substring(vs, i)
         }
       }
-      if (name == "href" && value != null) return Some(decodeEntities(value))
+      if (name == attrName && value != null) return Some(decodeEntities(value))
     }
     None
   }
+
+  private def hrefOf(attrs: String): Option[String] = attrOf(attrs, "href")
 
   /** Decode ONE entity starting at `s(i) == '&'`: the decoded chars and
     * the index after the `;`, or None for unknown/unterminated/invalid
@@ -151,9 +153,11 @@ object Html {
   }
 
   private def scan(html: String, collectLinks: Boolean)
-      : (Vector[Block], Vector[String], Vector[(String, String)]) = {
+      : (Vector[Block], Vector[String], Vector[(String, String)],
+         Vector[String]) = {
     val linksOut = Vector.newBuilder[String]
     val anchorsOut = Vector.newBuilder[(String, String)]
+    val canonicalOut = Vector.newBuilder[String]
     val out = Vector.newBuilder[Block]
     val text = new StringBuilder
     var words = 0
@@ -275,6 +279,19 @@ object Html {
                     curHref = h
                   }
               }
+            } else if (name == "link") {
+              // <link rel="canonical" href=…>: rel is a space-separated
+              // token LIST per WHATWG (rel="canonical nofollow" counts),
+              // matched case-insensitively. Rides the same walk, so a
+              // canonical inside a comment or script string never leaks.
+              if (collectLinks && !closing && end > j) {
+                val attrs = html.substring(j, end)
+                val isCanonical = attrOf(attrs, "rel").exists(
+                  _.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+                    .contains("canonical"))
+                if (isCanonical)
+                  attrOf(attrs, "href").foreach(canonicalOut += _)
+              }
             } else if (BLOCK_TAGS(name)) {
               flush(if (closing) "body" else name)
             }
@@ -295,8 +312,16 @@ object Html {
     }
     flush("body")
     closeAnchor() // unterminated trailing anchor: keep what it captured
-    (out.result(), linksOut.result(), anchorsOut.result())
+    (out.result(), linksOut.result(), anchorsOut.result(),
+      canonicalOut.result())
   }
+
+  /** The page's `<link rel="canonical">` target, if any — FIRST wins
+    * (the processing rule crawlers apply to the duplicate-canonical
+    * pathology). Same tolerant one-pass walk as [[links]].
+    */
+  def canonicalLinkOf(html: String): Option[String] =
+    scan(html, collectLinks = true)._4.headOption
 
   /** Extract content text + metrics from one page. */
   def extract(html: String, minWords: Int = 5,
@@ -364,6 +389,17 @@ object Html {
     val words = text.trim.split("\\s+").filter(_.nonEmpty)
     val sb = new StringBuilder
     sb ++= s"<html><head><title>Mirror $docId</title>"
+    // rel=canonical back to the ORIGINAL page (q233) — only on EVEN doc
+    // ids, so mirrors without one keep their own identity; the href
+    // carries canonicalization noise (case, default port, tracking
+    // param) the kernel must strip to land on the original's URL. The
+    // stylesheet link is a decoy a rel-token-blind scanner would grab.
+    // Content-neutral: <link> emits no text, so the q124/q207 extraction
+    // oracles are untouched.
+    sb ++= "<link rel=\"stylesheet\" href=\"/style.css\">"
+    if (docId % 2 == 0)
+      sb ++= s"<link rel=\"canonical\" href=\"HTTPS://Host${docId % 7}" +
+        s".Example.COM:443/a/$docId?utm_source=mirror\">"
     sb ++= "<script>window.track && track('m');</script></head><body>"
     sb ++= "<nav><a href=\"/start\">Start</a> <a href=\"/imp\">Impressum</a> "
     sb ++= "<a href=\"/ds\">Datenschutz erklaerung</a></nav>"

@@ -3441,6 +3441,58 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(R.allowed(R.compile(tr), "/p/z"))
   }
 
+  test("canonicalLinkOf: WHATWG rel token list, case-insensitive, decoys " +
+    "and commented/script-string links never leak, first wins") {
+    val H = graft.ops.Html
+    assert(H.canonicalLinkOf(
+      "<html><head><link rel=\"canonical\" href=\"/real\"></head></html>")
+      === Some("/real"))
+    // rel is a token LIST and case-insensitive
+    assert(H.canonicalLinkOf(
+      "<link rel=\"Canonical nofollow\" href=\"/c\">") === Some("/c"))
+    // stylesheet decoy and rel-less link must not match
+    assert(H.canonicalLinkOf(
+      "<link rel=\"stylesheet\" href=\"/css\"><link href=\"/x\">") === None)
+    // a literal rel=canonical inside a comment or a script string is dead
+    assert(H.canonicalLinkOf(
+      "<!-- <link rel=\"canonical\" href=\"/dead\"> -->" +
+      "<script>var s='<link rel=\"canonical\" href=\"/js\">';</script>")
+      === None)
+    // first canonical wins (the duplicate-canonical pathology)
+    assert(H.canonicalLinkOf(
+      "<link rel=canonical href=/first><link rel=canonical href=/second>")
+      === Some("/first"))
+    // entity-decoded href, single quotes
+    assert(H.canonicalLinkOf(
+      "<link rel='canonical' href='/p?a=1&amp;b=2'>") === Some("/p?a=1&b=2"))
+  }
+
+  test("resolveRedirects: pointer doubling lands exact hop counts; " +
+    "cycles, tails into cycles, and over-cap chains report unresolved") {
+    import spark.implicits._
+    // chain a→b→c→T (3 hops), cycle x→y→x, tail t→x, long chain
+    // l0→l1→…→l9→LT (10 hops > cap 8)
+    val chain = Seq("a" -> "b", "b" -> "c", "c" -> "T")
+    val cycle = Seq("x" -> "y", "y" -> "x", "t" -> "x")
+    val long = (0 until 9).map(i => s"l$i" -> s"l${i + 1}") :+ ("l9" -> "LT")
+    val edges = (chain ++ cycle ++ long).toDF("src", "dst")
+    val got = graft.ops.Crawl.resolveRedirects(edges, "src", "dst", maxHops = 8)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toMap
+    graft.ops.Dedup.releasePersisted()
+    assert(got("a") === (Some("T"), Some(3L)))
+    assert(got("b") === (Some("T"), Some(2L)))
+    assert(got("c") === (Some("T"), Some(1L)))
+    assert(got("x") === (None, None), "2-cycle member must not resolve")
+    assert(got("y") === (None, None))
+    assert(got("t") === (None, None), "tail INTO a cycle must not resolve")
+    assert(got("l9") === (Some("LT"), Some(1L)))
+    assert(got("l2") === (Some("LT"), Some(8L)), "length exactly = cap resolves")
+    assert(got("l1") === (None, None), "length 9 > cap 8 is unresolved")
+    assert(got("l0") === (None, None))
+  }
+
   test("robots policy join gate: hinted and un-hinted strategies produce " +
     "identical verdicts (broadcast is size-gated, the CC edge-gate pattern)") {
     import spark.implicits._
