@@ -2434,6 +2434,77 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // Beyond-reference: END-TO-END CRAWL PIPELINE (the q51 curation-
+    // pipeline pattern applied to the whole crawl pass): discovery
+    // (link extraction → resolve → canonicalize) → frontier dedup →
+    // robots gate (size-gated policy join) → per-host budget (rank
+    // window, partitioned BY HOST — never a global sort) → fetch triage
+    // (real sniff over page bytes) → boilerplate extraction → content
+    // dedup (hash fold, mirrors collapse). One funnel row per stage
+    // pins every cross-operator schema contract; a regression in ANY
+    // stage moves a census number. Only per-stage AGGREGATES reach the
+    // driver (7 constant-size rows — the stages themselves are
+    // distributed); the oracle replays every count from the generator
+    // formulas (the q215/q217 verdict grid + the q207 content
+    // reconstruction).
+    "q234_crawl_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val U = graft.ops.Urls
+      val R = graft.ops.Robots
+      val docs = t(s, dir, "documents")
+      // URL half: discovered anchors → distinct frontier → robots →
+      // per-host budget K=4
+      val links = graft.ops.Html.extractLinks(graft.ops.Html.linkPages(docs))
+        .select(U.canonicalizeUrl(
+          U.resolveUrl(col("base_url"), col("href"))).as("url"))
+        .withColumn("host", U.canonicalHost(col("url")))
+      val r0 = links.agg(count(lit(1)), count_distinct(col("url"))).head()
+      val frontier = links.select(col("host"), col("url")).distinct()
+      val r1 = frontier.agg(count(lit(1)), count_distinct(col("host"))).head()
+      val dim = s.range(7).as[Long]
+        .map(h => (s"host$h.example.com", graft.ops.Robots.robotsFixtureFor(h)))
+        .toDF("host", "txt")
+      val gated = R.policyVerdicts(
+        frontier.withColumn("path", R.canonicalPath(col("url"))),
+        R.compilePolicies(dim, "host", "txt", "graftcrawler/1.0"))
+      val allowed = gated.filter(col("allowed")).select(col("host"), col("url"))
+      val r2 = allowed.agg(count(lit(1)), count_distinct(col("host"))).head()
+      val budgeted = allowed.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("host"))
+            .orderBy(col("url"))))
+        .filter(col("rk") <= 4)
+      val r3 = budgeted.agg(count(lit(1)), count_distinct(col("host"))).head()
+      // content half: fetched pages (docs + mirrors) → sniff → extract →
+      // hash dedup
+      val sniffed = graft.ops.Html.pagesWithMirrors(docs)
+        .select(col("doc_id").cast("long"), col("lang"), col("html"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (a, lang, html) =>
+          val (kind, charset, _) = graft.ops.Sniff.sniff(
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (a, lang, html, kind, charset)
+        }).toDF("doc_id", "lang", "html", "kind", "charset")
+      val htmlPages = sniffed.filter(col("kind") === "html")
+      val r4 = htmlPages.agg(count(lit(1)),
+        count_distinct(concat_ws("/", col("kind"), col("charset")))).head()
+      val ex = graft.ops.Html.extractPages(htmlPages)
+        .filter(col("content_words") > 0).persist()
+      val r5 = ex.agg(count(lit(1)), sum(col("content_words"))).head()
+      val grp = ex.groupBy(sha2(col("content"), 256).as("ck"))
+        .agg(count(lit(1)).as("n"))
+      val r6 = grp.agg(count(lit(1)), sum(col("n") - 1)).head()
+      ex.unpersist()
+      Seq(
+        (0L, "discovered", r0.getLong(0), r0.getLong(1)),
+        (1L, "frontier", r1.getLong(0), r1.getLong(1)),
+        (2L, "allowed", r2.getLong(0), r2.getLong(1)),
+        (3L, "budgeted", r3.getLong(0), r3.getLong(1)),
+        (4L, "fetched", r4.getLong(0), r4.getLong(1)),
+        (5L, "extracted", r5.getLong(0), r5.getLong(1)),
+        (6L, "deduped", r6.getLong(0), r6.getLong(1)))
+        .toDF("stage_idx", "stage", "n_items", "n_units")
+    }),
+
     // Beyond-reference: DOMAIN-GRANULAR CRAWL BUDGET — the q213 budget
     // rollup at eTLD+1 instead of host: fetch requests over the PSL
     // host fixture canonicalize (kernel), group by REGISTRABLE DOMAIN
@@ -6955,6 +7026,82 @@ object SparkEntry {
     // rank within each domain (version order = doc order) decides
     // admit/dup/reject — a hash match proves the streamed bounded-state
     // fold made exactly the same decisions
+    // the whole funnel replayed stage by stage: the q215 anchor grid +
+    // q217 verdict formulas for the URL half, a rank window for the
+    // budget, the q207 content reconstruction for the extract/dedup
+    // half; 'fetched' counts docs + mirrors with the constant
+    // (html, utf-8) sniff verdict the engine must actually land on
+    "q234_crawl_pipeline" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS h FROM documents),
+         t AS (
+           SELECT h AS hh,
+                  'https://host' || h || '.example.com/' AS u, 1 AS al FROM d
+           UNION ALL SELECT h,
+                  'https://host' || h || '.example.com/about', 1 FROM d
+           UNION ALL SELECT (doc_id + 1) % 7,
+                  'https://host' || ((doc_id + 1) % 7) || '.example.com/ref/'
+                    || (doc_id % 23) || '?x=1',
+                  CASE WHEN ((doc_id + 1) % 7) % 2 = 0 THEN 0 ELSE 1 END
+                  FROM d
+           UNION ALL SELECT (doc_id + 2) % 7,
+                  'https://host' || ((doc_id + 2) % 7) || '.example.com/pp',
+                  1 FROM d WHERE doc_id % 2 = 0
+           UNION ALL SELECT h,
+                  'https://host' || h || '.example.com/d/sibling'
+                    || (doc_id % 5),
+                  CASE WHEN h % 3 = 0 THEN 0
+                       WHEN h = 1 AND doc_id % 5 = 3 THEN 0 ELSE 1 END FROM d
+           UNION ALL SELECT h,
+                  'https://host' || h || '.example.com/q?a=1&b=2',
+                  CASE WHEN h % 5 = 0 THEN 0 ELSE 1 END FROM d),
+         fr AS (SELECT hh, u, max(al) AS al FROM t GROUP BY hh, u),
+         alw AS (SELECT hh, u FROM fr WHERE al = 1),
+         bud AS (SELECT hh, u, row_number() OVER (
+                   PARTITION BY hh ORDER BY u) AS rk FROM alw),
+         w AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                   AS ws
+               FROM documents),
+         pars AS (SELECT doc_id, ws,
+                    unnest(range(CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS p
+                  FROM w),
+         par AS (SELECT doc_id, p,
+                   array_to_string(list_slice(ws, CAST(8 * p + 1 AS INT),
+                     CAST(least(8 * p + 8, len(ws)) AS INT)), ' ') AS txt,
+                   least(8, len(ws) - 8 * p) AS sz
+                 FROM pars),
+         cw AS (SELECT doc_id, string_agg(txt, chr(10) ORDER BY p) AS c,
+                  CAST(sum(sz) AS BIGINT) AS words
+                FROM par WHERE sz >= 5 AND p % 5 <> 4 GROUP BY doc_id),
+         assets AS (SELECT 2 * doc_id AS asset_id, c, words FROM cw
+                    UNION ALL
+                    SELECT 2 * doc_id + 1, c, words FROM cw
+                    WHERE doc_id % 7 = 0),
+         grp AS (SELECT c, count(*) AS n FROM assets GROUP BY c)
+         SELECT CAST(0 AS BIGINT) AS stage_idx, 'discovered' AS stage,
+                CAST((SELECT count(*) FROM t) AS BIGINT) AS n_items,
+                CAST((SELECT count(DISTINCT u) FROM t) AS BIGINT) AS n_units
+         UNION ALL SELECT 1, 'frontier',
+                CAST((SELECT count(*) FROM fr) AS BIGINT),
+                CAST((SELECT count(DISTINCT hh) FROM fr) AS BIGINT)
+         UNION ALL SELECT 2, 'allowed',
+                CAST((SELECT count(*) FROM alw) AS BIGINT),
+                CAST((SELECT count(DISTINCT hh) FROM alw) AS BIGINT)
+         UNION ALL SELECT 3, 'budgeted',
+                CAST((SELECT count(*) FROM bud WHERE rk <= 4) AS BIGINT),
+                CAST((SELECT count(DISTINCT hh) FROM bud WHERE rk <= 4)
+                  AS BIGINT)
+         UNION ALL SELECT 4, 'fetched',
+                CAST((SELECT count(*) FROM d)
+                  + (SELECT count(*) FROM d WHERE doc_id % 7 = 0) AS BIGINT),
+                CAST(1 AS BIGINT)
+         UNION ALL SELECT 5, 'extracted',
+                CAST((SELECT count(*) FROM assets) AS BIGINT),
+                CAST((SELECT sum(words) FROM assets) AS BIGINT)
+         UNION ALL SELECT 6, 'deduped',
+                CAST((SELECT count(*) FROM grp) AS BIGINT),
+                CAST((SELECT sum(n - 1) FROM grp) AS BIGINT)
+         ORDER BY stage_idx""",
     // the redirect walk replayed with a hop-capped RECURSIVE CTE over
     // the formula edges: a url resolves iff its walk reaches a node
     // with no outgoing edge within 8 hops (the 3-cycle and its tail

@@ -219,9 +219,13 @@ object Robots {
     val dim =
       if (policies.count() <= broadcastHostGate) broadcast(policies)
       else policies
+    // pass the targets' columns through (a composed pipeline carries the
+    // url alongside host/path); the compiled rule blob is dropped
+    val keep = targets.columns.toSeq.map(col) ++
+      Seq(col("crawl_delay"), col("allowed"))
     targets.join(dim, Seq("host"))
       .withColumn("allowed", allowedCol(col("rules"), col("path")))
-      .select(col("host"), col("path"), col("crawl_delay"), col("allowed"))
+      .select(keep: _*)
   }
 
   /** The q217 pipeline — q215's resolved canonical link targets joined
