@@ -136,7 +136,90 @@ object ScaleProbe {
       graft.ops.Dedup.lastCcRounds.toLong
     }
 
+    // Versioned graft table for the streaming-admission DOMAIN-AXIS
+    // probes: the base corpus split into 4 contiguous-id versions (so
+    // event time = doc_id stays monotone across micro-batches), built
+    // ONCE outside any timed region. The probes hold the CORPUS fixed
+    // and scale only the domain formula's cardinality — the q111
+    // fixed-query pattern on the domain axis.
+    lazy val admissionTable: String = {
+      val d = java.nio.file.Files.createTempDirectory("probe_admission").toString
+      val n = baseN
+      val ids = base.select(col("doc_id"))
+      val vOf = floor(col("doc_id") / lit((n / 4 + 1).toDouble)).cast("int")
+      graft.log.TableBuilder.create(spark,
+        ids.filter(vOf === 0).coalesce(2), d, name = "probe_admission")
+      (1 to 3).foreach(i => graft.log.TableBuilder.append(spark,
+        ids.filter(vOf === i).coalesce(2), d, timestamp = i * 1000L))
+      d
+    }
+
+    // One drain of the budget-capped domain admission at `domains`
+    // cardinality; returns the state store's final row count (the
+    // measurable form of the O(domains × K) claim). `ttl` switches the
+    // q229 (NoTimeout, state = lifetime domains) vs q231
+    // (EventTimeTimeout + in-band session rule, state = domains active
+    // within the TTL window) posture.
+    def admissionProbe(domains: Long, ttl: Boolean): Long = {
+      import spark.implicits._
+      val src = spark.readStream.format("graft")
+        .option("path", admissionTable)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "2").load()
+      val d = col("doc_id").cast("long")
+      val reqs = src.select(
+          concat(lit("d"), pmod(d, lit(domains)), lit(".example.com"))
+            .as("domain"),
+          concat(lit("/p/"), pmod(d, lit(17L))).as("url"),
+          d.as("doc_id"),
+          timestamp_millis(d * 1000L + 86400000L).as("ts"))
+        .withWatermark("ts", "100 seconds")
+        .as[(String, String, Long, java.sql.Timestamp)]
+      val grouped = reqs.groupByKey(_._1)
+      val verdicts = (if (ttl)
+        grouped.flatMapGroupsWithState[(Long, Set[String]), (String, String)](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
+          graft.ops.Incremental.ttlBudgetAdmit(100000L, budget = 5))
+      else
+        grouped.flatMapGroupsWithState[Set[String], (String, String)](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          case (domain, rows, state) =>
+            var admitted = state.getOption.getOrElse(Set.empty[String])
+            val out = rows.toSeq.sortBy(_._3).map { case (_, url, _, _) =>
+              if (admitted.contains(url)) (domain, "duplicate")
+              else if (admitted.size < 5) { admitted += url; (domain, "admitted") }
+              else (domain, "over_budget")
+            }
+            state.update(admitted)
+            out.iterator
+        }).toDF("domain", "verdict")
+      val sink = s"probe_adm_${domains}_$ttl"
+      spark.catalog.dropTempView(sink)
+      val q = verdicts.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "probe drain timed out")
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(0L)
+      q.stop()
+      stateRows
+    }
+
     val allOps: Seq[(String, Int => Long)] = Seq(
+      // DOMAIN axis of the streaming budget admission (q229 posture):
+      // corpus FIXED, domain cardinality = 1000·k (within the corpus id range across the whole decade). Per-trigger time
+      // must stay FLAT (alpha ~0: same rows per trigger, state ops are
+      // O(batch) + O(1) per touched key) while the reported "rows" —
+      // the final state-store row count — grows exactly linearly in
+      // domains: the O(domains × K) bound, measured.
+      "q229_domain_axis" -> (k => admissionProbe(1000L * k, ttl = false)),
+      // same axis under the q231 TTL'd session rule: state is bounded
+      // by domains ACTIVE within one TTL window, so the reported state
+      // rows must stay FAR below the q229 row at the same k (eviction
+      // measurably working), with the same flat time
+      "q231_ttl_axis" -> (k => admissionProbe(1000L * k, ttl = true)),
       "q27_prefix_cascade" -> (k =>
         graft.ops.Dedup.nearDuplicatesExact(docs(k), "doc_id", "text",
           threshold = 0.7, includeMinHashCandidates = false).count()),
@@ -813,8 +896,10 @@ object ScaleProbe {
       // data-slope diagnostic twin of cc_edges_distributed (see its
       // generator comment), isolating per-edge cost from task-count
       // scheduling by holding parallelism at the k=1 count.
+      // the admission probes scale the DOMAIN axis over a fixed corpus:
+      // scaling state partitions with k would add task count, not work
       val pinnedPartitionOps = Set("q204_dsir_bigk", "q199_key_width",
-        "cc_edges_pinned")
+        "cc_edges_pinned", "q229_domain_axis", "q231_ttl_axis")
       spark.conf.set("spark.sql.shuffle.partitions",
         (if (pinnedPartitionOps(name)) cpus.toInt else cpus.toInt * k).toString)
       val ts = (1 to reps).map { _ =>
