@@ -741,6 +741,33 @@ object ScaleProbe {
       "q225_warc" -> (k =>
         graft.ops.Warc.fixtureCensus(docs(k))
           .agg(sum(col("body_bytes"))).first().getLong(0)),
+      // the gzip twin: per-record member inflation in front of the SAME
+      // walk — expect the q225 floor plus a linear inflate term
+      "q230_warc_gz" -> (k =>
+        graft.ops.Warc.fixtureGzCensus(docs(k))
+          .agg(sum(col("body_bytes"))).first().getLong(0)),
+      // chain resolution runs on the FIXED 60-url map (O(log H)
+      // self-joins of a dim); the corpus-scale term is one equi-join of
+      // the fetch log against the settled map — expect alpha ~1
+      "q232_redirects" -> (k =>
+        graft.ops.Crawl.fixtureRedirectReport(docs(k))
+          .agg(sum(col("hop_mass"))).first().getLong(0)),
+      // one-pass scan capturing rel=canonical + the canonicalize kernel
+      // + a host rollup — expect the parse floor, alpha ~1
+      "q233_canonical" -> (k => {
+        val spark = docs(k).sparkSession
+        import spark.implicits._
+        val U = graft.ops.Urls
+        val parsed = graft.ops.Html.pagesWithMirrors(docs(k))
+          .select(col("doc_id").cast("long").as("asset_id"), col("html"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (a, html) =>
+            (a, graft.ops.Html.canonicalLinkOf(html).orNull)
+          }).toDF("asset_id", "canon_href")
+        parsed.select(coalesce(U.canonicalizeUrl(col("canon_href")),
+            concat(lit("self"), col("asset_id"))).as("identity"))
+          .groupBy(col("identity")).agg(count(lit(1))).count()
+      }),
       // one stateless sniff+decode per doc; the census shuffles two
       // short verdict strings — expect the decode floor, alpha ~1
       "q226_triage" -> (k =>
