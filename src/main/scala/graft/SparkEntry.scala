@@ -2300,21 +2300,9 @@ object SparkEntry {
       val verdicts = reqs.groupByKey(_._1)
         .flatMapGroupsWithState[Set[String], (String, String)](
           org.apache.spark.sql.streaming.OutputMode.Append(),
-          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-          case (domain, rows, state) =>
-            // state = the admitted SET alone (≤ K strings; O(1) probe) —
-            // rejected counts are recomputed from the sink, so nothing
-            // else belongs in state (r15 advisory: a persisted-but-never-
-            // read counter inflated the documented bound)
-            var admitted = state.getOption.getOrElse(Set.empty[String])
-            val out = rows.toSeq.sortBy(_._3).map { case (_, url, _) =>
-              if (admitted.contains(url)) (domain, "duplicate")
-              else if (admitted.size < 5) { admitted += url; (domain, "admitted") }
-              else (domain, "over_budget")
-            }
-            state.update(admitted)
-            out.iterator
-        }.toDF("domain", "verdict")
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+          graft.ops.Incremental.budgetAdmit(budget = 5))
+        .toDF("domain", "verdict")
       val q = verdicts.writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -2461,12 +2449,10 @@ object SparkEntry {
       val r0 = links.agg(count(lit(1)), count_distinct(col("url"))).head()
       val frontier = links.select(col("host"), col("url")).distinct()
       val r1 = frontier.agg(count(lit(1)), count_distinct(col("host"))).head()
-      val dim = s.range(7).as[Long]
-        .map(h => (s"host$h.example.com", graft.ops.Robots.robotsFixtureFor(h)))
-        .toDF("host", "txt")
       val gated = R.policyVerdicts(
         frontier.withColumn("path", R.canonicalPath(col("url"))),
-        R.compilePolicies(dim, "host", "txt", "graftcrawler/1.0"))
+        R.compilePolicies(R.fixturePolicyDim(s), "host", "txt",
+          "graftcrawler/1.0"))
       val allowed = gated.filter(col("allowed")).select(col("host"), col("url"))
       val r2 = allowed.agg(count(lit(1)), count_distinct(col("host"))).head()
       val budgeted = allowed.withColumn("rk", row_number().over(

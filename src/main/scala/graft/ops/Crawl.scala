@@ -148,8 +148,16 @@ object Crawl {
     */
   def resolveRedirects(edges: DataFrame, srcCol: String, dstCol: String,
       maxHops: Int = 8): DataFrame = {
+    // the resolver needs a FUNCTIONAL map, but a real fetch log may
+    // record the same URL redirecting to DIFFERENT targets over time
+    // (r16 review finding: duplicate src rows would multiply through
+    // the doubling rounds and then fan out every fetch joined against
+    // the settled map) — enforce one deterministic target per source
+    // (min dst; a production scheduler would prefer latest-by-fetch-time,
+    // which callers can pre-reduce to before calling)
     val e = edges.select(col(srcCol).cast("string").as("u"),
-      col(dstCol).cast("string").as("v")).distinct()
+      col(dstCol).cast("string").as("v"))
+      .groupBy(col("u")).agg(min(col("v")).as("v"))
     val srcs = e.select(col("u").as("k")).distinct()
     // m(u) = (v, hops, done): u reaches v in `hops` hops; done ⟺ v is
     // terminal (has no outgoing edge)

@@ -150,6 +150,31 @@ object Incremental {
         ids.iterator.map(id => (id, id == first))
     }
 
+  /** The q229 NoTimeout budget admission — ONE implementation shared by
+    * the query and its domain-axis scale probe (r16 review finding: a
+    * verbatim copy in the probe could silently diverge from the
+    * production query, the exact hand-synced-copy failure the Warc
+    * framing refactor fixed). Rows are (domain, url, arrivalOrder);
+    * state = the admitted SET alone (≤ budget strings, O(1) probe) —
+    * rejected counts are recomputed downstream, so nothing else belongs
+    * in state. Verdicts: admitted / duplicate / over_budget.
+    */
+  def budgetAdmit(budget: Int): (
+      String,
+      Iterator[(String, String, Long)],
+      org.apache.spark.sql.streaming.GroupState[Set[String]]) =>
+        Iterator[(String, String)] = {
+    case (domain, rows, state) =>
+      var admitted = state.getOption.getOrElse(Set.empty[String])
+      val out = rows.toSeq.sortBy(_._3).map { case (_, url, _) =>
+        if (admitted.contains(url)) (domain, "duplicate")
+        else if (admitted.size < budget) { admitted += url; (domain, "admitted") }
+        else (domain, "over_budget")
+      }
+      state.update(admitted)
+      out.iterator
+  }
+
   /** Budget-capped domain admission with a TTL SESSION rule — the q229
     * admission made endless-crawl-safe: a domain admits at most
     * `budget` distinct urls per SESSION, where a session ends when the

@@ -213,18 +213,27 @@ object Robots {
     * (host, rules, crawl_delay) and evaluate the codegen verdict —
     * broadcast-hinted only below the host gate (one count job on the
     * dim side, the cheap action that makes the hint safe at any scale).
+    * A target host ABSENT from the policy dim is DEFAULT-ALLOWED with
+    * crawl_delay 0 — RFC 9309 semantics for a host without robots.txt
+    * (r16 review finding: the earlier inner join silently DROPPED such
+    * targets, neither allowed nor blocked).
     */
   def policyVerdicts(targets: DataFrame, policies: DataFrame,
       broadcastHostGate: Long = defaultBroadcastHostGate): DataFrame = {
-    val dim =
-      if (policies.count() <= broadcastHostGate) broadcast(policies)
-      else policies
+    // persist the compiled dim: the gate count AND the join both consume
+    // it, and the robots-parse MapPartitions would otherwise run twice
+    // per call (r16 review finding); released at the registry drain
+    // Verify/Bench/ScaleProbe already run between queries
+    val pol = Dedup.trackPersist(policies)
+    val dim = if (pol.count() <= broadcastHostGate) broadcast(pol) else pol
     // pass the targets' columns through (a composed pipeline carries the
     // url alongside host/path); the compiled rule blob is dropped
     val keep = targets.columns.toSeq.map(col) ++
-      Seq(col("crawl_delay"), col("allowed"))
-    targets.join(dim, Seq("host"))
-      .withColumn("allowed", allowedCol(col("rules"), col("path")))
+      Seq(coalesce(col("crawl_delay"), lit(0)).as("crawl_delay"),
+        col("allowed"))
+    targets.join(dim, Seq("host"), "left")
+      .withColumn("allowed",
+        allowedCol(coalesce(col("rules"), lit("")), col("path")))
       .select(keep: _*)
   }
 
@@ -234,21 +243,30 @@ object Robots {
     * scale probe always measure the same kernel (the
     * TextOps.wordChunkLines convention).
     */
+  /** The 7-host fixture policy dim (host, txt) — ONE builder shared by
+    * the q217/q218 verdicts, the q234 pipeline, and the specs (r16
+    * review finding: three verbatim copies would have to track fixture
+    * changes by hand).
+    */
+  def fixturePolicyDim(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    // fully-qualified inside the lambda: capturing this module val would
+    // make the closure non-serializable
+    spark.range(7).as[Long]
+      .map(h => (s"host$h.example.com", graft.ops.Robots.robotsFixtureFor(h)))
+      .toDF("host", "txt")
+  }
+
   def fixturePolicyVerdicts(docs: DataFrame,
       userAgent: String = "graftcrawler/1.0"): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
     val links = Html.extractLinks(Html.linkPages(docs))
     val targets = links.select(
         Urls.canonicalizeUrl(Urls.resolveUrl(col("base_url"), col("href")))
           .as("t"))
       .select(Urls.canonicalHost(col("t")).as("host"),
         canonicalPath(col("t")).as("path"))
-    // fully-qualified inside the lambda: capturing this module val would
-    // make the closure non-serializable
-    val dim = spark.range(7).as[Long]
-      .map(h => (s"host$h.example.com", graft.ops.Robots.robotsFixtureFor(h)))
-      .toDF("host", "txt")
-    policyVerdicts(targets, compilePolicies(dim, "host", "txt", userAgent))
+    policyVerdicts(targets,
+      compilePolicies(fixturePolicyDim(spark), "host", "txt", userAgent))
   }
 }

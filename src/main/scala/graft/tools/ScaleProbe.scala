@@ -175,45 +175,45 @@ object ScaleProbe {
           timestamp_millis(d * 1000L + 86400000L).as("ts"))
         .withWatermark("ts", "100 seconds")
         .as[(String, String, Long, java.sql.Timestamp)]
-      val grouped = reqs.groupByKey(_._1)
+      // the SAME shared state functions the production queries run
+      // (Incremental.budgetAdmit / ttlBudgetAdmit) — the probe must
+      // measure the query's kernel, never a hand-synced copy
       val verdicts = (if (ttl)
-        grouped.flatMapGroupsWithState[(Long, Set[String]), (String, String)](
-          org.apache.spark.sql.streaming.OutputMode.Append(),
-          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
-          graft.ops.Incremental.ttlBudgetAdmit(100000L, budget = 5))
+        reqs.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Set[String]), (String, String)](
+            org.apache.spark.sql.streaming.OutputMode.Append(),
+            org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
+            graft.ops.Incremental.ttlBudgetAdmit(100000L, budget = 5))
       else
-        grouped.flatMapGroupsWithState[Set[String], (String, String)](
-          org.apache.spark.sql.streaming.OutputMode.Append(),
-          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-          case (domain, rows, state) =>
-            var admitted = state.getOption.getOrElse(Set.empty[String])
-            val out = rows.toSeq.sortBy(_._3).map { case (_, url, _, _) =>
-              if (admitted.contains(url)) (domain, "duplicate")
-              else if (admitted.size < 5) { admitted += url; (domain, "admitted") }
-              else (domain, "over_budget")
-            }
-            state.update(admitted)
-            out.iterator
-        }).toDF("domain", "verdict")
+        reqs.map(r => (r._1, r._2, r._3)).groupByKey(_._1)
+          .flatMapGroupsWithState[Set[String], (String, String)](
+            org.apache.spark.sql.streaming.OutputMode.Append(),
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+            graft.ops.Incremental.budgetAdmit(budget = 5))
+        ).toDF("domain", "verdict")
       val sink = s"probe_adm_${domains}_$ttl"
       spark.catalog.dropTempView(sink)
       val q = verdicts.writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      require(q.awaitTermination(300000), "probe drain timed out")
-      val stateRows = q.recentProgress.toSeq
-        .flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(0L)
-      q.stop()
-      stateRows
+      try {
+        require(q.awaitTermination(300000), "probe drain timed out")
+        q.recentProgress.toSeq
+          .flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(0L)
+      } finally q.stop()
     }
 
     val allOps: Seq[(String, Int => Long)] = Seq(
       // DOMAIN axis of the streaming budget admission (q229 posture):
-      // corpus FIXED, domain cardinality = 1000·k (within the corpus id range across the whole decade). Per-trigger time
-      // must stay FLAT (alpha ~0: same rows per trigger, state ops are
-      // O(batch) + O(1) per touched key) while the reported "rows" —
-      // the final state-store row count — grows exactly linearly in
-      // domains: the O(domains × K) bound, measured.
+      // corpus FIXED, domain cardinality = 1000·k. The multiplier must
+      // keep max domains ≤ the corpus id count (5,000 at sf0.1) or
+      // `pmod(doc_id, domains)` stops realizing every domain and state
+      // rows saturate sublinearly (the first probe cut used 2500·k and
+      // capped at k=2). Per-trigger time must stay FLAT (alpha ~0: same
+      // rows per trigger, state ops are O(batch) + O(1) per touched
+      // key) while the reported "rows" — the final state-store row
+      // count — grows exactly linearly in domains: the O(domains × K)
+      // bound, measured.
       "q229_domain_axis" -> (k => admissionProbe(1000L * k, ttl = false)),
       // same axis under the q231 TTL'd session rule: state is bounded
       // by domains ACTIVE within one TTL window, so the reported state

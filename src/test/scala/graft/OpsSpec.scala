@@ -3491,6 +3491,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("l2") === (Some("LT"), Some(8L)), "length exactly = cap resolves")
     assert(got("l1") === (None, None), "length 9 > cap 8 is unresolved")
     assert(got("l0") === (None, None))
+    // a NON-FUNCTIONAL log (same src observed with two targets) must
+    // reduce to one deterministic row per source (min dst), never fan
+    // out through the doubling rounds
+    val messy = Seq("a" -> "c", "a" -> "b").toDF("src", "dst")
+    val m = graft.ops.Crawl.resolveRedirects(messy, "src", "dst", maxHops = 8)
+      .collect()
+    graft.ops.Dedup.releasePersisted()
+    assert(m.count(_.getString(0) == "a") === 1, "one row per source url")
+    assert(m.find(_.getString(0) == "a").get.getString(1) === "b",
+      "deterministic min target wins")
   }
 
   test("robots policy join gate: hinted and un-hinted strategies produce " +
@@ -3504,10 +3514,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           graft.ops.Urls.resolveUrl(col("base_url"), col("href"))).as("t"))
       .select(graft.ops.Urls.canonicalHost(col("t")).as("host"),
         R.canonicalPath(col("t")).as("path"))
-    val dim = spark.range(7).as[Long]
-      .map(h => (s"host$h.example.com", graft.ops.Robots.robotsFixtureFor(h)))
-      .toDF("host", "txt")
-    val pol = R.compilePolicies(dim, "host", "txt", "graftcrawler/1.0")
+    val pol = R.compilePolicies(R.fixturePolicyDim(spark), "host", "txt",
+      "graftcrawler/1.0")
     val hinted = R.policyVerdicts(targets, pol) // 7 hosts ≤ default gate
     val unhinted = R.policyVerdicts(targets, pol, broadcastHostGate = 0L)
     val keys = Seq("host", "path", "crawl_delay", "allowed")
@@ -3519,6 +3527,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // below the gate the hint is real: the executed plan broadcasts
     assert(hinted.queryExecution.executedPlan.toString
       .contains("BroadcastHashJoin"))
+    // a host with no compiled policy is DEFAULT-ALLOWED with delay 0
+    // (RFC 9309: no robots.txt means everything allowed) — it must
+    // appear in the output, not vanish through an inner join
+    val orphan = Seq(("norobots.example.net", "/any/path"))
+      .toDF("host", "path")
+    val got = R.policyVerdicts(orphan, pol).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Boolean]("allowed") === true)
+    assert(got.head.getAs[Int]("crawl_delay") === 0)
   }
 
   test("assignWorkers: sorted round-robin = distributed LPT approximation " +
