@@ -2232,6 +2232,36 @@ object SparkEntry {
         .orderBy(col("worker"))
     }),
 
+    // Beyond-reference: ROBOTS AVAILABILITY SEMANTICS (RFC 9309 §2.3.1)
+    // — what governs access when the robots.txt FETCH ITSELF fails, the
+    // layer crawlers get wrong most often: 4xx ("unavailable") means
+    // MAY access everything (a 404 robots.txt is NOT a disallow), 5xx
+    // ("unreachable") means MUST assume complete disallow, and a cache
+    // past the 24 h TTL (§2.4) still applies while the refetch is due.
+    // The fixture gives host4 a 404, host5 a 503, host6 a 30 h-old
+    // cache; effective per-URL verdicts compose the availability class
+    // OVER the q217 parsed-policy verdicts. The oracle replays the
+    // class from the host formula and overrides the q217 verdict grid
+    // accordingly.
+    "q235_robots_availability" -> ((s, dir) => {
+      val R = graft.ops.Robots
+      val verdicts = R.fixturePolicyVerdicts(t(s, dir, "documents"))
+      val h = regexp_extract(col("host"), "^host(\\d+)\\.", 1).cast("long")
+      val status = when(h === 4, lit(404)).when(h === 5, lit(503))
+        .otherwise(lit(200))
+      val age = when(h === 6, lit(30)).otherwise(lit(1))
+      val cls = R.accessVerdict(status, age)
+      val eff = when(cls === "disallow_all", lit(false))
+        .when(cls === "allow_all", lit(true))
+        .otherwise(col("allowed"))
+      verdicts.withColumn("verdict_class", cls)
+        .withColumn("eff", eff)
+        .groupBy(col("host"), col("verdict_class"))
+        .agg(sum(when(col("eff"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(col("eff"), 0L).otherwise(1L)).as("n_blocked"))
+        .orderBy(col("host"))
+    }),
+
     // Beyond-reference: SITEMAP INGESTION (sitemaps.org protocol) — the
     // discovery channel robots.txt advertises: tolerant XML parse of
     // per-doc urlset/sitemapindex fixtures (one stateless parse per
@@ -7558,6 +7588,35 @@ object SparkEntry {
                 CAST(sum(span) AS BIGINT) AS backlog_s,
                 CAST(max(span) AS BIGINT) AS max_span_s
          FROM rk GROUP BY 1 ORDER BY worker""",
+    // the q217 verdict grid with per-host availability overrides: the
+    // 404 host force-allows, the 503 host force-blocks, the stale-cache
+    // host keeps its parsed verdicts under the expired_cached class
+    "q235_robots_availability" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS h FROM documents),
+         t AS (
+           SELECT doc_id, h AS hh, 1 AS al FROM d
+           UNION ALL SELECT doc_id, h, 1 FROM d
+           UNION ALL SELECT doc_id, (doc_id + 1) % 7,
+             CASE WHEN ((doc_id + 1) % 7) % 2 = 0 THEN 0 ELSE 1 END FROM d
+           UNION ALL SELECT doc_id, (doc_id + 2) % 7, 1 FROM d
+             WHERE doc_id % 2 = 0
+           UNION ALL SELECT doc_id, h,
+             CASE WHEN h % 3 = 0 THEN 0
+                  WHEN h = 1 AND doc_id % 5 = 3 THEN 0 ELSE 1 END FROM d
+           UNION ALL SELECT doc_id, h,
+             CASE WHEN h % 5 = 0 THEN 0 ELSE 1 END FROM d),
+         e AS (SELECT hh,
+                 CASE WHEN hh = 4 THEN 'allow_all'
+                      WHEN hh = 5 THEN 'disallow_all'
+                      WHEN hh = 6 THEN 'expired_cached'
+                      ELSE 'policy' END AS verdict_class,
+                 CASE WHEN hh = 4 THEN 1 WHEN hh = 5 THEN 0 ELSE al END
+                   AS eff
+               FROM t)
+         SELECT 'host' || hh || '.example.com' AS host, verdict_class,
+                CAST(sum(eff) AS BIGINT) AS n_allowed,
+                CAST(sum(1 - eff) AS BIGINT) AS n_blocked
+         FROM e GROUP BY hh, verdict_class ORDER BY host""",
     // every verdict replayed from the (host, doc_id) formula: the engine
     // must parse the decoy+real robots groups, select by UA prefix, and
     // apply longest-match (incl. the Allow-beats-/q case and the host-1

@@ -243,6 +243,27 @@ object Robots {
     * scale probe always measure the same kernel (the
     * TextOps.wordChunkLines convention).
     */
+  /** RFC 9309 §2.3.1 ACCESS-RESULT semantics for the robots.txt fetch
+    * itself — the layer crawlers get wrong most often:
+    *
+    *  - 2xx ("success"): parse and apply the policy; past the cache TTL
+    *    (§2.4: MAY cache up to 24 h) the cached policy still applies
+    *    but the fetch is due — reported as its own class so schedulers
+    *    can refresh ("expired_cached").
+    *  - 3xx: follow the redirect chain (§2.3.1.2 allows at least five
+    *    hops — [[Crawl.resolveRedirects]] is the chain machinery).
+    *  - 4xx ("unavailable"): the crawler MAY access any resources —
+    *    effectively ALLOW ALL (a 404 robots.txt is not a disallow).
+    *  - 5xx ("unreachable"): MUST assume COMPLETE DISALLOW.
+    */
+  def accessVerdict(status: Column, ageHours: Column,
+      cacheTtlHours: Int = 24): Column =
+    when(status >= 500, lit("disallow_all"))
+      .when(status >= 400, lit("allow_all"))
+      .when(status >= 300, lit("redirect"))
+      .when(ageHours > cacheTtlHours, lit("expired_cached"))
+      .otherwise(lit("policy"))
+
   /** The 7-host fixture policy dim (host, txt) — ONE builder shared by
     * the q217/q218 verdicts, the q234 pipeline, and the specs (r16
     * review finding: three verbatim copies would have to track fixture

@@ -3503,6 +3503,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "deterministic min target wins")
   }
 
+  test("robots accessVerdict: RFC 9309 access-result classes incl. the " +
+    "redirect class and the cache-TTL boundary") {
+    import spark.implicits._
+    val rows = Seq((200, 1), (200, 24), (200, 25), (301, 1), (404, 1),
+      (410, 1), (500, 1), (503, 30)).toDF("status", "age")
+    val got = rows.select(col("status"), col("age"),
+        graft.ops.Robots.accessVerdict(col("status"), col("age")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(got((200, 1)) === "policy")
+    assert(got((200, 24)) === "policy", "the 24 h TTL boundary is inclusive")
+    assert(got((200, 25)) === "expired_cached")
+    assert(got((301, 1)) === "redirect")
+    assert(got((404, 1)) === "allow_all", "a 404 robots.txt is NOT a disallow")
+    assert(got((410, 1)) === "allow_all")
+    assert(got((500, 1)) === "disallow_all", "unreachable = complete disallow")
+    assert(got((503, 30)) === "disallow_all")
+  }
+
   test("robots policy join gate: hinted and un-hinted strategies produce " +
     "identical verdicts (broadcast is size-gated, the CC edge-gate pattern)") {
     import spark.implicits._

@@ -717,6 +717,76 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "over_budget" -> 4L), counts.toString)
   }
 
+  test("TTL'd budget admission survives a checkpoint restart: resumed " +
+    "(lastSeen, admitted-set) state yields the same verdict census as an " +
+    "uninterrupted drain") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ttl_restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ttl_restart_c").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ttl_restart_o").toString
+    // 4 versions, 2 sessions per domain (gap between v1 and v2 > TTL)
+    TableBuilder.create(spark,
+      (0L to 5L).map(i => (i, i)).toDF("doc_id", "k").coalesce(1),
+      base, name = "ttl_restart")
+    TableBuilder.append(spark,
+      (6L to 11L).map(i => (i, i)).toDF("doc_id", "k").coalesce(1),
+      base, timestamp = 1000L)
+    TableBuilder.append(spark,
+      (300L to 305L).map(i => (i, i)).toDF("doc_id", "k").coalesce(1),
+      base, timestamp = 2000L)
+    TableBuilder.append(spark,
+      (306L to 311L).map(i => (i, i)).toDF("doc_id", "k").coalesce(1),
+      base, timestamp = 3000L)
+    def verdicts = spark.readStream.format("graft").option("path", base)
+      .option("startingVersion", "0").option("maxFilesPerTrigger", "1").load()
+      .select(
+        concat(lit("d"), pmod(col("doc_id").cast("long"), lit(2L)),
+          lit(".example.com")).as("domain"),
+        concat(lit("/u/"), pmod(col("doc_id").cast("long"), lit(7L))).as("url"),
+        col("doc_id").cast("long").as("doc_id"),
+        timestamp_millis(col("doc_id").cast("long") * 1000L + 86400000L)
+          .as("ts"))
+      .withWatermark("ts", "100 seconds")
+      .as[(String, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Set[String]), (String, String)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
+        graft.ops.Incremental.ttlBudgetAdmit(100000L, budget = 2))
+      .toDF("domain", "verdict")
+    def start(trigger: Trigger) = verdicts.writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .outputMode("append").trigger(trigger).start()
+    // run 1: stop after at least one batch committed, before the drain
+    val q1 = start(Trigger.ProcessingTime("50 milliseconds"))
+    def committed(): Long =
+      try spark.read.parquet(outDir).count() catch { case _: Throwable => 0L }
+    val deadline = System.currentTimeMillis() + 60000
+    while (committed() == 0L && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    q1.stop()
+    assert(committed() > 0, "first run must commit at least one batch")
+    // run 2: restore (lastSeen, admitted) from the checkpoint, drain
+    val q2 = start(Trigger.AvailableNow())
+    assert(q2.awaitTermination(120000), "restarted drain timed out")
+    q2.stop()
+    val got = spark.read.parquet(outDir)
+      .groupBy(col("domain"), col("verdict")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // per domain per session: 6 arrivals over urls cycling mod 7 with
+    // budget 2 — first 2 distinct urls admit, the rest (all distinct in
+    // a 6-run of mod-7 values) are over budget; session 2 resets.
+    // d0 session 1: docs 0,2,4,6,8,10 -> urls 0,2,4,6,1,3: 2 adm 4 over
+    // d1 session 1: docs 1,3,5,7,9,11 -> urls 1,3,5,0,2,4: 2 adm 4 over
+    // sessions 2 (docs 300..311) repeat the same shape
+    for (d <- Seq("d0.example.com", "d1.example.com")) {
+      assert(got.getOrElse((d, "admitted"), 0L) === 4L, s"$d admitted")
+      assert(got.getOrElse((d, "over_budget"), 0L) === 8L, s"$d over")
+      assert(got.getOrElse((d, "duplicate"), 0L) === 0L, s"$d dup")
+    }
+  }
+
   test("stateful recrawl fold survives a checkpoint restart: resumed " +
     "per-URL counters equal the batch computation (the q223 shape)") {
     import spark.implicits._
