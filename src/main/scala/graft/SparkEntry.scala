@@ -3944,6 +3944,24 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Beyond-reference: NEIGHBORHOOD FUNCTION (ANF / HyperANF family) —
+    // N(h) = how many (v, w) pairs sit within h hops, the quantity
+    // behind effective-diameter and reachability profiling of the
+    // interaction graph. Exact iterative frontier expansion below the
+    // node gate (this fixture: 150 nodes); above it the SAME operator
+    // switches to HyperBall — one 64-register HLL per node max-merged
+    // along edges per hop, O(nodes × 64 B) state at any graph size
+    // (accuracy pinned by OpsSpec on a gate-lifted fixture; the sketch
+    // path is estimate-valued, so the oracle covers the exact path).
+    // The oracle replays the BFS with a hop-capped recursive CTE over
+    // the same lag-derived edges as q136.
+    "q236_neighborhood_function" -> ((s, dir) => {
+      val edges = graft.ops.Analytics.interactionEdges(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+      graft.ops.Analytics.neighborhoodFunction(edges, maxHops = 4)
+        .orderBy(col("hop"))
+    }),
+
     // Beyond-reference: Zipf power-law fit over the token frequency
     // distribution — OLS on (ln rank, ln freq) of the top-100 tokens;
     // one token-count pass, vocabulary-scale top cut, 5-sum aggregate.
@@ -9015,6 +9033,32 @@ object SparkEntry {
                       WHERE und.a = sc.u AND und.b = sc.v))
          SELECT u, v, n_common, round(s, 6) AS aa_score FROM nonadj
          ORDER BY aa_score DESC, u, v LIMIT 20""",
+    // min-hop BFS replayed with a RECURSIVE CTE (UNION dedups the
+    // reached (v, w, hop) rows, so cycles terminate); pair counts at
+    // each hop must equal the engine's iterative frontier expansion
+    "q236_neighborhood_function" ->
+      """WITH RECURSIVE adj AS (SELECT user_id,
+                        lag(user_id) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS prev
+                      FROM events),
+         und AS (SELECT DISTINCT least(prev, user_id) AS a,
+                   greatest(prev, user_id) AS b
+                 FROM adj WHERE prev IS NOT NULL AND prev <> user_id),
+         e AS (SELECT a AS src, b AS dst FROM und
+               UNION SELECT b, a FROM und),
+         n AS (SELECT DISTINCT src AS v FROM e),
+         walk(v, w, hop) AS (
+           SELECT v, v, 0 FROM n
+           UNION
+           SELECT wk.v, e.dst, wk.hop + 1
+           FROM walk wk JOIN e ON e.src = wk.w
+           WHERE wk.hop < 4),
+         nf AS (SELECT v, w, min(hop) AS mh FROM walk GROUP BY v, w),
+         hops AS (SELECT unnest(range(0, 5)) AS hop)
+         SELECT CAST(hops.hop AS BIGINT) AS hop,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM hops JOIN nf ON nf.mh <= hops.hop
+         GROUP BY hops.hop ORDER BY hop""",
     "q136_triangle_count" ->
       """WITH adj AS (SELECT user_id,
                         lag(user_id) OVER (PARTITION BY event_type

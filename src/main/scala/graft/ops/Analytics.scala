@@ -620,4 +620,149 @@ object Analytics {
       .select(col("u"), col("v"), col("n_common"),
         round(col("__s"), 6).as("aa_score"))
   }
+
+  // ----------------------------------------------- neighborhood function
+
+  /** Driver/sketch split for [[neighborhoodFunction]], overridable via
+    * -Dgraft.anf.exactNodeThreshold (0 forces the HyperBall sketch path
+    * — the accuracy-pinned verification mode; unlike the CC gate lift,
+    * the two paths are NOT bit-equal, the sketch carries bounded HLL
+    * error, so the lift is pinned by OpsSpec error bounds, not by the
+    * oracle).
+    */
+  def defaultAnfNodeGate: Long =
+    sys.props.get("graft.anf.exactNodeThreshold").map(_.toLong)
+      .getOrElse(1L << 16)
+
+  /** Neighborhood function N(h) = Σ_v |{w : dist(v, w) ≤ h}| per hop —
+    * the quantity behind effective-diameter and reachability profiling
+    * (Palmer/Gibbons/Faloutsos "ANF", KDD'02; Boldi, Rosa & Vigna
+    * "HyperANF", WWW'11). Two paths behind a node-count gate (the
+    * [[Dedup.connectedComponents]] pattern):
+    *
+    *  - EXACT (nodes ≤ gate): iterative frontier expansion of the
+    *    distinct (v, w) reach set — one equi-join + distinct per hop,
+    *    lineage cut per round, early-constant once the diameter is
+    *    reached. State is O(reachable pairs): exact and right at
+    *    fixture scale, quadratic in the worst case — hence the gate.
+    *  - HYPERBALL (above the gate): one 64-register HyperLogLog per
+    *    node (b = 6; md5-seeded node hash, engine-independent),
+    *    max-merged along edges each hop — O(nodes × 64 bytes) state at
+    *    ANY graph size and O(maxHops) rounds, the 100 TB plan. N(h) is
+    *    the rounded sum of per-node HLL estimates (~13% per-node error
+    *    at m = 64; OpsSpec pins the summed error against the exact
+    *    path on a gate-lifted fixture).
+    *
+    * Input: undirected edges (a, b). Output: (hop, n_pairs) for
+    * hop = 0..maxHops, hop 0 counting the nodes themselves. Isolated
+    * nodes (no edges) are out of frame on both paths.
+    */
+  def neighborhoodFunction(edges: DataFrame, maxHops: Int = 4,
+      exactNodeThreshold: Long = defaultAnfNodeGate): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col("a").cast("long").as("u"),
+      col("b").cast("long").as("v")).filter(col("u") =!= col("v"))
+    val both = sym.union(sym.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true) // consumed once per hop
+    val nodes = both.select(col("u").as("v")).distinct()
+    val counts =
+      if (nodes.count() <= exactNodeThreshold) exactAnf(both, nodes, maxHops)
+      else hyperBallAnf(both, nodes, maxHops)
+    GraftSqlBridge.unpersistCheckpoint(both, blocking = false)
+    counts.toDF("hop", "n_pairs")
+  }
+
+  private def exactAnf(both: DataFrame, nodes: DataFrame,
+      maxHops: Int): Seq[(Long, Long)] = {
+    var reach = nodes.select(col("v"), col("v").as("w")).localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer((0L, reach.count()))
+    var growing = true
+    for (h <- 1 to maxHops) {
+      if (growing) {
+        val grown = reach
+          .join(both.select(col("u").as("w"), col("v").as("x")), "w")
+          .select(col("v"), col("x").as("w"))
+        val next = reach.union(grown).distinct().localCheckpoint(true)
+        val n = next.count()
+        GraftSqlBridge.unpersistCheckpoint(reach, blocking = false)
+        growing = n > out.last._2 // diameter reached: constant tail, no jobs
+        reach = next
+        out += ((h.toLong, n))
+      } else out += ((h.toLong, out.last._2))
+    }
+    GraftSqlBridge.unpersistCheckpoint(reach, blocking = false)
+    out.toSeq
+  }
+
+  /** Initial HyperBall registers for one node: md5 of the big-endian id
+    * (engine-independent, no JVM hashCode), low 6 bits pick the
+    * register, ρ = leading-zero rank of the remaining 58 bits + 1.
+    */
+  private[graft] def initRegs(v: Long): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(java.nio.ByteBuffer.allocate(8).putLong(v).array())
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    val j = (h & 63L).toInt
+    val w = h >>> 6
+    val rho =
+      (if (w == 0L) 59 else java.lang.Long.numberOfLeadingZeros(w) - 5).toByte
+    val r = new Array[Byte](64)
+    r(j) = rho
+    r
+  }
+
+  private[graft] def maxRegs(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+    val r = new Array[Byte](64)
+    var i = 0
+    while (i < 64) { r(i) = if (x(i) >= y(i)) x(i) else y(i); i += 1 }
+    r
+  }
+
+  /** Standard HLL estimator at m = 64 with the linear-counting
+    * small-range correction.
+    */
+  private[graft] def hllEstimate(r: Array[Byte]): Double = {
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < 64) {
+      sum += java.lang.Math.scalb(1.0, -r(i))
+      if (r(i) == 0) zeros += 1
+      i += 1
+    }
+    val e = (0.7213 / (1.0 + 1.079 / 64)) * 64.0 * 64.0 / sum
+    if (e <= 2.5 * 64 && zeros > 0) 64.0 * math.log(64.0 / zeros) else e
+  }
+
+  private def hyperBallAnf(both: DataFrame, nodes: DataFrame,
+      maxHops: Int): Seq[(Long, Long)] = {
+    val spark = both.sparkSession
+    import spark.implicits._
+    var regs = nodes.select(col("v")).as[Long]
+      .map(v => (v, graft.ops.Analytics.initRegs(v))).toDF("node", "r")
+      .localCheckpoint(true)
+    def census(rs: DataFrame): Long = math.round(
+      rs.select(col("r")).as[Array[Byte]]
+        .map(r => graft.ops.Analytics.hllEstimate(r))
+        .reduce(_ + _))
+    val out = scala.collection.mutable.ArrayBuffer((0L, census(regs)))
+    for (h <- 1 to maxHops) {
+      val contrib = regs
+        .join(both.select(col("u").as("node"), col("v").as("nbr")), "node")
+        .select(col("nbr").as("node"), col("r"))
+        .unionByName(regs)
+        .as[(Long, Array[Byte])]
+      val next = contrib.groupByKey(_._1)
+        .reduceGroups((x, y) => (x._1, graft.ops.Analytics.maxRegs(x._2, y._2)))
+        .map(_._2).toDF("node", "r").localCheckpoint(true)
+      GraftSqlBridge.unpersistCheckpoint(regs, blocking = false)
+      regs = next
+      out += ((h.toLong, census(regs)))
+    }
+    GraftSqlBridge.unpersistCheckpoint(regs, blocking = false)
+    out.toSeq
+  }
 }

@@ -115,13 +115,13 @@ object ScaleProbe {
     // links; topology per 1000-node block identical at every k, so the
     // alternating-star round count is pinned (measured: 9 at k=1,2,4).
     // Returns the round count as the probe's "rows" value.
-    def ccEdgesProbe(k: Int): Long = {
+    def ccEdges(k: Int): DataFrame = {
       val e = k.toLong * 2000000L
       val chainIds = (e * 9) / 10
       val nBlocks = chainIds / 1000
       val isChain = col("id") < lit(chainIds)
       val block = pmod(xxhash64(col("id"), lit(3)), lit(nBlocks))
-      val edges = spark.range(e)
+      spark.range(e)
         .filter(!(col("id") < lit(chainIds) &&
           pmod(col("id"), lit(1000)) === 999))
         .select(
@@ -131,7 +131,10 @@ object ScaleProbe {
           when(isChain, col("id") + 1)
             .otherwise(block * 1000 +
               pmod(abs(xxhash64(col("id"), lit(2))), lit(1000))).as("v"))
-      graft.ops.Dedup.connectedComponents(edges, "u", "v",
+    }
+
+    def ccEdgesProbe(k: Int): Long = {
+      graft.ops.Dedup.connectedComponents(ccEdges(k), "u", "v",
         smallGraphEdgeThreshold = 0L).count()
       graft.ops.Dedup.lastCcRounds.toLong
     }
@@ -817,6 +820,16 @@ object ScaleProbe {
       // k, rounds 14→16, alpha 1.11 — measuring round growth, not the
       // per-round term.) Reported "rows" = round count.
       "cc_edges_distributed" -> (k => ccEdgesProbe(k)),
+      // HyperBall neighborhood function over the SAME k·2M-edge
+      // generator, gate lifted: 3 fixed max-merge rounds whatever the
+      // graph size, state O(nodes × 64 B) — expect alpha ~1 in edges;
+      // reported "rows" = N(3), which must grow ~linearly with k
+      // (per-block topology is identical, only block count scales)
+      "anf_hyperball" -> (k =>
+        graft.ops.Analytics.neighborhoodFunction(
+          ccEdges(k).select(col("u").as("a"), col("v").as("b")), maxHops = 3,
+          exactNodeThreshold = 0L)
+          .agg(max(col("n_pairs"))).first().getLong(0)),
       // same generator with partitions PINNED at the k=1 count — the
       // data-slope diagnostic: if the scaled-partition row's residual
       // alpha > 1 vanishes here, the excess is per-task scheduling

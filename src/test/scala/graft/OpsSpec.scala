@@ -3503,6 +3503,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "deterministic min target wins")
   }
 
+  test("neighborhoodFunction exact path: hand graph lands exact per-hop " +
+    "pair counts and goes constant past the diameter") {
+    import spark.implicits._
+    // chain 0-1-2-3 plus the disconnected pair 4-5
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val got = graft.ops.Analytics.neighborhoodFunction(edges, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // h=0: 6 nodes; h=1: 2+3+3+2 +2+2 = 14; h=2: 3+4+4+3+2+2 = 18;
+    // h=3: chain complete (4x4) + pair (2x2) = 20; h=4: constant
+    assert(got === Map(0L -> 6L, 1L -> 14L, 2L -> 18L, 3L -> 20L,
+      4L -> 20L), got.toString)
+  }
+
+  test("neighborhoodFunction gate-lifted HyperBall path: per-hop summed " +
+    "estimates within 15% of exact on a 512-node chorded ring") {
+    import spark.implicits._
+    val n = 512L
+    val ring = spark.range(n).select(col("id").as("a"),
+      pmod(col("id") + 1, lit(n)).as("b"))
+    val chords = spark.range(n).select(col("id").as("a"),
+      pmod(col("id") * 7 + 3, lit(n)).as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = ring.unionByName(chords)
+    val exact = graft.ops.Analytics.neighborhoodFunction(edges, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = graft.ops.Analytics.neighborhoodFunction(edges, maxHops = 3,
+        exactNodeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (h <- 0L to 3L) {
+      val rel = math.abs(est(h) - exact(h)).toDouble / exact(h)
+      assert(rel < 0.15, s"hop $h: est=${est(h)} exact=${exact(h)} rel=$rel")
+    }
+    // the sketch is monotone in h (balls only grow under max-merge)
+    assert((0L until 3L).forall(h => est(h) <= est(h + 1)), est.toString)
+  }
+
   test("robots accessVerdict: RFC 9309 access-result classes incl. the " +
     "redirect class and the cache-TTL boundary") {
     import spark.implicits._
