@@ -665,10 +665,15 @@ object Analytics {
       col("b").cast("long").as("v")).filter(col("u") =!= col("v"))
     val both = sym.union(sym.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true) // consumed once per hop
-    val nodes = both.select(col("u").as("v")).distinct()
+    // checkpointed: the gate count and the per-path seed share ONE
+    // distinct computation (r16 review finding: the seed re-derived it);
+    // a forced-sketch gate (<= 0) skips the count job entirely
+    val nodes = both.select(col("u").as("v")).distinct().localCheckpoint(true)
     val counts =
-      if (nodes.count() <= exactNodeThreshold) exactAnf(both, nodes, maxHops)
+      if (exactNodeThreshold > 0 && nodes.count() <= exactNodeThreshold)
+        exactAnf(both, nodes, maxHops)
       else hyperBallAnf(both, nodes, maxHops)
+    GraftSqlBridge.unpersistCheckpoint(nodes, blocking = false)
     GraftSqlBridge.unpersistCheckpoint(both, blocking = false)
     counts.toDF("hop", "n_pairs")
   }
@@ -722,7 +727,12 @@ object Analytics {
   }
 
   /** Standard HLL estimator at m = 64 with the linear-counting
-    * small-range correction.
+    * small-range correction. NOTE: the LC→raw crossover (around
+    * cardinality ~160 at m = 64) makes the estimate locally
+    * NON-monotone in the register state — a ball growing past the
+    * crossover can report a slightly smaller estimate than the hop
+    * before, so summed N(h) values are near-monotone, not strictly so;
+    * consumers wanting N(maxHops) must select it by hop, never by max.
     */
   private[graft] def hllEstimate(r: Array[Byte]): Double = {
     var sum = 0.0
@@ -744,10 +754,17 @@ object Analytics {
     var regs = nodes.select(col("v")).as[Long]
       .map(v => (v, graft.ops.Analytics.initRegs(v))).toDF("node", "r")
       .localCheckpoint(true)
-    def census(rs: DataFrame): Long = math.round(
-      rs.select(col("r")).as[Array[Byte]]
-        .map(r => graft.ops.Analytics.hllEstimate(r))
-        .reduce(_ + _))
+    // per-node estimates quantized to integer MICROUNITS before the sum:
+    // long addition is associative, so N(h) is bit-stable across task
+    // orders (r16 review finding: a double reduce(_+_) could flip the
+    // rounded total by 1 between runs near an x.5 boundary)
+    def census(rs: DataFrame): Long = {
+      val micro = rs.select(col("r")).as[Array[Byte]]
+        .map(r => math.round(graft.ops.Analytics.hllEstimate(r) * 1e6))
+        .toDF("m")
+        .agg(coalesce(sum(col("m")), lit(0L))).head().getLong(0)
+      math.round(micro / 1e6)
+    }
     val out = scala.collection.mutable.ArrayBuffer((0L, census(regs)))
     for (h <- 1 to maxHops) {
       val contrib = regs

@@ -237,12 +237,6 @@ object Robots {
       .select(keep: _*)
   }
 
-  /** The q217 pipeline — q215's resolved canonical link targets joined
-    * against the 7-host fixture policies — as ONE shared builder
-    * returning (host, path, crawl_delay, allowed), so the query and its
-    * scale probe always measure the same kernel (the
-    * TextOps.wordChunkLines convention).
-    */
   /** RFC 9309 §2.3.1 ACCESS-RESULT semantics for the robots.txt fetch
     * itself — the layer crawlers get wrong most often:
     *
@@ -278,6 +272,12 @@ object Robots {
       .toDF("host", "txt")
   }
 
+  /** The q217 pipeline — q215's resolved canonical link targets joined
+    * against the 7-host fixture policies — as ONE shared builder
+    * returning (host, path, crawl_delay, allowed), so the query and its
+    * scale probe always measure the same kernel (the
+    * TextOps.wordChunkLines convention).
+    */
   def fixturePolicyVerdicts(docs: DataFrame,
       userAgent: String = "graftcrawler/1.0"): DataFrame = {
     val spark = docs.sparkSession

@@ -824,12 +824,14 @@ object ScaleProbe {
       // generator, gate lifted: 3 fixed max-merge rounds whatever the
       // graph size, state O(nodes × 64 B) — expect alpha ~1 in edges;
       // reported "rows" = N(3), which must grow ~linearly with k
-      // (per-block topology is identical, only block count scales)
+      // (per-block topology is identical, only block count scales);
+      // N(3) selected BY HOP — the estimator is near- but not strictly
+      // monotone at the LC/raw crossover, so max() would be wrong
       "anf_hyperball" -> (k =>
         graft.ops.Analytics.neighborhoodFunction(
           ccEdges(k).select(col("u").as("a"), col("v").as("b")), maxHops = 3,
           exactNodeThreshold = 0L)
-          .agg(max(col("n_pairs"))).first().getLong(0)),
+          .filter(col("hop") === 3).head().getLong(1)),
       // same generator with partitions PINNED at the k=1 count — the
       // data-slope diagnostic: if the scaled-partition row's residual
       // alpha > 1 vanishes here, the excess is per-task scheduling

@@ -3535,8 +3535,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val rel = math.abs(est(h) - exact(h)).toDouble / exact(h)
       assert(rel < 0.15, s"hop $h: est=${est(h)} exact=${exact(h)} rel=$rel")
     }
-    // the sketch is monotone in h (balls only grow under max-merge)
-    assert((0L until 3L).forall(h => est(h) <= est(h + 1)), est.toString)
+    // balls only grow under max-merge, but the HLL estimator dips
+    // slightly at the LC/raw crossover — near-monotone, 3% tolerance
+    assert((0L until 3L).forall(h => est(h) <= est(h + 1) * 1.03),
+      est.toString)
   }
 
   test("robots accessVerdict: RFC 9309 access-result classes incl. the " +

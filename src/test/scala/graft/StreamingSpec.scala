@@ -724,19 +724,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val base = java.nio.file.Files.createTempDirectory("ttl_restart").toString
     val ckpt = java.nio.file.Files.createTempDirectory("ttl_restart_c").toString
     val outDir = java.nio.file.Files.createTempDirectory("ttl_restart_o").toString
-    // 4 versions, 2 sessions per domain (gap between v1 and v2 > TTL)
+    // DETERMINISTIC restart split (r16 review finding: a stop-after-
+    // first-commit race could let a fast run 1 drain everything,
+    // leaving run 2 — the restart under test — with nothing to do):
+    // run 1 sees ONLY versions 0-1 and drains them fully; versions 2-3
+    // are appended AFTER run 1 stops, so run 2 MUST process them from
+    // restored state, and the session boundary (the >TTL gap between
+    // doc 11 and doc 300) spans the restart by construction.
     TableBuilder.create(spark,
       (0L to 5L).map(i => (i, i)).toDF("doc_id", "k").coalesce(1),
       base, name = "ttl_restart")
     TableBuilder.append(spark,
       (6L to 11L).map(i => (i, i)).toDF("doc_id", "k").coalesce(1),
       base, timestamp = 1000L)
-    TableBuilder.append(spark,
-      (300L to 305L).map(i => (i, i)).toDF("doc_id", "k").coalesce(1),
-      base, timestamp = 2000L)
-    TableBuilder.append(spark,
-      (306L to 311L).map(i => (i, i)).toDF("doc_id", "k").coalesce(1),
-      base, timestamp = 3000L)
     def verdicts = spark.readStream.format("graft").option("path", base)
       .option("startingVersion", "0").option("maxFilesPerTrigger", "1").load()
       .select(
@@ -757,19 +757,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     def start(trigger: Trigger) = verdicts.writeStream.format("parquet")
       .option("checkpointLocation", ckpt).option("path", outDir)
       .outputMode("append").trigger(trigger).start()
-    // run 1: stop after at least one batch committed, before the drain
-    val q1 = start(Trigger.ProcessingTime("50 milliseconds"))
     def committed(): Long =
       try spark.read.parquet(outDir).count() catch { case _: Throwable => 0L }
-    val deadline = System.currentTimeMillis() + 60000
-    while (committed() == 0L && System.currentTimeMillis() < deadline)
-      Thread.sleep(50)
+    // run 1: drain versions 0-1 completely (session 1 of each domain)
+    val q1 = start(Trigger.AvailableNow())
+    assert(q1.awaitTermination(120000), "first drain timed out")
     q1.stop()
-    assert(committed() > 0, "first run must commit at least one batch")
-    // run 2: restore (lastSeen, admitted) from the checkpoint, drain
+    val afterRun1 = committed()
+    assert(afterRun1 === 12L, s"run 1 must emit session-1 verdicts: $afterRun1")
+    // versions 2-3 land while the query is DOWN — run 2 must resume
+    // from the checkpointed (lastSeen, admitted) state to judge them
+    TableBuilder.append(spark,
+      (300L to 305L).map(i => (i, i)).toDF("doc_id", "k").coalesce(1),
+      base, timestamp = 2000L)
+    TableBuilder.append(spark,
+      (306L to 311L).map(i => (i, i)).toDF("doc_id", "k").coalesce(1),
+      base, timestamp = 3000L)
+    GraftLog.invalidateListing(base)
     val q2 = start(Trigger.AvailableNow())
     assert(q2.awaitTermination(120000), "restarted drain timed out")
     q2.stop()
+    assert(committed() > afterRun1,
+      "run 2 must actually process the post-restart versions")
     val got = spark.read.parquet(outDir)
       .groupBy(col("domain"), col("verdict")).count()
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
