@@ -623,16 +623,22 @@ object Analytics {
 
   // ----------------------------------------------- neighborhood function
 
-  /** Driver/sketch split for [[neighborhoodFunction]], overridable via
+  /** Exact/sketch split for [[neighborhoodFunction]], overridable via
     * -Dgraft.anf.exactNodeThreshold (0 forces the HyperBall sketch path
     * — the accuracy-pinned verification mode; unlike the CC gate lift,
     * the two paths are NOT bit-equal, the sketch carries bounded HLL
     * error, so the lift is pinned by OpsSpec error bounds, not by the
-    * oracle).
+    * oracle). The default is deliberately LOW: exact ANF is
+    * O(Σ_v |ball(v)| · deg) ≈ n²·d̄ join rows per hop — on a
+    * well-connected 1,500-node graph that is already ~10⁸ rows a hop
+    * (measured: 53 s at sf0.1 under a 64k gate), while HyperBall does
+    * the same graph in seconds at ~13% error. 512 nodes keeps the
+    * exact path where exactness is cheap and the answer is
+    * fixture-sized.
     */
   def defaultAnfNodeGate: Long =
     sys.props.get("graft.anf.exactNodeThreshold").map(_.toLong)
-      .getOrElse(1L << 16)
+      .getOrElse(1L << 9)
 
   /** Neighborhood function N(h) = Σ_v |{w : dist(v, w) ≤ h}| per hop —
     * the quantity behind effective-diameter and reachability profiling
@@ -678,25 +684,43 @@ object Analytics {
     counts.toDF("hop", "n_pairs")
   }
 
+  /** Exact BFS over (v, w) pairs, FRONTIER-expanded: each hop joins
+    * only the pairs discovered LAST hop against the edge set (never the
+    * whole reach set — the standard delta-BFS cut that matters once
+    * balls saturate), anti-joins out already-known pairs, and unions
+    * the disjoint remainder without a distinct. Early-constant once a
+    * hop discovers nothing.
+    */
   private def exactAnf(both: DataFrame, nodes: DataFrame,
       maxHops: Int): Seq[(Long, Long)] = {
     var reach = nodes.select(col("v"), col("v").as("w")).localCheckpoint(true)
-    val out = scala.collection.mutable.ArrayBuffer((0L, reach.count()))
+    var frontier = reach
+    var total = reach.count()
+    val out = scala.collection.mutable.ArrayBuffer((0L, total))
     var growing = true
     for (h <- 1 to maxHops) {
       if (growing) {
-        val grown = reach
+        val grown = frontier
           .join(both.select(col("u").as("w"), col("v").as("x")), "w")
-          .select(col("v"), col("x").as("w"))
-        val next = reach.union(grown).distinct().localCheckpoint(true)
-        val n = next.count()
+          .select(col("v"), col("x").as("w")).distinct()
+        val newPairs = grown.join(reach, Seq("v", "w"), "left_anti")
+          .localCheckpoint(true)
+        val nNew = newPairs.count()
+        // disjoint by the anti-join and internally distinct: plain union
+        val nextReach = reach.union(newPairs).localCheckpoint(true)
         GraftSqlBridge.unpersistCheckpoint(reach, blocking = false)
-        growing = n > out.last._2 // diameter reached: constant tail, no jobs
-        reach = next
-        out += ((h.toLong, n))
-      } else out += ((h.toLong, out.last._2))
+        if (!(frontier eq reach))
+          GraftSqlBridge.unpersistCheckpoint(frontier, blocking = false)
+        reach = nextReach
+        frontier = newPairs
+        growing = nNew > 0
+        total += nNew
+        out += ((h.toLong, total))
+      } else out += ((h.toLong, total))
     }
     GraftSqlBridge.unpersistCheckpoint(reach, blocking = false)
+    if (!(frontier eq reach))
+      GraftSqlBridge.unpersistCheckpoint(frontier, blocking = false)
     out.toSeq
   }
 
