@@ -3962,6 +3962,56 @@ object SparkEntry {
         .orderBy(col("hop"))
     }),
 
+    // Beyond-reference: SCORER EVALUATION — tie-aware ROC-AUC
+    // (Mann–Whitney U) of each of the first 8 embedding dimensions as a
+    // ranker for the binary label (cluster id < 5). The per-dim walk is
+    // one corpus aggregate to (dim, score) cells + one higher-order fold
+    // over the per-dim sorted cell array (bounded by the quantization
+    // grid, never corpus rows) — no global window, no collect. U2 is an
+    // exact integer so the ranking quality is bit-replayable.
+    "q238_scorer_auc" -> ((s, dir) => {
+      val pts = t(s, dir, "embeddings")
+        .select(posexplode(slice(col("embedding"), 1, 8)).as(Seq("dim", "__v")),
+          (col("label") < 5).as("__pos"))
+        .select(col("dim").cast("long").as("dim"),
+          graft.ops.Eval.micro(col("__v")).as("__q"), col("__pos"))
+      graft.ops.Eval.aucByGroup(pts, "dim", "__q", "__pos")
+        .orderBy(col("dim"))
+    }),
+
+    // Beyond-reference: LINEAR PROBE feature screening — univariate
+    // least-squares fit of the cluster label on each of the first 8
+    // embedding dimensions from five exact integer sums (one map-side-
+    // combinable aggregate; the closed form is a single pinned IEEE
+    // expression both engines replay identically). The r² column ranks
+    // dimensions by explanatory power — the cheap-first probe a
+    // curation pipeline runs before training anything.
+    "q239_linear_probe" -> ((s, dir) => {
+      val pts = t(s, dir, "embeddings")
+        .select(posexplode(slice(col("embedding"), 1, 8)).as(Seq("dim", "__v")),
+          col("label").cast("long").as("__y"))
+        .select(col("dim").cast("long").as("dim"),
+          graft.ops.Eval.micro(col("__v")).as("__x"), col("__y"))
+      graft.ops.Eval.linearProbeByGroup(pts, "dim", "__x", "__y")
+        .orderBy(col("dim"))
+    }),
+
+    // Beyond-reference: SPEARMAN RANK CORRELATION between the first 4
+    // embedding dimensions (signal-redundancy audit over quality
+    // features). Global ranks come from the range-partitioned
+    // rank machinery (no single-partition window), ties broken by
+    // vec_id so ranks are a permutation and Σd² is an exact integer.
+    "q240_spearman_dims" -> ((s, dir) => {
+      val pts = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 4)).as(Seq("dim", "__v")))
+        .select(col("dim").cast("long").as("dim"), col("vec_id"),
+          graft.ops.Eval.micro(col("__v")).as("__q"))
+      graft.ops.Eval.spearmanPairs(pts, "dim", "vec_id", "__q")
+        .select(col("series_a").as("dim_a"), col("series_b").as("dim_b"),
+          col("n"), col("sum_d2"), col("spearman"))
+        .orderBy(col("dim_a"), col("dim_b"))
+    }),
+
     // Beyond-reference: Zipf power-law fit over the token frequency
     // distribution — OLS on (ln rank, ln freq) of the top-100 tokens;
     // one token-count pass, vocabulary-scale top cut, 5-sum aggregate.
@@ -9059,6 +9109,86 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_pairs
          FROM hops JOIN nf ON nf.mh <= hops.hop
          GROUP BY hops.hop ORDER BY hop""",
+    // tie-aware Mann–Whitney 2U replayed with a window prefix over the
+    // (dim, score) cells — same integer walk the engine folds per dim
+    "q238_scorer_auc" ->
+      """WITH dims AS (SELECT unnest(range(0, 8)) AS dim),
+         pts AS (SELECT CAST(d.dim AS BIGINT) AS dim,
+                   CAST(floor(CAST(e.embedding[d.dim + 1] AS DOUBLE) * 1e6)
+                     AS BIGINT) AS q,
+                   (e.label < 5) AS pos
+                 FROM embeddings e CROSS JOIN dims d),
+         cells AS (SELECT dim, q,
+                     CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                     CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+                   FROM pts GROUP BY dim, q),
+         walk AS (SELECT dim, np, nn,
+                    coalesce(sum(nn) OVER (PARTITION BY dim ORDER BY q
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS below
+                  FROM cells)
+         SELECT dim, CAST(sum(np) AS BIGINT) AS n_pos,
+                CAST(sum(nn) AS BIGINT) AS n_neg,
+                CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2,
+                round(CAST(sum(np * (2 * below + nn)) AS DOUBLE) /
+                  (2.0 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT)), 6)
+                  AS auc
+         FROM walk GROUP BY dim ORDER BY dim""",
+    // the five integer sums and the pinned closed form, replayed term
+    // for term (sums cast to double first, two products, one subtract)
+    "q239_linear_probe" ->
+      """WITH dims AS (SELECT unnest(range(0, 8)) AS dim),
+         pts AS (SELECT CAST(d.dim AS BIGINT) AS dim,
+                   CAST(floor(CAST(e.embedding[d.dim + 1] AS DOUBLE) * 1e6)
+                     AS BIGINT) AS x,
+                   CAST(e.label AS BIGINT) AS y
+                 FROM embeddings e CROSS JOIN dims d),
+         st AS (SELECT dim, count(*) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x * x) AS BIGINT) AS sxx,
+                  CAST(sum(x * y) AS BIGINT) AS sxy,
+                  CAST(sum(y * y) AS BIGINT) AS syy
+                FROM pts GROUP BY dim)
+         SELECT dim, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+           round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+         FROM st ORDER BY dim""",
+    // tie-broken permutation ranks → the exact-integer Σd² closed form
+    "q240_spearman_dims" ->
+      """WITH dims AS (SELECT unnest(range(0, 4)) AS dim),
+         pts AS (SELECT CAST(d.dim AS BIGINT) AS dim, e.vec_id,
+                   CAST(floor(CAST(e.embedding[d.dim + 1] AS DOUBLE) * 1e6)
+                     AS BIGINT) AS q
+                 FROM embeddings e CROSS JOIN dims d),
+         r AS (SELECT dim, vec_id,
+                 row_number() OVER (PARTITION BY dim ORDER BY q, vec_id) AS rn
+               FROM pts),
+         p AS (SELECT a.dim AS dim_a, b.dim AS dim_b, a.rn - b.rn AS d
+               FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.dim < b.dim)
+         SELECT dim_a, dim_b, count(*) AS n,
+                CAST(sum(d * d) AS BIGINT) AS sum_d2,
+                round(1.0 - 6.0 * CAST(sum(d * d) AS DOUBLE)
+                  / (CAST(count(*) AS DOUBLE)
+                     * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                        - 1.0)), 6) AS spearman
+         FROM p GROUP BY dim_a, dim_b ORDER BY dim_a, dim_b""",
     "q136_triangle_count" ->
       """WITH adj AS (SELECT user_id,
                         lag(user_id) OVER (PARTITION BY event_type

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scorer/selection evaluation analytics for curation pipelines —
+  * ROC-AUC, least-squares probes, and rank correlation, each expressed
+  * as distributed sufficient-statistics aggregations.
+  *
+  * Design for 100 TB:
+  *  - Every operator reduces the corpus with ONE map-side-combinable
+  *    `groupBy().agg()` before any per-group combination step; nothing
+  *    here ever materializes per-row state after the first aggregate.
+  *  - No global single-partition window anywhere. Where a prefix scan
+  *    over an ordered reduction is needed (AUC's cumulative-negative
+  *    walk), it runs inside ONE higher-order-function fold over a
+  *    per-group array whose length is bounded by the scorer's
+  *    quantization grid (distinct score values), not by corpus rows —
+  *    the same shape as [[Quantiles.withGroupRank]]'s prefix offsets.
+  *  - All statistics are exact integer sums (quantized inputs), so
+  *    results are independent of partitioning and addition order; the
+  *    few closed-form combinations at the end are single pinned IEEE
+  *    double expressions replayable bit-for-bit by any engine.
+  */
+object Eval {
+
+  /** Tie-aware ROC-AUC (Mann–Whitney U) of `scoreCol` (integral) as a
+    * ranker for boolean `labelCol`, independently per `groupCol`.
+    *
+    * Returns `(group, n_pos, n_neg, u2, auc)` where
+    * `u2 = 2·Σ_pos Σ_neg ([s_p > s_n] + ½[s_p = s_n])` — an exact
+    * integer (the ×2 avoids the half-credit fraction) — and
+    * `auc = u2 / (2·n_pos·n_neg)` rounded to 6 places.
+    *
+    * Shape: one corpus-wide aggregate to (group, score) cells, then one
+    * aggregate to a per-group sorted cell array folded in a single
+    * higher-order expression. Cell count per group is bounded by the
+    * score grid (quantized scorers), so the fold input is model-scale,
+    * not corpus-scale.
+    */
+  def aucByGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(groupCol), col(scoreCol).as("__s"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__nn"))
+    cells
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("__s"), col("__np"), col("__nn"))))
+        .as("__a"))
+      .select(
+        col(groupCol),
+        expr("aggregate(__a, 0L, (acc, x) -> acc + x.__np)").as("n_pos"),
+        expr("aggregate(__a, 0L, (acc, x) -> acc + x.__nn)").as("n_neg"),
+        // ascending score walk: each cell contributes
+        // np·(2·negatives-strictly-below + nn) to 2U
+        expr("""aggregate(__a, named_struct('u2', 0L, 'below', 0L),
+               (acc, x) -> named_struct(
+                 'u2', acc.u2 + x.__np * (2L * acc.below + x.__nn),
+                 'below', acc.below + x.__nn),
+               acc -> acc.u2)""").as("u2"))
+      .withColumn("auc", round(
+        col("u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+  }
+
+  /** Univariate least-squares probe of integral `yCol` on integral
+    * `xCol` per `groupCol` (feature screening by explanatory power):
+    * `(group, n, slope, intercept, r2)` from the classic closed form
+    * over five exact integer sums. The sums are exact longs; the final
+    * combination is done in double with one pinned expression shape
+    * (sums cast to double FIRST, then two products and one subtraction
+    * per term) so any engine replays it bit-for-bit:
+    * num = n·Sxy − Sx·Sy, denx = n·Sxx − Sx², deny = n·Syy − Sy²,
+    * slope = num/denx, intercept = (Sy − slope·Sx)/n,
+    * r² = num²/(denx·deny).
+    */
+  def linearProbeByGroup(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(col(xCol)).as("__sx"),
+      sum(col(yCol)).as("__sy"),
+      sum(col(xCol) * col(xCol)).as("__sxx"),
+      sum(col(xCol) * col(yCol)).as("__sxy"),
+      sum(col(yCol) * col(yCol)).as("__syy"))
+    val nD = col("__n").cast("double")
+    val sxD = col("__sx").cast("double")
+    val syD = col("__sy").cast("double")
+    val num = nD * col("__sxy").cast("double") - sxD * syD
+    val denx = nD * col("__sxx").cast("double") - sxD * sxD
+    val deny = nD * col("__syy").cast("double") - syD * syD
+    val slope = num / denx
+    stats.select(
+      col(groupCol),
+      col("__n").as("n"),
+      round(slope, 6).as("slope"),
+      round((syD - slope * sxD) / nD, 6).as("intercept"),
+      round(num * num / (denx * deny), 6).as("r2"))
+  }
+
+  /** Spearman rank correlation between every unordered pair of the
+    * `dims` series in a long-format frame `(seriesCol, idCol,
+    * valueCol)`; ties broken deterministically by `idCol` (ranks are a
+    * permutation, so the tie-free closed form
+    * `ρ = 1 − 6·Σd² / (n·(n²−1))` applies exactly and `Σd²` is an
+    * exact integer).
+    *
+    * Ranks come from [[Quantiles.withGroupRank]] (range-partitioned
+    * local ranks + broadcast prefix offsets — no single-partition
+    * window), the pair expansion is an id-partitioned self-join of
+    * width `|dims|`, and the final reduction is one integer aggregate
+    * per pair. Σd² is a sum of longs — exact up to ~2·10⁶ rows per
+    * series (n³ bound); beyond that the sum itself would need a
+    * decimal accumulator, noted here rather than hidden.
+    */
+  def spearmanPairs(
+      df: DataFrame,
+      seriesCol: String,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val ranked = Quantiles
+      .withGroupRank(df, Seq(seriesCol), Seq(valueCol, idCol))
+      .select(col(seriesCol), col(idCol), col("__rn"))
+    val a = ranked.select(
+      col(seriesCol).as("series_a"), col(idCol).as("__id"), col("__rn").as("__ra"))
+    val b = ranked.select(
+      col(seriesCol).as("series_b"), col(idCol).as("__id2"), col("__rn").as("__rb"))
+    a.join(b, col("__id") === col("__id2") && col("series_a") < col("series_b"))
+      .withColumn("__d", col("__ra") - col("__rb"))
+      .groupBy(col("series_a"), col("series_b"))
+      .agg(count(lit(1)).as("n"), sum(col("__d") * col("__d")).as("sum_d2"))
+      .withColumn("spearman", round(
+        lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+          (col("n").cast("double") *
+            (col("n").cast("double") * col("n").cast("double") - lit(1.0))), 6))
+  }
+
+  /** Micro-quantize a floating column to an exact long:
+    * `floor(1e6 · x)` after widening to double (float→double widening
+    * is exact, so every engine lands on the same grid point).
+    */
+  def micro(c: Column): Column =
+    floor(c.cast("double") * lit(1e6)).cast("long")
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Eval
+
+/** Hand-computed ground truth for the scorer-evaluation operators:
+  * tie-aware AUC (incl. the ½-credit tie path and the degenerate
+  * orderings), the least-squares probe on an exact line and on known
+  * noise, and Spearman on monotone / reversed / hand-ranked series.
+  */
+class EvalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  private def scored(rows: Seq[(String, Long, Boolean)]) = {
+    import spark.implicits._
+    rows.toDF("g", "s", "y")
+  }
+
+  test("aucByGroup: perfect, reversed, and tied scorers") {
+    // perfect: all positives above all negatives → AUC 1
+    // reversed: all positives below → AUC 0
+    // tied: every score equal → AUC 0.5 (pure half-credit path)
+    val df = scored(
+      (1L to 4L).map(i => ("perfect", 100 + i, true)) ++
+        (1L to 6L).map(i => ("perfect", i, false)) ++
+        (1L to 4L).map(i => ("reversed", i, true)) ++
+        (1L to 6L).map(i => ("reversed", 100 + i, false)) ++
+        (1L to 4L).map(_ => ("tied", 7L, true)) ++
+        (1L to 6L).map(_ => ("tied", 7L, false)))
+    val out = Eval.aucByGroup(df, "g", "s", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("perfect") === ((4L, 6L, 48L, 1.0)))
+    assert(out("reversed") === ((4L, 6L, 0L, 0.0)))
+    assert(out("tied") === ((4L, 6L, 24L, 0.5)))
+  }
+
+  test("aucByGroup: hand-computed mixed case with a partial tie") {
+    // pos scores {3, 5}, neg scores {3, 4}:
+    // pairs: (3,3)=½  (3,4)=0  (5,3)=1  (5,4)=1 → U = 2.5, 2U = 5
+    // AUC = 2.5 / 4 = 0.625
+    val df = scored(Seq(
+      ("m", 3L, true), ("m", 5L, true), ("m", 3L, false), ("m", 4L, false)))
+    val r = Eval.aucByGroup(df, "g", "s", "y").collect().head
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L)
+    assert(r.getLong(3) === 5L)
+    assert(r.getDouble(4) === 0.625)
+  }
+
+  test("aucByGroup is partitioning-invariant (integer U)") {
+    val rows = (1L to 200L).map(i => ("g", i % 37, i % 3 == 0))
+    val one = Eval.aucByGroup(scored(rows).coalesce(1), "g", "s", "y")
+      .collect().head
+    val many = Eval.aucByGroup(scored(rows).repartition(7), "g", "s", "y")
+      .collect().head
+    assert(one.getLong(3) === many.getLong(3))
+    assert(one.getDouble(4) === many.getDouble(4))
+  }
+
+  test("linearProbeByGroup: exact line and a known two-point fit") {
+    import spark.implicits._
+    // exact line y = 2x + 1 → slope 2, intercept 1, r² 1
+    val line = (1L to 50L).map(x => ("line", x, 2 * x + 1))
+    // two points (0,0),(2,1) → slope 0.5, intercept 0, r² 1
+    val two = Seq(("two", 0L, 0L), ("two", 2L, 1L))
+    val out = Eval.linearProbeByGroup(
+      (line ++ two).toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("line") === ((50L, 2.0, 1.0, 1.0)))
+    assert(out("two") === ((2L, 0.5, 0.0, 1.0)))
+  }
+
+  test("spearmanPairs: monotone, reversed, and hand-ranked series") {
+    import spark.implicits._
+    // series a: identity; b: reversed ⇒ ρ(a,b) = −1
+    // series c: same order as a (different values) ⇒ ρ(a,c) = 1
+    val n = 20L
+    val df = (1L to n).flatMap(i => Seq(
+      ("a", i, i * 10), ("b", i, (n - i) * 10), ("c", i, i * 7 + 3)))
+      .toDF("series", "id", "v")
+    val out = Eval.spearmanPairs(df, "series", "id", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("a", "b"))._3 === -1.0)
+    assert(out(("a", "c"))._3 === 1.0)
+    assert(out(("b", "c"))._3 === -1.0)
+    // Σd² for a vs b is the classic reversed-permutation sum
+    val expected = (1L to n).map(i => { val d = i - (n - i + 1); d * d }).sum
+    assert(out(("a", "b"))._2 === expected)
+  }
+
+  test("spearmanPairs ties broken by id give permutation ranks") {
+    import spark.implicits._
+    // all values equal in series t → rank = id order = identity;
+    // series u strictly increasing → also identity ⇒ ρ = 1
+    val df = (1L to 10L).flatMap(i => Seq(("t", i, 5L), ("u", i, i)))
+      .toDF("series", "id", "v")
+    val out = Eval.spearmanPairs(df, "series", "id", "v").collect().head
+    assert(out.getDouble(4) === 1.0)
+  }
+}
