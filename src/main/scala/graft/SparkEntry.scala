@@ -4012,6 +4012,22 @@ object SparkEntry {
         .orderBy(col("dim_a"), col("dim_b"))
     }),
 
+    // Beyond-reference: PARETO SKYLINE data selection — the documents
+    // (here: vectors) not dominated on two maximized axes, the
+    // multi-objective cut ("no other candidate is at least as good on
+    // both quality signals and better on one"). Distributed as a
+    // cell-reduction + range-partitioned prefix-MAX scan (the
+    // withGroupRank offsets pattern) — no single-partition window, no
+    // driver collect; the dominance test collapses to one strict
+    // compare against the running maximum.
+    "q242_pareto_skyline" -> ((s, dir) => {
+      val pts = t(s, dir, "embeddings").select(col("vec_id"),
+        graft.ops.Eval.micro(element_at(col("embedding"), 1)).as("x"),
+        graft.ops.Eval.micro(element_at(col("embedding"), 2)).as("y"))
+      graft.ops.Skyline.skyline2D(pts, "vec_id", "x", "y")
+        .orderBy(col("vec_id"))
+    }),
+
     // Beyond-reference: Zipf power-law fit over the token frequency
     // distribution — OLS on (ln rank, ln freq) of the top-100 tokens;
     // one token-count pass, vocabulary-scale top cut, 5-sum aggregate.
@@ -9189,6 +9205,16 @@ object SparkEntry {
                      * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)
                         - 1.0)), 6) AS spearman
          FROM p GROUP BY dim_a, dim_b ORDER BY dim_a, dim_b""",
+    // the textbook dominance definition, replayed as NOT EXISTS
+    "q242_pareto_skyline" ->
+      """WITH p AS (SELECT vec_id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS x,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT) AS y
+           FROM embeddings)
+         SELECT vec_id, x, y FROM p a
+         WHERE NOT EXISTS (SELECT 1 FROM p b
+           WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))
+         ORDER BY vec_id""",
     "q136_triangle_count" ->
       """WITH adj AS (SELECT user_id,
                         lag(user_id) OVER (PARTITION BY event_type

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed 2-D Pareto skyline (dominance frontier) — the
+  * multi-objective data-selection operator ("keep documents not
+  * dominated on (quality, freshness)"-style cuts).
+  *
+  * A point dominates another iff it is ≥ on both axes and > on at
+  * least one. The skyline is every non-dominated point.
+  *
+  * Shape (the [[Quantiles.withGroupRank]] pattern, prefix-MAX instead
+  * of prefix-count): after reducing to distinct (x, y) cells, a cell
+  * is on the skyline iff y strictly exceeds the maximum y over all
+  * cells sorted before it by (x desc, y desc) — ties collapse into the
+  * cell reduction, so the strict test is exact. The prefix maximum is
+  * computed with range partitioning on the sort key + a partition-local
+  * running max + per-partition max offsets combined in ONE broadcast
+  * higher-order fold: no single-partition window at any scale; work
+  * per task is bounded by its range slice.
+  *
+  * Cost: one cell-reduction shuffle + one range repartition of the
+  * CELLS (≤ distinct value pairs, typically ≪ rows) + a broadcast of
+  * one row per partition. The final membership join back to ids is a
+  * shuffle equi-join on (x, y).
+  */
+object Skyline {
+
+  /** Skyline members of `df` maximizing (`xCol`, `yCol`) (both
+    * integral): returns the input rows (id column preserved) whose
+    * (x, y) cell is non-dominated. `yCol` must exceed −9.0e18 (one
+    * sentinel value below any micro-quantized metric; Long.MinValue
+    * itself does not survive Spark SQL literal parsing).
+    */
+  def skyline2D(
+      df: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val cells = df.select(col(xCol).as("__x"), col(yCol).as("__y"))
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__m"))
+    // range-partition in skyline scan order; local running max of y
+    val parts = cells
+      .repartitionByRange(nParts, col("__x").desc, col("__y").desc)
+      .withColumn("__pid", spark_partition_id())
+    val localScan = parts.withColumn("__localMax", max(col("__y")).over(
+      Window.partitionBy(col("__pid"))
+        .orderBy(col("__x").desc, col("__y").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    // per-partition y maxima → exclusive prefix max per partition, one
+    // broadcast row per partition (the withGroupRank offsets shape)
+    val offsets = parts
+      .groupBy(col("__pid")).agg(max(col("__y")).as("__pmax"))
+      .agg(array_sort(collect_list(struct(col("__pid"), col("__pmax"))))
+        .as("__ps"))
+      .select(explode(expr(
+        """transform(__ps, (p, i) -> struct(
+          |  p.__pid as __pid,
+          |  aggregate(slice(__ps, 1, i), -9000000000000000000L,
+          |            (acc, x) -> greatest(acc, x.__pmax)) as __prevMax))"""
+          .stripMargin)).as("__po"))
+      .select(col("__po.__pid").as("__o_pid"), col("__po.__prevMax"))
+    val frontier = localScan
+      .join(broadcast(offsets), col("__pid") === col("__o_pid"))
+      .withColumn("__maxBefore",
+        greatest(coalesce(col("__localMax"), lit(Long.MinValue)),
+          col("__prevMax")))
+      .filter(col("__y") > col("__maxBefore"))
+      .select(col("__x"), col("__y"))
+    df.join(frontier,
+        df(xCol) === frontier("__x") && df(yCol) === frontier("__y"))
+      .select(df(idCol), df(xCol), df(yCol))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skyline
+
+/** Dominance-frontier ground truth for the distributed skyline: hand
+  * cases (incl. equal-x chains, equal-y chains, exact duplicates on and
+  * off the frontier), brute-force equivalence on random clouds, and
+  * partitioning invariance of the prefix-max scan.
+  */
+class SkylineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  private def pts(rows: Seq[(Long, Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("id", "x", "y")
+  }
+
+  private def bruteSkyline(rows: Seq[(Long, Long, Long)]): Set[Long] =
+    rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, bx, by) =>
+        bx >= x && by >= y && (bx > x || by > y)
+      }
+    }.map(_._1).toSet
+
+  test("hand case: staircase with dominated interior points") {
+    val rows = Seq(
+      (1L, 1L, 5L), (2L, 2L, 4L), (3L, 3L, 3L),
+      (4L, 2L, 2L), (5L, 0L, 6L), (6L, 3L, 1L))
+    val out = Skyline.skyline2D(pts(rows), "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L, 3L, 5L))
+    assert(out === bruteSkyline(rows))
+  }
+
+  test("equal-x and equal-y chains keep only the outer point") {
+    val rows = Seq(
+      (1L, 5L, 9L), (2L, 5L, 7L), (3L, 5L, 3L), // same x: only y=9 survives
+      (4L, 9L, 2L), (5L, 7L, 2L), (6L, 3L, 2L)) // same y: only x=9 survives
+    val out = Skyline.skyline2D(pts(rows), "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(out === bruteSkyline(rows))
+    assert(out === Set(1L, 4L))
+  }
+
+  test("exact duplicates on the frontier are all returned") {
+    val rows = Seq((1L, 5L, 5L), (2L, 5L, 5L), (3L, 1L, 1L))
+    val out = Skyline.skyline2D(pts(rows), "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L))
+  }
+
+  test("matches brute force on a deterministic cloud, any partitioning") {
+    val rows = (1L to 400L).map(i =>
+      (i, (i * 7919) % 97, (i * 104729) % 89))
+    val expected = bruteSkyline(rows)
+    Seq(1, 3, 8).foreach { p =>
+      val out = Skyline.skyline2D(pts(rows).repartition(p), "id", "x", "y")
+        .collect().map(_.getLong(0)).toSet
+      assert(out === expected, s"partitions=$p")
+    }
+  }
+
+  test("single point and fully-ordered chain") {
+    assert(Skyline.skyline2D(pts(Seq((7L, 0L, 0L))), "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet === Set(7L))
+    // strictly increasing on both axes: only the last point survives
+    val chain = (1L to 50L).map(i => (i, i, i))
+    assert(Skyline.skyline2D(pts(chain), "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet === Set(50L))
+  }
+}
