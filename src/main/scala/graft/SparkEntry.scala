@@ -4028,6 +4028,18 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Beyond-reference: χ² FEATURE SELECTION — the tokens most
+    // associated with the language label (the vocabulary-selection step
+    // before training a text classifier). One tokenize-explode into a
+    // vocabulary-scale pivoted aggregate + ONE broadcast class-total
+    // row; the χ² terms are summed in one pinned order (per-class
+    // columns, not a GROUP BY over classes) so the double math is
+    // bit-replayable; ranking key is floor(1e6·χ²) with token
+    // tiebreak.
+    "q241_chi2_feature_select" -> ((s, dir) =>
+      graft.ops.Classify.chiSquareTokens(t(s, dir, "documents"),
+        "text", "lang", Seq("de", "en", "es", "fr", "zh"), topK = 20)),
+
     // Beyond-reference: Zipf power-law fit over the token frequency
     // distribution — OLS on (ln rank, ln freq) of the top-100 tokens;
     // one token-count pass, vocabulary-scale top cut, 5-sum aggregate.
@@ -9215,6 +9227,50 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM p b
            WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))
          ORDER BY vec_id""",
+    // χ² replayed with the same pivoted per-class columns and the same
+    // pinned term order (de, en, es, fr, zh)
+    "q241_chi2_feature_select" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token, lang
+                      FROM documents),
+         g AS (SELECT token,
+                 CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS o_de,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS o_en,
+                 CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS o_es,
+                 CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS o_fr,
+                 CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS o_zh
+               FROM tok GROUP BY token),
+         ct AS (SELECT CAST(sum(o_de) AS BIGINT) AS c_de,
+                  CAST(sum(o_en) AS BIGINT) AS c_en,
+                  CAST(sum(o_es) AS BIGINT) AS c_es,
+                  CAST(sum(o_fr) AS BIGINT) AS c_fr,
+                  CAST(sum(o_zh) AS BIGINT) AS c_zh
+                FROM g),
+         x AS (SELECT token, o_de, o_en, o_es, o_fr, o_zh,
+                 o_de + o_en + o_es + o_fr + o_zh AS r,
+                 c_de, c_en, c_es, c_fr, c_zh,
+                 c_de + c_en + c_es + c_fr + c_zh AS n
+               FROM g CROSS JOIN ct),
+         e AS (SELECT token, r,
+                 CAST(r AS DOUBLE) * CAST(c_de AS DOUBLE) / CAST(n AS DOUBLE) AS e_de,
+                 CAST(r AS DOUBLE) * CAST(c_en AS DOUBLE) / CAST(n AS DOUBLE) AS e_en,
+                 CAST(r AS DOUBLE) * CAST(c_es AS DOUBLE) / CAST(n AS DOUBLE) AS e_es,
+                 CAST(r AS DOUBLE) * CAST(c_fr AS DOUBLE) / CAST(n AS DOUBLE) AS e_fr,
+                 CAST(r AS DOUBLE) * CAST(c_zh AS DOUBLE) / CAST(n AS DOUBLE) AS e_zh,
+                 CAST(o_de AS DOUBLE) AS f_de, CAST(o_en AS DOUBLE) AS f_en,
+                 CAST(o_es AS DOUBLE) AS f_es, CAST(o_fr AS DOUBLE) AS f_fr,
+                 CAST(o_zh AS DOUBLE) AS f_zh
+               FROM x),
+         c AS (SELECT token, r,
+                 (f_de - e_de) * (f_de - e_de) / e_de
+                 + (f_en - e_en) * (f_en - e_en) / e_en
+                 + (f_es - e_es) * (f_es - e_es) / e_es
+                 + (f_fr - e_fr) * (f_fr - e_fr) / e_fr
+                 + (f_zh - e_zh) * (f_zh - e_zh) / e_zh AS chi2
+               FROM e)
+         SELECT token, CAST(r AS BIGINT) AS n_tok,
+                CAST(floor(chi2 * 1e6) AS BIGINT) AS chi2_micro,
+                round(chi2, 4) AS chi2
+         FROM c ORDER BY chi2_micro DESC, token LIMIT 20""",
     "q136_triangle_count" ->
       """WITH adj AS (SELECT user_id,
                         lag(user_id) OVER (PARTITION BY event_type

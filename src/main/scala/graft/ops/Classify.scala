@@ -454,4 +454,58 @@ object Classify {
       .agg(count(lit(1)).as("n_docs"), sum(col("margin")).as("margin_sum"))
       .orderBy(col("label"), col("pred"))
   }
+
+  /** χ² feature selection: the `topK` whitespace tokens most associated
+    * with the `classCol` label (the classic vocabulary-selection step
+    * before training a text classifier). `classes` must be the exact
+    * label set — the per-class observed counts are pivoted into fixed
+    * columns so the χ² sum runs over terms in ONE pinned order (double
+    * addition is not associative; a GROUP BY over classes would leave
+    * the term order engine-dependent).
+    *
+    * χ² = Σ_c (O_c − E_c)²/E_c with E_c = rowTotal·classTotal_c/N,
+    * computed in doubles from exact integer counts; the ranking key is
+    * `floor(1e6·χ²)` (bit-stable across engines), ties to the smaller
+    * token.
+    *
+    * Shape at 100 TB: one tokenize-explode into a map-side-combinable
+    * vocabulary-scale aggregate, ONE broadcast row of class totals, a
+    * row-local χ² expression, and a TakeOrdered top-k — no window, no
+    * second corpus pass.
+    */
+  def chiSquareTokens(
+      docs: DataFrame,
+      textCol: String,
+      classCol: String,
+      classes: Seq[String],
+      topK: Int): DataFrame = {
+    require(classes.nonEmpty && classes.distinct == classes,
+      "classes must be a non-empty distinct label list")
+    def oCol(c: String) = s"__o_$c"
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("__token"), col(classCol))
+      .groupBy(col("__token"))
+      .agg(classes.head match { case h =>
+        sum(when(col(classCol) === h, 1L).otherwise(0L)).as(oCol(h))
+      }, classes.tail.map(c =>
+        sum(when(col(classCol) === c, 1L).otherwise(0L)).as(oCol(c))): _*)
+    val totals = counts.agg(
+      sum(col(oCol(classes.head))).as(s"__c_${classes.head}"),
+      classes.tail.map(c => sum(col(oCol(c))).as(s"__c_$c")): _*)
+    val withTot = counts.crossJoin(broadcast(totals))
+    val rowTot = classes.map(c => col(oCol(c))).reduce(_ + _)
+    val n = classes.map(c => col(s"__c_$c")).reduce(_ + _)
+    val chi2 = classes.map { c =>
+      val e = rowTot.cast("double") * col(s"__c_$c").cast("double") /
+        n.cast("double")
+      val d = col(oCol(c)).cast("double") - e
+      d * d / e
+    }.reduce(_ + _)
+    withTot
+      .select(col("__token").as("token"), rowTot.as("n_tok"),
+        floor(chi2 * lit(1e6)).cast("long").as("chi2_micro"),
+        round(chi2, 4).as("chi2"))
+      .orderBy(col("chi2_micro").desc, col("token"))
+      .limit(topK)
+  }
 }

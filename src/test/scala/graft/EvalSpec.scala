@@ -107,6 +107,30 @@ class EvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("a", "b"))._2 === expected)
   }
 
+  test("chiSquareTokens: hand-computed association and ranking") {
+    import spark.implicits._
+    // p: (o_a=2, o_b=1), q: (o_a=1, o_b=2); totals (3,3), N=6
+    // E = 1.5 each → χ² = (0.5²/1.5)·2 = 1/3 for both tokens → tie,
+    // broken by token order
+    val docs = Seq(("a", "p p q"), ("b", "q q p")).toDF("lang", "text")
+    val out = graft.ops.Classify.chiSquareTokens(
+      docs, "text", "lang", Seq("a", "b"), topK = 10).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("p", "q"))
+    out.foreach { r =>
+      assert(r.getLong(1) === 3L)
+      assert(r.getLong(2) === 333333L)
+      assert(r.getDouble(3) === 0.3333)
+    }
+    // perfectly separating token dominates the ranking
+    val sep = Seq(("a", "aa zz"), ("b", "bb zz")).toDF("lang", "text")
+    // aa: o=(1,0), totals (2,2), N=4 → χ² = 0.5²/0.5 + 0.5²/0.5 = 1;
+    // zz appears in both → χ² = 0; tie aa/bb broken to 'aa'
+    val top = graft.ops.Classify.chiSquareTokens(
+      sep, "text", "lang", Seq("a", "b"), topK = 1).collect().head
+    assert(top.getString(0) === "aa")
+    assert(top.getLong(2) === 1000000L)
+  }
+
   test("spearmanPairs ties broken by id give permutation ranks") {
     import spark.implicits._
     // all values equal in series t → rank = id order = identity;
