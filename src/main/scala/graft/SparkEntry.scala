@@ -46,17 +46,25 @@ object SparkEntry {
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    normTs(s.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Normalize an `events`-shaped frame's `ts` to TimestampType (LTZ
+    * micros): long nanos → integral `div` (true division promotes to
+    * double, which can't represent ~1.7e18 ns exactly and rounds ±1µs
+    * vs DuckDB's truncating ns→µs cast); NTZ (isAdjustedToUTC=false
+    * parquet) → LTZ cast — sessions run UTC, so epoch micros are
+    * preserved exactly. Shared by the batch reader above and the
+    * streaming readers (watermarks need a genuine TimestampType).
+    */
+  private def normTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        // isAdjustedToUTC=false parquet → NTZ; sessions run in UTC, so the
-        // NTZ→LTZ cast preserves epoch micros exactly (matches DuckDB).
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Reads lineitem through the graft sharing layer (registry → log replay
@@ -3960,6 +3968,53 @@ object SparkEntry {
         events(s, dir), "user_id", "event_type", "ts", "event_id")
       graft.ops.Analytics.neighborhoodFunction(edges, maxHops = 4)
         .orderBy(col("hop"))
+    }),
+
+    // Beyond-reference: STREAM-STREAM WATERMARKED INTERVAL JOIN — the
+    // one core Structured Streaming operator shape the streaming family
+    // lacked: click→purchase attribution where BOTH sides are streams
+    // (two independent graft sources over the versioned events table),
+    // each watermarked, joined on user equality + an event-time range
+    // ([cts, cts+30min]) so Spark can bound BOTH state stores and
+    // evict matched-out rows as the min-watermark advances. Append-mode
+    // pairs land in the sink; the census is a batch aggregate over it.
+    // The watermark delay is set beyond the fixture's 30-day horizon so
+    // this bounded replay drain is EXACTLY the batch join (no late
+    // drops — micro-batch file order within a version is not
+    // time-ordered); the production eviction/late-drop semantics are
+    // pinned deterministically in StreamStreamJoinSpec with
+    // one-file-per-commit fixtures.
+    "q237_stream_stream_join" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.events")
+      val sink = "graft_q237_sink"
+      s.catalog.dropTempView(sink)
+      def side(tpe: String) = normTs(
+        s.readStream.format("graft").option("path", path)
+          .option("maxFilesPerTrigger", "8").load())
+        .filter(col("event_type") === tpe)
+      val clicks = side("click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))
+        .withWatermark("cts", "35 days")
+      val purchases = side("purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pts"),
+          col("event_id").as("pid"), col("value"))
+        .withWatermark("pts", "35 days")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      val q = joined
+        .select(col("user_id"), col("cid"), col("pid"), col("value"))
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      drain(q)
+      s.table(sink).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("cid")).cast("long").as("n_clicks_attr"),
+          countDistinct(col("pid")).cast("long").as("n_purch_attr"),
+          round(sum(col("value")), 2).as("value_sum"))
     }),
 
     // Beyond-reference: SCORER EVALUATION — tie-aware ROC-AUC
@@ -9137,6 +9192,23 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_pairs
          FROM hops JOIN nf ON nf.mh <= hops.hop
          GROUP BY hops.hop ORDER BY hop""",
+    // the full-drain stream-stream join is exactly the batch interval
+    // join; comparisons replayed on epoch micros (Spark's native
+    // timestamp unit) so ns-generation fixtures agree too
+    "q237_stream_stream_join" ->
+      """WITH c AS (SELECT user_id, ts AS cts, event_id AS cid
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts AS pts, event_id AS pid, value
+               FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT c.user_id, c.cid, p.pid, p.value
+               FROM c JOIN p ON p.user_id = c.user_id
+                 AND epoch_us(p.pts) >= epoch_us(c.cts)
+                 AND epoch_us(p.pts) <= epoch_us(c.cts) + 1800000000)
+         SELECT user_id, count(*) AS n_pairs,
+                CAST(count(DISTINCT cid) AS BIGINT) AS n_clicks_attr,
+                CAST(count(DISTINCT pid) AS BIGINT) AS n_purch_attr,
+                round(sum(value), 2) AS value_sum
+         FROM j GROUP BY user_id""",
     // tie-aware Mann–Whitney 2U replayed with a window prefix over the
     // (dim, score) cells — same integer walk the engine folds per dim
     "q238_scorer_auc" ->

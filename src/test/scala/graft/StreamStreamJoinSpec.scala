@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log.TableBuilder
+
+/** Stream-stream watermarked interval join semantics over the graft
+  * source, pinned with one-file-per-commit fixtures so micro-batch
+  * order IS commit order (deterministic event-time progression):
+  *  - a full drain with the watermark beyond the event horizon equals
+  *    the batch interval join exactly (the q237 configuration);
+  *  - with a tight watermark, a purchase arriving AFTER the global
+  *    watermark passed its matching click's join window produces NO
+  *    pair (state evicted / late input dropped) while in-window pairs
+  *    in the same batch still emit — the production eviction path.
+  */
+class StreamStreamJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  private val base = 1700000000000000L // epoch micros, arbitrary
+
+  private def eventsDf(rows: Seq[(Long, Long, Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_id", "mins", "user_id", "event_type", "value")
+      .withColumn("ts",
+        timestamp_micros(lit(base) + col("mins") * 60000000L))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1)
+  }
+
+  /** 4 commits, one file each, replayed in commit order via
+    * `startingVersion=0` (a plain snapshot start serves snapshot files
+    * in file order, NOT commit order — verified empirically — so the
+    * event-time progression would not be deterministic).
+    * Commit 0: a matched pair (user 1, click@0 → purchase@10) plus a
+    * click@20 whose match arrives late. Commit 1: an in-window pair at
+    * minute 720/721 that advances BOTH side watermarks past commit 0's
+    * windows — join state below the watermark is REMOVED at the end of
+    * the batch that processes this commit (stream-stream joins do not
+    * pre-filter late input; a late row landing in the SAME batch the
+    * watermark advanced would still find the not-yet-cleaned state —
+    * also verified empirically). Commit 2: a fresh in-window pair at
+    * 780/790. Commit 3: the late purchase@25 (inside click@0's and
+    * click@20's 30-min windows) arriving AFTER the cleanup batch.
+    */
+  private def buildFixture(path: String): Unit = {
+    TableBuilder.create(spark, eventsDf(Seq(
+      (0L, 0L, 1L, "click", 0.0),
+      (1L, 10L, 1L, "purchase", 5.0),
+      (2L, 20L, 1L, "click", 0.0))), path, name = "ssj_events")
+    TableBuilder.append(spark, eventsDf(Seq(
+      (3L, 720L, 9L, "click", 0.0),
+      (4L, 721L, 9L, "purchase", 1.0))), path, timestamp = 1000L)
+    TableBuilder.append(spark, eventsDf(Seq(
+      (6L, 780L, 2L, "click", 0.0),
+      (7L, 790L, 2L, "purchase", 3.0))), path, timestamp = 2000L)
+    TableBuilder.append(spark, eventsDf(Seq(
+      (5L, 25L, 1L, "purchase", 7.0))), // windows [0,30]/[20,50] ≪ wm
+      path, timestamp = 3000L)
+  }
+
+  private def runJoin(path: String, delay: String, sink: String): DataFrame = {
+    spark.catalog.dropTempView(sink)
+    def side(tpe: String) =
+      spark.readStream.format("graft").option("path", path)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1").load()
+        .filter(col("event_type") === tpe)
+    val clicks = side("click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))
+      .withWatermark("cts", delay)
+    val purchases = side("purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"),
+        col("event_id").as("pid"), col("value"))
+      .withWatermark("pts", delay)
+    val q = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("cid"), col("pid"), col("value"))
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "drain timed out")
+    q.stop()
+    spark.table(sink)
+  }
+
+  private def withFixture(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("ssj").toFile
+    try { buildFixture(dir.getAbsolutePath); f(dir.getAbsolutePath) }
+    finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("wide watermark: full drain equals the batch interval join") {
+    withFixture { path =>
+      val pairs = runJoin(path, "10 days", "ssj_wide")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch ground truth: all five in-window pairs (purchase@25 falls
+      // in BOTH click@0's and click@20's windows)
+      assert(pairs === Set((0L, 1L), (0L, 5L), (2L, 5L), (3L, 4L), (6L, 7L)))
+    }
+  }
+
+  test("tight watermark: a pair arriving after eviction never emits") {
+    withFixture { path =>
+      val pairs = runJoin(path, "1 hour", "ssj_tight")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // click@0/click@20 state is gone once the watermark (721−60 min)
+      // passed their window ends (minutes 30/50): the late purchase@25
+      // finds nothing. The same final batch's fresh pair (6,7) emits.
+      assert(pairs === Set((0L, 1L), (3L, 4L), (6L, 7L)),
+        "late purchase must not match evicted clicks")
+    }
+  }
+}
