@@ -4034,6 +4034,21 @@ object SparkEntry {
         .orderBy(col("dim"))
     }),
 
+    // Beyond-reference: AVERAGE PRECISION (PR-AUC) — q238's companion
+    // ranking metric, same cell machinery with a descending-score fold;
+    // tie blocks contribute block-end precision, each term floored to
+    // integer picounits before summing so the accumulation is exact in
+    // any engine and any order.
+    "q243_scorer_ap" -> ((s, dir) => {
+      val pts = t(s, dir, "embeddings")
+        .select(posexplode(slice(col("embedding"), 1, 8)).as(Seq("dim", "__v")),
+          (col("label") < 5).as("__pos"))
+        .select(col("dim").cast("long").as("dim"),
+          graft.ops.Eval.micro(col("__v")).as("__q"), col("__pos"))
+      graft.ops.Eval.avgPrecisionByGroup(pts, "dim", "__q", "__pos")
+        .orderBy(col("dim"))
+    }),
+
     // Beyond-reference: LINEAR PROBE feature screening — univariate
     // least-squares fit of the cluster label on each of the first 8
     // embedding dimensions from five exact integer sums (one map-side-
@@ -4081,6 +4096,65 @@ object SparkEntry {
         graft.ops.Eval.micro(element_at(col("embedding"), 2)).as("y"))
       graft.ops.Skyline.skyline2D(pts, "vec_id", "x", "y")
         .orderBy(col("vec_id"))
+    }),
+
+    // Beyond-reference: STREAMING AUC — the q238 ranking metric
+    // maintained INCREMENTALLY over the document stream: per-language
+    // state is the score-cell histogram (bounded by the scorer's
+    // 64-bucket grid, never the stream length); each trigger re-emits
+    // the running integer (n_pos, n_neg, 2U) and the drained emission
+    // hash-matches the batch walk the oracle replays — the
+    // incremental==from-scratch proof, applied to model evaluation.
+    "q244_stream_auc" -> ((s, dir) => {
+      import s.implicits._
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.documents_versioned")
+      val sink = "graft_q244_sink"
+      s.catalog.dropTempView(sink)
+      val src = s.readStream.format("graft").option("path", path)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1").load()
+      val scored = src.select(col("lang"),
+          least(lit(63L), expr("n_chars div 10")).as("score"),
+          (pmod(col("doc_id"), lit(3)) === 0).as("pos"))
+        .as[(String, Long, Boolean)]
+      val running = scored.groupByKey(_._1)
+        .mapGroupsWithState[Map[Long, (Long, Long)], (String, Long, Long, Long)](
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+          graft.ops.Incremental.runningAuc)
+        .toDF("lang", "n_pos", "n_neg", "u2")
+      val q = running.writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      drain(q)
+      s.table(sink).groupBy(col("lang"))
+        .agg(max_by(struct(col("n_pos"), col("n_neg"), col("u2")),
+          col("n_pos") + col("n_neg")).as("f"))
+        .select(col("lang"), col("f.n_pos").as("n_pos"),
+          col("f.n_neg").as("n_neg"), col("f.u2").as("u2"))
+        .withColumn("auc", round(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+        .orderBy(col("lang"))
+    }),
+
+    // Beyond-reference: PSI FEATURE DRIFT between corpus VERSIONS —
+    // the monitoring gate a pipeline runs before admitting a new crawl
+    // batch: Population Stability Index of the document-length
+    // distribution, version 0 of the shared versioned table (time
+    // travel) vs its latest snapshot. Two corpus aggregates to 8 bins,
+    // a static bin spine, one broadcast totals row; each bin term is
+    // floored to picounits so the PSI total is an exact integer sum.
+    "q245_feature_drift" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      val tbl = s"${graft.log.SharedFixtures.SHARE}.documents_versioned"
+      def binned(df: DataFrame) = df.select(
+        least(lit(7L), expr("n_chars div 75")).as("bin"))
+      val base = binned(s.read.format("graft").option("table", tbl)
+        .option("versionAsOf", "0").load())
+      val cur = binned(s.read.format("graft").option("table", tbl).load())
+      graft.ops.Eval.populationStability(base, cur, "bin", 8)
+        .orderBy(col("bin"))
     }),
 
     // Beyond-reference: χ² FEATURE SELECTION — the tokens most
@@ -9234,6 +9308,39 @@ object SparkEntry {
                   (2.0 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT)), 6)
                   AS auc
          FROM walk GROUP BY dim ORDER BY dim""",
+    // block-end tie convention replayed with DESC window prefixes; the
+    // per-block picounit floor makes the sum order-independent
+    "q243_scorer_ap" ->
+      """WITH dims AS (SELECT unnest(range(0, 8)) AS dim),
+         pts AS (SELECT CAST(d.dim AS BIGINT) AS dim,
+                   CAST(floor(CAST(e.embedding[d.dim + 1] AS DOUBLE) * 1e6)
+                     AS BIGINT) AS q,
+                   (e.label < 5) AS pos
+                 FROM embeddings e CROSS JOIN dims d),
+         cells AS (SELECT dim, q,
+                     CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                     CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+                   FROM pts GROUP BY dim, q),
+         walk AS (SELECT dim, np, nn,
+                    coalesce(sum(np) OVER (PARTITION BY dim ORDER BY q DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS pb,
+                    coalesce(sum(np + nn) OVER (PARTITION BY dim ORDER BY q DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS tb
+                  FROM cells),
+         terms AS (SELECT dim, np, nn,
+                     CASE WHEN np > 0 THEN
+                       CAST(floor(CAST(np * (pb + np) AS DOUBLE)
+                         / CAST(tb + np + nn AS DOUBLE) * 1e12) AS BIGINT)
+                     ELSE 0 END AS tp
+                   FROM walk)
+         SELECT dim, CAST(sum(np) AS BIGINT) AS n_pos,
+                CAST(sum(nn) AS BIGINT) AS n_neg,
+                CAST(sum(tp) AS BIGINT) AS ap_pico,
+                round((CAST(sum(tp) AS DOUBLE) / 1e12)
+                  / CAST(sum(np) AS BIGINT), 6) AS ap
+         FROM terms GROUP BY dim ORDER BY dim""",
     // the five integer sums and the pinned closed form, replayed term
     // for term (sums cast to double first, two products, one subtract)
     "q239_linear_probe" ->
@@ -9299,6 +9406,56 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM p b
            WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))
          ORDER BY vec_id""",
+    // the drained incremental AUC equals the batch walk over the same
+    // bucketed scores — same integer 2U as q238, grouped by language
+    "q244_stream_auc" ->
+      """WITH pts AS (SELECT lang, least(63, n_chars // 10) AS q,
+                        (doc_id % 3 = 0) AS pos
+                      FROM documents),
+         cells AS (SELECT lang, q,
+                     CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                     CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+                   FROM pts GROUP BY lang, q),
+         walk AS (SELECT lang, np, nn,
+                    coalesce(sum(nn) OVER (PARTITION BY lang ORDER BY q
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS below
+                  FROM cells)
+         SELECT lang, CAST(sum(np) AS BIGINT) AS n_pos,
+                CAST(sum(nn) AS BIGINT) AS n_neg,
+                CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2,
+                round(CAST(sum(np * (2 * below + nn)) AS DOUBLE) /
+                  (2.0 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT)), 6)
+                  AS auc
+         FROM walk GROUP BY lang ORDER BY lang""",
+    // version 0 = the first doc_id quartile (the fixture's split
+    // formula); smoothing, bin spine, and picounit floors replayed
+    "q245_feature_drift" ->
+      """WITH q1 AS (SELECT (max(doc_id) + 1) // 4 AS v FROM documents),
+         b AS (SELECT least(7, n_chars // 75) AS bin FROM documents
+               WHERE doc_id < (SELECT v FROM q1)),
+         c AS (SELECT least(7, n_chars // 75) AS bin FROM documents),
+         cb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bin),
+         cc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY bin),
+         tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS tb,
+                        (SELECT CAST(count(*) AS BIGINT) FROM c) AS tc),
+         j AS (SELECT s.bin, coalesce(cb.n, 0) AS n_base,
+                 coalesce(cc.n, 0) AS n_cur, tb, tc
+               FROM (SELECT unnest(range(0, 8)) AS bin) s
+               LEFT JOIN cb USING (bin) LEFT JOIN cc USING (bin)
+               CROSS JOIN tot),
+         t AS (SELECT bin, n_base, n_cur,
+                 CAST(floor((CAST(n_base + 1 AS DOUBLE) / CAST(tb + 8 AS DOUBLE)
+                     - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 8 AS DOUBLE))
+                   * ln((CAST(n_base + 1 AS DOUBLE) / CAST(tb + 8 AS DOUBLE))
+                     / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 8 AS DOUBLE)))
+                   * 1e12) AS BIGINT) AS term_pico
+               FROM j)
+         SELECT bin, n_base, n_cur, term_pico,
+                (SELECT CAST(sum(term_pico) AS BIGINT) FROM t) AS psi_pico,
+                round((SELECT CAST(sum(term_pico) AS BIGINT) FROM t) / 1e12, 6)
+                  AS psi
+         FROM t ORDER BY bin""",
     // χ² replayed with the same pivoted per-class columns and the same
     // pinned term order (de, en, es, fr, zh)
     "q241_chi2_feature_select" ->

@@ -68,6 +68,54 @@ object Eval {
           (lit(2.0) * col("n_pos") * col("n_neg")), 6))
   }
 
+  /** Average precision (the PR-AUC companion to [[aucByGroup]]) of
+    * integral `scoreCol` ranking boolean `labelCol`, per `groupCol`,
+    * with the BLOCK-END tie convention: every positive in a tied score
+    * block contributes the precision measured at the end of its block
+    * (deterministic — no within-tie order dependence). Each block term
+    * `np·(posAbove+np)/(totAbove+np+nn)` is floored to integer
+    * PICOUNITS before summing, so the accumulation is exact integer
+    * math in any engine and any order; only the final
+    * `ap = (ap_pico/1e12)/n_pos` is a pinned double expression.
+    *
+    * Same shape as [[aucByGroup]]: one corpus aggregate to (group,
+    * score) cells, one descending-score fold over the per-group sorted
+    * cell array (bounded by the score grid).
+    */
+  def avgPrecisionByGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(groupCol), col(scoreCol).as("__s"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__nn"))
+    cells
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("__s"), col("__np"), col("__nn"))))
+        .as("__a"))
+      .select(
+        col(groupCol),
+        expr("aggregate(__a, 0L, (acc, x) -> acc + x.__np)").as("n_pos"),
+        expr("aggregate(__a, 0L, (acc, x) -> acc + x.__nn)").as("n_neg"),
+        // descending-score walk (reverse of the ascending sort): each
+        // block adds np·blockEndPrecision in exact picounits
+        expr("""aggregate(reverse(__a),
+               named_struct('ap', 0L, 'pos', 0L, 'tot', 0L),
+               (acc, x) -> named_struct(
+                 'ap', acc.ap + CASE WHEN x.__np > 0 THEN
+                   floor(CAST(x.__np * (acc.pos + x.__np) AS DOUBLE)
+                         / CAST(acc.tot + x.__np + x.__nn AS DOUBLE)
+                         * 1e12) ELSE 0L END,
+                 'pos', acc.pos + x.__np,
+                 'tot', acc.tot + x.__np + x.__nn),
+               acc -> acc.ap)""").as("ap_pico"))
+      .withColumn("ap", round(
+        (col("ap_pico").cast("double") / lit(1e12)) / col("n_pos"), 6))
+  }
+
   /** Univariate least-squares probe of integral `yCol` on integral
     * `xCol` per `groupCol` (feature screening by explanatory power):
     * `(group, n, slope, intercept, r2)` from the classic closed form
@@ -141,6 +189,53 @@ object Eval {
         lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
           (col("n").cast("double") *
             (col("n").cast("double") * col("n").cast("double") - lit(1.0))), 6))
+  }
+
+  /** Population Stability Index between a baseline and a current
+    * corpus over a pre-binned integral feature (`binCol` ∈ [0, nBins)):
+    * the distribution-drift monitor run between corpus versions.
+    * Laplace-smoothed shares `p = (n_b+1)/(N_b+nBins)` keep empty bins
+    * finite; each bin's `(p−q)·ln(p/q)` term (always ≥ 0) is floored
+    * to integer PICOUNITS so the PSI total is an exact integer sum —
+    * order-independent across engines; ln is the one shared libm call,
+    * already relied on by the recrawl-estimator oracles.
+    *
+    * Returns one row per bin `(bin, n_base, n_cur, term_pico)` plus
+    * the repeated totals `(psi_pico, psi)`. Shape: two corpus
+    * aggregates to bin cells (map-side combinable), a static bin
+    * spine, and one broadcast totals row — nothing scales beyond
+    * nBins after the reduction.
+    */
+  def populationStability(
+      base: DataFrame,
+      current: DataFrame,
+      binCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val spark = base.sparkSession
+    val tagged = base.select(col(binCol).as("bin"), lit(0).as("__side"))
+      .unionByName(current.select(col(binCol).as("bin"), lit(1).as("__side")))
+    val cells = tagged.groupBy(col("bin")).agg(
+      sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__nb"),
+      sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__nc"))
+    val totals = cells.agg(
+      sum(col("__nb")).as("__tb"), sum(col("__nc")).as("__tc"))
+    val spine = spark.range(nBins).select(col("id").as("bin"))
+    val joined = spine.join(cells, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("__nb"), lit(0L)).as("n_base"),
+        coalesce(col("__nc"), lit(0L)).as("n_cur"))
+      .crossJoin(broadcast(totals))
+    val p = (col("n_base") + lit(1L)).cast("double") /
+      (col("__tb") + lit(nBins.toLong)).cast("double")
+    val q = (col("n_cur") + lit(1L)).cast("double") /
+      (col("__tc") + lit(nBins.toLong)).cast("double")
+    val termPico = floor((p - q) * log(p / q) * lit(1e12)).cast("long")
+    val perBin = joined.select(
+      col("bin"), col("n_base"), col("n_cur"), termPico.as("term_pico"))
+    val psi = perBin.agg(sum(col("term_pico")).as("psi_pico"))
+    perBin.crossJoin(broadcast(psi))
+      .withColumn("psi", round(col("psi_pico").cast("double") / lit(1e12), 6))
   }
 
   /** Micro-quantize a floating column to an exact long:

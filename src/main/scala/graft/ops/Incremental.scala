@@ -175,6 +175,35 @@ object Incremental {
       out.iterator
   }
 
+  /** Streaming tie-aware ROC-AUC maintained per group (the q238 metric
+    * kept current over a document stream): state is the score-cell
+    * histogram `bucket → (n_pos, n_neg)` — bounded by the scorer's
+    * quantization GRID, never the stream length — and every trigger
+    * re-emits the group's running `(n_pos, n_neg, 2U)` from the sorted
+    * cell walk (exact integers, so the drained emission hash-matches
+    * the batch computation — the incremental==from-scratch proof
+    * pattern). Update-mode `mapGroupsWithState`; the final answer per
+    * group is the emission with maximal `n_pos+n_neg` (monotone).
+    */
+  def runningAuc: (
+      String,
+      Iterator[(String, Long, Boolean)],
+      org.apache.spark.sql.streaming.GroupState[Map[Long, (Long, Long)]]) =>
+        (String, Long, Long, Long) = {
+    case (g, rows, state) =>
+      var cells = state.getOption.getOrElse(Map.empty[Long, (Long, Long)])
+      rows.foreach { case (_, s, pos) =>
+        val (np, nn) = cells.getOrElse(s, (0L, 0L))
+        cells = cells.updated(s, if (pos) (np + 1, nn) else (np, nn + 1))
+      }
+      state.update(cells)
+      var u2 = 0L; var below = 0L; var tp = 0L; var tn = 0L
+      cells.toSeq.sortBy(_._1).foreach { case (_, (np, nn)) =>
+        u2 += np * (2 * below + nn); below += nn; tp += np; tn += nn
+      }
+      (g, tp, tn, u2)
+  }
+
   /** Budget-capped domain admission with a TTL SESSION rule — the q229
     * admission made endless-crawl-safe: a domain admits at most
     * `budget` distinct urls per SESSION, where a session ends when the

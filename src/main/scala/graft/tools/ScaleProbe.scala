@@ -206,7 +206,104 @@ object ScaleProbe {
       } finally q.stop()
     }
 
+    // Versioned synthetic events table for the stream-stream join
+    // probe: k·200k events, 1-second spacing (monotone event time), 4
+    // contiguous-id versions, alternating click/purchase, 1000 users —
+    // pairs within the 30-min window grow linearly with k. Built once
+    // per k outside the timed region.
+    val ssjCache = scala.collection.mutable.Map.empty[Int, String]
+    def ssjTable(k: Int): String = ssjCache.getOrElseUpdate(k, {
+      val d = java.nio.file.Files.createTempDirectory(s"probe_ssj$k").toString
+      val n = k.toLong * 200000L
+      val ev = spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 1000000L).as("ts"),
+        pmod(abs(xxhash64(col("id"), lit(7))), lit(1000L)).as("user_id"),
+        when(pmod(col("id"), lit(2)) === 0, "click").otherwise("purchase")
+          .as("event_type"),
+        lit(1.0).as("value"))
+      val vOf = floor(col("event_id") / lit((n / 4 + 1).toDouble)).cast("int")
+      graft.log.TableBuilder.create(spark,
+        ev.filter(vOf === 0).coalesce(4), d, name = "probe_ssj")
+      (1 to 3).foreach(i => graft.log.TableBuilder.append(spark,
+        ev.filter(vOf === i).coalesce(4), d, timestamp = i * 1000L))
+      d
+    })
+
+    // One full drain of the q237 stream-stream interval join shape with
+    // a REAL (1-hour) watermark: commit-order replay keeps event time
+    // monotone, so state is continuously evicted — per-k time measures
+    // the join's corpus-linear work, not state growth. Returns the pair
+    // count (linear in k by construction).
+    def ssjProbe(k: Int): Long = {
+      val path = ssjTable(k)
+      def side(m: Int) = spark.readStream.format("graft")
+        .option("path", path).option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "4").load()
+        .filter(pmod(col("event_id"), lit(2)) === m)
+      val clicks = side(0)
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))
+        .withWatermark("cts", "1 hour")
+      val purchases = side(1)
+        .select(col("user_id").as("p_user"), col("ts").as("pts"),
+          col("event_id").as("pid"))
+        .withWatermark("pts", "1 hour")
+      val sink = s"probe_ssj_sink_$k"
+      spark.catalog.dropTempView(sink)
+      val q = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("pts") >= col("cts") &&
+            col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("cid"), col("pid"))
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try {
+        require(q.awaitTermination(600000), "ssj probe drain timed out")
+        spark.table(sink).count()
+      } finally q.stop()
+    }
+
     val allOps: Seq[(String, Int => Long)] = Seq(
+      // r16 eval wave — each is ONE corpus aggregate plus model-scale
+      // combination; expect ~linear in k. q238's per-dim fold input is
+      // bounded by the quantization grid, q240 rides the
+      // range-partitioned rank, q241's pivot is vocabulary-scale,
+      // q242's prefix-max scan runs over distinct cells.
+      "q238_auc" -> (k => {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val corpus = (0 until k).map(c => emb.select(
+          (col("vec_id") + lit(c.toLong * 100000000L)).as("vec_id"),
+          col("embedding"), col("label"))).reduce(_ unionByName _)
+        val pts = corpus.select(
+            posexplode(slice(col("embedding"), 1, 8)).as(Seq("dim", "v")),
+            (col("label") < 5).as("pos"))
+          .select(col("dim").cast("long").as("dim"),
+            graft.ops.Eval.micro(col("v")).as("q"), col("pos"))
+        graft.ops.Eval.aucByGroup(pts, "dim", "q", "pos").count()
+      }),
+      "q240_spearman" -> (k => {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val corpus = (0 until k).map(c => emb.select(
+          (col("vec_id") + lit(c.toLong * 100000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+        val pts = corpus.select(col("vec_id"),
+            posexplode(slice(col("embedding"), 1, 4)).as(Seq("dim", "v")))
+          .select(col("dim").cast("long").as("dim"), col("vec_id"),
+            graft.ops.Eval.micro(col("v")).as("q"))
+        graft.ops.Eval.spearmanPairs(pts, "dim", "vec_id", "q").count()
+      }),
+      "q241_chi2" -> (k =>
+        graft.ops.Classify.chiSquareTokens(
+          repDocs(k).withColumn("lang",
+            concat(lit("l"), pmod(col("doc_id"), lit(5)))),
+          "text", "lang", (0 to 4).map(i => s"l$i"), topK = 20).count()),
+      "q242_skyline" -> (k => {
+        val pts = spark.range(k.toLong * 2000000L).select(col("id"),
+          pmod(abs(xxhash64(col("id"), lit(1))), lit(1000000000L)).as("x"),
+          pmod(abs(xxhash64(col("id"), lit(2))), lit(1000000000L)).as("y"))
+        graft.ops.Skyline.skyline2D(pts, "id", "x", "y").count()
+      }),
+      "q237_ssj" -> (k => ssjProbe(k)),
       // DOMAIN axis of the streaming budget admission (q229 posture):
       // corpus FIXED, domain cardinality = 1000·k. The multiplier must
       // keep max domains ≤ the corpus id count (5,000 at sf0.1) or

@@ -74,6 +74,23 @@ class EvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.getDouble(4) === many.getDouble(4))
   }
 
+  test("avgPrecisionByGroup: perfect, interleaved, and tied rankings") {
+    // perfect: positives above all negatives → AP = 1
+    // interleaved pos(5), neg(4), pos(3): terms 1/1 and 2/3 → AP =
+    // (1e12 + 666666666666)/1e12/2 = 0.833333 at 6 places
+    // tied: one block np=1, nn=1 → block-end precision 1/2 → AP = 0.5
+    val df = scored(Seq(
+      ("perfect", 9L, true), ("perfect", 8L, true), ("perfect", 1L, false),
+      ("mix", 5L, true), ("mix", 4L, false), ("mix", 3L, true),
+      ("tied", 7L, true), ("tied", 7L, false)))
+    val out = Eval.avgPrecisionByGroup(df, "g", "s", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("perfect") === ((2L, 1L, 2000000000000L, 1.0)))
+    assert(out("mix") === ((2L, 1L, 1666666666666L, 0.833333)))
+    assert(out("tied") === ((1L, 1L, 500000000000L, 0.5)))
+  }
+
   test("linearProbeByGroup: exact line and a known two-point fit") {
     import spark.implicits._
     // exact line y = 2x + 1 → slope 2, intercept 1, r² 1
@@ -105,6 +122,49 @@ class EvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Σd² for a vs b is the classic reversed-permutation sum
     val expected = (1L to n).map(i => { val d = i - (n - i + 1); d * d }).sum
     assert(out(("a", "b"))._2 === expected)
+  }
+
+  test("runningAuc kernel: cells accumulate across triggers, exact 2U") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val st = TestGroupState.create[Map[Long, (Long, Long)]](
+      org.apache.spark.api.java.Optional.empty[Map[Long, (Long, Long)]](),
+      GroupStateTimeout.NoTimeout, 1L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    // trigger 1: pos@5, neg@3 → U2 = 2 (one pair, fully ordered)
+    val r1 = graft.ops.Incremental.runningAuc(
+      "g", Iterator(("g", 5L, true), ("g", 3L, false)), st)
+    assert(r1 === (("g", 1L, 1L, 2L)))
+    // trigger 2 adds neg@4: cells {3:(0,1), 4:(0,1), 5:(1,0)} →
+    // U2 = 1·(2·2+0) = 4 — state carried, not recomputed from scratch
+    val r2 = graft.ops.Incremental.runningAuc(
+      "g", Iterator(("g", 4L, false)), st)
+    assert(r2 === (("g", 1L, 2L, 4L)))
+    // tie path: another positive at the existing neg score 4 →
+    // cells {3:(0,1), 4:(1,1), 5:(1,0)}; ascending walk:
+    // s=4: np=1 → 1·(2·1+1)=3; s=5: 1·(2·2+0)=4 → U2 = 7
+    val r3 = graft.ops.Incremental.runningAuc(
+      "g", Iterator(("g", 4L, true)), st)
+    assert(r3 === (("g", 2L, 2L, 7L)))
+  }
+
+  test("populationStability: zero on identical corpora, hand case on a shift") {
+    import spark.implicits._
+    val a = Seq(0L, 0L, 1L, 1L, 1L).toDF("bin")
+    val same = Eval.populationStability(a, a, "bin", 2).collect()
+    assert(same.forall(r => r.getLong(3) === 0L && r.getLong(4) === 0L))
+    // base all in bin 0, current all in bin 1 (2 rows each, 2 bins):
+    // p0=3/4, q0=1/4 → term = 0.5·ln(3); symmetric for bin 1 →
+    // psi = ln(3) ≈ 1.098612, each term_pico = floor(0.5·ln(3)·1e12)
+    val b0 = Seq(0L, 0L).toDF("bin")
+    val b1 = Seq(1L, 1L).toDF("bin")
+    val out = Eval.populationStability(b0, b1, "bin", 2)
+      .orderBy(col("bin")).collect()
+    assert(out.map(_.getLong(3)).toSeq === Seq(549306144334L, 549306144334L))
+    assert(out.head.getLong(4) === 1098612288668L)
+    assert(out.head.getDouble(5) === 1.098612)
+    // missing bins hit the smoothed floor, not a crash
+    val sparse = Eval.populationStability(b0, b0, "bin", 4).collect()
+    assert(sparse.length === 4 && sparse.forall(_.getLong(3) === 0L))
   }
 
   test("chiSquareTokens: hand-computed association and ranking") {
