@@ -3970,6 +3970,50 @@ object SparkEntry {
         .orderBy(col("hop"))
     }),
 
+    // Beyond-reference: EFFECTIVE DIAMETER from the q236 neighborhood
+    // function — the smallest hop reaching ≥ 90% of the maximal
+    // reachable-pair mass, decided in pure integers (10·N(h) ≥ 9·N(max),
+    // no float ceil ambiguity). The ANF/HyperBall machinery does the
+    // work; this is the one-row reachability summary a graph datacard
+    // reports.
+    "q246_effective_diameter" -> ((s, dir) => {
+      val edges = graft.ops.Analytics.interactionEdges(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+      val nf = graft.ops.Analytics.neighborhoodFunction(edges, maxHops = 4)
+      val maxRow = nf.agg(max(col("n_pairs")).as("n_pairs_max"))
+      nf.crossJoin(broadcast(maxRow))
+        .filter(col("n_pairs") * 10 >= col("n_pairs_max") * 9)
+        .groupBy(col("n_pairs_max"))
+        .agg(min(col("hop")).cast("long").as("hop_eff"))
+        .select(col("hop_eff"), col("n_pairs_max"))
+    }),
+
+    // Beyond-reference: DIRECTIONAL AS-OF JOIN (the pandas merge_asof
+    // direction surface) — NEAREST-purchase attribution per click,
+    // ties to backward: two one-shuffle running-last walks (time asc /
+    // time desc, right before left at equal stamps) + a row-local
+    // closer-side pick on integral micros. Census per user over the
+    // matched distances.
+    "q247_asof_nearest" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+          col("event_id").as("cid"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+          col("event_id").as("pid"))
+        .groupBy(col("user_id"), col("p_us"))
+        .agg(min(col("pid")).as("pid")) // deterministic under µs ties
+      val nearest = graft.ops.AsofJoin.asofJoinDirected(
+        clicks, purch, Seq("user_id"), "c_us", "p_us", Seq("pid"), "nearest")
+      nearest.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(when(col("pid").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          sum(abs(col("c_us") - col("__asof_t"))).as("sum_abs_dt_us"),
+          countDistinct(col("pid")).cast("long").as("n_distinct_purch"))
+        .orderBy(col("user_id"))
+    }),
+
     // Beyond-reference: STREAM-STREAM WATERMARKED INTERVAL JOIN — the
     // one core Structured Streaming operator shape the streaming family
     // lacked: click→purchase attribution where BOTH sides are streams
@@ -9266,6 +9310,66 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_pairs
          FROM hops JOIN nf ON nf.mh <= hops.hop
          GROUP BY hops.hop ORDER BY hop""",
+    // the q236 exact walk plus the integer 90%-mass selection
+    "q246_effective_diameter" ->
+      """WITH RECURSIVE adj AS (SELECT user_id,
+                        lag(user_id) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS prev
+                      FROM events),
+         und AS (SELECT DISTINCT least(prev, user_id) AS a,
+                   greatest(prev, user_id) AS b
+                 FROM adj WHERE prev IS NOT NULL AND prev <> user_id),
+         e AS (SELECT a AS src, b AS dst FROM und
+               UNION SELECT b, a FROM und),
+         n AS (SELECT DISTINCT src AS v FROM e),
+         walk(v, w, hop) AS (
+           SELECT v, v, 0 FROM n
+           UNION
+           SELECT wk.v, e.dst, wk.hop + 1
+           FROM walk wk JOIN e ON e.src = wk.w
+           WHERE wk.hop < 4),
+         nf AS (SELECT v, w, min(hop) AS mh FROM walk GROUP BY v, w),
+         hops AS (SELECT unnest(range(0, 5)) AS hop),
+         nfh AS (SELECT CAST(hops.hop AS BIGINT) AS hop,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+                 FROM hops JOIN nf ON nf.mh <= hops.hop
+                 GROUP BY hops.hop),
+         mx AS (SELECT CAST(max(n_pairs) AS BIGINT) AS n_pairs_max FROM nfh)
+         SELECT CAST(min(hop) AS BIGINT) AS hop_eff,
+                (SELECT n_pairs_max FROM mx) AS n_pairs_max
+         FROM nfh CROSS JOIN mx
+         WHERE n_pairs * 10 >= n_pairs_max * 9""",
+    // prev/next purchase per click via bounded join aggregates, the
+    // closer-side pick with the backward tie, then the same census
+    "q247_asof_nearest" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS cu, event_id AS cid
+                    FROM events WHERE event_type = 'click'),
+         p0 AS (SELECT user_id, epoch_us(ts) AS pu,
+                  CAST(min(event_id) AS BIGINT) AS pid
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, epoch_us(ts)),
+         prev AS (SELECT c.cid, max(p.pu) AS bpu FROM c
+                  LEFT JOIN p0 p ON p.user_id = c.user_id AND p.pu <= c.cu
+                  GROUP BY c.cid),
+         nxt AS (SELECT c.cid, min(p.pu) AS fpu FROM c
+                 LEFT JOIN p0 p ON p.user_id = c.user_id AND p.pu >= c.cu
+                 GROUP BY c.cid),
+         x AS (SELECT c.user_id, c.cid, c.cu, prev.bpu, nxt.fpu
+               FROM c LEFT JOIN prev USING (cid) LEFT JOIN nxt USING (cid)),
+         y AS (SELECT user_id, cid, cu,
+                 CASE WHEN bpu IS NOT NULL
+                        AND (fpu IS NULL OR (cu - bpu) <= (fpu - cu))
+                   THEN bpu ELSE fpu END AS mu
+               FROM x),
+         z AS (SELECT y.user_id, y.cid, y.cu, y.mu, p0.pid
+               FROM y LEFT JOIN p0
+                 ON p0.user_id = y.user_id AND p0.pu = y.mu)
+         SELECT user_id, count(*) AS n_clicks,
+                CAST(sum(CASE WHEN pid IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_matched,
+                CAST(sum(abs(cu - mu)) AS BIGINT) AS sum_abs_dt_us,
+                CAST(count(DISTINCT pid) AS BIGINT) AS n_distinct_purch
+         FROM z GROUP BY user_id""",
     // the full-drain stream-stream join is exactly the batch interval
     // join; comparisons replayed on epoch micros (Spark's native
     // timestamp unit) so ns-generation fixtures agree too

@@ -55,4 +55,89 @@ object AsofJoin {
     }
     filled.filter(col("__side") === 1).drop("__t", "__side")
   }
+
+  /** Directional as-of join — the full pandas `merge_asof` direction
+    * surface on the same one-shuffle union trick:
+    *
+    *  - `backward`: most recent right with `rightTime ≤ leftTime`
+    *    (delegates to [[asofJoin]]);
+    *  - `forward`: earliest right with `rightTime ≥ leftTime` — the
+    *    identical running-`last` walk over the REVERSED (time desc)
+    *    sort, right still ordering before left at equal timestamps so
+    *    ≥ stays inclusive;
+    *  - `nearest`: both walks, then a row-local pick of the closer
+    *    match by |Δt| with ties to backward (the pandas convention).
+    *
+    * The output carries `__asof_t` — the matched right row's time
+    * value (null when unmatched) — so callers can audit the chosen
+    * direction/distance. Still ONE shuffle per directional walk
+    * (nearest = two), sorts evaluated streamingly per partition.
+    *
+    * Contract: time columns must be INTEGRAL (convert timestamps with
+    * `unix_micros` first — a timestamp→long cast truncates to seconds
+    * and would corrupt nearest-tie decisions); right (key, time) pairs
+    * unique as in [[asofJoin]]; for `nearest`, left ROWS must be
+    * unique (the two walks re-join on the full left row).
+    */
+  def asofJoinDirected(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      direction: String): DataFrame = {
+    val rightT = right.withColumn("__rt_src", col(rightTime).cast("long"))
+    def walk(desc: Boolean): DataFrame = {
+      val leftOut = left.columns.toSeq
+      val payloads = payloadCols :+ "__rt_src"
+      val l = left.select(
+        leftOut.map(col) ++
+          Seq(col(leftTime).cast("long").as("__t"), lit(1).as("__side")) ++
+          payloads.map(c =>
+            lit(null).cast(rightT.schema(c).dataType).as(c)): _*)
+      val r = rightT.select(
+        keyCols.map(col) ++
+          Seq(col(rightTime).cast("long").as("__t"), lit(0).as("__side")) ++
+          leftOut.filterNot(keyCols.contains).map(c =>
+            lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payloads.map(col): _*)
+      val order =
+        if (desc) Seq(col("__t").desc, col("__side")) else Seq(col("__t"), col("__side"))
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val filled = payloads.foldLeft(l.unionByName(r)) { (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      filled.filter(col("__side") === 1).drop("__t", "__side")
+        .withColumnRenamed("__rt_src", "__asof_t")
+    }
+    direction match {
+      case "backward" => walk(desc = false)
+      case "forward"  => walk(desc = true)
+      case "nearest" =>
+        val leftKey = left.columns.toSeq
+        val back = walk(desc = false)
+        val fwdCols = (payloadCols :+ "__asof_t")
+        val fwd = walk(desc = true).select(
+          leftKey.map(col) ++ fwdCols.map(c => col(c).as(s"__f_$c")): _*)
+        // the left key columns uniquely identify a left row by the
+        // standard as-of contract (dedupe first); join the two walks
+        // back on them and pick the closer side
+        val lt = col(leftTime).cast("long")
+        val dBack = abs(lt - col("__asof_t"))
+        val dFwd = abs(col("__f___asof_t") - lt)
+        val pickBack = col("__asof_t").isNotNull &&
+          (col("__f___asof_t").isNull || dBack <= dFwd)
+        val joined = back.join(fwd, leftKey, "inner")
+        payloadCols.foldLeft(joined) { (df, c) =>
+          df.withColumn(c, when(pickBack, col(c)).otherwise(col(s"__f_$c")))
+        }
+          .withColumn("__asof_t",
+            when(pickBack, col("__asof_t")).otherwise(col("__f___asof_t")))
+          .drop(fwdCols.map(c => s"__f_$c"): _*)
+      case other => sys.error(s"unknown as-of direction: $other")
+    }
+  }
 }

@@ -1662,6 +1662,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cols.toSeq === Seq("k", "t", "lv", "rv"))
   }
 
+  test("directional asof: forward, nearest, ties to backward") {
+    import org.apache.spark.sql.types._
+    val lSchema = StructType(Seq(StructField("k", LongType),
+      StructField("t", LongType), StructField("lv", StringType)))
+    val rSchema = StructType(Seq(StructField("k", LongType),
+      StructField("rt", LongType), StructField("rv", StringType)))
+    val left = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, 10L, "a"), // between 5 and 12
+      org.apache.spark.sql.Row(1L, 3L, "b"), // before all rights
+      org.apache.spark.sql.Row(1L, 20L, "c"), // after all rights
+      org.apache.spark.sql.Row(1L, 8L, "d"), // |8-5|=3 == |12-8|... no: 3 vs 4 → back
+      org.apache.spark.sql.Row(2L, 6L, "e")) // equidistant 5/7 → tie → back
+      .asJava, lSchema)
+    val right = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, 5L, "x"),
+      org.apache.spark.sql.Row(1L, 12L, "y"),
+      org.apache.spark.sql.Row(2L, 5L, "p"),
+      org.apache.spark.sql.Row(2L, 7L, "q"))
+      .asJava, rSchema)
+    def run(dir: String) = AsofJoin.asofJoinDirected(
+        left, right, Seq("k"), "t", "rt", Seq("rv"), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(3)))
+      .toMap
+    val fwd = run("forward")
+    assert(fwd((1L, 10L)) === Some("y")) // earliest at-or-after
+    assert(fwd((1L, 3L)) === Some("x"))
+    assert(fwd((1L, 20L)) === None) // nothing after → null
+    assert(fwd((2L, 6L)) === Some("q"))
+    val near = run("nearest")
+    assert(near((1L, 10L)) === Some("y")) // |10−12| < |10−5|
+    assert(near((1L, 8L)) === Some("x")) // |8−5| < |12−8|
+    assert(near((1L, 3L)) === Some("x")) // only forward exists
+    assert(near((1L, 20L)) === Some("y")) // only backward exists
+    assert(near((2L, 6L)) === Some("p")) // equidistant → backward wins
+    // backward direction delegates to the classic walk
+    val back = run("backward")
+    assert(back((1L, 10L)) === Some("x") && back((1L, 3L)) === None)
+    // audit column carries the matched right time
+    val ts = AsofJoin.asofJoinDirected(
+        left, right, Seq("k"), "t", "rt", Seq("rv"), "nearest")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(ts((2L, 6L)) === Some(5L) && ts((1L, 10L)) === Some(12L))
+  }
+
   private def eventsDF(rows: Seq[(Long, String, Long)]) = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
