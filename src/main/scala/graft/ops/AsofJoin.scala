@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,14 +11,18 @@ import org.apache.spark.sql.functions._
   * into per-interval blowups).
   *
   * Implementation is the scalable union trick: tag both sides, union,
-  * and take a running `last(payload, ignoreNulls)` over a (key, time,
-  * side) sort — right rows order BEFORE left rows at equal timestamps,
-  * which gives inclusive (≤) semantics. ONE shuffle by key, sort within
-  * partitions, no range cross-product; at 100 TB this scales as a
-  * plain repartition+sort (the window is `rowsBetween(unbounded,
-  * current)`, so Spark evaluates it streamingly per partition — no
-  * per-key buffering of the whole group). Skew on a hot key is the
-  * residual risk, as with any per-key sort.
+  * and take a running `last(…, ignoreNulls)` over a (key, time, side)
+  * sort — right rows order BEFORE left rows at equal timestamps, which
+  * gives inclusive (≤) semantics. All right-side payloads travel in
+  * ONE struct through that fold, so every output column comes from the
+  * SAME matched right row even when individual payload values are NULL
+  * (independent per-column folds would otherwise mix rows). ONE
+  * shuffle by key, sort within partitions, no range cross-product; at
+  * 100 TB this scales as a plain repartition+sort (the window is
+  * `rowsBetween(unbounded, current)`, so Spark evaluates it
+  * streamingly per partition — no per-key buffering of the whole
+  * group). Skew on a hot key is the residual risk, as with any per-key
+  * sort.
   *
   * Contract: right (key, time) pairs must be unique (dedupe first —
   * standard as-of precondition; otherwise "the" most recent row is
@@ -26,58 +30,84 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** One directional running-last walk. Right payloads (+ the right
+    * time when `emitAsofT`) ride in a single struct so a match is
+    * all-or-nothing per right row. `desc=false` ⇒ backward (≤),
+    * `desc=true` ⇒ forward (≥) — the right side orders before the left
+    * at equal timestamps in both directions, keeping the boundary
+    * inclusive.
+    */
+  private def walk(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      desc: Boolean,
+      emitAsofT: Boolean): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join needs at least one key column")
+    val leftOut = left.columns.toSeq // preserved verbatim on output
+    val packed = payloadCols ++ (if (emitAsofT) Seq("__asof_t") else Nil)
+    val rightPrepped =
+      if (emitAsofT) right.withColumn("__asof_t", col(rightTime).cast("long"))
+      else right
+    val bundleType = org.apache.spark.sql.types.StructType(
+      packed.map(c => org.apache.spark.sql.types.StructField(
+        c, rightPrepped.schema(c).dataType)))
+    val l = left.select(
+      leftOut.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(bundleType).as("__bundle")): _*)
+    val r = rightPrepped.select(
+      keyCols.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
+        leftOut.filterNot(keyCols.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(struct(packed.map(col): _*).as("__bundle")): _*)
+    val order =
+      if (desc) Seq(col("__t").desc, col("__side")) else Seq(col("__t"), col("__side"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__bundle", last(col("__bundle"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftOut.map(col) ++
+        packed.map(c => col(s"__bundle.$c").as(c)): _*)
+  }
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       keyCols: Seq[String],
       leftTime: String,
       rightTime: String,
-      payloadCols: Seq[String]): DataFrame = {
-    require(keyCols.nonEmpty, "asofJoin needs at least one key column")
-    val leftOut = left.columns.toSeq // preserved verbatim on output
-    val rightSchema = right.schema
-    val l = left.select(
-      leftOut.map(col) ++
-        Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
-        payloadCols.map(c =>
-          lit(null).cast(rightSchema(c).dataType).as(c)): _*)
-    val r = right.select(
-      keyCols.map(col) ++
-        Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
-        leftOut.filterNot(keyCols.contains).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(col): _*)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__t", "__side")
-  }
+      payloadCols: Seq[String]): DataFrame =
+    walk(left, right, keyCols, leftTime, rightTime, payloadCols,
+      desc = false, emitAsofT = false)
 
   /** Directional as-of join — the full pandas `merge_asof` direction
-    * surface on the same one-shuffle union trick:
+    * surface on the same one-shuffle walk:
     *
-    *  - `backward`: most recent right with `rightTime ≤ leftTime`
-    *    (delegates to [[asofJoin]]);
+    *  - `backward`: most recent right with `rightTime ≤ leftTime`;
     *  - `forward`: earliest right with `rightTime ≥ leftTime` — the
-    *    identical running-`last` walk over the REVERSED (time desc)
-    *    sort, right still ordering before left at equal timestamps so
-    *    ≥ stays inclusive;
+    *    identical walk over the REVERSED (time desc) sort;
     *  - `nearest`: both walks, then a row-local pick of the closer
     *    match by |Δt| with ties to backward (the pandas convention).
     *
     * The output carries `__asof_t` — the matched right row's time
     * value (null when unmatched) — so callers can audit the chosen
-    * direction/distance. Still ONE shuffle per directional walk
-    * (nearest = two), sorts evaluated streamingly per partition.
+    * direction/distance; it comes from the same struct fold as the
+    * payloads, so audit time and payload always name one right row.
+    * Still ONE shuffle per directional walk (nearest = two), sorts
+    * evaluated streamingly per partition.
     *
     * Contract: time columns must be INTEGRAL (convert timestamps with
     * `unix_micros` first — a timestamp→long cast truncates to seconds
     * and would corrupt nearest-tie decisions); right (key, time) pairs
     * unique as in [[asofJoin]]; for `nearest`, left ROWS must be
-    * unique (the two walks re-join on the full left row).
+    * unique (the two walks re-join on the full left row, null-safely).
     */
   def asofJoinDirected(
       left: DataFrame,
@@ -87,56 +117,38 @@ object AsofJoin {
       rightTime: String,
       payloadCols: Seq[String],
       direction: String): DataFrame = {
-    val rightT = right.withColumn("__rt_src", col(rightTime).cast("long"))
-    def walk(desc: Boolean): DataFrame = {
-      val leftOut = left.columns.toSeq
-      val payloads = payloadCols :+ "__rt_src"
-      val l = left.select(
-        leftOut.map(col) ++
-          Seq(col(leftTime).cast("long").as("__t"), lit(1).as("__side")) ++
-          payloads.map(c =>
-            lit(null).cast(rightT.schema(c).dataType).as(c)): _*)
-      val r = rightT.select(
-        keyCols.map(col) ++
-          Seq(col(rightTime).cast("long").as("__t"), lit(0).as("__side")) ++
-          leftOut.filterNot(keyCols.contains).map(c =>
-            lit(null).cast(left.schema(c).dataType).as(c)) ++
-          payloads.map(col): _*)
-      val order =
-        if (desc) Seq(col("__t").desc, col("__side")) else Seq(col("__t"), col("__side"))
-      val w = Window.partitionBy(keyCols.map(col): _*)
-        .orderBy(order: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val filled = payloads.foldLeft(l.unionByName(r)) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
-      filled.filter(col("__side") === 1).drop("__t", "__side")
-        .withColumnRenamed("__rt_src", "__asof_t")
-    }
+    def oneWay(desc: Boolean): DataFrame =
+      walk(left, right, keyCols, leftTime, rightTime, payloadCols,
+        desc = desc, emitAsofT = true)
     direction match {
-      case "backward" => walk(desc = false)
-      case "forward"  => walk(desc = true)
+      case "backward" => oneWay(desc = false)
+      case "forward"  => oneWay(desc = true)
       case "nearest" =>
         val leftKey = left.columns.toSeq
-        val back = walk(desc = false)
-        val fwdCols = (payloadCols :+ "__asof_t")
-        val fwd = walk(desc = true).select(
-          leftKey.map(col) ++ fwdCols.map(c => col(c).as(s"__f_$c")): _*)
-        // the left key columns uniquely identify a left row by the
-        // standard as-of contract (dedupe first); join the two walks
-        // back on them and pick the closer side
+        val back = oneWay(desc = false)
+        val fwdCols = payloadCols :+ "__asof_t"
+        val fwd = oneWay(desc = true).select(
+          leftKey.map(c => col(c).as(s"__k_$c")) ++
+            fwdCols.map(c => col(c).as(s"__f_$c")): _*)
+        // left rows uniquely identify themselves by contract; re-join
+        // the walks NULL-SAFELY on every left column (a USING join's
+        // EqualTo would silently drop left rows carrying any NULL —
+        // the withGroupRank <=> precedent)
+        val cond: Column = leftKey
+          .map(c => back(c) <=> fwd(s"__k_$c"))
+          .reduce(_ && _)
         val lt = col(leftTime).cast("long")
         val dBack = abs(lt - col("__asof_t"))
         val dFwd = abs(col("__f___asof_t") - lt)
         val pickBack = col("__asof_t").isNotNull &&
           (col("__f___asof_t").isNull || dBack <= dFwd)
-        val joined = back.join(fwd, leftKey, "inner")
+        val joined = back.join(fwd, cond)
         payloadCols.foldLeft(joined) { (df, c) =>
           df.withColumn(c, when(pickBack, col(c)).otherwise(col(s"__f_$c")))
         }
           .withColumn("__asof_t",
             when(pickBack, col("__asof_t")).otherwise(col("__f___asof_t")))
-          .drop(fwdCols.map(c => s"__f_$c"): _*)
+          .drop(fwdCols.map(c => s"__f_$c") ++ leftKey.map(c => s"__k_$c"): _*)
       case other => sys.error(s"unknown as-of direction: $other")
     }
   }

@@ -176,19 +176,32 @@ object Eval {
       valueCol: String): DataFrame = {
     val ranked = Quantiles
       .withGroupRank(df, Seq(seriesCol), Seq(valueCol, idCol))
-      .select(col(seriesCol), col(idCol), col("__rn"))
+      .select(col(seriesCol), col(idCol), col("__rn"), col("__n"))
     val a = ranked.select(
-      col(seriesCol).as("series_a"), col(idCol).as("__id"), col("__rn").as("__ra"))
+      col(seriesCol).as("series_a"), col(idCol).as("__id"),
+      col("__rn").as("__ra"), col("__n").as("__na"))
     val b = ranked.select(
-      col(seriesCol).as("series_b"), col(idCol).as("__id2"), col("__rn").as("__rb"))
+      col(seriesCol).as("series_b"), col(idCol).as("__id2"),
+      col("__rn").as("__rb"), col("__n").as("__nb"))
     a.join(b, col("__id") === col("__id2") && col("series_a") < col("series_b"))
       .withColumn("__d", col("__ra") - col("__rb"))
       .groupBy(col("series_a"), col("series_b"))
-      .agg(count(lit(1)).as("n"), sum(col("__d") * col("__d")).as("sum_d2"))
-      .withColumn("spearman", round(
-        lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
-          (col("n").cast("double") *
-            (col("n").cast("double") * col("n").cast("double") - lit(1.0))), 6))
+      .agg(count(lit(1)).as("n"), sum(col("__d") * col("__d")).as("sum_d2"),
+        max(col("__na")).as("__maxa"), max(col("__nb")).as("__maxb"))
+      // the closed form is only valid when both series cover the SAME
+      // id set (ranks are then permutations of 1..n); fail loudly on a
+      // coverage mismatch instead of emitting an out-of-range ρ
+      .withColumn("spearman",
+        when(col("n") =!= col("__maxa") || col("n") =!= col("__maxb"),
+          raise_error(concat(lit("spearmanPairs: series id sets differ "),
+            lit("(pairs="), col("n").cast("string"),
+            lit(" sizes="), col("__maxa").cast("string"),
+            lit("/"), col("__maxb").cast("string"), lit(")"))).cast("double"))
+        .otherwise(round(
+          lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+            (col("n").cast("double") *
+              (col("n").cast("double") * col("n").cast("double") - lit(1.0))), 6)))
+      .drop("__maxa", "__maxb")
   }
 
   /** Population Stability Index between a baseline and a current
@@ -215,6 +228,13 @@ object Eval {
     val spark = base.sparkSession
     val tagged = base.select(col(binCol).as("bin"), lit(0).as("__side"))
       .unionByName(current.select(col(binCol).as("bin"), lit(1).as("__side")))
+      // an out-of-range bin would be counted in the totals but dropped
+      // by the spine join — skewing every share silently; breach loudly
+      .withColumn("bin",
+        when(col("bin") >= 0 && col("bin") < nBins, col("bin"))
+          .otherwise(raise_error(concat(
+            lit(s"populationStability: bin outside [0, $nBins): "),
+            col("bin").cast("string"))).cast("long")))
     val cells = tagged.groupBy(col("bin")).agg(
       sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__nb"),
       sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__nc"))

@@ -41,8 +41,7 @@ object Skyline {
       yCol: String): DataFrame = {
     val spark = df.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
-    val cells = df.select(col(xCol).as("__x"), col(yCol).as("__y"))
-      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__m"))
+    val cells = df.select(col(xCol).as("__x"), col(yCol).as("__y")).distinct()
     // range-partition in skyline scan order; local running max of y
     val parts = cells
       .repartitionByRange(nParts, col("__x").desc, col("__y").desc)

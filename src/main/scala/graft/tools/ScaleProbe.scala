@@ -1015,8 +1015,13 @@ object ScaleProbe {
     if (ops.exists(_._1 == "q195_winnow_widevocab"))
       factors.foreach(k => wide(k).count())
     if (ops.exists(o => o._1.startsWith("q200") || o._1.startsWith("q202") ||
-        o._1.startsWith("q204")))
+        o._1.startsWith("q204") || o._1.startsWith("q241")))
       factors.foreach(k => repDocs(k).count())
+    // the ssj versioned tables build lazily in ssjCache — force them
+    // here so no timed rep (the k > min ones especially) pays the
+    // TableBuilder create+appends
+    if (ops.exists(_._1 == "q237_ssj"))
+      factors.foreach(k => ssjTable(k))
 
     // warm-up on the smallest factor
     ops.foreach { case (_, fn) => fn(factors.min) }

@@ -191,6 +191,28 @@ class EvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.getLong(2) === 1000000L)
   }
 
+  test("spearmanPairs refuses series with different id coverage") {
+    import spark.implicits._
+    val df = ((1L to 10L).map(i => ("a", i, i)) ++
+      (1L to 5L).map(i => ("b", i, i))).toDF("series", "id", "v")
+    val e = intercept[Exception] {
+      Eval.spearmanPairs(df, "series", "id", "v").collect()
+    }
+    assert(e.getMessage.contains("series id sets differ") ||
+      Option(e.getCause).exists(_.getMessage.contains("series id sets differ")))
+  }
+
+  test("populationStability refuses out-of-range bins loudly") {
+    import spark.implicits._
+    val ok = Seq(0L, 1L).toDF("bin")
+    val bad = Seq(0L, 2L).toDF("bin") // 2 outside [0, 2)
+    val e = intercept[Exception] {
+      Eval.populationStability(ok, bad, "bin", 2).collect()
+    }
+    assert(e.getMessage.contains("bin outside") ||
+      Option(e.getCause).exists(_.getMessage.contains("bin outside")))
+  }
+
   test("spearmanPairs ties broken by id give permutation ranks") {
     import spark.implicits._
     // all values equal in series t → rank = id order = identity;

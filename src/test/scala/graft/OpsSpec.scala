@@ -1704,7 +1704,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         left, right, Seq("k"), "t", "rt", Seq("rv"), "nearest")
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
-    assert(ts((2L, 6L)) === Some(5L) && ts((1L, 10L)) === Some(12L))
+    assert(ts((2L, 6L)) === Some(5L) && ts((1L, 10L)) === Some(12L) &&
+      ts((1L, 8L)) === Some(5L))
+  }
+
+  test("asof: null payloads stay attributed to the matched row; null left cols survive nearest") {
+    import org.apache.spark.sql.types._
+    val lSchema = StructType(Seq(StructField("k", LongType),
+      StructField("t", LongType), StructField("lv", StringType)))
+    val rSchema = StructType(Seq(StructField("k", LongType),
+      StructField("rt", LongType), StructField("rv", StringType)))
+    // the matched (most recent ≤) right row carries a NULL payload:
+    // the output must report THAT row's null, never an older non-null
+    // value (per-column independent folds would smear rows together)
+    val left = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, 10L, "a"),
+      org.apache.spark.sql.Row(1L, 4L, null)) // null NON-key left column
+      .asJava, lSchema)
+    val right = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, 1L, "old"),
+      org.apache.spark.sql.Row(1L, 5L, null))
+      .asJava, rSchema)
+    val back = AsofJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .collect().map(r => r.getLong(1) -> Option(r.getString(3))).toMap
+    assert(back(10L) === None, "matched row rt=5 has a null payload")
+    assert(back(4L) === Some("old"))
+    // nearest keeps the left row whose non-key column is NULL (the
+    // re-join is null-safe) and audits the matched time consistently
+    val near = AsofJoin.asofJoinDirected(
+        left, right, Seq("k"), "t", "rt", Seq("rv"), "nearest")
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.getString(2)), Option(r.getString(3)), r.getLong(4)))).toMap
+    assert(near.keySet === Set(10L, 4L), "null left column must not drop the row")
+    assert(near(4L)._3 === 5L) // |4−5| < |4−1| → the rt=5 (null-payload) row
+    assert(near(4L)._2 === None)
   }
 
   private def eventsDF(rows: Seq[(Long, String, Long)]) = {
