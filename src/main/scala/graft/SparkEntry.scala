@@ -4201,6 +4201,40 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // Beyond-reference: STREAMING DRIFT MONITOR — q245's PSI kept
+    // current by a STREAMING aggregation: Spark's state store maintains
+    // the 8-bin current-side histogram (complete-mode counts, 8 rows of
+    // state at any corpus size) while the baseline stays the
+    // time-travel version-0 read; the drained histogram feeds the same
+    // PSI core and hash-matches q245's batch oracle VERBATIM — the
+    // monitoring posture where only the tiny histogram, never the
+    // corpus, survives between triggers.
+    "q248_stream_drift" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      val tbl = s"${graft.log.SharedFixtures.SHARE}.documents_versioned"
+      val path = graft.log.GraftCatalog.location(tbl)
+      val sink = "graft_q248_sink"
+      s.catalog.dropTempView(sink)
+      val src = s.readStream.format("graft").option("path", path)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1").load()
+      val counts = src
+        .select(least(lit(7L), expr("n_chars div 75")).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+      val q = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      drain(q)
+      val baseCounts = s.read.format("graft").option("table", tbl)
+        .option("versionAsOf", "0").load()
+        .select(least(lit(7L), expr("n_chars div 75")).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_base"))
+      val cells = s.table(sink).join(baseCounts, Seq("bin"), "full")
+        .select(col("bin"), coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      graft.ops.Eval.psiFromCells(cells, 8).orderBy(col("bin"))
+    }),
+
     // Beyond-reference: χ² FEATURE SELECTION — the tokens most
     // associated with the language label (the vocabulary-selection step
     // before training a text classifier). One tokenize-explode into a
@@ -9532,6 +9566,34 @@ object SparkEntry {
                   (2.0 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT)), 6)
                   AS auc
          FROM walk GROUP BY lang ORDER BY lang""",
+    // IDENTICAL replay to q245 — the hash-match against the same SQL
+    // is precisely the streaming==batch maintenance proof
+    "q248_stream_drift" ->
+      """WITH q1 AS (SELECT (max(doc_id) + 1) // 4 AS v FROM documents),
+         b AS (SELECT least(7, n_chars // 75) AS bin FROM documents
+               WHERE doc_id < (SELECT v FROM q1)),
+         c AS (SELECT least(7, n_chars // 75) AS bin FROM documents),
+         cb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bin),
+         cc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY bin),
+         tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS tb,
+                        (SELECT CAST(count(*) AS BIGINT) FROM c) AS tc),
+         j AS (SELECT s.bin, coalesce(cb.n, 0) AS n_base,
+                 coalesce(cc.n, 0) AS n_cur, tb, tc
+               FROM (SELECT unnest(range(0, 8)) AS bin) s
+               LEFT JOIN cb USING (bin) LEFT JOIN cc USING (bin)
+               CROSS JOIN tot),
+         t AS (SELECT bin, n_base, n_cur,
+                 CAST(floor((CAST(n_base + 1 AS DOUBLE) / CAST(tb + 8 AS DOUBLE)
+                     - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 8 AS DOUBLE))
+                   * ln((CAST(n_base + 1 AS DOUBLE) / CAST(tb + 8 AS DOUBLE))
+                     / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 8 AS DOUBLE)))
+                   * 1e12) AS BIGINT) AS term_pico
+               FROM j)
+         SELECT bin, n_base, n_cur, term_pico,
+                (SELECT CAST(sum(term_pico) AS BIGINT) FROM t) AS psi_pico,
+                round((SELECT CAST(sum(term_pico) AS BIGINT) FROM t) / 1e12, 6)
+                  AS psi
+         FROM t ORDER BY bin""",
     // version 0 = the first doc_id quartile (the fixture's split
     // formula); smoothing, bin spine, and picounit floors replayed
     "q245_feature_drift" ->

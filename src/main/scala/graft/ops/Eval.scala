@@ -224,27 +224,37 @@ object Eval {
       current: DataFrame,
       binCol: String,
       nBins: Int): DataFrame = {
-    require(nBins > 0, "nBins must be positive")
-    val spark = base.sparkSession
     val tagged = base.select(col(binCol).as("bin"), lit(0).as("__side"))
       .unionByName(current.select(col(binCol).as("bin"), lit(1).as("__side")))
-      // an out-of-range bin would be counted in the totals but dropped
-      // by the spine join — skewing every share silently; breach loudly
-      .withColumn("bin",
-        when(col("bin") >= 0 && col("bin") < nBins, col("bin"))
-          .otherwise(raise_error(concat(
-            lit(s"populationStability: bin outside [0, $nBins): "),
-            col("bin").cast("string"))).cast("long")))
     val cells = tagged.groupBy(col("bin")).agg(
-      sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__nb"),
-      sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__nc"))
+      sum(when(col("__side") === 0, 1L).otherwise(0L)).as("n_base"),
+      sum(when(col("__side") === 1, 1L).otherwise(0L)).as("n_cur"))
+    psiFromCells(cells, nBins)
+  }
+
+  /** The PSI core over pre-reduced cells `(bin, n_base, n_cur)` — the
+    * entry point for callers that already maintain the counts (e.g. a
+    * streaming aggregation whose state IS the current-side histogram).
+    * Same smoothing/spine/picounit semantics as
+    * [[populationStability]].
+    */
+  def psiFromCells(cellsIn: DataFrame, nBins: Int): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val spark = cellsIn.sparkSession
+    // an out-of-range bin would be counted in the totals but dropped
+    // by the spine join — skewing every share silently; breach loudly
+    val cells = cellsIn.withColumn("bin",
+      when(col("bin") >= 0 && col("bin") < nBins, col("bin"))
+        .otherwise(raise_error(concat(
+          lit(s"populationStability: bin outside [0, $nBins): "),
+          col("bin").cast("string"))).cast("long")))
     val totals = cells.agg(
-      sum(col("__nb")).as("__tb"), sum(col("__nc")).as("__tc"))
+      sum(col("n_base")).as("__tb"), sum(col("n_cur")).as("__tc"))
     val spine = spark.range(nBins).select(col("id").as("bin"))
     val joined = spine.join(cells, Seq("bin"), "left")
       .select(col("bin"),
-        coalesce(col("__nb"), lit(0L)).as("n_base"),
-        coalesce(col("__nc"), lit(0L)).as("n_cur"))
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
       .crossJoin(broadcast(totals))
     val p = (col("n_base") + lit(1L)).cast("double") /
       (col("__tb") + lit(nBins.toLong)).cast("double")
