@@ -3970,6 +3970,30 @@ object SparkEntry {
         .orderBy(col("hop"))
     }),
 
+    // Beyond-reference: TEMPORAL REACHABILITY — time-respecting BFS
+    // (edge times never decrease along a path) from 10 seed users over
+    // the directed temporal interaction graph, 3 hops: the influence/
+    // contagion primitive a static BFS answers WRONGLY. Min-arrival
+    // relaxation (provably sound+complete for this semantics — an
+    // earlier arrival admits a superset of onward edges) keeps one row
+    // per (seed, node); per-round equi-join + min-merge with the
+    // CC/ANF lineage discipline. The census sums exact earliest
+    // arrivals in micros.
+    "q249_temporal_reach" -> ((s, dir) => {
+      val edges = graft.ops.Analytics.temporalEdges(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+      val seeds = s.range(10).select(col("id").as("seed"))
+      val dist = graft.ops.Analytics.temporalReachability(edges, seeds, maxHops = 3)
+      val census = dist.filter(col("node") =!= col("seed"))
+        .groupBy(col("seed"))
+        .agg(count(lit(1)).as("n_reached"), sum(col("t")).as("arrival_sum_us"))
+      seeds.join(census, Seq("seed"), "left")
+        .select(col("seed"),
+          coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+          coalesce(col("arrival_sum_us"), lit(0L)).as("arrival_sum_us"))
+        .orderBy(col("seed"))
+    }),
+
     // Beyond-reference: EFFECTIVE DIAMETER from the q236 neighborhood
     // function — the smallest hop reaching ≥ 90% of the maximal
     // reachable-pair mass, decided in pure integers (10·N(h) ≥ 9·N(max),
@@ -9344,6 +9368,31 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_pairs
          FROM hops JOIN nf ON nf.mh <= hops.hop
          GROUP BY hops.hop ORDER BY hop""",
+    // every time-respecting walk ≤ 3 hops enumerated recursively; the
+    // engine's min-arrival relaxation must land on the same earliest
+    // arrivals and reach sets
+    "q249_temporal_reach" ->
+      """WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) AS t,
+                lag(user_id) OVER (PARTITION BY event_type
+                  ORDER BY ts, event_id) AS prev
+              FROM events),
+         edges AS (SELECT DISTINCT prev AS src, user_id AS dst, t FROM ev
+                   WHERE prev IS NOT NULL AND prev <> user_id),
+         seeds AS (SELECT unnest(range(0, 10)) AS seed),
+         walk(seed, node, t, hop) AS (
+           SELECT seed, seed, CAST(-1 AS BIGINT), 0 FROM seeds
+           UNION
+           SELECT w.seed, e.dst, e.t, w.hop + 1
+           FROM walk w JOIN edges e ON e.src = w.node AND e.t >= w.t
+           WHERE w.hop < 3),
+         reach AS (SELECT seed, node, min(t) AS t FROM walk
+                   WHERE node <> seed GROUP BY seed, node),
+         cen AS (SELECT seed, count(*) AS n, sum(t) AS st
+                 FROM reach GROUP BY seed)
+         SELECT s.seed, CAST(coalesce(cen.n, 0) AS BIGINT) AS n_reached,
+                CAST(coalesce(cen.st, 0) AS BIGINT) AS arrival_sum_us
+         FROM seeds s LEFT JOIN cen USING (seed)
+         ORDER BY seed""",
     // the q236 exact walk plus the integer 90%-mass selection
     "q246_effective_diameter" ->
       """WITH RECURSIVE adj AS (SELECT user_id,

@@ -180,6 +180,66 @@ object Analytics {
       .distinct()
   }
 
+  /** Directed TEMPORAL interaction edges `(src, dst, t)` — the same
+    * per-type lag derivation as [[interactionEdges]], but keeping
+    * direction (earlier actor → later actor) and the later event's
+    * time in epoch micros. Distinct triples: repeated contacts at
+    * different times are distinct temporal edges (they enable
+    * different onward paths).
+    */
+  def temporalEdges(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(typeCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__prev", lag(col(userCol), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__prev") =!= col(userCol))
+      .select(col("__prev").as("src"), col(userCol).as("dst"),
+        unix_micros(col(tsCol)).as("t"))
+      .distinct()
+  }
+
+  /** Time-respecting reachability (earliest-arrival BFS): the nodes
+    * reachable from each seed within `maxHops` edges along paths whose
+    * edge times never decrease — the influence/contagion primitive a
+    * static BFS gets WRONG (a path through an edge that fired before
+    * you arrived is not a real path).
+    *
+    * Min-arrival relaxation is sound AND complete for this semantics:
+    * an earlier arrival at a node permits a superset of the onward
+    * edges (`edge.t ≥ arrival` is monotone), so keeping one row per
+    * (seed, node) — the earliest arrival — loses nothing. Each round
+    * is one equi-join frontier expansion + a min-merge (map-side
+    * combinable); lineage cut per round with a lazy localCheckpoint
+    * (the CC/ANF discipline). State is O(seeds × reached nodes), never
+    * walks.
+    *
+    * Returns `(seed, node, t)` — earliest arrival in micros, `t = −1`
+    * for the seed itself (sorts before every real timestamp, so the
+    * seed admits all first edges).
+    */
+  def temporalReachability(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    var dist = seeds.select(col("seed"),
+      col("seed").as("node"), lit(-1L).as("t"))
+    (1 to maxHops).foreach { _ =>
+      val e = edges.select(col("src"), col("dst"), col("t").as("__et"))
+      val expanded = dist.join(e,
+          dist("node") === e("src") && e("__et") >= dist("t"))
+        .select(dist("seed"), e("dst").as("node"), col("__et").as("t"))
+      dist = dist.unionByName(expanded)
+        .groupBy(col("seed"), col("node")).agg(min(col("t")).as("t"))
+        .localCheckpoint(false)
+    }
+    dist
+  }
+
   /** Per-vertex triangle participation counts over an undirected edge
     * set `(a, b)` (deduped, a != b) — the degree-oriented formulation
     * (Suri & Vassilvitskii, WWW'11): orient every edge from the

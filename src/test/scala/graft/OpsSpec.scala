@@ -1708,6 +1708,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ts((1L, 8L)) === Some(5L))
   }
 
+  test("temporal reachability: decreasing-time paths rejected, earliest arrival kept") {
+    import spark.implicits._
+    // 1→2@10, 1→2@15 (arrival must be the min, 10), 2→3@5 (static BFS
+    // would reach 3; temporally ILLEGAL: 5 < arrival 10), 2→4@20 (ok),
+    // 4→5@18 (illegal from arrival 20), 4→5@25 (ok at hop 3)
+    val edges = Seq(
+      (1L, 2L, 10L), (1L, 2L, 15L), (2L, 3L, 5L),
+      (2L, 4L, 20L), (4L, 5L, 18L), (4L, 5L, 25L))
+      .toDF("src", "dst", "t")
+    val seeds = Seq(1L).toDF("seed")
+    val out = graft.ops.Analytics.temporalReachability(edges, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> -1L, 2L -> 10L, 4L -> 20L, 5L -> 25L))
+    // hop cap: with 2 hops node 5 is out of range
+    val two = graft.ops.Analytics.temporalReachability(edges, seeds, maxHops = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(two === Set(1L, 2L, 4L))
+  }
+
   test("asof: null payloads stay attributed to the matched row; null left cols survive nearest") {
     import org.apache.spark.sql.types._
     val lSchema = StructType(Seq(StructField("k", LongType),
