@@ -3970,6 +3970,35 @@ object SparkEntry {
         .orderBy(col("hop"))
     }),
 
+    // Beyond-reference: STREAM-STATIC BROADCAST JOIN — the remaining
+    // streaming join mode (q237 covers stream-stream): the event
+    // stream enriched against the static customer dimension with a
+    // broadcast hash join INSIDE the micro-batch plan (no state store
+    // at all — the dimension rides the broadcast, the right posture
+    // when one side is a bounded dim at any stream length). Full drain
+    // equals the batch join.
+    "q250_stream_static_join" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.events")
+      val sink = "graft_q250_sink"
+      s.catalog.dropTempView(sink)
+      val cust = t(s, dir, "customer")
+        .select((col("c_custkey") - 1).as("user_id"), col("c_mktsegment"))
+      val src = s.readStream.format("graft").option("path", path)
+        .option("maxFilesPerTrigger", "8").load()
+      val joined = src.select(col("user_id"), col("value"))
+        .join(broadcast(cust), Seq("user_id"))
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      drain(q)
+      s.table(sink).groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("value_sum"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Beyond-reference: TEMPORAL REACHABILITY — time-respecting BFS
     // (edge times never decrease along a path) from 10 seed users over
     // the directed temporal interaction graph, 3 hops: the influence/
@@ -9368,6 +9397,12 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_pairs
          FROM hops JOIN nf ON nf.mh <= hops.hop
          GROUP BY hops.hop ORDER BY hop""",
+    // the full-drain stream-static join equals the batch join
+    "q250_stream_static_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n_events,
+                round(sum(e.value), 2) AS value_sum
+         FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
     // every time-respecting walk ≤ 3 hops enumerated recursively; the
     // engine's min-arrival relaxation must land on the same earliest
     // arrivals and reach sets

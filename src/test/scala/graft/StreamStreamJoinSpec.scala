@@ -118,6 +118,46 @@ class StreamStreamJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("left-outer stream-stream join null-extends evicted unmatched clicks") {
+    withFixture { path =>
+      val sink = "ssj_outer"
+      spark.catalog.dropTempView(sink)
+      def side(tpe: String) =
+        spark.readStream.format("graft").option("path", path)
+          .option("startingVersion", "0")
+          .option("maxFilesPerTrigger", "1").load()
+          .filter(col("event_type") === tpe)
+      val clicks = side("click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))
+        .withWatermark("cts", "1 hour")
+      val purchases = side("purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pts"),
+          col("event_id").as("pid"), col("value"))
+        .withWatermark("pts", "1 hour")
+      val q = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("pts") >= col("cts") &&
+            col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"),
+          "leftOuter")
+        .select(col("cid"), col("pid"))
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "drain timed out")
+      q.stop()
+      val rows = spark.table(sink).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+      // matched pairs emit as inner; click@20 — whose only match was
+      // dropped as late — null-extends once the watermark passed its
+      // window end and its state was evicted
+      assert(rows.contains((2L, None)),
+        "evicted unmatched click must null-extend")
+      assert(rows.contains((0L, Some(1L))) && rows.contains((3L, Some(4L))) &&
+        rows.contains((6L, Some(7L))))
+      assert(!rows.contains((2L, Some(5L))))
+    }
+  }
+
   test("tight watermark: a pair arriving after eviction never emits") {
     withFixture { path =>
       val pairs = runJoin(path, "1 hour", "ssj_tight")
