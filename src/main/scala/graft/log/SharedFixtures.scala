@@ -31,10 +31,21 @@ object SharedFixtures {
 
   /** Ensure all shared fixture tables exist + are registered; returns the
     * share root.
+    *
+    * Registration runs on EVERY call, not only the building one:
+    * `GraftCatalog.register` overwrites, so after a second sf's ensure
+    * (the bench warm-up runs plain-parquet queries at sf0.001 inside
+    * the sf0.1 process, and some of those call ensure for scratch
+    * roots) the share names would otherwise keep pointing at the LAST
+    * ensured sf — and a subsequent timed query's early-returning
+    * ensure would silently read 10× smaller fixtures. Measured before
+    * the fix: a post-warm-up registry read returned 6,000 lineitem
+    * rows instead of 600,000. Re-registering per call makes ensure
+    * idempotent per sf and self-healing under interleaving.
     */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val root = shareRoot(sfDir)
-    if (built.contains(root)) return root
+    if (built.contains(root)) { registerAll(root); return root }
 
     // lineitem: 8 files range-partitioned by orderkey → correlated
     // min/max stats on l_orderkey (and mildly on dates) for skipping.
@@ -236,14 +247,17 @@ object SharedFixtures {
       TableBuilder.compact(spark, path, timestamp = 2000L)
     }
 
+    registerAll(root)
+    built += root
+    root
+  }
+
+  private def registerAll(root: String): Unit =
     Seq("lineitem", "orders", "orders_versioned", "events", "orders_cdf",
       "orders_delta", "part_delta", "nation_dv", "nation_dv_cdf", "customer_cm",
       "supplier_compacted", "documents_versioned", "documents_cdf").foreach { t =>
       GraftCatalog.register(s"$SHARE.$t", s"$root/$t")
     }
-    built += root
-    root
-  }
 
   private def buildIfMissing(root: String, table: String)(build: String => Unit): Unit = {
     val path = s"$root/$table"

@@ -34,6 +34,20 @@ class SharingEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def shared(table: String) =
     spark.read.format("graft").option("table", s"${SharedFixtures.SHARE}.$table").load()
 
+  test("ensure re-registers per call: a second sf's ensure cannot poison later reads") {
+    // the bench warm-up regression: ensure(other sf) overwrote the share
+    // registrations and a later early-returning ensure left them stale,
+    // so timed queries silently read the other sf's (10× smaller) tables
+    val mine = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    try {
+      SharedFixtures.ensure(spark, "/root/testdata/sf0.01")
+      assert(shared("lineitem").count() !== mine,
+        "the other sf's share must differ in size")
+      SharedFixtures.ensure(spark, sfDir) // a query's own ensure must heal
+      assert(shared("lineitem").count() === mine)
+    } finally SharedFixtures.ensure(spark, sfDir)
+  }
+
   test("snapshot read returns identical rows to the source fixture") {
     val viaShare = shared("lineitem")
     val direct = spark.read.parquet(s"$sfDir/lineitem.parquet")
