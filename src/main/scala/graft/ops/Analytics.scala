@@ -202,11 +202,13 @@ object Analytics {
       .distinct()
   }
 
-  /** Time-respecting reachability (earliest-arrival BFS): the nodes
-    * reachable from each seed within `maxHops` edges along paths whose
-    * edge times never decrease — the influence/contagion primitive a
-    * static BFS gets WRONG (a path through an edge that fired before
-    * you arrived is not a real path).
+  /** Time-respecting reachability (earliest-arrival BFS; the temporal
+    * path semantics of Holme & Saramäki, "Temporal networks", Physics
+    * Reports 519, 2012): the nodes reachable from each seed within
+    * `maxHops` edges along paths whose edge times never decrease — the
+    * influence/contagion primitive a static BFS gets WRONG (a path
+    * through an edge that fired before you arrived is not a real
+    * path).
     *
     * Min-arrival relaxation is sound AND complete for this semantics:
     * an earlier arrival at a node permits a superset of the onward

@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
-  /** Tie-aware ROC-AUC (Mann–Whitney U) of `scoreCol` (integral) as a
-    * ranker for boolean `labelCol`, independently per `groupCol`.
+  /** Tie-aware ROC-AUC of `scoreCol` (integral) as a ranker for
+    * boolean `labelCol`, independently per `groupCol` — via the
+    * Mann–Whitney U equivalence (Mann & Whitney 1947; Hanley & McNeil
+    * 1982 for AUC = U/(n₊n₋)).
     *
     * Returns `(group, n_pos, n_neg, u2, auc)` where
     * `u2 = 2·Σ_pos Σ_neg ([s_p > s_n] + ½[s_p = s_n])` — an exact
@@ -154,8 +156,8 @@ object Eval {
       round(num * num / (denx * deny), 6).as("r2"))
   }
 
-  /** Spearman rank correlation between every unordered pair of the
-    * `dims` series in a long-format frame `(seriesCol, idCol,
+  /** Spearman (1904) rank correlation between every unordered pair of
+    * the `dims` series in a long-format frame `(seriesCol, idCol,
     * valueCol)`; ties broken deterministically by `idCol` (ranks are a
     * permutation, so the tie-free closed form
     * `ρ = 1 − 6·Σd² / (n·(n²−1))` applies exactly and `Σd²` is an
@@ -204,9 +206,11 @@ object Eval {
       .drop("__maxa", "__maxb")
   }
 
-  /** Population Stability Index between a baseline and a current
-    * corpus over a pre-binned integral feature (`binCol` ∈ [0, nBins)):
-    * the distribution-drift monitor run between corpus versions.
+  /** Population Stability Index (the standard credit-risk /
+    * model-monitoring drift measure — a symmetrized binned KL
+    * divergence) between a baseline and a current corpus over a
+    * pre-binned integral feature (`binCol` ∈ [0, nBins)): the
+    * distribution-drift monitor run between corpus versions.
     * Laplace-smoothed shares `p = (n_b+1)/(N_b+nBins)` keep empty bins
     * finite; each bin's `(p−q)·ln(p/q)` term (always ≥ 0) is floored
     * to integer PICOUNITS so the PSI total is an exact integer sum —

@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Distributed 2-D Pareto skyline (dominance frontier) — the
+/** Distributed 2-D Pareto skyline (dominance frontier; Börzsönyi,
+  * Kossmann & Stocker, "The Skyline Operator", ICDE 2001) — the
   * multi-objective data-selection operator ("keep documents not
   * dominated on (quality, freshness)"-style cuts).
   *
