@@ -3970,6 +3970,36 @@ object SparkEntry {
         .orderBy(col("hop"))
     }),
 
+    // Beyond-reference: BOUNDED-HOP CHEAPEST PATHS — min-plus
+    // (Bellman–Ford) relaxation from 10 seed users over the weighted
+    // directed interaction graph, 3 rounds: per-round equi-join +
+    // min-merge with the CC/ANF lineage discipline, parallel edges
+    // pre-reduced to their cheapest weight. Exact integer costs; the
+    // oracle enumerates every ≤3-hop walk and must land on the same
+    // minima.
+    "q251_shortest_paths" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val edges = ev
+        .withColumn("__prev", lag(col("user_id"), 1).over(w))
+        .filter(col("__prev").isNotNull && col("__prev") =!= col("user_id"))
+        .select(col("__prev").as("src"), col("user_id").as("dst"),
+          (lit(1L) + pmod(col("event_id"), lit(7L))).as("w"))
+      val seeds = s.range(10).select(col("id").as("seed"))
+      val dist = graft.ops.Analytics.boundedShortestPaths(edges, seeds, maxHops = 3)
+      val census = dist.filter(col("node") =!= col("seed"))
+        .groupBy(col("seed"))
+        .agg(count(lit(1)).as("n_reached"), sum(col("cost")).as("cost_sum"),
+          max(col("cost")).as("cost_max"))
+      seeds.join(census, Seq("seed"), "left")
+        .select(col("seed"),
+          coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+          coalesce(col("cost_sum"), lit(0L)).as("cost_sum"),
+          coalesce(col("cost_max"), lit(0L)).as("cost_max"))
+        .orderBy(col("seed"))
+    }),
+
     // Beyond-reference: STREAM-STATIC BROADCAST JOIN — the remaining
     // streaming join mode (q237 covers stream-stream): the event
     // stream enriched against the static customer dimension with a
@@ -9397,6 +9427,34 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_pairs
          FROM hops JOIN nf ON nf.mh <= hops.hop
          GROUP BY hops.hop ORDER BY hop""",
+    // every ≤3-hop walk enumerated over the min-reduced edges; the
+    // engine's min-plus relaxation must land on the same minima
+    "q251_shortest_paths" ->
+      """WITH RECURSIVE ev AS (SELECT user_id, event_id,
+                lag(user_id) OVER (PARTITION BY event_type
+                  ORDER BY ts, event_id) AS prev
+              FROM events),
+         e0 AS (SELECT DISTINCT prev AS src, user_id AS dst,
+                  1 + event_id % 7 AS w
+                FROM ev WHERE prev IS NOT NULL AND prev <> user_id),
+         edges AS (SELECT src, dst, CAST(min(w) AS BIGINT) AS w
+                   FROM e0 GROUP BY src, dst),
+         seeds AS (SELECT unnest(range(0, 10)) AS seed),
+         walk(seed, node, cost, hop) AS (
+           SELECT seed, seed, CAST(0 AS BIGINT), 0 FROM seeds
+           UNION
+           SELECT wk.seed, e.dst, wk.cost + e.w, wk.hop + 1
+           FROM walk wk JOIN edges e ON e.src = wk.node
+           WHERE wk.hop < 3),
+         best AS (SELECT seed, node, min(cost) AS c FROM walk
+                  WHERE node <> seed GROUP BY seed, node),
+         cen AS (SELECT seed, count(*) AS n, sum(c) AS sc, max(c) AS mc
+                 FROM best GROUP BY seed)
+         SELECT s.seed, CAST(coalesce(cen.n, 0) AS BIGINT) AS n_reached,
+                CAST(coalesce(cen.sc, 0) AS BIGINT) AS cost_sum,
+                CAST(coalesce(cen.mc, 0) AS BIGINT) AS cost_max
+         FROM seeds s LEFT JOIN cen USING (seed)
+         ORDER BY seed""",
     // the full-drain stream-static join equals the batch join
     "q250_stream_static_join" ->
       """SELECT c.c_mktsegment, count(*) AS n_events,

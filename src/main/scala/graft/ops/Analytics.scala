@@ -242,6 +242,35 @@ object Analytics {
     dist
   }
 
+  /** Bounded-hop single-source shortest paths from a seed set over
+    * weighted directed edges `(src, dst, w)` — `maxHops` rounds of
+    * min-plus (Bellman–Ford) relaxation: each round one equi-join
+    * frontier expansion + a min-merge (map-side combinable), lineage
+    * cut per round. Parallel edges are pre-reduced to their cheapest
+    * weight (sound for shortest paths). State is O(seeds × reached
+    * nodes); returns `(seed, node, cost)` with `cost = 0` for the seed
+    * itself. Exact integer costs — partitioning/order independent.
+    */
+  def boundedShortestPaths(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = edges.groupBy(col("src"), col("dst"))
+      .agg(min(col("w")).as("__w"))
+    var dist = seeds.select(col("seed"),
+      col("seed").as("node"), lit(0L).as("cost"))
+    (1 to maxHops).foreach { _ =>
+      val expanded = dist.join(e, dist("node") === e("src"))
+        .select(dist("seed"), e("dst").as("node"),
+          (dist("cost") + col("__w")).as("cost"))
+      dist = dist.unionByName(expanded)
+        .groupBy(col("seed"), col("node")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint(false)
+    }
+    dist
+  }
+
   /** Per-vertex triangle participation counts over an undirected edge
     * set `(a, b)` (deduped, a != b) — the degree-oriented formulation
     * (Suri & Vassilvitskii, WWW'11): orient every edge from the
