@@ -1710,9 +1710,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("bounded shortest paths: longer-but-cheaper beats direct, hop cap binds") {
     import spark.implicits._
-    // 1→4 direct w=10; 1→2→3→4 w=1+1+1=3 (cheaper, 3 hops);
-    // 1→5 only via 4 hops (out of a 3-hop cap); parallel edge 1→2
-    // w=9 must lose to w=1
+    // 1→4 direct w=10; 1→2→3→4 w=1+1+1=3 (cheaper, 3 hops); node 5 at
+    // 3 hops only via the expensive prefix (10+1=11), improving to 4
+    // once the cheap 4-hop path fits; parallel edge 1→2 w=9 must lose
+    // to w=1
     val edges = Seq(
       (1L, 4L, 10L), (1L, 2L, 1L), (1L, 2L, 9L), (2L, 3L, 1L),
       (3L, 4L, 1L), (4L, 5L, 1L))
@@ -1720,7 +1721,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val seeds = Seq(1L).toDF("seed")
     val out = graft.ops.Analytics.boundedShortestPaths(edges, seeds, maxHops = 3)
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
-    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 11L))
     val four = graft.ops.Analytics.boundedShortestPaths(edges, seeds, maxHops = 4)
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(four(5L) === 4L && four(4L) === 3L)
