@@ -3970,6 +3970,37 @@ object SparkEntry {
         .orderBy(col("hop"))
     }),
 
+    // Beyond-reference: APPEND-MODE WATERMARKED WINDOWED AGGREGATION —
+    // the streaming-agg output mode not yet in the corpus: hourly
+    // tumbling counts emitted ONLY when the watermark passes the window
+    // end (each window finalized exactly once — the mode a downstream
+    // exactly-once sink wants). Commit-order replay keeps event time
+    // monotone, so the drained sink holds precisely the windows whose
+    // end ≤ final watermark (max event time − delay); the oracle
+    // replays that cutoff arithmetically. Tail windows inside the
+    // delay horizon are correctly ABSENT — the honest semantics, not a
+    // full-drain equivalence.
+    "q252_stream_window_append" -> ((s, dir) => {
+      graft.log.SharedFixtures.ensure(s, dir)
+      val path = graft.log.GraftCatalog.location(
+        s"${graft.log.SharedFixtures.SHARE}.events")
+      val sink = "graft_q252_sink"
+      s.catalog.dropTempView(sink)
+      val src = normTs(s.readStream.format("graft").option("path", path)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "8").load())
+      val agg = src.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").cast("long").as("bucket_start"),
+          col("event_type"), col("n_events"))
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      drain(q)
+      s.table(sink).orderBy(col("bucket_start"), col("event_type"))
+    }),
+
     // Beyond-reference: BOUNDED-HOP CHEAPEST PATHS — min-plus
     // (Bellman–Ford) relaxation from 10 seed users over the weighted
     // directed interaction graph, 3 rounds: per-round equi-join +
@@ -9427,6 +9458,17 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_pairs
          FROM hops JOIN nf ON nf.mh <= hops.hop
          GROUP BY hops.hop ORDER BY hop""",
+    // finalized windows = end ≤ max event time − delay, replayed
+    // arithmetically (µs); the suppressed tail is part of the contract
+    "q252_stream_window_append" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+         w AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                 AS bucket_start, event_type FROM events)
+         SELECT bucket_start, event_type, count(*) AS n_events
+         FROM w CROSS JOIN mx
+         WHERE (bucket_start + 3600) * 1000000 <= m - 7200000000
+         GROUP BY bucket_start, event_type, m
+         ORDER BY bucket_start, event_type""",
     // every ≤3-hop walk enumerated over the min-reduced edges; the
     // engine's min-plus relaxation must land on the same minima
     "q251_shortest_paths" ->
