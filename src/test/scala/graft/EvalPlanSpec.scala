@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape pins for the round-16 evaluation/selection wave — the
+  * scale-critical properties: no corpus-wide single-partition window
+  * anywhere (the AUC/AP folds run over per-group cell ARRAYS, the
+  * skyline and Spearman ride range-partitioned pid-local windows), the
+  * skyline's frontier join back to the input is a broadcast of the
+  * (small) frontier, and the directional as-of walks stay key-partitioned
+  * windows + (for nearest) an equi-join — never a cartesian.
+  */
+class EvalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q238 AUC: pure aggregates, no window, no cartesian") {
+    val p = planOf("q238_scorer_auc")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("Window "), "the 2U walk must fold in an " +
+      "aggregate expression, never a window: " + p.take(1200))
+  }
+
+  test("q243 AP: same cell machinery, no window") {
+    val p = planOf("q243_scorer_ap")
+    assert(!p.contains("Window "), p.take(1200))
+  }
+
+  test("q242 skyline: pid-partitioned window only, frontier broadcast back") {
+    val p = planOf("q242_pareto_skyline")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the only window must partition by the synthetic partition id
+    val specs = "windowspecdefinition\\(__pid#\\d+".r.findAllIn(p).toSeq
+    val all = "windowspecdefinition\\(".r.findAllIn(p).toSeq
+    assert(all.nonEmpty && specs.length === all.length,
+      s"every window must partition by __pid: ${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "frontier membership must broadcast, not shuffle the corpus")
+  }
+
+  test("q240 Spearman: rank windows partition by (__pid, series)") {
+    val p = planOf("q240_spearman_dims")
+    val all = "windowspecdefinition\\(".r.findAllIn(p).length
+    val pid = "windowspecdefinition\\(__pid#\\d+".r.findAllIn(p).length
+    assert(all > 0 && pid === all,
+      s"rank windows must be pid-partitioned: ${p.take(1500)}")
+  }
+
+  test("q247 nearest as-of: user-partitioned walks + equi-join, no cartesian") {
+    val p = planOf("q247_asof_nearest")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    val all = "windowspecdefinition\\(".r.findAllIn(p).length
+    val keyed = "windowspecdefinition\\(user_id#\\d+".r.findAllIn(p).length
+    assert(all > 0 && keyed === all,
+      s"as-of walks must partition by the join key: ${p.take(1500)}")
+  }
+
+  test("q251 / q249 relaxation rounds: equi-joins only") {
+    Seq("q251_shortest_paths", "q249_temporal_reach").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct"), s"$n: ${p.take(1200)}")
+    }
+  }
+}
