@@ -102,6 +102,9 @@ object Bench {
       // would leave the queue pinning plan objects for the whole run)
       graft.ops.Dedup.releasePersisted()
       spark.catalog.clearCache()
+      // §1.5 of the optimization playbook: label every job with the query
+      // name so event logs / the UI attribute stages to queries.
+      spark.sparkContext.setJobDescription(name)
       val gc0 = gcNowMs()
       val t0 = System.nanoTime()
       // noop sink, NOT count(): count() lets Catalyst prune the whole

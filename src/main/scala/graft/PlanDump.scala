@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump `.explain("formatted")` for declared queries to files — the
+  * optimization-round evidence trail (plans/r16/<query>_{before,after}.txt).
+  *
+  * Usage: tools/run.sh graft.PlanDump <sfDir> <outDir> <suffix> [q35,q93,...]
+  *
+  * Writes <outDir>/<query>_<suffix>.txt per query. Streaming queries
+  * execute their drain while the frame is built (their declared result is
+  * the post-drain aggregate over the memory sink); the dumped plan is that
+  * final batch aggregate — the streaming micro-batch plan is not a static
+  * artifact. Such files carry a header line saying so.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = java.nio.file.Paths.get(args(1))
+    val suffix = args(2)
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.log.SharedFixtures.ensure(spark, sfDir)
+    graft.functions.VectorFunctions.register(spark)
+    java.nio.file.Files.createDirectories(outDir)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
+    selected.foreach { case (name, fn) =>
+      try {
+        graft.ops.Dedup.releasePersisted()
+        spark.catalog.clearCache()
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val streaming = name.contains("stream")
+        val header =
+          if (streaming)
+            "NOTE: streaming query — the drain already executed while building " +
+              "the frame; this is the declared result's final batch plan over " +
+              "the drained sink.\n\n"
+          else ""
+        java.nio.file.Files.write(
+          outDir.resolve(s"${name}_$suffix.txt"),
+          (header + plan + "\n").getBytes("UTF-8"))
+        System.err.println(s"PLAN OK $name")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"PLAN FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
