@@ -24,6 +24,22 @@ object Bench {
       // scale-correct mechanism — at 100 TB those tables measure huge
       // and AQE keeps the shuffle join.
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
+      // Spark 4.1 writes a Spark-level .crc twin for EVERY streaming
+      // checkpoint file (state deltas, offsets, commits) through a small
+      // shared async pool; stateful tasks then park in
+      // ChecksumCheckpointFileManager.awaitResult — measured here as the
+      // dominant wait of every stateful streaming task (thread dumps;
+      // ~0.5-1.2 s/query at sf0.1, −12% over the streaming family when
+      // disabled). The checkpoint FS already checksums (Hadoop
+      // ChecksumFileSystem locally; S3/HDFS server-side at scale), and at
+      // scale the feature doubles PUT/CREATE ops on the checkpoint store
+      // per state file — disabling is the production posture for an
+      // engine whose exactly-once story is the commit protocol, not crc
+      // twins. Overridable via system property (-D wins over this
+      // default): guide §5/§6.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.props.getOrElse(
+          "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -28,6 +28,9 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.props.getOrElse(
+          "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.log.SharedFixtures.ensure(spark, sfDir)

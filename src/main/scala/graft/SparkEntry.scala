@@ -2786,25 +2786,44 @@ object SparkEntry {
         (r.getLong(0), r.getLong(1))
       }
 
-      // --- incremental fold over versions (version-scale driver loop)
-      val versions = g.select(col("v")).distinct().as[Long].collect().sorted
+      // --- incremental fold over versions (version-scale driver loop).
+      // The per-version stage stats are additive over the disjoint
+      // version batches, so ONE grouped aggregate over the checkpointed
+      // CDF frame yields every version's row (and the version list) in a
+      // single job, folded driver-side — replaces the former
+      // distinct-collect plus one six-column aggregate job per version
+      // (guide §1.2: cut driver-loop jobs). The dedup admission below
+      // remains the genuine per-version sequential fold.
+      val perVersion = g.groupBy(col("v")).agg(
+        count(lit(1)), coalesce(sum(col("tok0")), lit(0L)),
+        count(when(col("p2"), 1)),
+        coalesce(sum(when(col("p2"), col("tok0"))), lit(0L)),
+        count(when(col("p2") && col("p3"), 1)),
+        coalesce(sum(when(col("p2") && col("p3"), col("tok0"))), lit(0L)))
+        .collect().sortBy(_.getLong(0))
+      val versions = perVersion.map(_.getLong(0))
       val acc = Array.fill(6)(0L)
+      perVersion.foreach { r =>
+        (0 until 6).foreach(i => acc(i) += r.getLong(i + 1))
+      }
       var admN = 0L; var admT = 0L
-      var seen: DataFrame = null
-      versions.foreach { v =>
-        val b = g.filter(col("v") === v)
-        val r = stageRow(b)
-        (0 until 6).foreach(i => acc(i) += r(i))
-        val bPass = b.filter(col("p2") && col("p3"))
+      // `seen` after version v is exactly the passing docs of versions
+      // ≤ v — a filter over the ALREADY-checkpointed `g`, not a growing
+      // unionByName + localCheckpoint chain (same rows, no per-version
+      // re-materialization job, no quadratic checkpoint bytes).
+      def passUpTo(vMax: Long) = g
+        .filter(col("v") <= vMax && col("p2") && col("p3"))
+        .select(col("doc_id"), col("text"), col("tok0"))
+      versions.zipWithIndex.foreach { case (v, i) =>
+        val bPass = g.filter(col("v") === v && col("p2") && col("p3"))
           .select(col("doc_id"), col("text"), col("tok0"))
+        val seen =
+          if (i == 0) bPass.limit(0) else passUpTo(versions(i - 1))
         val adm = graft.ops.Dedup.incrementalDedup(
-          Option(seen).getOrElse(bPass.limit(0)), bPass,
-          "doc_id", "text", threshold = 0.6).localCheckpoint()
+          seen, bPass, "doc_id", "text", threshold = 0.6)
         val (an, at) = survivorRow(adm)
         admN += an; admT += at
         graft.ops.Dedup.releasePersisted()
-        seen = Option(seen).map(_.unionByName(bPass)).getOrElse(bPass)
-          .localCheckpoint()
       }
 
       // --- from-scratch over the full corpus, smaller-id-wins

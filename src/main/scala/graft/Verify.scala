@@ -18,6 +18,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // See Bench.scala: Spark-level checkpoint .crc twins are redundant
+      // on a checksumming FS and dominate stateful-task wait time.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.props.getOrElse(
+          "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -39,7 +39,7 @@ object Classify {
       classCol: String,
       vocabSize: Int = 50,
       seedPerClass: Int = 10): DataFrame = {
-    val base = docs.select(col(idCol).as("id"), col(classCol).as("cls"),
+    val base = graft.ops.Par.widen(docs).select(col(idCol).as("id"), col(classCol).as("cls"),
       col(textCol).as("text"))
     val toks = base
       .select(col("id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
@@ -137,7 +137,7 @@ object Classify {
       vocabSize: Int = 200,
       trainPerClass: Int = 20): DataFrame = {
     require(n >= 1 && vocabSize >= 1 && trainPerClass >= 1)
-    val base = docs.select(col(idCol).cast("long").as("id"),
+    val base = graft.ops.Par.widen(docs).select(col(idCol).cast("long").as("id"),
       col(labelCol).as("lang"), lower(col(textCol)).as("text"))
     val ranked = base.withColumn("rn",
       row_number().over(Window.partitionBy(col("lang")).orderBy(col("id"))))
@@ -316,7 +316,7 @@ object Classify {
       docs: DataFrame, idCol: String, textCol: String,
       dim: Int, trainMod: Int): (() => DataFrame, DataFrame) = {
     val labeled = graft.ops.TextOps.gopherFilter(
-      docs.select(col(idCol).as("id"), col(textCol).as("text")), "id", "text")
+      graft.ops.Par.widen(docs).select(col(idCol).as("id"), col(textCol).as("text")), "id", "text")
       .select(col("id"), col("text"), col("kept").as("label"),
         (col("id") % trainMod === 0).as("is_train"))
     val toks = labeled
@@ -482,7 +482,7 @@ object Classify {
     require(classes.nonEmpty && classes.distinct == classes,
       "classes must be a non-empty distinct label list")
     def oCol(c: String) = s"__o_$c"
-    val counts = docs
+    val counts = graft.ops.Par.widen(docs)
       .select(explode(split(col(textCol), " ")).as("__token"), col(classCol))
       .groupBy(col("__token"))
       .agg(classes.head match { case h =>

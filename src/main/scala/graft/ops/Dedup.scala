@@ -422,7 +422,7 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       includeMinHashCandidates: Boolean = true): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
+    val sets = Par.widen(docs).select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("fset"))
     val (exploded, dict) = featureTables(sets)
     val codes = codedSetsFromFeatures(exploded, dict)
@@ -487,7 +487,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleSize: Int = 3,
       paragraphs: Column => Column = blankLineParagraphs): DataFrame = {
-    val units = docs
+    val units = Par.widen(docs)
       .select(col(idCol).cast("long").as("__did"),
         posexplode(paragraphs(col(textCol))).as(Seq("__pidx", "__para")))
       // unit ids pack (doc, paragraph) into one long join key — cheaper
@@ -543,7 +543,7 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
+    val sets = Par.widen(docs).select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("fset"))
     val (exploded, dict) = featureTables(sets)
     codedVerifyFromCodes(minHashCandidatesFromFeatures(exploded, numHashes, bands),
@@ -579,7 +579,7 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
+    val sets = Par.widen(docs).select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("fset"))
     val sigs = portableSignatures(sets, numHashes)
     val cands = portableBandCandidates(sigs, numHashes, bands)
@@ -615,7 +615,7 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 32): DataFrame = {
-    val sets = docs.select(col(sourceCol).as("id"),
+    val sets = Par.widen(docs).select(col(sourceCol).as("id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("fset"))
     val sigs = portableSignatures(sets, numHashes)
     val a = sigs.select(col("id").as("source_a") +:
@@ -696,7 +696,7 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
+    val sets = Par.widen(docs).select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("fset"))
     val sigs = portableSignatures(sets, numHashes)
     val cands = portableBandCandidates(sigs, numHashes, bands)
@@ -771,7 +771,7 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.7,
       shingleSize: Int = 3): DataFrame = {
-    def prep(df: DataFrame, isNew: Boolean) = df.select(
+    def prep(df: DataFrame, isNew: Boolean) = Par.widen(df).select(
       col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("fset"),
       lit(isNew).as("__new"))
@@ -807,7 +807,7 @@ object Dedup {
   }
 
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
+    val tok = Par.widen(docs).select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
       .withColumn("__h", xxhash64(col("__t")))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
@@ -827,7 +827,7 @@ object Dedup {
     * remains the cheaper production path.
     */
   def simHashPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
+    val tok = Par.widen(docs).select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
       .withColumn("__h", md5(col("__t").cast("binary")))
     val bitSums = (0 until 32).map { j =>
       sum(when(conv(substring(col("__h"), j + 1, 1), 16, 10).cast("int") >= 8, 1)
@@ -921,7 +921,7 @@ object Dedup {
       textCol: String,
       n: Int = 5,
       threshold: Double = 0.6): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("fset"))
+    val sets = Par.widen(docs).select(col(idCol).as("id"), charNgrams(col(textCol), n).as("fset"))
     val codes = codedSets(sets)
     val (index, probe) = prefixTables(codes, threshold)
     codedVerifyFromCodes(prefixJoin(index, probe, threshold), codes, threshold)
@@ -1269,7 +1269,7 @@ object Dedup {
       minLen: Int = 50,
       gramHash: String = "md5"): DataFrame = {
     val L = minLen
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val base = Par.widen(docs).select(col(idCol).as("id"), col(textCol).as("text"))
     // gram identity: "md5" is engine-portable (the oracle replays it);
     // "rolling" is the scale path — ONE O(n) Karp–Rabin pass per doc
     // (native codegen expression) instead of O(n·L) md5-over-substring
@@ -1451,7 +1451,7 @@ object Dedup {
       bandWidth: Int = 40): DataFrame = {
     require(prefixLen > 0 && maxDist >= 0 && bandWidth > 0,
       s"$prefixLen/$maxDist/$bandWidth")
-    val base = docs.select(col(idCol).as("__id"),
+    val base = Par.widen(docs).select(col(idCol).as("__id"),
       substring(col(textCol), 1, prefixLen).as("__p"),
       split(col(textCol), " ").getItem(0).as("__w1"),
       length(col(textCol)).cast("long").as("__len"))

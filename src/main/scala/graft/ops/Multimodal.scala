@@ -30,6 +30,15 @@ object Multimodal {
 
   private val formats = Seq("png", "bmp", "wav", "mp4")
 
+  // ImageIO's DEFAULT stream cache is file-backed: every read/write spins
+  // up (and deletes) a temp file and serializes on the temp directory —
+  // under the 32-way widened decode stages the phash tasks measured
+  // blocked, run 75 s vs 28 s CPU (task metrics, q194). Every payload
+  // here is an in-memory byte array, so memory-backed streams are
+  // strictly better at any scale; this initializes once per JVM/executor
+  // when the object loads.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Image assets are IMG_W×IMG_H grayscale, pixel(x,y) =
     * (id·31 + x·7 + y·13) mod 256 — deterministic so an engine-free
     * oracle can recompute the decoded features.
@@ -104,7 +113,9 @@ object Multimodal {
   def toAssets(docs: DataFrame): Dataset[Asset] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"), col("n_chars"))
+    // Scale-gated parallelism floor (Par.widen): the per-row png/wav
+    // ENCODE below costs real CPU and the fixture scan is one partition.
+    Par.widen(docs).select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .mapPartitions { it =>
         it.map { case (docId, text, nChars) =>

@@ -873,7 +873,7 @@ object TextOps {
       k: Double = 0.5): DataFrame = {
     val toks = split(lower(col(textCol)), " ")
     // (prev, cur) pairs with a start symbol: prevs = <s> +: tokens dropRight 1
-    val pairs = docs
+    val pairs = Par.widen(docs)
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), toks.as("t"))
       .select(col("doc_id"), explode(zip_with(
@@ -923,7 +923,7 @@ object TextOps {
     val toks = filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
     // padded stream: events (u,v,w) for each token position, u/v from a
     // double "<s>" pad so every token is scored
-    val ev = docs
+    val ev = Par.widen(docs)
       .filter(col(textCol).isNotNull)
       .select(col(sourceCol).as("src"), toks.as("t"))
       .filter(size(col("t")) > 0)
@@ -1057,7 +1057,7 @@ object TextOps {
     require(seedExtra >= 0 && maxPieceLen >= 1 && emRounds >= 1 && maxWordLen >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = docs
+    val words = Par.widen(docs)
       .filter(col(textCol).isNotNull)
       .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
       .filter(col("w") =!= "" && length(col("w")) <= maxWordLen)
