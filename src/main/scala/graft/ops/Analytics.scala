@@ -164,19 +164,69 @@ object Analytics {
     * cardinality; at 100 TB one would sub-partition hot types by time
     * range first.
     */
+  /** A window partitioned by event TYPE has ≤ #types distinct keys, so
+    * the whole corpus funnels through a handful of sort tasks — at
+    * 100 TB a straggler by construction (guide §2.5). Above the gate the
+    * per-type lag is therefore spelled as a CONSECUTIVE-RANK SELF-JOIN:
+    * withGroupRank assigns the identical total order (range-partitioned
+    * local ranks + broadcast prefix offsets, no single-partition
+    * window), and joining rank ↔ rank−1 within the type IS lag — the
+    * inner join drops each type's first row exactly like the window's
+    * isNotNull filter; (ts, tie) is a total order per type (tie is the
+    * unique event id) so the pairing is bit-identical (OpsSpec pins both
+    * paths equal). Below the gate — the input scan fits one task wave,
+    * so the largest type sorts in one task anyway — the plain window is
+    * cheaper (the rank spelling costs two extra exchanges plus a pinned
+    * materialization; measured +0.5-1 s per graph query at sf0.1).
+    * Override via -Dgraft.edges.rankJoin=always|never (the CC
+    * smallGraphEdgeThreshold precedent) for gate-lifted verification.
+    */
+  private def useRankJoinEdges(events: DataFrame): Boolean =
+    sys.props.get("graft.edges.rankJoin") match {
+      case Some("always") => true
+      case Some("never")  => false
+      case _ =>
+        !events.isStreaming &&
+          events.queryExecution.toRdd.getNumPartitions >
+            events.sparkSession.sparkContext.defaultParallelism
+    }
+
+  private def lagPairs(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    if (useRankJoinEdges(events)) {
+      val ranked = graft.ops.Quantiles.withGroupRank(
+        events.select(col(typeCol).as("__g"), col(tsCol).as("__ts"),
+          col(tieCol).as("__tie"), col(userCol).as("__u")),
+        Seq("__g"), Seq("__ts", "__tie"))
+        .select(col("__g"), col("__rn"), col("__u"), col("__ts"))
+      val prev = ranked.select(col("__g"), (col("__rn") + 1).as("__rn"),
+        col("__u").as("__prev"))
+      ranked.join(prev, Seq("__g", "__rn"))
+        .select(col("__prev"), col("__u"), col("__ts"))
+    } else {
+      val w = Window.partitionBy(col(typeCol)).orderBy(col(tsCol), col(tieCol))
+      events
+        .withColumn("__prev", lag(col(userCol), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(col("__prev"), col(userCol).as("__u"), col(tsCol).as("__ts"))
+    }
+  }
+
   def interactionEdges(
       events: DataFrame,
       userCol: String,
       typeCol: String,
       tsCol: String,
       tieCol: String): DataFrame = {
-    val w = Window.partitionBy(col(typeCol)).orderBy(col(tsCol), col(tieCol))
-    events
-      .withColumn("__prev", lag(col(userCol), 1).over(w))
-      .filter(col("__prev").isNotNull && col("__prev") =!= col(userCol))
+    lagPairs(events, userCol, typeCol, tsCol, tieCol)
+      .filter(col("__prev") =!= col("__u"))
       .select(
-        least(col("__prev"), col(userCol)).as("a"),
-        greatest(col("__prev"), col(userCol)).as("b"))
+        least(col("__prev"), col("__u")).as("a"),
+        greatest(col("__prev"), col("__u")).as("b"))
       .distinct()
   }
 
@@ -193,12 +243,12 @@ object Analytics {
       typeCol: String,
       tsCol: String,
       tieCol: String): DataFrame = {
-    val w = Window.partitionBy(col(typeCol)).orderBy(col(tsCol), col(tieCol))
-    events
-      .withColumn("__prev", lag(col(userCol), 1).over(w))
-      .filter(col("__prev").isNotNull && col("__prev") =!= col(userCol))
-      .select(col("__prev").as("src"), col(userCol).as("dst"),
-        unix_micros(col(tsCol)).as("t"))
+    // Same gated lag spelling as [[interactionEdges]] (see
+    // [[useRankJoinEdges]]): identical pairs either side of the gate.
+    lagPairs(events, userCol, typeCol, tsCol, tieCol)
+      .filter(col("__prev") =!= col("__u"))
+      .select(col("__prev").as("src"), col("__u").as("dst"),
+        unix_micros(col("__ts")).as("t"))
       .distinct()
   }
 

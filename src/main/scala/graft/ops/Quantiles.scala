@@ -29,8 +29,26 @@ object Quantiles {
       orderCols: Seq[String]): DataFrame = {
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val keys = (groupCols ++ orderCols).map(col)
-    val parts = df.repartitionByRange(nParts, keys: _*)
-      .withColumn("__pid", spark_partition_id())
+    // The stamped frame is consumed by TWO branches (local ranks +
+    // per-partition offsets). Range-exchange boundaries are SAMPLED with
+    // an RDD-id-dependent seed, so if column pruning gives the branches
+    // different exchange subtrees (it does whenever `df` carries payload
+    // columns beyond the keys — the offsets branch never needs them),
+    // exchange reuse does not fire, each branch samples its OWN
+    // boundaries, and the broadcast offsets no longer correspond to the
+    // ranked branch's partition ids — silently scrambled global ranks.
+    // Found via a consecutive-rank self-join whose pairs flaked run to
+    // run (9,256/9,995 wrong pairings in one execution); every previous
+    // caller happened to get exchange reuse. localCheckpoint pins ONE
+    // physical partitioning that both branches read — the correctness of
+    // the rank now no longer depends on an optimizer reuse heuristic.
+    // (Blocks are registered with the dedup checkpoint registry so the
+    // releasePersisted drain point reclaims them; re-planned consumers
+    // may re-read them until then.)
+    val parts = graft.ops.Dedup.trackCheckpoint(
+      df.repartitionByRange(nParts, keys: _*)
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint())
     val ranked = parts.withColumn("__local", row_number().over(
       Window.partitionBy(("__pid" +: groupCols).map(col): _*)
         .orderBy(orderCols.map(col): _*)))

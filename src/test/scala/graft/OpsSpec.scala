@@ -687,6 +687,60 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(as.map(_._3).toSeq === Seq(1L, 2L) && as.forall(_._4 == 2L))
   }
 
+  test("withGroupRank ranks are window-exact with payload columns (pinned partitioning)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Payload columns beyond (group ++ order) used to let column pruning
+    // give the internal offsets branch a DIFFERENT range exchange than
+    // the ranked branch; without exchange reuse each sampled its own
+    // boundaries and the broadcast offsets scrambled the global ranks
+    // (caught as a run-to-run-flaky consecutive-rank self-join: 9,256 of
+    // 9,995 pairings wrong in one execution). The frame is now
+    // localCheckpoint-pinned so both branches read ONE partitioning;
+    // this pins rank == row_number for a payload-carrying input.
+    val df = (1 to 2000).map { i =>
+      (s"g${i % 3}", (i * 7919) % 2000, s"payload-$i", i.toLong)
+    }.toDF("g", "v", "payload", "u").repartition(1)
+    val ranked = Quantiles.withGroupRank(df, Seq("g"), Seq("v"))
+      .select(col("g"), col("v"), col("u"), col("__rn"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    val truth = df.select(col("g"), col("v"), col("u").as("wu"),
+      row_number().over(w).cast("long").as("wrn"))
+    val joined = ranked.join(truth, Seq("g", "v"))
+    assert(joined.count() === 2000)
+    assert(joined.filter(col("__rn") =!= col("wrn") ||
+      col("u") =!= col("wu")).count() === 0,
+      "withGroupRank must equal the window rank row-for-row")
+    graft.ops.Dedup.releasePersisted()
+  }
+
+  test("interaction/temporal edges: rank-join path equals the window path") {
+    import spark.implicits._
+    // The size gate picks the per-type window below one task-wave of
+    // input and the consecutive-rank self-join above it (no ≤ #types-key
+    // window at scale); both spellings must produce the SAME edge sets.
+    val ev = (1 to 5000).map { i =>
+      (i.toLong, new java.sql.Timestamp(1600000000000L + (i * 7919L) % 100000000L),
+        (i * 31L) % 97, s"t${i % 4}")
+    }.toDF("event_id", "ts", "user_id", "event_type").repartition(3)
+    def run[A](mode: String)(f: => A): A = {
+      sys.props("graft.edges.rankJoin") = mode
+      try f finally sys.props.remove("graft.edges.rankJoin")
+    }
+    val wE = run("never")(Analytics.interactionEdges(
+      ev, "user_id", "event_type", "ts", "event_id").collect().toSet)
+    val rE = run("always")(Analytics.interactionEdges(
+      ev, "user_id", "event_type", "ts", "event_id").collect().toSet)
+    assert(wE === rE, "undirected edge sets must match across the gate")
+    assert(wE.nonEmpty)
+    val wT = run("never")(Analytics.temporalEdges(
+      ev, "user_id", "event_type", "ts", "event_id").collect().toSet)
+    val rT = run("always")(Analytics.temporalEdges(
+      ev, "user_id", "event_type", "ts", "event_id").collect().toSet)
+    assert(wT === rT, "temporal edge sets must match across the gate")
+    graft.ops.Dedup.releasePersisted()
+  }
+
   test("contamination screen flags docs overlapping the benchmark pool") {
     val bench = docsDF(Seq(1L -> base))
     val corpus = docsDF(Seq(
