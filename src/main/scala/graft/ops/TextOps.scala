@@ -408,44 +408,72 @@ object TextOps {
     val base = spread.select(col(idCol).as("doc_id"),
       filter(split(col(textCol), "\\s+"), w => w =!= "").as("__ts"))
       .withColumn("__chars", length(concat_ws(" ", col("__ts"))))
-    val gramArrays = ns.map { n =>
-      when(size(col("__ts")) >= n,
-        transform(sequence(lit(0), size(col("__ts")) - n),
-          i => struct(lit(n).as("n"),
-            concat_ws(" ", slice(col("__ts"), i + 1, lit(n))).as("g"))))
-        .otherwise(array().cast("array<struct<n:int,g:string>>"))
-    }
-    val counts = base
-      .select(col("doc_id"), col("__chars"),
-        explode(flatten(array(gramArrays: _*))).as("__g"))
-      .groupBy(col("doc_id"), col("__chars"),
-        col("__g.n").as("n"), col("__g.g").as("g"))
-      .agg(count(lit(1)).as("cnt"))
     // Paper rule (Rae et al. Table A1): char mass of the MOST FREQUENT
     // gram — select by (cnt, len) lexicographic max (ties between
     // equally-frequent grams break to the longest; the product is then
     // tie-independent), NOT max(cnt·len), under which a longer but less
     // frequent gram could win and flip the kept verdict (r14 advisory).
-    val perN = counts.groupBy(col("doc_id"), col("__chars"), col("n"))
-      .agg(max(struct(col("cnt"), length(col("g")).as("len"))).as("__top"),
-        sum(when(col("cnt") >= 2, col("cnt") * length(col("g")))
-          .otherwise(0L)).as("dup_chars"))
-      .withColumn("top_chars", col("__top.cnt") * col("__top.len"))
+    //
+    // Every metric is a function of ONE document's grams, so the whole
+    // computation is ROW-LOCAL: per n, sort the doc's gram array and
+    // fold over equal-gram runs, tracking the (cnt, len)-max run and the
+    // duplicated (cnt ≥ 2) char mass. The former spelling exploded all
+    // nine gram streams (≈ 9× the token volume, gram STRINGS as keys)
+    // through TWO corpus-scale shuffles only to regroup rows that were
+    // already co-located by doc — guide §2.4 "remove shuffles outright";
+    // at 100 TB that was the difference between a zero-exchange scan and
+    // shuffling 9× the corpus. Results are bit-identical: a sorted-run
+    // count IS the group-by count, and the run fold applies the same
+    // (cnt, len) max and the same dup-mass sum.
+    def runFold(n: Int): Column = {
+      val grams = when(size(col("__ts")) >= n,
+        array_sort(transform(sequence(lit(0), size(col("__ts")) - n),
+          i => concat_ws(" ", slice(col("__ts"), i + 1, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+      // acc: (prev gram, run length, best (cnt,len) pair, dup mass).
+      // Grams are non-empty (tokens are non-empty), so "" is a safe
+      // pre-first-run sentinel; finish() closes the last run.
+      val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("topCnt"), lit(0L).as("topLen"), lit(0L).as("dup"))
+      def close(acc: Column) = {
+        val pl = length(acc.getField("prev")).cast("long")
+        val better = acc.getField("run") > acc.getField("topCnt") ||
+          (acc.getField("run") === acc.getField("topCnt") &&
+            pl > acc.getField("topLen"))
+        struct(
+          when(better, acc.getField("run")).otherwise(acc.getField("topCnt")).as("topCnt"),
+          when(better, pl).otherwise(acc.getField("topLen")).as("topLen"),
+          (acc.getField("dup") + when(acc.getField("run") >= 2,
+            acc.getField("run") * pl).otherwise(lit(0L))).as("dup"))
+      }
+      aggregate(grams, zero,
+        (acc, g) => when(g === acc.getField("prev"),
+          struct(acc.getField("prev").as("prev"),
+            (acc.getField("run") + 1).as("run"),
+            acc.getField("topCnt").as("topCnt"),
+            acc.getField("topLen").as("topLen"),
+            acc.getField("dup").as("dup")))
+          .otherwise {
+            val c = close(acc)
+            struct(g.as("prev"), lit(1L).as("run"),
+              c.getField("topCnt").as("topCnt"),
+              c.getField("topLen").as("topLen"),
+              c.getField("dup").as("dup"))
+          },
+        acc => close(acc))
+    }
     def micro(c: Column): Column = when(col("__chars") > 0,
       floor(c.cast("double") / col("__chars").cast("double") * 1e6 + 0.5)
         .cast("long")).otherwise(0L)
+    val withFolds = base.select(
+      col("doc_id") +: col("__chars") +:
+        ns.map(n => runFold(n).as(s"__f$n")): _*)
     val metricCols =
-      topNs.map(n => max(when(col("n") === n, micro(col("top_chars"))))
-        .as(s"top${n}_micro")) ++
-      dupNs.map(n => max(when(col("n") === n, micro(col("dup_chars"))))
-        .as(s"dup${n}_micro"))
-    // left join back onto the full doc list: a doc shorter than every n
-    // has no gram rows at all, yet must appear (zero repetition, kept)
-    val perDoc = base.select(col("doc_id"), col("__chars"))
-      .join(perN.groupBy(col("doc_id"))
-        .agg(metricCols.head, metricCols.tail: _*), Seq("doc_id"), "left")
-      .na.fill(0L, topNs.map(n => s"top${n}_micro") ++
-        dupNs.map(n => s"dup${n}_micro"))
+      topNs.map(n => micro(col(s"__f$n").getField("topCnt") *
+        col(s"__f$n").getField("topLen")).as(s"top${n}_micro")) ++
+      dupNs.map(n => micro(col(s"__f$n").getField("dup")).as(s"dup${n}_micro"))
+    val perDoc = withFolds.select(
+      col("doc_id") +: col("__chars") +: metricCols: _*)
     val kept = (topNs.map(n => col(s"top${n}_micro") <= thresholds(n)) ++
       dupNs.map(n => col(s"dup${n}_micro") <= thresholds(n))).reduce(_ && _)
     perDoc.withColumn("kept", kept)
