@@ -2767,6 +2767,13 @@ object SparkEntry {
           (T.langId(col("text")) =!= "und").as("p2"),
           (T.qualityScore(col("text")) >= 0.5 &&
             T.uniqueTokenRatio(col("text")) >= 0.4).as("p3"))
+        // widen BEFORE the checkpoint: the CDF scan is a handful of
+        // partitions, so (a) the langid/quality kernels above would
+        // otherwise serialize in its tasks and (b) every per-version
+        // filter downstream would trip Par.widen's gate and re-shuffle
+        // the growing corpus once per iteration; checkpointing wide
+        // makes all of those no-ops (one exchange total).
+        .transform(graft.ops.Par.widen)
         .localCheckpoint()
 
       def stageRow(df: DataFrame): Array[Long] = {
@@ -2969,7 +2976,7 @@ object SparkEntry {
     // near-dup exposure, dominant language, all from the already-proven
     // column expressions + the exact dedup cascade in one pass family.
     "q161_corpus_datacard" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = graft.ops.Par.widen(t(s, dir, "documents"))
       val prof = docs.select(col("doc_id"), col("source"),
         graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n_toks"),
         graft.ops.TextOps.qualityScore(col("text")).as("q"),
@@ -3182,6 +3189,10 @@ object SparkEntry {
         .withColumn("p2", T.langId(col("text1")) =!= "und")
         .withColumn("p3", T.qualityScore(col("text1")) >= 0.5 &&
           T.uniqueTokenRatio(col("text1")) >= 0.4)
+        // widen BEFORE the checkpoint (same rationale as q201: the
+        // mojibake/NFC/langid/quality kernels parallelize and every
+        // downstream cascade's Par.widen gate then no-ops).
+        .transform(graft.ops.Par.widen)
         .localCheckpoint()
       val s3 = base.filter(col("p2") && col("p3"))
       val pd = De.paragraphDedup(s3.select(col("doc_id"), col("text1")),
