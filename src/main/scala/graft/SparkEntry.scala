@@ -9709,25 +9709,28 @@ object SparkEntry {
                   CAST(sum(y * y) AS BIGINT) AS syy
                 FROM pts GROUP BY dim)
          SELECT dim, n,
-           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
-           round((CAST(sy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS slope,
+           floor(((CAST(sy AS DOUBLE)
                    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
                      * CAST(sx AS DOUBLE))
-                 / CAST(n AS DOUBLE), 6) AS intercept,
-           round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS intercept,
+           floor((((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                   * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
                  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                 * 1e6 + 0.5) / 1e6 AS r2
          FROM st ORDER BY dim""",
     // tie-broken permutation ranks → the exact-integer Σd² closed form
     "q240_spearman_dims" ->

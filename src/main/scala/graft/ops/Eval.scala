@@ -128,6 +128,12 @@ object Eval {
     * num = n·Sxy − Sx·Sy, denx = n·Sxx − Sx², deny = n·Syy − Sy²,
     * slope = num/denx, intercept = (Sy − slope·Sx)/n,
     * r² = num²/(denx·deny).
+    *
+    * The 6-decimal rounding is spelled `floor(x·1e6 + 0.5) / 1e6` — four
+    * IEEE-exact steps every engine replays bit-for-bit — instead of
+    * `round(double, 6)`, whose half-up tie handling goes through
+    * BigDecimal in Spark and differs from DuckDB in the last ulp on
+    * boundary values (observed divergence under a strict hash compare).
     */
   def linearProbeByGroup(
       df: DataFrame,
@@ -148,12 +154,13 @@ object Eval {
     val denx = nD * col("__sxx").cast("double") - sxD * sxD
     val deny = nD * col("__syy").cast("double") - syD * syD
     val slope = num / denx
+    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     stats.select(
       col(groupCol),
       col("__n").as("n"),
-      round(slope, 6).as("slope"),
-      round((syD - slope * sxD) / nD, 6).as("intercept"),
-      round(num * num / (denx * deny), 6).as("r2"))
+      r6(slope).as("slope"),
+      r6((syD - slope * sxD) / nD).as("intercept"),
+      r6(num * num / (denx * deny)).as("r2"))
   }
 
   /** Spearman (1904) rank correlation between every unordered pair of
