@@ -4,13 +4,19 @@
 Reads verify output dir (parquet per query + oracle_sql.json), runs each
 oracle in DuckDB against the same sf dir, and compares: row count, column
 names (sorted), and values (rows sorted, exact for non-floats, tiny eps for
-floats). Usage: tools/check.py <sfDir> <verifyOutDir>
+floats). Usage: tools/check.py <sfDir> <verifyOutDir> [--strict]
+
+--strict compares floats BIT-EXACTLY (the driver's gate hashes values, so a
+last-ulp engine divergence that np.isclose forgives still fails the round —
+the q239 lesson).
 """
 import json, sys, glob, os
 import duckdb
 import pandas as pd
 import numpy as np
 
+STRICT = "--strict" in sys.argv
+sys.argv = [a for a in sys.argv if a != "--strict"]
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
@@ -41,7 +47,10 @@ for name, sql in sorted(oracle.items()):
         a, b = sdf[c], ddf[c]
         if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
             aa = a.astype(float).to_numpy(); bb = b.astype(float).to_numpy()
-            bad = ~(np.isclose(aa, bb, rtol=1e-9, atol=1e-9) | (np.isnan(aa) & np.isnan(bb)))
+            if STRICT:
+                bad = ~((aa == bb) | (np.isnan(aa) & np.isnan(bb)))
+            else:
+                bad = ~(np.isclose(aa, bb, rtol=1e-9, atol=1e-9) | (np.isnan(aa) & np.isnan(bb)))
             if bad.any():
                 ok = False
                 i = int(np.argmax(bad))
