@@ -36,8 +36,11 @@ object PlanDump {
     graft.log.SharedFixtures.ensure(spark, sfDir)
     graft.functions.VectorFunctions.register(spark)
     java.nio.file.Files.createDirectories(outDir)
+    // Match the query-id token exactly (qNN or the full name), not a bare
+    // prefix: "q13" must not also select q133/q136, "q24" not q240-q249.
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
+      .filter { case (name, _) =>
+        only.forall(f => f.exists(t => name == t || name.startsWith(t + "_"))) }
     selected.foreach { case (name, fn) =>
       try {
         graft.ops.Dedup.releasePersisted()

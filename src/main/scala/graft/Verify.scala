@@ -18,11 +18,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // See Bench.scala: Spark-level checkpoint .crc twins are redundant
-      // on a checksumming FS and dominate stateful-task wait time.
+      // Unlike Bench (which defaults the streaming checkpoint .crc twins
+      // OFF for performance), the CORRECTNESS harness stays on the engine
+      // default so verification keeps exercising the upstream checkpoint
+      // integrity posture (r16 advisory); -D still overrides either way.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.props.getOrElse(
-          "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"))
+          "spark.sql.streaming.checkpoint.fileChecksum.enabled", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -203,9 +203,15 @@ object Analytics {
           col(tieCol).as("__tie"), col(userCol).as("__u")),
         Seq("__g"), Seq("__ts", "__tie"))
         .select(col("__g"), col("__rn"), col("__u"), col("__ts"))
-      val prev = ranked.select(col("__g"), (col("__rn") + 1).as("__rn"),
-        col("__u").as("__prev"))
-      ranked.join(prev, Seq("__g", "__rn"))
+      val prev = ranked.select(col("__g").as("__pg"),
+        (col("__rn") + 1).as("__prn"), col("__u").as("__prev"))
+      // null-safe on the group key: the window path partitions NULL types
+      // into a real partition and emits their lag pairs; a plain-equality
+      // join would silently drop them and the two sides of the size gate
+      // would disagree (r16 advisory). <=> matches withGroupRank's own
+      // offsets join.
+      ranked.join(prev,
+          ranked("__g") <=> prev("__pg") && ranked("__rn") === prev("__prn"))
         .select(col("__prev"), col("__u"), col("__ts"))
     } else {
       val w = Window.partitionBy(col(typeCol)).orderBy(col(tsCol), col(tieCol))
