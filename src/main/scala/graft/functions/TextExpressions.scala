@@ -24,6 +24,67 @@ import org.apache.spark.unsafe.types.UTF8String
   * single ngram, matching the declarative fallback.
   */
 object TextKernels {
+  /** Single-pass Gopher repetition stats over a token array: the
+    * `(topCnt, topLen, dup)` triple for word n-grams of `n` consecutive
+    * tokens joined by one space — `topCnt`/`topLen` the (count, charlen)-
+    * lexicographic max over distinct grams, `dup` the Σ count·charlen
+    * mass of grams with count ≥ 2.
+    *
+    * Replaces the declarative spelling (`array_sort` of the gram array +
+    * a higher-order `aggregate` run fold), whose lambda functions are
+    * CodegenFallback — interpreted per element with a fresh struct
+    * allocation per fold step. A sorted-run count IS a group-by count,
+    * and both (cnt, len)-max and the dup mass are order-independent over
+    * the distinct-gram multiset, so a hash count produces identical
+    * numbers (ties in (cnt, len) carry the same reported pair whichever
+    * gram wins). Char length = Σ token chars + (n−1) separators, exactly
+    * `length(concat_ws(" ", gram))`.
+    */
+  def repetitionStats(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    val grams = m - n + 1
+    if (grams <= 0) return new GenericArrayData(Array[Any](0L, 0L, 0L))
+    val ts = new Array[UTF8String](m)
+    val nc = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      ts(i) = toks.getUTF8String(i)
+      nc(i) = ts(i).numChars()
+      i += 1
+    }
+    val space = UTF8String.fromString(" ")
+    // gram -> [count, charLen]
+    val counts = new java.util.HashMap[UTF8String, Array[Long]](grams * 2)
+    i = 0
+    while (i < grams) {
+      val parts = new Array[UTF8String](n)
+      var chars = (n - 1).toLong
+      var j = 0
+      while (j < n) {
+        parts(j) = ts(i + j)
+        chars += nc(i + j)
+        j += 1
+      }
+      val g = UTF8String.concatWs(space, parts: _*)
+      val slot = counts.get(g)
+      if (slot == null) counts.put(g, Array(1L, chars))
+      else slot(0) += 1L
+      i += 1
+    }
+    var topCnt = 0L
+    var topLen = 0L
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      if (s(0) > topCnt || (s(0) == topCnt && s(1) > topLen)) {
+        topCnt = s(0); topLen = s(1)
+      }
+      if (s(0) >= 2L) dup += s(0) * s(1)
+    }
+    new GenericArrayData(Array[Any](topCnt, topLen, dup))
+  }
+
   def charNgramsDistinct(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
     val numBytes = bytes.length
@@ -49,6 +110,36 @@ object TextKernels {
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
   }
+}
+
+/** `repetitionStats(tokens, n)` as a whole-stage-codegen-friendly unary
+  * expression returning `array<long>[topCnt, topLen, dup]`: the generated
+  * code is one static call, so the per-document repetition report stays
+  * inside a single codegen stage (the former higher-order-function fold
+  * forced CodegenFallback interpretation of the hottest loop).
+  */
+case class RepetitionStats(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"ngram size must be >= 1, got $n")
+  override def prettyName: String = "graft_repetition_stats"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> argument, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionStats(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.repetitionStats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `charNgramsDistinct(text)` as a whole-stage-codegen-friendly unary

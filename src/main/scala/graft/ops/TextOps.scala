@@ -415,53 +415,21 @@ object TextOps {
     // frequent gram could win and flip the kept verdict (r14 advisory).
     //
     // Every metric is a function of ONE document's grams, so the whole
-    // computation is ROW-LOCAL: per n, sort the doc's gram array and
-    // fold over equal-gram runs, tracking the (cnt, len)-max run and the
-    // duplicated (cnt ≥ 2) char mass. The former spelling exploded all
-    // nine gram streams (≈ 9× the token volume, gram STRINGS as keys)
+    // computation is ROW-LOCAL (the former spelling exploded all nine
+    // gram streams — ≈ 9× the token volume, gram STRINGS as keys —
     // through TWO corpus-scale shuffles only to regroup rows that were
-    // already co-located by doc — guide §2.4 "remove shuffles outright";
-    // at 100 TB that was the difference between a zero-exchange scan and
-    // shuffling 9× the corpus. Results are bit-identical: a sorted-run
-    // count IS the group-by count, and the run fold applies the same
-    // (cnt, len) max and the same dup-mass sum.
-    def runFold(n: Int): Column = {
-      val grams = when(size(col("__ts")) >= n,
-        array_sort(transform(sequence(lit(0), size(col("__ts")) - n),
-          i => concat_ws(" ", slice(col("__ts"), i + 1, lit(n))))))
-        .otherwise(array().cast("array<string>"))
-      // acc: (prev gram, run length, best (cnt,len) pair, dup mass).
-      // Grams are non-empty (tokens are non-empty), so "" is a safe
-      // pre-first-run sentinel; finish() closes the last run.
-      val zero = struct(lit("").as("prev"), lit(0L).as("run"),
-        lit(0L).as("topCnt"), lit(0L).as("topLen"), lit(0L).as("dup"))
-      def close(acc: Column) = {
-        val pl = length(acc.getField("prev")).cast("long")
-        val better = acc.getField("run") > acc.getField("topCnt") ||
-          (acc.getField("run") === acc.getField("topCnt") &&
-            pl > acc.getField("topLen"))
-        struct(
-          when(better, acc.getField("run")).otherwise(acc.getField("topCnt")).as("topCnt"),
-          when(better, pl).otherwise(acc.getField("topLen")).as("topLen"),
-          (acc.getField("dup") + when(acc.getField("run") >= 2,
-            acc.getField("run") * pl).otherwise(lit(0L))).as("dup"))
-      }
-      aggregate(grams, zero,
-        (acc, g) => when(g === acc.getField("prev"),
-          struct(acc.getField("prev").as("prev"),
-            (acc.getField("run") + 1).as("run"),
-            acc.getField("topCnt").as("topCnt"),
-            acc.getField("topLen").as("topLen"),
-            acc.getField("dup").as("dup")))
-          .otherwise {
-            val c = close(acc)
-            struct(g.as("prev"), lit(1L).as("run"),
-              c.getField("topCnt").as("topCnt"),
-              c.getField("topLen").as("topLen"),
-              c.getField("dup").as("dup"))
-          },
-        acc => close(acc))
-    }
+    // already co-located by doc; guide §2.4 "remove shuffles outright").
+    // Per n, [[graft.functions.RepetitionStats]] hash-counts the doc's
+    // grams in one native pass inside whole-stage codegen — the previous
+    // array_sort + higher-order `aggregate` run fold was CodegenFallback:
+    // every fold step interpreted with a fresh struct allocation. A
+    // sorted-run count IS a group-by count and both the (cnt, len) max
+    // and the dup-mass sum are order-independent, so the numbers are
+    // identical (kernel returns [topCnt, topLen, dup]).
+    def runFold(n: Int): Column =
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.RepetitionStats(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("__ts")), n))
     def micro(c: Column): Column = when(col("__chars") > 0,
       floor(c.cast("double") / col("__chars").cast("double") * 1e6 + 0.5)
         .cast("long")).otherwise(0L)
@@ -469,9 +437,9 @@ object TextOps {
       col("doc_id") +: col("__chars") +:
         ns.map(n => runFold(n).as(s"__f$n")): _*)
     val metricCols =
-      topNs.map(n => micro(col(s"__f$n").getField("topCnt") *
-        col(s"__f$n").getField("topLen")).as(s"top${n}_micro")) ++
-      dupNs.map(n => micro(col(s"__f$n").getField("dup")).as(s"dup${n}_micro"))
+      topNs.map(n => micro(element_at(col(s"__f$n"), 1) *
+        element_at(col(s"__f$n"), 2)).as(s"top${n}_micro")) ++
+      dupNs.map(n => micro(element_at(col(s"__f$n"), 3)).as(s"dup${n}_micro"))
     val perDoc = withFolds.select(
       col("doc_id") +: col("__chars") +: metricCols: _*)
     val kept = (topNs.map(n => col(s"top${n}_micro") <= thresholds(n)) ++
@@ -988,12 +956,21 @@ object TextOps {
               (col("uni").cast("double") / col("unitot").cast("double")))
     val pa1 = (col("c3") + lit(1)).cast("double") /
       (col("c2") + col("vsz")).cast("double")
-    evc
-      .join(c3, Seq("u", "v", "w"))
+    // Assemble a TRIGRAM-KEYED model table first (all joins at
+    // vocabulary scale), then hit the EVENT-scale (src, u, v, w) table
+    // with ONE equi-join — the former spelling joined evc against each
+    // model table in turn, re-shuffling the event-scale stream on five
+    // different key sets ((u,v,w), (u,v), (v,w), (v), (w)); guide §2.3-
+    // §2.4: the big side crosses the network once, the model tables are
+    // trigram-sized. Identical rows and doubles — the same inner joins
+    // associate the same model quantities to each event row.
+    val model = c3
       .join(c2, Seq("u", "v"))
       .join(mid, Seq("v", "w"))
       .join(midv, Seq("v"))
       .join(uniW, Seq("w"))
+    evc
+      .join(model, Seq("u", "v", "w"))
       .crossJoin(broadcast(scal))
       .select(col("src"), col("u"), col("v"), col("w"), col("cnt"),
         log(pkn).as("kn_lp"), log(pa1).as("add1_lp"))

@@ -3299,6 +3299,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(11L).getAs[Boolean]("kept") && r(3L).getAs[Boolean]("kept"))
   }
 
+  test("RepetitionStats kernel: hash-count triple equals a driver-side " +
+    "sorted-run replay on randomized token arrays (ties, no-grams, n=1)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // reference: the exact semantics the declarative run fold had —
+    // (cnt, charlen)-lexicographic max over distinct grams, Σ cnt·len
+    // for cnt ≥ 2
+    def ref(toks: Seq[String], n: Int): (Long, Long, Long) = {
+      if (toks.size < n) return (0L, 0L, 0L)
+      val counts = toks.sliding(n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).toSeq
+        .map { case (g, o) => (o.size.toLong, g.length.toLong) }
+      val (tc, tl) = counts.max
+      (tc, tl, counts.collect { case (c, l) if c >= 2 => c * l }.sum)
+    }
+    def kernel(toks: Seq[String], n: Int): (Long, Long, Long) = {
+      val arr = graft.functions.TextKernels.repetitionStats(
+        new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any]), n)
+      (arr.getLong(0), arr.getLong(1), arr.getLong(2))
+    }
+    val rnd = new scala.util.Random(421701)
+    val vocab = Seq("a", "bb", "ccc", "xxxxxxxxxx", "y")
+    val cases = Seq.fill(60)(Seq.fill(rnd.nextInt(24))(
+      vocab(rnd.nextInt(vocab.size)))) ++
+      Seq(Seq.empty[String], Seq("solo"), Seq("a", "b", "a", "b", "a", "b"))
+    for (toks <- cases; n <- 1 to 6)
+      assert(kernel(toks, n) === ref(toks, n), s"toks=$toks n=$n")
+  }
+
   test("source overlap: exact jaccard matches hand-computed sets and the " +
     "minhash estimate matches a driver-side replay of the md5 family") {
     import org.apache.spark.sql.functions._
