@@ -3404,12 +3404,27 @@ object SparkEntry {
     // missing mass is candidate-generation misses — the 1-(1-J^r)^b
     // curve, measured. One row.
     "q186_lsh_recall" -> ((s, dir) => {
+      // Both cascades run over the SAME shingle space, so the feature
+      // dictionary / coded arrays / verifier are built ONCE and shared
+      // (the separate nearDuplicatesExact + nearDuplicatesLshPortable
+      // calls each built their own — double dictionary aggregation,
+      // double per-doc collect+sort; guide §1.2 "don't compute things
+      // you throw away"). Same candidate sets, same exact verification,
+      // bit-identical report.
       val docs = t(s, dir, "documents")
-      val exact = graft.ops.Dedup.nearDuplicatesExact(
-        docs, "doc_id", "text", threshold = 0.7,
-        includeMinHashCandidates = false).select(col("id_a"), col("id_b"))
-      val lsh = graft.ops.Dedup.nearDuplicatesLshPortable(
-        docs, "doc_id", "text", threshold = 0.7)
+      val De = graft.ops.Dedup
+      val threshold = 0.7
+      val sets = graft.ops.Par.widen(docs).select(col("doc_id").as("id"),
+        array_distinct(De.shingles(col("text"), 3)).as("fset"))
+      val (exploded, dict) = De.featureTables(sets)
+      val codes = De.codedSetsFromFeatures(exploded, dict)
+      val (index, probe) = De.prefixTables(codes, threshold)
+      val exact = De.codedVerifyFromCodes(
+        De.prefixJoin(index, probe, threshold), codes, threshold)
+        .select(col("id_a"), col("id_b"))
+      val lshCands = De.portableBandCandidates(
+        De.portableSignatures(sets, 32), 32, 8)
+      val lsh = De.codedVerifyFromCodes(lshCands, codes, threshold)
         .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
       exact.join(lsh, Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_true_pairs"),
