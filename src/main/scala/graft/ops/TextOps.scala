@@ -935,8 +935,20 @@ object TextOps {
       }), 1)).as("g"))
       .select(col("src"), col("g.u").as("u"), col("g.v").as("v"),
         col("g.w").as("w"))
-    val evc = ev.groupBy(col("src"), col("u"), col("v"), col("w"))
-      .agg(count(lit(1)).as("cnt"))
+    // PINNED: evc feeds the model tables (c3→c2/mid/midv/uni/scal) AND
+    // the final event-side join. Inner-join null filters push differently
+    // into each branch's explode subtree, so canonicalization differs and
+    // exchange reuse never fires — per-stage metrics showed the corpus
+    // explode map stage executing FOUR times (4× the scan + lambda-explode
+    // CPU and 4× its shuffle write). localCheckpoint truncates the lineage
+    // into one LogicalRDD every consumer reads (the q192/q201 pattern;
+    // persist() is defeated by the HOF-lambda plan's canonicalization).
+    // evc is the aggregate — (src × trigram)-scale, far smaller than the
+    // token stream — and the blocks drain at releasePersisted.
+    val evc = graft.ops.Dedup.trackCheckpoint(
+      ev.groupBy(col("src"), col("u"), col("v"), col("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint())
     val c3 = evc.groupBy(col("u"), col("v"), col("w"))
       .agg(sum(col("cnt")).as("c3"))
     val c2 = c3.groupBy(col("u"), col("v"))
