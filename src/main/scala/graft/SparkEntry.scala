@@ -3414,8 +3414,9 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val De = graft.ops.Dedup
       val threshold = 0.7
-      val sets = graft.ops.Par.widen(docs).select(col("doc_id").as("id"),
-        array_distinct(De.shingles(col("text"), 3)).as("fset"))
+      val sets = graft.ops.Par.pin(
+        graft.ops.Par.widen(docs).select(col("doc_id").as("id"),
+          array_distinct(De.shingles(col("text"), 3)).as("fset")))
       val (exploded, dict) = De.featureTables(sets)
       val codes = De.codedSetsFromFeatures(exploded, dict)
       val (index, probe) = De.prefixTables(codes, threshold)

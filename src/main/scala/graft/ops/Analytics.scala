@@ -745,18 +745,32 @@ object Analytics {
     // canonicalize per row (free — no shuffle) so a reversed (b, a)
     // input row can't slip past the adjacency anti-join below; edges
     // stored BOTH ways would still double-count degrees, so the dedup
-    // part of the input contract stays with the caller
-    val und = edges.select(
-      least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+    // part of the input contract stays with the caller.
+    // PINNED: the canonical edge set feeds the union (twice) and the
+    // final anti-join — per-stage metrics showed the upstream edge
+    // derivation executing three times (3 × ~0.5 s serial).
+    val und = Par.pin(edges.select(
+      least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b")))
     val dir = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("z"), col("b").as("x"))
     val deg = dir.groupBy(col("z")).agg(count(lit(1)).as("deg"))
     // deg-1 centers cannot form a wedge — excluded up front so the
-    // 1/ln(deg) weight is ANSI-safe (ln(1) = 0) and no work is wasted
-    val adj = dir.join(
+    // 1/ln(deg) weight is ANSI-safe (ln(1) = 0) and no work is wasted.
+    // PINNED: both sides of the wedge self-join consume it.
+    val adj = Par.pin(dir.join(
         deg.filter(col("deg") <= maxHubDegree && col("deg") >= 2), "z")
-      .withColumn("w", lit(1.0) / log(col("deg").cast("double")))
+      .withColumn("w", lit(1.0) / log(col("deg").cast("double"))))
+    // The probe side is EXPLICITLY hash-exchanged on the center: the
+    // edge frame is task-wave-tiny at fixture scale, so AQE coalesces it
+    // to one partition and the broadcast wedge join then generates EVERY
+    // wedge in ONE task (measured: a single 2.8 s map task writing the
+    // whole 20 MB wedge stream — guide §2.5, the classic single-partition
+    // straggler). An explicit numPartitions blocks AQE coalescing; wedge
+    // generation (the quadratic term) spreads over the cluster, keyed by
+    // center so hot centers stay bounded by the maxHubDegree cap.
+    val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val wedges = adj.select(col("z"), col("x").as("u"), col("w"))
+      .repartition(nParts, col("z"))
       .join(adj.select(col("z"), col("x").as("v")), "z")
       .filter(col("u") < col("v"))
     val scored = wedges.groupBy(col("u"), col("v"))

@@ -46,7 +46,15 @@ object Classify {
       .filter(col("tok") =!= "")
     val nDocs = base.agg(count(lit(1)).as("n_total"))
 
-    val dft = toks.select(col("id"), col("tok")).distinct()
+    // Document frequency WITHOUT the corpus-scale (id, tok) distinct
+    // exchange: per-doc dedup is ROW-LOCAL (array_distinct over the
+    // doc's own token array), so the only shuffle is the map-side-
+    // combinable vocabulary-scale groupBy(tok) — guide §2.4, remove the
+    // shuffle outright. Same df: count of docs containing the token.
+    val dft = base
+      .select(explode(array_distinct(
+        split(lower(col("text")), "\\s+"))).as("tok"))
+      .filter(col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val vocab = dft
       .orderBy(col("df").desc, col("tok")).limit(vocabSize)

@@ -422,8 +422,10 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       includeMinHashCandidates: Boolean = true): DataFrame = {
-    val sets = Par.widen(docs).select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("fset"))
+    // pinned: the shingle-set frame feeds the dictionary aggregate AND
+    // the code join (plus the optional MinHash band pass) — see Par.pin
+    val sets = Par.pin(Par.widen(docs).select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("fset")))
     val (exploded, dict) = featureTables(sets)
     val codes = codedSetsFromFeatures(exploded, dict)
     val (index, probe) = prefixTables(codes, threshold)
@@ -487,7 +489,9 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleSize: Int = 3,
       paragraphs: Column => Column = blankLineParagraphs): DataFrame = {
-    val units = Par.widen(docs)
+    // pinned: the unit table feeds the whole dedup cascade AND the final
+    // reassembly join — see Par.pin
+    val units = Par.pin(Par.widen(docs)
       .select(col(idCol).cast("long").as("__did"),
         posexplode(paragraphs(col(textCol))).as(Seq("__pidx", "__para")))
       // unit ids pack (doc, paragraph) into one long join key — cheaper
@@ -495,7 +499,7 @@ object Dedup {
       // 1024 paragraphs/doc is a segmentation-unit bound, not a doc-size
       // bound (split coarser for monster docs); the guard keeps a
       // violation loud instead of silently aliasing unit ids.
-      .withColumn("id", col("__did") * lit(1024L) + col("__pidx"))
+      .withColumn("id", col("__did") * lit(1024L) + col("__pidx")))
     val sets = units.select(col("id"),
       array_distinct(shingles(col("__para"), shingleSize)).as("fset"))
     val (exploded, dict) = featureTables(sets)
@@ -579,8 +583,10 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    val sets = Par.widen(docs).select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("fset"))
+    // pinned: the shingle-set frame feeds the signature aggregate, the
+    // dictionary aggregate, and the code join — see Par.pin
+    val sets = Par.pin(Par.widen(docs).select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("fset")))
     val sigs = portableSignatures(sets, numHashes)
     val cands = portableBandCandidates(sigs, numHashes, bands)
     val (exploded, dict) = featureTables(sets)
@@ -696,9 +702,13 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    val sets = Par.widen(docs).select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("fset"))
-    val sigs = portableSignatures(sets, numHashes)
+    // pinned twice: `sets` feeds the signature aggregate AND the
+    // dictionary/code branch; `sigs` feeds candidate banding AND both
+    // sides of the estimate join (3 consumers — per-stage metrics showed
+    // the md5 signature aggregate executing three times) — see Par.pin
+    val sets = Par.pin(Par.widen(docs).select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("fset")))
+    val sigs = Par.pin(portableSignatures(sets, numHashes))
     val cands = portableBandCandidates(sigs, numHashes, bands)
     val sigA = sigs.select(col("id").as("id_a") +:
       (0 until numHashes).map(j => col(s"h$j").as(s"__a$j")): _*)
@@ -921,7 +931,10 @@ object Dedup {
       textCol: String,
       n: Int = 5,
       threshold: Double = 0.6): DataFrame = {
-    val sets = Par.widen(docs).select(col(idCol).as("id"), charNgrams(col(textCol), n).as("fset"))
+    // pinned: the ngram-set frame feeds the dictionary aggregate and the
+    // code join — see Par.pin
+    val sets = Par.pin(Par.widen(docs)
+      .select(col(idCol).as("id"), charNgrams(col(textCol), n).as("fset")))
     val codes = codedSets(sets)
     val (index, probe) = prefixTables(codes, threshold)
     codedVerifyFromCodes(prefixJoin(index, probe, threshold), codes, threshold)

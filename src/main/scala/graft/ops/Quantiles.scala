@@ -45,10 +45,19 @@ object Quantiles {
     // (Blocks are registered with the dedup checkpoint registry so the
     // releasePersisted drain point reclaims them; re-planned consumers
     // may re-read them until then.)
-    val parts = graft.ops.Dedup.trackCheckpoint(
-      df.repartitionByRange(nParts, keys: _*)
-        .withColumn("__pid", spark_partition_id())
-        .localCheckpoint())
+    // Cluster posture (-Dgraft.rank.pin=reliable): localCheckpoint blocks
+    // are executor-local and unreplicated with lineage truncated, so on a
+    // real cluster an executor loss mid-query kills the job. The reliable
+    // spelling pins the same single physical partitioning through the
+    // checkpoint DIRECTORY (spark.checkpoint.dir / setCheckpointDir —
+    // required), surviving executor loss at the cost of one write+read of
+    // the stamped frame. local[*] keeps the executor-storage default.
+    val stamped = df.repartitionByRange(nParts, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val parts = sys.props.getOrElse("graft.rank.pin", "local") match {
+      case "reliable" => stamped.checkpoint()
+      case _ => graft.ops.Dedup.trackCheckpoint(stamped.localCheckpoint())
+    }
     val ranked = parts.withColumn("__local", row_number().over(
       Window.partitionBy(("__pid" +: groupCols).map(col): _*)
         .orderBy(orderCols.map(col): _*)))
